@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Large-scale document deduplication. Four tiers, cheapest first — the
+  * standard LLM-corpus pipeline (exact → near-dup) expressed Spark-first:
+  *
+  *  - exact:   hash-groupBy on a normalized content hash. One shuffle on the
+  *             hash; at 100 TB this is the cheapest possible dedup (the hash
+  *             is 8-16 bytes/row on the wire, not the document).
+  *  - minhash: shingle → k-permutation MinHash → banded LSH → candidate
+  *             pairs via a self-equi-join on band keys. The join is an
+  *             EQUI join on (band, key) — shuffle-partitionable, no O(n²).
+  *  - simhash: 64-bit signature; near-dup candidates = equal signature
+  *             (or banded prefixes for hamming<=3).
+  *  - jaccard: exact n-gram Jaccard verification on candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-content hash.
+    * Normalization = lowercase + whitespace collapse, so trivially
+    * reformatted copies collapse too.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    docs.select(col(idCol), md5(norm).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** MinHash signatures: one row per doc with the k-minhash array and the
+    * LSH band keys. Downstream: explode bands → groupBy band-key → pairs.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16): DataFrame =
+    docs.select(col(idCol),
+      TextFns.minhashSigUdf(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("minhash"))
+
+  /** LSH candidate pairs: docs sharing at least one band bucket, id1 < id2.
+    *
+    * Shape matters at scale: a naive self-join on band keys re-evaluates the
+    * (HOF-heavy, non-codegen) minhash pipeline on BOTH join inputs and
+    * shuffles full rows. Instead we shuffle only (band_key, doc_id) — 16
+    * bytes/row — `collect_set` the bucket membership, and emit in-bucket
+    * pairs with an array comprehension. Signatures are computed exactly
+    * once, and `maxBucket` is the skew guard: a degenerate key (empty docs,
+    * boilerplate) cannot go quadratic — it is dropped, not exploded.
+    */
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 16, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      TextFns.minhashSigUdf(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      explode(TextFns.minhashBandsUdf(bands, k / bands)(col("sig"))).as("band_key"))
+    val buckets = banded.groupBy(col("band_key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id1"), y.as("id2")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+  }
+
+  /** SimHash near-dup clusters: rows sharing an identical 64-bit simhash. */
+  def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextFns.simhash64(col(textCol)).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (pairs: id1, id2). Shingle sets travel as arrays; the intersection/
+    * union sizes are computed with array_intersect — per-pair, map-side
+    * after the two hash joins that attach the shingle arrays.
+    */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "sh1"), "id1")
+      .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "sh2"), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", when(col("uni") === 0, 0.0)
+        .otherwise(col("inter").cast("double") / col("uni")))
+      .select("id1", "id2", "inter", "uni", "jaccard")
+  }
+
+  /** Embedding near-dup: pairs with cosine >= threshold within LSH buckets.
+    * See Similarity.annLsh for the bucketing rationale.
+    */
+  def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 8): DataFrame = {
+    import graft.functions.VectorFns
+    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFns.rpBucket(col(vecCol), nBits).as("bucket"))
+    b.alias("a").join(b.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", VectorFns.cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+  }
+}

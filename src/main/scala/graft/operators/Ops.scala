@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The SURVEY §2 operator inventory as reusable DataFrame combinators.
+  * Each combinator documents the reference semantics it reproduces
+  * (file:line into /root/reference/code/) and its scale posture: what
+  * shuffles, what broadcasts, what stays map-side.
+  */
+object Ops {
+
+  // ── R1: explode-zip ─────────────────────────────────────────────────────
+  /** Explode several ";"-delimited multi-value string columns in positional
+    * lockstep, null-padding shorter lists to the longest
+    * (`expand_dataframe`, code/lib/util.py:158-203 — pandas pads with NaN at
+    * :179-180). `arrays_zip` has exactly that null-padding semantics.
+    * Map-side only: no shuffle.
+    */
+  def explodeZip(df: DataFrame, cols: Seq[String], sep: String = ";"): DataFrame = {
+    val zipped = arrays_zip(cols.map(c => split(col(c), sep)): _*)
+    val others = df.columns.filterNot(cols.contains).map(col)
+    df.withColumn("__z", explode(zipped))
+      .select(others ++ cols.map(c => col("__z")(c).as(c)): _*)
+  }
+
+  // ── J7: range lookup (as-of style threshold classification) ─────────────
+  /** `assign_values_based_on_series` (code/lib/util.py:228-252): for each
+    * fact value x, the attribute of the SMALLEST threshold >= x. Implemented
+    * as a broadcast non-equi join + per-row min — the limits table is tiny
+    * (voltage classes, length buckets), so this is a broadcast nested-loop
+    * join followed by a partial-aggregated groupBy on the fact's own key:
+    * no fact-side shuffle beyond the final agg, which Catalyst partial-aggs
+    * map-side. At 100 TB the same shape holds: the only big movement is the
+    * fact table's one agg shuffle.
+    */
+  def rangeLookup(fact: DataFrame, valueCol: String,
+      limits: DataFrame, thresholdCol: String): DataFrame = {
+    // Surrogate row id so duplicate fact rows never collapse — the operator
+    // makes no uniqueness assumption about the fact table.
+    val keyed = fact.withColumn("__row_id", monotonically_increasing_id())
+    val joined = keyed.join(broadcast(limits), col(valueCol) <= col(thresholdCol), "left")
+    val w = Window.partitionBy(col("__row_id")).orderBy(col(thresholdCol).asc_nulls_last)
+    joined.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__row_id")
+  }
+
+  /** Same semantics compiled to a CASE WHEN chain when the thresholds are
+    * known at plan time — zero join, pure codegen. Preferred at scale.
+    */
+  def rangeLookupCase(value: Column, thresholds: Seq[(Double, Any)]): Column = {
+    val sorted = thresholds.sortBy(_._1)
+    sorted.foldRight(lit(null).cast("string")) { case ((t, v), acc) =>
+      when(value <= t, lit(v)).otherwise(acc)
+    }
+  }
+
+  // ── A5: mode imputation ─────────────────────────────────────────────────
+  /** Most-frequent value per group with deterministic tie-break (higher
+    * count first, then lexicographically smallest value) — the reference's
+    * `value_counts().index[0]` imputation for voltage/wires/cables
+    * (code/lib/correction_functions.py:617-623). One shuffle on
+    * (group, value) with map-side partial counts, then a tiny per-group
+    * window.
+    */
+  def modePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__cnt").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(groupCols.map(col) :+ col(valueCol).as(s"${valueCol}_mode"): _*)
+  }
+
+  // ── W3: top-k per group ─────────────────────────────────────────────────
+  /** Rank-based per-group top-k (code/lib/spatial_functions.py:434-436 picks
+    * the N best pixels per country). `row_number` over a partitioned window
+    * — single shuffle on the group key; with AQE, skewed groups split.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+
+  // ── W2: forward fill ────────────────────────────────────────────────────
+  /** last-non-null forward fill down a deterministic order within a group
+    * (IRENA merged-cell headers, code/lib/correction_functions.py:704-708).
+    */
+  def forwardFill(df: DataFrame, orderCol: String, fillCols: Seq[String],
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = (if (partitionCols.isEmpty) Window.partitionBy(lit(1))
+             else Window.partitionBy(partitionCols.map(col): _*))
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    fillCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  // ── W1: gap fill from previous day scaled by trend ──────────────────────
+  /** Single-pass variant of the reference's load gap fill
+    * (code/lib/correction_functions.py:315-318):
+    * x[i] = sum(x[i-5..i-1]) / sum(x[i-29..i-25]) * x[i-24] where x[i]==0.
+    * The reference mutates top-down so later gaps can read earlier fills; a
+    * declared difference (SURVEY §2.5): we fill from ORIGINAL neighbors in
+    * one vectorized pass (bounded fixpoint iteration available by calling
+    * this repeatedly).
+    */
+  def gapFillDayTrend(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+    val recent = sum(col(valueCol)).over(w.rowsBetween(-5, -1))
+    val dayAgo = sum(col(valueCol)).over(w.rowsBetween(-29, -25))
+    val prev24 = lag(col(valueCol), 24).over(w)
+    df.withColumn(valueCol,
+      when(col(valueCol) === 0 && dayAgo > 0 && prev24.isNotNull,
+        recent / dayAgo * prev24).otherwise(col(valueCol)))
+  }
+
+  // ── canonical edge direction ────────────────────────────────────────────
+  /** `reverse_lines` (code/lib/util.py:139-155): orient every edge so
+    * start <= end, so that (A,B) and (B,A) merge in the downstream groupBy.
+    * The reference loops row-by-row; here it is two codegen'd expressions.
+    */
+  def canonicalEdge(df: DataFrame, startCol: String, endCol: String): DataFrame =
+    df.withColumn("__s", least(col(startCol), col(endCol)))
+      .withColumn("__e", greatest(col(startCol), col(endCol)))
+      .drop(startCol, endCol)
+      .withColumnRenamed("__s", startCol)
+      .withColumnRenamed("__e", endCol)
+
+  // ── J10: dict recode via broadcast mapping table ────────────────────────
+  /** Dictionary recode (dict_countries/dict_technologies joins,
+    * code/lib/correction_functions.py:298-307,426-430). Mapping rows whose
+    * key is a comma-separated list ("A, B" → two keys) are exploded first —
+    * the reference splits such keys at load. Unmatched keys keep their
+    * original value (pandas `replace` semantics). Broadcast-hash join:
+    * fact side never moves.
+    */
+  def recode(df: DataFrame, keyCol: String, mapping: DataFrame,
+      fromCol: String, toCol: String): DataFrame = {
+    val expanded = mapping
+      .withColumn(fromCol, explode(split(col(fromCol), ",\\s*")))
+      .select(col(fromCol).as("__from"), col(toCol).as("__to"))
+    df.join(broadcast(expanded), col(keyCol) === col("__from"), "left")
+      .withColumn(keyCol, coalesce(col("__to"), col(keyCol)))
+      .drop("__from", "__to")
+  }
+
+  // ── A3: normalize to group total ────────────────────────────────────────
+  /** value / sum(value) over the group — profile normalization
+    * (code/lib/correction_functions.py:46-47,370-378). Window-sum keeps it
+    * to one shuffle; the alternative agg+rejoin would take two.
+    */
+  def normalizePerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn(outCol, col(valueCol) / sum(col(valueCol)).over(w))
+  }
+
+  // ── A7: cumulative-count dedup suffix ───────────────────────────────────
+  /** Name dedup via per-name cumcount suffix
+    * (code/lib/correction_functions.py:473-476): second and later
+    * occurrences become "name_1", "name_2", ...
+    */
+  def dedupSuffix(df: DataFrame, nameCol: String, orderBy: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(nameCol)).orderBy(orderBy: _*)
+    df.withColumn("__cc", row_number().over(w) - 1)
+      .withColumn(nameCol,
+        when(col("__cc") > 0, concat(col(nameCol), lit("_"), col("__cc"))).otherwise(col(nameCol)))
+      .drop("__cc")
+  }
+}

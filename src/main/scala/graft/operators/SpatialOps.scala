@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.geo.GeoFns
+
+/** Spatial operators over the WKT geometry column model (SURVEY §1.1):
+  * polygons broadcast, points/pixels stay distributed.
+  *
+  * Join strategy (SURVEY §4b): every polygon row carries precomputed bbox
+  * columns; the join predicate is `bbox BETWEEN … AND st_contains(…)`, so
+  * the cheap arithmetic prunes before the exact ray-cast refine. With the
+  * polygon side broadcast this is a BroadcastNestedLoopJoin whose inner
+  * test is mostly four double compares. At 100 TB the same operators run
+  * tile-salted: add a `tile_id = (floor(x/T), floor(y/T))` key to both
+  * sides and equi-join on it first — no operator rewrite, one extra column.
+  */
+object SpatialOps {
+
+  /** Attach bbox columns to a polygon table (computed once, reused by every
+    * downstream join).
+    */
+  def withBbox(polys: DataFrame, wktCol: String): DataFrame =
+    polys.withColumn("__xmin", GeoFns.stXmin(col(wktCol)))
+      .withColumn("__ymin", GeoFns.stYmin(col(wktCol)))
+      .withColumn("__xmax", GeoFns.stXmax(col(wktCol)))
+      .withColumn("__ymax", GeoFns.stYmax(col(wktCol)))
+
+  /** J5: tag each point with the (first matching) containing region.
+    * Reference: `get_sites` / sjoin + dedupe
+    * (code/lib/spatial_functions.py:480-507). `how` = "inner" drops
+    * unmatched points (the reference filters them at :505); "left" keeps
+    * them with null region.
+    */
+  def pointInPolygonJoin(points: DataFrame, xCol: String, yCol: String,
+      polys: DataFrame, wktCol: String, how: String = "inner"): DataFrame = {
+    val p = withBbox(polys, wktCol)
+    val pred = GeoFns.containsPredicate(col(wktCol),
+      col("__xmin"), col("__ymin"), col("__xmax"), col("__ymax"),
+      col(xCol), col(yCol))
+    points.join(broadcast(p), pred, how)
+      .drop("__xmin", "__ymin", "__xmax", "__ymax", wktCol)
+  }
+
+  /** A6: zonal statistics — per-region SUM / MAX / COUNT over a pixel
+    * relation (code/lib/spatial_functions.py:279-344). The per-region numpy
+    * masking loop becomes ONE spatial join + ONE groupBy: a single shuffle
+    * keyed by region regardless of raster size.
+    */
+  def zonalStats(pixels: DataFrame, xCol: String, yCol: String, valueCol: String,
+      polys: DataFrame, wktCol: String, regionCol: String): DataFrame =
+    pointInPolygonJoin(pixels, xCol, yCol, polys, wktCol)
+      .groupBy(col(regionCol))
+      .agg(sum(col(valueCol)).as("zonal_sum"),
+        max(col(valueCol)).as("zonal_max"),
+        count(lit(1)).as("zonal_count"))
+}

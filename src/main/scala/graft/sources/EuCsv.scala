@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** S1/S2/S6: the reference's European CSV dialect — `sep=";"`,
+  * `decimal=","`, optional header offset, literal "inf"
+  * (code/lib/correction_functions.py:20-22,125-127,347-349; sinks at e.g.
+  * :50,320,382,659). Header offsets are handled by a plain row-skip on the
+  * scan; decimal commas by a post-scan cast (kept OUT of the reader so the
+  * scan itself stays a vanilla pushdown-capable CSV source).
+  */
+object EuCsv {
+
+  def read(spark: SparkSession, path: String, schema: Option[StructType] = None,
+      sep: String = ";", skipRows: Int = 0): DataFrame = {
+    var r = spark.read.option("sep", sep).option("header", "true")
+    r = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
+    if (skipRows > 0) {
+      // header offset: drop the first skipRows physical lines before parse
+      val raw = spark.read.text(path)
+      val body = raw.withColumn("__rn", monotonically_increasing_id())
+        .filter(col("__rn") >= skipRows).drop("__rn")
+      val tmp = body.select(col("value")).as[String](org.apache.spark.sql.Encoders.STRING)
+      r.csv(spark.createDataset(tmp.collect().toIndexedSeq)(org.apache.spark.sql.Encoders.STRING))
+    } else r.csv(path)
+  }
+
+  /** Parse EU-decimal string columns to double in place. */
+  def parseEuDoubles(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, graft.functions.ScalarFns.euToDouble(col(c))))
+
+  /** EU CSV sink: `;` separator, decimal comma on the given double columns. */
+  def write(df: DataFrame, path: String, euCols: Seq[String] = Nil): Unit = {
+    val out = euCols.foldLeft(df)((d, c) =>
+      d.withColumn(c, graft.functions.ScalarFns.euFormat(col(c))))
+    out.write.mode("overwrite").option("sep", ";").option("header", "true").csv(path)
+  }
+}
