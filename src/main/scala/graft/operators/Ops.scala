@@ -19,7 +19,7 @@ object Ops {
     * Map-side only: no shuffle.
     */
   def explodeZip(df: DataFrame, cols: Seq[String], sep: String = ";"): DataFrame = {
-    val zipped = arrays_zip(cols.map(c => split(col(c), sep)): _*)
+    val zipped = arrays_zip(cols.map(c => split(col(c), sep).as(c)): _*)
     val others = df.columns.filterNot(cols.contains).map(col)
     df.withColumn("__z", explode(zipped))
       .select(others ++ cols.map(c => col("__z")(c).as(c)): _*)

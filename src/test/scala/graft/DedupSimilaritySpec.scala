@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "The  quick brown fox jumps over the lazy dog near the river bank"), // ws/case dup of 1
+    (3L, "quick brown fox jumps over the lazy dog near the river bank today"), // near-dup
+    (4L, "completely unrelated text about spark catalyst and tungsten engines"),
+    (5L, "another unrelated document mentioning watermarks and state stores"))
+
+  test("exact dedup collapses whitespace/case variants") {
+    val got = Dedup.exact(docs.toDF("doc_id", "text"), "doc_id", "text")
+    assert(got.count() == 4)
+    val dup = got.filter($"n_copies" === 2).head
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds the near-dup pair, not unrelated ones") {
+    val pairs = Dedup.minhashCandidatePairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 2, k = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"got $pairs")
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("jaccardOnPairs computes exact bigram jaccard") {
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val j = Dedup.jaccardOnPairs(pairs, docs.toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 2).head.getAs[Double]("jaccard")
+    assert(j == 1.0, s"case/ws-normalized dup must have jaccard 1.0, got $j")
+  }
+
+  test("maxBucket skew guard drops degenerate buckets") {
+    val same = (1L to 20L).map(i => (i, "identical identical identical text"))
+    val got = Dedup.minhashCandidatePairs(same.toDF("doc_id", "text"),
+      "doc_id", "text", shingleN = 2, k = 16, bands = 8, maxBucket = 10)
+    assert(got.count() == 0, "bucket of 20 identical docs must be dropped, not exploded")
+  }
+
+  test("bruteForceTopK returns self first, then nearest") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), 2)
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(0L, 1L))
+  }
+
+  test("embeddingNearDup finds only the close pair") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("id", "v")
+    val got = Dedup.embeddingNearDup(vecs, "id", "v", threshold = 0.95, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+
+  test("ivfTopK returns k rows led by exact matches") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(4)(d => if (d == (i % 4).toInt) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0, 0.0), k = 3, nLists = 4, nProbe = 2)
+    assert(got.count() == 3)
+    assert(got.head.getAs[Double]("cosine") > 0.99)
+  }
+}

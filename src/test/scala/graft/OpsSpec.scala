@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Ops
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("explodeZip: lockstep explode with null padding to longest list") {
+    val df = Seq(("l1", "220;380", "2;4;6")).toDF("id", "voltage", "wires")
+    val got = Ops.explodeZip(df, Seq("voltage", "wires"))
+      .orderBy("wires").collect()
+    assert(got.length == 3)
+    val rows = got.map(r => (r.getAs[String]("voltage"), r.getAs[String]("wires")))
+    assert(rows.toSet == Set(("220", "2"), ("380", "4"), (null, "6")))
+  }
+
+  test("rangeLookup: smallest threshold >= value, inf catch-all, dup rows kept") {
+    val limits = Seq((10.0, "low"), (20.0, "mid"), (Double.PositiveInfinity, "high"))
+      .toDF("threshold", "attr")
+    val fact = Seq(("a", 5.0), ("a", 5.0), ("b", 10.0), ("c", 15.0), ("d", 99.0))
+      .toDF("k", "v")
+    val got = Ops.rangeLookup(fact, "v", limits, "threshold")
+      .select($"k", $"v", $"attr").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(got.length == 5, "duplicate fact rows must survive")
+    assert(got.count(_ == ("a", 5.0, "low")) == 2)
+    assert(got.contains(("b", 10.0, "low")), "boundary: x <= threshold")
+    assert(got.contains(("c", 15.0, "mid")))
+    assert(got.contains(("d", 99.0, "high")))
+  }
+
+  test("modePerGroup: highest count wins, ties to smallest value") {
+    val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"),
+      ("g2", "b"), ("g2", "a")).toDF("g", "v")
+    val got = Ops.modePerGroup(df, Seq("g"), "v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("g1", "x"), ("g2", "a")))
+  }
+
+  test("topKPerGroup keeps k rows per group in order") {
+    val df = Seq(("g", 1), ("g", 3), ("g", 2), ("h", 9)).toDF("g", "v")
+    val got = Ops.topKPerGroup(df, Seq("g"), Seq($"v".desc), 2)
+      .groupBy("g").agg(collect_set($"v").as("vs")).orderBy("g").collect()
+    assert(got(0).getSeq[Int](1).toSet == Set(3, 2))
+    assert(got(1).getSeq[Int](1).toSet == Set(9))
+  }
+
+  test("forwardFill carries last non-null within partition") {
+    val df = Seq(("u", 1, Some(10.0)), ("u", 2, None), ("u", 3, None),
+      ("u", 4, Some(7.0)), ("v", 1, None)).toDF("p", "t", "v")
+    val got = Ops.forwardFill(df, "t", Seq("v"), Seq("p"))
+      .orderBy("p", "t").collect().map(r => Option(r.get(2)))
+    assert(got.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(7.0), None))
+  }
+
+  test("gapFillDayTrend fills zeros by trend-scaled previous day") {
+    // 40 hourly points, constant 10.0, with a zero at t=35:
+    // fill = sum(t30..34)/sum(t6..10) * x[t11] = 50/50 * 10 = 10
+    val rows = (1 to 40).map(t => ("c", t, if (t == 35) 0.0 else 10.0))
+    val df = rows.toDF("c", "t", "v")
+    val got = Ops.gapFillDayTrend(df, Seq("c"), "t", "v")
+      .filter($"t" === 35).head.getDouble(2)
+    assert(got == 10.0)
+    // leading rows (no fill possible) keep their value
+    val head = Ops.gapFillDayTrend(df, Seq("c"), "t", "v")
+      .filter($"t" === 1).head.getDouble(2)
+    assert(head == 10.0)
+  }
+
+  test("canonicalEdge orients start <= end") {
+    val df = Seq(("B", "A", 1.0), ("A", "B", 2.0), ("C", "C", 3.0)).toDF("s", "e", "cap")
+    val got = Ops.canonicalEdge(df, "s", "e")
+      .groupBy("s", "e").agg(sum($"cap").as("cap")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(("A", "B", 3.0), ("C", "C", 3.0)))
+  }
+
+  test("recode: mapping applies, comma keys expand, unmatched pass through") {
+    val mapping = Seq(("Deutschland, Germany", "DE"), ("France", "FR")).toDF("f", "to")
+    val df = Seq("Deutschland", "Germany", "France", "Spain").toDF("c")
+    val got = Ops.recode(df, "c", mapping, "f", "to").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("DE", "DE", "FR", "Spain"))
+  }
+
+  test("normalizePerGroup sums to 1 within each group") {
+    val df = Seq(("g", 1.0), ("g", 3.0), ("h", 5.0)).toDF("g", "v")
+    val got = Ops.normalizePerGroup(df, Seq("g"), "v", "share")
+      .groupBy("g").agg(round(sum($"share"), 9).as("s")).collect()
+    got.foreach(r => assert(r.getDouble(1) == 1.0))
+  }
+
+  test("dedupSuffix appends _n to repeat names only") {
+    val df = Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "name")
+    val got = Ops.dedupSuffix(df, "name", Seq($"id".asc))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(got.toSeq == Seq("a", "a_1", "b"))
+  }
+}
