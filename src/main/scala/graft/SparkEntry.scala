@@ -396,6 +396,119 @@ object SparkEntry {
     "q37_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextFns.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // R1 proper: multi-column lockstep explode with null padding (2- vs
+    // 3-element cells → shorter list padded with null).
+    "q38_explode_zip" -> ((s, dir) => {
+      val df = t(s, dir, "part").select(col("p_partkey"),
+        concat_ws(";", col("p_size"), col("p_size") * 2).as("multi1"),
+        concat_ws(";", col("p_brand"), col("p_type"), col("p_name")).as("multi2"))
+      Ops.explodeZip(df, Seq("multi1", "multi2"))
+    }),
+
+    // A8: weighted dot-product aggregation (landuse-pixels × sector weights
+    // re-expressed as join + groupBy over the long form).
+    "q39_weighted_dot" -> ((s, dir) => {
+      import s.implicits._
+      val weights = Seq((0, 0.5), (1, 1.25), (2, 2.0), (3, 0.25), (4, 1.0))
+        .toDF("lu", "wt")
+      val pix = t(s, dir, "lineitem")
+        .groupBy((col("l_suppkey") % 10).as("region"), (col("l_partkey") % 5).as("lu"))
+        .agg(count(lit(1)).as("cnt"))
+      pix.join(broadcast(weights), "lu")
+        .groupBy(col("region"))
+        .agg(round(sum(col("cnt") * col("wt")), 2).as("weighted"))
+    }),
+
+    // R6-style positional reshape rewritten as keyed computation: the
+    // hour-of-year index is DERIVED (ts arithmetic), never positional.
+    "q40_hour_index" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("t", expr("(ts - 1704067200000000000) div 3600000000000 + 1"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("hourly_value"))
+    }),
+
+    // J9: polygon adjacency pairs (Queen contiguity) via spatial self-join.
+    "q41_adjacency_pairs" -> ((s, dir) => {
+      import graft.geo.GeoFns
+      val xm = (col("id") % 4) * 10
+      val ym = floor(col("id") / 4).cast("long") * 10
+      val zones = s.range(12).select(col("id").as("zone_id"),
+        format_string("POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+          xm, ym, xm + 10, ym, xm + 10, ym + 10, xm, ym + 10, xm, ym).as("wkt"))
+      val a = zones.select(col("zone_id").as("zone_a"), col("wkt").as("wa"))
+      val b = zones.select(col("zone_id").as("zone_b"), col("wkt").as("wb"))
+      a.join(b, col("zone_a") < col("zone_b") && GeoFns.stTouches(col("wa"), col("wb")))
+        .select(col("zone_a"), col("zone_b"))
+    }),
+
+    // J6: polygon overlay — intersection area of tiles × offset stripes,
+    // keeping only area > 0 pieces (P5 filter).
+    "q42_overlay_area" -> ((s, dir) => {
+      import graft.geo.GeoFns
+      val xm = (col("id") % 4) * 10
+      val ym = floor(col("id") / 4).cast("long") * 10
+      val zones = s.range(12).select(col("id").as("zone_id"),
+        format_string("POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+          xm, ym, xm + 10, ym, xm + 10, ym + 10, xm, ym + 10, xm, ym).as("wkt"))
+      val stripes = s.range(2).select(col("id").as("stripe_id"))
+        .select(col("stripe_id"), format_string(
+          "POLYGON ((0 %d, 40 %d, 40 %d, 0 %d, 0 %d))",
+          col("stripe_id") * 10 + 5, col("stripe_id") * 10 + 5,
+          col("stripe_id") * 10 + 15, col("stripe_id") * 10 + 15,
+          col("stripe_id") * 10 + 5).as("swkt"))
+      zones.crossJoin(broadcast(stripes))
+        .withColumn("area", GeoFns.stIntersectionArea(col("wkt"), col("swkt")))
+        .filter(col("area") > 0)
+        .select(col("zone_id"), col("stripe_id"), round(col("area"), 6).as("area"))
+    }),
+
+    // U3: set intersection/difference on key domains.
+    "q43_set_ops" -> ((s, dir) => {
+      val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
+      val b = t(s, dir, "part").filter(col("p_retailprice") > 950).select(col("p_brand")).distinct()
+      a.intersect(b).withColumn("membership", lit("both"))
+        .unionByName(a.except(b).withColumn("membership", lit("only_small")))
+        .unionByName(b.except(a).withColumn("membership", lit("only_pricey")))
+    }),
+
+    // Star join (flagship shape): revenue per region/nation.
+    "q44_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Composite training-data filter: language + quality gate, per-source.
+    "q45_quality_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("lang_pred", TextFns.langId(col("text")))
+        .withColumn("quality", TextFns.qualityScore(col("text")))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("quality")), 6).as("avg_quality"))
+    }),
+
+    // Multimodal plumbing: binary media column + deterministic fake decode
+    // (schema/partitioning real; codec stubbed — see Multimodal docs).
+    "q46_multimodal_meta" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("media"))
+      Multimodal.withImageMeta(media, "media")
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+          col("first_byte"), col("last_byte"))
     })
   )
 
@@ -675,6 +788,107 @@ object SparkEntry {
         |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |    AS filled
         |FROM o""".stripMargin,
+
+    "q38_explode_zip" ->
+      """WITH m AS (SELECT p_partkey,
+        |  p_size::VARCHAR || ';' || (p_size * 2)::VARCHAR AS m1,
+        |  p_brand || ';' || p_type || ';' || p_name AS m2 FROM part)
+        |SELECT p_partkey,
+        |  unnest(str_split(m1, ';')) AS multi1,
+        |  unnest(str_split(m2, ';')) AS multi2
+        |FROM m""".stripMargin,
+
+    "q39_weighted_dot" ->
+      """WITH pix AS (SELECT l_suppkey % 10 AS region, l_partkey % 5 AS lu,
+        |  count(*) AS cnt FROM lineitem GROUP BY 1, 2)
+        |SELECT region, round(sum(cnt * CAST(wt AS DOUBLE)), 2) AS weighted
+        |FROM pix JOIN (VALUES (0, 0.5), (1, 1.25), (2, 2.0), (3, 0.25), (4, 1.0))
+        |  AS w(lu, wt) USING (lu)
+        |GROUP BY region""".stripMargin,
+
+    "q40_hour_index" ->
+      """SELECT CAST((epoch_ns(ts) - 1704067200000000000) // 3600000000000 AS BIGINT) + 1 AS t,
+        |  count(*) AS n, round(sum(value), 2) AS hourly_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q41_adjacency_pairs" ->
+      """SELECT a.i AS zone_a, b.i AS zone_b
+        |FROM range(12) a(i) JOIN range(12) b(i)
+        |  ON a.i < b.i
+        | AND abs((a.i % 4) - (b.i % 4)) <= 1
+        | AND abs((a.i // 4) - (b.i // 4)) <= 1""".stripMargin,
+
+    "q42_overlay_area" ->
+      """WITH z AS (SELECT i AS zone_id, (i % 4) * 10 AS x0, (i // 4) * 10 AS y0
+        |  FROM range(12) t(i)),
+        |s AS (SELECT i AS stripe_id, i * 10 + 5 AS sy0 FROM range(2) t(i)),
+        |o AS (SELECT zone_id, stripe_id,
+        |  greatest(0, least(x0 + 10, 40) - greatest(x0, 0)) *
+        |  greatest(0, least(y0 + 10, sy0 + 10) - greatest(y0, sy0)) AS area
+        |  FROM z CROSS JOIN s)
+        |SELECT zone_id, stripe_id, round(CAST(area AS DOUBLE), 6) AS area
+        |FROM o WHERE area > 0""".stripMargin,
+
+    "q43_set_ops" ->
+      """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),
+        |b AS (SELECT DISTINCT p_brand FROM part WHERE p_retailprice > 950)
+        |SELECT p_brand, 'both' AS membership
+        |  FROM (SELECT p_brand FROM a INTERSECT SELECT p_brand FROM b)
+        |UNION ALL
+        |SELECT p_brand, 'only_small'
+        |  FROM (SELECT p_brand FROM a EXCEPT SELECT p_brand FROM b)
+        |UNION ALL
+        |SELECT p_brand, 'only_pricey'
+        |  FROM (SELECT p_brand FROM b EXCEPT SELECT p_brand FROM a)""".stripMargin,
+
+    "q44_star_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q45_quality_filter" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS ltoks,
+        |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+        |sc AS (SELECT doc_id, source, text, toks,
+        |  len(list_filter(ltoks, t -> t IN ('the','and','of','is','with'))) AS s_en,
+        |  len(list_filter(ltoks, t -> t IN ('der','und','die','ist','mit'))) AS s_de,
+        |  len(list_filter(ltoks, t -> t IN ('le','et','les','est','avec'))) AS s_fr,
+        |  len(list_filter(ltoks, t -> t IN ('el','y','los','es','con'))) AS s_es,
+        |  len(list_filter(ltoks, t -> t IN ('de5','shi4','le5','he2','zai4'))) AS s_zh
+        |  FROM d),
+        |q AS (SELECT doc_id, source,
+        |  CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+        |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+        |       ELSE 'zh' END AS lang_pred,
+        |  round((least(length(text) / 500.0, 1.0)
+        |    + (1.0 - least(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 5.0
+        |        / length(text), 1.0))
+        |    + least(len(list_filter(toks, t -> lower(t) IN ('the','a','an','and','or','of',
+        |        'to','in','is','it','for','on','with','as','at','by','this','that')))
+        |        * 4.0 / len(toks), 1.0)) / 3.0, 6) AS quality
+        |  FROM sc)
+        |SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
+        |FROM q WHERE lang_pred = 'en' AND quality >= 0.5
+        |GROUP BY source""".stripMargin,
+
+    "q46_multimodal_meta" ->
+      """SELECT doc_id,
+        |  1 + length(text) % 64 AS width,
+        |  1 + (length(text) * 7) % 64 AS height,
+        |  length(text) AS n_bytes,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  ascii(substr(text, length(text), 1)) AS last_byte
+        |FROM documents""".stripMargin,
 
     "q35_recode" ->
       """SELECT r_regionkey,

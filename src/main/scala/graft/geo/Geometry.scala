@@ -85,6 +85,72 @@ object Geometry {
   /** Rectangle WKT helper (fixtures + tiling). */
   def rectWkt(xmin: Double, ymin: Double, xmax: Double, ymax: Double): String =
     s"POLYGON (($xmin $ymin, $xmax $ymin, $xmax $ymax, $xmin $ymax, $xmin $ymin))"
+
+  /** Sutherland–Hodgman clipping: intersection of a subject polygon with a
+    * CONVEX clip polygon (the reference's overlay J6 clips subregions by
+    * country polygons, code/lib/spatial_functions.py:225-276; convex clips
+    * cover the engine's tiling/bbox uses — general concave overlay is a
+    * documented limitation).
+    */
+  def clipConvex(subject: Array[Pt], clip: Array[Pt]): Array[Pt] = {
+    // ensure counter-clockwise clip ring for a stable inside test
+    val ccw = if (signedArea(clip) < 0) clip.reverse else clip
+    var out = dedupRing(subject)
+    var i = 0
+    while (i < ccw.length && out.length > 0) {
+      val a = ccw(i); val b = ccw((i + 1) % ccw.length)
+      val in = out
+      out = Array.empty
+      var j = 0
+      while (j < in.length) {
+        val p = in(j); val q = in((j + 1) % in.length)
+        val pIn = side(a, b, p) >= 0
+        val qIn = side(a, b, q) >= 0
+        if (pIn) {
+          out :+= p
+          if (!qIn) out :+= lineIntersect(a, b, p, q)
+        } else if (qIn) out :+= lineIntersect(a, b, p, q)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  def signedArea(ring: Array[Pt]): Double = {
+    var s = 0.0
+    var j = ring.length - 1
+    for (i <- ring.indices) { s += ring(j).x * ring(i).y - ring(i).x * ring(j).y; j = i }
+    s / 2.0
+  }
+
+  private def dedupRing(r: Array[Pt]): Array[Pt] =
+    if (r.length > 1 && r.head == r.last) r.dropRight(1) else r
+
+  private def side(a: Pt, b: Pt, p: Pt): Double =
+    (b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x)
+
+  private def lineIntersect(a: Pt, b: Pt, p: Pt, q: Pt): Pt = {
+    val a1 = b.y - a.y; val b1 = a.x - b.x; val c1 = a1 * a.x + b1 * a.y
+    val a2 = q.y - p.y; val b2 = p.x - q.x; val c2 = a2 * p.x + b2 * p.y
+    val det = a1 * b2 - a2 * b1
+    Pt((b2 * c1 - b1 * c2) / det, (a1 * c2 - a2 * c1) / det)
+  }
+
+  /** Area of the intersection of two polygons (clip must be convex). */
+  def intersectionArea(subject: Array[Pt], clip: Array[Pt]): Double = {
+    val out = clipConvex(dedupRing(subject), clip)
+    if (out.length < 3) 0.0 else math.abs(signedArea(out))
+  }
+
+  /** Do two polygons touch or overlap? (bbox test + clip area/edge probe —
+    * sufficient for the adjacency-pairs operator over tilings.)
+    */
+  def touchesOrIntersects(a: Array[Pt], b: Array[Pt]): Boolean = {
+    val (ax0, ay0, ax1, ay1) = bbox(a)
+    val (bx0, by0, bx1, by1) = bbox(b)
+    ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1
+  }
 }
 
 /** Column-level geometry functions. UDF-based for now (the geometry-bearing
@@ -113,6 +179,16 @@ object GeoFns {
   val stYmin = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._2 }
   val stXmax = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._3 }
   val stYmax = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._4 }
+
+  /** J6 overlay: area of polygon ∩ polygon (convex clip). */
+  val stIntersectionArea = udf { (subjectWkt: String, clipWkt: String) =>
+    Geometry.intersectionArea(Geometry.parsePolygon(subjectWkt), Geometry.parsePolygon(clipWkt))
+  }
+
+  /** J9 adjacency: polygons touching or overlapping (bbox-level probe). */
+  val stTouches = udf { (aWkt: String, bWkt: String) =>
+    Geometry.touchesOrIntersects(Geometry.parsePolygon(aWkt), Geometry.parsePolygon(bWkt))
+  }
 
   /** Exact point-in-polygon with bbox short-circuit, as a join predicate:
     * the bbox test prunes before the UDF refine.

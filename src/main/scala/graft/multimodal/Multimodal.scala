@@ -1,0 +1,65 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: images/audio/video travel as opaque `binary`
+  * columns plus typed metadata, processed by per-row kernels that at scale
+  * run inside whole partitions (no driver collect, no shuffle unless the
+  * caller aggregates).
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode kernels are DETERMINISTIC FAKES (clearly marked) — they read real
+  * bytes and emit stable pseudo-metadata, which keeps the Spark-side
+  * contract (schema, batching, partition behavior, null handling) fully
+  * real and testable. Swapping in a real codec changes only the function
+  * body, not the pipeline.
+  */
+object Multimodal {
+
+  /** FAKE image decode (STUB — no codec in this container): derives
+    * deterministic pseudo width/height from the payload instead of parsing
+    * a real header. Real implementation would parse PNG/JPEG headers here.
+    */
+  val fakeDecodeImage = udf { (media: Array[Byte]) =>
+    if (media == null || media.isEmpty) None
+    else {
+      val n = media.length
+      Some((1 + n % 64, 1 + (n * 7) % 64, n, media(0).toInt & 0xff, media(n - 1).toInt & 0xff))
+    }
+  }
+
+  /** Attach decoded metadata columns to a media DataFrame. */
+  def withImageMeta(df: DataFrame, mediaCol: String): DataFrame =
+    df.withColumn("__m", fakeDecodeImage(col(mediaCol)))
+      .withColumn("width", col("__m._1"))
+      .withColumn("height", col("__m._2"))
+      .withColumn("n_bytes", col("__m._3"))
+      .withColumn("first_byte", col("__m._4"))
+      .withColumn("last_byte", col("__m._5"))
+      .drop("__m")
+
+  /** FAKE resize (STUB): a real kernel would decode, scale, re-encode; the
+    * fake truncates the payload proportionally — preserving the contract
+    * that output bytes shrink with the scale factor.
+    */
+  val fakeResize = udf { (media: Array[Byte], scalePct: Int) =>
+    if (media == null) null
+    else media.take(math.max(1, media.length * scalePct / 100))
+  }
+
+  /** Frame sampling (video-as-binary): split the payload into `n` evenly
+    * spaced fixed-size chunks — the Spark-side shape of "sample every k-th
+    * frame". Returns array<binary>; explode downstream for per-frame rows.
+    */
+  val sampleFrames = udf { (media: Array[Byte], n: Int, frameSize: Int) =>
+    if (media == null || media.isEmpty || n <= 0) Array.empty[Array[Byte]]
+    else {
+      val stride = math.max(1, media.length / n)
+      (0 until n).map { i =>
+        val start = math.min(i * stride, media.length - 1)
+        media.slice(start, math.min(start + frameSize, media.length))
+      }.toArray
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.Geometry
+import graft.multimodal.Multimodal
+
+class OverlayMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("clipConvex: rect ∩ rect = overlap rectangle area") {
+    val a = Geometry.parsePolygon(Geometry.rectWkt(0, 0, 10, 10))
+    val b = Geometry.parsePolygon(Geometry.rectWkt(5, 5, 15, 15))
+    assert(Geometry.intersectionArea(a, b) == 25.0)
+  }
+
+  test("clipConvex: disjoint polygons have zero intersection") {
+    val a = Geometry.parsePolygon(Geometry.rectWkt(0, 0, 10, 10))
+    val b = Geometry.parsePolygon(Geometry.rectWkt(20, 20, 30, 30))
+    assert(Geometry.intersectionArea(a, b) == 0.0)
+  }
+
+  test("clipConvex: triangle clipped by square") {
+    val tri = Geometry.parsePolygon("POLYGON ((0 0, 20 0, 0 20, 0 0))")
+    val sq = Geometry.parsePolygon(Geometry.rectWkt(0, 0, 10, 10))
+    // triangle area 200; the clip keeps the square minus the cut corner:
+    // 100 - (10*10/2) = 50... actually the hypotenuse x+y=20 passes through
+    // (10,10): the full square lies under it, so intersection = 100.
+    assert(Geometry.intersectionArea(tri, sq) == 100.0)
+  }
+
+  test("touchesOrIntersects: edge-adjacent tiles touch, distant do not") {
+    val a = Geometry.parsePolygon(Geometry.rectWkt(0, 0, 10, 10))
+    val b = Geometry.parsePolygon(Geometry.rectWkt(10, 0, 20, 10))
+    val c = Geometry.parsePolygon(Geometry.rectWkt(30, 0, 40, 10))
+    assert(Geometry.touchesOrIntersects(a, b))
+    assert(!Geometry.touchesOrIntersects(a, c))
+  }
+
+  test("multimodal fake decode: deterministic metadata, null-safe") {
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("id", "t")
+      .select($"id", $"t".cast("binary").as("media"))
+    val got = Multimodal.withImageMeta(df, "media").orderBy("id").collect()
+    val r = got(0)
+    assert(r.getAs[Int]("n_bytes") == 11)
+    assert(r.getAs[Int]("width") == 1 + 11 % 64)
+    assert(r.getAs[Int]("first_byte") == 'h'.toInt)
+    assert(got(1).isNullAt(got(1).fieldIndex("width")), "empty payload -> null meta")
+  }
+
+  test("sampleFrames returns n chunks of bounded size") {
+    val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "t")
+      .select($"id", Multimodal.sampleFrames($"t".cast("binary"), lit(4), lit(3)).as("frames"))
+    val frames = df.head.getSeq[Array[Byte]](1)
+    assert(frames.length == 4)
+    assert(frames.forall(_.length <= 3))
+    assert(new String(frames.head) == "abc")
+  }
+}
