@@ -138,8 +138,11 @@ object Ops {
     */
   def recode(df: DataFrame, keyCol: String, mapping: DataFrame,
       fromCol: String, toCol: String): DataFrame = {
+    // Split only on ", " (comma + whitespace): the reference's list keys are
+    // "A, B" while composite type keys "(F,T,S)" use bare commas and must
+    // stay intact (code/lib/correction_functions.py:360-364 vs :447-449).
     val expanded = mapping
-      .withColumn(fromCol, explode(split(col(fromCol), ",\\s*")))
+      .withColumn(fromCol, explode(split(col(fromCol), ",\\s+")))
       .select(col(fromCol).as("__from"), col(toCol).as("__to"))
     df.join(broadcast(expanded), col(keyCol) === col("__from"), "left")
       .withColumn(keyCol, coalesce(col("__to"), col(keyCol)))
