@@ -225,8 +225,10 @@ object SparkEntry {
       val b = n.select(col("n_nationkey").as("k2"), col("lat").as("lat2"), col("lon").as("lon2"))
       a.join(b, col("k1") < col("k2"))
         .select(col("k1"), col("k2"),
-          round(ScalarFns.haversineKm(col("lat1"), col("lon1"), col("lat2"), col("lon2")), 3)
-            .as("dist_km"))
+          // native codegen'd Catalyst expression (graft.expr.HaversineKmExpr);
+          // bit-identical to the Column-composed ScalarFns.haversineKm
+          round(graft.expr.GraftExpressions.haversineKm(
+            col("lat1"), col("lon1"), col("lat2"), col("lon2")), 3).as("dist_km"))
     }),
 
     // J5: point-in-polygon spatial join (WKT kernel + bbox prefilter),

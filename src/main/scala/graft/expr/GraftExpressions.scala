@@ -1,0 +1,132 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels referenced from generated code — one static call site, no
+  * boxing, no virtual dispatch inside the loop.
+  */
+object GeoMath {
+  final val EarthRadiusKm = 6371.0088
+
+  def haversineKm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val s1 = math.sin(dLat / 2)
+    val s2 = math.sin(dLon / 2)
+    val a = s1 * s1 + math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * s2 * s2
+    2.0 * EarthRadiusKm * math.asin(math.sqrt(a))
+  }
+
+  /** EU-format number parse: strip space/dot thousands separators, decimal
+    * comma → dot, literal "inf" → +∞. Single char pass, no regex.
+    */
+  def euToDouble(s: UTF8String): Double = {
+    val str = s.toString.trim
+    if (str.equalsIgnoreCase("inf")) Double.PositiveInfinity
+    else {
+      val sb = new java.lang.StringBuilder(str.length)
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        if (c == ',') sb.append('.')
+        else if (c != ' ' && c != '.') sb.append(c)
+        i += 1
+      }
+      java.lang.Double.parseDouble(sb.toString)
+    }
+  }
+}
+
+/** Native great-circle distance: whole-stage-codegen'd quaternary expression
+  * (the hot kernel of the transmission-distance stage; the Column-compo
+  * version materializes 12 intermediate doubles per row, this one compiles
+  * to a single static call).
+  */
+case class HaversineKmExpr(lat1: Expression, lon1: Expression,
+    lat2: Expression, lon2: Expression)
+  extends QuaternaryExpression with Serializable {
+
+  override def first: Expression = lat1
+  override def second: Expression = lon1
+  override def third: Expression = lat2
+  override def fourth: Expression = lon2
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoMath.haversineKm(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.expr.GeoMath.haversineKm($a, $b, $c, $d)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression = copy(f, s, t, q)
+  override def prettyName: String = "haversine_km"
+}
+
+/** Native EU-decimal parse (S1 dialect): string → double in one codegen'd
+  * static call (the Column version chains two regexp_replace passes).
+  */
+case class EuToDoubleExpr(child: Expression)
+  extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    GeoMath.euToDouble(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.GeoMath.euToDouble($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override def prettyName: String = "eu_to_double"
+}
+
+/** Column-facing constructors + SQL registration. */
+object GraftExpressions {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+
+  private def asDouble(c: Column): Expression =
+    Cast(ColumnBridge.expression(c), DoubleType)
+
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    ColumnBridge.column(
+      HaversineKmExpr(asDouble(lat1), asDouble(lon1), asDouble(lat2), asDouble(lon2)))
+
+  def euToDouble(c: Column): Column =
+    ColumnBridge.column(EuToDoubleExpr(Cast(ColumnBridge.expression(c), StringType)))
+
+  /** Register as SQL functions on a session (spark.sql("... haversine_km(...)")). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("haversine_km",
+      es => HaversineKmExpr(Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType), Cast(es(3), DoubleType)), "built-in")
+    reg.createOrReplaceTempFunction("eu_to_double",
+      es => EuToDoubleExpr(es.head), "built-in")
+  }
+}
+
+/** `SparkSessionExtensions` hook: enables
+  * `--conf spark.sql.extensions=graft.expr.GraftSessionExtensions` so plain
+  * SQL sessions get the engine's functions without code changes.
+  */
+class GraftSessionExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("haversine_km"),
+      new ExpressionInfo("graft.expr.HaversineKmExpr", "haversine_km"),
+      (es: Seq[Expression]) => HaversineKmExpr(
+        Cast(es(0), DoubleType), Cast(es(1), DoubleType),
+        Cast(es(2), DoubleType), Cast(es(3), DoubleType))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("eu_to_double"),
+      new ExpressionInfo("graft.expr.EuToDoubleExpr", "eu_to_double"),
+      (es: Seq[Expression]) => EuToDoubleExpr(es.head)))
+  }
+}

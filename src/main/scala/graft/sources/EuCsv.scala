@@ -18,12 +18,15 @@ object EuCsv {
     var r = spark.read.option("sep", sep).option("header", "true")
     r = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
     if (skipRows > 0) {
-      // header offset: drop the first skipRows physical lines before parse
+      // Header offset (reference `skiprows`): drop the first skipRows
+      // physical lines, fully distributed — no driver collect. The line
+      // index comes from the text source's preserved order within a file;
+      // reference inputs with header offsets are single files.
       val raw = spark.read.text(path)
-      val body = raw.withColumn("__rn", monotonically_increasing_id())
-        .filter(col("__rn") >= skipRows).drop("__rn")
-      val tmp = body.select(col("value")).as[String](org.apache.spark.sql.Encoders.STRING)
-      r.csv(spark.createDataset(tmp.collect().toIndexedSeq)(org.apache.spark.sql.Encoders.STRING))
+        .withColumn("__rn", monotonically_increasing_id())
+        .filter(col("__rn") >= skipRows)
+        .select(col("value")).as[String](org.apache.spark.sql.Encoders.STRING)
+      r.csv(raw)
     } else r.csv(path)
   }
 

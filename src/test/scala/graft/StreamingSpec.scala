@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  case class Ev(ts: Timestamp, site: String, value: Double)
+  def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("windowedAgg aggregates tumbling event-time windows incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val agg = EventStream.windowedAgg(input.toDF(), "ts", "site", "value",
+      "5 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData(Ev(ts(0), "a", 1.0), Ev(ts(1), "a", 2.0), Ev(ts(6), "a", 5.0),
+        Ev(ts(2), "b", 7.0))
+      q.processAllAvailable()
+      val got = spark.table("win_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00.0", "a", 2L, 3.0),
+        ("2024-01-01 00:05:00.0", "a", 1L, 5.0),
+        ("2024-01-01 00:00:00.0", "b", 1L, 7.0)))
+      // late-but-inside-watermark data updates its window
+      input.addData(Ev(ts(3), "a", 10.0))
+      q.processAllAvailable()
+      val upd = spark.table("win_out").collect()
+        .find(r => r.getString(1) == "a" && r.getTimestamp(0).toString.contains("00:00:00"))
+        .get.getDouble(3)
+      assert(upd == 13.0)
+    } finally q.stop()
+  }
+
+  test("streamingDedup drops repeat keys within the watermark horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dedup = EventStream.streamingDedup(input.toDF(), "ts", Seq("site"), "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(ts(0), "a", 1.0), Ev(ts(1), "a", 2.0), Ev(ts(2), "b", 3.0))
+      q.processAllAvailable()
+      input.addData(Ev(ts(3), "a", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect().map(_.getString(1)).toSeq.sorted
+      assert(got == Seq("a", "b"), s"got $got")
+    } finally q.stop()
+  }
+}
