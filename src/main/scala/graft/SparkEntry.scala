@@ -511,6 +511,49 @@ object SparkEntry {
       Multimodal.withImageMeta(media, "media")
         .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
           col("first_byte"), col("last_byte"))
+    }),
+
+    // Corpus token histogram: top-20 tokens (deterministic tie-break).
+    "q47_token_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextFns.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    // P7 lifetime filter + cohort aggregation (process-table shape on the
+    // star schema: suppliers as plants, nation as site).
+    "q48_lifetime_cohorts" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .withColumn("year", (lit(1980) + col("s_suppkey") % 40).cast("int"))
+        .withColumn("lifetime", (lit(20) + col("s_suppkey") % 15).cast("int"))
+        .filter(col("year") + col("lifetime") >= 2015)
+        .groupBy(col("s_nationkey"), col("year"))
+        .agg(round(sum(col("s_acctbal")), 2).as("inst_cap"), count(lit(1)).as("n_plants"))
+    }),
+
+    // Embedding-cosine near-dup scoring on consecutive-id pairs (verified
+    // double-precision cosine; the LSH-restricted variant is q28/spec).
+    "q49_embedding_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = e.select((col("vec_id") - 1).as("id1"), col("vec_id").as("id2"),
+        col("embedding").as("v2"))
+      a.join(b, Seq("id1"))
+        .select(col("id1"), col("id2"),
+          round(VectorFns.cosine(col("v1"), col("v2")), 4).as("cosine"))
+    }),
+
+    // A4: exact distinct-cardinality aggregation.
+    "q50_cardinality" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(countDistinct(col("o_custkey")).as("n_active_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          count(lit(1)).as("n_orders"))
     })
   )
 
@@ -882,6 +925,39 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
         |FROM q WHERE lang_pred = 'en' AND quality >= 0.5
         |GROUP BY source""".stripMargin,
+
+    "q47_token_histogram" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "q48_lifetime_cohorts" ->
+      """WITH p AS (SELECT s_nationkey, s_acctbal,
+        |  CAST(1980 + s_suppkey % 40 AS INT) AS year,
+        |  CAST(20 + s_suppkey % 15 AS INT) AS lifetime FROM supplier)
+        |SELECT s_nationkey, year, round(sum(s_acctbal), 2) AS inst_cap,
+        |  count(*) AS n_plants
+        |FROM p WHERE year + lifetime >= 2015
+        |GROUP BY s_nationkey, year""".stripMargin,
+
+    "q49_embedding_pairs" ->
+      """WITH z AS (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    unnest(CAST(a.embedding AS DOUBLE[])) AS x,
+        |    unnest(CAST(b.embedding AS DOUBLE[])) AS y
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+        |s AS (SELECT id1, id2, sum(x * y) AS dp, sum(x * x) AS nx, sum(y * y) AS ny
+        |  FROM z GROUP BY id1, id2)
+        |SELECT id1, id2, round(dp / (sqrt(nx) * sqrt(ny)), 4) AS cosine FROM s""".stripMargin,
+
+    "q50_cardinality" ->
+      """SELECT c_nationkey,
+        |  count(DISTINCT o_custkey) AS n_active_customers,
+        |  count(DISTINCT o_orderpriority) AS n_priorities,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q46_multimodal_meta" ->
       """SELECT doc_id,
