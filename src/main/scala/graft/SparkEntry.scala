@@ -540,9 +540,22 @@ object SparkEntry {
       val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
       val b = e.select((col("vec_id") - 1).as("id1"), col("vec_id").as("id2"),
         col("embedding").as("v2"))
-      a.join(b, Seq("id1"))
+      // self-join on consecutive ids: broadcast one side, no shuffle
+      a.join(broadcast(b), Seq("id1"))
         .select(col("id1"), col("id2"),
           round(VectorFns.cosine(col("v1"), col("v2")), 4).as("cosine"))
+    }),
+
+    // Tumbling event-time window via the streaming-unified operator
+    // (EventStream.windowedAgg runs identically under readStream).
+    "q51_tumbling_window" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val ev = events(s, dir).select(
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+      EventStream.windowedAgg(ev, "ts", "event_type", "value", "5 minutes", "10 minutes")
+        .select(unix_micros(col("window_start")).as("w_start_us"), col("event_type"),
+          col("n"), round(col("total"), 2).as("total"))
     }),
 
     // A4: exact distinct-cardinality aggregation.
@@ -950,6 +963,11 @@ object SparkEntry {
         |s AS (SELECT id1, id2, sum(x * y) AS dp, sum(x * x) AS nx, sum(y * y) AS ny
         |  FROM z GROUP BY id1, id2)
         |SELECT id1, id2, round(dp / (sqrt(nx) * sqrt(ny)), 4) AS cosine FROM s""".stripMargin,
+
+    "q51_tumbling_window" ->
+      """SELECT (epoch_us(ts) // 300000000) * 300000000 AS w_start_us, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q50_cardinality" ->
       """SELECT c_nationkey,

@@ -16,20 +16,45 @@ object VectorFns {
 
   private def d(c: Column): Column = c.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  /** HOF (pure-Catalyst) dot product — kept for reference/SQL-only use.
+    * The hot paths below use JVM UDF kernels instead: interpreted
+    * higher-order functions box per element and re-evaluate argument
+    * subtrees (see SCALE.md), ~10× slower on 64-dim vectors.
+    */
+  def dotExpr(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
-  def norm2(a: Column): Column = sqrt(dot(a, a))
-
-  /** Cosine similarity; 0.0 when either norm is 0 (instead of NaN). */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm2(a) * norm2(b)
-    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  private val cosineKernel = udf { (a: Seq[Double], b: Seq[Double]) =>
+    // index-ordered double accumulation — same fold order as the HOF
+    // variant, so results are bit-identical (oracle-stable).
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v))
+  private val l2Kernel = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+    math.sqrt(s)
+  }
+
+  def dot(a: Column, b: Column): Column = dotExpr(a, b)
+
+  def norm2(a: Column): Column = sqrt(dotExpr(a, a))
+
+  /** Cosine similarity; 0.0 when either norm is 0 (instead of NaN). */
+  def cosine(a: Column, b: Column): Column = cosineKernel(d(a), d(b))
+
+  def l2Distance(a: Column, b: Column): Column = l2Kernel(d(a), d(b))
 
   /** Deterministic pseudo-random hyperplane: unit-free ±1 components derived
     * from xxhash64(seed, dim-index). `rpHash(v, seed)` is the sign bit of

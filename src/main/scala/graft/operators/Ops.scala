@@ -116,6 +116,26 @@ object Ops {
         recent / dayAgo * prev24).otherwise(col(valueCol)))
   }
 
+  /** Bounded-fixpoint variant of [[gapFillDayTrend]]: repeats the
+    * vectorized pass until no zero remains or `maxIters` is hit,
+    * reproducing the reference's top-down sequential semantics (later gaps
+    * see already-filled earlier values, code/lib/correction_functions.py:
+    * 315-318) to within the iteration bound. Each pass is one window
+    * computation — `maxIters` shuffles total, not per-row mutation.
+    */
+  def gapFillDayTrendFixpoint(df: DataFrame, partitionCols: Seq[String],
+      orderCol: String, valueCol: String, maxIters: Int = 3): DataFrame = {
+    var cur = df
+    var i = 0
+    var remaining = Long.MaxValue
+    while (i < maxIters && remaining > 0) {
+      cur = gapFillDayTrend(cur, partitionCols, orderCol, valueCol)
+      remaining = cur.filter(col(valueCol) === 0).limit(1).count()
+      i += 1
+    }
+    cur
+  }
+
   // ── canonical edge direction ────────────────────────────────────────────
   /** `reverse_lines` (code/lib/util.py:139-155): orient every edge so
     * start <= end, so that (A,B) and (B,A) merge in the downstream groupBy.

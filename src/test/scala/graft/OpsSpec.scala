@@ -70,6 +70,18 @@ class OpsSpec extends AnyFunSuite {
     assert(head == 10.0)
   }
 
+  test("gapFillDayTrendFixpoint converges where single pass cannot") {
+    // two adjacent gaps: the second needs the first's filled value
+    val rows = (1 to 40).map(t => ("c", t, if (t == 35 || t == 36) 0.0 else 10.0))
+    val df = rows.toDF("c", "t", "v")
+    val once = Ops.gapFillDayTrend(df, Seq("c"), "t", "v")
+    val fixed = Ops.gapFillDayTrendFixpoint(df, Seq("c"), "t", "v", maxIters = 3)
+    assert(fixed.filter($"v" === 0).count() == 0, "fixpoint fills both gaps")
+    assert(fixed.filter($"t" === 35).head.getDouble(2) > 0)
+    assert(fixed.filter($"t" === 36).head.getDouble(2) > 0)
+    assert(once.collect().length == 40)
+  }
+
   test("canonicalEdge orients start <= end") {
     val df = Seq(("B", "A", 1.0), ("A", "B", 2.0), ("C", "C", 3.0)).toDF("s", "e", "cap")
     val got = Ops.canonicalEdge(df, "s", "e")

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.expr.GeoMath
+import graft.functions.TextFns
+import graft.geo.Geometry
+import graft.operators.Ops
+
+/** Property-based invariants (SURVEY §5.2): the reference prints exactly
+  * these conservation/normalization facts as its only runtime checks; here
+  * they are laws. Driver-side generators exercise the pure kernels densely;
+  * two DataFrame laws run on sampled inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic sampler over a ScalaCheck generator (the scalatest
+    * bridge artifact is not in the offline cache; sampling keeps the same
+    * generator-driven coverage).
+    */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val p = org.scalacheck.Gen.Parameters.default
+      .withSize(50)
+    (0 until n).flatMap(i => g.apply(p, org.scalacheck.rng.Seed(42L + i)))
+  }
+  private def forAll[A](g: Gen[A], n: Int = 60)(f: A => Unit): Unit =
+    samples(g, n).foreach(f)
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 60)(f: (A, B) => Unit): Unit =
+    samples(Gen.zip(ga, gb), n).foreach { case (a, b) => f(a, b) }
+
+  val coord = for {
+    lat <- Gen.choose(-89.0, 89.0)
+    lon <- Gen.choose(-179.0, 179.0)
+  } yield (lat, lon)
+
+  test("haversine: symmetric, zero on identity, bounded by half circumference") {
+    forAll2(coord, coord) { (a, b) =>
+      val d1 = GeoMath.haversineKm(a._1, a._2, b._1, b._2)
+      val d2 = GeoMath.haversineKm(b._1, b._2, a._1, a._2)
+      assert(math.abs(d1 - d2) < 1e-9)
+      assert(d1 >= 0 && d1 <= math.Pi * GeoMath.EarthRadiusKm + 1e-6)
+      assert(GeoMath.haversineKm(a._1, a._2, a._1, a._2) == 0.0)
+    }
+  }
+
+  test("euToDouble inverts EU formatting for plain decimals") {
+    forAll(Gen.choose(-1e6, 1e6)) { (x: Double) =>
+      val r = math.rint(x * 100) / 100
+      val eu = f"$r%.2f".replace(".", ",")
+      assert(math.abs(GeoMath.euToDouble(
+        org.apache.spark.unsafe.types.UTF8String.fromString(eu)) - r) < 1e-9)
+    }
+  }
+
+  test("polygon area: rectangles have width*height, any ring area >= 0") {
+    forAll2(Gen.choose(0.1, 100.0), Gen.choose(0.1, 100.0)) { (w: Double, h: Double) =>
+      val ring = Geometry.parsePolygon(Geometry.rectWkt(0, 0, w, h))
+      assert(math.abs(Geometry.ringArea(ring) - w * h) < 1e-6)
+    }
+  }
+
+  test("intersection area is bounded by both operand areas") {
+    val rect = for {
+      x <- Gen.choose(0.0, 50.0); y <- Gen.choose(0.0, 50.0)
+      w <- Gen.choose(1.0, 50.0); h <- Gen.choose(1.0, 50.0)
+    } yield (x, y, x + w, y + h)
+    forAll2(rect, rect) { (a, b) =>
+      val ra = Geometry.parsePolygon(Geometry.rectWkt(a._1, a._2, a._3, a._4))
+      val rb = Geometry.parsePolygon(Geometry.rectWkt(b._1, b._2, b._3, b._4))
+      val inter = Geometry.intersectionArea(ra, rb)
+      assert(inter >= -1e-9)
+      assert(inter <= Geometry.ringArea(ra) + 1e-6)
+      assert(inter <= Geometry.ringArea(rb) + 1e-6)
+    }
+  }
+
+  test("minhash agreement is monotone in token overlap") {
+    val base = (1 to 30).map(i => s"tok$i")
+    forAll(Gen.choose(0, 30)) { (k: Int) =>
+      val other = base.drop(k) ++ (1 to k).map(i => s"alt$i")
+      val sig = (toks: Seq[String]) => {
+        val sh = if (toks.length < 2) Seq(toks.mkString(" "))
+          else toks.sliding(2).map(_.mkString(" ")).toSeq.distinct
+        Array.tabulate(16)(i => sh.map(s => TextFns.hash64(s, i)).min)
+      }
+      val agree = sig(base).zip(sig(other)).count { case (a, b) => a == b }
+      if (k == 0) assert(agree == 16)
+      if (k == 30) assert(agree <= 4)
+    }
+  }
+
+  test("DataFrame law: normalizePerGroup sums to 1 for any positive groups") {
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(0, 4), Gen.choose(0.1, 100.0))), n = 5) {
+      (rows: List[(Int, Double)]) =>
+      val df = rows.toDF("g", "v")
+      val sums = Ops.normalizePerGroup(df, Seq("g"), "v", "p")
+        .groupBy("g").agg(sum($"p").as("s")).collect().map(_.getDouble(1))
+      sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+    }
+  }
+
+  test("DataFrame law: canonicalEdge makes edge aggregation direction-invariant") {
+    forAll(Gen.listOfN(20, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 5))), n = 5) {
+      (edges: List[(Int, Int)]) =>
+      val fwd = edges.map { case (a, b) => (s"n$a", s"n$b", 1.0) }.toDF("s", "e", "c")
+      val rev = edges.map { case (a, b) => (s"n$b", s"n$a", 1.0) }.toDF("s", "e", "c")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        Ops.canonicalEdge(df, "s", "e").groupBy("s", "e").agg(sum($"c").as("c"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(agg(fwd) == agg(rev))
+    }
+  }
+}
