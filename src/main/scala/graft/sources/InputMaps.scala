@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.SpatialOps
+
+/** Raster-side input maps — the reference's `generate_maps` family
+  * (code/lib/input_maps.py): land/sea masks, rasterized region layers,
+  * landuse/population windows. On the pixel-relation model
+  * (SURVEY §1.1) these are all plain DataFrame ops.
+  */
+object InputMaps {
+
+  /** Build a pixel grid (the raster canvas): one row per (row, col) with
+    * cell-center coordinates for a scope of `rows × cols` cells over the
+    * bbox (xmin..xmax, ymin..ymax). Distributed via crossJoin of two
+    * ranges — no driver materialization.
+    */
+  def pixelGrid(spark: SparkSession, rows: Int, cols: Int,
+      xmin: Double, ymin: Double, xmax: Double, ymax: Double): DataFrame = {
+    val dx = (xmax - xmin) / cols
+    val dy = (ymax - ymin) / rows
+    spark.range(rows).select(col("id").cast("int").as("row"))
+      .crossJoin(spark.range(cols).select(col("id").cast("int").as("col")))
+      .withColumn("x", lit(xmin) + (col("col") + 0.5) * dx)
+      .withColumn("y", lit(ymin) + (col("row") + 0.5) * dy)
+  }
+
+  /** S9 rasterize: burn a polygon attribute into the grid — pixel-center
+    * point-in-polygon join (the reference's gdal.RasterizeLayer,
+    * input_maps.py:196-219). Unmatched pixels get `background`.
+    */
+  def rasterize(grid: DataFrame, polys: DataFrame, wktCol: String,
+      burnCol: String, background: Any = 0): DataFrame =
+    SpatialOps.pointInPolygonJoin(grid, "x", "y", polys, wktCol, "left")
+      .withColumn(burnCol, coalesce(col(burnCol), lit(background)))
+
+  /** `changem`-style value remap over a pixel relation
+    * (code/lib/util.py:255-275): broadcast dict join, J10 on pixels.
+    */
+  def remap(pixels: DataFrame, valueCol: String, mapping: DataFrame,
+      fromCol: String, toCol: String): DataFrame =
+    pixels.join(broadcast(mapping), col(valueCol) === col(fromCol), "left")
+      .withColumn(valueCol, coalesce(col(toCol), col(valueCol)))
+      .drop(fromCol, toCol)
+
+  /** `resizem` block-replicate upsampling by an integer factor
+    * (code/lib/util.py:68-93): each source pixel explodes into k×k cells.
+    * Map-side only (explode of a constant-size sequence).
+    */
+  def upsample(pixels: DataFrame, k: Int): DataFrame =
+    pixels
+      .withColumn("__dr", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("__dc", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("row", col("row") * k + col("__dr"))
+      .withColumn("col", col("col") * k + col("__dc"))
+      .drop("__dr", "__dc")
+
+  /** Windowed read of a pixel table (the reference's GeoTIFF window,
+    * input_maps.py:105-108): a pruned filter — with the pixel parquet
+    * partitioned by row band this is partition pruning, not a scan.
+    */
+  def window(pixels: DataFrame, r0: Int, r1: Int, c0: Int, c1: Int): DataFrame =
+    pixels.filter(col("row").between(r0, r1 - 1) && col("col").between(c0, c1 - 1))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.export.ModelExport
+import graft.sources.InputMaps
+
+class ExportInputMapsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pixelGrid covers the scope with cell centers") {
+    val g = InputMaps.pixelGrid(spark, 2, 3, 0, 0, 3, 2)
+    assert(g.count() == 6)
+    val r = g.filter($"row" === 0 && $"col" === 0).head
+    assert(r.getAs[Double]("x") == 0.5 && r.getAs[Double]("y") == 0.5)
+  }
+
+  test("rasterize burns polygon attribute, background elsewhere") {
+    val g = InputMaps.pixelGrid(spark, 2, 2, 0, 0, 2, 2)
+    val polys = Seq((7, "POLYGON ((0 0, 1 0, 1 2, 0 2, 0 0))")).toDF("cls", "wkt")
+    val got = InputMaps.rasterize(g, polys, "wkt", "cls", background = 0)
+      .collect().map(r => ((r.getAs[Int]("row"), r.getAs[Int]("col")), r.getAs[Int]("cls"))).toMap
+    assert(got((0, 0)) == 7 && got((1, 0)) == 7)
+    assert(got((0, 1)) == 0 && got((1, 1)) == 0)
+  }
+
+  test("remap + upsample + window compose on the pixel relation") {
+    val px = Seq((0, 0, 1.0), (0, 1, 2.0)).toDF("row", "col", "value")
+    val mapping = Seq((1.0, 10.0)).toDF("f", "to")
+    val remapped = InputMaps.remap(px, "value", mapping, "f", "to")
+    assert(remapped.collect().map(_.getDouble(2)).sorted.toSeq == Seq(2.0, 10.0))
+    val up = InputMaps.upsample(px, 2)
+    assert(up.count() == 8)
+    assert(up.filter($"row" === 1 && $"col" === 1).head.getDouble(2) == 1.0)
+    assert(InputMaps.window(up, 0, 2, 2, 4).count() == 4)
+  }
+
+  test("urbs sheets project + rename; demand goes wide only at the edge") {
+    val trans = Seq(("R1", "R2", "AC", 100.0, 0.93, 5.0))
+      .toDF("region_start", "region_end", "tr_type", "capacity_mva", "efficiency", "inv_cost")
+    val sheet = ModelExport.urbsTransmission(trans).head
+    assert(sheet.getAs[String]("Site In") == "R1")
+    assert(sheet.getAs[Double]("eff") == 0.93)
+
+    val ts = Seq(("r1", 1, 5.0), ("r2", 1, 7.0), ("r1", 2, 6.0))
+      .toDF("region", "t", "value")
+    val wide = ModelExport.demandWide(ts, Seq("r1", "r2")).collect()
+    assert(wide.length == 2)
+    assert(wide(0).getAs[Double]("r1") == 5.0 && wide(0).getAs[Double]("r2") == 7.0)
+    assert(wide(1).getAs[Double]("r2") == 0.0, "missing slot zero-filled")
+  }
+
+  test("writeWorkbook emits one CSV dir per sheet + JSON sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("wb").toString
+    val df = Seq((1, "a")).toDF("k", "v")
+    ModelExport.writeWorkbook(dir, Map("sheet1" -> df), Map("year" -> "2015"))
+    assert(new java.io.File(s"$dir/sheet1").isDirectory)
+    val sidecar = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/sheet1.json")))
+    assert(sidecar.contains("\"year\": \"2015\""))
+  }
+}
