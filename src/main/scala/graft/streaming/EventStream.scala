@@ -35,4 +35,34 @@ object EventStream {
       watermark: String): DataFrame =
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(hashCols)
+
+  final case class Point(key: String, ts: java.sql.Timestamp, value: Double)
+  final case class FillState(lastGood: Double)
+  final case class Filled(key: String, ts: java.sql.Timestamp, value: Double,
+      filled: Boolean)
+
+  /** Stateful gap fill — the streaming form of W1
+    * (code/lib/correction_functions.py:315-318 reproduced as keyed state):
+    * zero readings are replaced by the last good value seen for the key.
+    * State per key is ONE double — bounded regardless of stream length.
+    */
+  def statefulGapFill(points: org.apache.spark.sql.Dataset[Point])
+      : org.apache.spark.sql.Dataset[Filled] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[Point], state: GroupState[FillState]) => {
+          var last = state.getOption.map(_.lastGood)
+          val out = rows.toSeq.sortBy(_.ts.getTime).map { p =>
+            if (p.value == 0.0 && last.isDefined) Filled(key, p.ts, last.get, filled = true)
+            else {
+              if (p.value != 0.0) last = Some(p.value)
+              Filled(key, p.ts, p.value, filled = false)
+            }
+          }
+          last.foreach(v => state.update(FillState(v)))
+          out.iterator
+        })
+  }
 }

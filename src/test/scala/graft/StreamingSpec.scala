@@ -41,6 +41,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("statefulGapFill carries last good value across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{Point, Filled}
+    val input = MemoryStream[Point]
+    val q = EventStream.statefulGapFill(input.toDS())
+      .writeStream.format("memory").queryName("fill_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Point("a", ts(0), 5.0), Point("a", ts(1), 0.0))
+      q.processAllAvailable()
+      input.addData(Point("a", ts(2), 0.0), Point("a", ts(3), 9.0)) // state crosses batches
+      q.processAllAvailable()
+      val got = spark.table("fill_out").as[Filled].collect()
+        .sortBy(_.ts.getTime).map(f => (f.value, f.filled)).toSeq
+      assert(got == Seq((5.0, false), (5.0, true), (5.0, true), (9.0, false)))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeat keys within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
