@@ -558,6 +558,21 @@ object SparkEntry {
           col("n"), round(col("total"), 2).as("total"))
     }),
 
+    // J5 at cluster scale: tile-salted equi-join spatial join (no broadcast,
+    // no BNLJ) — same semantics and same oracle as q20.
+    "q52_spatial_join_tiled" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 100 + 0.5).cast("double").as("x"),
+        ((col("c_custkey") * 7) % 100 + 0.5).cast("double").as("y"))
+      val polys = t(s, dir, "region").select(col("r_name"),
+        format_string("POLYGON ((%d 0, %d 0, %d 100, %d 100, %d 0))",
+          col("r_regionkey") * 20, col("r_regionkey") * 20 + 20,
+          col("r_regionkey") * 20 + 20, col("r_regionkey") * 20,
+          col("r_regionkey") * 20).as("wkt"))
+      SpatialOps.tiledPointInPolygonJoin(pts, "x", "y", polys, "wkt", tileSize = 25.0)
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_customers"))
+    }),
+
     // A4: exact distinct-cardinality aggregation.
     "q50_cardinality" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -968,6 +983,13 @@ object SparkEntry {
       """SELECT (epoch_us(ts) // 300000000) * 300000000 AS w_start_us, event_type,
         |  count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q52_spatial_join_tiled" ->
+      """SELECT r_name, count(*) AS n_customers
+        |FROM customer JOIN region
+        |  ON (c_custkey % 100 + 0.5) >= r_regionkey * 20
+        | AND (c_custkey % 100 + 0.5) < r_regionkey * 20 + 20
+        |GROUP BY r_name""".stripMargin,
 
     "q50_cardinality" ->
       """SELECT c_nationkey,

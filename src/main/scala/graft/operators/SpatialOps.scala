@@ -42,6 +42,36 @@ object SpatialOps {
       .drop("__xmin", "__ymin", "__xmax", "__ymax", wktCol)
   }
 
+  /** J5 at cluster scale — tile-salted spatial join (the SURVEY §4 upgrade
+    * path, for when the polygon side does NOT fit in a broadcast):
+    * each polygon is exploded to the grid tiles its bbox covers, points are
+    * keyed by their containing tile, and the join becomes an EQUI join on
+    * tile id — shuffle-partitioned on both sides — refined by the exact
+    * containment predicate. Neither side is collected or broadcast; skew is
+    * bounded by tile size. Semantics are identical to
+    * [[pointInPolygonJoin]] (each point matches each polygon at most once:
+    * a point lies in exactly one tile).
+    */
+  def tiledPointInPolygonJoin(points: DataFrame, xCol: String, yCol: String,
+      polys: DataFrame, wktCol: String, tileSize: Double,
+      how: String = "inner"): DataFrame = {
+    val p = withBbox(polys, wktCol)
+      .withColumn("__tx", explode(sequence(
+        floor(col("__xmin") / tileSize).cast("long"),
+        floor(col("__xmax") / tileSize).cast("long"))))
+      .withColumn("__ty", explode(sequence(
+        floor(col("__ymin") / tileSize).cast("long"),
+        floor(col("__ymax") / tileSize).cast("long"))))
+    val pts = points
+      .withColumn("__tx", floor(col(xCol) / tileSize).cast("long"))
+      .withColumn("__ty", floor(col(yCol) / tileSize).cast("long"))
+    val exact = GeoFns.containsPredicate(col(wktCol),
+      col("__xmin"), col("__ymin"), col("__xmax"), col("__ymax"),
+      col(xCol), col(yCol))
+    pts.join(p, Seq("__tx", "__ty"), "inner").filter(exact)
+      .drop("__tx", "__ty", "__xmin", "__ymin", "__xmax", "__ymax", wktCol)
+  }
+
   /** A6: zonal statistics — per-region SUM / MAX / COUNT over a pixel
     * relation (code/lib/spatial_functions.py:279-344). The per-region numpy
     * masking loop becomes ONE spatial join + ONE groupBy: a single shuffle

@@ -39,6 +39,19 @@ class GeoSpec extends AnyFunSuite {
     assert(got == Set((1, "A"), (2, "B")))
   }
 
+  test("tiledPointInPolygonJoin matches the broadcast join exactly") {
+    val pts = (0 until 200).map(i => (i, (i % 37) * 1.1 + 0.05, (i % 23) * 1.7 + 0.05))
+      .toDF("id", "x", "y")
+    val polys = Seq(("A", unitSq), ("B", "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"),
+      ("C", "POLYGON ((0 10, 40 10, 40 40, 0 40, 0 10))")).toDF("region", "wkt")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("id", "region")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val broadcastJoin = key(SpatialOps.pointInPolygonJoin(pts, "x", "y", polys, "wkt"))
+    val tiled = key(SpatialOps.tiledPointInPolygonJoin(pts, "x", "y", polys, "wkt", 7.0))
+    assert(broadcastJoin.nonEmpty)
+    assert(tiled == broadcastJoin)
+  }
+
   test("zonalStats: per-region sum/max/count") {
     val px = Seq((1.0, 1.0, 2.0), (2.0, 2.0, 3.0), (11.0, 1.0, 7.0)).toDF("x", "y", "v")
     val polys = Seq(("A", unitSq), ("B", "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"))
