@@ -55,6 +55,23 @@ object ModelExport {
       .na.fill(0.0, sites)
       .orderBy(col("t"))
 
+  /** evrys "Process" sheet (generate_models.py:241-277 shape): same data,
+    * different projection/rename list than urbs.
+    */
+  def evrysProcess(processes: DataFrame): DataFrame =
+    processes.select(
+      col("Site").as("sit"), col("Type").as("pro"),
+      coalesce(col("inst_cap"), lit(0.0)).as("instcap"),
+      coalesce(col("cap_max"), col("inst_cap"), lit(0.0)).as("capup"),
+      coalesce(col("Year"), lit(0)).as("year"))
+
+  /** evrys demand TS (generate_models.py:360-368): the reference MELTS its
+    * wide sheet back to long "(t, sit, value)" — which is this engine's
+    * native layout, so the export is a projection, not a reshape.
+    */
+  def evrysDemand(demandTs: DataFrame): DataFrame =
+    demandTs.select(col("t"), col("region").as("sit"), col("value"))
+
   /** S10: one sheet = one CSV directory under `dir/<sheet>` + S11 sidecar. */
   def writeWorkbook(dir: String, sheets: Map[String, DataFrame],
       params: Map[String, String] = Map.empty): Unit = {

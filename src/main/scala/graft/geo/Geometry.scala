@@ -180,6 +180,17 @@ object GeoFns {
   val stXmax = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._3 }
   val stYmax = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._4 }
 
+  /** J6 overlay: WKT of polygon ∩ polygon (convex clip); null if empty. */
+  val stIntersectionWkt = udf { (subjectWkt: String, clipWkt: String) =>
+    val out = Geometry.clipConvex(
+      Geometry.parsePolygon(subjectWkt), Geometry.parsePolygon(clipWkt))
+    if (out.length < 3) None
+    else {
+      val ring = out :+ out.head
+      Some("POLYGON ((" + ring.map(p => s"${p.x} ${p.y}").mkString(", ") + "))")
+    }
+  }
+
   /** J6 overlay: area of polygon ∩ polygon (convex clip). */
   val stIntersectionArea = udf { (subjectWkt: String, clipWkt: String) =>
     Geometry.intersectionArea(Geometry.parsePolygon(subjectWkt), Geometry.parsePolygon(clipWkt))

@@ -72,6 +72,33 @@ object SpatialOps {
       .drop("__tx", "__ty", "__xmin", "__ymin", "__xmax", "__ymax", wktCol)
   }
 
+  /** J6: polygon overlay — `intersection_subregions_countries`
+    * (code/lib/spatial_functions.py:225-276): every intersecting
+    * (subregion, country) pair yields a piece named "SUB_COUNTRY" with the
+    * intersection geometry; empty intersections dropped (the reference's
+    * area>0 filter, lib/initialization.py:43). Broadcast nested-loop over
+    * the small side with bbox prefilter — the reference's O(n·m) python
+    * loop as one declarative join.
+    */
+  def overlay(subregions: DataFrame, subNameCol: String, subWktCol: String,
+      countries: DataFrame, cNameCol: String, cWktCol: String): DataFrame = {
+    val bboxed = withBbox(subregions, subWktCol)
+    val cb = countries
+      .withColumn("__cxmin", GeoFns.stXmin(col(cWktCol)))
+      .withColumn("__cymin", GeoFns.stYmin(col(cWktCol)))
+      .withColumn("__cxmax", GeoFns.stXmax(col(cWktCol)))
+      .withColumn("__cymax", GeoFns.stYmax(col(cWktCol)))
+    val bboxOverlap = col("__xmin") <= col("__cxmax") && col("__cxmin") <= col("__xmax") &&
+      col("__ymin") <= col("__cymax") && col("__cymin") <= col("__ymax")
+    bboxed.join(broadcast(cb), bboxOverlap)
+      .withColumn("piece_wkt", GeoFns.stIntersectionWkt(col(subWktCol), col(cWktCol)))
+      .filter(col("piece_wkt").isNotNull)
+      .withColumn("piece", concat(col(subNameCol), lit("_"), col(cNameCol)))
+      .withColumn("piece_area", GeoFns.stArea(col("piece_wkt")))
+      .filter(col("piece_area") > 0)
+      .select(col("piece"), col(subNameCol), col(cNameCol), col("piece_wkt"), col("piece_area"))
+  }
+
   /** A6: zonal statistics — per-region SUM / MAX / COUNT over a pixel
     * relation (code/lib/spatial_functions.py:279-344). The per-region numpy
     * masking loop becomes ONE spatial join + ONE groupBy: a single shuffle

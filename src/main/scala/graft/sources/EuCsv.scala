@@ -30,6 +30,49 @@ object EuCsv {
     } else r.csv(path)
   }
 
+  /** Multi-row header scan (S2/S3 capability: the VDEW profiles carry a
+    * 2-level header, ENTSO-E Excel a header offset + merged rows,
+    * code/lib/correction_functions.py:125-127, 36-37). The `headerRows`
+    * header lines are read on the driver (headers only — a few hundred
+    * bytes) and flattened to `level1_level2_...` names; the body parses
+    * distributed with that explicit schema, all columns string-typed (cast
+    * downstream with [[parseEuDoubles]]).
+    */
+  def readMultiHeader(spark: SparkSession, path: String, headerRows: Int,
+      sep: String = ";", skipRows: Int = 0): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val headerLines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
+      .skip(skipRows).limit(headerRows).iterator().asScala.toSeq
+    val levels = headerLines.map(_.split(java.util.regex.Pattern.quote(sep), -1))
+    val width = levels.map(_.length).max
+    // forward-fill merged header cells within each level (W2 on the header)
+    val filled = levels.map { row =>
+      var last = ""
+      (0 until width).map { i =>
+        val v = if (i < row.length) row(i).trim else ""
+        if (v.nonEmpty) last = v
+        last
+      }
+    }
+    val names = (0 until width).map { i =>
+      val parts = filled.map(_(i)).filter(_.nonEmpty).distinct
+      if (parts.isEmpty) s"_c$i" else parts.mkString("_")
+    }
+    // dedupe colliding flattened names positionally
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val uniq = names.map { n =>
+      val k = seen.getOrElse(n, 0); seen(n) = k + 1
+      if (k == 0) n else s"${n}_$k"
+    }
+    val schema = StructType(uniq.map(n => org.apache.spark.sql.types.StructField(n,
+      org.apache.spark.sql.types.StringType)))
+    val body = spark.read.text(path)
+      .withColumn("__rn", monotonically_increasing_id())
+      .filter(col("__rn") >= skipRows + headerRows)
+      .select(col("value")).as[String](org.apache.spark.sql.Encoders.STRING)
+    spark.read.option("sep", sep).schema(schema).csv(body)
+  }
+
   /** Parse EU-decimal string columns to double in place. */
   def parseEuDoubles(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, graft.functions.ScalarFns.euToDouble(col(c))))

@@ -51,6 +51,41 @@ class ExportInputMapsSpec extends AnyFunSuite {
     assert(wide(1).getAs[Double]("r2") == 0.0, "missing slot zero-filled")
   }
 
+  test("readMultiHeader flattens and forward-fills 2-level headers") {
+    val dir = java.nio.file.Files.createTempDirectory("mh")
+    val f = dir.resolve("profiles.csv")
+    java.nio.file.Files.writeString(f,
+      "junk line\nH0;;H4\nA;B;C\n1;2;3\n4;5;6\n")
+    val got = graft.sources.EuCsv.readMultiHeader(TestSpark.spark, f.toString,
+      headerRows = 2, sep = ";", skipRows = 1)
+    assert(got.columns.toSeq == Seq("H0_A", "H0_B", "H4_C"),
+      got.columns.mkString(","))
+    assert(got.count() == 2)
+    assert(got.orderBy("H0_A").head.getString(0) == "1")
+  }
+
+  test("overlay: SUB_COUNTRY pieces with intersection geometry and area") {
+    import graft.operators.SpatialOps
+    val subs = Seq(("S1", "POLYGON ((0 0, 2 0, 2 1, 0 1, 0 0))")).toDF("sub", "swkt")
+    val countries = Seq(
+      ("DE", "POLYGON ((0 0, 1 0, 1 2, 0 2, 0 0))"),
+      ("FR", "POLYGON ((1 0, 2 0, 2 2, 1 2, 1 0))"),
+      ("XX", "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))")).toDF("ctry", "cwkt")
+    val got = SpatialOps.overlay(subs, "sub", "swkt", countries, "ctry", "cwkt")
+      .orderBy("piece").collect()
+    assert(got.map(_.getAs[String]("piece")).toSeq == Seq("S1_DE", "S1_FR"))
+    got.foreach(r => assert(math.abs(r.getAs[Double]("piece_area") - 1.0) < 1e-9))
+  }
+
+  test("evrys projections: process rename, demand stays long") {
+    val proc = Seq(("R1", "Coal", 100.0, 1000.0, 1990))
+      .toDF("Site", "Type", "inst_cap", "cap_max", "Year")
+    val p = ModelExport.evrysProcess(proc).head
+    assert(p.getAs[String]("sit") == "R1" && p.getAs[Double]("instcap") == 100.0)
+    val dem = Seq(("R1", 1, 5.0)).toDF("region", "t", "value")
+    assert(ModelExport.evrysDemand(dem).columns.toSeq == Seq("t", "sit", "value"))
+  }
+
   test("writeWorkbook emits one CSV dir per sheet + JSON sidecar") {
     val dir = java.nio.file.Files.createTempDirectory("wb").toString
     val df = Seq((1, "a")).toDF("k", "v")
