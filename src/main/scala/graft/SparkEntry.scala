@@ -513,6 +513,32 @@ object SparkEntry {
           col("first_byte"), col("last_byte"))
     }),
 
+    // Full dedup pipeline: exact -> minhash-LSH -> jaccard-verified removal
+    // over a corpus with planted near-dups (rows-only: minhash hashing is
+    // engine-native). Survivor count < corpus+planted proves removal.
+    "q53_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+      Dedup.dedupCorpus(docs.unionByName(planted), "doc_id", "text",
+          threshold = 0.6, shingleN = 2, k = 16, bands = 4)
+        .select(col("doc_id"))
+    }),
+
+    // BPE-ish subword counting (token-inflation estimate for budgeting).
+    "q54_subword_count" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_words"),
+        TextFns.subwordCount(col("text")).as("n_subwords"))
+    }),
+
+    // Character-shingle cardinality (the dedup signal's raw feature).
+    "q55_char_shingles" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        size(TextFns.charShingles(col("text"), 3)).as("n_shingles"))
+    }),
+
     // Corpus token histogram: top-20 tokens (deterministic tie-break).
     "q47_token_histogram" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -862,6 +888,15 @@ object SparkEntry {
         |    AS filled
         |FROM o""".stripMargin,
 
+    "q37_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(
+        |      regexp_extract_all(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '.'),
+        |      c -> ascii(c)::BIGINT)),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS fingerprint
+        |FROM documents""".stripMargin,
+
     "q38_explode_zip" ->
       """WITH m AS (SELECT p_partkey,
         |  p_size::VARCHAR || ';' || (p_size * 2)::VARCHAR AS m1,
@@ -953,6 +988,23 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
         |FROM q WHERE lang_pred = 'en' AND quality >= 0.5
         |GROUP BY source""".stripMargin,
+
+    "q54_subword_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]'))
+        |    AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "q55_char_shingles" ->
+      """WITH n AS (SELECT doc_id,
+        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(s) < 3 THEN 1
+        |       ELSE len(list_distinct(list_transform(
+        |         range(1, greatest(length(s) - 2, 1) + 1), i -> substr(s, i::INT, 3))))
+        |  END AS n_shingles
+        |FROM n""".stripMargin,
 
     "q47_token_histogram" ->
       """SELECT token, count(*) AS n

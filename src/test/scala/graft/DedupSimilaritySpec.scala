@@ -45,6 +45,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.count() == 0, "bucket of 20 identical docs must be dropped, not exploded")
   }
 
+  test("dedupCorpus removes whitespace dups and verified near-dups") {
+    val corpus = docs ++ Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today extra"))
+    val out = Dedup.dedupCorpus(corpus.toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5, shingleN = 2, k = 16, bands = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.contains(1L), "cluster representative survives")
+    assert(!out.contains(2L), "exact (ws/case) dup removed")
+    assert(!out.contains(3L) && !out.contains(6L), "verified near-dups removed")
+    assert(out.contains(4L) && out.contains(5L), "unrelated docs survive")
+  }
+
   test("bruteForceTopK returns self first, then nearest") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
