@@ -39,6 +39,35 @@ object Multimodal {
       .withColumn("last_byte", col("__m._5"))
       .drop("__m")
 
+  final case class MediaRow(doc_id: Long, media: Array[Byte])
+  final case class DecodedRow(doc_id: Long, width: Int, height: Int,
+      n_bytes: Int, partition_id: Int, codec_inits: Long)
+
+  /** Batch-shaped decode — the Scala analog of `mapInPandas`: one
+    * `mapPartitions` pass where the (stubbed) codec is initialized ONCE per
+    * partition and reused across every row in it — the shape a real
+    * libjpeg/ffmpeg binding needs (per-row init would dominate at scale).
+    * Each output row carries the partition-local init count observed at
+    * decode time, so a test can PROVE amortization: max(codec_inits) == 1;
+    * a per-row-init regression would emit 1, 2, 3, ...
+    */
+  def decodeBatched(media: org.apache.spark.sql.Dataset[MediaRow])
+      : org.apache.spark.sql.Dataset[DecodedRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // STUB codec handle: a real implementation opens the native codec
+      // context here, once per partition.
+      var codecInits = 0L
+      def initCodec(): Unit = { codecInits += 1 }
+      initCodec()
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      rows.map { r =>
+        val n = if (r.media == null) 0 else r.media.length
+        DecodedRow(r.doc_id, 1 + n % 64, 1 + (n * 7) % 64, n, pid, codecInits)
+      }
+    }
+  }
+
   /** FAKE resize (STUB): a real kernel would decode, scale, re-encode; the
     * fake truncates the payload proportionally — preserving the contract
     * that output bytes shrink with the scale factor.

@@ -49,6 +49,20 @@ class OverlayMultimodalSpec extends AnyFunSuite {
     assert(got(1).isNullAt(got(1).fieldIndex("width")), "empty payload -> null meta")
   }
 
+  test("decodeBatched: codec init amortized per partition, not per row") {
+    import graft.multimodal.Multimodal.{MediaRow, DecodedRow}
+    val ds = spark.createDataset((1L to 100L).map(i =>
+      MediaRow(i, s"payload-$i".getBytes)))(
+      org.apache.spark.sql.Encoders.product[MediaRow]).repartition(4)
+    val out = Multimodal.decodeBatched(ds).collect()
+    assert(out.length == 100)
+    assert(out.map(_.codec_inits).max == 1L,
+      "codec must be initialized once per partition")
+    assert(out.map(_.partition_id).distinct.length == 4)
+    val r = out.find(_.doc_id == 1L).get
+    assert(r.n_bytes == "payload-1".length)
+  }
+
   test("sampleFrames returns n chunks of bounded size") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "t")
       .select($"id", Multimodal.sampleFrames($"t".cast("binary"), lit(4), lit(3)).as("frames"))
