@@ -526,6 +526,18 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Heavy-hitter tokens per language via the Misra-Gries typed Aggregator
+    // (O(k) state per partition — no full-vocabulary shuffle; counts are
+    // provable-superset approximations, hence rows-only).
+    "q56_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.HeavyHitters
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TextFns.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("lang"))
+        .agg(HeavyHitters.mgSummary(col("token"), 30).as("mg"))
+        .select(col("lang"), explode(col("mg")).as(Seq("token", "approx_count")))
+    }),
+
     // BPE-ish subword counting (token-inflation estimate for budgeting).
     "q54_subword_count" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
