@@ -526,6 +526,30 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Embedding-cosine near-dup detection via RP-LSH buckets (planted
+    // duplicates guarantee yield; rows-only: bucket hashing engine-native).
+    "q57_embedding_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDup(e.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.999, nBits = 6)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // End-user SQL surface: registered views + the engine's native SQL
+    // functions (haversine_km via FunctionRegistry) in one spark.sql text.
+    "q58_sql_surface" -> ((s, dir) => {
+      graft.expr.GraftExpressions.register(s)
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""
+        WITH n AS (SELECT n_nationkey AS k, -30.0 + n_nationkey * 2.5 AS lat,
+          -20.0 + n_nationkey * 3.1 AS lon FROM nation_v)
+        SELECT a.k AS k1, b.k AS k2,
+          round(haversine_km(a.lat, a.lon, b.lat, b.lon), 3) AS dist_km
+        FROM n a JOIN n b ON a.k < b.k""")
+    }),
+
     // Heavy-hitter tokens per language via the Misra-Gries typed Aggregator
     // (O(k) state per partition — no full-vocabulary shuffle; counts are
     // provable-superset approximations, hence rows-only).
@@ -1000,6 +1024,16 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs, round(avg(quality), 6) AS avg_quality
         |FROM q WHERE lang_pred = 'en' AND quality >= 0.5
         |GROUP BY source""".stripMargin,
+
+    "q58_sql_surface" ->
+      """WITH n AS (SELECT n_nationkey AS k, -30.0 + n_nationkey * 2.5 AS lat,
+        |  -20.0 + n_nationkey * 3.1 AS lon FROM nation)
+        |SELECT a.k AS k1, b.k AS k2,
+        |  round(2 * 6371.0088 * asin(sqrt(
+        |    pow(sin(radians(b.lat - a.lat) / 2), 2) +
+        |    cos(radians(a.lat)) * cos(radians(b.lat)) *
+        |    pow(sin(radians(b.lon - a.lon) / 2), 2))), 3) AS dist_km
+        |FROM n a JOIN n b ON a.k < b.k""".stripMargin,
 
     "q54_subword_count" ->
       """SELECT doc_id,
