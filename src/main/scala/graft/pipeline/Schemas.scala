@@ -49,6 +49,59 @@ object Schemas {
   /** Pixel relation for rasters (one table per map). */
   val pixels: StructType = StructType(Seq(i("row"), i("col"), d("value")))
 
+  /** The full named-dataset catalog of the reference
+    * (code/config.py:666-781, `output_paths`): every intermediate file the
+    * pipeline reads/writes, keyed by its reference path name. Stage
+    * variants of the grid/process cleaning share the family schema of
+    * their final member (the intra-stage steps only add/fix columns).
+    */
+  val catalog: Map[String, StructType] = {
+    val profile = StructType(Seq(i("t"), d("value")))
+    val gridFamily = gridCleaned
+    val processFamily = plants
+    Map(
+      "sites_sub" -> StructType(Seq(s("Site"), i("site_id"), i("slacknode"),
+        d("lat"), d("long"), d("area_km2"), s("wkt"))),
+      "stats_countries" -> StructType(Seq(s("country"), d("year_total"))),
+      "sector_shares_clean" -> sectorShares,
+      "load_ts_clean" -> loadTs,
+      "df_sector" -> StructType(Seq(s("country"), s("sector"), i("t"), d("sector_value"))),
+      "load_sector" -> StructType(Seq(s("country"), s("sector"), d("annual"))),
+      "load_landuse" -> StructType(Seq(s("country"), s("lu"), i("t"), d("value"))),
+      "intersection_subregions_countries" -> StructType(Seq(
+        s("piece"), s("sub"), s("ctry"), s("piece_wkt"), d("piece_area"))),
+      "stats_country_parts" -> StructType(Seq(s("piece"), d("zonal_sum"),
+        d("zonal_max"), l("zonal_count"))),
+      "load_regions" -> demandTs,
+      "cleaned_profile_RES" -> profile,
+      "cleaned_profile_IND" -> profile,
+      "cleaned_profile_COM" -> profile,
+      "cleaned_profile_AGR" -> profile,
+      "cleaned_profile_STR" -> profile,
+      "grid_expanded" -> gridFamily,
+      "grid_filtered" -> gridFamily,
+      "grid_corrected" -> gridFamily,
+      "grid_filled" -> gridFamily,
+      "grid_cleaned" -> gridCleaned,
+      "grid_shp" -> StructType(gridCleaned.fields.toIndexedSeq :+ s("wkt")),
+      "grid_completed" -> transmission,
+      "IRENA_summary" -> StructType(Seq(s("country"), s("technology"),
+        d("capacity_mw"), d("production_gwh"), d("flh"))),
+      "locations_ren" -> StructType(Seq(s("country"), s("technology"),
+        i("row"), i("col"), d("inst_cap"), i("rk"))),
+      "potential_ren" -> StructType(Seq(s("Site"), s("tech"), d("inst_cap"))),
+      "process_raw" -> processFamily,
+      "process_filtered" -> processFamily,
+      "process_joined" -> processFamily,
+      "process_completed" -> processFamily,
+      "process_cleaned" -> plants,
+      "process_regions" -> cohorts,
+      "storage_regions" -> cohorts,
+      "commodities_regions" -> StructType(Seq(s("Site"), s("Commodity"), d("annual"))),
+      "urbs_model" -> StructType(Seq(s("sheet"))),
+      "evrys_model" -> StructType(Seq(s("sheet"))))
+  }
+
   /** Validate that `df` carries at least the registered columns with the
     * registered types (extra columns allowed — stages may carry context).
     */

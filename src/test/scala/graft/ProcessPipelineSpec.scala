@@ -52,6 +52,13 @@ class ProcessPipelineSpec extends AnyFunSuite {
     assert(m(("S2", "Gas")) == 0.0)
   }
 
+  test("schema catalog covers the reference's named datasets") {
+    assert(Schemas.catalog.size >= 25, s"catalog has ${Schemas.catalog.size}")
+    // pipeline outputs validate against their catalog entries
+    val cohorts = ProcessPipeline.capacityCohorts(plants, assumptions, 2015)
+    Schemas.requireSchema(cohorts, Schemas.catalog("process_regions"), "process_regions")
+  }
+
   test("schema registry validates and rejects") {
     val cohorts = ProcessPipeline.capacityCohorts(plants, assumptions, 2015)
     Schemas.requireSchema(cohorts, Schemas.cohorts, "process_compact") // ok
