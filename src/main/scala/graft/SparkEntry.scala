@@ -298,10 +298,13 @@ object SparkEntry {
     }),
 
     // Dedup tier 3: exact bigram-Jaccard verification on candidate pairs.
+    // Both pair members must have >=2 tokens (the oracle's window-based
+    // bigram derivation has no single-shingle fallback for shorter docs).
     "q26_jaccard_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = docs.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
-        .join(docs.select(col("doc_id").as("id2")), "id2")
+      val long = docs.filter(TextFns.tokenCount(col("text")) >= 2)
+      val pairs = long.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .join(long.select(col("doc_id").as("id2")), "id2")
       Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", shingleN = 2)
         .select(col("id1"), col("id2"), col("inter"), col("uni"),
           round(col("jaccard"), 6).as("jaccard"))
@@ -852,8 +855,10 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
         |  FROM toks QUALIFY bg IS NOT NULL),
         |cnt AS (SELECT doc_id, count(*) AS n FROM bi GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM documents a
-        |  JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |long AS (SELECT doc_id FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2 FROM long a
+        |  JOIN long b ON b.doc_id = a.doc_id + 1),
         |inter AS (
         |  SELECT p.id1, p.id2, count(*) AS inter FROM pairs p
         |  JOIN bi x ON x.doc_id = p.id1 JOIN bi y ON y.doc_id = p.id2 AND y.bg = x.bg

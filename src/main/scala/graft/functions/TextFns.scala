@@ -124,21 +124,28 @@ object TextFns {
   }
 
   /** 64-bit SimHash over whitespace tokens: sign-aggregated bitwise vote of
-    * per-token xxhash64 values. Computed as a fold over the token array —
-    * stays in Catalyst, one pass, no explode/shuffle.
+    * per-token 64-bit hashes. One JVM pass per document (UDF) — the
+    * Catalyst formulation (64 per-bit `aggregate` folds) re-evaluates the
+    * tokenize+hash subtree per bit with no CSE, the interpreted-HOF
+    * pathology documented in SCALE.md.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(tokens(lower(text)), t => xxhash64(t))
-    // For each bit position: count of tokens with that bit set, minus half the
-    // token count => sign decides the bit. Folded via 64 per-bit sums.
-    val bitCols = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + shiftright(h, b).bitwiseAND(1L))
-      // bit b of result = 1 iff votes*2 > n
-      when(votes * 2 > size(hashes), shiftleft(lit(1L), b)).otherwise(0L)
+  private val simhashKernel = udf { (toks: Seq[String]) =>
+    val votes = new Array[Int](64)
+    if (toks != null) toks.foreach { t =>
+      val h = hash64(t, 0)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
     }
-    bitCols.reduce(_.bitwiseOR(_))
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
   }
+
+  def simhash64(text: Column): Column = simhashKernel(tokens(lower(text)))
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -92,33 +92,24 @@ object Dedup {
   }
 
   /** Full near-dup removal: exact dedup, then MinHash-LSH candidates
-    * verified by exact n-gram Jaccard >= `threshold`; losers (higher id of
-    * each verified pair, transitively) are dropped. The union-find is
-    * approximated by iterated min-propagation over the pair graph
-    * (`iters` rounds — enough for the shallow near-dup clusters real
-    * corpora produce; each round is one aggregation, no driver state).
+    * verified by exact n-gram Jaccard >= `threshold`. Removal policy is
+    * PAIRWISE: a document is removed iff some verified pair links it to a
+    * smaller id. Chains connected only through removed members can keep
+    * more than one survivor (a deliberate policy — each survivor had no
+    * verified duplicate among the other survivors' ids below it; full
+    * transitive clustering would need an iterative connected-components
+    * pass, which the survivor set does not require).
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16, bands: Int = 8,
-      iters: Int = 2): DataFrame = {
+      threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
     val exact0 = exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
       .join(docs, Seq(idCol)) // exact-dup survivors with their text
     val cands = minhashCandidatePairs(exact0, idCol, textCol, shingleN, k, bands)
-    val verified = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)
+    val removed = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"))
-    // min-propagation: each id maps to the smallest id it is paired with
-    var rep = verified.select(col("id2").as("id"), col("id1").as("rep"))
-      .groupBy("id").agg(min(col("rep")).as("rep"))
-    var i = 1
-    while (i < iters) {
-      rep = rep.alias("a").join(rep.alias("b"), col("a.rep") === col("b.id"), "left")
-        .select(col("a.id").as("id"), coalesce(col("b.rep"), col("a.rep")).as("rep"))
-        .groupBy("id").agg(min(col("rep")).as("rep"))
-      i += 1
-    }
-    exact0.join(rep, exact0(idCol) === rep("id"), "left_anti")
+      .select(col("id2").as("__removed")).distinct()
+    exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
   }
 
   /** Embedding near-dup: pairs with cosine >= threshold within LSH buckets.

@@ -19,9 +19,14 @@ object Ops {
     * Map-side only: no shuffle.
     */
   def explodeZip(df: DataFrame, cols: Seq[String], sep: String = ";"): DataFrame = {
-    val zipped = arrays_zip(cols.map(c => split(col(c), sep).as(c)): _*)
+    // A null cell must behave like an empty list (arrays_zip null-pads it to
+    // the longest sibling), and an all-null row must SURVIVE as one row of
+    // nulls — pandas pads with NaN and keeps the row (util.py:179-180), so
+    // coalesce-to-empty + explode_outer, never plain explode.
+    val zipped = arrays_zip(cols.map(c =>
+      coalesce(split(col(c), sep), array().cast("array<string>")).as(c)): _*)
     val others = df.columns.filterNot(cols.contains).map(col)
-    df.withColumn("__z", explode(zipped))
+    df.withColumn("__z", explode_outer(zipped))
       .select(others ++ cols.map(c => col("__z")(c).as(c)): _*)
   }
 
@@ -166,9 +171,13 @@ object Ops {
     // Split only on ", " (comma + whitespace): the reference's list keys are
     // "A, B" while composite type keys "(F,T,S)" use bare commas and must
     // stay intact (code/lib/correction_functions.py:360-364 vs :447-449).
+    // Conflicting keys after expansion collapse deterministically (min
+    // target) — a dict cannot hold duplicate keys, and a duplicate-keyed
+    // join would MULTIPLY fact rows.
     val expanded = mapping
       .withColumn(fromCol, explode(split(col(fromCol), ",\\s+")))
-      .select(col(fromCol).as("__from"), col(toCol).as("__to"))
+      .groupBy(col(fromCol).as("__from"))
+      .agg(min(col(toCol)).as("__to"))
     df.join(broadcast(expanded), col(keyCol) === col("__from"), "left")
       .withColumn(keyCol, coalesce(col("__to"), col(keyCol)))
       .drop("__from", "__to")

@@ -76,11 +76,11 @@ object Similarity {
         Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col("cid").asc)))
       .filter(col("__rn") === 1)
       .select(col(idCol), col(vecCol), col("cid").as("list_id"))
-    // probe lists nearest to the query
+    // probe lists nearest to the query (id-type-agnostic: raw values)
     val probeLists = centroids
       .withColumn("__d", VectorFns.l2Distance(q, col("cvec")))
       .orderBy(col("__d").asc, col("cid").asc).limit(nProbe)
-      .select(col("cid")).collect().map(_.getLong(0))
+      .select(col("cid")).collect().map(_.get(0))
     assigned.filter(col("list_id").isin(probeLists: _*))
       .select(col(idCol), VectorFns.cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)

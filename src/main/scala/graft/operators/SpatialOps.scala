@@ -56,10 +56,10 @@ object SpatialOps {
       polys: DataFrame, wktCol: String, tileSize: Double,
       how: String = "inner"): DataFrame = {
     val p = withBbox(polys, wktCol)
-      .withColumn("__tx", explode(sequence(
+      .withColumn("__ptx", explode(sequence(
         floor(col("__xmin") / tileSize).cast("long"),
         floor(col("__xmax") / tileSize).cast("long"))))
-      .withColumn("__ty", explode(sequence(
+      .withColumn("__pty", explode(sequence(
         floor(col("__ymin") / tileSize).cast("long"),
         floor(col("__ymax") / tileSize).cast("long"))))
     val pts = points
@@ -68,8 +68,13 @@ object SpatialOps {
     val exact = GeoFns.containsPredicate(col(wktCol),
       col("__xmin"), col("__ymin"), col("__xmax"), col("__ymax"),
       col(xCol), col(yCol))
-    pts.join(p, Seq("__tx", "__ty"), "inner").filter(exact)
-      .drop("__tx", "__ty", "__xmin", "__ymin", "__xmax", "__ymax", wktCol)
+    // The exact predicate lives in the join condition (not a post-filter)
+    // so `how = "left"` keeps unmatched points with null polygon columns —
+    // same contract as pointInPolygonJoin. Catalyst still extracts the
+    // tile equalities as hash keys; the rest is the join-side residual.
+    pts.join(p, col("__tx") === col("__ptx") && col("__ty") === col("__pty") && exact, how)
+      .drop("__tx", "__ty", "__ptx", "__pty",
+        "__xmin", "__ymin", "__xmax", "__ymax", wktCol)
   }
 
   /** J6: polygon overlay — `intersection_subregions_countries`

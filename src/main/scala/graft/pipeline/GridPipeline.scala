@@ -91,10 +91,12 @@ object GridPipeline {
 
     // A1: collapse back to one row per (l_id, tr_type) with summed capacity
     // across parallel circuits (code/lib/correction_functions.py:652-657).
+    // max, not first: a multi-circuit line (220;380) must collapse
+    // deterministically — first() depends on partition delivery order.
     physic.groupBy(col("l_id"), col("tr_type"),
         col("V1_long"), col("V1_lat"), col("V2_long"), col("V2_lat"))
-      .agg(first(col("voltage_kv")).as("voltage_kv"),
-        first(col("length_km")).as("length_km"),
+      .agg(max(col("voltage_kv")).as("voltage_kv"),
+        max(col("length_km")).as("length_km"),
         sum(col("capacity_mva")).as("capacity_mva"))
   }
 

@@ -22,7 +22,10 @@ object ProcessPipeline {
   def capacityCohorts(plants: DataFrame, assumptions: DataFrame,
       modelYear: Int): DataFrame =
     plants
-      .join(broadcast(assumptions.select(col("Type"), col("lifetime"))), Seq("Type"), "left")
+      // INNER by contract: the assumptions table must cover every Type (the
+      // reference's pandas lookup would KeyError on a gap); a left join +
+      // lifetime filter would drop unmatched types silently instead.
+      .join(broadcast(assumptions.select(col("Type"), col("lifetime"))), Seq("Type"))
       .filter(col("Year") + col("lifetime") >= modelYear)
       .groupBy(col("Site"), col("Type"), col("Year"))
       .agg(sum(col("inst_cap")).as("inst_cap"), count(lit(1)).as("n_plants"))

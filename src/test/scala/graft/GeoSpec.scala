@@ -52,6 +52,14 @@ class GeoSpec extends AnyFunSuite {
     assert(tiled == broadcastJoin)
   }
 
+  test("tiledPointInPolygonJoin how=left keeps unmatched points with nulls") {
+    val pts = Seq((1, 2.0, 2.0), (2, 99.0, 99.0)).toDF("id", "x", "y")
+    val polys = Seq(("A", unitSq)).toDF("region", "wkt")
+    val got = SpatialOps.tiledPointInPolygonJoin(pts, "x", "y", polys, "wkt", 10.0, how = "left")
+      .collect().map(r => (r.getInt(0), r.getAs[String]("region"))).toSet
+    assert(got == Set((1, "A"), (2, null)))
+  }
+
   test("zonalStats: per-region sum/max/count") {
     val px = Seq((1.0, 1.0, 2.0), (2.0, 2.0, 3.0), (11.0, 1.0, 7.0)).toDF("x", "y", "v")
     val polys = Seq(("A", unitSq), ("B", "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"))

@@ -17,6 +17,23 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.toSet == Set(("220", "2"), ("380", "4"), (null, "6")))
   }
 
+  test("explodeZip: null cell pads as nulls, all-null row survives") {
+    val df = Seq(("l1", null.asInstanceOf[String], "2;4"), ("l2", null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("id", "voltage", "wires")
+    val got = Ops.explodeZip(df, Seq("voltage", "wires")).collect()
+    assert(got.count(_.getAs[String]("id") == "l1") == 2, "null cell row kept, padded")
+    assert(got.count(_.getAs[String]("id") == "l2") == 1, "all-null row survives as one row")
+    assert(got.filter(_.getAs[String]("id") == "l1").forall(_.getAs[String]("voltage") == null))
+  }
+
+  test("recode: conflicting expanded keys never multiply fact rows") {
+    val mapping = Seq(("A, B", "X"), ("A", "Y")).toDF("f", "to")
+    val df = Seq("A", "A", "B").toDF("c")
+    val got = Ops.recode(df, "c", mapping, "f", "to").collect().map(_.getString(0))
+    assert(got.length == 3, s"row count must be preserved, got ${got.length}")
+    assert(got.toSet == Set("X"), "deterministic min target for conflicting keys")
+  }
+
   test("rangeLookup: smallest threshold >= value, inf catch-all, dup rows kept") {
     val limits = Seq((10.0, "low"), (20.0, "mid"), (Double.PositiveInfinity, "high"))
       .toDF("threshold", "attr")

@@ -34,9 +34,12 @@ def main(outdir, sfdir):
             print(f"{q}: NO OUTPUT"); n_fail += 1; continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
         if q not in oracle:
-            print(f"{q}: rows-only ({len(got)} rows)"
-                  + (" !! EMPTY" if len(got) == 0 else ""))
-            n_rowsonly += 1
+            if len(got) == 0:
+                print(f"{q}: rows-only EMPTY -> FAIL")
+                n_fail += 1
+            else:
+                print(f"{q}: rows-only ({len(got)} rows)")
+                n_rowsonly += 1
             continue
         try:
             exp = con.sql(oracle[q]).df()
