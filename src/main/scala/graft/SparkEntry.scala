@@ -147,7 +147,8 @@ object SparkEntry {
     "q11_explode_split" -> ((s, dir) => {
       t(s, dir, "part")
         .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
-        .select(col("p_partkey"), (col("pos") + 1).as("pos"), col("col").as("word"))
+        .select(col("p_partkey"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("word"))
     }),
 
     // R2: pivot long→wide (counts per nation × order status).
@@ -195,15 +196,15 @@ object SparkEntry {
       t(s, dir, "part").select(col("p_partkey"),
         ScalarFns.cleanName(concat(col("p_name"), lit(" "), col("p_brand"))).as("clean_name"),
         upper(col("p_type")).as("type_upper"),
-        length(col("p_name")).as("name_len"))
+        length(col("p_name")).cast("long").as("name_len"))
     }),
 
     // Date dims: year/month/quarter/dayname + daytype/season recodes.
     "q17_date_dims" -> ((s, dir) => {
       t(s, dir, "orders").select(col("o_orderkey"),
-        year(col("o_orderdate")).as("yr"),
-        month(col("o_orderdate")).as("mo"),
-        quarter(col("o_orderdate")).as("qtr"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
         date_format(col("o_orderdate"), "EEEE").as("day_name"),
         ScalarFns.dayType(col("o_orderdate")).as("day_type"),
         ScalarFns.season(col("o_orderdate")).as("season"))
@@ -262,11 +263,44 @@ object SparkEntry {
           round(col("zonal_max"), 2).as("zonal_max"), col("zonal_count"))
     }),
 
+    // A6 variant: zonal VALUE COUNTS (landuse-class pivot per region) —
+    // the reference's per-region class histogram as one groupBy+pivot.
+    "q59_zonal_classes" -> ((s, dir) => {
+      val px = events(s, dir).select(
+        (floor((col("event_id") % 40 + 0.5) / 10) +
+          lit(4) * floor((col("user_id") % 30 + 0.5) / 10)).cast("long").as("zone_id"),
+        col("event_type"))
+      px.groupBy(col("zone_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select(col("zone_id"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+    }),
+
+    // Raster kernel: resizem block-upsample then windowed read on the
+    // pixel relation (map-side explode + pruned filter).
+    "q60_pixel_upsample" -> ((s, dir) => {
+      import graft.sources.InputMaps
+      val px = events(s, dir).select(
+        (col("event_id") % 20).cast("int").as("row"),
+        (col("user_id") % 15).cast("int").as("col"),
+        col("value"))
+        .groupBy("row", "col").agg(round(sum(col("value")), 2).as("value"))
+      val up = InputMaps.upsample(px, 2)
+      InputMaps.window(up, 10, 30, 0, 20)
+        .groupBy(col("row").cast("long").as("row"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("row_sum"))
+    }),
+
     // Text analysis: token counts, punctuation/stopword ratios, quality.
     "q22_text_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
-        TextFns.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).as("n_chars_raw"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_raw"),
         round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
         round(TextFns.stopwordRatio(col("text")), 6).as("stop_ratio"),
         TextFns.qualityScore(col("text")).as("quality"))
@@ -306,7 +340,8 @@ object SparkEntry {
       val pairs = long.select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
         .join(long.select(col("doc_id").as("id2")), "id2")
       Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", shingleN = 2)
-        .select(col("id1"), col("id2"), col("inter"), col("uni"),
+        .select(col("id1"), col("id2"), col("inter").cast("long").as("inter"),
+          col("uni").cast("long").as("uni"),
           round(col("jaccard"), 6).as("jaccard"))
     }),
 
@@ -332,7 +367,7 @@ object SparkEntry {
     "q29_running_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       events(s, dir).select(col("event_id"), col("user_id"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"),
         round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
           .as("run_sum"))
     }),
@@ -512,8 +547,11 @@ object SparkEntry {
       val media = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("media"))
       Multimodal.withImageMeta(media, "media")
-        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
-          col("first_byte"), col("last_byte"))
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_bytes").cast("long").as("n_bytes"),
+          col("first_byte").cast("long").as("first_byte"),
+          col("last_byte").cast("long").as("last_byte"))
     }),
 
     // Full dedup pipeline: exact -> minhash-LSH -> jaccard-verified removal
@@ -568,14 +606,14 @@ object SparkEntry {
     // BPE-ish subword counting (token-inflation estimate for budgeting).
     "q54_subword_count" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
-        TextFns.tokenCount(col("text")).as("n_words"),
-        TextFns.subwordCount(col("text")).as("n_subwords"))
+        TextFns.tokenCount(col("text")).cast("long").as("n_words"),
+        TextFns.subwordCount(col("text")).cast("long").as("n_subwords"))
     }),
 
     // Character-shingle cardinality (the dedup signal's raw feature).
     "q55_char_shingles" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
-        size(TextFns.charShingles(col("text"), 3)).as("n_shingles"))
+        size(TextFns.charShingles(col("text"), 3)).cast("long").as("n_shingles"))
     }),
 
     // Corpus token histogram: top-20 tokens (deterministic tie-break).
@@ -812,6 +850,28 @@ object SparkEntry {
         |  count(*) AS zonal_count
         |FROM events GROUP BY 1""".stripMargin,
 
+    "q59_zonal_classes" ->
+      """SELECT CAST(floor((event_id % 40 + 0.5) / 10) + 4 * floor((user_id % 30 + 0.5) / 10)
+        |    AS BIGINT) AS zone_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q60_pixel_upsample" ->
+      """WITH base AS (
+        |  SELECT CAST(event_id % 20 AS INT) AS row, CAST(user_id % 15 AS INT) AS col,
+        |    round(sum(value), 2) AS value
+        |  FROM events GROUP BY 1, 2),
+        |up AS (
+        |  SELECT base.row * 2 + dr.i AS row, base.col * 2 + dc.i AS col, value
+        |  FROM base CROSS JOIN range(2) dr(i) CROSS JOIN range(2) dc(i))
+        |SELECT row, count(*) AS n, round(sum(value), 2) AS row_sum
+        |FROM up WHERE row BETWEEN 10 AND 29 AND col BETWEEN 0 AND 19
+        |GROUP BY row""".stripMargin,
+
     "q22_text_stats" ->
       """WITH d AS (SELECT doc_id, text,
         |  regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
@@ -894,9 +954,9 @@ object SparkEntry {
         |  FROM events),
         |s AS (
         |  SELECT user_id, event_id, value,
-        |    sum(CASE WHEN prev_ns IS NULL OR epoch_ns(ts) - prev_ns > 1800000000000 THEN 1
-        |      ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(CASE WHEN prev_ns IS NULL OR epoch_ns(ts) - prev_ns > 1800000000000
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM w)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  round(sum(value), 2) AS session_value
@@ -1107,8 +1167,8 @@ object SparkEntry {
         |  1 + length(text) % 64 AS width,
         |  1 + (length(text) * 7) % 64 AS height,
         |  length(text) AS n_bytes,
-        |  ascii(substr(text, 1, 1)) AS first_byte,
-        |  ascii(substr(text, length(text), 1)) AS last_byte
+        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+        |  CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte
         |FROM documents""".stripMargin,
 
     "q35_recode" ->

@@ -52,6 +52,9 @@ def main(outdir, sfdir):
         if len(g) != len(e):
             print(f"{q}: ROWCOUNT MISMATCH spark={len(g)} duck={len(e)}")
             n_fail += 1; continue
+        for c in g.columns:
+            if g[c].dtype != e[c].dtype:
+                print(f"{q}: dtype note: col {c} spark={g[c].dtype} duck={e[c].dtype}")
         ok = True
         for c in g.columns:
             a, b = g[c], e[c]
