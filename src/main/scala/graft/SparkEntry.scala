@@ -573,8 +573,11 @@ object SparkEntry {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = e.filter(col("vec_id") % 100 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      // 16 bits: identical planted vectors always share a bucket, while
+      // merely-clustered vectors split (per-bit agreement ^ 16); the
+      // maxBucket skew guard bounds any residual dense bucket
       Dedup.embeddingNearDup(e.unionByName(planted), "vec_id", "embedding",
-          threshold = 0.999, nBits = 6)
+          threshold = 0.999, nBits = 16)
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
     }),
 

@@ -116,11 +116,18 @@ object Dedup {
     * See Similarity.annLsh for the bucketing rationale.
     */
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nBits: Int = 8): DataFrame = {
+      threshold: Double, nBits: Int = 16, maxBucket: Int = 1000): DataFrame = {
     import graft.functions.VectorFns
     val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
       VectorFns.rpBucket(col(vecCol), nBits).as("bucket"))
-    b.alias("a").join(b.alias("b"),
+    // Skew guard (same role as minhash's maxBucket): a bucket denser than
+    // maxBucket means the LSH resolution is too coarse there — raising
+    // nBits is the fix; exploding it quadratically is not. Bucket counts
+    // are <= 2^nBits rows: broadcast semi-join.
+    val okBuckets = b.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket).select(col("bucket"))
+    val guarded = b.join(broadcast(okBuckets), Seq("bucket"), "left_semi")
+    guarded.alias("a").join(guarded.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", VectorFns.cosine(col("a.v"), col("b.v")))
       .filter(col("cos") >= threshold)
