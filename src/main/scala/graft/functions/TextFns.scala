@@ -64,24 +64,42 @@ object TextFns {
     round((lenScore + punctPenalty + stopScore) / 3.0, 6)
   }
 
-  /** Character n-gram shingles of the normalized text (lowercased, whitespace
-    * collapsed). Foundation for MinHash / Jaccard dedup.
+  /** Character n-gram shingles of the normalized text (lowercased,
+    * whitespace collapsed). Foundation for MinHash / Jaccard dedup.
+    * JVM kernel fed by a codegen'd normalization — the Catalyst `transform`
+    * with per-element `substr` re-evaluates the normalization subtree per
+    * element (O(n²) interpreted; SCALE.md).
     */
-  def charShingles(text: Column, n: Int): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    val idx = sequence(lit(1), greatest(length(norm) - (n - 1), lit(1)))
-    when(length(norm) < n, array(norm))
-      .otherwise(array_distinct(transform(idx, i => norm.substr(i, lit(n)))))
+  private def charShingleKernel(n: Int) = udf { (norm: String) =>
+    if (norm == null) Array.empty[String]
+    else if (norm.length < n) Array(norm)
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i + n <= norm.length) { seen.add(norm.substring(i, i + n)); i += 1 }
+      seen.toArray(new Array[String](seen.size))
+    }
   }
 
-  /** Word n-gram shingles. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(idx, i =>
-        concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  def charShingles(text: Column, n: Int): Column =
+    charShingleKernel(n)(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Word n-gram shingles (distinct, in first-seen order — matching the
+    * previous `array_distinct(transform(...))` semantics). JVM kernel over
+    * codegen'd tokens for the same reason as [[charShingles]].
+    */
+  private def wordShingleKernel(n: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) Array("")
+    else if (toks.length < n) Array(toks.mkString(" "))
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      toks.sliding(n).foreach(w => seen.add(w.mkString(" ")))
+      seen.toArray(new Array[String](seen.size))
+    }
   }
+
+  def wordShingles(text: Column, n: Int): Column =
+    wordShingleKernel(n)(tokens(lower(text)))
 
   /** Deterministic 64-bit string hash (two murmur3 passes with different
     * seeds). Engine-native; stable across JVMs and sessions.
