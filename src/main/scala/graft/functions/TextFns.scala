@@ -71,7 +71,9 @@ object TextFns {
     * element (O(n²) interpreted; SCALE.md).
     */
   private def charShingleKernel(n: Int) = udf { (norm: String) =>
-    if (norm == null) Array.empty[String]
+    // null text -> null (matches the prior Catalyst null propagation and
+    // SQL-oracle NULL); empty text -> [""] like the length<n fallback
+    if (norm == null) null
     else if (norm.length < n) Array(norm)
     else {
       val seen = new java.util.LinkedHashSet[String]()
@@ -89,7 +91,10 @@ object TextFns {
     * codegen'd tokens for the same reason as [[charShingles]].
     */
   private def wordShingleKernel(n: Int) = udf { (toks: Seq[String]) =>
-    if (toks == null || toks.isEmpty) Array("")
+    // null tokens (null text) -> null, so downstream jaccard/dedup drops
+    // the pair instead of "verifying" two null docs as identical
+    if (toks == null) null
+    else if (toks.isEmpty) Array("")
     else if (toks.length < n) Array(toks.mkString(" "))
     else {
       val seen = new java.util.LinkedHashSet[String]()

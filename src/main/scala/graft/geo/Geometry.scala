@@ -117,6 +117,29 @@ object Geometry {
     out
   }
 
+  /** Is the ring convex? (all cross products of consecutive edges share a
+    * sign; collinear edges allowed).
+    */
+  def isConvex(ringIn: Array[Pt]): Boolean = {
+    val ring = dedupRing(ringIn)
+    if (ring.length < 4) true
+    else {
+      var sign = 0
+      var i = 0
+      while (i < ring.length) {
+        val a = ring(i); val b = ring((i + 1) % ring.length); val c = ring((i + 2) % ring.length)
+        val cross = (b.x - a.x) * (c.y - b.y) - (b.y - a.y) * (c.x - b.x)
+        if (cross != 0.0) {
+          val s = if (cross > 0) 1 else -1
+          if (sign == 0) sign = s
+          else if (s != sign) return false
+        }
+        i += 1
+      }
+      true
+    }
+  }
+
   def signedArea(ring: Array[Pt]): Double = {
     var s = 0.0
     var j = ring.length - 1
@@ -137,9 +160,24 @@ object Geometry {
     Pt((b2 * c1 - b1 * c2) / det, (a1 * c2 - a2 * c1) / det)
   }
 
-  /** Area of the intersection of two polygons (clip must be convex). */
+  /** Intersection ring of two polygons. At least ONE operand must be
+    * convex (Sutherland–Hodgman's requirement on the clip side) —
+    * intersection is symmetric, so the convex operand is chosen as the
+    * clip automatically; if neither is convex this FAILS LOUDLY instead of
+    * returning silently wrong geometry (the documented kernel limit;
+    * concave×concave overlay needs a Greiner–Hormann-class kernel).
+    */
+  def intersectionRing(a: Array[Pt], b: Array[Pt]): Array[Pt] = {
+    if (isConvex(b)) clipConvex(dedupRing(a), b)
+    else if (isConvex(a)) clipConvex(dedupRing(b), a)
+    else throw new IllegalArgumentException(
+      "polygon intersection requires at least one convex operand " +
+        "(Sutherland–Hodgman clip); got two concave rings")
+  }
+
+  /** Area of the intersection of two polygons (one must be convex). */
   def intersectionArea(subject: Array[Pt], clip: Array[Pt]): Double = {
-    val out = clipConvex(dedupRing(subject), clip)
+    val out = intersectionRing(subject, clip)
     if (out.length < 3) 0.0 else math.abs(signedArea(out))
   }
 
@@ -180,9 +218,11 @@ object GeoFns {
   val stXmax = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._3 }
   val stYmax = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._4 }
 
-  /** J6 overlay: WKT of polygon ∩ polygon (convex clip); null if empty. */
+  /** J6 overlay: WKT of polygon ∩ polygon (one operand must be convex —
+    * chosen automatically; concave×concave throws); null if empty.
+    */
   val stIntersectionWkt = udf { (subjectWkt: String, clipWkt: String) =>
-    val out = Geometry.clipConvex(
+    val out = Geometry.intersectionRing(
       Geometry.parsePolygon(subjectWkt), Geometry.parsePolygon(clipWkt))
     if (out.length < 3) None
     else {

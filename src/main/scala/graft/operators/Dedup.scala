@@ -118,19 +118,26 @@ object Dedup {
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 16, maxBucket: Int = 1000): DataFrame = {
     import graft.functions.VectorFns
-    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // Same shape as minhashCandidatePairs, for the same reason: the LSH
+    // keying (rpBucket kernel) runs EXACTLY ONCE over the vector table —
+    // a self-join would re-evaluate it per side, and a separate count
+    // prefilter a third time. One shuffle of (bucket, id, vector), bucket
+    // membership collected, in-bucket pairs emitted by comprehension with
+    // the maxBucket skew guard (dense bucket = LSH resolution too coarse
+    // there; the fix is more bits, not a quadratic explode).
+    val b = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
       VectorFns.rpBucket(col(vecCol), nBits).as("bucket"))
-    // Skew guard (same role as minhash's maxBucket): a bucket denser than
-    // maxBucket means the LSH resolution is too coarse there — raising
-    // nBits is the fix; exploding it quadratically is not. Bucket counts
-    // are <= 2^nBits rows: broadcast semi-join.
-    val okBuckets = b.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket).select(col("bucket"))
-    val guarded = b.join(broadcast(okBuckets), Seq("bucket"), "left_semi")
-    guarded.alias("a").join(guarded.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", VectorFns.cosine(col("a.v"), col("b.v")))
+    val buckets = b.groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = flatten(transform(col("members"), (x, i) =>
+      transform(slice(col("members"), i + 2, size(col("members"))),
+        y => struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
+          x.getField("v").as("v1"), y.getField("v").as("v2")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        VectorFns.cosine(col("p.v1"), col("p.v2")).as("cos"))
       .filter(col("cos") >= threshold)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+      .select(col("id1"), col("id2"), col("cos"))
   }
 }

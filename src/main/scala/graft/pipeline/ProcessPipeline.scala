@@ -20,15 +20,22 @@ object ProcessPipeline {
     *    surviving set is the reference's own printed invariant (:683).
     */
   def capacityCohorts(plants: DataFrame, assumptions: DataFrame,
-      modelYear: Int): DataFrame =
+      modelYear: Int): DataFrame = {
+    // Coverage contract enforced, not just commented: the reference's
+    // pandas lookup KeyErrors on a Type missing from assumptions; a silent
+    // inner join would instead vanish that plant's capacity. The check is
+    // one action over the tiny distinct-Type anti-join.
+    val missing = plants.select(col("Type")).distinct()
+      .join(broadcast(assumptions.select(col("Type"))), Seq("Type"), "left_anti")
+      .limit(5).collect().map(_.getString(0))
+    require(missing.isEmpty,
+      s"assumptions table missing lifetime for plant Type(s): ${missing.mkString(", ")}")
     plants
-      // INNER by contract: the assumptions table must cover every Type (the
-      // reference's pandas lookup would KeyError on a gap); a left join +
-      // lifetime filter would drop unmatched types silently instead.
       .join(broadcast(assumptions.select(col("Type"), col("lifetime"))), Seq("Type"))
       .filter(col("Year") + col("lifetime") >= modelYear)
       .groupBy(col("Site"), col("Type"), col("Year"))
       .agg(sum(col("inst_cap")).as("inst_cap"), count(lit(1)).as("n_plants"))
+  }
 
   /** R5 expansion candidates: every (site × expandable type) gets a
     * zero-capacity row with `cap_max` from assumptions

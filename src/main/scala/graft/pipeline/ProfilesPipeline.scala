@@ -65,8 +65,6 @@ object ProfilesPipeline {
   def cleanProfile(raw15min: DataFrame, year: Int): DataFrame = {
     val hourly = quarterHourlyToHourly(raw15min, "slot", "value",
       Seq("day_type", "season"))
-      .withColumnRenamed("value", "value0")
-      .withColumn("value", col("value0")).drop("value0")
     val yearTs = expandDailyToYear(hourly.select(col("day_type"), col("season"),
       col("hour"), col("value")), year)
     normalizeProfile(yearTs, "value")

@@ -18,15 +18,14 @@ object EuCsv {
     var r = spark.read.option("sep", sep).option("header", "true")
     r = schema.map(r.schema).getOrElse(r.option("inferSchema", "true"))
     if (skipRows > 0) {
-      // Header offset (reference `skiprows`): drop the first skipRows
-      // physical lines, fully distributed — no driver collect. The line
-      // index comes from the text source's preserved order within a file;
-      // reference inputs with header offsets are single files.
-      val raw = spark.read.text(path)
-        .withColumn("__rn", monotonically_increasing_id())
-        .filter(col("__rn") >= skipRows)
-        .select(col("value")).as[String](org.apache.spark.sql.Encoders.STRING)
-      r.csv(raw)
+      // Header offset (reference `skiprows`): header-offset inputs are
+      // small single-file tables; `wholetext` guarantees true line order
+      // regardless of split planning (monotonically_increasing_id is NOT a
+      // line number once a file splits — split order is size-sorted).
+      val lines = spark.read.option("wholetext", "true").text(path)
+        .as[String](org.apache.spark.sql.Encoders.STRING)
+        .head().split("\r?\n", -1).drop(skipRows).filter(_.nonEmpty)
+      r.csv(spark.createDataset(lines.toIndexedSeq)(org.apache.spark.sql.Encoders.STRING))
     } else r.csv(path)
   }
 
@@ -40,9 +39,16 @@ object EuCsv {
     */
   def readMultiHeader(spark: SparkSession, path: String, headerRows: Int,
       sep: String = ";", skipRows: Int = 0): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val headerLines = java.nio.file.Files.lines(java.nio.file.Paths.get(path))
-      .skip(skipRows).limit(headerRows).iterator().asScala.toSeq
+    // Header-offset inputs are small single-file config-style tables
+    // (VDEW profiles, ENTSO-E sheets) — `wholetext` reads each through the
+    // Hadoop FS layer (works on hdfs/s3a, unlike a driver java.nio read)
+    // and guarantees true line order regardless of split planning. The
+    // memory bound is the file size, documented and fine for this class of
+    // input; large headerless data goes through the plain reader.
+    val lines = spark.read.option("wholetext", "true").text(path)
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .head().split("\r?\n", -1).drop(skipRows)
+    val headerLines = lines.take(headerRows).toSeq
     val levels = headerLines.map(_.split(java.util.regex.Pattern.quote(sep), -1))
     val width = levels.map(_.length).max
     // forward-fill merged header cells within each level (W2 on the header)
@@ -66,10 +72,9 @@ object EuCsv {
     }
     val schema = StructType(uniq.map(n => org.apache.spark.sql.types.StructField(n,
       org.apache.spark.sql.types.StringType)))
-    val body = spark.read.text(path)
-      .withColumn("__rn", monotonically_increasing_id())
-      .filter(col("__rn") >= skipRows + headerRows)
-      .select(col("value")).as[String](org.apache.spark.sql.Encoders.STRING)
+    val body = spark.createDataset(
+      lines.drop(headerRows).filter(_.nonEmpty).toIndexedSeq)(
+      org.apache.spark.sql.Encoders.STRING)
     spark.read.option("sep", sep).schema(schema).csv(body)
   }
 

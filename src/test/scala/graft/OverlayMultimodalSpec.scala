@@ -30,6 +30,20 @@ class OverlayMultimodalSpec extends AnyFunSuite {
     assert(Geometry.intersectionArea(tri, sq) == 100.0)
   }
 
+  test("intersection picks the convex operand as clip; concave x concave fails loudly") {
+    val concave = Geometry.parsePolygon("POLYGON ((0 0, 3 0, 3 1, 1 1, 1 3, 0 3, 0 0))")
+    val sq = Geometry.parsePolygon(Geometry.rectWkt(0, 0, 2, 2))
+    // L-shape ∩ 2x2 square: the square covers the notch; true area =
+    // 2x1 strip + 1x1 corner = 3 (a convex-clip-on-the-wrong-side bug
+    // would report 4)
+    assert(Geometry.intersectionArea(concave, sq) == 3.0)
+    assert(Geometry.intersectionArea(sq, concave) == 3.0, "symmetric operand swap")
+    val e = intercept[IllegalArgumentException] {
+      Geometry.intersectionArea(concave, concave)
+    }
+    assert(e.getMessage.contains("convex"))
+  }
+
   test("touchesOrIntersects: edge-adjacent tiles touch, distant do not") {
     val a = Geometry.parsePolygon(Geometry.rectWkt(0, 0, 10, 10))
     val b = Geometry.parsePolygon(Geometry.rectWkt(10, 0, 20, 10))
