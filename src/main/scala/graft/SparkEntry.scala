@@ -33,25 +33,11 @@ object SparkEntry {
     spark.read.parquet(s"$dir/events.parquet")
   }
 
-  /** Flagship query (driver smoke-checks rows>0 on sf0.001): revenue by
-    * region/nation across lineitem⋈orders⋈customer⋈nation⋈region — the
-    * engine's bread-and-butter star join with broadcast dims.
+  /** Flagship query (driver smoke-checks rows>0 on sf0.001): the q44 star
+    * join — revenue by region/nation with all four dims broadcast.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val li = t(spark, dir, "lineitem")
-    val o = t(spark, dir, "orders")
-    val c = t(spark, dir, "customer")
-    val n = t(spark, dir, "nation")
-    val r = t(spark, dir, "region")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-        count(lit(1)).as("n_lines"))
-  }
+  def entry(spark: SparkSession): DataFrame =
+    queries("q44_star_join")(spark, "/root/testdata/sf0.001")
 
   // ────────────────────────────────────────────────────────────────────────
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
