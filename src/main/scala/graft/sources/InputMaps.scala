@@ -62,4 +62,23 @@ object InputMaps {
     */
   def window(pixels: DataFrame, r0: Int, r1: Int, c0: Int, c1: Int): DataFrame =
     pixels.filter(col("row").between(r0, r1 - 1) && col("col").between(c0, c1 - 1))
+
+  /** S8: persist a pixel relation as the engine's raster format — parquet
+    * partitioned by row band, so windowed reads prune whole bands at the
+    * directory level before any IO.
+    */
+  def writeRaster(pixels: DataFrame, path: String, bandRows: Int = 256): Unit =
+    pixels.withColumn("band", (col("row") / bandRows).cast("int"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Windowed read against a band-partitioned raster: the band predicate is
+    * a PARTITION filter (pruned at planning), row/col are pushed to
+    * parquet row-group stats.
+    */
+  def readWindow(spark: SparkSession, path: String, r0: Int, r1: Int,
+      c0: Int, c1: Int, bandRows: Int = 256): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("band").between(r0 / bandRows, (r1 - 1) / bandRows))
+      .filter(col("row").between(r0, r1 - 1) && col("col").between(c0, c1 - 1))
+      .drop("band")
 }

@@ -36,6 +36,21 @@ class ExportInputMapsSpec extends AnyFunSuite {
     assert(InputMaps.window(up, 0, 2, 2, 4).count() == 4)
   }
 
+  test("band-partitioned raster: windowed read prunes partitions at planning") {
+    val px = InputMaps.pixelGrid(spark, 40, 10, 0, 0, 10, 40)
+      .withColumn("value", $"row" * 10.0 + $"col")
+    val path = java.nio.file.Files.createTempDirectory("raster").toString + "/lu"
+    InputMaps.writeRaster(px, path, bandRows = 10)
+    val win = InputMaps.readWindow(spark, path, r0 = 10, r1 = 20, c0 = 0, c1 = 10,
+      bandRows = 10)
+    assert(win.count() == 100)
+    assert(win.agg(min($"row"), max($"row")).head.toSeq == Seq(10, 19))
+    val plan = win.queryExecution.executedPlan.toString
+    val pfIdx = plan.indexOf("PartitionFilters")
+    assert(pfIdx >= 0 && plan.substring(pfIdx, math.min(pfIdx + 160, plan.length))
+      .contains("band"), s"band predicate must be a partition filter:\n$plan")
+  }
+
   test("urbs sheets project + rename; demand goes wide only at the edge") {
     val trans = Seq(("R1", "R2", "AC", 100.0, 0.93, 5.0))
       .toDF("region_start", "region_end", "tr_type", "capacity_mva", "efficiency", "inv_cost")
