@@ -310,9 +310,11 @@ object SparkEntry {
     // planted pairs while 4-row bands suppress the quadratic noise floor.
     "q25_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-      val planted = docs.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + off).as("doc_id"),
+      // lazy collision-safe offset: broadcast scalar, no eager action,
+      // empty-table safe via coalesce
+      val off = broadcast(docs.agg(coalesce(max(col("doc_id")), lit(0L)).as("__off")))
+      val planted = docs.filter(col("doc_id") % 50 === 0).crossJoin(off)
+        .select((col("doc_id") + col("__off") + 1).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
       Dedup.minhashCandidatePairs(docs.unionByName(planted), "doc_id", "text",
         shingleN = 2, k = 16, bands = 4)
@@ -546,10 +548,10 @@ object SparkEntry {
     // engine-native). Survivor count < corpus+planted proves removal.
     "q53_dedup_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      // collision-safe id offset for planted rows at any scale factor
-      val off = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
-      val planted = docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + off).as("doc_id"),
+      // lazy collision-safe offset (see q25)
+      val off = broadcast(docs.agg(coalesce(max(col("doc_id")), lit(0L)).as("__off")))
+      val planted = docs.filter(col("doc_id") % 25 === 0).crossJoin(off)
+        .select((col("doc_id") + col("__off") + 1).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
       Dedup.dedupCorpus(docs.unionByName(planted), "doc_id", "text",
           threshold = 0.6, shingleN = 2, k = 16, bands = 4)
@@ -560,9 +562,9 @@ object SparkEntry {
     // duplicates guarantee yield; rows-only: bucket hashing engine-native).
     "q57_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val off = e.agg(max(col("vec_id"))).head.getLong(0) + 1
-      val planted = e.filter(col("vec_id") % 100 === 0)
-        .select((col("vec_id") + off).as("vec_id"), col("embedding"))
+      val off = broadcast(e.agg(coalesce(max(col("vec_id")), lit(0L)).as("__off")))
+      val planted = e.filter(col("vec_id") % 100 === 0).crossJoin(off)
+        .select((col("vec_id") + col("__off") + 1).as("vec_id"), col("embedding"))
       // 16 bits: identical planted vectors always share a bucket, while
       // merely-clustered vectors split (per-bit agreement ^ 16); the
       // maxBucket skew guard bounds any residual dense bucket

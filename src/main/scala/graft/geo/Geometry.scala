@@ -18,6 +18,9 @@ object Geometry {
 
   /** Parse "POLYGON ((x y, x y, ...))" — outer ring only (the reference's
     * region polygons; holes unsupported, multipolygons split upstream).
+    * Rings are assumed SIMPLE (non-self-intersecting), which valid WKT
+    * guarantees; a self-intersecting ring is invalid input and the kernel's
+    * convexity test cannot detect it.
     */
   def parsePolygon(wkt: String): Array[Pt] = {
     val inner = wkt.substring(wkt.indexOf("((") + 2, wkt.indexOf("))"))

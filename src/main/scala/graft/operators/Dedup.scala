@@ -26,9 +26,15 @@ object Dedup {
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
-    docs.select(col(idCol), md5(norm).as("content_hash"))
+    val hashed = docs.select(col(idCol), md5(norm).as("content_hash"))
+    // null text hashes to null; grouping would collapse ALL null-text docs
+    // into one survivor — "no content" is not "same content", so null-text
+    // rows pass through as their own singletons.
+    hashed.filter(col("content_hash").isNotNull)
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .unionByName(hashed.filter(col("content_hash").isNull)
+        .select(col("content_hash"), col(idCol).as("keep_id"), lit(1L).as("n_copies")))
   }
 
   /** MinHash signatures: one row per doc with the k-minhash array and the
@@ -118,18 +124,19 @@ object Dedup {
   def embeddingNearDup(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 16, maxBucket: Int = 1000): DataFrame = {
     import graft.functions.VectorFns
-    // Same shape as minhashCandidatePairs, for the same reason: the LSH
-    // keying (rpBucket kernel) runs EXACTLY ONCE over the vector table —
-    // a self-join would re-evaluate it per side, and a separate count
-    // prefilter a third time. One shuffle of (bucket, id, vector), bucket
-    // membership collected, in-bucket pairs emitted by comprehension with
-    // the maxBucket skew guard (dense bucket = LSH resolution too coarse
-    // there; the fix is more bits, not a quadratic explode).
+    // Bucket-grouped pair emission (minhash shape). The skew guard runs
+    // BEFORE collect_list — a degenerate bucket (e.g. millions of all-zero
+    // embeddings hashing identically) must be dropped by a count check on
+    // 8-byte rows, never materialized as one multi-GB aggregation group.
+    // That costs a second rpBucket pass (counts + grouped scan); the kernel
+    // is a cheap one-pass UDF, and OOM-safety wins.
     val b = vecs.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
       VectorFns.rpBucket(col(vecCol), nBits).as("bucket"))
-    val buckets = b.groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+    val okBuckets = b.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket)).select(col("bucket"))
+    val buckets = b.join(broadcast(okBuckets), Seq("bucket"), "left_semi")
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_set(struct(col("id"), col("v")))).as("members"))
     val pairs = flatten(transform(col("members"), (x, i) =>
       transform(slice(col("members"), i + 2, size(col("members"))),
         y => struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
@@ -137,7 +144,8 @@ object Dedup {
     buckets.select(explode(pairs).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
         VectorFns.cosine(col("p.v1"), col("p.v2")).as("cos"))
-      .filter(col("cos") >= threshold)
+      // strict < : duplicate input ids must not yield (x, x) self-pairs
+      .filter(col("cos") >= threshold && col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("cos"))
   }
 }

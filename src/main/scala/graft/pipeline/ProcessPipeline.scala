@@ -20,16 +20,20 @@ object ProcessPipeline {
     *    surviving set is the reference's own printed invariant (:683).
     */
   def capacityCohorts(plants: DataFrame, assumptions: DataFrame,
-      modelYear: Int): DataFrame = {
+      modelYear: Int, strict: Boolean = true): DataFrame = {
     // Coverage contract enforced, not just commented: the reference's
     // pandas lookup KeyErrors on a Type missing from assumptions; a silent
     // inner join would instead vanish that plant's capacity. The check is
-    // one action over the tiny distinct-Type anti-join.
-    val missing = plants.select(col("Type")).distinct()
-      .join(broadcast(assumptions.select(col("Type"))), Seq("Type"), "left_anti")
-      .limit(5).collect().map(_.getString(0))
-    require(missing.isEmpty,
-      s"assumptions table missing lifetime for plant Type(s): ${missing.mkString(", ")}")
+    // one action over the tiny distinct-Type anti-join; pass strict=false
+    // to skip it when the plants lineage is expensive and coverage is
+    // already guaranteed upstream.
+    if (strict) {
+      val missing = plants.select(col("Type")).distinct()
+        .join(broadcast(assumptions.select(col("Type"))), Seq("Type"), "left_anti")
+        .limit(5).collect().map(_.getString(0))
+      require(missing.isEmpty,
+        s"assumptions table missing lifetime for plant Type(s): ${missing.mkString(", ")}")
+    }
     plants
       .join(broadcast(assumptions.select(col("Type"), col("lifetime"))), Seq("Type"))
       .filter(col("Year") + col("lifetime") >= modelYear)

@@ -22,9 +22,12 @@ object EuCsv {
       // small single-file tables; `wholetext` guarantees true line order
       // regardless of split planning (monotonically_increasing_id is NOT a
       // line number once a file splits — split order is size-sorted).
-      val lines = spark.read.option("wholetext", "true").text(path)
-        .as[String](org.apache.spark.sql.Encoders.STRING)
-        .head().split("\r?\n", -1).drop(skipRows).filter(_.nonEmpty)
+      val files = spark.read.option("wholetext", "true").text(path)
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+      require(files.length == 1,
+        s"skipRows reader requires a single file; '$path' matched ${files.length} " +
+          "(header offsets are ill-defined across part files)")
+      val lines = files(0).split("\r?\n", -1).drop(skipRows).filter(_.nonEmpty)
       r.csv(spark.createDataset(lines.toIndexedSeq)(org.apache.spark.sql.Encoders.STRING))
     } else r.csv(path)
   }
@@ -45,9 +48,11 @@ object EuCsv {
     // and guarantees true line order regardless of split planning. The
     // memory bound is the file size, documented and fine for this class of
     // input; large headerless data goes through the plain reader.
-    val lines = spark.read.option("wholetext", "true").text(path)
-      .as[String](org.apache.spark.sql.Encoders.STRING)
-      .head().split("\r?\n", -1).drop(skipRows)
+    val files = spark.read.option("wholetext", "true").text(path)
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    require(files.length == 1,
+      s"multi-header reader requires a single file; '$path' matched ${files.length}")
+    val lines = files(0).split("\r?\n", -1).drop(skipRows)
     val headerLines = lines.take(headerRows).toSeq
     val levels = headerLines.map(_.split(java.util.regex.Pattern.quote(sep), -1))
     val width = levels.map(_.length).max

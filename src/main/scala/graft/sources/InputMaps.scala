@@ -67,18 +67,34 @@ object InputMaps {
     * partitioned by row band, so windowed reads prune whole bands at the
     * directory level before any IO.
     */
-  def writeRaster(pixels: DataFrame, path: String, bandRows: Int = 256): Unit =
+  def writeRaster(pixels: DataFrame, path: String, bandRows: Int = 256): Unit = {
     pixels.withColumn("band", (col("row") / bandRows).cast("int"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
+    // record the banding in the provenance sidecar — readWindow derives it
+    // from here, so a write/read bandRows mismatch (silent wrong pruning)
+    // cannot happen
+    JsonSidecar.write(path, Map("bandRows" -> bandRows.toString), Nil,
+      "InputMaps.writeRaster")
+  }
 
   /** Windowed read against a band-partitioned raster: the band predicate is
     * a PARTITION filter (pruned at planning), row/col are pushed to
-    * parquet row-group stats.
+    * parquet row-group stats. `bandRows` comes from the write-time sidecar
+    * when present; the parameter is only the fallback for sidecar-less
+    * rasters.
     */
   def readWindow(spark: SparkSession, path: String, r0: Int, r1: Int,
-      c0: Int, c1: Int, bandRows: Int = 256): DataFrame =
+      c0: Int, c1: Int, bandRows: Int = 256): DataFrame = {
+    val sidecar = java.nio.file.Paths.get(path + ".json")
+    val effective =
+      if (java.nio.file.Files.exists(sidecar)) {
+        val txt = java.nio.file.Files.readString(sidecar)
+        "\"bandRows\": \"(\\d+)\"".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt).getOrElse(bandRows)
+      } else bandRows
     spark.read.parquet(path)
-      .filter(col("band").between(r0 / bandRows, (r1 - 1) / bandRows))
+      .filter(col("band").between(r0 / effective, (r1 - 1) / effective))
       .filter(col("row").between(r0, r1 - 1) && col("col").between(c0, c1 - 1))
       .drop("band")
+  }
 }
