@@ -42,6 +42,18 @@ object LoadPipeline {
     Ops.gapFillDayTrend(summed, Seq("country"), "t", "value")
   }
 
+  /** Per-country load statistics (the `stats_countries` named dataset):
+    * yearly total, peak, trough, mean — the reference prints these after
+    * cleaning (correction_functions.py progress checks) and ships them as
+    * a CSV.
+    */
+  def loadStats(load: DataFrame): DataFrame =
+    load.groupBy(col("country"))
+      .agg(sum(col("value")).as("year_total"),
+        max(col("value")).as("peak"),
+        min(col("value")).as("trough"),
+        avg(col("value")).as("mean"))
+
   /** `clean_sector_shares_Eurostat` (code/lib/correction_functions.py:
     * 327-386): filter year/countries, recode country + sector names,
     * normalize to shares summing to 1 per country (A3). Stays long —

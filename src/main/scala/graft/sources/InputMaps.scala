@@ -35,6 +35,20 @@ object InputMaps {
     SpatialOps.pointInPolygonJoin(grid, "x", "y", polys, wktCol, "left")
       .withColumn(burnCol, coalesce(col(burnCol), lit(background)))
 
+  /** Raster index ↔ coordinate transforms (`crd_merra`/`ind_merra`/
+    * `ind_global`, code/lib/spatial_functions.py:21-115) — pure column
+    * arithmetic over the pixel relation: cell (row, col) of a grid anchored
+    * at (x0, y0) with resolution `res` has center (x0+(col+0.5)res,
+    * y0+(row+0.5)res), and a coordinate maps back by floor-division.
+    */
+  def idxToCrd(df: DataFrame, x0: Double, y0: Double, res: Double): DataFrame =
+    df.withColumn("x", lit(x0) + (col("col") + 0.5) * res)
+      .withColumn("y", lit(y0) + (col("row") + 0.5) * res)
+
+  def crdToIdx(df: DataFrame, x0: Double, y0: Double, res: Double): DataFrame =
+    df.withColumn("col", floor((col("x") - x0) / res).cast("int"))
+      .withColumn("row", floor((col("y") - y0) / res).cast("int"))
+
   /** `changem`-style value remap over a pixel relation
     * (code/lib/util.py:255-275): broadcast dict join, J10 on pixels.
     */

@@ -52,6 +52,27 @@ class ProfilesSitesRenewSpec extends AnyFunSuite {
     assert(sites(0).getAs[Double]("area_km2") > 0)
   }
 
+  test("idx<->crd transforms round-trip on the pixel grid") {
+    import graft.sources.InputMaps
+    val px = Seq((3, 7)).toDF("row", "col")
+    val crd = InputMaps.idxToCrd(px, x0 = -10.0, y0 = 40.0, res = 0.5)
+    val r = crd.head
+    assert(r.getAs[Double]("x") == -10.0 + 7.5 * 0.5)
+    assert(r.getAs[Double]("y") == 40.0 + 3.5 * 0.5)
+    val back = InputMaps.crdToIdx(crd.drop("row", "col"), -10.0, 40.0, 0.5).head
+    assert(back.getAs[Int]("row") == 3 && back.getAs[Int]("col") == 7)
+  }
+
+  test("loadStats: per-country totals and extrema") {
+    import graft.pipeline.LoadPipeline
+    val load = Seq(("DE", 1, 5.0), ("DE", 2, 9.0), ("FR", 1, 2.0))
+      .toDF("country", "t", "value")
+    val got = LoadPipeline.loadStats(load).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("DE") == (14.0, 9.0, 5.0))
+    assert(got("FR") == (2.0, 2.0, 2.0))
+  }
+
   test("renewable TS: composite key parse, quantile select, FLH scaling") {
     val ts = Seq(
       ("R1.WindOn.q50", 1, 0.5), ("R1.WindOn.q50", 2, 0.8),
