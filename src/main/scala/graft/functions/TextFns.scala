@@ -39,10 +39,26 @@ object TextFns {
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
       "for", "on", "with", "as", "at", "by", "this", "that")
 
+  /** JVM set-membership counter: the Catalyst `filter(toks, isin(...))`
+    * form compares every token against every literal interpreted —
+    * measured as the dominant cost of the quality gate at the 10× probe.
+    * Counts are integers, so the swap is oracle-exact.
+    */
+  private def hitCountUdf(words: Set[String], lowercase: Boolean) = udf { (toks: Seq[String]) =>
+    if (toks == null) 0
+    else {
+      var n = 0
+      toks.foreach { t => if (words.contains(if (lowercase) t.toLowerCase else t)) n += 1 }
+      n
+    }
+  }
+
+  private val stopwordHits = hitCountUdf(stopwords.toSet, lowercase = true)
+
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
-    val hits = size(filter(toks, t => lower(t).isin(stopwords.map(lit(_)): _*)))
-    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+    when(size(toks) === 0, 0.0)
+      .otherwise(stopwordHits(toks).cast("double") / size(toks))
   }
 
   /** Mean token length in characters (0 for empty text). */
@@ -198,17 +214,39 @@ object TextFns {
     "es" -> Seq("el", "y", "los", "es", "con"),
     "zh" -> Seq("de5", "shi4", "le5", "he2", "zai4"))
 
-  def langScore(text: Column, lang: String): Column = {
-    val toks = tokens(lower(text))
-    size(filter(toks, t => t.isin(langMarkers(lang).map(lit(_)): _*)))
-  }
+  private val markerHits: Map[String, org.apache.spark.sql.expressions.UserDefinedFunction] =
+    langMarkers.map { case (l, ws) => l -> hitCountUdf(ws.toSet, lowercase = false) }
 
-  def langId(text: Column): Column = {
+  def langScore(text: Column, lang: String): Column =
+    markerHits(lang)(tokens(lower(text)))
+
+  /** One-pass argmax over all language marker sets. The Column formulation
+    * (greatest + when-chain) references each score subtree ~7× and
+    * re-evaluates the tokenize+count pipeline per reference — measured 8.5 s
+    * for 50k docs vs sub-second for this kernel. Tie order en,de,fr,es,zh;
+    * "und" when no marker hits.
+    */
+  private val langIdKernel = {
     val ordered = Seq("en", "de", "fr", "es", "zh")
-    val scores = ordered.map(l => langScore(text, l))
-    val best = greatest(scores: _*)
-    ordered.zip(scores).foldRight(lit("und")) { case ((l, s), acc) =>
-      when(s === best && best > 0, lit(l)).otherwise(acc)
+    val sets = ordered.map(l => langMarkers(l).toSet)
+    udf { (toks: Seq[String]) =>
+      if (toks == null) "und"
+      else {
+        val scores = new Array[Int](sets.length)
+        toks.foreach { t =>
+          var i = 0
+          while (i < sets.length) { if (sets(i).contains(t)) scores(i) += 1; i += 1 }
+        }
+        var best = 0; var bestIdx = -1
+        var i = 0
+        while (i < scores.length) {
+          if (scores(i) > best) { best = scores(i); bestIdx = i }
+          i += 1
+        }
+        if (bestIdx < 0) "und" else ordered(bestIdx)
+      }
     }
   }
+
+  def langId(text: Column): Column = langIdKernel(tokens(lower(text)))
 }
