@@ -45,11 +45,17 @@ object TextFns {
     * Counts are integers, so the swap is oracle-exact.
     */
   private def hitCountUdf(words: Set[String], lowercase: Boolean) = udf { (toks: Seq[String]) =>
-    if (toks == null) 0
+    // null-in -> null-out (parity with the replaced Catalyst size(filter));
+    // Locale.ROOT so uppercase ASCII folds identically on any JVM locale
+    // (tr-TR default locale would map I -> dotless i)
+    if (toks == null) None
     else {
       var n = 0
-      toks.foreach { t => if (words.contains(if (lowercase) t.toLowerCase else t)) n += 1 }
-      n
+      toks.foreach { t =>
+        val k = if (lowercase) t.toLowerCase(java.util.Locale.ROOT) else t
+        if (words.contains(k)) n += 1
+      }
+      Some(n)
     }
   }
 

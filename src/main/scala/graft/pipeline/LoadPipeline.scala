@@ -88,8 +88,9 @@ object LoadPipeline {
     */
   def loadTimeseries(load: DataFrame, shares: DataFrame, profiles: DataFrame,
       regionWeights: DataFrame): DataFrame = {
-    // A9: yearly totals per country.
-    val totals = load.groupBy(col("country")).agg(sum(col("value")).as("year_total"))
+    // A9: yearly totals per country — single definition shared with the
+    // exported stats_countries dataset.
+    val totals = loadStats(load).select(col("country"), col("year_total"))
     // country × sector yearly demand, then hourly via the sector profile.
     val sectorHourly = totals
       .join(broadcast(shares), Seq("country"))

@@ -62,7 +62,7 @@ object Schemas {
     Map(
       "sites_sub" -> StructType(Seq(s("Site"), i("site_id"), i("slacknode"),
         d("lat"), d("long"), d("area_km2"), s("wkt"))),
-      "stats_countries" -> StructType(Seq(s("country"), d("year_total"))),
+      "stats_countries" -> StructType(Seq(s("country"), d("year_total"), d("peak"), d("trough"), d("mean"))),
       "sector_shares_clean" -> sectorShares,
       "load_ts_clean" -> loadTs,
       "df_sector" -> StructType(Seq(s("country"), s("sector"), i("t"), d("sector_value"))),

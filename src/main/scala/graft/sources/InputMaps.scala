@@ -41,13 +41,16 @@ object InputMaps {
     * at (x0, y0) with resolution `res` has center (x0+(col+0.5)res,
     * y0+(row+0.5)res), and a coordinate maps back by floor-division.
     */
-  def idxToCrd(df: DataFrame, x0: Double, y0: Double, res: Double): DataFrame =
-    df.withColumn("x", lit(x0) + (col("col") + 0.5) * res)
-      .withColumn("y", lit(y0) + (col("row") + 0.5) * res)
+  def idxToCrd(df: DataFrame, x0: Double, y0: Double, resX: Double,
+      resY: Double): DataFrame =
+    df.withColumn("x", lit(x0) + (col("col") + 0.5) * resX)
+      .withColumn("y", lit(y0) + (col("row") + 0.5) * resY)
 
-  def crdToIdx(df: DataFrame, x0: Double, y0: Double, res: Double): DataFrame =
-    df.withColumn("col", floor((col("x") - x0) / res).cast("int"))
-      .withColumn("row", floor((col("y") - y0) / res).cast("int"))
+  /** Anisotropic like the reference's MERRA grid (0.5° × 0.625°). */
+  def crdToIdx(df: DataFrame, x0: Double, y0: Double, resX: Double,
+      resY: Double): DataFrame =
+    df.withColumn("col", floor((col("x") - x0) / resX).cast("int"))
+      .withColumn("row", floor((col("y") - y0) / resY).cast("int"))
 
   /** `changem`-style value remap over a pixel relation
     * (code/lib/util.py:255-275): broadcast dict join, J10 on pixels.

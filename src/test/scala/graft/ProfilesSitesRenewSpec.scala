@@ -55,11 +55,12 @@ class ProfilesSitesRenewSpec extends AnyFunSuite {
   test("idx<->crd transforms round-trip on the pixel grid") {
     import graft.sources.InputMaps
     val px = Seq((3, 7)).toDF("row", "col")
-    val crd = InputMaps.idxToCrd(px, x0 = -10.0, y0 = 40.0, res = 0.5)
+    // anisotropic like MERRA: 0.625 x, 0.5 y
+    val crd = InputMaps.idxToCrd(px, x0 = -10.0, y0 = 40.0, resX = 0.625, resY = 0.5)
     val r = crd.head
-    assert(r.getAs[Double]("x") == -10.0 + 7.5 * 0.5)
+    assert(r.getAs[Double]("x") == -10.0 + 7.5 * 0.625)
     assert(r.getAs[Double]("y") == 40.0 + 3.5 * 0.5)
-    val back = InputMaps.crdToIdx(crd.drop("row", "col"), -10.0, 40.0, 0.5).head
+    val back = InputMaps.crdToIdx(crd.drop("row", "col"), -10.0, 40.0, 0.625, 0.5).head
     assert(back.getAs[Int]("row") == 3 && back.getAs[Int]("col") == 7)
   }
 
