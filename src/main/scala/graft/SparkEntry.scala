@@ -671,6 +671,22 @@ object SparkEntry {
         .groupBy(col("r_name")).agg(count(lit(1)).as("n_customers"))
     }),
 
+    // W4: keep the first match per entity after a multi-match join (the
+    // reference dedupes each plant to one region after sjoin,
+    // spatial_functions.py:502) — overlapping "regions" built from part
+    // size ranges so customers match several; rank keeps the smallest.
+    "q61_first_match_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ranges = Seq((0, 0, 60), (1, 40, 100), (2, 80, 160))
+        .toDF("range_id", "lo", "hi")
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 150).as("score"))
+      val joined = c.join(broadcast(ranges),
+        col("score") >= col("lo") && col("score") < col("hi"))
+      Ops.topKPerGroup(joined, Seq("c_custkey"), Seq(col("range_id").asc), 1)
+        .select(col("c_custkey"), col("range_id"))
+    }),
+
     // A4: exact distinct-cardinality aggregation.
     "q50_cardinality" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1148,6 +1164,14 @@ object SparkEntry {
         |  ON (c_custkey % 100 + 0.5) >= r_regionkey * 20
         | AND (c_custkey % 100 + 0.5) < r_regionkey * 20 + 20
         |GROUP BY r_name""".stripMargin,
+
+    "q61_first_match_dedup" ->
+      """WITH r AS (SELECT * FROM (VALUES (0, 0, 60), (1, 40, 100), (2, 80, 160))
+        |  AS t(range_id, lo, hi)),
+        |j AS (SELECT c_custkey, range_id FROM customer
+        |  JOIN r ON (c_custkey % 150) >= lo AND (c_custkey % 150) < hi)
+        |SELECT c_custkey, range_id FROM j
+        |QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY range_id) = 1""".stripMargin,
 
     "q50_cardinality" ->
       """SELECT c_nationkey,
