@@ -298,10 +298,15 @@ object SparkEntry {
         TextFns.langId(col("text")).as("lang_pred"))
     }),
 
-    // Dedup tier 2: MinHash signatures (no SQL oracle: xxhash64).
+    // Dedup tier 2: MinHash signatures, exploded to scalar rows
+    // (doc_id, hash_idx, hash_val) so the harness can sort+hash them, with
+    // a full DuckDB oracle (the poly-hash + affine permutations are plain
+    // integer arithmetic — see TextFns.polyHash/minhashPerm).
     "q24_minhash_sig" -> ((s, dir) => {
       Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", shingleN = 1, k = 16)
-        .select(col("doc_id"), col("minhash"))
+        .select(col("doc_id"), posexplode(col("minhash")))
+        .select(col("doc_id"), col("pos").cast("long").as("hash_idx"),
+          col("col").as("hash_val"))
     }),
 
     // Dedup tier 2b: LSH candidate pairs via banded minhash self-join.
@@ -349,6 +354,17 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
       Similarity.annLsh(emb, "vec_id", "embedding", q, 5, nBits = 8, probes = 3)
+        .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
+    }),
+
+    // Similarity: IVF ANN — map-side argmin assignment over broadcast
+    // centroids (zero shuffle), probe-list scan, exact rerank. Fully
+    // oracled: centroid choice and assignment are SQL-reproducible.
+    "q62_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, 10, nLists = 16, nProbe = 4)
         .select(col("vec_id"), round(col("cosine"), 4).as("cosine"))
     }),
 
@@ -587,15 +603,24 @@ object SparkEntry {
     }),
 
     // Heavy-hitter tokens per language via the Misra-Gries typed Aggregator
-    // (O(k) state per partition — no full-vocabulary shuffle; counts are
-    // provable-superset approximations, hence rows-only).
+    // (O(k) state per partition — no full-vocabulary shuffle). Checked
+    // invariant: every token with exact count > N/(k+1) is GUARANTEED in
+    // the MG summary (Agarwal et al. mergeable-summaries bound), so the
+    // provably-heavy set certified present in the sketch — with exact
+    // counts — equals a plain SQL aggregate. A lost heavy hitter drops a
+    // row and fails the oracle.
     "q56_heavy_hitters" -> ((s, dir) => {
       import graft.functions.HeavyHitters
-      t(s, dir, "documents")
+      val toks = t(s, dir, "documents")
         .select(col("lang"), explode(TextFns.tokens(lower(col("text")))).as("token"))
-        .groupBy(col("lang"))
+      val mg = toks.groupBy(col("lang"))
         .agg(HeavyHitters.mgSummary(col("token"), 30).as("mg"))
         .select(col("lang"), explode(col("mg")).as(Seq("token", "approx_count")))
+      val exact = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      val totals = toks.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      exact.join(totals, Seq("lang")).filter(col("n") * 31 > col("nl"))
+        .join(mg, Seq("lang", "token"), "left_semi")
+        .select(col("lang"), col("token"), col("n"))
     }),
 
     // BPE-ish subword counting (token-inflation estimate for budgeting).
@@ -775,9 +800,13 @@ object SparkEntry {
         |  ORDER BY cnt DESC, c_mktsegment) = 1""".stripMargin,
 
     "q10_dedup_exact" ->
+      // null-text docs are singleton survivors (engine policy: "no content"
+      // is not "same content") — mirrored here instead of grouping NULLs
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL GROUP BY 1
+        |UNION ALL
+        |SELECT NULL, doc_id, 1 FROM documents WHERE text IS NULL""".stripMargin,
 
     "q11_explode_split" ->
       """SELECT p_partkey,
@@ -917,6 +946,60 @@ object SparkEntry {
         |       ELSE 'zh' END AS lang_pred
         |FROM sc""".stripMargin,
 
+    // MinHash signatures recomputed independently: poly-31 shingle hash mod
+    // 1e9+7, k=16 affine permutations, min over distinct tokens (shingleN=1).
+    "q24_minhash_sig" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN coalesce(trim(text), '') = '' THEN ['']
+        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS sh
+        |  FROM documents),
+        |h AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(s, '.'),
+        |      c -> ascii(c)::BIGINT)),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs FROM d)
+        |SELECT doc_id, i AS hash_idx,
+        |  list_min(list_transform(hs, v ->
+        |    (((2 * i + 1) * 104729) % 1000000007 * v + (i * 12582917 + 7)) % 1000000007))
+        |    AS hash_val
+        |FROM h CROSS JOIN range(16) t(i)""".stripMargin,
+
+    // Full LSH-candidate recomputation: signatures as in q24 (shingleN=2
+    // bigrams), 4 bands × 4 rows, bucket size in [2, 1000], distinct pairs.
+    // The engine joins on a 64-bit hash of the band slice; the oracle joins
+    // on the slice itself — identical pairs absent a 2^-64 hash collision.
+    "q25_minhash_pairs" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + o + 1, regexp_replace(text, '^\S+\s*', '')
+        |  FROM base, off WHERE doc_id % 50 = 0),
+        |tk AS (SELECT doc_id,
+        |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+        |  FROM all_docs),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) = 0 THEN ['']
+        |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |       ELSE list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1]) END AS sh
+        |  FROM tk),
+        |h AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(s, '.'),
+        |      c -> ascii(c)::BIGINT)),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, i,
+        |  list_min(list_transform(hs, v ->
+        |    (((2 * i + 1) * 104729) % 1000000007 * v + (i * 12582917 + 7)) % 1000000007)) AS mh
+        |  FROM h CROSS JOIN range(16) t(i)),
+        |band AS (SELECT doc_id, i // 4 AS b, string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |ok AS (SELECT b, key FROM band GROUP BY b, key
+        |  HAVING count(*) BETWEEN 2 AND 1000)
+        |SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+        |JOIN ok ON ok.b = x.b AND ok.key = x.key""".stripMargin,
+
     "q26_jaccard_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
@@ -949,6 +1032,136 @@ object SparkEntry {
         |  FROM z GROUP BY vec_id)
         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
         |FROM s ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // RP-LSH bucket bits recomputed from the engine's LCG hyperplanes
+    // (seed 42, 8 bits), probe = query bucket + single-bit flips of bits
+    // 0..2, exact cosine rerank, top-5.
+    "q28_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |pb AS (SELECT vec_id, b,
+        |  CASE WHEN list_reduce(list_transform(range(1, len(v) + 1), j ->
+        |    CASE WHEN ((1103515245 * (42 * 1000003 + b * 8191 + (j - 1)) + 12345)
+        |        % 2147483648) // 1073741824 % 2 = 0
+        |      THEN v[j] ELSE -v[j] END), (x, y) -> x + y) >= 0
+        |    THEN 1::BIGINT << b ELSE 0 END AS bit
+        |  FROM e CROSS JOIN range(8) t(b)),
+        |bk AS (SELECT vec_id, sum(bit)::BIGINT AS bucket FROM pb GROUP BY 1),
+        |qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0),
+        |cand AS (SELECT e.vec_id, e.v FROM e JOIN bk USING (vec_id), qb
+        |  WHERE bucket IN (qbucket, xor(qbucket, 1), xor(qbucket, 2), xor(qbucket, 4))),
+        |s AS (SELECT vec_id,
+        |  list_reduce(list_transform(range(1, len(v) + 1), j -> v[j] * qv[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(v) + 1), j -> v[j] * v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(qv) + 1), j -> qv[j] * qv[j]), (x, y) -> x + y) AS nb
+        |  FROM cand CROSS JOIN q)
+        |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+        |FROM s ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 5""".stripMargin,
+
+    // IVF recomputed end-to-end: Knuth-hash centroid choice, per-vector
+    // argmin assignment (squared L2, ties on cid), 4 probed lists nearest
+    // the query, exact cosine rerank, top-10.
+    "q62_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |d AS (SELECT e.vec_id, e.v, c.cid,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, v, cid FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) = 1),
+        |pl AS (SELECT cid FROM c CROSS JOIN q
+        |  ORDER BY list_reduce(list_transform(range(1, len(cv) + 1),
+        |    j -> (cv[j] - qv[j]) * (cv[j] - qv[j])), (x, y) -> x + y), cid LIMIT 4),
+        |s AS (SELECT a.vec_id,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * qv[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1), j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(qv) + 1), j -> qv[j] * qv[j]), (x, y) -> x + y) AS nb
+        |  FROM asg a JOIN pl ON a.cid = pl.cid CROSS JOIN q)
+        |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+        |FROM s ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Full dedup pipeline recomputed: exact dedup (null-text singletons),
+    // LSH candidates over survivors (as q25, %25 planting), distinct-bigram
+    // Jaccard >= 0.6, pairwise id2 removal.
+    "q53_dedup_corpus" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + o + 1, regexp_replace(text, '^\S+\s*', '')
+        |  FROM base, off WHERE doc_id % 25 = 0),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM all_docs WHERE text IS NOT NULL
+        |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |  UNION ALL SELECT doc_id FROM all_docs WHERE text IS NULL),
+        |surv AS (SELECT a.doc_id, a.text FROM all_docs a JOIN keep k ON k.doc_id = a.doc_id),
+        |tk AS (SELECT doc_id,
+        |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+        |  FROM surv),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) = 0 THEN ['']
+        |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |       ELSE list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1]) END AS sh
+        |  FROM tk),
+        |h AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(s, '.'),
+        |      c -> ascii(c)::BIGINT)),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, i,
+        |  list_min(list_transform(hs, v ->
+        |    (((2 * i + 1) * 104729) % 1000000007 * v + (i * 12582917 + 7)) % 1000000007)) AS mh
+        |  FROM h CROSS JOIN range(16) t(i)),
+        |band AS (SELECT doc_id, i // 4 AS b, string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |ok AS (SELECT b, key FROM band GROUP BY b, key
+        |  HAVING count(*) BETWEEN 2 AND 1000),
+        |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |  FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+        |  JOIN ok ON ok.b = x.b AND ok.key = x.key),
+        |ws AS (SELECT s.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE list_distinct(s.sh) END AS ws
+        |  FROM sh s JOIN surv d ON d.doc_id = s.doc_id),
+        |jc AS (SELECT p.id1, p.id2,
+        |  len(list_intersect(x.ws, y.ws)) AS i2,
+        |  len(list_distinct(list_concat(x.ws, y.ws))) AS u2
+        |  FROM pairs p JOIN ws x ON x.doc_id = p.id1 JOIN ws y ON y.doc_id = p.id2),
+        |removed AS (SELECT DISTINCT id2 FROM jc WHERE i2 * 1.0 / u2 >= 0.6)
+        |SELECT doc_id FROM surv s
+        |WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id2 = s.doc_id)""".stripMargin,
+
+    // Misra-Gries inclusion guarantee: the provably-heavy token set
+    // (exact count > N/31 per lang, k=30 counters) with exact counts.
+    "q56_heavy_hitters" ->
+      """WITH tk AS (SELECT lang,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE coalesce(trim(text), '') <> ''),
+        |ex AS (SELECT lang, token, count(*) AS n FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT lang, count(*) AS nl FROM tk GROUP BY 1)
+        |SELECT lang, token, n FROM ex JOIN tot USING (lang) WHERE n * 31 > nl""".stripMargin,
+
+    // Exact all-pairs cosine >= 0.999 over corpus + planted identical
+    // copies — the LSH-bucketed engine must find exactly these (identical
+    // vectors always share a bucket; random 64-dim pairs never reach 0.999).
+    "q57_embedding_neardup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |off AS (SELECT coalesce(max(vec_id), 0) AS o FROM base),
+        |av AS (SELECT vec_id, v FROM base
+        |  UNION ALL SELECT vec_id + o + 1, v FROM base, off WHERE vec_id % 100 = 0),
+        |nv AS (SELECT vec_id, v,
+        |  list_reduce(list_transform(range(1, len(v) + 1), j -> v[j] * v[j]), (x, y) -> x + y) AS nn
+        |  FROM av),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.v AS v1, b.v AS v2,
+        |  a.nn AS na, b.nn AS nb FROM nv a JOIN nv b ON a.vec_id < b.vec_id),
+        |s AS (SELECT id1, id2,
+        |  list_reduce(list_transform(range(1, len(v1) + 1), j -> v1[j] * v2[j]), (x, y) -> x + y) AS dp,
+        |  na, nb FROM p)
+        |SELECT id1, id2, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos
+        |FROM s WHERE dp / (sqrt(na) * sqrt(nb)) >= 0.999""".stripMargin,
 
     "q29_running_window" ->
       """SELECT event_id, user_id,

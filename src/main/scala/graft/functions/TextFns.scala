@@ -137,8 +137,35 @@ object TextFns {
     (hi.toLong << 32) | (lo.toLong & 0xffffffffL)
   }
 
-  /** 64-bit MinHash signature over word shingles: for each of `k` seeded
-    * hash functions, the minimum over the document's shingle set.
+  /** SQL-reproducible base shingle hash: base-31 polynomial rolling hash of
+    * the string mod p = 1e9+7 — the same fold a DuckDB `list_reduce` over
+    * `ascii()` codepoints computes, so MinHash signatures can be checked by
+    * an independent SQL oracle. ASCII-exact (char code = codepoint); the
+    * modulus keeps every intermediate < 2^35 (ANSI-overflow-safe).
+    */
+  val HashP = 1000000007L
+
+  def polyHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) { acc = (acc * 31L + s.charAt(i)) % HashP; i += 1 }
+    acc
+  }
+
+  /** The i-th MinHash permutation is an affine rescramble of [[polyHash]]:
+    * h_i(s) = (a_i · poly(s) + b_i) mod p with a_i, b_i derived from i by
+    * fixed integer arithmetic — chosen so a DuckDB oracle can recompute the
+    * exact signature (no engine-private hashing in the contract).
+    */
+  def minhashPerm(i: Int, base: Long): Long = {
+    val a = ((2L * i + 1L) * 104729L) % HashP
+    val b = (i.toLong * 12582917L + 7L) % HashP
+    (a * base + b) % HashP // a, base < p ≈ 2^30 → product < 2^60, no overflow
+  }
+
+  /** MinHash signature over word shingles: for each of `k` affine
+    * permutations of the polynomial shingle hash, the minimum over the
+    * document's shingle set.
     *
     * Implemented as a Scala UDF, deliberately: expressed with nested
     * higher-order Catalyst functions (`transform` within `transform`), the
@@ -152,9 +179,10 @@ object TextFns {
       if (toks == null || toks.isEmpty) Seq("")
       else if (toks.length < shingleN) Seq(toks.mkString(" "))
       else toks.sliding(shingleN).map(_.mkString(" ")).toSeq.distinct
+    val bases = shingles.map(polyHash)
     Array.tabulate(k) { i =>
       var min = Long.MaxValue
-      shingles.foreach { s => val h = hash64(s, i); if (h < min) min = h }
+      bases.foreach { h0 => val h = minhashPerm(i, h0); if (h < min) min = h }
       min
     }
   }

@@ -72,10 +72,14 @@ object VectorFns {
       var proj = 0.0
       var i = 0
       while (i < v.length) {
-        // allocation-free murmur-style finalizer over (seed, bit, dim)
-        var h = seed * 0x9e3779b9 + b * 0x85ebca6b + i * 0xc2b2ae35
-        h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13
-        proj += (if ((h & 1) == 0) v(i) else -v(i))
+        // ±1 hyperplane component from one LCG step over the (seed, bit,
+        // dim) counter — plain integer arithmetic, so an independent SQL
+        // oracle can recompute the exact bucket (hyperplane *quality* only
+        // affects recall, never correctness). x ≥ 0 and 1103515245·x fits
+        // a long for any realistic seed (ANSI-overflow-safe).
+        val x = seed.toLong * 1000003L + b.toLong * 8191L + i.toLong
+        val h = (1103515245L * x + 12345L) % 2147483648L
+        proj += (if (((h >> 30) & 1L) == 0L) v(i) else -v(i))
         i += 1
       }
       if (proj >= 0) bucket |= (1L << b)

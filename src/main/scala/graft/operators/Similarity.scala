@@ -52,36 +52,51 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: assign every vector to its nearest of `nLists` centroids
-    * (broadcast), then scan only the `nProbe` lists nearest the query.
-    * Centroids here are a deterministic sample of the data itself (seeded) —
-    * a real k-means refinement drops in without changing the query shape.
-    * At scale the assignment is computed once and persisted as a partition
-    * column, making the probe a partition-pruned scan.
+  /** IVF-style ANN: assign every vector to its nearest of `nLists` centroids,
+    * then scan only the `nProbe` lists nearest the query. Centroids are a
+    * deterministic sample of the data itself (smallest Knuth multiplicative
+    * hash of id — SQL-reproducible, so the whole operator has a DuckDB
+    * oracle); a real k-means refinement drops in without changing the shape.
+    *
+    * Scale shape: the assignment is a MAP-SIDE argmin over the broadcast
+    * centroid array — zero shuffle, zero row expansion. (The previous
+    * crossJoin + row_number() window expanded n×nLists rows AND shuffled
+    * them just to take an argmin; at 100 TB that shuffle would have been
+    * the whole job.) At scale the assignment is computed once and persisted
+    * as a partition column, making the probe a partition-pruned scan.
     */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = vecs.sparkSession
     val q = array(query.map(lit): _*)
-    // Deterministic centroid choice: the nLists rows with smallest xxhash64(id).
-    val centroids = vecs
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cvec"),
-        xxhash64(col(idCol)).as("__h"))
-      .orderBy(col("__h")).limit(nLists).drop("__h")
-    val cBc = broadcast(centroids)
-    // assign: argmin centroid by L2 (window over the small cross product)
-    val assigned = vecs.crossJoin(cBc)
-      .withColumn("__d", VectorFns.l2Distance(col(vecCol), col("cvec")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col("cid").asc)))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("list_id"))
-    // probe lists nearest to the query (id-type-agnostic: raw values)
-    val probeLists = centroids
-      .withColumn("__d", VectorFns.l2Distance(q, col("cvec")))
-      .orderBy(col("__d").asc, col("cid").asc).limit(nProbe)
-      .select(col("cid")).collect().map(_.get(0))
-    assigned.filter(col("list_id").isin(probeLists: _*))
+    // Deterministic, SQL-reproducible centroid choice: smallest
+    // ((id mod 2^31) * 2654435761) mod 2^32, ties on id. The inner mod
+    // keeps the product < 2^62 for arbitrarily large ids (ANSI-safe).
+    val idHash = pmod(pmod(col("cid"), lit(2147483648L)) * 2654435761L, lit(4294967296L))
+    val centroids: Array[(Long, Array[Double])] = vecs
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy(idHash.asc, col("cid").asc).limit(nLists)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sqDist(a: Seq[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // one map-side pass: argmin by squared L2 (ties on smaller cid)
+    val bc = vecs.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Double]) =>
+      var best = Long.MaxValue; var bestD = Double.PositiveInfinity
+      bc.value.foreach { case (cid, cv) =>
+        val d = sqDist(v, cv)
+        if (d < bestD || (d == bestD && cid < best)) { bestD = d; best = cid }
+      }
+      best
+    }
+    // probe lists nearest to the query — same argmin order, driver-side
+    val probeLists: Seq[Long] = centroids
+      .map { case (cid, cv) => (sqDist(query, cv), cid) }
+      .sorted.take(nProbe).map(_._2).toSeq
+    vecs.withColumn("__list", assign(col(vecCol).cast("array<double>")))
+      .filter(col("__list").isin(probeLists: _*))
       .select(col(idCol), VectorFns.cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
