@@ -431,7 +431,7 @@ object SparkEntry {
         "r_name", mapping, "from_name", "to_name")
     }),
 
-    // SimHash near-dup signatures (rows-only: engine-native hashing).
+    // SimHash near-dup signatures (60-bit, SQL-reproducible token hash).
     "q36_simhash" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextFns.simhash64(col("text")).as("simhash"))
@@ -1212,6 +1212,28 @@ object SparkEntry {
         |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |    AS filled
         |FROM o""".stripMargin,
+
+    // SimHash recomputed: per-token poly hash, two affine mixes packed to
+    // 60 bits, per-bit +/-1 votes, sign -> bit. Docs with no tokens -> 0.
+    "q36_simhash" ->
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents WHERE coalesce(trim(text), '') <> ''),
+        |th AS (SELECT doc_id,
+        |  ((1299709 * h0 + 31) % 1000000007) * 1073741824
+        |    + ((104729 * h0 + 7) % 1000000007) AS h
+        |  FROM (SELECT doc_id, list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(tok, '.'),
+        |      c -> ascii(c)::BIGINT)),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h0 FROM tk)),
+        |bits AS (SELECT doc_id, b,
+        |  sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th CROSS JOIN range(60) t(b) GROUP BY 1, 2),
+        |sim AS (SELECT doc_id,
+        |  sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sim.simhash, 0) AS simhash
+        |FROM documents d LEFT JOIN sim ON sim.doc_id = d.doc_id""".stripMargin,
 
     "q37_fingerprint" ->
       """SELECT doc_id,

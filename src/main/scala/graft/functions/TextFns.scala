@@ -196,25 +196,32 @@ object TextFns {
     }
   }
 
-  /** 64-bit SimHash over whitespace tokens: sign-aggregated bitwise vote of
-    * per-token 64-bit hashes. One JVM pass per document (UDF) — the
-    * Catalyst formulation (64 per-bit `aggregate` folds) re-evaluates the
+  /** 60-bit SimHash over whitespace tokens: sign-aggregated bitwise vote of
+    * per-token hashes. The token hash is two affine mixes of [[polyHash]]
+    * packed as (hi << 30) | lo — plain integer arithmetic, so a SQL oracle
+    * recomputes the exact signature. One JVM pass per document (UDF) — the
+    * Catalyst formulation (per-bit `aggregate` folds) re-evaluates the
     * tokenize+hash subtree per bit with no CSE, the interpreted-HOF
     * pathology documented in SCALE.md.
     */
+  val SimhashBits = 60
+
   private val simhashKernel = udf { (toks: Seq[String]) =>
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](SimhashBits)
     if (toks != null) toks.foreach { t =>
-      val h = hash64(t, 0)
+      val h0 = polyHash(t)
+      val lo = (104729L * h0 + 7L) % HashP   // < 2^30
+      val hi = (1299709L * h0 + 31L) % HashP // < 2^30
+      val h = (hi << 30) | lo
       var b = 0
-      while (b < 64) {
+      while (b < SimhashBits) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    while (b < SimhashBits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 
