@@ -1416,14 +1416,22 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_nationkey""".stripMargin,
 
+    // BYTE-based, not char-based: the Spark side reads binary media, so the
+    // oracle measures the UTF-8 encoding (octet_length + hex-substr byte
+    // extraction) — identical on ASCII, still correct if the fixture ever
+    // grows non-ASCII text.
     "q46_multimodal_meta" ->
-      """SELECT doc_id,
-        |  1 + length(text) % 64 AS width,
-        |  1 + (length(text) * 7) % 64 AS height,
-        |  length(text) AS n_bytes,
-        |  CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
-        |  CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte
-        |FROM documents""".stripMargin,
+      """WITH b AS (SELECT doc_id, encode(text) AS bs,
+        |  octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN n > 0 THEN 1 + n % 64 END AS width,
+        |  CASE WHEN n > 0 THEN 1 + (n * 7) % 64 END AS height,
+        |  CASE WHEN n > 0 THEN n END AS n_bytes,
+        |  CASE WHEN n > 0
+        |    THEN CAST(('0x' || substr(hex(bs), 1, 2)) AS INT)::BIGINT END AS first_byte,
+        |  CASE WHEN n > 0
+        |    THEN CAST(('0x' || substr(hex(bs), n * 2 - 1, 2)) AS INT)::BIGINT END AS last_byte
+        |FROM b""".stripMargin,
 
     "q35_recode" ->
       """SELECT r_regionkey,

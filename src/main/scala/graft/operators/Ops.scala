@@ -97,11 +97,28 @@ object Ops {
   // ── W2: forward fill ────────────────────────────────────────────────────
   /** last-non-null forward fill down a deterministic order within a group
     * (IRENA merged-cell headers, code/lib/correction_functions.py:704-708).
+    *
+    * Partition columns are REQUIRED: an unpartitioned ordered window
+    * serializes the whole frame through one task. For genuinely global
+    * fills on provably small frames (config headers), call
+    * [[forwardFillGlobal]], which states that contract in its name.
     */
   def forwardFill(df: DataFrame, orderCol: String, fillCols: Seq[String],
-      partitionCols: Seq[String] = Nil): DataFrame = {
-    val w = (if (partitionCols.isEmpty) Window.partitionBy(lit(1))
-             else Window.partitionBy(partitionCols.map(col): _*))
+      partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty,
+      "forwardFill requires partition columns — an unpartitioned ordered window " +
+        "runs in ONE task; use forwardFillGlobal for small header tables")
+    val w = Window.partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    fillCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** [[forwardFill]] over the WHOLE frame in one task — only for small
+    * driver-bounded tables (multi-row config headers). The name is the
+    * opt-in: no silent single-partition default.
+    */
+  def forwardFillGlobal(df: DataFrame, orderCol: String, fillCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(lit(1))
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
     fillCols.foldLeft(df)((d, c) => d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
   }

@@ -30,12 +30,18 @@ object LoadPipeline {
     * - gap-fill zeros from the previous day scaled by trend (W1, :315-318)
     */
   def cleanLoad(raw: DataFrame, year: Int, countryMap: DataFrame): DataFrame = {
+    // try_make_timestamp_ntz, not make_date: the reference's month×day×hour
+    // input layout contains nonexistent slots (Feb-30 …) which must yield a
+    // null t and be dropped — under Spark 4's default ANSI mode make_date
+    // would THROW on them instead.
+    val tsDay = try_make_timestamp_ntz(col("year"), col("month"), col("day"),
+      lit(0), lit(0), lit(0)).cast("date")
     val scaled = raw.filter(col("year") === year)
       .filter(col("value").isNotNull)
       .withColumn("value",
         when(col("coverage") > 0, col("value") / col("coverage") * 100).otherwise(col("value")))
-      .withColumn("t", dayofyear(make_date(col("year"), col("month"), col("day"))) * 24
-        - 24 + col("hour"))
+      .withColumn("t", dayofyear(tsDay) * 24 - 24 + col("hour"))
+      .filter(col("t").isNotNull)
     val recoded = Ops.recode(scaled, "country", countryMap, "from_name", "to_name")
     val summed = recoded.groupBy(col("country"), col("t"))
       .agg(sum(col("value")).as("value"))

@@ -47,7 +47,9 @@ object PlantsPipeline {
     * Input: (rowid, country?, technology, indicator, year, value).
     */
   def cleanIrena(raw: DataFrame, year: Int): DataFrame = {
-    val filled = Ops.forwardFill(raw, "rowid", Seq("country"))
+    // global fill is intentional here: the IRENA summary is a small config
+    // workbook (hundreds of rows), and merged-cell headers span the sheet
+    val filled = Ops.forwardFillGlobal(raw, "rowid", Seq("country"))
     val yeared = filled.filter(col("year") === year)
     val wide = yeared.groupBy(col("country"), col("technology"))
       .pivot("indicator", Seq("capacity_mw", "production_gwh"))

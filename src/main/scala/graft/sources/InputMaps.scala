@@ -89,26 +89,31 @@ object InputMaps {
       .write.mode("overwrite").partitionBy("band").parquet(path)
     // record the banding in the provenance sidecar — readWindow derives it
     // from here, so a write/read bandRows mismatch (silent wrong pruning)
-    // cannot happen
+    // cannot happen. Written through the Hadoop FS of `path` (HDFS/S3-safe).
     JsonSidecar.write(path, Map("bandRows" -> bandRows.toString), Nil,
-      "InputMaps.writeRaster")
+      "InputMaps.writeRaster", pixels.sparkSession.sessionState.newHadoopConf())
   }
 
   /** Windowed read against a band-partitioned raster: the band predicate is
     * a PARTITION filter (pruned at planning), row/col are pushed to
     * parquet row-group stats. `bandRows` comes from the write-time sidecar
-    * when present; the parameter is only the fallback for sidecar-less
-    * rasters.
+    * (resolved through the Hadoop FileSystem of `path`, so HDFS/S3 rasters
+    * resolve exactly like local ones); the parameter is only the fallback
+    * for sidecar-less rasters. A sidecar that exists but records no
+    * banding FAILS LOUDLY — wrong pruning silently drops rows.
     */
   def readWindow(spark: SparkSession, path: String, r0: Int, r1: Int,
       c0: Int, c1: Int, bandRows: Int = 256): DataFrame = {
-    val sidecar = java.nio.file.Paths.get(path + ".json")
-    val effective =
-      if (java.nio.file.Files.exists(sidecar)) {
-        val txt = java.nio.file.Files.readString(sidecar)
-        "\"bandRows\": \"(\\d+)\"".r.findFirstMatchIn(txt)
-          .map(_.group(1).toInt).getOrElse(bandRows)
-      } else bandRows
+    val conf = spark.sessionState.newHadoopConf()
+    val effective = JsonSidecar.readParams(path + ".json", conf) match {
+      case Some(params) => params.get("bandRows") match {
+        case Some(v) => v.toInt
+        case None => throw new IllegalStateException(
+          s"raster sidecar $path.json records no bandRows — refusing to guess " +
+            "partition pruning (a mismatch silently drops rows)")
+      }
+      case None => bandRows
+    }
     spark.read.parquet(path)
       .filter(col("band").between(r0 / effective, (r1 - 1) / effective))
       .filter(col("row").between(r0, r1 - 1) && col("col").between(c0, c1 - 1))

@@ -51,6 +51,21 @@ class ExportInputMapsSpec extends AnyFunSuite {
       .contains("band"), s"band predicate must be a partition filter:\n$plan")
   }
 
+  test("readWindow: sidecar bandRows wins over the fallback; bad sidecar fails loudly") {
+    val px = InputMaps.pixelGrid(spark, 40, 10, 0, 0, 10, 40)
+      .withColumn("value", $"row" * 1.0)
+    val path = java.nio.file.Files.createTempDirectory("raster2").toString + "/lu"
+    InputMaps.writeRaster(px, path, bandRows = 10)
+    // deliberately wrong fallback: the sidecar's recorded value must win
+    val win = InputMaps.readWindow(spark, path, 10, 20, 0, 10, bandRows = 7)
+    assert(win.count() == 100)
+    // a sidecar without bandRows must throw, never silently mis-prune
+    graft.sources.JsonSidecar.write(path, Map("other" -> "1"), Nil, "test")
+    intercept[IllegalStateException] {
+      InputMaps.readWindow(spark, path, 10, 20, 0, 10)
+    }
+  }
+
   test("urbs sheets project + rename; demand goes wide only at the edge") {
     val trans = Seq(("R1", "R2", "AC", 100.0, 0.93, 5.0))
       .toDF("region_start", "region_end", "tr_type", "capacity_mva", "efficiency", "inv_cost")

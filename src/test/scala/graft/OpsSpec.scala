@@ -73,6 +73,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some(10.0), Some(10.0), Some(10.0), Some(7.0), None))
   }
 
+  test("forwardFill refuses an empty partition spec; forwardFillGlobal is the opt-in") {
+    val df = Seq((1, Some(1.0)), (2, None)).toDF("t", "v")
+    intercept[IllegalArgumentException] {
+      Ops.forwardFill(df, "t", Seq("v"), Nil)
+    }
+    val got = Ops.forwardFillGlobal(df, "t", Seq("v"))
+      .orderBy("t").collect().map(r => Option(r.get(1)))
+    assert(got.toSeq == Seq(Some(1.0), Some(1.0)))
+  }
+
   test("gapFillDayTrend fills zeros by trend-scaled previous day") {
     // 40 hourly points, constant 10.0, with a zero at t=35:
     // fill = sum(t30..34)/sum(t6..10) * x[t11] = 50/50 * 10 = 10

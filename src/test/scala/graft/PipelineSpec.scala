@@ -60,6 +60,7 @@ class PipelineSpec extends AnyFunSuite {
       ("Deutschland", 2015, 1, 1, 1, 50.0, 5.0),   // scaled to 10
       ("Germany", 2015, 1, 1, 1, 100.0, 7.0),      // same country+hour -> merged
       ("Germany", 2015, 1, 2, 1, 100.0, 9.0),      // t = 25
+      ("Germany", 2015, 2, 30, 1, 100.0, 42.0),    // Feb-30: nonexistent slot -> dropped, not ANSI crash
       ("Germany", 2014, 1, 1, 1, 100.0, 99.0))     // wrong year -> dropped
       .toDF("country", "year", "month", "day", "hour", "coverage", "value")
     val cmap = Seq(("Deutschland, Germany", "DE")).toDF("from_name", "to_name")
