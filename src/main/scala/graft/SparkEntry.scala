@@ -510,6 +510,49 @@ object SparkEntry {
         .select(col("zone_id"), col("stripe_id"), round(col("area"), 6).as("area"))
     }),
 
+    // J6 general: concave×concave overlay with holes and multipolygons —
+    // the triangulated-decomposition kernel (geo.Geometry). Zones are
+    // concave L-shapes; clips are a concave L, a donut (hole), and a
+    // 2-part MULTIPOLYGON. The oracle reproduces every area by rectangle
+    // decomposition arithmetic (holes enter with sign -1).
+    "q63_overlay_general" -> ((s, dir) => {
+      import s.implicits._
+      import graft.geo.GeoFns
+      val xm = (col("id") % 4) * 10
+      val ym = floor(col("id") / 4).cast("long") * 10
+      // L per cell: [x,x+10]×[y,y+5] ∪ [x,x+5]×[y+5,y+10] (concave at center)
+      val zones = s.range(12).select(col("id").as("zone_id"),
+        format_string("POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d, %d %d, %d %d))",
+          xm, ym, xm + 10, ym, xm + 10, ym + 5, xm + 5, ym + 5,
+          xm + 5, ym + 10, xm, ym + 10, xm, ym).as("wkt"))
+      val clips = Seq(
+        (0L, "POLYGON ((0 0, 40 0, 40 18, 20 18, 20 30, 0 30, 0 0))"),
+        (1L, "POLYGON ((5 2, 35 2, 35 28, 5 28, 5 2), (10 8, 30 8, 30 22, 10 22, 10 8))"),
+        (2L, "MULTIPOLYGON (((0 0, 12 0, 12 30, 0 30, 0 0)), ((25 3, 38 3, 38 27, 25 27, 25 3)))"))
+        .toDF("clip_id", "cwkt")
+      zones.crossJoin(broadcast(clips))
+        .withColumn("area", GeoFns.stIntersectionArea(col("wkt"), col("cwkt")))
+        .filter(col("area") > 1e-9)
+        .select(col("zone_id"), col("clip_id"), round(col("area"), 6).as("area"))
+    }),
+
+    // J9 exact: Queen contiguity on a triangle tiling — lower-left triangle
+    // per cell, so NE/SW diagonal cells have touching BBOXES but disjoint
+    // GEOMETRIES. A bbox probe would emit those pairs; the exact kernel
+    // must not. Oracle: pure integer grid arithmetic.
+    "q64_queen_triangles" -> ((s, dir) => {
+      import graft.geo.GeoFns
+      val cx = (col("id") % 5) * 10
+      val cy = floor(col("id") / 5).cast("long") * 10
+      val zones = s.range(25).select(col("id").as("zone_id"),
+        format_string("POLYGON ((%d %d, %d %d, %d %d, %d %d))",
+          cx, cy, cx + 10, cy, cx, cy + 10, cx, cy).as("wkt"))
+      val a = zones.select(col("zone_id").as("zone_a"), col("wkt").as("wa"))
+      val b = zones.select(col("zone_id").as("zone_b"), col("wkt").as("wb"))
+      a.join(b, col("zone_a") < col("zone_b") && GeoFns.stTouches(col("wa"), col("wb")))
+        .select(col("zone_a"), col("zone_b"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1283,6 +1326,34 @@ object SparkEntry {
         |  FROM z CROSS JOIN s)
         |SELECT zone_id, stripe_id, round(CAST(area AS DOUBLE), 6) AS area
         |FROM o WHERE area > 0""".stripMargin,
+
+    "q63_overlay_general" ->
+      """WITH zp AS (
+        |  SELECT i AS zone_id, (i % 4) * 10 AS x0, (i // 4) * 10 AS y0 FROM range(12) t(i)
+        |), zr AS (
+        |  SELECT zone_id, x0 AS rx0, y0 AS ry0, x0 + 10 AS rx1, y0 + 5 AS ry1 FROM zp
+        |  UNION ALL
+        |  SELECT zone_id, x0, y0 + 5, x0 + 5, y0 + 10 FROM zp
+        |), cr(clip_id, sgn, cx0, cy0, cx1, cy1) AS (
+        |  VALUES (0, 1, 0, 0, 40, 18), (0, 1, 0, 18, 20, 30),
+        |         (1, 1, 5, 2, 35, 28), (1, -1, 10, 8, 30, 22),
+        |         (2, 1, 0, 0, 12, 30), (2, 1, 25, 3, 38, 27)
+        |), o AS (
+        |  SELECT zone_id, clip_id,
+        |    sum(sgn * greatest(0, least(rx1, cx1) - greatest(rx0, cx0))
+        |            * greatest(0, least(ry1, cy1) - greatest(ry0, cy0))) AS area
+        |  FROM zr CROSS JOIN cr GROUP BY 1, 2
+        |)
+        |SELECT zone_id, CAST(clip_id AS BIGINT) AS clip_id,
+        |  round(CAST(area AS DOUBLE), 6) AS area
+        |FROM o WHERE area > 0""".stripMargin,
+
+    "q64_queen_triangles" ->
+      """SELECT a.i AS zone_a, b.i AS zone_b
+        |FROM range(25) a(i) JOIN range(25) b(i) ON b.i > a.i
+        |WHERE abs((a.i % 5) - (b.i % 5)) <= 1
+        |  AND abs((a.i // 5) - (b.i // 5)) <= 1
+        |  AND NOT ((b.i % 5) - (a.i % 5) = 1 AND (b.i // 5) - (a.i // 5) = 1)""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

@@ -1,34 +1,42 @@
 package graft.geo
 
-/** Minimal planar geometry kernel over WKT, reproducing the subset of
-  * shapely the reference uses (point-in-polygon tagging, polygon area,
-  * centroid, bbox prefilters — code/lib/spatial_functions.py:480-507,
+/** Planar geometry kernel over WKT, reproducing the subset of shapely the
+  * reference uses (point-in-polygon tagging, polygon area, centroid, overlay
+  * intersection, adjacency — code/lib/spatial_functions.py:225-344,480-507,
   * code/lib/initialization.py:38-64). Geometries travel as WKT strings in
-  * DataFrame columns; the kernel is pure Scala so the UDFs are
-  * serializable and deterministic.
+  * DataFrame columns; the kernel is pure Scala so the UDFs are serializable
+  * and deterministic.
+  *
+  * Model: POLYGON (outer ring + optional holes) and MULTIPOLYGON are fully
+  * supported. Concave×concave overlay runs through a convex decomposition
+  * (ear-clipping triangulation) + Sutherland–Hodgman per triangle pair — the
+  * Greiner–Hormann-class generality without its degenerate-tracing
+  * fragility. Intersection output of the general path is an exact-cover
+  * piece MULTIPOLYGON (correct area / mask / containment; ring
+  * representation non-canonical).
   *
   * Scale note: the engine's spatial-join strategy (see ops.SpatialOps) is
   * bbox-prefilter + exact-predicate refine with the polygon side broadcast;
   * at 100 TB the upgrade path is tile-salted equi-joins (SURVEY §4) — this
-  * kernel stays unchanged, only the join shape changes.
+  * kernel stays unchanged, only the join shape changes. Parsed geometry and
+  * triangulations are cached per executor JVM (bounded), so the hot join
+  * path pays one string hash per probe, not a WKT re-parse.
   */
 object Geometry {
 
   final case class Pt(x: Double, y: Double)
 
-  /** Parse "POLYGON ((x y, x y, ...))" — outer ring only (the reference's
-    * region polygons; holes unsupported, multipolygons split upstream).
-    * Rings are assumed SIMPLE (non-self-intersecting), which valid WKT
-    * guarantees; a self-intersecting ring is invalid input and the kernel's
-    * convexity test cannot detect it.
-    */
-  def parsePolygon(wkt: String): Array[Pt] = {
-    val inner = wkt.substring(wkt.indexOf("((") + 2, wkt.indexOf("))"))
-    inner.split(",").map { p =>
-      val xy = p.trim.split("\\s+")
-      Pt(xy(0).toDouble, xy(1).toDouble)
-    }
+  /** Polygon: outer ring + hole rings; rings stored open (no closing dup). */
+  final case class Poly(outer: Array[Pt], holes: Array[Array[Pt]]) {
+    def rings: Iterator[Array[Pt]] = Iterator(outer) ++ holes.iterator
   }
+
+  // ------------------------------------------------------------------ parse
+
+  /** Parse "POLYGON ((x y, ...))" — outer ring of the FIRST polygon only
+    * (legacy single-ring entry point; prefer [[parseGeom]]).
+    */
+  def parsePolygon(wkt: String): Array[Pt] = parseGeom(wkt)(0).outer
 
   def parsePoint(wkt: String): Pt = {
     val inner = wkt.substring(wkt.indexOf("(") + 1, wkt.indexOf(")"))
@@ -36,9 +44,91 @@ object Geometry {
     Pt(xy(0).toDouble, xy(1).toDouble)
   }
 
-  /** Even–odd ray casting; boundary points on a horizontal lower edge count
-    * as inside (consistent with half-open [min,max) tiling so region tilings
-    * assign each point exactly once).
+  /** Parse POLYGON (with holes) or MULTIPOLYGON WKT into polygons. */
+  def parseGeom(wkt: String): Array[Poly] = {
+    val t = wkt.trim
+    val open = t.indexOf('(')
+    val body = t.substring(open + 1, t.lastIndexOf(')'))
+    if (t.regionMatches(true, 0, "MULTIPOLYGON", 0, 12))
+      splitTop(body).map(p => parsePolyBody(strip(p)))
+    else Array(parsePolyBody(body))
+  }
+
+  /** Split a WKT body on commas at paren depth 0. */
+  private def splitTop(s: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var depth = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result()
+  }
+
+  private def strip(s: String): String = {
+    val t = s.trim
+    t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
+  }
+
+  /** "(r1),(r2),…" → Poly(outer=r1, holes=[r2…]). */
+  private def parsePolyBody(body: String): Poly = {
+    val rings = splitTop(body).map(r => parseRing(strip(r)))
+    Poly(rings.head, rings.tail)
+  }
+
+  private def parseRing(s: String): Array[Pt] = {
+    val pts = s.split(",").map { p =>
+      val xy = p.trim.split("\\s+")
+      Pt(xy(0).toDouble, xy(1).toDouble)
+    }
+    dedupRing(pts)
+  }
+
+  // -------------------------------------------------- per-executor caching
+  // The polygon side of every spatial join is a (broadcast or exploded)
+  // small dimension whose WKT strings repeat across millions of probe rows;
+  // re-parsing per row made the string parse dominate the ray cast at
+  // raster scale (10⁸ pixels). A bounded per-JVM cache makes the parse
+  // amortized-once per executor. On overflow (unbounded distinct geometry
+  // streams) we simply parse without caching — correctness unchanged.
+
+  private val MaxCache = 1 << 13
+  private val geomCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Poly]]()
+  private val triCache = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Pt]]]()
+
+  def geomCached(wkt: String): Array[Poly] = {
+    val hit = geomCache.get(wkt)
+    if (hit != null) hit
+    else {
+      val g = parseGeom(wkt)
+      if (geomCache.size < MaxCache) geomCache.putIfAbsent(wkt, g)
+      g
+    }
+  }
+
+  /** Triangulation of a parsed WKT geometry, cached like [[geomCached]]. */
+  def trianglesCached(wkt: String): Array[Array[Pt]] = {
+    val hit = triCache.get(wkt)
+    if (hit != null) hit
+    else {
+      val tris = geomCached(wkt).flatMap(triangulate)
+      if (triCache.size < MaxCache) triCache.putIfAbsent(wkt, tris)
+      tris
+    }
+  }
+
+  // ------------------------------------------------------------ predicates
+
+  /** Even–odd ray casting over ALL rings (outer + holes): a point inside a
+    * hole crosses an even number of edges → outside. Boundary points on a
+    * horizontal lower edge count as inside (consistent with half-open
+    * [min,max) tiling so region tilings assign each point exactly once).
     */
   def containsXY(ring: Array[Pt], x: Double, y: Double): Boolean = {
     var inside = false
@@ -54,16 +144,38 @@ object Geometry {
     inside
   }
 
-  /** Signed shoelace area (positive for counter-clockwise rings). */
-  def ringArea(ring: Array[Pt]): Double = {
-    var s = 0.0
-    var j = ring.length - 1
-    var i = 0
-    while (i < ring.length) {
-      s += (ring(j).x + ring(i).x) * (ring(j).y - ring(i).y)
-      j = i; i += 1
+  def containsPoly(p: Poly, x: Double, y: Double): Boolean = {
+    var inside = containsXY(p.outer, x, y)
+    var h = 0
+    while (inside && h < p.holes.length) {
+      if (containsXY(p.holes(h), x, y)) inside = false
+      h += 1
     }
-    math.abs(s) / 2.0
+    inside
+  }
+
+  def containsGeom(g: Array[Poly], x: Double, y: Double): Boolean = {
+    var i = 0
+    while (i < g.length) { if (containsPoly(g(i), x, y)) return true; i += 1 }
+    false
+  }
+
+  // --------------------------------------------------------------- metrics
+
+  /** Unsigned shoelace area of one ring. */
+  def ringArea(ring: Array[Pt]): Double = math.abs(signedArea(ring))
+
+  def polyArea(p: Poly): Double = {
+    var a = ringArea(p.outer)
+    var h = 0
+    while (h < p.holes.length) { a -= ringArea(p.holes(h)); h += 1 }
+    a
+  }
+
+  def geomArea(g: Array[Poly]): Double = {
+    var a = 0.0; var i = 0
+    while (i < g.length) { a += polyArea(g(i)); i += 1 }
+    a
   }
 
   def centroid(ring: Array[Pt]): Pt = {
@@ -82,18 +194,34 @@ object Geometry {
     else Pt(cx / (3.0 * a), cy / (3.0 * a))
   }
 
+  /** Area-weighted centroid across polygons, holes subtracted. */
+  def geomCentroid(g: Array[Poly]): Pt = {
+    var cx = 0.0; var cy = 0.0; var aSum = 0.0
+    for (p <- g; (ring, sign) <- Iterator((p.outer, 1.0)) ++ p.holes.iterator.map((_, -1.0))) {
+      val a = ringArea(ring) * sign
+      val c = centroid(ring)
+      cx += c.x * a; cy += c.y * a; aSum += a
+    }
+    if (aSum == 0.0) centroid(g(0).outer) else Pt(cx / aSum, cy / aSum)
+  }
+
   def bbox(ring: Array[Pt]): (Double, Double, Double, Double) =
     (ring.map(_.x).min, ring.map(_.y).min, ring.map(_.x).max, ring.map(_.y).max)
+
+  def geomBbox(g: Array[Poly]): (Double, Double, Double, Double) = {
+    val bs = g.map(p => bbox(p.outer))
+    (bs.map(_._1).min, bs.map(_._2).min, bs.map(_._3).max, bs.map(_._4).max)
+  }
 
   /** Rectangle WKT helper (fixtures + tiling). */
   def rectWkt(xmin: Double, ymin: Double, xmax: Double, ymax: Double): String =
     s"POLYGON (($xmin $ymin, $xmax $ymin, $xmax $ymax, $xmin $ymax, $xmin $ymin))"
 
+  // ------------------------------------------------------- convex clipping
+
   /** Sutherland–Hodgman clipping: intersection of a subject polygon with a
-    * CONVEX clip polygon (the reference's overlay J6 clips subregions by
-    * country polygons, code/lib/spatial_functions.py:225-276; convex clips
-    * cover the engine's tiling/bbox uses — general concave overlay is a
-    * documented limitation).
+    * CONVEX clip polygon. Subject may be concave (output may contain
+    * zero-width corridors; area/containment remain exact).
     */
   def clipConvex(subject: Array[Pt], clip: Array[Pt]): Array[Pt] = {
     // ensure counter-clockwise clip ring for a stable inside test
@@ -163,30 +291,274 @@ object Geometry {
     Pt((b2 * c1 - b1 * c2) / det, (a1 * c2 - a2 * c1) / det)
   }
 
-  /** Intersection ring of two polygons. At least ONE operand must be
-    * convex (Sutherland–Hodgman's requirement on the clip side) —
-    * intersection is symmetric, so the convex operand is chosen as the
-    * clip automatically; if neither is convex this FAILS LOUDLY instead of
-    * returning silently wrong geometry (the documented kernel limit;
-    * concave×concave overlay needs a Greiner–Hormann-class kernel).
+  // --------------------------------------------------------- triangulation
+
+  /** Ear-clipping triangulation (O(n²)) of a polygon with holes. Holes are
+    * bridged into the outer ring first (zero-width cut to the nearest
+    * mutually visible vertex), then ears are clipped. Region polygons are
+    * 10²–10⁴ vertices — O(n²) on the BROADCAST side only, amortized once
+    * per executor by [[trianglesCached]].
+    */
+  def triangulate(p: Poly): Array[Array[Pt]] = {
+    val outer0 = dedupRing(p.outer)
+    val outer = if (signedArea(outer0) < 0) outer0.reverse else outer0
+    var ring = outer
+    // bridge each hole (CW orientation) into the ring
+    val holes = p.holes.map { h0 =>
+      val h = dedupRing(h0)
+      if (signedArea(h) > 0) h.reverse else h
+    }.sortBy(h => -h.map(_.x).max) // rightmost holes first (classic order)
+    for (hole <- holes) ring = bridgeHole(ring, hole)
+    earClip(ring)
+  }
+
+  /** Merge a hole into the ring via a bridge from the hole's rightmost
+    * vertex to a mutually visible ring vertex (nearest visible; candidates
+    * ordered by distance). Valid inputs guarantee one exists.
+    */
+  private def bridgeHole(ring: Array[Pt], hole: Array[Pt]): Array[Pt] = {
+    var mi = 0
+    for (i <- hole.indices) if (hole(i).x > hole(mi).x) mi = i
+    val m = hole(mi)
+    val order = ring.indices.sortBy { i =>
+      val dx = ring(i).x - m.x; val dy = ring(i).y - m.y; dx * dx + dy * dy
+    }
+    val vi = order.find(i => visible(ring, hole, m, ring(i))).getOrElse(
+      throw new IllegalArgumentException("no visible bridge vertex for hole (invalid polygon?)"))
+    // ring[0..vi] + m + hole rotated from mi + m? — standard splice:
+    // ... ring(vi), m, hole(mi+1..), hole(..mi), m? No: open rings; bridge
+    // is ring(vi) -> hole(mi) -> around hole -> hole(mi) -> ring(vi).
+    val rotated = hole.drop(mi) ++ hole.take(mi) // starts at m
+    ring.take(vi + 1) ++ rotated ++ Array(m, ring(vi)) ++ ring.drop(vi + 1)
+  }
+
+  /** Is segment m→v free of crossings with ring and hole edges? Touches at
+    * the endpoints m/v themselves are allowed.
+    */
+  private def visible(ring: Array[Pt], hole: Array[Pt], m: Pt, v: Pt): Boolean = {
+    def blocked(poly: Array[Pt]): Boolean = {
+      var j = poly.length - 1
+      var i = 0
+      while (i < poly.length) {
+        val a = poly(j); val b = poly(i)
+        if (!(a == m || b == m || a == v || b == v) && segsIntersect(m, v, a, b))
+          return true
+        j = i; i += 1
+      }
+      false
+    }
+    !(blocked(ring) || blocked(hole))
+  }
+
+  /** Ear clipping of a simple CCW ring (bridged rings contain coincident
+    * bridge edges — handled by the strict-interior point test).
+    */
+  private def earClip(ringIn: Array[Pt]): Array[Array[Pt]] = {
+    val out = Array.newBuilder[Array[Pt]]
+    var idx = ringIn.indices.toBuffer
+    var guard = 0
+    val maxIter = 4 * ringIn.length * ringIn.length + 64
+    while (idx.length > 3 && guard < maxIter) {
+      var clipped = false
+      var k = 0
+      while (k < idx.length && !clipped) {
+        val a = ringIn(idx((k + idx.length - 1) % idx.length))
+        val b = ringIn(idx(k))
+        val c = ringIn(idx((k + 1) % idx.length))
+        val cross = (b.x - a.x) * (c.y - b.y) - (b.y - a.y) * (c.x - b.x)
+        if (math.abs(cross) < 1e-12) {
+          // collinear (or bridge back-edge) vertex — drop it, no triangle
+          idx.remove(k); clipped = true
+        } else if (cross > 0 && noVertexInTriangle(ringIn, idx, k, a, b, c)) {
+          out += Array(a, b, c)
+          idx.remove(k); clipped = true
+        } else k += 1
+      }
+      if (!clipped) {
+        // numerically stuck (shouldn't happen on valid input): drop the
+        // flattest convex vertex to guarantee termination
+        var best = 0; var bestAbs = Double.MaxValue
+        for (k <- idx.indices) {
+          val a = ringIn(idx((k + idx.length - 1) % idx.length))
+          val b = ringIn(idx(k)); val c = ringIn(idx((k + 1) % idx.length))
+          val cr = (b.x - a.x) * (c.y - b.y) - (b.y - a.y) * (c.x - b.x)
+          if (cr > 0 && cr < bestAbs) { bestAbs = cr; best = k }
+        }
+        val a = ringIn(idx((best + idx.length - 1) % idx.length))
+        val b = ringIn(idx(best)); val c = ringIn(idx((best + 1) % idx.length))
+        out += Array(a, b, c)
+        idx.remove(best)
+      }
+      guard += 1
+    }
+    if (idx.length == 3) {
+      val t = Array(ringIn(idx(0)), ringIn(idx(1)), ringIn(idx(2)))
+      if (math.abs(signedArea(t)) > 1e-12) out += t
+    }
+    out.result()
+  }
+
+  /** Ear validity: no other vertex may lie strictly inside the candidate
+    * triangle, and no REFLEX vertex may lie on its boundary either — a
+    * reflex vertex exactly on an ear edge (e.g. an L-notch on the
+    * hypotenuse) means the polygon boundary dips inside the triangle.
+    */
+  private def noVertexInTriangle(ring: Array[Pt], idx: collection.Seq[Int], k: Int,
+      a: Pt, b: Pt, c: Pt): Boolean = {
+    val eps = 1e-12
+    var i = 0
+    while (i < idx.length) {
+      val d = (i - k + idx.length) % idx.length
+      if (d > 1 && d < idx.length - 1) {
+        val p = ring(idx(i))
+        if (!(p == a || p == b || p == c)) {
+          val d1 = side(a, b, p); val d2 = side(b, c, p); val d3 = side(c, a, p)
+          val strictly = d1 > eps && d2 > eps && d3 > eps
+          if (strictly) return false
+          val inclusive = d1 > -eps && d2 > -eps && d3 > -eps
+          if (inclusive) {
+            val pv = ring(idx((i + idx.length - 1) % idx.length))
+            val nx = ring(idx((i + 1) % idx.length))
+            val reflex = (p.x - pv.x) * (nx.y - p.y) - (p.y - pv.y) * (nx.x - p.x) < 0
+            if (reflex) return false
+          }
+        }
+      }
+      i += 1
+    }
+    true
+  }
+
+  // -------------------------------------------------- general intersection
+
+  /** Intersection ring of two SINGLE-ring polygons where at least one is
+    * convex (fast Sutherland–Hodgman path). Used by the convex overlay path;
+    * the general path is [[intersectionPiecesGeneral]].
     */
   def intersectionRing(a: Array[Pt], b: Array[Pt]): Array[Pt] = {
     if (isConvex(b)) clipConvex(dedupRing(a), b)
     else if (isConvex(a)) clipConvex(dedupRing(b), a)
     else throw new IllegalArgumentException(
-      "polygon intersection requires at least one convex operand " +
-        "(Sutherland–Hodgman clip); got two concave rings")
+      "intersectionRing requires a convex operand; use intersectionPiecesGeneral")
   }
 
-  /** Area of the intersection of two polygons (one must be convex). */
+  /** General polygon∩polygon: triangulate both sides (handles concavity,
+    * holes, multipolygons), clip every bbox-overlapping triangle pair
+    * (convex×convex), keep pieces with area > eps. The pieces exactly cover
+    * the true intersection (triangles partition each operand), so summed
+    * areas, masks, and zonal stats are exact.
+    */
+  def intersectionPiecesGeneral(aw: String, bw: String): Array[Array[Pt]] = {
+    val ta = trianglesCached(aw)
+    val tb = trianglesCached(bw)
+    val out = Array.newBuilder[Array[Pt]]
+    var i = 0
+    while (i < ta.length) {
+      val t1 = ta(i)
+      val (ax0, ay0, ax1, ay1) = bbox(t1)
+      var j = 0
+      while (j < tb.length) {
+        val t2 = tb(j)
+        val (bx0, by0, bx1, by1) = bbox(t2)
+        if (ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1) {
+          val clipped = clipConvex(t1, t2)
+          if (clipped.length >= 3 && math.abs(signedArea(clipped)) > 1e-12)
+            out += clipped
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Area of the intersection of two polygons (general: concavity, holes,
+    * multipolygons all supported). Fast single-clip path when both are
+    * single-ring and one is convex.
+    */
+  def intersectionAreaWkt(aw: String, bw: String): Double = {
+    val ga = geomCached(aw); val gb = geomCached(bw)
+    if (ga.length == 1 && gb.length == 1 &&
+        ga(0).holes.isEmpty && gb(0).holes.isEmpty &&
+        (isConvex(ga(0).outer) || isConvex(gb(0).outer))) {
+      val ring = intersectionRing(ga(0).outer, gb(0).outer)
+      if (ring.length < 3) 0.0 else ringArea(ring)
+    } else {
+      var a = 0.0
+      for (piece <- intersectionPiecesGeneral(aw, bw)) a += math.abs(signedArea(piece))
+      a
+    }
+  }
+
+  /** Legacy array-level entry (one operand must be convex). */
   def intersectionArea(subject: Array[Pt], clip: Array[Pt]): Double = {
     val out = intersectionRing(subject, clip)
     if (out.length < 3) 0.0 else math.abs(signedArea(out))
   }
 
-  /** Do two polygons touch or overlap? (bbox test + clip area/edge probe —
-    * sufficient for the adjacency-pairs operator over tilings.)
+  // ----------------------------------------------------- exact adjacency
+
+  /** Inclusive segment intersection (touching endpoints count). */
+  def segsIntersect(p1: Pt, p2: Pt, q1: Pt, q2: Pt): Boolean = {
+    val d1 = side(q1, q2, p1); val d2 = side(q1, q2, p2)
+    val d3 = side(p1, p2, q1); val d4 = side(p1, p2, q2)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) true
+    else if (d1 == 0 && onSegment(q1, q2, p1)) true
+    else if (d2 == 0 && onSegment(q1, q2, p2)) true
+    else if (d3 == 0 && onSegment(p1, p2, q1)) true
+    else if (d4 == 0 && onSegment(p1, p2, q2)) true
+    else false
+  }
+
+  private def onSegment(a: Pt, b: Pt, p: Pt): Boolean =
+    math.min(a.x, b.x) <= p.x && p.x <= math.max(a.x, b.x) &&
+      math.min(a.y, b.y) <= p.y && p.y <= math.max(a.y, b.y)
+
+  /** bbox-level overlap probe (cheap prefilter; NOT an adjacency answer). */
+  def bboxOverlaps(a: Array[Poly], b: Array[Poly]): Boolean = {
+    val (ax0, ay0, ax1, ay1) = geomBbox(a)
+    val (bx0, by0, bx1, by1) = geomBbox(b)
+    ax0 <= bx1 && bx0 <= ax1 && ay0 <= by1 && by0 <= ay1
+  }
+
+  /** EXACT touches-or-overlaps: true iff the geometries share at least one
+    * point (boundary contact OR interior overlap). This is the Queen
+    * contiguity predicate over a valid region tiling (shared vertex or
+    * shared edge ⇒ true; overlapping bboxes of disjoint shapes ⇒ false).
+    * Reference: pysal Queen weights,
+    * code/lib/generate_intermediate_files.py:476-483.
     */
+  def geomIntersects(aw: String, bw: String): Boolean = {
+    val a = geomCached(aw); val b = geomCached(bw)
+    if (!bboxOverlaps(a, b)) return false
+    // vertex containment either way (covers one-inside-the-other)
+    for (pa <- a; ring <- pa.rings; p <- ring)
+      if (containsGeom(b, p.x, p.y)) return true
+    for (pb <- b; ring <- pb.rings; p <- ring)
+      if (containsGeom(a, p.x, p.y)) return true
+    // boundary segment crossings / touches (exact, includes shared vertices
+    // that the half-open containment rule may not count as inside)
+    for (pa <- a; ra <- pa.rings; pb <- b; rb <- pb.rings) {
+      var i = 0
+      while (i < ra.length) {
+        val a1 = ra(i); val a2 = ra((i + 1) % ra.length)
+        var j = 0
+        while (j < rb.length) {
+          if (segsIntersect(a1, a2, rb(j), rb((j + 1) % rb.length))) return true
+          j += 1
+        }
+        i += 1
+      }
+    }
+    false
+  }
+
+  /** True touches: boundary contact without interior overlap. */
+  def geomTouchesOnly(aw: String, bw: String): Boolean =
+    geomIntersects(aw, bw) && intersectionAreaWkt(aw, bw) < 1e-9
+
+  /** Legacy bbox probe name (kept for tiling callers; see bboxOverlaps). */
   def touchesOrIntersects(a: Array[Pt], b: Array[Pt]): Boolean = {
     val (ax0, ay0, ax1, ay1) = bbox(a)
     val (bx0, by0, bx1, by1) = bbox(b)
@@ -194,55 +566,63 @@ object Geometry {
   }
 }
 
-/** Column-level geometry functions. UDF-based for now (the geometry-bearing
-  * side of every reference join is small and broadcast); promotion to native
-  * Catalyst expressions is the planned optimization once semantics freeze.
+/** Column-level geometry functions. UDF-based (the geometry-bearing side of
+  * every reference join is small and broadcast; the probe side pays one
+  * hash lookup per row thanks to the executor-level parse cache).
   */
 object GeoFns {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions._
+  import Geometry._
 
   val stContainsXY = udf { (polyWkt: String, x: Double, y: Double) =>
-    Geometry.containsXY(Geometry.parsePolygon(polyWkt), x, y)
+    containsGeom(geomCached(polyWkt), x, y)
   }
 
-  val stArea = udf { (polyWkt: String) =>
-    Geometry.ringArea(Geometry.parsePolygon(polyWkt))
-  }
+  val stArea = udf { (polyWkt: String) => geomArea(geomCached(polyWkt)) }
 
-  val stCentroidX = udf { (polyWkt: String) => Geometry.centroid(Geometry.parsePolygon(polyWkt)).x }
-  val stCentroidY = udf { (polyWkt: String) => Geometry.centroid(Geometry.parsePolygon(polyWkt)).y }
+  val stCentroidX = udf { (polyWkt: String) => geomCentroid(geomCached(polyWkt)).x }
+  val stCentroidY = udf { (polyWkt: String) => geomCentroid(geomCached(polyWkt)).y }
 
   /** bbox columns for the prefilter rewrite (SURVEY §4b): cheap arithmetic
     * BETWEEN predicates evaluated before the exact ray-cast refine.
     */
-  val stXmin = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._1 }
-  val stYmin = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._2 }
-  val stXmax = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._3 }
-  val stYmax = udf { (w: String) => Geometry.bbox(Geometry.parsePolygon(w))._4 }
+  val stXmin = udf { (w: String) => geomBbox(geomCached(w))._1 }
+  val stYmin = udf { (w: String) => geomBbox(geomCached(w))._2 }
+  val stXmax = udf { (w: String) => geomBbox(geomCached(w))._3 }
+  val stYmax = udf { (w: String) => geomBbox(geomCached(w))._4 }
 
-  /** J6 overlay: WKT of polygon ∩ polygon (one operand must be convex —
-    * chosen automatically; concave×concave throws); null if empty.
+  /** J6 overlay: WKT of polygon ∩ polygon; null if empty. Single POLYGON
+    * when the fast convex path applies; exact-cover piece MULTIPOLYGON for
+    * the general (concave/holes/multi) path.
     */
-  val stIntersectionWkt = udf { (subjectWkt: String, clipWkt: String) =>
-    val out = Geometry.intersectionRing(
-      Geometry.parsePolygon(subjectWkt), Geometry.parsePolygon(clipWkt))
-    if (out.length < 3) None
-    else {
-      val ring = out :+ out.head
-      Some("POLYGON ((" + ring.map(p => s"${p.x} ${p.y}").mkString(", ") + "))")
+  val stIntersectionWkt = udf { (aw: String, bw: String) =>
+    val ga = geomCached(aw); val gb = geomCached(bw)
+    def ringWkt(r: Array[Pt]): String =
+      "((" + (r :+ r.head).map(p => s"${p.x} ${p.y}").mkString(", ") + "))"
+    if (ga.length == 1 && gb.length == 1 &&
+        ga(0).holes.isEmpty && gb(0).holes.isEmpty &&
+        (isConvex(ga(0).outer) || isConvex(gb(0).outer))) {
+      val out = intersectionRing(ga(0).outer, gb(0).outer)
+      if (out.length < 3 || math.abs(signedArea(out)) < 1e-12) None
+      else Some("POLYGON " + ringWkt(out))
+    } else {
+      val pieces = intersectionPiecesGeneral(aw, bw)
+      if (pieces.isEmpty) None
+      else Some("MULTIPOLYGON (" + pieces.map(ringWkt).mkString(", ") + ")")
     }
   }
 
-  /** J6 overlay: area of polygon ∩ polygon (convex clip). */
-  val stIntersectionArea = udf { (subjectWkt: String, clipWkt: String) =>
-    Geometry.intersectionArea(Geometry.parsePolygon(subjectWkt), Geometry.parsePolygon(clipWkt))
-  }
+  /** J6 overlay: area of polygon ∩ polygon (general). */
+  val stIntersectionArea = udf { (aw: String, bw: String) => intersectionAreaWkt(aw, bw) }
 
-  /** J9 adjacency: polygons touching or overlapping (bbox-level probe). */
-  val stTouches = udf { (aWkt: String, bWkt: String) =>
-    Geometry.touchesOrIntersects(Geometry.parsePolygon(aWkt), Geometry.parsePolygon(bWkt))
-  }
+  /** J9 adjacency: EXACT touches-or-overlaps (Queen contiguity on valid
+    * tilings); bbox prefilter inside.
+    */
+  val stTouches = udf { (aw: String, bw: String) => geomIntersects(aw, bw) }
+
+  /** Strict touches: boundary contact, interiors disjoint. */
+  val stTouchesOnly = udf { (aw: String, bw: String) => geomTouchesOnly(aw, bw) }
 
   /** Exact point-in-polygon with bbox short-circuit, as a join predicate:
     * the bbox test prunes before the UDF refine.

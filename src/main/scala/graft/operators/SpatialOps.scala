@@ -83,7 +83,10 @@ object SpatialOps {
     * intersection geometry; empty intersections dropped (the reference's
     * area>0 filter, lib/initialization.py:43). Broadcast nested-loop over
     * the small side with bbox prefilter — the reference's O(n·m) python
-    * loop as one declarative join.
+    * loop as one declarative join. The intersection kernel is fully general
+    * (concave×concave, holes, multipolygons — triangulated convex
+    * decomposition, see geo.Geometry); concave pieces come back as
+    * exact-cover MULTIPOLYGONs.
     */
   def overlay(subregions: DataFrame, subNameCol: String, subWktCol: String,
       countries: DataFrame, cNameCol: String, cWktCol: String): DataFrame = {

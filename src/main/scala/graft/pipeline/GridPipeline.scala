@@ -111,6 +111,21 @@ object GridPipeline {
     * assumption join (J1); efficiency = eff_1000km ^ (length/1000)
     * (code/lib/generate_intermediate_files.py:437-533).
     */
+  /** J9: candidate neighbor pairs — Queen contiguity (EXACT touches, not a
+    * bbox probe) over the region polygons, canonically ordered a < b.
+    * Reference: pysal Queen weights loop,
+    * code/lib/generate_intermediate_files.py:476-483.
+    */
+  def candidateNeighbors(regions: DataFrame): DataFrame = {
+    import graft.geo.GeoFns
+    val a = regions.select(col("region").as("region_start"), col("wkt").as("__wa"))
+    val b = regions.select(col("region").as("region_end"), col("wkt").as("__wb"))
+    a.join(broadcast(b),
+        col("region_start") < col("region_end") &&
+          GeoFns.stTouches(col("__wa"), col("__wb")))
+      .select(col("region_start"), col("region_end"))
+  }
+
   def generateTransmission(grid: DataFrame, regions: DataFrame,
       assumptions: DataFrame): DataFrame = {
     // J5 twice: tag both endpoints with their containing region.
@@ -127,10 +142,17 @@ object GridPipeline {
     val canon = Ops.canonicalEdge(inter, "region_start", "region_end")
 
     // A1: aggregate parallel lines per directed-canonical edge.
-    val edges = canon.groupBy(col("region_start"), col("region_end"), col("tr_type"))
+    val agged = canon.groupBy(col("region_start"), col("region_end"), col("tr_type"))
       .agg(sum(col("capacity_mva")).as("capacity_mva"),
         avg(col("length_km")).as("length_km"),
         count(lit(1)).as("n_lines"))
+
+    // J9→J3: full outer join against the Queen-adjacency candidate pairs so
+    // adjacent-but-unconnected regions appear as expandable zero-capacity AC
+    // edges (generate_intermediate_files.py:476-491; cap fillna(0)).
+    val cand = candidateNeighbors(regions).withColumn("tr_type", lit("AC"))
+    val edges = agged.join(cand, Seq("region_start", "region_end", "tr_type"), "full_outer")
+      .na.fill(0.0, Seq("capacity_mva")).na.fill(0L, Seq("n_lines"))
 
     // Centroid distance between the two regions (haversine stands in for
     // geodesic — declared <0.5% difference, SURVEY §2.8).
@@ -144,6 +166,10 @@ object GridPipeline {
         .withColumnRenamed("cx", "cx2").withColumnRenamed("cy", "cy2")), Seq("region_end"))
       .withColumn("centroid_km",
         ScalarFns.haversineKm(col("cy1"), col("cx1"), col("cy2"), col("cx2")))
+      // candidate-only edges carry no line geometry: their length is the
+      // centroid distance (reference computes `length` from centroids for
+      // the joined frame, generate_intermediate_files.py:492-498).
+      .withColumn("length_km", coalesce(col("length_km"), col("centroid_km")))
       .drop("cx1", "cy1", "cx2", "cy2")
 
     // J1: broadcast assumption join + derived efficiency/cost

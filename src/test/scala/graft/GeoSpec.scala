@@ -60,6 +60,90 @@ class GeoSpec extends AnyFunSuite {
     assert(got == Set((1, "A"), (2, null)))
   }
 
+  // ---- general overlay kernel (concave / holes / multipolygon) ----
+
+  // L-shape: [0,4]×[0,2] ∪ [0,2]×[2,4], area 12, concave at (2,2)
+  val lShape = "POLYGON ((0 0, 4 0, 4 2, 2 2, 2 4, 0 4, 0 0))"
+  // donut: outer [0,4]² minus hole [1,3]², area 16-4=12
+  val donut = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 3 1, 3 3, 1 3, 1 1))"
+  // two disjoint unit squares
+  val multi = "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 0, 3 0, 3 1, 2 1, 2 0)))"
+
+  test("parseGeom: holes and multipolygon, areas and containment") {
+    assert(Geometry.geomArea(Geometry.parseGeom(lShape)) == 12.0)
+    assert(Geometry.geomArea(Geometry.parseGeom(donut)) == 12.0)
+    assert(Geometry.geomArea(Geometry.parseGeom(multi)) == 2.0)
+    val d = Geometry.parseGeom(donut)
+    assert(Geometry.containsGeom(d, 0.5, 0.5))   // in the ring
+    assert(!Geometry.containsGeom(d, 2.0, 2.0))  // in the hole
+    val m = Geometry.parseGeom(multi)
+    assert(Geometry.containsGeom(m, 0.5, 0.5) && Geometry.containsGeom(m, 2.5, 0.5))
+    assert(!Geometry.containsGeom(m, 1.5, 0.5))  // in the gap
+  }
+
+  test("triangulation covers concave polygons and holes exactly") {
+    def triArea(wkt: String) =
+      Geometry.trianglesCached(wkt).map(t => math.abs(Geometry.signedArea(t))).sum
+    assert(math.abs(triArea(lShape) - 12.0) < 1e-9)
+    assert(math.abs(triArea(donut) - 12.0) < 1e-9)
+    assert(math.abs(triArea(multi) - 2.0) < 1e-9)
+    // concave "comb" with two teeth
+    val comb = "POLYGON ((0 0, 6 0, 6 3, 5 3, 5 1, 4 1, 4 3, 3 3, 3 1, 2 1, 2 3, 0 3, 0 0))"
+    assert(math.abs(triArea(comb) - Geometry.geomArea(Geometry.parseGeom(comb))) < 1e-9)
+  }
+
+  test("general intersection area: concave×concave, holes, multipolygon") {
+    // L1 = [0,4]×[0,2] ∪ [0,2]×[2,4]; L2 = [1,5]×[1,3] ∪ [3,5]×[3,5]
+    val l2 = "POLYGON ((1 1, 5 1, 5 5, 3 5, 3 3, 1 3, 1 1))"
+    // expected via rect decomposition: |A1∩A2|=3, |A1∩B2|=0, |B1∩A2|=1, |B1∩B2|=0
+    assert(math.abs(Geometry.intersectionAreaWkt(lShape, l2) - 4.0) < 1e-9)
+    // donut ∩ left half [0,2]×[0,4]: 8 - hole part [1,2]×[1,3]=2 → 6
+    val leftHalf = "POLYGON ((0 0, 2 0, 2 4, 0 4, 0 0))"
+    assert(math.abs(Geometry.intersectionAreaWkt(donut, leftHalf) - 6.0) < 1e-9)
+    // multi ∩ [0.5, 2.5]×[0,1]: 0.5 + 0.5 = 1
+    val band = "POLYGON ((0.5 0, 2.5 0, 2.5 1, 0.5 1, 0.5 0))"
+    assert(math.abs(Geometry.intersectionAreaWkt(multi, band) - 1.0) < 1e-9)
+    // convex fast path agrees with the general path
+    val sq = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    assert(math.abs(Geometry.intersectionAreaWkt(lShape, sq) -
+      Geometry.intersectionPiecesGeneral(lShape, sq)
+        .map(p => math.abs(Geometry.signedArea(p))).sum) < 1e-9)
+  }
+
+  test("stIntersectionWkt general output round-trips through stArea") {
+    val l2 = "POLYGON ((1 1, 5 1, 5 5, 3 5, 3 3, 1 3, 1 1))"
+    val df = Seq((lShape, l2), (donut, "POLYGON ((0 0, 2 0, 2 4, 0 4, 0 0))"))
+      .toDF("a", "b")
+      .withColumn("piece", GeoFns.stIntersectionWkt(col("a"), col("b")))
+      .withColumn("area_direct", GeoFns.stIntersectionArea(col("a"), col("b")))
+      .withColumn("area_piece", GeoFns.stArea(col("piece")))
+    val rows = df.select("area_direct", "area_piece").collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("geomIntersects is exact: bbox overlap of disjoint shapes is NOT adjacency") {
+    // two triangles whose bboxes overlap at a corner but that never touch
+    val t1 = "POLYGON ((0 0, 10 0, 0 10, 0 0))"
+    val t2 = "POLYGON ((10 10, 20 10, 10 20, 10 10))"
+    assert(Geometry.bboxOverlaps(Geometry.parseGeom(t1), Geometry.parseGeom(t2)))
+    assert(!Geometry.geomIntersects(t1, t2))
+    // shared vertex → adjacent (Queen)
+    val t3 = "POLYGON ((10 0, 20 0, 10 10, 10 0))"
+    assert(Geometry.geomIntersects(t1, t3))
+    // shared edge → adjacent
+    val sq2 = "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"
+    assert(Geometry.geomIntersects(unitSq, sq2))
+    assert(Geometry.geomTouchesOnly(unitSq, sq2))
+    // containment without boundary crossing → intersects, not touches-only
+    val inner = "POLYGON ((2 2, 3 2, 3 3, 2 3, 2 2))"
+    assert(Geometry.geomIntersects(unitSq, inner))
+    assert(!Geometry.geomTouchesOnly(unitSq, inner))
+    // overlap → intersects, not touches-only
+    val shifted = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+    assert(Geometry.geomIntersects(unitSq, shifted))
+    assert(!Geometry.geomTouchesOnly(unitSq, shifted))
+  }
+
   test("zonalStats: per-region sum/max/count") {
     val px = Seq((1.0, 1.0, 2.0), (2.0, 2.0, 3.0), (11.0, 1.0, 7.0)).toDF("x", "y", "v")
     val polys = Seq(("A", unitSq), ("B", "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"))

@@ -54,6 +54,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ac.getAs[Double]("centroid_km") > 0)
   }
 
+  test("generateTransmission: adjacent-but-unconnected regions get zero-capacity AC edges") {
+    // R3 touches R2 (shared edge x=2) but no line reaches it; R4 is far away.
+    val regions4 = Seq(
+      ("R1", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+      ("R2", "POLYGON ((1 0, 2 0, 2 2, 1 2, 1 0))"),
+      ("R3", "POLYGON ((2 0, 3 0, 3 1, 2 1, 2 0))"),
+      ("R4", "POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))"))
+      .toDF("region", "wkt")
+    val grid = GridPipeline.cleanGridKit(rawGrid, GridPipeline.defaultVoltageLimits(spark))
+    val got = GridPipeline.generateTransmission(grid, regions4, assumptions).collect()
+    val key = got.map(r => (r.getAs[String]("region_start"), r.getAs[String]("region_end"),
+      r.getAs[String]("tr_type"))).toSet
+    // candidate Queen pairs: R1-R2, R2-R3 (and R1-R3 touch only at (2,?)— no:
+    // R1 ends at x=1, R3 starts at x=2 → not adjacent); R4 isolated.
+    assert(key.contains(("R2", "R3", "AC")), "adjacent unconnected pair appears")
+    assert(!key.exists(k => k._1 == "R4" || k._2 == "R4"), "distant region stays isolated")
+    assert(!key.contains(("R1", "R3", "AC")), "non-touching pair absent")
+    val r23 = got.find(r => r.getAs[String]("region_start") == "R2" &&
+      r.getAs[String]("region_end") == "R3").get
+    assert(r23.getAs[Double]("capacity_mva") == 0.0, "zero-fill capacity")
+    assert(r23.getAs[Long]("n_lines") == 0L)
+    // candidate edge length falls back to the centroid distance
+    assert(r23.getAs[Double]("length_km") == r23.getAs[Double]("centroid_km"))
+    assert(r23.getAs[Double]("efficiency") < 1.0 && r23.getAs[Double]("efficiency") > 0.9)
+  }
+
   // ── load chain ─────────────────────────────────────────────────────────
   test("cleanLoad: coverage scaling, country recode + merge, keyed hours") {
     val raw = Seq(
