@@ -72,7 +72,9 @@ object ModelExport {
   def evrysDemand(demandTs: DataFrame): DataFrame =
     demandTs.select(col("t"), col("region").as("sit"), col("value"))
 
-  /** S10: one sheet = one CSV directory under `dir/<sheet>` + S11 sidecar. */
+  /** S10: one sheet = one CSV directory under `dir/<sheet>` + S11 sidecar
+    * (the distributed-sink form; arbitrarily large sheets).
+    */
   def writeWorkbook(dir: String, sheets: Map[String, DataFrame],
       params: Map[String, String] = Map.empty): Unit = {
     sheets.foreach { case (name, df) =>
@@ -81,5 +83,18 @@ object ModelExport {
       graft.sources.JsonSidecar.write(s"$dir/$name", params,
         inputPaths = Nil, caller = "ModelExport.writeWorkbook")
     }
+  }
+
+  /** S10: one real multi-sheet .xlsx + S11 sidecar — the reference's actual
+    * output format (generate_models.py writes urbs/evrys workbooks via
+    * xlsxwriter). Sheets are driver-collected: model workbooks are small
+    * final artifacts; big relations use [[writeWorkbook]].
+    */
+  def writeWorkbookXlsx(spark: org.apache.spark.sql.SparkSession, path: String,
+      sheets: Seq[(String, DataFrame)],
+      params: Map[String, String] = Map.empty): Unit = {
+    graft.sources.ExcelTable.write(spark, path, sheets)
+    graft.sources.JsonSidecar.write(path, params,
+      inputPaths = Nil, caller = "ModelExport.writeWorkbookXlsx")
   }
 }

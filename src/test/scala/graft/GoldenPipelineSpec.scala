@@ -115,5 +115,14 @@ class GoldenPipelineSpec extends AnyFunSuite {
     val demandBack = spark.read.option("header", "true").csv(s"$dir/Demand")
     assert(demandBack.count() == 48)
     assert(demandBack.columns.toSet == Set("t", "R1", "R2"))
+
+    // real-XLSX workbook sink (S10): same sheets, one .xlsx, read back
+    val xlsx = s"$dir/urbs.xlsx"
+    ModelExport.writeWorkbookXlsx(spark, xlsx, sheets.toSeq, Map("year" -> "2015"))
+    assert(graft.sources.ExcelTable.sheetNames(spark, xlsx).toSet == sheets.keySet)
+    val trBack = graft.sources.ExcelTable.read(spark, xlsx, sheet = "Transmission")
+    assert(trBack.columns.toSeq ==
+      Seq("Site In", "Site Out", "Transmission", "Commodity", "eff", "inv-cost", "inst-cap", "cap-up"))
+    assert(trBack.count() == sheets("Transmission").count())
   }
 }
