@@ -77,6 +77,73 @@ object SpatialOps {
         "__xmin", "__ymin", "__xmax", "__ymax", wktCol)
   }
 
+  /** Scanline crossings of a geometry at height y: sorted x-interval pairs
+    * [lo, hi) where the scanline is inside. Same even–odd, half-open
+    * arithmetic as `Geometry.containsXY`, so membership is IDENTICAL —
+    * computed once per (polygon, pixel row) instead of once per pixel.
+    */
+  private val scanIntervals = udf { (wkt: String, y: Double) =>
+    val g = graft.geo.Geometry.geomCached(wkt)
+    val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var gi = 0
+    while (gi < g.length) {
+      for (ring <- g(gi).rings) {
+        var j = ring.length - 1
+        var i = 0
+        while (i < ring.length) {
+          val pi = ring(i); val pj = ring(j)
+          if ((pi.y > y) != (pj.y > y))
+            xs += (pj.x - pi.x) * (y - pi.y) / (pj.y - pi.y) + pi.x
+          j = i; i += 1
+        }
+      }
+      gi += 1
+    }
+    val s = xs.sorted
+    (0 until s.length / 2).map(k => Seq(s(2 * k), s(2 * k + 1)))
+  }
+
+  /** J5/S9/A6 at raster scale — scanline point-in-polygon join. Pixel
+    * centers sit on a regular row grid, so the polygon boundary needs to be
+    * intersected once per (polygon, pixel ROW), not once per pixel:
+    * O(verts · rows + pixels) instead of O(pixels · verts). At the
+    * reference's map size (1.3·10⁸ pixels, 10²–10⁴-vertex country shapes)
+    * that is a ~400× kernel-work reduction; the per-pixel cost collapses to
+    * one broadcast-hash probe on the row id plus interval compares.
+    * Interval table size = rows × polygons (≈10⁵–10⁷ rows) — broadcast
+    * here; shuffle-join on `rowCol` instead if polygons × rows outgrows a
+    * broadcast. Semantics identical to [[pointInPolygonJoin]] (proven in
+    * GeoSpec on concave / hole / multipolygon fixtures).
+    */
+  def scanlinePointInPolygonJoin(grid: DataFrame, xCol: String, yCol: String,
+      rowCol: String, polys: DataFrame, wktCol: String,
+      how: String = "inner"): DataFrame = {
+    val rowYs = grid.select(col(rowCol).as("__row"), col(yCol).as("__y")).distinct()
+    val b = withBbox(polys, wktCol)
+    val iv = rowYs.join(broadcast(b),
+        col("__y") >= col("__ymin") && col("__y") <= col("__ymax"))
+      .withColumn("__iv", explode(scanIntervals(col(wktCol), col("__y"))))
+      .withColumn("__xlo", element_at(col("__iv"), 1))
+      .withColumn("__xhi", element_at(col("__iv"), 2))
+      .drop("__iv", "__y", "__xmin", "__ymin", "__xmax", "__ymax", wktCol)
+    grid.join(broadcast(iv),
+        col(rowCol) === col("__row") && col(xCol) >= col("__xlo") && col(xCol) < col("__xhi"),
+        how)
+      .drop("__row", "__xlo", "__xhi")
+  }
+
+  /** A6 zonal statistics on the scanline path (raster-scale variant of
+    * [[zonalStats]]).
+    */
+  def zonalStatsScanline(pixels: DataFrame, xCol: String, yCol: String,
+      rowCol: String, valueCol: String, polys: DataFrame, wktCol: String,
+      regionCol: String): DataFrame =
+    scanlinePointInPolygonJoin(pixels, xCol, yCol, rowCol, polys, wktCol)
+      .groupBy(col(regionCol))
+      .agg(sum(col(valueCol)).as("zonal_sum"),
+        max(col(valueCol)).as("zonal_max"),
+        count(lit(1)).as("zonal_count"))
+
   /** J6: polygon overlay — `intersection_subregions_countries`
     * (code/lib/spatial_functions.py:225-276): every intersecting
     * (subregion, country) pair yields a piece named "SUB_COUNTRY" with the

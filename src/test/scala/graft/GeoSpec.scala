@@ -144,6 +144,27 @@ class GeoSpec extends AnyFunSuite {
     assert(!Geometry.geomTouchesOnly(unitSq, shifted))
   }
 
+  test("scanlinePointInPolygonJoin matches per-pixel join on concave/hole/multi shapes") {
+    // 40×40 pixel grid with unit cells, centers at (c+0.5, r+0.5)
+    val grid = graft.sources.InputMaps.pixelGrid(spark, 40, 40, 0, 0, 40, 40)
+    val polys = Seq(
+      ("L", "POLYGON ((0 0, 20 0, 20 10, 10 10, 10 20, 0 20, 0 0))"),
+      ("D", "POLYGON ((20 20, 38 20, 38 38, 20 38, 20 20), (25 25, 33 25, 33 33, 25 33, 25 25))"),
+      ("M", "MULTIPOLYGON (((0 25, 6 25, 6 31, 0 31, 0 25)), ((0 33, 6 33, 6 39, 0 39, 0 33)))"),
+      ("T", "POLYGON ((25 0, 39 0, 25 14, 25 0))"))
+      .toDF("region", "wkt")
+    def key(df: org.apache.spark.sql.DataFrame) = df.select("row", "col", "region")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val perPixel = key(SpatialOps.pointInPolygonJoin(grid, "x", "y", polys, "wkt"))
+    val scanline = key(SpatialOps.scanlinePointInPolygonJoin(grid, "x", "y", "row", polys, "wkt"))
+    assert(perPixel.nonEmpty)
+    assert(scanline == perPixel)
+    // left join keeps unmatched pixels with null region in both
+    val leftA = SpatialOps.pointInPolygonJoin(grid, "x", "y", polys, "wkt", "left").count()
+    val leftB = SpatialOps.scanlinePointInPolygonJoin(grid, "x", "y", "row", polys, "wkt", "left").count()
+    assert(leftA == leftB && leftB >= 1600)
+  }
+
   test("zonalStats: per-region sum/max/count") {
     val px = Seq((1.0, 1.0, 2.0), (2.0, 2.0, 3.0), (11.0, 1.0, 7.0)).toDF("x", "y", "v")
     val polys = Seq(("A", unitSq), ("B", "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"))
