@@ -553,6 +553,31 @@ object SparkEntry {
         .select(col("zone_a"), col("zone_b"))
     }),
 
+    // Transitive dedup clustering: connected components by iterative
+    // min-label propagation over a deterministic chain construction
+    // (consecutive doc ids within groups of 8 → diameter-7 components).
+    // Oracle: component = floor(id/8)*8, pure arithmetic.
+    "q65_connected_components" -> ((s, dir) => {
+      val pairs = t(s, dir, "documents")
+        .filter(col("doc_id") % 8 =!= 7)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .select(col("id").as("doc_id"), col("comp"))
+    }),
+
+    // S4 CRS leg: reproject Web-Mercator meters to lon/lat at ingestion
+    // (the reference's .to_crs(epsg:4326) normalization). The inverse
+    // Mercator is closed-form, so DuckDB reproduces it exactly.
+    "q66_crs_reproject" -> ((s, dir) => {
+      import graft.geo.CrsFns
+      val pts = t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") % 3600) * 10000 - 18000000).cast("double").as("mx"),
+        ((col("s_suppkey") % 1700) * 10000 - 8400000).cast("double").as("my"))
+      pts.select(col("s_suppkey"),
+        round(CrsFns.toLon(lit(3857), col("mx"), col("my")), 6).as("lon"),
+        round(CrsFns.toLat(lit(3857), col("mx"), col("my")), 6).as("lat"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1354,6 +1379,21 @@ object SparkEntry {
         |WHERE abs((a.i % 5) - (b.i % 5)) <= 1
         |  AND abs((a.i // 5) - (b.i // 5)) <= 1
         |  AND NOT ((b.i % 5) - (a.i % 5) = 1 AND (b.i // 5) - (a.i // 5) = 1)""".stripMargin,
+
+    "q65_connected_components" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 8 <> 7),
+        |nodes AS (SELECT doc_id AS id FROM d UNION SELECT doc_id + 1 FROM d)
+        |SELECT id AS doc_id, (id // 8) * 8 AS comp FROM nodes""".stripMargin,
+
+    "q66_crs_reproject" ->
+      """WITH p AS (SELECT s_suppkey,
+        |  CAST((s_suppkey % 3600) * 10000 - 18000000 AS DOUBLE) AS mx,
+        |  CAST((s_suppkey % 1700) * 10000 - 8400000 AS DOUBLE) AS my
+        |  FROM supplier)
+        |SELECT s_suppkey,
+        |  round(degrees(mx / 6378137.0), 6) AS lon,
+        |  round(degrees(2 * atan(exp(my / 6378137.0)) - pi() / 2), 6) AS lat
+        |FROM p""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

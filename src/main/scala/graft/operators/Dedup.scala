@@ -118,6 +118,73 @@ object Dedup {
     exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: each round every node takes the minimum label
+    * among itself and its neighbors; fixpoint = every component labeled by
+    * its minimum member id. Rounds needed = graph diameter (near-dup
+    * clusters are shallow — boilerplate stars and short chains);
+    * `maxIters` bounds the work and non-convergence FAILS LOUDLY rather
+    * than returning a partial clustering. Each round is one self-join +
+    * one groupBy on (id, label) rows — 16 B/row shuffles. At 100 TB the
+    * log-diameter large-star/small-star variant drops in behind the same
+    * signature; plain propagation is the right shape for the shallow
+    * components dedup produces.
+    *
+    * Returns (id, component) for every id appearing in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 12): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected adjacency, plus the self-loop that keeps isolated-by-now
+    // labels visible to the min
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true) // cut lineage: edges are reused every round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("__nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
+        .localCheckpoint(true) // bounded plan depth across rounds
+      val changed = next.join(labels.withColumnRenamed("comp", "__old"), "id")
+        .filter(col("comp") =!= col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — component " +
+        "diameter exceeds the bound; raise maxIters (or switch to the " +
+        "large-star/small-star variant for deep graphs)")
+    labels
+  }
+
+  /** [[dedupCorpus]] with TRANSITIVE clustering: verified near-dup pairs
+    * are closed into connected components and exactly one document (the
+    * minimum id) survives per component — the policy large-corpus dedup
+    * ships with (chains linked only through removed members collapse too).
+    */
+  def dedupCorpusTransitive(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      maxIters: Int = 12): DataFrame = {
+    val exact0 = exact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+      .join(docs, Seq(idCol))
+    val cands = minhashCandidatePairs(exact0, idCol, textCol, shingleN, k, bands)
+    val verified = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+    val comps = connectedComponents(verified, "id1", "id2", maxIters)
+    // survivors: component minima (== their own label) + untouched docs
+    val removed = comps.filter(col("id") =!= col("comp")).select(col("id").as("__removed"))
+    exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold within LSH buckets.
     * See Similarity.annLsh for the bucketing rationale.
     */

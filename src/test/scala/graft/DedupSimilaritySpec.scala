@@ -57,6 +57,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.contains(4L) && out.contains(5L), "unrelated docs survive")
   }
 
+  test("connectedComponents labels chains, stars, and pairs by their minimum") {
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (11L, 10L), (10L, 12L), (13L, 10L), (21L, 20L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 4L).forall(got(_) == 1L), "chain collapses to min")
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), "star collapses to min")
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 10)
+  }
+
+  test("connectedComponents throws on non-convergence within maxIters") {
+    val chain = (1L to 9L).map(i => (i, i + 1)).toDF("id1", "id2") // diameter 9
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id1", "id2", maxIters = 3).collect()
+    }
+  }
+
+  test("dedupCorpusTransitive collapses clusters linked only via a removed member") {
+    // doc 3 is a near-dup of BOTH 1 and 2, but 1 and 2 are below threshold
+    // of each other: pairwise policy keeps {1, 2}; transitive keeps {1}.
+    val core = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"$core alpha beta"),
+      (2L, s"gamma delta $core"),
+      (3L, core),
+      (9L, "totally unrelated content about something else entirely here now"))
+      .toDF("doc_id", "text")
+    val pairwise = Dedup.dedupCorpus(corpus, "doc_id", "text",
+      threshold = 0.9, shingleN = 3, k = 16, bands = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pairwise == Set(1L, 2L, 9L), s"pairwise keeps both ends: $pairwise")
+    val transitive = Dedup.dedupCorpusTransitive(corpus, "doc_id", "text",
+      threshold = 0.9, shingleN = 3, k = 16, bands = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(transitive == Set(1L, 9L), s"one survivor per component: $transitive")
+  }
+
   test("bruteForceTopK returns self first, then nearest") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
