@@ -72,10 +72,18 @@ object Similarity {
     // ((id mod 2^31) * 2654435761) mod 2^32, ties on id. The inner mod
     // keeps the product < 2^62 for arbitrarily large ids (ANSI-safe).
     val idHash = pmod(pmod(col("cid"), lit(2147483648L)) * 2654435761L, lit(4294967296L))
-    val centroids: Array[(Long, Array[Double])] = vecs
+    // numeric-id contract (the SQL-reproducible centroid hash needs it) —
+    // enforced loudly instead of NPE-ing on a null cast; null embeddings
+    // are dropped up front (they can be near nothing).
+    val clean = vecs.filter(col(vecCol).isNotNull)
+    val centroids: Array[(Long, Array[Double])] = clean
       .select(col(idCol).cast("long").as("cid"), col(vecCol).cast("array<double>").as("cvec"))
       .orderBy(idHash.asc, col("cid").asc).limit(nLists)
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"ivfTopK requires numeric (long-castable) ids; '$idCol' cast to null")
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }
     def sqDist(a: Seq[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
       while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
@@ -95,7 +103,7 @@ object Similarity {
     val probeLists: Seq[Long] = centroids
       .map { case (cid, cv) => (sqDist(query, cv), cid) }
       .sorted.take(nProbe).map(_._2).toSeq
-    vecs.withColumn("__list", assign(col(vecCol).cast("array<double>")))
+    clean.withColumn("__list", assign(col(vecCol).cast("array<double>")))
       .filter(col("__list").isin(probeLists: _*))
       .select(col(idCol), VectorFns.cosine(col(vecCol), q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol).asc)
