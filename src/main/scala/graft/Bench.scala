@@ -1,5 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE compact JSON line for the driver.
+  *
+  * The driver captures only the LAST 2000 chars of output, so the line must
+  * stay well under that or it is truncated and unparseable (this happened in
+  * round 2: 66 full-precision query timings pushed the line past the tail
+  * window and the round got no perf grade). We therefore emit short query
+  * keys (the `qNN` prefix) rounded to milliseconds — ~14 chars/query keeps
+  * the line under ~1.3 KB even at 80 queries. Full-precision, full-name
+  * timings go to BENCH_LOCAL.json next to the repo for local analysis.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,10 +36,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-name, full-precision record for local analysis (not stdout).
+    try {
+      val full = results.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.write(p,
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+          .getBytes("UTF-8"))
+    } catch { case _: Throwable => }
+
+    // Compact driver line: qNN keys, millisecond precision.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) =>
+      val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
+      s""""$short":${ms(v)}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    require(line.length < 1800, s"bench line too long: ${line.length}")
+    println(line)
     spark.stop()
   }
 }
