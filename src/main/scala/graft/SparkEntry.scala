@@ -578,6 +578,50 @@ object SparkEntry {
         round(CrsFns.toLat(lit(3857), col("mx"), col("my")), 6).as("lat"))
     }),
 
+    // S4/S7 codec leg: REAL .shp/.dbf binary round trip. Region rectangles
+    // (as q20) are written as an ESRI shapefile, read back through the
+    // binary parser, and drive the same spatial join — so the oracle is
+    // pure BETWEEN arithmetic on parquet and any codec corruption
+    // (ring orientation, DBF typing, record framing) breaks the hash.
+    "q67_shp_roundtrip" -> ((s, dir) => {
+      val polys = t(s, dir, "region").select(col("r_name"),
+        format_string("POLYGON ((%d 0, %d 0, %d 100, %d 100, %d 0))",
+          col("r_regionkey") * 20, col("r_regionkey") * 20 + 20,
+          col("r_regionkey") * 20 + 20, col("r_regionkey") * 20,
+          col("r_regionkey") * 20).as("geometry"))
+      val base = java.nio.file.Files.createTempDirectory("graft_shp")
+        .resolve("regions").toString
+      graft.sources.Shapefile.write(polys, "geometry", base)
+      val back = graft.sources.Shapefile.read(s, base)
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") % 100 + 0.5).cast("double").as("x"),
+        ((col("c_custkey") * 7) % 100 + 0.5).cast("double").as("y"))
+      SpatialOps.pointInPolygonJoin(pts, "x", "y", back, "geometry")
+        .groupBy(col("r_name")).agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // S5/S8 codec leg: REAL GeoTIFF (float32 + PackBits + geo tags)
+    // round trip with a windowed, executor-side decode. Per-cell event
+    // counts are burned into a 30x40 raster, written as GeoTIFF, read
+    // back through a 20x20 window, and re-aggregated per row. Counts are
+    // integers (exact in float32), so DuckDB reproduces the sums exactly.
+    "q68_geotiff_roundtrip" -> ((s, dir) => {
+      import graft.sources.GeoTiff
+      val cells = events(s, dir).select(
+        (col("user_id") % 30).cast("int").as("row"),
+        (col("event_id") % 40).cast("int").as("col"))
+        .groupBy("row", "col").agg(count(lit(1)).cast("double").as("value"))
+      val gi = GeoTiff.GeoInfo(rows = 30, cols = 40,
+        x0 = 0.0, y0 = 30.0, resX = 1.0, resY = 1.0)
+      val path = java.nio.file.Files.createTempDirectory("graft_tif")
+        .resolve("counts.tif").toString
+      GeoTiff.write(cells, gi, path)
+      GeoTiff.read(s, path, window = Some((5, 10, 24, 29)), bandRows = 8)
+        .groupBy(col("row").cast("long").as("row"))
+        .agg(sum(col("value")).cast("long").as("pixel_sum"),
+          count(lit(1)).as("n_cells"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1394,6 +1438,26 @@ object SparkEntry {
         |  round(degrees(mx / 6378137.0), 6) AS lon,
         |  round(degrees(2 * atan(exp(my / 6378137.0)) - pi() / 2), 6) AS lat
         |FROM p""".stripMargin,
+
+    "q67_shp_roundtrip" ->
+      """SELECT r_name, count(*) AS n_customers
+        |FROM customer JOIN region
+        |  ON (c_custkey % 100 + 0.5) >= r_regionkey * 20
+        | AND (c_custkey % 100 + 0.5) < r_regionkey * 20 + 20
+        |GROUP BY r_name""".stripMargin,
+
+    "q68_geotiff_roundtrip" ->
+      """WITH cells AS (
+        |  SELECT CAST(user_id % 30 AS BIGINT) AS r,
+        |         CAST(event_id % 40 AS BIGINT) AS c, count(*) AS n
+        |  FROM events
+        |  WHERE user_id % 30 BETWEEN 5 AND 24 AND event_id % 40 BETWEEN 10 AND 29
+        |  GROUP BY 1, 2),
+        |rws AS (SELECT CAST(range AS BIGINT) AS row FROM range(5, 25))
+        |SELECT rws.row AS row, CAST(coalesce(sum(cells.n), 0) AS BIGINT) AS pixel_sum,
+        |       CAST(20 AS BIGINT) AS n_cells
+        |FROM rws LEFT JOIN cells ON cells.r = rws.row
+        |GROUP BY rws.row""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),
