@@ -622,6 +622,62 @@ object SparkEntry {
           count(lit(1)).as("n_cells"))
     }),
 
+    // Decontamination: flag corpus docs sharing a word 3-gram with the
+    // "benchmark" slice (doc_id % 97 == 0). Benchmark grams broadcast;
+    // corpus side explodes map-side — the 100 TB shape.
+    "q69_decontaminate" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && TextFns.tokenCount(col("text")) >= 3)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      Curation.decontaminate(docs, "doc_id", "text", bench, "text", n = 3)
+        .select(col("doc_id"), col("hits").cast("long").as("hits"))
+    }),
+
+    // Deterministic stratified hash sampling: per-language dyadic
+    // fractions (exact in both engines' integer arithmetic), decision a
+    // pure function of doc_id — reproducible, map-side, no RNG state.
+    "q70_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Curation
+      val fr = Seq(("en", 0.5), ("de", 0.25), ("es", 0.125),
+        ("fr", 0.75), ("zh", 0.0625)).toDF("lang", "fraction")
+      Curation.stratifiedHashSample(t(s, dir, "documents"), "doc_id", "lang", fr)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // Sequence packing: cumulative-sum bin assignment into 256-token
+    // context windows, sharded so no task sees the whole corpus; output
+    // is the per-bin occupancy audit.
+    "q71_pack_sequences" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          TextFns.tokenCount(col("text")).cast("long").as("toks0"))
+      val packed = Curation.packSequences(docs, "doc_id", "toks0",
+        budget = 256, shardCol = "shard")
+      Curation.packingStats(packed, "toks0", budget = 256, shardCol = "shard")
+    }),
+
+    // PII redaction: plant deterministic emails/phones/SSNs, scrub to
+    // typed placeholders, count per class. Pure codegen regexp — and the
+    // oracle re-runs the identical regex chain in DuckDB.
+    "q72_redact_pii" -> ((s, dir) => {
+      import graft.operators.Curation
+      val planted = t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), concat(
+          substring(col("text"), 1, 40),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          when(col("doc_id") % 3 === 0, lit(" ssn 123-45-6789"))
+            .otherwise(lit(""))).as("text"))
+      Curation.redactPii(planted, "text")
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ssn"),
+          col("text").as("redacted"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1458,6 +1514,75 @@ object SparkEntry {
         |       CAST(20 AS BIGINT) AS n_cells
         |FROM rws LEFT JOIN cells ON cells.r = rws.row
         |GROUP BY rws.row""".stripMargin,
+
+    "q69_decontaminate" ->
+      """WITH eligible AS (
+        |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
+        |  WHERE text IS NOT NULL
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 3),
+        |toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lt, '\s+')) AS w,
+        |    unnest(range(1, len(regexp_split_to_array(lt, '\s+')) + 1)) AS pos
+        |  FROM eligible),
+        |tri AS (
+        |  SELECT DISTINCT doc_id,
+        |    w || ' ' || lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      || ' ' || lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM toks
+        |  QUALIFY lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL),
+        |bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % 97 = 0)
+        |SELECT t.doc_id, count(*) AS hits
+        |FROM tri t JOIN bench b ON b.g = t.g
+        |GROUP BY 1""".stripMargin,
+
+    "q70_stratified_sample" ->
+      """WITH fr AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.25),
+        |  ('es', 0.125), ('fr', 0.75), ('zh', 0.0625)) AS t(lang, fraction))
+        |SELECT doc_id, d.lang
+        |FROM documents d JOIN fr ON fr.lang = d.lang
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648
+        |      < CAST(fraction * 2147483648 AS BIGINT)""".stripMargin,
+
+    "q71_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    least(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT),
+        |          256) AS toks
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (SELECT *, sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM d)
+        |SELECT shard, CAST(floor((cum - toks) / 256.0) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS fill,
+        |  round(CAST(sum(toks) AS BIGINT) / 256.0, 6) AS fill_ratio
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "q72_redact_pii" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || doc_id ||
+        |    '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |step AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |      AS after_email
+        |  FROM planted),
+        |step2 AS (
+        |  SELECT *, regexp_replace(after_email, '\d{3}-\d{2}-\d{4}', '<SSN>', 'g')
+        |    AS after_ssn
+        |  FROM step)
+        |SELECT doc_id,
+        |  len(regexp_split_to_array(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS n_email,
+        |  len(regexp_split_to_array(after_ssn,
+        |    '\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}')) - 1 AS n_phone,
+        |  len(regexp_split_to_array(after_email, '\d{3}-\d{2}-\d{4}')) - 1 AS n_ssn,
+        |  regexp_replace(after_ssn,
+        |    '\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}', '<PHONE>', 'g') AS redacted
+        |FROM step2""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

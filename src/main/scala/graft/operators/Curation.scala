@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: benchmark decontamination, deterministic
+  * sampling, sequence packing, and PII redaction. All are declarative
+  * DataFrame plans (codegen-friendly, no driver loops); each has a full
+  * DuckDB oracle (q69–q72).
+  */
+object Curation {
+
+  // ----------------------------------------------------------- decontam
+
+  /** Benchmark decontamination: flag every document sharing at least one
+    * word n-gram with the benchmark corpus (the standard "remove training
+    * docs that leak eval data" pass; 13-grams in the original GPT-3
+    * methodology — `n` is a parameter because test docs are short).
+    *
+    * Shape at 100 TB: benchmark n-grams are a SMALL relation (eval suites
+    * are MBs) — distinct them and broadcast; the corpus side explodes to
+    * n-grams map-side and left-semi-joins against the broadcast, so the
+    * only wide thing is the corpus scan itself. `hits` is the distinct
+    * count of leaked n-grams per doc (groupBy on doc_id after the
+    * broadcast join — partial-aggregated map-side).
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextFns.wordShingles(col(benchTextCol), n)).as("gram"))
+      .distinct()
+    val docGrams = docs.select(col(idCol),
+      explode(TextFns.wordShingles(col(textCol), n)).as("gram"))
+    docGrams.join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
+  }
+
+  /** Corpus minus contaminated docs (the removal form). */
+  def decontaminated(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    val bad = decontaminate(docs, idCol, textCol, benchmark, benchTextCol, n)
+      .select(col(idCol))
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+
+  // ----------------------------------------------------- hash sampling
+
+  /** Deterministic content-hash sampling: keep a row iff
+    * `(key * KnuthMult) mod 2^31 < fraction * 2^31`.
+    *
+    * This is how reproducible pipeline sampling actually ships (not RNG
+    * `sample()`): the decision is a pure function of the key, so re-runs,
+    * retries and multi-stage pipelines agree without coordination, and
+    * any engine (here: DuckDB) reproduces the exact row set. Map-side
+    * only — no shuffle, no state.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    df.filter(sampleBucket(col(keyCol)) < (lit((fraction * (1L << 31)).toLong)))
+  }
+
+  /** The sampling bucket in [0, 2^31): Knuth multiplicative hash of the
+    * key. The key is pre-reduced mod 2^31 so the product stays under
+    * 2^62 — no ANSI-mode overflow, and DuckDB BIGINT arithmetic matches
+    * bit-for-bit.
+    */
+  def sampleBucket(key: Column): Column =
+    pmod(pmod(key.cast("long"), lit(1L << 31)) * lit(2654435761L), lit(1L << 31))
+
+  /** Stratified deterministic sampling: per-stratum fractions (the
+    * `sampleBy` contract) with the same hash rule, so each stratum's
+    * row set is exact and reproducible. Fractions arrive as a relation
+    * (stratumCol, fraction) — broadcast-joined, not collected.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+      fractions: DataFrame): DataFrame = {
+    df.join(broadcast(fractions), Seq(stratumCol))
+      .filter(sampleBucket(col(keyCol)) <
+        (col("fraction") * (1L << 31)).cast("long"))
+      .drop("fraction")
+  }
+
+  // --------------------------------------------------- sequence packing
+
+  /** Sequence packing: assign documents to fixed-budget context windows
+    * (bins) for training, streaming in a deterministic order. The
+    * distributed form is cumulative-sum packing: within each shard,
+    * bin = floor((cumsum(tokens) - tokens) / budget) — one window pass,
+    * no driver loop, ≥ 50% occupancy guaranteed when docs ≤ budget
+    * (each bin boundary wastes < one doc).
+    *
+    * Shards partition the window so no single task sees the whole
+    * corpus; bin ids are (shard, bin_in_shard). Docs longer than the
+    * budget get their own bin (truncation policy belongs upstream).
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+      budget: Int, shardCol: String): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    val clamped = least(col(tokenCol).cast("long"), lit(budget.toLong))
+    docs
+      .withColumn("bin", ((sum(clamped).over(w) - clamped) / budget).cast("long"))
+  }
+
+  /** Per-bin packing stats (occupancy audit): docs per bin, token fill,
+    * fill ratio against the budget.
+    */
+  def packingStats(packed: DataFrame, tokenCol: String, budget: Int,
+      shardCol: String): DataFrame =
+    packed.groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col(tokenCol).cast("long"), lit(budget.toLong))).as("fill"))
+      .withColumn("fill_ratio", round(col("fill") / budget.toDouble, 6))
+
+  // ------------------------------------------------------ PII redaction
+
+  /** Email pattern kept deliberately simple + anchored to word chars so
+    * the DuckDB oracle regex behaves identically.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American phone shapes: 555-123-4567, (555) 123-4567, 5551234567. */
+  val PhoneRe = "\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}"
+
+  /** SSN shape 123-45-6789 (hyphenated only — bare 9 digits collide with
+    * phone numbers and ids).
+    */
+  val SsnRe = "\\d{3}-\\d{2}-\\d{4}"
+
+  /** Scrub emails/phones/SSNs to typed placeholder tokens and count the
+    * redactions per doc. Pure codegen'd regexp ops — map-side only.
+    * Order matters: SSN before phone (an SSN is also a phone shape).
+    */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame = {
+    def countOf(c: Column, re: String): Column =
+      size(split(c, re)) - 1
+    val t0 = col(textCol)
+    val afterEmail = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val afterSsn = regexp_replace(afterEmail, SsnRe, "<SSN>")
+    val afterPhone = regexp_replace(afterSsn, PhoneRe, "<PHONE>")
+    docs.withColumn("n_email", countOf(t0, EmailRe).cast("long"))
+      .withColumn("n_ssn", countOf(afterEmail, SsnRe).cast("long"))
+      .withColumn("n_phone", countOf(afterSsn, PhoneRe).cast("long"))
+      .withColumn(textCol, afterPhone)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("decontaminate flags exactly the docs sharing an n-gram") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely different sentence with no overlap here"),
+      (3L, "we observed the quick brown fox in the wild"),
+      (4L, "quick brown unrelated padding words everywhere")) // only a 2-gram
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox ran")).toDF("doc_id", "text")
+    val hits = Curation.decontaminate(docs, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 and 3 share "the quick brown"/"quick brown fox"; 2 and 4 do not
+    assert(hits.keySet == Set(1L, 3L))
+    assert(hits(1L) == 2) // both trigrams leak
+    val clean = Curation.decontaminated(docs, "doc_id", "text", bench, "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+  }
+
+  test("hashSample is deterministic, key-stable and roughly proportional") {
+    val df = spark.range(10000).toDF("id")
+    val a = Curation.hashSample(df, "id", 0.25).select("id").as[Long].collect().toSet
+    val b = Curation.hashSample(df, "id", 0.25).select("id").as[Long].collect().toSet
+    assert(a == b) // pure function of the key
+    assert(math.abs(a.size - 2500) < 250) // ~binomial tolerance
+    // monotone in fraction: smaller sample is a subset of the larger
+    val small = Curation.hashSample(df, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(a.union(small))) // same rule, threshold only
+    assert(Curation.hashSample(df, "id", 0.1)
+      .filter(not(Curation.sampleBucket(col("id")) <
+        lit((0.25 * (1L << 31)).toLong))).count() == 0)
+  }
+
+  test("stratifiedHashSample applies per-stratum fractions; absent stratum drops") {
+    val df = spark.range(8000)
+      .select(col("id"), (when(col("id") % 2 === 0, "a").otherwise("b")).as("s"))
+    val fr = Seq(("a", 1.0), ("c", 0.5)).toDF("s", "fraction")
+    val got = Curation.stratifiedHashSample(df, "id", "s", fr)
+    assert(got.filter(col("s") === "b").count() == 0) // no fraction -> dropped
+    assert(got.filter(col("s") === "a").count() == 4000) // fraction 1.0 keeps all
+  }
+
+  test("packSequences: bins respect the budget up to one doc of overshoot") {
+    val docs = spark.range(500).select(col("id").as("doc_id"),
+      (col("id") % 4).as("shard"),
+      (col("id") % 97 + 5).cast("long").as("toks"))
+    val packed = Curation.packSequences(docs, "doc_id", "toks", 200, "shard")
+    val stats = Curation.packingStats(packed, "toks", 200, "shard")
+    val fills = stats.select("fill").as[Long].collect()
+    // cumulative-sum packing: a bin never exceeds budget + max single doc
+    assert(fills.forall(_ <= 200 + 101))
+    // every bin except possibly the last per shard is at least half full
+    val lastBins = stats.groupBy("shard").agg(max("bin").as("last"))
+      .withColumnRenamed("shard", "shard2")
+    val nonLast = stats.join(lastBins,
+      col("shard") === col("shard2") && col("bin") =!= col("last"))
+    assert(nonLast.filter(col("fill") < 100).count() == 0)
+    // no doc lost or duplicated
+    assert(packed.count() == 500)
+    assert(packed.select("doc_id").distinct().count() == 500)
+  }
+
+  test("packSequences gives oversized docs their own bin space") {
+    val docs = Seq((1L, 0L, 50L), (2L, 0L, 9999L), (3L, 0L, 50L))
+      .toDF("doc_id", "shard", "toks")
+    val packed = Curation.packSequences(docs, "doc_id", "toks", 100, "shard")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bin")).toMap
+    // doc 2 clamps to the budget, filling its window alone
+    assert(packed(2L) != packed(3L))
+  }
+
+  test("redactPii scrubs and counts emails, phones, SSNs in order") {
+    val docs = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org now"),
+      (2L, "call (555) 123-4567 or 555.987.6543"),
+      (3L, "ssn 123-45-6789 phone 555-123-4567"),
+      (4L, "nothing sensitive here"))
+      .toDF("doc_id", "text")
+    val got = Curation.redactPii(docs, "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"),
+          r.getAs[Long]("n_ssn")), r.getAs[String]("text"))).toMap
+    assert(got(1L)._1 == ((2L, 0L, 0L)))
+    assert(got(1L)._2 == "mail <EMAIL> and <EMAIL> now")
+    assert(got(2L)._1 == ((0L, 2L, 0L)))
+    assert(got(3L)._1 == ((0L, 1L, 1L))) // SSN not double-counted as phone
+    assert(got(3L)._2 == "ssn <SSN> phone <PHONE>")
+    assert(got(4L)._1 == ((0L, 0L, 0L)))
+  }
+}
