@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.Curation
+
+/** Scale probe for the curation operators (SCALE.md): replicate the sf0.1
+  * documents table ×N (ids shifted, text varied by a replica suffix) and
+  * measure decontamination, stratified sampling, packing and PII
+  * redaction on the enlarged corpus. Also asserts the load-bearing plan
+  * properties: decontaminate joins via BroadcastHashJoin, sampling and
+  * redaction are exchange-free single stages.
+  */
+object CurationProbe {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[probe] $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(50)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n0 = docs0.count()
+    // ×N replication: shift ids, suffix text with the replica tag so
+    // replicas are near-dups (worst case for gram explosion), not exact.
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val docs = docs0.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        concat_ws(" ", col("text"), concat(lit("rep"), col("rep"))).as("text"),
+        col("lang"))
+      .repartition(64).cache()
+    val n = docs.count()
+    println(s"[probe] corpus: $n0 -> $n docs (x$mult)")
+
+    // benchmark = a fixed small slice of the ORIGINAL docs (eval suites
+    // don't grow with the corpus)
+    val bench = docs0.filter(col("doc_id") % 97 === 0)
+      .filter(col("text").isNotNull && TextFns.tokenCount(col("text")) >= 3)
+
+    val eligible = docs.filter(col("text").isNotNull &&
+      TextFns.tokenCount(col("text")) >= 3)
+    val deconPlan = Curation.decontaminate(eligible, "doc_id", "text",
+      bench, "text", n = 3).queryExecution.executedPlan.toString
+    require(deconPlan.contains("BroadcastHashJoin") ||
+      deconPlan.contains("BroadcastExchange"),
+      s"decontaminate should broadcast benchmark grams:\n$deconPlan")
+    time(s"decontaminate x$mult (3-grams)") {
+      Curation.decontaminate(eligible, "doc_id", "text", bench, "text", 3)
+        .agg(count(lit(1)), sum("hits")).collect()
+    }
+
+    import spark.implicits._
+    val fr = Seq(("en", 0.5), ("de", 0.25), ("es", 0.125),
+      ("fr", 0.75), ("zh", 0.0625)).toDF("lang", "fraction")
+    val samplePlan = Curation.stratifiedHashSample(docs, "doc_id", "lang", fr)
+      .queryExecution.executedPlan.toString
+    require(!samplePlan.contains("ShuffleExchange") ||
+      samplePlan.contains("BroadcastExchange"),
+      s"sampling must not shuffle the corpus:\n$samplePlan")
+    time(s"stratified hash sample x$mult") {
+      Curation.stratifiedHashSample(docs, "doc_id", "lang", fr).count()
+    }
+
+    time(s"pack sequences x$mult (256-tok bins, 64 shards)") {
+      val d = docs.filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("shard"),
+          TextFns.tokenCount(col("text")).cast("long").as("toks"))
+      Curation.packingStats(
+        Curation.packSequences(d, "doc_id", "toks", 256, "shard"),
+        "toks", 256, "shard").agg(count(lit(1)), sum("fill")).collect()
+    }
+
+    time(s"PII redaction x$mult") {
+      Curation.redactPii(docs.filter(col("text").isNotNull), "text")
+        .agg(sum(length(col("text"))), sum("n_email"), sum("n_phone")).collect()
+    }
+
+    spark.stop()
+  }
+}
