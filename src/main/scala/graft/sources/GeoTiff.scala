@@ -1,10 +1,8 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
 import javax.imageio.{ImageIO, ImageReadParam, ImageTypeSpecifier, ImageWriteParam}
 import javax.imageio.metadata.IIOMetadata
 import javax.imageio.plugins.tiff.{BaselineTIFFTagSet, TIFFDirectory, TIFFField, TIFFTag, TIFFTagSet}
-import javax.imageio.stream.MemoryCacheImageInputStream
 import java.awt.Rectangle
 import java.awt.image.BufferedImage
 import org.apache.hadoop.fs.Path
@@ -49,10 +47,20 @@ object GeoTiff {
 
   // ------------------------------------------------------------------ read
 
-  /** Header-only read: dimensions + geotransform. */
+  /** Header-only read: dimensions + geotransform — seeks the IFD through
+    * the positioned-read stream, never fetches pixel data.
+    */
   def info(spark: SparkSession, path: String): GeoInfo = {
-    val bytes = readBytes(spark, path)
-    decodeInfo(bytes)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    require(st.isFile, s"$path: not a plain file")
+    val in = fs.open(p)
+    try {
+      val reader = ImageIO.getImageReadersByFormatName("TIFF").next()
+      reader.setInput(new FsImageInputStream(in, st.getLen))
+      try decodeInfo(reader) finally reader.dispose()
+    } finally in.close()
   }
 
   /** Full or windowed scan of band 1 → pixel relation
@@ -75,23 +83,26 @@ object GeoTiff {
         val stripeList = it.toArray
         if (stripeList.isEmpty) Iterator.empty
         else {
-          // one byte-fetch per partition, shared by its stripes; a fresh
+          // seekable stream straight over the (possibly remote) file: the
+          // TIFF reader then fetches ONLY the strips intersecting each
+          // sourceRegion — no task ever holds the whole file. A fresh
           // Configuration picks up the cluster's default core-site (the
-          // SparkConf-carried overlay isn't reachable through public API)
+          // SparkConf-carried overlay isn't reachable through public API).
           val p = new Path(path)
           val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
           val len = fs.getFileStatus(p).getLen
-          val buf = new Array[Byte](len.toInt)
           val in = fs.open(p)
-          try in.readFully(0, buf) finally in.close()
+          val reader = ImageIO.getImageReadersByFormatName("TIFF").next()
+          reader.setInput(new FsImageInputStream(in, len))
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+            try reader.dispose() finally in.close()
+          }
           stripeList.iterator.flatMap { case (lo, hi) =>
-            val reader = ImageIO.getImageReadersByFormatName("TIFF").next()
-            reader.setInput(new MemoryCacheImageInputStream(new ByteArrayInputStream(buf)))
             val param = reader.getDefaultReadParam
             param.setSourceRegion(new Rectangle(c0, lo, c1 - c0 + 1, hi - lo + 1))
             val img = reader.read(0, param)
             val raster = img.getRaster
-            reader.dispose()
             for {
               rr <- (0 until raster.getHeight).iterator
               cc <- (0 until raster.getWidth).iterator
@@ -116,12 +127,9 @@ object GeoTiff {
       .withColumn("y", lit(gi.y0) - (col("row") + 0.5d) * gi.resY)
   }
 
-  private def decodeInfo(bytes: Array[Byte]): GeoInfo = {
-    val reader = ImageIO.getImageReadersByFormatName("TIFF").next()
-    reader.setInput(new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes)))
+  private def decodeInfo(reader: javax.imageio.ImageReader): GeoInfo = {
     val w = reader.getWidth(0); val h = reader.getHeight(0)
     val dir = TIFFDirectory.createFromMetadata(reader.getImageMetadata(0))
-    reader.dispose()
     def doubles(tag: Int): Option[Array[Double]] =
       Option(dir.getTIFFField(tag)).map { f =>
         (0 until f.getCount).map(f.getAsDouble).toArray
@@ -222,16 +230,55 @@ object GeoTiff {
 
   private class ByteArrayOutputStreamExposed extends java.io.ByteArrayOutputStream
 
-  private def readBytes(spark: SparkSession, path: String): Array[Byte] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    require(st.isFile, s"$path: not a plain file")
-    val in = fs.open(p)
-    try {
-      val buf = new Array[Byte](st.getLen.toInt)
-      in.readFully(0, buf)
-      buf
-    } finally in.close()
+  /** Seekable ImageIO stream over a Hadoop `FSDataInputStream` with a
+    * small read-ahead buffer: positioned reads against hdfs/s3a/local,
+    * no whole-file copy. The TIFF reader seeks to the IFD and then to
+    * exactly the strips its sourceRegion needs.
+    */
+  private class FsImageInputStream(in: org.apache.hadoop.fs.FSDataInputStream,
+      len: Long, bufSize: Int = 1 << 16)
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    private val buf = new Array[Byte](bufSize)
+    private var bufStart: Long = 0L
+    private var bufLen: Int = 0
+
+    private def fill(pos: Long): Unit = {
+      val want = math.min(bufSize.toLong, len - pos).toInt
+      if (want <= 0) { bufStart = pos; bufLen = 0 }
+      else {
+        in.readFully(pos, buf, 0, want)
+        bufStart = pos; bufLen = want
+      }
+    }
+
+    override def read(): Int = {
+      bitOffset = 0
+      if (streamPos >= len) -1
+      else {
+        if (streamPos < bufStart || streamPos >= bufStart + bufLen) fill(streamPos)
+        val b = buf((streamPos - bufStart).toInt) & 0xff
+        streamPos += 1
+        b
+      }
+    }
+
+    override def read(b: Array[Byte], off: Int, n: Int): Int = {
+      bitOffset = 0
+      if (streamPos >= len) -1
+      else {
+        val take = math.min(n.toLong, len - streamPos).toInt
+        if (take >= bufSize) {
+          in.readFully(streamPos, b, off, take) // large read: bypass buffer
+        } else {
+          if (streamPos < bufStart || streamPos + take > bufStart + bufLen) fill(streamPos)
+          System.arraycopy(buf, (streamPos - bufStart).toInt, b, off, take)
+        }
+        streamPos += take
+        take
+      }
+    }
+
+    override def length(): Long = len
   }
+
 }
