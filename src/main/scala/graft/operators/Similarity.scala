@@ -110,6 +110,133 @@ object Similarity {
       .limit(k)
   }
 
+  /** Elementwise array mean as a typed Aggregator: map-side partial sums,
+    * so a k-means iteration shuffles exactly k×(dim+1) doubles per
+    * partition — never the vectors.
+    */
+  private class ArrayMean extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], (Array[Double], Long), Seq[Double]] with Serializable {
+    def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+    def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      if (v == null) b
+      else {
+        val s = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+        var i = 0; val n = math.min(s.length, v.length)
+        while (i < n) { s(i) += v(i); i += 1 }
+        (s, b._2 + 1)
+      }
+    }
+    def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0L) null else b._1.map(_ / b._2).toSeq
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[(Array[Double], Long)]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  private def sqDistArr(a: Seq[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+    while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
+  /** Lloyd k-means over the embedding column. Each iteration is one
+    * map-side argmin against the broadcast centroids plus one k-row
+    * shuffle of elementwise partial sums — the canonical distributed
+    * k-means shape (centroid state is k×dim, driver-held and broadcast;
+    * the data never re-shuffles). Init is the same deterministic hash
+    * sample as [[ivfTopK]], so training is reproducible run-to-run.
+    * Empty clusters keep their previous centroid.
+    */
+  def kmeansCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    val idHash = pmod(pmod(col("cid"), lit(2147483648L)) * 2654435761L, lit(4294967296L))
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("v"))
+    // Farthest-first init (deterministic k-means++ flavor): seed with the
+    // hash-smallest point, then k-1 map-side max-of-min-distance passes.
+    // Avoids the all-seeds-in-one-cluster local minimum that a plain
+    // sample init falls into; each pass moves ONE row to the driver.
+    var cents: Array[Array[Double]] = clean
+      .orderBy(idHash.asc, col("cid").asc).limit(1)
+      .collect().map(_.getSeq[Double](1).toArray)
+    while (cents.length < k) {
+      val bcInit = spark.sparkContext.broadcast(cents)
+      val minDist = udf { (v: Seq[Double]) =>
+        var m = Double.PositiveInfinity
+        bcInit.value.foreach { c => val d = sqDistArr(v, c); if (d < m) m = d }
+        m
+      }
+      val far = clean.select(col("cid"), col("v"), minDist(col("v")).as("d"))
+        .orderBy(col("d").desc, col("cid").asc).limit(1).collect()
+      bcInit.unpersist()
+      if (far.isEmpty) return cents // fewer distinct points than k
+      cents = cents :+ far(0).getSeq[Double](1).toArray
+    }
+    val meanAgg = org.apache.spark.sql.functions.udaf(new ArrayMean)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = udf { (v: Seq[Double]) =>
+        var best = -1; var bestD = Double.PositiveInfinity; var i = 0
+        val cs = bc.value
+        while (i < cs.length) {
+          val d = sqDistArr(v, cs(i))
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        best
+      }
+      val means = clean.groupBy(assign(col("v")).as("list"))
+        .agg(meanAgg(col("v")).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+      bc.unpersist()
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF scan against caller-supplied centroids (e.g. from
+    * [[kmeansCentroids]]): map-side argmin assignment, probe the nProbe
+    * nearest lists, exact cosine rerank inside them. Same zero-shuffle
+    * shape as [[ivfTopK]] — only the centroid source differs.
+    */
+  def ivfTopKTrained(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, centroids: Array[Array[Double]],
+      nProbe: Int = 4): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val clean = vecs.filter(col(vecCol).isNotNull)
+    val bc = vecs.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Double]) =>
+      var best = -1; var bestD = Double.PositiveInfinity; var i = 0
+      val cs = bc.value
+      while (i < cs.length) {
+        val d = sqDistArr(v, cs(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val probeLists: Seq[Int] = centroids.indices
+      .map(i => (sqDistArr(query, centroids(i)), i))
+      .sorted.take(nProbe).map(_._2)
+    clean.withColumn("__list", assign(col(vecCol).cast("array<double>")))
+      .filter(col("__list").isin(probeLists: _*))
+      .select(col(idCol), VectorFns.cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs cosine above a threshold, LSH-restricted (see Dedup.embeddingNearDup). */
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame =

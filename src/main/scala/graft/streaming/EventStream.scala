@@ -36,6 +36,32 @@ object EventStream {
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(hashCols)
 
+  /** Stream-stream interval join: match each left event to right events
+    * for the same key within `[left.ts, left.ts + horizon]`. Both sides
+    * carry watermarks so the join state is evictable (Spark requires an
+    * event-time range condition for exactly this reason); state per side
+    * is bounded by horizon × rate. The same code path is the batch
+    * interval join when both inputs are batch frames.
+    *
+    * Columns are prefixed l_/r_ to keep the output unambiguous.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, horizon: String, watermark: String): DataFrame = {
+    // payload structs exclude key+ts: the watermarked event-time column
+    // must appear exactly once per side, as l_ts / r_ts
+    def payload(df: DataFrame): org.apache.spark.sql.Column =
+      struct(df.columns.filter(c => c != keyCol && c != tsCol).map(col): _*)
+    val l = left.withWatermark(tsCol, watermark)
+    val lSel = l.select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
+      payload(left).as("l"))
+    val r = right.withWatermark(tsCol, watermark)
+    val rSel = r.select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+      payload(right).as("r"))
+    lSel.join(rSel, col("l_key") === col("r_key") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+  }
+
   final case class Point(key: String, ts: java.sql.Timestamp, value: Double)
   final case class FillState(lastGood: Double)
   final case class Filled(key: String, ts: java.sql.Timestamp, value: Double,

@@ -97,3 +97,45 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L)._1 == ((0L, 0L, 0L)))
   }
 }
+
+/** k-means IVF training: convergence and recall on separable clusters. */
+class KMeansIvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.operators.Similarity
+
+  // 4 well-separated clusters in 8-d: center c has coordinate 10c in dim c
+  def clustered() = {
+    spark.range(400).select(col("id"),
+      expr("transform(sequence(0, 7), d -> " +
+        "CASE WHEN d = CAST(id % 4 AS INT) THEN 10.0 * (1 + id % 4) ELSE 0.0 END" +
+        " + 0.01 * pmod(id * (d + 3), 7))").as("embedding"))
+  }
+
+  test("kmeansCentroids recovers separable cluster structure") {
+    val vecs = clustered()
+    val cents = Similarity.kmeansCentroids(vecs, "id", "embedding", k = 4, iters = 6)
+    assert(cents.length == 4)
+    // each true center (dominant dim c with value 10(c+1)) is represented:
+    // some centroid has its max coordinate in dim c with magnitude near 10(c+1)
+    val found = cents.map { c =>
+      val m = c.indices.maxBy(c(_)); (m, c(m))
+    }
+    (0 until 4).foreach { cl =>
+      assert(found.exists { case (d, v) => d == cl && math.abs(v - 10.0 * (cl + 1)) < 1.0 },
+        s"cluster $cl not recovered: ${found.mkString(",")}")
+    }
+  }
+
+  test("trained IVF finds the same top-k as brute force on clustered data") {
+    val vecs = clustered()
+    val query = (0 until 8).map(d => if (d == 2) 30.0 else 0.0) // cluster 2 center
+    val brute = Similarity.bruteForceTopK(vecs, "id", "embedding", query, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val cents = Similarity.kmeansCentroids(vecs, "id", "embedding", 4, 6)
+    val ivf = Similarity.ivfTopKTrained(vecs, "id", "embedding", query, 10,
+      cents, nProbe = 1)
+    val got = ivf.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == brute, s"recall loss: ${brute.diff(got)}") // 1 probe suffices: clusters separable
+  }
+}
