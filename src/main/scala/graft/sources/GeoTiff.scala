@@ -1,8 +1,8 @@
 package graft.sources
 
-import javax.imageio.{ImageIO, ImageReadParam, ImageTypeSpecifier, ImageWriteParam}
+import javax.imageio.{ImageIO, ImageTypeSpecifier, ImageWriteParam}
 import javax.imageio.metadata.IIOMetadata
-import javax.imageio.plugins.tiff.{BaselineTIFFTagSet, TIFFDirectory, TIFFField, TIFFTag, TIFFTagSet}
+import javax.imageio.plugins.tiff.{TIFFDirectory, TIFFField, TIFFTag, TIFFTagSet}
 import java.awt.Rectangle
 import java.awt.image.BufferedImage
 import org.apache.hadoop.fs.Path
@@ -178,10 +178,13 @@ object GeoTiff {
       col("value").cast("float")).toLocalIterator()
     while (it.hasNext) {
       val row = it.next()
+      require(!row.isNullAt(0) && !row.isNullAt(1),
+        "pixel relation has null row/col — clean the canvas before writing")
       val r = row.getInt(0); val c = row.getInt(1)
       require(r >= 0 && r < gi.rows && c >= 0 && c < gi.cols,
         s"pixel ($r,$c) outside ${gi.rows}x${gi.cols} canvas")
-      raster.setSample(c, r, 0, row.getFloat(2))
+      // null value = background (stay at the fill), mirroring GDAL nodata
+      if (!row.isNullAt(2)) raster.setSample(c, r, 0, row.getFloat(2))
     }
     val floatImg = new BufferedImage(cm, raster, false, null)
 

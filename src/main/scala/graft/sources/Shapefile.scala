@@ -51,7 +51,6 @@ object Shapefile {
     val shp = readBytes(spark, base + ".shp")
     val geoms = parseShp(shp, bbox) // Seq[(recordIndex0Based, wkt)]
     val (fields, dbfRows) = parseDbf(readBytes(spark, base + ".dbf"))
-    val keep = geoms.map(_._1)
     val rows = geoms.map { case (i, wkt) =>
       require(i < dbfRows.length,
         s"$base: .shp record ${i + 1} has no .dbf row (${dbfRows.length} attrs)")
@@ -184,6 +183,8 @@ object Shapefile {
       off += 32
     }
     val fields = flds.result()
+    require(headerSize + nRec.toLong * recordSize <= bytes.length + 1,
+      s".dbf truncated: $nRec records x $recordSize bytes past EOF (${bytes.length})")
     val schema = fields.map { f =>
       val dt = f.typ match {
         case 'N' | 'F' => if (f.dec == 0 && f.len < 19) LongType else DoubleType
@@ -344,12 +345,20 @@ object Shapefile {
 
   private def buildDbf(cols: Array[StructField], rows: Array[Array[Any]]): Array[Byte] = {
     case class Fld(name: String, typ: Char, len: Int, dec: Int)
+    // DBF names are <=10 chars: dedupe positionally after truncation (same
+    // rule as EuCsv/ExcelTable headers) so two long names can't collide
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    def dbfName(n: String): String = {
+      val base = n.take(10)
+      val k = seen.getOrElse(base, 0); seen(base) = k + 1
+      if (k == 0) base else (base.take(10 - (k.toString.length + 1)) + "_" + k)
+    }
     val flds = cols.map { c =>
       c.dataType match {
-        case LongType | IntegerType | ShortType => Fld(c.name.take(10), 'N', 18, 0)
-        case DoubleType | FloatType => Fld(c.name.take(10), 'N', 18, 6)
-        case BooleanType => Fld(c.name.take(10), 'L', 1, 0)
-        case _ => Fld(c.name.take(10), 'C', 64, 0)
+        case LongType | IntegerType | ShortType => Fld(dbfName(c.name), 'N', 18, 0)
+        case DoubleType | FloatType => Fld(dbfName(c.name), 'N', 19, 6)
+        case BooleanType => Fld(dbfName(c.name), 'L', 1, 0)
+        case _ => Fld(dbfName(c.name), 'C', 64, 0)
       }
     }
     val recordSize = 1 + flds.map(_.len).sum
@@ -369,8 +378,10 @@ object Shapefile {
       out.position(out.position() + 14)
     }
     out.put(0x0d.toByte)
-    def pad(s: String, n: Int, right: Boolean): Array[Byte] = {
-      val t = if (s.length > n) s.take(n) else s
+    def pad(s: String, n: Int, right: Boolean, numeric: Boolean): Array[Byte] = {
+      require(!(numeric && s.length > n),
+        s"numeric value '$s' exceeds DBF field width $n — refusing silent truncation")
+      val t = if (s.length > n) s.take(n) else s // text: truncate like dBASE
       val sp = " " * (n - t.length)
       ((if (right) sp + t else t + sp)).getBytes(StandardCharsets.ISO_8859_1)
     }
@@ -385,7 +396,7 @@ object Shapefile {
           case ('L', b: java.lang.Boolean) => if (b) "T" else "F"
           case (_, x) => x.toString
         }
-        out.put(pad(s, f.len, right = f.typ == 'N'))
+        out.put(pad(s, f.len, right = f.typ == 'N', numeric = f.typ == 'N'))
       }
     }
     out.put(0x1a.toByte)
