@@ -237,6 +237,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index: vectors parquet-partitioned by their centroid
+    * list, centroids in a JSON sidecar. This is the at-scale serving
+    * layout — the assignment shuffle happens ONCE at build; every probe
+    * afterwards is a partition-pruned scan of nProbe/nLists of the data
+    * (`PartitionFilters` in the plan, directories never listed for
+    * unprobed lists).
+    */
+  def writeIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    val spark = vecs.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Double]) =>
+      var best = -1; var bestD = Double.PositiveInfinity; var i = 0
+      val cs = bc.value
+      while (i < cs.length) {
+        val d = sqDistArr(v, cs(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    vecs.filter(col(vecCol).isNotNull)
+      .withColumn("__list", assign(col(vecCol).cast("array<double>")))
+      .write.mode("overwrite").partitionBy("__list").parquet(path)
+    val sidecar = centroids.map(_.mkString("[", ",", "]"))
+      .mkString("{\"centroids\":[", ",", "]}")
+    val p = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(sidecar.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Probe a persisted IVF index: read the centroid sidecar, scan ONLY the
+    * nProbe nearest list partitions (partition pruning — check
+    * `PartitionFilters` in `.explain`), exact cosine rerank inside them.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Seq[Double], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw = try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len); in.readFully(0, buf); new String(buf, "UTF-8")
+    } finally in.close()
+    val centroids: Array[Array[Double]] =
+      "\\[([-0-9.,eE]+)\\]".r.findAllMatchIn(raw)
+        .map(_.group(1).split(",").map(_.toDouble)).toArray
+    require(centroids.nonEmpty, s"$path: no centroids in _ivf_centroids.json")
+    val probeLists: Seq[Int] = centroids.indices
+      .map(i => (sqDistArr(query, centroids(i)), i))
+      .sorted.take(nProbe).map(_._2)
+    val q = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("__list").isin(probeLists: _*))
+      .select(col(idCol), VectorFns.cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** All-pairs cosine above a threshold, LSH-restricted (see Dedup.embeddingNearDup). */
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame =

@@ -139,3 +139,32 @@ class KMeansIvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == brute, s"recall loss: ${brute.diff(got)}") // 1 probe suffices: clusters separable
   }
 }
+
+/** Persisted IVF index: partition pruning + recall. */
+class IvfIndexSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.operators.Similarity
+
+  test("writeIvfIndex + ivfTopKIndexed: pruned scan, exact recall on clusters") {
+    val vecs = spark.range(400).select(col("id"),
+      expr("transform(sequence(0, 7), d -> " +
+        "CASE WHEN d = CAST(id % 4 AS INT) THEN 10.0 * (1 + id % 4) ELSE 0.0 END" +
+        " + 0.01 * pmod(id * (d + 3), 7))").as("embedding"))
+    val cents = Similarity.kmeansCentroids(vecs, "id", "embedding", 4, 6)
+    val path = java.nio.file.Files.createTempDirectory("ivf").resolve("idx").toString
+    Similarity.writeIvfIndex(vecs, "id", "embedding", cents, path)
+
+    val query = (0 until 8).map(d => if (d == 1) 20.0 else 0.0)
+    val probe = Similarity.ivfTopKIndexed(spark, path, "id", "embedding",
+      query, 10, nProbe = 1)
+    // the probe plan prunes partitions on __list
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__list"),
+      s"expected partition-pruned scan:\n$plan")
+    val brute = Similarity.bruteForceTopK(vecs, "id", "embedding", query, 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = probe.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == brute)
+  }
+}
