@@ -678,6 +678,18 @@ object SparkEntry {
           col("text").as("redacted"))
     }),
 
+    // int8 embedding quantization: the 4x-memory ANN trade. Scale is the
+    // element-wise abs max; codes round half-away-from-zero — both exactly
+    // reproducible in SQL, so the oracle re-derives every code.
+    "q73_quantize_int8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      emb.withColumn("s", graft.functions.VectorFns.quantizeInt8(col("embedding")))
+        .select(col("vec_id"),
+          round(col("s.scale").cast("double"), 6).as("scale_r"),
+          expr("aggregate(s.q, 0L, (a, x) -> a + CAST(x AS BIGINT))").as("qsum"),
+          expr("aggregate(s.q, -128L, (a, x) -> greatest(a, CAST(x AS BIGINT)))").as("qmax"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1583,6 +1595,22 @@ object SparkEntry {
         |  regexp_replace(after_ssn,
         |    '\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}', '<PHONE>', 'g') AS redacted
         |FROM step2""".stripMargin,
+
+    "q73_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |m AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS sc FROM e),
+        |q AS (SELECT vec_id, sc,
+        |  list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+        |    ELSE CAST(floor(abs(x) / sc * 127 + 0.5) *
+        |         (CASE WHEN x < 0 THEN -1 ELSE 1 END) AS BIGINT) END) AS qs
+        |  FROM m)
+        |SELECT vec_id, round(CAST(CAST(sc AS FLOAT) AS DOUBLE), 6) AS scale_r,
+        |  CAST(list_sum(qs) AS BIGINT) AS qsum,
+        |  CAST(list_max(qs) AS BIGINT) AS qmax
+        |FROM q""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

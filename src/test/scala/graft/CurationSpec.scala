@@ -168,3 +168,55 @@ class IvfIndexSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == brute)
   }
 }
+
+/** int8 quantization: round trip error bound + quantized search recall. */
+class QuantizationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.functions.VectorFns
+
+  def vecs() = spark.range(300).select(col("id"),
+    expr("transform(sequence(0, 15), d -> " +
+      "sin(CAST(id * (d + 1) AS DOUBLE) / 7.0) * (1.0 + pmod(id, 5)))").as("v"))
+
+  test("quantize/dequantize error bounded by scale/254 per element") {
+    val got = vecs()
+      .withColumn("s", VectorFns.quantizeInt8(col("v")))
+      .withColumn("back", VectorFns.dequantizeInt8(col("s")))
+      .withColumn("err", expr(
+        "aggregate(zip_with(v, back, (a, b) -> abs(a - b)), 0D, (m, e) -> greatest(m, e))"))
+      .withColumn("bound", col("s.scale").cast("double") / 254.0 * 1.0001)
+      .filter(col("err") > col("bound"))
+    assert(got.count() == 0)
+  }
+
+  test("all-zero vector quantizes to scale 0 and survives cosine") {
+    import spark.implicits._
+    val z = Seq((1L, Seq.fill(8)(0.0)), (2L, Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("id", "v")
+      .withColumn("s", VectorFns.quantizeInt8(col("v")))
+    val rows = z.select(col("id"), col("s.scale"),
+      VectorFns.cosineQuantized(col("s.q"), col("s.q")).as("self")).collect()
+      .map(r => r.getLong(0) -> (r.getFloat(1), r.getDouble(2))).toMap
+    assert(rows(1L)._1 == 0f && rows(1L)._2 == 0.0)
+    assert(rows(2L)._2 == 1.0)
+  }
+
+  test("quantized cosine preserves top-k ordering within tolerance") {
+    val data = vecs().withColumn("s", VectorFns.quantizeInt8(col("v")))
+    val q = data.filter(col("id") === 7)
+      .select(col("v"), col("s.q").as("qq")).head()
+    val qv = q.getSeq[Double](0)
+    val qq = q.getSeq[Byte](1)
+    val exact = data.select(col("id"),
+        VectorFns.cosine(col("v"), array(qv.map(lit): _*)).as("c"))
+      .orderBy(desc("c"), asc("id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = data.select(col("id"),
+        VectorFns.cosineQuantized(col("s.q"),
+          array(qq.map(b => lit(b)): _*)).as("c"))
+      .orderBy(desc("c"), asc("id")).limit(20) // 2k slack: int8 ties
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(quant), s"missing: ${exact.diff(quant)}")
+  }
+}
