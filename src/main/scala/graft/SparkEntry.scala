@@ -690,6 +690,33 @@ object SparkEntry {
           expr("aggregate(s.q, -128L, (a, x) -> greatest(a, CAST(x AS BIGINT)))").as("qmax"))
     }),
 
+    // REAL image decode in the gate: render a solid-gray PNG per doc
+    // (dimensions/level closed-form in doc_id), decode it back through the
+    // JDK ImageIO codec, and let the oracle recompute the expected
+    // metadata arithmetically. Any codec/pixel corruption breaks the hash.
+    "q74_image_decode" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val genPng = udf { (id: Long) =>
+        val w = (1 + id % 16).toInt; val h = (1 + id % 11).toInt
+        val g = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id").isNotNull)
+        .withColumn("media", genPng(col("doc_id")))
+      Multimodal.withRealImageMeta(media, "media")
+        .select(col("doc_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("format"),
+          col("mean_band0").cast("long").as("mean_band0"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1611,6 +1638,11 @@ object SparkEntry {
         |  CAST(list_sum(qs) AS BIGINT) AS qsum,
         |  CAST(list_max(qs) AS BIGINT) AS qmax
         |FROM q""".stripMargin,
+
+    "q74_image_decode" ->
+      """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 11 AS height,
+        |  'png' AS format, doc_id % 256 AS mean_band0
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

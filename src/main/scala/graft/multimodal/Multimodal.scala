@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * run inside whole partitions (no driver collect, no shuffle unless the
   * caller aggregates).
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels are DETERMINISTIC FAKES (clearly marked) — they read real
+  * IMAGE decode/resize are REAL: the JDK ships PNG/JPEG/BMP/GIF ImageIO
+  * codecs, so [[decodeImage]]/[[resizeImage]] parse and re-encode actual
+  * payloads. AUDIO/VIDEO codecs are not available in this environment, so
+  * those kernels are DETERMINISTIC FAKES (clearly marked) — they read real
   * bytes and emit stable pseudo-metadata, which keeps the Spark-side
   * contract (schema, batching, partition behavior, null handling) fully
   * real and testable. Swapping in a real codec changes only the function
@@ -65,6 +67,81 @@ object Multimodal {
         val n = if (r.media == null) 0 else r.media.length
         DecodedRow(r.doc_id, 1 + n % 64, 1 + (n * 7) % 64, n, pid, codecInits)
       }
+    }
+  }
+
+  /** REAL image decode on the JDK's ImageIO (PNG/JPEG/BMP/GIF readers ship
+    * with every JVM — no external codec needed): header width/height +
+    * container format + band-0 mean (luminance proxy). Undecodable or
+    * empty payloads yield null metadata instead of failing the partition.
+    * Runs per-row inside whole partitions; the stream is in-memory so
+    * there is no I/O amortization to manage.
+    */
+  val decodeImage = udf { (media: Array[Byte]) =>
+    if (media == null || media.isEmpty) None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+          val img = r.read(0)
+          val raster = img.getRaster
+          var sum = 0L; var n = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              sum += raster.getSample(x, y, 0); n += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some((img.getWidth, img.getHeight, fmt,
+            if (n == 0) 0 else (sum / n).toInt))
+        } catch { case _: Exception => None }
+        finally { r.dispose(); iis.close() }
+      }
+    }
+  }
+
+  /** Attach REAL decoded metadata (see [[decodeImage]]). */
+  def withRealImageMeta(df: DataFrame, mediaCol: String): DataFrame =
+    df.withColumn("__m", decodeImage(col(mediaCol)))
+      .withColumn("width", col("__m._1"))
+      .withColumn("height", col("__m._2"))
+      .withColumn("format", col("__m._3"))
+      .withColumn("mean_band0", col("__m._4"))
+      .drop("__m")
+
+  /** REAL resize: ImageIO decode → bilinear Graphics2D scale → PNG
+    * re-encode, all in-memory per row. Null/undecodable input → null.
+    */
+  val resizeImage = udf { (media: Array[Byte], scalePct: Int) =>
+    if (media == null || media.isEmpty || scalePct <= 0) null
+    else {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+        if (img == null) null
+        else {
+          val w = math.max(1, img.getWidth * scalePct / 100)
+          val h = math.max(1, img.getHeight * scalePct / 100)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          bos.toByteArray
+        }
+      } catch { case _: Exception => null }
     }
   }
 

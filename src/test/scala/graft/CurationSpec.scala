@@ -220,3 +220,54 @@ class QuantizationSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(exact.subsetOf(quant), s"missing: ${exact.diff(quant)}")
   }
 }
+
+/** Real image decode/resize on JDK ImageIO codecs. */
+class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.multimodal.Multimodal
+
+  def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+  def jpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage parses real PNG/JPEG headers and pixels") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, png(32, 20, 0xffffff)), // white -> band0 mean 255
+      (2L, png(8, 8, 0x000000)),   // black -> 0
+      (3L, jpeg(17, 9)),
+      (4L, Array.empty[Byte]),
+      (5L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val got = Multimodal.withRealImageMeta(rows, "media")
+      .select("doc_id", "width", "height", "format", "mean_band0")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L) == ((Some(32), Some(20), Some("png"), Some(255))))
+    assert(got(2L) == ((Some(8), Some(8), Some("png"), Some(0))))
+    assert(got(3L)._1 == Some(17) && got(3L)._2 == Some(9) && got(3L)._3 == Some("jpeg"))
+    assert(got(4L)._1.isEmpty && got(5L)._1.isEmpty) // nulls, not failures
+  }
+
+  test("resizeImage halves dimensions and re-encodes decodable PNG") {
+    import spark.implicits._
+    val rows = Seq((1L, png(40, 30, 0x808080))).toDF("doc_id", "media")
+    val half = rows.select(Multimodal.resizeImage(col("media"), lit(50)).as("m"))
+    val back = Multimodal.withRealImageMeta(half, "m")
+      .select("width", "height", "format").head()
+    assert(back.getInt(0) == 20 && back.getInt(1) == 15 && back.getString(2) == "png")
+  }
+}
