@@ -111,6 +111,14 @@ object GraftExpressions {
         Cast(es(2), DoubleType), Cast(es(3), DoubleType)), "built-in")
     reg.createOrReplaceTempFunction("eu_to_double",
       es => EuToDoubleExpr(es.head), "built-in")
+    // Curation.sampleBucket as SQL: deterministic Knuth bucket in [0, 2^31)
+    // — pure catalyst arithmetic, fully codegen'd, ANSI-overflow-safe
+    reg.createOrReplaceTempFunction("sample_bucket",
+      es => {
+        val two31 = Literal(2147483648L)
+        Pmod(Multiply(Pmod(Cast(es.head, LongType), two31),
+          Literal(2654435761L)), two31)
+      }, "built-in")
   }
 }
 

@@ -34,6 +34,13 @@ object Runme {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, outDir) finally spark.stop()
+  }
+
+  /** The full program against a caller-owned session (testable without
+    * stopping a shared SparkContext).
+    */
+  def run(spark: SparkSession, outDir: String): Unit = {
     import spark.implicits._
     val year = 2015
 
@@ -92,6 +99,10 @@ object Runme {
 
     // ── intermediate files ──────────────────────────────────────────────
     val sites = stage(spark, outDir, "sites")(SitesPipeline.generateSites(regionsRaw))
+    // the reference also emits the sites layer as an ESRI shapefile
+    // (code/lib/spatial_functions.py:460-466) — real .shp/.shx/.dbf here
+    graft.sources.Shapefile.write(
+      sites.withColumnRenamed("wkt", "geometry"), "geometry", s"$outDir/sites_shp")
 
     val demand = stage(spark, outDir, "demand_ts") {
       val profiles = profile.select(lit("households").as("sector"), col("t"), col("value").as("weight"))
@@ -153,6 +164,5 @@ object Runme {
       Map("year" -> year.toString))
 
     println(s"[runme] complete: ${new java.io.File(outDir).listFiles().length} artifacts in $outDir")
-    spark.stop()
   }
 }

@@ -31,9 +31,12 @@ class ExprSpec extends AnyFunSuite {
   test("SQL registration exposes the functions to spark.sql") {
     GraftExpressions.register(spark)
     val r = spark.sql(
-      "SELECT haversine_km(0D, 0D, 0D, 90D) AS d, eu_to_double('2,5') AS e").head
+      "SELECT haversine_km(0D, 0D, 0D, 90D) AS d, eu_to_double('2,5') AS e, " +
+      "sample_bucket(7) AS b").head
     assert(math.abs(r.getDouble(0) - 10007.5) < 10.0)
     assert(r.getDouble(1) == 2.5)
+    // matches the Column-level Curation.sampleBucket rule exactly
+    assert(r.getLong(2) == ((7L * 2654435761L) % 2147483648L))
   }
 
   test("expression participates in whole-stage codegen (no fallback)") {
