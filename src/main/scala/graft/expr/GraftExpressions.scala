@@ -41,6 +41,50 @@ object GeoMath {
   }
 }
 
+/** Dense-vector kernels over Catalyst `ArrayData` — no Seq materialization,
+  * no per-element boxing (the UDF path converts every array to Seq[Double]
+  * before the loop; on a 100 TB ANN scan that conversion IS the scan).
+  */
+object VecMath {
+  /** Cosine similarity; same accumulation order as the UDF kernel, so
+    * results are bit-identical (oracle-stable). 0.0 when a norm is 0.
+    */
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
+/** Native cosine similarity over two array<double> columns — the hot
+  * kernel of every ANN scan, inside whole-stage codegen.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+  extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.cosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.VecMath.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "cosine_sim"
+}
+
 /** Native great-circle distance: whole-stage-codegen'd quaternary expression
   * (the hot kernel of the transmission-distance stage; the Column-compo
   * version materializes 12 intermediate doubles per row, this one compiles
@@ -102,6 +146,11 @@ object GraftExpressions {
 
   def euToDouble(c: Column): Column =
     ColumnBridge.column(EuToDoubleExpr(Cast(ColumnBridge.expression(c), StringType)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimExpr(
+      Cast(ColumnBridge.expression(a), ArrayType(DoubleType)),
+      Cast(ColumnBridge.expression(b), ArrayType(DoubleType))))
 
   /** Register as SQL functions on a session (spark.sql("... haversine_km(...)")). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -51,8 +51,16 @@ object VectorFns {
 
   def norm2(a: Column): Column = sqrt(dotExpr(a, a))
 
-  /** Cosine similarity; 0.0 when either norm is 0 (instead of NaN). */
-  def cosine(a: Column, b: Column): Column = cosineKernel(d(a), d(b))
+  /** Cosine similarity; 0.0 when either norm is 0 (instead of NaN).
+    * Native codegen expression over ArrayData (`CosineSimExpr`) — the UDF
+    * kernel converted each array to Seq[Double] per row; same accumulation
+    * order, bit-identical results (oracle-stable).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expr.GraftExpressions.cosineSim(a, b)
+
+  /** The pre-native UDF kernel, kept for A/B timing in probes. */
+  def cosineUdf(a: Column, b: Column): Column = cosineKernel(d(a), d(b))
 
   def l2Distance(a: Column, b: Column): Column = l2Kernel(d(a), d(b))
 
