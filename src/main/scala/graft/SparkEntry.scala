@@ -717,6 +717,22 @@ object SparkEntry {
           col("mean_band0").cast("long").as("mean_band0"))
     }),
 
+    // BM25 relevance against a literal probe query — corpus stats as a
+    // broadcast 1-row agg, term explode filtered before the shuffle.
+    "q75_bm25" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "join"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"), col("n_terms"))
+    }),
+
+    // Repetition ratio (Gopher-style boilerplate signal): 1 - distinct/total
+    // word bigrams per doc.
+    "q76_repetition" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextFns.repetitionRatio(col("text"), 2), 6).as("rep2"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1643,6 +1659,45 @@ object SparkEntry {
       """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 11 AS height,
         |  'png' AS format, doc_id % 256 AS mean_band0
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    "q75_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
+        |  WHERE text IS NOT NULL),
+        |dls AS (SELECT doc_id, lt,
+        |  CASE WHEN lt = '' THEN 0
+        |       ELSE len(regexp_split_to_array(lt, '\s+')) END AS dl
+        |  FROM base),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        |toks AS (SELECT doc_id, dl,
+        |  unnest(regexp_split_to_array(lt, '\s+')) AS term FROM dls),
+        |hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1)
+        |SELECT h.doc_id,
+        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1) /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
+        |  count(*) AS n_terms
+        |FROM hits h CROSS JOIN stats JOIN dfreq USING (term)
+        |GROUP BY 1""".stripMargin,
+
+    "q76_repetition" ->
+      """WITH base AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents),
+        |tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(lt, '\s+')) AS w,
+        |    unnest(range(1, len(regexp_split_to_array(lt, '\s+')) + 1)) AS pos
+        |  FROM base WHERE lt IS NOT NULL AND lt <> ''),
+        |bi AS (SELECT doc_id,
+        |    w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        |  FROM tok QUALIFY bg IS NOT NULL),
+        |r AS (SELECT doc_id,
+        |    round(1.0 - CAST(count(DISTINCT bg) AS DOUBLE) / count(*), 6) AS rr
+        |  FROM bi GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CASE WHEN b.lt IS NULL THEN NULL
+        |       WHEN r.rr IS NOT NULL THEN r.rr
+        |       ELSE 0.0 END AS rep2
+        |FROM base b LEFT JOIN r USING (doc_id)""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

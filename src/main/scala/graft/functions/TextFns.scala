@@ -128,6 +128,24 @@ object TextFns {
   def wordShingles(text: Column, n: Int): Column =
     wordShingleKernel(n)(tokens(lower(text)))
 
+  /** Repetition ratio (Gopher-style boilerplate signal): 1 − distinct/total
+    * word n-grams. 0 for fully novel text, → 1 for highly repetitive spam.
+    * One JVM pass over codegen'd tokens; null text → null, < n tokens → 0.
+    */
+  private def repetitionKernel(n: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null) null
+    else if (toks.length < n) Some(0.0)
+    else {
+      val seen = new java.util.HashSet[String]()
+      var total = 0
+      toks.sliding(n).foreach { w => seen.add(w.mkString(" ")); total += 1 }
+      Some(1.0 - seen.size.toDouble / total)
+    }
+  }
+
+  def repetitionRatio(text: Column, n: Int): Column =
+    repetitionKernel(n)(tokens(lower(text)))
+
   /** Deterministic 64-bit string hash (two murmur3 passes with different
     * seeds). Engine-native; stable across JVMs and sessions.
     */

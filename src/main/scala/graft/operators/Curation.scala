@@ -114,6 +114,41 @@ object Curation {
         sum(least(col(tokenCol).cast("long"), lit(budget.toLong))).as("fill"))
       .withColumn("fill_ratio", round(col("fill") / budget.toDouble, 6))
 
+  // ----------------------------------------------------------- ranking
+
+  /** BM25 relevance of every document to a literal query term set
+    * (Robertson/Sparck-Jones; the standard retrieval scorer a curation
+    * pipeline uses to rank corpus slices against a probe query).
+    *
+    * Shape at 100 TB: the corpus-wide stats (N, avgdl) are a 1-row agg
+    * cross-joined back (broadcast by AQE); document frequencies exist only
+    * for the |query| terms (tiny, broadcast). The token explode filters to
+    * query terms BEFORE any shuffle, so the wide side moves |matches|
+    * rows, not |tokens|. Only docs matching ≥ 1 term appear.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFns.tokens(lower(col(textCol))).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val stats = base.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val hits = base
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = hits.groupBy(col("__term"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    hits.join(broadcast(dfreq), "__term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__s", col("__idf") * col("__tf") * lit(k1 + 1) /
+        (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).as("bm25"), count(lit(1)).as("n_terms"))
+  }
+
   // ------------------------------------------------------ PII redaction
 
   /** Email pattern kept deliberately simple + anchored to word chars so
