@@ -733,6 +733,24 @@ object SparkEntry {
         round(TextFns.repetitionRatio(col("text"), 2), 6).as("rep2"))
     }),
 
+    // As-of join: every click picks up the latest at-or-before purchase
+    // value per user — union-tag + one keyed window, no row expansion.
+    // DuckDB's native ASOF JOIN is the oracle.
+    "q77_asof_join" -> ((s, dir) => {
+      // nanos -> micros (integer div) so the int64 timeline matches
+      // DuckDB's microsecond TIMESTAMP exactly
+      val ev = events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .withColumn("ts", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+      Ops.asofJoin(clicks, purchases, "user_id", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_value"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1698,6 +1716,15 @@ object SparkEntry {
         |       WHEN r.rr IS NOT NULL THEN r.rr
         |       ELSE 0.0 END AS rep2
         |FROM base b LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    "q77_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+        |  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT user_id, epoch_us(ts) AS ts, max(value) AS value FROM events
+        |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, r.value AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

@@ -211,6 +211,48 @@ object Ops {
     df.withColumn(outCol, col(valueCol) / sum(col(valueCol)).over(w))
   }
 
+  // ── as-of join ──────────────────────────────────────────────────────────
+  /** As-of join: for every left row, attach the LATEST right row with the
+    * same key and `right.ts <= left.ts` (the time-series point-in-time
+    * lookup Spark has no operator for; DuckDB/kdb call it ASOF JOIN).
+    *
+    * Implementation is the union-tag trick, not a range join: tag both
+    * sides, sort within key by (ts, side) — right rows before left at
+    * equal ts so ties match — and carry the last right payload forward
+    * with `last(ignoreNulls)`. ONE shuffle on the key, no row expansion,
+    * no broadcast requirement: both sides can be 100 TB. (A join on
+    * `r.ts <= l.ts` + rank would expand |L|×|R| per key before pruning.)
+    *
+    * Right payload columns arrive prefixed `asof_`; left rows with no
+    * preceding right row keep nulls.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val lTagged = left
+      .withColumn("__side", lit(1))
+      .withColumn("__pay", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(payloadCols.map(col): _*).schema.fields)))
+    val rTagged = right
+      .select((Seq(col(keyCol), col(tsCol)) :+
+        struct(payloadCols.map(col): _*).as("__pay")): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.select((Seq(col(keyCol), col(tsCol), col("__side"),
+        col("__pay")) ++ leftCols.filterNot(c => c == keyCol || c == tsCol)
+        .map(col)): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = unioned.withColumn("__last",
+      last(col("__pay"), ignoreNulls = true).over(w))
+    val leftRows = filled.filter(col("__side") === 1)
+    payloadCols.foldLeft(leftRows) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"__last.$c"))
+    }.drop("__side", "__pay", "__last")
+  }
+
   // ── A7: cumulative-count dedup suffix ───────────────────────────────────
   /** Name dedup via per-name cumcount suffix
     * (code/lib/correction_functions.py:473-476): second and later

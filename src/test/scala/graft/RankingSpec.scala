@@ -40,3 +40,39 @@ class RankingSpec extends AnyFunSuite {
     assert(got(4L).isEmpty)
   }
 }
+
+/** asofJoin semantics: latest at-or-before match, ties, misses. */
+class AsofSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Ops
+
+  test("asofJoin picks latest right at-or-before each left ts per key") {
+    val left = Seq(
+      ("a", 10L, "l1"), ("a", 25L, "l2"), ("a", 5L, "l3"),
+      ("b", 100L, "l4")).toDF("k", "ts", "tag")
+    val right = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0),
+      ("c", 1L, 9.0)).toDF("k", "ts", "v")
+    val got = Ops.asofJoin(left, right, "k", "ts", Seq("v"))
+      .select(col("tag"), col("asof_v")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got("l1") == Some(1.0)) // tie at ts=10 matches (<=)
+    assert(got("l2") == Some(2.0)) // 20 latest <= 25
+    assert(got("l3") == None)      // nothing at-or-before 5
+    assert(got("l4") == None)      // key with no right rows
+  }
+
+  test("asofJoin shuffles once on the key — no range-join expansion") {
+    val left = spark.range(1000).select((col("id") % 10).as("k"),
+      col("id").as("ts"), col("id").as("x"))
+    val right = spark.range(100).select((col("id") % 10).as("k"),
+      (col("id") * 7).as("ts"), col("id").cast("double").as("v"))
+    val plan = Ops.asofJoin(left, right, "k", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    // a single Window over the union — no join operator at all
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+}
