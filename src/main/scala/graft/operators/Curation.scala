@@ -22,18 +22,24 @@ object Curation {
     *
     * Shape at 100 TB: benchmark n-grams are a SMALL relation (eval suites
     * are MBs) — distinct them and broadcast; the corpus side explodes to
-    * n-grams map-side and left-semi-joins against the broadcast, so the
-    * only wide thing is the corpus scan itself. `hits` is the distinct
-    * count of leaked n-grams per doc (groupBy on doc_id after the
-    * broadcast join — partial-aggregated map-side).
+    * n-grams map-side and inner-joins against the broadcast, so the only
+    * wide thing is the corpus scan itself. `hits` is the distinct count
+    * of leaked n-grams per doc (groupBy on doc_id after the broadcast
+    * join — partial-aggregated map-side).
+    *
+    * Sub-n-token docs contribute their full text as one gram (exact-match
+    * semantics for short docs, mirroring the shingle kernel); EMPTY grams
+    * are dropped on both sides so two blank documents never "leak".
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
     val benchGrams = benchmark
       .select(explode(TextFns.wordShingles(col(benchTextCol), n)).as("gram"))
+      .filter(col("gram") =!= "")
       .distinct()
     val docGrams = docs.select(col(idCol),
       explode(TextFns.wordShingles(col(textCol), n)).as("gram"))
+      .filter(col("gram") =!= "")
     docGrams.join(broadcast(benchGrams), "gram")
       .groupBy(col(idCol)).agg(count(lit(1)).as("hits"))
   }

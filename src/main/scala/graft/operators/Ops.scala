@@ -242,8 +242,11 @@ object Ops {
         col("__pay")) ++ leftCols.filterNot(c => c == keyCol || c == tsCol)
         .map(col)): _*)
       .unionByName(rTagged, allowMissingColumns = true)
+    // hash(__pay) last: if the right side has several rows at one
+    // (key, ts) — callers should dedup, but plans must stay deterministic
+    // — the winner is fixed, not partition-order-dependent
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, hash(col("__pay")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = unioned.withColumn("__last",
       last(col("__pay"), ignoreNulls = true).over(w))
