@@ -751,6 +751,23 @@ object SparkEntry {
           col("asof_value"))
     }),
 
+    // Focal (3x3 neighborhood) raster statistics: contribution explode +
+    // one groupBy shuffle — no self-join. Sparse canvas from event counts.
+    "q78_focal_stats" -> ((s, dir) => {
+      import graft.sources.InputMaps
+      val cells = events(s, dir).select(
+        (col("user_id") % 30).cast("int").as("row"),
+        (col("event_id") % 40).cast("int").as("col"))
+        .groupBy("row", "col").agg(count(lit(1)).cast("double").as("value"))
+      InputMaps.focalStats(cells, radius = 1)
+        .filter(col("row").between(0, 29) && col("col").between(0, 39))
+        .select(col("row").cast("long").as("row"),
+          col("col").cast("long").as("col"),
+          round(col("focal_mean"), 6).as("focal_mean"),
+          col("focal_min").cast("long").as("focal_min"),
+          col("focal_max").cast("long").as("focal_max"), col("focal_n"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1725,6 +1742,22 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.ts, r.value AS asof_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q78_focal_stats" ->
+      """WITH cells AS (
+        |  SELECT CAST(user_id % 30 AS BIGINT) AS row,
+        |         CAST(event_id % 40 AS BIGINT) AS col,
+        |         CAST(count(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT cells.row + dr.range AS row, cells.col + dc.range AS col, value
+        |  FROM cells, range(-1, 2) dr, range(-1, 2) dc)
+        |SELECT row, col, round(avg(value), 6) AS focal_mean,
+        |  CAST(min(value) AS BIGINT) AS focal_min,
+        |  CAST(max(value) AS BIGINT) AS focal_max, count(*) AS focal_n
+        |FROM contrib
+        |WHERE row BETWEEN 0 AND 29 AND col BETWEEN 0 AND 39
+        |GROUP BY 1, 2""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

@@ -102,6 +102,34 @@ object InputMaps {
     * for sidecar-less rasters. A sidecar that exists but records no
     * banding FAILS LOUDLY — wrong pruning silently drops rows.
     */
+  /** Focal (neighborhood) statistics over the pixel relation: for every
+    * cell, mean/min/max/count of values within the (2r+1)² square window
+    * (GIS focal ops — smoothing, morphology). Spark-first shape: each
+    * pixel explodes to the (2r+1)² cells it CONTRIBUTES to, then one
+    * groupBy(row, col) — a single shuffle of (2r+1)²·|pixels| skinny rows
+    * with map-side partial aggregation, no self-join, no windows-within-
+    * windows. Edge cells aggregate over their in-canvas neighbors only
+    * (count carries the actual denominator).
+    */
+  def focalStats(pixels: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 1 && radius <= 7, s"radius $radius out of [1,7] " +
+      "(the contribution fan-out is (2r+1)^2 per pixel)")
+    val offsets = (-radius to radius).flatMap(dr =>
+      (-radius to radius).map(dc => struct(lit(dr).as("dr"), lit(dc).as("dc"))))
+    pixels
+      .select(col("row"), col("col"), col("value"),
+        explode(array(offsets: _*)).as("o"))
+      .select((col("row") + col("o.dr")).as("row"),
+        (col("col") + col("o.dc")).as("col"), col("value"))
+      .groupBy(col("row"), col("col"))
+      .agg(avg(col("value")).as("focal_mean"),
+        min(col("value")).as("focal_min"),
+        max(col("value")).as("focal_max"),
+        count(lit(1)).as("focal_n"))
+      // contributions land outside the canvas beyond the edge; the caller
+      // re-filters to the canvas extent (we don't know it here)
+  }
+
   def readWindow(spark: SparkSession, path: String, r0: Int, r1: Int,
       c0: Int, c1: Int, bandRows: Int = 256): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()

@@ -36,6 +36,22 @@ object EventStream {
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(hashCols)
 
+  /** Session-window aggregation: events gapped less than `gap` apart merge
+    * into one session per key (Spark's native `session_window` — dynamic
+    * windows, watermark-evicted state). The batch form computes identical
+    * sessions, which is what the q30 lag-based batch sessionization
+    * cross-checks.
+    */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol),
+        col("n"), col("total"))
+
   /** Stream-stream interval join: match each left event to right events
     * for the same key within `[left.ts, left.ts + horizon]`. Both sides
     * carry watermarks so the join state is evictable (Spark requires an

@@ -58,3 +58,53 @@ class StreamingSpec2 extends AnyFunSuite {
       ("2024-01-01 00:08:00.0", "2024-01-01 00:10:00.0", "b")))
   }
 }
+
+/** Native session windows: gap merging, incremental state. */
+class SessionWindowSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("sessionAgg merges gapped events into sessions incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val input = MemoryStream[Ev2]
+    val agg = graft.streaming.EventStream.sessionAgg(input.toDF(), "ts", "site",
+      "value", gap = "5 minutes", watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // a: 0,3,6 chain into one session; 20 starts another. b: isolated
+      input.addData(Ev2(ts(0), "a", 1.0), Ev2(ts(3), "a", 2.0),
+        Ev2(ts(6), "a", 4.0), Ev2(ts(20), "a", 8.0), Ev2(ts(2), "b", 16.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").collect().map(r =>
+        (r.getString(2), r.getTimestamp(0).toString.substring(11, 16),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == Set(
+        ("a", "00:00", 3L, 7.0),   // 0-3-6 merged (each gap < 5 min)
+        ("a", "00:20", 1L, 8.0),
+        ("b", "00:02", 1L, 16.0)))
+      // an event bridging 6..20? No - but one at 9 extends the first session
+      input.addData(Ev2(ts(9), "a", 32.0))
+      q.processAllAvailable()
+      val upd = spark.table("sess_out").collect().map(r =>
+        (r.getString(2), r.getTimestamp(0).toString.substring(11, 16), r.getLong(3))).toSet
+      assert(upd.contains(("a", "00:00", 4L))) // extended, still one session
+    } finally q.stop()
+  }
+
+  test("sessionAgg batch mode matches the q30 lag-based sessionization shape") {
+    import spark.implicits._
+    val ev = Seq(Ev2(ts(0), "a", 1.0), Ev2(ts(3), "a", 2.0), Ev2(ts(20), "a", 4.0))
+      .toDF()
+    val got = graft.streaming.EventStream.sessionAgg(ev, "ts", "site", "value",
+      "5 minutes", "30 minutes")
+      .orderBy("session_start").collect()
+      .map(r => (r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq((2L, 3.0), (1L, 4.0)))
+  }
+}
