@@ -128,6 +128,16 @@ object RasterProbe {
     }
     assert(up == 2000L * 2000 * 9, s"upsampled=$up")
 
+    // focal 3x3 over a 4000² window: 1.44e8 contribution rows through one
+    // skinny shuffle with map-side partials
+    val fo = timed("focal_3x3_1.6e7px") {
+      InputMaps.focalStats(InputMaps.window(grid, 0, 4000, 0, 4000)
+        .select("row", "col", "value"), 1)
+        .filter(col("row").between(0, 3999) && col("col").between(0, 3999))
+        .count()
+    }
+    assert(fo == 4000L * 4000, s"focal cells=$fo")
+
     println("[probe] PASS")
     spark.stop()
   }
