@@ -57,8 +57,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
-    require(line.length < 1800, s"bench line too long: ${line.length}")
-    println(line)
+    // never abort after the queries already ran: if the per-query blob
+    // would overflow the driver's 2000-char tail capture, degrade to the
+    // total-only line (full detail is in BENCH_LOCAL.json either way)
+    if (line.length < 1800) println(line)
+    else println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,8 +65,9 @@ object CurationProbe {
       ("fr", 0.75), ("zh", 0.0625)).toDF("lang", "fraction")
     val samplePlan = Curation.stratifiedHashSample(docs, "doc_id", "lang", fr)
       .queryExecution.executedPlan.toString
-    require(!samplePlan.contains("ShuffleExchange") ||
-      samplePlan.contains("BroadcastExchange"),
+    // shuffle nodes render as "Exchange hashpartitioning(...)" — the
+    // broadcast of the fractions table is the ONLY exchange allowed
+    require(!samplePlan.contains("Exchange hashpartitioning"),
       s"sampling must not shuffle the corpus:\n$samplePlan")
     time(s"stratified hash sample x$mult") {
       Curation.stratifiedHashSample(docs, "doc_id", "lang", fr).count()

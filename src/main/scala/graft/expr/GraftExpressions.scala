@@ -55,6 +55,10 @@ object VecMath {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // loud on null slots, like the Seq[Double] UDF path this replaced
+      // (ArrayData.getDouble on a null slot returns garbage silently)
+      if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+        s"cosine: null array element at index $i — clean embeddings upstream")
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1

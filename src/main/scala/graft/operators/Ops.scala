@@ -234,7 +234,11 @@ object Ops {
       .withColumn("__pay", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           right.select(payloadCols.map(col): _*).schema.fields)))
+    // null-ts/null-key right rows can never be "at or before" anything —
+    // they would sort NULLS FIRST and leak their payload into every left
+    // row of the key (an ASOF join matches them to nothing)
     val rTagged = right
+      .filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select((Seq(col(keyCol), col(tsCol)) :+
         struct(payloadCols.map(col): _*).as("__pay")): _*)
       .withColumn("__side", lit(0))

@@ -147,6 +147,31 @@ object Similarity {
     s
   }
 
+  /** Map-side argmin of squared L2 against broadcast centroids — returns
+    * the list INDEX (first index wins ties). One shared definition keeps
+    * index build, trained probe and k-means assignment bit-consistent.
+    */
+  private def assignUdf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]]) = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    udf { (v: Seq[Double]) =>
+      var best = -1; var bestD = Double.PositiveInfinity; var i = 0
+      val cs = bc.value
+      while (i < cs.length) {
+        val d = sqDistArr(v, cs(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+  }
+
+  /** The nProbe list indices nearest the query (same tie rule). */
+  private def nearestLists(query: Seq[Double],
+      centroids: Array[Array[Double]], nProbe: Int): Seq[Int] =
+    centroids.indices.map(i => (sqDistArr(query, centroids(i)), i))
+      .sorted.take(nProbe).map(_._2)
+
   /** Lloyd k-means over the embedding column. Each iteration is one
     * map-side argmin against the broadcast centroids plus one k-row
     * shuffle of elementwise partial sums — the canonical distributed
@@ -162,6 +187,7 @@ object Similarity {
     val clean = vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("v"))
+      .persist() // read k-1 init passes + iters times; don't re-run lineage
     // Farthest-first init (deterministic k-means++ flavor): seed with the
     // hash-smallest point, then k-1 map-side max-of-min-distance passes.
     // Avoids the all-seeds-in-one-cluster local minimum that a plain
@@ -179,30 +205,19 @@ object Similarity {
       val far = clean.select(col("cid"), col("v"), minDist(col("v")).as("d"))
         .orderBy(col("d").desc, col("cid").asc).limit(1).collect()
       bcInit.unpersist()
-      if (far.isEmpty) return cents // fewer distinct points than k
+      if (far.isEmpty) { clean.unpersist(); return cents } // fewer distinct points than k
       cents = cents :+ far(0).getSeq[Double](1).toArray
     }
     val meanAgg = org.apache.spark.sql.functions.udaf(new ArrayMean)
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val assign = udf { (v: Seq[Double]) =>
-        var best = -1; var bestD = Double.PositiveInfinity; var i = 0
-        val cs = bc.value
-        while (i < cs.length) {
-          val d = sqDistArr(v, cs(i))
-          if (d < bestD) { bestD = d; best = i }
-          i += 1
-        }
-        best
-      }
-      val means = clean.groupBy(assign(col("v")).as("list"))
+      val means = clean.groupBy(assignUdf(spark, cents)(col("v")).as("list"))
         .agg(meanAgg(col("v")).as("c"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
-      bc.unpersist()
       it += 1
     }
+    clean.unpersist()
     cents
   }
 
@@ -216,20 +231,8 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val q = array(query.map(lit): _*)
     val clean = vecs.filter(col(vecCol).isNotNull)
-    val bc = vecs.sparkSession.sparkContext.broadcast(centroids)
-    val assign = udf { (v: Seq[Double]) =>
-      var best = -1; var bestD = Double.PositiveInfinity; var i = 0
-      val cs = bc.value
-      while (i < cs.length) {
-        val d = sqDistArr(v, cs(i))
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    }
-    val probeLists: Seq[Int] = centroids.indices
-      .map(i => (sqDistArr(query, centroids(i)), i))
-      .sorted.take(nProbe).map(_._2)
+    val assign = assignUdf(vecs.sparkSession, centroids)
+    val probeLists = nearestLists(query, centroids, nProbe)
     clean.withColumn("__list", assign(col(vecCol).cast("array<double>")))
       .filter(col("__list").isin(probeLists: _*))
       .select(col(idCol), VectorFns.cosine(col(vecCol), q).as("cosine"))
@@ -247,17 +250,7 @@ object Similarity {
   def writeIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], path: String): Unit = {
     val spark = vecs.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assign = udf { (v: Seq[Double]) =>
-      var best = -1; var bestD = Double.PositiveInfinity; var i = 0
-      val cs = bc.value
-      while (i < cs.length) {
-        val d = sqDistArr(v, cs(i))
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
-      }
-      best
-    }
+    val assign = assignUdf(spark, centroids)
     vecs.filter(col(vecCol).isNotNull)
       .withColumn("__list", assign(col(vecCol).cast("array<double>")))
       .write.mode("overwrite").partitionBy("__list").parquet(path)
@@ -287,9 +280,7 @@ object Similarity {
       "\\[([-0-9.,eE]+)\\]".r.findAllMatchIn(raw)
         .map(_.group(1).split(",").map(_.toDouble)).toArray
     require(centroids.nonEmpty, s"$path: no centroids in _ivf_centroids.json")
-    val probeLists: Seq[Int] = centroids.indices
-      .map(i => (sqDistArr(query, centroids(i)), i))
-      .sorted.take(nProbe).map(_._2)
+    val probeLists = nearestLists(query, centroids, nProbe)
     val q = array(query.map(lit): _*)
     spark.read.parquet(path)
       .filter(col("__list").isin(probeLists: _*))

@@ -72,8 +72,10 @@ object GeoTiff {
     */
   def read(spark: SparkSession, path: String,
       window: Option[(Int, Int, Int, Int)] = None,
-      bandRows: Int = 512): DataFrame = {
-    val gi = info(spark, path)
+      bandRows: Int = 512, knownInfo: Option[GeoInfo] = None): DataFrame = {
+    val gi = knownInfo.getOrElse(info(spark, path))
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val (r0, c0, r1, c1) = window.getOrElse((0, 0, gi.rows - 1, gi.cols - 1))
     require(r0 >= 0 && c0 >= 0 && r1 < gi.rows && c1 < gi.cols && r0 <= r1 && c0 <= c1,
       s"window ($r0,$c0,$r1,$c1) outside raster ${gi.rows}x${gi.cols}")
@@ -85,11 +87,11 @@ object GeoTiff {
         else {
           // seekable stream straight over the (possibly remote) file: the
           // TIFF reader then fetches ONLY the strips intersecting each
-          // sourceRegion — no task ever holds the whole file. A fresh
-          // Configuration picks up the cluster's default core-site (the
-          // SparkConf-carried overlay isn't reachable through public API).
+          // sourceRegion — no task ever holds the whole file. The session
+          // Hadoop conf (s3a credentials etc.) ships via the public
+          // @DeveloperApi SerializableConfiguration.
           val p = new Path(path)
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = p.getFileSystem(confSer.value)
           val len = fs.getFileStatus(p).getLen
           val in = fs.open(p)
           val reader = ImageIO.getImageReadersByFormatName("TIFF").next()
@@ -122,7 +124,7 @@ object GeoTiff {
   def readWithCoords(spark: SparkSession, path: String,
       window: Option[(Int, Int, Int, Int)] = None): DataFrame = {
     val gi = info(spark, path)
-    read(spark, path, window)
+    read(spark, path, window, knownInfo = Some(gi))
       .withColumn("x", lit(gi.x0) + (col("col") + 0.5d) * gi.resX)
       .withColumn("y", lit(gi.y0) - (col("row") + 0.5d) * gi.resY)
   }
