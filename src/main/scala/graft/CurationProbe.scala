@@ -87,6 +87,17 @@ object CurationProbe {
         .agg(sum(length(col("text"))), sum("n_email"), sum("n_phone")).collect()
     }
 
+    // as-of join at volume: one shuffle on the key, no row expansion
+    val leftEv = spark.range(10000000L).select(
+      pmod(col("id"), lit(10000)).as("k"), (col("id") * 13 % 1000003).as("ts"),
+      col("id").as("x"))
+    val rightEv = spark.range(1000000L).select(
+      pmod(col("id"), lit(10000)).as("k"), (col("id") * 7 % 1000003).as("ts"),
+      col("id").cast("double").as("v"))
+    time("asof join 10M left x 1M right (10k keys)") {
+      graft.operators.Ops.asofJoin(leftEv, rightEv, "k", "ts", Seq("v")).count()
+    }
+
     spark.stop()
   }
 }

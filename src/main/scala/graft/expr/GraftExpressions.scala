@@ -172,6 +172,9 @@ object GraftExpressions {
         Pmod(Multiply(Pmod(Cast(es.head, LongType), two31),
           Literal(2654435761L)), two31)
       }, "built-in")
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimExpr(Cast(es(0), ArrayType(DoubleType)),
+        Cast(es(1), ArrayType(DoubleType))), "built-in")
   }
 }
 

@@ -103,6 +103,21 @@ object Runme {
     // (code/lib/spatial_functions.py:460-466) — real .shp/.shx/.dbf here
     graft.sources.Shapefile.write(
       sites.withColumnRenamed("wkt", "geometry"), "geometry", s"$outDir/sites_shp")
+    // ... and rasterized layers as GeoTIFF (array2raster,
+    // code/lib/spatial_functions.py:190-222): burn site ordinals onto a
+    // 40x40 canvas over the micro-Europe bbox and write a real .tif
+    locally {
+      import graft.sources.{GeoTiff, InputMaps}
+      val canvas = InputMaps.pixelGrid(spark, 40, 40, 0.0, 0.0, 2.0, 2.0)
+      val siteOrd = sites.select(col("wkt"),
+        (dense_rank().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("Site")))).cast("double").as("burn"))
+      val burned = InputMaps.rasterize(canvas, siteOrd, "wkt", "burn")
+        .select(col("row"), col("col"), col("burn").as("value"))
+      GeoTiff.write(burned,
+        GeoTiff.GeoInfo(40, 40, x0 = 0.0, y0 = 2.0, resX = 0.05, resY = 0.05),
+        s"$outDir/sites_raster.tif")
+    }
 
     val demand = stage(spark, outDir, "demand_ts") {
       val profiles = profile.select(lit("households").as("sector"), col("t"), col("value").as("weight"))

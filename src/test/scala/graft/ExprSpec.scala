@@ -32,11 +32,12 @@ class ExprSpec extends AnyFunSuite {
     GraftExpressions.register(spark)
     val r = spark.sql(
       "SELECT haversine_km(0D, 0D, 0D, 90D) AS d, eu_to_double('2,5') AS e, " +
-      "sample_bucket(7) AS b").head
+      "sample_bucket(7) AS b, cosine_sim(array(1D,0D), array(1D,0D)) AS c").head
     assert(math.abs(r.getDouble(0) - 10007.5) < 10.0)
     assert(r.getDouble(1) == 2.5)
     // matches the Column-level Curation.sampleBucket rule exactly
     assert(r.getLong(2) == ((7L * 2654435761L) % 2147483648L))
+    assert(r.getDouble(3) == 1.0)
   }
 
   test("expression participates in whole-stage codegen (no fallback)") {

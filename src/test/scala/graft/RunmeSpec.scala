@@ -20,5 +20,12 @@ class RunmeSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("geometry")).as("a"))
       .collect().map(_.getDouble(0))
     assert(areas.forall(_ > 0))
+
+    // the GeoTIFF artifact decodes with the expected canvas + burn values
+    val gi = graft.sources.GeoTiff.info(spark, s"$out/sites_raster.tif")
+    assert(gi.rows == 40 && gi.cols == 40)
+    val px = graft.sources.GeoTiff.read(spark, s"$out/sites_raster.tif")
+    val distinctBurns = px.select("value").distinct().count()
+    assert(distinctBurns >= 3) // background + >= 2 site ordinals
   }
 }
