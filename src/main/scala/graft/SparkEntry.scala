@@ -768,6 +768,18 @@ object SparkEntry {
           col("focal_max").cast("long").as("focal_max"), col("focal_n"))
     }),
 
+    // Inverted-index BM25: build the partitioned postings index, then
+    // answer the q75 query THROUGH it — same oracle, so any index-path
+    // corruption (bucketing, stats sidecar, df counting) breaks the hash.
+    "q79_text_index" -> ((s, dir) => {
+      import graft.operators.TextIndex
+      val path = java.nio.file.Files.createTempDirectory("graft_tix")
+        .resolve("idx").toString
+      TextIndex.write(t(s, dir, "documents"), "doc_id", "text", path)
+      TextIndex.search(s, path, Seq("spark", "query", "join"), k = 1000000)
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"), col("n_terms"))
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1696,6 +1708,28 @@ object SparkEntry {
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
 
     "q75_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
+        |  WHERE text IS NOT NULL),
+        |dls AS (SELECT doc_id, lt,
+        |  CASE WHEN lt = '' THEN 0
+        |       ELSE len(regexp_split_to_array(lt, '\s+')) END AS dl
+        |  FROM base),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        |toks AS (SELECT doc_id, dl,
+        |  unnest(regexp_split_to_array(lt, '\s+')) AS term FROM dls),
+        |hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1)
+        |SELECT h.doc_id,
+        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1) /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
+        |  count(*) AS n_terms
+        |FROM hits h CROSS JOIN stats JOIN dfreq USING (term)
+        |GROUP BY 1""".stripMargin,
+
+    // identical to q75: the index path must reproduce direct BM25 exactly
+    "q79_text_index" ->
       """WITH base AS (
         |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
         |  WHERE text IS NOT NULL),
