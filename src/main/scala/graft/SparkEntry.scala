@@ -780,6 +780,21 @@ object SparkEntry {
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"), col("n_terms"))
     }),
 
+    // Calendar-spine gap detection: which (site, hour-of-week) slots have
+    // NO events — expected-domain cross product anti-joined against the
+    // observed slots (the reference's TS completeness check, made
+    // relational; the broadcast anti-join side is the observed DISTINCT).
+    "q80_missing_slots" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select((col("user_id") % 20).as("site"),
+          expr("((ts div 1000) div 3600000000) % 168").as("slot"))
+        .distinct()
+      val spine = s.range(20).select(col("id").as("site"))
+        .crossJoin(s.range(168).select(col("id").as("slot")))
+      spine.join(ev, Seq("site", "slot"), "left_anti")
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1792,6 +1807,16 @@ object SparkEntry {
         |FROM contrib
         |WHERE row BETWEEN 0 AND 29 AND col BETWEEN 0 AND 39
         |GROUP BY 1, 2""".stripMargin,
+
+    "q80_missing_slots" ->
+      """WITH present AS (
+        |  SELECT DISTINCT user_id % 20 AS site,
+        |    (epoch_us(ts) // 3600000000) % 168 AS slot
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |spine AS (SELECT s.range AS site, h.range AS slot
+        |  FROM range(20) s, range(168) h)
+        |SELECT site, slot FROM spine
+        |ANTI JOIN present USING (site, slot)""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),
