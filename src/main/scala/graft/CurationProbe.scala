@@ -87,6 +87,17 @@ object CurationProbe {
         .agg(sum(length(col("text"))), sum("n_email"), sum("n_phone")).collect()
     }
 
+    // inverted-index build over the replicated corpus + a pruned probe
+    val tixPath = java.nio.file.Files.createTempDirectory("probe_tix")
+      .resolve("idx").toString
+    time(s"text index build x$mult") {
+      graft.operators.TextIndex.write(docs, "doc_id", "text", tixPath)
+    }
+    time("text index search (3 terms, pruned)") {
+      graft.operators.TextIndex.search(spark, tixPath,
+        Seq("spark", "query", "join"), 100).collect()
+    }
+
     // as-of join at volume: one shuffle on the key, no row expansion
     val leftEv = spark.range(10000000L).select(
       pmod(col("id"), lit(10000)).as("k"), (col("id") * 13 % 1000003).as("ts"),
