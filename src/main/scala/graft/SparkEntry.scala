@@ -1010,6 +1010,30 @@ object SparkEntry {
   )
 
   // ────────────────────────────────────────────────────────────────────────
+  /** One BM25 oracle, referenced by BOTH q75 (direct) and q79 (through
+    * the inverted index) — a one-sided edit can't break their invariant.
+    */
+  private val Bm25OracleSql: String =
+    """WITH base AS (
+        |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
+        |  WHERE text IS NOT NULL),
+        |dls AS (SELECT doc_id, lt,
+        |  CASE WHEN lt = '' THEN 0
+        |       ELSE len(regexp_split_to_array(lt, '\s+')) END AS dl
+        |  FROM base),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        |toks AS (SELECT doc_id, dl,
+        |  unnest(regexp_split_to_array(lt, '\s+')) AS term FROM dls),
+        |hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1)
+        |SELECT h.doc_id,
+        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1) /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
+        |  count(*) AS n_terms
+        |FROM hits h CROSS JOIN stats JOIN dfreq USING (term)
+        |GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1722,48 +1746,10 @@ object SparkEntry {
         |  'png' AS format, doc_id % 256 AS mean_band0
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
 
-    "q75_bm25" ->
-      """WITH base AS (
-        |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
-        |  WHERE text IS NOT NULL),
-        |dls AS (SELECT doc_id, lt,
-        |  CASE WHEN lt = '' THEN 0
-        |       ELSE len(regexp_split_to_array(lt, '\s+')) END AS dl
-        |  FROM base),
-        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
-        |toks AS (SELECT doc_id, dl,
-        |  unnest(regexp_split_to_array(lt, '\s+')) AS term FROM dls),
-        |hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1)
-        |SELECT h.doc_id,
-        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1) /
-        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
-        |  count(*) AS n_terms
-        |FROM hits h CROSS JOIN stats JOIN dfreq USING (term)
-        |GROUP BY 1""".stripMargin,
+    "q75_bm25" -> Bm25OracleSql,
 
-    // identical to q75: the index path must reproduce direct BM25 exactly
-    "q79_text_index" ->
-      """WITH base AS (
-        |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
-        |  WHERE text IS NOT NULL),
-        |dls AS (SELECT doc_id, lt,
-        |  CASE WHEN lt = '' THEN 0
-        |       ELSE len(regexp_split_to_array(lt, '\s+')) END AS dl
-        |  FROM base),
-        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
-        |toks AS (SELECT doc_id, dl,
-        |  unnest(regexp_split_to_array(lt, '\s+')) AS term FROM dls),
-        |hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1)
-        |SELECT h.doc_id,
-        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1) /
-        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
-        |  count(*) AS n_terms
-        |FROM hits h CROSS JOIN stats JOIN dfreq USING (term)
-        |GROUP BY 1""".stripMargin,
+    // same oracle as q75: the index path must reproduce direct BM25 exactly
+    "q79_text_index" -> Bm25OracleSql,
 
     "q76_repetition" ->
       """WITH base AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents),

@@ -154,7 +154,7 @@ object Similarity {
   private def assignUdf(spark: org.apache.spark.sql.SparkSession,
       centroids: Array[Array[Double]]) = {
     val bc = spark.sparkContext.broadcast(centroids)
-    udf { (v: Seq[Double]) =>
+    val fn = udf { (v: Seq[Double]) =>
       var best = -1; var bestD = Double.PositiveInfinity; var i = 0
       val cs = bc.value
       while (i < cs.length) {
@@ -164,6 +164,7 @@ object Similarity {
       }
       best
     }
+    (fn, bc)
   }
 
   /** The nProbe list indices nearest the query (same tie rule). */
@@ -211,9 +212,13 @@ object Similarity {
     val meanAgg = org.apache.spark.sql.functions.udaf(new ArrayMean)
     var it = 0
     while (it < iters) {
-      val means = clean.groupBy(assignUdf(spark, cents)(col("v")).as("list"))
+      // eager collect per iteration -> the broadcast can be released
+      // deterministically instead of waiting for the ContextCleaner
+      val (assign, bc) = assignUdf(spark, cents)
+      val means = clean.groupBy(assign(col("v")).as("list"))
         .agg(meanAgg(col("v")).as("c"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      bc.unpersist()
       cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
       it += 1
     }
@@ -231,7 +236,9 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val q = array(query.map(lit): _*)
     val clean = vecs.filter(col(vecCol).isNotNull)
-    val assign = assignUdf(vecs.sparkSession, centroids)
+    // lazy result: the broadcast must outlive the returned plan (GC'd by
+    // the ContextCleaner once the DataFrame is unreachable)
+    val (assign, _) = assignUdf(vecs.sparkSession, centroids)
     val probeLists = nearestLists(query, centroids, nProbe)
     clean.withColumn("__list", assign(col(vecCol).cast("array<double>")))
       .filter(col("__list").isin(probeLists: _*))
@@ -250,10 +257,11 @@ object Similarity {
   def writeIvfIndex(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], path: String): Unit = {
     val spark = vecs.sparkSession
-    val assign = assignUdf(spark, centroids)
+    val (assign, bcW) = assignUdf(spark, centroids)
     vecs.filter(col(vecCol).isNotNull)
       .withColumn("__list", assign(col(vecCol).cast("array<double>")))
       .write.mode("overwrite").partitionBy("__list").parquet(path)
+    bcW.unpersist() // write is eager; release the centroid copy now
     val sidecar = centroids.map(_.mkString("[", ",", "]"))
       .mkString("{\"centroids\":[", ",", "]}")
     val p = new org.apache.hadoop.fs.Path(path, "_ivf_centroids.json")

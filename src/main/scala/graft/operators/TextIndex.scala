@@ -29,6 +29,7 @@ object TextIndex {
       .select(col(idCol).as("doc_id"),
         TextFns.tokens(lower(col(textCol))).as("__toks"))
       .withColumn("dl", size(col("__toks")))
+      .persist() // read twice: postings write + stats agg
     val postings = base
       .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
@@ -36,8 +37,13 @@ object TextIndex {
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-    val Array(n, avgdl) = base.agg(count(lit(1)).cast("double"),
-      avg(col("dl"))).head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val statsRow = base.agg(count(lit(1)).cast("double"),
+      avg(col("dl"))).head()
+    base.unpersist()
+    val n = statsRow.getDouble(0)
+    require(n > 0, "refusing to index an empty corpus (avgdl undefined; " +
+      "every probe would score NaN)")
+    val avgdl = statsRow.getDouble(1)
     val sidecar =
       s"""{"n":$n,"avgdl":$avgdl,"nBuckets":$nBuckets}"""
     val p = new org.apache.hadoop.fs.Path(path, "_text_index_stats.json")

@@ -113,7 +113,11 @@ object Runme {
         (dense_rank().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("Site")))).cast("double").as("burn"))
       val burned = InputMaps.rasterize(canvas, siteOrd, "wkt", "burn")
-        .select(col("row"), col("col"), col("burn").as("value"))
+        // pixelGrid is south-up (row 0 at ymin); GeoTIFF row 0 is the TOP
+        // row — flip so georeferencing is upright, like array2raster's
+        // np.flipud (code/lib/spatial_functions.py:205)
+        .select((lit(39) - col("row")).as("row"), col("col"),
+          col("burn").as("value"))
       GeoTiff.write(burned,
         GeoTiff.GeoInfo(40, 40, x0 = 0.0, y0 = 2.0, resX = 0.05, resY = 0.05),
         s"$outDir/sites_raster.tif")
