@@ -795,6 +795,14 @@ object SparkEntry {
       spine.join(ev, Seq("site", "slot"), "left_anti")
     }),
 
+    // Cross-document boilerplate: 4-token passages present in >= 3 docs
+    // (the word-soup corpus repeats phrases heavily, so yield is real).
+    "q81_boilerplate" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.boilerplatePassages(t(s, dir, "documents"), "doc_id", "text",
+        k = 4, minDocs = 3)
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1803,6 +1811,19 @@ object SparkEntry {
         |  FROM range(20) s, range(168) h)
         |SELECT site, slot FROM spine
         |ANTI JOIN present USING (site, slot)""".stripMargin,
+
+    "q81_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+        |    unnest(range(1, len(regexp_split_to_array(trim(lower(text)), '\s+')) + 1)) AS pos
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |p AS (SELECT doc_id, (pos - 1) // 4 AS chunk,
+        |    string_agg(w, ' ' ORDER BY pos) AS passage
+        |  FROM toks GROUP BY 1, 2),
+        |d AS (SELECT DISTINCT doc_id, passage FROM p)
+        |SELECT passage, count(*) AS n_docs FROM d
+        |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

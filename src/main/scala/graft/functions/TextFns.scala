@@ -146,6 +146,19 @@ object TextFns {
   def repetitionRatio(text: Column, n: Int): Column =
     repetitionKernel(n)(tokens(lower(text)))
 
+  /** Non-overlapping k-token passages (boilerplate-detection unit — unlike
+    * shingles these tile the doc, so a repeated footer is ONE passage, not
+    * k overlapping grams). Partial tail chunk included; null text → null,
+    * blank → empty array.
+    */
+  private def passageKernel(k: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null) null
+    else toks.grouped(k).map(_.mkString(" ")).toArray
+  }
+
+  def passages(text: Column, k: Int): Column =
+    passageKernel(k)(tokens(lower(text)))
+
   /** Deterministic 64-bit string hash (two murmur3 passes with different
     * seeds). Engine-native; stable across JVMs and sessions.
     */

@@ -155,6 +155,22 @@ object Curation {
       .agg(sum(col("__s")).as("bm25"), count(lit(1)).as("n_terms"))
   }
 
+  /** Cross-document boilerplate: k-token passages appearing in at least
+    * `minDocs` distinct documents (headers/footers/license blocks — the
+    * units line-dedup pipelines strip). One explode + one (passage, doc)
+    * distinct + one count — passages are compact relative to shingles
+    * (each token appears in exactly one passage), so the shuffle is
+    * ~|corpus tokens| / k rows.
+    */
+  def boilerplatePassages(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFns.passages(col(textCol), k)).as("passage"))
+      .filter(col("passage") =!= "")
+      .distinct()
+      .groupBy(col("passage")).agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   // ------------------------------------------------------ PII redaction
 
   /** Email pattern kept deliberately simple + anchored to word chars so
