@@ -803,6 +803,20 @@ object SparkEntry {
         k = 4, minDocs = 3)
     }),
 
+    // Token-budget corpus mixing: per-source budgets filled in
+    // deterministic hash order — the reproducible data-mixture step.
+    "q82_token_budget" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Curation
+      val budgets = Seq(("src0", 6000L), ("src1", 3000L), ("src2", 12000L))
+        .toDF("source", "budget")
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), col("source"),
+          TextFns.tokenCount(col("text")).cast("long").as("toks"))
+      Curation.tokenBudgetMix(docs, "doc_id", "toks", "source", budgets)
+    }),
+
     // U3: set intersection/difference on key domains.
     "q43_set_ops" -> ((s, dir) => {
       val a = t(s, dir, "part").filter(col("p_size") <= 10).select(col("p_brand")).distinct()
@@ -1824,6 +1838,18 @@ object SparkEntry {
         |d AS (SELECT DISTINCT doc_id, passage FROM p)
         |SELECT passage, count(*) AS n_docs FROM d
         |GROUP BY 1 HAVING count(*) >= 3""".stripMargin,
+
+    "q82_token_budget" ->
+      """WITH b AS (SELECT * FROM (VALUES ('src0', 6000), ('src1', 3000),
+        |  ('src2', 12000)) AS t(source, budget)),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS bkt
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (SELECT d.*, b.budget,
+        |    sum(toks) OVER (PARTITION BY d.source ORDER BY bkt, doc_id) AS cum
+        |  FROM d JOIN b ON b.source = d.source)
+        |SELECT doc_id, source, toks FROM c WHERE cum <= budget""".stripMargin,
 
     "q43_set_ops" ->
       """WITH a AS (SELECT DISTINCT p_brand FROM part WHERE p_size <= 10),

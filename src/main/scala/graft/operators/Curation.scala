@@ -89,6 +89,25 @@ object Curation {
       .drop("fraction")
   }
 
+  /** Token-budget corpus mixing: per source, take documents in the
+    * DETERMINISTIC pseudo-random order given by [[sampleBucket]] until the
+    * source's token budget fills (the "data mixture recipe" step — N
+    * billion tokens of web, M of code — made reproducible: same corpus +
+    * same budgets → same mixture, no RNG state). Budgets arrive as a
+    * relation (sourceCol, budget) — broadcast; one window per source.
+    * The last document may overshoot the budget (kept iff its cumsum
+    * stays within; documents are atomic).
+    */
+  def tokenBudgetMix(docs: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, budgets: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(sampleBucket(col(idCol)).asc, col(idCol).asc)
+    docs.join(broadcast(budgets), Seq(sourceCol))
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__cum") <= col("budget"))
+      .drop("__cum", "budget")
+  }
+
   // --------------------------------------------------- sequence packing
 
   /** Sequence packing: assign documents to fixed-budget context windows
