@@ -76,3 +76,48 @@ class AsofSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plan.contains("Window"))
   }
 }
+
+/** Boilerplate passages + token-budget mixing semantics. */
+class MixBoilerplateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Curation
+
+  test("boilerplatePassages finds the shared footer, not unique text") {
+    val footer = "all rights reserved contact us"
+    // prefixes are exactly k tokens so the footer tiles into its own
+    // aligned passage (tiling is alignment-sensitive by design — a
+    // shifted footer is a different passage, like real line-dedup units)
+    val docs = Seq(
+      (1L, s"unique words one two three $footer"),
+      (2L, s"totally different content here now $footer"),
+      (3L, s"yet another body of text $footer"),
+      (4L, "no footer in this one at all")).toDF("doc_id", "text")
+    // k=5 tiles: docs 1-3 end with the footer tail chunk (5 tokens + 1)
+    val got = Curation.boilerplatePassages(docs, "doc_id", "text", k = 5, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (p, n) => n >= 3 && footer.contains(p.split(" ").head) ||
+      footer.split(" ").contains(p.split(" ").head) })
+    // doc 4's unique chunks never appear
+    assert(!got.exists(_._1.contains("no footer")))
+  }
+
+  test("tokenBudgetMix: deterministic, budget-respecting, per-source") {
+    val docs = spark.range(100).select(col("id").as("doc_id"),
+      (when(col("id") % 2 === 0, "a").otherwise("b")).as("source"),
+      lit(10L).as("toks"))
+    val budgets = Seq(("a", 55L), ("b", 200L)).toDF("source", "budget")
+    val mix = Curation.tokenBudgetMix(docs, "doc_id", "toks", "source", budgets)
+    val perSource = mix.groupBy("source").agg(sum("toks").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perSource("a") == ((50L, 5L))) // 5 docs of 10 tokens fit in 55
+    assert(perSource("b") == ((200L, 20L)))
+    // reproducible: second run identical ids
+    val ids1 = mix.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Curation.tokenBudgetMix(docs, "doc_id", "toks", "source", budgets)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+}
