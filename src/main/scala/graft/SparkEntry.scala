@@ -775,7 +775,10 @@ object SparkEntry {
       import graft.operators.TextIndex
       val path = java.nio.file.Files.createTempDirectory("graft_tix")
         .resolve("idx").toString
-      TextIndex.write(t(s, dir, "documents"), "doc_id", "text", path)
+      // 16 buckets at gate scale (64-dir writes are pure file overhead
+      // on a 5k-doc corpus; pruning semantics identical)
+      TextIndex.write(t(s, dir, "documents"), "doc_id", "text", path,
+        nBuckets = 16)
       TextIndex.search(s, path, Seq("spark", "query", "join"), k = 1000000)
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"), col("n_terms"))
     }),
