@@ -186,8 +186,8 @@ object Curation {
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(TextFns.passages(col(textCol), k)).as("passage"))
       .filter(col("passage") =!= "")
-      .distinct()
-      .groupBy(col("passage")).agg(countDistinct(col(idCol)).as("n_docs"))
+      .distinct() // (doc, passage) pairs are unique after this
+      .groupBy(col("passage")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
   // ------------------------------------------------------ PII redaction
