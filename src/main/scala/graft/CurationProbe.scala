@@ -82,6 +82,26 @@ object CurationProbe {
         "toks", 256, "shard").agg(count(lit(1)), sum("fill")).collect()
     }
 
+    // token-budget mix: the window must partition by (source, shard) —
+    // a per-source-only window serializes each source through one task
+    // at corpus scale. Assert the plan has no such window, then run.
+    val mixDocs = docs.filter(col("text").isNotNull && trim(col("text")) =!= "")
+      .select(col("doc_id"), col("lang").as("source"),
+        TextFns.tokenCount(col("text")).cast("long").as("toks"))
+    val mixBudgets = Seq(("en", 500000L), ("de", 250000L), ("es", 125000L),
+      ("fr", 750000L), ("zh", 62500L)).toDF("source", "budget")
+    val mixPlan = Curation.tokenBudgetMix(mixDocs, "doc_id", "toks", "source",
+      mixBudgets).queryExecution.executedPlan.toString
+    // the wide cumsum window spec must read: partition (source, __shard),
+    // order (__bucket, ...) — i.e. __shard as a PARTITION column
+    require("""windowspecdefinition\(source#\d+L?, __shard#\d+, __bucket#\d+L? ASC""".r
+      .findFirstIn(mixPlan).isDefined,
+      s"tokenBudgetMix wide window must partition by (source, __shard):\n$mixPlan")
+    time(s"token-budget mix x$mult (5 sources, 64 shards)") {
+      Curation.tokenBudgetMix(mixDocs, "doc_id", "toks", "source", mixBudgets)
+        .agg(count(lit(1)), sum("toks")).collect()
+    }
+
     time(s"PII redaction x$mult") {
       Curation.redactPii(docs.filter(col("text").isNotNull), "text")
         .agg(sum(length(col("text"))), sum("n_email"), sum("n_phone")).collect()

@@ -73,7 +73,11 @@ object VectorFns {
     * the LSH keying itself the bottleneck (measured on the 10× probe:
     * 59 s → sub-second for 20k×64-dim keys).
     */
-  private def rpKernel(nBits: Int, seed: Int) = udf { (v: Seq[Double]) =>
+  /** The rpBucket kernel itself, callable anywhere a vector is already in
+    * hand (e.g. hashing ONE query literal on the driver — launching a
+    * Spark job for that would be a job per probe).
+    */
+  def rpBucketLocal(v: Seq[Double], nBits: Int, seed: Int = 42): Long = {
     var bucket = 0L
     var b = 0
     while (b < nBits) {
@@ -95,6 +99,9 @@ object VectorFns {
     }
     bucket
   }
+
+  private def rpKernel(nBits: Int, seed: Int) =
+    udf { (v: Seq[Double]) => rpBucketLocal(v, nBits, seed) }
 
   def rpBucket(v: Column, nBits: Int, seed: Int = 42): Column =
     rpKernel(nBits, seed)(d(v))

@@ -94,21 +94,45 @@ object Curation {
     * source's token budget fills (the "data mixture recipe" step — N
     * billion tokens of web, M of code — made reproducible: same corpus +
     * same budgets → same mixture, no RNG state). Budgets arrive as a
-    * relation (sourceCol, budget) — broadcast; one window per source.
-    * The last document may overshoot the budget (kept iff its cumsum
-    * stays within; documents are atomic).
+    * relation (sourceCol, budget) — broadcast. The last document may
+    * overshoot the budget (kept iff its cumsum stays within; documents
+    * are atomic).
+    *
+    * Shape at 100 TB: a source is typically HUGE (a handful of sources
+    * split a whole corpus), so a per-source window would serialize each
+    * source through one task. Instead: a two-level prefix sum. Shards are
+    * CONTIGUOUS ranges of the ordering key ([[sampleBucket]] ∈ [0, 2^31)),
+    * so cum(doc) = offset(shard) + cumsum-within-shard exactly. Per-shard
+    * token totals come from a map-side partial agg (|sources|·shards rows
+    * shuffle — nothing else moves), offsets from a window over that tiny
+    * relation, broadcast back. The wide window partitions by
+    * (source, shard): shards-fold parallelism, row-identical output.
     */
   def tokenBudgetMix(docs: DataFrame, idCol: String, tokenCol: String,
-      sourceCol: String, budgets: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(sourceCol))
-      .orderBy(sampleBucket(col(idCol)).asc, col(idCol).asc)
-    // reserved name: a docs table carrying its own "budget" column must
+      sourceCol: String, budgets: DataFrame, shards: Int = 64): DataFrame = {
+    require(shards >= 1, s"shards $shards must be >= 1")
+    val step = (1L << 31) / shards // last shard absorbs the remainder
+    // reserved names: a docs table carrying its own "budget" column must
     // not collide with the joined budgets relation
-    docs.join(broadcast(budgets.withColumnRenamed("budget", "__budget")),
+    val tagged = docs
+      .join(broadcast(budgets.withColumnRenamed("budget", "__budget")),
         Seq(sourceCol))
-      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .withColumn("__bucket", sampleBucket(col(idCol)))
+      .withColumn("__shard",
+        least(floor(col("__bucket") / step), lit(shards - 1L)).cast("int"))
+    val totals = tagged.groupBy(col(sourceCol), col("__shard"))
+      .agg(sum(col(tokenCol).cast("long")).as("__tot"))
+    val wOff = Window.partitionBy(col(sourceCol)).orderBy(col("__shard").asc)
+    val offsets = totals
+      .withColumn("__off", sum(col("__tot")).over(wOff) - col("__tot"))
+      .select(col(sourceCol), col("__shard"), col("__off"))
+    val wIntra = Window.partitionBy(col(sourceCol), col("__shard"))
+      .orderBy(col("__bucket").asc, col(idCol).asc)
+    tagged.join(broadcast(offsets), Seq(sourceCol, "__shard"))
+      .withColumn("__cum",
+        col("__off") + sum(col(tokenCol).cast("long")).over(wIntra))
       .filter(col("__cum") <= col("__budget"))
-      .drop("__cum", "__budget")
+      .drop("__bucket", "__shard", "__off", "__cum", "__budget")
   }
 
   // --------------------------------------------------- sequence packing

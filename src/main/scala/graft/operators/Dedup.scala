@@ -149,8 +149,11 @@ object Dedup {
     while (it < maxIters && !converged) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("__nbr"))
+      // __old rides along so convergence is a filter on the checkpointed
+      // result — not a separate next⋈labels join+count job per round
       val stepped = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("__old"),
+          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
       // pointer jump: comp := label(comp). Doubles propagation distance
       // per round — O(log diameter) rounds instead of O(diameter), the
       // shape that survives deep chains (and halves rounds on shallow
@@ -158,12 +161,11 @@ object Dedup {
       val next = stepped.as("a")
         .join(stepped.select(col("id").as("__cid"), col("comp").as("__ccomp")),
           col("comp") === col("__cid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("__old"),
           least(col("comp"), coalesce(col("__ccomp"), col("comp"))).as("comp"))
         .localCheckpoint(true) // bounded plan depth across rounds
-      val changed = next.join(labels.withColumnRenamed("comp", "__old"), "id")
-        .filter(col("comp") =!= col("__old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("comp") =!= col("__old")).limit(1).count()
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       it += 1
     }

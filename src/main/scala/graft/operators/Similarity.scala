@@ -40,11 +40,10 @@ object Similarity {
       query: Seq[Double], k: Int, nBits: Int = 8, probes: Int = 3): DataFrame = {
     val q = array(query.map(lit): _*)
     val withBucket = vecs.withColumn("__bucket", VectorFns.rpBucket(col(vecCol), nBits))
-    // Driver-side: the query's bucket + single-bit-flip neighbor buckets.
-    // (Computing one 8-bit key for one literal vector is O(bits*dim).)
-    val qBucketRow = vecs.sparkSession.range(1)
-      .select(VectorFns.rpBucket(q, nBits).as("b")).head()
-    val qBucket = qBucketRow.getLong(0)
+    // Driver-side: the query's bucket + single-bit-flip neighbor buckets —
+    // the same kernel the UDF runs, called directly (no Spark job to hash
+    // one literal vector; O(bits*dim) on the driver).
+    val qBucket = VectorFns.rpBucketLocal(query, nBits)
     val probeBuckets = qBucket +: (0 until math.min(probes, nBits)).map(b => qBucket ^ (1L << b))
     withBucket.filter(col("__bucket").isin(probeBuckets: _*))
       .select(col(idCol), VectorFns.cosine(col(vecCol), q).as("cosine"))
