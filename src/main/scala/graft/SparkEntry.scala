@@ -622,6 +622,33 @@ object SparkEntry {
           count(lit(1)).as("n_cells"))
     }),
 
+    // S4 CRS leg, UTM: closed-form lon/lat points are projected to
+    // EPSG:32632 (Krüger series), written as a .shp WITH a .prj sidecar,
+    // and read back — Shapefile.read must DETECT the .prj and reproject
+    // to 4326 on its own (the reference's transparent any-CRS ingestion,
+    // lib/initialization.py:39,58,80). The oracle is the original
+    // closed-form arithmetic: any error in .prj detection, the forward
+    // or the inverse transverse Mercator breaks the 6-decimal hash.
+    "q83_utm_prj_roundtrip" -> ((s, dir) => {
+      import graft.geo.CrsFns
+      val pts = t(s, dir, "supplier").select(col("s_suppkey"),
+        (lit(7.5) + (col("s_suppkey") % 100) * 0.03).as("lon"),
+        (lit(48.0) + (col("s_suppkey") % 73) * 0.05).as("lat"))
+      val utm = pts.select(col("s_suppkey"),
+        format_string("POINT (%s %s)",
+          CrsFns.toX(lit(32632), col("lon"), col("lat")),
+          CrsFns.toY(lit(32632), col("lon"), col("lat"))).as("geometry"))
+      val base = java.nio.file.Files.createTempDirectory("graft_utm")
+        .resolve("pts32632").toString
+      graft.sources.Shapefile.write(utm, "geometry", base, epsg = Some(32632))
+      graft.sources.Shapefile.read(s, base) // auto-reprojects via .prj
+        .select(col("s_suppkey"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 1).cast("double"), 6).as("lon"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
+    }),
+
     // Decontamination: flag corpus docs sharing a word 3-gram with the
     // "benchmark" slice (doc_id % 97 == 0). Benchmark grams broadcast;
     // corpus side explodes map-side — the 100 TB shape.
@@ -1660,6 +1687,12 @@ object SparkEntry {
         |  round(degrees(mx / 6378137.0), 6) AS lon,
         |  round(degrees(2 * atan(exp(my / 6378137.0)) - pi() / 2), 6) AS lat
         |FROM p""".stripMargin,
+
+    "q83_utm_prj_roundtrip" ->
+      """SELECT s_suppkey,
+        |  round(7.5 + (s_suppkey % 100) * 0.03, 6) AS lon,
+        |  round(48.0 + (s_suppkey % 73) * 0.05, 6) AS lat
+        |FROM supplier""".stripMargin,
 
     "q67_shp_roundtrip" ->
       """SELECT r_name, count(*) AS n_customers

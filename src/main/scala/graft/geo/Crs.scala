@@ -10,6 +10,11 @@ package graft.geo
   *  - EPSG:3035 ETRS89-LAEA — the standard European equal-area grid
   *    (ellipsoidal GRS80, Snyder's oblique Lambert azimuthal equal-area,
   *    φ₀ = 52°N, λ₀ = 10°E, false origin 4321000/3210000)
+  *  - EPSG:32601–32660 / 32701–32760 — WGS84 UTM north/south zones, and
+  *    EPSG:25828–25838 — ETRS89 UTM (the projection national European
+  *    datasets actually ship in). Krüger 6th-order flattening series
+  *    (Karney 2011's formulation — nanometer-level on the ellipsoid,
+  *    far inside the double-rounding noise).
   *
   * Pure-scalar kernels (serializable, deterministic); column-level entry
   * points in [[CrsFns]]. Everything downstream (spatial joins, areas,
@@ -50,9 +55,112 @@ object Crs {
   private val M1 = math.cos(Lat0) / math.sqrt(1 - E2 * math.sin(Lat0) * math.sin(Lat0))
   private val D = A * M1 / (Rq * math.cos(Beta1))
 
+  // ---- transverse Mercator (UTM) — Krüger flattening series ----
+
+  /** UTM zone parameters for an EPSG code, or None if not a UTM code.
+    * 326zz/327zz = WGS84 north/south; 258zz = ETRS89 (GRS80) north.
+    * Returns (flattening, central meridian rad, false northing).
+    */
+  private def utmParams(epsg: Int): Option[(Double, Double, Double)] = {
+    val WgsF = 1.0 / 298.257223563
+    if (epsg >= 32601 && epsg <= 32660)
+      Some((WgsF, math.toRadians(-183.0 + 6.0 * (epsg - 32600)), 0.0))
+    else if (epsg >= 32701 && epsg <= 32760)
+      Some((WgsF, math.toRadians(-183.0 + 6.0 * (epsg - 32700)), 10000000.0))
+    else if (epsg >= 25828 && epsg <= 25838)
+      Some((F, math.toRadians(-183.0 + 6.0 * (epsg - 25800)), 0.0))
+    else None
+  }
+
+  private val K0 = 0.9996
+  private val E0utm = 500000.0
+
+  /** Krüger series coefficients for third flattening n (Karney 2011 /
+    * Kawase 2011 — the standard public 6th-order expansion).
+    */
+  private class TmSeries(f: Double) {
+    val n = f / (2 - f)
+    val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
+    val aCap = 6378137.0 / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    val alpha = Array(
+      n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288 + 7891 * n6 / 37800,
+      13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630 - 1983433 * n6 / 1935360,
+      61 * n3 / 240 - 103 * n4 / 140 + 15061 * n5 / 26880 + 167603 * n6 / 181440,
+      49561 * n4 / 161280 - 179 * n5 / 168 + 6601661 * n6 / 7257600,
+      34729 * n5 / 80640 - 3418889 * n6 / 1995840,
+      212378941 * n6 / 319334400)
+    val beta = Array(
+      n / 2 - 2 * n2 / 3 + 37 * n3 / 96 - n4 / 360 - 81 * n5 / 512 + 96199 * n6 / 604800,
+      n2 / 48 + n3 / 15 - 437 * n4 / 1440 + 46 * n5 / 105 - 1118711 * n6 / 3870720,
+      17 * n3 / 480 - 37 * n4 / 840 - 209 * n5 / 4480 + 5569 * n6 / 90720,
+      4397 * n4 / 161280 - 11 * n5 / 504 - 830251 * n6 / 7257600,
+      4583 * n5 / 161280 - 108847 * n6 / 3991680,
+      20648693 * n6 / 638668800)
+    val delta = Array(
+      2 * n - 2 * n2 / 3 - 2 * n3 + 116 * n4 / 45 + 26 * n5 / 45 - 2854 * n6 / 675,
+      7 * n2 / 3 - 8 * n3 / 5 - 227 * n4 / 45 + 2704 * n5 / 315 + 2323 * n6 / 945,
+      56 * n3 / 15 - 136 * n4 / 35 - 1262 * n5 / 105 + 73814 * n6 / 2835,
+      4279 * n4 / 630 - 332 * n5 / 35 - 399572 * n6 / 14175,
+      4174 * n5 / 315 - 144838 * n6 / 6237,
+      601676 * n6 / 22275)
+    val e2 = f * (2 - f)
+    val e = math.sqrt(e2)
+  }
+
+  private val tmWgs = new TmSeries(1.0 / 298.257223563)
+  private val tmGrs = new TmSeries(F)
+  private def tmOf(f: Double): TmSeries =
+    if (f == F) tmGrs else tmWgs
+
+  /** Forward transverse Mercator: (lon, lat) deg → (easting, northing). */
+  private def tmForward(s: TmSeries, lon0: Double, fn: Double,
+      lon: Double, lat: Double): (Double, Double) = {
+    val phi = math.toRadians(lat)
+    val dl = math.toRadians(lon) - lon0
+    val sp = math.sin(phi)
+    // conformal latitude via Karney's tau form, numerically stable
+    val t = math.sinh(atanh(sp) - (2 * math.sqrt(s.n) / (1 + s.n)) *
+      atanh((2 * math.sqrt(s.n) / (1 + s.n)) * sp))
+    val xiP = math.atan2(t, math.cos(dl))
+    val etaP = atanh(math.sin(dl) / math.sqrt(1 + t * t))
+    var xi = xiP; var eta = etaP
+    var j = 1
+    while (j <= 6) {
+      xi += s.alpha(j - 1) * math.sin(2 * j * xiP) * math.cosh(2 * j * etaP)
+      eta += s.alpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
+      j += 1
+    }
+    (E0utm + K0 * s.aCap * eta, fn + K0 * s.aCap * xi)
+  }
+
+  /** Inverse transverse Mercator: (easting, northing) → (lon, lat) deg. */
+  private def tmInverse(s: TmSeries, lon0: Double, fn: Double,
+      x: Double, y: Double): (Double, Double) = {
+    val xi = (y - fn) / (K0 * s.aCap)
+    val eta = (x - E0utm) / (K0 * s.aCap)
+    var xiP = xi; var etaP = eta
+    var j = 1
+    while (j <= 6) {
+      xiP -= s.beta(j - 1) * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+      etaP -= s.beta(j - 1) * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+      j += 1
+    }
+    val chi = math.asin(math.sin(xiP) / math.cosh(etaP))
+    var phi = chi
+    j = 1
+    while (j <= 6) { phi += s.delta(j - 1) * math.sin(2 * j * chi); j += 1 }
+    val lon = lon0 + math.atan2(math.sinh(etaP), math.cos(xiP))
+    (math.toDegrees(lon), math.toDegrees(phi))
+  }
+
+  private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
+
   /** (x, y) in `epsg` → (lon, lat) degrees. */
   def toWgs84(epsg: Int, x: Double, y: Double): (Double, Double) = epsg match {
     case Wgs84 => (x, y)
+    case u if utmParams(u).isDefined =>
+      val (f, lon0, fn) = utmParams(u).get
+      tmInverse(tmOf(f), lon0, fn, x, y)
     case WebMercator =>
       (math.toDegrees(x / A),
         math.toDegrees(2 * math.atan(math.exp(y / A)) - math.Pi / 2))
@@ -70,12 +178,16 @@ object Crs {
         (math.toDegrees(lon), math.toDegrees(latFromQ(q)))
       }
     case other => throw new IllegalArgumentException(
-      s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 3035)")
+      s"unsupported source CRS EPSG:$other " +
+        "(supported: 4326, 3857, 3035, UTM 326xx/327xx/258xx)")
   }
 
   /** (lon, lat) degrees → (x, y) in `epsg`. */
   def fromWgs84(epsg: Int, lon: Double, lat: Double): (Double, Double) = epsg match {
     case Wgs84 => (lon, lat)
+    case u if utmParams(u).isDefined =>
+      val (f, lon0, fn) = utmParams(u).get
+      tmForward(tmOf(f), lon0, fn, lon, lat)
     case WebMercator =>
       val phi = math.toRadians(lat)
       (A * math.toRadians(lon), A * math.log(math.tan(math.Pi / 4 + phi / 2)))
@@ -89,7 +201,8 @@ object Crs {
         Y0 + (b / D) * (math.cos(Beta1) * math.sin(beta) -
           math.sin(Beta1) * math.cos(beta) * math.cos(dl)))
     case other => throw new IllegalArgumentException(
-      s"unsupported target CRS EPSG:$other (supported: 4326, 3857, 3035)")
+      s"unsupported target CRS EPSG:$other " +
+        "(supported: 4326, 3857, 3035, UTM 326xx/327xx/258xx)")
   }
 
   /** Latitude from authalic q by Newton iteration (Snyder eq. 3-16). */
@@ -106,6 +219,103 @@ object Crs {
       i += 1
     }
     phi
+  }
+
+  /** Is `epsg` a CRS this kernel can transform? */
+  def isSupported(epsg: Int): Boolean =
+    epsg == Wgs84 || epsg == WebMercator || epsg == EtrsLaea ||
+      utmParams(epsg).isDefined
+
+  /** ESRI-style `.prj` WKT1 for a supported EPSG code. Carries an explicit
+    * trailing AUTHORITY so [[epsgFromPrj]] round-trips exactly; the names
+    * match what ArcGIS/GDAL emit so third-party tools recognize the file.
+    */
+  def prjWkt(epsg: Int): String = {
+    require(isSupported(epsg), s"prjWkt: unsupported EPSG:$epsg")
+    val gcsWgs = "GEOGCS[\"GCS_WGS_1984\",DATUM[\"D_WGS_1984\"," +
+      "SPHEROID[\"WGS_1984\",6378137.0,298.257223563]]," +
+      "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]"
+    val gcsEtrs = "GEOGCS[\"GCS_ETRS_1989\",DATUM[\"D_ETRS_1989\"," +
+      "SPHEROID[\"GRS_1980\",6378137.0,298.257222101]]," +
+      "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]"
+    def utm(name: String, gcs: String, lon0: Double, fn: Double) =
+      s"""PROJCS["$name",$gcs,PROJECTION["Transverse_Mercator"],""" +
+        "PARAMETER[\"False_Easting\",500000.0]," +
+        s"""PARAMETER["False_Northing",$fn],""" +
+        s"""PARAMETER["Central_Meridian",$lon0],""" +
+        "PARAMETER[\"Scale_Factor\",0.9996],PARAMETER[\"Latitude_Of_Origin\",0.0]," +
+        s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$epsg"]]"""
+    epsg match {
+      case Wgs84 => gcsWgs.dropRight(1) + s""",AUTHORITY["EPSG","4326"]]"""
+      case WebMercator =>
+        s"""PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",$gcsWgs,""" +
+          "PROJECTION[\"Mercator_Auxiliary_Sphere\"],UNIT[\"Meter\",1.0]," +
+          s"""AUTHORITY["EPSG","3857"]]"""
+      case EtrsLaea =>
+        s"""PROJCS["ETRS_1989_LAEA",$gcsEtrs,""" +
+          "PROJECTION[\"Lambert_Azimuthal_Equal_Area\"],UNIT[\"Meter\",1.0]," +
+          s"""AUTHORITY["EPSG","3035"]]"""
+      case u if u >= 32601 && u <= 32660 =>
+        utm(s"WGS_1984_UTM_Zone_${u - 32600}N", gcsWgs, -183.0 + 6.0 * (u - 32600), 0.0)
+      case u if u >= 32701 && u <= 32760 =>
+        utm(s"WGS_1984_UTM_Zone_${u - 32700}S", gcsWgs, -183.0 + 6.0 * (u - 32700), 10000000.0)
+      case u => // 258xx
+        utm(s"ETRS_1989_UTM_Zone_${u - 25800}N", gcsEtrs, -183.0 + 6.0 * (u - 25800), 0.0)
+    }
+  }
+
+  // --------------------------------------------------- .prj detection
+
+  /** Detect the EPSG code of an ESRI `.prj` sidecar (OGC WKT1). Prefers an
+    * explicit top-level AUTHORITY["EPSG", n]; falls back to the name
+    * heuristics real-world .prj files need (ESRI writes no authority):
+    * UTM zone names, Web-Mercator aliases, the ETRS89-LAEA grid, and
+    * plain geographic WGS84/ETRS89. Returns None when unrecognized —
+    * callers fail loudly rather than guess.
+    */
+  def epsgFromPrj(prj: String): Option[Int] = {
+    val s = prj.trim
+    val up = s.toUpperCase.replace(' ', '_')
+    // last AUTHORITY in the string is the outermost object's (the PROJCS
+    // authority trails the nested GEOGCS one in WKT1 ordering)
+    val auth = """AUTHORITY\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
+      .findAllMatchIn(s).toSeq.lastOption.map(_.group(1).toInt)
+    if (auth.isDefined) return auth
+    val utmZone = """UTM_ZONE_(\d{1,2})([NS])""".r.findFirstMatchIn(up)
+    if (up.startsWith("PROJCS")) {
+      utmZone match {
+        case Some(m) =>
+          val z = m.group(1).toInt
+          val south = m.group(2) == "S"
+          if (up.contains("ETRS") && !south) Some(25800 + z)
+          else if (south) Some(32700 + z) else Some(32600 + z)
+        case None =>
+          if (up.contains("PSEUDO-MERCATOR") || up.contains("PSEUDO_MERCATOR") ||
+            up.contains("WEB_MERCATOR")) Some(WebMercator)
+          else if (up.contains("LAEA") && up.contains("ETRS")) Some(EtrsLaea)
+          else None
+      }
+    } else if (up.startsWith("GEOGCS")) {
+      if (up.contains("WGS_1984") || up.contains("WGS_84") ||
+        up.contains("WGS84") || up.contains("ETRS_1989") ||
+        up.contains("ETRS89")) Some(Wgs84)
+      else None
+    } else None
+  }
+
+  private val CoordRe = """(-?[0-9][-+0-9.eE]*)\s+(-?[0-9][-+0-9.eE]*)""".r
+
+  /** Reproject EVERY coordinate pair of any WKT geometry (point, line,
+    * polygon, multi-*) into 4326 — structure-preserving text transform,
+    * so every geometry family a shapefile can carry reprojects through
+    * one code path.
+    */
+  def wktTransformToWgs84(epsg: Int, wkt: String): String = {
+    if (epsg == Wgs84 || wkt == null) return wkt
+    CoordRe.replaceAllIn(wkt, m => {
+      val (lon, lat) = toWgs84(epsg, m.group(1).toDouble, m.group(2).toDouble)
+      scala.util.matching.Regex.quoteReplacement(s"$lon $lat")
+    })
   }
 
   /** Reproject every vertex of a WKT POLYGON/MULTIPOLYGON into 4326. */
@@ -129,6 +339,10 @@ object CrsFns {
 
   val toLon = udf { (epsg: Int, x: Double, y: Double) => Crs.toWgs84(epsg, x, y)._1 }
   val toLat = udf { (epsg: Int, x: Double, y: Double) => Crs.toWgs84(epsg, x, y)._2 }
+
+  /** Forward projection out of 4326 (writing layers in a projected CRS). */
+  val toX = udf { (epsg: Int, lon: Double, lat: Double) => Crs.fromWgs84(epsg, lon, lat)._1 }
+  val toY = udf { (epsg: Int, lon: Double, lat: Double) => Crs.fromWgs84(epsg, lon, lat)._2 }
 
   /** Reproject a WKT geometry column into 4326. */
   val wktToWgs84 = udf { (epsg: Int, wkt: String) => Crs.wktToWgs84(epsg, wkt) }

@@ -40,6 +40,17 @@ object Shapefile {
   // ------------------------------------------------------------------ read
 
   /** Read `base.shp` + `base.dbf` into (attrs..., geometry WKT).
+    *
+    * CRS: when a `base.prj` sidecar exists, its CRS is detected
+    * ([[graft.geo.Crs.epsgFromPrj]]) and every geometry is reprojected
+    * into 4326 at ingestion — the reference's transparent
+    * `gpd.read_file(...).to_crs(epsg:4326)` (code/lib/initialization.py:
+    * 39,58,80). An unrecognized or unsupported CRS FAILS LOUDLY (naming
+    * the EPSG) instead of silently mixing meters into a lon/lat world.
+    * Without a `.prj`, coordinates are taken as already-4326 (the
+    * pre-round-4 contract). The `bbox` filter applies in FILE coordinates
+    * (pre-reprojection), matching gpd's bbox semantics.
+    *
     * @param base path without extension (like gpd.read_file minus suffix
     *             resolution); `.shp`/`.dbf` are appended.
     * @param bbox optional (xmin, ymin, xmax, ymax) — records whose shape
@@ -49,7 +60,14 @@ object Shapefile {
   def read(spark: SparkSession, base: String,
       bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val shp = readBytes(spark, base + ".shp")
-    val geoms = parseShp(shp, bbox) // Seq[(recordIndex0Based, wkt)]
+    val geoms0 = parseShp(shp, bbox) // Seq[(recordIndex0Based, wkt)]
+    val geoms = readPrjEpsg(spark, base) match {
+      case None | Some(graft.geo.Crs.Wgs84) => geoms0
+      case Some(epsg) =>
+        geoms0.map { case (i, w) =>
+          (i, graft.geo.Crs.wktTransformToWgs84(epsg, w))
+        }
+    }
     val (fields, dbfRows) = parseDbf(readBytes(spark, base + ".dbf"))
     val rows = geoms.map { case (i, wkt) =>
       require(i < dbfRows.length,
@@ -60,6 +78,25 @@ object Shapefile {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, math.max(1, rows.length / 5000)),
       schema)
+  }
+
+  /** EPSG of the `.prj` sidecar if one exists; loud failure on an
+    * unrecognized or untransformable CRS.
+    */
+  private def readPrjEpsg(spark: SparkSession, base: String): Option[Int] = {
+    val p = new Path(base + ".prj")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val prj = new String(readBytes(spark, base + ".prj"), StandardCharsets.UTF_8)
+    val epsg = graft.geo.Crs.epsgFromPrj(prj).getOrElse(
+      throw new IllegalArgumentException(
+        s"$base.prj: unrecognized CRS — cannot detect an EPSG code from:\n" +
+          prj.take(400)))
+    require(graft.geo.Crs.isSupported(epsg),
+      s"$base.prj: EPSG:$epsg detected but not supported by the CRS kernel " +
+        "(supported: 4326, 3857, 3035, UTM 326xx/327xx/258xx); reproject " +
+        "the layer to EPSG:4326 upstream")
+    Some(epsg)
   }
 
   /** Shape-type code of a .shp file (1 point, 3 polyline, 5 polygon). */
@@ -229,8 +266,12 @@ object Shapefile {
   /** Write (attrs..., wktCol) as `base.shp` + `.shx` + `.dbf`. Geometry
     * type is inferred from the first row (POINT / LINESTRING / POLYGON
     * families; a file mixes only within one family, per the SHP spec).
+    * When `epsg` is given, a `.prj` sidecar is written too (the
+    * coordinates are assumed to already BE in that CRS — the writer never
+    * reprojects).
     */
-  def write(df: DataFrame, wktCol: String, base: String): Unit = {
+  def write(df: DataFrame, wktCol: String, base: String,
+      epsg: Option[Int] = None): Unit = {
     val cols = df.schema.fields.filter(_.name != wktCol)
     val rows = df.collect() // bounded: dimension layers only, like the reader
     require(rows.length < 1000000, s"refusing to write ${rows.length} records " +
@@ -310,6 +351,9 @@ object Shapefile {
     put(base + ".shp", shp.toByteArray)
     put(base + ".shx", shx.toByteArray)
     put(base + ".dbf", dbf)
+    epsg.foreach { e =>
+      put(base + ".prj", graft.geo.Crs.prjWkt(e).getBytes(StandardCharsets.UTF_8))
+    }
   }
 
   /** All coordinates of any WKT (regex scan) — bbox math + point parse. */

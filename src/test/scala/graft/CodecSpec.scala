@@ -48,6 +48,38 @@ class CodecSpec extends AnyFunSuite {
     assert(math.abs(areas(3L) - 200.0) < 1e-9) // both parts
   }
 
+  test("shapefile .prj sidecar: auto-reprojection and loud unsupported failure") {
+    import graft.geo.Crs
+    // polygon authored in 4326, projected to UTM 33N, written WITH .prj
+    val corners = Seq((14.0, 50.0), (15.0, 50.0), (15.0, 51.0), (14.0, 51.0))
+    val ring = (corners :+ corners.head)
+      .map { case (lo, la) => Crs.fromWgs84(32633, lo, la) }
+      .map { case (x, y) => s"$x $y" }.mkString(", ")
+    val df = Seq((7L, s"POLYGON (($ring))")).toDF("id", "geometry")
+    val base = tmpBase("utm33")
+    Shapefile.write(df, "geometry", base, epsg = Some(32633))
+    assert(Files.exists(java.nio.file.Paths.get(base + ".prj")))
+    // read back: geometry must arrive in 4326 without being asked
+    val back = Shapefile.read(spark, base).collect()(0).getAs[String]("geometry")
+    val verts = graft.geo.Geometry.parseGeom(back)(0).outer
+    corners.foreach { case (lo, la) =>
+      assert(verts.exists(p => math.abs(p.x - lo) < 1e-8 && math.abs(p.y - la) < 1e-8),
+        s"corner ($lo, $la) missing from reprojected ring ${verts.toSeq}")
+    }
+    // an unsupported-but-recognized CRS fails loudly, naming the EPSG
+    val base2 = tmpBase("webm")
+    Shapefile.write(df, "geometry", base2)
+    Files.writeString(java.nio.file.Paths.get(base2 + ".prj"),
+      """PROJCS["X",GEOGCS["GCS_North_American_1983"],AUTHORITY["EPSG","2154"]]""")
+    val e = intercept[IllegalArgumentException] { Shapefile.read(spark, base2) }
+    assert(e.getMessage.contains("2154"))
+    // an unrecognized .prj also fails loudly (never silently assume 4326)
+    Files.writeString(java.nio.file.Paths.get(base2 + ".prj"),
+      """PROJCS["Mystery_Local_Grid",UNIT["Meter",1.0]]""")
+    val e2 = intercept[IllegalArgumentException] { Shapefile.read(spark, base2) }
+    assert(e2.getMessage.toLowerCase.contains("unrecognized"))
+  }
+
   test("shapefile bbox pushdown skips records before decode") {
     val df = Seq(
       (1L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),

@@ -69,7 +69,86 @@ class CrsSpec extends AnyFunSuite {
   }
 
   test("unsupported CRS fails loudly") {
-    intercept[IllegalArgumentException] { Crs.toWgs84(32632, 0, 0) }
+    intercept[IllegalArgumentException] { Crs.toWgs84(2154, 0, 0) } // Lambert-93
     intercept[IllegalArgumentException] { Crs.fromWgs84(2154, 0, 0) }
+  }
+
+  test("UTM: central meridian and equator anchor the grid exactly") {
+    // any point ON the central meridian must land at easting 500000
+    for (lat <- Seq(-60.0, 0.0, 12.0, 52.0, 79.5)) {
+      val (e, _) = Crs.fromWgs84(32632, 9.0, lat) // zone 32N: λ0 = 9°E
+      assert(math.abs(e - 500000.0) < 1e-6, s"lat $lat easting $e")
+    }
+    // equator on the central meridian is the northing origin (north zones)
+    val (_, n0) = Crs.fromWgs84(32632, 9.0, 0.0)
+    assert(math.abs(n0) < 1e-6)
+    // south zones carry the 10,000 km false northing
+    val (_, nS) = Crs.fromWgs84(32732, 9.0, 0.0)
+    assert(math.abs(nS - 10000000.0) < 1e-6)
+  }
+
+  test("UTM matches the published CN Tower reference coordinate") {
+    // Wikipedia's UTM worked example: CN Tower, 43.642567°N 79.387139°W,
+    // zone 17N → 630084 m E, 4833438 m N (published at metre precision)
+    val (e, n) = Crs.fromWgs84(32617, -79.387139, 43.642567)
+    assert(math.abs(e - 630084.0) < 1.0, s"easting $e")
+    assert(math.abs(n - 4833438.0) < 1.0, s"northing $n")
+    val (lon, lat) = Crs.toWgs84(32617, 630084.0, 4833438.0)
+    assert(math.abs(lon - (-79.387139)) < 2e-5 && math.abs(lat - 43.642567) < 2e-5)
+  }
+
+  test("UTM round-trips across zones, hemispheres and datums to 1e-9 deg") {
+    for ((epsg, lon0) <- Seq((32601, -177.0), (32632, 9.0), (32660, 177.0),
+        (32733, 15.0), (25832, 9.0));
+        dLon <- Seq(-2.8, 0.0, 1.3, 2.9);
+        lat <- Seq(-72.0, -33.3, 0.0, 0.7, 48.1, 83.0)) {
+      // keep |lat| meaningful for the hemisphere of the zone code
+      val la = if (epsg == 32733) -math.abs(lat) - 0.5 else lat
+      val (x, y) = Crs.fromWgs84(epsg, lon0 + dLon, la)
+      val (lo2, la2) = Crs.toWgs84(epsg, x, y)
+      assert(math.abs(lo2 - (lon0 + dLon)) < 1e-9 && math.abs(la2 - la) < 1e-9,
+        s"EPSG:$epsg ($lon0+$dLon, $la) → ($lo2, $la2)")
+    }
+    // ETRS89 (GRS80) and WGS84 UTM differ only at the 0.1 mm ellipsoid
+    // level — same zone must agree within a millimeter
+    val (ew, nw) = Crs.fromWgs84(32632, 10.5, 51.2)
+    val (ee, ne) = Crs.fromWgs84(25832, 10.5, 51.2)
+    assert(math.abs(ew - ee) < 1e-3 && math.abs(nw - ne) < 1e-3)
+  }
+
+  test("epsgFromPrj: authority tag, ESRI names, and unknowns") {
+    // explicit authority wins (and prjWkt output round-trips)
+    for (code <- Seq(4326, 3857, 3035, 32617, 32732, 25832))
+      assert(Crs.epsgFromPrj(Crs.prjWkt(code)) == Some(code), s"EPSG:$code")
+    // ESRI-style .prj with no AUTHORITY — name heuristics
+    val esriUtm = """PROJCS["WGS_1984_UTM_Zone_33N",GEOGCS["GCS_WGS_1984",""" +
+      """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+      """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+      """PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",500000.0],""" +
+      """PARAMETER["Central_Meridian",15.0],UNIT["Meter",1.0]]"""
+    assert(Crs.epsgFromPrj(esriUtm) == Some(32633))
+    val esriGeo = """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",""" +
+      """SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],""" +
+      """UNIT["Degree",0.0174532925199433]]"""
+    assert(Crs.epsgFromPrj(esriGeo) == Some(4326))
+    assert(Crs.epsgFromPrj(
+      """PROJCS["ETRS_1989_UTM_Zone_32N",GEOGCS["GCS_ETRS_1989"]]""") == Some(25832))
+    assert(Crs.epsgFromPrj("""PROJCS["NAD_1983_StatePlane_California"]""").isEmpty)
+    assert(Crs.epsgFromPrj("not wkt at all").isEmpty)
+  }
+
+  test("wktTransformToWgs84 handles every geometry family") {
+    val (px, py) = Crs.fromWgs84(32632, 9.5, 50.5)
+    val back = Crs.wktTransformToWgs84(32632, s"POINT ($px $py)")
+    val m = """POINT \(([-0-9.eE]+) ([-0-9.eE]+)\)""".r.findFirstMatchIn(back).get
+    assert(math.abs(m.group(1).toDouble - 9.5) < 1e-9)
+    assert(math.abs(m.group(2).toDouble - 50.5) < 1e-9)
+    // linestring: both vertices move, structure preserved
+    val (ax, ay) = Crs.fromWgs84(32632, 9.0, 50.0)
+    val (bx, by) = Crs.fromWgs84(32632, 10.0, 51.0)
+    val line = Crs.wktTransformToWgs84(32632, s"LINESTRING ($ax $ay, $bx $by)")
+    assert(line.startsWith("LINESTRING (") && line.count(_ == ',') == 1)
+    // 4326 passthrough preserves the exact string
+    assert(Crs.wktTransformToWgs84(4326, "POINT (1 2)") == "POINT (1 2)")
   }
 }
