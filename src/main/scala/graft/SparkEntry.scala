@@ -744,6 +744,41 @@ object SparkEntry {
           col("mean_band0").cast("long").as("mean_band0"))
     }),
 
+    // REAL audio decode in the gate: synthesize a PCM WAV per doc
+    // (rate/channels/frames/payload closed-form in doc_id), decode it
+    // back through the JDK javax.sound codec, and let the oracle
+    // recompute the expected metadata arithmetically — the audio mirror
+    // of q74. pcm_sum proves the data chunk round-trips byte-exact.
+    "q84_audio_decode" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val genWav = udf { (id: Long) =>
+        val rate = (id % 3) match { case 0 => 8000f; case 1 => 16000f; case _ => 44100f }
+        val channels = (1 + id % 2).toInt
+        val frames = (50 + id % 200).toInt
+        val nBytes = frames * channels * 2
+        val data = new Array[Byte](nBytes)
+        var i = 0
+        while (i < nBytes) { data(i) = ((id + i) % 256).toByte; i += 1 }
+        val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+          true, false) // 16-bit signed PCM little-endian
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id").isNotNull)
+        .withColumn("media", genWav(col("doc_id")))
+      Multimodal.withAudioMeta(media, "media")
+        .select(col("doc_id"), col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"),
+          col("bits").cast("long").as("bits"), col("frames"),
+          expr("(frames * 1000000) div sample_rate").as("duration_us"),
+          col("container"), col("pcm_sum"))
+    }),
+
     // BM25 relevance against a literal probe query — corpus stats as a
     // broadcast 1-row agg, term explode filtered before the shuffle.
     "q75_bm25" -> ((s, dir) => {
@@ -1803,6 +1838,27 @@ object SparkEntry {
       """SELECT doc_id, 1 + doc_id % 16 AS width, 1 + doc_id % 11 AS height,
         |  'png' AS format, doc_id % 256 AS mean_band0
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+
+    // pcm_sum closed form: sum_{i<n} (doc_id+i)%256 with s=doc_id%256,
+    // full=n//256, rem=n%256 → full*32640 + (tail series, wrap-aware).
+    "q84_audio_decode" ->
+      """WITH p AS (SELECT doc_id,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+        |      AS BIGINT) AS sample_rate,
+        |    1 + doc_id % 2 AS channels, 50 + doc_id % 200 AS frames
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |q AS (SELECT *, doc_id % 256 AS s,
+        |    frames * channels * 2 AS n FROM p)
+        |SELECT doc_id, sample_rate, channels, CAST(16 AS BIGINT) AS bits, frames,
+        |  (frames * 1000000) // sample_rate AS duration_us,
+        |  'wave' AS container,
+        |  CAST((n // 256) * 32640 +
+        |    CASE WHEN s + (n % 256) <= 256
+        |      THEN (n % 256) * s + ((n % 256) * ((n % 256) - 1)) // 2
+        |      ELSE (256 - s) * s + ((256 - s) * (255 - s)) // 2
+        |           + ((n % 256 - 256 + s) * (n % 256 - 256 + s - 1)) // 2
+        |    END AS BIGINT) AS pcm_sum
+        |FROM q""".stripMargin,
 
     "q75_bm25" -> Bm25OracleSql,
 

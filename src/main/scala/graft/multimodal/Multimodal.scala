@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode/resize are REAL: the JDK ships PNG/JPEG/BMP/GIF ImageIO
   * codecs, so [[decodeImage]]/[[resizeImage]] parse and re-encode actual
-  * payloads. AUDIO/VIDEO codecs are not available in this environment, so
-  * those kernels are DETERMINISTIC FAKES (clearly marked) — they read real
-  * bytes and emit stable pseudo-metadata, which keeps the Spark-side
-  * contract (schema, batching, partition behavior, null handling) fully
-  * real and testable. Swapping in a real codec changes only the function
-  * body, not the pipeline.
+  * payloads. AUDIO decode is REAL too: `javax.sound.sampled` ships
+  * WAV/AIFF/AU codecs ([[decodeAudio]]). VIDEO codecs are not available
+  * in this environment, so those kernels are DETERMINISTIC FAKES (clearly
+  * marked) — they read real bytes and emit stable pseudo-metadata, which
+  * keeps the Spark-side contract (schema, batching, partition behavior,
+  * null handling) fully real and testable. Swapping in a real codec
+  * changes only the function body, not the pipeline.
   */
 object Multimodal {
 
@@ -80,32 +81,38 @@ object Multimodal {
   val decodeImage = udf { (media: Array[Byte]) =>
     if (media == null || media.isEmpty) None
     else {
+      // createImageInputStream can return null (no SPI / cache dir issue)
+      // — that's "undecodable", not a task failure; and the reader lookup
+      // sits inside the same try/finally so iis can never leak.
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(media))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); None }
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
-          val img = r.read(0)
-          val raster = img.getRaster
-          var sum = 0L; var n = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              sum += raster.getSample(x, y, 0); n += 1
-              x += 1
+      if (iis == null) None
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            val img = r.read(0)
+            val raster = img.getRaster
+            var sum = 0L; var n = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += raster.getSample(x, y, 0); n += 1
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          Some((img.getWidth, img.getHeight, fmt,
-            if (n == 0) 0 else (sum / n).toInt))
-        } catch { case _: Exception => None }
-        finally { r.dispose(); iis.close() }
-      }
+            Some((img.getWidth, img.getHeight, fmt,
+              if (n == 0) 0 else (sum / n).toInt))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
     }
   }
 
@@ -117,6 +124,54 @@ object Multimodal {
       .withColumn("format", col("__m._3"))
       .withColumn("mean_band0", col("__m._4"))
       .drop("__m")
+
+  /** REAL audio decode on `javax.sound.sampled` (the JDK ships WAV/AIFF/AU
+    * codecs — no external dependency): container type, sample rate,
+    * channels, bit depth, frame count, duration, plus an unsigned-byte sum
+    * over the decoded PCM stream (proves the payload round-trips through
+    * the codec, the audio analog of [[decodeImage]]'s band mean).
+    * Null/undecodable payloads yield null metadata instead of failing the
+    * partition.
+    */
+  val decodeAudio = udf { (media: Array[Byte]) =>
+    if (media == null || media.isEmpty) None
+    else {
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(media))
+        val fmt = aff.getFormat
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(media))
+        var pcmSum = 0L
+        try {
+          val buf = new Array[Byte](8192)
+          var r = ais.read(buf)
+          while (r > 0) {
+            var i = 0
+            while (i < r) { pcmSum += buf(i) & 0xff; i += 1 }
+            r = ais.read(buf)
+          }
+        } finally ais.close()
+        val frames = aff.getFrameLength.toLong
+        Some((math.round(fmt.getSampleRate).toInt, fmt.getChannels,
+          fmt.getSampleSizeInBits, frames,
+          if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0,
+          aff.getType.toString.toLowerCase(java.util.Locale.ROOT), pcmSum))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Attach REAL decoded audio metadata (see [[decodeAudio]]). */
+  def withAudioMeta(df: DataFrame, mediaCol: String): DataFrame =
+    df.withColumn("__a", decodeAudio(col(mediaCol)))
+      .withColumn("sample_rate", col("__a._1"))
+      .withColumn("channels", col("__a._2"))
+      .withColumn("bits", col("__a._3"))
+      .withColumn("frames", col("__a._4"))
+      .withColumn("duration_sec", col("__a._5"))
+      .withColumn("container", col("__a._6"))
+      .withColumn("pcm_sum", col("__a._7"))
+      .drop("__a")
 
   /** REAL resize: ImageIO decode → bilinear Graphics2D scale → PNG
     * re-encode, all in-memory per row. Null/undecodable input → null.

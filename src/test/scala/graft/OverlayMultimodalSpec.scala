@@ -77,6 +77,38 @@ class OverlayMultimodalSpec extends AnyFunSuite {
     assert(r.n_bytes == "payload-1".length)
   }
 
+  test("decodeAudio: real WAV metadata round trip, garbage-safe") {
+    // author a 16-bit stereo PCM WAV in memory with known parameters
+    def wav(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val data = new Array[Byte](frames * channels * 2)
+      java.util.Arrays.fill(data, 3.toByte)
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, wav(44100f, 2, 1000)),
+      (2L, wav(8000f, 1, 160)),
+      (3L, "not audio at all".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
+    val got = Multimodal.withAudioMeta(df, "media").orderBy("id").collect()
+    assert(got(0).getAs[Int]("sample_rate") == 44100)
+    assert(got(0).getAs[Int]("channels") == 2)
+    assert(got(0).getAs[Int]("bits") == 16)
+    assert(got(0).getAs[Long]("frames") == 1000L)
+    assert(math.abs(got(0).getAs[Double]("duration_sec") - 1000.0 / 44100) < 1e-9)
+    assert(got(0).getAs[String]("container") == "wave")
+    assert(got(0).getAs[Long]("pcm_sum") == 1000L * 2 * 2 * 3) // all bytes = 3
+    assert(got(1).getAs[Int]("sample_rate") == 8000)
+    assert(math.abs(got(1).getAs[Double]("duration_sec") - 0.02) < 1e-9)
+    assert(got(2).isNullAt(got(2).fieldIndex("sample_rate")), "garbage -> null meta")
+    assert(got(3).isNullAt(got(3).fieldIndex("sample_rate")), "null -> null meta")
+  }
+
   test("sampleFrames returns n chunks of bounded size") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "t")
       .select($"id", Multimodal.sampleFrames($"t".cast("binary"), lit(4), lit(3)).as("frames"))
