@@ -649,6 +649,23 @@ object SparkEntry {
             "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
     }),
 
+    // Ellipsoidal geodesic distance (Vincenty inverse on WGS-84) — the
+    // reference's geopy geodesic (lib/generate_intermediate_files.py:
+    // 496-501). Closed-form European point pairs; the oracle unrolls the
+    // same λ-iteration in SQL, so any kernel drift breaks the hash at
+    // meter precision.
+    "q85_geodesic" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val p = t(s, dir, "customer").select(k,
+        (lit(35.0) + (k % 40) * 0.9).as("lat1"),
+        (lit(-10.0) + (k % 61) * 0.7).as("lon1"),
+        (lit(35.0) + (k % 40) * 0.9 + ((k * 7) % 11 - 5) * 1.3 + 0.05).as("lat2"),
+        (lit(-10.0) + (k % 61) * 0.7 + ((k * 13) % 17 - 8) * 1.1).as("lon2"))
+      p.select(col("c_custkey"),
+        round(graft.expr.GraftExpressions.geodesicKm(
+          col("lat1"), col("lon1"), col("lat2"), col("lon2")), 3).as("geo_km"))
+    }),
+
     // Decontamination: flag corpus docs sharing a word 3-gram with the
     // "benchmark" slice (doc_id % 97 == 0). Benchmark grams broadcast;
     // corpus side explodes map-side — the 100 TB shape.
@@ -1120,6 +1137,67 @@ object SparkEntry {
         |  count(*) AS n_terms
         |FROM hits h CROSS JOIN stats JOIN dfreq USING (term)
         |GROUP BY 1""".stripMargin
+
+  /** Vincenty's λ-iteration, unrolled to 8 fixed steps as chained CTEs
+    * (DuckDB has no loops; 8 ≥ the ~4 steps non-antipodal pairs need, and
+    * beyond convergence extra steps move λ by < 1e-12 — nanometers,
+    * invisible at the meter rounding). Lateral column aliases keep each
+    * step readable. Mirrors `GeoMath.geodesicKm` term for term.
+    */
+  private val GeodesicOracleSql: String = {
+    val f = "0.0033528106647474805" // WGS-84 1/298.257223563
+    // two-layer CTE per step: the inner SELECT holds the lateral aliases,
+    // the outer projects ONLY (keys, constants, new λ) — a carried column
+    // named like a lateral alias would take binding precedence over it in
+    // the NEXT step and silently freeze the iteration
+    def step(i: Int, last: Boolean): String = {
+      val proj = if (last) "c_custkey, ss, cs, sg, c2a, c2sm"
+        else "c_custkey, su1, cu1, su2, cu2, L, lamN AS lam"
+      s"""it$i AS (SELECT $proj FROM (
+         |  SELECT c_custkey, su1, cu1, su2, cu2, L,
+         |  sin(lam) AS sl, cos(lam) AS cl,
+         |  cu2 * sl AS t1, cu1 * su2 - su1 * cu2 * cl AS t2,
+         |  sqrt(t1 * t1 + t2 * t2) AS ss,
+         |  su1 * su2 + cu1 * cu2 * cl AS cs,
+         |  atan2(ss, cs) AS sg,
+         |  cu1 * cu2 * sl / ss AS sa, 1 - sa * sa AS c2a,
+         |  cs - 2 * su1 * su2 / c2a AS c2sm,
+         |  $f / 16 * c2a * (4 + $f * (4 - 3 * c2a)) AS cc,
+         |  L + (1 - cc) * $f * sa * (sg + cc * ss *
+         |    (c2sm + cc * cs * (-1 + 2 * c2sm * c2sm))) AS lamN
+         |  FROM it${i - 1}))""".stripMargin
+    }
+    val iters = (1 to 8).map(i => step(i, i == 8)).mkString(",\n")
+    s"""WITH p AS (SELECT c_custkey,
+       |    35.0 + (c_custkey % 40) * 0.9 AS lat1,
+       |    -10.0 + (c_custkey % 61) * 0.7 AS lon1,
+       |    35.0 + (c_custkey % 40) * 0.9
+       |      + ((c_custkey * 7) % 11 - 5) * 1.3 + 0.05 AS lat2,
+       |    -10.0 + (c_custkey % 61) * 0.7
+       |      + ((c_custkey * 13) % 17 - 8) * 1.1 AS lon2
+       |  FROM customer),
+       |it0 AS (SELECT c_custkey, radians(lon2 - lon1) AS L,
+       |    sin(atan((1 - $f) * tan(radians(lat1)))) AS su1,
+       |    cos(atan((1 - $f) * tan(radians(lat1)))) AS cu1,
+       |    sin(atan((1 - $f) * tan(radians(lat2)))) AS su2,
+       |    cos(atan((1 - $f) * tan(radians(lat2)))) AS cu2,
+       |    radians(lon2 - lon1) AS lam
+       |  FROM p),
+       |$iters
+       |SELECT c_custkey, round(
+       |  6356752.314245179 * (1 + u2sq / 16384 * (4096 + u2sq * (-768
+       |      + u2sq * (320 - 175 * u2sq)))) *
+       |    (sg - (u2sq / 1024 * (256 + u2sq * (-128 + u2sq * (74 - 47 * u2sq))))
+       |      * ss * (c2sm
+       |        + (u2sq / 1024 * (256 + u2sq * (-128 + u2sq * (74 - 47 * u2sq)))) / 4 *
+       |        (cs * (-1 + 2 * c2sm * c2sm)
+       |          - (u2sq / 1024 * (256 + u2sq * (-128 + u2sq * (74 - 47 * u2sq)))) / 6
+       |            * c2sm * (-3 + 4 * ss * ss) * (-3 + 4 * c2sm * c2sm))))
+       |  / 1000.0, 3) AS geo_km
+       |FROM (SELECT *,
+       |  c2a * 0.0067394967422764341 AS u2sq
+       |  FROM it8)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pricing" ->
@@ -1859,6 +1937,8 @@ object SparkEntry {
         |           + ((n % 256 - 256 + s) * (n % 256 - 256 + s - 1)) // 2
         |    END AS BIGINT) AS pcm_sum
         |FROM q""".stripMargin,
+
+    "q85_geodesic" -> GeodesicOracleSql,
 
     "q75_bm25" -> Bm25OracleSql,
 

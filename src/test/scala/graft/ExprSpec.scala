@@ -40,6 +40,40 @@ class ExprSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("geodesic_km matches published WGS-84 geodesics to sub-mm") {
+    import graft.expr.GeoMath
+    // equator is a geodesic: 1° of longitude = a·π/180 exactly
+    assert(math.abs(GeoMath.geodesicKm(0, 0, 0, 1) - 111.319490793) < 1e-6)
+    // quarter meridian (pole to equator), published WGS-84: 10001.965729 km
+    assert(math.abs(GeoMath.geodesicKm(0, 0, 90, 0) - 10001.965729) < 1e-5)
+    // Vincenty's classic test line: Flinders Peak → Buninyong = 54972.271 m
+    assert(math.abs(GeoMath.geodesicKm(
+      -37.95103341666667, 144.42486788888888,
+      -37.65282113888889, 143.92649552777777) - 54.972271) < 1e-5)
+    // coincident points and symmetry
+    assert(GeoMath.geodesicKm(48.1, 11.5, 48.1, 11.5) == 0.0)
+    val d1 = GeoMath.geodesicKm(48.1374, 11.5755, 52.52, 13.405)
+    val d2 = GeoMath.geodesicKm(52.52, 13.405, 48.1374, 11.5755)
+    assert(math.abs(d1 - d2) < 1e-9)
+    // stays within the declared 0.5% of haversine on ordinary pairs
+    val h = GeoMath.haversineKm(48.1374, 11.5755, 52.52, 13.405)
+    assert(math.abs(d1 - h) / h < 0.005)
+    // near-antipodal: falls back to haversine instead of diverging
+    val anti = GeoMath.geodesicKm(0.0, 0.0, 0.5, 179.7)
+    assert(anti > 19000 && anti < 20100, s"antipodal fallback sane: $anti")
+  }
+
+  test("geodesic_km column + SQL forms agree with the kernel") {
+    GraftExpressions.register(spark)
+    val df = Seq((48.1374, 11.5755, 52.52, 13.405)).toDF("a", "b", "c", "d")
+    val viaCol = df.select(
+      GraftExpressions.geodesicKm($"a", $"b", $"c", $"d")).head.getDouble(0)
+    val viaSql = spark.sql(
+      "SELECT geodesic_km(48.1374D, 11.5755D, 52.52D, 13.405D)").head.getDouble(0)
+    val direct = graft.expr.GeoMath.geodesicKm(48.1374, 11.5755, 52.52, 13.405)
+    assert(viaCol == direct && viaSql == direct)
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     val df = spark.range(100).select(
       GraftExpressions.haversineKm(lit(0.0), lit(0.0), col("id").cast("double"),
