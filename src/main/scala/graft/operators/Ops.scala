@@ -48,8 +48,16 @@ object Ops {
     // earlier join-then-rank shape shuffled |fact| × |limits| rows by a
     // surrogate key; this one is map-side only (measured 2.3 s → ~0.4 s on
     // 600k rows × 4 classes at sf0.1).
-    val w = Window.orderBy(col(thresholdCol))
-    val ranged = limits.withColumn("__lo", lag(col(thresholdCol), 1).over(w))
+    // __lo via a tiny self-join (max threshold below own) instead of a
+    // global lag() window: same rows, but no partitionless WindowExec —
+    // so a REAL fact-scale global-window regression can't hide among
+    // expected warnings in the logs. Assumes distinct thresholds (a
+    // duplicate threshold row is degenerate range semantics regardless).
+    val ranged = limits
+      .join(limits.select(col(thresholdCol).as("__t2")),
+        col("__t2") < col(thresholdCol), "left")
+      .groupBy(limits.columns.map(col): _*)
+      .agg(max(col("__t2")).as("__lo"))
     fact.join(broadcast(ranged),
         col(valueCol) <= col(thresholdCol) &&
           (col("__lo").isNull || col(valueCol) > col("__lo")), "left")

