@@ -1538,7 +1538,7 @@ object SparkEntry {
     "q62_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e
-        |  ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |d AS (SELECT e.vec_id, e.v, c.cid,
         |  list_reduce(list_transform(range(1, len(e.v) + 1),
@@ -1852,7 +1852,7 @@ object SparkEntry {
         |  ('es', 0.125), ('fr', 0.75), ('zh', 0.0625)) AS t(lang, fraction))
         |SELECT doc_id, d.lang
         |FROM documents d JOIN fr ON fr.lang = d.lang
-        |WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648
+        |WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 2147483648
         |      < CAST(fraction * 2147483648 AS BIGINT)""".stripMargin,
 
     "q71_pack_sequences" ->
@@ -2016,7 +2016,7 @@ object SparkEntry {
         |  ('src2', 12000)) AS t(source, budget)),
         |d AS (SELECT doc_id, source,
         |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
-        |    ((doc_id % 2147483648) * 2654435761) % 2147483648 AS bkt
+        |    ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 2147483648 AS bkt
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
         |c AS (SELECT d.*, b.budget,
         |    sum(toks) OVER (PARTITION BY d.source ORDER BY bkt, doc_id) AS cum

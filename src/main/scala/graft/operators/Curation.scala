@@ -71,7 +71,10 @@ object Curation {
   /** The sampling bucket in [0, 2^31): Knuth multiplicative hash of the
     * key. The key is pre-reduced mod 2^31 so the product stays under
     * 2^62 — no ANSI-mode overflow, and DuckDB BIGINT arithmetic matches
-    * bit-for-bit.
+    * bit-for-bit. `pmod` keeps NEGATIVE keys in-range too; an engine
+    * reproducing this with sign-preserving `%` must write
+    * `((key % 2^31 + 2^31) % 2^31) * 2654435761 % 2^31` (the oracle SQL
+    * does) or negative keys select a different row set.
     */
   def sampleBucket(key: Column): Column =
     pmod(pmod(key.cast("long"), lit(1L << 31)) * lit(2654435761L), lit(1L << 31))

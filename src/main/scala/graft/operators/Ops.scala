@@ -151,21 +151,30 @@ object Ops {
         recent / dayAgo * prev24).otherwise(col(valueCol)))
   }
 
-  /** Bounded-fixpoint variant of [[gapFillDayTrend]]: repeats the
-    * vectorized pass until no zero remains or `maxIters` is hit,
-    * reproducing the reference's top-down sequential semantics (later gaps
+  /** Adaptive-fixpoint variant of [[gapFillDayTrend]]: repeats the
+    * vectorized pass WHILE FILLS STILL OCCUR (zero count strictly
+    * decreasing), stopping at convergence — every zero filled, or the
+    * survivors unfillable — or at the `maxIters` hard cap. This
+    * reproduces the reference's top-down sequential semantics (later gaps
     * see already-filled earlier values, code/lib/correction_functions.py:
-    * 315-318) to within the iteration bound. Each pass is one window
-    * computation — `maxIters` shuffles total, not per-row mutation.
+    * 315-318) on dependency chains of any depth ≤ the cap: a gap whose
+    * day-ago donor is itself a gap resolves one pass after its donor.
+    * Each pass is one window computation over a localCheckpoint-bounded
+    * plan — iterations shuffle rounds, never per-row mutation.
     */
   def gapFillDayTrendFixpoint(df: DataFrame, partitionCols: Seq[String],
-      orderCol: String, valueCol: String, maxIters: Int = 3): DataFrame = {
+      orderCol: String, valueCol: String, maxIters: Int = 32): DataFrame = {
     var cur = df
+    var zeros = cur.filter(col(valueCol) === 0).count()
     var i = 0
-    var remaining = Long.MaxValue
-    while (i < maxIters && remaining > 0) {
-      cur = gapFillDayTrend(cur, partitionCols, orderCol, valueCol)
-      remaining = cur.filter(col(valueCol) === 0).limit(1).count()
+    var progressing = zeros > 0
+    while (i < maxIters && progressing) {
+      val next = gapFillDayTrend(cur, partitionCols, orderCol, valueCol)
+        .localCheckpoint(true) // bounded plan depth across passes
+      val nz = next.filter(col(valueCol) === 0).count()
+      progressing = nz > 0 && nz < zeros // stall = unfillable survivors
+      cur = next
+      zeros = nz
       i += 1
     }
     cur

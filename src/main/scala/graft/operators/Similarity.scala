@@ -205,7 +205,13 @@ object Similarity {
       val far = clean.select(col("cid"), col("v"), minDist(col("v")).as("d"))
         .orderBy(col("d").desc, col("cid").asc).limit(1).collect()
       bcInit.unpersist()
-      if (far.isEmpty) { clean.unpersist(); return cents } // fewer distinct points than k
+      if (far.isEmpty) { clean.unpersist(); return cents } // empty input
+      if (far(0).getDouble(2) == 0.0) {
+        // fewer DISTINCT points than k: every remaining point coincides
+        // with a centroid — stop rather than append duplicate centroids
+        // (benign but they waste probe lists)
+        clean.unpersist(); return cents
+      }
       cents = cents :+ far(0).getSeq[Double](1).toArray
     }
     val meanAgg = org.apache.spark.sql.functions.udaf(new ArrayMean)

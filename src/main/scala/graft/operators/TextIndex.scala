@@ -30,20 +30,23 @@ object TextIndex {
         TextFns.tokens(lower(col(textCol))).as("__toks"))
       .withColumn("dl", size(col("__toks")))
       .persist() // read twice: postings write + stats agg
+    // stats FIRST: an empty corpus must refuse before anything touches
+    // disk — stats-after-postings left a half-built index (postings dir,
+    // no sidecar) whose later probes failed with a confusing missing-
+    // stats error instead of this one
+    val statsRow = base.agg(count(lit(1)).cast("double"),
+      avg(col("dl"))).head()
+    val n = statsRow.getDouble(0)
+    require(n > 0, "refusing to index an empty corpus (avgdl undefined; " +
+      "every probe would score NaN)")
+    val avgdl = statsRow.getDouble(1)
     val postings = base
       .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
     postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-
-    val statsRow = base.agg(count(lit(1)).cast("double"),
-      avg(col("dl"))).head()
     base.unpersist()
-    val n = statsRow.getDouble(0)
-    require(n > 0, "refusing to index an empty corpus (avgdl undefined; " +
-      "every probe would score NaN)")
-    val avgdl = statsRow.getDouble(1)
     val sidecar =
       s"""{"n":$n,"avgdl":$avgdl,"nBuckets":$nBuckets}"""
     val p = new org.apache.hadoop.fs.Path(path, "_text_index_stats.json")

@@ -94,14 +94,6 @@ object InputMaps {
       "InputMaps.writeRaster", pixels.sparkSession.sessionState.newHadoopConf())
   }
 
-  /** Windowed read against a band-partitioned raster: the band predicate is
-    * a PARTITION filter (pruned at planning), row/col are pushed to
-    * parquet row-group stats. `bandRows` comes from the write-time sidecar
-    * (resolved through the Hadoop FileSystem of `path`, so HDFS/S3 rasters
-    * resolve exactly like local ones); the parameter is only the fallback
-    * for sidecar-less rasters. A sidecar that exists but records no
-    * banding FAILS LOUDLY — wrong pruning silently drops rows.
-    */
   /** Focal (neighborhood) statistics over the pixel relation: for every
     * cell, mean/min/max/count of values within the (2r+1)² square window
     * (GIS focal ops — smoothing, morphology). Spark-first shape: each
@@ -130,6 +122,14 @@ object InputMaps {
       // re-filters to the canvas extent (we don't know it here)
   }
 
+  /** Windowed read against a band-partitioned raster: the band predicate is
+    * a PARTITION filter (pruned at planning), row/col are pushed to
+    * parquet row-group stats. `bandRows` comes from the write-time sidecar
+    * (resolved through the Hadoop FileSystem of `path`, so HDFS/S3 rasters
+    * resolve exactly like local ones); the parameter is only the fallback
+    * for sidecar-less rasters. A sidecar that exists but records no
+    * banding FAILS LOUDLY — wrong pruning silently drops rows.
+    */
   def readWindow(spark: SparkSession, path: String, r0: Int, r1: Int,
       c0: Int, c1: Int, bandRows: Int = 256): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()

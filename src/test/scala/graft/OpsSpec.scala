@@ -109,6 +109,34 @@ class OpsSpec extends AnyFunSuite {
     assert(once.collect().length == 40)
   }
 
+  test("adaptive fixpoint matches sequential fill on a deep day-ago chain") {
+    // gaps at 30, 54, 78, 102, 126: each one's day-ago donor (t-24) is the
+    // previous gap, so pandas' top-down fill resolves them in order — five
+    // dependency levels. The old maxIters=3 bound left the tail at zero;
+    // the adaptive loop keeps passing while fills occur and lands on the
+    // exact sequential result (all 10.0 on this constant series).
+    val gaps = Set(30, 54, 78, 102, 126)
+    val rows = (1 to 150).map(t => ("c", t, if (gaps(t)) 0.0 else 10.0))
+    val df = rows.toDF("c", "t", "v")
+    val old3 = Ops.gapFillDayTrendFixpoint(df, Seq("c"), "t", "v", maxIters = 3)
+    assert(old3.filter($"v" === 0).count() > 0,
+      "fixture must be one where a 3-pass bound genuinely diverges")
+    val fixed = Ops.gapFillDayTrendFixpoint(df, Seq("c"), "t", "v")
+    val got = fixed.orderBy("t").collect().map(_.getDouble(2))
+    assert(got.length == 150 && got.forall(_ == 10.0),
+      s"sequential-parity fill: ${got.zipWithIndex.filter(_._1 != 10.0).take(5).toSeq}")
+  }
+
+  test("adaptive fixpoint stalls cleanly on unfillable zeros") {
+    // a zero with no day-ago donor (t=3: lag-24 is null) can never fill;
+    // the loop must stop on no-progress, leaving it intact
+    val rows = (1 to 40).map(t => ("c", t, if (t == 3) 0.0 else 10.0))
+    val df = rows.toDF("c", "t", "v")
+    val fixed = Ops.gapFillDayTrendFixpoint(df, Seq("c"), "t", "v")
+    assert(fixed.filter($"t" === 3).head.getDouble(2) == 0.0)
+    assert(fixed.count() == 40)
+  }
+
   test("canonicalEdge orients start <= end") {
     val df = Seq(("B", "A", 1.0), ("A", "B", 2.0), ("C", "C", 3.0)).toDF("s", "e", "cap")
     val got = Ops.canonicalEdge(df, "s", "e")

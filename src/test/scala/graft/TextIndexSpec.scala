@@ -34,6 +34,19 @@ class TextIndexSpec extends AnyFunSuite {
     assert(viaIndex.toSeq == direct.toSeq)
   }
 
+  test("empty corpus refuses BEFORE touching disk — no half-built index") {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val path = java.nio.file.Files.createTempDirectory("tix3").resolve("idx").toString
+    intercept[IllegalArgumentException] {
+      TextIndex.write(empty, "doc_id", "text", path)
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "refusal must leave no postings directory behind")
+  }
+
   test("search only reads the buckets its terms hash to") {
     val docs = corpus()
     val path = java.nio.file.Files.createTempDirectory("tix2").resolve("idx").toString
