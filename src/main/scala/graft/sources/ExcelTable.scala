@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Reference behavior reproduced: `pd.read_excel(..., skiprows=…,
   * usecols=…, sheet_name=…)` (code/lib/correction_functions.py:36,77,235,
-  * 279) — header offset, column slice, sheet select; all columns
-  * string-typed on scan (cast downstream, same contract as EuCsv).
+  * 279) — header offset, column slice, sheet select. [[read]] keeps the
+  * original all-string contract (cast downstream, same as EuCsv);
+  * [[readTyped]] adds pd.read_excel's cell-type + number-format-style
+  * inference, so numerics/booleans/date-styled cells arrive typed.
   *
   * Scale posture: config workbooks are single small driver-side files
   * (same documented class as EuCsv header-offset reads); both read and
@@ -85,6 +87,149 @@ object ExcelTable {
   /** Sheet names in workbook order (pd.ExcelFile(...).sheet_names). */
   def sheetNames(spark: SparkSession, path: String): Seq[String] =
     parseSheets(readZip(spark, path)("xl/workbook.xml")).map(_._1)
+
+  // ----------------------------------------------------------- typed read
+
+  /** Read one sheet with pd.read_excel-like TYPE INFERENCE: numeric cells
+    * arrive as long/double, boolean cells as boolean, and number-format
+    * styles tagged as dates (builtin 14–22/45–47 or a custom y/m/d/h/s
+    * format code from styles.xml) convert from Excel serial days to
+    * timestamps. A column takes the narrowest type covering every
+    * non-null data cell; mixed columns fall back to string — exactly the
+    * per-column inference pd.read_excel performs. Same driver-side small-
+    * workbook contract as [[read]] (which stays the all-string variant).
+    */
+  def readTyped(spark: SparkSession, path: String, sheet: String = null,
+      headerRow: Int = 0, usecols: Option[(Int, Int)] = None): DataFrame = {
+    val parts = readZip(spark, path)
+    def part(name: String): Array[Byte] = parts.getOrElse(name,
+      throw new IllegalArgumentException(s"$path: missing workbook part $name"))
+    val sheets = parseSheets(part("xl/workbook.xml"))
+    require(sheets.nonEmpty, s"$path: workbook has no sheets")
+    val (_, relId) =
+      if (sheet == null) sheets.head
+      else sheets.find(_._1 == sheet).getOrElse(throw new IllegalArgumentException(
+        s"$path: no sheet '$sheet' (have ${sheets.map(_._1).mkString(", ")})"))
+    val rels = parseRels(part("xl/_rels/workbook.xml.rels"))
+    val target = rels.getOrElse(relId, throw new IllegalArgumentException(
+      s"$path: unresolved sheet relationship $relId"))
+    val sheetPart = if (target.startsWith("/")) target.drop(1) else "xl/" + target
+    val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings)
+      .getOrElse(Array.empty[String])
+    val dateStyles = parts.get("xl/styles.xml").map(parseDateStyles)
+      .getOrElse(Set.empty[Int])
+    val grid = parseGrid(part(sheetPart), shared)
+
+    require(grid.length > headerRow, s"$path: sheet has ${grid.length} rows, " +
+      s"header row $headerRow out of range")
+    val width = grid.map(_.length).max
+    val (lo, hi) = usecols.getOrElse((0, width - 1))
+    def slice[T >: Null : scala.reflect.ClassTag](r: Array[T]): Array[T] =
+      (lo to hi).map(i => if (i < r.length) r(i) else null).toArray
+
+    def interpret(c: Cell): Any =
+      if (c == null) null
+      else c.t match {
+        case "s" | "inlineStr" | "str" => c.raw
+        case "b" => c.raw.trim == "1"
+        case "e" => null // error cell → null, like pandas NaN
+        case _ => // numeric
+          val d = c.raw.trim.toDouble
+          if (dateStyles(c.style)) serialToTimestamp(d) else Double.box(d)
+      }
+
+    val header = slice(grid(headerRow)).map(c => if (c == null) null else c.raw)
+    val names0 = header.zipWithIndex.map { case (h, i) =>
+      if (h == null || h.trim.isEmpty) s"_c${i + lo}" else h.trim
+    }
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val names = names0.map { n =>
+      val k = seen.getOrElse(n, 0); seen(n) = k + 1
+      if (k == 0) n else s"${n}_$k"
+    }
+    val data = grid.drop(headerRow + 1).map(r => slice(r).map(interpret))
+
+    // per-column type: narrowest covering all non-null cells
+    import org.apache.spark.sql.types._
+    val colTypes: Array[DataType] = names.indices.map { i =>
+      val vs = data.iterator.map(r => r(i)).filter(_ != null).toSeq
+      if (vs.isEmpty) StringType
+      else if (vs.forall(_.isInstanceOf[java.sql.Timestamp])) TimestampType
+      else if (vs.forall(_.isInstanceOf[java.lang.Boolean])) BooleanType
+      else if (vs.forall(_.isInstanceOf[java.lang.Double])) {
+        val ds = vs.map(_.asInstanceOf[java.lang.Double].doubleValue())
+        if (ds.forall(d => d == math.rint(d) && math.abs(d) < 9.2e18)) LongType
+        else DoubleType
+      } else StringType
+    }.toArray
+    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (d: java.lang.Double, LongType) => Long.box(d.longValue())
+      case (v, StringType) => v match {
+        case d: java.lang.Double =>
+          if (d.doubleValue() == math.rint(d.doubleValue()) &&
+            math.abs(d.doubleValue()) < 9.2e18) d.longValue().toString
+          else d.toString
+        case other => other.toString
+      }
+      case (v, _) => v
+    }
+    val schema = StructType(names.zip(colTypes).map { case (n, t) => StructField(n, t) }.toSeq)
+    val rows = data.map(r => Row.fromSeq(
+      r.zip(colTypes).map { case (v, t) => coerce(v, t) }.toSeq))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  /** Excel serial day (1899-12-30 epoch) → timestamp, ms precision. */
+  private def serialToTimestamp(serial: Double): java.sql.Timestamp =
+    new java.sql.Timestamp(math.round((serial - 25569.0) * 86400000.0))
+
+  /** styles.xml → the cellXf indices whose number format renders a date:
+    * builtin ids 14–22 (dates/times) and 45–47 (durations …mm:ss…), or a
+    * custom formatCode containing y/m/d/h/s pattern letters outside
+    * quoted literals and [] sections.
+    */
+  private def parseDateStyles(bytes: Array[Byte]): Set[Int] = {
+    val r = xmlReader(bytes)
+    val custom = Map.newBuilder[Int, String]
+    val xfIds = Seq.newBuilder[Int]
+    var inCellXfs = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            var id = -1; var code = ""
+            for (i <- 0 until r.getAttributeCount) r.getAttributeLocalName(i) match {
+              case "numFmtId" => id = r.getAttributeValue(i).trim.toInt
+              case "formatCode" => code = r.getAttributeValue(i)
+              case _ =>
+            }
+            if (id >= 0) custom += id -> code
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            var id = 0
+            for (i <- 0 until r.getAttributeCount)
+              if (r.getAttributeLocalName(i) == "numFmtId")
+                id = r.getAttributeValue(i).trim.toInt
+            xfIds += id
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+    }
+    r.close()
+    val customMap = custom.result()
+    def isDateFmt(id: Int): Boolean =
+      (id >= 14 && id <= 22) || (id >= 45 && id <= 47) ||
+        customMap.get(id).exists { code =>
+          val bare = code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+          bare.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+        }
+    xfIds.result().zipWithIndex.collect { case (fmtId, xf) if isDateFmt(fmtId) => xf }.toSet
+  }
 
   /** Load all zip entries of a SINGLE small workbook file via Hadoop FS. */
   private def readZip(spark: SparkSession, path: String): Map[String, Array[Byte]] = {
@@ -183,16 +328,23 @@ object ExcelTable {
     out.result()
   }
 
-  /** worksheet sheetData → dense row-major string grid (sparse cells null).
-    * Cell types: t="s" shared string, t="inlineStr" (<is><t>), t="str"
-    * (formula string result), t="b"/default numeric → raw <v> text.
+  /** One parsed cell before interpretation: OOXML type attr, style index,
+    * raw text (shared strings already resolved).
     */
-  private def parseSheetCells(bytes: Array[Byte], shared: Array[String]): Array[Array[String]] = {
+  private final case class Cell(t: String, style: Int, raw: String)
+
+  /** worksheet sheetData → dense row-major cell grid (sparse cells null).
+    * Cell types: t="s" shared string (resolved here), t="inlineStr"
+    * (<is><t>), t="str" (formula string result), t="b"/default numeric →
+    * raw <v> text; the s= style index rides along for date detection.
+    */
+  private def parseGrid(bytes: Array[Byte], shared: Array[String]): Array[Array[Cell]] = {
     val r = xmlReader(bytes)
-    val rows = Array.newBuilder[Array[String]]
-    var cur: scala.collection.mutable.ArrayBuffer[String] = null
+    val rows = Array.newBuilder[Array[Cell]]
+    var cur: scala.collection.mutable.ArrayBuffer[Cell] = null
     var colIdx = -1   // 0-based column of the current cell
     var cellType = "" // t attribute
+    var style = 0     // s attribute
     var inV = false; var inIsT = false
     val text = new StringBuilder
     def endCell(): Unit = {
@@ -202,23 +354,24 @@ object ExcelTable {
         cur(colIdx) =
           if (raw.isEmpty) null
           else cellType match {
-            case "s" => shared(raw.trim.toInt)
-            case _ => raw
+            case "s" => Cell("s", style, shared(raw.trim.toInt))
+            case t => Cell(t, style, raw)
           }
       }
-      colIdx = -1; cellType = ""; text.clear()
+      colIdx = -1; cellType = ""; style = 0; text.clear()
     }
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => cur = scala.collection.mutable.ArrayBuffer.empty[String]
+            case "row" => cur = scala.collection.mutable.ArrayBuffer.empty[Cell]
             case "c" =>
-              var ref: String = null; cellType = ""
+              var ref: String = null; cellType = ""; style = 0
               for (i <- 0 until r.getAttributeCount) {
                 r.getAttributeLocalName(i) match {
                   case "r" => ref = r.getAttributeValue(i)
                   case "t" => cellType = r.getAttributeValue(i)
+                  case "s" => style = r.getAttributeValue(i).trim.toInt
                   case _ =>
                 }
               }
@@ -243,6 +396,10 @@ object ExcelTable {
     r.close()
     rows.result()
   }
+
+  /** The string view of the grid (the original all-string read contract). */
+  private def parseSheetCells(bytes: Array[Byte], shared: Array[String]): Array[Array[String]] =
+    parseGrid(bytes, shared).map(_.map(c => if (c == null) null else c.raw))
 
   /** "BC12" → 0-based column index (A=0, Z=25, AA=26…). */
   private def colOf(ref: String): Int = {
@@ -281,9 +438,22 @@ object ExcelTable {
           """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
           """<Default Extension="xml" ContentType="application/xml"/>""" +
           """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
           (1 to n).map(i =>
             s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
             .mkString + "</Types>")
+      // style 0 = general, style 1 = builtin date format 14 (m/d/yyyy):
+      // date/timestamp columns write serials tagged s="1", so readTyped
+      // (and pd.read_excel) round-trip them as datetimes
+      entry("xl/styles.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+          """<fonts count="1"><font/></fonts><fills count="1"><fill/></fills>""" +
+          """<borders count="1"><border/></borders>""" +
+          """<cellStyleXfs count="1"><xf/></cellStyleXfs>""" +
+          """<cellXfs count="2"><xf numFmtId="0"/>""" +
+          """<xf numFmtId="14" applyNumberFormat="1"/></cellXfs>""" +
+          "</styleSheet>")
       entry("_rels/.rels",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
@@ -300,16 +470,20 @@ object ExcelTable {
           """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
           (1 to n).map(i =>
             s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
-            .mkString + "</Relationships>")
+            .mkString +
+          s"""<Relationship Id="rId${n + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>""" +
+          "</Relationships>")
       for (((_, df), i) <- sheets.zipWithIndex)
         entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
     } finally out.close()
   }
 
   private def sheetXml(df: DataFrame): String = {
-    val numeric = df.schema.fields.map(_.dataType match {
-      case _: org.apache.spark.sql.types.NumericType => true
-      case _ => false
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+    val kinds = df.schema.fields.map(_.dataType match {
+      case _: NumericType => 'n'
+      case TimestampType | DateType => 'd'
+      case _ => 's'
     })
     val sb = new StringBuilder
     sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
@@ -318,15 +492,28 @@ object ExcelTable {
       if (v == null) "" else s"""<c t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
     def numCell(v: Any): String =
       if (v == null) "" else s"<c><v>$v</v></c>"
+    def dateCell(v: Any): String = {
+      val millis = v match {
+        case t: java.sql.Timestamp => t.getTime
+        case d: java.sql.Date => d.getTime
+        case other => throw new IllegalArgumentException(
+          s"date column holds ${other.getClass}")
+      }
+      val serial = millis / 86400000.0 + 25569.0
+      s"""<c s="1"><v>$serial</v></c>"""
+    }
     sb.append("<row>").append(df.columns.map(strCell).mkString).append("</row>")
     for (row <- df.collect()) {
       sb.append("<row>")
-      for (i <- numeric.indices) {
+      for (i <- kinds.indices) {
         val v = row.get(i)
         sb.append(
           if (v == null) "<c/>"
-          else if (numeric(i)) numCell(v)
-          else strCell(v.toString))
+          else kinds(i) match {
+            case 'n' => numCell(v)
+            case 'd' => dateCell(v)
+            case _ => strCell(v.toString)
+          })
       }
       sb.append("</row>")
     }

@@ -31,6 +31,69 @@ class ExcelSpec extends AnyFunSuite {
     assert(yr == Set(("2015", "a&b <c>"), ("2016", "päivä")), "XML escaping + UTF-8 survive")
   }
 
+  test("readTyped: date-styled, numeric, boolean cells round-trip typed") {
+    import org.apache.spark.sql.types._
+    val path = java.nio.file.Files.createTempDirectory("xlsx").toString + "/typed.xlsx"
+    val ts1 = java.sql.Timestamp.valueOf("2015-06-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2016-12-31 18:30:00")
+    val df = Seq(
+      ("ST", 2015L, 120.5, ts1),
+      ("WT", 2016L, 33.25, ts2))
+      .toDF("type", "year", "cap_mw", "commissioned")
+    ExcelTable.write(spark, path, Seq("plants" -> df))
+
+    val typed = ExcelTable.readTyped(spark, path)
+    assert(typed.schema.fields.map(f => (f.name, f.dataType)).toSeq == Seq(
+      ("type", StringType), ("year", LongType), ("cap_mw", DoubleType),
+      ("commissioned", TimestampType)),
+      typed.schema.treeString)
+    val got = typed.orderBy("year").collect()
+    assert(got(0).getString(0) == "ST" && got(0).getLong(1) == 2015L &&
+      got(0).getDouble(2) == 120.5 && got(0).getTimestamp(3) == ts1)
+    assert(got(1).getTimestamp(3) == ts2, s"got ${got(1).getTimestamp(3)}")
+    // the all-string read contract is unchanged on the same file: the
+    // date column surfaces as its raw serial text
+    val raw = ExcelTable.read(spark, path)
+    assert(raw.schema.fields.forall(_.dataType == StringType))
+    assert(raw.orderBy("year").collect()(0).getString(1) == "2015")
+  }
+
+  test("readTyped: mixed columns fall back to string, customs formats detected") {
+    // hand-built sheet: col A mixes text and number -> string;
+    // col B numeric with CUSTOM date format -> timestamp
+    val path = java.nio.file.Files.createTempDirectory("xlsx").toString + "/mixed.xlsx"
+    val out = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      out.putNextEntry(new ZipEntry(name)); out.write(content.getBytes("UTF-8")); out.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    entry("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><numFmts count="1"><numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/></numFmts><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="164"/></cellXfs></styleSheet>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row><c t="inlineStr"><is><t>a</t></is></c><c t="inlineStr"><is><t>b</t></is></c></row>""" +
+        """<row><c t="inlineStr"><is><t>text</t></is></c><c s="1"><v>42156</v></c></row>""" +
+        """<row><c><v>7</v></c><c s="1"><v>42156.5</v></c></row>""" +
+        "</sheetData></worksheet>")
+    out.close()
+    val typed = ExcelTable.readTyped(spark, path)
+    import org.apache.spark.sql.types._
+    assert(typed.schema("a").dataType == StringType)
+    assert(typed.schema("b").dataType == TimestampType)
+    val vs = typed.orderBy("b").collect()
+    assert(vs(0).getString(0) == "text")
+    assert(vs(0).getTimestamp(1) == java.sql.Timestamp.valueOf("2015-06-01 00:00:00"))
+    assert(vs(1).getString(0) == "7") // mixed column -> integral double as "7"
+    assert(vs(1).getTimestamp(1) == java.sql.Timestamp.valueOf("2015-06-01 12:00:00"))
+  }
+
   test("foreign xlsx: shared strings, sparse cells, header offset, usecols") {
     // hand-built workbook mimicking pandas/xlsxwriter output: a title row
     // above the header (→ headerRow=1), shared-string cells, a skipped cell
