@@ -666,6 +666,42 @@ object SparkEntry {
           col("lat1"), col("lon1"), col("lat2"), col("lon2")), 3).as("geo_km"))
     }),
 
+    // Overlapping token-window chunking (RAG / long-context splitting):
+    // 16-token windows every 12 tokens, tail-preserving. Pure map-side
+    // sequence explode; the oracle re-derives every chunk boundary.
+    "q86_chunk_windows" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        window = 16, stride = 12)
+    }),
+
+    // Per-language exact token-count percentiles (p25/p50/p95, linear
+    // interpolation) — the corpus length profile a mixture designer reads
+    // before setting context budgets.
+    "q87_length_percentiles" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("lang"), TextFns.tokenCount(col("text")).cast("double").as("n"))
+      d.groupBy(col("lang"))
+        .agg(expr("percentile(n, array(0.25D, 0.5D, 0.95D))").as("__p"),
+          count(lit(1)).as("n_docs"))
+        .select(col("lang"),
+          round(element_at(col("__p"), 1), 6).as("p25"),
+          round(element_at(col("__p"), 2), 6).as("p50"),
+          round(element_at(col("__p"), 3), 6).as("p95"),
+          col("n_docs"))
+    }),
+
+    // Mean unigram surprisal per doc under the corpus' own unigram
+    // distribution — the no-model text-quality outlier score. Term counts
+    // broadcast (vocabulary-sized); corpus shuffles only for aggs.
+    "q88_unigram_surprisal" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), round(col("surprisal"), 6).as("surprisal"),
+          col("n_tokens"))
+    }),
+
     // Decontamination: flag corpus docs sharing a word 3-gram with the
     // "benchmark" slice (doc_id % 97 == 0). Benchmark grams broadcast;
     // corpus side explodes map-side — the 100 TB shape.
@@ -1939,6 +1975,42 @@ object SparkEntry {
         |FROM q""".stripMargin,
 
     "q85_geodesic" -> GeodesicOracleSql,
+
+    // window=16, stride=12; range(0,32) bounds chunks (max ~100 tokens)
+    "q86_chunk_windows" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |c AS (SELECT *, CASE WHEN n <= 16 THEN 1
+        |    ELSE CAST(ceil((n - 16) / 12.0) AS INT) + 1 END AS nc FROM d)
+        |SELECT doc_id, t.i AS chunk_idx,
+        |  CAST(least(16, n - t.i * 12) AS BIGINT) AS n_tokens,
+        |  toks[CAST(t.i * 12 + 1 AS INT)] AS head,
+        |  toks[CAST(t.i * 12 + least(16, n - t.i * 12) AS INT)] AS tail
+        |FROM c, range(0, 32) t(i) WHERE t.i < c.nc""".stripMargin,
+
+    "q87_length_percentiles" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        |SELECT lang,
+        |  round(quantile_cont(n, 0.25), 6) AS p25,
+        |  round(quantile_cont(n, 0.5), 6) AS p50,
+        |  round(quantile_cont(n, 0.95), 6) AS p95,
+        |  count(*) AS n_docs
+        |FROM d GROUP BY lang""".stripMargin,
+
+    "q88_unigram_surprisal" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt)
+        |SELECT doc_id, round(avg(-ln(c / t)), 6) AS surprisal,
+        |  count(*) AS n_tokens
+        |FROM tok JOIN cnt USING (term) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
 
     "q75_bm25" -> Bm25OracleSql,
 

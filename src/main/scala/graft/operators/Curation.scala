@@ -159,6 +159,34 @@ object Curation {
       .withColumn("bin", ((sum(clamped).over(w) - clamped) / budget).cast("long"))
   }
 
+  /** Overlapping token-window chunking (RAG indexing / long-context
+    * splitting): document i yields ceil((n−window)/stride)+1 chunks of up
+    * to `window` tokens starting every `stride` tokens — the last chunk
+    * keeps the tail, short docs yield exactly one chunk. Map-side only
+    * (tokenize → per-row sequence explode); the output is chunk METADATA
+    * (counts + boundary tokens) — join back on (idCol, chunk_idx·stride)
+    * to materialize text when needed.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nc", when(col("__n") <= window, lit(1))
+        .otherwise(ceil((col("__n") - window) / lit(stride.toDouble)).cast("int") + 1))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .withColumn("n_tokens",
+        least(lit(window), col("__n") - col("chunk_idx") * stride).cast("long"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n_tokens"),
+        element_at(col("__toks"), col("chunk_idx").cast("int") * stride + 1).as("head"),
+        element_at(col("__toks"),
+          (col("chunk_idx") * stride + col("n_tokens")).cast("int")).as("tail"))
+  }
+
   /** Per-bin packing stats (occupancy audit): docs per bin, token fill,
     * fill ratio against the budget.
     */
@@ -202,6 +230,29 @@ object Curation {
         (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col(idCol))
       .agg(sum(col("__s")).as("bm25"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Mean unigram surprisal per document under the corpus' OWN unigram
+    * distribution: −mean over tokens of ln(C(term)/T). The classic cheap
+    * "how typical is this text" quality score (outlier docs — wrong
+    * language, boilerplate soup, codified noise — score high without any
+    * shipped model).
+    *
+    * Shape at 100 TB: term counts are the Zipf-compact derived relation
+    * (vocabulary, not corpus, sized) — broadcast back against the token
+    * stream, so the only corpus-wide shuffles are the count aggregation
+    * and the final per-doc mean, both map-side partial-aggregated.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol), explode(TextFns.tokens(lower(col(textCol)))).as("__term"))
+    val counts = toks.groupBy(col("__term")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).cast("double").as("__t"))
+    toks.join(broadcast(counts), "__term")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(avg(-log(col("__c") / col("__t"))).as("surprisal"),
+        count(lit(1)).as("n_tokens"))
   }
 
   /** Cross-document boilerplate: k-token passages appearing in at least

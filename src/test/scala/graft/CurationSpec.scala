@@ -270,4 +270,35 @@ class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
       .select("width", "height", "format").head()
     assert(back.getInt(0) == 20 && back.getInt(1) == 15 && back.getString(2) == "png")
   }
+
+  test("chunkWindows: tail-preserving overlapping windows, short docs, blanks") {
+    import spark.implicits._
+    val text30 = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text30), (2L, "a b c"), (3L, "   "), (4L, null))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkWindows(docs, "doc_id", "text", window = 16, stride = 12)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+    // doc 1: chunks at 0, 12, 24 → sizes 16, 16, 6
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 16L, "t1", "t16"),
+      (1L, 1L, 16L, "t13", "t28"),
+      (1L, 2L, 6L, "t25", "t30")))
+    // short doc: exactly one chunk
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 3L, "a", "c")))
+    // blank and null docs yield nothing
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
+  test("unigramSurprisal: matches hand-computed corpus distribution") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Curation.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // counts: a=2 b=2 c=1, T=5
+    val s1 = math.log(5.0 / 2) // all three tokens have C=2
+    val s2 = (math.log(5.0 / 2) + math.log(5.0)) / 2
+    assert(math.abs(got(1L)._1 - s1) < 1e-12 && got(1L)._2 == 3L)
+    assert(math.abs(got(2L)._1 - s2) < 1e-12 && got(2L)._2 == 2L)
+  }
 }
