@@ -1976,19 +1976,21 @@ object SparkEntry {
 
     "q85_geodesic" -> GeodesicOracleSql,
 
-    // window=16, stride=12; range(0,32) bounds chunks (max ~100 tokens)
+    // window=16, stride=12; the spine is sized FROM the data (max nc) so
+    // the oracle can never silently truncate a long document's chunks
     "q86_chunk_windows" ->
       """WITH d AS (SELECT doc_id,
         |    regexp_split_to_array(trim(text), '\s+') AS toks,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n
         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
         |c AS (SELECT *, CASE WHEN n <= 16 THEN 1
-        |    ELSE CAST(ceil((n - 16) / 12.0) AS INT) + 1 END AS nc FROM d)
+        |    ELSE CAST(ceil((n - 16) / 12.0) AS INT) + 1 END AS nc FROM d),
+        |spine AS (SELECT unnest(range(0, (SELECT CAST(max(nc) AS BIGINT) FROM c))) AS i)
         |SELECT doc_id, t.i AS chunk_idx,
         |  CAST(least(16, n - t.i * 12) AS BIGINT) AS n_tokens,
         |  toks[CAST(t.i * 12 + 1 AS INT)] AS head,
         |  toks[CAST(t.i * 12 + least(16, n - t.i * 12) AS INT)] AS tail
-        |FROM c, range(0, 32) t(i) WHERE t.i < c.nc""".stripMargin,
+        |FROM c, spine t WHERE t.i < c.nc""".stripMargin,
 
     "q87_length_percentiles" ->
       """WITH d AS (SELECT lang,

@@ -276,10 +276,24 @@ object Crs {
   def epsgFromPrj(prj: String): Option[Int] = {
     val s = prj.trim
     val up = s.toUpperCase.replace(' ', '_')
-    // last AUTHORITY in the string is the outermost object's (the PROJCS
-    // authority trails the nested GEOGCS one in WKT1 ordering)
+    // Only an AUTHORITY that is a DIRECT child of the outermost object
+    // (bracket depth 1) names the whole CRS — a GDAL-style PROJCS whose
+    // only authority sits on the nested GEOGCS must NOT shortcut to 4326
+    // (that would silently take UTM eastings as longitude degrees); such
+    // files fall through to the name heuristics below.
     val auth = """AUTHORITY\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]""".r
-      .findAllMatchIn(s).toSeq.lastOption.map(_.group(1).toInt)
+      .findAllMatchIn(s)
+      .filter { m =>
+        var depth = 0
+        var i = 0
+        while (i < m.start) {
+          val c = s.charAt(i)
+          if (c == '[') depth += 1 else if (c == ']') depth -= 1
+          i += 1
+        }
+        depth == 1
+      }
+      .toSeq.lastOption.map(_.group(1).toInt)
     if (auth.isDefined) return auth
     val utmZone = """UTM_ZONE_(\d{1,2})([NS])""".r.findFirstMatchIn(up)
     if (up.startsWith("PROJCS")) {
@@ -318,19 +332,12 @@ object Crs {
     })
   }
 
-  /** Reproject every vertex of a WKT POLYGON/MULTIPOLYGON into 4326. */
-  def wktToWgs84(epsg: Int, wkt: String): String = {
-    if (epsg == Wgs84) return wkt
-    val g = Geometry.parseGeom(wkt)
-    def ring(r: Array[Geometry.Pt]): String =
-      "(" + (r :+ r.head).map { p =>
-        val (lon, lat) = toWgs84(epsg, p.x, p.y); s"$lon $lat"
-      }.mkString(", ") + ")"
-    def poly(p: Geometry.Poly): String =
-      "(" + (Iterator(p.outer) ++ p.holes.iterator).map(ring).mkString(", ") + ")"
-    if (g.length == 1) "POLYGON " + poly(g(0))
-    else "MULTIPOLYGON (" + g.map(poly).mkString(", ") + ")"
-  }
+  /** Reproject a WKT geometry into 4326 — alias of
+    * [[wktTransformToWgs84]], kept for API compatibility; there is ONE
+    * reprojection code path for all geometry families.
+    */
+  def wktToWgs84(epsg: Int, wkt: String): String =
+    wktTransformToWgs84(epsg, wkt)
 }
 
 /** Column-level CRS functions (S4 CRS leg: reproject at ingestion). */

@@ -110,6 +110,12 @@ object Curation {
     * shuffle — nothing else moves), offsets from a window over that tiny
     * relation, broadcast back. The wide window partitions by
     * (source, shard): shards-fold parallelism, row-identical output.
+    *
+    * The two levels each plan the `tagged` subtree, so the input is
+    * SCANNED TWICE (deliberate: a hidden .persist() inside a
+    * lazy-DataFrame operator would leak cache with no unpersist point).
+    * At scale, persist the (id, source, tokens) projection before calling
+    * if the token counting itself is expensive.
     */
   def tokenBudgetMix(docs: DataFrame, idCol: String, tokenCol: String,
       sourceCol: String, budgets: DataFrame, shards: Int = 64): DataFrame = {

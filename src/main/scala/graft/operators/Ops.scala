@@ -51,8 +51,14 @@ object Ops {
     // __lo via a tiny self-join (max threshold below own) instead of a
     // global lag() window: same rows, but no partitionless WindowExec —
     // so a REAL fact-scale global-window regression can't hide among
-    // expected warnings in the logs. Assumes distinct thresholds (a
-    // duplicate threshold row is degenerate range semantics regardless).
+    // expected warnings in the logs. Distinct thresholds are REQUIRED:
+    // under the old lag() a duplicate threshold degraded safely (second
+    // row got an empty range), but the self-join would match a fact row
+    // to BOTH — refuse loudly instead of silently multiplying fact rows.
+    // (Two counts on the broadcast-tiny limits table — negligible.)
+    require(limits.select(col(thresholdCol)).distinct().count() == limits.count(),
+      s"rangeLookup: duplicate values in threshold column '$thresholdCol' — " +
+        "each threshold must own exactly one range")
     val ranged = limits
       .join(limits.select(col(thresholdCol).as("__t2")),
         col("__t2") < col(thresholdCol), "left")

@@ -34,19 +34,20 @@ object TextIndex {
     // disk — stats-after-postings left a half-built index (postings dir,
     // no sidecar) whose later probes failed with a confusing missing-
     // stats error instead of this one
-    val statsRow = base.agg(count(lit(1)).cast("double"),
-      avg(col("dl"))).head()
-    val n = statsRow.getDouble(0)
-    require(n > 0, "refusing to index an empty corpus (avgdl undefined; " +
-      "every probe would score NaN)")
-    val avgdl = statsRow.getDouble(1)
-    val postings = base
-      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
-    base.unpersist()
+    val (n, avgdl) = try {
+      val statsRow = base.agg(count(lit(1)).cast("double"),
+        avg(col("dl"))).head()
+      val n0 = statsRow.getDouble(0)
+      require(n0 > 0, "refusing to index an empty corpus (avgdl undefined; " +
+        "every probe would score NaN)")
+      val postings = base
+        .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      (n0, statsRow.getDouble(1))
+    } finally base.unpersist() // even on the empty-corpus refusal
     val sidecar =
       s"""{"n":$n,"avgdl":$avgdl,"nBuckets":$nBuckets}"""
     val p = new org.apache.hadoop.fs.Path(path, "_text_index_stats.json")

@@ -41,6 +41,12 @@ object SitesPipeline {
     // ids for unique names, and the bench log stays free of global-
     // WindowExec warnings so a real regression is visible.
     val names = base.select(col("Site")).distinct()
+    // names must be unique after cleaning: the old row_number silently
+    // gave colliding names distinct ids; the rank join would give them
+    // the SAME site_id and merge two geometries downstream — refuse loudly
+    require(names.count() == base.count(),
+      "generateSites: region names collide after clean_names — site_id " +
+        "would no longer be unique; disambiguate the input names")
     val ranked = names.as("a")
       .join(names.select(col("Site").as("__s")), col("__s") <= col("Site"))
       .groupBy(col("Site")).agg(count(lit(1)).cast("int").as("site_id"))

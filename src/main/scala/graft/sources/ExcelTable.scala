@@ -39,6 +39,22 @@ object ExcelTable {
     */
   def read(spark: SparkSession, path: String, sheet: String = null,
       headerRow: Int = 0, usecols: Option[(Int, Int)] = None): DataFrame = {
+    val (names, data, _) = loadSheet(spark, path, sheet, headerRow, usecols)
+    val schema = StructType(names.map(n => StructField(n, StringType)).toSeq)
+    val rows = data.map(r =>
+      Row.fromSeq(r.map(c => if (c == null) null else c.raw).toSeq))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+  }
+
+  /** Shared sheet resolution for [[read]]/[[readTyped]]: zip → workbook →
+    * rels → worksheet grid, header slice, positional name dedup (same rule
+    * as EuCsv.readMultiHeader). Returns (column names, sliced DATA rows as
+    * cells, all zip parts — for styles lookup).
+    */
+  private def loadSheet(spark: SparkSession, path: String, sheet: String,
+      headerRow: Int, usecols: Option[(Int, Int)])
+      : (Array[String], Array[Array[Cell]], Map[String, Array[Byte]]) = {
     val parts = readZip(spark, path)
     def part(name: String): Array[Byte] = parts.getOrElse(name,
       throw new IllegalArgumentException(s"$path: missing workbook part $name"))
@@ -59,29 +75,25 @@ object ExcelTable {
 
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings)
       .getOrElse(Array.empty[String])
-    val grid = parseSheetCells(part(sheetPart), shared)
+    val grid = parseGrid(part(sheetPart), shared)
 
     require(grid.length > headerRow, s"$path: sheet has ${grid.length} rows, " +
       s"header row $headerRow out of range")
     val width = grid.map(_.length).max
     val (lo, hi) = usecols.getOrElse((0, width - 1))
-    def slice(r: Array[String]): Array[String] =
+    def slice(r: Array[Cell]): Array[Cell] =
       (lo to hi).map(i => if (i < r.length) r(i) else null).toArray
 
-    val header = slice(grid(headerRow))
+    val header = slice(grid(headerRow)).map(c => if (c == null) null else c.raw)
     val names0 = header.zipWithIndex.map { case (h, i) =>
       if (h == null || h.trim.isEmpty) s"_c${i + lo}" else h.trim
     }
-    // dedupe colliding names positionally (same rule as EuCsv.readMultiHeader)
     val seen = scala.collection.mutable.Map.empty[String, Int]
     val names = names0.map { n =>
       val k = seen.getOrElse(n, 0); seen(n) = k + 1
       if (k == 0) n else s"${n}_$k"
     }
-    val schema = StructType(names.map(n => StructField(n, StringType)).toSeq)
-    val rows = grid.drop(headerRow + 1).map(r => Row.fromSeq(slice(r).toSeq))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+    (names, grid.drop(headerRow + 1).map(slice), parts)
   }
 
   /** Sheet names in workbook order (pd.ExcelFile(...).sheet_names). */
@@ -101,31 +113,9 @@ object ExcelTable {
     */
   def readTyped(spark: SparkSession, path: String, sheet: String = null,
       headerRow: Int = 0, usecols: Option[(Int, Int)] = None): DataFrame = {
-    val parts = readZip(spark, path)
-    def part(name: String): Array[Byte] = parts.getOrElse(name,
-      throw new IllegalArgumentException(s"$path: missing workbook part $name"))
-    val sheets = parseSheets(part("xl/workbook.xml"))
-    require(sheets.nonEmpty, s"$path: workbook has no sheets")
-    val (_, relId) =
-      if (sheet == null) sheets.head
-      else sheets.find(_._1 == sheet).getOrElse(throw new IllegalArgumentException(
-        s"$path: no sheet '$sheet' (have ${sheets.map(_._1).mkString(", ")})"))
-    val rels = parseRels(part("xl/_rels/workbook.xml.rels"))
-    val target = rels.getOrElse(relId, throw new IllegalArgumentException(
-      s"$path: unresolved sheet relationship $relId"))
-    val sheetPart = if (target.startsWith("/")) target.drop(1) else "xl/" + target
-    val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings)
-      .getOrElse(Array.empty[String])
+    val (names, cells, parts) = loadSheet(spark, path, sheet, headerRow, usecols)
     val dateStyles = parts.get("xl/styles.xml").map(parseDateStyles)
       .getOrElse(Set.empty[Int])
-    val grid = parseGrid(part(sheetPart), shared)
-
-    require(grid.length > headerRow, s"$path: sheet has ${grid.length} rows, " +
-      s"header row $headerRow out of range")
-    val width = grid.map(_.length).max
-    val (lo, hi) = usecols.getOrElse((0, width - 1))
-    def slice[T >: Null : scala.reflect.ClassTag](r: Array[T]): Array[T] =
-      (lo to hi).map(i => if (i < r.length) r(i) else null).toArray
 
     def interpret(c: Cell): Any =
       if (c == null) null
@@ -138,16 +128,7 @@ object ExcelTable {
           if (dateStyles(c.style)) serialToTimestamp(d) else Double.box(d)
       }
 
-    val header = slice(grid(headerRow)).map(c => if (c == null) null else c.raw)
-    val names0 = header.zipWithIndex.map { case (h, i) =>
-      if (h == null || h.trim.isEmpty) s"_c${i + lo}" else h.trim
-    }
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    val names = names0.map { n =>
-      val k = seen.getOrElse(n, 0); seen(n) = k + 1
-      if (k == 0) n else s"${n}_$k"
-    }
-    val data = grid.drop(headerRow + 1).map(r => slice(r).map(interpret))
+    val data = cells.map(_.map(interpret))
 
     // per-column type: narrowest covering all non-null cells
     import org.apache.spark.sql.types._
@@ -181,9 +162,17 @@ object ExcelTable {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }
 
-  /** Excel serial day (1899-12-30 epoch) → timestamp, ms precision. */
+  /** Excel serial day (1899-12-30 epoch) → timestamp, ms precision.
+    * Excel serials are NAIVE wall-clock datetimes (like pandas' datetime64
+    * result), so the conversion goes through LocalDateTime — the value is
+    * the same on any JVM default timezone, not a fixed UTC instant.
+    */
+  private val SerialEpoch = java.time.LocalDateTime.of(1899, 12, 30, 0, 0)
+
   private def serialToTimestamp(serial: Double): java.sql.Timestamp =
-    new java.sql.Timestamp(math.round((serial - 25569.0) * 86400000.0))
+    java.sql.Timestamp.valueOf(
+      SerialEpoch.plus(math.round(serial * 86400000.0),
+        java.time.temporal.ChronoUnit.MILLIS))
 
   /** styles.xml → the cellXf indices whose number format renders a date:
     * builtin ids 14–22 (dates/times) and 45–47 (durations …mm:ss…), or a
@@ -397,9 +386,6 @@ object ExcelTable {
     rows.result()
   }
 
-  /** The string view of the grid (the original all-string read contract). */
-  private def parseSheetCells(bytes: Array[Byte], shared: Array[String]): Array[Array[String]] =
-    parseGrid(bytes, shared).map(_.map(c => if (c == null) null else c.raw))
 
   /** "BC12" → 0-based column index (A=0, Z=25, AA=26…). */
   private def colOf(ref: String): Int = {
@@ -493,13 +479,17 @@ object ExcelTable {
     def numCell(v: Any): String =
       if (v == null) "" else s"<c><v>$v</v></c>"
     def dateCell(v: Any): String = {
-      val millis = v match {
-        case t: java.sql.Timestamp => t.getTime
-        case d: java.sql.Date => d.getTime
+      // wall-clock (naive) serial — the exact inverse of serialToTimestamp,
+      // timezone-independent
+      val ldt = v match {
+        case t: java.sql.Timestamp => t.toLocalDateTime
+        case d: java.sql.Date => d.toLocalDate.atStartOfDay
         case other => throw new IllegalArgumentException(
           s"date column holds ${other.getClass}")
       }
-      val serial = millis / 86400000.0 + 25569.0
+      val millis = java.time.temporal.ChronoUnit.MILLIS.between(
+        java.time.LocalDateTime.of(1899, 12, 30, 0, 0), ldt)
+      val serial = millis / 86400000.0
       s"""<c s="1"><v>$serial</v></c>"""
     }
     sb.append("<row>").append(df.columns.map(strCell).mkString).append("</row>")

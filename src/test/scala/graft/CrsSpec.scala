@@ -133,6 +133,14 @@ class CrsSpec extends AnyFunSuite {
     assert(Crs.epsgFromPrj(esriGeo) == Some(4326))
     assert(Crs.epsgFromPrj(
       """PROJCS["ETRS_1989_UTM_Zone_32N",GEOGCS["GCS_ETRS_1989"]]""") == Some(25832))
+    // GDAL-style trap: the only AUTHORITY is on the NESTED GEOGCS — it
+    // names the datum, not the CRS; detection must use the UTM zone name,
+    // never shortcut to 4326 (which would read eastings as degrees)
+    val gdalUtm = """PROJCS["WGS_1984_UTM_Zone_33N",GEOGCS["GCS_WGS_1984",""" +
+      """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+      """AUTHORITY["EPSG","4326"]],PROJECTION["Transverse_Mercator"],""" +
+      """PARAMETER["Central_Meridian",15.0],UNIT["Meter",1.0]]"""
+    assert(Crs.epsgFromPrj(gdalUtm) == Some(32633))
     assert(Crs.epsgFromPrj("""PROJCS["NAD_1983_StatePlane_California"]""").isEmpty)
     assert(Crs.epsgFromPrj("not wkt at all").isEmpty)
   }
