@@ -18,7 +18,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val names = if (args.nonEmpty) args.toSeq
+    val names =
+      if (args.sameElements(Array("all"))) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
       else Seq("q02_filter_project", "q03_join_broadcast", "q44_star_join",
         "q08_topk_per_group", "q20_spatial_join", "q69_decontaminate",
         "q77_asof_join", "q27_ann_brute")

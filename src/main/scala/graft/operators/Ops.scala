@@ -48,22 +48,33 @@ object Ops {
     // earlier join-then-rank shape shuffled |fact| × |limits| rows by a
     // surrogate key; this one is map-side only (measured 2.3 s → ~0.4 s on
     // 600k rows × 4 classes at sf0.1).
-    // __lo via a tiny self-join (max threshold below own) instead of a
-    // global lag() window: same rows, but no partitionless WindowExec —
-    // so a REAL fact-scale global-window regression can't hide among
-    // expected warnings in the logs. Distinct thresholds are REQUIRED:
-    // under the old lag() a duplicate threshold degraded safely (second
-    // row got an empty range), but the self-join would match a fact row
-    // to BOTH — refuse loudly instead of silently multiplying fact rows.
-    // (Two counts on the broadcast-tiny limits table — negligible.)
-    require(limits.select(col(thresholdCol)).distinct().count() == limits.count(),
+    // __lo from ONE driver-side collect of the (contractually tiny)
+    // threshold column instead of a global lag() window: no partitionless
+    // WindowExec — a REAL fact-scale global-window regression stays
+    // visible in the logs — and the fact-side plan is a single broadcast
+    // join. Duplicate thresholds refuse loudly here (under lag() they
+    // degraded safely; any join formulation would silently match a fact
+    // row twice). Null-threshold rows never match a fact value and are
+    // dropped.
+    val spark = limits.sparkSession
+    val thr = limits.select(col(thresholdCol).cast("double"))
+      .na.drop().collect().map(_.getDouble(0)).sorted
+    require(thr.distinct.length == thr.length,
       s"rangeLookup: duplicate values in threshold column '$thresholdCol' — " +
         "each threshold must own exactly one range")
+    val loRows = thr.zipWithIndex.map { case (t, i) =>
+      org.apache.spark.sql.Row(t, if (i == 0) null else Double.box(thr(i - 1)))
+    }
+    val loDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(loRows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__key",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("__lo",
+          org.apache.spark.sql.types.DoubleType))))
     val ranged = limits
-      .join(limits.select(col(thresholdCol).as("__t2")),
-        col("__t2") < col(thresholdCol), "left")
-      .groupBy(limits.columns.map(col): _*)
-      .agg(max(col("__t2")).as("__lo"))
+      .join(broadcast(loDf), col(thresholdCol).cast("double") === col("__key"))
+      .drop("__key")
     fact.join(broadcast(ranged),
         col(valueCol) <= col(thresholdCol) &&
           (col("__lo").isNull || col(valueCol) > col("__lo")), "left")
