@@ -261,6 +261,12 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimExpr(Cast(es(0), ArrayType(DoubleType)),
         Cast(es(1), ArrayType(DoubleType))), "built-in")
+    // geometry surface for SQL sessions; st_contains joins written here
+    // are rewritten to the bbox-prefiltered form by BboxJoinRewrite
+    spark.udf.register("st_contains", graft.geo.GeoFns.stContainsXY)
+    spark.udf.register("st_area", graft.geo.GeoFns.stArea)
+    spark.udf.register("st_intersection_area", graft.geo.GeoFns.stIntersectionArea)
+    graft.plans.BboxJoinRewrite.install(spark)
   }
 }
 
@@ -283,5 +289,7 @@ class GraftSessionExtensions extends (org.apache.spark.sql.SparkSessionExtension
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("eu_to_double"),
       new ExpressionInfo("graft.expr.EuToDoubleExpr", "eu_to_double"),
       (es: Seq[Expression]) => EuToDoubleExpr(es.head)))
+    // SURVEY §4b: naive st_contains joins get the bbox prefilter
+    e.injectOptimizerRule(_ => graft.plans.BboxJoinRewrite)
   }
 }
