@@ -702,6 +702,20 @@ object SparkEntry {
           col("n_tokens"))
     }),
 
+    // Semantic decontamination: corpus vectors too close (cosine) to any
+    // "benchmark" vector (vec_id % 101 == 0) — the embedding-space
+    // complement of q69's n-gram matching. Bench broadcast, cosines
+    // map-side, only the hit agg shuffles.
+    "q89_semantic_decontam" -> ((s, dir) => {
+      import graft.operators.Curation
+      val emb = t(s, dir, "embeddings")
+      Curation.semanticDecontaminate(
+        emb.filter(col("vec_id") % 101 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 101 === 0), "embedding", threshold = 0.3)
+        .select(col("vec_id"), col("n_hits"),
+          round(col("max_cos"), 4).as("max_cos"))
+    }),
+
     // Decontamination: flag corpus docs sharing a word 3-gram with the
     // "benchmark" slice (doc_id % 97 == 0). Benchmark grams broadcast;
     // corpus side explodes map-side — the 100 TB shape.
@@ -2200,6 +2214,19 @@ object SparkEntry {
         |s AS (SELECT id1, id2, sum(x * y) AS dp, sum(x * x) AS nx, sum(y * y) AS ny
         |  FROM z GROUP BY id1, id2)
         |SELECT id1, id2, round(dp / (sqrt(nx) * sqrt(ny)), 4) AS cosine FROM s""".stripMargin,
+
+    "q89_semantic_decontam" ->
+      """WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS bv
+        |  FROM embeddings WHERE vec_id % 101 = 0 AND embedding IS NOT NULL),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id % 101 <> 0 AND embedding IS NOT NULL),
+        |z AS (SELECT c.vec_id, b.vec_id AS bid,
+        |    unnest(cv) AS x, unnest(bv) AS y FROM c, b),
+        |s AS (SELECT vec_id, bid,
+        |    sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        |  FROM z GROUP BY 1, 2)
+        |SELECT vec_id, count(*) AS n_hits, round(max(cos), 4) AS max_cos
+        |FROM s WHERE cos >= 0.3 GROUP BY vec_id""".stripMargin,
 
     "q51_tumbling_window" ->
       """SELECT (epoch_us(ts) // 300000000) * 300000000 AS w_start_us, event_type,

@@ -238,6 +238,29 @@ object Curation {
       .agg(sum(col("__s")).as("bm25"), count(lit(1)).as("n_terms"))
   }
 
+  /** Semantic (embedding-space) benchmark decontamination: flag every
+    * corpus vector whose cosine against ANY benchmark vector reaches
+    * `threshold` — the contamination n-gram matching misses (paraphrased
+    * eval items). Same 100 TB shape as [[decontaminate]]: the benchmark
+    * side is eval-suite-sized and BROADCAST; each corpus row scores
+    * |bench| codegen cosines map-side, and only the per-doc hit agg
+    * shuffles. (For benchmark sets too big to broadcast, bucket both
+    * sides with `Dedup.embeddingNearDup`'s RP-LSH instead.)
+    */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchVecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VectorFns
+    val b = broadcast(bench.filter(col(benchVecCol).isNotNull)
+      .select(col(benchVecCol).cast("array<double>").as("__bv")))
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .crossJoin(b)
+      .select(col(idCol), VectorFns.cosine(col("__cv"), col("__bv")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), max(col("__cos")).as("max_cos"))
+  }
+
   /** Mean unigram surprisal per document under the corpus' OWN unigram
     * distribution: −mean over tokens of ln(C(term)/T). The classic cheap
     * "how typical is this text" quality score (outlier docs — wrong

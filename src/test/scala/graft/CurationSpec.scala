@@ -290,6 +290,20 @@ class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
   }
 
+  test("semanticDecontaminate: planted near-dup flagged, orthogonal clean") {
+    import spark.implicits._
+    val bench = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99, 0.1, 0.0, 0.0)),  // near the bench vector
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)),   // orthogonal
+      (3L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "embedding")
+    val got = Curation.semanticDecontaminate(corpus, "vec_id", "embedding",
+      bench, "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) == 1L)
+  }
+
   test("unigramSurprisal: matches hand-computed corpus distribution") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
