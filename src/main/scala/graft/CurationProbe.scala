@@ -107,6 +107,39 @@ object CurationProbe {
         .agg(sum(length(col("text"))), sum("n_email"), sum("n_phone")).collect()
     }
 
+    // chunking: map-side only — no exchange may appear before the agg
+    val chunkPlan = Curation.chunkWindows(docs, "doc_id", "text", 64, 48)
+      .queryExecution.executedPlan.toString
+    require(!chunkPlan.contains("Exchange hashpartitioning"),
+      s"chunkWindows must not shuffle the corpus:\n$chunkPlan")
+    time(s"chunk windows x$mult (64/48)") {
+      Curation.chunkWindows(docs, "doc_id", "text", 64, 48)
+        .agg(count(lit(1)), sum("n_tokens")).collect()
+    }
+
+    time(s"unigram surprisal x$mult") {
+      Curation.unigramSurprisal(docs, "doc_id", "text")
+        .agg(count(lit(1)), sum("surprisal")).collect()
+    }
+
+    // semantic decontamination: bench side must broadcast
+    val embDocs = spark.range(200000L).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 31), d -> CAST(pmod(id * (d + 7), 97) AS DOUBLE) / 97.0)")
+        .as("embedding"))
+    val embBench = embDocs.filter(col("vec_id") % 997 === 0)
+    val semPlan = Curation.semanticDecontaminate(
+      embDocs.filter(col("vec_id") % 997 =!= 0), "vec_id", "embedding",
+      embBench, "embedding", 0.99).queryExecution.executedPlan.toString
+    require(semPlan.contains("BroadcastNestedLoopJoin") ||
+      semPlan.contains("BroadcastExchange"),
+      s"semanticDecontaminate must broadcast the benchmark:\n$semPlan")
+    time("semantic decontam 200k x 200 bench (32-dim)") {
+      Curation.semanticDecontaminate(
+        embDocs.filter(col("vec_id") % 997 =!= 0), "vec_id", "embedding",
+        embBench, "embedding", 0.99)
+        .agg(count(lit(1))).collect()
+    }
+
     // inverted-index build over the replicated corpus + a pruned probe
     val tixPath = java.nio.file.Files.createTempDirectory("probe_tix")
       .resolve("idx").toString
