@@ -1013,6 +1013,28 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Incremental ingestion-batch dedup: existing corpus + an incoming
+    // batch of exact copies (dropped), first-word-stripped near-dups
+    // (dropped where bigram-jaccard holds) and fresh docs (kept) — the
+    // daily-ingest shape; output = surviving INCOMING ids only.
+    "q90_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val off = broadcast(docs.agg(coalesce(max(col("doc_id")), lit(0L)).as("__off")))
+      val exactCopies = docs.filter(col("doc_id") % 11 === 0).crossJoin(off)
+        .select((col("doc_id") + col("__off") + 1).as("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") % 25 === 0).crossJoin(off)
+        .select((col("doc_id") + col("__off") * 2 + 2).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+      val fresh = docs.filter(col("doc_id") % 17 === 0).crossJoin(off)
+        .select((col("doc_id") + col("__off") * 3 + 3).as("doc_id"),
+          format_string("fresh alpha %d beta %d gamma delta epsilon",
+            col("doc_id"), col("doc_id") * 7).as("text"))
+      Dedup.dedupIncremental(docs,
+          exactCopies.unionByName(nearDups).unionByName(fresh),
+          "doc_id", "text", threshold = 0.6, shingleN = 2, k = 16, bands = 4)
+        .select(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup detection via RP-LSH buckets (planted
     // duplicates guarantee yield; rows-only: bucket hashing engine-native).
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -1657,6 +1679,63 @@ object SparkEntry {
         |removed AS (SELECT DISTINCT id2 FROM jc WHERE i2 * 1.0 / u2 >= 0.6)
         |SELECT doc_id FROM surv s
         |WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id2 = s.doc_id)""".stripMargin,
+
+    // q53's machinery over the three-way incremental planting; the final
+    // filter keeps INCOMING survivors only (doc_id > o).
+    "q90_dedup_incremental" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
+        |all_docs AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + o + 1, text FROM base, off WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2 * o + 2, regexp_replace(text, '^\S+\s*', '')
+        |  FROM base, off WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3 * o + 3, 'fresh alpha ' || doc_id || ' beta ' ||
+        |    (doc_id * 7) || ' gamma delta epsilon'
+        |  FROM base, off WHERE doc_id % 17 = 0),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM all_docs WHERE text IS NOT NULL
+        |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |  UNION ALL SELECT doc_id FROM all_docs WHERE text IS NULL),
+        |surv AS (SELECT a.doc_id, a.text FROM all_docs a JOIN keep k ON k.doc_id = a.doc_id),
+        |tk AS (SELECT doc_id,
+        |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+        |  FROM surv),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) = 0 THEN ['']
+        |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+        |       ELSE list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1]) END AS sh
+        |  FROM tk),
+        |h AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+        |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(s, '.'),
+        |      c -> ascii(c)::BIGINT)),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs FROM sh),
+        |sig AS (SELECT doc_id, i,
+        |  list_min(list_transform(hs, v ->
+        |    (((2 * i + 1) * 104729) % 1000000007 * v + (i * 12582917 + 7)) % 1000000007)) AS mh
+        |  FROM h CROSS JOIN range(16) t(i)),
+        |band AS (SELECT doc_id, i // 4 AS b, string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+        |  FROM sig GROUP BY doc_id, i // 4),
+        |ok AS (SELECT b, key FROM band GROUP BY b, key
+        |  HAVING count(*) BETWEEN 2 AND 1000),
+        |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+        |  FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+        |  JOIN ok ON ok.b = x.b AND ok.key = x.key),
+        |ws AS (SELECT s.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE list_distinct(s.sh) END AS ws
+        |  FROM sh s JOIN surv d ON d.doc_id = s.doc_id),
+        |jc AS (SELECT p.id1, p.id2,
+        |  len(list_intersect(x.ws, y.ws)) AS i2,
+        |  len(list_distinct(list_concat(x.ws, y.ws))) AS u2
+        |  FROM pairs p JOIN ws x ON x.doc_id = p.id1 JOIN ws y ON y.doc_id = p.id2),
+        |removed AS (SELECT DISTINCT id2 FROM jc WHERE i2 * 1.0 / u2 >= 0.6)
+        |SELECT doc_id FROM surv s, off
+        |WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id2 = s.doc_id)
+        |  AND s.doc_id > off.o""".stripMargin,
 
     // Misra-Gries inclusion guarantee: the provably-heavy token set
     // (exact count > N/31 per lang, k=30 counters) with exact counts.

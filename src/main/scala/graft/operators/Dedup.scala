@@ -176,6 +176,34 @@ object Dedup {
     labels
   }
 
+  /** Incremental (ingestion-batch) dedup: which INCOMING docs survive
+    * against an already-deduplicated EXISTING corpus and against each
+    * other — the daily-ingest production shape. The existing corpus is
+    * never re-deduplicated or modified; its docs always win.
+    *
+    * Contract: ingestion ids are monotone — every incoming id exceeds
+    * every existing id (checked loudly with two tiny aggs). That makes
+    * "existing wins, then min-id wins within the batch" exactly
+    * [[dedupCorpus]]'s min-id policy on the union, so the incremental
+    * form is the batch form + a semi-join on the incoming ids. At scale,
+    * persist the existing side's minhash signature relation once (it is
+    * this operator's natural index) instead of re-tokenizing per batch.
+    */
+  def dedupIncremental(existing: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16,
+      bands: Int = 8): DataFrame = {
+    val maxOld = existing.agg(max(col(idCol).cast("long"))).head.get(0)
+    val minNew = incoming.agg(min(col(idCol).cast("long"))).head.get(0)
+    require(maxOld == null || minNew == null ||
+      maxOld.asInstanceOf[Long] < minNew.asInstanceOf[Long],
+      s"dedupIncremental requires monotone ingestion ids: max(existing)=" +
+        s"$maxOld >= min(incoming)=$minNew — renumber the batch")
+    val union = existing.select(col(idCol), col(textCol))
+      .unionByName(incoming.select(col(idCol), col(textCol)))
+    dedupCorpus(union, idCol, textCol, threshold, shingleN, k, bands)
+      .join(incoming.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
   /** [[dedupCorpus]] with TRANSITIVE clustering: verified near-dup pairs
     * are closed into connected components and exactly one document (the
     * minimum id) survives per component — the policy large-corpus dedup

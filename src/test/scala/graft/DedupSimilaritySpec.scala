@@ -126,4 +126,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.count() == 3)
     assert(got.head.getAs[Double]("cosine") > 0.99)
   }
+
+  test("dedupIncremental: existing wins, fresh kept, monotone ids enforced") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different text about spark joins and shuffles")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact copy → dropped
+      (11L, "quick brown fox jumps over the lazy dog tonight"),     // near-dup → dropped
+      (12L, "entirely novel content nothing like the corpus at all"), // fresh → kept
+      (13L, "entirely novel content nothing like the corpus at all")) // dup WITHIN batch → dropped
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupIncremental(existing, incoming, "doc_id", "text",
+      threshold = 0.6, shingleN = 2, k = 16, bands = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(12L), s"got $got")
+    // overlapping id spaces refuse loudly
+    val bad = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncremental(existing, bad, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("monotone"))
+  }
 }
