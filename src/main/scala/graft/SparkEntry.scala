@@ -692,6 +692,31 @@ object SparkEntry {
           col("n_docs"))
     }),
 
+    // Histogram-sketch quantiles: per-language p50/p95 token counts from
+    // a 32-bin fixed histogram — the no-sort percentile shape for corpus
+    // scale; deterministic interpolation the oracle reproduces exactly.
+    "q91_hist_quantiles" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("lang"), TextFns.tokenCount(col("text")).cast("double").as("n"))
+      Ops.histogramQuantiles(d, Seq("lang"), "n", lo = 0.0, hi = 256.0,
+          bins = 32, qs = Seq(0.5, 0.95))
+        .select(col("lang"), round(col("q50"), 6).as("q50"),
+          round(col("q95"), 6).as("q95"), col("n_rows"))
+    }),
+
+    // Salted two-stage aggregation: hot-key sums split across `salts`
+    // partial reducers, then merged — the standard skew pattern, made an
+    // operator. Long sums are salt-order-independent, so the oracle is
+    // the plain GROUP BY.
+    "q92_salted_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("rowkey"))
+      Ops.saltedSum(li, Seq("l_returnflag"), "qty", col("rowkey"), salts = 32)
+        .select(col("l_returnflag"), col("sum_qty"), col("n_rows"))
+    }),
+
     // Mean unigram surprisal per doc under the corpus' own unigram
     // distribution — the no-model text-quality outlier score. Term counts
     // broadcast (vocabulary-sized); corpus shuffles only for aggs.
@@ -2095,6 +2120,30 @@ object SparkEntry {
         |  round(quantile_cont(n, 0.95), 6) AS p95,
         |  count(*) AS n_docs
         |FROM d GROUP BY lang""".stripMargin,
+
+    // width = 256/32 = 8; same clamp + interpolation arithmetic as the
+    // engine's histogramQuantiles
+    "q91_hist_quantiles" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |b AS (SELECT lang, least(greatest(CAST(floor(n / 8.0) AS INT), 0), 31) AS bin FROM d),
+        |c AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2),
+        |m AS (SELECT lang, bin, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS nn FROM c)
+        |SELECT lang,
+        |  round(min(CASE WHEN cum >= 0.5 * nn
+        |    THEN 0.0 + 8.0 * (bin + (0.5 * nn - (cum - c)) / c) END), 6) AS q50,
+        |  round(min(CASE WHEN cum >= 0.95 * nn
+        |    THEN 0.0 + 8.0 * (bin + (0.95 * nn - (cum - c)) / c) END), 6) AS q95,
+        |  CAST(max(nn) AS BIGINT) AS n_rows
+        |FROM m GROUP BY lang""".stripMargin,
+
+    "q92_salted_agg" ->
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q88_unigram_surprisal" ->
       """WITH tok AS (SELECT doc_id,

@@ -197,6 +197,66 @@ object Ops {
     cur
   }
 
+  // ── scale-pattern aggregations ──────────────────────────────────────────
+
+  /** Histogram-sketch quantiles: per-group quantile ESTIMATES from a
+    * fixed-bin histogram — the shape that replaces exact `percentile`
+    * (full per-group sort) at corpus scale. One shuffle of at most
+    * |groups|·bins counting rows (map-side partial-aggregated), then the
+    * tiny per-group interpolation. Deterministic integer/double
+    * arithmetic throughout, so an independent SQL engine reproduces the
+    * estimate bit-for-bit (unlike t-digest/GK sketches, whose merge order
+    * changes results). Error is bounded by the bin width (hi−lo)/bins.
+    *
+    * Estimate rule: target = q·n; first bin with cumulative ≥ target;
+    * value = lo + width·(bin + (target − cumBelow)/binCount). Values
+    * outside [lo, hi) clamp into the edge bins.
+    */
+  def histogramQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Double, hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    require(bins >= 1 && hi > lo, s"need bins >= 1 and hi > lo")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"quantiles in (0,1]: $qs")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol) - lo) / width).cast("int"), lit(0)), lit(bins - 1))
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ bin.as("__bin"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__bin"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(groupCols.map(col): _*)))
+    val qCols = qs.zipWithIndex.map { case (q, i) =>
+      // first bin whose cumulative reaches target, interpolated inside it
+      min(when(col("__cum") >= lit(q) * col("__n"),
+        lit(lo) + lit(width) * (col("__bin") +
+          (lit(q) * col("__n") - (col("__cum") - col("__c"))) / col("__c"))))
+        .as(s"q${(q * 100).round}")
+    }
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(qCols.head, qCols.tail :+ max(col("__n")).as("n_rows"): _*)
+  }
+
+  /** Salted two-stage aggregation: sums/counts over a HOT key domain
+    * without a single reducer per key — stage 1 aggregates on
+    * (key, salt), stage 2 merges the ≤`salts` partials per key. For a
+    * skewed key the heavy partition splits `salts` ways; the extra cost
+    * is a second shuffle of |keys|·salts tiny rows. Use for
+    * integer-exact aggregates (counts, long sums): salting changes
+    * double-addition fold order.
+    */
+  def saltedSum(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      saltExpr: org.apache.spark.sql.Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts $salts must be >= 1")
+    val partial = df
+      .withColumn("__salt", pmod(saltExpr, lit(salts)))
+      .groupBy(groupCols.map(col) :+ col("__salt"): _*)
+      .agg(sum(col(valueCol)).as("__partial"), count(lit(1)).as("__pc"))
+    partial.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"),
+        sum(col("__pc")).as("n_rows"))
+  }
+
   // ── canonical edge direction ────────────────────────────────────────────
   /** `reverse_lines` (code/lib/util.py:139-155): orient every edge so
     * start <= end, so that (A,B) and (B,A) merge in the downstream groupBy.

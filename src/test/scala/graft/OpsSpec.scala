@@ -137,6 +137,39 @@ class OpsSpec extends AnyFunSuite {
     assert(fixed.count() == 40)
   }
 
+  test("histogramQuantiles: within a bin width of exact, deterministic") {
+    // 1000 uniform values 0..999 in one group; exact p50 = ~500, p95 = ~950
+    val df = spark.range(1000).select(lit("g").as("grp"),
+      col("id").cast("double").as("v"))
+    val got = Ops.histogramQuantiles(df, Seq("grp"), "v",
+      lo = 0.0, hi = 1000.0, bins = 100, qs = Seq(0.5, 0.95)).head
+    val q50 = got.getAs[Double]("q50"); val q95 = got.getAs[Double]("q95")
+    assert(math.abs(q50 - 500.0) <= 10.0, s"q50=$q50") // one bin width
+    assert(math.abs(q95 - 950.0) <= 10.0, s"q95=$q95")
+    assert(got.getAs[Long]("n_rows") == 1000L)
+    // out-of-range values clamp into edge bins instead of vanishing
+    val clamped = Ops.histogramQuantiles(
+      df.withColumn("v", col("v") - 500.0), Seq("grp"), "v",
+      lo = 0.0, hi = 100.0, bins = 10, qs = Seq(0.5)).head
+    assert(clamped.getAs[Long]("n_rows") == 1000L)
+  }
+
+  test("saltedSum: equals the plain aggregation, two-stage plan") {
+    val df = spark.range(100000).select(
+      (col("id") % 3).cast("string").as("k"), // 3 hot keys
+      (col("id") % 7).as("v"), col("id").as("rowkey"))
+    val salted = Ops.saltedSum(df, Seq("k"), "v", col("rowkey"), salts = 16)
+    val plain = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = salted.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == plain)
+    // two aggregation exchanges: (k, salt) then k
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") >= 2, plan)
+  }
+
   test("canonicalEdge orients start <= end") {
     val df = Seq(("B", "A", 1.0), ("A", "B", 2.0), ("C", "C", 3.0)).toDF("s", "e", "cap")
     val got = Ops.canonicalEdge(df, "s", "e")
