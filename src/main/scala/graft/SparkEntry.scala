@@ -2133,9 +2133,9 @@ object SparkEntry {
         |    sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cum,
         |    sum(c) OVER (PARTITION BY lang) AS nn FROM c)
         |SELECT lang,
-        |  round(min(CASE WHEN cum >= 0.5 * nn
+        |  round(min(CASE WHEN cum >= 0.5 * nn AND cum - c < 0.5 * nn
         |    THEN 0.0 + 8.0 * (bin + (0.5 * nn - (cum - c)) / c) END), 6) AS q50,
-        |  round(min(CASE WHEN cum >= 0.95 * nn
+        |  round(min(CASE WHEN cum >= 0.95 * nn AND cum - c < 0.95 * nn
         |    THEN 0.0 + 8.0 * (bin + (0.95 * nn - (cum - c)) / c) END), 6) AS q95,
         |  CAST(max(nn) AS BIGINT) AS n_rows
         |FROM m GROUP BY lang""".stripMargin,
@@ -2351,7 +2351,8 @@ object SparkEntry {
         |z AS (SELECT c.vec_id, b.vec_id AS bid,
         |    unnest(cv) AS x, unnest(bv) AS y FROM c, b),
         |s AS (SELECT vec_id, bid,
-        |    sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) AS cos
+        |    CASE WHEN sum(x * x) = 0 OR sum(y * y) = 0 THEN 0.0
+        |      ELSE sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))) END AS cos
         |  FROM z GROUP BY 1, 2)
         |SELECT vec_id, count(*) AS n_hits, round(max(cos), 4) AS max_cos
         |FROM s WHERE cos >= 0.3 GROUP BY vec_id""".stripMargin,

@@ -181,23 +181,44 @@ object Dedup {
     * other — the daily-ingest production shape. The existing corpus is
     * never re-deduplicated or modified; its docs always win.
     *
-    * Contract: ingestion ids are monotone — every incoming id exceeds
-    * every existing id (checked loudly with two tiny aggs). That makes
-    * "existing wins, then min-id wins within the batch" exactly
-    * [[dedupCorpus]]'s min-id policy on the union, so the incremental
-    * form is the batch form + a semi-join on the incoming ids. At scale,
-    * persist the existing side's minhash signature relation once (it is
-    * this operator's natural index) instead of re-tokenizing per batch.
+    * Contract: ids are NUMERIC and ingestion-monotone — every incoming
+    * id exceeds every existing id. Checked loudly in ONE job (a union
+    * agg over both sides; a null after long-cast means a non-numeric id
+    * and also refuses — a silent null would let lexicographic min-id
+    * break "existing always wins"). That makes "existing wins, then
+    * min-id wins within the batch" exactly [[dedupCorpus]]'s min-id
+    * policy on the union, so the incremental form is the batch form + a
+    * semi-join on the incoming ids. The check scans both sides once;
+    * when ingest metadata already guarantees the contract (the usual
+    * production case — batch ids come from a monotonic allocator), pass
+    * `checkIds = false` to skip it. At scale, persist the existing
+    * side's minhash signature relation once (it is this operator's
+    * natural index) instead of re-tokenizing per batch.
     */
   def dedupIncremental(existing: DataFrame, incoming: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16,
-      bands: Int = 8): DataFrame = {
-    val maxOld = existing.agg(max(col(idCol).cast("long"))).head.get(0)
-    val minNew = incoming.agg(min(col(idCol).cast("long"))).head.get(0)
-    require(maxOld == null || minNew == null ||
-      maxOld.asInstanceOf[Long] < minNew.asInstanceOf[Long],
-      s"dedupIncremental requires monotone ingestion ids: max(existing)=" +
-        s"$maxOld >= min(incoming)=$minNew — renumber the batch")
+      bands: Int = 8, checkIds: Boolean = true): DataFrame = {
+    if (checkIds) {
+      val stats = existing
+        .select(col(idCol).cast("long").as("__id"), lit(0).as("__side"))
+        .unionByName(incoming
+          .select(col(idCol).cast("long").as("__id"), lit(1).as("__side")))
+        .agg(max(when(col("__side") === 0, col("__id"))).as("maxOld"),
+          min(when(col("__side") === 1, col("__id"))).as("minNew"),
+          sum(when(col("__id").isNull, 1).otherwise(0)).as("nulls"),
+          count(lit(1)).as("n"))
+        .head()
+      if (stats.getLong(3) > 0) { // empty union: sum/max/min are all null
+        require(stats.getLong(2) == 0L,
+          s"dedupIncremental requires numeric ids: ${stats.getLong(2)} of " +
+            s"${stats.getLong(3)} ids cast to null")
+        val maxOld = if (stats.isNullAt(0)) null else Long.box(stats.getLong(0))
+        val minNew = if (stats.isNullAt(1)) null else Long.box(stats.getLong(1))
+        require(maxOld == null || minNew == null || maxOld < minNew,
+          s"dedupIncremental requires monotone ingestion ids: max(existing)=" +
+            s"$maxOld >= min(incoming)=$minNew — renumber the batch")
+      }
+    }
     val union = existing.select(col(idCol), col(textCol))
       .unionByName(incoming.select(col(idCol), col(textCol)))
     dedupCorpus(union, idCol, textCol, threshold, shingleN, k, bands)

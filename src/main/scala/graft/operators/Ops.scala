@@ -227,8 +227,13 @@ object Ops {
       .withColumn("__cum", sum(col("__c")).over(w))
       .withColumn("__n", sum(col("__c")).over(Window.partitionBy(groupCols.map(col): _*)))
     val qCols = qs.zipWithIndex.map { case (q, i) =>
-      // first bin whose cumulative reaches target, interpolated inside it
-      min(when(col("__cum") >= lit(q) * col("__n"),
+      // THE bin containing the target (cum reaches it AND the bin below
+      // did not), interpolated inside it. Qualifying on cum alone would
+      // let every later bin's interpolant into the min() — a sparse tail
+      // bin then produces a large NEGATIVE fraction and wins, throwing
+      // the estimate far outside [lo, hi].
+      min(when(col("__cum") >= lit(q) * col("__n") &&
+          col("__cum") - col("__c") < lit(q) * col("__n"),
         lit(lo) + lit(width) * (col("__bin") +
           (lit(q) * col("__n") - (col("__cum") - col("__c"))) / col("__c"))))
         .as(s"q${(q * 100).round}")

@@ -70,12 +70,29 @@ object BboxJoinRewrite extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
 
+  /** Split an And-tree into its conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, jt @ (Inner | LeftOuter), Some(cond), hint)
         if !marked(j) =>
-      val hit = cond.collectFirst {
-        case u: ScalaUDF if (u.function eq containsFn) && u.children.size == 3 => u
+      // the UDF must be a TOP-LEVEL CONJUNCT: under Not/Or the bbox
+      // prefilter is not implied by the condition (anti-containment or a
+      // disjunction of polygons would silently lose rows), so such
+      // conditions pass through untouched. The analyzer null-guards UDFs
+      // as `if (anyNull) false else udf(...)` — that wrapper is
+      // conjunct-equivalent to the bare UDF (false on null) and matches.
+      def asContains(e: Expression): Option[ScalaUDF] = e match {
+        case u: ScalaUDF if (u.function eq containsFn) && u.children.size == 3 =>
+          Some(u)
+        case If(_, Literal(false, org.apache.spark.sql.types.BooleanType), u: ScalaUDF)
+            if (u.function eq containsFn) && u.children.size == 3 => Some(u)
+        case _ => None
       }
+      val hit = conjuncts(cond).flatMap(asContains(_)).headOption
       hit match {
         case Some(u) =>
           val Seq(poly, px, py) = u.children
@@ -104,7 +121,12 @@ object BboxJoinRewrite extends Rule[LogicalPlan] {
       }
   }
 
-  /** Already rewritten (either side carries the marker columns)? */
+  /** Already rewritten — by this rule (`__bb_` markers) OR by hand
+    * (`SpatialOps.withBbox`'s `__xmin`… columns): re-firing there would
+    * add four redundant bbox-UDF evaluations per polygon row and
+    * duplicate range compares on the engine's own hot spatial paths.
+    */
   private def marked(j: Join): Boolean =
-    (j.left.output ++ j.right.output).exists(_.name.startsWith("__bb_"))
+    (j.left.output ++ j.right.output).exists(a =>
+      a.name.startsWith("__bb_") || a.name == "__xmin")
 }

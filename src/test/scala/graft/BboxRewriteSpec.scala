@@ -73,6 +73,25 @@ class BboxRewriteSpec extends AnyFunSuite {
     assert(swapped.count() == pts.filter(col("x") < 60).count())
   }
 
+  test("NOT/OR-wrapped st_contains passes through — bbox not implied") {
+    val (pts, polys) = fixtures()
+    // anti-containment: a point outside the bbox SATISFIES the condition;
+    // injecting the prefilter would silently drop it
+    val anti = pts.join(polys,
+      !GeoFns.stContainsXY(col("wkt"), col("x"), col("y")))
+    assert(!anti.queryExecution.optimizedPlan.toString.contains("__bb_"))
+    // every (point far right of all polygons, polygon) pair must survive
+    val farRight = pts.filter(col("x") >= 60).count()
+    assert(anti.filter(col("x") >= 60).count() == farRight * 3)
+  }
+
+  test("hand-optimized pointInPolygonJoin is not double-rewritten") {
+    val (pts, polys) = fixtures()
+    val p = SpatialOps.pointInPolygonJoin(pts, "x", "y", polys, "wkt")
+    assert(!p.queryExecution.optimizedPlan.toString.contains("__bb_"),
+      "the rule must not stack a second bbox prefilter on SpatialOps joins")
+  }
+
   test("non-spatial joins pass through untouched") {
     val a = Seq((1, "x"), (2, "y")).toDF("k", "va")
     val b = Seq((1, "p"), (3, "q")).toDF("j", "vb")

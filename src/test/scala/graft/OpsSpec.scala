@@ -152,6 +152,16 @@ class OpsSpec extends AnyFunSuite {
       df.withColumn("v", col("v") - 500.0), Seq("grp"), "v",
       lo = 0.0, hi = 100.0, bins = 10, qs = Seq(0.5)).head
     assert(clamped.getAs[Long]("n_rows") == 1000L)
+    // heavily skewed: 999 zeros + one far value — the target bin must win,
+    // not a sparse tail bin's negative interpolant (regression: min() over
+    // every qualifying bin let bin31 emit q50 = -3744)
+    val skewed = spark.range(1000).select(lit("g").as("grp"),
+      when(col("id") < 999, 0.0).otherwise(255.0).as("v"))
+    val sg = Ops.histogramQuantiles(skewed, Seq("grp"), "v",
+      lo = 0.0, hi = 256.0, bins = 32, qs = Seq(0.5, 0.95)).head
+    val s50 = sg.getAs[Double]("q50"); val s95 = sg.getAs[Double]("q95")
+    assert(s50 >= 0.0 && s50 <= 8.0, s"q50=$s50 must sit in the zero bin")
+    assert(s95 >= 0.0 && s95 <= 8.0, s"q95=$s95 must sit in the zero bin")
   }
 
   test("saltedSum: equals the plain aggregation, two-stage plan") {
