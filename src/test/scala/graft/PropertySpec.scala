@@ -113,4 +113,54 @@ class PropertySpec extends AnyFunSuite {
       assert(agg(fwd) == agg(rev))
     }
   }
+
+  test("UTM: forward∘inverse is identity to 1e-9 deg across random zones") {
+    val gen = for {
+      zone <- Gen.choose(1, 60)
+      south <- Gen.oneOf(true, false)
+      dLon <- Gen.choose(-2.9, 2.9)
+      lat <- Gen.choose(3.0, 83.0)
+    } yield (if (south) 32700 + zone else 32600 + zone,
+      -183.0 + 6.0 * zone + dLon, if (south) -lat else lat)
+    forAll(gen, n = 120) { case (epsg, lon, lat) =>
+      val (x, y) = graft.geo.Crs.fromWgs84(epsg, lon, lat)
+      val (lon2, lat2) = graft.geo.Crs.toWgs84(epsg, x, y)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"EPSG:$epsg ($lon, $lat) → ($lon2, $lat2)")
+      // northern-hemisphere eastings stay inside the standard UTM band
+      assert(x > 100000 && x < 900000, s"easting $x out of zone range")
+    }
+  }
+
+  test("geodesic vs haversine: within 0.6% everywhere non-antipodal") {
+    forAll2(coord, coord, n = 80) { case ((lat1, lon1), (lat2, lon2)) =>
+      val h = GeoMath.haversineKm(lat1, lon1, lat2, lon2)
+      val g = GeoMath.geodesicKm(lat1, lon1, lat2, lon2)
+      if (h > 1.0 && h < 19000) { // skip identity and near-antipodal
+        assert(math.abs(g - h) / h < 0.006, s"($lat1,$lon1)-($lat2,$lon2): h=$h g=$g")
+        assert(g >= 0)
+      }
+    }
+  }
+
+  test("DataFrame law: chunkWindows tiles exactly — sizes sum to n + overlap") {
+    // for tokens n >= 1, chunk count = ceil((n-w)/s)+1 (or 1), every chunk
+    // is within [1, w] tokens, and the LAST chunk always ends at token n
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      w <- Gen.choose(2, 40)
+      s <- Gen.choose(1, 40)
+    } yield (n, w, math.min(s, w))
+    samples(gen, 12).foreach { case (n, w, s) =>
+      val text = (1 to n).map(i => s"t$i").mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val got = graft.operators.Curation.chunkWindows(df, "doc_id", "text", w, s)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(4)))
+      val expectChunks = if (n <= w) 1 else math.ceil((n - w).toDouble / s).toInt + 1
+      assert(got.length == expectChunks, s"n=$n w=$w s=$s chunks=${got.length}")
+      assert(got.forall { case (_, sz, _) => sz >= 1 && sz <= w })
+      assert(got.last._3 == s"t$n", s"n=$n w=$w s=$s last tail=${got.last._3}")
+    }
+  }
 }
