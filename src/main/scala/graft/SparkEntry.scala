@@ -871,6 +871,36 @@ object SparkEntry {
           col("container"), col("pcm_sum"))
     }),
 
+    // REAL video CONTAINER metadata in the gate: synthesize an AVI (even
+    // ids) or MP4 (odd ids) with closed-form header fields, parse the
+    // RIFF chunks / ISO-BMFF boxes back with the pure-JDK parser, and let
+    // the oracle recompute every field arithmetically — the video mirror
+    // of q74/q84. Frame PIXEL decode stays stubbed (no codec in the JDK);
+    // everything here reads real container bytes.
+    "q94_video_meta" -> ((s, dir) => {
+      import graft.multimodal.{Multimodal, VideoContainers}
+      val genVideo = udf { (id: Long) =>
+        val w = (160 + id % 320).toInt; val h = (90 + id % 240).toInt
+        if (id % 2 == 0)
+          VideoContainers.synthAvi(w, h, frames = 100 + id % 500,
+            rate = 24 + id % 30, scale = 1L)
+        else
+          VideoContainers.synthMp4(w, h, movTimescale = 600 + id % 400,
+            movDuration = (600 + id % 400) * (5 + id % 20),
+            mediaTimescale = 2400 + id % 100,
+            sampleCount = 200 + id % 300, sampleDelta = 100 + id % 50)
+      }
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id").isNotNull)
+        .withColumn("media", genVideo(col("doc_id")))
+      Multimodal.withVideoMeta(media, "media")
+        .select(col("doc_id"), col("container"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("fps"), 6).as("fps"), col("duration_us"),
+          col("n_frames"))
+    }),
+
     // BM25 relevance against a literal probe query — corpus stats as a
     // broadcast 1-row agg, term explode filtered before the shuffle.
     "q75_bm25" -> ((s, dir) => {
@@ -1044,14 +1074,17 @@ object SparkEntry {
     // daily-ingest shape; output = surviving INCOMING ids only.
     "q90_dedup_incremental" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val off = broadcast(docs.agg(coalesce(max(col("doc_id")), lit(0L)).as("__off")))
-      val exactCopies = docs.filter(col("doc_id") % 11 === 0).crossJoin(off)
-        .select((col("doc_id") + col("__off") + 1).as("doc_id"), col("text"))
-      val nearDups = docs.filter(col("doc_id") % 25 === 0).crossJoin(off)
-        .select((col("doc_id") + col("__off") * 2 + 2).as("doc_id"),
+      // offset as a LITERAL: one tiny agg at plan-build time instead of a
+      // crossJoin-on-1-row-agg inside every planted branch — the bench row
+      // now measures the operator, not probe construction
+      val o = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+      val exactCopies = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(o + 1)).as("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(2 * o + 2)).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
-      val fresh = docs.filter(col("doc_id") % 17 === 0).crossJoin(off)
-        .select((col("doc_id") + col("__off") * 3 + 3).as("doc_id"),
+      val fresh = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(3 * o + 3)).as("doc_id"),
           format_string("fresh alpha %d beta %d gamma delta epsilon",
             col("doc_id"), col("doc_id") * 7).as("text"))
       Dedup.dedupIncremental(docs,
@@ -1060,13 +1093,42 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Index-path incremental dedup: persist the signature/band index over
+    // the existing corpus ONCE, then answer q90's exact probe THROUGH it —
+    // same oracle, so any index-path divergence (combined bucket caps,
+    // partition pruning, stored shingles) breaks the hash. The probe never
+    // reads existing text: it is not even in the index.
+    "q93_dedup_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val o = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+      val exactCopies = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(o + 1)).as("doc_id"), col("text"))
+      val nearDups = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(2 * o + 2)).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+      val fresh = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(3 * o + 3)).as("doc_id"),
+          format_string("fresh alpha %d beta %d gamma delta epsilon",
+            col("doc_id"), col("doc_id") * 7).as("text"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_didx")
+        .resolve("idx").toString
+      // 16 buckets at gate scale (same rationale as q79's text index)
+      Dedup.writeSignatureIndex(docs, "doc_id", "text", idx,
+        shingleN = 2, k = 16, bands = 4, nBuckets = 16)
+      Dedup.dedupIncrementalIndexed(
+          exactCopies.unionByName(nearDups).unionByName(fresh), idx,
+          "doc_id", "text", threshold = 0.6)
+        .select(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup detection via RP-LSH buckets (planted
     // duplicates guarantee yield; rows-only: bucket hashing engine-native).
     "q57_embedding_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val off = broadcast(e.agg(coalesce(max(col("vec_id")), lit(0L)).as("__off")))
-      val planted = e.filter(col("vec_id") % 100 === 0).crossJoin(off)
-        .select((col("vec_id") + col("__off") + 1).as("vec_id"), col("embedding"))
+      // literal offset (see q90): probe construction out of the bench row
+      val o = e.agg(coalesce(max(col("vec_id")), lit(0L))).head().getLong(0)
+      val planted = e.filter(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + lit(o + 1)).as("vec_id"), col("embedding"))
       // 16 bits: identical planted vectors always share a bucket, while
       // merely-clustered vectors split (per-bit agreement ^ 16); the
       // maxBucket skew guard bounds any residual dense bucket
@@ -1214,6 +1276,66 @@ object SparkEntry {
   /** One BM25 oracle, referenced by BOTH q75 (direct) and q79 (through
     * the inverted index) — a one-sided edit can't break their invariant.
     */
+  /** q53's dedup machinery over the three-way incremental planting; the
+    * final filter keeps INCOMING survivors only (doc_id > o). Shared by
+    * q90 (union path) and q93 (persisted-signature-index path) — both
+    * must produce the identical survivor set.
+    */
+  private val IncrementalDedupOracleSql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
+      |all_docs AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + o + 1, text FROM base, off WHERE doc_id % 11 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2 * o + 2, regexp_replace(text, '^\S+\s*', '')
+      |  FROM base, off WHERE doc_id % 25 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3 * o + 3, 'fresh alpha ' || doc_id || ' beta ' ||
+      |    (doc_id * 7) || ' gamma delta epsilon'
+      |  FROM base, off WHERE doc_id % 17 = 0),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM all_docs WHERE text IS NOT NULL
+      |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      |  UNION ALL SELECT doc_id FROM all_docs WHERE text IS NULL),
+      |surv AS (SELECT a.doc_id, a.text FROM all_docs a JOIN keep k ON k.doc_id = a.doc_id),
+      |tk AS (SELECT doc_id,
+      |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+      |  FROM surv),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(w) = 0 THEN ['']
+      |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+      |       ELSE list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1]) END AS sh
+      |  FROM tk),
+      |h AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+      |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(s, '.'),
+      |      c -> ascii(c)::BIGINT)),
+      |    (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs FROM sh),
+      |sig AS (SELECT doc_id, i,
+      |  list_min(list_transform(hs, v ->
+      |    (((2 * i + 1) * 104729) % 1000000007 * v + (i * 12582917 + 7)) % 1000000007)) AS mh
+      |  FROM h CROSS JOIN range(16) t(i)),
+      |band AS (SELECT doc_id, i // 4 AS b, string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+      |  FROM sig GROUP BY doc_id, i // 4),
+      |ok AS (SELECT b, key FROM band GROUP BY b, key
+      |  HAVING count(*) BETWEEN 2 AND 1000),
+      |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+      |  JOIN ok ON ok.b = x.b AND ok.key = x.key),
+      |ws AS (SELECT s.doc_id,
+      |  CASE WHEN d.text IS NULL THEN NULL ELSE list_distinct(s.sh) END AS ws
+      |  FROM sh s JOIN surv d ON d.doc_id = s.doc_id),
+      |jc AS (SELECT p.id1, p.id2,
+      |  len(list_intersect(x.ws, y.ws)) AS i2,
+      |  len(list_distinct(list_concat(x.ws, y.ws))) AS u2
+      |  FROM pairs p JOIN ws x ON x.doc_id = p.id1 JOIN ws y ON y.doc_id = p.id2),
+      |removed AS (SELECT DISTINCT id2 FROM jc WHERE i2 * 1.0 / u2 >= 0.6)
+      |SELECT doc_id FROM surv s, off
+      |WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id2 = s.doc_id)
+      |  AND s.doc_id > off.o""".stripMargin
+
   private val Bm25OracleSql: String =
     """WITH base AS (
         |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
@@ -1707,60 +1829,11 @@ object SparkEntry {
 
     // q53's machinery over the three-way incremental planting; the final
     // filter keeps INCOMING survivors only (doc_id > o).
-    "q90_dedup_incremental" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
-        |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
-        |all_docs AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + o + 1, text FROM base, off WHERE doc_id % 11 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 2 * o + 2, regexp_replace(text, '^\S+\s*', '')
-        |  FROM base, off WHERE doc_id % 25 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 3 * o + 3, 'fresh alpha ' || doc_id || ' beta ' ||
-        |    (doc_id * 7) || ' gamma delta epsilon'
-        |  FROM base, off WHERE doc_id % 17 = 0),
-        |keep AS (
-        |  SELECT min(doc_id) AS doc_id FROM all_docs WHERE text IS NOT NULL
-        |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-        |  UNION ALL SELECT doc_id FROM all_docs WHERE text IS NULL),
-        |surv AS (SELECT a.doc_id, a.text FROM all_docs a JOIN keep k ON k.doc_id = a.doc_id),
-        |tk AS (SELECT doc_id,
-        |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
-        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
-        |  FROM surv),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(w) = 0 THEN ['']
-        |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-        |       ELSE list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1]) END AS sh
-        |  FROM tk),
-        |h AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
-        |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(s, '.'),
-        |      c -> ascii(c)::BIGINT)),
-        |    (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs FROM sh),
-        |sig AS (SELECT doc_id, i,
-        |  list_min(list_transform(hs, v ->
-        |    (((2 * i + 1) * 104729) % 1000000007 * v + (i * 12582917 + 7)) % 1000000007)) AS mh
-        |  FROM h CROSS JOIN range(16) t(i)),
-        |band AS (SELECT doc_id, i // 4 AS b, string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
-        |  FROM sig GROUP BY doc_id, i // 4),
-        |ok AS (SELECT b, key FROM band GROUP BY b, key
-        |  HAVING count(*) BETWEEN 2 AND 1000),
-        |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-        |  FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
-        |  JOIN ok ON ok.b = x.b AND ok.key = x.key),
-        |ws AS (SELECT s.doc_id,
-        |  CASE WHEN d.text IS NULL THEN NULL ELSE list_distinct(s.sh) END AS ws
-        |  FROM sh s JOIN surv d ON d.doc_id = s.doc_id),
-        |jc AS (SELECT p.id1, p.id2,
-        |  len(list_intersect(x.ws, y.ws)) AS i2,
-        |  len(list_distinct(list_concat(x.ws, y.ws))) AS u2
-        |  FROM pairs p JOIN ws x ON x.doc_id = p.id1 JOIN ws y ON y.doc_id = p.id2),
-        |removed AS (SELECT DISTINCT id2 FROM jc WHERE i2 * 1.0 / u2 >= 0.6)
-        |SELECT doc_id FROM surv s, off
-        |WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id2 = s.doc_id)
-        |  AND s.doc_id > off.o""".stripMargin,
+    "q90_dedup_incremental" -> IncrementalDedupOracleSql,
+
+    // same oracle as q90: the persisted-signature-index path must
+    // reproduce the union-path incremental dedup exactly
+    "q93_dedup_index" -> IncrementalDedupOracleSql,
 
     // Misra-Gries inclusion guarantee: the provably-heavy token set
     // (exact count > N/31 per lang, k=30 counters) with exact counts.
@@ -2091,6 +2164,24 @@ object SparkEntry {
         |           + ((n % 256 - 256 + s) * (n % 256 - 256 + s - 1)) // 2
         |    END AS BIGINT) AS pcm_sum
         |FROM q""".stripMargin,
+
+    // every field recomputed from the closed-form header plant: AVI fps is
+    // the strh rational (rate/scale), AVI duration uses the TRUNCATED
+    // µs-per-frame (1000000 // rate) exactly as the container stores it;
+    // MP4 duration is exact by construction (movDuration = timescale × s)
+    "q94_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'avi' ELSE 'mp4' END AS container,
+        |  CAST(160 + doc_id % 320 AS BIGINT) AS width,
+        |  CAST(90 + doc_id % 240 AS BIGINT) AS height,
+        |  round(CASE WHEN doc_id % 2 = 0 THEN CAST(24 + doc_id % 30 AS DOUBLE)
+        |    ELSE CAST(2400 + doc_id % 100 AS DOUBLE) / (100 + doc_id % 50) END, 6) AS fps,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |    THEN (100 + doc_id % 500) * (1000000 // (24 + doc_id % 30))
+        |    ELSE (5 + doc_id % 20) * 1000000 END AS BIGINT) AS duration_us,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 500
+        |    ELSE 200 + doc_id % 300 END AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
 
     "q85_geodesic" -> GeodesicOracleSql,
 

@@ -301,8 +301,16 @@ object Crs {
         case Some(m) =>
           val z = m.group(1).toInt
           val south = m.group(2) == "S"
+          // The zone-name heuristic is only safe on WGS84/ETRS89 datums:
+          // NAD_1927_UTM_Zone_17N / NAD_1983_UTM_Zone_17N (EPSG 267xx/269xx,
+          // ubiquitous North-American shapefiles) share the name shape but a
+          // different datum — treating them as 326xx would reproject with a
+          // silent ~200 m datum error. Anything non-WGS/ETRS returns None so
+          // the caller refuses loudly by name instead of guessing.
           if (up.contains("ETRS") && !south) Some(25800 + z)
-          else if (south) Some(32700 + z) else Some(32600 + z)
+          else if (up.contains("WGS")) {
+            if (south) Some(32700 + z) else Some(32600 + z)
+          } else None
         case None =>
           if (up.contains("PSEUDO-MERCATOR") || up.contains("PSEUDO_MERCATOR") ||
             up.contains("WEB_MERCATOR")) Some(WebMercator)
@@ -317,7 +325,11 @@ object Crs {
     } else None
   }
 
-  private val CoordRe = """(-?[0-9][-+0-9.eE]*)\s+(-?[0-9][-+0-9.eE]*)""".r
+  // Each coordinate admits a bare leading decimal point (".5", "-.5") —
+  // valid WKT that a digit-first pattern would silently skip, leaving a
+  // mixed projected/geographic geometry behind.
+  private val Num = """-?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"""
+  private val CoordRe = s"""($Num)\\s+($Num)""".r
 
   /** Reproject EVERY coordinate pair of any WKT geometry (point, line,
     * polygon, multi-*) into 4326 — structure-preserving text transform,

@@ -87,15 +87,23 @@ object Dedup {
       textCol: String, shingleN: Int = 3): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
       TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+    jaccardOnShingles(pairs, sh)
+  }
+
+  /** [[jaccardOnPairs]] against a PRECOMPUTED shingle relation
+    * `shingled(__id, __sh)` covering every id either pair side references —
+    * the form the persisted signature index probes through (existing-side
+    * shingles come off parquet, never re-tokenized from text).
+    */
+  def jaccardOnShingles(pairs: DataFrame, shingled: DataFrame): DataFrame =
     pairs
-      .join(sh.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "sh1"), "id1")
-      .join(sh.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "sh2"), "id2")
+      .join(shingled.withColumnRenamed("__id", "id1").withColumnRenamed("__sh", "sh1"), "id1")
+      .join(shingled.withColumnRenamed("__id", "id2").withColumnRenamed("__sh", "sh2"), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
       .withColumn("uni", size(array_union(col("sh1"), col("sh2"))))
       .withColumn("jaccard", when(col("uni") === 0, 0.0)
         .otherwise(col("inter").cast("double") / col("uni")))
       .select("id1", "id2", "inter", "uni", "jaccard")
-  }
 
   /** Full near-dup removal: exact dedup, then MinHash-LSH candidates
     * verified by exact n-gram Jaccard >= `threshold`. Removal policy is
@@ -107,11 +115,12 @@ object Dedup {
     * pass, which the survivor set does not require).
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16, bands: Int = 8): DataFrame = {
+      threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
     val exact0 = exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
       .join(docs, Seq(idCol)) // exact-dup survivors with their text
-    val cands = minhashCandidatePairs(exact0, idCol, textCol, shingleN, k, bands)
+    val cands = minhashCandidatePairs(exact0, idCol, textCol, shingleN, k, bands, maxBucket)
     val removed = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select(col("id2").as("__removed")).distinct()
@@ -197,7 +206,21 @@ object Dedup {
     */
   def dedupIncremental(existing: DataFrame, incoming: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16,
-      bands: Int = 8, checkIds: Boolean = true): DataFrame = {
+      bands: Int = 8, checkIds: Boolean = true, maxBucket: Int = 1000): DataFrame = {
+    // The survivor policy (min-id, id1<id2 pair ordering) in dedupCorpus
+    // uses the column's NATIVE ordering. A string-typed digit id would pass
+    // the long-cast null check below yet compare lexicographically
+    // ("100" < "99"), letting an incoming copy silently displace an existing
+    // doc — so the id column must be numeric in the SCHEMA, not just in
+    // content. Checked on both sides regardless of checkIds (it is a type
+    // error, not a data-contract scan).
+    for ((df, side) <- Seq((existing, "existing"), (incoming, "incoming"))) {
+      val dt = df.schema(idCol).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"dedupIncremental requires a numeric id column: $side.$idCol is " +
+          s"${dt.simpleString} (a string of digits orders lexicographically " +
+          "and would break the min-id survivor policy)")
+    }
     if (checkIds) {
       val stats = existing
         .select(col(idCol).cast("long").as("__id"), lit(0).as("__side"))
@@ -221,8 +244,210 @@ object Dedup {
     }
     val union = existing.select(col(idCol), col(textCol))
       .unionByName(incoming.select(col(idCol), col(textCol)))
-    dedupCorpus(union, idCol, textCol, threshold, shingleN, k, bands)
+    dedupCorpus(union, idCol, textCol, threshold, shingleN, k, bands, maxBucket)
       .join(incoming.select(col(idCol)), Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------ persisted signature index
+
+  /** Persisted MinHash signature/band index over an already-deduplicated
+    * corpus — the structure that makes [[dedupIncrementalIndexed]] scale
+    * with the BATCH instead of the corpus. Built once (one tokenizing scan
+    * of the corpus; the two derived relations re-read the compact parquet,
+    * not the text), probed per ingestion batch. Layout under `path`:
+    *
+    *  - `docs/`     (doc_id, content_hash, sig, shingles), partitioned by
+    *                `ib = doc_id mod nBuckets` — the Jaccard-verify side;
+    *                a probe reads only the partitions its candidate ids
+    *                fall in. The corpus TEXT is not stored at all.
+    *  - `postings/` (key, doc_id) distinct band postings, partitioned by
+    *                `kb = key mod nBuckets` — the LSH collision side.
+    *  - `hashes/`   (content_hash, doc_id), partitioned by
+    *                `hb = xxhash64(content_hash) mod nBuckets` — the
+    *                exact-copy side.
+    *  - `_dedup_index_meta.json` — {shingleN,k,bands,nBuckets,maxId,nDocs};
+    *                probes read their hash parameters from here so index
+    *                and probe can never silently disagree.
+    *
+    * Precondition (same as [[dedupIncremental]]'s contract): `existing` is
+    * already deduplicated — it is the survivor output of [[dedupCorpus]] /
+    * previous incremental rounds — and its id column is numeric.
+    */
+  def writeSignatureIndex(existing: DataFrame, idCol: String, textCol: String,
+      path: String, shingleN: Int = 3, k: Int = 16, bands: Int = 8,
+      nBuckets: Int = 64): Unit = {
+    val spark = existing.sparkSession
+    require(existing.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"writeSignatureIndex requires a numeric id column: $idCol is " +
+        existing.schema(idCol).dataType.simpleString)
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    // ONE tokenizing pass over the corpus: hash + signature + shingles
+    // computed together, written to docs/; postings and hashes derive from
+    // the written parquet (column-pruned re-reads of compact data).
+    existing.select(col(idCol).cast("long").as("doc_id"),
+        md5(norm).as("content_hash"),
+        TextFns.minhashSigUdf(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("sig"),
+        TextFns.wordShingles(col(textCol), shingleN).as("shingles"))
+      .withColumn("ib", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("ib").parquet(s"$path/docs")
+    val back = spark.read.parquet(s"$path/docs")
+    back.select(col("doc_id"),
+        explode(TextFns.minhashBandsUdf(bands, k / bands)(col("sig"))).as("key"))
+      .distinct() // mirror minhashCandidatePairs' collect_set membership
+      .withColumn("kb", pmod(col("key"), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("kb").parquet(s"$path/postings")
+    back.filter(col("content_hash").isNotNull)
+      .select(col("content_hash"), col("doc_id"))
+      .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("hb").parquet(s"$path/hashes")
+    val stats = back.agg(coalesce(max(col("doc_id")), lit(Long.MinValue)).as("maxId"),
+      count(lit(1)).as("n")).head()
+    val sidecar = s"""{"shingleN":$shingleN,"k":$k,"bands":$bands,""" +
+      s""""nBuckets":$nBuckets,"maxId":${stats.getLong(0)},"nDocs":${stats.getLong(1)}}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_dedup_index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(sidecar.getBytes("UTF-8")) finally os.close()
+  }
+
+  private case class SigIndexMeta(shingleN: Int, k: Int, bands: Int,
+    nBuckets: Int, maxId: Long, nDocs: Long)
+
+  private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): SigIndexMeta = {
+    val p = new org.apache.hadoop.fs.Path(path, "_dedup_index_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw = try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len); in.readFully(0, buf); new String(buf, "UTF-8")
+    } finally in.close()
+    def num(key: String): Long =
+      ("\"" + key + "\":(-?[0-9]+)").r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(s"$path: no '$key' in index meta"))
+    SigIndexMeta(num("shingleN").toInt, num("k").toInt, num("bands").toInt,
+      num("nBuckets").toInt, num("maxId"), num("nDocs"))
+  }
+
+  /** [[dedupIncremental]] probing a PERSISTED [[writeSignatureIndex]] index
+    * instead of rescanning the existing corpus — identical survivor set
+    * (spec-enforced), per-batch cost proportional to the BATCH:
+    *
+    *  1. exact tier: batch-internal min-id per content hash, then an
+    *     anti-join against `hashes/` pruned to the hash buckets the batch
+    *     actually touches (isin partition filter from one small batch agg);
+    *  2. LSH tier: batch band keys semi-join `postings/` pruned the same
+    *     way; bucket-size caps are applied to the COMBINED
+    *     existing+batch membership, exactly as the union path's
+    *     `minhashCandidatePairs` would see them;
+    *  3. verify tier: exact shingle Jaccard where the existing side's
+    *     shingles come from `docs/` partitions holding candidate ids —
+    *     the existing TEXT is never read (it is not even in the index).
+    *
+    * The monotone-id contract is checked against the index's recorded
+    * maxId — one agg over the batch, no existing-side job at all.
+    */
+  def dedupIncrementalIndexed(incoming: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      maxBucket: Int = 1000, checkIds: Boolean = true): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    require(incoming.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dedupIncrementalIndexed requires a numeric id column: $idCol is " +
+        incoming.schema(idCol).dataType.simpleString)
+    val m = readIndexMeta(spark, indexPath)
+    val nB = m.nBuckets.toLong
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    // one tokenizing pass over the batch; eagerly materialized because
+    // every following job re-probes it (the batch is the small side by
+    // contract — a daily ingest, not the corpus)
+    val batch = incoming.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text"),
+        md5(norm).as("__h"),
+        TextFns.minhashSigUdf(m.shingleN, m.k)(
+          TextFns.tokens(lower(col(textCol)))).as("__sig"),
+        TextFns.wordShingles(col(textCol), m.shingleN).as("__sh"))
+      .localCheckpoint(true)
+    if (checkIds) {
+      val s = batch.agg(min(col("doc_id")).as("minNew"),
+        sum(when(col("doc_id").isNull, 1).otherwise(0)).as("nulls"),
+        count(lit(1)).as("n")).head()
+      if (s.getLong(2) > 0) {
+        require(s.getLong(1) == 0L,
+          s"dedupIncrementalIndexed requires numeric ids: ${s.getLong(1)} " +
+            s"of ${s.getLong(2)} ids cast to null")
+        require(m.nDocs == 0 || s.getLong(0) > m.maxId,
+          s"dedupIncrementalIndexed requires monotone ingestion ids: index " +
+            s"maxId=${m.maxId} >= min(incoming)=${s.getLong(0)} — renumber the batch")
+      }
+    }
+    // ---- tier 1: exact. Batch-internal min-id per hash (nulls pass as
+    // singletons), then drop hashes the corpus already holds.
+    val keepIds = batch.filter(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .unionByName(batch.filter(col("__h").isNull).select(col("doc_id")))
+    val hbList = batch.filter(col("__h").isNotNull)
+      .select(pmod(xxhash64(col("__h")), lit(nB)).as("hb"))
+      .distinct().as[Long].collect()
+    val exHashes = spark.read.parquet(s"$indexPath/hashes")
+      .filter(col("hb").isin(hbList: _*))
+      .select(col("content_hash").as("__h"))
+    val exactSurv = batch
+      .join(keepIds, Seq("doc_id"), "left_semi")
+      .join(exHashes, Seq("__h"), "left_anti")
+      .localCheckpoint(true)
+    // ---- tier 2: LSH candidates. Batch postings → pruned existing
+    // postings with the same keys → combined bucket-size cap → pairs.
+    val bandKeys = exactSurv.select(col("doc_id"),
+        explode(TextFns.minhashBandsUdf(m.bands, m.k / m.bands)(col("__sig"))).as("key"))
+      .distinct()
+      .withColumn("kb", pmod(col("key"), lit(nB)))
+      .localCheckpoint(true)
+    val kbList = bandKeys.select(col("kb")).distinct().as[Long].collect()
+    val exPost = spark.read.parquet(s"$indexPath/postings")
+      .filter(col("kb").isin(kbList: _*))
+      .join(broadcast(bandKeys.select(col("key")).distinct()), Seq("key"), "left_semi")
+    val exCnt = exPost.groupBy(col("key")).agg(count(lit(1)).as("__ce"))
+    val okKeys = bandKeys.groupBy(col("key")).agg(count(lit(1)).as("__cb"))
+      .join(exCnt, Seq("key"), "left")
+      .filter((col("__cb") + coalesce(col("__ce"), lit(0L)))
+        .between(2, maxBucket))
+      .select(col("key"))
+    // existing↔batch pairs (existing id < batch id by the monotone contract)
+    val exBatch = exPost.join(okKeys, Seq("key"), "left_semi")
+      .select(col("key"), col("doc_id").as("id1"))
+      .join(bandKeys.join(okKeys, Seq("key"), "left_semi")
+        .select(col("key"), col("doc_id").as("id2")), Seq("key"))
+      .select(col("id1"), col("id2"))
+    // batch↔batch pairs, bucket-grouped like minhashCandidatePairs
+    val bb = bandKeys.join(okKeys, Seq("key"), "left_semi")
+      .groupBy(col("key"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    val pairs = exBatch.unionByName(bb).distinct().localCheckpoint(true)
+    // ---- tier 3: exact shingle Jaccard. Existing-side shingles come off
+    // docs/ partitions holding candidate ids; batch-side from the batch.
+    val ibList = pairs.filter(col("id1") <= m.maxId)
+      .select(pmod(col("id1"), lit(nB)).as("ib")).distinct().as[Long].collect()
+    val exSh = spark.read.parquet(s"$indexPath/docs")
+      .filter(col("ib").isin(ibList: _*))
+      .select(col("doc_id").as("__id"), col("shingles").as("__sh"))
+    val shingled = exSh.unionByName(
+      exactSurv.select(col("doc_id").as("__id"), col("__sh")))
+    val removed = jaccardOnShingles(pairs, shingled)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id2").as("__removed")).distinct()
+    exactSurv.join(removed, exactSurv("doc_id") === col("__removed"), "left_anti")
+      .select(col("doc_id").as(idCol), col("__text").as(textCol))
   }
 
   /** [[dedupCorpus]] with TRANSITIVE clustering: verified near-dup pairs

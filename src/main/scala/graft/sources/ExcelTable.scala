@@ -30,7 +30,11 @@ object ExcelTable {
 
   // ------------------------------------------------------------------ read
 
-  /** Read one sheet into a string-typed DataFrame.
+  /** Read one sheet into a string-typed DataFrame. Date-STYLED numeric
+    * cells (same styles.xml detection as [[readTyped]]) render as the
+    * timestamp's string form, not the raw Excel serial — so a
+    * write→read round trip of a date column returns
+    * "2020-01-01 12:00:00.0", never "43831.5".
     * @param sheet     sheet name; null → first sheet
     * @param headerRow 0-based index of the header row (rows above skipped —
     *                  pandas `skiprows`/`header`)
@@ -39,10 +43,18 @@ object ExcelTable {
     */
   def read(spark: SparkSession, path: String, sheet: String = null,
       headerRow: Int = 0, usecols: Option[(Int, Int)] = None): DataFrame = {
-    val (names, data, _) = loadSheet(spark, path, sheet, headerRow, usecols)
+    val (names, data, parts) = loadSheet(spark, path, sheet, headerRow, usecols)
+    val dateStyles = parts.get("xl/styles.xml").map(parseDateStyles)
+      .getOrElse(Set.empty[Int])
+    def render(c: Cell): String = c.t match {
+      case "s" | "inlineStr" | "str" | "b" | "e" => c.raw
+      case _ if dateStyles(c.style) =>
+        serialToTimestamp(c.raw.trim.toDouble).toString
+      case _ => c.raw
+    }
     val schema = StructType(names.map(n => StructField(n, StringType)).toSeq)
     val rows = data.map(r =>
-      Row.fromSeq(r.map(c => if (c == null) null else c.raw).toSeq))
+      Row.fromSeq(r.map(c => if (c == null) null else render(c)).toSeq))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
   }

@@ -143,6 +143,15 @@ class CrsSpec extends AnyFunSuite {
     assert(Crs.epsgFromPrj(gdalUtm) == Some(32633))
     assert(Crs.epsgFromPrj("""PROJCS["NAD_1983_StatePlane_California"]""").isEmpty)
     assert(Crs.epsgFromPrj("not wkt at all").isEmpty)
+    // NAD UTM zones share the zone-name shape but a DIFFERENT datum
+    // (EPSG 267xx/269xx): detecting them as WGS84 UTM would reproject
+    // with a silent ~200 m datum error — must refuse, not guess
+    for (datum <- Seq("NAD_1927", "NAD_1983"))
+      assert(Crs.epsgFromPrj(
+        s"""PROJCS["${datum}_UTM_Zone_17N",GEOGCS["GCS_North_American_$datum",""" +
+          s"""DATUM["D_$datum",SPHEROID["X",1,2]]],""" +
+          """PROJECTION["Transverse_Mercator"],UNIT["Meter",1.0]]""").isEmpty,
+        s"$datum UTM must not be detected as WGS84 UTM")
   }
 
   test("wktTransformToWgs84 handles every geometry family") {
@@ -158,5 +167,16 @@ class CrsSpec extends AnyFunSuite {
     assert(line.startsWith("LINESTRING (") && line.count(_ == ',') == 1)
     // 4326 passthrough preserves the exact string
     assert(Crs.wktTransformToWgs84(4326, "POINT (1 2)") == "POINT (1 2)")
+  }
+
+  test("wktTransformToWgs84 transforms bare-decimal-point coordinates") {
+    // ".5" / "-.5" are valid WKT numbers; a digit-first pattern would
+    // skip the pair silently, mixing projected and geographic coords
+    val out = Crs.wktTransformToWgs84(3857, "LINESTRING (.5 -.5, 111319.5 0)")
+    val nums = """[-0-9.eE]*[0-9][-0-9.eE]*""".r.findAllIn(out).toSeq.map(_.toDouble)
+    assert(nums.length == 4, s"got $out")
+    assert(math.abs(nums(0)) < 1e-4 && math.abs(nums(1)) < 1e-4,
+      s"sub-meter offsets must map to ~0 degrees, got $out")
+    assert(math.abs(nums(2) - 1.0) < 1e-3, s"111319.5 m ~ 1 degree, got $out")
   }
 }

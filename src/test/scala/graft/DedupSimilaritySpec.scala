@@ -148,4 +148,119 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("monotone"))
   }
+
+  test("dedupIncremental refuses string-typed id columns (lexicographic min)") {
+    val existing = Seq(("99", "some text here")).toDF("doc_id", "text")
+    val incoming = Seq(("100", "other text there")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncremental(existing, incoming, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("numeric id column"), e.getMessage)
+  }
+
+  // shared fixture for the signature-index tests: existing corpus with an
+  // internal ws-dup + null text, batch with every incremental case
+  private def indexFixture = {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated text about spark catalyst and tungsten engines"),
+      (3L, "another unrelated document mentioning watermarks and state stores"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact of 1
+      (11L, "quick brown fox jumps over the lazy dog near the river bank"),     // near-dup of 1
+      (12L, "entirely novel content nothing like the corpus at all today"),     // fresh
+      (13L, "entirely novel content nothing like the corpus at all today"),     // dup WITHIN batch
+      (14L, "entirely novel content nothing like the corpus at all tonight"),   // near-dup of 12
+      (15L, null.asInstanceOf[String]))                                         // null text kept
+      .toDF("doc_id", "text")
+    (existing, incoming)
+  }
+
+  test("dedupIncrementalIndexed matches dedupIncremental exactly") {
+    val (existing, incoming) = indexFixture
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val union = Dedup.dedupIncremental(existing, incoming, "doc_id", "text",
+      threshold = 0.6, shingleN = 2, k = 16, bands = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val indexed = Dedup.dedupIncrementalIndexed(incoming, idx, "doc_id", "text",
+      threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed == union, s"index path $indexed != union path $union")
+    assert(indexed == Set(12L, 15L), s"got $indexed")
+  }
+
+  test("signature index never stores or reads the corpus text") {
+    val (existing, incoming) = indexFixture
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx2")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    // the index holds hashes/signatures/shingles — no text column anywhere
+    for (rel <- Seq("docs", "postings", "hashes")) {
+      val fields = spark.read.parquet(s"$idx/$rel").schema.fieldNames.toSet
+      assert(!fields.contains("text") && !fields.contains("__text"),
+        s"$rel stores text: $fields")
+    }
+    // the probe plan prunes every index scan by partition (isin literals
+    // collected from the BATCH — per-batch cost, not per-corpus)
+    val probe = Dedup.dedupIncrementalIndexed(incoming, idx, "doc_id", "text",
+      threshold = 0.6)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [ib"),
+      s"docs/ scan not partition-pruned:\n$plan")
+  }
+
+  test("indexed probe applies bucket caps to COMBINED existing+batch membership") {
+    // 6 existing + 3 incoming near-identical docs share LSH buckets. A
+    // batch-only bucket count (3) passes a cap of 4, but the COMBINED
+    // membership (9) must not — the index path has to agree with the
+    // union path at every cap, and the cap must visibly change the
+    // outcome (more batch survivors under the tight cap).
+    // 19 shared tokens + one unique trailing word: a pair can only share a
+    // band key when NEITHER doc's unique shingle won that band, so every
+    // shared bucket is a big "core" bucket — the cap decides everything
+    val mk = (i: Int) => "alpha beta gamma delta epsilon zeta eta theta iota " +
+      s"kappa lambda mu nu xi omicron pi rho sigma tau word$i"
+    val existing = (1 to 10).map(i => (i.toLong, mk(i))).toDF("doc_id", "text")
+    val incoming = (11 to 13).map(i => (i.toLong, mk(i))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx3")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val bySetting = Seq(4, 1000).map { cap =>
+      val union = Dedup.dedupIncremental(existing, incoming, "doc_id", "text",
+        threshold = 0.5, shingleN = 2, k = 16, bands = 4, maxBucket = cap)
+        .select("doc_id").as[Long].collect().toSet
+      val indexed = Dedup.dedupIncrementalIndexed(incoming, idx, "doc_id", "text",
+        threshold = 0.5, maxBucket = cap)
+        .select("doc_id").as[Long].collect().toSet
+      assert(indexed == union, s"cap=$cap: index path $indexed != union path $union")
+      indexed
+    }
+    assert(bySetting(1).subsetOf(bySetting(0)) && bySetting(0) != bySetting(1),
+      s"tight cap must suppress removals: cap4=${bySetting(0)} cap1000=${bySetting(1)}")
+  }
+
+  test("dedupIncrementalIndexed enforces the monotone contract from meta") {
+    val (existing, _) = indexFixture
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx4")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val bad = Seq((2L, "x y z")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrementalIndexed(bad, idx, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    val badType = Seq(("9", "x y z")).toDF("doc_id", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrementalIndexed(badType, idx, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("numeric id column"), e2.getMessage)
+  }
 }

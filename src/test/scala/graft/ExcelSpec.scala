@@ -51,11 +51,17 @@ class ExcelSpec extends AnyFunSuite {
     assert(got(0).getString(0) == "ST" && got(0).getLong(1) == 2015L &&
       got(0).getDouble(2) == 120.5 && got(0).getTimestamp(3) == ts1)
     assert(got(1).getTimestamp(3) == ts2, s"got ${got(1).getTimestamp(3)}")
-    // the all-string read contract is unchanged on the same file: the
-    // date column surfaces as its raw serial text
+    // the all-string read contract on the same file: numerics stay raw
+    // text, but date-STYLED cells render as the timestamp's string form —
+    // a write→read round trip of a date column must never surface the
+    // bare Excel serial ("42156.0")
     val raw = ExcelTable.read(spark, path)
     assert(raw.schema.fields.forall(_.dataType == StringType))
-    assert(raw.orderBy("year").collect()(0).getString(1) == "2015")
+    val rawRows = raw.orderBy("year").collect()
+    assert(rawRows(0).getString(1) == "2015")
+    assert(rawRows(0).getString(3) == ts1.toString,
+      s"date column must read back as '${ts1.toString}', got '${rawRows(0).getString(3)}'")
+    assert(rawRows(1).getString(3) == ts2.toString, rawRows(1).getString(3))
   }
 
   test("readTyped: mixed columns fall back to string, customs formats detected") {

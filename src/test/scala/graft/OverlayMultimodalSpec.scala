@@ -109,6 +109,39 @@ class OverlayMultimodalSpec extends AnyFunSuite {
     assert(got(3).isNullAt(got(3).fieldIndex("sample_rate")), "null -> null meta")
   }
 
+  test("decodeVideoMeta: AVI and MP4 container headers parse, garbage-safe") {
+    import graft.multimodal.VideoContainers
+    val avi = VideoContainers.synthAvi(width = 320, height = 180,
+      frames = 250, rate = 25, scale = 1)
+    val mp4 = VideoContainers.synthMp4(width = 640, height = 360,
+      movTimescale = 600, movDuration = 6000, // 10 s
+      mediaTimescale = 2400, sampleCount = 240, sampleDelta = 100)
+    val df = Seq(
+      (1L, avi),
+      (2L, mp4),
+      (3L, "definitely not a video file".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
+    val got = Multimodal.withVideoMeta(df, "media").orderBy("id").collect()
+    assert(got(0).getAs[String]("container") == "avi")
+    assert(got(0).getAs[Int]("width") == 320 && got(0).getAs[Int]("height") == 180)
+    assert(got(0).getAs[Double]("fps") == 25.0)
+    // duration uses the container's TRUNCATED µs-per-frame: 1000000/25 * 250
+    assert(got(0).getAs[Long]("duration_us") == 250L * 40000L)
+    assert(got(0).getAs[Long]("n_frames") == 250L)
+    assert(got(1).getAs[String]("container") == "mp4")
+    assert(got(1).getAs[Int]("width") == 640 && got(1).getAs[Int]("height") == 360)
+    assert(got(1).getAs[Double]("fps") == 24.0) // 2400 / 100
+    assert(got(1).getAs[Long]("duration_us") == 10000000L)
+    assert(got(1).getAs[Long]("n_frames") == 240L)
+    assert(got(2).isNullAt(got(2).fieldIndex("container")), "garbage -> null meta")
+    assert(got(3).isNullAt(got(3).fieldIndex("container")), "null -> null meta")
+    // truncated payloads (half a header) must yield null, never throw
+    val truncated = Seq((5L, avi.take(20)), (6L, mp4.take(10)))
+      .toDF("id", "media")
+    val t = Multimodal.withVideoMeta(truncated, "media").orderBy("id").collect()
+    assert(t.forall(r => r.isNullAt(r.fieldIndex("container"))))
+  }
+
   test("sampleFrames returns n chunks of bounded size") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "t")
       .select($"id", Multimodal.sampleFrames($"t".cast("binary"), lit(4), lit(3)).as("frames"))
