@@ -122,6 +122,38 @@ object CurationProbe {
         .agg(count(lit(1)), sum("surprisal")).collect()
     }
 
+    // persist hook: tokenize ONCE, cache, run BOTH twice-scanning scorers
+    // through the *Tokenized overloads — every scan must hit the cache
+    // (InMemoryTableScan), never re-read the corpus text
+    val toksRel = Curation.tokenized(docs, "doc_id", "text").persist()
+    toksRel.count() // materialize before planning the consumers
+    for ((name, df) <- Seq(
+      "surprisal" -> Curation.unigramSurprisalTokenized(toksRel, "doc_id"),
+      "bm25" -> Curation.bm25Tokenized(toksRel, "doc_id",
+        Seq("spark", "query", "join")))) {
+      // walk the optimized LOGICAL plan: InMemoryRelation is a leaf (its
+      // cached subtree is display-only), so any LogicalRelation found is
+      // a LIVE source scan the cache failed to cover
+      val lp = df.queryExecution.optimizedPlan
+      val live = lp.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      val cached = lp.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+      }
+      require(cached.nonEmpty,
+        s"$name (tokenized) must scan the persisted relation:\n$lp")
+      require(live.isEmpty,
+        s"$name (tokenized) must not re-scan the corpus:\n$lp")
+    }
+    time(s"surprisal + bm25 over ONE persisted tokenization x$mult") {
+      Curation.unigramSurprisalTokenized(toksRel, "doc_id")
+        .agg(count(lit(1)), sum("surprisal")).collect()
+      Curation.bm25Tokenized(toksRel, "doc_id", Seq("spark", "query", "join"))
+        .agg(count(lit(1)), sum("bm25")).collect()
+    }
+    toksRel.unpersist()
+
     // semantic decontamination: bench side must broadcast
     val embDocs = spark.range(200000L).select(col("id").as("vec_id"),
       expr("transform(sequence(0, 31), d -> CAST(pmod(id * (d + 7), 97) AS DOUBLE) / 97.0)")

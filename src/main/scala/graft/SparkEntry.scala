@@ -649,6 +649,32 @@ object SparkEntry {
             "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
     }),
 
+    // Lambert-93 (EPSG:2154) shapefile round trip — q83's contract for the
+    // French national CRS: project a closed-form point grid onto the
+    // two-standard-parallel Lambert conformal conic, write .shp + .prj,
+    // read back through .prj auto-detection and auto-reprojection. The
+    // oracle re-derives the original grid, so forward, inverse, WKT and
+    // sidecar all have to agree to 1e-6 deg.
+    "q95_lambert93_roundtrip" -> ((s, dir) => {
+      import graft.geo.CrsFns
+      val pts = t(s, dir, "supplier").select(col("s_suppkey"),
+        (lit(-4.0) + (col("s_suppkey") % 100) * 0.12).as("lon"),
+        (lit(41.5) + (col("s_suppkey") % 73) * 0.13).as("lat"))
+      val lam = pts.select(col("s_suppkey"),
+        format_string("POINT (%s %s)",
+          CrsFns.toX(lit(2154), col("lon"), col("lat")),
+          CrsFns.toY(lit(2154), col("lon"), col("lat"))).as("geometry"))
+      val base = java.nio.file.Files.createTempDirectory("graft_l93")
+        .resolve("pts2154").toString
+      graft.sources.Shapefile.write(lam, "geometry", base, epsg = Some(2154))
+      graft.sources.Shapefile.read(s, base) // auto-reprojects via .prj
+        .select(col("s_suppkey"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 1).cast("double"), 6).as("lon"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
+    }),
+
     // Ellipsoidal geodesic distance (Vincenty inverse on WGS-84) — the
     // reference's geopy geodesic (lib/generate_intermediate_files.py:
     // 496-501). Closed-form European point pairs; the oracle unrolls the
@@ -2032,6 +2058,12 @@ object SparkEntry {
       """SELECT s_suppkey,
         |  round(7.5 + (s_suppkey % 100) * 0.03, 6) AS lon,
         |  round(48.0 + (s_suppkey % 73) * 0.05, 6) AS lat
+        |FROM supplier""".stripMargin,
+
+    "q95_lambert93_roundtrip" ->
+      """SELECT s_suppkey,
+        |  round(-4.0 + (s_suppkey % 100) * 0.12, 6) AS lon,
+        |  round(41.5 + (s_suppkey % 73) * 0.13, 6) AS lat
         |FROM supplier""".stripMargin,
 
     "q67_shp_roundtrip" ->

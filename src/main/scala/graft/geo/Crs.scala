@@ -55,7 +55,7 @@ object Crs {
   private val M1 = math.cos(Lat0) / math.sqrt(1 - E2 * math.sin(Lat0) * math.sin(Lat0))
   private val D = A * M1 / (Rq * math.cos(Beta1))
 
-  // ---- transverse Mercator (UTM) — Krüger flattening series ----
+  // ---- transverse Mercator (UTM / Gauss-Krüger) — Krüger series ----
 
   /** UTM zone parameters for an EPSG code, or None if not a UTM code.
     * 326zz/327zz = WGS84 north/south; 258zz = ETRS89 (GRS80) north.
@@ -76,12 +76,14 @@ object Crs {
   private val E0utm = 500000.0
 
   /** Krüger series coefficients for third flattening n (Karney 2011 /
-    * Kawase 2011 — the standard public 6th-order expansion).
+    * Kawase 2011 — the standard public 6th-order expansion). `a` is the
+    * ellipsoid semi-major axis (WGS84/GRS80 share it; Bessel 1841 for the
+    * legacy German Gauss-Krüger zones differs).
     */
-  private class TmSeries(f: Double) {
+  private class TmSeries(f: Double, a: Double = 6378137.0) {
     val n = f / (2 - f)
     val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
-    val aCap = 6378137.0 / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    val aCap = a / (1 + n) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
     val alpha = Array(
       n / 2 - 2 * n2 / 3 + 5 * n3 / 16 + 41 * n4 / 180 - 127 * n5 / 288 + 7891 * n6 / 37800,
       13 * n2 / 48 - 3 * n3 / 5 + 557 * n4 / 1440 + 281 * n5 / 630 - 1983433 * n6 / 1935360,
@@ -114,7 +116,8 @@ object Crs {
 
   /** Forward transverse Mercator: (lon, lat) deg → (easting, northing). */
   private def tmForward(s: TmSeries, lon0: Double, fn: Double,
-      lon: Double, lat: Double): (Double, Double) = {
+      lon: Double, lat: Double, k0: Double = K0,
+      fe: Double = E0utm): (Double, Double) = {
     val phi = math.toRadians(lat)
     val dl = math.toRadians(lon) - lon0
     val sp = math.sin(phi)
@@ -130,14 +133,15 @@ object Crs {
       eta += s.alpha(j - 1) * math.cos(2 * j * xiP) * math.sinh(2 * j * etaP)
       j += 1
     }
-    (E0utm + K0 * s.aCap * eta, fn + K0 * s.aCap * xi)
+    (fe + k0 * s.aCap * eta, fn + k0 * s.aCap * xi)
   }
 
   /** Inverse transverse Mercator: (easting, northing) → (lon, lat) deg. */
   private def tmInverse(s: TmSeries, lon0: Double, fn: Double,
-      x: Double, y: Double): (Double, Double) = {
-    val xi = (y - fn) / (K0 * s.aCap)
-    val eta = (x - E0utm) / (K0 * s.aCap)
+      x: Double, y: Double, k0: Double = K0,
+      fe: Double = E0utm): (Double, Double) = {
+    val xi = (y - fn) / (k0 * s.aCap)
+    val eta = (x - fe) / (k0 * s.aCap)
     var xiP = xi; var etaP = eta
     var j = 1
     while (j <= 6) {
@@ -155,12 +159,147 @@ object Crs {
 
   private def atanh(x: Double): Double = 0.5 * math.log((1 + x) / (1 - x))
 
+  // ---- Lambert conformal conic, two standard parallels (Snyder §15) ----
+
+  /** Ellipsoidal two-SP LCC on GRS80 — the projections French/EU national
+    * layers ship in (`initialization.py:39` ingests them via
+    * `gpd.read_file(...).to_crs(4326)`):
+    * EPSG:2154 RGF93 / Lambert-93, EPSG:3034 ETRS89 / LCC Europe. RGF93
+    * and ETRS89 both realize GRS80 within centimeters of WGS84 — no datum
+    * shift, unlike the Gauss-Krüger zones below.
+    */
+  private final class LccProj(lat0: Double, lon0deg: Double, sp1: Double,
+      sp2: Double, val fe: Double, val fnn: Double) {
+    private def m(phi: Double) = {
+      val s = math.sin(phi); math.cos(phi) / math.sqrt(1 - E2 * s * s)
+    }
+    private def t(phi: Double) = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - E * s) / (1 + E * s), E / 2)
+    }
+    val lon0 = math.toRadians(lon0deg)
+    private val p1 = math.toRadians(sp1); private val p2 = math.toRadians(sp2)
+    val nCone = math.log(m(p1) / m(p2)) / math.log(t(p1) / t(p2))
+    val fBig = m(p1) / (nCone * math.pow(t(p1), nCone))
+    val rho0 = A * fBig * math.pow(t(math.toRadians(lat0)), nCone)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val rho = A * fBig * math.pow(t(math.toRadians(lat)), nCone)
+      val theta = nCone * (math.toRadians(lon) - lon0)
+      (fe + rho * math.sin(theta), fnn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - fe; val yp = rho0 - (y - fnn)
+      val rho = math.signum(nCone) * math.hypot(xp, yp)
+      val theta = math.atan2(xp, yp)
+      val tp = math.pow(rho / (A * fBig), 1 / nCone)
+      var phi = math.Pi / 2 - 2 * math.atan(tp)
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          tp * math.pow((1 - E * s) / (1 + E * s), E / 2))
+        i += 1
+      }
+      (math.toDegrees(theta / nCone + lon0), math.toDegrees(phi))
+    }
+  }
+
+  private val LccCodes: Map[Int, LccProj] = Map(
+    2154 -> new LccProj(46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),
+    3034 -> new LccProj(52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0))
+
+  // ---- Gauss-Krüger zones 2-5 (EPSG:31466-69): Bessel 1841 + DHDN ----
+
+  /** Legacy German national grid: transverse Mercator (k0 = 1, false
+    * easting zone·10⁶ + 500000) on the Bessel 1841 ellipsoid, DHDN datum.
+    * Unlike every other CRS here the datum is NOT WGS84-equivalent — the
+    * 7-parameter Helmert transform (EPSG transformation 1777, position
+    * vector, ~3 m accuracy — the non-grid shift GDAL applies) bridges
+    * DHDN ↔ WGS84 through geocentric coordinates.
+    */
+  private val BesselA = 6377397.155
+  private val BesselF = 1.0 / 299.1528128
+  private val BesselE2 = BesselF * (2 - BesselF)
+  private val tmBessel = new TmSeries(BesselF, BesselA)
+  private val Wgs84E2 = {
+    val f = 1.0 / 298.257223563; f * (2 - f)
+  }
+
+  // EPSG:1777 DHDN -> WGS84: translations m, rotations arcsec, scale ppm
+  private val DhdnTx = 598.1; private val DhdnTy = 73.7; private val DhdnTz = 418.2
+  private val DhdnRx = math.toRadians(0.202 / 3600.0)
+  private val DhdnRy = math.toRadians(0.045 / 3600.0)
+  private val DhdnRz = math.toRadians(-2.455 / 3600.0)
+  private val DhdnS = 1.0 + 6.7e-6
+
+  private def gkLon0(epsg: Int): Double = math.toRadians(3.0 * (epsg - 31464))
+  private def gkFe(epsg: Int): Double = (epsg - 31464) * 1000000.0 + 500000.0
+
+  /** Geodetic (h = 0) → geocentric XYZ on an (a, e²) ellipsoid. */
+  private def geodToXyz(a: Double, e2: Double, lon: Double, lat: Double)
+      : (Double, Double, Double) = {
+    val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+    val s = math.sin(phi)
+    val nu = a / math.sqrt(1 - e2 * s * s)
+    (nu * math.cos(phi) * math.cos(lam), nu * math.cos(phi) * math.sin(lam),
+      nu * (1 - e2) * s)
+  }
+
+  /** Geocentric XYZ → geodetic lon/lat on an (a, e²) ellipsoid (height
+    * discarded — the standard 2D datum-shift approximation).
+    */
+  private def xyzToGeod(a: Double, e2: Double, x: Double, y: Double, z: Double)
+      : (Double, Double) = {
+    val p = math.hypot(x, y)
+    var phi = math.atan2(z, p * (1 - e2))
+    var i = 0
+    while (i < 10) {
+      val s = math.sin(phi)
+      val nu = a / math.sqrt(1 - e2 * s * s)
+      phi = math.atan2(z + e2 * nu * s, p)
+      i += 1
+    }
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+  }
+
+  /** Position-vector Helmert, DHDN geographic → WGS84 geographic. */
+  private def dhdnToWgs84(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = geodToXyz(BesselA, BesselE2, lon, lat)
+    val x2 = DhdnTx + DhdnS * (x - DhdnRz * y + DhdnRy * z)
+    val y2 = DhdnTy + DhdnS * (DhdnRz * x + y - DhdnRx * z)
+    val z2 = DhdnTz + DhdnS * (-DhdnRy * x + DhdnRx * y + z)
+    xyzToGeod(A, Wgs84E2, x2, y2, z2)
+  }
+
+  /** Exact algebraic inverse of [[dhdnToWgs84]]'s transform (transpose of
+    * the small-angle rotation over the scale — orthogonal to first order;
+    * residual ≈ rot² · R ≈ sub-mm, far under the transform's own 3 m).
+    */
+  private def wgs84ToDhdn(lon: Double, lat: Double): (Double, Double) = {
+    val (x2, y2, z2) = geodToXyz(A, Wgs84E2, lon, lat)
+    val dx = (x2 - DhdnTx) / DhdnS
+    val dy = (y2 - DhdnTy) / DhdnS
+    val dz = (z2 - DhdnTz) / DhdnS
+    val x = dx + DhdnRz * dy - DhdnRy * dz
+    val y = -DhdnRz * dx + dy + DhdnRx * dz
+    val z = DhdnRy * dx - DhdnRx * dy + dz
+    xyzToGeod(BesselA, BesselE2, x, y, z)
+  }
+
   /** (x, y) in `epsg` → (lon, lat) degrees. */
   def toWgs84(epsg: Int, x: Double, y: Double): (Double, Double) = epsg match {
     case Wgs84 => (x, y)
     case u if utmParams(u).isDefined =>
       val (f, lon0, fn) = utmParams(u).get
       tmInverse(tmOf(f), lon0, fn, x, y)
+    case u if LccCodes.contains(u) => LccCodes(u).inverse(x, y)
+    case u if u >= 31466 && u <= 31469 =>
+      val (lonB, latB) = tmInverse(tmBessel, gkLon0(u), 0.0, x, y,
+        k0 = 1.0, fe = gkFe(u))
+      dhdnToWgs84(lonB, latB)
     case WebMercator =>
       (math.toDegrees(x / A),
         math.toDegrees(2 * math.atan(math.exp(y / A)) - math.Pi / 2))
@@ -178,8 +317,8 @@ object Crs {
         (math.toDegrees(lon), math.toDegrees(latFromQ(q)))
       }
     case other => throw new IllegalArgumentException(
-      s"unsupported source CRS EPSG:$other " +
-        "(supported: 4326, 3857, 3035, UTM 326xx/327xx/258xx)")
+      s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 3035, " +
+        "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69)")
   }
 
   /** (lon, lat) degrees → (x, y) in `epsg`. */
@@ -188,6 +327,10 @@ object Crs {
     case u if utmParams(u).isDefined =>
       val (f, lon0, fn) = utmParams(u).get
       tmForward(tmOf(f), lon0, fn, lon, lat)
+    case u if LccCodes.contains(u) => LccCodes(u).forward(lon, lat)
+    case u if u >= 31466 && u <= 31469 =>
+      val (lonB, latB) = wgs84ToDhdn(lon, lat)
+      tmForward(tmBessel, gkLon0(u), 0.0, lonB, latB, k0 = 1.0, fe = gkFe(u))
     case WebMercator =>
       val phi = math.toRadians(lat)
       (A * math.toRadians(lon), A * math.log(math.tan(math.Pi / 4 + phi / 2)))
@@ -201,8 +344,8 @@ object Crs {
         Y0 + (b / D) * (math.cos(Beta1) * math.sin(beta) -
           math.sin(Beta1) * math.cos(beta) * math.cos(dl)))
     case other => throw new IllegalArgumentException(
-      s"unsupported target CRS EPSG:$other " +
-        "(supported: 4326, 3857, 3035, UTM 326xx/327xx/258xx)")
+      s"unsupported target CRS EPSG:$other (supported: 4326, 3857, 3035, " +
+        "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69)")
   }
 
   /** Latitude from authalic q by Newton iteration (Snyder eq. 3-16). */
@@ -224,7 +367,8 @@ object Crs {
   /** Is `epsg` a CRS this kernel can transform? */
   def isSupported(epsg: Int): Boolean =
     epsg == Wgs84 || epsg == WebMercator || epsg == EtrsLaea ||
-      utmParams(epsg).isDefined
+      utmParams(epsg).isDefined || LccCodes.contains(epsg) ||
+      (epsg >= 31466 && epsg <= 31469)
 
   /** ESRI-style `.prj` WKT1 for a supported EPSG code. Carries an explicit
     * trailing AUTHORITY so [[epsgFromPrj]] round-trips exactly; the names
@@ -259,6 +403,40 @@ object Crs {
         utm(s"WGS_1984_UTM_Zone_${u - 32600}N", gcsWgs, -183.0 + 6.0 * (u - 32600), 0.0)
       case u if u >= 32701 && u <= 32760 =>
         utm(s"WGS_1984_UTM_Zone_${u - 32700}S", gcsWgs, -183.0 + 6.0 * (u - 32700), 10000000.0)
+      case 2154 =>
+        """PROJCS["RGF_1993_Lambert_93",GEOGCS["GCS_RGF_1993",""" +
+          "DATUM[\"D_RGF_1993\",SPHEROID[\"GRS_1980\",6378137.0,298.257222101]]," +
+          "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]," +
+          "PROJECTION[\"Lambert_Conformal_Conic\"]," +
+          "PARAMETER[\"False_Easting\",700000.0]," +
+          "PARAMETER[\"False_Northing\",6600000.0]," +
+          "PARAMETER[\"Central_Meridian\",3.0]," +
+          "PARAMETER[\"Standard_Parallel_1\",44.0]," +
+          "PARAMETER[\"Standard_Parallel_2\",49.0]," +
+          "PARAMETER[\"Latitude_Of_Origin\",46.5]," +
+          """UNIT["Meter",1.0],AUTHORITY["EPSG","2154"]]"""
+      case 3034 =>
+        s"""PROJCS["ETRS_1989_LCC",$gcsEtrs,""" +
+          "PROJECTION[\"Lambert_Conformal_Conic\"]," +
+          "PARAMETER[\"False_Easting\",4000000.0]," +
+          "PARAMETER[\"False_Northing\",2800000.0]," +
+          "PARAMETER[\"Central_Meridian\",10.0]," +
+          "PARAMETER[\"Standard_Parallel_1\",35.0]," +
+          "PARAMETER[\"Standard_Parallel_2\",65.0]," +
+          "PARAMETER[\"Latitude_Of_Origin\",52.0]," +
+          """UNIT["Meter",1.0],AUTHORITY["EPSG","3034"]]"""
+      case u if u >= 31466 && u <= 31469 =>
+        val z = u - 31464
+        s"""PROJCS["DHDN_3_Degree_Gauss_Zone_$z",GEOGCS["GCS_Deutsches_Hauptdreiecksnetz",""" +
+          "DATUM[\"D_Deutsches_Hauptdreiecksnetz\"," +
+          "SPHEROID[\"Bessel_1841\",6377397.155,299.1528128]]," +
+          "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]," +
+          "PROJECTION[\"Gauss_Kruger\"]," +
+          s"""PARAMETER["False_Easting",${z}500000.0],""" +
+          "PARAMETER[\"False_Northing\",0.0]," +
+          s"""PARAMETER["Central_Meridian",${3 * z}.0],""" +
+          "PARAMETER[\"Scale_Factor\",1.0],PARAMETER[\"Latitude_Of_Origin\",0.0]," +
+          s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$u"]]"""
       case u => // 258xx
         utm(s"ETRS_1989_UTM_Zone_${u - 25800}N", gcsEtrs, -183.0 + 6.0 * (u - 25800), 0.0)
     }
@@ -312,10 +490,18 @@ object Crs {
             if (south) Some(32700 + z) else Some(32600 + z)
           } else None
         case None =>
+          val gauss = """GAUSS.{0,10}ZONE_?(\d)""".r.findFirstMatchIn(up)
           if (up.contains("PSEUDO-MERCATOR") || up.contains("PSEUDO_MERCATOR") ||
             up.contains("WEB_MERCATOR")) Some(WebMercator)
           else if (up.contains("LAEA") && up.contains("ETRS")) Some(EtrsLaea)
-          else None
+          else if (up.contains("LAMBERT_93") || up.contains("LAMBERT-93"))
+            Some(2154) // RGF93 / Lambert-93 (ESRI: RGF_1993_Lambert_93)
+          else if (up.contains("ETRS") && up.contains("LCC")) Some(3034)
+          else if (gauss.isDefined && (up.contains("DHDN") ||
+              up.contains("HAUPTDREIECKSNETZ"))) {
+            val z = gauss.get.group(1).toInt
+            if (z >= 2 && z <= 5) Some(31464 + z) else None
+          } else None
       }
     } else if (up.startsWith("GEOGCS")) {
       if (up.contains("WGS_1984") || up.contains("WGS_84") ||

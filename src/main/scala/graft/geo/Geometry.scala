@@ -472,6 +472,166 @@ object Geometry {
     out.result()
   }
 
+  // --------------------------------------- canonical overlay rings (S7)
+
+  /** Canonical rings for the GENERAL intersection by directed boundary
+    * tracing: ∂(A∩B) = (sub-segments of ∂A inside B) ∪ (sub-segments of
+    * ∂B inside A). Orientation is normalized first (outer CCW, holes CW)
+    * and each edge keeps its ring's direction, so chaining the kept
+    * sub-segments end-to-start reconstructs canonically oriented rings —
+    * the clean POLYGON/MULTIPOLYGON shapely emits, instead of the
+    * exact-cover triangle pieces.
+    *
+    * Returns None when tracing cannot produce a verified result —
+    * degenerate shared-boundary overlays (collinear edge overlap breaks
+    * the one-in-one-out chaining invariant), or any traced result whose
+    * area disagrees with the exact piece cover. Callers fall back to the
+    * piece MULTIPOLYGON: canonical where possible, never wrong.
+    */
+  def canonicalIntersection(aw: String, bw: String): Option[Array[Poly]] = {
+    val ga = geomCached(aw).map(orientPoly)
+    val gb = geomCached(bw).map(orientPoly)
+    val exact = intersectionAreaWkt(aw, bw)
+    if (exact < 1e-12) return Some(Array.empty)
+    val segs = collectInsideSegs(ga, gb) ++ collectInsideSegs(gb, ga)
+    chainRings(segs).flatMap { rings =>
+      val outers = rings.filter(signedArea(_) > 1e-12)
+      val holes = rings.filter(signedArea(_) < -1e-12)
+      val area = outers.map(signedArea).sum + holes.map(signedArea).sum
+      if (math.abs(area - exact) > 1e-9 + 1e-6 * exact) None
+      else {
+        // each hole belongs to the outer ring containing its first vertex
+        val assigned = Array.fill(outers.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Array[Pt]])
+        val ok = holes.forall { h =>
+          val i = outers.indexWhere(o =>
+            containsGeom(Array(Poly(o, Array.empty)), h(0).x, h(0).y))
+          if (i < 0) false else { assigned(i) += h.map(p => p); true }
+        }
+        if (!ok) None
+        else Some(outers.zipWithIndex.map { case (o, i) =>
+          Poly(o, assigned(i).toArray)
+        })
+      }
+    }
+  }
+
+  private def orientPoly(p: Poly): Poly = {
+    val o = if (signedArea(p.outer) < 0) p.outer.reverse else p.outer
+    val hs = p.holes.map(h => if (signedArea(h) > 0) h.reverse else h)
+    Poly(o, hs)
+  }
+
+  /** Directed sub-segments of ∂src strictly inside `other`: each edge is
+    * split at every crossing with ∂other, and a split keeps iff its
+    * midpoint ray-casts inside.
+    */
+  private def collectInsideSegs(src: Array[Poly], other: Array[Poly])
+      : Array[(Pt, Pt)] = {
+    val out = Array.newBuilder[(Pt, Pt)]
+    for (poly <- src; ring <- poly.rings) {
+      val n = ring.length
+      var i = 0
+      while (i < n) {
+        val p = ring(i); val q = ring((i + 1) % n)
+        val ts = scala.collection.mutable.SortedSet(0.0, 1.0)
+        for (op <- other; or <- op.rings) {
+          var j = 0
+          while (j < or.length) {
+            crossingParam(p, q, or(j), or((j + 1) % or.length)).foreach(ts += _)
+            j += 1
+          }
+        }
+        val arr = ts.toArray
+        var k = 0
+        while (k < arr.length - 1) {
+          val t0 = arr(k); val t1 = arr(k + 1)
+          if (t1 - t0 > 1e-12) {
+            val tm = (t0 + t1) / 2
+            if (containsGeom(other,
+                p.x + (q.x - p.x) * tm, p.y + (q.y - p.y) * tm))
+              out += ((lerp(p, q, t0), lerp(p, q, t1)))
+          }
+          k += 1
+        }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  private def lerp(p: Pt, q: Pt, t: Double): Pt =
+    if (t == 0.0) p else if (t == 1.0) q
+    else Pt(p.x + (q.x - p.x) * t, p.y + (q.y - p.y) * t)
+
+  /** Parameter t on pq of a transversal crossing with rs (both in [0,1]);
+    * parallel/collinear pairs yield None (the midpoint rule decides those).
+    */
+  private def crossingParam(p: Pt, q: Pt, r: Pt, s: Pt): Option[Double] = {
+    val dx1 = q.x - p.x; val dy1 = q.y - p.y
+    val dx2 = s.x - r.x; val dy2 = s.y - r.y
+    val den = dx1 * dy2 - dy1 * dx2
+    if (math.abs(den) < 1e-15) None
+    else {
+      val t = ((r.x - p.x) * dy2 - (r.y - p.y) * dx2) / den
+      val u = ((r.x - p.x) * dy1 - (r.y - p.y) * dx1) / den
+      if (t > 0 && t < 1 && u >= 0 && u <= 1) Some(t) else None
+    }
+  }
+
+  /** Chain directed segments end→start into closed rings (endpoints
+    * snap-rounded to 1e-9 so the A-side and B-side computations of the
+    * same crossing point unify). Collinear chain vertices are dropped.
+    * None iff any start point has ≠ 1 outgoing segment or a chain fails
+    * to close — the degenerate cases the caller falls back on.
+    */
+  private def chainRings(segs: Array[(Pt, Pt)]): Option[Array[Array[Pt]]] = {
+    if (segs.isEmpty) return None
+    def key(p: Pt): (Long, Long) = (math.rint(p.x * 1e9).toLong,
+      math.rint(p.y * 1e9).toLong)
+    val byStart = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    for (((a, b), i) <- segs.zipWithIndex) {
+      if (key(a) == key(b)) return None // degenerate zero-length segment
+      if (byStart.put(key(a), i).isDefined) return None // ambiguous fan-out
+    }
+    val used = new Array[Boolean](segs.length)
+    val rings = Array.newBuilder[Array[Pt]]
+    for (start <- segs.indices if !used(start)) {
+      val pts = scala.collection.mutable.ArrayBuffer[Pt](segs(start)._1)
+      var cur = start
+      val startKey = key(segs(start)._1)
+      var closed = false
+      var steps = 0
+      while (!closed && steps <= segs.length) {
+        used(cur) = true
+        val end = segs(cur)._2
+        if (key(end) == startKey) closed = true
+        else byStart.get(key(end)) match {
+          case Some(nxt) if !used(nxt) => pts += end; cur = nxt
+          case _ => return None // open chain
+        }
+        steps += 1
+      }
+      if (!closed) return None
+      val ring = dropCollinear(pts.toArray)
+      if (ring.length >= 3) rings += ring
+    }
+    Some(rings.result())
+  }
+
+  private def dropCollinear(ring: Array[Pt]): Array[Pt] = {
+    val n = ring.length
+    val keep = Array.newBuilder[Pt]
+    var i = 0
+    while (i < n) {
+      val a = ring((i + n - 1) % n); val b = ring(i); val c = ring((i + 1) % n)
+      val cross = (b.x - a.x) * (c.y - b.y) - (b.y - a.y) * (c.x - b.x)
+      if (math.abs(cross) > 1e-12) keep += b
+      i += 1
+    }
+    keep.result()
+  }
+
   /** Area of the intersection of two polygons (general: concavity, holes,
     * multipolygons all supported). Fast single-clip path when both are
     * single-ring and one is convex.
@@ -593,23 +753,36 @@ object GeoFns {
   val stYmax = udf { (w: String) => geomBbox(geomCached(w))._4 }
 
   /** J6 overlay: WKT of polygon ∩ polygon; null if empty. Single POLYGON
-    * when the fast convex path applies; exact-cover piece MULTIPOLYGON for
-    * the general (concave/holes/multi) path.
+    * when the fast convex path applies. The general (concave/holes/multi)
+    * path emits CANONICAL traced rings (outer + holes, shapely-clean for
+    * the S7 shapefile sink); overlays whose tracing degenerates
+    * (collinear shared boundaries) fall back to the exact-cover piece
+    * MULTIPOLYGON — canonical where possible, never wrong.
     */
   val stIntersectionWkt = udf { (aw: String, bw: String) =>
     val ga = geomCached(aw); val gb = geomCached(bw)
     def ringWkt(r: Array[Pt]): String =
       "((" + (r :+ r.head).map(p => s"${p.x} ${p.y}").mkString(", ") + "))"
+    def polyBody(p: Poly): String =
+      "(" + (p.outer +: p.holes).map(r =>
+        "(" + (r :+ r.head).map(pt => s"${pt.x} ${pt.y}").mkString(", ") + ")")
+        .mkString(", ") + ")"
     if (ga.length == 1 && gb.length == 1 &&
         ga(0).holes.isEmpty && gb(0).holes.isEmpty &&
         (isConvex(ga(0).outer) || isConvex(gb(0).outer))) {
       val out = intersectionRing(ga(0).outer, gb(0).outer)
       if (out.length < 3 || math.abs(signedArea(out)) < 1e-12) None
       else Some("POLYGON " + ringWkt(out))
-    } else {
-      val pieces = intersectionPiecesGeneral(aw, bw)
-      if (pieces.isEmpty) None
-      else Some("MULTIPOLYGON (" + pieces.map(ringWkt).mkString(", ") + ")")
+    } else canonicalIntersection(aw, bw) match {
+      case Some(polys) if polys.isEmpty => None
+      case Some(polys) if polys.length == 1 =>
+        Some("POLYGON " + polyBody(polys(0)))
+      case Some(polys) =>
+        Some("MULTIPOLYGON (" + polys.map(polyBody).mkString(", ") + ")")
+      case None =>
+        val pieces = intersectionPiecesGeneral(aw, bw)
+        if (pieces.isEmpty) None
+        else Some("MULTIPOLYGON (" + pieces.map(ringWkt).mkString(", ") + ")")
     }
   }
 

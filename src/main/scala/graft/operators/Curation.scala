@@ -216,10 +216,28 @@ object Curation {
     * rows, not |tokens|. Only docs matching ≥ 1 term appear.
     */
   def bm25(docs: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val base = docs.filter(col(textCol).isNotNull)
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Tokenized(tokenized(docs, idCol, textCol), idCol, queryTerms, k1, b)
+
+  /** Lowercased whitespace tokens per doc — the shared input relation of
+    * [[bm25Tokenized]] and [[unigramSurprisalTokenized]]. Both scorers
+    * consume their input TWICE (a stats/counts aggregation plus the final
+    * join) — deliberate: no hidden persist, same contract as
+    * `tokenBudgetMix`. At 100 TB the caller should tokenize once,
+    * `.persist()` (or write to parquet) and pass the relation to the
+    * *Tokenized overloads: however many scorers run, the corpus text is
+    * then scanned a single time (CurationProbe asserts the plan).
+    */
+  def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol), TextFns.tokens(lower(col(textCol))).as("__toks"))
-      .withColumn("__dl", size(col("__toks")))
+
+  /** [[bm25]] over a pre-tokenized relation `(idCol, __toks)` (see
+    * [[tokenized]]).
+    */
+  def bm25Tokenized(toks: DataFrame, idCol: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = toks.withColumn("__dl", size(col("__toks")))
     val stats = base.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
     val hits = base
       .select(col(idCol), col("__dl"), explode(col("__toks")).as("__term"))
@@ -272,9 +290,18 @@ object Curation {
     * stream, so the only corpus-wide shuffles are the count aggregation
     * and the final per-doc mean, both map-side partial-aggregated.
     */
-  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
-      .select(col(idCol), explode(TextFns.tokens(lower(col(textCol)))).as("__term"))
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramSurprisalTokenized(
+      docs.filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+        .select(col(idCol), TextFns.tokens(lower(col(textCol))).as("__toks")),
+      idCol)
+
+  /** [[unigramSurprisal]] over a pre-tokenized relation `(idCol, __toks)`
+    * (see [[tokenized]]; zero-token docs drop out of the result either
+    * way, so the relation from `tokenized` is directly usable).
+    */
+  def unigramSurprisalTokenized(toksRel: DataFrame, idCol: String): DataFrame = {
+    val toks = toksRel.select(col(idCol), explode(col("__toks")).as("__term"))
     val counts = toks.groupBy(col("__term")).agg(count(lit(1)).as("__c"))
     val total = counts.agg(sum(col("__c")).cast("double").as("__t"))
     toks.join(broadcast(counts), "__term")

@@ -185,6 +185,75 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — same signature and output as [[connectedComponents]],
+    * converging in O(log² n) rounds on ADVERSARIALLY DEEP graphs where
+    * min-label propagation's pointer jumping still pays O(log diameter)
+    * rounds of full-edge joins:
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its neighborhood (incl. itself);
+    *  - small-star: orient edges high→low, then link each node and its
+    *    smaller neighbors to the neighborhood minimum.
+    *
+    * Both are one groupBy + one join per round over (u, v) long pairs; a
+    * fixpoint of the pair leaves exactly the star graph (node → component
+    * min). Convergence = edge multiset unchanged over a full round
+    * (count + order-independent hash fingerprint); exceeding `maxIters`
+    * FAILS LOUDLY like the propagation variant.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val raw = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+    val ids = raw.select(col("u")).unionByName(raw.select(col("v").as("u")))
+      .distinct().localCheckpoint(true)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and ANSI-overflow-free (edges are
+      // distinct, so xor cancellation cannot collide identical rows)
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      adj.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val orient = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+      val mins = orient.groupBy(col("u")).agg(min(col("v")).as("__m"))
+      orient.join(mins, "u")
+        .select(explode(array(
+          struct(col("v").as("a"), col("__m").as("b")),
+          struct(col("u").as("a"), col("__m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    var edges = raw.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+    var fp = fingerprint(edges)
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val fp2 = fingerprint(edges)
+      converged = fp2 == fp
+      fp = fp2
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIters rounds")
+    // star edges are (node, root); roots and isolated nodes label themselves
+    ids.join(edges, Seq("u"), "left")
+      .select(col("u").as("id"), coalesce(col("v"), col("u")).as("comp"))
+  }
+
   /** Incremental (ingestion-batch) dedup: which INCOMING docs survive
     * against an already-deduplicated EXISTING corpus and against each
     * other — the daily-ingest production shape. The existing corpus is
@@ -457,14 +526,20 @@ object Dedup {
     */
   def dedupCorpusTransitive(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16, bands: Int = 8,
-      maxIters: Int = 12): DataFrame = {
+      maxIters: Int = 12, deepGraph: Boolean = false): DataFrame = {
     val exact0 = exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
       .join(docs, Seq(idCol))
     val cands = minhashCandidatePairs(exact0, idCol, textCol, shingleN, k, bands)
     val verified = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
-    val comps = connectedComponents(verified, "id1", "id2", maxIters)
+    // near-dup graphs are shallow (stars + short chains) — propagation
+    // wins on constants; `deepGraph = true` switches to the O(log² n)
+    // large-star/small-star rounds for adversarially deep pair lists
+    // (spec-proven equivalent on random graphs)
+    val comps =
+      if (deepGraph) connectedComponentsStar(verified, "id1", "id2", maxIters)
+      else connectedComponents(verified, "id1", "id2", maxIters)
     // survivors: component minima (== their own label) + untouched docs
     val removed = comps.filter(col("id") =!= col("comp")).select(col("id").as("__removed"))
     exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")

@@ -69,8 +69,9 @@ class CrsSpec extends AnyFunSuite {
   }
 
   test("unsupported CRS fails loudly") {
-    intercept[IllegalArgumentException] { Crs.toWgs84(2154, 0, 0) } // Lambert-93
-    intercept[IllegalArgumentException] { Crs.fromWgs84(2154, 0, 0) }
+    // Lambert zone II (27572): legacy French, NTF datum — still unsupported
+    intercept[IllegalArgumentException] { Crs.toWgs84(27572, 0, 0) }
+    intercept[IllegalArgumentException] { Crs.fromWgs84(27572, 0, 0) }
   }
 
   test("UTM: central meridian and equator anchor the grid exactly") {
@@ -167,6 +168,147 @@ class CrsSpec extends AnyFunSuite {
     assert(line.startsWith("LINESTRING (") && line.count(_ == ',') == 1)
     // 4326 passthrough preserves the exact string
     assert(Crs.wktTransformToWgs84(4326, "POINT (1 2)") == "POINT (1 2)")
+  }
+
+  test("Lambert-93 / EPSG:3034: exact origin anchors and round trips") {
+    // by definition the natural origin maps to the false origin EXACTLY
+    val (e93, n93) = Crs.fromWgs84(2154, 3.0, 46.5)
+    assert(math.abs(e93 - 700000.0) < 1e-6 && math.abs(n93 - 6600000.0) < 1e-6,
+      s"Lambert-93 origin: ($e93, $n93)")
+    val (e34, n34) = Crs.fromWgs84(3034, 10.0, 52.0)
+    assert(math.abs(e34 - 4000000.0) < 1e-6 && math.abs(n34 - 2800000.0) < 1e-6,
+      s"EPSG:3034 origin: ($e34, $n34)")
+    // round trips over the legal areas (France / Europe)
+    for (lon <- Seq(-4.5, 0.0, 3.0, 7.8); lat <- Seq(41.5, 44.0, 47.3, 50.8)) {
+      val (x, y) = Crs.fromWgs84(2154, lon, lat)
+      val (lo, la) = Crs.toWgs84(2154, x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"2154 round trip ($lon, $lat) -> ($lo, $la)")
+    }
+    for (lon <- Seq(-8.0, 5.0, 10.0, 24.0); lat <- Seq(36.0, 48.0, 60.0, 68.0)) {
+      val (x, y) = Crs.fromWgs84(3034, lon, lat)
+      val (lo, la) = Crs.toWgs84(3034, x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"3034 round trip ($lon, $lat) -> ($lo, $la)")
+    }
+  }
+
+  test("Lambert conformal conic: unit scale on standard parallels, conformal off them") {
+    // local scale along a parallel = projected distance / ellipsoidal
+    // parallel arc (nu cos(phi) dλ); along a meridian = projected / M dφ.
+    val a = 6378137.0; val f = 1.0 / 298.257222101; val e2 = f * (2 - f)
+    def paraScale(epsg: Int, lon: Double, lat: Double): Double = {
+      val d = 1e-4
+      val (x1, y1) = Crs.fromWgs84(epsg, lon, lat)
+      val (x2, y2) = Crs.fromWgs84(epsg, lon + d, lat)
+      val phi = math.toRadians(lat)
+      val nu = a / math.sqrt(1 - e2 * math.sin(phi) * math.sin(phi))
+      math.hypot(x2 - x1, y2 - y1) / (nu * math.cos(phi) * math.toRadians(d))
+    }
+    def meridScale(epsg: Int, lon: Double, lat: Double): Double = {
+      val d = 1e-4
+      val (x1, y1) = Crs.fromWgs84(epsg, lon, lat)
+      val (x2, y2) = Crs.fromWgs84(epsg, lon, lat + d)
+      val phi = math.toRadians(lat)
+      val s2 = math.sin(phi) * math.sin(phi)
+      val m = a * (1 - e2) / math.pow(1 - e2 * s2, 1.5)
+      math.hypot(x2 - x1, y2 - y1) / (m * math.toRadians(d))
+    }
+    // scale == 1 on both standard parallels (44°N / 49°N for Lambert-93)
+    for (sp <- Seq(44.0, 49.0))
+      assert(math.abs(paraScale(2154, 3.0, sp) - 1.0) < 1e-6,
+        s"scale at parallel $sp = ${paraScale(2154, 3.0, sp)}")
+    // < 1 between the parallels, > 1 outside — the two-SP signature
+    assert(paraScale(2154, 3.0, 46.5) < 1.0)
+    assert(paraScale(2154, 3.0, 41.0) > 1.0 && paraScale(2154, 3.0, 51.5) > 1.0)
+    // conformal: parallel and meridian scales agree everywhere tested
+    for (lon <- Seq(-2.0, 3.0, 7.0); lat <- Seq(42.5, 46.5, 50.0))
+      assert(math.abs(paraScale(2154, lon, lat) - meridScale(2154, lon, lat)) < 1e-5,
+        s"conformality at ($lon, $lat)")
+    for (sp <- Seq(35.0, 65.0))
+      assert(math.abs(paraScale(3034, 10.0, sp) - 1.0) < 1e-6,
+        s"3034 scale at parallel $sp")
+  }
+
+  test("Gauss-Krüger 31466-69: independent Snyder-series + Helmert chain agrees") {
+    // an INDEPENDENT formulation: Snyder ellipsoidal TM series (§8,
+    // eqs 8-9..8-17) on Bessel 1841 + a spec-local Helmert using only the
+    // published EPSG:1777 parameters. Agreement with the engine's Krüger
+    // 6th-order + geocentric chain pins every constant.
+    val aB = 6377397.155; val fB = 1.0 / 299.1528128
+    val e2B = fB * (2 - fB); val ep2 = e2B / (1 - e2B)
+    val aW = 6378137.0; val fW = 1.0 / 298.257223563; val e2W = fW * (2 - fW)
+    def geodToXyz(a: Double, e2: Double, lon: Double, lat: Double) = {
+      val phi = math.toRadians(lat); val lam = math.toRadians(lon)
+      val s = math.sin(phi); val nu = a / math.sqrt(1 - e2 * s * s)
+      (nu * math.cos(phi) * math.cos(lam), nu * math.cos(phi) * math.sin(lam),
+        nu * (1 - e2) * s)
+    }
+    def xyzToGeod(a: Double, e2: Double, x: Double, y: Double, z: Double) = {
+      val p = math.hypot(x, y)
+      var phi = math.atan2(z, p * (1 - e2))
+      for (_ <- 0 until 10) {
+        val s = math.sin(phi)
+        phi = math.atan2(z + e2 * (a / math.sqrt(1 - e2 * s * s)) * s, p)
+      }
+      (math.toDegrees(math.atan2(y, x)), math.toDegrees(phi))
+    }
+    def wgsToDhdn(lon: Double, lat: Double) = {
+      val (x2, y2, z2) = geodToXyz(aW, e2W, lon, lat)
+      val rx = math.toRadians(0.202 / 3600); val ry = math.toRadians(0.045 / 3600)
+      val rz = math.toRadians(-2.455 / 3600); val sc = 1.0 + 6.7e-6
+      val dx = (x2 - 598.1) / sc; val dy = (y2 - 73.7) / sc; val dz = (z2 - 418.2) / sc
+      xyzToGeod(aB, e2B, dx + rz * dy - ry * dz, -rz * dx + dy + rx * dz,
+        ry * dx - rx * dy + dz)
+    }
+    def meridArc(phi: Double): Double =
+      aB * ((1 - e2B / 4 - 3 * e2B * e2B / 64 - 5 * math.pow(e2B, 3) / 256) * phi -
+        (3 * e2B / 8 + 3 * e2B * e2B / 32 + 45 * math.pow(e2B, 3) / 1024) * math.sin(2 * phi) +
+        (15 * e2B * e2B / 256 + 45 * math.pow(e2B, 3) / 1024) * math.sin(4 * phi) -
+        (35 * math.pow(e2B, 3) / 3072) * math.sin(6 * phi))
+    def snyderTm(lon0: Double, fe: Double, lon: Double, lat: Double) = {
+      val phi = math.toRadians(lat)
+      val t = math.tan(phi) * math.tan(phi)
+      val c = ep2 * math.cos(phi) * math.cos(phi)
+      val bigA = math.toRadians(lon - lon0) * math.cos(phi)
+      val nu = aB / math.sqrt(1 - e2B * math.sin(phi) * math.sin(phi))
+      val x = nu * (bigA + (1 - t + c) * math.pow(bigA, 3) / 6 +
+        (5 - 18 * t + t * t + 72 * c - 58 * ep2) * math.pow(bigA, 5) / 120)
+      val y = meridArc(phi) + nu * math.tan(phi) * (bigA * bigA / 2 +
+        (5 - t + 9 * c + 4 * c * c) * math.pow(bigA, 4) / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * ep2) * math.pow(bigA, 6) / 720)
+      (fe + x, y) // k0 = 1
+    }
+    for ((epsg, zone) <- Seq((31466, 2), (31467, 3), (31468, 4), (31469, 5));
+         dlon <- Seq(-1.2, 0.0, 1.2); lat <- Seq(47.5, 50.0, 54.5)) {
+      val lon = 3.0 * zone + dlon
+      val (x, y) = Crs.fromWgs84(epsg, lon, lat)
+      val (lonD, latD) = wgsToDhdn(lon, lat)
+      val (xs, ys) = snyderTm(3.0 * zone, zone * 1000000.0 + 500000.0, lonD, latD)
+      assert(math.abs(x - xs) < 0.01 && math.abs(y - ys) < 0.01,
+        s"EPSG:$epsg ($lon, $lat): Krüger ($x, $y) vs Snyder ($xs, $ys)")
+      // round trip through the full datum chain
+      val (lo, la) = Crs.toWgs84(epsg, x, y)
+      assert(math.abs(lo - lon) < 1e-7 && math.abs(la - lat) < 1e-7,
+        s"EPSG:$epsg round trip ($lon, $lat) -> ($lo, $la)")
+      // the datum shift is real: ~100-200 m horizontal displacement
+      val shift = math.hypot((lonD - lon) * 111320 * math.cos(math.toRadians(lat)),
+        (latD - lat) * 110574)
+      assert(shift > 50 && shift < 500, s"DHDN shift $shift m at ($lon, $lat)")
+    }
+    // .prj detection for the new families
+    assert(Crs.epsgFromPrj(Crs.prjWkt(2154)) == Some(2154))
+    assert(Crs.epsgFromPrj(Crs.prjWkt(3034)) == Some(3034))
+    assert(Crs.epsgFromPrj(Crs.prjWkt(31467)) == Some(31467))
+    // ESRI-style names without AUTHORITY
+    assert(Crs.epsgFromPrj("""PROJCS["RGF_1993_Lambert_93",GEOGCS["GCS_RGF_1993"]]""")
+      == Some(2154))
+    assert(Crs.epsgFromPrj(
+      """PROJCS["DHDN_3_Degree_Gauss_Zone_3",GEOGCS["GCS_Deutsches_Hauptdreiecksnetz"]]""")
+      == Some(31467))
+    // unknown codes still refuse loudly by name
+    val e = intercept[IllegalArgumentException] { Crs.toWgs84(27572, 600000, 200000) }
+    assert(e.getMessage.contains("27572"))
   }
 
   test("wktTransformToWgs84 transforms bare-decimal-point coordinates") {

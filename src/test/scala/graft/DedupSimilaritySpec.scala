@@ -246,6 +246,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"tight cap must suppress removals: cap4=${bySetting(0)} cap1000=${bySetting(1)}")
   }
 
+  test("connectedComponentsStar ≡ min-label propagation on random/deep graphs") {
+    val rnd = new scala.util.Random(42)
+    def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // random graphs: several densities and seeds
+    for (trial <- 0 until 4) {
+      val n = 40 + trial * 20
+      val pairs = (0 until n * 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.toDF("a", "b")
+      val prop = labelsOf(Dedup.connectedComponents(pairs, "a", "b", maxIters = 20))
+      val star = labelsOf(Dedup.connectedComponentsStar(pairs, "a", "b"))
+      assert(star == prop, s"trial $trial: star != propagation")
+    }
+    // deep chain — the case the star variant exists for
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val starChain = labelsOf(Dedup.connectedComponentsStar(chain, "a", "b"))
+    assert(starChain.size == 200 && starChain.values.forall(_ == 0L))
+    // star + isolated self-loop node
+    val mix = (Seq((5L, 9L), (9L, 7L), (3L, 3L))).toDF("a", "b")
+    val got = labelsOf(Dedup.connectedComponentsStar(mix, "a", "b"))
+    assert(got == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 3L -> 3L), s"got $got")
+    // the deepGraph hint produces the same survivors through the pipeline
+    val corpus = docs ++ Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today extra"))
+    val viaStar = Dedup.dedupCorpusTransitive(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5, shingleN = 2, k = 16, bands = 8,
+      deepGraph = true).select("doc_id").as[Long].collect().toSet
+    val viaProp = Dedup.dedupCorpusTransitive(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.5, shingleN = 2, k = 16, bands = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaStar == viaProp, s"$viaStar != $viaProp")
+  }
+
   test("dedupIncrementalIndexed enforces the monotone contract from meta") {
     val (existing, _) = indexFixture
     val idx = java.nio.file.Files.createTempDirectory("graft_sigidx4")

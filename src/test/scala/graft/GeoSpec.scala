@@ -121,6 +121,63 @@ class GeoSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("canonicalIntersection: traced rings, not triangle pieces") {
+    // concave L × offset square (transversal crossings, no shared edges):
+    // one canonical ring, few vertices — not an exact-cover triangle soup
+    val sq = "POLYGON ((0.5 0.5, 3.5 0.5, 3.5 3.5, 0.5 3.5, 0.5 0.5))"
+    val got = Geometry.canonicalIntersection(lShape, sq)
+    assert(got.isDefined, "transversal overlay must trace")
+    val polys = got.get
+    assert(polys.length == 1 && polys(0).holes.isEmpty, "one clean ring")
+    assert(polys(0).outer.length <= 8,
+      s"canonical ring, got ${polys(0).outer.length} vertices")
+    val area = Geometry.signedArea(polys(0).outer)
+    assert(area > 0, "outer ring must be CCW")
+    assert(math.abs(area - Geometry.intersectionAreaWkt(lShape, sq)) < 1e-9)
+    // convex×convex: canonical tracing agrees with the Sutherland-Hodgman
+    // fast path ring (same area, single ring, same vertex set)
+    val c1 = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    val c2 = "POLYGON ((1.5 -1, 6 2.5, 2 6.5, 1.5 -1))"
+    val fast = Geometry.intersectionRing(
+      Geometry.parsePolygon(c1), Geometry.parsePolygon(c2))
+    val traced = Geometry.canonicalIntersection(c1, c2).get
+    assert(traced.length == 1)
+    assert(math.abs(Geometry.signedArea(traced(0).outer) -
+      Geometry.ringArea(fast)) < 1e-9)
+    val fastSet = fast.map(p => (math.rint(p.x * 1e6), math.rint(p.y * 1e6))).toSet
+    val tracedSet = traced(0).outer
+      .map(p => (math.rint(p.x * 1e6), math.rint(p.y * 1e6))).toSet
+    assert(tracedSet == fastSet, s"$tracedSet != $fastSet")
+    // donut × offset square: the hole survives as a canonical CW ring
+    val over = "POLYGON ((0.5 0.5, 3.5 0.5, 3.5 3.5, 0.5 3.5, 0.5 0.5))"
+    val dn = Geometry.canonicalIntersection(donut, over).get
+    assert(dn.length == 1 && dn(0).holes.length == 1,
+      s"outer + hole, got ${dn.length} polys / ${dn.map(_.holes.length).mkString(",")} holes")
+    assert(Geometry.signedArea(dn(0).holes(0)) < 0, "hole ring must be CW")
+    val a = Geometry.signedArea(dn(0).outer) + Geometry.signedArea(dn(0).holes(0))
+    assert(math.abs(a - Geometry.intersectionAreaWkt(donut, over)) < 1e-9)
+    // degenerate shared-boundary overlay: tracing declines (fallback path),
+    // the area answer stays exact through the piece cover
+    val self = Geometry.canonicalIntersection(lShape, lShape)
+    if (self.isDefined) { // if it traces, it must be exact
+      val aa = self.get.map(p => Geometry.signedArea(p.outer) +
+        p.holes.map(Geometry.signedArea).sum).sum
+      assert(math.abs(aa - 12.0) < 1e-9)
+    }
+    assert(math.abs(Geometry.intersectionAreaWkt(lShape, lShape) - 12.0) < 1e-9)
+  }
+
+  test("stIntersectionWkt emits canonical POLYGON for concave overlays") {
+    val sq = "POLYGON ((0.5 0.5, 3.5 0.5, 3.5 3.5, 0.5 3.5, 0.5 0.5))"
+    val w = Seq((lShape, sq)).toDF("a", "b")
+      .select(GeoFns.stIntersectionWkt(col("a"), col("b")).as("w"))
+      .head.getString(0)
+    assert(w.startsWith("POLYGON"), s"canonical single polygon, got: $w")
+    // and it round-trips through the geometry parser with the right area
+    assert(math.abs(Geometry.geomArea(Geometry.parseGeom(w)) -
+      Geometry.intersectionAreaWkt(lShape, sq)) < 1e-9)
+  }
+
   test("geomIntersects is exact: bbox overlap of disjoint shapes is NOT adjacency") {
     // two triangles whose bboxes overlap at a corner but that never touch
     val t1 = "POLYGON ((0 0, 10 0, 0 10, 0 0))"
