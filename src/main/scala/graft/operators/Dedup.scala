@@ -482,11 +482,13 @@ object Dedup {
       .filter(col("kb").isin(kbList: _*))
       .join(broadcast(bandKeys.select(col("key")).distinct()), Seq("key"), "left_semi")
     val exCnt = exPost.groupBy(col("key")).agg(count(lit(1)).as("__ce"))
-    val okKeys = bandKeys.groupBy(col("key")).agg(count(lit(1)).as("__cb"))
+    // bounded by the batch's band keys — broadcast to the pruned-postings
+    // semi-joins instead of shuffling them
+    val okKeys = broadcast(bandKeys.groupBy(col("key")).agg(count(lit(1)).as("__cb"))
       .join(exCnt, Seq("key"), "left")
       .filter((col("__cb") + coalesce(col("__ce"), lit(0L)))
         .between(2, maxBucket))
-      .select(col("key"))
+      .select(col("key")))
     // existing↔batch pairs (existing id < batch id by the monotone contract)
     val exBatch = exPost.join(okKeys, Seq("key"), "left_semi")
       .select(col("key"), col("doc_id").as("id1"))
@@ -512,9 +514,11 @@ object Dedup {
       .select(col("doc_id").as("__id"), col("shingles").as("__sh"))
     val shingled = exSh.unionByName(
       exactSurv.select(col("doc_id").as("__id"), col("__sh")))
-    val removed = jaccardOnShingles(pairs, shingled)
+    // removed ⊆ batch ids — broadcast the anti-join instead of sorting
+    // both sides through an exchange
+    val removed = broadcast(jaccardOnShingles(pairs, shingled)
       .filter(col("jaccard") >= threshold)
-      .select(col("id2").as("__removed")).distinct()
+      .select(col("id2").as("__removed")).distinct())
     exactSurv.join(removed, exactSurv("doc_id") === col("__removed"), "left_anti")
       .select(col("doc_id").as(idCol), col("__text").as(textCol))
   }
