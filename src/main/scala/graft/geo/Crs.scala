@@ -211,6 +211,88 @@ object Crs {
     2154 -> new LccProj(46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),
     3034 -> new LccProj(52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0))
 
+  // ---- NTF Lambert zones (EPSG:27561-64 / 27571-74): legacy French ----
+
+  /** One-standard-parallel Lambert conformal conic with scale factor
+    * (Snyder §15, sp1 = sp2 limit: n = sin φ0) on an arbitrary ellipsoid —
+    * the legacy French national grids (NTF datum, Clarke 1880 IGN, Paris
+    * prime meridian). λ0 is carried Greenwich-referenced so the datum
+    * bridge below stays in one meridian convention.
+    */
+  private final class Lcc1Sp(aEll: Double, e2Ell: Double, lat0: Double,
+      lon0deg: Double, k0: Double, val fe: Double, val fnn: Double) {
+    private val eEll = math.sqrt(e2Ell)
+    private def t(phi: Double) = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) /
+        math.pow((1 - eEll * s) / (1 + eEll * s), eEll / 2)
+    }
+    val lon0 = math.toRadians(lon0deg)
+    private val p0 = math.toRadians(lat0)
+    val nCone = math.sin(p0)
+    private val m0 = math.cos(p0) / math.sqrt(1 - e2Ell * math.sin(p0) * math.sin(p0))
+    val fBig = m0 / (nCone * math.pow(t(p0), nCone))
+    val rho0 = aEll * k0 * fBig * math.pow(t(p0), nCone)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val rho = aEll * k0 * fBig * math.pow(t(math.toRadians(lat)), nCone)
+      val theta = nCone * (math.toRadians(lon) - lon0)
+      (fe + rho * math.sin(theta), fnn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - fe; val yp = rho0 - (y - fnn)
+      val rho = math.hypot(xp, yp)
+      val theta = math.atan2(xp, yp)
+      val tp = math.pow(rho / (aEll * k0 * fBig), 1 / nCone)
+      var phi = math.Pi / 2 - 2 * math.atan(tp)
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        phi = math.Pi / 2 - 2 * math.atan(
+          tp * math.pow((1 - eEll * s) / (1 + eEll * s), eEll / 2))
+        i += 1
+      }
+      (math.toDegrees(theta / nCone + lon0), math.toDegrees(phi))
+    }
+  }
+
+  private val ClarkeIgnA = 6378249.2
+  private val ClarkeIgnF = (6378249.2 - 6356515.0) / 6378249.2
+  private val ClarkeIgnE2 = ClarkeIgnF * (2 - ClarkeIgnF)
+  /** Paris prime meridian, 2°20′14.025″ E of Greenwich. */
+  private val ParisLon = 2.0 + 20.0 / 60 + 14.025 / 3600
+
+  /** EPSG Lambert zone parameters (lat0, k0, FE, FN); 2757x are the
+    * "carto" variants with zone-offset false northings.
+    */
+  private val NtfZones: Map[Int, Lcc1Sp] = {
+    def z(lat0: Double, k0: Double, fe: Double, fn: Double) =
+      new Lcc1Sp(ClarkeIgnA, ClarkeIgnE2, lat0, ParisLon, k0, fe, fn)
+    Map(
+      27561 -> z(49.5, 0.999877340, 600000.0, 200000.0),
+      27562 -> z(46.8, 0.99987742, 600000.0, 200000.0),
+      27563 -> z(44.1, 0.999877499, 600000.0, 200000.0),
+      27564 -> z(42.165, 0.99994471, 234.358, 185861.369),
+      27571 -> z(49.5, 0.999877340, 600000.0, 1200000.0),
+      27572 -> z(46.8, 0.99987742, 600000.0, 2200000.0),
+      27573 -> z(44.1, 0.999877499, 600000.0, 3200000.0),
+      27574 -> z(42.165, 0.99994471, 234.358, 4185861.369))
+  }
+
+  /** NTF ↔ WGS84: the EPSG:1193 3-parameter geocentric translation
+    * (−168, −60, +320 m; ~2 m class, the non-grid shift GDAL applies).
+    */
+  private def ntfToWgs84(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = geodToXyz(ClarkeIgnA, ClarkeIgnE2, lon, lat)
+    xyzToGeod(A, Wgs84E2, x - 168.0, y - 60.0, z + 320.0)
+  }
+
+  private def wgs84ToNtf(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = geodToXyz(A, Wgs84E2, lon, lat)
+    xyzToGeod(ClarkeIgnA, ClarkeIgnE2, x + 168.0, y + 60.0, z - 320.0)
+  }
+
   // ---- Gauss-Krüger zones 2-5 (EPSG:31466-69): Bessel 1841 + DHDN ----
 
   /** Legacy German national grid: transverse Mercator (k0 = 1, false
@@ -296,6 +378,9 @@ object Crs {
       val (f, lon0, fn) = utmParams(u).get
       tmInverse(tmOf(f), lon0, fn, x, y)
     case u if LccCodes.contains(u) => LccCodes(u).inverse(x, y)
+    case u if NtfZones.contains(u) =>
+      val (lonN, latN) = NtfZones(u).inverse(x, y)
+      ntfToWgs84(lonN, latN)
     case u if u >= 31466 && u <= 31469 =>
       val (lonB, latB) = tmInverse(tmBessel, gkLon0(u), 0.0, x, y,
         k0 = 1.0, fe = gkFe(u))
@@ -328,6 +413,9 @@ object Crs {
       val (f, lon0, fn) = utmParams(u).get
       tmForward(tmOf(f), lon0, fn, lon, lat)
     case u if LccCodes.contains(u) => LccCodes(u).forward(lon, lat)
+    case u if NtfZones.contains(u) =>
+      val (lonN, latN) = wgs84ToNtf(lon, lat)
+      NtfZones(u).forward(lonN, latN)
     case u if u >= 31466 && u <= 31469 =>
       val (lonB, latB) = wgs84ToDhdn(lon, lat)
       tmForward(tmBessel, gkLon0(u), 0.0, lonB, latB, k0 = 1.0, fe = gkFe(u))
@@ -368,7 +456,7 @@ object Crs {
   def isSupported(epsg: Int): Boolean =
     epsg == Wgs84 || epsg == WebMercator || epsg == EtrsLaea ||
       utmParams(epsg).isDefined || LccCodes.contains(epsg) ||
-      (epsg >= 31466 && epsg <= 31469)
+      (epsg >= 31466 && epsg <= 31469) || NtfZones.contains(epsg)
 
   /** ESRI-style `.prj` WKT1 for a supported EPSG code. Carries an explicit
     * trailing AUTHORITY so [[epsgFromPrj]] round-trips exactly; the names
@@ -425,6 +513,18 @@ object Crs {
           "PARAMETER[\"Standard_Parallel_2\",65.0]," +
           "PARAMETER[\"Latitude_Of_Origin\",52.0]," +
           """UNIT["Meter",1.0],AUTHORITY["EPSG","3034"]]"""
+      case u if NtfZones.contains(u) =>
+        val zone = Seq("I", "II", "III", "IV")((u % 10) - 1)
+        val p = NtfZones(u)
+        s"""PROJCS["NTF_Paris_Lambert_Zone_$zone",GEOGCS["GCS_NTF_Paris",""" +
+          "DATUM[\"D_NTF\",SPHEROID[\"Clarke_1880_IGN\",6378249.2,293.4660212936265]]," +
+          "PRIMEM[\"Paris\",2.337229166666667]," +
+          "UNIT[\"Degree\",0.0174532925199433]]," +
+          "PROJECTION[\"Lambert_Conformal_Conic\"]," +
+          s"""PARAMETER["False_Easting",${p.fe}],""" +
+          s"""PARAMETER["False_Northing",${p.fnn}],""" +
+          "PARAMETER[\"Central_Meridian\",0.0]," +
+          s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$u"]]"""
       case u if u >= 31466 && u <= 31469 =>
         val z = u - 31464
         s"""PROJCS["DHDN_3_Degree_Gauss_Zone_$z",GEOGCS["GCS_Deutsches_Hauptdreiecksnetz",""" +
@@ -501,6 +601,14 @@ object Crs {
               up.contains("HAUPTDREIECKSNETZ"))) {
             val z = gauss.get.group(1).toInt
             if (z >= 2 && z <= 5) Some(31464 + z) else None
+          } else if (up.contains("NTF") && up.contains("LAMBERT")) {
+            // ESRI NTF_Paris_Lambert_Zone_II etc. → the carto variants
+            // (the false-northing family French national data ships in)
+            """ZONE_(IV|III|II|I)""".r.findFirstMatchIn(up).map(_.group(1))
+              .map {
+                case "I" => 27571; case "II" => 27572
+                case "III" => 27573; case _ => 27574
+              }
           } else None
       }
     } else if (up.startsWith("GEOGCS")) {

@@ -361,7 +361,12 @@ object Dedup {
         TextFns.wordShingles(col(textCol), shingleN).as("shingles"))
       .withColumn("ib", pmod(col("doc_id"), lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/docs")
-    val back = spark.read.parquet(s"$path/docs")
+    // an all-empty corpus writes no part files and the derived re-read has
+    // no schema to infer — refuse loudly like TextIndex.write does
+    val back = try spark.read.parquet(s"$path/docs")
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          "refusing to index an empty corpus (no documents written)", e) }
     back.select(col("doc_id"),
         explode(TextFns.minhashBandsUdf(bands, k / bands)(col("sig"))).as("key"))
       .distinct() // mirror minhashCandidatePairs' collect_set membership
@@ -373,12 +378,73 @@ object Dedup {
       .write.mode("overwrite").partitionBy("hb").parquet(s"$path/hashes")
     val stats = back.agg(coalesce(max(col("doc_id")), lit(Long.MinValue)).as("maxId"),
       count(lit(1)).as("n")).head()
+    require(stats.getLong(1) > 0, "refusing to index an empty corpus")
+    writeIndexMeta(spark, path, shingleN, k, bands, nBuckets,
+      stats.getLong(0), stats.getLong(1))
+  }
+
+  private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, shingleN: Int, k: Int, bands: Int, nBuckets: Int,
+      maxId: Long, nDocs: Long): Unit = {
     val sidecar = s"""{"shingleN":$shingleN,"k":$k,"bands":$bands,""" +
-      s""""nBuckets":$nBuckets,"maxId":${stats.getLong(0)},"nDocs":${stats.getLong(1)}}"""
+      s""""nBuckets":$nBuckets,"maxId":$maxId,"nDocs":$nDocs}"""
     val p = new org.apache.hadoop.fs.Path(path, "_dedup_index_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(sidecar.getBytes("UTF-8")) finally os.close()
+  }
+
+  /** Append the already-deduplicated SURVIVORS of an ingestion batch
+    * (the output of [[dedupIncrementalIndexed]]) to an existing
+    * signature index — the post-probe step that makes the index the
+    * corpus' rolling identity: the next batch probes existing ∪ survivors
+    * with no rebuild. Survivor ids must continue the monotone sequence
+    * (checked against the index meta); the three relations append into
+    * the same partition scheme and the meta's maxId/nDocs update LAST,
+    * so a crash mid-append leaves a probe-consistent index whose meta
+    * simply under-reports maxId (re-appending the same batch then fails
+    * the monotone check instead of silently double-inserting — rebuild
+    * with [[writeSignatureIndex]] to recover).
+    */
+  def appendToSignatureIndex(survivors: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val spark = survivors.sparkSession
+    require(survivors.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"appendToSignatureIndex requires a numeric id column: $idCol is " +
+        survivors.schema(idCol).dataType.simpleString)
+    val m = readIndexMeta(spark, path)
+    val nB = m.nBuckets.toLong
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    // the batch is small by contract — one tokenizing pass, materialized,
+    // feeds all three appends + the stats check
+    val enriched = survivors.select(col(idCol).cast("long").as("doc_id"),
+        md5(norm).as("content_hash"),
+        TextFns.minhashSigUdf(m.shingleN, m.k)(
+          TextFns.tokens(lower(col(textCol)))).as("sig"),
+        TextFns.wordShingles(col(textCol), m.shingleN).as("shingles"))
+      .localCheckpoint(true)
+    val s = enriched.agg(min(col("doc_id")), max(col("doc_id")),
+      sum(when(col("doc_id").isNull, 1).otherwise(0)), count(lit(1))).head()
+    if (s.getLong(3) == 0) return // empty batch: nothing to append
+    require(s.getLong(2) == 0L,
+      s"appendToSignatureIndex requires numeric ids: ${s.getLong(2)} cast to null")
+    require(s.getLong(0) > m.maxId,
+      s"appendToSignatureIndex requires monotone ids: index maxId=${m.maxId} " +
+        s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
+    enriched.withColumn("ib", pmod(col("doc_id"), lit(nB)))
+      .write.mode("append").partitionBy("ib").parquet(s"$path/docs")
+    enriched.select(col("doc_id"),
+        explode(TextFns.minhashBandsUdf(m.bands, m.k / m.bands)(col("sig"))).as("key"))
+      .distinct()
+      .withColumn("kb", pmod(col("key"), lit(nB)))
+      .write.mode("append").partitionBy("kb").parquet(s"$path/postings")
+    enriched.filter(col("content_hash").isNotNull)
+      .select(col("content_hash"), col("doc_id"))
+      .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nB)))
+      .write.mode("append").partitionBy("hb").parquet(s"$path/hashes")
+    writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
+      s.getLong(1), m.nDocs + s.getLong(3))
   }
 
   private case class SigIndexMeta(shingleN: Int, k: Int, bands: Int,

@@ -69,9 +69,46 @@ class CrsSpec extends AnyFunSuite {
   }
 
   test("unsupported CRS fails loudly") {
-    // Lambert zone II (27572): legacy French, NTF datum — still unsupported
-    intercept[IllegalArgumentException] { Crs.toWgs84(27572, 0, 0) }
-    intercept[IllegalArgumentException] { Crs.fromWgs84(27572, 0, 0) }
+    // Swiss LV03 (21781, oblique Mercator) — genuinely unsupported
+    intercept[IllegalArgumentException] { Crs.toWgs84(21781, 0, 0) }
+    intercept[IllegalArgumentException] { Crs.fromWgs84(21781, 0, 0) }
+  }
+
+  test("NTF Lambert zones: round trips, zone structure, Paris meridian") {
+    // round trips over France through the full Clarke-1880-IGN + 3-param
+    // datum chain (translation is exactly invertible → tight bound)
+    for (lon <- Seq(-2.0, 0.5, 2.34, 5.5, 7.0); lat <- Seq(43.5, 45.0, 46.8, 48.9)) {
+      val (x, y) = Crs.fromWgs84(27572, lon, lat)
+      val (lo, la) = Crs.toWgs84(27572, x, y)
+      // 1e-8 deg ≈ 1 mm: the fixed-point geodetic-latitude iteration floor
+      assert(math.abs(lo - lon) < 1e-8 && math.abs(la - lat) < 1e-8,
+        s"27572 round trip ($lon, $lat) -> ($lo, $la)")
+    }
+    // the carto variant differs from the base zone by EXACTLY the
+    // false-northing offset — same cone, same datum, same meridian
+    val (e2a, n2a) = Crs.fromWgs84(27562, 2.5, 46.5)
+    val (e2b, n2b) = Crs.fromWgs84(27572, 2.5, 46.5)
+    assert(math.abs(e2a - e2b) < 1e-9 && math.abs((n2b - n2a) - 2000000.0) < 1e-9)
+    // natural origin: inverse of the false origin lands near (Paris
+    // meridian, lat0) — displaced by the REAL ~100 m datum shift, so
+    // close but not equal
+    val (lo0, la0) = Crs.toWgs84(27572, 600000.0, 2200000.0)
+    val paris = 2.0 + 20.0 / 60 + 14.025 / 3600
+    assert(math.abs(lo0 - paris) < 0.01 && math.abs(la0 - 46.8) < 0.01,
+      s"origin inverse ($lo0, $la0)")
+    assert(math.abs(lo0 - paris) > 1e-5 || math.abs(la0 - 46.8) > 1e-5,
+      "datum shift must actually displace the origin")
+    // gross-error sanity: central Paris in Lambert II étendu is ~(602 km,
+    // 2429 km) — wrong meridian/FN/k0 families all miss by far more
+    val (px, py) = Crs.fromWgs84(27572, 2.3522, 48.8566)
+    assert(math.abs(px - 602000) < 5000 && math.abs(py - 2429000) < 5000,
+      s"Paris -> ($px, $py)")
+    // .prj round trip + ESRI name heuristic
+    for (code <- Seq(27561, 27564, 27572))
+      assert(Crs.epsgFromPrj(Crs.prjWkt(code)) == Some(code), s"EPSG:$code")
+    assert(Crs.epsgFromPrj(
+      """PROJCS["NTF_Paris_Lambert_Zone_II",GEOGCS["GCS_NTF_Paris"]]""")
+      == Some(27572))
   }
 
   test("UTM: central meridian and equator anchor the grid exactly") {
@@ -307,8 +344,8 @@ class CrsSpec extends AnyFunSuite {
       """PROJCS["DHDN_3_Degree_Gauss_Zone_3",GEOGCS["GCS_Deutsches_Hauptdreiecksnetz"]]""")
       == Some(31467))
     // unknown codes still refuse loudly by name
-    val e = intercept[IllegalArgumentException] { Crs.toWgs84(27572, 600000, 200000) }
-    assert(e.getMessage.contains("27572"))
+    val e = intercept[IllegalArgumentException] { Crs.toWgs84(21781, 600000, 200000) }
+    assert(e.getMessage.contains("21781"))
   }
 
   test("wktTransformToWgs84 transforms bare-decimal-point coordinates") {

@@ -246,6 +246,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"tight cap must suppress removals: cap4=${bySetting(0)} cap1000=${bySetting(1)}")
   }
 
+  test("appendToSignatureIndex: rolling index equals a rebuilt one") {
+    val (existing, batch1) = indexFixture
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx5")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val surv1 = Dedup.dedupIncrementalIndexed(batch1, idx, "doc_id", "text",
+      threshold = 0.6)
+    Dedup.appendToSignatureIndex(surv1, "doc_id", "text", idx)
+    // batch2: copy of a batch1 survivor (dropped), near-dup of a batch1
+    // survivor (dropped), fresh (kept)
+    val batch2 = Seq(
+      (20L, "entirely novel content nothing like the corpus at all today"),
+      (21L, "entirely novel content nothing like the corpus at all  TODAY"),
+      (22L, "genuinely brand new material for the second ingestion wave"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupIncrementalIndexed(batch2, idx, "doc_id", "text",
+      threshold = 0.6).select("doc_id").as[Long].collect().toSet
+    // union-path truth over existing ∪ batch1 survivors
+    val expect = Dedup.dedupIncremental(existing.unionByName(surv1), batch2,
+      "doc_id", "text", threshold = 0.6, shingleN = 2, k = 16, bands = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect, s"rolling $got != rebuilt-union $expect")
+    assert(got == Set(22L), s"got $got")
+    // non-monotone append refuses
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendToSignatureIndex(
+        Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", idx)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+  }
+
+  test("writeSignatureIndex refuses an empty corpus") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx6")
+      .resolve("idx").toString
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.writeSignatureIndex(empty, "doc_id", "text", idx,
+        shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+  }
+
   test("connectedComponentsStar ≡ min-label propagation on random/deep graphs") {
     val rnd = new scala.util.Random(42)
     def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
