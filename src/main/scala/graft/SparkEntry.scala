@@ -1147,6 +1147,47 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Rolling-index incremental dedup: probe wave 1 through the persisted
+    // index, APPEND its survivors (appendToSignatureIndex), then probe a
+    // second wave whose dups target the APPENDED docs — exact copies and
+    // first-word-stripped near-dups of wave-1's fresh survivors (droppable
+    // only because the append made the index the corpus' rolling identity)
+    // plus genuinely new docs (kept). Output = wave-2 survivors only.
+    "q96_dedup_rolling" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val o = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+      def freshText(idc: org.apache.spark.sql.Column) = format_string(
+        "fresh alpha %d beta %d gamma delta epsilon", idc, idc * 7)
+      val wave1 = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(o + 1)).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + lit(2 * o + 2)).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(3 * o + 3)).as("doc_id"),
+            freshText(col("doc_id")).as("text")))
+      val wave2 = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(4 * o + 4)).as("doc_id"),
+          freshText(col("doc_id")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(5 * o + 5)).as("doc_id"),
+            regexp_replace(freshText(col("doc_id")), "^\\S+\\s*", "").as("text")))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + lit(6 * o + 6)).as("doc_id"),
+            format_string("second wave zeta %d eta %d theta iota kappa",
+              col("doc_id"), col("doc_id") * 3).as("text")))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ridx")
+        .resolve("idx").toString
+      Dedup.writeSignatureIndex(docs, "doc_id", "text", idx,
+        shingleN = 2, k = 16, bands = 4, nBuckets = 16)
+      val surv1 = Dedup.dedupIncrementalIndexed(wave1, idx, "doc_id", "text",
+        threshold = 0.6)
+      Dedup.appendToSignatureIndex(surv1, "doc_id", "text", idx)
+      Dedup.dedupIncrementalIndexed(wave2, idx, "doc_id", "text",
+          threshold = 0.6)
+        .select(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup detection via RP-LSH buckets (planted
     // duplicates guarantee yield; rows-only: bucket hashing engine-native).
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -1307,10 +1348,57 @@ object SparkEntry {
     * q90 (union path) and q93 (persisted-signature-index path) — both
     * must produce the identical survivor set.
     */
-  private val IncrementalDedupOracleSql: String =
-    """WITH base AS (SELECT doc_id, text FROM documents),
-      |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
-      |all_docs AS (
+  /** One full dedup "pass" as a reusable CTE chain over `src` (a CTE of
+    * (doc_id, text)), name-suffixed with `sfx` so two passes compose in a
+    * single statement (q96). Mirrors Dedup.dedupCorpus exactly:
+    * exact-hash min-id keep, the engine's minhash arithmetic, banded LSH
+    * with the 2..1000 combined bucket cap, bigram-Jaccard ≥ 0.6 removal
+    * of the larger id. Ends with `out$sfx` = surviving (doc_id, text).
+    */
+  private def dedupPassSql(sfx: String, src: String): String =
+    raw"""keep$sfx AS (
+      |  SELECT min(doc_id) AS doc_id FROM $src WHERE text IS NOT NULL
+      |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+      |  UNION ALL SELECT doc_id FROM $src WHERE text IS NULL),
+      |surv$sfx AS (SELECT a.doc_id, a.text FROM $src a JOIN keep$sfx k ON k.doc_id = a.doc_id),
+      |tk$sfx AS (SELECT doc_id,
+      |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+      |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+      |  FROM surv$sfx),
+      |sh$sfx AS (SELECT doc_id,
+      |  CASE WHEN len(w) = 0 THEN ['']
+      |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+      |       ELSE list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1]) END AS sh
+      |  FROM tk$sfx),
+      |h$sfx AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
+      |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(s, '.'),
+      |      c -> ascii(c)::BIGINT)),
+      |    (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs FROM sh$sfx),
+      |sig$sfx AS (SELECT doc_id, i,
+      |  list_min(list_transform(hs, v ->
+      |    (((2 * i + 1) * 104729) % 1000000007 * v + (i * 12582917 + 7)) % 1000000007)) AS mh
+      |  FROM h$sfx CROSS JOIN range(16) t(i)),
+      |band$sfx AS (SELECT doc_id, i // 4 AS b, string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
+      |  FROM sig$sfx GROUP BY doc_id, i // 4),
+      |ok$sfx AS (SELECT b, key FROM band$sfx GROUP BY b, key
+      |  HAVING count(*) BETWEEN 2 AND 1000),
+      |pairs$sfx AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |  FROM band$sfx x JOIN band$sfx y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+      |  JOIN ok$sfx ON ok$sfx.b = x.b AND ok$sfx.key = x.key),
+      |ws$sfx AS (SELECT s.doc_id,
+      |  CASE WHEN d.text IS NULL THEN NULL ELSE list_distinct(s.sh) END AS ws
+      |  FROM sh$sfx s JOIN surv$sfx d ON d.doc_id = s.doc_id),
+      |jc$sfx AS (SELECT p.id1, p.id2,
+      |  len(list_intersect(x.ws, y.ws)) AS i2,
+      |  len(list_distinct(list_concat(x.ws, y.ws))) AS u2
+      |  FROM pairs$sfx p JOIN ws$sfx x ON x.doc_id = p.id1 JOIN ws$sfx y ON y.doc_id = p.id2),
+      |removed$sfx AS (SELECT DISTINCT id2 FROM jc$sfx WHERE i2 * 1.0 / u2 >= 0.6),
+      |out$sfx AS (SELECT s.doc_id, s.text FROM surv$sfx s
+      |  WHERE NOT EXISTS (SELECT 1 FROM removed$sfx r WHERE r.id2 = s.doc_id))""".stripMargin
+
+  /** q90/q93's three planted ingestion waves over `documents`. */
+  private val PlantedWavesSql: String =
+    raw"""all_docs AS (
       |  SELECT doc_id, text FROM base
       |  UNION ALL
       |  SELECT doc_id + o + 1, text FROM base, off WHERE doc_id % 11 = 0
@@ -1320,47 +1408,48 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT doc_id + 3 * o + 3, 'fresh alpha ' || doc_id || ' beta ' ||
       |    (doc_id * 7) || ' gamma delta epsilon'
-      |  FROM base, off WHERE doc_id % 17 = 0),
-      |keep AS (
-      |  SELECT min(doc_id) AS doc_id FROM all_docs WHERE text IS NOT NULL
-      |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-      |  UNION ALL SELECT doc_id FROM all_docs WHERE text IS NULL),
-      |surv AS (SELECT a.doc_id, a.text FROM all_docs a JOIN keep k ON k.doc_id = a.doc_id),
-      |tk AS (SELECT doc_id,
-      |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
-      |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
-      |  FROM surv),
-      |sh AS (SELECT doc_id,
-      |  CASE WHEN len(w) = 0 THEN ['']
-      |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-      |       ELSE list_transform(range(1, len(w)), j -> w[j] || ' ' || w[j+1]) END AS sh
-      |  FROM tk),
-      |h AS (SELECT doc_id, list_transform(sh, s -> list_reduce(
-      |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(s, '.'),
-      |      c -> ascii(c)::BIGINT)),
-      |    (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS hs FROM sh),
-      |sig AS (SELECT doc_id, i,
-      |  list_min(list_transform(hs, v ->
-      |    (((2 * i + 1) * 104729) % 1000000007 * v + (i * 12582917 + 7)) % 1000000007)) AS mh
-      |  FROM h CROSS JOIN range(16) t(i)),
-      |band AS (SELECT doc_id, i // 4 AS b, string_agg(mh::VARCHAR, ',' ORDER BY i) AS key
-      |  FROM sig GROUP BY doc_id, i // 4),
-      |ok AS (SELECT b, key FROM band GROUP BY b, key
-      |  HAVING count(*) BETWEEN 2 AND 1000),
-      |pairs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-      |  FROM band x JOIN band y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
-      |  JOIN ok ON ok.b = x.b AND ok.key = x.key),
-      |ws AS (SELECT s.doc_id,
-      |  CASE WHEN d.text IS NULL THEN NULL ELSE list_distinct(s.sh) END AS ws
-      |  FROM sh s JOIN surv d ON d.doc_id = s.doc_id),
-      |jc AS (SELECT p.id1, p.id2,
-      |  len(list_intersect(x.ws, y.ws)) AS i2,
-      |  len(list_distinct(list_concat(x.ws, y.ws))) AS u2
-      |  FROM pairs p JOIN ws x ON x.doc_id = p.id1 JOIN ws y ON y.doc_id = p.id2),
-      |removed AS (SELECT DISTINCT id2 FROM jc WHERE i2 * 1.0 / u2 >= 0.6)
-      |SELECT doc_id FROM surv s, off
-      |WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.id2 = s.doc_id)
-      |  AND s.doc_id > off.o""".stripMargin
+      |  FROM base, off WHERE doc_id % 17 = 0)""".stripMargin
+
+  private val IncrementalDedupOracleSql: String =
+    raw"""WITH base AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
+      |$PlantedWavesSql,
+      |${dedupPassSql("", "all_docs")}
+      |SELECT doc_id FROM out s, off WHERE s.doc_id > off.o""".stripMargin
+
+  /** Rolling-index oracle (q96): pass 1 replays q90 over base ∪ wave-1;
+    * `rolled` is then exactly what the signature index holds after
+    * appendToSignatureIndex — ALL of base plus wave-1's surviving
+    * INCOMING docs; pass 2 dedups wave 2 against that relation. Wave 2
+    * plants exact copies and first-word-stripped near-dups of wave-1's
+    * fresh survivors — only the APPENDED part of the index can drop
+    * them — plus genuinely new docs (kept).
+    */
+  private val RollingDedupOracleSql: String =
+    raw"""WITH base AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
+      |$PlantedWavesSql,
+      |${dedupPassSql("", "all_docs")},
+      |rolled AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT s.doc_id, s.text FROM out s, off WHERE s.doc_id > off.o),
+      |all2 AS (
+      |  SELECT doc_id, text FROM rolled
+      |  UNION ALL
+      |  SELECT doc_id + 4 * o + 4, 'fresh alpha ' || doc_id || ' beta ' ||
+      |    (doc_id * 7) || ' gamma delta epsilon'
+      |  FROM base, off WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 5 * o + 5, regexp_replace('fresh alpha ' || doc_id ||
+      |    ' beta ' || (doc_id * 7) || ' gamma delta epsilon', '^\S+\s*', '')
+      |  FROM base, off WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 6 * o + 6, 'second wave zeta ' || doc_id || ' eta ' ||
+      |    (doc_id * 3) || ' theta iota kappa'
+      |  FROM base, off WHERE doc_id % 19 = 0),
+      |${dedupPassSql("2", "all2")}
+      |SELECT doc_id FROM out2 s, off WHERE s.doc_id > 4 * off.o + 3""".stripMargin
 
   private val Bm25OracleSql: String =
     """WITH base AS (
@@ -1860,6 +1949,7 @@ object SparkEntry {
     // same oracle as q90: the persisted-signature-index path must
     // reproduce the union-path incremental dedup exactly
     "q93_dedup_index" -> IncrementalDedupOracleSql,
+    "q96_dedup_rolling" -> RollingDedupOracleSql,
 
     // Misra-Gries inclusion guarantee: the provably-heavy token set
     // (exact count > N/31 per lang, k=30 counters) with exact counts.
