@@ -675,6 +675,33 @@ object SparkEntry {
             "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
     }),
 
+    // Swiss LV95 (EPSG:2056, CH1903+ oblique Mercator) write→read→auto-
+    // reproject round trip — the first CRS chain through a geocentric
+    // DATUM BRIDGE in the gate (Bessel ↔ WGS84, swisstopo translation).
+    // The bridge's fixed-point floor is ~2e-8 deg, two orders under the
+    // 6-dp rounding, so the oracle is the regenerated input points; the
+    // projection itself is anchored in CrsSpec against swisstopo's
+    // independent approximate polynomials.
+    "q97_swiss_prj_roundtrip" -> ((s, dir) => {
+      import graft.geo.CrsFns
+      val pts = t(s, dir, "supplier").select(col("s_suppkey"),
+        (lit(6.0) + (col("s_suppkey") % 100) * 0.04).as("lon"),
+        (lit(45.9) + (col("s_suppkey") % 73) * 0.03).as("lat"))
+      val lv = pts.select(col("s_suppkey"),
+        format_string("POINT (%s %s)",
+          CrsFns.toX(lit(2056), col("lon"), col("lat")),
+          CrsFns.toY(lit(2056), col("lon"), col("lat"))).as("geometry"))
+      val base = java.nio.file.Files.createTempDirectory("graft_lv95")
+        .resolve("pts2056").toString
+      graft.sources.Shapefile.write(lv, "geometry", base, epsg = Some(2056))
+      graft.sources.Shapefile.read(s, base) // auto-reprojects via .prj
+        .select(col("s_suppkey"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 1).cast("double"), 6).as("lon"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
+    }),
+
     // Ellipsoidal geodesic distance (Vincenty inverse on WGS-84) — the
     // reference's geopy geodesic (lib/generate_intermediate_files.py:
     // 496-501). Closed-form European point pairs; the oracle unrolls the
@@ -2154,6 +2181,12 @@ object SparkEntry {
       """SELECT s_suppkey,
         |  round(-4.0 + (s_suppkey % 100) * 0.12, 6) AS lon,
         |  round(41.5 + (s_suppkey % 73) * 0.13, 6) AS lat
+        |FROM supplier""".stripMargin,
+
+    "q97_swiss_prj_roundtrip" ->
+      """SELECT s_suppkey,
+        |  round(6.0 + (s_suppkey % 100) * 0.04, 6) AS lon,
+        |  round(45.9 + (s_suppkey % 73) * 0.03, 6) AS lat
         |FROM supplier""".stripMargin,
 
     "q67_shp_roundtrip" ->

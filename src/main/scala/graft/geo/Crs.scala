@@ -15,6 +15,11 @@ package graft.geo
   *    datasets actually ship in). Krüger 6th-order flattening series
   *    (Karney 2011's formulation — nanometer-level on the ellipsoid,
   *    far inside the double-rounding noise).
+  *  - EPSG:2154/3034 Lambert conformal conic; EPSG:27561-64/27571-74
+  *    legacy French NTF Lambert (Clarke 1880 IGN, Paris meridian);
+  *    EPSG:31466-69 Gauss-Krüger (Bessel, DHDN Helmert bridge);
+  *    EPSG:21781/2056 Swiss LV03/LV95 (Rosenmund oblique Mercator,
+  *    CH1903 geocentric bridge).
   *
   * Pure-scalar kernels (serializable, deterministic); column-level entry
   * points in [[CrsFns]]. Everything downstream (spatial joins, areas,
@@ -371,6 +376,84 @@ object Crs {
     xyzToGeod(BesselA, BesselE2, x, y, z)
   }
 
+  // ---- Swiss CH1903/LV03 (EPSG:21781) and CH1903+/LV95 (EPSG:2056) ----
+
+  /** Swiss oblique Mercator (Rosenmund 1903), the swisstopo rigorous
+    * "double projection": Bessel 1841 → conformal sphere (Gauss), sphere
+    * rotated so the Bern fundamental point (46°57′08.66″N,
+    * 7°26′22.50″E) sits on the pseudo-equator, then equatorial Mercator.
+    * LV03 (EPSG:21781) adds false origin 600000/200000; LV95 (EPSG:2056)
+    * is the SAME projection at 2600000/1200000 on CH1903+ — a datum
+    * DEFINED by the one swisstopo geocentric translation this kernel
+    * applies (+674.374, +15.056, +405.346 m), so a single bridge serves
+    * both (~1–2 m class over Switzerland, the non-grid shift GDAL uses).
+    */
+  private object Swiss {
+    private val e = math.sqrt(BesselE2)
+    private val phi0 = math.toRadians(46.0 + 57.0 / 60 + 8.66 / 3600)
+    private val lam0 = math.toRadians(7.0 + 26.0 / 60 + 22.50 / 3600)
+    private val c0 = math.cos(phi0)
+    private val s0 = math.sin(phi0)
+    private val alpha =
+      math.sqrt(1 + BesselE2 / (1 - BesselE2) * c0 * c0 * c0 * c0)
+    private val rSph = BesselA * math.sqrt(1 - BesselE2) / (1 - BesselE2 * s0 * s0)
+    private val b0 = math.asin(s0 / alpha)
+    private val sb0 = math.sin(b0)
+    private val cb0 = math.cos(b0)
+    private val bigK = math.log(math.tan(math.Pi / 4 + b0 / 2)) -
+      alpha * math.log(math.tan(math.Pi / 4 + phi0 / 2)) +
+      alpha * e / 2 * math.log((1 + e * s0) / (1 - e * s0))
+
+    /** CH1903 geographic degrees → projected (E, N) about the 0/0 origin
+      * (caller adds the LV03/LV95 false origin).
+      */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sp = math.sin(phi)
+      val sBig = alpha * math.log(math.tan(math.Pi / 4 + phi / 2)) -
+        alpha * e / 2 * math.log((1 + e * sp) / (1 - e * sp)) + bigK
+      val b = 2 * math.atan(math.exp(sBig)) - math.Pi / 2
+      val l = alpha * (math.toRadians(lonDeg) - lam0)
+      val sb = math.sin(b); val cb = math.cos(b); val cl = math.cos(l)
+      val sbb = cb0 * sb - sb0 * cb * cl
+      val lbar = math.atan2(cb * math.sin(l), cb0 * cb * cl + sb0 * sb)
+      (rSph * lbar, rSph / 2 * math.log((1 + sbb) / (1 - sbb)))
+    }
+
+    /** Projected (E, N) about the 0/0 origin → CH1903 geographic degrees. */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val lbar = x / rSph
+      val bbar = 2 * math.atan(math.exp(y / rSph)) - math.Pi / 2
+      val sb = math.sin(bbar); val cb = math.cos(bbar); val cl = math.cos(lbar)
+      val b = math.asin(cb0 * sb + sb0 * cb * cl)
+      val l = math.atan2(cb * math.sin(lbar), cb0 * cb * cl - sb0 * sb)
+      val sBig = math.log(math.tan(math.Pi / 4 + b / 2))
+      var phi = b
+      var i = 0
+      while (i < 10) {
+        val sp = math.sin(phi)
+        phi = 2 * math.atan(math.exp((sBig - bigK) / alpha +
+          e / 2 * math.log((1 + e * sp) / (1 - e * sp)))) - math.Pi / 2
+        i += 1
+      }
+      (math.toDegrees(lam0 + l / alpha), math.toDegrees(phi))
+    }
+  }
+
+  /** LV03/LV95 false origins keyed by EPSG. */
+  private val SwissOrigins: Map[Int, (Double, Double)] =
+    Map(21781 -> (600000.0, 200000.0), 2056 -> (2600000.0, 1200000.0))
+
+  private def ch1903ToWgs84(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = geodToXyz(BesselA, BesselE2, lon, lat)
+    xyzToGeod(A, Wgs84E2, x + 674.374, y + 15.056, z + 405.346)
+  }
+
+  private def wgs84ToCh1903(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = geodToXyz(A, Wgs84E2, lon, lat)
+    xyzToGeod(BesselA, BesselE2, x - 674.374, y - 15.056, z - 405.346)
+  }
+
   /** (x, y) in `epsg` → (lon, lat) degrees. */
   def toWgs84(epsg: Int, x: Double, y: Double): (Double, Double) = epsg match {
     case Wgs84 => (x, y)
@@ -385,6 +468,10 @@ object Crs {
       val (lonB, latB) = tmInverse(tmBessel, gkLon0(u), 0.0, x, y,
         k0 = 1.0, fe = gkFe(u))
       dhdnToWgs84(lonB, latB)
+    case u if SwissOrigins.contains(u) =>
+      val (fe, fn) = SwissOrigins(u)
+      val (lonC, latC) = Swiss.inverse(x - fe, y - fn)
+      ch1903ToWgs84(lonC, latC)
     case WebMercator =>
       (math.toDegrees(x / A),
         math.toDegrees(2 * math.atan(math.exp(y / A)) - math.Pi / 2))
@@ -403,7 +490,8 @@ object Crs {
       }
     case other => throw new IllegalArgumentException(
       s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 3035, " +
-        "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69)")
+        "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69, " +
+        "NTF Lambert 2756x/2757x, Swiss 21781/2056)")
   }
 
   /** (lon, lat) degrees → (x, y) in `epsg`. */
@@ -419,6 +507,11 @@ object Crs {
     case u if u >= 31466 && u <= 31469 =>
       val (lonB, latB) = wgs84ToDhdn(lon, lat)
       tmForward(tmBessel, gkLon0(u), 0.0, lonB, latB, k0 = 1.0, fe = gkFe(u))
+    case u if SwissOrigins.contains(u) =>
+      val (fe, fn) = SwissOrigins(u)
+      val (lonC, latC) = wgs84ToCh1903(lon, lat)
+      val (xs, ys) = Swiss.forward(lonC, latC)
+      (xs + fe, ys + fn)
     case WebMercator =>
       val phi = math.toRadians(lat)
       (A * math.toRadians(lon), A * math.log(math.tan(math.Pi / 4 + phi / 2)))
@@ -433,7 +526,8 @@ object Crs {
           math.sin(Beta1) * math.cos(beta) * math.cos(dl)))
     case other => throw new IllegalArgumentException(
       s"unsupported target CRS EPSG:$other (supported: 4326, 3857, 3035, " +
-        "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69)")
+        "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69, " +
+        "NTF Lambert 2756x/2757x, Swiss 21781/2056)")
   }
 
   /** Latitude from authalic q by Newton iteration (Snyder eq. 3-16). */
@@ -456,7 +550,8 @@ object Crs {
   def isSupported(epsg: Int): Boolean =
     epsg == Wgs84 || epsg == WebMercator || epsg == EtrsLaea ||
       utmParams(epsg).isDefined || LccCodes.contains(epsg) ||
-      (epsg >= 31466 && epsg <= 31469) || NtfZones.contains(epsg)
+      (epsg >= 31466 && epsg <= 31469) || NtfZones.contains(epsg) ||
+      SwissOrigins.contains(epsg)
 
   /** ESRI-style `.prj` WKT1 for a supported EPSG code. Carries an explicit
     * trailing AUTHORITY so [[epsgFromPrj]] round-trips exactly; the names
@@ -524,6 +619,22 @@ object Crs {
           s"""PARAMETER["False_Easting",${p.fe}],""" +
           s"""PARAMETER["False_Northing",${p.fnn}],""" +
           "PARAMETER[\"Central_Meridian\",0.0]," +
+          s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$u"]]"""
+      case u if SwissOrigins.contains(u) =>
+        val (fe, fn) = SwissOrigins(u)
+        val (name, gcsName, datum) =
+          if (u == 2056) ("CH1903+_LV95", "GCS_CH1903+", "D_CH1903+")
+          else ("CH1903_LV03", "GCS_CH1903", "D_CH1903")
+        s"""PROJCS["$name",GEOGCS["$gcsName",DATUM["$datum",""" +
+          "SPHEROID[\"Bessel_1841\",6377397.155,299.1528128]]," +
+          "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]," +
+          "PROJECTION[\"Hotine_Oblique_Mercator_Azimuth_Center\"]," +
+          s"""PARAMETER["False_Easting",$fe],""" +
+          s"""PARAMETER["False_Northing",$fn],""" +
+          "PARAMETER[\"Scale_Factor\",1.0]," +
+          "PARAMETER[\"Azimuth\",90.0]," +
+          "PARAMETER[\"Longitude_Of_Center\",7.439583333333333]," +
+          "PARAMETER[\"Latitude_Of_Center\",46.95240555555556]," +
           s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$u"]]"""
       case u if u >= 31466 && u <= 31469 =>
         val z = u - 31464
@@ -601,6 +712,11 @@ object Crs {
               up.contains("HAUPTDREIECKSNETZ"))) {
             val z = gauss.get.group(1).toInt
             if (z >= 2 && z <= 5) Some(31464 + z) else None
+          } else if (up.contains("CH1903")) {
+            // ESRI CH1903_LV03 / CH1903+_LV95; the '+' or LV95 marks the
+            // re-referenced datum (same projection, shifted false origin)
+            if (up.contains("CH1903+") || up.contains("LV95")) Some(2056)
+            else Some(21781)
           } else if (up.contains("NTF") && up.contains("LAMBERT")) {
             // ESRI NTF_Paris_Lambert_Zone_II etc. → the carto variants
             // (the false-northing family French national data ships in)

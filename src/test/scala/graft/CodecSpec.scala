@@ -70,9 +70,9 @@ class CodecSpec extends AnyFunSuite {
     val base2 = tmpBase("webm")
     Shapefile.write(df, "geometry", base2)
     Files.writeString(java.nio.file.Paths.get(base2 + ".prj"),
-      """PROJCS["X",GEOGCS["GCS_CH1903"],AUTHORITY["EPSG","21781"]]""")
+      """PROJCS["X",GEOGCS["GCS_S_JTSK"],AUTHORITY["EPSG","5514"]]""")
     val e = intercept[IllegalArgumentException] { Shapefile.read(spark, base2) }
-    assert(e.getMessage.contains("21781"))
+    assert(e.getMessage.contains("5514"))
     // an unrecognized .prj also fails loudly (never silently assume 4326)
     Files.writeString(java.nio.file.Paths.get(base2 + ".prj"),
       """PROJCS["Mystery_Local_Grid",UNIT["Meter",1.0]]""")

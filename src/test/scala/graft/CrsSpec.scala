@@ -69,9 +69,65 @@ class CrsSpec extends AnyFunSuite {
   }
 
   test("unsupported CRS fails loudly") {
-    // Swiss LV03 (21781, oblique Mercator) — genuinely unsupported
-    intercept[IllegalArgumentException] { Crs.toWgs84(21781, 0, 0) }
-    intercept[IllegalArgumentException] { Crs.fromWgs84(21781, 0, 0) }
+    // Czech Krovak (5514, oblique conformal conic) — genuinely unsupported
+    intercept[IllegalArgumentException] { Crs.toWgs84(5514, 0, 0) }
+    intercept[IllegalArgumentException] { Crs.fromWgs84(5514, 0, 0) }
+  }
+
+  test("Swiss LV03/LV95: round trips, origin anchor, Rigi, conformal scale") {
+    // round trips over Switzerland through the full Bessel + 3-param chain
+    for (lon <- Seq(6.1, 7.44, 8.55, 9.8); lat <- Seq(45.9, 46.95, 47.6)) {
+      val (x, y) = Crs.fromWgs84(21781, lon, lat)
+      val (lo, la) = Crs.toWgs84(21781, x, y)
+      // 2e-8 deg ≈ 2 mm: the geodetic-latitude fixed-point floor through
+      // TWO geocentric datum bridges (out and back)
+      assert(math.abs(lo - lon) < 2e-8 && math.abs(la - lat) < 2e-8,
+        s"21781 round trip ($lon, $lat) -> ($lo, $la)")
+    }
+    // the Bern fundamental point is the projection origin: shifting its
+    // CH1903 coordinates to WGS84 and back through fromWgs84 must land on
+    // exactly (600000, 200000) / LV95 (2600000, 1200000)
+    val bern = Crs.toWgs84(21781, 600000.0, 200000.0)
+    val (bx, by) = Crs.fromWgs84(21781, bern._1, bern._2)
+    // 1 cm: two passes through the geocentric bridge's iteration floor
+    assert(math.abs(bx - 600000.0) < 1e-2 && math.abs(by - 200000.0) < 1e-2)
+    val (vx, vy) = Crs.fromWgs84(2056, bern._1, bern._2)
+    assert(math.abs(vx - 2600000.0) < 1e-2 && math.abs(vy - 1200000.0) < 1e-2,
+      s"LV95 is LV03 + (2000000, 1000000): got ($vx, $vy)")
+    // independent anchor: swisstopo's published APPROXIMATE transformation
+    // polynomials (WGS84 → LV03, ~1 m class) — a wholly separate published
+    // derivation that embeds projection AND datum shift, so agreement
+    // within 2 m over the Swiss domain pins both at once
+    def approxLv03(lonW: Double, latW: Double): (Double, Double) = {
+      val p = (latW * 3600 - 169028.66) / 10000
+      val l = (lonW * 3600 - 26782.5) / 10000
+      (600072.37 + 211455.93 * l - 10938.51 * l * p - 0.36 * l * p * p -
+        44.54 * l * l * l,
+        200147.07 + 308807.95 * p + 3745.25 * l * l + 76.63 * p * p -
+          194.56 * l * l * p + 119.79 * p * p * p)
+    }
+    for (lon <- Seq(6.5, 7.44, 8.49, 9.5); lat <- Seq(46.2, 46.95, 47.5)) {
+      val (gx, gy) = Crs.fromWgs84(21781, lon, lat)
+      val (axp, ayp) = approxLv03(lon, lat)
+      assert(math.hypot(gx - axp, gy - ayp) < 2.0,
+        s"rigorous ($gx, $gy) vs swisstopo approx ($axp, $ayp) at ($lon, $lat)")
+    }
+    // conformal + tangent along the pseudo-equator: grid distance near Bern
+    // must match the ellipsoidal geodesic to ~(d/R)²/2 ≈ 5e-6 relative
+    val pA = (7.2, 46.8); val pB = (7.6, 47.1)
+    val (ax, ay) = Crs.fromWgs84(21781, pA._1, pA._2)
+    val (bx2, by2) = Crs.fromWgs84(21781, pB._1, pB._2)
+    val grid = math.hypot(bx2 - ax, by2 - ay)
+    val geo = graft.expr.GeoMath.geodesicKm(pA._2, pA._1, pB._2, pB._1) * 1000.0
+    assert(math.abs(grid - geo) / geo < 2e-5,
+      s"grid $grid vs geodesic $geo")
+    // .prj round trip + ESRI-name detection for both variants
+    assert(Crs.epsgFromPrj(Crs.prjWkt(21781)) == Some(21781))
+    assert(Crs.epsgFromPrj(Crs.prjWkt(2056)) == Some(2056))
+    assert(Crs.epsgFromPrj("""PROJCS["CH1903_LV03",GEOGCS["GCS_CH1903"]]""")
+      == Some(21781))
+    assert(Crs.epsgFromPrj("""PROJCS["CH1903+_LV95",GEOGCS["GCS_CH1903+"]]""")
+      == Some(2056))
   }
 
   test("NTF Lambert zones: round trips, zone structure, Paris meridian") {
@@ -344,8 +400,8 @@ class CrsSpec extends AnyFunSuite {
       """PROJCS["DHDN_3_Degree_Gauss_Zone_3",GEOGCS["GCS_Deutsches_Hauptdreiecksnetz"]]""")
       == Some(31467))
     // unknown codes still refuse loudly by name
-    val e = intercept[IllegalArgumentException] { Crs.toWgs84(21781, 600000, 200000) }
-    assert(e.getMessage.contains("21781"))
+    val e = intercept[IllegalArgumentException] { Crs.toWgs84(5514, 600000, 200000) }
+    assert(e.getMessage.contains("5514"))
   }
 
   test("wktTransformToWgs84 transforms bare-decimal-point coordinates") {
