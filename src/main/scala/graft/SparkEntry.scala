@@ -315,11 +315,11 @@ object SparkEntry {
     // planted pairs while 4-row bands suppress the quadratic noise floor.
     "q25_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      // lazy collision-safe offset: broadcast scalar, no eager action,
-      // empty-table safe via coalesce
-      val off = broadcast(docs.agg(coalesce(max(col("doc_id")), lit(0L)).as("__off")))
-      val planted = docs.filter(col("doc_id") % 50 === 0).crossJoin(off)
-        .select((col("doc_id") + col("__off") + 1).as("doc_id"),
+      // offset as a LITERAL (see q90): collision-safe, empty-table safe,
+      // and the probe's planting costs one tiny plan-build agg
+      val o = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+      val planted = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + lit(o + 1)).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
       Dedup.minhashCandidatePairs(docs.unionByName(planted), "doc_id", "text",
         shingleN = 2, k = 16, bands = 4)
@@ -1111,10 +1111,11 @@ object SparkEntry {
     // engine-native). Survivor count < corpus+planted proves removal.
     "q53_dedup_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      // lazy collision-safe offset (see q25)
-      val off = broadcast(docs.agg(coalesce(max(col("doc_id")), lit(0L)).as("__off")))
-      val planted = docs.filter(col("doc_id") % 25 === 0).crossJoin(off)
-        .select((col("doc_id") + col("__off") + 1).as("doc_id"),
+      // offset as a LITERAL (see q90): one tiny plan-build agg, so the
+      // bench row measures dedupCorpus, not probe construction
+      val o = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+      val planted = docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + lit(o + 1)).as("doc_id"),
           regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
       Dedup.dedupCorpus(docs.unionByName(planted), "doc_id", "text",
           threshold = 0.6, shingleN = 2, k = 16, bands = 4)
@@ -1259,7 +1260,9 @@ object SparkEntry {
         .agg(HeavyHitters.mgSummary(col("token"), 30).as("mg"))
         .select(col("lang"), explode(col("mg")).as(Seq("token", "approx_count")))
       val exact = toks.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
-      val totals = toks.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      // per-lang totals fold over the exact counts — two corpus tokenize
+      // scans (mg + exact), not three
+      val totals = exact.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
       exact.join(totals, Seq("lang")).filter(col("n") * 31 > col("nl"))
         .join(mg, Seq("lang", "token"), "left_semi")
         .select(col("lang"), col("token"), col("n"))

@@ -355,11 +355,17 @@ object Dedup {
     // ONE tokenizing pass over the corpus: hash + signature + shingles
     // computed together, written to docs/; postings and hashes derive from
     // the written parquet (column-pruned re-reads of compact data).
+    // every relation CLUSTERS on its bucket column before the partitioned
+    // write: without it each of the write's input tasks crosses every
+    // bucket directory, emitting tasks×buckets small files — at corpus
+    // scale a million-tiny-file index whose listing alone throttles
+    // probes. Clustered, file count is bounded by the bucket count.
     existing.select(col(idCol).cast("long").as("doc_id"),
         md5(norm).as("content_hash"),
         TextFns.minhashSigUdf(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("sig"),
         TextFns.wordShingles(col(textCol), shingleN).as("shingles"))
       .withColumn("ib", pmod(col("doc_id"), lit(nBuckets.toLong)))
+      .repartition(col("ib"))
       .write.mode("overwrite").partitionBy("ib").parquet(s"$path/docs")
     // an all-empty corpus writes no part files and the derived re-read has
     // no schema to infer — refuse loudly like TextIndex.write does
@@ -371,10 +377,12 @@ object Dedup {
         explode(TextFns.minhashBandsUdf(bands, k / bands)(col("sig"))).as("key"))
       .distinct() // mirror minhashCandidatePairs' collect_set membership
       .withColumn("kb", pmod(col("key"), lit(nBuckets.toLong)))
+      .repartition(col("kb"))
       .write.mode("overwrite").partitionBy("kb").parquet(s"$path/postings")
     back.filter(col("content_hash").isNotNull)
       .select(col("content_hash"), col("doc_id"))
       .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nBuckets.toLong)))
+      .repartition(col("hb"))
       .write.mode("overwrite").partitionBy("hb").parquet(s"$path/hashes")
     val stats = back.agg(coalesce(max(col("doc_id")), lit(Long.MinValue)).as("maxId"),
       count(lit(1)).as("n")).head()
@@ -432,16 +440,21 @@ object Dedup {
     require(s.getLong(0) > m.maxId,
       s"appendToSignatureIndex requires monotone ids: index maxId=${m.maxId} " +
         s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
+    // bucket-clustered appends (see writeSignatureIndex): one file per
+    // touched bucket per batch, not tasks×buckets
     enriched.withColumn("ib", pmod(col("doc_id"), lit(nB)))
+      .repartition(col("ib"))
       .write.mode("append").partitionBy("ib").parquet(s"$path/docs")
     enriched.select(col("doc_id"),
         explode(TextFns.minhashBandsUdf(m.bands, m.k / m.bands)(col("sig"))).as("key"))
       .distinct()
       .withColumn("kb", pmod(col("key"), lit(nB)))
+      .repartition(col("kb"))
       .write.mode("append").partitionBy("kb").parquet(s"$path/postings")
     enriched.filter(col("content_hash").isNotNull)
       .select(col("content_hash"), col("doc_id"))
       .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nB)))
+      .repartition(col("hb"))
       .write.mode("append").partitionBy("hb").parquet(s"$path/hashes")
     writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
       s.getLong(1), m.nDocs + s.getLong(3))

@@ -265,6 +265,9 @@ object Similarity {
     val (assign, bcW) = assignUdf(spark, centroids)
     vecs.filter(col(vecCol).isNotNull)
       .withColumn("__list", assign(col(vecCol).cast("array<double>")))
+      // cluster on the list before the partitioned write: file count
+      // bounded by nLists instead of tasks×nLists
+      .repartition(col("__list"))
       .write.mode("overwrite").partitionBy("__list").parquet(path)
     bcW.unpersist() // write is eager; release the centroid copy now
     val sidecar = centroids.map(_.mkString("[", ",", "]"))

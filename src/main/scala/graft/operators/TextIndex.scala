@@ -45,7 +45,11 @@ object TextIndex {
         .groupBy(col("term"), col("doc_id"), col("dl"))
         .agg(count(lit(1)).as("tf"))
         .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      postings.write.mode("overwrite").partitionBy("bucket").parquet(path)
+      // cluster on the bucket before the partitioned write: file count
+      // bounded by nBuckets instead of tasks×buckets (the small-files
+      // killer at corpus scale)
+      postings.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
       (n0, statsRow.getDouble(1))
     } finally base.unpersist() // even on the empty-corpus refusal
     val sidecar =
