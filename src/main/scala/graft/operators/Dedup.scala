@@ -460,6 +460,46 @@ object Dedup {
       s.getLong(1), m.nDocs + s.getLong(3))
   }
 
+  /** Rewrite a signature index in place so every bucket holds ONE file
+    * again — the maintenance pass for a long-lived rolling index, where
+    * each [[appendToSignatureIndex]] adds a file per touched bucket
+    * (bounded, but after hundreds of daily batches the per-probe open
+    * cost creeps back up). Reads the STORED columns — the corpus text is
+    * neither needed nor available, so compaction costs one index-sized
+    * read+write, not a corpus re-tokenization.
+    *
+    * Staged for crash safety: all three relations rewrite into
+    * `_compact_tmp/` first, then swap in (delete old, rename new) and
+    * re-assert the meta LAST. A crash before the first swap leaves the
+    * live index untouched; a crash mid-swap is detectable (missing
+    * relation dir) and recoverable from `_compact_tmp` or by rebuild.
+    */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val m = readIndexMeta(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = s"$path/_compact_tmp"
+    for (rel <- Seq("docs", "postings", "hashes")) {
+      val bucketCol = rel match {
+        case "docs" => "ib"; case "postings" => "kb"; case _ => "hb"
+      }
+      spark.read.parquet(s"$path/$rel")
+        .repartition(col(bucketCol))
+        .write.mode("overwrite").partitionBy(bucketCol).parquet(s"$tmp/$rel")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    for (rel <- Seq("docs", "postings", "hashes")) {
+      val live = new org.apache.hadoop.fs.Path(path, rel)
+      fs.delete(live, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$rel"), live),
+        s"compactSignatureIndex: rename of $rel failed — recover the " +
+          s"compacted copy from $tmp or rebuild with writeSignatureIndex")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
+      m.maxId, m.nDocs)
+  }
+
   private case class SigIndexMeta(shingleN: Int, k: Int, bands: Int,
     nBuckets: Int, maxId: Long, nDocs: Long)
 

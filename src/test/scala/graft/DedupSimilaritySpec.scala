@@ -278,6 +278,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("monotone"), e.getMessage)
   }
 
+  test("compactSignatureIndex: one file per bucket, probe results unchanged") {
+    val (existing, batch1) = indexFixture
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx7")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val surv1 = Dedup.dedupIncrementalIndexed(batch1, idx, "doc_id", "text",
+      threshold = 0.6)
+    Dedup.appendToSignatureIndex(surv1, "doc_id", "text", idx)
+    val batch2 = Seq(
+      (20L, "entirely novel content nothing like the corpus at all  TODAY"),
+      (21L, "genuinely brand new material for the second ingestion wave"))
+      .toDF("doc_id", "text")
+    def parts(rel: String): Map[String, Int] = {
+      val root = java.nio.file.Paths.get(idx, rel)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+        .map { case (k, v) => (k, v.size) }
+    }
+    // post-append: touched buckets hold 2 files (base + batch)
+    assert(parts("docs").values.max >= 2, s"append should add files: ${parts("docs")}")
+    val before = Dedup.dedupIncrementalIndexed(batch2, idx, "doc_id", "text",
+      threshold = 0.6).select("doc_id").as[Long].collect().toSet
+    Dedup.compactSignatureIndex(spark, idx)
+    for (rel <- Seq("docs", "postings", "hashes"))
+      assert(parts(rel).values.max == 1,
+        s"compaction must leave one file per bucket in $rel: ${parts(rel)}")
+    val after = Dedup.dedupIncrementalIndexed(batch2, idx, "doc_id", "text",
+      threshold = 0.6).select("doc_id").as[Long].collect().toSet
+    assert(after == before && before == Set(21L),
+      s"compaction changed probe results: $before -> $after")
+    // a further append still works against the compacted index
+    Dedup.appendToSignatureIndex(
+      Seq((21L, "genuinely brand new material for the second ingestion wave"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val third = Dedup.dedupIncrementalIndexed(
+      Seq((30L, "genuinely brand new material for the second ingestion wave"))
+        .toDF("doc_id", "text"), idx, "doc_id", "text", threshold = 0.6)
+      .count()
+    assert(third == 0L, "post-compact append must keep deduplicating")
+  }
+
   test("writeSignatureIndex refuses an empty corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sigidx6")
       .resolve("idx").toString
