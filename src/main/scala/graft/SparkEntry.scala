@@ -954,6 +954,31 @@ object SparkEntry {
           col("n_frames"))
     }),
 
+    // REAL video FRAME decode (MJPEG, pure JDK): per-supplier 3-frame
+    // MJPEG AVIs whose solid-gray frames encode (s_suppkey + frame) % 4
+    // on a 64-level grid. The query walks the RIFF movi chunks, ImageIO-
+    // decodes each JPEG frame, and recovers the level from the PIXEL
+    // mean via floor(mean/64) — planted margin 32 vs JPEG error ±2, so
+    // the oracle is exact integer arithmetic. Any break in the chain
+    // (RIFF structure, chunk extraction, JPEG bytes, raster stats)
+    // shifts a level and breaks the hash.
+    "q98_video_frames" -> ((s, dir) => {
+      import graft.multimodal.{Multimodal, VideoContainers}
+      val genMjpeg = udf { (id: Long) =>
+        VideoContainers.synthMjpegAvi(16, 16, rate = 25, scale = 1,
+          grays = Seq.tabulate(3)(i => (32 + 64 * ((id + i) % 4)).toInt))
+      }
+      val media = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("s_suppkey"))
+        .withColumn("media", genMjpeg(col("s_suppkey")))
+      Multimodal.withVideoFrames(media, "media", every = 1)
+        .select(col("s_suppkey"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_width").cast("long").as("frame_width"),
+          col("frame_height").cast("long").as("frame_height"),
+          floor(col("mean_luma") / 64).cast("long").as("gray_level"))
+    }),
+
     // BM25 relevance against a literal probe query — corpus stats as a
     // broadcast 1-row agg, term explode filtered before the shuffle.
     "q75_bm25" -> ((s, dir) => {
@@ -2191,6 +2216,14 @@ object SparkEntry {
         |  round(6.0 + (s_suppkey % 100) * 0.04, 6) AS lon,
         |  round(45.9 + (s_suppkey % 73) * 0.03, 6) AS lat
         |FROM supplier""".stripMargin,
+
+    "q98_video_frames" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+        |  t.i AS frame_idx,
+        |  CAST(16 AS BIGINT) AS frame_width,
+        |  CAST(16 AS BIGINT) AS frame_height,
+        |  (s_suppkey + t.i) % 4 AS gray_level
+        |FROM supplier CROSS JOIN range(3) t(i)""".stripMargin,
 
     "q67_shp_roundtrip" ->
       """SELECT r_name, count(*) AS n_customers

@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * IMAGE decode/resize are REAL: the JDK ships PNG/JPEG/BMP/GIF ImageIO
   * codecs, so [[decodeImage]]/[[resizeImage]] parse and re-encode actual
   * payloads. AUDIO decode is REAL too: `javax.sound.sampled` ships
-  * WAV/AIFF/AU codecs ([[decodeAudio]]). VIDEO codecs are not available
-  * in this environment, so those kernels are DETERMINISTIC FAKES (clearly
-  * marked) — they read real bytes and emit stable pseudo-metadata, which
-  * keeps the Spark-side contract (schema, batching, partition behavior,
-  * null handling) fully real and testable. Swapping in a real codec
-  * changes only the function body, not the pipeline.
+  * WAV/AIFF/AU codecs ([[decodeAudio]]). VIDEO container metadata is REAL
+  * (pure-byte RIFF/ISO-BMFF parsing, [[decodeVideoMeta]]) and FRAME
+  * PIXEL decode is REAL for MJPEG streams, whose frames are standalone
+  * JPEGs ([[decodeMjpegFrames]]). The one remaining FAKE surface is
+  * frame pixels of inter-frame codecs (H.264 etc. — genuinely impossible
+  * without a codec library): [[fakeResize]]/[[sampleFrames]] keep that
+  * contract (schema, batching, partition behavior, null handling) real
+  * and testable, so swapping in a codec changes only a function body.
   */
 object Multimodal {
 
@@ -241,6 +243,62 @@ object Multimodal {
       .withColumn("duration_us", col("__v._5"))
       .withColumn("n_frames", col("__v._6"))
       .drop("__v")
+
+  /** REAL video FRAME decode for MJPEG AVIs, pure JDK: an MJPEG stream's
+    * `movi` chunks are standalone JPEGs and the JDK ships a JPEG codec —
+    * the same no-external-codec trick that made images (q74) and audio
+    * (q84) real, now for moving pictures. Samples every `every`-th frame
+    * (map-side frame-rate downsampling), decodes each to pixels, and
+    * returns (frame_idx, width, height, mean_luma) per sampled frame —
+    * width/height/mean come from the DECODED RASTER, not headers.
+    * Non-AVI or non-JPEG payloads yield an empty array: frame decode for
+    * inter-frame codecs (H.264 etc.) genuinely needs a codec library and
+    * stays out of a pure JVM — container METADATA for those still works
+    * via [[decodeVideoMeta]].
+    */
+  val decodeMjpegFrames = udf { (media: Array[Byte], every: Int) =>
+    if (media == null || media.length < 12 || every <= 0)
+      Array.empty[(Int, Int, Int, Double)]
+    else {
+      val frames = VideoContainers.aviFramePayloads(media)
+      Range(0, frames.length, every).flatMap { i =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(frames(i)))
+          if (img == null) None
+          else {
+            val raster = img.getRaster
+            val bands = raster.getNumBands
+            var sum = 0.0; var n = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                var c = 0
+                while (c < bands) { sum += raster.getSample(x, y, c); c += 1 }
+                n += bands
+                x += 1
+              }
+              y += 1
+            }
+            Some((i, img.getWidth, img.getHeight, if (n == 0) 0.0 else sum / n))
+          }
+        } catch { case _: Exception => None }
+      }.toArray
+    }
+  }
+
+  /** Attach REAL per-frame pixel stats (see [[decodeMjpegFrames]]): one
+    * output row per sampled frame with frame_idx/frame_width/frame_height/
+    * mean_luma columns; payloads with no decodable frames drop out.
+    */
+  def withVideoFrames(df: DataFrame, mediaCol: String, every: Int = 1): DataFrame =
+    df.withColumn("__f", explode(decodeMjpegFrames(col(mediaCol), lit(every))))
+      .withColumn("frame_idx", col("__f._1"))
+      .withColumn("frame_width", col("__f._2"))
+      .withColumn("frame_height", col("__f._3"))
+      .withColumn("mean_luma", col("__f._4"))
+      .drop("__f")
 
   /** Frame sampling (video-as-binary): split the payload into `n` evenly
     * spaced fixed-size chunks — the Spark-side shape of "sample every k-th

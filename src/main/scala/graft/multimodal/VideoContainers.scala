@@ -186,6 +186,94 @@ private[graft] object VideoContainers {
     ftyp ++ moov
   }
 
+  // ------------------------------------------------ MJPEG (frame layer)
+
+  /** One solid-gray frame as a REAL JPEG via the JDK's ImageIO writer, at
+    * explicit high quality so DC quantization error (±2 luma) stays far
+    * inside the 64-level grid the gate query plants on.
+    */
+  def jpegGray(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(gray, gray, gray))
+    g.fillRect(0, 0, width, height)
+    g.dispose()
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.92f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      w.setOutput(ios)
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { ios.close(); w.dispose() }
+    bos.toByteArray
+  }
+
+  /** A REAL MJPEG AVI: [[synthAvi]]'s header structure plus an `strf`
+    * BITMAPINFOHEADER (biCompression 'MJPG') and a `movi` LIST whose
+    * `00dc` chunks are genuine ImageIO JPEGs — frame f solid gray
+    * `grays(f)`. Every layer is real bytes a player would accept: RIFF
+    * structure, MJPG stream headers, JPEG payloads.
+    */
+  def synthMjpegAvi(width: Int, height: Int, rate: Long, scale: Long,
+      grays: Seq[Int]): Array[Byte] = {
+    val usPerFrame = 1000000L * scale / rate
+    val avih = new Array[Byte](56)
+    putU32le(avih, 0, usPerFrame)
+    putU32le(avih, 16, grays.length.toLong)
+    putU32le(avih, 24, 1L) // dwStreams
+    putU32le(avih, 32, width.toLong)
+    putU32le(avih, 36, height.toLong)
+    val strh = new Array[Byte](56)
+    strh(0) = 'v'; strh(1) = 'i'; strh(2) = 'd'; strh(3) = 's'
+    strh(4) = 'M'; strh(5) = 'J'; strh(6) = 'P'; strh(7) = 'G'
+    putU32le(strh, 20, scale)
+    putU32le(strh, 24, rate)
+    putU32le(strh, 32, grays.length.toLong) // dwLength
+    val strf = new Array[Byte](40) // BITMAPINFOHEADER
+    putU32le(strf, 0, 40L)
+    putU32le(strf, 4, width.toLong)
+    putU32le(strf, 8, height.toLong)
+    strf(12) = 1 // biPlanes (u16le)
+    strf(14) = 24 // biBitCount (u16le)
+    strf(16) = 'M'; strf(17) = 'J'; strf(18) = 'P'; strf(19) = 'G'
+    val strl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val hdrl = list("hdrl", chunk("avih", avih) ++ strl)
+    val movi = list("movi",
+      grays.toArray.flatMap(g => chunk("00dc", jpegGray(width, height, g))))
+    chunkLe("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  /** The video frame payloads of an AVI — the `##dc`/`##db` chunks of its
+    * `movi` LIST, in stream order. For an MJPEG stream each payload is a
+    * standalone JPEG.
+    */
+  def aviFramePayloads(b: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = fourcc(b, off)
+        val size = u32le(b, off + 4).toInt
+        val body = off + 8
+        val end = math.min(to, body + size)
+        if (id == "LIST" && end - body >= 4)
+          walk(body + 4, end, inMovi || fourcc(b, body) == "movi")
+        else if (inMovi && id.length == 4 &&
+            Character.isLetterOrDigit(id(0)) && Character.isLetterOrDigit(id(1)) &&
+            id(2) == 'd' && (id(3) == 'c' || id(3) == 'b'))
+          out += java.util.Arrays.copyOfRange(b, body, end)
+        off = body + size + (size & 1) // chunks are word-aligned
+      }
+    }
+    if (b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ")
+      walk(12, b.length, inMovi = false)
+    out.toIndexedSeq
+  }
+
   private def putU32le(b: Array[Byte], off: Int, v: Long): Unit = {
     b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
     b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte

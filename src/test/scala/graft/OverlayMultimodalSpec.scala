@@ -142,6 +142,37 @@ class OverlayMultimodalSpec extends AnyFunSuite {
     assert(t.forall(r => r.isNullAt(r.fieldIndex("container"))))
   }
 
+  test("MJPEG AVI: real frame decode recovers planted gray levels") {
+    import graft.multimodal.VideoContainers
+    val avi = VideoContainers.synthMjpegAvi(32, 16, rate = 25, scale = 1,
+      grays = Seq(32, 96, 160, 224))
+    // the same bytes still parse as a container (q94 path unaffected)
+    val meta = VideoContainers.parse(avi)
+    assert(meta.exists(m => m._1 == "avi" && m._2 == 32 && m._3 == 16 &&
+      m._6 == 4L), s"container meta: $meta")
+    val df = Seq((1L, avi)).toDF("id", "media")
+    val rows = Multimodal.withVideoFrames(df, "media").orderBy("frame_idx")
+      .select("frame_idx", "frame_width", "frame_height", "mean_luma")
+      .collect()
+    assert(rows.length == 4)
+    rows.zip(Seq(32, 96, 160, 224)).foreach { case (r, g) =>
+      // dimensions come from the decoded raster, not the AVI header
+      assert(r.getInt(1) == 32 && r.getInt(2) == 16)
+      assert(math.abs(r.getDouble(3) - g) < 8,
+        s"frame ${r.getInt(0)}: decoded mean ${r.getDouble(3)} vs planted $g")
+    }
+    // every=2 samples frames 0 and 2
+    val sampled = Multimodal.withVideoFrames(df, "media", every = 2)
+      .select("frame_idx").as[Int].collect().toSeq.sorted
+    assert(sampled == Seq(0, 2))
+    // headers-only AVI, garbage, and null payloads yield no frame rows
+    val none = Seq(
+      (2L, VideoContainers.synthAvi(160, 90, 10, 25, 1)),
+      (3L, "not a video".getBytes),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "media")
+    assert(Multimodal.withVideoFrames(none, "media").count() == 0)
+  }
+
   test("sampleFrames returns n chunks of bounded size") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "t")
       .select($"id", Multimodal.sampleFrames($"t".cast("binary"), lit(4), lit(3)).as("frames"))
