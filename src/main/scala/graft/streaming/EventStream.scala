@@ -36,6 +36,50 @@ object EventStream {
     docs.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(hashCols)
 
+  /** One micro-batch of continuous NEAR-DUP ingestion against a persisted
+    * signature index — the streaming form of the daily
+    * `dedupIncrementalIndexed` → `appendToSignatureIndex` cycle. Probes
+    * the index, MATERIALIZES the survivors, appends them (so the next
+    * micro-batch dedups against everything before it, with no rebuild),
+    * and returns the materialized survivors for the caller's sink.
+    *
+    * The materialization before the append is LOAD-BEARING: the survivor
+    * plan lazily reads the index, and the append inserts these very
+    * documents — an unmaterialized plan re-evaluated after the append
+    * would anti-join every survivor against its own just-written hash
+    * and silently emit nothing.
+    */
+  def indexedDedupBatch(indexPath: String, idCol: String, textCol: String,
+      threshold: Double = 0.8)(batch: DataFrame, batchId: Long): DataFrame = {
+    val surv = graft.operators.Dedup
+      .dedupIncrementalIndexed(batch, indexPath, idCol, textCol, threshold)
+      .localCheckpoint(true)
+    graft.operators.Dedup.appendToSignatureIndex(surv, idCol, textCol, indexPath)
+    surv
+  }
+
+  /** Wire a document stream through [[indexedDedupBatch]]: survivors of
+    * each micro-batch append to `outPath` parquet; dedup state lives in
+    * the INDEX (bounded by corpus size, not stream length — no streaming
+    * state store at all, so the watermark-horizon limit of
+    * [[streamingDedup]] does not apply). Restart safety comes from the
+    * index's monotone-id contract: a replayed batch whose ids are not
+    * past the index's recorded maxId fails loudly instead of
+    * double-inserting. Ids must be monotone across batches — derive them
+    * from source offsets or event ids.
+    */
+  def dedupStream(stream: DataFrame, indexPath: String, idCol: String,
+      textCol: String, threshold: Double, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        indexedDedupBatch(indexPath, idCol, textCol, threshold)(b.toDF(), id)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Session-window aggregation: events gapped less than `gap` apart merge
     * into one session per key (Spark's native `session_window` — dynamic
     * windows, watermark-evicted state). The batch form computes identical

@@ -76,4 +76,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Seq("a", "b"), s"got $got")
     } finally q.stop()
   }
+
+  case class Doc(doc_id: Long, text: String)
+
+  test("dedupStream: index-backed near-dup dedup across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val idx = base.resolve("idx").toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "completely unrelated text about spark catalyst and tungsten"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val input = MemoryStream[Doc]
+    val q = EventStream.dedupStream(input.toDF(), idx, "doc_id", "text",
+      threshold = 0.6, out, ckpt)
+    try {
+      // batch 1: exact copy of existing 1 (dropped), fresh (kept)
+      input.addData(
+        Doc(10L, "the quick brown fox jumps over the lazy dog near the river"),
+        Doc(11L, "entirely novel content nothing like the corpus at all today"))
+      q.processAllAvailable()
+      // batch 2: near-dup of batch-1's SURVIVOR (dropped — only the
+      // between-batch append can know it), plus fresh (kept)
+      input.addData(
+        Doc(20L, "entirely novel content nothing like the corpus at all  TODAY"),
+        Doc(21L, "genuinely brand new material for the second ingestion wave"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 21L), s"stream survivors: $got")
+    // the index rolled with each batch: a batch-mode probe of a copy of the
+    // LAST streamed survivor dedups against it
+    val third = graft.operators.Dedup.dedupIncrementalIndexed(
+      Seq((30L, "genuinely brand new material for the second ingestion wave"))
+        .toDF("doc_id", "text"), idx, "doc_id", "text", threshold = 0.6)
+      .count()
+    assert(third == 0L, "streamed survivors must be probe-visible in the index")
+  }
 }
