@@ -675,6 +675,29 @@ object SparkEntry {
             "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
     }),
 
+    // British National Grid (EPSG:27700, Airy TM + OSGB36 Helmert bridge)
+    // write→read→auto-reproject round trip; oracle = regenerated inputs
+    // (bridge inverse is algebraic-exact; floor ~2e-8 deg ≪ 6-dp rounding).
+    "q99_osgb_prj_roundtrip" -> ((s, dir) => {
+      import graft.geo.CrsFns
+      val pts = t(s, dir, "supplier").select(col("s_suppkey"),
+        (lit(-5.5) + (col("s_suppkey") % 100) * 0.07).as("lon"),
+        (lit(50.1) + (col("s_suppkey") % 73) * 0.1).as("lat"))
+      val bng = pts.select(col("s_suppkey"),
+        format_string("POINT (%s %s)",
+          CrsFns.toX(lit(27700), col("lon"), col("lat")),
+          CrsFns.toY(lit(27700), col("lon"), col("lat"))).as("geometry"))
+      val base = java.nio.file.Files.createTempDirectory("graft_bng")
+        .resolve("pts27700").toString
+      graft.sources.Shapefile.write(bng, "geometry", base, epsg = Some(27700))
+      graft.sources.Shapefile.read(s, base) // auto-reprojects via .prj
+        .select(col("s_suppkey"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 1).cast("double"), 6).as("lon"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
+    }),
+
     // Swiss LV95 (EPSG:2056, CH1903+ oblique Mercator) write→read→auto-
     // reproject round trip — the first CRS chain through a geocentric
     // DATUM BRIDGE in the gate (Bessel ↔ WGS84, swisstopo translation).
@@ -2215,6 +2238,12 @@ object SparkEntry {
       """SELECT s_suppkey,
         |  round(6.0 + (s_suppkey % 100) * 0.04, 6) AS lon,
         |  round(45.9 + (s_suppkey % 73) * 0.03, 6) AS lat
+        |FROM supplier""".stripMargin,
+
+    "q99_osgb_prj_roundtrip" ->
+      """SELECT s_suppkey,
+        |  round(-5.5 + (s_suppkey % 100) * 0.07, 6) AS lon,
+        |  round(50.1 + (s_suppkey % 73) * 0.1, 6) AS lat
         |FROM supplier""".stripMargin,
 
     "q98_video_frames" ->

@@ -444,6 +444,57 @@ object Crs {
   private val SwissOrigins: Map[Int, (Double, Double)] =
     Map(21781 -> (600000.0, 200000.0), 2056 -> (2600000.0, 1200000.0))
 
+  // ---- British National Grid (EPSG:27700): OSGB36 on Airy 1830 ----
+
+  /** Transverse Mercator with a NON-EQUATORIAL latitude of origin
+    * (49°N), the one TM shape the UTM/GK dispatch can't express: the
+    * true-origin northing folds into an effective false northing
+    * −100000 − k0·M(49°), with the meridian arc taken from the SAME
+    * Krüger series (self-consistent to the nanometer, no hand-copied
+    * constant). Datum bridge = the Ordnance-Survey-published 7-parameter
+    * Helmert (position vector, ~5 m class — the non-grid shift GDAL
+    * applies; OSTN15 grid accuracy is out of scope).
+    */
+  private val AiryA = 6377563.396
+  private val AiryF = 1.0 / 299.3249646
+  private val tmAiry = new TmSeries(AiryF, AiryA)
+  private val OsgbLon0 = math.toRadians(-2.0)
+  private val OsgbK0 = 0.9996012717
+  private val OsgbFe = 400000.0
+  private val OsgbFn =
+    -100000.0 - tmForward(tmAiry, OsgbLon0, 0.0, -2.0, 49.0, OsgbK0, 0.0)._2
+
+  // OS-published WGS84 -> OSGB36: translations m, rotations arcsec, ppm
+  private val OsgbTx = -446.448; private val OsgbTy = 125.157
+  private val OsgbTz = -542.060
+  private val OsgbRx = math.toRadians(-0.1502 / 3600.0)
+  private val OsgbRy = math.toRadians(-0.2470 / 3600.0)
+  private val OsgbRz = math.toRadians(-0.8421 / 3600.0)
+  private val OsgbS = 1.0 + 20.4894e-6
+
+  /** Position-vector Helmert, WGS84 geographic → OSGB36 geographic. */
+  private def wgs84ToOsgb36(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = geodToXyz(A, Wgs84E2, lon, lat)
+    val x2 = OsgbTx + OsgbS * (x - OsgbRz * y + OsgbRy * z)
+    val y2 = OsgbTy + OsgbS * (OsgbRz * x + y - OsgbRx * z)
+    val z2 = OsgbTz + OsgbS * (-OsgbRy * x + OsgbRx * y + z)
+    xyzToGeod(AiryA, AiryF * (2 - AiryF), x2, y2, z2)
+  }
+
+  /** Exact algebraic inverse of [[wgs84ToOsgb36]] (see [[wgs84ToDhdn]]'s
+    * note on the first-order-orthogonal rotation).
+    */
+  private def osgb36ToWgs84(lon: Double, lat: Double): (Double, Double) = {
+    val (x2, y2, z2) = geodToXyz(AiryA, AiryF * (2 - AiryF), lon, lat)
+    val dx = (x2 - OsgbTx) / OsgbS
+    val dy = (y2 - OsgbTy) / OsgbS
+    val dz = (z2 - OsgbTz) / OsgbS
+    val x = dx + OsgbRz * dy - OsgbRy * dz
+    val y = -OsgbRz * dx + dy + OsgbRx * dz
+    val z = OsgbRy * dx - OsgbRx * dy + dz
+    xyzToGeod(A, Wgs84E2, x, y, z)
+  }
+
   private def ch1903ToWgs84(lon: Double, lat: Double): (Double, Double) = {
     val (x, y, z) = geodToXyz(BesselA, BesselE2, lon, lat)
     xyzToGeod(A, Wgs84E2, x + 674.374, y + 15.056, z + 405.346)
@@ -472,6 +523,10 @@ object Crs {
       val (fe, fn) = SwissOrigins(u)
       val (lonC, latC) = Swiss.inverse(x - fe, y - fn)
       ch1903ToWgs84(lonC, latC)
+    case 27700 =>
+      val (lonO, latO) = tmInverse(tmAiry, OsgbLon0, OsgbFn, x, y,
+        k0 = OsgbK0, fe = OsgbFe)
+      osgb36ToWgs84(lonO, latO)
     case WebMercator =>
       (math.toDegrees(x / A),
         math.toDegrees(2 * math.atan(math.exp(y / A)) - math.Pi / 2))
@@ -491,7 +546,7 @@ object Crs {
     case other => throw new IllegalArgumentException(
       s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 3035, " +
         "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69, " +
-        "NTF Lambert 2756x/2757x, Swiss 21781/2056)")
+        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700)")
   }
 
   /** (lon, lat) degrees → (x, y) in `epsg`. */
@@ -512,6 +567,9 @@ object Crs {
       val (lonC, latC) = wgs84ToCh1903(lon, lat)
       val (xs, ys) = Swiss.forward(lonC, latC)
       (xs + fe, ys + fn)
+    case 27700 =>
+      val (lonO, latO) = wgs84ToOsgb36(lon, lat)
+      tmForward(tmAiry, OsgbLon0, OsgbFn, lonO, latO, k0 = OsgbK0, fe = OsgbFe)
     case WebMercator =>
       val phi = math.toRadians(lat)
       (A * math.toRadians(lon), A * math.log(math.tan(math.Pi / 4 + phi / 2)))
@@ -527,7 +585,7 @@ object Crs {
     case other => throw new IllegalArgumentException(
       s"unsupported target CRS EPSG:$other (supported: 4326, 3857, 3035, " +
         "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69, " +
-        "NTF Lambert 2756x/2757x, Swiss 21781/2056)")
+        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700)")
   }
 
   /** Latitude from authalic q by Newton iteration (Snyder eq. 3-16). */
@@ -551,7 +609,7 @@ object Crs {
     epsg == Wgs84 || epsg == WebMercator || epsg == EtrsLaea ||
       utmParams(epsg).isDefined || LccCodes.contains(epsg) ||
       (epsg >= 31466 && epsg <= 31469) || NtfZones.contains(epsg) ||
-      SwissOrigins.contains(epsg)
+      SwissOrigins.contains(epsg) || epsg == 27700
 
   /** ESRI-style `.prj` WKT1 for a supported EPSG code. Carries an explicit
     * trailing AUTHORITY so [[epsgFromPrj]] round-trips exactly; the names
@@ -620,6 +678,17 @@ object Crs {
           s"""PARAMETER["False_Northing",${p.fnn}],""" +
           "PARAMETER[\"Central_Meridian\",0.0]," +
           s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$u"]]"""
+      case 27700 =>
+        """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",""" +
+          "DATUM[\"D_OSGB_1936\",SPHEROID[\"Airy_1830\",6377563.396,299.3249646]]," +
+          "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]," +
+          "PROJECTION[\"Transverse_Mercator\"]," +
+          "PARAMETER[\"False_Easting\",400000.0]," +
+          "PARAMETER[\"False_Northing\",-100000.0]," +
+          "PARAMETER[\"Central_Meridian\",-2.0]," +
+          "PARAMETER[\"Scale_Factor\",0.9996012717]," +
+          "PARAMETER[\"Latitude_Of_Origin\",49.0]," +
+          """UNIT["Meter",1.0],AUTHORITY["EPSG","27700"]]"""
       case u if SwissOrigins.contains(u) =>
         val (fe, fn) = SwissOrigins(u)
         val (name, gcsName, datum) =
@@ -712,6 +781,9 @@ object Crs {
               up.contains("HAUPTDREIECKSNETZ"))) {
             val z = gauss.get.group(1).toInt
             if (z >= 2 && z <= 5) Some(31464 + z) else None
+          } else if (up.contains("BRITISH_NATIONAL_GRID") ||
+              (up.contains("OSGB") && up.contains("TRANSVERSE"))) {
+            Some(27700)
           } else if (up.contains("CH1903")) {
             // ESRI CH1903_LV03 / CH1903+_LV95; the '+' or LV95 marks the
             // re-referenced datum (same projection, shifted false origin)

@@ -404,6 +404,89 @@ class CrsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("5514"))
   }
 
+  test("OSGB 27700: independent OS-series chain, Caister anchor, round trips") {
+    // ---- independent reference implementation: the Ordnance Survey
+    // guide's own TM series on Airy 1830 (ν/ρ/η² + meridian-arc form) and
+    // its own geocentric Helmert — a wholly separate derivation from the
+    // engine's Krüger-series path, same pattern as the Gauss-Krüger spec
+    val a = 6377563.396; val b = 6356256.909 // Airy 1830
+    val e2 = 1 - b * b / (a * a)
+    val k0 = 0.9996012717
+    val lat0 = math.toRadians(49.0); val lon0 = math.toRadians(-2.0)
+    val n = (a - b) / (a + b)
+    def osForward(latDeg: Double, lonDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
+      val sp = math.sin(phi); val cp = math.cos(phi); val tp = math.tan(phi)
+      val nu = a * k0 / math.sqrt(1 - e2 * sp * sp)
+      val rho = a * k0 * (1 - e2) / math.pow(1 - e2 * sp * sp, 1.5)
+      val eta2 = nu / rho - 1
+      val dphi = phi - lat0; val sphi = phi + lat0
+      val bigM = b * k0 * ((1 + n + 1.25 * n * n + 1.25 * n * n * n) * dphi -
+        (3 * n + 3 * n * n + 21.0 / 8 * n * n * n) *
+          math.sin(dphi) * math.cos(sphi) +
+        (15.0 / 8 * (n * n + n * n * n)) *
+          math.sin(2 * dphi) * math.cos(2 * sphi) -
+        35.0 / 24 * n * n * n * math.sin(3 * dphi) * math.cos(3 * sphi))
+      val dl = lam - lon0
+      val nn = bigM - 100000.0 + (nu / 2 * sp * cp) * dl * dl +
+        (nu / 24 * sp * cp * cp * cp * (5 - tp * tp + 9 * eta2)) *
+          math.pow(dl, 4) +
+        (nu / 720 * sp * math.pow(cp, 5) *
+          (61 - 58 * tp * tp + math.pow(tp, 4))) * math.pow(dl, 6)
+      val ee = 400000.0 + nu * cp * dl +
+        (nu / 6 * cp * cp * cp * (nu / rho - tp * tp)) * math.pow(dl, 3) +
+        (nu / 120 * math.pow(cp, 5) * (5 - 18 * tp * tp + math.pow(tp, 4) +
+          14 * eta2 - 58 * tp * tp * eta2)) * math.pow(dl, 5)
+      (ee, nn)
+    }
+    // the OS guide's published worked example (Caister water tower):
+    // OSGB36 52°39′27.2531″N, 1°43′4.5177″E → E 651409.903, N 313177.270
+    val (ce, cn) = osForward(52 + 39.0 / 60 + 27.2531 / 3600,
+      1 + 43.0 / 60 + 4.5177 / 3600)
+    assert(math.hypot(ce - 651409.903, cn - 313177.270) < 0.01,
+      s"OS reference series vs published example: ($ce, $cn)")
+    // reference WGS84 → OSGB36 geographic (own geocentric code)
+    def refWgsToOsgb(lonW: Double, latW: Double): (Double, Double) = {
+      val aW = 6378137.0; val fW = 1.0 / 298.257223563
+      val e2W = fW * (2 - fW)
+      val phi = math.toRadians(latW); val lam = math.toRadians(lonW)
+      val nuW = aW / math.sqrt(1 - e2W * math.sin(phi) * math.sin(phi))
+      val x0 = nuW * math.cos(phi) * math.cos(lam)
+      val y0 = nuW * math.cos(phi) * math.sin(lam)
+      val z0 = nuW * (1 - e2W) * math.sin(phi)
+      val s = 1 + 20.4894e-6
+      val rx = math.toRadians(-0.1502 / 3600); val ry = math.toRadians(-0.2470 / 3600)
+      val rz = math.toRadians(-0.8421 / 3600)
+      val x = -446.448 + s * (x0 - rz * y0 + ry * z0)
+      val y = 125.157 + s * (rz * x0 + y0 - rx * z0)
+      val z = -542.060 + s * (-ry * x0 + rx * y0 + z0)
+      val p = math.hypot(x, y)
+      var ph = math.atan2(z, p * (1 - e2))
+      for (_ <- 0 until 12) {
+        val nu2 = a / math.sqrt(1 - e2 * math.sin(ph) * math.sin(ph))
+        ph = math.atan2(z + e2 * nu2 * math.sin(ph), p)
+      }
+      (math.toDegrees(math.atan2(y, x)), math.toDegrees(ph))
+    }
+    // engine chain ≡ reference chain over a UK grid (2 cm: the OS
+    // series' own truncation at |dλ| up to 3°)
+    for (lon <- Seq(-5.0, -2.0, 0.5, 1.5); lat <- Seq(50.5, 52.6, 55.0, 57.5)) {
+      val (ge, gn) = Crs.fromWgs84(27700, lon, lat)
+      val (olon, olat) = refWgsToOsgb(lon, lat)
+      val (re, rn) = osForward(olat, olon)
+      assert(math.hypot(ge - re, gn - rn) < 0.02,
+        s"engine ($ge, $gn) vs OS reference ($re, $rn) at ($lon, $lat)")
+      val (lo2, la2) = Crs.toWgs84(27700, ge, gn)
+      assert(math.abs(lo2 - lon) < 2e-8 && math.abs(la2 - lat) < 2e-8,
+        s"27700 round trip ($lon, $lat) -> ($lo2, $la2)")
+    }
+    // .prj round trip + ESRI-name detection
+    assert(Crs.epsgFromPrj(Crs.prjWkt(27700)) == Some(27700))
+    assert(Crs.epsgFromPrj(
+      """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936"],PROJECTION["Transverse_Mercator"]]""")
+      == Some(27700))
+  }
+
   test("wktTransformToWgs84 transforms bare-decimal-point coordinates") {
     // ".5" / "-.5" are valid WKT numbers; a digit-first pattern would
     // skip the pair silently, mixing projected and geographic coords
