@@ -80,6 +80,21 @@ object DedupIndexProbe {
         s"docs/ scan not partition-pruned:\n$plan")
       require(!spark.read.parquet(s"$idx/docs").schema.fieldNames.contains("text"),
         "index must not store text")
+      // the ROLLING step: appending the batch's survivors must cost like
+      // the batch (flat across corpus sizes), where the rebuild
+      // alternative costs like the corpus — the whole point of the append
+      val surv = Dedup.dedupIncrementalIndexed(batch, idx, "doc_id", "text",
+        threshold = 0.6).localCheckpoint(true)
+      time(s"x$mult append survivors (batch-sized)") {
+        Dedup.appendToSignatureIndex(surv, "doc_id", "text", idx)
+      }
+      time(s"x$mult index REBUILD (corpus-sized alternative)") {
+        val idx2 = java.nio.file.Files.createTempDirectory("graft_dixp2")
+          .resolve("idx").toString
+        Dedup.writeSignatureIndex(corpus.unionByName(
+            surv.select(col("doc_id"), col("text"))), "doc_id", "text", idx2,
+          shingleN = 2, k = 16, bands = 4, nBuckets = 64)
+      }
       corpus.unpersist()
     }
     spark.stop()
