@@ -475,7 +475,45 @@ object Dedup {
     * relation dir) and recoverable from `_compact_tmp` or by rebuild.
     */
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String): Unit =
+    rewriteSignatureIndex(spark, path, identity, removed = 0L)
+
+  /** Remove documents from a signature index — the takedown/right-to-be-
+    * forgotten maintenance pass. Same staged rewrite as
+    * [[compactSignatureIndex]] (so it also compacts), with every relation
+    * anti-joined on the dropped ids; the meta's maxId is NOT lowered even
+    * if the max doc is dropped, keeping the monotone ingestion contract
+    * unambiguous (ids are never reused). Dropping an id makes future
+    * copies of that document survive probes again — the index holds no
+    * text, so removal here is removal of its dedup identity too.
+    */
+  def removeFromSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, dropIds: DataFrame, idCol: String): Unit = {
+    require(dropIds.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"removeFromSignatureIndex requires a numeric id column: $idCol is " +
+        dropIds.schema(idCol).dataType.simpleString)
+    val ids = broadcast(
+      dropIds.select(col(idCol).cast("long").as("doc_id")).distinct())
+    val n = ids.count()
+    // refuse to empty the index outright — every later probe would fail
+    // on the schemaless relations; rebuild from a corpus instead
+    require(spark.read.parquet(s"$path/docs")
+        .join(ids, Seq("doc_id"), "left_anti").limit(1).count() > 0,
+      "removeFromSignatureIndex would remove every indexed document — " +
+        "delete the index and writeSignatureIndex a new corpus instead")
+    rewriteSignatureIndex(spark, path,
+      rel => rel.join(ids, Seq("doc_id"), "left_anti"), removed = n)
+  }
+
+  /** Shared staged rewrite: all three relations pass through `transform`
+    * into `_compact_tmp/`, then swap in (delete old, rename new) with the
+    * meta re-asserted LAST. A crash before the first swap leaves the live
+    * index untouched; a crash mid-swap is detectable (missing relation
+    * dir) and recoverable from `_compact_tmp` or by rebuild.
+    */
+  private def rewriteSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, transform: DataFrame => DataFrame, removed: Long): Unit = {
     val m = readIndexMeta(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = s"$path/_compact_tmp"
@@ -483,7 +521,7 @@ object Dedup {
       val bucketCol = rel match {
         case "docs" => "ib"; case "postings" => "kb"; case _ => "hb"
       }
-      spark.read.parquet(s"$path/$rel")
+      transform(spark.read.parquet(s"$path/$rel"))
         .repartition(col(bucketCol))
         .write.mode("overwrite").partitionBy(bucketCol).parquet(s"$tmp/$rel")
     }
@@ -492,12 +530,12 @@ object Dedup {
       val live = new org.apache.hadoop.fs.Path(path, rel)
       fs.delete(live, true)
       require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$rel"), live),
-        s"compactSignatureIndex: rename of $rel failed — recover the " +
-          s"compacted copy from $tmp or rebuild with writeSignatureIndex")
+        s"signature-index rewrite: rename of $rel failed — recover the " +
+          s"rewritten copy from $tmp or rebuild with writeSignatureIndex")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
-      m.maxId, m.nDocs)
+      m.maxId, math.max(0L, m.nDocs - removed))
   }
 
   private case class SigIndexMeta(shingleN: Int, k: Int, bands: Int,

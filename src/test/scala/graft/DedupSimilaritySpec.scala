@@ -322,6 +322,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(third == 0L, "post-compact append must keep deduplicating")
   }
 
+  test("removeFromSignatureIndex: dropped docs lose their dedup identity") {
+    val (existing, _) = indexFixture
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx8")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val copyOf1 = Seq(
+      (40L, "the quick brown fox jumps over the lazy dog near the river bank"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupIncrementalIndexed(copyOf1, idx, "doc_id", "text",
+      threshold = 0.6).count() == 0L, "copy of doc 1 must be dropped pre-removal")
+    Dedup.removeFromSignatureIndex(spark, idx,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    // the removed doc's copy now survives; other docs keep deduplicating
+    val after = Dedup.dedupIncrementalIndexed(
+      copyOf1.unionByName(Seq(
+        (41L, "completely unrelated text about spark catalyst and tungsten engines"))
+        .toDF("doc_id", "text")), idx, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == Set(40L), s"post-removal survivors: $after")
+    // removal also compacted: one file per bucket
+    import scala.jdk.CollectionConverters._
+    val maxFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(idx, "docs"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent).map(_._2.size).max
+    assert(maxFiles == 1)
+    // refusing to empty the index entirely
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeFromSignatureIndex(spark, idx,
+        existing.select("doc_id"), "doc_id")
+    }
+    assert(e.getMessage.contains("every indexed document"), e.getMessage)
+  }
+
   test("writeSignatureIndex refuses an empty corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sigidx6")
       .resolve("idx").toString
