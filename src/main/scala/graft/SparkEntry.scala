@@ -1011,6 +1011,31 @@ object SparkEntry {
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"), col("n_terms"))
     }),
 
+    // Hybrid retrieval: reciprocal-rank fusion of a BM25 text run and an
+    // embedding-cosine run over the shared id space. Both runs rank their
+    // 6-dp-rounded scores (rounding pins rank order across engines) via
+    // TakeOrderedAndProject + broadcast count-join — no partitionless
+    // window anywhere — then fuse by Σ 1/(60+rank), top-20.
+    "q100_rrf_hybrid" -> ((s, dir) => {
+      import graft.operators.{Curation, Similarity}
+      val bm = Curation.bm25(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "query", "join"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("score"))
+      val textRun = Similarity.rankByScore(bm, "doc_id", "score", topN = 50)
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val cos = emb.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.VectorFns.cosine(
+            col("embedding").cast("array<double>"), col("qv")), 6).as("score"))
+      val vecRun = Similarity.rankByScore(cos, "doc_id", "score", topN = 50)
+      Similarity.rrfFuse(Seq(textRun, vecRun), "doc_id", "rank",
+          kRrf = 60, topN = 20)
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
+          col("n_systems"))
+    }),
+
     // Repetition ratio (Gopher-style boilerplate signal): 1 - distinct/total
     // word bigrams per doc.
     "q76_repetition" -> ((s, dir) => {
@@ -1549,6 +1574,30 @@ object SparkEntry {
         |  count(*) AS n_terms
         |FROM hits h CROSS JOIN stats JOIN dfreq USING (term)
         |GROUP BY 1""".stripMargin
+
+  /** q100: RRF over the q75 BM25 machinery (nested as a subquery — its
+    * 6-dp rounding is what pins rank order across engines) and the q27
+    * unnest-zip cosine. Ranks = row_number over (rounded score desc, id);
+    * the final cut orders on RAW fused score (ties exact: sums of
+    * identical reciprocals) with id tie-break.
+    */
+  private val RrfOracleSql: String =
+    s"""WITH bmraw AS (SELECT doc_id, bm25 AS score FROM ($Bm25OracleSql)),
+      |bmtop AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      |  FROM bmraw ORDER BY score DESC, doc_id LIMIT 50),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |z AS (SELECT e.vec_id, unnest(e.v) AS a, unnest(q.qv) AS b FROM e, q),
+      |cs AS (SELECT vec_id,
+      |  round(sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 6) AS score
+      |  FROM z GROUP BY vec_id),
+      |ctop AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r
+      |  FROM cs ORDER BY score DESC, vec_id LIMIT 50),
+      |u AS (SELECT doc_id, r FROM bmtop UNION ALL SELECT doc_id, r FROM ctop),
+      |f AS (SELECT doc_id, sum(1.0::DOUBLE / (60 + r)) AS raw,
+      |  count(*) AS n_systems FROM u GROUP BY doc_id)
+      |SELECT doc_id, round(raw, 6) AS rrf, n_systems
+      |FROM f ORDER BY raw DESC, doc_id LIMIT 20""".stripMargin
 
   /** Vincenty's λ-iteration, unrolled to 8 fixed steps as chained CTEs
     * (DuckDB has no loops; 8 ≥ the ~4 steps non-antipodal pairs need, and
@@ -2468,6 +2517,7 @@ object SparkEntry {
         |GROUP BY doc_id""".stripMargin,
 
     "q75_bm25" -> Bm25OracleSql,
+    "q100_rrf_hybrid" -> RrfOracleSql,
 
     // same oracle as q75: the index path must reproduce direct BM25 exactly
     "q79_text_index" -> Bm25OracleSql,

@@ -309,4 +309,50 @@ object Similarity {
   def similarPairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 8): DataFrame =
     Dedup.embeddingNearDup(vecs, idCol, vecCol, threshold, nBits)
+
+  // ------------------------------------------------------ hybrid retrieval
+
+  /** Top-N of a scored relation as an explicit 1-based `rank` column,
+    * WITHOUT a partitionless window: the top-N cut is a
+    * `TakeOrderedAndProject` (per-partition heaps, k rows to the driver
+    * merge) and the rank within those N rows is a broadcast count-join —
+    * O(N²) pairs over a contractually-small N (a retrieval system's
+    * top-k), fully parallel, no single-task stage. Ties break on id, so
+    * ranks are deterministic wherever scores are.
+    */
+  def rankByScore(scored: DataFrame, idCol: String, scoreCol: String,
+      topN: Int): DataFrame = {
+    val top = scored
+      .orderBy(col(scoreCol).desc, col(idCol).asc).limit(topN)
+      .select(col(idCol).as("__id"), col(scoreCol).as("__s"))
+    val other = broadcast(
+      top.select(col("__id").as("__id2"), col("__s").as("__s2")))
+    top.join(other,
+        col("__s2") > col("__s") ||
+          (col("__s2") === col("__s") && col("__id2") < col("__id")),
+        "left")
+      .groupBy(col("__id"), col("__s"))
+      .agg(count(col("__id2")).as("__better"))
+      .select(col("__id").as(idCol), (col("__better") + 1).as("rank"))
+  }
+
+  /** Reciprocal-rank fusion of N ranked retrieval runs — the hybrid-search
+    * combiner (BM25 ⊕ ANN ⊕ …): fused = Σ_runs 1/(kRrf + rank), rank 1 =
+    * best. Inputs are top-k lists ([[rankByScore]] output or any
+    * (id, rank) relation), contractually SMALL, so fusion is one union +
+    * one keyed aggregation and the final cut is again a
+    * TakeOrderedAndProject — no global sort, no partitionless window.
+    * `n_systems` reports how many runs surfaced each id.
+    */
+  def rrfFuse(runs: Seq[DataFrame], idCol: String, rankCol: String,
+      kRrf: Int = 60, topN: Int = 10): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    runs.map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(lit(1.0) / (col("__r") + lit(kRrf))).as("rrf"),
+        count(lit(1)).as("n_systems"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }
