@@ -803,6 +803,19 @@ object SparkEntry {
           col("n_tokens"))
     }),
 
+    // Interpolated bigram surprisal (λ=0.5 backoff to unigram): the LM
+    // fluency score over corpus-estimated bigram/unigram models — first
+    // position unigram-only, bigram counts joined on a keyed shuffle.
+    // λ=0.5 keeps both interpolation weights exact in binary, so the
+    // oracle's literals are bit-identical to the engine's.
+    "q101_bigram_surprisal" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.bigramSurprisal(t(s, dir, "documents"), "doc_id", "text",
+          lambda = 0.5)
+        .select(col("doc_id"), round(col("surprisal"), 6).as("surprisal"),
+          col("n_tokens"))
+    }),
+
     // Semantic decontamination: corpus vectors too close (cosine) to any
     // "benchmark" vector (vec_id % 101 == 0) — the embedding-space
     // complement of q69's n-gram matching. Bench broadcast, cosines
@@ -2515,6 +2528,32 @@ object SparkEntry {
         |  count(*) AS n_tokens
         |FROM tok JOIN cnt USING (term) CROSS JOIN tot
         |GROUP BY doc_id""".stripMargin,
+
+    "q101_bigram_surprisal" ->
+      """WITH base AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents
+        |  WHERE text IS NOT NULL AND trim(text) <> ''),
+        |nz AS (SELECT doc_id, regexp_split_to_array(lt, '\s+') AS w,
+        |  len(regexp_split_to_array(lt, '\s+')) AS n FROM base),
+        |uc AS (SELECT term, count(*) AS cu
+        |  FROM (SELECT unnest(w) AS term FROM nz) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS t FROM uc),
+        |inst AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(w)), j -> w[j])) AS w1,
+        |  unnest(list_transform(range(1, len(w)), j -> w[j + 1])) AS w2
+        |  FROM nz WHERE n >= 2),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM inst GROUP BY 1, 2),
+        |iterm AS (SELECT i.doc_id,
+        |  -ln(0.5 * (cb / cu1.cu) + 0.5 * (cu2.cu / t)) AS s
+        |  FROM inst i JOIN bc USING (w1, w2)
+        |  JOIN uc cu1 ON cu1.term = i.w1
+        |  JOIN uc cu2 ON cu2.term = i.w2 CROSS JOIN tot),
+        |isum AS (SELECT doc_id, sum(s) AS bs FROM iterm GROUP BY 1),
+        |ft AS (SELECT nz.doc_id, -ln(uc.cu / t) AS fs, nz.n
+        |  FROM nz JOIN uc ON uc.term = nz.w[1] CROSS JOIN tot)
+        |SELECT ft.doc_id,
+        |  round((fs + coalesce(bs, 0)) / n, 6) AS surprisal,
+        |  CAST(n AS BIGINT) AS n_tokens
+        |FROM ft LEFT JOIN isum ON isum.doc_id = ft.doc_id""".stripMargin,
 
     "q75_bm25" -> Bm25OracleSql,
     "q100_rrf_hybrid" -> RrfOracleSql,

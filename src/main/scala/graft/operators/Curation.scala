@@ -311,6 +311,52 @@ object Curation {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Interpolated bigram surprisal — the LM-quality score one step up
+    * from [[unigramSurprisal]]: per doc, the mean over token positions of
+    * −ln(λ·P(wᵢ|wᵢ₋₁) + (1−λ)·P(wᵢ)), the first position scored by its
+    * unigram alone; P(w₂|w₁) = c(w₁w₂)/c(w₁) from corpus counts. Unigram
+    * counts are vocab-sized and BROADCAST (as in unigramSurprisal); the
+    * bigram-count relation is corpus-sized, so bigram INSTANCES join it
+    * on a KEYED shuffle — never broadcast. Zero-token docs drop out.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame =
+    bigramSurprisalTokenized(tokenized(docs, idCol, textCol), idCol, lambda)
+
+  /** [[bigramSurprisal]] over a pre-tokenized relation (see [[tokenized]]). */
+  def bigramSurprisalTokenized(toksRel: DataFrame, idCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    val base = toksRel.filter(size(col("__toks")) >= 1)
+    val uni = base.select(explode(col("__toks")).as("__term"))
+      .groupBy(col("__term")).agg(count(lit(1)).as("__cu"))
+    val tot = uni.agg(sum(col("__cu")).cast("double").as("__t"))
+    // bigram instances (duplicates kept: one row per position i ≥ 2)
+    val inst = base.filter(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(__toks) - 2), " +
+          "i -> struct(__toks[i] AS w1, __toks[i + 1] AS w2))")).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val bc = inst.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__cb"))
+    val iterm = inst
+      .join(bc, Seq("__w1", "__w2")) // corpus-sized: keyed shuffle join
+      .join(broadcast(uni.select(col("__term").as("__w1"), col("__cu").as("__cu1"))), Seq("__w1"))
+      .join(broadcast(uni.select(col("__term").as("__w2"), col("__cu").as("__cu2"))), Seq("__w2"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        (-log(lit(lambda) * col("__cb") / col("__cu1") +
+          lit(1.0 - lambda) * col("__cu2") / col("__t"))).as("__s"))
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("__bsum"))
+    base.select(col(idCol), col("__toks")(0).as("__term"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+      .join(broadcast(uni), "__term")
+      .crossJoin(broadcast(tot))
+      .join(iterm, Seq(idCol), "left")
+      .select(col(idCol),
+        ((-log(col("__cu") / col("__t")) + coalesce(col("__bsum"), lit(0.0))) /
+          col("n_tokens")).as("surprisal"),
+        col("n_tokens"))
+  }
+
   /** Cross-document boilerplate: k-token passages appearing in at least
     * `minDocs` distinct documents (headers/footers/license blocks — the
     * units line-dedup pipelines strip). One explode + one (passage, doc)

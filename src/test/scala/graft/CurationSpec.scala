@@ -315,4 +315,26 @@ class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(math.abs(got(1L)._1 - s1) < 1e-12 && got(1L)._2 == 3L)
     assert(math.abs(got(2L)._1 - s2) < 1e-12 && got(2L)._2 == 2L)
   }
+
+  test("bigramSurprisal: repeated bigrams score fluent, singleton exact") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = Seq(
+      (1L, "x x x x"),   // bigram (x,x) ×3 — high P(x|x)
+      (2L, "p q r s"),   // every bigram unique
+      (3L, "z"))         // single token: unigram-only position
+      .toDF("doc_id", "text")
+    val got = Curation.bigramSurprisal(docs, "doc_id", "text", lambda = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(got(1L)._1 < got(2L)._1,
+      s"repeated bigrams must score more fluent: ${got(1L)._1} vs ${got(2L)._1}")
+    assert(got(1L)._2 == 4L && got(2L)._2 == 4L && got(3L)._2 == 1L)
+    // d3: one token z, corpus t = 9 tokens, c(z) = 1 → -ln(1/9) exactly
+    assert(math.abs(got(3L)._1 - (-math.log(1.0 / 9.0))) < 1e-12)
+    // d1 position 2: λ·c(xx)/c(x) + (1−λ)·c(x)/t = 0.5·3/4 + 0.5·4/9
+    val inner = 0.5 * 3.0 / 4.0 + 0.5 * 4.0 / 9.0
+    val d1 = (-math.log(4.0 / 9.0) + 3.0 * -math.log(inner)) / 4.0
+    assert(math.abs(got(1L)._1 - d1) < 1e-12, s"${got(1L)._1} vs $d1")
+  }
 }
