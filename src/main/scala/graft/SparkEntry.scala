@@ -1302,6 +1302,26 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Survivor-POLICY transitive dedup: planted near-dups are LONGER
+    // than their originals (five tokens appended), so keep-best-by-token-
+    // count must flip survivorship to the planted copy wherever LSH finds
+    // the pair — the opposite answer from every min-id path. Oracle: the
+    // shared machinery's verified pairs + recursive-CTE connected
+    // components + per-component argmax on (token count, −id).
+    "q102_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val o = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+      val planted = docs
+        .filter(col("doc_id") % 40 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + lit(o + 1)).as("doc_id"),
+          concat(col("text"), lit(" zeta eta theta iota kappa")).as("text"))
+      val all = docs.unionByName(planted)
+        .withColumn("score", TextFns.tokenCount(col("text")).cast("double"))
+      Dedup.dedupCorpusTransitiveBy(all, "doc_id", "text", "score",
+          threshold = 0.6, shingleN = 2, k = 16, bands = 4)
+        .select(col("doc_id"))
+    }),
+
     // Embedding-cosine near-dup detection via RP-LSH buckets (planted
     // duplicates guarantee yield; rows-only: bucket hashing engine-native).
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -1587,6 +1607,42 @@ object SparkEntry {
         |  count(*) AS n_terms
         |FROM hits h CROSS JOIN stats JOIN dfreq USING (term)
         |GROUP BY 1""".stripMargin
+
+  /** q102: verified pairs from the shared dedup machinery, clustered by
+    * a recursive-CTE transitive closure (min-label over the undirected
+    * edge set — the graph is near-dup-sparse, so the closure is tiny),
+    * then one survivor per component by (token count DESC, id ASC).
+    */
+  private val KeepBestOracleSql: String =
+    raw"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
+      |all_docs AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + o + 1, text || ' zeta eta theta iota kappa'
+      |  FROM base, off WHERE doc_id % 40 = 0 AND text IS NOT NULL),
+      |${dedupPassSql("", "all_docs")},
+      |edgesp AS (SELECT id1, id2 FROM jc WHERE i2 * 1.0 / u2 >= 0.6),
+      |undp AS (SELECT id1, id2 FROM edgesp
+      |  UNION ALL SELECT id2, id1 FROM edgesp),
+      |nodesp AS (SELECT DISTINCT id1 AS id FROM undp),
+      |reach(id, lab) AS (
+      |  SELECT id, id FROM nodesp
+      |  UNION
+      |  SELECT u.id2, r.lab FROM reach r JOIN undp u ON u.id1 = r.id),
+      |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+      |scoredp AS (SELECT s.doc_id,
+      |  CASE WHEN s.text IS NULL THEN 0
+      |       WHEN trim(lower(s.text)) = '' THEN 0
+      |       ELSE len(regexp_split_to_array(trim(lower(s.text)), '\s+'))
+      |  END AS sc FROM surv s),
+      |winp AS (SELECT c.comp, c.id AS doc_id,
+      |  row_number() OVER (PARTITION BY c.comp
+      |    ORDER BY sp.sc DESC, c.id ASC) AS rn
+      |  FROM compp c JOIN scoredp sp ON sp.doc_id = c.id),
+      |removedp AS (SELECT doc_id FROM winp WHERE rn > 1)
+      |SELECT s.doc_id FROM surv s
+      |WHERE NOT EXISTS (SELECT 1 FROM removedp r WHERE r.doc_id = s.doc_id)""".stripMargin
 
   /** q100: RRF over the q75 BM25 machinery (nested as a subquery — its
     * 6-dp rounding is what pins rank order across engines) and the q27
@@ -2090,6 +2146,7 @@ object SparkEntry {
     // reproduce the union-path incremental dedup exactly
     "q93_dedup_index" -> IncrementalDedupOracleSql,
     "q96_dedup_rolling" -> RollingDedupOracleSql,
+    "q102_dedup_keep_best" -> KeepBestOracleSql,
 
     // Misra-Gries inclusion guarantee: the provably-heavy token set
     // (exact count > N/31 per lang, k=30 counters) with exact counts.

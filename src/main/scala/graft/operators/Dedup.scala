@@ -706,6 +706,44 @@ object Dedup {
     exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
   }
 
+  /** [[dedupCorpusTransitive]] with a SURVIVOR POLICY: each near-dup
+    * cluster keeps the member MAXIMIZING `scoreCol` (ties → min id)
+    * instead of the min-id member — "keep the longest / highest-quality
+    * copy", the curation-grade choice (score = token count, quality
+    * gate output, recency …). The exact tier keeps min-id semantics
+    * (exact copies are byte-identical after normalization, so the
+    * survivor only needs to be deterministic). Cost shape is identical
+    * to the min-id path plus one keyed (comp) aggregation — no new
+    * shuffle kind, nothing driver-side.
+    */
+  def dedupCorpusTransitiveBy(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, threshold: Double = 0.8, shingleN: Int = 3,
+      k: Int = 16, bands: Int = 8, maxIters: Int = 12,
+      deepGraph: Boolean = false): DataFrame = {
+    val exact0 = exact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+      .join(docs, Seq(idCol))
+    val cands = minhashCandidatePairs(exact0, idCol, textCol, shingleN, k, bands)
+    val verified = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+    val comps =
+      if (deepGraph) connectedComponentsStar(verified, "id1", "id2", maxIters)
+      else connectedComponents(verified, "id1", "id2", maxIters)
+    // per-cluster winner by (score desc, id asc); negating the id gives
+    // the tiebreak inside one max_by struct comparison
+    val winners = comps
+      .join(exact0.select(col(idCol).as("id"),
+        coalesce(col(scoreCol).cast("double"), lit(0.0)).as("__sc")), Seq("id"))
+      .groupBy(col("comp"))
+      .agg(max_by(col("id"), struct(col("__sc"), (-col("id")).as("__nid")))
+        .as("__winner"))
+    val removed = comps
+      .join(winners, Seq("comp"))
+      .filter(col("id") =!= col("__winner"))
+      .select(col("id").as("__removed"))
+    exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold within LSH buckets.
     * See Similarity.annLsh for the bucketing rationale.
     */

@@ -356,6 +356,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("every indexed document"), e.getMessage)
   }
 
+  test("dedupCorpusTransitiveBy keeps the best-scoring cluster member") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta", 7.0),
+      // longer near-dup of 1 — keep-best must keep THIS one, where the
+      // min-id path would keep doc 1
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota", 9.0),
+      (3L, "totally unrelated content about catalyst and tungsten", 6.0),
+      // same score as its near-dup 5 → tie breaks to the smaller id
+      (5L, "one two three four five six seven eight nine", 9.0),
+      (6L, "one two three four five six seven eight ten", 9.0),
+      (9L, null.asInstanceOf[String], 0.0))
+      .toDF("doc_id", "text", "score")
+    val got = Dedup.dedupCorpusTransitiveBy(docs, "doc_id", "text", "score",
+        threshold = 0.5, shingleN = 2, k = 16, bands = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 5L, 9L), s"got $got")
+    // min-id path on the same fixture keeps 1 — policies genuinely differ
+    val minId = Dedup.dedupCorpusTransitive(docs.drop("score"), "doc_id",
+        "text", threshold = 0.5, shingleN = 2, k = 16, bands = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 3L, 5L, 9L), s"min-id got $minId")
+  }
+
   test("writeSignatureIndex refuses an empty corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sigidx6")
       .resolve("idx").toString
