@@ -129,6 +129,7 @@ object CurationProbe {
     toksRel.count() // materialize before planning the consumers
     for ((name, df) <- Seq(
       "surprisal" -> Curation.unigramSurprisalTokenized(toksRel, "doc_id"),
+      "bigram" -> Curation.bigramSurprisalTokenized(toksRel, "doc_id"),
       "bm25" -> Curation.bm25Tokenized(toksRel, "doc_id",
         Seq("spark", "query", "join")))) {
       // walk the optimized LOGICAL plan: InMemoryRelation is a leaf (its
@@ -146,8 +147,10 @@ object CurationProbe {
       require(live.isEmpty,
         s"$name (tokenized) must not re-scan the corpus:\n$lp")
     }
-    time(s"surprisal + bm25 over ONE persisted tokenization x$mult") {
+    time(s"uni+bigram surprisal + bm25 over ONE persisted tokenization x$mult") {
       Curation.unigramSurprisalTokenized(toksRel, "doc_id")
+        .agg(count(lit(1)), sum("surprisal")).collect()
+      Curation.bigramSurprisalTokenized(toksRel, "doc_id")
         .agg(count(lit(1)), sum("surprisal")).collect()
       Curation.bm25Tokenized(toksRel, "doc_id", Seq("spark", "query", "join"))
         .agg(count(lit(1)), sum("bm25")).collect()
