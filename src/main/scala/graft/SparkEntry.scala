@@ -793,6 +793,23 @@ object SparkEntry {
         .select(col("l_returnflag"), col("sum_qty"), col("n_rows"))
     }),
 
+    // Skew-safe SALTED JOIN: half of lineitem collapses onto one hot key
+    // (the straggler shape); the big side salts on a row expression, the
+    // small side replicates ×8, and the post-join aggregate must equal
+    // the plain-join oracle exactly.
+    "q103_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 100 < 50, lit(0L))
+          .otherwise((col("l_orderkey") % 100).cast("long")).as("k"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("rowkey"))
+      val dims = s.range(100).select(col("id").as("k"),
+        (col("id") * 3 + 7).as("w"))
+      Ops.saltedJoin(li, dims, "k", col("rowkey"), salts = 8)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty") * col("w")).as("wsum"))
+    }),
+
     // Mean unigram surprisal per doc under the corpus' own unigram
     // distribution — the no-model text-quality outlier score. Term counts
     // broadcast (vocabulary-sized); corpus shuffles only for aggs.
@@ -2574,6 +2591,17 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q103_salted_join" ->
+      """WITH big AS (SELECT
+        |  CASE WHEN l_orderkey % 100 < 50 THEN 0
+        |       ELSE l_orderkey % 100 END AS k,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |dims AS (SELECT range AS k, range * 3 + 7 AS w FROM range(100))
+        |SELECT CAST(b.k AS BIGINT) AS k, count(*) AS n_rows,
+        |  CAST(sum(qty * w) AS BIGINT) AS wsum
+        |FROM big b JOIN dims d ON d.k = b.k
+        |GROUP BY b.k""".stripMargin,
 
     "q88_unigram_surprisal" ->
       """WITH tok AS (SELECT doc_id,

@@ -262,6 +262,27 @@ object Ops {
         sum(col("__pc")).as("n_rows"))
   }
 
+  /** Skew-safe equi-join, the join-side sibling of [[saltedSum]]: the
+    * BIG side gets a per-row salt (derived from `saltExpr`, any
+    * expression — a row id, a hash of payload columns; correctness never
+    * depends on the salt's distribution, only straggler-spreading does)
+    * and the SMALL-but-unbroadcastable side replicates `salts` ways, so
+    * one hot key's rows land on `salts` tasks instead of one straggler.
+    * The join keys become (key, salt) — same sort-merge shape, answer
+    * identical to the plain inner join (spec + oracle q103). Prefer
+    * `broadcast()` when the small side fits; prefer AQE skew handling
+    * when key stats exist — this operator is for the case where neither
+    * applies (both sides large, one key dominating, static planning).
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltExpr: org.apache.spark.sql.Column, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts $salts must be >= 1")
+    val b = big.withColumn("__salt", pmod(saltExpr.cast("long"), lit(salts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+
   // ── canonical edge direction ────────────────────────────────────────────
   /** `reverse_lines` (code/lib/util.py:139-155): orient every edge so
     * start <= end, so that (A,B) and (B,A) merge in the downstream groupBy.

@@ -180,6 +180,25 @@ class OpsSpec extends AnyFunSuite {
       .count(_ == "Exchange hashpartitioning") >= 2, plan)
   }
 
+  test("saltedJoin: equals the plain join, keys carry the salt") {
+    val big = spark.range(50000).select(
+      when(col("id") % 10 < 5, lit(0L)).otherwise(col("id") % 10).as("k"),
+      (col("id") % 13).as("v"), col("id").as("rowkey"))
+    val small = spark.range(10).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val salted = Ops.saltedJoin(big, small, "k", col("rowkey"), salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v") * col("w")).as("s"))
+    val plain = big.join(small, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v") * col("w")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = salted.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == plain)
+    // the join keys must include the salt — that is the whole spreading
+    // mechanism; assert it survives optimization
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"join must key on the salt:\n$plan")
+  }
+
   test("canonicalEdge orients start <= end") {
     val df = Seq(("B", "A", 1.0), ("A", "B", 2.0), ("C", "C", 3.0)).toDF("s", "e", "cap")
     val got = Ops.canonicalEdge(df, "s", "e")
