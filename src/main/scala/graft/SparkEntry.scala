@@ -1339,6 +1339,22 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Product-quantization ANN: hash-donor codebooks (the q62 selection
+    // formula), 8×8-dim subspace encode, asymmetric-distance top-10 for
+    // the vec_id=0 query. The oracle re-derives donor choice, per-
+    // subspace argmin codes and the ADC sum — any drift in encode or
+    // lookup shifts a code and breaks the hash.
+    "q104_pq_adc" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 10,
+          m = 8, nCodes = 16)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
     // Embedding-cosine near-dup detection via RP-LSH buckets (planted
     // duplicates guarantee yield; rows-only: bucket hashing engine-native).
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -2103,6 +2119,25 @@ object SparkEntry {
         |  FROM asg a JOIN pl ON a.cid = pl.cid CROSS JOIN q)
         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
         |FROM s ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q104_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |sd AS (SELECT e.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
+        |adc AS (SELECT c.vec_id, sum(q.s) AS adc FROM codes c
+        |  JOIN qt q ON q.j = c.j AND q.did = c.code GROUP BY c.vec_id)
+        |SELECT vec_id, round(adc, 6) AS adc
+        |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
 
     // Full dedup pipeline recomputed: exact dedup (null-text singletons),
     // LSH candidates over survivors (as q25, %25 planting), distinct-bigram

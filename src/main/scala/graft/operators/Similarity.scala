@@ -310,6 +310,101 @@ object Similarity {
       threshold: Double, nBits: Int = 8): DataFrame =
     Dedup.embeddingNearDup(vecs, idCol, vecCol, threshold, nBits)
 
+  // ------------------------------------------------- product quantization
+
+  /** SQL-reproducible PQ codebook donors: the same multiplicative-hash
+    * selection as [[ivfTopK]] picks `nCodes` corpus vectors; subspace j's
+    * codebook is their j-th subvectors. Returned sorted by donor id (the
+    * deterministic tie order every consumer relies on). Data-drawn, so
+    * codes adapt to the corpus without a training pass; for LEARNED
+    * codebooks run [[kmeansCentroids]] per subspace and feed the result
+    * through the same encode/search shapes.
+    */
+  def pqDonors(vecs: DataFrame, idCol: String, vecCol: String,
+      nCodes: Int): Array[(Long, Array[Double])] = {
+    val idHash = pmod(pmod(col("cid"), lit(2147483648L)) * 2654435761L,
+      lit(4294967296L))
+    vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .orderBy(idHash.asc, col("cid").asc).limit(nCodes)
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"pqDonors requires numeric (long-castable) ids; '$idCol' cast to null")
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }.sortBy(_._1)
+  }
+
+  /** Product-quantization encode: split the D-dim space into `m`
+    * subspaces and code each subvector by its nearest donor subvector
+    * (squared L2, ties to the smaller donor id) — m small codes per
+    * vector instead of 8D bytes, the memory-compression layer of ANN
+    * serving (persist THIS relation; the raw vectors stay in cold
+    * storage). One map-side pass, nothing shuffles.
+    */
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      donors: Array[(Long, Array[Double])], m: Int): DataFrame = {
+    val dim = donors.head._2.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val bc = vecs.sparkSession.sparkContext.broadcast(donors)
+    val encode = udf { (v: Seq[Double]) =>
+      Array.tabulate(m) { j =>
+        var best = -1L; var bd = Double.PositiveInfinity
+        bc.value.foreach { case (did, dv) =>
+          var s = 0.0; var i = 0
+          while (i < sub) {
+            val t = v(j * sub + i) - dv(j * sub + i); s += t * t; i += 1
+          }
+          if (s < bd) { bd = s; best = did } // donors id-sorted: ties → min id
+        }
+        best
+      }
+    }
+    vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol), encode(col(vecCol).cast("array<double>")).as("pq_codes"))
+  }
+
+  /** Asymmetric-distance search over a PQ-coded relation: the query's
+    * m × nCodes distance table is computed ONCE driver-side and
+    * broadcast; each coded row costs m lookups + adds, and the top-k is
+    * a TakeOrderedAndProject. Approximation error is the quantization
+    * residual — rank by `adc` ascending (squared-L2 surrogate).
+    */
+  def pqSearchCodes(codes: DataFrame, idCol: String,
+      donors: Array[(Long, Array[Double])], query: Seq[Double], k: Int,
+      m: Int): DataFrame = {
+    val dim = donors.head._2.length
+    val sub = dim / m
+    val table: Map[(Int, Long), Double] = (for {
+      j <- 0 until m; (did, dv) <- donors
+    } yield {
+      var s = 0.0; var i = 0
+      while (i < sub) { val t = query(j * sub + i) - dv(j * sub + i); s += t * t; i += 1 }
+      ((j, did), s)
+    }).toMap
+    val bt = codes.sparkSession.sparkContext.broadcast(table)
+    val adc = udf { (cs: Seq[Long]) =>
+      var s = 0.0; var j = 0
+      while (j < cs.length) { s += bt.value((j, cs(j))); j += 1 }
+      s
+    }
+    codes.select(col(idCol), adc(col("pq_codes")).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** One-shot PQ top-k (donors → encode → ADC search) — the gate-query
+    * shape; serving splits it: [[pqDonors]] + [[pqEncode]] persisted
+    * once, [[pqSearchCodes]] per query.
+    */
+  def pqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, m: Int = 8, nCodes: Int = 16): DataFrame = {
+    val donors = pqDonors(vecs, idCol, vecCol, nCodes)
+    pqSearchCodes(pqEncode(vecs, idCol, vecCol, donors, m), idCol, donors,
+      query, k, m)
+  }
+
   // ------------------------------------------------------ hybrid retrieval
 
   /** Top-N of a scored relation as an explicit 1-based `rank` column,

@@ -379,6 +379,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(minId == Set(1L, 3L, 5L, 9L), s"min-id got $minId")
   }
 
+  test("pqTopK: split path parity, donor self-query at ADC zero") {
+    import graft.operators.Similarity
+    // 64-dim deterministic vectors, ids 0..49
+    val vecs = spark.range(50).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(id * (d + 7) + d, 97) AS DOUBLE) / 97.0)").as("embedding"))
+    val donors = Similarity.pqDonors(vecs, "vec_id", "embedding", nCodes = 8)
+    assert(donors.length == 8 && donors.map(_._1).sorted.sameElements(donors.map(_._1)))
+    val q = vecs.filter(col("vec_id") === donors.head._1)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    // one-shot == donors → encode → search
+    val oneShot = Similarity.pqTopK(vecs, "vec_id", "embedding", q, k = 5,
+        m = 8, nCodes = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val split = Similarity.pqSearchCodes(
+        Similarity.pqEncode(vecs, "vec_id", "embedding", donors, m = 8),
+        "vec_id", donors, q, k = 5, m = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(oneShot == split, s"$oneShot vs $split")
+    // the query IS a donor: its own subvectors code to themselves, so its
+    // ADC is exactly zero and it ranks first
+    assert(oneShot.head._1 == donors.head._1 && oneShot.head._2 == 0.0,
+      s"donor self-query must be rank 1 at ADC 0: $oneShot")
+    // codes are m donor ids
+    val codes = Similarity.pqEncode(vecs, "vec_id", "embedding", donors, m = 8)
+      .select("pq_codes").as[Seq[Long]].collect()
+    val donorIds = donors.map(_._1).toSet
+    assert(codes.forall(c => c.length == 8 && c.forall(donorIds.contains)))
+  }
+
   test("writeSignatureIndex refuses an empty corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sigidx6")
       .resolve("idx").toString
