@@ -132,6 +132,62 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("datum-bridge CRS families: forward∘inverse identity on random points") {
+    // every family that crosses a geocentric bridge (Swiss, OSGB, NTF,
+    // Gauss-Krüger) — the bridge inverse is algebraic-exact, so the
+    // round-trip floor is the geodetic-latitude iteration (~2e-8 deg)
+    val gen = Gen.oneOf(
+      for { lon <- Gen.choose(6.0, 10.4); lat <- Gen.choose(45.9, 47.8) }
+        yield (21781, lon, lat),
+      for { lon <- Gen.choose(6.0, 10.4); lat <- Gen.choose(45.9, 47.8) }
+        yield (2056, lon, lat),
+      for { lon <- Gen.choose(-6.0, 1.7); lat <- Gen.choose(50.0, 58.5) }
+        yield (27700, lon, lat),
+      for { lon <- Gen.choose(-4.5, 7.5); lat <- Gen.choose(42.5, 50.5) }
+        yield (27572, lon, lat),
+      for { lon <- Gen.choose(6.5, 11.5); lat <- Gen.choose(47.5, 54.5) }
+        yield (31467, lon, lat))
+    forAll(gen, n = 150) { case (epsg, lon, lat) =>
+      val (x, y) = graft.geo.Crs.fromWgs84(epsg, lon, lat)
+      val (lon2, lat2) = graft.geo.Crs.toWgs84(epsg, x, y)
+      assert(math.abs(lon2 - lon) < 3e-8 && math.abs(lat2 - lat) < 3e-8,
+        s"EPSG:$epsg ($lon, $lat) → ($lon2, $lat2)")
+    }
+  }
+
+  test("DataFrame law: saltedJoin equals the plain join for any salts") {
+    val rnd = new scala.util.Random(7)
+    for (salts <- Seq(1, 3, 16)) {
+      val big = (0 until 2000).map(i =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, i.toLong))
+        .toDF("k", "v", "rowkey")
+      val small = (0L until 8L).map(k => (k, k * 5 + 1)).toDF("k", "w")
+      val plain = big.join(small, "k").agg(count(lit(1)), sum($"v" * $"w"))
+        .head()
+      val salted = Ops.saltedJoin(big, small, "k", $"rowkey", salts)
+        .agg(count(lit(1)), sum($"v" * $"w")).head()
+      assert(plain == salted, s"salts=$salts: $plain vs $salted")
+    }
+  }
+
+  test("DataFrame law: rrfFuse scores bounded and unanimous-top wins") {
+    import graft.operators.Similarity
+    // three runs over ids 1..20, each a permuted ranking with id 7 rank 1
+    val rnd = new scala.util.Random(11)
+    val runs = (0 until 3).map { _ =>
+      val rest = rnd.shuffle((1L to 20L).filter(_ != 7L).toList)
+      ((7L :: rest).zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) })
+        .toDF("id", "rank")
+    }
+    val fused = Similarity.rrfFuse(runs, "id", "rank", kRrf = 60, topN = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // unanimous rank-1 doc wins, with the exact maximal score 3/(60+1)
+    assert(fused.head._1 == 7L)
+    assert(math.abs(fused.head._2 - 3.0 / 61.0) < 1e-12)
+    // every fused score is bounded by nRuns/(k+1) and n_systems ≤ nRuns
+    assert(fused.forall { case (_, s, n) => s <= 3.0 / 61.0 + 1e-12 && n <= 3 })
+  }
+
   test("geodesic vs haversine: within 0.6% everywhere non-antipodal") {
     forAll2(coord, coord, n = 80) { case ((lat1, lon1), (lat2, lon2)) =>
       val h = GeoMath.haversineKm(lat1, lon1, lat2, lon2)
