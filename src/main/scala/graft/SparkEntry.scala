@@ -1355,6 +1355,20 @@ object SparkEntry {
         .select(col("vec_id"), round(col("adc"), 6).as("adc"))
     }),
 
+    // IVF-PQ combined serving shape: coarse hash-centroid lists prune to
+    // nProbe=4 of 16, PQ codes rank the survivors by asymmetric distance
+    // — FAISS's IVFPQ re-expressed over the q62 + q104 oracle machinery.
+    "q105_ivfpq" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, k = 10,
+          nLists = 16, nProbe = 4, m = 8, nCodes = 16)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
     // Embedding-cosine near-dup detection via RP-LSH buckets (planted
     // duplicates guarantee yield; rows-only: bucket hashing engine-native).
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -2136,6 +2150,37 @@ object SparkEntry {
         |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
         |adc AS (SELECT c.vec_id, sum(q.s) AS adc FROM codes c
         |  JOIN qt q ON q.j = c.j AND q.did = c.code GROUP BY c.vec_id)
+        |SELECT vec_id, round(adc, 6) AS adc
+        |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
+
+    "q105_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |fulld AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT did AS lst FROM don CROSS JOIN q
+        |  ORDER BY list_reduce(list_transform(range(1, len(dv) + 1),
+        |    j -> (dv[j] - qv[j]) * (dv[j] - qv[j])), (x, y) -> x + y), did LIMIT 4),
+        |cand AS (SELECT a.vec_id FROM asg a JOIN pl ON a.lst = pl.lst),
+        |sd AS (SELECT e.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
+        |adc AS (SELECT c.vec_id, sum(q2.s) AS adc FROM codes c
+        |  JOIN cand ON cand.vec_id = c.vec_id
+        |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id)
         |SELECT vec_id, round(adc, 6) AS adc
         |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
 

@@ -342,13 +342,14 @@ object Similarity {
     * serving (persist THIS relation; the raw vectors stay in cold
     * storage). One map-side pass, nothing shuffles.
     */
-  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
-      donors: Array[(Long, Array[Double])], m: Int): DataFrame = {
+  private def pqEncodeUdf(spark: org.apache.spark.sql.SparkSession,
+      donors: Array[(Long, Array[Double])],
+      m: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val dim = donors.head._2.length
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    val bc = vecs.sparkSession.sparkContext.broadcast(donors)
-    val encode = udf { (v: Seq[Double]) =>
+    val bc = spark.sparkContext.broadcast(donors)
+    udf { (v: Seq[Double]) =>
       Array.tabulate(m) { j =>
         var best = -1L; var bd = Double.PositiveInfinity
         bc.value.foreach { case (did, dv) =>
@@ -361,6 +362,11 @@ object Similarity {
         best
       }
     }
+  }
+
+  def pqEncode(vecs: DataFrame, idCol: String, vecCol: String,
+      donors: Array[(Long, Array[Double])], m: Int): DataFrame = {
+    val encode = pqEncodeUdf(vecs.sparkSession, donors, m)
     vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol), encode(col(vecCol).cast("array<double>")).as("pq_codes"))
   }
@@ -403,6 +409,50 @@ object Similarity {
     val donors = pqDonors(vecs, idCol, vecCol, nCodes)
     pqSearchCodes(pqEncode(vecs, idCol, vecCol, donors, m), idCol, donors,
       query, k, m)
+  }
+
+  /** IVF-PQ: the combined serving shape (FAISS's IVFPQ) — coarse
+    * quantizer prunes to `nProbe` of `nLists` inverted lists, PQ codes
+    * rank within them by asymmetric distance. Both codebooks come from
+    * the same SQL-reproducible hash-donor selection ([[pqDonors]]);
+    * list assignment is one map-side argmin, candidate filtering is an
+    * isin on the list id (partition pruning once the coded relation is
+    * persisted partitioned by `ivf_list`, as [[writeIvfIndex]] does for
+    * raw vectors), and the ADC scan costs m lookups per surviving row.
+    * At billion-vector scale: nProbe/nLists of the corpus scanned, m
+    * bytes per row held — the two savings multiply.
+    */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4,
+      m: Int = 8, nCodes: Int = 16): DataFrame = {
+    val clean = vecs.filter(col(vecCol).isNotNull)
+    val centroids = pqDonors(clean, idCol, vecCol, nLists)
+    val donors = pqDonors(clean, idCol, vecCol, nCodes)
+    def sq(a: Seq[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val bcC = clean.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Double]) =>
+      var best = Long.MaxValue; var bd = Double.PositiveInfinity
+      bcC.value.foreach { case (cid, cv) =>
+        val d = sq(v, cv)
+        if (d < bd || (d == bd && cid < best)) { bd = d; best = cid }
+      }
+      best
+    }
+    val probed = centroids.map { case (cid, cv) => (cid, sq(query, cv)) }
+      .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
+    // ONE scan: assign → probe filter → encode, so codes are computed
+    // only for rows inside the probed lists
+    val encode = pqEncodeUdf(clean.sparkSession, donors, m)
+    val coded = clean.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"),
+        assign(col(vecCol).cast("array<double>")).as("ivf_list"))
+      .filter(col("ivf_list").isin(probed: _*))
+      .select(col(idCol), encode(col("__v")).as("pq_codes"))
+    pqSearchCodes(coded, idCol, donors, query, k, m)
   }
 
   // ------------------------------------------------------ hybrid retrieval

@@ -409,6 +409,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(codes.forall(c => c.length == 8 && c.forall(donorIds.contains)))
   }
 
+  test("ivfPqTopK: subset of full-PQ ranking, probe widening converges") {
+    import graft.operators.Similarity
+    val vecs = spark.range(80).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(id * (d + 7) + d, 97) AS DOUBLE) / 97.0)").as("embedding"))
+    val q = vecs.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val full = Similarity.pqTopK(vecs, "vec_id", "embedding", q, k = 80,
+        m = 8, nCodes = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val pruned = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", q, k = 10,
+        nLists = 8, nProbe = 2, m = 8, nCodes = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // pruning never invents results: every ADC equals the full-PQ ADC
+    pruned.foreach { case (id, adc) =>
+      assert(full.contains(id) && math.abs(full(id) - adc) < 1e-12,
+        s"id $id: pruned adc $adc vs full ${full.get(id)}")
+    }
+    // probing ALL lists recovers exactly the unpruned top-10
+    val allLists = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", q,
+        k = 10, nLists = 8, nProbe = 8, m = 8, nCodes = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val top10 = Similarity.pqTopK(vecs, "vec_id", "embedding", q, k = 10,
+        m = 8, nCodes = 8).collect().map(_.getLong(0)).toSeq
+    assert(allLists == top10, s"$allLists vs $top10")
+  }
+
   test("writeSignatureIndex refuses an empty corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sigidx6")
       .resolve("idx").toString
