@@ -34,7 +34,13 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Per-query cleanup OUTSIDE the timed window: delete index scratch
+      // dirs, drop cached/checkpointed blocks. Round 5 ran the suite
+      // without this and the accumulated state slowed the shared 92
+      // queries ~1.55x suite-wide.
+      try SparkEntry.releaseScratch(spark) catch { case _: Throwable => }
+      name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 

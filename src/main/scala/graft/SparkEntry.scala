@@ -23,6 +23,49 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch-dir registry. Queries that exercise persisted-index
+    * lifecycles (q62/q79/q93/q96, the geo sink round-trips) write real
+    * parquet/SHP/TIFF under java temp dirs. Round 5's bench quantified the
+    * cost of NOT cleaning up between queries: undeleted index dirs plus
+    * accumulated `localCheckpoint`/persist blocks degraded the shared
+    * 92-query suite ~1.55× suite-wide. Every temp dir a query creates is
+    * registered here; [[releaseScratch]] deletes them and frees every
+    * cached/checkpointed block. Sequential harnesses (Bench, Verify) call
+    * it after each query, outside the timed window.
+    */
+  private val scratch =
+    scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+  private def scratchDir(prefix: String): java.nio.file.Path =
+    scratch.synchronized {
+      val p = java.nio.file.Files.createTempDirectory(prefix)
+      scratch += p
+      p
+    }
+
+  /** Delete all registered scratch dirs and drop every cached DataFrame
+    * and persisted/checkpointed RDD block from the BlockManager. Safe to
+    * call between fully-consumed queries; never throws.
+    */
+  def releaseScratch(spark: SparkSession): Unit = {
+    val dirs = scratch.synchronized { val d = scratch.toList; scratch.clear(); d }
+    dirs.foreach { root =>
+      try {
+        import java.nio.file.{Files, Path}
+        if (Files.exists(root)) {
+          val walk = Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[Path]()).forEach {
+            (p: Path) => try { Files.deleteIfExists(p); () } catch { case _: Exception => () }
+          }
+          finally walk.close()
+        }
+      } catch { case _: Exception => () }
+    }
+    try spark.catalog.clearCache() catch { case _: Exception => () }
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    catch { case _: Exception => () }
+  }
+
   /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
     * reads as a long (nanos since epoch) under the legacy flag. All event
     * queries treat `ts` as int64 nanoseconds; ordering and gap arithmetic
@@ -589,7 +632,7 @@ object SparkEntry {
           col("r_regionkey") * 20, col("r_regionkey") * 20 + 20,
           col("r_regionkey") * 20 + 20, col("r_regionkey") * 20,
           col("r_regionkey") * 20).as("geometry"))
-      val base = java.nio.file.Files.createTempDirectory("graft_shp")
+      val base = scratchDir("graft_shp")
         .resolve("regions").toString
       graft.sources.Shapefile.write(polys, "geometry", base)
       val back = graft.sources.Shapefile.read(s, base)
@@ -613,7 +656,7 @@ object SparkEntry {
         .groupBy("row", "col").agg(count(lit(1)).cast("double").as("value"))
       val gi = GeoTiff.GeoInfo(rows = 30, cols = 40,
         x0 = 0.0, y0 = 30.0, resX = 1.0, resY = 1.0)
-      val path = java.nio.file.Files.createTempDirectory("graft_tif")
+      val path = scratchDir("graft_tif")
         .resolve("counts.tif").toString
       GeoTiff.write(cells, gi, path)
       GeoTiff.read(s, path, window = Some((5, 10, 24, 29)), bandRows = 8)
@@ -638,7 +681,7 @@ object SparkEntry {
         format_string("POINT (%s %s)",
           CrsFns.toX(lit(32632), col("lon"), col("lat")),
           CrsFns.toY(lit(32632), col("lon"), col("lat"))).as("geometry"))
-      val base = java.nio.file.Files.createTempDirectory("graft_utm")
+      val base = scratchDir("graft_utm")
         .resolve("pts32632").toString
       graft.sources.Shapefile.write(utm, "geometry", base, epsg = Some(32632))
       graft.sources.Shapefile.read(s, base) // auto-reprojects via .prj
@@ -664,7 +707,7 @@ object SparkEntry {
         format_string("POINT (%s %s)",
           CrsFns.toX(lit(2154), col("lon"), col("lat")),
           CrsFns.toY(lit(2154), col("lon"), col("lat"))).as("geometry"))
-      val base = java.nio.file.Files.createTempDirectory("graft_l93")
+      val base = scratchDir("graft_l93")
         .resolve("pts2154").toString
       graft.sources.Shapefile.write(lam, "geometry", base, epsg = Some(2154))
       graft.sources.Shapefile.read(s, base) // auto-reprojects via .prj
@@ -687,7 +730,7 @@ object SparkEntry {
         format_string("POINT (%s %s)",
           CrsFns.toX(lit(27700), col("lon"), col("lat")),
           CrsFns.toY(lit(27700), col("lon"), col("lat"))).as("geometry"))
-      val base = java.nio.file.Files.createTempDirectory("graft_bng")
+      val base = scratchDir("graft_bng")
         .resolve("pts27700").toString
       graft.sources.Shapefile.write(bng, "geometry", base, epsg = Some(27700))
       graft.sources.Shapefile.read(s, base) // auto-reprojects via .prj
@@ -714,7 +757,7 @@ object SparkEntry {
         format_string("POINT (%s %s)",
           CrsFns.toX(lit(2056), col("lon"), col("lat")),
           CrsFns.toY(lit(2056), col("lon"), col("lat"))).as("geometry"))
-      val base = java.nio.file.Files.createTempDirectory("graft_lv95")
+      val base = scratchDir("graft_lv95")
         .resolve("pts2056").toString
       graft.sources.Shapefile.write(lv, "geometry", base, epsg = Some(2056))
       graft.sources.Shapefile.read(s, base) // auto-reprojects via .prj
@@ -1113,7 +1156,7 @@ object SparkEntry {
     // corruption (bucketing, stats sidecar, df counting) breaks the hash.
     "q79_text_index" -> ((s, dir) => {
       import graft.operators.TextIndex
-      val path = java.nio.file.Files.createTempDirectory("graft_tix")
+      val path = scratchDir("graft_tix")
         .resolve("idx").toString
       // 16 buckets at gate scale (64-dir writes are pure file overhead
       // on a 5k-doc corpus; pruning semantics identical)
@@ -1267,7 +1310,7 @@ object SparkEntry {
         .select((col("doc_id") + lit(3 * o + 3)).as("doc_id"),
           format_string("fresh alpha %d beta %d gamma delta epsilon",
             col("doc_id"), col("doc_id") * 7).as("text"))
-      val idx = java.nio.file.Files.createTempDirectory("graft_didx")
+      val idx = scratchDir("graft_didx")
         .resolve("idx").toString
       // 16 buckets at gate scale (same rationale as q79's text index)
       Dedup.writeSignatureIndex(docs, "doc_id", "text", idx,
@@ -1307,7 +1350,7 @@ object SparkEntry {
           .select((col("doc_id") + lit(6 * o + 6)).as("doc_id"),
             format_string("second wave zeta %d eta %d theta iota kappa",
               col("doc_id"), col("doc_id") * 3).as("text")))
-      val idx = java.nio.file.Files.createTempDirectory("graft_ridx")
+      val idx = scratchDir("graft_ridx")
         .resolve("idx").toString
       Dedup.writeSignatureIndex(docs, "doc_id", "text", idx,
         shingleN = 2, k = 16, bands = 4, nBuckets = 16)

@@ -260,7 +260,11 @@ object Multimodal {
     if (media == null || media.length < 12 || every <= 0)
       Array.empty[(Int, Int, Int, Double)]
     else {
-      val frames = VideoContainers.aviFramePayloads(media)
+      // inside the never-fail contract: a structurally corrupt container
+      // must yield zero frames, not a failed partition
+      val frames =
+        try VideoContainers.aviFramePayloads(media)
+        catch { case _: Exception => IndexedSeq.empty[Array[Byte]] }
       Range(0, frames.length, every).flatMap { i =>
         try {
           val img = javax.imageio.ImageIO.read(

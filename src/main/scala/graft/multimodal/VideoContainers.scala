@@ -40,9 +40,13 @@ private[graft] object VideoContainers {
       var off = from
       while (off + 8 <= to) {
         val id = fourcc(b, off)
+        // size is UNSIGNED 32-bit: keep it Long end-to-end. Truncating to
+        // Int lets a corrupt size >= 2^31 go negative, making `off`
+        // stationary — an infinite loop inside an executor task that the
+        // caller's catch never sees (it never throws)
         val size = u32le(b, off + 4)
         val body = off + 8
-        val end = math.min(to, body + size.toInt)
+        val end = math.min(to.toLong, body.toLong + size).toInt
         id match {
           case "LIST" if end - body >= 4 => walk(body + 4, end) // skip list type
           case "avih" if end - body >= 40 =>
@@ -56,7 +60,9 @@ private[graft] object VideoContainers {
             if (scale > 0) fps = rate.toDouble / scale
           case _ =>
         }
-        off = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        val next = body.toLong + size + (size & 1L) // chunks are word-aligned
+        if (next > to) return // truncated/corrupt tail: stop, keep findings
+        off = next.toInt
       }
     }
     walk(12, b.length)
@@ -81,11 +87,11 @@ private[graft] object VideoContainers {
     def walk(from: Int, to: Int): Unit = {
       var off = from
       while (off + 8 <= to) {
-        val size = u32be(b, off)
+        val size = u32be(b, off) // unsigned — Long arithmetic throughout
         if (size < 8) return // size64/odd boxes: stop rather than misparse
         val id = fourcc(b, off + 4)
         val body = off + 8
-        val end = math.min(to, off + size.toInt)
+        val end = math.min(to.toLong, off.toLong + size).toInt
         id match {
           case "moov" | "trak" | "mdia" | "minf" | "stbl" => walk(body, end)
           case "mvhd" if end - body >= 20 && b(body) == 0 => // version 0
@@ -104,7 +110,9 @@ private[graft] object VideoContainers {
             }
           case _ =>
         }
-        off += size.toInt
+        val next = off.toLong + size
+        if (next > to) return // truncated/corrupt tail box
+        off = next.toInt
       }
     }
     walk(0, b.length)
@@ -257,16 +265,18 @@ private[graft] object VideoContainers {
       var off = from
       while (off + 8 <= to) {
         val id = fourcc(b, off)
-        val size = u32le(b, off + 4).toInt
+        val size = u32le(b, off + 4) // unsigned — same Long discipline as parseAvi
         val body = off + 8
-        val end = math.min(to, body + size)
+        val end = math.min(to.toLong, body.toLong + size).toInt
         if (id == "LIST" && end - body >= 4)
           walk(body + 4, end, inMovi || fourcc(b, body) == "movi")
         else if (inMovi && id.length == 4 &&
             Character.isLetterOrDigit(id(0)) && Character.isLetterOrDigit(id(1)) &&
             id(2) == 'd' && (id(3) == 'c' || id(3) == 'b'))
           out += java.util.Arrays.copyOfRange(b, body, end)
-        off = body + size + (size & 1) // chunks are word-aligned
+        val next = body.toLong + size + (size & 1L) // chunks are word-aligned
+        if (next > to) return // truncated/corrupt tail chunk
+        off = next.toInt
       }
     }
     if (b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ")

@@ -389,6 +389,9 @@ object Dedup {
     require(stats.getLong(1) > 0, "refusing to index an empty corpus")
     writeIndexMeta(spark, path, shingleN, k, bands, nBuckets,
       stats.getLong(0), stats.getLong(1))
+    // a full rebuild is the documented recovery from a crashed append —
+    // clear any stale pending marker so the fresh index is probe-able
+    clearPendingMarker(spark, path)
   }
 
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
@@ -407,12 +410,19 @@ object Dedup {
     * signature index — the post-probe step that makes the index the
     * corpus' rolling identity: the next batch probes existing ∪ survivors
     * with no rebuild. Survivor ids must continue the monotone sequence
-    * (checked against the index meta); the three relations append into
-    * the same partition scheme and the meta's maxId/nDocs update LAST,
-    * so a crash mid-append leaves a probe-consistent index whose meta
-    * simply under-reports maxId (re-appending the same batch then fails
-    * the monotone check instead of silently double-inserting — rebuild
-    * with [[writeSignatureIndex]] to recover).
+    * (checked against the index meta).
+    *
+    * Crash safety via a PENDING-APPEND MARKER: because the meta's
+    * maxId/nDocs update LAST, a crash after some relation appends but
+    * before the meta write would leave maxId at its OLD value — and a
+    * retried append of the same batch would then PASS the monotone check
+    * and silently double-insert. So a `_pending_append.json` sidecar
+    * (carrying the batch id range) is written BEFORE the first relation
+    * append and deleted only AFTER the meta write; every index entry
+    * point ([[readIndexMeta]]) refuses to touch an index whose marker is
+    * still present. Recovery: rebuild with [[writeSignatureIndex]], or
+    * remove the marked id range with a manual anti-join rewrite, then
+    * delete the marker.
     */
   def appendToSignatureIndex(survivors: DataFrame, idCol: String,
       textCol: String, path: String): Unit = {
@@ -440,6 +450,10 @@ object Dedup {
     require(s.getLong(0) > m.maxId,
       s"appendToSignatureIndex requires monotone ids: index maxId=${m.maxId} " +
         s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
+    // marker FIRST: if we crash anywhere between here and the meta write,
+    // the marker survives and readIndexMeta refuses the index instead of
+    // letting a retried append double-insert (see scaladoc)
+    writePendingMarker(spark, path, s.getLong(0), s.getLong(1), s.getLong(3))
     // bucket-clustered appends (see writeSignatureIndex): one file per
     // touched bucket per batch, not tasks×buckets
     enriched.withColumn("ib", pmod(col("doc_id"), lit(nB)))
@@ -458,6 +472,26 @@ object Dedup {
       .write.mode("append").partitionBy("hb").parquet(s"$path/hashes")
     writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
       s.getLong(1), m.nDocs + s.getLong(3))
+    clearPendingMarker(spark, path)
+  }
+
+  private def pendingMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_pending_append.json")
+
+  private def writePendingMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, minId: Long, maxId: Long, n: Long): Unit = {
+    val p = pendingMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"minId":$minId,"maxId":$maxId,"n":$n}""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private def clearPendingMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = pendingMarkerPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
   }
 
   /** Rewrite a signature index in place so every bucket holds ONE file
@@ -495,15 +529,24 @@ object Dedup {
         dropIds.schema(idCol).dataType.simpleString)
     val ids = broadcast(
       dropIds.select(col(idCol).cast("long").as("doc_id")).distinct())
-    val n = ids.count()
+    // nDocs decrements by the ids ACTUALLY PRESENT, not by |dropIds| —
+    // takedown lists routinely carry ids already removed or never
+    // indexed, and decrementing by request cardinality drifts nDocs
+    // toward 0 while documents remain (round-5 finding). One left join
+    // over docs/ yields present-count and total together; the same agg
+    // backs the refuse-to-empty guard.
+    val stats = spark.read.parquet(s"$path/docs")
+      .join(ids.withColumn("__drop", lit(1)), Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("__drop"), lit(0))).as("present")).head()
+    val present = stats.getLong(1)
     // refuse to empty the index outright — every later probe would fail
     // on the schemaless relations; rebuild from a corpus instead
-    require(spark.read.parquet(s"$path/docs")
-        .join(ids, Seq("doc_id"), "left_anti").limit(1).count() > 0,
+    require(present < stats.getLong(0),
       "removeFromSignatureIndex would remove every indexed document — " +
         "delete the index and writeSignatureIndex a new corpus instead")
     rewriteSignatureIndex(spark, path,
-      rel => rel.join(ids, Seq("doc_id"), "left_anti"), removed = n)
+      rel => rel.join(ids, Seq("doc_id"), "left_anti"), removed = present)
   }
 
   /** Shared staged rewrite: all three relations pass through `transform`
@@ -545,6 +588,15 @@ object Dedup {
       path: String): SigIndexMeta = {
     val p = new org.apache.hadoop.fs.Path(path, "_dedup_index_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every entry point (probe / append / compact / remove) funnels
+    // through here — a pending-append marker means a prior append died
+    // between its relation writes and its meta write, so the meta can no
+    // longer be trusted to arm the monotone double-insert guard
+    if (fs.exists(pendingMarkerPath(path)))
+      throw new IllegalStateException(
+        s"$path: _pending_append.json present — a previous append crashed " +
+          "before committing its meta. Rebuild with writeSignatureIndex " +
+          "(or remove the marked id range manually), then delete the marker.")
     val in = fs.open(p)
     val raw = try {
       val len = fs.getFileStatus(p).getLen.toInt
@@ -606,7 +658,11 @@ object Dedup {
         require(s.getLong(1) == 0L,
           s"dedupIncrementalIndexed requires numeric ids: ${s.getLong(1)} " +
             s"of ${s.getLong(2)} ids cast to null")
-        require(m.nDocs == 0 || s.getLong(0) > m.maxId,
+        // no nDocs==0 bypass: writeSignatureIndex refuses empty corpora
+        // and removeFromSignatureIndex refuses to empty an index, so a
+        // zero nDocs can only mean drifted/corrupt metadata — the guard
+        // must stay armed (round-5 finding)
+        require(s.getLong(0) > m.maxId,
           s"dedupIncrementalIndexed requires monotone ingestion ids: index " +
             s"maxId=${m.maxId} >= min(incoming)=${s.getLong(0)} — renumber the batch")
       }

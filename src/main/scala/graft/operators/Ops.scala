@@ -277,7 +277,12 @@ object Ops {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       saltExpr: org.apache.spark.sql.Column, salts: Int): DataFrame = {
     require(salts >= 1, s"salts $salts must be >= 1")
-    val b = big.withColumn("__salt", pmod(saltExpr.cast("long"), lit(salts.toLong)))
+    // coalesce: a NULL saltExpr value must still land in salt bucket 0,
+    // not a null __salt — null never equals the small side's exploded
+    // salts, which would silently DROP a matching big-side row and break
+    // the identical-to-plain-inner-join contract
+    val b = big.withColumn("__salt",
+      pmod(coalesce(saltExpr.cast("long"), lit(0L)), lit(salts.toLong)))
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     b.join(s, Seq(key, "__salt")).drop("__salt")

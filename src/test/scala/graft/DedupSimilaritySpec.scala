@@ -498,4 +498,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("numeric id column"), e2.getMessage)
   }
+
+  private def metaNDocs(idx: String): Long = {
+    val raw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idx, "_dedup_index_meta.json")), "UTF-8")
+    "\"nDocs\":(-?[0-9]+)".r.findFirstMatchIn(raw).get.group(1).toLong
+  }
+
+  test("removeFromSignatureIndex decrements nDocs by docs actually present") {
+    val (existing, _) = indexFixture // docs 1..4
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx9")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    assert(metaNDocs(idx) == 4L)
+    // takedown list: one present id, one never-indexed, one duplicate —
+    // the decrement must be 1 (present), not 3 (requested)
+    Dedup.removeFromSignatureIndex(spark, idx,
+      Seq(1L, 99L, 1L).toDF("doc_id"), "doc_id")
+    assert(metaNDocs(idx) == 3L, s"nDocs after first remove: ${metaNDocs(idx)}")
+    // double-remove of the same (now absent) id: nDocs must not move
+    Dedup.removeFromSignatureIndex(spark, idx,
+      Seq(1L).toDF("doc_id"), "doc_id")
+    assert(metaNDocs(idx) == 3L, s"nDocs after double remove: ${metaNDocs(idx)}")
+    // and the monotone-id guard stays ARMED after removals: a stale-id
+    // probe must refuse, not silently pass via a drifted nDocs==0 bypass
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupIncrementalIndexed(Seq((2L, "x y z")).toDF("doc_id", "text"),
+        idx, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+  }
+
+  test("pending-append marker: index refuses until rebuilt, rebuild clears it") {
+    val (existing, incoming) = indexFixture
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx10")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    // a completed append leaves NO marker behind
+    val surv = Dedup.dedupIncrementalIndexed(incoming, idx, "doc_id", "text",
+      threshold = 0.6)
+    Dedup.appendToSignatureIndex(surv, "doc_id", "text", idx)
+    val marker = java.nio.file.Paths.get(idx, "_pending_append.json")
+    assert(!java.nio.file.Files.exists(marker), "append must clear its marker")
+    // simulate an append that died between its relation writes and its
+    // meta write: the marker is present, so every entry point refuses
+    java.nio.file.Files.write(marker,
+      """{"minId":100,"maxId":101,"n":2}""".getBytes("UTF-8"))
+    for (op <- Seq[() => Any](
+        () => Dedup.dedupIncrementalIndexed(
+          Seq((200L, "zz")).toDF("doc_id", "text"), idx, "doc_id", "text"),
+        () => Dedup.appendToSignatureIndex(
+          Seq((200L, "zz")).toDF("doc_id", "text"), "doc_id", "text", idx),
+        () => Dedup.compactSignatureIndex(spark, idx),
+        () => Dedup.removeFromSignatureIndex(spark, idx,
+          Seq(1L).toDF("doc_id"), "doc_id"))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("_pending_append"), e.getMessage)
+    }
+    // rebuild is the documented recovery — it clears the marker and the
+    // index probes again
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    assert(!java.nio.file.Files.exists(marker), "rebuild must clear the marker")
+    assert(Dedup.dedupIncrementalIndexed(incoming, idx, "doc_id", "text",
+      threshold = 0.6).select("doc_id").as[Long].collect().toSet == Set(12L, 15L))
+  }
 }

@@ -199,6 +199,21 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("__salt"), s"join must key on the salt:\n$plan")
   }
 
+  test("saltedJoin: NULL saltExpr rows still join (salt bucket 0)") {
+    // a null salt value must not null the salt column — null never equals
+    // the small side's exploded salts, which would silently drop the row
+    val big = Seq((1L, Some(7L)), (1L, None), (2L, Some(3L)))
+      .toDF("k", "rowkey")
+    val small = Seq((1L, "a"), (2L, "b")).toDF("k", "w")
+    val got = Ops.saltedJoin(big, small, "k", col("rowkey"), salts = 8)
+    assert(got.count() == 3L, "the null-salt row must survive the join")
+    val plain = big.join(small, "k").collect()
+      .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    val saltedRows = got.collect()
+      .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(saltedRows == plain)
+  }
+
   test("canonicalEdge orients start <= end") {
     val df = Seq(("B", "A", 1.0), ("A", "B", 2.0), ("C", "C", 3.0)).toDF("s", "e", "cap")
     val got = Ops.canonicalEdge(df, "s", "e")

@@ -173,6 +173,35 @@ class OverlayMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.withVideoFrames(none, "media").count() == 0)
   }
 
+  test("corrupt u32 chunk sizes terminate, never hang or throw") {
+    import graft.multimodal.VideoContainers
+    // RIFF AVI whose first chunk declares size 0xFFFFFFF8 — truncated to
+    // Int that is negative, which once made the walker's offset stationary
+    // (infinite loop inside the executor task). Must now terminate fast
+    // with null meta / zero frames.
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val evilAvi = "RIFF".getBytes ++ le32(0xFFFFFFF8L) ++ "AVI ".getBytes ++
+      "LIST".getBytes ++ le32(0xFFFFFFF8L) ++ "movi".getBytes ++
+      "00dc".getBytes ++ le32(0xFFFFFFF8L) ++ Array.fill(16)(0x42.toByte)
+    val evilMp4 = be32(20) ++ "ftyp".getBytes ++ "isom".getBytes ++
+      be32(0) ++ "isom".getBytes ++
+      be32(0xFFFFFFF8L) ++ "moov".getBytes ++ Array.fill(16)(0x42.toByte)
+    assert(VideoContainers.parse(evilAvi).isEmpty)
+    assert(VideoContainers.parse(evilMp4).isEmpty)
+    assert(VideoContainers.aviFramePayloads(evilAvi).isEmpty ||
+      VideoContainers.aviFramePayloads(evilAvi).forall(_.length < 64))
+    // and through the Spark surface: null meta, zero frame rows
+    val df = Seq((1L, evilAvi), (2L, evilMp4)).toDF("id", "media")
+    val meta = Multimodal.withVideoMeta(df, "media").orderBy("id").collect()
+    assert(meta.forall(r => r.isNullAt(r.fieldIndex("container"))))
+    assert(Multimodal.withVideoFrames(df, "media").count() == 0)
+  }
+
   test("sampleFrames returns n chunks of bounded size") {
     val df = Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "t")
       .select($"id", Multimodal.sampleFrames($"t".cast("binary"), lit(4), lit(3)).as("frames"))
