@@ -1362,6 +1362,54 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // Index-MAINTENANCE lifecycle: build → probe wave 1 → append its
+    // survivors → COMPACT → REMOVE the %31 base docs (plus one id that
+    // was never indexed — the actually-present accounting path) → probe
+    // wave 2. Wave 2 plants q96's groups PLUS exact copies of the removed
+    // docs, which must now SURVIVE (removal strips dedup identity) —
+    // their presence in the hash-matched output is the takedown
+    // assertion; any compaction corruption diverges the same hash.
+    "q107_dedup_maintenance" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val o = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+      def freshText(idc: org.apache.spark.sql.Column) = format_string(
+        "fresh alpha %d beta %d gamma delta epsilon", idc, idc * 7)
+      val wave1 = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + lit(o + 1)).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + lit(2 * o + 2)).as("doc_id"),
+            regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(3 * o + 3)).as("doc_id"),
+            freshText(col("doc_id")).as("text")))
+      val wave2 = docs.filter(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + lit(4 * o + 4)).as("doc_id"),
+          freshText(col("doc_id")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + lit(5 * o + 5)).as("doc_id"),
+            regexp_replace(freshText(col("doc_id")), "^\\S+\\s*", "").as("text")))
+        .unionByName(docs.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + lit(6 * o + 6)).as("doc_id"),
+            format_string("second wave zeta %d eta %d theta iota kappa",
+              col("doc_id"), col("doc_id") * 3).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 31 === 0)
+          .select((col("doc_id") + lit(7 * o + 7)).as("doc_id"), col("text")))
+      val idx = scratchDir("graft_midx").resolve("idx").toString
+      Dedup.writeSignatureIndex(docs, "doc_id", "text", idx,
+        shingleN = 2, k = 16, bands = 4, nBuckets = 16)
+      val surv1 = Dedup.dedupIncrementalIndexed(wave1, idx, "doc_id", "text",
+        threshold = 0.6)
+      Dedup.appendToSignatureIndex(surv1, "doc_id", "text", idx)
+      Dedup.compactSignatureIndex(s, idx)
+      Dedup.removeFromSignatureIndex(s, idx,
+        docs.filter(col("doc_id") % 31 === 0).select(col("doc_id"))
+          .unionByName(s.range(1).select((lit(100 * o + 100)).as("doc_id"))),
+        "doc_id")
+      Dedup.dedupIncrementalIndexed(wave2, idx, "doc_id", "text",
+          threshold = 0.6)
+        .select(col("doc_id"))
+    }),
+
     // Survivor-POLICY transitive dedup: planted near-dups are LONGER
     // than their originals (five tokens appended), so keep-best-by-token-
     // count must flip survivorship to the planted copy wherever LSH finds
@@ -1409,6 +1457,24 @@ object SparkEntry {
         .getSeq[Double](0)
       Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, k = 10,
           nLists = 16, nProbe = 4, m = 8, nCodes = 16)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
+    // PERSISTED IVF-PQ: build the partitioned code index (codes/ keyed by
+    // ivf_list, codebooks in the sidecar), then answer q105's query
+    // THROUGH it — same oracle, so any index-path divergence (sidecar
+    // round-trip, partition pruning, code layout) breaks the hash. The
+    // probe scan never touches the raw embeddings.
+    "q106_ivfpq_index" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val idx = scratchDir("graft_pqidx").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 16, m = 8, nCodes = 16)
+      Similarity.ivfPqTopKIndexed(s, idx, "vec_id", q, k = 10, nProbe = 4)
         .select(col("vec_id"), round(col("adc"), 6).as("adc"))
     }),
 
@@ -1674,6 +1740,44 @@ object SparkEntry {
       |  SELECT doc_id + 6 * o + 6, 'second wave zeta ' || doc_id || ' eta ' ||
       |    (doc_id * 3) || ' theta iota kappa'
       |  FROM base, off WHERE doc_id % 19 = 0),
+      |${dedupPassSql("2", "all2")}
+      |SELECT doc_id FROM out2 s, off WHERE s.doc_id > 4 * off.o + 3""".stripMargin
+
+  /** Maintenance-lifecycle oracle (q107): q96's rolling structure with the
+    * index state after compaction + takedown — `rolled` minus the dropped
+    * %31 base docs (compaction itself is semantics-free; corruption would
+    * diverge the pass-2 hash). Wave 2 adds exact copies of the dropped
+    * docs: with their identity removed from the index, the one-pass
+    * closure over `all2` (which no longer contains them) keeps the
+    * copies — the takedown semantics, hash-asserted.
+    */
+  private val MaintenanceDedupOracleSql: String =
+    raw"""WITH base AS (SELECT doc_id, text FROM documents),
+      |off AS (SELECT coalesce(max(doc_id), 0) AS o FROM base),
+      |$PlantedWavesSql,
+      |${dedupPassSql("", "all_docs")},
+      |dropped AS (SELECT doc_id FROM base WHERE doc_id % 31 = 0),
+      |rolled AS (
+      |  SELECT b.doc_id, b.text FROM base b
+      |  WHERE NOT EXISTS (SELECT 1 FROM dropped dr WHERE dr.doc_id = b.doc_id)
+      |  UNION ALL
+      |  SELECT s.doc_id, s.text FROM out s, off WHERE s.doc_id > off.o),
+      |all2 AS (
+      |  SELECT doc_id, text FROM rolled
+      |  UNION ALL
+      |  SELECT doc_id + 4 * o + 4, 'fresh alpha ' || doc_id || ' beta ' ||
+      |    (doc_id * 7) || ' gamma delta epsilon'
+      |  FROM base, off WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 5 * o + 5, regexp_replace('fresh alpha ' || doc_id ||
+      |    ' beta ' || (doc_id * 7) || ' gamma delta epsilon', '^\S+\s*', '')
+      |  FROM base, off WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 6 * o + 6, 'second wave zeta ' || doc_id || ' eta ' ||
+      |    (doc_id * 3) || ' theta iota kappa'
+      |  FROM base, off WHERE doc_id % 19 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 7 * o + 7, text FROM base, off WHERE doc_id % 31 = 0),
       |${dedupPassSql("2", "all2")}
       |SELECT doc_id FROM out2 s, off WHERE s.doc_id > 4 * off.o + 3""".stripMargin
 
@@ -2227,6 +2331,40 @@ object SparkEntry {
         |SELECT vec_id, round(adc, 6) AS adc
         |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
 
+    // identical math to q105 — the Spark side goes through the PERSISTED
+    // index (build → sidecar → partition-pruned probe), the oracle
+    // recomputes the one-shot form; equal hashes prove the round trip
+    "q106_ivfpq_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |fulld AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT did AS lst FROM don CROSS JOIN q
+        |  ORDER BY list_reduce(list_transform(range(1, len(dv) + 1),
+        |    j -> (dv[j] - qv[j]) * (dv[j] - qv[j])), (x, y) -> x + y), did LIMIT 4),
+        |cand AS (SELECT a.vec_id FROM asg a JOIN pl ON a.lst = pl.lst),
+        |sd AS (SELECT e.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
+        |adc AS (SELECT c.vec_id, sum(q2.s) AS adc FROM codes c
+        |  JOIN cand ON cand.vec_id = c.vec_id
+        |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id)
+        |SELECT vec_id, round(adc, 6) AS adc
+        |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
+
     // Full dedup pipeline recomputed: exact dedup (null-text singletons),
     // LSH candidates over survivors (as q25, %25 planting), distinct-bigram
     // Jaccard >= 0.6, pairwise id2 removal.
@@ -2286,6 +2424,7 @@ object SparkEntry {
     // reproduce the union-path incremental dedup exactly
     "q93_dedup_index" -> IncrementalDedupOracleSql,
     "q96_dedup_rolling" -> RollingDedupOracleSql,
+    "q107_dedup_maintenance" -> MaintenanceDedupOracleSql,
     "q102_dedup_keep_best" -> KeepBestOracleSql,
 
     // Misra-Gries inclusion guarantee: the provably-heavy token set

@@ -371,6 +371,38 @@ object Similarity {
       .select(col(idCol), encode(col(vecCol).cast("array<double>")).as("pq_codes"))
   }
 
+  /** LEARNED per-subspace PQ codebooks: [[kmeansCentroids]] run
+    * independently on each of the m subvector slices, re-assembled into
+    * the (id, full-dim vector) donor shape [[pqEncode]]/[[pqSearchCodes]]
+    * already consume — donor c's subspace-j slice is subspace j's c-th
+    * centroid, and ids are synthetic 0..k-1 (the encode tie-break stays
+    * deterministic). This is the real PQ training step (Jégou et al.
+    * 2011): each subspace quantizes around ITS OWN cluster structure
+    * instead of around whole-vector donors, which on clustered data cuts
+    * quantization error (spec-quantified). Cost: m distributed k-means
+    * runs over sliced vectors — a build-time pass, never per-query.
+    * Centroid count is clamped to the smallest subspace's distinct-point
+    * yield so every subspace contributes exactly one slice per donor.
+    */
+  def pqSubspaceCodebooks(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int, nCodes: Int, iters: Int = 5): Array[(Long, Array[Double])] = {
+    val clean = vecs.filter(col(vecCol).isNotNull)
+    val first = clean.select(col(vecCol).cast("array<double>")).head()
+    val dim = first.getSeq[Double](0).length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val books: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      kmeansCentroids(
+        clean.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), j * sub + 1, sub).as("__sv")),
+        idCol, "__sv", nCodes, iters)
+    }
+    val kEff = books.map(_.length).min
+    Array.tabulate(kEff) { c =>
+      (c.toLong, (0 until m).flatMap(j => books(j)(c)).toArray)
+    }
+  }
+
   /** Asymmetric-distance search over a PQ-coded relation: the query's
     * m × nCodes distance table is computed ONCE driver-side and
     * broadcast; each coded row costs m lookups + adds, and the top-k is
@@ -422,28 +454,38 @@ object Similarity {
     * At billion-vector scale: nProbe/nLists of the corpus scanned, m
     * bytes per row held — the two savings multiply.
     */
+  /** Map-side argmin against ID-KEYED broadcast centroids (ties → smaller
+    * id) — the coarse quantizer shared by [[ivfPqTopK]] and
+    * [[writeIvfPqIndex]], one definition so build and one-shot agree
+    * bit-for-bit.
+    */
+  private def assignByIdUdf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[(Long, Array[Double])]) = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    udf { (v: Seq[Double]) =>
+      var best = Long.MaxValue; var bd = Double.PositiveInfinity
+      bc.value.foreach { case (cid, cv) =>
+        val d = sqDistArr(v, cv)
+        if (d < bd || (d == bd && cid < best)) { bd = d; best = cid }
+      }
+      best
+    }
+  }
+
+  /** The nProbe centroid IDS nearest the query (ties → smaller id). */
+  private def nearestListIds(query: Seq[Double],
+      centroids: Array[(Long, Array[Double])], nProbe: Int): Seq[Long] =
+    centroids.map { case (cid, cv) => (sqDistArr(query, cv), cid) }
+      .sorted.take(nProbe).map(_._2).toSeq
+
   def ivfPqTopK(vecs: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, nLists: Int = 16, nProbe: Int = 4,
       m: Int = 8, nCodes: Int = 16): DataFrame = {
     val clean = vecs.filter(col(vecCol).isNotNull)
     val centroids = pqDonors(clean, idCol, vecCol, nLists)
     val donors = pqDonors(clean, idCol, vecCol, nCodes)
-    def sq(a: Seq[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0; val n = math.min(a.length, b.length)
-      while (i < n) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
-    val bcC = clean.sparkSession.sparkContext.broadcast(centroids)
-    val assign = udf { (v: Seq[Double]) =>
-      var best = Long.MaxValue; var bd = Double.PositiveInfinity
-      bcC.value.foreach { case (cid, cv) =>
-        val d = sq(v, cv)
-        if (d < bd || (d == bd && cid < best)) { bd = d; best = cid }
-      }
-      best
-    }
-    val probed = centroids.map { case (cid, cv) => (cid, sq(query, cv)) }
-      .sortBy { case (cid, d) => (d, cid) }.take(nProbe).map(_._1)
+    val assign = assignByIdUdf(clean.sparkSession, centroids)
+    val probed = nearestListIds(query, centroids, nProbe)
     // ONE scan: assign → probe filter → encode, so codes are computed
     // only for rows inside the probed lists
     val encode = pqEncodeUdf(clean.sparkSession, donors, m)
@@ -453,6 +495,101 @@ object Similarity {
       .filter(col("ivf_list").isin(probed: _*))
       .select(col(idCol), encode(col("__v")).as("pq_codes"))
     pqSearchCodes(coded, idCol, donors, query, k, m)
+  }
+
+  /** Persist an IVF-PQ index — the billion-vector serving layout (FAISS's
+    * on-disk IVFPQ re-expressed as partitioned parquet): every vector's
+    * m PQ codes stored in `codes/` PARTITIONED BY its coarse list
+    * `ivf_list`, with the coarse centroids and PQ donors in a JSON
+    * sidecar. Compare [[writeIvfIndex]], which persists RAW vectors
+    * (8·dim bytes/row): here a row costs 8·m bytes — ×dim/m smaller —
+    * and a probe reads nProbe/nLists of THAT. The assignment + encode
+    * scan runs ONCE at build; probes never touch the raw vectors.
+    *
+    * Codebooks default to the same SQL-reproducible hash-donor selection
+    * as [[ivfPqTopK]] (so the whole index has a DuckDB oracle); pass
+    * `centroids`/`donors` explicitly for LEARNED codebooks (e.g.
+    * [[pqSubspaceCodebooks]]) — the layout and probe are identical.
+    */
+  def writeIvfPqIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      path: String, nLists: Int = 16, m: Int = 8, nCodes: Int = 16,
+      centroidsOpt: Option[Array[(Long, Array[Double])]] = None,
+      donorsOpt: Option[Array[(Long, Array[Double])]] = None): Unit = {
+    val spark = vecs.sparkSession
+    val clean = vecs.filter(col(vecCol).isNotNull)
+    val centroids = centroidsOpt.getOrElse(pqDonors(clean, idCol, vecCol, nLists))
+    val donors = donorsOpt.getOrElse(pqDonors(clean, idCol, vecCol, nCodes))
+    require(centroids.nonEmpty && donors.nonEmpty,
+      "writeIvfPqIndex: empty centroid/donor codebook (empty corpus?)")
+    val assign = assignByIdUdf(spark, centroids)
+    val encode = pqEncodeUdf(spark, donors, m)
+    // one scan: assign + encode together; cluster on the list before the
+    // partitioned write so file count is bounded by the list count, not
+    // tasks×lists (same discipline as writeSignatureIndex)
+    clean.select(col(idCol),
+        assign(col(vecCol).cast("array<double>")).as("ivf_list"),
+        encode(col(vecCol).cast("array<double>")).as("pq_codes"))
+      .repartition(col("ivf_list"))
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$path/codes")
+    def enc(arr: Array[(Long, Array[Double])]): String = arr
+      .map { case (id, v) => s"""{"id":$id,"v":${v.mkString("[", ",", "]")}}""" }
+      .mkString("[", ",", "]")
+    val sidecar = s"""{"m":$m,"nLists":${centroids.length},""" +
+      s""""nCodes":${donors.length},"centroids":${enc(centroids)},""" +
+      s""""donors":${enc(donors)}}"""
+    val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(sidecar.getBytes("UTF-8")) finally os.close()
+  }
+
+  private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Array[(Long, Array[Double])], Array[(Long, Array[Double])]) = {
+    val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw = try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len); in.readFully(0, buf); new String(buf, "UTF-8")
+    } finally in.close()
+    val m = "\"m\":([0-9]+)".r.findFirstMatchIn(raw)
+      .getOrElse(throw new IllegalStateException(s"$path: no 'm' in _ivfpq_meta.json"))
+      .group(1).toInt
+    def arr(key: String): Array[(Long, Array[Double])] = {
+      // entries are {"id":N,"v":[...]} objects; the section runs from its
+      // key to the other section's key (or end of file)
+      val start = raw.indexOf("\"" + key + "\":")
+      require(start >= 0, s"$path: no '$key' in _ivfpq_meta.json")
+      val stops = Seq("\"centroids\":", "\"donors\":")
+        .map(k2 => raw.indexOf(k2, start + key.length + 3)).filter(_ > start)
+      val stop = if (stops.isEmpty) raw.length else stops.min
+      "\\{\"id\":(-?[0-9]+),\"v\":\\[([-0-9.,eE]+)\\]\\}".r
+        .findAllMatchIn(raw.substring(start, stop))
+        .map(mm => (mm.group(1).toLong, mm.group(2).split(",").map(_.toDouble)))
+        .toArray
+    }
+    val centroids = arr("centroids")
+    val donors = arr("donors")
+    require(centroids.nonEmpty && donors.nonEmpty,
+      s"$path: empty centroids/donors in _ivfpq_meta.json")
+    (m, centroids, donors)
+  }
+
+  /** Probe a persisted IVF-PQ index: sidecar codebooks → driver-side
+    * probe-list choice → partition-pruned scan of `codes/` (check
+    * `PartitionFilters` on `ivf_list` in `.explain`) → broadcast ADC
+    * rerank. Per-query cost: nProbe/nLists of an m-bytes-per-row
+    * relation + an m×nCodes distance table — independent of corpus dim
+    * and (for fixed list sizes) of corpus growth in unprobed lists.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, query: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+    val (m, centroids, donors) = readIvfPqMeta(spark, path)
+    val probed = nearestListIds(query, centroids, nProbe)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("ivf_list").isin(probed: _*))
+      .select(col(idCol), col("pq_codes"))
+    pqSearchCodes(codes, idCol, donors, query, k, m)
   }
 
   // ------------------------------------------------------ hybrid retrieval

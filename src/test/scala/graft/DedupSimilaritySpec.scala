@@ -436,6 +436,80 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(allLists == top10, s"$allLists vs $top10")
   }
 
+  test("persisted IVF-PQ index: parity with one-shot, pruned probe scan") {
+    import graft.operators.Similarity
+    val vecs = spark.range(80).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(id * (d + 7) + d, 97) AS DOUBLE) / 97.0)").as("embedding"))
+    val q = vecs.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pqidx")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", idx,
+      nLists = 8, m = 8, nCodes = 8)
+    val probe = Similarity.ivfPqTopKIndexed(spark, idx, "vec_id", q,
+      k = 10, nProbe = 2)
+    // sidecar round trip: indexed probe == one-shot, id and ADC both
+    val oneShot = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", q,
+        k = 10, nLists = 8, nProbe = 2, m = 8, nCodes = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(indexed == oneShot, s"indexed $indexed vs one-shot $oneShot")
+    // the probe scan is PARTITION-PRUNED on ivf_list, and the codes
+    // relation holds only (id, codes, list) — never raw vectors
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [ivf_list"),
+      s"codes/ scan not partition-pruned:\n$plan")
+    assert(!spark.read.parquet(s"$idx/codes").schema.fieldNames.contains("embedding"))
+    // file count bounded by list count (clustered write)
+    import scala.jdk.CollectionConverters._
+    val maxFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(idx, "codes"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent).map(_._2.size).max
+    assert(maxFiles == 1, s"clustered write must bound files/list, got $maxFiles")
+  }
+
+  test("pqSubspaceCodebooks: learned codebooks cut quantization error on clustered data") {
+    import graft.operators.Similarity
+    // 3 tight clusters in 16-dim space whose centers differ PER SUBSPACE —
+    // whole-vector donors can at best nail 3 of the 4^2 per-subspace
+    // combinations, per-subspace k-means recovers each subspace's centers
+    val vecs = spark.range(90).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), d -> " +
+        "CAST((CASE WHEN d < 8 THEN id % 3 ELSE (id * 7) % 3 END) * 10 AS DOUBLE)" +
+        " + CAST(pmod(id * (d + 3), 17) AS DOUBLE) / 170.0)").as("embedding"))
+    val learned = Similarity.pqSubspaceCodebooks(vecs, "vec_id", "embedding",
+      m = 2, nCodes = 3, iters = 5)
+    assert(learned.nonEmpty && learned.head._2.length == 16)
+    val drawn = Similarity.pqDonors(vecs, "vec_id", "embedding", nCodes = 3)
+    def mse(donors: Array[(Long, Array[Double])]): Double = {
+      val codeById = donors.toMap
+      val rows = Similarity.pqEncode(vecs, "vec_id", "embedding", donors, m = 2)
+        .join(vecs, "vec_id")
+        .select(col("pq_codes"), col("embedding").cast("array<double>"))
+        .collect()
+      rows.map { r =>
+        val cs = r.getSeq[Long](0); val v = r.getSeq[Double](1)
+        (0 until 2).map { j =>
+          val dv = codeById(cs(j))
+          (0 until 8).map { i =>
+            val t = v(j * 8 + i) - dv(j * 8 + i); t * t
+          }.sum
+        }.sum
+      }.sum / rows.length
+    }
+    val (eL, eD) = (mse(learned), mse(drawn))
+    assert(eL < eD * 0.5,
+      s"learned codebooks must at least halve quantization error: $eL vs $eD")
+    // and the learned donors drop straight into the search path
+    val q = vecs.filter(col("vec_id") === 5)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val hits = Similarity.pqSearchCodes(
+      Similarity.pqEncode(vecs, "vec_id", "embedding", learned, m = 2),
+      "vec_id", learned, q, k = 5, m = 2).collect()
+    assert(hits.length == 5)
+  }
+
   test("writeSignatureIndex refuses an empty corpus") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sigidx6")
       .resolve("idx").toString
