@@ -768,6 +768,31 @@ object SparkEntry {
             "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
     }),
 
+    // Krovak S-JTSK (EPSG:5514) .prj round trip over CZ/SK: project a
+    // deterministic WGS84 grid into the oblique conformal conic, write a
+    // shapefile with its .prj sidecar, read it back through auto-detect
+    // and reprojection — the oracle regenerates the input grid at 6 dp
+    // (round-trip floor ~2e-8 deg ≪ the rounding).
+    "q108_krovak_prj_roundtrip" -> ((s, dir) => {
+      import graft.geo.CrsFns
+      val pts = t(s, dir, "supplier").select(col("s_suppkey"),
+        (lit(12.2) + (col("s_suppkey") % 100) * 0.1).as("lon"),
+        (lit(47.8) + (col("s_suppkey") % 73) * 0.042).as("lat"))
+      val kro = pts.select(col("s_suppkey"),
+        format_string("POINT (%s %s)",
+          CrsFns.toX(lit(5514), col("lon"), col("lat")),
+          CrsFns.toY(lit(5514), col("lon"), col("lat"))).as("geometry"))
+      val base = scratchDir("graft_krovak")
+        .resolve("pts5514").toString
+      graft.sources.Shapefile.write(kro, "geometry", base, epsg = Some(5514))
+      graft.sources.Shapefile.read(s, base) // auto-reprojects via .prj
+        .select(col("s_suppkey"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 1).cast("double"), 6).as("lon"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
+    }),
+
     // Ellipsoidal geodesic distance (Vincenty inverse on WGS-84) — the
     // reference's geopy geodesic (lib/generate_intermediate_files.py:
     // 496-501). Closed-form European point pairs; the oracle unrolls the
@@ -2642,6 +2667,12 @@ object SparkEntry {
       """SELECT s_suppkey,
         |  round(-5.5 + (s_suppkey % 100) * 0.07, 6) AS lon,
         |  round(50.1 + (s_suppkey % 73) * 0.1, 6) AS lat
+        |FROM supplier""".stripMargin,
+
+    "q108_krovak_prj_roundtrip" ->
+      """SELECT s_suppkey,
+        |  round(12.2 + (s_suppkey % 100) * 0.1, 6) AS lon,
+        |  round(47.8 + (s_suppkey % 73) * 0.042, 6) AS lat
         |FROM supplier""".stripMargin,
 
     "q98_video_frames" ->

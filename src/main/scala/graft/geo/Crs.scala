@@ -226,6 +226,8 @@ object Crs {
     */
   private final class Lcc1Sp(aEll: Double, e2Ell: Double, lat0: Double,
       lon0deg: Double, k0: Double, val fe: Double, val fnn: Double) {
+    val lat0deg = lat0 // exposed for .prj emission
+    val k0v = k0
     private val eEll = math.sqrt(e2Ell)
     private def t(phi: Double) = {
       val s = math.sin(phi)
@@ -495,6 +497,98 @@ object Crs {
     xyzToGeod(A, Wgs84E2, x, y, z)
   }
 
+  // ---- S-JTSK / Krovak East North (EPSG:5514): Czech/Slovak national ----
+
+  /** Krovak oblique conformal conic (EPSG method 9819) on Bessel 1841 —
+    * the S-JTSK national grid of Czechia and Slovakia. Chain: conformal
+    * sphere (Gauss) → rotation to the cartographic pole (azimuth
+    * 30°17′17.3031″ from the centre at 49°30′N, 24°50′E Greenwich) →
+    * tangent conic at pseudo-standard parallel 78°30′ with k₀ = 0.9999.
+    * EPSG:5514 is the East-North axis variant: E = −westing,
+    * N = −southing, so all CZ/SK coordinates are negative in both axes.
+    *
+    * Parameter anchor (CrsSpec): the projection's published design
+    * property — local scale within its engineering envelope
+    * [0.9999, 1.0001] everywhere over CZ/SK (the cone was fitted to keep
+    * distortion under ~10 cm/km) — checked against the independent
+    * Vincenty geodesic; a wrong λ0 (e.g. the Ferro-offset mix-up), αC,
+    * φP or k₀ blows that envelope by orders of magnitude, and the
+    * East-North sign structure pins the axis convention.
+    */
+  private object Krovak {
+    private val e = math.sqrt(BesselE2)
+    private val phiC = math.toRadians(49.5)
+    private val lam0 = math.toRadians(24.0 + 50.0 / 60) // Greenwich
+    private val aC = math.toRadians(30.0 + 17.0 / 60 + 17.3031 / 3600)
+    private val pP = math.toRadians(78.5)
+    private val k0 = 0.9999
+    private val sC = math.sin(phiC)
+    private val cC = math.cos(phiC)
+    private val aBig = BesselA * math.sqrt(1 - BesselE2) / (1 - BesselE2 * sC * sC)
+    private val bBig = math.sqrt(1 + BesselE2 * cC * cC * cC * cC / (1 - BesselE2))
+    private val g0 = math.asin(sC / bBig)
+    private val t0 = math.tan(math.Pi / 4 + g0 / 2) *
+      math.pow((1 + e * sC) / (1 - e * sC), e * bBig / 2) /
+      math.pow(math.tan(math.Pi / 4 + phiC / 2), bBig)
+    private val nCone = math.sin(pP)
+    private val r0 = k0 * aBig / math.tan(pP)
+    private val tanP = math.tan(math.Pi / 4 + pP / 2)
+
+    /** S-JTSK geographic degrees (Greenwich) → EPSG:5514 (E, N). */
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val sp = math.sin(phi)
+      val u = 2 * (math.atan(t0 *
+        math.pow(math.tan(math.Pi / 4 + phi / 2), bBig) /
+        math.pow((1 + e * sp) / (1 - e * sp), e * bBig / 2)) - math.Pi / 4)
+      val v = bBig * (lam0 - math.toRadians(lonDeg))
+      val t = math.asin(math.cos(aC) * math.sin(u) +
+        math.sin(aC) * math.cos(u) * math.cos(v))
+      val d = math.asin(math.cos(u) * math.sin(v) / math.cos(t))
+      val theta = nCone * d
+      val r = r0 * math.pow(tanP, nCone) /
+        math.pow(math.tan(math.Pi / 4 + t / 2), nCone)
+      (-r * math.sin(theta), -r * math.cos(theta)) // (E, N) = (−westing, −southing)
+    }
+
+    /** EPSG:5514 (E, N) → S-JTSK geographic degrees (Greenwich). */
+    def inverse(east: Double, north: Double): (Double, Double) = {
+      val xp = -north // southing
+      val yp = -east // westing
+      val r = math.hypot(xp, yp)
+      val theta = math.atan2(yp, xp)
+      val d = theta / nCone
+      val t = 2 * (math.atan(tanP * math.pow(r0 / r, 1 / nCone)) - math.Pi / 4)
+      val u = math.asin(math.cos(aC) * math.sin(t) -
+        math.sin(aC) * math.cos(t) * math.cos(d))
+      val v = math.asin(math.cos(t) * math.sin(d) / math.cos(u))
+      val base = math.pow(math.tan(math.Pi / 4 + u / 2) / t0, 1 / bBig)
+      var phi = u
+      var i = 0
+      while (i < 12) {
+        val sp = math.sin(phi)
+        phi = 2 * (math.atan(base *
+          math.pow((1 + e * sp) / (1 - e * sp), e / 2)) - math.Pi / 4)
+        i += 1
+      }
+      (math.toDegrees(lam0 - v / bBig), math.toDegrees(phi))
+    }
+  }
+
+  /** S-JTSK ↔ WGS84: the standard 3-parameter geocentric translation
+    * (+589, +76, +480 m; ~1–2 m class over CZ/SK — the non-grid shift
+    * GDAL applies for EPSG:5514).
+    */
+  private def sjtskToWgs84(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = geodToXyz(BesselA, BesselE2, lon, lat)
+    xyzToGeod(A, Wgs84E2, x + 589.0, y + 76.0, z + 480.0)
+  }
+
+  private def wgs84ToSjtsk(lon: Double, lat: Double): (Double, Double) = {
+    val (x, y, z) = geodToXyz(A, Wgs84E2, lon, lat)
+    xyzToGeod(BesselA, BesselE2, x - 589.0, y - 76.0, z - 480.0)
+  }
+
   private def ch1903ToWgs84(lon: Double, lat: Double): (Double, Double) = {
     val (x, y, z) = geodToXyz(BesselA, BesselE2, lon, lat)
     xyzToGeod(A, Wgs84E2, x + 674.374, y + 15.056, z + 405.346)
@@ -527,6 +621,9 @@ object Crs {
       val (lonO, latO) = tmInverse(tmAiry, OsgbLon0, OsgbFn, x, y,
         k0 = OsgbK0, fe = OsgbFe)
       osgb36ToWgs84(lonO, latO)
+    case 5514 =>
+      val (lonS, latS) = Krovak.inverse(x, y)
+      sjtskToWgs84(lonS, latS)
     case WebMercator =>
       (math.toDegrees(x / A),
         math.toDegrees(2 * math.atan(math.exp(y / A)) - math.Pi / 2))
@@ -546,7 +643,7 @@ object Crs {
     case other => throw new IllegalArgumentException(
       s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 3035, " +
         "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69, " +
-        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700)")
+        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700, Krovak 5514)")
   }
 
   /** (lon, lat) degrees → (x, y) in `epsg`. */
@@ -570,6 +667,9 @@ object Crs {
     case 27700 =>
       val (lonO, latO) = wgs84ToOsgb36(lon, lat)
       tmForward(tmAiry, OsgbLon0, OsgbFn, lonO, latO, k0 = OsgbK0, fe = OsgbFe)
+    case 5514 =>
+      val (lonS, latS) = wgs84ToSjtsk(lon, lat)
+      Krovak.forward(lonS, latS)
     case WebMercator =>
       val phi = math.toRadians(lat)
       (A * math.toRadians(lon), A * math.log(math.tan(math.Pi / 4 + phi / 2)))
@@ -585,7 +685,7 @@ object Crs {
     case other => throw new IllegalArgumentException(
       s"unsupported target CRS EPSG:$other (supported: 4326, 3857, 3035, " +
         "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69, " +
-        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700)")
+        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700, Krovak 5514)")
   }
 
   /** Latitude from authalic q by Newton iteration (Snyder eq. 3-16). */
@@ -609,7 +709,7 @@ object Crs {
     epsg == Wgs84 || epsg == WebMercator || epsg == EtrsLaea ||
       utmParams(epsg).isDefined || LccCodes.contains(epsg) ||
       (epsg >= 31466 && epsg <= 31469) || NtfZones.contains(epsg) ||
-      SwissOrigins.contains(epsg) || epsg == 27700
+      SwissOrigins.contains(epsg) || epsg == 27700 || epsg == 5514
 
   /** ESRI-style `.prj` WKT1 for a supported EPSG code. Carries an explicit
     * trailing AUTHORITY so [[epsgFromPrj]] round-trips exactly; the names
@@ -669,6 +769,8 @@ object Crs {
       case u if NtfZones.contains(u) =>
         val zone = Seq("I", "II", "III", "IV")((u % 10) - 1)
         val p = NtfZones(u)
+        // full ESRI one-SP LCC form: Latitude_Of_Origin + Scale_Factor
+        // must be present or third-party readers reconstruct lat0 = 0
         s"""PROJCS["NTF_Paris_Lambert_Zone_$zone",GEOGCS["GCS_NTF_Paris",""" +
           "DATUM[\"D_NTF\",SPHEROID[\"Clarke_1880_IGN\",6378249.2,293.4660212936265]]," +
           "PRIMEM[\"Paris\",2.337229166666667]," +
@@ -677,6 +779,9 @@ object Crs {
           s"""PARAMETER["False_Easting",${p.fe}],""" +
           s"""PARAMETER["False_Northing",${p.fnn}],""" +
           "PARAMETER[\"Central_Meridian\",0.0]," +
+          s"""PARAMETER["Standard_Parallel_1",${p.lat0deg}],""" +
+          s"""PARAMETER["Scale_Factor",${p.k0v}],""" +
+          s"""PARAMETER["Latitude_Of_Origin",${p.lat0deg}],""" +
           s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$u"]]"""
       case 27700 =>
         """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",""" +
@@ -705,6 +810,21 @@ object Crs {
           "PARAMETER[\"Longitude_Of_Center\",7.439583333333333]," +
           "PARAMETER[\"Latitude_Of_Center\",46.95240555555556]," +
           s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$u"]]"""
+      case 5514 =>
+        """PROJCS["S-JTSK_Krovak_East_North",GEOGCS["GCS_S_JTSK",""" +
+          "DATUM[\"D_S_JTSK\",SPHEROID[\"Bessel_1841\",6377397.155,299.1528128]]," +
+          "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]," +
+          "PROJECTION[\"Krovak\"]," +
+          "PARAMETER[\"False_Easting\",0.0]," +
+          "PARAMETER[\"False_Northing\",0.0]," +
+          "PARAMETER[\"Pseudo_Standard_Parallel_1\",78.5]," +
+          "PARAMETER[\"Scale_Factor\",0.9999]," +
+          "PARAMETER[\"Azimuth\",30.28813975]," +
+          "PARAMETER[\"Longitude_Of_Center\",24.83333333333333]," +
+          "PARAMETER[\"Latitude_Of_Center\",49.5]," +
+          "PARAMETER[\"X_Scale\",-1.0],PARAMETER[\"Y_Scale\",1.0]," +
+          "PARAMETER[\"XY_Plane_Rotation\",90.0]," +
+          """UNIT["Meter",1.0],AUTHORITY["EPSG","5514"]]"""
       case u if u >= 31466 && u <= 31469 =>
         val z = u - 31464
         s"""PROJCS["DHDN_3_Degree_Gauss_Zone_$z",GEOGCS["GCS_Deutsches_Hauptdreiecksnetz",""" +
@@ -789,6 +909,15 @@ object Crs {
             // re-referenced datum (same projection, shifted false origin)
             if (up.contains("CH1903+") || up.contains("LV95")) Some(2056)
             else Some(21781)
+          } else if (up.contains("KROVAK") || up.contains("S_JTSK") ||
+              up.contains("S-JTSK")) {
+            // ESRI S-JTSK_Krovak_East_North; the legacy south-west-positive
+            // variant (EPSG:5513 / 2065, no "East_North" marker) has a
+            // different axis convention — refuse rather than flip signs
+            // silently
+            if (up.contains("EAST_NORTH") || up.contains("EAST-NORTH"))
+              Some(5514)
+            else None
           } else if (up.contains("NTF") && up.contains("LAMBERT")) {
             // ESRI NTF_Paris_Lambert_Zone_II etc. → the carto variants
             // (the false-northing family French national data ships in)

@@ -69,9 +69,9 @@ class CrsSpec extends AnyFunSuite {
   }
 
   test("unsupported CRS fails loudly") {
-    // Czech Krovak (5514, oblique conformal conic) — genuinely unsupported
-    intercept[IllegalArgumentException] { Crs.toWgs84(5514, 0, 0) }
-    intercept[IllegalArgumentException] { Crs.fromWgs84(5514, 0, 0) }
+    // Polish PUWG 1992 (2180) — genuinely unsupported
+    intercept[IllegalArgumentException] { Crs.toWgs84(2180, 0, 0) }
+    intercept[IllegalArgumentException] { Crs.fromWgs84(2180, 0, 0) }
   }
 
   test("Swiss LV03/LV95: round trips, origin anchor, Rigi, conformal scale") {
@@ -400,8 +400,8 @@ class CrsSpec extends AnyFunSuite {
       """PROJCS["DHDN_3_Degree_Gauss_Zone_3",GEOGCS["GCS_Deutsches_Hauptdreiecksnetz"]]""")
       == Some(31467))
     // unknown codes still refuse loudly by name
-    val e = intercept[IllegalArgumentException] { Crs.toWgs84(5514, 600000, 200000) }
-    assert(e.getMessage.contains("5514"))
+    val e = intercept[IllegalArgumentException] { Crs.toWgs84(2180, 600000, 200000) }
+    assert(e.getMessage.contains("2180"))
   }
 
   test("OSGB 27700: independent OS-series chain, Caister anchor, round trips") {
@@ -485,6 +485,68 @@ class CrsSpec extends AnyFunSuite {
     assert(Crs.epsgFromPrj(
       """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936"],PROJECTION["Transverse_Mercator"]]""")
       == Some(27700))
+  }
+
+  test("Krovak EPSG:5514: round trips, design-envelope scale, axis signs") {
+    // round trips over CZ/SK through the full Bessel + 3-param chain
+    for (lon <- Seq(12.9, 14.42, 17.11, 19.5, 21.26, 22.2);
+         lat <- Seq(47.8, 48.7, 49.5, 50.8)) {
+      val (x, y) = Crs.fromWgs84(5514, lon, lat)
+      val (lo, la) = Crs.toWgs84(5514, x, y)
+      assert(math.abs(lo - lon) < 2e-8 && math.abs(la - lat) < 2e-8,
+        s"5514 round trip ($lon, $lat) -> ($lo, $la)")
+      // EPSG:5514 East-North structure: BOTH axes negative over CZ/SK
+      // (E = −westing, N = −southing from a cartographic origin NE of
+      // the countries) — the Ferro-offset λ0 mix-up flips E positive
+      assert(x < 0 && y < 0, s"5514 must be all-negative over CZ/SK: ($x, $y)")
+    }
+    // parameter anchor — the projection's published DESIGN property:
+    // Krovak's tangent cone (k₀ = 0.9999 at the 78°30′ pseudo-standard
+    // parallel) was fitted to keep scale distortion within ~±10 cm/km
+    // over Czechoslovakia. Local grid/geodesic ratios over short
+    // baselines across the whole territory must sit in a tight envelope
+    // around 1; a wrong λ0 / αC / φP / k₀ blows it (measured: the
+    // Ferro-offset λ0 reaches 1.0007, a 1° azimuth error 1.0005, a
+    // wrong pseudo-parallel 1.24 — all outside, correct params max
+    // 1.00004 on the Bessel geodesic plus ~1e-4 WGS84-ellipsoid skew).
+    for ((lon, lat) <- Seq((14.42, 50.09), (16.61, 49.19), (17.11, 48.15),
+        (21.26, 48.72), (18.28, 49.83), (12.9, 50.2), (22.2, 49.0));
+        (dLon, dLat) <- Seq((0.15, 0.0), (0.0, 0.1))) {
+      val (x1, y1) = Crs.fromWgs84(5514, lon, lat)
+      val (x2, y2) = Crs.fromWgs84(5514, lon + dLon, lat + dLat)
+      val grid = math.hypot(x2 - x1, y2 - y1)
+      val geo = graft.expr.GeoMath.geodesicKm(lat, lon, lat + dLat, lon + dLon) * 1000.0
+      val ratio = grid / geo
+      assert(ratio > 0.9997 && ratio < 1.0003,
+        s"Krovak design envelope violated at ($lon, $lat): scale $ratio")
+    }
+    // .prj round trip + ESRI-name detection; the legacy south-west
+    // variant (no East_North marker) refuses rather than flipping signs
+    assert(Crs.epsgFromPrj(Crs.prjWkt(5514)) == Some(5514))
+    assert(Crs.epsgFromPrj(
+      """PROJCS["S-JTSK_Krovak_East_North",GEOGCS["GCS_S_JTSK"],PROJECTION["Krovak"]]""")
+      == Some(5514))
+    assert(Crs.epsgFromPrj(
+      """PROJCS["S-JTSK_Krovak",GEOGCS["GCS_S_JTSK"],PROJECTION["Krovak"]]""").isEmpty,
+      "south-west-positive Krovak must refuse, not silently flip")
+    // unsupported neighbors still refuse loudly
+    val e = intercept[IllegalArgumentException](Crs.toWgs84(5513, 1.0, 1.0))
+    assert(e.getMessage.contains("unsupported"), e.getMessage)
+  }
+
+  test("NTF .prj carries the one-SP LCC parameters third-party readers need") {
+    // Latitude_Of_Origin and Scale_Factor must be IN the WKT — a reader
+    // without the AUTHORITY shortcut reconstructs lat0 = 0 otherwise
+    for (epsg <- Seq(27561, 27562, 27563, 27564, 27571, 27572, 27573, 27574)) {
+      val wkt = Crs.prjWkt(epsg)
+      assert(wkt.contains("Latitude_Of_Origin"), s"$epsg: $wkt")
+      assert(wkt.contains("Scale_Factor"), s"$epsg: $wkt")
+      assert(Crs.epsgFromPrj(wkt) == Some(epsg))
+    }
+    // zone II carries its published lat0/k0
+    val z2 = Crs.prjWkt(27572)
+    assert(z2.contains("\"Latitude_Of_Origin\",46.8"), z2)
+    assert(z2.contains("\"Scale_Factor\",0.99987742"), z2)
   }
 
   test("wktTransformToWgs84 transforms bare-decimal-point coordinates") {
