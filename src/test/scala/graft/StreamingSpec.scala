@@ -118,4 +118,42 @@ class StreamingSpec extends AnyFunSuite {
       .count()
     assert(third == 0L, "streamed survivors must be probe-visible in the index")
   }
+
+  test("dedupStream: a REPLAYED micro-batch refuses loudly, index unchanged") {
+    // restart-safety claim of EventStream.dedupStream: a replayed batch
+    // (same ids, e.g. a sink whose offsets were not committed) must fail
+    // the monotone-id contract instead of double-inserting into the index
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sreplay")
+    val idx = base.resolve("idx").toString
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val batch = Seq(
+      (10L, "entirely novel content nothing like the corpus at all today"),
+      (11L, "genuinely brand new material for the second ingestion wave"))
+      .toDF("doc_id", "text")
+    // first delivery: survivors append, index meta advances
+    EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(batch, 0L)
+    def postingCount = spark.read.parquet(s"$idx/postings").count()
+    val after1 = postingCount
+    // replay of the SAME batch (same ids): the monotone contract refuses
+    // at the probe entry — loudly, before anything is written
+    val e = intercept[IllegalArgumentException] {
+      EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(batch, 1L)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    assert(postingCount == after1,
+      "a refused replay must leave the index untouched")
+    // and no pending-append marker is left behind by the refusal
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx, "_pending_append.json")))
+    // the stream continues with properly advanced ids
+    val next = Seq((20L, "fresh third wave content never seen anywhere before"))
+      .toDF("doc_id", "text")
+    val surv = EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(next, 2L)
+    assert(surv.select("doc_id").as[Long].collect().toSeq == Seq(20L))
+  }
 }
