@@ -497,6 +497,31 @@ object Crs {
     xyzToGeod(A, Wgs84E2, x, y, z)
   }
 
+  // ---- Polish PUWG 1992 (EPSG:2180) and PUWG 2000 (EPSG:2176-79) ----
+
+  /** Poland's national grids: plain transverse Mercator on ETRS89/GRS80
+    * (no datum bridge — ETRS89 realizes WGS84 within centimeters), same
+    * Krüger series as UTM. PUWG 1992 is the single-zone mapping CRS
+    * (λ0 = 19°E, k₀ = 0.9993 — the unusually low factor that balances
+    * distortion across the country's 10° span — FE 500 km,
+    * FN −5300 km); PUWG 2000 are the four cadastral zones (λ0 =
+    * 15/18/21/24°E, k₀ = 0.999923, FE = zone·10⁶ + 500000 with zone
+    * numbers 5–8 = λ0/3). Spec anchors: scale at the central meridian
+    * equals k₀ exactly, the design envelope over Poland's extent, and
+    * the zone-offset structure.
+    * Returns (lon0 rad, k0, FE, FN) for a Polish EPSG code.
+    */
+  private def puwgParams(epsg: Int): Option[(Double, Double, Double, Double)] =
+    epsg match {
+      case 2180 =>
+        Some((math.toRadians(19.0), 0.9993, 500000.0, -5300000.0))
+      case z if z >= 2176 && z <= 2179 =>
+        val zone = z - 2171 // 2176 -> 5 (λ0 15°E) … 2179 -> 8 (λ0 24°E)
+        Some((math.toRadians(3.0 * zone), 0.999923,
+          zone * 1000000.0 + 500000.0, 0.0))
+      case _ => None
+    }
+
   // ---- S-JTSK / Krovak East North (EPSG:5514): Czech/Slovak national ----
 
   /** Krovak oblique conformal conic (EPSG method 9819) on Bessel 1841 —
@@ -624,6 +649,9 @@ object Crs {
     case 5514 =>
       val (lonS, latS) = Krovak.inverse(x, y)
       sjtskToWgs84(lonS, latS)
+    case u if puwgParams(u).isDefined =>
+      val (lon0, k0, fe, fn) = puwgParams(u).get
+      tmInverse(tmGrs, lon0, fn, x, y, k0 = k0, fe = fe)
     case WebMercator =>
       (math.toDegrees(x / A),
         math.toDegrees(2 * math.atan(math.exp(y / A)) - math.Pi / 2))
@@ -643,7 +671,7 @@ object Crs {
     case other => throw new IllegalArgumentException(
       s"unsupported source CRS EPSG:$other (supported: 4326, 3857, 3035, " +
         "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69, " +
-        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700, Krovak 5514)")
+        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700, Krovak 5514, PUWG 2176-80)")
   }
 
   /** (lon, lat) degrees → (x, y) in `epsg`. */
@@ -670,6 +698,9 @@ object Crs {
     case 5514 =>
       val (lonS, latS) = wgs84ToSjtsk(lon, lat)
       Krovak.forward(lonS, latS)
+    case u if puwgParams(u).isDefined =>
+      val (lon0, k0, fe, fn) = puwgParams(u).get
+      tmForward(tmGrs, lon0, fn, lon, lat, k0 = k0, fe = fe)
     case WebMercator =>
       val phi = math.toRadians(lat)
       (A * math.toRadians(lon), A * math.log(math.tan(math.Pi / 4 + phi / 2)))
@@ -685,7 +716,7 @@ object Crs {
     case other => throw new IllegalArgumentException(
       s"unsupported target CRS EPSG:$other (supported: 4326, 3857, 3035, " +
         "UTM 326xx/327xx/258xx, LCC 2154/3034, Gauss-Krüger 31466-69, " +
-        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700, Krovak 5514)")
+        "NTF Lambert 2756x/2757x, Swiss 21781/2056, OSGB 27700, Krovak 5514, PUWG 2176-80)")
   }
 
   /** Latitude from authalic q by Newton iteration (Snyder eq. 3-16). */
@@ -709,7 +740,8 @@ object Crs {
     epsg == Wgs84 || epsg == WebMercator || epsg == EtrsLaea ||
       utmParams(epsg).isDefined || LccCodes.contains(epsg) ||
       (epsg >= 31466 && epsg <= 31469) || NtfZones.contains(epsg) ||
-      SwissOrigins.contains(epsg) || epsg == 27700 || epsg == 5514
+      SwissOrigins.contains(epsg) || epsg == 27700 || epsg == 5514 ||
+      puwgParams(epsg).isDefined
 
   /** ESRI-style `.prj` WKT1 for a supported EPSG code. Carries an explicit
     * trailing AUTHORITY so [[epsgFromPrj]] round-trips exactly; the names
@@ -810,6 +842,18 @@ object Crs {
           "PARAMETER[\"Longitude_Of_Center\",7.439583333333333]," +
           "PARAMETER[\"Latitude_Of_Center\",46.95240555555556]," +
           s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$u"]]"""
+      case u if puwgParams(u).isDefined =>
+        val (lon0, k0, fe, fn) = puwgParams(u).get
+        val name = if (u == 2180) "ETRS_1989_Poland_CS92"
+          else s"ETRS_1989_Poland_CS2000_Zone_${u - 2171}"
+        s"""PROJCS["$name",$gcsEtrs,""" +
+          "PROJECTION[\"Transverse_Mercator\"]," +
+          s"""PARAMETER["False_Easting",$fe],""" +
+          s"""PARAMETER["False_Northing",$fn],""" +
+          s"""PARAMETER["Central_Meridian",${math.toDegrees(lon0)}],""" +
+          s"""PARAMETER["Scale_Factor",$k0],""" +
+          "PARAMETER[\"Latitude_Of_Origin\",0.0]," +
+          s"""UNIT["Meter",1.0],AUTHORITY["EPSG","$u"]]"""
       case 5514 =>
         """PROJCS["S-JTSK_Krovak_East_North",GEOGCS["GCS_S_JTSK",""" +
           "DATUM[\"D_S_JTSK\",SPHEROID[\"Bessel_1841\",6377397.155,299.1528128]]," +
@@ -909,6 +953,12 @@ object Crs {
             // re-referenced datum (same projection, shifted false origin)
             if (up.contains("CH1903+") || up.contains("LV95")) Some(2056)
             else Some(21781)
+          } else if (up.contains("POLAND_CS92") || up.contains("PUWG_1992") ||
+              up.contains("PUWG_92")) {
+            Some(2180)
+          } else if (up.contains("POLAND_CS2000") || up.contains("PUWG_2000")) {
+            """ZONE_?(\d)""".r.findFirstMatchIn(up).map(_.group(1).toInt)
+              .filter(z => z >= 5 && z <= 8).map(z => 2171 + z)
           } else if (up.contains("KROVAK") || up.contains("S_JTSK") ||
               up.contains("S-JTSK")) {
             // ESRI S-JTSK_Krovak_East_North; the legacy south-west-positive

@@ -69,9 +69,9 @@ class CrsSpec extends AnyFunSuite {
   }
 
   test("unsupported CRS fails loudly") {
-    // Polish PUWG 1992 (2180) — genuinely unsupported
-    intercept[IllegalArgumentException] { Crs.toWgs84(2180, 0, 0) }
-    intercept[IllegalArgumentException] { Crs.fromWgs84(2180, 0, 0) }
+    // New Zealand TM 2000 (2193) — genuinely unsupported
+    intercept[IllegalArgumentException] { Crs.toWgs84(2193, 0, 0) }
+    intercept[IllegalArgumentException] { Crs.fromWgs84(2193, 0, 0) }
   }
 
   test("Swiss LV03/LV95: round trips, origin anchor, Rigi, conformal scale") {
@@ -400,8 +400,8 @@ class CrsSpec extends AnyFunSuite {
       """PROJCS["DHDN_3_Degree_Gauss_Zone_3",GEOGCS["GCS_Deutsches_Hauptdreiecksnetz"]]""")
       == Some(31467))
     // unknown codes still refuse loudly by name
-    val e = intercept[IllegalArgumentException] { Crs.toWgs84(2180, 600000, 200000) }
-    assert(e.getMessage.contains("2180"))
+    val e = intercept[IllegalArgumentException] { Crs.toWgs84(2193, 600000, 200000) }
+    assert(e.getMessage.contains("2193"))
   }
 
   test("OSGB 27700: independent OS-series chain, Caister anchor, round trips") {
@@ -532,6 +532,61 @@ class CrsSpec extends AnyFunSuite {
     // unsupported neighbors still refuse loudly
     val e = intercept[IllegalArgumentException](Crs.toWgs84(5513, 1.0, 1.0))
     assert(e.getMessage.contains("unsupported"), e.getMessage)
+  }
+
+  test("Polish PUWG 1992/2000: scale anchors, zone structure, round trips") {
+    // ETRS89 TM, no datum bridge: round trips to the Krüger-series floor
+    for (lon <- Seq(14.3, 17.0, 19.0, 21.5, 23.9); lat <- Seq(49.1, 52.2, 54.8)) {
+      val (x, y) = Crs.fromWgs84(2180, lon, lat)
+      val (lo, la) = Crs.toWgs84(2180, x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"2180 round trip ($lon, $lat) -> ($lo, $la)")
+    }
+    // k₀ anchor: scale ON the central meridian is exactly 0.9993 — measure
+    // grid/geodesic over a short meridian arc at 19°E
+    val (x1, y1) = Crs.fromWgs84(2180, 19.0, 52.0)
+    val (x2, y2) = Crs.fromWgs84(2180, 19.0, 52.1)
+    val geo = graft.expr.GeoMath.geodesicKm(52.0, 19.0, 52.1, 19.0) * 1000.0
+    val k = math.hypot(x2 - x1, y2 - y1) / geo
+    assert(math.abs(k - 0.9993) < 1e-5, s"central-meridian scale $k != 0.9993")
+    // design envelope: scale over Poland's 14–24°E span stays in
+    // [0.9993, 1.0010] (single-zone TM distortion budget)
+    for ((lon, lat) <- Seq((14.3, 53.5), (15.5, 51.0), (18.0, 54.3),
+        (21.0, 52.2), (23.9, 50.5), (22.5, 49.3))) {
+      val (a1, b1) = Crs.fromWgs84(2180, lon, lat)
+      val (a2, b2) = Crs.fromWgs84(2180, lon + 0.15, lat)
+      val g = graft.expr.GeoMath.geodesicKm(lat, lon, lat, lon + 0.15) * 1000.0
+      val r = math.hypot(a2 - a1, b2 - b1) / g
+      assert(r > 0.99925 && r < 1.0010,
+        s"PUWG-92 design envelope violated at ($lon, $lat): $r")
+    }
+    // the false easting/northing structure: central meridian at 52°N maps
+    // to E = 500000 exactly; Poland's northings land positive mid-range
+    assert(math.abs(x1 - 500000.0) < 1e-6, s"FE: $x1")
+    assert(y1 > 100000 && y1 < 900000, s"FN structure: $y1")
+    // PUWG 2000 zones: k₀ = 0.999923 on each central meridian, FE stamps
+    // the zone number (λ0/3) in the millions digit
+    for (epsg <- 2176 to 2179) {
+      val lon0 = 3.0 * (epsg - 2171)
+      val (cx, cy) = Crs.fromWgs84(epsg, lon0, 52.0)
+      assert(math.abs(cx - ((epsg - 2171) * 1000000.0 + 500000.0)) < 1e-6,
+        s"$epsg FE: $cx")
+      val (dx, dy) = Crs.fromWgs84(epsg, lon0, 52.1)
+      val g2 = graft.expr.GeoMath.geodesicKm(52.0, lon0, 52.1, lon0) * 1000.0
+      val k2 = math.hypot(dx - cx, dy - cy) / g2
+      assert(math.abs(k2 - 0.999923) < 1e-5, s"$epsg scale $k2")
+      val (lo, la) = Crs.toWgs84(epsg, cx + 12345.0, cy + 23456.0)
+      val (rx, ry) = Crs.fromWgs84(epsg, lo, la)
+      assert(math.hypot(rx - cx - 12345.0, ry - cy - 23456.0) < 1e-6)
+    }
+    // .prj round trips + ESRI-name detection
+    assert(Crs.epsgFromPrj(Crs.prjWkt(2180)) == Some(2180))
+    assert(Crs.epsgFromPrj(Crs.prjWkt(2177)) == Some(2177))
+    assert(Crs.epsgFromPrj(
+      """PROJCS["ETRS_1989_Poland_CS92",GEOGCS["GCS_ETRS_1989"]]""") == Some(2180))
+    assert(Crs.epsgFromPrj(
+      """PROJCS["ETRS_1989_Poland_CS2000_Zone_7",GEOGCS["GCS_ETRS_1989"]]""")
+      == Some(2178))
   }
 
   test("NTF .prj carries the one-SP LCC parameters third-party readers need") {
