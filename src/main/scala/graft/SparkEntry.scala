@@ -1435,6 +1435,41 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // INDEXED hybrid retrieval — the full serving composition: BM25
+    // through the persisted inverted text index (q79 machinery) fused by
+    // RRF with ANN through the persisted IVF-PQ index (q106 machinery).
+    // Both legs are partition-pruned index probes; neither touches the
+    // raw corpus at query time. Oracle: q75's BM25 ranks ⊕ q105's ADC
+    // ranks through the same reciprocal-rank fusion as q100.
+    "q109_indexed_hybrid" -> ((s, dir) => {
+      import graft.operators.{Similarity, TextIndex}
+      val tix = scratchDir("graft_hytix").resolve("idx").toString
+      TextIndex.write(t(s, dir, "documents"), "doc_id", "text", tix,
+        nBuckets = 16)
+      val bm = TextIndex.search(s, tix, Seq("spark", "query", "join"),
+          k = 1000000)
+        .select(col("doc_id"), round(col("bm25"), 6).as("score"))
+      val textRun = Similarity.rankByScore(bm, "doc_id", "score", topN = 50)
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val pq = scratchDir("graft_hypq").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", pq,
+        nLists = 16, m = 8, nCodes = 16)
+      // ADC ranks ASCENDING: negate the rounded distance so the shared
+      // rank-desc machinery orders it (ties still break on smaller id)
+      val ann = Similarity.ivfPqTopKIndexed(s, pq, "vec_id", qv,
+          k = 50, nProbe = 4)
+        .select(col("vec_id").as("doc_id"),
+          (-round(col("adc"), 6)).as("score"))
+      val vecRun = Similarity.rankByScore(ann, "doc_id", "score", topN = 50)
+      Similarity.rrfFuse(Seq(textRun, vecRun), "doc_id", "rank",
+          kRrf = 60, topN = 20)
+        .select(col("doc_id"), round(col("rrf"), 6).as("rrf"),
+          col("n_systems"))
+    }),
+
     // Survivor-POLICY transitive dedup: planted near-dups are LONGER
     // than their originals (five tokens appended), so keep-best-by-token-
     // count must flip survivorship to the planted copy wherever LSH finds
@@ -1882,6 +1917,52 @@ object SparkEntry {
       |ctop AS (SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score DESC, vec_id) AS r
       |  FROM cs ORDER BY score DESC, vec_id LIMIT 50),
       |u AS (SELECT doc_id, r FROM bmtop UNION ALL SELECT doc_id, r FROM ctop),
+      |f AS (SELECT doc_id, sum(1.0::DOUBLE / (60 + r)) AS raw,
+      |  count(*) AS n_systems FROM u GROUP BY doc_id)
+      |SELECT doc_id, round(raw, 6) AS rrf, n_systems
+      |FROM f ORDER BY raw DESC, doc_id LIMIT 20""".stripMargin
+
+  /** q109: q100's fusion with BOTH legs re-derived the indexed way — the
+    * BM25 leg is q75's relation (the text index is hash-proven to
+    * reproduce it, q79), the ANN leg is q105's probed-ADC relation (the
+    * IVF-PQ index is hash-proven to reproduce it, q106). Ranks on the
+    * 6-dp-rounded scores with id tie-breaks, RRF k = 60, top 20.
+    */
+  private val IndexedHybridOracleSql: String =
+    s"""WITH bmraw AS (SELECT doc_id, bm25 AS score FROM ($Bm25OracleSql)),
+      |bmtop AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+      |  FROM bmraw ORDER BY score DESC, doc_id LIMIT 50),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |don AS (SELECT vec_id AS did, v AS dv FROM e
+      |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |fulld AS (SELECT e.vec_id, d.did,
+      |  list_reduce(list_transform(range(1, len(e.v) + 1),
+      |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+      |  FROM e CROSS JOIN don d),
+      |asg AS (SELECT vec_id, did AS lst FROM fulld
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+      |pl AS (SELECT did AS lst FROM don CROSS JOIN q
+      |  ORDER BY list_reduce(list_transform(range(1, len(dv) + 1),
+      |    j -> (dv[j] - qv[j]) * (dv[j] - qv[j])), (x, y) -> x + y), did LIMIT 4),
+      |cand AS (SELECT a.vec_id FROM asg a JOIN pl ON a.lst = pl.lst),
+      |sd AS (SELECT e.vec_id, t.j, d.did,
+      |  list_reduce(list_transform(range(1, 9), i ->
+      |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+      |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+      |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+      |codes AS (SELECT vec_id, j, did AS code FROM sd
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+      |    ORDER BY s ASC, did ASC) = 1),
+      |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
+      |adc AS (SELECT c.vec_id, sum(q2.s) AS adc FROM codes c
+      |  JOIN cand ON cand.vec_id = c.vec_id
+      |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id),
+      |atop AS (SELECT vec_id AS doc_id,
+      |  row_number() OVER (ORDER BY round(adc, 6) ASC, vec_id) AS r
+      |  FROM adc ORDER BY round(adc, 6) ASC, vec_id LIMIT 50),
+      |u AS (SELECT doc_id, r FROM bmtop UNION ALL SELECT doc_id, r FROM atop),
       |f AS (SELECT doc_id, sum(1.0::DOUBLE / (60 + r)) AS raw,
       |  count(*) AS n_systems FROM u GROUP BY doc_id)
       |SELECT doc_id, round(raw, 6) AS rrf, n_systems
@@ -2450,6 +2531,7 @@ object SparkEntry {
     "q93_dedup_index" -> IncrementalDedupOracleSql,
     "q96_dedup_rolling" -> RollingDedupOracleSql,
     "q107_dedup_maintenance" -> MaintenanceDedupOracleSql,
+    "q109_indexed_hybrid" -> IndexedHybridOracleSql,
     "q102_dedup_keep_best" -> KeepBestOracleSql,
 
     // Misra-Gries inclusion guarantee: the provably-heavy token set
