@@ -1206,6 +1206,17 @@ object SparkEntry {
       spine.join(ev, Seq("site", "slot"), "left_anti")
     }),
 
+    // Exact repeated-span detection (substring-level dedup): maximal
+    // token spans whose every 6-gram repeats corpus-wide, merged per doc
+    // by a gaps-and-islands window — the clip-don't-drop primitive of
+    // substring dedup. The oracle re-derives every positioned n-gram,
+    // corpus count, and island boundary.
+    "q110_repeated_spans" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 6, minCount = 2)
+    }),
+
     // Cross-document boilerplate: 4-token passages present in >= 3 docs
     // (the word-soup corpus repeats phrases heavily, so yield is real).
     "q81_boilerplate" -> ((s, dir) => {
@@ -2532,6 +2543,33 @@ object SparkEntry {
     "q96_dedup_rolling" -> RollingDedupOracleSql,
     "q107_dedup_maintenance" -> MaintenanceDedupOracleSql,
     "q109_indexed_hybrid" -> IndexedHybridOracleSql,
+
+    // q110: positioned 6-grams (two unnests zip positionally), corpus
+    // counts on the gram text, repeated positions, per-doc island merge
+    // of [pos, pos+6) with the same window arithmetic as the engine
+    "q110_repeated_spans" ->
+      raw"""WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |ok AS (SELECT doc_id, w FROM base WHERE len(w) >= 6),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 4), p -> p - 1)) AS pos,
+        |    unnest(list_transform(range(1, len(w) - 4),
+        |      p -> array_to_string(w[p:p+5], ' '))) AS gram
+        |  FROM ok),
+        |rep AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.pos, g.pos + 6 AS e
+        |  FROM grams g JOIN rep USING (gram)),
+        |x AS (SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM m),
+        |y AS (SELECT doc_id, pos, e,
+        |    CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END AS nw FROM x),
+        |z AS (SELECT doc_id, pos, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM y)
+        |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+        |FROM z GROUP BY doc_id, grp""".stripMargin,
     "q102_dedup_keep_best" -> KeepBestOracleSql,
 
     // Misra-Gries inclusion guarantee: the provably-heavy token set

@@ -374,6 +374,60 @@ object Curation {
       .groupBy(col("passage")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Exact repeated-SPAN detection (the substring-dedup primitive of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): every maximal token span whose
+    * every n-gram occurs >= `minCount` times corpus-wide. Pipelines
+    * clip or down-weight these spans (vs whole-doc dedup, which only
+    * fires when DOCUMENTS are near-identical).
+    *
+    *  1. positioned n-grams: one map-side explode of
+    *     (doc, pos, n-gram-text) — O(tokens) rows;
+    *  2. corpus counts: one keyed agg on the n-gram TEXT (map-side
+    *     partial-aggregated; the text key keeps the operator exact and
+    *     the DuckDB oracle byte-identical — at 100 TB swap the key for
+    *     xxhash64(gram) + a verify tier, same plan shape, 8-byte
+    *     shuffle);
+    *  3. repeated positions semi-join back (shuffle on the same key);
+    *  4. gaps-and-islands merge of overlapping/adjacent [pos, pos+n)
+    *     intervals per doc — two windows PARTITIONED BY doc (bounded
+    *     per-doc state, no global sort).
+    *
+    * Returns (doc_id, span_start, span_end) in token offsets, end
+    * exclusive.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2): DataFrame = {
+    require(n >= 1, s"span n-gram length $n must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        TextFns.tokens(lower(col(textCol))).as("__w"))
+      .filter(size(col("__w")) >= n)
+    val grams = toks.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("__w")) - n),
+          i => array_join(slice(col("__w"), i + lit(1), lit(n)), " "))))
+      .toDF("doc_id", "pos", "gram")
+    val repeated = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("gram"))
+    val marked = grams.join(repeated, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (col("pos") + n).cast("long").as("__end"))
+    val prevMax = max(col("__end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("__new",
+        when(col("pos") > coalesce(prevMax, lit(Long.MinValue)), 1)
+          .otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"), max(col("__end")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   // ------------------------------------------------------ PII redaction
 
   /** Email pattern kept deliberately simple + anchored to word chars so

@@ -96,6 +96,41 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._2 == "ssn <SSN> phone <PHONE>")
     assert(got(4L)._1 == ((0L, 0L, 0L)))
   }
+
+  test("repeatedSpans: island merge, cross- and within-doc repeats, minCount") {
+    // doc 1 and 2 share the 8-token run a..h → every 3-gram inside it
+    // repeats; the islands [0,8) (doc 1) and [2,10) (doc 2) must come out
+    // MERGED, not as six 3-gram fragments. doc 3 repeats a 3-gram WITHIN
+    // itself (positions 0 and 5 — disjoint islands). doc 4 is clean.
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f g h z"),
+      (3L, "p q r s t p q r u v"),
+      (4L, "one two three four five six seven"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.repeatedSpans(docs, "doc_id", "text", n = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 0L, 8L),  // whole shared run, merged
+      (2L, 2L, 10L), // same run at its shifted offset
+      (3L, 0L, 3L), (3L, 5L, 8L)), // within-doc repeat, two islands
+      s"got $got")
+    // minCount above the repeat multiplicity → nothing survives
+    assert(Curation.repeatedSpans(docs, "doc_id", "text", n = 3,
+      minCount = 3).count() == 0)
+    // adjacency merges: doc 6's [0,3) and [3,6) touch (pos == prevMax) —
+    // one island, because together they form one contiguous repeated run
+    val adj = Seq(
+      (6L, "a b c d e f"),
+      (7L, "a b c q w e"),
+      (8L, "r t y d e f"))
+      .toDF("doc_id", "text")
+    val got2 = Curation.repeatedSpans(adj, "doc_id", "text", n = 3, minCount = 2)
+      .filter(col("doc_id") === 6L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == Set((0L, 6L)), s"adjacent islands must merge: $got2")
+  }
 }
 
 /** k-means IVF training: convergence and recall on separable clusters. */
@@ -337,4 +372,5 @@ class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val d1 = (-math.log(4.0 / 9.0) + 3.0 * -math.log(inner)) / 4.0
     assert(math.abs(got(1L)._1 - d1) < 1e-12, s"${got(1L)._1} vs $d1")
   }
+
 }
