@@ -1191,6 +1191,28 @@ object SparkEntry {
         .select(col("doc_id"), round(col("bm25"), 6).as("bm25"), col("n_terms"))
     }),
 
+    // Rolling TEXT-index lifecycle: build on the corpus, append planted
+    // high-id docs (including empty-text ones — the sentinel-registry
+    // path), compact, then REMOVE exactly the appended docs. The search
+    // must hash-match the plain-corpus BM25 oracle: any drift in the
+    // append/remove stats arithmetic (N, avgdl), sentinel accounting, or
+    // compaction shows up through idf/avgdl in every score.
+    "q112_text_index_rolling" -> ((s, dir) => {
+      import graft.operators.TextIndex
+      val docs = t(s, dir, "documents")
+      val o = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head().getLong(0)
+      val extra = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + lit(o + 1)).as("doc_id"), col("text"))
+      val idx = scratchDir("graft_rtix").resolve("idx").toString
+      TextIndex.write(docs, "doc_id", "text", idx, nBuckets = 16)
+      TextIndex.append(extra, "doc_id", "text", idx)
+      TextIndex.compact(s, idx)
+      TextIndex.remove(s, idx, extra.select(col("doc_id")), "doc_id")
+      TextIndex.search(s, idx, Seq("spark", "query", "join"), k = 1000000)
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"),
+          col("n_terms"))
+    }),
+
     // Calendar-spine gap detection: which (site, hour-of-week) slots have
     // NO events — expected-domain cross product anti-joined against the
     // observed slots (the reference's TS completeness check, made
@@ -1214,6 +1236,16 @@ object SparkEntry {
     "q110_repeated_spans" -> ((s, dir) => {
       import graft.operators.Curation
       Curation.repeatedSpans(t(s, dir, "documents"), "doc_id", "text",
+        n = 6, minCount = 2)
+    }),
+
+    // Span CLIPPING: q110's spans excised from the normalized token
+    // stream, n_removed per doc — the oracle rebuilds every clipped
+    // stream token by token, so offset arithmetic, coverage tests and
+    // null/edge handling all sit inside the hash.
+    "q111_span_clip" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.clipRepeatedSpans(t(s, dir, "documents"), "doc_id", "text",
         n = 6, minCount = 2)
     }),
 
@@ -2570,6 +2602,55 @@ object SparkEntry {
         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM y)
         |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
         |FROM z GROUP BY doc_id, grp""".stripMargin,
+
+    // q111: q110's spans → per-token coverage test → clipped stream.
+    // Docs shorter than the n-gram (len < 6) have no grams, hence no
+    // spans, and pass through whole; null-text docs pass through null.
+    "q111_span_clip" ->
+      raw"""WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |ok AS (SELECT doc_id, w FROM base WHERE len(w) >= 6),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 4), p -> p - 1)) AS pos,
+        |    unnest(list_transform(range(1, len(w) - 4),
+        |      p -> array_to_string(w[p:p+5], ' '))) AS gram
+        |  FROM ok),
+        |rep AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+        |m AS (SELECT g.doc_id, g.pos, g.pos + 6 AS e
+        |  FROM grams g JOIN rep USING (gram)),
+        |x AS (SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM m),
+        |y AS (SELECT doc_id, pos, e,
+        |    CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END AS nw FROM x),
+        |z AS (SELECT doc_id, pos, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM y),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(e) AS en
+        |  FROM z GROUP BY doc_id, grp),
+        |toksall AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) + 1), p -> p - 1)) AS pos,
+        |    unnest(list_transform(range(1, len(w) + 1), p -> w[p])) AS tok
+        |  FROM base),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toksall t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = t.doc_id AND t.pos >= sp.s AND t.pos < sp.en)),
+        |clipped AS (SELECT doc_id,
+        |    coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS clipped
+        |  FROM kept GROUP BY doc_id),
+        |removedn AS (SELECT t.doc_id, count(*) AS nr FROM toksall t
+        |  WHERE EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = t.doc_id AND t.pos >= sp.s AND t.pos < sp.en)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce(c.clipped, '') END AS clipped,
+        |  CASE WHEN d.text IS NULL THEN 0
+        |       ELSE coalesce(r.nr, 0) END AS n_removed
+        |FROM documents d
+        |LEFT JOIN clipped c ON c.doc_id = d.doc_id
+        |LEFT JOIN removedn r ON r.doc_id = d.doc_id""".stripMargin,
     "q102_dedup_keep_best" -> KeepBestOracleSql,
 
     // Misra-Gries inclusion guarantee: the provably-heavy token set
@@ -3058,6 +3139,7 @@ object SparkEntry {
 
     // same oracle as q75: the index path must reproduce direct BM25 exactly
     "q79_text_index" -> Bm25OracleSql,
+    "q112_text_index_rolling" -> Bm25OracleSql,
 
     "q76_repetition" ->
       """WITH base AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents),

@@ -428,6 +428,36 @@ object Curation {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  /** The actionable form of [[repeatedSpans]]: excise every repeated span
+    * from the token stream — substring dedup's "clip, don't drop the
+    * document". Output text is the NORMALIZED token stream (lowercased,
+    * single-spaced — the same normalization the span offsets are defined
+    * over), with `n_removed` counting clipped tokens. Null-text docs pass
+    * through with null text. One keyed join of docs against their span
+    * lists plus a codegen'd higher-order filter — no UDF, no extra
+    * shuffle beyond [[repeatedSpans]]'s own.
+    */
+  def clipRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2): DataFrame = {
+    val spans = repeatedSpans(docs, idCol, textCol, n, minCount)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = TextFns.tokens(lower(col(textCol)))
+    val kept = filter(toks, (t, i) =>
+      !exists(col("__spans"), s =>
+        i >= s.getField("span_start") && i < s.getField("span_end")))
+    docs
+      .join(spans, docs(idCol) === spans("doc_id"), "left")
+      .select(docs(idCol),
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(when(col("__spans").isNull, array_join(toks, " "))
+            .otherwise(array_join(kept, " "))).as("clipped"),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(toks) -
+            when(col("__spans").isNull, size(toks)).otherwise(size(kept)))
+          .cast("long").as("n_removed"))
+  }
+
   // ------------------------------------------------------ PII redaction
 
   /** Email pattern kept deliberately simple + anchored to word chars so

@@ -9,8 +9,12 @@ import graft.functions.TextFns
   *
   *  - postings `(term, doc_id, tf, dl)` parquet-partitioned by
   *    `bucket = pmod(xxhash64(term), nBuckets)`, so a query touches only
-  *    the partitions its terms hash to (PartitionFilters pruning);
-  *  - corpus stats (N, avgdl) in a JSON sidecar read at probe time;
+  *    the partitions its terms hash to (PartitionFilters pruning). Docs
+  *    with ZERO tokens carry one sentinel posting (term "", tf 0) so the
+  *    index is a complete document registry — removal statistics stay
+  *    exact — while never matching a real query term;
+  *  - corpus stats (N, avgdl, maxId) in a JSON sidecar read at probe
+  *    time;
   *  - [[search]] scores BM25 over the pruned postings: df per term is
   *    exact (counted from the scanned postings), the per-doc sum is one
   *    small aggregation over |matching postings| rows.
@@ -19,6 +23,15 @@ import graft.functions.TextFns
   * every probe afterwards reads ~|queryTerms|/nBuckets of the index.
   * Results match [[Curation.bm25]] on the same corpus exactly (spec-
   * enforced), because both use the same tokenization and formula.
+  *
+  * ROLLING lifecycle (mirrors the signature index): [[append]] adds an
+  * ingestion batch under the monotone-id contract, updating N/avgdl
+  * exactly; [[compact]] rewrites each bucket to one file; [[remove]] is
+  * the takedown pass. [[append]] is crash-safe via a
+  * `_pending_append.json` marker written before the postings append and
+  * cleared after the stats commit — every entry point refuses while it
+  * exists (a crash between the two would otherwise leave stats that
+  * can't arm the double-append guard).
   */
 object TextIndex {
 
@@ -34,39 +47,67 @@ object TextIndex {
     // disk — stats-after-postings left a half-built index (postings dir,
     // no sidecar) whose later probes failed with a confusing missing-
     // stats error instead of this one
-    val (n, avgdl) = try {
+    val (n, avgdl, maxId) = try {
       val statsRow = base.agg(count(lit(1)).cast("double"),
-        avg(col("dl"))).head()
+        avg(col("dl")), max(col("doc_id").cast("long"))).head()
       val n0 = statsRow.getDouble(0)
       require(n0 > 0, "refusing to index an empty corpus (avgdl undefined; " +
         "every probe would score NaN)")
-      val postings = base
-        .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
-        .groupBy(col("term"), col("doc_id"), col("dl"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
-      // cluster on the bucket before the partitioned write: file count
-      // bounded by nBuckets instead of tasks×buckets (the small-files
-      // killer at corpus scale)
-      postings.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
-      (n0, statsRow.getDouble(1))
+      writePostings(base, path, nBuckets, mode = "overwrite")
+      (n0, statsRow.getDouble(1),
+        if (statsRow.isNullAt(2)) Long.MinValue else statsRow.getLong(2))
     } finally base.unpersist() // even on the empty-corpus refusal
+    writeStats(spark, path, n, avgdl, nBuckets, maxId)
+    clearPendingMarker(spark, path) // rebuild is the crash recovery path
+  }
+
+  /** The shared postings shape: exploded term counts plus one sentinel
+    * posting (term "", tf 0) per zero-token doc, bucket-clustered before
+    * the partitioned write so file count is bounded by nBuckets, not
+    * tasks×buckets.
+    */
+  private def writePostings(base: DataFrame, path: String, nBuckets: Int,
+      mode: String): Unit = {
+    val real = base
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val sentinels = base.filter(col("dl") === 0)
+      .select(lit("").as("term"), col("doc_id"), col("dl"), lit(0L).as("tf"))
+    real.unionByName(sentinels)
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.mode(mode).partitionBy("bucket").parquet(path)
+  }
+
+  private case class Stats(n: Double, avgdl: Double, nBuckets: Int, maxId: Long)
+
+  private def writeStats(spark: SparkSession, path: String, n: Double,
+      avgdl: Double, nBuckets: Int, maxId: Long): Unit = {
     val sidecar =
-      s"""{"n":$n,"avgdl":$avgdl,"nBuckets":$nBuckets}"""
+      s"""{"n":$n,"avgdl":$avgdl,"nBuckets":$nBuckets,"maxId":$maxId}"""
     val p = new org.apache.hadoop.fs.Path(path, "_text_index_stats.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(sidecar.getBytes("UTF-8")) finally os.close()
   }
 
-  /** BM25 top-k over the index for a literal term set. Scans ONLY the
-    * partitions the query terms hash to.
-    */
-  def search(spark: SparkSession, path: String, queryTerms: Seq[String],
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  private def pendingMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_pending_append.json")
+
+  private def clearPendingMarker(spark: SparkSession, path: String): Unit = {
+    val p = pendingMarkerPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  private def readStats(spark: SparkSession, path: String): Stats = {
     val p = new org.apache.hadoop.fs.Path(path, "_text_index_stats.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(pendingMarkerPath(path)))
+      throw new IllegalStateException(
+        s"$path: _pending_append.json present — a previous append crashed " +
+          "before committing its stats. Rebuild with TextIndex.write, then " +
+          "delete the marker.")
     val in = fs.open(p)
     val raw = try {
       val len = fs.getFileStatus(p).getLen.toInt
@@ -76,9 +117,134 @@ object TextIndex {
       ("\"" + key + "\":([-0-9.eE]+)").r.findFirstMatchIn(raw)
         .map(_.group(1).toDouble)
         .getOrElse(throw new IllegalStateException(s"$path: no '$key' in stats"))
-    val n = num("n"); val avgdl = num("avgdl"); val nBuckets = num("nBuckets").toLong
+    Stats(num("n"), num("avgdl"), num("nBuckets").toInt,
+      // pre-rolling sidecars have no maxId: treat as unavailable — append
+      // refuses with a rebuild hint, search never needs it
+      ("\"maxId\":(-?[0-9]+)").r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong).getOrElse(Long.MaxValue))
+  }
 
-    val buckets = queryTerms
+  /** Append an ingestion batch to an existing index — the rolling form
+    * that keeps BM25 serving without rebuilds. Batch ids must continue
+    * the monotone numeric sequence recorded in the stats sidecar (the
+    * double-append guard: a replayed batch fails here instead of
+    * silently doubling its postings and BM25 mass). N and avgdl update
+    * exactly: avgdl' = (N·avgdl + Σdl_batch) / (N + n_batch).
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    require(docs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"TextIndex.append requires a numeric id column: $idCol is " +
+        docs.schema(idCol).dataType.simpleString)
+    val st = readStats(spark, path)
+    require(st.maxId != Long.MaxValue,
+      s"$path: stats sidecar predates the rolling contract (no maxId) — " +
+        "rebuild with TextIndex.write before appending")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFns.tokens(lower(col(textCol))).as("__toks"))
+      .withColumn("dl", size(col("__toks")))
+      .localCheckpoint(true) // read twice: stats + postings
+    val s = base.agg(min(col("doc_id")), max(col("doc_id")),
+      sum(when(col("doc_id").isNull, 1).otherwise(0)),
+      count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    if (s.getLong(3) == 0) return // empty batch
+    require(s.getLong(2) == 0L,
+      s"TextIndex.append requires numeric ids: ${s.getLong(2)} cast to null")
+    require(s.getLong(0) > st.maxId,
+      s"TextIndex.append requires monotone ids: index maxId=${st.maxId} >= " +
+        s"min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
+    writePendingMarker(spark, path, s.getLong(0), s.getLong(1), s.getLong(3))
+    writePostings(base, path, st.nBuckets, mode = "append")
+    val nb = s.getLong(3).toDouble
+    writeStats(spark, path, st.n + nb,
+      (st.n * st.avgdl + s.getLong(4)) / (st.n + nb), st.nBuckets,
+      s.getLong(1))
+    clearPendingMarker(spark, path)
+  }
+
+  private def writePendingMarker(spark: SparkSession, path: String,
+      minId: Long, maxId: Long, n: Long): Unit = {
+    val p = pendingMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"minId":$minId,"maxId":$maxId,"n":$n}""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** Rewrite every bucket to one file — the maintenance pass after many
+    * [[append]]s (each adds ≤1 file per touched bucket; after hundreds of
+    * batches the per-probe open cost creeps up). Staged for crash safety
+    * exactly like the signature index: rewrite into `_compact_tmp`, swap,
+    * re-assert stats LAST.
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    rewriteIndex(spark, path, identity, removedDocs = 0L, removedDl = 0L)
+
+  /** Takedown pass: drop documents from the index, compacting as it
+    * goes. Stats decrement by the docs ACTUALLY PRESENT (sentinel rows
+    * make zero-token docs visible, so N and avgdl stay exactly what a
+    * rebuild on the surviving corpus would compute); maxId is NOT
+    * lowered — ids are never reused.
+    */
+  def remove(spark: SparkSession, path: String, dropIds: DataFrame,
+      idCol: String): Unit = {
+    require(dropIds.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"TextIndex.remove requires a numeric id column: $idCol is " +
+        dropIds.schema(idCol).dataType.simpleString)
+    val ids = broadcast(
+      dropIds.select(col(idCol).cast("long").as("doc_id")).distinct())
+    val present = spark.read.parquet(path)
+      .select(col("doc_id"), col("dl")).distinct()
+      .join(ids, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    val (nRemoved, dlRemoved) = (present.getLong(0), present.getLong(1))
+    rewriteIndex(spark, path,
+      rel => rel.join(ids, Seq("doc_id"), "left_anti"),
+      removedDocs = nRemoved, removedDl = dlRemoved)
+  }
+
+  private def rewriteIndex(spark: SparkSession, path: String,
+      transform: DataFrame => DataFrame, removedDocs: Long,
+      removedDl: Long): Unit = {
+    val st = readStats(spark, path)
+    val n2 = st.n - removedDocs
+    require(n2 > 0,
+      "TextIndex.remove would remove every indexed document — delete the " +
+        "index and TextIndex.write a new corpus instead")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = s"${path}_compact_tmp"
+    transform(spark.read.parquet(path))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val stash = new org.apache.hadoop.fs.Path(s"${path}_old")
+    // swap: live → stash, tmp → live, stats re-asserted onto the new dir,
+    // stash deleted last. A crash mid-swap leaves a recoverable copy.
+    require(fs.rename(live, stash), s"compact: could not stage $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), live),
+      s"compact: rename into place failed — recover from ${path}_old")
+    writeStats(spark, path, n2,
+      if (removedDocs == 0) st.avgdl
+      else (st.n * st.avgdl - removedDl) / n2,
+      st.nBuckets, st.maxId)
+    fs.delete(stash, true)
+  }
+
+  /** BM25 top-k over the index for a literal term set. Scans ONLY the
+    * partitions the query terms hash to.
+    */
+  def search(spark: SparkSession, path: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val st = readStats(spark, path)
+    val n = st.n; val avgdl = st.avgdl; val nBuckets = st.nBuckets.toLong
+    val terms = queryTerms.filter(_.nonEmpty) // "" is the sentinel term
+    val buckets = terms
       .map(t => math.floorMod(
         org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
           org.apache.spark.unsafe.types.UTF8String.fromString(t),
@@ -86,7 +252,7 @@ object TextIndex {
       .distinct
     val hits = spark.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*))
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
     val dfreq = hits.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("__df"))
     hits.join(broadcast(dfreq), "term")

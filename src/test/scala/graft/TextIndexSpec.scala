@@ -47,6 +47,88 @@ class TextIndexSpec extends AnyFunSuite {
       "refusal must leave no postings directory behind")
   }
 
+  test("rolling append: equals a rebuilt index, replay refuses, marker lifecycle") {
+    val docs = corpus()
+    val path = java.nio.file.Files.createTempDirectory("tix4").resolve("idx").toString
+    TextIndex.write(docs, "doc_id", "text", path, nBuckets = 32)
+    val batch = Seq(
+      (10L, "spark query acceleration with vectorized joins"),
+      (11L, ""), // zero-token doc: must still count in N/avgdl (sentinel)
+      (12L, "totally unrelated appended padding document"))
+      .toDF("doc_id", "text")
+    TextIndex.append(batch, "doc_id", "text", path)
+    val marker = java.nio.file.Paths.get(path, "_pending_append.json")
+    assert(!java.nio.file.Files.exists(marker), "append must clear its marker")
+    val terms = Seq("spark", "query", "join")
+    val rolled = TextIndex.search(spark, path, terms, 20).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toSeq
+    val rebuiltPath = java.nio.file.Files.createTempDirectory("tix5")
+      .resolve("idx").toString
+    TextIndex.write(docs.unionByName(batch), "doc_id", "text", rebuiltPath,
+      nBuckets = 32)
+    val rebuilt = TextIndex.search(spark, rebuiltPath, terms, 20).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toSeq
+    assert(rolled == rebuilt, s"rolled $rolled vs rebuilt $rebuilt")
+    // replayed batch: monotone contract refuses loudly, index untouched
+    val before = spark.read.parquet(path).count()
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.append(batch, "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    assert(spark.read.parquet(path).count() == before)
+    // a stranded marker blocks every entry point until rebuild clears it
+    java.nio.file.Files.write(marker, "{}".getBytes("UTF-8"))
+    for (op <- Seq[() => Any](
+        () => TextIndex.search(spark, path, terms, 5),
+        () => TextIndex.append(Seq((99L, "zz")).toDF("doc_id", "text"),
+          "doc_id", "text", path),
+        () => TextIndex.compact(spark, path))) {
+      val ex = intercept[IllegalStateException](op())
+      assert(ex.getMessage.contains("_pending_append"), ex.getMessage)
+    }
+    TextIndex.write(docs, "doc_id", "text", path, nBuckets = 32)
+    assert(!java.nio.file.Files.exists(marker), "rebuild clears the marker")
+  }
+
+  test("remove restores exact rebuild stats, zero-token docs included") {
+    val docs = corpus()
+    val path = java.nio.file.Files.createTempDirectory("tix6").resolve("idx").toString
+    TextIndex.write(docs, "doc_id", "text", path, nBuckets = 32)
+    val statsBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_text_index_stats.json")), "UTF-8")
+    val batch = Seq(
+      (10L, "spark spark extra mass that would shift every idf"),
+      (11L, "")) // zero-token: invisible without the sentinel registry
+      .toDF("doc_id", "text")
+    TextIndex.append(batch, "doc_id", "text", path)
+    TextIndex.compact(spark, path)
+    // drop list includes an id that was never indexed — must not drift N
+    TextIndex.remove(spark, path,
+      Seq(10L, 11L, 999L).toDF("doc_id"), "doc_id")
+    val statsAfter = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_text_index_stats.json")), "UTF-8")
+    def field(s: String, k: String): Double =
+      ("\"" + k + "\":([-0-9.eE]+)").r.findFirstMatchIn(s).get.group(1).toDouble
+    assert(field(statsAfter, "n") == field(statsBefore, "n"),
+      s"N must return to the pre-append value: $statsAfter vs $statsBefore")
+    assert(math.abs(field(statsAfter, "avgdl") - field(statsBefore, "avgdl")) < 1e-9,
+      s"avgdl must return to the pre-append value: $statsAfter vs $statsBefore")
+    // and the search equals the original-corpus index bit-for-bit at 9 dp
+    val terms = Seq("spark", "query", "join")
+    val got = TextIndex.search(spark, path, terms, 10).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toSeq
+    val fresh = java.nio.file.Files.createTempDirectory("tix7").resolve("idx").toString
+    TextIndex.write(docs, "doc_id", "text", fresh, nBuckets = 32)
+    val want = TextIndex.search(spark, fresh, terms, 10).collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toSeq
+    assert(got == want, s"$got vs $want")
+    // refusing to empty the index outright
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.remove(spark, path, docs.select("doc_id"), "doc_id")
+    }
+    assert(e.getMessage.contains("every indexed document"), e.getMessage)
+  }
+
   test("search only reads the buckets its terms hash to") {
     val docs = corpus()
     val path = java.nio.file.Files.createTempDirectory("tix2").resolve("idx").toString
