@@ -1249,6 +1249,18 @@ object SparkEntry {
         n = 6, minCount = 2)
     }),
 
+    // Deterministic weighted sampling (Efraimidis–Spirakis): 100 docs
+    // weighted by token count, keys from the SQL-reproducible Knuth hash
+    // — the oracle recomputes every key, so hash choice, the w<=0
+    // exclusion, 9-dp key rounding and tie order are all inside the hash.
+    "q113_weighted_sample" -> ((s, dir) => {
+      import graft.operators.Curation
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("toks"))
+      Curation.weightedSample(d, "doc_id", "toks", k = 100)
+    }),
+
     // Cross-document boilerplate: 4-token passages present in >= 3 docs
     // (the word-soup corpus repeats phrases heavily, so yield is real).
     "q81_boilerplate" -> ((s, dir) => {
@@ -3140,6 +3152,19 @@ object SparkEntry {
     // same oracle as q75: the index path must reproduce direct BM25 exactly
     "q79_text_index" -> Bm25OracleSql,
     "q112_text_index_rolling" -> Bm25OracleSql,
+
+    "q113_weighted_sample" ->
+      raw"""WITH w AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL THEN NULL
+        |         WHEN trim(text) = '' THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks
+        |  FROM documents),
+        |ks AS (SELECT doc_id, toks,
+        |    round(pow(
+        |      (((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 + 1.0) / 4294967297.0,
+        |      1.0::DOUBLE / toks), 9) AS esk
+        |  FROM w WHERE toks IS NOT NULL AND toks > 0)
+        |SELECT doc_id, toks FROM ks ORDER BY esk DESC, doc_id LIMIT 100""".stripMargin,
 
     "q76_repetition" ->
       """WITH base AS (SELECT doc_id, trim(lower(text)) AS lt FROM documents),

@@ -357,6 +357,30 @@ object Curation {
         col("n_tokens"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis 2006): key_i = u_i^(1/w_i) with u_i derived from the same
+    * SQL-reproducible Knuth multiplicative hash as the IVF centroid
+    * choice — the top-k keys ARE a weighted sample, reproducible
+    * run-to-run and engine-to-engine (no RNG state). The heavy-weight
+    * rows win proportionally more often; w <= 0 rows are excluded (their
+    * limit key is 0). One map-side key computation + one
+    * TakeOrderedAndProject — no shuffle, no sort of the full corpus.
+    * Keys round to 9 dp before ranking (id tie-break) so an independent
+    * engine's libm reproduces the order bit-for-bit.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"sample size $k must be >= 1")
+    val u = (pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
+      2654435761L, lit(4294967296L)) + lit(1.0)) / 4294967297.0
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__esk",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9))
+      .orderBy(col("__esk").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__esk")
+  }
+
   /** Cross-document boilerplate: k-token passages appearing in at least
     * `minDocs` distinct documents (headers/footers/license blocks — the
     * units line-dedup pipelines strip). One explode + one (passage, doc)

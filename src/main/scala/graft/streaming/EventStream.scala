@@ -80,6 +80,23 @@ object EventStream {
       }
       .start()
 
+  /** Continuous BM25 ingestion: each micro-batch appends into a persisted
+    * [[graft.operators.TextIndex]] — searchable immediately, state in the
+    * INDEX (bounded by corpus size, not stream length). Restart safety is
+    * the index's monotone-id contract plus its pending-append marker: a
+    * replayed batch refuses loudly instead of doubling its BM25 mass.
+    */
+  def textIndexStream(stream: DataFrame, indexPath: String, idCol: String,
+      textCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        graft.operators.TextIndex.append(b.toDF(), idCol, textCol, indexPath)
+      }
+      .start()
+
   /** Session-window aggregation: events gapped less than `gap` apart merge
     * into one session per key (Spark's native `session_window` — dynamic
     * windows, watermark-evicted state). The batch form computes identical

@@ -70,9 +70,9 @@ class CodecSpec extends AnyFunSuite {
     val base2 = tmpBase("webm")
     Shapefile.write(df, "geometry", base2)
     Files.writeString(java.nio.file.Paths.get(base2 + ".prj"),
-      """PROJCS["X",GEOGCS["GCS_S_JTSK"],AUTHORITY["EPSG","5514"]]""")
+      """PROJCS["X",GEOGCS["GCS_NZGD_2000"],AUTHORITY["EPSG","2193"]]""")
     val e = intercept[IllegalArgumentException] { Shapefile.read(spark, base2) }
-    assert(e.getMessage.contains("5514"))
+    assert(e.getMessage.contains("2193"))
     // an unrecognized .prj also fails loudly (never silently assume 4326)
     Files.writeString(java.nio.file.Paths.get(base2 + ".prj"),
       """PROJCS["Mystery_Local_Grid",UNIT["Meter",1.0]]""")

@@ -119,6 +119,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(third == 0L, "streamed survivors must be probe-visible in the index")
   }
 
+  test("textIndexStream: streamed batches become searchable, replay refuses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_stix")
+    val idx = base.resolve("idx").toString
+    val ckpt = base.resolve("ckpt").toString
+    TextIndex.write(Seq((1L, "spark joins today")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, nBuckets = 8)
+    val input = MemoryStream[Doc]
+    val q = EventStream.textIndexStream(input.toDF(), idx, "doc_id", "text", ckpt)
+    try {
+      input.addData(Doc(10L, "spark query planner"), Doc(11L, "unrelated words"))
+      q.processAllAvailable()
+      input.addData(Doc(20L, "more spark content arriving"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = TextIndex.search(spark, idx, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L, 10L, 20L), s"got $hits")
+    // an out-of-band replay of already-ingested ids refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.append(Seq((20L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+  }
+
   test("dedupStream: a REPLAYED micro-batch refuses loudly, index unchanged") {
     // restart-safety claim of EventStream.dedupStream: a replayed batch
     // (same ids, e.g. a sink whose offsets were not committed) must fail
