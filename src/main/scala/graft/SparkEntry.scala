@@ -1593,6 +1593,67 @@ object SparkEntry {
         .select(col("vec_id"), round(col("adc"), 6).as("adc"))
     }),
 
+    // Temperature-scaled domain mixing (p_d ∝ n_d^τ, the mT5/XLM-R
+    // resampling step): per-source budgets derived from the corpus' own
+    // token masses at τ=0.5, cut by the same sharded prefix sum as q82.
+    // τ=0.5 routes through IEEE-exact sqrt and the normalizer folds in
+    // source order, so DuckDB reproduces every budget bit-for-bit.
+    "q115_temperature_mix" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"), col("source"),
+          TextFns.tokenCount(col("text")).cast("long").as("toks"))
+      Curation.temperatureMix(docs, "doc_id", "toks", "source",
+        totalBudget = 50000L, tau = 0.5)
+    }),
+
+    // kNN GRAPH over the embedding corpus: IVF-restricted candidate
+    // generation (list-keyed join, never all-pairs), per-vector top-3 by
+    // cosine. Centroids are the SQL-reproducible hash donors, so the
+    // whole graph — probe lists, assignments, edges — has a full oracle.
+    "q116_knn_graph" -> ((s, dir) => {
+      import graft.operators.Similarity
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, nLists = 16, nProbe = 4)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // ROLLING IVF-PQ lifecycle, oracle-gated end-to-end: build on the
+    // first half of the corpus (codebooks freeze at that state — the
+    // FAISS serving contract), roll the second half in via two monotone
+    // appends, compact back to one file per list, take down vec_id%50==7
+    // (plus a never-indexed id: stats must not drift), then probe. The
+    // oracle is q106's SQL with the donor CTE restricted to the build
+    // half and the dropped ids excluded — the rolled index must be
+    // indistinguishable from a frozen-codebook single build.
+    "q114_ivfpq_rolling" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      // plan-time literals (bench discipline: probe construction off the row)
+      val mx = emb.agg(coalesce(max(col("vec_id")), lit(0L))).head().getLong(0)
+      val cut = mx / 2
+      val c2 = cut + (mx - cut) / 2
+      val idx = scratchDir("graft_pqroll").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb.filter(col("vec_id") <= cut),
+        "vec_id", "embedding", idx, nLists = 16, m = 8, nCodes = 16)
+      Similarity.appendToIvfPqIndex(
+        emb.filter(col("vec_id") > cut && col("vec_id") <= c2),
+        "vec_id", "embedding", idx)
+      Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") > c2),
+        "vec_id", "embedding", idx)
+      Similarity.compactIvfPqIndex(s, idx)
+      Similarity.removeFromIvfPqIndex(s, idx,
+        emb.filter(col("vec_id") % 50 === 7).select(col("vec_id"))
+          .unionByName(s.range(1).select((lit(10 * mx + 100)).as("vec_id"))),
+        "vec_id")
+      Similarity.ivfPqTopKIndexed(s, idx, "vec_id", q, k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
     // Embedding-cosine near-dup detection via RP-LSH buckets (planted
     // duplicates guarantee yield; rows-only: bucket hashing engine-native).
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -2525,6 +2586,92 @@ object SparkEntry {
         |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id)
         |SELECT vec_id, round(adc, 6) AS adc
         |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
+
+    // q106's plan with the codebook CTE frozen at the build-half corpus
+    // state and the takedown ids excluded — the rolled lifecycle must be
+    // indistinguishable from a frozen-codebook single build.
+    "q114_ivfpq_rolling" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cut AS (SELECT CAST(floor(max(vec_id) / 2.0) AS BIGINT) AS c
+        |  FROM embeddings),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  WHERE vec_id <= (SELECT c FROM cut)
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |fulld AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT did AS lst FROM don CROSS JOIN q
+        |  ORDER BY list_reduce(list_transform(range(1, len(dv) + 1),
+        |    j -> (dv[j] - qv[j]) * (dv[j] - qv[j])), (x, y) -> x + y), did LIMIT 4),
+        |cand AS (SELECT a.vec_id FROM asg a JOIN pl ON a.lst = pl.lst),
+        |sd AS (SELECT e.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
+        |adc AS (SELECT c.vec_id, sum(q2.s) AS adc FROM codes c
+        |  JOIN cand ON cand.vec_id = c.vec_id
+        |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id)
+        |SELECT vec_id, round(adc, 6) AS adc
+        |FROM adc WHERE vec_id % 50 <> 7
+        |ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
+
+    // q82's cut with budgets DERIVED from the corpus: per-source sqrt
+    // token mass, normalized by a source-ordered sequential fold (the
+    // operator's documented reproducibility contract).
+    "q115_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+        |    ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 2147483648 AS bkt
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |m AS (SELECT source, sqrt(sum(toks) * 1.0) AS w FROM d GROUP BY source),
+        |tt AS (SELECT list_reduce(list(w ORDER BY source), (x, y) -> x + y) AS tot
+        |  FROM m),
+        |b AS (SELECT source, CAST(floor(50000.0 * w / tot) AS BIGINT) AS budget
+        |  FROM m, tt),
+        |c AS (SELECT d.*, b.budget,
+        |    sum(toks) OVER (PARTITION BY d.source ORDER BY bkt, doc_id) AS cum
+        |  FROM d JOIN b ON b.source = d.source)
+        |SELECT doc_id, source, toks FROM c WHERE cum <= budget""".stripMargin,
+
+    // IVF-restricted kNN graph: hash-donor centroids (as q106), each
+    // vector probes its 4 nearest lists and meets the vectors ASSIGNED
+    // there; exact cosine per surviving pair; top-3 per id1.
+    "q116_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl p JOIN asg a ON a.lst = p.lst WHERE a.vec_id <> p.vec_id),
+        |cs AS (SELECT c.id1, c.id2,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * b.v[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(b.v) + 1),
+        |    j -> b.v[j] * b.v[j]), (x, y) -> x + y) AS nb
+        |  FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2)
+        |SELECT id1, id2, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos FROM cs
+        |QUALIFY row_number() OVER (PARTITION BY id1
+        |  ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3""".stripMargin,
 
     // Full dedup pipeline recomputed: exact dedup (null-text singletons),
     // LSH candidates over survivors (as q25, %25 planting), distinct-bigram

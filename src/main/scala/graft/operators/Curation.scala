@@ -144,6 +144,46 @@ object Curation {
       .drop("__bucket", "__shard", "__off", "__cum", "__budget")
   }
 
+  /** Temperature-scaled domain mixing — the data-mixture step of
+    * multilingual/multi-source training (the `p_d ∝ n_d^τ` resampling of
+    * mT5/XLM-R): a domain's share of the global token budget is its token
+    * mass raised to temperature `tau`, normalized. τ=1 keeps natural
+    * proportions; τ→0 flattens toward uniform, up-weighting small
+    * domains. The per-domain budgets then feed [[tokenBudgetMix]]'s
+    * sharded deterministic cut, so the whole mix is one keyed agg (per-
+    * domain masses, |domains| rows), a driver-side budget table, and the
+    * two-level prefix sum — nothing scans twice beyond tokenBudgetMix's
+    * documented double scan.
+    *
+    * Reproducibility contract: τ=0.5 (the common "sqrt temperature")
+    * routes through IEEE-exact `sqrt`, and the normalizer folds the
+    * per-domain weights in source order — so an independent engine
+    * reproduces every budget bit-for-bit (other τ go through `pow`,
+    * which libms round within 1 ulp of each other; budgets may then
+    * differ by one token at a floor cliff).
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, totalBudget: Long, tau: Double,
+      shards: Int = 64): DataFrame = {
+    require(totalBudget > 0, s"totalBudget $totalBudget must be > 0")
+    require(tau > 0, s"temperature $tau must be > 0 (τ→0 is uniform)")
+    val weight: Column => Column =
+      if (tau == 0.5) (c: Column) => sqrt(c)
+      else (c: Column) => pow(c, lit(tau))
+    val mass = docs.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol).cast("long")).as("__n"))
+      .select(col(sourceCol), weight(col("__n").cast("double")).as("__w"))
+    // |domains| rows by contract — the fold order (source-sorted, left to
+    // right) is part of the reproducibility contract above
+    val tot = mass.collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      .foldLeft(0.0)((acc, sw) => acc + sw._2)
+    val budgets = mass.select(col(sourceCol),
+      floor(lit(totalBudget.toDouble) * col("__w") / lit(tot))
+        .cast("long").as("budget"))
+    tokenBudgetMix(docs, idCol, tokenCol, sourceCol, budgets, shards)
+  }
+
   // --------------------------------------------------- sequence packing
 
   /** Sequence packing: assign documents to fixed-budget context windows

@@ -526,35 +526,87 @@ object Similarity {
     // one scan: assign + encode together; cluster on the list before the
     // partitioned write so file count is bounded by the list count, not
     // tasks×lists (same discipline as writeSignatureIndex)
-    clean.select(col(idCol),
+    clean.select(col(idCol).cast("long").as(idCol),
         assign(col(vecCol).cast("array<double>")).as("ivf_list"),
         encode(col(vecCol).cast("array<double>")).as("pq_codes"))
       .repartition(col("ivf_list"))
       .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$path/codes")
+    // stats from the WRITTEN relation (m longs/row), so maxId/nVecs
+    // describe exactly what a probe will see — same discipline as
+    // Dedup.writeSignatureIndex's read-back
+    val stats = spark.read.parquet(s"$path/codes")
+      .agg(coalesce(max(col(idCol)), lit(Long.MinValue)).as("maxId"),
+        count(lit(1)).as("n")).head()
+    require(stats.getLong(1) > 0, "writeIvfPqIndex: refusing to index an " +
+      "empty corpus (no non-null vectors)")
+    writeIvfPqMeta(spark, path, m, centroids, donors,
+      stats.getLong(0), stats.getLong(1))
+    // a full rebuild is the documented recovery from a crashed append —
+    // clear any stale pending marker so the fresh index is probe-able
+    clearIvfPqPendingMarker(spark, path)
+  }
+
+  private def writeIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, m: Int, centroids: Array[(Long, Array[Double])],
+      donors: Array[(Long, Array[Double])], maxId: Long, nVecs: Long): Unit = {
     def enc(arr: Array[(Long, Array[Double])]): String = arr
       .map { case (id, v) => s"""{"id":$id,"v":${v.mkString("[", ",", "]")}}""" }
       .mkString("[", ",", "]")
     val sidecar = s"""{"m":$m,"nLists":${centroids.length},""" +
-      s""""nCodes":${donors.length},"centroids":${enc(centroids)},""" +
-      s""""donors":${enc(donors)}}"""
+      s""""nCodes":${donors.length},"maxId":$maxId,"nVecs":$nVecs,""" +
+      s""""centroids":${enc(centroids)},"donors":${enc(donors)}}"""
     val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
     try os.write(sidecar.getBytes("UTF-8")) finally os.close()
   }
 
+  private def ivfPqPendingMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_pending_append.json")
+
+  private def writeIvfPqPendingMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String, minId: Long, maxId: Long, n: Long): Unit = {
+    val p = ivfPqPendingMarkerPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(
+      s"""{"minId":$minId,"maxId":$maxId,"n":$n}""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private def clearIvfPqPendingMarker(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = ivfPqPendingMarkerPath(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+  }
+
+  private case class IvfPqMeta(m: Int, maxId: Long, nVecs: Long,
+    centroids: Array[(Long, Array[Double])], donors: Array[(Long, Array[Double])])
+
   private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Int, Array[(Long, Array[Double])], Array[(Long, Array[Double])]) = {
+      path: String): IvfPqMeta = {
     val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every entry point (probe / append / compact / remove) funnels
+    // through here — a pending-append marker means a prior append died
+    // between its codes write and its meta write, so the meta can no
+    // longer be trusted to arm the monotone double-insert guard
+    if (fs.exists(ivfPqPendingMarkerPath(path)))
+      throw new IllegalStateException(
+        s"$path: _pending_append.json present — a previous append crashed " +
+          "before committing its meta. Rebuild with writeIvfPqIndex (or " +
+          "remove the marked id range manually), then delete the marker.")
     val in = fs.open(p)
     val raw = try {
       val len = fs.getFileStatus(p).getLen.toInt
       val buf = new Array[Byte](len); in.readFully(0, buf); new String(buf, "UTF-8")
     } finally in.close()
-    val m = "\"m\":([0-9]+)".r.findFirstMatchIn(raw)
-      .getOrElse(throw new IllegalStateException(s"$path: no 'm' in _ivfpq_meta.json"))
-      .group(1).toInt
+    def long(key: String): Long =
+      ("\"" + key + "\":(-?[0-9]+)").r.findFirstMatchIn(raw)
+        .getOrElse(throw new IllegalStateException(
+          s"$path: no '$key' in _ivfpq_meta.json"))
+        .group(1).toLong
+    val m = long("m").toInt
     def arr(key: String): Array[(Long, Array[Double])] = {
       // entries are {"id":N,"v":[...]} objects; the section runs from its
       // key to the other section's key (or end of file)
@@ -572,7 +624,117 @@ object Similarity {
     val donors = arr("donors")
     require(centroids.nonEmpty && donors.nonEmpty,
       s"$path: empty centroids/donors in _ivfpq_meta.json")
-    (m, centroids, donors)
+    IvfPqMeta(m, long("maxId"), long("nVecs"), centroids, donors)
+  }
+
+  /** Append a batch of NEW vectors to a persisted IVF-PQ index with the
+    * build-time codebooks FROZEN (the FAISS serving contract: appends
+    * assign + encode against the trained quantizers; retraining is a
+    * rebuild). One map-side scan of the batch — assign to a coarse list,
+    * PQ-encode, append one file per touched list — so rolling ingestion
+    * costs O(batch), never O(corpus). Batch ids must continue the
+    * monotone sequence (`min(batch) > meta.maxId`), the same
+    * never-reuse-ids contract as the signature index.
+    *
+    * Crash safety mirrors [[graft.operators.Dedup.appendToSignatureIndex]]:
+    * a `_pending_append.json` marker is written BEFORE the codes append
+    * and deleted only AFTER the meta write; [[readIvfPqMeta]] refuses an
+    * index whose marker is present, so a crashed append can never be
+    * silently retried into a double-insert.
+    */
+  def appendToIvfPqIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    require(newVecs.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"appendToIvfPqIndex requires a numeric id column: $idCol is " +
+        newVecs.schema(idCol).dataType.simpleString)
+    val meta = readIvfPqMeta(spark, path)
+    val clean = newVecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as("__v"))
+    val s = clean.agg(coalesce(min(col(idCol)), lit(Long.MaxValue)),
+      coalesce(max(col(idCol)), lit(Long.MinValue)),
+      sum(when(col(idCol).isNull, 1).otherwise(0)), count(lit(1))).head()
+    if (s.getLong(3) == 0) return // empty batch: nothing to append
+    require(s.getLong(2) == 0L,
+      s"appendToIvfPqIndex requires numeric ids: ${s.getLong(2)} cast to null")
+    require(s.getLong(0) > meta.maxId,
+      s"appendToIvfPqIndex requires monotone ids: index maxId=${meta.maxId} " +
+        s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
+    val assign = assignByIdUdf(spark, meta.centroids)
+    val encode = pqEncodeUdf(spark, meta.donors, meta.m)
+    // marker FIRST (see scaladoc); list-clustered append: one file per
+    // touched list per batch, not tasks×lists
+    writeIvfPqPendingMarker(spark, path, s.getLong(0), s.getLong(1), s.getLong(3))
+    clean.select(col(idCol), assign(col("__v")).as("ivf_list"),
+        encode(col("__v")).as("pq_codes"))
+      .repartition(col("ivf_list"))
+      .write.mode("append").partitionBy("ivf_list").parquet(s"$path/codes")
+    writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
+      s.getLong(1), meta.nVecs + s.getLong(3))
+    clearIvfPqPendingMarker(spark, path)
+  }
+
+  /** Rewrite the codes relation so every coarse list holds ONE file again
+    * — the maintenance pass for a long-lived rolling index where each
+    * append adds a file per touched list. Staged for crash safety
+    * (rewrite into `_compact_tmp/`, swap, meta re-asserted LAST), same
+    * shape as the signature index's compaction.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    rewriteIvfPqIndex(spark, path, identity, removed = 0L)
+
+  /** Remove vectors from a persisted IVF-PQ index — takedown. Also
+    * compacts (same staged rewrite). `nVecs` decrements by the ids
+    * ACTUALLY PRESENT in the codes relation, never by |dropIds| (takedown
+    * lists routinely carry ids already removed or never indexed; counting
+    * requests drifts the stats). `maxId` is never lowered — ids are never
+    * reused, so the monotone ingestion contract stays unambiguous.
+    */
+  def removeFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, dropIds: DataFrame, idCol: String): Unit = {
+    require(dropIds.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"removeFromIvfPqIndex requires a numeric id column: $idCol is " +
+        dropIds.schema(idCol).dataType.simpleString)
+    val ids = broadcast(
+      dropIds.select(col(idCol).cast("long").as("__drop_id")).distinct())
+    val live = spark.read.parquet(s"$path/codes")
+    // the codes relation is exactly (id, pq_codes) partitioned by ivf_list
+    val liveIdCol = live.columns.filterNot(Set("ivf_list", "pq_codes")).head
+    val stats = live
+      .join(ids.withColumn("__hit", lit(1)),
+        live(liveIdCol) === ids("__drop_id"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("__hit"), lit(0))).as("present")).head()
+    val present = stats.getLong(1)
+    require(present < stats.getLong(0),
+      "removeFromIvfPqIndex would remove every indexed vector — delete " +
+        "the index and writeIvfPqIndex a new corpus instead")
+    rewriteIvfPqIndex(spark, path,
+      rel => rel.join(ids, rel(liveIdCol) === ids("__drop_id"), "left_anti"),
+      removed = present)
+  }
+
+  private def rewriteIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, transform: DataFrame => DataFrame, removed: Long): Unit = {
+    val meta = readIvfPqMeta(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = s"$path/_compact_tmp"
+    transform(spark.read.parquet(s"$path/codes"))
+      .repartition(col("ivf_list"))
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$tmp/codes")
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val liveP = new org.apache.hadoop.fs.Path(path, "codes")
+    fs.delete(liveP, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/codes"), liveP),
+      s"ivfpq-index rewrite: rename of codes failed — recover the " +
+        s"rewritten copy from $tmp or rebuild with writeIvfPqIndex")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
+      meta.maxId, math.max(0L, meta.nVecs - removed))
   }
 
   /** Probe a persisted IVF-PQ index: sidecar codebooks → driver-side
@@ -584,12 +746,57 @@ object Similarity {
     */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, query: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
-    val (m, centroids, donors) = readIvfPqMeta(spark, path)
-    val probed = nearestListIds(query, centroids, nProbe)
+    val meta = readIvfPqMeta(spark, path)
+    val probed = nearestListIds(query, meta.centroids, nProbe)
     val codes = spark.read.parquet(s"$path/codes")
       .filter(col("ivf_list").isin(probed: _*))
       .select(col(idCol), col("pq_codes"))
-    pqSearchCodes(codes, idCol, donors, query, k, m)
+    pqSearchCodes(codes, idCol, meta.donors, query, k, meta.m)
+  }
+
+  /** k-nearest-neighbor GRAPH: every vector's k most-cosine-similar
+    * neighbors — the substrate of embedding clustering, graph-based dedup
+    * and diversity sampling. Candidate generation is IVF-restricted
+    * (never all-pairs): each vector probes its `nProbe` nearest coarse
+    * lists and meets only the vectors ASSIGNED to those lists, so the
+    * join is keyed on the list id — one shuffle whose fan-in per vector
+    * is nProbe · avgListSize. At growing corpus size, grow `nLists`
+    * proportionally to keep list sizes (and per-vector candidate counts)
+    * bounded; recall loss is the usual IVF trade (neighbors assigned to
+    * unprobed lists are missed).
+    *
+    * Centroids are the SQL-reproducible hash donors ([[pqDonors]]), so
+    * the whole graph has a DuckDB oracle. Output: (id1, id2, cos), k rows
+    * per id1, ties broken on smaller id2. The per-vector top-k is a
+    * window partitioned BY VECTOR — thousands of tiny partitions, never a
+    * global sort.
+    */
+  def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val spark = vecs.sparkSession
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as("__v"))
+    val centroids = pqDonors(clean, idCol, "__v", nLists)
+    val assign = assignByIdUdf(spark, centroids)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeU = udf { (v: Seq[Double]) =>
+      bc.value.map { case (cid, cv) => (sqDistArr(v, cv), cid) }
+        .sorted.take(nProbe).map(_._2).toSeq
+    }
+    val left = clean.select(col(idCol).as("id1"), col("__v").as("__v1"),
+      explode(probeU(col("__v"))).as("__lst"))
+    // each candidate sits in exactly ONE list, so a (id1, id2) pair can
+    // match at most once — no dedup needed after the join
+    val right = clean.select(col(idCol).as("id2"), col("__v").as("__v2"),
+      assign(col("__v")).as("__lst"))
+    val edges = left.join(right, Seq("__lst"))
+      .filter(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        VectorFns.cosine(col("__v1"), col("__v2")).as("cos"))
+    Ops.topKPerGroup(edges, Seq("id1"),
+      Seq(col("cos").desc, col("id2").asc), k)
   }
 
   // ------------------------------------------------------ hybrid retrieval

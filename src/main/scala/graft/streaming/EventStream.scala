@@ -97,6 +97,28 @@ object EventStream {
       }
       .start()
 
+  /** Continuous VECTOR ingestion: each micro-batch assigns + PQ-encodes
+    * against a persisted IVF-PQ index's frozen codebooks and appends into
+    * its list-partitioned codes relation
+    * ([[graft.operators.Similarity.appendToIvfPqIndex]]) — searchable
+    * immediately, state in the INDEX. With this, all three serving
+    * layouts (signature, text, vector) ingest from the same stream
+    * machinery. Restart safety is the index's monotone-id contract plus
+    * its pending-append marker: a replayed batch refuses loudly instead
+    * of double-inserting codes.
+    */
+  def vectorIndexStream(stream: DataFrame, indexPath: String, idCol: String,
+      vecCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        graft.operators.Similarity.appendToIvfPqIndex(b.toDF(), idCol,
+          vecCol, indexPath)
+      }
+      .start()
+
   /** Session-window aggregation: events gapped less than `gap` apart merge
     * into one session per key (Spark's native `session_window` — dynamic
     * windows, watermark-evicted state). The batch form computes identical

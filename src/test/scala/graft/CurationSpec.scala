@@ -49,6 +49,30 @@ class CurationSpec extends AnyFunSuite {
     assert(got.filter(col("s") === "a").count() == 4000) // fraction 1.0 keeps all
   }
 
+  test("temperatureMix: τ=1 keeps natural shares, τ→0 flattens; " +
+      "budgets sum within rounding of the total") {
+    // two domains, big 9× the mass of small
+    val docs = (0L until 90L).map(i => (i, "big", 100L))
+      .++((100L until 110L).map(i => (i, "small", 100L)))
+      .toDF("doc_id", "source", "toks")
+    def taken(tau: Double): Map[String, Long] =
+      Curation.temperatureMix(docs, "doc_id", "toks", "source",
+          totalBudget = 5000L, tau = tau)
+        .groupBy("source").agg(sum("toks").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natural = taken(1.0)
+    // τ=1: shares ∝ mass → big 4500, small 500 (docs are 100-token atoms)
+    assert(natural("big") == 4500L && natural("small") == 500L, s"$natural")
+    val flat = taken(0.5)
+    // τ=0.5: shares ∝ sqrt(mass) = 3:1 → budgets 3750/1250; big cuts to
+    // 3700 (100-token atoms), small is capped by its 1000-token inventory
+    assert(flat("big") == 3700L && flat("small") == 1000L, s"$flat")
+    // τ <= 0 refuses
+    intercept[IllegalArgumentException] {
+      Curation.temperatureMix(docs, "doc_id", "toks", "source", 5000L, 0.0)
+    }
+  }
+
   test("packSequences: bins respect the budget up to one doc of overshoot") {
     val docs = spark.range(500).select(col("id").as("doc_id"),
       (col("id") % 4).as("shard"),

@@ -469,6 +469,111 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(maxFiles == 1, s"clustered write must bound files/list, got $maxFiles")
   }
 
+  test("rolling IVF-PQ index: append == rebuild-with-frozen-codebooks, " +
+      "compaction preserves probes, takedown counts actual removals") {
+    import graft.operators.Similarity
+    val vecs = spark.range(120).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), d -> " +
+        "CAST(pmod(id * (d + 11) + d * 3, 101) AS DOUBLE) / 101.0)").as("embedding"))
+    val q = vecs.filter(col("vec_id") === 5)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val first = vecs.filter(col("vec_id") < 60)
+    val idxRoll = java.nio.file.Files.createTempDirectory("graft_pqroll")
+      .resolve("idx").toString
+    val idxFull = java.nio.file.Files.createTempDirectory("graft_pqfull")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding", idxRoll,
+      nLists = 8, m = 8, nCodes = 8)
+    // two appends so the multi-batch monotone chain is exercised
+    Similarity.appendToIvfPqIndex(
+      vecs.filter(col("vec_id") >= 60 && col("vec_id") < 90),
+      "vec_id", "embedding", idxRoll)
+    Similarity.appendToIvfPqIndex(vecs.filter(col("vec_id") >= 90),
+      "vec_id", "embedding", idxRoll)
+    // reference: one-shot full build with the SAME (first-half) codebooks
+    val cb = Similarity.pqDonors(first, "vec_id", "embedding", 8)
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", idxFull,
+      nLists = 8, m = 8, nCodes = 8,
+      centroidsOpt = Some(cb), donorsOpt = Some(cb))
+    def probe(p: String) = Similarity.ivfPqTopKIndexed(spark, p, "vec_id",
+        q, k = 15, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(idxRoll) == probe(idxFull),
+      "rolled index must equal a frozen-codebook rebuild")
+    // non-monotone append refuses
+    intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(vecs.filter(col("vec_id") === 10),
+        "vec_id", "embedding", idxRoll)
+    }
+    // compaction: probes unchanged, one file per list again
+    Similarity.compactIvfPqIndex(spark, idxRoll)
+    assert(probe(idxRoll) == probe(idxFull), "compaction changed probe results")
+    import scala.jdk.CollectionConverters._
+    val maxFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(idxRoll, "codes"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent).map(_._2.size).max
+    assert(maxFiles == 1, s"compaction must leave one file per list, got $maxFiles")
+    // takedown: drop ids 0..9 plus ids that were never indexed — nVecs
+    // must fall by the 10 ACTUALLY removed (never by request cardinality)
+    Similarity.removeFromIvfPqIndex(spark, idxRoll,
+      spark.range(10).select(col("id").as("vec_id"))
+        .unionByName(spark.range(5000, 5003).select(col("id").as("vec_id"))),
+      "vec_id")
+    val after = probe(idxRoll)
+    assert(after.forall(_._1 >= 10), s"dropped ids still probed: $after")
+    assert(spark.read.parquet(s"$idxRoll/codes").count() == 110)
+    val metaRaw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idxRoll, "_ivfpq_meta.json")), "UTF-8")
+    assert(metaRaw.contains("\"nVecs\":110"), metaRaw)
+    assert(metaRaw.contains("\"maxId\":119"), metaRaw)
+    // a second identical takedown removes nothing more — no stats drift
+    Similarity.removeFromIvfPqIndex(spark, idxRoll,
+      spark.range(10).select(col("id").as("vec_id")), "vec_id")
+    val metaRaw2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(idxRoll, "_ivfpq_meta.json")), "UTF-8")
+    assert(metaRaw2.contains("\"nVecs\":110"), metaRaw2)
+    // crash safety: a stranded pending marker makes every entry point
+    // refuse (probe, append, compact) until rebuild clears it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idxRoll, "_pending_append.json"),
+      """{"minId":500,"maxId":510,"n":11}""".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      Similarity.ivfPqTopKIndexed(spark, idxRoll, "vec_id", q, k = 5)
+    }
+    intercept[IllegalStateException] {
+      Similarity.compactIvfPqIndex(spark, idxRoll)
+    }
+    // rebuild is the documented recovery: it clears the marker
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", idxRoll,
+      nLists = 8, m = 8, nCodes = 8)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idxRoll, "_pending_append.json")))
+    assert(probe(idxRoll).nonEmpty)
+  }
+
+  test("knnGraph: neighbors stay within planted clusters, k rows per " +
+      "vector, no self-edges") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two tight antipodal clusters in 16-d: same-cluster cos ≈ 1,
+    // cross-cluster cos ≈ -1
+    def v(c: Int, i: Long): Array[Double] =
+      Array.tabulate(16)(d =>
+        (if (c == 0) 1.0 else -1.0) * (d + 1.0) + 0.001 * i * (d % 3))
+    val vecs = ((0L until 10L).map(i => (i, v(0, i))) ++
+      (10L until 20L).map(i => (i, v(1, i)))).toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 3,
+        nLists = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(g.groupBy(_._1).size == 20 && g.length == 60,
+      s"expected 3 neighbors for each of 20 vectors, got ${g.length}")
+    assert(g.forall { case (a, b, _) => a != b }, "self-edge in kNN graph")
+    assert(g.forall { case (a, b, cos) => (a < 10) == (b < 10) && cos > 0.9 },
+      s"cross-cluster or low-cos edge: ${g.filterNot {
+        case (a, b, cos) => (a < 10) == (b < 10) && cos > 0.9 }.mkString(",")}")
+  }
+
   test("pqSubspaceCodebooks: learned codebooks cut quantization error on clustered data") {
     import graft.operators.Similarity
     // 3 tight clusters in 16-dim space whose centers differ PER SUBSPACE —

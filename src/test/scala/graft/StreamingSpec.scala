@@ -6,6 +6,9 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.EventStream
 
+// top-level: Spark cannot synthesize encoders for inner case classes
+case class StreamVec(vec_id: Long, embedding: Array[Double])
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -143,6 +146,42 @@ class StreamingSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       TextIndex.append(Seq((20L, "x")).toDF("doc_id", "text"),
         "doc_id", "text", idx)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+  }
+
+  test("vectorIndexStream: streamed batches become searchable, replay refuses") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_svix")
+    val idx = base.resolve("idx").toString
+    val ckpt = base.resolve("ckpt").toString
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(16)(d => ((seed * (d + 3) + d) % 23).toDouble / 23.0)
+    val existing = spark.createDataset(
+      (0L until 8L).map(i => StreamVec(i, vec(i)))).toDF()
+    Similarity.writeIvfPqIndex(existing, "vec_id", "embedding", idx,
+      nLists = 4, m = 4, nCodes = 4)
+    val input = MemoryStream[StreamVec]
+    val q = EventStream.vectorIndexStream(input.toDF(), idx, "vec_id",
+      "embedding", ckpt)
+    try {
+      input.addData(StreamVec(10L, vec(10)), StreamVec(11L, vec(11)))
+      q.processAllAvailable()
+      input.addData(StreamVec(20L, vec(20)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // all streamed vectors are probe-visible (probe every list so recall
+    // is exact), ranked by ADC against the build-time codebooks
+    val ids = Similarity.ivfPqTopKIndexed(spark, idx, "vec_id", vec(20).toSeq,
+        k = 11, nProbe = 4).collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 8L).toSet ++ Set(10L, 11L, 20L), s"got $ids")
+    // an out-of-band replay of already-ingested ids refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(
+        spark.createDataset(Seq(StreamVec(20L, vec(20)))).toDF(),
+        "vec_id", "embedding", idx)
     }
     assert(e.getMessage.contains("monotone"), e.getMessage)
   }
