@@ -799,6 +799,28 @@ object Similarity {
       Seq(col("cos").desc, col("id2").asc), k)
   }
 
+  /** Embedding CLUSTERING: connected components over the thresholded
+    * [[knnGraph]] — the topic/near-dup cluster discovery pass of corpus
+    * curation (cluster-then-sample diversity filtering, semantic dedup at
+    * cluster granularity). An edge survives when cos >= `minCos`; the
+    * cluster label is the component's smallest member id; vectors with no
+    * surviving edge are singleton clusters under their own id, so the
+    * output covers EVERY non-null vector exactly once. Cost = the kNN
+    * graph + pointer-jumping CC over |edges| ≤ k·N rows — never the
+    * all-pairs similarity relation.
+    */
+  def clusterEmbeddings(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCos: Double, nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val ids = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol))
+    val edges = knnGraph(vecs, idCol, vecCol, k, nLists, nProbe)
+      .filter(col("cos") >= minCos)
+    val comps = Dedup.connectedComponents(edges, "id1", "id2")
+    ids.join(comps, ids(idCol) === comps("id"), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
+  }
+
   // ------------------------------------------------------ hybrid retrieval
 
   /** Top-N of a scored relation as an explicit 1-based `rank` column,

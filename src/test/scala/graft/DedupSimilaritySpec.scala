@@ -572,6 +572,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(g.forall { case (a, b, cos) => (a < 10) == (b < 10) && cos > 0.9 },
       s"cross-cluster or low-cos edge: ${g.filterNot {
         case (a, b, cos) => (a < 10) == (b < 10) && cos > 0.9 }.mkString(",")}")
+    // clustering over the same graph: exactly the two planted components,
+    // labeled by their smallest member
+    val clusters = Similarity.clusterEmbeddings(vecs, "vec_id", "embedding",
+        k = 3, minCos = 0.9, nLists = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters.size == 20)
+    assert((0L until 10L).forall(clusters(_) == 0L), s"$clusters")
+    assert((10L until 20L).forall(clusters(_) == 10L), s"$clusters")
+    // an unreachable threshold makes every vector its own singleton
+    val single = Similarity.clusterEmbeddings(vecs, "vec_id", "embedding",
+        k = 3, minCos = 1.5, nLists = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(single.forall { case (id, c) => id == c })
   }
 
   test("pqSubspaceCodebooks: learned codebooks cut quantization error on clustered data") {
