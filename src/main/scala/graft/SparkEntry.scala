@@ -1619,6 +1619,23 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
     }),
 
+    // RESIDUAL IVF-PQ (the actual FAISS IVFPQ formulation): codes span
+    // v − c(list), donors drawn from the hash ranks AFTER the centroids
+    // (disjoint prefixes), probes build one ADC table per probed list
+    // from the query residual q − c_l. Same persisted layout as q106.
+    "q118_ivfpq_residual" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val idx = scratchDir("graft_pqres").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 16, m = 8, nCodes = 16, residual = true)
+      Similarity.ivfPqTopKIndexed(s, idx, "vec_id", q, k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
     // Embedding clustering: CC over the thresholded kNN graph (cluster =
     // smallest member id, singletons keep their own id; every non-null
     // vector appears exactly once). Oracle: q116's edge set at the RAW
@@ -2682,6 +2699,53 @@ object SparkEntry {
         |SELECT id1, id2, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos FROM cs
         |QUALIFY row_number() OVER (PARTITION BY id1
         |  ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3""".stripMargin,
+
+    // Residual IVF-PQ: centroids = hash ranks 1..16, donors = ranks
+    // 17..32 residualized against THEIR nearest centroid; every vector's
+    // codes quantize v − c(list); the probe's per-list ADC tables measure
+    // (q − c_l) against the donor residuals.
+    "q118_ivfpq_residual" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cen AS (SELECT vec_id AS cid, v AS cv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16 OFFSET 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |fulld AS (SELECT e.vec_id, c.cid,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN cen c),
+        |asg AS (SELECT vec_id, cid AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) = 1),
+        |res AS (SELECT e.vec_id, a.lst,
+        |  list_transform(range(1, len(e.v) + 1), j -> e.v[j] - c.cv[j]) AS r
+        |  FROM e JOIN asg a USING (vec_id) JOIN cen c ON c.cid = a.lst),
+        |dres AS (SELECT d.did, r.r AS rd FROM don d JOIN res r ON r.vec_id = d.did),
+        |sd AS (SELECT r.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (r.r[t.j * 8 + i] - d.rd[t.j * 8 + i]) *
+        |    (r.r[t.j * 8 + i] - d.rd[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM res r CROSS JOIN range(8) t(j) CROSS JOIN dres d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |pl AS (SELECT c.cid AS lst, c.cv FROM cen c CROSS JOIN q
+        |  ORDER BY list_reduce(list_transform(range(1, len(cv) + 1),
+        |    j -> (cv[j] - qv[j]) * (cv[j] - qv[j])), (x, y) -> x + y), cid LIMIT 4),
+        |qt AS (SELECT p.lst, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    ((qv[t.j * 8 + i] - p.cv[t.j * 8 + i]) - d.rd[t.j * 8 + i]) *
+        |    ((qv[t.j * 8 + i] - p.cv[t.j * 8 + i]) - d.rd[t.j * 8 + i])),
+        |    (x, y) -> x + y) AS s
+        |  FROM pl p CROSS JOIN q CROSS JOIN range(8) t(j) CROSS JOIN dres d),
+        |adc AS (SELECT c2.vec_id, sum(q2.s) AS adc
+        |  FROM codes c2 JOIN asg a ON a.vec_id = c2.vec_id
+        |  JOIN pl ON pl.lst = a.lst
+        |  JOIN qt q2 ON q2.lst = a.lst AND q2.j = c2.j AND q2.did = c2.code
+        |  GROUP BY c2.vec_id)
+        |SELECT vec_id, round(adc, 6) AS adc
+        |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
 
     // q116's kNN edges thresholded on the RAW cosine, recursive-CTE
     // min-label reachability (q102's CC oracle shape), singletons = own id.

@@ -321,14 +321,17 @@ object Similarity {
     * through the same encode/search shapes.
     */
   def pqDonors(vecs: DataFrame, idCol: String, vecCol: String,
-      nCodes: Int): Array[(Long, Array[Double])] = {
+      nCodes: Int, skip: Int = 0): Array[(Long, Array[Double])] = {
     val idHash = pmod(pmod(col("cid"), lit(2147483648L)) * 2654435761L,
       lit(4294967296L))
+    // `skip` drops the first hash-ranked rows — residual indexes draw
+    // centroids and donors from DISJOINT prefixes of the same hash order
+    // (a donor that IS a centroid has residual zero: a dead codebook row)
     vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("cid"),
         col(vecCol).cast("array<double>").as("cvec"))
-      .orderBy(idHash.asc, col("cid").asc).limit(nCodes)
-      .collect().map { r =>
+      .orderBy(idHash.asc, col("cid").asc).limit(skip + nCodes)
+      .collect().drop(skip).map { r =>
         require(!r.isNullAt(0),
           s"pqDonors requires numeric (long-castable) ids; '$idCol' cast to null")
         (r.getLong(0), r.getSeq[Double](1).toArray)
@@ -510,26 +513,52 @@ object Similarity {
     * as [[ivfPqTopK]] (so the whole index has a DuckDB oracle); pass
     * `centroids`/`donors` explicitly for LEARNED codebooks (e.g.
     * [[pqSubspaceCodebooks]]) — the layout and probe are identical.
+    *
+    * `residual = true` encodes each vector's RESIDUAL `v − c(list)`
+    * instead of `v` — the actual FAISS IVFPQ formulation (Jégou et al.
+    * 2011 §IV): the coarse quantizer absorbs the vector's position, the
+    * PQ codebooks only span the within-list spread, cutting quantization
+    * error (spec-quantified). Default donor selection then draws from the
+    * hash ranks AFTER the centroids (disjoint prefixes — a donor that IS
+    * a centroid would contribute a zero residual, a dead codebook row)
+    * and the stored donor vectors are the donors' residuals. Probes build
+    * one ADC table PER PROBED LIST (q − c_l against the donor residuals)
+    * — nProbe · m · nCodes entries, still driver-side and broadcast.
     */
   def writeIvfPqIndex(vecs: DataFrame, idCol: String, vecCol: String,
       path: String, nLists: Int = 16, m: Int = 8, nCodes: Int = 16,
       centroidsOpt: Option[Array[(Long, Array[Double])]] = None,
-      donorsOpt: Option[Array[(Long, Array[Double])]] = None): Unit = {
+      donorsOpt: Option[Array[(Long, Array[Double])]] = None,
+      residual: Boolean = false): Unit = {
     val spark = vecs.sparkSession
     val clean = vecs.filter(col(vecCol).isNotNull)
     val centroids = centroidsOpt.getOrElse(pqDonors(clean, idCol, vecCol, nLists))
-    val donors = donorsOpt.getOrElse(pqDonors(clean, idCol, vecCol, nCodes))
-    require(centroids.nonEmpty && donors.nonEmpty,
+    val rawDonors = donorsOpt.getOrElse(
+      pqDonors(clean, idCol, vecCol, nCodes, skip = if (residual) nLists else 0))
+    require(centroids.nonEmpty && rawDonors.nonEmpty,
       "writeIvfPqIndex: empty centroid/donor codebook (empty corpus?)")
-    val assign = assignByIdUdf(spark, centroids)
-    val encode = pqEncodeUdf(spark, donors, m)
+    // in residual mode the STORED codebook is the donors' residuals —
+    // probes never need the raw donor vectors again
+    val donors =
+      if (residual) residualizeDonors(rawDonors, centroids) else rawDonors
     // one scan: assign + encode together; cluster on the list before the
     // partitioned write so file count is bounded by the list count, not
     // tasks×lists (same discipline as writeSignatureIndex)
-    clean.select(col(idCol).cast("long").as(idCol),
-        assign(col(vecCol).cast("array<double>")).as("ivf_list"),
-        encode(col(vecCol).cast("array<double>")).as("pq_codes"))
-      .repartition(col("ivf_list"))
+    val coded =
+      if (residual) {
+        val encR = residualEncodeUdf(spark, centroids, donors, m)
+        clean.select(col(idCol).cast("long").as(idCol),
+            encR(col(vecCol).cast("array<double>")).as("__le"))
+          .select(col(idCol), col("__le._1").as("ivf_list"),
+            col("__le._2").as("pq_codes"))
+      } else {
+        val assign = assignByIdUdf(spark, centroids)
+        val encode = pqEncodeUdf(spark, donors, m)
+        clean.select(col(idCol).cast("long").as(idCol),
+          assign(col(vecCol).cast("array<double>")).as("ivf_list"),
+          encode(col(vecCol).cast("array<double>")).as("pq_codes"))
+      }
+    coded.repartition(col("ivf_list"))
       .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$path/codes")
     // stats from the WRITTEN relation (m longs/row), so maxId/nVecs
     // describe exactly what a probe will see — same discipline as
@@ -540,20 +569,80 @@ object Similarity {
     require(stats.getLong(1) > 0, "writeIvfPqIndex: refusing to index an " +
       "empty corpus (no non-null vectors)")
     writeIvfPqMeta(spark, path, m, centroids, donors,
-      stats.getLong(0), stats.getLong(1))
+      stats.getLong(0), stats.getLong(1), residual)
     // a full rebuild is the documented recovery from a crashed append —
     // clear any stale pending marker so the fresh index is probe-able
     clearIvfPqPendingMarker(spark, path)
   }
 
+  /** Each donor replaced by its residual against its own nearest centroid
+    * (same argmin + tie-break as assignment — bit-consistent with the SQL
+    * oracle). Driver-side over nCodes rows.
+    */
+  private def residualizeDonors(donors: Array[(Long, Array[Double])],
+      centroids: Array[(Long, Array[Double])]): Array[(Long, Array[Double])] =
+    donors.map { case (id, v) =>
+      (id, Array.tabulate(v.length)(i => v(i) - nearestCentroidVec(v, centroids)(i)))
+    }
+
+  private def nearestCentroidVec(v: Array[Double],
+      centroids: Array[(Long, Array[Double])]): Array[Double] = {
+    var best = Long.MaxValue; var bd = Double.PositiveInfinity
+    var bv: Array[Double] = centroids.head._2
+    centroids.foreach { case (cid, cv) =>
+      val d = sqDistArr(v.toSeq, cv)
+      if (d < bd || (d == bd && cid < best)) { bd = d; best = cid; bv = cv }
+    }
+    bv
+  }
+
+  /** Fused assign-subtract-encode for residual indexes: one pass computes
+    * the coarse list, the residual, and its m codes against the residual
+    * codebooks. Returns (list, codes).
+    */
+  private def residualEncodeUdf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[(Long, Array[Double])],
+      donorsRes: Array[(Long, Array[Double])],
+      m: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val dim = donorsRes.head._2.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val bcC = spark.sparkContext.broadcast(centroids)
+    val bcD = spark.sparkContext.broadcast(donorsRes)
+    udf { (v: Seq[Double]) =>
+      var bestC = Long.MaxValue; var bd = Double.PositiveInfinity
+      var bv: Array[Double] = bcC.value.head._2
+      bcC.value.foreach { case (cid, cv) =>
+        var s = 0.0; var i = 0; val n = math.min(v.length, cv.length)
+        while (i < n) { val t = v(i) - cv(i); s += t * t; i += 1 }
+        if (s < bd || (s == bd && cid < bestC)) { bd = s; bestC = cid; bv = cv }
+      }
+      val r = Array.tabulate(v.length)(i => v(i) - bv(i))
+      val codes = Array.tabulate(m) { j =>
+        var best = -1L; var bdj = Double.PositiveInfinity
+        bcD.value.foreach { case (did, dv) =>
+          var s = 0.0; var i = 0
+          while (i < sub) {
+            val t = r(j * sub + i) - dv(j * sub + i); s += t * t; i += 1
+          }
+          if (s < bdj) { bdj = s; best = did } // donors id-sorted: ties → min id
+        }
+        best
+      }
+      (bestC, codes)
+    }
+  }
+
   private def writeIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, m: Int, centroids: Array[(Long, Array[Double])],
-      donors: Array[(Long, Array[Double])], maxId: Long, nVecs: Long): Unit = {
+      donors: Array[(Long, Array[Double])], maxId: Long, nVecs: Long,
+      residual: Boolean): Unit = {
     def enc(arr: Array[(Long, Array[Double])]): String = arr
       .map { case (id, v) => s"""{"id":$id,"v":${v.mkString("[", ",", "]")}}""" }
       .mkString("[", ",", "]")
     val sidecar = s"""{"m":$m,"nLists":${centroids.length},""" +
       s""""nCodes":${donors.length},"maxId":$maxId,"nVecs":$nVecs,""" +
+      s""""residual":$residual,""" +
       s""""centroids":${enc(centroids)},"donors":${enc(donors)}}"""
     val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -581,7 +670,8 @@ object Similarity {
   }
 
   private case class IvfPqMeta(m: Int, maxId: Long, nVecs: Long,
-    centroids: Array[(Long, Array[Double])], donors: Array[(Long, Array[Double])])
+    residual: Boolean, centroids: Array[(Long, Array[Double])],
+    donors: Array[(Long, Array[Double])])
 
   private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqMeta = {
@@ -624,7 +714,9 @@ object Similarity {
     val donors = arr("donors")
     require(centroids.nonEmpty && donors.nonEmpty,
       s"$path: empty centroids/donors in _ivfpq_meta.json")
-    IvfPqMeta(m, long("maxId"), long("nVecs"), centroids, donors)
+    val residual = "\"residual\":(true|false)".r.findFirstMatchIn(raw)
+      .exists(_.group(1) == "true")
+    IvfPqMeta(m, long("maxId"), long("nVecs"), residual, centroids, donors)
   }
 
   /** Append a batch of NEW vectors to a persisted IVF-PQ index with the
@@ -662,17 +754,26 @@ object Similarity {
     require(s.getLong(0) > meta.maxId,
       s"appendToIvfPqIndex requires monotone ids: index maxId=${meta.maxId} " +
         s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
-    val assign = assignByIdUdf(spark, meta.centroids)
-    val encode = pqEncodeUdf(spark, meta.donors, meta.m)
     // marker FIRST (see scaladoc); list-clustered append: one file per
-    // touched list per batch, not tasks×lists
+    // touched list per batch, not tasks×lists. Residual indexes re-use
+    // the fused assign-subtract-encode pass (meta.donors ARE residuals).
     writeIvfPqPendingMarker(spark, path, s.getLong(0), s.getLong(1), s.getLong(3))
-    clean.select(col(idCol), assign(col("__v")).as("ivf_list"),
-        encode(col("__v")).as("pq_codes"))
-      .repartition(col("ivf_list"))
+    val coded =
+      if (meta.residual) {
+        val encR = residualEncodeUdf(spark, meta.centroids, meta.donors, meta.m)
+        clean.select(col(idCol), encR(col("__v")).as("__le"))
+          .select(col(idCol), col("__le._1").as("ivf_list"),
+            col("__le._2").as("pq_codes"))
+      } else {
+        val assign = assignByIdUdf(spark, meta.centroids)
+        val encode = pqEncodeUdf(spark, meta.donors, meta.m)
+        clean.select(col(idCol), assign(col("__v")).as("ivf_list"),
+          encode(col("__v")).as("pq_codes"))
+      }
+    coded.repartition(col("ivf_list"))
       .write.mode("append").partitionBy("ivf_list").parquet(s"$path/codes")
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
-      s.getLong(1), meta.nVecs + s.getLong(3))
+      s.getLong(1), meta.nVecs + s.getLong(3), meta.residual)
     clearIvfPqPendingMarker(spark, path)
   }
 
@@ -734,7 +835,7 @@ object Similarity {
         s"rewritten copy from $tmp or rebuild with writeIvfPqIndex")
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
-      meta.maxId, math.max(0L, meta.nVecs - removed))
+      meta.maxId, math.max(0L, meta.nVecs - removed), meta.residual)
   }
 
   /** Probe a persisted IVF-PQ index: sidecar codebooks → driver-side
@@ -748,10 +849,42 @@ object Similarity {
       idCol: String, query: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
     val meta = readIvfPqMeta(spark, path)
     val probed = nearestListIds(query, meta.centroids, nProbe)
-    val codes = spark.read.parquet(s"$path/codes")
+    if (!meta.residual) {
+      val codes = spark.read.parquet(s"$path/codes")
+        .filter(col("ivf_list").isin(probed: _*))
+        .select(col(idCol), col("pq_codes"))
+      return pqSearchCodes(codes, idCol, meta.donors, query, k, meta.m)
+    }
+    // residual probe: one ADC table PER PROBED LIST — the query residual
+    // against list l is (q − c_l), so a row's m lookups are keyed by its
+    // own list. nProbe·m·nCodes entries, driver-built and broadcast.
+    val dim = meta.donors.head._2.length
+    val sub = dim / meta.m
+    val cmap = meta.centroids.toMap
+    val table: Map[(Long, Int, Long), Double] = (for {
+      lst <- probed
+      cv = cmap(lst)
+      j <- 0 until meta.m
+      (did, dv) <- meta.donors
+    } yield {
+      var s = 0.0; var i = 0
+      while (i < sub) {
+        val qi = j * sub + i
+        val t = (query(qi) - cv(qi)) - dv(qi); s += t * t; i += 1
+      }
+      ((lst, j, did), s)
+    }).toMap
+    val bt = spark.sparkContext.broadcast(table)
+    val adc = udf { (lst: Long, cs: Seq[Long]) =>
+      var s = 0.0; var j = 0
+      while (j < cs.length) { s += bt.value((lst, j, cs(j))); j += 1 }
+      s
+    }
+    spark.read.parquet(s"$path/codes")
       .filter(col("ivf_list").isin(probed: _*))
-      .select(col(idCol), col("pq_codes"))
-    pqSearchCodes(codes, idCol, meta.donors, query, k, meta.m)
+      .select(col(idCol), adc(col("ivf_list"), col("pq_codes")).as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
   }
 
   /** k-nearest-neighbor GRAPH: every vector's k most-cosine-similar

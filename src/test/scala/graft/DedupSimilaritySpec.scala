@@ -552,6 +552,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(probe(idxRoll).nonEmpty)
   }
 
+  test("residual IVF-PQ: ADC error well under plain encoding on " +
+      "clustered data; rolling append preserves frozen-codebook parity") {
+    import graft.operators.Similarity
+    // 16 well-separated clusters, 32-d, but only 8 PQ codebook rows:
+    // plain PQ must span 16 per-subspace offsets with 8 donors (error ~
+    // cluster gap), residual PQ only spans the within-list noise. The
+    // coarse quantizer is LEARNED (k-means recovers the 16 means) — the
+    // realistic serving configuration, and the centroidsOpt+residual
+    // combination under test.
+    val vecs = spark.range(200).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 31), d -> CAST((id % 16) * 10.0 + " +
+        "pmod(id * (d + 5) + d, 7) / 7.0 AS DOUBLE))").as("embedding"))
+    val learned: Array[(Long, Array[Double])] =
+      Similarity.kmeansCentroids(vecs, "vec_id", "embedding", 16, iters = 5)
+        .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    val q = vecs.filter(col("vec_id") === 17)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val plain = java.nio.file.Files.createTempDirectory("graft_pqplain")
+      .resolve("idx").toString
+    val resid = java.nio.file.Files.createTempDirectory("graft_pqresid")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", plain,
+      nLists = 16, m = 4, nCodes = 8, centroidsOpt = Some(learned))
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", resid,
+      nLists = 16, m = 4, nCodes = 8, centroidsOpt = Some(learned),
+      residual = true)
+    // exact squared distances, driver-side (200 × 32)
+    val exact = vecs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1)
+        r.getLong(0) -> v.indices.map(i => (v(i) - q(i)) * (v(i) - q(i))).sum
+      }.toMap
+    def meanErr(path: String): Double = {
+      val adc = Similarity.ivfPqTopKIndexed(spark, path, "vec_id", q,
+          k = 200, nProbe = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1))
+      adc.map { case (id, a) => math.abs(a - exact(id)) }.sum / adc.length
+    }
+    val (eP, eR) = (meanErr(plain), meanErr(resid))
+    assert(eR < eP * 0.5,
+      s"residual ADC error $eR should be well under plain $eP")
+    // rolling append against frozen residual codebooks == one-shot build
+    // with the same (build-half) codebooks
+    val first = vecs.filter(col("vec_id") < 120)
+    val roll = java.nio.file.Files.createTempDirectory("graft_pqresroll")
+      .resolve("idx").toString
+    val full = java.nio.file.Files.createTempDirectory("graft_pqresfull")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding", roll,
+      nLists = 4, m = 4, nCodes = 8, residual = true)
+    Similarity.appendToIvfPqIndex(vecs.filter(col("vec_id") >= 120),
+      "vec_id", "embedding", roll)
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", full,
+      nLists = 4, m = 4, nCodes = 8, residual = true,
+      centroidsOpt = Some(Similarity.pqDonors(first, "vec_id", "embedding", 4)),
+      donorsOpt = Some(Similarity.pqDonors(first, "vec_id", "embedding", 8,
+        skip = 4)))
+    def probe(p: String) = Similarity.ivfPqTopKIndexed(spark, p, "vec_id",
+        q, k = 20, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe(roll) == probe(full),
+      "rolled residual index must equal a frozen-codebook rebuild")
+  }
+
   test("knnGraph: neighbors stay within planted clusters, k rows per " +
       "vector, no self-edges") {
     import spark.implicits._
