@@ -79,6 +79,27 @@ object IvfPqProbe {
       require(!spark.read.parquet(s"$idx/codes")
           .schema.fieldNames.contains("embedding"),
         "codes relation must not store raw vectors")
+      // rolling append of a FIXED-size batch: cost is one map-side
+      // assign+encode pass over the BATCH plus one file-commit per
+      // TOUCHED LIST — independent of corpus size (nothing rescans the
+      // index), but NOT of the list count: a diverse batch touches
+      // ~min(|batch|, nLists) lists, so as lists grow ∝ corpus the
+      // per-append commit overhead grows until batch size outpaces list
+      // count (the real-ingestion regime: batch ≫ lists). The printed
+      // touched-list count is the cost driver to watch.
+      val batch = vecs0
+        .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+          col("embedding"))
+      val nb = batch.count()
+      time(s"x$mult rolling append ($nb-vec batch)") {
+        Similarity.appendToIvfPqIndex(batch, "vec_id", "embedding", idx)
+      }
+      val afterAppend = Similarity.ivfPqTopKIndexed(spark, idx, "vec_id",
+        query, k = 10, nProbe = 4).collect()
+      require(afterAppend.length == 10,
+        s"x$mult: post-append probe returned ${afterAppend.length} rows")
+      println(s"[probe] x$mult touched lists <= ${math.min(nb, nLists)} " +
+        s"of $nLists (append commit cost driver)")
       corpus.unpersist()
       spark.catalog.clearCache()
     }
