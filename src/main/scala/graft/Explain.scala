@@ -27,6 +27,9 @@ object Explain {
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
+      // index-lifecycle queries build real scratch indexes even under
+      // explain — release them like Bench/Verify do
+      SparkEntry.releaseScratch(spark)
     }
     spark.stop()
   }
