@@ -62,6 +62,17 @@ object IvfPqProbe {
         Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", idx,
           nLists = nLists, m = 8, nCodes = 16)
       }
+      // two-level coarse assignment: build cost drops from O(N·nLists)
+      // to ~O(N·√nLists) distance evaluations — the gap widens with the
+      // list count (×100 = 1600 lists is where exact assign dominates)
+      val idxH = java.nio.file.Files.createTempDirectory("graft_pqxh")
+        .resolve("idx").toString
+      time(s"x$mult build with assignGroups=4 (two-level)") {
+        Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", idxH,
+          nLists = nLists, m = 8, nCodes = 16, assignGroups = 4)
+      }
+      require(Similarity.ivfPqTopKIndexed(spark, idxH, "vec_id", query,
+        k = 10, nProbe = 4).collect().length == 10)
       val probe = Similarity.ivfPqTopKIndexed(spark, idx, "vec_id", query,
         k = 10, nProbe = 4)
       val top = time(s"x$mult indexed probe (pruned lists only)") {

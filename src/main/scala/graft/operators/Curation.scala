@@ -167,6 +167,13 @@ object Curation {
       shards: Int = 64): DataFrame = {
     require(totalBudget > 0, s"totalBudget $totalBudget must be > 0")
     require(tau > 0, s"temperature $tau must be > 0 (τ→0 is uniform)")
+    // the normalizer fold sorts by the STRING source key; a non-string
+    // source would fold in toString order, which an independent engine's
+    // ORDER BY need not reproduce
+    require(docs.schema(sourceCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"temperatureMix requires a string source column: $sourceCol is " +
+        docs.schema(sourceCol).dataType.simpleString)
     val weight: Column => Column =
       if (tau == 0.5) (c: Column) => sqrt(c)
       else (c: Column) => pow(c, lit(tau))

@@ -616,6 +616,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "rolled residual index must equal a frozen-codebook rebuild")
   }
 
+  test("hierarchical coarse assignment: near-total agreement with exact " +
+      "on clustered data, appends reproduce the recorded mode") {
+    import graft.operators.Similarity
+    // 36 tight clusters, 32-d — nLists=36 → g=6 groups of ~6 centroids
+    val vecs = spark.range(360).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 31), d -> CAST((id % 36) * 10.0 + " +
+        "pmod(id * (d + 5) + d, 7) / 7.0 AS DOUBLE))").as("embedding"))
+    val exact = java.nio.file.Files.createTempDirectory("graft_pqex")
+      .resolve("idx").toString
+    val approx = java.nio.file.Files.createTempDirectory("graft_pqap")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", exact,
+      nLists = 36, m = 4, nCodes = 8)
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", approx,
+      nLists = 36, m = 4, nCodes = 8, assignGroups = 4)
+    def lists(p: String): Map[Long, Long] =
+      spark.read.parquet(s"$p/codes")
+        .select(col("vec_id"), col("ivf_list").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (le, la) = (lists(exact), lists(approx))
+    val agree = le.count { case (id, l) => la(id) == l }
+    assert(agree >= 355, s"only $agree/360 assignments agree with exact")
+    // the recorded mode survives the lifecycle: append + compact keep
+    // working against an approx-assigned index, and probes stay sane
+    Similarity.appendToIvfPqIndex(
+      vecs.filter(col("vec_id") < 36)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", approx)
+    Similarity.compactIvfPqIndex(spark, approx)
+    val q = vecs.filter(col("vec_id") === 40)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val top = Similarity.ivfPqTopKIndexed(spark, approx, "vec_id", q,
+        k = 5, nProbe = 2).collect().map(_.getLong(0))
+    assert(top.length == 5, s"got ${top.toSeq}")
+    val metaRaw = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(approx, "_ivfpq_meta.json")), "UTF-8")
+    assert(metaRaw.contains("\"assignGroups\":4"), metaRaw)
+    assert(metaRaw.contains("\"nVecs\":396"), metaRaw)
+  }
+
   test("knnGraph: neighbors stay within planted clusters, k rows per " +
       "vector, no self-edges") {
     import spark.implicits._
