@@ -1619,6 +1619,24 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
     }),
 
+    // BATCHED index probe: 3 queries scored in ONE scan of the union of
+    // their probed lists (per-query ADC tables broadcast together; each
+    // code row explodes into a score per query probing its list; top-k
+    // per query via a query-partitioned window).
+    "q119_ivfpq_batch_probe" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val idx = scratchDir("graft_pqbatch").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 16, m = 8, nCodes = 16)
+      val qs = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfPqTopKIndexedBatch(s, idx, "vec_id", qs, "query_id",
+          "embedding", k = 5, nProbe = 4)
+        .select(col("query_id"), col("vec_id"),
+          round(col("adc"), 6).as("adc"))
+    }),
+
     // RESIDUAL IVF-PQ (the actual FAISS IVFPQ formulation): codes span
     // v − c(list), donors drawn from the hash ranks AFTER the centroids
     // (disjoint prefixes), probes build one ADC table per probed list
@@ -2699,6 +2717,49 @@ object SparkEntry {
         |SELECT id1, id2, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos FROM cs
         |QUALIFY row_number() OVER (PARTITION BY id1
         |  ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3""".stripMargin,
+
+    // q106's plan over THREE queries at once: per-query probe lists and
+    // ADC sums, per-query top-5 (rank on the raw sum, id tie-break).
+    "q119_ivfpq_batch_probe" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id IN (0, 1, 2)),
+        |fulld AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT q.query_id, d.did AS lst FROM don d CROSS JOIN q
+        |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_reduce(list_transform(range(1, len(d.dv) + 1),
+        |      j -> (d.dv[j] - q.qv[j]) * (d.dv[j] - q.qv[j])), (x, y) -> x + y),
+        |      d.did) <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id FROM pl p JOIN asg a ON a.lst = p.lst),
+        |sd AS (SELECT e.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT q.query_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (q.qv[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (q.qv[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM q CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |adc AS (SELECT c.query_id, co.vec_id, sum(q2.s) AS a0
+        |  FROM codes co JOIN cand c ON c.vec_id = co.vec_id
+        |  JOIN qt q2 ON q2.query_id = c.query_id AND q2.j = co.j
+        |    AND q2.did = co.code
+        |  GROUP BY c.query_id, co.vec_id)
+        |SELECT query_id, vec_id, round(a0, 6) AS adc FROM adc
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY a0 ASC, vec_id ASC) <= 5""".stripMargin,
 
     // Residual IVF-PQ: centroids = hash ranks 1..16, donors = ranks
     // 17..32 residualized against THEIR nearest centroid; every vector's

@@ -1040,6 +1040,81 @@ object Similarity {
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
   }
 
+  /** BATCHED probe of a persisted IVF-PQ index: score a bounded RELATION
+    * of queries (an eval/rerank batch, driver-collectable by contract) in
+    * ONE scan of the union of all probed lists — instead of one Spark job
+    * per query. Each code row explodes into one ADC score per query
+    * probing ITS list (so total scored rows = what the per-query probes
+    * would have read, but read once), and the per-query top-k is a window
+    * partitioned BY QUERY. ADC tables for the whole batch broadcast
+    * together: |batch|·m·nCodes entries (×nProbe when the index is
+    * residual — per-list query tables).
+    */
+  def ivfPqTopKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queries: DataFrame, qIdCol: String,
+      qVecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+    require(qIdCol != idCol,
+      s"ivfPqTopKIndexedBatch: query id column '$qIdCol' must differ from " +
+        s"the index id column '$idCol' (both appear in the output)")
+    val meta = readIvfPqMeta(spark, path)
+    val qs: Array[(Long, Array[Double])] = queries
+      .filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<double>").as("qv"))
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"ivfPqTopKIndexedBatch requires numeric query ids; '$qIdCol' cast to null")
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }
+    require(qs.nonEmpty, "ivfPqTopKIndexedBatch: empty query batch")
+    val dim = meta.donors.head._2.length
+    val sub = dim / meta.m
+    val probedBy: Map[Long, Seq[Long]] = qs.map { case (qid, qv) =>
+      qid -> nearestListIds(qv.toSeq, meta.centroids, nProbe)
+    }.toMap
+    val listToQids: Map[Long, Array[Long]] = probedBy.toSeq
+      .flatMap { case (qid, ls) => ls.map(_ -> qid) }
+      .groupBy(_._1).map { case (l, ps) => l -> ps.map(_._2).sorted.toArray }
+    val allLists = listToQids.keys.toSeq
+    val cmap = meta.centroids.toMap
+    // table key: (qid, lst, j, code) for residual; lst folded to -1 for
+    // plain (the query-donor distance is list-independent there)
+    val table: Map[(Long, Long, Int, Long), Double] = (for {
+      (qid, qv) <- qs.toSeq
+      lst <- if (meta.residual) probedBy(qid) else Seq(-1L)
+      j <- 0 until meta.m
+      (did, dv) <- meta.donors
+    } yield {
+      var s = 0.0; var i = 0
+      while (i < sub) {
+        val qi = j * sub + i
+        val qc = if (meta.residual) qv(qi) - cmap(lst)(qi) else qv(qi)
+        val t = qc - dv(qi); s += t * t; i += 1
+      }
+      ((qid, lst, j, did), s)
+    }).toMap
+    val bt = spark.sparkContext.broadcast(table)
+    val bq = spark.sparkContext.broadcast(listToQids)
+    val residual = meta.residual
+    val score = udf { (lst: Long, cs: Seq[Long]) =>
+      bq.value.getOrElse(lst, Array.empty[Long]).map { qid =>
+        val tl = if (residual) lst else -1L
+        var s = 0.0; var j = 0
+        while (j < cs.length) { s += bt.value((qid, tl, j, cs(j))); j += 1 }
+        (qid, s)
+      }.toSeq
+    }
+    val scored = spark.read.parquet(s"$path/codes")
+      .filter(col("ivf_list").isin(allLists: _*))
+      .select(col(idCol), col("ivf_list").cast("long").as("__lst"),
+        col("pq_codes"))
+      .select(col(idCol),
+        explode(score(col("__lst"), col("pq_codes"))).as("__s"))
+      .select(col("__s._1").as(qIdCol), col(idCol), col("__s._2").as("adc"))
+    Ops.topKPerGroup(scored, Seq(qIdCol),
+      Seq(col("adc").asc, col(idCol).asc), k)
+  }
+
   // ------------------------------------------------------ hybrid retrieval
 
   /** Top-N of a scored relation as an explicit 1-based `rank` column,

@@ -616,6 +616,50 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "rolled residual index must equal a frozen-codebook rebuild")
   }
 
+  test("batched IVF-PQ probe equals per-query probes, plain and residual") {
+    import graft.operators.Similarity
+    val vecs = spark.range(120).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 31), d -> CAST(pmod(id * (d + 11) + " +
+        "d * 3, 101) AS DOUBLE) / 101.0)").as("embedding"))
+    val qids = Seq(3L, 40L, 77L)
+    val queries = vecs.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    for (residual <- Seq(false, true)) {
+      val idx = java.nio.file.Files.createTempDirectory("graft_pqb")
+        .resolve("idx").toString
+      Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", idx,
+        nLists = 8, m = 4, nCodes = 8, residual = residual)
+      val batch = Similarity.ivfPqTopKIndexedBatch(spark, idx, "vec_id",
+          queries, "query_id", "embedding", k = 7, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(x => (x._3, x._2)).map(x => (x._2, x._3)).toSeq)
+        .toMap
+      qids.foreach { qid =>
+        val qv = vecs.filter(col("vec_id") === qid)
+          .select(col("embedding").cast("array<double>")).head()
+          .getSeq[Double](0)
+        val single = Similarity.ivfPqTopKIndexed(spark, idx, "vec_id", qv,
+            k = 7, nProbe = 3)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch(qid) == single,
+          s"residual=$residual qid=$qid: batch ${batch(qid)} vs $single")
+      }
+      // the one scan is partition-pruned to the UNION of probed lists
+      val plan = Similarity.ivfPqTopKIndexedBatch(spark, idx, "vec_id",
+          queries, "query_id", "embedding", k = 7, nProbe = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [ivf_list"),
+        s"batched scan not partition-pruned:\n$plan")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexedBatch(spark,
+        java.nio.file.Files.createTempDirectory("x").toString, "vec_id",
+        queries.select(col("query_id").as("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 1)
+    }
+  }
+
   test("hierarchical coarse assignment: near-total agreement with exact " +
       "on clustered data, appends reproduce the recorded mode") {
     import graft.operators.Similarity
