@@ -1619,6 +1619,16 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
     }),
 
+    // SemDeDup (cluster-granularity semantic dedup): q117's clusters,
+    // each keeping its smallest member id — prunes paraphrase-level
+    // redundancy whole-document MinHash misses. Oracle = q117's CC CTE
+    // + a per-cluster QUALIFY cut.
+    "q120_semdedup" -> ((s, dir) => {
+      import graft.operators.Similarity
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 3, minCos = 0.42, keepPerCluster = 1, nLists = 16, nProbe = 4)
+    }),
+
     // BATCHED index probe: 3 queries scored in ONE scan of the union of
     // their probed lists (per-query ADC tables broadcast together; each
     // code row explodes into a score per query probing its list; top-k
@@ -2846,6 +2856,47 @@ object SparkEntry {
         |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
         |SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster
         |FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id""".stripMargin,
+
+    // q117's clustering with a per-cluster keep-1 cut (smallest id).
+    "q120_semdedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl p JOIN asg a ON a.lst = p.lst WHERE a.vec_id <> p.vec_id),
+        |cs AS (SELECT c.id1, c.id2,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * b.v[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(b.v) + 1),
+        |    j -> b.v[j] * b.v[j]), (x, y) -> x + y) AS nb
+        |  FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2),
+        |knn AS (SELECT id1, id2, dp / (sqrt(na) * sqrt(nb)) AS cos FROM cs
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3),
+        |edg AS (SELECT id1, id2 FROM knn WHERE cos >= 0.42),
+        |und AS (SELECT id1, id2 FROM edg UNION ALL SELECT id2, id1 FROM edg),
+        |nodes AS (SELECT DISTINCT id1 AS id FROM und),
+        |reach(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT u.id2, r.lab FROM reach r JOIN und u ON u.id1 = r.id),
+        |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |lab AS (SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster
+        |  FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id)
+        |SELECT vec_id, cluster FROM lab
+        |QUALIFY row_number() OVER (PARTITION BY cluster
+        |  ORDER BY vec_id ASC) <= 1""".stripMargin,
 
     // Full dedup pipeline recomputed: exact dedup (null-text singletons),
     // LSH candidates over survivors (as q25, %25 planting), distinct-bigram

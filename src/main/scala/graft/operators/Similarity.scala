@@ -1040,6 +1040,25 @@ object Similarity {
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
   }
 
+  /** Semantic dedup at cluster granularity (the SemDeDup recipe, Abbas et
+    * al. 2023: cluster embeddings, keep few representatives per cluster —
+    * prunes paraphrase-level redundancy whole-document MinHash misses):
+    * [[clusterEmbeddings]] labels every vector, then each cluster keeps
+    * its `keepPerCluster` smallest ids (deterministic; pass a quality
+    * score and rank on it upstream for keep-best). Output is the kept
+    * (id, cluster) relation — semi-join the corpus on it. Cost = the kNN
+    * graph + CC + one cluster-keyed window; singletons always survive.
+    */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      minCos: Double, keepPerCluster: Int = 1, nLists: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    require(keepPerCluster >= 1, s"keepPerCluster $keepPerCluster must be >= 1")
+    val labeled = clusterEmbeddings(vecs, idCol, vecCol, k, minCos,
+      nLists, nProbe)
+    Ops.topKPerGroup(labeled, Seq("cluster"), Seq(col(idCol).asc),
+      keepPerCluster)
+  }
+
   /** BATCHED probe of a persisted IVF-PQ index: score a bounded RELATION
     * of queries (an eval/rerank batch, driver-collectable by contract) in
     * ONE scan of the union of all probed lists — instead of one Spark job

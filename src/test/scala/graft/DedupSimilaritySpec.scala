@@ -733,6 +733,11 @@ class DedupSimilaritySpec extends AnyFunSuite {
         k = 3, minCos = 1.5, nLists = 4, nProbe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(single.forall { case (id, c) => id == c })
+    // SemDeDup keep-1: exactly one representative per planted cluster
+    val kept = Similarity.semDedup(vecs, "vec_id", "embedding", k = 3,
+        minCos = 0.9, keepPerCluster = 1, nLists = 4, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 10L), s"got $kept")
   }
 
   test("pqSubspaceCodebooks: learned codebooks cut quantization error on clustered data") {
