@@ -1619,6 +1619,21 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
     }),
 
+    // Balanced-PQ (OPQ-lite): dims dealt to subspaces by descending
+    // RANGE (max − min: order-independent, so the permutation is
+    // bit-exact cross-engine), then the standard PQ donor/code/ADC
+    // machinery over the permuted vectors.
+    "q121_pq_balanced" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      Similarity.pqTopKBalanced(emb, "vec_id", "embedding", q, k = 10,
+          m = 8, nCodes = 16)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
     // SemDeDup (cluster-granularity semantic dedup): q117's clusters,
     // each keeping its smallest member id — prunes paraphrase-level
     // redundancy whole-document MinHash misses. Oracle = q117's CC CTE
@@ -2856,6 +2871,34 @@ object SparkEntry {
         |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
         |SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster
         |FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id""".stripMargin,
+
+    // Per-dim ranges → rank-ordered permutation (ties on dim index) →
+    // permuted vectors as ordered lists → q104's donor/code/ADC plan.
+    "q121_pq_balanced" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |dims AS (SELECT t.j AS dim, max(e.v[t.j]) - min(e.v[t.j]) AS rg
+        |  FROM e CROSS JOIN range(1, 65) t(j) GROUP BY t.j),
+        |perm AS (SELECT dim, ((r0 % 8) * 8 + r0 // 8) AS pos FROM (
+        |  SELECT dim, row_number() OVER (ORDER BY rg DESC, dim ASC) - 1 AS r0
+        |  FROM dims)),
+        |pv AS (SELECT e.vec_id, list(e.v[p.dim] ORDER BY p.pos) AS v
+        |  FROM e CROSS JOIN perm p GROUP BY e.vec_id),
+        |don AS (SELECT p2.vec_id AS did, p2.v AS dv FROM pv p2
+        |  ORDER BY ((((p2.vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, p2.vec_id LIMIT 16),
+        |sd AS (SELECT p2.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (p2.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (p2.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM pv p2 CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
+        |adc AS (SELECT c.vec_id, sum(q2.s) AS adc FROM codes c
+        |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id)
+        |SELECT vec_id, round(adc, 6) AS adc
+        |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
 
     // q117's clustering with a per-cluster keep-1 cut (smallest id).
     "q120_semdedup" ->

@@ -1040,6 +1040,60 @@ object Similarity {
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster"))
   }
 
+  /** Balanced-PQ dimension permutation (OPQ-lite, cf. Ge et al. 2013:
+    * where OPQ learns a rotation, this deals dimensions round-robin so
+    * each subspace gets an even share of the spread): dims ranked by
+    * their RANGE (max − min — chosen over variance because max/min are
+    * order-independent and bit-exact across engines, keeping the
+    * permutation SQL-reproducible), position r of the permuted vector is
+    * the r-th-widest dim. With all wide dims in one subspace a plain
+    * split burns the whole codebook on it; dealt out, every subspace
+    * quantizes ~one wide dim (spec-quantified error cut). One
+    * posexplode agg at build time; the permutation itself is a literal
+    * array of `getItem`s — codegen, no UDF.
+    *
+    * The deal: rank-r dim (0-based, widest first) goes to PERMUTED
+    * position `(r % m)·sub + r/m` — subspace r % m — so consecutive
+    * ranks land in DIFFERENT subspaces (a plain range-sort would
+    * re-concentrate the wide dims into the first subspaces).
+    */
+  def pqBalancedPerm(vecs: DataFrame, idCol: String, vecCol: String,
+      m: Int): Array[Int] = {
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+    val ranges = clean
+      .select(posexplode(col("__v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(max(col("x")).as("mx"), min(col("x")).as("mn"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1) - r.getDouble(2)))
+    val order = ranges.sortBy { case (d, rg) => (-rg, d) }.map(_._1)
+    val dim = order.length
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val perm = new Array[Int](dim)
+    for (r <- 0 until dim) perm((r % m) * sub + r / m) = order(r)
+    perm
+  }
+
+  /** One-shot PQ top-k over the balanced permutation: permute (literal
+    * projection), then the standard donor/encode/ADC machinery on the
+    * permuted relation — donors keep their hash-selected ids, the query
+    * permutes driver-side. Persisting the permuted codes works exactly
+    * like [[pqEncode]]'s relation (store `perm` alongside the codebook).
+    */
+  def pqTopKBalanced(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Double], k: Int, m: Int = 8,
+      nCodes: Int = 16): DataFrame = {
+    val perm = pqBalancedPerm(vecs, idCol, vecCol, m)
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val pvecs = clean.select(col(idCol),
+      array(perm.map(i => col("__v").getItem(i)).toIndexedSeq: _*).as("__pv"))
+    val donors = pqDonors(pvecs, idCol, "__pv", nCodes)
+    val qp: Seq[Double] = perm.toIndexedSeq.map(query(_))
+    pqSearchCodes(pqEncode(pvecs, idCol, "__pv", donors, m), idCol, donors,
+      qp, k, m)
+  }
+
   /** Semantic dedup at cluster granularity (the SemDeDup recipe, Abbas et
     * al. 2023: cluster embeddings, keep few representatives per cluster —
     * prunes paraphrase-level redundancy whole-document MinHash misses):

@@ -616,6 +616,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "rolled residual index must equal a frozen-codebook rebuild")
   }
 
+  test("balanced-PQ permutation cuts ADC error when spread is unbalanced") {
+    import graft.operators.Similarity
+    // dims 0..7 wide (×100 the narrow spread, pseudo-independent via
+    // per-dim multipliers mod 101), dims 8..31 narrow: the plain m=8
+    // split packs all wide dims into subspaces 0-1 (a 4-d spread 16
+    // codewords cannot cover); the deal gives every subspace exactly one
+    // wide dim (a ~1-d spread 16 codewords cover well)
+    val vecs = spark.range(200).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 31), d -> CAST(CASE WHEN d < 8 THEN " +
+        "pmod(id * (2 * d + 3) + d, 101) * 100.0 / 101.0 ELSE " +
+        "pmod(id * (2 * d + 3) + d, 101) * 1.0 / 101.0 END AS DOUBLE))")
+        .as("embedding"))
+    val q = vecs.filter(col("vec_id") === 9)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val exact = vecs.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1)
+        r.getLong(0) -> v.indices.map(i => (v(i) - q(i)) * (v(i) - q(i))).sum
+      }.toMap
+    def meanErr(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      rows.map { case (id, a) => math.abs(a - exact(id)) }.sum / rows.length
+    }
+    val eP = meanErr(Similarity.pqTopK(vecs, "vec_id", "embedding", q,
+      k = 200, m = 8, nCodes = 16))
+    val eB = meanErr(Similarity.pqTopKBalanced(vecs, "vec_id", "embedding",
+      q, k = 200, m = 8, nCodes = 16))
+    assert(eB < eP * 0.5, s"balanced ADC error $eB should be well under $eP")
+    // the permutation is a true deal: each subspace holds exactly one of
+    // the 8 wide dims
+    val perm = Similarity.pqBalancedPerm(vecs, "vec_id", "embedding", 8)
+    assert(perm.sorted.toSeq == (0 until 32),
+      s"not a permutation: ${perm.toSeq}")
+    val widePerSub = perm.grouped(4).map(_.count(_ < 8)).toSeq
+    assert(widePerSub == Seq.fill(8)(1), s"wide dims per subspace: $widePerSub")
+  }
+
   test("batched IVF-PQ probe equals per-query probes, plain and residual") {
     import graft.operators.Similarity
     val vecs = spark.range(120).select(col("id").as("vec_id"),
