@@ -1619,6 +1619,23 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
     }),
 
+    // BATCHED BM25 probe (the text-index mirror of q119): three term-set
+    // queries in one scan pruned to the union of their term buckets;
+    // per-term scores fan out through a broadcast (query, term)
+    // relation. k covers all matches so no rank-boundary float issues.
+    "q122_bm25_batch" -> ((s, dir) => {
+      import graft.operators.TextIndex
+      val path = scratchDir("graft_tixb").resolve("idx").toString
+      TextIndex.write(t(s, dir, "documents"), "doc_id", "text", path,
+        nBuckets = 16)
+      TextIndex.searchBatch(s, path, Seq(
+          0L -> Seq("spark", "query", "join"),
+          1L -> Seq("data", "table"),
+          2L -> Seq("the")), k = 1000000)
+        .select(col("query_id"), col("doc_id"),
+          round(col("bm25"), 6).as("bm25"), col("n_terms"))
+    }),
+
     // Balanced-PQ (OPQ-lite): dims dealt to subspaces by descending
     // RANGE (max − min: order-independent, so the permutation is
     // bit-exact cross-engine), then the standard PQ donor/code/ADC
@@ -2871,6 +2888,34 @@ object SparkEntry {
         |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
         |SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster
         |FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id""".stripMargin,
+
+    // q75's BM25 arithmetic over a (query, term) VALUES relation; df per
+    // term over the union of all query terms (query-independent, as the
+    // index computes it); no top-k cut (k covers all matches).
+    "q122_bm25_batch" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
+        |  WHERE text IS NOT NULL),
+        |dls AS (SELECT doc_id, lt,
+        |  CASE WHEN lt = '' THEN 0
+        |       ELSE len(regexp_split_to_array(lt, '\s+')) END AS dl
+        |  FROM base),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        |toks AS (SELECT doc_id, dl,
+        |  unnest(regexp_split_to_array(lt, '\s+')) AS term FROM dls),
+        |qt AS (SELECT CAST(t.query_id AS BIGINT) AS query_id, t.term
+        |  FROM (VALUES (0, 'spark'), (0, 'query'), (0, 'join'),
+        |    (1, 'data'), (1, 'table'), (2, 'the')) AS t(query_id, term)),
+        |hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1)
+        |SELECT q.query_id, h.doc_id,
+        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1) /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25,
+        |  count(*) AS n_terms
+        |FROM hits h JOIN qt q USING (term) CROSS JOIN stats
+        |JOIN dfreq USING (term)
+        |GROUP BY 1, 2""".stripMargin,
 
     // Per-dim ranges → rank-ordered permutation (ties on dim index) →
     // permuted vectors as ordered lists → q104's donor/code/ADC plan.

@@ -264,4 +264,48 @@ object TextIndex {
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** BM25 for a BOUNDED batch of term-set queries in ONE pruned scan —
+    * the retrieval-eval serving shape (mirrors
+    * [[graft.operators.Similarity.ivfPqTopKIndexedBatch]] for the vector
+    * index): the scan prunes to the UNION of all queries' term buckets,
+    * per-term df and scores are computed once, and a broadcast
+    * (query, term) relation fans each term row out to the queries using
+    * it; the per-query cut is a query-partitioned window. Output:
+    * (query_id, doc_id, bm25, n_terms), up to k rows per query.
+    */
+  def searchBatch(spark: SparkSession, path: String,
+      queries: Seq[(Long, Seq[String])], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "searchBatch: empty query batch")
+    val st = readStats(spark, path)
+    val n = st.n; val avgdl = st.avgdl; val nBuckets = st.nBuckets.toLong
+    val qterms: Seq[(Long, String)] = queries.flatMap { case (qid, ts) =>
+      ts.filter(_.nonEmpty).distinct.map(qid -> _) // "" is the sentinel term
+    }
+    require(qterms.nonEmpty, "searchBatch: every query is empty")
+    val terms = qterms.map(_._2).distinct
+    val buckets = terms
+      .map(t => math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType, 42L), nBuckets))
+      .distinct
+    val hits = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*))
+    val dfreq = hits.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+    import spark.implicits._
+    val qt = broadcast(qterms.toDF("query_id", "term"))
+    val scored = hits.join(broadcast(dfreq), "term")
+      .withColumn("__idf", log((lit(n) - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__s", col("__idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .join(qt, "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__s")).as("bm25"), count(lit(1)).as("n_terms"))
+    graft.operators.Ops.topKPerGroup(scored, Seq("query_id"),
+      Seq(col("bm25").desc, col("doc_id").asc), k)
+  }
 }

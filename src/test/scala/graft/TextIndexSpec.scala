@@ -34,6 +34,32 @@ class TextIndexSpec extends AnyFunSuite {
     assert(viaIndex.toSeq == direct.toSeq)
   }
 
+  test("searchBatch equals per-query searches in one pruned scan") {
+    val docs = corpus()
+    val path = java.nio.file.Files.createTempDirectory("tixb")
+      .resolve("idx").toString
+    TextIndex.write(docs, "doc_id", "text", path, nBuckets = 64)
+    val queries = Seq(10L -> Seq("spark", "query"), 20L -> Seq("join"),
+      30L -> Seq("absentterm"))
+    val batchDf = TextIndex.searchBatch(spark, path, queries, k = 10)
+    val batch = batchDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e9) / 1e9, r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4))
+        .sortBy(x => (-x._2, x._1)).toSeq).toMap
+    queries.foreach { case (qid, terms) =>
+      val single = TextIndex.search(spark, path, terms, k = 10).collect()
+        .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9,
+          r.getLong(2))).toSeq
+      assert(batch.getOrElse(qid, Seq.empty) == single,
+        s"qid=$qid: ${batch.getOrElse(qid, Seq.empty)} vs $single")
+    }
+    // one scan, still bucket-pruned
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected partition-pruned postings scan:\n$plan")
+  }
+
   test("empty corpus refuses BEFORE touching disk — no half-built index") {
     import org.apache.spark.sql.types._
     val empty = spark.createDataFrame(
