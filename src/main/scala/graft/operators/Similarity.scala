@@ -1140,6 +1140,9 @@ object Similarity {
         (r.getLong(0), r.getSeq[Double](1).toArray)
       }
     require(qs.nonEmpty, "ivfPqTopKIndexedBatch: empty query batch")
+    require(qs.map(_._1).distinct.length == qs.length,
+      "ivfPqTopKIndexedBatch: duplicate query ids in the batch — two rows " +
+        "sharing an id would silently shadow each other's vectors")
     val dim = meta.donors.head._2.length
     val sub = dim / meta.m
     val probedBy: Map[Long, Seq[Long]] = qs.map { case (qid, qv) =>

@@ -280,9 +280,13 @@ object TextIndex {
     require(queries.nonEmpty, "searchBatch: empty query batch")
     val st = readStats(spark, path)
     val n = st.n; val avgdl = st.avgdl; val nBuckets = st.nBuckets.toLong
-    val qterms: Seq[(Long, String)] = queries.flatMap { case (qid, ts) =>
-      ts.filter(_.nonEmpty).distinct.map(qid -> _) // "" is the sentinel term
-    }
+    // (qid, term) pairs must be unique or a repeated qid would double-
+    // count its overlapping terms — repeated qids merge their term sets
+    val qterms: Seq[(Long, String)] = queries.groupBy(_._1).toSeq
+      .flatMap { case (qid, qs) =>
+        qs.flatMap(_._2).filter(_.nonEmpty) // "" is the sentinel term
+          .distinct.map(qid -> _)
+      }
     require(qterms.nonEmpty, "searchBatch: every query is empty")
     val terms = qterms.map(_._2).distinct
     val buckets = terms
