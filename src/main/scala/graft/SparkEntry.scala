@@ -1619,6 +1619,51 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
     }),
 
+    // BATCHED indexed hybrid retrieval — the full serving stack under a
+    // query BATCH: batched BM25 (q122 machinery) ⊕ batched ADC probes
+    // (q119 machinery), fused per query by RRF; every window partitions
+    // by query. Neither leg touches the raw corpus at query time.
+    "q123_hybrid_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Similarity, TextIndex}
+      val tix = scratchDir("graft_hbt").resolve("idx").toString
+      TextIndex.write(t(s, dir, "documents"), "doc_id", "text", tix,
+        nBuckets = 16)
+      val bm = TextIndex.searchBatch(s, tix, Seq(
+          0L -> Seq("spark", "query", "join"), 1L -> Seq("data", "table")),
+          k = 1000000)
+        .select(col("query_id"), col("doc_id"),
+          round(col("bm25"), 6).as("score"))
+      val wT = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val textRun = bm.withColumn("r", row_number().over(wT))
+        .filter(col("r") <= 50).select(col("query_id"), col("doc_id"), col("r"))
+      val emb = t(s, dir, "embeddings")
+      val pq = scratchDir("graft_hbp").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", pq,
+        nLists = 16, m = 8, nCodes = 16)
+      val qs = emb.filter(col("vec_id").isin(0L, 1L))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val ann = Similarity.ivfPqTopKIndexedBatch(s, pq, "vec_id", qs,
+          "query_id", "embedding", k = 50, nProbe = 4)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(col("adc"), 6).as("adc"))
+      val wA = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("doc_id").asc)
+      val vecRun = ann.withColumn("r", row_number().over(wA))
+        .select(col("query_id"), col("doc_id"), col("r"))
+      val wF = Window.partitionBy(col("query_id"))
+        .orderBy(col("__raw").desc, col("doc_id").asc)
+      textRun.unionByName(vecRun)
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(lit(1.0) / (col("r") + lit(60))).as("__raw"),
+          count(lit(1)).as("n_systems"))
+        .withColumn("__fr", row_number().over(wF))
+        .filter(col("__fr") <= 20)
+        .select(col("query_id"), col("doc_id"),
+          round(col("__raw"), 6).as("rrf"), col("n_systems"))
+    }),
+
     // BATCHED BM25 probe (the text-index mirror of q119): three term-set
     // queries in one scan pruned to the union of their term buckets;
     // per-term scores fan out through a broadcast (query, term)
@@ -2888,6 +2933,82 @@ object SparkEntry {
         |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
         |SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster
         |FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id""".stripMargin,
+
+    // q122's BM25 CTEs ⊕ q119's ADC CTEs, per-query ranks, RRF per
+    // query. ADC ranks on the ROUNDED distance (as q109's oracle does).
+    "q123_hybrid_batch" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
+        |  WHERE text IS NOT NULL),
+        |dls AS (SELECT doc_id, lt,
+        |  CASE WHEN lt = '' THEN 0
+        |       ELSE len(regexp_split_to_array(lt, '\s+')) END AS dl
+        |  FROM base),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+        |toks AS (SELECT doc_id, dl,
+        |  unnest(regexp_split_to_array(lt, '\s+')) AS term FROM dls),
+        |tq AS (SELECT CAST(t.query_id AS BIGINT) AS query_id, t.term
+        |  FROM (VALUES (0, 'spark'), (0, 'query'), (0, 'join'),
+        |    (1, 'data'), (1, 'table')) AS t(query_id, term)),
+        |hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+        |  WHERE term IN (SELECT term FROM tq) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1),
+        |bmq AS (SELECT q.query_id, h.doc_id,
+        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1) /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+        |  FROM hits h JOIN tq q USING (term) CROSS JOIN stats
+        |  JOIN dfreq USING (term) GROUP BY 1, 2),
+        |bmtop AS (SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+        |  FROM bmq QUALIFY row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) <= 50),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |vq AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id IN (0, 1)),
+        |fulld AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT q.query_id, d.did AS lst FROM don d CROSS JOIN vq q
+        |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_reduce(list_transform(range(1, len(d.dv) + 1),
+        |      j -> (d.dv[j] - q.qv[j]) * (d.dv[j] - q.qv[j])), (x, y) -> x + y),
+        |      d.did) <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id FROM pl p JOIN asg a ON a.lst = p.lst),
+        |sd AS (SELECT e.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qtv AS (SELECT q.query_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (q.qv[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (q.qv[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM vq q CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |adc AS (SELECT c.query_id, co.vec_id, sum(q2.s) AS a0
+        |  FROM codes co JOIN cand c ON c.vec_id = co.vec_id
+        |  JOIN qtv q2 ON q2.query_id = c.query_id AND q2.j = co.j
+        |    AND q2.did = co.code
+        |  GROUP BY 1, 2),
+        |atop AS (SELECT query_id, vec_id AS doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY round(a0, 6) ASC, vec_id) AS r
+        |  FROM adc QUALIFY row_number() OVER (
+        |    PARTITION BY query_id ORDER BY round(a0, 6) ASC, vec_id) <= 50),
+        |u AS (SELECT query_id, doc_id, r FROM bmtop
+        |  UNION ALL SELECT query_id, doc_id, r FROM atop),
+        |f AS (SELECT query_id, doc_id, sum(1.0::DOUBLE / (60 + r)) AS raw,
+        |  count(*) AS n_systems FROM u GROUP BY 1, 2)
+        |SELECT query_id, doc_id, round(raw, 6) AS rrf, n_systems FROM f
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY raw DESC, doc_id) <= 20""".stripMargin,
 
     // q75's BM25 arithmetic over a (query, term) VALUES relation; df per
     // term over the union of all query terms (query-independent, as the
