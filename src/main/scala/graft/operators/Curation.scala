@@ -185,6 +185,9 @@ object Curation {
     val tot = mass.collect()
       .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
       .foldLeft(0.0)((acc, sw) => acc + sw._2)
+    // an all-empty corpus would make every budget 0/0 = NaN downstream
+    require(tot > 0.0,
+      "temperatureMix: total token mass is zero — nothing to mix")
     val budgets = mass.select(col(sourceCol),
       floor(lit(totalBudget.toDouble) * col("__w") / lit(tot))
         .cast("long").as("budget"))
