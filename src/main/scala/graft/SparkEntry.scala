@@ -1619,6 +1619,18 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
     }),
 
+    // SPAN-level decontamination: clip only the leaked benchmark passage
+    // (merged gaps-and-islands over benchmark-matching 3-gram positions),
+    // keep the rest of the document — q69 flags, q124 repairs. Benchmark
+    // docs themselves clip to empty (their whole text matches).
+    "q124_span_decontam" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+      Curation.clipContaminatedSpans(docs, "doc_id", "text", bench,
+        "text", n = 3)
+    }),
+
     // BATCHED indexed hybrid retrieval — the full serving stack under a
     // query BATCH: batched BM25 (q122 machinery) ⊕ batched ADC probes
     // (q119 machinery), fused per query by RRF; every window partitions
@@ -2933,6 +2945,60 @@ object SparkEntry {
         |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
         |SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster
         |FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id""".stripMargin,
+
+    // q111's islands+clip SQL with the marker set = the benchmark's
+    // distinct 3-grams instead of corpus-repeated grams.
+    "q124_span_decontam" ->
+      raw"""WITH base AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |okd AS (SELECT doc_id, w FROM base WHERE len(w) >= 3),
+        |grams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 1), p -> p - 1)) AS pos,
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      p -> array_to_string(w[p:p+2], ' '))) AS gram
+        |  FROM okd),
+        |benchb AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL),
+        |benchok AS (SELECT w FROM benchb WHERE len(w) >= 3),
+        |bgrams AS (SELECT DISTINCT
+        |    unnest(list_transform(range(1, len(w) - 1),
+        |      p -> array_to_string(w[p:p+2], ' '))) AS gram
+        |  FROM benchok),
+        |m AS (SELECT g.doc_id, g.pos, g.pos + 3 AS e
+        |  FROM grams g JOIN bgrams USING (gram)),
+        |x AS (SELECT doc_id, pos, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM m),
+        |y AS (SELECT doc_id, pos, e,
+        |    CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END AS nw FROM x),
+        |z AS (SELECT doc_id, pos, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM y),
+        |spans AS (SELECT doc_id, min(pos) AS s, max(e) AS en
+        |  FROM z GROUP BY doc_id, grp),
+        |toksall AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) + 1), p -> p - 1)) AS pos,
+        |    unnest(list_transform(range(1, len(w) + 1), p -> w[p])) AS tok
+        |  FROM base),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM toksall t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = t.doc_id AND t.pos >= sp.s AND t.pos < sp.en)),
+        |clipped AS (SELECT doc_id,
+        |    coalesce(string_agg(tok, ' ' ORDER BY pos), '') AS clipped
+        |  FROM kept GROUP BY doc_id),
+        |removedn AS (SELECT t.doc_id, count(*) AS nr FROM toksall t
+        |  WHERE EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = t.doc_id AND t.pos >= sp.s AND t.pos < sp.en)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce(c.clipped, '') END AS clipped,
+        |  CASE WHEN d.text IS NULL THEN 0
+        |       ELSE coalesce(r.nr, 0) END AS n_removed
+        |FROM documents d
+        |LEFT JOIN clipped c ON c.doc_id = d.doc_id
+        |LEFT JOIN removedn r ON r.doc_id = d.doc_id""".stripMargin,
 
     // q122's BM25 CTEs ⊕ q119's ADC CTEs, per-query ranks, RRF per
     // query. ADC ranks on the ROUNDED distance (as q109's oracle does).

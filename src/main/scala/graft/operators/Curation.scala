@@ -470,26 +470,28 @@ object Curation {
     * Returns (doc_id, span_start, span_end) in token offsets, end
     * exclusive.
     */
-  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2): DataFrame = {
-    require(n >= 1, s"span n-gram length $n must be >= 1")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = docs.filter(col(textCol).isNotNull)
+  /** Positioned n-grams of the NORMALIZED token stream: (doc_id, pos,
+    * gram) — the shared front end of the span family. Docs shorter than
+    * n yield nothing (they cannot contain a span).
+    */
+  private def positionedGrams(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         TextFns.tokens(lower(col(textCol))).as("__w"))
       .filter(size(col("__w")) >= n)
-    val grams = toks.select(col("doc_id"),
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("__w")) - n),
           i => array_join(slice(col("__w"), i + lit(1), lit(n)), " "))))
       .toDF("doc_id", "pos", "gram")
-    val repeated = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount)
-      .select(col("gram"))
-    val marked = grams.join(repeated, Seq("gram"), "left_semi")
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        (col("pos") + n).cast("long").as("__end"))
+
+  /** Gaps-and-islands merge of marked gram positions into maximal spans:
+    * (doc_id, pos, __end) → (doc_id, span_start, span_end). Window
+    * partitions BY DOCUMENT — never a global sort.
+    */
+  private def islandsToSpans(marked: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevMax = max(col("__end"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     marked
@@ -502,6 +504,43 @@ object Curation {
       .select(col("doc_id"), col("span_start"), col("span_end"))
   }
 
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minCount: Long = 2): DataFrame = {
+    require(n >= 1, s"span n-gram length $n must be >= 1")
+    val grams = positionedGrams(docs, idCol, textCol, n)
+    val repeated = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("gram"))
+    islandsToSpans(grams.join(repeated, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (col("pos") + n).cast("long").as("__end")))
+  }
+
+  /** Span-level BENCHMARK decontamination: clip only the leaked passage,
+    * keep the document — the middle ground between [[decontaminate]]'s
+    * report and [[decontaminated]]'s whole-doc removal (dropping a long
+    * document over one quoted benchmark item wastes the rest of it).
+    * Doc positions whose n-gram appears ANYWHERE in the benchmark are
+    * merged gaps-and-islands into maximal spans and excised from the
+    * normalized token stream; output schema = [[clipRepeatedSpans]]
+    * (clipped, n_removed). The benchmark gram set is distinct + broadcast
+    * (eval-suite-sized by contract, like decontaminate's).
+    */
+  def clipContaminatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"span n-gram length $n must be >= 1")
+    val benchGrams = positionedGrams(
+        benchmark.select(lit(0L).as("__bid"), col(benchTextCol)),
+        "__bid", benchTextCol, n)
+      .select(col("gram")).distinct()
+    val marked = positionedGrams(docs, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (col("pos") + n).cast("long").as("__end"))
+    clipWithSpans(docs, idCol, textCol, islandsToSpans(marked))
+  }
+
   /** The actionable form of [[repeatedSpans]]: excise every repeated span
     * from the token stream — substring dedup's "clip, don't drop the
     * document". Output text is the NORMALIZED token stream (lowercased,
@@ -512,8 +551,17 @@ object Curation {
     * shuffle beyond [[repeatedSpans]]'s own.
     */
   def clipRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2): DataFrame = {
-    val spans = repeatedSpans(docs, idCol, textCol, n, minCount)
+      n: Int, minCount: Long = 2): DataFrame =
+    clipWithSpans(docs, idCol, textCol,
+      repeatedSpans(docs, idCol, textCol, n, minCount))
+
+  /** Excise `(doc_id, span_start, span_end)` spans from each doc's
+    * normalized token stream — the shared back end of
+    * [[clipRepeatedSpans]] and [[clipContaminatedSpans]].
+    */
+  private def clipWithSpans(docs: DataFrame, idCol: String,
+      textCol: String, spanRel: DataFrame): DataFrame = {
+    val spans = spanRel
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     val toks = TextFns.tokens(lower(col(textCol)))

@@ -49,6 +49,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got.filter(col("s") === "a").count() == 4000) // fraction 1.0 keeps all
   }
 
+  test("clipContaminatedSpans excises exactly the leaked benchmark " +
+      "passage, keeps clean docs and null text intact") {
+    val docs = Seq(
+      (1L, "intro words here The Secret Benchmark Answer is X trailing content"),
+      (2L, "totally clean document with nothing leaked at all"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val bench = Seq("the secret benchmark answer is x").toDF("text")
+    val out = Curation.clipContaminatedSpans(docs, "doc_id", "text",
+        bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)), r.getLong(2))).toMap
+    assert(out(1L) == ("intro words here trailing content", 6L), out(1L))
+    assert(out(2L) ==
+      ("totally clean document with nothing leaked at all", 0L), out(2L))
+    assert(out(3L) == ((null, 0L)), out(3L))
+  }
+
   test("temperatureMix: τ=1 keeps natural shares, τ→0 flattens; " +
       "budgets sum within rounding of the total") {
     // two domains, big 9× the mass of small
