@@ -219,4 +219,76 @@ class PropertySpec extends AnyFunSuite {
       assert(got.last._3 == s"t$n", s"n=$n w=$w s=$s last tail=${got.last._3}")
     }
   }
+
+  test("DataFrame law: temperatureMix budgets never exceed the total " +
+      "and every take respects its domain budget") {
+    val gen = for {
+      nDomains <- Gen.choose(1, 5)
+      masses <- Gen.listOfN(nDomains, Gen.choose(1, 40))
+      budget <- Gen.choose(100L, 5000L)
+      tau <- Gen.oneOf(0.5, 1.0, 2.0)
+    } yield (masses, budget, tau)
+    samples(gen, 10).foreach { case (masses, budget, tau) =>
+      // domain i holds masses(i) docs of 10 tokens each
+      val rows = masses.zipWithIndex.flatMap { case (m, i) =>
+        (0 until m).map(j => (i * 1000L + j, s"dom$i", 10L))
+      }
+      val df = rows.toDF("doc_id", "source", "toks")
+      val taken = graft.operators.Curation
+        .temperatureMix(df, "doc_id", "toks", "source", budget, tau)
+        .groupBy("source").agg(sum("toks").as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // Σ p_i = 1 up to rounding, so Σ floor(B·p_i) <= B; each domain's
+      // take is further capped by floor-to-atom and by its inventory
+      assert(taken.values.sum <= budget,
+        s"masses=$masses B=$budget tau=$tau took ${taken.values.sum}")
+      val w = masses.map(m => math.pow(m * 10.0, tau))
+      val tot = w.sum
+      masses.zipWithIndex.foreach { case (m, i) =>
+        val dom = s"dom$i"
+        val cap = math.min(
+          math.floor(budget * w(i) / tot).toLong, m * 10L)
+        assert(taken.getOrElse(dom, 0L) <= cap,
+          s"masses=$masses B=$budget tau=$tau $dom took " +
+            s"${taken.getOrElse(dom, 0L)} > cap $cap")
+      }
+    }
+  }
+
+  test("DataFrame law: repeatedSpans are disjoint, in-bounds, and " +
+      "clipRepeatedSpans removes exactly their token count") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val gen = for {
+      n <- Gen.choose(6, 30)
+      ws <- Gen.listOfN(n, word)
+    } yield ws
+    samples(gen, 10).zipWithIndex.foreach { case (ws, i) =>
+      val df = Seq((1L, ws.mkString(" ")), (2L, ws.reverse.mkString(" ")))
+        .toDF("doc_id", "text")
+      val spans = graft.operators.Curation
+        .repeatedSpans(df, "doc_id", "text", n = 3, minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      spans.groupBy(_._1).foreach { case (_, ss) =>
+        val sorted = ss.sortBy(_._2)
+        sorted.foreach { case (_, s, e) =>
+          assert(s >= 0 && e > s && e <= ws.length, s"case $i span ($s,$e)")
+        }
+        sorted.sliding(2).foreach {
+          case Array((_, _, e1), (_, s2, _)) =>
+            assert(e1 < s2, s"case $i overlapping/adjacent spans $sorted")
+          case _ =>
+        }
+      }
+      val clipped = graft.operators.Curation
+        .clipRepeatedSpans(df, "doc_id", "text", n = 3, minCount = 2)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      clipped.foreach { case (id, text, nr) =>
+        val spanTok = spans.filter(_._1 == id).map(x => x._3 - x._2).sum
+        assert(nr == spanTok, s"case $i doc $id removed $nr != span $spanTok")
+        val keptTok = if (text.isEmpty) 0 else text.split(" ").length
+        assert(keptTok + nr == ws.length,
+          s"case $i doc $id kept $keptTok + removed $nr != ${ws.length}")
+      }
+    }
+  }
 }
