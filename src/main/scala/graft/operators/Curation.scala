@@ -181,9 +181,16 @@ object Curation {
       .agg(sum(col(tokenCol).cast("long")).as("__n"))
       .select(col(sourceCol), weight(col("__n").cast("double")).as("__w"))
     // |domains| rows by contract — the fold order (source-sorted, left to
-    // right) is part of the reproducibility contract above
+    // right) is part of the reproducibility contract above. A null source
+    // value must fail as a contract error here, not as an opaque NPE in
+    // the sort below.
     val tot = mass.collect()
-      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      .map { r =>
+        require(!r.isNullAt(0), s"temperatureMix: null $sourceCol value — " +
+          "every document must carry a non-null source domain (filter or " +
+          "impute upstream)")
+        (r.getString(0), r.getDouble(1))
+      }.sortBy(_._1)
       .foldLeft(0.0)((acc, sw) => acc + sw._2)
     // an all-empty corpus would make every budget 0/0 = NaN downstream
     require(tot > 0.0,

@@ -396,9 +396,13 @@ object Dedup {
 
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, shingleN: Int, k: Int, bands: Int, nBuckets: Int,
-      maxId: Long, nDocs: Long): Unit = {
+      maxId: Long, nDocs: Long,
+      last: Option[(Long, Long, Long)] = None): Unit = {
+    val lastJson = last
+      .map { case (mn, mx, c) => s""","lastMin":$mn,"lastMax":$mx,"lastN":$c""" }
+      .getOrElse("")
     val sidecar = s"""{"shingleN":$shingleN,"k":$k,"bands":$bands,""" +
-      s""""nBuckets":$nBuckets,"maxId":$maxId,"nDocs":$nDocs}"""
+      s""""nBuckets":$nBuckets,"maxId":$maxId,"nDocs":$nDocs$lastJson}"""
     val p = new org.apache.hadoop.fs.Path(path, "_dedup_index_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
@@ -425,7 +429,8 @@ object Dedup {
     * delete the marker.
     */
   def appendToSignatureIndex(survivors: DataFrame, idCol: String,
-      textCol: String, path: String): Unit = {
+      textCol: String, path: String,
+      ingestedRange: Option[(Long, Long, Long)] = None): Unit = {
     val spark = survivors.sparkSession
     require(survivors.schema(idCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -434,45 +439,59 @@ object Dedup {
     val m = readIndexMeta(spark, path)
     val nB = m.nBuckets.toLong
     val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
-    // the batch is small by contract — one tokenizing pass, materialized,
-    // feeds all three appends + the stats check
+    // the batch is small by contract — one tokenizing pass, persisted
+    // (with the finally-unpersist; a localCheckpoint here would leak
+    // unreleasable blocks across streaming micro-batches), feeds all
+    // three appends + the stats check
     val enriched = survivors.select(col(idCol).cast("long").as("doc_id"),
         md5(norm).as("content_hash"),
         TextFns.minhashSigUdf(m.shingleN, m.k)(
           TextFns.tokens(lower(col(textCol)))).as("sig"),
         TextFns.wordShingles(col(textCol), m.shingleN).as("shingles"))
-      .localCheckpoint(true)
-    val s = enriched.agg(min(col("doc_id")), max(col("doc_id")),
-      sum(when(col("doc_id").isNull, 1).otherwise(0)), count(lit(1))).head()
-    if (s.getLong(3) == 0) return // empty batch: nothing to append
-    require(s.getLong(2) == 0L,
-      s"appendToSignatureIndex requires numeric ids: ${s.getLong(2)} cast to null")
-    require(s.getLong(0) > m.maxId,
-      s"appendToSignatureIndex requires monotone ids: index maxId=${m.maxId} " +
-        s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
-    // marker FIRST: if we crash anywhere between here and the meta write,
-    // the marker survives and readIndexMeta refuses the index instead of
-    // letting a retried append double-insert (see scaladoc)
-    writePendingMarker(spark, path, s.getLong(0), s.getLong(1), s.getLong(3))
-    // bucket-clustered appends (see writeSignatureIndex): one file per
-    // touched bucket per batch, not tasks×buckets
-    enriched.withColumn("ib", pmod(col("doc_id"), lit(nB)))
-      .repartition(col("ib"))
-      .write.mode("append").partitionBy("ib").parquet(s"$path/docs")
-    enriched.select(col("doc_id"),
-        explode(TextFns.minhashBandsUdf(m.bands, m.k / m.bands)(col("sig"))).as("key"))
-      .distinct()
-      .withColumn("kb", pmod(col("key"), lit(nB)))
-      .repartition(col("kb"))
-      .write.mode("append").partitionBy("kb").parquet(s"$path/postings")
-    enriched.filter(col("content_hash").isNotNull)
-      .select(col("content_hash"), col("doc_id"))
-      .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nB)))
-      .repartition(col("hb"))
-      .write.mode("append").partitionBy("hb").parquet(s"$path/hashes")
-    writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
-      s.getLong(1), m.nDocs + s.getLong(3))
-    clearPendingMarker(spark, path)
+      .persist()
+    try {
+      val s = enriched.agg(min(col("doc_id")), max(col("doc_id")),
+        sum(when(col("doc_id").isNull, 1).otherwise(0)), count(lit(1))).head()
+      if (s.getLong(3) == 0) return // empty batch: nothing to append
+      require(s.getLong(2) == 0L,
+        s"appendToSignatureIndex requires numeric ids: ${s.getLong(2)} cast to null")
+      // replay idempotence: a batch whose exact (minId, maxId, n) matches
+      // the LAST committed append is already reflected — no-op (see
+      // TextIndex.append; overlapping-but-unequal ranges refuse below).
+      // The recorded range is the RAW ingested batch when the caller
+      // provides it (dedupIncrementalIndexed pipelines — the replay
+      // arrives pre-dedup, so the raw range is what recurs), else this
+      // batch's own.
+      val range = (s.getLong(0), s.getLong(1), s.getLong(3))
+      if (m.last.contains(ingestedRange.getOrElse(range))) return
+      require(s.getLong(0) > m.maxId,
+        s"appendToSignatureIndex requires monotone ids: index maxId=${m.maxId} " +
+          s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
+      // marker FIRST: if we crash anywhere between here and the meta write,
+      // the marker survives and readIndexMeta refuses the index instead of
+      // letting a retried append double-insert (see scaladoc)
+      writePendingMarker(spark, path, s.getLong(0), s.getLong(1), s.getLong(3))
+      // bucket-clustered appends (see writeSignatureIndex): one file per
+      // touched bucket per batch, not tasks×buckets
+      enriched.withColumn("ib", pmod(col("doc_id"), lit(nB)))
+        .repartition(col("ib"))
+        .write.mode("append").partitionBy("ib").parquet(s"$path/docs")
+      enriched.select(col("doc_id"),
+          explode(TextFns.minhashBandsUdf(m.bands, m.k / m.bands)(col("sig"))).as("key"))
+        .distinct()
+        .withColumn("kb", pmod(col("key"), lit(nB)))
+        .repartition(col("kb"))
+        .write.mode("append").partitionBy("kb").parquet(s"$path/postings")
+      enriched.filter(col("content_hash").isNotNull)
+        .select(col("content_hash"), col("doc_id"))
+        .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nB)))
+        .repartition(col("hb"))
+        .write.mode("append").partitionBy("hb").parquet(s"$path/hashes")
+      writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
+        s.getLong(1), m.nDocs + s.getLong(3),
+        Some(ingestedRange.getOrElse(range)))
+      clearPendingMarker(spark, path)
+    } finally enriched.unpersist()
   }
 
   private def pendingMarkerPath(path: String) =
@@ -578,11 +597,12 @@ object Dedup {
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
-      m.maxId, math.max(0L, m.nDocs - removed))
+      m.maxId, math.max(0L, m.nDocs - removed), m.last)
   }
 
   private case class SigIndexMeta(shingleN: Int, k: Int, bands: Int,
-    nBuckets: Int, maxId: Long, nDocs: Long)
+    nBuckets: Int, maxId: Long, nDocs: Long,
+    last: Option[(Long, Long, Long)])
 
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): SigIndexMeta = {
@@ -606,8 +626,13 @@ object Dedup {
       ("\"" + key + "\":(-?[0-9]+)").r.findFirstMatchIn(raw)
         .map(_.group(1).toLong)
         .getOrElse(throw new IllegalStateException(s"$path: no '$key' in index meta"))
+    def optLong(key: String): Option[Long] =
+      ("\"" + key + "\":(-?[0-9]+)").r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong)
     SigIndexMeta(num("shingleN").toInt, num("k").toInt, num("bands").toInt,
-      num("nBuckets").toInt, num("maxId"), num("nDocs"))
+      num("nBuckets").toInt, num("maxId"), num("nDocs"),
+      for (mn <- optLong("lastMin"); mx <- optLong("lastMax");
+        c <- optLong("lastN")) yield (mn, mx, c))
   }
 
   /** [[dedupIncremental]] probing a PERSISTED [[writeSignatureIndex]] index
@@ -653,16 +678,25 @@ object Dedup {
     if (checkIds) {
       val s = batch.agg(min(col("doc_id")).as("minNew"),
         sum(when(col("doc_id").isNull, 1).otherwise(0)).as("nulls"),
-        count(lit(1)).as("n")).head()
+        count(lit(1)).as("n"), max(col("doc_id")).as("maxNew")).head()
       if (s.getLong(2) > 0) {
         require(s.getLong(1) == 0L,
           s"dedupIncrementalIndexed requires numeric ids: ${s.getLong(1)} " +
             s"of ${s.getLong(2)} ids cast to null")
+        // replay idempotence: when the batch's exact (minId, maxId, n)
+        // matches the index's last committed ingestion (recorded by
+        // appendToSignatureIndex), this is an at-least-once redelivery —
+        // skip the monotone refusal and let the probe run: every replayed
+        // doc collides with its own indexed identity (exact tier for the
+        // appended survivors, near-dup tier for the originally dropped),
+        // so the survivor set is empty and the downstream append no-ops.
+        val isReplay =
+          m.last.contains((s.getLong(0), s.getLong(3), s.getLong(2)))
         // no nDocs==0 bypass: writeSignatureIndex refuses empty corpora
         // and removeFromSignatureIndex refuses to empty an index, so a
         // zero nDocs can only mean drifted/corrupt metadata — the guard
         // must stay armed (round-5 finding)
-        require(s.getLong(0) > m.maxId,
+        require(isReplay || s.getLong(0) > m.maxId,
           s"dedupIncrementalIndexed requires monotone ingestion ids: index " +
             s"maxId=${m.maxId} >= min(incoming)=${s.getLong(0)} — renumber the batch")
       }

@@ -617,9 +617,13 @@ object Similarity {
       "empty corpus (no non-null vectors)")
     writeIvfPqMeta(spark, path, m, centroids, donors,
       stats.getLong(0), stats.getLong(1), residual, assignGroups)
-    // a full rebuild is the documented recovery from a crashed append —
-    // clear any stale pending marker so the fresh index is probe-able
+    // a full rebuild is the documented recovery from a crashed append or
+    // rewrite — clear any stale pending marker / rewrite stash so the
+    // fresh index is probe-able and compactable
     clearIvfPqPendingMarker(spark, path)
+    val stash = new org.apache.hadoop.fs.Path(path, "_codes_old")
+    stash.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stash, true)
   }
 
   /** Each donor replaced by its residual against its own nearest centroid
@@ -711,13 +715,17 @@ object Similarity {
   private def writeIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, m: Int, centroids: Array[(Long, Array[Double])],
       donors: Array[(Long, Array[Double])], maxId: Long, nVecs: Long,
-      residual: Boolean, assignGroups: Int): Unit = {
+      residual: Boolean, assignGroups: Int,
+      last: Option[(Long, Long, Long)] = None): Unit = {
     def enc(arr: Array[(Long, Array[Double])]): String = arr
       .map { case (id, v) => s"""{"id":$id,"v":${v.mkString("[", ",", "]")}}""" }
       .mkString("[", ",", "]")
+    val lastJson = last
+      .map { case (mn, mx, c) => s""""lastMin":$mn,"lastMax":$mx,"lastN":$c,""" }
+      .getOrElse("")
     val sidecar = s"""{"m":$m,"nLists":${centroids.length},""" +
       s""""nCodes":${donors.length},"maxId":$maxId,"nVecs":$nVecs,""" +
-      s""""residual":$residual,"assignGroups":$assignGroups,""" +
+      s""""residual":$residual,"assignGroups":$assignGroups,$lastJson""" +
       s""""centroids":${enc(centroids)},"donors":${enc(donors)}}"""
     val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -747,7 +755,8 @@ object Similarity {
   private case class IvfPqMeta(m: Int, maxId: Long, nVecs: Long,
     residual: Boolean, assignGroups: Int,
     centroids: Array[(Long, Array[Double])],
-    donors: Array[(Long, Array[Double])])
+    donors: Array[(Long, Array[Double])],
+    last: Option[(Long, Long, Long)])
 
   private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqMeta = {
@@ -794,8 +803,13 @@ object Similarity {
       .exists(_.group(1) == "true")
     val assignGroups = "\"assignGroups\":([0-9]+)".r.findFirstMatchIn(raw)
       .map(_.group(1).toInt).getOrElse(0)
+    def optLong(key: String): Option[Long] =
+      ("\"" + key + "\":(-?[0-9]+)").r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong)
+    val last = for (mn <- optLong("lastMin"); mx <- optLong("lastMax");
+      c <- optLong("lastN")) yield (mn, mx, c)
     IvfPqMeta(m, long("maxId"), long("nVecs"), residual, assignGroups,
-      centroids, donors)
+      centroids, donors, last)
   }
 
   /** Append a batch of NEW vectors to a persisted IVF-PQ index with the
@@ -830,6 +844,12 @@ object Similarity {
     if (s.getLong(3) == 0) return // empty batch: nothing to append
     require(s.getLong(2) == 0L,
       s"appendToIvfPqIndex requires numeric ids: ${s.getLong(2)} cast to null")
+    // replay idempotence (at-least-once foreachBatch sinks): a batch whose
+    // exact (minId, maxId, n) matches the LAST committed append is already
+    // fully reflected — no-op so a commit-then-crash restart resumes
+    // cleanly; overlapping-but-unequal ranges still refuse below
+    val range = (s.getLong(0), s.getLong(1), s.getLong(3))
+    if (meta.last.contains(range)) return
     require(s.getLong(0) > meta.maxId,
       s"appendToIvfPqIndex requires monotone ids: index maxId=${meta.maxId} " +
         s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
@@ -857,7 +877,7 @@ object Similarity {
       .write.mode("append").partitionBy("ivf_list").parquet(s"$path/codes")
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
       s.getLong(1), meta.nVecs + s.getLong(3), meta.residual,
-      meta.assignGroups)
+      meta.assignGroups, Some(range))
     clearIvfPqPendingMarker(spark, path)
   }
 
@@ -913,14 +933,28 @@ object Similarity {
       .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$tmp/codes")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val liveP = new org.apache.hadoop.fs.Path(path, "codes")
-    fs.delete(liveP, true)
+    val stash = new org.apache.hadoop.fs.Path(path, "_codes_old")
+    // a surviving stash means a PRIOR rewrite crashed mid-swap — renaming
+    // onto an existing dir would nest the source inside it, so refuse
+    // (mirrors the pending-marker refusal) until it is recovered/deleted
+    if (fs.exists(stash))
+      throw new IllegalStateException(
+        s"$path: stale _codes_old present — a previous compact/remove " +
+          "crashed mid-swap. Recover codes/ from it (or delete it if " +
+          "codes/ is intact), then retry.")
+    // stash-aside swap (same as TextIndex.rewriteIndex): live → stash,
+    // tmp → live, stash deleted LAST, so a crash at any point leaves a
+    // recoverable full copy — never a meta with no codes
+    require(fs.rename(liveP, stash),
+      s"ivfpq-index rewrite: could not stage $path/codes aside")
     require(fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/codes"), liveP),
-      s"ivfpq-index rewrite: rename of codes failed — recover the " +
-        s"rewritten copy from $tmp or rebuild with writeIvfPqIndex")
+      s"ivfpq-index rewrite: rename of codes failed — recover the live " +
+        s"copy from $path/_codes_old or the rewritten one from $tmp")
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
       meta.maxId, math.max(0L, meta.nVecs - removed), meta.residual,
-      meta.assignGroups)
+      meta.assignGroups, meta.last)
+    fs.delete(stash, true)
   }
 
   /** Probe a persisted IVF-PQ index: sidecar codebooks → driver-side

@@ -59,6 +59,10 @@ object TextIndex {
     } finally base.unpersist() // even on the empty-corpus refusal
     writeStats(spark, path, n, avgdl, nBuckets, maxId)
     clearPendingMarker(spark, path) // rebuild is the crash recovery path
+    // ... for crashed rewrites too: drop any stale stash dir
+    val stash = new org.apache.hadoop.fs.Path(s"${path}_old")
+    stash.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stash, true)
   }
 
   /** The shared postings shape: exploded term counts plus one sentinel
@@ -80,12 +84,17 @@ object TextIndex {
       .write.mode(mode).partitionBy("bucket").parquet(path)
   }
 
-  private case class Stats(n: Double, avgdl: Double, nBuckets: Int, maxId: Long)
+  private case class Stats(n: Double, avgdl: Double, nBuckets: Int,
+    maxId: Long, last: Option[(Long, Long, Long)])
 
   private def writeStats(spark: SparkSession, path: String, n: Double,
-      avgdl: Double, nBuckets: Int, maxId: Long): Unit = {
+      avgdl: Double, nBuckets: Int, maxId: Long,
+      last: Option[(Long, Long, Long)] = None): Unit = {
+    val lastJson = last
+      .map { case (mn, mx, c) => s""","lastMin":$mn,"lastMax":$mx,"lastN":$c""" }
+      .getOrElse("")
     val sidecar =
-      s"""{"n":$n,"avgdl":$avgdl,"nBuckets":$nBuckets,"maxId":$maxId}"""
+      s"""{"n":$n,"avgdl":$avgdl,"nBuckets":$nBuckets,"maxId":$maxId$lastJson}"""
     val p = new org.apache.hadoop.fs.Path(path, "_text_index_stats.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
@@ -117,11 +126,15 @@ object TextIndex {
       ("\"" + key + "\":([-0-9.eE]+)").r.findFirstMatchIn(raw)
         .map(_.group(1).toDouble)
         .getOrElse(throw new IllegalStateException(s"$path: no '$key' in stats"))
+    def optLong(key: String): Option[Long] =
+      ("\"" + key + "\":(-?[0-9]+)").r.findFirstMatchIn(raw)
+        .map(_.group(1).toLong)
     Stats(num("n"), num("avgdl"), num("nBuckets").toInt,
       // pre-rolling sidecars have no maxId: treat as unavailable — append
       // refuses with a rebuild hint, search never needs it
-      ("\"maxId\":(-?[0-9]+)").r.findFirstMatchIn(raw)
-        .map(_.group(1).toLong).getOrElse(Long.MaxValue))
+      optLong("maxId").getOrElse(Long.MaxValue),
+      for (mn <- optLong("lastMin"); mx <- optLong("lastMax");
+        c <- optLong("lastN")) yield (mn, mx, c))
   }
 
   /** Append an ingestion batch to an existing index — the rolling form
@@ -130,6 +143,14 @@ object TextIndex {
     * double-append guard: a replayed batch fails here instead of
     * silently doubling its postings and BM25 mass). N and avgdl update
     * exactly: avgdl' = (N·avgdl + Σdl_batch) / (N + n_batch).
+    *
+    * REPLAY idempotence (foreachBatch sinks are at-least-once): the stats
+    * sidecar records the last appended batch's exact (minId, maxId, n);
+    * a batch matching that range is already fully reflected, so append
+    * NO-OPS instead of failing the monotone check — a restart after a
+    * commit-then-crash resumes cleanly. Overlapping-but-UNEQUAL ranges
+    * still refuse (ids are never reused, so a range collision that is not
+    * an exact replay is a numbering bug).
     */
   def append(docs: DataFrame, idCol: String, textCol: String,
       path: String): Unit = {
@@ -142,27 +163,34 @@ object TextIndex {
     require(st.maxId != Long.MaxValue,
       s"$path: stats sidecar predates the rolling contract (no maxId) — " +
         "rebuild with TextIndex.write before appending")
+    // persist (paired with the finally-unpersist) rather than
+    // localCheckpoint: repeated appends — e.g. one per streaming
+    // micro-batch — must not accumulate unreleasable checkpoint blocks
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         TextFns.tokens(lower(col(textCol))).as("__toks"))
       .withColumn("dl", size(col("__toks")))
-      .localCheckpoint(true) // read twice: stats + postings
-    val s = base.agg(min(col("doc_id")), max(col("doc_id")),
-      sum(when(col("doc_id").isNull, 1).otherwise(0)),
-      count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    if (s.getLong(3) == 0) return // empty batch
-    require(s.getLong(2) == 0L,
-      s"TextIndex.append requires numeric ids: ${s.getLong(2)} cast to null")
-    require(s.getLong(0) > st.maxId,
-      s"TextIndex.append requires monotone ids: index maxId=${st.maxId} >= " +
-        s"min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
-    writePendingMarker(spark, path, s.getLong(0), s.getLong(1), s.getLong(3))
-    writePostings(base, path, st.nBuckets, mode = "append")
-    val nb = s.getLong(3).toDouble
-    writeStats(spark, path, st.n + nb,
-      (st.n * st.avgdl + s.getLong(4)) / (st.n + nb), st.nBuckets,
-      s.getLong(1))
-    clearPendingMarker(spark, path)
+      .persist() // read twice: stats + postings
+    try {
+      val s = base.agg(min(col("doc_id")), max(col("doc_id")),
+        sum(when(col("doc_id").isNull, 1).otherwise(0)),
+        count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      if (s.getLong(3) == 0) return // empty batch
+      require(s.getLong(2) == 0L,
+        s"TextIndex.append requires numeric ids: ${s.getLong(2)} cast to null")
+      val range = (s.getLong(0), s.getLong(1), s.getLong(3))
+      if (st.last.contains(range)) return // exact replay: already reflected
+      require(s.getLong(0) > st.maxId,
+        s"TextIndex.append requires monotone ids: index maxId=${st.maxId} >= " +
+          s"min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
+      writePendingMarker(spark, path, s.getLong(0), s.getLong(1), s.getLong(3))
+      writePostings(base, path, st.nBuckets, mode = "append")
+      val nb = s.getLong(3).toDouble
+      writeStats(spark, path, st.n + nb,
+        (st.n * st.avgdl + s.getLong(4)) / (st.n + nb), st.nBuckets,
+        s.getLong(1), Some(range))
+      clearPendingMarker(spark, path)
+    } finally base.unpersist()
   }
 
   private def writePendingMarker(spark: SparkSession, path: String,
@@ -224,6 +252,15 @@ object TextIndex {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val live = new org.apache.hadoop.fs.Path(path)
     val stash = new org.apache.hadoop.fs.Path(s"${path}_old")
+    // a surviving stash means a PRIOR rewrite crashed mid-swap — renaming
+    // onto an existing dir would nest the live copy INSIDE it and the swap
+    // would proceed over polluted state, so refuse (mirrors the
+    // pending-marker refusal): recover or delete the stash first
+    if (fs.exists(stash))
+      throw new IllegalStateException(
+        s"$path: stale ${path}_old present — a previous compact/remove " +
+          "crashed mid-swap. Recover the index from it (or delete it if " +
+          s"$path is intact), then retry.")
     // swap: live → stash, tmp → live, stats re-asserted onto the new dir,
     // stash deleted last. A crash mid-swap leaves a recoverable copy.
     require(fs.rename(live, stash), s"compact: could not stage $path aside")
@@ -232,7 +269,7 @@ object TextIndex {
     writeStats(spark, path, n2,
       if (removedDocs == 0) st.avgdl
       else (st.n * st.avgdl - removedDl) / n2,
-      st.nBuckets, st.maxId)
+      st.nBuckets, st.maxId, st.last)
     fs.delete(stash, true)
   }
 

@@ -51,11 +51,39 @@ object EventStream {
     */
   def indexedDedupBatch(indexPath: String, idCol: String, textCol: String,
       threshold: Double = 0.8)(batch: DataFrame, batchId: Long): DataFrame = {
+    // the RAW batch range is what an at-least-once redelivery repeats
+    // (the survivor set of a replay is empty by construction), so it —
+    // not the survivors' range — is recorded as the index's last
+    // ingestion for the replay-idempotence check
+    val r = batch.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long")), count(lit(1))).head()
+    val rawRange =
+      if (r.getLong(2) == 0 || r.isNullAt(0)) None
+      else Some((r.getLong(0), r.getLong(1), r.getLong(2)))
     val surv = graft.operators.Dedup
       .dedupIncrementalIndexed(batch, indexPath, idCol, textCol, threshold)
       .localCheckpoint(true)
-    graft.operators.Dedup.appendToSignatureIndex(surv, idCol, textCol, indexPath)
+    graft.operators.Dedup.appendToSignatureIndex(surv, idCol, textCol,
+      indexPath, ingestedRange = rawRange)
     surv
+  }
+
+  /** Free every cache/checkpoint block a micro-batch pinned: the indexed
+    * ingestion paths materialize intermediates (`localCheckpoint`/
+    * `persist`) whose blocks would otherwise accumulate for the stream's
+    * lifetime — the block-leak class behind the round-5 bench regression.
+    * Snapshot the persistent-RDD ids before the body, unpersist only the
+    * NEW ones after (never the caller's own cached data).
+    */
+  private def releasingBlocks[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    try body
+    finally spark.sparkContext.getPersistentRDDs
+      .foreach { case (id, rdd) =>
+        if (!before.contains(id))
+          try rdd.unpersist(blocking = false) catch { case _: Exception => () }
+      }
   }
 
   /** Wire a document stream through [[indexedDedupBatch]]: survivors of
@@ -75,8 +103,10 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
-        indexedDedupBatch(indexPath, idCol, textCol, threshold)(b.toDF(), id)
-          .write.mode("append").parquet(outPath)
+        releasingBlocks(b.sparkSession) {
+          indexedDedupBatch(indexPath, idCol, textCol, threshold)(b.toDF(), id)
+            .write.mode("append").parquet(outPath)
+        }
       }
       .start()
 
@@ -93,7 +123,9 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
-        graft.operators.TextIndex.append(b.toDF(), idCol, textCol, indexPath)
+        releasingBlocks(b.sparkSession) {
+          graft.operators.TextIndex.append(b.toDF(), idCol, textCol, indexPath)
+        }
       }
       .start()
 
@@ -114,8 +146,10 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
-        graft.operators.Similarity.appendToIvfPqIndex(b.toDF(), idCol,
-          vecCol, indexPath)
+        releasingBlocks(b.sparkSession) {
+          graft.operators.Similarity.appendToIvfPqIndex(b.toDF(), idCol,
+            vecCol, indexPath)
+        }
       }
       .start()
 

@@ -88,6 +88,15 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.temperatureMix(docs, "doc_id", "toks", "source", 5000L, 0.0)
     }
+    // a NULL source domain is a contract error, not an opaque NPE in the
+    // driver-side normalizer sort
+    val withNull = docs.unionByName(
+      Seq((500L, null.asInstanceOf[String], 100L))
+        .toDF("doc_id", "source", "toks"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.temperatureMix(withNull, "doc_id", "toks", "source", 5000L, 1.0)
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
   }
 
   test("packSequences: bins respect the budget up to one doc of overshoot") {

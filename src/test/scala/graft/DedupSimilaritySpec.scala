@@ -552,6 +552,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(probe(idxRoll).nonEmpty)
   }
 
+  test("IVF-PQ rewrite: stash-aside swap keeps a recoverable copy; a " +
+      "stale stash refuses") {
+    import graft.operators.Similarity
+    val vecs = spark.range(60).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), d -> " +
+        "CAST(pmod(id * (d + 7) + d, 53) AS DOUBLE) / 53.0)").as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_pqstash")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", idx,
+      nLists = 4, m = 4, nCodes = 4)
+    val q = vecs.filter(col("vec_id") === 3)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    def probe() = Similarity.ivfPqTopKIndexed(spark, idx, "vec_id", q,
+      k = 5, nProbe = 4).collect().map(_.getLong(0)).toSeq
+    val want = probe()
+    // a normal compact leaves no stash behind and preserves probes
+    Similarity.compactIvfPqIndex(spark, idx)
+    val stash = java.nio.file.Paths.get(idx, "_codes_old")
+    assert(!java.nio.file.Files.exists(stash),
+      "a completed rewrite must delete its stash")
+    assert(probe() == want)
+    // simulate a rewrite that crashed mid-swap: the stash dir survives —
+    // the next rewrite must refuse (renaming onto it would nest the live
+    // codes inside and swap over polluted state), the index still serves
+    java.nio.file.Files.createDirectory(stash)
+    val e = intercept[IllegalStateException](
+      Similarity.compactIvfPqIndex(spark, idx))
+    assert(e.getMessage.contains("_codes_old"), e.getMessage)
+    assert(probe() == want, "live index must be untouched by the refusal")
+    // rebuild (the documented recovery) clears the stash
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", idx,
+      nLists = 4, m = 4, nCodes = 4)
+    assert(!java.nio.file.Files.exists(stash), "rebuild must clear the stash")
+    Similarity.compactIvfPqIndex(spark, idx)
+    assert(probe() == want)
+  }
+
   test("residual IVF-PQ: ADC error well under plain encoding on " +
       "clustered data; rolling append preserves frozen-codebook parity") {
     import graft.operators.Similarity

@@ -122,7 +122,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(third == 0L, "streamed survivors must be probe-visible in the index")
   }
 
-  test("textIndexStream: streamed batches become searchable, replay refuses") {
+  test("textIndexStream: streamed batches searchable, replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.TextIndex
@@ -142,15 +142,28 @@ class StreamingSpec extends AnyFunSuite {
     val hits = TextIndex.search(spark, idx, Seq("spark"), 10)
       .collect().map(_.getLong(0)).toSet
     assert(hits == Set(1L, 10L, 20L), s"got $hits")
-    // an out-of-band replay of already-ingested ids refuses loudly
+    // an exact replay of the LAST committed batch (same id range, the
+    // at-least-once redelivery after a commit-then-crash) NO-OPS: the
+    // index is unchanged, the stream is not wedged
+    val before = spark.read.parquet(idx).count()
+    TextIndex.append(
+      Seq((20L, "more spark content arriving")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    assert(spark.read.parquet(idx).count() == before,
+      "an exact replay must leave the index untouched")
+    assert(TextIndex.search(spark, idx, Seq("spark"), 10)
+      .collect().map(_.getLong(0)).toSet == Set(1L, 10L, 20L))
+    // an OVERLAPPING-BUT-UNEQUAL range is a numbering bug, not a replay —
+    // still refuses loudly
     val e = intercept[IllegalArgumentException] {
-      TextIndex.append(Seq((20L, "x")).toDF("doc_id", "text"),
+      TextIndex.append(
+        Seq((19L, "x"), (20L, "y")).toDF("doc_id", "text"),
         "doc_id", "text", idx)
     }
     assert(e.getMessage.contains("monotone"), e.getMessage)
   }
 
-  test("vectorIndexStream: streamed batches become searchable, replay refuses") {
+  test("vectorIndexStream: streamed batches searchable, replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Similarity
@@ -177,19 +190,30 @@ class StreamingSpec extends AnyFunSuite {
     val ids = Similarity.ivfPqTopKIndexed(spark, idx, "vec_id", vec(20).toSeq,
         k = 11, nProbe = 4).collect().map(_.getLong(0)).toSet
     assert(ids == (0L until 8L).toSet ++ Set(10L, 11L, 20L), s"got $ids")
-    // an out-of-band replay of already-ingested ids refuses loudly
+    // an exact replay of the LAST committed batch no-ops (index unchanged)
+    val before = spark.read.parquet(s"$idx/codes").count()
+    Similarity.appendToIvfPqIndex(
+      spark.createDataset(Seq(StreamVec(20L, vec(20)))).toDF(),
+      "vec_id", "embedding", idx)
+    assert(spark.read.parquet(s"$idx/codes").count() == before,
+      "an exact replay must leave the index untouched")
+    // an overlapping-but-unequal range still refuses loudly
     val e = intercept[IllegalArgumentException] {
       Similarity.appendToIvfPqIndex(
-        spark.createDataset(Seq(StreamVec(20L, vec(20)))).toDF(),
+        spark.createDataset(
+          Seq(StreamVec(19L, vec(19)), StreamVec(20L, vec(20)))).toDF(),
         "vec_id", "embedding", idx)
     }
     assert(e.getMessage.contains("monotone"), e.getMessage)
   }
 
-  test("dedupStream: a REPLAYED micro-batch refuses loudly, index unchanged") {
-    // restart-safety claim of EventStream.dedupStream: a replayed batch
-    // (same ids, e.g. a sink whose offsets were not committed) must fail
-    // the monotone-id contract instead of double-inserting into the index
+  test("dedupStream: exact replay no-ops, overlapping-unequal refuses") {
+    // restart-safety claim of EventStream.dedupStream: foreachBatch is
+    // at-least-once, so an EXACT redelivery of the last committed batch
+    // (commit-then-crash before the streaming checkpoint advanced) must
+    // be IDEMPOTENT — empty survivors, index unchanged, stream unwedged —
+    // while an overlapping-but-UNEQUAL id range (a numbering bug, not a
+    // replay) still refuses loudly before anything is written
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_sreplay")
     val idx = base.resolve("idx").toString
@@ -206,21 +230,30 @@ class StreamingSpec extends AnyFunSuite {
     EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(batch, 0L)
     def postingCount = spark.read.parquet(s"$idx/postings").count()
     val after1 = postingCount
-    // replay of the SAME batch (same ids): the monotone contract refuses
-    // at the probe entry — loudly, before anything is written
+    // exact replay of the SAME batch: empty survivor set, nothing written
+    val replay = EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(batch, 1L)
+    assert(replay.count() == 0L,
+      "a replayed batch's docs all collide with their own indexed identity")
+    assert(postingCount == after1,
+      "an idempotent replay must leave the index untouched")
+    // and no pending-append marker is left behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idx, "_pending_append.json")))
+    // an overlapping-but-unequal range refuses at the probe entry
+    val skewed = Seq(
+      (11L, "genuinely brand new material for the second ingestion wave"),
+      (12L, "some other words entirely unrelated to anything prior here"))
+      .toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
-      EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(batch, 1L)
+      EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(skewed, 2L)
     }
     assert(e.getMessage.contains("monotone"), e.getMessage)
     assert(postingCount == after1,
       "a refused replay must leave the index untouched")
-    // and no pending-append marker is left behind by the refusal
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(idx, "_pending_append.json")))
     // the stream continues with properly advanced ids
     val next = Seq((20L, "fresh third wave content never seen anywhere before"))
       .toDF("doc_id", "text")
-    val surv = EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(next, 2L)
+    val surv = EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(next, 3L)
     assert(surv.select("doc_id").as[Long].collect().toSeq == Seq(20L))
   }
 }

@@ -73,7 +73,7 @@ class TextIndexSpec extends AnyFunSuite {
       "refusal must leave no postings directory behind")
   }
 
-  test("rolling append: equals a rebuilt index, replay refuses, marker lifecycle") {
+  test("rolling append: equals a rebuilt index, replay idempotent, marker lifecycle") {
     val docs = corpus()
     val path = java.nio.file.Files.createTempDirectory("tix4").resolve("idx").toString
     TextIndex.write(docs, "doc_id", "text", path, nBuckets = 32)
@@ -95,10 +95,16 @@ class TextIndexSpec extends AnyFunSuite {
     val rebuilt = TextIndex.search(spark, rebuiltPath, terms, 20).collect()
       .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toSeq
     assert(rolled == rebuilt, s"rolled $rolled vs rebuilt $rebuilt")
-    // replayed batch: monotone contract refuses loudly, index untouched
+    // EXACT replay of the last committed batch: idempotent no-op (the
+    // at-least-once redelivery case), index untouched
     val before = spark.read.parquet(path).count()
+    TextIndex.append(batch, "doc_id", "text", path)
+    assert(spark.read.parquet(path).count() == before,
+      "an exact replay must no-op")
+    // overlapping-but-UNEQUAL range: a numbering bug — refuses loudly
     val e = intercept[IllegalArgumentException] {
-      TextIndex.append(batch, "doc_id", "text", path)
+      TextIndex.append(Seq((12L, "stale id reused")).toDF("doc_id", "text"),
+        "doc_id", "text", path)
     }
     assert(e.getMessage.contains("monotone"), e.getMessage)
     assert(spark.read.parquet(path).count() == before)
@@ -153,6 +159,26 @@ class TextIndexSpec extends AnyFunSuite {
       TextIndex.remove(spark, path, docs.select("doc_id"), "doc_id")
     }
     assert(e.getMessage.contains("every indexed document"), e.getMessage)
+  }
+
+  test("stale _old stash from a crashed rewrite: compact refuses, rebuild clears") {
+    val docs = corpus()
+    val path = java.nio.file.Files.createTempDirectory("tix8").resolve("idx").toString
+    TextIndex.write(docs, "doc_id", "text", path, nBuckets = 8)
+    // simulate a prior compact/remove that crashed mid-swap: its stash dir
+    // survives. A blind rename(live, stash) would NEST live inside it and
+    // swap over polluted state — the rewrite must refuse instead.
+    val stash = java.nio.file.Paths.get(s"${path}_old")
+    java.nio.file.Files.createDirectory(stash)
+    val e = intercept[IllegalStateException](TextIndex.compact(spark, path))
+    assert(e.getMessage.contains("_old"), e.getMessage)
+    // the live index is untouched and still serves
+    assert(TextIndex.search(spark, path, Seq("spark"), 5).collect().nonEmpty)
+    // rebuild (the documented recovery) clears the stash; compact then works
+    TextIndex.write(docs, "doc_id", "text", path, nBuckets = 8)
+    assert(!java.nio.file.Files.exists(stash), "rebuild must clear the stash")
+    TextIndex.compact(spark, path)
+    assert(TextIndex.search(spark, path, Seq("spark"), 5).collect().nonEmpty)
   }
 
   test("search only reads the buckets its terms hash to") {
