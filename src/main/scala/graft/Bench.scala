@@ -7,11 +7,34 @@ import org.apache.spark.sql.SparkSession
   * stay well under that or it is truncated and unparseable (this happened in
   * round 2: 66 full-precision query timings pushed the line past the tail
   * window and the round got no perf grade). We therefore emit short query
-  * keys (the `qNN` prefix) rounded to milliseconds — ~14 chars/query keeps
-  * the line under ~1.3 KB even at 80 queries. Full-precision, full-name
+  * keys (the `qNN` prefix) rounded to centiseconds — ~12 chars/query keeps
+  * the line under ~1.7 KB even at 130 queries. Full-precision, full-name
   * timings go to BENCH_LOCAL.json next to the repo for local analysis.
+  *
+  * Execution order and grouping: the index-LIFECYCLE gates (multiple
+  * builds + staged rewrites inside one query — q93, q96, q107, q112,
+  * q114) run LAST, so their JVM footprint (JIT deopt churn, GC pressure,
+  * BlockManager state) cannot drift the other groups' timings — rounds
+  * 5/6 showed exactly that suite-level drift on the 92 queries shared
+  * with round 4 while per-query plans were unchanged. The JSON carries
+  * per-group subtotals so a regression in one group is visible without
+  * per-query archaeology: `shared92` (q01–q92, the round-4 baseline
+  * set), `ext` (post-r4 extension queries), `lifecycle` (the five
+  * gates).
   */
 object Bench {
+  private val LifecycleKeys = Set("q93", "q96", "q107", "q112", "q114")
+
+  private def shortKey(name: String): String =
+    name.indexOf('_') match { case -1 => name; case i => name.substring(0, i) }
+
+  private def group(name: String): String = {
+    val s = shortKey(name)
+    if (LifecycleKeys(s)) "lifecycle"
+    else if (s.drop(1).toIntOption.exists(_ <= 92)) "shared92"
+    else "ext"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,7 +54,11 @@ object Bench {
           spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
         } catch { case _: Throwable => }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic order, lifecycle gates last (see scaladoc)
+    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
+      (if (group(name) == "lifecycle") 1 else 0, name)
+    }
+    val results: Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -42,7 +69,18 @@ object Bench {
       try SparkEntry.releaseScratch(spark) catch { case _: Throwable => }
       name -> dt
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
+    val groups: Seq[(String, Double)] = Seq("shared92", "ext", "lifecycle")
+      .map(g => g -> results.collect {
+        case (name, dt) if group(name) == g => dt
+      }.sum)
+
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def cs(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val groupJson = groups.map { case (g, v) => s""""$g":${ms(v)}""" }
+      .mkString("{", ",", "}")
 
     // Full-name, full-precision record for local analysis (not stdout).
     try {
@@ -50,25 +88,22 @@ object Bench {
         .mkString("{", ",", "}")
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(p,
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$full,"sf":"$sfDir"}"""
+        (s"""{"metric":"total","value":$total,"unit":"sec",""" +
+          s""""groups":$groupJson,"queries":$full,"sf":"$sfDir"}""")
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
-    // Compact driver line: qNN keys, millisecond precision.
-    def ms(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) =>
-      val short = k.indexOf('_') match { case -1 => k; case i => k.substring(0, i) }
-      s""""$short":${ms(v)}"""
-    }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    // Compact driver line: qNN keys, centisecond precision.
+    val qs = results.map { case (k, v) => s""""${shortKey(k)}":${cs(v)}""" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""n":${results.size},"groups":$groupJson,"queries":$qs,"sf":"$sfDir"}"""
     // never abort after the queries already ran: if the per-query blob
     // would overflow the driver's 2000-char tail capture, degrade to the
-    // total-only line (full detail is in BENCH_LOCAL.json either way)
+    // groups-only line (full detail is in BENCH_LOCAL.json either way)
     if (line.length < 1800) println(line)
     else println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"groups":$groupJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1718,6 +1718,37 @@ object SparkEntry {
         k = 3, minCos = 0.42, keepPerCluster = 1, nLists = 16, nProbe = 4)
     }),
 
+    // SemDeDup KEEP-BEST (the published recipe keeps by score, not
+    // smallest id): q120's clusters, each keeping its highest-QUALITY
+    // member — quality here a deterministic derived score (vec_id % 7)
+    // so the oracle reproduces it and survivorship demonstrably flips
+    // vs q120 wherever a cluster's min-id member is not its best.
+    "q125_semdedup_keepbest" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val vecs = t(s, dir, "embeddings")
+        .withColumn("quality", pmod(col("vec_id"), lit(7)).cast("double"))
+      Similarity.semDedup(vecs, "vec_id", "embedding",
+        k = 3, minCos = 0.42, keepPerCluster = 1, nLists = 16, nProbe = 4,
+        keepByCol = Some("quality"))
+    }),
+
+    // BALANCED persisted IVF-PQ: q121's dimension deal stored IN the
+    // q106 index layout — perm recorded in the sidecar, probes permute
+    // the query on the way in. Oracle = q121's perm/pv CTEs feeding
+    // q106's assignment/probe/ADC structure.
+    "q126_ivfpq_balanced_index" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val idx = scratchDir("graft_pqbalidx").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 16, m = 8, nCodes = 16, balanced = true)
+      Similarity.ivfPqTopKIndexed(s, idx, "vec_id", q, k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
     // BATCHED index probe: 3 queries scored in ONE scan of the union of
     // their probed lists (per-query ADC tables broadcast together; each
     // code row explodes into a score per query probing its list; top-k
@@ -3172,6 +3203,91 @@ object SparkEntry {
         |SELECT vec_id, cluster FROM lab
         |QUALIFY row_number() OVER (PARTITION BY cluster
         |  ORDER BY vec_id ASC) <= 1""".stripMargin,
+
+    // q120's clustering, keep-cut by DESCENDING quality (vec_id % 7)
+    // with the id tie-break — the keep-best SemDeDup policy.
+    "q125_semdedup_keepbest" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl p JOIN asg a ON a.lst = p.lst WHERE a.vec_id <> p.vec_id),
+        |cs AS (SELECT c.id1, c.id2,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * b.v[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(b.v) + 1),
+        |    j -> b.v[j] * b.v[j]), (x, y) -> x + y) AS nb
+        |  FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2),
+        |knn AS (SELECT id1, id2, dp / (sqrt(na) * sqrt(nb)) AS cos FROM cs
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3),
+        |edg AS (SELECT id1, id2 FROM knn WHERE cos >= 0.42),
+        |und AS (SELECT id1, id2 FROM edg UNION ALL SELECT id2, id1 FROM edg),
+        |nodes AS (SELECT DISTINCT id1 AS id FROM und),
+        |reach(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT u.id2, r.lab FROM reach r JOIN und u ON u.id1 = r.id),
+        |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |lab AS (SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster
+        |  FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id)
+        |SELECT vec_id, cluster FROM lab
+        |QUALIFY row_number() OVER (PARTITION BY cluster
+        |  ORDER BY (vec_id % 7) DESC, vec_id ASC) <= 1""".stripMargin,
+
+    // q121's perm/pv prefix feeding q106's coarse-assign/probe/ADC body:
+    // everything — centroids, donors, codes, the query — lives in the
+    // permuted space (assignment is L2-invariant under the permutation,
+    // but the oracle computes it over pv anyway so summation ORDER also
+    // matches the engine).
+    "q126_ivfpq_balanced_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |dims AS (SELECT t.j AS dim, max(e.v[t.j]) - min(e.v[t.j]) AS rg
+        |  FROM e CROSS JOIN range(1, 65) t(j) GROUP BY t.j),
+        |perm AS (SELECT dim, ((r0 % 8) * 8 + r0 // 8) AS pos FROM (
+        |  SELECT dim, row_number() OVER (ORDER BY rg DESC, dim ASC) - 1 AS r0
+        |  FROM dims)),
+        |pv AS (SELECT e.vec_id, list(e.v[p.dim] ORDER BY p.pos) AS v
+        |  FROM e CROSS JOIN perm p GROUP BY e.vec_id),
+        |don AS (SELECT p2.vec_id AS did, p2.v AS dv FROM pv p2
+        |  ORDER BY ((((p2.vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, p2.vec_id LIMIT 16),
+        |q AS (SELECT v AS qv FROM pv WHERE vec_id = 0),
+        |fulld AS (SELECT p2.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(p2.v) + 1),
+        |    j -> (p2.v[j] - d.dv[j]) * (p2.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM pv p2 CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT did AS lst FROM don CROSS JOIN q
+        |  ORDER BY list_reduce(list_transform(range(1, len(dv) + 1),
+        |    j -> (dv[j] - qv[j]) * (dv[j] - qv[j])), (x, y) -> x + y), did LIMIT 4),
+        |cand AS (SELECT a.vec_id FROM asg a JOIN pl ON a.lst = pl.lst),
+        |sd AS (SELECT p2.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (p2.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (p2.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM pv p2 CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
+        |adc AS (SELECT c.vec_id, sum(q2.s) AS adc FROM codes c
+        |  JOIN cand ON cand.vec_id = c.vec_id
+        |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id)
+        |SELECT vec_id, round(adc, 6) AS adc
+        |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
 
     // Full dedup pipeline recomputed: exact dedup (null-text singletons),
     // LSH candidates over survivors (as q25, %25 planting), distinct-bigram

@@ -568,14 +568,29 @@ object Similarity {
     * and the stored donor vectors are the donors' residuals. Probes build
     * one ADC table PER PROBED LIST (q − c_l against the donor residuals)
     * — nProbe · m · nCodes entries, still driver-side and broadcast.
+    *
+    * `balanced = true` applies the [[pqBalancedPerm]] dimension deal
+    * BEFORE anything else: the whole index — centroids, donors, codes —
+    * lives in the permuted space, `perm` is recorded in the sidecar, and
+    * every probe/append permutes its vectors on the way in. Coarse
+    * assignment is unchanged by construction (a permutation is
+    * orthogonal, L2 distances and their ties are invariant); only the PQ
+    * subspace split — the thing the deal balances — differs.
     */
   def writeIvfPqIndex(vecs: DataFrame, idCol: String, vecCol: String,
       path: String, nLists: Int = 16, m: Int = 8, nCodes: Int = 16,
       centroidsOpt: Option[Array[(Long, Array[Double])]] = None,
       donorsOpt: Option[Array[(Long, Array[Double])]] = None,
-      residual: Boolean = false, assignGroups: Int = 0): Unit = {
+      residual: Boolean = false, assignGroups: Int = 0,
+      balanced: Boolean = false): Unit = {
     val spark = vecs.sparkSession
-    val clean = vecs.filter(col(vecCol).isNotNull)
+    require(!(balanced && (centroidsOpt.isDefined || donorsOpt.isDefined)),
+      "writeIvfPqIndex: balanced=true derives its own permuted-space " +
+        "codebooks — explicit centroids/donors would silently live in " +
+        "the wrong space")
+    val perm: Option[Array[Int]] =
+      if (balanced) Some(pqBalancedPerm(vecs, idCol, vecCol, m)) else None
+    val clean = applyPerm(vecs.filter(col(vecCol).isNotNull), vecCol, perm)
     val centroids = centroidsOpt.getOrElse(pqDonors(clean, idCol, vecCol, nLists))
     val rawDonors = donorsOpt.getOrElse(
       pqDonors(clean, idCol, vecCol, nCodes, skip = if (residual) nLists else 0))
@@ -615,8 +630,13 @@ object Similarity {
         count(lit(1)).as("n")).head()
     require(stats.getLong(1) > 0, "writeIvfPqIndex: refusing to index an " +
       "empty corpus (no non-null vectors)")
+    // drift baseline: build-time mean reconstruction error (see
+    // meanQuantErr) — what append errors are compared against
+    val baseErr = meanQuantErr(clean, vecCol, centroids, donors, m,
+      residual, assignGroups)
     writeIvfPqMeta(spark, path, m, centroids, donors,
-      stats.getLong(0), stats.getLong(1), residual, assignGroups)
+      stats.getLong(0), stats.getLong(1), residual, assignGroups,
+      baseErr = baseErr, perm = perm)
     // a full rebuild is the documented recovery from a crashed append or
     // rewrite — clear any stale pending marker / rewrite stash so the
     // fresh index is probe-able and compactable
@@ -625,6 +645,24 @@ object Similarity {
     stash.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(stash, true)
   }
+
+  /** Project `vecCol` through a stored dimension permutation — a literal
+    * array of `getItem`s (codegen, no UDF); identity when `perm` is
+    * absent. Probes/appends against a `balanced` index funnel through
+    * this so the caller always works in raw space.
+    */
+  private def applyPerm(df: DataFrame, vecCol: String,
+      perm: Option[Array[Int]]): DataFrame = perm match {
+    case None => df
+    case Some(p) =>
+      val v = col(vecCol).cast("array<double>")
+      df.withColumn(vecCol,
+        array(p.map(i => v.getItem(i)).toIndexedSeq: _*))
+  }
+
+  private def permQuery(query: Seq[Double],
+      perm: Option[Array[Int]]): Seq[Double] =
+    perm.map(p => p.toIndexedSeq.map(query(_)): Seq[Double]).getOrElse(query)
 
   /** Each donor replaced by its residual against its own nearest centroid
     * (same argmin + tie-break as assignment — bit-consistent with the SQL
@@ -712,20 +750,106 @@ object Similarity {
     }
   }
 
+  /** Mean squared PQ reconstruction error of `rel`'s vectors against the
+    * (frozen) codebooks — the DRIFT statistic recorded in the sidecar per
+    * batch: build-time mean as the baseline, then one entry per append.
+    * When appended batches stop resembling the training distribution the
+    * ratio climbs and a rebuild is observably due (FAISS freezes
+    * quantizers on add() the same way and leaves re-train-when to the
+    * operator). One extra map-side scan of the relation — O(batch) on
+    * appends, never O(corpus).
+    */
+  private def meanQuantErr(rel: DataFrame, vecCol: String,
+      centroids: Array[(Long, Array[Double])],
+      donors: Array[(Long, Array[Double])], m: Int,
+      residual: Boolean, assignGroups: Int): Double = {
+    val spark = rel.sparkSession
+    val dim = donors.head._2.length
+    val sub = dim / m
+    val bcC = spark.sparkContext.broadcast(centroids.toMap)
+    val bcD = spark.sparkContext.broadcast(donors)
+    val err = udf { (v: Seq[Double], lst: Long) =>
+      val base: Array[Double] =
+        if (!residual) v.toArray
+        else {
+          val cv = bcC.value(lst)
+          Array.tabulate(v.length)(i => v(i) - cv(i))
+        }
+      var tot = 0.0; var j = 0
+      while (j < m) {
+        var bdj = Double.PositiveInfinity
+        bcD.value.foreach { case (_, dv) =>
+          var s = 0.0; var i = 0
+          while (i < sub) {
+            val t = base(j * sub + i) - dv(j * sub + i); s += t * t; i += 1
+          }
+          if (s < bdj) bdj = s
+        }
+        tot += bdj; j += 1
+      }
+      tot
+    }
+    val vcol = col(vecCol).cast("array<double>")
+    // residual error needs the row's coarse list; plain-mode error is
+    // list-independent (lst unused — pass a constant)
+    val lstCol =
+      if (!residual) lit(-1L)
+      else if (assignGroups > 0)
+        hierarchicalAssignUdf(spark, centroids, assignGroups)(vcol)
+      else assignByIdUdf(spark, centroids)(vcol)
+    rel.filter(col(vecCol).isNotNull)
+      .select(err(vcol, lstCol).as("__qe"))
+      .agg(avg(col("__qe"))).head().getDouble(0)
+  }
+
+  /** Observable health of a persisted IVF-PQ index — sizes plus the drift
+    * telemetry: `baseErr` (build-time mean squared PQ reconstruction
+    * error) and `appendErrs` (one mean per appended batch, most recent
+    * last, capped to the last 64). `driftRatio` compares the latest
+    * append to the baseline: a ratio well above 1 means the frozen
+    * codebooks no longer fit what's being ingested and a rebuild
+    * (re-train) is due. Indexes written before this telemetry existed
+    * report `baseErr = NaN` and no history.
+    */
+  case class IvfPqIndexStats(m: Int, nLists: Int, nCodes: Int, nVecs: Long,
+      maxId: Long, residual: Boolean, assignGroups: Int, baseErr: Double,
+      appendErrs: Seq[Double]) {
+    def driftRatio: Option[Double] =
+      appendErrs.lastOption.filter(_ => !baseErr.isNaN && baseErr > 0)
+        .map(_ / baseErr)
+  }
+
+  def ivfPqIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndexStats = {
+    val meta = readIvfPqMeta(spark, path)
+    IvfPqIndexStats(meta.m, meta.centroids.length, meta.donors.length,
+      meta.nVecs, meta.maxId, meta.residual, meta.assignGroups,
+      meta.baseErr, meta.appendErrs)
+  }
+
   private def writeIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, m: Int, centroids: Array[(Long, Array[Double])],
       donors: Array[(Long, Array[Double])], maxId: Long, nVecs: Long,
       residual: Boolean, assignGroups: Int,
-      last: Option[(Long, Long, Long)] = None): Unit = {
+      last: Option[(Long, Long, Long)] = None,
+      baseErr: Double = Double.NaN,
+      appendErrs: Seq[Double] = Nil,
+      perm: Option[Array[Int]] = None): Unit = {
     def enc(arr: Array[(Long, Array[Double])]): String = arr
       .map { case (id, v) => s"""{"id":$id,"v":${v.mkString("[", ",", "]")}}""" }
       .mkString("[", ",", "]")
     val lastJson = last
       .map { case (mn, mx, c) => s""""lastMin":$mn,"lastMax":$mx,"lastN":$c,""" }
       .getOrElse("")
+    // drift telemetry (NaN baseErr = pre-telemetry index, field omitted)
+    val driftJson = (if (baseErr.isNaN) "" else s""""baseErr":$baseErr,""") +
+      (if (appendErrs.isEmpty) ""
+       else s""""appendErrs":${appendErrs.mkString("[", ",", "]")},""") +
+      perm.map(p => s""""perm":${p.mkString("[", ",", "]")},""").getOrElse("")
     val sidecar = s"""{"m":$m,"nLists":${centroids.length},""" +
       s""""nCodes":${donors.length},"maxId":$maxId,"nVecs":$nVecs,""" +
       s""""residual":$residual,"assignGroups":$assignGroups,$lastJson""" +
+      driftJson +
       s""""centroids":${enc(centroids)},"donors":${enc(donors)}}"""
     val p = new org.apache.hadoop.fs.Path(path, "_ivfpq_meta.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -756,7 +880,9 @@ object Similarity {
     residual: Boolean, assignGroups: Int,
     centroids: Array[(Long, Array[Double])],
     donors: Array[(Long, Array[Double])],
-    last: Option[(Long, Long, Long)])
+    last: Option[(Long, Long, Long)],
+    baseErr: Double, appendErrs: Seq[Double],
+    perm: Option[Array[Int]])
 
   private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqMeta = {
@@ -808,8 +934,16 @@ object Similarity {
         .map(_.group(1).toLong)
     val last = for (mn <- optLong("lastMin"); mx <- optLong("lastMax");
       c <- optLong("lastN")) yield (mn, mx, c)
+    val baseErr = "\"baseErr\":([-+0-9.eE]+)".r.findFirstMatchIn(raw)
+      .map(_.group(1).toDouble).getOrElse(Double.NaN)
+    val appendErrs = "\"appendErrs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(raw)
+      .map(_.group(1).trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.toDouble).toSeq).getOrElse(Seq.empty)
+    val perm = "\"perm\":\\[([^\\]]*)\\]".r.findFirstMatchIn(raw)
+      .map(_.group(1).trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.toInt))
     IvfPqMeta(m, long("maxId"), long("nVecs"), residual, assignGroups,
-      centroids, donors, last)
+      centroids, donors, last, baseErr, appendErrs, perm)
   }
 
   /** Append a batch of NEW vectors to a persisted IVF-PQ index with the
@@ -835,9 +969,10 @@ object Similarity {
       s"appendToIvfPqIndex requires a numeric id column: $idCol is " +
         newVecs.schema(idCol).dataType.simpleString)
     val meta = readIvfPqMeta(spark, path)
-    val clean = newVecs.filter(col(vecCol).isNotNull)
+    // balanced index: the batch joins the index's permuted space here
+    val clean = applyPerm(newVecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol),
-        col(vecCol).cast("array<double>").as("__v"))
+        col(vecCol).cast("array<double>").as("__v")), "__v", meta.perm)
     val s = clean.agg(coalesce(min(col(idCol)), lit(Long.MaxValue)),
       coalesce(max(col(idCol)), lit(Long.MinValue)),
       sum(when(col(idCol).isNull, 1).otherwise(0)), count(lit(1))).head()
@@ -875,9 +1010,15 @@ object Similarity {
       }
     coded.repartition(col("ivf_list"))
       .write.mode("append").partitionBy("ivf_list").parquet(s"$path/codes")
+    // drift telemetry: this batch's mean reconstruction error joins the
+    // sidecar history (last 64 appends) — see IvfPqIndexStats.driftRatio
+    val batchErr = meanQuantErr(clean, "__v", meta.centroids, meta.donors,
+      meta.m, meta.residual, meta.assignGroups)
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
       s.getLong(1), meta.nVecs + s.getLong(3), meta.residual,
-      meta.assignGroups, Some(range))
+      meta.assignGroups, Some(range), baseErr = meta.baseErr,
+      appendErrs = (meta.appendErrs :+ batchErr).takeRight(64),
+      perm = meta.perm)
     clearIvfPqPendingMarker(spark, path)
   }
 
@@ -953,7 +1094,8 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
       meta.maxId, math.max(0L, meta.nVecs - removed), meta.residual,
-      meta.assignGroups, meta.last)
+      meta.assignGroups, meta.last, baseErr = meta.baseErr,
+      appendErrs = meta.appendErrs, perm = meta.perm)
     fs.delete(stash, true)
   }
 
@@ -965,8 +1107,10 @@ object Similarity {
     * and (for fixed list sizes) of corpus growth in unprobed lists.
     */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, query: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
+      idCol: String, rawQuery: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
     val meta = readIvfPqMeta(spark, path)
+    // balanced index: the query joins the stored permuted space here
+    val query = permQuery(rawQuery, meta.perm)
     val probed = nearestListIds(query, meta.centroids, nProbe)
     if (!meta.residual) {
       val codes = spark.read.parquet(s"$path/codes")
@@ -1023,10 +1167,41 @@ object Similarity {
     * a vector alone in its probed lists yields none), ties broken on
     * smaller id2. The per-vector top-k is a window partitioned BY VECTOR
     * — thousands of tiny partitions, never a global sort.
+    *
+    * `maxListSize` is the HOT-LIST skew guard (the kNN analog of the LSH
+    * `maxBucket` cap): when one semantic cluster dominates the corpus, a
+    * single coarse list can hold a constant fraction of N and the
+    * list-keyed join degrades toward all-pairs WITHIN that list —
+    * |probers|·|members| rows. A list larger than the cap keeps only a
+    * deterministic hash-sample of `maxListSize` members on the CANDIDATE
+    * side (smallest Knuth multiplicative id-hash, ties on id — the same
+    * SQL-reproducible sampler as the centroid/donor choice), bounding
+    * join fan-in at nProbe·maxListSize candidates per vector, ≤
+    * N·nProbe·maxListSize rows total. Every vector still PROBES its
+    * lists (all vectors get neighbors); only its visibility as a
+    * candidate inside an oversized list is subsampled — the usual
+    * bounded-recall trade, in exchange for a join that survives a
+    * dominant cluster at 100 TB. Default 10 000 ≫ any balanced list at
+    * sane nLists; size nLists so avg list size stays well under it.
     */
   def knnGraph(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+      nLists: Int = 16, nProbe: Int = 4,
+      maxListSize: Int = 10000): DataFrame = {
     require(k >= 1, s"k $k must be >= 1")
+    val edges = knnCandidateEdges(vecs, idCol, vecCol, nLists, nProbe,
+      maxListSize)
+    Ops.topKPerGroup(edges, Seq("id1"),
+      Seq(col("cos").desc, col("id2").asc), k)
+  }
+
+  /** The scored candidate-edge relation behind [[knnGraph]], pre-top-k —
+    * package-visible so specs can assert the hot-list cap bounds the
+    * candidate count itself, not just the k-cut output.
+    */
+  private[graft] def knnCandidateEdges(vecs: DataFrame, idCol: String,
+      vecCol: String, nLists: Int, nProbe: Int,
+      maxListSize: Int): DataFrame = {
+    require(maxListSize >= 1, s"maxListSize $maxListSize must be >= 1")
     val spark = vecs.sparkSession
     val clean = vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol),
@@ -1042,14 +1217,20 @@ object Similarity {
       explode(probeU(col("__v"))).as("__lst"))
     // each candidate sits in exactly ONE list, so a (id1, id2) pair can
     // match at most once — no dedup needed after the join
-    val right = clean.select(col(idCol).as("id2"), col("__v").as("__v2"),
+    val assigned = clean.select(col(idCol).as("id2"), col("__v").as("__v2"),
       assign(col("__v")).as("__lst"))
-    val edges = left.join(right, Seq("__lst"))
+    // hot-list cap: per-list top-maxListSize by the Knuth id-hash (see
+    // scaladoc). The rank window partitions BY LIST and shuffles on the
+    // same key the join needs — one extra in-partition sort, no extra
+    // exchange shape.
+    val idHash = pmod(pmod(col("id2"), lit(2147483648L)) * 2654435761L,
+      lit(4294967296L))
+    val right = Ops.topKPerGroup(assigned, Seq("__lst"),
+      Seq(idHash.asc, col("id2").asc), maxListSize)
+    left.join(right, Seq("__lst"))
       .filter(col("id1") =!= col("id2"))
       .select(col("id1"), col("id2"),
         VectorFns.cosine(col("__v1"), col("__v2")).as("cos"))
-    Ops.topKPerGroup(edges, Seq("id1"),
-      Seq(col("cos").desc, col("id2").asc), k)
   }
 
   /** Embedding CLUSTERING: connected components over the thresholded
@@ -1064,10 +1245,10 @@ object Similarity {
     */
   def clusterEmbeddings(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, minCos: Double, nLists: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, maxListSize: Int = 10000): DataFrame = {
     val ids = vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol))
-    val edges = knnGraph(vecs, idCol, vecCol, k, nLists, nProbe)
+    val edges = knnGraph(vecs, idCol, vecCol, k, nLists, nProbe, maxListSize)
       .filter(col("cos") >= minCos)
     val comps = Dedup.connectedComponents(edges, "id1", "id2")
     ids.join(comps, ids(idCol) === comps("id"), "left")
@@ -1111,8 +1292,9 @@ object Similarity {
   /** One-shot PQ top-k over the balanced permutation: permute (literal
     * projection), then the standard donor/encode/ADC machinery on the
     * permuted relation — donors keep their hash-selected ids, the query
-    * permutes driver-side. Persisting the permuted codes works exactly
-    * like [[pqEncode]]'s relation (store `perm` alongside the codebook).
+    * permutes driver-side. The persisted-index equivalent is
+    * [[writeIvfPqIndex]] with `balanced = true`, which stores `perm` in
+    * the sidecar and permutes probes/appends on the way in.
     */
   def pqTopKBalanced(vecs: DataFrame, idCol: String, vecCol: String,
       query: Seq[Double], k: Int, m: Int = 8,
@@ -1132,19 +1314,42 @@ object Similarity {
     * al. 2023: cluster embeddings, keep few representatives per cluster —
     * prunes paraphrase-level redundancy whole-document MinHash misses):
     * [[clusterEmbeddings]] labels every vector, then each cluster keeps
-    * its `keepPerCluster` smallest ids (deterministic; pass a quality
-    * score and rank on it upstream for keep-best). Output is the kept
-    * (id, cluster) relation — semi-join the corpus on it. Cost = the kNN
-    * graph + CC + one cluster-keyed window; singletons always survive.
+    * its `keepPerCluster` best members. Output is the kept (id, cluster)
+    * relation — semi-join the corpus on it. Cost = the kNN graph + CC +
+    * one cluster-keyed window; singletons always survive.
+    *
+    * Keep policy: by default the smallest ids (deterministic). The
+    * PUBLISHED SemDeDup recipe keeps by a score (centroid distance,
+    * quality): pass `keepByCol` — a numeric column of `vecs` — and each
+    * cluster keeps its `keepPerCluster` HIGHEST-scoring members (ties on
+    * smaller id), the same keep-best shape as
+    * [[graft.operators.Dedup.dedupCorpusTransitiveBy]].
     */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       minCos: Double, keepPerCluster: Int = 1, nLists: Int = 16,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, maxListSize: Int = 10000,
+      keepByCol: Option[String] = None): DataFrame = {
     require(keepPerCluster >= 1, s"keepPerCluster $keepPerCluster must be >= 1")
     val labeled = clusterEmbeddings(vecs, idCol, vecCol, k, minCos,
-      nLists, nProbe)
-    Ops.topKPerGroup(labeled, Seq("cluster"), Seq(col(idCol).asc),
-      keepPerCluster)
+      nLists, nProbe, maxListSize)
+    keepByCol match {
+      case None =>
+        Ops.topKPerGroup(labeled, Seq("cluster"), Seq(col(idCol).asc),
+          keepPerCluster)
+      case Some(s) =>
+        require(vecs.schema(s).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"semDedup keepByCol requires a numeric column: $s is " +
+            vecs.schema(s).dataType.simpleString)
+        // scores ride a plain id-keyed equi-join (corpus-sized, no skew —
+        // ids are unique on both sides)
+        val scores = vecs.filter(col(vecCol).isNotNull)
+          .select(col(idCol).cast("long").as(idCol),
+            col(s).cast("double").as("__keep_score"))
+        Ops.topKPerGroup(labeled.join(scores, Seq(idCol)), Seq("cluster"),
+            Seq(col("__keep_score").desc, col(idCol).asc), keepPerCluster)
+          .drop("__keep_score")
+    }
   }
 
   /** BATCHED probe of a persisted IVF-PQ index: score a bounded RELATION
@@ -1156,24 +1361,54 @@ object Similarity {
     * partitioned BY QUERY. ADC tables for the whole batch broadcast
     * together: |batch|·m·nCodes entries (×nProbe when the index is
     * residual — per-list query tables).
+    *
+    * The batch must be DRIVER-COLLECTABLE — that contract is enforced,
+    * not assumed: a relation larger than `maxBatch` rows refuses loudly
+    * (before materializing more than `maxBatch`+1 rows on the driver),
+    * and the broadcast ADC table is capped at `maxAdcEntries` =
+    * |batch|·(nProbe if residual else 1)·m·nCodes entries, so an
+    * oversized batch (or an over-eager nProbe against a residual index)
+    * fails with a sizing message instead of a driver OOM. For unbounded
+    * query relations, run in `maxBatch`-sized slices.
     */
   def ivfPqTopKIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, queries: DataFrame, qIdCol: String,
-      qVecCol: String, k: Int, nProbe: Int = 4): DataFrame = {
+      qVecCol: String, k: Int, nProbe: Int = 4,
+      maxBatch: Int = 65536, maxAdcEntries: Long = 16000000L): DataFrame = {
     require(qIdCol != idCol,
       s"ivfPqTopKIndexedBatch: query id column '$qIdCol' must differ from " +
         s"the index id column '$idCol' (both appear in the output)")
+    require(maxBatch >= 1, s"maxBatch $maxBatch must be >= 1")
     val meta = readIvfPqMeta(spark, path)
     val qs: Array[(Long, Array[Double])] = queries
       .filter(col(qVecCol).isNotNull)
       .select(col(qIdCol).cast("long").as("qid"),
         col(qVecCol).cast("array<double>").as("qv"))
+      .limit(maxBatch + 1)
       .collect().map { r =>
         require(!r.isNullAt(0),
           s"ivfPqTopKIndexedBatch requires numeric query ids; '$qIdCol' cast to null")
-        (r.getLong(0), r.getSeq[Double](1).toArray)
+        // balanced index: queries join the stored permuted space here
+        (r.getLong(0), permQuery(r.getSeq[Double](1), meta.perm).toArray)
       }
+    require(qs.length <= maxBatch,
+      s"ivfPqTopKIndexedBatch: query batch exceeds maxBatch=$maxBatch rows " +
+        "— the batched probe broadcasts per-query ADC tables and is for " +
+        "bounded eval/rerank batches; slice the relation or raise maxBatch " +
+        "only with the driver memory to match")
     require(qs.nonEmpty, "ivfPqTopKIndexedBatch: empty query batch")
+    locally {
+      val perQ = (if (meta.residual) nProbe.toLong else 1L) *
+        meta.m * meta.donors.length
+      val entries = qs.length * perQ
+      require(entries <= maxAdcEntries,
+        s"ivfPqTopKIndexedBatch: broadcast ADC table would hold $entries " +
+          s"entries (|batch|=${qs.length} x $perQ per query" +
+          (if (meta.residual) s", residual index so xnProbe=$nProbe" else "") +
+          s") > maxAdcEntries=$maxAdcEntries — shrink the batch" +
+          (if (meta.residual) " or nProbe" else "") + " or raise the cap " +
+          "with the driver memory to match")
+    }
     require(qs.map(_._1).distinct.length == qs.length,
       "ivfPqTopKIndexedBatch: duplicate query ids in the batch — two rows " +
         "sharing an id would silently shadow each other's vectors")

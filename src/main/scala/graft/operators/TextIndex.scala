@@ -310,11 +310,24 @@ object TextIndex {
     * (query, term) relation fans each term row out to the queries using
     * it; the per-query cut is a query-partitioned window. Output:
     * (query_id, doc_id, bm25, n_terms), up to k rows per query.
+    *
+    * Bounded-batch contract, enforced: at most `maxBatch` queries and
+    * `maxBatchTerms` distinct (query, term) pairs — both end up in
+    * driver-built broadcasts (the term `isin` pushdown list and the
+    * fan-out relation), so an unbounded batch refuses with a sizing
+    * message instead of OOM-ing the driver. Slice bigger workloads.
     */
   def searchBatch(spark: SparkSession, path: String,
       queries: Seq[(Long, Seq[String])], k: Int, k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75, maxBatch: Int = 65536,
+      maxBatchTerms: Int = 1000000): DataFrame = {
     require(queries.nonEmpty, "searchBatch: empty query batch")
+    require(maxBatch >= 1, s"maxBatch $maxBatch must be >= 1")
+    require(queries.size <= maxBatch,
+      s"searchBatch: ${queries.size} queries exceed maxBatch=$maxBatch — " +
+        "the batched search broadcasts a per-query term relation and is " +
+        "for bounded eval batches; slice the workload or raise maxBatch " +
+        "with the driver memory to match")
     val st = readStats(spark, path)
     val n = st.n; val avgdl = st.avgdl; val nBuckets = st.nBuckets.toLong
     // (qid, term) pairs must be unique or a repeated qid would double-
@@ -325,6 +338,10 @@ object TextIndex {
           .distinct.map(qid -> _)
       }
     require(qterms.nonEmpty, "searchBatch: every query is empty")
+    require(qterms.size <= maxBatchTerms,
+      s"searchBatch: ${qterms.size} (query, term) pairs exceed " +
+        s"maxBatchTerms=$maxBatchTerms — shrink the batch or its term " +
+        "sets, or raise the cap with the driver memory to match")
     val terms = qterms.map(_._2).distinct
     val buckets = terms
       .map(t => math.floorMod(

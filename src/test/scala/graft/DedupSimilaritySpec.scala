@@ -732,6 +732,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
         queries.select(col("query_id").as("vec_id"), col("embedding")),
         "vec_id", "embedding", k = 1)
     }
+    // bounded-batch contract is ENFORCED: an over-maxBatch relation and an
+    // over-budget broadcast ADC table both refuse loudly (driver-OOM guard)
+    locally {
+      val idx = java.nio.file.Files.createTempDirectory("graft_pqg")
+        .resolve("idx").toString
+      Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", idx,
+        nLists = 8, m = 4, nCodes = 8)
+      val eBatch = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKIndexedBatch(spark, idx, "vec_id", queries,
+          "query_id", "embedding", k = 7, nProbe = 3, maxBatch = 2)
+      }
+      assert(eBatch.getMessage.contains("maxBatch"), eBatch.getMessage)
+      val eAdc = intercept[IllegalArgumentException] {
+        Similarity.ivfPqTopKIndexedBatch(spark, idx, "vec_id", queries,
+          "query_id", "embedding", k = 7, nProbe = 3, maxAdcEntries = 10L)
+      }
+      assert(eAdc.getMessage.contains("maxAdcEntries"), eAdc.getMessage)
+    }
   }
 
   test("hierarchical coarse assignment: near-total agreement with exact " +
@@ -812,6 +830,159 @@ class DedupSimilaritySpec extends AnyFunSuite {
         minCos = 0.9, keepPerCluster = 1, nLists = 4, nProbe = 2)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(0L, 10L), s"got $kept")
+    // keep-BEST: a quality column flips survivorship to each cluster's
+    // highest-scoring member (here quality = id, so the LARGEST ids win)
+    val scored = vecs.withColumn("quality", col("vec_id").cast("double"))
+    val best = Similarity.semDedup(scored, "vec_id", "embedding", k = 3,
+        minCos = 0.9, keepPerCluster = 1, nLists = 4, nProbe = 2,
+        keepByCol = Some("quality"))
+      .collect().map(_.getLong(0)).toSet
+    assert(best == Set(9L, 19L), s"got $best")
+    // non-numeric keepBy refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semDedup(vecs.withColumn("quality", lit("high")),
+        "vec_id", "embedding", k = 3, minCos = 0.9,
+        keepByCol = Some("quality"))
+    }
+    assert(e.getMessage.contains("numeric"), e.getMessage)
+  }
+
+  test("knnGraph hot-list cap bounds the candidate join under a dominant " +
+      "cluster; every vector still gets neighbors") {
+    import graft.operators.Similarity
+    // one semantic cluster holds 80% of the corpus (the shape that turns
+    // the list-keyed candidate join all-pairs within the hot list): 400 of
+    // 500 vectors are tight around one center, the rest spread out
+    val vecs = spark.range(500).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), d -> CASE WHEN id < 400 " +
+        "THEN 50.0 + CAST(pmod(id * (d + 3) + d, 17) AS DOUBLE) / 17.0 " +
+        "ELSE CAST(pmod(id * (d + 11) + d * 5, 97) AS DOUBLE) END)")
+        .as("embedding"))
+    val cap = 40
+    val nProbe = 2
+    val capped = Similarity.knnCandidateEdges(vecs, "vec_id", "embedding",
+      nLists = 8, nProbe = nProbe, maxListSize = cap)
+    val uncapped = Similarity.knnCandidateEdges(vecs, "vec_id", "embedding",
+      nLists = 8, nProbe = nProbe, maxListSize = Int.MaxValue)
+    // the cap's contract: ≤ nProbe·cap candidates PER VECTOR (the uncapped
+    // join blows past this — the dominant list alone contributes its full
+    // membership to every prober)
+    val perVec = capped.groupBy("id1").count().select(max("count")).head().getLong(0)
+    assert(perVec <= nProbe.toLong * cap,
+      s"per-vector candidates $perVec exceed nProbe*cap=${nProbe * cap}")
+    val nCap = capped.count(); val nRaw = uncapped.count()
+    assert(nCap < nRaw / 2,
+      s"cap must shrink the hot-list join: capped=$nCap uncapped=$nRaw")
+    // every vector still PROBES (capping only candidate visibility): with
+    // k=5 each of the 500 vectors still gets its 5 neighbors
+    val g = Similarity.knnGraph(vecs, "vec_id", "embedding", k = 5,
+      nLists = 8, nProbe = nProbe, maxListSize = cap)
+    assert(g.groupBy("id1").count().filter(col("count") =!= 5).count() == 0L,
+      "every vector must still receive k neighbors under the cap")
+    assert(g.count() == 2500L)
+    // dominant-cluster members must keep resolving to dominant-cluster
+    // neighbors (the subsample is within the same list)
+    val cross = g.filter(col("id1") < 400 && col("id2") >= 400).count()
+    assert(cross == 0L, s"$cross cross-cluster neighbors under the cap")
+  }
+
+  test("balanced persisted IVF-PQ: probes equal an unbalanced index built " +
+      "on pre-permuted vectors; appends and batch probes respect the perm") {
+    import graft.operators.Similarity
+    // unbalanced spread: dims 0-3 carry ~100x the range of the rest — the
+    // shape the deal exists for
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), d -> CASE WHEN d < 4 THEN " +
+          "CAST(pmod(id * (d + 7) + d, 97) AS DOUBLE) ELSE " +
+          "CAST(pmod(id * (d + 3), 11) AS DOUBLE) / 11.0 END)")
+          .as("embedding"))
+    val vecs = mk(0L, 200L)
+    val m = 4
+    val bal = java.nio.file.Files.createTempDirectory("graft_bal")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", bal,
+      nLists = 4, m = m, nCodes = 8, balanced = true)
+    // reference: unbalanced build over MANUALLY permuted vectors
+    val perm = Similarity.pqBalancedPerm(vecs, "vec_id", "embedding", m)
+    def permute(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("vec_id"), array(perm.map(i =>
+        col("embedding").cast("array<double>").getItem(i)).toIndexedSeq: _*)
+        .as("embedding"))
+    val ref = java.nio.file.Files.createTempDirectory("graft_balref")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(permute(vecs), "vec_id", "embedding", ref,
+      nLists = 4, m = m, nCodes = 8)
+    val q: Seq[Double] = vecs.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val qp: Seq[Double] = perm.toIndexedSeq.map(q(_))
+    def got(path: String, qq: Seq[Double]) =
+      Similarity.ivfPqTopKIndexed(spark, path, "vec_id", qq, k = 9,
+        nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got(bal, q) == got(ref, qp),
+      "balanced probe must equal unbalanced probe in pre-permuted space")
+    // appends go through the stored perm: parity must survive a roll
+    Similarity.appendToIvfPqIndex(mk(200L, 240L), "vec_id", "embedding", bal)
+    Similarity.appendToIvfPqIndex(permute(mk(200L, 240L)), "vec_id",
+      "embedding", ref)
+    assert(got(bal, q) == got(ref, qp),
+      "balanced append must encode through the stored perm")
+    // batched probe permutes each query the same way
+    val queries = vecs.filter(col("vec_id").isin(7L, 55L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.ivfPqTopKIndexedBatch(spark, bal, "vec_id",
+        queries, "query_id", "embedding", k = 9, nProbe = 2)
+      .filter(col("query_id") === 7L)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      .sortBy(x => (x._2, x._1))
+    assert(batch == got(bal, q).sortBy(x => (x._2, x._1)),
+      "batched probe must match the single probe on a balanced index")
+    // explicit codebooks + balanced refuse (wrong-space hazard)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", bal,
+        nLists = 4, m = m, nCodes = 8, balanced = true,
+        centroidsOpt = Some(Array((0L, Array.fill(16)(0.0)))))
+    }
+    assert(e.getMessage.contains("permuted-space"), e.getMessage)
+  }
+
+  test("IVF-PQ drift telemetry: distribution-shifted appends raise the " +
+      "recorded ADC error; maintenance preserves the history") {
+    import graft.operators.Similarity
+    for (residual <- Seq(false, true)) {
+      val mk = (lo: Long, hi: Long, shift: Double) =>
+        spark.range(lo, hi).select(col("id").as("vec_id"),
+          expr(s"transform(sequence(0, 15), d -> $shift + " +
+            "CAST(pmod(id * (d + 7) + d, 13) AS DOUBLE) / 13.0)")
+            .as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_drift")
+        .resolve("idx").toString
+      Similarity.writeIvfPqIndex(mk(0L, 200L, 0.0), "vec_id", "embedding",
+        idx, nLists = 4, m = 4, nCodes = 8, residual = residual)
+      val st0 = Similarity.ivfPqIndexStats(spark, idx)
+      assert(!st0.baseErr.isNaN && st0.appendErrs.isEmpty &&
+        st0.driftRatio.isEmpty, s"residual=$residual: $st0")
+      // in-distribution append: recorded error ~ the baseline
+      Similarity.appendToIvfPqIndex(mk(200L, 260L, 0.0), "vec_id",
+        "embedding", idx)
+      // far-out-of-distribution append: error must spike
+      Similarity.appendToIvfPqIndex(mk(300L, 360L, 1000.0), "vec_id",
+        "embedding", idx)
+      val st2 = Similarity.ivfPqIndexStats(spark, idx)
+      assert(st2.appendErrs.size == 2, s"residual=$residual: $st2")
+      assert(st2.appendErrs.head < st2.baseErr * 4,
+        s"residual=$residual: in-dist append err ${st2.appendErrs.head} " +
+          s"vs base ${st2.baseErr}")
+      assert(st2.appendErrs.last > st2.baseErr * 10 &&
+        st2.driftRatio.exists(_ > 10),
+        s"residual=$residual: shifted append err ${st2.appendErrs.last} " +
+          s"vs base ${st2.baseErr} must flag drift")
+      // compaction reasserts the meta without losing the history
+      Similarity.compactIvfPqIndex(spark, idx)
+      val st3 = Similarity.ivfPqIndexStats(spark, idx)
+      assert(st3.baseErr == st2.baseErr && st3.appendErrs == st2.appendErrs,
+        s"residual=$residual: maintenance must preserve drift telemetry")
+    }
   }
 
   test("pqSubspaceCodebooks: learned codebooks cut quantization error on clustered data") {

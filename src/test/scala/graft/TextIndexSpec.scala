@@ -58,6 +58,16 @@ class TextIndexSpec extends AnyFunSuite {
     val plan = batchDf.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
       s"expected partition-pruned postings scan:\n$plan")
+    // bounded-batch contract enforced: over-maxBatch query count and
+    // over-budget (query, term) fan-out both refuse loudly
+    val eBatch = intercept[IllegalArgumentException] {
+      TextIndex.searchBatch(spark, path, queries, k = 10, maxBatch = 2)
+    }
+    assert(eBatch.getMessage.contains("maxBatch"), eBatch.getMessage)
+    val eTerms = intercept[IllegalArgumentException] {
+      TextIndex.searchBatch(spark, path, queries, k = 10, maxBatchTerms = 3)
+    }
+    assert(eTerms.getMessage.contains("maxBatchTerms"), eTerms.getMessage)
   }
 
   test("empty corpus refuses BEFORE touching disk — no half-built index") {
