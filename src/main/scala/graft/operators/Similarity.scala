@@ -1352,6 +1352,60 @@ object Similarity {
     }
   }
 
+  /** Two-stage probe with EXACT rerank (the FAISS refine/IVFPQR serving
+    * pattern, Jégou et al. 2011 §V): stage 1 shortlists `k·refine`
+    * candidates by ADC from the compressed codes (the usual
+    * partition-pruned scan + broadcast table); stage 2 re-scores ONLY
+    * the shortlist against the ORIGINAL vector relation and returns
+    * exact squared distances. Quantization error then affects RECALL
+    * only (a true neighbor can miss the shortlist) — never the returned
+    * metric or its order.
+    *
+    * The exact leg pushes `id IN (shortlist)` into the vector relation's
+    * scan (`PushedFilters: In(...)` — row-group pruning does the rest
+    * when the corpus is id-sorted/bucketed, the layout TESTDATA ships).
+    * Shortlist size is driver-bounded by contract: k·refine ≤ 65 536.
+    */
+  def ivfPqTopKRefined(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecs: DataFrame, vecCol: String,
+      query: Seq[Double], k: Int, nProbe: Int = 4,
+      refine: Int = 4): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    require(refine >= 1, s"refine $refine must be >= 1")
+    require(k.toLong * refine <= 65536,
+      s"ivfPqTopKRefined: shortlist k*refine = ${k.toLong * refine} " +
+        "exceeds the driver-bounded ceiling 65536 — lower k or refine")
+    val shortIds: Array[Long] =
+      ivfPqTopKIndexed(spark, path, idCol, query, k * refine, nProbe)
+        .select(col(idCol)).collect().map(_.getLong(0))
+    val q = query.toArray
+    val dist = udf { (v: Seq[Double]) =>
+      var s = 0.0; var i = 0; val n = math.min(v.length, q.length)
+      while (i < n) { val t = v(i) - q(i); s += t * t; i += 1 }
+      s
+    }
+    vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col(idCol).isin(shortIds.toIndexedSeq: _*))
+      .select(col(idCol), dist(col("__v")).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Per-list occupancy of a persisted IVF-PQ index: (ivf_list, n) for
+    * every coarse list, from parquet partition metadata — no code bytes
+    * decoded. This is the HOT-LIST detector feeding [[knnGraph]]'s
+    * `maxListSize` choice and the "raise nLists?" maintenance decision:
+    * max(n)/avg(n) ≫ 1 is exactly the skew shape the cap guards
+    * against.
+    */
+  def ivfPqListStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/codes")
+      .groupBy(col("ivf_list").cast("long").as("ivf_list"))
+      .agg(count(lit(1)).as("n"))
+
   /** BATCHED probe of a persisted IVF-PQ index: score a bounded RELATION
     * of queries (an eval/rerank batch, driver-collectable by contract) in
     * ONE scan of the union of all probed lists — instead of one Spark job

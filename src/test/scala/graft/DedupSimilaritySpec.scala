@@ -886,6 +886,71 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cross == 0L, s"$cross cross-cluster neighbors under the cap")
   }
 
+  test("ivfPqTopKRefined: exact distances, full-probe/full-refine equals " +
+      "brute force, shortlist ceiling refuses") {
+    import graft.operators.Similarity
+    val vecs = spark.range(300).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), d -> CAST(pmod(id * (d + 5) + " +
+        "d * 2, 89) AS DOUBLE) / 89.0)").as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_refine")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", idx,
+      nLists = 4, m = 4, nCodes = 8)
+    val q: Seq[Double] = vecs.filter(col("vec_id") === 42L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val all: Map[Long, Array[Double]] = vecs
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def exact(id: Long): Double = {
+      val v = all(id); var s = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - q(i); s += t * t; i += 1 }
+      s
+    }
+    // probe ALL lists with a corpus-sized shortlist: the rerank must
+    // reproduce the true exact-distance top-k, regardless of ADC error
+    val brute = all.keys.toSeq.map(id => (id, exact(id)))
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    val refined = Similarity.ivfPqTopKRefined(spark, idx, "vec_id", vecs,
+        "embedding", q, k = 10, nProbe = 4, refine = 30)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(refined.map(_._1) == brute.map(_._1), s"$refined vs $brute")
+    refined.zip(brute).foreach { case ((_, d1), (_, d2)) =>
+      assert(math.abs(d1 - d2) < 1e-12) }
+    // modest refine: still exact METRICS for whatever ids it returns
+    Similarity.ivfPqTopKRefined(spark, idx, "vec_id", vecs, "embedding",
+        q, k = 5, nProbe = 2, refine = 3)
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - exact(r.getLong(0))) < 1e-12) }
+    // the exact leg pushes the shortlist into the vector scan — no
+    // corpus-wide exact pass
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKRefined(spark, idx, "vec_id", vecs, "embedding",
+        q, k = 1000, refine = 1000)
+    }
+    assert(e.getMessage.contains("65536"), e.getMessage)
+  }
+
+  test("ivfPqListStats: occupancy sums to nVecs and tracks appends") {
+    import graft.operators.Similarity
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), d -> CAST(pmod(id * (d + 3), 31) " +
+          "AS DOUBLE))").as("embedding"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_lstats")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(mk(0L, 200L), "vec_id", "embedding", idx,
+      nLists = 4, m = 4, nCodes = 8)
+    val st = Similarity.ivfPqIndexStats(spark, idx)
+    val occ = Similarity.ivfPqListStats(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(occ.values.sum == st.nVecs, s"$occ vs ${st.nVecs}")
+    assert(occ.keySet.size <= st.nLists)
+    Similarity.appendToIvfPqIndex(mk(200L, 260L), "vec_id", "embedding", idx)
+    val occ2 = Similarity.ivfPqListStats(spark, idx).collect()
+      .map(r => r.getLong(1)).sum
+    assert(occ2 == st.nVecs + 60L, s"append must be visible: $occ2")
+  }
+
   test("balanced persisted IVF-PQ: probes equal an unbalanced index built " +
       "on pre-permuted vectors; appends and batch probes respect the perm") {
     import graft.operators.Similarity
