@@ -793,6 +793,46 @@ object SparkEntry {
             "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
     }),
 
+    // PARAMETRIC .prj fallback (the generic tail behind the anchored
+    // national families — the reference accepts ANY CRS via pyproj,
+    // lib/initialization.py:38-39): points are projected forward through
+    // the ANCHORED UTM-33N kernel, the layer ships with a .prj whose
+    // NAME nothing recognizes (no AUTHORITY, no heuristic) but whose
+    // PARAMETER values say UTM 33N — the read side must fall back to
+    // Crs.parametricFromPrj and still return the original lon/lat.
+    "q127_parametric_prj_roundtrip" -> ((s, dir) => {
+      import graft.geo.CrsFns
+      val pts = t(s, dir, "supplier").select(col("s_suppkey"),
+        (lit(12.2) + (col("s_suppkey") % 100) * 0.05).as("lon"),
+        (lit(40.0) + (col("s_suppkey") % 80) * 0.29).as("lat"))
+      val utm = pts.select(col("s_suppkey"),
+        format_string("POINT (%s %s)",
+          CrsFns.toX(lit(32633), col("lon"), col("lat")),
+          CrsFns.toY(lit(32633), col("lon"), col("lat"))).as("geometry"))
+      val base = scratchDir("graft_parametric").resolve("pts").toString
+      graft.sources.Shapefile.write(utm, "geometry", base) // no .prj yet
+      val prjTxt =
+        """PROJCS["Some_Local_Grid_1997",GEOGCS["GCS_WGS_1984",""" +
+          """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+          """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+          """PROJECTION["Transverse_Mercator"],""" +
+          """PARAMETER["False_Easting",500000.0],""" +
+          """PARAMETER["False_Northing",0.0],""" +
+          """PARAMETER["Central_Meridian",15.0],""" +
+          """PARAMETER["Scale_Factor",0.9996],""" +
+          """PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]"""
+      val p = new org.apache.hadoop.fs.Path(base + ".prj")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val os = fs.create(p, true)
+      try os.write(prjTxt.getBytes("UTF-8")) finally os.close()
+      graft.sources.Shapefile.read(s, base) // parametric fallback fires
+        .select(col("s_suppkey"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 1).cast("double"), 6).as("lon"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
+    }),
+
     // Ellipsoidal geodesic distance (Vincenty inverse on WGS-84) — the
     // reference's geopy geodesic (lib/generate_intermediate_files.py:
     // 496-501). Closed-form European point pairs; the oracle unrolls the
@@ -1591,6 +1631,39 @@ object SparkEntry {
         nLists = 16, m = 8, nCodes = 16)
       Similarity.ivfPqTopKIndexed(s, idx, "vec_id", q, k = 10, nProbe = 4)
         .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
+    // TWO-STAGE refined probe (FAISS refine / IVFPQR, Jégou et al. 2011
+    // §V): ADC shortlists k·refine=40 candidates through the persisted
+    // index, then ONLY those 40 are re-scored EXACTLY against the raw
+    // vector relation — quantization error moves recall, never the
+    // returned distances. The oracle reruns q106's ADC CTEs with the
+    // wider limit, then re-scores the shortlist in exact arithmetic.
+    "q128_ivfpq_refined" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val idx = scratchDir("graft_pqrefine").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 16, m = 8, nCodes = 16)
+      Similarity.ivfPqTopKRefined(s, idx, "vec_id", emb, "embedding", q,
+          k = 10, nProbe = 4, refine = 4)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+    }),
+
+    // Per-list occupancy of the persisted IVF-PQ index — the HOT-LIST
+    // detector (feeds knnGraph's maxListSize and the "raise nLists?"
+    // maintenance decision). Pure partition metadata: the oracle
+    // recomputes the coarse assignment and groups by winning centroid.
+    "q129_ivfpq_list_stats" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val idx = scratchDir("graft_pqlstats").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 16, m = 8, nCodes = 16)
+      Similarity.ivfPqListStats(s, idx)
     }),
 
     // Temperature-scaled domain mixing (p_d ∝ n_d^τ, the mT5/XLM-R
@@ -2762,6 +2835,60 @@ object SparkEntry {
         |SELECT vec_id, round(adc, 6) AS adc
         |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
 
+    // q106's ADC CTEs widened to the k·refine=40 shortlist, then the
+    // shortlist re-scored EXACTLY against the raw vectors — rerank order
+    // and exact distances must match the index-path refine bit-for-bit
+    "q128_ivfpq_refined" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |fulld AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT did AS lst FROM don CROSS JOIN q
+        |  ORDER BY list_reduce(list_transform(range(1, len(dv) + 1),
+        |    j -> (dv[j] - qv[j]) * (dv[j] - qv[j])), (x, y) -> x + y), did LIMIT 4),
+        |cand AS (SELECT a.vec_id FROM asg a JOIN pl ON a.lst = pl.lst),
+        |sd AS (SELECT e.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
+        |adc AS (SELECT c.vec_id, sum(q2.s) AS adc FROM codes c
+        |  JOIN cand ON cand.vec_id = c.vec_id
+        |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id),
+        |sl AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id LIMIT 40),
+        |ex AS (SELECT e.vec_id,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - qv[j]) * (e.v[j] - qv[j])), (x, y) -> x + y) AS dist
+        |  FROM e JOIN sl ON sl.vec_id = e.vec_id CROSS JOIN q)
+        |SELECT vec_id, round(dist, 6) AS dist
+        |FROM ex ORDER BY dist ASC, vec_id LIMIT 10""".stripMargin,
+
+    // coarse assignment recomputed from scratch, grouped by winning
+    // centroid — must equal the index's parquet partition occupancy
+    "q129_ivfpq_list_stats" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |fulld AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1)
+        |SELECT lst AS ivf_list, count(*) AS n FROM asg GROUP BY 1""".stripMargin,
+
     // q106's plan with the codebook CTE frozen at the build-half corpus
     // state and the takedown ids excluded — the rolled lifecycle must be
     // indistinguishable from a frozen-codebook single build.
@@ -3649,6 +3776,14 @@ object SparkEntry {
       """SELECT s_suppkey,
         |  round(12.2 + (s_suppkey % 100) * 0.1, 6) AS lon,
         |  round(47.8 + (s_suppkey % 73) * 0.042, 6) AS lat
+        |FROM supplier""".stripMargin,
+
+    // identity at 6 dp: forward (anchored UTM) + inverse (parametric
+    // reader) must cancel to sub-micro-degree
+    "q127_parametric_prj_roundtrip" ->
+      """SELECT s_suppkey,
+        |  round(12.2 + (s_suppkey % 100) * 0.05, 6) AS lon,
+        |  round(40.0 + (s_suppkey % 80) * 0.29, 6) AS lat
         |FROM supplier""".stripMargin,
 
     "q98_video_frames" ->

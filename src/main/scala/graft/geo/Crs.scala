@@ -173,39 +173,44 @@ object Crs {
     * and ETRS89 both realize GRS80 within centimeters of WGS84 — no datum
     * shift, unlike the Gauss-Krüger zones below.
     */
-  private final class LccProj(lat0: Double, lon0deg: Double, sp1: Double,
-      sp2: Double, val fe: Double, val fnn: Double) {
+  private final class LccProj(aEll: Double, e2Ell: Double, lat0: Double,
+      lon0deg: Double, sp1: Double, sp2: Double, val fe: Double,
+      val fnn: Double) {
+    private val eEll = math.sqrt(e2Ell)
     private def m(phi: Double) = {
-      val s = math.sin(phi); math.cos(phi) / math.sqrt(1 - E2 * s * s)
+      val s = math.sin(phi); math.cos(phi) / math.sqrt(1 - e2Ell * s * s)
     }
     private def t(phi: Double) = {
       val s = math.sin(phi)
       math.tan(math.Pi / 4 - phi / 2) /
-        math.pow((1 - E * s) / (1 + E * s), E / 2)
+        math.pow((1 - eEll * s) / (1 + eEll * s), eEll / 2)
     }
     val lon0 = math.toRadians(lon0deg)
     private val p1 = math.toRadians(sp1); private val p2 = math.toRadians(sp2)
     val nCone = math.log(m(p1) / m(p2)) / math.log(t(p1) / t(p2))
     val fBig = m(p1) / (nCone * math.pow(t(p1), nCone))
-    val rho0 = A * fBig * math.pow(t(math.toRadians(lat0)), nCone)
+    val rho0 = aEll * fBig * math.pow(t(math.toRadians(lat0)), nCone)
 
     def forward(lon: Double, lat: Double): (Double, Double) = {
-      val rho = A * fBig * math.pow(t(math.toRadians(lat)), nCone)
+      val rho = aEll * fBig * math.pow(t(math.toRadians(lat)), nCone)
       val theta = nCone * (math.toRadians(lon) - lon0)
       (fe + rho * math.sin(theta), fnn + rho0 - rho * math.cos(theta))
     }
 
     def inverse(x: Double, y: Double): (Double, Double) = {
       val xp = x - fe; val yp = rho0 - (y - fnn)
+      // south-facing cone (nCone < 0): ρ carries n's sign and θ comes
+      // from the reflected offsets (Snyder §15, eq. 14-11 note)
       val rho = math.signum(nCone) * math.hypot(xp, yp)
-      val theta = math.atan2(xp, yp)
-      val tp = math.pow(rho / (A * fBig), 1 / nCone)
+      val theta =
+        if (nCone < 0) math.atan2(-xp, -yp) else math.atan2(xp, yp)
+      val tp = math.pow(rho / (aEll * fBig), 1 / nCone)
       var phi = math.Pi / 2 - 2 * math.atan(tp)
       var i = 0
       while (i < 12) {
         val s = math.sin(phi)
         phi = math.Pi / 2 - 2 * math.atan(
-          tp * math.pow((1 - E * s) / (1 + E * s), E / 2))
+          tp * math.pow((1 - eEll * s) / (1 + eEll * s), eEll / 2))
         i += 1
       }
       (math.toDegrees(theta / nCone + lon0), math.toDegrees(phi))
@@ -213,8 +218,8 @@ object Crs {
   }
 
   private val LccCodes: Map[Int, LccProj] = Map(
-    2154 -> new LccProj(46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),
-    3034 -> new LccProj(52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0))
+    2154 -> new LccProj(A, E2, 46.5, 3.0, 44.0, 49.0, 700000.0, 6600000.0),
+    3034 -> new LccProj(A, E2, 52.0, 10.0, 35.0, 65.0, 4000000.0, 2800000.0))
 
   // ---- NTF Lambert zones (EPSG:27561-64 / 27571-74): legacy French ----
 
@@ -249,8 +254,12 @@ object Crs {
 
     def inverse(x: Double, y: Double): (Double, Double) = {
       val xp = x - fe; val yp = rho0 - (y - fnn)
-      val rho = math.hypot(xp, yp)
-      val theta = math.atan2(xp, yp)
+      // south-facing cone (nCone < 0, southern-hemisphere lat0): ρ
+      // carries n's sign and θ comes from the reflected offsets — the
+      // French zones never exercise this, the parametric reader does
+      val rho = math.signum(nCone) * math.hypot(xp, yp)
+      val theta =
+        if (nCone < 0) math.atan2(-xp, -yp) else math.atan2(xp, yp)
       val tp = math.pow(rho / (aEll * k0 * fBig), 1 / nCone)
       var phi = math.Pi / 2 - 2 * math.atan(tp)
       var i = 0
@@ -986,6 +995,189 @@ object Crs {
     } else None
   }
 
+  // ------------------------------------ parametric .prj CRS (the tail)
+
+  /** Generic position-vector Helmert bridge (WKT1 `TOWGS84`, EPSG method
+    * 9606: local datum → WGS84; 3-parameter when the rotations/scale are
+    * zero). Forward is the standard small-angle form; the inverse is its
+    * exact algebraic inverse (same first-order-orthogonal treatment as
+    * the OSGB/DHDN bridges above, so round-trips close to the bit).
+    */
+  private final class HelmertBridge(aLoc: Double, e2Loc: Double,
+      dx: Double, dy: Double, dz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, ppm: Double) {
+    private val rx = math.toRadians(rxSec / 3600.0)
+    private val ry = math.toRadians(rySec / 3600.0)
+    private val rz = math.toRadians(rzSec / 3600.0)
+    private val s = 1.0 + ppm * 1e-6
+
+    def toWgs84(lon: Double, lat: Double): (Double, Double) = {
+      val (x, y, z) = geodToXyz(aLoc, e2Loc, lon, lat)
+      val x2 = dx + s * (x - rz * y + ry * z)
+      val y2 = dy + s * (rz * x + y - rx * z)
+      val z2 = dz + s * (-ry * x + rx * y + z)
+      xyzToGeod(A, Wgs84E2, x2, y2, z2)
+    }
+
+    def fromWgs84(lon: Double, lat: Double): (Double, Double) = {
+      val (x2, y2, z2) = geodToXyz(A, Wgs84E2, lon, lat)
+      val ddx = (x2 - dx) / s; val ddy = (y2 - dy) / s; val ddz = (z2 - dz) / s
+      val x = ddx + rz * ddy - ry * ddz
+      val y = -rz * ddx + ddy + rx * ddz
+      val z = ry * ddx - rx * ddy + ddz
+      xyzToGeod(aLoc, e2Loc, x, y, z)
+    }
+  }
+
+  /** A projected CRS assembled parameter-by-parameter from a `.prj` the
+    * per-EPSG dispatch does not know — see [[parametricFromPrj]]. `unit`
+    * is the PROJCS linear-unit-to-meter factor (PARAMETER false origins
+    * arrive already converted; runtime coordinates convert on the way
+    * in/out).
+    */
+  final class ParametricCrs private[geo] (
+      fwd: (Double, Double) => (Double, Double),
+      inv: (Double, Double) => (Double, Double),
+      datumToWgs: (Double, Double) => (Double, Double),
+      datumFromWgs: (Double, Double) => (Double, Double),
+      unit: Double) {
+    /** (x, y) in the CRS' declared linear unit → (lon, lat) WGS84 deg. */
+    def toWgs84(x: Double, y: Double): (Double, Double) = {
+      val (lon, lat) = inv(x * unit, y * unit)
+      datumToWgs(lon, lat)
+    }
+    /** (lon, lat) WGS84 deg → (x, y) in the CRS' declared linear unit. */
+    def fromWgs84(lon: Double, lat: Double): (Double, Double) = {
+      val (lo, la) = datumFromWgs(lon, lat)
+      val (x, y) = fwd(lo, la)
+      (x / unit, y / unit)
+    }
+    /** Reproject every coordinate pair of a WKT geometry into 4326. */
+    def wktToWgs84(wkt: String): String =
+      transformWkt(wkt) { (x, y) => toWgs84(x, y) }
+  }
+
+  /** Build a CRS from a `.prj`'s own PARAMETER values when the per-EPSG
+    * table does not recognize it — the generic tail behind the anchored
+    * national families (the reference accepts ANY input CRS via pyproj,
+    * `lib/initialization.py:38-39`; this covers the two workhorse
+    * projected families the same way, from public formulas only).
+    *
+    * Accepted: `PROJECTION` Transverse_Mercator / Gauss_Kruger, or
+    * Lambert_Conformal_Conic (1SP when no second standard parallel, 2SP
+    * otherwise), on ANY `SPHEROID[a, 1/f]`, with any PROJCS linear UNIT
+    * (the to-meter factor scales coordinates AND false origins). Datum:
+    * a `TOWGS84[dx,dy,dz(,rx,ry,rz,ds)]` clause wires the generic
+    * position-vector bridge; without one, only datums that realize
+    * WGS84/GRS80 within the engine's accuracy class (name contains
+    * WGS / ETRS / RGF / GRS) pass with the identity bridge — everything
+    * else (NAD27/NAD83, non-Greenwich prime meridians, other projection
+    * methods) returns None so callers keep refusing loudly instead of
+    * absorbing a silent datum error. 1SP LCC additionally requires the
+    * standard parallel (when present) to equal the latitude of origin —
+    * a file where they differ is not a 1SP cone.
+    */
+  def parametricFromPrj(prj: String): Option[ParametricCrs] = {
+    val s = prj.trim
+    if (!s.toUpperCase.startsWith("PROJCS")) return None
+    def num(m: String): Option[Double] = scala.util.Try(m.toDouble).toOption
+    val projection = """PROJECTION\[\s*"([^"]+)"""".r
+      .findFirstMatchIn(s).map(_.group(1).toUpperCase.replace(' ', '_'))
+      .getOrElse(return None)
+    val spheroid = s"""SPHEROID\\[\\s*"[^"]*"\\s*,\\s*($Num)\\s*,\\s*($Num)""".r
+      .findFirstMatchIn(s).getOrElse(return None)
+    val aEll = num(spheroid.group(1)).getOrElse(return None)
+    val invF = num(spheroid.group(2)).getOrElse(return None)
+    if (!(aEll > 6e6 && aEll < 7e6 && invF > 250 && invF < 350)) return None
+    val fEll = 1.0 / invF
+    val e2Ell = fEll * (2 - fEll)
+    // non-Greenwich prime meridians (NTF Paris etc.) stay with their
+    // anchored per-EPSG families — the generic path refuses them
+    val primem = s"""PRIMEM\\[\\s*"[^"]*"\\s*,\\s*($Num)""".r
+      .findFirstMatchIn(s).flatMap(m => num(m.group(1))).getOrElse(0.0)
+    if (math.abs(primem) > 1e-9) return None
+    // PROJCS linear unit = the LAST top-level UNIT (the GEOGCS' angular
+    // unit nests deeper); WKT1 stores its to-meter factor directly
+    val unit = s"""UNIT\\[\\s*"[^"]*"\\s*,\\s*($Num)""".r
+      .findAllMatchIn(s).filter { m =>
+        var depth = 0; var i = 0
+        while (i < m.start) {
+          val c = s.charAt(i)
+          if (c == '[') depth += 1 else if (c == ']') depth -= 1
+          i += 1
+        }
+        depth == 1
+      }.toSeq.lastOption.flatMap(m => num(m.group(1))).getOrElse(1.0)
+    if (!(unit > 0 && unit <= 1.01)) return None
+    val params: Map[String, Double] =
+      s"""PARAMETER\\[\\s*"([^"]+)"\\s*,\\s*($Num)""".r.findAllMatchIn(s)
+        .flatMap(m => num(m.group(2))
+          .map(v => m.group(1).toLowerCase.replace(' ', '_') -> v))
+        .toMap
+    def p(name: String, default: Double): Double =
+      params.getOrElse(name, default)
+    // false origins are declared in the PROJCS unit — to meters here
+    val fe = p("false_easting", 0.0) * unit
+    val fn0 = p("false_northing", 0.0) * unit
+    val lon0deg = params.get("central_meridian")
+      .orElse(params.get("longitude_of_center")).getOrElse(return None)
+    val lat0 = p("latitude_of_origin", p("latitude_of_center", 0.0))
+    // datum bridge: explicit TOWGS84 wins; else the identity-class names
+    val towgs = s"""TOWGS84\\[([^\\]]*)\\]""".r.findFirstMatchIn(s)
+      .map(_.group(1).split(",").map(_.trim).flatMap(num))
+    val bridge: Option[HelmertBridge] = towgs match {
+      case Some(Array(tx, ty, tz)) =>
+        Some(new HelmertBridge(aEll, e2Ell, tx, ty, tz, 0, 0, 0, 0))
+      case Some(Array(tx, ty, tz, rX, rY, rZ, ds)) =>
+        Some(new HelmertBridge(aEll, e2Ell, tx, ty, tz, rX, rY, rZ, ds))
+      case Some(_) => return None // malformed TOWGS84
+      case None =>
+        val datum = """DATUM\[\s*"([^"]+)"""".r.findFirstMatchIn(s)
+          .map(_.group(1).toUpperCase).getOrElse(return None)
+        if (Seq("WGS", "ETRS", "RGF", "GRS").exists(datum.contains)) None
+        else return None // unknown datum, no TOWGS84: refuse
+    }
+    val datumTo: (Double, Double) => (Double, Double) =
+      bridge.map(b => b.toWgs84 _).getOrElse((lon, lat) => (lon, lat))
+    val datumFrom: (Double, Double) => (Double, Double) =
+      bridge.map(b => b.fromWgs84 _).getOrElse((lon, lat) => (lon, lat))
+    if (projection.contains("TRANSVERSE_MERCATOR") ||
+        projection.contains("GAUSS_KRUGER")) {
+      val series = new TmSeries(fEll, aEll)
+      val lon0 = math.toRadians(lon0deg)
+      val k0 = p("scale_factor", 1.0)
+      // a non-equatorial latitude of origin folds into an effective false
+      // northing, meridian arc from the SAME series (the OSGB treatment)
+      val fn =
+        if (lat0 == 0.0) fn0
+        else fn0 - tmForward(series, lon0, 0.0, lon0deg, lat0, k0, 0.0)._2
+      Some(new ParametricCrs(
+        (lon, lat) => tmForward(series, lon0, fn, lon, lat, k0, fe),
+        (x, y) => tmInverse(series, lon0, fn, x, y, k0, fe),
+        datumTo, datumFrom, unit))
+    } else if (projection.contains("LAMBERT_CONFORMAL_CONIC")) {
+      val sp1 = p("standard_parallel_1", lat0)
+      val sp2Opt = params.get("standard_parallel_2").filter(_ != sp1)
+      sp2Opt match {
+        case Some(sp2) =>
+          if (params.get("scale_factor").exists(_ != 1.0)) return None
+          val proj = new LccProj(aEll, e2Ell, lat0, lon0deg, sp1, sp2, fe, fn0)
+          Some(new ParametricCrs(
+            (lon, lat) => proj.forward(lon, lat),
+            (x, y) => proj.inverse(x, y),
+            datumTo, datumFrom, unit))
+        case None =>
+          if (sp1 != lat0) return None // 1SP requires sp == lat of origin
+          val k0 = p("scale_factor", 1.0)
+          val proj = new Lcc1Sp(aEll, e2Ell, lat0, lon0deg, k0, fe, fn0)
+          Some(new ParametricCrs(
+            (lon, lat) => proj.forward(lon, lat),
+            (x, y) => proj.inverse(x, y),
+            datumTo, datumFrom, unit))
+      }
+    } else None
+  }
+
   // Each coordinate admits a bare leading decimal point (".5", "-.5") —
   // valid WKT that a digit-first pattern would silently skip, leaving a
   // mixed projected/geographic geometry behind.
@@ -999,11 +1191,21 @@ object Crs {
     */
   def wktTransformToWgs84(epsg: Int, wkt: String): String = {
     if (epsg == Wgs84 || wkt == null) return wkt
-    CoordRe.replaceAllIn(wkt, m => {
-      val (lon, lat) = toWgs84(epsg, m.group(1).toDouble, m.group(2).toDouble)
-      scala.util.matching.Regex.quoteReplacement(s"$lon $lat")
-    })
+    transformWkt(wkt) { (x, y) => toWgs84(epsg, x, y) }
   }
+
+  /** Structure-preserving coordinate transform of any WKT geometry —
+    * every `x y` pair is rewritten through `f`; nulls pass through. The
+    * one code path behind both the per-EPSG and the parametric
+    * reprojection.
+    */
+  def transformWkt(wkt: String)(
+      f: (Double, Double) => (Double, Double)): String =
+    if (wkt == null) wkt
+    else CoordRe.replaceAllIn(wkt, m => {
+      val (x2, y2) = f(m.group(1).toDouble, m.group(2).toDouble)
+      scala.util.matching.Regex.quoteReplacement(s"$x2 $y2")
+    })
 
   /** Reproject a WKT geometry into 4326 — alias of
     * [[wktTransformToWgs84]], kept for API compatibility; there is ONE

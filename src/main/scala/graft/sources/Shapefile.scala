@@ -45,8 +45,11 @@ object Shapefile {
     * ([[graft.geo.Crs.epsgFromPrj]]) and every geometry is reprojected
     * into 4326 at ingestion — the reference's transparent
     * `gpd.read_file(...).to_crs(epsg:4326)` (code/lib/initialization.py:
-    * 39,58,80). An unrecognized or unsupported CRS FAILS LOUDLY (naming
-    * the EPSG) instead of silently mixing meters into a lon/lat world.
+    * 39,58,80). A `.prj` outside the per-EPSG table falls back to the
+    * generic parametric TM/LCC reader
+    * ([[graft.geo.Crs.parametricFromPrj]]); when that too cannot express
+    * it, the read FAILS LOUDLY (naming the EPSG if one was detected)
+    * instead of silently mixing meters into a lon/lat world.
     * Without a `.prj`, coordinates are taken as already-4326 (the
     * pre-round-4 contract). The `bbox` filter applies in FILE coordinates
     * (pre-reprojection), matching gpd's bbox semantics.
@@ -61,12 +64,10 @@ object Shapefile {
       bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val shp = readBytes(spark, base + ".shp")
     val geoms0 = parseShp(shp, bbox) // Seq[(recordIndex0Based, wkt)]
-    val geoms = readPrjEpsg(spark, base) match {
-      case None | Some(graft.geo.Crs.Wgs84) => geoms0
-      case Some(epsg) =>
-        geoms0.map { case (i, w) =>
-          (i, graft.geo.Crs.wktTransformToWgs84(epsg, w))
-        }
+    val geoms = readPrjTransform(spark, base) match {
+      case None => geoms0
+      case Some(tx) =>
+        geoms0.map { case (i, w) => (i, graft.geo.Crs.transformWkt(w)(tx)) }
     }
     val (fields, dbfRows) = parseDbf(readBytes(spark, base + ".dbf"))
     val rows = geoms.map { case (i, wkt) =>
@@ -80,23 +81,38 @@ object Shapefile {
       schema)
   }
 
-  /** EPSG of the `.prj` sidecar if one exists; loud failure on an
-    * unrecognized or untransformable CRS.
+  /** Coordinate transform to 4326 for the `.prj` sidecar if one exists
+    * (None = no sidecar or already geographic WGS84); loud failure on an
+    * unrecognized or untransformable CRS. Resolution order: a recognized
+    * AND kernel-supported EPSG code takes the anchored per-family path;
+    * anything else falls through to the generic parametric TM/LCC reader
+    * ([[graft.geo.Crs.parametricFromPrj]] — driven by the file's own
+    * PARAMETER values); only when BOTH fail does the read refuse.
     */
-  private def readPrjEpsg(spark: SparkSession, base: String): Option[Int] = {
+  private def readPrjTransform(spark: SparkSession,
+      base: String): Option[(Double, Double) => (Double, Double)] = {
     val p = new Path(base + ".prj")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
     val prj = new String(readBytes(spark, base + ".prj"), StandardCharsets.UTF_8)
-    val epsg = graft.geo.Crs.epsgFromPrj(prj).getOrElse(
-      throw new IllegalArgumentException(
-        s"$base.prj: unrecognized CRS — cannot detect an EPSG code from:\n" +
-          prj.take(400)))
-    require(graft.geo.Crs.isSupported(epsg),
-      s"$base.prj: EPSG:$epsg detected but not supported by the CRS kernel " +
-        "(supported: 4326, 3857, 3035, UTM 326xx/327xx/258xx); reproject " +
-        "the layer to EPSG:4326 upstream")
-    Some(epsg)
+    graft.geo.Crs.epsgFromPrj(prj) match {
+      case Some(graft.geo.Crs.Wgs84) => None
+      case Some(epsg) if graft.geo.Crs.isSupported(epsg) =>
+        Some((x, y) => graft.geo.Crs.toWgs84(epsg, x, y))
+      case detected =>
+        graft.geo.Crs.parametricFromPrj(prj) match {
+          case Some(par) => Some((x, y) => par.toWgs84(x, y))
+          case None =>
+            val why = detected
+              .map(e => s"EPSG:$e detected but not supported by the CRS kernel")
+              .getOrElse("unrecognized (no EPSG code detected)")
+            throw new IllegalArgumentException(
+              s"$base.prj: unsupported CRS — $why, and the .prj's " +
+                "PARAMETERs are not a parametric TM/LCC on a " +
+                "WGS84/ETRS-class datum or TOWGS84 bridge; reproject the " +
+                s"layer to EPSG:4326 upstream. WKT head:\n${prj.take(400)}")
+        }
+    }
   }
 
   /** Shape-type code of a .shp file (1 point, 3 polyline, 5 polygon). */

@@ -80,6 +80,36 @@ class CodecSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("unrecognized"))
   }
 
+  test("shapefile .prj outside the EPSG table reprojects through the " +
+      "parametric reader") {
+    // UTM 33N parameters under a name nothing recognizes: read() must
+    // reproject via Crs.parametricFromPrj instead of refusing
+    import graft.geo.Crs
+    val corners = Seq((14.0, 47.0), (15.5, 47.0), (15.5, 48.2), (14.0, 48.2))
+    val ring = (corners :+ corners.head)
+      .map { case (lo, la) => Crs.fromWgs84(32633, lo, la) }
+      .map { case (x, y) => s"$x $y" }.mkString(", ")
+    val df = Seq((1L, s"POLYGON (($ring))")).toDF("id", "geometry")
+    val base = tmpBase("parametric")
+    Shapefile.write(df, "geometry", base)
+    Files.writeString(java.nio.file.Paths.get(base + ".prj"),
+      """PROJCS["Some_Local_Grid_1997",GEOGCS["GCS_WGS_1984",""" +
+        """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["False_Easting",500000.0],""" +
+        """PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",15.0],""" +
+        """PARAMETER["Scale_Factor",0.9996],""" +
+        """PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]""")
+    val back = Shapefile.read(spark, base).collect()(0).getAs[String]("geometry")
+    val verts = graft.geo.Geometry.parseGeom(back)(0).outer
+    corners.foreach { case (lo, la) =>
+      assert(verts.exists(p => math.abs(p.x - lo) < 1e-8 && math.abs(p.y - la) < 1e-8),
+        s"corner ($lo, $la) missing from reprojected ring ${verts.toSeq}")
+    }
+  }
+
   test("shapefile bbox pushdown skips records before decode") {
     val df = Seq(
       (1L, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),

@@ -604,6 +604,169 @@ class CrsSpec extends AnyFunSuite {
     assert(z2.contains("\"Scale_Factor\",0.99987742"), z2)
   }
 
+  // --------------------------------------------- parametric .prj reader
+
+  private def customTmPrj(name: String, datum: String, spheroid: String,
+      a: Double, invf: Double, lon0: Double, lat0: Double, k0: Double,
+      fe: Double, fn: Double, towgs: String = "",
+      unit: String = """UNIT["Meter",1.0]"""): String =
+    s"""PROJCS["$name",GEOGCS["GCS_$datum",DATUM["D_$datum",""" +
+      s"""SPHEROID["$spheroid",$a,$invf]$towgs],""" +
+      """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+      """PROJECTION["Transverse_Mercator"],""" +
+      s"""PARAMETER["False_Easting",$fe],""" +
+      s"""PARAMETER["False_Northing",$fn],""" +
+      s"""PARAMETER["Central_Meridian",$lon0],""" +
+      s"""PARAMETER["Scale_Factor",$k0],""" +
+      s"""PARAMETER["Latitude_Of_Origin",$lat0],$unit]"""
+
+  test("parametricFromPrj: unknown-name TM on WGS84 equals the anchored " +
+      "UTM kernel; the per-EPSG table does NOT know the file") {
+    // UTM zone 33N parameters under a name neither the authority tag nor
+    // the name heuristics can place — only the PARAMETER values say UTM
+    val prj = customTmPrj("Some_Local_Grid_1997", "WGS_1984", "WGS_1984",
+      6378137.0, 298.257223563, 15.0, 0.0, 0.9996, 500000.0, 0.0)
+    assert(Crs.epsgFromPrj(prj).isEmpty, "table must not recognize it")
+    val par = Crs.parametricFromPrj(prj).getOrElse(fail("parametric reader refused"))
+    for (lon <- Seq(12.0, 15.0, 17.9); lat <- Seq(37.0, 48.5, 60.0)) {
+      val (x, y) = Crs.fromWgs84(32633, lon, lat)
+      val (lo, la) = par.toWgs84(x, y)
+      assert(math.abs(lo - lon) < 1e-11 && math.abs(la - lat) < 1e-11,
+        s"($lon,$lat) → ($lo,$la)")
+      val (px, py) = par.fromWgs84(lon, lat)
+      assert(math.abs(px - x) < 1e-5 && math.abs(py - y) < 1e-5,
+        s"forward drifted: ($px,$py) vs ($x,$y)")
+    }
+  }
+
+  test("parametricFromPrj: non-equatorial TM origin + TOWGS84 Helmert " +
+      "reproduces the anchored OSGB chain") {
+    // British National Grid parameters + the published OSGB36→WGS84
+    // TOWGS84 values, under a name the heuristics cannot place
+    val prj = customTmPrj("Islands_Grid_A", "Airy_Custom", "Airy_1830",
+      6377563.396, 299.3249646, -2.0, 49.0, 0.9996012717, 400000.0,
+      -100000.0,
+      towgs = ",TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894]")
+    assert(Crs.epsgFromPrj(prj).isEmpty)
+    val par = Crs.parametricFromPrj(prj).getOrElse(fail("refused"))
+    // Caister water tower (OS worked example): compare to the anchored
+    // 27700 path — same projection, TOWGS84 vs the exact-inverse Helmert
+    // agree to first order (~1e-7 deg ≈ 1 cm)
+    for ((e, n) <- Seq((651409.903, 313177.27), (400000.0, 65000.0),
+        (200000.0, 700000.0))) {
+      val (lonA, latA) = Crs.toWgs84(27700, e, n)
+      val (lonP, latP) = par.toWgs84(e, n)
+      assert(math.abs(lonA - lonP) < 1e-7 && math.abs(latA - latP) < 1e-7,
+        s"($e,$n): anchored ($lonA,$latA) vs parametric ($lonP,$latP)")
+      val (pe, pn) = par.fromWgs84(lonP, latP)
+      // two Helmert legs × iterative xyzToGeod: mm-class closure (the
+      // bridge itself is a ~5 m-class transform)
+      assert(math.abs(pe - e) < 5e-3 && math.abs(pn - n) < 5e-3,
+        s"round trip drifted: ($pe,$pn) vs ($e,$n)")
+    }
+  }
+
+  test("parametricFromPrj: 2SP Lambert conformal conic equals the " +
+      "anchored Lambert-93 kernel") {
+    val prj =
+      """PROJCS["Hexagone_Conic_X",GEOGCS["GCS_RGF_1993",""" +
+        """DATUM["D_RGF_1993",SPHEROID["GRS_1980",6378137.0,298.257222101]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Lambert_Conformal_Conic"],""" +
+        """PARAMETER["False_Easting",700000.0],""" +
+        """PARAMETER["False_Northing",6600000.0],""" +
+        """PARAMETER["Central_Meridian",3.0],""" +
+        """PARAMETER["Standard_Parallel_1",44.0],""" +
+        """PARAMETER["Standard_Parallel_2",49.0],""" +
+        """PARAMETER["Latitude_Of_Origin",46.5],UNIT["Meter",1.0]]"""
+    assert(Crs.epsgFromPrj(prj).isEmpty, "name heuristics must not fire")
+    val par = Crs.parametricFromPrj(prj).getOrElse(fail("refused"))
+    for (lon <- Seq(-4.0, 3.0, 7.5); lat <- Seq(42.5, 46.5, 50.8)) {
+      val (x, y) = Crs.fromWgs84(2154, lon, lat)
+      val (lo, la) = par.toWgs84(x, y)
+      assert(math.abs(lo - lon) < 1e-11 && math.abs(la - lat) < 1e-11,
+        s"($lon,$lat) → ($lo,$la)")
+    }
+  }
+
+  test("parametricFromPrj: 1SP LCC (sp1 == lat0 + scale factor) " +
+      "round-trips and anchors its false origin") {
+    val prj =
+      """PROJCS["Custom_Conic_1SP",GEOGCS["GCS_WGS_1984",""" +
+        """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Lambert_Conformal_Conic"],""" +
+        """PARAMETER["False_Easting",300000.0],""" +
+        """PARAMETER["False_Northing",750000.0],""" +
+        """PARAMETER["Central_Meridian",25.0],""" +
+        """PARAMETER["Standard_Parallel_1",-29.0],""" +
+        """PARAMETER["Scale_Factor",0.9999],""" +
+        """PARAMETER["Latitude_Of_Origin",-29.0],UNIT["Meter",1.0]]"""
+    val par = Crs.parametricFromPrj(prj).getOrElse(fail("refused"))
+    // the grid origin is the false origin by construction
+    val (x0, y0) = par.fromWgs84(25.0, -29.0)
+    assert(math.abs(x0 - 300000.0) < 1e-6 && math.abs(y0 - 750000.0) < 1e-6,
+      s"($x0,$y0)")
+    for (lon <- Seq(17.0, 25.0, 31.5); lat <- Seq(-34.5, -29.0, -23.0)) {
+      val (x, y) = par.fromWgs84(lon, lat)
+      val (lo, la) = par.toWgs84(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"($lon,$lat) → ($lo,$la)")
+    }
+  }
+
+  test("parametricFromPrj: a foot-unit PROJCS converts coordinates AND " +
+      "false origins") {
+    val ftUs = 0.30480060960121924 // US survey foot, WKT1 to-meter factor
+    // UTM 33N again, but declared in US survey feet: false origin and
+    // runtime coordinates are all in feet
+    val prj = customTmPrj("Feet_Grid_X", "WGS_1984", "WGS_1984",
+      6378137.0, 298.257223563, 15.0, 0.0, 0.9996, 500000.0 / ftUs, 0.0,
+      unit = s"""UNIT["Foot_US",$ftUs]""")
+    val par = Crs.parametricFromPrj(prj).getOrElse(fail("refused"))
+    val (x, y) = Crs.fromWgs84(32633, 16.2, 48.1)
+    val (lo, la) = par.toWgs84(x / ftUs, y / ftUs)
+    assert(math.abs(lo - 16.2) < 1e-11 && math.abs(la - 48.1) < 1e-11,
+      s"($lo,$la)")
+  }
+
+  test("parametricFromPrj refusals: foreign datum without TOWGS84, " +
+      "unsupported projection, non-Greenwich prime meridian") {
+    // NAD27 UTM (the silent-200m hazard): datum name passes no allow
+    // list and there is no TOWGS84 — must refuse
+    val nad = customTmPrj("NAD_1927_UTM_Zone_17N", "North_American_1927",
+      "Clarke_1866", 6378206.4, 294.9786982, -81.0, 0.0, 0.9996,
+      500000.0, 0.0)
+    assert(Crs.parametricFromPrj(nad).isEmpty, "NAD27 must refuse")
+    // same file WITH a TOWGS84 bridge is expressible
+    val nadBridged = customTmPrj("NAD_1927_UTM_Zone_17N_b",
+      "North_American_1927", "Clarke_1866", 6378206.4, 294.9786982,
+      -81.0, 0.0, 0.9996, 500000.0, 0.0,
+      towgs = ",TOWGS84[-8.0,160.0,176.0]")
+    assert(Crs.parametricFromPrj(nadBridged).isDefined,
+      "TOWGS84 makes the datum expressible")
+    // unsupported projection method
+    val albers = nad.replace("Transverse_Mercator", "Albers")
+    assert(Crs.parametricFromPrj(albers).isEmpty)
+    // non-Greenwich prime meridian (NTF Paris stays with its anchored
+    // family)
+    val paris = customTmPrj("Paris_Grid", "WGS_1984", "WGS_1984",
+      6378137.0, 298.257223563, 0.0, 0.0, 1.0, 0.0, 0.0)
+      .replace("""PRIMEM["Greenwich",0.0]""",
+        """PRIMEM["Paris",2.337229166666667]""")
+    assert(Crs.parametricFromPrj(paris).isEmpty)
+    // 1SP cone whose standard parallel contradicts its origin
+    val badCone =
+      """PROJCS["X",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",""" +
+        """SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Lambert_Conformal_Conic"],""" +
+        """PARAMETER["Central_Meridian",10.0],""" +
+        """PARAMETER["Standard_Parallel_1",40.0],""" +
+        """PARAMETER["Latitude_Of_Origin",45.0],UNIT["Meter",1.0]]"""
+    assert(Crs.parametricFromPrj(badCone).isEmpty)
+  }
+
   test("wktTransformToWgs84 transforms bare-decimal-point coordinates") {
     // ".5" / "-.5" are valid WKT numbers; a digit-first pattern would
     // skip the pair silently, mixing projected and geographic coords
