@@ -414,6 +414,73 @@ object Curation {
         col("n_tokens"))
   }
 
+  /** Multinomial Naive Bayes document classifier — the quality/language
+    * filter shape of CCNet-style curation (fastText's job there), as one
+    * trainable+servable relational pipeline with no model binary: train
+    * on a labeled corpus, score every test document against every label,
+    * keep the argmax. Laplace add-one smoothing over the TRAIN vocabulary;
+    * unseen tokens fall back to the same smoothed floor 1/(nToks_c + V).
+    *
+    * Shape at 100 TB: token-keyed shuffle for the count table, a
+    * broadcast label dimension (|labels| rows by contract — validated
+    * driver-side), the scoring join keyed on the token (occurrences ×
+    * |labels| rows — labels are single digits in practice), one map-side
+    * partial-aggregated per-(doc,label) sum, and the argmax via
+    * [[Ops.topKPerGroup]]. No iteration, no driver-held vocabulary.
+    *
+    * Reproducibility: per-(doc,label) log-prob sums round to 6 dp BEFORE
+    * the argmax and ties break label-ascending, so an independent engine
+    * reproduces predictions despite float summation order.
+    *
+    * Returns (idCol, pred, score): argmax label and its rounded score.
+    * Test docs with empty/no tokens score on priors alone.
+    */
+  def nbClassify(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, labelCol: String, maxLabels: Int = 1024): DataFrame = {
+    val tr = train
+      .filter(col(textCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("__lbl"),
+        TextFns.tokens(lower(col(textCol))).as("__w"))
+    // label dimension: (label, docs, tokens) — tiny by contract
+    val lstats = tr.groupBy(col("__lbl"))
+      .agg(count(lit(1)).as("__docs"),
+        sum(size(col("__w")).cast("long")).as("__ntok"))
+    val labels = lstats.limit(maxLabels + 1).collect()
+    require(labels.nonEmpty, "nbClassify: empty training corpus")
+    require(labels.length <= maxLabels,
+      s"nbClassify: more than $maxLabels distinct labels — the label " +
+        "dimension is broadcast by contract; raise maxLabels only if " +
+        "it genuinely fits the driver")
+    val totalDocs = labels.map(_.getLong(1)).sum.toDouble
+    val trTok = tr.select(col("__lbl"), explode(col("__w")).as("__tok"))
+    val vocab = trTok.select(col("__tok")).distinct().count().toDouble
+    val counts = trTok.groupBy(col("__lbl"), col("__tok"))
+      .agg(count(lit(1)).as("__cnt"))
+    val ldim = lstats.select(col("__lbl"),
+      log(col("__docs") / lit(totalDocs)).as("__prior"),
+      (col("__ntok") + lit(vocab)).cast("double").as("__den"))
+    // per-token-occurrence × per-label smoothed log-likelihoods
+    val occ = test.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFns.tokens(lower(col(textCol))))
+        .as("__tok"))
+      .crossJoin(broadcast(ldim.select(col("__lbl"), col("__den"))))
+      .join(counts, Seq("__lbl", "__tok"), "left")
+      .select(col(idCol), col("__lbl"),
+        log((coalesce(col("__cnt"), lit(0L)) + lit(1.0)) / col("__den"))
+          .as("__lp"))
+      .groupBy(col(idCol), col("__lbl"))
+      .agg(sum(col("__lp")).as("__sum"))
+    val scored = test.select(col(idCol))
+      .crossJoin(broadcast(ldim.select(col("__lbl"), col("__prior"))))
+      .join(occ, Seq(idCol, "__lbl"), "left")
+      .select(col(idCol), col("__lbl"),
+        round(col("__prior") + coalesce(col("__sum"), lit(0.0)), 6)
+          .as("score"))
+    Ops.topKPerGroup(scored, Seq(idCol),
+        Seq(col("score").desc, col("__lbl").asc), 1)
+      .select(col(idCol), col("__lbl").as("pred"), col("score"))
+  }
+
   /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
     * Spirakis 2006): key_i = u_i^(1/w_i) with u_i derived from the same
     * SQL-reproducible Knuth multiplicative hash as the IVF centroid
@@ -512,14 +579,31 @@ object Curation {
   }
 
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2): DataFrame = {
+      n: Int, minCount: Long = 2, keepFirst: Boolean = false): DataFrame = {
     require(n >= 1, s"span n-gram length $n must be >= 1")
     val grams = positionedGrams(docs, idCol, textCol, n)
-    val repeated = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount)
-      .select(col("gram"))
-    islandsToSpans(grams.join(repeated, Seq("gram"), "left_semi")
+    val marked =
+      if (!keepFirst) {
+        val repeated = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= minCount)
+          .select(col("gram"))
+        grams.join(repeated, Seq("gram"), "left_semi")
+      } else {
+        // Lee et al. survivorship: the canonical FIRST occurrence of a
+        // repeated gram — min (doc_id, pos), struct-lexicographic, one
+        // map-side-combined agg on the same gram key — stays unclipped;
+        // every other occurrence is marked. Join stays keyed on the
+        // gram (the repeatedSpans shuffle), only the filter changes.
+        val firsts = grams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("__c"),
+            min(struct(col("doc_id"), col("pos"))).as("__first"))
+          .filter(col("__c") >= minCount)
+          .select(col("gram"), col("__first"))
+        grams.join(firsts, Seq("gram"))
+          .filter(struct(col("doc_id"), col("pos")) =!= col("__first"))
+      }
+    islandsToSpans(marked
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         (col("pos") + n).cast("long").as("__end")))
   }
@@ -558,9 +642,9 @@ object Curation {
     * shuffle beyond [[repeatedSpans]]'s own.
     */
   def clipRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minCount: Long = 2): DataFrame =
+      n: Int, minCount: Long = 2, keepFirst: Boolean = false): DataFrame =
     clipWithSpans(docs, idCol, textCol,
-      repeatedSpans(docs, idCol, textCol, n, minCount))
+      repeatedSpans(docs, idCol, textCol, n, minCount, keepFirst))
 
   /** Excise `(doc_id, span_start, span_end)` spans from each doc's
     * normalized token stream — the shared back end of
