@@ -9,24 +9,50 @@ import org.apache.spark.sql.SparkSession
   * window and the round got no perf grade). We therefore emit short query
   * keys (the `qNN` prefix) rounded to centiseconds — ~12 chars/query keeps
   * the line under ~1.7 KB even at 130 queries. Full-precision, full-name
-  * timings go to BENCH_LOCAL.json next to the repo for local analysis.
+  * timings (every pass + the medians) go to BENCH_LOCAL.json next to the
+  * repo for local analysis.
   *
-  * Execution order and grouping: the index-LIFECYCLE gates (multiple
-  * builds + staged rewrites inside one query — q93, q96, q107, q112,
-  * q114) run LAST, so their JVM footprint (JIT deopt churn, GC pressure,
-  * BlockManager state) cannot drift the other groups' timings — rounds
-  * 5/6 showed exactly that suite-level drift on the 92 queries shared
-  * with round 4 while per-query plans were unchanged. The JSON carries
-  * per-group subtotals so a regression in one group is visible without
-  * per-query archaeology: `shared92` (q01–q92, the round-4 baseline
-  * set), `ext` (post-r4 extension queries), `lifecycle` (the five
-  * gates).
+  * Harness design (round 8 — rounds 5–7 each showed suite-wide timing
+  * drift on UNCHANGED queries/plans, peaking at 2.03× on the 92-query
+  * round-4 baseline set, because heavy index-building queries aged the
+  * shared JVM before the cheap ones ran, and a single pass cannot
+  * distinguish sandbox load from a code regression):
+  *
+  *  1. GROUP-PER-JVM. Queries are split into `shared92` (q01–q92, the
+  *     round-4 baseline set), `ext` (post-r4 extensions q100+), and
+  *     `lifecycle` (the five index-lifecycle gates q93/q96/q107/q112/q114,
+  *     whose staged builds/rewrites cause JIT deopt + GC + BlockManager
+  *     churn). Each group runs in its OWN forked JVM, in that order, so no
+  *     group's JVM footprint can drift another's timings.
+  *  2. NUMERIC ordering inside a group. Round 7 sorted by string name, so
+  *     "q100…" < "q10…" front-loaded the heavy ext block before ~80 of the
+  *     shared queries — the opposite of isolation. Order key is the
+  *     integer query id.
+  *  3. MULTI-PASS MEDIANS. The suite runs `SPARK_GRAFT_BENCH_RUNS`
+  *     (default 3) full passes and reports the per-query MEDIAN, under a
+  *     wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 1200 s):
+  *     a pass only starts if the previous passes' pace leaves room, so the
+  *     driver invocation can never run away — worst case it degrades to
+  *     one pass, which is exactly the old behavior. q01 (trivial agg,
+  *     first timed query, untouched since round 1) doubles as a published
+  *     noise anchor: its swing across passes is the environment, not code
+  *     (it hit 3.46× in round 7 on an unchanged one-stage plan).
+  *
+  * Child JVMs are launched with the parent's own JVM flags (add-opens,
+  * -Xmx) and classpath — `run / fork := true` in build.sbt guarantees the
+  * parent has a real `java.class.path`. If forking fails for any reason
+  * the harness falls back to one in-process pass with the same grouped
+  * numeric ordering, and says so in the JSON (`"forked":false`).
   */
 object Bench {
   private val LifecycleKeys = Set("q93", "q96", "q107", "q112", "q114")
+  private val Groups = Seq("shared92", "ext", "lifecycle")
 
   private def shortKey(name: String): String =
     name.indexOf('_') match { case -1 => name; case i => name.substring(0, i) }
+
+  private def numId(name: String): Int =
+    shortKey(name).drop(1).toIntOption.getOrElse(Int.MaxValue)
 
   private def group(name: String): String = {
     val s = shortKey(name)
@@ -35,8 +61,13 @@ object Bench {
     else "ext"
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  /** Queries of one group, numeric-id ascending. */
+  private def groupQueries(g: String) =
+    SparkEntry.queries.toSeq
+      .filter { case (name, _) => group(name) == g }
+      .sortBy { case (name, _) => (numId(name), name) }
+
+  private def newSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,8 +75,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (codegen compiler, parquet footers, shuffle infra)
-    // so per-query timings measure the queries, not JVM startup.
+    spark
+  }
+
+  /** Warm the session (codegen compiler, parquet footers, shuffle infra)
+    * so per-query timings measure the queries, not JVM startup.
+    */
+  private def warm(spark: SparkSession, sfDir: String): Unit = {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach { t =>
@@ -54,11 +90,13 @@ object Bench {
           spark.read.parquet(s"$sfDir/$t.parquet").limit(1).collect()
         } catch { case _: Throwable => }
       }
-    // deterministic order, lifecycle gates last (see scaladoc)
-    val ordered = SparkEntry.queries.toSeq.sortBy { case (name, _) =>
-      (if (group(name) == "lifecycle") 1 else 0, name)
-    }
-    val results: Seq[(String, Double)] = ordered.map { case (name, fn) =>
+  }
+
+  private def runQueries(
+      spark: SparkSession, sfDir: String,
+      qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : Seq[(String, Double)] =
+    qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -69,9 +107,130 @@ object Bench {
       try SparkEntry.releaseScratch(spark) catch { case _: Throwable => }
       name -> dt
     }
-    val total = results.map(_._2).sum
-    val groups: Seq[(String, Double)] = Seq("shared92", "ext", "lifecycle")
-      .map(g => g -> results.collect {
+
+  /** Child mode: run ONE group in this JVM, print a parse-tagged JSON line. */
+  private def childMain(g: String, sfDir: String): Unit = {
+    val spark = newSession()
+    warm(spark, sfDir)
+    val results = runQueries(spark, sfDir, groupQueries(g))
+    val body = results
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    // tag + single line so the parent can find it among Spark log noise
+    println(s"GRAFTBENCHCHILD:$body")
+    spark.stop()
+  }
+
+  /** Fork one JVM for one group pass; None if anything goes wrong. */
+  private def forkGroup(g: String): Option[Seq[(String, Double)]] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cp = System.getProperty("java.class.path")
+      if (cp == null || !cp.contains("classes")) return None
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", cp, "graft.Bench", "--group", g)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      // drain stderr so the child can't block on a full pipe
+      val errDrain = new Thread(() => {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getErrorStream))
+        try { while (br.readLine() != null) () } catch { case _: Throwable => }
+      })
+      errDrain.setDaemon(true); errDrain.start()
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      var tagged: String = null
+      var line = br.readLine()
+      while (line != null) {
+        if (line.startsWith("GRAFTBENCHCHILD:"))
+          tagged = line.stripPrefix("GRAFTBENCHCHILD:")
+        line = br.readLine()
+      }
+      val rc = proc.waitFor()
+      if (rc != 0 || tagged == null) None
+      else {
+        // parse {"name":sec,...} without a JSON lib: split on ","" outside
+        // values is safe because names contain no commas or quotes
+        val inner = tagged.trim.stripPrefix("{").stripSuffix("}")
+        if (inner.isEmpty) Some(Seq.empty)
+        else Some(inner.split(",").toSeq.map { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+        })
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args.toSeq match {
+      case Seq("--group", g) => childMain(g, sfDir); return
+      case _ => ()
+    }
+    val wantRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(1200.0)
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+
+    // passes(i) = full map name -> sec for pass i
+    val passes = scala.collection.mutable.ArrayBuffer
+      .empty[Map[String, Double]]
+    var forked = true
+    var pass = 0
+    var lastPassDur = 0.0
+    var go = true
+    while (go && pass < wantRuns && forked) {
+      val passStart = elapsed
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      var ok = true
+      Groups.foreach { g =>
+        if (ok) forkGroup(g) match {
+          case Some(rs) => rs.foreach { case (k, v) => acc(k) = v }
+          case None     => ok = false
+        }
+      }
+      if (!ok) { forked = false } // fall through to in-process fallback
+      else {
+        passes += acc.toMap
+        pass += 1
+        lastPassDur = elapsed - passStart
+        // start another pass only if its projected cost fits the budget
+        if (elapsed + lastPassDur * 1.1 > budgetSec) go = false
+      }
+    }
+    if (passes.isEmpty) {
+      // In-process fallback: one pass, same grouped numeric order.
+      forked = false
+      val spark = newSession()
+      warm(spark, sfDir)
+      val all = Groups.flatMap(g => runQueries(spark, sfDir, groupQueries(g)))
+      passes += all.toMap
+      spark.stop()
+    }
+
+    // ordered name list (grouped, numeric) for stable output
+    val orderedNames = Groups.flatMap(g => groupQueries(g).map(_._1))
+      .filter(passes.head.contains)
+    val med: Seq[(String, Double)] =
+      orderedNames.map(n => n -> median(passes.toSeq.flatMap(_.get(n))))
+    val total = med.map(_._2).sum
+    val groups: Seq[(String, Double)] = Groups
+      .map(g => g -> med.collect {
         case (name, dt) if group(name) == g => dt
       }.sum)
 
@@ -82,28 +241,35 @@ object Bench {
     val groupJson = groups.map { case (g, v) => s""""$g":${ms(v)}""" }
       .mkString("{", ",", "}")
 
-    // Full-name, full-precision record for local analysis (not stdout).
+    // Full-name, full-precision record for local analysis (not stdout):
+    // every pass plus the medians, so one noisy pass is visible as such.
     try {
-      val full = results.map { case (k, v) => s""""$k":$v""" }
+      val passJson = passes.map { p =>
+        orderedNames.flatMap(n => p.get(n).map(v => s""""$n":$v"""))
+          .mkString("{", ",", "}")
+      }.mkString("[", ",", "]")
+      val medJson = med.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(p,
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
-          s""""groups":$groupJson,"queries":$full,"sf":"$sfDir"}""")
+          s""""runs":${passes.size},"forked":$forked,""" +
+          s""""groups":$groupJson,"medians":$medJson,""" +
+          s""""passes":$passJson,"sf":"$sfDir"}""")
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
-    // Compact driver line: qNN keys, centisecond precision.
-    val qs = results.map { case (k, v) => s""""${shortKey(k)}":${cs(v)}""" }
+    // Compact driver line: qNN keys, centisecond precision, median values.
+    val qs = med.map { case (k, v) => s""""${shortKey(k)}":${cs(v)}""" }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""n":${results.size},"groups":$groupJson,"queries":$qs,"sf":"$sfDir"}"""
+      s""""n":${med.size},"runs":${passes.size},"forked":$forked,""" +
+      s""""groups":$groupJson,"queries":$qs,"sf":"$sfDir"}"""
     // never abort after the queries already ran: if the per-query blob
     // would overflow the driver's 2000-char tail capture, degrade to the
     // groups-only line (full detail is in BENCH_LOCAL.json either way)
     if (line.length < 1800) println(line)
     else println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${results.size},"groups":$groupJson,"sf":"$sfDir"}""")
-    spark.stop()
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${med.size},"runs":${passes.size},"forked":$forked,"groups":$groupJson,"sf":"$sfDir"}""")
   }
 }
