@@ -273,6 +273,138 @@ object Crs {
     }
   }
 
+  /** Albers equal-area conic on an arbitrary ellipsoid (EPSG method 9822;
+    * Snyder, Map Projections — A Working Manual, USGS PP 1395 §14,
+    * eqs 14-3/14-4 for m and q, 14-12..14-15 forward, 14-19..14-21 and
+    * 3-16 inverse). The 1SP limit (sp1 == sp2) degenerates n to sin φ1.
+    * Used only via [[parametricFromPrj]] — no per-EPSG anchors.
+    */
+  private final class AlbersProj(aEll: Double, e2Ell: Double, lat0: Double,
+      lon0deg: Double, sp1: Double, sp2: Double, fe: Double, fnn: Double) {
+    private val eEll = math.sqrt(e2Ell)
+    private def m(phi: Double) = {
+      val s = math.sin(phi); math.cos(phi) / math.sqrt(1 - e2Ell * s * s)
+    }
+    // Snyder 3-12: q = (1−e²)[ sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e·sinφ)/(1+e·sinφ)) ]
+    private def q(phi: Double) = {
+      val s = math.sin(phi)
+      (1 - e2Ell) * (s / (1 - e2Ell * s * s) -
+        (1 / (2 * eEll)) * math.log((1 - eEll * s) / (1 + eEll * s)))
+    }
+    private val lon0 = math.toRadians(lon0deg)
+    private val p1 = math.toRadians(sp1); private val p2 = math.toRadians(sp2)
+    private val nCone =
+      if (sp1 == sp2) math.sin(p1)
+      else (m(p1) * m(p1) - m(p2) * m(p2)) / (q(p2) - q(p1))
+    private val cBig = m(p1) * m(p1) + nCone * q(p1)
+    private def rho(phi: Double) =
+      aEll * math.sqrt(cBig - nCone * q(phi)) / nCone
+    private val rho0 = rho(math.toRadians(lat0))
+    // q at the pole — the convergence bound for the inverse iteration
+    private val qPole = q(math.Pi / 2)
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val r = rho(math.toRadians(lat))
+      val theta = nCone * (math.toRadians(lon) - lon0)
+      (fe + r * math.sin(theta), fnn + rho0 - r * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val xp = x - fe; val yp = rho0 - (y - fnn)
+      // south-facing cone (nCone < 0): ρ carries n's sign and θ comes
+      // from the reflected offsets (same treatment as the LCC kernels)
+      val r = math.signum(nCone) * math.hypot(xp, yp)
+      val theta =
+        if (nCone < 0) math.atan2(-xp, -yp) else math.atan2(xp, yp)
+      val qq = (cBig - (r * nCone / aEll) * (r * nCone / aEll)) / nCone
+      // Snyder 3-16 iteration from the spherical start φ = asin(q/2)
+      var phi = math.asin(math.max(-1.0, math.min(1.0, qq / 2)))
+      if (math.abs(qq) >= math.abs(qPole)) // pole-clamped: series is exact
+        phi = math.signum(qq) * math.Pi / 2
+      else {
+        var i = 0
+        while (i < 15) {
+          val s = math.sin(phi)
+          val oneMe2s2 = 1 - e2Ell * s * s
+          phi += oneMe2s2 * oneMe2s2 / (2 * math.cos(phi)) *
+            (qq / (1 - e2Ell) - s / oneMe2s2 +
+              (1 / (2 * eEll)) * math.log((1 - eEll * s) / (1 + eEll * s)))
+          i += 1
+        }
+      }
+      (math.toDegrees(theta / nCone + lon0), math.toDegrees(phi))
+    }
+  }
+
+  /** Polar Stereographic on an arbitrary ellipsoid (EPSG methods 9810
+    * variant A — scale factor at the pole — and 9829 variant B —
+    * standard parallel; Snyder PP 1395 §21, eqs 21-33/21-34 forward,
+    * 20-18/21-39/21-40 + the 3-5 χ series inverse). `south` mirrors the
+    * aspect; variant B's implied k0 is computed by the caller via
+    * [[PolarStereo.k0FromStdParallel]].
+    */
+  private final class PolarStereo(aEll: Double, e2Ell: Double,
+      south: Boolean, k0: Double, lon0deg: Double, fe: Double, fnn: Double) {
+    private val eEll = math.sqrt(e2Ell)
+    private val lon0 = math.toRadians(lon0deg)
+    // √((1+e)^(1+e)·(1−e)^(1−e)) — the ρ normalizer (Snyder 21-33)
+    private val tc = math.sqrt(math.pow(1 + eEll, 1 + eEll) *
+      math.pow(1 - eEll, 1 - eEll))
+    // Snyder 15-9: t = tan(π/4 − φ/2)·[(1+e·sinφ)/(1−e·sinφ)]^(e/2)
+    private def t(phi: Double) = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4 - phi / 2) *
+        math.pow((1 + eEll * s) / (1 - eEll * s), eEll / 2)
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      // south aspect: the north formulas on the mirrored latitude; the
+      // northing term flips sign (E = FE + ρ·sin Δλ either way,
+      // N = FN − ρ·cos Δλ north / FN + ρ·cos Δλ south — Snyder p. 161)
+      val phiN = if (south) -math.toRadians(lat) else math.toRadians(lat)
+      val dl = math.toRadians(lon) - lon0
+      val r = 2 * aEll * k0 * t(phiN) / tc
+      val e = fe + r * math.sin(dl)
+      val n = if (south) fnn + r * math.cos(dl) else fnn - r * math.cos(dl)
+      (e, n)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val ex = x - fe; val ny = y - fnn
+      val r = math.hypot(ex, ny)
+      val tp = r * tc / (2 * aEll * k0)
+      val chi = math.Pi / 2 - 2 * math.atan(tp)
+      // Snyder 3-5 series χ → φ (exact to e⁸ — sub-micrometer here)
+      val e2 = e2Ell; val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e4 * e4
+      val phiN = chi +
+        (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * math.sin(2 * chi) +
+        (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * math.sin(4 * chi) +
+        (7 * e6 / 120 + 81 * e8 / 1120) * math.sin(6 * chi) +
+        (4279 * e8 / 161280) * math.sin(8 * chi)
+      val dl =
+        if (r == 0) 0.0
+        else if (south) math.atan2(ex, ny) else math.atan2(ex, -ny)
+      (math.toDegrees(lon0 + dl),
+        math.toDegrees(if (south) -phiN else phiN))
+    }
+  }
+
+  private object PolarStereo {
+    /** Variant B: the scale factor implied by a standard parallel φF
+      * (absolute value, radians): k0 = mF·√((1+e)^(1+e)(1−e)^(1−e))/(2·tF)
+      * — EPSG Guidance Note 7-2, method 9829.
+      */
+    def k0FromStdParallel(e2Ell: Double, phiF: Double): Double = {
+      val e = math.sqrt(e2Ell)
+      val s = math.sin(phiF)
+      val mF = math.cos(phiF) / math.sqrt(1 - e2Ell * s * s)
+      val tF = math.tan(math.Pi / 4 - phiF / 2) *
+        math.pow((1 + e * s) / (1 - e * s), e / 2)
+      val tc = math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+      mF * tc / (2 * tF)
+    }
+  }
+
   private val ClarkeIgnA = 6378249.2
   private val ClarkeIgnF = (6378249.2 - 6356515.0) / 6378249.2
   private val ClarkeIgnE2 = ClarkeIgnF * (2 - ClarkeIgnF)
@@ -999,9 +1131,11 @@ object Crs {
 
   /** Generic position-vector Helmert bridge (WKT1 `TOWGS84`, EPSG method
     * 9606: local datum → WGS84; 3-parameter when the rotations/scale are
-    * zero). Forward is the standard small-angle form; the inverse is its
-    * exact algebraic inverse (same first-order-orthogonal treatment as
-    * the OSGB/DHDN bridges above, so round-trips close to the bit).
+    * zero). Forward is the standard small-angle form `X' = D + s·M·X`
+    * with `M = I + skew(rx,ry,rz)`; the inverse applies the EXACT
+    * cofactor inverse of `M` (det = 1 + rx² + ry² + rz²), not the
+    * first-order transpose, so round-trips close to machine precision
+    * even for arc-second-scale rotations.
     */
   private final class HelmertBridge(aLoc: Double, e2Loc: Double,
       dx: Double, dy: Double, dz: Double,
@@ -1010,6 +1144,7 @@ object Crs {
     private val ry = math.toRadians(rySec / 3600.0)
     private val rz = math.toRadians(rzSec / 3600.0)
     private val s = 1.0 + ppm * 1e-6
+    private val det = 1.0 + rx * rx + ry * ry + rz * rz
 
     def toWgs84(lon: Double, lat: Double): (Double, Double) = {
       val (x, y, z) = geodToXyz(aLoc, e2Loc, lon, lat)
@@ -1021,10 +1156,12 @@ object Crs {
 
     def fromWgs84(lon: Double, lat: Double): (Double, Double) = {
       val (x2, y2, z2) = geodToXyz(A, Wgs84E2, lon, lat)
-      val ddx = (x2 - dx) / s; val ddy = (y2 - dy) / s; val ddz = (z2 - dz) / s
-      val x = ddx + rz * ddy - ry * ddz
-      val y = -rz * ddx + ddy + rx * ddz
-      val z = ry * ddx - rx * ddy + ddz
+      val u = (x2 - dx) / s; val v = (y2 - dy) / s; val w = (z2 - dz) / s
+      // M⁻¹ via cofactors of I + skew (reduces to the transpose at first
+      // order; the quadratic terms are what make the round-trip exact)
+      val x = ((1 + rx * rx) * u + (rz + rx * ry) * v + (rx * rz - ry) * w) / det
+      val y = ((rx * ry - rz) * u + (1 + ry * ry) * v + (rx + ry * rz) * w) / det
+      val z = ((ry + rx * rz) * u + (ry * rz - rx) * v + (1 + rz * rz) * w) / det
       xyzToGeod(aLoc, e2Loc, x, y, z)
     }
   }
@@ -1063,9 +1200,13 @@ object Crs {
     * `lib/initialization.py:38-39`; this covers the two workhorse
     * projected families the same way, from public formulas only).
     *
-    * Accepted: `PROJECTION` Transverse_Mercator / Gauss_Kruger, or
+    * Accepted: `PROJECTION` Transverse_Mercator / Gauss_Kruger,
     * Lambert_Conformal_Conic (1SP when no second standard parallel, 2SP
-    * otherwise), on ANY `SPHEROID[a, 1/f]`, with any PROJCS linear UNIT
+    * otherwise), Albers(_Conic_Equal_Area), or the polar aspects of
+    * Stereographic (Polar_Stereographic variants A and B plus the ESRI
+    * Stereographic_North/South_Pole spellings — oblique/equatorial
+    * stereographic refuses), on ANY `SPHEROID[a, 1/f]`, with any PROJCS
+    * linear UNIT
     * (the to-meter factor scales coordinates AND false origins). Datum:
     * a `TOWGS84[dx,dy,dz(,rx,ry,rz,ds)]` clause wires the generic
     * position-vector bridge; without one, only datums that realize
@@ -1174,6 +1315,56 @@ object Crs {
             (lon, lat) => proj.forward(lon, lat),
             (x, y) => proj.inverse(x, y),
             datumTo, datumFrom, unit))
+      }
+    } else if (projection.contains("ALBERS")) {
+      // Albers_Conic_Equal_Area / Albers (EPSG 9822): no scale factor in
+      // the method — a file declaring one ≠ 1 is not this projection
+      if (params.get("scale_factor").exists(_ != 1.0)) return None
+      val sp1 = params.get("standard_parallel_1").getOrElse(return None)
+      val sp2 = p("standard_parallel_2", sp1)
+      val proj = new AlbersProj(aEll, e2Ell, lat0, lon0deg, sp1, sp2, fe, fn0)
+      Some(new ParametricCrs(
+        (lon, lat) => proj.forward(lon, lat),
+        (x, y) => proj.inverse(x, y),
+        datumTo, datumFrom, unit))
+    } else if (projection.contains("STEREOGRAPHIC")) {
+      // Polar aspects only: Polar_Stereographic (variant A when the
+      // latitude of origin is a pole, variant B when it is a standard
+      // parallel) and the ESRI Stereographic_North/South_Pole spellings
+      // (standard parallel parameter, pole from the name). Oblique /
+      // equatorial stereographic is a different method — refuse.
+      val esriPole = projection.contains("_POLE")
+      if (!esriPole && !projection.contains("POLAR")) return None
+      if (math.abs(lat0) == 90.0 && !esriPole) {
+        // variant A: scale factor at the pole
+        val proj = new PolarStereo(aEll, e2Ell, south = lat0 < 0,
+          p("scale_factor", 1.0), lon0deg, fe, fn0)
+        Some(new ParametricCrs(
+          (lon, lat) => proj.forward(lon, lat),
+          (x, y) => proj.inverse(x, y),
+          datumTo, datumFrom, unit))
+      } else {
+        // variant B: the defining parallel is standard_parallel_1 (ESRI)
+        // or the latitude of origin (OGC); the method has no free scale
+        // factor, and the parallel must sit in the pole's hemisphere
+        if (params.get("scale_factor").exists(_ != 1.0)) return None
+        val spF =
+          if (esriPole) params.get("standard_parallel_1").getOrElse(return None)
+          else lat0
+        if (spF == 0.0) return None
+        val s = if (esriPole) projection.contains("SOUTH") else spF < 0
+        if (esriPole && (spF < 0) != s) return None
+        // a pole-latitude standard parallel is variant A with k0 = 1
+        // (the φF → pole limit of the variant-B formula, which is 0/0)
+        val k0 =
+          if (math.abs(spF) == 90.0) 1.0
+          else PolarStereo.k0FromStdParallel(e2Ell,
+            math.toRadians(math.abs(spF)))
+        val proj = new PolarStereo(aEll, e2Ell, s, k0, lon0deg, fe, fn0)
+        Some(new ParametricCrs(
+          (lon, lat) => proj.forward(lon, lat),
+          (x, y) => proj.inverse(x, y),
+          datumTo, datumFrom, unit))
       }
     } else None
   }

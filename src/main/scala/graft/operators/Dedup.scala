@@ -397,10 +397,12 @@ object Dedup {
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, shingleN: Int, k: Int, bands: Int, nBuckets: Int,
       maxId: Long, nDocs: Long,
-      last: Option[(Long, Long, Long)] = None): Unit = {
+      last: Option[(Long, Long, Long)] = None,
+      lastFp: Option[Long] = None): Unit = {
     val lastJson = last
       .map { case (mn, mx, c) => s""","lastMin":$mn,"lastMax":$mx,"lastN":$c""" }
-      .getOrElse("")
+      .getOrElse("") +
+      lastFp.map(f => s""","lastFp":$f""").getOrElse("")
     val sidecar = s"""{"shingleN":$shingleN,"k":$k,"bands":$bands,""" +
       s""""nBuckets":$nBuckets,"maxId":$maxId,"nDocs":$nDocs$lastJson}"""
     val p = new org.apache.hadoop.fs.Path(path, "_dedup_index_meta.json")
@@ -430,7 +432,8 @@ object Dedup {
     */
   def appendToSignatureIndex(survivors: DataFrame, idCol: String,
       textCol: String, path: String,
-      ingestedRange: Option[(Long, Long, Long)] = None): Unit = {
+      ingestedRange: Option[(Long, Long, Long)] = None,
+      ingestedFp: Option[Long] = None): Unit = {
     val spark = survivors.sparkSession
     require(survivors.schema(idCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -439,19 +442,29 @@ object Dedup {
     val m = readIndexMeta(spark, path)
     val nB = m.nBuckets.toLong
     val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
-    // the batch is small by contract — one tokenizing pass, persisted
-    // (with the finally-unpersist; a localCheckpoint here would leak
-    // unreleasable blocks across streaming micro-batches), feeds all
-    // three appends + the stats check
-    val enriched = survivors.select(col(idCol).cast("long").as("doc_id"),
+    // the batch is small by contract — one tokenizing pass, materialized
+    // once, feeds all three appends + the stats check. Default is persist
+    // + finally-unpersist (a localCheckpoint here would leak unreleasable
+    // blocks across streaming micro-batches — the round-7 fix); the stats
+    // `head()` below scans every partition, so the cache is fully
+    // populated before the appends and the UDF-heavy enrichment is never
+    // recomputed. The system property keeps the pre-fix localCheckpoint
+    // variant reachable for A/B timing ([[graft.DedupAb]]) only.
+    val enrichedBase = survivors.select(col(idCol).cast("long").as("doc_id"),
         md5(norm).as("content_hash"),
         TextFns.minhashSigUdf(m.shingleN, m.k)(
           TextFns.tokens(lower(col(textCol)))).as("sig"),
         TextFns.wordShingles(col(textCol), m.shingleN).as("shingles"))
-      .persist()
+    val viaCheckpoint =
+      System.getProperty("graft.dedup.append.materialize", "persist") ==
+        "localCheckpoint"
+    val enriched =
+      if (viaCheckpoint) enrichedBase.localCheckpoint(true)
+      else enrichedBase.persist()
     try {
       val s = enriched.agg(min(col("doc_id")), max(col("doc_id")),
-        sum(when(col("doc_id").isNull, 1).otherwise(0)), count(lit(1))).head()
+        sum(when(col("doc_id").isNull, 1).otherwise(0)), count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id))")).head()
       if (s.getLong(3) == 0) return // empty batch: nothing to append
       require(s.getLong(2) == 0L,
         s"appendToSignatureIndex requires numeric ids: ${s.getLong(2)} cast to null")
@@ -461,9 +474,20 @@ object Dedup {
       // The recorded range is the RAW ingested batch when the caller
       // provides it (dedupIncrementalIndexed pipelines — the replay
       // arrives pre-dedup, so the raw range is what recurs), else this
-      // batch's own.
+      // batch's own. A content fingerprint (xor of id hashes) rides along
+      // so a DIFFERENT batch colliding with the recorded range refuses
+      // loudly instead of silently no-op'ing as a replay.
       val range = (s.getLong(0), s.getLong(1), s.getLong(3))
-      if (m.last.contains(ingestedRange.getOrElse(range))) return
+      val candRange = ingestedRange.getOrElse(range)
+      val candFp =
+        if (ingestedRange.isDefined) ingestedFp else Some(s.getLong(4))
+      if (m.last.contains(candRange)) {
+        if (m.lastFp.isEmpty || candFp.isEmpty || m.lastFp == candFp) return
+        throw new IllegalStateException(
+          s"appendToSignatureIndex: batch range $candRange equals the last " +
+            "committed append but its id fingerprint differs — not a " +
+            "replay; renumber the batch (ids are never reused)")
+      }
       require(s.getLong(0) > m.maxId,
         s"appendToSignatureIndex requires monotone ids: index maxId=${m.maxId} " +
           s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
@@ -488,10 +512,9 @@ object Dedup {
         .repartition(col("hb"))
         .write.mode("append").partitionBy("hb").parquet(s"$path/hashes")
       writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
-        s.getLong(1), m.nDocs + s.getLong(3),
-        Some(ingestedRange.getOrElse(range)))
+        s.getLong(1), m.nDocs + s.getLong(3), Some(candRange), candFp)
       clearPendingMarker(spark, path)
-    } finally enriched.unpersist()
+    } finally if (!viaCheckpoint) enriched.unpersist()
   }
 
   private def pendingMarkerPath(path: String) =
@@ -597,12 +620,12 @@ object Dedup {
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
-      m.maxId, math.max(0L, m.nDocs - removed), m.last)
+      m.maxId, math.max(0L, m.nDocs - removed), m.last, m.lastFp)
   }
 
   private case class SigIndexMeta(shingleN: Int, k: Int, bands: Int,
     nBuckets: Int, maxId: Long, nDocs: Long,
-    last: Option[(Long, Long, Long)])
+    last: Option[(Long, Long, Long)], lastFp: Option[Long])
 
   private def readIndexMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): SigIndexMeta = {
@@ -632,7 +655,8 @@ object Dedup {
     SigIndexMeta(num("shingleN").toInt, num("k").toInt, num("bands").toInt,
       num("nBuckets").toInt, num("maxId"), num("nDocs"),
       for (mn <- optLong("lastMin"); mx <- optLong("lastMax");
-        c <- optLong("lastN")) yield (mn, mx, c))
+        c <- optLong("lastN")) yield (mn, mx, c),
+      optLong("lastFp"))
   }
 
   /** [[dedupIncremental]] probing a PERSISTED [[writeSignatureIndex]] index
@@ -655,7 +679,24 @@ object Dedup {
     */
   def dedupIncrementalIndexed(incoming: DataFrame, indexPath: String,
       idCol: String, textCol: String, threshold: Double = 0.8,
-      maxBucket: Int = 1000, checkIds: Boolean = true): DataFrame = {
+      maxBucket: Int = 1000, checkIds: Boolean = true): DataFrame =
+    dedupIncrementalIndexedWithIngestion(incoming, indexPath, idCol,
+      textCol, threshold, maxBucket, checkIds)._1
+
+  /** [[dedupIncrementalIndexed]] that ALSO returns the raw batch's
+    * (minId, maxId, n) and id fingerprint — already computed by the
+    * monotone-id check — so pipeline callers (the streaming micro-batch
+    * sink) can thread them to [[appendToSignatureIndex]]'s replay record
+    * without a second aggregation pass over the source. Both are None
+    * when `checkIds = false` or the batch is empty.
+    */
+  private[graft] def dedupIncrementalIndexedWithIngestion(
+      incoming: DataFrame, indexPath: String,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      maxBucket: Int = 1000, checkIds: Boolean = true)
+      : (DataFrame, Option[(Long, Long, Long)], Option[Long]) = {
+    var rawRange: Option[(Long, Long, Long)] = None
+    var rawFp: Option[Long] = None
     val spark = incoming.sparkSession
     import spark.implicits._
     require(incoming.schema(idCol).dataType
@@ -678,20 +719,25 @@ object Dedup {
     if (checkIds) {
       val s = batch.agg(min(col("doc_id")).as("minNew"),
         sum(when(col("doc_id").isNull, 1).otherwise(0)).as("nulls"),
-        count(lit(1)).as("n"), max(col("doc_id")).as("maxNew")).head()
+        count(lit(1)).as("n"), max(col("doc_id")).as("maxNew"),
+        expr("bit_xor(xxhash64(doc_id))").as("fp")).head()
       if (s.getLong(2) > 0) {
         require(s.getLong(1) == 0L,
           s"dedupIncrementalIndexed requires numeric ids: ${s.getLong(1)} " +
             s"of ${s.getLong(2)} ids cast to null")
+        rawRange = Some((s.getLong(0), s.getLong(3), s.getLong(2)))
+        rawFp = Some(s.getLong(4))
         // replay idempotence: when the batch's exact (minId, maxId, n)
-        // matches the index's last committed ingestion (recorded by
-        // appendToSignatureIndex), this is an at-least-once redelivery —
-        // skip the monotone refusal and let the probe run: every replayed
-        // doc collides with its own indexed identity (exact tier for the
-        // appended survivors, near-dup tier for the originally dropped),
-        // so the survivor set is empty and the downstream append no-ops.
-        val isReplay =
-          m.last.contains((s.getLong(0), s.getLong(3), s.getLong(2)))
+        // AND id fingerprint match the index's last committed ingestion
+        // (recorded by appendToSignatureIndex), this is an at-least-once
+        // redelivery — skip the monotone refusal and let the probe run:
+        // every replayed doc collides with its own indexed identity
+        // (exact tier for the appended survivors, near-dup tier for the
+        // originally dropped), so the survivor set is empty and the
+        // downstream append no-ops. A range match with a DIFFERENT
+        // fingerprint is a numbering bug and falls through to refuse.
+        val isReplay = m.last.contains(rawRange.get) &&
+          m.lastFp.forall(f => rawFp.contains(f))
         // no nDocs==0 bypass: writeSignatureIndex refuses empty corpora
         // and removeFromSignatureIndex refuses to empty an index, so a
         // zero nDocs can only mean drifted/corrupt metadata — the guard
@@ -766,8 +812,10 @@ object Dedup {
     val removed = broadcast(jaccardOnShingles(pairs, shingled)
       .filter(col("jaccard") >= threshold)
       .select(col("id2").as("__removed")).distinct())
-    exactSurv.join(removed, exactSurv("doc_id") === col("__removed"), "left_anti")
+    val surv = exactSurv
+      .join(removed, exactSurv("doc_id") === col("__removed"), "left_anti")
       .select(col("doc_id").as(idCol), col("__text").as(textCol))
+    (surv, rawRange, rawFp)
   }
 
   /** [[dedupCorpus]] with TRANSITIVE clustering: verified near-dup pairs

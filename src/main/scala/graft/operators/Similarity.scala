@@ -638,12 +638,13 @@ object Similarity {
       stats.getLong(0), stats.getLong(1), residual, assignGroups,
       baseErr = baseErr, perm = perm)
     // a full rebuild is the documented recovery from a crashed append or
-    // rewrite — clear any stale pending marker / rewrite stash so the
-    // fresh index is probe-able and compactable
+    // rewrite — clear any stale pending marker / rewrite stash / orphaned
+    // rewrite tmp so the fresh index is probe-able and compactable
     clearIvfPqPendingMarker(spark, path)
     val stash = new org.apache.hadoop.fs.Path(path, "_codes_old")
-    stash.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(stash, true)
+    val sfs = stash.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sfs.delete(stash, true)
+    sfs.delete(new org.apache.hadoop.fs.Path(path, "_compact_tmp"), true)
   }
 
   /** Project `vecCol` through a stored dimension permutation — a literal
@@ -832,6 +833,7 @@ object Similarity {
       donors: Array[(Long, Array[Double])], maxId: Long, nVecs: Long,
       residual: Boolean, assignGroups: Int,
       last: Option[(Long, Long, Long)] = None,
+      lastFp: Option[Long] = None,
       baseErr: Double = Double.NaN,
       appendErrs: Seq[Double] = Nil,
       perm: Option[Array[Int]] = None): Unit = {
@@ -840,7 +842,8 @@ object Similarity {
       .mkString("[", ",", "]")
     val lastJson = last
       .map { case (mn, mx, c) => s""""lastMin":$mn,"lastMax":$mx,"lastN":$c,""" }
-      .getOrElse("")
+      .getOrElse("") +
+      lastFp.map(f => s""""lastFp":$f,""").getOrElse("")
     // drift telemetry (NaN baseErr = pre-telemetry index, field omitted)
     val driftJson = (if (baseErr.isNaN) "" else s""""baseErr":$baseErr,""") +
       (if (appendErrs.isEmpty) ""
@@ -880,7 +883,7 @@ object Similarity {
     residual: Boolean, assignGroups: Int,
     centroids: Array[(Long, Array[Double])],
     donors: Array[(Long, Array[Double])],
-    last: Option[(Long, Long, Long)],
+    last: Option[(Long, Long, Long)], lastFp: Option[Long],
     baseErr: Double, appendErrs: Seq[Double],
     perm: Option[Array[Int]])
 
@@ -943,7 +946,7 @@ object Similarity {
       .map(_.group(1).trim).filter(_.nonEmpty)
       .map(_.split(",").map(_.toInt))
     IvfPqMeta(m, long("maxId"), long("nVecs"), residual, assignGroups,
-      centroids, donors, last, baseErr, appendErrs, perm)
+      centroids, donors, last, optLong("lastFp"), baseErr, appendErrs, perm)
   }
 
   /** Append a batch of NEW vectors to a persisted IVF-PQ index with the
@@ -975,16 +978,25 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__v")), "__v", meta.perm)
     val s = clean.agg(coalesce(min(col(idCol)), lit(Long.MaxValue)),
       coalesce(max(col(idCol)), lit(Long.MinValue)),
-      sum(when(col(idCol).isNull, 1).otherwise(0)), count(lit(1))).head()
+      sum(when(col(idCol).isNull, 1).otherwise(0)), count(lit(1)),
+      expr(s"bit_xor(xxhash64(`$idCol`))")).head()
     if (s.getLong(3) == 0) return // empty batch: nothing to append
     require(s.getLong(2) == 0L,
       s"appendToIvfPqIndex requires numeric ids: ${s.getLong(2)} cast to null")
     // replay idempotence (at-least-once foreachBatch sinks): a batch whose
-    // exact (minId, maxId, n) matches the LAST committed append is already
-    // fully reflected — no-op so a commit-then-crash restart resumes
-    // cleanly; overlapping-but-unequal ranges still refuse below
+    // exact (minId, maxId, n) AND id fingerprint (xor of id hashes) match
+    // the LAST committed append is already fully reflected — no-op so a
+    // commit-then-crash restart resumes cleanly; a range match with a
+    // different fingerprint, and overlapping-but-unequal ranges, refuse
     val range = (s.getLong(0), s.getLong(1), s.getLong(3))
-    if (meta.last.contains(range)) return
+    val fp = s.getLong(4)
+    if (meta.last.contains(range)) {
+      if (meta.lastFp.forall(_ == fp)) return
+      throw new IllegalStateException(
+        s"appendToIvfPqIndex: batch range $range equals the last committed " +
+          "append but its id fingerprint differs — not a replay; renumber " +
+          "the batch (ids are never reused)")
+    }
     require(s.getLong(0) > meta.maxId,
       s"appendToIvfPqIndex requires monotone ids: index maxId=${meta.maxId} " +
         s">= min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
@@ -1016,7 +1028,7 @@ object Similarity {
       meta.m, meta.residual, meta.assignGroups)
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
       s.getLong(1), meta.nVecs + s.getLong(3), meta.residual,
-      meta.assignGroups, Some(range), baseErr = meta.baseErr,
+      meta.assignGroups, Some(range), Some(fp), baseErr = meta.baseErr,
       appendErrs = (meta.appendErrs :+ batchErr).takeRight(64),
       perm = meta.perm)
     clearIvfPqPendingMarker(spark, path)
@@ -1069,20 +1081,22 @@ object Similarity {
     val meta = readIvfPqMeta(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = s"$path/_compact_tmp"
-    transform(spark.read.parquet(s"$path/codes"))
-      .repartition(col("ivf_list"))
-      .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$tmp/codes")
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val liveP = new org.apache.hadoop.fs.Path(path, "codes")
     val stash = new org.apache.hadoop.fs.Path(path, "_codes_old")
     // a surviving stash means a PRIOR rewrite crashed mid-swap — renaming
     // onto an existing dir would nest the source inside it, so refuse
-    // (mirrors the pending-marker refusal) until it is recovered/deleted
+    // (mirrors the pending-marker refusal) until it is recovered/deleted.
+    // Checked BEFORE the corpus rewrite below: refusing after it would
+    // waste the full index-sized pass and strand the tmp copy.
     if (fs.exists(stash))
       throw new IllegalStateException(
         s"$path: stale _codes_old present — a previous compact/remove " +
           "crashed mid-swap. Recover codes/ from it (or delete it if " +
           "codes/ is intact), then retry.")
+    transform(spark.read.parquet(s"$path/codes"))
+      .repartition(col("ivf_list"))
+      .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$tmp/codes")
     // stash-aside swap (same as TextIndex.rewriteIndex): live → stash,
     // tmp → live, stash deleted LAST, so a crash at any point leaves a
     // recoverable full copy — never a meta with no codes
@@ -1094,7 +1108,7 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
       meta.maxId, math.max(0L, meta.nVecs - removed), meta.residual,
-      meta.assignGroups, meta.last, baseErr = meta.baseErr,
+      meta.assignGroups, meta.last, meta.lastFp, baseErr = meta.baseErr,
       appendErrs = meta.appendErrs, perm = meta.perm)
     fs.delete(stash, true)
   }
@@ -1325,6 +1339,52 @@ object Similarity {
     * smaller id), the same keep-best shape as
     * [[graft.operators.Dedup.dedupCorpusTransitiveBy]].
     */
+  /** [[semDedup]] with the PUBLISHED keep policy derived for the caller:
+    * SemDeDup (Abbas et al. 2023 §2) keeps, within each cluster, the
+    * examples with the LOWEST cosine similarity to the cluster centroid
+    * (the farthest-from-center members carry the cluster's diversity;
+    * the near-center ones are the semantic redundancy being pruned).
+    * `keepByCol` forces callers to compute that score; this derives it:
+    * the cluster centroid is the element-wise mean of the cluster's own
+    * embeddings (the labels already exist from [[clusterEmbeddings]]),
+    * and each cluster keeps its `keepPerCluster` lowest-cos members
+    * (ties → smaller id). `keepClosest = true` flips to the
+    * prototype-keeping variant.
+    *
+    * Cost on top of [[semDedup]]: one (cluster, dim)-keyed mean — a
+    * posexplode'd aggregation whose shuffle is corpus×dim rows of three
+    * scalar columns, map-side-combined down to #clusters×dim — plus the
+    * same id-keyed score join the `keepByCol` path pays. Nothing
+    * driver-side, no new skew shape (the dim key fans the hot cluster's
+    * rows across `dim` reducers).
+    */
+  def semDedupByCentroid(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCos: Double, keepPerCluster: Int = 1, nLists: Int = 16,
+      nProbe: Int = 4, maxListSize: Int = 10000,
+      keepClosest: Boolean = false): DataFrame = {
+    require(keepPerCluster >= 1, s"keepPerCluster $keepPerCluster must be >= 1")
+    val labeled = clusterEmbeddings(vecs, idCol, vecCol, k, minCos,
+      nLists, nProbe, maxListSize)
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as("__v"))
+    val member = labeled.join(clean, Seq(idCol))
+    val centroids = member
+      .select(col("cluster"), posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy(col("cluster"), col("__d")).agg(avg(col("__x")).as("__m"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m"))))
+        .getField("__m").as("__c"))
+    val scored = member.join(centroids, Seq("cluster"))
+      .withColumn("__cos",
+        graft.functions.VectorFns.cosine(col("__v"), col("__c")))
+    val order =
+      if (keepClosest) Seq(col("__cos").desc, col(idCol).asc)
+      else Seq(col("__cos").asc, col(idCol).asc)
+    Ops.topKPerGroup(scored, Seq("cluster"), order, keepPerCluster)
+      .select(col(idCol), col("cluster"))
+  }
+
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       minCos: Double, keepPerCluster: Int = 1, nLists: Int = 16,
       nProbe: Int = 4, maxListSize: Int = 10000,
@@ -1405,6 +1465,56 @@ object Similarity {
     spark.read.parquet(s"$path/codes")
       .groupBy(col("ivf_list").cast("long").as("ivf_list"))
       .agg(count(lit(1)).as("n"))
+
+  /** The automated maintenance decision for a persisted IVF-PQ index —
+    * wires the two telemetry streams ([[ivfPqListStats]] occupancy skew,
+    * [[ivfPqIndexStats]] codebook drift) into one verdict instead of
+    * leaving the operator to eyeball them:
+    *
+    *   - `driftTrigger`: the latest appended batch's mean reconstruction
+    *     error exceeds `driftThreshold` × the build-time baseline — the
+    *     frozen codebooks no longer fit the ingested distribution, and
+    *     recall is decaying. Action: REBUILD (re-train quantizers); no
+    *     amount of list surgery fixes stale codebooks.
+    *   - `skewTrigger`: max(listSize) / avg(listSize) exceeds
+    *     `skewThreshold` — one semantic cluster dominates and every probe
+    *     or kNN-graph join touching the hot list degrades toward
+    *     all-pairs within it. Action: REBALANCE — rebuild with more
+    *     lists, and until then cap candidate fan-in (the suggested
+    *     `knnGraph(maxListSize = ceil(skewThreshold × avg))` keeps cold
+    *     lists untouched while bounding the hot one).
+    *
+    * Drift dominates when both fire (a rebuild re-trains the coarse
+    * quantizer too, which is what rebalancing is). Cost: one
+    * partition-metadata-only scan of `codes/` plus the sidecar read —
+    * safe to run after every append at any corpus size.
+    */
+  case class IvfPqMaintenance(skewTrigger: Boolean, driftTrigger: Boolean,
+      action: String, skewRatio: Double, maxList: Long, avgList: Double,
+      driftRatio: Option[Double], suggestedMaxListSize: Option[Long])
+
+  def maintenanceDue(spark: org.apache.spark.sql.SparkSession, path: String,
+      skewThreshold: Double = 8.0,
+      driftThreshold: Double = 4.0): IvfPqMaintenance = {
+    require(skewThreshold > 1.0, s"skewThreshold $skewThreshold must be > 1")
+    require(driftThreshold > 1.0, s"driftThreshold $driftThreshold must be > 1")
+    val st = ivfPqIndexStats(spark, path)
+    val occ = ivfPqListStats(spark, path)
+      .agg(coalesce(max(col("n")), lit(0L)),
+        coalesce(avg(col("n")), lit(0.0))).head()
+    val maxList = occ.getLong(0)
+    val avgList = occ.getDouble(1)
+    val skewRatio = if (avgList > 0) maxList / avgList else 0.0
+    val skew = skewRatio > skewThreshold
+    val drift = st.driftRatio.exists(_ > driftThreshold)
+    val action =
+      if (drift) "rebuild-retrain"
+      else if (skew) "rebalance-lists"
+      else "none"
+    IvfPqMaintenance(skew, drift, action, skewRatio, maxList, avgList,
+      st.driftRatio,
+      if (skew) Some(math.ceil(skewThreshold * avgList).toLong) else None)
+  }
 
   /** BATCHED probe of a persisted IVF-PQ index: score a bounded RELATION
     * of queries (an eval/rerank batch, driver-collectable by contract) in

@@ -85,14 +85,16 @@ object TextIndex {
   }
 
   private case class Stats(n: Double, avgdl: Double, nBuckets: Int,
-    maxId: Long, last: Option[(Long, Long, Long)])
+    maxId: Long, last: Option[(Long, Long, Long)], lastFp: Option[Long])
 
   private def writeStats(spark: SparkSession, path: String, n: Double,
       avgdl: Double, nBuckets: Int, maxId: Long,
-      last: Option[(Long, Long, Long)] = None): Unit = {
+      last: Option[(Long, Long, Long)] = None,
+      lastFp: Option[Long] = None): Unit = {
     val lastJson = last
       .map { case (mn, mx, c) => s""","lastMin":$mn,"lastMax":$mx,"lastN":$c""" }
-      .getOrElse("")
+      .getOrElse("") +
+      lastFp.map(f => s""","lastFp":$f""").getOrElse("")
     val sidecar =
       s"""{"n":$n,"avgdl":$avgdl,"nBuckets":$nBuckets,"maxId":$maxId$lastJson}"""
     val p = new org.apache.hadoop.fs.Path(path, "_text_index_stats.json")
@@ -134,7 +136,8 @@ object TextIndex {
       // refuses with a rebuild hint, search never needs it
       optLong("maxId").getOrElse(Long.MaxValue),
       for (mn <- optLong("lastMin"); mx <- optLong("lastMax");
-        c <- optLong("lastN")) yield (mn, mx, c))
+        c <- optLong("lastN")) yield (mn, mx, c),
+      optLong("lastFp"))
   }
 
   /** Append an ingestion batch to an existing index — the rolling form
@@ -174,12 +177,23 @@ object TextIndex {
     try {
       val s = base.agg(min(col("doc_id")), max(col("doc_id")),
         sum(when(col("doc_id").isNull, 1).otherwise(0)),
-        count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+        count(lit(1)), coalesce(sum(col("dl")), lit(0L)),
+        expr("bit_xor(xxhash64(doc_id))")).head()
       if (s.getLong(3) == 0) return // empty batch
       require(s.getLong(2) == 0L,
         s"TextIndex.append requires numeric ids: ${s.getLong(2)} cast to null")
       val range = (s.getLong(0), s.getLong(1), s.getLong(3))
-      if (st.last.contains(range)) return // exact replay: already reflected
+      // content fingerprint (xor of id hashes, order-free) alongside the
+      // range: a DIFFERENT batch that happens to collide with the last
+      // committed range must refuse, not silently no-op as a replay
+      val fp = s.getLong(5)
+      if (st.last.contains(range)) {
+        if (st.lastFp.forall(_ == fp)) return // exact replay: reflected
+        throw new IllegalStateException(
+          s"TextIndex.append: batch range $range equals the last committed " +
+            "append but its id fingerprint differs — not a replay; " +
+            "renumber the batch (ids are never reused)")
+      }
       require(s.getLong(0) > st.maxId,
         s"TextIndex.append requires monotone ids: index maxId=${st.maxId} >= " +
           s"min(batch)=${s.getLong(0)} — renumber (or rebuild the index)")
@@ -188,7 +202,7 @@ object TextIndex {
       val nb = s.getLong(3).toDouble
       writeStats(spark, path, st.n + nb,
         (st.n * st.avgdl + s.getLong(4)) / (st.n + nb), st.nBuckets,
-        s.getLong(1), Some(range))
+        s.getLong(1), Some(range), Some(fp))
       clearPendingMarker(spark, path)
     } finally base.unpersist()
   }
@@ -269,7 +283,7 @@ object TextIndex {
     writeStats(spark, path, n2,
       if (removedDocs == 0) st.avgdl
       else (st.n * st.avgdl - removedDl) / n2,
-      st.nBuckets, st.maxId, st.last)
+      st.nBuckets, st.maxId, st.last, st.lastFp)
     fs.delete(stash, true)
   }
 

@@ -51,20 +51,18 @@ object EventStream {
     */
   def indexedDedupBatch(indexPath: String, idCol: String, textCol: String,
       threshold: Double = 0.8)(batch: DataFrame, batchId: Long): DataFrame = {
-    // the RAW batch range is what an at-least-once redelivery repeats
-    // (the survivor set of a replay is empty by construction), so it —
-    // not the survivors' range — is recorded as the index's last
-    // ingestion for the replay-idempotence check
-    val r = batch.agg(min(col(idCol).cast("long")),
-      max(col(idCol).cast("long")), count(lit(1))).head()
-    val rawRange =
-      if (r.getLong(2) == 0 || r.isNullAt(0)) None
-      else Some((r.getLong(0), r.getLong(1), r.getLong(2)))
-    val surv = graft.operators.Dedup
-      .dedupIncrementalIndexed(batch, indexPath, idCol, textCol, threshold)
-      .localCheckpoint(true)
+    // the RAW batch range (+ id fingerprint) is what an at-least-once
+    // redelivery repeats (the survivor set of a replay is empty by
+    // construction), so it — not the survivors' range — is recorded as
+    // the index's last ingestion for the replay-idempotence check. Both
+    // come out of the probe's own monotone-id aggregation, so the micro-
+    // batch is scanned once, not twice.
+    val (surv0, rawRange, rawFp) = graft.operators.Dedup
+      .dedupIncrementalIndexedWithIngestion(batch, indexPath, idCol,
+        textCol, threshold)
+    val surv = surv0.localCheckpoint(true)
     graft.operators.Dedup.appendToSignatureIndex(surv, idCol, textCol,
-      indexPath, ingestedRange = rawRange)
+      indexPath, ingestedRange = rawRange, ingestedFp = rawFp)
     surv
   }
 

@@ -201,4 +201,25 @@ class TextIndexSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters"))
     assert(probe.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
   }
+
+  test("append replay fingerprint: range collision with different ids refuses") {
+    val path = java.nio.file.Files.createTempDirectory("tixfp")
+      .resolve("idx").toString
+    TextIndex.write(corpus(), "doc_id", "text", path, nBuckets = 16)
+    val b1 = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon zeta"),
+      (15L, "eta theta iota")).toDF("doc_id", "text")
+    TextIndex.append(b1, "doc_id", "text", path)
+    val before = spark.read.parquet(path).count()
+    TextIndex.append(b1, "doc_id", "text", path) // exact replay: no-op
+    assert(spark.read.parquet(path).count() == before)
+    // same (min=10, max=15, n=3) but ids {10,13,15}: not a replay
+    val b2 = Seq((10L, "alpha beta gamma"), (13L, "kappa lambda mu"),
+      (15L, "eta theta iota")).toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      TextIndex.append(b2, "doc_id", "text", path)
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+    assert(spark.read.parquet(path).count() == before,
+      "a refused range-collision must leave the index untouched")
+  }
 }
