@@ -1666,6 +1666,20 @@ object SparkEntry {
       Similarity.ivfPqListStats(s, idx)
     }),
 
+    // q116's kNN graph with the hot-list cap BINDING (maxListSize=20 <
+    // the ~31-vector average list): candidate visibility inside an
+    // oversized list drops to its 20 smallest-Knuth-id-hash members —
+    // the deterministic, SQL-reproducible sampler — while every vector
+    // still probes its lists and keeps k neighbors. The oracle replays
+    // the cap as a per-list QUALIFY on the same hash, proving the
+    // bounded-recall trade is exactly specified, not approximate.
+    "q130_knn_graph_capped" -> ((s, dir) => {
+      import graft.operators.Similarity
+      Similarity.knnGraph(t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 3, nLists = 16, nProbe = 4, maxListSize = 20)
+        .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos"))
+    }),
+
     // Temperature-scaled domain mixing (p_d ∝ n_d^τ, the mT5/XLM-R
     // resampling step): per-source budgets derived from the corpus' own
     // token masses at τ=0.5, cut by the same sharded prefix sum as q82.
@@ -2888,6 +2902,39 @@ object SparkEntry {
         |asg AS (SELECT vec_id, did AS lst FROM fulld
         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1)
         |SELECT lst AS ivf_list, count(*) AS n FROM asg GROUP BY 1""".stripMargin,
+
+    // q116's oracle with ONE new CTE: the candidate side of each coarse
+    // list keeps only its 20 smallest-Knuth-id-hash members (the cap's
+    // exact sampler), so the capped kNN graph is reproduced edge-for-edge.
+    "q130_knn_graph_capped" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |capped AS (SELECT vec_id, lst FROM asg
+        |  QUALIFY row_number() OVER (PARTITION BY lst
+        |    ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id) <= 20),
+        |pl AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl p JOIN capped a ON a.lst = p.lst WHERE a.vec_id <> p.vec_id),
+        |cs AS (SELECT c.id1, c.id2,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * b.v[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(b.v) + 1),
+        |    j -> b.v[j] * b.v[j]), (x, y) -> x + y) AS nb
+        |  FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2)
+        |SELECT id1, id2, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos FROM cs
+        |QUALIFY row_number() OVER (PARTITION BY id1
+        |  ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3""".stripMargin,
 
     // q106's plan with the codebook CTE frozen at the build-half corpus
     // state and the takedown ids excluded — the rolled lifecycle must be

@@ -1501,9 +1501,11 @@ object Similarity {
     val st = ivfPqIndexStats(spark, path)
     val occ = ivfPqListStats(spark, path)
       .agg(coalesce(max(col("n")), lit(0L)),
-        coalesce(avg(col("n")), lit(0.0))).head()
+        coalesce(sum(col("n")), lit(0L))).head()
     val maxList = occ.getLong(0)
-    val avgList = occ.getDouble(1)
+    // averaged over DECLARED lists, not occupied ones: a dominant cluster
+    // that empties the other lists is exactly the skew being detected
+    val avgList = occ.getLong(1).toDouble / math.max(1, st.nLists)
     val skewRatio = if (avgList > 0) maxList / avgList else 0.0
     val skew = skewRatio > skewThreshold
     val drift = st.driftRatio.exists(_ > driftThreshold)

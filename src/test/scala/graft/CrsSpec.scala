@@ -767,6 +767,171 @@ class CrsSpec extends AnyFunSuite {
     assert(Crs.parametricFromPrj(badCone).isEmpty)
   }
 
+  // Numeric scale factors and Jacobian for the parametric-projection
+  // invariant tests (WGS84 fixtures → the identity datum bridge, so
+  // fromWgs84 is the pure projection). Central differences at h = 1e-5°;
+  // truncation error ~1e-8 relative, so 1e-5 tolerances are conservative.
+  // Anchoring by INVARANT — equal-area/conformal Jacobian structure,
+  // unit scale on the defining parallels, false-origin fixpoints —
+  // rather than by any external coordinate table.
+  private def projDerivs(par: Crs.ParametricCrs, lon: Double, lat: Double)
+      : (Double, Double, Double, Double) = {
+    val h = 1e-5
+    val (xe, ye) = par.fromWgs84(lon + h, lat)
+    val (xw, yw) = par.fromWgs84(lon - h, lat)
+    val (xn, yn) = par.fromWgs84(lon, lat + h)
+    val (xs, ys) = par.fromWgs84(lon, lat - h)
+    val d = 2 * h * math.Pi / 180 // per-radian derivatives
+    ((xe - xw) / d, (ye - yw) / d, (xn - xs) / d, (yn - ys) / d)
+  }
+  private val WgsA = 6378137.0
+  private val WgsE2 = { val f = 1 / 298.257223563; f * (2 - f) }
+  /** (parallel scale k, meridian scale h) at a point, numerically. */
+  private def numScales(par: Crs.ParametricCrs, lon: Double, lat: Double)
+      : (Double, Double) = {
+    val (dxl, dyl, dxp, dyp) = projDerivs(par, lon, lat)
+    val s = math.sin(math.toRadians(lat))
+    val nR = WgsA / math.sqrt(1 - WgsE2 * s * s)
+    val mR = WgsA * (1 - WgsE2) / math.pow(1 - WgsE2 * s * s, 1.5)
+    (math.hypot(dxl, dyl) / (nR * math.cos(math.toRadians(lat))),
+      math.hypot(dxp, dyp) / mR)
+  }
+  /** |Jacobian| / (ellipsoid area element) — 1 iff locally equal-area. */
+  private def areaRatio(par: Crs.ParametricCrs, lon: Double, lat: Double)
+      : Double = {
+    val (dxl, dyl, dxp, dyp) = projDerivs(par, lon, lat)
+    val s = math.sin(math.toRadians(lat))
+    val nR = WgsA / math.sqrt(1 - WgsE2 * s * s)
+    val mR = WgsA * (1 - WgsE2) / math.pow(1 - WgsE2 * s * s, 1.5)
+    math.abs(dxl * dyp - dxp * dyl) /
+      (mR * nR * math.cos(math.toRadians(lat)))
+  }
+
+  test("parametricFromPrj: Albers equal-area — area-true Jacobian, unit " +
+      "scale on both standard parallels, false-origin fixpoint, round-trips") {
+    val prj =
+      """PROJCS["Custom_Albers",GEOGCS["GCS_WGS_1984",""" +
+        """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Albers"],""" +
+        """PARAMETER["False_Easting",1500000.0],""" +
+        """PARAMETER["False_Northing",2500000.0],""" +
+        """PARAMETER["Central_Meridian",-96.0],""" +
+        """PARAMETER["Standard_Parallel_1",29.5],""" +
+        """PARAMETER["Standard_Parallel_2",45.5],""" +
+        """PARAMETER["Latitude_Of_Origin",23.0],UNIT["Meter",1.0]]"""
+    val par = Crs.parametricFromPrj(prj).getOrElse(fail("refused"))
+    // the projection's defining property, checked pointwise: the map
+    // Jacobian equals the ellipsoidal area element everywhere
+    for (lon <- Seq(-120.0, -96.0, -75.0); lat <- Seq(25.0, 37.0, 48.0)) {
+      val r = areaRatio(par, lon, lat)
+      assert(math.abs(r - 1) < 2e-5, s"area ratio at ($lon,$lat): $r")
+      val (x, y) = par.fromWgs84(lon, lat)
+      val (lo, la) = par.toWgs84(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"($lon,$lat) → ($lo,$la)")
+    }
+    // the cone touches at the standard parallels: parallel scale 1 there,
+    // < 1 between them, > 1 outside (Snyder §14)
+    for (sp <- Seq(29.5, 45.5)) {
+      val (k, _) = numScales(par, -100.0, sp)
+      assert(math.abs(k - 1) < 1e-5, s"k at sp=$sp: $k")
+    }
+    assert(numScales(par, -100.0, 37.0)._1 < 1.0 - 1e-4)
+    assert(numScales(par, -100.0, 52.0)._1 > 1.0 + 1e-4)
+    // grid origin = false origin
+    val (x0, y0) = par.fromWgs84(-96.0, 23.0)
+    assert(math.abs(x0 - 1500000.0) < 1e-6 && math.abs(y0 - 2500000.0) < 1e-6,
+      s"($x0,$y0)")
+  }
+
+  test("parametricFromPrj: polar stereographic — conformal, unit scale " +
+      "on the standard parallel, pole fixpoint, ESRI spelling equivalent") {
+    // OGC variant B, Antarctic-shaped: standard parallel −71°S
+    val ogc =
+      """PROJCS["Custom_PS_B",GEOGCS["GCS_WGS_1984",""" +
+        """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Polar_Stereographic"],""" +
+        """PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",0.0],""" +
+        """PARAMETER["Latitude_Of_Origin",-71.0],UNIT["Meter",1.0]]"""
+    val par = Crs.parametricFromPrj(ogc).getOrElse(fail("refused"))
+    for (lon <- Seq(-150.0, 0.0, 45.0, 150.0); lat <- Seq(-88.0, -75.0, -60.0)) {
+      // conformal: meridian and parallel scales agree at every point
+      val (k, hM) = numScales(par, lon, lat)
+      assert(math.abs(k / hM - 1) < 2e-5, s"k=$k h=$hM at ($lon,$lat)")
+      val (x, y) = par.fromWgs84(lon, lat)
+      val (lo, la) = par.toWgs84(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"($lon,$lat) → ($lo,$la)")
+    }
+    // the standard parallel is true to scale; the pole maps to the origin
+    assert(math.abs(numScales(par, 30.0, -71.0)._1 - 1) < 1e-5)
+    val (xp, yp) = par.fromWgs84(123.0, -90.0)
+    assert(math.hypot(xp, yp) < 1e-6, s"pole → ($xp,$yp)")
+    // south aspect axis convention: on the central meridian, points move
+    // AWAY from the pole toward +N (EPSG 9829 south orientation)
+    val (x1, y1) = par.fromWgs84(0.0, -75.0)
+    assert(math.abs(x1) < 1e-6 && y1 > 1000.0, s"($x1,$y1)")
+    // ESRI spelling with the parallel as Standard_Parallel_1: identical
+    val esri = ogc
+      .replace(""""Polar_Stereographic"""", """"Stereographic_South_Pole"""")
+      .replace("""PARAMETER["Latitude_Of_Origin",-71.0]""",
+        """PARAMETER["Standard_Parallel_1",-71.0]""")
+    val par2 = Crs.parametricFromPrj(esri).getOrElse(fail("ESRI refused"))
+    for (lon <- Seq(-120.0, 60.0); lat <- Seq(-85.0, -65.0)) {
+      val (xa, ya) = par.fromWgs84(lon, lat)
+      val (xb, yb) = par2.fromWgs84(lon, lat)
+      assert(math.abs(xa - xb) < 1e-9 && math.abs(ya - yb) < 1e-9,
+        s"OGC ($xa,$ya) vs ESRI ($xb,$yb)")
+    }
+    // variant A (pole origin + scale factor): conformal, k0 at the pole
+    val va = ogc
+      .replace("""PARAMETER["Latitude_Of_Origin",-71.0]""",
+        """PARAMETER["Latitude_Of_Origin",90.0],""" +
+          """PARAMETER["Scale_Factor",0.994]""")
+    val parA = Crs.parametricFromPrj(va).getOrElse(fail("variant A refused"))
+    val (kp, hp) = numScales(parA, 10.0, 89.9)
+    assert(math.abs(kp / hp - 1) < 2e-5 && math.abs(kp - 0.994) < 1e-4,
+      s"near-pole scale $kp/$hp (k0=0.994)")
+    val (lo9, la9) = parA.toWgs84(parA.fromWgs84(37.0, 70.0)._1,
+      parA.fromWgs84(37.0, 70.0)._2)
+    assert(math.abs(lo9 - 37.0) < 1e-9 && math.abs(la9 - 70.0) < 1e-9)
+  }
+
+  test("parametricFromPrj: Albers/stereographic refusal discipline") {
+    def wgs(body: String) =
+      """PROJCS["X",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",""" +
+        """SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        body + """,UNIT["Meter",1.0]]"""
+    // Albers with a non-unit scale factor is not EPSG 9822
+    assert(Crs.parametricFromPrj(wgs(
+      """PROJECTION["Albers"],PARAMETER["Central_Meridian",-96.0],""" +
+        """PARAMETER["Standard_Parallel_1",29.5],""" +
+        """PARAMETER["Scale_Factor",0.99],""" +
+        """PARAMETER["Latitude_Of_Origin",23.0]""")).isEmpty)
+    // Albers without any standard parallel
+    assert(Crs.parametricFromPrj(wgs(
+      """PROJECTION["Albers"],PARAMETER["Central_Meridian",-96.0],""" +
+        """PARAMETER["Latitude_Of_Origin",23.0]""")).isEmpty)
+    // oblique stereographic is a different method
+    assert(Crs.parametricFromPrj(wgs(
+      """PROJECTION["Stereographic"],PARAMETER["Central_Meridian",10.0],""" +
+        """PARAMETER["Latitude_Of_Origin",52.0]""")).isEmpty)
+    // ESRI pole name whose parallel sits in the wrong hemisphere
+    assert(Crs.parametricFromPrj(wgs(
+      """PROJECTION["Stereographic_South_Pole"],""" +
+        """PARAMETER["Central_Meridian",0.0],""" +
+        """PARAMETER["Standard_Parallel_1",71.0]""")).isEmpty)
+    // polar stereographic with an equatorial origin is underdetermined
+    assert(Crs.parametricFromPrj(wgs(
+      """PROJECTION["Polar_Stereographic"],""" +
+        """PARAMETER["Central_Meridian",0.0],""" +
+        """PARAMETER["Latitude_Of_Origin",0.0]""")).isEmpty)
+  }
+
   test("wktTransformToWgs84 transforms bare-decimal-point coordinates") {
     // ".5" / "-.5" are valid WKT numbers; a digit-first pattern would
     // skip the pair silently, mixing projected and geographic coords

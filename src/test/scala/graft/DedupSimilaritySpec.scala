@@ -1050,6 +1050,94 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("maintenanceDue: hot list trips skew, shifted appends trip drift, " +
+      "fresh balanced index trips neither") {
+    import graft.operators.Similarity
+    val mk = (lo: Long, hi: Long, shift: Double) =>
+      spark.range(lo, hi).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, 15), d -> $shift + " +
+          "CAST(pmod(id * (d + 7) + d, 13) AS DOUBLE) / 13.0)")
+          .as("embedding"))
+    // fresh well-spread index: nothing due
+    val idx = java.nio.file.Files.createTempDirectory("graft_maint")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(mk(0L, 200L, 0.0), "vec_id", "embedding",
+      idx, nLists = 4, m = 4, nCodes = 8)
+    val fresh = Similarity.maintenanceDue(spark, idx)
+    assert(!fresh.skewTrigger && !fresh.driftTrigger &&
+      fresh.action == "none" && fresh.suggestedMaxListSize.isEmpty,
+      s"fresh index must trip nothing: $fresh")
+    // far-out-of-distribution append: drift verdict = rebuild-retrain
+    Similarity.appendToIvfPqIndex(mk(300L, 360L, 1000.0), "vec_id",
+      "embedding", idx)
+    val drifted = Similarity.maintenanceDue(spark, idx)
+    assert(drifted.driftTrigger && drifted.action == "rebuild-retrain",
+      s"shifted append must trip drift: $drifted")
+    // dominant-cluster corpus: one list holds ~all vectors → skew verdict
+    // (constant vectors for the hot cluster, spread for the rest)
+    val hot = spark.range(0, 450).select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), d -> 0.5)").as("embedding"))
+      .unionByName(mk(450L, 500L, 0.0))
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_maint2")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(hot, "vec_id", "embedding", idx2,
+      nLists = 8, m = 4, nCodes = 8)
+    val skewed = Similarity.maintenanceDue(spark, idx2, skewThreshold = 4.0)
+    assert(skewed.skewTrigger && !skewed.driftTrigger &&
+      skewed.action == "rebalance-lists" &&
+      skewed.suggestedMaxListSize.exists(s => s >= 1 && s < skewed.maxList),
+      s"dominant cluster must trip skew with a usable cap: $skewed")
+  }
+
+  test("semDedupByCentroid: derives the published centroid-distance keep " +
+      "policy; matches keepByCol given the same score") {
+    import graft.operators.Similarity
+    // two tight, well-separated clusters + one singleton; members of each
+    // cluster sit at DIFFERENT distances from the cluster mean so the
+    // farthest-member choice is unambiguous
+    def v(base: Double, off: Double) =
+      (0 until 8).map(d => base + (if (d == 0) off else 0.0))
+    val rows = Seq(
+      (1L, v(1.0, 0.00)), (2L, v(1.0, 0.02)), (3L, v(1.0, 0.08)),
+      (11L, v(-1.0, 0.00)), (12L, v(-1.0, 0.03)),
+      (99L, (0 until 8).map(d => if (d % 2 == 0) 5.0 else -5.0)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semDedupByCentroid(vecs, "vec_id", "embedding",
+        k = 3, minCos = 0.999, nLists = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // expected: per cluster, the member with the LOWEST cos to the
+    // cluster mean (computed here independently, driver-side)
+    val clusters = Similarity.clusterEmbeddings(vecs, "vec_id", "embedding",
+        k = 3, minCos = 0.999, nLists = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = rows.toMap
+    val expect = clusters.map { case (c, ids) =>
+      val mean = (0 until 8).map(d => ids.map(i => byId(i)(d)).sum / ids.size)
+      val keep = ids.map(i => (cos(byId(i), mean), i)).minBy(identity)._2
+      (keep, c)
+    }
+    assert(got == expect, s"got $got expect $expect (clusters $clusters)")
+    assert(clusters.sizeIs >= 3 && clusters.exists(_._2.size == 3),
+      s"fixture must form the intended clusters: $clusters")
+    // keepByCol equivalence: precompute score = -cos(centroid) and the
+    // generic keep-best path must pick the same survivors
+    val scoreRows = clusters.toSeq.flatMap { case (_, ids) =>
+      val mean = (0 until 8).map(d => ids.map(i => byId(i)(d)).sum / ids.size)
+      ids.map(i => (i, -cos(byId(i), mean)))
+    }
+    val withScore = vecs.join(scoreRows.toDF("vec_id", "score"), Seq("vec_id"))
+    val viaKeepBy = Similarity.semDedup(withScore, "vec_id", "embedding",
+        k = 3, minCos = 0.999, nLists = 2, nProbe = 2,
+        keepByCol = Some("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaKeepBy == got, s"keepByCol $viaKeepBy != derived $got")
+  }
+
   test("pqSubspaceCodebooks: learned codebooks cut quantization error on clustered data") {
     import graft.operators.Similarity
     // 3 tight clusters in 16-dim space whose centers differ PER SUBSPACE —
@@ -1219,5 +1307,60 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(marker), "rebuild must clear the marker")
     assert(Dedup.dedupIncrementalIndexed(incoming, idx, "doc_id", "text",
       threshold = 0.6).select("doc_id").as[Long].collect().toSet == Set(12L, 15L))
+  }
+
+  test("replay fingerprint: a range-colliding non-replay batch refuses") {
+    // Both rolling indexes key their replay no-op on the last committed
+    // (minId, maxId, n) PLUS an id fingerprint (xor of id hashes): a
+    // batch with the same range triple but a DIFFERENT id set — possible
+    // whenever n < span — must refuse loudly, never silently skip.
+    val (existing, _) = indexFixture
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigfp")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val b1 = Seq((10L, "first fresh appended document body"),
+      (11L, "second fresh appended document body"),
+      (15L, "third fresh appended document body"))
+      .toDF("doc_id", "text")
+    Dedup.appendToSignatureIndex(b1, "doc_id", "text", idx)
+    val before = spark.read.parquet(s"$idx/docs").count()
+    // exact replay (same ids): idempotent no-op
+    Dedup.appendToSignatureIndex(b1, "doc_id", "text", idx)
+    assert(spark.read.parquet(s"$idx/docs").count() == before)
+    // same (min=10, max=15, n=3), different middle id: NOT a replay
+    val b2 = Seq((10L, "first fresh appended document body"),
+      (13L, "entirely different middle document body"),
+      (15L, "third fresh appended document body"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.appendToSignatureIndex(b2, "doc_id", "text", idx)
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+    assert(spark.read.parquet(s"$idx/docs").count() == before,
+      "a refused range-collision must leave the index untouched")
+
+    // IVF-PQ index: same contract
+    val vecs = spark.range(40).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), d -> " +
+        "CAST(pmod(id * (d + 7) + d * 5, 53) AS DOUBLE) / 53.0)").as("embedding"))
+    val vidx = java.nio.file.Files.createTempDirectory("graft_pqfp")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", vidx,
+      nLists = 4, m = 4, nCodes = 4)
+    def vb(ids: Long*) = spark.range(60).filter(col("id").isin(ids: _*))
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), d -> " +
+          "CAST(pmod(id * (d + 7) + d * 5, 53) AS DOUBLE) / 53.0)")
+          .as("embedding"))
+    Similarity.appendToIvfPqIndex(vb(50L, 51L, 55L), "vec_id", "embedding", vidx)
+    val vBefore = spark.read.parquet(s"$vidx/codes").count()
+    Similarity.appendToIvfPqIndex(vb(50L, 51L, 55L), "vec_id", "embedding", vidx)
+    assert(spark.read.parquet(s"$vidx/codes").count() == vBefore)
+    val ve = intercept[IllegalStateException] {
+      Similarity.appendToIvfPqIndex(vb(50L, 52L, 55L), "vec_id", "embedding", vidx)
+    }
+    assert(ve.getMessage.contains("fingerprint"), ve.getMessage)
+    assert(spark.read.parquet(s"$vidx/codes").count() == vBefore)
   }
 }
