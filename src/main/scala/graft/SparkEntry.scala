@@ -1819,6 +1819,19 @@ object SparkEntry {
         keepByCol = Some("quality"))
     }),
 
+    // SemDeDup with the keep score DERIVED in-engine (the published
+    // centroid-distance policy): q120's clusters, centroid = the
+    // cluster's own mean embedding, keep the lowest-cos member. Only
+    // (vec_id, cluster) ints surface, so the cross-engine double noise
+    // in the mean/cosine never reaches the hash compare — the rank
+    // decision itself is the thing being verified.
+    "q131_semdedup_centroid" -> ((s, dir) => {
+      import graft.operators.Similarity
+      Similarity.semDedupByCentroid(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, minCos = 0.42, keepPerCluster = 1,
+        nLists = 16, nProbe = 4)
+    }),
+
     // BALANCED persisted IVF-PQ: q121's dimension deal stored IN the
     // q106 index layout — perm recorded in the sidecar, probes permute
     // the query on the way in. Oracle = q121's perm/pv CTEs feeding
@@ -3150,6 +3163,57 @@ object SparkEntry {
         |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
         |SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster
         |FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id""".stripMargin,
+
+    // q117's cluster labels + per-(cluster, dim) mean centroid + cosine
+    // to it; the survivor is the per-cluster MIN cos (id tie-break).
+    "q131_semdedup_centroid" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl p JOIN asg a ON a.lst = p.lst WHERE a.vec_id <> p.vec_id),
+        |cs AS (SELECT c.id1, c.id2,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * b.v[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(b.v) + 1),
+        |    j -> b.v[j] * b.v[j]), (x, y) -> x + y) AS nb
+        |  FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2),
+        |knn AS (SELECT id1, id2, dp / (sqrt(na) * sqrt(nb)) AS cos FROM cs
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3),
+        |edg AS (SELECT id1, id2 FROM knn WHERE cos >= 0.42),
+        |und AS (SELECT id1, id2 FROM edg UNION ALL SELECT id2, id1 FROM edg),
+        |nodes AS (SELECT DISTINCT id1 AS id FROM und),
+        |reach(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT u.id2, r.lab FROM reach r JOIN und u ON u.id1 = r.id),
+        |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |lab2 AS (SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster, e.v
+        |  FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id),
+        |cent AS (SELECT cluster, t.j, avg(v[t.j]) AS m
+        |  FROM lab2 CROSS JOIN range(1, 65) t(j) GROUP BY cluster, t.j),
+        |sc AS (SELECT l.vec_id, l.cluster,
+        |  sum(l.v[c.j] * c.m) AS dp, sum(c.m * c.m) AS nc
+        |  FROM lab2 l JOIN cent c ON c.cluster = l.cluster
+        |  GROUP BY l.vec_id, l.cluster),
+        |nv AS (SELECT vec_id,
+        |  list_reduce(list_transform(range(1, len(v) + 1),
+        |    j -> v[j] * v[j]), (x, y) -> x + y) AS na FROM e)
+        |SELECT s2.vec_id, s2.cluster FROM sc s2 JOIN nv ON nv.vec_id = s2.vec_id
+        |QUALIFY row_number() OVER (PARTITION BY s2.cluster
+        |  ORDER BY s2.dp / (sqrt(nv.na) * sqrt(s2.nc)) ASC, s2.vec_id) = 1""".stripMargin,
 
     // q111's islands+clip SQL with the marker set = the benchmark's
     // distinct 3-grams instead of corpus-repeated grams.
