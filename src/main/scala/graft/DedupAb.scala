@@ -58,9 +58,17 @@ object DedupAb {
 
     // one untimed warm pass (parquet footers, codegen) before measuring
     Queries.foreach(q => timeOne(q, "persist"))
+    // arm order FLIPS on alternate reps: the second same-query execution
+    // in a rep is systematically faster (JIT/cache), and a fixed order
+    // would fold that bias into the mode ratio — the first run of this
+    // harness showed exactly that on q25/q53, which never touch the
+    // toggled code path yet read 1.35x under a fixed order
     val raw: Seq[(String, String, Int, Double)] = (0 until reps).flatMap {
       r => Queries.flatMap { q =>
-        Seq("persist", "localCheckpoint").map(m => (q, m, r, timeOne(q, m)))
+        val arms =
+          if (r % 2 == 0) Seq("persist", "localCheckpoint")
+          else Seq("localCheckpoint", "persist")
+        arms.map(m => (q, m, r, timeOne(q, m)))
       }
     }
     System.clearProperty("graft.dedup.append.materialize")
