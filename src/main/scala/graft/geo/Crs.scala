@@ -1192,6 +1192,18 @@ object Crs {
     /** Reproject every coordinate pair of a WKT geometry into 4326. */
     def wktToWgs84(wkt: String): String =
       transformWkt(wkt) { (x, y) => toWgs84(x, y) }
+
+    /** The same projected CRS with its datum bridge REPLACED — the hook
+      * for sub-meter datum work where a parameter Helmert is not enough:
+      * pass an NTv2 grid's shift pair ([[graft.geo.Ntv2.Grid.bridge]])
+      * and the projection/unit machinery is reused unchanged. The caller
+      * owns datum-pair correctness (a grid file names its datums but a
+      * `.prj` cannot reference one, so this is an explicit opt-in).
+      */
+    def withDatumBridge(
+        to: (Double, Double) => (Double, Double),
+        from: (Double, Double) => (Double, Double)): ParametricCrs =
+      new ParametricCrs(fwd, inv, to, from, unit)
   }
 
   /** Build a CRS from a `.prj`'s own PARAMETER values when the per-EPSG

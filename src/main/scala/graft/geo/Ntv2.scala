@@ -78,6 +78,24 @@ object Ntv2 {
         (lonDeg - dLonW / 3600.0, latDeg + dLat / 3600.0)
       }
 
+    /** The (to, from) function pair for
+      * [[graft.geo.Crs.ParametricCrs.withDatumBridge]] — grid-shift datum
+      * transformation composed under an existing projected CRS. Points
+      * OUTSIDE grid coverage throw instead of passing through: the whole
+      * point of a grid bridge is sub-meter accuracy, and silently
+      * degrading to identity would corrupt coordinates by the full datum
+      * offset with no signal.
+      */
+    def bridge: ((Double, Double) => (Double, Double),
+        (Double, Double) => (Double, Double)) = {
+      def fail(lon: Double, lat: Double): Nothing =
+        throw new IllegalArgumentException(
+          f"($lon%.6f, $lat%.6f) outside NTv2 grid coverage " +
+            s"($systemFrom → $systemTo) — no silent fallthrough")
+      ((lon, lat) => forward(lon, lat).getOrElse(fail(lon, lat)),
+        (lon, lat) => inverse(lon, lat).getOrElse(fail(lon, lat)))
+    }
+
     /** target-datum → source-datum: fixed-point iteration on the forward
       * shift (the standard NTv2 reverse application).
       */

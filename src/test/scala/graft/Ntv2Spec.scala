@@ -110,6 +110,39 @@ class Ntv2Spec extends AnyFunSuite {
       s"round-trip ($lonB,$latB)")
   }
 
+  test("grid bridge composes under a parametric projected CRS") {
+    import graft.geo.Crs
+    // a TM grid whose GEOGCS datum is the NTv2 source: projection math
+    // from the .prj, datum step swapped for the grid shift
+    val prj =
+      """PROJCS["Grid_TM",GEOGCS["GCS_WGS_1984",""" +
+        """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Transverse_Mercator"],""" +
+        """PARAMETER["False_Easting",500000.0],""" +
+        """PARAMETER["False_Northing",0.0],""" +
+        """PARAMETER["Central_Meridian",3.0],""" +
+        """PARAMETER["Scale_Factor",0.9996],""" +
+        """PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]"""
+    val plain = Crs.parametricFromPrj(prj).getOrElse(fail("refused"))
+    val g = Ntv2.parse(mkGsb(ByteOrder.LITTLE_ENDIAN, Seq(base)))
+    val (to, from) = g.bridge
+    val bridged = plain.withDatumBridge(to, from)
+    val (x, y) = plain.fromWgs84(2.2, 45.4) // source-datum geographic in
+    // the bridged CRS: same projected point reads back SHIFTED geographic
+    val (lon1, lat1) = bridged.toWgs84(x, y)
+    val (dLat, dLonW) = g.shiftSeconds(2.2, 45.4).get
+    assert(math.abs(lon1 - (2.2 - dLonW / 3600)) < 1e-9, s"$lon1")
+    assert(math.abs(lat1 - (45.4 + dLat / 3600)) < 1e-9, s"$lat1")
+    // and round-trips through the grid's iterative inverse
+    val (x2, y2) = bridged.fromWgs84(lon1, lat1)
+    assert(math.abs(x2 - x) < 1e-4 && math.abs(y2 - y) < 1e-4,
+      s"($x2,$y2) vs ($x,$y)")
+    // outside grid coverage: loud refusal, not silent identity
+    intercept[IllegalArgumentException] { bridged.toWgs84(
+      plain.fromWgs84(10.0, 55.0)._1, plain.fromWgs84(10.0, 55.0)._2) }
+  }
+
   test("finest covering subgrid wins; parser refuses non-SECONDS and junk") {
     // child densifies the NE quarter with a constant field that differs
     // from the parent's — points inside the child must use it
