@@ -1832,6 +1832,42 @@ object SparkEntry {
         nLists = 16, nProbe = 4)
     }),
 
+    // LEAKAGE-SAFE train/val split: q117's clusters, split decided per
+    // CLUSTER through the engine-wide Knuth hash — a validation doc can
+    // never have a near-dup in train. Deterministic, seedless,
+    // re-runnable; the oracle replays the hash on the cluster label.
+    "q132_leakage_split" -> ((s, dir) => {
+      import graft.operators.Similarity
+      Similarity.leakageSafeSplit(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, minCos = 0.42, valPermille = 200,
+        nLists = 16, nProbe = 4)
+    }),
+
+    // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
+    // q119 batched ADC probe's top-10 per query scored against the exact
+    // L2 top-10, one recall row per query. The oracle recomputes BOTH
+    // legs (q119's CTEs at k=10 + a brute-force rank) and the ratio.
+    "q133_ann_recall" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val idx = scratchDir("graft_recall").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 16, m = 8, nCodes = 16)
+      val queries = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val approx = Similarity.ivfPqTopKIndexedBatch(s, idx, "vec_id",
+        queries, "query_id", "embedding", k = 10, nProbe = 4)
+      val exact = emb
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+        .crossJoin(broadcast(queries.select(col("query_id"),
+          col("embedding").cast("array<double>").as("__qv"))))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.VectorFns.l2Distance(col("__v"), col("__qv")).as("__d"))
+      val exactTop = graft.operators.Ops.topKPerGroup(exact, Seq("query_id"),
+        Seq(col("__d").asc, col("vec_id").asc), 10)
+      Similarity.recallAtK(approx, exactTop, "query_id", "vec_id", 10)
+    }),
+
     // BALANCED persisted IVF-PQ: q121's dimension deal stored IN the
     // q106 index layout — perm recorded in the sidecar, probes permute
     // the query on the way in. Oracle = q121's perm/pv CTEs feeding
@@ -3214,6 +3250,105 @@ object SparkEntry {
         |SELECT s2.vec_id, s2.cluster FROM sc s2 JOIN nv ON nv.vec_id = s2.vec_id
         |QUALIFY row_number() OVER (PARTITION BY s2.cluster
         |  ORDER BY s2.dp / (sqrt(nv.na) * sqrt(s2.nc)) ASC, s2.vec_id) = 1""".stripMargin,
+
+    // q117's cluster labels + the Knuth hash on the LABEL deciding the
+    // split — near-dups share a cluster, so they share a split.
+    "q132_leakage_split" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl p JOIN asg a ON a.lst = p.lst WHERE a.vec_id <> p.vec_id),
+        |cs AS (SELECT c.id1, c.id2,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * b.v[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(b.v) + 1),
+        |    j -> b.v[j] * b.v[j]), (x, y) -> x + y) AS nb
+        |  FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2),
+        |knn AS (SELECT id1, id2, dp / (sqrt(na) * sqrt(nb)) AS cos FROM cs
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3),
+        |edg AS (SELECT id1, id2 FROM knn WHERE cos >= 0.42),
+        |und AS (SELECT id1, id2 FROM edg UNION ALL SELECT id2, id1 FROM edg),
+        |nodes AS (SELECT DISTINCT id1 AS id FROM und),
+        |reach(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT u.id2, r.lab FROM reach r JOIN und u ON u.id1 = r.id),
+        |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+        |SELECT e.vec_id, coalesce(c2.comp, e.vec_id) AS cluster,
+        |  CASE WHEN ((((coalesce(c2.comp, e.vec_id) % 2147483648)
+        |      + 2147483648) % 2147483648) * 2654435761) % 4294967296
+        |      % 1000 < 200
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id""".stripMargin,
+
+    // q119's batched ADC probe at k=10 scored against the exact L2
+    // top-10 — recall = |approx ∩ exact| / 10 per query.
+    "q133_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |  WHERE vec_id IN (0, 1, 2)),
+        |fulld AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT q.query_id, d.did AS lst FROM don d CROSS JOIN q
+        |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+        |    ORDER BY list_reduce(list_transform(range(1, len(d.dv) + 1),
+        |      j -> (d.dv[j] - q.qv[j]) * (d.dv[j] - q.qv[j])), (x, y) -> x + y),
+        |      d.did) <= 4),
+        |cand AS (SELECT p.query_id, a.vec_id FROM pl p JOIN asg a ON a.lst = p.lst),
+        |sd AS (SELECT e.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT q.query_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (q.qv[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (q.qv[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM q CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |adc AS (SELECT c.query_id, co.vec_id, sum(q2.s) AS a0
+        |  FROM codes co JOIN cand c ON c.vec_id = co.vec_id
+        |  JOIN qt q2 ON q2.query_id = c.query_id AND q2.j = co.j
+        |    AND q2.did = co.code
+        |  GROUP BY c.query_id, co.vec_id),
+        |apx AS (SELECT query_id, vec_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY a0 ASC, vec_id ASC) <= 10),
+        |exd AS (SELECT q.query_id, e.vec_id,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - q.qv[j]) * (e.v[j] - q.qv[j])), (x, y) -> x + y) AS d
+        |  FROM e CROSS JOIN q),
+        |ext AS (SELECT query_id, vec_id FROM exd
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY d ASC, vec_id ASC) <= 10),
+        |hits AS (SELECT t.query_id, count(*) AS n FROM ext t
+        |  JOIN apx a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        |  GROUP BY t.query_id)
+        |SELECT t2.query_id, CAST(coalesce(h.n, 0) AS DOUBLE) / 10 AS recall
+        |FROM (SELECT DISTINCT query_id FROM ext) t2
+        |LEFT JOIN hits h USING (query_id)""".stripMargin,
 
     // q111's islands+clip SQL with the marker set = the benchmark's
     // distinct 3-grams instead of corpus-repeated grams.

@@ -1385,6 +1385,59 @@ object Similarity {
       .select(col(idCol), col("cluster"))
   }
 
+  /** LEAKAGE-SAFE train/validation split: the split decision is made per
+    * near-dup CLUSTER, not per document, so a validation example can
+    * never have a near-duplicate in the training set (the contamination
+    * mode that silently inflates eval scores — same failure class as
+    * benchmark decontamination, but within the corpus itself).
+    * [[clusterEmbeddings]] labels every vector; the cluster label (the
+    * component's smallest member id) hashes through the same
+    * SQL-reproducible Knuth multiplicative hash used everywhere else,
+    * and `valPermille` thousandths of clusters land in "val". Output:
+    * (id, cluster, split). Deterministic — no seed, no RNG; rerunning
+    * on the same corpus reproduces the split exactly (the property that
+    * makes incremental corpus refreshes auditable).
+    *
+    * Scale shape: the kNN graph + CC dominate (both bounded, see
+    * [[knnGraph]]); the split itself is a map-side hash on the label.
+    */
+  def leakageSafeSplit(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCos: Double, valPermille: Int, nLists: Int = 16,
+      nProbe: Int = 4, maxListSize: Int = 10000): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000,
+      s"valPermille $valPermille must be in [0, 1000]")
+    val labeled = clusterEmbeddings(vecs, idCol, vecCol, k, minCos,
+      nLists, nProbe, maxListSize)
+    labeled.withColumn("split",
+      when(pmod(pmod(col("cluster"), lit(2147483648L)) * 2654435761L,
+        lit(4294967296L)) % 1000 < valPermille, lit("val"))
+        .otherwise(lit("train")))
+  }
+
+  /** Recall@k of an approximate top-k relation against the exact one —
+    * the evaluation loop that tunes nProbe/nLists/maxListSize: both
+    * inputs are (queryId, id) relations (extra columns ignored), output
+    * is one row per query in `exact` with `recall` = |approx ∩ exact| /
+    * k. Queries missing from `approx` entirely score 0 rather than
+    * disappearing (an ANN bug that drops a query must not flatter the
+    * average). One semi-join + one count per query — no vector math
+    * here; feed it any pair of [[bruteForceTopK]]-shaped outputs.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, qIdCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k $k must be >= 1")
+    val a = approx.select(col(qIdCol).cast("long").as("__q"),
+      col(idCol).cast("long").as("__i"))
+    val e = exact.select(col(qIdCol).cast("long").as("__q"),
+      col(idCol).cast("long").as("__i"))
+    val hits = e.join(a, Seq("__q", "__i"), "left_semi")
+      .groupBy(col("__q")).agg(count(lit(1)).as("__hits"))
+    e.select(col("__q")).distinct()
+      .join(hits, Seq("__q"), "left")
+      .select(col("__q").as(qIdCol),
+        (coalesce(col("__hits"), lit(0L)) / k.toDouble).as("recall"))
+  }
+
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       minCos: Double, keepPerCluster: Int = 1, nLists: Int = 16,
       nProbe: Int = 4, maxListSize: Int = 10000,

@@ -1138,6 +1138,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaKeepBy == got, s"keepByCol $viaKeepBy != derived $got")
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle the split; " +
+      "deterministic across reruns") {
+    import graft.operators.Similarity
+    // two tight clusters + singletons (the semDedupByCentroid fixture
+    // shape): every cluster's members must share one split label
+    def v(base: Double, off: Double) =
+      (0 until 8).map(d => base + (if (d == 0) off else 0.0))
+    val vecs = (Seq((1L, v(1.0, 0.00)), (2L, v(1.0, 0.02)), (3L, v(1.0, 0.08)),
+      (11L, v(-1.0, 0.00)), (12L, v(-1.0, 0.03))) ++
+      (100L until 120L).map(i =>
+        (i, (0 until 8).map(d => math.sin(i * 7.3 + d * 1.7) * 5))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.leakageSafeSplit(vecs, "vec_id", "embedding",
+        k = 3, minCos = 0.999, valPermille = 300, nLists = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size == 1),
+      s"a cluster straddles the split: $byCluster")
+    assert(got.map(_._3).toSet == Set("train", "val") || got.length < 8,
+      "a 30% permille cut over many clusters should produce both labels")
+    val again = Similarity.leakageSafeSplit(vecs, "vec_id", "embedding",
+        k = 3, minCos = 0.999, valPermille = 300, nLists = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq,
+      "seedless split must reproduce exactly")
+  }
+
+  test("recallAtK: counts approx∩exact per query; dropped queries score 0") {
+    import graft.operators.Similarity
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L),
+      (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), // 4/4
+      (2L, 20L), (2L, 99L), (2L, 22L), (2L, 98L))                // 2/4
+      .toDF("query_id", "vec_id")                                // q3 absent
+    val got = Similarity.recallAtK(approx, exact, "query_id", "vec_id", 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.0), s"$got")
+  }
+
   test("pqSubspaceCodebooks: learned codebooks cut quantization error on clustered data") {
     import graft.operators.Similarity
     // 3 tight clusters in 16-dim space whose centers differ PER SUBSPACE —
