@@ -204,8 +204,11 @@ object Bench {
           case None     => ok = false
         }
       }
-      if (!ok) { forked = false } // fall through to in-process fallback
-      else {
+      if (!ok) {
+        // first-pass failure → in-process fallback below; a failure AFTER
+        // completed forked passes keeps their medians (still forked data)
+        if (passes.isEmpty) forked = false else go = false
+      } else {
         passes += acc.toMap
         pass += 1
         lastPassDur = elapsed - passStart
