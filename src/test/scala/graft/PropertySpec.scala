@@ -291,4 +291,93 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Ntv2 bilinear: exact on random globally-linear shift fields") {
+    import graft.geo.Ntv2
+    import java.nio.{ByteBuffer, ByteOrder}
+    // a field linear in (row, col) is reproduced EXACTLY by bilinear
+    // interpolation at any interior point — for random coefficients and
+    // random probe points, the reader's interpolation must match the
+    // analytic value (float32 storage keeps quarter-step coefficients
+    // exact, so the law holds to double rounding)
+    def rec(buf: ByteBuffer, name: String)(w: ByteBuffer => Unit): Unit = {
+      buf.put(String.format("%-8s", name).getBytes("US-ASCII"))
+      val p0 = buf.position(); w(buf)
+      while (buf.position() < p0 + 8) buf.put(0.toByte)
+    }
+    val coefGen = Gen.choose(-16, 16).map(_ * 0.25)
+    val probeGen = Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0))
+    forAll2(Gen.zip(coefGen, coefGen, coefGen),
+      Gen.listOfN(5, probeGen), n = 25) { case ((a0, ar, ac), probes) =>
+      val nr = 7; val nc = 9
+      val sLat = 180000.0; val latInc = 600.0
+      val eLon = -7200.0; val lonInc = 450.0
+      val total = 11 * 16 + 11 * 16 + nr * nc * 16
+      val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      rec(buf, "NUM_OREC")(_.putInt(11)); rec(buf, "NUM_SREC")(_.putInt(11))
+      rec(buf, "NUM_FILE")(_.putInt(1))
+      rec(buf, "GS_TYPE")(_.put("SECONDS ".getBytes("US-ASCII")))
+      rec(buf, "VERSION")(_.put("NTv2.0  ".getBytes("US-ASCII")))
+      rec(buf, "SYSTEM_F")(_.put("A       ".getBytes("US-ASCII")))
+      rec(buf, "SYSTEM_T")(_.put("B       ".getBytes("US-ASCII")))
+      Seq("MAJOR_F", "MINOR_F", "MAJOR_T", "MINOR_T")
+        .foreach(k => rec(buf, k)(_.putDouble(6378137.0)))
+      rec(buf, "SUB_NAME")(_.put("ONLY    ".getBytes("US-ASCII")))
+      rec(buf, "PARENT")(_.put("NONE    ".getBytes("US-ASCII")))
+      rec(buf, "CREATED")(_.put("20260813".getBytes("US-ASCII")))
+      rec(buf, "UPDATED")(_.put("20260813".getBytes("US-ASCII")))
+      rec(buf, "S_LAT")(_.putDouble(sLat))
+      rec(buf, "N_LAT")(_.putDouble(sLat + (nr - 1) * latInc))
+      rec(buf, "E_LONG")(_.putDouble(eLon))
+      rec(buf, "W_LONG")(_.putDouble(eLon + (nc - 1) * lonInc))
+      rec(buf, "LAT_INC")(_.putDouble(latInc))
+      rec(buf, "LONG_INC")(_.putDouble(lonInc))
+      rec(buf, "GS_COUNT")(_.putInt(nr * nc))
+      for (r <- 0 until nr; c <- 0 until nc) {
+        buf.putFloat((a0 + ar * r + ac * c).toFloat)
+        buf.putFloat((a0 - ac * r + ar * c).toFloat)
+        buf.putFloat(0f); buf.putFloat(0f)
+      }
+      val g = Ntv2.parse(buf.array())
+      probes.foreach { case (fr, fc) =>
+        val rf = fr * (nr - 1); val cf = fc * (nc - 1)
+        val lat = (sLat + rf * latInc) / 3600
+        val lon = -(eLon + cf * lonInc) / 3600
+        val (dLat, dLonW) = g.shiftSeconds(lon, lat)
+          .getOrElse(fail(s"interior point ($lon,$lat) refused"))
+        assert(math.abs(dLat - (a0 + ar * rf + ac * cf)) < 1e-5,
+          s"lat shift at ($rf,$cf): $dLat vs ${a0 + ar * rf + ac * cf}")
+        assert(math.abs(dLonW - (a0 - ac * rf + ar * cf)) < 1e-5,
+          s"lon shift at ($rf,$cf): $dLonW vs ${a0 - ac * rf + ar * cf}")
+      }
+    }
+  }
+
+  test("recallAtK law: equals |approx ∩ exact| / k per query, " +
+      "0 for queries absent from approx") {
+    import graft.operators.Similarity
+    val caseGen = for {
+      nq <- Gen.choose(1, 4)
+      k <- Gen.choose(1, 6)
+      exact <- Gen.sequence[Seq[Seq[Long]], Seq[Long]]((1 to nq).map(_ =>
+        Gen.pick(k, 0L until 40L).map(_.toSeq)))
+      approx <- Gen.sequence[Seq[Seq[Long]], Seq[Long]]((1 to nq).map(q =>
+        if (q == nq) Gen.const(Seq.empty[Long]) // last query dropped
+        else Gen.pick(k, 0L until 40L).map(_.toSeq)))
+    } yield (k, exact, approx)
+    forAll(caseGen, n = 20) { case (k, exact, approx) =>
+      val eRows = exact.zipWithIndex.flatMap { case (ids, q) =>
+        ids.map(i => (q.toLong, i)) }
+      val aRows = approx.zipWithIndex.flatMap { case (ids, q) =>
+        ids.map(i => (q.toLong, i)) }
+      val got = Similarity.recallAtK(
+          aRows.toDF("query_id", "vec_id"), eRows.toDF("query_id", "vec_id"),
+          "query_id", "vec_id", k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      val want = exact.zipWithIndex.map { case (ids, q) =>
+        q.toLong -> ids.toSet.intersect(approx(q).toSet).size.toDouble / k
+      }.toMap
+      assert(got == want, s"k=$k got $got want $want")
+    }
+  }
 }
