@@ -66,14 +66,29 @@ object SparkEntry {
     catch { case _: Exception => () }
   }
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark only
-    * reads as a long (nanos since epoch) under the legacy flag. All event
-    * queries treat `ts` as int64 nanoseconds; ordering and gap arithmetic
-    * are identical to timestamp semantics.
+  /** All event queries treat `ts` as int64 nanoseconds since the epoch;
+    * ordering and gap arithmetic are identical to timestamp semantics.
+    *
+    * The physical encoding of `ts` has varied across testdata generations:
+    * TIMESTAMP(NANOS) (readable only as int64 under the legacy flag) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false). Normalize every encoding to
+    * int64 nanos here so the 5 events-family queries are encoding-agnostic —
+    * the DuckDB oracles already are (they use `epoch_ns(ts)`).
+    * `inferTimestampNTZ=false` makes Spark read annotated-NTZ micros as
+    * plain TIMESTAMP whose internal value IS the stored epoch-micros, so
+    * `unix_micros` recovers it exactly, independent of session time zone.
     */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw // TIMESTAMP(NANOS) legacy path
+      case _: org.apache.spark.sql.types.TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case _ => // TIMESTAMP_NTZ fallback; sessions here run with UTC session tz
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    }
   }
 
   /** Flagship query (driver smoke-checks rows>0 on sf0.001): the q44 star

@@ -1395,8 +1395,17 @@ object Similarity {
     * SQL-reproducible Knuth multiplicative hash used everywhere else,
     * and `valPermille` thousandths of clusters land in "val". Output:
     * (id, cluster, split). Deterministic — no seed, no RNG; rerunning
-    * on the same corpus reproduces the split exactly (the property that
-    * makes incremental corpus refreshes auditable).
+    * on the SAME corpus reproduces the split exactly.
+    *
+    * NOT stable under corpus growth: the label is the component's
+    * smallest member id, so an appended document that bridges two
+    * clusters (or simply joins one with a lower id) relabels the merged
+    * component and the whole cluster can flip train↔val on the next run.
+    * For incremental refreshes persist each run's (id, label) relation
+    * and use [[leakageSafeSplitStable]], which pins unchanged clusters
+    * to their prior side; only genuine merges can move documents (and a
+    * merged cluster MUST land on one side — that is the leakage
+    * guarantee itself, not an implementation choice).
     *
     * Scale shape: the kNN graph + CC dominate (both bounded, see
     * [[knnGraph]]); the split itself is a map-side hash on the label.
@@ -1412,6 +1421,47 @@ object Similarity {
       when(pmod(pmod(col("cluster"), lit(2147483648L)) * 2654435761L,
         lit(4294967296L)) % 1000 < valPermille, lit("val"))
         .otherwise(lit("train")))
+  }
+
+  /** [[leakageSafeSplit]] with label stability across corpus refreshes:
+    * `priorLabels` is the PREVIOUS run's (id, label) relation (any extra
+    * columns ignored); each fresh cluster adopts the smallest prior label
+    * held by any of its members, falling back to its fresh label (the
+    * smallest member id) for clusters containing no previously-seen
+    * document. The split hashes the ADOPTED label, so:
+    *
+    *  - a cluster whose membership is unchanged keeps its side, even when
+    *    a new lower-id document joins it (the case that silently flips
+    *    the plain variant);
+    *  - a genuine merge of two prior clusters lands on the side of the
+    *    SMALLEST prior label — deterministic, and unavoidable: near-dup
+    *    documents must not straddle the split, so one side has to move.
+    *
+    * Output: (id, cluster, label, split); persist (id, label) and feed it
+    * back as `priorLabels` next refresh. The adoption step is one
+    * cluster-keyed min over a broadcast-or-shuffle id-equi-join — no new
+    * skew shape on top of the bounded kNN + CC.
+    */
+  def leakageSafeSplitStable(vecs: DataFrame, idCol: String,
+      vecCol: String, k: Int, minCos: Double, valPermille: Int,
+      priorLabels: DataFrame, nLists: Int = 16, nProbe: Int = 4,
+      maxListSize: Int = 10000): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000,
+      s"valPermille $valPermille must be in [0, 1000]")
+    val labeled = clusterEmbeddings(vecs, idCol, vecCol, k, minCos,
+      nLists, nProbe, maxListSize)
+    val prior = priorLabels.select(col(idCol).cast("long").as(idCol),
+      col("label").cast("long").as("__prior"))
+    val adopted = labeled.join(prior, Seq(idCol), "left")
+      .groupBy(col("cluster"))
+      .agg(min(col("__prior")).as("__adopted"))
+    labeled.join(adopted, Seq("cluster"))
+      .withColumn("label", coalesce(col("__adopted"), col("cluster")))
+      .withColumn("split",
+        when(pmod(pmod(col("label"), lit(2147483648L)) * 2654435761L,
+          lit(4294967296L)) % 1000 < valPermille, lit("val"))
+          .otherwise(lit("train")))
+      .select(col(idCol), col("cluster"), col("label"), col("split"))
   }
 
   /** Recall@k of an approximate top-k relation against the exact one —

@@ -1165,6 +1165,108 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "seedless split must reproduce exactly")
   }
 
+  test("leakageSafeSplit label instability under growth; stable variant " +
+      "pins unchanged clusters and resolves merges to the min prior label") {
+    import graft.operators.Similarity
+    // 8-dim vectors: cluster A along e0, cluster B along e1 (cos ≈ 0
+    // across at minCos 0.7, ≈ 1 within). Knuth-hash sides of the labels
+    // involved: h(5)%1000=917, h(11)%1000=595, h(2)%1000=226.
+    def unit(axis: Int, off: Double) =
+      (0 until 8).map(d => (if (d == axis) 1.0 else 0.0) +
+        (if (d == (axis + 1) % 8) off else 0.0))
+    val run1 = Seq((5L, unit(0, 0.0)), (6L, unit(0, 0.02)),
+      (11L, unit(1, 0.0)), (12L, unit(1, 0.02)))
+    def split(rows: Seq[(Long, Seq[Double])], permille: Int) =
+      Similarity.leakageSafeSplit(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 4, minCos = 0.7,
+          valPermille = permille, nLists = 2, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def stable(rows: Seq[(Long, Seq[Double])], permille: Int,
+        prior: Seq[(Long, Long)]) =
+      Similarity.leakageSafeSplitStable(rows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 4, minCos = 0.7,
+          valPermille = permille, prior.toDF("vec_id", "label"),
+          nLists = 2, nProbe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // run 1 at permille=300: A (label 5, 917) and B (label 11, 595) both
+    // land train
+    val first = split(run1, 300)
+    assert(first.forall(_._3 == "train"), s"run1: ${first.toSeq}")
+    assert(first.map(t => t._1 -> t._2).toMap ==
+      Map(5L -> 5L, 6L -> 5L, 11L -> 11L, 12L -> 11L), s"${first.toSeq}")
+    // growth WITHOUT merge: doc 2 joins B; the plain variant relabels the
+    // component 11 → 2 and h(2)%1000=226 < 300 flips B train→val — the
+    // instability the scaladoc documents
+    val run2 = run1 :+ (2L, unit(1, 0.01))
+    val plain2 = split(run2, 300)
+    val bDocs = Set(2L, 11L, 12L)
+    assert(plain2.filter(t => bDocs(t._1)).forall(t => t._2 == 2L && t._3 == "val"),
+      s"plain variant must exhibit the documented flip: ${plain2.toSeq}")
+    // stable variant fed run 1's (id, label): B adopts prior label 11 and
+    // STAYS train; A untouched
+    val prior1 = first.map(t => t._1 -> t._2).toSeq
+    val stable2 = stable(run2, 300, prior1)
+    assert(stable2.filter(t => bDocs(t._1))
+        .forall(t => t._3 == 11L && t._4 == "train"),
+      s"stable variant must pin B to its prior side: ${stable2.toSeq}")
+    assert(stable2.filter(t => Set(5L, 6L)(t._1))
+        .forall(t => t._3 == 5L && t._4 == "train"), s"${stable2.toSeq}")
+    // genuine MERGE at permille=700 (A: 917 train, B: 595 val): a bridge
+    // doc 20 ~ (e0+e1)/√2 has cos ≈ 0.707 ≥ 0.7 to both clusters; the
+    // merged component must land on ONE side (leakage guarantee) and the
+    // stable variant picks the min prior label's side, deterministically
+    val firstSides = split(run1, 700)
+    assert(firstSides.filter(t => Set(5L, 6L)(t._1)).forall(_._3 == "train")
+      && firstSides.filter(t => Set(11L, 12L)(t._1)).forall(_._3 == "val"),
+      s"fixture needs A/B on opposite sides at 700: ${firstSides.toSeq}")
+    val bridge = (0 until 8).map(d => if (d <= 1) 1.0 else 0.0)
+    val merged = stable(run1 :+ (20L, bridge), 700,
+      firstSides.map(t => t._1 -> t._2).toSeq)
+    assert(merged.map(_._3).distinct.toSeq == Seq(5L),
+      s"merged component must adopt min prior label 5: ${merged.toSeq}")
+    assert(merged.forall(_._4 == "train"),
+      s"merged cluster must sit entirely on label 5's side: ${merged.toSeq}")
+  }
+
+  test("maintenanceDue stays sane right after a takedown empties lists") {
+    import graft.operators.Similarity
+    // 4 well-separated blobs → 4 meaningfully occupied lists
+    val mk = (lo: Long, hi: Long, axis: Int) =>
+      spark.range(lo, hi).select(col("id").as("vec_id"),
+        expr(s"transform(sequence(0, 15), d -> CAST(CASE WHEN d = $axis " +
+          "THEN 100.0 ELSE pmod(id * (d + 3), 7) END AS DOUBLE))")
+          .as("embedding"))
+    val corpus = mk(0L, 50L, 0).unionByName(mk(50L, 100L, 4))
+      .unionByName(mk(100L, 150L, 8)).unionByName(mk(150L, 200L, 12))
+    val idx = java.nio.file.Files.createTempDirectory("graft_maint_rm")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", idx,
+      nLists = 4, m = 4, nCodes = 8)
+    val before = Similarity.maintenanceDue(spark, idx, skewThreshold = 3.0)
+    assert(!before.skewTrigger && before.action == "none",
+      s"4 even blobs must not trip skew: $before")
+    // takedown: drop three of the four blobs — their lists go (near-)empty.
+    // Emptied lists COUNT as skew by design: avg is over declared lists.
+    Similarity.removeFromIvfPqIndex(spark, idx,
+      spark.range(50L, 200L).select(col("id").as("vec_id")), "vec_id")
+    val after = Similarity.maintenanceDue(spark, idx, skewThreshold = 3.0)
+    // occupancy must be exactly the 50 survivors (avg over DECLARED lists),
+    // however k-means spread them; the max list holds most of one blob
+    val occ = Similarity.ivfPqListStats(spark, idx)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(occ == 50L && after.avgList == 50.0 / 4,
+      s"post-takedown occupancy must be exact: occ=$occ $after")
+    assert(after.maxList > 50 / 4 && after.maxList <= 50L,
+      s"max list must reflect the surviving blob: $after")
+    assert(after.skewTrigger && after.action == "rebalance-lists",
+      s"survivors concentrated in one declared-4 list must read as skew: $after")
+    assert(after.suggestedMaxListSize.exists(s => s >= 1 && s <= after.maxList),
+      s"suggested interim cap must be usable: $after")
+    assert(!after.driftTrigger,
+      s"takedown must not fabricate codebook drift: $after")
+  }
+
   test("recallAtK: counts approx∩exact per query; dropped queries score 0") {
     import graft.operators.Similarity
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
