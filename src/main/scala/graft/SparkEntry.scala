@@ -91,6 +91,57 @@ object SparkEntry {
     }
   }
 
+  /** Format-exact NTv2 `.gsb` fixture for q134: one 13×13 subgrid over
+    * 45–46°N × 64–65°W (300-arcsec cells, lon positive WEST per the
+    * format), float32 node shifts from closed-form integer formulas —
+    * latShift(r,c) = ((3r+5c) mod 41)/64, lonShift(r,c) = ((7r+11c) mod
+    * 37)/64 arc-seconds, both exactly representable in float32 — so the
+    * DuckDB oracle can recompute the node relation and the bilinear
+    * application from first principles. Nodes run row-major S→N, within
+    * a row E→W (the published order).
+    */
+  private def ntv2FixtureBytes(): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val nr = 13; val nc = 13
+    val buf = ByteBuffer.allocate(11 * 16 + 11 * 16 + nr * nc * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def rec(name: String)(w: ByteBuffer => Unit): Unit = {
+      buf.put(String.format("%-8s", name).getBytes("US-ASCII"))
+      val p = buf.position(); w(buf)
+      while (buf.position() < p + 8) buf.put(0.toByte)
+    }
+    rec("NUM_OREC")(_.putInt(11)); rec("NUM_SREC")(_.putInt(11))
+    rec("NUM_FILE")(_.putInt(1))
+    rec("GS_TYPE")(_.put("SECONDS ".getBytes("US-ASCII")))
+    rec("VERSION")(_.put("NTv2.0  ".getBytes("US-ASCII")))
+    rec("SYSTEM_F")(_.put("SRCDATUM".getBytes("US-ASCII")))
+    rec("SYSTEM_T")(_.put("DSTDATUM".getBytes("US-ASCII")))
+    rec("MAJOR_F")(_.putDouble(6378137.0))
+    rec("MINOR_F")(_.putDouble(6356752.314))
+    rec("MAJOR_T")(_.putDouble(6378137.0))
+    rec("MINOR_T")(_.putDouble(6356752.314))
+    rec("SUB_NAME")(_.put("ORACLE0 ".getBytes("US-ASCII")))
+    rec("PARENT")(_.put("NONE    ".getBytes("US-ASCII")))
+    rec("CREATED")(_.put("20260813".getBytes("US-ASCII")))
+    rec("UPDATED")(_.put("20260813".getBytes("US-ASCII")))
+    rec("S_LAT")(_.putDouble(162000.0)); rec("N_LAT")(_.putDouble(165600.0))
+    rec("E_LONG")(_.putDouble(230400.0)); rec("W_LONG")(_.putDouble(234000.0))
+    rec("LAT_INC")(_.putDouble(300.0)); rec("LONG_INC")(_.putDouble(300.0))
+    rec("GS_COUNT")(_.putInt(nr * nc))
+    var r = 0
+    while (r < nr) {
+      var c = 0
+      while (c < nc) {
+        buf.putFloat((((r * 3 + c * 5) % 41) / 64.0).toFloat)
+        buf.putFloat((((r * 7 + c * 11) % 37) / 64.0).toFloat)
+        buf.putFloat(0f); buf.putFloat(0f)
+        c += 1
+      }
+      r += 1
+    }
+    buf.array()
+  }
+
   /** Flagship query (driver smoke-checks rows>0 on sf0.001): the q44 star
     * join — revenue by region/nation with all four dims broadcast.
     */
@@ -841,6 +892,48 @@ object SparkEntry {
       val os = fs.create(p, true)
       try os.write(prjTxt.getBytes("UTF-8")) finally os.close()
       graft.sources.Shapefile.read(s, base) // parametric fallback fires
+        .select(col("s_suppkey"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 1).cast("double"), 6).as("lon"),
+          round(regexp_extract(col("geometry"),
+            "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 2).cast("double"), 6).as("lat"))
+    }),
+
+    // Oblique (double) stereographic — EPSG 9809, Dutch RD New's method —
+    // under the oracle: NL-envelope points are projected with the
+    // parametric kernel, written as a shapefile whose .prj declares
+    // Oblique_Stereographic, and read back through the real parametric
+    // fallback (projection inverse to WGS84). The oracle reproduces the
+    // inputs: forward∘inverse must be the identity at 6 dp.
+    "q135_oblique_stereo_roundtrip" -> ((s, dir) => {
+      val prjTxt =
+        """PROJCS["Custom_Double_Stereo",GEOGCS["GCS_WGS_1984",""" +
+          """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+          """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+          """PROJECTION["Oblique_Stereographic"],""" +
+          """PARAMETER["False_Easting",155000.0],""" +
+          """PARAMETER["False_Northing",463000.0],""" +
+          """PARAMETER["Central_Meridian",5.38763888888889],""" +
+          """PARAMETER["Scale_Factor",0.9999079],""" +
+          """PARAMETER["Latitude_Of_Origin",52.15616055555555],""" +
+          """UNIT["Meter",1.0]]"""
+      val crs = graft.geo.Crs.parametricFromPrj(prjTxt)
+        .getOrElse(sys.error("oblique stereographic refused"))
+      val fwd = udf { (lon: Double, lat: Double) => crs.fromWgs84(lon, lat) }
+      val pts = t(s, dir, "supplier").select(col("s_suppkey"),
+        (lit(3.4) + (col("s_suppkey") % 100) * 0.03).as("lon"),
+        (lit(50.8) + (col("s_suppkey") % 80) * 0.03).as("lat"))
+      val proj = pts
+        .withColumn("__xy", fwd(col("lon"), col("lat")))
+        .select(col("s_suppkey"), format_string("POINT (%s %s)",
+          col("__xy._1"), col("__xy._2")).as("geometry"))
+      val base = scratchDir("graft_oblstereo").resolve("pts").toString
+      graft.sources.Shapefile.write(proj, "geometry", base)
+      val p = new org.apache.hadoop.fs.Path(base + ".prj")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val os = fs.create(p, true)
+      try os.write(prjTxt.getBytes("UTF-8")) finally os.close()
+      graft.sources.Shapefile.read(s, base)
         .select(col("s_suppkey"),
           round(regexp_extract(col("geometry"),
             "POINT \\(([-0-9.eE]+) ([-0-9.eE]+)\\)", 1).cast("double"), 6).as("lon"),
@@ -1881,6 +1974,35 @@ object SparkEntry {
       val exactTop = graft.operators.Ops.topKPerGroup(exact, Seq("query_id"),
         Seq(col("__d").asc, col("vec_id").asc), 10)
       Similarity.recallAtK(approx, exactTop, "query_id", "vec_id", 10)
+    }),
+
+    // NTv2 grid-shift under the oracle: parse the synthesized .gsb
+    // (byte layout, endianness probe, positive-west longitudes, S→N/E→W
+    // node order) and apply Grid.forward to a 10×10 lattice of points
+    // strictly inside cells; DuckDB recomputes the node values from the
+    // closed-form formula and mirrors the engine's bilinear arithmetic
+    // operation-for-operation, so both legs produce identical doubles.
+    "q134_ntv2_shift" -> ((s, dir) => {
+      val grid = graft.geo.Ntv2.parse(ntv2FixtureBytes())
+      val shift = udf { (lonDeg: Double, latDeg: Double) =>
+        grid.forward(lonDeg, latDeg).get
+      }
+      s.range(100).select(
+        col("id"),
+        // 3600.0D: a bare 3600.0 parses as DECIMAL(5,1) in Spark SQL and
+        // the decimal quotient rounds at scale 6 — enough to move the
+        // scaled-integer output by a unit vs the oracle's double division
+        expr("(162000 + (id % 10) * 330 + 75) / 3600.0D").as("lat_in"),
+        expr("-((230400 + (id div 10) * 330 + 75) / 3600.0D)").as("lon_in"))
+        .withColumn("__out", shift(col("lon_in"), col("lat_in")))
+        // scaled by 3600·1024: every output is an INTEGER number of
+        // 1/1024-arcsec units (shifts are dyadic k/1024 arcsec, inputs
+        // integer arcsec), so the comparison is exact — 6-dp rounding of
+        // the raw degrees lands on .5 ties where engine round() rules
+        // differ
+        .select(col("id"),
+          round(col("__out._1") * 3686400.0, 0).cast("long").as("lon_to"),
+          round(col("__out._2") * 3686400.0, 0).cast("long").as("lat_to"))
     }),
 
     // BALANCED persisted IVF-PQ: q121's dimension deal stored IN the
@@ -3311,6 +3433,42 @@ object SparkEntry {
 
     // q119's batched ADC probe at k=10 scored against the exact L2
     // top-10 — recall = |approx ∩ exact| / 10 per query.
+    // Mirrors graft.geo.Ntv2.Grid.shiftSeconds/forward op-for-op: node
+    // values from the q134 fixture formula (exact in float32), fractional
+    // cell position from the same double arithmetic, bilinear terms and
+    // sum in the same order — identical IEEE doubles on both legs.
+    "q134_ntv2_shift" ->
+      """WITH pts AS (
+        |  SELECT i AS id,
+        |    (162000 + (i % 10) * 330 + 75) / 3600.0::DOUBLE AS lat_in,
+        |    -((230400 + (i // 10) * 330 + 75) / 3600.0::DOUBLE) AS lon_in
+        |  FROM range(100) t(i)),
+        |cell AS (
+        |  SELECT id, lon_in, lat_in,
+        |    (lat_in * 3600.0::DOUBLE - 162000) / 300.0::DOUBLE AS rf,
+        |    (-lon_in * 3600.0::DOUBLE - 230400) / 300.0::DOUBLE AS cf
+        |  FROM pts),
+        |frac AS (
+        |  SELECT id, lon_in, lat_in,
+        |    CAST(floor(rf) AS BIGINT) AS r0, CAST(floor(cf) AS BIGINT) AS c0,
+        |    rf - floor(rf) AS dr, cf - floor(cf) AS dc
+        |  FROM cell),
+        |bil AS (
+        |  SELECT id, lon_in, lat_in,
+        |    (((r0*3 + c0*5) % 41) / 64.0::DOUBLE) * (1 - dr) * (1 - dc)
+        |      + (((r0*3 + (c0+1)*5) % 41) / 64.0::DOUBLE) * (1 - dr) * dc
+        |      + ((((r0+1)*3 + c0*5) % 41) / 64.0::DOUBLE) * dr * (1 - dc)
+        |      + ((((r0+1)*3 + (c0+1)*5) % 41) / 64.0::DOUBLE) * dr * dc AS d_lat,
+        |    (((r0*7 + c0*11) % 37) / 64.0::DOUBLE) * (1 - dr) * (1 - dc)
+        |      + (((r0*7 + (c0+1)*11) % 37) / 64.0::DOUBLE) * (1 - dr) * dc
+        |      + ((((r0+1)*7 + c0*11) % 37) / 64.0::DOUBLE) * dr * (1 - dc)
+        |      + ((((r0+1)*7 + (c0+1)*11) % 37) / 64.0::DOUBLE) * dr * dc AS d_lon_w
+        |  FROM frac)
+        |SELECT id,
+        |  CAST(round((lon_in - d_lon_w / 3600.0::DOUBLE) * 3686400.0::DOUBLE, 0) AS BIGINT) AS lon_to,
+        |  CAST(round((lat_in + d_lat / 3600.0::DOUBLE) * 3686400.0::DOUBLE, 0) AS BIGINT) AS lat_to
+        |FROM bil""".stripMargin,
+
     "q133_ann_recall" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -4045,6 +4203,12 @@ object SparkEntry {
       """SELECT s_suppkey,
         |  round(12.2 + (s_suppkey % 100) * 0.05, 6) AS lon,
         |  round(40.0 + (s_suppkey % 80) * 0.29, 6) AS lat
+        |FROM supplier""".stripMargin,
+
+    "q135_oblique_stereo_roundtrip" ->
+      """SELECT s_suppkey,
+        |  round(3.4 + (s_suppkey % 100) * 0.03, 6) AS lon,
+        |  round(50.8 + (s_suppkey % 80) * 0.03, 6) AS lat
         |FROM supplier""".stripMargin,
 
     "q98_video_frames" ->

@@ -405,6 +405,84 @@ object Crs {
     }
   }
 
+  /** Oblique (double) Stereographic on an arbitrary ellipsoid — EPSG
+    * method 9809, the formulation in EPSG Guidance Note 7-2: ellipsoid →
+    * conformal sphere (Gauss) at the origin, then the spherical oblique
+    * stereographic on that sphere. This is the method of Dutch RD New
+    * (EPSG 28992) and several other European national grids; it is NOT
+    * the same surface mapping as Snyder's ellipsoidal oblique
+    * stereographic (the two agree at the origin and diverge slowly
+    * outward — a .prj naming Oblique_Stereographic/Double_Stereographic
+    * means THIS one). Used only via [[parametricFromPrj]].
+    */
+  private final class ObliqueStereo(aEll: Double, e2Ell: Double,
+      lat0deg: Double, lon0deg: Double, k0: Double, fe: Double,
+      fnn: Double) extends Serializable {
+    private val eEll = math.sqrt(e2Ell)
+    private val phi0 = math.toRadians(lat0deg)
+    private val lam0 = math.toRadians(lon0deg)
+    private val s0 = math.sin(phi0)
+    // R = √(ρ0·ν0): radius of the conformal sphere at the origin
+    private val oneMe2s02 = 1 - e2Ell * s0 * s0
+    private val bigR = aEll * math.sqrt(1 - e2Ell) / oneMe2s02
+    // n and c: the Gauss conformal-sphere constants at the origin
+    private val cos0 = math.cos(phi0)
+    private val nG = math.sqrt(
+      1 + e2Ell * cos0 * cos0 * cos0 * cos0 / (1 - e2Ell))
+    private val w1 = math.pow((1 + s0) / (1 - s0) *
+      math.pow((1 - eEll * s0) / (1 + eEll * s0), eEll), nG)
+    private val sinChi00 = (w1 - 1) / (w1 + 1)
+    private val cG = (nG + s0) * (1 - sinChi00) / ((nG - s0) * (1 + sinChi00))
+    private val w2 = cG * w1
+    private val chi0 = math.asin((w2 - 1) / (w2 + 1))
+    private val sinChi0 = math.sin(chi0); private val cosChi0 = math.cos(chi0)
+
+    /** geodetic latitude → conformal latitude χ on the Gauss sphere */
+    private def chiOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      val w = cG * math.pow((1 + s) / (1 - s) *
+        math.pow((1 - eEll * s) / (1 + eEll * s), eEll), nG)
+      math.asin((w - 1) / (w + 1))
+    }
+
+    def forward(lon: Double, lat: Double): (Double, Double) = {
+      val lam = math.toRadians(lon)
+      // conformal-sphere longitude: Λ − Λ0 = n(λ − λ0)
+      val dLam = nG * (lam - lam0)
+      val chi = chiOf(math.toRadians(lat))
+      val sinChi = math.sin(chi); val cosChi = math.cos(chi)
+      val b = 1 + sinChi * sinChi0 + cosChi * cosChi0 * math.cos(dLam)
+      (fe + 2 * bigR * k0 * cosChi * math.sin(dLam) / b,
+        fnn + 2 * bigR * k0 *
+          (sinChi * cosChi0 - cosChi * sinChi0 * math.cos(dLam)) / b)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val ep = x - fe; val np = y - fnn
+      val g = 2 * bigR * k0 * math.tan(math.Pi / 4 - chi0 / 2)
+      val h = 4 * bigR * k0 * math.tan(chi0) + g
+      val ii = math.atan2(ep, h + np)
+      val jj = math.atan2(ep, g - np) - ii
+      val chi = chi0 + 2 * math.atan2(np - ep * math.tan(jj / 2),
+        2 * bigR * k0)
+      val dLam = jj + 2 * ii
+      val lam = dLam / nG + lam0
+      // isometric latitude on the sphere → iterate to geodetic φ
+      val sinChi = math.sin(chi)
+      val psi = 0.5 * math.log((1 + sinChi) / (cG * (1 - sinChi))) / nG
+      var phi = 2 * math.atan(math.exp(psi)) - math.Pi / 2
+      var i = 0
+      while (i < 6) {
+        val s = math.sin(phi)
+        val psiI = math.log(math.tan(phi / 2 + math.Pi / 4) *
+          math.pow((1 - eEll * s) / (1 + eEll * s), eEll / 2))
+        phi -= (psiI - psi) * math.cos(phi) * (1 - e2Ell * s * s) / (1 - e2Ell)
+        i += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
+    }
+  }
+
   private val ClarkeIgnA = 6378249.2
   private val ClarkeIgnF = (6378249.2 - 6356515.0) / 6378249.2
   private val ClarkeIgnE2 = ClarkeIgnF * (2 - ClarkeIgnF)
@@ -1177,7 +1255,7 @@ object Crs {
       inv: (Double, Double) => (Double, Double),
       datumToWgs: (Double, Double) => (Double, Double),
       datumFromWgs: (Double, Double) => (Double, Double),
-      unit: Double) {
+      unit: Double) extends Serializable {
     /** (x, y) in the CRS' declared linear unit → (lon, lat) WGS84 deg. */
     def toWgs84(x: Double, y: Double): (Double, Double) = {
       val (lon, lat) = inv(x * unit, y * unit)
@@ -1214,10 +1292,12 @@ object Crs {
     *
     * Accepted: `PROJECTION` Transverse_Mercator / Gauss_Kruger,
     * Lambert_Conformal_Conic (1SP when no second standard parallel, 2SP
-    * otherwise), Albers(_Conic_Equal_Area), or the polar aspects of
-    * Stereographic (Polar_Stereographic variants A and B plus the ESRI
-    * Stereographic_North/South_Pole spellings — oblique/equatorial
-    * stereographic refuses), on ANY `SPHEROID[a, 1/f]`, with any PROJCS
+    * otherwise), Albers(_Conic_Equal_Area), Oblique_Stereographic /
+    * Double_Stereographic (EPSG 9809 — Dutch RD New and kin), or the
+    * polar aspects of Stereographic (Polar_Stereographic variants A and
+    * B plus the ESRI Stereographic_North/South_Pole spellings; a bare
+    * non-polar "Stereographic" is the sphere-based ESRI method and
+    * refuses), on ANY `SPHEROID[a, 1/f]`, with any PROJCS
     * linear UNIT
     * (the to-meter factor scales coordinates AND false origins). Datum:
     * a `TOWGS84[dx,dy,dz(,rx,ry,rz,ds)]` clause wires the generic
@@ -1339,12 +1419,27 @@ object Crs {
         (lon, lat) => proj.forward(lon, lat),
         (x, y) => proj.inverse(x, y),
         datumTo, datumFrom, unit))
+    } else if (projection.contains("OBLIQUE_STEREOGRAPHIC") ||
+        projection.contains("DOUBLE_STEREOGRAPHIC")) {
+      // EPSG 9809 (the Gauss conformal-sphere double stereographic —
+      // Dutch RD New and kin). A pole origin degenerates the Gauss
+      // sphere construction (cos⁴φ0 → 0 is fine but χ0 → ±π/2 makes the
+      // inverse's g/h singular) — that file is polar stereographic
+      // mis-labeled; refuse rather than guess.
+      if (math.abs(lat0) >= 89.999) return None
+      val proj = new ObliqueStereo(aEll, e2Ell, lat0, lon0deg,
+        p("scale_factor", 1.0), fe, fn0)
+      Some(new ParametricCrs(
+        (lon, lat) => proj.forward(lon, lat),
+        (x, y) => proj.inverse(x, y),
+        datumTo, datumFrom, unit))
     } else if (projection.contains("STEREOGRAPHIC")) {
       // Polar aspects only: Polar_Stereographic (variant A when the
       // latitude of origin is a pole, variant B when it is a standard
       // parallel) and the ESRI Stereographic_North/South_Pole spellings
-      // (standard parallel parameter, pole from the name). Oblique /
-      // equatorial stereographic is a different method — refuse.
+      // (standard parallel parameter, pole from the name). A bare
+      // "Stereographic" with a non-polar origin is ESRI's SPHERE-based
+      // oblique method, not EPSG 9809 — still refused.
       val esriPole = projection.contains("_POLE")
       if (!esriPole && !projection.contains("POLAR")) return None
       if (math.abs(lat0) == 90.0 && !esriPole) {

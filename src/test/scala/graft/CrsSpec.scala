@@ -900,6 +900,82 @@ class CrsSpec extends AnyFunSuite {
     assert(math.abs(lo9 - 37.0) < 1e-9 && math.abs(la9 - 70.0) < 1e-9)
   }
 
+  test("parametricFromPrj: oblique stereographic (EPSG 9809) — conformal, " +
+      "k0 at the origin, origin fixpoint, Dutch-style secant growth") {
+    // RD New's method with RD New's PARAMETER values (public EPSG 28992
+    // definition) but on the WGS84 datum, so projection math is isolated
+    // from any datum bridge. Anchored by invariant, not coordinate table.
+    val prj =
+      """PROJCS["Custom_Double_Stereo",GEOGCS["GCS_WGS_1984",""" +
+        """DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Oblique_Stereographic"],""" +
+        """PARAMETER["False_Easting",155000.0],""" +
+        """PARAMETER["False_Northing",463000.0],""" +
+        """PARAMETER["Central_Meridian",5.38763888888889],""" +
+        """PARAMETER["Scale_Factor",0.9999079],""" +
+        """PARAMETER["Latitude_Of_Origin",52.15616055555555],""" +
+        """UNIT["Meter",1.0]]"""
+    val par = Crs.parametricFromPrj(prj).getOrElse(fail("refused"))
+    // origin fixpoint: the latitude/longitude of origin maps to the
+    // false origin exactly
+    val (x0, y0) = par.fromWgs84(5.38763888888889, 52.15616055555555)
+    assert(math.abs(x0 - 155000.0) < 1e-6 && math.abs(y0 - 463000.0) < 1e-6,
+      s"origin → ($x0,$y0)")
+    // conformal at every probe point (NL-and-beyond envelope), and exact
+    // round trips
+    for (lon <- Seq(3.4, 5.4, 6.9); lat <- Seq(50.8, 52.2, 53.4)) {
+      val (k, hM) = numScales(par, lon, lat)
+      assert(math.abs(k / hM - 1) < 2e-5, s"k=$k h=$hM at ($lon,$lat)")
+      val (x, y) = par.fromWgs84(lon, lat)
+      val (lo, la) = par.toWgs84(x, y)
+      assert(math.abs(lo - lon) < 1e-9 && math.abs(la - lat) < 1e-9,
+        s"($lon,$lat) → ($lo,$la)")
+    }
+    // scale at the origin is k0 (< 1: secant), growing with distance —
+    // the 9809 scale structure
+    val (kO, hO) = numScales(par, 5.38763888888889, 52.15616055555555)
+    assert(math.abs(kO - 0.9999079) < 1e-6 && math.abs(hO - 0.9999079) < 1e-6,
+      s"origin scale $kO/$hO (k0=0.9999079)")
+    assert(numScales(par, 5.39, 53.4)._1 > kO + 1e-5, "scale must grow outward")
+    // Double_Stereographic (ESRI spelling) is the same method
+    val par2 = Crs.parametricFromPrj(prj.replace(
+      """"Oblique_Stereographic"""", """"Double_Stereographic""""))
+      .getOrElse(fail("Double_Stereographic refused"))
+    for (lon <- Seq(4.1, 6.2); lat <- Seq(51.0, 53.0)) {
+      val (xa, ya) = par.fromWgs84(lon, lat)
+      val (xb, yb) = par2.fromWgs84(lon, lat)
+      assert(math.abs(xa - xb) < 1e-9 && math.abs(ya - yb) < 1e-9)
+    }
+    // a Bessel + TOWGS84 RD-New-shaped file passes end-to-end (datum
+    // bridge + projection), and round-trips through both
+    val rd =
+      """PROJCS["RD_New_Shaped",GEOGCS["GCS_Amersfoort",""" +
+        """DATUM["D_Amersfoort",SPHEROID["Bessel_1841",6377397.155,299.1528128],""" +
+        """TOWGS84[565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725]],""" +
+        """PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],""" +
+        """PROJECTION["Oblique_Stereographic"],""" +
+        """PARAMETER["False_Easting",155000.0],""" +
+        """PARAMETER["False_Northing",463000.0],""" +
+        """PARAMETER["Central_Meridian",5.38763888888889],""" +
+        """PARAMETER["Scale_Factor",0.9999079],""" +
+        """PARAMETER["Latitude_Of_Origin",52.15616055555555],""" +
+        """UNIT["Meter",1.0]]"""
+    val parRd = Crs.parametricFromPrj(rd).getOrElse(fail("RD shape refused"))
+    val (rx, ry) = parRd.fromWgs84(5.2, 52.1) // ~ Utrecht
+    // sanity envelope: RD coordinates of the Netherlands sit in
+    // (0..300km, 300..650km) — catches axis/sign/datum-direction slips
+    assert(rx > 0 && rx < 300000 && ry > 300000 && ry < 650000,
+      s"RD-shaped ($rx,$ry)")
+    val (rlo, rla) = parRd.toWgs84(rx, ry)
+    assert(math.abs(rlo - 5.2) < 1e-8 && math.abs(rla - 52.1) < 1e-8,
+      s"RD round trip ($rlo,$rla)")
+    // pole-origin "oblique" stereographic is a mislabeled polar file
+    assert(Crs.parametricFromPrj(prj.replace(
+      """PARAMETER["Latitude_Of_Origin",52.15616055555555]""",
+      """PARAMETER["Latitude_Of_Origin",90.0]""")).isEmpty)
+  }
+
   test("parametricFromPrj: Albers/stereographic refusal discipline") {
     def wgs(body: String) =
       """PROJCS["X",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",""" +

@@ -11,6 +11,19 @@ import java.nio.{ByteBuffer, ByteOrder}
   * analytically LINEAR shift field — linear fields make bilinear
   * interpolation exact at every point, so the expected values come from
   * the formula, not from the implementation under test.
+  *
+  * Known residual gap, stated honestly: with zero egress and no PROJ/
+  * pyproj in the container, no AUTHORITATIVE worked example (an NRCan
+  * developer-guide point or a PROJ gie vector) can pin the conventions
+  * against an independent reader — a builder/reader pair that mirrored
+  * the same sign or ordering error would pass these tests. What bounds
+  * that risk offline: the conventions asserted here are each stated
+  * directly by the public format description (west-positive longitudes,
+  * lat-shift-then-lon-shift node records, S→N/E→W order, NUM_OREC=11
+  * probe), and the q134 correctness row has DuckDB independently
+  * recompute the whole bilinear application from the node formulas as a
+  * relation. Validating one national grid against PROJ on a networked
+  * machine remains the right first step before production use.
   */
 class Ntv2Spec extends AnyFunSuite {
 
