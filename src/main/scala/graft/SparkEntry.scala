@@ -1951,6 +1951,25 @@ object SparkEntry {
         nLists = 16, nProbe = 4)
     }),
 
+    // Label-stable refresh: run 1 splits a SUBSET corpus (vec_id % 7 ≠ 0
+    // pretends one seventh of the documents arrived later); run 2 splits
+    // the FULL corpus with run 1's (id, label) as prior — clusters whose
+    // returning members carry a smaller id keep their prior side instead
+    // of flipping. The oracle replays BOTH runs (two full kNN+CC
+    // recursive-CTE chains) plus the min-prior adoption and the hash on
+    // the adopted label.
+    "q136_leakage_split_stable" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val prior = Similarity.leakageSafeSplit(
+          emb.filter(col("vec_id") % 7 =!= 0), "vec_id", "embedding",
+          k = 3, minCos = 0.42, valPermille = 200, nLists = 16, nProbe = 4)
+        .select(col("vec_id"), col("cluster").as("label"))
+      Similarity.leakageSafeSplitStable(emb, "vec_id", "embedding",
+        k = 3, minCos = 0.42, valPermille = 200, prior,
+        nLists = 16, nProbe = 4)
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3430,6 +3449,92 @@ object SparkEntry {
         |      % 1000 < 200
         |    THEN 'val' ELSE 'train' END AS split
         |FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id""".stripMargin,
+
+    // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that
+    // produces the prior labels, suffix 2 = the full corpus), then the
+    // min-prior adoption per fresh cluster and the Knuth hash on the
+    // ADOPTED label — the exact recipe of leakageSafeSplitStable.
+    "q136_leakage_split_stable" ->
+      """WITH RECURSIVE
+        |e1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 7 <> 0),
+        |don1 AS (SELECT vec_id AS did, v AS dv FROM e1
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist1 AS (SELECT e1.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e1.v) + 1),
+        |    j -> (e1.v[j] - d.dv[j]) * (e1.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e1 CROSS JOIN don1 d),
+        |asg1 AS (SELECT vec_id, did AS lst FROM dist1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl1 AS (SELECT vec_id, did AS lst FROM dist1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand1 AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl1 p JOIN asg1 a ON a.lst = p.lst WHERE a.vec_id <> p.vec_id),
+        |cs1 AS (SELECT c.id1, c.id2,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * b.v[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(b.v) + 1),
+        |    j -> b.v[j] * b.v[j]), (x, y) -> x + y) AS nb
+        |  FROM cand1 c JOIN e1 a ON a.vec_id = c.id1 JOIN e1 b ON b.vec_id = c.id2),
+        |knn1 AS (SELECT id1, id2, dp / (sqrt(na) * sqrt(nb)) AS cos FROM cs1
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3),
+        |edg1 AS (SELECT id1, id2 FROM knn1 WHERE cos >= 0.42),
+        |und1 AS (SELECT id1, id2 FROM edg1 UNION ALL SELECT id2, id1 FROM edg1),
+        |nodes1 AS (SELECT DISTINCT id1 AS id FROM und1),
+        |reach1(id, lab) AS (
+        |  SELECT id, id FROM nodes1
+        |  UNION
+        |  SELECT u.id2, r.lab FROM reach1 r JOIN und1 u ON u.id1 = r.id),
+        |comp1 AS (SELECT id, min(lab) AS comp FROM reach1 GROUP BY id),
+        |prior AS (SELECT e1.vec_id, coalesce(c.comp, e1.vec_id) AS label
+        |  FROM e1 LEFT JOIN comp1 c ON c.id = e1.vec_id),
+        |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don2 AS (SELECT vec_id AS did, v AS dv FROM e2
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist2 AS (SELECT e2.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e2.v) + 1),
+        |    j -> (e2.v[j] - d.dv[j]) * (e2.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e2 CROSS JOIN don2 d),
+        |asg2 AS (SELECT vec_id, did AS lst FROM dist2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl2 AS (SELECT vec_id, did AS lst FROM dist2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand2 AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl2 p JOIN asg2 a ON a.lst = p.lst WHERE a.vec_id <> p.vec_id),
+        |cs2 AS (SELECT c.id1, c.id2,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * b.v[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(b.v) + 1),
+        |    j -> b.v[j] * b.v[j]), (x, y) -> x + y) AS nb
+        |  FROM cand2 c JOIN e2 a ON a.vec_id = c.id1 JOIN e2 b ON b.vec_id = c.id2),
+        |knn2 AS (SELECT id1, id2, dp / (sqrt(na) * sqrt(nb)) AS cos FROM cs2
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3),
+        |edg2 AS (SELECT id1, id2 FROM knn2 WHERE cos >= 0.42),
+        |und2 AS (SELECT id1, id2 FROM edg2 UNION ALL SELECT id2, id1 FROM edg2),
+        |nodes2 AS (SELECT DISTINCT id1 AS id FROM und2),
+        |reach2(id, lab) AS (
+        |  SELECT id, id FROM nodes2
+        |  UNION
+        |  SELECT u.id2, r.lab FROM reach2 r JOIN und2 u ON u.id1 = r.id),
+        |comp2 AS (SELECT id, min(lab) AS comp FROM reach2 GROUP BY id),
+        |fresh AS (SELECT e2.vec_id, coalesce(c.comp, e2.vec_id) AS cluster
+        |  FROM e2 LEFT JOIN comp2 c ON c.id = e2.vec_id),
+        |adopted AS (SELECT f.cluster, min(p.label) AS adopt
+        |  FROM fresh f LEFT JOIN prior p ON p.vec_id = f.vec_id
+        |  GROUP BY f.cluster)
+        |SELECT f.vec_id, f.cluster, coalesce(a.adopt, f.cluster) AS label,
+        |  CASE WHEN ((((coalesce(a.adopt, f.cluster) % 2147483648)
+        |      + 2147483648) % 2147483648) * 2654435761) % 4294967296
+        |      % 1000 < 200
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM fresh f JOIN adopted a ON a.cluster = f.cluster""".stripMargin,
 
     // q119's batched ADC probe at k=10 scored against the exact L2
     // top-10 — recall = |approx ∩ exact| / 10 per query.
