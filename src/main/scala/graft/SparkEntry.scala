@@ -1970,6 +1970,19 @@ object SparkEntry {
         nLists = 16, nProbe = 4)
     }),
 
+    // Diversity sampling: greedy k-center (farthest-first traversal) at
+    // k=8 over the embeddings — the coreset/eval-set selector next to the
+    // distribution-preserving hash samplers. The oracle unrolls all 8
+    // greedy stages (seed by Knuth hash, then argmax of the running
+    // min-distance with id tie-breaks), mirroring the engine's running-
+    // min update term-for-term.
+    "q137_kcenter_sample" -> ((s, dir) => {
+      import graft.operators.Similarity
+      Similarity.kCenterSample(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8)
+        .select(col("pick"), col("vec_id"), round(col("radius"), 6).as("radius"))
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3449,6 +3462,34 @@ object SparkEntry {
         |      % 1000 < 200
         |    THEN 'val' ELSE 'train' END AS split
         |FROM e LEFT JOIN compp c2 ON c2.id = e.vec_id""".stripMargin,
+
+    // Greedy k-center unrolled: seed by the Knuth hash, then 7 identical
+    // stages — running min-distance update (least + the same ascending
+    // squared-L2 list_reduce the engine loop computes) and argmax with an
+    // id tie-break, each stage excluding the id it just picked.
+    "q137_kcenter_sample" -> {
+      def dist(a: String, b: String) =
+        s"list_reduce(list_transform(range(1, len($a.v) + 1), " +
+          s"j -> ($a.v[j] - $b.v[j]) * ($a.v[j] - $b.v[j])), (x, y) -> x + y)"
+      val stages = (2 to 7).map { i =>
+        s"""d$i AS (SELECT d.vec_id, d.v, least(d.dmin, ${dist("d", "p")}) AS dmin
+           |  FROM d${i - 1} d CROSS JOIN p${i - 1} p WHERE d.vec_id <> p.vec_id),
+           |p$i AS (SELECT vec_id, v, dmin FROM d$i ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val tail = (1 to 7).map { i =>
+        s"UNION ALL SELECT $i, vec_id, round(sqrt(dmin), 6) FROM p$i"
+      }.mkString("\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |seed AS (SELECT vec_id, v FROM e
+         |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 1),
+         |d1 AS (SELECT e.vec_id, e.v, ${dist("e", "s")} AS dmin
+         |  FROM e CROSS JOIN seed s WHERE e.vec_id <> s.vec_id),
+         |p1 AS (SELECT vec_id, v, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+         |$stages
+         |SELECT CAST(0 AS INTEGER) AS pick, s.vec_id, 0.0::DOUBLE AS radius FROM seed s
+         |$tail""".stripMargin
+    },
 
     // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that
     // produces the prior labels, suffix 2 = the full corpus), then the

@@ -1488,6 +1488,80 @@ object Similarity {
         (coalesce(col("__hits"), lit(0L)) / k.toDouble).as("recall"))
   }
 
+  /** Greedy k-center sample (farthest-first traversal, Gonzalez 1985) —
+    * the DIVERSITY sampler: picks k maximally-spread vectors, the
+    * standard coreset/eval-set construction next to the hash samplers
+    * ([[graft.operators.Curation]]) which are distribution-preserving,
+    * not spread-maximizing. Classic guarantee: the picked set's covering
+    * radius is within 2× of the optimal k-center radius.
+    *
+    * Scale shape: a running min-distance-to-nearest-center column
+    * updated over k rounds — O(k·N·d) total kernel work, each round one
+    * broadcast center + one TakeOrdered(1), with the state relation
+    * localCheckpointed per round so lineage stays flat (the CC-loop
+    * discipline). k is driver-bounded by contract (every center is
+    * collected and broadcast into the next round's comparator).
+    *
+    * Deterministic and SQL-reproducible: seed = smallest Knuth-hash id
+    * (the engine-wide sampler) unless `seedId` pins it; every argmax
+    * ties on the smaller id. Output: (pick, id, radius) where radius =
+    * L2 distance from pick i to its nearest earlier center — the
+    * k-center cost curve, non-increasing in i; 0 for the seed. Stops
+    * early (fewer than k rows) when the corpus is exhausted.
+    */
+  def kCenterSample(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, seedId: Option[Long] = None): DataFrame = {
+    require(k >= 1 && k <= 256,
+      s"kCenterSample k $k must be in [1, 256] — every center is " +
+        "driver-collected and broadcast; sample a shard first for more")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+    val seedRow = (seedId match {
+      case Some(id) => clean.filter(col("__id") === id)
+      case None => clean.orderBy(
+        pmod(pmod(col("__id"), lit(2147483648L)) * 2654435761L,
+          lit(4294967296L)), col("__id"))
+    }).limit(1).collect()
+    require(seedRow.nonEmpty, "kCenterSample: empty corpus or absent seed id")
+    val seed = (seedRow(0).getLong(0), seedRow(0).getSeq[Double](1).toArray)
+    // same ascending-j squared-L2 loop as VectorFns.l2Kernel, so the
+    // DuckDB oracle's list_reduce mirrors it term-for-term
+    def d2To(c: Array[Double]) = udf { (v: Seq[Double]) =>
+      var s = 0.0; var i = 0; val n = math.min(v.length, c.length)
+      while (i < n) { val t = v(i) - c(i); s += t * t; i += 1 }
+      s
+    }
+    val picks =
+      scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+        (0, seed._1, 0.0))
+    var state = clean.filter(col("__id") =!= seed._1)
+      .withColumn("__dmin", d2To(seed._2)(col("__v")))
+      .localCheckpoint(true)
+    var i = 1
+    var exhausted = false
+    while (i < k && !exhausted) {
+      val top = state.orderBy(col("__dmin").desc, col("__id").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0)
+        val v = top(0).getSeq[Double](1).toArray
+        picks += ((i, id, math.sqrt(top(0).getDouble(2))))
+        val old = state
+        state = state.filter(col("__id") =!= id)
+          .withColumn("__dmin", least(col("__dmin"), d2To(v)(col("__v"))))
+          .localCheckpoint(true)
+        old.unpersist(blocking = false)
+        i += 1
+      }
+    }
+    state.unpersist(blocking = false)
+    picks.toSeq.toDF("pick", idCol, "radius")
+  }
+
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       minCos: Double, keepPerCluster: Int = 1, nLists: Int = 16,
       nProbe: Int = 4, maxListSize: Int = 10000,

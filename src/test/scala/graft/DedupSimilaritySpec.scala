@@ -1267,6 +1267,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"takedown must not fabricate codebook drift: $after")
   }
 
+  test("kCenterSample: farthest-first covers planted clusters before " +
+      "densifying; radii non-increasing; deterministic") {
+    import graft.operators.Similarity
+    // 3 tight, well-separated clusters (axis blobs at distance ~100)
+    def blob(axis: Int, lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, (0 until 8).map(d =>
+        (if (d == axis) 100.0 else 0.0) + 0.01 * (i % 5))))
+    val rows = blob(0, 0L, 10L) ++ blob(3, 10L, 20L) ++ blob(6, 20L, 30L)
+    val vecs = rows.toDF("vec_id", "embedding")
+    // k=3 picks exactly one member of each planted cluster
+    val k3 = Similarity.kCenterSample(vecs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(k3.map(_._2 / 10L).toSet == Set(0L, 1L, 2L),
+      s"k=3 must hit all three clusters: ${k3.toSeq}")
+    // k=8: distinct picks, radii non-increasing after the seed, and the
+    // 4th radius collapses from cross-cluster (~100+) to within-cluster
+    // (< 1) scale — the k-center cost curve's elbow
+    val k8 = Similarity.kCenterSample(vecs, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(k8.map(_._2).distinct.length == 8, s"${k8.toSeq}")
+    val radii = k8.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"radii must be non-increasing: ${radii.toSeq}")
+    assert(radii(0) > 100 && radii(1) > 100 && radii(2) < 1.0,
+      s"two cross-cluster jumps then within-cluster: ${radii.toSeq}")
+    // deterministic rerun; seed pin respected; k > corpus stops early
+    val again = Similarity.kCenterSample(vecs, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(k8.toSeq == again.toSeq, "seedless farthest-first must reproduce")
+    val pinned = Similarity.kCenterSample(vecs, "vec_id", "embedding", 2,
+      seedId = Some(25L)).collect().map(_.getLong(1))
+    assert(pinned.head == 25L, s"${pinned.toSeq}")
+    val tiny = Similarity.kCenterSample(
+      vecs.filter(col("vec_id") < 3), "vec_id", "embedding", 8)
+    assert(tiny.count() == 3, "k beyond corpus size must stop early")
+  }
+
   test("recallAtK: counts approx∩exact per query; dropped queries score 0") {
     import graft.operators.Similarity
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
