@@ -1983,6 +1983,20 @@ object SparkEntry {
         .select(col("pick"), col("vec_id"), round(col("radius"), 6).as("radius"))
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): target = the
+    // doc_id % 17 == 0 subset, raw = the rest; hashed unigram+bigram
+    // buckets (polyHash % 1024), add-1 smoothed log-likelihood-ratio
+    // weights, Gumbel-top-32 via the Knuth-hash noise. The oracle
+    // recomputes the whole chain: features, both bucket distributions,
+    // the broadcast log-ratio relation, per-doc weights, and the rounded
+    // Gumbel ranking with the id tie-break.
+    "q138_dsir_resample" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      Curation.dsirResample(docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0), "doc_id", "text", k = 32)
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3489,6 +3503,46 @@ object SparkEntry {
          |$stages
          |SELECT CAST(0 AS INTEGER) AS pick, s.vec_id, 0.0::DOUBLE AS radius FROM seed s
          |$tail""".stripMargin
+    },
+
+    // DSIR end-to-end: hashed unigram+bigram buckets via the q24 poly
+    // fold, add-1 smoothed log-ratio per bucket (doubles forced — bare
+    // literals are DECIMAL), per-doc weight, then the rounded Gumbel
+    // key from the Knuth hash and top-32 with the id tie-break.
+    "q138_dsir_resample" -> {
+      def poly(s: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT)), " +
+          s"(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+      s"""WITH base AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |fe AS (SELECT doc_id, unnest(list_concat(
+         |    list_transform(w, s -> ${poly("s")} % 1024),
+         |    CASE WHEN len(w) < 2 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, len(w)),
+         |           j -> ${poly("(w[j] || ' ' || w[j+1])")} % 1024) END)) AS b
+         |  FROM base),
+         |tc AS (SELECT b, count(*) AS ct FROM fe WHERE doc_id % 17 = 0
+         |  GROUP BY 1),
+         |ri AS (SELECT doc_id, b FROM fe WHERE doc_id % 17 <> 0),
+         |rc AS (SELECT b, count(*) AS cr FROM ri GROUP BY 1),
+         |tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS t FROM tc),
+         |rt AS (SELECT CAST(sum(cr) AS DOUBLE) AS t FROM rc),
+         |lr AS (SELECT coalesce(tc.b, rc.b) AS b,
+         |    ln((coalesce(ct, 0) + 1.0::DOUBLE) / (tt.t + 1024.0::DOUBLE))
+         |  - ln((coalesce(cr, 0) + 1.0::DOUBLE) / (rt.t + 1024.0::DOUBLE)) AS lr
+         |  FROM tc FULL JOIN rc ON tc.b = rc.b CROSS JOIN tt CROSS JOIN rt),
+         |dc AS (SELECT doc_id, b, count(*) AS c FROM ri GROUP BY 1, 2),
+         |wt AS (SELECT doc_id, sum(c * lr) AS weight,
+         |    CAST(sum(c) AS BIGINT) AS n_features
+         |  FROM dc JOIN lr USING (b) GROUP BY 1)
+         |SELECT doc_id,
+         |  round(weight - ln(-ln(((((((doc_id % 2147483648) + 2147483648)
+         |    % 2147483648) * 2654435761) % 4294967296) + 1.0::DOUBLE)
+         |    / 4294967297.0::DOUBLE)), 6) AS gumbel_key,
+         |  round(weight, 6) AS weight, n_features
+         |FROM wt ORDER BY gumbel_key DESC, doc_id LIMIT 32""".stripMargin
     },
 
     // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that

@@ -505,6 +505,105 @@ object Curation {
       .drop("__esk")
   }
 
+  // ------------------------------------------------------------- DSIR
+
+  /** All hashed n-gram feature buckets of a token array: unigrams plus
+    * word bigrams (space-joined, the shingle convention), each hashed
+    * with the SQL-reproducible polynomial hash mod `nBuckets`. One JVM
+    * pass per doc (UDF for the same reason as the minhash kernel: nested
+    * higher-order functions re-evaluate subtrees per element).
+    */
+  private def featureBucketsUdf(nBuckets: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) Array.empty[Long]
+    else {
+      val uni = toks.map(t => TextFns.polyHash(t) % nBuckets)
+      val bi =
+        if (toks.length < 2) Seq.empty[Long]
+        else toks.sliding(2).map(p =>
+          TextFns.polyHash(p.mkString(" ")) % nBuckets).toSeq
+      (uni ++ bi).toArray
+    }
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every RAW
+    * document by how much more likely its hashed n-gram features are
+    * under the TARGET corpus' feature distribution than under the raw
+    * corpus' own —
+    *   w(doc) = Σ_b c_b(doc) · [ln p̂_target(b) − ln p̂_raw(b)]
+    * with unigram+bigram features hashed into `nBuckets` buckets
+    * ([[featureBucketsUdf]]) and add-`alpha` smoothing on both sides so
+    * unseen buckets contribute finite evidence.
+    *
+    * Shape at 100 TB: two bucket-count aggregations (map-side combined,
+    * each ≤ nBuckets output rows), a ≤ nBuckets-row log-ratio relation
+    * BROADCAST back onto the per-doc bucket counts, one per-doc sum.
+    * The only corpus-wide shuffles are the count aggs and the final
+    * per-doc sum; nBuckets is driver-bounded by contract (the ratio
+    * relation is broadcast). No all-pairs anything.
+    *
+    * NULL/blank-text docs are dropped (no features — same contract as
+    * the surprisal scorers). Returns (idCol, weight, n_features), weight
+    * unrounded (round at the comparison edge).
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 1024, alpha: Double = 1.0): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= (1 << 20),
+      s"dsirWeights nBuckets $nBuckets must be in [2, 2^20] — the " +
+        "log-ratio relation is broadcast by contract")
+    require(alpha > 0.0, s"dsirWeights alpha $alpha must be > 0")
+    val fb = featureBucketsUdf(nBuckets)
+    def feats(df: DataFrame) = df
+      .filter(col(textCol).isNotNull && trim(col(textCol)) =!= "")
+      .select(col(idCol),
+        explode(fb(TextFns.tokens(lower(col(textCol))))).as("__b"))
+    val rawInst = feats(raw)
+    val tgtCnt = feats(target).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__ct"))
+    val rawCnt = rawInst.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    // totals: one row each off already-aggregated ≤ nBuckets-row inputs
+    val tTot = tgtCnt.agg(coalesce(sum(col("__ct")), lit(0L))).collect()(0)
+      .getLong(0).toDouble
+    val rTot = rawCnt.agg(coalesce(sum(col("__cr")), lit(0L))).collect()(0)
+      .getLong(0).toDouble
+    require(tTot > 0, "dsirWeights: target corpus has no features")
+    require(rTot > 0, "dsirWeights: raw corpus has no features")
+    val lr = tgtCnt.join(rawCnt, Seq("__b"), "full_outer")
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + alpha) /
+            lit(tTot + alpha * nBuckets)) -
+          log((coalesce(col("__cr"), lit(0L)) + alpha) /
+            lit(rTot + alpha * nBuckets))).as("__lr"))
+    rawInst.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c").cast("double") * col("__lr")).as("weight"),
+        sum(col("__c")).as("n_features"))
+  }
+
+  /** DSIR selection: Gumbel-top-k over [[dsirWeights]] — a deterministic
+    * without-replacement sample of `k` raw docs with inclusion odds
+    * ∝ exp(weight) (the paper's importance resampling step). The Gumbel
+    * noise is derived from the engine-wide Knuth multiplicative hash of
+    * the id (no RNG state; exactly re-runnable, engine-reproducible),
+    * and keys round to 6 dp before ranking with an id tie-break — the
+    * cross-engine ranking contract. One TakeOrderedAndProject on top of
+    * the weight relation; no additional shuffle.
+    */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, k: Int, nBuckets: Int = 1024,
+      alpha: Double = 1.0): DataFrame = {
+    require(k >= 1, s"sample size $k must be >= 1")
+    val u = (pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) *
+      2654435761L, lit(4294967296L)) + lit(1.0)) / 4294967297.0
+    dsirWeights(raw, target, idCol, textCol, nBuckets, alpha)
+      .withColumn("__g", round(col("weight") - log(-log(u)), 6))
+      .orderBy(col("__g").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col("__g").as("gumbel_key"),
+        round(col("weight"), 6).as("weight"), col("n_features"))
+  }
+
   /** Cross-document boilerplate: k-token passages appearing in at least
     * `minDocs` distinct documents (headers/footers/license blocks — the
     * units line-dedup pipelines strip). One explode + one (passage, doc)

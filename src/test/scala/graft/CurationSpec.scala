@@ -389,6 +389,68 @@ class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(1L) == 1L)
   }
 
+  test("dsirWeights: target-like docs outscore junk; hand-check; resample " +
+      "is deterministic and favors high weights") {
+    import spark.implicits._
+    // target corpus: documents about one tight topic
+    val target = Seq(
+      (100L, "solar panel energy yield model"),
+      (101L, "wind energy capacity model output"),
+      (102L, "solar energy model yield")).toDF("doc_id", "text")
+    // raw corpus: 5 target-like docs, 5 junk docs, one blank
+    val raw = Seq(
+      (1L, "solar energy model"), (2L, "wind energy yield model"),
+      (3L, "solar panel capacity yield"), (4L, "energy model output"),
+      (5L, "wind solar energy"),
+      (6L, "zzz qqq vvv kkk"), (7L, "lorem ipsum dolor sit"),
+      (8L, "qqq kkk zzz"), (9L, "unrelated filler junk noise"),
+      (10L, "vvv lorem qqq"), (11L, "   ")).toDF("doc_id", "text")
+    val byId = Curation.dsirWeights(raw, target, "doc_id", "text",
+      nBuckets = 4096).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // blank doc dropped; every target-like doc outweighs every junk doc
+    assert(!byId.contains(11L), s"blank doc must be dropped: $byId")
+    val tgtLike = (1L to 5L).map(byId(_)._1)
+    val junk = (6L to 10L).map(byId(_)._1)
+    assert(tgtLike.min > junk.max,
+      s"target-like ${tgtLike.toSeq} must all outscore junk ${junk.toSeq}")
+    // n_features = unigrams + bigrams = 2·n−1 for an n-token doc
+    assert(byId(1L)._2 == 5 && byId(6L)._2 == 7, s"$byId")
+    // hand-check doc 8 ("qqq kkk zzz", 4096 buckets — no collisions at
+    // this size): all 5 features unseen in target (count 0), each raw
+    // count from the corpus; alpha=1, T_t = 2·5·3−3... compute directly
+    val alpha = 1.0; val b = 4096
+    def polyMod(s: String) = graft.functions.TextFns.polyHash(s) % b
+    val tgtFeats = Seq("solar panel energy yield model",
+      "wind energy capacity model output", "solar energy model yield")
+      .flatMap { t => val ts = t.split("\\s+").toSeq
+        ts.map(polyMod) ++ ts.sliding(2).map(p => polyMod(p.mkString(" "))) }
+    val rawFeats = Seq("solar energy model", "wind energy yield model",
+      "solar panel capacity yield", "energy model output",
+      "wind solar energy", "zzz qqq vvv kkk", "lorem ipsum dolor sit",
+      "qqq kkk zzz", "unrelated filler junk noise", "vvv lorem qqq")
+      .flatMap { t => val ts = t.split("\\s+").toSeq
+        ts.map(polyMod) ++ ts.sliding(2).map(p => polyMod(p.mkString(" "))) }
+    val tCnt = tgtFeats.groupBy(identity).view.mapValues(_.size).toMap
+    val rCnt = rawFeats.groupBy(identity).view.mapValues(_.size).toMap
+    val doc8 = { val ts = Seq("qqq", "kkk", "zzz")
+      ts.map(polyMod) ++ ts.sliding(2).map(p => polyMod(p.mkString(" "))) }
+    val expected = doc8.map { f =>
+      math.log((tCnt.getOrElse(f, 0) + alpha) / (tgtFeats.size + alpha * b)) -
+        math.log((rCnt.getOrElse(f, 0) + alpha) / (rawFeats.size + alpha * b))
+    }.sum
+    assert(math.abs(byId(8L)._1 - expected) < 1e-9,
+      s"doc 8 weight ${byId(8L)._1} != hand-computed $expected")
+    // resample: deterministic, exactly k rows, biased toward target-like
+    val s1 = Curation.dsirResample(raw, target, "doc_id", "text", k = 4,
+      nBuckets = 4096).collect().map(_.getLong(0)).toSeq
+    val s2 = Curation.dsirResample(raw, target, "doc_id", "text", k = 4,
+      nBuckets = 4096).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "resample must be exactly re-runnable")
+    assert(s1.length == 4 && s1.count(_ <= 5L) >= 3,
+      s"Gumbel-top-k must favor the high-weight docs: $s1")
+  }
+
   test("unigramSurprisal: matches hand-computed corpus distribution") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
