@@ -1997,6 +1997,46 @@ object SparkEntry {
         docs.filter(col("doc_id") % 17 === 0), "doc_id", "text", k = 32)
     }),
 
+    // HyperLogLog register table over the corpus token stream: bucket =
+    // affine-mix-100 of the poly hash mod 256, rho from the bit length
+    // of affine-mix-101 — integer arithmetic end-to-end, so the oracle
+    // reproduces every register exactly. The sketch is the mergeable
+    // distinct-cardinality profile: only ≤ 256 partially-maxed rows
+    // ever shuffle.
+    "q139_hll_registers" -> ((s, dir) => {
+      import graft.functions.{Sketches, TextFns}
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(explode(TextFns.tokens(lower(col("text")))).as("term"))
+      Sketches.hllRegisters(toks, "term", p = 8)
+    }),
+
+    // HLL estimate + the exact distinct count side by side: the 2^-rho
+    // sum is dyadic-exact in IEEE double, so raw estimate, branch
+    // decision, and the 6-dp rounding all reproduce bit-for-bit in
+    // DuckDB. exact_distinct quantifies the sketch's actual error.
+    "q140_hll_estimate" -> ((s, dir) => {
+      import graft.functions.{Sketches, TextFns}
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(explode(TextFns.tokens(lower(col("text")))).as("term"))
+      Sketches.hllEstimate(Sketches.hllRegisters(toks, "term", p = 8), p = 8)
+        .crossJoin(toks.agg(countDistinct(col("term")).as("exact_distinct")))
+    }),
+
+    // Count-min register table (depth 4 × width 256) over the same token
+    // stream — the mergeable per-key frequency profile (point estimates
+    // take the min over rows; one-sided error). Integer-exact oracle.
+    "q141_cms_registers" -> ((s, dir) => {
+      import graft.functions.{Sketches, TextFns}
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(explode(TextFns.tokens(lower(col("text")))).as("term"))
+      Sketches.cmsRegisters(toks, "term", depth = 4, width = 256)
+        .select(col("row").as("hash_row"), col("col").as("hash_col"),
+          col("cnt"))
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3543,6 +3583,89 @@ object SparkEntry {
          |    / 4294967297.0::DOUBLE)), 6) AS gumbel_key,
          |  round(weight, 6) AS weight, n_features
          |FROM wt ORDER BY gumbel_key DESC, doc_id LIMIT 32""".stripMargin
+    },
+
+    // HLL registers: the q24 poly fold re-scrambled by affine salts
+    // 100/101 (same family as the minhash permutations), bucket mod 256,
+    // rho from the unpadded binary length — all integer.
+    "q139_hll_registers" -> {
+      def poly(s: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT)), " +
+          s"(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+      s"""WITH tok AS (SELECT unnest(
+         |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS s
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |h AS (SELECT ${poly("s")} AS base FROM tok),
+         |hh AS (SELECT
+         |    ((201 * 104729) % 1000000007 * base + (100 * 12582917 + 7))
+         |      % 1000000007 AS a1,
+         |    ((203 * 104729) % 1000000007 * base + (101 * 12582917 + 7))
+         |      % 1000000007 AS a2 FROM h),
+         |mx AS (SELECT (a1 * a1 % 1000000007 + a1) % 1000000007 AS b1,
+         |    (a2 * a2 % 1000000007 + a2) % 1000000007 AS b2 FROM hh)
+         |SELECT b1 % 256 AS bucket,
+         |  max(CASE WHEN b2 = 0 THEN 31 ELSE 31 - length(bin(b2)) END)
+         |    AS rho_max
+         |FROM mx GROUP BY 1""".stripMargin
+    },
+
+    // HLL estimate: 2^-rho via an integer shift (exact dyadic double),
+    // alpha_m in the engine's exact op order, linear-counting branch on
+    // the bit-identical raw estimate; exact distinct alongside.
+    "q140_hll_estimate" -> {
+      def poly(s: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT)), " +
+          s"(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+      s"""WITH tok AS (SELECT unnest(
+         |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS s
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |h AS (SELECT ${poly("s")} AS base FROM tok),
+         |hh AS (SELECT
+         |    ((201 * 104729) % 1000000007 * base + (100 * 12582917 + 7))
+         |      % 1000000007 AS a1,
+         |    ((203 * 104729) % 1000000007 * base + (101 * 12582917 + 7))
+         |      % 1000000007 AS a2 FROM h),
+         |mx AS (SELECT (a1 * a1 % 1000000007 + a1) % 1000000007 AS b1,
+         |    (a2 * a2 % 1000000007 + a2) % 1000000007 AS b2 FROM hh),
+         |reg AS (SELECT b1 % 256 AS bucket,
+         |    max(CASE WHEN b2 = 0 THEN 31 ELSE 31 - length(bin(b2)) END)
+         |      AS rho_max FROM mx GROUP BY 1),
+         |ag AS (SELECT count(*) AS present,
+         |    sum(1.0::DOUBLE / (1::BIGINT << rho_max)) AS sm FROM reg),
+         |raws AS (SELECT 256 - present AS v_zero,
+         |    (((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE /
+         |      256.0::DOUBLE)) * 256.0::DOUBLE) * 256.0::DOUBLE)
+         |      / (sm + CAST(256 - present AS DOUBLE)) AS raw FROM ag),
+         |ex AS (SELECT count(DISTINCT s) AS exact_distinct FROM tok)
+         |SELECT CAST(v_zero AS BIGINT) AS v_zero,
+         |  round(CASE WHEN raw <= 640.0::DOUBLE AND v_zero > 0
+         |    THEN 256.0::DOUBLE * ln(256.0::DOUBLE / v_zero)
+         |    ELSE raw END, 6) AS estimate,
+         |  exact_distinct
+         |FROM raws CROSS JOIN ex""".stripMargin
+    },
+
+    // Count-min registers: row i rehashes with affine salt 200+i; the
+    // cell is the double-mod (perm % p) % 256 — exactly the engine's.
+    "q141_cms_registers" -> {
+      def poly(s: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT)), " +
+          s"(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+      s"""WITH tok AS (SELECT unnest(
+         |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS s
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |h AS (SELECT ${poly("s")} AS base FROM tok),
+         |cells AS (SELECT i AS hash_row,
+         |    ((2 * (200 + i) + 1) * 104729 % 1000000007 * base +
+         |      ((200 + i) * 12582917 + 7)) % 1000000007 AS pm
+         |  FROM h CROSS JOIN range(4) t(i))
+         |SELECT hash_row,
+         |  (pm * pm % 1000000007 + pm) % 1000000007 % 256 AS hash_col,
+         |  count(*) AS cnt
+         |FROM cells GROUP BY 1, 2""".stripMargin
     },
 
     // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable distributed sketches — the two canonical bounded-memory
+  * profiles a 100 TB pipeline runs before anything else: HyperLogLog
+  * (distinct cardinality) and count-min (per-key frequency). Both join
+  * the existing sketch family (histogram quantiles `Ops`, Misra-Gries
+  * heavy hitters `HeavyHitters`) and share its design rule: the sketch
+  * state is a TINY keyed relation produced by one map-side-combined
+  * aggregation over the corpus — the only thing that ever shuffles is
+  * the partially-merged register table (≤ m rows for HLL, ≤ depth·width
+  * for CMS), never the data.
+  *
+  * Determinism contract: every hash is the engine-wide SQL-reproducible
+  * polynomial hash ([[TextFns.polyHash]]) re-scrambled by the affine
+  * family ([[TextFns.minhashPerm]], salts 100/101 for HLL, 200+i for
+  * CMS rows), so a DuckDB oracle recomputes the REGISTER TABLES exactly
+  * (integer arithmetic end-to-end; q139/q141). The HLL estimate's
+  * 2^-rho sum is dyadic-rational and exact in IEEE double for any
+  * summation order, so even the float estimate reproduces bit-for-bit
+  * across engines (q140).
+  *
+  * Honest bias note: rho is framed against 31-bit hash values drawn
+  * from [0, 1e9+7), not a power-of-two range, so P(rho = 1) is ~0.46
+  * instead of 0.5 — a small systematic undercount on top of HLL's
+  * published ~1.04/sqrt(m) relative error. The spec measures accuracy
+  * empirically instead of assuming the ideal-geometric analysis.
+  */
+object Sketches {
+
+  /** Quadratic scramble mod p: (x² + x) mod p. The affine permutation
+    * family alone preserves the arithmetic lattice of structured key
+    * sets (sequential ids left 24/256 HLL buckets EMPTY at 5000 keys —
+    * a 4× cardinality undercount); one squaring round breaks the
+    * lattice while staying SQL-expressible (x < p ≈ 2^30 keeps x² < 2^60
+    * inside BIGINT in both engines).
+    */
+  private def mix(x: Long): Long = (x * x % TextFns.HashP + x) % TextFns.HashP
+
+  /** HLL register relation: (bucket, rho_max) with absent buckets
+    * meaning rho 0. bucket = mix(perm_100(poly(key))) mod 2^p; rho = 31 −
+    * bitlength(mix(perm_101(poly(key)))) (31 for the zero hash). One
+    * map-side (bucket, rho) projection + one partial-aggregated max —
+    * the sketch is mergeable by construction (max is associative), so
+    * register tables from independent partitions/corpora union + re-max.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllRegisters p $p must be in [4, 16]")
+    val m = 1 << p
+    val h = udf { (s: String) =>
+      val base = TextFns.polyHash(s)
+      val bucket = (mix(TextFns.minhashPerm(100, base)) % m).toInt
+      val wv = mix(TextFns.minhashPerm(101, base))
+      val rho =
+        if (wv == 0L) 31
+        else 31 - (64 - java.lang.Long.numberOfLeadingZeros(wv))
+      (bucket, rho)
+    }
+    df.filter(col(keyCol).isNotNull)
+      .select(h(col(keyCol).cast("string")).as("__h"))
+      .select(col("__h._1").as("bucket"), col("__h._2").as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("rho_max"))
+  }
+
+  /** Cardinality estimate off an [[hllRegisters]] relation: the
+    * classic alpha_m · m² / Σ 2^−M_j with the linear-counting fallback
+    * (m · ln(m/V)) when the raw estimate is ≤ 2.5·m and zero registers
+    * remain. 2^−rho is computed as 1.0 / (1 << rho) — an exact dyadic
+    * double, so the Σ (and hence the raw estimate and the branch
+    * decision) is bit-identical in any engine and any summation order.
+    * Returns one row (v_zero, estimate) with estimate rounded to 6 dp.
+    */
+  def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllEstimate p $p must be in [4, 16]")
+    val m = 1 << p
+    val alphaM2 = (if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673) * m * m
+    registers
+      .agg(count(lit(1)).as("__present"),
+        sum(expr("1.0D / shiftleft(1L, rho_max)")).as("__s"))
+      .select((lit(m.toLong) - col("__present")).as("v_zero"),
+        (lit(alphaM2) /
+          (col("__s") + (lit(m) - col("__present")).cast("double")))
+          .as("__raw"))
+      .select(col("v_zero"),
+        round(when(col("__raw") <= 2.5 * m && col("v_zero") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
+          .otherwise(col("__raw")), 6).as("estimate"))
+  }
+
+  /** Count-min register relation: (row, col, cnt) for `depth` hash rows
+    * of `width` columns — cnt = how many key INSTANCES landed in that
+    * cell (point queries then take the min over rows, [[cmsEstimate]]:
+    * one-sided error, never an undercount). Same scale shape as the HLL:
+    * one map-side posexplode to `depth` cells per instance, one
+    * partial-aggregated count; ≤ depth·width rows ever shuffle. Row i
+    * hashes with affine salt 200+i, so the table is SQL-reproducible.
+    */
+  def cmsRegisters(df: DataFrame, keyCol: String, depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"cms depth $depth not in [1, 16]")
+    require(width >= 16 && width <= (1 << 20),
+      s"cms width $width not in [16, 2^20]")
+    val h = udf { (s: String) =>
+      val base = TextFns.polyHash(s)
+      Array.tabulate(depth)(i =>
+        (mix(TextFns.minhashPerm(200 + i, base)) % width).toInt)
+    }
+    df.filter(col(keyCol).isNotNull)
+      .select(posexplode(h(col(keyCol).cast("string"))).as(Seq("row", "col")))
+      .groupBy(col("row"), col("col")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates for `keys` off a [[cmsRegisters]]
+    * relation: est(key) = min over rows of the key's cell count (absent
+    * cells are 0). `keys` is a driver-side probe list by contract (the
+    * register relation is tiny; the keys side is broadcast).
+    */
+  def cmsEstimate(registers: DataFrame, keys: Seq[String], depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(keys.nonEmpty && keys.length <= 65536,
+      s"cmsEstimate probes ${keys.length} not in [1, 65536] — the probe " +
+        "list is driver-built and broadcast by contract")
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val probe = keys.distinct.flatMap { s =>
+      val base = TextFns.polyHash(s)
+      (0 until depth).map(i =>
+        (s, i, (mix(TextFns.minhashPerm(200 + i, base)) % width).toInt))
+    }.toDF("key", "row", "col")
+    broadcast(probe).join(registers, Seq("row", "col"), "left")
+      .groupBy(col("key"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Sketches, TextFns}
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def keysDf(n: Int, prefix: String) =
+    (0 until n).map(i => s"$prefix$i").toDF("k")
+
+  test("hllRegisters: registers match a per-key recomputation and merge " +
+      "by max") {
+    val df = keysDf(500, "key")
+    val reg = Sketches.hllRegisters(df, "k", p = 8).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    // independent recomputation straight from the hash contract
+    // (including the quadratic scramble, replicated here from its spec)
+    def mix(x: Long) = (x * x % TextFns.HashP + x) % TextFns.HashP
+    val expect = (0 until 500).map { i =>
+      val base = TextFns.polyHash(s"key$i")
+      val b = (mix(TextFns.minhashPerm(100, base)) % 256).toInt
+      val wv = mix(TextFns.minhashPerm(101, base))
+      val rho = if (wv == 0L) 31
+        else 31 - (64 - java.lang.Long.numberOfLeadingZeros(wv))
+      (b, rho)
+    }.groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).max }
+    assert(reg == expect)
+    // mergeability: sketch(A) union sketch(B), re-maxed = sketch(A ∪ B)
+    val a = Sketches.hllRegisters(keysDf(300, "key"), "k")
+    val b = Sketches.hllRegisters(
+      (300 until 500).map(i => s"key$i").toDF("k"), "k")
+    val merged = a.unionByName(b).groupBy(col("bucket"))
+      .agg(max(col("rho_max")).as("rho_max")).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged == reg, "register merge must equal the whole-corpus sketch")
+  }
+
+  test("hllEstimate: within 10% at 5000 keys, linear-counting small range") {
+    val est5k = Sketches.hllEstimate(
+      Sketches.hllRegisters(keysDf(5000, "doc"), "k"), p = 8)
+      .collect()(0).getDouble(1)
+    assert(math.abs(est5k - 5000) / 5000.0 < 0.10,
+      s"HLL(m=256) estimate $est5k too far from 5000")
+    // 40 distinct keys: raw estimate <= 2.5m with zero registers left →
+    // linear counting, which is near-exact at this occupancy
+    val est40 = Sketches.hllEstimate(
+      Sketches.hllRegisters(keysDf(40, "z"), "k"), p = 8)
+      .collect()(0).getDouble(1)
+    assert(math.abs(est40 - 40) < 5, s"linear-counting estimate $est40")
+    intercept[IllegalArgumentException] {
+      Sketches.hllRegisters(keysDf(5, "x"), "k", p = 2)
+    }
+  }
+
+  test("cmsRegisters/cmsEstimate: one-sided error, exact heavy keys, " +
+      "row sums conserve instances, shards merge by sum") {
+    // 3 heavy keys (100/50/25 copies) + 200 singletons
+    val rows = Seq.fill(100)("alpha") ++ Seq.fill(50)("beta") ++
+      Seq.fill(25)("gamma") ++ (0 until 200).map(i => s"tail$i")
+    val df = rows.toDF("k")
+    val reg = Sketches.cmsRegisters(df, "k", depth = 4, width = 256)
+    // every row of the sketch sees every instance exactly once
+    val sums = reg.groupBy(col("row")).agg(sum(col("cnt")).as("s"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(sums == Seq.fill(4)(rows.length.toLong),
+      s"each depth row must sum to ${rows.length}: $sums")
+    val est = Sketches.cmsEstimate(reg,
+      Seq("alpha", "beta", "gamma", "tail0", "absent"), depth = 4,
+      width = 256).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("alpha" -> 100L, "beta" -> 50L, "gamma" -> 25L,
+      "tail0" -> 1L, "absent" -> 0L)
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"CMS must never undercount: $k ${est(k)} < $t")
+    }
+    // at 375 instances over 4×256 cells collisions are sparse: heavy keys
+    // estimate exactly (min over 4 rows dodges singleton collisions)
+    assert(est("alpha") == 100L && est("beta") == 50L, s"$est")
+    // mergeability: shard registers add
+    val s1 = Sketches.cmsRegisters(rows.take(180).toDF("k"), "k")
+    val s2 = Sketches.cmsRegisters(rows.drop(180).toDF("k"), "k")
+    val merged = s1.unionByName(s2).groupBy(col("row"), col("col"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val whole = reg.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "summed shard registers must equal the whole")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsEstimate(reg, Seq.empty, 4, 256)
+    }
+  }
+}
