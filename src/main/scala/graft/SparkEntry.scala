@@ -2037,6 +2037,23 @@ object SparkEntry {
           col("cnt"))
     }),
 
+    // Per-group HLL: distinct tokens per `source` — the scale
+    // replacement for COUNT(DISTINCT) GROUP BY (only <= 256 register
+    // rows per group shuffle, not the (group, key) pairs). Estimate and
+    // exact side by side per group.
+    "q142_hll_by_source" -> ((s, dir) => {
+      import graft.functions.{Sketches, TextFns}
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("source"),
+          explode(TextFns.tokens(lower(col("text")))).as("term"))
+      Sketches.hllEstimateBy(
+          Sketches.hllRegistersBy(toks, Seq("source"), "term", p = 8),
+          Seq("source"), p = 8)
+        .join(toks.groupBy(col("source"))
+          .agg(countDistinct(col("term")).as("exact_distinct")), Seq("source"))
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3666,6 +3683,45 @@ object SparkEntry {
          |  (pm * pm % 1000000007 + pm) % 1000000007 % 256 AS hash_col,
          |  count(*) AS cnt
          |FROM cells GROUP BY 1, 2""".stripMargin
+    },
+
+    // Per-source HLL: q140's chain with GROUP BY source carried through
+    // registers, estimate, and the exact distinct comparison.
+    "q142_hll_by_source" -> {
+      def poly(s: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT)), " +
+          s"(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+      s"""WITH tok AS (SELECT source, unnest(
+         |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS s
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |h AS (SELECT source, ${poly("s")} AS base FROM tok),
+         |hh AS (SELECT source,
+         |    ((201 * 104729) % 1000000007 * base + (100 * 12582917 + 7))
+         |      % 1000000007 AS a1,
+         |    ((203 * 104729) % 1000000007 * base + (101 * 12582917 + 7))
+         |      % 1000000007 AS a2 FROM h),
+         |mx AS (SELECT source,
+         |    (a1 * a1 % 1000000007 + a1) % 1000000007 AS b1,
+         |    (a2 * a2 % 1000000007 + a2) % 1000000007 AS b2 FROM hh),
+         |reg AS (SELECT source, b1 % 256 AS bucket,
+         |    max(CASE WHEN b2 = 0 THEN 31 ELSE 31 - length(bin(b2)) END)
+         |      AS rho_max FROM mx GROUP BY 1, 2),
+         |ag AS (SELECT source, count(*) AS present,
+         |    sum(1.0::DOUBLE / (1::BIGINT << rho_max)) AS sm
+         |  FROM reg GROUP BY 1),
+         |raws AS (SELECT source, 256 - present AS v_zero,
+         |    (((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE /
+         |      256.0::DOUBLE)) * 256.0::DOUBLE) * 256.0::DOUBLE)
+         |      / (sm + CAST(256 - present AS DOUBLE)) AS raw FROM ag),
+         |ex AS (SELECT source, count(DISTINCT s) AS exact_distinct
+         |  FROM tok GROUP BY 1)
+         |SELECT r.source, CAST(v_zero AS BIGINT) AS v_zero,
+         |  round(CASE WHEN raw <= 640.0::DOUBLE AND v_zero > 0
+         |    THEN 256.0::DOUBLE * ln(256.0::DOUBLE / v_zero)
+         |    ELSE raw END, 6) AS estimate,
+         |  exact_distinct
+         |FROM raws r JOIN ex USING (source)""".stripMargin
     },
 
     // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that

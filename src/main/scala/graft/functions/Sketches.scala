@@ -46,7 +46,16 @@ object Sketches {
     * the sketch is mergeable by construction (max is associative), so
     * register tables from independent partitions/corpora union + re-max.
     */
-  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 8): DataFrame =
+    hllRegistersBy(df, Seq.empty, keyCol, p)
+
+  /** Per-group HLL registers — the scale replacement for
+    * `COUNT(DISTINCT key) GROUP BY g`: instead of shuffling every
+    * (group, key) pair, each task partial-maxes its local registers and
+    * ≤ m rows per group cross the wire. (groupCols..., bucket, rho_max).
+    */
+  def hllRegistersBy(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"hllRegisters p $p must be in [4, 16]")
     val m = 1 << p
     val h = udf { (s: String) =>
@@ -58,10 +67,11 @@ object Sketches {
         else 31 - (64 - java.lang.Long.numberOfLeadingZeros(wv))
       (bucket, rho)
     }
+    val g = groupCols.map(col)
     df.filter(col(keyCol).isNotNull)
-      .select(h(col(keyCol).cast("string")).as("__h"))
-      .select(col("__h._1").as("bucket"), col("__h._2").as("rho"))
-      .groupBy(col("bucket")).agg(max(col("rho")).as("rho_max"))
+      .select(g :+ h(col(keyCol).cast("string")).as("__h"): _*)
+      .select(g ++ Seq(col("__h._1").as("bucket"), col("__h._2").as("rho")): _*)
+      .groupBy(g :+ col("bucket"): _*).agg(max(col("rho")).as("rho_max"))
   }
 
   /** Cardinality estimate off an [[hllRegisters]] relation: the
@@ -72,22 +82,37 @@ object Sketches {
     * decision) is bit-identical in any engine and any summation order.
     * Returns one row (v_zero, estimate) with estimate rounded to 6 dp.
     */
-  def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame = {
+  def hllEstimate(registers: DataFrame, p: Int = 8): DataFrame =
+    hllEstimateBy(registers, Seq.empty, p)
+
+  /** Per-group cardinality estimates off an [[hllRegistersBy]] relation:
+    * one row per group, same formula and determinism contract as
+    * [[hllEstimate]]. The input is already register-compact, so this is
+    * an aggregation over ≤ m rows per group.
+    */
+  def hllEstimateBy(registers: DataFrame, groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"hllEstimate p $p must be in [4, 16]")
     val m = 1 << p
     val alphaM2 = (if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
       else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673) * m * m
-    registers
-      .agg(count(lit(1)).as("__present"),
-        sum(expr("1.0D / shiftleft(1L, rho_max)")).as("__s"))
-      .select((lit(m.toLong) - col("__present")).as("v_zero"),
+    val g = groupCols.map(col)
+    val agged =
+      if (groupCols.isEmpty)
+        registers.agg(count(lit(1)).as("__present"),
+          sum(expr("1.0D / shiftleft(1L, rho_max)")).as("__s"))
+      else registers.groupBy(g: _*)
+        .agg(count(lit(1)).as("__present"),
+          sum(expr("1.0D / shiftleft(1L, rho_max)")).as("__s"))
+    agged
+      .select(g ++ Seq((lit(m.toLong) - col("__present")).as("v_zero"),
         (lit(alphaM2) /
           (col("__s") + (lit(m) - col("__present")).cast("double")))
-          .as("__raw"))
-      .select(col("v_zero"),
+          .as("__raw")): _*)
+      .select(g ++ Seq(col("v_zero"),
         round(when(col("__raw") <= 2.5 * m && col("v_zero") > 0,
             lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero")))
-          .otherwise(col("__raw")), 6).as("estimate"))
+          .otherwise(col("__raw")), 6).as("estimate")): _*)
   }
 
   /** Count-min register relation: (row, col, cnt) for `depth` hash rows

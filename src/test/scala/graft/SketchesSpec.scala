@@ -55,6 +55,23 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("hllRegistersBy/hllEstimateBy: groups are independent — each " +
+      "group's rows equal the ungrouped sketch of its subset") {
+    // two groups with overlapping key sets of different cardinality
+    val df = ((0 until 300).map(i => ("a", s"key$i")) ++
+      (0 until 40).map(i => ("b", s"key$i"))).toDF("g", "k")
+    val by = Sketches.hllEstimateBy(
+      Sketches.hllRegistersBy(df, Seq("g"), "k"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    def solo(gv: String) = Sketches.hllEstimate(
+      Sketches.hllRegisters(df.filter(col("g") === gv), "k"))
+      .collect()(0).getDouble(1)
+    assert(by("a") == solo("a") && by("b") == solo("b"),
+      s"grouped estimates must match per-subset sketches: $by")
+    assert(math.abs(by("b") - 40) < 6 && math.abs(by("a") - 300) < 60,
+      s"estimates must track per-group cardinality: $by")
+  }
+
   test("cmsRegisters/cmsEstimate: one-sided error, exact heavy keys, " +
       "row sums conserve instances, shards merge by sum") {
     // 3 heavy keys (100/50/25 copies) + 200 singletons
