@@ -2054,6 +2054,25 @@ object SparkEntry {
           .agg(countDistinct(col("term")).as("exact_distinct")), Seq("source"))
     }),
 
+    // CMS point estimates under the gate: probe the 5 most frequent
+    // tokens (count-desc, name-asc tie-break — deterministic in both
+    // engines) and surface estimate vs true count side by side; the
+    // oracle recomputes registers, probe cells, and the min-over-rows.
+    "q143_cms_estimate" -> ((s, dir) => {
+      import graft.functions.{Sketches, TextFns}
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(explode(TextFns.tokens(lower(col("text")))).as("term"))
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term").asc).limit(5)
+        .collect().map(_.getString(0)).toSeq
+      Sketches.cmsEstimate(
+          Sketches.cmsRegisters(toks, "term", depth = 4, width = 256),
+          top, depth = 4, width = 256)
+        .join(toks.groupBy(col("term").as("key"))
+          .agg(count(lit(1)).as("true_cnt")), Seq("key"))
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3722,6 +3741,37 @@ object SparkEntry {
          |    ELSE raw END, 6) AS estimate,
          |  exact_distinct
          |FROM raws r JOIN ex USING (source)""".stripMargin
+    },
+
+    // CMS probes: q141's register CTE + the same salt-200+i cell hash on
+    // the 5 most frequent tokens, est = min over rows (absent cell = 0).
+    "q143_cms_estimate" -> {
+      def poly(s: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT)), " +
+          s"(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+      s"""WITH tok AS (SELECT unnest(
+         |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS s
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |h AS (SELECT ${poly("s")} AS base FROM tok),
+         |cells AS (SELECT i AS hash_row,
+         |    ((2 * (200 + i) + 1) * 104729 % 1000000007 * base +
+         |      ((200 + i) * 12582917 + 7)) % 1000000007 AS pm
+         |  FROM h CROSS JOIN range(4) t(i)),
+         |reg AS (SELECT hash_row,
+         |    (pm * pm % 1000000007 + pm) % 1000000007 % 256 AS hash_col,
+         |    count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |top AS (SELECT s AS key, count(*) AS true_cnt FROM tok
+         |  GROUP BY 1 ORDER BY true_cnt DESC, key ASC LIMIT 5),
+         |pc AS (SELECT key, true_cnt, i AS hash_row,
+         |    (pp * pp % 1000000007 + pp) % 1000000007 % 256 AS hash_col
+         |  FROM (SELECT key, true_cnt, i,
+         |      ((2 * (200 + i) + 1) * 104729 % 1000000007 * ${poly("key")} +
+         |        ((200 + i) * 12582917 + 7)) % 1000000007 AS pp
+         |    FROM top CROSS JOIN range(4) t(i)))
+         |SELECT key, min(coalesce(cnt, 0)) AS est, true_cnt
+         |FROM pc LEFT JOIN reg USING (hash_row, hash_col)
+         |GROUP BY key, true_cnt""".stripMargin
     },
 
     // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that

@@ -151,6 +151,92 @@ object EventStream {
       }
       .start()
 
+  /** One micro-batch of continuous sketch maintenance: merge the batch's
+    * registers into the persisted relation at `path/registers` (HLL by
+    * max, CMS by sum), staged through `_reg_tmp` (write new, delete old,
+    * rename, meta LAST — the index layer's crash discipline). Replay
+    * safety: the sidecar records the last applied foreachBatch id, and a
+    * batch with id ≤ that no-ops — for the HLL this is belt-and-braces
+    * (max-merge is idempotent by algebra: re-maxing a redelivered batch
+    * cannot change any register), but the CMS sum-merge WOULD double-
+    * count without it.
+    */
+  def sketchBatch(path: String, keyCol: String,
+      registersOf: DataFrame => DataFrame, mergeAgg: (DataFrame, Seq[String],
+        String) => DataFrame, cellCols: Seq[String], valCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(path), conf)
+    val last = graft.sources.JsonSidecar
+      .readParams(s"$path/meta.json", conf)
+      .flatMap(_.get("lastBatchId")).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return // at-least-once redelivery no-ops
+    val regPath = new org.apache.hadoop.fs.Path(s"$path/registers")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_reg_tmp")
+    val fresh = registersOf(batch)
+    val merged =
+      if (fs.exists(regPath))
+        mergeAgg(spark.read.parquet(regPath.toString).unionByName(fresh),
+          cellCols, valCol)
+      else fresh
+    // the write MATERIALIZES merged before the old relation is deleted;
+    // a crash before the swap leaves the live registers untouched
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(regPath, true)
+    require(fs.rename(tmp, regPath), s"sketch register swap failed: $path")
+    graft.sources.JsonSidecar.write(s"$path/meta",
+      Map("lastBatchId" -> batchId.toString, "keyCol" -> keyCol),
+      Seq.empty, "EventStream.sketchBatch", conf)
+  }
+
+  /** Continuous distinct-cardinality telemetry: each micro-batch's HLL
+    * registers merge by max into `path/registers`; read the current
+    * estimate any time with `Sketches.hllEstimate(spark.read.parquet(
+    * s"$path/registers"))`. The streamed sketch is EXACTLY the batch
+    * sketch of everything ingested (max is associative + commutative),
+    * which the spec asserts register-for-register.
+    */
+  def hllSketchStream(stream: DataFrame, path: String, keyCol: String,
+      p: Int, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        releasingBlocks(b.sparkSession) {
+          sketchBatch(path, keyCol,
+            batch => graft.functions.Sketches.hllRegisters(batch, keyCol, p),
+            (df, cells, v) => df.groupBy(cells.map(col): _*)
+              .agg(max(col(v)).as(v)),
+            Seq("bucket"), "rho_max")(b.toDF(), id)
+        }
+      }
+      .start()
+
+  /** Continuous per-key frequency telemetry: count-min registers merge by
+    * SUM — correct only because [[sketchBatch]]'s replay guard makes each
+    * micro-batch apply exactly once.
+    */
+  def cmsSketchStream(stream: DataFrame, path: String, keyCol: String,
+      depth: Int, width: Int, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        releasingBlocks(b.sparkSession) {
+          sketchBatch(path, keyCol,
+            batch => graft.functions.Sketches
+              .cmsRegisters(batch, keyCol, depth, width),
+            (df, cells, v) => df.groupBy(cells.map(col): _*)
+              .agg(sum(col(v)).as(v)),
+            Seq("row", "col"), "cnt")(b.toDF(), id)
+        }
+      }
+      .start()
+
   /** Session-window aggregation: events gapped less than `gap` apart merge
     * into one session per key (Spark's native `session_window` — dynamic
     * windows, watermark-evicted state). The batch form computes identical

@@ -122,6 +122,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(third == 0L, "streamed survivors must be probe-visible in the index")
   }
 
+  test("hll/cms sketch streams: streamed registers equal the batch sketch " +
+      "of everything ingested; redelivered batch no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.functions.Sketches
+    val base = java.nio.file.Files.createTempDirectory("graft_sketch")
+    val hllPath = base.resolve("hll").toString
+    val cmsPath = base.resolve("cms").toString
+    val all = (0 until 400).map(i => Doc(i.toLong, s"key${i % 137}"))
+    val allT = (0 until 400).map(i => (i.toLong, s"key${i % 137}"))
+    val input = MemoryStream[Doc]
+    val q1 = EventStream.hllSketchStream(input.toDF(), hllPath, "text",
+      p = 8, base.resolve("c1").toString)
+    try {
+      input.addData(all.take(150): _*); q1.processAllAvailable()
+      input.addData(all.slice(150, 300): _*); q1.processAllAvailable()
+      input.addData(all.drop(300): _*); q1.processAllAvailable()
+    } finally q1.stop()
+    val streamed = spark.read.parquet(s"$hllPath/registers").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val batch = Sketches.hllRegisters(allT.toDF("doc_id", "text"), "text")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(streamed == batch,
+      "streamed HLL registers must equal the one-shot batch sketch")
+    // redelivery of an already-applied batch id must not change anything
+    EventStream.sketchBatch(hllPath, "text",
+      b => Sketches.hllRegisters(b, "text"),
+      (df, cells, v) => df.groupBy(cells.map(col): _*)
+        .agg(max(col(v)).as(v)), Seq("bucket"), "rho_max")(
+      allT.take(150).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$hllPath/registers").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap == batch,
+      "replayed batch must no-op")
+    // CMS: sum-merge across batches == one-shot counts (replay-guarded)
+    val input2 = MemoryStream[Doc]
+    val q2 = EventStream.cmsSketchStream(input2.toDF(), cmsPath, "text",
+      depth = 4, width = 64, base.resolve("c2").toString)
+    try {
+      input2.addData(all.take(200): _*); q2.processAllAvailable()
+      input2.addData(all.drop(200): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val streamedCms = spark.read.parquet(s"$cmsPath/registers").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batchCms = Sketches.cmsRegisters(allT.toDF("doc_id", "text"),
+      "text", depth = 4, width = 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamedCms == batchCms,
+      "streamed CMS registers must equal the one-shot batch sketch")
+    val est = Sketches.cmsEstimate(
+      spark.read.parquet(s"$cmsPath/registers"), Seq("key5"), 4, 64)
+      .collect()(0).getLong(1)
+    assert(est >= 3, s"key5 appears 3 times, CMS must not undercount: $est")
+  }
+
   test("textIndexStream: streamed batches searchable, replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
