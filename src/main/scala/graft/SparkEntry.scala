@@ -2073,6 +2073,22 @@ object SparkEntry {
           .agg(count(lit(1)).as("true_cnt")), Seq("key"))
     }),
 
+    // HLL set overlap without a join: token vocabularies of the even-id
+    // and odd-id document halves, their union sketch (register max), and
+    // the inclusion-exclusion intersection estimate — all from two
+    // ≤ 256-row register relations.
+    "q144_hll_intersect" -> ((s, dir) => {
+      import graft.functions.{Sketches, TextFns}
+      val docs = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+      def toks(even: Boolean) = docs
+        .filter(if (even) col("doc_id") % 2 === 0 else col("doc_id") % 2 =!= 0)
+        .select(explode(TextFns.tokens(lower(col("text")))).as("term"))
+      Sketches.hllIntersect(
+        Sketches.hllRegisters(toks(even = true), "term", p = 8),
+        Sketches.hllRegisters(toks(even = false), "term", p = 8), p = 8)
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3772,6 +3788,55 @@ object SparkEntry {
          |SELECT key, min(coalesce(cnt, 0)) AS est, true_cnt
          |FROM pc LEFT JOIN reg USING (hash_row, hash_col)
          |GROUP BY key, true_cnt""".stripMargin
+    },
+
+    // HLL intersection: the q139 register CTE per document-id-parity
+    // side, the union by register max, and three identical estimate
+    // blocks combined by inclusion-exclusion on the ROUNDED values.
+    "q144_hll_intersect" -> {
+      def poly(s: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT)), " +
+          s"(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+      def side(n: String, pred: String) =
+        s"""tok_$n AS (SELECT unnest(
+           |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS s
+           |  FROM documents
+           |  WHERE text IS NOT NULL AND trim(text) <> '' AND $pred),
+           |h_$n AS (SELECT ${poly("s")} AS base FROM tok_$n),
+           |hh_$n AS (SELECT
+           |    ((201 * 104729) % 1000000007 * base + (100 * 12582917 + 7))
+           |      % 1000000007 AS a1,
+           |    ((203 * 104729) % 1000000007 * base + (101 * 12582917 + 7))
+           |      % 1000000007 AS a2 FROM h_$n),
+           |mx_$n AS (SELECT (a1 * a1 % 1000000007 + a1) % 1000000007 AS b1,
+           |    (a2 * a2 % 1000000007 + a2) % 1000000007 AS b2 FROM hh_$n),
+           |reg_$n AS (SELECT b1 % 256 AS bucket,
+           |    max(CASE WHEN b2 = 0 THEN 31 ELSE 31 - length(bin(b2)) END)
+           |      AS rho_max FROM mx_$n GROUP BY 1)""".stripMargin
+      def est(reg: String, out: String) =
+        s"""ag_$out AS (SELECT count(*) AS present,
+           |    sum(1.0::DOUBLE / (1::BIGINT << rho_max)) AS sm FROM $reg),
+           |raw_$out AS (SELECT 256 - present AS vz,
+           |    (((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE /
+           |      256.0::DOUBLE)) * 256.0::DOUBLE) * 256.0::DOUBLE)
+           |      / (sm + CAST(256 - present AS DOUBLE)) AS raw
+           |  FROM ag_$out),
+           |e_$out AS (SELECT round(CASE
+           |    WHEN raw <= 640.0::DOUBLE AND vz > 0
+           |    THEN 256.0::DOUBLE * ln(256.0::DOUBLE / vz)
+           |    ELSE raw END, 6) AS $out FROM raw_$out)""".stripMargin
+      s"""WITH ${side("a", "doc_id % 2 = 0")},
+         |${side("b", "doc_id % 2 <> 0")},
+         |reg_u AS (SELECT bucket, max(rho_max) AS rho_max FROM
+         |  (SELECT * FROM reg_a UNION ALL SELECT * FROM reg_b) GROUP BY 1),
+         |${est("reg_a", "est_a")},
+         |${est("reg_b", "est_b")},
+         |${est("reg_u", "est_union")}
+         |SELECT est_a, est_b, est_union,
+         |  round(greatest(0.0::DOUBLE, est_a + est_b - est_union), 6)
+         |    AS est_intersect
+         |FROM e_est_a CROSS JOIN e_est_b CROSS JOIN e_est_union""".stripMargin
     },
 
     // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that

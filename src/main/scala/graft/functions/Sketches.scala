@@ -115,6 +115,30 @@ object Sketches {
           .otherwise(col("__raw")), 6).as("estimate")): _*)
   }
 
+  /** Set-overlap estimate from two HLL register relations via
+    * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A max-merge B).
+    * This is the sketch-world answer to "how much do two corpora /
+    * partitions / days overlap" without ever joining them — the union
+    * sketch is free (register max), so the whole comparison costs three
+    * ≤ m-row aggregations. Combines the three 6-dp-rounded estimates
+    * (so the arithmetic is engine-reproducible), clamped at 0; relative
+    * error grows as the true intersection shrinks versus the union
+    * (inclusion–exclusion differences amplify the ±1.04/√m terms).
+    * Returns one row (est_a, est_b, est_union, est_intersect).
+    */
+  def hllIntersect(regA: DataFrame, regB: DataFrame, p: Int = 8): DataFrame = {
+    val ua = hllEstimate(regA, p).select(col("estimate").as("est_a"))
+    val ub = hllEstimate(regB, p).select(col("estimate").as("est_b"))
+    val uu = hllEstimate(
+      regA.unionByName(regB).groupBy(col("bucket"))
+        .agg(max(col("rho_max")).as("rho_max")), p)
+      .select(col("estimate").as("est_union"))
+    ua.crossJoin(ub).crossJoin(uu)
+      .withColumn("est_intersect",
+        round(greatest(lit(0.0),
+          col("est_a") + col("est_b") - col("est_union")), 6))
+  }
+
   /** Count-min register relation: (row, col, cnt) for `depth` hash rows
     * of `width` columns — cnt = how many key INSTANCES landed in that
     * cell (point queries then take the min over rows, [[cmsEstimate]]:

@@ -72,6 +72,25 @@ class SketchesSpec extends AnyFunSuite {
       s"estimates must track per-group cardinality: $by")
   }
 
+  test("hllIntersect: inclusion-exclusion tracks true overlap; disjoint " +
+      "sets clamp to ~0") {
+    // A = keys 0..299, B = keys 200..499 → true intersection 100
+    val a = Sketches.hllRegisters(keysDf(300, "key"), "k")
+    val b = Sketches.hllRegisters(
+      (200 until 500).map(i => s"key$i").toDF("k"), "k")
+    val r = Sketches.hllIntersect(a, b).collect()(0)
+    val (estA, estB, estU, estI) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(estU - 500) / 500.0 < 0.12, s"union $estU vs 500")
+    assert(math.abs(estI - 100) < 60,
+      s"intersection estimate $estI vs true 100 (a=$estA b=$estB u=$estU)")
+    // disjoint: intersection estimate collapses toward 0 (clamped)
+    val c = Sketches.hllRegisters(
+      (0 until 300).map(i => s"other$i").toDF("k"), "k")
+    val d = Sketches.hllIntersect(a, c).collect()(0).getDouble(3)
+    assert(d >= 0.0 && d < 60, s"disjoint estimate must be near 0: $d")
+  }
+
   test("cmsRegisters/cmsEstimate: one-sided error, exact heavy keys, " +
       "row sums conserve instances, shards merge by sum") {
     // 3 heavy keys (100/50/25 copies) + 200 singletons
