@@ -2089,6 +2089,19 @@ object SparkEntry {
         Sketches.hllRegisters(toks(even = false), "term", p = 8), p = 8)
     }),
 
+    // JL random projection 64 → 16 dims: the dimensionality-reduction
+    // front end for ANN at high dim, sharing the rpBucket hyperplane
+    // family. The oracle rebuilds the sign matrix from the LCG counter
+    // and replays the ascending-i summation term-for-term.
+    "q145_random_project" -> ((s, dir) => {
+      import graft.functions.VectorFns
+      t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+        .select(col("vec_id"),
+          posexplode(VectorFns.randomProject(col("embedding"), 16))
+            .as(Seq("dim", "yy")))
+        .select(col("vec_id"), col("dim"), round(col("yy"), 6).as("y"))
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3838,6 +3851,22 @@ object SparkEntry {
          |    AS est_intersect
          |FROM e_est_a CROSS JOIN e_est_b CROSS JOIN e_est_union""".stripMargin
     },
+
+    // JL projection: sign = bit 30 of one LCG step over the (42, j, i)
+    // counter — identical to the engine's rpBucket hyperplanes; the
+    // ascending-i list_reduce reproduces the summation order, and the
+    // 1/sqrt(16) = 0.25 scale is exact dyadic.
+    "q145_random_project" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT vec_id, j AS dim,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(range(1, len(v) + 1),
+        |      i -> CASE WHEN (((1103515245 * (42 * 1000003 + j * 8191 +
+        |          (i - 1)) + 12345) % 2147483648) // 1073741824) % 2 = 0
+        |        THEN v[i] ELSE -v[i] END)),
+        |    (acc, x) -> acc + x) * 0.25::DOUBLE, 6) AS y
+        |FROM e CROSS JOIN range(16) t(j)""".stripMargin,
 
     // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that
     // produces the prior labels, suffix 2 = the full corpus), then the

@@ -106,6 +106,43 @@ object VectorFns {
   def rpBucket(v: Column, nBits: Int, seed: Int = 42): Column =
     rpKernel(nBits, seed)(d(v))
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * y_j = (Σ_i ±v_i) / √outDim with the ±1 signs drawn from the SAME
+    * integer-LCG hyperplane family as [[rpBucketLocal]] (counter
+    * (seed, j, i)) — so reduced vectors and LSH buckets share one
+    * hyperplane convention (bucket bit j is exactly the sign of y_j,
+    * spec-asserted), and an independent SQL oracle recomputes every
+    * output bit-for-bit: per-term ±v_i is exact, the ascending-i
+    * summation order matches a `list_reduce`, and with outDim a power
+    * of 4 the 1/√outDim scale is an exact dyadic. JL guarantee:
+    * pairwise distances distort by ~1 ± O(1/√outDim). Map-side only —
+    * the projection is a per-row kernel, no shuffle anywhere.
+    */
+  def randomProjectLocal(v: Seq[Double], outDim: Int,
+      seed: Int = 42): Array[Double] = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim) { j =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        val x = seed.toLong * 1000003L + j.toLong * 8191L + i.toLong
+        val h = (1103515245L * x + 12345L) % 2147483648L
+        s += (if (((h >> 30) & 1L) == 0L) v(i) else -v(i))
+        i += 1
+      }
+      s * scale
+    }
+  }
+
+  private def projectKernel(outDim: Int, seed: Int) =
+    udf { (v: Seq[Double]) => randomProjectLocal(v, outDim, seed) }
+
+  def randomProject(v: Column, outDim: Int, seed: Int = 42): Column = {
+    require(outDim >= 1 && outDim <= 4096,
+      s"randomProject outDim $outDim must be in [1, 4096]")
+    projectKernel(outDim, seed)(d(v))
+  }
+
   // -------------------------------------------------------- quantization
 
   /** Symmetric int8 quantization: struct(scale float, q array<tinyint>),

@@ -91,6 +91,43 @@ class SketchesSpec extends AnyFunSuite {
     assert(d >= 0.0 && d < 60, s"disjoint estimate must be near 0: $d")
   }
 
+  test("randomProject: JL projection preserves cluster geometry, sign " +
+      "agrees with rpBucket hyperplanes, deterministic") {
+    import graft.functions.VectorFns
+    // 3 tight, well-separated 64-dim clusters
+    def blob(axis: Int, lo: Int, hi: Int) =
+      (lo until hi).map(i => (i.toLong, (0 until 64).map(d =>
+        (if (d == axis) 50.0 else 0.0) + 0.01 * (i % 5)).toArray))
+    val rows = blob(0, 0, 10) ++ blob(20, 10, 20) ++ blob(40, 20, 30)
+    val projected = rows.map { case (id, v) =>
+      (id, VectorFns.randomProjectLocal(v.toIndexedSeq, 16))
+    }
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // within-cluster distances stay far below cross-cluster after JL
+    val within = for (Seq((_, a), (_, b)) <-
+      projected.take(10).combinations(2).toSeq) yield d2(a, b)
+    val across = for ((_, a) <- projected.take(10);
+      (_, b) <- projected.slice(10, 20)) yield d2(a, b)
+    assert(within.max < across.min / 10,
+      s"JL must keep clusters separated: within ${within.max} vs " +
+        s"across ${across.min}")
+    // norms preserved within JL distortion at k=16 (loose factor-2 band)
+    rows.zip(projected).foreach { case ((_, v), (_, y)) =>
+      val r = math.sqrt(y.map(x => x * x).sum / v.map(x => x * x).sum)
+      assert(r > 0.5 && r < 2.0, s"norm ratio $r out of band")
+    }
+    // bucket bit j of rpBucket IS the sign of y_j (shared hyperplanes)
+    val v0 = rows.head._2.toIndexedSeq
+    val y0 = VectorFns.randomProjectLocal(v0, 16)
+    val bucket = VectorFns.rpBucketLocal(v0, 16)
+    (0 until 16).foreach { j =>
+      assert((((bucket >> j) & 1L) == 1L) == (y0(j) >= 0),
+        s"bucket bit $j must be the sign of y_$j")
+    }
+    assert(VectorFns.randomProjectLocal(v0, 16).toSeq == y0.toSeq)
+  }
+
   test("cmsRegisters/cmsEstimate: one-sided error, exact heavy keys, " +
       "row sums conserve instances, shards merge by sum") {
     // 3 heavy keys (100/50/25 copies) + 200 singletons
