@@ -2102,6 +2102,20 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"), round(col("yy"), 6).as("y"))
     }),
 
+    // Embedding covariance (upper triangle): one mergeable-Aggregator
+    // pass (n + Σx + ΣxxT buffer, ~16 KB per task), population
+    // normalization — the input relation for PCA rotation / variance
+    // telemetry. The oracle recomputes every entry as
+    // avg(v_i·v_j) − avg(v_i)·avg(v_j).
+    "q146_embedding_covariance" -> ((s, dir) => {
+      import graft.functions.EmbeddingStats
+      EmbeddingStats.covarianceMatrix(
+          t(s, dir, "embeddings").filter(col("embedding").isNotNull),
+          "embedding")
+        .filter(col("j") >= col("i"))
+        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3867,6 +3881,20 @@ object SparkEntry {
         |        THEN v[i] ELSE -v[i] END)),
         |    (acc, x) -> acc + x) * 0.25::DOUBLE, 6) AS y
         |FROM e CROSS JOIN range(16) t(j)""".stripMargin,
+
+    // Covariance upper triangle: avg-of-products minus product-of-avgs
+    // per (i, j) pair, i <= j, population normalization like the engine.
+    "q146_embedding_covariance" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |mean AS (SELECT i, avg(v[i + 1]) AS mu
+        |  FROM e CROSS JOIN range(64) t(i) GROUP BY 1),
+        |exy AS (SELECT i, j, avg(v[i + 1] * v[j + 1]) AS m2
+        |  FROM e CROSS JOIN range(64) a(i) CROSS JOIN range(64) b(j)
+        |  WHERE j >= i GROUP BY 1, 2)
+        |SELECT s.i, s.j, round(s.m2 - mi.mu * mj.mu, 6) AS cov
+        |FROM exy s JOIN mean mi ON mi.i = s.i
+        |JOIN mean mj ON mj.i = s.j""".stripMargin,
 
     // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that
     // produces the prior labels, suffix 2 = the full corpus), then the

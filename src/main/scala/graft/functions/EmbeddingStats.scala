@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Embedding-space second-order statistics: distributed covariance, a
+  * driver-side symmetric eigensolver, and PCA rotation — the OPQ-lite
+  * front end for product quantization (rotating into the PCA basis
+  * before the subspace split decorrelates dimensions, the first-order
+  * fix of Ge et al. 2013's optimized PQ) and the basis for variance
+  * telemetry over an embedding column.
+  *
+  * Scale shape: covariance is ONE pass with a mergeable Aggregator
+  * whose buffer is (n, Σx, upper-triangle Σxxᵀ) — d(d+3)/2 + 1 doubles,
+  * partial-aggregated map-side, so a 100 TB corpus shuffles exactly one
+  * ~16 KB buffer per task. d is driver-bounded (≤ 256) by contract:
+  * the d×d matrix is eigen-decomposed ON THE DRIVER (cyclic Jacobi),
+  * and the rotation is closure-captured back into a map-side kernel,
+  * exactly the codebook discipline the PQ layer uses.
+  */
+object EmbeddingStats {
+
+  /** Mergeable covariance buffer: [n, sx(d), sxx upper triangle]. */
+  private class CovAgg(d: Int)
+      extends Aggregator[Seq[Double], Array[Double], Array[Double]]
+      with Serializable {
+    private val len = 1 + d + d * (d + 1) / 2
+    override def zero: Array[Double] = new Array[Double](len)
+    override def reduce(buf: Array[Double], v: Seq[Double]): Array[Double] = {
+      require(v.length == d,
+        s"covarianceMatrix: vector of dim ${v.length}, expected $d")
+      buf(0) += 1.0
+      var i = 0
+      var t = 1 + d
+      while (i < d) {
+        val vi = v(i)
+        buf(1 + i) += vi
+        var j = i
+        while (j < d) { buf(t) += vi * v(j); t += 1; j += 1 }
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < len) { a(i) += b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Double]): Array[Double] = buf
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
+  /** Covariance matrix of a vector column as an (i, j, cov) relation
+    * (full symmetric, d² rows — driver-sized by the d ≤ 256 contract).
+    * cov(i,j) = Σxy/n − (Σx/n)(Σy/n), population normalization (÷ n),
+    * matching a SQL oracle's `avg(v[i]·v[j]) − avg(v[i])·avg(v[j])`.
+    */
+  def covarianceMatrix(vecs: DataFrame, vecCol: String): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+    val first = clean.limit(1).collect()
+    require(first.nonEmpty, "covarianceMatrix: empty input")
+    val d = first(0).getSeq[Double](0).length
+    require(d >= 1 && d <= 256,
+      s"covarianceMatrix dim $d must be in [1, 256] — the matrix is " +
+        "driver-decomposed by contract; reduce dimensionality first")
+    val buf = clean.as[Seq[Double]]
+      .select(udaf(new CovAgg(d),
+        implicitly[Encoder[Seq[Double]]])(col("__v")).as("b"))
+      .collect()(0).getSeq[Double](0)
+    val n = buf(0)
+    require(n > 0, "covarianceMatrix: no non-null vectors")
+    val rows = for {
+      i <- 0 until d
+      j <- 0 until d
+    } yield {
+      val (lo, hi) = if (i <= j) (i, j) else (j, i)
+      // upper-triangle offset of (lo, hi): rows 0..lo-1 contribute
+      // (d - r) entries each
+      val off = 1 + d + (lo * d - lo * (lo - 1) / 2) + (hi - lo)
+      val cov = buf(off) / n - (buf(1 + i) / n) * (buf(1 + j) / n)
+      (i, j, cov)
+    }
+    rows.toDF("i", "j", "cov")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix (driver-
+    * side, d ≤ 256): returns (eigenvalues, eigenvectors-as-rows), both
+    * sorted by eigenvalue DESCENDING, each eigenvector sign-normalized
+    * (first nonzero component positive) so the output is deterministic.
+    */
+  def symmetricEigen(m: Array[Array[Double]],
+      maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = Array.tabulate(d, d)((i, j) => m(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(a)
+    while (sweep < maxSweeps && off > 1e-12) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(a)
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val ev = Array.tabulate(d)(k => v(k)(i))
+      val lead = ev.find(math.abs(_) > 1e-12).getOrElse(1.0)
+      if (lead < 0) ev.map(-_) else ev
+    }.toArray
+    (vals, vecs)
+  }
+
+  private def offDiag(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < a.length) {
+        if (i != j) s += a(i)(j) * a(i)(j)
+        j += 1
+      }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** PCA rotation learned from a covariance relation ((i, j, cov) as
+    * produced by [[covarianceMatrix]]): the top-`k` eigenvectors as
+    * rows. Feed the result to [[applyRotation]] before a PQ subspace
+    * split (OPQ-lite) or use the eigenvalue spectrum as variance
+    * telemetry.
+    */
+  def pcaRotation(cov: DataFrame, k: Int): Array[Array[Double]] = {
+    val entries = cov.select(col("i").cast("int"), col("j").cast("int"),
+      col("cov").cast("double")).collect()
+    val d = entries.map(_.getInt(0)).max + 1
+    require(k >= 1 && k <= d, s"pcaRotation k $k must be in [1, $d]")
+    val m = Array.ofDim[Double](d, d)
+    entries.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    symmetricEigen(m)._2.take(k)
+  }
+
+  /** Map-side rotation kernel: y = R·x for a driver-held rotation (rows
+    * of `rot` are the output basis). Closure-captured like the PQ
+    * codebooks — no shuffle, no join.
+    */
+  def applyRotation(v: Column, rot: Array[Array[Double]]): Column = {
+    val kernel = udf { (x: Seq[Double]) =>
+      Array.tabulate(rot.length) { r =>
+        val row = rot(r)
+        var s = 0.0
+        var i = 0
+        val n = math.min(row.length, x.length)
+        while (i < n) { s += row(i) * x(i); i += 1 }
+        s
+      }
+    }
+    kernel(v.cast("array<double>"))
+  }
+}

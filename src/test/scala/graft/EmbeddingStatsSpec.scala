@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.EmbeddingStats
+
+class EmbeddingStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("covarianceMatrix matches the hand-computed population covariance") {
+    val vecs = Seq(
+      Array(1.0, 2.0, 0.0), Array(3.0, 0.0, 1.0), Array(5.0, 4.0, 2.0))
+      .map(Tuple1(_)).toDF("embedding")
+    val got = EmbeddingStats.covarianceMatrix(vecs, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // hand-computed: means (3, 2, 1); population covariance
+    val data = Seq(Seq(1.0, 2.0, 0.0), Seq(3.0, 0.0, 1.0), Seq(5.0, 4.0, 2.0))
+    val mu = Seq(3.0, 2.0, 1.0)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val exp = data.map(v => (v(i) - mu(i)) * (v(j) - mu(j))).sum / 3.0
+      assert(math.abs(got((i, j)) - exp) < 1e-12,
+        s"cov($i,$j) ${got((i, j))} != $exp")
+      assert(got((i, j)) == got((j, i)), "covariance must be symmetric")
+    }
+  }
+
+  test("symmetricEigen: exact 2x2 case, orthonormality, eigen residual") {
+    // rotate diag(3, 1) by 45 degrees: [[2, 1], [1, 2]]
+    val (vals, vecs) = EmbeddingStats.symmetricEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(vals(0) - 3.0) < 1e-10 && math.abs(vals(1) - 1.0) < 1e-10,
+      s"eigenvalues ${vals.toSeq}")
+    val s = 1.0 / math.sqrt(2.0)
+    assert(vecs(0).zip(Array(s, s)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-10 }, s"${vecs(0).toSeq}")
+    // residual ||A v - lambda v|| on a bigger random-ish symmetric matrix
+    val d = 12
+    val m = Array.tabulate(d, d) { (i, j) =>
+      val x = math.sin(i * 7 + j * 3) + (if (i == j) d.toDouble else 0.0)
+      x
+    }
+    val sym = Array.tabulate(d, d)((i, j) => 0.5 * (m(i)(j) + m(j)(i)))
+    val (ev, evec) = EmbeddingStats.symmetricEigen(sym)
+    for (k <- 0 until d) {
+      val av = Array.tabulate(d)(i =>
+        (0 until d).map(j => sym(i)(j) * evec(k)(j)).sum)
+      val res = math.sqrt(av.zip(evec(k))
+        .map { case (a, b) => (a - ev(k) * b) * (a - ev(k) * b) }.sum)
+      assert(res < 1e-9, s"eigen residual $res at $k")
+      for (l <- k + 1 until d) {
+        val dot = evec(k).zip(evec(l)).map { case (a, b) => a * b }.sum
+        assert(math.abs(dot) < 1e-9, s"eigenvectors $k,$l not orthogonal")
+      }
+    }
+    assert(ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 },
+      "eigenvalues must be sorted descending")
+  }
+
+  test("PCA pipeline: planted dominant direction recovered; rotation " +
+      "preserves distances; top component captures the variance") {
+    // 200 vectors in 16 dims: big variance along a planted unit
+    // direction u, small isotropic noise elsewhere (deterministic)
+    val d = 16
+    val u = Array.tabulate(d)(i => math.sin(i * 1.7) + 0.3)
+    val un = { val n = math.sqrt(u.map(x => x * x).sum); u.map(_ / n) }
+    val data = (0 until 200).map { r =>
+      val t = math.sin(r * 2.13) * 10.0 // spread along u
+      Array.tabulate(d)(i => t * un(i) + 0.05 * math.cos(r * 3 + i * 5))
+    }
+    val df = data.map(Tuple1(_)).toDF("embedding")
+    val cov = EmbeddingStats.covarianceMatrix(df, "embedding")
+    val rot = EmbeddingStats.pcaRotation(cov, d)
+    // top eigenvector aligns with the planted direction
+    val cosTop = math.abs(rot(0).zip(un).map { case (a, b) => a * b }.sum)
+    assert(cosTop > 0.99, s"top PC must align with planted direction: $cosTop")
+    // full-rank rotation preserves pairwise distances (orthonormal)
+    val y = data.map(v => rot.map(row =>
+      row.zip(v).map { case (a, b) => a * b }.sum))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, z) => (x - z) * (x - z) }.sum
+    for (Seq(i, j) <- Seq(Seq(0, 50), Seq(10, 150), Seq(3, 199))) {
+      val before = d2(data(i), data(j))
+      val after = d2(y(i), y(j))
+      assert(math.abs(before - after) < 1e-9 * (1 + before),
+        s"rotation must preserve distances: $before vs $after")
+    }
+    // top-1 projection captures nearly all variance
+    val varTotal = y.head.indices.map { k =>
+      val col = y.map(_(k)); val m = col.sum / col.length
+      col.map(x => (x - m) * (x - m)).sum / col.length
+    }
+    assert(varTotal(0) / varTotal.sum > 0.95,
+      s"top PC variance share ${varTotal(0) / varTotal.sum}")
+  }
+}
