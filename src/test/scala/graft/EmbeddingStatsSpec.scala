@@ -57,6 +57,66 @@ class EmbeddingStatsSpec extends AnyFunSuite {
       "eigenvalues must be sorted descending")
   }
 
+  test("OPQ-lite payoff: PCA rotation before the PQ subspace split cuts " +
+      "quantization error on cross-subspace-correlated data") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.DataFrame
+    // variance lives in 2 directions SPREAD ACROSS ALL 16 dims (so every
+    // raw 4-dim subspace sees mixed signal), plus tiny noise
+    val d = 16
+    val m = 4
+    def normalize(a: Array[Double]) = {
+      val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n)
+    }
+    val dir1 = normalize(Array.tabulate(d)(i => math.sin(i * 1.7 + 0.5)))
+    val dir2 = normalize(Array.tabulate(d)(i => math.cos(i * 2.9 + 1.1)))
+    val data = (0 until 300).map { r =>
+      val a = math.sin(r * 2.13) * 10.0
+      val b = math.cos(r * 1.37) * 4.0
+      Array.tabulate(d)(i =>
+        a * dir1(i) + b * dir2(i) + 0.02 * math.sin(r * 7 + i * 3))
+    }
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    def pqMse(frame: DataFrame): Double = {
+      val donors = Similarity.pqSubspaceCodebooks(frame, "vec_id",
+        "embedding", m, nCodes = 8)
+      val dmap = donors.toMap
+      val sub = d / m
+      val vecs = frame.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val codes = Similarity.pqEncode(frame, "vec_id", "embedding",
+        donors, m).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      codes.map { case (id, cs) =>
+        val v = vecs(id)
+        cs.zipWithIndex.map { case (c, j) =>
+          val dv = dmap(c)
+          (0 until sub).map { i =>
+            val t = v(j * sub + i) - dv(j * sub + i); t * t
+          }.sum
+        }.sum
+      }.sum / codes.size
+    }
+    val cov = EmbeddingStats.covarianceMatrix(df, "embedding")
+    val balanced = EmbeddingStats.opqRotation(cov, m)
+    val rotated = df.select(col("vec_id"),
+      EmbeddingStats.applyRotation(col("embedding"), balanced)
+        .as("embedding"))
+    val rawErr = pqMse(df)
+    val rotErr = pqMse(rotated)
+    assert(rotErr < 0.6 * rawErr,
+      s"eigenvalue-allocated rotation must cut PQ error: raw $rawErr " +
+        s"vs rotated $rotErr")
+    // and the NAIVE PCA ordering is the cautionary tale: concentrating
+    // all variance into subspace 0's few cells does NOT beat raw
+    val naive = df.select(col("vec_id"),
+      EmbeddingStats.applyRotation(col("embedding"),
+        EmbeddingStats.pcaRotation(cov, d)).as("embedding"))
+    assert(pqMse(naive) > rotErr,
+      "balanced allocation must beat plain-PCA ordering for PQ")
+  }
+
   test("PCA pipeline: planted dominant direction recovered; rotation " +
       "preserves distances; top component captures the variance") {
     // 200 vectors in 16 dims: big variance along a planted unit
