@@ -545,6 +545,13 @@ object Curation {
     * NULL/blank-text docs are dropped (no features — same contract as
     * the surprisal scorers). Returns (idCol, weight, n_features), weight
     * unrounded (round at the comparison edge).
+    *
+    * Operating-point note (measured in CorpusPipelineSpec): when the
+    * TARGET corpus is small relative to alpha·nBuckets, the smoothing
+    * mass dominates p̂_target, every bucket's log-ratio goes negative,
+    * and weights rank mostly by doc LENGTH, not content. For
+    * reference-set-sized targets drop `alpha` (0.01 restores ~ln 100
+    * present-vs-absent discrimination) or shrink `nBuckets`.
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 1024, alpha: Double = 1.0): DataFrame = {
