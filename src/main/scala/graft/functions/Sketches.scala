@@ -115,6 +115,27 @@ object Sketches {
           .otherwise(col("__raw")), 6).as("estimate")): _*)
   }
 
+  /** Merge HLL register relations (shards, days, sources) into one
+    * sketch: union + register max. Associative and commutative — merge
+    * order never matters, and re-merging an already-merged shard is a
+    * no-op (max is idempotent).
+    */
+  def hllMerge(regs: Seq[DataFrame]): DataFrame = {
+    require(regs.nonEmpty, "hllMerge: no register relations")
+    regs.reduce(_ unionByName _).groupBy(col("bucket"))
+      .agg(max(col("rho_max")).as("rho_max"))
+  }
+
+  /** Merge count-min register relations by cell-wise SUM. Associative
+    * and commutative but NOT idempotent — each shard must appear
+    * exactly once (see the streaming wrapper's replay guard).
+    */
+  def cmsMerge(regs: Seq[DataFrame]): DataFrame = {
+    require(regs.nonEmpty, "cmsMerge: no register relations")
+    regs.reduce(_ unionByName _).groupBy(col("row"), col("col"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Set-overlap estimate from two HLL register relations via
     * inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A max-merge B).
     * This is the sketch-world answer to "how much do two corpora /
@@ -129,9 +150,7 @@ object Sketches {
   def hllIntersect(regA: DataFrame, regB: DataFrame, p: Int = 8): DataFrame = {
     val ua = hllEstimate(regA, p).select(col("estimate").as("est_a"))
     val ub = hllEstimate(regB, p).select(col("estimate").as("est_b"))
-    val uu = hllEstimate(
-      regA.unionByName(regB).groupBy(col("bucket"))
-        .agg(max(col("rho_max")).as("rho_max")), p)
+    val uu = hllEstimate(hllMerge(Seq(regA, regB)), p)
       .select(col("estimate").as("est_union"))
     ua.crossJoin(ub).crossJoin(uu)
       .withColumn("est_intersect",

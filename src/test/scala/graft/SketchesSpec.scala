@@ -32,10 +32,12 @@ class SketchesSpec extends AnyFunSuite {
     val a = Sketches.hllRegisters(keysDf(300, "key"), "k")
     val b = Sketches.hllRegisters(
       (300 until 500).map(i => s"key$i").toDF("k"), "k")
-    val merged = a.unionByName(b).groupBy(col("bucket"))
-      .agg(max(col("rho_max")).as("rho_max")).collect()
+    val merged = Sketches.hllMerge(Seq(a, b)).collect()
       .map(r => r.getInt(0) -> r.getInt(1)).toMap
     assert(merged == reg, "register merge must equal the whole-corpus sketch")
+    // idempotent: re-merging an already-merged shard changes nothing
+    assert(Sketches.hllMerge(Seq(a, b, a)).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap == reg)
   }
 
   test("hllEstimate: within 10% at 5000 keys, linear-counting small range") {
@@ -154,8 +156,7 @@ class SketchesSpec extends AnyFunSuite {
     // mergeability: shard registers add
     val s1 = Sketches.cmsRegisters(rows.take(180).toDF("k"), "k")
     val s2 = Sketches.cmsRegisters(rows.drop(180).toDF("k"), "k")
-    val merged = s1.unionByName(s2).groupBy(col("row"), col("col"))
-      .agg(sum(col("cnt")).as("cnt"))
+    val merged = Sketches.cmsMerge(Seq(s1, s2))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val whole = reg.collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
