@@ -2116,6 +2116,21 @@ object SparkEntry {
         .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
     }),
 
+    // Per-source quality cut: keep each source's top 25% of documents by
+    // the composite quality score — rank-based (no cross-source score
+    // calibration), ties on doc_id, one PARTITIONED window. The oracle
+    // is the same percent_rank QUALIFY.
+    "q147_quality_top_p" -> ((s, dir) => {
+      import graft.functions.TextFns
+      import graft.operators.Curation
+      val scored = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          TextFns.qualityScore(col("text")).as("quality"))
+      Curation.topQualityPerGroup(scored, "source", "quality", "doc_id",
+        minPercentile = 0.75)
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3895,6 +3910,28 @@ object SparkEntry {
         |SELECT s.i, s.j, round(s.m2 - mi.mu * mj.mu, 6) AS cov
         |FROM exy s JOIN mean mi ON mi.i = s.i
         |JOIN mean mj ON mj.i = s.j""".stripMargin,
+
+    // Per-source quality cut: q22's quality formula, then the same
+    // rank-based QUALIFY the engine's partitioned window computes —
+    // percent_rank is (rank-1)/(n-1) on identical ints in both engines.
+    "q147_quality_top_p" ->
+      """WITH d AS (SELECT doc_id, source, text,
+        |  regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (SELECT doc_id, source, text,
+        |  length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+        |    / length(text) AS pr,
+        |  len(list_filter(toks, t -> lower(t) IN ('the','a','an','and',
+        |    'or','of','to','in','is','it','for','on','with','as','at',
+        |    'by','this','that'))) * 1.0 / len(toks) AS sr
+        |  FROM d),
+        |q AS (SELECT doc_id, source,
+        |  round((least(length(text) / 500.0, 1.0)
+        |    + (1.0 - least(pr * 5.0, 1.0))
+        |    + least(sr * 4.0, 1.0)) / 3.0, 6) AS quality FROM m)
+        |SELECT doc_id, source, quality FROM q
+        |QUALIFY percent_rank() OVER (PARTITION BY source
+        |  ORDER BY quality ASC, doc_id ASC) >= 0.75""".stripMargin,
 
     // Two full kNN+CC chains (suffix 1 = the vec_id % 7 <> 0 subset that
     // produces the prior labels, suffix 2 = the full corpus), then the

@@ -611,6 +611,26 @@ object Curation {
         round(col("weight"), 6).as("weight"), col("n_features"))
   }
 
+  /** Keep each group's top quality band: rows whose percent_rank by
+    * (score, id) within their group reaches `minPercentile` — "the best
+    * X% of every source", the per-source curation cut that a global
+    * threshold gets wrong when sources differ in quality profile.
+    * Rank-based, so it needs no score calibration across groups;
+    * deterministic because ties break on the id. One partitioned window
+    * (sort per group, no global sort), SQL-reproducible as a QUALIFY
+    * percent_rank.
+    */
+  def topQualityPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, minPercentile: Double): DataFrame = {
+    require(minPercentile >= 0.0 && minPercentile <= 1.0,
+      s"minPercentile $minPercentile out of [0, 1]")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= minPercentile)
+      .drop("__pr")
+  }
+
   /** Cross-document boilerplate: k-token passages appearing in at least
     * `minDocs` distinct documents (headers/footers/license blocks — the
     * units line-dedup pipelines strip). One explode + one (passage, doc)

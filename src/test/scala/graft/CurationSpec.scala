@@ -181,6 +181,91 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(got2 == Set((0L, 6L)), s"adjacent islands must merge: $got2")
   }
+  test("topQualityPerGroup: rank cut per group, no cross-group " +
+      "calibration, id tie-breaks") {
+    import spark.implicits._
+    // group a: scores 1..8; group b: scores all 0.5 except one 0.9 —
+    // a global threshold would wipe out group b entirely
+    val rows = (1 to 8).map(i => (i.toLong, "a", i.toDouble / 10)) ++
+      (11 to 17).map(i => (i.toLong, "b", 0.5)) :+ (18L, "b", 0.9)
+    val df = rows.toDF("id", "g", "score")
+    val kept = Curation.topQualityPerGroup(df, "g", "score", "id", 0.75)
+      .collect().map(r => r.getLong(0)).toSet
+    // a: percent_rank = (rank-1)/7 >= .75 → ranks 7, 8 → scores .7, .8
+    assert(kept.intersect(Set(1L, 2L, 3L, 4L, 5L, 6L)).isEmpty &&
+      kept.contains(7L) && kept.contains(8L), s"$kept")
+    // b: ties rank by id — ids 17 (rank 7) and 18 (rank 8) survive
+    assert(kept.intersect((11L to 16L).toSet).isEmpty &&
+      kept.contains(17L) && kept.contains(18L), s"$kept")
+    // minPercentile 0 keeps everything, 1.0 keeps exactly the per-group max
+    assert(Curation.topQualityPerGroup(df, "g", "score", "id", 0.0)
+      .count() == 16)
+    assert(Curation.topQualityPerGroup(df, "g", "score", "id", 1.0)
+      .collect().map(_.getLong(0)).toSet == Set(8L, 18L))
+  }
+
+  test("dsirWeights: target-like docs outscore junk; hand-check; resample " +
+      "is deterministic and favors high weights") {
+    import spark.implicits._
+    // target corpus: documents about one tight topic
+    val target = Seq(
+      (100L, "solar panel energy yield model"),
+      (101L, "wind energy capacity model output"),
+      (102L, "solar energy model yield")).toDF("doc_id", "text")
+    // raw corpus: 5 target-like docs, 5 junk docs, one blank
+    val raw = Seq(
+      (1L, "solar energy model"), (2L, "wind energy yield model"),
+      (3L, "solar panel capacity yield"), (4L, "energy model output"),
+      (5L, "wind solar energy"),
+      (6L, "zzz qqq vvv kkk"), (7L, "lorem ipsum dolor sit"),
+      (8L, "qqq kkk zzz"), (9L, "unrelated filler junk noise"),
+      (10L, "vvv lorem qqq"), (11L, "   ")).toDF("doc_id", "text")
+    val byId = Curation.dsirWeights(raw, target, "doc_id", "text",
+      nBuckets = 4096).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // blank doc dropped; every target-like doc outweighs every junk doc
+    assert(!byId.contains(11L), s"blank doc must be dropped: $byId")
+    val tgtLike = (1L to 5L).map(byId(_)._1)
+    val junk = (6L to 10L).map(byId(_)._1)
+    assert(tgtLike.min > junk.max,
+      s"target-like ${tgtLike.toSeq} must all outscore junk ${junk.toSeq}")
+    // n_features = unigrams + bigrams = 2·n−1 for an n-token doc
+    assert(byId(1L)._2 == 5 && byId(6L)._2 == 7, s"$byId")
+    // hand-check doc 8 ("qqq kkk zzz", 4096 buckets — no collisions at
+    // this size): all 5 features unseen in target (count 0), each raw
+    // count from the corpus; alpha=1, T_t = 2·5·3−3... compute directly
+    val alpha = 1.0; val b = 4096
+    def polyMod(s: String) = graft.functions.TextFns.polyHash(s) % b
+    val tgtFeats = Seq("solar panel energy yield model",
+      "wind energy capacity model output", "solar energy model yield")
+      .flatMap { t => val ts = t.split("\\s+").toSeq
+        ts.map(polyMod) ++ ts.sliding(2).map(p => polyMod(p.mkString(" "))) }
+    val rawFeats = Seq("solar energy model", "wind energy yield model",
+      "solar panel capacity yield", "energy model output",
+      "wind solar energy", "zzz qqq vvv kkk", "lorem ipsum dolor sit",
+      "qqq kkk zzz", "unrelated filler junk noise", "vvv lorem qqq")
+      .flatMap { t => val ts = t.split("\\s+").toSeq
+        ts.map(polyMod) ++ ts.sliding(2).map(p => polyMod(p.mkString(" "))) }
+    val tCnt = tgtFeats.groupBy(identity).view.mapValues(_.size).toMap
+    val rCnt = rawFeats.groupBy(identity).view.mapValues(_.size).toMap
+    val doc8 = { val ts = Seq("qqq", "kkk", "zzz")
+      ts.map(polyMod) ++ ts.sliding(2).map(p => polyMod(p.mkString(" "))) }
+    val expected = doc8.map { f =>
+      math.log((tCnt.getOrElse(f, 0) + alpha) / (tgtFeats.size + alpha * b)) -
+        math.log((rCnt.getOrElse(f, 0) + alpha) / (rawFeats.size + alpha * b))
+    }.sum
+    assert(math.abs(byId(8L)._1 - expected) < 1e-9,
+      s"doc 8 weight ${byId(8L)._1} != hand-computed $expected")
+    // resample: deterministic, exactly k rows, biased toward target-like
+    val s1 = Curation.dsirResample(raw, target, "doc_id", "text", k = 4,
+      nBuckets = 4096).collect().map(_.getLong(0)).toSeq
+    val s2 = Curation.dsirResample(raw, target, "doc_id", "text", k = 4,
+      nBuckets = 4096).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "resample must be exactly re-runnable")
+    assert(s1.length == 4 && s1.count(_ <= 5L) >= 3,
+      s"Gumbel-top-k must favor the high-weight docs: $s1")
+  }
+
 }
 
 /** k-means IVF training: convergence and recall on separable clusters. */
@@ -387,68 +472,6 @@ class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.keySet == Set(1L))
     assert(got(1L) == 1L)
-  }
-
-  test("dsirWeights: target-like docs outscore junk; hand-check; resample " +
-      "is deterministic and favors high weights") {
-    import spark.implicits._
-    // target corpus: documents about one tight topic
-    val target = Seq(
-      (100L, "solar panel energy yield model"),
-      (101L, "wind energy capacity model output"),
-      (102L, "solar energy model yield")).toDF("doc_id", "text")
-    // raw corpus: 5 target-like docs, 5 junk docs, one blank
-    val raw = Seq(
-      (1L, "solar energy model"), (2L, "wind energy yield model"),
-      (3L, "solar panel capacity yield"), (4L, "energy model output"),
-      (5L, "wind solar energy"),
-      (6L, "zzz qqq vvv kkk"), (7L, "lorem ipsum dolor sit"),
-      (8L, "qqq kkk zzz"), (9L, "unrelated filler junk noise"),
-      (10L, "vvv lorem qqq"), (11L, "   ")).toDF("doc_id", "text")
-    val byId = Curation.dsirWeights(raw, target, "doc_id", "text",
-      nBuckets = 4096).collect()
-      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
-    // blank doc dropped; every target-like doc outweighs every junk doc
-    assert(!byId.contains(11L), s"blank doc must be dropped: $byId")
-    val tgtLike = (1L to 5L).map(byId(_)._1)
-    val junk = (6L to 10L).map(byId(_)._1)
-    assert(tgtLike.min > junk.max,
-      s"target-like ${tgtLike.toSeq} must all outscore junk ${junk.toSeq}")
-    // n_features = unigrams + bigrams = 2·n−1 for an n-token doc
-    assert(byId(1L)._2 == 5 && byId(6L)._2 == 7, s"$byId")
-    // hand-check doc 8 ("qqq kkk zzz", 4096 buckets — no collisions at
-    // this size): all 5 features unseen in target (count 0), each raw
-    // count from the corpus; alpha=1, T_t = 2·5·3−3... compute directly
-    val alpha = 1.0; val b = 4096
-    def polyMod(s: String) = graft.functions.TextFns.polyHash(s) % b
-    val tgtFeats = Seq("solar panel energy yield model",
-      "wind energy capacity model output", "solar energy model yield")
-      .flatMap { t => val ts = t.split("\\s+").toSeq
-        ts.map(polyMod) ++ ts.sliding(2).map(p => polyMod(p.mkString(" "))) }
-    val rawFeats = Seq("solar energy model", "wind energy yield model",
-      "solar panel capacity yield", "energy model output",
-      "wind solar energy", "zzz qqq vvv kkk", "lorem ipsum dolor sit",
-      "qqq kkk zzz", "unrelated filler junk noise", "vvv lorem qqq")
-      .flatMap { t => val ts = t.split("\\s+").toSeq
-        ts.map(polyMod) ++ ts.sliding(2).map(p => polyMod(p.mkString(" "))) }
-    val tCnt = tgtFeats.groupBy(identity).view.mapValues(_.size).toMap
-    val rCnt = rawFeats.groupBy(identity).view.mapValues(_.size).toMap
-    val doc8 = { val ts = Seq("qqq", "kkk", "zzz")
-      ts.map(polyMod) ++ ts.sliding(2).map(p => polyMod(p.mkString(" "))) }
-    val expected = doc8.map { f =>
-      math.log((tCnt.getOrElse(f, 0) + alpha) / (tgtFeats.size + alpha * b)) -
-        math.log((rCnt.getOrElse(f, 0) + alpha) / (rawFeats.size + alpha * b))
-    }.sum
-    assert(math.abs(byId(8L)._1 - expected) < 1e-9,
-      s"doc 8 weight ${byId(8L)._1} != hand-computed $expected")
-    // resample: deterministic, exactly k rows, biased toward target-like
-    val s1 = Curation.dsirResample(raw, target, "doc_id", "text", k = 4,
-      nBuckets = 4096).collect().map(_.getLong(0)).toSeq
-    val s2 = Curation.dsirResample(raw, target, "doc_id", "text", k = 4,
-      nBuckets = 4096).collect().map(_.getLong(0)).toSeq
-    assert(s1 == s2, "resample must be exactly re-runnable")
-    assert(s1.length == 4 && s1.count(_ <= 5L) >= 3,
-      s"Gumbel-top-k must favor the high-weight docs: $s1")
   }
 
   test("unigramSurprisal: matches hand-computed corpus distribution") {
