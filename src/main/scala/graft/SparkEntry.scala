@@ -2103,23 +2103,26 @@ object SparkEntry {
     }),
 
     // Embedding covariance (upper triangle): one mergeable-Aggregator
-    // pass (n + Σx + ΣxxT buffer, ~16 KB per task), population
-    // normalization — the input relation for PCA rotation / variance
-    // telemetry. The oracle recomputes every entry as
-    // avg(v_i·v_j) − avg(v_i)·avg(v_j).
+    // pass (n + Σx + ΣxxT buffer, ~16 KB per task). Compared in EXACT
+    // integers — entries quantized to the 2^20 dyadic lattice, statistic
+    // n·Σxy − Σx·Σy — so the hash is independent of partial-merge order
+    // in BOTH engines (a 6-dp rounding of the double fold flips on
+    // scheduling; r9's one red row). The double-precision form stays
+    // spec-gated against this one in EmbeddingStatsSpec.
     "q146_embedding_covariance" -> ((s, dir) => {
       import graft.functions.EmbeddingStats
-      EmbeddingStats.covarianceMatrix(
-          t(s, dir, "embeddings").filter(col("embedding").isNotNull),
-          "embedding")
-        .filter(col("j") >= col("i"))
-        .select(col("i"), col("j"), round(col("cov"), 6).as("cov"))
+      EmbeddingStats.covarianceMatrixExact(
+        t(s, dir, "embeddings").filter(col("embedding").isNotNull),
+        "embedding", scaleBits = 20)
     }),
 
     // Per-source quality cut: keep each source's top 25% of documents by
     // the composite quality score — rank-based (no cross-source score
-    // calibration), ties on doc_id, one PARTITIONED window. The oracle
-    // is the same percent_rank QUALIFY.
+    // calibration), ties on doc_id. The SCALE form: score-frequency agg
+    // (bounded by the 6-dp lattice) → broadcast per-source threshold →
+    // map-side filter; only the single threshold-score tie set per
+    // source ever meets a window. The oracle is the percent_rank
+    // QUALIFY the output is proven bit-identical to.
     "q147_quality_top_p" -> ((s, dir) => {
       import graft.functions.TextFns
       import graft.operators.Curation
@@ -2127,8 +2130,8 @@ object SparkEntry {
         .filter(col("text").isNotNull)
         .select(col("doc_id"), col("source"),
           TextFns.qualityScore(col("text")).as("quality"))
-      Curation.topQualityPerGroup(scored, "source", "quality", "doc_id",
-        minPercentile = 0.75)
+      Curation.topQualityPerGroupAtScale(scored, "source", "quality",
+        "doc_id", minPercentile = 0.75)
     }),
 
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
@@ -3897,19 +3900,27 @@ object SparkEntry {
         |    (acc, x) -> acc + x) * 0.25::DOUBLE, 6) AS y
         |FROM e CROSS JOIN range(16) t(j)""".stripMargin,
 
-    // Covariance upper triangle: avg-of-products minus product-of-avgs
-    // per (i, j) pair, i <= j, population normalization like the engine.
+    // Covariance scatter in EXACT integers: entries quantized to the
+    // 2^20 lattice with half-up floor(x·2^20 + 0.5) — exact in double
+    // for float32 inputs and identical to the engine's kernel — then
+    // n·Σxy − Σx·Σy per (i, j), i <= j. DuckDB sums BIGINT into
+    // HUGEINT, so the combination is exact; the final cast back to
+    // BIGINT matches the engine's range-checked Long. No float rounding
+    // anywhere in the compared output.
     "q146_embedding_covariance" ->
-      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+      """WITH e AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS q
         |  FROM embeddings WHERE embedding IS NOT NULL),
-        |mean AS (SELECT i, avg(v[i + 1]) AS mu
+        |n AS (SELECT count(*) AS n FROM e),
+        |sx AS (SELECT i, sum(q[i + 1]) AS sx
         |  FROM e CROSS JOIN range(64) t(i) GROUP BY 1),
-        |exy AS (SELECT i, j, avg(v[i + 1] * v[j + 1]) AS m2
+        |sxy AS (SELECT i, j, sum(q[i + 1] * q[j + 1]) AS sxy
         |  FROM e CROSS JOIN range(64) a(i) CROSS JOIN range(64) b(j)
         |  WHERE j >= i GROUP BY 1, 2)
-        |SELECT s.i, s.j, round(s.m2 - mi.mu * mj.mu, 6) AS cov
-        |FROM exy s JOIN mean mi ON mi.i = s.i
-        |JOIN mean mj ON mj.i = s.j""".stripMargin,
+        |SELECT s.i, s.j,
+        |  CAST(n.n * s.sxy - xi.sx * xj.sx AS BIGINT) AS m2
+        |FROM sxy s CROSS JOIN n
+        |JOIN sx xi ON xi.i = s.i JOIN sx xj ON xj.i = s.j""".stripMargin,
 
     // Per-source quality cut: q22's quality formula, then the same
     // rank-based QUALIFY the engine's partitioned window computes —

@@ -91,6 +91,101 @@ object EmbeddingStats {
     rows.toDF("i", "j", "cov")
   }
 
+  /** Exact-integer covariance buffer over lattice-quantized entries:
+    * [n, sx(d), sxy upper triangle], all Long. Integer addition is
+    * associative, so the merged result is IDENTICAL under any partial-
+    * merge order — the property the double-buffer [[CovAgg]] lacks.
+    */
+  private class CovAggExact(d: Int, scale: Double)
+      extends Aggregator[Seq[Double], Array[Long], Array[Long]]
+      with Serializable {
+    private val len = 1 + d + d * (d + 1) / 2
+    override def zero: Array[Long] = new Array[Long](len)
+    override def reduce(buf: Array[Long], v: Seq[Double]): Array[Long] = {
+      require(v.length == d,
+        s"covarianceMatrixExact: vector of dim ${v.length}, expected $d")
+      buf(0) += 1L
+      var i = 0
+      var t = 1 + d
+      while (i < d) {
+        val qi = math.floor(v(i) * scale + 0.5).toLong
+        buf(1 + i) += qi
+        var j = i
+        while (j < d) {
+          buf(t) += qi * math.floor(v(j) * scale + 0.5).toLong
+          t += 1; j += 1
+        }
+        i += 1
+      }
+      buf
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < len) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Cross-engine-EXACT covariance comparison form: quantize each entry
+    * to the dyadic lattice q = floor(v·2^scaleBits + 0.5) (exact in
+    * double arithmetic for float32-sourced embeddings, and half-up
+    * identically in Spark and DuckDB), then emit the scatter statistic
+    * m2(i,j) = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ as a BIGINT relation (i, j, m2),
+    * upper triangle. Every quantity is an integer sum, so the value is
+    * independent of partitioning, scheduling, and partial-merge order —
+    * unlike [[covarianceMatrix]]'s double fold, whose last-ulp depends
+    * on which task merges first. m2/(n²·2^(2·scaleBits)) recovers the
+    * population covariance of the quantized data.
+    *
+    * Same scale shape as [[covarianceMatrix]]: ONE mergeable-Aggregator
+    * pass, one ~16 KB Long buffer shuffled per task, d ≤ 256 driver
+    * contract. Overflow discipline: per-row products are bounded by
+    * 2^(2·scaleBits)·max|v|²; accumulation uses Math.addExact so an
+    * overflow fails loudly instead of wrapping. With scaleBits = 20 and
+    * unit-norm-ish embeddings (|v| ≤ 1) the Σ terms stay exact up to
+    * n ≈ 2^22 rows per final buffer and the n·Σ combination (done in
+    * BigInt, range-checked) up to the Long range — pick a smaller
+    * scaleBits for larger corpora.
+    */
+  def covarianceMatrixExact(vecs: DataFrame, vecCol: String,
+      scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 30,
+      s"covarianceMatrixExact scaleBits $scaleBits must be in [1, 30]")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>").as("__v"))
+    val first = clean.limit(1).collect()
+    require(first.nonEmpty, "covarianceMatrixExact: empty input")
+    val d = first(0).getSeq[Double](0).length
+    require(d >= 1 && d <= 256,
+      s"covarianceMatrixExact dim $d must be in [1, 256]")
+    val scale = math.pow(2.0, scaleBits)
+    val buf = clean.as[Seq[Double]]
+      .select(udaf(new CovAggExact(d, scale),
+        implicitly[Encoder[Seq[Double]]])(col("__v")).as("b"))
+      .collect()(0).getSeq[Long](0)
+    val n = buf(0)
+    require(n > 0, "covarianceMatrixExact: no non-null vectors")
+    val rows = for {
+      i <- 0 until d
+      j <- i until d
+    } yield {
+      val off = 1 + d + (i * d - i * (i - 1) / 2) + (j - i)
+      val m2 = BigInt(n) * BigInt(buf(off)) -
+        BigInt(buf(1 + i)) * BigInt(buf(1 + j))
+      require(m2.isValidLong,
+        s"covarianceMatrixExact: m2($i,$j) exceeds Int64 — lower scaleBits")
+      (i, j, m2.toLong)
+    }
+    rows.toDF("i", "j", "m2")
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix (driver-
     * side, d ≤ 256): returns (eigenvalues, eigenvectors-as-rows), both
     * sorted by eigenvalue DESCENDING, each eigenvector sign-normalized

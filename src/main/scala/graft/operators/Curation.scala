@@ -631,6 +631,67 @@ object Curation {
       .drop("__pr")
   }
 
+  /** [[topQualityPerGroup]] in the shape that survives a DOMINANT source
+    * at corpus scale — bit-identical output (the same percent_rank ≥ p
+    * set), but no per-group sort of the raw rows anywhere in the plan:
+    *
+    *  1. score-frequency relation: one map-side-combined
+    *     `groupBy(group, score).count` — the ONLY pass that shuffles
+    *     anything proportional to the corpus, and it shuffles at most
+    *     |groups| · |score lattice| counting rows (the quality score is
+    *     a 6-dp lattice by construction, so ≤ 1e6 rows per group no
+    *     matter how many documents the group holds);
+    *  2. per-group threshold: a cumulative window over that AGGREGATE
+    *     relation finds the boundary rank r0 = ⌈1 + p·(n−1)⌉ (the
+    *     percent_rank ≥ p cut with unique ids), the score s* whose
+    *     cumulative range contains it, and how many of the ties at s*
+    *     survive — |groups| rows out, broadcast back;
+    *  3. map-side filter `score > s*` keeps the clear winners with no
+    *     shuffle; ties at `score == s*` (one lattice point per group)
+    *     are resolved by id rank over ONLY the tie rows.
+    *
+    * The tie window is the residual sort: it touches the rows of a
+    * single score value per group — lattice collisions, not the group.
+    * CONTRACT: `scoreCol` must be lattice-valued (rounded/discrete); a
+    * continuous score makes stage 1's aggregate corpus-sized — round
+    * it, or run [[graft.operators.Ops.histogramQuantiles]] first.
+    * percent_rank edge semantics match exactly: a 1-row group has
+    * percent_rank 0 (kept only when p ≤ 0), and p = 1 keeps exactly
+    * the (score, id)-maximal row.
+    */
+  def topQualityPerGroupAtScale(df: DataFrame, groupCol: String,
+      scoreCol: String, idCol: String, minPercentile: Double): DataFrame = {
+    require(minPercentile >= 0.0 && minPercentile <= 1.0,
+      s"minPercentile $minPercentile out of [0, 1]")
+    val p = minPercentile
+    val counts = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    // boundary rank: keep rank >= r0; n = 1 has percent_rank 0 exactly
+    val r0 = when(col("__n") === 1, if (p > 0.0) lit(2L) else lit(1L))
+      .otherwise(ceil(lit(1.0) + lit(p) * (col("__n") - 1)).cast("long"))
+    val thresholds = cum
+      .withColumn("__r0", r0)
+      .filter(col("__cum") >= col("__r0") &&
+        col("__cum") - col("__c") < col("__r0"))
+      .select(col(groupCol).as("__g"), col(scoreCol).as("__s"),
+        (col("__cum") - col("__r0") + 1).as("__tie_keep"))
+    val joined = df.join(broadcast(thresholds),
+      col(groupCol) === col("__g"), "inner")
+    val clear = joined.filter(col(scoreCol) > col("__s"))
+      .drop("__g", "__s", "__tie_keep")
+    val wTie = Window.partitionBy(col(groupCol)).orderBy(col(idCol).desc)
+    val ties = joined.filter(col(scoreCol) === col("__s"))
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") <= col("__tie_keep"))
+      .drop("__g", "__s", "__tie_keep", "__rn")
+    clear.unionByName(ties)
+  }
+
   /** Cross-document boilerplate: k-token passages appearing in at least
     * `minDocs` distinct documents (headers/footers/license blocks — the
     * units line-dedup pipelines strip). One explode + one (passage, doc)

@@ -204,6 +204,34 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(8L, 18L))
   }
 
+  test("topQualityPerGroupAtScale: bit-identical to the window form on a " +
+      "DOMINANT source with heavy ties; no raw-row sort in the plan") {
+    import spark.implicits._
+    // dominant source: 5000 rows in one group (the 100 TB straggler
+    // shape), 12-point score lattice so the threshold score carries a
+    // big tie set; two small groups incl. a 1-row group (percent_rank 0)
+    val rows = (0 until 5000).map(i =>
+        (i.toLong, "big", (i % 12).toDouble / 100)) ++
+      (9000 to 9007).map(i => (i.toLong, "small", (i % 3).toDouble / 10)) :+
+      (9900L, "solo", 0.4)
+    val df = rows.toDF("id", "g", "score")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)) {
+      val want = Curation.topQualityPerGroup(df, "g", "score", "id", p)
+        .collect().map(_.getLong(0)).toSet
+      val got = Curation.topQualityPerGroupAtScale(df, "g", "score", "id", p)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want,
+        s"p=$p: scale form diverges — missing ${want -- got}, " +
+          s"extra ${got -- want}")
+    }
+    // plan shape: thresholds reach the corpus as a BROADCAST, and the
+    // only window over raw rows is the threshold-score tie residual
+    val plan = Curation.topQualityPerGroupAtScale(df, "g", "score", "id",
+      0.75).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      "thresholds must broadcast, not shuffle the corpus")
+  }
+
   test("dsirWeights: target-like docs outscore junk; hand-check; resample " +
       "is deterministic and favors high weights") {
     import spark.implicits._

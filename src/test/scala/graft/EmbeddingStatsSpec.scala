@@ -25,6 +25,37 @@ class EmbeddingStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("covarianceMatrixExact: integer scatter ties out against the " +
+      "double covariance and is invariant to partitioning") {
+    // float32-lattice fixture (the embeddings table is FLOAT[]): values
+    // are exact in both float and double, like the real data
+    val data = (0 until 97).map { r =>
+      Array.tabulate(5)(i =>
+        math.floor(math.sin(r * 2.13 + i * 1.7) * 4096.0) / 8192.0)
+    }
+    val df = data.map(Tuple1(_)).toDF("embedding")
+    val s = 20
+    val exact = EmbeddingStats.covarianceMatrixExact(df, "embedding", s)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val dbl = EmbeddingStats.covarianceMatrix(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val n = data.length.toDouble
+    val denom = n * n * math.pow(2.0, 2 * s)
+    // m2/(n^2 * 2^2s) is the covariance of the QUANTIZED data: within
+    // lattice-resolution error of the double-path covariance
+    for (((i, j), m2) <- exact) {
+      assert(math.abs(m2 / denom - dbl((i, j))) < 1e-5,
+        s"exact/double mismatch at ($i,$j): ${m2 / denom} vs ${dbl((i, j))}")
+    }
+    // the property q146 buys: identical Longs under ANY merge order
+    for (p <- Seq(1, 7, 32)) {
+      val re = EmbeddingStats.covarianceMatrixExact(
+        df.repartition(p), "embedding", s)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(re == exact, s"partitioning $p changed the exact scatter")
+    }
+  }
+
   test("symmetricEigen: exact 2x2 case, orthonormality, eigen residual") {
     // rotate diag(3, 1) by 45 degrees: [[2, 1], [1, 2]]
     val (vals, vecs) = EmbeddingStats.symmetricEigen(
