@@ -119,20 +119,48 @@ object Sketches {
     * sketch: union + register max. Associative and commutative — merge
     * order never matters, and re-merging an already-merged shard is a
     * no-op (max is idempotent).
+    *
+    * Per-GROUP register relations ([[hllRegistersBy]] output) must pass
+    * their group columns via `groupCols`, which become merge keys — a
+    * bare merge would silently collapse every group into one sketch, so
+    * the schema is validated to be EXACTLY groupCols + (bucket, rho_max)
+    * and anything else fails loudly.
     */
-  def hllMerge(regs: Seq[DataFrame]): DataFrame = {
+  def hllMerge(regs: Seq[DataFrame], groupCols: Seq[String] = Nil)
+      : DataFrame = {
     require(regs.nonEmpty, "hllMerge: no register relations")
-    regs.reduce(_ unionByName _).groupBy(col("bucket"))
+    val expect = (groupCols ++ Seq("bucket", "rho_max")).toSet
+    regs.foreach { r =>
+      require(r.columns.toSet == expect,
+        s"hllMerge: register relation has columns ${r.columns.toSeq} — " +
+          s"expected exactly ${expect.toSeq.sorted} (per-group registers " +
+          "must pass their group columns via groupCols or the groups " +
+          "would silently merge into one sketch)")
+    }
+    regs.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
       .agg(max(col("rho_max")).as("rho_max"))
   }
 
   /** Merge count-min register relations by cell-wise SUM. Associative
     * and commutative but NOT idempotent — each shard must appear
-    * exactly once (see the streaming wrapper's replay guard).
+    * exactly once (see the streaming wrapper's replay guard). Per-group
+    * relations pass their group columns like [[hllMerge]]; the schema
+    * is validated the same way.
     */
-  def cmsMerge(regs: Seq[DataFrame]): DataFrame = {
+  def cmsMerge(regs: Seq[DataFrame], groupCols: Seq[String] = Nil)
+      : DataFrame = {
     require(regs.nonEmpty, "cmsMerge: no register relations")
-    regs.reduce(_ unionByName _).groupBy(col("row"), col("col"))
+    val expect = (groupCols ++ Seq("row", "col", "cnt")).toSet
+    regs.foreach { r =>
+      require(r.columns.toSet == expect,
+        s"cmsMerge: register relation has columns ${r.columns.toSeq} — " +
+          s"expected exactly ${expect.toSeq.sorted} (per-group registers " +
+          "must pass their group columns via groupCols or the groups " +
+          "would silently merge into one sketch)")
+    }
+    regs.reduce(_ unionByName _)
+      .groupBy((groupCols ++ Seq("row", "col")).map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
   }
 

@@ -205,14 +205,20 @@ object Curation {
 
   /** Sequence packing: assign documents to fixed-budget context windows
     * (bins) for training, streaming in a deterministic order. The
-    * distributed form is cumulative-sum packing: within each shard,
-    * bin = floor((cumsum(tokens) - tokens) / budget) — one window pass,
-    * no driver loop, ≥ 50% occupancy guaranteed when docs ≤ budget
-    * (each bin boundary wastes < one doc).
+    * distributed form is cumulative-sum packing BY START OFFSET: within
+    * each shard, bin = floor((cumsum(tokens) − tokens) / budget) — one
+    * window pass, no driver loop. A doc goes to the bin its START
+    * offset falls in, so a doc straddling a boundary stays in the
+    * EARLIER bin: a bin's clamped-token total can exceed `budget` by up
+    * to one doc (strictly < 2·budget; packingStats fill_ratio can read
+    * up to 2 − 1/budget), and no bin boundary ever wastes tokens —
+    * occupancy by start offsets is exactly 100%. Over-long docs are
+    * CLAMPED to `budget` for assignment (they land in whichever bin
+    * their start offset hits, possibly shared — truncation policy
+    * belongs upstream).
     *
     * Shards partition the window so no single task sees the whole
-    * corpus; bin ids are (shard, bin_in_shard). Docs longer than the
-    * budget get their own bin (truncation policy belongs upstream).
+    * corpus; bin ids are (shard, bin_in_shard).
     */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
       budget: Int, shardCol: String): DataFrame = {
@@ -251,7 +257,10 @@ object Curation {
   }
 
   /** Per-bin packing stats (occupancy audit): docs per bin, token fill,
-    * fill ratio against the budget.
+    * fill ratio against the budget. Fill counts CLAMPED tokens; under
+    * [[packSequences]]'s start-offset assignment a straddling doc keeps
+    * its full clamped length in the earlier bin, so fill_ratio ranges
+    * up to 2 − 1/budget (exactly 1.0 on perfectly aligned streams).
     */
   def packingStats(packed: DataFrame, tokenCol: String, budget: Int,
       shardCol: String): DataFrame =

@@ -153,13 +153,30 @@ object EventStream {
 
   /** One micro-batch of continuous sketch maintenance: merge the batch's
     * registers into the persisted relation at `path/registers` (HLL by
-    * max, CMS by sum), staged through `_reg_tmp` (write new, delete old,
-    * rename, meta LAST — the index layer's crash discipline). Replay
-    * safety: the sidecar records the last applied foreachBatch id, and a
-    * batch with id ≤ that no-ops — for the HLL this is belt-and-braces
-    * (max-merge is idempotent by algebra: re-maxing a redelivered batch
-    * cannot change any register), but the CMS sum-merge WOULD double-
-    * count without it.
+    * max, CMS by sum). Replay safety: the sidecar records the last
+    * applied foreachBatch id, and a batch with id ≤ that no-ops — for
+    * the HLL this is belt-and-braces (max-merge is idempotent by
+    * algebra), but the CMS sum-merge WOULD double-count without it.
+    *
+    * Crash safety — the index layer's FULL discipline, not just a staged
+    * write: a `_pending_sketch.json` marker brackets the swap, the old
+    * registers are renamed ASIDE (never deleted before the meta commit),
+    * and the meta write is the commit point. Protocol:
+    *
+    *  1. write marker (carrying batchId);
+    *  2. materialize merged registers into `_reg_tmp`;
+    *  3. rename `registers` → `_reg_old` (kept until commit);
+    *  4. rename `_reg_tmp` → `registers`;
+    *  5. write meta with the new lastBatchId  ← COMMIT;
+    *  6. delete `_reg_old`, delete marker.
+    *
+    * A marker found on entry means a prior batch died mid-swap; recovery
+    * is DETERMINISTIC from (meta.lastBatchId, marker.batchId): committed
+    * → roll FORWARD (finish step 6); uncommitted → roll BACK (restore
+    * `_reg_old` if the swap renamed it, drop `_reg_tmp`), after which
+    * the redelivered batch re-applies cleanly. Every crash window either
+    * re-applies exactly once or no-ops — history is never lost and CMS
+    * sums are never double-counted.
     */
   def sketchBatch(path: String, keyCol: String,
       registersOf: DataFrame => DataFrame, mergeAgg: (DataFrame, Seq[String],
@@ -169,26 +186,74 @@ object EventStream {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(path), conf)
+    val regPath = new org.apache.hadoop.fs.Path(s"$path/registers")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_reg_tmp")
+    val old = new org.apache.hadoop.fs.Path(s"$path/_reg_old")
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_pending_sketch.json")
+    recoverSketchSwap(fs, conf, path, regPath, tmp, old, marker)
     val last = graft.sources.JsonSidecar
       .readParams(s"$path/meta.json", conf)
       .flatMap(_.get("lastBatchId")).map(_.toLong).getOrElse(-1L)
     if (batchId <= last) return // at-least-once redelivery no-ops
-    val regPath = new org.apache.hadoop.fs.Path(s"$path/registers")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/_reg_tmp")
     val fresh = registersOf(batch)
     val merged =
       if (fs.exists(regPath))
         mergeAgg(spark.read.parquet(regPath.toString).unionByName(fresh),
           cellCols, valCol)
       else fresh
-    // the write MATERIALIZES merged before the old relation is deleted;
-    // a crash before the swap leaves the live registers untouched
+    val os = fs.create(marker, true)
+    try os.write(s"""{"batchId":$batchId}""".getBytes("UTF-8"))
+    finally os.close()
+    // the write MATERIALIZES merged while the live registers still exist
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(regPath, true)
+    if (fs.exists(regPath))
+      require(fs.rename(regPath, old), s"sketch rename-aside failed: $path")
     require(fs.rename(tmp, regPath), s"sketch register swap failed: $path")
     graft.sources.JsonSidecar.write(s"$path/meta",
       Map("lastBatchId" -> batchId.toString, "keyCol" -> keyCol),
-      Seq.empty, "EventStream.sketchBatch", conf)
+      Seq.empty, "EventStream.sketchBatch", conf) // ← commit point
+    fs.delete(old, true)
+    fs.delete(marker, false)
+  }
+
+  /** Entry-time recovery for [[sketchBatch]]'s swap protocol: roll an
+    * interrupted swap forward if its meta committed, back if it didn't.
+    * No-op when no marker is present.
+    */
+  private def recoverSketchSwap(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, path: String,
+      regPath: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path,
+      marker: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(marker)) return
+    val markerId = {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"batchId\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"$path: unreadable _pending_sketch.json — manual recovery " +
+            "needed (restore _reg_old or registers, then delete the marker)"))
+    }
+    val committed = graft.sources.JsonSidecar
+      .readParams(s"$path/meta.json", conf)
+      .flatMap(_.get("lastBatchId")).map(_.toLong).getOrElse(-1L) >= markerId
+    if (committed) {
+      // crashed after the meta commit: finish the cleanup
+      fs.delete(old, true)
+      fs.delete(tmp, true)
+    } else {
+      // crashed before the commit: restore the pre-batch registers
+      if (fs.exists(old)) {
+        fs.delete(regPath, true) // the half-swapped new relation, if any
+        require(fs.rename(old, regPath),
+          s"$path: sketch swap rollback failed — _reg_old could not be " +
+            "restored; recover manually before resuming")
+      }
+      fs.delete(tmp, true)
+    }
+    fs.delete(marker, false)
   }
 
   /** Continuous distinct-cardinality telemetry: each micro-batch's HLL
@@ -265,9 +330,13 @@ object EventStream {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, horizon: String, watermark: String): DataFrame = {
     // payload structs exclude key+ts: the watermarked event-time column
-    // must appear exactly once per side, as l_ts / r_ts
-    def payload(df: DataFrame): org.apache.spark.sql.Column =
-      struct(df.columns.filter(c => c != keyCol && c != tsCol).map(col): _*)
+    // must appear exactly once per side, as l_ts / r_ts. A side carrying
+    // ONLY (key, ts) would make that an empty struct (analysis error) —
+    // fall back to wrapping the ts so minimal event relations join.
+    def payload(df: DataFrame): org.apache.spark.sql.Column = {
+      val cols = df.columns.filter(c => c != keyCol && c != tsCol)
+      if (cols.isEmpty) struct(col(tsCol)) else struct(cols.map(col): _*)
+    }
     val l = left.withWatermark(tsCol, watermark)
     val lSel = l.select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
       payload(left).as("l"))

@@ -74,6 +74,32 @@ class SketchesSpec extends AnyFunSuite {
       s"estimates must track per-group cardinality: $by")
   }
 
+  test("hllMerge/cmsMerge: per-group register relations fail loudly " +
+      "without groupCols and merge per group with them") {
+    val rows = (0 until 400).map(i => (s"key$i", s"src${i % 3}"))
+      .toDF("k", "src")
+    val byGroup = Sketches.hllRegistersBy(rows, Seq("src"), "k")
+    // the trap the guard closes: a bare merge would silently collapse
+    // all three sources into one sketch — now it refuses
+    val e = intercept[IllegalArgumentException] {
+      Sketches.hllMerge(Seq(byGroup))
+    }
+    assert(e.getMessage.contains("groupCols"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Sketches.cmsMerge(Seq(rows.toDF("row", "colx"))) // wrong shape too
+    }
+    // with groupCols: shard merge preserves per-group registers exactly
+    val shardA = Sketches.hllRegistersBy(rows.limit(250), Seq("src"), "k")
+    val shardB = Sketches.hllRegistersBy(
+      rows.exceptAll(rows.limit(250)), Seq("src"), "k")
+    val merged = Sketches.hllMerge(Seq(shardA, shardB), Seq("src"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val whole = byGroup.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(merged == whole,
+      "grouped shard merge must equal the whole per-group sketch")
+  }
+
   test("hllIntersect: inclusion-exclusion tracks true overlap; disjoint " +
       "sets clamp to ~0") {
     // A = keys 0..299, B = keys 200..499 → true intersection 100

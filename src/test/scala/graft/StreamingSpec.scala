@@ -177,6 +177,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(est >= 3, s"key5 appears 3 times, CMS must not undercount: $est")
   }
 
+  test("sketchBatch crash recovery: every swap window rolls forward or " +
+      "back; CMS sums are never lost or double-counted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Sketches
+    val base = java.nio.file.Files.createTempDirectory("graft_sketch_crash")
+    val path = base.resolve("cms").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$path/$s")
+    def marker(id: Long): Unit = {
+      val os = fs.create(p("_pending_sketch.json"), true)
+      try os.write(s"""{"batchId":$id}""".getBytes("UTF-8")) finally os.close()
+    }
+    def apply(rows: Seq[(Long, String)], id: Long): Unit =
+      EventStream.sketchBatch(path, "text",
+        b => Sketches.cmsRegisters(b, "text", 4, 64),
+        (df, cells, v) => df.groupBy(cells.map(col): _*)
+          .agg(sum(col(v)).as(v)), Seq("row", "col"), "cnt")(
+        rows.toDF("doc_id", "text"), id)
+    def regs(): Map[(Int, Int), Long] =
+      spark.read.parquet(s"$path/registers").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def oneShot(rows: Seq[(Long, String)]): Map[(Int, Int), Long] =
+      Sketches.cmsRegisters(rows.toDF("doc_id", "text"), "text", 4, 64)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b0 = (0 until 50).map(i => (i.toLong, s"k${i % 7}"))
+    val b1 = (50 until 90).map(i => (i.toLong, s"k${i % 11}"))
+    val b2 = (90 until 130).map(i => (i.toLong, s"k${i % 5}"))
+    apply(b0, 0L)
+    // window A: died right after the marker write (nothing mutated yet)
+    marker(1L)
+    apply(b1, 1L)
+    assert(regs() == oneShot(b0 ++ b1),
+      "rollback of an untouched swap must lose nothing")
+    // window B: died mid-swap — registers renamed aside, new not in place
+    assert(fs.rename(p("registers"), p("_reg_old")))
+    marker(2L)
+    apply(b2, 2L)
+    assert(regs() == oneShot(b0 ++ b1 ++ b2),
+      "recovery must restore _reg_old and re-apply the batch exactly once")
+    // window C: died after the meta commit, before cleanup — roll forward
+    fs.mkdirs(p("_reg_old"))
+    marker(2L)
+    apply(b2, 2L) // replay of a committed id: recovery cleans, guard no-ops
+    assert(regs() == oneShot(b0 ++ b1 ++ b2),
+      "roll-forward + replay guard must not double-count")
+    assert(!fs.exists(p("_reg_old")) && !fs.exists(p("_pending_sketch.json"))
+      && !fs.exists(p("_reg_tmp")), "recovery must clean all staging state")
+  }
+
   test("textIndexStream: streamed batches searchable, replay idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

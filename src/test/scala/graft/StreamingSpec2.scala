@@ -57,6 +57,20 @@ class StreamingSpec2 extends AnyFunSuite {
       ("2024-01-01 00:08:00.0", "2024-01-01 00:09:00.0", "b"),
       ("2024-01-01 00:08:00.0", "2024-01-01 00:10:00.0", "b")))
   }
+
+  test("intervalJoin: a side carrying only (key, ts) joins cleanly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val clicks = Seq(Ev2(ts(0), "a", 1.0), Ev2(ts(2), "b", 1.0)).toDF()
+      .select(col("ts"), col("site")) // minimal event relation: no payload
+    val buys = Seq(Ev2(ts(3), "a", 9.0), Ev2(ts(9), "b", 9.0)).toDF()
+    val got = EventStream.intervalJoin(clicks, buys, "site", "ts",
+      "5 minutes", "10 minutes")
+      .select($"l_ts", $"r_ts", $"l_key").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getTimestamp(1).toString,
+        r.getString(2))).toSet
+    assert(got == Set(("2024-01-01 00:00:00.0", "2024-01-01 00:03:00.0", "a")))
+  }
 }
 
 /** Native session windows: gap merging, incremental state. */
