@@ -2134,6 +2134,53 @@ object SparkEntry {
         "doc_id", minPercentile = 0.75)
     }),
 
+    // COMPOSED curation chain end-to-end: dedup (keep-best-quality,
+    // transitive CC) → benchmark decontamination → quality gate →
+    // deterministic split, with the per-stage ledger. One relation gates
+    // survivor ids, n_tokens, split labels AND the (stage, rows_in,
+    // rows_out) ledger — a cross-stage interaction (e.g. dedup survivor
+    // choice changing what decontamination sees) breaks the hash. The
+    // oracle composes the q102/q69/q147/q70 machinery.
+    "q149_curate_chain" -> ((s, dir) => {
+      import graft.pipeline.CorpusPipeline
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 97 === 0 &&
+        col("text").isNotNull)
+      val (curated, stats) = CorpusPipeline.curate(docs, "doc_id", "text",
+        bench, "text", decontamN = 3, minTokens = 3, maxTokens = 100000,
+        minQuality = 0.2, nearDupThreshold = 0.6, valFrac = 0.125,
+        shingleN = 2, minhashK = 16, bands = 4)
+      curated.select(lit("doc").as("kind"),
+          col("doc_id").cast("string").as("key"),
+          col("n_tokens").cast("long").as("a"),
+          when(col("split") === "val", 1L).otherwise(0L).as("b"))
+        .unionByName(stats.select(lit("stage").as("kind"),
+          col("stage").as("key"), col("rows_in").as("a"),
+          col("rows_out").as("b")))
+    }),
+
+    // PERSISTED OPQ-ROTATED IVF-PQ: q106's pipeline with a rotation in
+    // the sidecar — build rotates once, the probe rotates the query on
+    // the way in, codes/codebooks live entirely in rotated space. The
+    // rotation here is the dyadic-exact Hadamard block (entries ±0.5) so
+    // the oracle replays the whole rotate→assign→encode→ADC chain
+    // bit-for-bit; the LEARNED rotation (EmbeddingStats.opqTrain) rides
+    // the identical machinery and is spec-gated on its error cut.
+    "q148_opq_index" -> ((s, dir) => {
+      import graft.operators.Similarity
+      import graft.functions.EmbeddingStats
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0)
+      val idx = scratchDir("graft_opqidx").resolve("idx").toString
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", idx,
+        nLists = 16, m = 8, nCodes = 16,
+        opqRotationOpt = Some(EmbeddingStats.hadamardBlockRotation(64)))
+      Similarity.ivfPqTopKIndexed(s, idx, "vec_id", q, k = 10, nProbe = 4)
+        .select(col("vec_id"), round(col("adc"), 6).as("adc"))
+    }),
+
     // ANN recall@k evaluation — the loop that tunes nProbe/nLists: the
     // q119 batched ADC probe's top-10 per query scored against the exact
     // L2 top-10, one recall row per query. The oracle recomputes BOTH
@@ -3190,6 +3237,121 @@ object SparkEntry {
     "q106_ivfpq_index" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |fulld AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT did AS lst FROM don CROSS JOIN q
+        |  ORDER BY list_reduce(list_transform(range(1, len(dv) + 1),
+        |    j -> (dv[j] - qv[j]) * (dv[j] - qv[j])), (x, y) -> x + y), did LIMIT 4),
+        |cand AS (SELECT a.vec_id FROM asg a JOIN pl ON a.lst = pl.lst),
+        |sd AS (SELECT e.vec_id, t.j, d.did,
+        |  list_reduce(list_transform(range(1, 9), i ->
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i]) *
+        |    (e.v[t.j * 8 + i] - d.dv[t.j * 8 + i])), (x, y) -> x + y) AS s
+        |  FROM e CROSS JOIN range(8) t(j) CROSS JOIN don d),
+        |codes AS (SELECT vec_id, j, did AS code FROM sd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |    ORDER BY s ASC, did ASC) = 1),
+        |qt AS (SELECT j, did, s FROM sd WHERE vec_id = 0),
+        |adc AS (SELECT c.vec_id, sum(q2.s) AS adc FROM codes c
+        |  JOIN cand ON cand.vec_id = c.vec_id
+        |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id)
+        |SELECT vec_id, round(adc, 6) AS adc
+        |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
+
+    // The composed chain: q102's dedup machinery (keep-best by the q147
+    // quality formula), q69's trigram decontamination over the SURVIVOR
+    // set, the q147 quality formula as a gate, q70's Knuth-hash split —
+    // plus the ledger recomputed as stage-boundary counts.
+    "q149_curate_chain" ->
+      (raw"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |""" + dedupPassSql("", "base") + raw""",
+        |qual AS (SELECT doc_id,
+        |  round((least(length(text) / 500.0, 1.0)
+        |    + (1.0 - least(length(regexp_replace(text, '[^[:punct:]]', '',
+        |        'g')) * 1.0 / length(text) * 5.0, 1.0))
+        |    + least(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |        t -> lower(t) IN ('the','a','an','and','or','of','to','in',
+        |        'is','it','for','on','with','as','at','by','this','that')))
+        |      * 1.0 / len(regexp_split_to_array(trim(text), '\s+')) * 4.0,
+        |      1.0)) / 3.0, 6) AS quality,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |    AS n_tokens
+        |  FROM base),
+        |edgesp AS (SELECT id1, id2 FROM jc WHERE i2 * 1.0 / u2 >= 0.6),
+        |undp AS (SELECT id1, id2 FROM edgesp
+        |  UNION ALL SELECT id2, id1 FROM edgesp),
+        |nodesp AS (SELECT DISTINCT id1 AS id FROM undp),
+        |reach(id, lab) AS (
+        |  SELECT id, id FROM nodesp
+        |  UNION
+        |  SELECT u.id2, r.lab FROM reach r JOIN undp u ON u.id1 = r.id),
+        |compp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id),
+        |winp AS (SELECT c.comp, c.id AS doc_id,
+        |  row_number() OVER (PARTITION BY c.comp
+        |    ORDER BY q.quality DESC, c.id ASC) AS rn
+        |  FROM compp c JOIN qual q ON q.doc_id = c.id),
+        |removedp AS (SELECT doc_id FROM winp WHERE rn > 1),
+        |dedup AS (SELECT s.doc_id, s.text FROM surv s
+        |  WHERE NOT EXISTS (SELECT 1 FROM removedp r
+        |    WHERE r.doc_id = s.doc_id)),
+        |dtok AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(lower(text)), '\s+') AS w FROM dedup),
+        |dgr AS (SELECT doc_id, CASE WHEN len(w) < 3
+        |    THEN [array_to_string(w, ' ')]
+        |    ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |      j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2])) END AS gs
+        |  FROM dtok),
+        |btok AS (SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM base WHERE doc_id % 97 = 0),
+        |bgr AS (SELECT DISTINCT g FROM (SELECT unnest(CASE WHEN len(w) < 3
+        |    THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w) - 1),
+        |      j -> w[j] || ' ' || w[j+1] || ' ' || w[j+2]) END) AS g
+        |  FROM btok) WHERE g <> ''),
+        |contaminated AS (SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(gs) AS g FROM dgr) d
+        |  JOIN bgr ON bgr.g = d.g),
+        |clean AS (SELECT d.doc_id, d.text FROM dedup d
+        |  WHERE NOT EXISTS (SELECT 1 FROM contaminated c
+        |    WHERE c.doc_id = d.doc_id)),
+        |gated AS (SELECT c.doc_id, q.n_tokens FROM clean c
+        |  JOIN qual q ON q.doc_id = c.doc_id
+        |  WHERE q.n_tokens BETWEEN 3 AND 100000 AND q.quality >= 0.2),
+        |n0 AS (SELECT count(*) AS n FROM base),
+        |n1 AS (SELECT count(*) AS n FROM dedup),
+        |n2 AS (SELECT count(*) AS n FROM clean),
+        |n3 AS (SELECT count(*) AS n FROM gated)
+        |SELECT 'doc' AS kind, CAST(doc_id AS VARCHAR) AS key, n_tokens AS a,
+        |  CAST(CASE WHEN ((((doc_id % 2147483648) + 2147483648)
+        |      % 2147483648) * 2654435761) % 2147483648 < 268435456
+        |    THEN 1 ELSE 0 END AS BIGINT) AS b
+        |FROM gated
+        |UNION ALL SELECT 'stage', 'dedup', n0.n, n1.n FROM n0, n1
+        |UNION ALL SELECT 'stage', 'decontaminate', n1.n, n2.n FROM n1, n2
+        |UNION ALL SELECT 'stage', 'quality_gate', n2.n, n3.n FROM n2, n3"""
+        ).stripMargin,
+
+    // q106's chain with every vector (query included) first rotated by
+    // the H4/2 Hadamard block: sign = (-1)^popcount(r AND c), the 0.5
+    // scale applied AFTER the 4-term fold (0.5x is exact scaling, so it
+    // commutes with the engine's per-term 0.5 ordering bit-for-bit).
+    "q148_opq_index" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS w
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |e AS (SELECT vec_id, list_transform(range(0, 64), k ->
+        |    0.5 * list_reduce(list_transform(range(0, 4), c ->
+        |      CASE WHEN bit_count((k % 4) & c) % 2 = 0
+        |        THEN w[(k // 4) * 4 + c + 1]
+        |        ELSE -w[(k // 4) * 4 + c + 1] END), (x, y) -> x + y)) AS v
+        |  FROM e0),
         |don AS (SELECT vec_id AS did, v AS dv FROM e
         |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),

@@ -308,6 +308,298 @@ object EmbeddingStats {
     buckets.flatMap(_.map(vecs(_)))
   }
 
+  /** Dyadic-exact orthonormal rotation: a block-diagonal tiling of the
+    * 4×4 scaled Walsh–Hadamard matrix H₄/2 (entries ±0.5, sign
+    * (−1)^popcount(r AND c)). Every entry is a power of two, so
+    * rotating float32-sourced vectors is EXACT double arithmetic — an
+    * independent SQL engine reproduces the rotated values bit-for-bit.
+    * Orthonormal (H₄·H₄ᵀ = 4·I), so L2 geometry is preserved. This is
+    * the cross-engine-testable stand-in that lets an oracle-gated query
+    * pin the ROTATION-PERSISTENCE machinery of the IVF-PQ index (the
+    * learned [[opqTrain]] rotation uses the same machinery but has no
+    * SQL-expressible derivation).
+    */
+  def hadamardBlockRotation(d: Int): Array[Array[Double]] = {
+    require(d % 4 == 0, s"hadamardBlockRotation: d=$d must be a multiple of 4")
+    Array.tabulate(d, d) { (i, j) =>
+      if (i / 4 != j / 4) 0.0
+      else if (Integer.bitCount((i % 4) & (j % 4)) % 2 == 0) 0.5
+      else -0.5
+    }
+  }
+
+  /** Trained OPQ model: `rotation` rows are the output basis (y = R·x);
+    * `codebooks(j)(c)` is codeword c of subspace j (each of length
+    * d/m); `mse` is the final mean reconstruction error on the training
+    * sample.
+    */
+  final case class OpqModel(rotation: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], mse: Double)
+
+  /** FULL OPQ alternate optimization (Ge et al. 2013, the non-parametric
+    * algorithm the eigenvalue-allocation [[opqRotation]] only
+    * initializes): iterate
+    *
+    *  1. fix R, train per-subspace codebooks on the rotated sample
+    *     (Lloyd's k-means, deterministic Gonzalez farthest-point init,
+    *     empty clusters reseeded to the farthest point);
+    *  2. fix the codebooks, rebuild each point's reconstruction ŷ and
+    *     update R by the orthogonal Procrustes solution: with
+    *     M = Ŷ·Xᵀ = U·S·Vᵀ, the minimizer of ‖R·X − Ŷ‖_F over
+    *     orthogonal R is R = U·Vᵀ (SVD via [[symmetricEigen]] of MᵀM;
+    *     rank-deficient directions completed by Gram–Schmidt).
+    *
+    * DRIVER-SIDE on a bounded training sample (`maxRows` — the standard
+    * OPQ practice: FAISS trains its OPQ matrix on a capped point
+    * subset), d ≤ 256 by the same contract as [[covarianceMatrix]].
+    * Apply the result at corpus scale by persisting `rotation` into the
+    * IVF-PQ index (`writeIvfPqIndex(opqRotationOpt = ...)`) — the
+    * training cost is one bounded collect, never a corpus pass.
+    * Deterministic end to end: no RNG anywhere, so re-training on the
+    * same sample reproduces the same model.
+    */
+  def opqTrain(vecs: DataFrame, vecCol: String, m: Int, nCodes: Int,
+      iters: Int = 5, maxRows: Int = 65536,
+      kmeansIters: Int = 10): OpqModel = {
+    require(iters >= 1 && iters <= 20, s"opqTrain iters $iters not in [1,20]")
+    require(nCodes >= 1, s"opqTrain nCodes $nCodes must be >= 1")
+    val collected = vecs.filter(col(vecCol).isNotNull)
+      .select(col(vecCol).cast("array<double>"))
+      .limit(maxRows + 1).collect().map(_.getSeq[Double](0).toArray)
+    // collect() order is scheduling-dependent and both the k-means init
+    // and the Procrustes sums are order-sensitive — canonicalize so the
+    // model is a pure function of the sample MULTISET
+    val rows = collected.sortWith { (a, b) =>
+      var i = 0
+      while (i < a.length && i < b.length && a(i) == b(i)) i += 1
+      if (i < a.length && i < b.length) a(i) < b(i)
+      else a.length < b.length
+    }
+    require(rows.nonEmpty, "opqTrain: empty training sample")
+    require(rows.length <= maxRows,
+      s"opqTrain: training sample exceeds maxRows=$maxRows — OPQ trains " +
+        "driver-side by contract; sample a shard first")
+    val d = rows(0).length
+    require(d >= 1 && d <= 256 && d % m == 0,
+      s"opqTrain: dim $d must be in [1, 256] and divisible by m=$m")
+    val sub = d / m
+    val n = rows.length
+    // init: eigenvalue-allocation rotation from the sample covariance
+    var rot = opqRotation(covarianceMatrix(
+      vecs.sparkSession.createDataFrame(
+        vecs.sparkSession.sparkContext.parallelize(
+          rows.toIndexedSeq.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType))))), "v"), m)
+    var books: Array[Array[Array[Double]]] = null
+    var mse = Double.PositiveInfinity
+    def rotate(x: Array[Double]): Array[Double] =
+      Array.tabulate(d) { r =>
+        val row = rot(r); var s = 0.0; var i = 0
+        while (i < d) { s += row(i) * x(i); i += 1 }; s
+      }
+    var it = 0
+    while (it < iters) {
+      val rx = rows.map(rotate)
+      books = Array.tabulate(m)(j => trainSubspaceCodebook(
+        rx.map(_.slice(j * sub, (j + 1) * sub)), nCodes, kmeansIters))
+      // reconstructions in rotated space
+      val recon = rx.map { y =>
+        val out = new Array[Double](d)
+        var j = 0
+        while (j < m) {
+          val cw = books(j)(nearestCode(y, j * sub, books(j)))
+          System.arraycopy(cw, 0, out, j * sub, sub); j += 1
+        }
+        out
+      }
+      mse = rx.zip(recon).map { case (y, r2) =>
+        var s = 0.0; var i = 0
+        while (i < d) { val t = y(i) - r2(i); s += t * t; i += 1 }; s
+      }.sum / n
+      // Procrustes update: M = Ŷ·Xᵀ over the RAW sample
+      if (it < iters - 1) {
+        val mM = Array.ofDim[Double](d, d)
+        var r = 0
+        while (r < n) {
+          val x = rows(r); val y = recon(r)
+          var i = 0
+          while (i < d) {
+            val yi = y(i); var j2 = 0
+            while (j2 < d) { mM(i)(j2) += yi * x(j2); j2 += 1 }
+            i += 1
+          }
+          r += 1
+        }
+        rot = procrustesRotation(mM)
+      }
+      it += 1
+    }
+    OpqModel(rot, books, mse)
+  }
+
+  /** Lloyd's k-means over a driver-held point set with the Gonzalez
+    * farthest-point init — deterministic, ties to the lowest index.
+    */
+  private def trainSubspaceCodebook(pts: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val n = pts.length
+    val kk = math.min(k, n)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }; s
+    }
+    // Gonzalez init from point 0
+    val centers = scala.collection.mutable.ArrayBuffer(pts(0).clone)
+    val minD = pts.map(p => d2(p, centers(0)))
+    while (centers.length < kk) {
+      var best = 0; var bd = -1.0
+      var i = 0
+      while (i < n) { if (minD(i) > bd) { bd = minD(i); best = i }; i += 1 }
+      val c = pts(best).clone
+      centers += c
+      i = 0
+      while (i < n) { val dd = d2(pts(i), c); if (dd < minD(i)) minD(i) = dd; i += 1 }
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centers.length)(new Array[Double](pts(0).length))
+      val cnts = new Array[Int](centers.length)
+      var i = 0
+      while (i < n) {
+        var bj = 0; var bd = Double.PositiveInfinity; var j = 0
+        while (j < centers.length) {
+          val dd = d2(pts(i), centers(j))
+          if (dd < bd) { bd = dd; bj = j }; j += 1
+        }
+        cnts(bj) += 1
+        var t = 0
+        while (t < sums(bj).length) { sums(bj)(t) += pts(i)(t); t += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < centers.length) {
+        if (cnts(j) > 0) {
+          var t = 0
+          while (t < sums(j).length) {
+            centers(j)(t) = sums(j)(t) / cnts(j); t += 1
+          }
+        } // empty cluster: keep its previous center (deterministic)
+        j += 1
+      }
+      it += 1
+    }
+    centers.toArray
+  }
+
+  private def nearestCode(y: Array[Double], off: Int,
+      book: Array[Array[Double]]): Int = {
+    var bj = 0; var bd = Double.PositiveInfinity; var j = 0
+    while (j < book.length) {
+      var s = 0.0; var i = 0
+      while (i < book(j).length) {
+        val t = y(off + i) - book(j)(i); s += t * t; i += 1
+      }
+      if (s < bd) { bd = s; bj = j }; j += 1
+    }
+    bj
+  }
+
+  /** Orthogonal Procrustes factor of M (= Ŷ·Xᵀ): R = U·Vᵀ from
+    * M = U·S·Vᵀ, computed via [[symmetricEigen]] of MᵀM (V, S²) with
+    * U = M·V/S; near-null directions (tiny singular values) are
+    * completed by Gram–Schmidt so R is always a full orthonormal basis.
+    */
+  private def procrustesRotation(mM: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val d = mM.length
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += mM(k)(i) * mM(k)(j); k += 1 }; s
+    }
+    val (vals, vRows) = symmetricEigen(mtm) // vRows(k) = eigenvector k
+    val scale = math.sqrt(math.max(vals(0), 1e-300))
+    val uCols = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val vCols = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    for (k <- 0 until d) {
+      val s = math.sqrt(math.max(vals(k), 0.0))
+      // relative cutoff: U = M·v/σ amplifies the eigen residual by
+      // σmax/σ, so near-null directions produce garbage columns — treat
+      // them as null space (any orthogonal completion attains the same
+      // Procrustes objective there)
+      if (s > 1e-7 * scale) {
+        val v = vRows(k)
+        val u = Array.tabulate(d) { i =>
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += mM(i)(j) * v(j); j += 1 }; acc / s
+        }
+        // progressive re-orthogonalization against accepted U columns;
+        // a column that collapses under it is unreliable — null space
+        for (c <- uCols) {
+          var dot = 0.0; var i = 0
+          while (i < d) { dot += u(i) * c(i); i += 1 }
+          i = 0
+          while (i < d) { u(i) -= dot * c(i); i += 1 }
+        }
+        val nrm = math.sqrt(u.map(x => x * x).sum)
+        if (nrm > 0.3) {
+          uCols += u.map(_ / nrm); vCols += v
+        }
+      }
+    }
+    // complete both bases identically in the null space
+    completeBasis(uCols, d); completeBasis(vCols, d)
+    // R = U·Vᵀ, returned as rows (output basis): R(i)(j) = Σ_k U(i,k)V(j,k)
+    val r = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += uCols(k)(i) * vCols(k)(j); k += 1 }; s
+    }
+    // polish: U = M·V/S drifts off orthonormality by ~1e-7 when singular
+    // values cluster (Jacobi residual amplified by 1/σ); one modified
+    // Gram–Schmidt pass over the rows restores machine-eps orthogonality
+    // without moving R materially
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j < i) {
+        var dot = 0.0; var k = 0
+        while (k < d) { dot += r(i)(k) * r(j)(k); k += 1 }
+        k = 0
+        while (k < d) { r(i)(k) -= dot * r(j)(k); k += 1 }
+        j += 1
+      }
+      var nrm = 0.0; var k = 0
+      while (k < d) { nrm += r(i)(k) * r(i)(k); k += 1 }
+      nrm = math.sqrt(nrm)
+      require(nrm > 1e-8, "procrustes polish: degenerate row")
+      k = 0
+      while (k < d) { r(i)(k) /= nrm; k += 1 }
+      i += 1
+    }
+    r
+  }
+
+  private def completeBasis(
+      cols: scala.collection.mutable.ArrayBuffer[Array[Double]],
+      d: Int): Unit = {
+    var e = 0
+    while (cols.length < d && e < d) {
+      val cand = new Array[Double](d); cand(e) = 1.0
+      for (c <- cols) {
+        var dot = 0.0; var i = 0
+        while (i < d) { dot += cand(i) * c(i); i += 1 }
+        i = 0
+        while (i < d) { cand(i) -= dot * c(i); i += 1 }
+      }
+      val nrm = math.sqrt(cand.map(x => x * x).sum)
+      if (nrm > 1e-8) { cols += cand.map(_ / nrm) }
+      e += 1
+    }
+    require(cols.length == d, "procrustes basis completion failed")
+  }
+
   /** Map-side rotation kernel: y = R·x for a driver-held rotation (rows
     * of `rot` are the output basis). Closure-captured like the PQ
     * codebooks — no shuffle, no join.

@@ -582,15 +582,30 @@ object Similarity {
       centroidsOpt: Option[Array[(Long, Array[Double])]] = None,
       donorsOpt: Option[Array[(Long, Array[Double])]] = None,
       residual: Boolean = false, assignGroups: Int = 0,
-      balanced: Boolean = false): Unit = {
+      balanced: Boolean = false,
+      opqRotationOpt: Option[Array[Array[Double]]] = None): Unit = {
     val spark = vecs.sparkSession
     require(!(balanced && (centroidsOpt.isDefined || donorsOpt.isDefined)),
       "writeIvfPqIndex: balanced=true derives its own permuted-space " +
         "codebooks — explicit centroids/donors would silently live in " +
         "the wrong space")
+    require(!(balanced && opqRotationOpt.isDefined),
+      "writeIvfPqIndex: balanced and opqRotationOpt are alternative " +
+        "subspace-decorrelation treatments — pick one")
+    require(!(opqRotationOpt.isDefined &&
+        (centroidsOpt.isDefined || donorsOpt.isDefined)),
+      "writeIvfPqIndex: with an OPQ rotation the codebooks are derived " +
+        "in ROTATED space — explicit centroids/donors would silently " +
+        "live in the wrong space")
+    // the rotation (an orthonormal basis — rows from EmbeddingStats
+    // .opqRotation / opqTrain) is persisted in the sidecar like `perm`:
+    // probes and appends rotate on the way in, so the caller always
+    // works in raw space and drift telemetry lives in rotated space
     val perm: Option[Array[Int]] =
       if (balanced) Some(pqBalancedPerm(vecs, idCol, vecCol, m)) else None
-    val clean = applyPerm(vecs.filter(col(vecCol).isNotNull), vecCol, perm)
+    val clean = applyRot(
+      applyPerm(vecs.filter(col(vecCol).isNotNull), vecCol, perm),
+      vecCol, opqRotationOpt)
     val centroids = centroidsOpt.getOrElse(pqDonors(clean, idCol, vecCol, nLists))
     val rawDonors = donorsOpt.getOrElse(
       pqDonors(clean, idCol, vecCol, nCodes, skip = if (residual) nLists else 0))
@@ -636,7 +651,7 @@ object Similarity {
       residual, assignGroups)
     writeIvfPqMeta(spark, path, m, centroids, donors,
       stats.getLong(0), stats.getLong(1), residual, assignGroups,
-      baseErr = baseErr, perm = perm)
+      baseErr = baseErr, perm = perm, rot = opqRotationOpt)
     // a full rebuild is the documented recovery from a crashed append or
     // rewrite — clear any stale pending marker / rewrite stash / orphaned
     // rewrite tmp so the fresh index is probe-able and compactable
@@ -664,6 +679,30 @@ object Similarity {
   private def permQuery(query: Seq[Double],
       perm: Option[Array[Int]]): Seq[Double] =
     perm.map(p => p.toIndexedSeq.map(query(_)): Seq[Double]).getOrElse(query)
+
+  /** Project `vecCol` through a stored OPQ rotation (rows of `rot` are
+    * the output basis) — identity when absent. Probes/appends against an
+    * `opq` index funnel through this, exactly the [[applyPerm]]
+    * discipline: the caller always works in raw space, the index always
+    * stores rotated space.
+    */
+  private def applyRot(df: DataFrame, vecCol: String,
+      rot: Option[Array[Array[Double]]]): DataFrame = rot match {
+    case None => df
+    case Some(r) => df.withColumn(vecCol,
+      graft.functions.EmbeddingStats.applyRotation(col(vecCol), r))
+  }
+
+  private def rotQuery(query: Seq[Double],
+      rot: Option[Array[Array[Double]]]): Seq[Double] = rot match {
+    case None => query
+    case Some(r) => r.toIndexedSeq.map { row =>
+      var s = 0.0; var i = 0
+      val n = math.min(row.length, query.length)
+      while (i < n) { s += row(i) * query(i); i += 1 }
+      s
+    }
+  }
 
   /** Each donor replaced by its residual against its own nearest centroid
     * (same argmin + tie-break as assignment — bit-consistent with the SQL
@@ -836,7 +875,8 @@ object Similarity {
       lastFp: Option[Long] = None,
       baseErr: Double = Double.NaN,
       appendErrs: Seq[Double] = Nil,
-      perm: Option[Array[Int]] = None): Unit = {
+      perm: Option[Array[Int]] = None,
+      rot: Option[Array[Array[Double]]] = None): Unit = {
     def enc(arr: Array[(Long, Array[Double])]): String = arr
       .map { case (id, v) => s"""{"id":$id,"v":${v.mkString("[", ",", "]")}}""" }
       .mkString("[", ",", "]")
@@ -848,7 +888,9 @@ object Similarity {
     val driftJson = (if (baseErr.isNaN) "" else s""""baseErr":$baseErr,""") +
       (if (appendErrs.isEmpty) ""
        else s""""appendErrs":${appendErrs.mkString("[", ",", "]")},""") +
-      perm.map(p => s""""perm":${p.mkString("[", ",", "]")},""").getOrElse("")
+      perm.map(p => s""""perm":${p.mkString("[", ",", "]")},""").getOrElse("") +
+      rot.map(r => s""""rot":${r.map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")},""").getOrElse("")
     val sidecar = s"""{"m":$m,"nLists":${centroids.length},""" +
       s""""nCodes":${donors.length},"maxId":$maxId,"nVecs":$nVecs,""" +
       s""""residual":$residual,"assignGroups":$assignGroups,$lastJson""" +
@@ -885,7 +927,8 @@ object Similarity {
     donors: Array[(Long, Array[Double])],
     last: Option[(Long, Long, Long)], lastFp: Option[Long],
     baseErr: Double, appendErrs: Seq[Double],
-    perm: Option[Array[Int]])
+    perm: Option[Array[Int]],
+    rot: Option[Array[Array[Double]]])
 
   private def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqMeta = {
@@ -945,8 +988,21 @@ object Similarity {
     val perm = "\"perm\":\\[([^\\]]*)\\]".r.findFirstMatchIn(raw)
       .map(_.group(1).trim).filter(_.nonEmpty)
       .map(_.split(",").map(_.toInt))
+    // rot is a NESTED array — scan from its key to the closing "]]"
+    val rot = {
+      val key = "\"rot\":[["
+      val start = raw.indexOf(key)
+      if (start < 0) None
+      else {
+        val stop = raw.indexOf("]]", start)
+        require(stop > start, s"$path: unterminated 'rot' in _ivfpq_meta.json")
+        Some(raw.substring(start + key.length, stop)
+          .split("\\],\\[").map(_.split(",").map(_.toDouble)))
+      }
+    }
     IvfPqMeta(m, long("maxId"), long("nVecs"), residual, assignGroups,
-      centroids, donors, last, optLong("lastFp"), baseErr, appendErrs, perm)
+      centroids, donors, last, optLong("lastFp"), baseErr, appendErrs, perm,
+      rot)
   }
 
   /** Append a batch of NEW vectors to a persisted IVF-PQ index with the
@@ -973,9 +1029,10 @@ object Similarity {
         newVecs.schema(idCol).dataType.simpleString)
     val meta = readIvfPqMeta(spark, path)
     // balanced index: the batch joins the index's permuted space here
-    val clean = applyPerm(newVecs.filter(col(vecCol).isNotNull)
+    val clean = applyRot(applyPerm(newVecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol),
-        col(vecCol).cast("array<double>").as("__v")), "__v", meta.perm)
+        col(vecCol).cast("array<double>").as("__v")), "__v", meta.perm),
+      "__v", meta.rot)
     val s = clean.agg(coalesce(min(col(idCol)), lit(Long.MaxValue)),
       coalesce(max(col(idCol)), lit(Long.MinValue)),
       sum(when(col(idCol).isNull, 1).otherwise(0)), count(lit(1)),
@@ -1030,7 +1087,7 @@ object Similarity {
       s.getLong(1), meta.nVecs + s.getLong(3), meta.residual,
       meta.assignGroups, Some(range), Some(fp), baseErr = meta.baseErr,
       appendErrs = (meta.appendErrs :+ batchErr).takeRight(64),
-      perm = meta.perm)
+      perm = meta.perm, rot = meta.rot)
     clearIvfPqPendingMarker(spark, path)
   }
 
@@ -1109,7 +1166,7 @@ object Similarity {
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
       meta.maxId, math.max(0L, meta.nVecs - removed), meta.residual,
       meta.assignGroups, meta.last, meta.lastFp, baseErr = meta.baseErr,
-      appendErrs = meta.appendErrs, perm = meta.perm)
+      appendErrs = meta.appendErrs, perm = meta.perm, rot = meta.rot)
     fs.delete(stash, true)
   }
 
@@ -1123,8 +1180,8 @@ object Similarity {
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, rawQuery: Seq[Double], k: Int, nProbe: Int = 4): DataFrame = {
     val meta = readIvfPqMeta(spark, path)
-    // balanced index: the query joins the stored permuted space here
-    val query = permQuery(rawQuery, meta.perm)
+    // balanced/opq index: the query joins the stored space here
+    val query = rotQuery(permQuery(rawQuery, meta.perm), meta.rot)
     val probed = nearestListIds(query, meta.centroids, nProbe)
     if (!meta.residual) {
       val codes = spark.read.parquet(s"$path/codes")
@@ -1731,8 +1788,10 @@ object Similarity {
       .collect().map { r =>
         require(!r.isNullAt(0),
           s"ivfPqTopKIndexedBatch requires numeric query ids; '$qIdCol' cast to null")
-        // balanced index: queries join the stored permuted space here
-        (r.getLong(0), permQuery(r.getSeq[Double](1), meta.perm).toArray)
+        // balanced/opq index: queries join the stored space here
+        (r.getLong(0),
+          rotQuery(permQuery(r.getSeq[Double](1), meta.perm), meta.rot)
+            .toArray)
       }
     require(qs.length <= maxBatch,
       s"ivfPqTopKIndexedBatch: query batch exceeds maxBatch=$maxBatch rows " +

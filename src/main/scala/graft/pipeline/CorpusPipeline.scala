@@ -40,7 +40,8 @@ object CorpusPipeline {
       minQuality: Double = 0.2, nearDupThreshold: Double = 0.8,
       valFrac: Double = 0.1, target: Option[DataFrame] = None,
       selectK: Int = 0, dsirAlpha: Double = 1.0,
-      dsirBuckets: Int = 1024): (DataFrame, DataFrame) = {
+      dsirBuckets: Int = 1024, shingleN: Int = 3, minhashK: Int = 16,
+      bands: Int = 8): (DataFrame, DataFrame) = {
     require(valFrac >= 0.0 && valFrac < 1.0,
       s"valFrac $valFrac out of [0, 1)")
     val spark = docs.sparkSession
@@ -60,7 +61,8 @@ object CorpusPipeline {
     // 1. dedup, keep the best-quality copy per near-dup cluster
     val deduped = staged("dedup",
       Dedup.dedupCorpusTransitiveBy(scored, idCol, textCol, "quality",
-        threshold = nearDupThreshold))
+        threshold = nearDupThreshold, shingleN = shingleN, k = minhashK,
+        bands = bands))
     // 2. benchmark decontamination
     val clean = staged("decontaminate",
       Curation.decontaminated(deduped, idCol, textCol, bench,

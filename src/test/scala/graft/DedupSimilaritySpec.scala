@@ -951,6 +951,79 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(occ2 == st.nVecs + 60L, s"append must be visible: $occ2")
   }
 
+  test("OPQ-rotated persisted IVF-PQ: probes equal an unrotated index " +
+      "built on pre-rotated vectors; appends rotate on the way in; the " +
+      "trained rotation's error cut survives persistence") {
+    import graft.operators.Similarity
+    import graft.functions.EmbeddingStats
+    // cross-subspace-correlated data (the shape OPQ exists for)
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), d -> " +
+          "CAST(sin(id * 2.13) * 10.0 * sin(d * 1.7 + 0.5) " +
+          "+ cos(id * 1.37) * 4.0 * cos(d * 2.9 + 1.1) " +
+          "+ 0.05 * sin(id * 7 + d * 3) AS DOUBLE))").as("embedding"))
+    val vecs = mk(0L, 200L)
+    val m = 4
+    val rot = EmbeddingStats.opqTrain(vecs, "embedding", m, nCodes = 8,
+      iters = 4).rotation
+    val opq = java.nio.file.Files.createTempDirectory("graft_opq")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", opq,
+      nLists = 4, m = m, nCodes = 8, opqRotationOpt = Some(rot))
+    // reference: unrotated build over MANUALLY rotated vectors
+    def rotate(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("vec_id"),
+      EmbeddingStats.applyRotation(col("embedding"), rot).as("embedding"))
+    val ref = java.nio.file.Files.createTempDirectory("graft_opqref")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(rotate(vecs), "vec_id", "embedding", ref,
+      nLists = 4, m = m, nCodes = 8)
+    val q: Seq[Double] = vecs.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val qr: Seq[Double] = rot.toIndexedSeq.map { row =>
+      row.toIndexedSeq.zip(q).foldLeft(0.0) { case (s, (a, b)) => s + a * b }
+    }
+    def got(path: String, qq: Seq[Double]) =
+      Similarity.ivfPqTopKIndexed(spark, path, "vec_id", qq, k = 9,
+        nProbe = 2).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got(opq, q) == got(ref, qr),
+      "rotated probe must equal unrotated probe in pre-rotated space")
+    // appends go through the stored rotation: parity survives a roll,
+    // and drift telemetry (appendErrs) is computed in rotated space
+    Similarity.appendToIvfPqIndex(mk(200L, 240L), "vec_id", "embedding", opq)
+    Similarity.appendToIvfPqIndex(rotate(mk(200L, 240L)), "vec_id",
+      "embedding", ref)
+    assert(got(opq, q) == got(ref, qr),
+      "append must encode through the stored rotation")
+    val stOpq = Similarity.ivfPqIndexStats(spark, opq)
+    val stRef = Similarity.ivfPqIndexStats(spark, ref)
+    assert(stOpq.appendErrs.nonEmpty &&
+      stOpq.appendErrs == stRef.appendErrs,
+      "drift telemetry must live in rotated space (equal to the " +
+        s"pre-rotated reference): ${stOpq.appendErrs} vs ${stRef.appendErrs}")
+    // batched probe rotates each query the same way
+    val queries = vecs.filter(col("vec_id").isin(7L, 55L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.ivfPqTopKIndexedBatch(spark, opq, "vec_id",
+        queries, "query_id", "embedding", k = 9, nProbe = 2)
+      .filter(col("query_id") === 7L)
+      .select(col("vec_id"), col("adc"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == got(opq, q),
+      "batched probe must rotate queries like the single-query path")
+    // the MEASURED payoff survives persistence: build-time baseErr of
+    // the rotated index undercuts the raw index on this data
+    val raw = java.nio.file.Files.createTempDirectory("graft_opqraw")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", raw,
+      nLists = 4, m = m, nCodes = 8)
+    val stRaw = Similarity.ivfPqIndexStats(spark, raw)
+    assert(stOpq.baseErr < stRaw.baseErr,
+      s"persisted rotation must cut quantization error: " +
+        s"opq ${stOpq.baseErr} vs raw ${stRaw.baseErr}")
+  }
+
   test("balanced persisted IVF-PQ: probes equal an unbalanced index built " +
       "on pre-permuted vectors; appends and batch probes respect the perm") {
     import graft.operators.Similarity
