@@ -592,11 +592,10 @@ object Similarity {
     require(!(balanced && opqRotationOpt.isDefined),
       "writeIvfPqIndex: balanced and opqRotationOpt are alternative " +
         "subspace-decorrelation treatments — pick one")
-    require(!(opqRotationOpt.isDefined &&
-        (centroidsOpt.isDefined || donorsOpt.isDefined)),
-      "writeIvfPqIndex: with an OPQ rotation the codebooks are derived " +
-        "in ROTATED space — explicit centroids/donors would silently " +
-        "live in the wrong space")
+    // explicit codebooks MAY accompany a rotation — they are then BY
+    // CONTRACT in rotated space (the only coherent reading: centroids,
+    // donors, and codes all live there). writeIvfPqIndexFromOpq builds
+    // them that way from a trained OpqModel.
     // the rotation (an orthonormal basis — rows from EmbeddingStats
     // .opqRotation / opqTrain) is persisted in the sidecar like `perm`:
     // probes and appends rotate on the way in, so the caller always
@@ -660,6 +659,33 @@ object Similarity {
     val sfs = stash.getFileSystem(spark.sparkContext.hadoopConfiguration)
     sfs.delete(stash, true)
     sfs.delete(new org.apache.hadoop.fs.Path(path, "_compact_tmp"), true)
+  }
+
+  /** Build a persisted IVF-PQ index from a TRAINED OPQ model
+    * ([[graft.functions.EmbeddingStats.opqTrain]]): the rotation goes to
+    * the sidecar (probes/appends rotate on the way in), and the model's
+    * per-subspace codebooks become the PQ donors — codeword c of every
+    * subspace concatenates into full-dim donor c, exactly the slice
+    * layout [[pqEncode]] reads back. Coarse centroids stay the
+    * SQL-reproducible hash selection, drawn in rotated space. This is
+    * the full Ge et al. 2013 serving path: train on a bounded shard
+    * (driver-side), apply at corpus scale through the index.
+    */
+  def writeIvfPqIndexFromOpq(vecs: DataFrame, idCol: String, vecCol: String,
+      path: String, model: graft.functions.EmbeddingStats.OpqModel,
+      nLists: Int = 16): Unit = {
+    val m = model.codebooks.length
+    require(m >= 1, "writeIvfPqIndexFromOpq: empty codebooks")
+    val nCodes = model.codebooks.head.length
+    require(model.codebooks.forall(_.length == nCodes),
+      "writeIvfPqIndexFromOpq: ragged codebooks — every subspace must " +
+        "hold the same number of codewords (train with nCodes <= the " +
+        "smallest subspace's point count)")
+    val donors = Array.tabulate(nCodes)(c =>
+      (c.toLong, model.codebooks.flatMap(b => b(c)).toArray))
+    writeIvfPqIndex(vecs, idCol, vecCol, path, nLists = nLists, m = m,
+      nCodes = nCodes, donorsOpt = Some(donors),
+      opqRotationOpt = Some(model.rotation))
   }
 
   /** Project `vecCol` through a stored dimension permutation — a literal
@@ -1559,6 +1585,17 @@ object Similarity {
     * discipline). k is driver-bounded by contract (every center is
     * collected and broadcast into the next round's comparator).
     *
+    * COST TO KNOW BEFORE CALLING: each round's localCheckpoint
+    * MATERIALIZES the surviving working set to executor storage — the
+    * operator writes ≈ k × |corpus| rows of (id, vec, dmin) over its
+    * lifetime, so a raw-corpus call costs k corpus-sized
+    * materializations (visible in the storage tab, deliberate: it is
+    * what keeps round N's plan O(1) deep instead of O(N)). That is the
+    * designed trade for a BOUNDED input — run it on a shard, not the
+    * corpus: [[kCenterPreShard]] is the standard one-liner front end,
+    * and diversity over a deterministic hash shard is the published
+    * coreset practice (spread is estimated, not exact, once sharded).
+    *
     * Deterministic and SQL-reproducible: seed = smallest Knuth-hash id
     * (the engine-wide sampler) unless `seedId` pins it; every argmax
     * ties on the smaller id. Output: (pick, id, radius) where radius =
@@ -1566,6 +1603,23 @@ object Similarity {
     * k-center cost curve, non-increasing in i; 0 for the seed. Stops
     * early (fewer than k rows) when the corpus is exhausted.
     */
+  /** Deterministic pre-shard for [[kCenterSample]] (and any other
+    * bounded-input sampler): the `n` rows with the smallest engine-wide
+    * Knuth hash of the id — a fixed-size reservoir that is a pure
+    * function of the id set, so re-runs and engines agree. One
+    * TakeOrderedAndProject (per-partition top-n + merge): no shuffle of
+    * the corpus, no full sort, no materialization. `n` is capped so the
+    * result stays a sane kCenter working set.
+    */
+  def kCenterPreShard(vecs: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 10000000,
+      s"kCenterPreShard n $n must be in [1, 1e7]")
+    vecs.orderBy(
+      pmod(pmod(col(idCol).cast("long"), lit(2147483648L)) * 2654435761L,
+        lit(4294967296L)), col(idCol))
+      .limit(n)
+  }
+
   def kCenterSample(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int, seedId: Option[Long] = None): DataFrame = {
     require(k >= 1 && k <= 256,

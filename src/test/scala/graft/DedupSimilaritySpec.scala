@@ -1024,6 +1024,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
         s"opq ${stOpq.baseErr} vs raw ${stRaw.baseErr}")
   }
 
+  test("writeIvfPqIndexFromOpq: trained codebooks beat hash donors under " +
+      "the same rotation; probes and appends ride the standard machinery") {
+    import graft.operators.Similarity
+    import graft.functions.EmbeddingStats
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi)
+      .select(col("id").as("vec_id"),
+        expr("transform(sequence(0, 15), d -> " +
+          "CAST(sin(id * 2.13) * 10.0 * sin(d * 1.7 + 0.5) " +
+          "+ cos(id * 1.37) * 4.0 * cos(d * 2.9 + 1.1) " +
+          "+ 0.05 * sin(id * 7 + d * 3) AS DOUBLE))").as("embedding"))
+    val vecs = mk(0L, 200L)
+    val model = EmbeddingStats.opqTrain(vecs, "embedding", 4, nCodes = 8,
+      iters = 4)
+    val full = java.nio.file.Files.createTempDirectory("graft_opqfull")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndexFromOpq(vecs, "vec_id", "embedding", full,
+      model, nLists = 4)
+    // same rotation, hash-selected donors: the trained codebooks must
+    // reconstruct strictly better (k-means vs arbitrary data points)
+    val hashed = java.nio.file.Files.createTempDirectory("graft_opqhash")
+      .resolve("idx").toString
+    Similarity.writeIvfPqIndex(vecs, "vec_id", "embedding", hashed,
+      nLists = 4, m = 4, nCodes = 8,
+      opqRotationOpt = Some(model.rotation))
+    val stFull = Similarity.ivfPqIndexStats(spark, full)
+    val stHash = Similarity.ivfPqIndexStats(spark, hashed)
+    assert(stFull.baseErr < stHash.baseErr,
+      s"trained codebooks must beat hash donors: ${stFull.baseErr} vs " +
+        s"${stHash.baseErr}")
+    // probe sanity + append through the stored rotation
+    val q: Seq[Double] = vecs.filter(col("vec_id") === 7L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val top = Similarity.ivfPqTopKIndexed(spark, full, "vec_id", q, k = 9,
+      nProbe = 2).collect().map(_.getLong(0))
+    assert(top.length == 9 && top.contains(7L),
+      s"probe must surface the query's own vector: ${top.toSeq}")
+    Similarity.appendToIvfPqIndex(mk(200L, 240L), "vec_id", "embedding", full)
+    assert(Similarity.ivfPqIndexStats(spark, full).nVecs == 240L)
+  }
+
   test("balanced persisted IVF-PQ: probes equal an unbalanced index built " +
       "on pre-permuted vectors; appends and batch probes respect the perm") {
     import graft.operators.Similarity
@@ -1377,6 +1417,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val tiny = Similarity.kCenterSample(
       vecs.filter(col("vec_id") < 3), "vec_id", "embedding", 8)
     assert(tiny.count() == 3, "k beyond corpus size must stop early")
+  }
+
+  test("kCenterPreShard: exact-size deterministic reservoir; the seed " +
+      "is shard-invariant; bounds enforced") {
+    import graft.operators.Similarity
+    val vecs = (0L until 500L).map(i => (i, (0 until 4).map(d =>
+      (i % 37).toDouble + d))).toDF("vec_id", "embedding")
+    val shard = Similarity.kCenterPreShard(vecs, "vec_id", 50)
+    assert(shard.count() == 50)
+    val ids = shard.collect().map(_.getLong(0)).toSet
+    val again = Similarity.kCenterPreShard(vecs, "vec_id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == again, "pre-shard must be a pure function of the id set")
+    // n >= corpus keeps everything
+    assert(Similarity.kCenterPreShard(vecs, "vec_id", 1000).count() == 500)
+    // the pre-shard hash IS the seed-selection hash, so sampling the
+    // shard starts from the same seed as sampling the corpus
+    val seedAll = Similarity.kCenterSample(vecs, "vec_id", "embedding", 1)
+      .collect()(0).getLong(1)
+    val seedShard = Similarity.kCenterSample(shard, "vec_id", "embedding", 1)
+      .collect()(0).getLong(1)
+    assert(seedAll == seedShard,
+      s"shard seed $seedShard must equal corpus seed $seedAll")
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterPreShard(vecs, "vec_id", 0)
+    }
   }
 
   test("recallAtK: counts approx∩exact per query; dropped queries score 0") {

@@ -24,6 +24,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * recompute the whole bilinear application from the node formulas as a
   * relation. Validating one national grid against PROJ on a networked
   * machine remains the right first step before production use.
+  *
+  * Round-10 re-check: the container has no `proj`/`cs2cs`/`pyproj`, no
+  * PROJ resource dir, and no `.gsb` file anywhere on disk, and typing
+  * in "published" node values from memory would risk fabricated
+  * constants — strictly worse than the stated gap. The gap therefore
+  * stays open BY CHOICE until a networked validation can import a real
+  * vector verbatim with its source citation.
   */
 class Ntv2Spec extends AnyFunSuite {
 
