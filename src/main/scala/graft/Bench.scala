@@ -298,12 +298,19 @@ object Bench {
           .getBytes("UTF-8"))
     } catch { case _: Throwable => }
 
-    // Compact driver line: qNN keys, centisecond precision, median values.
-    val qs = med.map { case (k, v) => s""""${shortKey(k)}":${cs(v)}""" }
+    // Compact driver line. At 149 queries the old "qNN":secs.cc encoding
+    // (~13 chars/query) overflowed the 1800-char guard and degraded to
+    // groups-only (BENCH_r09 shipped without per-query detail) — so the
+    // per-query map now uses bare numeric keys and INTEGER CENTISECOND
+    // values ("148":1384 = q148 at 13.84 s), ~9 chars/query, declared by
+    // "qunit":"cs" in the line itself. Full-precision full-name timings
+    // stay in BENCH_LOCAL.json.
+    val qs = med.map { case (k, v) =>
+        s""""${shortKey(k).drop(1)}":${math.round(v * 100)}""" }
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""n":${med.size},"runs":${passes.size},"forked":$forked,""" +
-      s""""warm":${warmDir(sfDir).isDefined},""" +
+      s""""warm":${warmDir(sfDir).isDefined},"qunit":"cs",""" +
       s""""groups":$groupJson,"queries":$qs,"sf":"$sfDir"}"""
     // never abort after the queries already ran: if the per-query blob
     // would overflow the driver's 2000-char tail capture, degrade to the
