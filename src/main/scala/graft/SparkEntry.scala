@@ -2159,6 +2159,29 @@ object SparkEntry {
           col("rows_out").as("b")))
     }),
 
+    // BLOOM membership — the third sketch-family member: filter built
+    // from the "already ingested" id set (doc_id % 3 = 0), then EVERY
+    // doc probed against it. mBits=1024 at ~170 history keys ≈ 0.5 fill,
+    // so the probe set exercises true members (never false-negative),
+    // true negatives AND a measurable false-positive band — all gated
+    // exactly, since registers and probe bits are integer arithmetic in
+    // both engines (affine salts 300+i over the engine-wide poly hash).
+    "q150_bloom_membership" -> ((s, dir) => {
+      import graft.functions.Sketches
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").cast("string").as("k"))
+      val regs = Sketches.bloomRegisters(hist, "k", mBits = 1024, kHashes = 4)
+      val probes = docs.select(col("doc_id").cast("string").as("k"))
+      val mc = Sketches.bloomMightContain(probes, "k", regs,
+        mBits = 1024, kHashes = 4)
+      regs.select(lit("bit").as("kind"), col("bit").cast("long").as("k"),
+          lit(1L).as("v"))
+        .unionByName(mc.select(lit("probe").as("kind"),
+          col("k").cast("long").as("k"),
+          when(col("might_contain"), 1L).otherwise(0L).as("v")))
+    }),
+
     // PERSISTED OPQ-ROTATED IVF-PQ: q106's pipeline with a rotation in
     // the sidecar — build rotates once, the probe rotates the query on
     // the way in, codes/codebooks live entirely in rotated space. The
@@ -3264,6 +3287,42 @@ object SparkEntry {
         |  JOIN qt q2 ON q2.j = c.j AND q2.did = c.code GROUP BY c.vec_id)
         |SELECT vec_id, round(adc, 6) AS adc
         |FROM adc ORDER BY adc ASC, vec_id LIMIT 10""".stripMargin,
+
+    // Bloom registers + probes in pure integer arithmetic: poly hash of
+    // the id STRING, affine salts 300..303, quadratic mix, mod 1024.
+    // Per-key probe bits keep duplicates (two hashes can share a bit),
+    // matching the engine's sum-of-matches == kHashes rule.
+    "q150_bloom_membership" ->
+      raw"""WITH hist AS (SELECT CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |hbase AS (SELECT list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(regexp_extract_all(s, '.'),
+        |      c -> ascii(c)::BIGINT)),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS base FROM hist),
+        |hb AS (SELECT DISTINCT (h * h % 1000000007 + h) % 1000000007
+        |    % 1024 AS bit
+        |  FROM (SELECT ((((2 * (300 + i) + 1) * 104729) % 1000000007)
+        |      * base + ((300 + i) * 12582917 + 7) % 1000000007)
+        |      % 1000000007 AS h
+        |    FROM hbase CROSS JOIN range(4) t(i))),
+        |probes AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents),
+        |pbase AS (SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(regexp_extract_all(s, '.'),
+        |      c -> ascii(c)::BIGINT)),
+        |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS base FROM probes),
+        |pb AS (SELECT doc_id, (h * h % 1000000007 + h) % 1000000007
+        |    % 1024 AS bit
+        |  FROM (SELECT doc_id, ((((2 * (300 + i) + 1) * 104729)
+        |      % 1000000007) * base + ((300 + i) * 12582917 + 7)
+        |      % 1000000007) % 1000000007 AS h
+        |    FROM pbase CROSS JOIN range(4) t(i))),
+        |mc AS (SELECT p.doc_id,
+        |  CAST(CASE WHEN count(hb.bit) = 4 THEN 1 ELSE 0 END AS BIGINT) AS v
+        |  FROM pb p LEFT JOIN hb ON hb.bit = p.bit GROUP BY p.doc_id)
+        |SELECT 'bit' AS kind, CAST(bit AS BIGINT) AS k, 1::BIGINT AS v
+        |FROM hb
+        |UNION ALL SELECT 'probe', doc_id, v FROM mc""".stripMargin,
 
     // The composed chain: q102's dedup machinery (keep-best by the q147
     // quality formula), q69's trigram decontamination over the SURVIVOR

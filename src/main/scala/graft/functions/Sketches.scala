@@ -230,4 +230,90 @@ object Sketches {
       .groupBy(col("key"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  // ------------------------------------------------------------- bloom
+
+  /** Bloom filter register relation: (bit) — the DISTINCT set bit
+    * positions of an `mBits`-bit filter with `kHashes` hash functions
+    * (affine salts 300+i over the engine-wide polynomial hash, so the
+    * relation is SQL-reproducible like the HLL/CMS registers). The
+    * third member of the membership-sketch family: HLL answers "how
+    * many distinct", CMS "how often", Bloom "have we seen THIS one" —
+    * the crawl-frontier / historical-id-set primitive that replaces an
+    * anti-join against 100 TB of history with a broadcast against
+    * ≤ mBits rows.
+    *
+    * Scale shape: one map-side explode to kHashes bits per key + one
+    * partial-aggregated distinct — at most min(n·k, mBits) rows ever
+    * shuffle, and the OUTPUT is ≤ mBits rows no matter the corpus.
+    * Mergeable by union+distinct (bitwise OR): associative, commutative
+    * AND idempotent, so shard redelivery is harmless by algebra (the
+    * HLL property, not the CMS one).
+    */
+  def bloomRegisters(df: DataFrame, keyCol: String, mBits: Int = 65536,
+      kHashes: Int = 4): DataFrame = {
+    require(mBits >= 64 && mBits <= (1 << 27),
+      s"bloom mBits $mBits not in [64, 2^27]")
+    require(kHashes >= 1 && kHashes <= 16,
+      s"bloom kHashes $kHashes not in [1, 16]")
+    val h = udf { (s: String) =>
+      val base = TextFns.polyHash(s)
+      Array.tabulate(kHashes)(i =>
+        (mix(TextFns.minhashPerm(300 + i, base)) % mBits).toInt)
+    }
+    df.filter(col(keyCol).isNotNull)
+      .select(explode(h(col(keyCol).cast("string"))).as("bit"))
+      .distinct()
+  }
+
+  /** Merge Bloom register relations (shards, days, sources) by bitwise
+    * OR = union + distinct. Idempotent, so re-merging an already-merged
+    * shard is a no-op. Schema-guarded like [[hllMerge]] so a mis-shaped
+    * relation fails loudly instead of merging wrong.
+    */
+  def bloomMerge(regs: Seq[DataFrame]): DataFrame = {
+    require(regs.nonEmpty, "bloomMerge: no register relations")
+    regs.foreach { r =>
+      require(r.columns.toSeq == Seq("bit"),
+        s"bloomMerge: register relation has columns ${r.columns.toSeq} — " +
+          "expected exactly (bit)")
+    }
+    regs.reduce(_ unionByName _).distinct()
+  }
+
+  /** Membership test for a key RELATION against a Bloom register
+    * relation: might_contain = every one of the key's kHashes bits is
+    * set. No false negatives; false-positive odds ≈ (setBits/mBits)^k
+    * ([[bloomFpEstimate]]). The register side is broadcast (≤ mBits
+    * rows), the keys side streams — one map-side explode + broadcast
+    * semi-join + count-match per key, so probing 100 TB of candidates
+    * against the filter is a single scan of the candidates.
+    */
+  def bloomMightContain(keys: DataFrame, keyCol: String,
+      registers: DataFrame, mBits: Int = 65536,
+      kHashes: Int = 4): DataFrame = {
+    val h = udf { (s: String) =>
+      val base = TextFns.polyHash(s)
+      Array.tabulate(kHashes)(i =>
+        (mix(TextFns.minhashPerm(300 + i, base)) % mBits).toInt)
+    }
+    keys.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), explode(h(col(keyCol).cast("string"))).as("bit"))
+      .join(broadcast(registers.withColumn("__set", lit(1))),
+        Seq("bit"), "left")
+      .groupBy(col(keyCol))
+      .agg((sum(coalesce(col("__set"), lit(0))) === kHashes)
+        .as("might_contain"))
+  }
+
+  /** False-positive odds of a Bloom register relation from its ACTUAL
+    * fill: (setBits/mBits)^k, 6-dp rounded — deterministic from the
+    * relation, no n assumption. One row (set_bits, fp_est).
+    */
+  def bloomFpEstimate(registers: DataFrame, mBits: Int = 65536,
+      kHashes: Int = 4): DataFrame =
+    registers.agg(count(lit(1)).as("set_bits"))
+      .select(col("set_bits"),
+        round(pow(col("set_bits").cast("double") / mBits.toDouble, kHashes),
+          6).as("fp_est"))
 }

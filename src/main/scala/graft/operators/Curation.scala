@@ -663,7 +663,11 @@ object Curation {
     * single score value per group — lattice collisions, not the group.
     * CONTRACT: `scoreCol` must be lattice-valued (rounded/discrete); a
     * continuous score makes stage 1's aggregate corpus-sized — round
-    * it, or run [[graft.operators.Ops.histogramQuantiles]] first.
+    * it, or run [[graft.operators.Ops.histogramQuantiles]] first. It
+    * must also be NON-NULL: the window form ranks nulls first, but here
+    * a null threshold score would null out the broadcast comparisons
+    * and silently drop the boundary — filter or impute nulls upstream
+    * (the q147 quality score is non-null by construction).
     * percent_rank edge semantics match exactly: a 1-row group has
     * percent_rank 0 (kept only when p ≤ 0), and p = 1 keeps exactly
     * the (score, id)-maximal row.

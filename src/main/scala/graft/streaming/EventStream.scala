@@ -280,6 +280,33 @@ object EventStream {
       }
       .start()
 
+  /** Continuous membership maintenance: Bloom register bits merge by OR
+    * (max over a constant-1 marker column, so the relation rides
+    * [[sketchBatch]]'s crash-safe swap unchanged). Like the HLL, the
+    * replay guard is belt-and-braces — OR is idempotent by algebra. The
+    * persisted relation at `path/registers` is (bit, set); strip `set`
+    * (or ignore it) when feeding [[graft.functions.Sketches
+    * .bloomMightContain]].
+    */
+  def bloomSketchStream(stream: DataFrame, path: String, keyCol: String,
+      mBits: Int, kHashes: Int, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        releasingBlocks(b.sparkSession) {
+          sketchBatch(path, keyCol,
+            batch => graft.functions.Sketches
+              .bloomRegisters(batch, keyCol, mBits, kHashes)
+              .withColumn("set", lit(1)),
+            (df, cells, v) => df.groupBy(cells.map(col): _*)
+              .agg(max(col(v)).as(v)),
+            Seq("bit"), "set")(b.toDF(), id)
+        }
+      }
+      .start()
+
   /** Continuous per-key frequency telemetry: count-min registers merge by
     * SUM — correct only because [[sketchBatch]]'s replay guard makes each
     * micro-batch apply exactly once.

@@ -100,6 +100,44 @@ class SketchesSpec extends AnyFunSuite {
       "grouped shard merge must equal the whole per-group sketch")
   }
 
+  test("bloom: no false negatives ever; fp rate tracks the fill estimate; " +
+      "shard merge is idempotent OR; schema guard") {
+    val members = (0 until 400).map(i => s"key$i").toDF("k")
+    val regs = Sketches.bloomRegisters(members, "k", mBits = 4096,
+      kHashes = 4)
+    val nBits = regs.count()
+    assert(nBits > 0 && nBits <= 1600, s"set bits $nBits")
+    // every member must test positive — the Bloom contract
+    val flags = Sketches.bloomMightContain(members, "k", regs,
+        mBits = 4096, kHashes = 4)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(flags.size == 400 && flags.values.forall(identity),
+      "a Bloom filter must NEVER false-negative")
+    // non-members: fp frequency within ~3x of the fill estimate
+    val others = (0 until 2000).map(i => s"other$i").toDF("k")
+    val fp = Sketches.bloomMightContain(others, "k", regs,
+        mBits = 4096, kHashes = 4)
+      .filter(col("might_contain")).count()
+    val est = Sketches.bloomFpEstimate(regs, mBits = 4096, kHashes = 4)
+      .collect()(0)
+    assert(est.getLong(0) == nBits)
+    val fpEst = est.getDouble(1)
+    assert(fp <= math.max(6.0, 3.0 * fpEst * 2000),
+      s"fp count $fp vs estimate ${fpEst * 2000}")
+    // shard merge = whole-corpus filter, and re-merging a shard no-ops
+    val a = Sketches.bloomRegisters(members.limit(250), "k", 4096, 4)
+    val b = Sketches.bloomRegisters(
+      members.exceptAll(members.limit(250)), "k", 4096, 4)
+    val whole = regs.collect().map(_.getInt(0)).toSet
+    assert(Sketches.bloomMerge(Seq(a, b)).collect()
+      .map(_.getInt(0)).toSet == whole)
+    assert(Sketches.bloomMerge(Seq(a, b, a)).collect()
+      .map(_.getInt(0)).toSet == whole, "OR-merge must be idempotent")
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMerge(Seq(members))
+    }
+  }
+
   test("hllIntersect: inclusion-exclusion tracks true overlap; disjoint " +
       "sets clamp to ~0") {
     // A = keys 0..299, B = keys 200..499 → true intersection 100

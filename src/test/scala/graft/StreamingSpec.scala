@@ -177,6 +177,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(est >= 3, s"key5 appears 3 times, CMS must not undercount: $est")
   }
 
+  test("bloomSketchStream: streamed OR-merged bits equal the one-shot " +
+      "batch filter; members stay positive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.functions.Sketches
+    val base = java.nio.file.Files.createTempDirectory("graft_bloomstream")
+    val path = base.resolve("bloom").toString
+    val all = (0 until 300).map(i => Doc(i.toLong, s"url$i"))
+    val input = MemoryStream[Doc]
+    val q = EventStream.bloomSketchStream(input.toDF(), path, "text",
+      mBits = 4096, kHashes = 4, base.resolve("c").toString)
+    try {
+      input.addData(all.take(120): _*); q.processAllAvailable()
+      input.addData(all.drop(120): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$path/registers")
+      .select("bit").collect().map(_.getInt(0)).toSet
+    val batch = Sketches.bloomRegisters(
+        all.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), "text",
+        mBits = 4096, kHashes = 4)
+      .collect().map(_.getInt(0)).toSet
+    assert(streamed == batch,
+      "streamed Bloom bits must equal the one-shot batch filter")
+    val flags = Sketches.bloomMightContain(
+        all.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), "text",
+        spark.read.parquet(s"$path/registers").select("bit"),
+        mBits = 4096, kHashes = 4)
+      .collect().map(_.getBoolean(1))
+    assert(flags.length == 300 && flags.forall(identity),
+      "every streamed member must probe positive")
+  }
+
   test("sketchBatch crash recovery: every swap window rolls forward or " +
       "back; CMS sums are never lost or double-counted") {
     import spark.implicits._
