@@ -2182,6 +2182,92 @@ object SparkEntry {
           when(col("might_contain"), 1L).otherwise(0L).as("v")))
     }),
 
+    // REAL BPE vocabulary training (Sennrich et al. 2016) — the merge
+    // table (4 steps, argmax pair by weighted count with (cnt DESC, left,
+    // right) tiebreak) plus the resulting subword vocabulary with summed
+    // frequencies. One corpus shuffle (word counts); every iteration runs
+    // on the vocabulary-sized relation. All-integer/string, so the oracle
+    // replays training exactly with 4 unrolled CTE steps.
+    "q151_bpe_train" -> ((s, dir) => {
+      import graft.functions.Bpe
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", nMerges = 4)
+      val mdf = merges.map(m => (m.step.toLong, m.left, m.right, m.pairCount))
+        .toDF("step", "a", "b", "n")
+        .select(lit("merge").as("kind"), col("step"), col("a"), col("b"),
+          col("n"))
+      val vocab = Bpe.vocabAfter(docs, "text", merges)
+        .select(lit("sym").as("kind"), lit(4L).as("step"),
+          col("symbol").as("a"), lit("").as("b"), col("freq").as("n"))
+      mdf.unionByName(vocab)
+    }),
+
+    // MODEL-BASED QUALITY FILTERING, trained in-engine: batch perceptron
+    // over integer surface features (bias, tokens, punct chars, digits,
+    // stopword hits) against the lang=en label — the scale shape of the
+    // fastText-style classifier stage in published curation pipelines.
+    // 3 epochs; each epoch is ONE map-side-combined aggregation (5 longs
+    // to the driver). Exact integer arithmetic end to end, so weights and
+    // every per-doc decision replay bit-identically in the oracle.
+    "q152_perceptron_quality" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val f = QualityModel.docFeatures(docs, "text")
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(lit(-1L)))
+        .select((Seq("doc_id", "y") ++ QualityModel.featureCols).map(col): _*)
+        .localCheckpoint() // 3 epochs + predict share one materialization
+      val w = QualityModel.perceptronTrain(f, "y", QualityModel.featureCols,
+        epochs = 3)
+      val wdf = w.zipWithIndex.map { case (wi, j) => (j.toLong, wi) }
+        .toDF("k", "v").select(lit("w").as("kind"), col("k"), col("v"))
+      val preds = QualityModel.perceptronPredict(f, w,
+          QualityModel.featureCols)
+        .select(lit("pred").as("kind"), col("doc_id").as("k"),
+          col("pred").as("v"))
+      wdf.unionByName(preds)
+    }),
+
+    // CONTENT-DEFINED CHUNKING (LBFS/FastCDC family): boundaries where a
+    // local 3-gram rolling hash divides 32, so an insertion early in a
+    // doc shifts no later chunk identity — chunk-hash dedup then catches
+    // shared tails whole-doc hashing misses. One narrow map per doc + one
+    // map-side-combined agg on the chunk hash. Integer-exact throughout.
+    "q153_cdc_chunks" -> ((s, dir) => {
+      import graft.operators.ContentChunks
+      val docs = t(s, dir, "documents")
+      val chunks = ContentChunks.cdcChunks(docs, "doc_id", "text",
+        n = 3, divisor = 32)
+      val perDoc = chunks.groupBy("doc_id").agg(count(lit(1)).as("a"))
+        .select(lit("doc").as("kind"), col("doc_id").as("k"), col("a"),
+          lit(0L).as("b"))
+      val dups = ContentChunks.cdcSharedChunks(chunks, minDocs = 2)
+        .select(lit("dup").as("kind"), col("chash").as("k"),
+          col("n_docs").as("a"), col("n_occ").as("b"))
+      perDoc.unionByName(dups)
+    }),
+
+    // WINNOWING (Schleimer et al. 2003, the MOSS fingerprint): rightmost
+    // minimum of every 8-window of 5-gram hashes — any shared substring
+    // of >= 12 tokens guarantees a shared fingerprint. Fingerprint
+    // density is bounded (~2/w per position), so the relation stays
+    // ~len/4 per doc at any scale; the shared-hash report is one
+    // map-side-combined agg.
+    "q154_winnow_fingerprints" -> ((s, dir) => {
+      import graft.operators.ContentChunks
+      val docs = t(s, dir, "documents")
+      val fps = ContentChunks.winnowFingerprints(docs, "doc_id", "text",
+        k = 5, w = 8)
+      val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("a"))
+        .select(lit("fp").as("kind"), col("doc_id").as("k"), col("a"),
+          lit(0L).as("b"))
+      val shared = ContentChunks.winnowShared(fps, minDocs = 2)
+        .select(lit("shared").as("kind"), col("fhash").as("k"),
+          col("n_docs").as("a"), col("n_occ").as("b"))
+      perDoc.unionByName(shared)
+    }),
+
     // PERSISTED OPQ-ROTATED IVF-PQ: q106's pipeline with a rotation in
     // the sidecar — build rotates once, the probe rotates the query on
     // the way in, codes/codebooks live entirely in rotated space. The
@@ -2846,7 +2932,194 @@ object SparkEntry {
        |  FROM it8)""".stripMargin
   }
 
+  /** One unrolled BPE training step for the q151 oracle: pair counts over
+    * the bracket-encoded vocabulary (lateral range over the symbol list,
+    * 1-based, overlapping adjacent pairs), deterministic argmax, literal
+    * left-to-right replace — the exact recipe of `Bpe.train`.
+    */
+  private def bpeStepSql(k: Int): String =
+    raw"""p$k AS (SELECT s[i] AS a, s[i + 1] AS b,
+       |    CAST(sum(freq) AS BIGINT) AS c
+       |  FROM (SELECT freq, s, unnest(range(1, len(s))) AS i
+       |    FROM (SELECT freq, regexp_extract_all(enc, '<([^>]*)>', 1) AS s
+       |      FROM e${k - 1}))
+       |  GROUP BY 1, 2),
+       |b$k AS (SELECT a, b, c FROM p$k ORDER BY c DESC, a ASC, b ASC
+       |  LIMIT 1),
+       |e$k AS (SELECT freq,
+       |    replace(enc, '<' || b$k.a || '><' || b$k.b || '>',
+       |      '<' || b$k.a || b$k.b || '>') AS enc
+       |  FROM e${k - 1} CROSS JOIN b$k)""".stripMargin
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val steps = (1 to nMerges).map(bpeStepSql).mkString(",\n")
+    val mergeRows = (1 to nMerges).map { k =>
+      if (k == 1)
+        s"SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS step, a, b, c AS n FROM b1"
+      else s"UNION ALL SELECT 'merge', $k, a, b, c FROM b$k"
+    }.mkString("\n")
+    raw"""WITH toks AS (SELECT
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
+       |e0 AS (SELECT freq, regexp_replace(word, '(.)', '<\1>', 'g') AS enc
+       |  FROM w0),
+       |$steps,
+       |vocab AS (SELECT sym AS a, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM (SELECT freq,
+       |    unnest(regexp_extract_all(enc, '<([^>]*)>', 1)) AS sym
+       |    FROM e$nMerges)
+       |  GROUP BY sym)
+       |$mergeRows
+       |UNION ALL SELECT 'sym', $nMerges, a, '', n FROM vocab""".stripMargin
+  }
+
+  /** The engine-wide polynomial hash as a DuckDB expression over `s`. */
+  private def phSql(s: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, " +
+    s"list_transform(regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT))," +
+    s" (acc, ch) -> (acc * 31 + ch) % 1000000007)"
+
+  /** q153 oracle: CDC boundaries (0-based gram positions p ≥ 1 whose
+    * 3-gram hash divides), spans via lead() per doc, chunk content hash —
+    * `ContentChunks.cdcChunks` replayed literally.
+    */
+  private def cdcOracleSql(n: Int, dv: Int): String =
+    raw"""WITH base AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |grams AS (SELECT doc_id,
+       |    unnest(list_transform(range(2, len(w) - $n + 2), p -> p - 1))
+       |      AS pos,
+       |    unnest(list_transform(range(2, len(w) - $n + 2),
+       |      p -> array_to_string(w[p:p + $n - 1], ' '))) AS gram
+       |  FROM base WHERE len(w) >= $n + 1),
+       |bnd AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+       |    ${phSql("gram")} AS h FROM grams) WHERE h % $dv = 0),
+       |starts AS (SELECT doc_id, 0 AS s FROM base
+       |  UNION ALL SELECT doc_id, pos FROM bnd),
+       |spans AS (SELECT st.doc_id, st.s,
+       |    coalesce(lead(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
+       |      len(b.w)) AS e, b.w
+       |  FROM starts st JOIN base b ON b.doc_id = st.doc_id),
+       |chunks AS (SELECT doc_id, s, e,
+       |    ${phSql("array_to_string(w[s + 1:e], ' ')")} AS chash
+       |  FROM spans),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS a
+       |  FROM chunks GROUP BY doc_id),
+       |dups AS (SELECT chash, CAST(count(DISTINCT doc_id) AS BIGINT) AS a,
+       |    CAST(count(*) AS BIGINT) AS b
+       |  FROM chunks GROUP BY chash HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT 'doc' AS kind, doc_id AS k, a, CAST(0 AS BIGINT) AS b
+       |FROM perdoc
+       |UNION ALL SELECT 'dup', chash, a, b FROM dups""".stripMargin
+
+  /** q154 oracle: winnowing's rightmost-minimum per window — frame min,
+    * then a ranged join back to pick the rightmost position at that
+    * minimum; short docs (m ≤ w) take the whole-stream minimum.
+    */
+  private def winnowOracleSql(k: Int, w: Int): String =
+    raw"""WITH base AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w) - $k + 2), p -> p - 1))
+       |      AS pos,
+       |    unnest(list_transform(range(1, len(w) - $k + 2),
+       |      p -> array_to_string(w[p:p + $k - 1], ' '))) AS gram
+       |  FROM base WHERE len(w) >= $k
+       |  UNION ALL
+       |  SELECT doc_id, 0 AS pos, array_to_string(w, ' ') AS gram
+       |  FROM base WHERE len(w) < $k),
+       |g AS (SELECT doc_id, pos, ${phSql("gram")} AS h FROM grams),
+       |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM g
+       |  GROUP BY doc_id),
+       |smn AS (SELECT g.doc_id, min(g.h) AS mn
+       |  FROM g JOIN cnt c ON c.doc_id = g.doc_id
+       |  WHERE c.m <= $w GROUP BY g.doc_id),
+       |smallfp AS (SELECT g.doc_id, max(g.pos) AS pos, s.mn AS h
+       |  FROM g JOIN smn s ON g.doc_id = s.doc_id AND g.h = s.mn
+       |  GROUP BY g.doc_id, s.mn),
+       |wst AS (SELECT g.doc_id, g.pos AS s, c.m,
+       |    min(g.h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mn
+       |  FROM g JOIN cnt c ON c.doc_id = g.doc_id WHERE c.m > $w),
+       |sel AS (SELECT t.doc_id, t.s, t.mn, max(g2.pos) AS pos
+       |  FROM (SELECT * FROM wst WHERE s <= m - $w) t
+       |  JOIN g g2 ON g2.doc_id = t.doc_id
+       |    AND g2.pos BETWEEN t.s AND t.s + ${w - 1} AND g2.h = t.mn
+       |  GROUP BY t.doc_id, t.s, t.mn),
+       |fps AS (SELECT DISTINCT doc_id, pos, mn AS h FROM sel
+       |  UNION SELECT doc_id, pos, h FROM smallfp),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS a FROM fps
+       |  GROUP BY doc_id),
+       |shared AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS a,
+       |    CAST(count(*) AS BIGINT) AS b
+       |  FROM fps GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+       |SELECT 'fp' AS kind, doc_id AS k, a, CAST(0 AS BIGINT) AS b
+       |FROM perdoc
+       |UNION ALL SELECT 'shared', h, a, b FROM shared""".stripMargin
+
+  /** Unrolled batch-perceptron oracle for q152: the feature CTE mirrors
+    * `QualityModel.docFeatures` count-for-count; each epoch CTE recomputes
+    * the exact integer update w ← w + Σ_{y(w·x)≤0} y·x.
+    */
+  private def perceptronOracleSql(epochs: Int): String = {
+    val d = 5
+    val js = 0 until d
+    def dotW(alias: String) =
+      js.map(j => s"$alias.w$j * x$j").mkString(" + ")
+    val feats =
+      raw"""f AS (SELECT doc_id,
+         |  CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y,
+         |  CAST(1 AS BIGINT) AS x0,
+         |  CAST(CASE WHEN trim(text) = '' THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+         |    AS BIGINT) AS x1,
+         |  CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+         |    AS BIGINT) AS x2,
+         |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+         |    AS BIGINT) AS x3,
+         |  CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+         |    t -> lower(t) IN ('the','a','an','and','or','of','to','in',
+         |      'is','it','for','on','with','as','at','by','this','that')))
+         |    AS BIGINT) AS x4
+         |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+    val w0 = "w0 AS (SELECT " +
+      js.map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ") + ")"
+    val steps = (1 to epochs).map { e =>
+      val g = s"g$e AS (SELECT\n" + js.map(j =>
+        s"  CAST(coalesce(sum(CASE WHEN y * (${dotW("w")}) <= 0" +
+        s" THEN y * x$j ELSE 0 END), 0) AS BIGINT) AS d$j")
+        .mkString(",\n") + s"\n  FROM f CROSS JOIN w${e - 1} w)"
+      val w = s"w$e AS (SELECT " +
+        js.map(j => s"w.w$j + g.d$j AS w$j").mkString(", ") +
+        s" FROM w${e - 1} w CROSS JOIN g$e g)"
+      g + ",\n" + w
+    }.mkString(",\n")
+    val wRows = js.map { j =>
+      if (j == 0)
+        s"SELECT 'w' AS kind, CAST(0 AS BIGINT) AS k, w0 AS v FROM w$epochs"
+      else s"UNION ALL SELECT 'w', $j, w$j FROM w$epochs"
+    }.mkString("\n")
+    raw"""WITH $feats,
+       |$w0,
+       |$steps,
+       |pred AS (SELECT doc_id,
+       |  CAST(CASE WHEN (${dotW("w")}) > 0 THEN 1 ELSE -1 END AS BIGINT)
+       |    AS v
+       |  FROM f CROSS JOIN w$epochs w)
+       |$wRows
+       |UNION ALL SELECT 'pred', doc_id, v FROM pred""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q151_bpe_train" -> bpeOracleSql(4),
+    "q152_perceptron_quality" -> perceptronOracleSql(3),
+    "q153_cdc_chunks" -> cdcOracleSql(3, 32),
+    "q154_winnow_fingerprints" -> winnowOracleSql(5, 8),
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -61,6 +61,12 @@ object TextFns {
 
   private val stopwordHits = hitCountUdf(stopwords.toSet, lowercase = true)
 
+  /** Integer stopword-hit count over whitespace tokens (0 for blank text,
+    * null for null) — the exact-count form of [[stopwordRatio]], used as a
+    * classifier feature where an integer keeps the gate order-independent.
+    */
+  def stopwordHitCount(text: Column): Column = stopwordHits(tokens(text))
+
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
     when(size(toks) === 0, 0.0)

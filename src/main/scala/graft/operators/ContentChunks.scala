@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Shift-resistant chunk/fingerprint primitives for corpus dedup:
+  *
+  *   - Content-defined chunking (CDC): cut each document into chunks at
+  *     positions where a local rolling hash satisfies a divisor condition
+  *     (Muthitacharoen, Chen & Mazières 2001, LBFS; the basic form of
+  *     FastCDC, Xia et al. 2016). Because boundaries depend only on LOCAL
+  *     content, inserting a paragraph early in a document shifts no later
+  *     chunk identity — exact-hash chunk dedup then catches shared tails
+  *     that whole-doc hashing misses.
+  *   - Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+  *     MOSS algorithm): from every window of `w` consecutive k-gram
+  *     hashes select the rightmost minimum; the selected (pos, hash) set
+  *     is a provably bounded-density fingerprint of the document,
+  *     position-robust, and any shared substring of length ≥ w + k − 1
+  *     guarantees a shared fingerprint.
+  *
+  * Both kernels are single JVM passes over the codegen'd token split (the
+  * established minhash pattern: nested Catalyst `transform`s re-evaluate
+  * subtrees per element, measured ~50× slower). Hashes are the engine-wide
+  * polynomial hash ([[TextFns.polyHash]]) so a DuckDB oracle recomputes
+  * every boundary and every fingerprint exactly — no engine-private
+  * hashing in the contract.
+  *
+  * Scale shape: one narrow map per document (no shuffle) producing the
+  * chunk/fingerprint relation; dedup over it is one map-side-combined
+  * aggregation on the hash key. Output size is bounded: CDC emits
+  * ~len/divisor chunks, winnowing ~2·len/w fingerprints per doc.
+  */
+object ContentChunks {
+
+  /** One CDC chunk: token span [start, end) and its content hash. */
+  private def cdcKernel(n: Int, divisor: Int) =
+    udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) Seq.empty[(Int, Int, Int, Long)]
+      else {
+        val len = toks.length
+        // boundary BEFORE gram position p (p > 0) when the gram's hash
+        // divides; gram at p covers toks[p, p+n)
+        val starts = Seq.newBuilder[Int]
+        starts += 0
+        var p = 1
+        while (p + n <= len) {
+          val gram = toks.slice(p, p + n).mkString(" ")
+          if (TextFns.polyHash(gram) % divisor == 0) starts += p
+          p += 1
+        }
+        val ss = starts.result()
+        ss.zipWithIndex.map { case (s, i) =>
+          val e = if (i + 1 < ss.length) ss(i + 1) else len
+          (i, s, e, TextFns.polyHash(toks.slice(s, e).mkString(" ")))
+        }
+      }
+    }
+
+  /** Chunk relation: (doc_id, chunk_idx, start, end, chash). Null/blank
+    * docs produce no chunks. Expected chunk length ≈ `divisor` grams
+    * (pure divisor rule — the basic published algorithm; FastCDC's
+    * min/max clamps are a caller-side post-filter if needed).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, divisor: Int): DataFrame = {
+    require(n >= 1, s"gram length $n must be >= 1")
+    require(divisor >= 2, s"divisor $divisor must be >= 2")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(cdcKernel(n, divisor)(
+          TextFns.tokens(lower(col(textCol))))).as("c"))
+      .select(col("doc_id"), col("c._1").as("chunk_idx"),
+        col("c._2").as("start"), col("c._3").as("end"),
+        col("c._4").as("chash"))
+  }
+
+  /** Chunks whose content appears in ≥ `minDocs` distinct documents —
+    * the shift-resistant shared-content report. One aggregation on the
+    * chunk hash (map-side combined).
+    */
+  def cdcSharedChunks(chunks: DataFrame, minDocs: Long = 2): DataFrame =
+    chunks.groupBy("chash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Winnowing: rightmost-minimum selection over every window of `w`
+    * consecutive k-gram hashes, selections deduplicated — the paper's
+    * robust winnowing. Returns (doc_id, pos, fhash). Documents with
+    * fewer than `k` tokens fingerprint their whole token stream as one
+    * gram; blank docs produce nothing.
+    */
+  private def winnowKernel(k: Int, w: Int) =
+    udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) Seq.empty[(Int, Long)]
+      else {
+        val hs: Array[Long] =
+          if (toks.length < k) Array(TextFns.polyHash(toks.mkString(" ")))
+          else Array.tabulate(toks.length - k + 1)(p =>
+            TextFns.polyHash(toks.slice(p, p + k).mkString(" ")))
+        val m = hs.length
+        val out = collection.mutable.LinkedHashSet.empty[(Int, Long)]
+        if (m <= w) {
+          // single (short) window: rightmost min of all hashes
+          var best = 0
+          var i = 1
+          while (i < m) { if (hs(i) <= hs(best)) best = i; i += 1 }
+          out += ((best, hs(best)))
+        } else {
+          var s = 0
+          while (s + w <= m) {
+            var best = s
+            var i = s + 1
+            while (i < s + w) { if (hs(i) <= hs(best)) best = i; i += 1 }
+            out += ((best, hs(best)))
+            s += 1
+          }
+        }
+        out.toSeq
+      }
+    }
+
+  /** Fingerprint relation: (doc_id, pos, fhash). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"gram length $k must be >= 1")
+    require(w >= 2, s"window $w must be >= 2")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(winnowKernel(k, w)(
+          TextFns.tokens(lower(col(textCol))))).as("f"))
+      .select(col("doc_id"), col("f._1").as("pos"), col("f._2").as("fhash"))
+  }
+
+  /** MOSS-style match report: fingerprint hashes shared by ≥ `minDocs`
+    * documents. Any common substring of length ≥ w + k − 1 tokens lands
+    * here by the winnowing guarantee.
+    */
+  def winnowShared(fps: DataFrame, minDocs: Long = 2): DataFrame =
+    fps.groupBy("fhash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Model-based quality filtering: a linear classifier over cheap surface
+  * statistics, trained IN the engine — the scale path for the
+  * "fastText-style quality classifier" stage of published curation
+  * pipelines (CCNet, GPT-3/Gopher data work), where a model scores every
+  * document and the pipeline keeps the high-scoring tail.
+  *
+  * The trainer is the batch (aggregate) perceptron in EXACT INTEGER
+  * arithmetic: per epoch, w ← w + Σ_{i : y_i (w·x_i) ≤ 0} y_i x_i. Each
+  * epoch is ONE map-side-combined aggregation over the corpus (d bounded
+  * sums), and the weight vector lives on the driver — the classic
+  * "gradient aggregation, driver update" shape that scales to any corpus
+  * size: no shuffle grows with rows, state is d longs.
+  *
+  * Integer arithmetic is a design decision, not a simplification (the q146
+  * lesson institutionalized): integer sums are order-independent, so the
+  * trained weights are bit-identical across partitionings, schedulings,
+  * and engines — a DuckDB oracle replays every epoch exactly. A
+  * float/sigmoid trainer (logistic regression) would reintroduce
+  * merge-order ulps into the gate.
+  */
+object QualityModel {
+
+  /** Integer surface features for [[perceptronTrain]], appended to `docs`:
+    * bias 1, token count, punctuation chars, digit chars, stopword hits.
+    * Null-text rows are dropped (a classifier has nothing to read).
+    * Every feature is a plain count — cross-engine exact.
+    */
+  val featureCols: Seq[String] = Seq("x0", "x1", "x2", "x3", "x4")
+
+  def docFeatures(docs: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    docs.filter(text.isNotNull)
+      .withColumn("x0", lit(1L))
+      .withColumn("x1", TextFns.tokenCount(text).cast("long"))
+      .withColumn("x2",
+        length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("long"))
+      .withColumn("x3",
+        length(regexp_replace(text, "[^0-9]", "")).cast("long"))
+      .withColumn("x4", TextFns.stopwordHitCount(text).cast("long"))
+  }
+
+  private def dot(w: Seq[Long], feats: Seq[String]): Column =
+    feats.zip(w).map { case (c, wi) => col(c) * lit(wi) }
+      .reduce(_ + _)
+
+  /** Train for `epochs` full passes. `labelCol` must be ±1 (long). Weights
+    * start at zero (epoch 1 therefore updates on every row — margin 0
+    * counts as misclassified, the standard convention). Returns the final
+    * weight per feature column.
+    *
+    * Scale shape: `epochs` jobs, each one aggregation producing `d` longs;
+    * nothing else crosses to the driver. Callers cache/checkpoint the
+    * feature relation when the corpus scan is expensive.
+    */
+  def perceptronTrain(feats: DataFrame, labelCol: String,
+      featureColumns: Seq[String], epochs: Int): Seq[Long] = {
+    require(epochs >= 1 && epochs <= 64,
+      s"epochs $epochs out of the driver-side contract bound [1, 64]")
+    require(featureColumns.nonEmpty && featureColumns.size <= 64,
+      s"${featureColumns.size} feature columns out of bound [1, 64]")
+    var w = Seq.fill(featureColumns.size)(0L)
+    var e = 0
+    while (e < epochs) {
+      val mis = col(labelCol) * dot(w, featureColumns) <= 0
+      val aggs = featureColumns.map(c =>
+        coalesce(sum(when(mis, col(labelCol) * col(c)).otherwise(lit(0L))),
+          lit(0L)).as(s"g_$c"))
+      val row = feats.agg(aggs.head, aggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, j) => wi + row.getLong(j) }
+      e += 1
+    }
+    w
+  }
+
+  /** Score + hard decision under trained weights: margin = w·x,
+    * pred = 1 if margin > 0 else -1 (margin 0 → -1, matching the
+    * misclassified-at-0 training convention). Map-side only.
+    */
+  def perceptronPredict(feats: DataFrame, weights: Seq[Long],
+      featureColumns: Seq[String]): DataFrame = {
+    require(weights.size == featureColumns.size,
+      s"${weights.size} weights for ${featureColumns.size} features")
+    feats
+      .withColumn("margin", dot(weights, featureColumns))
+      .withColumn("pred",
+        when(col("margin") > 0, 1L).otherwise(lit(-1L)))
+  }
+}

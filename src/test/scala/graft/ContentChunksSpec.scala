@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFns
+import graft.operators.ContentChunks
+
+class ContentChunksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val N = 3
+  private val DV = 32
+
+  /** Independent reimplementation of the CDC definition for oracle-style
+    * cross-checks (straight from the scaladoc, not the kernel).
+    */
+  private def cdcRef(toks: Seq[String]): Seq[(Int, Int, Long)] = {
+    if (toks.isEmpty) return Nil
+    val starts = 0 +: (1 to toks.length - N).filter(p =>
+      TextFns.polyHash(toks.slice(p, p + N).mkString(" ")) % DV == 0)
+    starts.zipWithIndex.map { case (s, i) =>
+      val e = if (i + 1 < starts.length) starts(i + 1) else toks.length
+      (s, e, TextFns.polyHash(toks.slice(s, e).mkString(" ")))
+    }
+  }
+
+  test("cdcChunks matches the definitional reimplementation on varied docs") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again and " +
+        "again until the fox is tired of jumping over anything at all",
+      "a b", "single", "x " * 200)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = ContentChunks.cdcChunks(docs, "doc_id", "text", N, DV)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSet
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      cdcRef(t.trim.toLowerCase.split("\\s+").toSeq)
+        .map { case (s, e, h) => (i.toLong, s, e, h) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("CDC is shift-resistant: prefix insertion preserves tail chunks") {
+    val body = (1 to 300).map(j => s"tok${j % 45}w").mkString(" ")
+    val docs = Seq((1L, body), (2L, "zzz qqq inserted prefix words " + body))
+      .toDF("doc_id", "text")
+    val chunks = ContentChunks.cdcChunks(docs, "doc_id", "text", N, DV)
+    val byDoc = chunks.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(4)).toSet).toMap
+    val shared = byDoc(1L) intersect byDoc(2L)
+    // whole-doc hashing shares nothing; CDC re-synchronizes after the
+    // first content-defined boundary past the insertion
+    assert(shared.nonEmpty,
+      s"no shared chunk hashes after prefix shift: ${byDoc.view.mapValues(_.size).toMap}")
+    val dup = ContentChunks.cdcSharedChunks(chunks).collect()
+    assert(dup.map(_.getLong(0)).toSet == shared)
+  }
+
+  /** Definitional winnowing (windows + rightmost min + dedup). */
+  private def winnowRef(toks: Seq[String], k: Int, w: Int): Set[(Int, Long)] = {
+    if (toks.isEmpty) return Set.empty
+    val hs = if (toks.length < k) Seq(TextFns.polyHash(toks.mkString(" ")))
+      else (0 to toks.length - k).map(p =>
+        TextFns.polyHash(toks.slice(p, p + k).mkString(" ")))
+    val m = hs.length
+    val wins = if (m <= w) Seq(0 until m)
+      else (0 to m - w).map(s => s until s + w)
+    wins.map { r =>
+      val mn = r.map(hs).min
+      val pos = r.filter(i => hs(i) == mn).max // rightmost minimum
+      (pos, mn)
+    }.toSet
+  }
+
+  test("winnowFingerprints matches the definitional reimplementation") {
+    val texts = Seq(
+      (1 to 80).map(j => s"w${(j * 7) % 23}").mkString(" "),
+      "short doc", "a b c d e f", "one")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = ContentChunks.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      winnowRef(t.trim.toLowerCase.split("\\s+").toSeq, 3, 4)
+        .map { case (p, h) => (i.toLong, p, h) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 substring share a " +
+      "fingerprint, and winnowShared reports it") {
+    val common = (1 to 12).map(j => s"shared$j").mkString(" ") // 12 = 8+5-1
+    val docs = Seq(
+      (1L, "alpha beta gamma " + common + " delta epsilon zeta eta theta"),
+      (2L, "completely different front material here " + common))
+      .toDF("doc_id", "text")
+    val fps = ContentChunks.winnowFingerprints(docs, "doc_id", "text", 5, 8)
+    val shared = ContentChunks.winnowShared(fps).collect()
+    assert(shared.nonEmpty, "guaranteed shared fingerprint missing")
+    assert(shared.forall(r => r.getLong(1) == 2L))
+  }
+
+  test("fingerprint density: selections per doc <= window count") {
+    val doc = Seq((1L, (1 to 200).map(j => s"t${(j * 13) % 97}")
+      .mkString(" "))).toDF("doc_id", "text")
+    val n = ContentChunks.winnowFingerprints(doc, "doc_id", "text", 5, 8)
+      .count()
+    // m = 196 grams, 189 windows; dedup must compress far below that
+    assert(n <= 189 && n >= 196 / 8,
+      s"fingerprint count $n outside plausible density bounds")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.QualityModel
+
+class QualityModelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("docFeatures: integer surface counts, null text dropped") {
+    val docs = Seq(
+      (1L, "Hello, world 42 the the"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "   ")).toDF("doc_id", "text")
+    val f = QualityModel.docFeatures(docs, "text")
+      .select("doc_id", "x0", "x1", "x2", "x3", "x4")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(f(1L) == ((1L, 5L, 1L, 2L, 2L))) // 5 toks, 1 comma, "42", 2×the
+    assert(f(3L) == ((1L, 0L, 0L, 0L, 0L))) // blank: all-zero counts
+    assert(!f.contains(2L))
+  }
+
+  test("perceptronTrain replays the hand-computed epoch updates exactly") {
+    // two rows, two features; margin 0 counts as misclassified
+    val feats = Seq((1L, 1L, 2L), (-1L, 1L, 1L)).toDF("y", "x0", "x1")
+    // e1: w=(0,0), both mis: g=(1-1, 2-1)=(0,1)        -> w=(0,1)
+    // e2: margins 2 (ok), 1 (y*m=-1 mis): g=(-1,-1)    -> w=(-1,0)
+    // e3: margins -1 (mis), -1 (y*m=1 ok): g=(1,2)     -> w=(0,2)
+    assert(QualityModel.perceptronTrain(feats, "y", Seq("x0", "x1"), 1)
+      == Seq(0L, 1L))
+    assert(QualityModel.perceptronTrain(feats, "y", Seq("x0", "x1"), 2)
+      == Seq(-1L, 0L))
+    assert(QualityModel.perceptronTrain(feats, "y", Seq("x0", "x1"), 3)
+      == Seq(0L, 2L))
+  }
+
+  test("weights are partitioning-invariant (integer order-independence)") {
+    val rows = (0 until 400).map { i =>
+      (if (i % 3 == 0) 1L else -1L, 1L, i.toLong % 17, i.toLong % 5)
+    }
+    val one = rows.toDF("y", "x0", "x1", "x2").repartition(1)
+    val many = rows.toDF("y", "x0", "x1", "x2").repartition(13)
+    val cols = Seq("x0", "x1", "x2")
+    assert(QualityModel.perceptronTrain(one, "y", cols, 4)
+      == QualityModel.perceptronTrain(many, "y", cols, 4))
+  }
+
+  test("perceptronPredict: margin 0 classifies -1, matching training") {
+    val feats = Seq((10L, 1L, 0L), (11L, 1L, 1L)).toDF("doc_id", "x0", "x1")
+    val p = QualityModel.perceptronPredict(feats, Seq(0L, 5L),
+        Seq("x0", "x1"))
+      .select("doc_id", "margin", "pred").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(p(10L) == ((0L, -1L)))
+    assert(p(11L) == ((5L, 1L)))
+  }
+}
