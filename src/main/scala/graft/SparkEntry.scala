@@ -2268,6 +2268,19 @@ object SparkEntry {
       perDoc.unionByName(shared)
     }),
 
+    // STUPID-BACKOFF n-gram LM (Brants et al. 2007 — the distributed LM
+    // recipe: raw count tables, backoff at query time). LM counts from
+    // the doc_id % 3 <> 0 split; EVERY doc scored, so held-out docs
+    // exercise the bigram/unigram backoff paths. The gate is the exact
+    // integer fingerprint of the scoring join — per-doc chosen-order
+    // counts plus numerator/denominator sums — never a float logprob.
+    "q155_backoff_lm" -> ((s, dir) => {
+      import graft.functions.NgramLm
+      val docs = t(s, dir, "documents")
+      val lm = docs.filter(col("doc_id") % 3 =!= 0)
+      NgramLm.backoffDocStats(docs, lm, "doc_id", "text")
+    }),
+
     // PERSISTED OPQ-ROTATED IVF-PQ: q106's pipeline with a rotation in
     // the sidecar — build rotates once, the probe rotates the query on
     // the way in, codes/codebooks live entirely in rotated space. The
@@ -3120,6 +3133,69 @@ object SparkEntry {
     "q152_perceptron_quality" -> perceptronOracleSql(3),
     "q153_cdc_chunks" -> cdcOracleSql(3, 32),
     "q154_winnow_fingerprints" -> winnowOracleSql(5, 8),
+
+    // Positioned tokens with truncated context for BOTH relations, three
+    // count tables from the % 3 <> 0 split, then the five-way left join
+    // with the backoff CASE — `NgramLm.backoffPositions` replayed, all
+    // integer (DuckDB sum() is HUGEINT, hence the casts).
+    "q155_backoff_lm" ->
+      raw"""WITH lmbase AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |    AND doc_id % 3 <> 0),
+        |abase AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+        |lmp AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) + 1), i -> i - 1)) AS pos,
+        |    unnest(w) AS w0,
+        |    unnest(list_transform(range(1, len(w) + 1),
+        |      i -> CASE WHEN i >= 2 THEN w[i - 1] END)) AS w1,
+        |    unnest(list_transform(range(1, len(w) + 1),
+        |      i -> CASE WHEN i >= 3 THEN w[i - 2] END)) AS w2
+        |  FROM lmbase),
+        |p AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) + 1), i -> i - 1)) AS pos,
+        |    unnest(w) AS w0,
+        |    unnest(list_transform(range(1, len(w) + 1),
+        |      i -> CASE WHEN i >= 2 THEN w[i - 1] END)) AS w1,
+        |    unnest(list_transform(range(1, len(w) + 1),
+        |      i -> CASE WHEN i >= 3 THEN w[i - 2] END)) AS w2
+        |  FROM abase),
+        |tri AS (SELECT w2, w1, w0, CAST(count(*) AS BIGINT) AS c3 FROM lmp
+        |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+        |bi AS (SELECT w1, w0, CAST(count(*) AS BIGINT) AS c2 FROM lmp
+        |  WHERE w1 IS NOT NULL GROUP BY 1, 2),
+        |uni AS (SELECT w0, CAST(count(*) AS BIGINT) AS c1 FROM lmp
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lmp),
+        |j AS (SELECT p.doc_id, p.pos,
+        |    CASE WHEN p.pos >= 2 AND t.c3 IS NOT NULL THEN 3
+        |         WHEN p.pos >= 1 AND b.c2 IS NOT NULL THEN 2
+        |         ELSE 1 END AS ord,
+        |    CASE WHEN p.pos >= 2 AND t.c3 IS NOT NULL THEN t.c3
+        |         WHEN p.pos >= 1 AND b.c2 IS NOT NULL THEN b.c2
+        |         ELSE coalesce(u.c1, 0) END AS num,
+        |    CASE WHEN p.pos >= 2 AND t.c3 IS NOT NULL THEN bc.c2
+        |         WHEN p.pos >= 1 AND b.c2 IS NOT NULL THEN uc.c1
+        |         ELSE tot.n END AS den
+        |  FROM p
+        |  LEFT JOIN tri t ON t.w2 = p.w2 AND t.w1 = p.w1 AND t.w0 = p.w0
+        |  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w0 = p.w0
+        |  LEFT JOIN uni u ON u.w0 = p.w0
+        |  LEFT JOIN bi bc ON bc.w1 = p.w2 AND bc.w0 = p.w1
+        |  LEFT JOIN uni uc ON uc.w0 = p.w1
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tri,
+        |  CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bi,
+        |  CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_uni,
+        |  CAST(sum(num) AS BIGINT) AS sum_num,
+        |  CAST(sum(den) AS BIGINT) AS sum_den
+        |FROM j GROUP BY doc_id""".stripMargin,
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

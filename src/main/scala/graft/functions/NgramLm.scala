@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed n-gram language model in the stupid-backoff family
+  * (Brants, Popat, Xu, Och & Dean 2007, "Large Language Models in Machine
+  * Translation" — the algorithm designed FOR this execution model: plain
+  * count tables, no normalization pass, backoff at query time).
+  *
+  * Count side: one positioned-token relation feeding three map-side-
+  * combined aggregations (trigram / bigram / unigram). Scoring side: each
+  * scored position left-joins the count tables on its gram keys — shuffle
+  * hash joins on string keys, the same shape as the surprisal operators,
+  * linear in corpus size with no driver state.
+  *
+  * The GATE is exact-integer by design: instead of hashing a float
+  * log-probability (whose merge order is engine-dependent — the q146
+  * lesson), the operator exposes the chosen backoff ORDER and the count
+  * ratio numerator/denominator per position, aggregated per document.
+  * Those pin the entire join/backoff logic bit-for-bit; turning
+  * (num, den, order) into S(w) = (0.4^backoffs)·num/den is a trivial
+  * client-side fold the gate does not need.
+  *
+  * Backoff rule per position i (0-based, context truncated at doc start):
+  *   i ≥ 2 and c(w_{i−2} w_{i−1} w_i) > 0 → order 3,
+  *       num = c(trigram), den = c(w_{i−2} w_{i−1})
+  *   else i ≥ 1 and c(w_{i−1} w_i) > 0 → order 2,
+  *       num = c(bigram), den = c(w_{i−1})
+  *   else → order 1, num = c(w_i) (0 if OOV), den = N (LM token count)
+  */
+object NgramLm {
+
+  /** (doc_id, pos, w0, w1, w2) with w1/w2 null where the context is
+    * truncated by the document start. Null/blank docs contribute nothing.
+    * 0-based pos; element_at is 1-based, hence the off-by-one reads.
+    */
+  def positionedWithContext(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = TextFns.tokens(lower(col(textCol)))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("__w"))
+      .select(col("doc_id"), col("__w"),
+        posexplode(col("__w")).as(Seq("pos", "w0")))
+      .withColumn("w1",
+        when(col("pos") >= 1, element_at(col("__w"), col("pos"))))
+      .withColumn("w2",
+        when(col("pos") >= 2, element_at(col("__w"), col("pos") - 1)))
+      .drop("__w")
+  }
+
+  /** LM count tables from `lmDocs`: returns (tri, bi, uni, n) where n is
+    * the total token count. Three aggregations, all map-side combined.
+    */
+  def counts(lmDocs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val p = positionedWithContext(lmDocs, idCol, textCol)
+    val tri = p.filter(col("w2").isNotNull)
+      .groupBy("w2", "w1", "w0").agg(count(lit(1)).as("c3"))
+    val bi = p.filter(col("w1").isNotNull)
+      .groupBy("w1", "w0").agg(count(lit(1)).as("c2"))
+    val uni = p.groupBy("w0").agg(count(lit(1)).as("c1"))
+    val n = p.count()
+    (tri, bi, uni, n)
+  }
+
+  /** Score every position of `docs` against LM counts from `lmDocs`,
+    * returning per-position (doc_id, pos, ord, num, den) — all integers.
+    */
+  def backoffPositions(docs: DataFrame, lmDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (tri, bi, uni, n) = counts(lmDocs, idCol, textCol)
+    val p = positionedWithContext(docs, idCol, textCol)
+    // context denominators reuse the same tables under renamed keys
+    val biCtx = bi.select(col("w1").as("x2"), col("w0").as("x1"),
+      col("c2").as("cctx3"))
+    val uniCtx = uni.select(col("w0").as("x1b"), col("c1").as("cctx2"))
+    p.join(tri, Seq("w2", "w1", "w0"), "left")
+      .join(bi, Seq("w1", "w0"), "left")
+      .join(uni, Seq("w0"), "left")
+      .join(biCtx, col("w2") === col("x2") && col("w1") === col("x1"),
+        "left")
+      .join(uniCtx, col("w1") === col("x1b"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("pos") >= 2 && col("c3").isNotNull, 3L)
+          .when(col("pos") >= 1 && col("c2").isNotNull, 2L)
+          .otherwise(1L).as("ord"),
+        when(col("pos") >= 2 && col("c3").isNotNull, col("c3"))
+          .when(col("pos") >= 1 && col("c2").isNotNull, col("c2"))
+          .otherwise(coalesce(col("c1"), lit(0L))).as("num"),
+        when(col("pos") >= 2 && col("c3").isNotNull, col("cctx3"))
+          .when(col("pos") >= 1 && col("c2").isNotNull, col("cctx2"))
+          .otherwise(lit(n)).as("den"))
+  }
+
+  /** Per-document backoff statistics: position count, per-order counts,
+    * and the exact integer sums of numerators/denominators — the gateable
+    * fingerprint of the whole scoring join.
+    */
+  def backoffDocStats(docs: DataFrame, lmDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    backoffPositions(docs, lmDocs, idCol, textCol)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("ord") === 3, 1L).otherwise(0L)).as("n_tri"),
+        sum(when(col("ord") === 2, 1L).otherwise(0L)).as("n_bi"),
+        sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n_uni"),
+        sum(col("num")).as("sum_num"),
+        sum(col("den")).as("sum_den"))
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.NgramLm
+
+class NgramLmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("positionedWithContext truncates context at doc start") {
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val p = NgramLm.positionedWithContext(d, "doc_id", "text")
+      .orderBy("pos")
+      .collect().map(r => (r.getInt(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4))))
+    assert(p === Array(
+      (0, "a", None, None),
+      (1, "b", Some("a"), None),
+      (2, "c", Some("b"), Some("a")),
+      (3, "d", Some("c"), Some("b"))))
+  }
+
+  test("backoff picks the highest order with a nonzero count; OOV " +
+      "falls to (0, N)") {
+    val lm = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF(
+      "doc_id", "text") // N=6; c(the cat)=2, c(the cat sat)=1, c(cat)=2
+    val scored = Seq((10L, "the cat sat"), (11L, "a cat sat"),
+      (12L, "zebra")).toDF("doc_id", "text")
+    val rows = NgramLm.backoffPositions(scored, lm, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // doc 10: pos0 uni(the: c=2, N=6); pos1 bi(the cat: 2 / the: 2);
+    //         pos2 tri(the cat sat: 1 / the cat: 2)
+    assert(rows((10L, 0)) == ((1L, 2L, 6L)))
+    assert(rows((10L, 1)) == ((2L, 2L, 2L)))
+    assert(rows((10L, 2)) == ((3L, 1L, 2L)))
+    // doc 11: pos0 'a' OOV -> (1, 0, 6); pos1 'cat' after 'a': no bigram
+    //         (a cat) -> uni(cat)=2; pos2 'sat' after (a cat): no trigram,
+    //         bigram (cat sat)=1 with den c(cat)=2
+    assert(rows((11L, 0)) == ((1L, 0L, 6L)))
+    assert(rows((11L, 1)) == ((1L, 2L, 6L)))
+    assert(rows((11L, 2)) == ((2L, 1L, 2L)))
+    // doc 12: single OOV token
+    assert(rows((12L, 0)) == ((1L, 0L, 6L)))
+  }
+
+  test("backoffDocStats aggregates exactly and is partitioning-invariant") {
+    val docs = (0 until 60).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${(i * j) % 19}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val lm = docs.filter(col("doc_id") % 2 === 0)
+    val a = NgramLm.backoffDocStats(docs.repartition(1), lm, "doc_id",
+      "text").collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val b = NgramLm.backoffDocStats(docs.repartition(7), lm, "doc_id",
+      "text").collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(a == b)
+    assert(a.size == 60)
+    // every doc's per-order counts sum to its position count
+    a.values.foreach { v =>
+      val Seq(nPos, nTri, nBi, nUni, _, _) = v.map(_.asInstanceOf[Long])
+      assert(nPos == nTri + nBi + nUni)
+    }
+  }
+}
