@@ -2281,6 +2281,22 @@ object SparkEntry {
       NgramLm.backoffDocStats(docs, lm, "doc_id", "text")
     }),
 
+    // CCNet-shaped LM quality filter: q155's backoff stats → integer ppm
+    // trigram-hit-rate lattice → the scale-safe percentile machinery
+    // (q147's threshold-from-aggregate plan, single group) keeps the
+    // most-LM-fluent half. No float sums anywhere in the gate.
+    "q156_lm_fit_filter" -> ((s, dir) => {
+      import graft.functions.NgramLm
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      val lm = docs.filter(col("doc_id") % 3 =!= 0)
+      val scored = NgramLm.lmFitScores(docs, lm, "doc_id", "text")
+        .withColumn("g", lit("all"))
+      Curation.topQualityPerGroupAtScale(scored, "g", "lm_fit_ppm",
+          "doc_id", minPercentile = 0.5)
+        .select(col("doc_id"), col("lm_fit_ppm"))
+    }),
+
     // PERSISTED OPQ-ROTATED IVF-PQ: q106's pipeline with a rotation in
     // the sidecar — build rotates once, the probe rotates the query on
     // the way in, codes/codebooks live entirely in rotated space. The
@@ -3075,6 +3091,71 @@ object SparkEntry {
        |FROM perdoc
        |UNION ALL SELECT 'shared', h, a, b FROM shared""".stripMargin
 
+  /** Shared CTE chain for q155/q156: positioned tokens with truncated
+    * context for both relations, the three LM count tables from the
+    * doc_id % 3 <> 0 split, the five-way backoff join, and per-doc
+    * `stats` — `NgramLm.backoffDocStats` replayed, all integer (DuckDB
+    * sum() is HUGEINT, hence the casts).
+    */
+  private def backoffLmCtes: String =
+    raw"""lmbase AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+       |    AND doc_id % 3 <> 0),
+       |abase AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |lmp AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w) + 1), i -> i - 1)) AS pos,
+       |    unnest(w) AS w0,
+       |    unnest(list_transform(range(1, len(w) + 1),
+       |      i -> CASE WHEN i >= 2 THEN w[i - 1] END)) AS w1,
+       |    unnest(list_transform(range(1, len(w) + 1),
+       |      i -> CASE WHEN i >= 3 THEN w[i - 2] END)) AS w2
+       |  FROM lmbase),
+       |p AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w) + 1), i -> i - 1)) AS pos,
+       |    unnest(w) AS w0,
+       |    unnest(list_transform(range(1, len(w) + 1),
+       |      i -> CASE WHEN i >= 2 THEN w[i - 1] END)) AS w1,
+       |    unnest(list_transform(range(1, len(w) + 1),
+       |      i -> CASE WHEN i >= 3 THEN w[i - 2] END)) AS w2
+       |  FROM abase),
+       |tri AS (SELECT w2, w1, w0, CAST(count(*) AS BIGINT) AS c3 FROM lmp
+       |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+       |bi AS (SELECT w1, w0, CAST(count(*) AS BIGINT) AS c2 FROM lmp
+       |  WHERE w1 IS NOT NULL GROUP BY 1, 2),
+       |uni AS (SELECT w0, CAST(count(*) AS BIGINT) AS c1 FROM lmp
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lmp),
+       |j AS (SELECT p.doc_id, p.pos,
+       |    CASE WHEN p.pos >= 2 AND t.c3 IS NOT NULL THEN 3
+       |         WHEN p.pos >= 1 AND b.c2 IS NOT NULL THEN 2
+       |         ELSE 1 END AS ord,
+       |    CASE WHEN p.pos >= 2 AND t.c3 IS NOT NULL THEN t.c3
+       |         WHEN p.pos >= 1 AND b.c2 IS NOT NULL THEN b.c2
+       |         ELSE coalesce(u.c1, 0) END AS num,
+       |    CASE WHEN p.pos >= 2 AND t.c3 IS NOT NULL THEN bc.c2
+       |         WHEN p.pos >= 1 AND b.c2 IS NOT NULL THEN uc.c1
+       |         ELSE tot.n END AS den
+       |  FROM p
+       |  LEFT JOIN tri t ON t.w2 = p.w2 AND t.w1 = p.w1 AND t.w0 = p.w0
+       |  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w0 = p.w0
+       |  LEFT JOIN uni u ON u.w0 = p.w0
+       |  LEFT JOIN bi bc ON bc.w1 = p.w2 AND bc.w0 = p.w1
+       |  LEFT JOIN uni uc ON uc.w0 = p.w1
+       |  CROSS JOIN tot),
+       |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_tri,
+       |  CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bi,
+       |  CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_uni,
+       |  CAST(sum(num) AS BIGINT) AS sum_num,
+       |  CAST(sum(den) AS BIGINT) AS sum_den
+       |FROM j GROUP BY doc_id)""".stripMargin
+
   /** Unrolled batch-perceptron oracle for q152: the feature CTE mirrors
     * `QualityModel.docFeatures` count-for-count; each epoch CTE recomputes
     * the exact integer update w ← w + Σ_{y(w·x)≤0} y·x.
@@ -3139,63 +3220,22 @@ object SparkEntry {
     // with the backoff CASE — `NgramLm.backoffPositions` replayed, all
     // integer (DuckDB sum() is HUGEINT, hence the casts).
     "q155_backoff_lm" ->
-      raw"""WITH lmbase AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
-        |    AND doc_id % 3 <> 0),
-        |abase AS (SELECT doc_id,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
-        |lmp AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(w) + 1), i -> i - 1)) AS pos,
-        |    unnest(w) AS w0,
-        |    unnest(list_transform(range(1, len(w) + 1),
-        |      i -> CASE WHEN i >= 2 THEN w[i - 1] END)) AS w1,
-        |    unnest(list_transform(range(1, len(w) + 1),
-        |      i -> CASE WHEN i >= 3 THEN w[i - 2] END)) AS w2
-        |  FROM lmbase),
-        |p AS (SELECT doc_id,
-        |    unnest(list_transform(range(1, len(w) + 1), i -> i - 1)) AS pos,
-        |    unnest(w) AS w0,
-        |    unnest(list_transform(range(1, len(w) + 1),
-        |      i -> CASE WHEN i >= 2 THEN w[i - 1] END)) AS w1,
-        |    unnest(list_transform(range(1, len(w) + 1),
-        |      i -> CASE WHEN i >= 3 THEN w[i - 2] END)) AS w2
-        |  FROM abase),
-        |tri AS (SELECT w2, w1, w0, CAST(count(*) AS BIGINT) AS c3 FROM lmp
-        |  WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
-        |bi AS (SELECT w1, w0, CAST(count(*) AS BIGINT) AS c2 FROM lmp
-        |  WHERE w1 IS NOT NULL GROUP BY 1, 2),
-        |uni AS (SELECT w0, CAST(count(*) AS BIGINT) AS c1 FROM lmp
-        |  GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lmp),
-        |j AS (SELECT p.doc_id, p.pos,
-        |    CASE WHEN p.pos >= 2 AND t.c3 IS NOT NULL THEN 3
-        |         WHEN p.pos >= 1 AND b.c2 IS NOT NULL THEN 2
-        |         ELSE 1 END AS ord,
-        |    CASE WHEN p.pos >= 2 AND t.c3 IS NOT NULL THEN t.c3
-        |         WHEN p.pos >= 1 AND b.c2 IS NOT NULL THEN b.c2
-        |         ELSE coalesce(u.c1, 0) END AS num,
-        |    CASE WHEN p.pos >= 2 AND t.c3 IS NOT NULL THEN bc.c2
-        |         WHEN p.pos >= 1 AND b.c2 IS NOT NULL THEN uc.c1
-        |         ELSE tot.n END AS den
-        |  FROM p
-        |  LEFT JOIN tri t ON t.w2 = p.w2 AND t.w1 = p.w1 AND t.w0 = p.w0
-        |  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w0 = p.w0
-        |  LEFT JOIN uni u ON u.w0 = p.w0
-        |  LEFT JOIN bi bc ON bc.w1 = p.w2 AND bc.w0 = p.w1
-        |  LEFT JOIN uni uc ON uc.w0 = p.w1
-        |  CROSS JOIN tot)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
-        |  CAST(sum(CASE WHEN ord = 3 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_tri,
-        |  CAST(sum(CASE WHEN ord = 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_bi,
-        |  CAST(sum(CASE WHEN ord = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_uni,
-        |  CAST(sum(num) AS BIGINT) AS sum_num,
-        |  CAST(sum(den) AS BIGINT) AS sum_den
-        |FROM j GROUP BY doc_id""".stripMargin,
+      (s"WITH $backoffLmCtes\n" +
+        "SELECT doc_id, n_pos, n_tri, n_bi, n_uni, sum_num, sum_den " +
+        "FROM stats"),
+
+    // q155's stats → integer ppm hit-rate lattice → the q147 percentile
+    // machinery with a single group: the CCNet-shaped "keep what the
+    // reference LM finds fluent" filter, exact end to end.
+    "q156_lm_fit_filter" ->
+      (s"WITH $backoffLmCtes,\n" +
+        raw"""scored AS (SELECT doc_id,
+           |  CAST(floor(CAST(n_tri AS DOUBLE) * 1000000 / n_pos)
+           |    AS BIGINT) AS lm_fit_ppm FROM stats)
+           |SELECT doc_id, lm_fit_ppm FROM scored
+           |QUALIFY percent_rank() OVER
+           |  (ORDER BY lm_fit_ppm ASC, doc_id ASC) >= 0.5""".stripMargin),
+
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

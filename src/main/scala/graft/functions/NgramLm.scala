@@ -107,4 +107,22 @@ object NgramLm {
         sum(when(col("ord") === 1, 1L).otherwise(0L)).as("n_uni"),
         sum(col("num")).as("sum_num"),
         sum(col("den")).as("sum_den"))
+
+  /** LM-fit score for CCNet-style "keep what the reference LM finds
+    * fluent" filtering: the trigram hit-rate as an INTEGER lattice value
+    * `lm_fit_ppm = ⌊10⁶ · n_tri / n_pos⌋` (one IEEE division of exact
+    * integers + floor — deterministic in every engine; the true ratio is
+    * ≥ 1/n_pos away from any integer it could straddle, so the floor is
+    * exact). A float perplexity would need order-pinned ln sums; the
+    * hit-rate ranks fluency monotonically for a fixed LM and keeps the
+    * gate exact. The ppm lattice (≤ 10⁶ + 1 values) is precisely the
+    * bounded-cardinality contract `Curation.topQualityPerGroupAtScale`
+    * wants for a corpus-scale percentile cut.
+    */
+  def lmFitScores(docs: DataFrame, lmDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    backoffDocStats(docs, lmDocs, idCol, textCol)
+      .withColumn("lm_fit_ppm",
+        floor(col("n_tri").cast("double") * 1000000.0d / col("n_pos"))
+          .cast("long"))
 }

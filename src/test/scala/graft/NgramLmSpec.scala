@@ -63,4 +63,20 @@ class NgramLmSpec extends AnyFunSuite {
       assert(nPos == nTri + nBi + nUni)
     }
   }
+
+  test("lmFitScores: exact floor(1e6·n_tri/n_pos) lattice, including the " +
+      "power-of-two denominators where 6-dp rounding would tie") {
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 128 + i).map(j => s"w${(i + j) % 11}")
+        .mkString(" "))).toDF("doc_id", "text")
+    val lm = docs.filter(col("doc_id") % 2 === 0)
+    val rows = NgramLm.lmFitScores(docs, lm, "doc_id", "text")
+      .select("doc_id", "n_pos", "n_tri", "lm_fit_ppm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nPos, nTri, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ppm == nTri * 1000000L / nPos, // exact integer reference
+        s"doc ${r.getLong(0)}: ppm $ppm != ${nTri * 1000000L / nPos}")
+    }
+  }
 }
