@@ -2297,6 +2297,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lm_fit_ppm"))
     }),
 
+    // GOPHER QUALITY RULES (Rae et al. 2021, Table A1, doc-level set):
+    // word-count / mean-word-length / symbol-ratio / alpha-word /
+    // stop-word / top-bigram-repetition rules, every one decided by
+    // division-free integer comparisons (3n ≤ Σlen ≤ 10n instead of a
+    // float mean, cross-multiplied ratio bounds) — an exact gate with
+    // no lattice, no rounding. The minWords bound is scaled to the
+    // fixture's doc lengths; the paper's 50 is the production default.
+    "q157_gopher_rules" -> ((s, dir) => {
+      import graft.operators.Curation
+      // minWords/minStops scaled to the synthetic fixture (the paper's
+      // 50/2 defaults would zero out r_words/r_stop on ~80-token docs
+      // drawn from a vocabulary holding only 'the' of the Gopher list);
+      // both branches of every rule fire at these settings.
+      Curation.gopherQualityFlags(t(s, dir, "documents"), "doc_id",
+        "text", minWords = 30, minStops = 1)
+    }),
+
     // PERSISTED OPQ-ROTATED IVF-PQ: q106's pipeline with a rotation in
     // the sidecar — build rotates once, the probe rotates the query on
     // the way in, codes/codebooks live entirely in rotated space. The
@@ -3091,6 +3108,62 @@ object SparkEntry {
        |FROM perdoc
        |UNION ALL SELECT 'shared', h, a, b FROM shared""".stripMargin
 
+  /** q157 oracle: the Gopher rule set with division-free integer
+    * comparisons, mirroring `Curation.gopherQualityFlags` term-for-term.
+    */
+  private def gopherOracleSql(minWords: Long, minStops: Long): String = {
+    val nstop = graft.operators.Curation.GopherStops.map(s =>
+      s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def r(name: String, cond: String) =
+      s"CAST(CASE WHEN $cond THEN 1 ELSE 0 END AS BIGINT) AS $name"
+    val conds = Seq(
+      s"n_words BETWEEN $minWords AND 100000",
+      "n_words > 0 AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words",
+      "10 * n_sym <= n_words",
+      "5 * n_alpha >= 4 * n_words",
+      s"n_stop >= $minStops",
+      "top.top2_cnt IS NULL OR 5 * top.top2_cnt * top.top2_len <= n_chars")
+    val names = Seq("r_words", "r_wlen", "r_sym", "r_alpha", "r_stop",
+      "r_rep")
+    val flags = names.zip(conds)
+      .map { case (n, c) => "  " + r(n, c) }.mkString(",\n")
+    val keepSum = conds.map(c => s"(CASE WHEN $c THEN 1 ELSE 0 END)")
+      .mkString("\n    + ")
+    raw"""WITH base AS (SELECT doc_id, text,
+       |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+       |    END AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |m AS (SELECT doc_id, text, w,
+       |  CAST(len(w) AS BIGINT) AS n_words,
+       |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+       |    AS BIGINT) AS sum_wlen,
+       |  CAST(length(text) - length(replace(text, '#', ''))
+       |    + (length(text) - length(replace(text, '...', ''))) / 3
+       |    AS BIGINT) AS n_sym,
+       |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+       |    AS BIGINT) AS n_alpha,
+       |  CAST($nstop AS BIGINT) AS n_stop
+       |  FROM base),
+       |m2 AS (SELECT *, CASE WHEN n_words > 0 THEN sum_wlen + n_words - 1
+       |    ELSE 0 END AS n_chars FROM m),
+       |bg AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)),
+       |      p -> w[p] || ' ' || w[p + 1])) AS g
+       |  FROM base WHERE len(w) >= 2),
+       |bgc AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM bg
+       |  GROUP BY 1, 2),
+       |top AS (SELECT doc_id, c AS top2_cnt,
+       |    CAST(length(g) AS BIGINT) AS top2_len FROM bgc
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY c DESC, g ASC) = 1)
+       |SELECT m2.doc_id, n_words,
+       |$flags,
+       |  CAST(CASE WHEN $keepSum = 6 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM m2 LEFT JOIN top ON top.doc_id = m2.doc_id""".stripMargin
+  }
+
   /** Shared CTE chain for q155/q156: positioned tokens with truncated
     * context for both relations, the three LM count tables from the
     * doc_id % 3 <> 0 split, the five-way backoff join, and per-doc
@@ -3214,6 +3287,11 @@ object SparkEntry {
     "q152_perceptron_quality" -> perceptronOracleSql(3),
     "q153_cdc_chunks" -> cdcOracleSql(3, 32),
     "q154_winnow_fingerprints" -> winnowOracleSql(5, 8),
+
+    // Every rule replayed with the same division-free comparisons; the
+    // top-bigram argmax is a QUALIFY row_number with the (count DESC,
+    // gram ASC) tiebreak.
+    "q157_gopher_rules" -> gopherOracleSql(minWords = 30, minStops = 1),
 
     // Positioned tokens with truncated context for BOTH relations, three
     // count tables from the % 3 <> 0 split, then the five-way left join

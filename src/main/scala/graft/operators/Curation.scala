@@ -902,4 +902,106 @@ object Curation {
       .withColumn("n_phone", countOf(afterSsn, PhoneRe).cast("long"))
       .withColumn(textCol, afterPhone)
   }
+
+  /** Gopher's stop-word rule set (Rae et al. 2021, App. A — note: a
+    * DIFFERENT list from [[graft.functions.TextFns.stopwords]]).
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rules (Rae et al. 2021, Table A1),
+    * doc-level subset, each decided by DIVISION-FREE integer comparisons
+    * so the gate is exact in any engine (mean word length ∈ [3, 10] ⟺
+    * 3n ≤ Σlen ≤ 10n, ratio bounds cross-multiplied likewise):
+    *
+    *   r_words  — word count ∈ [minWords, maxWords] (paper: 50–100k)
+    *   r_wlen   — mean word length ∈ [3, 10]
+    *   r_sym    — symbol-to-word ratio ≤ 0.1; symbols = '#' chars plus
+    *              non-overlapping ASCII '...' occurrences (the unicode
+    *              ellipsis is out of contract — cross-engine regex
+    *              semantics on non-BMP text are not worth one glyph)
+    *   r_alpha  — ≥ 80 % of words contain an ASCII letter
+    *   r_stop   — ≥ minStops DISTINCT Gopher stop words present
+    *              (paper default 2)
+    *   r_rep    — chars covered by the most frequent word 2-gram ≤ 20 %
+    *              of the normalized stream (count·len(gram) vs 5·…,
+    *              tiebreak max-count → lexicographic-min gram)
+    *
+    * `keep` = all six. Everything except r_rep is a codegen'd map;
+    * r_rep is one bigram explode + per-doc argmax (top-1 window) — the
+    * only shuffle, proportional to corpus tokens like every other
+    * n-gram pass here. Null-text docs are dropped (nothing to judge).
+    */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minStops: Long = 2): DataFrame = {
+    val text = col(textCol)
+    val toks = TextFns.tokens(lower(text))
+    val base = docs.filter(text.isNotNull)
+      .withColumn("__w", toks)
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("sum_wlen",
+        coalesce(aggregate(transform(col("__w"), w => length(w)),
+          lit(0L), (acc, x) => acc + x), lit(0L)))
+      .withColumn("n_sym",
+        (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+          + ((length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
+              / lit(3)).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("__w"), w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop",
+        GopherStops.map(s =>
+          when(array_contains(col("__w"), s), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("n_chars",
+        (sum_wlenPlusSpaces(col("sum_wlen"), col("n_words"))).cast("long"))
+    // most frequent word 2-gram per doc: count + gram length, argmax by
+    // (count DESC, gram ASC); docs with < 2 words have no bigram (rep
+    // rule passes vacuously)
+    val bigrams = base.select(col(idCol).as("__id"),
+        explode(when(size(col("__w")) >= 2,
+          transform(sequence(lit(0), size(col("__w")) - 2), i =>
+            concat_ws(" ", element_at(col("__w"), i + 1),
+              element_at(col("__w"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("g"))
+      .groupBy("__id", "g").agg(count(lit(1)).as("__c"))
+    val wTop = Window.partitionBy(col("__id"))
+      .orderBy(col("__c").desc, col("g").asc)
+    val top = bigrams.withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(col("__id"), col("__c").as("top2_cnt"),
+        length(col("g")).cast("long").as("top2_len"))
+    base.join(top, base(idCol) === top("__id"), "left")
+      .withColumn("r_words",
+        (col("n_words") >= minWords && col("n_words") <= maxWords)
+          .cast("long"))
+      .withColumn("r_wlen",
+        (col("sum_wlen") >= lit(3L) * col("n_words") &&
+          col("sum_wlen") <= lit(10L) * col("n_words") &&
+          col("n_words") > 0).cast("long"))
+      .withColumn("r_sym",
+        (lit(10L) * col("n_sym") <= col("n_words")).cast("long"))
+      .withColumn("r_alpha",
+        (lit(5L) * col("n_alpha") >= lit(4L) * col("n_words"))
+          .cast("long"))
+      .withColumn("r_stop", (col("n_stop") >= minStops).cast("long"))
+      .withColumn("r_rep",
+        when(col("top2_cnt").isNull, 1L)
+          .otherwise((lit(5L) * col("top2_cnt") * col("top2_len") <=
+            col("n_chars")).cast("long")))
+      .withColumn("keep",
+        (col("r_words") + col("r_wlen") + col("r_sym") + col("r_alpha")
+          + col("r_stop") + col("r_rep") === 6L).cast("long"))
+      .select(col(idCol), col("n_words"), col("r_words"), col("r_wlen"),
+        col("r_sym"), col("r_alpha"), col("r_stop"), col("r_rep"),
+        col("keep"))
+  }
+
+  /** Normalized-stream char count: Σ word lengths + (n − 1) separating
+    * spaces (0 for empty docs) — the denominator of the Gopher
+    * repetition rule, defined over the same normalization the bigrams
+    * are.
+    */
+  private def sum_wlenPlusSpaces(sumWlen: Column, nWords: Column): Column =
+    when(nWords > 0, sumWlen + nWords - 1).otherwise(lit(0L))
 }

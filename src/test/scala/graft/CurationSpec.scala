@@ -294,6 +294,45 @@ class CurationSpec extends AnyFunSuite {
       s"Gumbel-top-k must favor the high-weight docs: $s1")
   }
 
+
+  test("gopherQualityFlags: each planted defect fails exactly its rule") {
+    import graft.operators.Curation
+    import spark.implicits._
+    val good = ((1 to 56).map(i => s"word${i % 19}") ++
+      Seq("the", "of", "and", "that")).mkString(" ")
+    val docs = Seq(
+      (0L, good), // passes all six
+      (1L, "too few words the of"), // r_words only
+      (2L, good.split(" ").map(w =>
+        if (w.startsWith("word")) w + "unreasonablylong" else w)
+        .mkString(" ")), // mean wlen > 10
+      (3L, good + " ##### ##### ##### #####"), // 20 symbol chars, only
+      // 4 non-alpha tokens so the alpha rule still passes
+      (4L, ((1 to 48).map(i => s"${i}23") ++ (1 to 8).map(_ => "the") ++
+        Seq("of", "and", "that")).mkString(" ")), // <80% alpha words
+      (5L, (1 to 60).map(i => s"word${i % 19}").mkString(" ")), // no stops
+      (6L, (Seq.fill(30)("dup gram") ++ (1 to 10).map(i => s"w$i") ++
+        Seq("the", "of")).flatMap(_.split(" ")).mkString(" ")) // top bigram
+    ).toDF("doc_id", "text")
+    val f = Curation.gopherQualityFlags(docs, "doc_id", "text",
+        minWords = 50, minStops = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    assert(f(0L) == ((1L, 1L, 1L, 1L, 1L, 1L, 1L)), s"doc0 ${f(0L)}")
+    assert(f(1L)._1 == 0L && f(1L)._7 == 0L)
+    assert(f(2L)._2 == 0L, s"doc2 ${f(2L)}")
+    assert(f(3L)._3 == 0L, s"doc3 ${f(3L)}")
+    assert(f(4L)._4 == 0L, s"doc4 ${f(4L)}")
+    assert(f(5L)._5 == 0L, s"doc5 ${f(5L)}")
+    assert(f(6L)._6 == 0L, s"doc6 ${f(6L)}")
+    // the planted defect is the ONLY failed rule for docs 2..6
+    Seq(2L, 3L, 4L, 5L, 6L).foreach { id =>
+      val flags = Seq(f(id)._1, f(id)._2, f(id)._3, f(id)._4, f(id)._5,
+        f(id)._6)
+      assert(flags.count(_ == 0L) == 1, s"doc $id flags $flags")
+    }
+  }
 }
 
 /** k-means IVF training: convergence and recall on separable clusters. */
@@ -535,5 +574,4 @@ class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val d1 = (-math.log(4.0 / 9.0) + 3.0 * -math.log(inner)) / 4.0
     assert(math.abs(got(1L)._1 - d1) < 1e-12, s"${got(1L)._1} vs $d1")
   }
-
 }
