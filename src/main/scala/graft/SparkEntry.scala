@@ -2314,6 +2314,27 @@ object SparkEntry {
         "text", minWords = 30, minStops = 1)
     }),
 
+    // LEARNED TOKENIZER END-TO-END: q151's trained BPE table applied as
+    // the token counter (codegen'd chained replaces, unk words count 1),
+    // feeding q71's sequence packing — the "train tokenizer → count →
+    // pack" chain a pretraining data pipeline actually runs. A drift
+    // between training and application (merge order, alphabet, greedy
+    // left-to-right semantics) breaks the packing hash.
+    "q158_bpe_pack" -> ((s, dir) => {
+      import graft.functions.Bpe
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.train(docs, "text", nMerges = 4)
+      val counted = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          Bpe.subwordCountBpe(col("text"), merges).cast("long")
+            .as("bpe_toks"))
+      val packed = Curation.packSequences(counted, "doc_id", "bpe_toks",
+        budget = 1024, shardCol = "shard")
+      Curation.packingStats(packed, "bpe_toks", budget = 1024,
+        shardCol = "shard")
+    }),
+
     // PERSISTED OPQ-ROTATED IVF-PQ: q106's pipeline with a rotation in
     // the sidecar — build rotates once, the probe rotates the query on
     // the way in, codes/codebooks live entirely in rotated space. The
@@ -2997,21 +3018,28 @@ object SparkEntry {
        |      '<' || b$k.a || b$k.b || '>') AS enc
        |  FROM e${k - 1} CROSS JOIN b$k)""".stripMargin
 
-  private def bpeOracleSql(nMerges: Int): String = {
+  /** The BPE training CTE chain (word counts → e0 → b1/e1 … b_n/e_n),
+    * shared by q151 and q158.
+    */
+  private def bpeCtes(nMerges: Int): String = {
     val steps = (1 to nMerges).map(bpeStepSql).mkString(",\n")
-    val mergeRows = (1 to nMerges).map { k =>
-      if (k == 1)
-        s"SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS step, a, b, c AS n FROM b1"
-      else s"UNION ALL SELECT 'merge', $k, a, b, c FROM b$k"
-    }.mkString("\n")
-    raw"""WITH toks AS (SELECT
+    raw"""toks AS (SELECT
        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
        |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks
        |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
        |e0 AS (SELECT freq, regexp_replace(word, '(.)', '<\1>', 'g') AS enc
        |  FROM w0),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  private def bpeOracleSql(nMerges: Int): String = {
+    val mergeRows = (1 to nMerges).map { k =>
+      if (k == 1)
+        s"SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS step, a, b, c AS n FROM b1"
+      else s"UNION ALL SELECT 'merge', $k, a, b, c FROM b$k"
+    }.mkString("\n")
+    raw"""WITH ${bpeCtes(nMerges)},
        |vocab AS (SELECT sym AS a, CAST(sum(freq) AS BIGINT) AS n
        |  FROM (SELECT freq,
        |    unnest(regexp_extract_all(enc, '<([^>]*)>', 1)) AS sym
@@ -3019,6 +3047,44 @@ object SparkEntry {
        |  GROUP BY sym)
        |$mergeRows
        |UNION ALL SELECT 'sym', $nMerges, a, '', n FROM vocab""".stripMargin
+  }
+
+  /** q158 oracle: the trained merge rows (b1…b4) applied to every doc
+    * word as a chained literal replace (left-to-right, the greedy merge
+    * semantics), symbol counts summed per doc (out-of-alphabet words
+    * count 1), then q71's cumulative-sum packing replay on the BPE
+    * counts.
+    */
+  private def bpePackOracleSql(nMerges: Int, budget: Int): String = {
+    val enc0 = raw"regexp_replace(word, '(.)', '<\1>', 'g')"
+    val applied = (1 to nMerges).foldLeft(enc0) { (acc, k) =>
+      s"replace($acc,\n          '<' || b$k.a || '><' || b$k.b || " +
+        s"'>', '<' || b$k.a || b$k.b || '>')"
+    }
+    val crossB = (1 to nMerges).map(k => s"CROSS JOIN b$k").mkString(" ")
+    raw"""WITH ${bpeCtes(nMerges)},
+       |docw AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |seg AS (SELECT doc_id,
+       |    CASE WHEN regexp_matches(word, '^[a-z0-9]+$$') THEN
+       |      len(regexp_extract_all($applied, '<([^>]*)>', 1))
+       |    ELSE 1 END AS c
+       |  FROM docw $crossB),
+       |cnts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS bpe_toks
+       |  FROM seg GROUP BY doc_id),
+       |alld AS (SELECT d.doc_id, coalesce(c.bpe_toks, 0) AS bpe_toks
+       |  FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |  LEFT JOIN cnts c ON c.doc_id = d.doc_id),
+       |d2 AS (SELECT doc_id, doc_id % 8 AS shard,
+       |    least(bpe_toks, $budget) AS toks FROM alld),
+       |c2 AS (SELECT *, sum(toks) OVER (PARTITION BY shard
+       |    ORDER BY doc_id) AS cum FROM d2)
+       |SELECT shard, CAST(floor((cum - toks) / $budget.0) AS BIGINT)
+       |    AS bin,
+       |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS fill,
+       |  round(CAST(sum(toks) AS BIGINT) / $budget.0, 6) AS fill_ratio
+       |FROM c2 GROUP BY 1, 2""".stripMargin
   }
 
   /** The engine-wide polynomial hash as a DuckDB expression over `s`. */
@@ -3292,6 +3358,7 @@ object SparkEntry {
     // top-bigram argmax is a QUALIFY row_number with the (count DESC,
     // gram ASC) tiebreak.
     "q157_gopher_rules" -> gopherOracleSql(minWords = 30, minStops = 1),
+    "q158_bpe_pack" -> bpePackOracleSql(4, budget = 1024),
 
     // Positioned tokens with truncated context for BOTH relations, three
     // count tables from the % 3 <> 0 split, then the five-way left join
