@@ -2335,6 +2335,19 @@ object SparkEntry {
         shardCol = "shard")
     }),
 
+    // BOUNDED CDC (the real FastCDC rule): first divisor hit in
+    // [s+8, s+64] cuts, else a forced cut at s+64 — bounds change which
+    // boundaries exist, so the oracle walks the same sequential
+    // recurrence (recursive CTE over a precomputed next-hit relation;
+    // the recursion itself is join-only). Every span and chunk hash is
+    // gated.
+    "q159_cdc_bounded" -> ((s, dir) => {
+      import graft.operators.ContentChunks
+      ContentChunks.cdcChunksBounded(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, divisor = 32, minLen = 8, maxLen = 64)
+        .select(col("doc_id"), col("start"), col("end"), col("chash"))
+    }),
+
     // PERSISTED OPQ-ROTATED IVF-PQ: q106's pipeline with a rotation in
     // the sidecar — build rotates once, the probe rotates the query on
     // the way in, codes/codebooks live entirely in rotated space. The
@@ -3127,6 +3140,56 @@ object SparkEntry {
        |FROM perdoc
        |UNION ALL SELECT 'dup', chash, a, b FROM dups""".stripMargin
 
+  /** q159 oracle: FastCDC's sequential recurrence as a recursive CTE.
+    * The trick keeping the recursive term join-only (no aggregates): a
+    * precomputed `nh` relation gives, for every gram position p, the
+    * first divisor hit at or after p (a reverse-ordered window min), so
+    * each recursion step looks up exactly one row at p = s + minLen.
+    */
+  private def cdcBoundedOracleSql(n: Int, dv: Int, mn: Int,
+      mx: Int): String =
+    raw"""WITH RECURSIVE base AS (SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM base),
+       |grams AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w) - $n + 2), p -> p - 1))
+       |      AS pos,
+       |    unnest(list_transform(range(1, len(w) - $n + 2),
+       |      p -> array_to_string(w[p:p + $n - 1], ' '))) AS gram
+       |  FROM base WHERE len(w) >= $n),
+       |gh AS (SELECT doc_id, pos,
+       |    CASE WHEN ${phSql("gram")} % $dv = 0 THEN pos END AS hitpos
+       |  FROM grams),
+       |nh AS (SELECT doc_id, pos,
+       |    min(hitpos) OVER (PARTITION BY doc_id ORDER BY pos DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nexthit
+       |  FROM gh),
+       |ch AS (
+       |  SELECT l.doc_id, CAST(0 AS BIGINT) AS s,
+       |    CAST(CASE
+       |      WHEN h.nexthit IS NOT NULL
+       |        AND h.nexthit <= least(0 + $mx, l.len - $n)
+       |        THEN h.nexthit
+       |      WHEN 0 + $mx < l.len THEN 0 + $mx
+       |      ELSE l.len END AS BIGINT) AS e, l.len
+       |  FROM lens l LEFT JOIN nh h ON h.doc_id = l.doc_id
+       |    AND h.pos = 0 + $mn
+       |  UNION ALL
+       |  SELECT c.doc_id, c.e AS s,
+       |    CAST(CASE
+       |      WHEN h.nexthit IS NOT NULL
+       |        AND h.nexthit <= least(c.e + $mx, c.len - $n)
+       |        THEN h.nexthit
+       |      WHEN c.e + $mx < c.len THEN c.e + $mx
+       |      ELSE c.len END AS BIGINT) AS e, c.len
+       |  FROM ch c LEFT JOIN nh h ON h.doc_id = c.doc_id
+       |    AND h.pos = c.e + $mn
+       |  WHERE c.e < c.len)
+       |SELECT ch.doc_id, ch.s AS start, ch.e AS "end",
+       |  ${phSql("array_to_string(b.w[ch.s + 1:ch.e], ' ')")} AS chash
+       |FROM ch JOIN base b ON b.doc_id = ch.doc_id""".stripMargin
+
   /** q154 oracle: winnowing's rightmost-minimum per window — frame min,
     * then a ranged join back to pick the rightmost position at that
     * minimum; short docs (m ≤ w) take the whole-stream minimum.
@@ -3359,6 +3422,7 @@ object SparkEntry {
     // gram ASC) tiebreak.
     "q157_gopher_rules" -> gopherOracleSql(minWords = 30, minStops = 1),
     "q158_bpe_pack" -> bpePackOracleSql(4, budget = 1024),
+    "q159_cdc_bounded" -> cdcBoundedOracleSql(3, 32, 8, 64),
 
     // Positioned tokens with truncated context for BOTH relations, three
     // count tables from the % 3 <> 0 split, then the five-way left join

@@ -86,6 +86,61 @@ object ContentChunks {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
 
+  /** FastCDC's bounded form (Xia et al. 2016): candidate cut positions
+    * are restricted to [s+minLen, s+maxLen] after the previous cut s —
+    * the FIRST divisor hit in range cuts; if none, a cut is FORCED at
+    * s+maxLen (unless the document ends first). Bounds change which
+    * boundaries exist, so this is a real variant of [[cdcChunks]], not a
+    * post-filter: minLen suppresses pathological runs of tiny chunks on
+    * hit-dense content, maxLen caps chunk size for downstream batching.
+    * The terminal chunk may be shorter than minLen (the tail remainder,
+    * as in the paper). Sequential per document, O(len) total.
+    */
+  private def cdcBoundedKernel(n: Int, divisor: Int, minLen: Int,
+      maxLen: Int) =
+    udf { (toks: Seq[String]) =>
+      if (toks == null || toks.isEmpty) Seq.empty[(Int, Int, Int, Long)]
+      else {
+        val len = toks.length
+        val lastGram = len - n
+        val out = Seq.newBuilder[(Int, Int, Int, Long)]
+        var s = 0
+        var idx = 0
+        while (s < len) {
+          var e = -1
+          var p = s + minLen
+          val hi = math.min(s + maxLen, lastGram)
+          while (e < 0 && p <= hi) {
+            if (TextFns.polyHash(toks.slice(p, p + n).mkString(" "))
+                % divisor == 0) e = p
+            p += 1
+          }
+          if (e < 0) e = if (s + maxLen < len) s + maxLen else len
+          out += ((idx, s, e,
+            TextFns.polyHash(toks.slice(s, e).mkString(" "))))
+          idx += 1
+          s = e
+        }
+        out.result()
+      }
+    }
+
+  /** Bounded-chunk relation, schema of [[cdcChunks]]. */
+  def cdcChunksBounded(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, divisor: Int, minLen: Int, maxLen: Int): DataFrame = {
+    require(n >= 1, s"gram length $n must be >= 1")
+    require(divisor >= 2, s"divisor $divisor must be >= 2")
+    require(minLen >= 1 && maxLen > minLen,
+      s"need 1 <= minLen < maxLen, got [$minLen, $maxLen]")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(cdcBoundedKernel(n, divisor, minLen, maxLen)(
+          TextFns.tokens(lower(col(textCol))))).as("c"))
+      .select(col("doc_id"), col("c._1").as("chunk_idx"),
+        col("c._2").as("start"), col("c._3").as("end"),
+        col("c._4").as("chash"))
+  }
+
   /** Winnowing: rightmost-minimum selection over every window of `w`
     * consecutive k-gram hashes, selections deduplicated — the paper's
     * robust winnowing. Returns (doc_id, pos, fhash). Documents with

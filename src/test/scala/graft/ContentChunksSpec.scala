@@ -59,6 +59,48 @@ class ContentChunksSpec extends AnyFunSuite {
     assert(dup.map(_.getLong(0)).toSet == shared)
   }
 
+  /** Definitional bounded CDC (straight from the FastCDC rule). */
+  private def cdcBoundedRef(toks: Seq[String], n: Int, dv: Int, mn: Int,
+      mx: Int): Seq[(Int, Int)] = {
+    if (toks.isEmpty) return Nil
+    val len = toks.length
+    val out = Seq.newBuilder[(Int, Int)]
+    var s = 0
+    while (s < len) {
+      val cands = (s + mn) to math.min(s + mx, len - n)
+      val hit = cands.find(p =>
+        TextFns.polyHash(toks.slice(p, p + n).mkString(" ")) % dv == 0)
+      val e = hit.getOrElse(if (s + mx < len) s + mx else len)
+      out += ((s, e)); s = e
+    }
+    out.result()
+  }
+
+  test("cdcChunksBounded matches the definitional rule; bounds hold") {
+    val texts = Seq(
+      (1 to 300).map(j => s"tok${(j * 11) % 37}").mkString(" "),
+      "a b", "x " * 500, (1 to 70).map(j => s"v$j").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = ContentChunks.cdcChunksBounded(docs, "doc_id", "text",
+        N, DV, 8, 64)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toSet
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      cdcBoundedRef(t.trim.toLowerCase.split("\\s+").toSeq, N, DV, 8, 64)
+        .map { case (s, e) => (i.toLong, s, e) }
+    }.toSet
+    assert(got == want)
+    // bounds: every chunk <= 64; every non-terminal chunk >= 8
+    val byDoc = got.groupBy(_._1)
+    byDoc.values.foreach { cs =>
+      val maxEnd = cs.map(_._3).max
+      cs.foreach { case (_, s, e) =>
+        assert(e - s <= 64)
+        if (e != maxEnd) assert(e - s >= 8, s"mid-doc chunk [$s,$e)")
+      }
+    }
+  }
+
   /** Definitional winnowing (windows + rightmost min + dedup). */
   private def winnowRef(toks: Seq[String], k: Int, w: Int): Set[(Int, Long)] = {
     if (toks.isEmpty) return Set.empty
