@@ -116,8 +116,10 @@ object Bpe {
   }
 
   /** The learned subword vocabulary after applying `merges`: symbols of
-    * every word weighted by word frequency. One aggregation over the
-    * vocabulary relation.
+    * every word weighted by word frequency. Recomputes the word-count
+    * scan (one corpus pass) and aggregates over the vocabulary relation —
+    * callers who already hold `wordFrequencies` output should segment
+    * that instead of paying the scan twice.
     */
   def vocabAfter(docs: DataFrame, textCol: String,
       merges: Seq[Merge]): DataFrame =
@@ -129,13 +131,16 @@ object Bpe {
   /** Subword token count per document under a learned merge table — the
     * exact-BPE replacement for [[TextFns.subwordCount]]'s regex
     * approximation. Out-of-alphabet tokens count 1 symbol each (the
-    * unk-word convention). Codegen'd end to end.
+    * unk-word convention); null text propagates null (the suite's
+    * null-in/null-out convention), blank text counts 0. Codegen'd end
+    * to end.
     */
   def subwordCountBpe(text: Column, merges: Seq[Merge]): Column = {
     val toks = TextFns.tokens(lower(text))
     val perTok = transform(toks, w =>
       when(w.rlike("^[a-z0-9]+$"), size(segment(w, merges)))
         .otherwise(lit(1)))
-    coalesce(aggregate(perTok, lit(0), (acc, n) => acc + n), lit(0))
+    when(text.isNotNull,
+      coalesce(aggregate(perTok, lit(0), (acc, n) => acc + n), lit(0)))
   }
 }

@@ -50,7 +50,10 @@ object NgramLm {
   }
 
   /** LM count tables from `lmDocs`: returns (tri, bi, uni, n) where n is
-    * the total token count. Three aggregations, all map-side combined.
+    * the total token count. Three aggregations over the positioned
+    * relation, all map-side combined; n folds the VOCABULARY-sized
+    * unigram table (Σc1 ≡ total positions) rather than paying a fourth
+    * corpus scan.
     */
   def counts(lmDocs: DataFrame, idCol: String, textCol: String)
       : (DataFrame, DataFrame, DataFrame, Long) = {
@@ -60,7 +63,7 @@ object NgramLm {
     val bi = p.filter(col("w1").isNotNull)
       .groupBy("w1", "w0").agg(count(lit(1)).as("c2"))
     val uni = p.groupBy("w0").agg(count(lit(1)).as("c1"))
-    val n = p.count()
+    val n = uni.agg(coalesce(sum(col("c1")), lit(0L))).head().getLong(0)
     (tri, bi, uni, n)
   }
 
