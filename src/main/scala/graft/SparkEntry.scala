@@ -2348,6 +2348,17 @@ object SparkEntry {
         .select(col("doc_id"), col("start"), col("end"), col("chash"))
     }),
 
+    // THE FULL GOPHER REPETITION BATTERY (Rae et al. 2021, Table A1):
+    // top-{2,3,4}-gram char fractions <= {20,18,16}% and within-doc
+    // duplicated-{5..10}-gram COVERAGE fractions <= {15..10}% — overlap
+    // merged gaps-and-islands so chars never double-count, thresholds
+    // compared by integer cross-multiplication. Nine flags + keep.
+    "q160_gopher_repetition" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.gopherRepetitionFlags(t(s, dir, "documents"), "doc_id",
+        "text")
+    }),
+
     // PERSISTED OPQ-ROTATED IVF-PQ: q106's pipeline with a rotation in
     // the sidecar — build rotates once, the probe rotates the query on
     // the way in, codes/codebooks live entirely in rotated space. The
@@ -3140,6 +3151,106 @@ object SparkEntry {
        |FROM perdoc
        |UNION ALL SELECT 'dup', chash, a, b FROM dups""".stripMargin
 
+  /** q160 oracle: the full Gopher repetition battery — per-n top-gram
+    * argmax CTEs and duplicated-gram coverage CTEs (within-doc rep →
+    * gaps-and-islands merge → char sum over covered positions), flags by
+    * integer cross-multiplication. Generated per n; thresholds are the
+    * paper's, as exact rationals.
+    */
+  private def gopherRepOracleSql: String = {
+    val topSpec = Seq((2, 1L, 5L), (3, 9L, 50L), (4, 4L, 25L))
+    val dupSpec = Seq((5, 3L, 20L), (6, 7L, 50L), (7, 13L, 100L),
+      (8, 3L, 25L), (9, 11L, 100L), (10, 1L, 10L))
+    def gramsFor(n: Int, withPos: Boolean): String = {
+      val pos = if (withPos)
+        s"unnest(list_transform(range(1, len(w) - $n + 2), " +
+          "p -> p - 1)) AS pos,"
+      else ""
+      raw"""SELECT doc_id, $pos
+         |    unnest(list_transform(range(1, len(w) - $n + 2),
+         |      p -> array_to_string(w[p:p + $n - 1], ' '))) AS g
+         |  FROM base WHERE len(w) >= $n""".stripMargin
+    }
+    val topCtes = topSpec.map { case (n, _, _) =>
+      raw"""t$n AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) AS cov
+         |  FROM (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+         |    FROM (${gramsFor(n, withPos = false)}) GROUP BY 1, 2)
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, g ASC) = 1)""".stripMargin
+    }
+    val dupCtes = dupSpec.map { case (n, _, _) =>
+      raw"""g$n AS (${gramsFor(n, withPos = true)}),
+         |r$n AS (SELECT doc_id, g FROM g$n GROUP BY 1, 2
+         |  HAVING count(*) >= 2),
+         |m$n AS (SELECT g$n.doc_id, CAST(g$n.pos AS BIGINT) AS pos,
+         |    CAST(g$n.pos + $n AS BIGINT) AS e
+         |  FROM g$n JOIN r$n USING (doc_id, g)),
+         |x$n AS (SELECT doc_id, pos, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+         |  FROM m$n),
+         |y$n AS (SELECT doc_id, pos, e,
+         |    CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END AS nw
+         |  FROM x$n),
+         |z$n AS (SELECT doc_id, pos, e,
+         |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM y$n),
+         |sp$n AS (SELECT doc_id, min(pos) AS s, max(e) AS en
+         |  FROM z$n GROUP BY doc_id, grp),
+         |cv$n AS (SELECT sp.doc_id,
+         |    CAST(sum(t.len) + count(*) AS BIGINT) AS lenpos
+         |  FROM sp$n sp JOIN toksall t ON t.doc_id = sp.doc_id
+         |    AND t.pos >= sp.s AND t.pos < sp.en
+         |  GROUP BY sp.doc_id),
+         |ns$n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsp
+         |  FROM sp$n GROUP BY doc_id),
+         |d$n AS (SELECT cv.doc_id, cv.lenpos - ns.nsp AS cov
+         |  FROM cv$n cv JOIN ns$n ns USING (doc_id))""".stripMargin
+    }
+    def cond(alias: String, num: Long, den: Long) =
+      s"$alias.cov IS NULL OR $den * $alias.cov <= $num * m.n_chars"
+    val flags =
+      topSpec.map { case (n, num, den) =>
+        s"  CAST(CASE WHEN ${cond(s"t$n", num, den)} THEN 1 ELSE 0 END" +
+          s" AS BIGINT) AS r_top$n"
+      } ++ dupSpec.map { case (n, num, den) =>
+        s"  CAST(CASE WHEN ${cond(s"d$n", num, den)} THEN 1 ELSE 0 END" +
+          s" AS BIGINT) AS r_dup$n"
+      }
+    val keepSum = (topSpec.map { case (n, num, den) =>
+      s"(CASE WHEN ${cond(s"t$n", num, den)} THEN 1 ELSE 0 END)"
+    } ++ dupSpec.map { case (n, num, den) =>
+      s"(CASE WHEN ${cond(s"d$n", num, den)} THEN 1 ELSE 0 END)"
+    }).mkString("\n    + ")
+    val joins = (topSpec.map(t => s"t${t._1}") ++
+      dupSpec.map(d => s"d${d._1}"))
+      .map(a => s"LEFT JOIN $a ON $a.doc_id = m.doc_id").mkString("\n")
+    raw"""WITH base AS (SELECT doc_id,
+       |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+       |    END AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |m AS (SELECT doc_id,
+       |    CAST(CASE WHEN len(w) > 0
+       |      THEN list_sum(list_transform(w, x -> length(x)))
+       |        + len(w) - 1
+       |      ELSE 0 END AS BIGINT) AS n_chars
+       |  FROM base),
+       |toksall AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w) + 1),
+       |      p -> CAST(p - 1 AS BIGINT))) AS pos,
+       |    unnest(list_transform(range(1, len(w) + 1),
+       |      p -> CAST(length(w[p]) AS BIGINT))) AS len
+       |  FROM base),
+       |${topCtes.mkString(",\n")},
+       |${dupCtes.mkString(",\n")}
+       |SELECT m.doc_id, m.n_chars,
+       |${flags.mkString(",\n")},
+       |  CAST(CASE WHEN $keepSum = 9 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM m
+       |$joins""".stripMargin
+  }
+
   /** q159 oracle: FastCDC's sequential recurrence as a recursive CTE.
     * The trick keeping the recursive term join-only (no aggregates): a
     * precomputed `nh` relation gives, for every gram position p, the
@@ -3423,6 +3534,7 @@ object SparkEntry {
     "q157_gopher_rules" -> gopherOracleSql(minWords = 30, minStops = 1),
     "q158_bpe_pack" -> bpePackOracleSql(4, budget = 1024),
     "q159_cdc_bounded" -> cdcBoundedOracleSql(3, 32, 8, 64),
+    "q160_gopher_repetition" -> gopherRepOracleSql,
 
     // Positioned tokens with truncated context for BOTH relations, three
     // count tables from the % 3 <> 0 split, then the five-way left join

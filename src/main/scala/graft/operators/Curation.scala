@@ -1004,4 +1004,109 @@ object Curation {
     */
   private def sum_wlenPlusSpaces(sumWlen: Column, nWords: Column): Column =
     when(nWords > 0, sumWlen + nWords - 1).otherwise(lit(0L))
+
+  /** The FULL Gopher repetition battery (Rae et al. 2021, Table A1,
+    * doc-level): for n ∈ {2,3,4}, the characters covered by occurrences
+    * of the single most frequent word n-gram must be ≤ {20, 18, 16} % of
+    * the normalized stream; for n ∈ {5..10}, the characters covered by
+    * ALL within-doc duplicated n-grams (count ≥ 2, overlaps merged
+    * gaps-and-islands so nothing double-counts) must be ≤
+    * {15, 14, 13, 12, 11, 10} %. Complements [[gopherQualityFlags]]'s
+    * single top-bigram rule.
+    *
+    * Every threshold is a rational compared by cross-multiplication
+    * (den·covered ≤ num·n_chars) — integer-exact, engine-independent.
+    * Covered chars for the dup rules = Σ token lengths over covered
+    * positions + internal span spaces (|positions| − |spans|), over the
+    * lowercased single-spaced normalization the grams are defined on.
+    *
+    * Cost shape: one positioned-gram pass per n (nine doc-keyed
+    * shuffles) — each the same shape as every other n-gram operator
+    * here; windows partition BY DOCUMENT only.
+    */
+  def gopherRepetitionFlags(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = TextFns.tokens(lower(text))
+    val base = docs.filter(text.isNotNull)
+      .select(col(idCol).as("doc_id"), toks.as("__w"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("sum_wlen",
+        coalesce(aggregate(transform(col("__w"), w => length(w)),
+          lit(0L), (acc, x) => acc + x), lit(0L)))
+      .withColumn("n_chars",
+        sum_wlenPlusSpaces(col("sum_wlen"), col("n_words")))
+    val toksAll = base.select(col("doc_id"),
+        posexplode(col("__w")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        length(col("tok")).cast("long").as("__len"))
+    val docsForGrams = docs.filter(text.isNotNull)
+      .select(col(idCol).as("doc_id"), text.as("__t"))
+
+    // covered chars of the single most frequent n-gram
+    def topCover(n: Int, name: String): DataFrame = {
+      val g = positionedGrams(docsForGrams, "doc_id", "__t", n)
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("__c").desc, col("gram").asc)
+      g.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("doc_id").as("__id"),
+          (col("__c") * length(col("gram")).cast("long")).as("__cov"))
+        .withColumnRenamed("__cov", s"__cov_$name")
+    }
+    // covered chars of ALL duplicated n-grams, islands-merged
+    def dupCover(n: Int, name: String): DataFrame = {
+      val g = positionedGrams(docsForGrams, "doc_id", "__t", n)
+      val rep = g.groupBy("doc_id", "gram").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2).select("doc_id", "gram")
+      val marked = g.join(rep, Seq("doc_id", "gram"))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          (col("pos") + n).cast("long").as("__end"))
+      val spans = islandsToSpans(marked)
+      val covered = spans
+        .join(toksAll, Seq("doc_id"))
+        .filter(col("pos") >= col("span_start") &&
+          col("pos") < col("span_end"))
+        .groupBy("doc_id")
+        .agg((sum(col("__len")) + count(lit(1))).as("__lenpos"))
+      val spanCnt = spans.groupBy("doc_id")
+        .agg(count(lit(1)).as("__nsp"))
+      covered.join(spanCnt, Seq("doc_id"))
+        .select(col("doc_id").as("__id"),
+          (col("__lenpos") - col("__nsp")).as(s"__cov_$name"))
+    }
+
+    val topSpec = Seq((2, 1L, 5L), (3, 9L, 50L), (4, 4L, 25L))
+    val dupSpec = Seq((5, 3L, 20L), (6, 7L, 50L), (7, 13L, 100L),
+      (8, 3L, 25L), (9, 11L, 100L), (10, 1L, 10L))
+    var out = base.select(col("doc_id"), col("n_chars"))
+    topSpec.foreach { case (n, _, _) =>
+      val f = topCover(n, s"top$n")
+      out = out.join(f, out("doc_id") === f("__id"), "left").drop("__id")
+    }
+    dupSpec.foreach { case (n, _, _) =>
+      val f = dupCover(n, s"dup$n")
+      out = out.join(f, out("doc_id") === f("__id"), "left").drop("__id")
+    }
+    def flag(cov: Column, num: Long, den: Long): Column =
+      when(cov.isNull, 1L)
+        .otherwise((lit(den) * cov <= lit(num) * col("n_chars"))
+          .cast("long"))
+    var res = out
+    topSpec.foreach { case (n, num, den) =>
+      res = res.withColumn(s"r_top$n",
+        flag(col(s"__cov_top$n"), num, den))
+    }
+    dupSpec.foreach { case (n, num, den) =>
+      res = res.withColumn(s"r_dup$n",
+        flag(col(s"__cov_dup$n"), num, den))
+    }
+    val flagCols = topSpec.map(t => s"r_top${t._1}") ++
+      dupSpec.map(t => s"r_dup${t._1}")
+    res.withColumn("keep",
+        (flagCols.map(col).reduce(_ + _) === flagCols.size.toLong)
+          .cast("long"))
+      .select((Seq("doc_id", "n_chars") ++ flagCols :+ "keep")
+        .map(col): _*)
+  }
 }

@@ -333,6 +333,34 @@ class CurationSpec extends AnyFunSuite {
       assert(flags.count(_ == 0L) == 1, s"doc $id flags $flags")
     }
   }
+
+  test("gopherRepetitionFlags: coverage merges overlaps; planted " +
+      "repetition fails exactly its n; clean doc passes all nine") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // doc 1: a 6-token phrase repeated 3 times inside unique filler —
+    // every 5- and 6-gram inside the copies repeats, so the dup5/dup6
+    // coverage is the MERGED span (overlap must not double-count chars
+    // beyond the island length). 18 of 48 tokens covered -> far over
+    // the 15%/14% caps; 7..10-grams spanning copy+filler are unique.
+    val phrase = "alpha bravo charlie delta echo foxtrot"
+    val fill = (1 to 10).map(i => s"u$i")
+    val d1 = (fill.take(4) ++ phrase.split(" ") ++ fill.slice(4, 8) ++
+      phrase.split(" ") ++ fill.slice(8, 10) ++ phrase.split(" ") ++
+      (11 to 30).map(i => s"v$i")).mkString(" ")
+    // doc 2: clean — all tokens distinct
+    val d2 = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val got = Curation.gopherRepetitionFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (2 to 10).zipWithIndex.map { case (_, j) => r.getLong(2 + j) })
+      .toMap
+    // doc 2 passes everything
+    assert(got(2L).forall(_ == 1L), s"clean doc flags ${got(2L)}")
+    // doc 1 fails dup5 and dup6 (indices 3 and 4), passes dup7..dup10
+    assert(got(1L)(3) == 0L && got(1L)(4) == 0L, s"doc1 ${got(1L)}")
+    assert((5 to 8).forall(j => got(1L)(j) == 1L), s"doc1 ${got(1L)}")
+  }
 }
 
 /** k-means IVF training: convergence and recall on separable clusters. */
