@@ -2229,6 +2229,32 @@ object SparkEntry {
       wdf.unionByName(preds)
     }),
 
+    // AVERAGED perceptron (Freund & Schapire 1999, batch form): the
+    // q152 trainer plus the epoch-sum weight vector; predictions use
+    // sign(Σ_e w_e · x) — identical decisions to the average without a
+    // division, so the whole gate stays exact-integer. Both weight sets
+    // and every averaged decision are hashed.
+    "q161_perceptron_averaged" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val f = QualityModel.docFeatures(docs, "text")
+        .withColumn("y", when(col("lang") === "en", 1L).otherwise(lit(-1L)))
+        .select((Seq("doc_id", "y") ++ QualityModel.featureCols).map(col): _*)
+        .localCheckpoint()
+      val (wf, wsum) = QualityModel.perceptronTrainAveraged(f, "y",
+        QualityModel.featureCols, epochs = 3)
+      val wdf = (wf.zipWithIndex.map { case (v, j) =>
+          ("w", j.toLong, v)
+        } ++ wsum.zipWithIndex.map { case (v, j) => ("wsum", j.toLong, v) })
+        .toDF("kind", "k", "v")
+      val preds = QualityModel.perceptronPredict(f, wsum,
+          QualityModel.featureCols)
+        .select(lit("pred").as("kind"), col("doc_id").as("k"),
+          col("pred").as("v"))
+      wdf.unionByName(preds)
+    }),
+
     // CONTENT-DEFINED CHUNKING (LBFS/FastCDC family): boundaries where a
     // local 3-gram rolling hash divides 32, so an insertion early in a
     // doc shifts no later chunk identity — chunk-hash dedup then catches
@@ -3473,7 +3499,8 @@ object SparkEntry {
     * `QualityModel.docFeatures` count-for-count; each epoch CTE recomputes
     * the exact integer update w ← w + Σ_{y(w·x)≤0} y·x.
     */
-  private def perceptronOracleSql(epochs: Int): String = {
+  private def perceptronOracleSql(epochs: Int,
+      averaged: Boolean = false): String = {
     val d = 5
     val js = 0 until d
     def dotW(alias: String) =
@@ -3511,20 +3538,43 @@ object SparkEntry {
         s"SELECT 'w' AS kind, CAST(0 AS BIGINT) AS k, w0 AS v FROM w$epochs"
       else s"UNION ALL SELECT 'w', $j, w$j FROM w$epochs"
     }.mkString("\n")
-    raw"""WITH $feats,
-       |$w0,
-       |$steps,
-       |pred AS (SELECT doc_id,
-       |  CAST(CASE WHEN (${dotW("w")}) > 0 THEN 1 ELSE -1 END AS BIGINT)
-       |    AS v
-       |  FROM f CROSS JOIN w$epochs w)
-       |$wRows
-       |UNION ALL SELECT 'pred', doc_id, v FROM pred""".stripMargin
+    if (!averaged)
+      raw"""WITH $feats,
+         |$w0,
+         |$steps,
+         |pred AS (SELECT doc_id,
+         |  CAST(CASE WHEN (${dotW("w")}) > 0 THEN 1 ELSE -1 END AS BIGINT)
+         |    AS v
+         |  FROM f CROSS JOIN w$epochs w)
+         |$wRows
+         |UNION ALL SELECT 'pred', doc_id, v FROM pred""".stripMargin
+    else {
+      // Σ_e w_e per feature (qualified references — every w_e CTE carries
+      // the same column names); sign(Σw·x) ≡ sign(avg(w)·x), no division
+      val wsJoin = (1 to epochs).map(e => s"w$e").mkString(" CROSS JOIN ")
+      val ws = "ws AS (SELECT " + js.map(j =>
+        (1 to epochs).map(e => s"w$e.w$j").mkString(" + ") + s" AS w$j")
+        .mkString(", ") + s" FROM $wsJoin)"
+      val wsumRows = js.map(j =>
+        s"UNION ALL SELECT 'wsum', $j, w$j FROM ws").mkString("\n")
+      raw"""WITH $feats,
+         |$w0,
+         |$steps,
+         |$ws,
+         |pred AS (SELECT doc_id,
+         |  CAST(CASE WHEN (${dotW("w")}) > 0 THEN 1 ELSE -1 END AS BIGINT)
+         |    AS v
+         |  FROM f CROSS JOIN ws w)
+         |$wRows
+         |$wsumRows
+         |UNION ALL SELECT 'pred', doc_id, v FROM pred""".stripMargin
+    }
   }
 
   def oracleSql: Map[String, String] = Map(
     "q151_bpe_train" -> bpeOracleSql(4),
     "q152_perceptron_quality" -> perceptronOracleSql(3),
+    "q161_perceptron_averaged" -> perceptronOracleSql(3, averaged = true),
     "q153_cdc_chunks" -> cdcOracleSql(3, 32),
     "q154_winnow_fingerprints" -> winnowOracleSql(5, 8),
 

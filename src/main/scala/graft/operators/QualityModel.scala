@@ -78,6 +78,34 @@ object QualityModel {
     w
   }
 
+  /** Batch perceptron with AVERAGING (Freund & Schapire 1999's averaged
+    * perceptron, batch form): returns (final, summed-over-epochs) weight
+    * vectors. The epoch sum Σ_e w_e is exact integers like everything
+    * else here, and sign(Σw·x) ≡ sign(avg(w)·x) — so averaged prediction
+    * needs no division and stays engine-exact. Averaging damps the last
+    * epoch's overshoot on non-separable data (the standard NLP fix); the
+    * cost is identical — the sums ride the same one-agg-per-epoch loop.
+    */
+  def perceptronTrainAveraged(feats: DataFrame, labelCol: String,
+      featureColumns: Seq[String], epochs: Int): (Seq[Long], Seq[Long]) = {
+    require(epochs >= 1 && epochs <= 64,
+      s"epochs $epochs out of the driver-side contract bound [1, 64]")
+    var w = Seq.fill(featureColumns.size)(0L)
+    var acc = Seq.fill(featureColumns.size)(0L)
+    var e = 0
+    while (e < epochs) {
+      val mis = col(labelCol) * dot(w, featureColumns) <= 0
+      val aggs = featureColumns.map(c =>
+        coalesce(sum(when(mis, col(labelCol) * col(c)).otherwise(lit(0L))),
+          lit(0L)).as(s"g_$c"))
+      val row = feats.agg(aggs.head, aggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wi, j) => wi + row.getLong(j) }
+      acc = acc.zip(w).map { case (a, wi) => a + wi }
+      e += 1
+    }
+    (w, acc)
+  }
+
   /** Score + hard decision under trained weights: margin = w·x,
     * pred = 1 if margin > 0 else -1 (margin 0 → -1, matching the
     * misclassified-at-0 training convention). Map-side only.

@@ -48,6 +48,15 @@ class QualityModelSpec extends AnyFunSuite {
       == QualityModel.perceptronTrain(many, "y", cols, 4))
   }
 
+  test("perceptronTrainAveraged: epoch-sum weights replay the hand math") {
+    val feats = Seq((1L, 1L, 2L), (-1L, 1L, 1L)).toDF("y", "x0", "x1")
+    // per-epoch w: (0,1), (-1,0), (0,2) -> acc: (0,1), (-1,1), (-1,3)
+    val (wf, acc) = QualityModel.perceptronTrainAveraged(feats, "y",
+      Seq("x0", "x1"), 3)
+    assert(wf == Seq(0L, 2L))
+    assert(acc == Seq(-1L, 3L))
+  }
+
   test("perceptronPredict: margin 0 classifies -1, matching training") {
     val feats = Seq((10L, 1L, 0L), (11L, 1L, 1L)).toDF("doc_id", "x0", "x1")
     val p = QualityModel.perceptronPredict(feats, Seq(0L, 5L),
