@@ -164,13 +164,22 @@ object ContentChunks {
           while (i < m) { if (hs(i) <= hs(best)) best = i; i += 1 }
           out += ((best, hs(best)))
         } else {
-          var s = 0
-          while (s + w <= m) {
-            var best = s
-            var i = s + 1
-            while (i < s + w) { if (hs(i) <= hs(best)) best = i; i += 1 }
-            out += ((best, hs(best)))
-            s += 1
+          // O(m) monotonic deque (ascending hashes front→back); popping
+          // with >= on insert makes the LATEST of equal hashes survive,
+          // so the front is exactly the rightmost minimum of the window
+          val dq = new Array[Int](m)
+          var head = 0
+          var tail = 0 // exclusive
+          var i = 0
+          while (i < m) {
+            while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+            dq(tail) = i; tail += 1
+            val s = i - w + 1 // window [s, i] complete once s >= 0
+            if (s >= 0) {
+              while (dq(head) < s) head += 1
+              out += ((dq(head), hs(dq(head))))
+            }
+            i += 1
           }
         }
         out.toSeq
