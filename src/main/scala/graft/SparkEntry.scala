@@ -2361,6 +2361,51 @@ object SparkEntry {
         shardCol = "shard")
     }),
 
+    // PER-SOURCE DATA CARD: the corpus report a pipeline publishes with
+    // a dataset — docs, tokens, language spread, distinct-term HLL
+    // estimate (dyadic-exact), exact-dup doc count, and the Gopher keep
+    // count per source, composed from the round's primitives in one
+    // relation. Every column is integer or dyadic-exact.
+    "q162_corpus_report" -> ((s, dir) => {
+      import graft.functions.{Sketches, TextFns}
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      val base = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNotNull,
+          TextFns.tokenCount(col("text")).cast("long")).otherwise(0L))
+          .as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      val toks = docs
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("source"),
+          explode(TextFns.tokens(lower(col("text")))).as("term"))
+      val hll = Sketches.hllEstimateBy(
+          Sketches.hllRegistersBy(toks, Seq("source"), "term", p = 8),
+          Seq("source"), p = 8)
+        .select(col("source"), col("estimate").as("distinct_terms_est"))
+      val dups = docs.filter(col("text").isNotNull)
+        .select(col("source"),
+          md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+            .as("h"))
+        .groupBy("source", "h").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          .as("n_dup_docs"))
+      val keep = Curation.gopherQualityFlags(docs, "doc_id", "text",
+          minWords = 30, minStops = 1)
+        .select(col("doc_id"), col("keep"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source").agg(sum(col("keep")).as("n_keep"))
+      base.join(hll, Seq("source"), "left")
+        .join(dups, Seq("source"), "left")
+        .join(keep, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_langs"), col("distinct_terms_est"),
+          coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+          coalesce(col("n_keep"), lit(0L)).as("n_keep"))
+    }),
+
     // BOUNDED CDC (the real FastCDC rule): first divisor hit in
     // [s+8, s+64] cuts, else a forced cut at s+64 — bounds change which
     // boundaries exist, so the oracle walks the same sequential
@@ -3377,26 +3422,46 @@ object SparkEntry {
   /** q157 oracle: the Gopher rule set with division-free integer
     * comparisons, mirroring `Curation.gopherQualityFlags` term-for-term.
     */
+  /** The six Gopher rule conditions over the m2/top CTE columns — shared
+    * by the q157 oracle and the q162 data-card keep recomputation.
+    */
+  private def gopherRuleConds(minWords: Long,
+      minStops: Long): Seq[String] = Seq(
+    s"n_words BETWEEN $minWords AND 100000",
+    "n_words > 0 AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words",
+    "10 * n_sym <= n_words",
+    "5 * n_alpha >= 4 * n_words",
+    s"n_stop >= $minStops",
+    "top.top2_cnt IS NULL OR 5 * top.top2_cnt * top.top2_len <= n_chars")
+
+  private def gopherKeepSum(minWords: Long, minStops: Long): String =
+    gopherRuleConds(minWords, minStops)
+      .map(c => s"(CASE WHEN $c THEN 1 ELSE 0 END)").mkString("\n    + ")
+
   private def gopherOracleSql(minWords: Long, minStops: Long): String = {
-    val nstop = graft.operators.Curation.GopherStops.map(s =>
-      s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
-      .mkString(" + ")
     def r(name: String, cond: String) =
       s"CAST(CASE WHEN $cond THEN 1 ELSE 0 END AS BIGINT) AS $name"
-    val conds = Seq(
-      s"n_words BETWEEN $minWords AND 100000",
-      "n_words > 0 AND sum_wlen >= 3 * n_words AND sum_wlen <= 10 * n_words",
-      "10 * n_sym <= n_words",
-      "5 * n_alpha >= 4 * n_words",
-      s"n_stop >= $minStops",
-      "top.top2_cnt IS NULL OR 5 * top.top2_cnt * top.top2_len <= n_chars")
+    val conds = gopherRuleConds(minWords, minStops)
     val names = Seq("r_words", "r_wlen", "r_sym", "r_alpha", "r_stop",
       "r_rep")
     val flags = names.zip(conds)
       .map { case (n, c) => "  " + r(n, c) }.mkString(",\n")
-    val keepSum = conds.map(c => s"(CASE WHEN $c THEN 1 ELSE 0 END)")
-      .mkString("\n    + ")
-    raw"""WITH base AS (SELECT doc_id, text,
+    val keepSum = gopherKeepSum(minWords, minStops)
+    raw"""WITH $gopherBaseCtes
+       |SELECT m2.doc_id, n_words,
+       |$flags,
+       |  CAST(CASE WHEN $keepSum = 6 THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM m2 LEFT JOIN top ON top.doc_id = m2.doc_id""".stripMargin
+  }
+
+  /** The Gopher rule-stat CTEs (base → m2 + top-bigram argmax), shared by
+    * q157 and q162.
+    */
+  private def gopherBaseCtes: String = {
+    val nstop = graft.operators.Curation.GopherStops.map(s =>
+      s"(CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    raw"""base AS (SELECT doc_id, text,
        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+')
        |    END AS w
@@ -3423,11 +3488,7 @@ object SparkEntry {
        |top AS (SELECT doc_id, c AS top2_cnt,
        |    CAST(length(g) AS BIGINT) AS top2_len FROM bgc
        |  QUALIFY row_number() OVER (PARTITION BY doc_id
-       |    ORDER BY c DESC, g ASC) = 1)
-       |SELECT m2.doc_id, n_words,
-       |$flags,
-       |  CAST(CASE WHEN $keepSum = 6 THEN 1 ELSE 0 END AS BIGINT) AS keep
-       |FROM m2 LEFT JOIN top ON top.doc_id = m2.doc_id""".stripMargin
+       |    ORDER BY c DESC, g ASC) = 1)""".stripMargin
   }
 
   /** Shared CTE chain for q155/q156: positioned tokens with truncated
@@ -3584,6 +3645,71 @@ object SparkEntry {
     "q157_gopher_rules" -> gopherOracleSql(minWords = 30, minStops = 1),
     "q158_bpe_pack" -> bpePackOracleSql(4, budget = 1024),
     "q159_cdc_bounded" -> cdcBoundedOracleSql(3, 32, 8, 64),
+
+    // Data card: per-source counts + q142's per-group HLL chain + exact
+    // dup-doc counts + the q157 keep recomputation (shared CTEs/conds).
+    "q162_corpus_report" -> {
+      def poly(s: String) =
+        s"list_reduce(list_prepend(0::BIGINT, list_transform(" +
+          s"regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT)), " +
+          s"(acc, ch) -> (acc * 31 + ch) % 1000000007)"
+      raw"""WITH $gopherBaseCtes,
+         |keepd AS (SELECT m2.doc_id,
+         |    CAST(CASE WHEN ${gopherKeepSum(30, 1)} = 6 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS keep
+         |  FROM m2 LEFT JOIN top ON top.doc_id = m2.doc_id),
+         |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN text IS NOT NULL THEN
+         |    (CASE WHEN trim(text) = '' THEN 0
+         |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+         |    ELSE 0 END) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |  FROM documents GROUP BY source),
+         |tok AS (SELECT source, unnest(
+         |    regexp_split_to_array(trim(lower(text)), '\s+')) AS s
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |hsh AS (SELECT source, ${poly("s")} AS base FROM tok),
+         |hh AS (SELECT source,
+         |    ((201 * 104729) % 1000000007 * base + (100 * 12582917 + 7))
+         |      % 1000000007 AS a1,
+         |    ((203 * 104729) % 1000000007 * base + (101 * 12582917 + 7))
+         |      % 1000000007 AS a2 FROM hsh),
+         |mx AS (SELECT source,
+         |    (a1 * a1 % 1000000007 + a1) % 1000000007 AS b1,
+         |    (a2 * a2 % 1000000007 + a2) % 1000000007 AS b2 FROM hh),
+         |reg AS (SELECT source, b1 % 256 AS bucket,
+         |    max(CASE WHEN b2 = 0 THEN 31 ELSE 31 - length(bin(b2)) END)
+         |      AS rho_max FROM mx GROUP BY 1, 2),
+         |ag AS (SELECT source, count(*) AS present,
+         |    sum(1.0::DOUBLE / (1::BIGINT << rho_max)) AS sm
+         |  FROM reg GROUP BY 1),
+         |raws AS (SELECT source, 256 - present AS v_zero,
+         |    (((0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE /
+         |      256.0::DOUBLE)) * 256.0::DOUBLE) * 256.0::DOUBLE)
+         |      / (sm + CAST(256 - present AS DOUBLE)) AS raw FROM ag),
+         |est AS (SELECT source,
+         |  round(CASE WHEN raw <= 640.0::DOUBLE AND v_zero > 0
+         |    THEN 256.0::DOUBLE * ln(256.0::DOUBLE / v_zero)
+         |    ELSE raw END, 6) AS distinct_terms_est FROM raws),
+         |d AS (SELECT source,
+         |    CAST(coalesce(sum(CASE WHEN c >= 2 THEN c ELSE 0 END), 0)
+         |      AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT source,
+         |      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         |        AS dh, count(*) AS c
+         |    FROM documents WHERE text IS NOT NULL GROUP BY 1, 2)
+         |  GROUP BY source),
+         |k AS (SELECT dd.source, CAST(sum(kd.keep) AS BIGINT) AS n_keep
+         |  FROM keepd kd JOIN documents dd ON dd.doc_id = kd.doc_id
+         |  GROUP BY dd.source)
+         |SELECT b.source, b.n_docs, b.n_tokens, b.n_langs,
+         |  est.distinct_terms_est,
+         |  coalesce(d.n_dup_docs, CAST(0 AS BIGINT)) AS n_dup_docs,
+         |  coalesce(k.n_keep, CAST(0 AS BIGINT)) AS n_keep
+         |FROM b LEFT JOIN est ON est.source = b.source
+         |LEFT JOIN d ON d.source = b.source
+         |LEFT JOIN k ON k.source = b.source""".stripMargin
+    },
     "q160_gopher_repetition" -> gopherRepOracleSql,
 
     // Positioned tokens with truncated context for BOTH relations, three
