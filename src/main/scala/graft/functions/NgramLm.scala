@@ -67,13 +67,64 @@ object NgramLm {
     (tri, bi, uni, n)
   }
 
+  /** The three count tables as ONE sum-mergeable relation
+    * (ord, w2, w1, w0, c) — ord 3/2/1 rows with null context columns
+    * where the order doesn't use them. This is the persistable /
+    * streamable form: merging two corpora's relations is
+    * `groupBy(ord, w2, w1, w0).sum(c)` (associative, commutative,
+    * replay-safe under an exactly-once batch guard), and the total
+    * token count folds out of the ord=1 slice. The streaming side
+    * (`EventStream.lmCountStream`) maintains exactly this relation.
+    */
+  def countsUnified(lmDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (tri, bi, uni, _) = counts(lmDocs, idCol, textCol)
+    tri.select(lit(3).as("ord"), col("w2"), col("w1"), col("w0"),
+        col("c3").as("c"))
+      .unionByName(bi.select(lit(2).as("ord"),
+        lit(null).cast("string").as("w2"), col("w1"), col("w0"),
+        col("c2").as("c")))
+      .unionByName(uni.select(lit(1).as("ord"),
+        lit(null).cast("string").as("w2"),
+        lit(null).cast("string").as("w1"), col("w0"),
+        col("c1").as("c")))
+  }
+
+  /** Split a unified count relation back into (tri, bi, uni, n). */
+  def splitUnified(unified: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val tri = unified.filter(col("ord") === 3)
+      .select(col("w2"), col("w1"), col("w0"), col("c").as("c3"))
+    val bi = unified.filter(col("ord") === 2)
+      .select(col("w1"), col("w0"), col("c").as("c2"))
+    val uni = unified.filter(col("ord") === 1)
+      .select(col("w0"), col("c").as("c1"))
+    val n = uni.agg(coalesce(sum(col("c1")), lit(0L))).head().getLong(0)
+    (tri, bi, uni, n)
+  }
+
+  /** [[backoffDocStats]] against an EXISTING (e.g. stream-maintained)
+    * unified count relation instead of re-counting an LM corpus.
+    */
+  def backoffDocStatsFromCounts(docs: DataFrame, unified: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val (tri, bi, uni, n) = splitUnified(unified)
+    docStatsOf(positionsWith(
+      positionedWithContext(docs, idCol, textCol), tri, bi, uni, n))
+  }
+
   /** Score every position of `docs` against LM counts from `lmDocs`,
     * returning per-position (doc_id, pos, ord, num, den) — all integers.
     */
   def backoffPositions(docs: DataFrame, lmDocs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val (tri, bi, uni, n) = counts(lmDocs, idCol, textCol)
-    val p = positionedWithContext(docs, idCol, textCol)
+    positionsWith(positionedWithContext(docs, idCol, textCol),
+      tri, bi, uni, n)
+  }
+
+  private def positionsWith(p: DataFrame, tri: DataFrame, bi: DataFrame,
+      uni: DataFrame, n: Long): DataFrame = {
     // context denominators reuse the same tables under renamed keys
     val biCtx = bi.select(col("w1").as("x2"), col("w0").as("x1"),
       col("c2").as("cctx3"))
@@ -102,7 +153,10 @@ object NgramLm {
     */
   def backoffDocStats(docs: DataFrame, lmDocs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    backoffPositions(docs, lmDocs, idCol, textCol)
+    docStatsOf(backoffPositions(docs, lmDocs, idCol, textCol))
+
+  private def docStatsOf(positions: DataFrame): DataFrame =
+    positions
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pos"),
         sum(when(col("ord") === 3, 1L).otherwise(0L)).as("n_tri"),

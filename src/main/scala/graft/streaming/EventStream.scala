@@ -329,6 +329,34 @@ object EventStream {
       }
       .start()
 
+  /** Continuous LM count-table maintenance: each micro-batch's unified
+    * (ord, w2, w1, w0, c) relation (`NgramLm.countsUnified`) merges by
+    * SUM into `path/registers` under [[sketchBatch]]'s crash-safe swap +
+    * replay guard — correct for the same reason the CMS stream is (sum
+    * merge needs exactly-once batches). Score any relation against the
+    * live tables with `NgramLm.backoffDocStatsFromCounts(docs,
+    * spark.read.parquet(s"$path/registers"), ...)`; the streamed tables
+    * are EXACTLY the one-shot `counts` of everything ingested, which the
+    * spec asserts row-for-row and through the scorer.
+    */
+  def lmCountStream(stream: DataFrame, path: String, idCol: String,
+      textCol: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        releasingBlocks(b.sparkSession) {
+          sketchBatch(path, textCol,
+            batch => graft.functions.NgramLm
+              .countsUnified(batch, idCol, textCol),
+            (df, cells, v) => df.groupBy(cells.map(col): _*)
+              .agg(sum(col(v)).as(v)),
+            Seq("ord", "w2", "w1", "w0"), "c")(b.toDF(), id)
+        }
+      }
+      .start()
+
   /** Session-window aggregation: events gapped less than `gap` apart merge
     * into one session per key (Spark's native `session_window` — dynamic
     * windows, watermark-evicted state). The batch form computes identical

@@ -395,4 +395,56 @@ class StreamingSpec extends AnyFunSuite {
     val surv = EventStream.indexedDedupBatch(idx, "doc_id", "text", 0.6)(next, 3L)
     assert(surv.select("doc_id").as[Long].collect().toSeq == Seq(20L))
   }
+
+  test("lmCountStream: streamed unified counts equal the one-shot tables " +
+      "and the scorer sees no difference; replay no-ops") {
+    import graft.functions.NgramLm
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_lmstream")
+    val path = base.resolve("lm").toString
+    val all = (0 until 120).map(i =>
+      Doc(i.toLong, (0 until 25).map(j => s"t${(i * j + j) % 31}")
+        .mkString(" ")))
+    val input = MemoryStream[Doc]
+    val q = EventStream.lmCountStream(input.toDF(), path, "doc_id", "text",
+      base.resolve("c").toString)
+    try {
+      input.addData(all.take(50): _*); q.processAllAvailable()
+      input.addData(all.slice(50, 90): _*); q.processAllAvailable()
+      input.addData(all.drop(90): _*); q.processAllAvailable()
+    } finally q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getInt(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getString(3)) -> r.getLong(4)).toMap
+    val allDf = all.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val streamed = asMap(spark.read.parquet(s"$path/registers")
+      .select("ord", "w2", "w1", "w0", "c"))
+    val oneShot = asMap(NgramLm.countsUnified(allDf, "doc_id", "text"))
+    assert(streamed == oneShot,
+      "streamed unified counts must equal the one-shot tables")
+    // replaying an applied batch id must not double-count the sums
+    EventStream.sketchBatch(path, "text",
+      b => NgramLm.countsUnified(b, "doc_id", "text"),
+      (df, cells, v) => df.groupBy(cells.map(col): _*)
+        .agg(sum(col(v)).as(v)), Seq("ord", "w2", "w1", "w0"), "c")(
+      all.take(50).map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), 0L)
+    assert(asMap(spark.read.parquet(s"$path/registers")
+      .select("ord", "w2", "w1", "w0", "c")) == oneShot,
+      "replayed batch must no-op")
+    // the scorer over the persisted relation == the direct two-corpus form
+    val scored = (0 until 30).map(i =>
+      Doc(10000L + i, (0 until 20).map(j => s"t${(i + j * j) % 37}")
+        .mkString(" ")))
+    val scoredDf = scored.map(d => (d.doc_id, d.text))
+      .toDF("doc_id", "text")
+    val viaCounts = NgramLm.backoffDocStatsFromCounts(scoredDf,
+        spark.read.parquet(s"$path/registers"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val direct = NgramLm.backoffDocStats(scoredDf, allDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(viaCounts == direct,
+      "scoring against streamed counts must equal the direct form")
+  }
 }
