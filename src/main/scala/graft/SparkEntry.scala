@@ -2753,6 +2753,35 @@ object SparkEntry {
         .agg(countDistinct(col("o_custkey")).as("n_active_customers"),
           countDistinct(col("o_orderpriority")).as("n_priorities"),
           count(lit(1)).as("n_orders"))
+    }),
+
+    // EDIT-DISTANCE SIMILARITY SELF-JOIN (PassJoin segment signatures +
+    // exact Levenshtein verify) on the 40-char normalized doc prefix.
+    // The candidate scheme is pigeonhole-complete, so the engine's
+    // signature-join pair set must equal the oracle's brute-force
+    // cross-join — integer distances, exact gate.
+    "q163_edit_distance_join" -> ((s, dir) => {
+      import graft.operators.EditDistance
+      EditDistance.edSelfJoin(t(s, dir, "documents"), "doc_id",
+        substring(lower(col("text")), 1, 40), tau = 2)
+    }),
+
+    // INTEGER-LATTICE PAGERANK over the customer↔supplier trade graph
+    // (suppliers offset to a disjoint id range, symmetric edges, 5
+    // synchronous iterations). Every rank is exact fixed-point — the
+    // oracle unrolls the identical floor-division recurrence, so the
+    // result is bit-equal across engines AND across cluster schedules.
+    "q164_pagerank" -> ((s, dir) => {
+      import graft.operators.Graph
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val fwd = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val edges = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Graph.pageRankInt(edges, "src", "dst", iters = 5)
     })
   )
 
@@ -3632,7 +3661,53 @@ object SparkEntry {
     }
   }
 
+  /** q164 oracle: the integer PageRank recurrence unrolled to `iters`
+    * CTE levels (DuckDB's recursive CTEs disallow aggregates in the
+    * recursive member, so a fixed iteration count unrolls instead).
+    * `//` is DuckDB integer floor division — same lattice as the
+    * engine's `div`.
+    */
+  private def pageRankOracleSql(iters: Int, scale: Long = 1000000L,
+      dampNum: Long = 17L, dampDen: Long = 20L): String = {
+    val base = ((dampDen - dampNum) * scale) / dampDen
+    val head =
+      raw"""WITH f AS (SELECT DISTINCT o_custkey AS src,
+         |    1000000 + l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e
+         |  GROUP BY src),
+         |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM n)"""
+        .stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      raw""",
+         |s$i AS (SELECT e.dst AS node, sum(r$p.rank // d.outdeg) AS insum
+         |  FROM e JOIN r$p ON r$p.node = e.src JOIN d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT n.node, CAST($base +
+         |    ($dampNum * COALESCE(s$i.insum, 0)) // $dampDen AS BIGINT)
+         |    AS rank
+         |  FROM n LEFT JOIN s$i ON s$i.node = n.node)""".stripMargin
+    }.mkString
+    head + steps + s"\nSELECT node, rank FROM r$iters"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q164_pagerank" -> pageRankOracleSql(5),
+
+    // q163: brute-force cross-join ground truth — the engine's PassJoin
+    // signature scheme must reproduce it exactly (pigeonhole-complete
+    // candidates + exact verify; integer distances, no float anywhere).
+    "q163_edit_distance_join" ->
+      raw"""WITH k AS (SELECT doc_id, substr(lower(text), 1, 40) AS key
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+         |FROM k a JOIN k b ON a.doc_id < b.doc_id
+         |WHERE levenshtein(a.key, b.key) <= 2""".stripMargin,
+
     "q151_bpe_train" -> bpeOracleSql(4),
     "q152_perceptron_quality" -> perceptronOracleSql(3),
     "q161_perceptron_averaged" -> perceptronOracleSql(3, averaged = true),

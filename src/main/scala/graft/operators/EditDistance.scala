@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join — PassJoin-style segment
+  * signatures (Li, Deng, Feng, ICDE 2011 "PASS-JOIN: a partition-based
+  * method for similarity joins") with exact Levenshtein verification.
+  *
+  * The all-pairs form is O(n²) and unusable at scale; the pigeonhole
+  * scheme here is the published fix: partition every string into τ+1
+  * contiguous segments — if ed(r, s) ≤ τ then at least one segment of s
+  * occurs VERBATIM inside r, and an optimal alignment shifts it by at
+  * most τ positions. So candidates are an equi join between
+  *   index side:  (len, segIdx, segment)            — τ+1 rows/string
+  *   probe side:  (len, segIdx, substring at ±τ)    — ≤(2τ+1)²(τ+1) rows
+  * and every true pair is guaranteed to collide (no false negatives);
+  * false positives die in the exact `levenshtein ≤ τ` verification.
+  * Both signature counts are constants in τ — independent of string
+  * length and corpus size — so the join is an ordinary hash-partitioned
+  * equi join that scales like any other keyed shuffle: no all-pairs,
+  * no broadcast of the corpus, no per-task quadratic work.
+  *
+  * Intended for short join keys (titles, names, normalized prefixes) —
+  * record-linkage shapes — not whole documents; near-dup detection for
+  * long text belongs to MinHash/SimHash/winnowing (`Dedup`,
+  * `ContentChunks`).
+  */
+object EditDistance {
+
+  /** Even partition of a length-`l` string into `tau+1` segments:
+    * the first `l mod (tau+1)` segments get the extra char. Returns
+    * (start, len) per segment, 0-based.
+    */
+  private[operators] def segmentsOf(l: Int, tau: Int): Array[(Int, Int)] = {
+    val parts = tau + 1
+    val base = l / parts
+    val extra = l % parts
+    val out = new Array[(Int, Int)](parts)
+    var start = 0
+    var i = 0
+    while (i < parts) {
+      val len = base + (if (i < extra) 1 else 0)
+      out(i) = (start, len)
+      start += len
+      i += 1
+    }
+    out
+  }
+
+  /** Pairs (id_a, id_b, dist) with id_a < id_b and
+    * levenshtein(key_a, key_b) ≤ tau, where key = `keyCol` evaluated per
+    * row. Exact (complete + sound): completeness from the pigeonhole
+    * segment scheme, soundness from the final Levenshtein filter.
+    *
+    * Empty keys pair only with keys of length ≤ tau (dist = length);
+    * null keys are dropped.
+    */
+  def edSelfJoin(df: DataFrame, idCol: String, keyCol: Column,
+      tau: Int): DataFrame = {
+    require(tau >= 1 && tau <= 4, s"tau $tau out of supported range 1..4")
+
+    val keyed = df.select(col(idCol).cast("long").as("__id"),
+        keyCol.cast("string").as("__key"))
+      .filter(col("__key").isNotNull)
+
+    // index side: the tau+1 segments of each string, keyed by its length
+    val segUdf = udf { (s: String) =>
+      val l = s.length
+      segmentsOf(l, tau).zipWithIndex.map { case ((st, ln), i) =>
+        (l, i, s.substring(st, st + ln))
+      }.toSeq
+    }
+    // probe side: for every candidate indexed length l within ±tau and
+    // every segment slot of length-l strings, the substrings of this
+    // string at start positions shifted by at most tau
+    val probeUdf = udf { (s: String) =>
+      val r = s.length
+      val out = collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      var l = math.max(0, r - tau)
+      while (l <= r + tau) {
+        val segs = segmentsOf(l, tau)
+        var i = 0
+        while (i < segs.length) {
+          val (st, ln) = segs(i)
+          var p = math.max(0, st - tau)
+          val pMax = math.min(r - ln, st + tau)
+          while (p <= pMax) {
+            out += ((l, i, s.substring(p, p + ln)))
+            p += 1
+          }
+          i += 1
+        }
+        l += 1
+      }
+      out.distinct.toSeq
+    }
+
+    val idx = keyed.select(col("__id"), col("__key"),
+        explode(segUdf(col("__key"))).as("__s"))
+      .select(col("__id"), col("__key"), col("__s._1").as("__l"),
+        col("__s._2").as("__i"), col("__s._3").as("__seg"))
+    val prb = keyed.select(col("__id"), col("__key"),
+        explode(probeUdf(col("__key"))).as("__s"))
+      .select(col("__id"), col("__key"), col("__s._1").as("__l"),
+        col("__s._2").as("__i"), col("__s._3").as("__seg"))
+
+    prb.alias("p")
+      .join(idx.alias("x"),
+        col("p.__l") === col("x.__l") && col("p.__i") === col("x.__i") &&
+          col("p.__seg") === col("x.__seg") &&
+          col("p.__id") =!= col("x.__id"))
+      .select(
+        least(col("p.__id"), col("x.__id")).as("id_a"),
+        greatest(col("p.__id"), col("x.__id")).as("id_b"),
+        when(col("p.__id") < col("x.__id"), col("p.__key"))
+          .otherwise(col("x.__key")).as("__ka"),
+        when(col("p.__id") < col("x.__id"), col("x.__key"))
+          .otherwise(col("p.__key")).as("__kb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ka"), col("__kb")).cast("long").as("dist"))
+      .filter(col("dist") <= tau)
+  }
+}
