@@ -2782,6 +2782,17 @@ object SparkEntry {
       val edges = fwd.union(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
       Graph.pageRankInt(edges, "src", "dst", iters = 5)
+    }),
+
+    // SAMPLED cross-doc substring-dedup coverage: winnowed fingerprints
+    // shared by >= 2 distinct docs, k-token windows islands-merged per
+    // doc, keep thresholded by integer cross-multiplication — the
+    // 1/(w+1)-shuffle tier of Lee et al. substring dedup (exact tier =
+    // q110/q111's repeatedSpans family).
+    "q165_winnow_cross_doc" -> ((s, dir) => {
+      import graft.operators.ContentChunks
+      ContentChunks.winnowDupCoverage(t(s, dir, "documents"), "doc_id",
+        "text", k = 5, w = 8, minDocs = 2, maxNum = 1L, maxDen = 5L)
     })
   )
 
@@ -3405,8 +3416,11 @@ object SparkEntry {
     * then a ranged join back to pick the rightmost position at that
     * minimum; short docs (m ≤ w) take the whole-stream minimum.
     */
-  private def winnowOracleSql(k: Int, w: Int): String =
-    raw"""WITH base AS (SELECT doc_id,
+  /** The winnowed-fingerprint CTE chain (base → fps), shared by q154 and
+    * the q165 cross-doc coverage oracle.
+    */
+  private def winnowFpCtes(k: Int, w: Int): String =
+    raw"""base AS (SELECT doc_id,
        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
        |grams AS (
@@ -3438,7 +3452,10 @@ object SparkEntry {
        |    AND g2.pos BETWEEN t.s AND t.s + ${w - 1} AND g2.h = t.mn
        |  GROUP BY t.doc_id, t.s, t.mn),
        |fps AS (SELECT DISTINCT doc_id, pos, mn AS h FROM sel
-       |  UNION SELECT doc_id, pos, h FROM smallfp),
+       |  UNION SELECT doc_id, pos, h FROM smallfp)""".stripMargin
+
+  private def winnowOracleSql(k: Int, w: Int): String =
+    raw"""WITH ${winnowFpCtes(k, w)},
        |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS a FROM fps
        |  GROUP BY doc_id),
        |shared AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS a,
@@ -3447,6 +3464,44 @@ object SparkEntry {
        |SELECT 'fp' AS kind, doc_id AS k, a, CAST(0 AS BIGINT) AS b
        |FROM perdoc
        |UNION ALL SELECT 'shared', h, a, b FROM shared""".stripMargin
+
+  /** q165 oracle: shared-fingerprint windows islands-merged per doc —
+    * the same x/y/z/sp gaps-and-islands chain as q160's — with the
+    * keep threshold compared by integer cross-multiplication.
+    */
+  private def winnowCoverageOracleSql(k: Int, w: Int, minDocs: Int,
+      num: Long, den: Long): String =
+    raw"""WITH ${winnowFpCtes(k, w)},
+       |tok AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = ''
+       |    THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+       |      AS BIGINT) END AS n
+       |  FROM documents),
+       |sh AS (SELECT h FROM fps GROUP BY h
+       |  HAVING count(DISTINCT doc_id) >= $minDocs),
+       |mk AS (SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos,
+       |    least(CAST(f.pos + $k AS BIGINT), t.n) AS e
+       |  FROM fps f JOIN sh USING (h) JOIN tok t ON t.doc_id = f.doc_id),
+       |x AS (SELECT doc_id, pos, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM mk),
+       |y AS (SELECT doc_id, pos, e,
+       |    CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END AS nw
+       |  FROM x),
+       |z AS (SELECT doc_id, pos, e,
+       |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM y),
+       |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS en FROM z
+       |  GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsp,
+       |    CAST(sum(en - s) AS BIGINT) AS dup FROM sp GROUP BY doc_id)
+       |SELECT d.doc_id, t.n AS n_tokens,
+       |  COALESCE(a.nsp, 0) AS n_spans,
+       |  COALESCE(a.dup, 0) AS dup_tokens,
+       |  CAST(CASE WHEN $den * COALESCE(a.dup, 0) <= $num * t.n
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM documents d JOIN tok t ON t.doc_id = d.doc_id
+       |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
   /** q157 oracle: the Gopher rule set with division-free integer
     * comparisons, mirroring `Curation.gopherQualityFlags` term-for-term.
@@ -3713,6 +3768,7 @@ object SparkEntry {
     "q161_perceptron_averaged" -> perceptronOracleSql(3, averaged = true),
     "q153_cdc_chunks" -> cdcOracleSql(3, 32),
     "q154_winnow_fingerprints" -> winnowOracleSql(5, 8),
+    "q165_winnow_cross_doc" -> winnowCoverageOracleSql(5, 8, 2, 1L, 5L),
 
     // Every rule replayed with the same division-free comparisons; the
     // top-bigram argmax is a QUALIFY row_number with the (count DESC,

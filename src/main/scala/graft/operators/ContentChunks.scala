@@ -207,4 +207,49 @@ object ContentChunks {
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
+
+  /** CROSS-DOC duplicated-run coverage from winnowed fingerprints — the
+    * sampled tier of substring dedup (Lee et al. 2021's exact form is
+    * `Curation.repeatedSpans`, which shuffles EVERY positioned n-gram;
+    * this one shuffles only the ~2/(w+1) winnow-selected positions, at
+    * the price of under-counting: a shared run is guaranteed detected
+    * once it spans ≥ w + k − 1 tokens, and its measured coverage is the
+    * islands-merge of the k-token windows around the selected
+    * fingerprints — a lower bound on the true run length).
+    *
+    * Per doc: (doc_id, n_tokens, n_spans, dup_tokens, keep) where spans
+    * merge overlapping [pos, pos+k) windows of fingerprints shared by
+    * ≥ `minDocs` DISTINCT documents (within-doc repetition alone does
+    * not mark), and keep = 1 iff dup_tokens/n_tokens ≤ maxNum/maxDen,
+    * compared by integer cross-multiplication (exact, no division).
+    * Null/blank docs pass through with zero counts and keep = 1.
+    */
+  def winnowDupCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minDocs: Long = 2, maxNum: Long = 1L,
+      maxDen: Long = 5L): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2")
+    require(maxDen > 0 && maxNum >= 0, "threshold must be a ratio >= 0")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      coalesce(size(TextFns.tokens(lower(col(textCol)))), lit(0))
+        .cast("long").as("n_tokens"))
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val shared = fps.groupBy("fhash")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs).select(col("fhash"))
+    val marked = fps.join(shared, Seq("fhash"), "left_semi")
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        least(col("pos") + k, col("n_tokens")).cast("long").as("__end"))
+    val perDoc = Curation.islandsToSpans(marked)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("keep",
+        when(lit(maxDen) * col("dup_tokens") <= lit(maxNum) * col("n_tokens"),
+          lit(1L)).otherwise(lit(0L)))
+  }
 }

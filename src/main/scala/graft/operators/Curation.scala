@@ -763,7 +763,7 @@ object Curation {
     * (doc_id, pos, __end) → (doc_id, span_start, span_end). Window
     * partitions BY DOCUMENT — never a global sort.
     */
-  private def islandsToSpans(marked: DataFrame): DataFrame = {
+  private[operators] def islandsToSpans(marked: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val prevMax = max(col("__end"))

@@ -154,4 +154,36 @@ class ContentChunksSpec extends AnyFunSuite {
     assert(n <= 189 && n >= 196 / 8,
       s"fingerprint count $n outside plausible density bounds")
   }
+
+  test("winnowDupCoverage marks only cross-doc duplication and islands-" +
+      "merges coverage") {
+    val common = (1 to 30).map(j => s"shr$j").mkString(" ")
+    val selfRep = (1 to 3).flatMap(_ => (1 to 15).map(j => s"rep$j"))
+      .mkString(" ") // within-doc repetition only — must NOT mark
+    val docs = Seq(
+      (1L, "aaa bbb ccc " + common + " ddd eee fff ggg hhh iii jjj"),
+      (2L, "front matter words quite different here then " + common),
+      (3L, selfRep),
+      (4L, "totally unrelated content with unique tokens only"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "   "))
+      .toDF("doc_id", "text")
+    val got = ContentChunks.winnowDupCoverage(docs, "doc_id", "text",
+      k = 5, w = 8, minDocs = 2, maxNum = 1L, maxDen = 5L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // docs 1 and 2 share a 30-token run >= w+k-1=12: both must have
+    // nonzero dup coverage and (30-token dup vs ~45-token doc) be cut
+    assert(got(1L)._3 > 0 && got(2L)._3 > 0)
+    assert(got(1L)._4 == 0L && got(2L)._4 == 0L,
+      s"heavily duplicated docs must be cut: ${got(1L)}, ${got(2L)}")
+    // self-repetition and unique docs: zero cross-doc coverage, kept
+    assert(got(3L)._3 == 0L && got(3L)._4 == 1L)
+    assert(got(4L) == ((7L, 0L, 0L, 1L)))
+    // null/blank: zero tokens, kept
+    assert(got(5L) == ((0L, 0L, 0L, 1L)))
+    assert(got(6L) == ((0L, 0L, 0L, 1L)))
+    // coverage is islands-merged: dup_tokens never exceeds n_tokens
+    assert(got.values.forall { case (n, _, d, _) => d <= n })
+  }
 }
