@@ -2793,6 +2793,22 @@ object SparkEntry {
       import graft.operators.ContentChunks
       ContentChunks.winnowDupCoverage(t(s, dir, "documents"), "doc_id",
         "text", k = 5, w = 8, minDocs = 2, maxNum = 1L, maxDen = 5L)
+    }),
+
+    // ONE-PERMUTATION HASHING (single shingle hash binned mod k,
+    // rotation-densified) — the k×-cheaper MinHash: every densified
+    // signature entry AND every pair agreeing on >= 4 of 16 entries is
+    // integer-exact under the oracle.
+    "q166_oph_signatures" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val sigs = Dedup.ophSignatures(t(s, dir, "documents"), "doc_id",
+        "text", shingleN = 2, k = 16)
+      val pairs = Dedup.ophMatchPairs(sigs, minMatch = 4L)
+      sigs.select(lit("sig").as("kind"), col("doc_id").as("k1"),
+          col("bucket").as("k2"), col("sig").as("v"))
+        .unionByName(pairs.select(lit("pair").as("kind"),
+          col("id1").as("k1"), col("id2").as("k2"),
+          col("n_match").as("v")))
     })
   )
 
@@ -3769,6 +3785,47 @@ object SparkEntry {
     "q153_cdc_chunks" -> cdcOracleSql(3, 32),
     "q154_winnow_fingerprints" -> winnowOracleSql(5, 8),
     "q165_winnow_cross_doc" -> winnowCoverageOracleSql(5, 8, 2, 1L, 5L),
+
+    // q166: the OPH signature recomputed in SQL — one permutation-0
+    // affine hash per bigram shingle, min per (h mod 16) bucket, empty
+    // buckets borrowing from the circular right at distance · p — then
+    // pairs agreeing on >= 4 entries. All integer arithmetic.
+    "q166_oph_signatures" ->
+      raw"""WITH tk AS (SELECT doc_id,
+         |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+         |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(w) = 0 THEN ['']
+         |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+         |       ELSE list_transform(range(1, len(w)),
+         |         j -> w[j] || ' ' || w[j+1]) END AS sh
+         |  FROM tk),
+         |h AS (SELECT doc_id, unnest(list_transform(sh, s ->
+         |    (104729 * list_reduce(
+         |      list_prepend(0::BIGINT, list_transform(
+         |        regexp_extract_all(s, '.'), c -> ascii(c)::BIGINT)),
+         |      (acc, ch) -> (acc * 31 + ch) % 1000000007) + 7)
+         |      % 1000000007)) AS hv
+         |  FROM sh),
+         |bk AS (SELECT doc_id, hv % 16 AS b, min(hv) AS mn FROM h
+         |  GROUP BY doc_id, hv % 16),
+         |grid AS (SELECT d.doc_id, t.i AS b
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN range(16) t(i)),
+         |dens AS (SELECT g.doc_id, CAST(g.b AS BIGINT) AS b,
+         |    CAST(k.mn + ((k.b - g.b + 16) % 16) * 1000000007 AS BIGINT)
+         |      AS sig
+         |  FROM grid g JOIN bk k ON k.doc_id = g.doc_id
+         |  QUALIFY row_number() OVER (PARTITION BY g.doc_id, g.b
+         |    ORDER BY (k.b - g.b + 16) % 16) = 1),
+         |pr AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+         |    CAST(count(*) AS BIGINT) AS n_match
+         |  FROM dens a JOIN dens c ON a.b = c.b AND a.sig = c.sig
+         |    AND a.doc_id < c.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 4)
+         |SELECT 'sig' AS kind, doc_id AS k1, b AS k2, sig AS v FROM dens
+         |UNION ALL SELECT 'pair', id1, id2, n_match FROM pr""".stripMargin,
 
     // Every rule replayed with the same division-free comparisons; the
     // top-bigram argmax is a QUALIFY row_number with the (count DESC,

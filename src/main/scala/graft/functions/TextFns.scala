@@ -233,6 +233,38 @@ object TextFns {
     }
   }
 
+  /** One-Permutation Hashing signature with rotation densification
+    * (Li, Owen, Zhang 2012; Shrivastava & Li 2014): ONE hash evaluation
+    * per shingle — k× cheaper than the k-permutation [[minhashSigUdf]] —
+    * binned by h mod k with the per-bucket minimum kept; an empty bucket
+    * borrows from the nearest non-empty bucket to its circular right,
+    * offset by distance · HashP so borrowed copies never collide with
+    * genuine minima across different borrow distances. Same affine
+    * integer family as MinHash (permutation 0), so a DuckDB oracle
+    * recomputes the exact signature. Collision probability per bucket
+    * estimates Jaccard resemblance like classic MinHash.
+    */
+  def ophSigUdf(shingleN: Int, k: Int) = udf { (toks: Seq[String]) =>
+    val shingles: Seq[String] =
+      if (toks == null || toks.isEmpty) Seq("")
+      else if (toks.length < shingleN) Seq(toks.mkString(" "))
+      else toks.sliding(shingleN).map(_.mkString(" ")).toSeq
+    val mins = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = minhashPerm(0, polyHash(s))
+      val b = (h % k).toInt
+      if (h < mins(b)) mins(b) = h
+    }
+    Array.tabulate(k) { j =>
+      if (mins(j) != Long.MaxValue) mins(j)
+      else {
+        var t = 1
+        while (mins((j + t) % k) == Long.MaxValue) t += 1
+        mins((j + t) % k) + t.toLong * HashP
+      }
+    }
+  }
+
   /** 60-bit SimHash over whitespace tokens: sign-aggregated bitwise vote of
     * per-token hashes. The token hash is two affine mixes of [[polyHash]]
     * packed as (hi << 30) | lo — plain integer arithmetic, so a SQL oracle

@@ -72,6 +72,43 @@ object Dedup {
       .distinct()
   }
 
+  /** One-Permutation Hashing signature relation: (doc_id, bucket, sig),
+    * exactly k rows per document (rotation-densified — see
+    * [[graft.functions.TextFns.ophSigUdf]]). One hash evaluation per
+    * shingle instead of MinHash's k: the scan-side cost of sketching a
+    * 100 TB corpus drops k-fold while per-bucket collision probability
+    * still estimates Jaccard resemblance.
+    */
+  def ophSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, k: Int = 16): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFns.ophSigUdf(shingleN, k)(
+        TextFns.tokens(lower(col(textCol))))))
+      .toDF("doc_id", "bucket", "sig")
+      .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+        col("sig"))
+
+  /** Candidate pairs from an OPH signature relation: docs agreeing on
+    * ≥ `minMatch` of the k (bucket, sig) entries, with the matching-entry
+    * count per pair. Same skew-guarded bucket-expansion shape as
+    * [[minhashCandidatePairs]]: only (bucket, sig, doc_id) shuffles, a
+    * degenerate key larger than `maxBucket` is dropped, never exploded.
+    * n_match/k is an unbiased estimate of Jaccard resemblance.
+    */
+  def ophMatchPairs(sigs: DataFrame, minMatch: Long,
+      maxBucket: Int = 1000): DataFrame = {
+    val buckets = sigs.groupBy(col("bucket"), col("sig"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
+    val pairs = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id1"), y.as("id2")))))
+    buckets.select(explode(pairs).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+  }
+
   /** SimHash near-dup clusters: rows sharing an identical 64-bit simhash. */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextFns.simhash64(col(textCol)).as("simhash"))

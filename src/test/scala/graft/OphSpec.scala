@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFns
+import graft.operators.Dedup
+
+class OphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val K = 16
+
+  /** Definitional reference: one permutation-0 hash per shingle, min per
+    * (h mod k) bucket, rotation densification with distance·p offset.
+    */
+  private def ref(text: String, shingleN: Int): Seq[Long] = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      .filter(_.nonEmpty)
+    val shingles =
+      if (toks.isEmpty) Seq("")
+      else if (toks.length < shingleN) Seq(toks.mkString(" "))
+      else toks.sliding(shingleN).map(_.mkString(" ")).toSeq
+    val mins = Array.fill(K)(Long.MaxValue)
+    shingles.foreach { s =>
+      val h = TextFns.minhashPerm(0, TextFns.polyHash(s))
+      val b = (h % K).toInt
+      if (h < mins(b)) mins(b) = h
+    }
+    (0 until K).map { j =>
+      if (mins(j) != Long.MaxValue) mins(j)
+      else {
+        var t = 1
+        while (mins((j + t) % K) == Long.MaxValue) t += 1
+        mins((j + t) % K) + t.toLong * TextFns.HashP
+      }
+    }
+  }
+
+  test("signatures match the definitional reimplementation, including " +
+      "densified buckets") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running",
+      "one two", "single", "", "x y z x y z x y z")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.ophSignatures(docs, "doc_id", "text", 2, K).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val want = ref(t, 2)
+      (0 until K).foreach { j =>
+        assert(got((i.toLong, j.toLong)) == want(j), s"doc $i bucket $j")
+      }
+    }
+    // short docs necessarily densify: "one two" has 1 shingle → 15 of 16
+    // buckets borrowed, all present
+    assert((0 until K).forall(j => got.contains((1L, j.toLong))))
+  }
+
+  test("identical docs collide on all k entries; disjoint docs on none") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val sigs = Dedup.ophSignatures(docs, "doc_id", "text", 2, K)
+    val pairs = Dedup.ophMatchPairs(sigs, minMatch = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == K.toLong)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("match count tracks resemblance: small edit keeps most entries") {
+    val base = (1 to 60).map(j => s"w${(j * 7) % 53}").mkString(" ")
+    val edited = base.replace("w14", "CHANGED")
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val sigs = Dedup.ophSignatures(docs, "doc_id", "text", 2, K)
+    val m = Dedup.ophMatchPairs(sigs, minMatch = 1L).collect()
+    assert(m.length == 1)
+    val n = m.head.getLong(2)
+    assert(n >= K / 2 && n < K.toLong, s"n_match $n implausible for a " +
+      "small edit")
+  }
+
+  test("skew guard: buckets above maxBucket are dropped, not exploded") {
+    val docs = (1L to 10L).map(i => (i, "same text everywhere"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.ophSignatures(docs, "doc_id", "text", 2, K)
+    assert(Dedup.ophMatchPairs(sigs, 1L, maxBucket = 5).count() == 0)
+    assert(Dedup.ophMatchPairs(sigs, 1L).count() == 45)
+  }
+}
