@@ -2809,6 +2809,26 @@ object SparkEntry {
         .unionByName(pairs.select(lit("pair").as("kind"),
           col("id1").as("k1"), col("id2").as("k2"),
           col("n_match").as("v")))
+    }),
+
+    // TEXT CLEANING + ENCODING-DAMAGE SIGNALS: NFC normalize (JDK
+    // normalizer UDF — the rest of the chain is codegen'd regexps),
+    // strip non-whitespace control chars, collapse whitespace; count
+    // control chars and U+FFFD replacement chars on the RAW text. The
+    // cleaned text is pinned by its poly-31 hash under the oracle
+    // (DuckDB nfc_normalize — two independent NFC implementations).
+    "q167_clean_text" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val clean = TextFns.cleanText(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        coalesce(length(col("text")), lit(0)).cast("long")
+          .as("n_chars_raw"),
+        TextFns.countMatches(coalesce(col("text"), lit("")),
+          TextFns.CtrlClass).as("n_ctrl"),
+        TextFns.countMatches(coalesce(col("text"), lit("")), "�")
+          .as("n_repl"),
+        length(clean).cast("long").as("n_chars_clean"),
+        TextFns.polyHashUdf(clean).as("clean_hash"))
     })
   )
 
@@ -3785,6 +3805,27 @@ object SparkEntry {
     "q153_cdc_chunks" -> cdcOracleSql(3, 32),
     "q154_winnow_fingerprints" -> winnowOracleSql(5, 8),
     "q165_winnow_cross_doc" -> winnowCoverageOracleSql(5, 8, 2, 1L, 5L),
+
+    // q167: the cleaning chain replayed with DuckDB's own NFC
+    // (nfc_normalize) — independent Unicode implementations must agree
+    // on the cleaned text's poly-31 hash; counts are length diffs.
+    "q167_clean_text" -> {
+      val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+      raw"""WITH c AS (SELECT doc_id, coalesce(text, '') AS t,
+         |  trim(regexp_replace(regexp_replace(
+         |    nfc_normalize(coalesce(text, '')), '$ctrl', '', 'g'),
+         |    '\s+', ' ', 'g')) AS clean
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_chars_raw,
+         |  CAST(len(t) - len(regexp_replace(t, '$ctrl', '', 'g'))
+         |    AS BIGINT) AS n_ctrl,
+         |  CAST(len(t) - len(replace(t, chr(65533), '')) AS BIGINT)
+         |    AS n_repl,
+         |  CAST(len(clean) AS BIGINT) AS n_chars_clean,
+         |  CAST(${phSql("clean")} AS BIGINT) AS clean_hash
+         |FROM c""".stripMargin
+    },
 
     // q166: the OPH signature recomputed in SQL — one permutation-0
     // affine hash per bigram shingle, min per (h mod 16) bucket, empty

@@ -233,6 +233,39 @@ object TextFns {
     }
   }
 
+  /** Non-whitespace control characters (C0 minus \t\n\r, plus DEL) — the
+    * encoding-damage class CCNet-style cleaning strips and counts.
+    */
+  val CtrlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Unicode NFC via the JDK normalizer — a genuine string kernel with no
+    * Catalyst built-in; the one UDF in the cleaning chain (the strip /
+    * collapse / count stages around it stay codegen'd regexp ops).
+    */
+  val nfcUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Canonical cleaned text: NFC-normalize, strip non-whitespace control
+    * chars, collapse whitespace runs to single spaces, trim. Null → "".
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcUdf(coalesce(text, lit(""))), CtrlClass, ""),
+      "\\s+", " "))
+
+  /** Occurrences of regex class `cls` in `text`, counted as a length
+    * difference — codegen'd, no extract-all array materialization.
+    */
+  def countMatches(text: Column, cls: String): Column =
+    (length(text) - length(regexp_replace(text, cls, ""))).cast("long")
+
+  /** [[polyHash]] as a column (null → 0, matching polyHash("")). */
+  val polyHashUdf = udf { (s: String) =>
+    if (s == null) 0L else polyHash(s)
+  }
+
   /** One-Permutation Hashing signature with rotation densification
     * (Li, Owen, Zhang 2012; Shrivastava & Li 2014): ONE hash evaluation
     * per shingle — k× cheaper than the k-permutation [[minhashSigUdf]] —
