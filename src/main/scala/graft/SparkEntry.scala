@@ -2829,6 +2829,21 @@ object SparkEntry {
           .as("n_repl"),
         length(clean).cast("long").as("n_chars_clean"),
         TextFns.polyHashUdf(clean).as("clean_hash"))
+    }),
+
+    // ASYMMETRIC NEAR-DUP: containment |A∩B|/min over the q166 OPH
+    // candidate pairs — catches a short doc quoted inside a larger one
+    // where Jaccard reads near zero. Text coalesced to '' so null and
+    // blank shingle identically on both engines.
+    "q168_containment" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val sigs = Dedup.ophSignatures(docs, "doc_id", "text",
+        shingleN = 2, k = 16)
+      val pairs = Dedup.ophMatchPairs(sigs, minMatch = 4L)
+      Dedup.containmentOnPairs(pairs, docs, "doc_id", "text",
+        shingleN = 2, num = 4L, den = 5L)
     })
   )
 
@@ -3259,6 +3274,46 @@ object SparkEntry {
   }
 
   /** The engine-wide polynomial hash as a DuckDB expression over `s`. */
+  /** The OPH CTE chain (tk → sh → h → bk → grid → dens → pr), shared by
+    * the q166 signature/pair oracle and the q168 containment oracle.
+    * Null and blank text both shingle to [''] — the engine queries
+    * coalesce accordingly.
+    */
+  private def ophCtes(k: Int, minMatch: Int): String =
+    raw"""tk AS (SELECT doc_id,
+       |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+       |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(w) = 0 THEN ['']
+       |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+       |       ELSE list_transform(range(1, len(w)),
+       |         j -> w[j] || ' ' || w[j+1]) END AS sh
+       |  FROM tk),
+       |h AS (SELECT doc_id, unnest(list_transform(sh, s ->
+       |    (104729 * list_reduce(
+       |      list_prepend(0::BIGINT, list_transform(
+       |        regexp_extract_all(s, '.'), c -> ascii(c)::BIGINT)),
+       |      (acc, ch) -> (acc * 31 + ch) % 1000000007) + 7)
+       |      % 1000000007)) AS hv
+       |  FROM sh),
+       |bk AS (SELECT doc_id, hv % $k AS b, min(hv) AS mn FROM h
+       |  GROUP BY doc_id, hv % $k),
+       |grid AS (SELECT d.doc_id, t.i AS b
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN range($k) t(i)),
+       |dens AS (SELECT g.doc_id, CAST(g.b AS BIGINT) AS b,
+       |    CAST(k.mn + ((k.b - g.b + $k) % $k) * 1000000007 AS BIGINT)
+       |      AS sig
+       |  FROM grid g JOIN bk k ON k.doc_id = g.doc_id
+       |  QUALIFY row_number() OVER (PARTITION BY g.doc_id, g.b
+       |    ORDER BY (k.b - g.b + $k) % $k) = 1),
+       |pr AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+       |    CAST(count(*) AS BIGINT) AS n_match
+       |  FROM dens a JOIN dens c ON a.b = c.b AND a.sig = c.sig
+       |    AND a.doc_id < c.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $minMatch)""".stripMargin
+
   private def phSql(s: String): String =
     s"list_reduce(list_prepend(0::BIGINT, " +
     s"list_transform(regexp_extract_all($s, '.'), c -> ascii(c)::BIGINT))," +
@@ -3832,41 +3887,34 @@ object SparkEntry {
     // buckets borrowing from the circular right at distance · p — then
     // pairs agreeing on >= 4 entries. All integer arithmetic.
     "q166_oph_signatures" ->
-      raw"""WITH tk AS (SELECT doc_id,
-         |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
-         |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
-         |  FROM documents),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(w) = 0 THEN ['']
-         |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-         |       ELSE list_transform(range(1, len(w)),
-         |         j -> w[j] || ' ' || w[j+1]) END AS sh
-         |  FROM tk),
-         |h AS (SELECT doc_id, unnest(list_transform(sh, s ->
-         |    (104729 * list_reduce(
-         |      list_prepend(0::BIGINT, list_transform(
-         |        regexp_extract_all(s, '.'), c -> ascii(c)::BIGINT)),
-         |      (acc, ch) -> (acc * 31 + ch) % 1000000007) + 7)
-         |      % 1000000007)) AS hv
-         |  FROM sh),
-         |bk AS (SELECT doc_id, hv % 16 AS b, min(hv) AS mn FROM h
-         |  GROUP BY doc_id, hv % 16),
-         |grid AS (SELECT d.doc_id, t.i AS b
-         |  FROM (SELECT DISTINCT doc_id FROM documents) d
-         |  CROSS JOIN range(16) t(i)),
-         |dens AS (SELECT g.doc_id, CAST(g.b AS BIGINT) AS b,
-         |    CAST(k.mn + ((k.b - g.b + 16) % 16) * 1000000007 AS BIGINT)
-         |      AS sig
-         |  FROM grid g JOIN bk k ON k.doc_id = g.doc_id
-         |  QUALIFY row_number() OVER (PARTITION BY g.doc_id, g.b
-         |    ORDER BY (k.b - g.b + 16) % 16) = 1),
-         |pr AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
-         |    CAST(count(*) AS BIGINT) AS n_match
-         |  FROM dens a JOIN dens c ON a.b = c.b AND a.sig = c.sig
-         |    AND a.doc_id < c.doc_id
-         |  GROUP BY 1, 2 HAVING count(*) >= 4)
+      raw"""WITH ${ophCtes(16, 4)}
          |SELECT 'sig' AS kind, doc_id AS k1, b AS k2, sig AS v FROM dens
          |UNION ALL SELECT 'pair', id1, id2, n_match FROM pr""".stripMargin,
+
+    // q168: containment on the q166 OPH candidate pairs — distinct
+    // bigram-shingle intersection over min set size, thresholded by
+    // integer cross-multiplication. The asymmetric near-dup detector
+    // (one doc quoting/containing another that Jaccard misses when the
+    // containing doc is much larger).
+    "q168_containment" ->
+      raw"""WITH ${ophCtes(16, 4)},
+         |e AS (SELECT DISTINCT doc_id, g FROM
+         |  (SELECT doc_id, unnest(sh) AS g FROM sh)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e
+         |  GROUP BY doc_id),
+         |iv AS (SELECT p.id1, p.id2, CAST(count(*) AS BIGINT) AS inter
+         |  FROM pr p JOIN e a ON a.doc_id = p.id1
+         |  JOIN e b ON b.doc_id = p.id2 AND b.g = a.g
+         |  GROUP BY 1, 2)
+         |SELECT p.id1, p.id2, COALESCE(i.inter, 0) AS inter,
+         |  s1.n AS n1, s2.n AS n2,
+         |  CAST(CASE WHEN 5 * COALESCE(i.inter, 0) >= 4 * least(s1.n, s2.n)
+         |    AND least(s1.n, s2.n) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS contained
+         |FROM pr p
+         |LEFT JOIN iv i ON i.id1 = p.id1 AND i.id2 = p.id2
+         |JOIN sz s1 ON s1.doc_id = p.id1
+         |JOIN sz s2 ON s2.doc_id = p.id2""".stripMargin,
 
     // Every rule replayed with the same division-free comparisons; the
     // top-bigram argmax is a QUALIFY row_number with the (count DESC,

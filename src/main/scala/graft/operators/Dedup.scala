@@ -109,6 +109,37 @@ object Dedup {
       .filter(col("n_match") >= minMatch)
   }
 
+  /** Containment scoring for candidate pairs: C(A,B) = |A∩B| / min(|A|,
+    * |B|) over distinct word shingles, thresholded ≥ num/den by integer
+    * cross-multiplication. The ASYMMETRIC near-dup detector: a short doc
+    * quoted wholesale inside a much larger one scores C ≈ 1 while
+    * Jaccard ≈ |A|/|B| ≈ 0 — resemblance LSH alone misses it, so run
+    * this as the verify stage over candidate pairs from any generator
+    * ([[minhashCandidatePairs]], [[ophMatchPairs]], CDC shared chunks).
+    * Same two-hash-join shape as [[jaccardOnPairs]] — per-pair map-side
+    * set intersection, no extra shuffle.
+    */
+  def containmentOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 2, num: Long = 4L,
+      den: Long = 5L): DataFrame = {
+    require(den > 0 && num >= 0, "threshold must be a ratio >= 0")
+    val sh = docs.select(col(idCol).as("__id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+    pairs.select(col("id1"), col("id2"))
+      .join(sh.withColumnRenamed("__id", "id1")
+        .withColumnRenamed("__sh", "sh1"), "id1")
+      .join(sh.withColumnRenamed("__id", "id2")
+        .withColumnRenamed("__sh", "sh2"), "id2")
+      .select(col("id1"), col("id2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long")
+          .as("inter"),
+        size(col("sh1")).cast("long").as("n1"),
+        size(col("sh2")).cast("long").as("n2"))
+      .withColumn("contained",
+        when(lit(den) * col("inter") >= lit(num) * least(col("n1"), col("n2"))
+          && least(col("n1"), col("n2")) > 0, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** SimHash near-dup clusters: rows sharing an identical 64-bit simhash. */
   def simhashGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), TextFns.simhash64(col(textCol)).as("simhash"))

@@ -80,6 +80,34 @@ class OphSpec extends AnyFunSuite {
       "small edit")
   }
 
+  test("containment flags a short doc quoted inside a long one where " +
+      "Jaccard reads low") {
+    val short = (1 to 20).map(j => s"quote$j").mkString(" ")
+    val long = (1 to 100).map(j => s"body$j").mkString(" ") + " " + short
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val r = Dedup.containmentOnPairs(pairs, docs, "doc_id", "text",
+      shingleN = 2, num = 4L, den = 5L).head()
+    // short doc: 19 bigrams, all inside long (plus the stitch bigram)
+    assert(r.getLong(2) == 19L && r.getLong(3) == 19L)
+    assert(r.getLong(5) == 1L, "containment must flag the quote")
+    val j = Dedup.jaccardOnPairs(pairs, docs, "doc_id", "text", 2).head()
+    assert(j.getDouble(4) < 0.2, "Jaccard misses what containment flags")
+  }
+
+  test("containment matches manual distinct-shingle set arithmetic") {
+    val a = "p q r s t"
+    val b = "x y p q r z"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    val r = Dedup.containmentOnPairs(pairs, docs, "doc_id", "text",
+      shingleN = 2, num = 1L, den = 2L).head()
+    // a bigrams: {p q, q r, r s, s t}; b: {x y, y p, p q, q r, r z};
+    // inter = {p q, q r} = 2; min = 4; 2*2 >= 1*4 → contained
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((2L, 4L, 5L, 1L)))
+  }
+
   test("skew guard: buckets above maxBucket are dropped, not exploded") {
     val docs = (1L to 10L).map(i => (i, "same text everywhere"))
       .toDF("doc_id", "text")
