@@ -2844,6 +2844,16 @@ object SparkEntry {
       val pairs = Dedup.ophMatchPairs(sigs, minMatch = 4L)
       Dedup.containmentOnPairs(pairs, docs, "doc_id", "text",
         shingleN = 2, num = 4L, den = 5L)
+    }),
+
+    // COLLOCATIONS: bigrams co-occurring >= 2x what independent unigram
+    // frequencies predict (PMI >= log 2), c_pair >= 3 — the comparison
+    // is integer cross-multiplication and the reported lift an exact
+    // ppm floor, riding the same count tables as the backoff LM.
+    "q169_collocations" -> ((s, dir) => {
+      import graft.functions.NgramLm
+      NgramLm.collocations(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 3L, liftNum = 2L, liftDen = 1L)
     })
   )
 
@@ -3881,6 +3891,31 @@ object SparkEntry {
          |  CAST(${phSql("clean")} AS BIGINT) AS clean_hash
          |FROM c""".stripMargin
     },
+
+    // q169: unigram/bigram counts recomputed, lift compared by integer
+    // cross-multiplication, lift_ppm an exact integer floor division.
+    "q169_collocations" ->
+      raw"""WITH base AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |uni AS (SELECT g AS w0, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(w) AS g FROM base) GROUP BY 1),
+         |nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+         |bi0 AS (SELECT
+         |    unnest(list_transform(range(1, len(w)), j -> w[j])) AS w1,
+         |    unnest(list_transform(range(1, len(w)), j -> w[j+1])) AS w0
+         |  FROM base WHERE len(w) >= 2),
+         |bi AS (SELECT w1, w0, CAST(count(*) AS BIGINT) AS c2 FROM bi0
+         |  GROUP BY 1, 2)
+         |SELECT b.w1, b.w0, b.c2 AS c_pair, u1.c1 AS c_left,
+         |  u2.c1 AS c_right,
+         |  CAST((1000000 * b.c2 * nn.n) // (u1.c1 * u2.c1) AS BIGINT)
+         |    AS lift_ppm
+         |FROM bi b
+         |JOIN uni u1 ON u1.w0 = b.w1
+         |JOIN uni u2 ON u2.w0 = b.w0
+         |CROSS JOIN nn
+         |WHERE b.c2 >= 3 AND 1 * b.c2 * nn.n >= 2 * u1.c1 * u2.c1""".stripMargin,
 
     // q166: the OPH signature recomputed in SQL — one permutation-0
     // affine hash per bigram shingle, min per (h mod 16) bucket, empty

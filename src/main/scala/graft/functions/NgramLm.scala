@@ -182,4 +182,38 @@ object NgramLm {
       .withColumn("lm_fit_ppm",
         floor(col("n_tri").cast("double") * 1000000.0d / col("n_pos"))
           .cast("long"))
+
+  /** PMI-style collocation detection over the [[counts]] tables: bigrams
+    * (w1, w0) with c_pair ≥ `minCount` whose lift
+    * c_pair·N / (c_left·c_right) ≥ liftNum/liftDen — i.e. the pair
+    * co-occurs ≥ lift× more than independent unigram frequencies
+    * predict (PMI ≥ log lift, division-free). The comparison is integer
+    * cross-multiplication and the reported lift is an exact-integer ppm
+    * floor, so the row set and every value hash across engines.
+    *
+    * Scale: two map-side-combined count aggregations over the corpus
+    * (bigram + unigram — the same tables the backoff LM shares), then
+    * vocabulary-sized joins. Overflow bound (ANSI throws if crossed):
+    * c_pair · N · max(liftDen, 10^6) < 2^63 — fine to ~10^9-token
+    * corpora with hot pairs; beyond that, downscale both counts by a
+    * common factor on both engines.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 3L, liftNum: Long = 2L,
+      liftDen: Long = 1L): DataFrame = {
+    require(minCount >= 1 && liftNum > 0 && liftDen > 0,
+      "minCount and lift ratio must be positive")
+    val (_, bi, uni, n) = counts(docs, idCol, textCol)
+    val left = uni.select(col("w0").as("w1"), col("c1").as("c_left"))
+    val right = uni.select(col("w0"), col("c1").as("c_right"))
+    bi.filter(col("c2") >= minCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w0"))
+      .filter(lit(liftDen) * col("c2") * lit(n) >=
+        lit(liftNum) * col("c_left") * col("c_right"))
+      .select(col("w1"), col("w0"), col("c2").as("c_pair"),
+        col("c_left"), col("c_right"))
+      .withColumn("lift_ppm",
+        expr(s"(1000000 * c_pair * ${n}L) div (c_left * c_right)"))
+  }
 }

@@ -79,4 +79,26 @@ class NgramLmSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)}: ppm $ppm != ${nTri * 1000000L / nPos}")
     }
   }
+
+  test("collocations: a glued pair is flagged, an independent pair is " +
+      "not, and lift matches the integer reference") {
+    // Engineered counts in one doc (N = 49): "new york" glued — c2=4,
+    // cx=cy=4, lift = 4·49/16 = 12.25; "the cat" adjacent 3 times but
+    // both words occur 10 times — lift = 3·49/100 = 1.47 < 2.
+    val text = ((1 to 4).map(i => s"new york a$i") ++
+      (1 to 3).map(i => s"the cat b$i") ++
+      (1 to 7).map(i => s"the c$i") ++
+      (1 to 7).map(i => s"cat d$i")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = NgramLm.collocations(docs, "doc_id", "text",
+      minCount = 3L, liftNum = 2L, liftDen = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.contains(("new", "york")))
+    val (cp, cl, cr, lift) = got(("new", "york"))
+    assert(cp == 4L && cl == 4L && cr == 4L)
+    assert(lift == 1000000L * 4L * 49L / 16L)
+    assert(!got.contains(("the", "cat")),
+      "frequent-but-independent pair must fail the lift test")
+  }
 }
