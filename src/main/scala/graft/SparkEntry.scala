@@ -2854,6 +2854,16 @@ object SparkEntry {
       import graft.functions.NgramLm
       NgramLm.collocations(t(s, dir, "documents"), "doc_id", "text",
         minCount = 3L, liftNum = 2L, liftDen = 1L)
+    }),
+
+    // SIMHASH HAMMING-BALL near-dup pairs (Manku et al. 2007): 4-block
+    // pigeonhole candidates + codegen'd bit_count(xor) verify, Hamming
+    // <= 3. Sound AND complete — the oracle replays the identical
+    // pigeonhole, so the pair sets must be equal.
+    "q170_simhash_pairs" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
     })
   )
 
@@ -3284,6 +3294,28 @@ object SparkEntry {
   }
 
   /** The engine-wide polynomial hash as a DuckDB expression over `s`. */
+  /** The SimHash recompute CTE chain (tk → th → bits → sim), shared by
+    * q36 and the q170 Hamming-ball pair oracle. Blank docs are excluded
+    * at tk (they have no tokens to vote).
+    */
+  private def simhashCtes: String =
+    raw"""tk AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+       |  FROM documents WHERE coalesce(trim(text), '') <> ''),
+       |th AS (SELECT doc_id,
+       |  ((1299709 * h0 + 31) % 1000000007) * 1073741824
+       |    + ((104729 * h0 + 7) % 1000000007) AS h
+       |  FROM (SELECT doc_id, list_reduce(
+       |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(tok, '.'),
+       |      c -> ascii(c)::BIGINT)),
+       |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h0 FROM tk)),
+       |bits AS (SELECT doc_id, b,
+       |  sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN range(60) t(b) GROUP BY 1, 2),
+       |sim AS (SELECT doc_id,
+       |  sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
+       |  FROM bits GROUP BY 1)""".stripMargin
+
   /** The OPH CTE chain (tk → sh → h → bk → grid → dens → pr), shared by
     * the q166 signature/pair oracle and the q168 containment oracle.
     * Null and blank text both shingle to [''] — the engine queries
@@ -6074,24 +6106,24 @@ object SparkEntry {
     // SimHash recomputed: per-token poly hash, two affine mixes packed to
     // 60 bits, per-bit +/-1 votes, sign -> bit. Docs with no tokens -> 0.
     "q36_simhash" ->
-      """WITH tk AS (SELECT doc_id,
-        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents WHERE coalesce(trim(text), '') <> ''),
-        |th AS (SELECT doc_id,
-        |  ((1299709 * h0 + 31) % 1000000007) * 1073741824
-        |    + ((104729 * h0 + 7) % 1000000007) AS h
-        |  FROM (SELECT doc_id, list_reduce(
-        |    list_prepend(0::BIGINT, list_transform(regexp_extract_all(tok, '.'),
-        |      c -> ascii(c)::BIGINT)),
-        |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS h0 FROM tk)),
-        |bits AS (SELECT doc_id, b,
-        |  sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM th CROSS JOIN range(60) t(b) GROUP BY 1, 2),
-        |sim AS (SELECT doc_id,
-        |  sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
-        |  FROM bits GROUP BY 1)
+      raw"""WITH $simhashCtes
         |SELECT d.doc_id, coalesce(sim.simhash, 0) AS simhash
         |FROM documents d LEFT JOIN sim ON sim.doc_id = d.doc_id""".stripMargin,
+
+    // q170: the Manku pigeonhole replayed — 4 disjoint 15-bit blocks,
+    // equi join on (block, value), bit_count(xor) verify. Integer-exact.
+    "q170_simhash_pairs" ->
+      raw"""WITH $simhashCtes,
+        |blk AS (SELECT doc_id, simhash, t.i,
+        |    (simhash >> (15 * t.i)) & 32767 AS bval
+        |  FROM sim CROSS JOIN range(4) t(i)),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    a.simhash AS s1, b.simhash AS s2
+        |  FROM blk a JOIN blk b ON a.i = b.i AND a.bval = b.bval
+        |    AND a.doc_id < b.doc_id)
+        |SELECT DISTINCT id1, id2,
+        |  CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin,
 
     "q37_fingerprint" ->
       """SELECT doc_id,

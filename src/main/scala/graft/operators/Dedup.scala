@@ -146,6 +146,47 @@ object Dedup {
       .groupBy(col("simhash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** SimHash HAMMING-BALL pairs (Manku, Jain, Das Sarma, WWW 2007 — the
+    * web-scale near-dup paper): documents whose 60-bit simhashes differ
+    * in ≤ `maxHamming` bits. Pigeonhole: split the signature into
+    * maxHamming+1 disjoint blocks — a pair within the ball agrees
+    * exactly on at least one block, so candidates are an equi join on
+    * (block index, block value) and the verify is one codegen'd
+    * `bit_count(xor)`. Sound and complete; no all-pairs anywhere. Same
+    * skew-guarded bucket expansion as [[minhashCandidatePairs]].
+    * Blank/null docs are excluded ("no content" is not "same content" —
+    * they would all collide at simhash 0).
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(maxHamming >= 1 && TextFns.SimhashBits % nBlocks == 0,
+      s"maxHamming $maxHamming: need SimhashBits divisible by maxHamming+1")
+    val width = TextFns.SimhashBits / nBlocks
+    val mask = (1L << width) - 1
+    val sigs = docs
+      .filter(coalesce(trim(col(textCol)), lit("")) =!= "")
+      .select(col(idCol).as("doc_id"),
+        TextFns.simhash64(col(textCol)).as("sh"))
+    val blocks = sigs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until nBlocks).map(i =>
+        expr(s"shiftright(sh, ${width * i}) & $mask")): _*))
+        .as(Seq("blk", "bval")))
+    val buckets = blocks.groupBy(col("blk"), col("bval"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("sh"))))
+        .as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxBucket)
+    val pairs = flatten(transform(col("ms"), (x, i) =>
+      transform(slice(col("ms"), i + 2, size(col("ms"))), y =>
+        struct(x.getField("doc_id").as("id1"), x.getField("sh").as("sh1"),
+          y.getField("doc_id").as("id2"), y.getField("sh").as("sh2")))))
+    buckets.select(explode(pairs).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        expr("bit_count(p.sh1 ^ p.sh2)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (pairs: id1, id2). Shingle sets travel as arrays; the intersection/
     * union sizes are computed with array_intersect — per-pair, map-side

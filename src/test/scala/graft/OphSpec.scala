@@ -108,6 +108,34 @@ class OphSpec extends AnyFunSuite {
       ((2L, 4L, 5L, 1L)))
   }
 
+  test("simhash Hamming-ball pairs: complete vs brute force, blanks " +
+      "excluded") {
+    import graft.functions.TextFns
+    val base = (1 to 80).map(j => s"word${(j * 11) % 61}").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                               // exact dup → hamming 0
+      (3L, base.replace("word11", "swapped")),  // small edit
+      (4L, (1 to 80).map(j => s"other${(j * 7) % 59}").mkString(" ")),
+      (5L, ""), (6L, null.asInstanceOf[String]), (7L, "   "))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // brute force over the engine's own simhashes
+    val sh = docs.filter(coalesce(trim(col("text")), lit("")) =!= "")
+      .select(col("doc_id"), TextFns.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib) -> h.toLong).toMap
+    assert(got == want)
+    assert(got((1L, 2L)) == 0L)
+    assert(!got.keys.exists(p => p._1 >= 5L || p._2 >= 5L),
+      "blank/null docs must never pair")
+  }
+
   test("skew guard: buckets above maxBucket are dropped, not exploded") {
     val docs = (1L to 10L).map(i => (i, "same text everywhere"))
       .toDF("doc_id", "text")
