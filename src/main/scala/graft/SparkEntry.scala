@@ -2864,6 +2864,16 @@ object SparkEntry {
       import graft.operators.Dedup
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)
+    }),
+
+    // DISTINCTIVE TERMS PER SOURCE: within-source frequency beats the
+    // corpus frequency by an integer cross-multiplied lift, top-5 per
+    // source ranked on (integer lift_ppm, term) — TF-IDF's intuition
+    // with a cross-engine-reproducible ranking.
+    "q171_distinct_terms" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.distinctiveTermsPerGroup(t(s, dir, "documents"), "text",
+        "source", minCount = 5L, liftNum = 13L, liftDen = 10L, topK = 5)
     })
   )
 
@@ -3923,6 +3933,29 @@ object SparkEntry {
          |  CAST(${phSql("clean")} AS BIGINT) AS clean_hash
          |FROM c""".stripMargin
     },
+
+    // q171: per-source vs corpus term frequencies, integer lift filter,
+    // row_number ranking on the exact (lift_ppm DESC, term) key.
+    "q171_distinct_terms" ->
+      raw"""WITH toks AS (SELECT source AS grp,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |bg AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS c_in
+         |  FROM toks GROUP BY 1, 2),
+         |gl AS (SELECT term, CAST(sum(c_in) AS BIGINT) AS c_all FROM bg
+         |  GROUP BY 1),
+         |gt AS (SELECT grp, CAST(sum(c_in) AS BIGINT) AS n_grp FROM bg
+         |  GROUP BY 1),
+         |nn AS (SELECT CAST(sum(n_grp) AS BIGINT) AS n FROM gt),
+         |sc AS (SELECT b.grp, b.term, b.c_in, g.c_all, t.n_grp,
+         |    CAST((1000000 * b.c_in * nn.n) // (g.c_all * t.n_grp)
+         |      AS BIGINT) AS lift_ppm
+         |  FROM bg b JOIN gl g USING (term) JOIN gt t USING (grp)
+         |  CROSS JOIN nn
+         |  WHERE b.c_in >= 5 AND 10 * b.c_in * nn.n >= 13 * g.c_all * t.n_grp)
+         |SELECT grp AS source, term, c_in, c_all, n_grp, lift_ppm
+         |FROM sc QUALIFY row_number() OVER (PARTITION BY grp
+         |  ORDER BY lift_ppm DESC, term) <= 5""".stripMargin,
 
     // q169: unigram/bigram counts recomputed, lift compared by integer
     // cross-multiplication, lift_ppm an exact integer floor division.

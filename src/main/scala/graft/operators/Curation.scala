@@ -629,6 +629,46 @@ object Curation {
     * (sort per group, no global sort), SQL-reproducible as a QUALIFY
     * percent_rank.
     */
+  /** Distinctive vocabulary per group (per-source data-card "what makes
+    * this source different"): terms whose within-group frequency beats
+    * their corpus-wide frequency by ≥ liftNum/liftDen — TF-IDF's
+    * intuition as an exact integer cross-multiplication — ranked top-K
+    * per group by (lift_ppm DESC, term ASC), both integer/lexicographic
+    * so the ranking reproduces across engines.
+    *
+    * One corpus scan: the global term counts fold out of the per-group
+    * table (groupBy term of the (group, term) counts), so only
+    * vocabulary-sized relations join and the per-group ranking window
+    * sorts at most one vocabulary per task. Overflow bound (ANSI throws
+    * if crossed): c_in · N · 10^6 < 2^63 — fine to ~10^8-token corpora
+    * per exact run; beyond, downscale counts by a common factor.
+    */
+  def distinctiveTermsPerGroup(docs: DataFrame, textCol: String,
+      groupCol: String, minCount: Long = 5L, liftNum: Long = 2L,
+      liftDen: Long = 1L, topK: Int = 5): DataFrame = {
+    require(minCount >= 1 && liftNum > 0 && liftDen > 0 && topK >= 1,
+      "minCount, lift ratio, and topK must be positive")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(TextFns.tokens(lower(col(textCol)))).as("term"))
+    val byGrp = toks.groupBy("grp", "term").agg(count(lit(1)).as("c_in"))
+      .localCheckpoint() // reused three times below; scan the corpus once
+    val global = byGrp.groupBy("term").agg(sum("c_in").as("c_all"))
+    val grpTotals = byGrp.groupBy("grp").agg(sum("c_in").as("n_grp"))
+    val n = grpTotals.agg(coalesce(sum(col("n_grp")), lit(0L)))
+      .head().getLong(0)
+    val scored = byGrp.filter(col("c_in") >= minCount)
+      .join(global, "term").join(grpTotals, "grp")
+      .filter(lit(liftDen) * col("c_in") * lit(n) >=
+        lit(liftNum) * col("c_all") * col("n_grp"))
+      .withColumn("lift_ppm",
+        expr(s"(1000000 * c_in * ${n}L) div (c_all * n_grp)"))
+    Ops.topKPerGroup(scored, Seq("grp"),
+        Seq(col("lift_ppm").desc, col("term").asc), topK)
+      .select(col("grp").as(groupCol), col("term"), col("c_in"),
+        col("c_all"), col("n_grp"), col("lift_ppm"))
+  }
+
   def topQualityPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, minPercentile: Double): DataFrame = {
     require(minPercentile >= 0.0 && minPercentile <= 1.0,

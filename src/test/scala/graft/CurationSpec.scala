@@ -361,6 +361,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L)(3) == 0L && got(1L)(4) == 0L, s"doc1 ${got(1L)}")
     assert((5 to 8).forall(j => got(1L)(j) == 1L), s"doc1 ${got(1L)}")
   }
+
+  test("distinctiveTermsPerGroup surfaces source-specific vocabulary " +
+      "with exact integer lift, shared vocabulary never flagged") {
+    // "shared" appears uniformly everywhere; "medical" only in src_a,
+    // "legal" only in src_b, both above minCount
+    val a = (1 to 10).map(i => s"medical shared filler_a$i").mkString(" ")
+    val b = (1 to 10).map(i => s"legal shared filler_b$i").mkString(" ")
+    val docs = Seq((1L, a, "src_a"), (2L, b, "src_b"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.distinctiveTermsPerGroup(docs, "text", "source",
+      minCount = 5L, liftNum = 2L, liftDen = 1L, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // N = 60, each source 30 tokens: "medical" lift = 10·60/(10·30) = 2
+    assert(got.contains(("src_a", "medical")))
+    assert(got.contains(("src_b", "legal")))
+    val (cIn, cAll, nGrp, lift) = got(("src_a", "medical"))
+    assert((cIn, cAll, nGrp) == ((10L, 10L, 30L)))
+    assert(lift == 1000000L * 10L * 60L / (10L * 30L))
+    assert(!got.keys.exists(_._2 == "shared"),
+      "uniformly distributed term must not be distinctive")
+  }
 }
 
 /** k-means IVF training: convergence and recall on separable clusters. */
