@@ -2874,6 +2874,57 @@ object SparkEntry {
       import graft.operators.Curation
       Curation.distinctiveTermsPerGroup(t(s, dir, "documents"), "text",
         "source", minCount = 5L, liftNum = 13L, liftDen = 10L, topK = 5)
+    }),
+
+    // MULTISET (bag) MINHASH: every shingle occurrence is a distinct
+    // element (base·31 + occurrence index), so collisions estimate the
+    // weighted Jaccard Σmin/Σmax — "fifty copies of the boilerplate
+    // line" is no longer identical to "one copy". Signature exploded to
+    // scalar rows, full integer oracle (occurrence index = row_number
+    // per (doc, shingle)).
+    "q172_multiset_minhash" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.multisetMinhashSignatures(t(s, dir, "documents"), "doc_id",
+        "text", shingleN = 2, k = 16)
+        .select(col("doc_id"), posexplode(col("minhash")))
+        .select(col("doc_id"), col("pos").cast("long").as("hash_idx"),
+          col("col").as("hash_val"))
+    }),
+
+    // BIPARTITE CO-OCCURRENCE PROJECTION (item-item graph constructor):
+    // customers sharing >= 2 suppliers on a deterministic 1/20 order
+    // sample, weighted by the shared count. Hub expansion is capped
+    // (super-hub = no signal, the IDF argument); counts integer-exact.
+    "q173_copurchase_graph" -> ((s, dir) => {
+      import graft.operators.Graph
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_suppkey"))
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      Graph.bipartiteProject(edges, "o_custkey", "l_suppkey",
+        minShared = 2L, maxHubDegree = 100000)
+    }),
+
+    // TRUSTRANK: q164's trade graph with teleport restricted to a seed
+    // whitelist (nation-0 customers) — trust decays with link distance
+    // from the seeds on the same bit-exact integer lattice.
+    "q174_trustrank" -> ((s, dir) => {
+      import graft.operators.Graph
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val fwd = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val edges = fwd.union(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select(col("c_custkey"))
+      Graph.trustRankInt(edges, "src", "dst", seeds, "c_custkey",
+        iters = 5)
     })
   )
 
@@ -3892,8 +3943,44 @@ object SparkEntry {
     head + steps + s"\nSELECT node, rank FROM r$iters"
   }
 
+  /** q174 oracle: the TrustRank recurrence unrolled like q164's, with
+    * initial mass and the base term gated on seed membership.
+    */
+  private def trustRankOracleSql(iters: Int, scale: Long = 1000000L,
+      dampNum: Long = 17L, dampDen: Long = 20L): String = {
+    val base = ((dampDen - dampNum) * scale) / dampDen
+    val head =
+      raw"""WITH f AS (SELECT DISTINCT o_custkey AS src,
+         |    1000000 + l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM f UNION ALL SELECT dst, src FROM f),
+         |sd AS (SELECT DISTINCT c_custkey AS node FROM customer
+         |  WHERE c_nationkey = 0),
+         |n AS (SELECT node, CAST(max(s) AS BIGINT) AS is_seed FROM (
+         |    SELECT src AS node, 0 AS s FROM e
+         |    UNION ALL SELECT dst, 0 FROM e
+         |    UNION ALL SELECT node, 1 FROM sd) GROUP BY node),
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e
+         |  GROUP BY src),
+         |r0 AS (SELECT node, CAST(is_seed * $scale AS BIGINT) AS rank
+         |  FROM n)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      raw""",
+         |s$i AS (SELECT e.dst AS node, sum(r$p.rank // d.outdeg) AS insum
+         |  FROM e JOIN r$p ON r$p.node = e.src JOIN d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT n.node, CAST(n.is_seed * $base +
+         |    ($dampNum * COALESCE(s$i.insum, 0)) // $dampDen AS BIGINT)
+         |    AS rank
+         |  FROM n LEFT JOIN s$i ON s$i.node = n.node)""".stripMargin
+    }.mkString
+    head + steps + s"\nSELECT node, rank FROM r$iters"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q164_pagerank" -> pageRankOracleSql(5),
+    "q174_trustrank" -> trustRankOracleSql(5),
 
     // q163: brute-force cross-join ground truth — the engine's PassJoin
     // signature scheme must reproduce it exactly (pigeonhole-complete
@@ -3956,6 +4043,44 @@ object SparkEntry {
          |SELECT grp AS source, term, c_in, c_all, n_grp, lift_ppm
          |FROM sc QUALIFY row_number() OVER (PARTITION BY grp
          |  ORDER BY lift_ppm DESC, term) <= 5""".stripMargin,
+
+    // q173: the projection as a plain self-join on the hub key — the
+    // engine's capped hub expansion must reproduce it exactly (the cap
+    // does not bind on this data).
+    "q173_copurchase_graph" ->
+      raw"""WITH e AS (SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_orderkey % 20 = 0)
+         |SELECT a.l AS id1, b.l AS id2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // q172: bag-minhash recomputed — bigram shingles with occurrence
+    // indices via row_number, element base (poly·31 + occ) mod p, k=16
+    // affine permutation minima. Pure integer arithmetic.
+    "q172_multiset_minhash" ->
+      raw"""WITH tk AS (SELECT doc_id,
+         |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+         |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+         |  FROM documents),
+         |sh0 AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w)),
+         |      j -> w[j] || ' ' || w[j+1])) AS s,
+         |    unnest(list_transform(range(1, len(w)), j -> j)) AS pos
+         |  FROM tk WHERE len(w) >= 2
+         |  UNION ALL SELECT doc_id, array_to_string(w, ' ') AS s, 1 AS pos
+         |  FROM tk WHERE len(w) = 1
+         |  UNION ALL SELECT doc_id, '' AS s, 1 AS pos
+         |  FROM tk WHERE len(w) = 0),
+         |occ AS (SELECT doc_id, s,
+         |    row_number() OVER (PARTITION BY doc_id, s ORDER BY pos) AS o
+         |  FROM sh0),
+         |hb AS (SELECT doc_id, (${phSql("s")} * 31 + o) % 1000000007 AS h0
+         |  FROM occ)
+         |SELECT doc_id, t.i AS hash_idx,
+         |  min((((2 * t.i + 1) * 104729) % 1000000007 * h0
+         |    + (t.i * 12582917 + 7)) % 1000000007) AS hash_val
+         |FROM hb CROSS JOIN range(16) t(i) GROUP BY 1, 2""".stripMargin,
 
     // q169: unigram/bigram counts recomputed, lift compared by integer
     // cross-multiplication, lift_ppm an exact integer floor division.

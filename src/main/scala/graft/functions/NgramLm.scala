@@ -201,9 +201,25 @@ object NgramLm {
   def collocations(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 3L, liftNum: Long = 2L,
       liftDen: Long = 1L): DataFrame = {
+    val (_, bi, uni, n) = counts(docs, idCol, textCol)
+    collocationsCore(bi, uni, n, minCount, liftNum, liftDen)
+  }
+
+  /** [[collocations]] against an EXISTING unified count relation —
+    * e.g. the stream-maintained table from `EventStream.lmCountStream` —
+    * so collocation monitoring rides live counts without re-scanning
+    * any corpus. Identical integer lattice, identical output schema.
+    */
+  def collocationsFromCounts(unified: DataFrame, minCount: Long = 3L,
+      liftNum: Long = 2L, liftDen: Long = 1L): DataFrame = {
+    val (_, bi, uni, n) = splitUnified(unified)
+    collocationsCore(bi, uni, n, minCount, liftNum, liftDen)
+  }
+
+  private def collocationsCore(bi: DataFrame, uni: DataFrame, n: Long,
+      minCount: Long, liftNum: Long, liftDen: Long): DataFrame = {
     require(minCount >= 1 && liftNum > 0 && liftDen > 0,
       "minCount and lift ratio must be positive")
-    val (_, bi, uni, n) = counts(docs, idCol, textCol)
     val left = uni.select(col("w0").as("w1"), col("c1").as("c_left"))
     val right = uni.select(col("w0"), col("c1").as("c_right"))
     bi.filter(col("c2") >= minCount)

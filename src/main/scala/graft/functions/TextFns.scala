@@ -298,6 +298,36 @@ object TextFns {
     }
   }
 
+  /** MULTISET MinHash signature: each shingle occurrence becomes a
+    * distinct element (base·31 + occurrence-index mod p), so the
+    * collision probability estimates the multiset (bag) Jaccard
+    * Σmin(mᴬ,mᴮ)/Σmax(mᴬ,mᴮ) — weighted resemblance where repeated
+    * content counts with its multiplicity. Plain [[minhashSigUdf]]
+    * dedupes shingles and cannot tell "one copy" from "fifty copies" of
+    * a boilerplate line; this one can. Same affine permutation family,
+    * so a DuckDB oracle (row_number per (doc, shingle) = the occurrence
+    * index) recomputes the exact signature.
+    */
+  def multisetMinhashSigUdf(shingleN: Int, k: Int) =
+    udf { (toks: Seq[String]) =>
+      val shingles: Seq[String] =
+        if (toks == null || toks.isEmpty) Seq("")
+        else if (toks.length < shingleN) Seq(toks.mkString(" "))
+        else toks.sliding(shingleN).map(_.mkString(" ")).toSeq
+      val occ = new java.util.HashMap[String, Integer]()
+      val bases = shingles.map { s =>
+        val c = occ.merge(s, 1, (a, b) => a + b)
+        (polyHash(s) * 31L + c.toLong) % HashP
+      }
+      Array.tabulate(k) { i =>
+        var min = Long.MaxValue
+        bases.foreach { h0 =>
+          val h = minhashPerm(i, h0); if (h < min) min = h
+        }
+        min
+      }
+    }
+
   /** 60-bit SimHash over whitespace tokens: sign-aggregated bitwise vote of
     * per-token hashes. The token hash is two affine mixes of [[polyHash]]
     * packed as (hi << 30) | lo — plain integer arithmetic, so a SQL oracle

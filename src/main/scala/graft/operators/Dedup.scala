@@ -72,6 +72,18 @@ object Dedup {
       .distinct()
   }
 
+  /** Multiset (bag) MinHash signatures — see
+    * [[graft.functions.TextFns.multisetMinhashSigUdf]]: repeated
+    * shingles count with their multiplicity, so the estimated
+    * resemblance is the multiset Jaccard. Use when boilerplate
+    * REPETITION (not just presence) is the duplication signal.
+    */
+  def multisetMinhashSignatures(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 2, k: Int = 16): DataFrame =
+    docs.select(col(idCol),
+      TextFns.multisetMinhashSigUdf(shingleN, k)(
+        TextFns.tokens(lower(col(textCol)))).as("minhash"))
+
   /** One-Permutation Hashing signature relation: (doc_id, bucket, sig),
     * exactly k rows per document (rotation-densified — see
     * [[graft.functions.TextFns.ophSigUdf]]). One hash evaluation per

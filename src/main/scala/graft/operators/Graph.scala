@@ -72,4 +72,89 @@ object Graph {
     }
     ranks
   }
+
+  /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004) — the
+    * personalized-PageRank variant web-corpus curation actually uses:
+    * teleport mass flows ONLY to a curated seed set, so trust decays
+    * with link distance from the seeds and spam islands score zero.
+    * Same integer lattice as [[pageRankInt]] (bit-identical across
+    * schedules and engines):
+    *
+    *   r₀(v)  = scale·[v ∈ seeds]
+    *   r'(v)  = [v ∈ seeds]·floor((dampDen−dampNum)·scale/dampDen)
+    *          + floor(dampNum · Σ_{u→v} floor(r(u)/outdeg(u)) / dampDen)
+    *
+    * `seeds` is one column of node ids (deduplicated here); seeds not
+    * present in the edge relation still hold and emit their base trust.
+    */
+  def trustRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int,
+      scale: Long = 1000000L, dampNum: Long = 17L,
+      dampDen: Long = 20L): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters $iters out of range 1..50")
+    require(scale > 0 && dampNum > 0 && dampDen > dampNum,
+      s"need 0 < dampNum < dampDen and scale > 0")
+
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(sd.select(col("node"))).distinct()
+      .join(sd.withColumn("__seed", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+
+    val baseInt = ((dampDen - dampNum) * scale) / dampDen
+    var ranks = nodes.select(col("node"),
+      (col("is_seed") * scale).as("rank"))
+    var it = 0
+    while (it < iters) {
+      val perNode = ranks.join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"), expr("rank div outdeg").as("c"))
+      val sums = e.join(perNode, Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("insum"))
+      ranks = nodes.join(sums, Seq("node"), "left")
+        .select(col("node"),
+          (col("is_seed") * baseInt +
+            expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen"))
+            .as("rank"))
+        .localCheckpoint()
+      it += 1
+    }
+    ranks
+  }
+
+  /** Bipartite co-occurrence projection — the item-item / co-citation
+    * graph constructor: pairs of LEFT nodes sharing ≥ `minShared`
+    * distinct RIGHT neighbors, weighted by the shared count
+    * (id1 < id2). The join never goes all-pairs: each right-side hub
+    * contributes C(degree, 2) pairs, and `maxHubDegree` drops
+    * super-hubs (a hub linking a million left nodes would emit 10¹²
+    * pairs — capping hubs is the standard practice in co-occurrence
+    * graph construction; a dropped hub's signal is near-zero anyway
+    * since sharing a ubiquitous neighbor carries no information —
+    * exactly the IDF argument). Only (right, left-id) pairs shuffle;
+    * the pair weight aggregation is map-side combined.
+    */
+  def bipartiteProject(edges: DataFrame, leftCol: String, rightCol: String,
+      minShared: Long = 2L, maxHubDegree: Int = 1000): DataFrame = {
+    require(minShared >= 1 && maxHubDegree >= 2,
+      "minShared >= 1 and maxHubDegree >= 2 required")
+    val e = edges.select(col(leftCol).cast("long").as("l"),
+      col(rightCol).cast("long").as("r")).distinct()
+    val hubs = e.groupBy("r")
+      .agg(sort_array(collect_set(col("l"))).as("ls"))
+      .filter(size(col("ls")) >= 2 && size(col("ls")) <= maxHubDegree)
+    val pairs = flatten(transform(col("ls"), (x, i) =>
+      transform(slice(col("ls"), i + 2, size(col("ls"))),
+        y => struct(x.as("id1"), y.as("id2")))))
+    hubs.select(explode(pairs).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

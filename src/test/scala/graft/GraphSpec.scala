@@ -54,10 +54,73 @@ class GraphSpec extends AnyFunSuite {
     assert(run(multi, 3) != run(simple, 3))
   }
 
+  test("bipartiteProject: pairs weighted by shared distinct neighbors, " +
+      "hub cap drops super-hubs") {
+    // customers 1..4, suppliers 10..13:
+    // 1-{10,11,12}, 2-{10,11}, 3-{11,12}, 4-{13}; duplicate edge 2-10
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L),
+      (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L), (4L, 13L))
+      .toDF("l", "r")
+    val got = Graph.bipartiteProject(edges, "l", "r", minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (2L, 3L) -> 1L))
+    // minShared filter
+    val strict = Graph.bipartiteProject(edges, "l", "r", minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L), (1L, 3L)))
+    // hub cap: supplier 11 has degree 3 — capping at 2 removes its pairs
+    val capped = Graph.bipartiteProject(edges, "l", "r", minShared = 1L,
+      maxHubDegree = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(capped == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L))
+  }
+
   test("rank conservation bound: total never exceeds nodes*scale") {
     val edges = (1L to 20L).flatMap(i => Seq((i, i % 20 + 1), (i, (i * 7) % 20 + 1)))
     val got = run(edges, 5)
     assert(got.values.sum <= 20L * 1000000L)
     assert(got.values.forall(_ >= 150000L))
+  }
+
+  private def trustRef(edges: Seq[(Long, Long)], seedIds: Set[Long],
+      iters: Int, scale: Long = 1000000L, dn: Long = 17L,
+      dd: Long = 20L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ seedIds).distinct
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = ((dd - dn) * scale) / dd
+    var r = nodes.map(v => v -> (if (seedIds(v)) scale else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (u, v) => in(v) += r(u) / outdeg(u) }
+      r = nodes.map(v =>
+        v -> ((if (seedIds(v)) base else 0L) + (dn * in(v)) / dd)).toMap
+    }
+    r
+  }
+
+  test("trustRank: matches the seeded reference; trust decays with " +
+      "distance; unreachable islands score zero") {
+    import spark.implicits._
+    // chain 1→2→3→4 plus an island 8↔9; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (8L, 9L), (9L, 8L))
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.trustRankInt(edges.toDF("src", "dst"), "src", "dst",
+      seeds, "id", iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == trustRef(edges, Set(1L), 4))
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) > got(4L),
+      s"trust must decay along the chain: $got")
+    assert(got(8L) == 0L && got(9L) == 0L,
+      "nodes unreachable from seeds must hold zero trust")
+  }
+
+  test("trustRank: isolated seed (no edges) still holds its base trust") {
+    import spark.implicits._
+    val got = Graph.trustRankInt(Seq((1L, 2L)).toDF("src", "dst"),
+      "src", "dst", Seq(7L).toDF("id"), "id", iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) == 150000L && got.contains(1L) && got.contains(2L))
   }
 }

@@ -101,4 +101,19 @@ class NgramLmSpec extends AnyFunSuite {
     assert(!got.contains(("the", "cat")),
       "frequent-but-independent pair must fail the lift test")
   }
+
+  test("collocationsFromCounts over a unified count relation equals the " +
+      "direct corpus form (the stream-maintained path)") {
+    val docs = (1L to 20L).map(i =>
+      (i, (1 to 30).map(j => s"t${(i + j * 3) % 17}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val direct = NgramLm.collocations(docs, "doc_id", "text", 2L, 1L, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5))).toSet
+    val viaCounts = NgramLm.collocationsFromCounts(
+      NgramLm.countsUnified(docs, "doc_id", "text"), 2L, 1L, 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5))).toSet
+    assert(direct.nonEmpty && direct == viaCounts)
+  }
 }

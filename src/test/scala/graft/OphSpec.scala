@@ -108,6 +108,36 @@ class OphSpec extends AnyFunSuite {
       ((2L, 4L, 5L, 1L)))
   }
 
+  test("multiset minhash separates repetition that set minhash cannot " +
+      "see, and matches the definitional reference") {
+    import graft.functions.TextFns
+    val once = "the boiler plate line"
+    val many = Array.fill(30)(once).mkString(" ")
+    val docs = Seq((1L, once), (2L, many)).toDF("doc_id", "text")
+    def sigsOf(f: org.apache.spark.sql.expressions.UserDefinedFunction) =
+      docs.select(col("doc_id"),
+        f(TextFns.tokens(lower(col("text")))).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val set = sigsOf(TextFns.minhashSigUdf(2, 16))
+    val bag = sigsOf(TextFns.multisetMinhashSigUdf(2, 16))
+    // set minhash: "many" has extra stitch shingles but is dominated by
+    // the same elements; bag minhash sees 30 distinct occurrences
+    assert(set(1L) != bag(1L) || set(2L) != bag(2L))
+    val bagAgree = bag(1L).zip(bag(2L)).count { case (a, b) => a == b }
+    val setAgree = set(1L).zip(set(2L)).count { case (a, b) => a == b }
+    assert(bagAgree < setAgree,
+      s"bag minhash ($bagAgree/16) must separate repetition more than " +
+        s"set minhash ($setAgree/16)")
+    // definitional reference for doc 1 (4 tokens → 3 bigrams, each once)
+    val toks = once.split(" ").toSeq
+    val want = (0 until 16).map { i =>
+      toks.sliding(2).map(_.mkString(" ")).map(s =>
+        TextFns.minhashPerm(i,
+          (TextFns.polyHash(s) * 31L + 1L) % TextFns.HashP)).min
+    }
+    assert(bag(1L) == want)
+  }
+
   test("simhash Hamming-ball pairs: complete vs brute force, blanks " +
       "excluded") {
     import graft.functions.TextFns
