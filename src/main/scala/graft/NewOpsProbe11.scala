@@ -41,9 +41,12 @@ object NewOpsProbe11 {
           .as("text"),
         concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
         .localCheckpoint()
-      // short keys in planted clusters of 3 (suffix edits within tau=2)
+      // short keys in planted clusters of 3 (suffix edits within tau=2);
+      // variation-first (the realistic record-linkage shape — see the
+      // edSelfJoin scaladoc: boilerplate-prefix keys degenerate and need
+      // the maxPairsPerBucket valve instead)
       val keys = spark.range(n.toLong).select(col("id"),
-        expr("concat('record number ', CAST(id div 3 AS STRING), " +
+        expr("concat(CAST(id div 3 AS STRING), ' record entry ', " +
           "CASE pmod(id, 3) WHEN 0 THEN 'a' WHEN 1 THEN 'b' " +
           "ELSE 'cc' END)").as("key"))
         .localCheckpoint()

@@ -50,15 +50,26 @@ object EditDistance {
 
   /** Pairs (id_a, id_b, dist) with id_a < id_b and
     * levenshtein(key_a, key_b) ≤ tau, where key = `keyCol` evaluated per
-    * row. Exact (complete + sound): completeness from the pigeonhole
-    * segment scheme, soundness from the final Levenshtein filter.
+    * row. Exact (complete + sound) at the default settings: completeness
+    * from the pigeonhole segment scheme, soundness from the final
+    * Levenshtein filter.
+    *
+    * Skew valve: keys sharing a long boilerplate prefix/suffix put all
+    * their variation in ONE segment, so the other segments' buckets
+    * degenerate toward all-pairs (inherent to any fixed segmentation).
+    * `maxPairsPerBucket` drops a (length, segment, substring) bucket
+    * whose index×probe candidate product exceeds the cap — trading
+    * completeness ONLY on those degenerate buckets for a hard bound on
+    * join fan-out, the same contract as the LSH generators' maxBucket.
+    * The default keeps the join exact.
     *
     * Empty keys pair only with keys of length ≤ tau (dist = length);
     * null keys are dropped.
     */
   def edSelfJoin(df: DataFrame, idCol: String, keyCol: Column,
-      tau: Int): DataFrame = {
+      tau: Int, maxPairsPerBucket: Long = Long.MaxValue): DataFrame = {
     require(tau >= 1 && tau <= 4, s"tau $tau out of supported range 1..4")
+    require(maxPairsPerBucket >= 1, "maxPairsPerBucket must be >= 1")
 
     val keyed = df.select(col(idCol).cast("long").as("__id"),
         keyCol.cast("string").as("__key"))
@@ -96,28 +107,33 @@ object EditDistance {
       out.distinct.toSeq
     }
 
-    val idx = keyed.select(col("__id"), col("__key"),
-        explode(segUdf(col("__key"))).as("__s"))
-      .select(col("__id"), col("__key"), col("__s._1").as("__l"),
-        col("__s._2").as("__i"), col("__s._3").as("__seg"))
-    val prb = keyed.select(col("__id"), col("__key"),
-        explode(probeUdf(col("__key"))).as("__s"))
-      .select(col("__id"), col("__key"), col("__s._1").as("__l"),
-        col("__s._2").as("__i"), col("__s._3").as("__seg"))
-
-    prb.alias("p")
-      .join(idx.alias("x"),
-        col("p.__l") === col("x.__l") && col("p.__i") === col("x.__i") &&
-          col("p.__seg") === col("x.__seg") &&
-          col("p.__id") =!= col("x.__id"))
-      .select(
-        least(col("p.__id"), col("x.__id")).as("id_a"),
-        greatest(col("p.__id"), col("x.__id")).as("id_b"),
-        when(col("p.__id") < col("x.__id"), col("p.__key"))
-          .otherwise(col("x.__key")).as("__ka"),
-        when(col("p.__id") < col("x.__id"), col("x.__key"))
-          .otherwise(col("p.__key")).as("__kb"))
+    // bucket-grouped candidate generation: only (signature, id, side)
+    // shuffles — keys are NOT carried through the ~(2τ+1)²(τ+1)-fold
+    // signature expansion — and the per-bucket candidate volume is
+    // inspectable (and cappable) before any pair is emitted
+    val idx = keyed.select(col("__id"),
+        explode(segUdf(col("__key"))).as("__s"), lit(0).as("__side"))
+    val prb = keyed.select(col("__id"),
+        explode(probeUdf(col("__key"))).as("__s"), lit(1).as("__side"))
+    val buckets = idx.union(prb)
+      .groupBy(col("__s._1").as("__l"), col("__s._2").as("__i"),
+        col("__s._3").as("__seg"))
+      .agg(collect_set(when(col("__side") === 0, col("__id"))).as("xi"),
+        collect_set(when(col("__side") === 1, col("__id"))).as("pi"))
+      .filter(size(col("xi")) > 0 && size(col("pi")) > 0 &&
+        size(col("xi")).cast("long") * size(col("pi")) <= maxPairsPerBucket)
+    val cand = buckets
+      .select(explode(col("xi")).as("__a"), col("pi"))
+      .select(col("__a"), explode(col("pi")).as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"))
       .distinct()
+    cand
+      .join(keyed.select(col("__id").as("id_a"), col("__key").as("__ka")),
+        "id_a")
+      .join(keyed.select(col("__id").as("id_b"), col("__key").as("__kb")),
+        "id_b")
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__ka"), col("__kb")).cast("long").as("dist"))
       .filter(col("dist") <= tau)

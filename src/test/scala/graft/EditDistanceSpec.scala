@@ -83,4 +83,19 @@ class EditDistanceSpec extends AnyFunSuite {
       EditDistance.edSelfJoin(df, "id", col("key"), 0)
     }
   }
+
+  test("maxPairsPerBucket valve: boilerplate-prefix keys stay exact at " +
+      "the default and get capped when asked") {
+    // adversarial: every key shares a long prefix, variation at the tail
+    val keys = (0 until 40).map(i =>
+      (i.toLong, s"record number entry ${i / 2}${if (i % 2 == 0) "a" else "b"}"))
+    val df = keys.toDF("id", "key")
+    val exact = run(keys, 2)
+    assert(exact == brutePairs(keys, 2) && exact.nonEmpty)
+    // capped: degenerate prefix buckets dropped → a subset survives
+    val capped = EditDistance.edSelfJoin(df, "id", col("key"), 2,
+      maxPairsPerBucket = 50L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped.subsetOf(exact), "cap must only DROP pairs, never add")
+  }
 }
