@@ -41,12 +41,14 @@ object NewOpsProbe11 {
           .as("text"),
         concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
         .localCheckpoint()
-      // short keys in planted clusters of 3 (suffix edits within tau=2);
-      // variation-first (the realistic record-linkage shape — see the
-      // edSelfJoin scaladoc: boilerplate-prefix keys degenerate and need
-      // the maxPairsPerBucket valve instead)
+      // short keys in planted clusters of 3 (suffix edits within tau=2).
+      // Variation is SPREAD across the whole key (two pseudo-random
+      // cores) — the realistic record-linkage shape. Keys dominated by a
+      // boilerplate prefix/suffix degenerate by construction and need
+      // the maxPairsPerBucket valve (see the edSelfJoin scaladoc).
       val keys = spark.range(n.toLong).select(col("id"),
-        expr("concat(CAST(id div 3 AS STRING), ' record entry ', " +
+        expr("concat('n', pmod(id div 3 * 7919 + 13, 99991), ' m', " +
+          "pmod(id div 3 * 104729 + 7, 99991), " +
           "CASE pmod(id, 3) WHEN 0 THEN 'a' WHEN 1 THEN 'b' " +
           "ELSE 'cc' END)").as("key"))
         .localCheckpoint()

@@ -2866,6 +2866,20 @@ object SparkEntry {
         maxHamming = 3)
     }),
 
+    // SIMHASH NEAR-DUP CLUSTERS: connected components (pointer-jumping)
+    // over the q170 Hamming-ball pair graph, min-id survivor per
+    // cluster — the complete "find → cluster → keep one" simhash dedup
+    // chain of Manku et al.
+    "q175_simhash_clusters" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val pairs = Dedup.simhashNearDupPairs(t(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)
+      Dedup.connectedComponents(pairs, "id1", "id2")
+        .select(col("id").as("doc_id"), col("comp"),
+          when(col("id") === col("comp"), lit(1L)).otherwise(lit(0L))
+            .as("keep"))
+    }),
+
     // DISTINCTIVE TERMS PER SOURCE: within-source frequency beats the
     // corpus frequency by an integer cross-multiplied lift, top-5 per
     // source ranked on (integer lift_ppm, term) — TF-IDF's intuition
@@ -3376,6 +3390,21 @@ object SparkEntry {
        |sim AS (SELECT doc_id,
        |  sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
        |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** The Manku block-pigeonhole pair CTEs over `sim` (blk → cand → prs),
+    * shared by q170 and the q175 cluster oracle.
+    */
+  private def simhashPairCtes: String =
+    raw"""blk AS (SELECT doc_id, simhash, t.i,
+       |    (simhash >> (15 * t.i)) & 32767 AS bval
+       |  FROM sim CROSS JOIN range(4) t(i)),
+       |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    a.simhash AS s1, b.simhash AS s2
+       |  FROM blk a JOIN blk b ON a.i = b.i AND a.bval = b.bval
+       |    AND a.doc_id < b.doc_id),
+       |prs AS (SELECT DISTINCT id1, id2,
+       |    CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(s1, s2)) <= 3)""".stripMargin
 
   /** The OPH CTE chain (tk → sh → h → bk → grid → dens → pr), shared by
     * the q166 signature/pair oracle and the q168 containment oracle.
@@ -6272,16 +6301,26 @@ object SparkEntry {
     // equi join on (block, value), bit_count(xor) verify. Integer-exact.
     "q170_simhash_pairs" ->
       raw"""WITH $simhashCtes,
-        |blk AS (SELECT doc_id, simhash, t.i,
-        |    (simhash >> (15 * t.i)) & 32767 AS bval
-        |  FROM sim CROSS JOIN range(4) t(i)),
-        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    a.simhash AS s1, b.simhash AS s2
-        |  FROM blk a JOIN blk b ON a.i = b.i AND a.bval = b.bval
-        |    AND a.doc_id < b.doc_id)
-        |SELECT DISTINCT id1, id2,
-        |  CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
-        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin,
+        |$simhashPairCtes
+        |SELECT id1, id2, hamming FROM prs""".stripMargin,
+
+    // q175: min-label transitive closure over the q170 pair graph
+    // (recursive CTE — near-dup graphs are sparse so the closure is
+    // tiny) with the min-id survivor per cluster.
+    "q175_simhash_clusters" ->
+      raw"""WITH RECURSIVE $simhashCtes,
+        |$simhashPairCtes,
+        |und AS (SELECT id1, id2 FROM prs
+        |  UNION ALL SELECT id2, id1 FROM prs),
+        |nod AS (SELECT DISTINCT id1 AS id FROM und),
+        |reach(id, lab) AS (
+        |  SELECT id, id FROM nod
+        |  UNION
+        |  SELECT u.id2, r.lab FROM reach r JOIN und u ON u.id1 = r.id),
+        |cmp AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+        |SELECT id AS doc_id, comp,
+        |  CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM cmp""".stripMargin,
 
     "q37_fingerprint" ->
       """SELECT doc_id,

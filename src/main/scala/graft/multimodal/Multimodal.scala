@@ -127,6 +127,80 @@ object Multimodal {
       .withColumn("mean_band0", col("__m._4"))
       .drop("__m")
 
+  /** 64-bit AVERAGE HASH (aHash) over the decoded band-0 luminance: the
+    * image is block-averaged onto an 8×8 grid, each cell votes 1 iff its
+    * mean exceeds the grid mean — the classic perceptual fingerprint
+    * that survives re-encoding, resizing, and mild noise while exact
+    * byte hashing survives nothing. Pairs within a small Hamming ball of
+    * each other's aHash are near-duplicate IMAGES: feed the (id, ahash)
+    * relation to [[graft.operators.Dedup.hammingPairs]] (same pigeonhole
+    * machinery as text simhash dedup). Integer-exact per decoded pixel
+    * grid, so identical bytes always hash identically; undecodable
+    * payloads yield null.
+    */
+  val aHash64 = udf { (media: Array[Byte]) =>
+    if (media == null || media.isEmpty) None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(media))
+      if (iis == null) None
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val img = r.read(0)
+            val raster = img.getRaster
+            val w = img.getWidth
+            val h = img.getHeight
+            if (w == 0 || h == 0) None
+            else {
+              val sums = new Array[Long](64)
+              val cnts = new Array[Long](64)
+              var y = 0
+              while (y < h) {
+                val by = (y.toLong * 8 / h).toInt
+                var x = 0
+                while (x < w) {
+                  val bx = (x.toLong * 8 / w).toInt
+                  val c = by * 8 + bx
+                  sums(c) += raster.getSample(x, y, 0)
+                  cnts(c) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              // integer cell means in 1/64ths to keep the vote exact
+              var total = 0L
+              var filled = 0
+              var c = 0
+              while (c < 64) {
+                if (cnts(c) > 0) { total += sums(c) / cnts(c); filled += 1 }
+                c += 1
+              }
+              val mean = if (filled == 0) 0L else total / filled
+              var hash = 0L
+              c = 0
+              while (c < 64) {
+                if (cnts(c) > 0 && sums(c) / cnts(c) > mean)
+                  hash |= (1L << c)
+                c += 1
+              }
+              Some(hash)
+            }
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+  }
+
+  /** Attach the perceptual hash (see [[aHash64]]). */
+  def withImageAHash(df: DataFrame, mediaCol: String): DataFrame =
+    df.withColumn("ahash", aHash64(col(mediaCol)))
+
   /** REAL audio decode on `javax.sound.sampled` (the JDK ships WAV/AIFF/AU
     * codecs — no external dependency): container type, sample rate,
     * channels, bit depth, frame count, duration, plus an unsigned-byte sum

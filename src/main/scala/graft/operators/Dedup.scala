@@ -171,16 +171,32 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val nBlocks = maxHamming + 1
-    require(maxHamming >= 1 && TextFns.SimhashBits % nBlocks == 0,
-      s"maxHamming $maxHamming: need SimhashBits divisible by maxHamming+1")
-    val width = TextFns.SimhashBits / nBlocks
-    val mask = (1L << width) - 1
     val sigs = docs
       .filter(coalesce(trim(col(textCol)), lit("")) =!= "")
-      .select(col(idCol).as("doc_id"),
-        TextFns.simhash64(col(textCol)).as("sh"))
-    val blocks = sigs.select(col("doc_id"), col("sh"),
+      .select(col(idCol), TextFns.simhash64(col(textCol)).as("__sh"))
+    hammingPairs(sigs, idCol, "__sh", TextFns.SimhashBits, maxHamming,
+      maxBucket)
+  }
+
+  /** Hamming-ball pair join over ANY (id, hash) relation — text simhash,
+    * image aHash ([[graft.multimodal.Multimodal.aHash64]]), audio
+    * fingerprints: pairs whose `bits`-bit hashes differ in ≤ `maxHamming`
+    * bits, via the Manku block pigeonhole (sound and complete; null
+    * hashes dropped). `bits` up to 64 — block extraction masks after the
+    * arithmetic shift, so the sign bit is safe.
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val nBlocks = maxHamming + 1
+    require(maxHamming >= 1 && bits >= nBlocks && bits <= 64 &&
+      bits % nBlocks == 0,
+      s"maxHamming $maxHamming: need bits ($bits) divisible by maxHamming+1")
+    val width = bits / nBlocks
+    val mask = (1L << width) - 1
+    val rel = sigs.select(col(idCol).as("doc_id"),
+        col(hashCol).as("sh"))
+      .filter(col("sh").isNotNull)
+    val blocks = rel.select(col("doc_id"), col("sh"),
       posexplode(array((0 until nBlocks).map(i =>
         expr(s"shiftright(sh, ${width * i}) & $mask")): _*))
         .as(Seq("blk", "bval")))

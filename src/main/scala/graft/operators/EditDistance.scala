@@ -107,27 +107,40 @@ object EditDistance {
       out.distinct.toSeq
     }
 
-    // bucket-grouped candidate generation: only (signature, id, side)
-    // shuffles — keys are NOT carried through the ~(2τ+1)²(τ+1)-fold
-    // signature expansion — and the per-bucket candidate volume is
-    // inspectable (and cappable) before any pair is emitted
-    val idx = keyed.select(col("__id"),
-        explode(segUdf(col("__key"))).as("__s"), lit(0).as("__side"))
-    val prb = keyed.select(col("__id"),
-        explode(probeUdf(col("__key"))).as("__s"), lit(1).as("__side"))
-    val buckets = idx.union(prb)
-      .groupBy(col("__s._1").as("__l"), col("__s._2").as("__i"),
-        col("__s._3").as("__seg"))
-      .agg(collect_set(when(col("__side") === 0, col("__id"))).as("xi"),
-        collect_set(when(col("__side") === 1, col("__id"))).as("pi"))
-      .filter(size(col("xi")) > 0 && size(col("pi")) > 0 &&
-        size(col("xi")).cast("long") * size(col("pi")) <= maxPairsPerBucket)
-    val cand = buckets
-      .select(explode(col("xi")).as("__a"), col("pi"))
-      .select(col("__a"), explode(col("pi")).as("__b"))
-      .filter(col("__a") =!= col("__b"))
-      .select(least(col("__a"), col("__b")).as("id_a"),
-        greatest(col("__a"), col("__b")).as("id_b"))
+    // Candidate generation is a plain hash equi join on the signature —
+    // only (signature, id) rows shuffle (keys do NOT travel through the
+    // ~(2τ+1)²(τ+1)-fold expansion) and the join spills gracefully
+    // instead of holding per-bucket id sets in aggregation buffers.
+    // When capped, degenerate signatures are removed from BOTH sides by
+    // a semi join against precomputed bucket counts (longs only,
+    // map-side combined) before the pair join runs.
+    val idx = keyed.select(col("__id"), explode(segUdf(col("__key")))
+      .as("__s"))
+      .select(col("__id"), col("__s._1").as("__l"),
+        col("__s._2").as("__i"), col("__s._3").as("__seg"))
+    val prb = keyed.select(col("__id"), explode(probeUdf(col("__key")))
+      .as("__s"))
+      .select(col("__id"), col("__s._1").as("__l"),
+        col("__s._2").as("__i"), col("__s._3").as("__seg"))
+    val sigKey = Seq("__l", "__i", "__seg")
+    val (idxF, prbF) =
+      if (maxPairsPerBucket == Long.MaxValue) (idx, prb)
+      else {
+        val ok = idx.groupBy(sigKey.map(col): _*)
+          .agg(count(lit(1)).as("__nx"))
+          .join(prb.groupBy(sigKey.map(col): _*)
+            .agg(count(lit(1)).as("__np")), sigKey)
+          .filter(col("__nx") * col("__np") <= maxPairsPerBucket)
+          .select(sigKey.map(col): _*)
+        (idx.join(ok, sigKey, "left_semi"), prb.join(ok, sigKey, "left_semi"))
+      }
+    val cand = prbF.alias("p")
+      .join(idxF.alias("x"),
+        col("p.__l") === col("x.__l") && col("p.__i") === col("x.__i") &&
+          col("p.__seg") === col("x.__seg") &&
+          col("p.__id") =!= col("x.__id"))
+      .select(least(col("p.__id"), col("x.__id")).as("id_a"),
+        greatest(col("p.__id"), col("x.__id")).as("id_b"))
       .distinct()
     cand
       .join(keyed.select(col("__id").as("id_a"), col("__key").as("__ka")),

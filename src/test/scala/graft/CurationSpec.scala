@@ -558,6 +558,45 @@ class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(back.getInt(0) == 20 && back.getInt(1) == 15 && back.getString(2) == "png")
   }
 
+  private def gradientPng(w: Int, h: Int, invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v0 = x * 255 / math.max(1, w - 1)
+      val v = if (invert) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash64 is resize-invariant on the same content and " +
+      "hammingPairs finds image near-dups but not the inverse") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rows = Seq(
+      (1L, gradientPng(64, 64)),
+      (2L, gradientPng(32, 32)),          // same content, resized
+      (3L, gradientPng(64, 64, invert = true)),
+      (4L, Array.empty[Byte]))            // undecodable → null, dropped
+      .toDF("doc_id", "media")
+    val hashed = Multimodal.withImageAHash(rows, "media")
+      .select(col("doc_id"), col("ahash"))
+    val hs = hashed.collect().map(r => r.getLong(0) ->
+      Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(hs(4L).isEmpty)
+    val hm12 = java.lang.Long.bitCount(hs(1L).get ^ hs(2L).get)
+    val hm13 = java.lang.Long.bitCount(hs(1L).get ^ hs(3L).get)
+    assert(hm12 <= 3, s"resized gradient drifted $hm12 bits")
+    assert(hm13 > 20, s"inverted gradient too close: $hm13 bits")
+    val pairs = Dedup.hammingPairs(
+      hashed.select(col("doc_id"), col("ahash")), "doc_id", "ahash",
+      bits = 64, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("chunkWindows: tail-preserving overlapping windows, short docs, blanks") {
     import spark.implicits._
     val text30 = (1 to 30).map(i => s"t$i").mkString(" ")
