@@ -47,8 +47,8 @@ object NewOpsProbe11 {
       // boilerplate prefix/suffix degenerate by construction and need
       // the maxPairsPerBucket valve (see the edSelfJoin scaladoc).
       val keys = spark.range(n.toLong).select(col("id"),
-        expr("concat('n', pmod(id div 3 * 7919 + 13, 99991), ' m', " +
-          "pmod(id div 3 * 104729 + 7, 99991), " +
+        expr("concat('n', pmod(id div 3 * 7919 + 13, 9999991), ' m', " +
+          "pmod(id div 3 * 104729 + 7, 9999991), " +
           "CASE pmod(id, 3) WHEN 0 THEN 'a' WHEN 1 THEN 'b' " +
           "ELSE 'cc' END)").as("key"))
         .localCheckpoint()
