@@ -119,13 +119,24 @@ object ShiftDedupAb {
           .filter(col("n") >= 4)
         evalPairs(pairs)
       }
+      // E: simhash Hamming-ball pairs (global token vote — a short
+      // prefix perturbs few bits; scattered edits drift the vote)
+      val (eRes, eT) = time {
+        evalPairs(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3))
+      }
+      // F: OPH >= 4-of-16 matching entries (k× cheaper minhash)
+      val (fRes, fT) = time {
+        evalPairs(Dedup.ophMatchPairs(
+          Dedup.ophSignatures(docs, "doc_id", "text"), minMatch = 4L))
+      }
       def line(m: String, r: (Long, Long), t: Double) =
         f""""${m}":{"recall":${r._1.toDouble / nPairs}%.4f,""" +
           f""""spurious":${r._2},"sec":$t%.2f}"""
       println(s"""{"probe":"shiftdedup","pairs":$nPairs,""" +
         s""""prefix":$prefixLen,"edits":$nEdits,""" +
         line("exact", aRes, aT) + "," + line("minhash", bRes, bT) + "," +
-        line("cdc", cRes, cT) + "," + line("winnow", dRes, dT) + "}")
+        line("cdc", cRes, cT) + "," + line("winnow", dRes, dT) + "," +
+        line("simhash_ball", eRes, eT) + "," + line("oph", fRes, fT) + "}")
     }
     spark.stop()
   }
