@@ -47,13 +47,17 @@ object Dedup {
 
   /** LSH candidate pairs: docs sharing at least one band bucket, id1 < id2.
     *
-    * Shape matters at scale: a naive self-join on band keys re-evaluates the
-    * (HOF-heavy, non-codegen) minhash pipeline on BOTH join inputs and
-    * shuffles full rows. Instead we shuffle only (band_key, doc_id) — 16
-    * bytes/row — `collect_set` the bucket membership, and emit in-bucket
-    * pairs with an array comprehension. Signatures are computed exactly
-    * once, and `maxBucket` is the skew guard: a degenerate key (empty docs,
-    * boilerplate) cannot go quadratic — it is dropped, not exploded.
+    * Shape matters at scale: the (HOF-heavy, non-codegen) minhash
+    * pipeline is evaluated exactly once and only (band_key, doc_id) — 16
+    * bytes/row — shuffles. `maxBucket` is the skew guard: a degenerate
+    * key (empty docs, boilerplate) is dropped from BOTH sides by a count
+    * semi join before any pair is emitted, never exploded. Pair emission
+    * itself is a codegen'd self-join on the band key with explicitly
+    * pinned post-join parallelism — the earlier collect_set + array-
+    * comprehension form paid O(m²) interpreted slice copies per bucket
+    * (cubic with the inherent C(m,2) pairs) and collapsed to one task
+    * behind a broadcast join on narrow inputs; both measured, see
+    * SCALE.md round 11.
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
@@ -61,14 +65,18 @@ object Dedup {
       TextFns.minhashSigUdf(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("sig"))
     val banded = sigs.select(col("doc_id"),
       explode(TextFns.minhashBandsUdf(bands, k / bands)(col("sig"))).as("band_key"))
-    val buckets = banded.groupBy(col("band_key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucket)
-    val pairs = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("id1"), y.as("id2")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    val ok = banded.groupBy(col("band_key"))
+      .agg(count(lit(1)).as("__m"))
+      .filter(col("__m") >= 2 && col("__m") <= maxBucket)
+      .select(col("band_key"))
+    val keyed = banded.join(ok, Seq("band_key"), "left_semi")
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band_key"))
+    keyed.alias("a")
+      .join(keyed.alias("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
   }
 
@@ -947,15 +955,15 @@ object Dedup {
       .join(bandKeys.join(okKeys, Seq("key"), "left_semi")
         .select(col("key"), col("doc_id").as("id2")), Seq("key"))
       .select(col("id1"), col("id2"))
-    // batch↔batch pairs, bucket-grouped like minhashCandidatePairs
-    val bb = bandKeys.join(okKeys, Seq("key"), "left_semi")
-      .groupBy(col("key"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id1"), y.as("id2")))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    // batch↔batch pairs via the codegen'd band-key self-join (the
+    // minhashCandidatePairs shape; batch-sized, so no repartition pin)
+    val bbKeyed = bandKeys.join(okKeys, Seq("key"), "left_semi")
+      .select(col("key"), col("doc_id"))
+    val bb = bbKeyed.alias("x")
+      .join(bbKeyed.alias("y"),
+        col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
     val pairs = exBatch.unionByName(bb).distinct().localCheckpoint(true)
     // ---- tier 3: exact shingle Jaccard. Existing-side shingles come off
     // docs/ partitions holding candidate ids; batch-side from the batch.
@@ -1057,18 +1065,19 @@ object Dedup {
       VectorFns.rpBucket(col(vecCol), nBits).as("bucket"))
     val okBuckets = b.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
       .filter(col("__n").between(2, maxBucket)).select(col("bucket"))
-    val buckets = b.join(broadcast(okBuckets), Seq("bucket"), "left_semi")
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_set(struct(col("id"), col("v")))).as("members"))
-    val pairs = flatten(transform(col("members"), (x, i) =>
-      transform(slice(col("members"), i + 2, size(col("members"))),
-        y => struct(x.getField("id").as("id1"), y.getField("id").as("id2"),
-          x.getField("v").as("v1"), y.getField("v").as("v2")))))
-    buckets.select(explode(pairs).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        VectorFns.cosine(col("p.v1"), col("p.v2")).as("cos"))
-      // strict < : duplicate input ids must not yield (x, x) self-pairs
-      .filter(col("cos") >= threshold && col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("cos"))
+    // codegen'd bucket self-join (see minhashCandidatePairs): the old
+    // collect_set form held (id, VECTOR) structs in aggregation state —
+    // O(m·d) per group plus O(m²) interpreted slice copies — where the
+    // join streams the same rows with no group state at all. Strict < :
+    // duplicate input ids must not yield (x, x) self-pairs.
+    val keyed = b.join(broadcast(okBuckets), Seq("bucket"), "left_semi")
+      .repartition(vecs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("bucket"))
+    keyed.alias("x")
+      .join(keyed.alias("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        VectorFns.cosine(col("x.v"), col("y.v")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 }

@@ -146,14 +146,21 @@ object Graph {
       "minShared >= 1 and maxHubDegree >= 2 required")
     val e = edges.select(col(leftCol).cast("long").as("l"),
       col(rightCol).cast("long").as("r")).distinct()
-    val hubs = e.groupBy("r")
-      .agg(sort_array(collect_set(col("l"))).as("ls"))
-      .filter(size(col("ls")) >= 2 && size(col("ls")) <= maxHubDegree)
-    val pairs = flatten(transform(col("ls"), (x, i) =>
-      transform(slice(col("ls"), i + 2, size(col("ls"))),
-        y => struct(x.as("id1"), y.as("id2")))))
-    hubs.select(explode(pairs).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    // hub-degree guard first, then a codegen'd self-join on the hub key
+    // (see Dedup.minhashCandidatePairs: the array-comprehension pair
+    // expansion pays O(deg²) interpreted slice copies per hub), with
+    // post-join parallelism pinned so the pair aggregation never
+    // single-threads behind a broadcast join on narrow inputs
+    val ok = e.groupBy("r").agg(count(lit(1)).as("__d"))
+      .filter(col("__d") >= 2 && col("__d") <= maxHubDegree)
+      .select(col("r"))
+    val keyed = e.join(ok, Seq("r"), "left_semi")
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("r"))
+    keyed.alias("a")
+      .join(keyed.alias("b"),
+        col("a.r") === col("b.r") && col("a.l") < col("b.l"))
+      .groupBy(col("a.l").as("id1"), col("b.l").as("id2"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
