@@ -2866,6 +2866,17 @@ object SparkEntry {
         maxHamming = 3)
     }),
 
+    // OPH-BACKED FULL DEDUP: exact → OPH >= 4-of-16 candidates → exact
+    // bigram-Jaccard verify → pairwise removal. The measured-equal-recall
+    // pipeline at 1/16 of MinHash's signature hashing; every stage
+    // replayed in the oracle, survivors hash-gated.
+    "q176_dedup_oph" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.dedupCorpusOph(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.6, shingleN = 2, k = 16, minMatch = 4L)
+        .select(col("doc_id"))
+    }),
+
     // SIMHASH NEAR-DUP CLUSTERS: connected components (pointer-jumping)
     // over the q170 Hamming-ball pair graph, min-id survivor per
     // cluster — the complete "find → cluster → keep one" simhash dedup
@@ -4083,6 +4094,62 @@ object SparkEntry {
          |SELECT a.l AS id1, b.l AS id2, CAST(count(*) AS BIGINT) AS n_shared
          |FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // q176: the full OPH-dedup chain replayed — exact-dup keep, OPH
+    // signatures over survivors, >= 4-of-16 pairs, distinct-bigram
+    // Jaccard >= 0.6, id2 removal. Pure integer except the final ratio,
+    // which DuckDB evaluates on exact integer operands.
+    "q176_dedup_oph" ->
+      raw"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL
+         |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         |  UNION ALL SELECT doc_id FROM documents WHERE text IS NULL),
+         |surv AS (SELECT a.doc_id, a.text FROM documents a
+         |  JOIN keep kk ON kk.doc_id = a.doc_id),
+         |tk AS (SELECT doc_id,
+         |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
+         |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+         |  FROM surv),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(w) = 0 THEN ['']
+         |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+         |       ELSE list_transform(range(1, len(w)),
+         |         j -> w[j] || ' ' || w[j+1]) END AS sh
+         |  FROM tk),
+         |h AS (SELECT doc_id, unnest(list_transform(sh, s ->
+         |    (104729 * list_reduce(
+         |      list_prepend(0::BIGINT, list_transform(
+         |        regexp_extract_all(s, '.'), c -> ascii(c)::BIGINT)),
+         |      (acc, ch) -> (acc * 31 + ch) % 1000000007) + 7)
+         |      % 1000000007)) AS hv
+         |  FROM sh),
+         |bk AS (SELECT doc_id, hv % 16 AS b, min(hv) AS mn FROM h
+         |  GROUP BY doc_id, hv % 16),
+         |grid AS (SELECT s.doc_id, t.i AS b FROM surv s
+         |  CROSS JOIN range(16) t(i)),
+         |dens AS (SELECT g.doc_id, CAST(g.b AS BIGINT) AS b,
+         |    CAST(k.mn + ((k.b - g.b + 16) % 16) * 1000000007 AS BIGINT)
+         |      AS sig
+         |  FROM grid g JOIN bk k ON k.doc_id = g.doc_id
+         |  QUALIFY row_number() OVER (PARTITION BY g.doc_id, g.b
+         |    ORDER BY (k.b - g.b + 16) % 16) = 1),
+         |pr AS (SELECT a.doc_id AS id1, c.doc_id AS id2
+         |  FROM dens a JOIN dens c ON a.b = c.b AND a.sig = c.sig
+         |    AND a.doc_id < c.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 4),
+         |ws AS (SELECT s.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL ELSE list_distinct(s.sh) END
+         |    AS ws
+         |  FROM sh s JOIN surv d ON d.doc_id = s.doc_id),
+         |jc AS (SELECT p.id1, p.id2,
+         |  len(list_intersect(x.ws, y.ws)) AS i2,
+         |  len(list_distinct(list_concat(x.ws, y.ws))) AS u2
+         |  FROM pr p JOIN ws x ON x.doc_id = p.id1
+         |  JOIN ws y ON y.doc_id = p.id2),
+         |removed AS (SELECT DISTINCT id2 FROM jc WHERE i2 * 1.0 / u2 >= 0.6)
+         |SELECT s.doc_id FROM surv s
+         |WHERE NOT EXISTS (SELECT 1 FROM removed r
+         |  WHERE r.id2 = s.doc_id)""".stripMargin,
 
     // q172: bag-minhash recomputed — bigram shingles with occurrence
     // indices via row_number, element base (poly·31 + occ) mod p, k=16

@@ -294,6 +294,31 @@ object Dedup {
     exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
   }
 
+  /** [[dedupCorpus]] with ONE-PERMUTATION-HASHING candidates instead of
+    * k-permutation MinHash-LSH: exact dedup → OPH ≥ minMatch-of-k
+    * agreement pairs → exact bigram-Jaccard verify ≥ threshold →
+    * pairwise removal (smaller id survives). Same recall in the
+    * measured shift A/B (SHIFT_DEDUP_AB_r11.json: 100% with zero
+    * spurious pairs in every config) at ONE hash evaluation per shingle
+    * instead of sixteen — at 100 TB the signature scan is the dominant
+    * cost of near-dup dedup, so this is the default-choice pipeline
+    * when the corpus fits OPH's assumptions (shingle sets ≳ k).
+    */
+  def dedupCorpusOph(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.6, shingleN: Int = 2, k: Int = 16,
+      minMatch: Long = 4L, maxBucket: Int = 1000): DataFrame = {
+    val exact0 = exact(docs, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+      .join(docs, Seq(idCol))
+    val sigs = ophSignatures(exact0, idCol, textCol, shingleN, k)
+    val cands = ophMatchPairs(sigs, minMatch, maxBucket)
+      .select(col("id1"), col("id2"))
+    val removed = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id2").as("__removed")).distinct()
+    exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: each round every node takes the minimum label
     * among itself and its neighbors; fixpoint = every component labeled by

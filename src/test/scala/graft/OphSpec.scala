@@ -166,6 +166,23 @@ class OphSpec extends AnyFunSuite {
       "blank/null docs must never pair")
   }
 
+  test("dedupCorpusOph: exact dups collapse, verified near-dups lose to " +
+      "the smaller id, distinct docs and null docs survive") {
+    val base = (1 to 60).map(j => s"tok${(j * 7) % 41}").mkString(" ")
+    val near = base.split(" ").drop(1).mkString(" ") // first token removed
+    val docs = Seq(
+      (1L, base), (2L, base),          // exact dups → 1 survives
+      (3L, near),                      // near-dup of 1 → removed
+      (4L, "completely different content with its own unique tokens"),
+      (5L, null.asInstanceOf[String]), // null: its own singleton
+      (6L, null.asInstanceOf[String])) // second null also survives
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupCorpusOph(docs, "doc_id", "text",
+      threshold = 0.6, shingleN = 2, k = 16, minMatch = 4L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 5L, 6L), s"survivors $got")
+  }
+
   test("skew guard: buckets above maxBucket are dropped, not exploded") {
     val docs = (1L to 10L).map(i => (i, "same text everywhere"))
       .toDF("doc_id", "text")
