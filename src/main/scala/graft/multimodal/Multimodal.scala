@@ -129,7 +129,10 @@ object Multimodal {
 
   /** 64-bit AVERAGE HASH (aHash) over the decoded band-0 luminance: the
     * image is block-averaged onto an 8×8 grid, each cell votes 1 iff its
-    * mean exceeds the grid mean — the classic perceptual fingerprint
+    * floored mean exceeds the grid mean — here the UNWEIGHTED mean of
+    * the 64 cell means, which differs from the classic global-pixel-mean
+    * aHash when dimensions are not multiples of 8 (see the convention
+    * note in the body) — the classic perceptual fingerprint
     * that survives re-encoding, resizing, and mild noise while exact
     * byte hashing survives nothing. Pairs within a small Hamming ball of
     * each other's aHash are near-duplicate IMAGES: feed the (id, ahash)
@@ -172,7 +175,14 @@ object Multimodal {
                 }
                 y += 1
               }
-              // integer cell means in 1/64ths to keep the vote exact
+              // Convention: each cell's mean is the FLOOR of its pixel
+              // sum over its pixel count, and the grid mean is the floor
+              // of the UNWEIGHTED mean of those cell means (not the
+              // global pixel mean — the two differ when width or height
+              // is not a multiple of 8, where edge cells cover fewer
+              // pixels). Deterministic and integer-exact either way; this
+              // one lets an oracle replay the hash from planted cell
+              // values without pixel-count bookkeeping.
               var total = 0L
               var filled = 0
               var c = 0

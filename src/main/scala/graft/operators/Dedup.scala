@@ -20,6 +20,39 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Size-gated post-join parallelism pin for the bucketed pair joins.
+    *
+    * Why pin at all: a narrow upstream (one small parquet file) leaves
+    * ONE partition through the bucket semi/broadcast joins, and an
+    * ADVISORY repartition gets AQE-coalesced right back because the
+    * keyed relation itself is tiny — the C(m,2) pair fan-out happens
+    * AFTER the join, where AQE cannot see it. The explicit partition
+    * count pins the post-join parallelism (measured round 11: 3.9 s
+    * single-task vs sub-second pinned).
+    *
+    * Why gate it: at toy scale the pin's extra exchange costs ~1 s per
+    * query for nothing (q25/q53/q90 regressions, round-11 bench). So
+    * the pin is skipped when Catalyst's size ESTIMATE for the relation
+    * is demonstrably tiny (< `spark.graft.pairJoin.pinThresholdBytes`,
+    * default 64 MB — a relation that small produces at most a few
+    * hundred million pairs even fully degenerate, which one task's
+    * codegen'd loop streams in seconds). Unknown or large estimates
+    * keep the pin — the 100 TB-safe direction; estimates only shrink
+    * below the threshold when the inputs really are small files.
+    */
+  private[operators] def pinIfLarge(rel: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val spark = rel.sparkSession
+    val threshold = BigInt(spark.conf
+      .get("spark.graft.pairJoin.pinThresholdBytes", (64L << 20).toString))
+    val est =
+      try rel.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Exception => BigInt(Long.MaxValue) }
+    if (est < threshold) rel
+    else rel.repartition(spark.sessionState.conf.numShufflePartitions,
+      keys: _*)
+  }
+
   /** Exact dedup: keep the lowest-id row per normalized-content hash.
     * Normalization = lowercase + whitespace collapse, so trivially
     * reformatted copies collapse too.
@@ -69,9 +102,12 @@ object Dedup {
       .agg(count(lit(1)).as("__m"))
       .filter(col("__m") >= 2 && col("__m") <= maxBucket)
       .select(col("band_key"))
-    val keyed = banded.join(ok, Seq("band_key"), "left_semi")
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("band_key"))
+    // self-join input evaluated once: the two sides below are the same
+    // plan, deduplicated by Spark's exchange reuse (on by default; with
+    // spark.sql.exchange.reuse disabled the non-codegen minhash UDFs
+    // evaluate on both sides — correct, just ~2× the signature cost)
+    val keyed = pinIfLarge(banded.join(ok, Seq("band_key"), "left_semi"),
+      Seq(col("band_key")))
     keyed.alias("a")
       .join(keyed.alias("b"),
         col("a.band_key") === col("b.band_key") &&
@@ -127,17 +163,15 @@ object Dedup {
       .agg(count(lit(1)).as("__m"))
       .filter(col("__m") >= 2 && col("__m") <= maxBucket)
       .select(col("bucket"), col("sig"))
-    // repartition on the join key with an EXPLICIT partition count: a
-    // narrow upstream (one small parquet file) leaves ONE partition
-    // through the broadcast join, and an advisory repartition gets
-    // AQE-coalesced right back (the relation is tiny — the 5M-row
-    // fan-out happens AFTER the join), single-threading the partial
-    // aggregation below (measured 3.9 s single-task vs sub-second
-    // parallel). The explicit count pins the post-join parallelism.
-    val shufflePartitions = sigs.sparkSession.sessionState.conf.numShufflePartitions
-    val keyed = sigs.join(ok, Seq("bucket", "sig"), "left_semi")
-      .select(col("bucket"), col("sig"), col("doc_id"))
-      .repartition(shufflePartitions, col("bucket"), col("sig"))
+    // size-gated parallelism pin — see [[pinIfLarge]] for why the
+    // explicit repartition exists and when it is skipped. The self-join
+    // input is evaluated once via Spark's exchange reuse (on by
+    // default); with spark.sql.exchange.reuse disabled the signature
+    // pipeline evaluates on both sides — correct, just ~2× the cost.
+    val keyed = pinIfLarge(
+      sigs.join(ok, Seq("bucket", "sig"), "left_semi")
+        .select(col("bucket"), col("sig"), col("doc_id")),
+      Seq(col("bucket"), col("sig")))
     keyed.alias("a")
       .join(keyed.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.sig") === col("b.sig")
@@ -232,9 +266,8 @@ object Dedup {
       .agg(count(lit(1)).as("__m"))
       .filter(col("__m") >= 2 && col("__m") <= maxBucket)
       .select(col("blk"), col("bval"))
-    val keyed = blocks.join(ok, Seq("blk", "bval"), "left_semi")
-      .repartition(sigs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("blk"), col("bval")) // see ophMatchPairs: pin post-join fan-out
+    val keyed = pinIfLarge(blocks.join(ok, Seq("blk", "bval"), "left_semi"),
+      Seq(col("blk"), col("bval"))) // see pinIfLarge: gated fan-out pin
     keyed.alias("a")
       .join(keyed.alias("b"),
         col("a.blk") === col("b.blk") && col("a.bval") === col("b.bval")
@@ -1095,9 +1128,9 @@ object Dedup {
     // O(m·d) per group plus O(m²) interpreted slice copies — where the
     // join streams the same rows with no group state at all. Strict < :
     // duplicate input ids must not yield (x, x) self-pairs.
-    val keyed = b.join(broadcast(okBuckets), Seq("bucket"), "left_semi")
-      .repartition(vecs.sparkSession.sessionState.conf.numShufflePartitions,
-        col("bucket"))
+    val keyed = pinIfLarge(
+      b.join(broadcast(okBuckets), Seq("bucket"), "left_semi"),
+      Seq(col("bucket")))
     keyed.alias("x")
       .join(keyed.alias("y"),
         col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))

@@ -65,6 +65,11 @@ object EditDistance {
     *
     * Empty keys pair only with keys of length ≤ tau (dist = length);
     * null keys are dropped.
+    *
+    * Id contract: `idCol` must be NUMERIC (castable to long) — the pair
+    * ordering (id_a < id_b) uses the long value. A row whose id casts
+    * to null (null id, or a non-numeric string id) is dropped here
+    * explicitly, same as a null key.
     */
   def edSelfJoin(df: DataFrame, idCol: String, keyCol: Column,
       tau: Int, maxPairsPerBucket: Long = Long.MaxValue): DataFrame = {
@@ -73,7 +78,7 @@ object EditDistance {
 
     val keyed = df.select(col(idCol).cast("long").as("__id"),
         keyCol.cast("string").as("__key"))
-      .filter(col("__key").isNotNull)
+      .filter(col("__key").isNotNull && col("__id").isNotNull)
 
     // index side: the tau+1 segments of each string, keyed by its length
     val segUdf = udf { (s: String) =>

@@ -30,6 +30,12 @@ object Graph {
     * `distinct()` relation for a simple graph, or keep multi-edges for
     * weighted-by-multiplicity ranking.
     *
+    * The node set is DERIVED FROM THE EDGES: a node with no edges at
+    * all does not appear in the output (it cannot receive or emit any
+    * mass). To rank isolated nodes at the base term too, pass an
+    * explicit node relation via the `(nodes, nodeCol)` overload /
+    * [[pageRankIntWithNodes]].
+    *
     * Scale shape: each iteration is one node-sized join (ranks ⋈ outdeg,
     * both keyed by node) plus one edge-sized equi join and a map-side-
     * combined long-sum aggregation — no all-pairs, no driver state, plan
@@ -40,7 +46,37 @@ object Graph {
     */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, scale: Long = 1000000L, dampNum: Long = 17L,
-      dampDen: Long = 20L): DataFrame = {
+      dampDen: Long = 20L): DataFrame =
+    pageRankIntImpl(edges, srcCol, dstCol, None, iters, scale, dampNum,
+      dampDen)
+
+  /** [[pageRankInt]] with an EXPLICIT node relation: the edge-derived
+    * form ranks only nodes that appear in some edge, so a node with no
+    * edges at all (an isolated host) silently vanishes from the output.
+    * This overload unions `nodes` into the node set — isolated nodes
+    * settle at the base term floor((dampDen−dampNum)·scale/dampDen),
+    * exactly like a node with no in-edges (spec-proven equal to the
+    * edge-derived form on the shared nodes).
+    */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, iters: Int, scale: Long,
+      dampNum: Long, dampDen: Long): DataFrame =
+    pageRankIntImpl(edges, srcCol, dstCol, Some((nodes, nodeCol)), iters,
+      scale, dampNum, dampDen)
+
+  /** Default-parameter form of the explicit-node overload (Scala allows
+    * defaults on only one overload of a name).
+    */
+  def pageRankIntWithNodes(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String, iters: Int,
+      scale: Long = 1000000L, dampNum: Long = 17L,
+      dampDen: Long = 20L): DataFrame =
+    pageRankIntImpl(edges, srcCol, dstCol, Some((nodes, nodeCol)), iters,
+      scale, dampNum, dampDen)
+
+  private def pageRankIntImpl(edges: DataFrame, srcCol: String,
+      dstCol: String, nodesOpt: Option[(DataFrame, String)], iters: Int,
+      scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters $iters out of range 1..50")
     require(scale > 0 && dampNum > 0 && dampDen > dampNum,
       s"need 0 < dampNum < dampDen and scale > 0")
@@ -48,8 +84,14 @@ object Graph {
     // materialized once: scanned every iteration
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    val edgeNodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+    val nodes = nodesOpt
+      .map { case (nd, nc) =>
+        edgeNodes.union(nd.select(col(nc).cast("long").as("node")))
+      }
+      .getOrElse(edgeNodes)
+      .distinct()
       .localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
@@ -149,14 +191,14 @@ object Graph {
     // hub-degree guard first, then a codegen'd self-join on the hub key
     // (see Dedup.minhashCandidatePairs: the array-comprehension pair
     // expansion pays O(deg²) interpreted slice copies per hub), with
-    // post-join parallelism pinned so the pair aggregation never
-    // single-threads behind a broadcast join on narrow inputs
+    // post-join parallelism pinned (size-gated, Dedup.pinIfLarge) so the
+    // pair aggregation never single-threads behind a broadcast join on
+    // narrow inputs
     val ok = e.groupBy("r").agg(count(lit(1)).as("__d"))
       .filter(col("__d") >= 2 && col("__d") <= maxHubDegree)
       .select(col("r"))
-    val keyed = e.join(ok, Seq("r"), "left_semi")
-      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
-        col("r"))
+    val keyed = Dedup.pinIfLarge(e.join(ok, Seq("r"), "left_semi"),
+      Seq(col("r")))
     keyed.alias("a")
       .join(keyed.alias("b"),
         col("a.r") === col("b.r") && col("a.l") < col("b.l"))

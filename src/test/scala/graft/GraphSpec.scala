@@ -47,6 +47,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L) == 150000L)
   }
 
+  test("explicit node relation: isolated nodes rank at the base term, " +
+      "shared nodes match the edge-derived form exactly") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val df = edges.toDF("src", "dst")
+    // node 9 appears only in the node relation — no edges at all
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("node")
+    val withNodes = Graph
+      .pageRankIntWithNodes(df, "src", "dst", nodes, "node", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgeOnly = run(edges, 3)
+    // property: restricted to edge-covered nodes, identical
+    assert(withNodes.view.filterKeys(_ != 9L).toMap == edgeOnly)
+    // isolated node present, at the base term floor(3*scale/20)
+    assert(withNodes(9L) == 150000L)
+  }
+
   test("multi-edges weight contributions by multiplicity") {
     val multi = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
     val simple = multi.distinct
