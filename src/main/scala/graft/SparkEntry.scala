@@ -2877,6 +2877,19 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // TIERED DEDUP (the composed detector portfolio): exact hash →
+    // simhash Hamming ball (≤3) → OPH ≥ 4-of-16 + bigram-Jaccard ≥ 0.6,
+    // each tier only over the previous tier's survivors, with a ledger
+    // naming the cheapest tier that caught every removed doc. The whole
+    // cascade — survivor set AND per-tier attribution — sits under one
+    // oracle hash (the q149 pattern).
+    "q177_dedup_tiered" -> ((s, dir) => {
+      import graft.operators.Dedup
+      Dedup.dedupCorpusTiered(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, threshold = 0.6, shingleN = 2, k = 16,
+        minMatch = 4L)
+    }),
+
     // SIMHASH NEAR-DUP CLUSTERS: connected components (pointer-jumping)
     // over the q170 Hamming-ball pair graph, min-id survivor per
     // cluster — the complete "find → cluster → keep one" simhash dedup
@@ -3381,13 +3394,15 @@ object SparkEntry {
 
   /** The engine-wide polynomial hash as a DuckDB expression over `s`. */
   /** The SimHash recompute CTE chain (tk → th → bits → sim), shared by
-    * q36 and the q170 Hamming-ball pair oracle. Blank docs are excluded
-    * at tk (they have no tokens to vote).
+    * q36, the q170 Hamming-ball pair oracle, and (over the exact-tier
+    * survivors) the q177 tiered-dedup oracle. Blank docs are excluded
+    * at tk (they have no tokens to vote). `src` names the source
+    * relation (must have doc_id, text).
     */
-  private def simhashCtes: String =
+  private def simhashCtes(src: String = "documents"): String =
     raw"""tk AS (SELECT doc_id,
        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-       |  FROM documents WHERE coalesce(trim(text), '') <> ''),
+       |  FROM $src WHERE coalesce(trim(text), '') <> ''),
        |th AS (SELECT doc_id,
        |  ((1299709 * h0 + 31) % 1000000007) * 1073741824
        |    + ((104729 * h0 + 7) % 1000000007) AS h
@@ -3402,58 +3417,74 @@ object SparkEntry {
        |  sum(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash
        |  FROM bits GROUP BY 1)""".stripMargin
 
-  /** The Manku block-pigeonhole pair CTEs over `sim` (blk → cand → prs),
-    * shared by q170 and the q175 cluster oracle.
+  /** The Manku block-pigeonhole pair CTEs over `sim` (blk → sokb →
+    * cand → prs), shared by q170, the q175 cluster oracle, and the q177
+    * tiered-dedup oracle. `sokb` MIRRORS the engine's maxBucket skew
+    * guard (a (block, value) key held by more than `maxBucket` docs is
+    * dropped from both sides before any pair is emitted) so the gate
+    * stays green even on data where the guard binds.
     */
-  private def simhashPairCtes: String =
+  private def simhashPairCtes(maxBucket: Int = 1000): String =
     raw"""blk AS (SELECT doc_id, simhash, t.i,
        |    (simhash >> (15 * t.i)) & 32767 AS bval
        |  FROM sim CROSS JOIN range(4) t(i)),
+       |sokb AS (SELECT i, bval FROM blk GROUP BY i, bval
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
        |    a.simhash AS s1, b.simhash AS s2
-       |  FROM blk a JOIN blk b ON a.i = b.i AND a.bval = b.bval
+       |  FROM blk a JOIN sokb k ON k.i = a.i AND k.bval = a.bval
+       |  JOIN blk b ON a.i = b.i AND a.bval = b.bval
        |    AND a.doc_id < b.doc_id),
        |prs AS (SELECT DISTINCT id1, id2,
        |    CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
        |  FROM cand WHERE bit_count(xor(s1, s2)) <= 3)""".stripMargin
 
-  /** The OPH CTE chain (tk → sh → h → bk → grid → dens → pr), shared by
-    * the q166 signature/pair oracle and the q168 containment oracle.
-    * Null and blank text both shingle to [''] — the engine queries
-    * coalesce accordingly.
+  /** The OPH CTE chain (tk → sh → h → bk → grid → dens → ookb → pr),
+    * shared by the q166 signature/pair oracle, the q168 containment
+    * oracle, and (over tier survivors) the q176/q177 dedup-chain
+    * oracles. Null and blank text both shingle to [''] — the engine
+    * queries coalesce accordingly. `src` names the source relation
+    * (doc_id, text); `ookb` MIRRORS the engine's maxBucket skew guard
+    * (a (bucket, sig) key held by more than `maxBucket` docs is dropped
+    * from both sides before any pair is emitted) so the gate stays
+    * green even on data where the guard binds.
     */
-  private def ophCtes(k: Int, minMatch: Int): String =
-    raw"""tk AS (SELECT doc_id,
+  private def ophCtes(k: Int, minMatch: Int, src: String = "documents",
+      maxBucket: Int = 1000, p: String = ""): String =
+    raw"""${p}tk AS (SELECT doc_id,
        |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
        |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
-       |  FROM documents),
-       |sh AS (SELECT doc_id,
+       |  FROM $src),
+       |${p}sh AS (SELECT doc_id,
        |  CASE WHEN len(w) = 0 THEN ['']
        |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
        |       ELSE list_transform(range(1, len(w)),
        |         j -> w[j] || ' ' || w[j+1]) END AS sh
-       |  FROM tk),
-       |h AS (SELECT doc_id, unnest(list_transform(sh, s ->
+       |  FROM ${p}tk),
+       |${p}h AS (SELECT doc_id, unnest(list_transform(sh, s ->
        |    (104729 * list_reduce(
        |      list_prepend(0::BIGINT, list_transform(
        |        regexp_extract_all(s, '.'), c -> ascii(c)::BIGINT)),
        |      (acc, ch) -> (acc * 31 + ch) % 1000000007) + 7)
        |      % 1000000007)) AS hv
-       |  FROM sh),
-       |bk AS (SELECT doc_id, hv % $k AS b, min(hv) AS mn FROM h
+       |  FROM ${p}sh),
+       |${p}bk AS (SELECT doc_id, hv % $k AS b, min(hv) AS mn FROM ${p}h
        |  GROUP BY doc_id, hv % $k),
-       |grid AS (SELECT d.doc_id, t.i AS b
-       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |${p}grid AS (SELECT d.doc_id, t.i AS b
+       |  FROM (SELECT DISTINCT doc_id FROM $src) d
        |  CROSS JOIN range($k) t(i)),
-       |dens AS (SELECT g.doc_id, CAST(g.b AS BIGINT) AS b,
+       |${p}dens AS (SELECT g.doc_id, CAST(g.b AS BIGINT) AS b,
        |    CAST(k.mn + ((k.b - g.b + $k) % $k) * 1000000007 AS BIGINT)
        |      AS sig
-       |  FROM grid g JOIN bk k ON k.doc_id = g.doc_id
+       |  FROM ${p}grid g JOIN ${p}bk k ON k.doc_id = g.doc_id
        |  QUALIFY row_number() OVER (PARTITION BY g.doc_id, g.b
        |    ORDER BY (k.b - g.b + $k) % $k) = 1),
-       |pr AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
+       |${p}ookb AS (SELECT b, sig FROM ${p}dens GROUP BY b, sig
+       |  HAVING count(*) BETWEEN 2 AND $maxBucket),
+       |${p}pr AS (SELECT a.doc_id AS id1, c.doc_id AS id2,
        |    CAST(count(*) AS BIGINT) AS n_match
-       |  FROM dens a JOIN dens c ON a.b = c.b AND a.sig = c.sig
+       |  FROM ${p}dens a JOIN ${p}ookb o ON o.b = a.b AND o.sig = a.sig
+       |  JOIN ${p}dens c ON a.b = c.b AND a.sig = c.sig
        |    AND a.doc_id < c.doc_id
        |  GROUP BY 1, 2 HAVING count(*) >= $minMatch)""".stripMargin
 
@@ -4084,15 +4115,18 @@ object SparkEntry {
          |FROM sc QUALIFY row_number() OVER (PARTITION BY grp
          |  ORDER BY lift_ppm DESC, term) <= 5""".stripMargin,
 
-    // q173: the projection as a plain self-join on the hub key — the
-    // engine's capped hub expansion must reproduce it exactly (the cap
-    // does not bind on this data).
+    // q173: the projection as a self-join on the hub key, with the
+    // engine's maxHubDegree guard MIRRORED (hub AS ...) so the gate
+    // stays green even on data where the cap binds.
     "q173_copurchase_graph" ->
       raw"""WITH e AS (SELECT DISTINCT o_custkey AS l, l_suppkey AS r
          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-         |  WHERE o_orderkey % 20 = 0)
+         |  WHERE o_orderkey % 20 = 0),
+         |hub AS (SELECT r FROM e GROUP BY r
+         |  HAVING count(*) BETWEEN 2 AND 1000)
          |SELECT a.l AS id1, b.l AS id2, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM e a JOIN e b ON a.r = b.r AND a.l < b.l
+         |FROM e a JOIN hub h ON h.r = a.r
+         |JOIN e b ON a.r = b.r AND a.l < b.l
          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // q176: the full OPH-dedup chain replayed — exact-dup keep, OPH
@@ -4106,37 +4140,7 @@ object SparkEntry {
          |  UNION ALL SELECT doc_id FROM documents WHERE text IS NULL),
          |surv AS (SELECT a.doc_id, a.text FROM documents a
          |  JOIN keep kk ON kk.doc_id = a.doc_id),
-         |tk AS (SELECT doc_id,
-         |  CASE WHEN coalesce(trim(text), '') = '' THEN []::VARCHAR[]
-         |       ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
-         |  FROM surv),
-         |sh AS (SELECT doc_id,
-         |  CASE WHEN len(w) = 0 THEN ['']
-         |       WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
-         |       ELSE list_transform(range(1, len(w)),
-         |         j -> w[j] || ' ' || w[j+1]) END AS sh
-         |  FROM tk),
-         |h AS (SELECT doc_id, unnest(list_transform(sh, s ->
-         |    (104729 * list_reduce(
-         |      list_prepend(0::BIGINT, list_transform(
-         |        regexp_extract_all(s, '.'), c -> ascii(c)::BIGINT)),
-         |      (acc, ch) -> (acc * 31 + ch) % 1000000007) + 7)
-         |      % 1000000007)) AS hv
-         |  FROM sh),
-         |bk AS (SELECT doc_id, hv % 16 AS b, min(hv) AS mn FROM h
-         |  GROUP BY doc_id, hv % 16),
-         |grid AS (SELECT s.doc_id, t.i AS b FROM surv s
-         |  CROSS JOIN range(16) t(i)),
-         |dens AS (SELECT g.doc_id, CAST(g.b AS BIGINT) AS b,
-         |    CAST(k.mn + ((k.b - g.b + 16) % 16) * 1000000007 AS BIGINT)
-         |      AS sig
-         |  FROM grid g JOIN bk k ON k.doc_id = g.doc_id
-         |  QUALIFY row_number() OVER (PARTITION BY g.doc_id, g.b
-         |    ORDER BY (k.b - g.b + 16) % 16) = 1),
-         |pr AS (SELECT a.doc_id AS id1, c.doc_id AS id2
-         |  FROM dens a JOIN dens c ON a.b = c.b AND a.sig = c.sig
-         |    AND a.doc_id < c.doc_id
-         |  GROUP BY 1, 2 HAVING count(*) >= 4),
+         |${ophCtes(16, 4, src = "surv")},
          |ws AS (SELECT s.doc_id,
          |  CASE WHEN d.text IS NULL THEN NULL ELSE list_distinct(s.sh) END
          |    AS ws
@@ -4150,6 +4154,43 @@ object SparkEntry {
          |SELECT s.doc_id FROM surv s
          |WHERE NOT EXISTS (SELECT 1 FROM removed r
          |  WHERE r.id2 = s.doc_id)""".stripMargin,
+
+    // q177: the tiered cascade replayed stage by stage — exact keep,
+    // simhash pigeonhole pairs over tier-1 survivors (simhashCtes /
+    // simhashPairCtes, src = surv1), OPH + Jaccard over tier-2
+    // survivors (ophCtes, src = surv2, CTE names prefixed 'o' to avoid
+    // colliding with the simhash chain's tk), ledger = one row per doc.
+    "q177_dedup_tiered" ->
+      raw"""WITH keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents WHERE text IS NOT NULL
+         |  GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+         |  UNION ALL SELECT doc_id FROM documents WHERE text IS NULL),
+         |surv1 AS (SELECT a.doc_id, a.text FROM documents a
+         |  JOIN keep kk ON kk.doc_id = a.doc_id),
+         |${simhashCtes(src = "surv1")},
+         |${simhashPairCtes()},
+         |rm2 AS (SELECT DISTINCT id2 AS doc_id FROM prs),
+         |surv2 AS (SELECT s.doc_id, s.text FROM surv1 s
+         |  WHERE NOT EXISTS (SELECT 1 FROM rm2 r WHERE r.doc_id = s.doc_id)),
+         |${ophCtes(16, 4, src = "surv2", p = "o")},
+         |ws AS (SELECT s.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL ELSE list_distinct(s.sh) END
+         |    AS ws
+         |  FROM osh s JOIN surv2 d ON d.doc_id = s.doc_id),
+         |jc AS (SELECT p.id1, p.id2,
+         |  len(list_intersect(x.ws, y.ws)) AS i2,
+         |  len(list_distinct(list_concat(x.ws, y.ws))) AS u2
+         |  FROM opr p JOIN ws x ON x.doc_id = p.id1
+         |  JOIN ws y ON y.doc_id = p.id2),
+         |rm3 AS (SELECT DISTINCT id2 AS doc_id FROM jc
+         |  WHERE i2 * 1.0 / u2 >= 0.6)
+         |SELECT d.doc_id, 'exact' AS tier FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM keep k WHERE k.doc_id = d.doc_id)
+         |UNION ALL SELECT doc_id, 'simhash' FROM rm2
+         |UNION ALL SELECT doc_id, 'oph' FROM rm3
+         |UNION ALL SELECT s.doc_id, 'kept' FROM surv2 s
+         |WHERE NOT EXISTS (SELECT 1 FROM rm3 r
+         |  WHERE r.doc_id = s.doc_id)""".stripMargin,
 
     // q172: bag-minhash recomputed — bigram shingles with occurrence
     // indices via row_number, element base (poly·31 + occ) mod p, k=16
@@ -6360,23 +6401,23 @@ object SparkEntry {
     // SimHash recomputed: per-token poly hash, two affine mixes packed to
     // 60 bits, per-bit +/-1 votes, sign -> bit. Docs with no tokens -> 0.
     "q36_simhash" ->
-      raw"""WITH $simhashCtes
+      raw"""WITH ${simhashCtes()}
         |SELECT d.doc_id, coalesce(sim.simhash, 0) AS simhash
         |FROM documents d LEFT JOIN sim ON sim.doc_id = d.doc_id""".stripMargin,
 
     // q170: the Manku pigeonhole replayed — 4 disjoint 15-bit blocks,
     // equi join on (block, value), bit_count(xor) verify. Integer-exact.
     "q170_simhash_pairs" ->
-      raw"""WITH $simhashCtes,
-        |$simhashPairCtes
+      raw"""WITH ${simhashCtes()},
+        |${simhashPairCtes()}
         |SELECT id1, id2, hamming FROM prs""".stripMargin,
 
     // q175: min-label transitive closure over the q170 pair graph
     // (recursive CTE — near-dup graphs are sparse so the closure is
     // tiny) with the min-id survivor per cluster.
     "q175_simhash_clusters" ->
-      raw"""WITH RECURSIVE $simhashCtes,
-        |$simhashPairCtes,
+      raw"""WITH RECURSIVE ${simhashCtes()},
+        |${simhashPairCtes()},
         |und AS (SELECT id1, id2 FROM prs
         |  UNION ALL SELECT id2, id1 FROM prs),
         |nod AS (SELECT DISTINCT id1 AS id FROM und),

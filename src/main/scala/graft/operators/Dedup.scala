@@ -352,6 +352,78 @@ object Dedup {
     exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
   }
 
+  /** TIERED corpus dedup: the measured detector ladder composed into ONE
+    * operator, cheapest tier first, each tier running only over the
+    * previous tier's survivors — so the expensive detectors never
+    * re-scan documents a cheaper tier already caught. Tiers (cost
+    * ladder per `SHIFT_DEDUP_AB_r11.json`):
+    *
+    *  1. `exact`   — normalized content hash, one 16-byte/row shuffle.
+    *     Catches byte/whitespace/case copies.
+    *  2. `simhash` — 60-bit SimHash Hamming ball ≤ `maxHamming` via the
+    *     Manku block pigeonhole ([[simhashNearDupPairs]]). One hash per
+    *     TOKEN, no shingle explosion: catches near-identical re-serves
+    *     (template headers, trailing timestamps) — the measured TIGHT
+    *     tier.
+    *  3. `oph`     — one-permutation-hashing candidates ≥ `minMatch`
+    *     of k, verified by exact `shingleN`-gram Jaccard ≥ `threshold`
+    *     ([[dedupCorpusOph]]'s detector). One hash per SHINGLE: the
+    *     loose edit-robust tier, now paid only for docs the cheap tiers
+    *     left standing.
+    *
+    * Removal policy is PAIRWISE min-id within every tier (the smaller id
+    * survives), matching [[dedupCorpus]]/[[dedupCorpusOph]].
+    *
+    * Returns the LEDGER relation — one row per input document:
+    * `(doc_id, tier)` where tier ∈ {'kept','exact','simhash','oph'}
+    * names the CHEAPEST tier that removed the doc ('kept' = survivor).
+    * Survivor set + per-tier attribution live under one hash, the q149
+    * pattern; join `tier = 'kept'` back to `docs` for the surviving
+    * text.
+    *
+    * Scale shape: strictly the union of its tiers' shapes (each is
+    * bucketed, skew-guarded, and pair-join based — see the tier
+    * operators); the tier sequencing only ever SHRINKS the input each
+    * stage. Measured honestly (`TIERED_DEDUP_AB_r12.json`, crawl-like
+    * mix of 50% exact / 40% 2-edit / 10% loose copies): recall equals
+    * single-detector OPH (every miss of a cheap tier falls through, so
+    * composition recall = the loosest tier's by construction), the
+    * shingle-explosion tier's input shrinks ~17%, and the attribution
+    * ledger is free — but at TOY scale the extra simhash pass costs
+    * more wall time than the shingle saving. Choose this operator for
+    * scan economics at corpus scale (per-byte sketch cost is the 100 TB
+    * bill) and for the audit ledger; choose [[dedupCorpusOph]] for the
+    * fewest jobs on a small corpus.
+    */
+  def dedupCorpusTiered(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, threshold: Double = 0.6, shingleN: Int = 2,
+      k: Int = 16, minMatch: Long = 4L, maxBucket: Int = 1000): DataFrame = {
+    val ids = docs.select(col(idCol))
+    // tier 1: exact — survivors are the per-hash min ids (+ null-text
+    // singletons, which `exact` passes through)
+    val keep1 = exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+    val surv1 = docs.join(keep1, Seq(idCol), "left_semi")
+    // tier 2: simhash Hamming ball over tier-1 survivors, pairwise
+    // removal (id1 < id2 by construction)
+    val rm2 = simhashNearDupPairs(surv1, idCol, textCol, maxHamming,
+      maxBucket).select(col("id2").as(idCol)).distinct()
+    val surv2 = surv1.join(rm2, Seq(idCol), "left_anti")
+    // tier 3: OPH candidates + exact Jaccard verify over tier-2 survivors
+    val sigs = ophSignatures(surv2, idCol, textCol, shingleN, k)
+    val cands = ophMatchPairs(sigs, minMatch, maxBucket)
+      .select(col("id1"), col("id2"))
+    val rm3 = jaccardOnPairs(cands, surv2, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id2").as(idCol)).distinct()
+    val surv3 = surv2.select(col(idCol)).join(rm3, Seq(idCol), "left_anti")
+    // ledger: every input doc attributed to exactly one outcome
+    ids.join(keep1, Seq(idCol), "left_anti")
+      .select(col(idCol), lit("exact").as("tier"))
+      .unionByName(rm2.select(col(idCol), lit("simhash").as("tier")))
+      .unionByName(rm3.select(col(idCol), lit("oph").as("tier")))
+      .unionByName(surv3.select(col(idCol), lit("kept").as("tier")))
+  }
+
   /** Connected components over an undirected pair list by iterative
     * min-label propagation: each round every node takes the minimum label
     * among itself and its neighbors; fixpoint = every component labeled by

@@ -96,6 +96,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(transitive == Set(1L, 9L), s"one survivor per component: $transitive")
   }
 
+  test("dedupCorpusTiered: ledger partitions the corpus, tiers compose " +
+      "the individual detectors, cheapest tier wins attribution") {
+    // mixed-duplication corpus: exact (ws/case) copy, a near-identical
+    // re-serve (one token swapped deep in a long doc — the simhash
+    // regime), a looser paraphrase (several tokens changed — OPH+Jaccard
+    // territory), and unique docs
+    val core = (1 to 100).map(i => s"tok$i").mkString(" ")
+    // doc 4: every 12th token replaced (8 edits) — enough multiset churn
+    // to drift the 60-bit simhash past 3 bits, small enough to keep
+    // bigram Jaccard ≈ 0.66 and ≥4-of-16 OPH agreement (the loose tier)
+    val para = (1 to 100).map(i =>
+      if (i % 12 == 0) s"replacementword$i" else s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, core),
+      (2L, "  " + core.toUpperCase + " "), // exact tier (normalized copy)
+      (3L, core.replace("tok37 ", "changed ")), // 1-token edit
+      (4L, para),
+      (9L, "totally different text about watermark state stores and such"),
+      (10L, (100 to 160).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ledger = Dedup.dedupCorpusTiered(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every input doc attributed exactly once
+    assert(ledger.keySet == Set(1L, 2L, 3L, 4L, 9L, 10L))
+    assert(ledger(2L) == "exact")
+    assert(ledger(1L) == "kept" && ledger(9L) == "kept" && ledger(10L) == "kept")
+    // docs 3/4 are caught by SOME near-dup tier (which one depends on
+    // simhash bit distance — pin the cheapest-wins property instead):
+    assert(Set("simhash", "oph").contains(ledger(3L)), ledger.toString)
+    assert(Set("simhash", "oph").contains(ledger(4L)), ledger.toString)
+    // composition property: 'kept' set == manually chaining the three
+    // detectors with the same parameters
+    val keep1 = Dedup.exact(corpus, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val surv1 = corpus.join(keep1, Seq("doc_id"), "left_semi")
+    val rm2 = Dedup.simhashNearDupPairs(surv1, "doc_id", "text", 3)
+      .select(col("id2").as("doc_id")).distinct()
+    val surv2 = surv1.join(rm2, Seq("doc_id"), "left_anti")
+    val rm3 = Dedup.jaccardOnPairs(
+        Dedup.ophMatchPairs(
+          Dedup.ophSignatures(surv2, "doc_id", "text", 2, 16), 4L)
+          .select("id1", "id2"),
+        surv2, "doc_id", "text", 2)
+      .filter(col("jaccard") >= 0.6).select(col("id2").as("doc_id")).distinct()
+    val kept = surv2.join(rm3, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ledger.filter(_._2 == "kept").keySet == kept)
+    // a doc caught at tier 2 must NOT be attributed to tier 3
+    val simhashCaught = rm2.collect().map(_.getLong(0)).toSet
+    simhashCaught.foreach(id => assert(ledger(id) == "simhash"))
+  }
+
   test("bruteForceTopK returns self first, then nearest") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
