@@ -2890,6 +2890,90 @@ object SparkEntry {
         minMatch = 4L)
     }),
 
+    // EDIT-DISTANCE JOIN WITH THE SKEW VALVE BINDING (q163's operator,
+    // capped): every key shares an 8-char boilerplate prefix, so the
+    // first PassJoin segment's bucket degenerates toward all-pairs
+    // (500² = 250k candidate products at sf0.01, 25M at sf0.1);
+    // maxPairsPerBucket = 20000 provably drops it on every sf, and the
+    // surviving output is exactly the same-suffix collisions through
+    // the second segment — keys one digit apart are LOST with the
+    // dropped bucket, which is the valve's documented trade. The oracle
+    // replays the capped candidate scheme literally (segment + shifted-
+    // substring signatures, nx·np cap filter, Levenshtein verify).
+    "q178_edit_join_capped" -> ((s, dir) => {
+      import graft.operators.EditDistance
+      EditDistance.edSelfJoin(t(s, dir, "documents"), "doc_id",
+        format_string("xxxxxxxx-%04d", pmod(col("doc_id"), lit(100L))),
+        tau = 1, maxPairsPerBucket = 20000L)
+    }),
+
+    // IMAGE PERCEPTUAL-HASH NEAR-DUP under the oracle (the q74/q98
+    // planted-pixel trick, now for aHash): render a 16×16 PNG per
+    // selected doc whose 2×2-pixel cells are bright (200) or dark (50)
+    // by a closed form in doc_id — a per-class 8×8 stripe pattern plus
+    // one or two forced-bright "flip" cells. Cell means are then exact
+    // integers, the grid mean sits strictly between 50 and 200, and the
+    // decoded aHash equals the planted bright-cell bitmap — which the
+    // oracle recomputes arithmetically, no image codec needed. Pairs =
+    // the generalized Hamming-ball join (Manku pigeonhole) at ≤ 3 bits,
+    // gated against the oracle's brute-force ground truth (the
+    // pigeonhole is sound AND complete). Any codec/raster/blocking/
+    // hashing break shifts a bit and breaks the hash compare.
+    "q180_image_ahash_pairs" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      import graft.operators.Dedup
+      val genPng = udf { (id: Long) =>
+        val p = (id % 6).toInt
+        val f1 = ((id * 7) % 63).toInt
+        val f2 = if (id % 2 == 0) ((id * 13) % 63).toInt else -1
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            val c = (y / 2) * 8 + (x / 2)
+            val bright = (c <= 62 && (c + p) % 4 == 0) || c == f1 || c == f2
+            val g = if (bright) 200 else 50
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id").isNotNull && col("doc_id") % 7 === 0)
+        .withColumn("media", genPng(col("doc_id")))
+      val hashed = media.select(col("doc_id"),
+        Multimodal.aHash64(col("media")).as("ahash"))
+      val pairs = Dedup.hammingPairs(hashed, "doc_id", "ahash",
+        bits = 64, maxHamming = 3)
+      hashed.select(lit("hash").as("kind"), col("doc_id").as("k1"),
+          lit(0L).as("k2"), col("ahash").as("v"))
+        .unionByName(pairs.select(lit("pair").as("kind"),
+          col("id1").as("k1"), col("id2").as("k2"),
+          col("hamming").as("v")))
+    }),
+
+    // EXTERNAL-MODEL SCORING: a pretrained (token → integer weight)
+    // relation drives a bag-of-words linear classifier (folded fastText
+    // shape) — margin = bias + Σ count(token)·w(token), exact longs,
+    // docs with no in-vocabulary tokens score exactly the bias. The
+    // loader for foreign weight FILES (fastText-style text format →
+    // micro-unit quantization) is spec-gated (QualityModelSpec); this
+    // gate pins the scoring semantics under a fixture vocabulary.
+    "q179_token_linear_score" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      import s.implicits._
+      val w = Seq(("spark", 5L), ("join", 3L), ("query", 2L),
+        ("slow", -4L), ("the", -1L)).toDF("token", "weight")
+      QualityModel.tokenLinearScore(t(s, dir, "documents"), "doc_id",
+        "text", w, "token", "weight", bias = -2L)
+    }),
+
     // SIMHASH NEAR-DUP CLUSTERS: connected components (pointer-jumping)
     // over the q170 Hamming-ball pair graph, min-id survivor per
     // cluster — the complete "find → cluster → keep one" simhash dedup
@@ -4063,6 +4147,87 @@ object SparkEntry {
          |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
          |FROM k a JOIN k b ON a.doc_id < b.doc_id
          |WHERE levenshtein(a.key, b.key) <= 2""".stripMargin,
+
+    // q178: the capped PassJoin replayed literally at τ=1 over length-13
+    // keys — index signatures (2 segments), probe signatures (shifted
+    // substrings at ±1, distinct per doc), the nx·np ≤ 20000 bucket cap
+    // (which DROPS the degenerate shared-prefix segment-0 bucket), and
+    // the exact Levenshtein ≤ 1 verify over surviving candidates. Probe
+    // entries for candidate lengths 12/14 are omitted: the index holds
+    // only length-13 keys, so those buckets have nx = 0 and can neither
+    // pass the inner-joined cap filter nor produce a pair.
+    "q178_edit_join_capped" ->
+      raw"""WITH k AS (SELECT doc_id,
+         |    printf('xxxxxxxx-%04d', doc_id % 100) AS key
+         |  FROM documents),
+         |idx AS (
+         |  SELECT doc_id, 0 AS i, substr(key, 1, 7) AS seg FROM k
+         |  UNION ALL SELECT doc_id, 1, substr(key, 8, 6) FROM k),
+         |prb AS (
+         |  SELECT DISTINCT doc_id, i, seg FROM (
+         |    SELECT doc_id, 0 AS i, substr(key, 1, 7) AS seg FROM k
+         |    UNION ALL SELECT doc_id, 0, substr(key, 2, 7) FROM k
+         |    UNION ALL SELECT doc_id, 1, substr(key, 7, 6) FROM k
+         |    UNION ALL SELECT doc_id, 1, substr(key, 8, 6) FROM k)),
+         |ok AS (SELECT x.i, x.seg FROM
+         |  (SELECT i, seg, count(*) AS nx FROM idx GROUP BY 1, 2) x
+         |  JOIN (SELECT i, seg, count(*) AS np FROM prb GROUP BY 1, 2) p
+         |    ON p.i = x.i AND p.seg = x.seg
+         |  WHERE x.nx * p.np <= 20000),
+         |cand AS (SELECT DISTINCT least(p.doc_id, x.doc_id) AS id_a,
+         |    greatest(p.doc_id, x.doc_id) AS id_b
+         |  FROM prb p JOIN ok o ON o.i = p.i AND o.seg = p.seg
+         |  JOIN idx x ON x.i = p.i AND x.seg = p.seg
+         |    AND x.doc_id <> p.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+         |FROM cand c JOIN k a ON a.doc_id = c.id_a
+         |JOIN k b ON b.doc_id = c.id_b
+         |WHERE levenshtein(a.key, b.key) <= 1""".stripMargin,
+
+    // q180: the planted aHash recomputed arithmetically — bright(c, id)
+    // closed form, hash = Σ 2^c over bright cells (cell 63 never bright,
+    // so no sign-bit overflow), pairs = brute-force Hamming ≤ 3 ground
+    // truth that the engine's pigeonhole join must reproduce exactly.
+    "q180_image_ahash_pairs" ->
+      raw"""WITH d AS (SELECT doc_id, doc_id % 6 AS p,
+         |    (doc_id * 7) % 63 AS f1,
+         |    CASE WHEN doc_id % 2 = 0 THEN (doc_id * 13) % 63
+         |         ELSE -1 END AS f2
+         |  FROM documents WHERE doc_id IS NOT NULL AND doc_id % 7 = 0),
+         |cells AS (SELECT d.doc_id, t.c,
+         |    CASE WHEN (t.c <= 62 AND (t.c + d.p) % 4 = 0)
+         |      OR t.c = d.f1 OR t.c = d.f2 THEN 1 ELSE 0 END AS bright
+         |  FROM d CROSS JOIN range(64) t(c)),
+         |h AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN bright = 1 THEN 1::BIGINT << c
+         |      ELSE 0 END) AS BIGINT) AS ahash
+         |  FROM cells GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 3)
+         |SELECT 'hash' AS kind, doc_id AS k1, CAST(0 AS BIGINT) AS k2,
+         |  ahash AS v FROM h
+         |UNION ALL SELECT 'pair', id1, id2, hamming FROM pairs""".stripMargin,
+
+    // q179: the external-weight linear scorer replayed — same VALUES
+    // vocabulary, whitespace tokens of lower(trim(text)), integer sum +
+    // bias, perceptron sign rule (margin 0 → -1).
+    "q179_token_linear_score" ->
+      raw"""WITH w(token, weight) AS (VALUES ('spark', 5), ('join', 3),
+         |  ('query', 2), ('slow', -4), ('the', -1)),
+         |tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+         |      AS token
+         |  FROM documents WHERE coalesce(trim(text), '') <> ''),
+         |sc AS (SELECT t.doc_id, CAST(sum(w.weight) AS BIGINT) AS s
+         |  FROM tok t JOIN w ON w.token = t.token GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(-2 + COALESCE(sc.s, 0) AS BIGINT) AS margin,
+         |  CAST(CASE WHEN -2 + COALESCE(sc.s, 0) > 0 THEN 1 ELSE -1 END
+         |    AS BIGINT) AS pred
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
 
     "q151_bpe_train" -> bpeOracleSql(4),
     "q152_perceptron_quality" -> perceptronOracleSql(3),

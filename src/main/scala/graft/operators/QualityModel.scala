@@ -119,4 +119,80 @@ object QualityModel {
       .withColumn("pred",
         when(col("margin") > 0, 1L).otherwise(lit(-1L)))
   }
+
+  // ------------------------------------------- external (pretrained) models
+
+  /** Score documents against an EXTERNAL (token → integer weight)
+    * relation — the loader side of model-based language ID / quality
+    * classification: instead of the in-engine surface-feature
+    * perceptron, a user brings real pretrained linear-model weights
+    * (a fastText-style bag-of-words classifier reduces to exactly this
+    * once its hidden layer is folded: score = Σ_token w(token) + bias).
+    *
+    *   margin(doc) = bias + Σ_t count_t(doc) · w(t)
+    *   pred        = 1 if margin > 0 else -1   (perceptronPredict's rule)
+    *
+    * over whitespace tokens of lower(trim(text)). Weights must already
+    * be INTEGERS (micro-units — [[loadTokenWeights]] quantizes float
+    * files); the margin is then an exact long, bit-identical across
+    * engines and partitionings — the q146/q152 lattice discipline.
+    *
+    * Scale shape: token explode (map-side), broadcast hash join against
+    * the weight relation (a vocabulary is broadcast-sized by contract —
+    * fastText vocabularies are ≤ a few million rows ≈ tens of MB), then
+    * one map-side-combined per-doc long sum. Docs with null/blank text
+    * or no in-vocabulary tokens score exactly `bias`. No shuffle grows
+    * with the corpus except the per-doc aggregation.
+    */
+  def tokenLinearScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, tokenCol: String, weightCol: String,
+      bias: Long = 0L): DataFrame = {
+    val w = broadcast(weights.select(col(tokenCol).as("__tok"),
+      col(weightCol).cast("long").as("__w")))
+    val contrib = docs
+      .select(col(idCol), explode(TextFns.tokens(lower(col(textCol))))
+        .as("__tok"))
+      .join(w, Seq("__tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("__s"))
+    docs.select(col(idCol))
+      .join(contrib, Seq(idCol), "left")
+      .select(col(idCol),
+        (lit(bias) + coalesce(col("__s"), lit(0L))).as("margin"))
+      .withColumn("pred", when(col("margin") > 0, 1L).otherwise(lit(-1L)))
+  }
+
+  /** Load a foreign-format linear-model weight file into a (token,
+    * weight) relation — the artifact bridge for [[tokenLinearScore]].
+    * Format: plain text, one `token value` pair per line (whitespace-
+    * separated, the fastText `.vec`-family convention for 1-d output);
+    * lines that are not exactly two fields — blank lines, a
+    * single-field count header, `#` comments — are ignored, as are
+    * lines whose value does not parse as a number. Float values are
+    * quantized to exact integer micro-units (`round(value · scale)`,
+    * half away from zero) so downstream margins stay on the integer
+    * lattice; duplicate tokens keep their maximum quantized weight
+    * (deterministic regardless of file order).
+    *
+    * Distributed: `spark.read.text` — a multi-million-line vocabulary
+    * file splits across the cluster like any other text source.
+    */
+  def loadTokenWeights(spark: org.apache.spark.sql.SparkSession,
+      path: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale $scale must be >= 1")
+    spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("__f"))
+      .filter(size(col("__f")) === 2 &&
+        !col("__f").getItem(0).startsWith("#") &&
+        // try_cast, not cast: ANSI mode is on and a malformed value
+        // must mean "not an entry", not a failed job
+        expr("try_cast(__f[1] AS DOUBLE)").isNotNull)
+      .select(col("__f").getItem(0).as("token"),
+        // round half away from zero on the double value, exact for the
+        // integral-microunit files real exports produce
+        expr(s"CAST(round(try_cast(__f[1] AS DOUBLE) * $scale, 0) AS BIGINT)")
+          .as("weight"))
+      .groupBy(col("token"))
+      .agg(max(col("weight")).as("weight"))
+  }
 }

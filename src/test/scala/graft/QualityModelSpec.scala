@@ -66,4 +66,49 @@ class QualityModelSpec extends AnyFunSuite {
     assert(p(10L) == ((0L, -1L)))
     assert(p(11L) == ((5L, 1L)))
   }
+
+  test("loadTokenWeights: foreign-format file -> integer micro-units, " +
+      "headers/comments/blank/garbage lines ignored, dup tokens max-win") {
+    val dir = java.nio.file.Files.createTempDirectory("wts").toFile
+    val f = new java.io.File(dir, "model.vec")
+    val pw = new java.io.PrintWriter(f, "UTF-8")
+    pw.println("5 1")            // fastText-style count header (2 ints)?
+    pw.println("")               // blank
+    pw.println("# lang-id weights") // comment
+    pw.println("bonjour 2.5")
+    pw.println("hello -1.25")
+    pw.println("hola 3")
+    pw.println("hola 1")         // duplicate: max quantized weight wins
+    pw.println("broken x1y")     // non-numeric value -> ignored
+    pw.println("three fields here") // 3 fields -> ignored
+    pw.close()
+    val w = QualityModel.loadTokenWeights(spark, f.getAbsolutePath)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the two-integer header parses as a (token="5", weight=1) entry --
+    // the documented ambiguity of the bare format; real single-weight
+    // exports carry a 1-field count or none
+    assert(w("bonjour") == 2500000L)
+    assert(w("hello") == -1250000L)
+    assert(w("hola") == 3000000L)
+    assert(!w.contains("broken") && !w.contains("three"))
+  }
+
+  test("tokenLinearScore: margin = bias + sum of matched token weights; " +
+      "null/blank/no-match docs score exactly bias") {
+    val docs = Seq(
+      (1L, "spark join the the"),
+      (2L, "nothing matches here"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "  ")).toDF("doc_id", "text")
+    val w = Seq(("spark", 5L), ("join", 3L), ("the", -1L))
+      .toDF("token", "weight")
+    val got = QualityModel.tokenLinearScore(docs, "doc_id", "text",
+        w, "token", "weight", bias = -2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == ((-2L + 5 + 3 - 1 - 1, 1L)))
+    assert(got(2L) == ((-2L, -1L)))
+    assert(got(3L) == ((-2L, -1L)))
+    assert(got(4L) == ((-2L, -1L)))
+  }
 }
