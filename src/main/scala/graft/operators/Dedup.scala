@@ -956,6 +956,70 @@ object Dedup {
       optLong("lastFp"))
   }
 
+  /** The maintenance verdict for a rolling signature index — the same
+    * "telemetry → one decision" shape as the IVF-PQ index's
+    * [[Similarity.maintenanceDue]], for the dedup lifecycle:
+    *
+    *  - `fileTrigger`: some bucket of some relation (docs/postings/
+    *    hashes) holds more than `maxFilesPerBucket` part files. Each
+    *    [[appendToSignatureIndex]] adds one file per touched bucket
+    *    (bounded, but hundreds of daily batches creep the per-probe
+    *    open cost back up). Action: COMPACT
+    *    ([[compactSignatureIndex]] rewrites every bucket to one file).
+    *  - `skewTrigger`: max(postings per kb bucket) / avg over the
+    *    DECLARED nBuckets exceeds `skewThreshold` — boilerplate band
+    *    keys concentrate the LSH postings, and every probe touching the
+    *    hot bucket reads disproportionate data. Action: REBUCKET
+    *    (rebuild via [[writeSignatureIndex]] with more buckets; until
+    *    then the probe-side `maxBucket` cap bounds the damage).
+    *
+    * Compaction cannot fix skew (the bucket function is the problem),
+    * so rebucket dominates when both fire. Cost: one driver-side FS
+    * listing (≤ 3·nBuckets directories) plus one column-pruned count
+    * over `postings/` — safe after every append at any corpus size.
+    */
+  case class SigIndexMaintenance(fileTrigger: Boolean, skewTrigger: Boolean,
+    action: String, maxFilesPerBucket: Long, nFiles: Long,
+    skewRatio: Double, maxBucketRows: Long, avgBucketRows: Double)
+
+  def signatureIndexMaintenanceDue(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerBucket: Int = 16,
+      skewThreshold: Double = 8.0): SigIndexMaintenance = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    require(skewThreshold > 1.0, s"skewThreshold $skewThreshold must be > 1")
+    val m = readIndexMeta(spark, path) // also enforces the pending-marker refusal
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var maxFiles = 0L
+    var nFiles = 0L
+    for (rel <- Seq("docs", "postings", "hashes")) {
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$rel")
+      for (b <- fs.listStatus(dir) if b.isDirectory) {
+        val n = fs.listStatus(b.getPath)
+          .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+            && !f.getPath.getName.startsWith(".")).toLong
+        nFiles += n
+        if (n > maxFiles) maxFiles = n
+      }
+    }
+    val occ = spark.read.parquet(s"$path/postings")
+      .groupBy(col("kb")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)),
+        coalesce(sum(col("n")), lit(0L))).head()
+    // averaged over DECLARED buckets: band keys emptying most buckets is
+    // exactly the skew being detected (the ivfPq precedent)
+    val avg = occ.getLong(1).toDouble / math.max(1, m.nBuckets)
+    val skewRatio = if (avg > 0) occ.getLong(0) / avg else 0.0
+    val fileT = maxFiles > maxFilesPerBucket
+    val skewT = skewRatio > skewThreshold
+    val action =
+      if (skewT) "rebucket-rebuild"
+      else if (fileT) "compact"
+      else "none"
+    SigIndexMaintenance(fileT, skewT, action, maxFiles, nFiles, skewRatio,
+      occ.getLong(0), avg)
+  }
+
   /** [[dedupIncremental]] probing a PERSISTED [[writeSignatureIndex]] index
     * instead of rescanning the existing corpus — identical survivor set
     * (spec-enforced), per-batch cost proportional to the BATCH:

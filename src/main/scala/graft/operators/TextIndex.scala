@@ -226,6 +226,62 @@ object TextIndex {
   def compact(spark: SparkSession, path: String): Unit =
     rewriteIndex(spark, path, identity, removedDocs = 0L, removedDl = 0L)
 
+  /** The maintenance verdict for a rolling text index — the same
+    * "telemetry → one decision" shape as the IVF-PQ and signature
+    * indexes ([[graft.operators.Similarity.maintenanceDue]],
+    * [[graft.operators.Dedup.signatureIndexMaintenanceDue]]):
+    *
+    *  - `fileTrigger`: some term bucket holds more than
+    *    `maxFilesPerBucket` part files (each [[append]] adds one file
+    *    per touched bucket — bounded per batch, creeping over hundreds
+    *    of batches). Action: [[compact]].
+    *  - `skewTrigger`: max(postings per bucket) / avg over the DECLARED
+    *    nBuckets exceeds `skewThreshold` — hot terms concentrating the
+    *    postings, so probes hashing into the hot bucket read
+    *    disproportionate data. Action: rebuild with more buckets
+    *    (compaction cannot move terms between buckets).
+    *
+    * Cost: one driver-side FS listing (≤ nBuckets directories) plus one
+    * column-pruned count over the postings — safe after every append.
+    */
+  case class TextIndexMaintenance(fileTrigger: Boolean, skewTrigger: Boolean,
+    action: String, maxFilesPerBucket: Long, nFiles: Long,
+    skewRatio: Double, maxBucketRows: Long, avgBucketRows: Double)
+
+  def maintenanceDue(spark: SparkSession, path: String,
+      maxFilesPerBucket: Int = 16,
+      skewThreshold: Double = 8.0): TextIndexMaintenance = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    require(skewThreshold > 1.0, s"skewThreshold $skewThreshold must be > 1")
+    val st = readStats(spark, path) // also enforces the pending-marker refusal
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var maxFiles = 0L
+    var nFiles = 0L
+    for (b <- fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        if b.isDirectory) {
+      val n = fs.listStatus(b.getPath)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith(".")).toLong
+      nFiles += n
+      if (n > maxFiles) maxFiles = n
+    }
+    val occ = spark.read.parquet(path)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)),
+        coalesce(sum(col("n")), lit(0L))).head()
+    val avg = occ.getLong(1).toDouble / math.max(1, st.nBuckets)
+    val skewRatio = if (avg > 0) occ.getLong(0) / avg else 0.0
+    val fileT = maxFiles > maxFilesPerBucket
+    val skewT = skewRatio > skewThreshold
+    val action =
+      if (skewT) "rebucket-rebuild"
+      else if (fileT) "compact"
+      else "none"
+    TextIndexMaintenance(fileT, skewT, action, maxFiles, nFiles, skewRatio,
+      occ.getLong(0), avg)
+  }
+
   /** Takedown pass: drop documents from the index, compacting as it
     * goes. Stats decrement by the docs ACTUALLY PRESENT (sentinel rows
     * make zero-token docs visible, so N and avgdl stay exactly what a

@@ -330,6 +330,49 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("monotone"), e.getMessage)
   }
 
+  test("signatureIndexMaintenanceDue: appends trip the file trigger, " +
+      "compact clears it; boilerplate band keys trip the skew trigger") {
+    val (existing, _) = indexFixture
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_m")
+      .resolve("idx").toString
+    Dedup.writeSignatureIndex(existing, "doc_id", "text", idx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val fresh = Dedup.signatureIndexMaintenanceDue(spark, idx,
+      maxFilesPerBucket = 2)
+    assert(!fresh.fileTrigger && fresh.action != "compact", fresh.toString)
+    for (b <- 0 until 3) {
+      val batch = Seq((100L + b,
+        s"fresh append number $b with its own entirely distinct words"))
+        .toDF("doc_id", "text")
+      Dedup.appendToSignatureIndex(batch, "doc_id", "text", idx)
+    }
+    val aged = Dedup.signatureIndexMaintenanceDue(spark, idx,
+      maxFilesPerBucket = 2)
+    assert(aged.fileTrigger && aged.action == "compact", aged.toString)
+    Dedup.compactSignatureIndex(spark, idx)
+    val compacted = Dedup.signatureIndexMaintenanceDue(spark, idx,
+      maxFilesPerBucket = 2)
+    assert(!compacted.fileTrigger && compacted.action == "none",
+      compacted.toString)
+
+    // skew: near-identical docs share band keys, concentrating postings
+    // in a few kb buckets — rebucket dominates compact when both fire
+    val hotIdx = java.nio.file.Files.createTempDirectory("graft_sigidx_s")
+      .resolve("idx").toString
+    // identical bodies would collapse at the exact tier (the index
+    // precondition) — vary one trailing token so docs are distinct but
+    // their minhash bands still collide
+    val hot = (1L to 120L).map(i =>
+      (i, s"identical boilerplate body shared by every document t$i"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(hot, "doc_id", "text", hotIdx,
+      shingleN = 2, k = 16, bands = 4, nBuckets = 32)
+    val skewed = Dedup.signatureIndexMaintenanceDue(spark, hotIdx,
+      skewThreshold = 3.0)
+    assert(skewed.skewTrigger && skewed.action == "rebucket-rebuild",
+      skewed.toString)
+  }
+
   test("compactSignatureIndex: one file per bucket, probe results unchanged") {
     val (existing, batch1) = indexFixture
     val idx = java.nio.file.Files.createTempDirectory("graft_sigidx7")

@@ -222,4 +222,38 @@ class TextIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == before,
       "a refused range-collision must leave the index untouched")
   }
+
+  test("maintenanceDue: appends trip the file trigger, compact clears it; " +
+      "hot-term concentration trips the skew trigger") {
+    val path = java.nio.file.Files.createTempDirectory("tix6")
+      .resolve("idx").toString
+    TextIndex.write(corpus(), "doc_id", "text", path, nBuckets = 8)
+    val fresh = TextIndex.maintenanceDue(spark, path,
+      maxFilesPerBucket = 2)
+    assert(!fresh.fileTrigger && fresh.action != "compact", fresh.toString)
+    // three appends -> up to 4 files in a touched bucket (> 2)
+    for (b <- 0 until 3) {
+      val batch = Seq((100L + b, "spark query join extra words here"))
+        .toDF("doc_id", "text")
+      TextIndex.append(batch, "doc_id", "text", path)
+    }
+    val aged = TextIndex.maintenanceDue(spark, path, maxFilesPerBucket = 2)
+    assert(aged.fileTrigger && aged.action == "compact", aged.toString)
+    TextIndex.compact(spark, path)
+    val compacted = TextIndex.maintenanceDue(spark, path,
+      maxFilesPerBucket = 2)
+    assert(!compacted.fileTrigger && compacted.action == "none",
+      compacted.toString)
+
+    // skew: one hot term dominating the postings concentrates one bucket
+    val hotPath = java.nio.file.Files.createTempDirectory("tix7")
+      .resolve("idx").toString
+    val hot = (1L to 200L).map(i => (i, "hotterm"))
+      .toDF("doc_id", "text")
+    TextIndex.write(hot, "doc_id", "text", hotPath, nBuckets = 8)
+    val skewed = TextIndex.maintenanceDue(spark, hotPath,
+      skewThreshold = 4.0)
+    assert(skewed.skewTrigger && skewed.action == "rebucket-rebuild",
+      skewed.toString)
+  }
 }
