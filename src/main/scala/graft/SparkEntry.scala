@@ -2907,6 +2907,30 @@ object SparkEntry {
         tau = 1, maxPairsPerBucket = 20000L)
     }),
 
+    // SUBSTRING-DEDUP APPLY (the q165 chain's missing half): REWRITE
+    // every doc with its cross-doc shared windows cut out — same
+    // winnowing spans, then token-level removal and in-order rebuild.
+    // clean_text is hash-gated verbatim, so any span-boundary or
+    // ordering slip breaks the gate.
+    "q181_winnow_remove" -> ((s, dir) => {
+      import graft.operators.ContentChunks
+      ContentChunks.winnowDupRemove(t(s, dir, "documents"), "doc_id",
+        "text", k = 5, w = 8, minDocs = 2)
+    }),
+
+    // CROSS-SOURCE DUPLICATION MATRIX: verified OPH near-dup pairs
+    // labeled by source, counted per unordered source pair — the
+    // "which sources copy from which" curation dashboard (diagonal =
+    // intra-source boilerplate, off-diagonal = syndication/mirroring).
+    "q182_dup_source_matrix" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.ophSignatures(docs, "doc_id", "text",
+        shingleN = 2, k = 16)
+      val pairs = Dedup.ophMatchPairs(sigs, minMatch = 4L)
+      Dedup.pairSourceMatrix(pairs, docs, "doc_id", "source")
+    }),
+
     // IMAGE PERCEPTUAL-HASH NEAR-DUP under the oracle (the q74/q98
     // planted-pixel trick, now for aHash): render a 16×16 PNG per
     // selected doc whose 2×2-pixel cells are bright (200) or dark (50)
@@ -3818,9 +3842,12 @@ object SparkEntry {
     * the same x/y/z/sp gaps-and-islands chain as q160's — with the
     * keep threshold compared by integer cross-multiplication.
     */
-  private def winnowCoverageOracleSql(k: Int, w: Int, minDocs: Int,
-      num: Long, den: Long): String =
-    raw"""WITH ${winnowFpCtes(k, w)},
+  /** The cross-doc shared-window SPAN chain (winnowFpCtes → tok → sh →
+    * mk → x → y → z → sp): islands-merged coverage spans per doc, shared
+    * by the q165 coverage oracle and the q181 removal oracle.
+    */
+  private def winnowSpanCtes(k: Int, w: Int, minDocs: Int): String =
+    raw"""${winnowFpCtes(k, w)},
        |tok AS (SELECT doc_id, CASE WHEN text IS NULL OR trim(text) = ''
        |    THEN CAST(0 AS BIGINT)
        |    ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
@@ -3841,7 +3868,11 @@ object SparkEntry {
        |z AS (SELECT doc_id, pos, e,
        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM y),
        |sp AS (SELECT doc_id, min(pos) AS s, max(e) AS en FROM z
-       |  GROUP BY doc_id, grp),
+       |  GROUP BY doc_id, grp)""".stripMargin
+
+  private def winnowCoverageOracleSql(k: Int, w: Int, minDocs: Int,
+      num: Long, den: Long): String =
+    raw"""WITH ${winnowSpanCtes(k, w, minDocs)},
        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsp,
        |    CAST(sum(en - s) AS BIGINT) AS dup FROM sp GROUP BY doc_id)
        |SELECT d.doc_id, t.n AS n_tokens,
@@ -3850,6 +3881,35 @@ object SparkEntry {
        |  CAST(CASE WHEN $den * COALESCE(a.dup, 0) <= $num * t.n
        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM documents d JOIN tok t ON t.doc_id = d.doc_id
+       |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+
+  /** q181 oracle: the q165 span chain, then the REWRITE — original-case
+    * tokens with 0-based positions, tokens inside any span removed,
+    * survivors re-joined in order (string_agg ORDER BY pos); null text
+    * stays null, blank/fully-covered docs yield ''.
+    */
+  private def winnowRemoveOracleSql(k: Int, w: Int, minDocs: Int): String =
+    raw"""WITH ${winnowSpanCtes(k, w, minDocs)},
+       |tk2 AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+       |    unnest(list_transform(
+       |      range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1),
+       |      j -> CAST(j - 1 AS BIGINT))) AS pos
+       |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tk2 t
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp s
+       |    WHERE s.doc_id = t.doc_id AND t.pos >= s.s AND t.pos < s.en)),
+       |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean
+       |  FROM kept GROUP BY doc_id),
+       |agg AS (SELECT doc_id, CAST(sum(en - s) AS BIGINT) AS dup
+       |  FROM sp GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.text IS NULL THEN NULL
+       |       ELSE COALESCE(ct.clean, '') END AS clean_text,
+       |  t.n AS n_tokens,
+       |  COALESCE(a.dup, 0) AS dup_tokens
+       |FROM documents d JOIN tok t ON t.doc_id = d.doc_id
+       |LEFT JOIN ct ON ct.doc_id = d.doc_id
        |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
 
   /** q157 oracle: the Gopher rule set with division-free integer
@@ -4235,6 +4295,19 @@ object SparkEntry {
     "q153_cdc_chunks" -> cdcOracleSql(3, 32),
     "q154_winnow_fingerprints" -> winnowOracleSql(5, 8),
     "q165_winnow_cross_doc" -> winnowCoverageOracleSql(5, 8, 2, 1L, 5L),
+    "q181_winnow_remove" -> winnowRemoveOracleSql(5, 8, 2),
+
+    // q182: the q166 OPH pair chain + source labels + unordered-pair
+    // counting (least/greatest) — pure integer.
+    "q182_dup_source_matrix" ->
+      raw"""WITH ${ophCtes(16, 4)}
+         |SELECT least(a.source, b.source) AS src_a,
+         |  greatest(a.source, b.source) AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pr p
+         |JOIN documents a ON a.doc_id = p.id1
+         |JOIN documents b ON b.doc_id = p.id2
+         |GROUP BY 1, 2""".stripMargin,
 
     // q167: the cleaning chain replayed with DuckDB's own NFC
     // (nfc_normalize) — independent Unicode implementations must agree

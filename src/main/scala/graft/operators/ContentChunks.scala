@@ -252,4 +252,79 @@ object ContentChunks {
         when(lit(maxDen) * col("dup_tokens") <= lit(maxNum) * col("n_tokens"),
           lit(1L)).otherwise(lit(0L)))
   }
+
+  /** The APPLY step of cross-document substring dedup — where
+    * [[winnowDupCoverage]] MEASURES how much of each doc is covered by
+    * windows shared with other docs, this REWRITES the corpus: every
+    * token inside a shared-fingerprint span (same winnowing + k-window +
+    * island-merge machinery, so q165's coverage numbers describe exactly
+    * what gets cut) is removed, and the survivors re-join in original
+    * order. This is the "delete the duplicated substring, keep the rest
+    * of the document" policy of Lee et al.'s deduplication work — the
+    * alternative to dropping whole near-dup documents when only a
+    * boilerplate block is shared.
+    *
+    * This is the SAMPLED tier: winnowing keeps ~1/(w+1) of windows, so
+    * the cut spans are the k-windows around SELECTED shared
+    * fingerprints, not every shared token — 1/(w+1) of the shuffle of
+    * the exact tier, the q165 trade. For exact every-occurrence span
+    * removal use [[graft.operators.Curation.repeatedSpans]] +
+    * `clipRepeatedSpans` (corpus-wide n-gram marking, q110/q111).
+    *
+    * Output: (doc_id, clean_text, n_tokens, dup_tokens) — null text
+    * stays null, blank text stays empty, a fully-covered doc yields ''.
+    *
+    * Scale shape: fingerprints + spans are the coverage operator's
+    * (sampled 1/(w+1) of positions, grouped per doc); the removal
+    * itself is one (doc_id)-keyed join of token rows against the
+    * per-doc span list with a range predicate — doc-partitioned, no
+    * all-pairs, and the rebuild is one per-doc aggregation of
+    * (pos, token) structs.
+    */
+  def winnowDupRemove(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minDocs: Long = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // reconstruction keeps the ORIGINAL-case tokens (whitespace
+    // tokenization gives identical positions with or without lower();
+    // the fingerprints lowercase internally) — only inter-token
+    // whitespace is normalized to single spaces in clean_text
+    val toks = base.select(col("doc_id"), col("__text"),
+      posexplode(TextFns.tokens(col("__text"))))
+      .toDF("doc_id", "__text", "pos", "tok")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val nTok = base.select(col("doc_id"),
+      coalesce(size(TextFns.tokens(lower(col("__text")))), lit(0))
+        .cast("long").as("n_tokens"))
+    val fps = winnowFingerprints(docs, idCol, textCol, k, w)
+    val shared = fps.groupBy("fhash")
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs).select(col("fhash"))
+    val marked = fps.join(shared, Seq("fhash"), "left_semi")
+      .join(nTok, Seq("doc_id"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        least(col("pos") + k, col("n_tokens")).cast("long").as("__end"))
+    val spans = Curation.islandsToSpans(marked)
+    val kept = toks.join(spans,
+        toks("doc_id") === spans("doc_id") &&
+          toks("pos") >= spans("span_start") &&
+          toks("pos") < spans("span_end"),
+        "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .as("__ordered"))
+      .select(col("doc_id"),
+        expr("array_join(transform(__ordered, x -> x.tok), ' ')")
+          .as("__clean"))
+    val dup = spans.groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start")).as("__dup"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .join(nTok, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("__text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))).as("clean_text"),
+        col("n_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"))
+  }
 }

@@ -1243,6 +1243,32 @@ object Dedup {
     exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
   }
 
+  /** Cross-source duplication matrix — the curation dashboard behind
+    * "which sources copy from which": given a (verified) near-dup pair
+    * relation and a doc→source labeling, count pairs per UNORDERED
+    * source pair (src_a ≤ src_b lexicographically; src_a = src_b rows
+    * are intra-source duplication). Intra-source mass usually means
+    * shared boilerplate/templates; cross-source mass means syndication
+    * or mirroring — both drive per-source dedup and sampling policy.
+    * Docs whose id is missing from `docs` drop their pairs (no label,
+    * no cell). Shape: two broadcast-or-hash joins on the id plus one
+    * map-side-combined count — nothing beyond the pair relation's own
+    * size ever shuffles.
+    */
+  def pairSourceMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+      srcCol: String): DataFrame = {
+    val lab = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    pairs.select(col("id1"), col("id2"))
+      .join(lab.withColumnRenamed("__id", "id1")
+        .withColumnRenamed("__src", "__s1"), "id1")
+      .join(lab.withColumnRenamed("__id", "id2")
+        .withColumnRenamed("__src", "__s2"), "id2")
+      .select(least(col("__s1"), col("__s2")).as("src_a"),
+        greatest(col("__s1"), col("__s2")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Embedding near-dup: pairs with cosine >= threshold within LSH buckets.
     * See Similarity.annLsh for the bucketing rationale.
     */

@@ -186,4 +186,56 @@ class ContentChunksSpec extends AnyFunSuite {
     // coverage is islands-merged: dup_tokens never exceeds n_tokens
     assert(got.values.forall { case (n, _, d, _) => d <= n })
   }
+
+  test("winnowDupRemove cuts exactly the cross-doc spans, keeps original " +
+      "case and order; null/blank/unique docs pass through") {
+    val common = (1 to 30).map(j => s"shr$j").mkString(" ")
+    val docs = Seq(
+      (1L, "AAA bbb CCC " + common + " ddd EEE"),
+      (2L, "front matter words quite different here then " + common),
+      (4L, "Totally Unrelated content with unique tokens only"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "   "))
+      .toDF("doc_id", "text")
+    val got = ContentChunks.winnowDupRemove(docs, "doc_id", "text",
+      k = 5, w = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    // the cleaned docs must cut EXACTLY the sampled coverage spans
+    // (winnowing samples ~1/(w+1) of windows, so not every shared token
+    // is covered — that is q165's documented sampled-tier semantics),
+    // keeping the rest in original case/order
+    val (c1, n1, d1) = got(1L)
+    def nShr(t: String) = t.split("\\s+").count(_.startsWith("shr"))
+    assert(nShr(c1.get) < 30 && d1 > 0L, s"some shared tokens cut: $c1")
+    assert(c1.get.startsWith("AAA bbb CCC"), c1.toString)
+    assert(n1 == 35L)
+    val (c2, _, d2) = got(2L)
+    assert(nShr(c2.get) < 30 && c2.get.startsWith("front matter"),
+      c2.toString)
+    assert(d2 > 0L)
+    // consistency with the measuring operator: dup_tokens match
+    val cov = ContentChunks.winnowDupCoverage(docs, "doc_id", "text",
+      k = 5, w = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.view.mapValues(_._3).toMap == cov)
+    // cleaned token count + dup span length == original token count
+    assert(c1.get.split("\\s+").count(_.nonEmpty) + d1 == n1)
+    // untouched docs: unchanged text modulo whitespace normalization
+    assert(got(4L)._1.get == "Totally Unrelated content with unique tokens only")
+    assert(got(5L)._1.isEmpty && got(5L)._2 == 0L)
+    assert(got(6L)._1.get == "" && got(6L)._2 == 0L)
+  }
+
+  test("pairSourceMatrix counts unordered labeled pairs") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "source").withColumnRenamed("source", "src")
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 1L), (2L, 4L), (9L, 1L))
+      .toDF("id1", "id2") // (9,_) has no label -> dropped
+    val got = Dedup.pairSourceMatrix(pairs, docs, "doc_id", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(("a", "a") -> 1L, ("a", "b") -> 2L, ("a", "c") -> 1L))
+  }
 }
