@@ -2907,6 +2907,24 @@ object SparkEntry {
         tau = 1, maxPairsPerBucket = 20000L)
     }),
 
+    // LOG-HISTOGRAM QUANTILE SKETCH (unbounded-range percentiles in one
+    // mergeable pass — the DDSketch idea on an integer lattice): octave
+    // = binary length (no float log), 8 subcells per octave → ≤ 12.5%
+    // cell width, values ≤ 0 in a reserved underflow cell. Registers
+    // AND the p50/p90/p99 readout (cell lower bounds, integer ceil
+    // ranks) under one oracle hash.
+    "q183_loghist_quantiles" -> ((s, dir) => {
+      import graft.functions.Sketches
+      val v = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("long").as("v"))
+      val regs = Sketches.logHistRegisters(v, "v")
+      val qs = Sketches.logHistQuantiles(regs, Seq(0.5, 0.9, 0.99))
+      regs.select(lit("reg").as("kind"), col("b").as("k1"),
+          col("sub").as("k2"), col("cnt").as("v"))
+        .unionByName(qs.select(lit("q").as("kind"), col("q_pct").as("k1"),
+          col("rank").as("k2"), col("value_lb").as("v")))
+    }),
+
     // SUBSTRING-DEDUP APPLY (the q165 chain's missing half): REWRITE
     // every doc with its cross-doc shared windows cut out — same
     // winnowing spans, then token-level removal and in-order rebuild.
@@ -4296,6 +4314,41 @@ object SparkEntry {
     "q154_winnow_fingerprints" -> winnowOracleSql(5, 8),
     "q165_winnow_cross_doc" -> winnowCoverageOracleSql(5, 8, 2, 1L, 5L),
     "q181_winnow_remove" -> winnowRemoveOracleSql(5, 8, 2),
+
+    // q183: the integer log-histogram replayed — binary-length octave,
+    // shift-derived subcell, cell-wise counts, integer-ceil ranks over
+    // the cumulative (b, sub) order, cell lower bounds by shifts.
+    "q183_loghist_quantiles" ->
+      raw"""WITH vv AS (SELECT CAST(floor(l_extendedprice) AS BIGINT) AS v
+         |  FROM lineitem),
+         |c AS (SELECT
+         |    CASE WHEN v IS NULL OR v <= 0 THEN -1
+         |         ELSE len(bin(v)) - 1 END AS b,
+         |    CASE WHEN v IS NULL OR v <= 0 THEN 0
+         |         WHEN len(bin(v)) - 1 >= 3
+         |           THEN (v >> (len(bin(v)) - 4)) - 8
+         |         ELSE (v << (4 - len(bin(v)))) - 8 END AS sub
+         |  FROM vv),
+         |reg AS (SELECT CAST(b AS BIGINT) AS b, CAST(sub AS BIGINT) AS sub,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM c GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM reg),
+         |cum AS (SELECT b, sub, cnt,
+         |    sum(cnt) OVER (ORDER BY b, sub) AS cm FROM reg),
+         |qs(q) AS (VALUES (50), (90), (99)),
+         |pick AS (SELECT q.q, greatest(1, (q.q * tot.n + 99) // 100)
+         |    AS rank, tot.n
+         |  FROM qs q CROSS JOIN tot),
+         |sel AS (SELECT p.q, p.rank, p.n,
+         |    (SELECT CASE WHEN c2.b < 0 THEN 0
+         |       WHEN c2.b >= 3 THEN (8 + c2.sub) << (c2.b - 3)
+         |       ELSE (8 + c2.sub) >> (3 - c2.b) END
+         |     FROM cum c2 WHERE c2.cm >= p.rank
+         |     ORDER BY c2.b, c2.sub LIMIT 1) AS lb
+         |  FROM pick p)
+         |SELECT 'reg' AS kind, b AS k1, sub AS k2, cnt AS v FROM reg
+         |UNION ALL SELECT 'q', CAST(q AS BIGINT), CAST(rank AS BIGINT),
+         |  CAST(lb AS BIGINT) FROM sel""".stripMargin,
 
     // q182: the q166 OPH pair chain + source labels + unordered-pair
     // counting (least/greatest) — pure integer.

@@ -316,4 +316,101 @@ object Sketches {
       .select(col("set_bits"),
         round(pow(col("set_bits").cast("double") / mBits.toDouble, kHashes),
           6).as("fp_est"))
+
+  // --------------------------------------------- log-histogram quantiles
+
+  /** LOG-HISTOGRAM registers for positive long values — the
+    * unbounded-range quantile sketch of the family (DDSketch's idea on
+    * an INTEGER lattice): where [[graft.operators.Ops.histogramQuantiles]]
+    * needs a known [lo, hi] and q147's exact cut needs a full
+    * per-group pass, this folds ANY positive long distribution (doc
+    * lengths, file sizes, token counts at 100 TB) into ≤ 64·8 + 1
+    * cells with a guaranteed ≤ 2⁻³ = 12.5 % relative cell width.
+    *
+    * Cell index, all integer-exact (no float log anywhere):
+    *   octave  b   = floor(log₂ v) = length(bin(v)) − 1
+    *   subcell sub = (v ≫ (b−3)) − 8   (v ≪ (3−b) − 8 for b < 3)
+    * so cell (b, sub) holds exactly [lb, lb + 2^(b−3)) with
+    * lb = (8+sub) ≪ (b−3) — and for b < 3 every integer is its own
+    * cell (exact small-value quantiles). Values ≤ 0 and nulls land in
+    * the reserved underflow cell (b = −1, sub = 0).
+    *
+    * Registers (b, sub, cnt) merge by cell-wise sum ([[logHistMerge]],
+    * the cmsMerge contract: each shard exactly once) and build with one
+    * map-side-combined aggregation — the same one-pass/mergeable/
+    * streamable shape as the other sketches here.
+    */
+  def logHistRegisters(df: DataFrame, valueCol: String): DataFrame =
+    df.select(col(valueCol).cast("long").as("__v"))
+      .select(
+        expr("CASE WHEN __v IS NULL OR __v <= 0 THEN CAST(-1 AS BIGINT) " +
+          "ELSE CAST(length(bin(__v)) - 1 AS BIGINT) END").as("b"),
+        expr("CASE WHEN __v IS NULL OR __v <= 0 THEN CAST(0 AS BIGINT) " +
+          "WHEN length(bin(__v)) - 1 >= 3 " +
+          "THEN shiftright(__v, length(bin(__v)) - 4) - CAST(8 AS BIGINT) " +
+          "ELSE shiftleft(__v, 4 - length(bin(__v))) - CAST(8 AS BIGINT) " +
+          "END").as("sub"))
+      .groupBy(col("b"), col("sub"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge log-histogram register relations by cell-wise sum (NOT
+    * idempotent — each shard exactly once, the [[cmsMerge]] contract).
+    */
+  def logHistMerge(regs: Seq[DataFrame]): DataFrame = {
+    require(regs.nonEmpty, "logHistMerge: no register relations")
+    regs.foreach { r =>
+      require(r.columns.toSet == Set("b", "sub", "cnt"),
+        s"logHistMerge: register relation has columns ${r.columns.toSeq} — " +
+          "expected exactly (b, sub, cnt)")
+    }
+    regs.reduce(_ unionByName _)
+      .groupBy(col("b"), col("sub"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile estimates off a log-histogram register relation: each q
+    * resolves to a whole percent (q_pct = round(q·100)) and reports the
+    * LOWER BOUND of the cell holding rank ⌈q_pct·n/100⌉ (integer ceil)
+    * in (b, sub) order — an exact integer, deterministic across
+    * engines and partitionings, within 12.5 % of the true quantile by
+    * the cell-width guarantee (underflow-cell ranks report 0). The
+    * register relation is ≤ 513 cells by construction, so the walk is a
+    * BOUNDED driver collect (the house contract for sketch readouts);
+    * output one row per q: (q_pct, rank, n, value_lb).
+    */
+  def logHistQuantiles(registers: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val cells = registers.select(col("b").cast("long"),
+        col("sub").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (b, sub, _) => (b, sub) }
+    require(cells.length <= 513,
+      s"logHistQuantiles: ${cells.length} cells — not a logHistRegisters relation")
+    val n = cells.map(_._3).sum
+    def lb(b: Long, sub: Long): Long =
+      if (b < 0) 0L
+      else if (b >= 3) (8L + sub) << (b - 3)
+      else (8L + sub) >> (3 - b)
+    val rows = qs.map { q =>
+      // integer ceil of q_pct·n/100 — q is resolved to whole percent so
+      // the rank is integer arithmetic end to end (a float ceil(q·n)
+      // can land one off the oracle's when q·n sits on a ulp boundary)
+      val qp = math.round(q * 100)
+      val rank = math.max(1L, (qp * n + 99L) / 100L)
+      var cum = 0L
+      var out = 0L
+      var i = 0
+      var found = false
+      while (i < cells.length && !found) {
+        cum += cells(i)._3
+        if (cum >= rank) { out = lb(cells(i)._1, cells(i)._2); found = true }
+        i += 1
+      }
+      (qp, rank, n, out)
+    }
+    rows.toDF("q_pct", "rank", "n", "value_lb")
+  }
 }

@@ -229,4 +229,47 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.cmsEstimate(reg, Seq.empty, 4, 256)
     }
   }
+
+  test("logHistRegisters: exact cells for hand-computed values, " +
+      "underflow reserved, small values get their own cells") {
+    val vals = Seq(-3L, 0L, 1L, 2L, 3L, 7L, 8L, 9L, 15L, 16L, 100L, 1000L)
+      .toDF("v")
+    val got = Sketches.logHistRegisters(vals, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // -3, 0 -> underflow; 1 -> (0,0); 2 -> (1,0); 3 -> (1,4); 7 -> (2,6)
+    // 8 -> (3,0); 9 -> (3,1); 15 -> (3,7); 16 -> (4,0);
+    // 100 = 0b1100100 -> b=6, sub=(100>>3)-8=4; 1000 -> b=9, sub=(1000>>6)-8=7
+    assert(got == Map(
+      (-1L, 0L) -> 2L, (0L, 0L) -> 1L, (1L, 0L) -> 1L, (1L, 4L) -> 1L,
+      (2L, 6L) -> 1L, (3L, 0L) -> 1L, (3L, 1L) -> 1L, (3L, 7L) -> 1L,
+      (4L, 0L) -> 1L, (6L, 4L) -> 1L, (9L, 7L) -> 1L), got.toString)
+  }
+
+  test("logHist: shard merge equals whole; quantile lower bounds bracket " +
+      "the true quantiles within the 12.5% cell width") {
+    val all = (1L to 10000L).map(i => (i * i) % 65537L + 1L)
+    val whole = Sketches.logHistRegisters(all.toDF("v"), "v")
+    val merged = Sketches.logHistMerge(Seq(
+      Sketches.logHistRegisters(all.take(4000).toDF("v"), "v"),
+      Sketches.logHistRegisters(all.drop(4000).toDF("v"), "v")))
+    val a = whole.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = merged.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val got = Sketches.logHistQuantiles(whole, qs)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val sorted = all.sorted
+    for (q <- qs) {
+      val qp = math.round(q * 100)
+      val rank = math.max(1L, (qp * sorted.size + 99L) / 100L)
+      val truth = sorted((rank - 1).toInt)
+      val lb = got(qp)
+      assert(lb <= truth, s"q=$q lb=$lb > truth=$truth")
+      // upper bound of the chosen cell is lb + cellWidth; truth is in it
+      // cell width = 2^(b-3) <= lb/8 (and 1 for the exact small cells)
+      assert(truth < lb + math.max(1L, lb >> 3),
+        s"q=$q truth=$truth outside cell at lb=$lb")
+    }
+  }
 }
