@@ -2925,6 +2925,17 @@ object SparkEntry {
           col("rank").as("k2"), col("value_lb").as("v")))
     }),
 
+    // PER-GROUP log-histogram percentiles (the hllRegistersBy companion):
+    // one independent ≤513-cell sketch per source, p50/p95 doc lengths
+    // read out at integer-ceil ranks — the corpus-report shape at 100 TB
+    // (one pass, mergeable, no per-group sort anywhere).
+    "q184_loghist_by_source" -> ((s, dir) => {
+      import graft.functions.Sketches
+      val d = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      val regs = Sketches.logHistRegistersBy(d, Seq("source"), "n_chars")
+      Sketches.logHistQuantilesBy(regs, "source", Seq(0.5, 0.95))
+    }),
+
     // SUBSTRING-DEDUP APPLY (the q165 chain's missing half): REWRITE
     // every doc with its cross-doc shared windows cut out — same
     // winnowing spans, then token-level removal and in-order rebuild.
@@ -4288,6 +4299,40 @@ object SparkEntry {
          |SELECT 'hash' AS kind, doc_id AS k1, CAST(0 AS BIGINT) AS k2,
          |  ahash AS v FROM h
          |UNION ALL SELECT 'pair', id1, id2, hamming FROM pairs""".stripMargin,
+
+    // q184: the per-source log-histogram replayed with source-partitioned
+    // cumulative windows — same integer lattice as q183.
+    "q184_loghist_by_source" ->
+      raw"""WITH c AS (SELECT source,
+         |    CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN -1
+         |         ELSE len(bin(n_chars)) - 1 END AS b,
+         |    CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN 0
+         |         WHEN len(bin(n_chars)) - 1 >= 3
+         |           THEN (n_chars >> (len(bin(n_chars)) - 4)) - 8
+         |         ELSE (n_chars << (4 - len(bin(n_chars)))) - 8 END AS sub
+         |  FROM documents),
+         |reg AS (SELECT source, CAST(b AS BIGINT) AS b,
+         |    CAST(sub AS BIGINT) AS sub, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM c GROUP BY 1, 2, 3),
+         |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM reg
+         |  GROUP BY 1),
+         |cum AS (SELECT source, b, sub, cnt,
+         |    sum(cnt) OVER (PARTITION BY source ORDER BY b, sub) AS cm
+         |  FROM reg),
+         |qs(q) AS (VALUES (50), (95)),
+         |pick AS (SELECT t.source, q.q,
+         |    greatest(1, (q.q * t.n + 99) // 100) AS rank, t.n
+         |  FROM tot t CROSS JOIN qs q),
+         |sel AS (SELECT p.source, p.q, p.rank, p.n,
+         |    (SELECT CASE WHEN c2.b < 0 THEN 0
+         |       WHEN c2.b >= 3 THEN (8 + c2.sub) << (c2.b - 3)
+         |       ELSE (8 + c2.sub) >> (3 - c2.b) END
+         |     FROM cum c2 WHERE c2.source = p.source AND c2.cm >= p.rank
+         |     ORDER BY c2.b, c2.sub LIMIT 1) AS lb
+         |  FROM pick p)
+         |SELECT source, CAST(q AS BIGINT) AS q_pct,
+         |  CAST(rank AS BIGINT) AS rank, n, CAST(lb AS BIGINT) AS value_lb
+         |FROM sel""".stripMargin,
 
     // q179: the external-weight linear scorer replayed — same VALUES
     // vocabulary, whitespace tokens of lower(trim(text)), integer sum +

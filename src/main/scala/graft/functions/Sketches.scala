@@ -341,30 +341,43 @@ object Sketches {
     * streamable shape as the other sketches here.
     */
   def logHistRegisters(df: DataFrame, valueCol: String): DataFrame =
-    df.select(col(valueCol).cast("long").as("__v"))
-      .select(
+    logHistRegistersBy(df, Nil, valueCol)
+
+  /** Per-group log-histogram registers — one independent sketch per
+    * group key (the [[hllRegistersBy]] companion): (groupCols..., b,
+    * sub, cnt), ≤ 513 cells per group, one map-side-combined pass.
+    * Per-source length/size distributions at corpus scale.
+    */
+  def logHistRegistersBy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.select((groupCols.map(col) :+
+        col(valueCol).cast("long").as("__v")): _*)
+      .select((groupCols.map(col) ++ Seq(
         expr("CASE WHEN __v IS NULL OR __v <= 0 THEN CAST(-1 AS BIGINT) " +
           "ELSE CAST(length(bin(__v)) - 1 AS BIGINT) END").as("b"),
         expr("CASE WHEN __v IS NULL OR __v <= 0 THEN CAST(0 AS BIGINT) " +
           "WHEN length(bin(__v)) - 1 >= 3 " +
           "THEN shiftright(__v, length(bin(__v)) - 4) - CAST(8 AS BIGINT) " +
           "ELSE shiftleft(__v, 4 - length(bin(__v))) - CAST(8 AS BIGINT) " +
-          "END").as("sub"))
-      .groupBy(col("b"), col("sub"))
+          "END").as("sub"))): _*)
+      .groupBy((groupCols :+ "b" :+ "sub").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
 
   /** Merge log-histogram register relations by cell-wise sum (NOT
     * idempotent — each shard exactly once, the [[cmsMerge]] contract).
+    * Per-group relations pass their group columns like [[hllMerge]].
     */
-  def logHistMerge(regs: Seq[DataFrame]): DataFrame = {
+  def logHistMerge(regs: Seq[DataFrame],
+      groupCols: Seq[String] = Nil): DataFrame = {
     require(regs.nonEmpty, "logHistMerge: no register relations")
+    val expect = (groupCols ++ Seq("b", "sub", "cnt")).toSet
     regs.foreach { r =>
-      require(r.columns.toSet == Set("b", "sub", "cnt"),
+      require(r.columns.toSet == expect,
         s"logHistMerge: register relation has columns ${r.columns.toSeq} — " +
-          "expected exactly (b, sub, cnt)")
+          s"expected exactly ${expect.toSeq.sorted}")
     }
     regs.reduce(_ unionByName _)
-      .groupBy(col("b"), col("sub"))
+      .groupBy((groupCols :+ "b" :+ "sub").map(col): _*)
       .agg(sum(col("cnt")).as("cnt"))
   }
 
@@ -412,5 +425,53 @@ object Sketches {
       (qp, rank, n, out)
     }
     rows.toDF("q_pct", "rank", "n", "value_lb")
+  }
+
+  /** Per-group quantile readout off a [[logHistRegistersBy]] relation
+    * with ONE group column: same integer-ceil-rank / cell-lower-bound
+    * semantics as [[logHistQuantiles]], walked independently per group.
+    * Bounded driver collect enforced at `maxGroups` × 513 cells —
+    * refuse loudly rather than OOM on an unbounded group domain.
+    * Output one row per (group, q): (group, q_pct, rank, n, value_lb).
+    */
+  def logHistQuantilesBy(registers: DataFrame, groupCol: String,
+      qs: Seq[Double], maxGroups: Int = 4096): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      "quantiles must be in (0, 1]")
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val limit = maxGroups.toLong * 513L
+    val cells = registers.select(col(groupCol).cast("string"),
+        col("b").cast("long"), col("sub").cast("long"),
+        col("cnt").cast("long"))
+      .limit((limit + 1).toInt)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    require(cells.length <= limit,
+      s"logHistQuantilesBy: register relation exceeds maxGroups=$maxGroups" +
+        " × 513 cells — raise maxGroups or pre-filter the groups")
+    def lb(b: Long, sub: Long): Long =
+      if (b < 0) 0L
+      else if (b >= 3) (8L + sub) << (b - 3)
+      else (8L + sub) >> (3 - b)
+    val rows = cells.groupBy(_._1).toSeq.flatMap { case (g, cs) =>
+      val sorted = cs.sortBy(c => (c._2, c._3))
+      val n = sorted.map(_._4).sum
+      qs.map { q =>
+        val qp = math.round(q * 100)
+        val rank = math.max(1L, (qp * n + 99L) / 100L)
+        var cum = 0L
+        var out = 0L
+        var i = 0
+        var found = false
+        while (i < sorted.length && !found) {
+          cum += sorted(i)._4
+          if (cum >= rank) { out = lb(sorted(i)._2, sorted(i)._3); found = true }
+          i += 1
+        }
+        (g, qp, rank, n, out)
+      }
+    }
+    rows.toDF(groupCol, "q_pct", "rank", "n", "value_lb")
   }
 }

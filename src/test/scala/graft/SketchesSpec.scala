@@ -272,4 +272,26 @@ class SketchesSpec extends AnyFunSuite {
         s"q=$q truth=$truth outside cell at lb=$lb")
     }
   }
+
+  test("logHistQuantilesBy: groups sketch independently, match the " +
+      "global readout run per group") {
+    val rows = (1L to 500L).map(i => ("small", i)) ++
+      (1L to 500L).map(i => ("big", i * 1000L))
+    val regs = Sketches.logHistRegistersBy(rows.toDF("g", "v"),
+      Seq("g"), "v")
+    val got = Sketches.logHistQuantilesBy(regs, "g", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    for (g <- Seq("small", "big")) {
+      val solo = Sketches.logHistQuantiles(
+        Sketches.logHistRegisters(
+          rows.filter(_._1 == g).map(_._2).toDF("v"), "v"),
+        Seq(0.5, 0.9))
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got(g -> 50L) == solo(50L) && got(g -> 90L) == solo(90L),
+        s"$g: $got vs $solo")
+    }
+    // and the big group's p50 really is ~1000x the small group's
+    assert(got("big" -> 50L) >= 500L * got("small" -> 50L))
+  }
 }
