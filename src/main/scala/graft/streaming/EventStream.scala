@@ -329,6 +329,33 @@ object EventStream {
       }
       .start()
 
+  /** Continuous value-DISTRIBUTION telemetry: log-histogram registers
+    * ([[graft.functions.Sketches.logHistRegisters]]) merge by cell-wise
+    * SUM — exactly-once per micro-batch via [[sketchBatch]]'s replay
+    * guard, like the CMS. The streamed registers are EXACTLY the batch
+    * sketch of everything ingested; read percentiles any time with
+    * `Sketches.logHistQuantiles(spark.read.parquet(s"$$path/registers"),
+    * ...)` — live p50/p95/p99 of doc lengths / payload sizes without
+    * ever sorting anything.
+    */
+  def logHistSketchStream(stream: DataFrame, path: String,
+      valueCol: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        releasingBlocks(b.sparkSession) {
+          sketchBatch(path, valueCol,
+            batch => graft.functions.Sketches
+              .logHistRegisters(batch, valueCol),
+            (df, cells, v) => df.groupBy(cells.map(col): _*)
+              .agg(sum(col(v)).as(v)),
+            Seq("b", "sub"), "cnt")(b.toDF(), id)
+        }
+      }
+      .start()
+
   /** Continuous LM count-table maintenance: each micro-batch's unified
     * (ord, w2, w1, w0, c) relation (`NgramLm.countsUnified`) merges by
     * SUM into `path/registers` under [[sketchBatch]]'s crash-safe swap +

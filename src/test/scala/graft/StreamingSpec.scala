@@ -177,6 +177,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(est >= 3, s"key5 appears 3 times, CMS must not undercount: $est")
   }
 
+  test("logHistSketchStream: streamed sum-merged cells equal the " +
+      "one-shot batch sketch; quantile readout works off the live relation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Sketches
+    val base = java.nio.file.Files.createTempDirectory("graft_lhstream")
+    val path = base.resolve("lh").toString
+    val all = (1 until 400).map(i => Doc(i.toLong, s"x$i"))
+    val input = MemoryStream[Doc]
+    val q = EventStream.logHistSketchStream(input.toDF(), path, "doc_id",
+      base.resolve("c").toString)
+    try {
+      input.addData(all.take(150): _*); q.processAllAvailable()
+      input.addData(all.drop(150): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$path/registers").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.logHistRegisters(
+        all.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      "streamed log-hist registers must equal the one-shot batch sketch")
+    val p50 = Sketches.logHistQuantiles(
+      spark.read.parquet(s"$path/registers"), Seq(0.5))
+      .collect()(0).getLong(3)
+    // true p50 of 1..399 is 200; cell lower bound within 12.5%
+    assert(p50 <= 200 && 200 < p50 + math.max(1L, p50 >> 3), s"p50=$p50")
+  }
+
   test("bloomSketchStream: streamed OR-merged bits equal the one-shot " +
       "batch filter; members stay positive") {
     import spark.implicits._
