@@ -2925,6 +2925,60 @@ object SparkEntry {
           col("rank").as("k2"), col("value_lb").as("v")))
     }),
 
+    // URL CANONICALIZATION + HOST + REGISTERED DOMAIN: deterministic
+    // synthetic URLs (mixed scheme/host case, default and non-default
+    // ports, utm/fbclid tracking params, fragments, co.uk hosts) pushed
+    // through the codegen'd regexp canonicalizer, the host extractor,
+    // and the bring-your-own-suffix registered-domain mapping. The
+    // oracle replays the identical patterns under RE2 — two independent
+    // regex engines agreeing on every canonical form (q167 discipline).
+    "q186_url_canonical" -> ((s, dir) => {
+      import graft.functions.TextFns
+      import graft.operators.Curation
+      import s.implicits._
+      val id = col("doc_id")
+      val url = concat(
+        when(id % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+        when(id % 5 === 0, concat(lit("Sub.site"), id % 20, lit(".CO.UK")))
+          .otherwise(concat(lit("WWW.Site"), id % 20, lit(".Com"))),
+        when(id % 4 === 0, lit(":80"))
+          .when(id % 4 === 1, lit(":443")).otherwise(lit("")),
+        when(id % 7 === 0, lit("")).otherwise(concat(lit("/Path/"), id % 7)),
+        when(id % 3 === 0, concat(lit("?utm_source=x&id="), id))
+          .when(id % 3 === 1,
+            concat(lit("?id="), id, lit("&utm_campaign=Y&b=2")))
+          .otherwise(lit("")),
+        when(id % 2 === 0, lit("#Frag")).otherwise(lit("")))
+      val u = t(s, dir, "documents").select(id, url.as("url"))
+        .withColumn("canonical", TextFns.urlCanonicalize(col("url")))
+        .withColumn("host", TextFns.urlHost(col("url")))
+      val sfx = Seq("com", "org", "co.uk").toDF("suffix")
+      val reg = Curation.registeredDomains(u, "host", sfx, "suffix")
+      u.join(reg, Seq("host"), "left")
+        .select(col("doc_id"), col("url"), col("canonical"), col("host"),
+          col("registered_domain"))
+    }),
+
+    // CCNET-STYLE LINE DEDUP (apply step): documents re-lined into
+    // 10-token lines (deterministically, both engines), then every line
+    // whose normalized form appears in ≥2 distinct docs is dropped and
+    // the survivors rebuilt in order — the line-level boilerplate strip
+    // CCNet runs before document-level dedup. clean_text hash-gated
+    // verbatim (newlines and all).
+    "q185_line_dedup" -> ((s, dir) => {
+      import graft.operators.Curation
+      val relined = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("__t"))
+        .select(col("doc_id"),
+          expr("array_join(transform(sequence(0, " +
+            "cast((size(__t) - 1) / 10 as int)), " +
+            "i -> array_join(slice(__t, i * 10 + 1, 10), ' ')), '\n')")
+            .as("text"))
+      Curation.lineDedup(relined, "doc_id", "text", minDocs = 2)
+    }),
+
     // PER-GROUP log-histogram percentiles (the hllRegistersBy companion):
     // one independent ≤513-cell sketch per source, p50/p95 doc lengths
     // read out at integer-ceil ranks — the corpus-report shape at 100 TB
@@ -4299,6 +4353,105 @@ object SparkEntry {
          |SELECT 'hash' AS kind, doc_id AS k1, CAST(0 AS BIGINT) AS k2,
          |  ahash AS v FROM h
          |UNION ALL SELECT 'pair', id1, id2, hamming FROM pairs""".stripMargin,
+
+    // q186: the canonicalization chain replayed pattern-for-pattern
+    // under RE2 (DuckDB) vs Java regex (engine) — two independent regex
+    // engines must agree on every canonical form, host, and registered
+    // domain (longest-suffix argmax, ties broken identically).
+    "q186_url_canonical" ->
+      raw"""WITH u0 AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+         |    (CASE WHEN doc_id % 5 = 0
+         |          THEN 'Sub.site' || (doc_id % 20) || '.CO.UK'
+         |          ELSE 'WWW.Site' || (doc_id % 20) || '.Com' END) ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN ':80'
+         |          WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ''
+         |          ELSE '/Path/' || (doc_id % 7) END) ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || doc_id
+         |          WHEN doc_id % 3 = 1
+         |          THEN '?id=' || doc_id || '&utm_campaign=Y&b=2'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN '#Frag' ELSE '' END) AS url
+         |  FROM documents),
+         |nf AS (SELECT doc_id, url,
+         |    regexp_replace(url, '#.*$$', '') AS s1 FROM u0),
+         |sa AS (SELECT *, regexp_extract(s1,
+         |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS auth FROM nf),
+         |lo AS (SELECT doc_id, url,
+         |    CASE WHEN auth = '' THEN s1
+         |         ELSE lower(auth) || substr(s1, len(auth) + 1) END AS s2
+         |  FROM sa),
+         |p1 AS (SELECT doc_id, url, regexp_replace(regexp_replace(s2,
+         |    '^(http://[^/?#:]*):80([/?#].*)?$$', '\1\2'),
+         |    '^(https://[^/?#:]*):443([/?#].*)?$$', '\1\2') AS s3 FROM lo),
+         |q1 AS (SELECT doc_id, url, regexp_replace(s3,
+         |    '&(utm_[^&=]*|fbclid)=[^&]*', '', 'g') AS s4 FROM p1),
+         |q2 AS (SELECT doc_id, url, regexp_replace(s4,
+         |    '\?(utm_[^&=]*|fbclid)=[^&]*&', '?') AS s5 FROM q1),
+         |q3 AS (SELECT doc_id, url, regexp_replace(s5,
+         |    '\?(utm_[^&=]*|fbclid)=[^&]*$$', '') AS s6 FROM q2),
+         |tr AS (SELECT doc_id, url,
+         |    regexp_replace(s6, '[?&]$$', '') AS s7 FROM q3),
+         |canon AS (SELECT doc_id, url, regexp_replace(s7,
+         |    '^([a-z][a-z0-9+.-]*://[^/?#]+)$$', '\1/') AS canonical
+         |  FROM tr),
+         |hosts AS (SELECT doc_id, url, canonical,
+         |    CASE WHEN regexp_extract(url,
+         |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) = '' THEN NULL
+         |      ELSE lower(regexp_replace(regexp_replace(
+         |        regexp_extract(url,
+         |          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+         |        '^[^@]*@', ''), ':[0-9]*$$', '')) END AS host
+         |  FROM canon),
+         |sfx(sfs) AS (VALUES ('com'), ('org'), ('co.uk')),
+         |hm AS (SELECT DISTINCT host FROM hosts WHERE host IS NOT NULL),
+         |rm AS (SELECT h.host, s.sfs, len(s.sfs) AS l FROM hm h
+         |  JOIN sfx s ON h.host = s.sfs OR h.host LIKE '%.' || s.sfs),
+         |best AS (SELECT host, sfs FROM rm
+         |  QUALIFY row_number() OVER (PARTITION BY host
+         |    ORDER BY l DESC, sfs DESC) = 1),
+         |reg AS (SELECT host,
+         |    CASE WHEN host = sfs THEN NULL
+         |         ELSE regexp_extract(
+         |             substr(host, 1, len(host) - len(sfs) - 1),
+         |             '([^.]+)$$', 1) || '.' || sfs END AS registered_domain
+         |  FROM best)
+         |SELECT h.doc_id, h.url, h.canonical, h.host, r.registered_domain
+         |FROM hosts h LEFT JOIN reg r ON r.host = h.host""".stripMargin,
+
+    // q185: the line-dedup chain replayed — same deterministic 10-token
+    // re-lining, distinct-doc counts on normalized lines, NOT EXISTS
+    // removal, string_agg rebuild with chr(10).
+    "q185_line_dedup" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |d AS (SELECT doc_id, array_to_string(list_transform(
+         |    range(0, (len(w) - 1) // 10 + 1),
+         |    i -> array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ')),
+         |    chr(10)) AS text FROM d0),
+         |ln AS (SELECT doc_id,
+         |    unnest(str_split(text, chr(10))) AS line,
+         |    unnest(list_transform(
+         |      range(1, len(str_split(text, chr(10))) + 1),
+         |      j -> CAST(j - 1 AS BIGINT))) AS pos
+         |  FROM d),
+         |nm AS (SELECT doc_id, pos, line, lower(trim(line)) AS norm
+         |  FROM ln),
+         |sh AS (SELECT norm FROM nm WHERE norm <> '' GROUP BY norm
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT n.doc_id, n.pos, n.line FROM nm n
+         |  WHERE NOT EXISTS (SELECT 1 FROM sh WHERE sh.norm = n.norm)),
+         |ct AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+         |    AS clean, CAST(count(*) AS BIGINT) AS nk
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id,
+         |    CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines
+         |  FROM d)
+         |SELECT t.doc_id, COALESCE(ct.clean, '') AS clean_text,
+         |  t.n_lines, t.n_lines - COALESCE(ct.nk, 0) AS dup_lines
+         |FROM tot t LEFT JOIN ct ON ct.doc_id = t.doc_id""".stripMargin,
 
     // q184: the per-source log-histogram replayed with source-partitioned
     // cumulative windows — same integer lattice as q183.

@@ -422,4 +422,57 @@ object TextFns {
   }
 
   def langId(text: Column): Column = langIdKernel(tokens(lower(text)))
+
+  // ------------------------------------------------- URL canonicalization
+
+  /** Canonicalize a URL for dedup/host-graph keying — the web-corpus
+    * normalization pass (crawls re-serve the same page under scheme/
+    * host case, default ports, tracking params, and fragments):
+    *
+    *  1. drop the fragment (`#...`);
+    *  2. lowercase the scheme and authority (path/query case is
+    *     significant and kept);
+    *  3. strip default ports (`:80` for http, `:443` for https);
+    *  4. remove `utm_*` and `fbclid` tracking query parameters
+    *     (other parameters keep their original order);
+    *  5. drop an empty trailing `?`/`&`;
+    *  6. give a bare authority the root path (`http://x.com` →
+    *     `http://x.com/`).
+    *
+    * Pure codegen'd regexp chain (no lookaround — the same patterns run
+    * under Java regex here and RE2 in the DuckDB oracle, so two
+    * independent regex engines cross-check the result, the q167
+    * two-implementations discipline). Null stays null; a string with
+    * no `scheme://` is returned with steps 1/4/5 applied only (no
+    * authority to case-fold).
+    */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase scheme://authority (authority = up to first /, ?, #)
+    val schemeAuth = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    val lowered = when(schemeAuth === "", noFrag)
+      .otherwise(concat(lower(schemeAuth),
+        noFrag.substr(length(schemeAuth) + 1, length(noFrag))))
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    val noUtm1 = regexp_replace(noPort, "&(utm_[^&=]*|fbclid)=[^&]*", "")
+    val noUtm2 = regexp_replace(noUtm1,
+      "\\?(utm_[^&=]*|fbclid)=[^&]*&", "?")
+    val noUtm3 = regexp_replace(noUtm2,
+      "\\?(utm_[^&=]*|fbclid)=[^&]*$", "")
+    val noTrail = regexp_replace(noUtm3, "[?&]$", "")
+    regexp_replace(noTrail, "^([a-z][a-z0-9+.-]*://[^/?#]+)$", "$1/")
+  }
+
+  /** The lowercased host of a URL: authority minus userinfo and port.
+    * Null/no-authority → null.
+    */
+  def urlHost(url: Column): Column = {
+    val auth = regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val host = lower(regexp_replace(regexp_replace(auth, "^[^@]*@", ""),
+      ":[0-9]*$", ""))
+    when(host === "", lit(null).cast("string")).otherwise(host)
+  }
 }

@@ -1149,4 +1149,95 @@ object Curation {
       .select((Seq("doc_id", "n_chars") ++ flagCols :+ "keep")
         .map(col): _*)
   }
+
+  /** CCNet-style LINE-LEVEL boilerplate removal — the apply step over
+    * the unit [[boilerplatePassages]] detects: split each document on
+    * newlines, drop every line whose NORMALIZED form (lowercase,
+    * trimmed) appears in ≥ `minDocs` DISTINCT documents (nav bars,
+    * cookie banners, license footers — the lines CCNet strips before
+    * any document-level dedup), and rebuild the survivors in original
+    * order. Blank lines are never counted as shared and pass through;
+    * null text stays null. Output: (doc_id, clean_text, n_lines,
+    * dup_lines).
+    *
+    * Scale shape: one line explode, one vocabulary-sized distinct-doc
+    * count on the normalized line hash, one anti-join, one per-doc
+    * ordered rebuild — the q181 removal shape with lines instead of
+    * token windows; nothing beyond the line relation shuffles.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs $minDocs must be >= 2")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"))
+    val lines = base
+      .select(col("doc_id"), posexplode(split(col("__text"), "\n")))
+      .toDF("doc_id", "pos", "line")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("line"), lower(trim(col("line"))).as("__norm"))
+    val shared = lines.filter(col("__norm") =!= "")
+      .groupBy(col("__norm"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__norm"))
+    val kept = lines.join(shared, Seq("__norm"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+          .as("__ordered"),
+        count(lit(1)).as("__nk"))
+      .select(col("doc_id"),
+        expr("array_join(transform(__ordered, x -> x.line), '\n')")
+          .as("__clean"),
+        col("__nk"))
+    val nl = base.select(col("doc_id"),
+      when(col("__text").isNull, lit(0L))
+        .otherwise(size(split(col("__text"), "\n"))).cast("long")
+        .as("n_lines"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .join(nl, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("__text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__nk"), lit(0L))).as("dup_lines"))
+  }
+
+  /** Registered-domain mapping for a host relation against a
+    * CALLER-SUPPLIED public-suffix relation (bring your own
+    * publicsuffix.org list — the external-artifact pattern of
+    * `QualityModel.loadTokenWeights`): for each distinct lowercased
+    * host, the registered domain is (one label) + '.' + the LONGEST
+    * listed suffix the host ends with at a label boundary; a host that
+    * IS a bare suffix, or matches no suffix, maps to null. Returns the
+    * (host, registered_domain) mapping — join it back to your corpus.
+    * The host-graph keying step ([[graft.operators.Graph]] PageRank/
+    * TrustRank run on registered domains, not raw subdomains).
+    *
+    * Shape: distinct hosts × a BROADCAST suffix list (a few thousand
+    * rows by contract) via endswith, longest-suffix argmax per host —
+    * no corpus-sized shuffle beyond the host distinct.
+    */
+  def registeredDomains(hosts: DataFrame, hostCol: String,
+      suffixes: DataFrame, suffixCol: String): DataFrame = {
+    val sfx = broadcast(suffixes
+      .select(lower(col(suffixCol)).as("__sfx")).distinct())
+    val hm = hosts.select(lower(col(hostCol)).as("host"))
+      .filter(col("host").isNotNull).distinct()
+    hm.join(sfx,
+        col("host") === col("__sfx") ||
+          col("host").endsWith(concat(lit("."), col("__sfx"))), "left")
+      .withColumn("__reg",
+        when(col("__sfx").isNull || col("host") === col("__sfx"),
+          lit(null).cast("string"))
+        .otherwise(concat(
+          regexp_extract(
+            col("host").substr(lit(1),
+              length(col("host")) - length(col("__sfx")) - 1),
+            "([^.]+)$", 1),
+          lit("."), col("__sfx"))))
+      .groupBy(col("host"))
+      .agg(max_by(col("__reg"),
+        struct(length(coalesce(col("__sfx"), lit(""))),
+          coalesce(col("__sfx"), lit("")))).as("registered_domain"))
+  }
 }

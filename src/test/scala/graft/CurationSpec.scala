@@ -664,3 +664,40 @@ class ImageDecodeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(math.abs(got(1L)._1 - d1) < 1e-12, s"${got(1L)._1} vs $d1")
   }
 }
+
+class UrlLineDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Curation
+
+  test("registeredDomains: longest suffix wins, bare suffix and " +
+      "unmatched hosts map to null") {
+    val hosts = Seq("www.ex.com", "a.b.ex.co.uk", "co.uk", "weird.zz", null)
+      .toDF("h")
+    val sfx = Seq("com", "uk", "co.uk").toDF("s")
+    val got = Curation.registeredDomains(hosts, "h", sfx, "s")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("www.ex.com") == Some("ex.com"))
+    assert(got("a.b.ex.co.uk") == Some("ex.co.uk")) // co.uk beats uk
+    assert(got("co.uk") == None)   // bare suffix
+    assert(got("weird.zz") == None) // no suffix listed
+  }
+
+  test("lineDedup: shared normalized lines removed, blanks and unique " +
+      "lines kept in order, null text passes through") {
+    val docs = Seq(
+      (1L, "Unique One\nCopyright FOO corp\n\nbody text a"),
+      (2L, "body intro\ncopyright foo CORP\nUnique Two"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.lineDedup(docs, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((Some("Unique One\n\nbody text a"), 4L, 1L)),
+      got(1L).toString)
+    assert(got(2L) == ((Some("body intro\nUnique Two"), 3L, 1L)),
+      got(2L).toString)
+    assert(got(3L) == ((None, 0L, 0L)))
+  }
+}
