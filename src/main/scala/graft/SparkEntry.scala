@@ -3065,6 +3065,25 @@ object SparkEntry {
           col("hamming").as("v")))
     }),
 
+    // MULTICLASS EXTERNAL-MODEL SCORING (the fastText-LID shape):
+    // (token, class, weight) + (class, bias) relations drive per-doc
+    // per-class integer margins with a deterministic argmax — every
+    // margin AND the prediction flag under the oracle.
+    "q187_multiclass_lid" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      import s.implicits._
+      val w = Seq(
+        ("the", "en", 3L), ("a", "en", 2L), ("table", "en", 1L),
+        ("data", "de", 2L), ("table", "de", 2L), ("row", "de", 1L),
+        ("query", "fr", 2L), ("value", "fr", 2L), ("join", "fr", 1L))
+        .toDF("token", "lang", "weight")
+      val b = Seq(("en", -1L), ("de", 0L), ("fr", 1L))
+        .toDF("lang", "bias")
+      QualityModel.tokenMulticlassScore(t(s, dir, "documents"), "doc_id",
+        "text", w, "token", "lang", "weight", b, "lang", "bias")
+        .withColumnRenamed("cls", "lang")
+    }),
+
     // EXTERNAL-MODEL SCORING: a pretrained (token → integer weight)
     // relation drives a bag-of-words linear classifier (folded fastText
     // shape) — margin = bias + Σ count(token)·w(token), exact longs,
@@ -4486,6 +4505,34 @@ object SparkEntry {
          |SELECT source, CAST(q AS BIGINT) AS q_pct,
          |  CAST(rank AS BIGINT) AS rank, n, CAST(lb AS BIGINT) AS value_lb
          |FROM sel""".stripMargin,
+
+    // q187: the multiclass scorer replayed — same VALUES weight/bias
+    // tables, per-(doc, class) integer sums, argmax by (margin DESC,
+    // class ASC) as a QUALIFY flag.
+    "q187_multiclass_lid" ->
+      raw"""WITH w(token, lang, weight) AS (VALUES
+         |  ('the', 'en', 3), ('a', 'en', 2), ('table', 'en', 1),
+         |  ('data', 'de', 2), ('table', 'de', 2), ('row', 'de', 1),
+         |  ('query', 'fr', 2), ('value', 'fr', 2), ('join', 'fr', 1)),
+         |b(lang, bias) AS (VALUES ('en', -1), ('de', 0), ('fr', 1)),
+         |tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+         |      AS token
+         |  FROM documents WHERE coalesce(trim(text), '') <> ''),
+         |sc AS (SELECT t.doc_id, w.lang, CAST(sum(w.weight) AS BIGINT)
+         |    AS s
+         |  FROM tok t JOIN w ON w.token = t.token GROUP BY 1, 2),
+         |mg AS (SELECT d.doc_id, b.lang,
+         |    CAST(b.bias + COALESCE(sc.s, 0) AS BIGINT) AS margin
+         |  FROM documents d CROSS JOIN b
+         |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = b.lang),
+         |pr AS (SELECT doc_id, lang AS pl FROM mg
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY margin DESC, lang) = 1)
+         |SELECT m.doc_id, m.lang, m.margin,
+         |  CAST(CASE WHEN m.lang = p.pl THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_pred
+         |FROM mg m JOIN pr p ON p.doc_id = m.doc_id""".stripMargin,
 
     // q179: the external-weight linear scorer replayed — same VALUES
     // vocabulary, whitespace tokens of lower(trim(text)), integer sum +

@@ -162,6 +162,54 @@ object QualityModel {
       .withColumn("pred", when(col("margin") > 0, 1L).otherwise(lit(-1L)))
   }
 
+  /** MULTICLASS external-model scoring — the full fastText-style
+    * language-ID shape ([[tokenLinearScore]] is the binary special
+    * case): a (token, class, integer weight) relation plus a (class,
+    * integer bias) relation; per document,
+    *
+    *   margin(doc, c) = bias_c + Σ_t count_t(doc) · w(t, c)
+    *   prediction     = argmax_c margin  (ties → smallest class name)
+    *
+    * The class list comes from the BIAS relation (authoritative — a
+    * class with no token weights still scores its bias; a weight row
+    * whose class has no bias is ignored). Output: one row per
+    * (doc, class) with the exact long margin and an `is_pred` flag on
+    * the argmax row. All-integer, so predictions are bit-reproducible
+    * across engines and partitionings — real LID labels from real
+    * exported weights without a model runtime.
+    *
+    * Scale shape: one token explode, one broadcast join against the
+    * (vocab × classes) weight relation, one map-side-combined
+    * (doc, class) sum, one docs × |classes| base cross (classes are a
+    * handful by contract) — nothing corpus-sized shuffles twice.
+    */
+  def tokenMulticlassScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, tokenCol: String, clsCol: String,
+      weightCol: String, biases: DataFrame, biasClsCol: String,
+      biasCol: String): DataFrame = {
+    val cls = broadcast(biases.select(col(biasClsCol).as("cls"),
+      col(biasCol).cast("long").as("__bias")).distinct())
+    val w = broadcast(weights.select(col(tokenCol).as("__tok"),
+      col(clsCol).as("cls"), col(weightCol).cast("long").as("__w")))
+    val contrib = docs
+      .select(col(idCol), explode(TextFns.tokens(lower(col(textCol))))
+        .as("__tok"))
+      .join(w, Seq("__tok"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("__w")).as("__s"))
+    val margins = docs.select(col(idCol)).crossJoin(cls)
+      .join(contrib, Seq(idCol, "cls"), "left")
+      .select(col(idCol), col("cls"),
+        (col("__bias") + coalesce(col("__s"), lit(0L))).as("margin"))
+    val pred = margins.groupBy(col(idCol))
+      .agg(min_by(col("cls"),
+        struct((-col("margin")).as("nm"), col("cls"))).as("__pred"))
+    margins.join(pred, Seq(idCol))
+      .select(col(idCol), col("cls"), col("margin"),
+        when(col("cls") === col("__pred"), lit(1L)).otherwise(lit(0L))
+          .as("is_pred"))
+  }
+
   /** Load a foreign-format linear-model weight file into a (token,
     * weight) relation — the artifact bridge for [[tokenLinearScore]].
     * Format: plain text, one `token value` pair per line (whitespace-

@@ -111,4 +111,35 @@ class QualityModelSpec extends AnyFunSuite {
     assert(got(3L) == ((-2L, -1L)))
     assert(got(4L) == ((-2L, -1L)))
   }
+
+  test("tokenMulticlassScore: per-class margins hand-computed, argmax " +
+      "flagged, ties break to the smallest class, bias-only docs covered") {
+    val docs = Seq(
+      (1L, "the the table"),     // en: -1+3+3+1=6; de: 0+2=2; fr: 1
+      (2L, "query value"),       // en: -1; de: 0; fr: 1+2+2=5
+      (3L, "nothing known"),     // biases only: en -1, de 0, fr 1 -> fr
+      (4L, "table table"))       // en: -1+2=1; de: 0+4=4; fr: 1
+      .toDF("doc_id", "text")
+    val w = Seq(
+      ("the", "en", 3L), ("table", "en", 1L),
+      ("table", "de", 2L),
+      ("query", "fr", 2L), ("value", "fr", 2L)).toDF("token", "c", "wt")
+    val b = Seq(("en", -1L), ("de", 0L), ("fr", 1L)).toDF("c", "bias")
+    val got = QualityModel.tokenMulticlassScore(docs, "doc_id", "text",
+        w, "token", "c", "wt", b, "c", "bias")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1L, "en")) == ((6L, 1L)) && got((1L, "de")) == ((2L, 0L)))
+    assert(got((2L, "fr")) == ((5L, 1L)) && got((2L, "en")) == ((-1L, 0L)))
+    assert(got((3L, "fr")) == ((1L, 1L)) && got((3L, "de")) == ((0L, 0L)))
+    assert(got((4L, "de")) == ((4L, 1L)))
+    // tie case: equal margins -> smallest class name wins
+    val tie = QualityModel.tokenMulticlassScore(
+        Seq((9L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", w, "token", "c", "wt",
+        Seq(("aa", 5L), ("bb", 5L)).toDF("c", "bias"), "c", "bias")
+      .filter(col("is_pred") === 1L).collect()
+    assert(tie.length == 1 && tie(0).getString(1) == "aa")
+  }
 }
