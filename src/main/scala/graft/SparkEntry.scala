@@ -3065,6 +3065,29 @@ object SparkEntry {
           col("hamming").as("v")))
     }),
 
+    // LUHN-VALIDATED CREDIT-CARD REDACTION: public TEST PANs (valid
+    // checksums) and lookalike digit runs (invalid) planted per doc —
+    // only the checksum-passing candidates may be redacted, so a
+    // pattern-only redactor over- OR under-redacting breaks the text
+    // hash. The oracle replays candidate extraction (same regex under
+    // RE2), the integer Luhn sum, and replace-all per valid candidate.
+    "q188_ccn_redact" -> ((s, dir) => {
+      import graft.operators.Curation
+      val id = col("doc_id")
+      val valid = array(lit("4111111111111111"), lit("5500 0000 0000 0004"),
+        lit("4012-8888-8888-1881"), lit("378282246310005"))
+      val invalid = array(lit("4111111111111112"),
+        lit("1234 5678 9012 3456"), lit("9999999999999"))
+      val planted = t(s, dir, "documents").select(id,
+        concat(coalesce(col("text"), lit("")), lit(" pay "),
+          element_at(valid, (pmod(id, lit(4)) + 1).cast("int")),
+          lit(" ref "),
+          element_at(invalid, (pmod(id, lit(3)) + 1).cast("int")))
+          .as("text"))
+      Curation.redactValidatedCcn(planted, "text")
+        .select(col("doc_id"), col("text").as("clean_text"), col("n_ccn"))
+    }),
+
     // MULTICLASS EXTERNAL-MODEL SCORING (the fastText-LID shape):
     // (token, class, weight) + (class, bias) relations drive per-doc
     // per-class integer margins with a deterministic argmax — every
@@ -4505,6 +4528,42 @@ object SparkEntry {
          |SELECT source, CAST(q AS BIGINT) AS q_pct,
          |  CAST(rank AS BIGINT) AS rank, n, CAST(lb AS BIGINT) AS value_lb
          |FROM sel""".stripMargin,
+
+    // q188: candidates re-extracted under RE2, Luhn replayed as an
+    // integer list fold, replacement as a replace-all list_reduce —
+    // clean text and counts must match the engine's UDF exactly.
+    "q188_ccn_redact" ->
+      raw"""WITH pv(i, v) AS (VALUES (0, '4111111111111111'),
+         |  (1, '5500 0000 0000 0004'), (2, '4012-8888-8888-1881'),
+         |  (3, '378282246310005')),
+         |pnv(i, v) AS (VALUES (0, '4111111111111112'),
+         |  (1, '1234 5678 9012 3456'), (2, '9999999999999')),
+         |d AS (SELECT doc_id,
+         |    coalesce(text, '') || ' pay ' || v1.v || ' ref ' || v2.v
+         |      AS text
+         |  FROM documents
+         |  JOIN pv v1 ON v1.i = doc_id % 4
+         |  JOIN pnv v2 ON v2.i = doc_id % 3),
+         |cand AS (SELECT doc_id, unnest(regexp_extract_all(text,
+         |    '\b\d(?:[ -]?\d){12,18}\b')) AS c FROM d),
+         |dg AS (SELECT doc_id, c, list_reverse(regexp_extract_all(
+         |    replace(replace(c, ' ', ''), '-', ''), '.')) AS r
+         |  FROM cand),
+         |lv AS (SELECT doc_id, c,
+         |    list_sum(list_transform(range(1, len(r) + 1),
+         |      i -> CASE WHEN i % 2 = 1 THEN r[i]::INT
+         |           WHEN 2 * r[i]::INT > 9 THEN 2 * r[i]::INT - 9
+         |           ELSE 2 * r[i]::INT END)) % 10 = 0 AS ok
+         |  FROM dg),
+         |vq AS (SELECT doc_id, list(c) AS vl,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM lv WHERE ok GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN v.vl IS NULL THEN d.text
+         |       ELSE list_reduce(list_prepend(d.text, v.vl),
+         |         (acc, x) -> replace(acc, x, '<CCN>')) END AS clean_text,
+         |  COALESCE(v.n, 0) AS n_ccn
+         |FROM d LEFT JOIN vq v ON v.doc_id = d.doc_id""".stripMargin,
 
     // q187: the multiclass scorer replayed — same VALUES weight/bias
     // tables, per-(doc, class) integer sums, argmax by (margin DESC,

@@ -943,6 +943,63 @@ object Curation {
       .withColumn(textCol, afterPhone)
   }
 
+  /** CHECKSUM-VALIDATED credit-card redaction — the false-positive cut
+    * serious PII pipelines add on top of [[redactPii]]'s pattern tier: a
+    * bare 13–19-digit run (optionally space/dash-grouped) is usually an
+    * order id, timestamp, or hash, so a candidate is redacted ONLY when
+    * its digits pass the Luhn mod-10 check (the PAN checksum). Appends
+    * `n_ccn` (validated occurrences) and rewrites `textCol` with every
+    * validated candidate string replaced by `<CCN>` (replace-all per
+    * candidate, the same semantics the oracle's list_reduce replay has).
+    *
+    * One Scala UDF (regex scan + integer checksum — no builtin can
+    * condition a replacement on a checksum), map-side only, the NFC
+    * precedent for a justified UDF. Null text passes through.
+    */
+  def redactValidatedCcn(docs: DataFrame, textCol: String): DataFrame = {
+    docs
+      .withColumn("__ccn", ccnRedactUdf(col(textCol)))
+      .withColumn("n_ccn", coalesce(col("__ccn._2"), lit(0L)))
+      .withColumn(textCol, col("__ccn._1"))
+      .drop("__ccn")
+  }
+
+  private[operators] def luhnOk(digits: String): Boolean = {
+    var sum = 0
+    var alt = false
+    var i = digits.length - 1
+    while (i >= 0) {
+      var d = digits.charAt(i) - '0'
+      if (alt) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      alt = !alt
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  private val ccnPattern =
+    "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  private val ccnRedactUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val m = java.util.regex.Pattern.compile(ccnPattern).matcher(s)
+      val valid = scala.collection.mutable.LinkedHashSet.empty[String]
+      var nHits = 0L
+      while (m.find()) {
+        val cand = m.group()
+        if (luhnOk(cand.replaceAll("[ -]", ""))) {
+          valid += cand
+          nHits += 1
+        }
+      }
+      var out = s
+      valid.foreach(c => out = out.replace(c, "<CCN>"))
+      (out, nHits)
+    }
+  }
+
   /** Gopher's stop-word rule set (Rae et al. 2021, App. A — note: a
     * DIFFERENT list from [[graft.functions.TextFns.stopwords]]).
     */

@@ -701,3 +701,35 @@ class UrlLineDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(3L) == ((None, 0L, 0L)))
   }
 }
+
+class CcnRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.Curation
+
+  test("redactValidatedCcn: Luhn-valid PANs redacted in all groupings, " +
+      "invalid lookalikes and short/long runs untouched, nulls pass") {
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"),          // valid, bare
+      (2L, "pay 5500 0000 0000 0004 now"),       // valid, spaced
+      (3L, "pay 4012-8888-8888-1881 now"),       // valid, dashed
+      (4L, "ref 4111111111111112 here"),         // invalid checksum
+      (5L, "ref 1234 5678 9012 3456 here"),      // invalid checksum
+      (6L, "order 123456789012 done"),           // 12 digits: too short
+      (7L, "twice 4111111111111111 and 4111111111111111"),
+      (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.redactValidatedCcn(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2)))).toMap
+    assert(got(1L) == ((Some("pay <CCN> now"), 1L)))
+    assert(got(2L) == ((Some("pay <CCN> now"), 1L)))
+    assert(got(3L) == ((Some("pay <CCN> now"), 1L)))
+    assert(got(4L)._1.get.contains("4111111111111112") && got(4L)._2 == 0L)
+    assert(got(5L)._1.get.contains("1234 5678 9012 3456") && got(5L)._2 == 0L)
+    assert(got(6L)._1.get.contains("123456789012") && got(6L)._2 == 0L)
+    assert(got(7L) == ((Some("twice <CCN> and <CCN>"), 2L)))
+    assert(got(8L) == ((None, 0L)))
+  }
+}
