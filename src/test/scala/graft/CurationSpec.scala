@@ -684,6 +684,22 @@ class UrlLineDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got("weird.zz") == None) // no suffix listed
   }
 
+  test("lineDedup is idempotent: one pass removes every shared line, " +
+      "a second pass is a no-op") {
+    val docs = Seq(
+      (1L, "shared header\nunique a\nshared footer"),
+      (2L, "shared header\nunique b\nshared footer"),
+      (3L, "shared header\nunique c"))
+      .toDF("doc_id", "text")
+    val once = Curation.lineDedup(docs, "doc_id", "text")
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = Curation.lineDedup(once, "doc_id", "text")
+    val a = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = twice.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a(1L) == "unique a" && a(3L) == "unique c")
+  }
+
   test("lineDedup: shared normalized lines removed, blanks and unique " +
       "lines kept in order, null text passes through") {
     val docs = Seq(
