@@ -2933,30 +2933,49 @@ object SparkEntry {
     // oracle replays the identical patterns under RE2 — two independent
     // regex engines agreeing on every canonical form (q167 discipline).
     "q186_url_canonical" -> ((s, dir) => {
-      import graft.functions.TextFns
       import graft.operators.Curation
       import s.implicits._
-      val id = col("doc_id")
-      val url = concat(
-        when(id % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
-        when(id % 5 === 0, concat(lit("Sub.site"), id % 20, lit(".CO.UK")))
-          .otherwise(concat(lit("WWW.Site"), id % 20, lit(".Com"))),
-        when(id % 4 === 0, lit(":80"))
-          .when(id % 4 === 1, lit(":443")).otherwise(lit("")),
-        when(id % 7 === 0, lit("")).otherwise(concat(lit("/Path/"), id % 7)),
-        when(id % 3 === 0, concat(lit("?utm_source=x&id="), id))
-          .when(id % 3 === 1,
-            concat(lit("?id="), id, lit("&utm_campaign=Y&b=2")))
-          .otherwise(lit("")),
-        when(id % 2 === 0, lit("#Frag")).otherwise(lit("")))
-      val u = t(s, dir, "documents").select(id, url.as("url"))
-        .withColumn("canonical", TextFns.urlCanonicalize(col("url")))
-        .withColumn("host", TextFns.urlHost(col("url")))
+      val u = urlFixture(s, dir)
       val sfx = Seq("com", "org", "co.uk").toDF("suffix")
       val reg = Curation.registeredDomains(u, "host", sfx, "suffix")
       u.join(reg, Seq("host"), "left")
         .select(col("doc_id"), col("url"), col("canonical"), col("host"),
           col("registered_domain"))
+    }),
+
+    // THE COMPOSED WEB-CURATION CHAIN: URLs → canonical hosts →
+    // registered domains (q186's machinery) → a deterministic doc link
+    // graph projected onto DOMAIN nodes (node id = min doc_id per
+    // domain) → 5 iterations of integer-lattice PageRank. The whole
+    // pipeline — regex canonicalization, suffix argmax, graph
+    // projection, rank recurrence — sits under ONE oracle hash, the
+    // q149 composition pattern for the host-ranking story.
+    "q189_domain_rank" -> ((s, dir) => {
+      import graft.operators.{Curation, Graph}
+      import s.implicits._
+      val u = urlFixture(s, dir)
+      val sfx = Seq("com", "org", "co.uk").toDF("suffix")
+      val dom = u
+        .join(Curation.registeredDomains(u, "host", sfx, "suffix"),
+          Seq("host"))
+        .filter(col("registered_domain").isNotNull)
+        .select(col("doc_id"), col("registered_domain"))
+      val ids = dom.groupBy(col("registered_domain"))
+        .agg(min(col("doc_id")).as("node"))
+      val d2n = dom.join(ids, Seq("registered_domain"))
+        .select(col("doc_id"), col("node"))
+      val links = t(s, dir, "documents").select(col("doc_id"),
+        ((col("doc_id") * 17 + 3) % 500).as("target"))
+      val edges = links
+        .join(d2n.select(col("doc_id"), col("node").as("src")),
+          Seq("doc_id"))
+        .join(d2n.select(col("doc_id").as("target"),
+          col("node").as("dst")), Seq("target"))
+        .select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val ranks = Graph.pageRankInt(edges, "src", "dst", iters = 5)
+      ranks.join(ids, ranks("node") === ids("node"))
+        .select(col("registered_domain"), col("rank"))
     }),
 
     // CCNET-STYLE LINE DEDUP (apply step): documents re-lined into
@@ -4256,6 +4275,115 @@ object SparkEntry {
     * `//` is DuckDB integer floor division — same lattice as the
     * engine's `div`.
     */
+  /** The q186 URL chain (u0 → nf → sa → lo → p1 → q1 → q2 → q3 → tr →
+    * canon → hosts → sfx → hm → rm → best → reg) — shared by the q186
+    * canonicalization oracle and the q189 domain-rank oracle.
+    */
+  private def urlChainCtes: String =
+    raw"""u0 AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+         |    (CASE WHEN doc_id % 5 = 0
+         |          THEN 'Sub.site' || (doc_id % 20) || '.CO.UK'
+         |          ELSE 'WWW.Site' || (doc_id % 20) || '.Com' END) ||
+         |    (CASE WHEN doc_id % 4 = 0 THEN ':80'
+         |          WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ''
+         |          ELSE '/Path/' || (doc_id % 7) END) ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || doc_id
+         |          WHEN doc_id % 3 = 1
+         |          THEN '?id=' || doc_id || '&utm_campaign=Y&b=2'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN '#Frag' ELSE '' END) AS url
+         |  FROM documents),
+         |nf AS (SELECT doc_id, url,
+         |    regexp_replace(url, '#.*$$', '') AS s1 FROM u0),
+         |sa AS (SELECT *, regexp_extract(s1,
+         |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS auth FROM nf),
+         |lo AS (SELECT doc_id, url,
+         |    CASE WHEN auth = '' THEN s1
+         |         ELSE lower(auth) || substr(s1, len(auth) + 1) END AS s2
+         |  FROM sa),
+         |p1 AS (SELECT doc_id, url, regexp_replace(regexp_replace(s2,
+         |    '^(http://[^/?#:]*):80([/?#].*)?$$', '\1\2'),
+         |    '^(https://[^/?#:]*):443([/?#].*)?$$', '\1\2') AS s3 FROM lo),
+         |q1 AS (SELECT doc_id, url, regexp_replace(s3,
+         |    '&(utm_[^&=]*|fbclid)=[^&]*', '', 'g') AS s4 FROM p1),
+         |q2 AS (SELECT doc_id, url, regexp_replace(s4,
+         |    '\?(utm_[^&=]*|fbclid)=[^&]*&', '?') AS s5 FROM q1),
+         |q3 AS (SELECT doc_id, url, regexp_replace(s5,
+         |    '\?(utm_[^&=]*|fbclid)=[^&]*$$', '') AS s6 FROM q2),
+         |tr AS (SELECT doc_id, url,
+         |    regexp_replace(s6, '[?&]$$', '') AS s7 FROM q3),
+         |canon AS (SELECT doc_id, url, regexp_replace(s7,
+         |    '^([a-z][a-z0-9+.-]*://[^/?#]+)$$', '\1/') AS canonical
+         |  FROM tr),
+         |hosts AS (SELECT doc_id, url, canonical,
+         |    CASE WHEN regexp_extract(url,
+         |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) = '' THEN NULL
+         |      ELSE lower(regexp_replace(regexp_replace(
+         |        regexp_extract(url,
+         |          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+         |        '^[^@]*@', ''), ':[0-9]*$$', '')) END AS host
+         |  FROM canon),
+         |sfx(sfs) AS (VALUES ('com'), ('org'), ('co.uk')),
+         |hm AS (SELECT DISTINCT host FROM hosts WHERE host IS NOT NULL),
+         |rm AS (SELECT h.host, s.sfs, len(s.sfs) AS l FROM hm h
+         |  JOIN sfx s ON h.host = s.sfs OR h.host LIKE '%.' || s.sfs),
+         |best AS (SELECT host, sfs FROM rm
+         |  QUALIFY row_number() OVER (PARTITION BY host
+         |    ORDER BY l DESC, sfs DESC) = 1),
+         |reg AS (SELECT host,
+         |    CASE WHEN host = sfs THEN NULL
+         |         ELSE regexp_extract(
+         |             substr(host, 1, len(host) - len(sfs) - 1),
+         |             '([^.]+)$$', 1) || '.' || sfs END AS registered_domain
+         |  FROM best)""".stripMargin
+
+  /** q189 oracle: the URL chain (shared CTEs), domain projection
+    * (node = min doc_id per registered domain), the deterministic link
+    * graph, and the q164 PageRank recurrence unrolled over it — the
+    * whole composed pipeline under one hash.
+    */
+  private def domainRankOracleSql(iters: Int, scale: Long = 1000000L,
+      dampNum: Long = 17L, dampDen: Long = 20L): String = {
+    val base = ((dampDen - dampNum) * scale) / dampDen
+    val head =
+      raw"""WITH ${urlChainCtes},
+         |dom AS (SELECT h.doc_id, r.registered_domain AS rd
+         |  FROM hosts h JOIN reg r ON r.host = h.host
+         |  WHERE r.registered_domain IS NOT NULL),
+         |ids AS (SELECT rd, CAST(min(doc_id) AS BIGINT) AS node
+         |  FROM dom GROUP BY rd),
+         |d2n AS (SELECT d0.doc_id, i.node FROM dom d0
+         |  JOIN ids i ON i.rd = d0.rd),
+         |lk AS (SELECT doc_id, (doc_id * 17 + 3) % 500 AS target
+         |  FROM documents),
+         |e AS (SELECT DISTINCT a.node AS src, b.node AS dst
+         |  FROM lk JOIN d2n a ON a.doc_id = lk.doc_id
+         |  JOIN d2n b ON b.doc_id = lk.target
+         |  WHERE a.node <> b.node),
+         |n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e
+         |  UNION ALL SELECT dst FROM e)),
+         |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e
+         |  GROUP BY src),
+         |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM n)"""
+        .stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      raw""",
+         |s$i AS (SELECT e.dst AS node, sum(r$p.rank // d.outdeg) AS insum
+         |  FROM e JOIN r$p ON r$p.node = e.src JOIN d ON d.src = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (SELECT n.node, CAST($base +
+         |    ($dampNum * COALESCE(s$i.insum, 0)) // $dampDen AS BIGINT)
+         |    AS rank
+         |  FROM n LEFT JOIN s$i ON s$i.node = n.node)""".stripMargin
+    }.mkString
+    head + steps +
+      s"\nSELECT i.rd AS registered_domain, r$iters.rank " +
+      s"FROM r$iters JOIN ids i ON i.node = r$iters.node"
+  }
+
   private def pageRankOracleSql(iters: Int, scale: Long = 1000000L,
       dampNum: Long = 17L, dampDen: Long = 20L): String = {
     val base = ((dampDen - dampNum) * scale) / dampDen
@@ -4318,8 +4446,34 @@ object SparkEntry {
     head + steps + s"\nSELECT node, rank FROM r$iters"
   }
 
+  /** Deterministic synthetic URL fixture shared by q186/q189: one URL
+    * per doc with mixed scheme/host case, default and non-default
+    * ports, tracking params, fragments, and co.uk hosts, plus the
+    * canonical form and host from [[graft.functions.TextFns]].
+    */
+  private def urlFixture(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns
+    val id = col("doc_id")
+    val url = concat(
+      when(id % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
+      when(id % 5 === 0, concat(lit("Sub.site"), id % 20, lit(".CO.UK")))
+        .otherwise(concat(lit("WWW.Site"), id % 20, lit(".Com"))),
+      when(id % 4 === 0, lit(":80"))
+        .when(id % 4 === 1, lit(":443")).otherwise(lit("")),
+      when(id % 7 === 0, lit("")).otherwise(concat(lit("/Path/"), id % 7)),
+      when(id % 3 === 0, concat(lit("?utm_source=x&id="), id))
+        .when(id % 3 === 1,
+          concat(lit("?id="), id, lit("&utm_campaign=Y&b=2")))
+        .otherwise(lit("")),
+      when(id % 2 === 0, lit("#Frag")).otherwise(lit("")))
+    t(s, dir, "documents").select(id, url.as("url"))
+      .withColumn("canonical", TextFns.urlCanonicalize(col("url")))
+      .withColumn("host", TextFns.urlHost(col("url")))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q164_pagerank" -> pageRankOracleSql(5),
+    "q189_domain_rank" -> domainRankOracleSql(5),
     "q174_trustrank" -> trustRankOracleSql(5),
 
     // q163: brute-force cross-join ground truth — the engine's PassJoin
@@ -4401,64 +4555,7 @@ object SparkEntry {
     // engines must agree on every canonical form, host, and registered
     // domain (longest-suffix argmax, ties broken identically).
     "q186_url_canonical" ->
-      raw"""WITH u0 AS (SELECT doc_id,
-         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
-         |    (CASE WHEN doc_id % 5 = 0
-         |          THEN 'Sub.site' || (doc_id % 20) || '.CO.UK'
-         |          ELSE 'WWW.Site' || (doc_id % 20) || '.Com' END) ||
-         |    (CASE WHEN doc_id % 4 = 0 THEN ':80'
-         |          WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
-         |    (CASE WHEN doc_id % 7 = 0 THEN ''
-         |          ELSE '/Path/' || (doc_id % 7) END) ||
-         |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || doc_id
-         |          WHEN doc_id % 3 = 1
-         |          THEN '?id=' || doc_id || '&utm_campaign=Y&b=2'
-         |          ELSE '' END) ||
-         |    (CASE WHEN doc_id % 2 = 0 THEN '#Frag' ELSE '' END) AS url
-         |  FROM documents),
-         |nf AS (SELECT doc_id, url,
-         |    regexp_replace(url, '#.*$$', '') AS s1 FROM u0),
-         |sa AS (SELECT *, regexp_extract(s1,
-         |    '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1) AS auth FROM nf),
-         |lo AS (SELECT doc_id, url,
-         |    CASE WHEN auth = '' THEN s1
-         |         ELSE lower(auth) || substr(s1, len(auth) + 1) END AS s2
-         |  FROM sa),
-         |p1 AS (SELECT doc_id, url, regexp_replace(regexp_replace(s2,
-         |    '^(http://[^/?#:]*):80([/?#].*)?$$', '\1\2'),
-         |    '^(https://[^/?#:]*):443([/?#].*)?$$', '\1\2') AS s3 FROM lo),
-         |q1 AS (SELECT doc_id, url, regexp_replace(s3,
-         |    '&(utm_[^&=]*|fbclid)=[^&]*', '', 'g') AS s4 FROM p1),
-         |q2 AS (SELECT doc_id, url, regexp_replace(s4,
-         |    '\?(utm_[^&=]*|fbclid)=[^&]*&', '?') AS s5 FROM q1),
-         |q3 AS (SELECT doc_id, url, regexp_replace(s5,
-         |    '\?(utm_[^&=]*|fbclid)=[^&]*$$', '') AS s6 FROM q2),
-         |tr AS (SELECT doc_id, url,
-         |    regexp_replace(s6, '[?&]$$', '') AS s7 FROM q3),
-         |canon AS (SELECT doc_id, url, regexp_replace(s7,
-         |    '^([a-z][a-z0-9+.-]*://[^/?#]+)$$', '\1/') AS canonical
-         |  FROM tr),
-         |hosts AS (SELECT doc_id, url, canonical,
-         |    CASE WHEN regexp_extract(url,
-         |        '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1) = '' THEN NULL
-         |      ELSE lower(regexp_replace(regexp_replace(
-         |        regexp_extract(url,
-         |          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
-         |        '^[^@]*@', ''), ':[0-9]*$$', '')) END AS host
-         |  FROM canon),
-         |sfx(sfs) AS (VALUES ('com'), ('org'), ('co.uk')),
-         |hm AS (SELECT DISTINCT host FROM hosts WHERE host IS NOT NULL),
-         |rm AS (SELECT h.host, s.sfs, len(s.sfs) AS l FROM hm h
-         |  JOIN sfx s ON h.host = s.sfs OR h.host LIKE '%.' || s.sfs),
-         |best AS (SELECT host, sfs FROM rm
-         |  QUALIFY row_number() OVER (PARTITION BY host
-         |    ORDER BY l DESC, sfs DESC) = 1),
-         |reg AS (SELECT host,
-         |    CASE WHEN host = sfs THEN NULL
-         |         ELSE regexp_extract(
-         |             substr(host, 1, len(host) - len(sfs) - 1),
-         |             '([^.]+)$$', 1) || '.' || sfs END AS registered_domain
-         |  FROM best)
+      raw"""WITH ${urlChainCtes}
          |SELECT h.doc_id, h.url, h.canonical, h.host, r.registered_domain
          |FROM hosts h LEFT JOIN reg r ON r.host = h.host""".stripMargin,
 
