@@ -3084,6 +3084,25 @@ object SparkEntry {
           col("hamming").as("v")))
     }),
 
+    // TWO-RELATION EDIT-DISTANCE JOIN (the R⋈S record-linkage form of
+    // q163's PassJoin): a "master" table of 20-char doc prefixes vs a
+    // "batch" of the same prefixes with one character substituted —
+    // every batch row must link back to its source (lev ≤ 1) plus any
+    // genuine near-collisions; oracle = brute-force cross join ground
+    // truth, which the pigeonhole-complete signature join must equal.
+    "q190_edit_join_rs" -> ((s, dir) => {
+      import graft.operators.EditDistance
+      val base = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+      val key = substring(lower(col("text")), 1, 20)
+      val left = base.select(col("doc_id"), key.as("k"))
+      val right = base.select((col("doc_id") + 100000L).as("rid"),
+        concat(substring(key, 1, 6), lit("z"),
+          substring(key, 8, 13)).as("rk"))
+      EditDistance.edJoin(left, "doc_id", col("k"),
+        right, "rid", col("rk"), tau = 1)
+    }),
+
     // LUHN-VALIDATED CREDIT-CARD REDACTION: public TEST PANs (valid
     // checksums) and lookalike digit runs (invalid) planted per doc —
     // only the checksum-passing candidates may be redacted, so a
@@ -4625,6 +4644,19 @@ object SparkEntry {
          |SELECT source, CAST(q AS BIGINT) AS q_pct,
          |  CAST(rank AS BIGINT) AS rank, n, CAST(lb AS BIGINT) AS value_lb
          |FROM sel""".stripMargin,
+
+    // q190: brute-force R×S ground truth for the two-relation PassJoin.
+    "q190_edit_join_rs" ->
+      raw"""WITH l AS (SELECT doc_id, substr(lower(text), 1, 20) AS k
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (SELECT doc_id + 100000 AS rid,
+         |    substr(substr(lower(text), 1, 20), 1, 6) || 'z' ||
+         |    substr(substr(lower(text), 1, 20), 8, 13) AS rk
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT l.doc_id AS left_id, r.rid AS right_id,
+         |  CAST(levenshtein(l.k, r.rk) AS BIGINT) AS dist
+         |FROM l CROSS JOIN r
+         |WHERE levenshtein(l.k, r.rk) <= 1""".stripMargin,
 
     // q188: candidates re-extracted under RE2, Luhn replayed as an
     // integer list fold, replacement as a replace-all list_reduce —

@@ -79,6 +79,43 @@ object EditDistance {
     val keyed = df.select(col(idCol).cast("long").as("__id"),
         keyCol.cast("string").as("__key"))
       .filter(col("__key").isNotNull && col("__id").isNotNull)
+    edPairs(keyed, keyed, tau, maxPairsPerBucket, selfJoin = true)
+  }
+
+  /** Edit-distance join between TWO relations — the R⋈S record-linkage
+    * form of the same PassJoin scheme ([[edSelfJoin]] is the self
+    * case): pairs (left_id, right_id, dist) with
+    * levenshtein(left key, right key) ≤ tau. Segment (index)
+    * signatures come from the LEFT side, shifted-substring (probe)
+    * signatures from the RIGHT — match a batch of incoming records
+    * against a master entity table without ever crossing the two. Same
+    * exactness, id, and skew-valve contracts as the self join; a pair
+    * of equal ids across the two relations IS emitted (the relations
+    * are distinct id spaces by contract).
+    */
+  def edJoin(left: DataFrame, leftIdCol: String, leftKeyCol: Column,
+      right: DataFrame, rightIdCol: String, rightKeyCol: Column,
+      tau: Int, maxPairsPerBucket: Long = Long.MaxValue): DataFrame = {
+    require(tau >= 1 && tau <= 4, s"tau $tau out of supported range 1..4")
+    require(maxPairsPerBucket >= 1, "maxPairsPerBucket must be >= 1")
+    val keyedL = left.select(col(leftIdCol).cast("long").as("__id"),
+        leftKeyCol.cast("string").as("__key"))
+      .filter(col("__key").isNotNull && col("__id").isNotNull)
+    val keyedR = right.select(col(rightIdCol).cast("long").as("__id"),
+        rightKeyCol.cast("string").as("__key"))
+      .filter(col("__key").isNotNull && col("__id").isNotNull)
+    edPairs(keyedL, keyedR, tau, maxPairsPerBucket, selfJoin = false)
+      .withColumnRenamed("id_a", "left_id")
+      .withColumnRenamed("id_b", "right_id")
+  }
+
+  /** Shared candidate generation + verify: index side from `keyedL`,
+    * probe side from `keyedR`; self joins order pairs (id_a < id_b),
+    * two-relation joins keep (left, right) roles.
+    */
+  private def edPairs(keyedL: DataFrame, keyedR: DataFrame, tau: Int,
+      maxPairsPerBucket: Long, selfJoin: Boolean): DataFrame = {
+    val keyed = keyedL // segment/index side
 
     // index side: the tau+1 segments of each string, keyed by its length
     val segUdf = udf { (s: String) =>
@@ -123,7 +160,7 @@ object EditDistance {
       .as("__s"))
       .select(col("__id"), col("__s._1").as("__l"),
         col("__s._2").as("__i"), col("__s._3").as("__seg"))
-    val prb = keyed.select(col("__id"), explode(probeUdf(col("__key")))
+    val prb = keyedR.select(col("__id"), explode(probeUdf(col("__key")))
       .as("__s"))
       .select(col("__id"), col("__s._1").as("__l"),
         col("__s._2").as("__i"), col("__s._3").as("__seg"))
@@ -139,20 +176,26 @@ object EditDistance {
           .select(sigKey.map(col): _*)
         (idx.join(ok, sigKey, "left_semi"), prb.join(ok, sigKey, "left_semi"))
       }
-    val cand = prbF.alias("p")
+    val joined = prbF.alias("p")
       .join(idxF.alias("x"),
         col("p.__l") === col("x.__l") && col("p.__i") === col("x.__i") &&
           col("p.__seg") === col("x.__seg") &&
-          col("p.__id") =!= col("x.__id"))
-      .select(least(col("p.__id"), col("x.__id")).as("id_a"),
-        greatest(col("p.__id"), col("x.__id")).as("id_b"))
-      .distinct()
+          (if (selfJoin) col("p.__id") =!= col("x.__id") else lit(true)))
+    val cand =
+      if (selfJoin)
+        joined.select(least(col("p.__id"), col("x.__id")).as("id_a"),
+          greatest(col("p.__id"), col("x.__id")).as("id_b"))
+          .distinct()
+      else
+        joined.select(col("x.__id").as("id_a"), col("p.__id").as("id_b"))
+          .distinct()
     cand
-      .join(keyed.select(col("__id").as("id_a"), col("__key").as("__ka")),
+      .join(keyedL.select(col("__id").as("id_a"), col("__key").as("__ka")),
         "id_a")
-      .join(keyed.select(col("__id").as("id_b"), col("__key").as("__kb")),
+      .join(keyedR.select(col("__id").as("id_b"), col("__key").as("__kb")),
         "id_b")
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a"),
+        col("id_b"),
         levenshtein(col("__ka"), col("__kb")).cast("long").as("dist"))
       .filter(col("dist") <= tau)
   }

@@ -98,4 +98,32 @@ class EditDistanceSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(capped.subsetOf(exact), "cap must only DROP pairs, never add")
   }
+
+  test("edJoin (two relations): equals brute force, keeps (left, right) " +
+      "roles, emits equal-id cross pairs, null keys/ids dropped") {
+    val left = Seq((1L, "kitten"), (2L, "sitting"), (3L, "flawn"),
+      (4L, null.asInstanceOf[String])).toDF("id", "k")
+    val right = Seq((1L, "mitten"), (10L, "sittin"), (11L, "lawn"),
+      (12L, "unrelatedword")).toDF("id", "k")
+    val got = EditDistance.edJoin(left, "id", col("k"),
+        right, "id", col("k"), tau = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force
+    val ls = Seq((1L, "kitten"), (2L, "sitting"), (3L, "flawn"))
+    val rs = Seq((1L, "mitten"), (10L, "sittin"), (11L, "lawn"),
+      (12L, "unrelatedword"))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for ((li, lk) <- ls; (ri, rk) <- rs;
+        d = lev(lk, rk) if d <= 1) yield (li, ri, d.toLong)).toSet
+    assert(got == want, s"got $got want $want")
+    // roles: (1, kitten) matches (1, mitten) -- same id across relations
+    assert(got.contains((1L, 1L, 1L)))
+  }
 }
