@@ -294,4 +294,23 @@ class SketchesSpec extends AnyFunSuite {
     // and the big group's p50 really is ~1000x the small group's
     assert(got("big" -> 50L) >= 500L * got("small" -> 50L))
   }
+
+  test("logHistMerge with group columns: per-group shards merge to the " +
+      "per-group whole; schema mismatches refuse") {
+    val rows = (1L to 600L).map(i => (s"g${i % 3}", i))
+    val whole = Sketches.logHistRegistersBy(rows.toDF("g", "v"),
+      Seq("g"), "v")
+    val merged = Sketches.logHistMerge(Seq(
+      Sketches.logHistRegistersBy(rows.take(250).toDF("g", "v"), Seq("g"), "v"),
+      Sketches.logHistRegistersBy(rows.drop(250).toDF("g", "v"), Seq("g"), "v")),
+      groupCols = Seq("g"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(m(whole) == m(merged))
+    val e = intercept[IllegalArgumentException] {
+      Sketches.logHistMerge(Seq(whole)) // grouped relation, no groupCols
+    }
+    assert(e.getMessage.contains("expected exactly"), e.getMessage)
+  }
 }
