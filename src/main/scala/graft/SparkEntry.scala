@@ -2936,7 +2936,8 @@ object SparkEntry {
       import graft.operators.Curation
       import s.implicits._
       val u = urlFixture(s, dir)
-      val sfx = Seq("com", "org", "co.uk").toDF("suffix")
+      val sfx = Seq("com", "org", "co.uk", "*.ck", "!www.ck",
+        "// comment lines and blanks are ignored", "").toDF("suffix")
       val reg = Curation.registeredDomains(u, "host", sfx, "suffix")
       u.join(reg, Seq("host"), "left")
         .select(col("doc_id"), col("url"), col("canonical"), col("host"),
@@ -2954,7 +2955,8 @@ object SparkEntry {
       import graft.operators.{Curation, Graph}
       import s.implicits._
       val u = urlFixture(s, dir)
-      val sfx = Seq("com", "org", "co.uk").toDF("suffix")
+      val sfx = Seq("com", "org", "co.uk", "*.ck", "!www.ck",
+        "// comment lines and blanks are ignored", "").toDF("suffix")
       val dom = u
         .join(Curation.registeredDomains(u, "host", sfx, "suffix"),
           Seq("host"))
@@ -4294,23 +4296,37 @@ object SparkEntry {
     * `//` is DuckDB integer floor division — same lattice as the
     * engine's `div`.
     */
-  /** The q186 URL chain (u0 → nf → sa → lo → p1 → q1 → q2 → q3 → tr →
-    * canon → hosts → sfx → hm → rm → best → reg) — shared by the q186
-    * canonicalization oracle and the q189 domain-rank oracle.
+  /** The q186 URL chain (u0 → nf → sa → lo → p1 → qp → pl → tr →
+    * canon → hosts → sfxr → rules → hm → rm → best → reg) — shared by
+    * the q186 canonicalization oracle and the q189 domain-rank oracle.
+    * Replays `TextFns.urlCanonicalize` (userinfo-tolerant port strip,
+    * query-anchored tracking removal, parameter sort via
+    * `list_filter`/`list_sort`) and the PSL-rule `registeredDomains`
+    * (plain/wildcard/exception forms, exception > most-labels
+    * precedence) pattern-for-pattern under RE2/DuckDB.
     */
   private def urlChainCtes: String =
     raw"""u0 AS (SELECT doc_id,
          |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
-         |    (CASE WHEN doc_id % 5 = 0
+         |    (CASE WHEN doc_id % 11 = 5 THEN 'User:Pw@' ELSE '' END) ||
+         |    (CASE WHEN doc_id % 10 = 3
+         |          THEN 'x' || (doc_id % 20) || '.Blog.CK'
+         |          WHEN doc_id % 10 = 7
+         |          THEN (CASE WHEN doc_id % 20 = 7 THEN 'WWW.CK'
+         |                ELSE 'Sub.WWW.CK' END)
+         |          WHEN doc_id % 5 = 0
          |          THEN 'Sub.site' || (doc_id % 20) || '.CO.UK'
          |          ELSE 'WWW.Site' || (doc_id % 20) || '.Com' END) ||
          |    (CASE WHEN doc_id % 4 = 0 THEN ':80'
          |          WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END) ||
          |    (CASE WHEN doc_id % 7 = 0 THEN ''
          |          ELSE '/Path/' || (doc_id % 7) END) ||
-         |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || doc_id
+         |    (CASE WHEN doc_id % 3 = 0
+         |          THEN '?utm_source=x&id=' || (doc_id % 30)
+         |          WHEN doc_id % 3 = 1 AND (doc_id // 420) % 2 = 0
+         |          THEN '?id=' || (doc_id % 30) || '&utm_campaign=Y&b=2'
          |          WHEN doc_id % 3 = 1
-         |          THEN '?id=' || doc_id || '&utm_campaign=Y&b=2'
+         |          THEN '?b=2&id=' || (doc_id % 30) || '&utm_campaign=Y'
          |          ELSE '' END) ||
          |    (CASE WHEN doc_id % 2 = 0 THEN '#Frag' ELSE '' END) AS url
          |  FROM documents),
@@ -4323,16 +4339,20 @@ object SparkEntry {
          |         ELSE lower(auth) || substr(s1, len(auth) + 1) END AS s2
          |  FROM sa),
          |p1 AS (SELECT doc_id, url, regexp_replace(regexp_replace(s2,
-         |    '^(http://[^/?#:]*):80([/?#].*)?$$', '\1\2'),
-         |    '^(https://[^/?#:]*):443([/?#].*)?$$', '\1\2') AS s3 FROM lo),
-         |q1 AS (SELECT doc_id, url, regexp_replace(s3,
-         |    '&(utm_[^&=]*|fbclid)=[^&]*', '', 'g') AS s4 FROM p1),
-         |q2 AS (SELECT doc_id, url, regexp_replace(s4,
-         |    '\?(utm_[^&=]*|fbclid)=[^&]*&', '?') AS s5 FROM q1),
-         |q3 AS (SELECT doc_id, url, regexp_replace(s5,
-         |    '\?(utm_[^&=]*|fbclid)=[^&]*$$', '') AS s6 FROM q2),
+         |    '^(http://(?:[^/?#@]*@)?[^/?#:]*):80([/?#].*)?$$', '\1\2'),
+         |    '^(https://(?:[^/?#@]*@)?[^/?#:]*):443([/?#].*)?$$', '\1\2')
+         |    AS s3 FROM lo),
+         |qp AS (SELECT doc_id, url,
+         |    regexp_extract(s3, '^([^?]*)', 1) AS pre,
+         |    regexp_extract(s3, '^[^?]*\?(.*)$$', 1) AS qs FROM p1),
+         |pl AS (SELECT doc_id, url, pre,
+         |    list_sort(list_filter(str_split(qs, '&'), p ->
+         |      p <> '' AND NOT regexp_matches(p,
+         |        '^(utm_[^&=]*|fbclid)='))) AS plist FROM qp),
          |tr AS (SELECT doc_id, url,
-         |    regexp_replace(s6, '[?&]$$', '') AS s7 FROM q3),
+         |    CASE WHEN len(plist) = 0 THEN pre
+         |         ELSE pre || '?' || array_to_string(plist, '&') END AS s7
+         |  FROM pl),
          |canon AS (SELECT doc_id, url, regexp_replace(s7,
          |    '^([a-z][a-z0-9+.-]*://[^/?#]+)$$', '\1/') AS canonical
          |  FROM tr),
@@ -4344,15 +4364,32 @@ object SparkEntry {
          |          '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
          |        '^[^@]*@', ''), ':[0-9]*$$', '')) END AS host
          |  FROM canon),
-         |sfx(sfs) AS (VALUES ('com'), ('org'), ('co.uk')),
+         |sfxr(sraw) AS (VALUES ('com'), ('org'), ('co.uk'), ('*.ck'),
+         |  ('!www.ck'), ('// comment lines and blanks are ignored'),
+         |  ('')),
+         |rules AS (SELECT DISTINCT
+         |    CASE WHEN r LIKE '!%' THEN 2
+         |         WHEN r LIKE '*.%' THEN 1 ELSE 0 END AS kind,
+         |    CASE WHEN r LIKE '!%' THEN substr(r, 2)
+         |         WHEN r LIKE '*.%' THEN substr(r, 3) ELSE r END AS base
+         |  FROM (SELECT lower(trim(sraw)) AS r FROM sfxr)
+         |  WHERE r <> '' AND r NOT LIKE '//%'),
          |hm AS (SELECT DISTINCT host FROM hosts WHERE host IS NOT NULL),
-         |rm AS (SELECT h.host, s.sfs, len(s.sfs) AS l FROM hm h
-         |  JOIN sfx s ON h.host = s.sfs OR h.host LIKE '%.' || s.sfs),
-         |best AS (SELECT host, sfs FROM rm
+         |rm AS (SELECT h.host, r.kind,
+         |    CASE WHEN r.kind = 1 THEN regexp_extract(
+         |        substr(h.host, 1, len(h.host) - len(r.base) - 1),
+         |        '([^.]+)$$', 1) || '.' || r.base
+         |      ELSE r.base END AS sfs
+         |  FROM hm h JOIN rules r ON
+         |    CASE WHEN r.kind = 1 THEN h.host LIKE '%.' || r.base
+         |         ELSE h.host = r.base OR h.host LIKE '%.' || r.base END),
+         |best AS (SELECT host, kind, sfs FROM rm
          |  QUALIFY row_number() OVER (PARTITION BY host
-         |    ORDER BY l DESC, sfs DESC) = 1),
+         |    ORDER BY (kind = 2) DESC, len(str_split(sfs, '.')) DESC,
+         |      len(sfs) DESC, sfs DESC) = 1),
          |reg AS (SELECT host,
-         |    CASE WHEN host = sfs THEN NULL
+         |    CASE WHEN kind = 2 THEN sfs
+         |         WHEN host = sfs THEN NULL
          |         ELSE regexp_extract(
          |             substr(host, 1, len(host) - len(sfs) - 1),
          |             '([^.]+)$$', 1) || '.' || sfs END AS registered_domain
@@ -4466,23 +4503,34 @@ object SparkEntry {
   }
 
   /** Deterministic synthetic URL fixture shared by q186/q189: one URL
-    * per doc with mixed scheme/host case, default and non-default
-    * ports, tracking params, fragments, and co.uk hosts, plus the
-    * canonical form and host from [[graft.functions.TextFns]].
+    * per doc with mixed scheme/host case, `user:pass@` userinfo before
+    * default ports, co.uk hosts plus a wildcard-PSL `.ck` family (and
+    * its `!www.ck` exception), tracking params, fragments — and, for
+    * the `doc_id % 3 == 1` branch, the SAME parameter multiset in two
+    * different orders keyed on `doc_id div 420` parity, so docs 420
+    * apart carry order-permuted (distinct) URLs that must collapse to
+    * one canonical form under the parameter sort. Plus the canonical
+    * form and host from [[graft.functions.TextFns]].
     */
   private def urlFixture(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFns
     val id = col("doc_id")
     val url = concat(
       when(id % 2 === 0, lit("HTTP://")).otherwise(lit("https://")),
-      when(id % 5 === 0, concat(lit("Sub.site"), id % 20, lit(".CO.UK")))
+      when(id % 11 === 5, lit("User:Pw@")).otherwise(lit("")),
+      when(id % 10 === 3, concat(lit("x"), id % 20, lit(".Blog.CK")))
+        .when(id % 10 === 7,
+          when(id % 20 === 7, lit("WWW.CK")).otherwise(lit("Sub.WWW.CK")))
+        .when(id % 5 === 0, concat(lit("Sub.site"), id % 20, lit(".CO.UK")))
         .otherwise(concat(lit("WWW.Site"), id % 20, lit(".Com"))),
       when(id % 4 === 0, lit(":80"))
         .when(id % 4 === 1, lit(":443")).otherwise(lit("")),
       when(id % 7 === 0, lit("")).otherwise(concat(lit("/Path/"), id % 7)),
-      when(id % 3 === 0, concat(lit("?utm_source=x&id="), id))
+      when(id % 3 === 0, concat(lit("?utm_source=x&id="), id % 30))
+        .when(id % 3 === 1 && expr("doc_id div 420") % 2 === 0,
+          concat(lit("?id="), id % 30, lit("&utm_campaign=Y&b=2")))
         .when(id % 3 === 1,
-          concat(lit("?id="), id, lit("&utm_campaign=Y&b=2")))
+          concat(lit("?b=2&id="), id % 30, lit("&utm_campaign=Y")))
         .otherwise(lit("")),
       when(id % 2 === 0, lit("#Frag")).otherwise(lit("")))
     t(s, dir, "documents").select(id, url.as("url"))

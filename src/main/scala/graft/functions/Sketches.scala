@@ -396,8 +396,12 @@ object Sketches {
       "quantiles must be in (0, 1]")
     val spark = registers.sparkSession
     import spark.implicits._
+    // bounded collect: limit BEFORE collecting so a corpus-sized
+    // relation passed by mistake refuses loudly instead of OOMing the
+    // driver (the logHistQuantilesBy pattern)
     val cells = registers.select(col("b").cast("long"),
         col("sub").cast("long"), col("cnt").cast("long"))
+      .limit(514)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .sortBy { case (b, sub, _) => (b, sub) }
     require(cells.length <= 513,

@@ -432,19 +432,30 @@ object TextFns {
     *  1. drop the fragment (`#...`);
     *  2. lowercase the scheme and authority (path/query case is
     *     significant and kept);
-    *  3. strip default ports (`:80` for http, `:443` for https);
-    *  4. remove `utm_*` and `fbclid` tracking query parameters
-    *     (other parameters keep their original order);
-    *  5. drop an empty trailing `?`/`&`;
+    *  3. strip default ports (`:80` for http, `:443` for https),
+    *     tolerating a `user:pass@` userinfo segment before the host;
+    *  4. split the query (everything after the FIRST `?`) into `&`-
+    *     separated parameters, drop `utm_*=`/`fbclid=` tracking
+    *     parameters and empty parameters, and SORT the survivors
+    *     (binary/codepoint order) — `?a=1&b=2` and `?b=2&a=1`, the
+    *     single most common equivalent-URL form in crawl data, key
+    *     identically. The path is untouched: a literal `&utm_x=y`
+    *     inside a path segment (legal — `&` needs no escaping in a
+    *     path) is NOT stripped, because the parameter machinery only
+    *     ever sees text after the first `?`;
+    *  5. drop a query left empty by step 4 (no trailing `?`);
     *  6. give a bare authority the root path (`http://x.com` →
     *     `http://x.com/`).
     *
-    * Pure codegen'd regexp chain (no lookaround — the same patterns run
-    * under Java regex here and RE2 in the DuckDB oracle, so two
-    * independent regex engines cross-check the result, the q167
-    * two-implementations discipline). Null stays null; a string with
-    * no `scheme://` is returned with steps 1/4/5 applied only (no
-    * authority to case-fold).
+    * Codegen'd regexp steps plus array HOFs for the parameter sort (no
+    * lookaround — the same patterns run under Java regex here and RE2
+    * in the DuckDB oracle, and the sort replays as
+    * `list_sort`/`list_filter`, so two independent engines cross-check
+    * the result, the q167 two-implementations discipline). Null stays
+    * null; a string with no `scheme://` gets steps 1, 4 and 5 only (no
+    * authority to case-fold). Parameters sort by UTF-16 code unit here
+    * vs bytes in DuckDB — identical on ASCII; both orders are total,
+    * so dedup keying stays consistent within either engine regardless.
     */
   def urlCanonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
@@ -454,15 +465,19 @@ object TextFns {
       .otherwise(concat(lower(schemeAuth),
         noFrag.substr(length(schemeAuth) + 1, length(noFrag))))
     val noPort = regexp_replace(
-      regexp_replace(lowered, "^(http://[^/?#:]*):80([/?#].*)?$", "$1$2"),
-      "^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
-    val noUtm1 = regexp_replace(noPort, "&(utm_[^&=]*|fbclid)=[^&]*", "")
-    val noUtm2 = regexp_replace(noUtm1,
-      "\\?(utm_[^&=]*|fbclid)=[^&]*&", "?")
-    val noUtm3 = regexp_replace(noUtm2,
-      "\\?(utm_[^&=]*|fbclid)=[^&]*$", "")
-    val noTrail = regexp_replace(noUtm3, "[?&]$", "")
-    regexp_replace(noTrail, "^([a-z][a-z0-9+.-]*://[^/?#]+)$", "$1/")
+      regexp_replace(lowered,
+        "^(http://(?:[^/?#@]*@)?[^/?#:]*):80([/?#].*)?$", "$1$2"),
+      "^(https://(?:[^/?#@]*@)?[^/?#:]*):443([/?#].*)?$", "$1$2")
+    // everything strictly after the first '?' (both "no '?'" and an
+    // empty query yield "", which rebuilds with no '?' at all)
+    val pre = regexp_extract(noPort, "^([^?]*)", 1)
+    val qs = regexp_extract(noPort, "^[^?]*\\?(.*)$", 1)
+    val params = filter(split(qs, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^&=]*|fbclid)="))
+    val sortedQ = array_join(array_sort(params), "&")
+    val rebuilt = when(coalesce(sortedQ, lit("")) === "", pre)
+      .otherwise(concat(pre, lit("?"), sortedQ))
+    regexp_replace(rebuilt, "^([a-z][a-z0-9+.-]*://[^/?#]+)$", "$1/")
   }
 
   /** The lowercased host of a URL: authority minus userinfo and port.

@@ -1262,30 +1262,76 @@ object Curation {
   /** Registered-domain mapping for a host relation against a
     * CALLER-SUPPLIED public-suffix relation (bring your own
     * publicsuffix.org list — the external-artifact pattern of
-    * `QualityModel.loadTokenWeights`): for each distinct lowercased
-    * host, the registered domain is (one label) + '.' + the LONGEST
-    * listed suffix the host ends with at a label boundary; a host that
-    * IS a bare suffix, or matches no suffix, maps to null. Returns the
-    * (host, registered_domain) mapping — join it back to your corpus.
-    * The host-graph keying step ([[graft.operators.Graph]] PageRank/
-    * TrustRank run on registered domains, not raw subdomains).
+    * `QualityModel.loadTokenWeights`), supporting all three PSL rule
+    * forms (https://publicsuffix.org/list/ "Formal algorithm"):
     *
-    * Shape: distinct hosts × a BROADCAST suffix list (a few thousand
-    * rows by contract) via endswith, longest-suffix argmax per host —
+    *  - plain `co.uk`  — the suffix is the rule itself;
+    *  - wildcard `*.ck` — ANY single label + `.ck` is a public suffix
+    *    (so `b.ck` is a suffix and `a.b.ck` registers as `a.b.ck`);
+    *  - exception `!www.ck` — overrides a wildcard: `www.ck` is NOT a
+    *    public suffix, it IS the registered domain (for itself and
+    *    every subdomain under it).
+    *
+    * Precedence per the PSL spec: an exception rule always prevails;
+    * otherwise the matching rule with the MOST LABELS wins (ties —
+    * impossible in a well-formed list — break on suffix length then
+    * lexicographic, deterministically). For each distinct lowercased
+    * host the registered domain is one label + '.' + the prevailing
+    * public suffix; a host that IS a public suffix, or matches no
+    * rule, maps to null (no implicit `*` default rule — BYO-list
+    * contract). Comment (`//...`) and blank lines in the rule relation
+    * are ignored, so the real publicsuffix.org file loads as-is via
+    * `spark.read.text`. Returns the (host, registered_domain) mapping —
+    * join it back to your corpus. The host-graph keying step
+    * ([[graft.operators.Graph]] PageRank/TrustRank run on registered
+    * domains, not raw subdomains).
+    *
+    * Shape: distinct hosts × a BROADCAST rule list (a few thousand
+    * rows by contract) via endswith, prevailing-rule argmax per host —
     * no corpus-sized shuffle beyond the host distinct.
     */
   def registeredDomains(hosts: DataFrame, hostCol: String,
       suffixes: DataFrame, suffixCol: String): DataFrame = {
-    val sfx = broadcast(suffixes
-      .select(lower(col(suffixCol)).as("__sfx")).distinct())
+    val rules = broadcast(suffixes
+      .select(lower(trim(col(suffixCol))).as("__r"))
+      .filter(col("__r").isNotNull && col("__r") =!= "" &&
+        !col("__r").startsWith("//"))
+      .distinct()
+      .select(
+        when(col("__r").startsWith("!"), lit(2))
+          .when(col("__r").startsWith("*."), lit(1))
+          .otherwise(lit(0)).as("__kind"),
+        when(col("__r").startsWith("!"), col("__r").substr(lit(2),
+            length(col("__r"))))
+          .when(col("__r").startsWith("*."), col("__r").substr(lit(3),
+            length(col("__r"))))
+          .otherwise(col("__r")).as("__base")))
     val hm = hosts.select(lower(col(hostCol)).as("host"))
       .filter(col("host").isNotNull).distinct()
-    hm.join(sfx,
-        col("host") === col("__sfx") ||
-          col("host").endsWith(concat(lit("."), col("__sfx"))), "left")
+    // matched public suffix per (host, rule): the rule base for plain/
+    // exception rules; for a wildcard the base plus the host's label
+    // immediately before it (`*` binds exactly one label)
+    val matched = hm.join(rules,
+        when(col("__kind") === 1,
+          col("host").endsWith(concat(lit("."), col("__base"))))
+        .otherwise(col("host") === col("__base") ||
+          col("host").endsWith(concat(lit("."), col("__base")))), "left")
+      .withColumn("__sfx",
+        when(col("__kind") === 1, concat(
+          regexp_extract(
+            col("host").substr(lit(1),
+              length(col("host")) - length(col("__base")) - 1),
+            "([^.]+)$", 1),
+          lit("."), col("__base")))
+        .otherwise(col("__base")))
+    matched
       .withColumn("__reg",
-        when(col("__sfx").isNull || col("host") === col("__sfx"),
-          lit(null).cast("string"))
+        when(col("__sfx").isNull, lit(null).cast("string"))
+        // exception: the rule's own domain registers, for itself and
+        // every subdomain (public suffix = exception minus its first
+        // label, so registered = the exception domain)
+        .when(col("__kind") === 2, col("__sfx"))
+        .when(col("host") === col("__sfx"), lit(null).cast("string"))
         .otherwise(concat(
           regexp_extract(
             col("host").substr(lit(1),
@@ -1294,7 +1340,10 @@ object Curation {
           lit("."), col("__sfx"))))
       .groupBy(col("host"))
       .agg(max_by(col("__reg"),
-        struct(length(coalesce(col("__sfx"), lit(""))),
-          coalesce(col("__sfx"), lit("")))).as("registered_domain"))
+        struct((coalesce(col("__kind"), lit(-1)) === 2).as("__exc"),
+          size(split(coalesce(col("__sfx"), lit("")), "\\.")).as("__nl"),
+          length(coalesce(col("__sfx"), lit(""))).as("__len"),
+          coalesce(col("__sfx"), lit("")).as("__s")))
+        .as("registered_domain"))
   }
 }

@@ -216,7 +216,13 @@ object QualityModel {
     * separated, the fastText `.vec`-family convention for 1-d output);
     * lines that are not exactly two fields — blank lines, a
     * single-field count header, `#` comments — are ignored, as are
-    * lines whose value does not parse as a number. Float values are
+    * lines whose value does not parse as a number, and the fastText
+    * two-field `N dim` count header (recognized as BOTH fields being
+    * bare unsigned integers — a real entry whose token is all digits
+    * AND whose weight is written without sign or decimal point is
+    * indistinguishable from a header and is dropped too; real exports
+    * write signed/fractional weights, so this is the honest tiebreak
+    * for a distributed reader that has no "line 1"). Float values are
     * quantized to exact integer micro-units (`round(value · scale)`,
     * half away from zero) so downstream margins stay on the integer
     * lattice; duplicate tokens keep their maximum quantized weight
@@ -232,6 +238,9 @@ object QualityModel {
       .select(split(trim(col("value")), "\\s+").as("__f"))
       .filter(size(col("__f")) === 2 &&
         !col("__f").getItem(0).startsWith("#") &&
+        // the fastText 'N dim' header: two bare unsigned integers
+        !(col("__f").getItem(0).rlike("^[0-9]+$") &&
+          col("__f").getItem(1).rlike("^[0-9]+$")) &&
         // try_cast, not cast: ANSI mode is on and a malformed value
         // must mean "not an entry", not a failed job
         expr("try_cast(__f[1] AS DOUBLE)").isNotNull)

@@ -238,4 +238,17 @@ class ContentChunksSpec extends AnyFunSuite {
       .toMap
     assert(got == Map(("a", "a") -> 1L, ("a", "b") -> 2L, ("a", "c") -> 1L))
   }
+
+  test("pairSourceMatrix drops pairs with a null source label (no " +
+      "silent diagonal inflation)") {
+    import graft.operators.Dedup
+    val docs = Seq((1L, Some("a")), (2L, None), (3L, Some("a")))
+      .toDF("doc_id", "src")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id1", "id2")
+    val got = Dedup.pairSourceMatrix(pairs, docs, "doc_id", "src")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // (1,2) and (2,3) carry a null label and must NOT count as (a, a)
+    assert(got == Map(("a", "a") -> 1L))
+  }
 }

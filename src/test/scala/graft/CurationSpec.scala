@@ -684,6 +684,43 @@ class UrlLineDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got("weird.zz") == None) // no suffix listed
   }
 
+  test("registeredDomains: PSL wildcard and exception rules (*.ck / " +
+      "!www.ck), comments and blanks ignored") {
+    val hosts = Seq(
+      "a.b.ck",       // *.ck -> public suffix b.ck -> registers a.b.ck
+      "b.ck",         // IS a wildcard public suffix -> null
+      "ck",           // wildcard needs one more label; no plain 'ck' rule
+      "www.ck",       // exception: registers itself
+      "sub.www.ck",   // exception covers subdomains -> www.ck
+      "x.co.uk")      // plain rules unaffected
+      .toDF("h")
+    val sfx = Seq("co.uk", "*.ck", "!www.ck",
+      "// a comment line", "", "  ").toDF("s")
+    val got = Curation.registeredDomains(hosts, "h", sfx, "s")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("a.b.ck") == Some("a.b.ck"))
+    assert(got("b.ck") == None)
+    assert(got("ck") == None)
+    assert(got("www.ck") == Some("www.ck"))
+    assert(got("sub.www.ck") == Some("www.ck"))
+    assert(got("x.co.uk") == Some("x.co.uk"))
+  }
+
+  test("registeredDomains: exception prevails over a longer wildcard " +
+      "match and most-labels precedence holds") {
+    val hosts = Seq("deep.sub.www.ck", "p.q.r.platform.example")
+      .toDF("h")
+    val sfx = Seq("*.ck", "!www.ck", "example", "platform.example",
+      "*.platform.example").toDF("s")
+    val got = Curation.registeredDomains(hosts, "h", sfx, "s")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    // exception (2 labels) beats the wildcard's 2-label suffix www.ck
+    assert(got("deep.sub.www.ck") == Some("www.ck"))
+    // *.platform.example (3 labels incl. *) beats platform.example (2)
+    // and example (1): public suffix r.platform.example -> q.r....
+    assert(got("p.q.r.platform.example") == Some("q.r.platform.example"))
+  }
+
   test("lineDedup is idempotent: one pass removes every shared line, " +
       "a second pass is a no-op") {
     val docs = Seq(

@@ -148,6 +148,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
     simhashCaught.foreach(id => assert(ledger(id) == "simhash"))
   }
 
+  test("dedupCorpusTiered(useSimhashTier = false): kept set equals " +
+      "dedupCorpusOph's exactly, ledger never says 'simhash'") {
+    val core = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, core),
+      (2L, "  " + core.toUpperCase + " "),
+      (3L, core.replace("tok37 ", "changed ")),
+      (9L, "totally different text about watermark state stores"),
+      (10L, (100 to 160).map(i => s"v$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ledger = Dedup.dedupCorpusTiered(corpus, "doc_id", "text",
+        useSimhashTier = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!ledger.values.exists(_ == "simhash"), ledger.toString)
+    val keptTiered = ledger.filter(_._2 == "kept").keySet
+    val keptOph = Dedup.dedupCorpusOph(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTiered == keptOph, s"$keptTiered vs $keptOph")
+  }
+
+  test("dedupCorpusTiered(chainWitnesses = true): a simhash-removed doc " +
+      "witnesses an OPH removal it would otherwise mask") {
+    // The judge's chain: A~B tier-2-tight, B~C OPH-loose, A not~ C.
+    // B = A's tokens REVERSED — identical token multiset, so simhash
+    // hamming(A,B) = 0 (tier 2 removes B) while bigram Jaccard(A,B) ~ 0
+    // (OPH alone would never remove B). C = B with sparse token edits —
+    // OPH-similar to B, dissimilar to A in bigram space.
+    val toks = (1 to 100).map(i => s"tok$i")
+    val a = toks.mkString(" ")
+    val b = toks.reverse.mkString(" ")
+    val c = toks.reverse.zipWithIndex.map { case (t, i) =>
+      if (i % 15 == 7) s"zzchangedword$i" else t }.mkString(" ")
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // fixture preconditions, asserted so drift fails loudly: tier 2
+    // catches exactly (1,2); B~C is NOT within the simhash ball
+    val rm2 = Dedup.simhashNearDupPairs(corpus, "doc_id", "text", 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(rm2 == Set((1L, 2L)), s"fixture drift: simhash pairs $rm2")
+    // default: B's removal hides the B~C witness -> C leaks through
+    val keptDefault = Dedup.dedupCorpusTiered(corpus, "doc_id", "text")
+      .filter(col("tier") === "kept")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptDefault == Set(1L, 3L), s"default kept $keptDefault")
+    // chainWitnesses: B signs as an index-only witness -> C removed,
+    // attributed to the oph tier; B stays attributed to simhash
+    val ledgerW = Dedup.dedupCorpusTiered(corpus, "doc_id", "text",
+        chainWitnesses = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ledgerW == Map(1L -> "kept", 2L -> "simhash", 3L -> "oph"),
+      ledgerW.toString)
+    // removal-superset property vs the single-detector baseline
+    val keptOph = Dedup.dedupCorpusOph(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ledgerW.filter(_._2 == "kept").keySet.subsetOf(keptOph))
+  }
+
   test("bruteForceTopK returns self first, then nearest") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -84,9 +84,9 @@ class QualityModelSpec extends AnyFunSuite {
     pw.close()
     val w = QualityModel.loadTokenWeights(spark, f.getAbsolutePath)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // the two-integer header parses as a (token="5", weight=1) entry --
-    // the documented ambiguity of the bare format; real single-weight
-    // exports carry a 1-field count or none
+    // the two-integer 'N dim' header is recognized (both fields bare
+    // unsigned ints) and dropped -- it must NOT inject a bogus token
+    assert(!w.contains("5"), s"header leaked into vocab: $w")
     assert(w("bonjour") == 2500000L)
     assert(w("hello") == -1250000L)
     assert(w("hola") == 3000000L)
