@@ -3147,6 +3147,29 @@ object SparkEntry {
         .withColumnRenamed("cls", "lang")
     }),
 
+    // HASHED CHAR-N-GRAM LID: the faithful fastText-LID feature path --
+    // every token wrapped <tok>, char 2/3-grams hashed h = fold(h*31+cp)
+    // mod 1000, scored against a dense (bucket, class, weight) lattice
+    // (weights a closed-form function of the bucket so every doc gets
+    // differentiated margins), exact-long argmax. The oracle replays
+    // the hash arithmetic as nested ord(substr(...)) per n -- two
+    // engines agreeing on every bucket of every n-gram of the corpus.
+    "q191_ngram_lid" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      import s.implicits._
+      val cls = Seq(("en", 5L, -1L), ("de", 11L, 0L), ("fr", 17L, 1L))
+        .toDF("lang", "p", "bias")
+      val w = s.range(0, 1000).select(col("id").as("bucket"))
+        .crossJoin(cls)
+        .select(col("bucket"), col("lang"),
+          ((col("bucket") * col("p")) % 7 - 3).as("weight"))
+      val b = cls.select(col("lang"), col("bias"))
+      QualityModel.ngramMulticlassScore(t(s, dir, "documents"), "doc_id",
+        "text", w, "bucket", "lang", "weight", b, "lang", "bias",
+        nMin = 2, nMax = 3, nBuckets = 1000)
+        .withColumnRenamed("cls", "lang")
+    }),
+
     // EXTERNAL-MODEL SCORING: a pretrained (token → integer weight)
     // relation drives a bag-of-words linear classifier (folded fastText
     // shape) — margin = bias + Σ count(token)·w(token), exact longs,
@@ -4741,6 +4764,45 @@ object SparkEntry {
          |         (acc, x) -> replace(acc, x, '<CCN>')) END AS clean_text,
          |  COALESCE(v.n, 0) AS n_ccn
          |FROM d LEFT JOIN vq v ON v.doc_id = d.doc_id""".stripMargin,
+
+    // q191: the hashed-n-gram LID chain replayed -- per-token <wrap>,
+    // bigram/trigram bucket hashes as nested ord(substr()) arithmetic
+    // (codepoint-based on both engines), the dense closed-form weight
+    // lattice, per-(doc, class) sums, argmax QUALIFY flag.
+    "q191_ngram_lid" ->
+      raw"""WITH cls(lang, p, bias) AS (VALUES
+         |  ('en', 5, -1), ('de', 11, 0), ('fr', 17, 1)),
+         |wt AS (SELECT r.range AS bucket, c.lang,
+         |    (r.range * c.p) % 7 - 3 AS weight
+         |  FROM range(0, 1000) r CROSS JOIN cls c),
+         |tok AS (SELECT doc_id,
+         |    '<' || unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+         |      || '>' AS wd
+         |  FROM documents WHERE coalesce(trim(text), '') <> ''),
+         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(wd)),
+         |    i -> (ord(substr(wd, i, 1)) * 31
+         |        + ord(substr(wd, i + 1, 1))) % 1000)) AS b
+         |  FROM tok),
+         |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(wd) - 1),
+         |    i -> ((ord(substr(wd, i, 1)) * 31
+         |         + ord(substr(wd, i + 1, 1))) * 31
+         |         + ord(substr(wd, i + 2, 1))) % 1000)) AS b
+         |  FROM tok WHERE len(wd) >= 3),
+         |feats AS (SELECT doc_id, b FROM g2
+         |  UNION ALL SELECT doc_id, b FROM g3),
+         |sc AS (SELECT f.doc_id, w.lang, CAST(sum(w.weight) AS BIGINT) AS s
+         |  FROM feats f JOIN wt w ON w.bucket = f.b GROUP BY 1, 2),
+         |mg AS (SELECT d.doc_id, c.lang,
+         |    CAST(c.bias + COALESCE(sc.s, 0) AS BIGINT) AS margin
+         |  FROM documents d CROSS JOIN cls c
+         |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = c.lang),
+         |pr AS (SELECT doc_id, lang AS pl FROM mg
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY margin DESC, lang) = 1)
+         |SELECT m.doc_id, m.lang, m.margin,
+         |  CAST(CASE WHEN m.lang = p.pl THEN 1 ELSE 0 END AS BIGINT)
+         |    AS is_pred
+         |FROM mg m JOIN pr p ON p.doc_id = m.doc_id""".stripMargin,
 
     // q187: the multiclass scorer replayed — same VALUES weight/bias
     // tables, per-(doc, class) integer sums, argmax by (margin DESC,

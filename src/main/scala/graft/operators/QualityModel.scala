@@ -210,6 +210,124 @@ object QualityModel {
           .as("is_pred"))
   }
 
+  /** Hashed character-n-gram feature buckets — the fastText SUBWORD
+    * feature extractor (Bojanowski et al., "Enriching Word Vectors with
+    * Subword Information", TACL 2017; the language-ID models of Joulin
+    * et al. 2016 score hashed n-grams, not whole tokens): every token
+    * is wrapped in boundary markers (`<tok>`), every character n-gram
+    * with n in [nMin, nMax] is extracted (by CODEPOINT, so the two
+    * oracle engines agree beyond the BMP), and each n-gram hashes to a
+    * bucket in [0, nBuckets):
+    *
+    *   h(g) = fold(cp ← codepoints(g)) h·31 + cp;  bucket = h mod nBuckets
+    *
+    * No intermediate modulus: nMax ≤ 6 is `require`d so the fold stays
+    * under 31⁶·0x10FFFF < 2⁶³ — the hash is closed-form replayable in
+    * SQL (nested `ord(substr(...))` arithmetic), unlike a seeded
+    * Murmur. One bucket PER OCCURRENCE (fastText counts multiplicity).
+    * Scala UDF over a codegen'd token split — the house rule for hash
+    * kernels (nested Catalyst HOFs re-evaluate subtrees per element).
+    */
+  def charNgramBucketsUdf(nMin: Int, nMax: Int,
+      nBuckets: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(nMin >= 1 && nMax >= nMin && nMax <= 6,
+      s"n-gram range [$nMin,$nMax] must sit in [1,6] (hash overflow bound)")
+    require(nBuckets >= 1, s"nBuckets $nBuckets must be >= 1")
+    udf { (toks: Seq[String]) =>
+      if (toks == null) null
+      else toks.flatMap { t =>
+        val cps = ("<" + t + ">").codePoints.toArray
+        (nMin to nMax).flatMap { n =>
+          (0 to cps.length - n).map { i =>
+            var h = 0L
+            var j = 0
+            while (j < n) { h = h * 31 + cps(i + j); j += 1 }
+            h % nBuckets
+          }
+        }
+      }
+    }
+  }
+
+  /** MULTICLASS scoring over HASHED CHAR-N-GRAM features — the faithful
+    * fastText-LID feature path ([[tokenMulticlassScore]] is the
+    * token-unigram simplification; real exported LID models key their
+    * weights by feature-hash buckets, which [[charNgramBucketsUdf]]
+    * reproduces): weights is a (bucket, class, integer weight)
+    * relation ([[loadHashedClassWeights]] reads the exported file
+    * form), biases a (class, integer bias) relation, and
+    *
+    *   margin(doc, c) = bias_c + Σ_{g ∈ ngrams(doc)} w(bucket(g), c)
+    *   prediction     = argmax_c margin  (ties → smallest class name)
+    *
+    * Same exact-long lattice, same output shape (doc, class, margin,
+    * is_pred), same scale shape as [[tokenMulticlassScore]]: one
+    * n-gram explode, one broadcast join against the (buckets × classes)
+    * weight relation, one map-side-combined (doc, class) sum, one
+    * docs × |classes| cross — nothing corpus-sized shuffles twice. The
+    * n-gram explode is ~(nMax−nMin+1)·|chars| rows/doc of 16-byte
+    * (id, long) pairs, map-side only: it collapses into the per-doc
+    * partial aggregate before any exchange.
+    */
+  def ngramMulticlassScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bucketCol: String, clsCol: String,
+      weightCol: String, biases: DataFrame, biasClsCol: String,
+      biasCol: String, nMin: Int = 2, nMax: Int = 3,
+      nBuckets: Int = 1 << 20): DataFrame = {
+    val cls = broadcast(biases.select(col(biasClsCol).as("cls"),
+      col(biasCol).cast("long").as("__bias")).distinct())
+    val w = broadcast(weights.select(col(bucketCol).cast("long").as("__b"),
+      col(clsCol).as("cls"), col(weightCol).cast("long").as("__w")))
+    val contrib = docs
+      .select(col(idCol),
+        explode(charNgramBucketsUdf(nMin, nMax, nBuckets)(
+          TextFns.tokens(lower(col(textCol))))).as("__b"))
+      .join(w, Seq("__b"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum(col("__w")).as("__s"))
+    val margins = docs.select(col(idCol)).crossJoin(cls)
+      .join(contrib, Seq(idCol, "cls"), "left")
+      .select(col(idCol), col("cls"),
+        (col("__bias") + coalesce(col("__s"), lit(0L))).as("margin"))
+    val pred = margins.groupBy(col(idCol))
+      .agg(min_by(col("cls"),
+        struct((-col("margin")).as("nm"), col("cls"))).as("__pred"))
+    margins.join(pred, Seq(idCol))
+      .select(col(idCol), col("cls"), col("margin"),
+        when(col("cls") === col("__pred"), lit(1L)).otherwise(lit(0L))
+          .as("is_pred"))
+  }
+
+  /** Load a foreign-format HASHED multiclass weight file into a
+    * (bucket, class, weight) relation — the artifact bridge for
+    * [[ngramMulticlassScore]] (the exported form of a fastText-LID
+    * linear layer keyed by feature hash). Format: plain text, one
+    * `bucket class value` triple per line (whitespace-separated);
+    * lines that are not exactly three fields, `#` comments, lines
+    * whose bucket does not parse as an integer or whose value does not
+    * parse as a number are ignored. Values quantize to integer
+    * micro-units like [[loadTokenWeights]]; duplicate (bucket, class)
+    * rows keep the maximum quantized weight (deterministic regardless
+    * of file order). Distributed `spark.read.text`, same as
+    * [[loadTokenWeights]].
+    */
+  def loadHashedClassWeights(spark: org.apache.spark.sql.SparkSession,
+      path: String, scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1, s"scale $scale must be >= 1")
+    spark.read.text(path)
+      .select(split(trim(col("value")), "\\s+").as("__f"))
+      .filter(size(col("__f")) === 3 &&
+        !col("__f").getItem(0).startsWith("#") &&
+        expr("try_cast(__f[0] AS BIGINT)").isNotNull &&
+        expr("try_cast(__f[2] AS DOUBLE)").isNotNull)
+      .select(expr("try_cast(__f[0] AS BIGINT)").as("bucket"),
+        col("__f").getItem(1).as("cls"),
+        expr(s"CAST(round(try_cast(__f[2] AS DOUBLE) * $scale, 0) AS BIGINT)")
+          .as("weight"))
+      .groupBy(col("bucket"), col("cls"))
+      .agg(max(col("weight")).as("weight"))
+  }
+
   /** Load a foreign-format linear-model weight file into a (token,
     * weight) relation — the artifact bridge for [[tokenLinearScore]].
     * Format: plain text, one `token value` pair per line (whitespace-

@@ -142,4 +142,69 @@ class QualityModelSpec extends AnyFunSuite {
       .filter(col("is_pred") === 1L).collect()
     assert(tie.length == 1 && tie(0).getString(1) == "aa")
   }
+
+  test("charNgramBucketsUdf: hand-computed <wrap> bigram/trigram hashes, " +
+      "multiplicity kept, null-safe") {
+    // token "ab" -> "<ab>" codepoints 60,97,98,62
+    //   bigrams:  60*31+97=1957, 97*31+98=3105, 98*31+62=3100
+    //   trigrams: 1957*31+98=60765, 3105*31+62=96317
+    val got = Seq((1, Seq("ab")), (2, Seq("ab", "ab")),
+        (3, null.asInstanceOf[Seq[String]]))
+      .toDF("i", "toks")
+      .select(col("i"),
+        QualityModel.charNgramBucketsUdf(2, 3, 100000)(col("toks")).as("b"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(got(1) == Some(Seq(1957L, 3105L, 3100L, 60765L, 96317L)))
+    // per-occurrence: the repeated token doubles every bucket
+    assert(got(2).get.length == 10 &&
+      got(2).get.count(_ == 1957L) == 2)
+    assert(got(3) == None)
+    // modulus applies
+    val mod = Seq((1, Seq("ab"))).toDF("i", "toks")
+      .select(QualityModel.charNgramBucketsUdf(2, 3, 1000)(col("toks"))
+        .as("b")).head().getSeq[Long](0)
+    assert(mod == Seq(957L, 105L, 100L, 765L, 317L))
+  }
+
+  test("ngramMulticlassScore: margins replay the hand-computed bucket " +
+      "sums; no-text docs score exactly the biases") {
+    // doc 1 = "ab": buckets (mod 1000) 957,105,100,765,317
+    // weights: w(b, cls) = +1 for cls 'p' on every bucket, -1 for 'q'
+    // on bucket 957 only
+    val docs = Seq((1L, "ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val w = ((0 until 1000).map(b => (b.toLong, "p", 1L)) :+
+        ((957L, "q", -1L))).toDF("bucket", "c", "wt")
+    val b = Seq(("p", 10L), ("q", 100L)).toDF("c", "bias")
+    val got = QualityModel.ngramMulticlassScore(docs, "doc_id", "text",
+        w, "bucket", "c", "wt", b, "c", "bias",
+        nMin = 2, nMax = 3, nBuckets = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1L, "p")) == ((15L, 0L)))  // 10 + 5 buckets * 1
+    assert(got((1L, "q")) == ((99L, 1L)))  // 100 - 1 (bucket 957 once)
+    assert(got((2L, "p")) == ((10L, 0L)) && got((2L, "q")) == ((100L, 1L)))
+  }
+
+  test("loadHashedClassWeights: 3-field (bucket class value) lines, " +
+      "garbage ignored, micro-unit quantization, dup max-win") {
+    val dir = java.nio.file.Files.createTempDirectory("hwts").toFile
+    val f = new java.io.File(dir, "lid.bin.export")
+    val pw = new java.io.PrintWriter(f, "UTF-8")
+    pw.println("# hashed LID export")
+    pw.println("42 en 2.5")
+    pw.println("42 de -1.25")
+    pw.println("42 en 1.0")      // dup (bucket, cls): max wins
+    pw.println("notanint fr 1.0") // bucket not integer -> ignored
+    pw.println("7 fr xx")         // value not numeric -> ignored
+    pw.println("7 fr")            // 2 fields -> ignored
+    pw.println("9 fr 0.5")
+    pw.close()
+    val got = QualityModel.loadHashedClassWeights(spark, f.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map((42L, "en") -> 2500000L, (42L, "de") -> -1250000L,
+      (9L, "fr") -> 500000L), got.toString)
+  }
 }
