@@ -84,6 +84,35 @@ object EventStream {
       }
   }
 
+  /** Maintenance-verdict wiring for the streaming ingestion paths: the
+    * closed loop runs WHERE the appends happen. Every `every`
+    * micro-batches (cadence keyed on the foreachBatch id, so it
+    * survives restarts; `every = 0` disables, `1` = after every batch),
+    * the index's maintenance verdict is evaluated AFTER the batch's
+    * append and surfaced twice: to the slf4j log, and — when `logPath`
+    * is non-empty — as one appended parquet row
+    * `(batch_id, index_path, action, due, detail)` that downstream
+    * compaction/rebuild automation can poll. The verdict functions are
+    * bounded by contract (one driver FS listing + one column-pruned
+    * count), so an every-batch cadence is safe at any corpus size. The
+    * log path must live OUTSIDE the index directory — an extra
+    * subdirectory there would pollute the index's own bucket listings.
+    */
+  private def surfaceVerdict(spark: org.apache.spark.sql.SparkSession,
+      batchId: Long, indexPath: String, logPath: String, action: String,
+      due: Boolean, detail: String): Unit = {
+    val msg = s"[maintenance] batch=$batchId index=$indexPath " +
+      s"action=$action due=$due $detail"
+    val log = org.slf4j.LoggerFactory.getLogger("graft.EventStream")
+    if (due) log.warn(msg) else log.info(msg)
+    if (logPath.nonEmpty) {
+      import spark.implicits._
+      Seq((batchId, indexPath, action, due, detail))
+        .toDF("batch_id", "index_path", "action", "due", "detail")
+        .coalesce(1).write.mode("append").parquet(logPath)
+    }
+  }
+
   /** Wire a document stream through [[indexedDedupBatch]]: survivors of
     * each micro-batch append to `outPath` parquet; dedup state lives in
     * the INDEX (bounded by corpus size, not stream length — no streaming
@@ -93,10 +122,15 @@ object EventStream {
     * past the index's recorded maxId fails loudly instead of
     * double-inserting. Ids must be monotone across batches — derive them
     * from source offsets or event ids.
+    *
+    * `maintenanceEvery`/`maintenanceLog` wire
+    * [[graft.operators.Dedup.signatureIndexMaintenanceDue]] into the
+    * loop — see [[surfaceVerdict]].
     */
   def dedupStream(stream: DataFrame, indexPath: String, idCol: String,
       textCol: String, threshold: Double, outPath: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, maintenanceEvery: Int = 0,
+      maintenanceLog: String = ""): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -104,6 +138,14 @@ object EventStream {
         releasingBlocks(b.sparkSession) {
           indexedDedupBatch(indexPath, idCol, textCol, threshold)(b.toDF(), id)
             .write.mode("append").parquet(outPath)
+        }
+        if (maintenanceEvery > 0 && id % maintenanceEvery == 0) {
+          val v = graft.operators.Dedup
+            .signatureIndexMaintenanceDue(b.sparkSession, indexPath)
+          surfaceVerdict(b.sparkSession, id, indexPath, maintenanceLog,
+            v.action, v.fileTrigger || v.skewTrigger,
+            s"maxFilesPerBucket=${v.maxFilesPerBucket} nFiles=${v.nFiles} " +
+              s"skewRatio=${v.skewRatio}")
         }
       }
       .start()
@@ -115,14 +157,22 @@ object EventStream {
     * replayed batch refuses loudly instead of doubling its BM25 mass.
     */
   def textIndexStream(stream: DataFrame, indexPath: String, idCol: String,
-      textCol: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      textCol: String, checkpoint: String, maintenanceEvery: Int = 0,
+      maintenanceLog: String = ""): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           id: Long) =>
         releasingBlocks(b.sparkSession) {
           graft.operators.TextIndex.append(b.toDF(), idCol, textCol, indexPath)
+        }
+        if (maintenanceEvery > 0 && id % maintenanceEvery == 0) {
+          val v = graft.operators.TextIndex
+            .maintenanceDue(b.sparkSession, indexPath)
+          surfaceVerdict(b.sparkSession, id, indexPath, maintenanceLog,
+            v.action, v.fileTrigger || v.skewTrigger,
+            s"maxFilesPerBucket=${v.maxFilesPerBucket} nFiles=${v.nFiles} " +
+              s"skewRatio=${v.skewRatio}")
         }
       }
       .start()
@@ -138,8 +188,8 @@ object EventStream {
     * of double-inserting codes.
     */
   def vectorIndexStream(stream: DataFrame, indexPath: String, idCol: String,
-      vecCol: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      vecCol: String, checkpoint: String, maintenanceEvery: Int = 0,
+      maintenanceLog: String = ""): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
@@ -147,6 +197,14 @@ object EventStream {
         releasingBlocks(b.sparkSession) {
           graft.operators.Similarity.appendToIvfPqIndex(b.toDF(), idCol,
             vecCol, indexPath)
+        }
+        if (maintenanceEvery > 0 && id % maintenanceEvery == 0) {
+          val v = graft.operators.Similarity
+            .maintenanceDue(b.sparkSession, indexPath)
+          surfaceVerdict(b.sparkSession, id, indexPath, maintenanceLog,
+            v.action, v.skewTrigger || v.driftTrigger,
+            s"skewRatio=${v.skewRatio} maxList=${v.maxList} " +
+              s"driftRatio=${v.driftRatio.getOrElse(-1.0)}")
         }
       }
       .start()

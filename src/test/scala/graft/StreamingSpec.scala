@@ -476,4 +476,99 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaCounts == direct,
       "scoring against streamed counts must equal the direct form")
   }
+
+  test("textIndexStream maintenance wiring: many appends trip " +
+      "fileTrigger and the verdict surfaces in the sink log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextIndex
+    val base = java.nio.file.Files.createTempDirectory("graft_stmx")
+    val idx = base.resolve("idx").toString
+    val ckpt = base.resolve("ckpt").toString
+    val mlog = base.resolve("mlog").toString
+    TextIndex.write(Seq((1L, "spark base doc")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, nBuckets = 4)
+    val input = MemoryStream[Doc]
+    // default maxFilesPerBucket = 16: the bucket holding 'spark' gains
+    // one file per append, so ~17 streamed batches trip the compaction
+    // verdict inside the stream itself
+    val q = EventStream.textIndexStream(input.toDF(), idx, "doc_id",
+      "text", ckpt, maintenanceEvery = 1, maintenanceLog = mlog)
+    try {
+      (0 until 17).foreach { i =>
+        input.addData(Doc(10L + i, s"spark streamed doc number$i"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val log = spark.read.parquet(mlog)
+      .select("batch_id", "action", "due")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    assert(log.size == 17, s"one verdict row per batch: ${log.size}")
+    // early batches: healthy index, no action; by the last batch the
+    // hot bucket has > 16 files -> compact, due
+    assert(log(0L) == (("none", false)), log(0L).toString)
+    assert(log(16L) == (("compact", true)), log(16L).toString)
+    // the surfaced verdict must agree with a direct call
+    val direct = TextIndex.maintenanceDue(spark, idx)
+    assert(direct.fileTrigger && direct.action == "compact")
+    // and the wiring must not have polluted the index directory itself
+    assert(TextIndex.search(spark, idx, Seq("spark"), 30)
+      .collect().length == 18)
+  }
+
+  test("dedupStream + vectorIndexStream maintenance wiring: verdicts " +
+      "surface per cadence and agree with the direct calls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_smx2")
+    // signature index path, cadence 2 -> batches 0 and 2 checked
+    val idx = base.resolve("idx").toString
+    val mlog = base.resolve("mlog").toString
+    graft.operators.Dedup.writeSignatureIndex(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", idx, shingleN = 2, k = 16, bands = 4, nBuckets = 8)
+    val input = MemoryStream[Doc]
+    val q = EventStream.dedupStream(input.toDF(), idx, "doc_id", "text",
+      threshold = 0.6, base.resolve("out").toString,
+      base.resolve("ckpt").toString, maintenanceEvery = 2,
+      maintenanceLog = mlog)
+    try {
+      (0 until 3).foreach { i =>
+        input.addData(Doc(10L + i, s"fresh content wave number$i arriving"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val rows = spark.read.parquet(mlog)
+      .select("batch_id", "action").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == Set(0L, 2L), s"cadence-2 batches: ${rows.keySet}")
+    val direct = graft.operators.Dedup
+      .signatureIndexMaintenanceDue(spark, idx)
+    assert(rows(2L) == direct.action, s"${rows(2L)} vs ${direct.action}")
+
+    // vector index path, cadence 1
+    val vidx = base.resolve("vidx").toString
+    val vlog = base.resolve("vlog").toString
+    def vec(seed: Long): Array[Double] =
+      Array.tabulate(16)(d => ((seed * (d + 3) + d) % 23).toDouble / 23.0)
+    graft.operators.Similarity.writeIvfPqIndex(
+      spark.createDataset((0L until 8L).map(i => StreamVec(i, vec(i))))
+        .toDF(),
+      "vec_id", "embedding", vidx, nLists = 4, m = 4, nCodes = 4)
+    val vin = MemoryStream[StreamVec]
+    val vq = EventStream.vectorIndexStream(vin.toDF(), vidx, "vec_id",
+      "embedding", base.resolve("vckpt").toString, maintenanceEvery = 1,
+      maintenanceLog = vlog)
+    try {
+      vin.addData(StreamVec(10L, vec(10)))
+      vq.processAllAvailable()
+    } finally vq.stop()
+    val vrows = spark.read.parquet(vlog)
+      .select("batch_id", "action").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val vdirect = graft.operators.Similarity.maintenanceDue(spark, vidx)
+    assert(vrows == Map(0L -> vdirect.action), s"$vrows vs $vdirect")
+  }
 }
