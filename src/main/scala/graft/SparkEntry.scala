@@ -3170,6 +3170,36 @@ object SparkEntry {
         .withColumnRenamed("cls", "lang")
     }),
 
+    // C4 HEURISTIC CLEANING (Raffel et al. 2020 §2.2): the published
+    // line rules (terminal punctuation, >=3 words, no 'javascript') and
+    // page rules (BYO badword list, 'lorem ipsum', '{', <5 sentences)
+    // over a deterministically decorated re-lining of the corpus --
+    // fixture plants every rule's trigger on doc_id/line-position
+    // moduli, oracle replays construction and battery verbatim.
+    "q192_c4_filter" -> ((s, dir) => {
+      import graft.operators.Curation
+      import s.implicits._
+      val relined = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("__t"))
+        .select(col("doc_id"), expr(
+          """array_join(transform(sequence(0, cast((size(__t) - 1) / 8 as int)),
+            i -> concat(
+              CASE WHEN (doc_id * 7 + i) % 11 = 5 THEN 'javascript '
+                   ELSE '' END,
+              array_join(slice(__t, i * 8 + 1, 8), ' '),
+              CASE WHEN i = 0 AND doc_id % 13 = 3 THEN ' lorem ipsum'
+                   WHEN i = 0 AND doc_id % 13 = 7 THEN ' { x'
+                   WHEN i = 0 AND doc_id % 17 = 11 THEN ' badwordx'
+                   ELSE '' END,
+              CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+                   WHEN (doc_id + i) % 3 = 1 THEN '?' ELSE '' END)),
+            '\n')""").as("text"))
+      val bw = Seq("badwordx", "badwordy").toDF("w")
+      Curation.c4Filter(relined, "doc_id", "text", bw, "w")
+    }),
+
     // EXTERNAL-MODEL SCORING: a pretrained (token → integer weight)
     // relation drives a bag-of-words linear classifier (folded fastText
     // shape) — margin = bias + Σ count(token)·w(token), exact longs,
@@ -4764,6 +4794,65 @@ object SparkEntry {
          |         (acc, x) -> replace(acc, x, '<CCN>')) END AS clean_text,
          |  COALESCE(v.n, 0) AS n_ccn
          |FROM d LEFT JOIN vq v ON v.doc_id = d.doc_id""".stripMargin,
+
+    // q192: the C4 battery replayed -- identical deterministic line
+    // decoration (prefix/extra/suffix on doc_id & position moduli),
+    // identical line keeps (terminal punct / >=3 words / no
+    // \bjavascript\b), badword token join after punctuation strip,
+    // page flags, sentence count on the cleaned text.
+    "q192_c4_filter" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |ln AS (SELECT doc_id,
+         |    unnest(list_transform(range(0, (len(w) - 1) // 8 + 1), i ->
+         |      (CASE WHEN (doc_id * 7 + i) % 11 = 5 THEN 'javascript '
+         |            ELSE '' END) ||
+         |      array_to_string(w[i * 8 + 1 : i * 8 + 8], ' ') ||
+         |      (CASE WHEN i = 0 AND doc_id % 13 = 3 THEN ' lorem ipsum'
+         |            WHEN i = 0 AND doc_id % 13 = 7 THEN ' { x'
+         |            WHEN i = 0 AND doc_id % 17 = 11 THEN ' badwordx'
+         |            ELSE '' END) ||
+         |      (CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+         |            WHEN (doc_id + i) % 3 = 1 THEN '?' ELSE '' END)))
+         |      AS line,
+         |    unnest(list_transform(range(0, (len(w) - 1) // 8 + 1),
+         |      i -> CAST(i AS BIGINT))) AS pos
+         |  FROM d0),
+         |kept AS (SELECT doc_id, pos, line FROM ln
+         |  WHERE regexp_matches(trim(line), '[.!?"]$$')
+         |    AND len(regexp_split_to_array(trim(line), '\s+')) >= 3
+         |    AND NOT regexp_matches(lower(line), '\bjavascript\b')),
+         |ct AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+         |    AS clean, CAST(count(*) AS BIGINT) AS nk
+         |  FROM kept GROUP BY doc_id),
+         |tx AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+         |    AS text, CAST(count(*) AS BIGINT) AS n_lines
+         |  FROM ln GROUP BY doc_id),
+         |bw(wd) AS (VALUES ('badwordx'), ('badwordy')),
+         |tk AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(line), '\s+')) AS t
+         |  FROM ln),
+         |bad AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT doc_id, regexp_replace(lower(t),
+         |     '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') AS b FROM tk)
+         |  JOIN bw ON b = wd),
+         |sc AS (SELECT t.doc_id, t.n_lines,
+         |    COALESCE(ct.clean, '') AS clean_text,
+         |    COALESCE(ct.nk, 0) AS kept_lines,
+         |    CAST(len(regexp_extract_all(COALESCE(ct.clean, ''),
+         |      '[.!?]')) AS BIGINT) AS n_sentences,
+         |    contains(lower(t.text), 'lorem ipsum') AS lorem,
+         |    contains(t.text, '{') AS brace
+         |  FROM tx t LEFT JOIN ct ON ct.doc_id = t.doc_id)
+         |SELECT s.doc_id, s.clean_text, s.n_lines, s.kept_lines,
+         |  s.n_sentences,
+         |  CASE WHEN b.doc_id IS NOT NULL THEN 'badword'
+         |       WHEN s.lorem THEN 'lorem_ipsum'
+         |       WHEN s.brace THEN 'brace'
+         |       WHEN s.n_sentences < 5 THEN 'few_sentences'
+         |       ELSE 'kept' END AS drop_reason
+         |FROM sc s LEFT JOIN bad b ON b.doc_id = s.doc_id""".stripMargin,
 
     // q191: the hashed-n-gram LID chain replayed -- per-token <wrap>,
     // bigram/trigram bucket hashes as nested ord(substr()) arithmetic

@@ -1259,6 +1259,107 @@ object Curation {
         (col("n_lines") - coalesce(col("__nk"), lit(0L))).as("dup_lines"))
   }
 
+  /** The C4 heuristic cleaning battery (Raffel et al., "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", JMLR 2020, §2.2 — the published rule set behind the
+    * C4 corpus), line rules then page rules:
+    *
+    *  - keep only lines ending in a terminal punctuation mark
+    *    (`.` `!` `?` `"`), with ≥ `minWordsPerLine` whitespace words,
+    *    and not containing the word `javascript` (word-boundary,
+    *    case-insensitive);
+    *  - drop any page containing a word from the CALLER-SUPPLIED
+    *    blocklist (bring your own "List of Dirty, Naughty, Obscene..."
+    *    — the BYO-artifact pattern of [[registeredDomains]]); matching
+    *    is token equality after stripping leading/trailing
+    *    non-alphanumerics from each lowercased whitespace token;
+    *  - drop any page containing the phrase `lorem ipsum`
+    *    (case-insensitive) or a `{` curly brace (code);
+    *  - drop any page whose CLEANED text has fewer than `minSentences`
+    *    sentences, where the sentence count is the number of `.`/`!`/
+    *    `?` occurrences in the cleaned text (the deterministic
+    *    cross-engine stand-in for a sentence splitter).
+    *
+    * (C4's ninth rule — three-sentence-span dedup — is corpus-level,
+    * not per-page: compose [[lineDedup]] / winnowing substring dedup
+    * downstream.) Returns one row per input doc:
+    * `(doc_id, clean_text, n_lines, kept_lines, n_sentences,
+    * drop_reason)` with drop_reason ∈ {'badword','lorem_ipsum',
+    * 'brace','few_sentences','kept'} (first match in that precedence);
+    * `clean_text` is the line-filtered rebuild for every doc — dropped
+    * pages keep their cleaned text for audit. Null text → null
+    * clean_text, zero counts, 'few_sentences'.
+    *
+    * Scale shape: one line explode + per-doc ordered rebuild (the
+    * [[lineDedup]] shape), one token explode against a BROADCAST
+    * blocklist, doc-local regexes otherwise — nothing corpus-sized
+    * shuffles beyond the per-doc aggregations.
+    */
+  def c4Filter(docs: DataFrame, idCol: String, textCol: String,
+      badwords: DataFrame, wordCol: String, minWordsPerLine: Int = 3,
+      minSentences: Int = 5): DataFrame = {
+    require(minWordsPerLine >= 1 && minSentences >= 1,
+      "minWordsPerLine and minSentences must be >= 1")
+    val bw = broadcast(badwords
+      .select(lower(trim(col(wordCol))).as("__bw"))
+      .filter(col("__bw") =!= "").distinct())
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"))
+    val lines = base
+      .select(col("doc_id"), posexplode(split(col("__text"), "\n")))
+      .toDF("doc_id", "pos", "line")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("line"))
+    val kept = lines.filter(
+      trim(col("line")).rlike("[.!?\"]$") &&
+        size(split(trim(col("line")), "\\s+")) >= minWordsPerLine &&
+        !lower(col("line")).rlike("\\bjavascript\\b"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+          .as("__ordered"),
+        count(lit(1)).as("kept_lines"))
+      .select(col("doc_id"),
+        expr("array_join(transform(__ordered, x -> x.line), '\n')")
+          .as("__clean"),
+        col("kept_lines"))
+    val bad = base
+      .select(col("doc_id"),
+        explode(graft.functions.TextFns.tokens(lower(col("__text"))))
+          .as("__t"))
+      .select(col("doc_id"),
+        regexp_replace(col("__t"), "^[^a-z0-9]+|[^a-z0-9]+$", "")
+          .as("__bw"))
+      .join(bw, Seq("__bw"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("__bad", lit(true))
+    val nl = base.select(col("doc_id"),
+      when(col("__text").isNull, lit(0L))
+        .otherwise(size(split(col("__text"), "\n"))).cast("long")
+        .as("n_lines"),
+      lower(coalesce(col("__text"), lit(""))).contains("lorem ipsum")
+        .as("__lorem"),
+      coalesce(col("__text"), lit("")).contains("{").as("__brace"),
+      col("__text").isNull.as("__nulltext"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .join(nl, Seq("doc_id"))
+      .join(bad, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__nulltext"), lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))).as("clean_text"),
+        col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        size(regexp_extract_all(coalesce(col("__clean"), lit("")),
+          lit("[.!?]"), lit(0))).cast("long").as("n_sentences"),
+        col("__bad"), col("__lorem"), col("__brace"))
+      .select(col("doc_id"), col("clean_text"), col("n_lines"),
+        col("kept_lines"), col("n_sentences"),
+        when(coalesce(col("__bad"), lit(false)), lit("badword"))
+          .when(col("__lorem"), lit("lorem_ipsum"))
+          .when(col("__brace"), lit("brace"))
+          .when(col("n_sentences") < minSentences, lit("few_sentences"))
+          .otherwise(lit("kept")).as("drop_reason"))
+  }
+
   /** Registered-domain mapping for a host relation against a
     * CALLER-SUPPLIED public-suffix relation (bring your own
     * publicsuffix.org list — the external-artifact pattern of

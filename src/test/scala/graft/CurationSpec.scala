@@ -753,6 +753,43 @@ class UrlLineDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       got(2L).toString)
     assert(got(3L) == ((None, 0L, 0L)))
   }
+
+  test("c4Filter: every published rule fires — line keeps (terminal " +
+      "punct incl. quote, min words, javascript), page drops (badword " +
+      "after punct strip, lorem ipsum, brace, few sentences)") {
+    val good = (1 to 5).map(i => s"good sentence number $i.").mkString("\n")
+    val docs = Seq(
+      (1L, good),                                  // kept
+      (2L, good + "\nno terminal punct line\nok line here."),
+      (3L, good + "\nShe said \"fine.\""),         // quote terminal kept
+      (4L, good + "\ntiny."),                      // <3 words -> dropped line
+      (5L, good + "\nenable javascript to view."), // js line dropped
+      (6L, good + "\nplease Badwordx. appears."),  // badword (punct strip)
+      (7L, good + "\nSee Lorem Ipsum inc."),       // lorem_ipsum
+      (8L, good.replace("number 5.", "number { 5.")),   // brace
+      (9L, "one. two. three. four."),              // 4 sentences -> drop
+      (10L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bw = Seq("badwordx").toDF("w")
+    val got = Curation.c4Filter(docs, "doc_id", "text", bw, "w")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(got(1L) == ((Some(good), 5L, 5L, 5L, "kept")))
+    // unpunctuated line dropped, terminal line kept
+    assert(got(2L)._1.get == good + "\nok line here." &&
+      got(2L)._5 == "kept", got(2L).toString)
+    assert(got(3L)._1.get == good + "\nShe said \"fine.\"" &&
+      got(3L)._4 == 6L && got(3L)._5 == "kept", got(3L).toString)
+    assert(got(4L)._1.get == good && got(4L)._5 == "kept")
+    assert(got(5L)._1.get == good && got(5L)._5 == "kept")
+    assert(got(6L)._5 == "badword", got(6L).toString)
+    assert(got(7L)._5 == "lorem_ipsum")
+    assert(got(8L)._5 == "brace")
+    assert(got(9L) == ((Some("one. two. three. four."), 1L, 1L, 4L,
+      "few_sentences")), got(9L).toString)
+    assert(got(10L) == ((None, 0L, 0L, 0L, "few_sentences")))
+  }
 }
 
 class CcnRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
