@@ -3000,6 +3000,35 @@ object SparkEntry {
       Curation.lineDedup(relined, "doc_id", "text", minDocs = 2)
     }),
 
+    // BLOOM-BACKED LINE DEDUP (Dolma's approach): a Bloom filter built
+    // over the REFERENCE shard's normalized lines (doc_id % 4 == 0)
+    // drops matching lines from the whole corpus -- one broadcast
+    // <=16384-row register relation instead of lineDedup's shared-line
+    // shuffle. False positives are DETERMINISTIC (fixed poly/perm/mix
+    // hash lattice), so the oracle replays every membership decision,
+    // FPs included, bit-for-bit.
+    "q193_bloom_line_dedup" -> ((s, dir) => {
+      import graft.operators.Curation
+      import graft.functions.Sketches
+      val relined = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("__t"))
+        .select(col("doc_id"),
+          expr("array_join(transform(sequence(0, " +
+            "cast((size(__t) - 1) / 10 as int)), " +
+            "i -> array_join(slice(__t, i * 10 + 1, 10), ' ')), '\n')")
+            .as("text"))
+      val refNorms = relined.filter(col("doc_id") % 4 === 0)
+        .select(explode(split(col("text"), "\n")).as("__l"))
+        .select(lower(trim(col("__l"))).as("__norm"))
+        .filter(col("__norm") =!= "").distinct()
+      val regs = Sketches.bloomRegisters(refNorms, "__norm",
+        mBits = 16384, kHashes = 4)
+      Curation.bloomLineDedup(relined, "doc_id", "text", regs,
+        mBits = 16384, kHashes = 4)
+    }),
+
     // PER-GROUP log-histogram percentiles (the hllRegistersBy companion):
     // one independent ≤513-cell sketch per source, p50/p95 doc lengths
     // read out at integer-ceil ranks — the corpus-report shape at 100 TB
@@ -4678,6 +4707,64 @@ object SparkEntry {
       raw"""WITH ${urlChainCtes}
          |SELECT h.doc_id, h.url, h.canonical, h.host, r.registered_domain
          |FROM hosts h LEFT JOIN reg r ON r.host = h.host""".stripMargin,
+
+    // q193: the Bloom line-dedup chain replayed -- q185's re-lining,
+    // q150's poly/perm/mix hash lattice over each distinct normalized
+    // line (reference side -> distinct register bits at m=16384, probe
+    // side -> 4 per-occurrence bits), might-contain = all 4 bits set,
+    // NOT EXISTS removal, ordered rebuild. False positives replay too.
+    "q193_bloom_line_dedup" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |d AS (SELECT doc_id, array_to_string(list_transform(
+         |    range(0, (len(w) - 1) // 10 + 1),
+         |    i -> array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ')),
+         |    chr(10)) AS text FROM d0),
+         |ln AS (SELECT doc_id,
+         |    unnest(str_split(text, chr(10))) AS line,
+         |    unnest(list_transform(
+         |      range(1, len(str_split(text, chr(10))) + 1),
+         |      j -> CAST(j - 1 AS BIGINT))) AS pos
+         |  FROM d),
+         |nm AS (SELECT doc_id, pos, line, lower(trim(line)) AS norm
+         |  FROM ln),
+         |rn AS (SELECT DISTINCT norm FROM nm
+         |  WHERE doc_id % 4 = 0 AND norm <> ''),
+         |rbase AS (SELECT list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(regexp_extract_all(norm, '.'),
+         |      c -> ascii(c)::BIGINT)),
+         |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS base FROM rn),
+         |rb AS (SELECT DISTINCT (h * h % 1000000007 + h) % 1000000007
+         |    % 16384 AS bit
+         |  FROM (SELECT ((((2 * (300 + i) + 1) * 104729) % 1000000007)
+         |      * base + ((300 + i) * 12582917 + 7) % 1000000007)
+         |      % 1000000007 AS h
+         |    FROM rbase CROSS JOIN range(4) t(i))),
+         |pn AS (SELECT DISTINCT norm FROM nm WHERE norm <> ''),
+         |pbase AS (SELECT norm, list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(regexp_extract_all(norm, '.'),
+         |      c -> ascii(c)::BIGINT)),
+         |    (acc, ch) -> (acc * 31 + ch) % 1000000007) AS base FROM pn),
+         |pb AS (SELECT norm, (h * h % 1000000007 + h) % 1000000007
+         |    % 16384 AS bit
+         |  FROM (SELECT norm, ((((2 * (300 + i) + 1) * 104729)
+         |      % 1000000007) * base + ((300 + i) * 12582917 + 7)
+         |      % 1000000007) % 1000000007 AS h
+         |    FROM pbase CROSS JOIN range(4) t(i))),
+         |drp AS (SELECT p.norm FROM pb p LEFT JOIN rb ON rb.bit = p.bit
+         |  GROUP BY p.norm HAVING count(rb.bit) = 4),
+         |kept AS (SELECT n.doc_id, n.pos, n.line FROM nm n
+         |  WHERE NOT EXISTS (SELECT 1 FROM drp WHERE drp.norm = n.norm)),
+         |ct AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)
+         |    AS clean, CAST(count(*) AS BIGINT) AS nk
+         |  FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id,
+         |    CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines
+         |  FROM d)
+         |SELECT t.doc_id, COALESCE(ct.clean, '') AS clean_text,
+         |  t.n_lines, t.n_lines - COALESCE(ct.nk, 0) AS dropped_lines
+         |FROM tot t LEFT JOIN ct ON ct.doc_id = t.doc_id""".stripMargin,
 
     // q185: the line-dedup chain replayed — same deterministic 10-token
     // re-lining, distinct-doc counts on normalized lines, NOT EXISTS

@@ -1259,6 +1259,75 @@ object Curation {
         (col("n_lines") - coalesce(col("__nk"), lit(0L))).as("dup_lines"))
   }
 
+  /** BLOOM-BACKED line dedup APPLY — the Dolma-corpus approach
+    * (Soldaini et al. 2024 run paragraph dedup through a Bloom filter
+    * rather than an exact shared-line set): drop every line whose
+    * normalized form (lower + trim) MIGHT be in the caller-supplied
+    * Bloom register relation ([[graft.functions.Sketches.bloomRegisters]]
+    * built over a REFERENCE corpus's normalized lines — previous
+    * shards, an earlier dump, a boilerplate bank), rebuild the
+    * survivors in order. Blank lines never drop. Output
+    * `(doc_id, clean_text, n_lines, dropped_lines)`, null text → null
+    * clean_text.
+    *
+    * vs [[lineDedup]] at 100 TB: the exact form shuffles every
+    * normalized line to count distinct docs; this form's only
+    * line-level work is a map-side hash explode against a BROADCAST
+    * ≤ mBits-row register relation plus the distinct on normalized
+    * lines — the shared-set build is free because the filter is given.
+    * The price is false positives: a unique line whose k bits happen
+    * to be set drops too. DETERMINISTIC false positives — the hash
+    * chain is the fixed poly/perm/mix lattice, so the same line
+    * drops on every engine and every run, and the DuckDB oracle
+    * replays each one (q193); quantify the odds with
+    * [[graft.functions.Sketches.bloomFpEstimate]]. No false
+    * negatives: every reference line is caught. (Dolma seeds the
+    * filter from the corpus itself, first-occurrence-wins — that form
+    * is scan-order-dependent and not reproducible distributed; the
+    * two-phase build-on-reference / apply-to-batch form here is the
+    * deterministic equivalent, and the natural shape for rolling
+    * ingestion anyway.)
+    */
+  def bloomLineDedup(docs: DataFrame, idCol: String, textCol: String,
+      registers: DataFrame, mBits: Int = 65536,
+      kHashes: Int = 4): DataFrame = {
+    import graft.functions.Sketches
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("__text"))
+    val lines = base
+      .select(col("doc_id"), posexplode(split(col("__text"), "\n")))
+      .toDF("doc_id", "pos", "line")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("line"), lower(trim(col("line"))).as("__norm"))
+    val norms = lines.filter(col("__norm") =!= "")
+      .select(col("__norm")).distinct()
+    val dropNorms = Sketches.bloomMightContain(norms, "__norm",
+        registers, mBits, kHashes)
+      .filter(col("might_contain"))
+      .select(col("__norm"))
+    val kept = lines.join(dropNorms, Seq("__norm"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+          .as("__ordered"),
+        count(lit(1)).as("__nk"))
+      .select(col("doc_id"),
+        expr("array_join(transform(__ordered, x -> x.line), '\n')")
+          .as("__clean"),
+        col("__nk"))
+    val nl = base.select(col("doc_id"),
+      when(col("__text").isNull, lit(0L))
+        .otherwise(size(split(col("__text"), "\n"))).cast("long")
+        .as("n_lines"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .join(nl, Seq("doc_id"))
+      .select(col("doc_id"),
+        when(col("__text").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__nk"), lit(0L)))
+          .as("dropped_lines"))
+  }
+
   /** The C4 heuristic cleaning battery (Raffel et al., "Exploring the
     * Limits of Transfer Learning with a Unified Text-to-Text
     * Transformer", JMLR 2020, §2.2 — the published rule set behind the

@@ -754,6 +754,41 @@ class UrlLineDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(3L) == ((None, 0L, 0L)))
   }
 
+  test("bloomLineDedup: reference lines always drop (no false " +
+      "negatives), unique lines survive at low fill, order kept, " +
+      "null/blank safe") {
+    import graft.functions.Sketches
+    val ref = Seq("shared header line", "shared footer line")
+      .toDF("norm")
+    val regs = Sketches.bloomRegisters(ref, "norm",
+      mBits = 65536, kHashes = 4)
+    val docs = Seq(
+      (1L, "Shared Header Line\nunique middle a\nshared footer line"),
+      (2L, "unique only doc\n\nanother unique line"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.bloomLineDedup(docs, "doc_id", "text", regs,
+        mBits = 65536, kHashes = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3)))).toMap
+    // normalization: case-folded match drops; blank line never drops
+    assert(got(1L) == ((Some("unique middle a"), 3L, 2L)), got(1L).toString)
+    assert(got(2L) ==
+      ((Some("unique only doc\n\nanother unique line"), 3L, 0L)),
+      got(2L).toString)
+    assert(got(3L) == ((None, 0L, 0L)))
+    // idempotence on the APPLY side: re-applying the same filter to the
+    // cleaned text is a no-op (all matching lines already gone)
+    val once = Curation.bloomLineDedup(docs, "doc_id", "text", regs,
+      mBits = 65536, kHashes = 4)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val twice = Curation.bloomLineDedup(once, "doc_id", "text", regs,
+      mBits = 65536, kHashes = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(twice(1L) == Some("unique middle a") &&
+      twice(2L) == Some("unique only doc\n\nanother unique line"))
+  }
+
   test("c4Filter: every published rule fires — line keeps (terminal " +
       "punct incl. quote, min words, javascript), page drops (badword " +
       "after punct strip, lorem ipsum, brace, few sentences)") {
