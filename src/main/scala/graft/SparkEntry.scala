@@ -2323,6 +2323,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lm_fit_ppm"))
     }),
 
+    // CCNET HEAD/MIDDLE/TAIL BUCKETS (Wenzek et al. 2020): the q156 LM
+    // fluency lattice bucketed into per-source perplexity terciles by
+    // integer rank -- the step CCNet runs per language before keeping
+    // head+middle. Rank/tercile arithmetic all-integer, ties by id, so
+    // labels replay bit-for-bit under the oracle's window rank.
+    "q194_ccnet_buckets" -> ((s, dir) => {
+      import graft.functions.NgramLm
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      val lm = docs.filter(col("doc_id") % 3 =!= 0)
+      val scored = NgramLm.lmFitScores(docs, lm, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      Curation.ccnetBuckets(scored, "source", "lm_fit_ppm", "doc_id")
+        .select(col("doc_id"), col("source"), col("lm_fit_ppm"),
+          col("rank"), col("n"), col("bucket"))
+    }),
+
     // GOPHER QUALITY RULES (Rae et al. 2021, Table A1, doc-level set):
     // word-count / mean-word-length / symbol-ratio / alpha-word /
     // stop-word / top-bigram-repetition rules, every one decided by
@@ -5381,6 +5398,27 @@ object SparkEntry {
            |SELECT doc_id, lm_fit_ppm FROM scored
            |QUALIFY percent_rank() OVER
            |  (ORDER BY lm_fit_ppm ASC, doc_id ASC) >= 0.5""".stripMargin),
+
+    // q194: the CCNet tercile chain replayed -- the q155/q156 LM stats,
+    // the ppm lattice, then a per-source (score, id) window rank and
+    // the integer floor-division tercile cut.
+    "q194_ccnet_buckets" ->
+      (s"WITH $backoffLmCtes,\n" +
+        raw"""scored AS (SELECT doc_id,
+           |  CAST(floor(CAST(n_tri AS DOUBLE) * 1000000 / n_pos)
+           |    AS BIGINT) AS lm_fit_ppm FROM stats),
+           |src AS (SELECT s.doc_id, d.source, s.lm_fit_ppm
+           |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+           |rk AS (SELECT doc_id, source, lm_fit_ppm,
+           |    CAST(row_number() OVER (PARTITION BY source
+           |      ORDER BY lm_fit_ppm ASC, doc_id ASC) AS BIGINT) AS rank,
+           |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+           |  FROM src)
+           |SELECT doc_id, source, lm_fit_ppm, rank, n,
+           |  CASE WHEN rank > (2 * n) // 3 THEN 'head'
+           |       WHEN rank > n // 3 THEN 'middle'
+           |       ELSE 'tail' END AS bucket
+           |FROM rk""".stripMargin),
 
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,

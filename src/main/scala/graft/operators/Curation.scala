@@ -745,6 +745,52 @@ object Curation {
     clear.unionByName(ties)
   }
 
+  /** CCNet's head/middle/tail TERCILE bucketING (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020 — documents are split per language into three equal
+    * buckets by LM perplexity, and most pipelines train on head+middle):
+    * per group (language/source), rank every row by (score asc, id asc)
+    * and label
+    *
+    *   bucket = head   if rank > ⌊2n/3⌋   (best-scoring third)
+    *            middle if rank > ⌊n/3⌋
+    *            tail   otherwise
+    *
+    * — all integer arithmetic, ties resolved by id, so the labeling is
+    * bit-reproducible across engines and partitionings. Output = the
+    * input columns plus (rank, n, bucket).
+    *
+    * Scale shape — the [[topQualityPerGroupAtScale]] discipline, not a
+    * per-group global sort: per-(group, score) counts (lattice-sized by
+    * the same CONTRACT: scoreCol must be lattice-valued and non-null),
+    * a lattice-row cumulative window for the below-count, then ONE
+    * (group, score)-keyed join + row_number over the (group, score)
+    * partition — the residual sort touches lattice collisions, never
+    * the whole group.
+    */
+  def ccnetBuckets(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = counts
+      .withColumn("__below", sum(col("__c")).over(wCum) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(col(groupCol), col(scoreCol), col("__below"), col("__n"))
+    val wTie = Window.partitionBy(col(groupCol), col(scoreCol))
+      .orderBy(col(idCol).asc)
+    df.join(cum, Seq(groupCol, scoreCol))
+      .withColumn("rank",
+        (col("__below") + row_number().over(wTie)).cast("long"))
+      .withColumn("n", col("__n").cast("long"))
+      .withColumn("bucket",
+        when(col("rank") > expr("(2 * __n) div 3"), lit("head"))
+          .when(col("rank") > expr("__n div 3"), lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__below", "__n")
+  }
+
   /** Cross-document boilerplate: k-token passages appearing in at least
     * `minDocs` distinct documents (headers/footers/license blocks — the
     * units line-dedup pipelines strip). One explode + one (passage, doc)

@@ -706,6 +706,36 @@ class UrlLineDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got("x.co.uk") == Some("x.co.uk"))
   }
 
+  test("registeredDomains: a real-format publicsuffix.org FILE loads " +
+      "via spark.read.text — comments, blanks, wildcard and exception " +
+      "rules straight off disk") {
+    val dir = java.nio.file.Files.createTempDirectory("psl").toFile
+    val f = new java.io.File(dir, "public_suffix_list.dat")
+    val pw = new java.io.PrintWriter(f, "UTF-8")
+    pw.println("// This Source Code Form is subject to the terms...")
+    pw.println("")
+    pw.println("// ===BEGIN ICANN DOMAINS===")
+    pw.println("com")
+    pw.println("uk")
+    pw.println("co.uk")
+    pw.println("ck")
+    pw.println("*.ck")
+    pw.println("!www.ck")
+    pw.println("")
+    pw.close()
+    val sfx = spark.read.text(f.getAbsolutePath)
+      .withColumnRenamed("value", "suffix")
+    val hosts = Seq("a.ex.com", "b.co.uk", "x.y.ck", "www.ck", "ck")
+      .toDF("h")
+    val got = Curation.registeredDomains(hosts, "h", sfx, "suffix")
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("a.ex.com") == Some("ex.com"))
+    assert(got("b.co.uk") == Some("b.co.uk"))
+    assert(got("x.y.ck") == Some("x.y.ck"))  // *.ck -> suffix y.ck
+    assert(got("www.ck") == Some("www.ck")) // exception
+    assert(got("ck") == None)                // bare plain suffix
+  }
+
   test("registeredDomains: exception prevails over a longer wildcard " +
       "match and most-labels precedence holds") {
     val hosts = Seq("deep.sub.www.ck", "p.q.r.platform.example")
@@ -752,6 +782,28 @@ class UrlLineDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(2L) == ((Some("body intro\nUnique Two"), 3L, 1L)),
       got(2L).toString)
     assert(got(3L) == ((None, 0L, 0L)))
+  }
+
+  test("ccnetBuckets: per-group integer tercile labels, ties by id, " +
+      "small-group edges") {
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 10L, 2L), ("a", 20L, 3L), // tie at 10
+      ("b", 5L, 4L),                                   // n = 1
+      ("c", 1L, 5L), ("c", 2L, 6L), ("c", 3L, 7L), ("c", 4L, 8L))
+      .toDF("g", "score", "id")
+    val got = Curation.ccnetBuckets(df, "g", "score", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("n"),
+          r.getAs[String]("bucket")))).toMap
+    // group a (n=3): floor cuts 1 and 2 -> one of each bucket
+    assert(got(1L) == ((1L, 3L, "tail")))
+    assert(got(2L) == ((2L, 3L, "middle"))) // tie resolved by id
+    assert(got(3L) == ((3L, 3L, "head")))
+    // n=1: rank 1 > floor(2/3)=0 -> head
+    assert(got(4L) == ((1L, 1L, "head")))
+    // n=4: cuts floor(4/3)=1, floor(8/3)=2 -> 1 tail, 1 middle, 2 head
+    assert(got(5L) == ((1L, 4L, "tail")) && got(6L) == ((2L, 4L, "middle")))
+    assert(got(7L) == ((3L, 4L, "head")) && got(8L) == ((4L, 4L, "head")))
   }
 
   test("bloomLineDedup: reference lines always drop (no false " +
