@@ -2340,6 +2340,28 @@ object SparkEntry {
           col("rank"), col("n"), col("bucket"))
     }),
 
+    // TOKEN-BALANCED SHARD ASSIGNMENT: docs ranked (tokens desc, id
+    // asc), shard = (rank-1) mod 7 -- round-robin over the size-ranked
+    // stream bounds any two shards' token-total gap by the largest
+    // single doc (proof in the scaladoc), with no driver greedy loop.
+    // Per-doc assignment AND the per-shard totals sit under one hash.
+    "q195_token_shards" -> ((s, dir) => {
+      import graft.functions.TextFns
+      import graft.operators.Curation
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long")
+          .as("n_tokens"))
+      val a = Curation.tokenBalancedShards(toks, "doc_id", "n_tokens", 7)
+      a.select(lit("doc").as("kind"), col("doc_id").as("k1"),
+          col("rank").as("k2"), col("shard").as("v"))
+        .unionByName(a.groupBy(col("shard")).agg(
+            sum(col("n_tokens")).as("__tot"),
+            count(lit(1)).as("__nd"))
+          .select(lit("shard").as("kind"), col("shard").as("k1"),
+            col("__nd").as("k2"), col("__tot").as("v")))
+    }),
+
     // GOPHER QUALITY RULES (Rae et al. 2021, Table A1, doc-level set):
     // word-count / mean-word-length / symbol-ratio / alpha-word /
     // stop-word / top-bigram-repetition rules, every one decided by
@@ -5419,6 +5441,27 @@ object SparkEntry {
            |       WHEN rank > n // 3 THEN 'middle'
            |       ELSE 'tail' END AS bucket
            |FROM rk""".stripMargin),
+
+    // q195: the shard assignment replayed -- one window rank over
+    // (n_tokens DESC, doc_id ASC), modulo 7, plus the per-shard totals.
+    "q195_token_shards" ->
+      raw"""WITH toks AS (SELECT doc_id,
+         |    CAST(CASE WHEN trim(text) = '' THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+         |      AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL),
+         |rk AS (SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC)
+         |      AS BIGINT) AS rank
+         |  FROM toks),
+         |a AS (SELECT doc_id, n_tokens, rank,
+         |    (rank - 1) % 7 AS shard FROM rk)
+         |SELECT 'doc' AS kind, doc_id AS k1, rank AS k2, shard AS v
+         |FROM a
+         |UNION ALL
+         |SELECT 'shard', shard, CAST(count(*) AS BIGINT),
+         |  CAST(sum(n_tokens) AS BIGINT)
+         |FROM a GROUP BY shard""".stripMargin,
 
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,

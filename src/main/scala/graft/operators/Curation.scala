@@ -228,6 +228,41 @@ object Curation {
       .withColumn("bin", ((sum(clamped).over(w) - clamped) / budget).cast("long"))
   }
 
+  /** Token-balanced output SHARD assignment — the "write the training
+    * shards" step (Dolma/Megatron-style pipelines emit fixed-count
+    * shard files and want the token mass even so downstream loader
+    * throughput is uniform): rank every doc by (tokens desc, id asc)
+    * and assign shard = (rank − 1) mod nShards. Round-robin over the
+    * size-ranked stream is the deterministic LPT-flavored
+    * approximation: shard k takes the k-th largest of every successive
+    * block of nShards docs, so for any two shards the token-total gap
+    * telescopes to ≤ the LARGEST SINGLE DOC's (clamped) tokens — a
+    * provable bound, spec-asserted, with no driver-side greedy loop.
+    * Ties resolved by id: bit-reproducible across engines and
+    * partitionings. Output = input columns + (rank, shard).
+    *
+    * Scale shape — [[ccnetBuckets]]'s rank discipline, not a global
+    * sort: per-token-value counts (lattice-sized — token counts are
+    * bounded integers by nature), a lattice-row cumulative window,
+    * one token-value-keyed join + row_number over the token-value
+    * partition (residual ties only).
+    */
+  def tokenBalancedShards(docs: DataFrame, idCol: String,
+      tokenCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val counts = docs.groupBy(col(tokenCol)).agg(count(lit(1)).as("__c"))
+    val wCum = Window.orderBy(col(tokenCol).desc)
+    val cum = counts
+      .withColumn("__below", sum(col("__c")).over(wCum) - col("__c"))
+      .select(col(tokenCol), col("__below"))
+    val wTie = Window.partitionBy(col(tokenCol)).orderBy(col(idCol).asc)
+    docs.join(cum, Seq(tokenCol))
+      .withColumn("rank",
+        (col("__below") + row_number().over(wTie)).cast("long"))
+      .withColumn("shard", ((col("rank") - 1) % nShards).cast("long"))
+      .drop("__below")
+  }
+
   /** Overlapping token-window chunking (RAG indexing / long-context
     * splitting): document i yields ceil((n−window)/stride)+1 chunks of up
     * to `window` tokens starting every `stride` tokens — the last chunk

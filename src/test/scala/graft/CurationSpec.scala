@@ -784,6 +784,27 @@ class UrlLineDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(3L) == ((None, 0L, 0L)))
   }
 
+  test("tokenBalancedShards: size-rank round-robin, shard token gap " +
+      "bounded by the largest doc, ties by id") {
+    val docs = (1L to 40L).map(i => (i, ((i * 7919) % 97) + 1))
+      .toDF("id", "toks")
+    val got = Curation.tokenBalancedShards(docs, "id", "toks", 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("toks"),
+        r.getAs[Long]("rank"), r.getAs[Long]("shard")))
+    // rank is the (toks desc, id asc) total order, 1..n
+    val expected = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, t) => (-t, id) }.map(_._1)
+    assert(got.sortBy(_._3).map(_._1).toSeq == expected.toSeq)
+    // provable balance bound: any two shard totals differ by <= max doc
+    val totals = got.groupBy(_._4).map { case (_, xs) => xs.map(_._2).sum }
+    val maxDoc = got.map(_._2).max
+    assert(totals.max - totals.min <= maxDoc,
+      s"gap ${totals.max - totals.min} > max doc $maxDoc")
+    // every shard gets floor/ceil(n / nShards) docs
+    val sizes = got.groupBy(_._4).map(_._2.size).toSet
+    assert(sizes.subsetOf(Set(13, 14)), sizes.toString)
+  }
+
   test("ccnetBuckets: per-group integer tercile labels, ties by id, " +
       "small-group edges") {
     val df = Seq(
