@@ -2362,6 +2362,37 @@ object SparkEntry {
             col("__nd").as("k2"), col("__tot").as("v")))
     }),
 
+    // COMPOSED LID-BALANCED MIXTURE: the q191 hashed-n-gram LID
+    // prediction becomes the DOMAIN key for the q115 temperature mix --
+    // predict a language per doc, then resample per-language token
+    // budgets at tau = 0.5 (the mT5/XLM-R step, language labels from
+    // the model instead of metadata). Scoring lattice, argmax,
+    // sqrt-temperature budgets, and the sharded prefix-sum cut all
+    // interact under ONE hash (the q149/q189 composition pattern).
+    "q196_lid_balanced_mix" -> ((s, dir) => {
+      import graft.operators.{Curation, QualityModel}
+      import graft.functions.TextFns
+      import s.implicits._
+      val cls = Seq(("en", 5L, -1L), ("de", 11L, 0L), ("fr", 17L, 1L))
+        .toDF("lang", "p", "bias")
+      val w = s.range(0, 1000).select(col("id").as("bucket"))
+        .crossJoin(cls)
+        .select(col("bucket"), col("lang"),
+          ((col("bucket") * col("p")) % 7 - 3).as("weight"))
+      val b = cls.select(col("lang"), col("bias"))
+      val pred = QualityModel.ngramMulticlassScore(t(s, dir, "documents"),
+          "doc_id", "text", w, "bucket", "lang", "weight", b, "lang",
+          "bias", nMin = 2, nMax = 3, nBuckets = 1000)
+        .filter(col("is_pred") === 1)
+        .select(col("doc_id"), col("cls").as("lang"))
+      val toks = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).cast("long").as("toks"))
+      Curation.temperatureMix(toks.join(pred, Seq("doc_id")), "doc_id",
+        "toks", "lang", totalBudget = 30000L, tau = 0.5)
+    }),
+
     // GOPHER QUALITY RULES (Rae et al. 2021, Table A1, doc-level set):
     // word-count / mean-word-length / symbol-ratio / alpha-word /
     // stop-word / top-bigram-repetition rules, every one decided by
@@ -4417,6 +4448,42 @@ object SparkEntry {
     * `//` is DuckDB integer floor division — same lattice as the
     * engine's `div`.
     */
+  /** Shared CTE chain for q191/q196: the hashed char-n-gram LID
+    * scorer — token wrap, bigram/trigram bucket hashes as nested
+    * ord(substr()) arithmetic, the dense closed-form weight lattice,
+    * per-(doc, class) sums, margins `mg` and argmax `pr`.
+    */
+  private def ngramLidCtes: String =
+    raw"""cls(lang, p, bias) AS (VALUES
+         |  ('en', 5, -1), ('de', 11, 0), ('fr', 17, 1)),
+         |wt AS (SELECT r.range AS bucket, c.lang,
+         |    (r.range * c.p) % 7 - 3 AS weight
+         |  FROM range(0, 1000) r CROSS JOIN cls c),
+         |tok AS (SELECT doc_id,
+         |    '<' || unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+         |      || '>' AS wd
+         |  FROM documents WHERE coalesce(trim(text), '') <> ''),
+         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(wd)),
+         |    i -> (ord(substr(wd, i, 1)) * 31
+         |        + ord(substr(wd, i + 1, 1))) % 1000)) AS b
+         |  FROM tok),
+         |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(wd) - 1),
+         |    i -> ((ord(substr(wd, i, 1)) * 31
+         |         + ord(substr(wd, i + 1, 1))) * 31
+         |         + ord(substr(wd, i + 2, 1))) % 1000)) AS b
+         |  FROM tok WHERE len(wd) >= 3),
+         |feats AS (SELECT doc_id, b FROM g2
+         |  UNION ALL SELECT doc_id, b FROM g3),
+         |sc AS (SELECT f.doc_id, w.lang, CAST(sum(w.weight) AS BIGINT) AS s
+         |  FROM feats f JOIN wt w ON w.bucket = f.b GROUP BY 1, 2),
+         |mg AS (SELECT d.doc_id, c.lang,
+         |    CAST(c.bias + COALESCE(sc.s, 0) AS BIGINT) AS margin
+         |  FROM documents d CROSS JOIN cls c
+         |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = c.lang),
+         |pr AS (SELECT doc_id, lang AS pl FROM mg
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY margin DESC, lang) = 1)""".stripMargin
+
   /** The q186 URL chain (u0 → nf → sa → lo → p1 → qp → pl → tr →
     * canon → hosts → sfxr → rules → hm → rm → best → reg) — shared by
     * the q186 canonicalization oracle and the q189 domain-rank oracle.
@@ -4985,39 +5052,11 @@ object SparkEntry {
     // (codepoint-based on both engines), the dense closed-form weight
     // lattice, per-(doc, class) sums, argmax QUALIFY flag.
     "q191_ngram_lid" ->
-      raw"""WITH cls(lang, p, bias) AS (VALUES
-         |  ('en', 5, -1), ('de', 11, 0), ('fr', 17, 1)),
-         |wt AS (SELECT r.range AS bucket, c.lang,
-         |    (r.range * c.p) % 7 - 3 AS weight
-         |  FROM range(0, 1000) r CROSS JOIN cls c),
-         |tok AS (SELECT doc_id,
-         |    '<' || unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-         |      || '>' AS wd
-         |  FROM documents WHERE coalesce(trim(text), '') <> ''),
-         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(wd)),
-         |    i -> (ord(substr(wd, i, 1)) * 31
-         |        + ord(substr(wd, i + 1, 1))) % 1000)) AS b
-         |  FROM tok),
-         |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(wd) - 1),
-         |    i -> ((ord(substr(wd, i, 1)) * 31
-         |         + ord(substr(wd, i + 1, 1))) * 31
-         |         + ord(substr(wd, i + 2, 1))) % 1000)) AS b
-         |  FROM tok WHERE len(wd) >= 3),
-         |feats AS (SELECT doc_id, b FROM g2
-         |  UNION ALL SELECT doc_id, b FROM g3),
-         |sc AS (SELECT f.doc_id, w.lang, CAST(sum(w.weight) AS BIGINT) AS s
-         |  FROM feats f JOIN wt w ON w.bucket = f.b GROUP BY 1, 2),
-         |mg AS (SELECT d.doc_id, c.lang,
-         |    CAST(c.bias + COALESCE(sc.s, 0) AS BIGINT) AS margin
-         |  FROM documents d CROSS JOIN cls c
-         |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = c.lang),
-         |pr AS (SELECT doc_id, lang AS pl FROM mg
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY margin DESC, lang) = 1)
-         |SELECT m.doc_id, m.lang, m.margin,
-         |  CAST(CASE WHEN m.lang = p.pl THEN 1 ELSE 0 END AS BIGINT)
-         |    AS is_pred
-         |FROM mg m JOIN pr p ON p.doc_id = m.doc_id""".stripMargin,
+      (s"WITH $ngramLidCtes\n" +
+        raw"""SELECT m.doc_id, m.lang, m.margin,
+           |  CAST(CASE WHEN m.lang = p.pl THEN 1 ELSE 0 END AS BIGINT)
+           |    AS is_pred
+           |FROM mg m JOIN pr p ON p.doc_id = m.doc_id""".stripMargin),
 
     // q187: the multiclass scorer replayed — same VALUES weight/bias
     // tables, per-(doc, class) integer sums, argmax by (margin DESC,
@@ -5462,6 +5501,34 @@ object SparkEntry {
          |SELECT 'shard', shard, CAST(count(*) AS BIGINT),
          |  CAST(sum(n_tokens) AS BIGINT)
          |FROM a GROUP BY shard""".stripMargin,
+
+    // q196: the composed chain replayed -- the q191 LID CTEs, the
+    // predicted language joined onto filtered token counts, then the
+    // q115 temperature-mix replay (sqrt weights, source-ordered
+    // normalizer fold, Knuth-hash shard buckets, per-language prefix
+    // sum against the floored budget).
+    "q196_lid_balanced_mix" ->
+      (s"WITH $ngramLidCtes,\n" +
+        raw"""dd AS (SELECT doc_id,
+           |    CAST(len(regexp_split_to_array(trim(text), '\s+'))
+           |      AS BIGINT) AS toks,
+           |    ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+           |      * 2654435761) % 2147483648 AS bkt
+           |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+           |dj AS (SELECT dd.doc_id, pr.pl AS lang, dd.toks, dd.bkt
+           |  FROM dd JOIN pr ON pr.doc_id = dd.doc_id),
+           |mm AS (SELECT lang, sqrt(sum(toks) * 1.0) AS w FROM dj
+           |  GROUP BY lang),
+           |tt AS (SELECT list_reduce(list(w ORDER BY lang),
+           |    (x, y) -> x + y) AS tot FROM mm),
+           |bb AS (SELECT lang, CAST(floor(30000.0 * w / tot) AS BIGINT)
+           |    AS budget FROM mm, tt),
+           |cc AS (SELECT dj.*, bb.budget,
+           |    sum(toks) OVER (PARTITION BY dj.lang
+           |      ORDER BY bkt, doc_id) AS cum
+           |  FROM dj JOIN bb ON bb.lang = dj.lang)
+           |SELECT doc_id, lang, toks FROM cc WHERE cum <= budget"""
+          .stripMargin),
 
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
