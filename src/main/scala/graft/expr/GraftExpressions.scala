@@ -200,6 +200,98 @@ case class GeodesicKmExpr(lat1: Expression, lon1: Expression,
 /** Native EU-decimal parse (S1 dialect): string → double in one codegen'd
   * static call (the Column version chains two regexp_replace passes).
   */
+/** Static text-hash kernels referenced from generated code — the same
+  * arithmetic as the [[graft.functions.TextFns]] UDF kernels
+  * (spec-enforced value equality), minus the per-row Catalyst↔Scala
+  * converter machinery: tokens are read straight off `ArrayData`, each
+  * shingle hashes by char iteration across its tokens with the `' '`
+  * separator hashed in place — no shingle string is ever allocated.
+  */
+object TextKernels {
+  private final val HashP = 1000000007L
+
+  /** OPH signature (rotation-densified) — value-identical to
+    * [[graft.functions.TextFns.ophSigUdf]] by construction: shingle
+    * hash = polyHash over the UTF-16 chars of `tok_i .. tok_{i+n-1}`
+    * joined by single spaces, permuted by the affine family's
+    * permutation 0, binned mod k with per-bucket minima and circular
+    * borrow densification. An empty/short token array folds to the
+    * single joined shingle exactly like the UDF ("" for no tokens).
+    */
+  def ophSig(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      shingleN: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val a0 = 104729L // minhashPerm(0, ·): ((2·0+1)·104729) % p, 0·12582917+7
+    val b0 = 7L
+    def addWindow(from: Int, until: Int): Unit = {
+      var acc = 0L
+      var j = from
+      while (j < until) {
+        if (j > from) acc = (acc * 31L + ' '.toInt) % HashP
+        val t = toks(j)
+        var c = 0
+        while (c < t.length) { acc = (acc * 31L + t.charAt(c).toInt) % HashP; c += 1 }
+        j += 1
+      }
+      val h = (a0 * acc + b0) % HashP
+      val b = (h % k).toInt
+      if (h < mins(b)) mins(b) = h
+    }
+    if (n < shingleN) addWindow(0, n) // incl. n == 0: polyHash("") = 0
+    else {
+      var s = 0
+      while (s + shingleN <= n) { addWindow(s, s + shingleN); s += 1 }
+    }
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      if (mins(j) != Long.MaxValue) out(j) = mins(j)
+      else {
+        var t = 1
+        while (mins((j + t) % k) == Long.MaxValue) t += 1
+        out(j) = mins((j + t) % k) + t.toLong * HashP
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Native codegen form of the OPH signature kernel ([[TextKernels.ophSig]])
+  * — the hottest arithmetic in the dedup family (every near-dup pipeline
+  * evaluates it once per document). vs the `udf` form it stays inside the
+  * whole-stage-codegen span with ONE static call and no
+  * `CatalystTypeConverters` round-trip (`OPH_EXPR_AB_r13.json` measures
+  * the swap). Null input must be coalesced to an empty array by the
+  * caller ([[graft.operators.Dedup.ophSignatures]] does) — the UDF's
+  * null-input path and the empty-array path produce the same signature,
+  * so semantics are unchanged.
+  */
+case class OphSigExpr(child: Expression, shingleN: Int, k: Int)
+  extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.ophSig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      shingleN, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextKernels.ophSig($c, $shingleN, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "oph_sig"
+}
+
 case class EuToDoubleExpr(child: Expression)
   extends UnaryExpression with Serializable {
 
@@ -238,6 +330,12 @@ object GraftExpressions {
     ColumnBridge.column(CosineSimExpr(
       Cast(ColumnBridge.expression(a), ArrayType(DoubleType)),
       Cast(ColumnBridge.expression(b), ArrayType(DoubleType))))
+
+  /** [[OphSigExpr]] over a non-null `array<string>` token column. */
+  def ophSig(toks: Column, shingleN: Int, k: Int): Column =
+    ColumnBridge.column(OphSigExpr(
+      Cast(ColumnBridge.expression(toks), ArrayType(StringType)),
+      shingleN, k))
 
   /** Register as SQL functions on a session (spark.sql("... haversine_km(...)")). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -158,15 +158,28 @@ object Dedup {
     * shingle instead of MinHash's k: the scan-side cost of sketching a
     * 100 TB corpus drops k-fold while per-bucket collision probability
     * still estimates Jaccard resemblance.
+    *
+    * The kernel runs as the NATIVE codegen expression
+    * [[graft.expr.OphSigExpr]] (value-identical to the UDF by spec; the
+    * null-text path coalesces to the empty token array, which signs
+    * exactly like the UDF's null input). Escape hatch for A/B only:
+    * `spark.graft.oph.nativeExpr=false` restores the `udf` form.
     */
   def ophSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 2, k: Int = 16): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      posexplode(TextFns.ophSigUdf(shingleN, k)(
-        TextFns.tokens(lower(col(textCol))))))
+      shingleN: Int = 2, k: Int = 16): DataFrame = {
+    val native = docs.sparkSession.conf
+      .get("spark.graft.oph.nativeExpr", "true").toBoolean
+    val toks = TextFns.tokens(lower(col(textCol)))
+    val sig =
+      if (native)
+        graft.expr.GraftExpressions.ophSig(
+          coalesce(toks, array().cast("array<string>")), shingleN, k)
+      else TextFns.ophSigUdf(shingleN, k)(toks)
+    docs.select(col(idCol).as("doc_id"), posexplode(sig))
       .toDF("doc_id", "bucket", "sig")
       .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
         col("sig"))
+  }
 
   /** Candidate pairs from an OPH signature relation: docs agreeing on
     * ≥ `minMatch` of the k (bucket, sig) entries, with the matching-entry

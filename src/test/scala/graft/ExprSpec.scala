@@ -83,4 +83,51 @@ class ExprSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
     assert(df.count() == 100)
   }
+
+  test("native OphSigExpr is value-identical to ophSigUdf on every edge: " +
+      "null/blank/short/unicode/long docs, all k buckets") {
+    import graft.functions.TextFns
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "   "),
+      (5L, "single"),
+      (6L, "exactly two"),
+      (7L, "Ünïcødé tøkèns é́ and 😀 emoji here"),
+      (8L, (1 to 500).map(i => s"tok${i % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((n, k) <- Seq((2, 16), (3, 8), (1, 4))) {
+      val toks = TextFns.tokens(lower(col("text")))
+      val both = docs.select(col("doc_id"),
+        GraftExpressions.ophSig(
+          coalesce(toks, array().cast("array<string>")), n, k).as("native"),
+        TextFns.ophSigUdf(n, k)(toks).as("viaUdf")).collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"doc ${r.getLong(0)} n=$n k=$k: " +
+            s"${r.getSeq[Long](1)} vs ${r.getSeq[Long](2)}")
+      }
+    }
+    // and through ophSignatures' conf switch: identical relations
+    import graft.operators.Dedup
+    val nat = Dedup.ophSignatures(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spark.conf.set("spark.graft.oph.nativeExpr", "false")
+    val viaUdf =
+      try Dedup.ophSignatures(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      finally spark.conf.unset("spark.graft.oph.nativeExpr")
+    assert(nat == viaUdf)
+  }
+
+  test("OphSigExpr stays inside the whole-stage-codegen span") {
+    import graft.functions.TextFns
+    val df = spark.range(100).select(
+      GraftExpressions.ophSig(
+        coalesce(TextFns.tokens(concat(lit("w"), col("id"), lit(" x"))),
+          array().cast("array<string>")), 2, 16).as("sig"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.count() == 100)
+  }
 }
