@@ -46,7 +46,25 @@ object OphExprAb {
       try SparkEntry.releaseScratch(spark) catch { case _: Throwable => }
     }
 
-    sigScan(); pipeline() // warm
+    // minhash / simhash arms compare the column forms directly (the
+    // native path is unconditional in production; the udf kernels are
+    // retained for this measurement and the equality specs)
+    import graft.functions.TextFns
+    val toks = TextFns.tokens(lower(col("text")))
+    def mhNative(): Unit = synth.select(col("doc_id"),
+        TextFns.minhashSig(3, 16)(toks).as("sig"))
+      .write.mode("overwrite").format("noop").save()
+    def mhUdf(): Unit = synth.select(col("doc_id"),
+        TextFns.minhashSigUdf(3, 16)(toks).as("sig"))
+      .write.mode("overwrite").format("noop").save()
+    def shNative(): Unit = synth.select(col("doc_id"),
+        TextFns.simhash64(col("text")).as("sh"))
+      .write.mode("overwrite").format("noop").save()
+    def shUdf(): Unit = synth.select(col("doc_id"),
+        TextFns.simhash64Udf(toks).as("sh"))
+      .write.mode("overwrite").format("noop").save()
+
+    sigScan(); pipeline(); mhNative(); shNative() // warm
     val acc = scala.collection.mutable.Map
       .empty[(String, String), List[Double]].withDefaultValue(Nil)
     val passes = sys.env.getOrElse("OPH_AB_PASSES", "5").toInt
@@ -55,6 +73,8 @@ object OphExprAb {
         (arm == "native").toString)
       acc((arm, "scan")) ::= time(sigScan())
       acc((arm, "q176")) ::= time(pipeline())
+      acc((arm, "mh")) ::= time(if (arm == "native") mhNative() else mhUdf())
+      acc((arm, "sh")) ::= time(if (arm == "native") shNative() else shUdf())
     }
     spark.conf.unset("spark.graft.oph.nativeExpr")
     def med(xs: List[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
@@ -62,7 +82,11 @@ object OphExprAb {
       f""""scan1m_native":${med(acc(("native", "scan")))}%.3f,""" +
       f""""scan1m_udf":${med(acc(("udf", "scan")))}%.3f,""" +
       f""""q176_native":${med(acc(("native", "q176")))}%.3f,""" +
-      f""""q176_udf":${med(acc(("udf", "q176")))}%.3f}""")
+      f""""q176_udf":${med(acc(("udf", "q176")))}%.3f,""" +
+      f""""minhash1m_native":${med(acc(("native", "mh")))}%.3f,""" +
+      f""""minhash1m_udf":${med(acc(("udf", "mh")))}%.3f,""" +
+      f""""simhash1m_native":${med(acc(("native", "sh")))}%.3f,""" +
+      f""""simhash1m_udf":${med(acc(("udf", "sh")))}%.3f}""")
     spark.stop()
   }
 }

@@ -260,6 +260,127 @@ object TextKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** k-permutation MinHash signature — value-identical to
+    * [[graft.functions.TextFns.minhashSigUdf]]: per sliding shingle,
+    * base = polyHash of the space-joined window (incremental, no
+    * string), then min over the k affine permutations. The UDF's
+    * `.distinct` on shingle strings is a no-op for a min — duplicate
+    * bases cannot change any minimum — so it is dropped here.
+    */
+  def minhashSig(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      shingleN: Int, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val as = new Array[Long](k)
+    val bs = new Array[Long](k)
+    i = 0
+    while (i < k) {
+      as(i) = ((2L * i + 1L) * 104729L) % HashP
+      bs(i) = (i.toLong * 12582917L + 7L) % HashP
+      i += 1
+    }
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    def addWindow(from: Int, until: Int): Unit = {
+      var acc = 0L
+      var j = from
+      while (j < until) {
+        if (j > from) acc = (acc * 31L + ' '.toInt) % HashP
+        val t = toks(j)
+        var c = 0
+        while (c < t.length) { acc = (acc * 31L + t.charAt(c).toInt) % HashP; c += 1 }
+        j += 1
+      }
+      var p = 0
+      while (p < k) {
+        val h = (as(p) * acc + bs(p)) % HashP
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+    }
+    if (n < shingleN) addWindow(0, n)
+    else {
+      var s = 0
+      while (s + shingleN <= n) { addWindow(s, s + shingleN); s += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** 60-bit SimHash — value-identical to the
+    * [[graft.functions.TextFns.simhash64Udf]] kernel: per-token
+    * two-affine-mix packed hash, signed bit votes, sign readout. An
+    * empty token array yields 0L exactly like the UDF's null path.
+    */
+  def simhash(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val bits = 60
+    val votes = new Array[Int](bits)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i).toString
+      var h0 = 0L
+      var c = 0
+      while (c < t.length) { h0 = (h0 * 31L + t.charAt(c).toInt) % HashP; c += 1 }
+      val lo = (104729L * h0 + 7L) % HashP
+      val hi = (1299709L * h0 + 31L) % HashP
+      val h = (hi << 30) | lo
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+}
+
+/** Native codegen form of the k-permutation MinHash kernel — same
+  * rationale and A/B discipline as [[OphSigExpr]].
+  */
+case class MinhashSigExpr(child: Expression, shingleN: Int, k: Int)
+  extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.minhashSig(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      shingleN, k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.TextKernels.minhashSig($c, $shingleN, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** Native codegen form of the 60-bit SimHash kernel. */
+case class SimhashExpr(child: Expression)
+  extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.simhash(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextKernels.simhash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "simhash60"
 }
 
 /** Native codegen form of the OPH signature kernel ([[TextKernels.ophSig]])
@@ -336,6 +457,17 @@ object GraftExpressions {
     ColumnBridge.column(OphSigExpr(
       Cast(ColumnBridge.expression(toks), ArrayType(StringType)),
       shingleN, k))
+
+  /** [[MinhashSigExpr]] over a non-null `array<string>` token column. */
+  def minhashSig(toks: Column, shingleN: Int, k: Int): Column =
+    ColumnBridge.column(MinhashSigExpr(
+      Cast(ColumnBridge.expression(toks), ArrayType(StringType)),
+      shingleN, k))
+
+  /** [[SimhashExpr]] over a non-null `array<string>` token column. */
+  def simhash(toks: Column): Column =
+    ColumnBridge.column(SimhashExpr(
+      Cast(ColumnBridge.expression(toks), ArrayType(StringType))))
 
   /** Register as SQL functions on a session (spark.sql("... haversine_km(...)")). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

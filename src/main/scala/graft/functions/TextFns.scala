@@ -338,7 +338,11 @@ object TextFns {
     */
   val SimhashBits = 60
 
-  private val simhashKernel = udf { (toks: Seq[String]) =>
+  /** The `udf` form of the SimHash kernel — kept for the native-vs-UDF
+    * equality spec and A/B; production paths route through the native
+    * [[graft.expr.SimhashExpr]] via [[simhash64]].
+    */
+  val simhash64Udf = udf { (toks: Seq[String]) =>
     val votes = new Array[Int](SimhashBits)
     if (toks != null) toks.foreach { t =>
       val h0 = polyHash(t)
@@ -357,7 +361,23 @@ object TextFns {
     out
   }
 
-  def simhash64(text: Column): Column = simhashKernel(tokens(lower(text)))
+  /** Production SimHash: the native codegen kernel
+    * ([[graft.expr.SimhashExpr]], value-identical to [[simhash64Udf]]
+    * by spec); null text coalesces to the empty token array, which
+    * votes to 0L exactly like the UDF's null path.
+    */
+  def simhash64(text: Column): Column =
+    graft.expr.GraftExpressions.simhash(
+      coalesce(tokens(lower(text)), array().cast("array<string>")))
+
+  /** Production MinHash signature: the native codegen kernel
+    * ([[graft.expr.MinhashSigExpr]], value-identical to
+    * [[minhashSigUdf]] by spec — drop-in for the
+    * `minhashSigUdf(n, k)(toks)` call shape).
+    */
+  def minhashSig(shingleN: Int, k: Int): Column => Column =
+    toks => graft.expr.GraftExpressions.minhashSig(
+      coalesce(toks, array().cast("array<string>")), shingleN, k)
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

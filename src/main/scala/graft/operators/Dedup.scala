@@ -100,7 +100,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16): DataFrame =
     docs.select(col(idCol),
-      TextFns.minhashSigUdf(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("minhash"))
+      TextFns.minhashSig(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("minhash"))
 
   /** LSH candidate pairs: docs sharing at least one band bucket, id1 < id2.
     *
@@ -119,7 +119,7 @@ object Dedup {
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
     val sigs = docs.select(col(idCol).as("doc_id"),
-      TextFns.minhashSigUdf(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("sig"))
+      TextFns.minhashSig(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("sig"))
     val banded = sigs.select(col("doc_id"),
       explode(TextFns.minhashBandsUdf(bands, k / bands)(col("sig"))).as("band_key"))
     val ok = banded.groupBy(col("band_key"))
@@ -735,7 +735,7 @@ object Dedup {
     // probes. Clustered, file count is bounded by the bucket count.
     existing.select(col(idCol).cast("long").as("doc_id"),
         md5(norm).as("content_hash"),
-        TextFns.minhashSigUdf(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("sig"),
+        TextFns.minhashSig(shingleN, k)(TextFns.tokens(lower(col(textCol)))).as("sig"),
         TextFns.wordShingles(col(textCol), shingleN).as("shingles"))
       .withColumn("ib", pmod(col("doc_id"), lit(nBuckets.toLong)))
       .repartition(col("ib"))
@@ -825,7 +825,7 @@ object Dedup {
     // variant reachable for A/B timing ([[graft.DedupAb]]) only.
     val enrichedBase = survivors.select(col(idCol).cast("long").as("doc_id"),
         md5(norm).as("content_hash"),
-        TextFns.minhashSigUdf(m.shingleN, m.k)(
+        TextFns.minhashSig(m.shingleN, m.k)(
           TextFns.tokens(lower(col(textCol)))).as("sig"),
         TextFns.wordShingles(col(textCol), m.shingleN).as("shingles"))
     val viaCheckpoint =
@@ -1149,7 +1149,7 @@ object Dedup {
     val batch = incoming.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("__text"),
         md5(norm).as("__h"),
-        TextFns.minhashSigUdf(m.shingleN, m.k)(
+        TextFns.minhashSig(m.shingleN, m.k)(
           TextFns.tokens(lower(col(textCol)))).as("__sig"),
         TextFns.wordShingles(col(textCol), m.shingleN).as("__sh"))
       .localCheckpoint(true)

@@ -120,6 +120,37 @@ class ExprSpec extends AnyFunSuite {
     assert(nat == viaUdf)
   }
 
+  test("native MinhashSigExpr and SimhashExpr are value-identical to " +
+      "their udf kernels on every edge") {
+    import graft.functions.TextFns
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "   "),
+      (5L, "single"),
+      (6L, "repeated shingle repeated shingle repeated shingle"),
+      (7L, "Ünïcødé tøkèns é́ and 😀 emoji here"),
+      (8L, (1 to 500).map(i => s"tok${i % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((n, k) <- Seq((3, 16), (2, 8))) {
+      val toks = TextFns.tokens(lower(col("text")))
+      val both = docs.select(col("doc_id"),
+        TextFns.minhashSig(n, k)(toks).as("native"),
+        TextFns.minhashSigUdf(n, k)(toks).as("viaUdf")).collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"minhash doc ${r.getLong(0)} n=$n k=$k")
+      }
+    }
+    val sh = docs.select(col("doc_id"),
+      TextFns.simhash64(col("text")).as("native"),
+      TextFns.simhash64Udf(
+        TextFns.tokens(lower(col("text")))).as("viaUdf")).collect()
+    sh.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"simhash doc ${r.getLong(0)}")
+    }
+  }
+
   test("OphSigExpr stays inside the whole-stage-codegen span") {
     import graft.functions.TextFns
     val df = spark.range(100).select(
