@@ -2393,6 +2393,31 @@ object SparkEntry {
         "toks", "lang", totalBudget = 30000L, tau = 0.5)
     }),
 
+    // DOLMA JSONL ROUND-TRIP: the corpus decorated with an adversarial
+    // payload (newline, tab, quotes, backslash, BMP + astral unicode)
+    // and a nested metadata struct, written as 4 JSONL shards and read
+    // back under the explicit schema (FAILFAST, no inference pass).
+    // The oracle is the IDENTITY over parquet -- so the gate proves
+    // JSON escaping, null-field omission, and nested-struct decoding
+    // are value-exact end to end.
+    "q197_jsonl_roundtrip" -> ((s, dir) => {
+      import graft.sources.JsonlDocs
+      val base = scratchDir("graft_jsonl").resolve("docs").toString
+      val hard = t(s, dir, "documents").select(
+        concat(lit("doc-"), col("doc_id")).as("id"),
+        concat(col("text"),
+          lit("\nline\ttwo \"q\" \\ \u00fcn\u00ef\ud83d\ude00")).as("text"),
+        col("source"),
+        lit("2026-08-15").as("added"),
+        struct(col("n_chars").cast("long").as("n_chars"),
+          array(lit("en"), lit("de")).as("langs")).as("metadata"))
+      JsonlDocs.write(hard.repartition(4), base)
+      JsonlDocs.read(s, base)
+        .select(col("id"), col("text"), col("source"), col("added"),
+          col("metadata.n_chars").as("meta_n_chars"),
+          array_join(col("metadata.langs"), ",").as("meta_langs"))
+    }),
+
     // GOPHER QUALITY RULES (Rae et al. 2021, Table A1, doc-level set):
     // word-count / mean-word-length / symbol-ratio / alpha-word /
     // stop-word / top-bigram-repetition rules, every one decided by
@@ -5529,6 +5554,19 @@ object SparkEntry {
            |  FROM dj JOIN bb ON bb.lang = dj.lang)
            |SELECT doc_id, lang, toks FROM cc WHERE cum <= budget"""
           .stripMargin),
+
+    // q197: the identity over parquet -- the engine must reproduce the
+    // exact relation AFTER its JSONL write+read round trip, proving
+    // escaping (newline/tab/quote/backslash/astral), null-field
+    // omission, and nested-struct decode are value-exact.
+    "q197_jsonl_roundtrip" ->
+      raw"""SELECT 'doc-' || doc_id AS id,
+         |  text || (chr(10) || 'line' || chr(9) || 'two "q" \ '
+         |    || chr(252) || 'n' || chr(239) || chr(128512)) AS text,
+         |  source, '2026-08-15' AS added,
+         |  CAST(n_chars AS BIGINT) AS meta_n_chars,
+         |  'en,de' AS meta_langs
+         |FROM documents""".stripMargin,
 
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
