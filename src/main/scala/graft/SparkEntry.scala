@@ -2418,6 +2418,61 @@ object SparkEntry {
           array_join(col("metadata.langs"), ",").as("meta_langs"))
     }),
 
+    // MIXED-LANGUAGE DOCUMENT FLAG: per-LINE LID (the q191 hashed
+    // n-gram lattice scored line by line, CCNet's per-paragraph LID
+    // discipline), then per-doc dominant-language share on the pure
+    // integer lattice -- docs whose dominant language covers under 60%
+    // of lines flag as mixed. Line ids = doc_id*1000 + pos (bounded by
+    // the 10-token relining), ties to the smallest language name.
+    "q198_mixed_lang" -> ((s, dir) => {
+      import graft.operators.QualityModel
+      import s.implicits._
+      val relined = t(s, dir, "documents")
+        .filter(col("text").isNotNull && trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          split(trim(lower(col("text"))), "\\s+").as("__t"))
+        .select(col("doc_id"),
+          expr("array_join(transform(sequence(0, " +
+            "cast((size(__t) - 1) / 10 as int)), " +
+            "i -> array_join(slice(__t, i * 10 + 1, 10), ' ')), '\n')")
+            .as("text"))
+      val lines = relined
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+        .toDF("doc_id", "pos", "line")
+        .select((col("doc_id") * 1000 + col("pos")).as("line_id"),
+          col("doc_id"), col("line").as("text"))
+      val cls = Seq(("en", 5L, -1L), ("de", 11L, 0L), ("fr", 17L, 1L))
+        .toDF("lang", "p", "bias")
+      val w = s.range(0, 1000).select(col("id").as("bucket"))
+        .crossJoin(cls)
+        .select(col("bucket"), col("lang"),
+          ((col("bucket") * col("p")) % 7 - 3).as("weight"))
+      val b = cls.select(col("lang"), col("bias"))
+      val lab = QualityModel.ngramMulticlassScore(
+          lines.select(col("line_id"), col("text")), "line_id", "text",
+          w, "bucket", "lang", "weight", b, "lang", "bias",
+          nMin = 2, nMax = 3, nBuckets = 1000)
+        .filter(col("is_pred") === 1)
+        .join(lines.select(col("line_id"), col("doc_id")), Seq("line_id"))
+        .select(col("doc_id"), col("cls").as("lang"))
+      val agg = lab.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      val wDom = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("lang").asc)
+      val dom = agg.withColumn("__rn", row_number().over(wDom))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("lang").as("dom_lang"),
+          col("n").as("dom_lines"))
+      val tot = agg.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_lines"))
+      tot.join(dom, Seq("doc_id"))
+        .select(col("doc_id"), col("n_lines"), col("dom_lang"),
+          col("dom_lines"),
+          expr("(dom_lines * 1000000) div n_lines").as("dom_share_ppm"),
+          when(expr("(dom_lines * 1000000) div n_lines") < 600000, 1L)
+            .otherwise(0L).as("mixed"))
+    }),
+
     // GOPHER QUALITY RULES (Rae et al. 2021, Table A1, doc-level set):
     // word-count / mean-word-length / symbol-ratio / alpha-word /
     // stop-word / top-bigram-repetition rules, every one decided by
@@ -5567,6 +5622,68 @@ object SparkEntry {
          |  CAST(n_chars AS BIGINT) AS meta_n_chars,
          |  'en,de' AS meta_langs
          |FROM documents""".stripMargin,
+
+    // q198: per-line LID + dominant-share replayed -- the q193
+    // re-lining, the q191 hash/lattice per line id (doc_id*1000+pos),
+    // argmax with ties to the smallest language, integer ppm share.
+    "q198_mixed_lang" ->
+      raw"""WITH d0 AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+         |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+         |d AS (SELECT doc_id, array_to_string(list_transform(
+         |    range(0, (len(w) - 1) // 10 + 1),
+         |    i -> array_to_string(w[i * 10 + 1 : i * 10 + 10], ' ')),
+         |    chr(10)) AS text FROM d0),
+         |ln AS (SELECT doc_id,
+         |    unnest(str_split(text, chr(10))) AS line,
+         |    unnest(list_transform(
+         |      range(1, len(str_split(text, chr(10))) + 1),
+         |      j -> CAST(j - 1 AS BIGINT))) AS pos
+         |  FROM d),
+         |lt AS (SELECT doc_id, pos, doc_id * 1000 + pos AS lid, line
+         |  FROM ln),
+         |cls(lang, p, bias) AS (VALUES
+         |  ('en', 5, -1), ('de', 11, 0), ('fr', 17, 1)),
+         |wt AS (SELECT r.range AS bucket, c.lang,
+         |    (r.range * c.p) % 7 - 3 AS weight
+         |  FROM range(0, 1000) r CROSS JOIN cls c),
+         |wd AS (SELECT lid,
+         |    '<' || unnest(regexp_split_to_array(trim(lower(line)), '\s+'))
+         |      || '>' AS wd
+         |  FROM lt WHERE coalesce(trim(line), '') <> ''),
+         |g2 AS (SELECT lid, unnest(list_transform(range(1, len(wd)),
+         |    i -> (ord(substr(wd, i, 1)) * 31
+         |        + ord(substr(wd, i + 1, 1))) % 1000)) AS b
+         |  FROM wd),
+         |g3 AS (SELECT lid, unnest(list_transform(range(1, len(wd) - 1),
+         |    i -> ((ord(substr(wd, i, 1)) * 31
+         |         + ord(substr(wd, i + 1, 1))) * 31
+         |         + ord(substr(wd, i + 2, 1))) % 1000)) AS b
+         |  FROM wd WHERE len(wd) >= 3),
+         |feats AS (SELECT lid, b FROM g2 UNION ALL SELECT lid, b FROM g3),
+         |sc AS (SELECT f.lid, w.lang, CAST(sum(w.weight) AS BIGINT) AS s
+         |  FROM feats f JOIN wt w ON w.bucket = f.b GROUP BY 1, 2),
+         |mg AS (SELECT l.lid, c.lang,
+         |    CAST(c.bias + COALESCE(sc.s, 0) AS BIGINT) AS margin
+         |  FROM lt l CROSS JOIN cls c
+         |  LEFT JOIN sc ON sc.lid = l.lid AND sc.lang = c.lang),
+         |pr AS (SELECT lid, lang AS pl FROM mg
+         |  QUALIFY row_number() OVER (PARTITION BY lid
+         |    ORDER BY margin DESC, lang) = 1),
+         |lab AS (SELECT lt.doc_id, pr.pl AS lang FROM lt
+         |  JOIN pr ON pr.lid = lt.lid),
+         |ag AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM lab GROUP BY 1, 2),
+         |dom AS (SELECT doc_id, lang AS dom_lang, n AS dom_lines FROM ag
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY n DESC, lang ASC) = 1),
+         |tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_lines
+         |  FROM ag GROUP BY 1)
+         |SELECT t.doc_id, t.n_lines, dm.dom_lang, dm.dom_lines,
+         |  (dm.dom_lines * 1000000) // t.n_lines AS dom_share_ppm,
+         |  CAST(CASE WHEN (dm.dom_lines * 1000000) // t.n_lines < 600000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS mixed
+         |FROM tot t JOIN dom dm ON dm.doc_id = t.doc_id""".stripMargin,
 
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
