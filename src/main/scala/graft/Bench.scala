@@ -300,18 +300,45 @@ object Bench {
 
     // Compact driver line. At 149 queries the old "qNN":secs.cc encoding
     // (~13 chars/query) overflowed the 1800-char guard and degraded to
-    // groups-only (BENCH_r09 shipped without per-query detail) — so the
-    // per-query map now uses bare numeric keys and INTEGER CENTISECOND
-    // values ("148":1384 = q148 at 13.84 s), ~9 chars/query, declared by
-    // "qunit":"cs" in the line itself. Full-precision full-name timings
-    // stay in BENCH_LOCAL.json.
-    val qs = med.map { case (k, v) =>
-        s""""${shortKey(k).drop(1)}":${math.round(v * 100)}""" }
-      .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-      s""""n":${med.size},"runs":${passes.size},"forked":$forked,""" +
-      s""""warm":${warmDir(sfDir).isDefined},"qunit":"cs",""" +
-      s""""groups":$groupJson,"queries":$qs,"sf":"$sfDir"}"""
+    // groups-only (BENCH_r09 shipped without per-query detail); the
+    // bare-numeric-key + centisecond map (~10 chars/query) bought room to
+    // ~170 but degraded again at 190 (BENCH_r12 shipped groups-only). Now
+    // the per-query detail is a POSITIONAL centisecond array: "qids" gives
+    // the sorted numeric query ids as compressed ranges ("1-198" or
+    // "1-92,101-198"), "qcs" the integer-centisecond medians in exactly
+    // that order (~5 chars/query — room to ~300 queries). Declared by
+    // "qunit":"cs"; full-precision full-name timings stay in
+    // BENCH_LOCAL.json. Falls back to the keyed map if any id is
+    // non-numeric (positional decode would be ambiguous).
+    val byId = med.map { case (k, v) =>
+      (shortKey(k).drop(1).toIntOption, math.round(v * 100)) }
+    val line =
+      if (byId.forall(_._1.isDefined)) {
+        val sorted = byId.map { case (id, c) => (id.get, c) }.sortBy(_._1)
+        val ranges = new scala.collection.mutable.ListBuffer[String]
+        var i = 0
+        while (i < sorted.length) {
+          var j = i
+          while (j + 1 < sorted.length && sorted(j + 1)._1 == sorted(j)._1 + 1) j += 1
+          ranges += (if (j == i) s"${sorted(i)._1}"
+                     else s"${sorted(i)._1}-${sorted(j)._1}")
+          i = j + 1
+        }
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+          s""""n":${med.size},"runs":${passes.size},"forked":$forked,""" +
+          s""""warm":${warmDir(sfDir).isDefined},"qunit":"cs",""" +
+          s""""groups":$groupJson,"qids":"${ranges.mkString(",")}",""" +
+          s""""qcs":${sorted.map(_._2).mkString("[", ",", "]")},""" +
+          s""""sf":"$sfDir"}"""
+      } else {
+        val qs = med.map { case (k, v) =>
+            s""""${shortKey(k).drop(1)}":${math.round(v * 100)}""" }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+          s""""n":${med.size},"runs":${passes.size},"forked":$forked,""" +
+          s""""warm":${warmDir(sfDir).isDefined},"qunit":"cs",""" +
+          s""""groups":$groupJson,"queries":$qs,"sf":"$sfDir"}"""
+      }
     // never abort after the queries already ran: if the per-query blob
     // would overflow the driver's 2000-char tail capture, degrade to the
     // groups-only line (full detail is in BENCH_LOCAL.json either way)
