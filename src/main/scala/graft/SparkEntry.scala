@@ -66,6 +66,34 @@ object SparkEntry {
     catch { case _: Exception => () }
   }
 
+  /** Deterministic synthetic crawl for q199/q200: every document as a
+    * WARC-ready HTML page (text HTML-escaped into a `<p>`, a script
+    * element carrying decoy markup, one outlink with UNSORTED query
+    * params so canonicalization has work, a comment, `doc_id % 7 == 0`
+    * pages served as 404). The q199/q200 oracles rebuild these pages
+    * closed-form in SQL — keep both in lockstep.
+    */
+  private def warcPages(docs: DataFrame): DataFrame = {
+    val esc = (c: Column) => regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val id = col("doc_id").cast("string")
+    docs.select(
+      concat(lit("<urn:graft:doc:"), id, lit(">")).as("record_id"),
+      concat(lit("http://"), col("source"), lit(".example.com/doc/"), id)
+        .as("target_uri"),
+      lit("2026-08-15T00:00:00Z").as("warc_date"),
+      lit("text/html; charset=utf-8").as("http_content_type"),
+      when(col("doc_id") % 7 === 0, 404).otherwise(200).cast("int")
+        .as("http_status"),
+      concat(
+        lit("<html><head><title>doc "), id,
+        lit("</title><script>var x=\"<p>no</p>\";</script></head><body><p>"),
+        esc(coalesce(col("text"), lit(""))),
+        lit("</p><a href=\"http://out"), (col("doc_id") % 5).cast("string"),
+        lit(".example.org/p?b=2&a=1\">next</a><!-- c --></body></html>"))
+        .as("body"))
+  }
+
   /** All event queries treat `ts` as int64 nanoseconds since the epoch;
     * ordering and gap arithmetic are identical to timestamp semantics.
     *
@@ -2471,6 +2499,131 @@ object SparkEntry {
           expr("(dom_lines * 1000000) div n_lines").as("dom_share_ppm"),
           when(expr("(dom_lines * 1000000) div n_lines") < 600000, 1L)
             .otherwise(0L).as("mixed"))
+    }),
+
+    // WARC ROUND TRIP: documents rendered as deterministic HTML pages,
+    // written as 3 record-gzipped WARC shards (the CommonCrawl layout:
+    // one gzip member per record), read back through the Content-
+    // Length-authoritative parser + HTTP response parse. The oracle
+    // rebuilds every page closed-form in SQL, so the gate proves WARC
+    // framing, header lifting, status/content-type parse, and the
+    // UTF-8 body round trip value-exactly. HTML-escape of the text
+    // (& < > -> entities) rides along so the q200 extraction chain has
+    // a real decode to undo.
+    "q199_warc_roundtrip" -> ((s, dir) => {
+      import graft.sources.Warc
+      val base = scratchDir("graft_warc").resolve("crawl").toString
+      Warc.write(warcPages(t(s, dir, "documents")).repartition(3),
+        base, gzip = true)
+      Warc.read(s, base)
+        .select(col("target_uri"), col("http_status"),
+          col("http_content_type"), col("body"))
+    }),
+
+    // CRAWL EXTRACTION CHAIN: the same WARC shards scanned back, 404s
+    // dropped, and the HTML layer peeled off with the deterministic
+    // regexp chain -- title, visible text (block tags -> line breaks,
+    // entities decoded, whitespace collapsed), outlinks with canonical
+    // form (query params sorted) and host. The oracle derives every
+    // output closed-form from the page construction -- an INDEPENDENT
+    // derivation, not the same regexes replayed -- so chain bugs can't
+    // cancel.
+    "q200_html_extract" -> ((s, dir) => {
+      import graft.functions.TextFns
+      import graft.sources.Warc
+      val base = scratchDir("graft_warc2").resolve("crawl").toString
+      Warc.write(warcPages(t(s, dir, "documents")).repartition(3),
+        base, gzip = true)
+      val got = Warc.read(s, base).filter(col("http_status") === 200)
+      got.select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          TextFns.htmlTitle(col("body")).as("title"),
+          TextFns.htmlToText(col("body")).as("text"),
+          TextFns.htmlLinks(col("body")).as("__l"))
+        .select(col("doc_id"), col("title"), col("text"),
+          size(col("__l")).as("n_links"),
+          element_at(col("__l"), 1).as("link"),
+          TextFns.urlCanonicalize(element_at(col("__l"), 1))
+            .as("link_canon"),
+          TextFns.urlHost(element_at(col("__l"), 1)).as("link_host"))
+    }),
+
+    // ANCHOR-TEXT AGGREGATION: every page's <a href>anchor</a> pairs
+    // harvested (inner markup stripped), exploded, and grouped by
+    // TARGET url -- how the rest of the web describes a page, the
+    // classic off-page relevance/quality signal. The fixture wires a
+    // deterministic link graph over the corpus (two outlinks per doc,
+    // anchor text from the doc's own words, doc_id ≡ 23 mod 25 making
+    // both point at one target so n_refs > n_pages is exercised); the
+    // oracle derives targets and anchors closed-form from `documents`,
+    // independent of the extraction regexes.
+    "q203_anchor_text" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val w = split(trim(col("text")), " ")
+      val page = concat(
+        lit("<html><body><a href=\"http://t"),
+        ((col("doc_id") * 3 + 7) % 50).cast("string"),
+        lit(".example.net/\">"), element_at(w, 1), lit(" "),
+        element_at(w, 2),
+        lit("</a> <a href=\"http://t"),
+        ((col("doc_id") * 5 + 11) % 50).cast("string"),
+        lit(".example.net/\"><b>"), element_at(w, 3),
+        lit("</b></a><a name=\"x\">skip</a></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFns.htmlAnchors(page)).as("a"))
+        .select(col("doc_id"), col("a.href").as("target"),
+          col("a.text").as("anchor"))
+        .groupBy(col("target"))
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("doc_id")).as("n_pages"),
+          array_join(array_sort(collect_set(col("anchor"))), "|")
+            .as("anchors"))
+    }),
+
+    // CRAWL SNAPSHOT DELTA: two monthly-crawl snapshots of the corpus
+    // (a slice of URLs gone, a slice new, every fifth page's content
+    // changed) diffed on the URL key with content-length fingerprints
+    // -- the incremental-ingestion primitive that shrinks a recurring
+    // 100 TB pipeline to its added+changed slice. One full-outer
+    // shuffle join, presence decided by markers (NOT fingerprint
+    // nullability -- two null-fp rows are `unchanged`).
+    "q202_crawl_delta" -> ((s, dir) => {
+      import graft.operators.Crawl
+      val d = t(s, dir, "documents")
+      val url = concat(lit("http://"), col("source"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val old = d.filter(col("doc_id") % 11 =!= 3)
+        .select(url.as("url"), length(col("text")).cast("long").as("fp"))
+      val neu = d.filter(col("doc_id") % 7 =!= 0)
+        .select(url.as("url"),
+          length(when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" changed x")))
+            .otherwise(col("text"))).cast("long").as("fp"))
+      Crawl.crawlDelta(old, neu, "url", "fp")
+    }),
+
+    // Z-ORDER LAYOUT CLUSTERING: lineitem keyed on the Morton
+    // interleave of equi-width-bucketed (l_partkey, l_suppkey), range-
+    // partitioned + locally sorted on the key (the Delta/Iceberg
+    // OPTIMIZE ZORDER shape), then every 256th-of-curve cell reports
+    // its (x, y) ENVELOPE -- the per-file min/max a parquet scan would
+    // prune against; under Z-order each cell's span is ~1/16 of BOTH
+    // domains at once, which is the whole point. The oracle rebuilds
+    // the key bit-by-bit from the DEFINITION of Morton interleave
+    // (sum of (bit i) << 2i), not the magic-number spread the engine
+    // uses -- two independent derivations of the same curve.
+    "q201_zorder_layout" -> ((s, dir) => {
+      import graft.operators.Layout
+      val clustered = Layout.clusterByZorder(t(s, dir, "lineitem"),
+        "l_partkey", "l_suppkey", nParts = 16, bits = 8)
+      clustered
+        .groupBy(shiftright(col("__zkey"), 8).as("cell"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("x_min"),
+          max(col("l_partkey")).as("x_max"),
+          min(col("l_suppkey")).as("y_min"),
+          max(col("l_suppkey")).as("y_max"))
     }),
 
     // GOPHER QUALITY RULES (Rae et al. 2021, Table A1, doc-level set):
@@ -5684,6 +5837,120 @@ object SparkEntry {
          |  CAST(CASE WHEN (dm.dom_lines * 1000000) // t.n_lines < 600000
          |    THEN 1 ELSE 0 END AS BIGINT) AS mixed
          |FROM tot t JOIN dom dm ON dm.doc_id = t.doc_id""".stripMargin,
+
+    // q199: the WARC round trip -- the engine writes record-gzipped
+    // WARC shards and reads them back through Content-Length framing +
+    // HTTP parse; the oracle rebuilds every page closed-form from
+    // `documents` (same construction as [[warcPages]]), so any drift in
+    // framing, header lifting, status parse, HTML escape, or UTF-8
+    // decode breaks the hash.
+    "q199_warc_roundtrip" ->
+      raw"""SELECT 'http://' || source || '.example.com/doc/' || doc_id
+         |    AS target_uri,
+         |  CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END
+         |    AS INTEGER) AS http_status,
+         |  'text/html; charset=utf-8' AS http_content_type,
+         |  '<html><head><title>doc ' || doc_id ||
+         |  '</title><script>var x="<p>no</p>";</script></head><body><p>'
+         |  || replace(replace(replace(coalesce(text, ''),
+         |       '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+         |  '</p><a href="http://out' || (doc_id % 5) ||
+         |  '.example.org/p?b=2&a=1">next</a><!-- c --></body></html>'
+         |    AS body
+         |FROM documents""".stripMargin,
+
+    // q200: the crawl extraction chain -- the oracle DERIVES the
+    // expected title/text/links closed-form from the page construction
+    // (an independent derivation, not the Spark regex chain replayed),
+    // so an extraction bug and a construction bug cannot cancel. The
+    // only text normalization the fixture can exercise is space-run
+    // collapse + trim (the synthetic corpus is single-line); the chain
+    // steps with no closed form here (script/comment removal, entity
+    // decode, block->newline) are pinned by WarcSpec on adversarial
+    // fixtures.
+    "q200_html_extract" ->
+      raw"""SELECT doc_id, 'doc ' || doc_id AS title,
+         |  'doc ' || doc_id || chr(10) ||
+         |    trim(regexp_replace(text, '[ ' || chr(9) || ']+', ' ', 'g'))
+         |    || chr(10) || 'next' AS text,
+         |  CAST(1 AS INTEGER) AS n_links,
+         |  'http://out' || (doc_id % 5) || '.example.org/p?b=2&a=1'
+         |    AS link,
+         |  'http://out' || (doc_id % 5) || '.example.org/p?a=1&b=2'
+         |    AS link_canon,
+         |  'out' || (doc_id % 5) || '.example.org' AS link_host
+         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+
+    // q203: the anchor-text profile derived closed-form -- targets by
+    // the same modular arithmetic, anchors by word slicing, never
+    // touching the HTML layer (extraction bugs can't cancel against
+    // construction bugs). gcd(5,50)=5 concentrates second-anchor
+    // targets on 10 urls (50 refs each) while gcd(3,50)=1 spreads the
+    // first -- the skewed in-degree a real link graph has.
+    "q203_anchor_text" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |a AS (
+         |  SELECT doc_id,
+         |    'http://t' || ((doc_id * 3 + 7) % 50) || '.example.net/'
+         |      AS target,
+         |    w[1] || ' ' || w[2] AS anchor FROM d
+         |  UNION ALL
+         |  SELECT doc_id,
+         |    'http://t' || ((doc_id * 5 + 11) % 50) || '.example.net/'
+         |      AS target,
+         |    w[3] AS anchor FROM d)
+         |SELECT target, CAST(count(*) AS BIGINT) AS n_refs,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages,
+         |  string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+         |FROM a GROUP BY 1""".stripMargin,
+
+    // q202: the snapshot diff replayed as a FULL OUTER JOIN with
+    // presence decided by side-nullness of the join, fingerprints by
+    // length arithmetic (the +10 is the literal ' changed x').
+    "q202_crawl_delta" ->
+      raw"""WITH o AS (SELECT 'http://' || source || '.example.com/doc/'
+         |      || doc_id AS url,
+         |    CAST(length(text) AS BIGINT) AS fp
+         |  FROM documents WHERE doc_id % 11 <> 3),
+         |n AS (SELECT 'http://' || source || '.example.com/doc/'
+         |      || doc_id AS url,
+         |    CAST(length(text) + CASE WHEN doc_id % 5 = 0 THEN 10
+         |      ELSE 0 END AS BIGINT) AS fp
+         |  FROM documents WHERE doc_id % 7 <> 0)
+         |SELECT coalesce(o.url, n.url) AS url, o.fp AS fp_old,
+         |  n.fp AS fp_new,
+         |  CASE WHEN o.url IS NULL THEN 'added'
+         |       WHEN n.url IS NULL THEN 'removed'
+         |       WHEN o.fp = n.fp THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM o FULL OUTER JOIN n ON n.url = o.url""".stripMargin,
+
+    // q201: the Z-order cell envelopes derived from the DEFINITION of
+    // Morton interleave -- bit i of bx lands at 2i, of by at 2i+1, as a
+    // per-bit sum -- against the engine's magic-number spread. The
+    // equi-width bucket replays the same IEEE double multiply-then-
+    // divide (exact floor by the bounds proof in Layout.scala); 256.0
+    // is forced DOUBLE so DuckDB's decimal literals can't widen the
+    // arithmetic.
+    "q201_zorder_layout" ->
+      raw"""WITH s AS (SELECT min(l_partkey) AS lo_x, max(l_partkey) AS hi_x,
+         |    min(l_suppkey) AS lo_y, max(l_suppkey) AS hi_y FROM lineitem),
+         |b AS (SELECT l.l_partkey AS x, l.l_suppkey AS y,
+         |    CAST(floor((l.l_partkey - s.lo_x) * 256.0::DOUBLE
+         |      / (s.hi_x - s.lo_x + 1)) AS BIGINT) AS bx,
+         |    CAST(floor((l.l_suppkey - s.lo_y) * 256.0::DOUBLE
+         |      / (s.hi_y - s.lo_y + 1)) AS BIGINT) AS by
+         |  FROM lineitem l CROSS JOIN s),
+         |z AS (SELECT x, y,
+         |    CAST(list_sum(list_transform(range(0, 8),
+         |      i -> (((bx >> i) & 1) << (2 * i))
+         |         + (((by >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+         |  FROM b)
+         |SELECT zkey >> 8 AS cell, CAST(count(*) AS BIGINT) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1""".stripMargin,
 
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,

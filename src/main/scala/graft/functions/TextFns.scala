@@ -510,4 +510,100 @@ object TextFns {
       ":[0-9]*$", ""))
     when(host === "", lit(null).cast("string")).otherwise(host)
   }
+
+  /** HTML → visible text, the crawl pipeline's extraction step (C4 and
+    * CCNet both open with exactly this before any quality filter). A
+    * DETERMINISTIC regexp chain, not a DOM parse — the point is a
+    * transformation both engines can replay byte-for-byte (the q167
+    * two-implementations discipline: Java regex here, RE2 in the DuckDB
+    * oracle; every pattern stays inside the common subset — no
+    * lookaround, no backreferences, no `\s` shorthands whose class
+    * membership differs between the engines):
+    *
+    *  1. drop `<script>`/`<style>` elements WITH their content and
+    *     `<!-- -->` comments (non-greedy, case-insensitive,
+    *     dot-matches-newline);
+    *  2. turn the block-structure tags (`<br>`, closing `</p> </div>
+    *     </h1..6> </li> </tr> </title>`) into newlines — line identity
+    *     feeds the per-line operators (line dedup, per-line LID, C4's
+    *     line rules);
+    *  3. strip every remaining tag to a space;
+    *  4. decode the predefined XML entities (`&lt; &gt; &quot;`, the
+    *     apostrophe's common `&#39;` form) plus `&nbsp;` — ampersand
+    *     LAST so
+    *     `&amp;lt;` decodes to the literal `&lt;` (double-escaping
+    *     stays faithful);
+    *  5. collapse runs of non-newline whitespace to one space, trim
+    *     around newlines, collapse newline runs, and trim the ends.
+    *
+    * Real-world boilerplate REMOVAL (menus, nav) is a per-line quality
+    * judgment layered on top (C4 battery q192); this function is the
+    * markup→text step those line rules consume.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(
+      regexp_replace(html, "(?is)<script[^>]*>.*?</script[ \t]*>", ""),
+      "(?is)<style[^>]*>.*?</style[ \t]*>", "")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", "")
+    val blocks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/title)[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val entities = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&nbsp;", " "),
+      "&amp;", "&")
+    val oneSpace = regexp_replace(entities, "[ \t\r\f]+", " ")
+    val tightNl = regexp_replace(oneSpace, "[ ]*\n[ \n]*", "\n")
+    regexp_replace(tightNl, "^[ \n]+|[ \n]+$", "")
+  }
+
+  /** All `href` targets of `<a>` elements, in document order — the raw
+    * attribute values (entity decode is the caller's choice; crawl link
+    * graphs key on [[urlCanonicalize]] of these). Double- or
+    * single-quoted attributes; unquoted hrefs (rare, legal) are not
+    * matched — same subset in the oracle replay.
+    */
+  def htmlLinks(html: Column): Column =
+    filter(
+      regexp_extract_all(html,
+        lit("(?is)<a[ \t\r\n][^>]*href[ \t]*=[ \t]*[\"']([^\"'>]*)[\"']"), lit(1)),
+      l => l =!= "")
+
+  /** All `<a href=…>anchor text</a>` pairs in document order, as an
+    * array of `(href, text)` structs — anchor text is how the REST of
+    * the web describes a page, the classic relevance/quality signal
+    * (and a training-data label source) that per-page extraction
+    * can't see. Inner markup in the anchor body is stripped and
+    * whitespace collapsed; href-less `<a name=…>` anchors don't
+    * match (same subset as [[htmlLinks]]).
+    */
+  def htmlAnchors(html: Column): Column = {
+    val pat = lit("(?is)<a[ \t\r\n][^>]*href[ \t]*=[ \t]*" +
+      "[\"']([^\"'>]*)[\"'][^>]*>(.*?)</a[ \t]*>")
+    val clean = (t: Column) => regexp_replace(regexp_replace(
+      regexp_replace(t, "<[^>]*>", " "), "[ \t\r\n\f]+", " "),
+      "^[ ]+|[ ]+$", "")
+    arrays_zip(
+      regexp_extract_all(html, pat, lit(1)).as("href"),
+      transform(regexp_extract_all(html, pat, lit(2)), clean).as("text"))
+  }
+
+  /** The `<title>` text (first one, tags inside dropped, whitespace
+    * collapsed), null when absent — the page-level signal quality
+    * classifiers use.
+    */
+  def htmlTitle(html: Column): Column = {
+    val raw = regexp_extract(html, "(?is)<title[^>]*>(.*?)</title", 1)
+    val clean = regexp_replace(
+      regexp_replace(raw, "<[^>]*>", " "), "[ \t\r\n\f]+", " ")
+    val t = regexp_replace(clean, "^[ ]+|[ ]+$", "")
+    when(t === "", lit(null).cast("string")).otherwise(t)
+  }
 }
