@@ -2549,6 +2549,46 @@ object SparkEntry {
           TextFns.urlHost(element_at(col("__l"), 1)).as("link_host"))
     }),
 
+    // ROBOTS.TXT FILTER: per-host robots bodies parsed under RFC 9309
+    // group semantics (named-agent groups shadow `*`, comment strip,
+    // consecutive User-agent runs, ignored fields), then the corpus
+    // URL set filtered by longest-match with allow winning ties and
+    // REP wildcards (`*`, trailing `$`) compiled to non-foldable LIKE
+    // patterns. Even hosts carry a graftbot group (only its rules
+    // bind); odd hosts fall back to the `*` group. The oracle derives
+    // every verdict closed-form from the fixture's construction -- the
+    // parser and matcher never get to agree with themselves.
+    "q204_robots_filter" -> ((s, dir) => {
+      import graft.operators.Crawl
+      val d = t(s, dir, "documents")
+      val k = col("doc_id") % 10
+      val host = concat(lit("h"), k.cast("string"), lit(".example.org"))
+      val robots = d.filter(col("doc_id") < 10)
+        .select(host.as("host"),
+          concat(
+            lit("# synthetic robots\n"),
+            when(col("doc_id") % 2 === 0,
+                lit("User-agent: graftbot\nDisallow: /g/\n" +
+                  "Crawl-delay: 5\n"))
+              .otherwise(lit("")),
+            lit("User-agent: otherbot\nUser-agent: *\n" +
+              "Disallow: /private/\nAllow: /private/pub\n"),
+            lit("Disallow: /data*"), k.cast("string"), lit("$\n"))
+            .as("txt"))
+      val rules = Crawl.parseRobots(robots, "host", "txt", "graftbot")
+      val v = col("doc_id") % 6
+      val urls = d.select(col("doc_id"),
+        concat(lit("http://"), host,
+          when(v === 0, lit("/"))
+            .when(v === 1, concat(lit("/g/x"), col("doc_id").cast("string")))
+            .when(v === 2, lit("/private/a"))
+            .when(v === 3, lit("/private/pub1"))
+            .when(v === 4, concat(lit("/data55"), k.cast("string")))
+            .otherwise(concat(lit("/data55"), k.cast("string"), lit("/z"))))
+          .as("url"))
+      Crawl.robotsAllowed(urls, "url", rules)
+    }),
+
     // ANCHOR-TEXT AGGREGATION: every page's <a href>anchor</a> pairs
     // harvested (inner markup stripped), exploded, and grouped by
     // TARGET url -- how the rest of the web describes a page, the
@@ -5880,6 +5920,25 @@ object SparkEntry {
          |    AS link_canon,
          |  'out' || (doc_id % 5) || '.example.org' AS link_host
          |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+
+    // q204: robots verdicts closed-form from the fixture construction:
+    // even hosts bind only the graftbot group (path family 1 blocked),
+    // odd hosts bind the `*` group (/private/ blocked at length 9,
+    // /private/pub re-allowed at length 12, the $-anchored /data*k
+    // wildcard blocking family 4 and missing family 5).
+    "q204_robots_filter" ->
+      raw"""SELECT doc_id,
+         |  'http://h' || (doc_id % 10) || '.example.org' ||
+         |  CASE doc_id % 6
+         |    WHEN 0 THEN '/'
+         |    WHEN 1 THEN '/g/x' || doc_id
+         |    WHEN 2 THEN '/private/a'
+         |    WHEN 3 THEN '/private/pub1'
+         |    WHEN 4 THEN '/data55' || (doc_id % 10)
+         |    ELSE '/data55' || (doc_id % 10) || '/z' END AS url,
+         |  CASE WHEN (doc_id % 10) % 2 = 0 THEN doc_id % 6 <> 1
+         |       ELSE doc_id % 6 <> 2 AND doc_id % 6 <> 4 END AS allowed
+         |FROM documents""".stripMargin,
 
     // q203: the anchor-text profile derived closed-form -- targets by
     // the same modular arithmetic, anchors by word slicing, never

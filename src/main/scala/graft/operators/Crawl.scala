@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Crawl-snapshot operators — the incremental-ingestion layer between
@@ -62,5 +63,114 @@ object Crawl {
           .when(col("__in_new").isNull, "removed")
           .when(col("fp_old") <=> col("fp_new"), "unchanged")
           .otherwise("changed").as("status"))
+  }
+
+  /** Parse per-host `robots.txt` bodies into the rule relation the
+    * crawl filter consumes — Robots Exclusion Protocol (RFC 9309)
+    * group semantics:
+    *
+    *  - lines are `Field: value` with `#`-comments stripped, field
+    *    names case-insensitive;
+    *  - a GROUP is a run of consecutive `User-agent` lines plus the
+    *    `Allow`/`Disallow` lines after it (up to the next run);
+    *  - group selection for `userAgent`: if ANY group names the agent
+    *    (case-insensitive product token), the union of those groups'
+    *    rules applies and `*` groups are IGNORED; otherwise the `*`
+    *    groups apply; a host with neither contributes no rules
+    *    (everything allowed);
+    *  - empty-value `Disallow:` lines match nothing and are dropped
+    *    (the RFC's "allow all" idiom).
+    *
+    * Returns `(host, rule_path, allow)`. All windows partition by
+    * host — a robots body is small by protocol, so per-host line
+    * numbering never concentrates a partition.
+    */
+  def parseRobots(robots: DataFrame, hostCol: String, textCol: String,
+      userAgent: String): DataFrame = {
+    val ua = userAgent.toLowerCase
+    val lines = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
+      .select(col("host"), col("__pos"),
+        trim(regexp_replace(regexp_replace(col("__l"), "\r", ""),
+          "#.*$", "")).as("__l"))
+      .filter(col("__l") =!= "")
+      .select(col("host"), col("__pos"),
+        lower(trim(regexp_extract(col("__l"),
+          "^([A-Za-z-]+)[ \t]*:", 1))).as("__f"),
+        trim(regexp_extract(col("__l"),
+          "^[A-Za-z-]+[ \t]*:(.*)$", 1)).as("__v"))
+      .filter(col("__f").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("host")).orderBy(col("__pos"))
+    val grouped = lines
+      .withColumn("__ua", (col("__f") === "user-agent").cast("int"))
+      .withColumn("__newGroup",
+        (col("__ua") === 1 &&
+          coalesce(lag(col("__ua"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("__gid", sum(col("__newGroup")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__gid") > 0) // rules before any User-agent line: dropped
+    val groups = grouped.filter(col("__ua") === 1)
+      .groupBy(col("host"), col("__gid"))
+      .agg(max((lower(col("__v")) === ua).cast("int")).as("__exact"),
+        max((col("__v") === "*").cast("int")).as("__star"))
+    val hostHasExact = groups.groupBy(col("host"))
+      .agg(max(col("__exact")).as("__hostExact"))
+    val selected = groups.join(hostHasExact, Seq("host"))
+      .filter(when(col("__hostExact") === 1, col("__exact") === 1)
+        .otherwise(col("__star") === 1))
+      .select(col("host"), col("__gid"))
+    grouped.filter(col("__ua") === 0 && col("__v") =!= "")
+      .join(selected, Seq("host", "__gid"))
+      .select(col("host"), col("__v").as("rule_path"),
+        (col("__f") === "allow").as("allow"))
+  }
+
+  /** Annotate URLs with the REP verdict against a parsed rule relation
+    * ([[parseRobots]]): per URL, the matching rule with the LONGEST
+    * `rule_path` wins, `allow` wins length ties, no match ⇒ allowed
+    * (and a host with no rules at all ⇒ allowed). Rule paths support
+    * the REP wildcards — `*` spans any text, a trailing `$` anchors
+    * the end — compiled to SQL LIKE patterns (`%`/`_`/`\` in paths
+    * escaped) evaluated as non-foldable patterns inside codegen;
+    * everything else is one shuffle join on the host key (rules are
+    * per-host-small but corpus-wide-many: never broadcast) plus a
+    * per-URL window over its few matching rules.
+    */
+  def robotsAllowed(urls: DataFrame, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    val pat = {
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("rule_path"), "\\\\", "\\\\\\\\"),
+        "%", "\\\\%"), "_", "\\\\_")
+      val anchored = when(esc.endsWith("$"),
+          expr("substring(__e, 1, length(__e) - 1)"))
+        .otherwise(concat(expr("__e"), lit("*")))
+      // robots '*' -> LIKE '%', after escaping LIKE's own wildcards
+      rules.select(col("host").as("__rh"), col("rule_path"),
+          col("allow"), esc.as("__e"))
+        .select(col("__rh"), col("rule_path"), col("allow"),
+          regexp_replace(anchored, "\\*", "%").as("__pat"))
+    }
+    val pathEx = regexp_extract(col(urlCol),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^#]*)", 1)
+    val keyed = urls
+      .withColumn("__rid", monotonically_increasing_id())
+      .withColumn("__uh", TextFns.urlHost(col(urlCol)))
+      .withColumn("__up",
+        when(pathEx === "", lit("/")).otherwise(pathEx))
+    val matched = keyed.join(pat,
+      keyed("__uh") === pat("__rh") &&
+        expr(raw"__up LIKE __pat ESCAPE '\\'"),
+      "left_outer")
+    // verdict per ROW (not per distinct url — duplicates survive):
+    // max over (path length, allow) structs = longest match, allow
+    // winning ties; no match aggregates to null = allowed
+    matched.groupBy(keyed.columns.map(col): _*)
+      .agg(max(struct(length(col("rule_path")).as("l"),
+        col("allow").as("a"))).as("__best"))
+      .select(keyed.columns.filterNot(_.startsWith("__")).map(col) :+
+        coalesce(col("__best.a"), lit(true)).as("allowed"): _*)
   }
 }

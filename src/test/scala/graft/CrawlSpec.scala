@@ -46,4 +46,60 @@ class CrawlSpec extends AnyFunSuite {
     assert(Crawl.crawlDelta(ok, ok, "url", "fp",
       requireUniqueKeys = false).count() == 1)
   }
+
+  private val robotsTxt =
+    """# comment line
+      |Disallow: /orphan-rule-before-any-group/
+      |User-Agent: GraftBot
+      |disallow: /bot/   # trailing comment
+      |Crawl-delay: 5
+      |
+      |User-agent: otherbot
+      |User-agent: *
+      |Disallow: /private/
+      |Allow: /private/pub
+      |Disallow: /tmp*.log$
+      |Disallow:
+      |""".stripMargin
+
+  test("parseRobots: RFC 9309 groups — named-agent shadowing, " +
+      "case-insensitive fields/agents, comments, UA runs, empty " +
+      "Disallow and pre-group rules dropped") {
+    val robots = Seq(("h1", robotsTxt)).toDF("host", "txt")
+    val forBot = Crawl.parseRobots(robots, "host", "txt", "graftbot")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(forBot == Set(("/bot/", false))) // star group shadowed
+    val forOther = Crawl.parseRobots(robots, "host", "txt", "randombot")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(forOther == Set(("/private/", false), ("/private/pub", true),
+      ("/tmp*.log$", false)))
+  }
+
+  test("robotsAllowed: longest match wins, allow wins ties, wildcards " +
+      "and $ anchors, no-rule hosts and no-match paths default allowed, " +
+      "duplicate url rows survive") {
+    val robots = Seq(("h1", robotsTxt)).toDF("host", "txt")
+    val rules = Crawl.parseRobots(robots, "host", "txt", "randombot")
+    val urls = Seq(
+      "http://h1/private/a",        // disallowed
+      "http://h1/private/pub-x",    // allow beats the shorter disallow
+      "http://h1/tmp123.log",       // wildcard + $ match -> disallowed
+      "http://h1/tmp123.logs",      // $ anchor: no match -> allowed
+      "http://h1/free",             // no match -> allowed
+      "http://h1",                  // bare authority -> path '/' -> allowed
+      "http://h2/private/a",        // host with no rules -> allowed
+      "http://h1/private/a")        // duplicate row must survive
+      .toDF("url")
+    val got = Crawl.robotsAllowed(urls, "url", rules).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)))
+    assert(got.length == 8)
+    val byUrl = got.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byUrl("http://h1/private/a") == Seq(false, false))
+    assert(byUrl("http://h1/private/pub-x") == Seq(true))
+    assert(byUrl("http://h1/tmp123.log") == Seq(false))
+    assert(byUrl("http://h1/tmp123.logs") == Seq(true))
+    assert(byUrl("http://h1/free") == Seq(true))
+    assert(byUrl("http://h1") == Seq(true))
+    assert(byUrl("http://h2/private/a") == Seq(true))
+  }
 }
