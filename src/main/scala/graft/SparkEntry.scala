@@ -2549,6 +2549,35 @@ object SparkEntry {
           TextFns.urlHost(element_at(col("__l"), 1)).as("link_host"))
     }),
 
+    // MAIN-CONTENT EXTRACTION: the jusText/Readability rule over
+    // constructed pages -- a link-only nav div (density 900 ppm-of-
+    // percent > 300), a prose paragraph, a MIXED paragraph whose
+    // verdict depends on the doc's own word lengths (100·|anchor| vs
+    // 30·|text| integer cross-multiply -- both branches fire across
+    // the corpus), a too-short block, a link-only footer, and a decoy
+    // block inside a script. The oracle rebuilds the expected content
+    // closed-form from word arithmetic.
+    "q205_main_content" -> ((s, dir) => {
+      import graft.operators.Crawl
+      val w = split(trim(col("text")), " ")
+      val page = concat(
+        lit("<html><head><script>var nav=\"<p>fake</p>\";</script>" +
+          "<title>t</title></head><body>" +
+          "<div><a href=\"/\">Home</a> <a href=\"/about\">About</a>" +
+          "</div><p>"),
+        element_at(w, 1), lit(" "), element_at(w, 2), lit(" "),
+        element_at(w, 3), lit(" "), element_at(w, 4), lit(" "),
+        element_at(w, 5),
+        lit("</p><p>"), element_at(w, 6), lit(" <a href=\"/r\">"),
+        element_at(w, 7), lit("</a> "), element_at(w, 8), lit(" "),
+        element_at(w, 9), lit(" "), element_at(w, 10),
+        lit("</p><p>tiny</p><footer><a href=\"/tos\">Terms</a>" +
+          "</footer></body></html>"))
+      Crawl.mainContent(
+        t(s, dir, "documents").select(col("doc_id"), page.as("html")),
+        "doc_id", "html", minChars = 10, maxLinkPct = 30)
+    }),
+
     // ROBOTS.TXT FILTER: per-host robots bodies parsed under RFC 9309
     // group semantics (named-agent groups shadow `*`, comment strip,
     // consecutive User-agent runs, ignored fields), then the corpus
@@ -5920,6 +5949,29 @@ object SparkEntry {
          |    AS link_canon,
          |  'out' || (doc_id % 5) || '.example.org' AS link_host
          |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+
+    // q205: expected content from word arithmetic -- block 1 keeps
+    // when its 5-word text reaches 10 chars, block 2 additionally
+    // needs its single anchor word under 30% of the block text; the
+    // nav/tiny/footer/script blocks can never pass and are omitted
+    // from the derivation entirely.
+    "q205_main_content" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    w[1] || ' ' || w[2] || ' ' || w[3] || ' ' || w[4] || ' '
+         |      || w[5] AS b1,
+         |    w[6] || ' ' || w[7] || ' ' || w[8] || ' ' || w[9] || ' '
+         |      || w[10] AS b2,
+         |    length(w[7]) AS ll2 FROM d),
+         |k AS (SELECT doc_id, b1, b2,
+         |    length(b1) >= 10 AS k1,
+         |    length(b2) >= 10 AND 100 * ll2 <= 30 * length(b2) AS k2
+         |  FROM b)
+         |SELECT doc_id,
+         |  CASE WHEN k1 AND k2 THEN b1 || chr(10) || b2
+         |       WHEN k1 THEN b1 ELSE b2 END AS content
+         |FROM k WHERE k1 OR k2""".stripMargin,
 
     // q204: robots verdicts closed-form from the fixture construction:
     // even hosts bind only the graftbot group (path family 1 blocked),

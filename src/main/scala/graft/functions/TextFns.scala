@@ -584,15 +584,38 @@ object TextFns {
     * whitespace collapsed; href-less `<a name=…>` anchors don't
     * match (same subset as [[htmlLinks]]).
     */
-  def htmlAnchors(html: Column): Column = {
-    val pat = lit("(?is)<a[ \t\r\n][^>]*href[ \t]*=[ \t]*" +
-      "[\"']([^\"'>]*)[\"'][^>]*>(.*?)</a[ \t]*>")
-    val clean = (t: Column) => regexp_replace(regexp_replace(
-      regexp_replace(t, "<[^>]*>", " "), "[ \t\r\n\f]+", " "),
+  /** Markup fragment → visible text: tags stripped, the predefined
+    * entities decoded (ampersand last, [[htmlToText]] step 4), ALL
+    * whitespace collapsed to single spaces, trimmed. The per-block /
+    * per-anchor cleaner behind [[htmlAnchors]] and
+    * [[graft.operators.Crawl.mainContent]].
+    */
+  def htmlFragmentText(frag: Column): Column = {
+    val noTags = regexp_replace(frag, "<[^>]*>", " ")
+    val entities = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(noTags, "&lt;", "<"),
+              "&gt;", ">"),
+            "&quot;", "\""),
+          "&#39;", "'"),
+        "&nbsp;", " "),
+      "&amp;", "&")
+    regexp_replace(regexp_replace(entities, "[ \t\r\n\f]+", " "),
       "^[ ]+|[ ]+$", "")
+  }
+
+  val anchorPattern: String = "(?is)<a[ \t\r\n][^>]*href[ \t]*=[ \t]*" +
+    "[\"']([^\"'>]*)[\"'][^>]*>(.*?)</a[ \t]*>"
+
+  def htmlAnchors(html: Column): Column = {
+    val pat = lit(anchorPattern)
     arrays_zip(
       regexp_extract_all(html, pat, lit(1)).as("href"),
-      transform(regexp_extract_all(html, pat, lit(2)), clean).as("text"))
+      transform(regexp_extract_all(html, pat, lit(2)),
+        t => htmlFragmentText(t)).as("text"))
   }
 
   /** The `<title>` text (first one, tags inside dropped, whitespace

@@ -65,6 +65,59 @@ object Crawl {
           .otherwise("changed").as("status"))
   }
 
+  /** Main-content extraction — the jusText/Readability core idea as a
+    * deterministic, oracle-checkable rule: segment the page into
+    * BLOCKS at block-level tag boundaries (script/style/comment
+    * content removed first), score each block by visible-text length
+    * and LINK density, and keep blocks that read like prose —
+    * `length(text) >= minChars` and
+    * `100·(anchor-text length) <= maxLinkPct·length(text)` (integer
+    * cross-multiplication, no float ratio). Navigation bars and
+    * footers are link-dense and short; article paragraphs are neither
+    * — that asymmetry is the entire classifier, and it is the step
+    * C4-style pipelines run between raw HTML and line-level rules.
+    *
+    * Shape: blocks EXPLODE to rows so the regex work runs codegen'd
+    * per row (not interpreted per array element), then one per-doc
+    * rebuild — `sort_array(collect_list(struct(pos, txt)))` — exactly
+    * the lineDedup rebuild pattern. Docs with no surviving block are
+    * absent from the result (join back if presence matters).
+    */
+  def mainContent(pages: DataFrame, idCol: String, htmlCol: String,
+      minChars: Int = 25, maxLinkPct: Int = 30): DataFrame = {
+    import graft.functions.TextFns
+    require(minChars >= 1 && maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"minChars=$minChars maxLinkPct=$maxLinkPct out of range")
+    val stripped = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(htmlCol),
+          "(?is)<script[^>]*>.*?</script[ \t]*>", ""),
+        "(?is)<style[^>]*>.*?</style[ \t]*>", ""),
+      "(?s)<!--.*?-->", "")
+    val blockTag = "(?i)</?(?:p|div|h[1-6]|li|tr|td|ul|ol|table|" +
+      "section|article|aside|nav|footer|header|blockquote|pre|br|" +
+      "html|head|body|title)[^>]*>"
+    val ex = pages
+      .select(col(idCol).as("__id"),
+        posexplode(split(stripped, blockTag)).as(Seq("__pos", "__b")))
+      .select(col("__id"), col("__pos"),
+        TextFns.htmlFragmentText(col("__b")).as("__txt"),
+        aggregate(
+          regexp_extract_all(col("__b"), lit(TextFns.anchorPattern),
+            lit(2)),
+          lit(0),
+          (acc, t) => acc + length(TextFns.htmlFragmentText(t)))
+          .as("__ll"))
+    ex.filter(length(col("__txt")) >= minChars &&
+        col("__ll") * 100 <= length(col("__txt")) * maxLinkPct)
+      .groupBy(col("__id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__pos"), col("__txt")))),
+          s => s.getField("__txt")), "\n").as("content"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Parse per-host `robots.txt` bodies into the rule relation the
     * crawl filter consumes — Robots Exclusion Protocol (RFC 9309)
     * group semantics:

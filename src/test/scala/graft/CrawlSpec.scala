@@ -47,6 +47,32 @@ class CrawlSpec extends AnyFunSuite {
       requireUniqueKeys = false).count() == 1)
   }
 
+  test("mainContent: link-dense and short blocks drop, prose survives " +
+      "in order, script decoys removed, no-content docs absent") {
+    val pages = Seq(
+      (1L, "<html><body>" +
+        "<nav><a href=\"/a\">AAAA</a> <a href=\"/b\">BBBBBB</a></nav>" +
+        "<p>this is a long enough prose paragraph</p>" +
+        "<script>var x = \"<p>decoy paragraph that is long enough</p>\";" +
+        "</script>" +
+        "<p>second paragraph with <a href=\"/x\">tiny</a> link share</p>" +
+        "<p>short</p>" +
+        "<footer><a href=\"/tos\">Terms of Service Terms</a></footer>" +
+        "</body></html>"),
+      (2L, "<html><body><div><a href=\"/\">only links here</a></div>" +
+        "</body></html>"))
+      .toDF("doc_id", "html")
+    val got = Crawl.mainContent(pages, "doc_id", "html",
+      minChars = 10, maxLinkPct = 30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L ->
+      ("this is a long enough prose paragraph\n" +
+        "second paragraph with tiny link share")))
+    // doc 2: its only block is 100% link text -> absent entirely
+    assert(!got.contains(2L))
+    // footer dropped by DENSITY (len 21 >= 10 but links are 100%)
+  }
+
   private val robotsTxt =
     """# comment line
       |Disallow: /orphan-rule-before-any-group/
