@@ -2549,6 +2549,35 @@ object SparkEntry {
           TextFns.urlHost(element_at(col("__l"), 1)).as("link_host"))
     }),
 
+    // WARC -> WET PIPELINE: the full CommonCrawl production shape --
+    // raw response shards scanned, 404s dropped, visible text
+    // extracted, and re-archived as `conversion` records (WET) with
+    // WARC-Refers-To provenance back to the response record, then the
+    // WET shards read back. The oracle derives the conversion payloads
+    // closed-form from `documents`, so the gate covers BOTH archive
+    // layers plus the extraction in one hash.
+    "q206_wet_pipeline" -> ((s, dir) => {
+      import graft.functions.TextFns
+      import graft.sources.Warc
+      val base = scratchDir("graft_wet")
+      val warcDir = base.resolve("warc").toString
+      val wetDir = base.resolve("wet").toString
+      Warc.write(warcPages(t(s, dir, "documents")).repartition(3),
+        warcDir, gzip = true)
+      val texts = Warc.read(s, warcDir)
+        .filter(col("http_status") === 200)
+        .select(
+          regexp_replace(col("record_id"), "^<urn:graft:doc:",
+            "<urn:graft:wet:").as("record_id"),
+          col("target_uri"), col("warc_date"),
+          TextFns.htmlToText(col("body")).as("body"),
+          col("record_id").as("refers_to"))
+      Warc.writeConversions(texts.repartition(2), wetDir, gzip = true)
+      Warc.read(s, wetDir, types = Set("conversion"))
+        .select(col("record_id"), col("target_uri"), col("refers_to"),
+          col("body").as("text"))
+    }),
+
     // MAIN-CONTENT EXTRACTION: the jusText/Readability rule over
     // constructed pages -- a link-only nav div (density 900 ppm-of-
     // percent > 300), a prose paragraph, a MIXED paragraph whose
@@ -5948,6 +5977,19 @@ object SparkEntry {
          |  'http://out' || (doc_id % 5) || '.example.org/p?a=1&b=2'
          |    AS link_canon,
          |  'out' || (doc_id % 5) || '.example.org' AS link_host
+         |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+
+    // q206: the WET layer closed-form -- ids re-stamped wet:, text as
+    // q200's derivation, provenance pointing at the response id; 404
+    // pages (doc_id % 7 = 0) never reach the WET archive.
+    "q206_wet_pipeline" ->
+      raw"""SELECT '<urn:graft:wet:' || doc_id || '>' AS record_id,
+         |  'http://' || source || '.example.com/doc/' || doc_id
+         |    AS target_uri,
+         |  '<urn:graft:doc:' || doc_id || '>' AS refers_to,
+         |  'doc ' || doc_id || chr(10) ||
+         |    trim(regexp_replace(text, '[ ' || chr(9) || ']+', ' ', 'g'))
+         |    || chr(10) || 'next' AS text
          |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
 
     // q205: expected content from word arithmetic -- block 1 keeps

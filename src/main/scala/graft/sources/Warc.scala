@@ -29,13 +29,13 @@ import org.apache.spark.util.SerializableConfiguration
   *    bounded by the WARC length, NOT by the HTTP `Content-Length`
   *    header, which real crawls routinely get wrong (truncated fetches).
   *  - **Parallelism is the file count.** Each WARC file parses inside
-  *    one task off the `binaryFile` datasource (crawl archives ship as
-  *    ~1 GB shards, tens of thousands per dump — natural 100 TB
-  *    parallelism; `spark.sql.sources.binaryFile.maxLength` caps a
-  *    pathological shard loudly rather than OOMing). `.gz` shards are
-  *    decompressed streamwise; Java's `GZIPInputStream` reads
-  *    concatenated members, so CommonCrawl's record-per-member layout
-  *    decodes in one pass without per-record reopening.
+  *    exactly one task, bytes fetched through the Hadoop FileSystem
+  *    API (crawl archives ship as ~1 GB shards, tens of thousands per
+  *    dump — natural 100 TB parallelism; a >2 GB shard is refused
+  *    loudly rather than OOMing). `.gz` shards are decompressed
+  *    streamwise; Java's `GZIPInputStream` reads concatenated
+  *    members, so CommonCrawl's record-per-member layout decodes in
+  *    one pass without per-record reopening.
   *  - **Malformed records fail loudly** (FAILFAST analog of
   *    [[JsonlDocs.read]]): a record whose header block or length
   *    framing is broken raises with the file and byte offset; pass
@@ -65,6 +65,7 @@ object Warc {
     StructField("record_id", StringType),
     StructField("target_uri", StringType),
     StructField("warc_date", StringType),
+    StructField("refers_to", StringType),
     StructField("http_status", IntegerType),
     StructField("http_content_type", StringType),
     StructField("body", StringType)))
@@ -79,20 +80,52 @@ object Warc {
     * written in iteration order; `gzip = true` emits one gzip member
     * per RECORD (the CommonCrawl layout, so future range readers can
     * seek) concatenated into `part-NNNNN.warc.gz`.
+    *
+    * For WET-style text archives — `conversion` records carrying the
+    * EXTRACTED text of each page, the form CommonCrawl actually
+    * publishes alongside raw WARC — use [[writeConversions]].
     */
   def write(pages: DataFrame, path: String, gzip: Boolean = false,
       software: String = "graft-warc/1.0"): Unit = {
-    val spark = pages.sparkSession
+    val confSer = new SerializableConfiguration(
+      pages.sparkSession.sessionState.newHadoopConf())
+    writeShards(pages.select(Seq("record_id", "target_uri", "warc_date",
+      "http_content_type", "http_status", "body").map(col): _*),
+      path, gzip, software, confSer, responseRecord)
+  }
+
+  /** Write a WET-style text archive: one `conversion` record per row —
+    * the extracted-text form CommonCrawl publishes next to raw WARC
+    * and most text pipelines actually consume. Expected columns:
+    * `record_id`, `target_uri`, `warc_date`, `body` (the extracted
+    * text); an optional `refers_to` column becomes `WARC-Refers-To`
+    * (provenance link back to the response record). Sharding/gzip
+    * semantics as [[write]]; read back with
+    * `read(…, types = Set("conversion"))` (null `http_*`, payload in
+    * `body`).
+    */
+  def writeConversions(texts: DataFrame, path: String,
+      gzip: Boolean = false, software: String = "graft-warc/1.0"): Unit = {
+    val spark = texts.sparkSession
     val confSer = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
+    val hasRef = texts.columns.contains("refers_to")
+    val base = Seq("record_id", "target_uri", "warc_date", "body")
+    val cols = if (hasRef) base :+ "refers_to" else base
+    writeShards(texts.select(cols.map(col): _*), path, gzip, software,
+      confSer, conversionRecord(hasRef))
+  }
+
+  private def writeShards(rows: DataFrame, path: String, gzip: Boolean,
+      software: String, confSer: SerializableConfiguration,
+      mk: Row => Array[Byte]): Unit = {
+    val spark = rows.sparkSession
     val dir = new Path(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    val cols = Seq("record_id", "target_uri", "warc_date",
-      "http_content_type", "http_status", "body")
     val ext = if (gzip) ".warc.gz" else ".warc"
-    pages.select(cols.map(col): _*).rdd
+    rows.rdd
       .mapPartitionsWithIndex { (ix, it) =>
         val p = new Path(path, f"part-$ix%05d$ext")
         val fsx = p.getFileSystem(confSer.value)
@@ -110,12 +143,26 @@ object Warc {
           emit(warcinfoRecord(software, f"part-$ix%05d$ext"))
           var n = 1L
           it.foreach { r =>
-            emit(responseRecord(r)); n += 1
+            emit(mk(r)); n += 1
           }
           Iterator.single(n)
         } finally os.close()
       }
       .count(): Unit
+  }
+
+  private def conversionRecord(hasRef: Boolean)(r: Row): Array[Byte] = {
+    val payload = Option(r.getAs[String]("body")).getOrElse("")
+      .getBytes(UTF_8)
+    val refs = if (hasRef) Option(r.getAs[String]("refers_to"))
+      .map("WARC-Refers-To" -> _).toSeq else Seq.empty
+    record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> r.getAs[String]("record_id"),
+      "WARC-Date" -> r.getAs[String]("warc_date"),
+      "WARC-Target-URI" -> r.getAs[String]("target_uri")) ++ refs ++ Seq(
+      "Content-Type" -> "text/plain",
+      "Content-Length" -> payload.length.toString), payload)
   }
 
   private def warcinfoRecord(software: String, filename: String): Array[Byte] = {
@@ -304,6 +351,7 @@ object Warc {
       hdrs.get("warc-record-id").orNull,
       hdrs.get("warc-target-uri").orNull,
       hdrs.get("warc-date").orNull,
+      hdrs.get("warc-refers-to").orNull,
       status.map(Int.box).orNull,
       httpCt.orNull,
       new String(bytes, bodyStart, bodyLen, UTF_8))

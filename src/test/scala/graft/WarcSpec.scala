@@ -114,6 +114,27 @@ class WarcSpec extends AnyFunSuite {
     assert(r2.isNullAt(0) && r2.isNullAt(1))
   }
 
+  test("WET conversion records round trip with optional provenance") {
+    val texts = Seq(
+      ("<urn:wet:1>", "http://a/", "2026-08-15T00:00:00Z",
+        "extracted text\nline two", "<urn:doc:1>"),
+      ("<urn:wet:2>", "http://b/", "2026-08-15T00:00:01Z", "", null))
+      .toDF("record_id", "target_uri", "warc_date", "body", "refers_to")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet").toString
+    Warc.writeConversions(texts.repartition(1), dir, gzip = true)
+    val back = Warc.read(spark, dir, types = Set("conversion"))
+      .select("record_id", "refers_to", "body", "http_status")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getString(2), r.isNullAt(3)))).toMap
+    assert(back("<urn:wet:1>") ==
+      ((Some("<urn:doc:1>"), "extracted text\nline two", true)))
+    assert(back("<urn:wet:2>") == ((None, "", true)))
+    // a refers_to-less relation writes fine too
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_wet2").toString
+    Warc.writeConversions(texts.drop("refers_to").limit(1), dir2)
+    assert(Warc.read(spark, dir2, types = Set("conversion")).count() == 1)
+  }
+
   test("htmlAnchors pairs hrefs with cleaned anchor text in order") {
     val html = "<a href=\"http://a/\">one <b>bold</b></a>" +
       "<a name=\"skip\">no</a>" +
