@@ -266,6 +266,44 @@ object Warc {
     spark.createDataFrame(rows, schema)
   }
 
+  /** STREAMING scan of a landing directory: new `*.warc[.gz]` shards
+    * become micro-batches of raw (path, content) rows — feed each
+    * batch through [[parseBatch]] inside `foreachBatch` (the house
+    * ingestion shape, [[graft.streaming.EventStream]]). Built on the
+    * `binaryFile` streaming source with its schema pinned explicitly
+    * (required for streaming; no inference). The batch path re-reads
+    * whole files as rows, so the per-shard 2 GB cap applies
+    * (`spark.sql.sources.binaryFile.maxLength` guards it loudly);
+    * partition packing is irrelevant here because a micro-batch holds
+    * only the newly-landed shards.
+    */
+  def readStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.format("binaryFile")
+      .schema(StructType(Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType))))
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select(col("path"), col("content"))
+
+  /** Parse a (path, content) micro-batch from [[readStream]] into the
+    * [[schema]] record relation — same framing/gzip/type-pruning
+    * semantics as [[read]].
+    */
+  def parseBatch(batch: DataFrame, types: Set[String] = Set("response"),
+      permissive: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val rows = batch.select(col("path"), col("content")).rdd.flatMap { r =>
+      val name = r.getAs[String]("path")
+      val raw = r.getAs[Array[Byte]]("content")
+      val bytes = if (name.endsWith(".gz")) gunzipAll(raw) else raw
+      parseFile(name, bytes, types, permissive)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Decompress a whole (possibly multi-member) gzip stream. */
   private[sources] def gunzipAll(raw: Array[Byte]): Array[Byte] = {
     val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw), 65536)

@@ -177,6 +177,59 @@ object EventStream {
       }
       .start()
 
+  /** Continuous CRAWL ingestion — the full landing-zone story: new WARC
+    * shards dropped in a directory ([[graft.sources.Warc.readStream]])
+    * are parsed (Content-Length framing, HTTP layer), reduced to
+    * successful text pages, extracted
+    * ([[graft.functions.TextFns.htmlToText]]), and appended into a
+    * persisted [[graft.operators.TextIndex]] — BM25-searchable the
+    * moment the micro-batch commits. Doc ids are the WARC record ids;
+    * the index's monotone-id contract + pending-append marker make a
+    * replayed batch refuse loudly (same restart story as
+    * [[textIndexStream]]). Each shard is parsed exactly once (file-
+    * source checkpointing), so crawl→index latency is one trigger
+    * interval, and state lives in the INDEX, not a stream store.
+    *
+    * `docId` maps a parsed record (any [[graft.sources.Warc.schema]]
+    * column) to the NUMERIC doc id the index requires — ids must be
+    * monotone across batches (the index's double-append guard), so
+    * derive them from a crawl sequence number carried in the record id
+    * / target URI, never from a hash. `minStatus`/`maxStatus` bound
+    * which HTTP responses index (default: 200-299).
+    * `maintenanceEvery`/`maintenanceLog` wire
+    * [[graft.operators.TextIndex.maintenanceDue]] into the loop — see
+    * [[surfaceVerdict]].
+    */
+  def crawlTextIndexStream(warcShards: DataFrame, indexPath: String,
+      checkpoint: String, docId: org.apache.spark.sql.Column,
+      minStatus: Int = 200, maxStatus: Int = 299,
+      maintenanceEvery: Int = 0, maintenanceLog: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    warcShards.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        releasingBlocks(b.sparkSession) {
+          val docs = graft.sources.Warc.parseBatch(b.toDF())
+            .filter(org.apache.spark.sql.functions.col("http_status")
+              .between(minStatus, maxStatus))
+            .select(docId.cast("long").as("doc"),
+              graft.functions.TextFns.htmlToText(
+                org.apache.spark.sql.functions.col("body")).as("text"))
+          if (!docs.isEmpty)
+            graft.operators.TextIndex.append(docs, "doc", "text", indexPath)
+        }
+        if (maintenanceEvery > 0 && id % maintenanceEvery == 0) {
+          val v = graft.operators.TextIndex
+            .maintenanceDue(b.sparkSession, indexPath)
+          surfaceVerdict(b.sparkSession, id, indexPath, maintenanceLog,
+            v.action, v.fileTrigger || v.skewTrigger,
+            s"maxFilesPerBucket=${v.maxFilesPerBucket} nFiles=${v.nFiles} " +
+              s"skewRatio=${v.skewRatio}")
+        }
+      }
+      .start()
+
   /** Continuous VECTOR ingestion: each micro-batch assigns + PQ-encodes
     * against a persisted IVF-PQ index's frozen codebooks and appends into
     * its list-partitioned codes relation
