@@ -2549,6 +2549,59 @@ object SparkEntry {
           TextFns.urlHost(element_at(col("__l"), 1)).as("link_host"))
     }),
 
+    // CHAT-TEMPLATE RENDER + LOSS MASK: 5-turn ChatML conversations
+    // assembled from each doc's words, rendered to one template string
+    // with character-offset loss spans over the assistant contents
+    // (prompts/roles/markers are context, not target) -- the SFT
+    // assembly step between curated conversations and any tokenizer.
+    // Output = the exploded span relation plus the FULL rendered text
+    // and per-conv target mass; the oracle rebuilds text and every
+    // offset closed-form from word-length arithmetic.
+    "q207_chat_template" -> ((s, dir) => {
+      import graft.operators.Sft
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").as("conv"),
+          split(trim(col("text")), " ").as("w"))
+      val turns = d.select(col("conv"), expr(
+          "explode(array(" +
+            "struct(0 AS ix, 'system' AS role, 'be helpful' AS c), " +
+            "struct(1 AS ix, 'user' AS role, " +
+            "  concat(w[0], ' ', w[1], ' ', w[2]) AS c), " +
+            "struct(2 AS ix, 'assistant' AS role, " +
+            "  concat(w[3], ' ', w[4], ' ', w[5]) AS c), " +
+            "struct(3 AS ix, 'user' AS role, " +
+            "  concat(w[6], ' ', w[7]) AS c), " +
+            "struct(4 AS ix, 'assistant' AS role, " +
+            "  concat(w[8], ' ', w[9]) AS c)))").as("t"))
+        .select(col("conv"), col("t.ix").as("ix"),
+          col("t.role").as("role"), col("t.c").as("c"))
+      val rendered = Sft.renderChatML(turns, "conv", "ix", "role", "c")
+      Sft.explodeSpans(rendered)
+        .select(col("conv"), col("span_ix"), col("s"), col("e"),
+          col("span_text"), col("text"), col("n_target_chars"))
+    }),
+
+    // TOKEN-BIN ROUND TRIP: documents tokenized to uint16 ids
+    // (closed-form word hash both engines can replay), written as the
+    // packed two-file trainer layout (.bin token stream + .idx offset
+    // table, one shard pair per partition), read back shard-parallel,
+    // and exploded to one row per token position. The oracle computes
+    // the same ids straight from `documents` -- if any byte of the
+    // binary round trip is off, the hash breaks.
+    "q208_token_bin" -> ((s, dir) => {
+      import graft.sources.TokenBin
+      val base = scratchDir("graft_tokbin").resolve("bin").toString
+      val seqs = t(s, dir, "documents").select(
+        col("doc_id").as("seq_id"),
+        expr("transform(split(trim(text), ' '), " +
+          "w -> CAST((length(w) * 257 + ascii(substring(w, 1, 1))) % " +
+          "65536 AS INT))").as("tokens"))
+      TokenBin.write(seqs.repartition(4), "seq_id", "tokens", base)
+      TokenBin.read(s, base)
+        .select(col("seq_id"),
+          posexplode(col("tokens")).as(Seq("pos", "tok")))
+    }),
+
     // WARC -> WET PIPELINE: the full CommonCrawl production shape --
     // raw response shards scanned, 404s dropped, visible text
     // extracted, and re-archived as `conversion` records (WET) with
@@ -5978,6 +6031,60 @@ object SparkEntry {
          |    AS link_canon,
          |  'out' || (doc_id % 5) || '.example.org' AS link_host
          |FROM documents WHERE doc_id % 7 <> 0""".stripMargin,
+
+    // q207: the ChatML render + offsets rebuilt closed-form -- turn
+    // strings concatenated directly, span starts as prefix-sum length
+    // arithmetic (22 = len('<|im_start|>') + len('assistant') + 1),
+    // never touching the engine's window machinery.
+    "q207_chat_template" ->
+      raw"""WITH d AS (SELECT doc_id AS conv,
+         |    str_split(trim(text), ' ') AS w FROM documents),
+         |c AS (SELECT conv, 'be helpful' AS c0,
+         |    w[1] || ' ' || w[2] || ' ' || w[3] AS c1,
+         |    w[4] || ' ' || w[5] || ' ' || w[6] AS c2,
+         |    w[7] || ' ' || w[8] AS c3,
+         |    w[9] || ' ' || w[10] AS c4 FROM d),
+         |r AS (SELECT conv, c2, c4,
+         |    '<|im_start|>system' || chr(10) || c0 || '<|im_end|>'
+         |      || chr(10) AS r0,
+         |    '<|im_start|>user' || chr(10) || c1 || '<|im_end|>'
+         |      || chr(10) AS r1,
+         |    '<|im_start|>assistant' || chr(10) || c2 || '<|im_end|>'
+         |      || chr(10) AS r2,
+         |    '<|im_start|>user' || chr(10) || c3 || '<|im_end|>'
+         |      || chr(10) AS r3,
+         |    '<|im_start|>assistant' || chr(10) || c4 || '<|im_end|>'
+         |      || chr(10) AS r4 FROM c),
+         |f AS (SELECT conv, c2, c4,
+         |    r0 || r1 || r2 || r3 || r4 AS text,
+         |    length(r0) + length(r1) AS o2,
+         |    length(r0) + length(r1) + length(r2) + length(r3) AS o4,
+         |    CAST(length(c2) + length(c4) AS INTEGER) AS n_target_chars
+         |  FROM r)
+         |SELECT conv, CAST(0 AS INTEGER) AS span_ix,
+         |  CAST(o2 + 22 AS INTEGER) AS s,
+         |  CAST(o2 + 22 + length(c2) AS INTEGER) AS e,
+         |  c2 AS span_text, text, n_target_chars FROM f
+         |UNION ALL
+         |SELECT conv, CAST(1 AS INTEGER),
+         |  CAST(o4 + 22 AS INTEGER),
+         |  CAST(o4 + 22 + length(c4) AS INTEGER),
+         |  c4, text, n_target_chars FROM f""".stripMargin,
+
+    // q208: the token ids recomputed straight from the source text --
+    // the engine's value went through uint16 bytes on disk and back,
+    // the oracle's never left SQL; equality gates the whole binary
+    // layer.
+    "q208_token_bin" ->
+      raw"""WITH w AS (SELECT doc_id AS seq_id,
+         |    str_split(trim(text), ' ') AS ws FROM documents)
+         |SELECT seq_id,
+         |  CAST(unnest(list_transform(range(1, len(ws) + 1), i -> i - 1))
+         |    AS INTEGER) AS pos,
+         |  CAST(unnest(list_transform(ws,
+         |    x -> (length(x) * 257 + ascii(x[1:1])) % 65536))
+         |    AS INTEGER) AS tok
+         |FROM w""".stripMargin,
 
     // q206: the WET layer closed-form -- ids re-stamped wet:, text as
     // q200's derivation, provenance pointing at the response id; 404

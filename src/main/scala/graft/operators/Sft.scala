@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Supervised-fine-tuning data assembly — the step between curated
+  * conversations and the trainer: render multi-turn conversations into
+  * one template string per conversation and emit the LOSS-MASK spans
+  * (which character ranges the loss is computed on — assistant
+  * contents only; prompts, roles and markers are context, not target).
+  *
+  * Template: ChatML (the widely-published
+  * `<|im_start|>role\ncontent<|im_end|>\n` form). Spans are CHARACTER
+  * offsets into the rendered string — tokenizer-agnostic by design:
+  * token-level masks are obtained downstream by intersecting token
+  * char-ranges with these spans, so the same rendered relation feeds
+  * any tokenizer. All offset arithmetic is integer prefix sums over
+  * window functions partitioned by conversation — exactly replayable
+  * in the oracle and shuffle-bounded by conversation size.
+  */
+object Sft {
+
+  private val turnPrefix: Column => Column =
+    role => concat(lit("<|im_start|>"), role, lit("\n"))
+  private val turnSuffix = "<|im_end|>\n"
+
+  /** Render conversations `(convCol, ixCol, roleCol, textCol)` — one
+    * row per turn, `ixCol` ordering turns within a conversation — into
+    * `(conv, text, n_turns, n_target_chars, spans)`:
+    *
+    *  - `text`: the ChatML rendering in turn order;
+    *  - `spans`: `array<struct<s int, e int>>` of 0-based character
+    *    ranges `[s, e)` covering each `targetRole` turn's CONTENT
+    *    (role marker and `<|im_end|>` excluded — loss on the words,
+    *    not the scaffolding), in turn order;
+    *  - `n_target_chars`: total masked-in characters (the per-example
+    *    packing weight a loss-weighted sampler needs).
+    *
+    * Null contents render as empty turns (span `[s, s)`) rather than
+    * dropping the turn — turn structure is data, absence is not.
+    */
+  def renderChatML(turns: DataFrame, convCol: String, ixCol: String,
+      roleCol: String, textCol: String,
+      targetRole: String = "assistant"): DataFrame = {
+    require(targetRole.matches("[A-Za-z_-]+"),
+      s"targetRole '$targetRole' is not a plain role token")
+    val content = coalesce(col(textCol).cast("string"), lit(""))
+    val rendered = concat(turnPrefix(col(roleCol)), content,
+      lit(turnSuffix))
+    val w = Window.partitionBy(col("conv")).orderBy(col("__ix"))
+    val withOff = turns.select(col(convCol).as("conv"), col(ixCol).as("__ix"),
+        col(roleCol).as("__role"), content.as("__c"),
+        rendered.as("__r"))
+      .withColumn("__start",
+        coalesce(sum(length(col("__r")))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+    withOff
+      .withColumn("__s",
+        (col("__start") + length(turnPrefix(col("__role")))).cast("int"))
+      .withColumn("__e", (col("__s") + length(col("__c"))).cast("int"))
+      .groupBy(col("conv"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__ix"), col("__r")))),
+          t => t.getField("__r")), "").as("text"),
+        count(lit(1)).cast("int").as("n_turns"),
+        coalesce(sum(when(col("__role") === targetRole,
+          length(col("__c")))), lit(0)).cast("int").as("n_target_chars"),
+        expr("array_sort(collect_list(CASE WHEN __role = '" + targetRole +
+          "' THEN struct(__s AS s, __e AS e) END))").as("spans"))
+  }
+
+  /** The rendered relation flattened to one row per loss span, with
+    * the span text sliced back out — the self-check consumers run
+    * before training (`span_text` must equal the source assistant
+    * content), and the join-friendly form for char→token mask
+    * intersection. The per-conversation columns (text, n_turns,
+    * n_target_chars) ride along so no re-join against `rendered` (and
+    * no second evaluation of the render chain) is ever needed.
+    */
+  def explodeSpans(rendered: DataFrame): DataFrame =
+    rendered.select(col("conv"), col("text"), col("n_turns"),
+        col("n_target_chars"),
+        posexplode(col("spans")).as(Seq("span_ix", "sp")))
+      .select(col("conv"), col("text"), col("n_turns"),
+        col("n_target_chars"), col("span_ix"),
+        col("sp.s").as("s"), col("sp.e").as("e"),
+        expr("substring(text, sp.s + 1, sp.e - sp.s)").as("span_text"))
+}

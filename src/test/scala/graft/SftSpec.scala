@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sft
+
+class SftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def turns = Seq(
+    (1L, 0, "system", "sys"),
+    (1L, 1, "user", "hi there"),
+    (1L, 2, "assistant", "hello"),
+    (1L, 3, "user", "more?"),
+    (1L, 4, "assistant", "yes más 😀"),
+    (2L, 0, "user", "lonely prompt"),          // no assistant at all
+    (3L, 0, "assistant", null: String))         // null content
+    .toDF("conv", "ix", "role", "c")
+
+  test("renderChatML: offsets slice back the exact assistant contents, " +
+      "unicode included; no-target and null-content convs behave") {
+    val r = Sft.renderChatML(turns, "conv", "ix", "role", "c")
+    val spans = Sft.explodeSpans(r).collect()
+      .map(x => (x.getLong(0), x.getInt(4), x.getString(7)))
+    assert(spans.toSet == Set((1L, 0, "hello"), (1L, 1, "yes más 😀"),
+      (3L, 0, "")))
+    val byConv = r.collect().map(x => x.getLong(0) ->
+      ((x.getString(1), x.getInt(2), x.getInt(3)))).toMap
+    assert(byConv(1L)._1 ==
+      "<|im_start|>system\nsys<|im_end|>\n" +
+        "<|im_start|>user\nhi there<|im_end|>\n" +
+        "<|im_start|>assistant\nhello<|im_end|>\n" +
+        "<|im_start|>user\nmore?<|im_end|>\n" +
+        "<|im_start|>assistant\nyes más 😀<|im_end|>\n")
+    // offsets are CODE POINTS (Spark length/substring semantics, same
+    // as DuckDB): the emoji counts 1, not its 2 UTF-16 units
+    val target = "yes más 😀"
+    assert(byConv(1L)._2 == 5 &&
+      byConv(1L)._3 == "hello".length +
+        target.codePointCount(0, target.length))
+    // conv 2: no assistant turn -> zero spans, zero target mass
+    assert(byConv(2L)._3 == 0)
+    assert(Sft.explodeSpans(r).filter(col("conv") === 2L).count() == 0)
+    // conv 3: null content renders an empty turn with an empty span
+    assert(byConv(3L)._1 == "<|im_start|>assistant\n<|im_end|>\n")
+  }
+
+  test("every span's substring equals its span_text (the pre-training " +
+      "self-check), and spans are in turn order") {
+    val r = Sft.renderChatML(turns, "conv", "ix", "role", "c")
+    val bad = Sft.explodeSpans(r)
+      .withColumn("__cut", expr("substring(text, s + 1, e - s)"))
+      .filter(col("__cut") =!= col("span_text")).count()
+    assert(bad == 0)
+    val order = Sft.explodeSpans(r).filter(col("conv") === 1L)
+      .orderBy(col("span_ix")).select(col("s")).collect().map(_.getInt(0))
+    assert(order.sliding(2).forall {
+      case Array(a, b) => a < b
+      case _ => true
+    })
+  }
+}
