@@ -2602,6 +2602,72 @@ object SparkEntry {
           posexplode(col("tokens")).as(Seq("pos", "tok")))
     }),
 
+    // TOKEN LOSS MASK: the downstream half of q207's contract --
+    // tokenize the rendered ChatML on whitespace WITH char offsets and
+    // mark each token masked-in iff it overlaps a loss span (partial
+    // overlaps count: a token glueing content to <|im_end|> carries
+    // loss chars). One prefix-sum window per conversation, HOF exists
+    // over the per-row spans array -- no join, no re-render.
+    "q209_token_loss_mask" -> ((s, dir) => {
+      import graft.operators.Sft
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").as("conv"),
+          split(trim(col("text")), " ").as("w"))
+      val turns = d.select(col("conv"), expr(
+          "explode(array(" +
+            "struct(0 AS ix, 'system' AS role, 'be helpful' AS c), " +
+            "struct(1 AS ix, 'user' AS role, " +
+            "  concat(w[0], ' ', w[1], ' ', w[2]) AS c), " +
+            "struct(2 AS ix, 'assistant' AS role, " +
+            "  concat(w[3], ' ', w[4], ' ', w[5]) AS c), " +
+            "struct(3 AS ix, 'user' AS role, " +
+            "  concat(w[6], ' ', w[7]) AS c), " +
+            "struct(4 AS ix, 'assistant' AS role, " +
+            "  concat(w[8], ' ', w[9]) AS c)))").as("t"))
+        .select(col("conv"), col("t.ix").as("ix"),
+          col("t.role").as("role"), col("t.c").as("c"))
+      Sft.tokenLossMask(Sft.renderChatML(turns, "conv", "ix", "role", "c"))
+    }),
+
+    // T5 SPAN CORRUPTION: deterministic ~10% word masking, contiguous
+    // runs collapsed to <extra_id_k> sentinels, (inputs, targets)
+    // denoising pairs assembled per document -- two doc-partitioned
+    // window passes plus one ordered collect, replayed word-for-word
+    // by the oracle's window chain.
+    "q210_span_corrupt" -> ((s, dir) => {
+      import graft.operators.TrainPrep
+      TrainPrep.spanCorrupt(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // EPOCH SHARDS: stride-chunk every document's token stream into
+    // fixed context windows and deal them into trainer shards in a
+    // seeded Lehmer order -- reseeding permutes the epoch without
+    // touching data, and NO global total order exists anywhere: the
+    // only windows are per-shard (trainers read shards), the chunk
+    // fan-out is a lateral explode.
+    "q211_epoch_shards" -> ((s, dir) => {
+      import graft.operators.TrainPrep
+      val seqs = t(s, dir, "documents").select(
+        col("doc_id").as("seq_id"),
+        expr("transform(split(trim(text), ' '), " +
+          "w -> CAST((length(w) * 257 + ascii(substring(w, 1, 1))) % " +
+          "65536 AS INT))").as("tokens"))
+      TrainPrep.epochShards(seqs, "seq_id", "tokens",
+        width = 32, stride = 24, nShards = 8, seed = 7L)
+    }),
+
+    // LENGTH-BUCKETED BATCHES: integer length buckets, seeded order
+    // within bucket, batches of 4, and the padding-waste bill
+    // (n_seqs*max_len - sum_len) the trainer pays per batch -- the
+    // measurement that justifies bucketed batching.
+    "q212_length_batches" -> ((s, dir) => {
+      import graft.operators.TrainPrep
+      val seqs = t(s, dir, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), " ")).as("n_tok"))
+      TrainPrep.lengthBatches(seqs, "doc_id", "n_tok",
+        bucketWidth = 8, batchSize = 4, seed = 1L)
+    }),
+
     // WARC -> WET PIPELINE: the full CommonCrawl production shape --
     // raw response shards scanned, 404s dropped, visible text
     // extracted, and re-archived as `conversion` records (WET) with
@@ -6085,6 +6151,135 @@ object SparkEntry {
          |    x -> (length(x) * 257 + ascii(x[1:1])) % 65536))
          |    AS INTEGER) AS tok
          |FROM w""".stripMargin,
+
+    // q209: the q207 render chain rebuilt closed-form, then tokenized
+    // on [ \n] with prefix-sum offsets and the two assistant spans
+    // tested by plain interval overlap -- the engine's HOF exists and
+    // window arithmetic against first-principles SQL.
+    "q209_token_loss_mask" ->
+      raw"""WITH d AS (SELECT doc_id AS conv,
+         |    str_split(trim(text), ' ') AS w FROM documents),
+         |c AS (SELECT conv, 'be helpful' AS c0,
+         |    w[1] || ' ' || w[2] || ' ' || w[3] AS c1,
+         |    w[4] || ' ' || w[5] || ' ' || w[6] AS c2,
+         |    w[7] || ' ' || w[8] AS c3,
+         |    w[9] || ' ' || w[10] AS c4 FROM d),
+         |r AS (SELECT conv, c2, c4,
+         |    '<|im_start|>system' || chr(10) || c0 || '<|im_end|>'
+         |      || chr(10) AS r0,
+         |    '<|im_start|>user' || chr(10) || c1 || '<|im_end|>'
+         |      || chr(10) AS r1,
+         |    '<|im_start|>assistant' || chr(10) || c2 || '<|im_end|>'
+         |      || chr(10) AS r2,
+         |    '<|im_start|>user' || chr(10) || c3 || '<|im_end|>'
+         |      || chr(10) AS r3,
+         |    '<|im_start|>assistant' || chr(10) || c4 || '<|im_end|>'
+         |      || chr(10) AS r4 FROM c),
+         |f AS (SELECT conv,
+         |    r0 || r1 || r2 || r3 || r4 AS text,
+         |    length(r0) + length(r1) + 22 AS s2,
+         |    length(r0) + length(r1) + 22 + length(c2) AS e2,
+         |    length(r0) + length(r1) + length(r2) + length(r3) + 22 AS s4,
+         |    length(r0) + length(r1) + length(r2) + length(r3) + 22
+         |      + length(c4) AS e4
+         |  FROM r),
+         |u AS (SELECT conv, s2, e2, s4, e4,
+         |    CAST(unnest(list_transform(range(1, len(ts) + 1), i -> i - 1))
+         |      AS INTEGER) AS pos,
+         |    unnest(ts) AS tok
+         |  FROM (SELECT conv, s2, e2, s4, e4,
+         |          regexp_split_to_array(text, '[ \n]') AS ts FROM f)),
+         |o AS (SELECT conv, pos, tok, s2, e2, s4, e4,
+         |    CAST(COALESCE(SUM(length(tok) + 1) OVER (PARTITION BY conv
+         |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      1 PRECEDING), 0) AS INTEGER) AS s
+         |  FROM u)
+         |SELECT conv, pos, tok, s,
+         |  CAST(s + length(tok) AS INTEGER) AS e,
+         |  ((s < e2 AND s + length(tok) > s2) OR
+         |   (s < e4 AND s + length(tok) > s4)) AS masked
+         |FROM o WHERE length(tok) > 0""".stripMargin,
+
+    // q210: the T5 denoising assembly as a window chain -- lag marks
+    // run starts, a running sum numbers sentinels, string_agg with an
+    // ORDER BY rebuilds inputs/targets (COALESCE '' because an
+    // unmasked doc has no target pieces).
+    "q210_span_corrupt" ->
+      raw"""WITH t AS (SELECT doc_id AS doc,
+         |    CAST(unnest(list_transform(range(1, len(ws) + 1), i -> i - 1))
+         |      AS INTEGER) AS pos,
+         |    unnest(ws) AS tok
+         |  FROM (SELECT doc_id, str_split(trim(text), ' ') AS ws
+         |        FROM documents)),
+         |m AS (SELECT doc, pos, tok,
+         |    ((doc * 31 + pos * 7) % 10 = 0) AS masked FROM t),
+         |r AS (SELECT *, masked AND NOT COALESCE(
+         |    lag(masked) OVER (PARTITION BY doc ORDER BY pos), FALSE)
+         |    AS run_start FROM m),
+         |k AS (SELECT *, CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN UNBOUNDED
+         |    PRECEDING AND CURRENT ROW) - 1 AS INTEGER) AS k FROM r),
+         |p AS (SELECT doc, pos, masked,
+         |    CASE WHEN NOT masked THEN tok
+         |         WHEN run_start THEN '<extra_id_' || k || '>' END
+         |      AS in_piece,
+         |    CASE WHEN masked AND run_start
+         |           THEN '<extra_id_' || k || '> ' || tok
+         |         WHEN masked THEN tok END AS tgt_piece
+         |  FROM k)
+         |SELECT doc,
+         |  COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS inputs,
+         |  COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '') AS targets,
+         |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_masked
+         |FROM p GROUP BY doc""".stripMargin,
+
+    // q211: the stride windows and the double-Lehmer shard deal
+    // rebuilt arithmetically -- list slicing for the windows, the
+    // identical ((x % M) * 48271) % M lattice for the hash, and a
+    // per-shard rank (never a global order) for pos_in_shard.
+    "q211_epoch_shards" ->
+      raw"""WITH s AS (SELECT doc_id AS seq_id,
+         |    list_transform(str_split(trim(text), ' '),
+         |      x -> (length(x) * 257 + ascii(x[1:1])) % 65536) AS toks
+         |  FROM documents),
+         |w AS (SELECT seq_id, toks,
+         |    CAST(unnest(range(0, CASE WHEN len(toks) > 32
+         |      THEN (len(toks) - 32 + 23) // 24 + 1 ELSE 1 END))
+         |      AS INTEGER) AS w
+         |  FROM s),
+         |win AS (SELECT seq_id, w,
+         |    toks[w * 24 + 1 : w * 24 + 32] AS win FROM w),
+         |h AS (SELECT seq_id, w, win,
+         |    ((((((seq_id * 1048576 + w + 7) % 2147483647) * 48271)
+         |      % 2147483647) + 7) % 2147483647) * 48271 % 2147483647 AS h
+         |  FROM win)
+         |SELECT seq_id, w,
+         |  CAST(h % 8 AS INTEGER) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8
+         |    ORDER BY h, seq_id, w) - 1 AS INTEGER) AS pos_in_shard,
+         |  CAST(len(win) AS INTEGER) AS n_toks,
+         |  CAST(win[1] AS INTEGER) AS first_tok,
+         |  CAST(list_aggregate(win, 'sum') AS BIGINT) AS checksum
+         |FROM h""".stripMargin,
+
+    // q212: integer buckets, the same Lehmer order, batches of 4 cut
+    // by integer division on the rank, and the padding bill per batch.
+    "q212_length_batches" ->
+      raw"""WITH s AS (SELECT doc_id AS id,
+         |    CAST(len(str_split(trim(text), ' ')) AS INTEGER) AS n_tok
+         |  FROM documents),
+         |b AS (SELECT id, n_tok,
+         |    CAST(n_tok // 8 AS INTEGER) AS bucket,
+         |    ((id + 1) % 2147483647) * 48271 % 2147483647 AS h FROM s),
+         |r AS (SELECT *, CAST((row_number() OVER (PARTITION BY bucket
+         |    ORDER BY h, id) - 1) // 4 AS INTEGER) AS batch_ix FROM b)
+         |SELECT bucket, batch_ix,
+         |  CAST(count(*) AS INTEGER) AS n_seqs,
+         |  max(n_tok) AS max_len,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_len,
+         |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
+         |FROM r GROUP BY bucket, batch_ix""".stripMargin,
 
     // q206: the WET layer closed-form -- ids re-stamped wet:, text as
     // q200's derivation, provenance pointing at the response id; 404

@@ -71,6 +71,37 @@ object Sft {
           "' THEN struct(__s AS s, __e AS e) END))").as("spans"))
   }
 
+  /** Char-span → token-mask intersection — the downstream half of the
+    * loss-mask contract: given the rendered relation, tokenize `text`
+    * on single whitespace characters (space or newline — the only
+    * separators the ChatML template emits) WITH character offsets, and
+    * mark each token masked-in iff its `[s, e)` range overlaps any
+    * loss span. Partial overlaps count (a token glueing content to the
+    * `<|im_end|>` marker carries loss chars, so it is masked in) —
+    * exactly what a subword tokenizer's offset intersection does.
+    *
+    * Offsets are one prefix-sum window per conversation (the relation
+    * arrives hash-partitioned by `conv` from the render aggregate, so
+    * no extra shuffle); the span test is a HOF `exists` over the
+    * per-row spans array — no join, no second evaluation of the render
+    * chain. Empty tokens (consecutive/trailing separators) are dropped
+    * AFTER the offset arithmetic so positions stay exact.
+    */
+  def tokenLossMask(rendered: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv")).orderBy(col("pos"))
+    rendered.select(col("conv"), col("spans"),
+        posexplode(split(col("text"), "[ \n]", -1)).as(Seq("pos", "tok")))
+      .withColumn("s", coalesce(sum(length(col("tok")) + 1)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0))
+        .cast("int"))
+      .withColumn("e", (col("s") + length(col("tok"))).cast("int"))
+      .filter(length(col("tok")) > 0)
+      .select(col("conv"), col("pos"), col("tok"), col("s"), col("e"),
+        coalesce(exists(col("spans"),
+          sp => col("s") < sp.getField("e") && col("e") > sp.getField("s")),
+          lit(false)).as("masked"))
+  }
+
   /** The rendered relation flattened to one row per loss span, with
     * the span text sliced back out — the self-check consumers run
     * before training (`span_text` must equal the source assistant

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trainer-side data preparation — the operators that turn a curated,
+  * tokenized corpus into what a training loop actually consumes:
+  * span-corruption example assembly (the T5 denoising objective),
+  * deterministic epoch sharding of context windows, and
+  * length-bucketed batch assembly with padding-waste accounting.
+  *
+  * Everything here is seeded integer arithmetic over window functions
+  * partitioned by document (or by shard/bucket) — bit-reproducible
+  * across engines for the oracle, and shuffle-bounded at 100 TB: no
+  * global total order is ever materialized (trainers read SHARDS, so
+  * ordering is per-shard by construction), no per-group state beyond
+  * a window frame.
+  */
+object TrainPrep {
+
+  /** Lehmer/MINSTD step — `(x % M) * 48271 % M` with M = 2^31 − 1.
+    * 48271 · 2^31 < 2^63, so the product never overflows a long under
+    * ANSI mode, and the identical expression replays in the oracle.
+    */
+  private val M = 2147483647L
+  private def lehmer(x: Column): Column =
+    pmod(pmod(x, lit(M)) * lit(48271L), lit(M))
+
+  /** T5-style span corruption: deterministically mask ~10% of word
+    * positions (`(docId·31 + pos·7) % 10 == 0` — seeded, replayable),
+    * collapse each CONTIGUOUS masked run to one `<extra_id_k>`
+    * sentinel (k counts runs within the document, 0-based), and emit
+    * the denoising pair:
+    *
+    *  - `inputs`: the words with each masked run replaced by its
+    *    sentinel, joined on single spaces;
+    *  - `targets`: for each run, its sentinel followed by the masked
+    *    words, concatenated in order (the T5 target layout);
+    *  - `n_masked`: masked word count (the loss mass).
+    *
+    * Runs/sentinels are two doc-partitioned window passes (lag +
+    * running sum); assembly is one ordered collect per document.
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 10): DataFrame = {
+    val byPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val toks = docs.select(col(idCol).as("doc"),
+        posexplode(split(trim(col(textCol)), " ")).as(Seq("pos", "tok")))
+      .withColumn("masked",
+        pmod(col("doc") * 31 + col("pos") * 7, lit(modulus)) === 0)
+    val runs = toks
+      .withColumn("run_start", col("masked") &&
+        !coalesce(lag(col("masked"), 1).over(byPos), lit(false)))
+      .withColumn("k",
+        (sum(when(col("run_start"), 1).otherwise(0)).over(
+          byPos.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("int"))
+    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+    runs
+      .withColumn("in_piece", when(!col("masked"), col("tok"))
+        .when(col("run_start"), sentinel))
+      .withColumn("tgt_piece", when(col("masked") && col("run_start"),
+          concat(sentinel, lit(" "), col("tok")))
+        .when(col("masked"), col("tok")))
+      .groupBy(col("doc"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+            when(col("in_piece").isNotNull,
+              struct(col("pos"), col("in_piece"))))),
+          t => t.getField("in_piece")), " ").as("inputs"),
+        array_join(transform(array_sort(collect_list(
+            when(col("tgt_piece").isNotNull,
+              struct(col("pos"), col("tgt_piece"))))),
+          t => t.getField("tgt_piece")), " ").as("targets"),
+        sum(when(col("masked"), 1).otherwise(0)).cast("int").as("n_masked"))
+  }
+
+  /** Stride-chunk each sequence's tokens into fixed context windows
+    * (`width` tokens every `stride` — overlapping when
+    * stride < width, the standard LM eval/train windowing) and deal
+    * the windows into `nShards` trainer shards in a deterministic
+    * seeded order: shard = lehmer(key+seed) % nShards, position
+    * within the shard = rank of the hash. A new `seed` reshuffles
+    * every epoch without touching the data.
+    *
+    * No global total order is materialized — trainers consume shards,
+    * so the only windows are per-shard (nShards-way parallel), and the
+    * chunk fan-out is a lateral sequence explode, linear in token
+    * count. Caller contract: `key = seqId · 2^20 + windowIx` must stay
+    * unique, i.e. seqIds fit 2^42 (the ANSI multiply overflows loudly
+    * beyond that) and a document has < 2^20 windows (8M tokens at the
+    * defaults — pre-split longer documents, or adjacent seqIds can
+    * collide keys).
+    */
+  def epochShards(seqs: DataFrame, idCol: String, tokensCol: String,
+      width: Int = 32, stride: Int = 24, nShards: Int = 8,
+      seed: Long = 1L): DataFrame = {
+    require(width > 0 && stride > 0 && nShards > 0)
+    val n = size(col("toks"))
+    val chunks = seqs
+      .select(col(idCol).cast("long").as("seq_id"),
+        col(tokensCol).as("toks"))
+      .select(col("seq_id"), col("toks"),
+        explode(sequence(lit(0),
+          when(n > width,
+            floor((n - width + stride - 1) / lit(stride.toDouble))
+              .cast("int"))
+            .otherwise(lit(0)))).as("w"))
+      .select(col("seq_id"), col("w"),
+        slice(col("toks"), col("w") * stride + 1, lit(width)).as("win"))
+    val key = col("seq_id") * lit(1048576L) + col("w")
+    val h = lehmer(lehmer(key + lit(seed)) + lit(seed))
+    val withShard = chunks
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+    val byShard = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("seq_id"), col("w"))
+    withShard.select(col("seq_id"), col("w"), col("shard"),
+        (row_number().over(byShard) - 1).as("pos_in_shard"),
+        size(col("win")).as("n_toks"),
+        element_at(col("win"), 1).as("first_tok"),
+        aggregate(col("win"), lit(0L), (a, x) => a + x).as("checksum"))
+  }
+
+  /** Length-bucketed batch assembly: bucket sequences by
+    * `n_tokens / bucketWidth` (integer buckets — no float log2 to
+    * disagree over), order each bucket by a seeded hash with an id
+    * tie-break, cut into batches of `batchSize`, and report per batch
+    * what the trainer pays: sequence count, max length (the padded
+    * width), token sum, and `pad_waste = n_seqs·max_len − sum_len`.
+    *
+    * Windows are bucket-partitioned (bounded fan-in per bucket is the
+    * caller's length distribution, not corpus size); the batch report
+    * is one groupBy. This is the measurement that justifies bucketing
+    * at all — the same relation with one global bucket prices naive
+    * batching.
+    */
+  def lengthBatches(seqs: DataFrame, idCol: String, nTokCol: String,
+      bucketWidth: Int = 8, batchSize: Int = 4,
+      seed: Long = 1L): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0)
+    val bucket = floor(col(nTokCol).cast("long") / lit(bucketWidth.toDouble))
+      .cast("int")
+    val h = lehmer(col(idCol).cast("long") + lit(seed))
+    val byBucket = Window.partitionBy(col("bucket"))
+      .orderBy(col("h"), col("id"))
+    seqs.select(col(idCol).cast("long").as("id"),
+        col(nTokCol).cast("int").as("n_tok"), bucket.as("bucket"), h.as("h"))
+      .withColumn("batch_ix",
+        floor((row_number().over(byBucket) - 1) / lit(batchSize.toDouble))
+          .cast("int"))
+      .groupBy(col("bucket"), col("batch_ix"))
+      .agg(count(lit(1)).cast("int").as("n_seqs"),
+        max(col("n_tok")).as("max_len"),
+        sum(col("n_tok")).cast("long").as("sum_len"))
+      .withColumn("pad_waste",
+        col("n_seqs").cast("long") * col("max_len") - col("sum_len"))
+  }
+}

@@ -46,6 +46,27 @@ class SftSpec extends AnyFunSuite {
     assert(byConv(3L)._1 == "<|im_start|>assistant\n<|im_end|>\n")
   }
 
+  test("tokenLossMask: exactly the tokens overlapping a loss span are " +
+      "masked, offsets slice the text, boundary tokens count as masked") {
+    val r = Sft.renderChatML(turns, "conv", "ix", "role", "c")
+    val m = Sft.tokenLossMask(r).filter(col("conv") === 1L).collect()
+      .map(x => (x.getString(2), x.getInt(3), x.getInt(4), x.getBoolean(5)))
+    val text = r.filter(col("conv") === 1L)
+      .select(col("text")).collect().head.getString(0)
+    // every offset slices its token back out (code-point arithmetic)
+    m.foreach { case (tok, s, e, _) =>
+      val cp = text.codePoints().toArray
+      assert(new String(cp, s, e - s) == tok) }
+    // masked tokens are precisely those carrying assistant content:
+    // 'hello<|im_end|>' (glued marker overlaps) and the three words of
+    // 'yes más 😀<|im_end|>'
+    val masked = m.filter(_._4).map(_._1).toSet
+    assert(masked == Set("hello<|im_end|>", "yes", "más", "😀<|im_end|>"))
+    // conv 2 (no assistant turn): nothing masks
+    assert(Sft.tokenLossMask(r).filter(col("conv") === 2L &&
+      col("masked")).count() == 0)
+  }
+
   test("every span's substring equals its span_text (the pre-training " +
       "self-check), and spans are in turn order") {
     val r = Sft.renderChatML(turns, "conv", "ix", "role", "c")
