@@ -2668,6 +2668,41 @@ object SparkEntry {
         bucketWidth = 8, batchSize = 4, seed = 1L)
     }),
 
+    // GPT-STYLE BLOCK PACKING: per-shard token streams (EOS after each
+    // doc) cut into fixed 64-token blocks CROSSING document
+    // boundaries; output is the block composition map (doc x block ->
+    // in-block token range + EOS flag) that boundary-reset attention
+    // masks and provenance consume. Shard-local prefix sums -- no
+    // global order anywhere; fan-out is pure arithmetic.
+    "q213_block_pack" -> ((s, dir) => {
+      import graft.operators.TrainPrep
+      val seqs = t(s, dir, "documents").select(col("doc_id"),
+        split(trim(col("text")), " ").as("toks"))
+      TrainPrep.blockPack(seqs, "doc_id", "toks",
+        blockSize = 64, nShards = 8)
+    }),
+
+    // DPO PREFERENCE PAIRS: candidates grouped 4-per-prompt, the
+    // best-scored (id tie-break) chosen vs every other -- one bounded
+    // group window, zero joins.
+    "q214_preference_pairs" -> ((s, dir) => {
+      import graft.operators.TrainPrep
+      val cands = t(s, dir, "documents").select(
+        floor(col("doc_id") / lit(4.0)).cast("long").as("prompt"),
+        col("doc_id").as("cand"),
+        size(split(trim(col("text")), " ")).as("score"))
+      TrainPrep.preferencePairs(cands, "prompt", "cand", "score")
+    }),
+
+    // FILL-IN-THE-MIDDLE: seeded half of the corpus re-laid out as
+    // <PRE> prefix <SUF> suffix <MID> middle at seeded split points;
+    // the other half verbatim -- the code-model pretraining transform,
+    // byte-exact under the oracle.
+    "q215_fim_transform" -> ((s, dir) => {
+      import graft.operators.TrainPrep
+      TrainPrep.fimTransform(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // WARC -> WET PIPELINE: the full CommonCrawl production shape --
     // raw response shards scanned, 404s dropped, visible text
     // extracted, and re-archived as `conversion` records (WET) with
@@ -6280,6 +6315,65 @@ object SparkEntry {
          |  CAST(sum(n_tok) AS BIGINT) AS sum_len,
          |  CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_waste
          |FROM r GROUP BY bucket, batch_ix""".stripMargin,
+
+    // q213: shard-local prefix sums and the block-range fan-out redone
+    // arithmetically; every boundary value (greatest/least/EOS rule)
+    // must agree or the hash breaks.
+    "q213_block_pack" ->
+      raw"""WITH s AS (SELECT doc_id AS seq_id,
+         |    CAST(doc_id % 8 AS INTEGER) AS shard,
+         |    CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |o AS (SELECT seq_id, shard, n,
+         |    CAST(COALESCE(SUM(n + 1) OVER (PARTITION BY shard
+         |      ORDER BY seq_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM s WHERE n > 0),
+         |e AS (SELECT seq_id, shard, n, start,
+         |    unnest(range(start // 64, (start + n - 1) // 64 + 1))
+         |      AS block_ix FROM o)
+         |SELECT shard, block_ix, seq_id,
+         |  CAST(greatest(start, block_ix * 64) - block_ix * 64
+         |    AS INTEGER) AS s_in_block,
+         |  CAST(least(start + n, (block_ix + 1) * 64) - block_ix * 64
+         |    AS INTEGER) AS e_in_block,
+         |  (start + n <= (block_ix + 1) * 64 - 1) AS eos_in_block
+         |FROM e""".stripMargin,
+
+    // q214: best-vs-rest via first_value over (score desc, id desc) --
+    // the same tie-break as the engine's struct max.
+    "q214_preference_pairs" ->
+      raw"""WITH c AS (SELECT doc_id // 4 AS prompt, doc_id AS cand,
+         |    CAST(len(str_split(trim(text), ' ')) AS INTEGER) AS score
+         |  FROM documents),
+         |b AS (SELECT prompt, cand, score,
+         |    first_value(cand) OVER (PARTITION BY prompt
+         |      ORDER BY score DESC, cand DESC) AS best_cand,
+         |    first_value(score) OVER (PARTITION BY prompt
+         |      ORDER BY score DESC, cand DESC) AS best_score
+         |  FROM c)
+         |SELECT prompt, best_cand AS chosen_id, cand AS rejected_id,
+         |  CAST(best_score - score AS INTEGER) AS margin
+         |FROM b WHERE cand <> best_cand""".stripMargin,
+
+    // q215: the PSM split points and slices replayed on list slicing;
+    // byte equality of text_out gates the whole transform.
+    "q215_fim_transform" ->
+      raw"""WITH s AS (SELECT doc_id AS id,
+         |    str_split(trim(text), ' ') AS ws, trim(text) AS t0,
+         |    CAST((doc_id * 7) % 4 + 3 AS INTEGER) AS i
+         |  FROM documents),
+         |j AS (SELECT id, ws, t0, i,
+         |    CAST(i + 2 + (id * 13) % 3 AS INTEGER) AS j,
+         |    (id % 2 = 0 AND len(ws) >= 10) AS is_fim FROM s)
+         |SELECT id, is_fim,
+         |  CASE WHEN NOT is_fim THEN t0
+         |       ELSE '<PRE> ' || array_to_string(ws[1:i], ' ')
+         |         || ' <SUF> ' || array_to_string(ws[j+1:len(ws)], ' ')
+         |         || ' <MID> ' || array_to_string(ws[i+1:j], ' ')
+         |  END AS text_out,
+         |  CASE WHEN is_fim THEN j - i ELSE 0 END AS n_middle
+         |FROM j""".stripMargin,
 
     // q206: the WET layer closed-form -- ids re-stamped wet:, text as
     // q200's derivation, provenance pointing at the response id; 404

@@ -122,6 +122,93 @@ object TrainPrep {
         aggregate(col("win"), lit(0L), (a, x) => a + x).as("checksum"))
   }
 
+  /** GPT-style cross-document block packing: within each shard,
+    * concatenate every sequence's tokens (plus one EOS after each
+    * document) in seq_id order and cut the stream into fixed
+    * `blockSize` training blocks that CROSS document boundaries — the
+    * standard pretraining batch layout. Emits the block COMPOSITION
+    * map: one row per (document × block it lands in) with the
+    * document's token range inside that block, which is what
+    * attention-masking ("reset at document boundary") and provenance
+    * tooling consume.
+    *
+    * Shard-local by construction — the prefix sum runs per shard
+    * (workers pack their own shards; a global token order would be a
+    * partitionless window), and the block fan-out is arithmetic:
+    * a document covering blocks b₀..b₁ explodes exactly b₁−b₀+1 rows.
+    * The trailing partial block per shard is emitted (callers drop or
+    * pad it).
+    */
+  def blockPack(seqs: DataFrame, idCol: String, tokensCol: String,
+      blockSize: Int, nShards: Int = 8): DataFrame = {
+    require(blockSize > 0 && nShards > 0)
+    val byId = Window.partitionBy(col("shard")).orderBy(col("seq_id"))
+    val b = blockSize.toLong
+    seqs.select(col(idCol).cast("long").as("seq_id"),
+        size(col(tokensCol)).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("shard", pmod(col("seq_id"), lit(nShards.toLong))
+        .cast("int"))
+      .withColumn("start", coalesce(sum(col("n") + 1)
+          .over(byId.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("block_ix", explode(sequence(
+        floor(col("start") / lit(b.toDouble)).cast("long"),
+        floor((col("start") + col("n") - 1) / lit(b.toDouble))
+          .cast("long"))))
+      .select(col("shard"), col("block_ix"), col("seq_id"),
+        (greatest(col("start"), col("block_ix") * b) - col("block_ix") * b)
+          .cast("int").as("s_in_block"),
+        (least(col("start") + col("n"), (col("block_ix") + 1) * b)
+          - col("block_ix") * b).cast("int").as("e_in_block"),
+        (col("start") + col("n") <= (col("block_ix") + 1) * b - 1)
+          .as("eos_in_block"))
+  }
+
+  /** RLHF/DPO preference-pair assembly: for each prompt group, the
+    * best-scored candidate (id tie-break) is `chosen` and every other
+    * candidate yields one (chosen, rejected) pair with its score
+    * margin — the standard best-vs-rest pairing. One group-partitioned
+    * window max, zero joins; group sizes are the caller's candidate
+    * fan-out (constant), so the window is bounded.
+    */
+  def preferencePairs(cands: DataFrame, promptCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val byPrompt = Window.partitionBy(col("prompt"))
+    val best = max(struct(col("score"), col("cand"))).over(byPrompt)
+    cands.select(col(promptCol).as("prompt"), col(idCol).as("cand"),
+        col(scoreCol).as("score"))
+      .withColumn("__best", best)
+      .filter(col("cand") =!= col("__best.cand"))
+      .select(col("prompt"), col("__best.cand").as("chosen_id"),
+        col("cand").as("rejected_id"),
+        (col("__best.score") - col("score")).as("margin"))
+  }
+
+  /** Fill-in-the-middle transform (the code-model pretraining form):
+    * deterministically split half the documents (seeded id parity)
+    * into prefix/middle/suffix at seeded word positions and emit the
+    * PSM layout `<PRE> prefix <SUF> suffix <MID> middle`; the other
+    * half passes through verbatim. Split points are integer
+    * arithmetic on the id — replayable, and never out of range for
+    * documents with ≥ 10 words (shorter docs pass through).
+    */
+  def fimTransform(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val ws = split(trim(col(textCol)), " ")
+    val n = size(ws)
+    val i = (pmod(id * 7, lit(4L)) + 3).cast("int")
+    val j = (i + 2 + pmod(id * 13, lit(3L))).cast("int")
+    val fim = pmod(id, lit(2L)) === 0 && n >= 10
+    docs.select(id.as("id"), fim.as("is_fim"),
+      when(!fim, col(textCol)).otherwise(concat(
+        lit("<PRE> "), array_join(slice(ws, lit(1), i), " "),
+        lit(" <SUF> "), array_join(slice(ws, j + 1, size(ws)), " "),
+        lit(" <MID> "),
+        array_join(slice(ws, i + 1, j - i), " "))).as("text_out"),
+      when(fim, j - i).otherwise(0).cast("int").as("n_middle"))
+  }
+
   /** Length-bucketed batch assembly: bucket sequences by
     * `n_tokens / bucketWidth` (integer buckets — no float log2 to
     * disagree over), order each bucket by a seeded hash with an id

@@ -66,6 +66,64 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(bySeq(2L).head.getLong(6) == (100 until 110).sum)
   }
 
+  test("blockPack: composition covers every token exactly once per " +
+      "shard, boundaries cross documents, EOS flag marks the last block") {
+    // one shard (nShards=1), docs 10,11,12 tokens + EOS each = 36 slots;
+    // blockSize 16 -> blocks 0..2 (last partial)
+    val d = Seq((0L, (0 until 10).toList), (1L, (0 until 11).toList),
+      (2L, (0 until 12).toList)).toDF("seq_id", "tokens")
+    val r = graft.operators.TrainPrep
+      .blockPack(d, "seq_id", "tokens", blockSize = 16, nShards = 1)
+      .collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getInt(3), x.getInt(4),
+        x.getBoolean(5)))
+    // doc 0: [0,10) block 0; doc 1: [11,22) blocks 0,1; doc 2: [23,35)
+    // blocks 1,2
+    assert(r.toSet == Set(
+      (0L, 0L, 0, 10, true),    // EOS at 10 -> in block 0
+      (0L, 1L, 11, 16, false), (1L, 1L, 0, 6, true),  // EOS at 22 in b1
+      (1L, 2L, 7, 16, false), (2L, 2L, 0, 3, true)))  // EOS at 35 in b2
+    // token coverage per block: each block's slices tile without overlap
+    r.groupBy(_._1).foreach { case (_, xs) =>
+      val spans = xs.map(x => (x._3, x._4)).sortBy(_._1)
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(s2 == e1 + 1) // +1 = EOS
+        case _ => () }
+    }
+  }
+
+  test("preferencePairs: best-vs-rest with id tie-break, margins") {
+    val d = Seq((1L, 10L, 3.0), (1L, 11L, 5.0), (1L, 12L, 5.0),
+      (2L, 20L, 1.0)).toDF("p", "c", "sc")
+    val r = graft.operators.TrainPrep.preferencePairs(d, "p", "c", "sc")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3))).toSet
+    // prompt 1: chosen = 12 (score tie 5.0, higher id); prompt 2: no pair
+    assert(r == Set((1L, 12L, 10L, 2.0), (1L, 12L, 11L, 0.0)))
+  }
+
+  test("fimTransform: PSM layout reassembles the document, odd ids " +
+      "pass through") {
+    val words = (0 until 10).map(i => s"w$i")
+    val d = Seq((2L, words.mkString(" ")), (3L, words.mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TrainPrep.fimTransform(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(1), x.getString(2), x.getInt(3)))).toMap
+    assert(r(3L) == ((false, words.mkString(" "), 0)))
+    val (isFim, psm, nMid) = r(2L)
+    assert(isFim)
+    // id 2: i = (14 % 4) + 3 = 5, j = 5 + 2 + (26 % 3) = 9
+    assert(psm == "<PRE> w0 w1 w2 w3 w4 <SUF> w9 <MID> w5 w6 w7 w8")
+    assert(nMid == 4)
+    // the three parts reassemble the source
+    val pre = psm.drop("<PRE> ".length).takeWhile(_ != '<').trim
+    val suf = psm.substring(psm.indexOf("<SUF> ") + 6,
+      psm.indexOf(" <MID>")).trim
+    val mid = psm.substring(psm.indexOf("<MID> ") + 6).trim
+    assert(s"$pre $mid $suf" == words.mkString(" "))
+  }
+
   test("lengthBatches: batches respect bucket and size, pad_waste " +
       "accounts max*count - sum") {
     val d = (1L to 10L).map(i => (i, if (i <= 6) 10 + i.toInt else 50))
