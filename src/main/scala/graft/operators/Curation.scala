@@ -243,17 +243,41 @@ object Curation {
     *
     * Scale shape — [[ccnetBuckets]]'s rank discipline, not a global
     * sort: per-token-value counts (lattice-sized — token counts are
-    * bounded integers by nature), a lattice-row cumulative window,
-    * one token-value-keyed join + row_number over the token-value
-    * partition (residual ties only).
+    * bounded integers by nature), a TWO-LEVEL distributed prefix sum
+    * over the lattice (within-bucket cumulative windows partitioned by
+    * a 1024-wide value bucket + driver-computed bucket offsets over
+    * the require-bounded bucket relation, broadcast back — no
+    * partitionless WindowExec anywhere), one token-value-keyed join +
+    * row_number over the token-value partition (residual ties only).
     */
   def tokenBalancedShards(docs: DataFrame, idCol: String,
       tokenCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards $nShards must be >= 1")
+    val spark = docs.sparkSession
     val counts = docs.groupBy(col(tokenCol)).agg(count(lit(1)).as("__c"))
-    val wCum = Window.orderBy(col(tokenCol).desc)
-    val cum = counts
-      .withColumn("__below", sum(col("__c")).over(wCum) - col("__c"))
+      .withColumn("__b", floor(col(tokenCol) / lit(1024.0)).cast("long"))
+    // level 1: bucket totals — lattice/1024 rows, loud-bounded collect
+    val totals = counts.groupBy(col("__b")).agg(sum(col("__c")).as("__t"))
+      .limit((1 << 20) + 1).collect()
+    require(totals.length <= (1 << 20),
+      s"token-value lattice spans > ${1 << 20} buckets — not a lattice; " +
+        "clamp token counts upstream")
+    // exclusive DESC prefix: offset(b) = Σ totals of buckets above b
+    val sortedDesc = totals.map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val offsets = sortedDesc.scanLeft((Long.MaxValue, 0L)) {
+      case ((_, acc), (b, t)) => (b, acc + t)
+    }.drop(1).map { case (b, cumIncl) => (b, cumIncl) }
+    val offByBucket = offsets.zip(sortedDesc).map {
+      case ((b, cumIncl), (_, t)) => (b, cumIncl - t) }
+    import spark.implicits._
+    val offDf = broadcast(offByBucket.toSeq.toDF("__b", "__off"))
+    // level 2: within-bucket cumulative window — bucket-partitioned
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(tokenCol).desc)
+    val cum = counts.join(offDf, Seq("__b"))
+      .withColumn("__below", col("__off") + coalesce(
+        sum(col("__c")).over(wIn.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
       .select(col(tokenCol), col("__below"))
     val wTie = Window.partitionBy(col(tokenCol)).orderBy(col(idCol).asc)
     docs.join(cum, Seq(tokenCol))

@@ -88,14 +88,35 @@ object TokenBin {
     * — one task per shard, idx parsed first, token ranges sliced from
     * the bin. The written relation and the read-back relation are
     * value-identical (q208 gates it through the tokenization oracle).
+    *
+    * `idRange = Some((lo, hi))` is the sliced-read path: the idx (24
+    * bytes/sequence) is still read whole, but only entries with
+    * `lo <= seq_id <= hi` touch the `.bin` — bytes read scale with the
+    * SLICE, not the shard, which is the point of the two-file layout.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String,
+      idRange: Option[(Long, Long)] = None): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val shards = fs.listStatus(root).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".idx"))
-      .map(_.getPath.toString)
-      .sorted
+    // recursive: a streaming sink lays out batch-NNNNNN/ subdirs
+    // (EventStream.tokenBinStream) — one listing serves both layouts
+    val it = fs.listFiles(root, true)
+    val sb = Seq.newBuilder[String]
+    val committed = scala.collection.mutable.Map.empty[Path, Boolean]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".idx")) {
+        // streaming batch dirs commit via _SUCCESS — skip uncommitted
+        // (possibly partial) ones; plain write() dirs have no marker
+        // convention and are always read
+        val parent = s.getPath.getParent
+        val ok = if (!parent.getName.startsWith("batch-")) true
+          else committed.getOrElseUpdate(parent,
+            fs.exists(new Path(parent, "_SUCCESS")))
+        if (ok) sb += s.getPath.toString
+      }
+    }
+    val shards = sb.result().sorted
     val confSer = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val rows = spark.sparkContext
@@ -116,6 +137,10 @@ object TokenBin {
         val n = ib.getLong.toInt
         val entries = (0 until n).map { _ =>
           (ib.getLong, ib.getLong, ib.getLong) }
+          .filter { case (id, _, _) =>
+            idRange.forall { case (lo, hi) => id >= lo && id <= hi } }
+        if (entries.isEmpty) Iterator.empty
+        else {
         val bin = fsx.open(binPath)
         try {
           entries.iterator.map { case (id, off, len) =>
@@ -128,6 +153,7 @@ object TokenBin {
             org.apache.spark.sql.Row(id, toks.toSeq)
           }.toVector.iterator
         } finally bin.close()
+        }
       }
     spark.createDataFrame(rows, StructType(Seq(
       StructField("seq_id", LongType),

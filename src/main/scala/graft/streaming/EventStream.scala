@@ -262,6 +262,41 @@ object EventStream {
       }
       .start()
 
+  /** Continuous TRAINER FEED: each micro-batch of `(seqId, tokens)` is
+    * written as a self-contained [[graft.sources.TokenBin]] shard group
+    * under `outPath/batch-<id>/` — the live end of the corpus→trainer
+    * pipeline: curated documents stream in, memory-mappable uint16
+    * token shards land, and a data loader tails the directory. Reading
+    * the union of batch dirs with [[graft.sources.TokenBin.read]]
+    * yields exactly everything ingested.
+    *
+    * Replay safety: the batch dir's `_SUCCESS` marker is the commit
+    * point — a redelivered batch whose marker exists no-ops; a batch
+    * that crashed mid-write has no marker and is rewritten whole
+    * (TokenBin.write clears the dir first), so partial shard groups
+    * can never be consumed (loaders must honor the marker).
+    */
+  def tokenBinStream(stream: DataFrame, idCol: String, tokensCol: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val dir = new org.apache.hadoop.fs.Path(outPath, f"batch-$id%06d")
+        val fs = dir.getFileSystem(
+          b.sparkSession.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+        if (!fs.exists(marker)) {
+          releasingBlocks(b.sparkSession) {
+            graft.sources.TokenBin.write(b.toDF(), idCol, tokensCol,
+              dir.toString)
+          }
+          fs.create(marker, true).close()
+        }
+      }
+      .start()
+
   /** One micro-batch of continuous sketch maintenance: merge the batch's
     * registers into the persisted relation at `path/registers` (HLL by
     * max, CMS by sum). Replay safety: the sidecar records the last

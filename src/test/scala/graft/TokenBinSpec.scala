@@ -31,6 +31,18 @@ class TokenBinSpec extends AnyFunSuite {
     assert(fs.count(_.endsWith(".bin")) == fs.count(_.endsWith(".idx")))
   }
 
+  test("sliced read returns exactly the id range, empty slice is empty") {
+    val seqs = (1L to 20L).map(i => (i, List(i.toInt, i.toInt + 1)))
+      .toDF("seq_id", "tokens")
+    val dir = tmp()
+    TokenBin.write(seqs.repartition(3), "seq_id", "tokens", dir)
+    val sl = TokenBin.read(spark, dir, idRange = Some((5L, 9L)))
+      .collect().map(_.getLong(0)).sorted
+    assert(sl.toSeq == (5L to 9L))
+    assert(TokenBin.read(spark, dir, idRange = Some((100L, 200L)))
+      .count() == 0)
+  }
+
   test("token id outside uint16 fails the write loudly") {
     val bad = Seq((1L, Seq(70000))).toDF("seq_id", "tokens")
     val e = intercept[org.apache.spark.SparkException] {
