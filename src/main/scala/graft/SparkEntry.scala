@@ -2703,6 +2703,17 @@ object SparkEntry {
       TrainPrep.fimTransform(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // CONTRASTIVE TRIPLET MINING: per anchor, the top same-label
+    // neighbor (positive) and top different-label neighbor (HARD
+    // negative) from the IVF-bucketed kNN graph -- the metric-learning
+    // training-pair assembly, never all-pairs; margins on rounded
+    // ranks mark the anchors worth training on.
+    "q216_triplet_mining" -> ((s, dir) => {
+      import graft.operators.Similarity
+      Similarity.tripletMining(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 8, nLists = 16, nProbe = 4)
+    }),
+
     // WARC -> WET PIPELINE: the full CommonCrawl production shape --
     // raw response shards scanned, 404s dropped, visible text
     // extracted, and re-archived as `conversion` records (WET) with
@@ -7265,6 +7276,53 @@ object SparkEntry {
         |SELECT id1, id2, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cos FROM cs
         |QUALIFY row_number() OVER (PARTITION BY id1
         |  ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 3""".stripMargin,
+
+    // q216: q116's IVF kNN chain cut at 8, label lookups joined on
+    // both ends, two argmax cuts on ROUNDED cosine (id tie-break) and
+    // the rounded margin -- anchors lacking either side drop by the
+    // inner join, same as the engine.
+    "q216_triplet_mining" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist AS (SELECT e.vec_id, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT vec_id, did AS lst FROM dist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl p JOIN asg a ON a.lst = p.lst WHERE a.vec_id <> p.vec_id),
+        |cs AS (SELECT c.id1, c.id2,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * b.v[j]), (x, y) -> x + y) AS dp,
+        |  list_reduce(list_transform(range(1, len(a.v) + 1),
+        |    j -> a.v[j] * a.v[j]), (x, y) -> x + y) AS na,
+        |  list_reduce(list_transform(range(1, len(b.v) + 1),
+        |    j -> b.v[j] * b.v[j]), (x, y) -> x + y) AS nb
+        |  FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2),
+        |knn AS (SELECT id1, id2, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cr
+        |  FROM cs
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY dp / (sqrt(na) * sqrt(nb)) DESC, id2) <= 8),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |e2 AS (SELECT k.id1, k.id2, k.cr, la.label AS l1, lb.label AS l2
+        |  FROM knn k JOIN lab la ON la.vec_id = k.id1
+        |  JOIN lab lb ON lb.vec_id = k.id2),
+        |pos AS (SELECT id1, id2 AS pos_id, cr AS pos_cos FROM e2
+        |  WHERE l1 = l2
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY cr DESC, id2) = 1),
+        |neg AS (SELECT id1, id2 AS neg_id, cr AS neg_cos FROM e2
+        |  WHERE l1 <> l2
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY cr DESC, id2) = 1)
+        |SELECT p.id1 AS anchor, pos_id, neg_id, pos_cos, neg_cos,
+        |  round(pos_cos - neg_cos, 4) AS margin
+        |FROM pos p JOIN neg n ON n.id1 = p.id1""".stripMargin,
 
     // q106's plan over THREE queries at once: per-query probe lists and
     // ADC sums, per-query top-5 (rank on the raw sum, id tie-break).

@@ -1291,6 +1291,44 @@ object Similarity {
       Seq(col("cos").desc, col("id2").asc), k)
   }
 
+  /** Contrastive triplet mining for embedding-model training: for each
+    * anchor, the most-similar SAME-label neighbor is the positive and
+    * the most-similar DIFFERENT-label neighbor is the HARD negative —
+    * the semi-supervised pairing every contrastive/metric-learning
+    * recipe (triplet loss, InfoNCE hard negatives) feeds on. Anchors
+    * missing either side within the k-NN horizon drop (an anchor with
+    * no same-label neighbor in its top-k has no mineable positive).
+    *
+    * Built ON the [[knnGraph]] candidate machinery, so the pair space
+    * is IVF-bucketed (never all-pairs) and inherits its hot-list cap;
+    * the label split is two broadcast-joinable id→label lookups plus
+    * two argmax cuts per anchor. `margin = pos_cos − neg_cos` (rounded
+    * ranks — the cross-engine ranking discipline): a small or negative
+    * margin marks exactly the anchors worth training on.
+    */
+  def tripletMining(vecs: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nLists: Int = 16, nProbe: Int = 4,
+      maxListSize: Int = 10000): DataFrame = {
+    val g = knnGraph(vecs, idCol, vecCol, k, nLists, nProbe, maxListSize)
+    val lab = vecs.select(col(idCol), col(labelCol))
+    val e2 = g
+      .join(lab.select(col(idCol).as("id1"), col(labelCol).as("__l1")),
+        Seq("id1"))
+      .join(lab.select(col(idCol).as("id2"), col(labelCol).as("__l2")),
+        Seq("id2"))
+      .withColumn("__cr", round(col("cos"), 4))
+    def best(f: Column, pid: String, pcos: String) =
+      Ops.topKPerGroup(e2.filter(f), Seq("id1"),
+        Seq(col("__cr").desc, col("id2").asc), 1)
+        .select(col("id1"), col("id2").as(pid), col("__cr").as(pcos))
+    best(col("__l1") === col("__l2"), "pos_id", "pos_cos")
+      .join(best(col("__l1") =!= col("__l2"), "neg_id", "neg_cos"),
+        Seq("id1"))
+      .select(col("id1").as("anchor"), col("pos_id"), col("neg_id"),
+        col("pos_cos"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+  }
+
   /** The scored candidate-edge relation behind [[knnGraph]], pre-top-k —
     * package-visible so specs can assert the hot-list cap bounds the
     * candidate count itself, not just the k-cut output.

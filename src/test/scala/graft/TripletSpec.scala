@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+
+class TripletSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // two tight clusters on orthogonal axes + a lone outlier label:
+  // positives must come from the same cluster, hard negatives from the
+  // nearest OTHER cluster member
+  private def vecs = Seq(
+    (1L, Array(1.0, 0.0, 0.0), 0), (2L, Array(0.98, 0.02, 0.0), 0),
+    (3L, Array(0.96, 0.04, 0.0), 0),
+    (10L, Array(0.0, 1.0, 0.0), 1), (11L, Array(0.02, 0.98, 0.0), 1),
+    (20L, Array(0.0, 0.0, 1.0), 2)) // singleton label: no positive
+    .toDF("vec_id", "embedding", "label")
+
+  test("positives are same-label nearest, negatives are cross-label " +
+      "nearest, singleton labels drop, margins positive for tight clusters") {
+    val r = Similarity.tripletMining(vecs, "vec_id", "embedding", "label",
+      k = 5, nLists = 1, nProbe = 1).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getDouble(5)))).toMap
+    // anchor 1: positive = 2 (cos .98/|..| highest same-label), negative
+    // from cluster 1 or the outlier — whichever cosine is higher
+    assert(r.contains(1L) && r(1L)._1 == 2L)
+    assert(Set(10L, 11L, 20L).contains(r(1L)._2))
+    // the singleton label 2 has no same-label neighbor -> no triplet
+    assert(!r.contains(20L))
+    // tight clusters: every emitted margin is positive
+    r.values.foreach { case (_, _, m) => assert(m > 0.0) }
+    // cluster-1 anchors pair within cluster 1
+    assert(r(10L)._1 == 11L && r(11L)._1 == 10L)
+  }
+}
