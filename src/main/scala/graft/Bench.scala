@@ -19,7 +19,11 @@ import org.apache.spark.sql.SparkSession
   * distinguish sandbox load from a code regression):
   *
   *  1. GROUP-PER-JVM. Queries are split into `shared92` (q01–q92, the
-  *     round-4 baseline set), `ext` (post-r4 extensions q100+), and
+  *     round-4 baseline set), `ext` (post-r4 extensions q100–q179),
+  *     `ext2` (q180+ — split out in round 13 when the ext pass crossed
+  *     ~90 queries and its tail's heavy dedup/graph chains started
+  *     paying the accumulated JVM churn of the ~70 queries before them:
+  *     q149/q175/q176 medians inflated 40–70% on unchanged plans), and
   *     `lifecycle` (the five index-lifecycle gates q93/q96/q107/q112/q114,
   *     whose staged builds/rewrites cause JIT deopt + GC + BlockManager
   *     churn). Each group runs in its OWN forked JVM, in that order, so no
@@ -46,7 +50,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   private val LifecycleKeys = Set("q93", "q96", "q107", "q112", "q114")
-  private val Groups = Seq("shared92", "ext", "lifecycle")
+  private val Groups = Seq("shared92", "ext", "ext2", "lifecycle")
 
   private def shortKey(name: String): String =
     name.indexOf('_') match { case -1 => name; case i => name.substring(0, i) }
@@ -56,9 +60,11 @@ object Bench {
 
   private def group(name: String): String = {
     val s = shortKey(name)
+    val id = s.drop(1).toIntOption
     if (LifecycleKeys(s)) "lifecycle"
-    else if (s.drop(1).toIntOption.exists(_ <= 92)) "shared92"
-    else "ext"
+    else if (id.exists(_ <= 92)) "shared92"
+    else if (id.exists(_ <= 179)) "ext"
+    else "ext2"
   }
 
   /** Queries of one group, numeric-id ascending. */
