@@ -2345,8 +2345,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val lm = docs.filter(col("doc_id") % 3 =!= 0)
       val scored = NgramLm.lmFitScores(docs, lm, "doc_id", "text")
-        .withColumn("g", lit("all"))
-      Curation.topQualityPerGroupAtScale(scored, "g", "lm_fit_ppm",
+      Curation.topQualityAtScale(scored, "lm_fit_ppm",
           "doc_id", minPercentile = 0.5)
         .select(col("doc_id"), col("lm_fit_ppm"))
     }),

@@ -804,6 +804,63 @@ object Curation {
     clear.unionByName(ties)
   }
 
+  /** The UNGROUPED percentile cut — same semantics as
+    * [[topQualityPerGroupAtScale]] with one global group, but without
+    * the degenerate plan that a constant group produces there
+    * (Catalyst folds a literal partition column away, leaving the
+    * lattice cumulative window physically PARTITIONLESS). Here the
+    * cumulative rank is a two-level distributed prefix sum over the
+    * score lattice — within-bucket windows partitioned by a 1024-wide
+    * score bucket, bucket offsets driver-computed over the
+    * require-bounded bucket relation — and the residual tie window
+    * partitions by the score column (its rows are the collisions at
+    * ONE lattice point). Values identical to the grouped form
+    * (spec-asserted); q156 gates it.
+    */
+  def topQualityAtScale(df: DataFrame, scoreCol: String, idCol: String,
+      minPercentile: Double): DataFrame = {
+    require(minPercentile >= 0.0 && minPercentile <= 1.0,
+      s"minPercentile $minPercentile out of [0, 1]")
+    val p = minPercentile
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__b",
+        floor(col(scoreCol).cast("double") / lit(1024.0)).cast("long"))
+    val totals = counts.groupBy(col("__b")).agg(sum(col("__c")).as("__t"))
+      .limit((1 << 20) + 1).collect()
+    require(totals.length <= (1 << 20),
+      s"score lattice spans > ${1 << 20} buckets — not a lattice; " +
+        "coarsen the score upstream")
+    val asc = totals.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = asc.map(_._2).sum
+    var acc = 0L
+    val offs = asc.map { case (b, t) => val o = (b, acc); acc += t; o }
+    import spark.implicits._
+    val offDf = broadcast(offs.toSeq.toDF("__b", "__off"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col(scoreCol).asc)
+    // the same boundary-rank arithmetic as the grouped form, evaluated
+    // on the driver (n is a scalar here): 1-row input has percent_rank
+    // 0 exactly; otherwise ceil(1 + p(n-1))
+    val r0 =
+      if (n == 1) { if (p > 0.0) 2L else 1L }
+      else math.ceil(1.0 + p * (n - 1).toDouble).toLong
+    val thresholds = counts.join(offDf, Seq("__b"))
+      .withColumn("__cum", col("__off") +
+        sum(col("__c")).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__cum") >= r0 && col("__cum") - col("__c") < r0)
+      .select(col(scoreCol).as("__s"),
+        (col("__cum") - r0 + 1).as("__tie_keep"))
+    val joined = df.crossJoin(broadcast(thresholds))
+    val clear = joined.filter(col(scoreCol) > col("__s"))
+      .drop("__s", "__tie_keep")
+    val wTie = Window.partitionBy(col(scoreCol)).orderBy(col(idCol).desc)
+    val ties = joined.filter(col(scoreCol) === col("__s"))
+      .withColumn("__rn", row_number().over(wTie))
+      .filter(col("__rn") <= col("__tie_keep"))
+      .drop("__s", "__tie_keep", "__rn")
+    clear.unionByName(ties)
+  }
+
   /** CCNet's head/middle/tail TERCILE bucketING (Wenzek et al., "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data",
     * LREC 2020 — documents are split per language into three equal

@@ -232,6 +232,35 @@ class CurationSpec extends AnyFunSuite {
       "thresholds must broadcast, not shuffle the corpus")
   }
 
+  test("topQualityAtScale: identical to the grouped form under one " +
+      "constant group, and its plan has NO partitionless window") {
+    import spark.implicits._
+    val rows = (0 until 5000).map(i =>
+      (i.toLong, (i % 12).toDouble / 100)) :+ (9900L, 0.4)
+    val df = rows.toDF("id", "score")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.75, 1.0)) {
+      val want = Curation.topQualityPerGroupAtScale(
+          df.withColumn("g", lit("all")), "g", "score", "id", p)
+        .collect().map(_.getLong(0)).toSet
+      val got = Curation.topQualityAtScale(df, "score", "id", p)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want, s"p=$p diverges")
+    }
+    // 1-row edge: percent_rank 0 — kept only at p = 0
+    val one = Seq((1L, 0.5)).toDF("id", "score")
+    assert(Curation.topQualityAtScale(one, "score", "id", 0.0).count() == 1)
+    assert(Curation.topQualityAtScale(one, "score", "id", 0.5).count() == 0)
+    // every WindowExec in the plan carries a real partition spec
+    val plan = Curation.topQualityAtScale(df, "score", "id", 0.75)
+      .queryExecution.executedPlan.toString
+    val bad = plan.split('\n').filter(l =>
+      l.contains("windowspecdefinition") && {
+        val first = l.split("windowspecdefinition\\(")(1).split(",")(0)
+        first.contains(" ASC") || first.contains(" DESC")
+      })
+    assert(bad.isEmpty, s"partitionless window in plan:\n${bad.mkString}")
+  }
+
   test("dsirWeights: target-like docs outscore junk; hand-check; resample " +
       "is deterministic and favors high weights") {
     import spark.implicits._
