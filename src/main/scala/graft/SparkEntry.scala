@@ -2713,6 +2713,19 @@ object SparkEntry {
         "embedding", "label", k = 8, nLists = 16, nProbe = 4)
     }),
 
+    // BITEXT MINING: Artetxe-Schwenk ratio margins between two vector
+    // "languages" (label parity splits the fixture) over the IVF
+    // candidate machinery -- cosines on the shifted 4-dp integer
+    // lattice, margins as exact cross-multiplied ppm, reverse stats
+    // over the forward candidate relation. Never all-pairs.
+    "q217_bitext_mining" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val vecs = t(s, dir, "embeddings")
+        .withColumn("side", pmod(col("label"), lit(2)))
+      Similarity.bitextMine(vecs, "vec_id", "embedding", "side",
+        k = 4, nLists = 16, nProbe = 4)
+    }),
+
     // WARC -> WET PIPELINE: the full CommonCrawl production shape --
     // raw response shards scanned, 404s dropped, visible text
     // extracted, and re-archived as `conversion` records (WET) with
@@ -7322,6 +7335,57 @@ object SparkEntry {
         |SELECT p.id1 AS anchor, pos_id, neg_id, pos_cos, neg_cos,
         |  round(pos_cos - neg_cos, 4) AS margin
         |FROM pos p JOIN neg n ON n.id1 = p.id1""".stripMargin,
+
+    // q217: the q116 donor/assign/probe chain restricted to A-probes x
+    // B-assignments, cosines shifted onto the non-negative 4-dp
+    // lattice, top-k sums per end as integers, and the margin as one
+    // exact integer division -- floor on both engines because every
+    // operand is non-negative.
+    "q217_bitext_mining" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    label % 2 AS side
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |don AS (SELECT vec_id AS did, v AS dv FROM e
+        |  ORDER BY ((((vec_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |dist AS (SELECT e.vec_id, e.side, d.did,
+        |  list_reduce(list_transform(range(1, len(e.v) + 1),
+        |    j -> (e.v[j] - d.dv[j]) * (e.v[j] - d.dv[j])), (x, y) -> x + y) AS dd
+        |  FROM e CROSS JOIN don d),
+        |asg AS (SELECT vec_id, did AS lst FROM dist WHERE side = 1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) = 1),
+        |pl AS (SELECT vec_id, did AS lst FROM dist WHERE side = 0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, did) <= 4),
+        |cand AS (SELECT p.vec_id AS id1, a.vec_id AS id2
+        |  FROM pl p JOIN asg a ON a.lst = p.lst),
+        |cs AS (SELECT c.id1, c.id2,
+        |  CAST(round((list_reduce(list_transform(range(1, len(a.v) + 1),
+        |      j -> a.v[j] * b.v[j]), (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(range(1, len(a.v) + 1),
+        |      j -> a.v[j] * a.v[j]), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(range(1, len(b.v) + 1),
+        |      j -> b.v[j] * b.v[j]), (x, y) -> x + y)))) * 10000)
+        |    AS BIGINT) + 10000 AS s10k
+        |  FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e b ON b.vec_id = c.id2),
+        |fwd AS (SELECT id1, CAST(SUM(s10k) AS BIGINT) AS sumA,
+        |    CAST(COUNT(*) AS BIGINT) AS nA
+        |  FROM (SELECT * FROM cs QUALIFY row_number() OVER
+        |    (PARTITION BY id1 ORDER BY s10k DESC, id2) <= 4)
+        |  GROUP BY id1),
+        |bwd AS (SELECT id2, CAST(SUM(s10k) AS BIGINT) AS sumB,
+        |    CAST(COUNT(*) AS BIGINT) AS nB
+        |  FROM (SELECT * FROM cs QUALIFY row_number() OVER
+        |    (PARTITION BY id2 ORDER BY s10k DESC, id1) <= 4)
+        |  GROUP BY id2),
+        |best AS (SELECT id1, id2, s10k FROM cs
+        |  QUALIFY row_number() OVER (PARTITION BY id1
+        |    ORDER BY s10k DESC, id2) = 1)
+        |SELECT b.id1 AS src_id, b.id2 AS tgt_id,
+        |  CAST(b.s10k - 10000 AS BIGINT) AS cos10k,
+        |  CAST((2000000 * b.s10k * f.nA * w.nB) //
+        |    greatest(f.sumA * w.nB + w.sumB * f.nA, 1) AS BIGINT)
+        |    AS margin_ppm
+        |FROM best b JOIN fwd f ON f.id1 = b.id1
+        |JOIN bwd w ON w.id2 = b.id2""".stripMargin,
 
     // q106's plan over THREE queries at once: per-query probe lists and
     // ADC sums, per-query top-5 (rank on the raw sum, id tie-break).

@@ -1329,6 +1329,87 @@ object Similarity {
         round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix parallel-corpus alignment step): for every anchor
+    * on side A, find its best side-B neighbor and score the pair by a
+    * RATIO margin — best cosine over the mean of both ends' top-`k`
+    * neighborhoods — which is what separates true translations from
+    * hubs that are merely close to everything.
+    *
+    * Engineering contract, all deliberately exact-integer so the pair
+    * relation gates under a SQL oracle:
+    *
+    *  - candidates come from the [[knnGraph]] IVF machinery — side A
+    *    probes `nProbe` hash-centroid lists (centroids drawn from the
+    *    FULL relation), side B sits assigned+hot-capped; never
+    *    all-pairs;
+    *  - cosines land on the 4-dp integer lattice
+    *    (`round(cos·10⁴)`), then SHIFT by +10⁴ so the lattice is
+    *    non-negative (integer division below is floor on both engines
+    *    only for non-negative operands);
+    *  - reverse statistics are computed over the forward candidate
+    *    relation (the standard practical simplification — no second
+    *    probe pass);
+    *  - `margin_ppm = (2·10⁶ · s · nA · nB) DIV (sumA·nB + sumB·nA)`
+    *    on the shifted lattice — the cross-multiplied exact form of
+    *    `s / ((avgA + avgB)/2)` in parts-per-million, order-free.
+    *
+    * Output: one row per side-A anchor with ≥1 candidate —
+    * `(src_id, tgt_id, cos10k, margin_ppm)`, ties broken on
+    * (lattice desc, id asc). Filter `margin_ppm` downstream; > 10⁶
+    * means "closer than its neighborhoods' average", the usual bar.
+    *
+    * `sideCol` must hold 0 (anchors, side A) or 1 (candidates,
+    * side B).
+    */
+  def bitextMine(vecs: DataFrame, idCol: String, vecCol: String,
+      sideCol: String, k: Int = 4, nLists: Int = 16, nProbe: Int = 4,
+      maxListSize: Int = 10000): DataFrame = {
+    require(k >= 1 && maxListSize >= 1)
+    val spark = vecs.sparkSession
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as(idCol),
+        col(vecCol).cast("array<double>").as("__v"), col(sideCol).as("__s"))
+    val centroids = pqDonors(clean, idCol, "__v", nLists)
+    val assign = assignByIdUdf(spark, centroids)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val probeU = udf { (v: Seq[Double]) =>
+      bc.value.map { case (cid, cv) => (sqDistArr(v, cv), cid) }
+        .sorted.take(nProbe).map(_._2).toSeq
+    }
+    val a = clean.filter(col("__s") === 0)
+      .select(col(idCol).as("id1"), col("__v").as("__v1"),
+        explode(probeU(col("__v"))).as("__lst"))
+    val bAll = clean.filter(col("__s") === 1)
+      .select(col(idCol).as("id2"), col("__v").as("__v2"),
+        assign(col("__v")).as("__lst"))
+    val idHash = pmod(pmod(col("id2"), lit(2147483648L)) * 2654435761L,
+      lit(4294967296L))
+    val b = Ops.topKPerGroup(bAll, Seq("__lst"),
+      Seq(idHash.asc, col("id2").asc), maxListSize)
+    val pairs = a.join(b, Seq("__lst"))
+      .select(col("id1"), col("id2"),
+        (round(VectorFns.cosine(col("__v1"), col("__v2")) * 10000, 0)
+          .cast("long") + 10000L).as("__s10k"))
+    def kstats(key: String, sumName: String, nName: String) =
+      Ops.topKPerGroup(pairs, Seq(key),
+          Seq(col("__s10k").desc,
+            col(if (key == "id1") "id2" else "id1").asc), k)
+        .groupBy(col(key))
+        .agg(sum(col("__s10k")).as(sumName),
+          count(lit(1)).as(nName))
+    val best = Ops.topKPerGroup(pairs, Seq("id1"),
+      Seq(col("__s10k").desc, col("id2").asc), 1)
+    best
+      .join(kstats("id1", "__sumA", "__nA"), Seq("id1"))
+      .join(kstats("id2", "__sumB", "__nB"), Seq("id2"))
+      .select(col("id1").as("src_id"), col("id2").as("tgt_id"),
+        (col("__s10k") - 10000L).as("cos10k"),
+        expr("CAST((2000000 * __s10k * __nA * __nB) DIV " +
+          "greatest(__sumA * __nB + __sumB * __nA, 1) AS BIGINT)")
+          .as("margin_ppm"))
+  }
+
   /** The scored candidate-edge relation behind [[knnGraph]], pre-top-k —
     * package-visible so specs can assert the hot-list cap bounds the
     * candidate count itself, not just the k-cut output.
