@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.operators.TrainPrep
+
+/** Property laws for the trainer data-prep family over generated corpora
+  * (same deterministic-sampler pattern as PropertySpec): the invariants a
+  * trainer silently depends on — exact token coverage through block
+  * packing, window coverage through epoch chunking, and the
+  * inputs/targets partition law of span corruption.
+  */
+class TrainPrepPropSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val p = org.scalacheck.Gen.Parameters.default.withSize(40)
+    (0 until n).flatMap(i => g.apply(p, org.scalacheck.rng.Seed(7L + i)))
+  }
+
+  private val corpusGen: Gen[List[(Long, List[Int])]] = for {
+    nDocs <- Gen.choose(1, 12)
+    lens <- Gen.listOfN(nDocs, Gen.choose(1, 90))
+  } yield lens.zipWithIndex.map { case (n, i) =>
+    (i.toLong, (0 until n).map(t => (i * 131 + t * 17) % 65536).toList)
+  }
+
+  test("blockPack law: per shard, in-block ranges tile the token stream " +
+      "exactly — every token exactly once, gaps only at EOS slots") {
+    samples(corpusGen, 12).foreach { docs =>
+      val df = docs.toDF("seq_id", "tokens")
+      for (blockSize <- Seq(7, 16, 64)) {
+        val rows = TrainPrep.blockPack(df, "seq_id", "tokens",
+          blockSize, nShards = 3).collect()
+          .map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+            x.getInt(3), x.getInt(4)))
+        // total covered chars == total tokens
+        val covered = rows.map(x => (x._5 - x._4).toLong).sum
+        val total = docs.map(_._2.length.toLong).sum
+        assert(covered == total, s"blockSize=$blockSize covered!=total")
+        // within a (shard, block): spans sorted by s never overlap and
+        // any gap is exactly one EOS slot
+        rows.groupBy(x => (x._1, x._2)).foreach { case (_, xs) =>
+          val spans = xs.map(x => (x._4, x._5)).sortBy(_._1)
+          spans.foreach { case (s, e) =>
+            assert(s >= 0 && s < e && e <= blockSize) }
+          spans.sliding(2).foreach {
+            case Array((_, e1), (s2, _)) =>
+              assert(s2 == e1 || s2 == e1 + 1, "overlap or gap > EOS")
+            case _ => ()
+          }
+        }
+        // every doc with tokens appears in >= 1 block
+        assert(rows.map(_._3).toSet ==
+          docs.filter(_._2.nonEmpty).map(_._1).toSet)
+      }
+    }
+  }
+
+  test("epochShards law: windows start at multiples of stride, cover " +
+      "every token, checksums recompute; shard deal is a permutation " +
+      "of the window set") {
+    samples(corpusGen, 10).foreach { docs =>
+      val df = docs.toDF("seq_id", "tokens")
+      val byId = docs.toMap
+      val rows = TrainPrep.epochShards(df, "seq_id", "tokens",
+        width = 32, stride = 24, nShards = 4, seed = 11L).collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3),
+          x.getInt(4), x.getInt(5), x.getLong(6)))
+      rows.groupBy(_._1).foreach { case (id, xs) =>
+        val toks = byId(id)
+        val ws = xs.map(_._2).sorted
+        assert(ws.toSeq == (0 until ws.length)) // dense window ixs
+        // coverage: last window reaches the end
+        val last = ws.max
+        assert(last * 24 + xs.find(_._2 == last).get._5 == toks.length ||
+          toks.length <= 32)
+        xs.foreach { case (_, w, _, _, n, first, sum) =>
+          val win = toks.slice(w * 24, w * 24 + 32)
+          assert(n == win.length && first == win.head &&
+            sum == win.map(_.toLong).sum)
+        }
+      }
+      // dense positions per shard
+      rows.groupBy(_._3).foreach { case (_, xs) =>
+        assert(xs.map(_._4).sorted.toSeq == (0 until xs.length)) }
+    }
+  }
+
+  test("spanCorrupt law: inputs and targets partition the words — " +
+      "stripping sentinels and re-interleaving runs reconstructs the " +
+      "document; n_masked matches the mask rule") {
+    val docGen: Gen[(Long, Int)] =
+      Gen.zip(Gen.choose(0L, 500L), Gen.choose(1, 60))
+    samples(docGen, 40).foreach { case (docId, nWords) =>
+      val words = (0 until nWords).map(i => s"t${(docId * 31 + i) % 97}")
+      val df = Seq((docId, words.mkString(" "))).toDF("doc_id", "text")
+      val r = TrainPrep.spanCorrupt(df, "doc_id", "text").collect().head
+      val (inputs, targets, nMasked) =
+        (r.getString(1), r.getString(2), r.getInt(3))
+      val expectMasked =
+        (0 until nWords).count(i => (docId * 31 + i * 7) % 10 == 0)
+      assert(nMasked == expectMasked)
+      // reconstruct: walk inputs; at sentinel k, splice targets' run k
+      val tgtRuns = targets.split("<extra_id_\\d+>").map(_.trim)
+        .filter(_.nonEmpty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var runIx = 0
+      inputs.split(" ").filter(_.nonEmpty).foreach { tok =>
+        if (tok.matches("<extra_id_\\d+>")) {
+          out ++= tgtRuns(runIx).split(" "); runIx += 1
+        } else out += tok
+      }
+      assert(out.toSeq == words,
+        s"doc $docId/$nWords words reconstruct failed")
+    }
+  }
+}
