@@ -6353,7 +6353,7 @@ object SparkEntry {
          |      1 PRECEDING), 0) AS BIGINT) AS start
          |  FROM s WHERE n > 0),
          |e AS (SELECT seq_id, shard, n, start,
-         |    unnest(range(start // 64, (start + n - 1) // 64 + 1))
+         |    unnest(range(start // 64, (start + n) // 64 + 1))
          |      AS block_ix FROM o)
          |SELECT shard, block_ix, seq_id,
          |  CAST(greatest(start, block_ix * 64) - block_ix * 64

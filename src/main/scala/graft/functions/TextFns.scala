@@ -607,13 +607,22 @@ object TextFns {
       "^[ ]+|[ ]+$", "")
   }
 
-  val anchorPattern: String = "(?is)<a[ \t\r\n][^>]*href[ \t]*=[ \t]*" +
-    "[\"']([^\"'>]*)[\"'][^>]*>(.*?)</a[ \t]*>"
+  /** `<a …>` extraction pattern. Group 1 is the href VALUE WITH ITS
+    * QUOTES (per-quote alternation, so a double-quoted value may
+    * legally contain `'` and vice versa — callers strip the outer
+    * pair); group 2 is the raw anchor markup. The attribute name
+    * requires a whitespace boundary (`<a data-href=…>` is NOT a link)
+    * and the whole pattern stays inside the RE2 subset (no
+    * backreferences/lookaround) so DuckDB oracles can replay it.
+    */
+  val anchorPattern: String = "(?is)<a[ \t\r\n](?:[^>]*[ \t\r\n])?" +
+    "href[ \t]*=[ \t]*(\"[^\"]*\"|'[^']*')[^>]*>(.*?)</a[ \t]*>"
 
   def htmlAnchors(html: Column): Column = {
     val pat = lit(anchorPattern)
     arrays_zip(
-      regexp_extract_all(html, pat, lit(1)).as("href"),
+      transform(regexp_extract_all(html, pat, lit(1)),
+        v => v.substr(lit(2), length(v) - 2)).as("href"),
       transform(regexp_extract_all(html, pat, lit(2)),
         t => htmlFragmentText(t)).as("text"))
   }

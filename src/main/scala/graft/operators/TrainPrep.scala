@@ -134,10 +134,14 @@ object TrainPrep {
     *
     * Shard-local by construction — the prefix sum runs per shard
     * (workers pack their own shards; a global token order would be a
-    * partitionless window), and the block fan-out is arithmetic:
-    * a document covering blocks b₀..b₁ explodes exactly b₁−b₀+1 rows.
-    * The trailing partial block per shard is emitted (callers drop or
-    * pad it).
+    * partitionless window), and the block fan-out is arithmetic: the
+    * explode upper bound is the block holding the document's EOS
+    * (`⌊(start+n)/b⌋`), so when the EOS lands exactly on a block
+    * boundary the document emits one extra `s_in_block == e_in_block
+    * == 0` row carrying `eos_in_block = true` — every EOS token is
+    * accounted for in exactly one composition row (attention-mask
+    * consumers rely on this). The trailing partial block per shard is
+    * emitted (callers drop or pad it).
     */
   def blockPack(seqs: DataFrame, idCol: String, tokensCol: String,
       blockSize: Int, nShards: Int = 8): DataFrame = {
@@ -153,7 +157,7 @@ object TrainPrep {
           .over(byId.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("block_ix", explode(sequence(
         floor(col("start") / lit(b.toDouble)).cast("long"),
-        floor((col("start") + col("n") - 1) / lit(b.toDouble))
+        floor((col("start") + col("n")) / lit(b.toDouble))
           .cast("long"))))
       .select(col("shard"), col("block_ix"), col("seq_id"),
         (greatest(col("start"), col("block_ix") * b) - col("block_ix") * b)

@@ -58,9 +58,19 @@ object TokenBin {
         try {
           it.foreach { r =>
             val id = r.getLong(0)
-            val toks = r.getSeq[Int](1)
-            val bb = ByteBuffer.allocate(toks.length * 2)
+            // read as boxed values so a null array / null element is
+            // refused loudly (naming the sequence) instead of NPEing
+            // opaquely at unboxing
+            val raw = r.getSeq[Any](1)
+            require(raw != null, s"null token array in sequence $id — " +
+              "filter or fill nulls before writing")
+            val bb = ByteBuffer.allocate(raw.length * 2)
               .order(ByteOrder.LITTLE_ENDIAN)
+            val toks = raw.map { e =>
+              require(e != null, s"null token in sequence $id — " +
+                "filter or fill nulls before writing")
+              e.asInstanceOf[Int]
+            }
             toks.foreach { t =>
               require(t >= 0 && t < 65536,
                 s"token id $t in sequence $id outside uint16 — " +

@@ -304,13 +304,34 @@ object Warc {
     spark.createDataFrame(rows, schema)
   }
 
-  /** Decompress a whole (possibly multi-member) gzip stream. */
-  private[sources] def gunzipAll(raw: Array[Byte]): Array[Byte] = {
+  /** Decompress a whole (possibly multi-member) gzip stream into one
+    * parse buffer. The COMPRESSED size guard upstream is not enough on
+    * its own — crawl archives routinely inflate 4–5×, so a ~1 GB
+    * `.warc.gz` can decompress past the `Int`-offset parse buffer.
+    * Decompressed bytes are therefore tracked too, and crossing
+    * `maxBytes` (default: the 2 GB array limit, minus the JVM's
+    * header slack) raises the same loud re-shard message instead of an
+    * OutOfMemoryError mid-inflate.
+    */
+  private[graft] def gunzipAll(raw: Array[Byte],
+      maxBytes: Long = Int.MaxValue.toLong - 16): Array[Byte] = {
     val in = new GZIPInputStream(new java.io.ByteArrayInputStream(raw), 65536)
-    val out = new ByteArrayOutputStream(raw.length * 4)
+    val out = new ByteArrayOutputStream(math.min(raw.length.toLong * 4,
+      1L << 26).toInt)
     val buf = new Array[Byte](65536)
+    var total = 0L
     var n = in.read(buf)
-    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    while (n >= 0) {
+      if (n > 0) {
+        total += n
+        require(total <= maxBytes,
+          s"gzip member chain decompresses past ${maxBytes}B " +
+            s"(${raw.length}B compressed) — exceeds the 2 GB parse " +
+            "buffer; re-shard the archive")
+        out.write(buf, 0, n)
+      }
+      n = in.read(buf)
+    }
     out.toByteArray
   }
 

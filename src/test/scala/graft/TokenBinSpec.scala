@@ -52,6 +52,26 @@ class TokenBinSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("uint16")))
   }
 
+  test("null token array / null element fail the write loudly, " +
+      "naming the sequence") {
+    def rootMsg(e: Throwable): String = {
+      var t = e; while (t.getCause != null) t = t.getCause
+      Option(t.getMessage).getOrElse("")
+    }
+    val nullArr = Seq((7L, null.asInstanceOf[Seq[Int]]))
+      .toDF("seq_id", "tokens")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      TokenBin.write(nullArr, "seq_id", "tokens", tmp())
+    }
+    assert(rootMsg(e1).contains("null token array in sequence 7"))
+    val nullElem = Seq((9L, Seq[Integer](1, null, 3)))
+      .toDF("seq_id", "tokens")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      TokenBin.write(nullElem, "seq_id", "tokens", tmp())
+    }
+    assert(rootMsg(e2).contains("null token in sequence 9"))
+  }
+
   test("idx with a bad magic is refused") {
     val seqs = Seq((1L, Seq(5))).toDF("seq_id", "tokens")
     val dir = tmp()

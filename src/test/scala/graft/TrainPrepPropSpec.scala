@@ -27,34 +27,46 @@ class TrainPrepPropSpec extends AnyFunSuite {
     (i.toLong, (0 until n).map(t => (i * 131 + t * 17) % 65536).toList)
   }
 
-  test("blockPack law: per shard, in-block ranges tile the token stream " +
-      "exactly — every token exactly once, gaps only at EOS slots") {
+  test("blockPack law: token spans plus EOS slots tile each shard's " +
+      "stream exactly — every token AND every EOS accounted once") {
     samples(corpusGen, 12).foreach { docs =>
       val df = docs.toDF("seq_id", "tokens")
       for (blockSize <- Seq(7, 16, 64)) {
         val rows = TrainPrep.blockPack(df, "seq_id", "tokens",
           blockSize, nShards = 3).collect()
           .map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
-            x.getInt(3), x.getInt(4)))
-        // total covered chars == total tokens
+            x.getInt(3), x.getInt(4), x.getBoolean(5)))
+        // total covered == total tokens (EOS-carrier rows add 0)
         val covered = rows.map(x => (x._5 - x._4).toLong).sum
         val total = docs.map(_._2.length.toLong).sum
         assert(covered == total, s"blockSize=$blockSize covered!=total")
-        // within a (shard, block): spans sorted by s never overlap and
-        // any gap is exactly one EOS slot
-        rows.groupBy(x => (x._1, x._2)).foreach { case (_, xs) =>
-          val spans = xs.map(x => (x._4, x._5)).sortBy(_._1)
-          spans.foreach { case (s, e) =>
-            assert(s >= 0 && s < e && e <= blockSize) }
-          spans.sliding(2).foreach {
-            case Array((_, e1), (s2, _)) =>
-              assert(s2 == e1 || s2 == e1 + 1, "overlap or gap > EOS")
-            case _ => ()
-          }
+        rows.foreach { case (_, _, _, s, e, eos) =>
+          assert(s >= 0 && s <= e && e <= blockSize)
+          // an empty span is only legal as the block-leading EOS
+          // carrier (EOS landed exactly on a block boundary)
+          assert(s < e || (s == 0 && e == 0 && eos),
+            "empty span that is not a block-leading EOS carrier")
         }
-        // every doc with tokens appears in >= 1 block
-        assert(rows.map(_._3).toSet ==
-          docs.filter(_._2.nonEmpty).map(_._1).toSet)
+        // exactly one EOS row per sequence — no unaccounted EOS token
+        val eosBySeq = rows.filter(_._6).groupBy(_._3)
+          .view.mapValues(_.length).toMap
+        val seqs = docs.filter(_._2.nonEmpty).map(_._1).toSet
+        assert(eosBySeq.keySet == seqs, "a sequence's EOS appears in " +
+          "no composition row")
+        assert(eosBySeq.values.forall(_ == 1))
+        // per shard: token positions ∪ EOS positions (at in-block
+        // offset e of each flagged row) tile [0, Σ(n+1)) exactly
+        rows.groupBy(_._1).foreach { case (shard, xs) =>
+          val tok = xs.flatMap(x =>
+            (x._2 * blockSize + x._4) until (x._2 * blockSize + x._5))
+          val eos = xs.filter(_._6).map(x => x._2 * blockSize + x._5)
+          val all = tok ++ eos
+          assert(all.size == all.toSet.size, s"shard $shard overlap")
+          val want = docs.filter(d => d._1 % 3 == shard && d._2.nonEmpty)
+            .map(_._2.length.toLong + 1L).sum
+          assert(all.toSet == (0L until want).toSet,
+            s"shard $shard stream not tiled (blockSize=$blockSize)")
+        }
       }
     }
   }

@@ -92,6 +92,19 @@ class TrainPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("blockPack: EOS exactly on a block boundary emits the s==e " +
+      "carrier row in the next block") {
+    // 16 tokens, blockSize 16: EOS position 16 == start of block 1 —
+    // it must surface as an (s=0, e=0, eos=true) row, not vanish
+    val d = Seq((0L, (0 until 16).toList)).toDF("seq_id", "tokens")
+    val r = graft.operators.TrainPrep
+      .blockPack(d, "seq_id", "tokens", blockSize = 16, nShards = 1)
+      .collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getInt(3), x.getInt(4),
+        x.getBoolean(5))).toSet
+    assert(r == Set((0L, 0L, 0, 16, false), (1L, 0L, 0, 0, true)))
+  }
+
   test("preferencePairs: best-vs-rest with id tie-break, margins") {
     val d = Seq((1L, 10L, 3.0), (1L, 11L, 5.0), (1L, 12L, 5.0),
       (2L, 20L, 1.0)).toDF("p", "c", "sc")

@@ -147,4 +147,34 @@ class WarcSpec extends AnyFunSuite {
     assert(got == Seq(("http://a/", "one bold"),
       ("http://b/", "spaced text"), ("http://c/", "")))
   }
+
+  test("htmlAnchors: attribute boundary and per-quote values") {
+    // data-href is NOT a link; a double-quoted href legally contains
+    // a single quote (and vice versa) without truncating.
+    val html = "<a data-href=\"http://evil/\">not a link</a>" +
+      "<a href=\"http://a/it's\">apos inside</a>" +
+      "<a href='http://b/say\"hi\"'>quote inside</a>" +
+      "<a\nhref=\"http://c/\">newline before attr</a>"
+    val got = Seq(html).toDF("h")
+      .select(explode(TextFns.htmlAnchors(col("h"))).as("a"))
+      .select(col("a.href"), col("a.text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("http://a/it's", "apos inside"),
+      ("http://b/say\"hi\"", "quote inside"),
+      ("http://c/", "newline before attr")))
+  }
+
+  test("gunzipAll refuses a chain that inflates past the cap") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(Array.fill[Byte](1 << 20)('x'))   // 1 MiB of 'x' — tiny gz
+    gz.close()
+    val raw = bos.toByteArray
+    val ex = intercept[IllegalArgumentException] {
+      Warc.gunzipAll(raw, maxBytes = 1 << 16)
+    }
+    assert(ex.getMessage.contains("re-shard"))
+    // under the cap it inflates fine
+    assert(Warc.gunzipAll(raw).length == (1 << 20))
+  }
 }
