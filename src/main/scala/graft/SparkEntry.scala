@@ -2726,6 +2726,176 @@ object SparkEntry {
         k = 4, nLists = 16, nProbe = 4)
     }),
 
+    // TOKEN-BUDGET WATER-FILLING: the DoReMi/Pile-style mixture solver
+    // -- 4 meta-domains (source ordinal mod 4), weights 1:2:3:4, budget
+    // 9/10 of the corpus, so the fixpoint runs THREE saturation waves
+    // (heaviest domains hit their availability caps, the water level
+    // rises, the next domain saturates). Driver-side exact big-integer
+    // solver over a |domains|-bounded relation; the oracle unrolls the
+    // same wave iteration in HUGEINT.
+    "q218_waterfill_mix" -> ((s, dir) => {
+      import graft.operators.TrainPrep
+      val dom = t(s, dir, "documents")
+        .select((expr("CAST(substring(source, 4) AS INT)") % 4).as("dx"),
+          size(split(trim(col("text")), " ")).cast("long").as("n"))
+        .groupBy(col("dx"))
+        .agg(sum(col("n")).as("avail"))
+        .select(concat(lit("d"), col("dx").cast("string")).as("domain"),
+          col("avail"),
+          ((col("dx") + 1).cast("long") * lit(250000L)).as("weight_ppm"))
+      val total = dom.agg(sum(col("avail"))).first.getLong(0)
+      TrainPrep.tokenWaterfill(dom, "domain", "avail", "weight_ppm",
+        budget = 9L * total / 10L)
+    }),
+
+    // RATIO-INTERLEAVED FEED ORDER: three sources mixed 3:2:1 per
+    // round, seeded-hash draw order within (source, shard), no global
+    // sort anywhere -- trainers sort their own shard by feed_key. The
+    // oracle replays the lehmer hash, the (source, shard) window rank
+    // and the round/slot/key arithmetic.
+    "q219_interleave_feed" -> ((s, dir) => {
+      import graft.operators.TrainPrep
+      TrainPrep.interleaveOrder(t(s, dir, "documents"), "doc_id",
+        "source", ratios = Seq(("src0", 3), ("src1", 2), ("src2", 1)),
+        nShards = 4, seed = 5L)
+    }),
+
+    // BEST-OF-N REJECTION SAMPLING: per-prompt winner (score, id
+    // tie-break) from 4 candidates, then only winners whose reward
+    // clears the corpus median survive -- the RFT assembly gate,
+    // composed from the map-side-combined winner agg and the
+    // scale-safe percentile machinery (no partitionless window).
+    "q220_best_of_n_gate" -> ((s, dir) => {
+      import graft.operators.{Curation, TrainPrep}
+      val cands = t(s, dir, "documents").select(
+        floor(col("doc_id") / lit(4.0)).cast("long").as("prompt"),
+        col("doc_id").as("cand"),
+        size(split(trim(col("text")), " ")).cast("long").as("score"))
+      val winners = TrainPrep.bestOfN(cands, "prompt", "cand", "score")
+      Curation.topQualityAtScale(winners, "score", "chosen_id",
+        minPercentile = 0.5)
+    }),
+
+    // FEW-SHOT EXEMPLAR ASSEMBLY: every 97th doc is a test item, every
+    // 20th an exemplar; k=7 exemplars drawn label-balanced over the 5
+    // languages (quotas 2/2/1/1/1 by label order), seeded PER TEST
+    // ITEM, self-exemplars excluded (ids divisible by both 97 and 20
+    // exercise the exclusion). Broadcast pool fan-out -- the standard
+    // eval-harness shape.
+    "q221_few_shot" -> ((s, dir) => {
+      import graft.operators.TrainPrep
+      val docs = t(s, dir, "documents")
+      val test = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"))
+      val pool = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("lang"))
+      TrainPrep.fewShot(test, "doc_id", pool, "doc_id", "lang",
+        k = 7, seed = 3L)
+    }),
+
+    // CDC CHUNK-LEVEL DEDUP RATIO: the storage/compute question a
+    // 100 TB curator asks first -- per source, how many content-defined
+    // chunks are DISTINCT, and what fraction of tokens survive
+    // chunk-hash dedup. Composes the q153 CDC chain with two map-side-
+    // combined aggregations; the oracle re-derives the chunking from
+    // the rolling-hash definition.
+    "q222_cdc_dedup_ratio" -> ((s, dir) => {
+      import graft.operators.ContentChunks
+      val docs = t(s, dir, "documents")
+      val chunks = ContentChunks.cdcChunks(docs, "doc_id", "text",
+          n = 3, divisor = 32)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("chash"),
+          (col("end") - col("start")).cast("long").as("toks"))
+      val tot = chunks.groupBy("source")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("toks")).as("sum_toks"))
+      val uniq = chunks.groupBy(col("source"), col("chash"))
+        .agg(min(col("toks")).as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_unique"), sum(col("toks")).as("uniq_toks"))
+      tot.join(uniq, Seq("source"))
+        .withColumn("dedup_ppm",
+          floor(col("uniq_toks").cast("double") * 1000000 / col("sum_toks"))
+            .cast("long"))
+    }),
+
+    // RECRAWL SCHEDULING: observation histories with three planted
+    // change behaviors (frozen / alternating / every-5th), change rate
+    // by integer cross-multiplication over consecutive-fetch
+    // fingerprint transitions, hot/warm/cold tiers driving the next
+    // visit -- the fetch-budget policy layer over q202's crawl delta.
+    "q223_recrawl_schedule" -> ((s, dir) => {
+      import graft.operators.Crawl
+      val k = floor(col("doc_id") / lit(100.0)).cast("long")
+      val g = (col("doc_id") % 100) % 3
+      val obs = t(s, dir, "documents").select(
+        concat(lit("u"), (col("doc_id") % 100).cast("string")).as("url"),
+        col("doc_id").cast("long").as("ts"),
+        when(g === 0, lit(0L))
+          .when(g === 1, pmod(k, lit(2L)))
+          .otherwise(when(pmod(k, lit(5L)) === 0, lit(1L))
+            .otherwise(lit(0L))).as("fp"))
+      Crawl.recrawlSchedule(obs, "url", "ts", "fp", hotPct = 60,
+        warmPct = 20, hotEvery = 100L, warmEvery = 1000L,
+        coldEvery = 10000L)
+    }),
+
+    // UNIGRAM-LM TOKENIZER, VITERBI STEP (Kudo 2018 / SentencePiece):
+    // seed pieces counted over the DISTINCT-WORD relation, costs on
+    // the K - floor(log2 count) integer lattice, per-word Viterbi with
+    // the longest-piece tie-break. The oracle re-runs the DP as a
+    // recursive CTE carrying the cost/backpointer lists -- two
+    // independent implementations of the same exact program.
+    "q224_unigram_viterbi" -> ((s, dir) => {
+      import graft.operators.UnigramTok
+      val words = UnigramTok.wordCounts(t(s, dir, "documents"), "text")
+      val vocab = UnigramTok.seedVocab(words, maxPieceLen = 4,
+        minCount = 3)
+      UnigramTok.viterbiSegments(words, vocab, maxPieceLen = 4)
+    }),
+
+    // UNIGRAM-LM TOKENIZER, EM RE-ESTIMATION: piece counts over the
+    // q224 Viterbi segmentations weighted by word frequency, new costs
+    // on the same lattice -- one full EM round, gated end-to-end.
+    "q225_unigram_em" -> ((s, dir) => {
+      import graft.operators.UnigramTok
+      val words = UnigramTok.wordCounts(t(s, dir, "documents"), "text")
+      val vocab = UnigramTok.seedVocab(words, maxPieceLen = 4,
+        minCount = 3)
+      UnigramTok.emPieceCounts(
+        UnigramTok.viterbiSegments(words, vocab, maxPieceLen = 4))
+    }),
+
+    // GALE-CHURCH SENTENCE ALIGNMENT: docs split into 3-word
+    // "sentences"; the B side is identical except docs = 0 (mod 5)
+    // merge sentences 1 and 2 into one (length l1+l2+1, the joining
+    // space) -- so the optimal alignment is PROVABLY all-1:1 plus one
+    // 2:1 bead of cost 240 at position 1 (any competing path pays a
+    // type penalty >= 230 PLUS a length mismatch of >= one full
+    // sentence). The oracle derives the expected beads closed-form
+    // from the same word arithmetic, never touching the DP.
+    "q226_sentence_align" -> ((s, dir) => {
+      import graft.operators.SentAlign
+      val w = split(trim(col("text")), " ")
+      val ng = floor(size(w) / lit(3)).cast("int")
+      val lensA = transform(sequence(lit(0), ng - 1),
+        g => length(array_join(slice(w, g * lit(3) + lit(1), lit(3)), " "))
+          .cast("long"))
+      val merge = col("doc_id") % 5 === 0 && ng >= 3
+      val lensB = when(merge, concat(
+          slice(lensA, 1, 1),
+          array(element_at(lensA, 2) + element_at(lensA, 3) + 1L),
+          slice(lensA, lit(4), size(lensA))))
+        .otherwise(lensA)
+      val base = t(s, dir, "documents").filter(ng >= 1)
+        .select(col("doc_id"), lensA.as("la"), lensB.as("lb"))
+      val aSide = base.select(col("doc_id"),
+        posexplode(col("la")).as(Seq("ix", "len")))
+      val bSide = base.select(col("doc_id"),
+        posexplode(col("lb")).as(Seq("ix", "len")))
+      SentAlign.galeChurch(aSide, bSide, "doc_id", "ix", "len")
+    }),
+
     // WARC -> WET PIPELINE: the full CommonCrawl production shape --
     // raw response shards scanned, 404s dropped, visible text
     // extracted, and re-archived as `conversion` records (WET) with
@@ -4430,8 +4600,8 @@ object SparkEntry {
     * 3-gram hash divides), spans via lead() per doc, chunk content hash —
     * `ContentChunks.cdcChunks` replayed literally.
     */
-  private def cdcOracleSql(n: Int, dv: Int): String =
-    raw"""WITH base AS (SELECT doc_id,
+  private def cdcChunkCtes(n: Int, dv: Int): String =
+    raw"""base AS (SELECT doc_id,
        |    regexp_split_to_array(trim(lower(text)), '\s+') AS w
        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
        |grams AS (SELECT doc_id,
@@ -4450,15 +4620,148 @@ object SparkEntry {
        |  FROM starts st JOIN base b ON b.doc_id = st.doc_id),
        |chunks AS (SELECT doc_id, s, e,
        |    ${phSql("array_to_string(w[s + 1:e], ' ')")} AS chash
-       |  FROM spans),
-       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS a
+       |  FROM spans)""".stripMargin
+
+  private def cdcOracleSql(n: Int, dv: Int): String =
+    (s"WITH ${cdcChunkCtes(n, dv)},\n" +
+      raw"""perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS a
        |  FROM chunks GROUP BY doc_id),
        |dups AS (SELECT chash, CAST(count(DISTINCT doc_id) AS BIGINT) AS a,
        |    CAST(count(*) AS BIGINT) AS b
        |  FROM chunks GROUP BY chash HAVING count(DISTINCT doc_id) >= 2)
        |SELECT 'doc' AS kind, doc_id AS k, a, CAST(0 AS BIGINT) AS b
        |FROM perdoc
-       |UNION ALL SELECT 'dup', chash, a, b FROM dups""".stripMargin
+       |UNION ALL SELECT 'dup', chash, a, b FROM dups""".stripMargin)
+
+  /** q218 oracle: the water-filling fixpoint unrolled `iters` waves in
+    * HUGEINT. Each wave recomputes the water level (N = budget −
+    * Σ_sat avail, D = Σ_unsat weight) and flags every domain with
+    * `avail·D ≤ N·weight`; with 4 domains and budget < Σavail at most
+    * 3 can saturate, so ≥ 4 unrolled waves are provably past the
+    * fixpoint (extra waves are no-ops). Final allocation mirrors
+    * `TrainPrep.tokenWaterfill`: saturated → avail, else
+    * `⌊N·w/D⌋` + 1 for the first `remainder` unsaturated domains by
+    * name.
+    */
+  private def waterfillOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      raw"""a${i - 1} AS (SELECT
+         |    (SELECT b FROM tot) - COALESCE(sum(CASE WHEN sat
+         |      THEN CAST(avail AS HUGEINT) END), 0) AS n,
+         |    (SELECT tw FROM tot) - COALESCE(sum(CASE WHEN sat
+         |      THEN CAST(w AS HUGEINT) END), 0) AS dd
+         |  FROM i${i - 1}),
+         |i$i AS (SELECT domain, avail, w,
+         |    sat OR CAST(avail AS HUGEINT) * dd <= n * CAST(w AS HUGEINT)
+         |      AS sat
+         |  FROM i${i - 1}, a${i - 1})""".stripMargin
+    }.mkString(",\n")
+    raw"""WITH d AS (SELECT 'd' || dx AS domain,
+       |    CAST(sum(n) AS BIGINT) AS avail,
+       |    CAST((dx + 1) * 250000 AS BIGINT) AS w
+       |  FROM (SELECT CAST(substr(source, 4) AS INTEGER) % 4 AS dx,
+       |      len(str_split(trim(text), ' ')) AS n FROM documents)
+       |  GROUP BY dx),
+       |tot AS (SELECT CAST(sum(avail) AS HUGEINT) AS tc,
+       |    CAST(sum(w) AS HUGEINT) AS tw,
+       |    CAST(9 * sum(avail) // 10 AS HUGEINT) AS b FROM d),
+       |i0 AS (SELECT domain, avail, w, false AS sat FROM d),
+       |$steps,
+       |af AS (SELECT
+       |    (SELECT b FROM tot) - COALESCE(sum(CASE WHEN sat
+       |      THEN CAST(avail AS HUGEINT) END), 0) AS n,
+       |    (SELECT tw FROM tot) - COALESCE(sum(CASE WHEN sat
+       |      THEN CAST(w AS HUGEINT) END), 0) AS dd
+       |  FROM i$iters),
+       |base AS (SELECT f.domain, f.avail, f.w, f.sat,
+       |    CASE WHEN f.sat THEN CAST(f.avail AS HUGEINT)
+       |         ELSE af.n * CAST(f.w AS HUGEINT) // af.dd END AS a_
+       |  FROM i$iters f, af),
+       |rem AS (SELECT CAST((SELECT n FROM af)
+       |      - COALESCE(sum(CASE WHEN NOT sat THEN a_ END), 0)
+       |    AS BIGINT) AS r FROM base),
+       |rk AS (SELECT domain, row_number() OVER (ORDER BY domain) AS rn
+       |  FROM base WHERE NOT sat)
+       |SELECT b2.domain, b2.avail, b2.w AS weight_ppm,
+       |  CAST(b2.a_ + CASE WHEN NOT b2.sat
+       |      AND COALESCE(rk.rn, 0) <= (SELECT r FROM rem)
+       |    THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+       |  b2.sat AS saturated
+       |FROM base b2 LEFT JOIN rk USING (domain)""".stripMargin
+  }
+
+  /** q224/q225 oracle chain: the unigram-LM tokenizer step re-derived —
+    * distinct-word counts, substring seed vocabulary on the
+    * `K − ⌊log2⌋` lattice (binary-digit count, no float log), the
+    * per-(word, end, len) piece-cost lattice as nested lists, the
+    * Viterbi DP as a RECURSIVE CTE carrying cost/backpointer lists
+    * (q159's carried-frontier pattern), with the same longest-piece
+    * tie-break (`list_max` over the argmin set), and the backtrace as a
+    * second recursive walk. Ends at `segs(word, n_occ, seg, cost)`.
+    * Callers must open with `WITH RECURSIVE`.
+    */
+  private def unigramCtes(maxLen: Int, minCount: Long): String =
+    raw"""wrd AS (SELECT word, CAST(count(*) AS BIGINT) AS n_occ
+       |  FROM (SELECT unnest(str_split(trim(text), ' ')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE word <> '' AND length(word) <= 32 GROUP BY word),
+       |sub AS (SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
+       |  FROM (SELECT n_occ, unnest(flatten(list_transform(
+       |      range(1, length(word) + 1),
+       |      p -> list_transform(range(1, least($maxLen,
+       |          length(word) - p + 1) + 1),
+       |        l -> word[p:p + l - 1])))) AS piece
+       |    FROM wrd) GROUP BY piece),
+       |vc AS (SELECT piece,
+       |    CAST(40 - (length(printf('%b', cnt)) - 1) AS BIGINT) AS cost
+       |  FROM sub WHERE cnt >= $minCount OR length(piece) = 1),
+       |wi AS (SELECT word, unnest(list_transform(
+       |    range(1, length(word) + 1), x -> x)) AS i FROM wrd),
+       |wij AS (SELECT word, i, unnest(list_transform(
+       |    range(1, least($maxLen, i) + 1), x -> x)) AS j FROM wi),
+       |wpc AS (SELECT z.word, z.i, z.j,
+       |    COALESCE(vc.cost, 1000000000) AS pc
+       |  FROM (SELECT word, i, j, word[i - j + 1:i] AS piece FROM wij) z
+       |  LEFT JOIN vc ON vc.piece = z.piece),
+       |pcl AS (SELECT word, i, list(pc ORDER BY j) AS pcs
+       |  FROM wpc GROUP BY word, i),
+       |pw AS (SELECT word, list(pcs ORDER BY i) AS pc2
+       |  FROM pcl GROUP BY word),
+       |dp AS (
+       |  SELECT w.word, 0 AS i,
+       |    [CAST(0 AS BIGINT)] AS costs, CAST([] AS INTEGER[]) AS back,
+       |    p.pc2
+       |  FROM wrd w JOIN pw p ON p.word = w.word
+       |  UNION ALL
+       |  SELECT word, i + 1,
+       |    list_append(costs, list_min(list_transform(
+       |      range(1, least($maxLen, i + 1) + 1),
+       |      j -> costs[i + 2 - j] + pc2[i + 1][j]))),
+       |    list_append(back, CAST(list_max(list_filter(
+       |      range(1, least($maxLen, i + 1) + 1),
+       |      j -> costs[i + 2 - j] + pc2[i + 1][j] =
+       |        list_min(list_transform(
+       |          range(1, least($maxLen, i + 1) + 1),
+       |          jj -> costs[i + 2 - jj] + pc2[i + 1][jj]))))
+       |      AS INTEGER)),
+       |    pc2
+       |  FROM dp WHERE i < length(word)),
+       |fin AS (SELECT word, costs[length(word) + 1] AS cost, back
+       |  FROM dp WHERE i = length(word)),
+       |bt AS (
+       |  SELECT f.word, CAST(length(f.word) AS INTEGER) AS i,
+       |    CAST('' AS VARCHAR) AS seg, f.back
+       |  FROM fin f
+       |  UNION ALL
+       |  SELECT word, i - back[i],
+       |    CASE WHEN seg = '' THEN word[i - back[i] + 1:i]
+       |         ELSE word[i - back[i] + 1:i] || ' ' || seg END,
+       |    back
+       |  FROM bt WHERE i > 0),
+       |segs AS (SELECT b.word, w.n_occ, b.seg, f.cost
+       |  FROM bt b JOIN fin f ON f.word = b.word
+       |  JOIN wrd w ON w.word = b.word
+       |  WHERE b.i = 0)""".stripMargin
 
   /** q160 oracle: the full Gopher repetition battery — per-n top-gram
     * argmax CTEs and duplicated-gram coverage CTEs (within-doc rep →
@@ -7386,6 +7689,172 @@ object SparkEntry {
         |    AS margin_ppm
         |FROM best b JOIN fwd f ON f.id1 = b.id1
         |JOIN bwd w ON w.id2 = b.id2""".stripMargin,
+
+    // q218: the water-filling fixpoint unrolled 6 waves in HUGEINT —
+    // see waterfillOracleSql.
+    "q218_waterfill_mix" -> waterfillOracleSql(6),
+
+    // q219: lehmer hash, (source, shard) window rank, round/slot/key
+    // arithmetic — all replayed literally.
+    "q219_interleave_feed" ->
+      raw"""WITH r(source, src_ix, k) AS (VALUES ('src0', 0, 3),
+         |    ('src1', 1, 2), ('src2', 2, 1)),
+         |s AS (SELECT d.doc_id AS id, d.source, r.src_ix, r.k,
+         |    ((d.doc_id + 5) % 2147483647) * 48271 % 2147483647 AS h
+         |  FROM documents d JOIN r ON r.source = d.source),
+         |t AS (SELECT id, source, src_ix, k, h,
+         |    CAST(h % 4 AS INTEGER) AS shard FROM s),
+         |u AS (SELECT id, source, src_ix, k, shard,
+         |    CAST(row_number() OVER (PARTITION BY source, shard
+         |      ORDER BY h, id) - 1 AS BIGINT) AS rho
+         |  FROM t)
+         |SELECT id, source, shard,
+         |  CAST(rho // k AS BIGINT) AS "round",
+         |  CAST(rho % k AS INTEGER) AS slot,
+         |  CAST(((rho // k * 3 + src_ix) * 4 + shard) * 3 + rho % k
+         |    AS BIGINT) AS feed_key
+         |FROM u""".stripMargin,
+
+    // q220: best-vs-rest winner (q214's tie-break) then the corpus
+    // median gate via percent_rank — the q156 topQualityAtScale replay.
+    "q220_best_of_n_gate" ->
+      raw"""WITH c AS (SELECT doc_id // 4 AS prompt, doc_id AS cand,
+         |    CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS score
+         |  FROM documents),
+         |w AS (SELECT prompt, cand, score,
+         |    CAST(count(*) OVER (PARTITION BY prompt) AS INTEGER)
+         |      AS n_cands,
+         |    row_number() OVER (PARTITION BY prompt
+         |      ORDER BY score DESC, cand DESC) AS rn
+         |  FROM c),
+         |win AS (SELECT prompt, cand AS chosen_id, score, n_cands
+         |  FROM w WHERE rn = 1)
+         |SELECT prompt, chosen_id, score, n_cands FROM win
+         |QUALIFY percent_rank() OVER
+         |  (ORDER BY score ASC, chosen_id ASC) >= 0.5""".stripMargin,
+
+    // q221: label quotas from the sorted-label rank, the per-(test,
+    // label) seeded-hash window rank, self-exclusion before ranking.
+    "q221_few_shot" ->
+      raw"""WITH p AS (SELECT doc_id AS ex_id, lang AS label
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |lr AS (SELECT label,
+         |    CAST(row_number() OVER (ORDER BY label) - 1 AS INTEGER)
+         |      AS lx
+         |  FROM (SELECT DISTINCT label FROM p)),
+         |q AS (SELECT label,
+         |    CAST(7 // 5 + CASE WHEN lx < 7 % 5 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS quota FROM lr),
+         |t AS (SELECT doc_id AS test_id FROM documents
+         |  WHERE doc_id % 97 = 0),
+         |x AS (SELECT t.test_id, p.label, p.ex_id,
+         |    ((t.test_id * 131 + p.ex_id * 17 + 3) % 2147483647)
+         |      * 48271 % 2147483647 AS h
+         |  FROM t, p WHERE p.ex_id <> t.test_id),
+         |r AS (SELECT test_id, label, ex_id,
+         |    CAST(row_number() OVER (PARTITION BY test_id, label
+         |      ORDER BY h, ex_id) - 1 AS INTEGER) AS ex_rank
+         |  FROM x)
+         |SELECT r.test_id, r.label, r.ex_rank, r.ex_id
+         |FROM r JOIN q ON q.label = r.label
+         |WHERE r.ex_rank < q.quota""".stripMargin,
+
+    // q222: the q153 CDC chain re-derived, then per-source total vs
+    // distinct-chunk token mass and the ppm ratio.
+    "q222_cdc_dedup_ratio" -> (s"WITH ${cdcChunkCtes(3, 32)},\n" +
+      raw"""cs AS (SELECT d.source, c.chash,
+         |    CAST(c.e - c.s AS BIGINT) AS toks
+         |  FROM chunks c JOIN documents d ON d.doc_id = c.doc_id),
+         |tt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(sum(toks) AS BIGINT) AS sum_toks
+         |  FROM cs GROUP BY source),
+         |uu AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique,
+         |    CAST(sum(toks) AS BIGINT) AS uniq_toks
+         |  FROM (SELECT source, chash, min(toks) AS toks FROM cs
+         |    GROUP BY source, chash) GROUP BY source)
+         |SELECT tt.source, tt.n_chunks, tt.sum_toks, uu.n_unique,
+         |  uu.uniq_toks,
+         |  CAST(floor(CAST(uu.uniq_toks AS DOUBLE) * 1000000
+         |    / tt.sum_toks) AS BIGINT) AS dedup_ppm
+         |FROM tt JOIN uu ON uu.source = tt.source""".stripMargin),
+
+    // q223: the planted change behaviors re-derived, consecutive-fetch
+    // transitions via lag, tier by integer cross-multiplication.
+    "q223_recrawl_schedule" ->
+      raw"""WITH o AS (SELECT 'u' || (doc_id % 100) AS url,
+         |    CAST(doc_id AS BIGINT) AS ts,
+         |    CAST(CASE WHEN (doc_id % 100) % 3 = 0 THEN 0
+         |         WHEN (doc_id % 100) % 3 = 1 THEN (doc_id // 100) % 2
+         |         ELSE CASE WHEN (doc_id // 100) % 5 = 0 THEN 1
+         |              ELSE 0 END END AS BIGINT) AS fp
+         |  FROM documents),
+         |c AS (SELECT url, ts, fp,
+         |    lag(fp) OVER (PARTITION BY url ORDER BY ts, fp) AS pfp
+         |  FROM o),
+         |g AS (SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+         |    CAST(COALESCE(sum(CASE WHEN pfp IS NOT NULL AND fp <> pfp
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes,
+         |    max(ts) AS last_ts FROM c GROUP BY url)
+         |SELECT url, n_obs, n_changes, last_ts,
+         |  CASE WHEN n_obs >= 2 AND n_changes * 100 >= 60 * (n_obs - 1)
+         |      THEN 'hot'
+         |    WHEN n_obs >= 2 AND n_changes * 100 >= 20 * (n_obs - 1)
+         |      THEN 'warm'
+         |    ELSE 'cold' END AS tier,
+         |  last_ts + CASE
+         |    WHEN n_obs >= 2 AND n_changes * 100 >= 60 * (n_obs - 1)
+         |      THEN 100
+         |    WHEN n_obs >= 2 AND n_changes * 100 >= 20 * (n_obs - 1)
+         |      THEN 1000
+         |    ELSE 10000 END AS next_visit
+         |FROM g""".stripMargin,
+
+    // q224: the unigram Viterbi chain (recursive-CTE DP) plus the
+    // per-word readout.
+    "q224_unigram_viterbi" ->
+      (s"WITH RECURSIVE ${unigramCtes(4, 3)}\n" +
+        raw"""SELECT word, n_occ, seg, cost,
+           |  CAST(len(str_split(seg, ' ')) AS INTEGER) AS n_pieces
+           |FROM segs""".stripMargin),
+
+    // q225: the same chain aggregated into the EM piece counts and
+    // re-derived lattice costs.
+    "q225_unigram_em" ->
+      (s"WITH RECURSIVE ${unigramCtes(4, 3)}\n" +
+        raw"""SELECT piece, CAST(sum(n_occ) AS BIGINT) AS em_count,
+           |  CAST(40 - (length(printf('%b',
+           |    CAST(sum(n_occ) AS BIGINT))) - 1) AS BIGINT) AS new_cost
+           |FROM (SELECT n_occ, unnest(str_split(seg, ' ')) AS piece
+           |  FROM segs)
+           |GROUP BY piece""".stripMargin),
+
+    // q226: the planted alignment closed-form — all 1:1 except the
+    // doc%5==0 docs' 2:1 bead at position 1 (cost 240 = 230 type
+    // penalty + 10·|l1+l2 − (l1+l2+1)|); never touches the DP.
+    "q226_sentence_align" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(len(w) // 3 AS INTEGER) AS ng
+         |  FROM d WHERE len(w) >= 3),
+         |m AS (SELECT doc_id, ng,
+         |    (doc_id % 5 = 0 AND ng >= 3) AS mrg FROM g),
+         |nomrg AS (SELECT doc_id, unnest(range(0, ng)) AS k
+         |  FROM m WHERE NOT mrg),
+         |mrg1 AS (SELECT doc_id, unnest(range(0, ng - 1)) AS k
+         |  FROM m WHERE mrg)
+         |SELECT doc_id, CAST(k AS INTEGER) AS bead_ix,
+         |  CAST(k AS INTEGER) AS a_from, 1 AS n_a,
+         |  CAST(k AS INTEGER) AS b_from, 1 AS n_b,
+         |  '1:1' AS bead, CAST(0 AS BIGINT) AS cost
+         |FROM nomrg
+         |UNION ALL
+         |SELECT doc_id, CAST(k AS INTEGER),
+         |  CAST(CASE WHEN k >= 2 THEN k + 1 ELSE k END AS INTEGER),
+         |  CASE WHEN k = 1 THEN 2 ELSE 1 END,
+         |  CAST(k AS INTEGER), 1,
+         |  CASE WHEN k = 1 THEN '2:1' ELSE '1:1' END,
+         |  CAST(CASE WHEN k = 1 THEN 240 ELSE 0 END AS BIGINT)
+         |FROM mrg1""".stripMargin,
 
     // q106's plan over THREE queries at once: per-query probe lists and
     // ADC sums, per-query top-5 (rank on the raw sum, id tie-break).

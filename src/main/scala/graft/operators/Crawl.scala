@@ -226,4 +226,51 @@ object Crawl {
       .select(keyed.columns.filterNot(_.startsWith("__")).map(col) :+
         coalesce(col("__best.a"), lit(true)).as("allowed"): _*)
   }
+
+  /** Recrawl scheduling from observation history — the policy half of
+    * [[crawlDelta]]: pages that change often get revisited soon, stable
+    * pages age out to the cold tier, so a recurring crawl spends its
+    * fetch budget where the content moves. Input is one row per
+    * (url, fetch) with a content fingerprint; per URL the change count
+    * is the number of consecutive-fetch fingerprint transitions
+    * (ordered by `ts`, ties by fingerprint — a URL's observations are
+    * a bounded window partition, never corpus-wide).
+    *
+    * Tier rule (integer cross-multiplication, no float rates):
+    * `hot` when `changes·100 ≥ hotPct·(n_obs−1)` with ≥ 2
+    * observations, else `warm` at `warmPct`, else `cold`;
+    * single-observation URLs are `cold` (no signal yet). The next
+    * visit is `last_ts + interval(tier)` in the caller's clock units.
+    */
+  def recrawlSchedule(obs: DataFrame, urlCol: String, tsCol: String,
+      fpCol: String, hotPct: Int = 50, warmPct: Int = 10,
+      hotEvery: Long, warmEvery: Long, coldEvery: Long): DataFrame = {
+    require(hotPct > warmPct && warmPct > 0,
+      s"need hotPct > warmPct > 0, got $hotPct/$warmPct")
+    require(hotEvery <= warmEvery && warmEvery <= coldEvery,
+      "intervals must be hot <= warm <= cold")
+    val byUrl = Window.partitionBy(col("url"))
+      .orderBy(col("ts"), col("fp"))
+    val prev = lag(col("fp"), 1).over(byUrl)
+    val agg = obs.select(col(urlCol).as("url"),
+        col(tsCol).cast("long").as("ts"), col(fpCol).cast("long").as("fp"))
+      .withColumn("__chg",
+        when(prev.isNotNull && col("fp") =!= prev, lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("__chg")).as("n_changes"),
+        max(col("ts")).as("last_ts"))
+    val tier = when(col("n_obs") >= 2 &&
+        col("n_changes") * 100 >= lit(hotPct.toLong) * (col("n_obs") - 1),
+        lit("hot"))
+      .when(col("n_obs") >= 2 &&
+        col("n_changes") * 100 >= lit(warmPct.toLong) * (col("n_obs") - 1),
+        lit("warm"))
+      .otherwise(lit("cold"))
+    agg.withColumn("tier", tier)
+      .withColumn("next_visit", col("last_ts") +
+        when(col("tier") === "hot", lit(hotEvery))
+          .when(col("tier") === "warm", lit(warmEvery))
+          .otherwise(lit(coldEvery)))
+  }
 }

@@ -247,4 +247,197 @@ object TrainPrep {
       .withColumn("pad_waste",
         col("n_seqs").cast("long") * col("max_len") - col("sum_len"))
   }
+
+  /** Token-budget WATER-FILLING across domains — the mixture solver
+    * behind DoReMi/Pile-style domain weighting: give domain `i` with
+    * target weight `w_i` (ppm) and availability cap `c_i` (tokens) the
+    * allocation `min(c_i, λ·w_i)`, with λ the water level at which the
+    * total allocation equals `budget`. The exact integer contract both
+    * engines replay:
+    *
+    *  1. if Σc ≤ budget every domain saturates (alloc = avail);
+    *  2. otherwise the saturated set is the FIXPOINT of
+    *     `sat ← sat ∪ { i : c_i·D ≤ N·w_i }` with `N = budget −
+    *     Σ_sat c`, `D = Σ_unsat w` (monotone — converges in ≤ |domains|
+    *     rounds, in practice 2–3 "waves");
+    *  3. unsaturated domains get `⌊N·w_i/D⌋` plus, for the integer
+    *     remainder `N − Σ⌊·⌋` (provably < #unsaturated), +1 token to
+    *     the first `remainder` unsaturated domains by domain-name
+    *     order.
+    *
+    * All products are exact big-integer arithmetic (the oracle's
+    * HUGEINT). The relation is |domains|-bounded BY DEFINITION (a
+    * corpus has tens-to-hundreds of sources, never data-scale rows),
+    * so the solver runs on the driver behind a loud `maxDomains`
+    * guard — its output is the tiny plan that parameterizes the
+    * distributed samplers ([[graft.operators.Curation]] token-budget /
+    * temperature mixes), exactly how a mixture plan is consumed at
+    * 100 TB.
+    */
+  def tokenWaterfill(domains: DataFrame, domainCol: String,
+      availCol: String, weightPpmCol: String, budget: Long,
+      maxDomains: Int = 65536): DataFrame = {
+    require(budget >= 0, s"budget $budget must be >= 0")
+    val spark = domains.sparkSession
+    val rows = domains.select(col(domainCol).cast("string"),
+        col(availCol).cast("long"), col(weightPpmCol).cast("long"))
+      .limit(maxDomains + 1).collect()
+    require(rows.length <= maxDomains,
+      s"> $maxDomains domains — not a domain-mixture relation; " +
+        "aggregate upstream")
+    val ds = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(ds.map(_._1).distinct.length == ds.length,
+      "duplicate domain names in the mixture relation")
+    ds.foreach { case (d, c, w) =>
+      require(c >= 0 && w > 0, s"domain $d: avail=$c weight_ppm=$w — " +
+        "avail must be >= 0 and weight > 0") }
+    val totalC = ds.map(x => BigInt(x._2)).sum
+    val out: Array[(String, Long, Long, Long, Boolean)] =
+      if (totalC <= BigInt(budget)) {
+        ds.map { case (d, c, w) => (d, c, w, c, true) }
+      } else {
+        val sat = scala.collection.mutable.Set[String]()
+        var changed = true
+        var num = BigInt(budget)
+        var den = ds.map(x => BigInt(x._3)).sum
+        // parallel-wave closure: each wave flags EVERY not-yet-saturated
+        // domain against the SAME (num, den), then updates — the exact
+        // iteration the oracle unrolls (the fixpoint is order-independent
+        // because saturating a domain only raises the water level, but
+        // wave-parallel keeps the two derivations step-identical too)
+        while (changed) {
+          val newly = ds.filter { case (d, c, w) =>
+            !sat(d) && BigInt(c) * den <= num * BigInt(w) }
+          changed = newly.nonEmpty
+          newly.foreach { case (d, c, w) =>
+            sat += d; num -= BigInt(c); den -= BigInt(w) }
+        }
+        val unsat = ds.filter(x => !sat(x._1))
+        val base = unsat.map { case (d, c, w) =>
+          (d, (num * BigInt(w) / den).toLong) }.toMap
+        val rem = (num - base.values.map(BigInt(_)).sum).toLong
+        // first `rem` unsaturated domains by name get the +1
+        val bump = unsat.map(_._1).sorted.take(rem.toInt).toSet
+        ds.map { case (d, c, w) =>
+          if (sat(d)) (d, c, w, c, true)
+          else (d, c, w, base(d) + (if (bump(d)) 1L else 0L), false)
+        }
+      }
+    import spark.implicits._
+    out.toSeq.toDF("domain", "avail", "weight_ppm", "alloc", "saturated")
+  }
+
+  /** Deterministic RATIO-INTERLEAVED feed order — the "how do I read a
+    * mixed corpus in training order" primitive: each round of the feed
+    * takes `k_s` sequences from source `s` (in the caller's source
+    * order), sources draw their sequences in a seeded-hash order, and
+    * the whole thing is sharded so every ordering window is
+    * `(source, shard)`-partitioned — no global sort anywhere; trainers
+    * sort their OWN shard by `feed_key`.
+    *
+    * Contract (bit-replayable): `h = lehmer(id + seed)`, `shard =
+    * h mod nShards`, within `(source, shard)` the 0-based rank ρ is by
+    * `(h, id)`; `round = ρ / k_s`, `slot = ρ mod k_s`, and
+    * `feed_key = ((round·nSrc + src_ix)·nShards + shard)·kMax + slot`.
+    * Sources absent from `ratios` are dropped (they are not in the
+    * mix). A source that exhausts simply stops contributing rounds —
+    * the standard behavior of ratio feeds.
+    */
+  def interleaveOrder(seqs: DataFrame, idCol: String, sourceCol: String,
+      ratios: Seq[(String, Int)], nShards: Int = 8,
+      seed: Long = 1L): DataFrame = {
+    require(ratios.nonEmpty && ratios.forall(_._2 > 0),
+      "ratios must be non-empty with positive per-round counts")
+    require(ratios.map(_._1).distinct.length == ratios.length,
+      "duplicate source in ratios")
+    require(nShards > 0)
+    val spark = seqs.sparkSession
+    import spark.implicits._
+    val nSrc = ratios.length.toLong
+    val kMax = ratios.map(_._2).max.toLong
+    val rdf = broadcast(ratios.zipWithIndex
+      .map { case ((s, k), i) => (s, i.toLong, k.toLong) }
+      .toDF("source", "src_ix", "k"))
+    val bySrcShard = Window.partitionBy(col("source"), col("shard"))
+      .orderBy(col("h"), col("id"))
+    seqs.select(col(idCol).cast("long").as("id"),
+        col(sourceCol).as("source"))
+      .join(rdf, Seq("source"))
+      .withColumn("h", lehmer(col("id") + lit(seed)))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("rho", row_number().over(bySrcShard).cast("long") - 1L)
+      .withColumn("round",
+        ((col("rho") - pmod(col("rho"), col("k"))) / col("k"))
+          .cast("long"))
+      .withColumn("slot", pmod(col("rho"), col("k")).cast("int"))
+      .select(col("id"), col("source"), col("shard"), col("round"),
+        col("slot"),
+        (((col("round") * lit(nSrc) + col("src_ix"))
+          * lit(nShards.toLong) + col("shard")) * lit(kMax)
+          + col("slot")).as("feed_key"))
+  }
+
+  /** Best-of-N rejection sampling, the winner-extraction half: per
+    * prompt, the top-scored candidate with an id tie-break, plus the
+    * candidate count. One map-side-combined aggregation — compose with
+    * [[graft.operators.Curation.topQualityAtScale]] to keep only
+    * winners whose reward clears a corpus-level percentile (the usual
+    * RFT/rejection-sampling gate).
+    */
+  def bestOfN(cands: DataFrame, promptCol: String, idCol: String,
+      scoreCol: String): DataFrame =
+    cands.select(col(promptCol).as("prompt"), col(idCol).as("cand"),
+        col(scoreCol).as("score"))
+      .groupBy(col("prompt"))
+      .agg(max(struct(col("score"), col("cand"))).as("__b"),
+        count(lit(1)).cast("int").as("n_cands"))
+      .select(col("prompt"), col("__b.cand").as("chosen_id"),
+        col("__b.score").as("score"), col("n_cands"))
+
+  /** Few-shot exemplar assembly for eval prompts: for each test item,
+    * `k` exemplars drawn label-balanced from a (small, broadcast)
+    * exemplar pool, seeded per test item so every item gets its own
+    * deterministic draw and re-runs reproduce it.
+    *
+    * Contract: labels sorted ascending get quotas `k/L` (+1 for the
+    * first `k mod L` labels); within `(test, label)` the pool is
+    * ranked by `(lehmer(test_id·131 + ex_id·17 + seed), ex_id)` and
+    * the first `quota` survive; an exemplar equal to the test item is
+    * excluded BEFORE ranking (no self-leakage). The pool is required
+    * ≤ `maxPool` rows (eval pools are curated and small — this is a
+    * broadcast fan-out of |test|·|pool|, the standard eval-harness
+    * shape, NOT a corpus×corpus join).
+    */
+  def fewShot(test: DataFrame, testIdCol: String, pool: DataFrame,
+      poolIdCol: String, labelCol: String, k: Int, seed: Long = 1L,
+      maxPool: Int = 4096): DataFrame = {
+    require(k > 0, s"k=$k must be > 0")
+    val spark = test.sparkSession
+    import spark.implicits._
+    val p0 = pool.select(col(poolIdCol).cast("long").as("ex_id"),
+      col(labelCol).cast("string").as("label"))
+    val labels = p0.select(col("label")).distinct()
+      .limit(maxPool + 1).collect().map(_.getString(0)).sorted
+    require(labels.nonEmpty, "empty exemplar pool")
+    require(labels.length <= maxPool, s"> $maxPool labels")
+    val nPool = p0.limit(maxPool + 1).count()
+    require(nPool <= maxPool,
+      s"exemplar pool > $maxPool rows — sample it upstream; this is " +
+        "a broadcast eval-prep operator, not a corpus join")
+    val l = labels.length
+    val quotas = labels.zipWithIndex.map { case (lab, i) =>
+      (lab, (k / l + (if (i < k % l) 1 else 0)).toLong) }
+    val qdf = broadcast(quotas.toSeq.toDF("label", "quota"))
+    val byTestLabel = Window.partitionBy(col("test_id"), col("label"))
+      .orderBy(col("h"), col("ex_id"))
+    test.select(col(testIdCol).cast("long").as("test_id"))
+      .crossJoin(broadcast(p0.join(qdf, Seq("label"))))
+      .filter(col("ex_id") =!= col("test_id"))
+      .withColumn("h", lehmer(pmod(col("test_id") * lit(131L)
+        + col("ex_id") * lit(17L) + lit(seed), lit(M))))
+      .withColumn("ex_rank", row_number().over(byTestLabel).cast("int") - 1)
+      .filter(col("ex_rank") < col("quota"))
+      .select(col("test_id"), col("label"), col("ex_rank"), col("ex_id"))
+  }
 }

@@ -128,4 +128,34 @@ class CrawlSpec extends AnyFunSuite {
     assert(byUrl("http://h1") == Seq(true))
     assert(byUrl("http://h2/private/a") == Seq(true))
   }
+
+  test("recrawlSchedule: change-rate tiers, single-obs cold, next " +
+      "visit arithmetic") {
+    import graft.operators.Crawl
+    val obs = Seq(
+      // frozen: 4 obs, same fp -> cold
+      ("uF", 10L, 7L), ("uF", 20L, 7L), ("uF", 30L, 7L), ("uF", 40L, 7L),
+      // alternating: 100% change rate -> hot
+      ("uH", 10L, 0L), ("uH", 20L, 1L), ("uH", 30L, 0L), ("uH", 40L, 1L),
+      // one change over 4 transitions = 25% -> warm at 20/60 bounds
+      ("uW", 10L, 0L), ("uW", 20L, 0L), ("uW", 30L, 1L), ("uW", 40L, 1L),
+      ("uW", 50L, 1L),
+      // single observation: no signal -> cold
+      ("u1", 99L, 5L))
+      .toDF("url", "ts", "fp")
+    val r = Crawl.recrawlSchedule(obs, "url", "ts", "fp", hotPct = 60,
+        warmPct = 20, hotEvery = 100L, warmEvery = 1000L,
+        coldEvery = 10000L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(4), x.getLong(5))))
+      .toMap
+    assert(r("uF") == ((4L, 0L, "cold", 10040L)))
+    assert(r("uH") == ((4L, 3L, "hot", 140L)))
+    assert(r("uW") == ((5L, 1L, "warm", 1050L)))
+    assert(r("u1") == ((1L, 0L, "cold", 10099L)))
+    intercept[IllegalArgumentException] {
+      Crawl.recrawlSchedule(obs, "url", "ts", "fp", hotPct = 10,
+        warmPct = 20, hotEvery = 1L, warmEvery = 2L, coldEvery = 3L)
+    }
+  }
 }

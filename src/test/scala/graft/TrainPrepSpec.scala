@@ -105,6 +105,124 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(r == Set((0L, 0L, 0, 16, false), (1L, 0L, 0, 0, true)))
   }
 
+  test("tokenWaterfill: budget covering everything saturates all") {
+    val d = Seq(("a", 10L, 500000L), ("b", 20L, 500000L))
+      .toDF("domain", "avail", "weight_ppm")
+    val r = graft.operators.TrainPrep
+      .tokenWaterfill(d, "domain", "avail", "weight_ppm", budget = 30L)
+      .collect().map(x => (x.getString(0), x.getLong(3), x.getBoolean(4)))
+      .toSet
+    assert(r == Set(("a", 10L, true), ("b", 20L, true)))
+  }
+
+  test("tokenWaterfill: two-wave saturation, exact budget, remainder " +
+      "to first unsaturated domains by name") {
+    // a saturates in wave 1 (tiny cap), b absorbs the rest exactly
+    val d = Seq(("a", 10L, 500000L), ("b", 100L, 500000L))
+      .toDF("domain", "avail", "weight_ppm")
+    val r = graft.operators.TrainPrep
+      .tokenWaterfill(d, "domain", "avail", "weight_ppm", budget = 60L)
+      .collect().map(x => (x.getString(0), x.getLong(3), x.getBoolean(4)))
+      .toSet
+    assert(r == Set(("a", 10L, true), ("b", 50L, false)))
+    // three equal unsaturated domains, budget 100: floors give 33 each,
+    // the +1 remainder goes to the name-first domain
+    val e = Seq(("x", 100L, 1L), ("y", 100L, 1L), ("z", 100L, 1L))
+      .toDF("domain", "avail", "weight_ppm")
+    val r2 = graft.operators.TrainPrep
+      .tokenWaterfill(e, "domain", "avail", "weight_ppm", budget = 100L)
+      .collect().map(x => (x.getString(0), x.getLong(3))).toMap
+    assert(r2 == Map("x" -> 34L, "y" -> 33L, "z" -> 33L))
+    // allocation always sums to min(budget, total availability)
+    assert(r2.values.sum == 100L)
+  }
+
+  test("tokenWaterfill: refuses duplicates, bad weights, oversized " +
+      "relations") {
+    val dup = Seq(("a", 1L, 1L), ("a", 2L, 1L))
+      .toDF("domain", "avail", "weight_ppm")
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainPrep.tokenWaterfill(dup, "domain", "avail",
+        "weight_ppm", 10L)
+    }
+    val zw = Seq(("a", 1L, 0L)).toDF("domain", "avail", "weight_ppm")
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainPrep.tokenWaterfill(zw, "domain", "avail",
+        "weight_ppm", 10L)
+    }
+    val many = (0 until 10).map(i => (s"d$i", 1L, 1L))
+      .toDF("domain", "avail", "weight_ppm")
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainPrep.tokenWaterfill(many, "domain", "avail",
+        "weight_ppm", 10L, maxDomains = 5)
+    }
+  }
+
+  test("interleaveOrder: feed_key order realizes the ratio pattern, " +
+      "unlisted sources drop, ranks are contiguous per (source, shard)") {
+    val d = (0L until 60L).map(i =>
+        (i, Seq("sa", "sb", "sx")(((i % 3).toInt))))
+      .toDF("seq_id", "src")
+    val r = graft.operators.TrainPrep.interleaveOrder(d, "seq_id", "src",
+      ratios = Seq(("sa", 2), ("sb", 1)), nShards = 2, seed = 9L)
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getInt(2), x.getLong(3),
+        x.getInt(4), x.getLong(5)))
+    assert(r.forall(_._2 != "sx"))                  // not in the mix
+    assert(r.length == 40)                          // 20 sa + 20 sb
+    // feed keys are unique and slots within a round respect k_s
+    assert(r.map(_._6).distinct.length == r.length)
+    assert(r.filter(_._2 == "sa").forall(_._5 < 2))
+    assert(r.filter(_._2 == "sb").forall(_._5 == 0))
+    // per (source, shard): rho = round*k + slot is 0..n-1 contiguous
+    r.groupBy(x => (x._2, x._3)).foreach { case ((s, _), xs) =>
+      val k = if (s == "sa") 2 else 1
+      val rhos = xs.map(x => x._4 * k + x._5).sorted.toSeq
+      assert(rhos == (0L until rhos.length.toLong).toSeq)
+    }
+  }
+
+  test("bestOfN: winner by (score, id), candidate counts") {
+    val d = Seq((1L, 10L, 5L), (1L, 11L, 5L), (1L, 12L, 3L),
+      (2L, 20L, 1L)).toDF("p", "c", "sc")
+    val r = graft.operators.TrainPrep.bestOfN(d, "p", "c", "sc")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getInt(3))).toSet
+    assert(r == Set((1L, 11L, 5L, 3), (2L, 20L, 1L, 1)))
+  }
+
+  test("fewShot: label-balanced quotas, self-exclusion, deterministic " +
+      "ranks, short labels yield fewer rows") {
+    val pool = Seq((1L, "de"), (2L, "de"), (3L, "de"),
+      (4L, "en"), (5L, "en"), (6L, "fr")).toDF("id", "lab")
+    val test = Seq(Tuple1(4L), Tuple1(100L)).toDF("tid")
+    val r = graft.operators.TrainPrep.fewShot(test, "tid", pool, "id",
+      "lab", k = 5, seed = 2L).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getInt(2), x.getLong(3)))
+    // quotas for k=5 over labels (de, en, fr): 2, 2, 1
+    val by = r.groupBy(x => (x._1, x._2)).view.mapValues(_.length).toMap
+    assert(by((100L, "de")) == 2 && by((100L, "en")) == 2 &&
+      by((100L, "fr")) == 1)
+    // test item 4 is itself in the pool (label en): excluded before
+    // ranking, leaving only exemplar 5 for its en quota of 2
+    assert(!r.exists(x => x._1 == 4L && x._4 == 4L))
+    assert(by((4L, "en")) == 1)
+    // ranks are 0-based within quota
+    r.groupBy(x => (x._1, x._2)).foreach { case (_, xs) =>
+      assert(xs.map(_._3).sorted.toSeq == (0 until xs.length)) }
+    // k larger than a label's pool: fr has 1 exemplar, quota 2 under
+    // k=6 -> only 1 row for fr
+    val r6 = graft.operators.TrainPrep.fewShot(test, "tid", pool, "id",
+      "lab", k = 6, seed = 2L).collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+    assert(r6.count(_ == ((100L, "fr"))) == 1)
+    // pool-size refusal is loud
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainPrep.fewShot(test, "tid", pool, "id", "lab",
+        k = 2, maxPool = 3)
+    }
+  }
+
   test("preferencePairs: best-vs-rest with id tie-break, margins") {
     val d = Seq((1L, 10L, 3.0), (1L, 11L, 5.0), (1L, 12L, 5.0),
       (2L, 20L, 1.0)).toDF("p", "c", "sc")
