@@ -2896,6 +2896,41 @@ object SparkEntry {
       SentAlign.galeChurch(aSide, bSide, "doc_id", "ix", "len")
     }),
 
+    // SQUAD-STYLE EM + TOKEN F1 (Rajpurkar et al. 2016 official scorer
+    // semantics): normalization (lowercase, punct -> space, article
+    // removal) then exact match and multiset-token F1 on a ppm
+    // lattice. Three planted prediction behaviors: case/punct-mangled
+    // exact answers, overlapping slices, disjoint slices. ROW-LOCAL
+    // higher-order functions -- no explode, no join, no shuffle.
+    "q227_eval_em_f1" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val w = split(trim(col("text")), " ")
+      val ref = concat(lit("The "),
+        array_join(slice(w, lit(1), lit(8)), " "), lit("."))
+      val pred = when(col("doc_id") % 3 === 0,
+          concat(upper(array_join(slice(w, lit(1), lit(8)), " ")),
+            lit("!")))
+        .when(col("doc_id") % 3 === 1,
+          array_join(slice(w, lit(3), lit(8)), " "))
+        .otherwise(array_join(slice(w, lit(12), lit(6)), " "))
+      EvalMetrics.emF1(
+        t(s, dir, "documents").select(col("doc_id"),
+          pred.as("pred"), ref.as("ref")),
+        "pred", "ref")
+    }),
+
+    // UNBIASED PASS@K (Chen et al. 2021): per problem of 8 samples
+    // with a deterministic ~30% solve rate, 1 - C(n-c,k)/C(n,k) as an
+    // exact integer product ratio on the ppm lattice; one map-side-
+    // combined agg + constant arithmetic.
+    "q228_pass_at_k" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val samples = t(s, dir, "documents").select(
+        floor(col("doc_id") / lit(8.0)).cast("long").as("problem"),
+        ((col("doc_id") * 7) % 10 < 3).as("ok"))
+      EvalMetrics.passAtK(samples, "problem", "ok", k = 3)
+    }),
+
     // WARC -> WET PIPELINE: the full CommonCrawl production shape --
     // raw response shards scanned, 404s dropped, visible text
     // extracted, and re-archived as `conversion` records (WET) with
@@ -7855,6 +7890,61 @@ object SparkEntry {
          |  CASE WHEN k = 1 THEN '2:1' ELSE '1:1' END,
          |  CAST(CASE WHEN k = 1 THEN 240 ELSE 0 END AS BIGINT)
          |FROM mrg1""".stripMargin,
+
+    // q227: the SQuAD normalizer + multiset-overlap F1 replayed on
+    // DuckDB list ops (empty-list reduce guarded by CASE).
+    "q227_eval_em_f1" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |pr AS (SELECT doc_id,
+         |    -- DuckDB out-of-range list slices are NULL where Spark's
+         |    -- are empty: coalesce to '' (short docs)
+         |    COALESCE(CASE WHEN doc_id % 3 = 0
+         |        THEN upper(array_to_string(w[1:8], ' ')) || '!'
+         |      WHEN doc_id % 3 = 1 THEN array_to_string(w[3:10], ' ')
+         |      ELSE array_to_string(w[12:17], ' ') END, '') AS pred,
+         |    'The ' || array_to_string(w[1:8], ' ') || '.' AS ref
+         |  FROM d),
+         |nm AS (SELECT doc_id, pred, ref,
+         |    list_filter(regexp_split_to_array(
+         |      regexp_replace(lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+         |      t -> t <> '' AND t <> 'a' AND t <> 'an' AND t <> 'the')
+         |      AS tp,
+         |    list_filter(regexp_split_to_array(
+         |      regexp_replace(lower(ref), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+         |      t -> t <> '' AND t <> 'a' AND t <> 'an' AND t <> 'the')
+         |      AS tr
+         |  FROM pr),
+         |ov AS (SELECT doc_id, pred, ref, tp, tr,
+         |    CASE WHEN len(tp) = 0 THEN 0
+         |      ELSE list_reduce(list_transform(list_distinct(tp),
+         |        t -> least(len(list_filter(tp, x -> x = t)),
+         |          len(list_filter(tr, x -> x = t)))), (a, b) -> a + b)
+         |      END AS olap
+         |  FROM nm)
+         |SELECT doc_id, pred, ref,
+         |  -- array_to_string([]) is NULL in DuckDB, '' in Spark
+         |  COALESCE(array_to_string(tp, ' '), '')
+         |    = COALESCE(array_to_string(tr, ' '), '') AS em,
+         |  CASE WHEN len(tp) + len(tr) = 0 THEN CAST(1000000 AS BIGINT)
+         |    ELSE CAST(floor(CAST(olap AS DOUBLE) * 2000000
+         |      / (len(tp) + len(tr))) AS BIGINT) END AS f1_ppm
+         |FROM ov""".stripMargin,
+
+    // q228: the product-ratio estimator replayed with the same
+    // per-factor floors and DOUBLE division.
+    "q228_pass_at_k" ->
+      raw"""WITH s AS (SELECT doc_id // 8 AS problem,
+         |    (doc_id * 7) % 10 < 3 AS ok FROM documents),
+         |a AS (SELECT problem, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM s GROUP BY problem)
+         |SELECT problem, n, c,
+         |  CAST(1000000 - floor(CAST(greatest(n - c, 0)
+         |      * greatest(n - c - 1, 0) * greatest(n - c - 2, 0)
+         |      AS DOUBLE) * 1000000
+         |    / (n * (n - 1) * (n - 2))) AS BIGINT) AS pass_at_k_ppm
+         |FROM a""".stripMargin,
 
     // q106's plan over THREE queries at once: per-query probe lists and
     // ADC sums, per-query top-5 (rank on the raw sum, id tie-break).
