@@ -2931,6 +2931,52 @@ object SparkEntry {
       EvalMetrics.passAtK(samples, "problem", "ok", k = 3)
     }),
 
+    // UNIGRAM TOKENIZER, PRUNE + RE-SEGMENT: the full SentencePiece
+    // training round -- seed -> Viterbi -> EM -> prune (EM count >= 5,
+    // character alphabet always retained at seed cost) -> second
+    // Viterbi under the pruned vocabulary. The oracle runs BOTH DP
+    // passes as two recursive-CTE chains in one WITH RECURSIVE.
+    "q229_unigram_prune" -> ((s, dir) => {
+      import graft.operators.UnigramTok
+      val words = UnigramTok.wordCounts(t(s, dir, "documents"), "text")
+      val seed = UnigramTok.seedVocab(words, maxPieceLen = 4,
+        minCount = 3)
+      val em = UnigramTok.emPieceCounts(
+        UnigramTok.viterbiSegments(words, seed, maxPieceLen = 4))
+      val pruned = UnigramTok.pruneVocab(em, seed, minCount = 5)
+      UnigramTok.viterbiSegments(words, pruned, maxPieceLen = 4)
+    }),
+
+    // CORPUS DATASHEET: the per-source "data card" a 100 TB curator
+    // publishes -- document/token counts, language spread with a
+    // deterministic dominant-language argmax, exact-duplicate ratio,
+    // and mean document length on the ppm lattice. Two map-side-
+    // combined aggregation passes, no windows, no joins beyond the
+    // |sources|-bounded assembly.
+    "q230_corpus_datasheet" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"), col("lang"),
+        col("doc_id"), size(split(trim(col("text")), " ")).as("n_tok"),
+        md5(col("text")).as("h"))
+      val byLang = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("nl"))
+      val dom = byLang.groupBy(col("source"))
+        .agg(countDistinct(col("lang")).as("n_langs"),
+          max(struct(col("nl"), col("lang"))).as("__m"))
+        .select(col("source"), col("n_langs"),
+          col("__m.lang").as("dominant_lang"))
+      val base = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          countDistinct(col("h")).as("n_distinct_texts"))
+        .withColumn("uniq_ppm",
+          floor(col("n_distinct_texts").cast("double") * 1000000
+            / col("n_docs")).cast("long"))
+        .withColumn("mean_tok_ppm",
+          floor(col("n_tokens").cast("double") * 1000000
+            / col("n_docs")).cast("long"))
+      base.join(dom, Seq("source"))
+    }),
+
     // WARC -> WET PIPELINE: the full CommonCrawl production shape --
     // raw response shards scanned, 404s dropped, visible text
     // extracted, and re-archived as `conversion` records (WET) with
@@ -4735,7 +4781,7 @@ object SparkEntry {
     * second recursive walk. Ends at `segs(word, n_occ, seg, cost)`.
     * Callers must open with `WITH RECURSIVE`.
     */
-  private def unigramCtes(maxLen: Int, minCount: Long): String =
+  private def unigramVocabCtes(maxLen: Int, minCount: Long): String =
     raw"""wrd AS (SELECT word, CAST(count(*) AS BIGINT) AS n_occ
        |  FROM (SELECT unnest(str_split(trim(text), ' ')) AS word
        |    FROM documents WHERE text IS NOT NULL)
@@ -4749,24 +4795,33 @@ object SparkEntry {
        |    FROM wrd) GROUP BY piece),
        |vc AS (SELECT piece,
        |    CAST(40 - (length(printf('%b', cnt)) - 1) AS BIGINT) AS cost
-       |  FROM sub WHERE cnt >= $minCount OR length(piece) = 1),
-       |wi AS (SELECT word, unnest(list_transform(
+       |  FROM sub WHERE cnt >= $minCount OR length(piece) = 1)"""
+      .stripMargin
+
+  /** The Viterbi DP + backtrace CTE block, prefix-parameterized (so a
+    * second segmentation pass under a different vocab CTE can live in
+    * the same WITH RECURSIVE — the q229 prune→re-segment chain).
+    */
+  private def unigramDpCtes(maxLen: Int, p: String,
+      vcName: String): String =
+    raw"""${p}wi AS (SELECT word, unnest(list_transform(
        |    range(1, length(word) + 1), x -> x)) AS i FROM wrd),
-       |wij AS (SELECT word, i, unnest(list_transform(
-       |    range(1, least($maxLen, i) + 1), x -> x)) AS j FROM wi),
-       |wpc AS (SELECT z.word, z.i, z.j,
-       |    COALESCE(vc.cost, 1000000000) AS pc
-       |  FROM (SELECT word, i, j, word[i - j + 1:i] AS piece FROM wij) z
-       |  LEFT JOIN vc ON vc.piece = z.piece),
-       |pcl AS (SELECT word, i, list(pc ORDER BY j) AS pcs
-       |  FROM wpc GROUP BY word, i),
-       |pw AS (SELECT word, list(pcs ORDER BY i) AS pc2
-       |  FROM pcl GROUP BY word),
-       |dp AS (
+       |${p}wij AS (SELECT word, i, unnest(list_transform(
+       |    range(1, least($maxLen, i) + 1), x -> x)) AS j FROM ${p}wi),
+       |${p}wpc AS (SELECT z.word, z.i, z.j,
+       |    COALESCE($vcName.cost, 1000000000) AS pc
+       |  FROM (SELECT word, i, j, word[i - j + 1:i] AS piece
+       |    FROM ${p}wij) z
+       |  LEFT JOIN $vcName ON $vcName.piece = z.piece),
+       |${p}pcl AS (SELECT word, i, list(pc ORDER BY j) AS pcs
+       |  FROM ${p}wpc GROUP BY word, i),
+       |${p}pw AS (SELECT word, list(pcs ORDER BY i) AS pc2
+       |  FROM ${p}pcl GROUP BY word),
+       |${p}dp AS (
        |  SELECT w.word, 0 AS i,
        |    [CAST(0 AS BIGINT)] AS costs, CAST([] AS INTEGER[]) AS back,
        |    p.pc2
-       |  FROM wrd w JOIN pw p ON p.word = w.word
+       |  FROM wrd w JOIN ${p}pw p ON p.word = w.word
        |  UNION ALL
        |  SELECT word, i + 1,
        |    list_append(costs, list_min(list_transform(
@@ -4780,23 +4835,27 @@ object SparkEntry {
        |          jj -> costs[i + 2 - jj] + pc2[i + 1][jj]))))
        |      AS INTEGER)),
        |    pc2
-       |  FROM dp WHERE i < length(word)),
-       |fin AS (SELECT word, costs[length(word) + 1] AS cost, back
-       |  FROM dp WHERE i = length(word)),
-       |bt AS (
+       |  FROM ${p}dp WHERE i < length(word)),
+       |${p}fin AS (SELECT word, costs[length(word) + 1] AS cost, back
+       |  FROM ${p}dp WHERE i = length(word)),
+       |${p}bt AS (
        |  SELECT f.word, CAST(length(f.word) AS INTEGER) AS i,
        |    CAST('' AS VARCHAR) AS seg, f.back
-       |  FROM fin f
+       |  FROM ${p}fin f
        |  UNION ALL
        |  SELECT word, i - back[i],
        |    CASE WHEN seg = '' THEN word[i - back[i] + 1:i]
        |         ELSE word[i - back[i] + 1:i] || ' ' || seg END,
        |    back
-       |  FROM bt WHERE i > 0),
-       |segs AS (SELECT b.word, w.n_occ, b.seg, f.cost
-       |  FROM bt b JOIN fin f ON f.word = b.word
+       |  FROM ${p}bt WHERE i > 0),
+       |${p}segs AS (SELECT b.word, w.n_occ, b.seg, f.cost
+       |  FROM ${p}bt b JOIN ${p}fin f ON f.word = b.word
        |  JOIN wrd w ON w.word = b.word
        |  WHERE b.i = 0)""".stripMargin
+
+  private def unigramCtes(maxLen: Int, minCount: Long): String =
+    unigramVocabCtes(maxLen, minCount) + ",\n" +
+      unigramDpCtes(maxLen, "", "vc")
 
   /** q160 oracle: the full Gopher repetition battery — per-n top-gram
     * argmax CTEs and duplicated-gram coverage CTEs (within-doc rep →
@@ -7945,6 +8004,55 @@ object SparkEntry {
          |      AS DOUBLE) * 1000000
          |    / (n * (n - 1) * (n - 2))) AS BIGINT) AS pass_at_k_ppm
          |FROM a""".stripMargin,
+
+    // q229: both Viterbi passes as two recursive-CTE chains in one
+    // WITH RECURSIVE; the prune CTE mirrors pruneVocab (EM-kept pieces
+    // at EM cost, seed-cost character alphabet re-entry).
+    "q229_unigram_prune" ->
+      (s"WITH RECURSIVE ${unigramVocabCtes(4, 3)},\n" +
+        s"${unigramDpCtes(4, "", "vc")},\n" +
+        raw"""pv AS (SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
+           |  FROM (SELECT n_occ, unnest(str_split(seg, ' ')) AS piece
+           |    FROM segs) GROUP BY piece),
+           |kept AS (SELECT piece,
+           |    CAST(40 - (length(printf('%b', cnt)) - 1) AS BIGINT)
+           |      AS cost
+           |  FROM pv WHERE cnt >= 5),
+           |vc2 AS (SELECT * FROM kept
+           |  UNION ALL
+           |  SELECT piece, cost FROM vc WHERE length(piece) = 1
+           |    AND piece NOT IN (SELECT piece FROM kept)),""".stripMargin
+        + "\n" + s"${unigramDpCtes(4, "p", "vc2")}\n" +
+        raw"""SELECT word, n_occ, seg, cost,
+           |  CAST(len(str_split(seg, ' ')) AS INTEGER) AS n_pieces
+           |FROM psegs""".stripMargin),
+
+    // q230: the datasheet re-derived — struct-max argmax mirrored by a
+    // (count desc, lang desc) window rank, ppm ratios with the same
+    // DOUBLE-floor.
+    "q230_corpus_datasheet" ->
+      raw"""WITH d AS (SELECT source, lang, doc_id,
+         |    CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n_tok,
+         |    md5(text) AS h FROM documents),
+         |bl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS nl
+         |  FROM d GROUP BY source, lang),
+         |dm AS (SELECT source, lang AS dominant_lang FROM bl
+         |  QUALIFY row_number() OVER (PARTITION BY source
+         |    ORDER BY nl DESC, lang DESC) = 1),
+         |nl2 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs
+         |  FROM (SELECT DISTINCT source, lang FROM d) GROUP BY source),
+         |b AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts
+         |  FROM d GROUP BY source)
+         |SELECT b.source, b.n_docs, b.n_tokens, b.n_distinct_texts,
+         |  CAST(floor(CAST(b.n_distinct_texts AS DOUBLE) * 1000000
+         |    / b.n_docs) AS BIGINT) AS uniq_ppm,
+         |  CAST(floor(CAST(b.n_tokens AS DOUBLE) * 1000000
+         |    / b.n_docs) AS BIGINT) AS mean_tok_ppm,
+         |  nl2.n_langs, dm.dominant_lang
+         |FROM b JOIN nl2 ON nl2.source = b.source
+         |JOIN dm ON dm.source = b.source""".stripMargin,
 
     // q106's plan over THREE queries at once: per-query probe lists and
     // ADC sums, per-query top-5 (rank on the raw sum, id tie-break).

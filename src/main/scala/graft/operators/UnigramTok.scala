@@ -123,4 +123,21 @@ object UnigramTok {
       .groupBy(col("piece")).agg(sum(col("n_occ")).as("em_count"))
       .withColumn("new_cost",
         (lit(CostK) - floorLog2(col("em_count"))).cast("long"))
+
+  /** Vocabulary pruning between EM rounds (SentencePiece keeps the
+    * useful pieces and always the character alphabet): pieces whose EM
+    * count clears `minCount` survive at their EM cost; every
+    * single-char piece of the SEED vocab not already kept re-enters at
+    * its seed cost, so segmentation stays total. Output is a
+    * `(piece, cost)` relation ready for the next [[viterbiSegments]].
+    */
+  def pruneVocab(em: DataFrame, seed: DataFrame,
+      minCount: Long): DataFrame = {
+    val kept = em.filter(col("em_count") >= minCount)
+      .select(col("piece"), col("new_cost").as("cost"))
+    val singles = seed.filter(length(col("piece")) === 1)
+      .select(col("piece"), col("cost"))
+      .join(kept.select(col("piece")), Seq("piece"), "left_anti")
+    kept.unionByName(singles)
+  }
 }

@@ -88,6 +88,26 @@ class UnigramTokSpec extends AnyFunSuite {
     }
   }
 
+  test("pruneVocab: EM survivors keep EM costs, the character " +
+      "alphabet re-enters at seed cost, re-segmentation stays total") {
+    val seed = Seq(("a", 10L, 37L), ("b", 4L, 38L), ("ab", 9L, 37L))
+      .toDF("piece", "cnt", "cost")
+    val em = Seq(("ab", 9L, 37L), ("b", 1L, 40L))
+      .toDF("piece", "em_count", "new_cost")
+    val pruned = UnigramTok.pruneVocab(em, seed, minCount = 5)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // ab survives at EM cost; b fell under minCount but is a single
+    // char -> back at SEED cost; a had no EM count -> seed cost
+    assert(pruned == Map("ab" -> 37L, "b" -> 38L, "a" -> 37L))
+    // the pruned vocab still segments any word over the alphabet
+    val words = Seq(("abba", 1L)).toDF("word", "n_occ")
+    val segs = UnigramTok.viterbiSegments(words,
+      pruned.toSeq.toDF("piece", "cost"), maxPieceLen = 2)
+      .collect().head
+    assert(segs.getString(2).replace(" ", "") == "abba")
+    assert(segs.getLong(3) < 1000000000L, "no sentinel pieces needed")
+  }
+
   test("viterbiSegments refuses an oversized vocabulary loudly") {
     val words = Seq(("ab", 1L)).toDF("word", "n_occ")
     val vocab = (0 until 10).map(i => (s"p$i", 1L)).toDF("piece", "cost")
