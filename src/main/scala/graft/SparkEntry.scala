@@ -2947,6 +2947,117 @@ object SparkEntry {
       UnigramTok.viterbiSegments(words, pruned, maxPieceLen = 4)
     }),
 
+    // TOKENIZER CORPUS APPLICATION: the trained (q224) vocabulary
+    // applied back to the full corpus -- per document, total piece
+    // cost, piece count, and cost-per-piece on the ppm lattice. The
+    // scale shape tokenizers actually use: the corpus-linear pass is
+    // ONE explode + broadcast join against the distinct-word
+    // segmentation table; the DP never touches corpus rows.
+    "q231_unigram_apply" -> ((s, dir) => {
+      import graft.operators.UnigramTok
+      val docs = t(s, dir, "documents")
+      val words = UnigramTok.wordCounts(docs, "text")
+      val vocab = UnigramTok.seedVocab(words, maxPieceLen = 4,
+        minCount = 3)
+      val segs = UnigramTok.viterbiSegments(words, vocab, maxPieceLen = 4)
+        .select(col("word"), col("cost"), col("n_pieces"))
+      docs.select(col("doc_id"),
+          explode(split(trim(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "" && length(col("word")) <= 32)
+        .join(broadcast(segs), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("cost")).as("total_cost"),
+          sum(col("n_pieces")).cast("long").as("n_pieces"))
+        .withColumn("cost_per_piece_ppm",
+          floor(col("total_cost").cast("double") * 1000000
+            / col("n_pieces")).cast("long"))
+    }),
+
+    // BITEXT TRAINING PAIRS: the q226 alignment joined back to the
+    // sentence TEXT -- (src_text, tgt_text) rows per bead, the actual
+    // parallel-corpus trainer feed (merged beads concatenate their
+    // consumed sentences). Per-doc bounded collects + arithmetic
+    // slices; the oracle rebuilds every pair closed-form.
+    "q232_bitext_pairs" -> ((s, dir) => {
+      import graft.operators.SentAlign
+      val w = split(trim(col("text")), " ")
+      val ng = floor(size(w) / lit(3)).cast("int")
+      val sentsA = transform(sequence(lit(0), ng - 1),
+        g => array_join(slice(w, g * lit(3) + lit(1), lit(3)), " "))
+      val merge = col("doc_id") % 5 === 0 && ng >= 3
+      val sentsB = when(merge, concat(
+          slice(sentsA, 1, 1),
+          array(concat(element_at(sentsA, 2), lit(" "),
+            element_at(sentsA, 3))),
+          slice(sentsA, lit(4), size(sentsA))))
+        .otherwise(sentsA)
+      val base = t(s, dir, "documents").filter(ng >= 1)
+        .select(col("doc_id"), sentsA.as("ta"), sentsB.as("tb"))
+        .withColumn("la", transform(col("ta"), t => length(t).cast("long")))
+        .withColumn("lb", transform(col("tb"), t => length(t).cast("long")))
+      val aSide = base.select(col("doc_id"),
+        posexplode(col("la")).as(Seq("ix", "len")))
+      val bSide = base.select(col("doc_id"),
+        posexplode(col("lb")).as(Seq("ix", "len")))
+      SentAlign.galeChurch(aSide, bSide, "doc_id", "ix", "len")
+        .join(base.select(col("doc_id"), col("ta"), col("tb")),
+          Seq("doc_id"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+        .select(col("doc_id"), col("bead_ix"), col("bead"),
+          array_join(slice(col("ta"), col("a_from") + 1, col("n_a")), " ")
+            .as("src_text"),
+          array_join(slice(col("tb"), col("b_from") + 1, col("n_b")), " ")
+            .as("tgt_text"))
+    }),
+
+    // POLITENESS FETCH SCHEDULE: Crawl-delay parsed under the same
+    // RFC 9309 group selection as q204 (named group shadows *, max
+    // delay among binding groups, malformed ignored), then per-host
+    // fetch slots at slot*delay -- the serialization a polite crawler
+    // precomputes. The oracle derives delays closed-form from the
+    // fixture's host arithmetic, never parsing.
+    "q233_fetch_schedule" -> ((s, dir) => {
+      import graft.operators.Crawl
+      val robots = s.range(0, 10).select(
+        concat(lit("h"), col("id").cast("string"), lit(".example.org"))
+          .as("host"),
+        when(col("id") % 2 === 0, concat(
+            lit("User-agent: graftbot\nCrawl-delay: "),
+            (col("id") % 5 + 2).cast("string"),
+            lit("\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 9\n" +
+              "Disallow: /y")))
+          .when(col("id") % 4 === 1,
+            lit("User-agent: *\nCrawl-delay: 7\nDisallow: /y"))
+          .otherwise(lit("User-agent: *\nDisallow: /z\n" +
+            "Crawl-delay: oops")).as("txt"))
+      val delays = Crawl.crawlDelays(robots, "host", "txt", "graftbot")
+      val urls = t(s, dir, "documents").select(
+        concat(lit("http://h"), (col("doc_id") % 10).cast("string"),
+          lit(".example.org/p"), col("doc_id").cast("string")).as("url"))
+      Crawl.fetchSchedule(urls, "url", delays, defaultDelay = 5L)
+    }),
+
+    // QUALITY-FILTER CALIBRATION SWEEP: the q156 LM-fluency lattice
+    // against ten candidate thresholds at once -- documents and tokens
+    // surviving each cut, the curve a curator reads before committing
+    // a filter. One broadcast 10-row cross + map-side-combined agg.
+    "q234_filter_calibration" -> ((s, dir) => {
+      import graft.functions.NgramLm
+      val docs = t(s, dir, "documents")
+      val lm = docs.filter(col("doc_id") % 3 =!= 0)
+      val scored = NgramLm.lmFitScores(docs, lm, "doc_id", "text")
+      val withTok = scored.join(docs.select(col("doc_id"),
+        size(split(trim(col("text")), " ")).cast("long").as("n_tok")),
+        Seq("doc_id"))
+      val thresholds = s.range(0, 10)
+        .select((col("id") * 100000L).as("threshold"))
+      withTok.crossJoin(broadcast(thresholds))
+        .filter(col("lm_fit_ppm") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+    }),
+
     // CORPUS DATASHEET: the per-source "data card" a 100 TB curator
     // publishes -- document/token counts, language spread with a
     // deterministic dominant-language argmax, exact-duplicate ratio,
@@ -8053,6 +8164,89 @@ object SparkEntry {
          |  nl2.n_langs, dm.dominant_lang
          |FROM b JOIN nl2 ON nl2.source = b.source
          |JOIN dm ON dm.source = b.source""".stripMargin,
+
+    // q231: the corpus explode joined to the recursive-CTE
+    // segmentation table, per-doc sums and the ppm ratio.
+    "q231_unigram_apply" ->
+      (s"WITH RECURSIVE ${unigramCtes(4, 3)},\n" +
+        raw"""dw AS (SELECT d.doc_id, s.cost,
+           |    CAST(len(str_split(s.seg, ' ')) AS BIGINT) AS np
+           |  FROM (SELECT doc_id, unnest(str_split(trim(text), ' '))
+           |      AS word
+           |    FROM documents WHERE text IS NOT NULL) d
+           |  JOIN segs s ON s.word = d.word
+           |  WHERE d.word <> '' AND length(d.word) <= 32)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(cost) AS BIGINT) AS total_cost,
+           |  CAST(sum(np) AS BIGINT) AS n_pieces,
+           |  CAST(floor(CAST(sum(cost) AS DOUBLE) * 1000000 / sum(np))
+           |    AS BIGINT) AS cost_per_piece_ppm
+           |FROM dw GROUP BY doc_id""".stripMargin),
+
+    // q232: every training pair closed-form from the same word
+    // arithmetic as q226 — the merged bead concatenates groups 1+2.
+    "q232_bitext_pairs" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, CAST(len(w) // 3 AS INTEGER) AS ng,
+         |    list_transform(range(0, len(w) // 3),
+         |      g -> array_to_string(w[g * 3 + 1:g * 3 + 3], ' ')) AS ta
+         |  FROM d WHERE len(w) >= 3),
+         |m AS (SELECT doc_id, ng, ta,
+         |    (doc_id % 5 = 0 AND ng >= 3) AS mrg FROM g),
+         |nomrg AS (SELECT doc_id, unnest(range(0, ng)) AS k, ta
+         |  FROM m WHERE NOT mrg),
+         |mrg1 AS (SELECT doc_id, unnest(range(0, ng - 1)) AS k, ta
+         |  FROM m WHERE mrg)
+         |SELECT doc_id, CAST(k AS INTEGER) AS bead_ix, '1:1' AS bead,
+         |  ta[k + 1] AS src_text, ta[k + 1] AS tgt_text FROM nomrg
+         |UNION ALL
+         |SELECT doc_id, CAST(k AS INTEGER),
+         |  CASE WHEN k = 1 THEN '2:1' ELSE '1:1' END,
+         |  CASE WHEN k = 1 THEN ta[2] || ' ' || ta[3]
+         |       WHEN k >= 2 THEN ta[k + 2] ELSE ta[1] END,
+         |  CASE WHEN k = 1 THEN ta[2] || ' ' || ta[3]
+         |       WHEN k >= 2 THEN ta[k + 2] ELSE ta[1] END
+         |FROM mrg1""".stripMargin,
+
+    // q233: delays closed-form from the fixture's host arithmetic
+    // (even hosts: the graftbot group's 2+h%5 shadows the * group's 9;
+    // h%4==1: the * group's 7; h%4==3: malformed value ignored →
+    // caller default 5), slots by the same per-host url-order rank.
+    "q233_fetch_schedule" ->
+      raw"""WITH u AS (SELECT
+         |    'http://h' || (doc_id % 10) || '.example.org/p' || doc_id
+         |      AS url,
+         |    'h' || (doc_id % 10) || '.example.org' AS host,
+         |    doc_id % 10 AS h
+         |  FROM documents),
+         |dl AS (SELECT h, CAST(CASE WHEN h % 2 = 0 THEN h % 5 + 2
+         |    WHEN h % 4 = 1 THEN 7 ELSE 5 END AS BIGINT) AS delay
+         |  FROM (SELECT DISTINCT doc_id % 10 AS h FROM documents)),
+         |r AS (SELECT u.url, u.host, dl.delay,
+         |    CAST(row_number() OVER (PARTITION BY u.host
+         |      ORDER BY u.url) - 1 AS BIGINT) AS slot
+         |  FROM u JOIN dl ON dl.h = u.h)
+         |SELECT url, host, delay, slot,
+         |  CAST(slot * delay AS BIGINT) AS fetch_at FROM r""".stripMargin,
+
+    // q234: the q156 lattice crossed with the ten thresholds, survival
+    // counts per cut.
+    "q234_filter_calibration" ->
+      (s"WITH $backoffLmCtes,\n" +
+        raw"""scored AS (SELECT doc_id,
+           |  CAST(floor(CAST(n_tri AS DOUBLE) * 1000000 / n_pos)
+           |    AS BIGINT) AS lm_fit_ppm FROM stats),
+           |wt AS (SELECT s.doc_id, s.lm_fit_ppm,
+           |    CAST(len(str_split(trim(d.text), ' ')) AS BIGINT)
+           |      AS n_tok
+           |  FROM scored s JOIN documents d ON d.doc_id = s.doc_id),
+           |th AS (SELECT CAST(unnest(range(0, 10)) * 100000 AS BIGINT)
+           |  AS threshold)
+           |SELECT th.threshold, CAST(count(*) AS BIGINT) AS n_kept,
+           |  CAST(sum(wt.n_tok) AS BIGINT) AS tok_kept
+           |FROM wt, th WHERE wt.lm_fit_ppm >= th.threshold
+           |GROUP BY th.threshold""".stripMargin),
 
     // q106's plan over THREE queries at once: per-query probe lists and
     // ADC sums, per-query top-5 (rank on the raw sum, id tie-break).

@@ -138,9 +138,15 @@ object Crawl {
     * host — a robots body is small by protocol, so per-host line
     * numbering never concentrates a partition.
     */
-  def parseRobots(robots: DataFrame, hostCol: String, textCol: String,
-      userAgent: String): DataFrame = {
-    val ua = userAgent.toLowerCase
+  /** Shared RFC 9309 group machinery: clean/split lines, cut
+    * consecutive User-agent runs into groups, select the groups
+    * binding `ua` (exact product token shadows `*`), and return the
+    * non-User-agent field lines of the selected groups as
+    * `(host, __f, __v)` — `fields` filters which record fields survive
+    * (always includes user-agent for the grouping itself).
+    */
+  private def selectedGroupFields(robots: DataFrame, hostCol: String,
+      textCol: String, ua: String, fields: Seq[String]): DataFrame = {
     val lines = robots
       .select(col(hostCol).as("host"),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
@@ -153,7 +159,7 @@ object Crawl {
           "^([A-Za-z-]+)[ \t]*:", 1))).as("__f"),
         trim(regexp_extract(col("__l"),
           "^[A-Za-z-]+[ \t]*:(.*)$", 1)).as("__v"))
-      .filter(col("__f").isin("user-agent", "allow", "disallow"))
+      .filter(col("__f").isin("user-agent" +: fields: _*))
     val w = Window.partitionBy(col("host")).orderBy(col("__pos"))
     val grouped = lines
       .withColumn("__ua", (col("__f") === "user-agent").cast("int"))
@@ -175,8 +181,54 @@ object Crawl {
       .select(col("host"), col("__gid"))
     grouped.filter(col("__ua") === 0 && col("__v") =!= "")
       .join(selected, Seq("host", "__gid"))
+      .select(col("host"), col("__f"), col("__v"))
+  }
+
+  def parseRobots(robots: DataFrame, hostCol: String, textCol: String,
+      userAgent: String): DataFrame =
+    selectedGroupFields(robots, hostCol, textCol, userAgent.toLowerCase,
+        Seq("allow", "disallow"))
       .select(col("host"), col("__v").as("rule_path"),
         (col("__f") === "allow").as("allow"))
+
+  /** Per-host `Crawl-delay` (the de-facto extension Bing/Yandex honor)
+    * under the same RFC 9309 group-selection semantics as
+    * [[parseRobots]]: the binding groups' maximum delay wins (the
+    * conservative read when several selected groups disagree);
+    * malformed values are ignored; hosts with no binding delay are
+    * absent (callers supply their default).
+    */
+  def crawlDelays(robots: DataFrame, hostCol: String, textCol: String,
+      userAgent: String): DataFrame =
+    selectedGroupFields(robots, hostCol, textCol, userAgent.toLowerCase,
+        Seq("crawl-delay"))
+      .filter(col("__f") === "crawl-delay")
+      .withColumn("__d", expr("try_cast(__v AS BIGINT)"))
+      .filter(col("__d").isNotNull && col("__d") >= 0)
+      .groupBy(col("host")).agg(max(col("__d")).as("delay"))
+
+  /** Politeness fetch schedule: per host, URLs get slots in a
+    * deterministic (url) order and `fetch_at = slot · delay` (the
+    * host's [[crawlDelays]] row, else `defaultDelay`) — the per-host
+    * serialization a polite fetcher enforces, precomputed so workers
+    * can pull (host, slot) batches. Windows are host-partitioned (a
+    * host's frontier is bounded by politeness itself — a 10⁶-URL host
+    * at 1 req/s is 11 days of crawl; re-shard the frontier upstream
+    * before that).
+    */
+  def fetchSchedule(urls: DataFrame, urlCol: String, delays: DataFrame,
+      defaultDelay: Long): DataFrame = {
+    require(defaultDelay >= 0, s"defaultDelay=$defaultDelay")
+    import graft.functions.TextFns
+    val byHost = Window.partitionBy(col("host")).orderBy(col("url"))
+    urls.select(col(urlCol).as("url"))
+      .withColumn("host", TextFns.urlHost(col("url")))
+      .join(delays, Seq("host"), "left_outer")
+      .withColumn("delay", coalesce(col("delay"), lit(defaultDelay)))
+      .withColumn("slot", row_number().over(byHost).cast("long") - 1L)
+      .withColumn("fetch_at", col("slot") * col("delay"))
+      .select(col("url"), col("host"), col("delay"), col("slot"),
+        col("fetch_at"))
   }
 
   /** Annotate URLs with the REP verdict against a parsed rule relation

@@ -129,6 +129,38 @@ class CrawlSpec extends AnyFunSuite {
     assert(byUrl("http://h2/private/a") == Seq(true))
   }
 
+  test("crawlDelays: group selection mirrors parseRobots, max among " +
+      "binding groups, malformed ignored; fetchSchedule serializes " +
+      "per host") {
+    import graft.operators.Crawl
+    val robots = Seq(
+      // named group (delay 3) shadows the * group (delay 9); a second
+      // binding named group raises the max to 4
+      ("h1", "User-agent: graftbot\nCrawl-delay: 3\nDisallow: /a\n\n" +
+        "User-agent: GRAFTBOT\nCrawl-delay: 4\nDisallow: /b\n\n" +
+        "User-agent: *\nCrawl-delay: 9\nDisallow: /c"),
+      // only a * group binds
+      ("h2", "User-agent: *\nCrawl-delay: 7\nDisallow: /d"),
+      // malformed and negative values are ignored -> host absent
+      ("h3", "User-agent: *\nCrawl-delay: soon\nDisallow: /e"),
+      ("h4", "User-agent: *\nCrawl-delay: -2\nDisallow: /f"))
+      .toDF("host", "txt")
+    val d = Crawl.crawlDelays(robots, "host", "txt", "graftbot")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(d == Map("h1" -> 4L, "h2" -> 7L))
+    val urls = Seq("http://h1/x", "http://h1/a", "http://h9/q",
+      "http://h2/z").toDF("u")
+    val sched = Crawl.fetchSchedule(urls, "u", d.toSeq.toDF("host",
+        "delay"), defaultDelay = 5L)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // h1: urls sorted -> /a slot 0, /x slot 1 at delay 4
+    assert(sched("http://h1/a") == ((4L, 0L, 0L)))
+    assert(sched("http://h1/x") == ((4L, 1L, 4L)))
+    assert(sched("http://h2/z") == ((7L, 0L, 0L)))
+    assert(sched("http://h9/q") == ((5L, 0L, 0L)))   // default delay
+  }
+
   test("recrawlSchedule: change-rate tiers, single-obs cold, next " +
       "visit arithmetic") {
     import graft.operators.Crawl
