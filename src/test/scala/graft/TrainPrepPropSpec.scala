@@ -129,4 +129,77 @@ class TrainPrepPropSpec extends AnyFunSuite {
         s"doc $docId/$nWords words reconstruct failed")
     }
   }
+
+  test("tokenWaterfill law: Σalloc == min(budget, Σavail), alloc never " +
+      "exceeds avail, saturation is exactly alloc == avail, and " +
+      "unsaturated allocations are within 1 of proportional") {
+    val instGen: Gen[(List[(Long, Long)], Long)] = for {
+      n <- Gen.choose(1, 8)
+      avails <- Gen.listOfN(n, Gen.choose(0L, 5000L))
+      weights <- Gen.listOfN(n, Gen.choose(1L, 1000000L))
+      budget <- Gen.choose(0L, 12000L)
+    } yield (avails.zip(weights), budget)
+    samples(instGen, 30).foreach { case (doms, budget) =>
+      val df = doms.zipWithIndex
+        .map { case ((c, w), i) => (f"d$i%02d", c, w) }
+        .toDF("domain", "avail", "weight_ppm")
+      val r = TrainPrep.tokenWaterfill(df, "domain", "avail",
+        "weight_ppm", budget).collect()
+        .map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+          x.getLong(3), x.getBoolean(4)))
+      val totalAvail = doms.map(_._1).sum
+      assert(r.map(_._4).sum == math.min(budget, totalAvail),
+        s"budget=$budget doms=$doms")
+      r.foreach { case (d, c, _, a, sat) =>
+        assert(a >= 0 && a <= c, s"$d alloc $a out of [0, $c]")
+        // saturation implies the cap is fully allocated (an
+        // unsaturated domain may still land on its cap when the
+        // proportional floor + remainder reaches it exactly)
+        if (sat) assert(a == c, s"$d saturated but alloc $a < $c")
+      }
+      // unsaturated domains sit within 1 token of the exact water
+      // level share N*w/D (the +1 remainder hand-out)
+      if (totalAvail > budget) {
+        val sat = r.filter(_._5)
+        val uns = r.filter(!_._5)
+        if (uns.nonEmpty) {
+          val nB = BigInt(budget) - sat.map(x => BigInt(x._2)).sum
+          val dB = uns.map(x => BigInt(x._3)).sum
+          uns.foreach { case (d, _, w, a, _) =>
+            val base = (nB * w / dB).toLong
+            assert(a == base || a == base + 1, s"$d alloc $a vs $base")
+          }
+        }
+      }
+    }
+  }
+
+  test("interleaveOrder law: every listed-source row appears exactly " +
+      "once, feed keys are injective, and sort-by-feed_key realizes " +
+      "round-major, source-minor order") {
+    val instGen: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 100000L),
+        Gen.oneOf("sa", "sb", "sc", "zz")))
+    } yield rows.map { case (id, s) => (id, s) }.distinctBy(_._1)
+    samples(instGen, 15).foreach { rows =>
+      val df = rows.toDF("seq_id", "src")
+      val r = TrainPrep.interleaveOrder(df, "seq_id", "src",
+        ratios = Seq(("sa", 2), ("sb", 1), ("sc", 3)), nShards = 4,
+        seed = 3L).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getInt(2),
+          x.getLong(3), x.getInt(4), x.getLong(5)))
+      val listed = rows.filter(x => Set("sa", "sb", "sc")(x._2))
+      assert(r.map(_._1).sorted.toSeq == listed.map(_._1).sorted)
+      assert(r.map(_._6).distinct.length == r.length, "feed_key clash")
+      // decoding the packed key recovers (round, src, shard, slot)
+      val srcIx = Map("sa" -> 0L, "sb" -> 1L, "sc" -> 2L)
+      val kMax = 3L
+      r.foreach { case (_, s, shard, round, slot, key) =>
+        val want = ((round * 3 + srcIx(s)) * 4 + shard) * kMax + slot
+        assert(key == want)
+        assert(slot < Map("sa" -> 2, "sb" -> 1, "sc" -> 3)(s))
+      }
+    }
+  }
 }

@@ -108,6 +108,45 @@ class UnigramTokSpec extends AnyFunSuite {
     assert(segs.getLong(3) < 1000000000L, "no sentinel pieces needed")
   }
 
+  test("Viterbi law: DP cost equals the brute-force minimum over ALL " +
+      "segmentations, and the emitted segmentation achieves it") {
+    val rng = new scala.util.Random(7)
+    val alphabet = "abcd"
+    def brute(w: String, vc: Map[String, Long], maxLen: Int): Long =
+      if (w.isEmpty) 0L
+      else (1 to math.min(maxLen, w.length)).map { j =>
+        vc.getOrElse(w.take(j), 1000000000L) +
+          brute(w.drop(j), vc, maxLen)
+      }.min
+    (0 until 10).foreach { _ =>
+      // random short words + a random piece-cost table
+      val words = (0 until 6).map(_ =>
+        ((0 until 1 + rng.nextInt(7)).map(_ =>
+          alphabet(rng.nextInt(4))).mkString, 1L))
+      val pieces = scala.collection.mutable.Map[String, Long]()
+      alphabet.foreach(c => pieces(c.toString) = 1L + rng.nextInt(9))
+      (0 until 12).foreach { _ =>
+        val len = 2 + rng.nextInt(2)
+        val p = (0 until len).map(_ => alphabet(rng.nextInt(4))).mkString
+        pieces(p) = 1L + rng.nextInt(9)
+      }
+      val vdf = pieces.toSeq.toDF("piece", "cost")
+      val r = UnigramTok.viterbiSegments(
+        words.distinct.toDF("word", "n_occ"), vdf, maxPieceLen = 3)
+        .collect()
+      r.foreach { row =>
+        val (w, seg, cost) =
+          (row.getString(0), row.getString(2), row.getLong(3))
+        assert(cost == brute(w, pieces.toMap, 3), s"word $w")
+        // the emitted pieces re-tile the word and re-sum to the cost
+        val ps = seg.split(" ").filter(_.nonEmpty)
+        assert(ps.mkString == w)
+        assert(ps.map(p => pieces.toMap.getOrElse(p, 1000000000L)).sum
+          == cost)
+      }
+    }
+  }
+
   test("viterbiSegments refuses an oversized vocabulary loudly") {
     val words = Seq(("ab", 1L)).toDF("word", "n_occ")
     val vocab = (0 until 10).map(i => (s"p$i", 1L)).toDF("piece", "cost")
