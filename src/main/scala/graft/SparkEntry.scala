@@ -3058,6 +3058,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
     }),
 
+    // BRANCHED-CONVERSATION FLATTENING: each doc's first <= 7 words as
+    // a binary message tree (heap parent pointers), flattened to one
+    // row per root->leaf path -- the ShareGPT/message-tree to SFT-path
+    // transform. The engine walks the actual parent-pointer relation;
+    // the oracle derives paths closed-form from heap arithmetic.
+    "q235_tree_paths" -> ((s, dir) => {
+      import graft.operators.Sft
+      val w = split(trim(col("text")), " ")
+      val m = least(lit(7), size(w))
+      val nodes = t(s, dir, "documents").filter(size(w) >= 1)
+        .select(col("doc_id"),
+          posexplode(slice(w, lit(1), m)).as(Seq("k", "c")))
+        .select(col("doc_id").as("conv_id"),
+          col("k").cast("long").as("node"),
+          when(col("k") === 0, lit(null).cast("long"))
+            .otherwise(floor((col("k") - 1) / 2.0).cast("long"))
+            .as("parent"),
+          col("c").as("content"))
+      Sft.treePaths(nodes, "conv_id", "node", "parent", "content")
+    }),
+
+    // POSITIONAL PHRASE SEARCH: exact token-phrase occurrences as a
+    // row-local HOF (k equality probes per candidate start -- no
+    // postings explode, no join); docs carrying the phrase report
+    // match count and first position.
+    "q236_phrase_search" -> ((s, dir) => {
+      import graft.functions.TextFns
+      val hits = TextFns.phraseMatches(col("text"), Seq("merge", "slow"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), hits.as("hits"))
+        .filter(size(col("hits")) > 0)
+        .select(col("doc_id"), size(col("hits")).as("n_matches"),
+          element_at(col("hits"), 1).as("first_pos"))
+    }),
+
     // CORPUS DATASHEET: the per-source "data card" a 100 TB curator
     // publishes -- document/token counts, language spread with a
     // deterministic dominant-language argmax, exact-duplicate ratio,
@@ -8247,6 +8282,46 @@ object SparkEntry {
            |  CAST(sum(wt.n_tok) AS BIGINT) AS tok_kept
            |FROM wt, th WHERE wt.lm_fit_ppm >= th.threshold
            |GROUP BY th.threshold""".stripMargin),
+
+    // q235: paths closed-form from heap arithmetic — leaves are nodes
+    // k with 2k+1 >= m, ancestors by two unrolled (k-1)//2 steps (the
+    // 7-node cap bounds depth at 3) — never walking the pointers.
+    "q235_tree_paths" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, w, CAST(least(7, len(w)) AS INTEGER) AS m
+         |  FROM d WHERE len(w) >= 1),
+         |l AS (SELECT doc_id, w, m,
+         |    unnest(list_filter(range(0, m), k -> 2 * k + 1 >= m)) AS k
+         |  FROM g),
+         |p AS (SELECT doc_id, w, CAST(k AS BIGINT) AS leaf,
+         |    CASE WHEN k > 0 THEN (k - 1) // 2 ELSE -1 END AS p1
+         |  FROM l),
+         |q AS (SELECT *, CASE WHEN p1 > 0 THEN (p1 - 1) // 2 ELSE -1
+         |    END AS p2 FROM p)
+         |SELECT doc_id AS conv, leaf AS leaf_id,
+         |  CAST(CASE WHEN p1 = -1 THEN 1 WHEN p2 = -1 THEN 2 ELSE 3
+         |    END AS INTEGER) AS depth,
+         |  CASE WHEN p1 = -1 THEN CAST(leaf AS VARCHAR)
+         |       WHEN p2 = -1 THEN p1 || ' ' || leaf
+         |       ELSE p2 || ' ' || p1 || ' ' || leaf END AS path_ids,
+         |  CASE WHEN p1 = -1 THEN w[leaf + 1]
+         |       WHEN p2 = -1 THEN w[p1 + 1] || ' ' || w[leaf + 1]
+         |       ELSE w[p2 + 1] || ' ' || w[p1 + 1] || ' ' ||
+         |         w[leaf + 1] END AS path_text
+         |FROM q""".stripMargin,
+
+    // q236: the same candidate-start probes on list ops.
+    "q236_phrase_search" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |m AS (SELECT doc_id, CASE WHEN len(w) >= 2 THEN
+         |    list_filter(range(1, len(w)), p ->
+         |      w[p] = 'merge' AND w[p + 1] = 'slow')
+         |    ELSE [] END AS hits FROM d)
+         |SELECT doc_id, CAST(len(hits) AS INTEGER) AS n_matches,
+         |  CAST(hits[1] AS INTEGER) AS first_pos
+         |FROM m WHERE len(hits) > 0""".stripMargin,
 
     // q106's plan over THREE queries at once: per-query probe lists and
     // ADC sums, per-query top-5 (rank on the raw sum, id tie-break).

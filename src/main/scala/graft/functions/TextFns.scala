@@ -627,6 +627,24 @@ object TextFns {
         t => htmlFragmentText(t)).as("text"))
   }
 
+  /** Positions (1-based token index) where the exact token PHRASE
+    * starts inside `text` — positional phrase search as a ROW-LOCAL
+    * higher-order function (no postings explode, no join): for a
+    * k-token phrase, each candidate start is k codegen'd equality
+    * probes into the token array. Overlapping occurrences all report.
+    */
+  def phraseMatches(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "empty phrase")
+    val ws = split(trim(text), " ")
+    val k = phrase.length
+    when(size(ws) >= k,
+      filter(sequence(lit(1), size(ws) - (k - 1)),
+        p => phrase.zipWithIndex.map { case (w, i) =>
+          element_at(ws, p + lit(i)) === lit(w) }
+          .reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+  }
+
   /** The `<title>` text (first one, tags inside dropped, whitespace
     * collapsed), null when absent — the page-level signal quality
     * classifiers use.

@@ -110,6 +110,70 @@ object Sft {
     * n_target_chars) ride along so no re-join against `rendered` (and
     * no second evaluation of the render chain) is ever needed.
     */
+  /** Branched-conversation flattening — the ShareGPT/"message tree"
+    * shape: every assistant reply may have sibling alternatives, and
+    * SFT consumes each ROOT→LEAF path as one linear conversation.
+    * Input is one row per node `(conv, node, parent, content)` with
+    * `parent` null at roots; output is one row per LEAF carrying the
+    * path's node ids (space-joined, root first), the concatenated
+    * content, and the depth.
+    *
+    * Per-conversation local (a chat tree is bounded — loud `maxNodes`
+    * guard): one groupBy collect + a walk-up UDF; no joins, no
+    * iteration over the cluster. Malformed trees refuse loudly:
+    * a node whose parent id is missing from the conversation, or a
+    * parent cycle, names the conversation.
+    */
+  def treePaths(nodes: DataFrame, convCol: String, nodeCol: String,
+      parentCol: String, contentCol: String,
+      maxNodes: Int = 4096): DataFrame = {
+    val pathsUdf = udf { (ns: Seq[Long], ps: Seq[Long],
+        cs: Seq[String], conv: Long) =>
+      // ps carries -1 at roots (null parents are sentinel-coded by the
+      // caller — safer across the UDF boundary than nested Options)
+      require(ns.length <= maxNodes,
+        s"conversation $conv has > $maxNodes nodes — not a chat tree")
+      val ix = ns.zipWithIndex.toMap
+      ps.zipWithIndex.foreach { case (p, i) =>
+        require(p == -1L || ix.contains(p),
+          s"conversation $conv: node ${ns(i)} points at missing " +
+            s"parent $p") }
+      val hasChild = ps.filter(_ != -1L).toSet
+      val leaves = ns.filter(n => !hasChild.contains(n))
+      leaves.map { leaf =>
+        var cur = leaf
+        var ids = List.empty[Long]
+        var texts = List.empty[String]
+        var steps = 0
+        var done = false
+        while (!done) {
+          require(steps <= ns.length,
+            s"conversation $conv: parent cycle at node $leaf")
+          steps += 1
+          val i = ix(cur)
+          ids = cur :: ids
+          texts = cs(i) :: texts
+          if (ps(i) == -1L) done = true else cur = ps(i)
+        }
+        (leaf, ids.length, ids.mkString(" "), texts.mkString(" "))
+      }
+    }
+    nodes.groupBy(col(convCol).cast("long").as("conv"))
+      .agg(
+        collect_list(struct(col(nodeCol).cast("long").as("n"),
+          coalesce(col(parentCol).cast("long"), lit(-1L)).as("p"),
+          col(contentCol).as("c"))).as("__ns"))
+      .select(col("conv"),
+        explode(pathsUdf(
+          expr("transform(__ns, x -> x.n)"),
+          expr("transform(__ns, x -> x.p)"),
+          expr("transform(__ns, x -> x.c)"),
+          col("conv"))).as("x"))
+      .select(col("conv"), col("x._1").as("leaf_id"),
+        col("x._2").as("depth"), col("x._3").as("path_ids"),
+        col("x._4").as("path_text"))
+  }
+
   def explodeSpans(rendered: DataFrame): DataFrame =
     rendered.select(col("conv"), col("text"), col("n_turns"),
         col("n_target_chars"),

@@ -81,4 +81,45 @@ class SftSpec extends AnyFunSuite {
       case _ => true
     })
   }
+
+  test("treePaths: branched tree flattens to one row per leaf; " +
+      "missing parents, cycles and oversized trees refuse loudly") {
+    // conv 1:     0
+    //           /   \
+    //          1     2
+    //         / \     \
+    //        3   4     5        -> leaves 3, 4, 5
+    // conv 2: single node       -> one path
+    val nodes = Seq(
+      (1L, 0L, None, "r"), (1L, 1L, Some(0L), "a"),
+      (1L, 2L, Some(0L), "b"), (1L, 3L, Some(1L), "c"),
+      (1L, 4L, Some(1L), "d"), (1L, 5L, Some(2L), "e"),
+      (2L, 9L, None, "solo"))
+      .toDF("conv", "node", "parent", "content")
+    val r = graft.operators.Sft.treePaths(nodes, "conv", "node",
+      "parent", "content").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getInt(2), x.getString(3), x.getString(4)))).toMap
+    assert(r.keySet == Set((1L, 3L), (1L, 4L), (1L, 5L), (2L, 9L)))
+    assert(r((1L, 3L)) == ((3, "0 1 3", "r a c")))
+    assert(r((1L, 4L)) == ((3, "0 1 4", "r a d")))
+    assert(r((1L, 5L)) == ((3, "0 2 5", "r b e")))
+    assert(r((2L, 9L)) == ((1, "9", "solo")))
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    val orphan = Seq((7L, 1L, Some(99L), "x")).toDF("conv", "node",
+      "parent", "content")
+    val e1 = intercept[Exception] { graft.operators.Sft.treePaths(
+      orphan, "conv", "node", "parent", "content").collect() }
+    assert(root(e1).getMessage.contains("missing parent 99"))
+    val cyc = Seq((8L, 1L, Some(2L), "x"), (8L, 2L, Some(1L), "y"),
+      (8L, 3L, Some(1L), "z")).toDF("conv", "node", "parent", "content")
+    val e2 = intercept[Exception] { graft.operators.Sft.treePaths(
+      cyc, "conv", "node", "parent", "content").collect() }
+    assert(root(e2).getMessage.contains("cycle"))
+    val e3 = intercept[Exception] { graft.operators.Sft.treePaths(
+      nodes, "conv", "node", "parent", "content", maxNodes = 3)
+      .collect() }
+    assert(root(e3).getMessage.contains("not a chat tree"))
+  }
 }
