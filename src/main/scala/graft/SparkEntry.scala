@@ -2728,11 +2728,13 @@ object SparkEntry {
 
     // TOKEN-BUDGET WATER-FILLING: the DoReMi/Pile-style mixture solver
     // -- 4 meta-domains (source ordinal mod 4), weights 1:2:3:4, budget
-    // 9/10 of the corpus, so the fixpoint runs THREE saturation waves
-    // (heaviest domains hit their availability caps, the water level
-    // rises, the next domain saturates). Driver-side exact big-integer
-    // solver over a |domains|-bounded relation; the oracle unrolls the
-    // same wave iteration in HUGEINT.
+    // 9/10 of the corpus, so the fixpoint runs MULTIPLE saturation
+    // waves (measured at the gate sf: the two heaviest-weighted
+    // domains cap in wave 1, the water level rises, d1 saturates in
+    // wave 2; with 4 domains at most 3 waves are possible, the
+    // oracle's 6 unrolled iterations are provably past any fixpoint).
+    // Driver-side exact big-integer solver over a |domains|-bounded
+    // relation; the oracle unrolls the same wave iteration in HUGEINT.
     "q218_waterfill_mix" -> ((s, dir) => {
       import graft.operators.TrainPrep
       val dom = t(s, dir, "documents")
