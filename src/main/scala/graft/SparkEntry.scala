@@ -3095,6 +3095,33 @@ object SparkEntry {
           element_at(col("hits"), 1).as("first_pos"))
     }),
 
+    // N-GRAM NOVELTY: per held-out document, the fraction of its
+    // 3-grams NEVER seen in the reference corpus -- the memorization/
+    // novelty metric (the complement of the q69 decontamination
+    // overlap, reported per document on the ppm lattice). One semi-
+    // join on the gram key against a map-side-distinct reference set;
+    // scale-shaped like every other gram join here.
+    "q237_ngram_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = split(trim(col("text")), " ")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(w) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(w) - 2),
+          p => array_join(slice(w, p, lit(3)), " "))).as("g"))
+      val refSet = grams(docs.filter(col("doc_id") % 3 =!= 0))
+        .select(col("g")).distinct()
+      val tg = grams(docs.filter(col("doc_id") % 3 === 0))
+      val seen = tg.join(refSet, Seq("g"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_seen"))
+      tg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(seen, Seq("doc_id"), "left_outer")
+        .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+        .withColumn("novelty_ppm",
+          floor((col("n_grams") - col("n_seen")).cast("double") * 1000000
+            / col("n_grams")).cast("long"))
+    }),
+
     // CORPUS DATASHEET: the per-source "data card" a 100 TB curator
     // publishes -- document/token counts, language spread with a
     // deterministic dominant-language argmax, exact-duplicate ratio,
@@ -8324,6 +8351,27 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(hits) AS INTEGER) AS n_matches,
          |  CAST(hits[1] AS INTEGER) AS first_pos
          |FROM m WHERE len(hits) > 0""".stripMargin,
+
+    // q237: the same gram builder on list ops, seen-set via IN.
+    "q237_ngram_novelty" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(
+         |    range(1, len(w) - 1), p ->
+         |      array_to_string(w[p:p + 2], ' '))) AS g
+         |  FROM d WHERE len(w) >= 3),
+         |ref AS (SELECT DISTINCT g FROM g WHERE doc_id % 3 <> 0),
+         |tg AS (SELECT doc_id, g FROM g WHERE doc_id % 3 = 0),
+         |sn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seen
+         |  FROM tg WHERE g IN (SELECT g FROM ref) GROUP BY doc_id),
+         |al AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM tg GROUP BY doc_id)
+         |SELECT al.doc_id, al.n_grams,
+         |  COALESCE(sn.n_seen, 0) AS n_seen,
+         |  CAST(floor(CAST(al.n_grams - COALESCE(sn.n_seen, 0)
+         |    AS DOUBLE) * 1000000 / al.n_grams) AS BIGINT)
+         |    AS novelty_ppm
+         |FROM al LEFT JOIN sn ON sn.doc_id = al.doc_id""".stripMargin,
 
     // q106's plan over THREE queries at once: per-query probe lists and
     // ADC sums, per-query top-5 (rank on the raw sum, id tie-break).
