@@ -605,4 +605,57 @@ object EventStream {
           out.iterator
         })
   }
+
+  final case class Fetch(url: String, ts: Long, fp: Long)
+  final case class CrawlState(nObs: Long, nChanges: Long, lastFp: Long,
+      lastTs: Long)
+  final case class CrawlVerdict(url: String, n_obs: Long, n_changes: Long,
+      last_ts: Long, tier: String, next_visit: Long)
+
+  /** Streaming recrawl policy — the stateful form of
+    * [[graft.operators.Crawl.recrawlSchedule]]: per-URL observation
+    * state (count, consecutive-fingerprint change count, last
+    * fingerprint/timestamp) lives in the state store and every
+    * micro-batch emits the URL's CURRENT tier verdict and next-visit
+    * time under the same integer cross-multiplication rule as the
+    * batch operator. State per URL is four longs — bounded regardless
+    * of crawl history length. In-batch observations are folded in
+    * `(ts, fp)` order (the batch operator's `lag` order), so a batch
+    * replay produces the same state.
+    */
+  def recrawlStream(fetches: org.apache.spark.sql.Dataset[Fetch],
+      hotPct: Int = 50, warmPct: Int = 10, hotEvery: Long,
+      warmEvery: Long, coldEvery: Long)
+      : org.apache.spark.sql.Dataset[CrawlVerdict] = {
+    require(hotPct > warmPct && warmPct > 0,
+      s"need hotPct > warmPct > 0, got $hotPct/$warmPct")
+    require(hotEvery <= warmEvery && warmEvery <= coldEvery,
+      "intervals must be hot <= warm <= cold")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import fetches.sparkSession.implicits._
+    fetches.groupByKey(_.url)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (url: String, rows: Iterator[Fetch], state: GroupState[CrawlState]) => {
+          var st = state.getOption.getOrElse(CrawlState(0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(f => (f.ts, f.fp)).foreach { f =>
+            val chg = if (st.nObs > 0 && f.fp != st.lastFp) 1L else 0L
+            st = CrawlState(st.nObs + 1, st.nChanges + chg, f.fp,
+              math.max(st.lastTs, f.ts))
+          }
+          state.update(st)
+          val tier =
+            if (st.nObs >= 2 &&
+              st.nChanges * 100 >= hotPct.toLong * (st.nObs - 1)) "hot"
+            else if (st.nObs >= 2 &&
+              st.nChanges * 100 >= warmPct.toLong * (st.nObs - 1)) "warm"
+            else "cold"
+          val every = tier match {
+            case "hot" => hotEvery
+            case "warm" => warmEvery
+            case _ => coldEvery
+          }
+          Iterator.single(CrawlVerdict(url, st.nObs, st.nChanges,
+            st.lastTs, tier, st.lastTs + every))
+        })
+  }
 }

@@ -63,6 +63,51 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("recrawlStream: per-URL state crosses micro-batches and the " +
+      "final verdict equals the batch operator's on the same history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{CrawlVerdict, Fetch}
+    val input = MemoryStream[Fetch]
+    val q = EventStream.recrawlStream(input.toDS(), hotPct = 60,
+        warmPct = 20, hotEvery = 100L, warmEvery = 1000L,
+        coldEvery = 10000L)
+      .writeStream.format("memory").queryName("recrawl_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // wave 1: one observation each -> both cold (no signal yet)
+      input.addData(Fetch("uH", 10L, 0L), Fetch("uF", 10L, 7L))
+      q.processAllAvailable()
+      val w1 = spark.table("recrawl_out").as[CrawlVerdict].collect()
+        .map(v => v.url -> v.tier).toMap
+      assert(w1 == Map("uH" -> "cold", "uF" -> "cold"))
+      // wave 2: uH alternates (100% change), uF stays frozen — the
+      // change count must have carried uH's batch-1 fingerprint
+      input.addData(Fetch("uH", 20L, 1L), Fetch("uH", 30L, 0L),
+        Fetch("uF", 20L, 7L), Fetch("uF", 30L, 7L))
+      q.processAllAvailable()
+      val last = spark.table("recrawl_out").as[CrawlVerdict].collect()
+        .groupBy(_.url).map { case (u, vs) => u -> vs.maxBy(_.n_obs) }
+      assert(last("uH").tier == "hot" && last("uH").n_changes == 2L &&
+        last("uH").next_visit == 130L)
+      assert(last("uF").tier == "cold" && last("uF").n_changes == 0L &&
+        last("uF").next_visit == 10030L)
+      // parity with the batch operator over the concatenated history
+      val batch = graft.operators.Crawl.recrawlSchedule(
+        Seq(("uH", 10L, 0L), ("uH", 20L, 1L), ("uH", 30L, 0L),
+          ("uF", 10L, 7L), ("uF", 20L, 7L), ("uF", 30L, 7L))
+          .toDF("url", "ts", "fp"),
+        "url", "ts", "fp", hotPct = 60, warmPct = 20, hotEvery = 100L,
+        warmEvery = 1000L, coldEvery = 10000L).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(4), r.getLong(5))))
+        .toMap
+      last.foreach { case (u, v) =>
+        assert(batch(u) == ((v.n_obs, v.n_changes, v.tier, v.next_visit)),
+          s"stream/batch divergence for $u") }
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeat keys within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
