@@ -167,7 +167,8 @@ object Sft {
         explode(pathsUdf(
           expr("transform(__ns, x -> x.n)"),
           expr("transform(__ns, x -> x.p)"),
-          expr("transform(__ns, x -> x.c)"),
+          // null contents join as empty, not the string "null"
+          expr("transform(__ns, x -> coalesce(x.c, ''))"),
           col("conv"))).as("x"))
       .select(col("conv"), col("x._1").as("leaf_id"),
         col("x._2").as("depth"), col("x._3").as("path_ids"),
