@@ -3029,8 +3029,10 @@ object SparkEntry {
             (col("id") % 5 + 2).cast("string"),
             lit("\nDisallow: /x\n\nUser-agent: *\nCrawl-delay: 9\n" +
               "Disallow: /y")))
+          // fractional delay: the wild's "6.5" ceils to 7 (the
+          // conservative read), so the oracle's integer 7 still holds
           .when(col("id") % 4 === 1,
-            lit("User-agent: *\nCrawl-delay: 7\nDisallow: /y"))
+            lit("User-agent: *\nCrawl-delay: 6.5\nDisallow: /y"))
           .otherwise(lit("User-agent: *\nDisallow: /z\n" +
             "Crawl-delay: oops")).as("txt"))
       val delays = Crawl.crawlDelays(robots, "host", "txt", "graftbot")
@@ -8140,12 +8142,15 @@ object SparkEntry {
          |    'The ' || array_to_string(w[1:8], ' ') || '.' AS ref
          |  FROM d),
          |nm AS (SELECT doc_id, pred, ref,
+         |    -- official remove_punc: DELETE string.punctuation chars
          |    list_filter(regexp_split_to_array(
-         |      regexp_replace(lower(pred), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+         |      regexp_replace(lower(pred), '[!-/:-@\[-`{-~]', '', 'g'),
+         |      '\s+'),
          |      t -> t <> '' AND t <> 'a' AND t <> 'an' AND t <> 'the')
          |      AS tp,
          |    list_filter(regexp_split_to_array(
-         |      regexp_replace(lower(ref), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+         |      regexp_replace(lower(ref), '[!-/:-@\[-`{-~]', '', 'g'),
+         |      '\s+'),
          |      t -> t <> '' AND t <> 'a' AND t <> 'an' AND t <> 'the')
          |      AS tr
          |  FROM pr),

@@ -194,18 +194,23 @@ object Crawl {
   /** Per-host `Crawl-delay` (the de-facto extension Bing/Yandex honor)
     * under the same RFC 9309 group-selection semantics as
     * [[parseRobots]]: the binding groups' maximum delay wins (the
-    * conservative read when several selected groups disagree);
-    * malformed values are ignored; hosts with no binding delay are
-    * absent (callers supply their default).
+    * conservative read when several selected groups disagree).
+    * Fractional delays — `Crawl-delay: 1.5` is common in the wild —
+    * parse as DOUBLE and round UP to whole seconds (the conservative
+    * read again: never under-throttle). Malformed, negative, and
+    * absurd (> 10^15 s, incl. inf/nan) values are ignored; hosts with
+    * no binding delay are absent (callers supply their default).
     */
   def crawlDelays(robots: DataFrame, hostCol: String, textCol: String,
       userAgent: String): DataFrame =
     selectedGroupFields(robots, hostCol, textCol, userAgent.toLowerCase,
         Seq("crawl-delay"))
       .filter(col("__f") === "crawl-delay")
-      .withColumn("__d", expr("try_cast(__v AS BIGINT)"))
-      .filter(col("__d").isNotNull && col("__d") >= 0)
-      .groupBy(col("host")).agg(max(col("__d")).as("delay"))
+      .withColumn("__d", expr("try_cast(__v AS DOUBLE)"))
+      .filter(col("__d").isNotNull && col("__d") >= 0 &&
+        col("__d") <= 1e15)
+      .groupBy(col("host"))
+      .agg(ceil(max(col("__d"))).cast("long").as("delay"))
 
   /** Politeness fetch schedule: per host, URLs get slots in a
     * deterministic (url) order and `fetch_at = slot · delay` (the

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   *
   *  - SQuAD-style answer normalization + exact match + token F1
   *    (Rajpurkar et al. 2016's official scorer semantics: lowercase,
-  *    punctuation → space, article removal, whitespace collapse;
+  *    ASCII punctuation REMOVED (so "don't" → "dont", exactly the
+  *    official `remove_punc` over `string.punctuation` — non-ASCII
+  *    letters pass through), article removal, whitespace collapse;
   *    F1 = 2·overlap/(|p|+|r|) on token MULTISETS, reported on a ppm
   *    lattice — one IEEE division + floor, exact away from lattice
   *    boundaries);
@@ -24,12 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object EvalMetrics {
 
-  /** The SQuAD normalizer: lowercase, punctuation/symbols → space,
-    * drop articles (a, an, the), collapse whitespace.
+  /** The SQuAD normalizer: lowercase, REMOVE ASCII punctuation
+    * (`string.punctuation` = the ranges !–/ :–@ [–` {–~, deleted, not
+    * blanked — "don't" → "dont"), drop articles (a, an, the), collapse
+    * whitespace. Non-ASCII letters survive, as in the official scorer
+    * (Python `str.lower` + per-char punctuation strip).
     */
   def normalizeAnswer(s: Column): Column =
     array_join(
-      filter(split(regexp_replace(lower(s), "[^a-z0-9 ]", " "), " +"),
+      filter(split(regexp_replace(lower(s), "[!-/:-@\\[-`{-~]", ""),
+          "\\s+"),
         t => t =!= "" && t =!= lit("a") && t =!= lit("an") &&
           t =!= lit("the")),
       " ")

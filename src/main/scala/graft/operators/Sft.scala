@@ -121,8 +121,9 @@ object Sft {
     * Per-conversation local (a chat tree is bounded — loud `maxNodes`
     * guard): one groupBy collect + a walk-up UDF; no joins, no
     * iteration over the cluster. Malformed trees refuse loudly:
-    * a node whose parent id is missing from the conversation, or a
-    * parent cycle, names the conversation.
+    * a node whose parent id is missing from the conversation, a
+    * parent cycle, or a NEGATIVE node id (−1 is reserved as the
+    * root-parent sentinel) names the conversation.
     */
   def treePaths(nodes: DataFrame, convCol: String, nodeCol: String,
       parentCol: String, contentCol: String,
@@ -133,6 +134,13 @@ object Sft {
       // caller — safer across the UDF boundary than nested Options)
       require(ns.length <= maxNodes,
         s"conversation $conv has > $maxNodes nodes — not a chat tree")
+      // -1 is the root sentinel, so negative NODE ids would silently
+      // read as roots — refuse them instead (loud-refusal contract)
+      ns.foreach(n => require(n >= 0L,
+        s"conversation $conv: negative node id $n (ids must be >= 0; " +
+          "-1 is reserved as the root-parent sentinel)"))
+      ps.foreach(p => require(p >= -1L,
+        s"conversation $conv: negative parent pointer $p"))
       val ix = ns.zipWithIndex.toMap
       ps.zipWithIndex.foreach { case (p, i) =>
         require(p == -1L || ix.contains(p),

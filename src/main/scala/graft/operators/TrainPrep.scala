@@ -408,10 +408,17 @@ object TrainPrep {
     * ≤ `maxPool` rows (eval pools are curated and small — this is a
     * broadcast fan-out of |test|·|pool|, the standard eval-harness
     * shape, NOT a corpus×corpus join).
+    *
+    * Shortfall: a label whose pool has fewer rows than its quota
+    * contributes ALL its rows — such test items get fewer than `k`
+    * exemplars (deterministically, same draw every run). Pass
+    * `requireFull = true` to refuse instead (each label's pool must
+    * hold quota + 1 rows, the +1 covering the self-exclusion when a
+    * test item's id appears in that label's pool).
     */
   def fewShot(test: DataFrame, testIdCol: String, pool: DataFrame,
       poolIdCol: String, labelCol: String, k: Int, seed: Long = 1L,
-      maxPool: Int = 4096): DataFrame = {
+      maxPool: Int = 4096, requireFull: Boolean = false): DataFrame = {
     require(k > 0, s"k=$k must be > 0")
     val spark = test.sparkSession
     import spark.implicits._
@@ -428,6 +435,15 @@ object TrainPrep {
     val l = labels.length
     val quotas = labels.zipWithIndex.map { case (lab, i) =>
       (lab, (k / l + (if (i < k % l) 1 else 0)).toLong) }
+    if (requireFull) {
+      val byLabel = p0.groupBy(col("label")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      quotas.foreach { case (lab, q) =>
+        require(byLabel.getOrElse(lab, 0L) >= q + 1,
+          s"label '$lab' pool has ${byLabel.getOrElse(lab, 0L)} rows " +
+            s"< quota $q + 1 (self-exclusion headroom) — every test " +
+            "item is promised its full k exemplars under requireFull") }
+    }
     val qdf = broadcast(quotas.toSeq.toDF("label", "quota"))
     val byTestLabel = Window.partitionBy(col("test_id"), col("label"))
       .orderBy(col("h"), col("ex_id"))

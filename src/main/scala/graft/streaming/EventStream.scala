@@ -621,7 +621,13 @@ object EventStream {
     * batch operator. State per URL is four longs — bounded regardless
     * of crawl history length. In-batch observations are folded in
     * `(ts, fp)` order (the batch operator's `lag` order), so a batch
-    * replay produces the same state.
+    * replay produces the same state. Cross-batch LATE observations
+    * (`ts` strictly below the stored `lastTs`) are DROPPED — the
+    * bounded state cannot re-sort history it has already folded, and
+    * counting a stale fingerprint as a change would inflate the tier;
+    * so the state always reflects the ts-ordered sequence of in-order
+    * arrivals (watermark-style semantics: batch parity holds whenever
+    * observations arrive across batches in non-decreasing `ts`).
     */
   def recrawlStream(fetches: org.apache.spark.sql.Dataset[Fetch],
       hotPct: Int = 50, warmPct: Int = 10, hotEvery: Long,
@@ -638,9 +644,12 @@ object EventStream {
         (url: String, rows: Iterator[Fetch], state: GroupState[CrawlState]) => {
           var st = state.getOption.getOrElse(CrawlState(0L, 0L, 0L, 0L))
           rows.toSeq.sortBy(f => (f.ts, f.fp)).foreach { f =>
-            val chg = if (st.nObs > 0 && f.fp != st.lastFp) 1L else 0L
-            st = CrawlState(st.nObs + 1, st.nChanges + chg, f.fp,
-              math.max(st.lastTs, f.ts))
+            // late cross-batch arrival: already-folded history is
+            // ahead of this ts — drop it (see scaladoc)
+            if (st.nObs == 0L || f.ts >= st.lastTs) {
+              val chg = if (st.nObs > 0 && f.fp != st.lastFp) 1L else 0L
+              st = CrawlState(st.nObs + 1, st.nChanges + chg, f.fp, f.ts)
+            }
           }
           state.update(st)
           val tier =

@@ -141,13 +141,16 @@ class CrawlSpec extends AnyFunSuite {
         "User-agent: *\nCrawl-delay: 9\nDisallow: /c"),
       // only a * group binds
       ("h2", "User-agent: *\nCrawl-delay: 7\nDisallow: /d"),
-      // malformed and negative values are ignored -> host absent
+      // malformed, negative, and absurd values are ignored -> absent
       ("h3", "User-agent: *\nCrawl-delay: soon\nDisallow: /e"),
-      ("h4", "User-agent: *\nCrawl-delay: -2\nDisallow: /f"))
+      ("h4", "User-agent: *\nCrawl-delay: -2\nDisallow: /f"),
+      ("h6", "User-agent: *\nCrawl-delay: inf\nDisallow: /h"),
+      // fractional delays ceil (never under-throttle): 1.5 -> 2
+      ("h5", "User-agent: *\nCrawl-delay: 1.5\nDisallow: /g"))
       .toDF("host", "txt")
     val d = Crawl.crawlDelays(robots, "host", "txt", "graftbot")
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
-    assert(d == Map("h1" -> 4L, "h2" -> 7L))
+    assert(d == Map("h1" -> 4L, "h2" -> 7L, "h5" -> 2L))
     val urls = Seq("http://h1/x", "http://h1/a", "http://h9/q",
       "http://h2/z").toDF("u")
     val sched = Crawl.fetchSchedule(urls, "u", d.toSeq.toDF("host",

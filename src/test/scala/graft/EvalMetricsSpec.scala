@@ -16,6 +16,15 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(r == Seq("quick brown fox", "answer", "", ""))
   }
 
+  test("normalizeAnswer: official remove_punc semantics — intra-word " +
+      "punctuation deleted (don't -> dont), non-ASCII letters kept") {
+    val r = Seq("Don't Panic", "the Café-au-lait", "semi;colon\tTAB")
+      .toDF("s")
+      .select(EvalMetrics.normalizeAnswer(col("s")))
+      .collect().map(_.getString(0)).toSeq
+    assert(r == Seq("dont panic", "caféaulait", "semicolon tab"))
+  }
+
   test("emF1: exact after mangling, multiset overlap, empty edges") {
     val d = Seq(
       (1L, "The Quick FOX!", "quick fox"),        // em, f1 = 1e6

@@ -121,5 +121,17 @@ class SftSpec extends AnyFunSuite {
       nodes, "conv", "node", "parent", "content", maxNodes = 3)
       .collect() }
     assert(root(e3).getMessage.contains("not a chat tree"))
+    // a node id of -1 would silently read as a root (-1 is the
+    // root-parent sentinel) — refused loudly instead
+    val negId = Seq((9L, -1L, None: Option[Long], "x"),
+      (9L, 1L, Some(-1L), "y")).toDF("conv", "node", "parent", "content")
+    val e4 = intercept[Exception] { graft.operators.Sft.treePaths(
+      negId, "conv", "node", "parent", "content").collect() }
+    assert(root(e4).getMessage.contains("negative node id -1"))
+    val negPtr = Seq((10L, 1L, Some(-5L), "x")).toDF("conv", "node",
+      "parent", "content")
+    val e5 = intercept[Exception] { graft.operators.Sft.treePaths(
+      negPtr, "conv", "node", "parent", "content").collect() }
+    assert(root(e5).getMessage.contains("negative parent pointer -5"))
   }
 }

@@ -92,6 +92,16 @@ class StreamingSpec extends AnyFunSuite {
         last("uH").next_visit == 130L)
       assert(last("uF").tier == "cold" && last("uF").n_changes == 0L &&
         last("uF").next_visit == 10030L)
+      // a LATE cross-batch observation (ts 15 < stored lastTs 30) is
+      // dropped: the obs count stays at wave-1+2's 3 and the stale
+      // fp 999 cannot register a spurious change
+      input.addData(Fetch("uF", 15L, 999L))
+      q.processAllAvailable()
+      val afterLate = spark.table("recrawl_out").as[CrawlVerdict]
+        .collect().filter(_.url == "uF").maxBy(_.n_obs)
+      assert(afterLate.n_obs == 3L && afterLate.n_changes == 0L &&
+        afterLate.last_ts == 30L && afterLate.tier == "cold",
+        s"late event leaked into state: $afterLate")
       // parity with the batch operator over the concatenated history
       val batch = graft.operators.Crawl.recrawlSchedule(
         Seq(("uH", 10L, 0L), ("uH", 20L, 1L), ("uH", 30L, 0L),

@@ -221,6 +221,19 @@ class TrainPrepSpec extends AnyFunSuite {
       graft.operators.TrainPrep.fewShot(test, "tid", pool, "id", "lab",
         k = 2, maxPool = 3)
     }
+    // requireFull: under k=6 every label needs quota 2 + 1 headroom;
+    // en (2 rows) is the first shortfall in sorted order -> loud
+    // refusal naming the label; a pool with headroom everywhere passes
+    val eFull = intercept[IllegalArgumentException] {
+      graft.operators.TrainPrep.fewShot(test, "tid", pool, "id", "lab",
+        k = 6, seed = 2L, requireFull = true)
+    }
+    assert(eFull.getMessage.contains("'en'"))
+    val big = Seq((1L, "de"), (2L, "de"), (3L, "en"), (4L, "en"))
+      .toDF("id", "lab")
+    val rf = graft.operators.TrainPrep.fewShot(test, "tid", big, "id",
+      "lab", k = 2, seed = 2L, requireFull = true).collect()
+    assert(rf.length == 4)   // 2 tests x 2 labels x quota 1
   }
 
   test("preferencePairs: best-vs-rest with id tie-break, margins") {
