@@ -4324,6 +4324,196 @@ object SparkEntry {
         .select(col("c_custkey"))
       Graph.trustRankInt(edges, "src", "dst", seeds, "c_custkey",
         iters = 5)
+    }),
+
+    // BLEU SUFFICIENT STATISTICS: clipped 1..4-gram matches + totals +
+    // lengths per (candidate, reference) pair, and the exact geometric
+    // precision product on the ppm lattice -- the translation-eval
+    // sibling of q227's EM/F1, sharing its row-local no-shuffle shape.
+    // Three candidate shapes per doc: exact echo (perfect), shifted
+    // window (partial n-gram overlap), 3-token stub (t4 = 0 -> null).
+    "q238_bleu_stats" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val w = split(trim(col("text")), " ")
+      val ref = array_join(slice(w, lit(1), lit(10)), " ")
+      val cand = when(col("doc_id") % 3 === 0, ref)
+        .when(col("doc_id") % 3 === 1,
+          array_join(slice(w, lit(3), lit(10)), " "))
+        .otherwise(array_join(slice(w, lit(1), lit(3)), " "))
+      EvalMetrics.bleuStats(
+        t(s, dir, "documents").select(col("doc_id"),
+          cand.as("cand"), ref.as("ref")),
+        "cand", "ref")
+    }),
+
+    // ROUGE-L: LCS-based precision/recall/F on the ppm lattice -- the
+    // summarization/instruction-dedup metric. Candidates exercise the
+    // DP: token substitution (LCS = n-1), shifted window, and full
+    // REVERSAL (the worst case for any shortcut). The oracle replays
+    // the row DP as a recursive CTE carrying the LCS row as a list
+    // (the q224 Viterbi pattern, with the within-row dependency
+    // eliminated by the prefix-max identity).
+    "q239_rouge_l" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val w = split(trim(col("text")), " ")
+      val ref = slice(w, lit(1), lit(10))
+      val cand = when(col("doc_id") % 3 === 0,
+          transform(ref, (t, i) => when(i === 3, lit("zzz")).otherwise(t)))
+        .when(col("doc_id") % 3 === 1, slice(w, lit(4), lit(10)))
+        .otherwise(reverse(ref))
+      EvalMetrics.rougeL(
+        t(s, dir, "documents").select(col("doc_id"),
+          array_join(cand, " ").as("cand"),
+          array_join(ref, " ").as("ref")),
+        "cand", "ref")
+    }),
+
+    // HITS HUBS & AUTHORITIES on the integer lattice: the q164 trade
+    // graph kept DIRECTED (customers -> suppliers), two synchronous
+    // unnormalized rounds -- exact integer path counts, so customers
+    // are pure hubs (authority 0) and suppliers pure authorities.
+    // Oracle unrolls the recurrence join-for-join like q164's.
+    "q240_hits" -> ((s, dir) => {
+      import graft.operators.Graph
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val fwd = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      Graph.hitsInt(fwd, "src", "dst", iters = 2)
+    }),
+
+    // FUNNEL ANALYSIS over the event stream: view -> click -> purchase
+    // with STRICT event-time ordering, per-user completion times and
+    // depth -- k-1 chained (filtered scan, equi join, map-side agg)
+    // rounds, no windows, no per-user history collection.
+    "q241_funnel" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.funnel(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+    }),
+
+    // K-ANONYMITY APPLY: release only customers whose quasi-identifier
+    // combination (nation, market segment) is shared by >= 7 records,
+    // group size attached -- one count + one equi join on the same key.
+    "q242_k_anonymity" -> ((s, dir) => {
+      import graft.operators.Anonymize
+      Anonymize.kAnonymize(
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment")),
+        Seq("c_nationkey", "c_mktsegment"), k = 7)
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"), col("qi_n"))
+    }),
+
+    // NOISY COUNTS, geometric-mechanism shape: per key the true count
+    // plus deterministic two-sided geometric(1/2) noise drawn from a
+    // seeded Lehmer stream (sign bit + trailing-ones magnitude --
+    // exact integer arithmetic end to end, replayed verbatim by the
+    // oracle), clamped at zero.
+    "q243_noisy_counts" -> ((s, dir) => {
+      import graft.operators.Anonymize
+      Anonymize.noisyCounts(
+        t(s, dir, "documents").select((col("doc_id") % 97).as("key")),
+        "key", seed = 7L)
+    }),
+
+    // SOFT DEDUP (exact tier): duplicates are down-WEIGHTED, not
+    // dropped -- per document its normalized-content-hash multiplicity
+    // and the 1/d sampling weight. Duplicates planted by unioning a
+    // shifted copy of every 7th document, so both branches carry mass;
+    // the oracle groups on the same normalization.
+    "q244_soft_dedup" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.softDedupWeights(docs.unionByName(planted), "doc_id", "text")
+    }),
+
+    // SOFT DEDUP (near tier): multiplicity = near-dup CLUSTER size --
+    // MinHash-LSH candidates, Jaccard-verified, closed under connected
+    // components. Fixture is closed-form provable: per base doc,
+    // 1 + (base % 4) clones with synthetic disjoint-token texts, so
+    // every cluster is exactly one clone family and the oracle derives
+    // sizes from the formula (the q65 planted-component pattern); the
+    // genuinely-near (non-identical) path is spec-covered.
+    "q245_soft_dedup_near" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val fam = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("base"),
+          (lit(1) + pmod(expr("doc_id div 10"), lit(4))).cast("int")
+            .as("g"))
+      val clones = fam.select(col("base"), col("g"),
+          explode(sequence(lit(0), col("g") - 1)).as("j"))
+        .select((col("base") * 10 + col("j")).as("doc_id"),
+          array_join(transform(sequence(lit(0), lit(11)),
+            i => concat(lit("t"), col("base"), lit("_"), i)), " ")
+            .as("text"))
+      Dedup.softDedupWeightsNear(clones, "doc_id", "text",
+        threshold = 0.8, shingleN = 2, k = 16, bands = 8)
+    }),
+
+    // PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio): BM25 top-10
+    // feedback docs for the q75 probe query (rounded-rank + id
+    // tie-break), then the 15 strongest expansion terms by all-integer
+    // (feedback df, tf, term) ranking. The corpus explode touches only
+    // matches; the feedback explode touches only 10 docs.
+    "q246_prf_expand" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.prfExpand(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "join"), fbK = 10, nExpand = 15)
+    }),
+
+    // LABEL PROPAGATION (Zhu-Ghahramani hard variant) on the trade
+    // graph: every 10th customer seeds its nation id, three synchronous
+    // plurality rounds with min-label ties, seeds pinned -- integer
+    // votes end to end, so the oracle can unroll round-for-round.
+    "q247_label_prop" -> ((s, dir) => {
+      import graft.operators.Graph
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_nationkey"))
+      Graph.labelPropInt(edges, "src", "dst", seeds, "c_custkey",
+        "c_nationkey", iters = 3)
+    }),
+
+    // HOPPING (sliding) WINDOWS: 10-minute windows every 5 minutes
+    // over the event stream -- Spark's native sliding window() with the
+    // value sum on the exact integer milli lattice (float sums are
+    // partition-order-dependent; milli sums are not).
+    "q248_hopping_window" -> ((s, dir) => {
+      import graft.streaming.EventStream
+      val ev = events(s, dir).select(
+        timestamp_micros(expr("ts div 1000")).as("ts"),
+        col("event_type"), col("value"))
+      EventStream.hoppingAgg(ev, "ts", "event_type", "value",
+          "10 minutes", "5 minutes", "1 hour")
+        .select(unix_micros(col("window_start")).as("w_start_us"),
+          col("event_type"), col("n"), col("total_milli"))
+    }),
+
+    // SELF-INSTRUCT ROUGE-L DEDUP: candidate instructions vs a bounded
+    // seed pool -- max LCS-F per candidate with min-seed-id argmax,
+    // keep = best F under 0.7. Candidates every 5th doc, seeds every
+    // 20th (a subset -- those candidates self-match at 10^6 and drop,
+    // the correct verdict); 8-token heads keep the DP bounded.
+    "q249_rouge_dedup" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val w = split(trim(col("text")), " ")
+      val head8 = array_join(slice(w, lit(1), lit(8)), " ")
+      val docs = t(s, dir, "documents")
+      val cands = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), head8.as("itext"))
+      val pool = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("sid"), head8.as("stext"))
+      EvalMetrics.rougeDedup(cands, "doc_id", "itext", pool, "sid",
+        "stext", thresholdPpm = 700000L)
     })
   )
 
@@ -10330,6 +10520,366 @@ object SparkEntry {
       """SELECT r_regionkey,
         |  CASE r_name WHEN 'AFRICA' THEN 'WEST' WHEN 'AMERICA' THEN 'WEST'
         |    WHEN 'ASIA' THEN 'EAST' WHEN 'EUROPE' THEN 'EU' ELSE r_name END AS r_name
-        |FROM region""".stripMargin
+        |FROM region""".stripMargin,
+
+    // q238: the clipped n-gram stats replayed list-for-list; grams
+    // join on chr(31) exactly like the Spark side's control-char
+    // separator, and every out-of-range slice coalesces to ''/[]
+    // (DuckDB NULL vs Spark empty).
+    "q238_bleu_stats" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |pr AS (SELECT doc_id,
+         |    COALESCE(array_to_string(w[1:10], ' '), '') AS ref,
+         |    COALESCE(CASE WHEN doc_id % 3 = 0
+         |        THEN array_to_string(w[1:10], ' ')
+         |      WHEN doc_id % 3 = 1 THEN array_to_string(w[3:12], ' ')
+         |      ELSE array_to_string(w[1:3], ' ') END, '') AS cand
+         |  FROM d),
+         |tk AS (SELECT doc_id, cand, ref,
+         |    list_filter(regexp_split_to_array(trim(cand), '\s+'),
+         |      t -> t <> '') AS c,
+         |    list_filter(regexp_split_to_array(trim(ref), '\s+'),
+         |      t -> t <> '') AS r
+         |  FROM pr),
+         |g AS (SELECT doc_id, cand, ref, c, r,
+         |    c AS gc1, r AS gr1,
+         |    list_transform(range(0, greatest(len(c) - 1, 0)),
+         |      i -> array_to_string(c[i+1:i+2], chr(31))) AS gc2,
+         |    list_transform(range(0, greatest(len(r) - 1, 0)),
+         |      i -> array_to_string(r[i+1:i+2], chr(31))) AS gr2,
+         |    list_transform(range(0, greatest(len(c) - 2, 0)),
+         |      i -> array_to_string(c[i+1:i+3], chr(31))) AS gc3,
+         |    list_transform(range(0, greatest(len(r) - 2, 0)),
+         |      i -> array_to_string(r[i+1:i+3], chr(31))) AS gr3,
+         |    list_transform(range(0, greatest(len(c) - 3, 0)),
+         |      i -> array_to_string(c[i+1:i+4], chr(31))) AS gc4,
+         |    list_transform(range(0, greatest(len(r) - 3, 0)),
+         |      i -> array_to_string(r[i+1:i+4], chr(31))) AS gr4
+         |  FROM tk),
+         |st AS (SELECT doc_id, cand, ref,
+         |    CAST(len(c) AS BIGINT) AS cand_len,
+         |    CAST(len(r) AS BIGINT) AS ref_len,
+         |    CAST(CASE WHEN len(gc1) = 0 THEN 0 ELSE list_reduce(
+         |      list_transform(list_distinct(gc1), t -> least(
+         |        len(list_filter(gc1, x -> x = t)),
+         |        len(list_filter(gr1, x -> x = t)))), (a, b) -> a + b)
+         |      END AS BIGINT) AS m1,
+         |    CAST(len(gc1) AS BIGINT) AS t1,
+         |    CAST(CASE WHEN len(gc2) = 0 THEN 0 ELSE list_reduce(
+         |      list_transform(list_distinct(gc2), t -> least(
+         |        len(list_filter(gc2, x -> x = t)),
+         |        len(list_filter(gr2, x -> x = t)))), (a, b) -> a + b)
+         |      END AS BIGINT) AS m2,
+         |    CAST(len(gc2) AS BIGINT) AS t2,
+         |    CAST(CASE WHEN len(gc3) = 0 THEN 0 ELSE list_reduce(
+         |      list_transform(list_distinct(gc3), t -> least(
+         |        len(list_filter(gc3, x -> x = t)),
+         |        len(list_filter(gr3, x -> x = t)))), (a, b) -> a + b)
+         |      END AS BIGINT) AS m3,
+         |    CAST(len(gc3) AS BIGINT) AS t3,
+         |    CAST(CASE WHEN len(gc4) = 0 THEN 0 ELSE list_reduce(
+         |      list_transform(list_distinct(gc4), t -> least(
+         |        len(list_filter(gc4, x -> x = t)),
+         |        len(list_filter(gr4, x -> x = t)))), (a, b) -> a + b)
+         |      END AS BIGINT) AS m4,
+         |    CAST(len(gc4) AS BIGINT) AS t4
+         |  FROM g)
+         |SELECT doc_id, cand, ref, cand_len, ref_len,
+         |  m1, t1, m2, t2, m3, t3, m4, t4,
+         |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0
+         |    THEN CAST(floor(CAST(m1 * m2 * m3 * m4 AS DOUBLE) * 1000000
+         |      / (t1 * t2 * t3 * t4)) AS BIGINT) END AS prec_geo_ppm
+         |FROM st""".stripMargin,
+
+    // q239: the LCS row DP as a recursive CTE carrying the row as a
+    // list (q224 pattern); the within-row dependency is gone via the
+    // prefix-max identity new[j] = max(prev[j], max_{k<=j}(prev[k-1]
+    // + eq(i,k))) — valid because LCS rows are monotone.
+    "q239_rouge_l" ->
+      raw"""WITH RECURSIVE d AS (SELECT doc_id,
+         |    str_split(trim(text), ' ') AS w FROM documents),
+         |px AS (SELECT doc_id,
+         |    COALESCE(w[1:10], CAST([] AS VARCHAR[])) AS r0 FROM d),
+         |pc AS (SELECT px.doc_id, r0,
+         |    CASE WHEN px.doc_id % 3 = 0 THEN
+         |        list_transform(range(1, len(r0) + 1),
+         |          j -> CASE WHEN j = 4 THEN 'zzz' ELSE r0[j] END)
+         |      WHEN px.doc_id % 3 = 1 THEN
+         |        COALESCE(d.w[4:13], CAST([] AS VARCHAR[]))
+         |      ELSE list_reverse(r0) END AS c0
+         |  FROM px JOIN d ON d.doc_id = px.doc_id),
+         |tk AS (SELECT doc_id,
+         |    COALESCE(array_to_string(c0, ' '), '') AS cand,
+         |    COALESCE(array_to_string(r0, ' '), '') AS ref,
+         |    c0 AS c, r0 AS r FROM pc),
+         |lcs AS (
+         |  SELECT doc_id, c, r, 0 AS i,
+         |    list_transform(range(0, len(r) + 1), x -> 0) AS dp FROM tk
+         |  UNION ALL
+         |  SELECT doc_id, c, r, i + 1,
+         |    list_transform(range(0, len(r) + 1), j ->
+         |      CASE WHEN j = 0 THEN 0
+         |        ELSE greatest(dp[j + 1], list_max(
+         |          list_transform(range(1, j + 1), k ->
+         |            dp[k] + CASE WHEN c[i + 1] = r[k] THEN 1
+         |              ELSE 0 END))) END) AS dp
+         |  FROM lcs WHERE i < len(c)),
+         |fin AS (SELECT doc_id, dp[len(r) + 1] AS lcs FROM lcs
+         |  WHERE i = len(c))
+         |SELECT tk.doc_id, cand, ref,
+         |  CAST(len(c) AS BIGINT) AS cand_len,
+         |  CAST(len(r) AS BIGINT) AS ref_len,
+         |  CAST(fin.lcs AS BIGINT) AS lcs_len,
+         |  CAST(CASE WHEN len(c) + len(r) = 0 THEN 1000000
+         |    WHEN len(c) = 0 THEN 0
+         |    ELSE floor(CAST(fin.lcs AS DOUBLE) * 1000000 / len(c))
+         |    END AS BIGINT) AS rouge_p_ppm,
+         |  CAST(CASE WHEN len(c) + len(r) = 0 THEN 1000000
+         |    WHEN len(r) = 0 THEN 0
+         |    ELSE floor(CAST(fin.lcs AS DOUBLE) * 1000000 / len(r))
+         |    END AS BIGINT) AS rouge_r_ppm,
+         |  CAST(CASE WHEN len(c) + len(r) = 0 THEN 1000000
+         |    ELSE floor(CAST(fin.lcs AS DOUBLE) * 2000000
+         |      / (len(c) + len(r))) END AS BIGINT) AS rouge_f_ppm
+         |FROM tk JOIN fin ON fin.doc_id = tk.doc_id""".stripMargin,
+
+    // q240: two unnormalized HITS rounds unrolled join-for-join (the
+    // q164 pattern) on the DIRECTED customer->supplier graph.
+    "q240_hits" ->
+      raw"""WITH f AS (SELECT DISTINCT o_custkey AS src,
+         |    1000000 + l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |n AS (SELECT src AS node FROM f UNION SELECT dst FROM f),
+         |a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS auth
+         |  FROM f GROUP BY dst),
+         |a1f AS (SELECT n.node,
+         |    CAST(COALESCE(a1.auth, 0) AS BIGINT) AS auth
+         |  FROM n LEFT JOIN a1 ON a1.node = n.node),
+         |h1 AS (SELECT f.src AS node, CAST(sum(a1f.auth) AS BIGINT)
+         |    AS hub
+         |  FROM f JOIN a1f ON a1f.node = f.dst GROUP BY f.src),
+         |h1f AS (SELECT n.node,
+         |    CAST(COALESCE(h1.hub, 0) AS BIGINT) AS hub
+         |  FROM n LEFT JOIN h1 ON h1.node = n.node),
+         |a2 AS (SELECT f.dst AS node, CAST(sum(h1f.hub) AS BIGINT)
+         |    AS auth
+         |  FROM f JOIN h1f ON h1f.node = f.src GROUP BY f.dst),
+         |a2f AS (SELECT n.node,
+         |    CAST(COALESCE(a2.auth, 0) AS BIGINT) AS auth
+         |  FROM n LEFT JOIN a2 ON a2.node = n.node),
+         |h2 AS (SELECT f.src AS node, CAST(sum(a2f.auth) AS BIGINT)
+         |    AS hub
+         |  FROM f JOIN a2f ON a2f.node = f.dst GROUP BY f.src),
+         |h2f AS (SELECT n.node,
+         |    CAST(COALESCE(h2.hub, 0) AS BIGINT) AS hub
+         |  FROM n LEFT JOIN h2 ON h2.node = n.node)
+         |SELECT n.node, h2f.hub, a2f.auth
+         |FROM n JOIN h2f ON h2f.node = n.node
+         |  JOIN a2f ON a2f.node = n.node""".stripMargin,
+
+    // q241: the chained strict-min funnel replayed agg-for-agg on
+    // int64-nanos event time.
+    "q241_funnel" ->
+      raw"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+         |  FROM events),
+         |s1 AS (SELECT user_id AS "user", CAST(min(ts) AS BIGINT) AS ts1
+         |  FROM e WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT s1."user", s1.ts1,
+         |    CAST(min(CASE WHEN c.ts > s1.ts1 THEN c.ts END) AS BIGINT)
+         |      AS ts2
+         |  FROM s1 LEFT JOIN e c ON c.user_id = s1."user"
+         |    AND c.event_type = 'click'
+         |  GROUP BY 1, 2),
+         |s3 AS (SELECT s2."user", ts1, ts2,
+         |    CAST(min(CASE WHEN p.ts > s2.ts2 THEN p.ts END) AS BIGINT)
+         |      AS ts3
+         |  FROM s2 LEFT JOIN e p ON p.user_id = s2."user"
+         |    AND p.event_type = 'purchase'
+         |  GROUP BY 1, 2, 3)
+         |SELECT "user", ts1, ts2, ts3,
+         |  CAST(1 + CASE WHEN ts2 IS NULL THEN 0 ELSE 1 END
+         |    + CASE WHEN ts3 IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         |    AS steps_completed
+         |FROM s3""".stripMargin,
+
+    "q242_k_anonymity" ->
+      raw"""WITH s AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(count(*) AS BIGINT) AS qi_n
+         |  FROM customer GROUP BY 1, 2 HAVING count(*) >= 7)
+         |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment, s.qi_n
+         |FROM customer c
+         |JOIN s USING (c_nationkey, c_mktsegment)""".stripMargin,
+
+    // q243: the seeded Lehmer noise draw replayed in exact integer
+    // arithmetic — sign from bit 0, magnitude = trailing one-bits of
+    // the rest via the binary string (printf('%b') here, conv(,10,2)
+    // on the Spark side — same digits).
+    "q243_noisy_counts" ->
+      raw"""WITH g AS (SELECT doc_id % 97 AS key,
+         |    CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |u AS (SELECT key, n,
+         |    ((key + 7) % 2147483647) * 48271 % 2147483647 AS l1 FROM g),
+         |v AS (SELECT key, n,
+         |    ((l1 + 7) % 2147483647) * 48271 % 2147483647 AS uu FROM u),
+         |m AS (SELECT key, n, uu, printf('%b', uu // 2) AS b FROM v),
+         |z AS (SELECT key, n, uu,
+         |    CAST(length(b) - length(rtrim(b, '1')) AS BIGINT) AS mag
+         |  FROM m)
+         |SELECT key, n,
+         |  CAST((1 - 2 * (uu % 2)) * mag AS BIGINT) AS noise,
+         |  CAST(greatest(n + (1 - 2 * (uu % 2)) * mag, 0) AS BIGINT)
+         |    AS noisy_n
+         |FROM z""".stripMargin,
+
+    // q244: multiplicity via the same whitespace/case normalization
+    // the Spark side hashes (the md5 is injective here, so grouping
+    // on the normalized string is the same partition).
+    "q244_soft_dedup" ->
+      raw"""WITH ad AS (SELECT doc_id, text FROM documents
+         |    UNION ALL
+         |    SELECT doc_id + 1000000, text FROM documents
+         |    WHERE doc_id % 7 = 0),
+         |h AS (SELECT doc_id, CASE WHEN text IS NULL THEN NULL
+         |    ELSE regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+         |    END AS ntext FROM ad),
+         |sz AS (SELECT ntext, CAST(count(*) AS BIGINT) AS dup_n
+         |  FROM h WHERE ntext IS NOT NULL GROUP BY ntext)
+         |SELECT h.doc_id, CAST(COALESCE(sz.dup_n, 1) AS BIGINT) AS dup_n,
+         |  CAST(1000000 // COALESCE(sz.dup_n, 1) AS BIGINT) AS weight_ppm
+         |FROM h LEFT JOIN sz USING (ntext)""".stripMargin,
+
+    // q245: closed-form planted clusters (the q65 pattern) — each
+    // clone family is one near-dup component by construction, so the
+    // oracle derives sizes from the clone formula without replaying
+    // the LSH.
+    "q245_soft_dedup_near" ->
+      raw"""WITH b AS (SELECT doc_id AS base,
+         |    1 + (doc_id // 10) % 4 AS g
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |c AS (SELECT base, g, unnest(range(0, 4)) AS j FROM b)
+         |SELECT CAST(base * 10 + j AS BIGINT) AS doc_id,
+         |  CAST(g AS BIGINT) AS dup_n,
+         |  CAST(1000000 // g AS BIGINT) AS weight_ppm
+         |FROM c WHERE j < g""".stripMargin,
+
+    // q246: the q75 BM25 chain, rounded-rank top-10 feedback, then the
+    // all-integer (df, tf, term) candidate ranking.
+    "q246_prf_expand" ->
+      raw"""WITH base AS (
+         |  SELECT doc_id, trim(lower(text)) AS lt FROM documents
+         |  WHERE text IS NOT NULL),
+         |dls AS (SELECT doc_id, lt,
+         |  CASE WHEN lt = '' THEN 0
+         |       ELSE len(regexp_split_to_array(lt, '\s+')) END AS dl
+         |  FROM base),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dls),
+         |toks AS (SELECT doc_id, dl,
+         |  unnest(regexp_split_to_array(lt, '\s+')) AS term FROM dls),
+         |hits AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks
+         |  WHERE term IN ('spark', 'query', 'join') GROUP BY 1, 2, 3),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM hits
+         |  GROUP BY 1),
+         |sc AS (SELECT h.doc_id,
+         |    round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf
+         |      * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+         |      6) AS r
+         |  FROM hits h CROSS JOIN stats JOIN dfreq USING (term)
+         |  GROUP BY 1),
+         |fb AS (SELECT doc_id FROM sc ORDER BY r DESC, doc_id LIMIT 10),
+         |ft AS (SELECT t.doc_id, t.term FROM toks t JOIN fb USING (doc_id)
+         |  WHERE t.term NOT IN ('spark', 'query', 'join')
+         |    AND t.term <> '')
+         |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS fb_df,
+         |  CAST(count(*) AS BIGINT) AS fb_tf
+         |FROM ft GROUP BY term
+         |ORDER BY fb_df DESC, fb_tf DESC, term LIMIT 15""".stripMargin,
+
+    // q247: three plurality rounds unrolled — votes, node-partitioned
+    // argmax with (votes desc, label asc), seeds re-pinned each round.
+    "q247_label_prop" ->
+      raw"""WITH f0 AS (SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM f0 UNION ALL SELECT dst, src FROM f0)),
+         |sd AS (SELECT DISTINCT c_custkey AS node,
+         |    CAST(c_nationkey AS BIGINT) AS label
+         |  FROM customer WHERE c_custkey % 10 = 0),
+         |v1 AS (SELECT e.dst AS node, l.label, count(*) AS v
+         |  FROM e JOIN sd l ON l.node = e.src GROUP BY 1, 2),
+         |a1 AS (SELECT node, label FROM v1
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |    ORDER BY v DESC, label ASC) = 1),
+         |l1 AS (SELECT * FROM sd UNION ALL
+         |  SELECT * FROM a1 WHERE node NOT IN (SELECT node FROM sd)),
+         |v2 AS (SELECT e.dst AS node, l.label, count(*) AS v
+         |  FROM e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+         |a2 AS (SELECT node, label FROM v2
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |    ORDER BY v DESC, label ASC) = 1),
+         |l2 AS (SELECT * FROM sd UNION ALL
+         |  SELECT * FROM a2 WHERE node NOT IN (SELECT node FROM sd)),
+         |v3 AS (SELECT e.dst AS node, l.label, count(*) AS v
+         |  FROM e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+         |a3 AS (SELECT node, label FROM v3
+         |  QUALIFY row_number() OVER (PARTITION BY node
+         |    ORDER BY v DESC, label ASC) = 1),
+         |l3 AS (SELECT * FROM sd UNION ALL
+         |  SELECT * FROM a3 WHERE node NOT IN (SELECT node FROM sd))
+         |SELECT node, label FROM l3""".stripMargin,
+
+    // q248: sliding-window membership from epoch-microsecond
+    // arithmetic — window starts k·slide with (eu − len)//slide < k
+    // ≤ eu//slide — and the same integer milli value lattice.
+    "q248_hopping_window" ->
+      raw"""WITH e AS (SELECT epoch_us(ts) AS eu, event_type, value
+         |  FROM events),
+         |x AS (SELECT event_type, value,
+         |    unnest(list_transform(range(
+         |      (eu - 600000000) // 300000000 + 1,
+         |      eu // 300000000 + 1), k -> k * 300000000)) AS w_start_us
+         |  FROM e)
+         |SELECT w_start_us, event_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+         |    AS total_milli
+         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // q249: the q239 recursive LCS DP keyed by (candidate, seed) over
+    // the bounded cross, then a candidate-partitioned argmax.
+    "q249_rouge_dedup" ->
+      raw"""WITH RECURSIVE d AS (SELECT doc_id,
+         |    str_split(trim(text), ' ') AS w FROM documents),
+         |cd AS (SELECT doc_id AS cand_id,
+         |    COALESCE(w[1:8], CAST([] AS VARCHAR[])) AS c
+         |  FROM d WHERE doc_id % 5 = 0),
+         |sp AS (SELECT doc_id AS sid,
+         |    COALESCE(w[1:8], CAST([] AS VARCHAR[])) AS r
+         |  FROM d WHERE doc_id % 20 = 0),
+         |pr AS (SELECT cand_id, sid, c, r FROM cd, sp),
+         |lcs AS (
+         |  SELECT cand_id, sid, c, r, 0 AS i,
+         |    list_transform(range(0, len(r) + 1), x -> 0) AS dp FROM pr
+         |  UNION ALL
+         |  SELECT cand_id, sid, c, r, i + 1,
+         |    list_transform(range(0, len(r) + 1), j ->
+         |      CASE WHEN j = 0 THEN 0
+         |        ELSE greatest(dp[j + 1], list_max(
+         |          list_transform(range(1, j + 1), k ->
+         |            dp[k] + CASE WHEN c[i + 1] = r[k] THEN 1
+         |              ELSE 0 END))) END) AS dp
+         |  FROM lcs WHERE i < len(c)),
+         |fin AS (SELECT cand_id, sid, dp[len(r) + 1] AS lcs FROM lcs
+         |  WHERE i = len(c)),
+         |f AS (SELECT p.cand_id, p.sid,
+         |    CAST(CASE WHEN len(p.c) + len(p.r) = 0 THEN 1000000
+         |      ELSE floor(CAST(fin.lcs AS DOUBLE) * 2000000
+         |        / (len(p.c) + len(p.r))) END AS BIGINT) AS fppm
+         |  FROM pr p JOIN fin ON fin.cand_id = p.cand_id
+         |    AND fin.sid = p.sid)
+         |SELECT cand_id, fppm AS best_f_ppm, sid AS best_seed,
+         |  fppm < 700000 AS keep
+         |FROM f QUALIFY row_number() OVER (PARTITION BY cand_id
+         |  ORDER BY fppm DESC, sid ASC) = 1""".stripMargin
   )
 }

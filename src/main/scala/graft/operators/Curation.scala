@@ -381,6 +381,43 @@ object Curation {
       .agg(sum(col("__s")).as("bm25"), count(lit(1)).as("n_terms"))
   }
 
+  /** Pseudo-relevance feedback query expansion (Rocchio's idea in its
+    * modern PRF form): run [[bm25]] for the probe terms, take the top
+    * `fbK` documents as the feedback set (ranked by the ROUNDED 6-dp
+    * score with the id as tie-break — raw-double rank order is not
+    * reproducible across engines), and return the `nExpand` strongest
+    * expansion candidates among the feedback set's tokens — ranked by
+    * feedback document frequency, then total term frequency, then the
+    * term itself (all-integer ranking, fully deterministic). Original
+    * query terms are excluded. Output: `(term, fb_df, fb_tf)`.
+    *
+    * Scale shape: the corpus-wide BM25 pass is [[bm25]]'s (matches
+    * move, not tokens); the global top-fbK is a TakeOrdered (per-
+    * partition top-k, no full sort, no partitionless window); the
+    * term-statistics pass explodes ONLY the fbK feedback documents
+    * (semi-join first, so the corpus is never re-exploded).
+    */
+  def prfExpand(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], fbK: Int = 10, nExpand: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(fbK >= 1 && fbK <= 10000, s"fbK=$fbK out of range")
+    require(nExpand >= 1 && nExpand <= 10000, s"nExpand=$nExpand")
+    val scored = bm25(docs, idCol, textCol, queryTerms, k1, b)
+      .select(col(idCol), round(col("bm25"), 6).as("__r"))
+      .orderBy(col("__r").desc, col(idCol))
+      .limit(fbK)
+      .select(col(idCol))
+    val fbToks = tokenized(docs, idCol, textCol)
+      .join(scored, Seq(idCol), "left_semi")
+      .select(explode(col("__toks")).as("term"), col(idCol))
+      .filter(!col("term").isin(queryTerms: _*) && col("term") =!= "")
+    fbToks.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("fb_df"),
+        count(lit(1)).as("fb_tf"))
+      .orderBy(col("fb_df").desc, col("fb_tf").desc, col("term"))
+      .limit(nExpand)
+  }
+
   /** Semantic (embedding-space) benchmark decontamination: flag every
     * corpus vector whose cosine against ANY benchmark vector reaches
     * `threshold` — the contamination n-gram matching misses (paraphrased

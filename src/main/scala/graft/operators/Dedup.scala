@@ -367,6 +367,57 @@ object Dedup {
     exact0.join(removed, exact0(idCol) === col("__removed"), "left_anti")
   }
 
+  /** Soft deduplication (down-WEIGHT duplicates instead of dropping
+    * them — the SoftDeDup idea: a document appearing d times trains at
+    * 1/d weight, preserving corpus coverage while killing the
+    * memorization pressure of hard duplicates): one row per document
+    * with its EXACT-duplicate multiplicity `dup_n` (the [[exact]]
+    * normalized-content-hash group size; null-text rows count 1) and
+    * `weight_ppm = 10^6 div dup_n` — the per-example sampling/loss
+    * weight a trainer applies.
+    *
+    * Scale shape: identical to [[exact]] — one 16-byte/row shuffle on
+    * the content hash + the sizes joined back by the same key. For
+    * NEAR-duplicate multiplicities see [[softDedupWeightsNear]].
+    */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val hashed = docs.select(col(idCol), md5(norm).as("__ch"))
+    val sizes = hashed.filter(col("__ch").isNotNull)
+      .groupBy(col("__ch")).agg(count(lit(1)).as("dup_n"))
+    hashed.join(sizes, Seq("__ch"), "left")
+      .select(col(idCol), coalesce(col("dup_n"), lit(1L)).as("dup_n"),
+        expr("1000000L div coalesce(dup_n, 1L)").as("weight_ppm"))
+  }
+
+  /** [[softDedupWeights]] at NEAR-duplicate granularity: multiplicity
+    * is the size of the document's near-dup CLUSTER — MinHash-LSH
+    * candidates, exact-Jaccard verified at `threshold`, closed under
+    * [[connectedComponents]] (label propagation, so transitive chains
+    * weight as one cluster). Documents in no verified pair keep
+    * `dup_n = 1`, `weight_ppm = 10^6`. The heavy stage is the same
+    * candidate generation [[dedupCorpus]] runs; the CC pass only
+    * touches the verified-pair node set (tiny next to the corpus).
+    */
+  def softDedupWeightsNear(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, shingleN: Int = 3,
+      k: Int = 16, bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    val cands = minhashCandidatePairs(docs, idCol, textCol, shingleN, k,
+      bands, maxBucket)
+    val verified = jaccardOnPairs(cands, docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"))
+    val comps = connectedComponents(verified, "id1", "id2")
+    val csizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("dup_n"))
+    val perDoc = comps.join(csizes, Seq("comp"))
+      .select(col("id").as("__nid"), col("dup_n"))
+    docs.select(col(idCol))
+      .join(perDoc, col(idCol) === col("__nid"), "left")
+      .select(col(idCol), coalesce(col("dup_n"), lit(1L)).as("dup_n"),
+        expr("1000000L div coalesce(dup_n, 1L)").as("weight_ppm"))
+  }
+
   /** [[dedupCorpus]] with ONE-PERMUTATION-HASHING candidates instead of
     * k-permutation MinHash-LSH: exact dedup → OPH ≥ minMatch-of-k
     * agreement pairs → exact bigram-Jaccard verify ≥ threshold →

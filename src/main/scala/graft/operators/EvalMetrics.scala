@@ -91,4 +91,148 @@ object EvalMetrics {
           col("n").cast("string"))).cast("long"))
         .as("pass_at_k_ppm"))
   }
+
+  // n-gram joiner: a control char no whitespace-tokenized text can
+  // contain, so "a b"+"c" can't collide with "a"+"b c"
+  private val GramSep = "\u001f"
+
+  /** BLEU sufficient statistics (Papineni et al. 2002) per
+    * (candidate, reference) row: for each n = 1..maxN the CLIPPED
+    * n-gram match count `m{n}` (Σ_g min(cnt_cand(g), cnt_ref(g)))
+    * and the candidate n-gram total `t{n}`, plus both token lengths
+    * (the brevity-penalty inputs), plus `prec_geo_ppm` — the exact
+    * geometric precision product `floor(10^6 · Π m_n / Π t_n)` (null
+    * when any `t_n` = 0, i.e. the candidate is shorter than maxN
+    * tokens; 0 when any `m_n` = 0, as in unsmoothed BLEU). The float
+    * brevity penalty `exp(min(0, 1 − r/c))` is deliberately NOT baked
+    * in: `exp` is not bit-reproducible across engines, and corpus
+    * BLEU needs the raw counts summed over segments first anyway —
+    * callers fold `Σm/Σt` and BP driver-side from these columns.
+    *
+    * Tokenization is bare whitespace split (BLEU is case-sensitive
+    * and scores pre-tokenized text — normalize upstream if desired).
+    * Row-local HOF arithmetic, no shuffle; segments are short by the
+    * caller's contract (ANSI overflow on the Π products throws loudly
+    * past ~10^4-token segments at maxN=4).
+    */
+  def bleuStats(pairs: DataFrame, candCol: String, refCol: String,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN=$maxN out of range 1..6")
+    def toks(c: Column) = filter(split(trim(c), "\\s+"), t => t =!= "")
+    val wc = toks(col(candCol))
+    val wr = toks(col(refCol))
+    def ngrams(w: Column, n: Int): Column =
+      if (n == 1) w
+      else when(size(w) >= n,
+          transform(sequence(lit(0), size(w) - lit(n)),
+            i => array_join(slice(w, i + 1, lit(n)), GramSep)))
+        .otherwise(expr("array()").cast("array<string>"))
+    val withCounts = (1 to maxN).foldLeft(
+        pairs.withColumn("cand_len", size(wc).cast("long"))
+          .withColumn("ref_len", size(wr).cast("long"))) { (df, n) =>
+      val gc = ngrams(wc, n)
+      val gr = ngrams(wr, n)
+      val clipped = aggregate(array_distinct(gc), lit(0L),
+        (acc, g) => acc + least(
+          size(filter(gc, x => x === g)),
+          size(filter(gr, x => x === g))).cast("long"))
+      df.withColumn(s"m$n", clipped)
+        .withColumn(s"t$n", greatest(size(gc), lit(0)).cast("long"))
+    }
+    val mProd = (1 to maxN).map(n => col(s"m$n")).reduce(_ * _)
+    val tProd = (1 to maxN).map(n => col(s"t$n")).reduce(_ * _)
+    withCounts.withColumn("prec_geo_ppm",
+      when((1 to maxN).map(n => col(s"t$n") > 0).reduce(_ && _),
+        floor(mProd.cast("double") * 1000000 / tProd).cast("long")))
+  }
+
+  /** ROUGE-L (Lin 2004) per (candidate, reference) row: the LCS
+    * length over whitespace tokens plus precision / recall / F1
+    * (β = 1) on the ppm lattice. Both-empty scores 10^6 (the emF1
+    * convention), one-empty scores 0. Sequences are required ≤
+    * `maxTokens` (loud refusal — the DP is O(m·n) row-local work;
+    * summaries and instructions are short by contract, truncate
+    * upstream for free-form text). No shuffle; the DP runs as a
+    * Scala UDF because Catalyst HOFs cannot express the
+    * two-dimensional recurrence without O(n³) interpreted copies.
+    */
+  def rougeL(pairs: DataFrame, candCol: String, refCol: String,
+      maxTokens: Int = 256): DataFrame = {
+    val lcsUdf = udf { (p: Seq[String], r: Seq[String]) =>
+      require(p.length <= maxTokens && r.length <= maxTokens,
+        s"rougeL sequences must be <= $maxTokens tokens " +
+          s"(got ${p.length}/${r.length}) — truncate upstream")
+      val prev = Array.fill(r.length + 1)(0)
+      for (i <- 1 to p.length) {
+        var diag = 0 // prev[j-1] before this row overwrote it
+        for (j <- 1 to r.length) {
+          val up = prev(j)
+          prev(j) =
+            if (p(i - 1) == r(j - 1)) diag + 1
+            else math.max(up, prev(j - 1))
+          diag = up
+        }
+      }
+      prev(r.length)
+    }
+    def toks(c: Column) = filter(split(trim(c), "\\s+"), t => t =!= "")
+    val wc = toks(col(candCol))
+    val wr = toks(col(refCol))
+    val base = pairs
+      .withColumn("cand_len", size(wc).cast("long"))
+      .withColumn("ref_len", size(wr).cast("long"))
+      .withColumn("lcs_len", lcsUdf(wc, wr).cast("long"))
+    def ppm(num: Column, den: Column) =
+      when(col("cand_len") + col("ref_len") === 0, lit(1000000L))
+        .when(den === 0, lit(0L))
+        .otherwise(floor(num.cast("double") * 1000000 / den)
+          .cast("long"))
+    base
+      .withColumn("rouge_p_ppm", ppm(col("lcs_len"), col("cand_len")))
+      .withColumn("rouge_r_ppm", ppm(col("lcs_len"), col("ref_len")))
+      .withColumn("rouge_f_ppm",
+        when(col("cand_len") + col("ref_len") === 0, lit(1000000L))
+          .otherwise(floor(col("lcs_len").cast("double") * 2000000
+            / (col("cand_len") + col("ref_len"))).cast("long")))
+  }
+
+  /** Self-Instruct-style instruction dedup (Wang et al. 2022 filter a
+    * candidate instruction when its ROUGE-L against ANY kept
+    * instruction exceeds 0.7): every candidate row gets its maximum
+    * [[rougeL]] F against the SEED pool, the arg-max seed (ties → the
+    * smaller seed id), and the keep verdict `best_f_ppm <
+    * thresholdPpm`. A candidate also present in the pool scores 10^6
+    * against itself and is dropped — the correct answer, not leakage.
+    *
+    * Scale shape: the pool is REQUIRED ≤ `maxSeeds` rows and
+    * broadcast — a |candidates|·|pool| fan-out with per-pair row-local
+    * LCS work, the fewShot/decontaminate shape (seed pools are
+    * curated and small by construction; for corpus×corpus near-dup
+    * use the MinHash family instead). One map-side-combined struct-max
+    * per candidate; no windows.
+    */
+  def rougeDedup(cands: DataFrame, idCol: String, textCol: String,
+      pool: DataFrame, poolIdCol: String, poolTextCol: String,
+      thresholdPpm: Long = 700000L, maxSeeds: Int = 4096,
+      maxTokens: Int = 256): DataFrame = {
+    require(thresholdPpm > 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm=$thresholdPpm out of (0, 10^6]")
+    val p0 = pool.select(col(poolIdCol).cast("long").as("__sid"),
+      col(poolTextCol).as("__stext"))
+    val nPool = p0.limit(maxSeeds + 1).count()
+    require(nPool >= 1 && nPool <= maxSeeds,
+      s"seed pool has $nPool rows — need 1..$maxSeeds (this is a " +
+        "broadcast fan-out; for corpus-scale pools use MinHash dedup)")
+    val pairs = cands
+      .select(col(idCol).cast("long").as("cand_id"),
+        col(textCol).as("__ctext"))
+      .crossJoin(broadcast(p0))
+    rougeL(pairs, "__ctext", "__stext", maxTokens)
+      .groupBy(col("cand_id"))
+      .agg(max(struct(col("rouge_f_ppm").as("f"),
+        (-col("__sid")).as("ns"))).as("__m"))
+      .select(col("cand_id"), col("__m.f").as("best_f_ppm"),
+        (-col("__m.ns")).as("best_seed"),
+        (col("__m.f") < thresholdPpm).as("keep"))
+  }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Funnel analysis over an event stream — the product-analytics
+  * primitive (view → click → purchase conversion) and, in corpus
+  * curation, the crawl-lifecycle funnel (fetched → parsed → kept).
+  *
+  * Semantics: step i is completed at the MINIMUM event time of an
+  * event of type `steps(i)` that is STRICTLY after step i−1's
+  * completion time (step 0 at its global per-user minimum). Strict
+  * ordering means one event can never witness two steps, and an
+  * equal-timestamp pair does not count as progress — the conservative
+  * read when timestamps are coarse. A user absent from step 0's type
+  * is absent from the output.
+  */
+object Funnel {
+
+  /** One row per user who completed step 0: `user`, `steps_completed`
+    * (1..k), and `ts1..tsk` — step completion times (null once the
+    * funnel is abandoned). Timestamps are compared with `>` as longs
+    * (int64 nanos in this codebase's event relations).
+    *
+    * Scale shape: k−1 chained (filter → join → agg) rounds, each
+    * touching only the NEXT step's events (filters push to the scan,
+    * so each round reads one event type, not the whole relation); the
+    * per-user state that flows between rounds is one row per
+    * surviving user. All aggregations are map-side combined; no
+    * windows, no collect_list of a user's history (a power user with
+    * 10⁶ events costs the same as one with 10).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.length <= 8,
+      s"need 1..8 funnel steps, got ${steps.length}")
+    require(steps.distinct.length == steps.length,
+      "funnel steps must be distinct event types")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).cast("long").as("ts1"))
+    for (i <- 2 to steps.length) {
+      val prevCols = (1 until i).map(j => col(s"ts$j"))
+      val nexts = events.filter(col(typeCol) === steps(i - 1))
+        .select(col(userCol).as("user"), col(tsCol).cast("long").as("__ts"))
+      cur = cur.join(nexts, Seq("user"), "left")
+        .groupBy((col("user") +: prevCols): _*)
+        .agg(min(when(col("__ts") > col(s"ts${i - 1}"), col("__ts")))
+          .as(s"ts$i"))
+    }
+    val reached = (1 to steps.length)
+      .map(j => when(col(s"ts$j").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    cur.withColumn("steps_completed", reached.cast("int"))
+  }
+
+  /** The funnel report a dashboard renders: per step index (1-based),
+    * how many users reached it and the conversion ppm versus step 1.
+    * One [[funnel]] pass + a bounded k-row broadcast theta join (the
+    * documented fewShot-style cross: ≤ 8 step rows against one row
+    * per step-1 user) + one map-side-combined count.
+    */
+  def funnelReport(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    val f = funnel(events, userCol, typeCol, tsCol, steps)
+    val perUser = f.select(col("user"), col("steps_completed"))
+    val total = perUser.count()
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepIx = broadcast((1 to steps.length).toDF("step"))
+    stepIx.join(perUser,
+        perUser("steps_completed") >= stepIx("step"), "left")
+      .groupBy(col("step"))
+      .agg(count(col("user")).as("n_users"))
+      .withColumn("conv_ppm",
+        when(lit(total) === 0, lit(0L))
+          .otherwise(floor(col("n_users").cast("double") * 1000000
+            / lit(total)).cast("long")))
+  }
+}

@@ -206,4 +206,99 @@ object Graph {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the INTEGER lattice:
+    * `iters` synchronous unnormalized rounds from `h₀ = 1`,
+    *
+    *   a'(v) = Σ_{u→v} h(u)      h'(v) = Σ_{v→w} a'(w)
+    *
+    * Unnormalized integer HITS has a combinatorial meaning — after
+    * `k` rounds `h(v)` counts the alternating out/in paths of length
+    * `2k` starting at `v` — and is EXACT: no float normalization, so
+    * the result is bit-identical across partitionings and engines
+    * (the reason L2-normalized HITS can't be oracle-gated). Rank
+    * order equals normalized HITS at every round, which is all a
+    * curator consumes. Nodes are derived from the edges; a node with
+    * no out-edges keeps hub 0, no in-edges keeps authority 0.
+    *
+    * Scale shape: each round is two edge-sized equi joins + map-side-
+    * combined long sums (the PageRank shape), lineage cut per round.
+    * Values grow like (Σdeg²)^k — `iters` is capped at 4 and ANSI
+    * overflow throws loudly rather than wrapping (at iters=2 the
+    * bound is comfortable for any host graph with degrees ≤ ~10⁴).
+    */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 4, s"iters $iters out of range 1..4")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var hubs = nodes.select(col("node"), lit(1L).as("hub"))
+    var auths: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val aSums = e.join(hubs, e("src") === hubs("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
+      auths = nodes.select(col("node")).join(aSums, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
+        .localCheckpoint()
+      val hSums = e.join(auths.withColumnRenamed("node", "__an"),
+          e("dst") === col("__an"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
+      hubs = nodes.select(col("node")).join(hSums, Seq("node"), "left")
+        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
+        .localCheckpoint()
+      it += 1
+    }
+    hubs.join(auths, Seq("node")).select(col("node"), col("hub"),
+      col("auth"))
+  }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002's hard
+    * variant): seed nodes carry pinned labels; every other node adopts
+    * the PLURALITY label among its labeled neighbors each synchronous
+    * round, ties broken by the SMALLEST label id — integer votes and a
+    * deterministic tie-break, so the result is bit-identical across
+    * partitionings and engines (the reason this is oracle-gateable
+    * where soft/float propagation is not). Edges are treated as
+    * UNDIRECTED (symmetrized + deduplicated); a node never reachable
+    * from a seed stays unlabeled and is absent from the output.
+    *
+    * Scale shape: per round one edge-sized equi join (edges ⋈ current
+    * labels) + a map-side-combined (node, label) vote count + a
+    * struct-max argmax — no windows, no driver state; lineage cut per
+    * round. Seeds re-pin by a small outer join. `iters` rounds reach
+    * everything within `iters` hops of a seed (label radius, the
+    * quantity a curator actually bounds).
+    */
+  def labelPropInt(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedNodeCol: String, seedLabelCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10, s"iters $iters out of range 1..10")
+    val fwd = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val e = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val sd = seeds.select(col(seedNodeCol).cast("long").as("node"),
+      col(seedLabelCol).cast("long").as("label")).distinct()
+      .localCheckpoint()
+    var labels = sd
+    var it = 0
+    while (it < iters) {
+      val votes = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val adopted = votes
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("__m"))
+        .select(col("node"), (-col("__m.nl")).as("label"))
+      // seeds stay pinned: a seed's row wins over any adopted label
+      labels = sd.unionByName(
+          adopted.join(sd.select(col("node")), Seq("node"), "left_anti"))
+        .localCheckpoint()
+      it += 1
+    }
+    labels
+  }
 }

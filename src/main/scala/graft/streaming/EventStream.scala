@@ -27,6 +27,28 @@ object EventStream {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total"))
 
+  /** HOPPING (sliding) event-time aggregation — overlapping windows of
+    * `windowLen` advancing every `slide` (windowLen ≥ slide: each event
+    * lands in ⌈len/slide⌉ windows; Spark's native `window(col, len,
+    * slide)` does the replication inside codegen, aligned to epoch-0
+    * multiples of `slide`). The value sum is kept on an exact integer
+    * milli lattice (`Σ floor(value·1000)`): a float sum is
+    * order-dependent across partitionings, the milli sum is not — the
+    * same reason the PageRank family is integer. Works on batch and
+    * streaming inputs alike; the shuffle is keyed (window, key) like
+    * the tumbling form.
+    */
+  def hoppingAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String, slide: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col(valueCol) * 1000).cast("long")).as("total_milli"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n"), col("total_milli"))
+
   /** Streaming dedup on a content key within the watermark horizon —
     * the streaming tier of the dedup family (exact dedup applied to an
     * unbounded corpus: state holds one entry per key inside the horizon).

@@ -57,6 +57,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.contains(4L) && out.contains(5L), "unrelated docs survive")
   }
 
+  test("softDedupWeights: exact-dup multiplicity inverts to weight, " +
+      "singletons keep 1e6, null text counts 1") {
+    val withNull = docs ++ Seq((7L, null.asInstanceOf[String]))
+    val got = Dedup.softDedupWeights(withNull.toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 500000L)) && got(2L) == ((2L, 500000L)))
+    assert(got(3L) == ((1L, 1000000L)) && got(4L) == ((1L, 1000000L)))
+    assert(got(7L) == ((1L, 1000000L)), "null text is its own singleton")
+    // conservation: every input row appears exactly once
+    assert(got.size == withNull.size)
+  }
+
+  test("softDedupWeightsNear: cluster size via connected components, " +
+      "transitive chains weight as one cluster") {
+    // 1,2 exact dups; 3 near-dup of both; 6 near-dup of 3 (chain);
+    // 4,5 unrelated
+    val corpus = docs ++ Seq(
+      (6L, "the quick brown fox jumps over the lazy dog near the river bank today extra"))
+    val got = Dedup.softDedupWeightsNear(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.5, shingleN = 2, k = 16,
+        bands = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((4L, 250000L)) && got(2L) == ((4L, 250000L)) &&
+      got(3L) == ((4L, 250000L)) && got(6L) == ((4L, 250000L)),
+      s"cluster {1,2,3,6} must weight 1/4: $got")
+    assert(got(4L) == ((1L, 1000000L)) && got(5L) == ((1L, 1000000L)))
+  }
+
   test("connectedComponents labels chains, stars, and pairs by their minimum") {
     // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),

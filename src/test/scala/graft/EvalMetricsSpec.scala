@@ -64,4 +64,86 @@ class EvalMetricsSpec extends AnyFunSuite {
       if (t.getCause == null) t else root(t.getCause)
     assert(root(e).getMessage.contains("needs >= 3 samples"))
   }
+
+  test("bleuStats: clipped n-gram counts, geometric product lattice, " +
+      "short-candidate null, repetition clipping") {
+    val d = Seq(
+      (1L, "the cat sat on the mat", "the cat is on the mat"),
+      (2L, "a b c d", "a b c d"),              // perfect -> 1e6
+      (3L, "a b c", "a b c"),                  // < 4 tokens -> t4=0, null
+      (4L, "the the the the the", "the cat"))  // clipping: m1 = 1
+      .toDF("id", "cand", "ref")
+    val r = EvalMetrics.bleuStats(d, "cand", "ref").collect()
+      .map(x => x.getAs[Long]("id") -> x).toMap
+    val r1 = r(1L)
+    assert(r1.getAs[Long]("m1") == 5L && r1.getAs[Long]("t1") == 6L)
+    assert(r1.getAs[Long]("m2") == 3L && r1.getAs[Long]("t2") == 5L)
+    assert(r1.getAs[Long]("m3") == 1L && r1.getAs[Long]("t3") == 4L)
+    assert(r1.getAs[Long]("m4") == 0L && r1.getAs[Long]("t4") == 3L)
+    assert(r1.getAs[Long]("cand_len") == 6L &&
+      r1.getAs[Long]("ref_len") == 6L)
+    assert(r1.getAs[Long]("prec_geo_ppm") == 0L)   // m4 = 0
+    assert(r(2L).getAs[Long]("prec_geo_ppm") == 1000000L)
+    assert(r(3L).isNullAt(r(3L).fieldIndex("prec_geo_ppm")))
+    assert(r(4L).getAs[Long]("m1") == 1L && r(4L).getAs[Long]("t1") == 5L)
+  }
+
+  test("bleuStats: adjacent tokens cannot fuse across the n-gram " +
+      "joiner (separator is a control char)") {
+    // cand bigrams {"a b_c"-style fusions} must NOT match ref ones
+    val d = Seq((1L, "x ab c", "x a bc")).toDF("id", "cand", "ref")
+    val r = EvalMetrics.bleuStats(d, "cand", "ref").collect().head
+    assert(r.getAs[Long]("m2") == 0L)   // "x ab" != "x a", "ab c" != "a bc"
+  }
+
+  test("rougeL: LCS on the ppm lattice, empty edges, loud refusal " +
+      "past maxTokens") {
+    val d = Seq(
+      (1L, "a b c d e", "a c e f"),
+      (2L, "", ""),
+      (3L, "x", ""))
+      .toDF("id", "cand", "ref")
+    val r = EvalMetrics.rougeL(d, "cand", "ref").collect()
+      .map(x => x.getAs[Long]("id") ->
+        ((x.getAs[Long]("lcs_len"), x.getAs[Long]("rouge_p_ppm"),
+          x.getAs[Long]("rouge_r_ppm"), x.getAs[Long]("rouge_f_ppm"))))
+      .toMap
+    assert(r(1L) == ((3L, 600000L, 750000L, 666666L)))
+    assert(r(2L) == ((0L, 1000000L, 1000000L, 1000000L)))
+    assert(r(3L) == ((0L, 0L, 0L, 0L)))
+    val long = Seq((1L, (1 to 20).map(_ => "w").mkString(" "), "w"))
+      .toDF("id", "cand", "ref")
+    val e2 = intercept[Exception] {
+      EvalMetrics.rougeL(long, "cand", "ref", maxTokens = 10).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    assert(root(e2).getMessage.contains("truncate upstream"))
+  }
+
+  test("rougeDedup: max-F against the pool with min-seed-id argmax, " +
+      "self-match drops, threshold gates keep, pool-size refusal") {
+    val pool = Seq((10L, "write a poem about spring"),
+      (11L, "write a poem about spring"),   // duplicate seed text
+      (12L, "summarize the article"))
+      .toDF("sid", "stext")
+    val cands = Seq(
+      (1L, "write a poem about spring"),    // exact vs 10 AND 11 -> min 10
+      (2L, "write a poem about autumn"),    // 4/5 tokens LCS vs 10
+      (3L, "translate this sentence now"))  // novel
+      .toDF("cid", "ctext")
+    val r = EvalMetrics.rougeDedup(cands, "cid", "ctext", pool, "sid",
+        "stext", thresholdPpm = 700000L).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2),
+        x.getBoolean(3)))).toMap
+    assert(r(1L) == ((1000000L, 10L, false)))
+    // LCS("write a poem about autumn","write a poem about spring")=4,
+    // F = floor(4*2e6/10) = 800000 >= threshold -> dropped
+    assert(r(2L) == ((800000L, 10L, false)))
+    assert(r(3L)._3 == true && r(3L)._1 < 700000L)
+    intercept[IllegalArgumentException] {
+      EvalMetrics.rougeDedup(cands, "cid", "ctext", pool, "sid",
+        "stext", maxSeeds = 2)
+    }
+  }
 }

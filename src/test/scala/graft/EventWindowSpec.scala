@@ -1,0 +1,39 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStream
+
+class EventWindowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  test("hoppingAgg: every event lands in len/slide overlapping " +
+      "windows, milli sums are exact, window starts align to slide") {
+    val evs = Seq(
+      (ts(2), "a", 1.25),   // windows starting 00:00 and -? (pre-hour)
+      (ts(7), "a", 2.5),    // windows 00:00 and 00:05
+      (ts(7), "b", 4.0),
+      (ts(12), "a", 8.0))   // windows 00:05 and 00:10
+      .toDF("ts", "k", "v")
+    val got = EventStream.hoppingAgg(evs, "ts", "k", "v",
+        "10 minutes", "5 minutes", "1 hour")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.substring(11, 16),
+        r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // a@00:02 -> [23:55, 00:00]; a@00:07 -> [00:00, 00:05];
+    // a@00:12 -> [00:05, 00:10]
+    assert(got(("23:55", "a")) == ((1L, 1250L)))
+    assert(got(("00:00", "a")) == ((2L, 3750L)))
+    assert(got(("00:05", "a")) == ((2L, 10500L)))
+    assert(got(("00:10", "a")) == ((1L, 8000L)))
+    assert(got(("00:00", "b")) == ((1L, 4000L)))
+    assert(got(("00:05", "b")) == ((1L, 4000L)))
+    // each event contributes to exactly len/slide = 2 windows
+    assert(got.values.map(_._1).sum == 4L * 2)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Funnel
+
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (user, type, ts)
+  val evs = Seq(
+    // u1 completes the whole funnel, with decoys interleaved
+    (1L, "view", 10L), (1L, "click", 20L), (1L, "view", 25L),
+    (1L, "purchase", 30L),
+    // u2 clicks BEFORE viewing — that click can't count; the later
+    // click does
+    (2L, "click", 5L), (2L, "view", 10L), (2L, "click", 15L),
+    // u3: equal timestamps are NOT strictly after -> no progress
+    (3L, "view", 10L), (3L, "click", 10L),
+    // u4 never does step 0 -> absent
+    (4L, "click", 1L), (4L, "purchase", 2L),
+    // u5 views twice, min wins
+    (5L, "view", 50L), (5L, "view", 40L))
+
+  test("funnel: strict ordering, abandonment, min-ts per step, " +
+      "step-0 gate") {
+    val got = Funnel.funnel(evs.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))).toMap
+    assert(got(1L) == ((Some(10L), Some(20L), Some(30L), 3)))
+    assert(got(2L) == ((Some(10L), Some(15L), None, 2)))
+    assert(got(3L) == ((Some(10L), None, None, 1)))
+    assert(!got.contains(4L))
+    assert(got(5L) == ((Some(40L), None, None, 1)))
+  }
+
+  test("funnelReport: reach counts are monotone and ppm is vs step 1") {
+    val got = Funnel.funnelReport(evs.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // 4 users reach step 1 (u1,u2,u3,u5), 2 reach step 2, 1 reaches 3
+    assert(got(1) == ((4L, 1000000L)))
+    assert(got(2) == ((2L, 500000L)))
+    assert(got(3) == ((1L, 250000L)))
+  }
+
+  test("funnel refuses empty and duplicate step lists") {
+    val df = evs.toDF("user_id", "event_type", "ts")
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(df, "user_id", "event_type", "ts", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(df, "user_id", "event_type", "ts",
+        Seq("view", "view"))
+    }
+  }
+}

@@ -139,4 +139,60 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got(7L) == 150000L && got.contains(1L) && got.contains(2L))
   }
+
+  /** Sequential reference of the integer HITS recurrence. */
+  private def hitsRef(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> 1L).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      a = nodes.map(v => v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      h = nodes.map(v => v -> edges.filter(_._1 == v).map(e => a(e._2)).sum).toMap
+    }
+    nodes.map(n => n -> ((h(n), a(n)))).toMap
+  }
+
+  test("hitsInt equals the sequential integer recurrence; pure hubs " +
+      "and pure authorities get the right zeros") {
+    // 4 is a pure hub (no in-edges), 3 a pure authority (no out-edges)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L), (4L, 3L))
+    val got = Graph.hitsInt(edges.toDF("src", "dst"), "src", "dst",
+        iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = hitsRef(edges, 2)
+    assert(got == want, s"got $got want $want")
+    assert(got(3L)._1 == 0L, "pure authority must have hub 0")
+    assert(got(4L)._2 == 0L, "pure hub must have authority 0")
+    // duplicate edges collapse (simple-graph semantics)
+    val dup = Graph.hitsInt((edges ++ edges).toDF("src", "dst"),
+        "src", "dst", iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(dup == want)
+    intercept[IllegalArgumentException] {
+      Graph.hitsInt(edges.toDF("src", "dst"), "src", "dst", iters = 9)
+    }
+  }
+
+  test("labelPropInt: plurality vote with min-label ties, pinned " +
+      "seeds, label radius = iters, unreachable nodes absent") {
+    // two seed islands: node 1 (label 10), node 6 (label 20); a chain
+    // 1-2-3-4 and a triangle 4-5-6; node 9 isolated (edge 9-9 absent)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (7L, 8L))
+    val seeds = Seq((1L, 10L), (6L, 20L))
+    def run(iters: Int) = Graph.labelPropInt(edges.toDF("src", "dst"),
+        "src", "dst", seeds.toDF("n", "l"), "n", "l", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = run(1)
+    // radius 1: only direct neighbors of seeds get labels
+    assert(r1 == Map(1L -> 10L, 6L -> 20L, 2L -> 10L, 5L -> 20L,
+      4L -> 20L), s"got $r1")
+    val r3 = run(3)
+    // seeds stay pinned; 3 hears 10 (via 2) and 20 (via 4) -> one vote
+    // each -> MIN label wins; 7/8 unreachable from any seed -> absent
+    assert(r3(1L) == 10L && r3(6L) == 20L)
+    assert(r3(3L) == 10L, s"tie must break to the smaller label: $r3")
+    assert(!r3.contains(7L) && !r3.contains(8L))
+  }
 }
