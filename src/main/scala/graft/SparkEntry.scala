@@ -4514,6 +4514,27 @@ object SparkEntry {
         .select(col("doc_id").as("sid"), head8.as("stext"))
       EvalMetrics.rougeDedup(cands, "doc_id", "itext", pool, "sid",
         "stext", thresholdPpm = 700000L)
+    }),
+
+    // LAST-TOUCH ATTRIBUTION: each purchase attributed to the user's
+    // latest click STRICTLY before it -- a RANGE window bound (not
+    // ROWS: equal-ts pairs must never attribute, and ROWS is arrival-
+    // order-dependent on ties); organic purchases keep null.
+    "q250_attribution" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.attributeLastTouch(events(s, dir), "user_id", "event_type",
+        "ts", "event_id", "purchase", "click")
+    }),
+
+    // FUNNEL CONVERSION-LATENCY HISTOGRAM: per consecutive step pair,
+    // completion latencies in integer minute buckets -- the "how long"
+    // view next to q241's "how many"; one funnel pass + one map-side-
+    // combined count.
+    "q251_funnel_latency" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.funnelLatencyHistogram(events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        bucketWidth = 60000000000L)
     })
   )
 
@@ -10880,6 +10901,50 @@ object SparkEntry {
          |SELECT cand_id, fppm AS best_f_ppm, sid AS best_seed,
          |  fppm < 700000 AS keep
          |FROM f QUALIFY row_number() OVER (PARTITION BY cand_id
-         |  ORDER BY fppm DESC, sid ASC) = 1""".stripMargin
+         |  ORDER BY fppm DESC, sid ASC) = 1""".stripMargin,
+
+    // q250: the same strictly-before RANGE window on int64-nanos time.
+    "q250_attribution" ->
+      raw"""WITH e AS (SELECT user_id AS "user", event_type AS etype,
+         |    epoch_ns(ts) AS ts, event_id FROM events
+         |  WHERE event_type IN ('purchase', 'click')),
+         |w AS (SELECT "user", etype, ts, event_id,
+         |    max(CASE WHEN etype = 'click' THEN ts END) OVER (
+         |      PARTITION BY "user" ORDER BY ts
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS touch_ts
+         |  FROM e)
+         |SELECT "user", event_id, ts AS conv_ts, touch_ts,
+         |  ts - touch_ts AS latency
+         |FROM w WHERE etype = 'purchase'""".stripMargin,
+
+    // q251: the q241 funnel chain + the same integer minute buckets.
+    "q251_funnel_latency" ->
+      raw"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+         |  FROM events),
+         |s1 AS (SELECT user_id AS "user", CAST(min(ts) AS BIGINT) AS ts1
+         |  FROM e WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT s1."user", s1.ts1,
+         |    CAST(min(CASE WHEN c.ts > s1.ts1 THEN c.ts END) AS BIGINT)
+         |      AS ts2
+         |  FROM s1 LEFT JOIN e c ON c.user_id = s1."user"
+         |    AND c.event_type = 'click'
+         |  GROUP BY 1, 2),
+         |s3 AS (SELECT s2."user", ts1, ts2,
+         |    CAST(min(CASE WHEN p.ts > s2.ts2 THEN p.ts END) AS BIGINT)
+         |      AS ts3
+         |  FROM s2 LEFT JOIN e p ON p.user_id = s2."user"
+         |    AND p.event_type = 'purchase'
+         |  GROUP BY 1, 2, 3),
+         |sel AS (
+         |  SELECT 2 AS step, (ts2 - ts1) // 60000000000 AS bucket
+         |  FROM s3 WHERE ts2 IS NOT NULL
+         |  UNION ALL
+         |  SELECT 3, (ts3 - ts2) // 60000000000
+         |  FROM s3 WHERE ts3 IS NOT NULL)
+         |SELECT CAST(step AS INTEGER) AS step,
+         |  CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM sel GROUP BY 1, 2""".stripMargin
   )
 }

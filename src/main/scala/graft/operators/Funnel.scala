@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Funnel analysis over an event stream — the product-analytics
@@ -76,5 +77,60 @@ object Funnel {
         when(lit(total) === 0, lit(0L))
           .otherwise(floor(col("n_users").cast("double") * 1000000
             / lit(total)).cast("long")))
+  }
+
+  /** Last-touch attribution: every CONVERSION event (type
+    * `convType`) is attributed to the user's latest TOUCH event
+    * (type `touchType`) STRICTLY before it — the standard marketing /
+    * crawl-referrer question. "Strictly before" is a RANGE window
+    * bound (order by the numeric timestamp, unbounded preceding to
+    * −1), so equal-timestamp touch/conversion pairs never attribute
+    * and the result is deterministic under any row order — a ROWS
+    * bound would be arrival-order-dependent on ties. Unmatched
+    * conversions keep a null touch (organic).
+    *
+    * One user-partitioned window over the two filtered event types
+    * (filters push to the scan); latency rides along in the same
+    * pass.
+    */
+  def attributeLastTouch(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, idCol: String, convType: String,
+      touchType: String): DataFrame = {
+    require(convType != touchType,
+      "conversion and touch types must differ")
+    val byUser = Window.partitionBy(col("user")).orderBy(col("ts"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    events.filter(col(typeCol).isin(convType, touchType))
+      .select(col(userCol).as("user"), col(typeCol).as("etype"),
+        col(tsCol).cast("long").as("ts"),
+        col(idCol).cast("long").as("event_id"))
+      .withColumn("touch_ts",
+        max(when(col("etype") === touchType, col("ts"))).over(byUser))
+      .filter(col("etype") === convType)
+      .select(col("user"), col("event_id"),
+        col("ts").as("conv_ts"), col("touch_ts"),
+        (col("ts") - col("touch_ts")).as("latency"))
+  }
+
+  /** Conversion-latency histogram: per consecutive step pair of a
+    * [[funnel]], the distribution of completion latencies in integer
+    * `bucketWidth` buckets (of the ts unit) — the "how long does the
+    * funnel take" view next to [[funnelReport]]'s "how many". One
+    * funnel pass + one map-side-combined count.
+    */
+  def funnelLatencyHistogram(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    require(steps.length >= 2, "need at least two steps for a latency")
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be > 0")
+    val f = funnel(events, userCol, typeCol, tsCol, steps)
+    val spark = events.sparkSession
+    val lats = (2 to steps.length).map { i =>
+      f.filter(col(s"ts$i").isNotNull)
+        .select(lit(i).as("step"),
+          expr(s"(ts$i - ts${i - 1}) div ${bucketWidth}L").as("bucket"))
+    }.reduce(_ unionByName _)
+    lats.groupBy(col("step"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
   }
 }

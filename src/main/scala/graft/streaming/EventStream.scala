@@ -628,6 +628,55 @@ object EventStream {
         })
   }
 
+  final case class FunnelEvent(user: Long, etype: String, ts: Long)
+  final case class FunnelState(stepTs: Seq[Long], lastTs: Long)
+  final case class FunnelVerdict(user: Long, steps_completed: Int,
+      step_ts: Seq[Long])
+
+  /** Streaming funnel — the stateful form of
+    * [[graft.operators.Funnel.funnel]]: per-user state is the k step
+    * completion timestamps (−1 = not reached) plus the last folded
+    * event time — k+1 longs, bounded regardless of history. Each
+    * micro-batch folds its events in `(ts, etype)` order and emits the
+    * user's CURRENT verdict. Same strict-ordering rule as the batch
+    * operator (step i completes at the first event of its type
+    * strictly after step i−1), and the same late-data policy as
+    * [[recrawlStream]]: a cross-batch event with `ts` below the stored
+    * high-water mark is DROPPED (the bounded state cannot lower an
+    * already-committed step time), so stream ≡ batch whenever events
+    * arrive across batches in non-decreasing ts — spec-asserted
+    * parity. Users who never fired step 0 emit `steps_completed = 0`.
+    */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      steps: Seq[String])
+      : org.apache.spark.sql.Dataset[FunnelVerdict] = {
+    require(steps.nonEmpty && steps.length <= 8 &&
+      steps.distinct.length == steps.length,
+      "need 1..8 distinct funnel steps")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val stepIx = steps.zipWithIndex.toMap
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEvent],
+            state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(
+            FunnelState(Seq.fill(steps.length)(-1L), Long.MinValue))
+          rows.toSeq.sortBy(e => (e.ts, e.etype)).foreach { e =>
+            if (e.ts >= st.lastTs) stepIx.get(e.etype).foreach { i =>
+              val ok = st.stepTs(i) < 0 &&
+                (i == 0 || (st.stepTs(i - 1) >= 0 &&
+                  e.ts > st.stepTs(i - 1)))
+              val upd = if (ok) st.stepTs.updated(i, e.ts) else st.stepTs
+              st = FunnelState(upd, e.ts)
+            }
+          }
+          state.update(st)
+          Iterator.single(FunnelVerdict(user,
+            st.stepTs.count(_ >= 0), st.stepTs))
+        })
+  }
+
   final case class Fetch(url: String, ts: Long, fp: Long)
   final case class CrawlState(nObs: Long, nChanges: Long, lastFp: Long,
       lastTs: Long)

@@ -48,6 +48,41 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(3) == ((1L, 250000L)))
   }
 
+  test("attributeLastTouch: latest strictly-before touch wins, " +
+      "equal-ts never attributes, organic conversions keep null") {
+    val evs2 = Seq(
+      (1L, "click", 10L, 100L), (1L, "click", 20L, 101L),
+      (1L, "purchase", 30L, 102L),                  // -> click@20
+      (1L, "purchase", 20L, 103L),                  // ts tie -> click@10
+      (2L, "purchase", 5L, 200L),                   // organic
+      (2L, "click", 9L, 201L))                      // after conv: no use
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Funnel.attributeLastTouch(evs2, "user_id", "event_type",
+        "ts", "event_id", "purchase", "click").collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(3)), Option(r.get(4)))))
+      .toMap
+    assert(got(102L) == ((Some(20L), Some(10L))))
+    assert(got(103L) == ((Some(10L), Some(10L))))
+    assert(got(200L) == ((None, None)))
+    intercept[IllegalArgumentException] {
+      Funnel.attributeLastTouch(evs2, "user_id", "event_type", "ts",
+        "event_id", "purchase", "purchase")
+    }
+  }
+
+  test("funnelLatencyHistogram: per-step-pair bucketed latencies") {
+    val got = Funnel.funnelLatencyHistogram(
+        evs.toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), bucketWidth = 7L)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // u1: click-view = 10 -> bucket 1; purchase-click = 10 -> bucket 1
+    // u2: click-view = 5 -> bucket 0
+    assert(got == Map((2, 1L) -> 1L, (2, 0L) -> 1L, (3, 1L) -> 1L),
+      s"got $got")
+  }
+
   test("funnel refuses empty and duplicate step lists") {
     val df = evs.toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException] {

@@ -118,6 +118,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnelStream: state crosses micro-batches, strict ordering " +
+      "holds, late events drop, final verdicts equal the batch funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{FunnelEvent, FunnelVerdict}
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStream.funnelStream(input.toDS(),
+        Seq("view", "click", "buy"))
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(FunnelEvent(1L, "view", 10L),
+        FunnelEvent(1L, "click", 10L),   // equal ts: no progress
+        FunnelEvent(2L, "click", 5L))    // click before any view
+      q.processAllAvailable()
+      input.addData(FunnelEvent(1L, "click", 20L),  // state carried
+        FunnelEvent(1L, "buy", 30L),
+        FunnelEvent(2L, "view", 8L),
+        FunnelEvent(1L, "view", 1L))     // LATE: ts 1 < high water 30
+      q.processAllAvailable()
+      val last = spark.table("funnel_out").as[FunnelVerdict].collect()
+        .groupBy(_.user)
+        .map { case (u, vs) => u -> vs.maxBy(_.steps_completed) }
+      assert(last(1L).steps_completed == 3 &&
+        last(1L).step_ts == Seq(10L, 20L, 30L), s"got ${last(1L)}")
+      assert(last(2L).steps_completed == 1 &&
+        last(2L).step_ts == Seq(8L, -1L, -1L))
+      // parity with the batch operator on the in-order history
+      val batch = graft.operators.Funnel.funnel(
+        Seq((1L, "view", 10L), (1L, "click", 10L), (2L, "click", 5L),
+          (1L, "click", 20L), (1L, "buy", 30L), (2L, "view", 8L))
+          .toDF("u", "t", "ts"),
+        "u", "t", "ts", Seq("view", "click", "buy")).collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), r.getInt(4)))).toMap
+      last.foreach { case (u, v) =>
+        val b = batch(u)
+        val bTs = Seq(b._1, b._2, b._3).map(_.getOrElse(-1L))
+        assert(bTs == v.step_ts && b._4 == v.steps_completed,
+          s"stream/batch divergence for $u: $v vs $b") }
+    } finally q.stop()
+  }
+
   test("streamingDedup drops repeat keys within the watermark horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
