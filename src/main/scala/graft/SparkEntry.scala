@@ -4535,6 +4535,34 @@ object SparkEntry {
       Funnel.funnelLatencyHistogram(events(s, dir), "user_id",
         "event_type", "ts", Seq("view", "click", "purchase"),
         bucketWidth = 60000000000L)
+    }),
+
+    // MMR DIVERSIFIED TOP-K (Carbonell-Goldstein): greedy
+    // lambda*rel - (1-lambda)*max_cos_to_selected with lambda = 1/2
+    // exact in binary, kernels in ascending-j order -- the q137
+    // discipline, so the oracle replays every pick bit-for-bit.
+    "q252_mmr_select" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val q = Array.tabulate(64)(i => ((i + 1) % 5 - 2).toDouble)
+      Similarity.mmrSelect(t(s, dir, "embeddings"), "vec_id",
+          "embedding", q, k = 6, lambda = 0.5)
+        .select(col("pick"), col("vec_id"),
+          round(col("score"), 6).as("score"))
+    }),
+
+    // GAZETTEER ENTITY TAGGING: dictionary phrases (the 3rd-4th token
+    // bigram of every 50th doc) matched exactly across the corpus --
+    // per (doc, entity) hit count and first position; bounded
+    // broadcast dictionary, row-local slice-equality probes.
+    "q253_gazetteer" -> ((s, dir) => {
+      import graft.operators.Curation
+      val docs = t(s, dir, "documents")
+      val w = split(trim(col("text")), " ")
+      val gaz = docs.filter(col("doc_id") % 50 === 0 && size(w) >= 4)
+        .select(concat(lit("e"), col("doc_id")).as("entity"),
+          array_join(slice(w, lit(3), lit(2)), " ").as("phrase"))
+      Curation.gazetteerTag(docs, "doc_id", "text", gaz, "entity",
+        "phrase")
     })
   )
 
@@ -10945,6 +10973,71 @@ object SparkEntry {
          |SELECT CAST(step AS INTEGER) AS step,
          |  CAST(bucket AS BIGINT) AS bucket,
          |  CAST(count(*) AS BIGINT) AS n
-         |FROM sel GROUP BY 1, 2""".stripMargin
+         |FROM sel GROUP BY 1, 2""".stripMargin,
+
+    // q252: the greedy MMR unrolled pick-for-pick (the q137 k-center
+    // pattern) — cosine kernels in the same ascending-j order, the
+    // exact-binary 0.5 weights, (score desc, id) argmax each round.
+    "q252_mmr_select" -> {
+      def cos(a: String, b: String) =
+        s"(list_reduce(list_transform(range(1, least(len($a.v), " +
+          s"len($b.v)) + 1), j -> $a.v[j] * $b.v[j]), (x, y) -> x + y)" +
+          s" / (sqrt(list_reduce(list_transform(range(1, len($a.v) + 1)" +
+          s", j -> $a.v[j] * $a.v[j]), (x, y) -> x + y))" +
+          s" * sqrt(list_reduce(list_transform(range(1, len($b.v) + 1)" +
+          s", j -> $b.v[j] * $b.v[j]), (x, y) -> x + y))))"
+      val stages = (2 to 5).map { i =>
+        s"""d$i AS (SELECT d.vec_id, d.v, d.rel,
+           |    greatest(d.smax, ${cos("d", "p")}) AS smax
+           |  FROM d${i - 1} d CROSS JOIN p${i - 1} p
+           |  WHERE d.vec_id <> p.vec_id),
+           |p$i AS (SELECT vec_id, v, rel,
+           |    0.5 * rel - 0.5 * smax AS score FROM d$i
+           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val tail = (1 to 5).map { i =>
+        s"UNION ALL SELECT $i, vec_id, round(score, 6) FROM p$i"
+      }.mkString("\n")
+      s"""WITH eq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |    list_transform(range(1, 65),
+         |      j -> CAST(j % 5 - 2 AS DOUBLE)) AS q
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |r AS (SELECT vec_id, v,
+         |    list_reduce(list_transform(range(1, least(len(v), len(q))
+         |        + 1), j -> v[j] * q[j]), (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(range(1, len(v) + 1),
+         |          j -> v[j] * v[j]), (x, y) -> x + y))
+         |        * sqrt(list_reduce(list_transform(range(1, len(q) + 1),
+         |          j -> q[j] * q[j]), (x, y) -> x + y))) AS rel
+         |  FROM eq
+         |  WHERE list_reduce(list_transform(range(1, len(v) + 1),
+         |    j -> v[j] * v[j]), (x, y) -> x + y) > 0),
+         |p0 AS (SELECT vec_id, v, rel FROM r
+         |  ORDER BY rel DESC, vec_id LIMIT 1),
+         |d1 AS (SELECT d.vec_id, d.v, d.rel, ${cos("d", "p")} AS smax
+         |  FROM r d CROSS JOIN p0 p WHERE d.vec_id <> p.vec_id),
+         |p1 AS (SELECT vec_id, v, rel,
+         |    0.5 * rel - 0.5 * smax AS score FROM d1
+         |  ORDER BY score DESC, vec_id LIMIT 1),
+         |$stages
+         |SELECT CAST(0 AS INTEGER) AS pick, vec_id,
+         |  round(rel, 6) AS score FROM p0
+         |$tail""".stripMargin
+    },
+
+    // q253: the same slice-equality probes on list ops; the gazetteer
+    // re-derived from the fixture's bigram formula.
+    "q253_gazetteer" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |g AS (SELECT 'e' || doc_id AS entity, w[3:4] AS ph FROM d
+         |  WHERE doc_id % 50 = 0 AND len(w) >= 4),
+         |x AS (SELECT d.doc_id, g.entity,
+         |    list_filter(range(1, len(d.w) - len(g.ph) + 2),
+         |      p -> d.w[p:p + len(g.ph) - 1] = g.ph) AS hits
+         |  FROM d, g)
+         |SELECT doc_id, entity, CAST(len(hits) AS INTEGER) AS n_matches,
+         |  CAST(hits[1] AS INTEGER) AS first_pos
+         |FROM x WHERE len(hits) > 0""".stripMargin
   )
 }

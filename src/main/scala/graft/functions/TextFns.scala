@@ -645,6 +645,21 @@ object TextFns {
       .otherwise(array().cast("array<int>"))
   }
 
+  /** [[phraseMatches]] with the phrase as a COLUMN (array of tokens) —
+    * the table-driven form a gazetteer join needs. Each candidate
+    * start slice-compares against the phrase array (one codegen'd
+    * array equality per start, no nested per-token lambda). Empty or
+    * null phrases match nowhere.
+    */
+  def phrasePositions(text: Column, phraseToks: Column): Column = {
+    val ws = split(trim(text), " ")
+    val k = size(phraseToks)
+    when(phraseToks.isNotNull && k >= 1 && size(ws) >= k,
+      filter(sequence(lit(1), size(ws) - k + 1),
+        p => slice(ws, p, k) === phraseToks))
+      .otherwise(array().cast("array<int>"))
+  }
+
   /** The `<title>` text (first one, tags inside dropped, whitespace
     * collapsed), null when absent — the page-level signal quality
     * classifiers use.

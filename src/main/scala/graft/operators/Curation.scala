@@ -418,6 +418,40 @@ object Curation {
       .limit(nExpand)
   }
 
+  /** Gazetteer entity tagging: every document × every dictionary
+    * phrase, exact token-sequence matches reported with count and
+    * first position — the dictionary-driven NER pass (product names,
+    * site lists, benchmark titles) a curation pipeline runs where a
+    * model tagger is overkill. Matching is
+    * [[graft.functions.TextFns.phrasePositions]]: per candidate start
+    * one codegen'd array equality — row-local, overlaps all report.
+    *
+    * Scale shape: the gazetteer is REQUIRED ≤ `maxGaz` rows and
+    * broadcast (dictionaries are bounded by construction — the
+    * fewShot/decontaminate contract); each corpus row does |gaz|
+    * row-local probes and only (doc, entity) HITS survive the filter,
+    * so nothing corpus×gaz ever shuffles.
+    */
+  def gazetteerTag(docs: DataFrame, idCol: String, textCol: String,
+      gaz: DataFrame, entityCol: String, phraseCol: String,
+      maxGaz: Int = 65536): DataFrame = {
+    import graft.functions.TextFns
+    val g = gaz.select(col(entityCol).as("entity"),
+      split(trim(col(phraseCol)), "\\s+").as("__ph"))
+    val nGaz = g.limit(maxGaz + 1).count()
+    require(nGaz >= 1 && nGaz <= maxGaz,
+      s"gazetteer has $nGaz rows — need 1..$maxGaz (it is broadcast; " +
+        "for corpus-scale dictionaries shard the tag pass)")
+    val hits = TextFns.phrasePositions(col(textCol), col("__ph"))
+    docs.select(col(idCol), col(textCol))
+      .crossJoin(broadcast(g))
+      .withColumn("__hits", hits)
+      .filter(size(col("__hits")) > 0)
+      .select(col(idCol), col("entity"),
+        size(col("__hits")).as("n_matches"),
+        element_at(col("__hits"), 1).as("first_pos"))
+  }
+
   /** Semantic (embedding-space) benchmark decontamination: flag every
     * corpus vector whose cosine against ANY benchmark vector reaches
     * `threshold` — the contamination n-gram matching misses (paraphrased

@@ -1792,6 +1792,90 @@ object Similarity {
     picks.toSeq.toDF("pick", idCol, "radius")
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein
+    * 1998) — the DIVERSIFIED top-k: greedily pick the vector
+    * maximizing `λ·rel − (1−λ)·max_cos_to_selected`, where `rel` is
+    * the cosine to the probe vector. Next to [[kCenterSample]] (pure
+    * spread, no query) this is the query-AWARE diversity sampler —
+    * the dedup-at-selection-time retrieval pipelines run between ANN
+    * and the prompt.
+    *
+    * λ must be exactly representable in binary (0.5, 0.25, 0.75…):
+    * `λ·rel − (1−λ)·smax` then replays bit-for-bit in the oracle —
+    * identical IEEE ops in the same order, the q137/q134 discipline —
+    * which a 0.7 would break in the last ulp. Same scale shape and
+    * cost note as [[kCenterSample]]: k driver-bounded rounds, each one
+    * broadcast comparator + one TakeOrdered(1), the working set
+    * localCheckpointed per round (≈ k corpus-sized materializations —
+    * run it on the ANN candidate set or a [[kCenterPreShard]] shard,
+    * not the raw corpus). Zero-norm vectors are excluded (cosine
+    * undefined). Output: `(pick, id, score)` with `score` the marginal
+    * objective at pick time (pick 0 reports its raw relevance); ties
+    * break on the smaller id.
+    */
+  def mmrSelect(vecs: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && k <= 256, s"mmrSelect k $k must be in [1, 256]")
+    require(lambda > 0 && lambda < 1 &&
+      (lambda * 4096).isWhole,
+      s"lambda $lambda must be in (0,1) and exact in binary " +
+        "(a multiple of 1/4096) so the oracle replays bit-for-bit")
+    require(query.nonEmpty, "empty query vector")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    require(qn > 0, "zero-norm query vector")
+    // ascending-j kernels so the oracle's list_reduce mirrors term-
+    // for-term (the kCenterSample discipline)
+    def cosTo(c: Array[Double], cn: Double) = udf { (v: Seq[Double]) =>
+      var dot = 0.0; var nv = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { dot += v(i) * c(i); i += 1 }
+      i = 0
+      while (i < v.length) { nv += v(i) * v(i); i += 1 }
+      if (nv == 0.0) Double.NaN else dot / (math.sqrt(nv) * cn)
+    }
+    val clean = vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__rel", cosTo(query, qn)(col("__v")))
+      .filter(!isnan(col("__rel")))
+    val first = clean.orderBy(col("__rel").desc, col("__id").asc)
+      .limit(1).collect()
+    require(first.nonEmpty, "mmrSelect: empty corpus")
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
+      (0, first(0).getLong(0), first(0).getDouble(2)))
+    var center = first(0).getSeq[Double](1).toArray
+    var cnorm = math.sqrt(center.map(x => x * x).sum)
+    var state = clean.filter(col("__id") =!= first(0).getLong(0))
+      .withColumn("__smax", cosTo(center, cnorm)(col("__v")))
+      .localCheckpoint(true)
+    var i = 1
+    var exhausted = false
+    while (i < k && !exhausted) {
+      val score = lit(lambda) * col("__rel") -
+        lit(1.0 - lambda) * col("__smax")
+      val top = state.withColumn("__score", score)
+        .orderBy(col("__score").desc, col("__id").asc).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0)
+        picks += ((i, id, top(0).getAs[Double]("__score")))
+        center = top(0).getSeq[Double](1).toArray
+        cnorm = math.sqrt(center.map(x => x * x).sum)
+        val old = state
+        state = state.filter(col("__id") =!= id)
+          .withColumn("__smax",
+            greatest(col("__smax"), cosTo(center, cnorm)(col("__v"))))
+          .localCheckpoint(true)
+        old.unpersist(blocking = false)
+        i += 1
+      }
+    }
+    state.unpersist(blocking = false)
+    picks.toSeq.toDF("pick", idCol, "score")
+  }
+
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       minCos: Double, keepPerCluster: Int = 1, nLists: Int = 16,
       nProbe: Int = 4, maxListSize: Int = 10000,

@@ -30,4 +30,56 @@ class RetrievalPrfSpec extends AnyFunSuite {
         fbK = 2, nExpand = 5).collect().map(_.getString(0)).toSeq
     assert(got == Seq("x"))
   }
+
+  test("gazetteerTag: multi-token exact matches with count and first " +
+      "position, misses absent, empty-gazetteer refusal") {
+    val docs = Seq(
+      (1L, "the new york city of new york is big"),
+      (2L, "paris and new yorkshire"),     // substring must NOT match
+      (3L, "paris paris paris"))
+      .toDF("doc_id", "text")
+    val gaz = Seq(("NYC", "new york"), ("PAR", "paris"))
+      .toDF("entity", "phrase")
+    val got = Curation.gazetteerTag(docs, "doc_id", "text", gaz,
+        "entity", "phrase").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    assert(got((1L, "NYC")) == ((2, 2)))   // starts at tokens 2 and 6
+    assert(got((3L, "PAR")) == ((3, 1)))
+    assert(got((2L, "PAR")) == ((1, 1)))
+    assert(!got.contains((2L, "NYC")), "token match, not substring")
+    assert(got.size == 3)
+    intercept[IllegalArgumentException] {
+      Curation.gazetteerTag(docs, "doc_id", "text",
+        gaz.filter(col("entity") === "NONE"), "entity", "phrase")
+    }
+  }
+
+  test("mmrSelect: relevance-first seed, diversity penalty reorders, " +
+      "deterministic ties, lambda/zero-norm guards") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, Seq(0.0, 0.0)),          // zero norm: excluded
+      (1L, Seq(1.0, 0.0)),          // rel 1.0 -> seed
+      (2L, Seq(3.0, 4.0)),          // rel 0.6, cos to v1 = 0.6
+      (3L, Seq(0.0, 1.0)))          // rel 0.0, cos to v1 = 0.0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(vecs, "vec_id", "embedding",
+        Array(1.0, 0.0), k = 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toSeq
+      .sortBy(_._1)
+    // pick 1: v2 score .5*.6-.5*.6 = 0; v3 score .5*0-.5*0 = 0 ->
+    // tie, smaller id wins. pick 2: v3 smax = cos(v3,v2) = 0.8
+    assert(got(0) == ((0, (1L, 1.0))))
+    assert(got(1) == ((1, (2L, 0.0))))
+    assert(got(2)._2._1 == 3L && math.abs(got(2)._2._2 + 0.4) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(vecs, "vec_id", "embedding",
+        Array(1.0, 0.0), k = 2, lambda = 0.7)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(vecs, "vec_id", "embedding",
+        Array(0.0, 0.0), k = 2)
+    }
+  }
 }
