@@ -4563,6 +4563,38 @@ object SparkEntry {
           array_join(slice(w, lit(3), lit(2)), " ").as("phrase"))
       Curation.gazetteerTag(docs, "doc_id", "text", gaz, "entity",
         "phrase")
+    }),
+
+    // A/B CONVERSION ANALYSIS: per-user variant (user_id parity) and
+    // purchase conversion folded to the 2x2 table, ppm rates, risk
+    // difference, and the chi-square statistic on an exact integer
+    // lattice (one IEEE division at the end).
+    "q254_ab_test" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.abTest(
+        events(s, dir).withColumn("variant", pmod(col("user_id"), lit(2L))),
+        "user_id", "variant", "event_type", "purchase")
+    }),
+
+    // COHORT RETENTION TRIANGLE: users by first-seen hour, activity
+    // per hour offset, retention on the ppm lattice -- integer period
+    // buckets, one distinct reduction, map-side combined.
+    "q255_retention" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.retentionCohorts(events(s, dir), "user_id", "ts",
+        periodNs = 3600000000000L)
+    }),
+
+    // COHEN'S KAPPA: agreement between two deterministic raters over
+    // the corpus -- exact integer lattice, a single scalar row.
+    "q256_kappa" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val rated = t(s, dir, "documents").select(
+        when(col("doc_id") % 3 === 0, lit("good")).otherwise(lit("bad"))
+          .as("r1"),
+        when((col("doc_id") * 7) % 10 < 4, lit("good"))
+          .otherwise(lit("bad")).as("r2"))
+      EvalMetrics.cohensKappa(rated, "r1", "r2")
     })
   )
 
@@ -11038,6 +11070,84 @@ object SparkEntry {
          |  FROM d, g)
          |SELECT doc_id, entity, CAST(len(hits) AS INTEGER) AS n_matches,
          |  CAST(hits[1] AS INTEGER) AS first_pos
-         |FROM x WHERE len(hits) > 0""".stripMargin
+         |FROM x WHERE len(hits) > 0""".stripMargin,
+
+    // q254: the 2x2 fold and the chi-square lattice replayed
+    // term-for-term (integer products, one DOUBLE division + floor).
+    "q254_ab_test" ->
+      raw"""WITH pu AS (SELECT user_id,
+         |    CAST(user_id % 2 AS BIGINT) AS variant,
+         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS conv
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT
+         |    CAST(COALESCE(sum(CASE WHEN variant = 0 THEN conv END), 0)
+         |      AS BIGINT) AS a,
+         |    CAST(COALESCE(sum(CASE WHEN variant = 0 THEN 1 - conv END),
+         |      0) AS BIGINT) AS b,
+         |    CAST(COALESCE(sum(CASE WHEN variant = 1 THEN conv END), 0)
+         |      AS BIGINT) AS c,
+         |    CAST(COALESCE(sum(CASE WHEN variant = 1 THEN 1 - conv END),
+         |      0) AS BIGINT) AS d
+         |  FROM pu),
+         |r AS (SELECT a, b, c, d,
+         |    CASE WHEN a + b = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(floor(CAST(a AS DOUBLE) * 1000000 / (a + b))
+         |        AS BIGINT) END AS rate0_ppm,
+         |    CASE WHEN c + d = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(floor(CAST(c AS DOUBLE) * 1000000 / (c + d))
+         |        AS BIGINT) END AS rate1_ppm
+         |  FROM w)
+         |SELECT a, b, c, d, rate0_ppm, rate1_ppm,
+         |  rate1_ppm - rate0_ppm AS risk_diff_ppm,
+         |  CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(CAST((a + b + c + d) * (a * d - b * c)
+         |      * (a * d - b * c) AS DOUBLE) * 1000
+         |      / ((a + b) * (c + d) * (a + c) * (b + d))) AS BIGINT)
+         |    END AS chi2_milli
+         |FROM r""".stripMargin,
+
+    // q255: integer hour buckets, first-seen minimum, distinct
+    // (cohort, offset, user) reduction, ppm floor.
+    "q255_retention" ->
+      raw"""WITH e AS (SELECT user_id AS "user",
+         |    epoch_ns(ts) // 3600000000000 AS period FROM events),
+         |fs AS (SELECT "user", min(period) AS cohort FROM e GROUP BY 1),
+         |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+         |  FROM fs GROUP BY 1),
+         |act AS (SELECT DISTINCT fs.cohort,
+         |    e.period - fs.cohort AS "offset", e."user"
+         |  FROM e JOIN fs USING ("user")),
+         |ag AS (SELECT cohort, "offset",
+         |    CAST(count(*) AS BIGINT) AS n_active
+         |  FROM act GROUP BY 1, 2)
+         |SELECT ag.cohort, ag."offset", ag.n_active, sz.cohort_users,
+         |  CAST(floor(CAST(n_active AS DOUBLE) * 1000000 / cohort_users)
+         |    AS BIGINT) AS retention_ppm
+         |FROM ag JOIN sz USING (cohort)""".stripMargin,
+
+    // q256: the kappa lattice — N·agree and the marginal product sum
+    // as integers, one DOUBLE division + floor.
+    "q256_kappa" ->
+      raw"""WITH b AS (SELECT
+         |    CASE WHEN doc_id % 3 = 0 THEN 'good' ELSE 'bad' END AS r1,
+         |    CASE WHEN (doc_id * 7) % 10 < 4 THEN 'good' ELSE 'bad'
+         |      END AS r2
+         |  FROM documents),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS agree
+         |  FROM b),
+         |m1 AS (SELECT r1 AS k, count(*) AS n1 FROM b GROUP BY 1),
+         |m2 AS (SELECT r2 AS k, count(*) AS n2 FROM b GROUP BY 1),
+         |rc AS (SELECT CAST(COALESCE(sum(n1 * n2), 0) AS BIGINT)
+         |    AS sum_rc
+         |  FROM m1 JOIN m2 USING (k))
+         |SELECT n, agree, sum_rc,
+         |  CASE WHEN n * n = sum_rc THEN NULL
+         |    ELSE CAST(floor(CAST(n * agree - sum_rc AS DOUBLE) * 1000000
+         |      / (n * n - sum_rc)) AS BIGINT) END AS kappa_ppm
+         |FROM t CROSS JOIN rc""".stripMargin
   )
 }

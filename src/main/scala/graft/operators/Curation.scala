@@ -428,16 +428,23 @@ object Curation {
     *
     * Scale shape: the gazetteer is REQUIRED ≤ `maxGaz` rows and
     * broadcast (dictionaries are bounded by construction — the
-    * fewShot/decontaminate contract); each corpus row does |gaz|
-    * row-local probes and only (doc, entity) HITS survive the filter,
-    * so nothing corpus×gaz ever shuffles.
+    * fewShot/decontaminate contract); each (doc, phrase) pair first
+    * passes a codegen'd SUBSTRING prefilter (`instr` on the space-
+    * joined phrase — a strict superset of the token match, so no hit
+    * is ever lost) and only the surviving ~hit-sized residue pays the
+    * positional slice probes. Without the prefilter every pair walks
+    * every candidate start — measured 125 s at sf0.1 (5k docs × 100
+    * phrases); with it the probes run on the hit-sized residue only.
+    * Only (doc, entity) HITS survive to the output; nothing
+    * corpus×gaz ever shuffles.
     */
   def gazetteerTag(docs: DataFrame, idCol: String, textCol: String,
       gaz: DataFrame, entityCol: String, phraseCol: String,
       maxGaz: Int = 65536): DataFrame = {
     import graft.functions.TextFns
     val g = gaz.select(col(entityCol).as("entity"),
-      split(trim(col(phraseCol)), "\\s+").as("__ph"))
+      split(trim(col(phraseCol)), "\\s+").as("__ph"),
+      array_join(split(trim(col(phraseCol)), "\\s+"), " ").as("__phs"))
     val nGaz = g.limit(maxGaz + 1).count()
     require(nGaz >= 1 && nGaz <= maxGaz,
       s"gazetteer has $nGaz rows — need 1..$maxGaz (it is broadcast; " +
@@ -445,6 +452,8 @@ object Curation {
     val hits = TextFns.phrasePositions(col(textCol), col("__ph"))
     docs.select(col(idCol), col(textCol))
       .crossJoin(broadcast(g))
+      // substring prefilter: cheap, codegen'd, superset of token match
+      .filter(instr(col(textCol), col("__phs")) > 0)
       .withColumn("__hits", hits)
       .filter(size(col("__hits")) > 0)
       .select(col(idCol), col("entity"),

@@ -235,4 +235,44 @@ object EvalMetrics {
         (-col("__m.ns")).as("best_seed"),
         (col("__m.f") < thresholdPpm).as("keep"))
   }
+
+  /** Cohen's κ inter-annotator agreement (Cohen 1960) between two
+    * label columns — the number a labeling pipeline reports before
+    * trusting its raters (or its model-vs-model judge agreement).
+    * Exact on the ppm lattice:
+    *
+    *   κ = (p_o − p_e)/(1 − p_e)
+    *     = (N·agree − Σ_k n1k·n2k) / (N² − Σ_k n1k·n2k)
+    *
+    * — every term an integer, one IEEE division + floor (toward −∞,
+    * so negative κ floors consistently in both engines). Output is
+    * one row `(n, agree, sum_rc, kappa_ppm)` with `kappa_ppm` null
+    * when p_e = 1 (both raters constant and equal — κ undefined).
+    * Overflow bound under ANSI (loud): N < ~3·10⁹ items.
+    *
+    * Two map-side-combined label-count aggregations + a |labels|-sized
+    * join; nothing item-sized leaves the first pass.
+    */
+  def cohensKappa(ratings: DataFrame, r1Col: String,
+      r2Col: String): DataFrame = {
+    val base = ratings.select(col(r1Col).cast("string").as("__r1"),
+      col(r2Col).cast("string").as("__r2"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__r1") === col("__r2"), 1L).otherwise(0L))
+        .as("agree"))
+    val m1 = base.groupBy(col("__r1").as("__k"))
+      .agg(count(lit(1)).as("n1"))
+    val m2 = base.groupBy(col("__r2").as("__k"))
+      .agg(count(lit(1)).as("n2"))
+    val rc = m1.join(m2, Seq("__k"))
+      .agg(coalesce(sum(col("n1") * col("n2")), lit(0L)).as("sum_rc"))
+    tot.crossJoin(rc)
+      .withColumn("kappa_ppm",
+        when(col("n") * col("n") === col("sum_rc"),
+          lit(null).cast("long"))
+          .otherwise(floor(
+            (col("n") * col("agree") - col("sum_rc")).cast("double")
+              * 1000000
+              / (col("n") * col("n") - col("sum_rc"))).cast("long")))
+  }
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Experiment / longitudinal analytics over the event stream — the
+  * measurement half of a data-driven pipeline ([[Funnel]] asks "where
+  * do users drop", this file asks "did the change matter" and "do
+  * they come back"):
+  *
+  *  - two-variant A/B conversion analysis with the χ² statistic on an
+  *    exact integer lattice (the classic 2×2 test, computable without
+  *    a single float until the final division);
+  *  - cohort retention matrices (first-seen period × periods-since,
+  *    the standard triangle chart).
+  */
+object Experiment {
+
+  /** Two-variant A/B conversion report: users and converters per
+    * variant, conversion rates and the risk difference on the ppm
+    * lattice, and the 2×2 χ² statistic in milli units —
+    *
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))
+    *
+    * with a/b = converted/not in variant 0, c/d in variant 1: every
+    * term is an exact integer product, one IEEE division + floor at
+    * the end (χ² ≥ 3.84 ⇔ p < 0.05 at 1 dof — the gate a curator
+    * reads). Overflow bound under ANSI (loud, not wrapping):
+    * N·(ad−bc)² < 2^63 holds up to ~10⁶ users per variant; salt the
+    * experiment into disjoint shards past that and sum the χ²
+    * inputs.
+    *
+    * A user CONVERTS when they have ≥ 1 event of `convType`; variant
+    * membership must be 0/1 per user (the operator refuses mixed
+    * assignments loudly — a user in both arms means the bucketing
+    * upstream is broken). One distinct-user aggregation + one 2-row
+    * fold; nothing user-sized leaves the first shuffle.
+    */
+  def abTest(events: DataFrame, userCol: String, variantCol: String,
+      typeCol: String, convType: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user"))
+      .agg(countDistinct(col(variantCol)).as("__nv"),
+        max(col(variantCol)).cast("long").as("variant"),
+        max(when(col(typeCol) === convType, 1L).otherwise(0L))
+          .as("converted"))
+      .select(col("user"), col("variant"), col("converted"),
+        when(col("__nv") === 1, lit(true))
+          .otherwise(raise_error(concat(lit("user "),
+            col("user").cast("string"),
+            lit(" appears in multiple variants — fix the bucketing")))
+            .cast("boolean")).as("__ok"))
+      // the filter FORCES the mixed-assignment check row-by-row —
+      // an unused projected column would be pruned away by Catalyst
+      .filter(col("__ok"))
+    val counts = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_conv"))
+    val wide = counts.agg(
+      sum(when(col("variant") === 0, col("n_conv"))).as("a"),
+      sum(when(col("variant") === 0, col("n_users") - col("n_conv")))
+        .as("b"),
+      sum(when(col("variant") === 1, col("n_conv"))).as("c"),
+      sum(when(col("variant") === 1, col("n_users") - col("n_conv")))
+        .as("d"))
+    wide.select(
+        coalesce(col("a"), lit(0L)).as("a"),
+        coalesce(col("b"), lit(0L)).as("b"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("d"), lit(0L)).as("d"))
+      .withColumn("rate0_ppm",
+        when(col("a") + col("b") === 0, lit(0L)).otherwise(
+          floor(col("a").cast("double") * 1000000
+            / (col("a") + col("b"))).cast("long")))
+      .withColumn("rate1_ppm",
+        when(col("c") + col("d") === 0, lit(0L)).otherwise(
+          floor(col("c").cast("double") * 1000000
+            / (col("c") + col("d"))).cast("long")))
+      .withColumn("risk_diff_ppm", col("rate1_ppm") - col("rate0_ppm"))
+      .withColumn("chi2_milli", {
+        val n = col("a") + col("b") + col("c") + col("d")
+        val num = (col("a") * col("d") - col("b") * col("c"))
+        val den = (col("a") + col("b")) * (col("c") + col("d")) *
+          (col("a") + col("c")) * (col("b") + col("d"))
+        when(den === 0, lit(0L))
+          .otherwise(floor((n * num * num).cast("double") * 1000
+            / den).cast("long"))
+      })
+  }
+
+  /** Cohort retention triangle: users grouped by their FIRST-seen
+    * period (`ts div periodNs`), and for each later period offset the
+    * count still active plus retention vs the cohort size on the ppm
+    * lattice. The standard product-analytics retention chart, exact:
+    * integer period buckets, one distinct (cohort, offset, user)
+    * reduction, map-side combined.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String, periodNs: Long): DataFrame = {
+    require(periodNs > 0, s"periodNs=$periodNs must be > 0")
+    val e = events.select(col(userCol).as("user"),
+      expr(s"${tsCol} div ${periodNs}L").as("period"))
+    val firstSeen = e.groupBy(col("user"))
+      .agg(min(col("period")).as("cohort"))
+    val sizes = firstSeen.groupBy(col("cohort"))
+      .agg(count(lit(1)).as("cohort_users"))
+    val active = e.join(firstSeen, Seq("user"))
+      .select(col("cohort"), (col("period") - col("cohort")).as("offset"),
+        col("user"))
+      .distinct()
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(sizes, Seq("cohort"))
+      .withColumn("retention_ppm",
+        floor(col("n_active").cast("double") * 1000000
+          / col("cohort_users")).cast("long"))
+  }
+}

@@ -146,4 +146,23 @@ class EvalMetricsSpec extends AnyFunSuite {
         "stext", maxSeeds = 2)
     }
   }
+
+  test("cohensKappa: exact integer lattice, negative kappa floors " +
+      "toward -inf, constant-equal raters undefined") {
+    // N=6, agree=5, marginals r1(a4,b2) r2(a3,b3): sum_rc=18,
+    // kappa = (30-18)/(36-18) = 2/3 -> 666666
+    val d = Seq(("a", "a"), ("a", "a"), ("a", "a"), ("a", "b"),
+      ("b", "b"), ("b", "b")).toDF("r1", "r2")
+    val r = EvalMetrics.cohensKappa(d, "r1", "r2").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3)) == ((6L, 5L, 18L, 666666L)))
+    // perfect disagreement on symmetric marginals: kappa = -1
+    val neg = Seq(("a", "b"), ("b", "a")).toDF("r1", "r2")
+    assert(EvalMetrics.cohensKappa(neg, "r1", "r2").collect()
+      .head.getLong(3) == -1000000L)
+    // both raters constant and equal: p_e = 1 -> null
+    val const = Seq(("x", "x"), ("x", "x")).toDF("r1", "r2")
+    assert(EvalMetrics.cohensKappa(const, "r1", "r2").collect()
+      .head.isNullAt(3))
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Experiment
+
+class ExperimentSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("abTest: 2x2 counts, ppm rates, exact chi-square milli, " +
+      "mixed-assignment refusal") {
+    // variant 0: u1..u4, u1+u2 convert; variant 1: u5..u8, u5 converts
+    val evs = Seq(
+      (1L, 0, "purchase"), (1L, 0, "view"), (2L, 0, "purchase"),
+      (3L, 0, "view"), (4L, 0, "click"),
+      (5L, 1, "purchase"), (6L, 1, "view"), (7L, 1, "view"),
+      (8L, 1, "click"))
+      .toDF("user_id", "variant", "event_type")
+    val r = Experiment.abTest(evs, "user_id", "variant", "event_type",
+      "purchase").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 1L, 3L)))
+    assert(r.getAs[Long]("rate0_ppm") == 500000L)
+    assert(r.getAs[Long]("rate1_ppm") == 250000L)
+    assert(r.getAs[Long]("risk_diff_ppm") == -250000L)
+    // chi2 = 8*(2*3-2*1)^2 / (4*4*3*5) = 128/240 = 0.5333 -> 533 milli
+    assert(r.getAs[Long]("chi2_milli") == 533L)
+    val mixed = evs.union(Seq((1L, 1, "view"))
+      .toDF("user_id", "variant", "event_type"))
+    val e = intercept[Exception] {
+      Experiment.abTest(mixed, "user_id", "variant", "event_type",
+        "purchase").collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).getMessage.contains("multiple variants"))
+  }
+
+  test("retentionCohorts: first-seen cohorts, offset activity, ppm") {
+    val evs = Seq((1L, 5L), (1L, 15L), (1L, 35L), (2L, 5L), (2L, 17L),
+      (3L, 25L)).toDF("user_id", "ts")
+    val r = Experiment.retentionCohorts(evs, "user_id", "ts",
+        periodNs = 10L).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r((0L, 0L)) == ((2L, 2L, 1000000L)))
+    assert(r((0L, 1L)) == ((2L, 2L, 1000000L)))
+    assert(r((0L, 3L)) == ((1L, 2L, 500000L)))
+    assert(r((2L, 0L)) == ((1L, 1L, 1000000L)))
+    assert(r.size == 4)
+  }
+}
