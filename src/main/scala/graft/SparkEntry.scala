@@ -4595,6 +4595,37 @@ object SparkEntry {
         when((col("doc_id") * 7) % 10 < 4, lit("good"))
           .otherwise(lit("bad")).as("r2"))
       EvalMetrics.cohensKappa(rated, "r1", "r2")
+    }),
+
+    // JSON NUMERIC PROFILE: the event `props` payload (enriched with a
+    // planted extra key on every 5th event and CORRUPTED on every
+    // 97th) profiled at $.k per event type -- present/missing split,
+    // sum/min/max/distinct; get_json_object + try_cast, codegen'd,
+    // one aggregation pass, malformed rows count missing (never throw).
+    "q257_json_stats" -> ((s, dir) => {
+      import graft.operators.SemiStructured
+      val ev = events(s, dir)
+      val pr = when(col("event_id") % 97 === 0, lit("{oops"))
+        .when(col("event_id") % 5 === 0,
+          regexp_replace(col("props"), "\\}$", ", \"extra\": 1}"))
+        .otherwise(col("props"))
+      SemiStructured.jsonNumericStats(
+        ev.select(col("event_type"), pr.as("p")), "p", "$.k",
+        "event_type")
+    }),
+
+    // JSON KEY INVENTORY: per event type, how many rows carry each
+    // top-level key -- schema-drift visibility, with malformed
+    // payloads surfacing as __invalid__ instead of vanishing.
+    "q258_json_keys" -> ((s, dir) => {
+      import graft.operators.SemiStructured
+      val ev = events(s, dir)
+      val pr = when(col("event_id") % 97 === 0, lit("{oops"))
+        .when(col("event_id") % 5 === 0,
+          regexp_replace(col("props"), "\\}$", ", \"extra\": 1}"))
+        .otherwise(col("props"))
+      SemiStructured.jsonKeyReport(
+        ev.select(col("event_type"), pr.as("p")), "p", "event_type")
     })
   )
 
@@ -11148,6 +11179,46 @@ object SparkEntry {
          |  CASE WHEN n * n = sum_rc THEN NULL
          |    ELSE CAST(floor(CAST(n * agree - sum_rc AS DOUBLE) * 1000000
          |      / (n * n - sum_rc)) AS BIGINT) END AS kappa_ppm
-         |FROM t CROSS JOIN rc""".stripMargin
+         |FROM t CROSS JOIN rc""".stripMargin,
+
+    // q257/q258: same string surgery on props, then DuckDB's JSON
+    // primitives behind a json_valid guard (Spark's get_json_object /
+    // json_object_keys return null on garbage; DuckDB's throw).
+    "q257_json_stats" ->
+      raw"""WITH pr AS (SELECT event_type,
+         |    CASE WHEN event_id % 97 = 0 THEN '{oops'
+         |      WHEN event_id % 5 = 0
+         |        THEN regexp_replace(props, '\}$$', ', "extra": 1}')
+         |      ELSE props END AS p
+         |  FROM events),
+         |v AS (SELECT event_type AS grp,
+         |    CASE WHEN json_valid(p)
+         |      THEN try_cast(json_extract_string(p, '$$.k') AS BIGINT)
+         |      END AS v
+         |  FROM pr)
+         |SELECT grp,
+         |  CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_present,
+         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_missing,
+         |  CAST(COALESCE(sum(v), 0) AS BIGINT) AS sum_v,
+         |  CAST(min(v) AS BIGINT) AS min_v,
+         |  CAST(max(v) AS BIGINT) AS max_v,
+         |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+         |FROM v GROUP BY grp""".stripMargin,
+
+    "q258_json_keys" ->
+      raw"""WITH pr AS (SELECT event_type,
+         |    CASE WHEN event_id % 97 = 0 THEN '{oops'
+         |      WHEN event_id % 5 = 0
+         |        THEN regexp_replace(props, '\}$$', ', "extra": 1}')
+         |      ELSE props END AS p
+         |  FROM events),
+         |k AS (SELECT event_type AS grp,
+         |    unnest(CASE WHEN json_valid(p) AND json_type(p) = 'OBJECT'
+         |      THEN json_keys(p) ELSE ['__invalid__'] END) AS key
+         |  FROM pr)
+         |SELECT grp, key, CAST(count(*) AS BIGINT) AS n
+         |FROM k GROUP BY 1, 2""".stripMargin
   )
 }
