@@ -4626,6 +4626,24 @@ object SparkEntry {
         .otherwise(col("props"))
       SemiStructured.jsonKeyReport(
         ev.select(col("event_type"), pr.as("p")), "p", "event_type")
+    }),
+
+    // TRIMMED MEAN: robust per-language document-length summary --
+    // symmetric 10% rank cut with the id tie-break (deterministic
+    // across engines), mean on the ppm lattice.
+    "q259_trimmed_mean" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.trimmedMeanPpm(t(s, dir, "documents"), "lang", "n_chars",
+        "doc_id", trimPct = 10)
+    }),
+
+    // USER-JOURNEY TRANSITION MATRIX: first-order Markov counts over
+    // each user's (ts, event_id)-ordered event sequence, row-
+    // normalized to ppm -- one user-partitioned lead window.
+    "q260_transitions" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.transitionMatrix(events(s, dir), "user_id", "event_type",
+        "ts", "event_id")
     })
   )
 
@@ -11219,6 +11237,35 @@ object SparkEntry {
          |      THEN json_keys(p) ELSE ['__invalid__'] END) AS key
          |  FROM pr)
          |SELECT grp, key, CAST(count(*) AS BIGINT) AS n
-         |FROM k GROUP BY 1, 2""".stripMargin
+         |FROM k GROUP BY 1, 2""".stripMargin,
+
+    // q259: same rank cut ((n·pct)//100 off each end, id tie-break).
+    "q259_trimmed_mean" ->
+      raw"""WITH b AS (SELECT lang AS grp, CAST(n_chars AS BIGINT) AS v,
+         |    doc_id AS t FROM documents),
+         |r AS (SELECT grp, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v, t) AS rnk,
+         |    count(*) OVER (PARTITION BY grp) AS n FROM b),
+         |k AS (SELECT grp, v FROM r
+         |  WHERE rnk > n * 10 // 100 AND rnk <= n - n * 10 // 100)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(v) AS BIGINT) AS sum_kept,
+         |  CAST(floor(CAST(sum(v) AS DOUBLE) * 1000000 / count(*))
+         |    AS BIGINT) AS mean_ppm
+         |FROM k GROUP BY grp""".stripMargin,
+
+    // q260: the same lead window on (ts, event_id).
+    "q260_transitions" ->
+      raw"""WITH e AS (SELECT user_id, event_type AS f, epoch_ns(ts)
+         |    AS ts, event_id FROM events),
+         |p AS (SELECT f AS "from", lead(f) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS "to" FROM e),
+         |c AS (SELECT "from", "to", CAST(count(*) AS BIGINT) AS n
+         |  FROM p WHERE "to" IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT "from", sum(n) AS tot FROM c GROUP BY 1)
+         |SELECT c."from", c."to", c.n,
+         |  CAST(floor(CAST(c.n AS DOUBLE) * 1000000 / t.tot) AS BIGINT)
+         |    AS p_ppm
+         |FROM c JOIN t USING ("from")""".stripMargin
   )
 }

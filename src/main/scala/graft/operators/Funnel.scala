@@ -79,6 +79,34 @@ object Funnel {
             / lit(total)).cast("long")))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * sequence: per `(from, to)` event-type pair the transition count
+    * and the row-normalized probability on the ppm lattice — the
+    * "user journey" view (and, for crawl logs, the page-flow model).
+    * Sequence order is `(ts, tiebreak)` with the id tie-break, so
+    * equal-timestamp runs order deterministically across engines.
+    * One user-partitioned lead window + two map-side-combined counts.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user"))
+      .orderBy(col("ts"), col("tie"))
+    val pairs = events.select(col(userCol).as("user"),
+        col(typeCol).as("from"), col(tsCol).cast("long").as("ts"),
+        col(tieCol).cast("long").as("tie"))
+      .withColumn("to", lead(col("from"), 1).over(byUser))
+      .filter(col("to").isNotNull)
+      .groupBy(col("from"), col("to"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from"))
+      .agg(sum(col("n")).as("__tot"))
+    pairs.join(totals, Seq("from"))
+      .withColumn("p_ppm",
+        floor(col("n").cast("double") * 1000000 / col("__tot"))
+          .cast("long"))
+      .select(col("from"), col("to"), col("n"), col("p_ppm"))
+  }
+
   /** Last-touch attribution: every CONVERSION event (type
     * `convType`) is attributed to the user's latest TOUCH event
     * (type `touchType`) STRICTLY before it — the standard marketing /

@@ -397,4 +397,40 @@ object Ops {
         when(col("__cc") > 0, concat(col(nameCol), lit("_"), col("__cc"))).otherwise(col(nameCol)))
       .drop("__cc")
   }
+
+  /** Trimmed (winsor-style robust) mean per group on the ppm lattice:
+    * rank the group's LONG values by `(value, tiebreak)` — the id
+    * tie-break makes the cut deterministic across engines (the
+    * ranking-oracle rule) — drop the bottom and top
+    * `floor(n·trimPct/100)` rows, and report the kept count, kept
+    * sum, and `mean_ppm = ⌊10⁶·sum/kept⌋` (one IEEE division). The
+    * quality-score summary a curator trusts when a handful of
+    * outliers would wreck a plain mean. Groups too small to survive
+    * the trim (kept = 0) are absent.
+    *
+    * One group-partitioned rank window + one map-side-combined agg;
+    * values must already be integers (scores on a lattice, byte/token
+    * counts) — a float column should be floored upstream, explicitly.
+    */
+  def trimmedMeanPpm(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String, trimPct: Int): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50,
+      s"trimPct=$trimPct must be in [0, 50)")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("__v"), col("__t"))
+    val base = df.select(col(groupCol).as("grp"),
+        col(valCol).cast("long").as("__v"),
+        col(tieCol).cast("long").as("__t"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+      .withColumn("__cut", expr(s"__n * $trimPct div 100"))
+      .filter(col("__r") > col("__cut") &&
+        col("__r") <= col("__n") - col("__cut"))
+    base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("__v")).as("sum_kept"))
+      .withColumn("mean_ppm",
+        floor(col("sum_kept").cast("double") * 1000000 / col("n_kept"))
+          .cast("long"))
+  }
 }

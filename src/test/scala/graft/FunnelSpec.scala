@@ -83,6 +83,25 @@ class FunnelSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("transitionMatrix: lead pairs per user with deterministic " +
+      "equal-ts order, row-normalized ppm") {
+    val evs3 = Seq(
+      (1L, "view", 1L, 10L), (1L, "click", 2L, 11L),
+      (1L, "view", 3L, 12L), (1L, "click", 4L, 13L),
+      // equal ts: id order decides view(20) -> click(21)
+      (2L, "view", 5L, 20L), (2L, "click", 5L, 21L),
+      (3L, "error", 9L, 30L))  // single event: no transition
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val got = Funnel.transitionMatrix(evs3, "user_id", "event_type",
+        "ts", "event_id").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from view: 3 transitions, all to click; from click: 1 to view
+    assert(got(("view", "click")) == ((3L, 1000000L)))
+    assert(got(("click", "view")) == ((1L, 1000000L)))
+    assert(got.size == 2)
+  }
+
   test("funnel refuses empty and duplicate step lists") {
     val df = evs.toDF("user_id", "event_type", "ts")
     intercept[IllegalArgumentException] {

@@ -242,4 +242,26 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getString(1))
     assert(got.toSeq == Seq("a", "a_1", "b"))
   }
+
+  test("trimmedMeanPpm: symmetric rank cut, outliers dropped, " +
+      "deterministic ties, tiny groups vanish, trim refusal") {
+    // group g: values 1..10 -> trim 20% cuts {1,2} and {9,10},
+    // mean of 3..8 = 5.5 -> 5500000
+    val rows = (1 to 10).map(i => ("g", i.toLong, i.toLong)) ++
+      Seq(("h", 1000000L, 1L)) ++            // lone outlier group
+      Seq(("t", 5L, 1L), ("t", 5L, 2L))      // ties cut by id
+    val got = Ops.trimmedMeanPpm(rows.toDF("grp", "v", "id"),
+        "grp", "v", "id", trimPct = 20).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got("g") == ((6L, 33L, 5500000L)))
+    assert(got("h") == ((1L, 1000000L, 1000000000000L)))  // cut=0
+    assert(got("t") == ((2L, 10L, 5000000L)))
+    // trim 40% on n=2: cut = 0 (floor(2*40/100)=0) -> both kept;
+    // trim 50% refuses
+    intercept[IllegalArgumentException] {
+      Ops.trimmedMeanPpm(rows.toDF("grp", "v", "id"), "grp", "v",
+        "id", trimPct = 50)
+    }
+  }
 }
