@@ -4644,6 +4644,16 @@ object SparkEntry {
       import graft.operators.Funnel
       Funnel.transitionMatrix(events(s, dir), "user_id", "event_type",
         "ts", "event_id")
+    }),
+
+    // SNIPPET EXTRACTION: per matching document the 8-token window
+    // with the most q75-probe-term hits (earliest on ties) and its
+    // text -- the search-result highlighting pass; O(n) sliding sum
+    // per doc, row-local, misses absent.
+    "q261_snippets" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.snippets(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "query", "join"), window = 8)
     })
   )
 
@@ -11266,6 +11276,31 @@ object SparkEntry {
          |SELECT c."from", c."to", c.n,
          |  CAST(floor(CAST(c.n AS DOUBLE) * 1000000 / t.tot) AS BIGINT)
          |    AS p_ppm
-         |FROM c JOIN t USING ("from")""".stripMargin
+         |FROM c JOIN t USING ("from")""".stripMargin,
+
+    // q261: the sliding window replayed as per-start slice sums,
+    // earliest argmax via list_position.
+    "q261_snippets" ->
+      raw"""WITH d AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(trim(text)),
+         |      '\s+'), t -> t <> '') AS ws
+         |  FROM documents),
+         |h AS (SELECT doc_id, ws,
+         |    list_transform(ws, t -> CASE WHEN t IN ('spark', 'query',
+         |      'join') THEN 1 ELSE 0 END) AS hit,
+         |    least(8, len(ws)) AS w
+         |  FROM d WHERE len(ws) > 0),
+         |sc AS (SELECT doc_id, ws,
+         |    list_transform(range(1, len(ws) - w + 2),
+         |      p -> list_reduce(hit[p:p + w - 1], (a, b) -> a + b))
+         |      AS scores
+         |  FROM h),
+         |b AS (SELECT doc_id, ws, list_max(scores) AS best,
+         |    list_position(scores, list_max(scores)) AS start
+         |  FROM sc)
+         |SELECT doc_id, CAST(start AS INTEGER) AS start,
+         |  CAST(best AS INTEGER) AS n_hits,
+         |  array_to_string(ws[start:start + 7], ' ') AS snippet
+         |FROM b WHERE best > 0""".stripMargin
   )
 }

@@ -418,6 +418,51 @@ object Curation {
       .limit(nExpand)
   }
 
+  /** Best-snippet extraction: for every document matching ≥ 1 query
+    * term, the `window`-token span with the MOST query-term hits
+    * (earliest span on ties — deterministic), its hit count, and the
+    * span text — the search-result highlighting pass that runs after
+    * [[bm25]] ranking. Tokens are lowercased like [[tokenized]], so
+    * the same probe query matches both stages.
+    *
+    * Row-local: one O(n) sliding-hit pass per document inside a Scala
+    * UDF (a Catalyst HOF over all starts×window pays O(n·w)
+    * interpreted array copies — the q253 lesson); no join, no
+    * shuffle, misses filtered before the output.
+    */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], window: Int = 8): DataFrame = {
+    require(window >= 1 && window <= 4096, s"window=$window")
+    require(queryTerms.nonEmpty, "empty query")
+    val terms = queryTerms.map(_.toLowerCase).toSet
+    val bestUdf = udf { (ws: Seq[String]) =>
+      val n = ws.length
+      if (n == 0) (0, 0)
+      else {
+        val hit = ws.map(t => if (terms.contains(t)) 1 else 0)
+        val w = math.min(window, n)
+        var cur = hit.slice(0, w).sum
+        var best = cur; var bestStart = 0
+        var p = 1
+        while (p + w <= n) {
+          cur += hit(p + w - 1) - hit(p - 1)
+          if (cur > best) { best = cur; bestStart = p }
+          p += 1
+        }
+        (bestStart + 1, best) // 1-based start
+      }
+    }
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= "")
+    docs.select(col(idCol), ws.as("__ws"))
+      .withColumn("__b", bestUdf(col("__ws")))
+      .filter(col("__b._2") > 0)
+      .select(col(idCol), col("__b._1").as("start"),
+        col("__b._2").as("n_hits"),
+        array_join(slice(col("__ws"), col("__b._1"), lit(window)), " ")
+          .as("snippet"))
+  }
+
   /** Gazetteer entity tagging: every document × every dictionary
     * phrase, exact token-sequence matches reported with count and
     * first position — the dictionary-driven NER pass (product names,

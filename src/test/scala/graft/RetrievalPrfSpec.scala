@@ -55,6 +55,25 @@ class RetrievalPrfSpec extends AnyFunSuite {
     }
   }
 
+  test("snippets: earliest max-hit window, short docs clamp, " +
+      "misses absent") {
+    val docs = Seq(
+      (1L, "a b Q c d Q Q e f g h"),   // best 3-hit window
+      (2L, "x y z"),                    // no hits -> absent
+      (3L, "Q q"))                      // short doc, case-folded
+      .toDF("doc_id", "text")
+    val got = Curation.snippets(docs, "doc_id", "text", Seq("q"),
+        window = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        r.getString(3)))).toMap
+    // windows of 4: [3..6]="q c d q" 2 hits, [4..7]="c d q q" 2,
+    // [6..9]? positions 6,7 are q,q -> window starting 6: "q q e f"
+    // 2 hits... earliest max: start 3
+    assert(got(1L)._1 == 3 && got(1L)._2 == 2, s"got ${got(1L)}")
+    assert(got(3L) == ((1, 2, "q q")))
+    assert(!got.contains(2L))
+  }
+
   test("mmrSelect: relevance-first seed, diversity penalty reorders, " +
       "deterministic ties, lambda/zero-norm guards") {
     import graft.operators.Similarity
