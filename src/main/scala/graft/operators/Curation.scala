@@ -471,39 +471,64 @@ object Curation {
     * [[graft.functions.TextFns.phrasePositions]]: per candidate start
     * one codegen'd array equality — row-local, overlaps all report.
     *
-    * Scale shape: the gazetteer is REQUIRED ≤ `maxGaz` rows and
-    * broadcast (dictionaries are bounded by construction — the
-    * fewShot/decontaminate contract); each (doc, phrase) pair first
-    * passes a codegen'd SUBSTRING prefilter (`instr` on the space-
-    * joined phrase — a strict superset of the token match, so no hit
-    * is ever lost) and only the surviving ~hit-sized residue pays the
-    * positional slice probes. Without the prefilter every pair walks
-    * every candidate start — measured 125 s at sf0.1 (5k docs × 100
-    * phrases); with it the probes run on the hit-sized residue only.
-    * Only (doc, entity) HITS survive to the output; nothing
-    * corpus×gaz ever shuffles.
+    * Scale shape: the gazetteer is REQUIRED ≤ `maxGaz` rows, collected
+    * once, and shipped in the matcher's closure (dictionaries are
+    * bounded by construction — the fewShot/decontaminate contract).
+    * Each document is then scanned exactly ONCE by a first-token-
+    * bucketed dictionary matcher — O(tokens + matches) per row, no
+    * corpus×gaz join of any kind. (The first cut was a broadcast
+    * cross with per-pair positional probes: 125 s at sf0.1; an
+    * `instr` prefilter took it to 10.7 s but still copied every text
+    * |gaz| times through the BNLJ; the single-scan matcher removes
+    * the fan-out entirely.) Only (doc, entity) HITS leave the row —
+    * the per-doc aggregation happens inside the scan, so there is no
+    * groupBy shuffle either.
     */
   def gazetteerTag(docs: DataFrame, idCol: String, textCol: String,
       gaz: DataFrame, entityCol: String, phraseCol: String,
       maxGaz: Int = 65536): DataFrame = {
-    import graft.functions.TextFns
-    val g = gaz.select(col(entityCol).as("entity"),
-      split(trim(col(phraseCol)), "\\s+").as("__ph"),
-      array_join(split(trim(col(phraseCol)), "\\s+"), " ").as("__phs"))
-    val nGaz = g.limit(maxGaz + 1).count()
-    require(nGaz >= 1 && nGaz <= maxGaz,
-      s"gazetteer has $nGaz rows — need 1..$maxGaz (it is broadcast; " +
-        "for corpus-scale dictionaries shard the tag pass)")
-    val hits = TextFns.phrasePositions(col(textCol), col("__ph"))
-    docs.select(col(idCol), col(textCol))
-      .crossJoin(broadcast(g))
-      // substring prefilter: cheap, codegen'd, superset of token match
-      .filter(instr(col(textCol), col("__phs")) > 0)
-      .withColumn("__hits", hits)
-      .filter(size(col("__hits")) > 0)
-      .select(col(idCol), col("entity"),
-        size(col("__hits")).as("n_matches"),
-        element_at(col("__hits"), 1).as("first_pos"))
+    val g = gaz.select(col(entityCol).cast("string").as("entity"),
+      split(trim(col(phraseCol)), "\\s+").as("__ph"))
+    val rows = g.limit(maxGaz + 1).collect()
+    require(rows.length >= 1 && rows.length <= maxGaz,
+      s"gazetteer has >= ${rows.length} rows — need 1..$maxGaz (it " +
+        "ships in the matcher closure; shard corpus-scale dictionaries)")
+    val entries: Array[(String, Array[String])] = rows.map(r =>
+      (r.getString(0), r.getSeq[String](1).toArray))
+      .filter(_._2.nonEmpty)
+    // first-token buckets: the scan probes only phrases that can
+    // start at the current position
+    val byFirst: Map[String, Array[Int]] = entries.zipWithIndex
+      .groupBy(_._1._2(0)).map { case (t, es) => t -> es.map(_._2) }
+    val scanUdf = udf { (ws: Seq[String]) =>
+      val agg = scala.collection.mutable.LinkedHashMap
+        .empty[Int, (Int, Int)] // entryIx -> (count, firstPos)
+      var p = 0
+      while (p < ws.length) {
+        byFirst.get(ws(p)).foreach { cands =>
+          var c = 0
+          while (c < cands.length) {
+            val ph = entries(cands(c))._2
+            if (p + ph.length <= ws.length) {
+              var i = 1
+              while (i < ph.length && ws(p + i) == ph(i)) i += 1
+              if (i == ph.length) {
+                val prev = agg.getOrElse(cands(c), (0, p + 1))
+                agg(cands(c)) = (prev._1 + 1, prev._2)
+              }
+            }
+            c += 1
+          }
+        }
+        p += 1
+      }
+      agg.toSeq.map { case (ix, (n, first)) =>
+        (entries(ix)._1, n, first) }
+    }
+    val ws = split(trim(col(textCol)), " ")
+    docs.select(col(idCol), explode(scanUdf(ws)).as("__h"))
+      .select(col(idCol), col("__h._1").as("entity"),
+        col("__h._2").as("n_matches"), col("__h._3").as("first_pos"))
   }
 
   /** Semantic (embedding-space) benchmark decontamination: flag every
