@@ -4654,6 +4654,26 @@ object SparkEntry {
       import graft.operators.Curation
       Curation.snippets(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "query", "join"), window = 8)
+    }),
+
+    // ROLLING ACTIVE USERS: distinct users in the trailing 6 hours at
+    // every 1-hour slide start -- the DAU/WAU family; each event lands
+    // in 6 window replicas inside codegen, one distinct reduction.
+    "q262_rolling_actives" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.rollingActives(events(s, dir), "user_id", "ts",
+        windowNs = 21600000000000L, slideNs = 3600000000000L)
+    }),
+
+    // RIGHT-TO-BE-FORGOTTEN AUDIT: one row per deletion request
+    // (every 13th user id up to 200 -- some match nothing) with the
+    // event rows the cascade removes; no-match requests report 0,
+    // proving they were PROCESSED, not skipped.
+    "q263_forget_audit" -> ((s, dir) => {
+      import graft.operators.Anonymize
+      val tomb = s.range(0, 200).filter(col("id") % 13 === 0)
+        .select(col("id").as("uid"))
+      Anonymize.forgetAudit(events(s, dir), "user_id", tomb, "uid")
     })
   )
 
@@ -11301,6 +11321,30 @@ object SparkEntry {
          |SELECT doc_id, CAST(start AS INTEGER) AS start,
          |  CAST(best AS INTEGER) AS n_hits,
          |  array_to_string(ws[start:start + 7], ' ') AS snippet
-         |FROM b WHERE best > 0""".stripMargin
+         |FROM b WHERE best > 0""".stripMargin,
+
+    // q262: the same window-start arithmetic on epoch-ns (all
+    // positive, so plain floor division agrees).
+    "q262_rolling_actives" ->
+      raw"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+         |x AS (SELECT user_id, unnest(list_transform(range(
+         |    (ts - 21600000000000) // 3600000000000 + 1,
+         |    ts // 3600000000000 + 1), k -> k * 3600000000000))
+         |    AS w_start
+         |  FROM e),
+         |d AS (SELECT DISTINCT w_start, user_id FROM x)
+         |SELECT w_start, CAST(count(*) AS BIGINT) AS n_active
+         |FROM d GROUP BY 1""".stripMargin,
+
+    // q263: tombstones re-derived, no-match requests kept via the
+    // left join.
+    "q263_forget_audit" ->
+      raw"""WITH tt AS (SELECT unnest(range(0, 200)) AS u),
+         |tb AS (SELECT u FROM tt WHERE u % 13 = 0),
+         |c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM events WHERE user_id % 13 = 0 GROUP BY 1)
+         |SELECT CAST(tb.u AS BIGINT) AS "user",
+         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_removed
+         |FROM tb LEFT JOIN c ON c.user_id = tb.u""".stripMargin
   )
 }

@@ -53,6 +53,35 @@ object Anonymize {
       .withColumn("suppressed", col("qi_n") < k)
   }
 
+  /** Right-to-be-forgotten cascade, the APPLY: every row whose
+    * `userCol` appears in the tombstone relation is removed (one
+    * anti-join — at scale the tombstone side is a broadcast or a
+    * bloom-pushed semi-join, Catalyst's choice). Pair with
+    * [[forgetAudit]] for the processing proof a DSR workflow files.
+    */
+  def forgetUsers(df: DataFrame, userCol: String, tombstones: DataFrame,
+      tombCol: String): DataFrame =
+    df.join(tombstones.select(col(tombCol).cast("long").as(userCol))
+      .distinct(), Seq(userCol), "left_anti")
+
+  /** The audit relation for [[forgetUsers]]: ONE ROW PER TOMBSTONE —
+    * including requests matching nothing (n_removed = 0), because a
+    * deletion request must be provably PROCESSED, not silently
+    * skipped — with the number of rows the cascade removes. One
+    * map-side-combined count + a tombstone-sized outer join.
+    */
+  def forgetAudit(df: DataFrame, userCol: String, tombstones: DataFrame,
+      tombCol: String): DataFrame = {
+    val tomb = tombstones.select(col(tombCol).cast("long").as("user"))
+      .distinct()
+    val counts = df.select(col(userCol).cast("long").as("user"))
+      .join(tomb, Seq("user"), "left_semi")
+      .groupBy(col("user")).agg(count(lit(1)).as("__n"))
+    tomb.join(counts, Seq("user"), "left")
+      .select(col("user"),
+        coalesce(col("__n"), lit(0L)).as("n_removed"))
+  }
+
   private val M = 2147483647L // Lehmer/MINSTD modulus, 2^31 - 1
   private def lehmer(x: Column): Column =
     pmod(pmod(x, lit(M)) * lit(48271L), lit(M))

@@ -115,4 +115,32 @@ object Experiment {
         floor(col("n_active").cast("double") * 1000000
           / col("cohort_users")).cast("long"))
   }
+
+  /** Rolling active users — the DAU/WAU/MAU family: for every window
+    * start (multiples of `slideNs`), the DISTINCT users active in the
+    * trailing `windowNs`. Each event lands in ⌈window/slide⌉ window
+    * replicas (exploded inside codegen), then one distinct
+    * (window, user) reduction + one count — the [[retentionCohorts]]
+    * discipline, exact integer window arithmetic throughout
+    * (timestamps must be non-negative; window starts are the k·slide
+    * with floor((ts − window)/slide) < k ≤ ts/slide, matching the
+    * sliding `window()` alignment — the lower bound uses an explicit
+    * pmod-floor division because Spark's `div` truncates toward zero
+    * and ts − window can be negative for early events).
+    */
+  def rollingActives(events: DataFrame, userCol: String, tsCol: String,
+      windowNs: Long, slideNs: Long): DataFrame = {
+    require(slideNs > 0 && windowNs >= slideNs,
+      s"need windowNs >= slideNs > 0, got $windowNs/$slideNs")
+    val a = s"($tsCol - ${windowNs}L)"
+    val floorDiv = s"(($a - pmod($a, ${slideNs}L)) div ${slideNs}L)"
+    events.select(col(userCol).as("user"),
+        explode(sequence(
+          expr(s"$floorDiv + 1"),
+          expr(s"$tsCol div ${slideNs}L"))).as("k"))
+      .select((col("k") * slideNs).as("w_start"), col("user"))
+      .distinct()
+      .groupBy(col("w_start"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -50,6 +50,20 @@ class AnonymizeSpec extends AnyFunSuite {
     sign * mag
   }
 
+  test("forgetUsers/forgetAudit: cascade removes every tombstoned " +
+      "row; audit proves processing of no-match requests") {
+    val evs = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("user_id", "x")
+    val tomb = Seq(1L, 3L, 99L).toDF("uid")   // 99 matches nothing
+    val scrubbed = Anonymize.forgetUsers(evs, "user_id", tomb, "uid")
+    assert(scrubbed.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val audit = Anonymize.forgetAudit(evs, "user_id", tomb, "uid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit == Map(1L -> 2L, 3L -> 1L, 99L -> 0L))
+    // conservation: removed + surviving = original
+    assert(audit.values.sum + scrubbed.count() == evs.count())
+  }
+
   test("noisyCounts: noise replays the seeded Lehmer draw exactly, " +
       "clamps at zero, and magnitudes look geometric(1/2)") {
     val rows = (0L until 2000L).map(i => (i % 400, "x"))

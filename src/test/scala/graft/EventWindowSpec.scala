@@ -36,4 +36,31 @@ class EventWindowSpec extends AnyFunSuite {
     // each event contributes to exactly len/slide = 2 windows
     assert(got.values.map(_._1).sum == 4L * 2)
   }
+
+  test("hoppingAgg streams: append-mode windows finalize once the " +
+      "watermark passes and equal the batch aggregation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.hoppingAgg(
+        input.toDF().toDF("ts", "k", "v"),
+        "ts", "k", "v", "10 minutes", "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("hop_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(2), "a", 1.25), (ts(7), "a", 2.5))
+      q.processAllAvailable()
+      // push the watermark far past the early windows
+      input.addData((ts(59), "a", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("hop_out").collect()
+        .map(r => (r.getTimestamp(0).toString.substring(11, 16),
+          r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got(("23:55", "a")) == ((1L, 1250L)))
+      assert(got(("00:00", "a")) == ((2L, 3750L)))
+      assert(got(("00:05", "a")) == ((1L, 2500L)))
+    } finally q.stop()
+  }
 }

@@ -37,6 +37,23 @@ class ExperimentSpec extends AnyFunSuite {
     assert(root(e).getMessage.contains("multiple variants"))
   }
 
+  test("rollingActives: trailing-window distinct users per slide " +
+      "start, window/slide alignment") {
+    // window 10, slide 5: event at ts t covers starts (t-10, t]∩5Z
+    val evs = Seq((1L, 7L), (1L, 8L), (2L, 12L), (3L, 23L))
+      .toDF("user_id", "ts")
+    val got = Experiment.rollingActives(evs, "user_id", "ts",
+        windowNs = 10L, slideNs = 5L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // t=7,8 (u1) -> starts 0,5; t=12 (u2) -> starts 5,10;
+    // t=23 (u3) -> starts 15,20
+    assert(got == Map(0L -> 1L, 5L -> 2L, 10L -> 1L, 15L -> 1L,
+      20L -> 1L), s"got $got")
+    intercept[IllegalArgumentException] {
+      Experiment.rollingActives(evs, "user_id", "ts", 5L, 10L)
+    }
+  }
+
   test("retentionCohorts: first-seen cohorts, offset activity, ppm") {
     val evs = Seq((1L, 5L), (1L, 15L), (1L, 35L), (2L, 5L), (2L, 17L),
       (3L, 25L)).toDF("user_id", "ts")
