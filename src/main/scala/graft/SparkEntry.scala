@@ -4674,6 +4674,27 @@ object SparkEntry {
       val tomb = s.range(0, 200).filter(col("id") % 13 === 0)
         .select(col("id").as("uid"))
       Anonymize.forgetAudit(events(s, dir), "user_id", tomb, "uid")
+    }),
+
+    // CROSS-SOURCE QUANTILE NORMALIZATION: document lengths mapped to
+    // within-source percentile ranks on the ppm lattice -- the score
+    // equalizer run before any cross-source cut or mixing decision.
+    "q264_quantile_norm" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.quantileNormalizePpm(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", "doc_id")
+    }),
+
+    // DATA-QUALITY PROFILE: rows / nulls / exact distincts / string-
+    // rendered extremes per column of lineitem, ONE aggregation pass
+    // for all columns, melted to one row per column.
+    "q265_profile" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.profile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+          "l_linestatus"))
     })
   )
 
@@ -11345,6 +11366,33 @@ object SparkEntry {
          |  FROM events WHERE user_id % 13 = 0 GROUP BY 1)
          |SELECT CAST(tb.u AS BIGINT) AS "user",
          |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_removed
-         |FROM tb LEFT JOIN c ON c.user_id = tb.u""".stripMargin
+         |FROM tb LEFT JOIN c ON c.user_id = tb.u""".stripMargin,
+
+    // q264: percent_rank's (rank-1)/(n-1) with the id tie-break.
+    "q264_quantile_norm" ->
+      raw"""WITH r AS (SELECT doc_id, source, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM documents)
+         |SELECT doc_id, source, n_chars,
+         |  CAST(CASE WHEN n = 1 THEN 0
+         |    ELSE floor(CAST(rk - 1 AS DOUBLE) * 1000000 / (n - 1))
+         |    END AS BIGINT) AS pct_ppm
+         |FROM r""".stripMargin,
+
+    // q265: the same per-column statistics, one UNION branch per
+    // column (DuckDB side), string-rendered extremes.
+    "q265_profile" -> Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus").map { c =>
+      raw"""SELECT '$c' AS "column",
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_s,
+         |  CAST(max($c) AS VARCHAR) AS max_s
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
   )
 }

@@ -398,6 +398,57 @@ object Ops {
       .drop("__cc")
   }
 
+  /** Within-group quantile normalization: each row's value mapped to
+    * its percentile rank INSIDE its group on the ppm lattice —
+    * `⌊10⁶·(rank−1)/(n−1)⌋` (percent_rank's definition), ranked by
+    * `(value, tiebreak)` so ties are deterministic; single-row groups
+    * normalize to 0. The cross-source score equalizer: a "0.8" from a
+    * lenient scorer and a "0.5" from a strict one become comparable
+    * percentiles before any global cut or mixing decision. One
+    * group-partitioned rank window.
+    */
+  def quantileNormalizePpm(df: DataFrame, groupCol: String,
+      valCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol), col(tieCol))
+    df.withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("pct_ppm",
+        when(col("__n") === 1, lit(0L))
+          .otherwise(floor((col("__r") - 1).cast("double") * 1000000
+            / (col("__n") - 1)).cast("long")))
+      .drop("__r", "__n")
+  }
+
+  /** Per-column data-quality profile of a relation — the first report
+    * run against any new table: rows, nulls, EXACT distincts, and
+    * min/max rendered as strings (type-erased so one relation profiles
+    * every column type). One aggregation pass computes every column's
+    * statistics together (no per-column scans); the melt to one row
+    * per column happens on the 1×(4·cols) aggregate row. Exact
+    * distincts make the report oracle-checkable; at 100 TB swap in
+    * `approx_count_distinct` consciously — the report is the place
+    * where ±2% matters least.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__nn_$c").as("n_null"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_s"), col(s"__mx_$c").as("max_s"))
+    }
+    one.select(explode(array(structs: _*)).as("__p")).select(col("__p.*"))
+  }
+
   /** Trimmed (winsor-style robust) mean per group on the ppm lattice:
     * rank the group's LONG values by `(value, tiebreak)` — the id
     * tie-break makes the cut deterministic across engines (the

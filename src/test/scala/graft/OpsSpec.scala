@@ -243,6 +243,31 @@ class OpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("a", "a_1", "b"))
   }
 
+  test("quantileNormalizePpm: percentile ranks within group, " +
+      "deterministic ties, singleton group -> 0") {
+    val rows = Seq(("g", 10L, 1L), ("g", 30L, 2L), ("g", 20L, 3L),
+      ("g", 30L, 4L), ("h", 99L, 5L))
+    val got = Ops.quantileNormalizePpm(rows.toDF("grp", "v", "id"),
+        "grp", "v", "id").collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap
+    // g ranks by (v, id): 10->1, 20->2, 30(id2)->3, 30(id4)->4
+    assert(got == Map(1L -> 0L, 3L -> 333333L, 2L -> 666666L,
+      4L -> 1000000L, 5L -> 0L), s"got $got")
+  }
+
+  test("profile: one row per column with rows/nulls/distincts and " +
+      "string-rendered extremes, single pass") {
+    val df = Seq((Some(1L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a"))).toDF("x", "s")
+    val got = Ops.profile(df, Seq("x", "s")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.getString(4)), Option(r.getString(5)))))
+      .toMap
+    assert(got("x") == ((3L, 0L, 2L, Some("1"), Some("3"))))
+    assert(got("s") == ((3L, 1L, 2L, Some("a"), Some("b"))))
+    intercept[IllegalArgumentException] { Ops.profile(df, Seq.empty) }
+  }
+
   test("trimmedMeanPpm: symmetric rank cut, outliers dropped, " +
       "deterministic ties, tiny groups vanish, trim refusal") {
     // group g: values 1..10 -> trim 20% cuts {1,2} and {9,10},
