@@ -36,7 +36,13 @@ object Anonymize {
     val sizes = df.groupBy(qiCols.map(col): _*)
       .agg(count(lit(1)).as("qi_n"))
       .filter(col("qi_n") >= k)
-    df.join(sizes, qiCols)
+    // NULL-SAFE join keys: groupBy treats null as a group (and the
+    // report counts it), so the apply must release it when it passes k
+    // — a null-unsafe equi join would silently drop every null-QI row
+    val s2 = qiCols.foldLeft(sizes) { (d, c) =>
+      d.withColumnRenamed(c, s"__q_$c") }
+    val cond = qiCols.map(c => df(c) <=> s2(s"__q_$c")).reduce(_ && _)
+    df.join(s2, cond).drop(qiCols.map(c => s"__q_$c"): _*)
   }
 
   /** The audit view: one row per quasi-identifier group with its size
@@ -60,9 +66,13 @@ object Anonymize {
     * [[forgetAudit]] for the processing proof a DSR workflow files.
     */
   def forgetUsers(df: DataFrame, userCol: String, tombstones: DataFrame,
-      tombCol: String): DataFrame =
-    df.join(tombstones.select(col(tombCol).cast("long").as(userCol))
-      .distinct(), Seq(userCol), "left_anti")
+      tombCol: String): DataFrame = {
+    // cast BOTH sides to long, exactly like forgetAudit — asymmetric
+    // normalization would let the apply and its audit disagree
+    val tomb = tombstones.select(col(tombCol).cast("long").as("__tu"))
+      .distinct()
+    df.join(tomb, df(userCol).cast("long") === tomb("__tu"), "left_anti")
+  }
 
   /** The audit relation for [[forgetUsers]]: ONE ROW PER TOMBSTONE —
     * including requests matching nothing (n_removed = 0), because a

@@ -467,9 +467,11 @@ object Curation {
     * phrase, exact token-sequence matches reported with count and
     * first position — the dictionary-driven NER pass (product names,
     * site lists, benchmark titles) a curation pipeline runs where a
-    * model tagger is overkill. Matching is
-    * [[graft.functions.TextFns.phrasePositions]]: per candidate start
-    * one codegen'd array equality — row-local, overlaps all report.
+    * model tagger is overkill. Overlapping occurrences all report;
+    * null, empty, and whitespace-only phrases match nowhere. (For a
+    * single COLUMN-driven phrase probe without a dictionary, see
+    * [[graft.functions.TextFns.phrasePositions]] — this operator uses
+    * its own in-scan matcher instead, see below.)
     *
     * Scale shape: the gazetteer is REQUIRED ≤ `maxGaz` rows, collected
     * once, and shipped in the matcher's closure (dictionaries are
@@ -494,8 +496,13 @@ object Curation {
       s"gazetteer has >= ${rows.length} rows — need 1..$maxGaz (it " +
         "ships in the matcher closure; shard corpus-scale dictionaries)")
     val entries: Array[(String, Array[String])] = rows.map(r =>
-      (r.getString(0), r.getSeq[String](1).toArray))
-      .filter(_._2.nonEmpty)
+      (r.getString(0),
+        if (r.isNullAt(1)) Array.empty[String]
+        else r.getSeq[String](1).toArray))
+      // null / empty / whitespace-only phrases match nowhere: a
+      // whitespace-only phrase splits to [""], which would otherwise
+      // bucket under the "" token and hit consecutive-space docs
+      .filter(e => e._2.nonEmpty && e._2.forall(_.nonEmpty))
     // first-token buckets: the scan probes only phrases that can
     // start at the current position
     val byFirst: Map[String, Array[Int]] = entries.zipWithIndex

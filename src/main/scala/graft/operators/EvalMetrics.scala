@@ -118,7 +118,9 @@ object EvalMetrics {
   def bleuStats(pairs: DataFrame, candCol: String, refCol: String,
       maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 6, s"maxN=$maxN out of range 1..6")
-    def toks(c: Column) = filter(split(trim(c), "\\s+"), t => t =!= "")
+    // null text scores like empty text (the oracle's COALESCE(…, ''))
+    def toks(c: Column) =
+      filter(split(trim(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
     val wc = toks(col(candCol))
     val wr = toks(col(refCol))
     def ngrams(w: Column, n: Int): Column =
@@ -175,7 +177,9 @@ object EvalMetrics {
       }
       prev(r.length)
     }
-    def toks(c: Column) = filter(split(trim(c), "\\s+"), t => t =!= "")
+    // null text scores like empty text (and never NPEs the UDF)
+    def toks(c: Column) =
+      filter(split(trim(coalesce(c, lit(""))), "\\s+"), t => t =!= "")
     val wc = toks(col(candCol))
     val wr = toks(col(refCol))
     val base = pairs
@@ -245,9 +249,12 @@ object EvalMetrics {
     *     = (N·agree − Σ_k n1k·n2k) / (N² − Σ_k n1k·n2k)
     *
     * — every term an integer, one IEEE division + floor (toward −∞,
-    * so negative κ floors consistently in both engines). Output is
-    * one row `(n, agree, sum_rc, kappa_ppm)` with `kappa_ppm` null
-    * when p_e = 1 (both raters constant and equal — κ undefined).
+    * so negative κ floors consistently in both engines). Rows where
+    * EITHER label is null are excluded up front (unrated items are
+    * not disagreement — counting them in N but nowhere else would
+    * silently deflate κ). Output is one row `(n, agree, sum_rc,
+    * kappa_ppm)` over the rated rows, with `kappa_ppm` null when
+    * p_e = 1 (both raters constant and equal — κ undefined).
     * Overflow bound under ANSI (loud): N < ~3·10⁹ items.
     *
     * Two map-side-combined label-count aggregations + a |labels|-sized
@@ -255,8 +262,11 @@ object EvalMetrics {
     */
   def cohensKappa(ratings: DataFrame, r1Col: String,
       r2Col: String): DataFrame = {
+    // UNRATED rows (either label null) are excluded up front: counting
+    // them in n but not in agree/marginals would silently deflate κ
     val base = ratings.select(col(r1Col).cast("string").as("__r1"),
-      col(r2Col).cast("string").as("__r2"))
+        col(r2Col).cast("string").as("__r2"))
+      .filter(col("__r1").isNotNull && col("__r2").isNotNull)
     val tot = base.agg(count(lit(1)).as("n"),
       sum(when(col("__r1") === col("__r2"), 1L).otherwise(0L))
         .as("agree"))

@@ -121,23 +121,23 @@ object Experiment {
     * trailing `windowNs`. Each event lands in ⌈window/slide⌉ window
     * replicas (exploded inside codegen), then one distinct
     * (window, user) reduction + one count — the [[retentionCohorts]]
-    * discipline, exact integer window arithmetic throughout
-    * (timestamps must be non-negative; window starts are the k·slide
-    * with floor((ts − window)/slide) < k ≤ ts/slide, matching the
-    * sliding `window()` alignment — the lower bound uses an explicit
-    * pmod-floor division because Spark's `div` truncates toward zero
-    * and ts − window can be negative for early events).
+    * discipline, exact integer window arithmetic throughout: window
+    * starts are the k·slide with floor((ts − window)/slide) < k ≤
+    * floor(ts/slide), matching the sliding `window()` alignment.
+    * BOTH bounds use an explicit pmod-floor division — Spark's `div`
+    * truncates toward zero, which would misplace pre-epoch (negative)
+    * timestamps instead of flooring them.
     */
   def rollingActives(events: DataFrame, userCol: String, tsCol: String,
       windowNs: Long, slideNs: Long): DataFrame = {
     require(slideNs > 0 && windowNs >= slideNs,
       s"need windowNs >= slideNs > 0, got $windowNs/$slideNs")
-    val a = s"($tsCol - ${windowNs}L)"
-    val floorDiv = s"(($a - pmod($a, ${slideNs}L)) div ${slideNs}L)"
+    def floorDiv(a: String) =
+      s"((($a) - pmod($a, ${slideNs}L)) div ${slideNs}L)"
     events.select(col(userCol).as("user"),
         explode(sequence(
-          expr(s"$floorDiv + 1"),
-          expr(s"$tsCol div ${slideNs}L"))).as("k"))
+          expr(s"${floorDiv(s"$tsCol - ${windowNs}L")} + 1"),
+          expr(floorDiv(tsCol)))).as("k"))
       .select((col("k") * slideNs).as("w_start"), col("user"))
       .distinct()
       .groupBy(col("w_start"))

@@ -63,8 +63,12 @@ object Funnel {
     */
   def funnelReport(events: DataFrame, userCol: String, typeCol: String,
       tsCol: String, steps: Seq[String]): DataFrame = {
-    val f = funnel(events, userCol, typeCol, tsCol, steps)
-    val perUser = f.select(col("user"), col("steps_completed"))
+    // one row per step-0 user — materialized once (the count() action
+    // below plus the report query would otherwise run the whole k−1
+    // join chain twice)
+    val perUser = funnel(events, userCol, typeCol, tsCol, steps)
+      .select(col("user"), col("steps_completed"))
+      .localCheckpoint()
     val total = perUser.count()
     val spark = events.sparkSession
     import spark.implicits._
@@ -151,8 +155,10 @@ object Funnel {
       bucketWidth: Long): DataFrame = {
     require(steps.length >= 2, "need at least two steps for a latency")
     require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be > 0")
+    // materialized once: the k−1 unioned step branches below would
+    // otherwise each replay the whole funnel chain
     val f = funnel(events, userCol, typeCol, tsCol, steps)
-    val spark = events.sparkSession
+      .localCheckpoint()
     val lats = (2 to steps.length).map { i =>
       f.filter(col(s"ts$i").isNotNull)
         .select(lit(i).as("step"),

@@ -697,8 +697,13 @@ object EventStream {
     * bounded state cannot re-sort history it has already folded, and
     * counting a stale fingerprint as a change would inflate the tier;
     * so the state always reflects the ts-ordered sequence of in-order
-    * arrivals (watermark-style semantics: batch parity holds whenever
-    * observations arrive across batches in non-decreasing `ts`).
+    * arrivals (watermark-style semantics). Batch parity holds when
+    * `ts` strictly increases across batch boundaries: equal-ts
+    * observations WITHIN a batch fold in the batch operator's
+    * `(ts, fp)` order, but an equal-ts observation arriving in a
+    * LATER batch can only fold after the already-committed one, so a
+    * tie split across batches may order differently than the batch
+    * operator sorts it.
     */
   def recrawlStream(fetches: org.apache.spark.sql.Dataset[Fetch],
       hotPct: Int = 50, warmPct: Int = 10, hotEvery: Long,

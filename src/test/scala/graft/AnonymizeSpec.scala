@@ -23,6 +23,15 @@ class AnonymizeSpec extends AnyFunSuite {
       Anonymize.kAnonymize(recs.toDF("id", "nation", "seg"),
         Seq("nation"), k = 1)
     }
+    // null QI values form a GROUP (null-safe join): if enough rows
+    // share the null, they release — exactly what the report says
+    val withNull = recs ++ Seq((8L, null.asInstanceOf[String], "auto"),
+      (9L, null.asInstanceOf[String], "auto"))
+    val gotN = Anonymize.kAnonymize(withNull.toDF("id", "nation", "seg"),
+        Seq("nation", "seg"), k = 2).collect()
+      .map(r => r.getAs[Long]("id")).toSet
+    assert(gotN.contains(8L) && gotN.contains(9L),
+      s"null-QI group of 2 must release under k=2: $gotN")
   }
 
   test("kAnonymityReport flags exactly the failing groups") {
@@ -62,6 +71,14 @@ class AnonymizeSpec extends AnyFunSuite {
     assert(audit == Map(1L -> 2L, 3L -> 1L, 99L -> 0L))
     // conservation: removed + surviving = original
     assert(audit.values.sum + scrubbed.count() == evs.count())
+    // apply and audit normalize the key IDENTICALLY (both cast long),
+    // so a string-typed user column cannot make them disagree
+    val sevs = Seq(("1", "a"), ("2", "b")).toDF("user_id", "x")
+    val sscr = Anonymize.forgetUsers(sevs, "user_id", tomb, "uid")
+    val saud = Anonymize.forgetAudit(sevs, "user_id", tomb, "uid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sscr.collect().map(_.getString(0)).toSeq == Seq("2"))
+    assert(saud(1L) == 1L && saud(3L) == 0L)
   }
 
   test("noisyCounts: noise replays the seeded Lehmer draw exactly, " +

@@ -111,6 +111,12 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(r(1L) == ((3L, 600000L, 750000L, 666666L)))
     assert(r(2L) == ((0L, 1000000L, 1000000L, 1000000L)))
     assert(r(3L) == ((0L, 0L, 0L, 0L)))
+    // null text scores like empty text — no NPE in the DP UDF
+    val withNull = Seq((9L, null.asInstanceOf[String], "a b"))
+      .toDF("id", "cand", "ref")
+    val rn = EvalMetrics.rougeL(withNull, "cand", "ref").collect().head
+    assert(rn.getAs[Long]("lcs_len") == 0L &&
+      rn.getAs[Long]("rouge_f_ppm") == 0L)
     val long = Seq((1L, (1 to 20).map(_ => "w").mkString(" "), "w"))
       .toDF("id", "cand", "ref")
     val e2 = intercept[Exception] {
@@ -164,5 +170,14 @@ class EvalMetricsSpec extends AnyFunSuite {
     val const = Seq(("x", "x"), ("x", "x")).toDF("r1", "r2")
     assert(EvalMetrics.cohensKappa(const, "r1", "r2").collect()
       .head.isNullAt(3))
+    // unrated rows (null label) are EXCLUDED, not counted as
+    // disagreement: kappa over the rated subset only
+    val withNulls = Seq(("a", "a"), ("a", "a"), ("a", "a"),
+      ("a", "b"), ("b", "b"), ("b", "b"),
+      ("a", null.asInstanceOf[String]), (null.asInstanceOf[String], "b"))
+      .toDF("r1", "r2")
+    val rn = EvalMetrics.cohensKappa(withNulls, "r1", "r2")
+      .collect().head
+    assert((rn.getLong(0), rn.getLong(3)) == ((6L, 666666L)))
   }
 }

@@ -49,6 +49,13 @@ class ExperimentSpec extends AnyFunSuite {
     // t=23 (u3) -> starts 15,20
     assert(got == Map(0L -> 1L, 5L -> 2L, 10L -> 1L, 15L -> 1L,
       20L -> 1L), s"got $got")
+    // pre-epoch timestamps FLOOR into their true windows (Spark div
+    // truncates toward zero; the pmod-floor bounds don't)
+    val neg = Seq((1L, -1L)).toDF("user_id", "ts")
+    val gotNeg = Experiment.rollingActives(neg, "user_id", "ts",
+        windowNs = 10L, slideNs = 5L).collect()
+      .map(r => r.getLong(0)).toSet
+    assert(gotNeg == Set(-10L, -5L), s"got $gotNeg")
     intercept[IllegalArgumentException] {
       Experiment.rollingActives(evs, "user_id", "ts", 5L, 10L)
     }

@@ -49,6 +49,16 @@ class RetrievalPrfSpec extends AnyFunSuite {
     assert(got((2L, "PAR")) == ((1, 1)))
     assert(!got.contains((2L, "NYC")), "token match, not substring")
     assert(got.size == 3)
+    // null and whitespace-only phrases match nowhere (a "  " phrase
+    // would otherwise bucket under the "" token and hit docs with
+    // consecutive spaces)
+    val junk = gaz.unionByName(Seq(("WS", "   "),
+      ("NUL", null.asInstanceOf[String])).toDF("entity", "phrase"))
+    val docsWs = docs.unionByName(
+      Seq((4L, "double  space  here")).toDF("doc_id", "text"))
+    val got2 = Curation.gazetteerTag(docsWs, "doc_id", "text", junk,
+        "entity", "phrase").collect().map(_.getString(1)).toSet
+    assert(!got2.contains("WS") && !got2.contains("NUL"), s"$got2")
     intercept[IllegalArgumentException] {
       Curation.gazetteerTag(docs, "doc_id", "text",
         gaz.filter(col("entity") === "NONE"), "entity", "phrase")
