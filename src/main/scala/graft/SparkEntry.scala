@@ -4553,11 +4553,17 @@ object SparkEntry {
     // GAZETTEER ENTITY TAGGING: dictionary phrases (the 3rd-4th token
     // bigram of every 50th doc) matched exactly across the corpus --
     // per (doc, entity) hit count and first position; bounded
-    // broadcast dictionary, row-local slice-equality probes.
+    // broadcast dictionary, row-local slice-equality probes. Every
+    // 31st doc has its spaces rewritten to tab/newline whitespace --
+    // phrases occurring there MUST still tag (both sides tokenize
+    // \s+; the round-15 single-space doc split silently missed them).
     "q253_gazetteer" -> ((s, dir) => {
       import graft.operators.Curation
-      val docs = t(s, dir, "documents")
-      val w = split(trim(col("text")), " ")
+      val docs0 = t(s, dir, "documents")
+      val docs = docs0.withColumn("text",
+        when(col("doc_id") % 31 === 0,
+          regexp_replace(col("text"), " ", "\t\n")).otherwise(col("text")))
+      val w = split(trim(col("text")), "\\s+")
       val gaz = docs.filter(col("doc_id") % 50 === 0 && size(w) >= 4)
         .select(concat(lit("e"), col("doc_id")).as("entity"),
           array_join(slice(w, lit(3), lit(2)), " ").as("phrase"))
@@ -4695,6 +4701,111 @@ object SparkEntry {
       Ops.profile(t(s, dir, "lineitem"),
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
           "l_linestatus"))
+    }),
+
+    // A/B/n CONVERSION ANALYSIS: three arms (user_id mod 3), per-arm
+    // users/converters/rate and the k-by-2 chi-square -- integer-exact
+    // residuals, per-cell IEEE division floored to micro units, integer
+    // sum (the oracle replays every cell in the same op order).
+    "q266_ab_test_k" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.abTestK(
+        events(s, dir).withColumn("variant", pmod(col("user_id"), lit(3L))),
+        "user_id", "variant", "event_type", "purchase")
+    }),
+
+    // DP NOISY SUMS, the clipped-contribution release: per key the sum
+    // of per-row values clipped to +/-500 centi-units (the sensitivity
+    // bound -- one row moves the sum by <= clip), plus the q243 Lehmer
+    // geometric draw SCALED BY clip. No zero clamp: sums may be
+    // negative. Values enter on an exact centi lattice (floor(value *
+    // 100)) so both engines clip identical integers.
+    "q267_noisy_sums" -> ((s, dir) => {
+      import graft.operators.Anonymize
+      Anonymize.noisySums(
+        events(s, dir).select(pmod(col("user_id"), lit(53L)).as("key"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "key", "v", clip = 500L, seed = 11L)
+    }),
+
+    // L-DIVERSITY RELEASE: customers release only when their
+    // quasi-identifier group (nation, segment) has >= 7 members AND
+    // >= 4 distinct sensitive values (custkey mod 5 -- the derived
+    // sensitive attribute keeps diversity controlled); group size and
+    // diversity attached. One agg computing both + one null-safe join.
+    "q268_l_diversity" -> ((s, dir) => {
+      import graft.operators.Anonymize
+      Anonymize.kAnonymizeLDiverse(
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment"),
+          pmod(col("c_custkey"), lit(5L)).as("sens")),
+        Seq("c_nationkey", "c_mktsegment"), "sens", k = 7, l = 4)
+        .select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"), col("qi_n"), col("qi_l"))
+    }),
+
+    // RECURSIVE JSON PATH PROFILE: nested payloads (object -> object ->
+    // array -> scalars, plus planted bare-scalar and malformed rows)
+    // inventoried per event type -- every path within depth 4 with its
+    // value class and row count; parse ONCE to variant at the root,
+    // map-side variant_explode per level, one final count shuffle. The
+    // oracle recurses the same paths with json_extract/json_type.
+    "q269_json_paths" -> ((s, dir) => {
+      import graft.operators.SemiStructured
+      val ev = events(s, dir)
+      val nested = concat(lit("{\"u\":"), col("user_id"),
+        lit(",\"meta\":{\"k\":"), pmod(col("user_id"), lit(7L)),
+        lit(",\"t\":[\"a\","), pmod(col("user_id"), lit(3L)),
+        when(col("event_id") % 5 === 0,
+          lit("],\"extra\":{\"d\":true}},\"z\":null}"))
+          .otherwise(lit("]},\"z\":null}")))
+      val pr = when(col("event_id") % 97 === 0, lit("{oops"))
+        .when(col("event_id") % 13 === 0, lit("42"))
+        .otherwise(nested)
+      SemiStructured.jsonPathProfile(
+        ev.select(col("event_type"), pr.as("p")), "p", "event_type",
+        maxDepth = 4)
+    }),
+
+    // CORPUS BLEU: the q238 per-segment statistics summed per system
+    // (doc_id mod 3) FIRST, then the geometric precision product on
+    // the sums -- corpus BLEU is not a mean of segment scores; BP
+    // inputs (length sums) ride along for the caller-side exp.
+    "q270_corpus_bleu" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val w = split(trim(col("text")), " ")
+      val ref = array_join(slice(w, lit(1), lit(10)), " ")
+      val cand = when(col("doc_id") % 3 === 0, ref)
+        .when(col("doc_id") % 3 === 1,
+          array_join(slice(w, lit(3), lit(10)), " "))
+        .otherwise(array_join(slice(w, lit(1), lit(3)), " "))
+      val stats = EvalMetrics.bleuStats(
+        t(s, dir, "documents").select(col("doc_id"),
+          pmod(col("doc_id"), lit(3L)).as("sys"),
+          cand.as("cand"), ref.as("ref")),
+        "cand", "ref")
+      EvalMetrics.corpusBleu(stats, Seq("sys"))
+    }),
+
+    // FUNNEL WITH STEP TIMEOUT: view -> click -> purchase where each
+    // step must land within 30 minutes of the previous one -- the
+    // "converted within the session" product question; same chained
+    // min-agg shape as q241 with one extra upper-bound predicate.
+    "q271_funnel_within" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.funnelWithin(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"),
+        maxStepGap = 1800000000000L)
+    }),
+
+    // SESSIONIZATION: per-user event streams cut at > 30-minute
+    // inactivity gaps, one row per session with event count, bounds,
+    // and duration -- (ts, event_id)-ordered so equal-timestamp runs
+    // sessionize deterministically; one user-partitioned window pass.
+    "q272_sessions" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.sessionStats(events(s, dir), "user_id", "ts", "event_id",
+        gapNs = 1800000000000L)
     })
   )
 
@@ -11160,7 +11271,10 @@ object SparkEntry {
     // q253: the same slice-equality probes on list ops; the gazetteer
     // re-derived from the fixture's bigram formula.
     "q253_gazetteer" ->
-      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+      raw"""WITH d AS (SELECT doc_id,
+         |    regexp_split_to_array(trim(CASE WHEN doc_id % 31 = 0
+         |      THEN replace(text, ' ', chr(9) || chr(10))
+         |      ELSE text END), '\s+') AS w
          |  FROM documents),
          |g AS (SELECT 'e' || doc_id AS entity, w[3:4] AS ph FROM d
          |  WHERE doc_id % 50 = 0 AND len(w) >= 4),
@@ -11393,6 +11507,255 @@ object SparkEntry {
          |  CAST(min($c) AS VARCHAR) AS min_s,
          |  CAST(max($c) AS VARCHAR) AS max_s
          |FROM lineitem""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    }.mkString("\nUNION ALL\n"),
+
+    // q266: the k-by-2 chi-square replayed cell-for-cell — integer
+    // residual d = N·nc − nu·C, per-cell IEEE square/divide in the
+    // SAME op order as the Spark side, micro floor, integer sum.
+    "q266_ab_test_k" ->
+      raw"""WITH pu AS (SELECT user_id,
+         |    CAST(user_id % 3 AS BIGINT) AS variant,
+         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS conv
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         |    CAST(sum(conv) AS BIGINT) AS n_conv
+         |  FROM pu GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nn,
+         |    CAST(sum(n_conv) AS BIGINT) AS cc FROM c),
+         |cells AS (SELECT variant, n_users, n_conv,
+         |    CAST(floor(CAST(n_conv AS DOUBLE) * 1000000 / n_users)
+         |      AS BIGINT) AS rate_ppm,
+         |    nn * n_conv - n_users * cc AS d, nn, cc
+         |  FROM c, t),
+         |terms AS (SELECT variant, n_users, n_conv, rate_ppm, nn, cc,
+         |    CASE WHEN cc > 0 AND cc < nn THEN
+         |      CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+         |        / CAST(nn * n_users * cc AS DOUBLE) * 1000000)
+         |        AS BIGINT)
+         |      + CAST(floor(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+         |        / CAST(nn * n_users * (nn - cc) AS DOUBLE) * 1000000)
+         |        AS BIGINT)
+         |      ELSE 0 END AS term
+         |  FROM cells),
+         |chi AS (SELECT CAST(sum(term) AS BIGINT) AS s,
+         |    max(nn) AS n2, max(cc) AS c2 FROM terms)
+         |SELECT variant, n_users, n_conv, rate_ppm,
+         |  CASE WHEN c2 > 0 AND c2 < n2 THEN s END AS chi2_micro
+         |FROM terms, chi""".stripMargin,
+
+    // q267: clip on the exact centi lattice, then the q243 Lehmer
+    // draw with the magnitude scaled by clip; no zero clamp.
+    "q267_noisy_sums" ->
+      raw"""WITH e AS (SELECT CAST(user_id % 53 AS BIGINT) AS key,
+         |    least(greatest(CAST(floor(value * 100) AS BIGINT), -500),
+         |      500) AS cv
+         |  FROM events),
+         |g AS (SELECT key, CAST(sum(cv) AS BIGINT) AS clipped_sum
+         |  FROM e GROUP BY 1),
+         |u AS (SELECT key, clipped_sum,
+         |    ((key + 11) % 2147483647) * 48271 % 2147483647 AS l1 FROM g),
+         |v AS (SELECT key, clipped_sum,
+         |    ((l1 + 11) % 2147483647) * 48271 % 2147483647 AS uu FROM u),
+         |m AS (SELECT key, clipped_sum, uu, printf('%b', uu // 2) AS b
+         |  FROM v),
+         |z AS (SELECT key, clipped_sum, uu,
+         |    CAST(length(b) - length(rtrim(b, '1')) AS BIGINT) AS mag
+         |  FROM m)
+         |SELECT key, clipped_sum,
+         |  CAST((1 - 2 * (uu % 2)) * mag * 500 AS BIGINT) AS noise,
+         |  CAST(clipped_sum + (1 - 2 * (uu % 2)) * mag * 500 AS BIGINT)
+         |    AS noisy_sum
+         |FROM z""".stripMargin,
+
+    // q268: size + distinct-sensitive per QI group, HAVING both
+    // gates, re-joined onto the rows.
+    "q268_l_diversity" ->
+      raw"""WITH s AS (SELECT c_nationkey, c_mktsegment,
+         |    CAST(count(*) AS BIGINT) AS qi_n,
+         |    CAST(count(DISTINCT c_custkey % 5) AS BIGINT) AS qi_l
+         |  FROM customer GROUP BY 1, 2
+         |  HAVING count(*) >= 7 AND count(DISTINCT c_custkey % 5) >= 4)
+         |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+         |  s.qi_n, s.qi_l
+         |FROM customer c JOIN s USING (c_nationkey, c_mktsegment)"""
+        .stripMargin,
+
+    // q269: the same path recursion with json_extract/json_keys —
+    // JSON null values coalesce to the JSON 'null' literal (DuckDB
+    // json_extract renders them SQL-null), invalid payloads class
+    // __invalid__, number/string/bool/null map from json_type.
+    "q269_json_paths" ->
+      raw"""WITH RECURSIVE src AS (SELECT event_type AS grp,
+         |    CASE WHEN event_id % 97 = 0 THEN '{oops'
+         |      WHEN event_id % 13 = 0 THEN '42'
+         |      ELSE '{"u":' || user_id || ',"meta":{"k":'
+         |        || (user_id % 7) || ',"t":["a",' || (user_id % 3)
+         |        || CASE WHEN event_id % 5 = 0
+         |          THEN '],"extra":{"d":true}},"z":null}'
+         |          ELSE ']},"z":null}' END
+         |      END AS p
+         |  FROM events),
+         |nodes AS (
+         |  SELECT grp, '$$' AS path, TRY_CAST(p AS JSON) AS j, 0 AS depth
+         |  FROM src
+         |  UNION ALL
+         |  SELECT n.grp, n.path || sfx AS path,
+         |    COALESCE(json_extract(n.j, '$$' || sfx),
+         |      CAST('null' AS JSON)) AS j,
+         |    n.depth + 1 AS depth
+         |  FROM nodes n, unnest(
+         |    CASE WHEN json_type(n.j) = 'OBJECT'
+         |        THEN list_transform(json_keys(n.j), k -> '.' || k)
+         |      WHEN json_type(n.j) = 'ARRAY'
+         |        THEN list_transform(
+         |          range(CAST(json_array_length(n.j) AS BIGINT)),
+         |          i -> '[' || CAST(i AS VARCHAR) || ']')
+         |      ELSE [] END) AS u(sfx)
+         |  WHERE n.depth < 4)
+         |SELECT grp, path,
+         |  CASE WHEN j IS NULL THEN '__invalid__'
+         |    WHEN json_type(j) = 'OBJECT' THEN 'object'
+         |    WHEN json_type(j) = 'ARRAY' THEN 'array'
+         |    WHEN json_type(j) = 'VARCHAR' THEN 'string'
+         |    WHEN json_type(j) IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+         |      THEN 'number'
+         |    WHEN json_type(j) = 'BOOLEAN' THEN 'bool'
+         |    ELSE 'null' END AS vtype,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM nodes GROUP BY 1, 2, 3""".stripMargin,
+
+    // q270: the q238 segment stats summed per system FIRST, then the
+    // geometric product on the sums — in IEEE double with the exact
+    // factor order the Spark side uses (corpus Πs overflow int64).
+    "q270_corpus_bleu" ->
+      raw"""WITH d AS (SELECT doc_id, str_split(trim(text), ' ') AS w
+         |  FROM documents),
+         |pr AS (SELECT doc_id,
+         |    COALESCE(array_to_string(w[1:10], ' '), '') AS ref,
+         |    COALESCE(CASE WHEN doc_id % 3 = 0
+         |        THEN array_to_string(w[1:10], ' ')
+         |      WHEN doc_id % 3 = 1 THEN array_to_string(w[3:12], ' ')
+         |      ELSE array_to_string(w[1:3], ' ') END, '') AS cand
+         |  FROM d),
+         |tk AS (SELECT doc_id, cand, ref,
+         |    list_filter(regexp_split_to_array(trim(cand), '\s+'),
+         |      t -> t <> '') AS c,
+         |    list_filter(regexp_split_to_array(trim(ref), '\s+'),
+         |      t -> t <> '') AS r
+         |  FROM pr),
+         |g AS (SELECT doc_id, c, r,
+         |    c AS gc1, r AS gr1,
+         |    list_transform(range(0, greatest(len(c) - 1, 0)),
+         |      i -> array_to_string(c[i+1:i+2], chr(31))) AS gc2,
+         |    list_transform(range(0, greatest(len(r) - 1, 0)),
+         |      i -> array_to_string(r[i+1:i+2], chr(31))) AS gr2,
+         |    list_transform(range(0, greatest(len(c) - 2, 0)),
+         |      i -> array_to_string(c[i+1:i+3], chr(31))) AS gc3,
+         |    list_transform(range(0, greatest(len(r) - 2, 0)),
+         |      i -> array_to_string(r[i+1:i+3], chr(31))) AS gr3,
+         |    list_transform(range(0, greatest(len(c) - 3, 0)),
+         |      i -> array_to_string(c[i+1:i+4], chr(31))) AS gc4,
+         |    list_transform(range(0, greatest(len(r) - 3, 0)),
+         |      i -> array_to_string(r[i+1:i+4], chr(31))) AS gr4
+         |  FROM tk),
+         |st AS (SELECT doc_id,
+         |    CAST(len(c) AS BIGINT) AS cand_len,
+         |    CAST(len(r) AS BIGINT) AS ref_len,
+         |    CAST(CASE WHEN len(gc1) = 0 THEN 0 ELSE list_reduce(
+         |      list_transform(list_distinct(gc1), t -> least(
+         |        len(list_filter(gc1, x -> x = t)),
+         |        len(list_filter(gr1, x -> x = t)))), (a, b) -> a + b)
+         |      END AS BIGINT) AS m1,
+         |    CAST(len(gc1) AS BIGINT) AS t1,
+         |    CAST(CASE WHEN len(gc2) = 0 THEN 0 ELSE list_reduce(
+         |      list_transform(list_distinct(gc2), t -> least(
+         |        len(list_filter(gc2, x -> x = t)),
+         |        len(list_filter(gr2, x -> x = t)))), (a, b) -> a + b)
+         |      END AS BIGINT) AS m2,
+         |    CAST(len(gc2) AS BIGINT) AS t2,
+         |    CAST(CASE WHEN len(gc3) = 0 THEN 0 ELSE list_reduce(
+         |      list_transform(list_distinct(gc3), t -> least(
+         |        len(list_filter(gc3, x -> x = t)),
+         |        len(list_filter(gr3, x -> x = t)))), (a, b) -> a + b)
+         |      END AS BIGINT) AS m3,
+         |    CAST(len(gc3) AS BIGINT) AS t3,
+         |    CAST(CASE WHEN len(gc4) = 0 THEN 0 ELSE list_reduce(
+         |      list_transform(list_distinct(gc4), t -> least(
+         |        len(list_filter(gc4, x -> x = t)),
+         |        len(list_filter(gr4, x -> x = t)))), (a, b) -> a + b)
+         |      END AS BIGINT) AS m4,
+         |    CAST(len(gc4) AS BIGINT) AS t4
+         |  FROM g),
+         |agg AS (SELECT CAST(doc_id % 3 AS BIGINT) AS sys,
+         |    CAST(sum(m1) AS BIGINT) AS m1, CAST(sum(t1) AS BIGINT) AS t1,
+         |    CAST(sum(m2) AS BIGINT) AS m2, CAST(sum(t2) AS BIGINT) AS t2,
+         |    CAST(sum(m3) AS BIGINT) AS m3, CAST(sum(t3) AS BIGINT) AS t3,
+         |    CAST(sum(m4) AS BIGINT) AS m4, CAST(sum(t4) AS BIGINT) AS t4,
+         |    CAST(sum(cand_len) AS BIGINT) AS cand_len_sum,
+         |    CAST(sum(ref_len) AS BIGINT) AS ref_len_sum,
+         |    CAST(count(*) AS BIGINT) AS n_segments
+         |  FROM st GROUP BY 1)
+         |SELECT sys, m1, t1, m2, t2, m3, t3, m4, t4,
+         |  cand_len_sum, ref_len_sum, n_segments,
+         |  CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0
+         |    THEN CAST(floor(CAST(m1 AS DOUBLE) * CAST(m2 AS DOUBLE)
+         |      * CAST(m3 AS DOUBLE) * CAST(m4 AS DOUBLE) * 1000000
+         |      / (CAST(t1 AS DOUBLE) * CAST(t2 AS DOUBLE)
+         |        * CAST(t3 AS DOUBLE) * CAST(t4 AS DOUBLE)))
+         |      AS BIGINT) END AS prec_geo_ppm
+         |FROM agg""".stripMargin,
+
+    // q271: the q241 chained strict-min funnel with the 30-minute
+    // step bound carried inside each min-CASE.
+    "q271_funnel_within" ->
+      raw"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+         |  FROM events),
+         |s1 AS (SELECT user_id AS "user", CAST(min(ts) AS BIGINT) AS ts1
+         |  FROM e WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT s1."user", s1.ts1,
+         |    CAST(min(CASE WHEN c.ts > s1.ts1
+         |      AND c.ts <= s1.ts1 + 1800000000000 THEN c.ts END)
+         |      AS BIGINT) AS ts2
+         |  FROM s1 LEFT JOIN e c ON c.user_id = s1."user"
+         |    AND c.event_type = 'click'
+         |  GROUP BY 1, 2),
+         |s3 AS (SELECT s2."user", ts1, ts2,
+         |    CAST(min(CASE WHEN p.ts > s2.ts2
+         |      AND p.ts <= s2.ts2 + 1800000000000 THEN p.ts END)
+         |      AS BIGINT) AS ts3
+         |  FROM s2 LEFT JOIN e p ON p.user_id = s2."user"
+         |    AND p.event_type = 'purchase'
+         |  GROUP BY 1, 2, 3)
+         |SELECT "user", ts1, ts2, ts3,
+         |  CAST(1 + CASE WHEN ts2 IS NULL THEN 0 ELSE 1 END
+         |    + CASE WHEN ts3 IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         |    AS steps_completed
+         |FROM s3""".stripMargin,
+
+    // q272: lag-gap session starts, ROWS-framed running sum for the
+    // session index, then the per-session fold — all on int64 nanos
+    // with the (ts, event_id) order.
+    "q272_sessions" ->
+      raw"""WITH e AS (SELECT user_id AS "user", epoch_ns(ts) AS ts,
+         |    event_id FROM events),
+         |l AS (SELECT "user", ts, event_id,
+         |    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         |      WHEN ts - lag(ts) OVER w > 1800000000000 THEN 1
+         |      ELSE 0 END AS nw
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY "user" ORDER BY ts, event_id)),
+         |s AS (SELECT "user", ts,
+         |    CAST(sum(nw) OVER (PARTITION BY "user"
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS session_ix
+         |  FROM l)
+         |SELECT "user", session_ix,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(min(ts) AS BIGINT) AS start_ts,
+         |  CAST(max(ts) AS BIGINT) AS end_ts,
+         |  CAST(max(ts) - min(ts) AS BIGINT) AS duration
+         |FROM s GROUP BY 1, 2""".stripMargin
   )
 }

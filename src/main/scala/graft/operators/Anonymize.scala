@@ -59,32 +59,109 @@ object Anonymize {
       .withColumn("suppressed", col("qi_n") < k)
   }
 
+  /** l-diversity companion to [[kAnonymize]] (Machanavajjhala et al.
+    * 2007, the distinct-l variant): a k-anonymous group is still
+    * re-identifying when everyone in it SHARES the sensitive value
+    * (the homogeneity attack), so release requires BOTH `qi_n >= k`
+    * and `>= l` distinct sensitive values per quasi-identifier group.
+    * This is the APPLY: surviving rows with `qi_n` and `qi_l`
+    * (distinct sensitive values, nulls not counted — an all-null
+    * group has diversity 0 and never releases) attached. See
+    * [[lDiversityReport]] for the reviewer's per-group audit view.
+    *
+    * Scale shape: ONE aggregation over the QI key computes both the
+    * size and the distinct-sensitive count (two-phase distinct agg,
+    * map-side partial), then the same null-safe equi join back as
+    * [[kAnonymize]] — one shuffle key throughout.
+    */
+  def kAnonymizeLDiverse(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    require(k >= 2, s"k=$k must be >= 2 (k=1 releases everything)")
+    require(l >= 2, s"l=$l must be >= 2 (l=1 is plain k-anonymity)")
+    val sizes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("qi_n"),
+        countDistinct(col(sensitiveCol)).as("qi_l"))
+      .filter(col("qi_n") >= k && col("qi_l") >= l)
+    val s2 = qiCols.foldLeft(sizes) { (d, c) =>
+      d.withColumnRenamed(c, s"__q_$c") }
+    val cond = qiCols.map(c => df(c) <=> s2(s"__q_$c")).reduce(_ && _)
+    df.join(s2, cond).drop(qiCols.map(c => s"__q_$c"): _*)
+  }
+
+  /** The audit view for [[kAnonymizeLDiverse]]: one row per
+    * quasi-identifier group with its size, its sensitive-value
+    * diversity, and the per-predicate verdicts — `suppressed_k`
+    * (fails the size gate) and `suppressed_l` (fails the diversity
+    * gate); a group releases iff both are false.
+    */
+  def lDiversityReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    require(k >= 2, s"k=$k must be >= 2")
+    require(l >= 2, s"l=$l must be >= 2")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("qi_n"),
+        countDistinct(col(sensitiveCol)).as("qi_l"))
+      .withColumn("suppressed_k", col("qi_n") < k)
+      .withColumn("suppressed_l", col("qi_l") < l)
+  }
+
+  /** Normalize an id column to long for the forget cascade, REFUSING
+    * loudly on any non-null value the cast loses (a non-numeric
+    * string id silently null-casting would make the anti join RETAIN
+    * the row — a deletion operator must never skip work silently, and
+    * the audit could not surface it either: the request would just
+    * read n_removed = 0, indistinguishable from nothing-to-delete).
+    * SQL-null ids pass through as null (no user to forget — an
+    * anti-join key of null matches no tombstone, which is correct,
+    * not silent loss). try_cast keeps the probe ANSI-safe; the
+    * raise_error is row-forced because the result IS the join key.
+    */
+  private def longIdOrRefuse(c: Column, what: String): Column =
+    when(c.isNull, lit(null).cast("long"))
+      .otherwise(coalesce(c.try_cast("long"),
+        raise_error(concat(lit(s"$what id '"), c.cast("string"),
+          lit("' is not castable to long — refusing to silently " +
+            "skip a right-to-be-forgotten row"))).cast("long")))
+
   /** Right-to-be-forgotten cascade, the APPLY: every row whose
     * `userCol` appears in the tombstone relation is removed (one
     * anti-join — at scale the tombstone side is a broadcast or a
-    * bloom-pushed semi-join, Catalyst's choice). Pair with
-    * [[forgetAudit]] for the processing proof a DSR workflow files.
+    * bloom-pushed semi-join, Catalyst's choice). Ids on BOTH sides
+    * must cast to long; an uncastable non-null id on either side
+    * refuses loudly (see [[longIdOrRefuse]]) instead of silently
+    * retaining the row. Pair with [[forgetAudit]] for the processing
+    * proof a DSR workflow files.
     */
   def forgetUsers(df: DataFrame, userCol: String, tombstones: DataFrame,
       tombCol: String): DataFrame = {
     // cast BOTH sides to long, exactly like forgetAudit — asymmetric
     // normalization would let the apply and its audit disagree
-    val tomb = tombstones.select(col(tombCol).cast("long").as("__tu"))
+    val tomb = tombstones
+      .select(longIdOrRefuse(col(tombCol), "tombstone").as("__tu"))
       .distinct()
-    df.join(tomb, df(userCol).cast("long") === tomb("__tu"), "left_anti")
+    df.join(tomb, longIdOrRefuse(df(userCol), "user") === tomb("__tu"),
+      "left_anti")
   }
 
   /** The audit relation for [[forgetUsers]]: ONE ROW PER TOMBSTONE —
     * including requests matching nothing (n_removed = 0), because a
     * deletion request must be provably PROCESSED, not silently
-    * skipped — with the number of rows the cascade removes. One
+    * skipped — with the number of rows the cascade removes. Applies
+    * the same uncastable-id refusal as the apply on both sides. One
     * map-side-combined count + a tombstone-sized outer join.
     */
   def forgetAudit(df: DataFrame, userCol: String, tombstones: DataFrame,
       tombCol: String): DataFrame = {
-    val tomb = tombstones.select(col(tombCol).cast("long").as("user"))
+    val tomb = tombstones
+      .select(longIdOrRefuse(col(tombCol), "tombstone").as("user"))
       .distinct()
-    val counts = df.select(col(userCol).cast("long").as("user"))
+    val counts = df.select(longIdOrRefuse(col(userCol), "user").as("user"))
       .join(tomb, Seq("user"), "left_semi")
       .groupBy(col("user")).agg(count(lit(1)).as("__n"))
     tomb.join(counts, Seq("user"), "left")
@@ -124,12 +201,74 @@ object Anonymize {
     val magBits = expr("conv(cast(__u div 2 as string), 10, 2)")
     val mag = (length(magBits) - length(rtrim(magBits, "1")))
       .cast("long")
-    df.groupBy(col(keyCol).cast("long").as("key"))
+    df.select(releaseKey(col(keyCol), "noisyCounts").as("key"))
+      .groupBy(col("key"))
       .agg(count(lit(1)).as("n"))
       .withColumn("__u", bits)
       .withColumn("noise",
         (lit(1L) - lit(2L) * pmod(col("__u"), lit(2L))) * mag)
       .withColumn("noisy_n", greatest(col("n") + col("noise"), lit(0L)))
+      .drop("__u")
+  }
+
+  /** The release-key contract shared by the noisy aggregates: keys
+    * must be non-null and long-castable, REFUSED loudly otherwise. A
+    * null key group would make the Lehmer draw null, the noise null,
+    * and the released value silently un-noised (Spark's `greatest`
+    * skips nulls, so `greatest(n + null, 0)` read 0 before this
+    * check) — a privacy-release operator must refuse a broken
+    * bucketing, not publish a wrong number for it. Row-forced: the
+    * result IS the grouping key.
+    */
+  private def releaseKey(c: Column, op: String): Column =
+    coalesce(c.try_cast("long"),
+      raise_error(concat(lit(s"$op key '"),
+        coalesce(c.cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a noisy release " +
+          "needs sound buckets; fix the keying upstream")))
+        .cast("long"))
+
+  /** Noisy group SUMS — [[noisyCounts]] generalized past counting
+    * queries. Differential privacy for a sum needs a SENSITIVITY
+    * bound first: each row's contribution is clipped to
+    * `[-clip, +clip]` (the standard contribution-bounding step — one
+    * record can then move the true sum by at most `clip`), the
+    * clipped values are summed per key, and the same seeded-Lehmer
+    * two-sided geometric(1/2) draw as [[noisyCounts]] is added with
+    * its magnitude SCALED BY `clip`, so the noise-to-sensitivity
+    * ratio (and hence the ε = 2·ln 2 shape under ideal uniformity)
+    * matches the count mechanism's. Determinism rationale and the
+    * sticky-noise caveat as in [[noisyCounts]].
+    *
+    * Null or uncastable keys and VALUES refuse loudly (a null value
+    * silently contributing 0 to a privacy release hides a schema
+    * break); sums are NOT zero-clamped — unlike counts, a true sum
+    * may be negative. Output: `key, clipped_sum, noise, noisy_sum`.
+    * One map-side-combined sum + row-local arithmetic; no second
+    * shuffle.
+    */
+  def noisySums(df: DataFrame, keyCol: String, valCol: String,
+      clip: Long, seed: Long = 1L): DataFrame = {
+    require(clip >= 1, s"clip=$clip must be >= 1 (the sensitivity bound)")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("noisySums value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a null contribution " +
+          "would silently sum as 0 in a privacy release")))
+        .cast("long"))
+    val clipped = least(greatest(v, lit(-clip)), lit(clip))
+    val u = lehmer(lehmer(col("key") + lit(seed)) + lit(seed))
+    val magBits = expr("conv(cast(__u div 2 as string), 10, 2)")
+    val mag = (length(magBits) - length(rtrim(magBits, "1")))
+      .cast("long")
+    df.select(releaseKey(col(keyCol), "noisySums").as("key"),
+        clipped.as("__v"))
+      .groupBy(col("key"))
+      .agg(sum(col("__v")).as("clipped_sum"))
+      .withColumn("__u", u.cast("long"))
+      .withColumn("noise",
+        (lit(1L) - lit(2L) * pmod(col("__u"), lit(2L))) * mag * clip)
+      .withColumn("noisy_sum", col("clipped_sum") + col("noise"))
       .drop("__u")
   }
 }

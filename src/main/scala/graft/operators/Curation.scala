@@ -468,8 +468,16 @@ object Curation {
     * first position — the dictionary-driven NER pass (product names,
     * site lists, benchmark titles) a curation pipeline runs where a
     * model tagger is overkill. Overlapping occurrences all report;
-    * null, empty, and whitespace-only phrases match nowhere. (For a
-    * single COLUMN-driven phrase probe without a dictionary, see
+    * null, empty, and whitespace-only phrases match nowhere. BOTH
+    * sides tokenize on `\s+` (documents and phrases identically — a
+    * doc-side single-space split would glue tab/newline-separated
+    * words into untaggable pseudo-tokens like `"New\nYork"`, so an
+    * exactly-occurring phrase could silently fail to match on real
+    * crawl text); positions are 1-based indices into the doc's `\s+`
+    * token stream. Matching is case-SENSITIVE by default (gazetteers
+    * carry canonical casing); pass `caseFold = true` to lowercase
+    * both sides, the [[snippets]] convention. (For a single
+    * COLUMN-driven phrase probe without a dictionary, see
     * [[graft.functions.TextFns.phrasePositions]] — this operator uses
     * its own in-scan matcher instead, see below.)
     *
@@ -488,9 +496,10 @@ object Curation {
     */
   def gazetteerTag(docs: DataFrame, idCol: String, textCol: String,
       gaz: DataFrame, entityCol: String, phraseCol: String,
-      maxGaz: Int = 65536): DataFrame = {
+      maxGaz: Int = 65536, caseFold: Boolean = false): DataFrame = {
+    def folded(c: Column): Column = if (caseFold) lower(c) else c
     val g = gaz.select(col(entityCol).cast("string").as("entity"),
-      split(trim(col(phraseCol)), "\\s+").as("__ph"))
+      split(trim(folded(col(phraseCol))), "\\s+").as("__ph"))
     val rows = g.limit(maxGaz + 1).collect()
     require(rows.length >= 1 && rows.length <= maxGaz,
       s"gazetteer has >= ${rows.length} rows — need 1..$maxGaz (it " +
@@ -532,7 +541,10 @@ object Curation {
       agg.toSeq.map { case (ix, (n, first)) =>
         (entries(ix)._1, n, first) }
     }
-    val ws = split(trim(col(textCol)), " ")
+    // same \s+ tokenizer as the phrase side and as [[snippets]] — a
+    // single-space split would make tab/newline-separated docs
+    // untaggable (tokens like "New\nYork" match no phrase)
+    val ws = split(trim(folded(col(textCol))), "\\s+")
     docs.select(col(idCol), explode(scanUdf(ws)).as("__h"))
       .select(col(idCol), col("__h._1").as("entity"),
         col("__h._2").as("n_matches"), col("__h._3").as("first_pos"))

@@ -148,6 +148,50 @@ object EvalMetrics {
         floor(mProd.cast("double") * 1000000 / tProd).cast("long")))
   }
 
+  /** Corpus-level BLEU fold over [[bleuStats]] output: per group the
+    * segment statistics are SUMMED FIRST — `m{n}`/`t{n}` clipped
+    * match and total counts, candidate/reference lengths — and the
+    * geometric precision product is taken on the SUMS
+    * (`floor(10^6 · Π Σm_n / Π Σt_n)`), which is what corpus BLEU
+    * means (Papineni et al. 2002): a corpus score is NOT the mean of
+    * segment scores. `prec_geo_ppm` is null when any `Σt_n` = 0 (the
+    * whole corpus shorter than maxN tokens per segment) and 0 when
+    * any `Σm_n` = 0, mirroring the per-segment convention. As in
+    * [[bleuStats]] — and documented only here, once — the float
+    * brevity penalty `exp(min(0, 1 − Σref_len/Σcand_len))` stays
+    * caller-side: `exp` is not bit-reproducible across engines, and
+    * every BP input (`cand_len_sum`, `ref_len_sum`) is in the output.
+    *
+    * Unlike the per-segment product (segments are short, so int64
+    * holds), the corpus Π of sums overflows int64 past ~55k n-grams
+    * per order, so the geometric product runs in IEEE double with a
+    * FIXED multiplication order (m1·m2·m3·m4, mirrored verbatim by
+    * the oracle): engine-exact always, and value-exact while each
+    * partial product fits 2^53. One map-side-combined aggregation
+    * over the per-pair stats.
+    */
+  def corpusBleu(stats: DataFrame, groupCols: Seq[String],
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 6, s"maxN=$maxN out of range 1..6")
+    val sums =
+      (1 to maxN).flatMap(n => Seq(
+        sum(col(s"m$n")).as(s"m$n"), sum(col(s"t$n")).as(s"t$n"))) ++
+      Seq(sum(col("cand_len")).as("cand_len_sum"),
+        sum(col("ref_len")).as("ref_len_sum"),
+        count(lit(1)).as("n_segments"))
+    val agged =
+      if (groupCols.isEmpty) stats.agg(sums.head, sums.tail: _*)
+      else stats.groupBy(groupCols.map(col): _*)
+        .agg(sums.head, sums.tail: _*)
+    val mProd = (1 to maxN).map(n => col(s"m$n").cast("double"))
+      .reduce(_ * _)
+    val tProd = (1 to maxN).map(n => col(s"t$n").cast("double"))
+      .reduce(_ * _)
+    agged.withColumn("prec_geo_ppm",
+      when((1 to maxN).map(n => col(s"t$n") > 0).reduce(_ && _),
+        floor(mProd * 1000000 / tProd).cast("long")))
+  }
+
   /** ROUGE-L (Lin 2004) per (candidate, reference) row: the LCS
     * length over whitespace tokens plus precision / recall / F1
     * (β = 1) on the ppm lattice. Both-empty scores 10^6 (the emF1

@@ -31,10 +31,16 @@ object Experiment {
     * inputs.
     *
     * A user CONVERTS when they have ≥ 1 event of `convType`; variant
-    * membership must be 0/1 per user (the operator refuses mixed
-    * assignments loudly — a user in both arms means the bucketing
-    * upstream is broken). One distinct-user aggregation + one 2-row
-    * fold; nothing user-sized leaves the first shuffle.
+    * membership must be EXACTLY ONE value per user AND that value
+    * must be 0 or 1, refused loudly otherwise with a per-case
+    * message: all-null assignment ("no variant"), >1 distinct values
+    * ("multiple variants"), or a value outside {0,1} (a third arm fed
+    * into a 2×2 fold would otherwise silently vanish from a/b/c/d and
+    * yield a confident, wrong χ² — use [[abTestK]] for k arms). A
+    * user with SOME null variant events and one non-null value passes
+    * (null = the event predates assignment). One distinct-user
+    * aggregation + one 2-row fold; nothing user-sized leaves the
+    * first shuffle.
     */
   def abTest(events: DataFrame, userCol: String, variantCol: String,
       typeCol: String, convType: String): DataFrame = {
@@ -45,12 +51,21 @@ object Experiment {
         max(when(col(typeCol) === convType, 1L).otherwise(0L))
           .as("converted"))
       .select(col("user"), col("variant"), col("converted"),
-        when(col("__nv") === 1, lit(true))
-          .otherwise(raise_error(concat(lit("user "),
-            col("user").cast("string"),
-            lit(" appears in multiple variants — fix the bucketing")))
-            .cast("boolean")).as("__ok"))
-      // the filter FORCES the mixed-assignment check row-by-row —
+        when(col("__nv") === 0,
+          raise_error(concat(lit("user "), col("user").cast("string"),
+            lit(" has no variant assignment (all null) — fix the " +
+              "bucketing"))).cast("boolean"))
+          .when(col("__nv") > 1,
+            raise_error(concat(lit("user "), col("user").cast("string"),
+              lit(" appears in multiple variants — fix the bucketing")))
+              .cast("boolean"))
+          .when(!col("variant").isin(0L, 1L),
+            raise_error(concat(lit("user "), col("user").cast("string"),
+              lit(" has variant "), col("variant").cast("string"),
+              lit(" outside {0,1} — abTest folds a 2x2 table; use " +
+                "abTestK for k arms"))).cast("boolean"))
+          .otherwise(lit(true)).as("__ok"))
+      // the filter FORCES the assignment checks row-by-row —
       // an unused projected column would be pruned away by Catalyst
       .filter(col("__ok"))
     val counts = perUser.groupBy(col("variant"))
@@ -88,18 +103,96 @@ object Experiment {
       })
   }
 
+  /** A/B/n conversion analysis — [[abTest]] generalized to k arms:
+    * per variant the user and converter counts plus the conversion
+    * rate (ppm), and the k×2 χ² statistic (k−1 dof) attached to every
+    * row. Cell terms use the textbook `(O − E)²/E` with
+    * `E = rowTotal·colTotal/N`; on integers, for variant i with
+    * `nu_i` users, `nc_i` converters, totals `N`/`C`:
+    *
+    *   d_i = N·nc_i − nu_i·C   (the converted-cell residual ×N; the
+    *                            non-converted cell's residual is −d_i)
+    *   χ²  = Σ_i d_i²/(N·nu_i·C) + d_i²/(N·nu_i·(N−C))
+    *
+    * Each term is ONE integer-exact residual, squared and divided in
+    * IEEE double (deterministic op order, mirrored by the oracle),
+    * floored to MICRO units per cell and summed as integers — so
+    * `chi2_micro` is engine-exact; the ≤ 2k-micro floor bias is
+    * documented noise, far below any decision threshold. χ² is null
+    * when a marginal is empty (nobody or everybody converted — the
+    * statistic is undefined).
+    *
+    * Per-user variant assignment must be exactly one NON-NULL value
+    * (loud refusal as in [[abTest]]); arm ids are any longs. One
+    * distinct-user aggregation + a k-row fold + two 1-row broadcast
+    * cross joins.
+    */
+  def abTestK(events: DataFrame, userCol: String, variantCol: String,
+      typeCol: String, convType: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("user"))
+      .agg(countDistinct(col(variantCol)).as("__nv"),
+        max(col(variantCol)).cast("long").as("variant"),
+        max(when(col(typeCol) === convType, 1L).otherwise(0L))
+          .as("converted"))
+      .select(col("user"), col("variant"), col("converted"),
+        when(col("__nv") === 0,
+          raise_error(concat(lit("user "), col("user").cast("string"),
+            lit(" has no variant assignment (all null) — fix the " +
+              "bucketing"))).cast("boolean"))
+          .when(col("__nv") > 1,
+            raise_error(concat(lit("user "), col("user").cast("string"),
+              lit(" appears in multiple variants — fix the bucketing")))
+              .cast("boolean"))
+          .otherwise(lit(true)).as("__ok"))
+      .filter(col("__ok"))
+    val counts = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).as("n_conv"))
+    val tot = counts.agg(sum(col("n_users")).as("__N"),
+      sum(col("n_conv")).as("__C"))
+    val cells = counts.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm",
+        floor(col("n_conv").cast("double") * 1000000 / col("n_users"))
+          .cast("long"))
+      .withColumn("__d",
+        col("__N") * col("n_conv") - col("n_users") * col("__C"))
+      .withColumn("__term",
+        when(col("__C") > 0 && col("__C") < col("__N"), {
+          val dd = col("__d").cast("double") * col("__d").cast("double")
+          val t1 = floor(dd
+            / (col("__N") * col("n_users") * col("__C")).cast("double")
+            * 1000000).cast("long")
+          val t2 = floor(dd
+            / (col("__N") * col("n_users") * (col("__N") - col("__C")))
+              .cast("double") * 1000000).cast("long")
+          t1 + t2
+        }).otherwise(lit(0L)))
+    val chi = cells.agg(sum(col("__term")).as("__chi"),
+      max(col("__N")).as("__N2"), max(col("__C")).as("__C2"))
+    cells.crossJoin(broadcast(chi))
+      .select(col("variant"), col("n_users"), col("n_conv"),
+        col("rate_ppm"),
+        when(col("__C2") > 0 && col("__C2") < col("__N2"), col("__chi"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"))
+  }
+
   /** Cohort retention triangle: users grouped by their FIRST-seen
-    * period (`ts div periodNs`), and for each later period offset the
-    * count still active plus retention vs the cohort size on the ppm
-    * lattice. The standard product-analytics retention chart, exact:
-    * integer period buckets, one distinct (cohort, offset, user)
-    * reduction, map-side combined.
+    * period (ts floor-divided into `periodNs` buckets), and for each
+    * later period offset the count still active plus retention vs the
+    * cohort size on the ppm lattice. The standard product-analytics
+    * retention chart, exact: integer period buckets, one distinct
+    * (cohort, offset, user) reduction, map-side combined. Bucketing
+    * uses the same pmod-FLOOR division as [[rollingActives]] — `div`
+    * truncates toward zero, which would misplace pre-epoch (negative)
+    * timestamps into the wrong cohort.
     */
   def retentionCohorts(events: DataFrame, userCol: String,
       tsCol: String, periodNs: Long): DataFrame = {
     require(periodNs > 0, s"periodNs=$periodNs must be > 0")
     val e = events.select(col(userCol).as("user"),
-      expr(s"${tsCol} div ${periodNs}L").as("period"))
+      expr(s"(($tsCol) - pmod($tsCol, ${periodNs}L)) div ${periodNs}L")
+        .as("period"))
     val firstSeen = e.groupBy(col("user"))
       .agg(min(col("period")).as("cohort"))
     val sizes = firstSeen.groupBy(col("cohort"))

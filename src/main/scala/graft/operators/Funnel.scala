@@ -32,7 +32,27 @@ object Funnel {
     * 10⁶ events costs the same as one with 10).
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-      tsCol: String, steps: Seq[String]): DataFrame = {
+      tsCol: String, steps: Seq[String]): DataFrame =
+    funnelImpl(events, userCol, typeCol, tsCol, steps, None)
+
+  /** [[funnel]] with a STEP TIMEOUT — the standard "completed the next
+    * step within 7 days" product question: step i counts only when it
+    * occurs strictly after step i−1 AND within `maxStepGap` ts units
+    * of it (`ts_{i-1} < ts_i <= ts_{i-1} + maxStepGap`). A later
+    * in-window event can never rescue an abandoned funnel: the
+    * minimum qualifying time per round is still the semantics, just
+    * with one extra upper-bound predicate in the same chained min
+    * aggregation — identical scale shape to [[funnel]].
+    */
+  def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], maxStepGap: Long): DataFrame = {
+    require(maxStepGap > 0, s"maxStepGap=$maxStepGap must be > 0")
+    funnelImpl(events, userCol, typeCol, tsCol, steps, Some(maxStepGap))
+  }
+
+  private def funnelImpl(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, steps: Seq[String],
+      maxStepGap: Option[Long]): DataFrame = {
     require(steps.nonEmpty && steps.length <= 8,
       s"need 1..8 funnel steps, got ${steps.length}")
     require(steps.distinct.length == steps.length,
@@ -44,10 +64,14 @@ object Funnel {
       val prevCols = (1 until i).map(j => col(s"ts$j"))
       val nexts = events.filter(col(typeCol) === steps(i - 1))
         .select(col(userCol).as("user"), col(tsCol).cast("long").as("__ts"))
+      val qualifies = maxStepGap match {
+        case Some(gap) => col("__ts") > col(s"ts${i - 1}") &&
+          col("__ts") <= col(s"ts${i - 1}") + gap
+        case None => col("__ts") > col(s"ts${i - 1}")
+      }
       cur = cur.join(nexts, Seq("user"), "left")
         .groupBy((col("user") +: prevCols): _*)
-        .agg(min(when(col("__ts") > col(s"ts${i - 1}"), col("__ts")))
-          .as(s"ts$i"))
+        .agg(min(when(qualifies, col("__ts"))).as(s"ts$i"))
     }
     val reached = (1 to steps.length)
       .map(j => when(col(s"ts$j").isNotNull, 1).otherwise(0))
@@ -142,6 +166,42 @@ object Funnel {
       .select(col("user"), col("event_id"),
         col("ts").as("conv_ts"), col("touch_ts"),
         (col("ts") - col("touch_ts")).as("latency"))
+  }
+
+  /** Sessionization + per-session stats: each user's event stream is
+    * cut into sessions at inactivity gaps `> gapNs` (the standard
+    * 30-minute web-session rule), and each session reports one row —
+    * `user, session_ix` (1-based, in time order), `n_events,
+    * start_ts, end_ts, duration`. Event order within a user is
+    * `(ts, tiebreak)` with the id tie-break, so equal-timestamp runs
+    * sessionize deterministically across engines; a gap of EXACTLY
+    * `gapNs` stays in the same session (strict `>` starts a new one).
+    *
+    * Scale shape: one user-partitioned lag window marks session
+    * starts, a running sum over the SAME window partitioning numbers
+    * them (one shuffle on user, both windows share it), then one
+    * map-side-combined aggregation per (user, session). No
+    * collect_list of a user's history.
+    */
+  def sessionStats(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapNs: Long): DataFrame = {
+    require(gapNs > 0, s"gapNs=$gapNs must be > 0")
+    val byUser = Window.partitionBy(col("user"))
+      .orderBy(col("ts"), col("tie"))
+    events.select(col(userCol).as("user"),
+        col(tsCol).cast("long").as("ts"),
+        col(tieCol).cast("long").as("tie"))
+      .withColumn("__new",
+        when(col("ts") - lag(col("ts"), 1).over(byUser) > gapNs, 1L)
+          .when(lag(col("ts"), 1).over(byUser).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_ix", sum(col("__new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user"), col("session_ix"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"))
+      .withColumn("duration", col("end_ts") - col("start_ts"))
   }
 
   /** Conversion-latency histogram: per consecutive step pair of a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Semi-structured (JSON) column operators — event `props`, API
@@ -49,5 +49,84 @@ object SemiStructured {
         min(col("__v")).as("min_v"),
         max(col("__v")).as("max_v"),
         countDistinct(col("__v")).as("n_distinct"))
+  }
+
+  /** Canonical JSON value class of a VARIANT node, from
+    * `schema_of_variant`'s type string: `object`, `array`, `string`,
+    * `number` (any integral/decimal/double width — JSON has one
+    * number type), `bool`, `null` (the JSON literal), or
+    * `__invalid__` for a SQL-null variant (an unparseable payload).
+    */
+  private def variantClass(v: Column): Column = {
+    val s = schema_of_variant(v)
+    when(v.isNull, lit("__invalid__"))
+      .when(s.startsWith("OBJECT<"), lit("object"))
+      .when(s.startsWith("ARRAY<"), lit("array"))
+      .when(s === "STRING", lit("string"))
+      .when(s === "BOOLEAN", lit("bool"))
+      .when(s === "VOID", lit("null"))
+      .otherwise(lit("number"))
+  }
+
+  private def isContainer(v: Column): Column =
+    schema_of_variant(v).startsWith("OBJECT<") ||
+      schema_of_variant(v).startsWith("ARRAY<")
+
+  /** Recursive JSON path inventory — the full-tree generalization of
+    * [[jsonKeyReport]]: per group, every path reachable within
+    * `maxDepth` levels of nesting with its value class and row count,
+    * paths spelled `$.a.b[0]` (objects by key, arrays by position).
+    * The first question against a DEEP unknown payload: what shapes
+    * are producers actually sending, and is any path type-drifting
+    * (the same path reports one row per distinct class). Unparseable
+    * or null payloads count under `$` / `__invalid__`, visible as in
+    * [[jsonKeyReport]]; a JSON `null` literal classes as `null`.
+    *
+    * Depth is a LOUD contract: if any node at depth `maxDepth` still
+    * has children, the query raises (a refusal branch is unioned into
+    * the plan — zero rows, and zero cost, when the bound suffices)
+    * rather than silently truncating the inventory: a profile that
+    * quietly omits the deep half of the payload reads as "covered
+    * everything" when it didn't.
+    *
+    * Scale shape: each payload string is parsed ONCE into a variant
+    * at the root (`try_parse_json` — no per-row Jackson churn, no
+    * UDF); every level is a map-side `variant_explode` lateral of the
+    * previous level's CONTAINER nodes only, depth-bounded at
+    * `maxDepth ≤ 8`; the single shuffle is the final (grp, path,
+    * class) count. Raw JSON never shuffles.
+    */
+  def jsonPathProfile(df: DataFrame, jsonCol: String, groupCol: String,
+      maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 8,
+      s"maxDepth=$maxDepth out of range 1..8 (flatten deeper payloads " +
+        "upstream — an unbounded recursion is not a profile)")
+    val spark = df.sparkSession
+    val root = df.select(col(groupCol).as("grp"), lit("$").as("path"),
+      expr(s"try_parse_json(`$jsonCol`)").as("v"))
+    def children(level: DataFrame): DataFrame =
+      level.filter(isContainer(col("v")))
+        .lateralJoin(spark.tvf.variant_explode(col("v").outer()))
+        .select(col("grp"),
+          concat(col("path"),
+            when(col("key").isNotNull, concat(lit("."), col("key")))
+              .otherwise(concat(lit("["), col("pos").cast("string"),
+                lit("]")))).as("path"),
+          col("value").as("v"))
+    val levels = Iterator.iterate(root)(children).take(maxDepth + 1).toSeq
+    // the refusal branch: any child BELOW the depth bound raises with
+    // the offending path; an in-bound payload contributes zero rows
+    val tooDeep = children(levels.last)
+      .select(col("grp"),
+        raise_error(concat(
+          lit(s"jsonPathProfile: payload nests deeper than maxDepth=" +
+            s"$maxDepth at path "), col("path"),
+          lit(" — raise maxDepth or flatten upstream"))).cast("string")
+          .as("path"),
+        col("v"))
+    (levels :+ tooDeep).reduce(_ unionByName _)
+      .select(col("grp"), col("path"), variantClass(col("v")).as("vtype"))
+      .groupBy(col("grp"), col("path"), col("vtype"))
+      .agg(count(lit(1)).as("n"))
   }
 }

@@ -103,4 +103,123 @@ class AnonymizeSpec extends AnyFunSuite {
       seed = 7L).collect().head
     assert(tiny.getLong(3) >= 0L)
   }
+
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null) t else rootCause(t.getCause)
+
+  test("forgetUsers/forgetAudit: an uncastable id on either side " +
+      "refuses loudly instead of silently retaining the row") {
+    val evs = Seq(("1", "a"), ("oops", "b")).toDF("user_id", "x")
+    val tomb = Seq(1L).toDF("uid")
+    val e1 = intercept[Exception] {
+      Anonymize.forgetUsers(evs, "user_id", tomb, "uid").collect()
+    }
+    assert(rootCause(e1).getMessage.contains("not castable"),
+      rootCause(e1).getMessage)
+    val e2 = intercept[Exception] {
+      Anonymize.forgetAudit(evs, "user_id", tomb, "uid").collect()
+    }
+    assert(rootCause(e2).getMessage.contains("not castable"))
+    val badTomb = Seq("u-7").toDF("uid")
+    val goodEvs = Seq((1L, "a")).toDF("user_id", "x")
+    val e3 = intercept[Exception] {
+      Anonymize.forgetUsers(goodEvs, "user_id", badTomb, "uid").collect()
+    }
+    assert(rootCause(e3).getMessage.contains("tombstone"))
+    // SQL-null ids are NOT a refusal: a null user id belongs to no
+    // user, so the row is retained (null matches no tombstone)
+    val nullEvs = Seq((Some(1L), "a"), (None, "b"))
+      .toDF("user_id", "x")
+    val kept = Anonymize.forgetUsers(nullEvs, "user_id", tomb, "uid")
+      .collect().map(_.getString(1)).toSet
+    assert(kept == Set("b"))
+  }
+
+  test("noisyCounts/noisySums: a null or uncastable key refuses " +
+      "loudly — a silently zeroed or un-noised group is a privacy bug") {
+    val e1 = intercept[Exception] {
+      Anonymize.noisyCounts(Seq((Some(1L), "x"), (None, "y"))
+        .toDF("k", "pad"), "k", seed = 7L).collect()
+    }
+    assert(rootCause(e1).getMessage.contains("noisyCounts key"),
+      rootCause(e1).getMessage)
+    val e2 = intercept[Exception] {
+      Anonymize.noisySums(Seq(("zz", 1L)).toDF("k", "v"), "k", "v",
+        clip = 10L).collect()
+    }
+    assert(rootCause(e2).getMessage.contains("noisySums key"))
+  }
+
+  test("noisySums: per-row clipping bounds each contribution at " +
+      "±clip, noise replays the Lehmer draw scaled by clip, no zero " +
+      "clamp, null values refuse") {
+    val rows = Seq((1L, 10000L), (1L, -10000L), (2L, 300L), (2L, -100L),
+      (3L, -9999L))
+      .toDF("k", "v")
+    val got = Anonymize.noisySums(rows, "k", "v", clip = 500L, seed = 7L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // key 1: +10000 clips to +500, -10000 to -500 -> sum 0
+    assert(got(1L)._1 == 0L, s"got $got")
+    // key 2: inside the cap, untouched
+    assert(got(2L)._1 == 200L)
+    // key 3: one row over the cap contributes exactly -clip
+    assert(got(3L)._1 == -500L)
+    got.foreach { case (k, (s, noise, noisy)) =>
+      assert(noise == refNoise(k, 7L) * 500L, s"key $k noise")
+      assert(noisy == s + noise, "sums are not zero-clamped")
+    }
+    val e = intercept[Exception] {
+      Anonymize.noisySums(Seq((1L, Some(1L)), (2L, None)).toDF("k", "v"),
+        "k", "v", clip = 10L).collect()
+    }
+    assert(rootCause(e).getMessage.contains("noisySums value"))
+    intercept[IllegalArgumentException] {
+      Anonymize.noisySums(rows, "k", "v", clip = 0L)
+    }
+  }
+
+  test("kAnonymizeLDiverse/lDiversityReport: a homogeneous sensitive " +
+      "group fails l even when it passes k") {
+    // (nation, seg) groups: DE/auto size 3 all-"x" (homogeneous),
+    // FR/auto size 3 with 2 values (diverse), FR/bank size 1
+    val rows = Seq(
+      (1L, "DE", "auto", "x"), (2L, "DE", "auto", "x"),
+      (3L, "DE", "auto", "x"),
+      (4L, "FR", "auto", "x"), (5L, "FR", "auto", "y"),
+      (6L, "FR", "auto", "y"),
+      (7L, "FR", "bank", "z"))
+      .toDF("id", "nation", "seg", "sens")
+    val rel = Anonymize.kAnonymizeLDiverse(rows, Seq("nation", "seg"),
+        "sens", k = 2, l = 2).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("qi_n"), r.getAs[Long]("qi_l")))).toMap
+    assert(rel.keySet == Set(4L, 5L, 6L), s"got $rel")
+    assert(rel(4L) == ((3L, 2L)))
+    val rep = Anonymize.lDiversityReport(rows, Seq("nation", "seg"),
+        "sens", k = 2, l = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4),
+          r.getBoolean(5)))).toMap
+    assert(rep(("DE", "auto")) == ((3L, 1L, false, true)))
+    assert(rep(("FR", "auto")) == ((3L, 2L, false, false)))
+    assert(rep(("FR", "bank")) == ((1L, 1L, true, true)))
+    // an all-null sensitive group has diversity 0 and never releases
+    val withNull = rows.unionByName(Seq(
+      (8L, "IT", "auto", null.asInstanceOf[String]),
+      (9L, "IT", "auto", null.asInstanceOf[String]))
+      .toDF("id", "nation", "seg", "sens"))
+    val rel2 = Anonymize.kAnonymizeLDiverse(withNull,
+        Seq("nation", "seg"), "sens", k = 2, l = 2).collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(!rel2.contains(8L) && !rel2.contains(9L))
+    intercept[IllegalArgumentException] {
+      Anonymize.kAnonymizeLDiverse(rows, Seq("nation", "sens"), "sens",
+        k = 2, l = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Anonymize.lDiversityReport(rows, Seq("nation"), "sens", k = 2,
+        l = 1)
+    }
+  }
 }

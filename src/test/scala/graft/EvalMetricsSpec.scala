@@ -180,4 +180,30 @@ class EvalMetricsSpec extends AnyFunSuite {
       .collect().head
     assert((rn.getLong(0), rn.getLong(3)) == ((6L, 666666L)))
   }
+
+  test("corpusBleu: sums segment stats FIRST, precision on the sums " +
+      "(not the mean of segment scores); short-corpus null") {
+    val pairs = Seq(
+      ("s1", "a b c d e", "a b c d e"),   // perfect segment
+      ("s1", "a b c d", "x y z w"),       // zero-match segment
+      ("s2", "p q r", "p q r"))           // < 4 tokens: t4 = 0
+      .toDF("sys", "cand", "ref")
+    val stats = EvalMetrics.bleuStats(pairs, "cand", "ref")
+    val got = EvalMetrics.corpusBleu(stats, Seq("sys")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    // sums: m=(5,4,3,2), t=(9,7,5,3); corpus prec =
+    // floor(120e6/945) = 126984 — NOT the 500000 a segment mean gives
+    assert((s1.getAs[Long]("m1"), s1.getAs[Long]("t1")) == ((5L, 9L)))
+    assert((s1.getAs[Long]("m4"), s1.getAs[Long]("t4")) == ((2L, 3L)))
+    assert(s1.getAs[Long]("prec_geo_ppm") == 126984L)
+    assert(s1.getAs[Long]("n_segments") == 2L)
+    assert(s1.getAs[Long]("cand_len_sum") == 9L)
+    assert(s1.getAs[Long]("ref_len_sum") == 9L)
+    // a corpus whose candidates never reach maxN tokens: null, not 0
+    assert(got("s2").isNullAt(got("s2").fieldIndex("prec_geo_ppm")))
+    // no group columns: one global row over every segment
+    val g = EvalMetrics.corpusBleu(stats, Seq.empty).collect()
+    assert(g.length == 1 && g.head.getAs[Long]("n_segments") == 3L)
+  }
 }

@@ -74,4 +74,85 @@ class ExperimentSpec extends AnyFunSuite {
     assert(r((2L, 0L)) == ((1L, 1L, 1000000L)))
     assert(r.size == 4)
   }
+
+  test("retentionCohorts: pre-epoch timestamps FLOOR into their true " +
+      "cohort (the rollingActives discipline, not div truncation)") {
+    // ts=-1 with period 10 belongs to period -1, not 0; the user's
+    // later event at ts=5 is offset 1 from that cohort
+    val evs = Seq((1L, -1L), (1L, 5L)).toDF("user_id", "ts")
+    val r = Experiment.retentionCohorts(evs, "user_id", "ts",
+        periodNs = 10L).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L), s"got $r")
+  }
+
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null) t else rootCause(t.getCause)
+
+  test("abTest: refuses out-of-domain variants and all-null " +
+      "assignments with their own messages") {
+    val base = Seq((1L, "view"), (2L, "purchase"))
+      .toDF("user_id", "event_type")
+    // a third arm must refuse, not silently vanish from the 2x2 fold
+    val threeArm = base.withColumn("variant",
+      when(col("user_id") === 1L, lit(2L)).otherwise(lit(0L)))
+    val e1 = intercept[Exception] {
+      Experiment.abTest(threeArm, "user_id", "variant", "event_type",
+        "purchase").collect()
+    }
+    assert(rootCause(e1).getMessage.contains("outside {0,1}"),
+      rootCause(e1).getMessage)
+    // an all-null assignment gets its own message (round 15 reported
+    // it as "multiple variants")
+    val allNull = base.withColumn("variant",
+      when(col("user_id") === 1L, lit(null).cast("long"))
+        .otherwise(lit(0L)))
+    val e2 = intercept[Exception] {
+      Experiment.abTest(allNull, "user_id", "variant", "event_type",
+        "purchase").collect()
+    }
+    assert(rootCause(e2).getMessage.contains("no variant assignment"),
+      rootCause(e2).getMessage)
+    // some-null + one non-null value passes (pre-assignment events)
+    val someNull = Seq((1L, "view", Some(0L)), (1L, "click", None),
+        (2L, "purchase", Some(1L)))
+      .toDF("user_id", "event_type", "variant")
+    val ok = Experiment.abTest(someNull, "user_id", "variant",
+      "event_type", "purchase").collect().head
+    assert(ok.getAs[Long]("a") == 0L && ok.getAs[Long]("c") == 1L)
+  }
+
+  test("abTestK: per-arm counts and the k-by-2 chi-square on the " +
+      "micro lattice; degenerate marginals -> null") {
+    // arm 0: u1..u4, 2 convert; arm 1: u5..u8, 1; arm 2: u9,u10, 2
+    val evs = Seq(
+      (1L, 0L, "purchase"), (2L, 0L, "purchase"), (3L, 0L, "view"),
+      (4L, 0L, "view"),
+      (5L, 1L, "purchase"), (6L, 1L, "view"), (7L, 1L, "view"),
+      (8L, 1L, "view"),
+      (9L, 2L, "purchase"), (10L, 2L, "purchase"))
+      .toDF("user_id", "variant", "event_type")
+    val got = Experiment.abTestK(evs, "user_id", "variant",
+        "event_type", "purchase").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getAs[Long]("chi2_micro")))).toMap
+    // N=10, C=5; d_i = 10*nc - nu*5: arm0 0, arm1 -10, arm2 +10
+    // chi2 = 0 + (100/200 + 100/200) + (100/100 + 100/100) = 3.0
+    assert(got(0L) == ((4L, 2L, 500000L, 3000000L)), s"got $got")
+    assert(got(1L) == ((4L, 1L, 250000L, 3000000L)))
+    assert(got(2L) == ((2L, 2L, 1000000L, 3000000L)))
+    // nobody converts -> both expected columns degenerate -> null
+    val none = evs.withColumn("event_type", lit("view"))
+    val g2 = Experiment.abTestK(none, "user_id", "variant",
+      "event_type", "purchase").collect()
+    assert(g2.forall(r => r.isNullAt(r.fieldIndex("chi2_micro"))))
+    // the same refusals as abTest
+    val mixed = evs.unionByName(Seq((1L, 1L, "view"))
+      .toDF("user_id", "variant", "event_type"))
+    val e = intercept[Exception] {
+      Experiment.abTestK(mixed, "user_id", "variant", "event_type",
+        "purchase").collect()
+    }
+    assert(rootCause(e).getMessage.contains("multiple variants"))
+  }
 }

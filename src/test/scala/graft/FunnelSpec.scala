@@ -112,4 +112,57 @@ class FunnelSpec extends AnyFunSuite {
         Seq("view", "view"))
     }
   }
+
+  test("funnelWithin: a step counts only within maxStepGap of the " +
+      "previous one; the bound is inclusive, equal-ts still excluded") {
+    val wevs = Seq(
+      // u1: click in window, purchase 95 after click -> out (gap 10)
+      (1L, "view", 0L), (1L, "click", 5L), (1L, "purchase", 100L),
+      // u2: click exactly at the bound (0 + 10) -> counts
+      (2L, "view", 0L), (2L, "click", 10L), (2L, "purchase", 20L),
+      // u3: click just past the bound -> abandoned at step 1, and the
+      // later purchase can't re-open the funnel
+      (3L, "view", 0L), (3L, "click", 11L), (3L, "purchase", 12L),
+      // u4: equal-ts click never counts, but the later in-window one
+      // does (min QUALIFYING time, not min time)
+      (4L, "view", 0L), (4L, "click", 0L), (4L, "click", 7L))
+      .toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnelWithin(wevs, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxStepGap = 10L).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))).toMap
+    assert(got(1L) == ((Some(0L), Some(5L), None, 2)), s"got $got")
+    assert(got(2L) == ((Some(0L), Some(10L), Some(20L), 3)))
+    assert(got(3L) == ((Some(0L), None, None, 1)))
+    assert(got(4L) == ((Some(0L), Some(7L), None, 2)))
+    intercept[IllegalArgumentException] {
+      Funnel.funnelWithin(wevs, "user_id", "event_type", "ts",
+        Seq("view", "click"), maxStepGap = 0L)
+    }
+  }
+
+  test("sessionStats: inactivity gaps strictly over gapNs cut " +
+      "sessions; an exactly-gap pause stays; deterministic tie order") {
+    val sevs = Seq(
+      // u1: [0, 10], then 41 (gap 31 > 30) -> two sessions
+      (1L, 0L, 100L), (1L, 10L, 101L), (1L, 41L, 102L),
+      // u2: pause of exactly 30 stays one session
+      (2L, 0L, 200L), (2L, 30L, 201L),
+      // u3: equal timestamps order by the tiebreak, gap 0 -> one
+      (3L, 5L, 301L), (3L, 5L, 300L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Funnel.sessionStats(sevs, "user_id", "ts", "event_id",
+        gapNs = 30L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got((1L, 1L)) == ((2L, 0L, 10L, 10L)), s"got $got")
+    assert(got((1L, 2L)) == ((1L, 41L, 41L, 0L)))
+    assert(got((2L, 1L)) == ((2L, 0L, 30L, 30L)))
+    assert(got((3L, 1L)) == ((2L, 5L, 5L, 0L)))
+    assert(got.size == 4)
+    intercept[IllegalArgumentException] {
+      Funnel.sessionStats(sevs, "user_id", "ts", "event_id", gapNs = 0L)
+    }
+  }
 }

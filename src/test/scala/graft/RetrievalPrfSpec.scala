@@ -65,6 +65,32 @@ class RetrievalPrfSpec extends AnyFunSuite {
     }
   }
 
+  test("gazetteerTag: tab/newline whitespace tokenizes like spaces " +
+      "on BOTH sides, and caseFold folds both sides") {
+    // round-15 split the doc on single spaces: "new\nyork" became one
+    // pseudo-token and an exactly-occurring phrase silently missed
+    val docs = Seq(
+      (1L, "the new\tyork   skyline at\nnew york"),
+      (2L, "NEW YORK in caps"))
+      .toDF("doc_id", "text")
+    val gaz = Seq(("NYC", "new york"), ("TABBED", "new\tyork"))
+      .toDF("entity", "phrase")
+    val got = Curation.gazetteerTag(docs, "doc_id", "text", gaz,
+        "entity", "phrase").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    // both phrase spellings tokenize to [new, york]; doc 1 positions
+    // in its \s+ token stream: [the,new,york,skyline,at,new,york]
+    assert(got((1L, "NYC")) == ((2, 2)), s"$got")
+    assert(got((1L, "TABBED")) == ((2, 2)), s"$got")
+    assert(!got.contains((2L, "NYC")), "case-sensitive by default")
+    val folded = Curation.gazetteerTag(docs, "doc_id", "text", gaz,
+        "entity", "phrase", caseFold = true).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(folded.contains((2L, "NYC")), s"$folded")
+    assert(folded.contains((1L, "NYC")), s"$folded")
+  }
+
   test("snippets: earliest max-hit window, short docs clamp, " +
       "misses absent") {
     val docs = Seq(

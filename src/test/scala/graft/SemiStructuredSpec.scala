@@ -40,4 +40,53 @@ class SemiStructuredSpec extends AnyFunSuite {
       SemiStructured.jsonNumericStats(rows, "props", "k", "grp")
     }
   }
+
+  test("jsonPathProfile: recursive path inventory with value classes; " +
+      "invalid payloads visible; loud refusal past maxDepth") {
+    val rows = Seq(
+      ("a", """{"u":1,"b":{"c":[1,"x",{"d":true}],"e":1.5},"f":null}"""),
+      ("a", "{oops"),
+      ("a", null.asInstanceOf[String]),
+      ("b", "42"))
+      .toDF("grp", "p")
+    val got = SemiStructured.jsonPathProfile(rows, "p", "grp",
+        maxDepth = 4).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got(("a", "$", "object")) == 1L, s"got $got")
+    // malformed AND null payloads both surface under $/__invalid__
+    assert(got(("a", "$", "__invalid__")) == 2L)
+    assert(got(("b", "$", "number")) == 1L)
+    assert(got(("a", "$.u", "number")) == 1L)
+    assert(got(("a", "$.b", "object")) == 1L)
+    assert(got(("a", "$.b.c", "array")) == 1L)
+    assert(got(("a", "$.b.c[0]", "number")) == 1L)
+    assert(got(("a", "$.b.c[1]", "string")) == 1L)
+    assert(got(("a", "$.b.c[2]", "object")) == 1L)
+    assert(got(("a", "$.b.c[2].d", "bool")) == 1L)
+    assert(got(("a", "$.b.e", "number")) == 1L)
+    assert(got(("a", "$.f", "null")) == 1L)
+    assert(got.size == 12)
+    // nodes at the depth bound that still have children refuse loudly
+    // (maxDepth=3 leaves $.b.c[2] = {"d":true} unexpanded)
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null) t else rootCause(t.getCause)
+    val e = intercept[Exception] {
+      SemiStructured.jsonPathProfile(rows, "p", "grp", maxDepth = 3)
+        .collect()
+    }
+    assert(rootCause(e).getMessage.contains("nests deeper"),
+      rootCause(e).getMessage)
+    // an EMPTY container at the bound has no children — no refusal
+    val shallow = Seq(("a", """{"x":{}}"""), ("a", """{"y":[]}"""))
+      .toDF("grp", "p")
+    val got2 = SemiStructured.jsonPathProfile(shallow, "p", "grp",
+        maxDepth = 1).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got2 == Set(("$", "object"), ("$.x", "object"),
+      ("$.y", "array")), s"got $got2")
+    intercept[IllegalArgumentException] {
+      SemiStructured.jsonPathProfile(rows, "p", "grp", maxDepth = 0)
+    }
+  }
 }
