@@ -32,14 +32,22 @@ import org.apache.spark.sql.SparkSession
   *     "q100…" < "q10…" front-loaded the heavy ext block before ~80 of the
   *     shared queries — the opposite of isolation. Order key is the
   *     integer query id.
-  *  3. MULTI-PASS MEDIANS. The suite runs `SPARK_GRAFT_BENCH_RUNS`
-  *     (default 3) full passes and reports the per-query MEDIAN, under a
-  *     wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_SEC`, default 1200 s):
-  *     a pass only starts if the previous passes' pace leaves room, so the
-  *     driver invocation can never run away — worst case it degrades to
-  *     one pass, which is exactly the old behavior. q01 (trivial agg,
-  *     first timed query, untouched since round 1) doubles as a published
-  *     noise anchor: its swing across passes is the environment, not code
+  *  3. MULTI-PASS PER CHILD (round 16). Each group's child JVM warms
+  *     ONCE and then times up to `SPARK_GRAFT_BENCH_RUNS` (default 3)
+  *     passes of its own queries, under a budget share of
+  *     `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1200 s, split across
+  *     groups by rough wall-cost weights, unspent time donated
+  *     forward). Through round 15 the parent re-forked (and re-warmed)
+  *     per pass, so at 265 queries one pass filled the budget and
+  *     BENCH_r13/r14/r15 all shipped `runs:1` — single passes that box
+  *     noise could contaminate unanswerably (r15: q109 77 s vs 2.0 s
+  *     quiet). The reported statistic is the per-query MEDIAN at ≥ 3
+  *     passes and the MIN at 2 (a query can't beat its true cost, so
+  *     min is the stronger two-sample noise filter); the JSON line
+  *     declares it as `"stat":"median3_min2"` with `"runs"` = the
+  *     minimum pass count across groups. q01 (trivial agg, first timed
+  *     query, untouched since round 1) doubles as a published noise
+  *     anchor: its swing across passes is the environment, not code
   *     (it hit 3.46× in round 7 on an unchanged one-stage plan).
   *
   * Child JVMs are launched with the parent's own JVM flags (add-opens,
@@ -145,21 +153,45 @@ object Bench {
       try SparkEntry.releaseScratch(spark) catch { case _: Throwable => }
     }
 
-  /** Child mode: run ONE group in this JVM, print a parse-tagged JSON line. */
-  private def childMain(g: String, sfDir: String): Unit = {
+  /** Child mode: run ONE group in this JVM — warm ONCE, then up to
+    * `runs` timed passes while `budgetSec` (child wall-clock) allows.
+    * Through round 15 the parent forked a fresh JVM per (group, pass),
+    * so every extra pass re-paid JVM startup + the sf0.01 warm pass;
+    * at 265 queries one pass filled the driver's 1200 s budget and the
+    * committed BENCH_r13/r14/r15 records were all `runs:1` — single
+    * passes visibly contaminated by box noise (r15: q109 read 77 s vs
+    * a 2.0 s quiet median). Warming once and timing N passes in the
+    * same JVM amortizes the fixed cost, so the DRIVER record carries
+    * ≥ 2 passes and is usable as a regression signal by itself.
+    * Prints one parse-tagged line: GRAFTBENCHCHILD:[{pass1},{pass2},…].
+    */
+  private def childMain(g: String, sfDir: String, runs: Int,
+      budgetSec: Double): Unit = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val spark = newSession()
     warm(spark, sfDir)
     warmDir(sfDir).foreach(w => warmPass(spark, g, w))
-    val results = runQueries(spark, sfDir, groupQueries(g))
-    val body = results
-      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    // tag + single line so the parent can find it among Spark log noise
+    val passes = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(String, Double)]]
+    var lastDur = 0.0
+    var go = true
+    while (go && passes.size < runs) {
+      val s = elapsed
+      passes += runQueries(spark, sfDir, groupQueries(g))
+      lastDur = elapsed - s
+      // a further pass only if its projected cost fits the child budget
+      if (elapsed + lastDur * 1.1 > budgetSec) go = false
+    }
+    val body = passes.map(_.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")).mkString("[", ",", "]")
     println(s"GRAFTBENCHCHILD:$body")
     spark.stop()
   }
 
-  /** Fork one JVM for one group pass; None if anything goes wrong. */
-  private def forkGroup(g: String): Option[Seq[(String, Double)]] = {
+  /** Fork one JVM for one group (all its passes); None on any failure. */
+  private def forkGroup(g: String, runs: Int,
+      budgetSec: Double): Option[Seq[Seq[(String, Double)]]] = {
     import scala.jdk.CollectionConverters._
     try {
       val javaBin = java.nio.file.Paths
@@ -170,7 +202,8 @@ object Bench {
       val cp = System.getProperty("java.class.path")
       if (cp == null || !cp.contains("classes")) return None
       val cmd = Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", cp, "graft.Bench", "--group", g)
+        Seq("-cp", cp, "graft.Bench", "--group", g, "--runs",
+          runs.toString, "--budget", budgetSec.toString)
       val pb = new ProcessBuilder(cmd.asJava)
       pb.redirectErrorStream(false)
       val proc = pb.start()
@@ -193,13 +226,18 @@ object Bench {
       val rc = proc.waitFor()
       if (rc != 0 || tagged == null) None
       else {
-        // parse {"name":sec,...} without a JSON lib: split on ","" outside
-        // values is safe because names contain no commas or quotes
-        val inner = tagged.trim.stripPrefix("{").stripSuffix("}")
-        if (inner.isEmpty) Some(Seq.empty)
-        else Some(inner.split(",").toSeq.map { kv =>
-          val Array(k, v) = kv.split(":", 2)
-          k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+        // parse [{"name":sec,...},...] without a JSON lib: object and
+        // pair splits are safe because names contain no commas, quotes
+        // or braces
+        val arr = tagged.trim.stripPrefix("[").stripSuffix("]")
+        if (arr.isEmpty) Some(Seq.empty)
+        else Some(arr.split("\\},\\s*\\{").toSeq.map { obj =>
+          val inner = obj.stripPrefix("{").stripSuffix("}")
+          if (inner.isEmpty) Seq.empty[(String, Double)]
+          else inner.split(",").toSeq.map { kv =>
+            val Array(k, v) = kv.split(":", 2)
+            k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble
+          }
         })
       }
     } catch { case _: Throwable => None }
@@ -212,10 +250,22 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
+  /** Rough wall-cost weights per group (from the round-15 records'
+    * group sums) — only used to SPLIT the budget across the four
+    * forked children; each child then fits as many passes as its
+    * share allows. Mis-weighting degrades pass counts, never
+    * correctness of the timings.
+    */
+  private val GroupWeight: Map[String, Double] = Map(
+    "shared92" -> 0.16, "ext" -> 0.55, "ext2" -> 0.20,
+    "lifecycle" -> 0.09)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     args.toSeq match {
-      case Seq("--group", g) => childMain(g, sfDir); return
+      case Seq("--group", g) => childMain(g, sfDir, 1, 1e9); return
+      case Seq("--group", g, "--runs", r, "--budget", b) =>
+        childMain(g, sfDir, r.toInt, b.toDouble); return
       case _ => ()
     }
     val wantRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
@@ -225,53 +275,53 @@ object Bench {
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
 
-    // passes(i) = full map name -> sec for pass i
-    val passes = scala.collection.mutable.ArrayBuffer
-      .empty[Map[String, Double]]
+    // byGroup(g) = that child's timed passes (each: name -> sec)
+    val byGroup = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[Map[String, Double]]]
     var forked = true
-    var pass = 0
-    var lastPassDur = 0.0
-    var go = true
-    while (go && pass < wantRuns && forked) {
-      val passStart = elapsed
-      val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      var ok = true
-      Groups.foreach { g =>
-        if (ok) forkGroup(g) match {
-          case Some(rs) => rs.foreach { case (k, v) => acc(k) = v }
+    var ok = true
+    Groups.zipWithIndex.foreach { case (g, ix) =>
+      if (ok) {
+        // this child's share of what's left, by weight of the groups
+        // still to run (so an under-budget early group donates time)
+        val restW = Groups.drop(ix).map(GroupWeight).sum
+        val share = math.max(60.0,
+          (budgetSec - elapsed) * GroupWeight(g) / restW)
+        forkGroup(g, wantRuns, share) match {
+          case Some(ps) => byGroup(g) = ps.map(_.toMap)
           case None     => ok = false
         }
       }
-      if (!ok) {
-        // first-pass failure → in-process fallback below; a failure AFTER
-        // completed forked passes keeps their medians (still forked data)
-        if (passes.isEmpty) forked = false else go = false
-      } else {
-        passes += acc.toMap
-        pass += 1
-        lastPassDur = elapsed - passStart
-        // start another pass only if its projected cost fits the budget
-        if (elapsed + lastPassDur * 1.1 > budgetSec) go = false
-      }
     }
-    if (passes.isEmpty) {
+    if (!ok || byGroup.isEmpty) {
       // In-process fallback: one pass, same grouped numeric order.
       forked = false
+      byGroup.clear()
       val spark = newSession()
       warm(spark, sfDir)
-      val all = Groups.flatMap { g =>
+      Groups.foreach { g =>
         warmDir(sfDir).foreach(w => warmPass(spark, g, w))
-        runQueries(spark, sfDir, groupQueries(g))
+        byGroup(g) = Seq(runQueries(spark, sfDir, groupQueries(g)).toMap)
       }
-      passes += all.toMap
       spark.stop()
     }
+    // per-query passes come from the query's own group's child
+    def queryPasses(n: String): Seq[Double] =
+      byGroup.getOrElse(group(n), Seq.empty).flatMap(_.get(n))
+    val runsByGroup: Seq[(String, Int)] =
+      Groups.map(g => g -> byGroup.getOrElse(g, Seq.empty).size)
+    val minRuns = runsByGroup.map(_._2).min
 
     // ordered name list (grouped, numeric) for stable output
     val orderedNames = Groups.flatMap(g => groupQueries(g).map(_._1))
-      .filter(passes.head.contains)
+      .filter(n => queryPasses(n).nonEmpty)
+    // noise-robust per-query statistic: median at >= 3 passes, MIN at
+    // exactly 2 (a query can't run faster than its true cost, so the
+    // min is the better contamination filter two samples can buy)
+    def stat(xs: Seq[Double]): Double =
+      if (xs.size >= 3) median(xs) else xs.min
     val med: Seq[(String, Double)] =
-      orderedNames.map(n => n -> median(passes.toSeq.flatMap(_.get(n))))
+      orderedNames.map(n => n -> stat(queryPasses(n)))
     val total = med.map(_._2).sum
     val groups: Seq[(String, Double)] = Groups
       .map(g => g -> med.collect {
@@ -286,18 +336,25 @@ object Bench {
       .mkString("{", ",", "}")
 
     // Full-name, full-precision record for local analysis (not stdout):
-    // every pass plus the medians, so one noisy pass is visible as such.
+    // every per-group pass plus the reported stats, so one noisy pass
+    // is visible as such.
     try {
-      val passJson = passes.map { p =>
-        orderedNames.flatMap(n => p.get(n).map(v => s""""$n":$v"""))
-          .mkString("{", ",", "}")
-      }.mkString("[", ",", "]")
+      val passJson = Groups.map { g =>
+        val ps = byGroup.getOrElse(g, Seq.empty).map { p =>
+          orderedNames.flatMap(n => p.get(n).map(v => s""""$n":$v"""))
+            .mkString("{", ",", "}")
+        }.mkString("[", ",", "]")
+        s""""$g":$ps"""
+      }.mkString("{", ",", "}")
       val medJson = med.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      val rbg = runsByGroup.map { case (g, n) => s""""$g":$n""" }
         .mkString("{", ",", "}")
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(p,
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
-          s""""runs":${passes.size},"forked":$forked,""" +
+          s""""runs":$minRuns,"runs_by_group":$rbg,""" +
+          s""""stat":"median3_min2","forked":$forked,""" +
           s""""warm":${warmDir(sfDir).isDefined},""" +
           s""""groups":$groupJson,"medians":$medJson,""" +
           s""""passes":$passJson,"sf":"$sfDir"}""")
@@ -331,7 +388,8 @@ object Bench {
           i = j + 1
         }
         s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-          s""""n":${med.size},"runs":${passes.size},"forked":$forked,""" +
+          s""""n":${med.size},"runs":$minRuns,"stat":"median3_min2",""" +
+          s""""forked":$forked,""" +
           s""""warm":${warmDir(sfDir).isDefined},"qunit":"cs",""" +
           s""""groups":$groupJson,"qids":"${ranges.mkString(",")}",""" +
           s""""qcs":${sorted.map(_._2).mkString("[", ",", "]")},""" +
@@ -341,7 +399,8 @@ object Bench {
             s""""${shortKey(k).drop(1)}":${math.round(v * 100)}""" }
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
-          s""""n":${med.size},"runs":${passes.size},"forked":$forked,""" +
+          s""""n":${med.size},"runs":$minRuns,"stat":"median3_min2",""" +
+          s""""forked":$forked,""" +
           s""""warm":${warmDir(sfDir).isDefined},"qunit":"cs",""" +
           s""""groups":$groupJson,"queries":$qs,"sf":"$sfDir"}"""
       }
@@ -350,6 +409,6 @@ object Bench {
     // groups-only line (full detail is in BENCH_LOCAL.json either way)
     if (line.length < 1800) println(line)
     else println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${med.size},"runs":${passes.size},"forked":$forked,"groups":$groupJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${med.size},"runs":$minRuns,"forked":$forked,"groups":$groupJson,"sf":"$sfDir"}""")
   }
 }

@@ -4806,6 +4806,48 @@ object SparkEntry {
       import graft.operators.Funnel
       Funnel.sessionStats(events(s, dir), "user_id", "ts", "event_id",
         gapNs = 1800000000000L)
+    }),
+
+    // MANN-WHITNEY U per experiment (event type): the nonparametric
+    // two-sample test for the continuous `value` metric (centi
+    // lattice), groups by user parity -- midranks exact on a DOUBLED
+    // rank lattice, one experiment-partitioned window over distinct
+    // values, U statistics per experiment.
+    "q273_mann_whitney" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.mannWhitneyU(
+        events(s, dir).select(col("event_type"),
+          pmod(col("user_id"), lit(2L)).as("g"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "g", "v")
+    }),
+
+    // FLEISS' KAPPA: three deterministic raters over every document
+    // (long form via explode) -- multi-rater agreement, integer-exact
+    // to one final division; the oracle replays the same integer
+    // algebra.
+    "q274_fleiss_kappa" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val r = t(s, dir, "documents").select(col("doc_id"),
+        explode(array(
+          when(col("doc_id") % 3 === 0, "good")
+            .when(col("doc_id") % 3 === 1, "bad").otherwise("meh"),
+          when((col("doc_id") * 7) % 10 < 4, "good").otherwise("bad"),
+          when((col("doc_id") * 13) % 5 < 2, "good").otherwise("meh")))
+          .as("label"))
+      EvalMetrics.fleissKappa(r, "doc_id", "label")
+    }),
+
+    // SAMPLE-RATIO-MISMATCH CHECK: observed per-variant user counts
+    // (user_id mod 4) vs a deliberately DIFFERENT 2:1:1:1 design --
+    // the chi-square goodness-of-fit on the abTestK micro lattice
+    // flags the mismatch; zero-user designed variants would report 0.
+    "q275_srm" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.srmCheck(
+        events(s, dir).withColumn("variant", pmod(col("user_id"), lit(4L))),
+        "user_id", "variant",
+        Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
     })
   )
 
@@ -11756,6 +11798,99 @@ object SparkEntry {
          |  CAST(min(ts) AS BIGINT) AS start_ts,
          |  CAST(max(ts) AS BIGINT) AS end_ts,
          |  CAST(max(ts) - min(ts) AS BIGINT) AS duration
-         |FROM s GROUP BY 1, 2""".stripMargin
+         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // q273: the doubled-midrank lattice replayed — per (exp, value)
+    // group counts, ROWS-framed cumulative below-count, 2·mid =
+    // 2·below + c0 + c1 + 1, U from the rank-sum identity.
+    "q273_mann_whitney" ->
+      raw"""WITH e AS (SELECT event_type AS exp,
+         |    CAST(user_id % 2 AS BIGINT) AS g,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |c AS (SELECT exp, v,
+         |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT exp, c0, c1,
+         |    CAST(COALESCE(sum(c0 + c1) OVER (PARTITION BY exp
+         |      ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS below
+         |  FROM c),
+         |m AS (SELECT exp, c0, c1, 2 * below + c0 + c1 + 1 AS mid2
+         |  FROM r),
+         |f AS (SELECT exp, CAST(sum(c0) AS BIGINT) AS n0,
+         |    CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c1 * mid2) AS BIGINT) AS r1_x2
+         |  FROM m GROUP BY 1)
+         |SELECT exp, n0, n1, r1_x2,
+         |  CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+         |  CAST(2 * n0 * n1 - (r1_x2 - n1 * (n1 + 1)) AS BIGINT)
+         |    AS u0_x2
+         |FROM f""".stripMargin,
+
+    // q274: Fleiss' integer algebra replayed — cell counts from the
+    // three unioned rater columns, S2/C2 sums, one division + floor.
+    "q274_fleiss_kappa" ->
+      raw"""WITH r AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'good'
+         |      WHEN doc_id % 3 = 1 THEN 'bad' ELSE 'meh' END AS l1,
+         |    CASE WHEN (doc_id * 7) % 10 < 4 THEN 'good'
+         |      ELSE 'bad' END AS l2,
+         |    CASE WHEN (doc_id * 13) % 5 < 2 THEN 'good'
+         |      ELSE 'meh' END AS l3
+         |  FROM documents),
+         |lng AS (SELECT doc_id AS i, l1 AS l FROM r
+         |  UNION ALL SELECT doc_id, l2 FROM r
+         |  UNION ALL SELECT doc_id, l3 FROM r),
+         |cells AS (SELECT i, l, CAST(count(*) AS BIGINT) AS nik
+         |  FROM lng GROUP BY 1, 2),
+         |tot AS (SELECT CAST(count(DISTINCT i) AS BIGINT) AS n_items,
+         |    CAST(3 AS BIGINT) AS n_raters,
+         |    CAST(sum(nik * nik) AS BIGINT) AS s2 FROM cells),
+         |ck AS (SELECT l, CAST(sum(nik) AS BIGINT) AS c FROM cells
+         |  GROUP BY 1),
+         |c2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS sum_c2 FROM ck)
+         |SELECT n_items, n_raters, s2, sum_c2,
+         |  CASE WHEN (n_items * n_raters) * (n_items * n_raters)
+         |      = sum_c2 THEN NULL
+         |    ELSE CAST(floor(CAST((s2 - n_items * n_raters)
+         |      * (n_items * n_raters)
+         |      - sum_c2 * (n_raters - 1) AS DOUBLE) * 1000000
+         |      / ((n_raters - 1) * ((n_items * n_raters)
+         |        * (n_items * n_raters) - sum_c2))) AS BIGINT)
+         |    END AS kappa_ppm
+         |FROM tot, c2""".stripMargin,
+
+    // q275: the goodness-of-fit chi-square replayed cell-for-cell
+    // against the 2:1:1:1 design (W = 5), abTestK op order.
+    "q275_srm" ->
+      raw"""WITH pu AS (SELECT user_id, CAST(user_id % 4 AS BIGINT)
+         |    AS variant FROM events GROUP BY 1, 2),
+         |obs AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users
+         |  FROM pu GROUP BY 1),
+         |d AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT),
+         |    CAST(2 AS BIGINT)), (1, 1), (2, 1), (3, 1)) t(variant, w)),
+         |cells AS (SELECT d.variant,
+         |    CAST(COALESCE(obs.n_users, 0) AS BIGINT) AS n_users, d.w
+         |  FROM d LEFT JOIN obs USING (variant)),
+         |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nn FROM cells),
+         |terms AS (SELECT variant, n_users,
+         |    CAST(floor(CAST(w AS DOUBLE) * 1000000 / 5) AS BIGINT)
+         |      AS expected_ppm,
+         |    5 * n_users - nn * w AS dd, nn, w
+         |  FROM cells, t),
+         |x AS (SELECT variant, n_users, expected_ppm,
+         |    CASE WHEN nn > 0 THEN CAST(floor(CAST(dd AS DOUBLE)
+         |      * CAST(dd AS DOUBLE) / CAST(5 * nn * w AS DOUBLE)
+         |      * 1000000) AS BIGINT) ELSE 0 END AS term, nn
+         |  FROM terms),
+         |chi AS (SELECT CAST(sum(term) AS BIGINT) AS s, max(nn) AS n2
+         |  FROM x)
+         |SELECT variant, n_users, expected_ppm,
+         |  CASE WHEN n2 > 0 THEN s END AS chi2_micro
+         |FROM x, chi""".stripMargin
   )
 }

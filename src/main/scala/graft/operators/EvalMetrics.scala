@@ -304,6 +304,70 @@ object EvalMetrics {
     * Two map-side-combined label-count aggregations + a |labels|-sized
     * join; nothing item-sized leaves the first pass.
     */
+  /** Fleiss' κ (Fleiss 1971) — [[cohensKappa]] generalized to n ≥ 2
+    * raters in LONG form `(item, label)`, one row per rating: the
+    * agreement number for crowdsourced labeling rounds and k-model
+    * judge ensembles. Exact on the ppm lattice: with N items, n
+    * ratings per item, `n_ik` = ratings of label k on item i,
+    * `S2 = Σ n_ik²`, `C2 = Σ_k (Σ_i n_ik)²`,
+    *
+    *   κ = [ (S2 − N·n)·N·n − C2·(n−1) ] / [ (n−1)·((N·n)² − C2) ]
+    *
+    * — every term an integer (algebra from P̄_o = (S2−Nn)/(Nn(n−1)),
+    * P̄_e = C2/(Nn)²), one IEEE division + floor toward −∞. Null
+    * labels are excluded first (unrated is not disagreement — the
+    * [[cohensKappa]] convention); after that every item must carry
+    * the SAME number of ratings (Fleiss' estimator is undefined on
+    * ragged panels — refused loudly per item, not silently
+    * reweighted). κ is null when every rating is one label
+    * (P̄_e = 1). Overflow bound under ANSI (loud): ~10⁷ items at
+    * n ≤ 5 (terms peak at N²·n³).
+    *
+    * Two map-side-combined aggregations ((item,label) then label) + a
+    * 1-row cross join; nothing item-sized leaves the first shuffle.
+    */
+  def fleissKappa(ratings: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val base = ratings.select(col(itemCol).as("__i"),
+        col(labelCol).cast("string").as("__l"))
+      .filter(col("__l").isNotNull)
+    val cells = base.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__nik"))
+    val perItem = cells.groupBy(col("__i"))
+      .agg(sum(col("__nik")).as("__tot"),
+        sum(col("__nik") * col("__nik")).as("__s2i"))
+    val nRow = perItem.agg(max(col("__tot")).as("__n"))
+    val checked = perItem.crossJoin(broadcast(nRow))
+      .select(col("__s2i"), col("__n"),
+        when(col("__tot") === col("__n"), lit(true))
+          .otherwise(raise_error(concat(lit("fleissKappa: item "),
+            col("__i").cast("string"), lit(" has "),
+            col("__tot").cast("string"), lit(" ratings, others have "),
+            col("__n").cast("string"),
+            lit(" — the estimator is undefined on ragged panels")))
+            .cast("boolean")).as("__ok"))
+      .filter(col("__ok"))
+    val tot = checked.agg(count(lit(1)).as("n_items"),
+      max(col("__n")).as("n_raters"), sum(col("__s2i")).as("s2"))
+    val c2 = cells.groupBy(col("__l"))
+      .agg(sum(col("__nik")).as("__ck"))
+      .agg(coalesce(sum(col("__ck") * col("__ck")), lit(0L)).as("sum_c2"))
+    tot.crossJoin(c2)
+      .withColumn("kappa_ppm", {
+        val nn = col("n_items") * col("n_raters")
+        when(col("n_raters") < 2,
+          raise_error(lit("fleissKappa needs >= 2 ratings per item"))
+            .cast("long"))
+          .when(nn * nn === col("sum_c2"), lit(null).cast("long"))
+          .otherwise(floor(
+            ((col("s2") - nn) * nn
+              - col("sum_c2") * (col("n_raters") - 1L)).cast("double")
+              * 1000000
+              / ((col("n_raters") - 1L) * (nn * nn - col("sum_c2"))))
+            .cast("long"))
+      })
+  }
+
   def cohensKappa(ratings: DataFrame, r1Col: String,
       r2Col: String): DataFrame = {
     // UNRATED rows (either label null) are excluded up front: counting

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment / longitudinal analytics over the event stream — the
@@ -207,6 +208,139 @@ object Experiment {
       .withColumn("retention_ppm",
         floor(col("n_active").cast("double") * 1000000
           / col("cohort_users")).cast("long"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) per EXPERIMENT — the
+    * nonparametric two-sample test for CONTINUOUS outcomes ([[abTest]]
+    * covers binary conversion; this covers revenue/latency/length
+    * metrics, where a t-test's normality assumption is the classic
+    * trap). Ties take MIDRANKS, kept exact by working on a DOUBLED
+    * rank lattice (2·midrank = 2·count_below + count_equal + 1, an
+    * integer always): outputs `r1_x2` (doubled rank sum of group 1),
+    * `u1_x2`/`u0_x2` (doubled U statistics, `u0 + u1 = 2·n0·n1` by
+    * construction) and the group sizes — the caller applies the
+    * normal approximation driver-side (σ needs a float sqrt, which is
+    * not bit-reproducible across engines; every input to it is in the
+    * output).
+    *
+    * Group membership must be 0/1 per ROW (refused loudly otherwise);
+    * metric values must be non-null and long-castable (a silently
+    * dropped null row would shift every rank). Quantize float metrics
+    * upstream (the centi/milli-lattice convention).
+    *
+    * Scale shape: one (experiment, value) count aggregation, one
+    * window PARTITIONED BY experiment over the distinct-value rows
+    * (state bounded by an experiment's distinct metric values — the
+    * abTest-family per-experiment contract; there is deliberately no
+    * global-rank variant, which would need a single-partition window),
+    * one final per-experiment fold. Nothing row-sized crosses the
+    * second shuffle.
+    */
+  def mannWhitneyU(df: DataFrame, expCol: String, groupCol: String,
+      valCol: String): DataFrame = {
+    val g = when(col(groupCol).isin(0L, 1L), col(groupCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("mannWhitneyU group '"),
+        coalesce(col(groupCol).cast("string"), lit("NULL")),
+        lit("' is not 0/1 — two-sample ranks need exactly two groups")))
+        .cast("long"))
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("mannWhitneyU value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped row would " +
+          "shift every rank; quantize/filter upstream")))
+        .cast("long"))
+    val counts = df
+      .select(col(expCol).as("exp"), g.as("__g"), v.as("__v"))
+      .groupBy(col("exp"), col("__v"))
+      .agg(sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("__c1"))
+    val byExp = Window.partitionBy(col("exp")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = counts.withColumn("__below",
+        coalesce(sum(col("__c0") + col("__c1")).over(byExp), lit(0L)))
+      .withColumn("__mid_x2",
+        lit(2L) * col("__below") + col("__c0") + col("__c1") + 1L)
+    ranked.groupBy(col("exp"))
+      .agg(sum(col("__c0")).as("n0"), sum(col("__c1")).as("n1"),
+        sum(col("__c1") * col("__mid_x2")).as("r1_x2"))
+      .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + 1L))
+      .withColumn("u0_x2",
+        lit(2L) * col("n0") * col("n1") - col("u1_x2"))
+  }
+
+  /** Sample-ratio-mismatch (SRM) check — the χ² goodness-of-fit of
+    * observed per-variant user counts against the DESIGNED split, the
+    * sanity gate every experiment readout runs first (a 50/50 design
+    * that lands 52/48 usually means broken bucketing or filtering, and
+    * every downstream metric is suspect). `expected` maps variant id →
+    * design weight (e.g. 0→1, 1→1 for 50/50); observed variants
+    * missing from the map refuse loudly, designed variants with zero
+    * users report O = 0 rows. Cell terms are the [[abTestK]]
+    * discipline: integer residual `W·O_i − N·w_i` (W = Σ weights),
+    * squared/divided in IEEE double in a fixed op order, floored to
+    * micro units per cell, integer-summed — `chi2_micro` is
+    * engine-exact, with k−1 dof. Per-user assignment must be exactly
+    * one non-null variant (the [[abTest]] refusals).
+    *
+    * One distinct-user aggregation + a ≤ |variants| fold with the
+    * weight relation broadcast.
+    */
+  def srmCheck(events: DataFrame, userCol: String, variantCol: String,
+      expected: Map[Long, Long]): DataFrame = {
+    require(expected.nonEmpty && expected.size <= 1024,
+      s"need 1..1024 designed variants, got ${expected.size}")
+    require(expected.values.forall(_ > 0),
+      "design weights must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val wSum = expected.values.sum
+    val perUser = events
+      .groupBy(col(userCol).as("user"))
+      .agg(countDistinct(col(variantCol)).as("__nv"),
+        max(col(variantCol)).cast("long").as("variant"))
+      .select(col("user"), col("variant"),
+        when(col("__nv") === 0,
+          raise_error(concat(lit("user "), col("user").cast("string"),
+            lit(" has no variant assignment (all null) — fix the " +
+              "bucketing"))).cast("boolean"))
+          .when(col("__nv") > 1,
+            raise_error(concat(lit("user "), col("user").cast("string"),
+              lit(" appears in multiple variants — fix the bucketing")))
+              .cast("boolean"))
+          .otherwise(lit(true)).as("__ok"))
+      .filter(col("__ok"))
+    val obs = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"))
+    val design = broadcast(expected.toSeq.toDF("variant", "__w"))
+    // right join keeps zero-user designed variants; an observed variant
+    // with no design weight refuses loudly (it is NOT in the design)
+    val cells = obs.join(design, Seq("variant"), "full_outer")
+      .select(col("variant"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("__w"),
+          raise_error(concat(lit("variant "),
+            col("variant").cast("string"),
+            lit(" observed but not in the experiment design — fix the " +
+              "bucketing or the design map"))).cast("long")).as("__w"))
+    val tot = cells.agg(sum(col("n_users")).as("__N"))
+    val terms = cells.crossJoin(broadcast(tot))
+      .withColumn("expected_ppm",
+        floor(col("__w").cast("double") * 1000000 / wSum).cast("long"))
+      .withColumn("__d",
+        lit(wSum) * col("n_users") - col("__N") * col("__w"))
+      .withColumn("__term",
+        when(col("__N") > 0,
+          floor(col("__d").cast("double") * col("__d").cast("double")
+            / (lit(wSum) * col("__N") * col("__w")).cast("double")
+            * 1000000).cast("long"))
+          .otherwise(lit(0L)))
+    val chi = terms.agg(sum(col("__term")).as("__chi"),
+      max(col("__N")).as("__N2"))
+    terms.crossJoin(broadcast(chi))
+      .select(col("variant"), col("n_users"), col("expected_ppm"),
+        when(col("__N2") > 0, col("__chi"))
+          .otherwise(lit(null).cast("long")).as("chi2_micro"))
   }
 
   /** Rolling active users — the DAU/WAU/MAU family: for every window

@@ -206,4 +206,39 @@ class EvalMetricsSpec extends AnyFunSuite {
     val g = EvalMetrics.corpusBleu(stats, Seq.empty).collect()
     assert(g.length == 1 && g.head.getAs[Long]("n_segments") == 3L)
   }
+
+  test("fleissKappa: exact integer algebra, null labels excluded, " +
+      "ragged panels refused, all-one-label undefined") {
+    // i1: a,a  i2: a,b  ->  P_o = 0.5, P_e = 0.625, kappa = -1/3
+    val r = Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "b"))
+      .toDF("item", "label")
+    val got = EvalMetrics.fleissKappa(r, "item", "label").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == ((2L, 2L, 6L, 10L)))
+    assert(got.getAs[Long]("kappa_ppm") == -333334L) // floor toward -inf
+    // a null label is an unrated slot, excluded BEFORE the panel check
+    val withNull = r.unionByName(Seq((1L, null.asInstanceOf[String]))
+      .toDF("item", "label"))
+    assert(EvalMetrics.fleissKappa(withNull, "item", "label").collect()
+      .head.getAs[Long]("kappa_ppm") == -333334L)
+    // ragged panel (item 3 has one rating) refuses loudly
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null) t else rootCause(t.getCause)
+    val e = intercept[Exception] {
+      EvalMetrics.fleissKappa(r.unionByName(
+        Seq((3L, "a")).toDF("item", "label")), "item", "label").collect()
+    }
+    assert(rootCause(e).getMessage.contains("ragged"),
+      rootCause(e).getMessage)
+    // every rating one label: P_e = 1, kappa undefined
+    val const = Seq((1L, "x"), (1L, "x"), (2L, "x"), (2L, "x"))
+      .toDF("item", "label")
+    assert(EvalMetrics.fleissKappa(const, "item", "label").collect()
+      .head.isNullAt(4))
+    // textbook sanity: perfect agreement on a diverse panel is 10^6
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "label")
+    assert(EvalMetrics.fleissKappa(perfect, "item", "label").collect()
+      .head.getAs[Long]("kappa_ppm") == 1000000L)
+  }
 }

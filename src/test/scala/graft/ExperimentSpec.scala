@@ -155,4 +155,66 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(rootCause(e).getMessage.contains("multiple variants"))
   }
+
+  test("mannWhitneyU: doubled-midrank lattice, tie handling, " +
+      "per-experiment partitioning, domain refusals") {
+    val rows = Seq(
+      // exp e: g0 = {1, 2}, g1 = {2, 3} -> U1 = 3.5, U0 = 0.5
+      ("e", 0L, 1L), ("e", 0L, 2L), ("e", 1L, 2L), ("e", 1L, 3L),
+      // exp f: g0 = {5}, g1 = {1} -> U1 = 0, U0 = 1
+      ("f", 0L, 5L), ("f", 1L, 1L))
+      .toDF("exp", "g", "v")
+    val got = Experiment.mannWhitneyU(rows, "exp", "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got("e") == ((2L, 2L, 13L, 7L, 1L)), s"got $got")
+    assert(got("f") == ((1L, 1L, 2L, 0L, 2L)))
+    // u0 + u1 = 2*n0*n1 by construction
+    got.values.foreach { case (n0, n1, _, u1, u0) =>
+      assert(u0 + u1 == 2 * n0 * n1) }
+    val e1 = intercept[Exception] {
+      Experiment.mannWhitneyU(rows.unionByName(
+        Seq(("e", 2L, 1L)).toDF("exp", "g", "v")),
+        "exp", "g", "v").collect()
+    }
+    assert(rootCause(e1).getMessage.contains("not 0/1"))
+    val e2 = intercept[Exception] {
+      Experiment.mannWhitneyU(Seq(("e", 0L, "zz")).toDF("exp", "g", "v"),
+        "exp", "g", "v").collect()
+    }
+    assert(rootCause(e2).getMessage.contains("mannWhitneyU value"))
+  }
+
+  test("srmCheck: goodness-of-fit chi-square vs the design, " +
+      "zero-user designed variants report 0, off-design refusal") {
+    val evs = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 2L)).toDF("user_id", "variant")
+    // equal 1:1:1 design: E = 2 each, chi2 = 0.5 + 0 + 0.5 = 1.0
+    val g1 = Experiment.srmCheck(evs, "user_id", "variant",
+        Map(0L -> 1L, 1L -> 1L, 2L -> 1L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(g1(0L) == ((3L, 333333L, 1000000L)), s"got $g1")
+    assert(g1(1L) == ((2L, 333333L, 1000000L)))
+    assert(g1(2L) == ((1L, 333333L, 1000000L)))
+    // a designed variant nobody reached reports O = 0 (and inflates
+    // the statistic): 1:1:1:1 -> chi2 = 5/1.5 with two micro floors
+    val g2 = Experiment.srmCheck(evs, "user_id", "variant",
+        Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(g2(3L) == ((0L, 3333332L)), s"got $g2")
+    // an observed variant missing from the design refuses loudly
+    val e = intercept[Exception] {
+      Experiment.srmCheck(evs, "user_id", "variant",
+        Map(0L -> 1L, 1L -> 1L)).collect()
+    }
+    assert(rootCause(e).getMessage.contains("not in the experiment " +
+      "design"), rootCause(e).getMessage)
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(evs, "user_id", "variant", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.srmCheck(evs, "user_id", "variant", Map(0L -> 0L))
+    }
+  }
 }
