@@ -4848,6 +4848,64 @@ object SparkEntry {
         events(s, dir).withColumn("variant", pmod(col("user_id"), lit(4L))),
         "user_id", "variant",
         Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+    }),
+
+    // WINSORIZATION: per-language document lengths clamped to the
+    // symmetric 10% rank-cut boundary values (the row-preserving
+    // sibling of q259's trimmed mean) -- deterministic rank rule with
+    // the id tie-break, no percentile interpolation.
+    "q276_winsorize" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.winsorizePpm(t(s, dir, "documents"), "lang", "n_chars",
+        "doc_id", trimPct = 10)
+    }),
+
+    // LEVEL-SHIFT SCAN: per event type, trailing vs leading 32-row
+    // value sums (centi lattice) at every full-window position -- the
+    // drift monitor; one key-partitioned window pass, two ROWS frames.
+    "q277_level_shift" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.levelShift(
+        events(s, dir).select(col("event_type"), col("ts"),
+          col("event_id"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "ts", "event_id", "v", w = 32)
+    }),
+
+    // K-ANONYMITY GENERALIZATION LADDER: account balances (exact
+    // centi lattice) bucketed at the FIRST width in {100, 1000,
+    // 10000} dollars at which every (bucket, segment) group reaches
+    // k=7 -- the oracle re-derives the chosen width itself, so the
+    // row stays green across scale factors.
+    "q278_generalize_k" -> ((s, dir) => {
+      import graft.operators.Anonymize
+      Anonymize.generalizeToK(
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents")),
+        "cents", Seq("c_mktsegment"), k = 7,
+        widths = Seq(10000L, 100000L, 1000000L))
+    }),
+
+    // TYPED JSON FLATTENING: four paths of the q269 nested payload
+    // projected to typed columns in one codegen pass -- malformed and
+    // bare-scalar rows yield nulls, never throw.
+    "q279_json_flatten" -> ((s, dir) => {
+      import graft.operators.SemiStructured
+      val ev = events(s, dir)
+      val nested = concat(lit("{\"u\":"), col("user_id"),
+        lit(",\"meta\":{\"k\":"), pmod(col("user_id"), lit(7L)),
+        lit(",\"t\":[\"a\","), pmod(col("user_id"), lit(3L)),
+        lit("]},\"z\":null}"))
+      val pr = when(col("event_id") % 97 === 0, lit("{oops"))
+        .when(col("event_id") % 13 === 0, lit("42"))
+        .otherwise(nested)
+      SemiStructured.jsonFlatten(
+          ev.select(col("event_id"), col("event_type"), pr.as("p")), "p",
+          Seq(("u_id", "$.u", "BIGINT"), ("k", "$.meta.k", "BIGINT"),
+            ("t1", "$.meta.t[1]", "STRING"), ("zz", "$.z", "STRING")))
+        .select(col("event_id"), col("event_type"), col("u_id"),
+          col("k"), col("t1"), col("zz"))
     })
   )
 
@@ -11891,6 +11949,105 @@ object SparkEntry {
          |  FROM x)
          |SELECT variant, n_users, expected_ppm,
          |  CASE WHEN n2 > 0 THEN s END AS chi2_micro
-         |FROM x, chi""".stripMargin
+         |FROM x, chi""".stripMargin,
+
+    // q276: the same rank cut, boundary values via conditional aggs,
+    // clamp re-joined onto every row.
+    "q276_winsorize" ->
+      raw"""WITH b AS (SELECT lang AS grp, CAST(doc_id AS BIGINT) AS id,
+         |    CAST(n_chars AS BIGINT) AS v,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (SELECT *, n * 10 // 100 AS cut FROM b),
+         |bo AS (SELECT grp,
+         |    CAST(min(CASE WHEN r > cut THEN v END) AS BIGINT) AS lo,
+         |    CAST(max(CASE WHEN r <= n - cut THEN v END) AS BIGINT)
+         |      AS hi
+         |  FROM c GROUP BY 1)
+         |SELECT c.grp, c.id, c.v,
+         |  CAST(least(greatest(c.v, bo.lo), bo.hi) AS BIGINT) AS v_wins,
+         |  bo.lo, bo.hi
+         |FROM c JOIN bo USING (grp)""".stripMargin,
+
+    // q277: the two ROWS frames replayed on the centi lattice,
+    // full-window positions only.
+    "q277_level_shift" ->
+      raw"""WITH e AS (SELECT event_type AS key, epoch_ns(ts) AS ts,
+         |    event_id AS tie, CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |x AS (SELECT key, ts, tie,
+         |    CAST(sum(v) OVER (PARTITION BY key ORDER BY ts, tie
+         |      ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS trail_sum,
+         |    count(*) OVER (PARTITION BY key ORDER BY ts, tie
+         |      ROWS BETWEEN 31 PRECEDING AND CURRENT ROW) AS tn,
+         |    CAST(sum(v) OVER (PARTITION BY key ORDER BY ts, tie
+         |      ROWS BETWEEN 1 FOLLOWING AND 32 FOLLOWING) AS BIGINT)
+         |      AS lead_sum,
+         |    count(*) OVER (PARTITION BY key ORDER BY ts, tie
+         |      ROWS BETWEEN 1 FOLLOWING AND 32 FOLLOWING) AS ln
+         |  FROM e)
+         |SELECT key, ts, CAST(tie AS BIGINT) AS tie, trail_sum,
+         |  lead_sum, CAST(lead_sum - trail_sum AS BIGINT) AS shift
+         |FROM x WHERE tn = 32 AND ln = 32""".stripMargin,
+
+    // q278: per-width min group sizes as UNION branches, the first
+    // passing width chosen by ladder index, floor-to-multiple buckets
+    // (pmod semantics spelled ((v % w) + w) % w for negatives).
+    "q278_generalize_k" ->
+      raw"""WITH src AS (SELECT c_custkey, c_mktsegment,
+         |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+         |  FROM customer),
+         |mins AS (
+         |  SELECT 1 AS ix, CAST(10000 AS BIGINT) AS wd,
+         |    (SELECT min(c) FROM (SELECT count(*) AS c FROM src
+         |      GROUP BY c_mktsegment,
+         |        cents - ((cents % 10000 + 10000) % 10000))) AS mn
+         |  UNION ALL
+         |  SELECT 2, 100000,
+         |    (SELECT min(c) FROM (SELECT count(*) AS c FROM src
+         |      GROUP BY c_mktsegment,
+         |        cents - ((cents % 100000 + 100000) % 100000)))
+         |  UNION ALL
+         |  SELECT 3, 1000000,
+         |    (SELECT min(c) FROM (SELECT count(*) AS c FROM src
+         |      GROUP BY c_mktsegment,
+         |        cents - ((cents % 1000000 + 1000000) % 1000000)))),
+         |ch AS (SELECT wd FROM mins WHERE mn >= 7 ORDER BY ix LIMIT 1),
+         |wb AS (SELECT s.c_custkey, s.c_mktsegment, s.cents,
+         |    CAST(s.cents - ((s.cents % ch.wd + ch.wd) % ch.wd)
+         |      AS BIGINT) AS cents_gen,
+         |    CAST(ch.wd AS BIGINT) AS gen_width
+         |  FROM src s, ch),
+         |sz AS (SELECT cents_gen, c_mktsegment,
+         |    CAST(count(*) AS BIGINT) AS qi_n
+         |  FROM wb GROUP BY 1, 2)
+         |SELECT wb.c_custkey, wb.c_mktsegment, wb.cents, wb.cents_gen,
+         |  sz.qi_n, wb.gen_width
+         |FROM wb JOIN sz USING (cents_gen, c_mktsegment)""".stripMargin,
+
+    // q279: json_valid-guarded extraction (DuckDB throws on garbage
+    // where Spark nulls), TRY_CAST per typed path.
+    "q279_json_flatten" ->
+      raw"""WITH src AS (SELECT event_id, event_type,
+         |    CASE WHEN event_id % 97 = 0 THEN '{oops'
+         |      WHEN event_id % 13 = 0 THEN '42'
+         |      ELSE '{"u":' || user_id || ',"meta":{"k":'
+         |        || (user_id % 7) || ',"t":["a",' || (user_id % 3)
+         |        || ']},"z":null}' END AS p
+         |  FROM events)
+         |SELECT event_id, event_type,
+         |  TRY_CAST(CASE WHEN json_valid(p)
+         |    THEN json_extract_string(p, '$$.u') END AS BIGINT) AS u_id,
+         |  TRY_CAST(CASE WHEN json_valid(p)
+         |    THEN json_extract_string(p, '$$.meta.k') END AS BIGINT)
+         |    AS k,
+         |  CASE WHEN json_valid(p)
+         |    THEN json_extract_string(p, '$$.meta.t[1]') END AS t1,
+         |  CASE WHEN json_valid(p)
+         |    THEN json_extract_string(p, '$$.z') END AS zz
+         |FROM src""".stripMargin
   )
 }

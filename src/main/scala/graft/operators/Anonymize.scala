@@ -111,6 +111,59 @@ object Anonymize {
       .withColumn("suppressed_l", col("qi_l") < l)
   }
 
+  /** Generalization ladder for a NUMERIC quasi-identifier
+    * (Samarati-style global recoding): try each bucket width in
+    * `widths` order (caller lists them fine → coarse) and release the
+    * FIRST level at which EVERY (bucket, otherQi) group reaches k —
+    * the automated form of [[kAnonymize]]'s "generalize coarse
+    * columns upstream" instruction. Buckets floor to multiples of the
+    * width (`v − pmod(v, width)`, so negative values floor rather
+    * than truncate); output rows carry the bucketed column as
+    * `<numCol>_gen`, the chosen `gen_width`, and the group's `qi_n`.
+    * If even the coarsest width leaves an under-k group, the operator
+    * REFUSES loudly (suppressing rows is [[kAnonymize]]'s job —
+    * silently mixing generalization and suppression would hide which
+    * privacy lever actually fired).
+    *
+    * Scale shape: one map-side-combined (bucket, otherQi) count + one
+    * 1-row min fold PER LADDER LEVEL until a level passes (driver
+    * loop, ≤ 16 levels by contract — the iterative index-lifecycle
+    * discipline), then one count + equi join at the chosen width.
+    */
+  def generalizeToK(df: DataFrame, numCol: String, otherQi: Seq[String],
+      k: Long, widths: Seq[Long]): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    require(widths.nonEmpty && widths.length <= 16,
+      s"need 1..16 ladder widths, got ${widths.length}")
+    require(widths.forall(_ >= 1), "ladder widths must be >= 1")
+    require(!otherQi.contains(numCol),
+      s"'$numCol' cannot also appear in otherQi")
+    def bucket(width: Long) =
+      (col(numCol) - pmod(col(numCol), lit(width))).as("__b")
+    val chosen = widths.find { width =>
+      val minN = df.groupBy((bucket(width) +: otherQi.map(col)): _*)
+        .agg(count(lit(1)).as("__n"))
+        .agg(min(col("__n")).as("__m"))
+        .head().getLong(0)
+      minN >= k
+    }.getOrElse(throw new IllegalArgumentException(
+      s"generalizeToK: no ladder width in ${widths.mkString("[", ",", "]")} " +
+        s"reaches k=$k for every group — coarsen the ladder or suppress " +
+        "with kAnonymize instead"))
+    val withB = df.withColumn(s"${numCol}_gen",
+      col(numCol) - pmod(col(numCol), lit(chosen)))
+    val sizes = withB.groupBy((col(s"${numCol}_gen") +:
+        otherQi.map(col)): _*)
+      .agg(count(lit(1)).as("qi_n"))
+    val s2 = (s"${numCol}_gen" +: otherQi).foldLeft(sizes) { (d, c) =>
+      d.withColumnRenamed(c, s"__q_$c") }
+    val cond = (s"${numCol}_gen" +: otherQi)
+      .map(c => withB(c) <=> s2(s"__q_$c")).reduce(_ && _)
+    withB.join(s2, cond)
+      .drop((s"${numCol}_gen" +: otherQi).map(c => s"__q_$c"): _*)
+      .withColumn("gen_width", lit(chosen))
+  }
+
   /** Normalize an id column to long for the forget cascade, REFUSING
     * loudly on any non-null value the cast loses (a non-numeric
     * string id silently null-casting would make the anti join RETAIN

@@ -484,4 +484,42 @@ object Ops {
         floor(col("sum_kept").cast("double") * 1000000 / col("n_kept"))
           .cast("long"))
   }
+
+  /** Winsorization — [[trimmedMeanPpm]]'s row-preserving sibling: per
+    * group, values OUTSIDE the symmetric `trimPct` rank cut are
+    * CLAMPED to the boundary values instead of dropped (the standard
+    * heavy-user/outlier treatment when downstream needs one row per
+    * record — capping revenue metrics before an experiment readout).
+    * The cut is the same deterministic `(n·pct) div 100` rank rule
+    * with the id tie-break: the low bound is the value at rank
+    * `cut + 1`, the high bound the value at rank `n − cut`, so the
+    * result is engine-exact with no percentile interpolation. Output:
+    * every input row with `v` (original) and `v_wins` (clamped), plus
+    * the group bounds.
+    *
+    * One group-partitioned rank window + one conditional-agg bound
+    * fold + one equi join back, all on the same group key.
+    */
+  def winsorizePpm(df: DataFrame, groupCol: String, valCol: String,
+      tieCol: String, trimPct: Int): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50,
+      s"trimPct=$trimPct must be in [0, 50)")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("__v"), col("__t"))
+    val base = df.select(col(groupCol).as("grp"),
+        col(valCol).cast("long").as("__v"),
+        col(tieCol).cast("long").as("__t"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+      .withColumn("__cut", expr(s"__n * $trimPct div 100"))
+    val bounds = base.groupBy(col("grp"))
+      .agg(min(when(col("__r") > col("__cut"), col("__v"))).as("lo"),
+        max(when(col("__r") <= col("__n") - col("__cut"), col("__v")))
+          .as("hi"))
+    base.join(bounds, Seq("grp"))
+      .select(col("grp"), col("__t").as("id"), col("__v").as("v"),
+        least(greatest(col("__v"), col("lo")), col("hi")).as("v_wins"),
+        col("lo"), col("hi"))
+  }
 }

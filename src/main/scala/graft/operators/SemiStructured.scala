@@ -51,6 +51,33 @@ object SemiStructured {
         countDistinct(col("__v")).as("n_distinct"))
   }
 
+  /** Typed ETL flattening — the workhorse after [[jsonPathProfile]]
+    * has told you the shapes: project several JSON paths into typed
+    * columns in ONE parse-free pass (`get_json_object` + `try_cast`
+    * per spec, all codegen'd; malformed payloads and absent/mistyped
+    * values yield null, never throw — profile first if you need the
+    * breakdown). `specs` maps output column → (path, SQL type); types
+    * are whitelisted to the JSON-meaningful scalars. Existing columns
+    * are kept; spec names must not collide with them.
+    */
+  def jsonFlatten(df: DataFrame, jsonCol: String,
+      specs: Seq[(String, String, String)]): DataFrame = {
+    require(specs.nonEmpty && specs.length <= 64,
+      s"need 1..64 flatten specs, got ${specs.length}")
+    val okTypes = Set("BIGINT", "DOUBLE", "STRING", "BOOLEAN")
+    specs.foreach { case (out, path, tpe) =>
+      require(path.startsWith("$."), s"path '$path' must start with $$.")
+      require(okTypes(tpe.toUpperCase),
+        s"type '$tpe' not in ${okTypes.mkString("/")}")
+      require(!df.columns.contains(out),
+        s"output column '$out' already exists on the input")
+    }
+    specs.foldLeft(df) { case (d, (out, path, tpe)) =>
+      d.withColumn(out, expr(
+        s"try_cast(get_json_object(`$jsonCol`, '$path') AS $tpe)"))
+    }
+  }
+
   /** Canonical JSON value class of a VARIANT node, from
     * `schema_of_variant`'s type string: `object`, `array`, `string`,
     * `number` (any integral/decimal/double width — JSON has one

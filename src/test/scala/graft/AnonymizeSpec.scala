@@ -222,4 +222,37 @@ class AnonymizeSpec extends AnyFunSuite {
         l = 1)
     }
   }
+
+  test("generalizeToK: picks the FIRST ladder width at which every " +
+      "group reaches k; floors negatives; refuses an exhausted ladder") {
+    // one segment, values 1..12: width 2 leaves singleton buckets,
+    // width 5 gives group sizes {4, 5, 3}
+    val rows = (1L to 12L).map(v => ("s", v)).toDF("seg", "v")
+    val got = Anonymize.generalizeToK(rows, "v", Seq("seg"), k = 3,
+        widths = Seq(2L, 5L, 10L)).collect()
+      .map(r => r.getAs[Long]("v") -> ((r.getAs[Long]("v_gen"),
+        r.getAs[Long]("qi_n"), r.getAs[Long]("gen_width")))).toMap
+    assert(got(1L) == ((0L, 4L, 5L)), s"got $got")
+    assert(got(7L) == ((5L, 5L, 5L)))
+    assert(got(12L) == ((10L, 3L, 5L)))
+    assert(got.size == 12)
+    // negative values FLOOR to the width multiple below
+    val neg = Seq(("s", -3L), ("s", -2L), ("s", -1L))
+      .toDF("seg", "v")
+    val gotNeg = Anonymize.generalizeToK(neg, "v", Seq("seg"), k = 3,
+        widths = Seq(5L)).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("v_gen")).toMap
+    assert(gotNeg == Map(-3L -> -5L, -2L -> -5L, -1L -> -5L))
+    // k = 4: width 5 min is 3, width 10 min is 3 -> the ladder is
+    // exhausted and the operator refuses rather than releasing
+    val e = intercept[IllegalArgumentException] {
+      Anonymize.generalizeToK(rows, "v", Seq("seg"), k = 4,
+        widths = Seq(5L, 10L))
+    }
+    assert(e.getMessage.contains("no ladder width"))
+    intercept[IllegalArgumentException] {
+      Anonymize.generalizeToK(rows, "v", Seq("v"), k = 2,
+        widths = Seq(5L))
+    }
+  }
 }

@@ -289,4 +289,28 @@ class OpsSpec extends AnyFunSuite {
         "id", trimPct = 50)
     }
   }
+
+  test("winsorizePpm: outliers clamp to the rank-cut boundary values, " +
+      "rows preserved, trim 0 is identity") {
+    val rows = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 4L), ("g", 100L, 5L))
+    // n=5, cut = 5*20 div 100 = 1: lo = value@rank2 = 2, hi = @rank4 = 4
+    val got = Ops.winsorizePpm(rows.toDF("grp", "v", "id"), "grp", "v",
+        "id", trimPct = 20).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(1L) == ((1L, 2L, 2L, 4L)), s"got $got")
+    assert(got(3L) == ((3L, 3L, 2L, 4L)))
+    assert(got(5L) == ((100L, 4L, 2L, 4L)))
+    assert(got.size == 5, "winsorize preserves every row")
+    val id0 = Ops.winsorizePpm(rows.toDF("grp", "v", "id"), "grp", "v",
+        "id", trimPct = 0).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(id0 == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L,
+      5L -> 100L))
+    intercept[IllegalArgumentException] {
+      Ops.winsorizePpm(rows.toDF("grp", "v", "id"), "grp", "v", "id",
+        trimPct = 50)
+    }
+  }
 }

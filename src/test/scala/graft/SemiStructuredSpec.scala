@@ -89,4 +89,35 @@ class SemiStructuredSpec extends AnyFunSuite {
       SemiStructured.jsonPathProfile(rows, "p", "grp", maxDepth = 0)
     }
   }
+
+  test("jsonFlatten: typed columns from several paths in one pass; " +
+      "garbage and bare scalars yield nulls; spec refusals") {
+    val rows = Seq(
+      (1L, """{"u":8,"meta":{"k":3},"z":null}"""),
+      (2L, "{oops"),
+      (3L, "42"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "p")
+    val got = SemiStructured.jsonFlatten(rows, "p",
+        Seq(("u_id", "$.u", "BIGINT"), ("k", "$.meta.k", "BIGINT"),
+          ("zz", "$.z", "STRING"))).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)), Option(r.get(3)),
+        Option(r.get(4))))).toMap
+    assert(got(1L) == ((Some(8L), Some(3L), None)), s"got $got")
+    assert(got(2L) == ((None, None, None)))
+    assert(got(3L) == ((None, None, None)))
+    assert(got(4L) == ((None, None, None)))
+    intercept[IllegalArgumentException] {
+      SemiStructured.jsonFlatten(rows, "p", Seq(("x", "u", "BIGINT")))
+    }
+    intercept[IllegalArgumentException] {
+      SemiStructured.jsonFlatten(rows, "p", Seq(("x", "$.u", "MAP")))
+    }
+    intercept[IllegalArgumentException] {
+      SemiStructured.jsonFlatten(rows, "p", Seq(("id", "$.u", "BIGINT")))
+    }
+    intercept[IllegalArgumentException] {
+      SemiStructured.jsonFlatten(rows, "p", Seq.empty)
+    }
+  }
 }
