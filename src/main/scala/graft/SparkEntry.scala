@@ -4906,8 +4906,191 @@ object SparkEntry {
             ("t1", "$.meta.t[1]", "STRING"), ("zz", "$.z", "STRING")))
         .select(col("event_id"), col("event_type"), col("u_id"),
           col("k"), col("t1"), col("zz"))
+    }),
+
+    // TRIANGLE COUNTS + local clustering coefficient over a 4-clique
+    // customer graph (groups of 4 consecutive custkeys, all pairs,
+    // plus the c -> c+1 chain) -- degree-ordered wedge enumeration,
+    // orientation-invariant result replayed id-ordered by the oracle.
+    "q280_triangles" -> ((s, dir) => {
+      import graft.operators.Graph
+      Graph.triangleCounts(cliqueChainEdges(s, dir), "src", "dst")
+    }),
+
+    // CUPED VARIANCE REDUCTION: per-user pre metric (view-event value,
+    // centi lattice) vs post metric (click-event value) -- theta from
+    // exact integer sums, one IEEE division, fixed-op-order per-row
+    // adjustment replayed verbatim by the oracle.
+    "q281_cuped" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val ev = events(s, dir)
+      val perUser = ev.groupBy(col("user_id")).agg(
+        coalesce(sum(when(col("event_type") === "view",
+          floor(col("value") * 100).cast("long"))), lit(0L)).as("pre"),
+        coalesce(sum(when(col("event_type") === "click",
+          floor(col("value") * 100).cast("long"))), lit(0L)).as("post"))
+      Experiment.cuped(perUser, "user_id", "pre", "post")
+    }),
+
+    // KAPLAN-MEIER SURVIVAL: per-user observation span in whole hours,
+    // event = reached a purchase (else censored), two arms by user id
+    // parity -- risk sets from one descending cumulative window, the
+    // ppm survival recurrence folded per group and replayed by the
+    // oracle as a recursive CTE.
+    "q282_survival" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val subj = events(s, dir).groupBy(col("user_id")).agg(
+        expr("(max(ts) - min(ts)) div 3600000000000L").as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ev"))
+        .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      Experiment.survivalKm(subj, "grp", "dur", "ev")
+    }),
+
+    // BENFORD FIRST-DIGIT AUDIT: account balances on the centi lattice
+    // per market segment -- nine zero-filled digit rows per key, the
+    // visible zero bucket, and the goodness-of-fit chi-square on the
+    // exact micro lattice.
+    "q283_benford" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.benfordCheck(
+        t(s, dir, "customer").select(col("c_mktsegment"),
+          floor(col("c_acctbal") * 100).cast("long").as("v")),
+        "c_mktsegment", "v")
+    }),
+
+    // CHI-SQUARE HISTOGRAM DRIFT: per event type, the user-id-bucket
+    // histogram compared between the two event-id parities -- the
+    // two-sample homogeneity statistic on the micro lattice.
+    "q284_chi_drift" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.chiSquareDrift(
+        events(s, dir).select(col("event_type"),
+          pmod(col("user_id"), lit(8L)).as("bucket"),
+          (col("event_id") % 2).as("period")),
+        "event_type", "bucket", "period")
+    }),
+
+    // GROUPED OLS: per event type, the regression of centi value on
+    // hour-of-week -- five exact integer sums, two floored IEEE
+    // divisions in a fixed op order; num/den emitted exact.
+    "q285_ols" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.groupOls(
+        events(s, dir).select(col("event_type"),
+          expr("pmod((ts - pmod(ts, 3600000000000L)) " +
+            "div 3600000000000L, 168L)").as("x"),
+          floor(col("value") * 100).cast("long").as("y")),
+        "event_type", "x", "y")
+    }),
+
+    // SEASONAL PROFILE: per event type the hour-of-day activity shape
+    // (24 phases, pmod-floor slotting) -- counts, exact sums, floored
+    // mean and the seasonal index vs the key mean.
+    "q286_seasonal" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.seasonalProfile(
+        events(s, dir).select(col("event_type"), col("ts"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "ts", "v",
+        slotNs = 3600000000000L, periodSlots = 24)
+    }),
+
+    // TRENDING TERMS between the two doc-id parities of the corpus:
+    // add-one-smoothed frequency ratio on the exact DECIMAL lattice,
+    // top 100 with the term tie-break.
+    "q287_trending" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.trendingTerms(
+        t(s, dir, "documents").select(col("text"),
+          (col("doc_id") % 2).as("p")),
+        "text", "p", k = 100, minC1 = 2L)
+    }),
+
+    // K-CORE DECOMPOSITION: the q280 clique+chain graph sparsified by
+    // (src+dst) % 3 != 0, peeled to the 2-core with convergence
+    // detection -- the oracle replays 8 unconditional peels (idempotent
+    // past the fixpoint the engine refuses to miss).
+    "q288_k_core" -> ((s, dir) => {
+      import graft.operators.Graph
+      Graph.kCoreInt(cliqueChainEdges(s, dir)
+          .filter((col("src") + col("dst")) % 3 =!= 0),
+        "src", "dst", k = 2, maxIters = 8)
+    }),
+
+    // DISTINCTIVE TERMS per source: group-vs-rest smoothed ratio on
+    // the exact DECIMAL lattice, top 20 per source with the term
+    // tie-break, minCg = 3.
+    "q289_distinctive" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.distinctiveTerms(
+        t(s, dir, "documents").select(col("text"), col("source")),
+        "text", "source", k = 20, minCg = 3L)
+    }),
+
+    // PATH MINING: top 50 five-event journeys over the event stream,
+    // (ts, event_id) order, count-then-path determinism.
+    "q290_paths" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.pathMining(events(s, dir), "user_id", "event_type",
+        "ts", "event_id", n = 5, k = 50)
+    }),
+
+    // DIFFERENCE-IN-DIFFERENCES: user-id parity as the treatment flag,
+    // event-id parity as the period, centi-lattice values -- the 2x2
+    // estimator with every mean a floored IEEE division.
+    "q291_did" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.diffInDiff(
+        events(s, dir).select(pmod(col("user_id"), lit(2L)).as("g"),
+          (col("event_id") % 2).as("p"),
+          floor(col("value") * 100).cast("long").as("y")),
+        "g", "p", "y")
+    }),
+
+    // DEGREE ASSORTATIVITY of the q280 clique+chain graph: the
+    // symmetrized Pearson r without a square root, exact integer sums,
+    // one floored IEEE division.
+    "q292_assortativity" -> ((s, dir) => {
+      import graft.operators.Graph
+      Graph.degreeAssortativity(cliqueChainEdges(s, dir), "src", "dst")
+    }),
+
+    // MRR@10 of the first purchase in each user's event ranking
+    // ((ts, event_id) order) -- reciprocal ranks exact on the ppm
+    // lattice, misses count as zero, corpus mean attached.
+    "q293_mrr" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ranked = events(s, dir).select(col("user_id"),
+          col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("rel"))
+        .withColumn("rank", row_number().over(w))
+      EvalMetrics.mrrAtK(ranked, "user_id", "rank", "rel", k = 10)
     })
   )
+
+  /** The q280/q288/q292 test graph: 4-cliques over consecutive
+    * custkeys plus the c → c+1 chain — deterministic, linear in the
+    * customer table, triangle-rich. Kept in one place so the three
+    * graph queries can never drift apart.
+    */
+  private def cliqueChainEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("c"),
+        expr("c_custkey div 4").as("g"))
+    val a = c.select(col("g"), col("c").as("src"))
+    val b = c.select(col("g").as("g2"), col("c").as("dst"))
+    val clique = a.join(b, col("g") === col("g2")
+        && col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+    val chain = c.select(col("c").as("src"), (col("c") + 1).as("dst"))
+      .join(c.select(col("c").as("__n")), col("dst") === col("__n"),
+        "left_semi")
+    clique.unionByName(chain)
+  }
 
   // ────────────────────────────────────────────────────────────────────────
   /** One BM25 oracle, referenced by BOTH q75 (direct) and q79 (through
@@ -12048,6 +12231,440 @@ object SparkEntry {
          |    THEN json_extract_string(p, '$$.meta.t[1]') END AS t1,
          |  CASE WHEN json_valid(p)
          |    THEN json_extract_string(p, '$$.z') END AS zz
-         |FROM src""".stripMargin
+         |FROM src""".stripMargin,
+
+    // q280: triangle counts replayed with the simpler ID-ORDERED
+    // triple join (the result is orientation-invariant); same clique +
+    // chain edge derivation (shared CTE fragment), canonical dedup.
+    "q280_triangles" ->
+      raw"""WITH $cliqueChainSql,
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY node),
+         |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+         |  FROM (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+         |    UNION ALL SELECT w FROM tri) GROUP BY node)
+         |SELECT deg.node, deg.degree,
+         |  CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+         |  CAST(CASE WHEN deg.degree < 2 THEN 0
+         |    ELSE (2000000 * COALESCE(pn.triangles, 0))
+         |      // (deg.degree * (deg.degree - 1)) END AS BIGINT)
+         |    AS lcc_ppm
+         |FROM deg LEFT JOIN pn ON pn.node = deg.node""".stripMargin,
+
+    // q281: CUPED -- integer sums, the single IEEE theta division and
+    // the per-row fold replayed in the operator's exact op order.
+    "q281_cuped" ->
+      raw"""WITH pu AS (SELECT user_id AS id,
+         |    CAST(COALESCE(sum(CASE WHEN event_type = 'view'
+         |      THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+         |      AS BIGINT) AS pre,
+         |    CAST(COALESCE(sum(CASE WHEN event_type = 'click'
+         |      THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+         |      AS BIGINT) AS post
+         |  FROM events GROUP BY user_id),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(pre) AS BIGINT) AS sx,
+         |    CAST(sum(post) AS BIGINT) AS sy,
+         |    CAST(sum(pre * post) AS BIGINT) AS sxy,
+         |    CAST(sum(pre * pre) AS BIGINT) AS sxx FROM pu),
+         |th AS (SELECT n, sx, n * sxy - sx * sy AS num,
+         |    n * sxx - sx * sx AS den FROM st)
+         |SELECT pu.id, pu.pre, pu.post,
+         |  CASE WHEN th.den = 0 THEN NULL
+         |    ELSE CAST(floor(CAST(th.num AS DOUBLE)
+         |      / CAST(th.den AS DOUBLE) * 1000000) AS BIGINT) END
+         |    AS theta_ppm,
+         |  CASE WHEN th.den = 0
+         |    THEN CAST(floor(CAST(pu.post AS DOUBLE) * 1000000)
+         |      AS BIGINT)
+         |    ELSE CAST(floor((CAST(pu.post AS DOUBLE)
+         |      - CAST(th.num AS DOUBLE) / CAST(th.den AS DOUBLE)
+         |        * (CAST(pu.pre AS DOUBLE)
+         |          - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)))
+         |      * 1000000) AS BIGINT) END AS adj_micro
+         |FROM pu, th""".stripMargin,
+
+    // q282: Kaplan-Meier -- risk sets from the descending cumulative
+    // window, the ppm survival recurrence replayed as a recursive CTE
+    // walking event-time ranks per group.
+    "q282_survival" ->
+      raw"""WITH RECURSIVE subj AS (SELECT
+         |    ((user_id % 2) + 2) % 2 AS grp,
+         |    (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+         |      // 3600000000000 AS t,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS e
+         |  FROM events GROUP BY user_id),
+         |bd AS (SELECT grp, t, count(*) AS c,
+         |    CAST(sum(e) AS BIGINT) AS d FROM subj GROUP BY grp, t),
+         |rk AS (SELECT grp, t, d, CAST(sum(c) OVER (PARTITION BY grp
+         |      ORDER BY t DESC) AS BIGINT) AS n_risk FROM bd),
+         |et AS (SELECT grp, t, n_risk, d, row_number() OVER (
+         |    PARTITION BY grp ORDER BY t) AS rn FROM rk WHERE d >= 1),
+         |km AS (
+         |  SELECT grp, rn, t, n_risk, d,
+         |    (1000000 * (n_risk - d)) // n_risk AS s_ppm
+         |  FROM et WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.grp, e.rn, e.t, e.n_risk, e.d,
+         |    (km.s_ppm * (e.n_risk - e.d)) // e.n_risk
+         |  FROM km JOIN et e ON e.grp = km.grp AND e.rn = km.rn + 1)
+         |SELECT CAST(grp AS BIGINT) AS grp, CAST(t AS BIGINT) AS t,
+         |  n_risk, d, CAST(s_ppm AS BIGINT) AS s_ppm
+         |FROM km""".stripMargin,
+
+    // q283: Benford audit -- digit relation, nine-row zero-filled
+    // domain, the micro-lattice chi-square cells in the operator's
+    // exact double op order.
+    "q283_benford" ->
+      raw"""WITH v AS (SELECT c_mktsegment AS key,
+         |    CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+         |  FROM customer),
+         |d AS (SELECT key, CASE WHEN v = 0 THEN NULL
+         |    ELSE CAST(substr(CAST(abs(v) AS VARCHAR), 1, 1) AS BIGINT)
+         |    END AS digit FROM v),
+         |pk AS (SELECT key, CAST(count(digit) AS BIGINT) AS nn,
+         |    CAST(sum(CASE WHEN digit IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_zero
+         |  FROM d GROUP BY key),
+         |ob AS (SELECT key, digit, CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM d WHERE digit IS NOT NULL GROUP BY key, digit),
+         |dom AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+         |    (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+         |    (7, 57992), (8, 51153), (9, 45757))
+         |    t(digit, expected_ppm)),
+         |cells AS (SELECT pk.key, CAST(dom.digit AS BIGINT) AS digit,
+         |    CAST(dom.expected_ppm AS BIGINT) AS expected_ppm,
+         |    CAST(COALESCE(ob.n_obs, 0) AS BIGINT) AS n_obs,
+         |    pk.nn, pk.n_zero
+         |  FROM pk CROSS JOIN dom LEFT JOIN ob
+         |    ON ob.key = pk.key AND ob.digit = dom.digit),
+         |t2 AS (SELECT *, 1000000 * n_obs - nn * expected_ppm AS r,
+         |    CASE WHEN nn > 0 THEN CAST(floor(
+         |      (CAST(1000000 * n_obs - nn * expected_ppm AS DOUBLE)
+         |        / 1000000.0)
+         |      * (CAST(1000000 * n_obs - nn * expected_ppm AS DOUBLE)
+         |        / 1000000.0)
+         |      / (CAST(nn AS DOUBLE) * CAST(expected_ppm AS DOUBLE)
+         |        / 1000000.0) * 1000000) AS BIGINT) END AS term
+         |  FROM cells),
+         |chi AS (SELECT key, CAST(sum(term) AS BIGINT) AS chi2_micro
+         |  FROM t2 GROUP BY key)
+         |SELECT t2.key, t2.digit, t2.n_obs, t2.expected_ppm, t2.n_zero,
+         |  chi.chi2_micro
+         |FROM t2 JOIN chi ON chi.key = t2.key""".stripMargin,
+
+    // q284: two-sample chi-square homogeneity per key -- integer
+    // residuals T*O - row*col, cells floored to micro in the exact
+    // double op order, null when a period marginal is empty.
+    "q284_chi_drift" ->
+      raw"""WITH r AS (SELECT event_type AS key,
+         |    ((user_id % 8) + 8) % 8 AS bucket, event_id % 2 AS p
+         |  FROM events),
+         |cells AS (SELECT key, CAST(bucket AS BIGINT) AS bucket,
+         |    CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1
+         |  FROM r GROUP BY 1, 2),
+         |ks AS (SELECT key, CAST(sum(n0) AS BIGINT) AS c0,
+         |    CAST(sum(n1) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n_buckets
+         |  FROM cells GROUP BY key),
+         |tm AS (SELECT cells.key, cells.bucket, cells.n0, cells.n1,
+         |    ks.n_buckets, ks.c0, ks.c1, ks.c0 + ks.c1 AS tt,
+         |    cells.n0 + cells.n1 AS rw
+         |  FROM cells JOIN ks ON ks.key = cells.key),
+         |tt2 AS (SELECT *,
+         |    CASE WHEN rw = 0 OR c0 = 0 OR tt = 0 THEN 0
+         |      ELSE CAST(floor(CAST(tt * n0 - rw * c0 AS DOUBLE)
+         |        * CAST(tt * n0 - rw * c0 AS DOUBLE)
+         |        / (CAST(tt AS DOUBLE) * CAST(rw AS DOUBLE)
+         |          * CAST(c0 AS DOUBLE)) * 1000000) AS BIGINT) END
+         |      AS term0,
+         |    CASE WHEN rw = 0 OR c1 = 0 OR tt = 0 THEN 0
+         |      ELSE CAST(floor(CAST(tt * n1 - rw * c1 AS DOUBLE)
+         |        * CAST(tt * n1 - rw * c1 AS DOUBLE)
+         |        / (CAST(tt AS DOUBLE) * CAST(rw AS DOUBLE)
+         |          * CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT) END
+         |      AS term1
+         |  FROM tm),
+         |chi AS (SELECT key, CAST(sum(term0 + term1) AS BIGINT) AS ch,
+         |    max(CASE WHEN c0 = 0 OR c1 = 0 THEN 1 ELSE 0 END)
+         |      AS degen
+         |  FROM tt2 GROUP BY key)
+         |SELECT tt2.key, tt2.bucket, tt2.n0, tt2.n1, tt2.n_buckets,
+         |  CASE WHEN chi.degen = 1 THEN NULL ELSE chi.ch END
+         |    AS chi2_micro
+         |FROM tt2 JOIN chi ON chi.key = tt2.key""".stripMargin,
+
+    // q285: grouped OLS -- five exact sums, num/den integers, the two
+    // floored IEEE divisions in the operator's op order.
+    "q285_ols" ->
+      raw"""WITH r AS (SELECT event_type AS grp,
+         |    ((((epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000
+         |      + 3600000000000) % 3600000000000)) // 3600000000000)
+         |      % 168) + 168) % 168 AS x,
+         |    CAST(floor(value * 100) AS BIGINT) AS y
+         |  FROM events),
+         |st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM r GROUP BY grp),
+         |f AS (SELECT grp, n, n * sxy - sx * sy AS num,
+         |    n * sxx - sx * sx AS den, sx, sy FROM st)
+         |SELECT grp, n, num, den,
+         |  CASE WHEN den = 0 THEN NULL
+         |    ELSE CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+         |      * 1000000) AS BIGINT) END AS slope_ppm,
+         |  CASE WHEN den = 0 THEN NULL
+         |    ELSE CAST(floor((CAST(sy AS DOUBLE)
+         |      - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+         |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) * 1000)
+         |      AS BIGINT) END AS intercept_milli
+         |FROM f""".stripMargin,
+
+    // q286: seasonal profile -- pmod-floor hour-of-day phases, per-
+    // phase exact sums, floored mean and index in the operator's op
+    // order, null index for zero-sum keys.
+    "q286_seasonal" ->
+      raw"""WITH r AS (SELECT event_type AS key, epoch_ns(ts) AS ts,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |ph AS (SELECT key, ((((ts - ((ts % 3600000000000
+         |      + 3600000000000) % 3600000000000)) // 3600000000000)
+         |      % 24) + 24) % 24 AS phase, v FROM r),
+         |cells AS (SELECT key, CAST(phase AS BIGINT) AS phase,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(v) AS BIGINT) AS val_sum
+         |  FROM ph GROUP BY 1, 2),
+         |tot AS (SELECT key, CAST(sum(n) AS BIGINT) AS na,
+         |    CAST(sum(val_sum) AS BIGINT) AS sa
+         |  FROM cells GROUP BY key)
+         |SELECT c.key, c.phase, c.n, c.val_sum,
+         |  CAST(floor(CAST(c.val_sum AS DOUBLE) / CAST(c.n AS DOUBLE)
+         |    * 1000) AS BIGINT) AS mean_milli,
+         |  CASE WHEN t.sa = 0 THEN NULL
+         |    ELSE CAST(floor((CAST(c.val_sum AS DOUBLE)
+         |      / CAST(c.n AS DOUBLE)) / (CAST(t.sa AS DOUBLE)
+         |      / CAST(t.na AS DOUBLE)) * 1000000) AS BIGINT) END
+         |    AS index_ppm
+         |FROM cells c JOIN tot t ON t.key = c.key""".stripMargin,
+
+    // q287: trending terms -- house tokenization, add-one-smoothed
+    // ratio on HUGEINT (exact, mirroring the engine's DECIMAL), top
+    // 100 by (ratio, term).
+    "q287_trending" ->
+      raw"""WITH toks AS (SELECT doc_id % 2 AS p,
+         |    unnest(list_filter(regexp_split_to_array(
+         |      lower(trim(text)), '\s+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |cnt AS (SELECT term,
+         |    CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1
+         |  FROM toks GROUP BY term),
+         |tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+         |    CAST(sum(c1) AS BIGINT) AS n1 FROM cnt)
+         |SELECT term, c0, c1,
+         |  CAST((1000000::HUGEINT * (c1 + 1)::HUGEINT * n0::HUGEINT)
+         |    // ((c0 + 1)::HUGEINT * n1::HUGEINT) AS BIGINT)
+         |    AS ratio_ppm
+         |FROM cnt, tot WHERE c1 >= 2
+         |ORDER BY ratio_ppm DESC, term LIMIT 100""".stripMargin,
+
+    // q288: eight unconditional synchronous peels (idempotent past the
+    // fixpoint the engine detects), final degrees on the survivor-
+    // induced subgraph; same sparsified clique+chain derivation.
+    "q288_k_core" ->
+      raw"""WITH ${cliqueChainSqlSparse},
+         |${kCorePeelSql(8, 2)},
+         |ef AS (SELECT e.a, e.b FROM e
+         |  JOIN s8 x ON x.node = e.a JOIN s8 y ON y.node = e.b)
+         |SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM (SELECT a AS node FROM ef UNION ALL SELECT b FROM ef)
+         |GROUP BY node""".stripMargin,
+
+    // q289: group-vs-rest smoothed term scores on HUGEINT, top 20 per
+    // source by (score, term) via a ranked window.
+    "q289_distinctive" ->
+      raw"""WITH toks AS (SELECT source AS grp,
+         |    unnest(list_filter(regexp_split_to_array(
+         |      lower(trim(text)), '\s+'), x -> x <> '')) AS term
+         |  FROM documents),
+         |cg AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS c_g
+         |  FROM toks GROUP BY 1, 2),
+         |ct AS (SELECT term, CAST(sum(c_g) AS BIGINT) AS ct
+         |  FROM cg GROUP BY term),
+         |ng AS (SELECT grp, CAST(sum(c_g) AS BIGINT) AS ng
+         |  FROM cg GROUP BY grp),
+         |nt AS (SELECT CAST(sum(ng) AS BIGINT) AS nt FROM ng),
+         |sc AS (SELECT cg.grp, cg.term, cg.c_g,
+         |    ct.ct - cg.c_g AS c_rest,
+         |    CAST((1000000::HUGEINT * (cg.c_g + 1)::HUGEINT
+         |        * (nt.nt - ng.ng)::HUGEINT)
+         |      // ((ct.ct - cg.c_g + 1)::HUGEINT * ng.ng::HUGEINT)
+         |      AS BIGINT) AS score_ppm
+         |  FROM cg JOIN ct USING (term) JOIN ng USING (grp)
+         |    CROSS JOIN nt
+         |  WHERE cg.c_g >= 3),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY grp
+         |    ORDER BY score_ppm DESC, term) AS rk FROM sc)
+         |SELECT grp, term, c_g, c_rest, score_ppm
+         |FROM rk WHERE rk <= 20""".stripMargin,
+
+    // q290: first-5-event journeys, ordered string_agg per user,
+    // count-then-path top 50.
+    "q290_paths" ->
+      raw"""WITH e AS (SELECT user_id AS u, epoch_ns(ts) AS ts,
+         |    event_id AS id, event_type AS t FROM events),
+         |r AS (SELECT u, t, row_number() OVER (PARTITION BY u
+         |    ORDER BY ts, id) AS rn FROM e),
+         |p AS (SELECT u, string_agg(t, '>' ORDER BY rn) AS path
+         |  FROM r WHERE rn <= 5 GROUP BY u),
+         |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+         |  FROM p GROUP BY path)
+         |SELECT path, n_users FROM c
+         |ORDER BY n_users DESC, path LIMIT 50""".stripMargin,
+
+    // q291: the 2x2 DiD fold -- exact cell counts/sums, every mean one
+    // floored IEEE division, the estimator in the operator's op order.
+    "q291_did" ->
+      raw"""WITH r AS (SELECT ((user_id % 2) + 2) % 2 AS g,
+         |    event_id % 2 AS p,
+         |    CAST(floor(value * 100) AS BIGINT) AS y FROM events),
+         |c AS (SELECT
+         |    CAST(sum(CASE WHEN g = 0 AND p = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n00,
+         |    CAST(sum(CASE WHEN g = 0 AND p = 0 THEN y ELSE 0 END)
+         |      AS BIGINT) AS s00,
+         |    CAST(sum(CASE WHEN g = 0 AND p = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN g = 0 AND p = 1 THEN y ELSE 0 END)
+         |      AS BIGINT) AS s01,
+         |    CAST(sum(CASE WHEN g = 1 AND p = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN g = 1 AND p = 0 THEN y ELSE 0 END)
+         |      AS BIGINT) AS s10,
+         |    CAST(sum(CASE WHEN g = 1 AND p = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN g = 1 AND p = 1 THEN y ELSE 0 END)
+         |      AS BIGINT) AS s11
+         |  FROM r)
+         |SELECT n00, s00, n01, s01, n10, s10, n11, s11,
+         |  CASE WHEN n00 = 0 THEN NULL ELSE CAST(floor(
+         |    CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) * 1000)
+         |    AS BIGINT) END AS mean00_milli,
+         |  CASE WHEN n01 = 0 THEN NULL ELSE CAST(floor(
+         |    CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) * 1000)
+         |    AS BIGINT) END AS mean01_milli,
+         |  CASE WHEN n10 = 0 THEN NULL ELSE CAST(floor(
+         |    CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) * 1000)
+         |    AS BIGINT) END AS mean10_milli,
+         |  CASE WHEN n11 = 0 THEN NULL ELSE CAST(floor(
+         |    CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) * 1000)
+         |    AS BIGINT) END AS mean11_milli,
+         |  CASE WHEN n00 = 0 OR n01 = 0 OR n10 = 0 OR n11 = 0
+         |    THEN NULL
+         |    ELSE CAST(floor(((CAST(s11 AS DOUBLE)
+         |      / CAST(n11 AS DOUBLE) - CAST(s10 AS DOUBLE)
+         |      / CAST(n10 AS DOUBLE)) - (CAST(s01 AS DOUBLE)
+         |      / CAST(n01 AS DOUBLE) - CAST(s00 AS DOUBLE)
+         |      / CAST(n00 AS DOUBLE))) * 1000000) AS BIGINT) END
+         |    AS did_micro
+         |FROM c""".stripMargin,
+
+    // q292: symmetrized degree-assortativity sums over the same edge
+    // derivation; no square root by symmetry, one floored division.
+    "q292_assortativity" ->
+      raw"""WITH $cliqueChainSql,
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg
+         |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY node),
+         |pt AS (SELECT da.dg AS x, db.dg AS y FROM e
+         |  JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+         |b2 AS (SELECT x, y FROM pt UNION ALL SELECT y, x FROM pt),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx FROM b2)
+         |SELECT n, n // 2 AS m, n * sxy - sx * sx AS num,
+         |  n * sxx - sx * sx AS den,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+         |    ELSE CAST(floor(CAST(n * sxy - sx * sx AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000)
+         |      AS BIGINT) END AS r_ppm
+         |FROM st""".stripMargin,
+
+    // q293: reciprocal ranks exact on the ppm lattice (integer div),
+    // first purchase within rank 10 per user, misses zero, corpus
+    // mean by integer division.
+    "q293_mrr" ->
+      raw"""WITH e AS (SELECT user_id AS query, epoch_ns(ts) AS ts,
+         |    event_id AS id,
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+         |      AS rel
+         |  FROM events),
+         |r AS (SELECT query, rel, row_number() OVER (
+         |    PARTITION BY query ORDER BY ts, id) AS rnk FROM e),
+         |pq AS (SELECT query, min(CASE WHEN rel = 1 AND rnk <= 10
+         |    THEN rnk END) AS first_rank FROM r GROUP BY query),
+         |rr AS (SELECT query, CAST(first_rank AS BIGINT) AS first_rank,
+         |    CAST(CASE WHEN first_rank IS NULL THEN 0
+         |      ELSE 1000000 // first_rank END AS BIGINT) AS rr_ppm
+         |  FROM pq),
+         |f AS (SELECT CAST(sum(rr_ppm) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS nq FROM rr)
+         |SELECT rr.query, rr.first_rank, rr.rr_ppm,
+         |  CAST(f.s // f.nq AS BIGINT) AS mrr_ppm
+         |FROM rr, f""".stripMargin
   )
+
+  /** Shared clique+chain edge CTE chain (ends at `e` = canonical
+    * undirected edges) — the q280/q288/q292 derivation, one source of
+    * truth mirroring [[cliqueChainEdges]].
+    */
+  private def cliqueChainSqlWith(extra: String): String =
+    raw"""c AS (SELECT CAST(c_custkey AS BIGINT) AS c,
+       |    c_custkey // 4 AS g FROM customer),
+       |cl AS (SELECT a.c AS s, b.c AS d
+       |  FROM c a JOIN c b ON a.g = b.g AND a.c < b.c),
+       |ch AS (SELECT a.c AS s, a.c + 1 AS d FROM c a
+       |  WHERE EXISTS (SELECT 1 FROM c x WHERE x.c = a.c + 1)),
+       |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       |  FROM (SELECT * FROM cl UNION ALL SELECT * FROM ch)
+       |  WHERE s <> d$extra)""".stripMargin
+  private def cliqueChainSql: String = cliqueChainSqlWith("")
+  private def cliqueChainSqlSparse: String =
+    cliqueChainSqlWith(" AND (s + d) % 3 <> 0")
+
+  /** `iters` unconditional synchronous k-core peels over `e`:
+    * s0 = all nodes, s_i = nodes with induced degree ≥ k in s_{i−1} —
+    * idempotent once the fixpoint is reached, so a fixed chain equals
+    * the engine's detected-convergence result whenever the engine ran
+    * green (it refuses past maxIters).
+    */
+  private def kCorePeelSql(iters: Int, k: Int): String = {
+    // every s_i is referenced TWICE by e_{i+1}: without MATERIALIZED,
+    // CTE inlining doubles the plan per peel (2^iters scans of the
+    // base table — blew the open-file limit at 8 peels).
+    val sb = new StringBuilder(
+      "n0 AS (SELECT a AS node FROM e UNION SELECT b FROM e),\n" +
+        "s0 AS MATERIALIZED (SELECT node FROM n0)")
+    for (i <- 1 to iters) {
+      val p = i - 1
+      sb ++= s""",
+e$i AS (SELECT e.a, e.b FROM e JOIN s$p x ON x.node = e.a
+  JOIN s$p y ON y.node = e.b),
+d$i AS (SELECT node, count(*) AS dg FROM (SELECT a AS node FROM e$i
+  UNION ALL SELECT b FROM e$i) GROUP BY node),
+s$i AS MATERIALIZED (SELECT node FROM d$i WHERE dg >= $k)"""
+    }
+    sb.toString
+  }
 }

@@ -1847,4 +1847,111 @@ object Curation {
           coalesce(col("__sfx"), lit("")).as("__s")))
         .as("registered_domain"))
   }
+
+  /** Trending terms between two corpus snapshots — "what is new in
+    * this crawl": per term the count in period 0 (`c0`, the baseline)
+    * and period 1 (`c1`, the fresh slice), ranked by the add-one-
+    * smoothed frequency ratio
+    *
+    *   ratio_ppm = (10⁶ · (c1+1) · N0) div ((c0+1) · N1)
+    *
+    * (N0/N1 = total token counts per period) computed on DECIMAL(38)
+    * so the triple product stays exact at any corpus size — no float
+    * anywhere, no overflow cliff. Add-one smoothing keeps terms absent
+    * from the baseline rankable without a division by zero and damps
+    * the rare-term noise a raw ratio amplifies; `minC1` additionally
+    * drops terms too rare in the fresh slice to trend (a visible
+    * parameter, not a silent cap). Top `k` by (ratio_ppm, term) with
+    * the term itself as the deterministic tie-break.
+    *
+    * Tokens are the house convention: lower-cased, `\s+`-split,
+    * empties dropped. Periods must be exactly 0/1 (refused loudly).
+    * One explode + one (term, period) aggregation + one 2-row total
+    * fold broadcast back; the top-k is a TakeOrdered, never a full
+    * sort.
+    */
+  def trendingTerms(docs: DataFrame, textCol: String,
+      periodCol: String, k: Int, minC1: Long = 2L): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k=$k out of [1, 65536]")
+    require(minC1 >= 1, s"minC1=$minC1 must be >= 1")
+    val p = coalesce(col(periodCol).try_cast("long"),
+      raise_error(concat(lit("trendingTerms period '"),
+        coalesce(col(periodCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val toks = docs.select(
+        when(p.isin(0L, 1L), p).otherwise(
+          raise_error(concat(lit("trendingTerms period "),
+            p.cast("string"), lit(" outside {0,1}"))).cast("long"))
+          .as("__p"),
+        explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => t =!= "")).as("term"))
+    val counts = toks.groupBy(col("term"))
+      .agg(sum(when(col("__p") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("__p") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = counts.agg(sum(col("c0")).as("__n0"),
+      sum(col("c1")).as("__n1"))
+    counts.filter(col("c1") >= minC1)
+      .crossJoin(broadcast(totals))
+      .withColumn("__num", lit(1000000L).cast("decimal(20,0)")
+        * (col("c1") + 1).cast("decimal(20,0)")
+        * col("__n0").cast("decimal(20,0)"))
+      .withColumn("__den", (col("c0") + 1).cast("decimal(20,0)")
+        * col("__n1").cast("decimal(20,0)"))
+      .withColumn("ratio_ppm", expr("__num div __den").cast("long"))
+      .select(col("term"), col("c0"), col("c1"), col("ratio_ppm"))
+      .orderBy(col("ratio_ppm").desc, col("term"))
+      .limit(k)
+  }
+
+  /** Distinctive terms per group — [[trendingTerms]] generalized from
+    * two snapshots to ANY grouping (per source, per language, per
+    * topic): for each group g, terms ranked by how over-represented
+    * they are in g vs the REST of the corpus,
+    *
+    *   score_ppm = (10⁶ · (c_g+1) · N_rest) div ((c_rest+1) · N_g)
+    *
+    * with c_rest/N_rest the complements of the group's term count and
+    * token total — the same add-one-smoothed exact-DECIMAL lattice.
+    * `minCg` drops terms too rare in the group to characterize it.
+    * Top `k` PER GROUP by (score_ppm, term) via one ranked window on
+    * the group key — no global sort, no driver collection; the group
+    * totals are a group-sized broadcast and the term totals join on
+    * the term key. Null group refuses loudly (its tokens would
+    * silently vanish from every N_rest).
+    */
+  def distinctiveTerms(docs: DataFrame, textCol: String,
+      groupCol: String, k: Int, minCg: Long = 2L): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k=$k out of [1, 65536]")
+    require(minCg >= 1, s"minCg=$minCg must be >= 1")
+    val g = coalesce(col(groupCol).cast("string"),
+      raise_error(lit("distinctiveTerms: null group — its tokens " +
+        "would silently vanish from every rest-of-corpus total")))
+    val toks = docs.select(g.as("grp"),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => t =!= "")).as("term"))
+    val cg = toks.groupBy(col("grp"), col("term"))
+      .agg(count(lit(1)).as("c_g"))
+    val ct = cg.groupBy(col("term")).agg(sum(col("c_g")).as("__ct"))
+    val ng = cg.groupBy(col("grp")).agg(sum(col("c_g")).as("__ng"))
+    val nTot = ng.agg(sum(col("__ng")).as("__nt"))
+    val scored = cg.filter(col("c_g") >= minCg)
+      .join(ct, "term")
+      .join(broadcast(ng), "grp")
+      .crossJoin(broadcast(nTot))
+      .withColumn("c_rest", col("__ct") - col("c_g"))
+      .withColumn("__nrest", col("__nt") - col("__ng"))
+      .withColumn("__num", lit(1000000L).cast("decimal(20,0)")
+        * (col("c_g") + 1).cast("decimal(20,0)")
+        * col("__nrest").cast("decimal(20,0)"))
+      .withColumn("__den", (col("c_rest") + 1).cast("decimal(20,0)")
+        * col("__ng").cast("decimal(20,0)"))
+      .withColumn("score_ppm", expr("__num div __den").cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("score_ppm").desc, col("term"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("grp"), col("term"), col("c_g"), col("c_rest"),
+        col("score_ppm"))
+  }
 }

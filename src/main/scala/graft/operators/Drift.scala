@@ -59,4 +59,147 @@ object Drift {
         col("lead_sum"),
         (col("lead_sum") - col("trail_sum")).as("shift"))
   }
+
+  /** Benford's-law first-digit ppm, rounded from log10(1 + 1/d): the
+    * nine constants sum to exactly 10⁶, so the expected lattice is
+    * closed. Public constants (Newcomb 1881 / Benford 1938).
+    */
+  val BenfordPpm: Seq[(Long, Long)] = Seq(
+    1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+    5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L,
+    9L -> 45757L)
+
+  /** Benford first-digit audit per key — the classic fabricated-data
+    * detector (fraudulent or synthetic numeric feeds rarely match the
+    * logarithmic leading-digit law that organic heavy-tailed data
+    * follows). Per key: observed counts for digits 1–9 (ALL nine rows,
+    * zero-filled), the Benford-expected ppm, and the χ² goodness-of-fit
+    * statistic attached to every row on the [[graft.operators.Experiment.srmCheck]]
+    * micro lattice: integer residual `r_d = 10⁶·O_d − N·B_d`, each cell
+    * `(r_d/10⁶)²/(N·B_d/10⁶)` squared/divided in IEEE double in a fixed
+    * op order, floored to micro units, integer-summed — engine-exact,
+    * 8 dof. χ² ≳ 15.5 ⇔ p < 0.05.
+    *
+    * The first significant digit comes from `|v|` rendered as a string
+    * (no float log). Null or uncastable values refuse loudly; ZEROS
+    * have no leading significant digit and are excluded BY DEFINITION
+    * — visibly, not silently: every row carries the key's `n_zero`.
+    * Keys with only zeros emit the nine digit rows with N = 0 and a
+    * null χ². One aggregation over (key, digit) + one key-sized
+    * zero-fill join against the digit domain — nothing row-sized
+    * shuffles twice.
+    */
+  def benfordCheck(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("benfordCheck value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a skipped row would " +
+          "bias every digit cell"))).cast("long"))
+    val digits = df
+      .select(col(keyCol).as("key"), v.as("__v"))
+      .select(col("key"),
+        when(col("__v") === 0, lit(null).cast("long"))
+          .otherwise(substring(abs(col("__v")).cast("string"), 1, 1)
+            .cast("long")).as("digit"))
+    val perKey = digits.groupBy(col("key"))
+      .agg(count(col("digit")).as("__N"),
+        sum(when(col("digit").isNull, 1L).otherwise(0L)).as("n_zero"))
+    val obs = digits.filter(col("digit").isNotNull)
+      .groupBy(col("key"), col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val domain = broadcast(BenfordPpm.toDF("digit", "expected_ppm"))
+    val cells = perKey.crossJoin(domain)
+      .join(obs, Seq("key", "digit"), "left")
+      .select(col("key"), col("digit"), col("expected_ppm"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("__N"), col("n_zero"))
+      .withColumn("__d",
+        lit(1000000L) * col("n_obs") - col("__N") * col("expected_ppm"))
+      .withColumn("__term",
+        when(col("__N") > 0,
+          floor((col("__d").cast("double") / 1000000.0)
+            * (col("__d").cast("double") / 1000000.0)
+            / (col("__N").cast("double") * col("expected_ppm")
+              .cast("double") / 1000000.0) * 1000000).cast("long"))
+          .otherwise(lit(null).cast("long")))
+    val chi = cells.groupBy(col("key").as("__k"))
+      .agg(sum(col("__term")).as("chi2_micro"))
+    cells.join(chi, col("key") === col("__k"), "left")
+      .select(col("key"), col("digit"), col("n_obs"),
+        col("expected_ppm"), col("n_zero"), col("chi2_micro"))
+  }
+
+  /** Two-sample χ² homogeneity drift over bucketed histograms — "does
+    * this feature's distribution differ between period 0 and period
+    * 1": per key, the bucket×period contingency table's χ² with
+    * (B−1)·1 dof on the exact micro lattice — integer residual
+    * `r_bp = T·O_bp − row_b·col_p` per cell (T = the key's total),
+    * each cell `(r/T)²/E = r²/(T·row_b·col_p)` squared/divided in IEEE
+    * double in a fixed op order, floored to micro units and
+    * integer-summed. Emits one row per (key, bucket): both periods'
+    * counts and the key's `chi2_micro` and `n_buckets`; χ² is null
+    * when a period marginal is zero (one-period keys — the statistic
+    * is undefined, not zero). Periods must be exactly 0/1, refused
+    * loudly row-by-row; buckets are any longs (bucket continuous
+    * features upstream, the histogram convention).
+    *
+    * One (key, bucket, period) aggregation + one key-sized fold —
+    * the level-shift scan catches steps in the MEAN, this catches
+    * reshapes the mean hides (variance inflation, bimodality, a new
+    * producer mixing in).
+    */
+  def chiSquareDrift(df: DataFrame, keyCol: String, bucketCol: String,
+      periodCol: String): DataFrame = {
+    val p = coalesce(col(periodCol).try_cast("long"),
+      raise_error(concat(lit("chiSquareDrift period '"),
+        coalesce(col(periodCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(keyCol).as("key"),
+      col(bucketCol).cast("long").as("bucket"),
+      when(p.isin(0L, 1L), p).otherwise(
+        raise_error(concat(lit("chiSquareDrift period "),
+          p.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__p"))
+    val cells = rows.groupBy(col("key"), col("bucket"))
+      .agg(sum(when(col("__p") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__p") === 1, 1L).otherwise(0L)).as("n1"))
+    val keyStats = cells.groupBy(col("key").as("__k"))
+      .agg(sum(col("n0")).as("__c0"), sum(col("n1")).as("__c1"),
+        count(lit(1)).as("n_buckets"))
+    val terms = cells.join(keyStats, col("key") === col("__k"))
+      .withColumn("__T", col("__c0") + col("__c1"))
+      .withColumn("__row", col("n0") + col("n1"))
+      .withColumn("__t0", term(col("__T"), col("n0"), col("__row"),
+        col("__c0")))
+      .withColumn("__t1", term(col("__T"), col("n1"), col("__row"),
+        col("__c1")))
+    val chi = terms.groupBy(col("key").as("__k2"))
+      .agg(sum(col("__t0") + col("__t1")).as("__chi"),
+        max(when(col("__c0") === 0 || col("__c1") === 0, 1L)
+          .otherwise(0L)).as("__degen"))
+    terms.join(chi, col("key") === col("__k2"))
+      .select(col("key"), col("bucket"), col("n0"), col("n1"),
+        col("n_buckets"),
+        when(col("__degen") === 1, lit(null).cast("long"))
+          .otherwise(col("__chi")).as("chi2_micro"))
+  }
+
+  /** One χ² homogeneity cell on the micro lattice: residual
+    * `r = T·o − row·colTot` (int64-exact, ANSI-guarded), then
+    * `(r/T)²/(T⁻¹·row·colTot)` = `r²/(T·row·colTot)` in IEEE double in
+    * THIS op order, floored to micro units. Zero marginals yield 0
+    * (masked to null χ² by the caller's degenerate flag).
+    */
+  private def term(tot: org.apache.spark.sql.Column,
+      o: org.apache.spark.sql.Column, row: org.apache.spark.sql.Column,
+      colTot: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val r = tot * o - row * colTot
+    when(row === 0 || colTot === 0 || tot === 0, lit(0L))
+      .otherwise(floor(r.cast("double") * r.cast("double")
+        / (tot.cast("double") * row.cast("double")
+          * colTot.cast("double")) * 1000000).cast("long"))
+  }
 }

@@ -393,4 +393,51 @@ object EvalMetrics {
               * 1000000
               / (col("n") * col("n") - col("sum_rc"))).cast("long")))
   }
+
+  /** Mean reciprocal rank at k — the retrieval-eval staple, exact on
+    * the ppm lattice (reciprocals of small integers floor cleanly:
+    * `10⁶ div rank`). Input: one row per (query, ranked item) with a
+    * 1-based rank and a 0/1 relevance flag (both refused loudly
+    * otherwise — a rank of 0 or a graded relevance silently folded
+    * as binary would corrupt the mean). Per query: `first_rank` = the
+    * smallest relevant rank ≤ k (null if none) and
+    * `rr_ppm = 10⁶ div first_rank` (0 if none — the standard MRR
+    * convention counts misses as zero). Every row also carries
+    * `mrr_ppm = (Σ rr_ppm) div n_queries`, the corpus mean on the
+    * same lattice. One (query) aggregation + one 1-row fold broadcast
+    * back.
+    */
+  def mrrAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val rank = coalesce(col(rankCol).try_cast("long"),
+      raise_error(concat(lit("mrrAtK: rank '"),
+        coalesce(col(rankCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rel = coalesce(col(relCol).try_cast("long"),
+      raise_error(concat(lit("mrrAtK: relevance '"),
+        coalesce(col(relCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = ranked.select(col(queryCol).as("query"),
+      when(rank >= 1, rank).otherwise(
+        raise_error(concat(lit("mrrAtK: rank "), rank.cast("string"),
+          lit(" must be >= 1 (1-based ranks)"))).cast("long"))
+        .as("__rank"),
+      when(rel.isin(0L, 1L), rel).otherwise(
+        raise_error(concat(lit("mrrAtK: relevance "),
+          rel.cast("string"),
+          lit(" outside {0,1} — binarize graded judgments upstream")))
+          .cast("long")).as("__rel"))
+    val perQ = rows.groupBy(col("query"))
+      .agg(min(when(col("__rel") === 1 && col("__rank") <= k,
+        col("__rank"))).as("first_rank"))
+      .withColumn("rr_ppm",
+        when(col("first_rank").isNull, lit(0L))
+          .otherwise(expr("1000000L div first_rank")))
+    val fold = perQ.agg(sum(col("rr_ppm")).as("__s"),
+      count(lit(1)).as("__nq"))
+    perQ.crossJoin(broadcast(fold))
+      .select(col("query"), col("first_rank"), col("rr_ppm"),
+        expr("__s div __nq").as("mrr_ppm"))
+  }
 }

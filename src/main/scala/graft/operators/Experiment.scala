@@ -370,4 +370,215 @@ object Experiment {
       .groupBy(col("w_start"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** CUPED variance reduction (Deng–Xu–Kohavi–Walker, WSDM 2013,
+    * "Improving the sensitivity of online controlled experiments by
+    * utilizing pre-experiment data"): per unit the adjusted metric
+    *
+    *   ŷᵢ = yᵢ − θ·(xᵢ − x̄),   θ = cov(x, y)/var(x)
+    *
+    * with x = the PRE-experiment metric and y = the in-experiment
+    * metric. θ comes from exact integer sums (quantize both metrics to
+    * a centi/milli lattice upstream, the house convention):
+    * `num = n·Σxy − Σx·Σy`, `den = n·Σx² − (Σx)²` — both int64-exact
+    * (ANSI overflow is the loud guard; shard past ~10⁹ lattice units),
+    * then ONE IEEE division `θ = num/den` and the per-row fold
+    * `floor((y − θ·(x − Σx/n))·10⁶)` in a fixed op order the oracle
+    * mirrors — `adj_micro` is engine-exact. A zero-variance pre-metric
+    * (den = 0, where θ is 0/0) emits null `theta_ppm` and the
+    * UNADJUSTED `adj_micro = floor(y·10⁶)`: cov(x,y) is then zero too,
+    * so "no adjustment" is the mathematical limit, not a fabrication.
+    *
+    * One row per experimental UNIT in, one out (`id, pre, post,
+    * theta_ppm, adj_micro`) — aggregate multi-event users upstream.
+    * Null or uncastable metrics refuse loudly (a skipped unit would
+    * bias θ). One two-row-fold aggregation + one broadcast of the
+    * 1-row stats — nothing unit-sized shuffles twice.
+    */
+  def cuped(df: DataFrame, idCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    def m(c: String) = coalesce(col(c).try_cast("long"),
+      raise_error(concat(lit(s"cuped: $c value '"),
+        coalesce(col(c).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — quantize the metric " +
+          "to an integer lattice upstream"))).cast("long"))
+    val rows = df.select(col(idCol).as("id"), m(preCol).as("pre"),
+      m(postCol).as("post"))
+    val stats = rows.agg(count(lit(1)).as("__n"),
+      sum(col("pre")).as("__sx"), sum(col("post")).as("__sy"),
+      sum(col("pre") * col("post")).as("__sxy"),
+      sum(col("pre") * col("pre")).as("__sxx"))
+      .withColumn("__num",
+        col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__den",
+        col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__theta",
+        when(col("__den") === 0, lit(null).cast("double"))
+          .otherwise(col("__num").cast("double")
+            / col("__den").cast("double")))
+      .withColumn("__meanx",
+        col("__sx").cast("double") / col("__n").cast("double"))
+    rows.crossJoin(broadcast(stats))
+      .select(col("id"), col("pre"), col("post"),
+        when(col("__theta").isNull, lit(null).cast("long"))
+          .otherwise(floor(col("__theta") * 1000000).cast("long"))
+          .as("theta_ppm"),
+        when(col("__theta").isNull,
+          floor(col("post").cast("double") * 1000000).cast("long"))
+          .otherwise(floor((col("post").cast("double")
+            - col("__theta") * (col("pre").cast("double")
+              - col("__meanx"))) * 1000000).cast("long"))
+          .as("adj_micro"))
+  }
+
+  /** Kaplan–Meier survival curve (Kaplan–Meier 1958) per group, on the
+    * exact ppm lattice: with event times t₁ < t₂ < …, `n_k` subjects
+    * at risk at tₖ (duration ≥ tₖ, censored or not) and `d_k` events
+    * at tₖ,
+    *
+    *   S_ppm(tₖ) = (S_ppm(tₖ₋₁) · (n_k − d_k)) div n_k,  S_ppm(t₀)=10⁶
+    *
+    * — the survival product replayed as an INTEGER recurrence (each
+    * step floors at the ppm lattice; drift vs the float product is
+    * < k ppm over k event times, documented noise), so the curve is
+    * bit-identical on any cluster and oracle-checkable. Input: one row
+    * per SUBJECT with a duration (long-castable, ≥ 0 — a negative
+    * duration refuses loudly) and an event flag (1 = event at
+    * `duration`, 0 = censored at `duration`; anything else refuses).
+    * Output one row per (group, event time): `grp, t, n_risk, d,
+    * s_ppm`. Censored-only durations contribute to `n_risk` but emit
+    * no row — the standard KM step points.
+    *
+    * Scale shape: one (group, duration) aggregation, one group-
+    * partitioned cumulative window (descending durations) for the
+    * risk sets, then the recurrence over a per-group SORTED ARRAY of
+    * event times folded inside codegen (`aggregate` HOF) — sequential
+    * in k by definition, distributed over groups. Event-time
+    * cardinality per group is required ≤ `maxTimes` (loud post-agg
+    * refusal; quantize durations upstream — a survival curve with
+    * millions of distinct steps is a plotting bug, not an analysis).
+    */
+  def survivalKm(df: DataFrame, groupCol: String, durCol: String,
+      eventCol: String, maxTimes: Int = 4096): DataFrame = {
+    require(maxTimes >= 1 && maxTimes <= 65536,
+      s"maxTimes=$maxTimes out of [1, 65536]")
+    val dur = coalesce(col(durCol).try_cast("long"),
+      raise_error(concat(lit("survivalKm: duration '"),
+        coalesce(col(durCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long")))
+        .cast("long"))
+    val ev = coalesce(col(eventCol).try_cast("long"),
+      raise_error(concat(lit("survivalKm: event flag '"),
+        coalesce(col(eventCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(groupCol).as("grp"),
+        when(dur < 0, raise_error(concat(
+          lit("survivalKm: negative duration "), dur.cast("string")))
+          .cast("long")).otherwise(dur).as("t"),
+        when(ev.isin(0L, 1L), ev).otherwise(
+          raise_error(concat(lit("survivalKm: event flag "),
+            ev.cast("string"), lit(" outside {0,1}"))).cast("long"))
+          .as("e"))
+    val byDur = rows.groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("__c"), sum(col("e")).as("d"))
+    val risk = Window.partitionBy(col("grp")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val et = byDur
+      .withColumn("n_risk", sum(col("__c")).over(risk))
+      .filter(col("d") >= 1)
+      .select(col("grp"), col("t"), col("n_risk"), col("d"))
+    val folded = et.groupBy(col("grp"))
+      .agg(sort_array(collect_list(struct(col("t"), col("n_risk"),
+        col("d")))).as("__xs"))
+      .select(col("grp"),
+        when(size(col("__xs")) > maxTimes,
+          raise_error(concat(lit("survivalKm: "),
+            size(col("__xs")).cast("string"),
+            lit(s" event times in one group exceed maxTimes=$maxTimes" +
+              " — quantize durations upstream"))).cast("int"))
+          .otherwise(lit(0)).as("__guard"),
+        expr("""aggregate(__xs,
+          cast(array() as array<struct<t:bigint,n_risk:bigint,d:bigint,s_ppm:bigint>>),
+          (acc, x) -> array_append(acc, named_struct(
+            't', x.t, 'n_risk', x.n_risk, 'd', x.d,
+            's_ppm', ((case when size(acc) = 0 then 1000000L
+                            else acc[size(acc) - 1].s_ppm end)
+              * (x.n_risk - x.d)) div x.n_risk)))""").as("__km"))
+      .filter(col("__guard") === 0)
+    folded.select(col("grp"), explode(col("__km")).as("__r"))
+      .select(col("grp"), col("__r.t").as("t"),
+        col("__r.n_risk").as("n_risk"), col("__r.d").as("d"),
+        col("__r.s_ppm").as("s_ppm"))
+  }
+
+  /** Difference-in-differences (the Card–Krueger quasi-experimental
+    * workhorse): with a treatment flag g ∈ {0,1} and a period flag
+    * p ∈ {0,1} over integer observations (quantize upstream),
+    *
+    *   DiD = (ȳ₁₁ − ȳ₁₀) − (ȳ₀₁ − ȳ₀₀)
+    *
+    * — the treated group's before/after change net of the control
+    * group's trend. One 4-cell fold: per cell the exact count and
+    * sum, each mean ONE floored IEEE division (`mean*_milli`), and
+    * `did_micro` from the four means in a fixed op order the oracle
+    * mirrors; null when ANY cell is empty (a missing cell makes the
+    * estimator undefined — silence would fabricate a zero trend).
+    * Group/period values outside {0,1} and null metrics refuse
+    * loudly row-by-row. Output is ONE row; nothing row-sized leaves
+    * the first aggregation.
+    */
+  def diffInDiff(df: DataFrame, groupCol: String, periodCol: String,
+      valCol: String): DataFrame = {
+    def flag(c: String, what: String) = {
+      val v = coalesce(col(c).try_cast("long"),
+        raise_error(concat(lit(s"diffInDiff: $what '"),
+          coalesce(col(c).cast("string"), lit("NULL")),
+          lit("' is null or not castable to long"))).cast("long"))
+      when(v.isin(0L, 1L), v).otherwise(
+        raise_error(concat(lit(s"diffInDiff: $what "), v.cast("string"),
+          lit(" outside {0,1}"))).cast("long"))
+    }
+    val y = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("diffInDiff: value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — quantize upstream")))
+        .cast("long"))
+    val cells = df.select(flag(groupCol, "group").as("__g"),
+        flag(periodCol, "period").as("__p"), y.as("__y"))
+      .agg(
+        sum(when(col("__g") === 0 && col("__p") === 0, 1L)
+          .otherwise(0L)).as("n00"),
+        sum(when(col("__g") === 0 && col("__p") === 0, col("__y"))
+          .otherwise(0L)).as("s00"),
+        sum(when(col("__g") === 0 && col("__p") === 1, 1L)
+          .otherwise(0L)).as("n01"),
+        sum(when(col("__g") === 0 && col("__p") === 1, col("__y"))
+          .otherwise(0L)).as("s01"),
+        sum(when(col("__g") === 1 && col("__p") === 0, 1L)
+          .otherwise(0L)).as("n10"),
+        sum(when(col("__g") === 1 && col("__p") === 0, col("__y"))
+          .otherwise(0L)).as("s10"),
+        sum(when(col("__g") === 1 && col("__p") === 1, 1L)
+          .otherwise(0L)).as("n11"),
+        sum(when(col("__g") === 1 && col("__p") === 1, col("__y"))
+          .otherwise(0L)).as("s11"))
+    def mean(s: String, cnt: String) =
+      when(col(cnt) === 0, lit(null).cast("long"))
+        .otherwise(floor(col(s).cast("double") / col(cnt).cast("double")
+          * 1000).cast("long"))
+    cells
+      .withColumn("mean00_milli", mean("s00", "n00"))
+      .withColumn("mean01_milli", mean("s01", "n01"))
+      .withColumn("mean10_milli", mean("s10", "n10"))
+      .withColumn("mean11_milli", mean("s11", "n11"))
+      .withColumn("did_micro",
+        when(col("n00") === 0 || col("n01") === 0 || col("n10") === 0
+            || col("n11") === 0, lit(null).cast("long"))
+          .otherwise(floor(
+            ((col("s11").cast("double") / col("n11").cast("double")
+              - col("s10").cast("double") / col("n10").cast("double"))
+              - (col("s01").cast("double") / col("n01").cast("double")
+                - col("s00").cast("double") / col("n00").cast("double")))
+              * 1000000).cast("long")))
+  }
 }

@@ -227,4 +227,43 @@ object Funnel {
     lats.groupBy(col("step"), col("bucket"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Frequent-journey mining: the top `k` event-type PATHS over each
+    * user's first `n` events — the "what do users actually do"
+    * counterpart to [[funnel]]'s fixed hypothesis. Per user the first
+    * `n` events by `(ts, tie)` (a deterministic total order; ties in
+    * raw event time are broken by the id, the house convention),
+    * joined into a `'>'`-separated path string; paths are counted
+    * across users and the top k by `(n_users, path)` returned — count
+    * ties break on the path text, so the cut is deterministic.
+    *
+    * Users with FEWER than n events still contribute their full
+    * (shorter) path — a real journey, not a discard; empty-path users
+    * cannot exist (no events ⇒ no row). `n` is bounded (≤ 64, loud):
+    * per-user state is one n-bounded array, so a 10⁶-event power user
+    * costs the same as anyone else. One ranked window (one shuffle on
+    * the user key) + one path count + a TakeOrdered — the full path
+    * relation never sorts globally.
+    */
+  def pathMining(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && n <= 64, s"n=$n out of [1, 64]")
+    require(k >= 1 && k <= 65536, s"k=$k out of [1, 65536]")
+    val w = Window.partitionBy(col("__u"))
+      .orderBy(col("__ts"), col("__tie"))
+    events.select(col(userCol).as("__u"),
+        col(tsCol).cast("long").as("__ts"),
+        col(tieCol).cast("long").as("__tie"),
+        col(typeCol).as("__t"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n)
+      .groupBy(col("__u"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__r"), col("__t")))),
+        x => x.getField("__t")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -301,4 +301,187 @@ object Graph {
     }
     labels
   }
+
+  /** Per-node triangle counts + local clustering coefficient — the
+    * community-density primitive (spam/link-farm detection ranks hosts
+    * by how clique-like their neighborhoods are; a high-PageRank node
+    * with zero triangles is a classic farm signature).
+    *
+    * Edges are read as UNDIRECTED: self-loops dropped, direction and
+    * multiplicity collapsed to one canonical `(lo, hi)` edge. Output one
+    * row per node that has ≥ 1 edge: `node, degree, triangles,
+    * lcc_ppm` with `lcc_ppm = (2·10⁶·triangles) div (degree·(degree−1))`
+    * — the local clustering coefficient on the exact ppm lattice
+    * (0 when degree < 2). Null src/dst refuse loudly (a silently
+    * dropped endpoint would undercount every triangle through it).
+    *
+    * Scale shape: the degree-ordered node-iterator (Schank–Wagner
+    * 2005, "Finding, counting and listing all triangles in large
+    * graphs"): each edge is oriented from its lower-(degree, id)
+    * endpoint to the higher, so every wedge is enumerated exactly once
+    * at its lowest-degree vertex — the orientation caps out-degree at
+    * O(√m) on any graph, which is what keeps the wedge join from
+    * exploding on skewed (celebrity-node) degree distributions. Three
+    * edge-sized equi joins + one map-side-combined count; no all-pairs
+    * stage anywhere. The result is orientation-invariant, so the
+    * oracle may replay it with the simpler id-ordered triple join.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    def ep(c: String) = coalesce(col(c).cast("long"),
+      raise_error(lit(s"triangleCounts: null $c endpoint — a dropped " +
+        "endpoint would undercount every triangle through it"))
+        .cast("long"))
+    val und = edges
+      .select(least(ep(srcCol), ep(dstCol)).as("a"),
+        greatest(ep(srcCol), ep(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    // orient each edge from lower (degree, id) to higher
+    val da = deg.select(col("node").as("a"), col("degree").as("__da"))
+    val db = deg.select(col("node").as("b"), col("degree").as("__db"))
+    val aKey = struct(col("__da").as("d"), col("a").as("n"))
+    val bKey = struct(col("__db").as("d"), col("b").as("n"))
+    val orient = und.join(da, "a").join(db, "b")
+      .select(
+        when(aKey < bKey, col("a")).otherwise(col("b")).as("s"),
+        when(aKey < bKey, bKey).otherwise(aKey).as("t"))
+      .localCheckpoint()
+    // wedges at the low vertex: (s -> t1), (s -> t2) with t1 < t2 in
+    // (degree, id) order; closed iff the oriented edge t1 -> t2 exists
+    val e1 = orient.select(col("s"), col("t").as("t1"))
+    val e2 = orient.select(col("s"), col("t").as("t2"))
+    val wedges = e1.join(e2, "s").filter(col("t1") < col("t2"))
+    val tris = wedges.join(
+        orient.select(col("s").as("__cs"), col("t").as("__ct")),
+        col("t1.n") === col("__cs") && col("t2") === col("__ct"))
+      .select(col("s").as("u"), col("t1.n").as("v"),
+        col("t2.n").as("w"))
+    val perNode = tris.select(col("u").as("node"))
+      .union(tris.select(col("v").as("node")))
+      .union(tris.select(col("w").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc_ppm",
+        when(col("degree") < 2, lit(0L)).otherwise(
+          expr("(2000000L * triangles) div (degree * (degree - 1L))")))
+  }
+
+  /** k-core decomposition gate (Seidman 1983): the maximal induced
+    * subgraph in which every node keeps degree ≥ k — the standard
+    * "dense kernel" cut before community analysis (and the spam-farm
+    * peel: link farms live in shallow cores). Edges are read
+    * UNDIRECTED as in [[triangleCounts]]; output one row per core
+    * node with `core_deg`, its degree INSIDE the core subgraph.
+    *
+    * Synchronous peeling: drop every node under degree k, recompute
+    * degrees on the induced subgraph, repeat to fixpoint. Each round
+    * is two semi joins (edge relation vs survivors) + one map-side
+    * degree count — node-key-partitioned, no all-pairs, lineage cut
+    * per round. Convergence is DETECTED (survivor count unchanged —
+    * monotone shrinkage makes equal counts equal sets) and bounded by
+    * `maxIters` with a LOUD refusal past the bound: peeling depth is
+    * small on real (dense-core) graphs but adversarial paths cascade
+    * one hop per round, and a silently truncated peel would report a
+    * too-large core. One count() action per round, the driver-looped
+    * index-lifecycle discipline (≤ maxIters ≤ 64 jobs).
+    */
+  def kCoreInt(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxIters: Int = 16): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(maxIters >= 1 && maxIters <= 64,
+      s"maxIters=$maxIters out of [1, 64]")
+    def ep(c: String) = coalesce(col(c).cast("long"),
+      raise_error(lit(s"kCoreInt: null $c endpoint")).cast("long"))
+    val und = edges
+      .select(least(ep(srcCol), ep(dstCol)).as("a"),
+        greatest(ep(srcCol), ep(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    def degrees(surv: DataFrame): DataFrame = {
+      val e = und
+        .join(surv.select(col("node").as("__sa")),
+          col("a") === col("__sa"), "left_semi")
+        .join(surv.select(col("node").as("__sb")),
+          col("b") === col("__sb"), "left_semi")
+      e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    }
+    var surv = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+      .localCheckpoint()
+    var n = surv.count()
+    var it = 0
+    var stable = false
+    while (!stable && it < maxIters) {
+      val next = degrees(surv).filter(col("deg") >= k)
+        .select(col("node")).localCheckpoint()
+      val nNext = next.count()
+      stable = nNext == n
+      surv = next
+      n = nNext
+      it += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(s"kCoreInt: peeling did not " +
+        s"converge within maxIters=$maxIters rounds ($n survivors " +
+        "still shrinking) — raise maxIters; refusing to report a " +
+        "truncated (too-large) core")
+    degrees(surv).select(col("node"), col("deg").as("core_deg"))
+  }
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks") — does this graph wire hubs to hubs (r > 0, social
+    * graphs) or hubs to leaves (r < 0, the web)? Over the canonical
+    * undirected edge set, every edge contributes BOTH orientations
+    * (deg_u, deg_v) — the standard symmetrization, which makes
+    * Σx = Σy and Σx² = Σy², so Pearson's r needs NO square root:
+    *
+    *   r = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),   n = 2·m
+    *
+    * `n, m, num, den` are int64-exact (ANSI overflow the loud guard);
+    * `r_ppm` floors the single IEEE division; null when den = 0
+    * (regular graphs — r is 0/0 there). One degree aggregation + two
+    * edge-sized joins + one fold; null endpoints refuse via the
+    * shared canonicalization.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    def ep(c: String) = coalesce(col(c).cast("long"),
+      raise_error(lit(s"degreeAssortativity: null $c endpoint"))
+        .cast("long"))
+    val und = edges
+      .select(least(ep(srcCol), ep(dstCol)).as("a"),
+        greatest(ep(srcCol), ep(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val pts = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("da").as("x"), col("db").as("y"))
+    val both = pts.unionByName(
+      pts.select(col("y").as("x"), col("x").as("y")))
+    both.agg(count(lit(1)).as("n"), sum(col("x")).as("__sx"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"))
+      .select(col("n"), (col("n") / 2).cast("long").as("m"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sx")).as("num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("den"))
+      .withColumn("r_ppm",
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(floor(col("num").cast("double")
+            / col("den").cast("double") * 1000000).cast("long")))
+  }
 }

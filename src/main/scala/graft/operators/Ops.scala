@@ -522,4 +522,99 @@ object Ops {
         least(greatest(col("__v"), col("lo")), col("hi")).as("v_wins"),
         col("lo"), col("hi"))
   }
+
+  /** Per-group simple linear regression (OLS) — the trend estimator a
+    * telemetry monitor runs per metric key ("is p95 latency creeping
+    * up"): for each group over integer (x, y) pairs (quantize to a
+    * centi/milli lattice upstream),
+    *
+    *   slope = num/den,  num = n·Σxy − Σx·Σy,  den = n·Σx² − (Σx)²
+    *   intercept = (Σy − slope·Σx)/n
+    *
+    * `n, num, den` are emitted as EXACT int64 (ANSI overflow is the
+    * loud guard — shard or re-center x past ~10⁹ lattice units);
+    * `slope_ppm`/`intercept_milli` floor the two IEEE divisions in a
+    * fixed op order the oracle mirrors. A zero-variance x (den = 0,
+    * vertical or single-point group) emits nulls, not a fabricated
+    * fit. Null/uncastable x or y refuse loudly. ONE map-side-combined
+    * aggregation per group — five sums, no window, no second pass.
+    */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def m(c: String) = coalesce(col(c).try_cast("long"),
+      raise_error(concat(lit(s"groupOls: $c value '"),
+        coalesce(col(c).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — quantize upstream")))
+        .cast("long"))
+    df.select(col(groupCol).as("grp"), m(xCol).as("__x"),
+        m(yCol).as("__y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("num",
+        col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("den",
+        col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope_ppm",
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(floor(col("num").cast("double")
+            / col("den").cast("double") * 1000000).cast("long")))
+      .withColumn("intercept_milli",
+        when(col("den") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("__sy").cast("double")
+            - col("num").cast("double") / col("den").cast("double")
+              * col("__sx").cast("double"))
+            / col("n").cast("double") * 1000).cast("long")))
+      .select(col("grp"), col("n"), col("num"), col("den"),
+        col("slope_ppm"), col("intercept_milli"))
+  }
+
+  /** Seasonal profile — per (key, phase-of-period) activity shape (the
+    * hour-of-day / day-of-week fingerprint a load forecaster or a
+    * bot-detector reads): phase = pmod(ts div slotNs, periodSlots)
+    * with an explicit pmod-floor division so PRE-EPOCH timestamps land
+    * in their true slot (`div` truncates toward zero — the
+    * [[graft.operators.Experiment.rollingActives]] lesson). Per (key,
+    * phase): row count, exact value sum, `mean_milli` (one floored
+    * IEEE division) and the seasonal index
+    *
+    *   index_ppm = floor(mean_phase · 10⁶ / mean_key)
+    *
+    * — both divisions in a fixed op order the oracle mirrors; null
+    * when the key's overall sum is 0 (a ratio to zero is undefined,
+    * not 0). Null/uncastable values refuse loudly. Phases with no
+    * rows emit nothing (join against a slot domain downstream if a
+    * dense profile is needed). One (key, phase) aggregation + one
+    * key-sized fold joined back on the key.
+    */
+  def seasonalProfile(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String, slotNs: Long, periodSlots: Int): DataFrame = {
+    require(slotNs > 0, s"slotNs=$slotNs must be positive")
+    require(periodSlots >= 2 && periodSlots <= 65536,
+      s"periodSlots=$periodSlots out of [2, 65536]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("seasonalProfile value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val phase = expr(s"pmod((ts - pmod(ts, ${slotNs}L)) div ${slotNs}L, " +
+      s"${periodSlots}L)")
+    val cells = df.select(col(keyCol).as("key"),
+        col(tsCol).cast("long").as("ts"), v.as("__v"))
+      .select(col("key"), phase.as("phase"), col("__v"))
+      .groupBy(col("key"), col("phase"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("val_sum"))
+    val totals = cells.groupBy(col("key").as("__k"))
+      .agg(sum(col("n")).as("__na"), sum(col("val_sum")).as("__sa"))
+    cells.join(totals, col("key") === col("__k"))
+      .select(col("key"), col("phase"), col("n"), col("val_sum"),
+        floor(col("val_sum").cast("double") / col("n").cast("double")
+          * 1000).cast("long").as("mean_milli"),
+        when(col("__sa") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("val_sum").cast("double")
+            / col("n").cast("double"))
+            / (col("__sa").cast("double") / col("__na").cast("double"))
+            * 1000000).cast("long")).as("index_ppm"))
+  }
 }

@@ -959,4 +959,69 @@ class CcnRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(7L) == ((Some("twice <CCN> and <CCN>"), 2L)))
     assert(got(8L) == ((None, 0L)))
   }
+
+  test("trendingTerms: smoothed ratio on the exact lattice, minC1 " +
+      "cut, k cap with term tie-break, period refusal") {
+    import spark.implicits._
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    // period 0: N0 = 4 (alpha x2, beta, gamma); period 1: N1 = 5
+    // (beta x2, delta x3); null text rows drop like everywhere else
+    val docs = Seq((0L, "alpha  alpha beta gamma"),
+      (1L, "beta beta delta\tdelta delta"),
+      (0L, null.asInstanceOf[String]))
+      .toDF("p", "text")
+    val got = Curation.trendingTerms(docs, "text", "p", k = 10,
+        minC1 = 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // delta: (3+1)*4*1e6 // ((0+1)*5) = 3200000; beta:
+    // (2+1)*4*1e6 // ((1+1)*5) = 1200000; gamma/alpha fail minC1
+    assert(got.toSeq == Seq(("delta", 0L, 3L, 3200000L),
+      ("beta", 1L, 2L, 1200000L)), s"got ${got.toSeq}")
+    // k = 1 keeps only the top row
+    val top1 = Curation.trendingTerms(docs, "text", "p", k = 1,
+      minC1 = 2L).collect()
+    assert(top1.length == 1 && top1(0).getString(0) == "delta")
+    val e = intercept[Exception] {
+      Curation.trendingTerms(Seq((3L, "x x")).toDF("p", "text"),
+        "text", "p", k = 5).collect()
+    }
+    assert(rc(e).getMessage.contains("outside {0,1}"))
+    intercept[IllegalArgumentException] {
+      Curation.trendingTerms(docs, "text", "p", k = 0)
+    }
+  }
+
+  test("distinctiveTerms: group-vs-rest smoothed scores, per-group " +
+      "top-k with term tie-break, null-group refusal") {
+    import spark.implicits._
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    // g1: N=3 (apple x2, banana); g2: N=4 (banana x2, cherry x2)
+    val docs = Seq(("g1", "apple  apple banana"),
+      ("g2", "banana banana cherry cherry")).toDF("g", "text")
+    val got = Curation.distinctiveTerms(docs, "text", "g", k = 5,
+        minCg = 2L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // apple: (2+1)*4e6 // ((0+1)*3) = 4000000
+    // cherry: (2+1)*3e6 // ((0+1)*4) = 2250000
+    // banana in g2: rest = 1 -> (2+1)*3e6 // ((1+1)*4) = 1125000
+    assert(got == Map(
+      ("g1", "apple") -> ((2L, 0L, 4000000L)),
+      ("g2", "cherry") -> ((2L, 0L, 2250000L)),
+      ("g2", "banana") -> ((2L, 1L, 1125000L))), s"got $got")
+    // k = 1 keeps only the top term per group
+    val top = Curation.distinctiveTerms(docs, "text", "g", k = 1,
+        minCg = 2L).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top == Map("g1" -> "apple", "g2" -> "cherry"), s"got $top")
+    val e = intercept[Exception] {
+      Curation.distinctiveTerms(
+        Seq((null.asInstanceOf[String], "a a")).toDF("g", "text"),
+        "text", "g", k = 2).collect()
+    }
+    assert(rc(e).getMessage.contains("null group"))
+  }
 }

@@ -38,4 +38,64 @@ class DriftSpec extends AnyFunSuite {
       Drift.levelShift(rows, "k", "ts", "id", "v", w = 1)
     }
   }
+
+  test("benfordCheck: digit extraction, zero-fill to nine rows, " +
+      "visible zero bucket, engine-exact chi2, refusal") {
+    // key a: one value per digit bucket exercised: 5 -> digit 5;
+    // -321 -> 3; 1000 -> 1; 0 -> the zero bucket
+    val rows = Seq(("a", 5L), ("a", -321L), ("a", 1000L), ("a", 0L),
+      ("z", 0L)).toDF("k", "v")
+    val got = Drift.benfordCheck(rows, "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(got.size == 18, s"expected 9 digit rows per key: ${got.size}")
+    // the same fixed-op-order fold the operator documents
+    val bp = Drift.BenfordPpm.toMap
+    def term(o: Long, n: Long, e: Long): Long = {
+      val d = 1000000L * o - n * e
+      math.floor((d.toDouble / 1000000.0) * (d.toDouble / 1000000.0)
+        / (n.toDouble * e.toDouble / 1000000.0) * 1000000).toLong
+    }
+    val wantChi = (1L to 9L).map(d =>
+      term(if (d == 5 || d == 3 || d == 1) 1L else 0L, 3L, bp(d))).sum
+    (1L to 9L).foreach { d =>
+      val (o, e, nz, chi) = got(("a", d))
+      assert(e == bp(d) && nz == 1L && chi == wantChi)
+      assert(o == (if (d == 5 || d == 3 || d == 1) 1L else 0L))
+    }
+    // all-zero key: N = 0 -> null chi2, zero observations, n_zero = 1
+    assert(got(("z", 5L)) == ((0L, bp(5L), 1L, -1L)))
+    val e = intercept[Exception] {
+      Drift.benfordCheck(Seq(("a", Option.empty[Long])).toDF("k", "v"),
+        "k", "v").collect()
+    }
+    assert(rootCause(e).getMessage.contains("benfordCheck value"))
+  }
+
+  test("chiSquareDrift: identical histograms give 0, disjoint give " +
+      "exact chi2, one-period key is null, refusal") {
+    def mk(key: String, b: Long, p: Long, n: Int) =
+      Seq.fill(n)((key, b, p))
+    val rows = (mk("k", 1L, 0L, 10) ++ mk("k", 1L, 1L, 10) ++
+      mk("k", 2L, 0L, 10) ++ mk("k", 2L, 1L, 10) ++
+      mk("m", 1L, 0L, 10) ++ mk("m", 2L, 1L, 10) ++
+      mk("solo", 1L, 0L, 5)).toDF("key", "b", "p")
+    val got = Drift.chiSquareDrift(rows, "key", "b", "p").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(got(("k", 1L)) == ((10L, 10L, 2L, 0L)))
+    assert(got(("k", 2L)) == ((10L, 10L, 2L, 0L)))
+    // m: fully disjoint 2x2 with 10/10 -> chi2 = 20 exactly
+    assert(got(("m", 1L)) == ((10L, 0L, 2L, 20000000L)), s"$got")
+    assert(got(("m", 2L)) == ((0L, 10L, 2L, 20000000L)))
+    // solo: period-1 marginal is zero -> chi2 undefined, not zero
+    assert(got(("solo", 1L)) == ((5L, 0L, 1L, -1L)))
+    val e = intercept[Exception] {
+      Drift.chiSquareDrift(Seq(("k", 1L, 2L)).toDF("key", "b", "p"),
+        "key", "b", "p").collect()
+    }
+    assert(rootCause(e).getMessage.contains("outside {0,1}"))
+  }
 }

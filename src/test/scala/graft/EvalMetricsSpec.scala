@@ -241,4 +241,32 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(EvalMetrics.fleissKappa(perfect, "item", "label").collect()
       .head.getAs[Long]("kappa_ppm") == 1000000L)
   }
+
+  test("mrrAtK: first relevant rank on the ppm lattice, misses are " +
+      "zero, the k cut excludes deep hits, refusals") {
+    // q1 hits at rank 2; q2 never; q3 hits only at rank 4 (> k)
+    val rows = Seq(("q1", 1L, 0L), ("q1", 2L, 1L), ("q1", 3L, 1L),
+      ("q2", 1L, 0L), ("q2", 2L, 0L),
+      ("q3", 4L, 1L)).toDF("q", "rank", "rel")
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null) t else rootCause(t.getCause)
+    val got = EvalMetrics.mrrAtK(rows, "q", "rank", "rel", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+    // mean = (500000 + 0 + 0) div 3 = 166666
+    assert(got == Map("q1" -> ((2L, 500000L, 166666L)),
+      "q2" -> ((-1L, 0L, 166666L)),
+      "q3" -> ((-1L, 0L, 166666L))), s"got $got")
+    val r0 = intercept[Exception] {
+      EvalMetrics.mrrAtK(Seq(("q", 0L, 1L)).toDF("q", "rank", "rel"),
+        "q", "rank", "rel", k = 3).collect()
+    }
+    assert(rootCause(r0).getMessage.contains("must be >= 1"))
+    val g2 = intercept[Exception] {
+      EvalMetrics.mrrAtK(Seq(("q", 1L, 2L)).toDF("q", "rank", "rel"),
+        "q", "rank", "rel", k = 3).collect()
+    }
+    assert(rootCause(g2).getMessage.contains("outside {0,1}"))
+  }
 }

@@ -217,4 +217,93 @@ class ExperimentSpec extends AnyFunSuite {
       Experiment.srmCheck(evs, "user_id", "variant", Map(0L -> 0L))
     }
   }
+
+  test("cuped: hand-computed theta and adjusted metrics, zero-variance " +
+      "pre emits unadjusted, null metric refuses") {
+    // (pre, post): (1,2), (2,4), (3,7) -> n=3, Sx=6, Sy=13, Sxy=31,
+    // Sxx=14; num = 3*31-6*13 = 15, den = 3*14-36 = 6, theta = 2.5,
+    // mean_x = 2; adj = y - 2.5*(x-2) = 4.5, 4.0, 4.5
+    val rows = Seq((1L, 1L, 2L), (2L, 2L, 4L), (3L, 3L, 7L))
+      .toDF("id", "pre", "post")
+    val got = Experiment.cuped(rows, "id", "pre", "post").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((2500000L, 4500000L)),
+      2L -> ((2500000L, 4000000L)), 3L -> ((2500000L, 4500000L))),
+      s"got $got")
+    val flat = Experiment.cuped(
+      Seq((1L, 5L, 3L), (2L, 5L, 9L)).toDF("id", "pre", "post"),
+      "id", "pre", "post").collect()
+      .map(r => (r.isNullAt(3), r.getLong(4))).toSet
+    assert(flat == Set((true, 3000000L), (true, 9000000L)), s"got $flat")
+    val e = intercept[Exception] {
+      Experiment.cuped(Seq((1L, Some(1L), Option.empty[Long]))
+        .toDF("id", "pre", "post"), "id", "pre", "post").collect()
+    }
+    assert(rootCause(e).getMessage.contains("cuped: post"),
+      rootCause(e).getMessage)
+  }
+
+  test("survivalKm: textbook curve on the ppm lattice, censored rows " +
+      "shrink risk sets silently, refusals") {
+    // durations/events: (1,1) (2,1) (2,0) (3,1) (4,0)
+    // risk sets: t=1 n=5, t=2 n=4, t=3 n=2 (t=4 censored-only)
+    // S_ppm: 1e6*4/5=800000; *3//4=600000; *1//2=300000
+    val rows = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 2L, 0L),
+      ("g", 3L, 1L), ("g", 4L, 0L)).toDF("grp", "dur", "ev")
+    val got = Experiment.survivalKm(rows, "grp", "dur", "ev").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == Map(1L -> ((5L, 1L, 800000L)),
+      2L -> ((4L, 1L, 600000L)), 3L -> ((2L, 1L, 300000L))),
+      s"got $got")
+    // groups fold independently
+    val two = Experiment.survivalKm(rows.union(
+        Seq(("h", 7L, 1L)).toDF("grp", "dur", "ev")),
+      "grp", "dur", "ev").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(two(("h", 7L)) == 0L && two(("g", 1L)) == 800000L)
+    val neg = intercept[Exception] {
+      Experiment.survivalKm(Seq(("g", -1L, 1L)).toDF("grp", "dur", "ev"),
+        "grp", "dur", "ev").collect()
+    }
+    assert(rootCause(neg).getMessage.contains("negative duration"))
+    val bad = intercept[Exception] {
+      Experiment.survivalKm(Seq(("g", 1L, 2L)).toDF("grp", "dur", "ev"),
+        "grp", "dur", "ev").collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside {0,1}"))
+    val over = intercept[Exception] {
+      Experiment.survivalKm(rows, "grp", "dur", "ev", maxTimes = 2)
+        .collect()
+    }
+    assert(rootCause(over).getMessage.contains("exceed maxTimes"))
+  }
+
+  test("diffInDiff: hand-computed 2x2 estimator, empty cell is null " +
+      "not zero, refusals") {
+    // means: 00->15, 01->30, 10->5, 11->50; DiD = (50-5)-(30-15) = 30
+    val rows = Seq((0L, 0L, 10L), (0L, 0L, 20L), (0L, 1L, 30L),
+      (1L, 0L, 5L), (1L, 1L, 40L), (1L, 1L, 60L)).toDF("g", "p", "y")
+    val r = Experiment.diffInDiff(rows, "g", "p", "y").collect()(0)
+    assert(r.getAs[Long]("mean00_milli") == 15000L
+      && r.getAs[Long]("mean01_milli") == 30000L
+      && r.getAs[Long]("mean10_milli") == 5000L
+      && r.getAs[Long]("mean11_milli") == 50000L
+      && r.getAs[Long]("did_micro") == 30000000L, s"got $r")
+    val miss = Experiment.diffInDiff(
+      rows.filter(!(col("g") === 0 && col("p") === 1)), "g", "p", "y")
+      .collect()(0)
+    assert(miss.isNullAt(miss.fieldIndex("did_micro"))
+      && miss.isNullAt(miss.fieldIndex("mean01_milli")), s"got $miss")
+    val bad = intercept[Exception] {
+      Experiment.diffInDiff(Seq((2L, 0L, 1L)).toDF("g", "p", "y"),
+        "g", "p", "y").collect()
+    }
+    assert(rootCause(bad).getMessage.contains("group 2 outside {0,1}"))
+    val nul = intercept[Exception] {
+      Experiment.diffInDiff(Seq((1L, 0L, Option.empty[Long]))
+        .toDF("g", "p", "y"), "g", "p", "y").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("diffInDiff: value"))
+  }
 }

@@ -165,4 +165,32 @@ class FunnelSpec extends AnyFunSuite {
       Funnel.sessionStats(sevs, "user_id", "ts", "event_id", gapNs = 0L)
     }
   }
+
+  test("pathMining: first-n journeys, short users keep their full " +
+      "path, count-then-path ordering, id tie-break") {
+    val evs = Seq(
+      ("a", 1L, 1L, "x"), ("a", 2L, 2L, "y"), ("a", 3L, 3L, "z"),
+      ("a", 4L, 4L, "w"), // 4th event must fall off at n = 3
+      ("b", 1L, 5L, "x"), ("b", 2L, 6L, "y"),
+      ("c", 5L, 7L, "x"), ("c", 6L, 8L, "y"))
+      .toDF("u", "ts", "id", "t")
+    val got = Funnel.pathMining(evs, "u", "t", "ts", "id",
+      n = 3, k = 10).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("x>y", 2L), ("x>y>z", 1L)), s"got $got")
+    // equal-ts events order by the id tie-break
+    val tie = Seq(("d", 1L, 2L, "late"), ("d", 1L, 1L, "early"))
+      .toDF("u", "ts", "id", "t")
+    val p = Funnel.pathMining(tie, "u", "t", "ts", "id", n = 5, k = 1)
+      .collect()(0).getString(0)
+    assert(p == "early>late", s"got $p")
+    // count ties cut deterministically on the path text
+    val tied = Seq(("e", 1L, 1L, "b"), ("f", 1L, 2L, "a"))
+      .toDF("u", "ts", "id", "t")
+    val top1 = Funnel.pathMining(tied, "u", "t", "ts", "id",
+      n = 1, k = 1).collect()(0)
+    assert(top1.getString(0) == "a" && top1.getLong(1) == 1L)
+    intercept[IllegalArgumentException] {
+      Funnel.pathMining(evs, "u", "t", "ts", "id", n = 65, k = 1)
+    }
+  }
 }

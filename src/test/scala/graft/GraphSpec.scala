@@ -9,6 +9,9 @@ class GraphSpec extends AnyFunSuite {
   import spark.implicits._
 
   /** Sequential reference of the exact integer recurrence. */
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null) t else rootCause(t.getCause)
+
   private def ref(edges: Seq[(Long, Long)], iters: Int,
       scale: Long = 1000000L, dn: Long = 17L, dd: Long = 20L)
       : Map[Long, Long] = {
@@ -194,5 +197,70 @@ class GraphSpec extends AnyFunSuite {
     assert(r3(1L) == 10L && r3(6L) == 20L)
     assert(r3(3L) == 10L, s"tie must break to the smaller label: $r3")
     assert(!r3.contains(7L) && !r3.contains(8L))
+  }
+
+  test("triangleCounts: undirected canonicalization (dupes, reverses, " +
+      "self-loops), per-node counts, lcc ppm, null refusal") {
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4;
+    // reversed/duplicate edges and a self-loop must collapse away
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (5L, 5L), (6L, 5L))
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"),
+        "src", "dst").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1000000L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((3L, 1L, 333333L)), 4L -> ((3L, 1L, 333333L)),
+      5L -> ((2L, 1L, 1000000L)), 6L -> ((2L, 1L, 1000000L))),
+      s"got $got")
+    // a 4-clique: every node degree 3, in 3 of the 4 triangles
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+    val g4 = Graph.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(g4 == (1L to 4L).map(n => n -> ((3L, 3L, 1000000L))).toMap)
+    val e = intercept[Exception] {
+      Graph.triangleCounts(Seq((Some(1L), Some(2L)),
+        (Some(2L), Option.empty[Long])).toDF("src", "dst"),
+        "src", "dst").collect()
+    }
+    assert(rootCause(e).getMessage.contains("null dst endpoint"),
+      rootCause(e).getMessage)
+  }
+
+  test("kCoreInt: cascading peel to the 2-core, empty 3-core, loud " +
+      "non-convergence refusal") {
+    // triangle 1-2-3 with a tail 3-4-5: the 2-core peels 5 then 4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val core2 = Graph.kCoreInt(edges.toDF("src", "dst"), "src", "dst",
+        k = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"got $core2")
+    // k = 3: the triangle's degrees are 2 -> empty core
+    assert(Graph.kCoreInt(edges.toDF("src", "dst"), "src", "dst",
+      k = 3).collect().isEmpty)
+    // the tail cascade needs 3 rounds (peel 5, peel 4, confirm)
+    intercept[IllegalStateException] {
+      Graph.kCoreInt(edges.toDF("src", "dst"), "src", "dst",
+        k = 2, maxIters = 2).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Graph.kCoreInt(edges.toDF("src", "dst"), "src", "dst", k = 0)
+    }
+  }
+
+  test("degreeAssortativity: star is exactly -1, regular graph is " +
+      "null (0/0), exact integer sums") {
+    val star = Graph.degreeAssortativity(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst"),
+      "src", "dst").collect()(0)
+    // n=6 points, sx=12, sxy=18, sxx=30 -> num=-36, den=36, r=-1
+    assert((star.getLong(0), star.getLong(1), star.getLong(2),
+      star.getLong(3), star.getLong(4)) ==
+      ((6L, 3L, -36L, 36L, -1000000L)), s"got $star")
+    val tri = Graph.degreeAssortativity(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"),
+      "src", "dst").collect()(0)
+    assert(tri.getLong(3) == 0L && tri.isNullAt(4), s"got $tri")
   }
 }

@@ -313,4 +313,53 @@ class OpsSpec extends AnyFunSuite {
         trimPct = 50)
     }
   }
+
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null) t else rootCause(t.getCause)
+
+  test("groupOls: exact slope/intercept on a perfect line, " +
+      "zero-variance x gives nulls not a fit, null refusal") {
+    // y = 2x + 1 exactly: num = 3*34-6*15 = 12, den = 3*14-36 = 6
+    val rows = Seq(("a", 1L, 3L), ("a", 2L, 5L), ("a", 3L, 7L),
+      ("b", 4L, 9L), ("b", 4L, 11L)).toDF("g", "x", "y")
+    val got = Ops.groupOls(rows, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(got("a") == ((3L, 12L, 6L, 2000000L, 1000L)), s"got $got")
+    // b: x constant -> num = 2*80-8*20 = 0, den = 2*32-64 = 0
+    assert(got("b") == ((2L, 0L, 0L, -1L, -1L)))
+    val e = intercept[Exception] {
+      Ops.groupOls(Seq(("a", 1L, Option.empty[Long])).toDF("g", "x", "y"),
+        "g", "x", "y").collect()
+    }
+    assert(rootCause(e).getMessage.contains("groupOls: y"))
+  }
+
+  test("seasonalProfile: pmod-floor phases (pre-epoch ts), per-phase " +
+      "means, index vs key mean, zero-sum key is null, refusal") {
+    // slot 10ns, period 2: ts 0,20 -> phase 0; ts 10,-10 -> phase 1
+    val rows = Seq(("k", 0L, 2L), ("k", 20L, 4L), ("k", 10L, 1L),
+      ("k", -10L, 1L), ("z", 0L, 1L), ("z", 10L, -1L))
+      .toDF("key", "ts", "v")
+    val got = Ops.seasonalProfile(rows, "key", "ts", "v",
+        slotNs = 10L, periodSlots = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    // key k: overall mean 2; phase 0 mean 3 -> 1.5e6; phase 1 mean 1
+    assert(got(("k", 0L)) == ((2L, 6L, 3000L, 1500000L)), s"got $got")
+    assert(got(("k", 1L)) == ((2L, 2L, 1000L, 500000L)))
+    // key z sums to zero -> index undefined (null), means still emit
+    assert(got(("z", 0L)) == ((1L, 1L, 1000L, -1L)))
+    assert(got(("z", 1L)) == ((1L, -1L, -1000L, -1L)))
+    val e = intercept[Exception] {
+      Ops.seasonalProfile(Seq(("k", 0L, Option.empty[Long]))
+        .toDF("key", "ts", "v"), "key", "ts", "v", 10L, 2).collect()
+    }
+    assert(rootCause(e).getMessage.contains("seasonalProfile value"))
+    intercept[IllegalArgumentException] {
+      Ops.seasonalProfile(rows, "key", "ts", "v", 0L, 2)
+    }
+  }
 }
