@@ -48,7 +48,7 @@ object NewOpsProbe16b {
         element_at(array(lit("view"), lit("click"), lit("buy"),
           lit("view"), lit("err")),
           (pmod(col("id") * 7, lit(5L)) + 1).cast("int")).as("event_type"),
-        (col("id") * 60000000000L / (n / 100L)).as("ts"),
+        (col("id") * 60000000000L / (n / 100L)).cast("long").as("ts"),
         pmod(col("id") * 31, lit(2000L)).as("v"))
         .localCheckpoint()
       // the q280 graph shape at n/10 nodes: 4-cliques + a chain

@@ -5069,6 +5069,61 @@ object SparkEntry {
             .as("rel"))
         .withColumn("rank", row_number().over(w))
       EvalMetrics.mrrAtK(ranked, "user_id", "rank", "rel", k = 10)
+    }),
+
+    // LINK PREDICTION: top 100 non-adjacent pairs of the clique+chain
+    // graph by common-neighbor Jaccard -- wedge enumeration at the
+    // shared neighbor, exact ppm, (score, v, w) determinism.
+    "q294_link_pred" -> ((s, dir) => {
+      import graft.operators.Graph
+      Graph.jaccardLinkPred(cliqueChainEdges(s, dir), "src", "dst",
+        k = 100)
+    }),
+
+    // JSON SCHEMA DRIFT between the event-id parities: period 1 turns
+    // meta.k into a string and grows meta.v2 -- one removed+added
+    // type-change pair, one added path, invalid payloads stable.
+    "q295_json_drift" -> ((s, dir) => {
+      import graft.operators.SemiStructured
+      val ev = events(s, dir)
+      val p0 = concat(lit("{\"u\":"), col("user_id"),
+        lit(",\"meta\":{\"k\":"), pmod(col("user_id"), lit(7L)),
+        lit("}}"))
+      val p1 = concat(lit("{\"u\":"), col("user_id"),
+        lit(",\"meta\":{\"k\":\"s"), pmod(col("user_id"), lit(7L)),
+        lit("\",\"v2\":["), pmod(col("user_id"), lit(3L)),
+        lit("]}}"))
+      val payload = when(col("event_id") % 97 === 0, lit("{oops"))
+        .when(col("event_id") % 2 === 0, p0).otherwise(p1)
+      SemiStructured.jsonSchemaDrift(
+        ev.select((col("event_id") % 2).as("p"), payload.as("j")),
+        "j", "p", maxDepth = 3)
+    }),
+
+    // STICKINESS (DAU/WAU shape): hourly-aligned window starts, the
+    // 6h distinct actives over the 24h distinct actives on the exact
+    // ppm lattice.
+    "q296_stickiness" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.stickiness(events(s, dir), "user_id", "ts",
+        shortNs = 21600000000000L, longNs = 86400000000000L,
+        slideNs = 3600000000000L)
+    }),
+
+    // PAIRWISE WIN RATES: synthetic judge verdicts over model pairs
+    // (user-id arithmetic), canonicalized with verdict flips, the
+    // tie-splitting half-count lattice.
+    "q297_winrate" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val ev = events(s, dir)
+      val a = pmod(col("user_id"), lit(5L))
+      val b = pmod(col("user_id") * 3 + 1, lit(5L))
+      EvalMetrics.winRate(
+        ev.select(a.as("ma"), b.as("mb"),
+            pmod(floor(col("value") * 100).cast("long"), lit(3L))
+              .as("w"))
+          .filter(col("ma") =!= col("mb")),
+        "ma", "mb", "w")
     })
   )
 
@@ -12622,7 +12677,131 @@ object SparkEntry {
          |    CAST(count(*) AS BIGINT) AS nq FROM rr)
          |SELECT rr.query, rr.first_rank, rr.rr_ppm,
          |  CAST(f.s // f.nq AS BIGINT) AS mrr_ppm
-         |FROM rr, f""".stripMargin
+         |FROM rr, f""".stripMargin,
+
+    // q294: wedge-enumerated candidate pairs, NOT EXISTS against the
+    // edge set, exact-ppm Jaccard, (score, v, w) top-100.
+    "q294_link_pred" ->
+      raw"""WITH $cliqueChainSql,
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg
+         |  FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+         |  GROUP BY node),
+         |adj AS (SELECT a AS u, b AS n FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |pr AS (SELECT x.n AS v, y.n AS w,
+         |    CAST(count(*) AS BIGINT) AS common
+         |  FROM adj x JOIN adj y ON y.u = x.u AND x.n < y.n
+         |  GROUP BY 1, 2),
+         |ne AS (SELECT pr.v, pr.w, pr.common FROM pr
+         |  WHERE pr.common >= 1 AND NOT EXISTS
+         |    (SELECT 1 FROM e WHERE e.a = pr.v AND e.b = pr.w)),
+         |sc AS (SELECT ne.v, ne.w, ne.common, dv.dg AS deg_v,
+         |    dw.dg AS deg_w,
+         |    CAST((1000000 * ne.common)
+         |      // (dv.dg + dw.dg - ne.common) AS BIGINT) AS jaccard_ppm
+         |  FROM ne JOIN deg dv ON dv.node = ne.v
+         |    JOIN deg dw ON dw.node = ne.w)
+         |SELECT v, w, common, deg_v, deg_w, jaccard_ppm FROM sc
+         |ORDER BY jaccard_ppm DESC, v, w LIMIT 100""".stripMargin,
+
+    // q295: the q269 recursion with the period as the group, pivoted
+    // to per-(path, class) period counts + the drift verdict.
+    "q295_json_drift" ->
+      raw"""WITH RECURSIVE src AS (SELECT event_id % 2 AS grp,
+         |    CASE WHEN event_id % 97 = 0 THEN '{oops'
+         |      WHEN event_id % 2 = 0 THEN '{"u":' || user_id
+         |        || ',"meta":{"k":' || (user_id % 7) || '}}'
+         |      ELSE '{"u":' || user_id || ',"meta":{"k":"s'
+         |        || (user_id % 7) || '","v2":[' || (user_id % 3)
+         |        || ']}}' END AS p
+         |  FROM events),
+         |nodes AS (
+         |  SELECT grp, '$$' AS path, TRY_CAST(p AS JSON) AS j,
+         |    0 AS depth
+         |  FROM src
+         |  UNION ALL
+         |  SELECT n.grp, n.path || sfx AS path,
+         |    COALESCE(json_extract(n.j, '$$' || sfx),
+         |      CAST('null' AS JSON)) AS j,
+         |    n.depth + 1 AS depth
+         |  FROM nodes n, unnest(
+         |    CASE WHEN json_type(n.j) = 'OBJECT'
+         |        THEN list_transform(json_keys(n.j), k -> '.' || k)
+         |      WHEN json_type(n.j) = 'ARRAY'
+         |        THEN list_transform(
+         |          range(CAST(json_array_length(n.j) AS BIGINT)),
+         |          i -> '[' || CAST(i AS VARCHAR) || ']')
+         |      ELSE [] END) AS u(sfx)
+         |  WHERE n.depth < 3),
+         |prof AS (SELECT grp, path,
+         |    CASE WHEN j IS NULL THEN '__invalid__'
+         |      WHEN json_type(j) = 'OBJECT' THEN 'object'
+         |      WHEN json_type(j) = 'ARRAY' THEN 'array'
+         |      WHEN json_type(j) = 'VARCHAR' THEN 'string'
+         |      WHEN json_type(j) IN ('UBIGINT', 'BIGINT', 'DOUBLE')
+         |        THEN 'number'
+         |      WHEN json_type(j) = 'BOOLEAN' THEN 'bool'
+         |      ELSE 'null' END AS vtype,
+         |    count(*) AS n
+         |  FROM nodes GROUP BY 1, 2, 3),
+         |piv AS (SELECT path, vtype,
+         |    CAST(COALESCE(sum(CASE WHEN grp = 0 THEN n END), 0)
+         |      AS BIGINT) AS n0,
+         |    CAST(COALESCE(sum(CASE WHEN grp = 1 THEN n END), 0)
+         |      AS BIGINT) AS n1
+         |  FROM prof GROUP BY 1, 2)
+         |SELECT path, vtype, n0, n1,
+         |  CASE WHEN n0 = 0 THEN 'added' WHEN n1 = 0 THEN 'removed'
+         |    ELSE 'stable' END AS verdict
+         |FROM piv""".stripMargin,
+
+    // q296: two explode-window distinct-active relations joined on
+    // the window start, the ppm ratio by integer division.
+    "q296_stickiness" ->
+      raw"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts FROM events),
+         |xs AS (SELECT user_id, unnest(list_transform(range(
+         |    (ts - 21600000000000) // 3600000000000 + 1,
+         |    ts // 3600000000000 + 1), k -> k * 3600000000000))
+         |    AS w_start FROM e),
+         |s AS (SELECT w_start, CAST(count(*) AS BIGINT) AS n_short
+         |  FROM (SELECT DISTINCT w_start, user_id FROM xs)
+         |  GROUP BY 1),
+         |xl AS (SELECT user_id, unnest(list_transform(range(
+         |    (ts - 86400000000000) // 3600000000000 + 1,
+         |    ts // 3600000000000 + 1), k -> k * 3600000000000))
+         |    AS w_start FROM e),
+         |l AS (SELECT w_start, CAST(count(*) AS BIGINT) AS n_long
+         |  FROM (SELECT DISTINCT w_start, user_id FROM xl)
+         |  GROUP BY 1)
+         |SELECT s.w_start, s.n_short, l.n_long,
+         |  CAST((1000000 * s.n_short) // l.n_long AS BIGINT)
+         |    AS stickiness_ppm
+         |FROM s JOIN l ON l.w_start = s.w_start""".stripMargin,
+
+    // q297: canonicalized pairs with verdict flips, the half-count
+    // tie-splitting win rate by integer division.
+    "q297_winrate" ->
+      raw"""WITH r AS (SELECT ((user_id % 5) + 5) % 5 AS ma,
+         |    (((user_id * 3 + 1) % 5) + 5) % 5 AS mb,
+         |    ((CAST(floor(value * 100) AS BIGINT) % 3) + 3) % 3 AS w
+         |  FROM events),
+         |f AS (SELECT CAST(least(ma, mb) AS BIGINT) AS m_lo,
+         |    CAST(greatest(ma, mb) AS BIGINT) AS m_hi,
+         |    CASE WHEN ma <= mb THEN w
+         |      ELSE CASE WHEN w = 0 THEN 0 WHEN w = 1 THEN 2
+         |        ELSE 1 END END AS wf
+         |  FROM r WHERE ma <> mb)
+         |SELECT m_lo, m_hi, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN wf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS wins_lo,
+         |  CAST(sum(CASE WHEN wf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS wins_hi,
+         |  CAST(sum(CASE WHEN wf = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS ties,
+         |  CAST((1000000 * (2 * sum(CASE WHEN wf = 1 THEN 1 ELSE 0
+         |    END) + sum(CASE WHEN wf = 0 THEN 1 ELSE 0 END)))
+         |    // (2 * count(*)) AS BIGINT) AS winrate_lo_ppm
+         |FROM f GROUP BY 1, 2""".stripMargin
   )
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical

@@ -440,4 +440,51 @@ object EvalMetrics {
       .select(col("query"), col("first_rank"), col("rr_ppm"),
         expr("__s div __nq").as("mrr_ppm"))
   }
+
+  /** Pairwise win rates — the model-comparison ledger behind every
+    * "arena"-style eval: judge verdicts over (model A, model B) pairs
+    * folded into one row per unordered pair. `winner` must be 0
+    * (tie), 1 (A wins) or 2 (B wins), refused loudly otherwise; a
+    * self-comparison (A = B) also refuses — it would inflate both
+    * sides of its own ledger. Pairs are CANONICALIZED to `m_lo <
+    * m_hi` (verdicts flip with the swap), so (x,y) and (y,x)
+    * judgments aggregate together. Per pair: `n, wins_lo, wins_hi,
+    * ties` and the tie-splitting win rate on the half-count lattice,
+    *
+    *   winrate_lo_ppm = 10⁶·(2·wins_lo + ties) div (2·n)
+    *
+    * — exact, no float. ONE aggregation keyed on the pair.
+    */
+  def winRate(prefs: DataFrame, modelACol: String, modelBCol: String,
+      winnerCol: String): DataFrame = {
+    val w = coalesce(col(winnerCol).try_cast("long"),
+      raise_error(concat(lit("winRate: winner '"),
+        coalesce(col(winnerCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    // Spark's least/greatest SKIP nulls — a null model id would
+    // silently fold into the other side's ledger, so refuse first
+    def model(c: String) = coalesce(col(c).cast("long"),
+      raise_error(lit(s"winRate: null $c model id")).cast("long"))
+    val a = model(modelACol)
+    val b = model(modelBCol)
+    val rows = prefs.select(
+      when(a === b, raise_error(concat(lit("winRate: self-comparison "),
+        a.cast("string"), lit(" vs itself"))).cast("long"))
+        .otherwise(least(a, b)).as("m_lo"),
+      greatest(a, b).as("m_hi"),
+      when(!w.isin(0L, 1L, 2L),
+        raise_error(concat(lit("winRate: winner "), w.cast("string"),
+          lit(" outside {0=tie, 1=A, 2=B}"))).cast("long"))
+        // flip the verdict when canonicalization swapped the pair
+        .when(a <= b, w)
+        .otherwise(when(w === 0L, 0L).when(w === 1L, 2L).otherwise(1L))
+        .as("__w"))
+    rows.groupBy(col("m_lo"), col("m_hi"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__w") === 1, 1L).otherwise(0L)).as("wins_lo"),
+        sum(when(col("__w") === 2, 1L).otherwise(0L)).as("wins_hi"),
+        sum(when(col("__w") === 0, 1L).otherwise(0L)).as("ties"))
+      .withColumn("winrate_lo_ppm",
+        expr("(1000000L * (2L * wins_lo + ties)) div (2L * n)"))
+  }
 }

@@ -581,4 +581,27 @@ object Experiment {
                 - col("s00").cast("double") / col("n00").cast("double")))
               * 1000000).cast("long")))
   }
+
+  /** Stickiness — the DAU/MAU-family ratio: for every `slideNs`-
+    * aligned window start, the short-window distinct actives over the
+    * long-window distinct actives on the exact ppm lattice
+    * (`10⁶·n_short div n_long`; n_long ≥ n_short > 0 by construction,
+    * since both windows end at the same instant and long ⊇ short).
+    * Two [[rollingActives]] passes joined on the window start — each
+    * is the audited explode → distinct → count shape; window starts
+    * outside both data ranges simply don't emit.
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+      shortNs: Long, longNs: Long, slideNs: Long): DataFrame = {
+    require(slideNs > 0 && shortNs >= slideNs && longNs > shortNs,
+      s"need longNs > shortNs >= slideNs > 0, got " +
+        s"$longNs/$shortNs/$slideNs")
+    val s = rollingActives(events, userCol, tsCol, shortNs, slideNs)
+      .withColumnRenamed("n_active", "n_short")
+    val l = rollingActives(events, userCol, tsCol, longNs, slideNs)
+      .withColumnRenamed("n_active", "n_long")
+    s.join(l, Seq("w_start"))
+      .withColumn("stickiness_ppm",
+        expr("(1000000L * n_short) div n_long"))
+  }
 }

@@ -484,4 +484,75 @@ object Graph {
           .otherwise(floor(col("num").cast("double")
             / col("den").cast("double") * 1000000).cast("long")))
   }
+
+  /** Common-neighbor link prediction (Liben-Nowell–Kleinberg 2003):
+    * the top `k` NON-ADJACENT node pairs ranked by neighborhood
+    * Jaccard,
+    *
+    *   jaccard_ppm = 10⁶·c div (deg(v) + deg(w) − c),   c = |N(v)∩N(w)|
+    *
+    * — the "who should be connected" primitive (recommendations,
+    * missing-edge detection, near-duplicate entities in a reference
+    * graph). Edges undirected/canonicalized as in [[triangleCounts]];
+    * output `v < w`, with `common`, both degrees, and the exact-ppm
+    * score; ties cut by (score, v, w).
+    *
+    * Scale shape: candidate pairs are enumerated as WEDGES at their
+    * common neighbor (one self-join of the adjacency relation keyed
+    * on the center — pairs at distance > 2 never materialize), then
+    * one (v, w) count, one anti join against the edge set, one degree
+    * join, one TakeOrdered. Wedge fan-out at a center is deg², so a
+    * hub would quadratically explode the pair relation: degrees over
+    * `maxDeg` REFUSE loudly (cap or sample hubs upstream — a silent
+    * cap would invisibly delete exactly the best-connected
+    * candidates). `minCommon` prunes the pair relation before the
+    * anti join.
+    */
+  def jaccardLinkPred(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, minCommon: Long = 1L, maxDeg: Long = 4096L): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k=$k out of [1, 65536]")
+    require(minCommon >= 1, s"minCommon=$minCommon must be >= 1")
+    require(maxDeg >= 2, s"maxDeg=$maxDeg must be >= 2")
+    def ep(c: String) = coalesce(col(c).cast("long"),
+      raise_error(lit(s"jaccardLinkPred: null $c endpoint"))
+        .cast("long"))
+    val und = edges
+      .select(least(ep(srcCol), ep(dstCol)).as("a"),
+        greatest(ep(srcCol), ep(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // the hub refusal is row-forced: an unused projection would be
+      // pruned away by Catalyst
+      .filter(when(col("deg") > maxDeg,
+        raise_error(concat(lit("jaccardLinkPred: node "),
+          col("node").cast("string"), lit(" has degree "),
+          col("deg").cast("string"),
+          lit(s" > maxDeg=$maxDeg — wedge fan-out is deg^2; cap or " +
+            "sample hubs upstream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .localCheckpoint()
+    val adj = und.select(col("a").as("u"), col("b").as("n"))
+      .union(und.select(col("b").as("u"), col("a").as("n")))
+    val pairs = adj.select(col("u"), col("n").as("v"))
+      .join(adj.select(col("u"), col("n").as("w")), "u")
+      .filter(col("v") < col("w"))
+      .groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    val nonEdges = pairs.join(und,
+      pairs("v") === und("a") && pairs("w") === und("b"), "left_anti")
+    nonEdges
+      .join(deg.select(col("node").as("v"), col("deg").as("deg_v")), "v")
+      .join(deg.select(col("node").as("w"), col("deg").as("deg_w")), "w")
+      .withColumn("jaccard_ppm", expr(
+        "(1000000L * common) div (deg_v + deg_w - common)"))
+      .select(col("v"), col("w"), col("common"), col("deg_v"),
+        col("deg_w"), col("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("v"), col("w"))
+      .limit(k)
+  }
 }

@@ -129,8 +129,16 @@ object SemiStructured {
       s"maxDepth=$maxDepth out of range 1..8 (flatten deeper payloads " +
         "upstream — an unbounded recursion is not a profile)")
     val spark = df.sparkSession
-    val root = df.select(col(groupCol).as("grp"), lit("$").as("path"),
-      expr(s"try_parse_json(`$jsonCol`)").as("v"))
+    // each level is referenced TWICE (as a profile branch and as the
+    // next level's parent), and every level's lazy plan would re-parse
+    // the raw strings from the root — maxDepth² parse passes. Cutting
+    // the lineage per level makes the recursion single-pass; streaming
+    // inputs (no checkpoint possible) keep the lazy plans.
+    val materialize: DataFrame => DataFrame =
+      if (df.isStreaming) identity else (_.localCheckpoint())
+    val root = materialize(
+      df.select(col(groupCol).as("grp"), lit("$").as("path"),
+        expr(s"try_parse_json(`$jsonCol`)").as("v")))
     def children(level: DataFrame): DataFrame =
       level.filter(isContainer(col("v")))
         .lateralJoin(spark.tvf.variant_explode(col("v").outer()))
@@ -140,7 +148,8 @@ object SemiStructured {
               .otherwise(concat(lit("["), col("pos").cast("string"),
                 lit("]")))).as("path"),
           col("value").as("v"))
-    val levels = Iterator.iterate(root)(children).take(maxDepth + 1).toSeq
+    val levels = Iterator.iterate(root)(l => materialize(children(l)))
+      .take(maxDepth + 1).toSeq
     // the refusal branch: any child BELOW the depth bound raises with
     // the offending path; an in-bound payload contributes zero rows
     val tooDeep = children(levels.last)
@@ -155,5 +164,45 @@ object SemiStructured {
       .select(col("grp"), col("path"), variantClass(col("v")).as("vtype"))
       .groupBy(col("grp"), col("path"), col("vtype"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** JSON schema drift between two payload snapshots — "did a
+    * producer change shape": the [[jsonPathProfile]] inventory run
+    * with the period flag as the group, pivoted to one row per
+    * (path, value class) with both periods' row counts and a verdict:
+    * `added` (absent from period 0), `removed` (absent from period 1),
+    * `stable` (present in both — compare `n0`/`n1` for volume drift).
+    * A path whose TYPE changed shows up as one `removed` row (the old
+    * class) plus one `added` row (the new class) at the same path —
+    * exactly the two alerts a schema monitor should page on. Periods
+    * must be 0/1 (refused loudly row-by-row); depth inherits the
+    * profile's loud maxDepth contract.
+    *
+    * Cost is one [[jsonPathProfile]] pass (parse-once variant
+    * recursion) + one (path, class)-keyed pivot — raw JSON still
+    * never shuffles.
+    */
+  def jsonSchemaDrift(df: DataFrame, jsonCol: String, periodCol: String,
+      maxDepth: Int = 4): DataFrame = {
+    val p = coalesce(col(periodCol).try_cast("long"),
+      raise_error(concat(lit("jsonSchemaDrift period '"),
+        coalesce(col(periodCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val flagged = df.select(
+      when(p.isin(0L, 1L), p).otherwise(
+        raise_error(concat(lit("jsonSchemaDrift period "),
+          p.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__p"),
+      col(jsonCol).as("__j"))
+    jsonPathProfile(flagged, "__j", "__p", maxDepth)
+      .groupBy(col("path"), col("vtype"))
+      .agg(coalesce(sum(when(col("grp") === 0, col("n"))), lit(0L))
+        .as("n0"),
+        coalesce(sum(when(col("grp") === 1, col("n"))), lit(0L))
+          .as("n1"))
+      .withColumn("verdict",
+        when(col("n0") === 0, lit("added"))
+          .when(col("n1") === 0, lit("removed"))
+          .otherwise(lit("stable")))
   }
 }

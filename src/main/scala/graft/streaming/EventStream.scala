@@ -49,6 +49,36 @@ object EventStream {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("total_milli"))
 
+  /** Streaming Benford digit monitor — the windowed first-digit
+    * histogram whose offline sibling is
+    * [[graft.operators.Drift.benfordCheck]]: per (hopping window, key,
+    * digit) the observed count, with ZEROS visible under a null digit
+    * (they have no leading significant digit — same convention, same
+    * refusal for null/uncastable values). Stateless windowed
+    * aggregation (watermark + native `window()`, append-mode safe);
+    * only OBSERVED digits emit — zero-fill against the 9-digit domain
+    * and run the χ² in the batch fold, where the full domain is knowable.
+    */
+  def benfordStream(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowLen: String, slide: String,
+      watermark: String): DataFrame = {
+    val v = coalesce(col(valueCol).try_cast("long"),
+      raise_error(concat(lit("benfordStream value '"),
+        coalesce(col(valueCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a skipped row would " +
+          "bias every digit cell"))).cast("long"))
+    events.withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), col(keyCol).as("key"),
+        when(v === 0, lit(null).cast("long"))
+          .otherwise(substring(abs(v).cast("string"), 1, 1)
+            .cast("long")).as("digit"))
+      .groupBy(window(col("__ts"), windowLen, slide), col("key"),
+        col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("key"),
+        col("digit"), col("n"))
+  }
+
   /** Streaming dedup on a content key within the watermark horizon —
     * the streaming tier of the dedup family (exact dedup applied to an
     * unbounded corpus: state holds one entry per key inside the horizon).

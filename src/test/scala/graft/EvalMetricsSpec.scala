@@ -269,4 +269,33 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
     assert(rootCause(g2).getMessage.contains("outside {0,1}"))
   }
+
+  test("winRate: canonicalized pairs with flipped verdicts, tie-" +
+      "splitting half-count lattice, three refusals") {
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null) t else rootCause(t.getCause)
+    // (1 vs 2, A wins), (2 vs 1, A wins -> flips to hi), (1 vs 2 tie)
+    val prefs = Seq((1L, 2L, 1L), (2L, 1L, 1L), (1L, 2L, 0L))
+      .toDF("a", "b", "w")
+    val r = EvalMetrics.winRate(prefs, "a", "b", "w").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) ==
+      ((1L, 2L, 3L, 1L, 1L, 1L)), s"got $r")
+    assert(r.getLong(6) == 500000L) // (2*1+1) * 1e6 div 6
+    val self = intercept[Exception] {
+      EvalMetrics.winRate(Seq((1L, 1L, 0L)).toDF("a", "b", "w"),
+        "a", "b", "w").collect()
+    }
+    assert(rootCause(self).getMessage.contains("self-comparison"))
+    val bad = intercept[Exception] {
+      EvalMetrics.winRate(Seq((1L, 2L, 3L)).toDF("a", "b", "w"),
+        "a", "b", "w").collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside {0=tie"))
+    val nm = intercept[Exception] {
+      EvalMetrics.winRate(Seq((Option.empty[Long], Some(2L), Some(0L)))
+        .toDF("a", "b", "w"), "a", "b", "w").collect()
+    }
+    assert(rootCause(nm).getMessage.contains("null a model id"))
+  }
 }

@@ -63,4 +63,40 @@ class EventWindowSpec extends AnyFunSuite {
       assert(got(("00:05", "a")) == ((1L, 2500L)))
     } finally q.stop()
   }
+
+  test("benfordStream: windowed digit counts with a visible zero " +
+      "bucket, streaming equals the batch digit histogram") {
+    // values 523 -> digit 5; -34 -> 3; 0 -> zero bucket (null digit)
+    val evs = Seq((ts(2), "a", 523L), (ts(3), "a", -34L),
+      (ts(4), "a", 0L), (ts(7), "a", 523L))
+      .toDF("ts", "k", "v")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).toString.substring(11, 16), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+    val batch = EventStream.benfordStream(evs, "ts", "k", "v",
+        "10 minutes", "10 minutes", "1 minute")
+      .collect().map(r => key(r) -> r.getLong(3)).toMap
+    assert(batch == Map(("00:00", "a", 5L) -> 2L,
+      ("00:00", "a", 3L) -> 1L, ("00:00", "a", -1L) -> 1L),
+      s"got $batch")
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = EventStream.benfordStream(
+        input.toDF().toDF("ts", "k", "v"),
+        "ts", "k", "v", "10 minutes", "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("benford_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((ts(2), "a", 523L), (ts(3), "a", -34L),
+        (ts(4), "a", 0L), (ts(7), "a", 523L))
+      q.processAllAvailable()
+      input.addData((ts(59), "a", 1L)) // advance the watermark
+      q.processAllAvailable()
+      val stream = spark.table("benford_out").collect()
+        .map(r => key(r) -> r.getLong(3)).toMap
+      assert(stream == batch, s"stream $stream vs batch $batch")
+    } finally q.stop()
+  }
 }

@@ -306,4 +306,21 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(rootCause(nul).getMessage.contains("diffInDiff: value"))
   }
+
+  test("stickiness: short/long distinct-active ratio per aligned " +
+      "window start, long-only starts drop, bounds refusal") {
+    // slide 10, short 10, long 20: events u1@5, u2@15, u1@25
+    val evs = Seq((1L, 5L), (2L, 15L), (1L, 25L)).toDF("u", "ts")
+    val got = Experiment.stickiness(evs, "u", "ts",
+        shortNs = 10L, longNs = 20L, slideNs = 10L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == Map(
+      0L -> ((1L, 2L, 500000L)),
+      10L -> ((1L, 2L, 500000L)),
+      20L -> ((1L, 1L, 1000000L))), s"got $got")
+    intercept[IllegalArgumentException] {
+      Experiment.stickiness(evs, "u", "ts", 20L, 10L, 10L)
+    }
+  }
 }

@@ -263,4 +263,39 @@ class GraphSpec extends AnyFunSuite {
       "src", "dst").collect()(0)
     assert(tri.getLong(3) == 0L && tri.isNullAt(4), s"got $tri")
   }
+
+  test("jaccardLinkPred: wedge candidates only, adjacent pairs " +
+      "excluded, exact ppm, tie order, minCommon and hub refusal") {
+    // triangle 1-2-3 with pendant 3-4: candidates are (1,4) and
+    // (2,4), each sharing {3}; deg(1)=2, deg(4)=1:
+    // 1e6*1 div (2+1-1) = 500000
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.jaccardLinkPred(tri, "src", "dst", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    assert(got == Map((1L, 4L) -> ((1L, 500000L)),
+      (2L, 4L) -> ((1L, 500000L))), s"got $got")
+    // equal scores cut on (v, w)
+    val top = Graph.jaccardLinkPred(tri, "src", "dst", k = 1)
+      .collect()(0)
+    assert(top.getLong(0) == 1L && top.getLong(1) == 4L)
+    // the square's diagonals share TWO neighbors: jaccard = 1
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val diag = Graph.jaccardLinkPred(sq, "src", "dst", k = 10,
+      minCommon = 2L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(diag == Map((1L, 3L) -> 1000000L, (2L, 4L) -> 1000000L))
+    // minCommon = 2 empties the triangle+pendant candidates
+    assert(Graph.jaccardLinkPred(tri, "src", "dst", k = 10,
+      minCommon = 2L).collect().isEmpty)
+    val hub = intercept[Exception] {
+      Graph.jaccardLinkPred(Seq((1L, 2L), (1L, 3L), (1L, 4L))
+        .toDF("src", "dst"), "src", "dst", k = 5, maxDeg = 2L)
+        .collect()
+    }
+    assert(rootCause(hub).getMessage.contains("> maxDeg"),
+      rootCause(hub).getMessage)
+  }
 }

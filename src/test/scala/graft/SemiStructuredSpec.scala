@@ -120,4 +120,25 @@ class SemiStructuredSpec extends AnyFunSuite {
       SemiStructured.jsonFlatten(rows, "p", Seq.empty)
     }
   }
+
+  test("jsonSchemaDrift: added/removed/stable verdicts, a type change " +
+      "reads as removed+added at the same path, period refusal") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val rows = Seq((0L, """{"a":1}"""), (1L, """{"a":"x","b":2}"""))
+      .toDF("p", "j")
+    val got = SemiStructured.jsonSchemaDrift(rows, "j", "p")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got == Map(
+      ("$", "object") -> ((1L, 1L, "stable")),
+      ("$.a", "number") -> ((1L, 0L, "removed")),
+      ("$.a", "string") -> ((0L, 1L, "added")),
+      ("$.b", "number") -> ((0L, 1L, "added"))), s"got $got")
+    val e = intercept[Exception] {
+      SemiStructured.jsonSchemaDrift(
+        Seq((2L, """{"a":1}""")).toDF("p", "j"), "j", "p").collect()
+    }
+    assert(rc(e).getMessage.contains("outside {0,1}"))
+  }
 }
