@@ -5124,6 +5124,72 @@ object SparkEntry {
               .as("w"))
           .filter(col("ma") =!= col("mb")),
         "ma", "mb", "w")
+    }),
+
+    // BFS HOP DISTANCES from the sparse seed set (every 100th
+    // custkey) over the UNDIRECTED clique+chain graph, 6-hop bound --
+    // frontier-synchronous expansion, unreachable nodes absent.
+    "q298_bfs" -> ((s, dir) => {
+      import graft.operators.Graph
+      val e = cliqueChainEdges(s, dir)
+      val both = e.unionByName(
+        e.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 1)
+        .select(col("c_custkey").as("seed"))
+      Graph.bfsDistanceInt(both, "src", "dst", seeds, "seed",
+        maxHops = 6)
+    }),
+
+    // FLESCH READING EASE per document: vowel-group syllables,
+    // [.!?]+ sentences, the fold in a fixed double op order --
+    // unscorable (null-text / zero-word / zero-sentence) rows null.
+    "q299_readability" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.readability(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // KEYED PSEUDONYMIZATION of customer ids on the 2^31 lattice
+    // (two public multiplicative rounds + salt), join-consistent and
+    // engine-exact; the market segment rides along untouched.
+    "q300_pseudonymize" -> ((s, dir) => {
+      import graft.operators.Anonymize
+      Anonymize.pseudonymize(
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment")),
+        Seq("c_custkey", "c_nationkey"), salt = 20260816L)
+    }),
+
+    // NULL-RATE DRIFT between the event-id parities over two derived
+    // nullable columns -- one aggregation pass for both columns,
+    // exact ppm rates.
+    "q301_null_drift" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.nullRateDrift(
+        events(s, dir).select((col("event_id") % 2).as("p"),
+          when(col("value") >= 500, col("value")).as("big_v"),
+          col("props")),
+        Seq("big_v", "props"), "p")
+    }),
+
+    // GINI CONCENTRATION of document lengths per source -- the exact
+    // mean-difference form, one rank window + one fold, one IEEE
+    // division.
+    "q302_gini" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.giniPpm(t(s, dir, "documents"), "source", "n_chars")
+    }),
+
+    // EXPECTED CALIBRATION ERROR, fully integer-exact: synthetic
+    // classifier confidences on the ppm lattice vs a deterministic
+    // label rule, 10 bins, per-bin gaps |1e6*pos - conf_sum|.
+    "q303_ece" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      EvalMetrics.ece(
+        t(s, dir, "documents").select(
+          pmod(col("doc_id") * 37987, lit(1000001L)).as("conf"),
+          when(col("doc_id") % 7 < 3, 1L).otherwise(0L).as("y")),
+        "conf", "y", bins = 10)
     })
   )
 
@@ -12801,7 +12867,142 @@ object SparkEntry {
          |  CAST((1000000 * (2 * sum(CASE WHEN wf = 1 THEN 1 ELSE 0
          |    END) + sum(CASE WHEN wf = 0 THEN 1 ELSE 0 END)))
          |    // (2 * count(*)) AS BIGINT) AS winrate_lo_ppm
-         |FROM f GROUP BY 1, 2""".stripMargin
+         |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // q298: BFS as a bounded recursive CTE over (node, dist) pairs,
+    // min(dist) per node; undirected via the doubled edge relation.
+    "q298_bfs" ->
+      raw"""WITH RECURSIVE $cliqueChainSql,
+         |dir AS (SELECT a AS src, b AS dst FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |sd AS (SELECT c AS node FROM c WHERE c % 100 = 1),
+         |d AS (
+         |  SELECT node, 0 AS dist FROM sd
+         |  UNION
+         |  SELECT dir.dst AS node, d.dist + 1 AS dist
+         |  FROM d JOIN dir ON dir.src = d.node WHERE d.dist < 6)
+         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+         |FROM d GROUP BY node""".stripMargin,
+
+    // q299: vowel-group syllables via regexp_extract_all, the Flesch
+    // fold with every constant forced to DOUBLE (DuckDB bare decimals
+    // are DECIMAL), null-propagation mirrored.
+    "q299_readability" ->
+      raw"""WITH d AS (SELECT doc_id, text,
+         |    CASE WHEN text IS NULL THEN NULL
+         |      ELSE list_filter(regexp_split_to_array(
+         |        lower(trim(text)), '\s+'), x -> x <> '') END AS w,
+         |    CASE WHEN text IS NULL THEN NULL
+         |      ELSE len(list_filter(regexp_split_to_array(text,
+         |        '[.!?]+'), s -> trim(s) <> '')) END AS sents
+         |  FROM documents),
+         |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS words,
+         |    CAST(sents AS BIGINT) AS sentences,
+         |    CAST(list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(w, x -> CAST(len(regexp_extract_all(x,
+         |        '[aeiouy]+')) AS BIGINT))), (a, b) -> a + b)
+         |      AS BIGINT) AS syllables
+         |  FROM d)
+         |SELECT doc_id, words, sentences, syllables,
+         |  CASE WHEN words IS NULL OR words = 0 OR sentences = 0
+         |    THEN NULL
+         |    ELSE CAST(floor((206.835::DOUBLE
+         |      - 1.015::DOUBLE * (CAST(words AS DOUBLE)
+         |        / CAST(sentences AS DOUBLE))
+         |      - 84.6::DOUBLE * (CAST(syllables AS DOUBLE)
+         |        / CAST(words AS DOUBLE))) * 1000) AS BIGINT) END
+         |    AS flesch_milli
+         |FROM s""".stripMargin,
+
+    // q300: the two multiplicative rounds replayed on positive BIGINT
+    // arithmetic (salt pre-reductions computed the same way).
+    "q300_pseudonymize" -> {
+      val m = 1L << 31
+      val salt = 20260816L
+      val s1 = ((salt % m) + m) % m
+      val s2 = (BigInt(7919) * salt).mod(BigInt(m)).toLong
+      def rounds(c: String) =
+        s"CAST((((((($c % $m + $m) % $m + $s1) % $m) * 2654435761) " +
+          s"% $m + $s2) % $m) * 2246822519 % $m AS BIGINT)"
+      raw"""SELECT ${rounds("c_custkey")} AS c_custkey,
+         |  ${rounds("c_nationkey")} AS c_nationkey, c_mktsegment
+         |FROM customer""".stripMargin
+    },
+
+    // q301: both columns' four counts in one pass, exact ppm rates,
+    // empty-period nulls.
+    "q301_null_drift" ->
+      raw"""WITH r AS (SELECT event_id % 2 AS p,
+         |    CASE WHEN value >= 500 THEN value END AS big_v, props
+         |  FROM events),
+         |agg AS (SELECT
+         |    CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN p = 0 AND big_v IS NULL THEN 1
+         |      ELSE 0 END) AS BIGINT) AS z0a,
+         |    CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN p = 1 AND big_v IS NULL THEN 1
+         |      ELSE 0 END) AS BIGINT) AS z1a,
+         |    CAST(sum(CASE WHEN p = 0 AND props IS NULL THEN 1
+         |      ELSE 0 END) AS BIGINT) AS z0b,
+         |    CAST(sum(CASE WHEN p = 1 AND props IS NULL THEN 1
+         |      ELSE 0 END) AS BIGINT) AS z1b
+         |  FROM r),
+         |m AS (
+         |  SELECT 'big_v' AS "column", n0, z0a AS nulls0, n1,
+         |    z1a AS nulls1 FROM agg
+         |  UNION ALL
+         |  SELECT 'props', n0, z0b, n1, z1b FROM agg)
+         |SELECT "column", n0, nulls0, n1, nulls1,
+         |  CASE WHEN n0 = 0 THEN NULL
+         |    ELSE CAST((1000000 * nulls0) // n0 AS BIGINT) END
+         |    AS rate0_ppm,
+         |  CASE WHEN n1 = 0 THEN NULL
+         |    ELSE CAST((1000000 * nulls1) // n1 AS BIGINT) END
+         |    AS rate1_ppm,
+         |  CASE WHEN n0 = 0 OR n1 = 0 THEN NULL
+         |    ELSE CAST((1000000 * nulls1) // n1
+         |      - (1000000 * nulls0) // n0 AS BIGINT) END AS delta_ppm
+         |FROM m""".stripMargin,
+
+    // q302: the mean-difference Gini replayed rank-for-rank (equal
+    // values contribute symmetrically, so any stable order agrees).
+    "q302_gini" ->
+      raw"""WITH r AS (SELECT source AS grp,
+         |    CAST(n_chars AS BIGINT) AS v,
+         |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+         |      AS rk
+         |  FROM documents)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) AS BIGINT) AS total,
+         |  CASE WHEN sum(v) = 0 THEN NULL
+         |    ELSE CAST(floor(CAST(sum((2 * rk - 1) * v)
+         |      - count(*) * sum(v) AS DOUBLE) * 1000000
+         |      / CAST(count(*) * sum(v) AS DOUBLE)) AS BIGINT) END
+         |    AS gini_ppm
+         |FROM r GROUP BY grp""".stripMargin,
+
+    // q303: integer-exact ECE -- per-bin |1e6*pos - conf_sum| gaps,
+    // integer-div fold, top-bin clamp.
+    "q303_ece" ->
+      raw"""WITH r AS (SELECT
+         |    ((doc_id * 37987) % 1000001 + 1000001) % 1000001 AS c,
+         |    CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |b AS (SELECT least(9, (c * 10) // 1000000) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS pos,
+         |    CAST(sum(c) AS BIGINT) AS conf_sum
+         |  FROM r GROUP BY 1),
+         |f AS (SELECT CAST(sum(abs(1000000 * pos - conf_sum))
+         |      AS BIGINT) AS g,
+         |    CAST(sum(n) AS BIGINT) AS n_total FROM b)
+         |SELECT CAST(bin AS BIGINT) AS bin, n, pos, conf_sum,
+         |  CAST((1000000 * pos) // n AS BIGINT) AS acc_ppm,
+         |  CAST(conf_sum // n AS BIGINT) AS conf_mean_ppm,
+         |  f.n_total, CAST(f.g // f.n_total AS BIGINT) AS ece_micro
+         |FROM b, f""".stripMargin
   )
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical

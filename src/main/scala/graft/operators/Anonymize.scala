@@ -324,4 +324,41 @@ object Anonymize {
       .withColumn("noisy_sum", col("clipped_sum") + col("noise"))
       .drop("__u")
   }
+
+  /** Keyed pseudonymization — replace identifier columns with stable,
+    * join-consistent pseudonyms: two multiplicative-hash rounds over
+    * `id + salt` on the 2³¹ lattice (the [[graft.operators.Curation]]
+    * sampling-hash discipline: pre-reduced mod 2³¹ so products stay
+    * under 2⁶², bit-identical in any engine including the oracle's
+    * BIGINT arithmetic),
+    *
+    *   r₁ = ((id + salt) mod M)·2654435761 mod M
+    *   r₂ = ((r₁ + 7919·salt) mod M)·2246822519 mod M,   M = 2³¹
+    *
+    * (both multipliers public mixing constants — Knuth's golden-ratio
+    * prime and xxHash's prime2). NOT cryptographic: the rounds are
+    * invertible mod M by anyone who learns the salt, and a keyed HMAC
+    * belongs here when the adversary model demands one — this is the
+    * analyst-facing consistency layer (same id ⇒ same pseudonym
+    * across tables sharing the salt), documented as such. Null ids
+    * stay null (a null carries no identity to hide). Map-side only —
+    * no shuffle, no state, nothing leaves codegen.
+    */
+  def pseudonymize(df: DataFrame, idCols: Seq[String],
+      salt: Long): DataFrame = {
+    require(idCols.nonEmpty, "pseudonymize: no id columns given")
+    val m = 1L << 31
+    // salts pre-reduced DRIVER-SIDE (BigInt, no overflow) so the
+    // per-row arithmetic never exceeds 2^62 under ANSI
+    val s1 = ((salt % m) + m) % m
+    val s2 = ((BigInt(7919) * salt).mod(BigInt(m))).toLong
+    idCols.foldLeft(df) { (d, c) =>
+      val r1 = pmod(pmod(pmod(col(c).cast("long"), lit(m)) + lit(s1),
+        lit(m)) * lit(2654435761L), lit(m))
+      val r2 = pmod(pmod(r1 + lit(s2), lit(m))
+        * lit(2246822519L), lit(m))
+      d.withColumn(c, when(col(c).isNull, lit(null).cast("long"))
+        .otherwise(r2))
+    }
+  }
 }

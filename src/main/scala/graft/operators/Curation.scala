@@ -1954,4 +1954,51 @@ object Curation {
       .select(col("grp"), col("term"), col("c_g"), col("c_rest"),
         col("score_ppm"))
   }
+
+  /** Flesch reading ease per document — the classic curation quality
+    * feature (very low scores flag legalese/boilerplate, impossibly
+    * high ones flag token salad):
+    *
+    *   flesch_milli = floor((206.835 − 1.015·(W/S) − 84.6·(Y/W))·1000)
+    *
+    * with W = `\s+` words (house tokenization, lower-cased), S =
+    * sentences (non-empty `[.!?]+` splits), Y = syllables counted as
+    * VOWEL GROUPS (`[aeiouy]+` runs per word) — the standard cheap
+    * approximation, deterministic and engine-replayable where
+    * dictionary syllabifiers are not. The two divisions and three
+    * multiplications run in IEEE double in THIS op order (the oracle
+    * mirrors; constants forced to double — DuckDB's bare decimal
+    * literals are DECIMAL and would round differently). Null text and
+    * zero-word/zero-sentence documents emit null metrics (unscorable,
+    * not zero — a 0 reads as "unreadable", which an empty string is
+    * not). Purely row-local: one codegen'd pass, no shuffle.
+    */
+  def readability(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val wordsArr = filter(split(lower(trim(col(textCol))), "\\s+"),
+      t => t =!= "")
+    val sents = size(filter(split(col("__t"), "[.!?]+"),
+      s => trim(s) =!= ""))
+    val syl = expr("aggregate(__w, 0L, (acc, x) -> acc + " +
+      "size(regexp_extract_all(x, '[aeiouy]+', 0)))")
+    docs.select(col(idCol), col(textCol).as("__t"), wordsArr.as("__w"))
+      .withColumn("words", size(col("__w")).cast("long"))
+      .withColumn("sentences", sents.cast("long"))
+      .withColumn("syllables", syl)
+      .select(col(idCol),
+        when(col("__t").isNull, lit(null).cast("long"))
+          .otherwise(col("words")).as("words"),
+        when(col("__t").isNull, lit(null).cast("long"))
+          .otherwise(col("sentences")).as("sentences"),
+        when(col("__t").isNull, lit(null).cast("long"))
+          .otherwise(col("syllables")).as("syllables"),
+        when(col("__t").isNull || col("words") === 0
+            || col("sentences") === 0, lit(null).cast("long"))
+          .otherwise(floor((lit(206.835)
+            - lit(1.015) * (col("words").cast("double")
+              / col("sentences").cast("double"))
+            - lit(84.6) * (col("syllables").cast("double")
+              / col("words").cast("double"))) * 1000).cast("long"))
+          .as("flesch_milli"))
+  }
 }

@@ -187,6 +187,55 @@ object Drift {
           .otherwise(col("__chi")).as("chi2_micro"))
   }
 
+  /** Null-rate drift between two snapshots — the cheapest and most
+    * common schema-health monitor ("field X went 2% null → 40% null
+    * after the producer deploy"): per column, both periods' row and
+    * null counts, the exact-ppm null rates (`10⁶·nulls div n`, null
+    * when the period is empty — an absent period has no rate), and
+    * `delta_ppm = rate1 − rate0` (null if either side is). ONE
+    * aggregation pass computes every column's four counts (no
+    * per-column scans — the [[graft.operators.Ops.profile]]
+    * discipline), melted via explode-of-structs. Periods must be 0/1,
+    * refused loudly row-by-row.
+    */
+  def nullRateDrift(df: DataFrame, cols: Seq[String],
+      periodCol: String): DataFrame = {
+    require(cols.nonEmpty, "nullRateDrift: no columns given")
+    val p = coalesce(col(periodCol).try_cast("long"),
+      raise_error(concat(lit("nullRateDrift period '"),
+        coalesce(col(periodCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val flagged = df.select(
+      when(p.isin(0L, 1L), p).otherwise(
+        raise_error(concat(lit("nullRateDrift period "),
+          p.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__p") +: cols.map(col): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col("__p") === 0, 1L).otherwise(0L)).as(s"__n0_$c"),
+        sum(when(col("__p") === 0 && col(c).isNull, 1L).otherwise(0L))
+          .as(s"__z0_$c"),
+        sum(when(col("__p") === 1, 1L).otherwise(0L)).as(s"__n1_$c"),
+        sum(when(col("__p") === 1 && col(c).isNull, 1L).otherwise(0L))
+          .as(s"__z1_$c"))
+    }
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val melted = one.select(explode(array(cols.map { c =>
+      struct(lit(c).as("column"),
+        coalesce(col(s"__n0_$c"), lit(0L)).as("n0"),
+        coalesce(col(s"__z0_$c"), lit(0L)).as("nulls0"),
+        coalesce(col(s"__n1_$c"), lit(0L)).as("n1"),
+        coalesce(col(s"__z1_$c"), lit(0L)).as("nulls1"))
+    }: _*)).as("__r")).select(col("__r.*"))
+    def rate(z: String, n: String) =
+      when(col(n) === 0, lit(null).cast("long"))
+        .otherwise(expr(s"(1000000L * $z) div $n"))
+    melted
+      .withColumn("rate0_ppm", rate("nulls0", "n0"))
+      .withColumn("rate1_ppm", rate("nulls1", "n1"))
+      .withColumn("delta_ppm", col("rate1_ppm") - col("rate0_ppm"))
+  }
+
   /** One χ² homogeneity cell on the micro lattice: residual
     * `r = T·o − row·colTot` (int64-exact, ANSI-guarded), then
     * `(r/T)²/(T⁻¹·row·colTot)` = `r²/(T·row·colTot)` in IEEE double in

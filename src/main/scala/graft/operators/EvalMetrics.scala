@@ -487,4 +487,56 @@ object EvalMetrics {
       .withColumn("winrate_lo_ppm",
         expr("(1000000L * (2L * wins_lo + ties)) div (2L * n)"))
   }
+
+  /** Expected calibration error (Naeini 2015 / Guo 2017), FULLY
+    * integer-exact: confidences arrive on the ppm lattice (the house
+    * convention for classifier scores), bin b = min(bins−1,
+    * conf·bins div 10⁶), and per bin the gap term needs no float at
+    * all —
+    *
+    *   n_b·|acc_b − conf̄_b| = |10⁶·pos_b − Σconf_b| / 10⁶
+    *   ece_micro = (Σ_b |10⁶·pos_b − Σconf_b|) div N
+    *
+    * (the 10⁶ in the divisor and the micro scaling cancel). Output one
+    * row per OCCUPIED bin — `bin, n, pos, conf_sum`, the exact-ppm
+    * `acc_ppm`/`conf_mean_ppm` — with `ece_micro` and `n_total`
+    * attached to every row. Confidence outside [0, 10⁶] and non-0/1
+    * labels refuse loudly. One (bin) aggregation + one 1-row fold.
+    */
+  def ece(df: DataFrame, confPpmCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins=$bins out of [2, 10000]")
+    val c = coalesce(col(confPpmCol).try_cast("long"),
+      raise_error(concat(lit("ece: confidence '"),
+        coalesce(col(confPpmCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — quantize to the ppm " +
+          "lattice upstream"))).cast("long"))
+    val y = coalesce(col(labelCol).try_cast("long"),
+      raise_error(concat(lit("ece: label '"),
+        coalesce(col(labelCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(
+      when(c >= 0 && c <= 1000000L, c).otherwise(
+        raise_error(concat(lit("ece: confidence "), c.cast("string"),
+          lit(" outside [0, 1000000] ppm"))).cast("long")).as("__c"),
+      when(y.isin(0L, 1L), y).otherwise(
+        raise_error(concat(lit("ece: label "), y.cast("string"),
+          lit(" outside {0,1}"))).cast("long")).as("__y"))
+    val perBin = rows
+      .withColumn("bin",
+        least(lit(bins - 1L), expr(s"(__c * ${bins}L) div 1000000L")))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"),
+        sum(col("__c")).as("conf_sum"))
+      .withColumn("acc_ppm", expr("(1000000L * pos) div n"))
+      .withColumn("conf_mean_ppm", expr("conf_sum div n"))
+      .withColumn("__gap", abs(lit(1000000L) * col("pos")
+        - col("conf_sum")))
+    val fold = perBin.agg(sum(col("__gap")).as("__g"),
+      sum(col("n")).as("n_total"))
+    perBin.crossJoin(broadcast(fold))
+      .select(col("bin"), col("n"), col("pos"), col("conf_sum"),
+        col("acc_ppm"), col("conf_mean_ppm"), col("n_total"),
+        expr("__g div n_total").as("ece_micro"))
+  }
 }

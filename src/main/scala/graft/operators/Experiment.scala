@@ -588,8 +588,11 @@ object Experiment {
     * (`10⁶·n_short div n_long`; n_long ≥ n_short > 0 by construction,
     * since both windows end at the same instant and long ⊇ short).
     * Two [[rollingActives]] passes joined on the window start — each
-    * is the audited explode → distinct → count shape; window starts
-    * outside both data ranges simply don't emit.
+    * is the audited explode → distinct → count shape. A start whose
+    * SHORT window saw nobody does not emit (every short-active start
+    * does — its long window is a superset); outer-join against the
+    * long relation downstream if explicit stickiness-0 rows read
+    * better.
     */
   def stickiness(events: DataFrame, userCol: String, tsCol: String,
       shortNs: Long, longNs: Long, slideNs: Long): DataFrame = {

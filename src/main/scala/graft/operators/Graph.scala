@@ -555,4 +555,51 @@ object Graph {
       .orderBy(col("jaccard_ppm").desc, col("v"), col("w"))
       .limit(k)
   }
+
+  /** Bounded-hop BFS distances from a seed set — the crawl-depth /
+    * blast-radius primitive ("how far is every host from the trusted
+    * seeds" feeds TrustRank-style tiering; "what does this host reach
+    * in 3 hops" is the takedown impact question). Edges are DIRECTED
+    * as given (union the reversed relation for undirected reach);
+    * output one row per node reachable within `maxHops`, with its
+    * exact hop distance (seeds at 0). Nodes absent from the output
+    * are unreachable WITHIN the bound — a node at maxHops+1 and a
+    * disconnected one read the same, by design (raise maxHops if the
+    * distinction matters); no fabricated sentinel distances.
+    *
+    * Frontier-synchronous expansion: hop h joins the edge relation
+    * against ONLY the hop-(h−1) frontier, anti-joins the settled set,
+    * and unions in — each round is one edge-sized equi join + one
+    * node-keyed anti join, lineage cut per round; an empty frontier
+    * stops early. `maxHops ≤ 32` bounds the driver loop (the
+    * index-lifecycle discipline: one count() action per hop).
+    */
+  def bfsDistanceInt(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32,
+      s"maxHops=$maxHops out of [1, 32]")
+    def ep(c: String) = coalesce(col(c).cast("long"),
+      raise_error(lit(s"bfsDistanceInt: null $c endpoint")).cast("long"))
+    val e = edges.select(ep(srcCol).as("src"), ep(dstCol).as("dst"))
+      .distinct().localCheckpoint()
+    var settled = seeds.select(
+        coalesce(col(seedCol).cast("long"),
+          raise_error(lit("bfsDistanceInt: null seed")).cast("long"))
+          .as("node"))
+      .distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = settled
+    var h = 1
+    while (h <= maxHops && frontier.limit(1).count() > 0) {
+      val next = e.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint()
+      settled = settled.unionByName(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    settled
+  }
 }

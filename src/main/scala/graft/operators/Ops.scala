@@ -617,4 +617,45 @@ object Ops {
             / (col("__sa").cast("double") / col("__na").cast("double"))
             * 1000000).cast("long")).as("index_ppm"))
   }
+
+  /** Gini concentration per group — the inequality index a capacity
+    * planner or abuse analyst reads ("is traffic spread across hosts
+    * or is one eating everything"): over non-negative integer values,
+    *
+    *   gini_ppm = floor(10⁶ · Σᵣ (2r − n − 1)·vᵣ / (n · Σv))
+    *
+    * with r the 1-based ascending value rank — the exact mean-
+    * difference form, ONE IEEE division at the end (numerator and
+    * denominator are int64-exact; ANSI overflow is the loud guard —
+    * shard past ~10⁹·lattice·n²). Equal values may take their rank
+    * positions in any order: their contributions are symmetric, so
+    * the result is deterministic without a tie-break column. Negative
+    * values refuse loudly (Gini is undefined below zero); an all-zero
+    * group emits null (0/0), not a fabricated 0. One rank window on
+    * the group key + one fold.
+    */
+  def giniPpm(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val v0 = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("giniPpm value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val v = when(v0 < 0, raise_error(concat(
+      lit("giniPpm: negative value "), v0.cast("string"),
+      lit(" — Gini is undefined below zero"))).cast("long"))
+      .otherwise(v0)
+    val w = Window.partitionBy(col("grp")).orderBy(col("__v"))
+    df.select(col(groupCol).as("grp"), v.as("__v"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("total"),
+        sum((lit(2L) * col("__r") - lit(1L)) * col("__v")).as("__num0"))
+      .select(col("grp"), col("n"), col("total"),
+        // Σ(2r−n−1)v = Σ(2r−1)v − n·Σv
+        when(col("total") === 0, lit(null).cast("long"))
+          .otherwise(floor((col("__num0") - col("n") * col("total"))
+            .cast("double") * 1000000
+            / (col("n") * col("total")).cast("double")).cast("long"))
+          .as("gini_ppm"))
+  }
 }

@@ -255,4 +255,35 @@ class AnonymizeSpec extends AnyFunSuite {
         widths = Seq(5L))
     }
   }
+
+  test("pseudonymize: the two-round lattice exactly, join " +
+      "consistency across tables, bijective on a small domain, " +
+      "nulls stay null") {
+    val m = 1L << 31
+    def expected(id: Long, salt: Long): Long = {
+      val s1 = ((salt % m) + m) % m
+      val s2 = (BigInt(7919) * salt).mod(BigInt(m)).toLong
+      val a = ((id % m) + m) % m
+      val r1 = BigInt((a + s1) % m) * BigInt(2654435761L) mod BigInt(m)
+      ((r1 + s2).mod(BigInt(m)) * BigInt(2246822519L))
+        .mod(BigInt(m)).toLong
+    }
+    val rows = Seq(Some(42L), Some(-7L), None).toDF("id")
+    val got = Anonymize.pseudonymize(rows, Seq("id"), salt = 99L)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSet == Set(Some(expected(42L, 99L)),
+      Some(expected(-7L, 99L)), None), s"got ${got.toSet}")
+    // same id, same salt, different table -> same pseudonym
+    val other = Anonymize.pseudonymize(Seq(42L).toDF("id"),
+      Seq("id"), salt = 99L).collect()(0).getLong(0)
+    assert(other == expected(42L, 99L))
+    // odd multipliers are bijections mod 2^31: 100 ids, 100 pseudonyms
+    val many = Anonymize.pseudonymize(
+      (0L until 100L).map(Tuple1(_)).toDF("id"), Seq("id"), salt = 5L)
+      .collect().map(_.getLong(0)).toSet
+    assert(many.size == 100)
+    intercept[IllegalArgumentException] {
+      Anonymize.pseudonymize(rows, Seq.empty, 1L)
+    }
+  }
 }

@@ -1024,4 +1024,33 @@ class CcnRedactSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(rc(e).getMessage.contains("null group"))
   }
+
+  test("readability: vowel-group syllables, sentence splits, the " +
+      "Flesch fold in fixed op order, unscorable rows are null") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),        // zero words -> null score
+      (4L, "beautiful education"))
+      .toDF("id", "text")
+    val got = Curation.readability(docs, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    // doc 1: 5 words, 2 sentences, 5 vowel groups
+    val want1 = math.floor((206.835 - 1.015 * (5.0 / 2.0)
+      - 84.6 * (5.0 / 5.0)) * 1000).toLong
+    assert(got(1L) == ((5L, 2L, 5L, want1)), s"got ${got(1L)}")
+    assert(got(2L) == ((-1L, -1L, -1L, -1L)))
+    // empty text: 0 words/sentences counted, score null
+    assert(got(3L)._1 == 0L && got(3L)._4 == -1L, s"got ${got(3L)}")
+    // beautiful = eau+i+u = 3 groups; education = e+u+a+io = 4;
+    // no terminal punctuation still counts as ONE sentence
+    val want4 = math.floor((206.835 - 1.015 * (2.0 / 1.0)
+      - 84.6 * (7.0 / 2.0)) * 1000).toLong
+    assert(got(4L) == ((2L, 1L, 7L, want4)), s"got ${got(4L)}")
+  }
 }

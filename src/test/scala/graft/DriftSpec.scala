@@ -98,4 +98,39 @@ class DriftSpec extends AnyFunSuite {
     }
     assert(rootCause(e).getMessage.contains("outside {0,1}"))
   }
+
+  test("nullRateDrift: one-pass multi-column null rates, empty " +
+      "period is null not zero, period refusal") {
+    val rows = Seq(
+      (0L, Some(1L), Option.empty[String]),
+      (0L, Option.empty[Long], Option.empty[String]),
+      (1L, Some(2L), Option.empty[String]),
+      (1L, Option.empty[Long], Option.empty[String]),
+      (1L, Option.empty[Long], Option.empty[String]),
+      (1L, Some(3L), Option.empty[String]))
+      .toDF("p", "a", "b")
+    val got = Drift.nullRateDrift(rows, Seq("a", "b"), "p").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7)))).toMap
+    // a: p0 1/2 null -> 500000; p1 2/4 null -> 500000; delta 0
+    assert(got("a") == ((2L, 1L, 4L, 2L, 500000L, 500000L, 0L)),
+      s"got ${got("a")}")
+    // b: all null both periods
+    assert(got("b") == ((2L, 2L, 4L, 4L, 1000000L, 1000000L, 0L)))
+    // a period with no rows: rate null, delta null
+    val g1 = Drift.nullRateDrift(rows.filter(rows("p") === 1),
+      Seq("a"), "p").collect()(0)
+    assert(g1.getLong(1) == 0L && g1.isNullAt(5) && g1.isNullAt(7))
+    val e2 = intercept[Exception] {
+      Drift.nullRateDrift(Seq((5L, 1L)).toDF("p", "a"), Seq("a"), "p")
+        .collect()
+    }
+    assert(rootCause(e2).getMessage.contains("outside {0,1}"))
+    intercept[IllegalArgumentException] {
+      Drift.nullRateDrift(rows, Seq.empty, "p")
+    }
+  }
 }

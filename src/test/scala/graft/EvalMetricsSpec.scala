@@ -298,4 +298,34 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
     assert(rootCause(nm).getMessage.contains("null a model id"))
   }
+
+  test("ece: integer-exact bin gaps, conf=1e6 clamps into the top " +
+      "bin, occupied bins only, refusals") {
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null) t else rootCause(t.getCause)
+    val rows = Seq((200000L, 0L), (200000L, 1L), (900000L, 1L),
+      (1000000L, 1L)).toDF("c", "y")
+    val got = EvalMetrics.ece(rows, "c", "y", bins = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7)))).toMap
+    // bin0: gap |1e6*1-400000| = 600000; bin1: |2e6-1900000| = 100000
+    // ece = 700000 div 4 = 175000
+    assert(got == Map(
+      0L -> ((2L, 1L, 400000L, 500000L, 200000L, 4L, 175000L)),
+      1L -> ((2L, 2L, 1900000L, 1000000L, 950000L, 4L, 175000L))),
+      s"got $got")
+    val over = intercept[Exception] {
+      EvalMetrics.ece(Seq((1000001L, 1L)).toDF("c", "y"), "c", "y")
+        .collect()
+    }
+    assert(rootCause(over).getMessage.contains("outside [0, 1000000]"))
+    val lab = intercept[Exception] {
+      EvalMetrics.ece(Seq((5L, 2L)).toDF("c", "y"), "c", "y").collect()
+    }
+    assert(rootCause(lab).getMessage.contains("outside {0,1}"))
+    intercept[IllegalArgumentException] {
+      EvalMetrics.ece(rows, "c", "y", bins = 1)
+    }
+  }
 }

@@ -298,4 +298,32 @@ class GraphSpec extends AnyFunSuite {
     assert(rootCause(hub).getMessage.contains("> maxDeg"),
       rootCause(hub).getMessage)
   }
+
+  test("bfsDistanceInt: exact hop distances, directed edges, hop " +
+      "bound cuts, unreachable absent, multi-seed min, null refusal") {
+    // chain 1->2->3->4, branch 1->5, back-edge 9->1 (9 unreachable)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (9L, 1L))
+    val seeds1 = Seq(Tuple1(1L)).toDF("s")
+    def run(hops: Int, seeds: Seq[Long]) =
+      Graph.bfsDistanceInt(edges.toDF("src", "dst"), "src", "dst",
+        seeds.map(Tuple1(_)).toDF("s"), "s", maxHops = hops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d3 = run(3, Seq(1L))
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 5L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"got $d3")
+    val d2 = run(2, Seq(1L))
+    assert(!d2.contains(4L) && d2(3L) == 2L)
+    // a second seed at 3 pulls 4 closer; 1's distances keep their min
+    val dm = run(3, Seq(1L, 3L))
+    assert(dm(3L) == 0L && dm(4L) == 1L && dm(2L) == 1L)
+    val e = intercept[Exception] {
+      Graph.bfsDistanceInt(edges.toDF("src", "dst"), "src", "dst",
+        Seq(Tuple1(Option.empty[Long])).toDF("s"), "s", 2).collect()
+    }
+    assert(rootCause(e).getMessage.contains("null seed"))
+    intercept[IllegalArgumentException] {
+      Graph.bfsDistanceInt(edges.toDF("src", "dst"), "src", "dst",
+        seeds1, "s", maxHops = 0)
+    }
+  }
 }

@@ -362,4 +362,29 @@ class OpsSpec extends AnyFunSuite {
       Ops.seasonalProfile(rows, "key", "ts", "v", 0L, 2)
     }
   }
+
+  test("giniPpm: equality 0, max-concentration (n-1)/n, textbook " +
+      "half on {0,1}, all-zero null, negative refusal") {
+    val rows = Seq(("eq", 5L), ("eq", 5L), ("eq", 5L),
+      ("half", 0L), ("half", 1L),
+      ("conc", 0L), ("conc", 0L), ("conc", 10L),
+      ("zero", 0L), ("zero", 0L)).toDF("g", "v")
+    val got = Ops.giniPpm(rows, "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got == Map(
+      "eq" -> ((3L, 15L, 0L)),
+      "half" -> ((2L, 1L, 500000L)),
+      "conc" -> ((3L, 10L, 666666L)),
+      "zero" -> ((2L, 0L, -1L))), s"got $got")
+    val neg = intercept[Exception] {
+      Ops.giniPpm(Seq(("g", -1L)).toDF("g", "v"), "g", "v").collect()
+    }
+    assert(rootCause(neg).getMessage.contains("negative value"))
+    val nul = intercept[Exception] {
+      Ops.giniPpm(Seq(("g", Option.empty[Long])).toDF("g", "v"),
+        "g", "v").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("giniPpm value"))
+  }
 }
