@@ -5190,6 +5190,39 @@ object SparkEntry {
           pmod(col("doc_id") * 37987, lit(1000001L)).as("conf"),
           when(col("doc_id") % 7 < 3, 1L).otherwise(0L).as("y")),
         "conf", "y", bins = 10)
+    }),
+
+    // EDGE RECIPROCITY of a deterministic directed user graph --
+    // returned-link ratio on the exact ppm lattice, loops excluded.
+    "q304_reciprocity" -> ((s, dir) => {
+      import graft.operators.Graph
+      val u = events(s, dir).select(col("user_id")).distinct()
+      Graph.reciprocity(
+        u.select(col("user_id").as("src"),
+          pmod(col("user_id") * 7 + 3, lit(151L)).as("dst")),
+        "src", "dst")
+    }),
+
+    // BRIER SCORE per source for the q303 synthetic classifier --
+    // integer-exact mean squared error on the ppm lattice.
+    "q305_brier" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      EvalMetrics.brierScore(
+        t(s, dir, "documents").select(col("source"),
+          pmod(col("doc_id") * 37987, lit(1000001L)).as("conf"),
+          when(col("doc_id") % 7 < 3, 1L).otherwise(0L).as("y")),
+        "source", "conf", "y")
+    }),
+
+    // ROC AUC per source via the Mann-Whitney midrank lattice --
+    // integer-exact, ties half-credited.
+    "q306_auc" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      EvalMetrics.aucPpm(
+        t(s, dir, "documents").select(col("source"),
+          pmod(col("doc_id") * 37987, lit(1000001L)).as("conf"),
+          when(col("doc_id") % 7 < 3, 1L).otherwise(0L).as("y")),
+        "source", "conf", "y")
     })
   )
 
@@ -13002,7 +13035,63 @@ object SparkEntry {
          |  CAST((1000000 * pos) // n AS BIGINT) AS acc_ppm,
          |  CAST(conf_sum // n AS BIGINT) AS conf_mean_ppm,
          |  f.n_total, CAST(f.g // f.n_total AS BIGINT) AS ece_micro
-         |FROM b, f""".stripMargin
+         |FROM b, f""".stripMargin,
+
+    // q304: distinct non-loop directed edges, EXISTS for the reverse,
+    // one integer-div fold.
+    "q304_reciprocity" ->
+      raw"""WITH u AS (SELECT DISTINCT user_id AS s FROM events),
+         |e AS (SELECT DISTINCT s AS src,
+         |    ((s * 7 + 3) % 151 + 151) % 151 AS dst FROM u
+         |  WHERE s <> ((s * 7 + 3) % 151 + 151) % 151),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         |rr AS (SELECT CAST(count(*) AS BIGINT) AS m_recip FROM e a
+         |  WHERE EXISTS (SELECT 1 FROM e b
+         |    WHERE b.src = a.dst AND b.dst = a.src))
+         |SELECT mm.m, rr.m_recip,
+         |  CASE WHEN mm.m = 0 THEN NULL
+         |    ELSE CAST((1000000 * rr.m_recip) // mm.m AS BIGINT) END
+         |    AS ratio_ppm
+         |FROM mm, rr""".stripMargin,
+
+    // q305: integer residuals squared, one integer division to micro.
+    "q305_brier" ->
+      raw"""WITH r AS (SELECT source AS key,
+         |    ((doc_id * 37987) % 1000001 + 1000001) % 1000001 AS c,
+         |    CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |d AS (SELECT key, c - 1000000 * y AS d FROM r)
+         |SELECT key, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(d * d) // (count(*) * 1000000) AS BIGINT)
+         |    AS brier_micro
+         |FROM d GROUP BY key""".stripMargin,
+
+    // q306: the q273 midrank machinery with the label as the group,
+    // folded to AUC by one integer division.
+    "q306_auc" ->
+      raw"""WITH r AS (SELECT source AS key,
+         |    ((doc_id * 37987) % 1000001 + 1000001) % 1000001 AS v,
+         |    CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |counts AS (SELECT key, v,
+         |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(sum(y) AS BIGINT) AS c1
+         |  FROM r GROUP BY key, v),
+         |rk AS (SELECT *, CAST(COALESCE(sum(c0 + c1) OVER (
+         |    PARTITION BY key ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS below FROM counts),
+         |f AS (SELECT key, CAST(sum(c0) AS BIGINT) AS n0,
+         |    CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c1 * (2 * below + c0 + c1 + 1)) AS BIGINT)
+         |      AS r1x2
+         |  FROM rk GROUP BY key)
+         |SELECT key, n0 AS n_neg, n1 AS n_pos,
+         |  CASE WHEN n0 * n1 = 0 THEN NULL
+         |    ELSE CAST((1000000 * (r1x2 - n1 * (n1 + 1)))
+         |      // (2 * n0 * n1) AS BIGINT) END AS auc_ppm
+         |FROM f""".stripMargin
   )
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical

@@ -539,4 +539,67 @@ object EvalMetrics {
         col("acc_ppm"), col("conf_mean_ppm"), col("n_total"),
         expr("__g div n_total").as("ece_micro"))
   }
+
+  /** Brier score per key, fully integer-exact on the ppm lattice:
+    *
+    *   brier_micro = Σ (conf − 10⁶·y)² div (n · 10⁶)
+    *
+    * — each residual is an exact integer in [−10⁶, 10⁶], its square
+    * ≤ 10¹², and the final integer division lands the mean squared
+    * error in micro units (ANSI overflow is the loud guard past ~10⁶
+    * rows per key; shard and re-fold the sums). The [[ece]] refusal
+    * family applies (confidence in [0, 10⁶], labels 0/1). Calibration
+    * (ECE) answers "are the probabilities honest"; Brier adds the
+    * resolution term — both in one agg pass each, no float anywhere.
+    */
+  def brierScore(df: DataFrame, keyCol: String, confPpmCol: String,
+      labelCol: String): DataFrame = {
+    val c = coalesce(col(confPpmCol).try_cast("long"),
+      raise_error(concat(lit("brierScore: confidence '"),
+        coalesce(col(confPpmCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val y = coalesce(col(labelCol).try_cast("long"),
+      raise_error(concat(lit("brierScore: label '"),
+        coalesce(col(labelCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    df.select(col(keyCol).as("key"),
+        when(c >= 0 && c <= 1000000L, c).otherwise(
+          raise_error(concat(lit("brierScore: confidence "),
+            c.cast("string"), lit(" outside [0, 1000000] ppm")))
+            .cast("long")).as("__c"),
+        when(y.isin(0L, 1L), y).otherwise(
+          raise_error(concat(lit("brierScore: label "),
+            y.cast("string"), lit(" outside {0,1}"))).cast("long"))
+          .as("__y"))
+      .withColumn("__d", col("__c") - lit(1000000L) * col("__y"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d") * col("__d")).as("__sq"))
+      .select(col("key"), col("n"),
+        expr("__sq div (n * 1000000L)").as("brier_micro"))
+  }
+
+  /** ROC AUC per key, exact on the midrank lattice — AUC is the
+    * probability a random positive outscores a random negative (ties
+    * half-credited), which is exactly the Mann–Whitney statistic:
+    * [[graft.operators.Experiment.mannWhitneyU]] with the label as
+    * the group yields the doubled U for the positive side, and
+    *
+    *   auc_ppm = (10⁶ · u1_x2) div (2 · n_neg · n_pos)
+    *
+    * — integer-exact end to end (the U machinery keeps midranks on a
+    * doubled integer lattice; one integer division lands ppm). Null
+    * when a class is absent (AUC undefined). Scores must be on an
+    * integer lattice and labels 0/1, refused loudly by the shared
+    * machinery. Same scale shape as the U test: one (key, score)
+    * count + one key-partitioned window over DISTINCT score values.
+    */
+  def aucPpm(df: DataFrame, keyCol: String, scoreCol: String,
+      labelCol: String): DataFrame =
+    Experiment.mannWhitneyU(df, keyCol, labelCol, scoreCol)
+      .select(col("exp").as("key"), col("n0").as("n_neg"),
+        col("n1").as("n_pos"),
+        when(col("n0") * col("n1") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * u1_x2) div (2L * n0 * n1)"))
+          .as("auc_ppm"))
 }

@@ -438,6 +438,33 @@ object Graph {
     degrees(surv).select(col("node"), col("deg").as("core_deg"))
   }
 
+  /** Edge reciprocity of a DIRECTED graph — what fraction of links
+    * are returned (near 0: broadcast/spam link shapes; near 1: social
+    * follow-back graphs). Over the DISTINCT non-loop edge relation:
+    * `m` edges, `m_recip` whose exact reverse exists, and
+    * `ratio_ppm = 10⁶·m_recip div m` (null on an empty graph).
+    * Self-loops are EXCLUDED — a loop is trivially its own reverse
+    * and would inflate the ratio of exactly the spam hubs this metric
+    * screens. One distinct + one self-semi-join + one fold; null
+    * endpoints refuse.
+    */
+  def reciprocity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    def ep(c: String) = coalesce(col(c).cast("long"),
+      raise_error(lit(s"reciprocity: null $c endpoint")).cast("long"))
+    val e = edges.select(ep(srcCol).as("src"), ep(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.agg(count(lit(1)).as("m")).crossJoin(
+        recip.agg(count(lit(1)).as("m_recip")))
+      .withColumn("ratio_ppm",
+        when(col("m") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * m_recip) div m")))
+  }
+
   /** Degree assortativity (Newman 2002, "Assortative mixing in
     * networks") — does this graph wire hubs to hubs (r > 0, social
     * graphs) or hubs to leaves (r < 0, the web)? Over the canonical

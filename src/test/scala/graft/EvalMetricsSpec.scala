@@ -328,4 +328,39 @@ class EvalMetricsSpec extends AnyFunSuite {
       EvalMetrics.ece(rows, "c", "y", bins = 1)
     }
   }
+
+  test("brierScore: integer-exact mean squared error on the ppm " +
+      "lattice, refusals shared with ece") {
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null) t else rootCause(t.getCause)
+    // residuals 0, 0, -5e5, 2.5e5 -> brier = 0.078125 -> 78125 micro
+    val rows = Seq(("k", 1000000L, 1L), ("k", 0L, 0L),
+      ("k", 500000L, 1L), ("k", 250000L, 0L)).toDF("k", "c", "y")
+    val r = EvalMetrics.brierScore(rows, "k", "c", "y").collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) ==
+      (("k", 4L, 78125L)), s"got $r")
+    val bad = intercept[Exception] {
+      EvalMetrics.brierScore(Seq(("k", -1L, 0L)).toDF("k", "c", "y"),
+        "k", "c", "y").collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside [0, 1000000]"))
+  }
+
+  test("aucPpm: perfect separation 1e6, single tie 5e5, hand-computed " +
+      "3/4, one-class null") {
+    val perfect = Seq(("k", 10L, 1L), ("k", 9L, 1L), ("k", 5L, 0L),
+      ("k", 1L, 0L)).toDF("k", "s", "y")
+    def auc(df: org.apache.spark.sql.DataFrame) =
+      EvalMetrics.aucPpm(df, "k", "s", "y").collect()
+        .map(r => (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).head
+    assert(auc(perfect) == ((2L, 2L, 1000000L)))
+    assert(auc(Seq(("k", 5L, 1L), ("k", 5L, 0L)).toDF("k", "s", "y"))
+      == ((1L, 1L, 500000L)))
+    // neg {1,3}, pos {2,4}: 3 of 4 pairs ordered -> 750000
+    assert(auc(Seq(("k", 1L, 0L), ("k", 3L, 0L), ("k", 2L, 1L),
+      ("k", 4L, 1L)).toDF("k", "s", "y")) == ((2L, 2L, 750000L)))
+    assert(auc(Seq(("k", 1L, 1L)).toDF("k", "s", "y")) ==
+      ((0L, 1L, -1L)))
+  }
 }

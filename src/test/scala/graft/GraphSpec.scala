@@ -326,4 +326,23 @@ class GraphSpec extends AnyFunSuite {
         seeds1, "s", maxHops = 0)
     }
   }
+
+  test("reciprocity: returned-link ratio on the exact ppm lattice, " +
+      "loops and duplicates excluded, empty graph null") {
+    // (1,2)+(2,1) reciprocate; (2,3) does not; the loop and the dup
+    // must not count
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 3L), (2L, 3L))
+      .toDF("src", "dst")
+    val r = Graph.reciprocity(e, "src", "dst").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((3L, 2L, 666666L)), s"got $r")
+    val empty = Graph.reciprocity(Seq((7L, 7L)).toDF("src", "dst"),
+      "src", "dst").collect()(0)
+    assert(empty.getLong(0) == 0L && empty.isNullAt(2))
+    val nul = intercept[Exception] {
+      Graph.reciprocity(Seq((Some(1L), Option.empty[Long]))
+        .toDF("src", "dst"), "src", "dst").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("null dst endpoint"))
+  }
 }
