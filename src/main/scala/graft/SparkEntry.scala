@@ -5223,6 +5223,43 @@ object SparkEntry {
           pmod(col("doc_id") * 37987, lit(1000001L)).as("conf"),
           when(col("doc_id") % 7 < 3, 1L).otherwise(0L).as("y")),
         "source", "conf", "y")
+    }),
+
+    // SITEMAP EXTRACTION: synthetic sitemap / sitemap-index / junk
+    // documents -- one row per <loc>, lastmod nullable, &amp; decoded,
+    // all codegen'd row-local regex work.
+    "q307_sitemap" -> ((s, dir) => {
+      import graft.operators.Crawl
+      val id = col("doc_id").cast("string")
+      val xml = when(col("doc_id") % 3 === 0,
+        concat(lit("<urlset>\n<url><loc> http://"), col("source"),
+          lit(".example.org/p?a=1&amp;b="), id,
+          lit(" </loc><lastmod>2026-01-0"),
+          (col("doc_id") % 9 + 1).cast("string"),
+          lit("</lastmod></url>\n<url><loc>http://"), col("source"),
+          lit(".example.org/q"), id, lit("</loc></url>\n</urlset>")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("<sitemapindex><sitemap><loc>http://"),
+            col("source"), lit(".example.org/s"), id,
+            lit(".xml</loc></sitemap></sitemapindex>")))
+        .otherwise(lit("plain text, no sitemap entries"))
+      Crawl.sitemapUrls(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          xml.as("xml")),
+        "doc_id", "xml")
+    }),
+
+    // WALD-WOLFOWITZ RUNS COUNT per event type: value-threshold binary
+    // sequence in (ts, event_id) order -- exact run counts plus the
+    // expected-runs lattice; streaks or over-alternation both read as
+    // a gap from mu.
+    "q308_runs" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.runsTest(
+        events(s, dir).select(col("event_type"), col("ts"),
+          col("event_id"),
+          when(col("value") >= 500, 1L).otherwise(0L).as("v")),
+        "event_type", "ts", "event_id", "v")
     })
   )
 
@@ -13091,7 +13128,63 @@ object SparkEntry {
          |  CASE WHEN n0 * n1 = 0 THEN NULL
          |    ELSE CAST((1000000 * (r1x2 - n1 * (n1 + 1)))
          |      // (2 * n0 * n1) AS BIGINT) END AS auc_ppm
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    // q307: the same block/loc/lastmod regexes in RE2, junk rows
+    // yielding zero blocks.
+    "q307_sitemap" ->
+      raw"""WITH src AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      '<urlset>' || chr(10) || '<url><loc> http://' || source
+         |      || '.example.org/p?a=1&amp;b=' || doc_id
+         |      || ' </loc><lastmod>2026-01-0' || (doc_id % 9 + 1)
+         |      || '</lastmod></url>' || chr(10) || '<url><loc>http://'
+         |      || source || '.example.org/q' || doc_id
+         |      || '</loc></url>' || chr(10) || '</urlset>'
+         |    WHEN doc_id % 3 = 1 THEN
+         |      '<sitemapindex><sitemap><loc>http://' || source
+         |      || '.example.org/s' || doc_id
+         |      || '.xml</loc></sitemap></sitemapindex>'
+         |    ELSE 'plain text, no sitemap entries' END AS x
+         |  FROM documents),
+         |u AS (SELECT doc_id AS doc, 'url' AS kind,
+         |    unnest(regexp_extract_all(x, '(?s)<url>(.*?)</url>', 1))
+         |      AS b FROM src),
+         |sm AS (SELECT doc_id AS doc, 'sitemap' AS kind,
+         |    unnest(regexp_extract_all(x,
+         |      '(?s)<sitemap>(.*?)</sitemap>', 1)) AS b FROM src),
+         |a AS (SELECT * FROM u UNION ALL SELECT * FROM sm),
+         |ex AS (SELECT doc, kind,
+         |    replace(regexp_extract(b, '(?s)<loc>\s*(.*?)\s*</loc>',
+         |      1), '&amp;', '&') AS loc,
+         |    CASE WHEN regexp_matches(b, '(?s)<lastmod>')
+         |      THEN regexp_extract(b,
+         |        '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1) END
+         |      AS lastmod
+         |  FROM a)
+         |SELECT doc, kind, loc, lastmod FROM ex
+         |WHERE loc <> ''""".stripMargin,
+
+    // q308: lag-based run starts over the same (ts, id) order, the
+    // expected-runs lattice with one double division.
+    "q308_runs" ->
+      raw"""WITH r AS (SELECT event_type AS key, epoch_ns(ts) AS ts,
+         |    event_id AS tie,
+         |    CASE WHEN value >= 500 THEN 1 ELSE 0 END AS v
+         |  FROM events),
+         |c AS (SELECT key, v, CASE WHEN lag(v) OVER (
+         |    PARTITION BY key ORDER BY ts, tie) IS DISTINCT FROM v
+         |    THEN 1 ELSE 0 END AS chg
+         |  FROM r)
+         |SELECT key, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(1 - v) AS BIGINT) AS n0,
+         |  CAST(sum(v) AS BIGINT) AS n1,
+         |  CAST(sum(chg) AS BIGINT) AS runs,
+         |  CAST(floor((1.0::DOUBLE + 2.0::DOUBLE
+         |    * CAST(sum(1 - v) * sum(v) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT)
+         |    AS mu_milli
+         |FROM c GROUP BY key""".stripMargin
   )
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical

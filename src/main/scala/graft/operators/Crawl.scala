@@ -330,4 +330,37 @@ object Crawl {
           .when(col("tier") === "warm", lit(warmEvery))
           .otherwise(lit(coldEvery)))
   }
+
+  /** Sitemap XML extraction — the frontier-seeding counterpart of the
+    * robots suite: one row per `<loc>` entry of a sitemap (or sitemap
+    * INDEX) document, with `kind` = `url` | `sitemap` (index entries
+    * point at MORE sitemaps — feed them back into the fetch queue)
+    * and the optional `<lastmod>` (null when absent — the absence IS
+    * the signal for "never use lastmod freshness on this host"). The
+    * scan is regex-based over `<url>…</url>` / `<sitemap>…</sitemap>`
+    * blocks (the practical choice crawlers ship: sitemap XML in the
+    * wild is too dirty for a conforming parser, and the engine's
+    * WARC/robots readers set the same precedent); entities are NOT
+    * decoded beyond `&amp;` — document URLs are expected
+    * percent-encoded per the protocol. Entirely codegen'd row-local
+    * regex work: one explode, no UDF, no shuffle before the caller's
+    * own aggregation. Documents with no entries emit nothing.
+    */
+  def sitemapUrls(df: DataFrame, idCol: String,
+      xmlCol: String): DataFrame = {
+    def blocks(tag: String, kind: String) = df.select(
+      col(idCol).as("doc"), lit(kind).as("kind"),
+      explode(expr(
+        s"regexp_extract_all(`$xmlCol`, '(?s)<$tag>(.*?)</$tag>', 1)"))
+        .as("__b"))
+    blocks("url", "url").unionByName(blocks("sitemap", "sitemap"))
+      .select(col("doc"), col("kind"),
+        regexp_replace(regexp_extract(col("__b"),
+          "(?s)<loc>\\s*(.*?)\\s*</loc>", 1), "&amp;", "&").as("loc"),
+        when(col("__b").rlike("(?s)<lastmod>"),
+          regexp_extract(col("__b"),
+            "(?s)<lastmod>\\s*(.*?)\\s*</lastmod>", 1))
+          .otherwise(lit(null).cast("string")).as("lastmod"))
+      .filter(col("loc") =!= "")
+  }
 }

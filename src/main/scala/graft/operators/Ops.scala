@@ -658,4 +658,44 @@ object Ops {
             / (col("n") * col("total")).cast("double")).cast("long"))
           .as("gini_ppm"))
   }
+
+  /** Wald–Wolfowitz runs count per key — the randomness monitor for a
+    * binary sequence in time order (alternation-heavy or streak-heavy
+    * A/B assignments both mean the bucketing isn't independent): per
+    * key the 0-count, 1-count, and the exact number of RUNS (maximal
+    * same-value stretches) over the `(ts, tie)` order, plus the
+    * null-hypothesis expected runs `mu_milli =
+    * floor((1 + 2·n0·n1/n)·1000)` — one IEEE division, everything
+    * else integer (the variance/z fold stays caller-side: it needs a
+    * square root of a ratio, and the counts here reproduce it
+    * exactly). Values must be 0/1 and non-null, refused loudly; keys
+    * with one row report runs = 1. One key-partitioned lag window +
+    * one fold.
+    */
+  def runsTest(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String): DataFrame = {
+    val v0 = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("runsTest value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val v = when(v0.isin(0L, 1L), v0).otherwise(
+      raise_error(concat(lit("runsTest value "), v0.cast("string"),
+        lit(" outside {0,1}"))).cast("long"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("tie"))
+    df.select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
+        col(tieCol).cast("long").as("tie"), v.as("__v"))
+      .withColumn("__chg",
+        when(lag(col("__v"), 1).over(w).isNull
+          || lag(col("__v"), 1).over(w) =!= col("__v"), 1L)
+          .otherwise(0L))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(lit(1L) - col("__v")).as("n0"), sum(col("__v")).as("n1"),
+        sum(col("__chg")).as("runs"))
+      .withColumn("mu_milli",
+        floor((lit(1.0) + lit(2.0) * (col("n0") * col("n1"))
+          .cast("double") / col("n").cast("double")) * 1000)
+          .cast("long"))
+  }
 }

@@ -193,4 +193,25 @@ class CrawlSpec extends AnyFunSuite {
         warmPct = 20, hotEvery = 1L, warmEvery = 2L, coldEvery = 3L)
     }
   }
+
+  test("sitemapUrls: url and index entries, whitespace-trimmed locs, " +
+      "amp decode, absent lastmod null, junk docs emit nothing") {
+    val docs = Seq(
+      (1L, "<urlset>\n<url><loc> http://a.example.org/p?x=1&amp;y=2 " +
+        "</loc><lastmod> 2026-01-02 </lastmod></url>\n" +
+        "<url><loc>http://a.example.org/q</loc></url>\n</urlset>"),
+      (2L, "<sitemapindex><sitemap><loc>http://a.example.org/s1.xml" +
+        "</loc></sitemap></sitemapindex>"),
+      (3L, "plain text, not a sitemap"),
+      (4L, "<urlset><url><lastmod>2026</lastmod></url></urlset>"))
+      .toDF("doc_id", "xml")
+    val got = Crawl.sitemapUrls(docs, "doc_id", "xml").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set(
+      (1L, "url", "http://a.example.org/p?x=1&y=2", Some("2026-01-02")),
+      (1L, "url", "http://a.example.org/q", None),
+      (2L, "sitemap", "http://a.example.org/s1.xml", None)),
+      s"got $got")
+  }
 }

@@ -387,4 +387,34 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(rootCause(nul).getMessage.contains("giniPpm value"))
   }
+
+  test("runsTest: exact run counts over (ts, tie) order, expected " +
+      "runs lattice, single-row key, refusals") {
+    // 0,0,1,1,1,0 -> 3 runs; n0=3, n1=3 -> mu = 1 + 2*9/6 = 4.0
+    val rows = Seq(("k", 1L, 1L, 0L), ("k", 2L, 2L, 0L),
+      ("k", 3L, 3L, 1L), ("k", 4L, 4L, 1L), ("k", 5L, 5L, 1L),
+      ("k", 6L, 6L, 0L), ("solo", 1L, 7L, 1L))
+      .toDF("key", "ts", "id", "v")
+    val got = Ops.runsTest(rows, "key", "ts", "id", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map("k" -> ((6L, 3L, 3L, 3L, 4000L)),
+      "solo" -> ((1L, 0L, 1L, 1L, 1000L))), s"got $got")
+    // equal ts breaks on the tie column: 1 then 0 -> 2 runs
+    val tie = Ops.runsTest(Seq(("t", 1L, 2L, 0L), ("t", 1L, 1L, 1L))
+      .toDF("key", "ts", "id", "v"), "key", "ts", "id", "v")
+      .collect()(0)
+    assert(tie.getLong(4) == 2L)
+    val bad = intercept[Exception] {
+      Ops.runsTest(Seq(("k", 1L, 1L, 2L)).toDF("key", "ts", "id", "v"),
+        "key", "ts", "id", "v").collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside {0,1}"))
+    val nul2 = intercept[Exception] {
+      Ops.runsTest(Seq(("k", 1L, 1L, Option.empty[Long]))
+        .toDF("key", "ts", "id", "v"), "key", "ts", "id", "v")
+        .collect()
+    }
+    assert(rootCause(nul2).getMessage.contains("runsTest value"))
+  }
 }
