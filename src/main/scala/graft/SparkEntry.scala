@@ -5260,6 +5260,22 @@ object SparkEntry {
           col("event_id"),
           when(col("value") >= 500, 1L).otherwise(0L).as("v")),
         "event_type", "ts", "event_id", "v")
+    }),
+
+    // BENJAMINI-HOCHBERG FDR per event-type family: synthetic
+    // hypothesis p-values on the ppm lattice, the step-up rejection
+    // set via integer cross-multiplication at alpha = 5%.
+    "q309_bh" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val hyp = events(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(100L)).as("hyp"))
+        .distinct()
+        .withColumn("p_ppm", pmod(col("hyp") * 9973
+          + length(col("event_type")).cast("long") * 131071,
+          lit(1000001L)))
+      Experiment.benjaminiHochberg(hyp, "event_type", "hyp", "p_ppm",
+        alphaPpm = 50000L)
     })
   )
 
@@ -13184,7 +13200,28 @@ object SparkEntry {
          |    * CAST(sum(1 - v) * sum(v) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE)) * 1000) AS BIGINT)
          |    AS mu_milli
-         |FROM c GROUP BY key""".stripMargin
+         |FROM c GROUP BY key""".stripMargin,
+
+    // q309: family-partitioned ranks, the integer step-up condition,
+    // max passing rank per family joined back.
+    "q309_bh" ->
+      raw"""WITH hyp AS (SELECT DISTINCT event_type AS grp,
+         |    ((user_id % 100) + 100) % 100 AS hyp FROM events),
+         |pv AS (SELECT grp, hyp AS id,
+         |    ((hyp * 9973 + length(grp) * 131071) % 1000001
+         |      + 1000001) % 1000001 AS p_ppm FROM hyp),
+         |rk AS (SELECT grp, id, p_ppm,
+         |    CAST(row_number() OVER (PARTITION BY grp
+         |      ORDER BY p_ppm, id) AS BIGINT) AS k,
+         |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+         |  FROM pv),
+         |ks AS (SELECT grp, CAST(COALESCE(max(CASE
+         |    WHEN p_ppm * m <= k * 50000 THEN k END), 0) AS BIGINT)
+         |    AS k_star
+         |  FROM rk GROUP BY grp)
+         |SELECT rk.grp, rk.id, rk.p_ppm, rk.k, rk.m, ks.k_star,
+         |  rk.k <= ks.k_star AS reject
+         |FROM rk JOIN ks ON ks.grp = rk.grp""".stripMargin
   )
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical

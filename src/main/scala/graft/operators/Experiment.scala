@@ -607,4 +607,47 @@ object Experiment {
       .withColumn("stickiness_ppm",
         expr("(1000000L * n_short) div n_long"))
   }
+
+  /** Benjamini–Hochberg FDR control (1995) per test FAMILY — the
+    * multiple-testing gate an experiment platform runs over a batch
+    * of p-values before anyone reads "significant": within each
+    * family, hypotheses sorted ascending by (p, id) get ranks k = 1..m
+    * and the rejection set is every rank ≤ k* where
+    *
+    *   k* = max{ k : p₍ₖ₎ · m ≤ k · α }
+    *
+    * evaluated as an INTEGER cross-multiplication on the ppm lattice
+    * (`p_ppm · m ≤ k · alpha_ppm` — no division, no float, exact).
+    * Output per hypothesis: `grp, id, p_ppm, k, m, k_star, reject`.
+    * The family column is REQUIRED — a global BH would need a
+    * single-partition rank, the shape this engine refuses everywhere;
+    * p-values outside [0, 10⁶] refuse loudly. One family-partitioned
+    * rank window + one family fold joined back.
+    */
+  def benjaminiHochberg(df: DataFrame, groupCol: String, idCol: String,
+      pPpmCol: String, alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm < 1000000L,
+      s"alphaPpm=$alphaPpm out of [1, 1000000)")
+    val p = coalesce(col(pPpmCol).try_cast("long"),
+      raise_error(concat(lit("benjaminiHochberg p-value '"),
+        coalesce(col(pPpmCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("p_ppm"),
+      col("id"))
+    val ranked = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        when(p >= 0 && p <= 1000000L, p).otherwise(
+          raise_error(concat(lit("benjaminiHochberg p-value "),
+            p.cast("string"), lit(" outside [0, 1000000] ppm")))
+            .cast("long")).as("p_ppm"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+    val kstar = ranked.groupBy(col("grp").as("__g"))
+      .agg(coalesce(max(when(
+        col("p_ppm") * col("m") <= col("k") * lit(alphaPpm),
+        col("k"))), lit(0L)).as("k_star"))
+    ranked.join(kstar, col("grp") === col("__g"))
+      .select(col("grp"), col("id"), col("p_ppm"), col("k"), col("m"),
+        col("k_star"), (col("k") <= col("k_star")).as("reject"))
+  }
 }

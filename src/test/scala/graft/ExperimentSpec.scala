@@ -323,4 +323,38 @@ class ExperimentSpec extends AnyFunSuite {
       Experiment.stickiness(evs, "u", "ts", 20L, 10L, 10L)
     }
   }
+
+  test("benjaminiHochberg: textbook rejection set, non-monotone " +
+      "condition still rejects ranks below k_star, family isolation, " +
+      "refusals") {
+    // family f (alpha 5%): p = .01, .02, .035, .90 over m=4:
+    // k=1: 10000*4 <= 50000; k=2: 20000*4 <= 100000;
+    // k=3: 35000*4 = 140000 <= 150000; k=4: 900000*4 > 200000 -> k*=3
+    val rows = Seq(("f", 1L, 10000L), ("f", 2L, 20000L),
+      ("f", 3L, 35000L), ("f", 4L, 900000L),
+      // family g: nothing passes -> k* = 0, nothing rejected
+      ("g", 1L, 800000L), ("g", 2L, 900000L),
+      // family h: the BH step-up — k=1 fails (.03*2 > .05) but k=2
+      // passes (.05*2 <= .10), so BOTH reject
+      ("h", 1L, 30000L), ("h", 2L, 50000L))
+      .toDF("fam", "id", "p")
+    val got = Experiment.benjaminiHochberg(rows, "fam", "id", "p",
+        alphaPpm = 50000L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got(("f", 1L)) == ((1L, 3L, true)))
+    assert(got(("f", 3L)) == ((3L, 3L, true)))
+    assert(got(("f", 4L)) == ((4L, 3L, false)))
+    assert(got(("g", 1L)) == ((1L, 0L, false)))
+    assert(got(("h", 1L)) == ((1L, 2L, true)), s"got ${got(("h", 1L))}")
+    assert(got(("h", 2L)) == ((2L, 2L, true)))
+    val bad = intercept[Exception] {
+      Experiment.benjaminiHochberg(Seq(("f", 1L, 1000001L))
+        .toDF("fam", "id", "p"), "fam", "id", "p", 50000L).collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside [0, 1000000]"))
+    intercept[IllegalArgumentException] {
+      Experiment.benjaminiHochberg(rows, "fam", "id", "p", 0L)
+    }
+  }
 }
