@@ -5167,9 +5167,9 @@ object SparkEntry {
       import graft.operators.Drift
       Drift.nullRateDrift(
         events(s, dir).select((col("event_id") % 2).as("p"),
-          when(col("value") >= 500, col("value")).as("big_v"),
-          col("props")),
-        Seq("big_v", "props"), "p")
+          when(col("value") >= 50, col("value")).as("big_v"),
+          when(col("event_id") % 5 =!= 0, col("props")).as("props5")),
+        Seq("big_v", "props5"), "p")
     }),
 
     // GINI CONCENTRATION of document lengths per source -- the exact
@@ -5197,10 +5197,12 @@ object SparkEntry {
     "q304_reciprocity" -> ((s, dir) => {
       import graft.operators.Graph
       val u = events(s, dir).select(col("user_id")).distinct()
-      Graph.reciprocity(
-        u.select(col("user_id").as("src"),
-          pmod(col("user_id") * 7 + 3, lit(151L)).as("dst")),
-        "src", "dst")
+      val fwd = u.select(col("user_id").as("src"),
+        pmod(col("user_id") * 7 + 3, lit(151L)).as("dst"))
+      // every 5th user's link is returned -- reciprocity ~1/5
+      val back = fwd.filter(col("src") % 5 === 0)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      Graph.reciprocity(fwd.unionByName(back), "src", "dst")
     }),
 
     // BRIER SCORE per source for the q303 synthetic classifier --
@@ -5258,7 +5260,7 @@ object SparkEntry {
       Ops.runsTest(
         events(s, dir).select(col("event_type"), col("ts"),
           col("event_id"),
-          when(col("value") >= 500, 1L).otherwise(0L).as("v")),
+          when(col("value") >= 30, 1L).otherwise(0L).as("v")),
         "event_type", "ts", "event_id", "v")
     }),
 
@@ -5271,9 +5273,11 @@ object SparkEntry {
         .select(col("event_type"),
           pmod(col("user_id"), lit(100L)).as("hyp"))
         .distinct()
-        .withColumn("p_ppm", pmod(col("hyp") * 9973
-          + length(col("event_type")).cast("long") * 131071,
-          lit(1000001L)))
+        .withColumn("p_ppm",
+          when(col("hyp") < 10, col("hyp") * 137 + 3)
+            .otherwise(pmod(col("hyp") * 9973
+              + length(col("event_type")).cast("long") * 131071,
+              lit(1000001L))))
       Experiment.benjaminiHochberg(hyp, "event_type", "hyp", "p_ppm",
         alphaPpm = 50000L)
     })
@@ -13019,7 +13023,8 @@ object SparkEntry {
     // empty-period nulls.
     "q301_null_drift" ->
       raw"""WITH r AS (SELECT event_id % 2 AS p,
-         |    CASE WHEN value >= 500 THEN value END AS big_v, props
+         |    CASE WHEN value >= 50 THEN value END AS big_v,
+         |    CASE WHEN event_id % 5 <> 0 THEN props END AS props5
          |  FROM events),
          |agg AS (SELECT
          |    CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -13030,16 +13035,16 @@ object SparkEntry {
          |      AS n1,
          |    CAST(sum(CASE WHEN p = 1 AND big_v IS NULL THEN 1
          |      ELSE 0 END) AS BIGINT) AS z1a,
-         |    CAST(sum(CASE WHEN p = 0 AND props IS NULL THEN 1
+         |    CAST(sum(CASE WHEN p = 0 AND props5 IS NULL THEN 1
          |      ELSE 0 END) AS BIGINT) AS z0b,
-         |    CAST(sum(CASE WHEN p = 1 AND props IS NULL THEN 1
+         |    CAST(sum(CASE WHEN p = 1 AND props5 IS NULL THEN 1
          |      ELSE 0 END) AS BIGINT) AS z1b
          |  FROM r),
          |m AS (
          |  SELECT 'big_v' AS "column", n0, z0a AS nulls0, n1,
          |    z1a AS nulls1 FROM agg
          |  UNION ALL
-         |  SELECT 'props', n0, z0b, n1, z1b FROM agg)
+         |  SELECT 'props5', n0, z0b, n1, z1b FROM agg)
          |SELECT "column", n0, nulls0, n1, nulls1,
          |  CASE WHEN n0 = 0 THEN NULL
          |    ELSE CAST((1000000 * nulls0) // n0 AS BIGINT) END
@@ -13094,9 +13099,13 @@ object SparkEntry {
     // one integer-div fold.
     "q304_reciprocity" ->
       raw"""WITH u AS (SELECT DISTINCT user_id AS s FROM events),
-         |e AS (SELECT DISTINCT s AS src,
-         |    ((s * 7 + 3) % 151 + 151) % 151 AS dst FROM u
-         |  WHERE s <> ((s * 7 + 3) % 151 + 151) % 151),
+         |fwd AS (SELECT s AS src,
+         |    ((s * 7 + 3) % 151 + 151) % 151 AS dst FROM u),
+         |bk AS (SELECT dst AS src, src AS dst FROM fwd
+         |  WHERE src % 5 = 0),
+         |e AS (SELECT DISTINCT src, dst
+         |  FROM (SELECT * FROM fwd UNION ALL SELECT * FROM bk)
+         |  WHERE src <> dst),
          |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
          |rr AS (SELECT CAST(count(*) AS BIGINT) AS m_recip FROM e a
          |  WHERE EXISTS (SELECT 1 FROM e b
@@ -13186,7 +13195,7 @@ object SparkEntry {
     "q308_runs" ->
       raw"""WITH r AS (SELECT event_type AS key, epoch_ns(ts) AS ts,
          |    event_id AS tie,
-         |    CASE WHEN value >= 500 THEN 1 ELSE 0 END AS v
+         |    CASE WHEN value >= 30 THEN 1 ELSE 0 END AS v
          |  FROM events),
          |c AS (SELECT key, v, CASE WHEN lag(v) OVER (
          |    PARTITION BY key ORDER BY ts, tie) IS DISTINCT FROM v
@@ -13208,8 +13217,9 @@ object SparkEntry {
       raw"""WITH hyp AS (SELECT DISTINCT event_type AS grp,
          |    ((user_id % 100) + 100) % 100 AS hyp FROM events),
          |pv AS (SELECT grp, hyp AS id,
-         |    ((hyp * 9973 + length(grp) * 131071) % 1000001
-         |      + 1000001) % 1000001 AS p_ppm FROM hyp),
+         |    CASE WHEN hyp < 10 THEN hyp * 137 + 3
+         |      ELSE ((hyp * 9973 + length(grp) * 131071) % 1000001
+         |        + 1000001) % 1000001 END AS p_ppm FROM hyp),
          |rk AS (SELECT grp, id, p_ppm,
          |    CAST(row_number() OVER (PARTITION BY grp
          |      ORDER BY p_ppm, id) AS BIGINT) AS k,
