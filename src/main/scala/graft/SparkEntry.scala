@@ -5280,6 +5280,77 @@ object SparkEntry {
               lit(1000001L))))
       Experiment.benjaminiHochberg(hyp, "event_type", "hyp", "p_ppm",
         alphaPpm = 50000L)
+    }),
+
+    // LOG-RANK TEST per experiment: the q282 subject derivation split
+    // into 3 experiments x 2 arms -- integer O/E1 on the micro
+    // lattice, the hypergeometric variance in one fixed double chain,
+    // chi-square inputs exact.
+    "q310_logrank" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val subj = events(s, dir).groupBy(col("user_id")).agg(
+        expr("(max(ts) - min(ts)) div 3600000000000L").as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ev"))
+        .withColumn("exp", pmod(expr("user_id div 2"), lit(3L)))
+        .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      Experiment.logRank(subj, "exp", "grp", "dur", "ev")
+    }),
+
+    // KOLMOGOROV-SMIRNOV DRIFT per event type between the event-id
+    // parities over centi-lattice values -- D as an exact integer
+    // cross-multiplication over the pooled CDF, ks_ppm exact.
+    "q311_ks_drift" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.ksDrift(
+        events(s, dir).select(col("event_type"),
+          (col("event_id") % 2).as("g"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "g", "v")
+    }),
+
+    // POPULATION STABILITY INDEX per event type over the q284
+    // user-bucket histogram -- add-one smoothed shares, per-bucket
+    // ln terms floored to micro in a fixed double op order.
+    "q312_psi" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.psi(
+        events(s, dir).select(col("event_type"),
+          pmod(col("user_id"), lit(8L)).as("bucket"),
+          (col("event_id") % 2).as("period")),
+        "event_type", "bucket", "period")
+    }),
+
+    // BRADLEY-TERRY STRENGTHS over the q297 win-rate ledger: 4 MM
+    // rounds on the pure integer lattice (ties half-counted), the
+    // oracle replays every round in SQL.
+    "q313_bradley_terry" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val ev = events(s, dir)
+      val a = pmod(col("user_id"), lit(5L))
+      val b = pmod(col("user_id") * 3 + 1, lit(5L))
+      val ledger = EvalMetrics.winRate(
+        ev.select(a.as("ma"), b.as("mb"),
+            pmod(floor(col("value") * 100).cast("long"), lit(3L))
+              .as("w"))
+          .filter(col("ma") =!= col("mb")),
+        "ma", "mb", "w")
+      EvalMetrics.bradleyTerry(ledger, iters = 4)
+    }),
+
+    // ENTROPY-l-DIVERSITY audit per (nation, balance-km-bucket) group
+    // with the market segment sensitive -- the skew-proof gate,
+    // H_micro on the exact floored-ln lattice vs ln(2).
+    "q314_entropy_l" -> ((s, dir) => {
+      import graft.operators.Anonymize
+      Anonymize.entropyLDiversityReport(
+        t(s, dir, "customer").select(
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          (col("c_acctbal") - pmod(col("c_acctbal"), lit(2000.0)))
+            .cast("long").as("bal_bucket"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment",
+        k = 4, l = 2)
     })
   )
 
@@ -13231,7 +13302,220 @@ object SparkEntry {
          |  FROM rk GROUP BY grp)
          |SELECT rk.grp, rk.id, rk.p_ppm, rk.k, rk.m, ks.k_star,
          |  rk.k <= ks.k_star AS reject
-         |FROM rk JOIN ks ON ks.grp = rk.grp""".stripMargin
+         |FROM rk JOIN ks ON ks.grp = rk.grp""".stripMargin,
+
+    // q310: log-rank -- the q282 subject walk split 3 exps x 2 arms;
+    // E1 terms pure integer division, V terms in the engine's exact
+    // double op order, chi-square from the micro-lattice inputs.
+    "q310_logrank" ->
+      raw"""WITH subj AS (SELECT
+         |    (((user_id // 2) % 3) + 3) % 3 AS exp,
+         |    ((user_id % 2) + 2) % 2 AS grp,
+         |    (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+         |      // 3600000000000 AS t,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS e
+         |  FROM events GROUP BY user_id),
+         |bd AS (SELECT exp, t,
+         |    sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS c0,
+         |    sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS c1,
+         |    sum(CASE WHEN grp = 0 THEN e ELSE 0 END) AS d0,
+         |    sum(CASE WHEN grp = 1 THEN e ELSE 0 END) AS d1
+         |  FROM subj GROUP BY exp, t),
+         |rk AS (SELECT exp, t, d0, d1,
+         |    sum(c0) OVER (PARTITION BY exp ORDER BY t DESC) AS n0,
+         |    sum(c1) OVER (PARTITION BY exp ORDER BY t DESC) AS n1
+         |  FROM bd),
+         |et AS (SELECT exp, d1, n0, n1, n0 + n1 AS n, d0 + d1 AS d
+         |  FROM rk WHERE d0 + d1 >= 1),
+         |tm AS (SELECT exp, d1,
+         |    (1000000 * (d * n1)) // n AS e1k,
+         |    CASE WHEN n <= 1 THEN 0 ELSE CAST(floor(
+         |      CAST(d * n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+         |        * CAST(n - d AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |        * CAST(n - 1 AS DOUBLE)) * 1000000) AS BIGINT) END
+         |      AS vk
+         |  FROM et),
+         |fold AS (SELECT exp, CAST(sum(d1) AS BIGINT) AS o1,
+         |    CAST(sum(e1k) AS BIGINT) AS e1_micro,
+         |    CAST(sum(vk) AS BIGINT) AS v_micro
+         |  FROM tm GROUP BY exp),
+         |arms AS (SELECT exp, grp, CAST(count(*) AS BIGINT) AS n_subj,
+         |    CAST(sum(e) AS BIGINT) AS o
+         |  FROM subj GROUP BY exp, grp)
+         |SELECT CAST(arms.exp AS BIGINT) AS exp,
+         |  CAST(arms.grp AS BIGINT) AS grp, arms.n_subj, arms.o,
+         |  fold.e1_micro, fold.v_micro,
+         |  CASE WHEN fold.v_micro = 0 THEN NULL ELSE CAST(floor(
+         |    CAST(1000000 * fold.o1 - fold.e1_micro AS DOUBLE)
+         |    * CAST(1000000 * fold.o1 - fold.e1_micro AS DOUBLE)
+         |    / CAST(fold.v_micro AS DOUBLE)) AS BIGINT) END
+         |    AS chi2_micro
+         |FROM arms JOIN fold ON fold.exp = arms.exp""".stripMargin,
+
+    // q311: two-sample KS -- pooled distinct-value CDFs as cumulative
+    // windows, D by integer cross-multiplication, ks_ppm exact.
+    "q311_ks_drift" ->
+      raw"""WITH r AS (SELECT event_type AS key, event_id % 2 AS g,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |c AS (SELECT key, v,
+         |    sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS c0,
+         |    sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS c1
+         |  FROM r GROUP BY key, v),
+         |w AS (SELECT key,
+         |    sum(c0) OVER (PARTITION BY key ORDER BY v) AS a0,
+         |    sum(c1) OVER (PARTITION BY key ORDER BY v) AS a1,
+         |    sum(c0) OVER (PARTITION BY key) AS t0,
+         |    sum(c1) OVER (PARTITION BY key) AS t1
+         |  FROM c)
+         |SELECT key, CAST(max(t0) AS BIGINT) AS n0,
+         |  CAST(max(t1) AS BIGINT) AS n1,
+         |  CAST(max(abs(a0 * t1 - a1 * t0)) AS BIGINT) AS d_num,
+         |  CASE WHEN max(t0) = 0 OR max(t1) = 0 THEN NULL
+         |    ELSE CAST((1000000 * max(abs(a0 * t1 - a1 * t0)))
+         |      // (max(t0) * max(t1)) AS BIGINT) END AS ks_ppm
+         |FROM w GROUP BY key""".stripMargin,
+
+    // q312: PSI -- add-one smoothed shares over the observed bucket
+    // domain, per-bucket (p1-p0)*ln(p1/p0) floored to micro in the
+    // engine's exact double op order, integer-summed per key.
+    "q312_psi" ->
+      raw"""WITH r AS (SELECT event_type AS key,
+         |    ((user_id % 8) + 8) % 8 AS bucket, event_id % 2 AS p
+         |  FROM events),
+         |cells AS (SELECT key, CAST(bucket AS BIGINT) AS bucket,
+         |    CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1
+         |  FROM r GROUP BY 1, 2),
+         |ks AS (SELECT key, CAST(sum(n0) AS BIGINT) AS c0,
+         |    CAST(sum(n1) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n_buckets
+         |  FROM cells GROUP BY key),
+         |tm AS (SELECT cells.key, cells.bucket, cells.n0, cells.n1,
+         |    ks.n_buckets, ks.c0, ks.c1,
+         |    CAST(cells.n0 + 1 AS DOUBLE)
+         |      / CAST(ks.c0 + ks.n_buckets AS DOUBLE) AS p0,
+         |    CAST(cells.n1 + 1 AS DOUBLE)
+         |      / CAST(ks.c1 + ks.n_buckets AS DOUBLE) AS p1
+         |  FROM cells JOIN ks ON ks.key = cells.key),
+         |t2 AS (SELECT *, CAST(floor((p1 - p0) * ln(p1 / p0)
+         |    * 1000000) AS BIGINT) AS term FROM tm),
+         |fold AS (SELECT key, CAST(sum(term) AS BIGINT) AS psi,
+         |    max(CASE WHEN c0 = 0 OR c1 = 0 THEN 1 ELSE 0 END)
+         |      AS degen
+         |  FROM t2 GROUP BY key)
+         |SELECT t2.key, t2.bucket, t2.n0, t2.n1, t2.n_buckets,
+         |  CASE WHEN fold.degen = 1 THEN NULL ELSE fold.psi END
+         |    AS psi_micro
+         |FROM t2 JOIN fold ON fold.key = t2.key""".stripMargin,
+
+    // q313: Bradley-Terry -- the q297 ledger, then four MM rounds
+    // replayed verbatim on the integer lattice (t/raw/normalize all
+    // integer division, the 1-ppm floor via greatest).
+    "q313_bradley_terry" ->
+      raw"""WITH r AS (SELECT ((user_id % 5) + 5) % 5 AS ma,
+         |    (((user_id * 3 + 1) % 5) + 5) % 5 AS mb,
+         |    ((CAST(floor(value * 100) AS BIGINT) % 3) + 3) % 3 AS w
+         |  FROM events),
+         |f AS (SELECT CAST(least(ma, mb) AS BIGINT) AS m_lo,
+         |    CAST(greatest(ma, mb) AS BIGINT) AS m_hi,
+         |    CASE WHEN ma <= mb THEN w
+         |      ELSE CASE WHEN w = 0 THEN 0 WHEN w = 1 THEN 2
+         |        ELSE 1 END END AS wf
+         |  FROM r WHERE ma <> mb),
+         |led AS (SELECT m_lo, m_hi, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN wf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS wins_lo,
+         |    CAST(sum(CASE WHEN wf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS wins_hi,
+         |    CAST(sum(CASE WHEN wf = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ties
+         |  FROM f GROUP BY 1, 2),
+         |ed AS MATERIALIZED (
+         |  SELECT m_lo AS i, m_hi AS j, 2 * wins_lo + ties AS w2,
+         |    2 * n AS n2 FROM led
+         |  UNION ALL
+         |  SELECT m_hi, m_lo, 2 * wins_hi + ties, 2 * n FROM led),
+         |mdl AS MATERIALIZED (SELECT i AS model,
+         |    CAST(sum(w2) AS BIGINT) AS w2,
+         |    CAST(sum(n2) AS BIGINT) AS n2
+         |  FROM ed GROUP BY i),
+         |p0 AS (SELECT model, CAST(1000000 AS BIGINT) AS p FROM mdl),
+         |d1 AS (SELECT ed.i, sum((1000000000 * ed.n2)
+         |      // (pa.p + pb.p)) AS d
+         |  FROM ed JOIN p0 pa ON pa.model = ed.i
+         |    JOIN p0 pb ON pb.model = ed.j GROUP BY ed.i),
+         |r1 AS MATERIALIZED (SELECT m.model,
+         |    (1000000000 * m.w2) // d1.d AS raw
+         |  FROM mdl m JOIN d1 ON d1.i = m.model),
+         |p1 AS MATERIALIZED (SELECT model, greatest(1, (1000000 * raw)
+         |    // (SELECT sum(raw) FROM r1)) AS p FROM r1),
+         |d2 AS (SELECT ed.i, sum((1000000000 * ed.n2)
+         |      // (pa.p + pb.p)) AS d
+         |  FROM ed JOIN p1 pa ON pa.model = ed.i
+         |    JOIN p1 pb ON pb.model = ed.j GROUP BY ed.i),
+         |r2 AS MATERIALIZED (SELECT m.model,
+         |    (1000000000 * m.w2) // d2.d AS raw
+         |  FROM mdl m JOIN d2 ON d2.i = m.model),
+         |p2 AS MATERIALIZED (SELECT model, greatest(1, (1000000 * raw)
+         |    // (SELECT sum(raw) FROM r2)) AS p FROM r2),
+         |d3 AS (SELECT ed.i, sum((1000000000 * ed.n2)
+         |      // (pa.p + pb.p)) AS d
+         |  FROM ed JOIN p2 pa ON pa.model = ed.i
+         |    JOIN p2 pb ON pb.model = ed.j GROUP BY ed.i),
+         |r3 AS MATERIALIZED (SELECT m.model,
+         |    (1000000000 * m.w2) // d3.d AS raw
+         |  FROM mdl m JOIN d3 ON d3.i = m.model),
+         |p3 AS MATERIALIZED (SELECT model, greatest(1, (1000000 * raw)
+         |    // (SELECT sum(raw) FROM r3)) AS p FROM r3),
+         |d4 AS (SELECT ed.i, sum((1000000000 * ed.n2)
+         |      // (pa.p + pb.p)) AS d
+         |  FROM ed JOIN p3 pa ON pa.model = ed.i
+         |    JOIN p3 pb ON pb.model = ed.j GROUP BY ed.i),
+         |r4 AS MATERIALIZED (SELECT m.model,
+         |    (1000000000 * m.w2) // d4.d AS raw
+         |  FROM mdl m JOIN d4 ON d4.i = m.model),
+         |p4 AS (SELECT model, greatest(1, (1000000 * raw)
+         |    // (SELECT sum(raw) FROM r4)) AS p FROM r4)
+         |SELECT mdl.model, mdl.w2, mdl.n2,
+         |  CAST(p4.p AS BIGINT) AS p_ppm
+         |FROM mdl JOIN p4 ON p4.model = mdl.model""".stripMargin,
+
+    // q314: entropy-l-diversity -- per-(QI, sensitive) counts, the
+    // floored-ln micro lattice, ln(2) gate at 693147 micro.
+    "q314_entropy_l" ->
+      raw"""WITH r AS (SELECT CAST(c_nationkey AS BIGINT)
+         |      AS c_nationkey,
+         |    CAST(c_acctbal - ((c_acctbal % 2000.0) + 2000.0)
+         |      % 2000.0 AS BIGINT) AS bal_bucket,
+         |    c_mktsegment
+         |  FROM customer),
+         |bs AS (SELECT c_nationkey, bal_bucket, c_mktsegment,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM r GROUP BY 1, 2, 3),
+         |g AS (SELECT c_nationkey, bal_bucket,
+         |    CAST(sum(c) AS BIGINT) AS qi_n,
+         |    CAST(sum(CASE WHEN c_mktsegment IS NOT NULL THEN 1
+         |      ELSE 0 END) AS BIGINT) AS qi_l,
+         |    CAST(sum(CASE WHEN c_mktsegment IS NOT NULL THEN c
+         |      ELSE 0 END) AS BIGINT) AS ns,
+         |    CAST(sum(CASE WHEN c_mktsegment IS NOT NULL THEN
+         |      CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+         |        * 1000000) AS BIGINT) ELSE 0 END) AS BIGINT) AS st
+         |  FROM bs GROUP BY 1, 2),
+         |h AS (SELECT c_nationkey, bal_bucket, qi_n, qi_l,
+         |    CASE WHEN ns = 0 THEN NULL
+         |      ELSE CAST(floor(ln(CAST(ns AS DOUBLE)) * 1000000)
+         |        AS BIGINT) - st // ns END AS qi_h_micro
+         |  FROM g)
+         |SELECT c_nationkey, bal_bucket, qi_n, qi_l, qi_h_micro,
+         |  qi_n < 4 AS suppressed_k,
+         |  (qi_h_micro IS NULL OR qi_h_micro < 693147)
+         |    AS suppressed_l
+         |FROM h""".stripMargin
   )
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical

@@ -413,6 +413,76 @@ case class OphSigExpr(child: Expression, shingleN: Int, k: Int)
   override def prettyName: String = "oph_sig"
 }
 
+/** JVM kernel for [[GunzipTextExpr]] — one static call site from
+  * generated code, the [[TextKernels]] discipline.
+  */
+object GzipKernels {
+  /** Inflate a (possibly multi-member) gzip payload to UTF-8 text.
+    * Refuses LOUDLY on non-gzip bytes (a silent null would drop the
+    * document from every downstream count) and on decompressed size
+    * past `maxBytes` — the same decompression-bomb guard as the WARC
+    * reader's gunzipAll, sized for single documents rather than
+    * archives (the sitemap protocol itself caps entries at 50 MB
+    * uncompressed).
+    */
+  def gunzipText(bytes: Array[Byte], maxBytes: Int): UTF8String = {
+    if (bytes.length < 2 ||
+      (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b)
+      throw new IllegalArgumentException(
+        s"gunzip_text: payload is not gzip (no 1f 8b magic; " +
+          s"${bytes.length} bytes) — pre-filter on the magic bytes or " +
+          "route plain payloads around the inflate")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 8192)
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(bytes.length.toLong * 4, 1L << 20).toInt)
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (n > 0) {
+        total += n
+        if (total > maxBytes)
+          throw new IllegalArgumentException(
+            s"gunzip_text: payload decompresses past ${maxBytes}B " +
+              s"(${bytes.length}B compressed) — raise maxBytes or " +
+              "shard the document upstream")
+        out.write(buf, 0, n)
+      }
+      n = in.read(buf)
+    }
+    in.close()
+    UTF8String.fromBytes(out.toByteArray)
+  }
+}
+
+/** Native gunzip-to-text of a BINARY column — the compose step
+  * between a fetched `.xml.gz` payload and the text-facing extractors
+  * ([[graft.operators.Crawl.sitemapUrls]], robots, jsonl): sitemap
+  * indexes in the wild point at gzipped member sitemaps almost
+  * exclusively, so the extraction pipeline needs an in-plan inflate.
+  * Same shape as the other graft kernels: `nullSafeEval` + one static
+  * codegen call, no UDF round-trip, null in → null out; malformed
+  * gzip and decompression bombs refuse loudly in the kernel.
+  */
+case class GunzipTextExpr(child: Expression, maxBytes: Int)
+  extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    GzipKernels.gunzipText(v.asInstanceOf[Array[Byte]], maxBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.GzipKernels.gunzipText($c, $maxBytes)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "gunzip_text"
+}
+
 case class EuToDoubleExpr(child: Expression)
   extends UnaryExpression with Serializable {
 
@@ -446,6 +516,13 @@ object GraftExpressions {
 
   def euToDouble(c: Column): Column =
     ColumnBridge.column(EuToDoubleExpr(Cast(ColumnBridge.expression(c), StringType)))
+
+  /** [[GunzipTextExpr]] over a binary column; default cap 64 MiB —
+    * comfortably above the sitemap protocol's 50 MB uncompressed limit.
+    */
+  def gunzipText(c: Column, maxBytes: Int = 64 << 20): Column =
+    ColumnBridge.column(GunzipTextExpr(
+      Cast(ColumnBridge.expression(c), BinaryType), maxBytes))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimExpr(
@@ -488,6 +565,9 @@ object GraftExpressions {
         Pmod(Multiply(Pmod(Cast(es.head, LongType), two31),
           Literal(2654435761L)), two31)
       }, "built-in")
+    reg.createOrReplaceTempFunction("gunzip_text",
+      es => GunzipTextExpr(Cast(es.head, BinaryType), 64 << 20),
+      "built-in")
     reg.createOrReplaceTempFunction("cosine_sim",
       es => CosineSimExpr(Cast(es(0), ArrayType(DoubleType)),
         Cast(es(1), ArrayType(DoubleType))), "built-in")

@@ -111,6 +111,94 @@ object Anonymize {
       .withColumn("suppressed_l", col("qi_l") < l)
   }
 
+  /** ENTROPY-l-diversity companion to [[kAnonymizeLDiverse]]
+    * (Machanavajjhala et al. 2007 §4.2): distinct-l is defeated by a
+    * SKEWED sensitive distribution — a group of 50 records with 49
+    * "flu" and 1 "HIV" has distinct diversity 2 but an attacker is
+    * 98% sure of flu. The entropy gate requires
+    *
+    *   −Σ_s p_s·ln(p_s) ≥ ln(l)
+    *
+    * per quasi-identifier group, evaluated on the exact micro lattice
+    * (`qi_h_micro` vs `floor(ln(l)·10⁶)` — see the lattice note on
+    * [[entropyLDiversityReport]]: a true entropy within ~(S+2) micro
+    * of the gate can flip either way, identically on every engine).
+    * This is the APPLY: rows of groups passing BOTH `qi_n ≥ k` and
+    * the entropy gate survive, with `qi_n`, `qi_l` (distinct
+    * non-null sensitive values, for the reviewer's cross-check) and
+    * `qi_h_micro` attached. Nulls carry no sensitive value: they
+    * count toward qi_n (they are records) but not toward the entropy
+    * — an all-null group never releases. Same null-safe QI join
+    * discipline as [[kAnonymize]].
+    *
+    * Scale shape: ONE aggregation over (QI, sensitive) then one over
+    * QI — both map-side combined on the same leading key — plus the
+    * null-safe equi join back; one shuffle family throughout.
+    */
+  def kAnonymizeLDiverseEntropy(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    val rep = entropyLDiversityReport(df, qiCols, sensitiveCol, k, l)
+      .filter(!col("suppressed_k") && !col("suppressed_l"))
+      .drop("suppressed_k", "suppressed_l")
+    val s2 = qiCols.foldLeft(rep) { (d, c) =>
+      d.withColumnRenamed(c, s"__q_$c") }
+    val cond = qiCols.map(c => df(c) <=> s2(s"__q_$c")).reduce(_ && _)
+    df.join(s2, cond).drop(qiCols.map(c => s"__q_$c"): _*)
+  }
+
+  /** The audit view for [[kAnonymizeLDiverseEntropy]]: one row per
+    * quasi-identifier group with `qi_n`, `qi_l` (distinct non-null
+    * sensitive values), `qi_h_micro` (the entropy on the micro
+    * lattice, null for all-null groups) and the per-gate verdicts
+    * `suppressed_k` / `suppressed_l` (entropy below `ln(l)·10⁶`
+    * micro, or undefined). A group releases iff both are false.
+    *
+    * The entropy lattice: with c_s the count of each NON-NULL
+    * sensitive value and n_s = Σ c_s,
+    *
+    *   H_micro = floor(ln(n_s)·10⁶) − (Σ_s floor(c_s·ln(c_s)·10⁶)) div n_s
+    *
+    * — algebraically H = ln n − Σ (c/n)·ln c = −Σ p·ln p, each ln
+    * term floored to micro BEFORE the exact integer sum (so partition
+    * order cannot flip a bit), the final division an integer `div`.
+    * The lattice sits within ±(S+2) micro of the true entropy for S
+    * distinct sensitive values — ~10⁻⁵ nats, noise against any
+    * ln(l) gate (ln 2 ≈ 693147 micro) but NOT one-sided; a group
+    * within that sliver of the gate can flip either way, identically
+    * on every engine. Null when the group has no non-null sensitive
+    * value (entropy of nothing is undefined, and such a group must
+    * never release).
+    */
+  def entropyLDiversityReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    require(k >= 2, s"k=$k must be >= 2 (k=1 releases everything)")
+    require(l >= 2, s"l=$l must be >= 2 (entropy-l with l=1 gates nothing)")
+    val lnLMicro = math.floor(math.log(l.toDouble) * 1000000).toLong
+    val bySens = df.groupBy((qiCols.map(col) :+ col(sensitiveCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    bySens.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__c")).as("qi_n"),
+        sum(when(col(sensitiveCol).isNotNull, 1L).otherwise(0L))
+          .as("qi_l"),
+        sum(when(col(sensitiveCol).isNotNull, col("__c")).otherwise(0L))
+          .as("__ns"),
+        sum(when(col(sensitiveCol).isNotNull,
+          floor(col("__c").cast("double")
+            * log(col("__c").cast("double")) * 1000000).cast("long"))
+          .otherwise(0L)).as("__st"))
+      .withColumn("qi_h_micro",
+        when(col("__ns") === 0, lit(null).cast("long"))
+          .otherwise(floor(log(col("__ns").cast("double")) * 1000000)
+            .cast("long") - expr("__st div __ns")))
+      .drop("__ns", "__st")
+      .withColumn("suppressed_k", col("qi_n") < k)
+      .withColumn("suppressed_l",
+        col("qi_h_micro").isNull || col("qi_h_micro") < lnLMicro)
+  }
+
   /** Generalization ladder for a NUMERIC quasi-identifier
     * (Samarati-style global recoding): try each bucket width in
     * `widths` order (caller lists them fine → coarse) and release the
@@ -336,13 +424,23 @@ object Anonymize {
     *   r₂ = ((r₁ + 7919·salt) mod M)·2246822519 mod M,   M = 2³¹
     *
     * (both multipliers public mixing constants — Knuth's golden-ratio
-    * prime and xxHash's prime2). NOT cryptographic: the rounds are
+    * prime and xxHash's prime2). Both rounds are bijections on
+    * [0, M): adding a constant mod M permutes, and multiplying by an
+    * ODD constant mod a power of two permutes — so over the ACCEPTED
+    * id domain [0, 2³¹) the map is INJECTIVE and "join-consistent"
+    * holds with no collisions at all. Ids OUTSIDE [0, 2³¹) — 64-bit
+    * snowflake ids, negative surrogate keys — refuse LOUDLY: the mod-M
+    * pre-reduction would silently collapse any two ids 2³¹ apart into
+    * one pseudonym, merging distinct identities in every downstream
+    * join and distinct count (pre-split wide ids into two sub-2³¹
+    * halves, or re-key upstream). NOT cryptographic: the rounds are
     * invertible mod M by anyone who learns the salt, and a keyed HMAC
     * belongs here when the adversary model demands one — this is the
     * analyst-facing consistency layer (same id ⇒ same pseudonym
     * across tables sharing the salt), documented as such. Null ids
-    * stay null (a null carries no identity to hide). Map-side only —
-    * no shuffle, no state, nothing leaves codegen.
+    * stay null (a null carries no identity to hide); a non-null id
+    * that does not cast to long refuses for the same merge reason.
+    * Map-side only — no shuffle, no state, nothing leaves codegen.
     */
   def pseudonymize(df: DataFrame, idCols: Seq[String],
       salt: Long): DataFrame = {
@@ -353,7 +451,18 @@ object Anonymize {
     val s1 = ((salt % m) + m) % m
     val s2 = ((BigInt(7919) * salt).mod(BigInt(m))).toLong
     idCols.foldLeft(df) { (d, c) =>
-      val r1 = pmod(pmod(pmod(col(c).cast("long"), lit(m)) + lit(s1),
+      val idv = coalesce(col(c).try_cast("long"),
+        raise_error(concat(lit(s"pseudonymize: id $c='"),
+          col(c).cast("string"),
+          lit("' is not castable to long — an uncast id would merge " +
+            "identities"))).cast("long"))
+      val inDomain = when(idv >= 0 && idv < m, idv).otherwise(
+        raise_error(concat(lit(s"pseudonymize: id $c="),
+          idv.cast("string"),
+          lit(s" outside [0, 2^31) — the 2^31 lattice would collapse " +
+            "ids 2^31 apart into one pseudonym; split wide ids or " +
+            "re-key upstream"))).cast("long"))
+      val r1 = pmod(pmod(pmod(inDomain, lit(m)) + lit(s1),
         lit(m)) * lit(2654435761L), lit(m))
       val r2 = pmod(pmod(r1 + lit(s2), lit(m))
         * lit(2246822519L), lit(m))

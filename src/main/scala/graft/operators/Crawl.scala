@@ -345,6 +345,13 @@ object Crawl {
     * percent-encoded per the protocol. Entirely codegen'd row-local
     * regex work: one explode, no UDF, no shuffle before the caller's
     * own aggregation. Documents with no entries emit nothing.
+    *
+    * GZIPPED sitemaps (`.xml.gz`, the dominant wire form for index
+    * members): inflate the fetched binary payload in-plan with
+    * [[graft.expr.GraftExpressions.gunzipText]] and feed the text
+    * column here — the inflate stays inside codegen next to the regex
+    * scan, refusing loudly on non-gzip bytes and decompression bombs
+    * (CrawlSpec pins the round-trip).
     */
   def sitemapUrls(df: DataFrame, idCol: String,
       xmlCol: String): DataFrame = {

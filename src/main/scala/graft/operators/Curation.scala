@@ -1855,9 +1855,12 @@ object Curation {
     *
     *   ratio_ppm = (10⁶ · (c1+1) · N0) div ((c0+1) · N1)
     *
-    * (N0/N1 = total token counts per period) computed on DECIMAL(38)
-    * so the triple product stays exact at any corpus size — no float
-    * anywhere, no overflow cliff. Add-one smoothing keeps terms absent
+    * (N0/N1 = total token counts per period) computed on DECIMAL —
+    * no float anywhere, exact until the triple product 10⁶·(c1+1)·N0
+    * exceeds DECIMAL(38)'s 38 digits, i.e. while (c1+1)·N0 < 10³²
+    * (a ~10¹⁶-token corpus with a ~10¹⁶-count term; past it the ANSI
+    * DECIMAL overflow is the loud guard — the brierScore/groupOls
+    * convention, not a silent wrap). Add-one smoothing keeps terms absent
     * from the baseline rankable without a division by zero and damps
     * the rare-term noise a raw ratio amplifies; `minC1` additionally
     * drops terms too rare in the fresh slice to trend (a visible

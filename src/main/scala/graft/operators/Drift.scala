@@ -111,8 +111,15 @@ object Drift {
       .groupBy(col("key"), col("digit"))
       .agg(count(lit(1)).as("n_obs"))
     val domain = broadcast(BenfordPpm.toDF("digit", "expected_ppm"))
+    // null-SAFE key equality: groupBy treats a null key as a real group
+    // (the kAnonymize lesson), so the zero-fill join must match it back —
+    // a plain equi join would hand every null-key group n_obs = 0 and a
+    // fabricated chi-square even when digits were observed
+    val obs2 = obs.withColumnRenamed("key", "__ok")
+      .withColumnRenamed("digit", "__od")
     val cells = perKey.crossJoin(domain)
-      .join(obs, Seq("key", "digit"), "left")
+      .join(obs2, col("key") <=> col("__ok")
+        && col("digit") === col("__od"), "left")
       .select(col("key"), col("digit"), col("expected_ppm"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         col("__N"), col("n_zero"))
@@ -127,7 +134,7 @@ object Drift {
           .otherwise(lit(null).cast("long")))
     val chi = cells.groupBy(col("key").as("__k"))
       .agg(sum(col("__term")).as("chi2_micro"))
-    cells.join(chi, col("key") === col("__k"), "left")
+    cells.join(chi, col("key") <=> col("__k"), "left")
       .select(col("key"), col("digit"), col("n_obs"),
         col("expected_ppm"), col("n_zero"), col("chi2_micro"))
   }
@@ -169,7 +176,9 @@ object Drift {
     val keyStats = cells.groupBy(col("key").as("__k"))
       .agg(sum(col("n0")).as("__c0"), sum(col("n1")).as("__c1"),
         count(lit(1)).as("n_buckets"))
-    val terms = cells.join(keyStats, col("key") === col("__k"))
+    // <=> : a null key is a real group (groupBy keeps it) — a plain
+    // equi fold join would silently drop its rows from the output
+    val terms = cells.join(keyStats, col("key") <=> col("__k"))
       .withColumn("__T", col("__c0") + col("__c1"))
       .withColumn("__row", col("n0") + col("n1"))
       .withColumn("__t0", term(col("__T"), col("n0"), col("__row"),
@@ -180,7 +189,7 @@ object Drift {
       .agg(sum(col("__t0") + col("__t1")).as("__chi"),
         max(when(col("__c0") === 0 || col("__c1") === 0, 1L)
           .otherwise(0L)).as("__degen"))
-    terms.join(chi, col("key") === col("__k2"))
+    terms.join(chi, col("key") <=> col("__k2"))
       .select(col("key"), col("bucket"), col("n0"), col("n1"),
         col("n_buckets"),
         when(col("__degen") === 1, lit(null).cast("long"))
@@ -234,6 +243,133 @@ object Drift {
       .withColumn("rate0_ppm", rate("nulls0", "n0"))
       .withColumn("rate1_ppm", rate("nulls1", "n1"))
       .withColumn("delta_ppm", col("rate1_ppm") - col("rate0_ppm"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift per key — the CONTINUOUS-
+    * metric companion to [[chiSquareDrift]] (no bucketing choice to
+    * defend): per key, D = max |F₀(v) − F₁(v)| over the pooled sample,
+    * computed ENTIRELY on the integer lattice. With a₀/a₁ the
+    * cumulative group counts at each distinct value (ascending) and
+    * n₀/n₁ the group totals,
+    *
+    *   d_num  = max |a₀·n₁ − a₁·n₀|      (exact — the CDF difference
+    *                                       cross-multiplied, no float)
+    *   ks_ppm = (10⁶ · d_num) div (n₀·n₁)
+    *
+    * so the statistic is bit-identical on any cluster and in the
+    * oracle. Null when either group is empty (D is undefined, not 0);
+    * `n0, n1, d_num` ride along so the caller can run the asymptotic
+    * p-value (needs a float sqrt — caller-side, the [[graft.operators.Experiment.mannWhitneyU]]
+    * convention). Group must be 0/1 and values non-null long-castable,
+    * refused loudly (a silently dropped row would shift every
+    * cumulative count; quantize float metrics upstream).
+    *
+    * Overflow (loud under ANSI): 10⁶·d_num ≤ 10⁶·n₀·n₁ < 2⁶³ holds
+    * while n₀·n₁ < 9.2·10¹² (~3·10⁶ rows per side per key) — shard
+    * or pre-bucket past that. Scale shape: one (key, value) count
+    * aggregation, one key-partitioned ordered window (the
+    * [[graft.operators.Experiment.mannWhitneyU]] shape — state bounded by a key's
+    * distinct values, never a global rank), one key fold. The three
+    * stages share the key partitioning — one shuffle does all of it.
+    */
+  def ksDrift(df: DataFrame, keyCol: String, groupCol: String,
+      valCol: String): DataFrame = {
+    val g = when(col(groupCol).isin(0L, 1L), col(groupCol).cast("long"))
+      .otherwise(raise_error(concat(lit("ksDrift group '"),
+        coalesce(col(groupCol).cast("string"), lit("NULL")),
+        lit("' is not 0/1 — two-sample CDFs need exactly two groups")))
+        .cast("long"))
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("ksDrift value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped row would " +
+          "shift every cumulative count; quantize/filter upstream")))
+        .cast("long"))
+    val counts = df
+      .select(col(keyCol).as("key"), g.as("__g"), v.as("__v"))
+      .groupBy(col("key"), col("__v"))
+      .agg(sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("__c1"))
+    val cum = Window.partitionBy(col("key")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("key"))
+    counts
+      .withColumn("__a0", sum(col("__c0")).over(cum))
+      .withColumn("__a1", sum(col("__c1")).over(cum))
+      .withColumn("__t0", sum(col("__c0")).over(whole))
+      .withColumn("__t1", sum(col("__c1")).over(whole))
+      .groupBy(col("key"))
+      .agg(max(col("__t0")).as("n0"), max(col("__t1")).as("n1"),
+        max(abs(col("__a0") * col("__t1") - col("__a1") * col("__t0")))
+          .as("d_num"))
+      .withColumn("ks_ppm",
+        when(col("n0") === 0 || col("n1") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr("(1000000L * d_num) div (n0 * n1)")))
+  }
+
+  /** Population stability index per key over caller-bucketed
+    * histograms — the industry-standard drift score for a scored or
+    * binned feature (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25 shifted
+    * — the classic credit-scoring rule of thumb): per key,
+    *
+    *   PSI = Σ_b (p₁_b − p₀_b) · ln(p₁_b / p₀_b)
+    *
+    * with ADD-ONE (Laplace) smoothed shares p_b = (n_b + 1)/(c + B)
+    * over the key's B observed buckets — the [[graft.operators.Curation.trendingTerms]]
+    * smoothing discipline, which keeps ln finite for buckets empty on
+    * one side VISIBLY (both raw counts ride along) instead of the
+    * silent ε-clamps PSI implementations usually bury. Each bucket
+    * term is computed in IEEE double in a FIXED op order the oracle
+    * mirrors — p₀ = (n₀+1)/(c₀+B), p₁ = (n₁+1)/(c₁+B),
+    * (p₁−p₀)·ln(p₁/p₀) — floored to MICRO units (terms are ≥ 0 by
+    * construction, so the sum is monotone; floor bias ≤ B micro,
+    * documented noise) and integer-summed, so `psi_micro` is
+    * engine-exact. Null when a period marginal is empty (drift vs an
+    * absent period is undefined, the [[chiSquareDrift]] convention).
+    * Periods must be 0/1, refused loudly; buckets are any longs
+    * (bucket continuous features upstream).
+    *
+    * One (key, bucket) aggregation + one key fold joined back
+    * null-safely — the [[chiSquareDrift]] shape exactly; KS asks "did
+    * the distribution move" on raw values, PSI scores "by how much"
+    * on the operating histogram.
+    */
+  def psi(df: DataFrame, keyCol: String, bucketCol: String,
+      periodCol: String): DataFrame = {
+    val p = coalesce(col(periodCol).try_cast("long"),
+      raise_error(concat(lit("psi period '"),
+        coalesce(col(periodCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(keyCol).as("key"),
+      col(bucketCol).cast("long").as("bucket"),
+      when(p.isin(0L, 1L), p).otherwise(
+        raise_error(concat(lit("psi period "),
+          p.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__p"))
+    val cells = rows.groupBy(col("key"), col("bucket"))
+      .agg(sum(when(col("__p") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__p") === 1, 1L).otherwise(0L)).as("n1"))
+    val keyStats = cells.groupBy(col("key").as("__k"))
+      .agg(sum(col("n0")).as("__c0"), sum(col("n1")).as("__c1"),
+        count(lit(1)).as("n_buckets"))
+    val terms = cells.join(keyStats, col("key") <=> col("__k"))
+      .withColumn("__p0", (col("n0") + 1L).cast("double")
+        / (col("__c0") + col("n_buckets")).cast("double"))
+      .withColumn("__p1", (col("n1") + 1L).cast("double")
+        / (col("__c1") + col("n_buckets")).cast("double"))
+      .withColumn("__term",
+        floor((col("__p1") - col("__p0"))
+          * log(col("__p1") / col("__p0")) * 1000000).cast("long"))
+    val fold = terms.groupBy(col("key").as("__k2"))
+      .agg(sum(col("__term")).as("__psi"),
+        max(when(col("__c0") === 0 || col("__c1") === 0, 1L)
+          .otherwise(0L)).as("__degen"))
+    terms.join(fold, col("key") <=> col("__k2"))
+      .select(col("key"), col("bucket"), col("n0"), col("n1"),
+        col("n_buckets"),
+        when(col("__degen") === 1, lit(null).cast("long"))
+          .otherwise(col("__psi")).as("psi_micro"))
   }
 
   /** One χ² homogeneity cell on the micro lattice: residual

@@ -447,9 +447,13 @@ object EvalMetrics {
     * (tie), 1 (A wins) or 2 (B wins), refused loudly otherwise; a
     * self-comparison (A = B) also refuses — it would inflate both
     * sides of its own ledger. Pairs are CANONICALIZED to `m_lo <
-    * m_hi` (verdicts flip with the swap), so (x,y) and (y,x)
-    * judgments aggregate together. Per pair: `n, wins_lo, wins_hi,
-    * ties` and the tie-splitting win rate on the half-count lattice,
+    * m_hi` ON THE COLUMN'S OWN TYPE — string model names (the normal
+    * case for arena-style judge verdicts), numeric ids, anything
+    * orderable; both model columns must share one type (checked
+    * loudly driver-side) and the verdict flips with the swap, so
+    * (x,y) and (y,x) judgments aggregate together. Per pair: `n,
+    * wins_lo, wins_hi, ties` and the tie-splitting win rate on the
+    * half-count lattice,
     *
     *   winrate_lo_ppm = 10⁶·(2·wins_lo + ties) div (2·n)
     *
@@ -457,19 +461,28 @@ object EvalMetrics {
     */
   def winRate(prefs: DataFrame, modelACol: String, modelBCol: String,
       winnerCol: String): DataFrame = {
+    val ta = prefs.schema(modelACol).dataType
+    val tb = prefs.schema(modelBCol).dataType
+    require(ta == tb,
+      s"winRate: model columns must share one type to canonicalize " +
+        s"pairs — $modelACol is ${ta.simpleString}, $modelBCol is " +
+        s"${tb.simpleString}")
     val w = coalesce(col(winnerCol).try_cast("long"),
       raise_error(concat(lit("winRate: winner '"),
         coalesce(col(winnerCol).cast("string"), lit("NULL")),
         lit("' is null or not castable to long"))).cast("long"))
     // Spark's least/greatest SKIP nulls — a null model id would
-    // silently fold into the other side's ledger, so refuse first
-    def model(c: String) = coalesce(col(c).cast("long"),
-      raise_error(lit(s"winRate: null $c model id")).cast("long"))
+    // silently fold into the other side's ledger, so refuse first;
+    // canonicalization stays on the NATIVE type (no long cast — a
+    // string model name must not die in a cast)
+    def model(c: String) = coalesce(col(c),
+      raise_error(lit(s"winRate: null $c model id"))
+        .cast(ta.simpleString))
     val a = model(modelACol)
     val b = model(modelBCol)
     val rows = prefs.select(
       when(a === b, raise_error(concat(lit("winRate: self-comparison "),
-        a.cast("string"), lit(" vs itself"))).cast("long"))
+        a.cast("string"), lit(" vs itself"))).cast(ta.simpleString))
         .otherwise(least(a, b)).as("m_lo"),
       greatest(a, b).as("m_hi"),
       when(!w.isin(0L, 1L, 2L),
@@ -486,6 +499,90 @@ object EvalMetrics {
         sum(when(col("__w") === 0, 1L).otherwise(0L)).as("ties"))
       .withColumn("winrate_lo_ppm",
         expr("(1000000L * (2L * wins_lo + ties)) div (2L * n)"))
+  }
+
+  /** Bradley–Terry strength fit over a [[winRate]] ledger — the arena
+    * READOUT: per-pair win rates don't order k models; the BT model
+    * (Bradley–Terry 1952) fits one strength pᵢ per model with
+    * P(i beats j) = pᵢ/(pᵢ+pⱼ), via Hunter's MM updates (Hunter 2004,
+    * "MM algorithms for generalized Bradley–Terry models"):
+    *
+    *   pᵢ ← Wᵢ / Σⱼ nᵢⱼ/(pᵢ+pⱼ),   then normalize Σp = 1
+    *
+    * run for EXACTLY `iters` rounds on an integer lattice — ties
+    * half-credited on the doubled count (the [[winRate]] convention:
+    * W2ᵢ = 2·winsᵢ + tiesᵢ, n2ᵢⱼ = 2·nᵢⱼ), every division an
+    * integer `div`:
+    *
+    *   tᵢⱼ = (10⁹·n2ᵢⱼ) div (pᵢ+pⱼ)       (p on the ppm lattice)
+    *   rawᵢ = (10⁹·W2ᵢ) div Σⱼ tᵢⱼ
+    *   pᵢ  = max(1, (10⁶·rawᵢ) div Σ raw)
+    *
+    * — NO float anywhere, so the fit is bit-identical on any cluster
+    * and replayable in ANSI SQL; fixed iteration count (not a
+    * convergence test) for the same reason. The max(1, ·) floor keeps
+    * a never-winning model's pseudo-strength at one ppm instead of a
+    * zero that would divide later rounds by 0 — visibly the lattice
+    * floor, not a fitted value (its `w2 = 0` rides along). Output one
+    * row per model: `model, w2, n2, p_ppm` (n2 = doubled comparisons
+    * played). Requires every ledger pair to have n ≥ 1 (winRate
+    * guarantees it) and the comparison GRAPH to be connected for a
+    * meaningful joint scale — disconnected components still converge
+    * within themselves (the standard BT caveat, documented not
+    * policed: connectivity is a [[graft.operators.Graph]] question).
+    *
+    * Overflow (loud under ANSI): 10⁹·n2ᵢⱼ < 2⁶³ bounds any single
+    * pair at ~4.6·10⁹ comparisons; Σt over a model's pairs stays
+    * < 2⁶² while its total comparisons stay < 9·10⁹. Scale shape:
+    * the ledger is pair-sized (k models → ≤ k² rows, k ≤ 65536
+    * enforced); each round is one broadcast-join of the p relation
+    * onto the edges + one model-keyed aggregation + one 1-row fold,
+    * lineage cut per round (the kCoreInt discipline) so `iters`
+    * rounds cost `iters` plans, not one exponential one.
+    */
+  def bradleyTerry(ledger: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters=$iters out of [1, 64]")
+    val spark = ledger.sparkSession
+    // both directions of every pair: (model, opponent, w2 = model's
+    // doubled wins incl. tie halves, n2 = doubled comparisons)
+    val fwd = ledger.select(col("m_lo").as("i"), col("m_hi").as("j"),
+      (lit(2L) * col("wins_lo") + col("ties")).as("w2"),
+      (lit(2L) * col("n")).as("n2"))
+    val rev = ledger.select(col("m_hi").as("i"), col("m_lo").as("j"),
+      (lit(2L) * col("wins_hi") + col("ties")).as("w2"),
+      (lit(2L) * col("n")).as("n2"))
+    val edges = fwd.unionByName(rev).localCheckpoint()
+    val models = edges.groupBy(col("i").as("model"))
+      .agg(sum(col("w2")).as("w2"), sum(col("n2")).as("n2"))
+      .localCheckpoint()
+    val nModels = models.count()
+    require(nModels >= 2 && nModels <= 65536,
+      s"bradleyTerry: $nModels models out of [2, 65536] — a one-model " +
+        "ledger has nothing to rank; shard a larger arena")
+    var p = models.select(col("model"), lit(1000000L).as("p_ppm"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val pi = p.select(col("model").as("__mi"), col("p_ppm").as("__pi"))
+      val pj = p.select(col("model").as("__mj"), col("p_ppm").as("__pj"))
+      val denom = edges
+        .join(broadcast(pi), col("i") === col("__mi"))
+        .join(broadcast(pj), col("j") === col("__mj"))
+        .select(col("i"),
+          expr("(1000000000L * n2) div (__pi + __pj)").as("__t"))
+        .groupBy(col("i"))
+        .agg(sum(col("__t")).as("__d"))
+      val raw = models.join(denom, col("model") === col("i"))
+        .select(col("model"),
+          expr("(1000000000L * w2) div __d").as("__raw"))
+      val tot = raw.agg(sum(col("__raw")).as("__s"))
+      p = raw.crossJoin(broadcast(tot))
+        .select(col("model"),
+          greatest(lit(1L), expr("(1000000L * __raw) div __s"))
+            .as("p_ppm"))
+        .localCheckpoint()
+    }
+    models.join(p, Seq("model"))
+      .select(col("model"), col("w2"), col("n2"), col("p_ppm"))
   }
 
   /** Expected calibration error (Naeini 2015 / Guo 2017), FULLY

@@ -646,8 +646,117 @@ object Experiment {
       .agg(coalesce(max(when(
         col("p_ppm") * col("m") <= col("k") * lit(alphaPpm),
         col("k"))), lit(0L)).as("k_star"))
-    ranked.join(kstar, col("grp") === col("__g"))
+    // <=> : a null family is a real window partition (the rank window
+    // keeps it) — a plain equi fold join would drop its hypotheses
+    ranked.join(kstar, col("grp") <=> col("__g"))
       .select(col("grp"), col("id"), col("p_ppm"), col("k"), col("m"),
         col("k_star"), (col("k") <= col("k_star")).as("reject"))
+  }
+
+  /** Two-sample log-rank test (Mantel 1966 / Peto–Peto) per
+    * EXPERIMENT — the arm comparison that is the POINT of survival
+    * analysis ([[survivalKm]] answers "what is each curve"; this
+    * answers "do the arms differ"). Input is the KM contract: one row
+    * per subject with an experiment key, a group flag g ∈ {0,1}, a
+    * non-negative long duration and a 0/1 event flag (all refused
+    * loudly otherwise, the [[survivalKm]] refusals). At each POOLED
+    * event time tₖ with nₖ = n₀ₖ + n₁ₖ at risk and dₖ = d₀ₖ + d₁ₖ
+    * events:
+    *
+    *   E₁ₖ = dₖ·n₁ₖ/nₖ          — INTEGER-EXACT on the micro lattice:
+    *                               (10⁶·dₖ·n₁ₖ) div nₖ, no float;
+    *   Vₖ  = dₖ·n₁ₖ·n₀ₖ·(nₖ−dₖ)/(nₖ²·(nₖ−1)) — one IEEE double chain
+    *         in a fixed op order the oracle mirrors, floored to micro
+    *         (0 when nₖ = 1, where the hypergeometric variance is 0);
+    *
+    * summed as integers per experiment (floor bias ≤ 1 micro per
+    * event time, documented noise), with O₁ = Σ d₁ₖ exact. The
+    * statistic
+    *
+    *   chi2_micro = floor((10⁶·O₁ − e1_micro)² / v_micro)
+    *
+    * (algebraically (O₁−E₁)²/V ·10⁶ — the two 10⁶ scalings cancel;
+    * null when v_micro = 0, where the test is undefined: one arm
+    * empty or no event time with both arms at risk). χ² ≥ 3.84 ⇔
+    * p < 0.05 at 1 dof. Output ONE row per (exp, grp): the arm's
+    * subject count `n_subj` and observed events `o`, with `e1_micro`,
+    * `v_micro`, `chi2_micro` attached to both rows (E₀ = d−E₁ by
+    * construction — one expected column is the whole story).
+    *
+    * Overflow bound (loud under ANSI, not wrapping): 10⁶·dₖ·n₁ₖ <
+    * 2⁶³ holds to ~3·10⁶ subjects per experiment; shard or quantize
+    * past that. Scale shape: one (exp, grp, t) aggregation, one
+    * exp-PARTITIONED descending-time cumulative window for the risk
+    * sets (the [[survivalKm]] machinery — never a global window), one
+    * exp fold joined back null-safely. Nothing subject-sized crosses
+    * the second shuffle.
+    */
+  def logRank(df: DataFrame, expCol: String, groupCol: String,
+      durCol: String, eventCol: String): DataFrame = {
+    val g = when(col(groupCol).isin(0L, 1L), col(groupCol).cast("long"))
+      .otherwise(raise_error(concat(lit("logRank group '"),
+        coalesce(col(groupCol).cast("string"), lit("NULL")),
+        lit("' is not 0/1 — the two-sample test needs exactly two " +
+          "arms"))).cast("long"))
+    val dur = coalesce(col(durCol).try_cast("long"),
+      raise_error(concat(lit("logRank: duration '"),
+        coalesce(col(durCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val ev = coalesce(col(eventCol).try_cast("long"),
+      raise_error(concat(lit("logRank: event flag '"),
+        coalesce(col(eventCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(expCol).as("exp"), g.as("__g"),
+      when(dur < 0, raise_error(concat(
+        lit("logRank: negative duration "), dur.cast("string")))
+        .cast("long")).otherwise(dur).as("t"),
+      when(ev.isin(0L, 1L), ev).otherwise(
+        raise_error(concat(lit("logRank: event flag "),
+          ev.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__e"))
+    val byDur = rows.groupBy(col("exp"), col("t"))
+      .agg(sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === 0L, col("__e")).otherwise(0L)).as("__d0"),
+        sum(when(col("__g") === 1L, col("__e")).otherwise(0L)).as("__d1"))
+    val risk = Window.partitionBy(col("exp")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val et = byDur
+      .withColumn("__n0", sum(col("__c0")).over(risk))
+      .withColumn("__n1", sum(col("__c1")).over(risk))
+      .withColumn("__n", col("__n0") + col("__n1"))
+      .withColumn("__d", col("__d0") + col("__d1"))
+      .filter(col("__d") >= 1)
+    // E1 term: pure integers. V term: ONE double chain in THIS op
+    // order — ((d·n1)·n0·(n−d)) / ((n·n)·(n−1)) · 10⁶ — the oracle
+    // replays it verbatim.
+    val terms = et
+      .withColumn("__e1k",
+        expr("(1000000L * (__d * __n1)) div __n"))
+      .withColumn("__vk",
+        when(col("__n") <= 1, lit(0L)).otherwise(
+          floor((col("__d") * col("__n1")).cast("double")
+            * col("__n0").cast("double")
+            * (col("__n") - col("__d")).cast("double")
+            / (col("__n").cast("double") * col("__n").cast("double")
+              * (col("__n") - 1L).cast("double"))
+            * 1000000).cast("long")))
+    val fold = terms.groupBy(col("exp").as("__x"))
+      .agg(sum(col("__d1")).as("__o1"),
+        sum(col("__e1k")).as("e1_micro"), sum(col("__vk")).as("v_micro"))
+      .withColumn("chi2_micro",
+        when(col("v_micro") === 0, lit(null).cast("long"))
+          .otherwise(floor(
+            (lit(1000000L) * col("__o1") - col("e1_micro")).cast("double")
+              * (lit(1000000L) * col("__o1") - col("e1_micro"))
+                .cast("double")
+              / col("v_micro").cast("double")).cast("long")))
+    // two arm rows per experiment, fold stats on both; <=> for the
+    // null-experiment group the fold join must not drop
+    val arms = rows.groupBy(col("exp"), col("__g").as("grp"))
+      .agg(count(lit(1)).as("n_subj"), sum(col("__e")).as("o"))
+    arms.join(fold, col("exp") <=> col("__x"))
+      .select(col("exp"), col("grp"), col("n_subj"), col("o"),
+        col("e1_micro"), col("v_micro"), col("chi2_micro"))
   }
 }

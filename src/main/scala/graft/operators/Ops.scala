@@ -607,7 +607,9 @@ object Ops {
       .agg(count(lit(1)).as("n"), sum(col("__v")).as("val_sum"))
     val totals = cells.groupBy(col("key").as("__k"))
       .agg(sum(col("n")).as("__na"), sum(col("val_sum")).as("__sa"))
-    cells.join(totals, col("key") === col("__k"))
+    // <=> : a null key is a real group — a plain equi fold join would
+    // silently drop its phases from the profile
+    cells.join(totals, col("key") <=> col("__k"))
       .select(col("key"), col("phase"), col("n"), col("val_sum"),
         floor(col("val_sum").cast("double") / col("n").cast("double")
           * 1000).cast("long").as("mean_milli"),

@@ -128,12 +128,27 @@ object SemiStructured {
     require(maxDepth >= 1 && maxDepth <= 8,
       s"maxDepth=$maxDepth out of range 1..8 (flatten deeper payloads " +
         "upstream — an unbounded recursion is not a profile)")
+    // STREAMING inputs cannot cut lineage (no checkpoint inside a
+    // micro-batch plan), so every level would re-parse the raw strings
+    // from the root — the O(maxDepth²) cost the batch path was
+    // measured-fixed for (45.5 → 10.6 s at 1M rows, maxDepth=4).
+    // Refuse LOUDLY past depth 2 (where the quadratic term is still
+    // ~one extra parse) instead of silently paying it: profile deep
+    // payloads per micro-batch via foreachBatch, where each batch is a
+    // BATCH frame and the single-pass recursion applies.
+    require(!df.isStreaming || maxDepth <= 2,
+      s"jsonPathProfile: maxDepth=$maxDepth on a STREAMING input " +
+        "re-parses every payload once per level (no lineage cut is " +
+        "possible inside a micro-batch plan) — keep maxDepth <= 2, or " +
+        "run the profile inside foreachBatch where the batch path's " +
+        "single-pass recursion applies")
     val spark = df.sparkSession
     // each level is referenced TWICE (as a profile branch and as the
     // next level's parent), and every level's lazy plan would re-parse
     // the raw strings from the root — maxDepth² parse passes. Cutting
     // the lineage per level makes the recursion single-pass; streaming
-    // inputs (no checkpoint possible) keep the lazy plans.
+    // inputs (no checkpoint possible, depth-bounded above) keep the
+    // lazy plans.
     val materialize: DataFrame => DataFrame =
       if (df.isStreaming) identity else (_.localCheckpoint())
     val root = materialize(

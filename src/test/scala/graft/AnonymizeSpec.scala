@@ -258,7 +258,7 @@ class AnonymizeSpec extends AnyFunSuite {
 
   test("pseudonymize: the two-round lattice exactly, join " +
       "consistency across tables, bijective on a small domain, " +
-      "nulls stay null") {
+      "nulls stay null, out-of-domain ids refuse") {
     val m = 1L << 31
     def expected(id: Long, salt: Long): Long = {
       val s1 = ((salt % m) + m) % m
@@ -268,11 +268,11 @@ class AnonymizeSpec extends AnyFunSuite {
       ((r1 + s2).mod(BigInt(m)) * BigInt(2246822519L))
         .mod(BigInt(m)).toLong
     }
-    val rows = Seq(Some(42L), Some(-7L), None).toDF("id")
+    val rows = Seq(Some(42L), Some(m - 1L), None).toDF("id")
     val got = Anonymize.pseudonymize(rows, Seq("id"), salt = 99L)
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     assert(got.toSet == Set(Some(expected(42L, 99L)),
-      Some(expected(-7L, 99L)), None), s"got ${got.toSet}")
+      Some(expected(m - 1L, 99L)), None), s"got ${got.toSet}")
     // same id, same salt, different table -> same pseudonym
     val other = Anonymize.pseudonymize(Seq(42L).toDF("id"),
       Seq("id"), salt = 99L).collect()(0).getLong(0)
@@ -284,6 +284,73 @@ class AnonymizeSpec extends AnyFunSuite {
     assert(many.size == 100)
     intercept[IllegalArgumentException] {
       Anonymize.pseudonymize(rows, Seq.empty, 1L)
+    }
+    // ids outside [0, 2^31) would collide with id mod 2^31 — refused
+    // loudly (the round-16 advice: a 64-bit snowflake id must not
+    // silently merge with another identity)
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null) t else rootCause(t.getCause)
+    for (bad <- Seq(m, -7L, Long.MaxValue)) {
+      val e = intercept[Exception] {
+        Anonymize.pseudonymize(Seq(bad).toDF("id"), Seq("id"), 99L)
+          .collect()
+      }
+      assert(rootCause(e).getMessage.contains("outside [0, 2^31)"),
+        s"id=$bad: ${rootCause(e).getMessage}")
+    }
+    // an uncastable string id refuses too (it would null-merge)
+    val e2 = intercept[Exception] {
+      Anonymize.pseudonymize(Seq("not-a-number").toDF("id"),
+        Seq("id"), 99L).collect()
+    }
+    assert(rootCause(e2).getMessage.contains("not castable"))
+  }
+
+  test("entropyLDiversityReport / kAnonymizeLDiverseEntropy: skewed " +
+      "sensitive distributions fail the gate distinct-l passes, the " +
+      "micro lattice replays exactly, all-null groups never release") {
+    // group A: 50 records, 49 flu + 1 hiv — distinct-l = 2 PASSES the
+    // distinct gate, but the attacker is 98% sure: entropy ~0.098 nats
+    // << ln 2. Group B: 4 records 2/2 — entropy = ln 2 exactly, the
+    // gate boundary, releases. Group C: all-null sensitive.
+    val rows = (1 to 49).map(i => (i.toLong, "A", Some("flu"))) ++
+      Seq((50L, "A", Some("hiv"))) ++
+      Seq((51L, "B", Some("flu")), (52L, "B", Some("flu")),
+        (53L, "B", Some("hiv")), (54L, "B", Some("hiv"))) ++
+      Seq((55L, "C", None), (56L, "C", None), (57L, "C", None),
+        (58L, "C", None))
+    val df = rows.toDF("id", "qi", "diag")
+    val rep = Anonymize.entropyLDiversityReport(df, Seq("qi"), "diag",
+        k = 4, l = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    // the operator's own lattice replayed in plain scala
+    def hMicro(cs: Seq[Long]): Long = {
+      val n = cs.sum
+      val st = cs.map(c => math.floor(
+        c.toDouble * math.log(c.toDouble) * 1000000).toLong).sum
+      math.floor(math.log(n.toDouble) * 1000000).toLong - st / n
+    }
+    val hA = hMicro(Seq(49L, 1L))
+    val hB = hMicro(Seq(2L, 2L))
+    assert(rep("A") == ((50L, 2L, hA, false, true)), s"A: ${rep("A")}")
+    assert(hA < 693147L && hA > 0L)
+    assert(rep("B") == ((4L, 2L, hB, false, false)), s"B: ${rep("B")}")
+    assert(hB == 693147L) // ln 2 on the lattice, exactly at the gate
+    assert(rep("C") == ((4L, 0L, -1L, false, true)), s"C: ${rep("C")}")
+    // apply: only group B's rows survive, stats attached
+    val app = Anonymize.kAnonymizeLDiverseEntropy(df, Seq("qi"), "diag",
+      k = 4, l = 2).collect()
+    assert(app.length == 4 &&
+      app.forall(r => r.getAs[String]("qi") == "B" &&
+        r.getAs[Long]("qi_n") == 4L && r.getAs[Long]("qi_h_micro") == hB))
+    intercept[IllegalArgumentException] {
+      Anonymize.entropyLDiversityReport(df, Seq("qi"), "diag", 4, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Anonymize.entropyLDiversityReport(df, Seq("qi", "diag"), "diag",
+        4, 2)
     }
   }
 }

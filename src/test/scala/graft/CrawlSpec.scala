@@ -214,4 +214,53 @@ class CrawlSpec extends AnyFunSuite {
       (2L, "sitemap", "http://a.example.org/s1.xml", None)),
       s"got $got")
   }
+
+  test("gunzipText -> sitemapUrls: a gzipped .xml.gz member sitemap " +
+      "inflates in-plan and extracts; non-gzip bytes and bombs refuse " +
+      "loudly; null payloads stay null") {
+    import graft.expr.GraftExpressions
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close()
+      bos.toByteArray
+    }
+    val xml = "<urlset><url><loc>http://a.example.org/p?x=1&amp;y=2" +
+      "</loc><lastmod>2026-02-03</lastmod></url></urlset>"
+    val docs = Seq((1L, gz(xml))).toDF("doc_id", "gz")
+      .select(col("doc_id"),
+        GraftExpressions.gunzipText(col("gz")).as("xml"))
+    val got = Crawl.sitemapUrls(docs, "doc_id", "xml").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got == Set((1L, "url", "http://a.example.org/p?x=1&y=2",
+      Some("2026-02-03"))), s"got $got")
+    // null in -> null out (no row from the extractor, no error)
+    val nulls = Seq((2L, Option.empty[Array[Byte]])).toDF("doc_id", "gz")
+      .select(col("doc_id"),
+        GraftExpressions.gunzipText(col("gz")).as("xml"))
+    assert(nulls.collect()(0).isNullAt(1))
+    // non-gzip bytes refuse with the magic-byte message
+    val bad = intercept[Exception] {
+      Seq((3L, "plain".getBytes("UTF-8"))).toDF("doc_id", "gz")
+        .select(GraftExpressions.gunzipText(col("gz"))).collect()
+    }
+    assert(rc(bad).getMessage.contains("not gzip"), rc(bad).getMessage)
+    // decompression past maxBytes refuses (bomb guard)
+    val bomb = intercept[Exception] {
+      Seq((4L, gz("x" * 100000))).toDF("doc_id", "gz")
+        .select(GraftExpressions.gunzipText(col("gz"), maxBytes = 1024))
+        .collect()
+    }
+    assert(rc(bomb).getMessage.contains("decompresses past"),
+      rc(bomb).getMessage)
+    // SQL surface
+    graft.expr.GraftExpressions.register(spark)
+    Seq((5L, gz("<x/>"))).toDF("doc_id", "gz")
+      .createOrReplaceTempView("gz_docs")
+    assert(spark.sql("SELECT gunzip_text(gz) AS t FROM gz_docs")
+      .collect()(0).getString(0) == "<x/>")
+  }
 }

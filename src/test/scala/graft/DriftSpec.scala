@@ -133,4 +133,94 @@ class DriftSpec extends AnyFunSuite {
       Drift.nullRateDrift(rows, Seq.empty, "p")
     }
   }
+
+  test("ksDrift: planted shift has the known KS statistic, exact " +
+      "integer cross-multiplication, empty-group null, per-key " +
+      "isolation, refusals") {
+    // key a: g0 = {1,2,3,4}, g1 = {3,4,5,6} -> D = |2/4 - 0/4| = 0.5
+    val rows = Seq(
+      ("a", 0L, 1L), ("a", 0L, 2L), ("a", 0L, 3L), ("a", 0L, 4L),
+      ("a", 1L, 3L), ("a", 1L, 4L), ("a", 1L, 5L), ("a", 1L, 6L),
+      // key b: identical samples -> D = 0
+      ("b", 0L, 7L), ("b", 1L, 7L),
+      // key c: one-sided -> undefined
+      ("c", 0L, 1L))
+      .toDF("k", "g", "v")
+    val got = Drift.ksDrift(rows, "k", "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got("a") == ((4L, 4L, 8L, 500000L)), s"got ${got("a")}")
+    assert(got("b") == ((1L, 1L, 0L, 0L)))
+    assert(got("c") == ((1L, 0L, 0L, -1L)), s"got ${got("c")}")
+    val badG = intercept[Exception] {
+      Drift.ksDrift(Seq(("a", 2L, 1L)).toDF("k", "g", "v"),
+        "k", "g", "v").collect()
+    }
+    assert(rootCause(badG).getMessage.contains("not 0/1"))
+    val badV = intercept[Exception] {
+      Drift.ksDrift(Seq(("a", 0L, Option.empty[Long]))
+        .toDF("k", "g", "v"), "k", "g", "v").collect()
+    }
+    assert(rootCause(badV).getMessage.contains("ksDrift value"))
+  }
+
+  test("psi: add-one smoothed shares in the documented op order, " +
+      "symmetric swap doubles one term, one-period keys null, " +
+      "refusals") {
+    // key a: bucket 0 swaps 9:1 -> 1:9 against bucket 1 (B = 2,
+    // c0 = c1 = 10); both bucket terms equal by symmetry
+    val rows =
+      (1 to 9).map(_ => ("a", 0L, 0L)) ++ Seq(("a", 1L, 0L)) ++
+      (1 to 9).map(_ => ("a", 1L, 1L)) ++ Seq(("a", 0L, 1L)) ++
+      // key d: period 1 never observed -> psi null, counts visible
+      Seq(("d", 5L, 0L))
+    val got = Drift.psi(rows.toDF("k", "b", "p"), "k", "b", "p")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    // the operator's exact lattice in plain scala
+    def term(n0: Long, n1: Long, c0: Long, c1: Long, b: Long): Long = {
+      val p0 = (n0 + 1).toDouble / (c0 + b).toDouble
+      val p1 = (n1 + 1).toDouble / (c1 + b).toDouble
+      math.floor((p1 - p0) * math.log(p1 / p0) * 1000000).toLong
+    }
+    val t0 = term(9, 1, 10, 10, 2)
+    val t1 = term(1, 9, 10, 10, 2)
+    assert(t0 == t1 && t0 > 0)
+    assert(got(("a", 0L)) == ((9L, 1L, 2L, t0 + t1)),
+      s"got ${got(("a", 0L))}, want psi ${t0 + t1}")
+    assert(got(("a", 1L)) == ((1L, 9L, 2L, t0 + t1)))
+    assert(got(("d", 5L)) == ((1L, 0L, 1L, -1L)), s"got ${got(("d", 5L))}")
+    val bad = intercept[Exception] {
+      Drift.psi(Seq(("a", 0L, 7L)).toDF("k", "b", "p"), "k", "b", "p")
+        .collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside {0,1}"))
+  }
+
+  test("null keys are REAL groups: benfordCheck zero-fills and " +
+      "chi-squares them, chiSquareDrift folds them — neither drops " +
+      "or zeroes a null-key group (round-16 advice)") {
+    // null key with observed digits: must NOT read n_obs = 0
+    val b = Drift.benfordCheck(
+      Seq((Option.empty[String], 123L), (Option.empty[String], 456L),
+        (Some("k"), 789L)).toDF("k", "v"), "k", "v").collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0),
+        r.getLong(1)) -> ((r.getLong(2),
+          if (r.isNullAt(5)) -1L else r.getLong(5))))
+      .toMap
+    assert(b.size == 18, s"expected 9 digit rows for BOTH keys: $b")
+    assert(b(("<null>", 1L))._1 == 1L && b(("<null>", 4L))._1 == 1L,
+      s"null-key digits lost: $b")
+    assert(b(("<null>", 1L))._2 > 0L, "null-key chi2 missing")
+    // chiSquareDrift: a null key's buckets must appear with a chi2
+    val c = Drift.chiSquareDrift(
+      Seq((Option.empty[String], 0L, 0L), (Option.empty[String], 0L, 1L),
+        (Option.empty[String], 1L, 0L), (Option.empty[String], 1L, 1L))
+        .toDF("k", "b", "p"), "k", "b", "p").collect()
+    assert(c.length == 2 && c.forall(r => r.isNullAt(0) &&
+      !r.isNullAt(5)), s"null-key drift group dropped: ${c.toSeq}")
+  }
 }

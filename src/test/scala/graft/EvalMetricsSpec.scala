@@ -363,4 +363,71 @@ class EvalMetricsSpec extends AnyFunSuite {
     assert(auc(Seq(("k", 1L, 1L)).toDF("k", "s", "y")) ==
       ((0L, 1L, -1L)))
   }
+
+  test("winRate: STRING model names canonicalize on the native type " +
+      "(the arena case), mixed-type columns refuse driver-side") {
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null) t else rootCause(t.getCause)
+    // (alpha vs beta, A wins), (beta vs alpha, A wins -> flips back to
+    // alpha), (alpha vs beta, tie): alpha takes 2 wins + half a tie
+    val prefs = Seq(("alpha", "beta", 1L), ("beta", "alpha", 2L),
+      ("alpha", "beta", 0L)).toDF("a", "b", "w")
+    val r = EvalMetrics.winRate(prefs, "a", "b", "w").collect()(0)
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      (("alpha", "beta", 3L, 2L, 0L, 1L, 833333L)), s"got $r")
+    val nm = intercept[Exception] {
+      EvalMetrics.winRate(
+        Seq((Option.empty[String], Some("beta"), Some(0L)))
+          .toDF("a", "b", "w"), "a", "b", "w").collect()
+    }
+    assert(rootCause(nm).getMessage.contains("null a model id"))
+    intercept[IllegalArgumentException] {
+      EvalMetrics.winRate(Seq(("alpha", 2L, 0L)).toDF("a", "b", "w"),
+        "a", "b", "w")
+    }
+  }
+
+  test("bradleyTerry: hand-solvable 3-model tournament — the integer " +
+      "MM recurrence replays exactly, strengths order with the " +
+      "record, the 1-ppm floor holds for a winless model, refusals") {
+    // ledger: 1 beats 2 twice; 2 beats 3 twice; 1 vs 3 one win one tie
+    val ledger = Seq(
+      (1L, 2L, 2L, 2L, 0L, 0L),
+      (2L, 3L, 2L, 2L, 0L, 0L),
+      (1L, 3L, 2L, 1L, 0L, 1L))
+      .toDF("m_lo", "m_hi", "n", "wins_lo", "wins_hi", "ties")
+    val iters = 4
+    val got = EvalMetrics.bradleyTerry(ledger, iters).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // the documented recurrence in plain scala
+    val edges = Seq((1L, 2L, 4L, 4L), (2L, 1L, 0L, 4L),
+      (2L, 3L, 4L, 4L), (3L, 2L, 0L, 4L),
+      (1L, 3L, 3L, 4L), (3L, 1L, 1L, 4L)) // (i, j, w2, n2)
+    val w2 = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var p = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    for (_ <- 1 to iters) {
+      val d = edges.groupBy(_._1).view.mapValues(_.map { case (i, j, _, n2)
+        => (1000000000L * n2) / (p(i) + p(j)) }.sum).toMap
+      val raw = w2.map { case (m, w) => m -> (1000000000L * w) / d(m) }
+      val s = raw.values.sum
+      p = raw.map { case (m, r) => m -> math.max(1L, (1000000L * r) / s) }
+    }
+    assert(got == Map(
+      1L -> ((7L, 8L, p(1L))), 2L -> ((4L, 8L, p(2L))),
+      3L -> ((1L, 8L, p(3L)))), s"got $got, want p=$p")
+    assert(p(1L) > p(2L) && p(2L) > p(3L),
+      s"strengths must order with the record: $p")
+    // a winless model floors at 1 ppm, visibly (w2 = 0 rides along)
+    val shutout = Seq((1L, 2L, 3L, 3L, 0L, 0L))
+      .toDF("m_lo", "m_hi", "n", "wins_lo", "wins_hi", "ties")
+    val s2 = EvalMetrics.bradleyTerry(shutout, 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(s2(2L) == ((0L, 1L)), s"got ${s2(2L)}")
+    assert(s2(1L)._2 > 900000L)
+    intercept[IllegalArgumentException] {
+      EvalMetrics.bradleyTerry(ledger, 0)
+    }
+  }
 }

@@ -357,4 +357,93 @@ class ExperimentSpec extends AnyFunSuite {
       Experiment.benjaminiHochberg(rows, "fam", "id", "p", 0L)
     }
   }
+
+  test("benjaminiHochberg: a NULL family is a real family — ranked, " +
+      "folded and returned, not dropped by the fold join") {
+    val rows = Seq((Some("f"), 1L, 10000L),
+      (Option.empty[String], 1L, 10000L),
+      (Option.empty[String], 2L, 900000L))
+      .toDF("fam", "id", "p")
+    val got = Experiment.benjaminiHochberg(rows, "fam", "id", "p",
+        alphaPpm = 50000L).collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0),
+        r.getLong(1)) -> r.getBoolean(6)).toMap
+    assert(got.size == 3, s"null family dropped: $got")
+    assert(got(("<null>", 1L)) === true)
+    assert(got(("<null>", 2L)) === false)
+  }
+
+  test("logRank: textbook two-arm risk-set walk — integer E1 terms, " +
+      "fixed-op-order variance, symmetric arms give chi2 = 0, " +
+      "degenerate experiments null, refusals") {
+    // exp e, mirror-symmetric arms: grp0 = [1 event, 2 censored],
+    // grp1 = [1 censored, 2 event].
+    //   t=1: n0=2 n1=2 n=4 d=1 (d1=0) -> e1k = 1e6*2/4 = 500000,
+    //        vk = (1*2)*2*3/(16*3)*1e6 = 250000
+    //   t=2: n0=1 n1=1 n=2 d=1 (d1=1) -> e1k = 500000, vk = 250000
+    // O1 = 1, E1 = 1e6 exactly -> chi2 = 0.
+    val subj = Seq(
+      ("e", 0L, 1L, 1L), ("e", 0L, 2L, 0L),
+      ("e", 1L, 1L, 0L), ("e", 1L, 2L, 1L),
+      // exp f: one-armed -> every V term 0 -> chi2 undefined (null)
+      ("f", 0L, 1L, 1L), ("f", 0L, 2L, 1L))
+      .toDF("exp", "g", "dur", "ev")
+    val got = Experiment.logRank(subj, "exp", "g", "dur", "ev")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    assert(got(("e", 0L)) == ((2L, 1L, 1000000L, 500000L, 0L)),
+      s"got ${got(("e", 0L))}")
+    assert(got(("e", 1L)) == ((2L, 1L, 1000000L, 500000L, 0L)))
+    assert(got(("f", 0L)) == ((2L, 2L, 0L, 0L, -1L)),
+      s"got ${got(("f", 0L))}")
+    assert(!got.contains(("f", 1L)))
+    // an ASYMMETRIC fixture: grp1 events pile up early while grp0
+    // survives — chi2 computed by the documented recurrence in plain
+    // scala must match bit-for-bit
+    val asym = Seq(
+      ("x", 0L, 5L, 1L), ("x", 0L, 6L, 1L), ("x", 0L, 7L, 0L),
+      ("x", 1L, 1L, 1L), ("x", 1L, 2L, 1L), ("x", 1L, 3L, 1L))
+      .toDF("exp", "g", "dur", "ev")
+    // pooled event times 1,2,3,5,6 with (n0,n1,d0,d1):
+    val walk = Seq((3L, 3L, 0L, 1L), (3L, 2L, 0L, 1L), (3L, 1L, 0L, 1L),
+      (3L, 0L, 1L, 0L), (2L, 0L, 1L, 0L))
+    val e1 = walk.map { case (n0, n1, d0, d1) =>
+      1000000L * ((d0 + d1) * n1) / (n0 + n1) }.sum
+    val v = walk.map { case (n0, n1, d0, d1) =>
+      val n = n0 + n1; val d = d0 + d1
+      if (n <= 1) 0L
+      else math.floor((d * n1).toDouble * n0.toDouble * (n - d).toDouble
+        / (n.toDouble * n.toDouble * (n - 1).toDouble) * 1000000).toLong
+    }.sum
+    val o1 = 3L
+    val chi = math.floor((1000000L * o1 - e1).toDouble
+      * (1000000L * o1 - e1).toDouble / v.toDouble).toLong
+    val gx = Experiment.logRank(asym, "exp", "g", "dur", "ev")
+      .filter(col("grp") === 1).collect()(0)
+    assert(gx.getLong(4) == e1 && gx.getLong(5) == v &&
+      gx.getLong(6) == chi,
+      s"got (${gx.getLong(4)}, ${gx.getLong(5)}, ${gx.getLong(6)}), " +
+        s"want ($e1, $v, $chi)")
+    // refusals: a third arm, a negative duration, a bad event flag
+    val badArm = intercept[Exception] {
+      Experiment.logRank(Seq(("e", 2L, 1L, 1L))
+        .toDF("exp", "g", "dur", "ev"), "exp", "g", "dur", "ev")
+        .collect()
+    }
+    assert(rootCause(badArm).getMessage.contains("not 0/1"))
+    val badDur = intercept[Exception] {
+      Experiment.logRank(Seq(("e", 0L, -1L, 1L))
+        .toDF("exp", "g", "dur", "ev"), "exp", "g", "dur", "ev")
+        .collect()
+    }
+    assert(rootCause(badDur).getMessage.contains("negative duration"))
+    val badEv = intercept[Exception] {
+      Experiment.logRank(Seq(("e", 0L, 1L, 2L))
+        .toDF("exp", "g", "dur", "ev"), "exp", "g", "dur", "ev")
+        .collect()
+    }
+    assert(rootCause(badEv).getMessage.contains("outside {0,1}"))
+  }
 }

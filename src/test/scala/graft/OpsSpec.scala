@@ -417,4 +417,22 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(rootCause(nul2).getMessage.contains("runsTest value"))
   }
+
+  test("seasonalProfile: a NULL key is a real group — its phases " +
+      "fold against its own totals, not dropped (round-16 advice)") {
+    val rows = Seq(
+      (Option.empty[String], 0L, 10L), (Option.empty[String], 1L, 30L),
+      (Some("k"), 0L, 5L))
+      .toDF("key", "ts", "v")
+    val got = Ops.seasonalProfile(rows, "key", "ts", "v",
+        slotNs = 1L, periodSlots = 2).collect()
+      .map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0),
+        r.getLong(1)) -> ((r.getLong(3),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(got.size == 3, s"null-key phases dropped: $got")
+    // null key: mean 20; phase 0 index = 10/20, phase 1 = 30/20
+    assert(got(("<null>", 0L)) == ((10L, 500000L)), s"got $got")
+    assert(got(("<null>", 1L)) == ((30L, 1500000L)))
+    assert(got(("k", 0L)) == ((5L, 1000000L)))
+  }
 }

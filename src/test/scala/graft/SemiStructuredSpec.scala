@@ -141,4 +141,19 @@ class SemiStructuredSpec extends AnyFunSuite {
     }
     assert(rc(e).getMessage.contains("outside {0,1}"))
   }
+
+  test("jsonPathProfile: STREAMING inputs refuse maxDepth > 2 loudly " +
+      "(no lineage cut inside a micro-batch -> quadratic re-parse), " +
+      "depth <= 2 still plans") {
+    val sdf = spark.readStream.format("rate")
+      .option("rowsPerSecond", "1").load()
+      .selectExpr("cast(value as string) as j", "1L as g")
+    val e = intercept[IllegalArgumentException] {
+      SemiStructured.jsonPathProfile(sdf, "j", "g", maxDepth = 3)
+    }
+    assert(e.getMessage.contains("STREAMING"), e.getMessage)
+    // within the streaming depth bound the plan still constructs
+    assert(SemiStructured.jsonPathProfile(sdf, "j", "g", maxDepth = 2)
+      .isStreaming)
+  }
 }
