@@ -5351,6 +5351,47 @@ object SparkEntry {
           col("c_mktsegment")),
         Seq("c_nationkey", "bal_bucket"), "c_mktsegment",
         k = 4, l = 2)
+    }),
+
+    // TWO-SIDED CUSUM over hourly centi-value sums per event type --
+    // the sequential shift detector folded into two exact window
+    // passes via the prefix-minimum identity; no float anywhere.
+    "q315_cusum" -> ((s, dir) => {
+      import graft.operators.Drift
+      val hourly = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 3600000000000L)) div 3600000000000L")
+            .as("h"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(sum(col("v")).as("hv"))
+      Drift.cusum(hourly, "event_type", "h", "h", "hv",
+        mu = 500000L, kappa = 10000L)
+    }),
+
+    // THEIL-SEN ROBUST SLOPE of doc length vs doc id per source --
+    // pairwise slopes on the truncated-ppm lattice, lower median by
+    // rank, bounded O(n^2) with the loud group-size contract.
+    "q316_theil_sen" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.theilSen(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          col("n_chars")),
+        "source", "doc_id", "n_chars", maxN = 1024)
+    }),
+
+    // NDCG@10 per source: graded relevance pmod(doc_id,4), ranks by
+    // doc id -- position terms on the fixed ln/ln2 micro lattice,
+    // ideal ordering via a source-partitioned rank window.
+    "q317_ndcg" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val ranked = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          pmod(col("doc_id"), lit(4L)).as("rel"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id")))
+          .cast("long"))
+      EvalMetrics.ndcgAtK(ranked, "source", "rank", "rel", k = 10)
     })
   )
 
@@ -13346,13 +13387,15 @@ object SparkEntry {
          |  FROM subj GROUP BY exp, grp)
          |SELECT CAST(arms.exp AS BIGINT) AS exp,
          |  CAST(arms.grp AS BIGINT) AS grp, arms.n_subj, arms.o,
-         |  fold.e1_micro, fold.v_micro,
-         |  CASE WHEN fold.v_micro = 0 THEN NULL ELSE CAST(floor(
+         |  CAST(COALESCE(fold.e1_micro, 0) AS BIGINT) AS e1_micro,
+         |  CAST(COALESCE(fold.v_micro, 0) AS BIGINT) AS v_micro,
+         |  CASE WHEN fold.v_micro IS NULL OR fold.v_micro = 0
+         |    THEN NULL ELSE CAST(floor(
          |    CAST(1000000 * fold.o1 - fold.e1_micro AS DOUBLE)
          |    * CAST(1000000 * fold.o1 - fold.e1_micro AS DOUBLE)
          |    / CAST(fold.v_micro AS DOUBLE)) AS BIGINT) END
          |    AS chi2_micro
-         |FROM arms JOIN fold ON fold.exp = arms.exp""".stripMargin,
+         |FROM arms LEFT JOIN fold ON fold.exp = arms.exp""".stripMargin,
 
     // q311: two-sample KS -- pooled distinct-value CDFs as cumulative
     // windows, D by integer cross-multiplication, ks_ppm exact.
@@ -13515,7 +13558,87 @@ object SparkEntry {
          |  qi_n < 4 AS suppressed_k,
          |  (qi_h_micro IS NULL OR qi_h_micro < 693147)
          |    AS suppressed_l
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+
+    // q315: CUSUM via the prefix-minimum identity -- two cumulative
+    // sums + two running minimums, all integer.
+    "q315_cusum" ->
+      raw"""WITH hr AS (SELECT event_type AS key,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000
+         |      + 3600000000000) % 3600000000000)) // 3600000000000
+         |      AS h,
+         |    CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |hv AS (SELECT key, CAST(h AS BIGINT) AS h,
+         |    CAST(sum(v) AS BIGINT) AS hv
+         |  FROM hr GROUP BY 1, 2),
+         |pp AS (SELECT key, h, hv,
+         |    CAST(sum(hv - 500000 - 10000) OVER (PARTITION BY key
+         |      ORDER BY h, h) AS BIGINT) AS p_pos,
+         |    CAST(sum(500000 - hv - 10000) OVER (PARTITION BY key
+         |      ORDER BY h, h) AS BIGINT) AS p_neg
+         |  FROM hv)
+         |SELECT key, h AS ts, h AS tie,
+         |  p_pos - least(0, min(p_pos) OVER (PARTITION BY key
+         |    ORDER BY h, h)) AS s_pos,
+         |  p_neg - least(0, min(p_neg) OVER (PARTITION BY key
+         |    ORDER BY h, h)) AS s_neg
+         |FROM pp""".stripMargin,
+
+    // q316: Theil-Sen -- pair self-join, truncated-ppm slopes (both
+    // engines' integer division truncates), lower median by rank.
+    "q316_theil_sen" ->
+      raw"""WITH r AS (SELECT source AS grp, doc_id AS x,
+         |    n_chars AS y FROM documents),
+         |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+         |  FROM r GROUP BY grp),
+         |pr AS (SELECT a.grp, a.x AS xi, b.x AS xj,
+         |    CAST((1000000 * (b.y - a.y)) // (b.x - a.x) AS BIGINT)
+         |      AS s
+         |  FROM r a JOIN r b ON b.grp = a.grp AND a.x < b.x),
+         |rk AS (SELECT grp, s,
+         |    row_number() OVER (PARTITION BY grp
+         |      ORDER BY s, xi, xj) AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS m
+         |  FROM pr),
+         |md AS (SELECT grp, CAST(max(m) AS BIGINT) AS n_pairs,
+         |    CAST(max(s) AS BIGINT) AS slope_ppm
+         |  FROM rk WHERE rn = (m + 1) // 2 GROUP BY grp)
+         |SELECT sz.grp, sz.n,
+         |  CAST(COALESCE(md.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  md.slope_ppm
+         |FROM sz LEFT JOIN md ON md.grp = sz.grp""".stripMargin,
+
+    // q317: nDCG@10 -- position terms floored on the ln/ln2 micro
+    // lattice in the engine's exact op order, ideal ordering by
+    // (rel DESC, rank), one integer division for the ratio.
+    "q317_ndcg" ->
+      raw"""WITH r AS (SELECT source AS query,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY doc_id) AS BIGINT) AS rnk,
+         |    ((doc_id % 4) + 4) % 4 AS rel
+         |  FROM documents),
+         |ip AS (SELECT query, rnk, rel,
+         |    CAST(row_number() OVER (PARTITION BY query
+         |      ORDER BY rel DESC, rnk) AS BIGINT) AS ipos
+         |  FROM r),
+         |tm AS (SELECT query,
+         |    CASE WHEN rnk <= 10 THEN CAST(floor(CAST(rel AS DOUBLE)
+         |      * 1000000 * ln(2.0::DOUBLE)
+         |      / ln(CAST(rnk + 1 AS DOUBLE))) AS BIGINT)
+         |      ELSE 0 END AS dterm,
+         |    CASE WHEN ipos <= 10 THEN CAST(floor(CAST(rel AS DOUBLE)
+         |      * 1000000 * ln(2.0::DOUBLE)
+         |      / ln(CAST(ipos + 1 AS DOUBLE))) AS BIGINT)
+         |      ELSE 0 END AS iterm
+         |  FROM ip)
+         |SELECT query, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(dterm) AS BIGINT) AS dcg_micro,
+         |  CAST(sum(iterm) AS BIGINT) AS idcg_micro,
+         |  CASE WHEN sum(iterm) = 0 THEN NULL
+         |    ELSE CAST((1000000 * sum(dterm)) // sum(iterm) AS BIGINT)
+         |    END AS ndcg_ppm
+         |FROM tm GROUP BY query""".stripMargin
   )
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical

@@ -308,6 +308,57 @@ object Drift {
           .otherwise(expr("(1000000L * d_num) div (n0 * n1)")))
   }
 
+  /** Two-sided CUSUM monitor per key (Page 1954) — the SEQUENTIAL
+    * change detector that fires on small persistent shifts the
+    * [[levelShift]] window contrast needs a full window to see:
+    *
+    *   S⁺_n = max(0, S⁺_{n−1} + (x_n − μ − κ))
+    *   S⁻_n = max(0, S⁻_{n−1} + (μ − x_n − κ))
+    *
+    * with μ the in-control level and κ the slack (both caller-supplied
+    * on the value lattice — half the shift you want to detect, the
+    * textbook choice). The recurrence LOOKS sequential but folds into
+    * two window passes via the prefix identity
+    *
+    *   S⁺_n = P_n − min(0, min_{k≤n} P_k),   P_n = Σ_{i≤n}(x_i − μ − κ)
+    *
+    * (and symmetrically for S⁻) — so it distributes per key, stays on
+    * the exact integer lattice (no float anywhere) and oracles as two
+    * cumulative windows. Output per row: `key, ts, tie, s_pos, s_neg`
+    * — threshold caller-side (the classic h = 4–5 σ in value units).
+    * Values must be non-null and long-castable, refused loudly (a
+    * skipped row would silently reset the accumulation).
+    *
+    * ONE key-partitioned (ts, tie)-ordered window pass computing four
+    * running aggregates; nothing key-sized shuffles twice. Overflow is
+    * ANSI-loud: |Σ(x−μ−κ)| must stay under 2⁶³ — quantize or shard a
+    * key past ~10¹² accumulated lattice units.
+    */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, mu: Long, kappa: Long): DataFrame = {
+    require(kappa >= 0, s"kappa=$kappa must be >= 0")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("cusum value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a skipped row would " +
+          "silently reset the accumulation"))).cast("long"))
+    val byKey = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
+        col(tieCol).cast("long").as("tie"), v.as("__v"))
+      .withColumn("__pp", sum(col("__v") - lit(mu) - lit(kappa))
+        .over(byKey))
+      .withColumn("__pn", sum(lit(mu) - col("__v") - lit(kappa))
+        .over(byKey))
+      .withColumn("s_pos",
+        col("__pp") - least(lit(0L), min(col("__pp")).over(byKey)))
+      .withColumn("s_neg",
+        col("__pn") - least(lit(0L), min(col("__pn")).over(byKey)))
+      .select(col("key"), col("ts"), col("tie"), col("s_pos"),
+        col("s_neg"))
+  }
+
   /** Population stability index per key over caller-bucketed
     * histograms — the industry-standard drift score for a scored or
     * binned feature (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25 shifted

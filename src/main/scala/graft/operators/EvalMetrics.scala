@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Evaluation metrics over model outputs — the scoring half of an eval
@@ -439,6 +440,85 @@ object EvalMetrics {
     perQ.crossJoin(broadcast(fold))
       .select(col("query"), col("first_rank"), col("rr_ppm"),
         expr("__s div __nq").as("mrr_ppm"))
+  }
+
+  /** nDCG@k per query (Järvelin–Kekäläinen 2002) — the GRADED-
+    * relevance ranking metric ([[mrrAtK]] only sees the first binary
+    * hit; nDCG credits the whole ordering):
+    *
+    *   DCG@k  = Σ_{r ≤ k} rel_r / log2(r+1)
+    *   IDCG@k = the same sum over the query's relevances sorted
+    *            descending (the ideal ordering)
+    *   nDCG   = DCG/IDCG
+    *
+    * on the micro lattice: each position term is ONE fixed-order IEEE
+    * chain — floor(rel·10⁶·ln2 / ln(r+1)) (log2 spelled as ln/ln2 so
+    * both engines run the identical op sequence; position 1's term is
+    * exactly rel·10⁶) — integer-summed, and the final ratio ONE
+    * integer division `(10⁶·dcg_micro) div idcg_micro`. Input: one
+    * row per (query, rank) with a 1-based rank (dense per query —
+    * duplicate ranks refuse loudly, a double-booked position corrupts
+    * both sums) and a NON-NEGATIVE long relevance grade. Output per
+    * query: `query, n, dcg_micro, idcg_micro, ndcg_ppm` (null when
+    * IDCG = 0 — a query with no relevant document has no ideal
+    * ordering, the standard convention is to EXCLUDE it from the
+    * mean, so the null must stay visible rather than average as 0).
+    *
+    * One query-partitioned rank window for the ideal ordering + one
+    * (query) fold — the [[graft.operators.Experiment.mannWhitneyU]]
+    * shape, never a global window.
+    */
+  def ndcgAtK(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k=$k out of [1, 65536]")
+    val rank = coalesce(col(rankCol).try_cast("long"),
+      raise_error(concat(lit("ndcgAtK: rank '"),
+        coalesce(col(rankCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rel = coalesce(col(relCol).try_cast("long"),
+      raise_error(concat(lit("ndcgAtK: relevance '"),
+        coalesce(col(relCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = ranked.select(col(queryCol).as("query"),
+      when(rank >= 1, rank).otherwise(
+        raise_error(concat(lit("ndcgAtK: rank "), rank.cast("string"),
+          lit(" must be >= 1 (1-based ranks)"))).cast("long"))
+        .as("__rank"),
+      when(rel >= 0, rel).otherwise(
+        raise_error(concat(lit("ndcgAtK: relevance "),
+          rel.cast("string"), lit(" is negative — grades are >= 0")))
+          .cast("long")).as("__rel"))
+    // duplicate ranks within a query double-book a position — refuse
+    // with the offending (query, rank); the check rides the same
+    // window shuffle as the ideal ordering
+    val dupW = Window.partitionBy(col("query"), col("__rank"))
+    val idealW = Window.partitionBy(col("query"))
+      .orderBy(col("__rel").desc, col("__rank"))
+    // the term: rel * 1e6 * ln(2) / ln(pos+1), floored — ONE op order
+    def term(relC: Column, posC: Column): Column =
+      floor(relC.cast("double") * lit(1000000.0) * log(lit(2.0))
+        / log((posC + 1L).cast("double"))).cast("long")
+    val perRow = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("ndcgAtK: duplicate rank "),
+          col("__rank").cast("string"), lit(" in query '"),
+          coalesce(col("query").cast("string"), lit("NULL")),
+          lit("' — ranks must be unique per query"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("__ipos", row_number().over(idealW).cast("long"))
+      .withColumn("__dterm",
+        when(col("__rank") <= k, term(col("__rel"), col("__rank")))
+          .otherwise(lit(0L)))
+      .withColumn("__iterm",
+        when(col("__ipos") <= k, term(col("__rel"), col("__ipos")))
+          .otherwise(lit(0L)))
+    perRow.groupBy(col("query"))
+      .agg(count(lit(1)).as("n"), sum(col("__dterm")).as("dcg_micro"),
+        sum(col("__iterm")).as("idcg_micro"))
+      .withColumn("ndcg_ppm",
+        when(col("idcg_micro") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * dcg_micro) div idcg_micro")))
   }
 
   /** Pairwise win rates — the model-comparison ledger behind every

@@ -752,11 +752,16 @@ object Experiment {
                 .cast("double")
               / col("v_micro").cast("double")).cast("long")))
     // two arm rows per experiment, fold stats on both; <=> for the
-    // null-experiment group the fold join must not drop
+    // null-experiment group, and LEFT so an experiment with ZERO
+    // events still reports its arms (O = 0, E = V = 0, chi2 null) —
+    // an inner join would silently erase exactly the experiments a
+    // monitor most needs to see (nothing converted anywhere)
     val arms = rows.groupBy(col("exp"), col("__g").as("grp"))
       .agg(count(lit(1)).as("n_subj"), sum(col("__e")).as("o"))
-    arms.join(fold, col("exp") <=> col("__x"))
+    arms.join(fold, col("exp") <=> col("__x"), "left")
       .select(col("exp"), col("grp"), col("n_subj"), col("o"),
-        col("e1_micro"), col("v_micro"), col("chi2_micro"))
+        coalesce(col("e1_micro"), lit(0L)).as("e1_micro"),
+        coalesce(col("v_micro"), lit(0L)).as("v_micro"),
+        col("chi2_micro"))
   }
 }

@@ -700,4 +700,71 @@ object Ops {
           .cast("double") / col("n").cast("double")) * 1000)
           .cast("long"))
   }
+
+  /** Theil–Sen robust slope per group (Theil 1950 / Sen 1968) — the
+    * outlier-proof companion to [[groupOls]] (one bad telemetry point
+    * drags an OLS line; the MEDIAN of pairwise slopes shrugs it off,
+    * 29% breakdown): over all pairs i < j with xᵢ ≠ xⱼ,
+    *
+    *   slope_ppm = lower median of (10⁶·(yⱼ−yᵢ)) div (xⱼ−xᵢ)
+    *
+    * — each pairwise slope an exact integer on the truncated-ppm
+    * lattice (both engines' integer division truncates toward zero),
+    * the LOWER median picked by rank so no float ever appears and
+    * even-count groups stay on the lattice (the average of two middle
+    * slopes would leave it). Ties order by (slope, xᵢ, xⱼ) —
+    * deterministic. Output per group: `grp, n, n_pairs, slope_ppm`
+    * (null when every pair is vertical or n < 2 — no slope exists,
+    * not zero).
+    *
+    * Scale shape: pairs come from ONE self-join on the group key —
+    * O(n²) per group BY DEFINITION (the estimator is pairwise), so
+    * group size is a LOUD contract: > `maxN` rows in any group
+    * refuses with the count (sample or pre-aggregate upstream — a
+    * million-point Theil–Sen is a different algorithm, not a bigger
+    * join). The rank window partitions by group, never globally.
+    * Overflow ANSI-loud: 10⁶·|Δy| < 2⁶³ bounds |Δy| < 9.2·10¹².
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxN: Int = 256): DataFrame = {
+    require(maxN >= 2 && maxN <= 4096, s"maxN=$maxN out of [2, 4096]")
+    def m(c: String) = coalesce(col(c).try_cast("long"),
+      raise_error(concat(lit(s"theilSen: $c value '"),
+        coalesce(col(c).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped point " +
+          "would shift the pair median"))).cast("long"))
+    val rows = df.select(col(groupCol).as("grp"), m(xCol).as("__x"),
+      m(yCol).as("__y"))
+    val sizes = rows.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .select(col("grp"), when(col("n") > maxN,
+        raise_error(concat(lit("theilSen: group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' has "), col("n").cast("string"),
+          lit(s" rows > maxN=$maxN — O(n^2) pairs; sample or " +
+            "pre-aggregate upstream"))).cast("long"))
+        .otherwise(col("n")).as("n"))
+    val a = rows.select(col("grp"), col("__x").as("__xi"),
+      col("__y").as("__yi"))
+    val b = rows.select(col("grp").as("__g2"), col("__x").as("__xj"),
+      col("__y").as("__yj"))
+    val pairs = a.join(b, col("grp") <=> col("__g2")
+        && col("__xi") < col("__xj"))
+      .select(col("grp"), col("__xi"), col("__xj"),
+        expr("(1000000L * (__yj - __yi)) div (__xj - __xi)")
+          .as("__s"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("__s"), col("__xi"), col("__xj"))
+    val med = pairs
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__m", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+      .filter(col("__r") === expr("(__m + 1L) div 2L"))
+      .groupBy(col("grp").as("__g3"))
+      .agg(max(col("__s")).as("slope_ppm"),
+        max(col("__m")).as("n_pairs"))
+    sizes.join(med, col("grp") <=> col("__g3"), "left")
+      .select(col("grp"), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("slope_ppm"))
+  }
 }

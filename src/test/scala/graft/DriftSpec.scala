@@ -200,6 +200,41 @@ class DriftSpec extends AnyFunSuite {
     assert(rootCause(bad).getMessage.contains("outside {0,1}"))
   }
 
+  test("cusum: the prefix-minimum identity replays the sequential " +
+      "max(0, ...) recurrence exactly on both sides, per-key " +
+      "isolation, refusals") {
+    // mu = 10, kappa = 2; hand recurrence:
+    //   v:     10 10 20 20  5 10
+    //   s_pos:  0  0  8 16  9  7
+    //   s_neg:  0  0  0  0  3  1
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 20L),
+      ("a", 4L, 20L), ("a", 5L, 5L), ("a", 6L, 10L),
+      ("b", 1L, 100L)) // second key: isolated accumulation
+      .toDF("k", "ts", "v")
+      .withColumn("tie", org.apache.spark.sql.functions.col("ts"))
+    val got = Drift.cusum(rows, "k", "ts", "tie", "v",
+        mu = 10L, kappa = 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", 1L)) == ((0L, 0L)), s"got $got")
+    assert(got(("a", 2L)) == ((0L, 0L)))
+    assert(got(("a", 3L)) == ((8L, 0L)))
+    assert(got(("a", 4L)) == ((16L, 0L)))
+    assert(got(("a", 5L)) == ((9L, 3L)))
+    assert(got(("a", 6L)) == ((7L, 1L)))
+    assert(got(("b", 1L)) == ((88L, 0L))) // 100-12, isolated from a
+    val bad = intercept[Exception] {
+      Drift.cusum(Seq(("a", 1L, Option.empty[Long]))
+        .toDF("k", "ts", "v")
+        .withColumn("tie", org.apache.spark.sql.functions.col("ts")),
+        "k", "ts", "tie", "v", 0L, 0L).collect()
+    }
+    assert(rootCause(bad).getMessage.contains("cusum value"))
+    intercept[IllegalArgumentException] {
+      Drift.cusum(rows, "k", "ts", "tie", "v", 0L, -1L)
+    }
+  }
+
   test("null keys are REAL groups: benfordCheck zero-fills and " +
       "chi-squares them, chiSquareDrift folds them — neither drops " +
       "or zeroes a null-key group (round-16 advice)") {

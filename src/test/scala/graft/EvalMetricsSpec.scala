@@ -388,6 +388,52 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
   }
 
+  test("ndcgAtK: graded position terms on the ln/ln2 micro lattice, " +
+      "ideal ordering per query, position-1 term exact, zero-" +
+      "relevance queries null, refusals") {
+    def rootCause(t: Throwable): Throwable =
+      if (t.getCause == null) t else rootCause(t.getCause)
+    // query a: rels [3, 2, 3] at ranks 1..3, k = 2 — the ideal order
+    // front-loads both 3s, so nDCG < 1; query z: all-zero relevance
+    val rows = Seq(("a", 1L, 3L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("z", 1L, 0L), ("z", 2L, 0L)).toDF("q", "r", "rel")
+    def term(rel: Long, pos: Long): Long =
+      math.floor(rel.toDouble * 1000000.0 * math.log(2.0)
+        / math.log((pos + 1).toDouble)).toLong
+    val dcg = term(3, 1) + term(2, 2)
+    val idcg = term(3, 1) + term(3, 2)
+    val got = EvalMetrics.ndcgAtK(rows, "q", "r", "rel", k = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got("a") == ((3L, dcg, idcg, 1000000L * dcg / idcg)),
+      s"got ${got("a")}, want dcg=$dcg idcg=$idcg")
+    assert(term(3, 1) == 3000000L) // position 1 exact: ln2/ln2 = 1
+    assert(got("z") == ((2L, 0L, 0L, -1L)), s"got ${got("z")}")
+    // a perfect ordering scores exactly 1e6
+    val perfect = EvalMetrics.ndcgAtK(
+      Seq(("p", 1L, 5L), ("p", 2L, 3L), ("p", 3L, 1L))
+        .toDF("q", "r", "rel"), "q", "r", "rel", k = 3).collect()(0)
+    assert(perfect.getLong(4) == 1000000L)
+    val dup = intercept[Exception] {
+      EvalMetrics.ndcgAtK(Seq(("a", 1L, 1L), ("a", 1L, 2L))
+        .toDF("q", "r", "rel"), "q", "r", "rel", 5).collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate rank"),
+      rootCause(dup).getMessage)
+    val neg = intercept[Exception] {
+      EvalMetrics.ndcgAtK(Seq(("a", 1L, -1L)).toDF("q", "r", "rel"),
+        "q", "r", "rel", 5).collect()
+    }
+    assert(rootCause(neg).getMessage.contains("negative"))
+    val badRank = intercept[Exception] {
+      EvalMetrics.ndcgAtK(Seq(("a", 0L, 1L)).toDF("q", "r", "rel"),
+        "q", "r", "rel", 5).collect()
+    }
+    assert(rootCause(badRank).getMessage.contains("1-based"))
+  }
+
   test("bradleyTerry: hand-solvable 3-model tournament — the integer " +
       "MM recurrence replays exactly, strengths order with the " +
       "record, the 1-ppm floor holds for a winless model, refusals") {

@@ -386,7 +386,10 @@ class ExperimentSpec extends AnyFunSuite {
       ("e", 0L, 1L, 1L), ("e", 0L, 2L, 0L),
       ("e", 1L, 1L, 0L), ("e", 1L, 2L, 1L),
       // exp f: one-armed -> every V term 0 -> chi2 undefined (null)
-      ("f", 0L, 1L, 1L), ("f", 0L, 2L, 1L))
+      ("f", 0L, 1L, 1L), ("f", 0L, 2L, 1L),
+      // exp n: NO events anywhere -> arms still reported, O = E = 0,
+      // chi2 null (an inner fold join would erase the experiment)
+      ("n", 0L, 3L, 0L), ("n", 1L, 4L, 0L))
       .toDF("exp", "g", "dur", "ev")
     val got = Experiment.logRank(subj, "exp", "g", "dur", "ev")
       .collect()
@@ -399,6 +402,9 @@ class ExperimentSpec extends AnyFunSuite {
     assert(got(("f", 0L)) == ((2L, 2L, 0L, 0L, -1L)),
       s"got ${got(("f", 0L))}")
     assert(!got.contains(("f", 1L)))
+    assert(got(("n", 0L)) == ((1L, 0L, 0L, 0L, -1L)),
+      s"eventless experiment erased: $got")
+    assert(got(("n", 1L)) == ((1L, 0L, 0L, 0L, -1L)))
     // an ASYMMETRIC fixture: grp1 events pile up early while grp0
     // survives — chi2 computed by the documented recurrence in plain
     // scala must match bit-for-bit

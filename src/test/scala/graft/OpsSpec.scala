@@ -435,4 +435,38 @@ class OpsSpec extends AnyFunSuite {
     assert(got(("<null>", 1L)) == ((30L, 1500000L)))
     assert(got(("k", 0L)) == ((5L, 1000000L)))
   }
+
+  test("theilSen: outlier-proof lower-median slope on the truncated-" +
+      "ppm lattice, truncation toward zero for negative slopes, " +
+      "degenerate groups null, loud group-size contract") {
+    // group g: a clean slope-2 line plus one wild outlier the OLS
+    // line would chase; pairwise slopes (ppm, sorted):
+    // [1e6, 1.5e6, 2e6, 11e6, 12.125e6, 13714285] -> lower median 2e6
+    val rows = Seq(
+      ("g", 1L, 1L), ("g", 2L, 3L), ("g", 3L, 4L), ("g", 10L, 100L),
+      // group t: one pair with slope -2/3 — trunc toward zero gives
+      // -666666 (floor would give -666667): pins the div semantics
+      ("t", 0L, 1L), ("t", 3L, -1L),
+      // group s: singleton; group v: vertical-only
+      ("s", 5L, 5L), ("v", 7L, 1L), ("v", 7L, 2L))
+      .toDF("grp", "x", "y")
+    val got = Ops.theilSen(rows, "grp", "x", "y", maxN = 16).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))).toMap
+    assert(got("g") == ((4L, 6L, 2000000L)), s"got ${got("g")}")
+    assert(got("t") == ((2L, 1L, -666666L)), s"got ${got("t")}")
+    assert(got("s") == ((1L, 0L, Long.MinValue)))
+    assert(got("v") == ((2L, 0L, Long.MinValue)), s"got ${got("v")}")
+    val big = intercept[Exception] {
+      Ops.theilSen(Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L))
+        .toDF("grp", "x", "y"), "grp", "x", "y", maxN = 2).collect()
+    }
+    assert(rootCause(big).getMessage.contains("rows > maxN"),
+      rootCause(big).getMessage)
+    val nul = intercept[Exception] {
+      Ops.theilSen(Seq(("g", 1L, Option.empty[Long]))
+        .toDF("grp", "x", "y"), "grp", "x", "y").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("theilSen: y"))
+  }
 }
