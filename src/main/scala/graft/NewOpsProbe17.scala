@@ -114,6 +114,22 @@ object NewOpsProbe17 {
       val tBt = time {
         btRows = EvalMetrics.bradleyTerry(ledger, iters = 8).count()
       }
+      // 16-dim synthetic embeddings: posexplode fan-out is the cost
+      val vecs = rows.select(col("exp").as("key"), col("p"),
+        array((0 until 16).map(i =>
+          (pmod(col("id") * (i + 3), lit(1000L)).cast("double") / 500.0
+            - 1.0).cast("float")): _*).as("vec"))
+      var edRows = 0L
+      val tEd = time {
+        edRows = Drift.embeddingDrift(vecs, "key", "p", "vec",
+          dim = 16).count()
+      }
+      var qdRows = 0L
+      val tQd = time {
+        qdRows = Drift.quantileDrift(
+          rows.select(col("exp").as("key"), col("p"), col("v")),
+          "key", "p", "v", pcts = Seq(25, 50, 75, 95)).count()
+      }
 
       println(s"""{"probe":"newops17","n":$n,""" +
         s""""logrank_sec":${f"$tLr%.2f"},"lr_rows":$lrRows,""" +
@@ -122,7 +138,9 @@ object NewOpsProbe17 {
         s""""cusum_sec":${f"$tCu%.2f"},"cusum_rows":$cuRows,""" +
         s""""theilsen_sec":${f"$tTh%.2f"},"th_groups":$thRows,""" +
         s""""ndcg_sec":${f"$tNd%.2f"},"ndcg_queries":$ndRows,""" +
-        s""""bt_sec":${f"$tBt%.2f"},"bt_models":$btRows}""")
+        s""""bt_sec":${f"$tBt%.2f"},"bt_models":$btRows,""" +
+        s""""embdrift_sec":${f"$tEd%.2f"},"ed_keys":$edRows,""" +
+        s""""quantdrift_sec":${f"$tQd%.2f"},"qd_rows":$qdRows}""")
     }
     spark.stop()
   }

@@ -5392,6 +5392,30 @@ object SparkEntry {
           Window.partitionBy(col("source")).orderBy(col("doc_id")))
           .cast("long"))
       EvalMetrics.ndcgAtK(ranked, "source", "rank", "rel", k = 10)
+    }),
+
+    // EMBEDDING DRIFT: mean-vector cosine between the vec-id parities
+    // per label-mod-3 key -- exact milli-lattice dimension sums on
+    // DECIMAL, one exactly-rounded IEEE sqrt.
+    "q318_embedding_drift" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.embeddingDrift(
+        t(s, dir, "embeddings").select(
+          pmod(col("label").cast("long"), lit(3L)).as("k"),
+          (col("vec_id") % 2).as("p"), col("embedding")),
+        "k", "p", "embedding", dim = 64)
+    }),
+
+    // QUANTILE DRIFT: p25/p50/p75/p95 of centi values per event type
+    // between the event-id parities -- exact integer-ceil ranks, the
+    // magnitude companion to the q311 KS verdict.
+    "q319_quantile_drift" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.quantileDrift(
+        events(s, dir).select(col("event_type"),
+          (col("event_id") % 2).as("p"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "p", "v", pcts = Seq(25, 50, 75, 95))
     })
   )
 
@@ -13638,7 +13662,73 @@ object SparkEntry {
          |  CASE WHEN sum(iterm) = 0 THEN NULL
          |    ELSE CAST((1000000 * sum(dterm)) // sum(iterm) AS BIGINT)
          |    END AS ndcg_ppm
-         |FROM tm GROUP BY query""".stripMargin
+         |FROM tm GROUP BY query""".stripMargin,
+
+    // q318: embedding drift -- milli-quantized components, exact
+    // HUGEINT dimension sums, scale-invariant cosine on the sums,
+    // one exactly-rounded sqrt.
+    "q318_embedding_drift" ->
+      raw"""WITH r AS (SELECT (label % 3 + 3) % 3 AS k,
+         |    vec_id % 2 AS p,
+         |    unnest(embedding) AS x,
+         |    unnest(range(1, len(embedding) + 1)) AS d
+         |  FROM embeddings),
+         |q AS (SELECT k, p, d,
+         |    CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS qv
+         |  FROM r),
+         |s AS (SELECT k, d,
+         |    CAST(sum(CASE WHEN p = 0 THEN qv ELSE 0 END) AS BIGINT)
+         |      AS s0,
+         |    CAST(sum(CASE WHEN p = 1 THEN qv ELSE 0 END) AS BIGINT)
+         |      AS s1,
+         |    CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1
+         |  FROM q GROUP BY k, d),
+         |f AS (SELECT k,
+         |    sum(CAST(s0 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS dot,
+         |    sum(CAST(s0 AS HUGEINT) * CAST(s0 AS HUGEINT)) AS n0sq,
+         |    sum(CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS n1sq,
+         |    CAST(max(c0) AS BIGINT) AS n0,
+         |    CAST(max(c1) AS BIGINT) AS n1
+         |  FROM s GROUP BY k)
+         |SELECT CAST(k AS BIGINT) AS key, n0, n1,
+         |  CASE WHEN n0 = 0 OR n1 = 0 OR n0sq = 0 OR n1sq = 0
+         |    THEN NULL
+         |    ELSE CAST(floor(CAST(dot AS DOUBLE)
+         |      / sqrt(CAST(n0sq AS DOUBLE) * CAST(n1sq AS DOUBLE))
+         |      * 1000000) AS BIGINT) END AS cos_ppm
+         |FROM f""".stripMargin,
+
+    // q319: quantile drift -- integer-ceil ranks per (key, period),
+    // both quantiles + delta per requested percentile.
+    "q319_quantile_drift" ->
+      raw"""WITH r AS (SELECT event_type AS key, event_id % 2 AS p,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |rk AS (SELECT key, p, v,
+         |    CAST(row_number() OVER (PARTITION BY key, p ORDER BY v)
+         |      AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY key, p) AS BIGINT) AS n
+         |  FROM r),
+         |qs AS (SELECT unnest([25, 50, 75, 95]) AS pct),
+         |hits AS (SELECT rk.key, CAST(qs.pct AS BIGINT) AS pct, rk.p,
+         |    rk.v
+         |  FROM rk CROSS JOIN qs
+         |  WHERE rk.r = greatest(1, (qs.pct * rk.n + 99) // 100)),
+         |cn AS (SELECT key,
+         |    CAST(sum(CASE WHEN p = 0 AND r = 1 THEN n ELSE 0 END)
+         |      AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN p = 1 AND r = 1 THEN n ELSE 0 END)
+         |      AS BIGINT) AS n1
+         |  FROM rk GROUP BY key),
+         |bp AS (SELECT key, pct,
+         |    max(CASE WHEN p = 0 THEN v END) AS v0,
+         |    max(CASE WHEN p = 1 THEN v END) AS v1
+         |  FROM hits GROUP BY key, pct)
+         |SELECT bp.key, bp.pct, cn.n0, cn.n1, bp.v0, bp.v1,
+         |  bp.v1 - bp.v0 AS delta
+         |FROM bp JOIN cn ON cn.key = bp.key""".stripMargin
   )
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical

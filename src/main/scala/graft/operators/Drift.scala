@@ -423,6 +423,146 @@ object Drift {
           .otherwise(col("__psi")).as("psi_micro"))
   }
 
+  /** Embedding-distribution drift per key — "did the vector space
+    * move after the encoder swap": the cosine between the two
+    * periods' MEAN embedding vectors, computed with ONE float op.
+    * Components are quantized to the milli lattice (`floor(x·1000)` —
+    * float→double is exact, both engines floor the same double), the
+    * per-(key, period, dimension) sums are EXACT integers, and since
+    * cosine is scale-invariant, cos(mean₀, mean₁) = cos(sum₀, sum₁) —
+    * no division by n at all. Dot and norm products run on
+    * DECIMAL(38) (int64 would overflow at Σ|s|² ≈ 10¹⁸; DECIMAL is
+    * exact to ~10³⁸, the trendingTerms discipline — ANSI overflow is
+    * the loud guard past ~3·10¹⁶ accumulated milli-units per
+    * dimension), and the single float op is
+    *
+    *   cos_ppm = floor(dot / sqrt(norm0sq · norm1sq) · 10⁶)
+    *
+    * — IEEE sqrt is EXACTLY rounded (unlike ln), so this is
+    * bit-identical on any engine. Null when a period is empty or has
+    * a zero mean vector (cosine undefined). Vectors must be non-null
+    * with EXACTLY `dim` elements (a ragged vector would silently
+    * corrupt every dimension sum — refused loudly with the size).
+    *
+    * Scale shape: one posexplode (dim× fan-out inside codegen) + one
+    * (key, dim) aggregation + one key fold — embeddings never shuffle
+    * raw, only dim-sized integer sums do.
+    */
+  def embeddingDrift(df: DataFrame, keyCol: String, periodCol: String,
+      vecCol: String, dim: Int): DataFrame = {
+    require(dim >= 1 && dim <= 65536, s"dim=$dim out of [1, 65536]")
+    val p = coalesce(col(periodCol).try_cast("long"),
+      raise_error(concat(lit("embeddingDrift period '"),
+        coalesce(col(periodCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val vecOk = when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
+      col(vecCol)).otherwise(raise_error(concat(
+        lit("embeddingDrift: vector is null or has "),
+        coalesce(size(col(vecCol)).cast("string"), lit("NULL")),
+        lit(s" elements, expected $dim — a ragged vector corrupts " +
+          "every dimension sum"))).cast(df.schema(vecCol).dataType
+          .simpleString))
+    val rows = df.select(col(keyCol).as("key"),
+        when(p.isin(0L, 1L), p).otherwise(
+          raise_error(concat(lit("embeddingDrift period "),
+            p.cast("string"), lit(" outside {0,1}"))).cast("long"))
+          .as("__p"),
+        vecOk.as("__v"))
+      .select(col("key"), col("__p"),
+        posexplode(col("__v")).as(Seq("__d", "__x")))
+      .select(col("key"), col("__p"), col("__d"),
+        floor(col("__x").cast("double") * 1000).cast("long").as("__q"))
+    val sums = rows.groupBy(col("key"), col("__d"))
+      .agg(sum(when(col("__p") === 0, col("__q")).otherwise(0L))
+          .as("__s0"),
+        sum(when(col("__p") === 1, col("__q")).otherwise(0L)).as("__s1"),
+        sum(when(col("__p") === 0, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col("__p") === 1, 1L).otherwise(0L)).as("__c1"))
+    val fold = sums.groupBy(col("key"))
+      .agg(
+        expr("sum(cast(__s0 as decimal(20,0)) * cast(__s1 as " +
+          "decimal(20,0)))").as("__dot"),
+        expr("sum(cast(__s0 as decimal(20,0)) * cast(__s0 as " +
+          "decimal(20,0)))").as("__n0sq"),
+        expr("sum(cast(__s1 as decimal(20,0)) * cast(__s1 as " +
+          "decimal(20,0)))").as("__n1sq"),
+        // per-dimension row counts are equal across dims by the size
+        // contract — max = the period's vector count
+        max(col("__c0")).as("n0"), max(col("__c1")).as("n1"))
+    fold.select(col("key"), col("n0"), col("n1"),
+      when(col("n0") === 0 || col("n1") === 0
+          || col("__n0sq") === 0 || col("__n1sq") === 0,
+        lit(null).cast("long"))
+        .otherwise(floor(col("__dot").cast("double")
+          / sqrt(col("__n0sq").cast("double")
+            * col("__n1sq").cast("double")) * 1000000).cast("long"))
+        .as("cos_ppm"))
+  }
+
+  /** Quantile drift per key — the MAGNITUDE companion to [[ksDrift]]
+    * ("the p95 latency moved how much?"): for each requested
+    * percentile, both periods' EXACT lower quantiles by integer rank
+    *
+    *   target = (pct·n + 99) div 100, clamped ≥ 1
+    *
+    * (the integer-ceil-rank convention — float `ceil(q·n)` differs in
+    * the last ulp between engines) and `delta = v1 − v0`. One row per
+    * (key, pct): `key, pct, n0, n1, v0, v1, delta`; a side with no
+    * rows reports null quantile and delta. Values must be non-null
+    * long-castable, periods 0/1, both refused loudly; percentiles in
+    * [1, 100], ≤ 16 of them (a dense quantile sweep belongs in a
+    * histogram).
+    *
+    * One (key, period)-partitioned rank window + a pct-explode filter
+    * + one (key, pct) fold — rank state bounded per (key, period),
+    * never global.
+    */
+  def quantileDrift(df: DataFrame, keyCol: String, periodCol: String,
+      valCol: String, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.length <= 16,
+      s"need 1..16 percentiles, got ${pcts.length}")
+    require(pcts.forall(q => q >= 1 && q <= 100),
+      s"percentiles must be in [1, 100], got $pcts")
+    require(pcts.distinct.length == pcts.length,
+      s"duplicate percentiles in $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = coalesce(col(periodCol).try_cast("long"),
+      raise_error(concat(lit("quantileDrift period '"),
+        coalesce(col(periodCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("quantileDrift value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped row would " +
+          "shift every rank"))).cast("long"))
+    val w = Window.partitionBy(col("key"), col("__p")).orderBy(col("__v"))
+    val ranked = df.select(col(keyCol).as("key"),
+        when(p.isin(0L, 1L), p).otherwise(
+          raise_error(concat(lit("quantileDrift period "),
+            p.cast("string"), lit(" outside {0,1}"))).cast("long"))
+          .as("__p"),
+        v.as("__v"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("key"), col("__p"))))
+    val qs = broadcast(pcts.map(_.toLong).toDF("pct"))
+    val hits = ranked.crossJoin(qs)
+      .filter(col("__r") ===
+        greatest(lit(1L), expr("(pct * __n + 99L) div 100L")))
+    val counts = ranked.groupBy(col("key").as("__k"))
+      .agg(sum(when(col("__p") === 0 && col("__r") === 1, col("__n"))
+          .otherwise(0L)).as("n0"),
+        sum(when(col("__p") === 1 && col("__r") === 1, col("__n"))
+          .otherwise(0L)).as("n1"))
+    val byPct = hits.groupBy(col("key"), col("pct"))
+      .agg(max(when(col("__p") === 0, col("__v"))).as("v0"),
+        max(when(col("__p") === 1, col("__v"))).as("v1"))
+    byPct.join(counts, col("key") <=> col("__k"))
+      .select(col("key"), col("pct"), col("n0"), col("n1"),
+        col("v0"), col("v1"), (col("v1") - col("v0")).as("delta"))
+  }
+
   /** One χ² homogeneity cell on the micro lattice: residual
     * `r = T·o − row·colTot` (int64-exact, ANSI-guarded), then
     * `(r/T)²/(T⁻¹·row·colTot)` = `r²/(T·row·colTot)` in IEEE double in

@@ -235,6 +235,75 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingDrift: orthogonal means 0, parallel means exactly " +
+      "1e6, opposite -1e6, empty period null, ragged refusal") {
+    val rows = Seq(
+      // key a: period-0 mean along e1, period-1 along e2 -> cos 0
+      ("a", 0L, Seq(1.0f, 0.0f)), ("a", 0L, Seq(1.0f, 0.0f)),
+      ("a", 1L, Seq(0.0f, 2.0f)),
+      // key b: parallel (scale-invariant) -> exactly 1e6
+      ("b", 0L, Seq(1.0f, 1.0f)), ("b", 1L, Seq(2.0f, 2.0f)),
+      // key d: opposite -> exactly -1e6
+      ("d", 0L, Seq(-1.0f, 0.0f)), ("d", 1L, Seq(1.0f, 0.0f)),
+      // key c: one-sided -> undefined
+      ("c", 0L, Seq(1.0f, 0.0f)))
+      .toDF("k", "p", "vec")
+    val got = Drift.embeddingDrift(rows, "k", "p", "vec", dim = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MinValue else r.getLong(3)))).toMap
+    assert(got("a") == ((2L, 1L, 0L)), s"got ${got("a")}")
+    assert(got("b") == ((1L, 1L, 1000000L)), s"got ${got("b")}")
+    assert(got("d") == ((1L, 1L, -1000000L)), s"got ${got("d")}")
+    assert(got("c") == ((1L, 0L, Long.MinValue)))
+    val ragged = intercept[Exception] {
+      Drift.embeddingDrift(Seq(("a", 0L, Seq(1.0f)))
+        .toDF("k", "p", "vec"), "k", "p", "vec", dim = 2).collect()
+    }
+    assert(rootCause(ragged).getMessage.contains("ragged vector"),
+      rootCause(ragged).getMessage)
+    val badP = intercept[Exception] {
+      Drift.embeddingDrift(Seq(("a", 7L, Seq(1.0f, 0.0f)))
+        .toDF("k", "p", "vec"), "k", "p", "vec", dim = 2).collect()
+    }
+    assert(rootCause(badP).getMessage.contains("outside {0,1}"))
+  }
+
+  test("quantileDrift: integer-ceil ranks give the exact lower " +
+      "quantiles both sides, deltas, one-sided keys null, refusals") {
+    val rows = (1L to 10L).map(v => ("k", 0L, v)) ++
+      Seq(("k", 1L, 11L), ("k", 1L, 12L), ("k", 1L, 13L),
+        ("k", 1L, 14L)) ++
+      (1L to 5L).map(v => ("solo", 0L, v * 10))
+    val got = Drift.quantileDrift(rows.toDF("key", "p", "v"),
+        "key", "p", "v", pcts = Seq(25, 50, 75, 95)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5),
+          if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+    // p0 n=10: ranks 3/5/8/10 -> 3,5,8,10; p1 n=4: ranks 1/2/3/4
+    assert(got(("k", 25L)) == ((10L, 4L, 3L, 11L, 8L)), s"got $got")
+    assert(got(("k", 50L)) == ((10L, 4L, 5L, 12L, 7L)))
+    assert(got(("k", 75L)) == ((10L, 4L, 8L, 13L, 5L)))
+    assert(got(("k", 95L)) == ((10L, 4L, 10L, 14L, 4L)))
+    assert(got(("solo", 50L)) ==
+      ((5L, 0L, 30L, Long.MinValue, Long.MinValue)))
+    intercept[IllegalArgumentException] {
+      Drift.quantileDrift(rows.toDF("key", "p", "v"), "key", "p", "v",
+        Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Drift.quantileDrift(rows.toDF("key", "p", "v"), "key", "p", "v",
+        Seq(50, 50))
+    }
+    val bad = intercept[Exception] {
+      Drift.quantileDrift(Seq(("k", 0L, Option.empty[Long]))
+        .toDF("key", "p", "v"), "key", "p", "v", Seq(50)).collect()
+    }
+    assert(rootCause(bad).getMessage.contains("quantileDrift value"))
+  }
+
   test("null keys are REAL groups: benfordCheck zero-fills and " +
       "chi-squares them, chiSquareDrift folds them — neither drops " +
       "or zeroes a null-key group (round-16 advice)") {
