@@ -773,4 +773,83 @@ object EventStream {
             st.lastTs, tier, st.lastTs + every))
         })
   }
+
+  /** Windowed bucket histogram — the streaming FEEDER for the offline
+    * histogram drift monitors ([[graft.operators.Drift.psi]],
+    * [[graft.operators.Drift.chiSquareDrift]]): per (hopping window,
+    * key, bucket) the observed count, the [[benfordStream]] shape
+    * exactly (stateless windowed aggregation, watermark + native
+    * `window()`, append-safe). Pick two window starts downstream, map
+    * them to periods 0/1 and run the batch monitor — the fold needs
+    * the full bucket domain, which only the batch side can know.
+    * Null or uncastable buckets refuse loudly (a dropped row would
+    * bias its window's histogram).
+    */
+  def bucketHistogramStream(events: DataFrame, tsCol: String,
+      keyCol: String, bucketCol: String, windowLen: String,
+      slide: String, watermark: String): DataFrame = {
+    val b = coalesce(col(bucketCol).try_cast("long"),
+      raise_error(concat(lit("bucketHistogramStream bucket '"),
+        coalesce(col(bucketCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped row would " +
+          "bias the window's histogram"))).cast("long"))
+    events.withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("__ts"), col(keyCol).as("key"),
+        b.as("bucket"))
+      .groupBy(window(col("__ts"), windowLen, slide), col("key"),
+        col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("key"),
+        col("bucket"), col("n"))
+  }
+
+  final case class CusumPoint(key: String, ts: Long, tie: Long,
+      value: Long)
+  final case class CusumState(sPos: Long, sNeg: Long, lastTs: Long,
+      lastTie: Long)
+  final case class CusumOut(key: String, ts: Long, tie: Long,
+      s_pos: Long, s_neg: Long)
+
+  /** Stateful streaming CUSUM — the true streaming form of
+    * [[graft.operators.Drift.cusum]] (a SEQUENTIAL recurrence is
+    * exactly what keyed state is for): per key the state is TWO
+    * accumulators + the (ts, tie) high-water mark — four longs,
+    * bounded regardless of stream length. Each micro-batch folds its
+    * rows in (ts, tie) order through max(0, S + (x − μ − κ)) /
+    * max(0, S + (μ − x − κ)) and emits one row per event. Late-data
+    * policy shared with [[funnelStream]]/[[recrawlStream]]: a
+    * cross-batch row at or below the stored high-water mark is
+    * DROPPED — bounded state cannot re-open a committed prefix — so
+    * stream ≡ batch whenever rows arrive across batches in increasing
+    * (ts, tie) order (spec-asserted parity against the batch
+    * operator's window factoring).
+    */
+  def cusumStream(points: org.apache.spark.sql.Dataset[CusumPoint],
+      mu: Long, kappa: Long)
+      : org.apache.spark.sql.Dataset[CusumOut] = {
+    require(kappa >= 0, s"kappa=$kappa must be >= 0")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[CusumPoint],
+            state: GroupState[CusumState]) => {
+          var st = state.getOption.getOrElse(
+            CusumState(0L, 0L, Long.MinValue, Long.MinValue))
+          val out = rows.toSeq.sortBy(p => (p.ts, p.tie)).flatMap { p =>
+            val late = p.ts < st.lastTs ||
+              (p.ts == st.lastTs && p.tie <= st.lastTie)
+            if (late) None
+            else {
+              val sp = math.max(0L, st.sPos + (p.value - mu - kappa))
+              val sn = math.max(0L, st.sNeg + (mu - p.value - kappa))
+              st = CusumState(sp, sn, p.ts, p.tie)
+              Some(CusumOut(key, p.ts, p.tie, sp, sn))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

@@ -669,4 +669,79 @@ class StreamingSpec extends AnyFunSuite {
     val vdirect = graft.operators.Similarity.maintenanceDue(spark, vidx)
     assert(vrows == Map(0L -> vdirect.action), s"$vrows vs $vdirect")
   }
+
+  test("cusumStream: state crosses micro-batches, late rows drop, " +
+      "emissions equal the batch cusum window factoring") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{CusumOut, CusumPoint}
+    val input = MemoryStream[CusumPoint]
+    val q = EventStream.cusumStream(input.toDS(), mu = 10L, kappa = 2L)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // the DriftSpec hand fixture, split across two micro-batches
+      input.addData(CusumPoint("a", 1L, 1L, 10L),
+        CusumPoint("a", 2L, 2L, 10L), CusumPoint("a", 3L, 3L, 20L))
+      q.processAllAvailable()
+      input.addData(CusumPoint("a", 4L, 4L, 20L),
+        CusumPoint("a", 5L, 5L, 5L), CusumPoint("a", 6L, 6L, 10L),
+        CusumPoint("a", 2L, 9L, 999L), // LATE: ts 2 < high water 6
+        CusumPoint("b", 1L, 1L, 100L))
+      q.processAllAvailable()
+      val got = spark.table("cusum_out").as[CusumOut].collect()
+        .map(o => (o.key, o.ts) -> ((o.s_pos, o.s_neg))).toMap
+      assert(got.size == 7, s"late row not dropped: $got")
+      // parity with the batch operator over the in-order history
+      val batch = graft.operators.Drift.cusum(
+        Seq(("a", 1L, 1L, 10L), ("a", 2L, 2L, 10L), ("a", 3L, 3L, 20L),
+          ("a", 4L, 4L, 20L), ("a", 5L, 5L, 5L), ("a", 6L, 6L, 10L),
+          ("b", 1L, 1L, 100L)).toDF("k", "ts", "tie", "v"),
+        "k", "ts", "tie", "v", mu = 10L, kappa = 2L).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got == batch, s"stream $got vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("bucketHistogramStream: windowed bucket counts equal the batch " +
+      "histogram; null buckets refuse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class BEv(ts: Timestamp, k: String, b: Long)
+    val rows = Seq((ts(2), "a", 1L), (ts(3), "a", 1L), (ts(4), "a", 2L),
+      (ts(12), "a", 1L))
+    val batch = EventStream.bucketHistogramStream(
+        rows.toDF("ts", "k", "b"), "ts", "k", "b",
+        "10 minutes", "10 minutes", "1 minute")
+      .collect().map(r => (r.getTimestamp(0).toString.substring(14, 16),
+        r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(batch == Map(("00", "a", 1L) -> 2L, ("00", "a", 2L) -> 1L,
+      ("10", "a", 1L) -> 1L), s"got $batch")
+    val input = MemoryStream[(Timestamp, String, Long)]
+    val q = EventStream.bucketHistogramStream(
+        input.toDF().toDF("ts", "k", "b"), "ts", "k", "b",
+        "10 minutes", "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((ts(59), "a", 9L)) // advance the watermark
+      q.processAllAvailable()
+      val stream = spark.table("hist_out").collect()
+        .map(r => (r.getTimestamp(0).toString.substring(14, 16),
+          r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+      assert(stream == batch, s"stream $stream vs batch $batch")
+    } finally q.stop()
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val bad = intercept[Exception] {
+      EventStream.bucketHistogramStream(
+        Seq((ts(1), "a", Option.empty[Long])).toDF("ts", "k", "b"),
+        "ts", "k", "b", "10 minutes", "10 minutes", "1 minute")
+        .collect()
+    }
+    assert(rc(bad).getMessage.contains("bucketHistogramStream bucket"))
+  }
 }
