@@ -130,6 +130,13 @@ object NewOpsProbe17 {
           rows.select(col("exp").as("key"), col("p"), col("v")),
           "key", "p", "v", pcts = Seq(25, 50, 75, 95)).count()
       }
+      // cost is b x the base scan by construction — probe at b = 32
+      var bcRows = 0L
+      val tBc = time {
+        bcRows = Experiment.bootstrapCi(
+          rows.select(col("exp").as("key"), col("id"), col("v")),
+          "key", "id", "v", b = 32).count()
+      }
 
       println(s"""{"probe":"newops17","n":$n,""" +
         s""""logrank_sec":${f"$tLr%.2f"},"lr_rows":$lrRows,""" +
@@ -140,7 +147,8 @@ object NewOpsProbe17 {
         s""""ndcg_sec":${f"$tNd%.2f"},"ndcg_queries":$ndRows,""" +
         s""""bt_sec":${f"$tBt%.2f"},"bt_models":$btRows,""" +
         s""""embdrift_sec":${f"$tEd%.2f"},"ed_keys":$edRows,""" +
-        s""""quantdrift_sec":${f"$tQd%.2f"},"qd_rows":$qdRows}""")
+        s""""quantdrift_sec":${f"$tQd%.2f"},"qd_rows":$qdRows,""" +
+        s""""bootstrap32_sec":${f"$tBc%.2f"},"bc_keys":$bcRows}""")
     }
     spark.stop()
   }

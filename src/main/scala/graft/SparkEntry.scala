@@ -5416,6 +5416,18 @@ object SparkEntry {
           (col("event_id") % 2).as("p"),
           floor(col("value") * 100).cast("long").as("v")),
         "event_type", "p", "v", pcts = Seq(25, 50, 75, 95))
+    }),
+
+    // POISSON BOOTSTRAP CI of the mean centi value per event type --
+    // 64 deterministic seeded-Lehmer replicates, per-mille rank
+    // quantiles; every weight replayed by the oracle.
+    "q320_bootstrap" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.bootstrapCi(
+        events(s, dir).select(col("event_type"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "event_id", "v", b = 64, seed = 20260816L,
+        loPm = 25, hiPm = 975)
     })
   )
 
@@ -13728,7 +13740,54 @@ object SparkEntry {
          |  FROM hits GROUP BY key, pct)
          |SELECT bp.key, bp.pct, cn.n0, cn.n1, bp.v0, bp.v1,
          |  bp.v1 - bp.v0 AS delta
-         |FROM bp JOIN cn ON cn.key = bp.key""".stripMargin
+         |FROM bp JOIN cn ON cn.key = bp.key""".stripMargin,
+
+    // q320: Poisson bootstrap -- the Lehmer triple replayed on MINSTD
+    // arithmetic, the 8 cumulative thresholds inlined as the SAME
+    // driver-computed literals the plan bakes in, rank quantiles.
+    "q320_bootstrap" -> {
+      val m = 2147483647L
+      val seed = 20260816L
+      val ts = graft.operators.Experiment.poissonThresholds
+      val wExpr = ts.map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      raw"""WITH r AS (SELECT event_type AS key, event_id AS id,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |pt AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(floor(CAST(sum(v) AS DOUBLE) * 1000000
+         |      / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_micro
+         |  FROM r GROUP BY key),
+         |reps AS (SELECT key, id, v,
+         |    unnest(range(0, 64)) AS rep FROM r),
+         |uu AS (SELECT key, v, rep,
+         |    ((((((id + $seed) % $m) * 48271 % $m + rep) % $m)
+         |      * 48271 % $m) * 48271) % $m AS u
+         |  FROM reps),
+         |ww AS (SELECT key, v, rep,
+         |    CAST($wExpr AS BIGINT) AS w FROM uu),
+         |rm AS (SELECT key, rep,
+         |    CAST(sum(w * v) AS BIGINT) AS swv,
+         |    CAST(sum(w) AS BIGINT) AS sw
+         |  FROM ww GROUP BY key, rep),
+         |mn AS (SELECT key, rep,
+         |    CAST(floor(CAST(swv AS DOUBLE) * 1000000
+         |      / CAST(sw AS DOUBLE)) AS BIGINT) AS mean
+         |  FROM rm WHERE sw > 0),
+         |rk AS (SELECT key, mean,
+         |    CAST(row_number() OVER (PARTITION BY key
+         |      ORDER BY mean, rep) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS beff
+         |  FROM mn),
+         |ci AS (SELECT key, CAST(max(beff) AS BIGINT) AS b_eff,
+         |    max(CASE WHEN rk = greatest(1, (25 * beff + 999) // 1000)
+         |      THEN mean END) AS lo_micro,
+         |    max(CASE WHEN rk = greatest(1, (975 * beff + 999) // 1000)
+         |      THEN mean END) AS hi_micro
+         |  FROM rk GROUP BY key)
+         |SELECT ci.key, pt.n, ci.b_eff, pt.mean_micro, ci.lo_micro,
+         |  ci.hi_micro
+         |FROM ci JOIN pt ON pt.key = ci.key""".stripMargin
+    }
   )
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical

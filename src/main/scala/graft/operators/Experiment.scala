@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -763,5 +763,115 @@ object Experiment {
         coalesce(col("e1_micro"), lit(0L)).as("e1_micro"),
         coalesce(col("v_micro"), lit(0L)).as("v_micro"),
         col("chi2_micro"))
+  }
+
+  private val LehmerM = 2147483647L // MINSTD modulus, 2^31 - 1
+  private def lehmer(x: Column): Column =
+    pmod(pmod(x, lit(LehmerM)) * lit(48271L), lit(LehmerM))
+
+  /** Poisson(1) bootstrap cumulative thresholds on the Lehmer [0, M)
+    * lattice: tₖ = floor(P(X ≤ k)·M) for k = 0..7, the tail mass
+    * (P > 8) ≈ 10⁻⁶ folded into w = 8. Driver-computed doubles baked
+    * into plan AND oracle as the same integer literals — the q300
+    * salt discipline.
+    */
+  private[graft] def poissonThresholds: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val pmf = (0 to 7).scanLeft(e1)((p, k) => p / (k + 1)).take(8)
+    pmf.scanLeft(0.0)(_ + _).drop(1)
+      .map(c => math.floor(c * LehmerM).toLong)
+  }
+
+  /** Percentile bootstrap confidence interval for a keyed mean — the
+    * assumption-free uncertainty readout next to the point estimates
+    * ([[cuped]]/[[diffInDiff]] emit adjusted means; this bounds them):
+    * the POISSON bootstrap (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams" — the resampling that
+    * distributes, because each unit draws its replicate weights
+    * independently: w ~ Poisson(1) approximates the multinomial
+    * resample as n → ∞), with every draw DETERMINISTIC from the
+    * seeded Lehmer stream over (unit id, replicate) — the
+    * [[graft.operators.Anonymize.noisyCounts]] discipline, so runs
+    * reproduce and the oracle replays every weight:
+    *
+    *   u(id, r)  = lehmer(lehmer(lehmer(id + seed) + r))   ∈ [0, M)
+    *   w(id, r)  = #{ k ≤ 7 : u ≥ tₖ }                     ∈ [0, 8]
+    *   mean_r    = floor(10⁶·Σ w·v / Σ w)    (null when Σw = 0)
+    *   CI        = the loPm/hiPm per-mille LOWER-rank quantiles of
+    *               the B replicate means (integer-ceil ranks, the
+    *               quantileDrift convention)
+    *
+    * Output one row per key: `key, n, b_eff` (replicates with Σw > 0
+    * — all B except vanishingly rare tiny-group wipeouts),
+    * `mean_micro` (the plain point estimate), `lo_micro, hi_micro`.
+    * Unit ids and values must be non-null long-castable (refused
+    * loudly — a dropped unit would shift every replicate); the
+    * Poisson tail is capped at w = 8 (P ≈ 10⁻⁶, documented bias far
+    * below any CI width).
+    *
+    * Scale shape: one B-way explode (inside codegen) → one
+    * (key, replicate) map-side-combined aggregation → one
+    * key-partitioned rank window over ≤ B replicate rows per key →
+    * one key fold. Cost is B× the base scan by construction —
+    * B ≤ 1024 is the loud contract; nothing unit-sized shuffles.
+    */
+  def bootstrapCi(df: DataFrame, keyCol: String, idCol: String,
+      valCol: String, b: Int = 200, seed: Long = 1L,
+      loPm: Int = 25, hiPm: Int = 975): DataFrame = {
+    require(b >= 8 && b <= 1024, s"b=$b out of [8, 1024]")
+    require(loPm >= 1 && hiPm <= 999 && loPm < hiPm,
+      s"need 1 <= loPm < hiPm <= 999, got $loPm/$hiPm")
+    val id = coalesce(col(idCol).try_cast("long"),
+      raise_error(concat(lit("bootstrapCi: unit id '"),
+        coalesce(col(idCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("bootstrapCi: value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — quantize upstream")))
+        .cast("long"))
+    val ts = poissonThresholds
+    val rows = df.select(col(keyCol).as("key"), id.as("__id"),
+      v.as("__v"))
+    val point = rows.groupBy(col("key").as("__k"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("__v")).cast("double") * 1000000
+          / count(lit(1)).cast("double")).cast("long").as("mean_micro"))
+    val reps = rows
+      .select(col("key"), col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__r"))
+      .withColumn("__u",
+        lehmer(lehmer(lehmer(col("__id") + lit(seed))
+          + col("__r").cast("long"))))
+      .withColumn("__w",
+        ts.map(t => when(col("__u") >= t, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .groupBy(col("key"), col("__r"))
+      .agg(sum(col("__w") * col("__v")).as("__swv"),
+        sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .withColumn("__mean",
+        floor(col("__swv").cast("double") * 1000000
+          / col("__sw").cast("double")).cast("long"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__mean"),
+      col("__r"))
+    val ranked = reps
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__beff", count(lit(1)).over(
+        Window.partitionBy(col("key"))))
+    val ci = ranked
+      .withColumn("__lo_t",
+        greatest(lit(1L), expr(s"($loPm * __beff + 999L) div 1000L")))
+      .withColumn("__hi_t",
+        greatest(lit(1L), expr(s"($hiPm * __beff + 999L) div 1000L")))
+      .groupBy(col("key"))
+      .agg(max(col("__beff")).as("b_eff"),
+        max(when(col("__rk") === col("__lo_t"), col("__mean")))
+          .as("lo_micro"),
+        max(when(col("__rk") === col("__hi_t"), col("__mean")))
+          .as("hi_micro"))
+    ci.join(point, col("key") <=> col("__k"))
+      .select(col("key"), col("n"), col("b_eff"), col("mean_micro"),
+        col("lo_micro"), col("hi_micro"))
   }
 }

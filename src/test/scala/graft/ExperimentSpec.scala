@@ -452,4 +452,51 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(rootCause(badEv).getMessage.contains("outside {0,1}"))
   }
+
+  test("bootstrapCi: every seeded Poisson weight, replicate mean and " +
+      "rank quantile replays in plain scala; refusals") {
+    val m = 2147483647L
+    val seed = 7L
+    val b = 16
+    def lehmer(x: Long): Long = ((x % m) * 48271L) % m
+    val ts = Experiment.poissonThresholds
+    def w(id: Long, rep: Long): Long = {
+      val u = lehmer(lehmer(lehmer(id + seed) + rep))
+      ts.count(t => u >= t).toLong
+    }
+    val units = (1L to 20L).map(i => ("k", i, i * 10L))
+    val means = (0L until b.toLong).flatMap { rep =>
+      val swv = units.map { case (_, id, v) => w(id, rep) * v }.sum
+      val sw = units.map { case (_, id, _) => w(id, rep) }.sum
+      if (sw == 0) None
+      else Some((rep, math.floor(swv.toDouble * 1000000
+        / sw.toDouble).toLong))
+    }.sortBy(x => (x._2, x._1)).map(_._2)
+    val beff = means.length
+    def target(pm: Int) = math.max(1, (pm * beff + 999) / 1000)
+    val wantLo = means(target(250) - 1)
+    val wantHi = means(target(750) - 1)
+    val wantMean = math.floor(
+      units.map(_._3).sum.toDouble * 1000000 / 20.0).toLong
+    val r = Experiment.bootstrapCi(units.toDF("k", "id", "v"),
+      "k", "id", "v", b = b, seed = seed, loPm = 250, hiPm = 750)
+      .collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((20L, beff.toLong, wantMean, wantLo, wantHi)),
+      s"got $r, want ($beff, $wantMean, $wantLo, $wantHi)")
+    assert(wantLo <= wantHi)
+    val badId = intercept[Exception] {
+      Experiment.bootstrapCi(Seq(("k", Option.empty[Long], 1L))
+        .toDF("k", "id", "v"), "k", "id", "v").collect()
+    }
+    assert(rootCause(badId).getMessage.contains("unit id"))
+    intercept[IllegalArgumentException] {
+      Experiment.bootstrapCi(units.toDF("k", "id", "v"), "k", "id",
+        "v", b = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.bootstrapCi(units.toDF("k", "id", "v"), "k", "id",
+        "v", loPm = 500, hiPm = 500)
+    }
+  }
 }
