@@ -5428,6 +5428,213 @@ object SparkEntry {
           floor(col("value") * 100).cast("long").as("v")),
         "event_type", "event_id", "v", b = 64, seed = 20260816L,
         loPm = 25, hiPm = 975)
+    }),
+
+    // AVERAGE PRECISION per source: ranks by doc id, binary relevance
+    // doc_id % 3 == 0 -- each relevant position contributes a floored
+    // ppm precision@k term, the sum divided by the positive count.
+    "q321_avg_precision" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val ranked = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(3L)) === 0L, 1L).otherwise(0L)
+            .as("rel"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id")))
+          .cast("long"))
+      EvalMetrics.averagePrecision(ranked, "source", "rank", "rel")
+    }),
+
+    // SPEARMAN RANK CORRELATION per event type: centi value vs
+    // user-id residue -- doubled midranks (exact integers), Pearson
+    // on the ranks with DECIMAL sums, one exactly-rounded IEEE
+    // sqrt/divide chain at the end.
+    "q322_spearman" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.spearmanRho(
+        events(s, dir).select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("x"),
+          pmod(col("user_id"), lit(1000L)).as("y")),
+        "event_type", "x", "y")
+    }),
+
+    // KENDALL TAU-B per source: hecto char-length vs doc-id residue
+    // (both tie-rich) -- exact concordant/discordant/tie pair counts
+    // from the bounded O(n^2) self-join, tie-corrected denominator.
+    "q323_kendall" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.kendallTauB(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          expr("n_chars div 100").as("x"),
+          pmod(col("doc_id"), lit(50L)).as("y")),
+        "source", "doc_id", "x", "y", maxN = 1024)
+    }),
+
+    // T-CLOSENESS audit over (segment, nation-residue) classes with
+    // the kilo-bucketed account balance as the ordered sensitive
+    // attribute -- exact integer prefix-sum EMD, one integral
+    // division to ppm.
+    "q324_t_closeness" -> ((s, dir) => {
+      import graft.operators.Anonymize
+      Anonymize.tClosenessReport(
+        t(s, dir, "customer").select(col("c_mktsegment").as("seg"),
+          pmod(col("c_nationkey"), lit(5L)).as("nk"),
+          expr("CAST(floor(c_acctbal) AS BIGINT) div 1000").as("s")),
+        Seq("seg", "nk"), "s", tPpm = 150000L)
+    }),
+
+    // POSITION-BASED (U-shaped) ATTRIBUTION: touches before each
+    // user's first purchase share 40/20/40 credit on the integer ppm
+    // lattice; channel = the touch's event type.
+    "q325_attribution" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.attributePositionBased(events(s, dir), "user_id",
+        "event_type", "event_type", "ts", "event_id", "purchase")
+    }),
+
+    // AUTOCORRELATION at lag 24 of the hourly value sums per event
+    // type (the q315 feeder) -- fraction-cleared ACF on DECIMAL
+    // sums, one integral division; daily seasonality would read
+    // positive here.
+    "q326_acf" -> ((s, dir) => {
+      import graft.operators.Ops
+      val hourly = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 3600000000000L)) div 3600000000000L")
+            .as("h"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(sum(col("v")).as("hv"))
+      Ops.autocorr(hourly, "event_type", "h", "h", "hv", k = 24)
+    }),
+
+    // JENSEN-SHANNON DIVERGENCE between the event-id parities per
+    // event type over user-id-residue buckets -- the unsmoothed,
+    // bounded companion to the q312 PSI (same fixture family, wider
+    // bucket domain).
+    "q327_js_drift" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.jsDivergence(
+        events(s, dir).select(col("event_type"),
+          pmod(col("user_id"), lit(10L)).as("bucket"),
+          (col("event_id") % 2).as("period")),
+        "event_type", "bucket", "period")
+    }),
+
+    // KRIPPENDORFF'S ALPHA per event type: users as units, the
+    // centi-value residue mod 4 as the nominal rating -- variable
+    // ratings per unit (the shape Fleiss cannot take), unit quotients
+    // floored to micro, DECIMAL final fold.
+    "q328_krippendorff" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      EvalMetrics.krippendorffAlpha(
+        events(s, dir).select(col("event_type"),
+          col("user_id").as("unit"),
+          pmod(floor(col("value") * 100).cast("long"), lit(4L))
+            .as("rating")),
+        "event_type", "unit", "rating")
+    }),
+
+    // CLIFF'S DELTA: the q273 fixture read as an effect size --
+    // (u1_x2 - n0*n1) rescaled to ppm dominance, integer-exact
+    // through the shared Mann-Whitney machinery.
+    "q329_cliffs_delta" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.cliffsDelta(
+        events(s, dir).select(col("event_type"),
+          pmod(col("user_id"), lit(2L)).as("g"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "g", "v")
+    }),
+
+    // COHEN'S D on the same arms: exact integer moment sums per arm,
+    // the pooled-SD standardized difference in ONE fixed IEEE chain,
+    // floored to milli.
+    "q330_cohens_d" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.cohensD(
+        events(s, dir).select(col("event_type"),
+          pmod(col("user_id"), lit(2L)).as("g"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "g", "v")
+    }),
+
+    // ROLLING LOWER MEDIAN (w=5) of the centi-value per event type
+    // on the (ts, event_id) order -- the robust rolling level
+    // companion to the q311 CUSUM; only FULL windows emit, every
+    // output stays on the input lattice.
+    "q331_rolling_median" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.rollingMedian(events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "ts", "event_id", "v", w = 5)
+    }),
+
+    // MEDIAN ABSOLUTE DEVIATION of the centi-values per event type
+    // -- both medians LOWER by rank, no float anywhere; the robust
+    // scale the q333 fence divides by.
+    "q332_mad" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.madPerGroup(events(s, dir).select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "v")
+    }),
+
+    // ROBUST OUTLIER GATE at 1.8x MAD by integer cross-
+    // multiplication (1000*dev > 1800*mad) -- the tails of the
+    // per-type value distribution, no modified-z float.
+    "q333_robust_outliers" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.robustOutliers(events(s, dir).select(col("event_type"),
+        col("event_id"),
+        floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "event_id", "v", kMilli = 1800L)
+    }),
+
+    // POST-STRATIFIED ATE per event type: user-residue strata (mod
+    // 5) over user-residue arms (mod 2), size-weighted within-
+    // stratum contrasts on the micro lattice, one-arm strata
+    // excluded VISIBLY, the unadjusted contrast riding along.
+    "q334_stratified_ate" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.stratifiedAte(events(s, dir).select(
+        col("event_type"),
+        pmod(col("user_id"), lit(5L)).as("stratum"),
+        pmod(col("user_id"), lit(2L)).as("g"),
+        floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "stratum", "g", "v")
+    }),
+
+    // HOLM-BONFERRONI step-down FWER control over the q309 synthetic
+    // hypothesis families -- running max of (m-k+1)*p clipped to
+    // 1e6, reject = adj <= alpha; the launch-gate companion to BH's
+    // FDR on the same fixture.
+    "q335_holm" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val hyp = events(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(100L)).as("hyp"))
+        .distinct()
+        .withColumn("p_ppm",
+          when(col("hyp") < 10, col("hyp") * 137 + 3)
+            .otherwise(pmod(col("hyp") * 9973
+              + length(col("event_type")).cast("long") * 131071,
+              lit(1000001L))))
+      Experiment.holmBonferroni(hyp, "event_type", "hyp", "p_ppm",
+        alphaPpm = 50000L)
+    }),
+
+    // FIRST-ORDER MARKOV REMOVAL-EFFECT ATTRIBUTION over the q325
+    // touch derivation (pre-conversion event types as channels,
+    // purchase absorbs): 8 synchronous ppm value-iteration rounds
+    // per leave-one-channel-out scenario, removal effects and their
+    // normalized shares -- the model-based companion to q325's
+    // position rule.
+    "q336_markov_attribution" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.markovRemovalEffect(events(s, dir), "user_id",
+        "event_type", "ts", "event_id", "purchase")
     })
   )
 
@@ -13787,8 +13994,586 @@ object SparkEntry {
          |SELECT ci.key, pt.n, ci.b_eff, pt.mean_micro, ci.lo_micro,
          |  ci.hi_micro
          |FROM ci JOIN pt ON pt.key = ci.key""".stripMargin
-    }
+    },
+
+    // q321: average precision -- running relevant count over the
+    // rank order, floored ppm precision terms at relevant rows, one
+    // integral division by the positive count.
+    "q321_avg_precision" ->
+      raw"""WITH r AS (SELECT source AS query,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY doc_id) AS BIGINT) AS rnk,
+         |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel
+         |  FROM documents),
+         |c AS (SELECT query, rnk, rel,
+         |    CAST(sum(rel) OVER (PARTITION BY query ORDER BY rnk)
+         |      AS BIGINT) AS relcnt
+         |  FROM r)
+         |SELECT query, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(rel) AS BIGINT) AS n_pos,
+         |  CASE WHEN sum(rel) = 0 THEN NULL
+         |    ELSE CAST(sum(CASE WHEN rel = 1
+         |      THEN (1000000 * relcnt) // rnk ELSE 0 END)
+         |      // sum(rel) AS BIGINT) END AS ap_ppm
+         |FROM c GROUP BY query""".stripMargin,
+
+    // q322: Spearman -- doubled midranks (2*rank + ties - 1), exact
+    // HUGEINT moment sums, the same float finish (cast, sqrt,
+    // multiply, divide, floor -- all exactly rounded IEEE).
+    "q322_spearman" ->
+      raw"""WITH r AS (SELECT event_type AS grp,
+         |    CAST(floor(value * 100) AS BIGINT) AS x,
+         |    ((user_id % 1000) + 1000) % 1000 AS y FROM events),
+         |rk AS (SELECT grp,
+         |    CAST(2 * rank() OVER (PARTITION BY grp ORDER BY x)
+         |      + count(*) OVER (PARTITION BY grp, x) - 1 AS HUGEINT)
+         |      AS rx,
+         |    CAST(2 * rank() OVER (PARTITION BY grp ORDER BY y)
+         |      + count(*) OVER (PARTITION BY grp, y) - 1 AS HUGEINT)
+         |      AS ry
+         |  FROM r),
+         |ag AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(rx) AS sx, sum(ry) AS sy, sum(rx * rx) AS sxx,
+         |    sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+         |  FROM rk GROUP BY grp)
+         |SELECT grp, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN n < 2 OR n * sxx - sx * sx <= 0
+         |      OR n * syy - sy * sy <= 0 THEN NULL
+         |    ELSE CAST(floor(1000000.0
+         |      * CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))))
+         |      AS BIGINT) END AS rho_ppm
+         |FROM ag""".stripMargin,
+
+    // q323: Kendall tau-b -- all unordered pairs by doc-id identity,
+    // exact sign/tie counts, tie-corrected sqrt denominator in the
+    // shared float finish.
+    "q323_kendall" ->
+      raw"""WITH r AS (SELECT source AS grp, doc_id AS i,
+         |    n_chars // 100 AS x, ((doc_id % 50) + 50) % 50 AS y
+         |  FROM documents),
+         |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+         |  FROM r GROUP BY grp),
+         |pr AS (SELECT a.grp,
+         |    CASE WHEN (b.x > a.x AND b.y > a.y)
+         |        OR (b.x < a.x AND b.y < a.y) THEN 1
+         |      WHEN (b.x > a.x AND b.y < a.y)
+         |        OR (b.x < a.x AND b.y > a.y) THEN -1
+         |      ELSE 0 END AS sgn,
+         |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+         |  FROM r a JOIN r b ON b.grp = a.grp AND a.i < b.i),
+         |f AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c,
+         |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d,
+         |    CAST(sum(tx) AS BIGINT) AS t1,
+         |    CAST(sum(ty) AS BIGINT) AS t2
+         |  FROM pr GROUP BY grp)
+         |SELECT sz.grp, sz.n,
+         |  CAST(COALESCE(f.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(f.c, 0) AS BIGINT) AS concordant,
+         |  CAST(COALESCE(f.d, 0) AS BIGINT) AS discordant,
+         |  CASE WHEN f.n_pairs IS NULL OR f.n_pairs - f.t1 <= 0
+         |      OR f.n_pairs - f.t2 <= 0 THEN NULL
+         |    ELSE CAST(floor(1000000.0 * CAST(f.c - f.d AS DOUBLE)
+         |      / sqrt(CAST((f.n_pairs - f.t1)
+         |        * (f.n_pairs - f.t2) AS DOUBLE)))
+         |      AS BIGINT) END AS tau_b_ppm
+         |FROM sz LEFT JOIN f ON f.grp = sz.grp""".stripMargin,
+
+    // q324: t-closeness -- the ordered-EMD prefix identity replayed:
+    // class x value grid, exact HUGEINT prefix sums of
+    // (c*N - g*n), one integral division to ppm.
+    "q324_t_closeness" ->
+      raw"""WITH rows_ AS (SELECT c_mktsegment AS seg,
+         |    CAST(((c_nationkey % 5) + 5) % 5 AS BIGINT) AS nk,
+         |    CAST(floor(c_acctbal) AS BIGINT) // 1000 AS s
+         |  FROM customer),
+         |cells AS (SELECT seg, nk, s, CAST(count(*) AS BIGINT) AS c
+         |  FROM rows_ GROUP BY 1, 2, 3),
+         |dom AS (SELECT s AS v, CAST(sum(c) AS BIGINT) AS g
+         |  FROM cells GROUP BY s),
+         |ds AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(g) AS BIGINT) AS nn FROM dom),
+         |grp AS (SELECT seg, nk, CAST(count(*) AS BIGINT) AS qi_n
+         |  FROM rows_ GROUP BY 1, 2),
+         |grid AS (SELECT grp.seg, grp.nk, grp.qi_n, dom.v, dom.g,
+         |    ds.m, ds.nn FROM grp CROSS JOIN dom CROSS JOIN ds),
+         |pf AS (SELECT grid.seg, grid.nk, grid.qi_n, grid.m, grid.nn,
+         |    grid.v,
+         |    sum(CAST(COALESCE(cells.c, 0) AS HUGEINT) * grid.nn
+         |      - CAST(grid.g AS HUGEINT) * grid.qi_n)
+         |      OVER (PARTITION BY grid.seg, grid.nk ORDER BY grid.v)
+         |      AS prefix
+         |  FROM grid LEFT JOIN cells ON cells.seg = grid.seg
+         |    AND cells.nk = grid.nk AND cells.s = grid.v),
+         |em AS (SELECT seg, nk, qi_n, m, nn,
+         |    sum(abs(prefix)) AS emd_num
+         |  FROM pf GROUP BY 1, 2, 3, 4, 5),
+         |fin AS (SELECT seg, nk, qi_n, m AS n_values,
+         |    CASE WHEN m = 1 THEN 0
+         |      ELSE CAST((1000000 * emd_num)
+         |        // (CAST(m - 1 AS HUGEINT) * qi_n * nn) AS BIGINT)
+         |      END AS emd_ppm
+         |  FROM em)
+         |SELECT seg, nk, qi_n, n_values, emd_ppm,
+         |  emd_ppm > 150000 AS suppressed_t
+         |FROM fin""".stripMargin,
+
+    // q325: position-based attribution -- first conversion by
+    // (ts, tie), strictly-prior touches positioned by the same
+    // order, the 40/20/40 CASE on the integer ppm lattice.
+    "q325_attribution" ->
+      raw"""WITH r AS (SELECT user_id AS u, event_type AS et,
+         |    epoch_ns(ts) AS ts, event_id AS tie FROM events),
+         |cv AS (SELECT u, ts AS cts, tie AS ctie FROM (
+         |    SELECT u, ts, tie, row_number() OVER (PARTITION BY u
+         |      ORDER BY ts, tie) AS rn
+         |    FROM r WHERE et = 'purchase') WHERE rn = 1),
+         |tc AS (SELECT r.u, r.et AS channel, r.ts, r.tie
+         |  FROM r JOIN cv ON cv.u = r.u
+         |    AND (r.ts < cv.cts OR (r.ts = cv.cts
+         |      AND r.tie < cv.ctie))
+         |  WHERE r.et <> 'purchase'),
+         |pos AS (SELECT u, channel,
+         |    CAST(row_number() OVER (PARTITION BY u
+         |      ORDER BY ts, tie) AS BIGINT) AS pos,
+         |    CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS k
+         |  FROM tc)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_first,
+         |  CAST(sum(CASE WHEN pos = k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_last,
+         |  CAST(sum(CASE WHEN k = 1 THEN 1000000
+         |    WHEN k = 2 THEN 500000
+         |    WHEN pos = 1 OR pos = k THEN 400000
+         |    ELSE 200000 // (k - 2) END) AS BIGINT) AS credit_ppm
+         |FROM pos GROUP BY channel""".stripMargin,
+
+    // q326: lag-24 autocorrelation of the q315 hourly feeder --
+    // positional lead over the (h, h) order, fraction-cleared num/den
+    // on HUGEINT, one integral division.
+    "q326_acf" ->
+      raw"""WITH hr AS (SELECT event_type AS key,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000
+         |      + 3600000000000) % 3600000000000)) // 3600000000000
+         |      AS h,
+         |    CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |hv AS (SELECT key, CAST(h AS BIGINT) AS h,
+         |    CAST(sum(v) AS BIGINT) AS hv
+         |  FROM hr GROUP BY 1, 2),
+         |ld AS (SELECT key, hv,
+         |    lead(hv, 24) OVER (PARTITION BY key ORDER BY h, h)
+         |      AS lv
+         |  FROM hv),
+         |ag AS (SELECT key, CAST(count(*) AS HUGEINT) AS n,
+         |    sum(CAST(hv AS HUGEINT)) AS s,
+         |    sum(CAST(hv AS HUGEINT) * hv) AS ss,
+         |    CAST(count(lv) AS HUGEINT) AS npair,
+         |    sum(CASE WHEN lv IS NOT NULL
+         |      THEN CAST(hv AS HUGEINT) * lv END) AS sxy,
+         |    sum(CASE WHEN lv IS NOT NULL
+         |      THEN CAST(hv AS HUGEINT) END) AS sx,
+         |    sum(CASE WHEN lv IS NOT NULL
+         |      THEN CAST(lv AS HUGEINT) END) AS sy
+         |  FROM ld GROUP BY key)
+         |SELECT key, CAST(n AS BIGINT) AS n,
+         |  CAST(24 AS BIGINT) AS lag,
+         |  CASE WHEN n <= 24
+         |      OR n * n * ss - n * s * s * 2 + n * s * s <= 0
+         |    THEN NULL
+         |    ELSE CAST((1000000 * (n * n * sxy - n * s * (sx + sy)
+         |      + npair * s * s))
+         |      // (n * n * ss - n * s * s * 2 + n * s * s) AS BIGINT)
+         |    END AS acf_ppm
+         |FROM ag""".stripMargin,
+
+    // q327: Jensen-Shannon -- unsmoothed count ratios, the two-sided
+    // micro term in the engine's exact IEEE op order (explicit zero
+    // branches, no NaN), degenerate periods null.
+    "q327_js_drift" ->
+      raw"""WITH r AS (SELECT event_type AS key,
+         |    ((user_id % 10) + 10) % 10 AS bucket, event_id % 2 AS p
+         |  FROM events),
+         |cells AS (SELECT key, CAST(bucket AS BIGINT) AS bucket,
+         |    CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1
+         |  FROM r GROUP BY 1, 2),
+         |ks AS (SELECT key, CAST(sum(n0) AS BIGINT) AS c0,
+         |    CAST(sum(n1) AS BIGINT) AS c1,
+         |    CAST(count(*) AS BIGINT) AS n_buckets
+         |  FROM cells GROUP BY key),
+         |tm AS (SELECT cells.key, cells.bucket, cells.n0, cells.n1,
+         |    ks.n_buckets, ks.c0, ks.c1,
+         |    CAST(cells.n0 AS DOUBLE) / CAST(ks.c0 AS DOUBLE) AS p0,
+         |    CAST(cells.n1 AS DOUBLE) / CAST(ks.c1 AS DOUBLE) AS p1
+         |  FROM cells JOIN ks ON ks.key = cells.key),
+         |t2 AS (SELECT *, CAST(floor((
+         |    (CASE WHEN n0 = 0 THEN 0.0
+         |      ELSE p0 * ln(2.0 * p0 / (p0 + p1)) END)
+         |    + (CASE WHEN n1 = 0 THEN 0.0
+         |      ELSE p1 * ln(2.0 * p1 / (p0 + p1)) END))
+         |    * 500000.0) AS BIGINT) AS term FROM tm),
+         |fold AS (SELECT key, CAST(sum(term) AS BIGINT) AS jsd,
+         |    max(CASE WHEN c0 = 0 OR c1 = 0 THEN 1 ELSE 0 END)
+         |      AS degen
+         |  FROM t2 GROUP BY key)
+         |SELECT t2.key, t2.bucket, t2.n0, t2.n1, t2.n_buckets,
+         |  CASE WHEN fold.degen = 1 THEN NULL ELSE fold.jsd END
+         |    AS jsd_micro
+         |FROM t2 JOIN fold ON fold.key = t2.key""".stripMargin,
+
+    // q328: Krippendorff's alpha -- unit coincidence quotients
+    // floored to micro, category totals over pairable rows, the
+    // (N-1)*Do/De fold on HUGEINT.
+    "q328_krippendorff" ->
+      raw"""WITH r AS (SELECT event_type AS grp, user_id AS unit,
+         |    ((CAST(floor(value * 100) AS BIGINT) % 4) + 4) % 4 AS v
+         |  FROM events),
+         |cells AS (SELECT grp, unit, v,
+         |    CAST(count(*) AS BIGINT) AS nuc
+         |  FROM r GROUP BY 1, 2, 3),
+         |units AS (SELECT grp, unit, CAST(sum(nuc) AS BIGINT) AS mu
+         |  FROM cells GROUP BY 1, 2),
+         |paired AS (SELECT c.grp, c.unit, c.v, c.nuc, u.mu
+         |  FROM cells c JOIN units u
+         |    ON u.grp = c.grp AND u.unit = c.unit
+         |  WHERE u.mu >= 2),
+         |du AS (SELECT grp, unit,
+         |    (1000000 * sum(nuc * (mu - nuc))) // (max(mu) - 1)
+         |      AS duv
+         |  FROM paired GROUP BY grp, unit),
+         |dofold AS (SELECT grp, sum(CAST(duv AS HUGEINT))
+         |    AS do_micro FROM du GROUP BY grp),
+         |cats AS (SELECT grp, v, CAST(sum(nuc) AS BIGINT) AS nc
+         |  FROM paired GROUP BY grp, v),
+         |catfold AS (SELECT grp, CAST(sum(nc) AS BIGINT) AS nn,
+         |    CAST(count(*) AS BIGINT) AS ncat
+         |  FROM cats GROUP BY grp),
+         |defold AS (SELECT c.grp,
+         |    sum(CAST(c.nc AS HUGEINT) * (f.nn - c.nc)) AS de,
+         |    CAST(max(f.nn) AS BIGINT) AS nn,
+         |    CAST(max(f.ncat) AS BIGINT) AS ncat
+         |  FROM cats c JOIN catfold f ON f.grp = c.grp
+         |  GROUP BY c.grp),
+         |us AS (SELECT grp,
+         |    CAST(sum(CASE WHEN mu >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_units,
+         |    CAST(sum(CASE WHEN mu < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_dropped_units
+         |  FROM units GROUP BY grp)
+         |SELECT us.grp, us.n_units, us.n_dropped_units,
+         |  CAST(COALESCE(defold.nn, 0) AS BIGINT) AS n_pairable,
+         |  CAST(COALESCE(defold.ncat, 0) AS BIGINT) AS n_categories,
+         |  CASE WHEN defold.nn IS NULL OR defold.nn < 2
+         |      OR defold.de <= 0 THEN NULL
+         |    ELSE CAST(1000000 - (CAST(defold.nn - 1 AS HUGEINT)
+         |      * dofold.do_micro) // defold.de AS BIGINT)
+         |    END AS alpha_ppm
+         |FROM us LEFT JOIN dofold ON dofold.grp = us.grp
+         |LEFT JOIN defold ON defold.grp = us.grp""".stripMargin,
+
+    // q329: Cliff's delta -- the q273 Mann-Whitney chain, then the
+    // dominance rescale (u1_x2 - n0*n1) / (n0*n1) in ppm.
+    "q329_cliffs_delta" ->
+      raw"""WITH e AS (SELECT event_type AS exp,
+         |    CAST(user_id % 2 AS BIGINT) AS g,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |c AS (SELECT exp, v,
+         |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1
+         |  FROM e GROUP BY 1, 2),
+         |r AS (SELECT exp, c0, c1,
+         |    CAST(COALESCE(sum(c0 + c1) OVER (PARTITION BY exp
+         |      ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS below
+         |  FROM c),
+         |m AS (SELECT exp, c0, c1, 2 * below + c0 + c1 + 1 AS mid2
+         |  FROM r),
+         |f AS (SELECT exp, CAST(sum(c0) AS BIGINT) AS n0,
+         |    CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c1 * mid2) AS BIGINT) AS r1_x2
+         |  FROM m GROUP BY 1)
+         |SELECT exp, n0, n1,
+         |  CASE WHEN n0 * n1 = 0 THEN NULL
+         |    ELSE CAST((1000000 * ((r1_x2 - n1 * (n1 + 1))
+         |      - n0 * n1)) // (n0 * n1) AS BIGINT)
+         |    END AS delta_ppm
+         |FROM f""".stripMargin,
+
+    // q330: Cohen's d -- exact integer arm moments, the one fixed
+    // IEEE chain (means, pooled SS over n, sqrt, multiply by 1000,
+    // floor) replayed operation for operation.
+    "q330_cohens_d" ->
+      raw"""WITH e AS (SELECT event_type AS exp,
+         |    CAST(user_id % 2 AS BIGINT) AS g,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |a AS (SELECT exp,
+         |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN g = 0 THEN v ELSE 0 END) AS BIGINT)
+         |      AS s0,
+         |    CAST(sum(CASE WHEN g = 1 THEN v ELSE 0 END) AS BIGINT)
+         |      AS s1,
+         |    CAST(sum(CASE WHEN g = 0 THEN v * v ELSE 0 END)
+         |      AS BIGINT) AS q0,
+         |    CAST(sum(CASE WHEN g = 1 THEN v * v ELSE 0 END)
+         |      AS BIGINT) AS q1
+         |  FROM e GROUP BY exp)
+         |SELECT exp, n0, n1,
+         |  CASE WHEN n0 < 2 OR n1 < 2 THEN NULL
+         |    WHEN n0 * q0 - s0 * s0 = 0 AND n1 * q1 - s1 * s1 = 0
+         |      THEN NULL
+         |    ELSE CAST(floor(1000.0
+         |      * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+         |        - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         |      / sqrt((CAST(n0 * q0 - s0 * s0 AS DOUBLE)
+         |          / CAST(n0 AS DOUBLE)
+         |        + CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+         |          / CAST(n1 AS DOUBLE))
+         |        / CAST(n0 + n1 - 2 AS DOUBLE))) AS BIGINT)
+         |    END AS d_milli
+         |FROM a""".stripMargin,
+
+    // q331: rolling lower median -- the 5-row trailing window as a
+    // list window aggregate, sorted, element 3; full windows only.
+    "q331_rolling_median" ->
+      raw"""WITH e AS (SELECT event_type AS key, epoch_ns(ts) AS ts,
+         |    CAST(event_id AS BIGINT) AS tie,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |w AS (SELECT key, ts, tie, v,
+         |    list(v) OVER (PARTITION BY key ORDER BY ts, tie
+         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS buf
+         |  FROM e)
+         |SELECT key, ts, tie, v,
+         |  CAST(list_sort(buf)[3] AS BIGINT) AS med
+         |FROM w WHERE len(buf) = 5""".stripMargin,
+
+    // q332: MAD -- two lower-median rank walks, the deviation join
+    // between them, replayed with explicit row_number/count windows.
+    "q332_mad" ->
+      raw"""WITH e AS (SELECT event_type AS grp,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |r1 AS (SELECT grp, v,
+         |    CAST(row_number() OVER (PARTITION BY grp ORDER BY v)
+         |      AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+         |  FROM e),
+         |med AS (SELECT grp, v AS median, n FROM r1
+         |  WHERE r = (n + 1) // 2),
+         |d AS (SELECT e.grp, med.median, med.n,
+         |    abs(e.v - med.median) AS dv
+         |  FROM e JOIN med ON e.grp = med.grp),
+         |r2 AS (SELECT grp, median, n, dv,
+         |    row_number() OVER (PARTITION BY grp ORDER BY dv) AS r
+         |  FROM d)
+         |SELECT grp, n, CAST(median AS BIGINT) AS median,
+         |  CAST(dv AS BIGINT) AS mad
+         |FROM r2 WHERE r = (n + 1) // 2""".stripMargin,
+
+    // q333: robust outlier gate -- the q332 stats joined back onto
+    // the rows, integer cross-multiplied fence at 1.8 MAD.
+    "q333_robust_outliers" ->
+      raw"""WITH e AS (SELECT event_type AS grp,
+         |    CAST(event_id AS BIGINT) AS id,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |r1 AS (SELECT grp, v,
+         |    CAST(row_number() OVER (PARTITION BY grp ORDER BY v)
+         |      AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+         |  FROM e),
+         |med AS (SELECT grp, v AS median, n FROM r1
+         |  WHERE r = (n + 1) // 2),
+         |d AS (SELECT e.grp, med.median, med.n,
+         |    abs(e.v - med.median) AS dv
+         |  FROM e JOIN med ON e.grp = med.grp),
+         |r2 AS (SELECT grp, median, n, dv,
+         |    row_number() OVER (PARTITION BY grp ORDER BY dv) AS r
+         |  FROM d),
+         |stats AS (SELECT grp, median, dv AS mad FROM r2
+         |  WHERE r = (n + 1) // 2)
+         |SELECT e.grp, e.id, e.v, CAST(s.median AS BIGINT) AS median,
+         |  CAST(s.mad AS BIGINT) AS mad,
+         |  CAST(abs(e.v - s.median) AS BIGINT) AS dev
+         |FROM e JOIN stats s ON e.grp = s.grp
+         |WHERE abs(e.v - s.median) * 1000 > 1800 * s.mad""".stripMargin,
+
+    // q334: post-stratified ATE -- per-stratum arm cells, the micro
+    // cleared fraction per surviving stratum, size-weighted fold,
+    // the unadjusted contrast over the same included rows.
+    "q334_stratified_ate" ->
+      raw"""WITH e AS (SELECT event_type AS exp,
+         |    CAST(user_id % 5 AS BIGINT) AS stratum,
+         |    CAST(user_id % 2 AS BIGINT) AS g,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |c AS (SELECT exp, stratum,
+         |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n0,
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN g = 0 THEN v ELSE 0 END) AS BIGINT)
+         |      AS s0,
+         |    CAST(sum(CASE WHEN g = 1 THEN v ELSE 0 END) AS BIGINT)
+         |      AS s1
+         |  FROM e GROUP BY 1, 2),
+         |cc AS (SELECT exp, n0, n1, (n0 > 0 AND n1 > 0) AS ok,
+         |    CASE WHEN n0 > 0 AND n1 > 0 THEN
+         |      (1000000::HUGEINT
+         |        * (s1::HUGEINT * n0 - s0::HUGEINT * n1))
+         |        // (n1::HUGEINT * n0) END AS diff,
+         |    s0, s1
+         |  FROM c)
+         |SELECT exp,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_strata,
+         |  CAST(sum(CASE WHEN ok THEN n0 + n1 ELSE 0 END) AS BIGINT)
+         |    AS n,
+         |  CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_excluded_strata,
+         |  CAST(sum(CASE WHEN NOT ok THEN n0 + n1 ELSE 0 END)
+         |    AS BIGINT) AS n_excluded_rows,
+         |  CASE WHEN sum(CASE WHEN ok THEN 1 ELSE 0 END) = 0
+         |      THEN NULL
+         |    ELSE CAST(sum(CASE WHEN ok
+         |        THEN (n0 + n1)::HUGEINT * diff
+         |        ELSE 0::HUGEINT END)
+         |      // sum(CASE WHEN ok THEN n0 + n1 ELSE 0 END)::HUGEINT
+         |      AS BIGINT) END AS ate_micro,
+         |  CASE WHEN sum(CASE WHEN ok THEN 1 ELSE 0 END) = 0
+         |      THEN NULL
+         |    ELSE CAST((1000000::HUGEINT
+         |      * (sum(CASE WHEN ok THEN s1 ELSE 0 END)::HUGEINT
+         |          * sum(CASE WHEN ok THEN n0 ELSE 0 END)
+         |        - sum(CASE WHEN ok THEN s0 ELSE 0 END)::HUGEINT
+         |          * sum(CASE WHEN ok THEN n1 ELSE 0 END)))
+         |      // (sum(CASE WHEN ok THEN n1 ELSE 0 END)::HUGEINT
+         |        * sum(CASE WHEN ok THEN n0 ELSE 0 END))
+         |      AS BIGINT) END AS simple_diff_micro
+         |FROM cc GROUP BY exp""".stripMargin,
+
+    // q335: Holm step-down -- the q309 synthetic p-value families,
+    // running max of (m-k+1)*p clipped to 1e6 in one rank window.
+    "q335_holm" ->
+      raw"""WITH hyp AS (SELECT DISTINCT event_type AS grp,
+         |    ((user_id % 100) + 100) % 100 AS hyp FROM events),
+         |pv AS (SELECT grp, hyp AS id,
+         |    CASE WHEN hyp < 10 THEN hyp * 137 + 3
+         |      ELSE ((hyp * 9973 + length(grp) * 131071) % 1000001
+         |        + 1000001) % 1000001 END AS p_ppm FROM hyp),
+         |rk AS (SELECT grp, CAST(id AS BIGINT) AS id,
+         |    CAST(p_ppm AS BIGINT) AS p_ppm,
+         |    CAST(row_number() OVER (PARTITION BY grp
+         |      ORDER BY p_ppm, id) AS BIGINT) AS k,
+         |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS m
+         |  FROM pv),
+         |adj AS (SELECT grp, id, p_ppm, k, m,
+         |    CAST(least(1000000, max((m - k + 1) * p_ppm)
+         |      OVER (PARTITION BY grp ORDER BY p_ppm, id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |      AS BIGINT) AS adj_ppm
+         |  FROM rk)
+         |SELECT grp, id, p_ppm, k, m, adj_ppm,
+         |  (adj_ppm <= 50000) AS reject
+         |FROM adj""".stripMargin,
+
+    // q336: Markov removal effect -- the q325 touch derivation
+    // extended to non-converters, per-scenario transition rewrites,
+    // and the 8 synchronous ppm value-iteration rounds unrolled as
+    // materialized CTE levels (the q288 peel discipline).
+    "q336_markov_attribution" ->
+      (raw"""WITH r AS (SELECT user_id AS u, event_type AS et,
+         |    epoch_ns(ts) AS ts, event_id AS tie FROM events),
+         |cv AS (SELECT u, ts AS cts, tie AS ctie FROM (
+         |    SELECT u, ts, tie, row_number() OVER (PARTITION BY u
+         |      ORDER BY ts, tie) AS rn
+         |    FROM r WHERE et = 'purchase') WHERE rn = 1),
+         |tc AS (SELECT r.u, r.et AS channel, r.ts, r.tie,
+         |    CASE WHEN cv.u IS NOT NULL THEN '__conv__'
+         |      ELSE '__null__' END AS absorb
+         |  FROM r LEFT JOIN cv ON cv.u = r.u
+         |  WHERE r.et <> 'purchase' AND (cv.u IS NULL
+         |    OR r.ts < cv.cts OR (r.ts = cv.cts
+         |      AND r.tie < cv.ctie))),
+         |sq AS (SELECT u, channel, absorb,
+         |    row_number() OVER (PARTITION BY u ORDER BY ts, tie)
+         |      AS pos,
+         |    lead(channel) OVER (PARTITION BY u ORDER BY ts, tie)
+         |      AS nxt
+         |  FROM tc),
+         |ed AS (SELECT channel AS src, COALESCE(nxt, absorb) AS dst
+         |    FROM sq
+         |  UNION ALL SELECT '__start__', channel FROM sq
+         |    WHERE pos = 1
+         |  UNION ALL SELECT '__start__', '__conv__' FROM cv
+         |    WHERE u NOT IN (SELECT u FROM tc)),
+         |tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+         |  FROM ed GROUP BY 1, 2),
+         |chans AS (SELECT DISTINCT c FROM (
+         |    SELECT src AS c FROM tr UNION ALL SELECT dst FROM tr)
+         |  WHERE c NOT IN ('__start__', '__conv__', '__null__')),
+         |st AS (SELECT s.removed, t.src,
+         |    CASE WHEN t.dst = s.removed THEN '__null__'
+         |      ELSE t.dst END AS dst,
+         |    CAST(sum(t.n) AS BIGINT) AS n
+         |  FROM (SELECT c AS removed FROM chans
+         |    UNION ALL SELECT '__none__') s
+         |  CROSS JOIN tr t WHERE t.src <> s.removed
+         |  GROUP BY 1, 2, 3),
+         |v0 AS (SELECT DISTINCT removed, src AS state,
+         |    CAST(0 AS BIGINT) AS v FROM st),
+         |""" + markovValueIterSql(8) + raw""",
+         |pf AS (SELECT v AS p_full FROM v8
+         |  WHERE removed = '__none__' AND state = '__start__'),
+         |pr AS (SELECT removed, v FROM v8
+         |  WHERE state = '__start__' AND removed <> '__none__'),
+         |re AS (SELECT chans.c AS channel, pf.p_full AS p_full_ppm,
+         |    CAST(COALESCE(pr.v, 0) AS BIGINT) AS p_removed_ppm
+         |  FROM chans CROSS JOIN pf
+         |  LEFT JOIN pr ON pr.removed = chans.c),
+         |re2 AS (SELECT channel, p_full_ppm, p_removed_ppm,
+         |    CASE WHEN p_full_ppm <= 0 THEN NULL
+         |      ELSE greatest(0, 1000000
+         |        - (1000000 * p_removed_ppm) // p_full_ppm)
+         |      END AS re_ppm FROM re),
+         |tot AS (SELECT CAST(sum(re_ppm) AS BIGINT) AS t FROM re2)
+         |SELECT channel, CAST(p_full_ppm AS BIGINT) AS p_full_ppm,
+         |  p_removed_ppm, CAST(re_ppm AS BIGINT) AS re_ppm,
+         |  CASE WHEN t IS NULL OR t <= 0 THEN NULL
+         |    ELSE CAST((1000000 * re_ppm) // t AS BIGINT)
+         |    END AS share_ppm
+         |FROM re2 CROSS JOIN tot""").stripMargin
   )
+
+  /** `iters` unrolled synchronous value-iteration CTE levels over
+    * `st(removed, src, dst, n)` for the q336 oracle — v_i folds
+    * v_{i-1} through the transition counts with the absorbing
+    * rewards fixed (conv = 10⁶, null = 0), integral division per
+    * state exactly as the engine's per-round agg.
+    */
+  private def markovValueIterSql(iters: Int): String =
+    (1 to iters).map { i =>
+      raw"""v$i AS (SELECT st.removed, st.src AS state,
+         |    CAST(sum(st.n * CASE WHEN st.dst = '__conv__'
+         |        THEN 1000000
+         |      WHEN st.dst = '__null__' THEN 0
+         |      ELSE COALESCE(p.v, 0) END) // sum(st.n) AS BIGINT)
+         |      AS v
+         |  FROM st LEFT JOIN v${i - 1} p ON p.removed = st.removed
+         |    AND p.state = st.dst
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
 
   /** Shared clique+chain edge CTE chain (ends at `e` = canonical
     * undirected edges) — the q280/q288/q292 derivation, one source of

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy-preserving release primitives — the redaction-adjacent
@@ -197,6 +198,125 @@ object Anonymize {
       .withColumn("suppressed_k", col("qi_n") < k)
       .withColumn("suppressed_l",
         col("qi_h_micro").isNull || col("qi_h_micro") < lnLMicro)
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) for an
+    * ORDERED (numeric) sensitive attribute — the gate that catches
+    * what even [[entropyLDiversityReport]] cannot: a group can be
+    * perfectly diverse yet still leak ("every salary in this zip is
+    * in the top decile"). Per quasi-identifier group, the Earth
+    * Mover's Distance between the group's sensitive distribution and
+    * the WHOLE table's, under the ordered-distance ground metric —
+    * which collapses to prefix sums over the sorted value domain
+    * (the paper's Eq. 2):
+    *
+    *   EMD = (1/(m−1)) · Σ_{i<m} | Σ_{j≤i} (p_j − q_j) |
+    *
+    * with m distinct sensitive values. Fractions are cleared exactly:
+    * `prefix_i = Σ_{j≤i} (c_j·N − g_j·n)` (c = group counts, g =
+    * global counts, n = group size, N = table size) is an EXACT
+    * integer on DECIMAL(38), and
+    *
+    *   emd_ppm = (10⁶ · Σ_i |prefix_i|) div ((m−1)·n·N)
+    *
+    * — one integral division (both engines truncate), ANSI-loud past
+    * 10³⁸ (N ≈ 10¹² with m ≈ 10³ stays inside). EMD ∈ [0, 1]; a
+    * group matching the table exactly reads 0, a group concentrated
+    * at one extreme of the order reads toward 10⁶. `suppressed_t` =
+    * `emd_ppm > tPpm`. m = 1 (one sensitive value table-wide) makes
+    * every group trivially identical → emd_ppm = 0 by definition.
+    * Null sensitive values REFUSE loudly: a null has no position on
+    * the value order, so it cannot be transported — impute or drop
+    * upstream, visibly.
+    *
+    * Scale shape: one (QI, value) aggregation; the per-group
+    * distribution grid is groups × m rows built by cross-joining the
+    * BROADCAST value domain (m refused loudly past `maxValues` —
+    * the grid is the algorithm, so its width is a contract, the
+    * [[graft.operators.Ops.theilSen]] discipline) with one
+    * QI-partitioned prefix window over it. Nothing row-sized
+    * shuffles twice.
+    */
+  def tClosenessReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, tPpm: Long,
+      maxValues: Int = 1024): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(!qiCols.contains(sensitiveCol),
+      s"sensitive column '$sensitiveCol' cannot also be a quasi-identifier")
+    require(tPpm >= 0 && tPpm <= 1000000,
+      s"tPpm=$tPpm out of [0, 1000000]")
+    require(maxValues >= 2 && maxValues <= 65536,
+      s"maxValues=$maxValues out of [2, 65536]")
+    val s = coalesce(col(sensitiveCol).try_cast("long"),
+      raise_error(concat(lit("tClosenessReport: sensitive value '"),
+        coalesce(col(sensitiveCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — ordered EMD needs " +
+          "a position on the value order; impute or drop upstream")))
+        .cast("long"))
+    val rows = df.select((qiCols.map(col) :+ s.as("__s")): _*)
+    val cellCounts = rows
+      .groupBy((qiCols.map(col) :+ col("__s")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val domain = cellCounts.groupBy(col("__s").as("__v"))
+      .agg(sum(col("__c")).as("__g"))
+    val domSize = domain.groupBy()
+      .agg(count(lit(1)).as("__m"), sum(col("__g")).as("__N"))
+      .select(when(col("__m") > maxValues,
+        raise_error(concat(lit("tClosenessReport: "),
+          col("__m").cast("string"),
+          lit(s" distinct sensitive values > maxValues=$maxValues — " +
+            "the per-group grid is groups x m; bucket the sensitive " +
+            "attribute upstream"))).cast("long"))
+        .otherwise(col("__m")).as("__m"), col("__N"))
+    val groups = rows.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("qi_n"))
+    val grid = groups
+      .crossJoin(broadcast(domain.crossJoin(domSize)))
+    val cc = qiCols.foldLeft(cellCounts) { (d, c) =>
+      d.withColumnRenamed(c, s"__q_$c") }
+    val joinCond = qiCols.map(c => col(c) <=> col(s"__q_$c"))
+      .reduce(_ && _) && col("__v") === col("__s")
+    val w = Window.partitionBy(qiCols.map(col): _*)
+      .orderBy(col("__v"))
+    val prefixed = grid.join(cc, joinCond, "left")
+      .withColumn("__d",
+        (coalesce(col("__c"), lit(0L)).cast("decimal(38,0)")
+          * col("__N").cast("decimal(38,0)"))
+        - (col("__g").cast("decimal(38,0)")
+          * col("qi_n").cast("decimal(38,0)")))
+      .withColumn("__prefix", sum(col("__d")).over(w))
+    prefixed.groupBy((qiCols.map(col) :+ col("qi_n")
+        :+ col("__m") :+ col("__N")): _*)
+      .agg(sum(abs(col("__prefix"))).as("__emd_num"))
+      .select((qiCols.map(col) :+ col("qi_n")
+        :+ col("__m").as("n_values")
+        :+ when(col("__m") === 1, lit(0L))
+          .otherwise(expr("CAST((CAST(1000000 AS DECIMAL(38,0)) " +
+            "* __emd_num) div (CAST(__m - 1L AS DECIMAL(38,0)) " +
+            "* qi_n * __N) AS BIGINT)"))
+          .as("emd_ppm")): _*)
+      .withColumn("suppressed_t", col("emd_ppm") > tPpm)
+  }
+
+  /** The APPLY for [[tClosenessReport]], stacked on the k gate: rows
+    * of groups with `qi_n ≥ k` AND `emd_ppm ≤ tPpm` survive, with
+    * the group's `qi_n` and `emd_ppm` attached (same null-safe QI
+    * join discipline as [[kAnonymize]]). k rides along because
+    * t-closeness without k-anonymity still releases singleton
+    * groups — the paper's gates compose, they do not substitute.
+    */
+  def kAnonymizeTClose(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, k: Long, tPpm: Long,
+      maxValues: Int = 1024): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    val rep = tClosenessReport(df, qiCols, sensitiveCol, tPpm,
+        maxValues)
+      .filter(col("qi_n") >= k && !col("suppressed_t"))
+      .drop("suppressed_t", "n_values")
+    val s2 = qiCols.foldLeft(rep) { (d, c) =>
+      d.withColumnRenamed(c, s"__q_$c") }
+    val cond = qiCols.map(c => df(c) <=> s2(s"__q_$c")).reduce(_ && _)
+    df.join(s2, cond).drop(qiCols.map(c => s"__q_$c"): _*)
   }
 
   /** Generalization ladder for a NUMERIC quasi-identifier

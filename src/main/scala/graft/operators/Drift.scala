@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -561,6 +561,75 @@ object Drift {
     byPct.join(counts, col("key") <=> col("__k"))
       .select(col("key"), col("pct"), col("n0"), col("n1"),
         col("v0"), col("v1"), (col("v1") - col("v0")).as("delta"))
+  }
+
+  /** Jensen–Shannon divergence between two periods' bucket
+    * histograms per key — the bounded, symmetric companion to [[psi]]
+    * (PSI needs add-one smoothing because KL explodes on empty
+    * buckets; JSD is FINITE by construction — a bucket one side never
+    * saw contributes its full ln 2 share and nothing blows up, so the
+    * raw counts speak unsmoothed). With p = n0/c0, q = n1/c1 and
+    * m = (p+q)/2, per bucket (Lin 1991):
+    *
+    *   jsd = Σ_b [ p·ln(p/m) + q·ln(q/m) ] / 2   ∈ [0, ln 2]
+    *
+    * Lattice: counts and totals are exact integers; each bucket term
+    * runs in IEEE double in THIS op order —
+    * `floor((p·ln(2p/(p+q)) + q·ln(2q/(p+q))) · 500000)` with p, q
+    * the double divisions n/c — and the floored micro terms are
+    * integer-summed (the [[psi]] / benford convention: ln is the one
+    * op IEEE does not promise exactly rounded, so the op order IS the
+    * contract). A side with zero count contributes 0 to its own term
+    * by definition (lim x·ln x = 0), taken as an explicit branch, not
+    * a NaN. Null `jsd_micro` when a period is EMPTY for the key
+    * (divergence from nothing is undefined — degenerate, the psi
+    * flag). 693147 micro = ln 2 = maximal disjointness.
+    *
+    * Scale shape: identical to psi — one (key, bucket) aggregation,
+    * one key-sized fold joined back null-safely; period must be 0/1,
+    * refused loudly.
+    */
+  def jsDivergence(df: DataFrame, keyCol: String, bucketCol: String,
+      periodCol: String): DataFrame = {
+    val p = coalesce(col(periodCol).try_cast("long"),
+      raise_error(concat(lit("jsDivergence period '"),
+        coalesce(col(periodCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(keyCol).as("key"),
+      col(bucketCol).cast("long").as("bucket"),
+      when(p.isin(0L, 1L), p).otherwise(
+        raise_error(concat(lit("jsDivergence period "),
+          p.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__p"))
+    val cells = rows.groupBy(col("key"), col("bucket"))
+      .agg(sum(when(col("__p") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__p") === 1, 1L).otherwise(0L)).as("n1"))
+    val keyStats = cells.groupBy(col("key").as("__k"))
+      .agg(sum(col("n0")).as("__c0"), sum(col("n1")).as("__c1"),
+        count(lit(1)).as("n_buckets"))
+    def side(nC: Column, cC: Column, noC: Column, coC: Column) = {
+      val pd = nC.cast("double") / cC.cast("double")
+      // a degenerate key (other period empty) masks to null anyway,
+      // but ANSI raises on the 0/0 before the mask — guard the ratio
+      val qd = when(coC === 0, lit(0.0))
+        .otherwise(noC.cast("double") / coC.cast("double"))
+      when(nC === 0, lit(0.0))
+        .otherwise(pd * log(lit(2.0) * pd / (pd + qd)))
+    }
+    val terms = cells.join(keyStats, col("key") <=> col("__k"))
+      .withColumn("__term", floor(
+        (side(col("n0"), col("__c0"), col("n1"), col("__c1"))
+          + side(col("n1"), col("__c1"), col("n0"), col("__c0")))
+          * lit(500000.0)).cast("long"))
+    val fold = terms.groupBy(col("key").as("__k2"))
+      .agg(sum(col("__term")).as("__jsd"),
+        max(when(col("__c0") === 0 || col("__c1") === 0, 1L)
+          .otherwise(0L)).as("__degen"))
+    terms.join(fold, col("key") <=> col("__k2"))
+      .select(col("key"), col("bucket"), col("n0"), col("n1"),
+        col("n_buckets"),
+        when(col("__degen") === 1, lit(null).cast("long"))
+          .otherwise(col("__jsd")).as("jsd_micro"))
   }
 
   /** One χ² homogeneity cell on the micro lattice: residual

@@ -779,4 +779,158 @@ object EvalMetrics {
         when(col("n0") * col("n1") === 0, lit(null).cast("long"))
           .otherwise(expr("(1000000L * u1_x2) div (2L * n0 * n1)"))
           .as("auc_ppm"))
+
+  /** Average precision per query — the area under the precision–
+    * recall curve at the ranked positions, the retrieval companion to
+    * [[aucPpm]] (ROC AUC is insensitive to class imbalance; AP is the
+    * metric a retrieval eval actually reports when positives are
+    * rare). Over a ranked list with binary relevance,
+    *
+    *   AP = (1/P) · Σ_{k : rel_k = 1} precision@k
+    *
+    * computed on the documented floored-ppm lattice: each relevant
+    * position contributes `term_k = (10⁶ · relcnt_k) div k` (relcnt_k
+    * = relevant results in the top k), and
+    * `ap_ppm = (Σ term_k) div P` — every step an exact integer, so
+    * both engines agree bit-for-bit; the floor costs < 1 ppm per
+    * relevant row, stated here rather than hidden. Ranks are 1-based
+    * and UNIQUE per query (duplicates double-book a position —
+    * refused loudly, the [[ndcgAtK]] contract); relevance must be
+    * 0/1. Null `ap_ppm` when the query has no relevant rows (AP
+    * undefined, not zero).
+    *
+    * Scale shape: one query-partitioned ordered window (running
+    * relevant count) + one aggregation — the same single shuffle as
+    * nDCG; nothing global.
+    */
+  def averagePrecision(ranked: DataFrame, queryCol: String,
+      rankCol: String, relCol: String): DataFrame = {
+    val rank = coalesce(col(rankCol).try_cast("long"),
+      raise_error(concat(lit("averagePrecision: rank '"),
+        coalesce(col(rankCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rel = coalesce(col(relCol).try_cast("long"),
+      raise_error(concat(lit("averagePrecision: relevance '"),
+        coalesce(col(relCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = ranked.select(col(queryCol).as("query"),
+      when(rank >= 1, rank).otherwise(
+        raise_error(concat(lit("averagePrecision: rank "),
+          rank.cast("string"), lit(" must be >= 1 (1-based ranks)")))
+          .cast("long")).as("__rank"),
+      when(rel.isin(0L, 1L), rel).otherwise(
+        raise_error(concat(lit("averagePrecision: relevance "),
+          rel.cast("string"), lit(" outside {0,1} — binary labels " +
+            "only; grade-aware retrieval belongs in ndcgAtK")))
+          .cast("long")).as("__rel"))
+    val dupW = Window.partitionBy(col("query"), col("__rank"))
+    val cumW = Window.partitionBy(col("query"))
+      .orderBy(col("__rank"))
+    rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("averagePrecision: duplicate rank "),
+          col("__rank").cast("string"), lit(" in query '"),
+          coalesce(col("query").cast("string"), lit("NULL")),
+          lit("' — ranks must be unique per query"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("__relcnt", sum(col("__rel")).over(cumW))
+      .withColumn("__term",
+        when(col("__rel") === 1L,
+          expr("(1000000L * __relcnt) div __rank")).otherwise(lit(0L)))
+      .groupBy(col("query"))
+      .agg(count(lit(1)).as("n"), sum(col("__rel")).as("n_pos"),
+        sum(col("__term")).as("__tsum"))
+      .select(col("query"), col("n"), col("n_pos"),
+        when(col("n_pos") === 0, lit(null).cast("long"))
+          .otherwise(expr("__tsum div n_pos")).as("ap_ppm"))
+  }
+
+  /** Krippendorff's alpha (nominal data) per group — the
+    * reliability coefficient that, unlike [[fleissKappa]], needs no
+    * fixed rater panel: units may carry any number of ratings ≥ 2
+    * (missing ratings simply shrink the unit), which is the normal
+    * shape of crowdsourced annotation ledgers. From per-(unit,
+    * category) counts n_uc with unit sizes m_u (units with m_u < 2
+    * are UNPAIRABLE and excluded by definition — visibly: the output
+    * carries `n_dropped_units`), pairable total N = Σ m_u and
+    * category totals n_c (Krippendorff 2004):
+    *
+    *   D_o ∝ Σ_u [ Σ_c n_uc·(m_u − n_uc) ] / (m_u − 1)
+    *   D_e ∝ Σ_c n_c·(N − n_c) / (N − 1)
+    *   α = 1 − D_o/D_e
+    *
+    * Lattice: the per-unit quotient is floored to micro units,
+    * `du_micro = (10⁶ · Σ_c n_uc(m_u − n_uc)) div (m_u − 1)` — exact
+    * up to 1 micro PER UNIT (±U micro overall, stated honestly, not
+    * claimed exact); the final fold is
+    * `alpha_ppm = 10⁶ − ((N−1) · Σ du_micro) div Σ_c n_c(N − n_c)`
+    * (the 10⁶ scale rides in du_micro) on DECIMAL(38) — the
+    * (N−1)·Σdu product overflows int64 near N ≈ 10⁷, ANSI-loud past
+    * 10³⁸ — with both engines' integral division truncating. Null
+    * `alpha_ppm` when N < 2 or every rating is one category (D_e = 0,
+    * α undefined). Rating values may be any type; they are compared
+    * as-is (nominal).
+    *
+    * Scale shape: one (group, unit, value) aggregation, one
+    * (group, unit) fold, one (group, value) fold, one group fold —
+    * all map-side-combined; nothing pairwise ever materializes (the
+    * pair counts are closed-form in n_uc).
+    */
+  def krippendorffAlpha(ratings: DataFrame, groupCol: String,
+      unitCol: String, valueCol: String): DataFrame = {
+    val v = coalesce(col(valueCol).cast("string"),
+      raise_error(lit("krippendorffAlpha: null rating value — drop " +
+        "or impute upstream; a silent null category would be " +
+        "counted as agreement")).cast("string"))
+    val cells = ratings
+      .select(col(groupCol).as("grp"), col(unitCol).as("unit"),
+        v.as("__v"))
+      .groupBy(col("grp"), col("unit"), col("__v"))
+      .agg(count(lit(1)).as("n_uc"))
+    val units = cells.groupBy(col("grp"), col("unit"))
+      .agg(sum(col("n_uc")).as("m_u"))
+    val paired = cells.join(units.select(col("grp").as("__g"),
+        col("unit").as("__u"), col("m_u")),
+      col("grp") <=> col("__g") && col("unit") <=> col("__u"))
+      .filter(col("m_u") >= 2)
+    // observed disagreement, unit-quotient floored to micro
+    val doPerUnit = paired.groupBy(col("grp"), col("unit"))
+      .agg(max(col("m_u")).as("m_u"),
+        sum(col("n_uc") * (col("m_u") - col("n_uc"))).as("__dis"))
+      .select(col("grp"),
+        expr("(1000000L * __dis) div (m_u - 1L)").as("__du"))
+    val doFold = doPerUnit.groupBy(col("grp").as("__g1"))
+      .agg(sum(col("__du").cast("decimal(38,0)")).as("__do_micro"))
+    // expected disagreement from category totals over pairable rows
+    val cats = paired.groupBy(col("grp"), col("__v"))
+      .agg(sum(col("n_uc")).as("n_c"))
+    val catFold = cats.groupBy(col("grp").as("__g2"))
+      .agg(sum(col("n_c")).as("__N"),
+        count(lit(1)).as("n_categories"))
+    val deFold = cats.join(catFold, col("grp") <=> col("__g2"))
+      .groupBy(col("grp").as("__g3"))
+      .agg(sum((col("n_c") * (col("__N") - col("n_c")))
+          .cast("decimal(38,0)")).as("__de"),
+        max(col("__N")).as("__N"),
+        max(col("n_categories")).as("n_categories"))
+    val unitStats = units.groupBy(col("grp").as("__g4"))
+      .agg(sum(when(col("m_u") >= 2, 1L).otherwise(0L))
+          .as("n_units"),
+        sum(when(col("m_u") < 2, 1L).otherwise(0L))
+          .as("n_dropped_units"))
+    unitStats
+      .join(doFold, col("__g4") <=> col("__g1"), "left")
+      .join(deFold, col("__g4") <=> col("__g3"), "left")
+      .select(col("__g4").as("grp"), col("n_units"),
+        col("n_dropped_units"),
+        coalesce(col("__N"), lit(0L)).as("n_pairable"),
+        coalesce(col("n_categories"), lit(0L)).as("n_categories"),
+        when(col("__N").isNull || col("__N") < 2 || col("__de") <= 0,
+          lit(null).cast("long"))
+          .otherwise(lit(1000000L) -
+            expr("CAST((CAST(__N - 1L AS DECIMAL(38,0)) " +
+              "* __do_micro) div __de AS BIGINT)"))
+          .as("alpha_ppm"))
+  }
 }

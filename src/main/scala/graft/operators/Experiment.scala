@@ -874,4 +874,222 @@ object Experiment {
       .select(col("key"), col("n"), col("b_eff"), col("mean_micro"),
         col("lo_micro"), col("hi_micro"))
   }
+
+  /** Cliff's delta per experiment — the nonparametric effect size
+    * that answers what [[mannWhitneyU]]'s significance cannot: HOW
+    * MUCH does group 1 dominate group 0. δ = P(x₁ > x₀) − P(x₁ < x₀)
+    * over all cross-group pairs, ties counting to neither — which is
+    * exactly a rescaling of the U statistic the rank machinery
+    * already produces (U₁ counts wins + half-ties on the doubled
+    * lattice):
+    *
+    *   delta_ppm = (10⁶ · (u1_x2 − n0·n1)) div (n0·n1)   ∈ [−10⁶, 10⁶]
+    *
+    * — integer-exact end to end, one integral division (both engines
+    * truncate toward zero). |δ| ≲ 0.147/0.33/0.474 are the published
+    * negligible/small/medium fences (Romano et al. 2006). Null when
+    * a group is empty. Inherits the U machinery's loud refusals
+    * (groups exactly {0,1}, values integer-lattice non-null) and its
+    * scale shape: one (exp, value) count + one exp-partitioned
+    * window over DISTINCT values — never the pairs themselves.
+    */
+  def cliffsDelta(df: DataFrame, expCol: String, groupCol: String,
+      valCol: String): DataFrame =
+    mannWhitneyU(df, expCol, groupCol, valCol)
+      .select(col("exp"), col("n0"), col("n1"),
+        when(col("n0") * col("n1") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000L * (u1_x2 - n0 * n1)) div (n0 * n1)"))
+          .as("delta_ppm"))
+
+  /** Cohen's d per experiment — the standardized mean difference on
+    * the POOLED standard deviation, the parametric effect size next
+    * to [[cliffsDelta]]'s rank one (report both: d assumes the
+    * scale matters, δ only the order). With exact integer sums per
+    * arm (n, S = Σv, Q = Σv²), cleared of fractions:
+    *
+    *   pooled SS = (n₀·Q₀ − S₀²)/n₀ + (n₁·Q₁ − S₁²)/n₁
+    *   d = (S₁/n₁ − S₀/n₀) / sqrt(pooled SS / (n₀+n₁−2))
+    *
+    * evaluated in ONE fixed IEEE chain over the integer aggregates
+    * (every op — casts, divides, sqrt, multiply, floor — exactly
+    * rounded, so both engines land the same bit):
+    * `d_milli = floor(1000 · (m1 − m0) / sqrt(((n0·Q0 − S0²)/n0 +
+    * (n1·Q1 − S1²)/n1) / (n0+n1−2)))`. Milli, not ppm — d lives on
+    * a ±3 scale where 10⁻³ resolution is already past any practical
+    * use. Null when either arm has < 2 rows or the pooled variance
+    * is 0. Sums ride int64: n·Q ≈ n·v² is ANSI-loud past 9·10¹⁸ —
+    * quantize coarser upstream for huge arms (stated, the
+    * [[graft.operators.Ops.groupOls]] cliff convention).
+    *
+    * Scale shape: ONE map-side-combined aggregation per (exp, group)
+    * + a 2-row pivot fold per experiment. Nothing else moves.
+    */
+  def cohensD(df: DataFrame, expCol: String, groupCol: String,
+      valCol: String): DataFrame = {
+    val g = when(col(groupCol).isin(0L, 1L), col(groupCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("cohensD group '"),
+        coalesce(col(groupCol).cast("string"), lit("NULL")),
+        lit("' is not 0/1 — two arms only"))).cast("long"))
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("cohensD value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped row " +
+          "would bias both moments"))).cast("long"))
+    val arms = df
+      .select(col(expCol).as("exp"), g.as("__g"), v.as("__v"))
+      .groupBy(col("exp"))
+      .agg(
+        sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__g") === 0L, col("__v")).otherwise(0L))
+          .as("__s0"),
+        sum(when(col("__g") === 1L, col("__v")).otherwise(0L))
+          .as("__s1"),
+        sum(when(col("__g") === 0L, col("__v") * col("__v"))
+          .otherwise(0L)).as("__q0"),
+        sum(when(col("__g") === 1L, col("__v") * col("__v"))
+          .otherwise(0L)).as("__q1"))
+    arms.select(col("exp"), col("n0"), col("n1"),
+      when(col("n0") < 2 || col("n1") < 2, lit(null).cast("long"))
+        .otherwise(
+          when(expr("(n0 * __q0 - __s0 * __s0)") === 0L
+              && expr("(n1 * __q1 - __s1 * __s1)") === 0L,
+            lit(null).cast("long"))
+          .otherwise(floor(lit(1000.0)
+            * (col("__s1").cast("double") / col("n1").cast("double")
+              - col("__s0").cast("double") / col("n0").cast("double"))
+            / sqrt(((col("n0") * col("__q0")
+                - col("__s0") * col("__s0")).cast("double")
+                  / col("n0").cast("double")
+              + (col("n1") * col("__q1")
+                - col("__s1") * col("__s1")).cast("double")
+                  / col("n1").cast("double"))
+              / (col("n0") + col("n1") - 2L).cast("double")))
+            .cast("long")))
+        .as("d_milli"))
+  }
+
+  /** Post-stratified treatment effect per experiment — the
+    * variance-reduction estimator next to [[cuped]] when the
+    * covariate is CATEGORICAL (country, platform, cohort): the
+    * within-stratum mean differences, weighted by stratum size,
+    *
+    *   ATE = Σ_s (n_s/N) · (ȳ₁ₛ − ȳ₀ₛ)
+    *
+    * on the documented micro lattice: per stratum the EXACT cleared
+    * fraction `diff_micro_s = (10⁶·(s₁·n₀ − s₀·n₁)) div (n₁·n₀)` on
+    * DECIMAL(38) (the cross product overflows int64 at stratum sums
+    * ≈ 10⁹), then `ate_micro = (Σ n_s·diff_micro_s) div N` — two
+    * integral divisions, each floor stated (≤ 1 micro per stratum).
+    * Strata where an arm is EMPTY have no within-stratum contrast —
+    * they are EXCLUDED VISIBLY (`n_excluded_strata` and
+    * `n_excluded_rows` ride on the output; silently keeping them
+    * would divide by zero, silently zeroing them would bias toward
+    * null). The unadjusted contrast over the SAME included rows
+    * (`simple_diff_micro`) rides along — the whole point of the
+    * estimator is the gap between the two. Null ATE when no stratum
+    * survives. Groups exactly {0,1} and integer-lattice values,
+    * refused loudly.
+    *
+    * Scale shape: ONE (exp, stratum) map-side-combined aggregation +
+    * one exp fold — nothing row-sized shuffles twice, no window at
+    * all.
+    */
+  def stratifiedAte(df: DataFrame, expCol: String, stratumCol: String,
+      groupCol: String, valCol: String): DataFrame = {
+    val g = when(col(groupCol).isin(0L, 1L), col(groupCol).cast("long"))
+      .otherwise(raise_error(concat(lit("stratifiedAte group '"),
+        coalesce(col(groupCol).cast("string"), lit("NULL")),
+        lit("' is not 0/1 — two arms only"))).cast("long"))
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("stratifiedAte value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val cells = df.select(col(expCol).as("exp"),
+        col(stratumCol).as("stratum"), g.as("__g"), v.as("__v"))
+      .groupBy(col("exp"), col("stratum"))
+      .agg(sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__g") === 0L, col("__v")).otherwise(0L))
+          .as("s0"),
+        sum(when(col("__g") === 1L, col("__v")).otherwise(0L))
+          .as("s1"))
+      .withColumn("__ok", col("n0") > 0 && col("n1") > 0)
+      .withColumn("__diff", when(col("__ok"), expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) " +
+          "* (CAST(s1 AS DECIMAL(38,0)) * n0 " +
+          "- CAST(s0 AS DECIMAL(38,0)) * n1)) " +
+          "div (CAST(n1 AS DECIMAL(38,0)) * n0) AS BIGINT)")))
+    cells.groupBy(col("exp"))
+      .agg(sum(when(col("__ok"), 1L).otherwise(0L)).as("n_strata"),
+        sum(when(col("__ok"), col("n0") + col("n1")).otherwise(0L))
+          .as("n"),
+        sum(when(!col("__ok"), 1L).otherwise(0L))
+          .as("n_excluded_strata"),
+        sum(when(!col("__ok"), col("n0") + col("n1")).otherwise(0L))
+          .as("n_excluded_rows"),
+        sum(when(col("__ok"),
+          (col("n0") + col("n1")).cast("decimal(38,0)")
+            * col("__diff")).otherwise(lit(0L)
+            .cast("decimal(38,0)"))).as("__wsum"),
+        sum(when(col("__ok"), col("n0")).otherwise(0L)).as("__tn0"),
+        sum(when(col("__ok"), col("n1")).otherwise(0L)).as("__tn1"),
+        sum(when(col("__ok"), col("s0")).otherwise(0L)).as("__ts0"),
+        sum(when(col("__ok"), col("s1")).otherwise(0L)).as("__ts1"))
+      .select(col("exp"), col("n_strata"), col("n"),
+        col("n_excluded_strata"), col("n_excluded_rows"),
+        when(col("n_strata") === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(__wsum div CAST(n AS DECIMAL(38,0)) " +
+            "AS BIGINT)")).as("ate_micro"),
+        when(col("n_strata") === 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) " +
+              "* (CAST(__ts1 AS DECIMAL(38,0)) * __tn0 " +
+              "- CAST(__ts0 AS DECIMAL(38,0)) * __tn1)) " +
+              "div (CAST(__tn1 AS DECIMAL(38,0)) * __tn0) " +
+              "AS BIGINT)")).as("simple_diff_micro"))
+  }
+
+  /** Holm–Bonferroni step-down control per test family — the
+    * family-wise-error companion to [[benjaminiHochberg]]'s FDR
+    * (Holm 1979: when ANY false rejection is unacceptable —
+    * launch/no-launch gates — FWER is the contract, and Holm
+    * uniformly dominates plain Bonferroni). Hypotheses ranked by
+    * ascending `(p_ppm, id)`; the adjusted p is the running maximum
+    * of `(m−k+1)·p_(k)` clipped to 10⁶ (monotone by construction),
+    * and `reject = adj_ppm ≤ alphaPpm` — the step-down stop falls
+    * out of the running max, no driver logic. All integer: the
+    * (m−k+1)·p product is int64-safe to m ≈ 10¹²·… (p ≤ 10⁶, so m <
+    * 9·10¹²). Same null-safe family fold and input refusals as BH
+    * (p in [0, 10⁶] ppm).
+    *
+    * Scale shape: ONE family-partitioned rank window (never global)
+    * carrying rank, count and running max in a single pass.
+    */
+  def holmBonferroni(df: DataFrame, groupCol: String, idCol: String,
+      pPpmCol: String, alphaPpm: Long): DataFrame = {
+    require(alphaPpm >= 1 && alphaPpm < 1000000L,
+      s"alphaPpm=$alphaPpm out of [1, 1000000)")
+    val p = coalesce(col(pPpmCol).try_cast("long"),
+      raise_error(concat(lit("holmBonferroni p-value '"),
+        coalesce(col(pPpmCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("p_ppm"),
+      col("id"))
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        when(p >= 0 && p <= 1000000L, p).otherwise(
+          raise_error(concat(lit("holmBonferroni p-value "),
+            p.cast("string"), lit(" outside [0, 1000000] ppm")))
+            .cast("long")).as("p_ppm"))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+      .withColumn("adj_ppm", least(lit(1000000L),
+        max((col("m") - col("k") + 1L) * col("p_ppm"))
+          .over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow))))
+      .withColumn("reject", col("adj_ppm") <= alphaPpm)
+  }
 }

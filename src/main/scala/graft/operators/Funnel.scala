@@ -266,4 +266,231 @@ object Funnel {
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * standard 40/20/40 split that [[attributeLastTouch]]'s
+    * single-touch view under-serves: for each converting user, the
+    * touches STRICTLY before the FIRST conversion (strictly in
+    * `(ts, tie)` lexicographic order, so equal-timestamp ties are
+    * deterministic) share the conversion's credit —
+    *
+    *   1 touch  → 10⁶ ppm;  2 touches → 500000 each;
+    *   k ≥ 3    → first 400000, last 400000,
+    *              each middle `200000 div (k−2)`
+    *
+    * — integer ppm throughout; the middle floor UNDERCOUNTS by up to
+    * k−3 ppm per conversion (stated, not hidden — a remainder
+    * re-spread would make credit depend on position arbitrarily).
+    * Conversions are events of `convType`; every OTHER event is a
+    * touch crediting its `channelCol` value (null channels refuse
+    * loudly — a null channel would silently absorb credit). Users
+    * with no conversion, or no touch before it, contribute nothing
+    * (the organic share is visible as the gap to
+    * [[funnelReport]]'s conversion count).
+    *
+    * Output per channel: `channel, n_touches, n_first, n_last,
+    * credit_ppm` (credit summed over all conversions; divide by 10⁶
+    * for "conversions attributed").
+    *
+    * Scale shape: one per-user min fold for the first conversion
+    * (map-side combined), one broadcast-free equi join back on user,
+    * ONE user-partitioned window sort for position + count, one
+    * channel aggregation. Nothing row-sized shuffles twice.
+    */
+  def attributePositionBased(events: DataFrame, userCol: String,
+      typeCol: String, channelCol: String, tsCol: String,
+      tieCol: String, convType: String): DataFrame = {
+    val rows = events.select(col(userCol).as("user"),
+      col(typeCol).as("etype"),
+      col(channelCol).as("__rawchan"),
+      col(tsCol).cast("long").as("ts"),
+      col(tieCol).cast("long").as("tie"))
+    val convs = rows.filter(col("etype") === convType)
+      .groupBy(col("user").as("__u"))
+      .agg(min(struct(col("ts"), col("tie"))).as("__conv"))
+    val touches = rows.filter(col("etype") =!= convType)
+      .select(col("user"),
+        chanFrom(col("__rawchan")).as("channel"),
+        col("ts"), col("tie"))
+      .join(convs, col("user") === col("__u")
+        && struct(col("ts"), col("tie")) < col("__conv"))
+    val byUser = Window.partitionBy(col("user"))
+      .orderBy(col("ts"), col("tie"))
+    val userAll = Window.partitionBy(col("user"))
+    val credited = touches
+      .withColumn("__pos", row_number().over(byUser).cast("long"))
+      .withColumn("__k", count(lit(1)).over(userAll))
+      .withColumn("__credit",
+        when(col("__k") === 1, lit(1000000L))
+          .when(col("__k") === 2, lit(500000L))
+          .when(col("__pos") === 1 || col("__pos") === col("__k"),
+            lit(400000L))
+          .otherwise(expr("200000L div (__k - 2L)")))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("__pos") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("__pos") === col("__k"), 1L).otherwise(0L))
+          .as("n_last"),
+        sum(col("__credit")).as("credit_ppm"))
+  }
+
+  private def chanFrom(raw: org.apache.spark.sql.Column) =
+    coalesce(raw.cast("string"),
+      raise_error(lit("attributePositionBased: null channel on a " +
+        "touch event — a null channel would silently absorb credit"))
+        .cast("string"))
+
+  /** First-order Markov removal-effect attribution (Anderl et al.
+    * 2014) — the principled multi-touch model next to
+    * [[attributePositionBased]]'s fixed heuristic: fit a first-order
+    * chain over observed channel transitions (start → c₁ → … →
+    * conversion | null), then for each channel ask "how much
+    * conversion probability disappears if this channel vanishes"
+    * (its inbound transitions rerouted to the null absorber, its
+    * outbound ones unreachable):
+    *
+    *   RE_c = 1 − P_removed(c)/P_full
+    *
+    * P is the `iters`-hop absorption probability from the start
+    * state, computed by synchronous value iteration ON THE PURE
+    * INTEGER LATTICE: each round `v_i = (Σ_j n_ij·w_j) div n_i` with
+    * w = 10⁶ at the conversion absorber, 0 at null — exact counts,
+    * one floor per (scenario, state, round), NO float anywhere, so
+    * the fixed-round fit is bit-identical and SQL-replayable (the
+    * bradleyTerry discipline). `iters` is part of the SEMANTICS
+    * (hop-bounded absorption — paths longer than `iters` hops
+    * contribute nothing; absorption mass converges geometrically),
+    * bounded ≤ 32 loudly. Paths: each user's touches strictly before
+    * the first conversion in `(ts, tie)` lex order (non-converters
+    * contribute their whole sequence, ending in null) — the q325
+    * path contract. Output per channel: `channel, p_full_ppm,
+    * p_removed_ppm, re_ppm` (clamped at 0 — the true RE is ≥ 0;
+    * the per-round floors can dip a hair below) and `share_ppm`
+    * normalized over positive REs (null when every RE is 0 or
+    * P_full = 0). Null channels refuse; channels colliding with the
+    * three reserved state names refuse.
+    *
+    * Scale shape: the row-sized work is ONE user-windowed pass to
+    * transitions + one (src, dst) count — after that everything is
+    * (channels+2)²-sized, localCheckpointed once, and the `iters`
+    * driver loop iterates a ≤ (maxChannels+1)·(maxChannels+1)
+    * relation with per-round lineage cuts (the kCore discipline).
+    * The channel-count refusal (≤ `maxChannels`) is one bounded
+    * driver action.
+    */
+  def markovRemovalEffect(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String, convType: String,
+      iters: Int = 8, maxChannels: Int = 64): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters=$iters out of [1, 32]")
+    require(maxChannels >= 1 && maxChannels <= 256,
+      s"maxChannels=$maxChannels out of [1, 256]")
+    val reserved = Seq("__start__", "__conv__", "__null__")
+    val chanCol = {
+      val c = coalesce(col("__rawchan").cast("string"),
+        raise_error(lit("markovRemovalEffect: null channel on a " +
+          "touch event — a null channel would silently absorb " +
+          "probability mass")).cast("string"))
+      when(c.isin(reserved.map(lit): _*),
+        raise_error(concat(lit("markovRemovalEffect: channel '"), c,
+          lit("' collides with a reserved state name")))
+          .cast("string")).otherwise(c)
+    }
+    val rows = events.select(col(userCol).as("user"),
+      col(typeCol).as("etype"), col(typeCol).as("__rawchan"),
+      col(tsCol).cast("long").as("ts"),
+      col(tieCol).cast("long").as("tie"))
+    val convs = rows.filter(col("etype") === convType)
+      .groupBy(col("user").as("__u"))
+      .agg(min(struct(col("ts"), col("tie"))).as("__conv"))
+    val touches = rows.filter(col("etype") =!= convType)
+      .select(col("user"), chanCol.as("channel"), col("ts"),
+        col("tie"))
+      .join(convs, col("user") === col("__u"), "left")
+      .filter(col("__conv").isNull
+        || struct(col("ts"), col("tie")) < col("__conv"))
+      .withColumn("__absorb",
+        when(col("__conv").isNotNull, lit("__conv__"))
+          .otherwise(lit("__null__")))
+    val byUser = Window.partitionBy(col("user"))
+      .orderBy(col("ts"), col("tie"))
+    val seq0 = touches
+      .withColumn("__pos", row_number().over(byUser))
+      .withColumn("__next", lead(col("channel"), 1).over(byUser))
+    val mids = seq0.select(col("channel").as("src"),
+      coalesce(col("__next"), col("__absorb")).as("dst"))
+    val starts = seq0.filter(col("__pos") === 1)
+      .select(lit("__start__").as("src"), col("channel").as("dst"))
+    // converters whose every touch is AT/after the first conversion
+    // (or who only ever converted): start -> conv directly
+    val lone = convs.join(
+        touches.select(col("user")).distinct(),
+        col("__u") === col("user"), "left_anti")
+      .select(lit("__start__").as("src"), lit("__conv__").as("dst"))
+    val trans = mids.unionByName(starts).unionByName(lone)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val channels = trans.select(col("src").as("c"))
+      .filter(!col("c").isin(reserved.map(lit): _*))
+      .union(trans.select(col("dst").as("c"))
+        .filter(!col("c").isin(reserved.map(lit): _*)))
+      .distinct().localCheckpoint()
+    val nChan = channels.count()
+    require(nChan <= maxChannels,
+      s"markovRemovalEffect: $nChan channels > maxChannels=" +
+        s"$maxChannels — the scenario grid is channels^3-sized; " +
+        "coarsen the channel taxonomy upstream")
+    val scenarios = channels.select(col("c").as("removed"))
+      .union(events.sparkSession.range(1)
+        .select(lit("__none__").as("removed")))
+    val scenTrans = broadcast(scenarios).crossJoin(trans)
+      .filter(col("src") =!= col("removed"))
+      .select(col("removed"), col("src"),
+        when(col("dst") === col("removed"), lit("__null__"))
+          .otherwise(col("dst")).as("dst"), col("n"))
+      .groupBy(col("removed"), col("src"), col("dst"))
+      .agg(sum(col("n")).as("n"))
+      .localCheckpoint()
+    var vals = scenTrans.select(col("removed"), col("src").as("state"))
+      .distinct().withColumn("v", lit(0L)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = vals.select(col("removed").as("__r2"),
+        col("state").as("__st"), col("v").as("__w"))
+      vals = scenTrans
+        .join(w, col("removed") === col("__r2")
+          && col("dst") === col("__st"), "left")
+        .withColumn("__wj",
+          when(col("dst") === "__conv__", lit(1000000L))
+            .when(col("dst") === "__null__", lit(0L))
+            .otherwise(coalesce(col("__w"), lit(0L))))
+        .groupBy(col("removed"), col("src"))
+        .agg(expr("sum(n * __wj) div sum(n)").as("v"))
+        .select(col("removed"), col("src").as("state"), col("v"))
+        .localCheckpoint()
+    }
+    val pFull = vals
+      .filter(col("removed") === "__none__"
+        && col("state") === "__start__")
+      .select(col("v").as("p_full_ppm"))
+    val pRem = vals.filter(col("state") === "__start__"
+        && col("removed") =!= "__none__")
+      .select(col("removed").as("__c"), col("v").as("p_removed_ppm"))
+    val re = channels.select(col("c").as("channel"))
+      .join(pRem, col("channel") === col("__c"), "left")
+      .crossJoin(broadcast(pFull))
+      .select(col("channel"), col("p_full_ppm"),
+        coalesce(col("p_removed_ppm"), lit(0L)).as("p_removed_ppm"))
+      .withColumn("re_ppm",
+        when(col("p_full_ppm") <= 0, lit(null).cast("long"))
+          .otherwise(greatest(lit(0L), lit(1000000L) -
+            expr("(1000000L * p_removed_ppm) div p_full_ppm"))))
+    val tot = re.groupBy()
+      .agg(sum(col("re_ppm")).as("__tot"))
+    re.crossJoin(broadcast(tot))
+      .select(col("channel"), col("p_full_ppm"),
+        col("p_removed_ppm"), col("re_ppm"),
+        when(col("__tot").isNull || col("__tot") <= 0,
+          lit(null).cast("long"))
+          .otherwise(expr("(1000000L * re_ppm) div __tot"))
+          .as("share_ppm"))
+  }
 }

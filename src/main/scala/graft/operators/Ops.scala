@@ -767,4 +767,348 @@ object Ops {
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         col("slope_ppm"))
   }
+
+  /** Spearman rank correlation per group (Spearman 1904) — "is the
+    * relationship monotone", robust to any monotone transform of
+    * either metric (where [[groupOls]] asks if it is LINEAR). Both
+    * variables are replaced by their midranks ON THE DOUBLED integer
+    * lattice (`2·rank`; a tie of t rows shares `2·min_rank + t − 1`,
+    * an integer — the [[graft.operators.Experiment.mannWhitneyU]]
+    * trick, so ties never produce a .5), then Pearson on the doubled
+    * ranks:
+    *
+    *   num  = n·Σrxry − Σrx·Σry
+    *   den² = (n·Σrx² − (Σrx)²)·(n·Σry² − (Σry)²)
+    *   rho_ppm = floor(10⁶ · num / (sqrt(denx) · sqrt(deny)))
+    *
+    * — sums are EXACT on DECIMAL(38) (n·Σr² ≈ 4n⁴ overflows int64
+    * past n ≈ 40k; DECIMAL is ANSI-loud past 10³⁸ ≈ n of 10⁹), and
+    * the finish is one fixed float chain whose every op (cast,
+    * sqrt, multiply, divide, floor) is exactly rounded IEEE — both
+    * engines land the same bit. One stated lattice edge: a
+    * mathematically perfect ρ = +1 reads 999999, not 10⁶ —
+    * sqrt(d)·sqrt(d) rounds a hair ABOVE d, the ratio a hair below
+    * 1, and the floor keeps it (the denominator sqrts stay separate
+    * because dx·dy would overflow DECIMAL(38) at n ≈ 5·10³; perfect
+    * −1 still reads −10⁶, floor being one-sided). Null `rho_ppm`
+    * when either variable
+    * is constant (den = 0, ρ undefined) or n < 2. Values must be
+    * long-castable non-null (refused loudly — a dropped row would
+    * shift every rank).
+    *
+    * Scale shape: two group-partitioned rank windows (one sort each)
+    * + one aggregation — no pairwise anything; scales to any group
+    * size, unlike [[kendallTauB]].
+    */
+  def spearmanRho(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def m(c: String) = coalesce(col(c).try_cast("long"),
+      raise_error(concat(lit(s"spearmanRho: $c value '"),
+        coalesce(col(c).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped row " +
+          "would shift every rank"))).cast("long"))
+    val rows = df.select(col(groupCol).as("grp"), m(xCol).as("__x"),
+      m(yCol).as("__y"))
+    def midrank2(c: String) = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(c))
+      val tieW = Window.partitionBy(col("grp"), col(c))
+      lit(2L) * rank().over(w).cast("long") +
+        count(lit(1)).over(tieW) - 1L
+    }
+    val ranked = rows
+      .withColumn("__rx", midrank2("__x"))
+      .withColumn("__ry", midrank2("__y"))
+      .select(col("grp"),
+        col("__rx").cast("decimal(38,0)").as("__rx"),
+        col("__ry").cast("decimal(38,0)").as("__ry"))
+    ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"))
+      .withColumn("__num",
+        col("n") * col("__sxy") - col("__sx") * col("__sy"))
+      .withColumn("__dx",
+        col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__dy",
+        col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .select(col("grp"), col("n"),
+        when(col("n") < 2 || col("__dx") <= 0 || col("__dy") <= 0,
+          lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0)
+            * col("__num").cast("double")
+            / (sqrt(col("__dx").cast("double"))
+              * sqrt(col("__dy").cast("double")))).cast("long"))
+          .as("rho_ppm"))
+  }
+
+  /** Kendall's tau-b per group (Kendall 1938; tau-b tie correction) —
+    * the pairwise-concordance companion to [[spearmanRho]]: of all
+    * unordered row pairs, how many order the two variables the same
+    * way. With C concordant, D discordant, and tie-corrected
+    * denominators (n0 = n(n−1)/2, n1 = x-tied pairs, n2 = y-tied
+    * pairs):
+    *
+    *   tau_b_ppm = floor(10⁶·(C−D) / sqrt((n0−n1)·(n0−n2)))
+    *
+    * — C, D, n1, n2 exact integer pair counts; the denominator is
+    * ONE sqrt of the exact int64 product (the maxN contract bounds
+    * it at ~7·10¹³, so unlike [[spearmanRho]] no sqrt-product
+    * rounding edge exists — a perfect τ reads exactly ±10⁶), then
+    * one exactly-rounded IEEE divide + floor.
+    * Null when all pairs are tied in x or all in y. Pairs need a
+    * deterministic identity: `idCol` must be unique per row within
+    * its group (duplicates refuse — they would double-count pairs).
+    *
+    * Scale shape: ONE self-join on the group key — O(n²) pairs BY
+    * DEFINITION, so group size carries the [[theilSen]] loud
+    * contract: > `maxN` rows refuses with the count. A million-row
+    * tau wants the O(n log n) inversion-count algorithm — a
+    * different operator, not a bigger join.
+    */
+  def kendallTauB(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String, maxN: Int = 256): DataFrame = {
+    require(maxN >= 2 && maxN <= 4096, s"maxN=$maxN out of [2, 4096]")
+    def m(c: String) = coalesce(col(c).try_cast("long"),
+      raise_error(concat(lit(s"kendallTauB: $c value '"),
+        coalesce(col(c).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(groupCol).as("grp"), m(idCol).as("__i"),
+      m(xCol).as("__x"), m(yCol).as("__y"))
+    val dupW = Window.partitionBy(col("grp"), col("__i"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("kendallTauB: duplicate id "),
+          col("__i").cast("string"), lit(" in group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' — pair identity must be unique"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+    val sizes = checked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("grp"), when(col("n") > maxN,
+        raise_error(concat(lit("kendallTauB: group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' has "), col("n").cast("string"),
+          lit(s" rows > maxN=$maxN — O(n^2) pairs; sample or " +
+            "pre-aggregate upstream"))).cast("long"))
+        .otherwise(col("n")).as("n"))
+    val b = checked.select(col("grp").as("__g2"),
+      col("__i").as("__j"), col("__x").as("__xj"),
+      col("__y").as("__yj"))
+    val pairs = checked.join(b, col("grp") <=> col("__g2")
+        && col("__i") < col("__j"))
+      .select(col("grp"),
+        (signum((col("__xj") - col("__x")).cast("double"))
+          .cast("long") *
+         signum((col("__yj") - col("__y")).cast("double"))
+          .cast("long")).as("__sgn"),
+        when(col("__x") === col("__xj"), 1L).otherwise(0L)
+          .as("__tx"),
+        when(col("__y") === col("__yj"), 1L).otherwise(0L)
+          .as("__ty"))
+    val folded = pairs.groupBy(col("grp").as("__g3"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__sgn") === 1L, 1L).otherwise(0L))
+          .as("concordant"),
+        sum(when(col("__sgn") === -1L, 1L).otherwise(0L))
+          .as("discordant"),
+        sum(col("__tx")).as("__n1"), sum(col("__ty")).as("__n2"))
+    sizes.join(folded, col("grp") <=> col("__g3"), "left")
+      .select(col("grp"), col("n"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"),
+        when(col("n_pairs").isNull
+            || col("n_pairs") - col("__n1") <= 0
+            || col("n_pairs") - col("__n2") <= 0,
+          lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0)
+            * (col("concordant") - col("discordant")).cast("double")
+            / sqrt(((col("n_pairs") - col("__n1"))
+              * (col("n_pairs") - col("__n2"))).cast("double")))
+            .cast("long"))
+          .as("tau_b_ppm"))
+  }
+
+  /** Autocorrelation at positional lag k per key — "does this
+    * telemetry repeat itself k steps apart" (seasonality detection,
+    * the numeric companion to [[seasonalProfile]]'s calendar fold).
+    * Rows are ordered `(ts, tiebreak)` within the key; the lag is
+    * POSITIONAL on that order (row t pairs with row t+k — gaps in ts
+    * are the caller's contract, exactly [[graft.operators.Drift.cusum]]'s
+    * convention). The standard ACF estimator, cleared of fractions
+    * by n² (x̄ = S/n):
+    *
+    *   num = Σ_{t≤n−k} (n·x_t − S)·(n·x_{t+k} − S)
+    *   den = Σ_{t≤n}   (n·x_t − S)²
+    *   acf_ppm = (10⁶ · num) div den
+    *
+    * — all EXACT integers on DECIMAL(38) (n·x ≈ 10¹⁵ squared and
+    * summed overflows int64 immediately; DECIMAL is ANSI-loud past
+    * 10³⁸), one integral division at the end (both engines truncate
+    * toward zero). Null when den = 0 (constant series) or n ≤ k.
+    * Values long-castable non-null, refused loudly.
+    *
+    * Scale shape: one key-partitioned window sort shared by the
+    * running position and the k-step lead + one aggregation — a
+    * single shuffle; no self-join, no global sort.
+    */
+  def autocorr(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 65536, s"k=$k out of [1, 65536]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("autocorr value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a skipped row " +
+          "would shift every lag pair"))).cast("long"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("__ts"), col("__tie"))
+    val rows = df.select(col(keyCol).as("key"),
+        col(tsCol).cast("long").as("__ts"),
+        col(tieCol).cast("long").as("__tie"), v.as("__v"))
+      .withColumn("__lead", lead(col("__v"), k).over(w))
+    rows.groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v").cast("decimal(38,0)")).as("__s"),
+        sum(col("__v").cast("decimal(38,0)")
+          * col("__v").cast("decimal(38,0)")).as("__ss"),
+        count(col("__lead")).as("__npair"),
+        sum(col("__v").cast("decimal(38,0)")
+          * col("__lead").cast("decimal(38,0)")).as("__sxy"),
+        sum(when(col("__lead").isNotNull,
+          col("__v").cast("decimal(38,0)")).otherwise(lit(null)))
+          .as("__sx"),
+        sum(when(col("__lead").isNotNull,
+          col("__lead").cast("decimal(38,0)")).otherwise(lit(null)))
+          .as("__sy"))
+      .withColumn("__num", col("n") * col("n") * col("__sxy")
+        - col("n") * col("__s") * (col("__sx") + col("__sy"))
+        + col("__npair") * col("__s") * col("__s"))
+      .withColumn("__den", col("n") * col("n") * col("__ss")
+        - col("n") * col("__s") * col("__s") * 2L
+        + col("n") * col("__s") * col("__s"))
+      .select(col("key"), col("n"), lit(k.toLong).as("lag"),
+        when(col("__den") <= 0 || col("n") <= k,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * __num) " +
+              "div __den AS BIGINT)"))
+          .as("acf_ppm"))
+  }
+
+  /** Rolling LOWER median per key — the robust rolling level next to
+    * [[graft.operators.Drift.levelShift]]'s rolling sums (one wild
+    * telemetry point drags a rolling mean for w rows; the median
+    * shrugs it off). At each position, the median of the TRAILING
+    * `w` rows (this row and the w−1 before it) on the `(ts, tie)`
+    * order; only FULL windows emit (a partial head window would
+    * fabricate a level, the levelShift convention). The LOWER median
+    * — element (w+1)/2 of the sorted window — keeps every output ON
+    * the input lattice (the theilSen discipline; an even-w average
+    * would leave it). Output: `key, ts, tie, v, med`.
+    *
+    * Scale shape: one key-partitioned window sort; per-position
+    * state is the w-element window buffer, so `w` is a LOUD ≤ 512
+    * contract (a million-row rolling median wants a two-heap /
+    * indexable-skiplist operator — different algorithm, not a
+    * bigger buffer). Values long-castable non-null, refused loudly.
+    */
+  def rollingMedian(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, w: Int): DataFrame = {
+    require(w >= 2 && w <= 512, s"w=$w out of [2, 512]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("rollingMedian value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a skipped row " +
+          "would shift every window"))).cast("long"))
+    val win = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("tie")).rowsBetween(-(w - 1), 0)
+    df.select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
+        col(tieCol).cast("long").as("tie"), v.as("v"))
+      .withColumn("__buf", collect_list(col("v")).over(win))
+      .filter(size(col("__buf")) === w)
+      .withColumn("med",
+        element_at(array_sort(col("__buf")), (w + 1) / 2))
+      .drop("__buf")
+  }
+
+  /** Median absolute deviation per group — the robust scale
+    * companion to [[winsorizePpm]]'s robust clipping and
+    * [[trimmedMeanPpm]]'s robust location: `mad = median(|x −
+    * median(x)|)`, both medians LOWER by rank (every output on the
+    * input lattice, no float anywhere). 50% breakdown — half the
+    * group can be garbage and the scale estimate stands, which is
+    * why [[robustOutliers]] gates on it rather than on a standard
+    * deviation the outliers themselves inflate. Output: `grp, n,
+    * median, mad`.
+    *
+    * Scale shape: two group-partitioned rank windows (the second
+    * over the deviations) + one fold join back, null-safe on the
+    * group; nothing global, no pairwise anything.
+    */
+  def madPerGroup(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("madPerGroup value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped row " +
+          "would shift both medians"))).cast("long"))
+    val rows = df.select(col(groupCol).as("grp"), v.as("__v"))
+    def lowerMedian(in: DataFrame, c: String, out: String) = {
+      val w = Window.partitionBy(col("grp")).orderBy(col(c))
+      in.withColumn("__r", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col("grp"))))
+        .filter(col("__r") === expr("(__n + 1L) div 2L"))
+        .groupBy(col("grp").as("__g"))
+        .agg(max(col(c)).as(out), max(col("__n")).as("__cnt"))
+    }
+    val med = lowerMedian(rows, "__v", "median")
+    val devs = rows.join(med, col("grp") <=> col("__g"))
+      .select(col("grp"), col("median"),
+        abs(col("__v") - col("median")).as("__d"))
+    val mad = lowerMedian(devs.select(col("grp"), col("__d")),
+      "__d", "mad")
+    devs.groupBy(col("grp"), col("median"))
+      .agg(count(lit(1)).as("n"))
+      .join(mad, col("grp") <=> col("__g"))
+      .select(col("grp"), col("n"), col("median"), col("mad"))
+  }
+
+  /** Robust outlier gate — rows whose deviation from the group's
+    * median exceeds `kMilli/1000 ×` the group's [[madPerGroup]] MAD,
+    * decided by INTEGER cross-multiplication (`1000·|x−med| >
+    * kMilli·mad` — no modified-z float, no division; fold the 0.6745
+    * consistency constant into kMilli if σ-equivalent fences are
+    * wanted). A group with mad = 0 (over half the rows identical)
+    * flags EVERY row off the median — the modified z is infinite
+    * there, and silently passing them would hide exactly the frozen-
+    * feed-plus-glitch shape the gate exists for (documented, not
+    * hidden). Output: the FLAGGED rows only — `grp, id, v, median,
+    * mad, dev`.
+    *
+    * Scale shape: the [[madPerGroup]] windows + one group-keyed join
+    * of the group-sized (median, mad) relation back onto the rows —
+    * row-sized data crosses one shuffle once.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, kMilli: Long): DataFrame = {
+    require(kMilli >= 1, s"kMilli=$kMilli must be >= 1")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("robustOutliers value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val stats = madPerGroup(df.select(col(groupCol), col(valCol)),
+      groupCol, valCol)
+      .select(col("grp").as("__g"), col("median"), col("mad"))
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"), v.as("v"))
+      .join(stats, col("grp") <=> col("__g"))
+      .withColumn("dev", abs(col("v") - col("median")))
+      .filter(col("dev") * 1000L > lit(kMilli) * col("mad"))
+      .select(col("grp"), col("id"), col("v"), col("median"),
+        col("mad"), col("dev"))
+  }
 }

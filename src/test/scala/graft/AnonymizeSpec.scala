@@ -353,4 +353,50 @@ class AnonymizeSpec extends AnyFunSuite {
         4, 2)
     }
   }
+
+  test("tClosenessReport: hand-computed ordered EMD, verdicts at the " +
+      "threshold, null sensitive refuses, single-value domain reads 0") {
+    // global: s=0 x3, s=1 x1 (N=4, m=2); class A=(0,0), class B=(0,1)
+    // EMD(A) = |1.0 - 0.75| = 0.25; EMD(B) = |0.5 - 0.75| = 0.25
+    val df = Seq(("A", 0L), ("A", 0L), ("B", 0L), ("B", 1L))
+      .toDF("qi", "s")
+    val rep = Anonymize.tClosenessReport(df, Seq("qi"), "s",
+      tPpm = 200000L).collect()
+    assert(rep.length == 2)
+    assert(rep.forall(_.getAs[Long]("emd_ppm") == 250000L))
+    assert(rep.forall(_.getAs[Boolean]("suppressed_t")),
+      "250000 > 200000 must suppress")
+    val loose = Anonymize.tClosenessReport(df, Seq("qi"), "s",
+      tPpm = 300000L).collect()
+    assert(loose.forall(!_.getAs[Boolean]("suppressed_t")))
+    // one sensitive value table-wide: every class trivially identical
+    val mono = Seq(("A", 5L), ("B", 5L)).toDF("qi", "s")
+    assert(Anonymize.tClosenessReport(mono, Seq("qi"), "s", 0L)
+      .collect().forall(r => r.getAs[Long]("emd_ppm") == 0L))
+    val nul = intercept[Exception] {
+      Anonymize.tClosenessReport(
+        Seq(("A", Option.empty[java.lang.Long])).toDF("qi", "s"),
+        Seq("qi"), "s", 0L).collect()
+    }
+    assert(rootCause(nul).getMessage
+      .contains("position on the value order"))
+  }
+
+  test("kAnonymizeTClose: both gates compose; a skewed-but-large " +
+      "group is suppressed by t while a faithful one survives") {
+    // 12 rows: class A mirrors the global mix, class B is all-1
+    val a = Seq.fill(3)(("A", 0L)) ++ Seq.fill(3)(("A", 1L))
+    val b = Seq.fill(6)(("B", 1L))
+    val df = (a ++ b).toDF("qi", "s")
+    // global: 0 x3, 1 x9. A: (3,3) vs (0.25, 0.75) -> EMD = 0.25
+    // B: (0,6) vs (0.25, 0.75) -> EMD = 0.25... both equal here, so
+    // use a tighter global: add class C to tilt the global mix
+    val df2 = (a ++ b ++ Seq.fill(6)(("C", 0L))).toDF("qi", "s")
+    // global: 0 x9, 1 x9; A is exactly faithful (EMD 0), B and C read
+    // |0 - 0.5| = 0.5
+    val kept = Anonymize.kAnonymizeTClose(df2, Seq("qi"), "s",
+      k = 2L, tPpm = 100000L).select("qi").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("A"), s"only the faithful class survives: $kept")
+  }
 }

@@ -327,4 +327,29 @@ class DriftSpec extends AnyFunSuite {
     assert(c.length == 2 && c.forall(r => r.isNullAt(0) &&
       !r.isNullAt(5)), s"null-key drift group dropped: ${c.toSeq}")
   }
+
+  test("jsDivergence: identical histograms read 0, fully disjoint " +
+      "reads ~ln 2, empty period null, bad period refuses") {
+    // identical: every bucket 2/2 -> all terms 0
+    val same = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+      .map { case (b, p) => ("k", b, p) }.toDF("k", "b", "p")
+    assert(Drift.jsDivergence(same, "k", "b", "p").collect()
+      .forall(_.getAs[Long]("jsd_micro") == 0L))
+    // disjoint: bucket 0 only period 0, bucket 1 only period 1 ->
+    // 2 x floor(ln2 * 500000) = 693146 micro
+    val disj = Seq(("k", 0L, 0L), ("k", 1L, 1L)).toDF("k", "b", "p")
+    assert(Drift.jsDivergence(disj, "k", "b", "p").collect()
+      .forall(_.getAs[Long]("jsd_micro") == 693146L))
+    // a key with period 1 absent entirely -> null (degenerate)
+    val one = Seq(("k", 0L, 0L), ("k", 1L, 0L)).toDF("k", "b", "p")
+    assert(Drift.jsDivergence(one, "k", "b", "p").collect()
+      .forall(_.isNullAt(5)))
+    val bad = intercept[Exception] {
+      Drift.jsDivergence(Seq(("k", 0L, 2L)).toDF("k", "b", "p"),
+        "k", "b", "p").collect()
+    }
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    assert(rc(bad).getMessage.contains("outside {0,1}"))
+  }
 }

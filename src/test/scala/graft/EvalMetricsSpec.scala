@@ -476,4 +476,69 @@ class EvalMetricsSpec extends AnyFunSuite {
       EvalMetrics.bradleyTerry(ledger, 0)
     }
   }
+
+  test("averagePrecision: hand-computed terms, no-positive null, " +
+      "duplicate rank and non-binary relevance refuse") {
+    // rel at ranks 1,3,4 of 5: terms 1000000 + 666666 + 750000,
+    // ap = 2416666 div 3 = 805555
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L))
+      .map { case (r, rel) => ("q", r, rel) }.toDF("q", "rank", "rel")
+    val row = EvalMetrics.averagePrecision(df, "q", "rank", "rel")
+      .collect()(0)
+    assert(row.getAs[Long]("n") == 5L && row.getAs[Long]("n_pos") == 3L)
+    assert(row.getAs[Long]("ap_ppm") == 805555L)
+    val none = Seq(("q", 1L, 0L), ("q", 2L, 0L)).toDF("q", "rank", "rel")
+    assert(EvalMetrics.averagePrecision(none, "q", "rank", "rel")
+      .collect()(0).isNullAt(3), "no positives -> AP undefined")
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val dup = intercept[Exception] {
+      EvalMetrics.averagePrecision(
+        Seq(("q", 1L, 1L), ("q", 1L, 0L)).toDF("q", "rank", "rel"),
+        "q", "rank", "rel").collect()
+    }
+    assert(rc(dup).getMessage.contains("duplicate rank"))
+    val grade = intercept[Exception] {
+      EvalMetrics.averagePrecision(
+        Seq(("q", 1L, 3L)).toDF("q", "rank", "rel"),
+        "q", "rank", "rel").collect()
+    }
+    assert(rc(grade).getMessage.contains("outside {0,1}"))
+  }
+
+  test("krippendorffAlpha: hand fixture 0.444, dropped singleton " +
+      "visible, degenerate single-category null") {
+    // u1:(a,a) u2:(a,b) u3:(b,b) u4:(b singleton, dropped)
+    // Do_micro = 2000000 (u2), N=6, De = 18 ->
+    // alpha = 1e6 - (5 * 2000000) // 18 = 444445
+    val df = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "a"),
+      ("g", 2L, "b"), ("g", 3L, "b"), ("g", 3L, "b"), ("g", 4L, "b"))
+      .toDF("g", "unit", "v")
+    val r = EvalMetrics.krippendorffAlpha(df, "g", "unit", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_units") == 3L &&
+      r.getAs[Long]("n_dropped_units") == 1L)
+    assert(r.getAs[Long]("n_pairable") == 6L &&
+      r.getAs[Long]("n_categories") == 2L)
+    assert(r.getAs[Long]("alpha_ppm") == 444445L)
+    // perfect agreement on one category: De = 0 -> null
+    val mono = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "a"),
+      ("g", 2L, "a")).toDF("g", "unit", "v")
+    assert(EvalMetrics.krippendorffAlpha(mono, "g", "unit", "v")
+      .collect()(0).isNullAt(5))
+    // perfect agreement on TWO categories: Do = 0 -> alpha = 1e6
+    val perf = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 2L, "b"),
+      ("g", 2L, "b")).toDF("g", "unit", "v")
+    assert(EvalMetrics.krippendorffAlpha(perf, "g", "unit", "v")
+      .collect()(0).getAs[Long]("alpha_ppm") == 1000000L)
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val nul = intercept[Exception] {
+      EvalMetrics.krippendorffAlpha(
+        Seq(("g", 1L, null.asInstanceOf[String]),
+          ("g", 1L, "a")).toDF("g", "unit", "v"),
+        "g", "unit", "v").collect()
+    }
+    assert(rc(nul).getMessage.contains("null rating"))
+  }
 }

@@ -499,4 +499,97 @@ class ExperimentSpec extends AnyFunSuite {
         "v", loPm = 500, hiPm = 500)
     }
   }
+
+  test("cliffsDelta: full dominance +/-1e6, tie half-credit, empty " +
+      "arm null") {
+    val dom = Seq(("e", 0L, 1L), ("e", 0L, 2L), ("e", 1L, 3L),
+      ("e", 1L, 4L)).toDF("e", "g", "v")
+    assert(Experiment.cliffsDelta(dom, "e", "g", "v").collect()(0)
+      .getAs[Long]("delta_ppm") == 1000000L)
+    // g0=(1,2), g1=(2,3): 3 wins, 1 tie -> (2*U1 - n0n1)/n0n1 = 3/4
+    val mix = Seq(("e", 0L, 1L), ("e", 0L, 2L), ("e", 1L, 2L),
+      ("e", 1L, 3L)).toDF("e", "g", "v")
+    assert(Experiment.cliffsDelta(mix, "e", "g", "v").collect()(0)
+      .getAs[Long]("delta_ppm") == 750000L)
+    val lone = Seq(("e", 1L, 5L)).toDF("e", "g", "v")
+    assert(Experiment.cliffsDelta(lone, "e", "g", "v").collect()(0)
+      .isNullAt(3))
+  }
+
+  test("cohensD: hand-computed pooled-SD fixture, degenerate " +
+      "variance and small arms null") {
+    // g0=(2,4): mean 3, SS/n = 2; g1=(5,7): mean 6, SS/n = 2
+    // pooled = 4/2 = 2 -> d = 3/sqrt(2) = 2.12132 -> 2121 milli
+    val df = Seq(("e", 0L, 2L), ("e", 0L, 4L), ("e", 1L, 5L),
+      ("e", 1L, 7L)).toDF("e", "g", "v")
+    assert(Experiment.cohensD(df, "e", "g", "v").collect()(0)
+      .getAs[Long]("d_milli") == 2121L)
+    val flat = Seq(("e", 0L, 3L), ("e", 0L, 3L), ("e", 1L, 5L),
+      ("e", 1L, 5L)).toDF("e", "g", "v")
+    assert(Experiment.cohensD(flat, "e", "g", "v").collect()(0)
+      .isNullAt(3), "zero pooled variance -> null, not a div-by-zero")
+    val tiny = Seq(("e", 0L, 3L), ("e", 1L, 5L)).toDF("e", "g", "v")
+    assert(Experiment.cohensD(tiny, "e", "g", "v").collect()(0)
+      .isNullAt(3), "arms of 1 -> null")
+  }
+
+  test("stratifiedAte: hand fixture — stratified 17.5 vs simple " +
+      "11.666666, one-arm stratum excluded visibly") {
+    // stratum A: control (10,20), treat (40) -> diff +25
+    // stratum B: control (5), treat (11,19) -> diff +10
+    // stratum C: control only -> excluded (2 rows)
+    val df = Seq(
+      ("e", "A", 0L, 10L), ("e", "A", 0L, 20L), ("e", "A", 1L, 40L),
+      ("e", "B", 0L, 5L), ("e", "B", 1L, 11L), ("e", "B", 1L, 19L),
+      ("e", "C", 0L, 1000L), ("e", "C", 0L, 1000L))
+      .toDF("e", "s", "g", "v")
+    val r = Experiment.stratifiedAte(df, "e", "s", "g", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_strata") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("n_excluded_strata") == 1L &&
+      r.getAs[Long]("n_excluded_rows") == 2L)
+    // ate = (3*25e6 + 3*10e6) div 6 = 17_500_000 micro
+    assert(r.getAs[Long]("ate_micro") == 17500000L)
+    // unadjusted over the included rows: 1e6*(70*3 - 35*3) div 9
+    assert(r.getAs[Long]("simple_diff_micro") == 11666666L)
+    // negative effect, exactly divisible: control (10,10), treat (4)
+    val neg = Seq(("n", "A", 0L, 10L), ("n", "A", 0L, 10L),
+      ("n", "A", 1L, 4L)).toDF("e", "s", "g", "v")
+    assert(Experiment.stratifiedAte(neg, "e", "s", "g", "v")
+      .collect()(0).getAs[Long]("ate_micro") == -6000000L)
+    // no stratum survives -> null ATE
+    val none = Seq(("z", "A", 0L, 1L)).toDF("e", "s", "g", "v")
+    val z = Experiment.stratifiedAte(none, "e", "s", "g", "v")
+      .collect()(0)
+    assert(z.isNullAt(5) && z.isNullAt(6))
+    val bad = intercept[Exception] {
+      Experiment.stratifiedAte(Seq(("e", "A", 2L, 1L))
+        .toDF("e", "s", "g", "v"), "e", "s", "g", "v").collect()
+    }
+    assert(rootCause(bad).getMessage.contains("not 0/1"))
+  }
+
+  test("holmBonferroni: textbook step-down — running max keeps " +
+      "rejections monotone, adj clipped at 1e6") {
+    val df = Seq(("f", 1L, 10000L), ("f", 2L, 20000L),
+      ("f", 3L, 30000L), ("f", 4L, 500000L))
+      .toDF("fam", "id", "p")
+    val r = Experiment.holmBonferroni(df, "fam", "id", "p", 50000L)
+      .orderBy("k").collect()
+    assert(r.map(_.getAs[Long]("adj_ppm")).toSeq ==
+      Seq(40000L, 60000L, 60000L, 500000L))
+    assert(r.map(_.getAs[Boolean]("reject")).toSeq ==
+      Seq(true, false, false, false),
+      "step-down stops at the first non-rejection")
+    val clip = Seq(("g", 1L, 900000L), ("g", 2L, 950000L))
+      .toDF("fam", "id", "p")
+    assert(Experiment.holmBonferroni(clip, "fam", "id", "p", 10000L)
+      .orderBy("k").collect().map(_.getAs[Long]("adj_ppm")).toSeq ==
+      Seq(1000000L, 1000000L))
+    val bad = intercept[Exception] {
+      Experiment.holmBonferroni(Seq(("f", 1L, 1000001L))
+        .toDF("fam", "id", "p"), "fam", "id", "p", 50000L).collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside [0, 1000000]"))
+  }
 }

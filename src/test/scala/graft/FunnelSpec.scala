@@ -193,4 +193,82 @@ class FunnelSpec extends AnyFunSuite {
       Funnel.pathMining(evs, "u", "t", "ts", "id", n = 65, k = 1)
     }
   }
+
+  test("attributePositionBased: 40/20/40 hand fixture, single and " +
+      "double touches, post-conversion touches ignored") {
+    // u1: A,B,C,D then conv -> 400000/100000/100000/400000
+    // u2: A then conv -> 1000000 (first AND last)
+    // u3: A,B then conv -> 500000 each
+    // u4: conv only; u5: touch only AFTER conv -> nothing
+    val evs = Seq(
+      (1L, "A", 1L, 1L), (1L, "B", 2L, 2L), (1L, "C", 3L, 3L),
+      (1L, "D", 4L, 4L), (1L, "conv", 5L, 5L),
+      (2L, "A", 1L, 6L), (2L, "conv", 2L, 7L),
+      (3L, "A", 1L, 8L), (3L, "B", 2L, 9L), (3L, "conv", 3L, 10L),
+      (4L, "conv", 1L, 11L),
+      (5L, "conv", 1L, 12L), (5L, "A", 2L, 13L))
+      .toDF("u", "t", "ts", "id")
+    val got = Funnel.attributePositionBased(evs, "u", "t", "t",
+      "ts", "id", "conv").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") == ((3L, 3L, 1L, 1900000L)), s"A: ${got("A")}")
+    assert(got("B") == ((2L, 0L, 1L, 600000L)), s"B: ${got("B")}")
+    assert(got("C") == ((1L, 0L, 0L, 100000L)))
+    assert(got("D") == ((1L, 0L, 1L, 400000L)))
+    assert(!got.contains("conv"))
+  }
+
+  test("attributePositionBased: equal-timestamp ties break on the " +
+      "tiebreak column; only strictly-prior touches credit") {
+    // touch and conversion share ts=5: tie 1 < tie 2 -> credited;
+    // a second touch at (5, 3) is NOT strictly before (5, 2)
+    val evs = Seq((1L, "A", 5L, 1L), (1L, "conv", 5L, 2L),
+      (1L, "B", 5L, 3L)).toDF("u", "t", "ts", "id")
+    val got = Funnel.attributePositionBased(evs, "u", "t", "t",
+      "ts", "id", "conv").collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(got == Map("A" -> 1000000L), s"got $got")
+  }
+
+  test("markovRemovalEffect: hand-solved 2-channel chain — removal " +
+      "halves vs kills the start value, shares split 1:2") {
+    // u1: C1 -> C2 -> conv; u2: C1 -> null; u3: C2 -> conv
+    // trans: start->C1:2 start->C2:1 C1->C2:1 C1->null:1 C2->conv:2
+    // v(C2)=1e6, v(C1)=5e5, p_full=(2*5e5+1e6) div 3 = 666666
+    // remove C1: p=333333, 1e6*333333 div 666666 = 500000 exactly
+    // -> RE 500000; remove C2: p=0 -> RE 1e6; shares over 1.5e6
+    val evs = Seq(
+      (1L, "C1", 10L, 1L), (1L, "C2", 20L, 2L), (1L, "buy", 30L, 3L),
+      (2L, "C1", 10L, 4L),
+      (3L, "C2", 10L, 5L), (3L, "buy", 20L, 6L))
+      .toDF("u", "et", "ts", "id")
+    val got = Funnel.markovRemovalEffect(evs, "u", "et", "ts", "id",
+      "buy").collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("p_removed_ppm"), r.getAs[Long]("re_ppm"),
+          r.getAs[Long]("share_ppm"))).toMap
+    assert(got.keySet == Set("C1", "C2"))
+    assert(got("C1") == ((333333L, 500000L, 333333L)), s"got $got")
+    assert(got("C2") == ((0L, 1000000L, 666666L)), s"got $got")
+    // lone converter (no touches) keeps mass flowing start->conv
+    val lone = evs.union(Seq((4L, "buy", 5L, 7L))
+      .toDF("u", "et", "ts", "id"))
+    val pf = Funnel.markovRemovalEffect(lone, "u", "et", "ts", "id",
+      "buy").collect()(0).getAs[Long]("p_full_ppm")
+    // trans gains start->conv:1: v(start)=(2*5e5+1e6+1e6) div 4
+    assert(pf == 750000L, s"got $pf")
+    // post-conversion touches are ignored; a reserved channel name
+    // refuses loudly
+    val res = intercept[Exception] {
+      Funnel.markovRemovalEffect(Seq((1L, "__conv__", 1L, 1L),
+        (1L, "buy", 2L, 2L)).toDF("u", "et", "ts", "id"),
+        "u", "et", "ts", "id", "buy").collect()
+    }
+    assert(rootCause(res).getMessage.contains("reserved"),
+      s"got ${rootCause(res).getMessage}")
+  }
+
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null) t else rootCause(t.getCause)
 }

@@ -245,4 +245,191 @@ class NewOpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("spearmanRho == sequential midranks + BigInt Pearson") {
+    val gen = Gen.choose(2, 35).flatMap(n => Gen.zip(
+      Gen.listOfN(n, Gen.choose(-8L, 8L)),
+      Gen.listOfN(n, Gen.choose(-8L, 8L))))
+    samples(gen, 8).zipWithIndex.foreach { case ((xs, ys), i) =>
+      val df = xs.zip(ys).map { case (x, y) => ("k", x, y) }
+        .toDF("k", "x", "y")
+      val r = Ops.spearmanRho(df, "k", "x", "y").collect()(0)
+      def ranks2(vs: List[Long]): List[BigInt] = vs.map { v =>
+        BigInt(2 * (vs.count(_ < v) + 1) + vs.count(_ == v) - 1) }
+      val rx = ranks2(xs); val ry = ranks2(ys)
+      val n = BigInt(xs.length)
+      val sx = rx.sum; val sy = ry.sum
+      val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+      val sxy = (rx zip ry).map { case (a, b) => a * b }.sum
+      val num = n * sxy - sx * sy
+      val dx = n * sxx - sx * sx; val dy = n * syy - sy * sy
+      if (xs.length < 2 || dx <= 0 || dy <= 0)
+        assert(r.isNullAt(2), s"case $i: want null")
+      else {
+        val want = math.floor(1000000.0 * num.toDouble
+          / (math.sqrt(dx.toDouble) * math.sqrt(dy.toDouble))).toLong
+        assert(!r.isNullAt(2) && r.getLong(2) == want,
+          s"case $i: got ${if (r.isNullAt(2)) "null" else r.getLong(2)}" +
+            s", want $want")
+      }
+    }
+  }
+
+  test("kendallTauB == brute-force pair enumeration") {
+    val gen = Gen.choose(2, 25).flatMap(n => Gen.zip(
+      Gen.listOfN(n, Gen.choose(-4L, 4L)),
+      Gen.listOfN(n, Gen.choose(-4L, 4L))))
+    samples(gen, 8).zipWithIndex.foreach { case ((xs, ys), i) =>
+      val df = xs.zip(ys).zipWithIndex.map { case ((x, y), j) =>
+        ("k", j.toLong, x, y) }.toDF("k", "i", "x", "y")
+      val r = Ops.kendallTauB(df, "k", "i", "x", "y").collect()(0)
+      var c = 0L; var d = 0L; var t1 = 0L; var t2 = 0L
+      for (a <- xs.indices; b <- xs.indices if a < b) {
+        val s = (xs(b) - xs(a)).sign * (ys(b) - ys(a)).sign
+        if (s > 0) c += 1 else if (s < 0) d += 1
+        if (xs(a) == xs(b)) t1 += 1
+        if (ys(a) == ys(b)) t2 += 1
+      }
+      val np = xs.length.toLong * (xs.length - 1) / 2
+      assert(r.getAs[Long]("concordant") == c &&
+        r.getAs[Long]("discordant") == d &&
+        r.getAs[Long]("n_pairs") == np, s"case $i counts")
+      if (np - t1 <= 0 || np - t2 <= 0)
+        assert(r.isNullAt(5), s"case $i: want null")
+      else {
+        val want = math.floor(1000000.0 * (c - d).toDouble
+          / math.sqrt(((np - t1) * (np - t2)).toDouble)).toLong
+        assert(r.getAs[Long]("tau_b_ppm") == want, s"case $i tau")
+      }
+    }
+  }
+
+  test("averagePrecision == the sequential precision@k walk") {
+    val gen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 1L)))
+    samples(gen, 8).zipWithIndex.foreach { case (rels, i) =>
+      val df = rels.zipWithIndex.map { case (rel, j) =>
+        ("q", j.toLong + 1, rel) }.toDF("q", "rank", "rel")
+      val r = EvalMetrics.averagePrecision(df, "q", "rank", "rel")
+        .collect()(0)
+      val p = rels.sum
+      if (p == 0) assert(r.isNullAt(3), s"case $i: want null")
+      else {
+        var cnt = 0L; var terms = 0L
+        rels.zipWithIndex.foreach { case (rel, j) =>
+          cnt += rel
+          if (rel == 1L) terms += 1000000L * cnt / (j + 1) }
+        assert(r.getAs[Long]("ap_ppm") == terms / p, s"case $i")
+      }
+    }
+  }
+
+  test("autocorr == the sequential fraction-cleared estimator") {
+    val gen = Gen.choose(2, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-20L, 20L)))
+    samples(gen, 8).zipWithIndex.foreach { case (vs, i) =>
+      val k = 1 + i % 3
+      val df = vs.zipWithIndex.map { case (v, t) => ("a", t.toLong, v) }
+        .toDF("g", "t", "v")
+      val r = Ops.autocorr(df, "g", "t", "t", "v", k).collect()(0)
+      val n = BigInt(vs.length); val s = BigInt(vs.sum)
+      val den = vs.map(v => (n * v - s) * (n * v - s)).sum
+      val num = (0 until vs.length - k)
+        .map(t => (n * vs(t) - s) * (n * vs(t + k) - s)).sum
+      if (vs.length <= k || den <= 0)
+        assert(r.isNullAt(3), s"case $i: want null")
+      else {
+        // BigInt / already truncates toward zero, matching div and //
+        val want = (BigInt(1000000) * num / den).toLong
+        assert(r.getAs[Long]("acf_ppm") == want,
+          s"case $i k=$k: got ${r.get(3)}, want $want")
+      }
+    }
+  }
+
+  test("krippendorffAlpha == the closed-form coincidence fold") {
+    val gen = for {
+      nu <- Gen.choose(1, 12)
+      rs <- Gen.listOfN(nu, Gen.choose(1, 5).flatMap(m =>
+        Gen.listOfN(m, Gen.choose(0L, 2L))))
+    } yield rs
+    samples(gen, 8).zipWithIndex.foreach { case (unitRatings, i) =>
+      val rows = unitRatings.zipWithIndex.flatMap { case (vs, u) =>
+        vs.map(v => ("g", u.toLong, v.toString)) }
+      val r = EvalMetrics.krippendorffAlpha(
+        rows.toDF("g", "unit", "v"), "g", "unit", "v").collect()(0)
+      val paired = unitRatings.filter(_.length >= 2)
+      val doMicro = paired.map { vs =>
+        val m = vs.length.toLong
+        val dis = vs.distinct.map(c =>
+          vs.count(_ == c).toLong * (m - vs.count(_ == c))).sum
+        BigInt(1000000L * dis / (m - 1)) }.sum
+      val all = paired.flatten
+      val bigN = BigInt(all.length)
+      val de = all.distinct.map(c =>
+        BigInt(all.count(_ == c)) * (bigN - all.count(_ == c))).sum
+      if (bigN < 2 || de <= 0) assert(r.isNullAt(5), s"case $i")
+      else {
+        val want = (BigInt(1000000) - (bigN - 1) * doMicro / de).toLong
+        assert(r.getAs[Long]("alpha_ppm") == want,
+          s"case $i: got ${r.get(5)}, want $want")
+      }
+    }
+  }
+
+  test("tClosenessReport == the BigInt prefix EMD per class") {
+    val gen = Gen.choose(4, 30).flatMap(n => Gen.listOfN(n, Gen.zip(
+      Gen.oneOf("A", "B", "C"), Gen.choose(0L, 5L))))
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("qi", "s")
+      val got = graft.operators.Anonymize.tClosenessReport(
+        df, Seq("qi"), "s", tPpm = 500000L).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("emd_ppm")).toMap
+      val dom = rows.map(_._2).distinct.sorted
+      val bigN = BigInt(rows.length); val m = dom.length
+      rows.groupBy(_._1).foreach { case (cls, rs) =>
+        val n = BigInt(rs.length)
+        var pre = BigInt(0); var acc = BigInt(0)
+        dom.foreach { v =>
+          val c = BigInt(rs.count(_._2 == v))
+          val g = BigInt(rows.count(_._2 == v))
+          pre += c * bigN - g * n
+          acc += pre.abs }
+        val want = if (m == 1) 0L
+          else (BigInt(1000000) * acc / (BigInt(m - 1) * n * bigN))
+            .toLong
+        assert(got(cls) == want,
+          s"case $i class $cls: got ${got(cls)}, want $want")
+      }
+    }
+  }
+
+  test("jsDivergence == the direct two-sided term fold") {
+    val gen = for {
+      n0 <- Gen.choose(0, 20); n1 <- Gen.choose(0, 20)
+      b0 <- Gen.listOfN(n0, Gen.choose(0L, 4L))
+      b1 <- Gen.listOfN(n1, Gen.choose(0L, 4L))
+    } yield (b0, b1)
+    samples(gen, 8).zipWithIndex.foreach { case ((b0, b1), i) =>
+      if (b0.nonEmpty || b1.nonEmpty) {
+        val df = (b0.map(("k", _, 0L)) ++ b1.map(("k", _, 1L)))
+          .toDF("k", "b", "p")
+        val rows = Drift.jsDivergence(df, "k", "b", "p").collect()
+        if (b0.isEmpty || b1.isEmpty)
+          assert(rows.forall(_.isNullAt(5)), s"case $i: want null")
+        else {
+          val c0 = b0.length.toDouble; val c1 = b1.length.toDouble
+          val want = (b0 ++ b1).distinct.map { b =>
+            val p = b0.count(_ == b) / c0; val q = b1.count(_ == b) / c1
+            val s0 = if (b0.count(_ == b) == 0) 0.0
+              else p * math.log(2.0 * p / (p + q))
+            val s1 = if (b1.count(_ == b) == 0) 0.0
+              else q * math.log(2.0 * q / (p + q))
+            math.floor((s0 + s1) * 500000.0).toLong }.sum
+          assert(rows.forall(_.getAs[Long]("jsd_micro") == want),
+            s"case $i: want $want")
+        }
+      }
+    }
+  }
 }

@@ -469,4 +469,130 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(rootCause(nul).getMessage.contains("theilSen: y"))
   }
+
+  test("spearmanRho: perfect monotone = the documented lattice edge " +
+      "(999999 up, -1e6 down), ties on the doubled midranks, " +
+      "constant series null") {
+    // the stated sqrt-product edge: perfect +1 floors to 10^6 - 1
+    val up = (1L to 5L).map(i => ("a", i, 2 * i)).toDF("g", "x", "y")
+    assert(Ops.spearmanRho(up, "g", "x", "y").collect()(0)
+      .getAs[Long]("rho_ppm") == 999999L)
+    val down = (1L to 5L).map(i => ("a", i, -3 * i)).toDF("g", "x", "y")
+    assert(Ops.spearmanRho(down, "g", "x", "y").collect()(0)
+      .getAs[Long]("rho_ppm") == -1000000L)
+    // hand-computed tie case: x=(1,1,2), y=(1,2,3) -> rho = 18/sqrt(432)
+    val tied = Seq(("a", 1L, 1L), ("a", 1L, 2L), ("a", 2L, 3L))
+      .toDF("g", "x", "y")
+    assert(Ops.spearmanRho(tied, "g", "x", "y").collect()(0)
+      .getAs[Long]("rho_ppm") == 866025L)
+    val const = Seq(("a", 1L, 5L), ("a", 2L, 5L)).toDF("g", "x", "y")
+    assert(Ops.spearmanRho(const, "g", "x", "y").collect()(0)
+      .isNullAt(2), "constant y has no rank variance -> null")
+  }
+
+  test("kendallTauB: textbook 0.2 fixture, tie-corrected denominator, " +
+      "dup-id and oversize refusals") {
+    val xs = Seq(1L, 2L, 3L, 4L, 5L); val ys = Seq(3L, 4L, 1L, 2L, 5L)
+    val df = xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+      ("a", i.toLong, x, y) }.toDF("g", "i", "x", "y")
+    val r = Ops.kendallTauB(df, "g", "i", "x", "y").collect()(0)
+    assert(r.getAs[Long]("concordant") == 6L &&
+      r.getAs[Long]("discordant") == 4L)
+    assert(r.getAs[Long]("tau_b_ppm") == 200000L)
+    // ties: x=(1,1,2), y=(1,2,2) -> C=1, n1=n2=1, tau_b = 0.5
+    val tied = Seq(("a", 0L, 1L, 1L), ("a", 1L, 1L, 2L),
+      ("a", 2L, 2L, 2L)).toDF("g", "i", "x", "y")
+    assert(Ops.kendallTauB(tied, "g", "i", "x", "y").collect()(0)
+      .getAs[Long]("tau_b_ppm") == 500000L)
+    val dup = intercept[Exception] {
+      Ops.kendallTauB(Seq(("a", 1L, 1L, 1L), ("a", 1L, 2L, 2L))
+        .toDF("g", "i", "x", "y"), "g", "i", "x", "y").collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate id"))
+    val big = intercept[Exception] {
+      Ops.kendallTauB((1L to 10L).map(i => ("a", i, i, i))
+        .toDF("g", "i", "x", "y"), "g", "i", "x", "y", maxN = 8)
+        .collect()
+    }
+    assert(rootCause(big).getMessage.contains("maxN=8"))
+  }
+
+  test("autocorr: alternating series reads -833333 at lag 1 and " +
+      "666666 at lag 2; constant and short series null") {
+    val df = Seq(1L, 0L, 1L, 0L, 1L, 0L).zipWithIndex
+      .map { case (v, t) => ("a", t.toLong, v) }.toDF("g", "t", "v")
+    assert(Ops.autocorr(df, "g", "t", "t", "v", 1).collect()(0)
+      .getAs[Long]("acf_ppm") == -833333L)
+    assert(Ops.autocorr(df, "g", "t", "t", "v", 2).collect()(0)
+      .getAs[Long]("acf_ppm") == 666666L)
+    val const = Seq(("a", 0L, 7L), ("a", 1L, 7L), ("a", 2L, 7L))
+      .toDF("g", "t", "v")
+    assert(Ops.autocorr(const, "g", "t", "t", "v", 1).collect()(0)
+      .isNullAt(3), "zero variance -> null")
+    val short = Seq(("a", 0L, 1L), ("a", 1L, 2L)).toDF("g", "t", "v")
+    assert(Ops.autocorr(short, "g", "t", "t", "v", 5).collect()(0)
+      .isNullAt(3), "n <= k -> null")
+  }
+
+  test("rollingMedian: trailing lower medians, full windows only, " +
+      "even w stays on the lattice, null refusal") {
+    val df = Seq(5L, 1L, 9L, 3L, 7L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong + 1L, i.toLong, v) }
+      .toDF("g", "t", "tie", "v")
+    val w3 = Ops.rollingMedian(df, "g", "t", "tie", "v", 3)
+      .orderBy("ts").collect()
+    assert(w3.map(_.getAs[Long]("ts")).toSeq == Seq(3L, 4L, 5L),
+      "partial head windows must not emit")
+    assert(w3.map(_.getAs[Long]("med")).toSeq == Seq(5L, 3L, 7L))
+    // even w: lower median = element (w+1)/2 = 2 of the sorted 4
+    val w4 = Ops.rollingMedian(df, "g", "t", "tie", "v", 4)
+      .orderBy("ts").collect()
+    assert(w4.map(_.getAs[Long]("med")).toSeq == Seq(3L, 3L))
+    val nul = intercept[Exception] {
+      Ops.rollingMedian(Seq(("a", 1L, 0L, Option.empty[Long]))
+        .toDF("g", "t", "tie", "v"), "g", "t", "tie", "v", 2)
+        .collect()
+    }
+    assert(rootCause(nul).getMessage.contains("rollingMedian value"))
+    intercept[IllegalArgumentException] {
+      Ops.rollingMedian(df, "g", "t", "tie", "v", 1)
+    }
+  }
+
+  test("madPerGroup: hand fixture (1,2,3,4,100) -> median 3 mad 1; " +
+      "even n takes the lower median") {
+    val df = Seq(1L, 2L, 3L, 4L, 100L).map(("a", _))
+      .toDF("g", "v")
+    val r = Ops.madPerGroup(df, "g", "v").collect()(0)
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Long]("median") == 3L)
+    assert(r.getAs[Long]("mad") == 1L, "50% breakdown: the 100 is invisible")
+    val even = Seq(1L, 2L, 3L, 4L).map(("b", _)).toDF("g", "v")
+    val e = Ops.madPerGroup(even, "g", "v").collect()(0)
+    assert(e.getAs[Long]("median") == 2L && e.getAs[Long]("mad") == 1L)
+    val nul = intercept[Exception] {
+      Ops.madPerGroup(Seq(("a", Option.empty[Long])).toDF("g", "v"),
+        "g", "v").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("madPerGroup value"))
+  }
+
+  test("robustOutliers: integer cross-multiplied fence flags only the " +
+      "spike; mad=0 group flags every off-median row") {
+    val df = Seq(1L, 2L, 3L, 4L, 100L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, v) }.toDF("g", "i", "v")
+    // mad=1, k=3.5: |v-3|*1000 > 3500 -> only the 100 (dev 97)
+    val got = Ops.robustOutliers(df, "g", "i", "v", 3500L).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("v") == 100L &&
+      got(0).getAs[Long]("dev") == 97L)
+    // frozen feed + glitch: mad=0 -> every row off the median flags
+    val frozen = Seq(5L, 5L, 5L, 9L).zipWithIndex
+      .map { case (v, i) => ("b", i.toLong, v) }.toDF("g", "i", "v")
+    val f = Ops.robustOutliers(frozen, "g", "i", "v", 3500L).collect()
+    assert(f.length == 1 && f(0).getAs[Long]("v") == 9L,
+      "dev*1000 > k*0 flags exactly the off-median rows")
+    intercept[IllegalArgumentException] {
+      Ops.robustOutliers(df, "g", "i", "v", 0L)
+    }
+  }
 }
