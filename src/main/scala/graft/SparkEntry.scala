@@ -5635,6 +5635,71 @@ object SparkEntry {
       import graft.operators.Funnel
       Funnel.markovRemovalEffect(events(s, dir), "user_id",
         "event_type", "ts", "event_id", "purchase")
+    }),
+
+    // MANN-KENDALL TREND TEST on the daily value sums per event type
+    // -- exact S and tie-corrected 18*Var(S) off one bounded pair
+    // join, the continuity-corrected z in one IEEE chain to milli;
+    // the significance companion to the q315 Theil-Sen slope.
+    "q337_mann_kendall" -> ((s, dir) => {
+      import graft.operators.Ops
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 86400000000000L)) div 86400000000000L")
+            .as("d"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("v")).as("dv"))
+      Ops.mannKendallTrend(daily, "event_type", "d", "d", "dv")
+    }),
+
+    // HERFINDAHL-HIRSCHMAN CONCENTRATION of source shares per
+    // language -- one integral division on DECIMAL(38); 1e6/C = a
+    // perfectly even corpus, 1e6 = one domain wearing every hat.
+    "q338_hhi" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.hhiPpm(t(s, dir, "documents"), "lang", "source")
+    }),
+
+    // SHANNON ENTROPY of the same source distribution -- per-category
+    // micro-nat terms in one fixed IEEE op order (the benford/jsd ln
+    // discipline), max-entropy denominator riding along.
+    "q339_entropy" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.categoryEntropy(t(s, dir, "documents"), "lang", "source")
+    }),
+
+    // SEASONAL-NAIVE BACKTEST (m=24) on the hourly value sums per
+    // event type -- integer MAE/sMAPE/MASE; mase >= 1e6 reads "the
+    // daily cycle buys nothing over yesterday's hour".
+    "q340_backtest" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val hourly = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 3600000000000L)) div 3600000000000L")
+            .as("h"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(sum(col("v")).as("hv"))
+      EvalMetrics.seasonalNaiveBacktest(hourly, "event_type", "h",
+        "h", "hv", m = 24)
+    }),
+
+    // AMOC CHANGEPOINT on the hourly value sums per event type --
+    // the best single L2 split by exact DECIMAL-cleared gain on the
+    // micro lattice, >= 24 h on each side; the offline locator the
+    // q311 CUSUM alarm hands its flagged window to.
+    "q341_amoc" -> ((s, dir) => {
+      import graft.operators.Drift
+      val hourly = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 3600000000000L)) div 3600000000000L")
+            .as("h"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(sum(col("v")).as("hv"))
+      Drift.changepointAmoc(hourly, "event_type", "h", "h", "hv",
+        minSeg = 24)
     })
   )
 
@@ -14553,7 +14618,154 @@ object SparkEntry {
          |  CASE WHEN t IS NULL OR t <= 0 THEN NULL
          |    ELSE CAST((1000000 * re_ppm) // t AS BIGINT)
          |    END AS share_ppm
-         |FROM re2 CROSS JOIN tot""").stripMargin
+         |FROM re2 CROSS JOIN tot""").stripMargin,
+
+    // q337: Mann-Kendall -- the pair join, tie fold and the one
+    // float chain (multiply, divide by the sqrt of num/18, floor)
+    // replayed operation for operation.
+    "q337_mann_kendall" ->
+      raw"""WITH dl AS (SELECT event_type AS grp,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 86400000000000
+         |      + 86400000000000) % 86400000000000))
+         |      // 86400000000000 AS d,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |dv AS (SELECT grp, CAST(d AS BIGINT) AS d,
+         |    CAST(sum(v) AS BIGINT) AS dv FROM dl GROUP BY 1, 2),
+         |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM dv
+         |  GROUP BY 1),
+         |pr AS (SELECT a.grp, CAST(sum(CASE WHEN b.dv > a.dv THEN 1
+         |      WHEN b.dv < a.dv THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM dv a JOIN dv b ON a.grp = b.grp AND a.d < b.d
+         |  GROUP BY 1),
+         |tc AS (SELECT grp,
+         |    CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tcorr
+         |  FROM (SELECT grp, dv, CAST(count(*) AS BIGINT) AS c
+         |    FROM dv GROUP BY 1, 2) GROUP BY 1),
+         |f AS (SELECT sz.grp, sz.n, COALESCE(pr.s, 0) AS s,
+         |    sz.n * (sz.n - 1) * (2 * sz.n + 5) - tc.tcorr
+         |      AS var_num18
+         |  FROM sz LEFT JOIN pr ON pr.grp = sz.grp
+         |  JOIN tc ON tc.grp = sz.grp)
+         |SELECT grp, n, s, var_num18,
+         |  CASE WHEN var_num18 <= 0 THEN NULL
+         |    WHEN s = 0 THEN 0
+         |    ELSE CAST(floor(CAST((s - CASE WHEN s > 0 THEN 1
+         |        ELSE -1 END) * 1000 AS DOUBLE)
+         |      / sqrt(CAST(var_num18 AS DOUBLE) / 18.0::DOUBLE))
+         |      AS BIGINT) END AS z_milli
+         |FROM f""".stripMargin,
+
+    // q338: HHI -- (grp, cat) counts, one HUGEINT integral division.
+    "q338_hhi" ->
+      raw"""WITH c AS (SELECT lang AS grp, source AS cat,
+         |    CAST(count(*) AS BIGINT) AS nc FROM documents
+         |  GROUP BY 1, 2)
+         |SELECT grp, CAST(sum(nc) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_categories,
+         |  CAST((1000000::HUGEINT * sum(CAST(nc AS HUGEINT) * nc))
+         |    // (CAST(sum(nc) AS HUGEINT)
+         |      * CAST(sum(nc) AS BIGINT)) AS BIGINT) AS hhi_ppm
+         |FROM c GROUP BY grp""".stripMargin,
+
+    // q339: entropy -- per-category micro-nat terms in the same
+    // fixed IEEE op order ((1e6 * p) * ln(1/p), floor), integer sum.
+    "q339_entropy" ->
+      raw"""WITH c AS (SELECT lang AS key, source AS cat,
+         |    CAST(count(*) AS BIGINT) AS nc FROM documents
+         |  GROUP BY 1, 2),
+         |w AS (SELECT key, nc,
+         |    CAST(sum(nc) OVER (PARTITION BY key) AS BIGINT) AS n
+         |  FROM c),
+         |t AS (SELECT key, n,
+         |    CAST(floor((1000000.0::DOUBLE
+         |      * (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)))
+         |      * ln(CAST(n AS DOUBLE) / CAST(nc AS DOUBLE)))
+         |      AS BIGINT) AS term
+         |  FROM w)
+         |SELECT key, CAST(max(n) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_categories,
+         |  CAST(sum(term) AS BIGINT) AS entropy_micro,
+         |  CAST(floor(1000000.0::DOUBLE
+         |    * ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+         |    AS max_entropy_micro
+         |FROM t GROUP BY key""".stripMargin,
+
+    // q340: seasonal-naive backtest -- two lags, per-row floored
+    // sMAPE terms, three integral divisions.
+    "q340_backtest" ->
+      raw"""WITH hr AS (SELECT event_type AS key,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000
+         |      + 3600000000000) % 3600000000000)) // 3600000000000
+         |      AS h,
+         |    CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |hv AS (SELECT key, CAST(h AS BIGINT) AS h,
+         |    CAST(sum(v) AS BIGINT) AS hv
+         |  FROM hr GROUP BY 1, 2),
+         |lg AS (SELECT key, hv,
+         |    lag(hv, 24) OVER (PARTITION BY key ORDER BY h, h) AS f,
+         |    lag(hv, 1) OVER (PARTITION BY key ORDER BY h, h) AS p
+         |  FROM hv),
+         |ev AS (SELECT key, abs(hv - f) AS em, abs(hv - p) AS e1,
+         |    abs(hv) + abs(f) AS den
+         |  FROM lg WHERE f IS NOT NULL),
+         |sm AS (SELECT key, em, e1, CASE WHEN den = 0 THEN 0
+         |    ELSE (2000000 * em) // den END AS smt FROM ev)
+         |SELECT key, CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST((1000000::HUGEINT * sum(CAST(em AS HUGEINT)))
+         |    // CAST(count(*) AS HUGEINT) AS BIGINT) AS mae_micro,
+         |  CAST(sum(CAST(smt AS HUGEINT))
+         |    // CAST(count(*) AS HUGEINT) AS BIGINT) AS smape_ppm,
+         |  CASE WHEN CAST(sum(e1) AS BIGINT) <= 0 THEN NULL
+         |    ELSE CAST((1000000::HUGEINT * sum(CAST(em AS HUGEINT)))
+         |      // CAST(sum(e1) AS HUGEINT) AS BIGINT)
+         |    END AS mase_ppm
+         |FROM sm GROUP BY key""".stripMargin,
+
+    // q341: AMOC -- prefix sums, the HUGEINT-cleared gain per
+    // candidate, argmax by (gain DESC, pos ASC), visible null rows.
+    "q341_amoc" ->
+      raw"""WITH hr AS (SELECT event_type AS key,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000
+         |      + 3600000000000) % 3600000000000)) // 3600000000000
+         |      AS h,
+         |    CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |hv AS (SELECT key, CAST(h AS BIGINT) AS h,
+         |    CAST(sum(v) AS BIGINT) AS hv
+         |  FROM hr GROUP BY 1, 2),
+         |pre AS (SELECT key, h AS ts, h AS tie, hv,
+         |    CAST(row_number() OVER (PARTITION BY key
+         |      ORDER BY h, h) AS BIGINT) AS pos,
+         |    CAST(sum(hv) OVER (PARTITION BY key ORDER BY h, h
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS sl,
+         |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+         |    CAST(sum(hv) OVER (PARTITION BY key) AS BIGINT) AS s
+         |  FROM hv),
+         |cand AS (SELECT key, ts, tie, pos, n, sl, s,
+         |    (1000000::HUGEINT * (CAST(sl AS HUGEINT) * sl
+         |        * (n - pos) * n
+         |      + CAST(s - sl AS HUGEINT) * (s - sl) * pos * n
+         |      - CAST(s AS HUGEINT) * s * pos * (n - pos)))
+         |      // (CAST(pos AS HUGEINT) * (n - pos) * n) AS gain
+         |  FROM pre WHERE pos >= 24 AND pos <= n - 24),
+         |best AS (SELECT key, ts, tie, pos, sl, s, n, gain,
+         |    row_number() OVER (PARTITION BY key
+         |      ORDER BY gain DESC, pos ASC) AS rk
+         |  FROM cand),
+         |sz AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM hv
+         |  GROUP BY 1)
+         |SELECT sz.key, sz.n, b.pos AS n_left,
+         |  CAST(b.ts AS BIGINT) AS split_ts,
+         |  CAST(b.tie AS BIGINT) AS split_tie,
+         |  CAST(b.gain AS BIGINT) AS gain_micro,
+         |  CAST((1000000::HUGEINT * b.sl) // b.pos AS BIGINT)
+         |    AS mean_left_micro,
+         |  CAST((1000000::HUGEINT * (b.s - b.sl)) // (b.n - b.pos)
+         |    AS BIGINT) AS mean_right_micro
+         |FROM sz LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+         |  ON b.key = sz.key""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

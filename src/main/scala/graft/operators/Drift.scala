@@ -647,4 +647,121 @@ object Drift {
         / (tot.cast("double") * row.cast("double")
           * colTot.cast("double")) * 1000000).cast("long"))
   }
+
+  /** Shannon entropy of a category distribution per key — the
+    * diversity monitor beside [[Ops.hhiPpm]]'s concentration (HHI
+    * weights the head, entropy weights the tail: a corpus can keep
+    * its HHI while its long tail of sources quietly dies):
+    *
+    *   entropy_micro = Σ_c floor(10⁶ · (n_c/N) · ln(N/n_c))
+    *
+    * per-category term in ONE fixed IEEE op order floored to micro-
+    * nats (the [[benfordCheck]]/[[jsDivergence]] ln discipline —
+    * terms ≥ 0, so the integer sum is monotone and order-free;
+    * undercount ≤ C micro, stated), with `max_entropy_micro =
+    * floor(10⁶·ln(C))` riding along so the caller can read evenness
+    * without another operator (single-category keys read 0 over 0).
+    * Null categories refuse loudly (the hhiPpm contract). One
+    * (key, cat) map-side agg + one key-sized window + one fold.
+    */
+  def categoryEntropy(df: DataFrame, keyCol: String,
+      catCol: String): DataFrame = {
+    val c = coalesce(col(catCol).cast("string"),
+      raise_error(lit("categoryEntropy: null category — a null is " +
+        "not a category; filter or impute visibly upstream"))
+        .cast("string"))
+    df.select(col(keyCol).as("key"), c.as("__c"))
+      .groupBy(col("key"), col("__c"))
+      .agg(count(lit(1)).as("__nc"))
+      .withColumn("__n",
+        sum(col("__nc")).over(Window.partitionBy(col("key"))))
+      .withColumn("__term",
+        floor(lit(1000000.0)
+          * (col("__nc").cast("double") / col("__n").cast("double"))
+          * log(col("__n").cast("double") / col("__nc").cast("double")))
+          .cast("long"))
+      .groupBy(col("key"))
+      .agg(max(col("__n")).as("n"),
+        count(lit(1)).as("n_categories"),
+        sum(col("__term")).as("entropy_micro"))
+      .withColumn("max_entropy_micro",
+        floor(lit(1000000.0)
+          * log(col("n_categories").cast("double"))).cast("long"))
+  }
+
+  /** At-most-one-changepoint locator per key — the OFFLINE companion
+    * to [[cusum]]'s streaming alarm and [[levelShift]]'s fixed-width
+    * contrast (AMOC = the first split of binary segmentation; run it
+    * on a window the monitors flagged): over the `(ts, tie)` order
+    * with prefix sums, the L2 gain of splitting after position i is
+    *
+    *   gain(i) = S_L²/n_L + S_R²/n_R − S²/n  (≥ 0 by Cauchy–Schwarz)
+    *
+    * cleared of fractions on DECIMAL(38) and floored ONCE to micro
+    * per candidate (`gain_micro = (10⁶·(S_L²·n_R·n + S_R²·n_L·n −
+    * S²·n_L·n_R)) div (n_L·n_R·n)` — exact while 10⁶·S²·n² fits
+    * DECIMAL(38), i.e. |S|·n ≲ 10¹⁶); the best split is the argmax
+    * on that micro lattice with sub-micro ties broken to the
+    * EARLIEST position (deterministic, stated). Candidates keep ≥
+    * `minSeg` rows on each side — a 1-row segment "explains" any
+    * point, the AMOC overfit. Keys too short for any candidate emit
+    * one row with null split columns (visible, not dropped). The
+    * segment means in micro ride along. Output: `key, n, n_left,
+    * split_ts, split_tie, gain_micro, mean_left_micro,
+    * mean_right_micro`.
+    *
+    * Scale shape: one key-partitioned window sort (running sum +
+    * rank) + one key fold — row-sized data crosses one shuffle once,
+    * no pairwise anything, no iteration.
+    */
+  def changepointAmoc(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, minSeg: Int = 2): DataFrame = {
+    require(minSeg >= 1 && minSeg <= 1000000,
+      s"minSeg=$minSeg out of [1, 1000000]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("changepointAmoc value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped row " +
+          "would shift every prefix"))).cast("long"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("tie"))
+    val kw = Window.partitionBy(col("key"))
+    val pre = df.select(col(keyCol).as("key"),
+        col(tsCol).cast("long").as("ts"),
+        col(tieCol).cast("long").as("tie"), v.as("__v"))
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .withColumn("__sl", sum(col("__v")).over(w))
+      .withColumn("__n", count(lit(1)).over(kw))
+      .withColumn("__s", sum(col("__v")).over(kw))
+    val cand = pre
+      .filter(col("__pos") >= minSeg
+        && col("__pos") <= col("__n") - minSeg)
+      .withColumn("__gain", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (" +
+          "CAST(__sl AS DECIMAL(38,0)) * __sl * (__n - __pos) * __n" +
+          " + CAST(__s - __sl AS DECIMAL(38,0)) * (__s - __sl)" +
+          " * __pos * __n" +
+          " - CAST(__s AS DECIMAL(38,0)) * __s * __pos" +
+          " * (__n - __pos)))" +
+          " div (CAST(__pos AS DECIMAL(38,0)) * (__n - __pos) * __n)" +
+          " AS BIGINT)"))
+    val best = cand.groupBy(col("key").as("__k"))
+      .agg(max(struct(col("__gain"), (-col("__pos")).as("__np"),
+        col("ts"), col("tie"), col("__pos"), col("__sl"),
+        col("__s"), col("__n"))).as("__b"))
+      .select(col("__k"),
+        col("__b.__pos").as("n_left"),
+        col("__b.ts").as("split_ts"), col("__b.tie").as("split_tie"),
+        col("__b.__gain").as("gain_micro"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __b.__sl) " +
+          "div __b.__pos AS BIGINT)").as("mean_left_micro"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) " +
+          "* (__b.__s - __b.__sl)) div (__b.__n - __b.__pos) " +
+          "AS BIGINT)").as("mean_right_micro"))
+    pre.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .join(best, col("key") <=> col("__k"), "left")
+      .select(col("key"), col("n"), col("n_left"), col("split_ts"),
+        col("split_tie"), col("gain_micro"), col("mean_left_micro"),
+        col("mean_right_micro"))
+  }
 }

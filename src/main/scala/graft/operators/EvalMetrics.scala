@@ -933,4 +933,65 @@ object EvalMetrics {
               "* __do_micro) div __de AS BIGINT)"))
           .as("alpha_ppm"))
   }
+
+  /** Seasonal-naive forecast backtest per series — the floor any
+    * forecasting model must beat, and the denominators MASE is
+    * defined against (Hyndman & Koehler 2006): over the `(ts, tie)`
+    * order, every position past the first `m` is an eval row with
+    * forecast `v_{t−m}` (seasonal naive) and scale reference
+    * `v_{t−1}` (lag-1 naive). Per key:
+    *
+    *   mae_micro  = (10⁶·Σ|v_t − v_{t−m}|) div n_eval
+    *   smape_ppm  = (Σ_t (2·10⁶·|e_t|) div (|v_t|+|v_{t−m}|)) div n_eval
+    *   mase_ppm   = (10⁶·Σ|v_t − v_{t−m}|) div Σ|v_t − v_{t−1}|
+    *
+    * — all integral divisions on the input lattice; the sMAPE term
+    * floors once per row (≤ 1 ppm each, stated) with the 0/0 row
+    * (both sides zero) defined as 0, the standard convention; MASE
+    * uses the lag-1 MAE over the SAME eval rows (n_eval cancels, one
+    * cross-multiplied division — the in-sample/out-sample split is
+    * the caller's windowing decision, stated, not hidden), null when
+    * the series never moves (Σ|Δ₁| = 0 — MASE is undefined on a
+    * constant reference). mase_ppm < 10⁶ = the seasonal pattern is
+    * real; ≥ 10⁶ = yesterday's value beats last season's. Keys with
+    * no eval rows (n ≤ m) are absent — there is nothing to score.
+    * Values long-castable non-null, refused loudly; 2·10⁶·|e| is
+    * int64-loud past |e| ≈ 4.6·10¹². One key-partitioned window
+    * (two lags) + one map-side-combined fold.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, keyCol: String,
+      tsCol: String, tieCol: String, valCol: String,
+      m: Int): DataFrame = {
+    require(m >= 1 && m <= 1000000, s"m=$m out of [1, 1000000]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("seasonalNaiveBacktest value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped row " +
+          "would shift every lag"))).cast("long"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("tie"))
+    df.select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
+        col(tieCol).cast("long").as("tie"), v.as("__v"))
+      .withColumn("__f", lag(col("__v"), m).over(w))
+      .withColumn("__p", lag(col("__v"), 1).over(w))
+      .filter(col("__f").isNotNull)
+      .select(col("key"),
+        abs(col("__v") - col("__f")).as("__em"),
+        abs(col("__v") - col("__p")).as("__e1"),
+        (abs(col("__v")) + abs(col("__f"))).as("__den"))
+      .withColumn("__sm", when(col("__den") === 0, lit(0L))
+        .otherwise(expr("(2000000L * __em) div __den")))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(col("__em")).as("__sem"), sum(col("__e1")).as("__se1"),
+        sum(col("__sm")).as("__ssm"))
+      .select(col("key"), col("n_eval"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __sem) " +
+          "div n_eval AS BIGINT)").as("mae_micro"),
+        expr("CAST(__ssm div n_eval AS BIGINT)").as("smape_ppm"),
+        when(col("__se1") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sem) " +
+              "div __se1 AS BIGINT)")).as("mase_ppm"))
+  }
 }

@@ -1111,4 +1111,117 @@ object Ops {
       .select(col("grp"), col("id"), col("v"), col("median"),
         col("mad"), col("dev"))
   }
+
+  /** Mann–Kendall trend test per group — the significance companion
+    * to [[theilSen]]'s slope (Mann 1945, Kendall 1975: Theil–Sen says
+    * HOW steep, Mann–Kendall says WHETHER the monotone trend is
+    * real): over the `(ts, tie)` order,
+    *
+    *   S = Σ_{i<j} sign(v_j − v_i)
+    *
+    * exact from one group-keyed pair join (O(n²) BY DEFINITION ⇒ the
+    * kendallTauB loud ≤ maxN contract — trend tests run on
+    * aggregated series, and the million-point form is an inversion
+    * count, a different operator), the tie-corrected variance
+    * NUMERATOR exact in int64 (`var_num18 = n(n−1)(2n+5) −
+    * Σt(t−1)(2t+5)` = 18·Var(S); n ≤ 4096 keeps it ≤ ~1.4·10¹¹),
+    * and the continuity-corrected z in ONE fixed IEEE chain floored
+    * to milli: `z = (S ∓ 1)·1000 / sqrt(var_num18 / 18)` (S = 0 ⇒
+    * exactly 0; all-tied series ⇒ var 0 ⇒ null). Duplicate
+    * `(ts, tie)` positions refuse (the order IS the hypothesis).
+    * Output: `grp, n, s, var_num18, z_milli`.
+    */
+  def mannKendallTrend(df: DataFrame, groupCol: String, tsCol: String,
+      tieCol: String, valCol: String, maxN: Int = 256): DataFrame = {
+    require(maxN >= 2 && maxN <= 4096, s"maxN=$maxN out of [2, 4096]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("mannKendallTrend value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(groupCol).as("grp"),
+      col(tsCol).cast("long").as("__t"),
+      col(tieCol).cast("long").as("__e"), v.as("__v"))
+    val dupW = Window.partitionBy(col("grp"), col("__t"), col("__e"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("mannKendallTrend: duplicate " +
+          "position (ts, tie) in group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' — the time order is the hypothesis; it must be " +
+            "total"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+    val sizes = checked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("grp"), when(col("n") > maxN,
+        raise_error(concat(lit("mannKendallTrend: group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' has "), col("n").cast("string"),
+          lit(s" rows > maxN=$maxN — O(n^2) pairs; aggregate the " +
+            "series upstream"))).cast("long"))
+        .otherwise(col("n")).as("n"))
+    val b = checked.select(col("grp").as("__g2"),
+      col("__t").as("__t2"), col("__e").as("__e2"),
+      col("__v").as("__v2"))
+    val sFold = checked.join(b, col("grp") <=> col("__g2")
+        && (col("__t") < col("__t2")
+          || (col("__t") === col("__t2") && col("__e") < col("__e2"))))
+      .groupBy(col("grp").as("__g3"))
+      .agg(sum(signum((col("__v2") - col("__v")).cast("double"))
+        .cast("long")).as("s"))
+    val ties = checked.groupBy(col("grp"), col("__v"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("grp").as("__g4"))
+      .agg(sum(col("__tc") * (col("__tc") - 1L)
+        * (lit(2L) * col("__tc") + 5L)).as("__tcorr"))
+    sizes.join(sFold, col("grp") <=> col("__g3"), "left")
+      .join(ties, col("grp") <=> col("__g4"))
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("var_num18", col("n") * (col("n") - 1L)
+        * (lit(2L) * col("n") + 5L) - col("__tcorr"))
+      .select(col("grp"), col("n"), col("s"), col("var_num18"),
+        when(col("var_num18") <= 0, lit(null).cast("long"))
+          .when(col("s") === 0, lit(0L))
+          .otherwise(floor(
+            ((col("s") - signum(col("s").cast("double")).cast("long"))
+              * 1000L).cast("double")
+            / sqrt(col("var_num18").cast("double") / lit(18.0)))
+            .cast("long"))
+          .as("z_milli"))
+  }
+
+  /** Herfindahl–Hirschman concentration per group — the share-
+    * concentration index next to [[giniPpm]]'s inequality (HHI reads
+    * the CATEGORY distribution — "is this language's corpus one
+    * domain wearing twenty hats"; Gini reads a VALUE distribution):
+    *
+    *   hhi_ppm = (10⁶ · Σ_c n_c²) div N²
+    *
+    * — one integral division on DECIMAL(38) (Σn_c² overflows int64
+    * past N ≈ 3·10⁹ rows in one category; the decimal keeps it exact
+    * to N ≈ 10¹⁶), ∈ (0, 10⁶]: 10⁶ = monopoly, 10⁶/C = perfectly
+    * even over C categories. Null categories refuse loudly (a null
+    * is not a category, and silently pooling nulls would READ as
+    * concentration). One (grp, cat) map-side agg + one grp fold.
+    */
+  def hhiPpm(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val c = coalesce(col(catCol).cast("string"),
+      raise_error(lit("hhiPpm: null category — a null is not a " +
+        "category; filter or impute visibly upstream"))
+        .cast("string"))
+    df.select(col(groupCol).as("grp"), c.as("__c"))
+      .groupBy(col("grp"), col("__c"))
+      .agg(count(lit(1)).as("__nc"))
+      .groupBy(col("grp"))
+      .agg(sum(col("__nc")).as("n"),
+        count(lit(1)).as("n_categories"),
+        sum(col("__nc").cast("decimal(38,0)") * col("__nc"))
+          .as("__sq"))
+      .select(col("grp"), col("n"), col("n_categories"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __sq) " +
+          "div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("hhi_ppm"))
+  }
 }

@@ -352,4 +352,57 @@ class DriftSpec extends AnyFunSuite {
       if (t.getCause == null) t else rc(t.getCause)
     assert(rc(bad).getMessage.contains("outside {0,1}"))
   }
+
+  test("categoryEntropy: ln2 lattice values for the even split, " +
+      "skewed 562334, single-category 0/0, null refusal") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "y"), ("a", "y"),
+      ("b", "x"), ("b", "x"), ("b", "x"), ("b", "y"),
+      ("c", "z")).toDF("k", "c")
+    val got = Drift.categoryEntropy(df, "k", "c").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("entropy_micro"),
+        r.getAs[Long]("max_entropy_micro"))).toMap
+    // even: 2*floor(1e6*0.5*ln2) = 2*346573; max = floor(1e6*ln2)
+    assert(got("a") == ((693146L, 693147L)), s"got $got")
+    // 3:1: floor(750000*ln(4/3)) + floor(250000*ln4) =
+    //   215761 + 346573
+    assert(got("b") == ((562334L, 693147L)))
+    assert(got("c") == ((0L, 0L)), "one category: 0 over max 0")
+    val nul = intercept[Exception] {
+      Drift.categoryEntropy(Seq(("a", Option.empty[String]))
+        .toDF("k", "c"), "k", "c").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("null category"))
+  }
+
+  test("changepointAmoc: step series splits at the step with the " +
+      "hand gain; flat series ties to the earliest candidate; " +
+      "short keys emit a visible null row") {
+    def mk(k: String, vs: Seq[Long]) = vs.zipWithIndex
+      .map { case (v, i) => (k, i.toLong + 1L, i.toLong, v) }
+    val df = (mk("a", Seq(0L, 0L, 0L, 10L, 10L, 10L))
+      ++ mk("b", Seq(5L, 5L, 5L, 5L)) ++ mk("c", Seq(1L, 9L, 1L)))
+      .toDF("k", "t", "e", "v")
+    val got = Drift.changepointAmoc(df, "k", "t", "e", "v",
+      minSeg = 2).collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    // gains at pos 2/3/4 = 75e6 / 150e6 / 75e6 -> split after pos 3
+    assert(a.getAs[Long]("n_left") == 3L &&
+      a.getAs[Long]("split_ts") == 3L &&
+      a.getAs[Long]("gain_micro") == 150000000L)
+    assert(a.getAs[Long]("mean_left_micro") == 0L &&
+      a.getAs[Long]("mean_right_micro") == 10000000L)
+    // flat: all gains 0, earliest candidate wins
+    val b = got("b")
+    assert(b.getAs[Long]("gain_micro") == 0L &&
+      b.getAs[Long]("n_left") == 2L &&
+      b.getAs[Long]("mean_left_micro") == 5000000L)
+    // n=3 with minSeg=2: no candidate -> visible null row
+    val c = got("c")
+    assert(c.getAs[Long]("n") == 3L && c.isNullAt(2) && c.isNullAt(5))
+    val nul = intercept[Exception] {
+      Drift.changepointAmoc(Seq(("a", 1L, 0L, Option.empty[Long]))
+        .toDF("k", "t", "e", "v"), "k", "t", "e", "v").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("changepointAmoc value"))
+  }
 }

@@ -541,4 +541,40 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
     assert(rc(nul).getMessage.contains("null rating"))
   }
+
+  test("seasonalNaiveBacktest: hand-walked m=2 fixture (mae 4e6, " +
+      "smape 249349, mase 375000); constant series null MASE; " +
+      "short keys absent") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val df = (Seq(10L, 20L, 14L, 26L, 12L).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong + 1L, i.toLong, v) }
+      ++ Seq(3L, 3L, 3L, 3L).zipWithIndex
+        .map { case (v, i) => ("b", i.toLong + 1L, i.toLong, v) }
+      ++ Seq(("c", 1L, 0L, 1L), ("c", 2L, 1L, 2L)))
+      .toDF("k", "t", "e", "v")
+    val got = EvalMetrics.seasonalNaiveBacktest(df, "k", "t", "e",
+      "v", m = 2).collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    // eval rows t=3,4,5: em=(4,6,2) e1=(6,12,14) den=(24,46,26)
+    // sm terms 333333+260869+153846 = 748048 -> /3 = 249349
+    assert(a.getAs[Long]("n_eval") == 3L &&
+      a.getAs[Long]("mae_micro") == 4000000L &&
+      a.getAs[Long]("smape_ppm") == 249349L &&
+      a.getAs[Long]("mase_ppm") == 375000L)
+    val b = got("b")
+    assert(b.getAs[Long]("mae_micro") == 0L &&
+      b.getAs[Long]("smape_ppm") == 0L && b.isNullAt(4),
+      "a series that never moves has no MASE reference")
+    assert(!got.contains("c"), "n <= m: nothing to score")
+    val nul = intercept[Exception] {
+      EvalMetrics.seasonalNaiveBacktest(
+        Seq(("a", 1L, 0L, Option.empty[Long]))
+          .toDF("k", "t", "e", "v"), "k", "t", "e", "v", 1).collect()
+    }
+    assert(rc(nul).getMessage.contains("seasonalNaiveBacktest value"))
+    intercept[IllegalArgumentException] {
+      EvalMetrics.seasonalNaiveBacktest(df, "k", "t", "e", "v", 0)
+    }
+  }
 }

@@ -595,4 +595,59 @@ class OpsSpec extends AnyFunSuite {
       Ops.robustOutliers(df, "g", "i", "v", 0L)
     }
   }
+
+  test("mannKendallTrend: hand-computed z for monotone, tied and " +
+      "zero-S series; constant null; duplicate-position refusal") {
+    def mk(vs: Seq[Long]) = vs.zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, i.toLong, v) }
+      .toDF("g", "t", "e", "v")
+    // up: S=10, var18=300, z = 9000/sqrt(300/18) = 2204.54 -> 2204
+    val up = Ops.mannKendallTrend(mk(Seq(1L, 2L, 3L, 4L, 5L)),
+      "g", "t", "e", "v").collect()(0)
+    assert(up.getAs[Long]("s") == 10L &&
+      up.getAs[Long]("var_num18") == 300L &&
+      up.getAs[Long]("z_milli") == 2204L)
+    // down: floor(-2204.54) = -2205 (floor, not truncate — stated)
+    assert(Ops.mannKendallTrend(mk(Seq(5L, 4L, 3L, 2L, 1L)),
+      "g", "t", "e", "v").collect()(0)
+      .getAs[Long]("z_milli") == -2205L)
+    // ties (1,1,2): S=2, var18 = 66-18 = 48, z = 1000/1.63299 = 612
+    val tied = Ops.mannKendallTrend(mk(Seq(1L, 1L, 2L)),
+      "g", "t", "e", "v").collect()(0)
+    assert(tied.getAs[Long]("s") == 2L &&
+      tied.getAs[Long]("var_num18") == 48L &&
+      tied.getAs[Long]("z_milli") == 612L)
+    // S=0 with variance -> exactly 0; all-tied -> var 0 -> null
+    assert(Ops.mannKendallTrend(mk(Seq(1L, 2L, 1L)),
+      "g", "t", "e", "v").collect()(0).getAs[Long]("z_milli") == 0L)
+    assert(Ops.mannKendallTrend(mk(Seq(7L, 7L, 7L)),
+      "g", "t", "e", "v").collect()(0).isNullAt(4))
+    val dup = intercept[Exception] {
+      Ops.mannKendallTrend(Seq(("a", 1L, 1L, 1L), ("a", 1L, 1L, 2L))
+        .toDF("g", "t", "e", "v"), "g", "t", "e", "v").collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate position"))
+    val big = intercept[Exception] {
+      Ops.mannKendallTrend(mk((1L to 10L).toSeq), "g", "t", "e", "v",
+        maxN = 8).collect()
+    }
+    assert(rootCause(big).getMessage.contains("maxN=8"))
+  }
+
+  test("hhiPpm: 3:1 split reads 625000, monopoly 1e6, null category " +
+      "refusal") {
+    val df = Seq(("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+      ("b", "z"), ("b", "z")).toDF("g", "c")
+    val got = Ops.hhiPpm(df, "g", "c").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("n_categories"), r.getAs[Long]("hhi_ppm")))
+      .toMap
+    assert(got("a") == ((4L, 2L, 625000L)), s"got $got")
+    assert(got("b") == ((2L, 1L, 1000000L)))
+    val nul = intercept[Exception] {
+      Ops.hhiPpm(Seq(("a", Option.empty[String])).toDF("g", "c"),
+        "g", "c").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("null category"))
+  }
 }
