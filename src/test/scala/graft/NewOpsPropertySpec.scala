@@ -432,4 +432,268 @@ class NewOpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rollingMedian == the sliding sorted-buffer walk") {
+    val gen = for {
+      n <- Gen.choose(2, 40); w <- Gen.choose(2, 7)
+      vs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield (vs, w)
+    samples(gen, 8).zipWithIndex.foreach { case ((vs, w), i) =>
+      val df = vs.zipWithIndex.map { case (v, t) =>
+        ("k", t.toLong, t.toLong, v) }.toDF("k", "t", "e", "v")
+      val got = Ops.rollingMedian(df, "k", "t", "e", "v", w)
+        .collect().map(r => r.getLong(1) -> r.getAs[Long]("med"))
+        .toMap
+      val want = vs.indices.filter(_ >= w - 1).map { t =>
+        t.toLong -> vs.slice(t - w + 1, t + 1).sorted
+          .apply((w + 1) / 2 - 1) }.toMap
+      assert(got == want, s"case $i w=$w")
+    }
+  }
+
+  test("madPerGroup == the sorted lower-median reference") {
+    samples(series, 8).zipWithIndex.foreach { case (vs, i) =>
+      val r = Ops.madPerGroup(vs.map(("g", _)).toDF("g", "v"),
+        "g", "v").collect()(0)
+      def lm(xs: Seq[Long]) = xs.sorted.apply((xs.length + 1) / 2 - 1)
+      val med = lm(vs)
+      assert(r.getAs[Long]("median") == med &&
+        r.getAs[Long]("mad") == lm(vs.map(v => math.abs(v - med))),
+        s"case $i")
+    }
+  }
+
+  test("stratifiedAte == the BigInt stratified fold") {
+    val gen = for {
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        st <- Gen.choose(0L, 3L); g <- Gen.choose(0L, 1L)
+        v <- Gen.choose(-30L, 30L)
+      } yield (st, g, v))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val r = Experiment.stratifiedAte(
+        rows.map { case (st, g, v) => ("e", st, g, v) }
+          .toDF("e", "s", "g", "v"), "e", "s", "g", "v").collect()(0)
+      val cells = rows.groupBy(_._1).map { case (_, rs) =>
+        val c0 = rs.filter(_._2 == 0L); val c1 = rs.filter(_._2 == 1L)
+        (c0.size, c1.size, c0.map(_._3).sum, c1.map(_._3).sum)
+      }.toSeq
+      val ok = cells.filter(c => c._1 > 0 && c._2 > 0)
+      if (ok.isEmpty) assert(r.isNullAt(5), s"case $i: want null ate")
+      else {
+        val diffs = ok.map { case (n0, n1, s0, s1) =>
+          val d = (BigInt(1000000) * (BigInt(s1) * n0
+            - BigInt(s0) * n1)) / (BigInt(n1) * n0)
+          (BigInt(n0 + n1), d) }
+        val nTot = diffs.map(_._1).sum
+        val ate = (diffs.map { case (ns, d) => ns * d }.sum / nTot)
+        assert(BigInt(r.getAs[Long]("ate_micro")) == ate &&
+          r.getAs[Long]("n_excluded_strata") ==
+            (cells.size - ok.size).toLong, s"case $i")
+      }
+    }
+  }
+
+  test("holmBonferroni == the sequential step-down walk") {
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      ps <- Gen.listOfN(n, Gen.choose(0L, 1000000L))
+    } yield ps
+    samples(gen, 8).zipWithIndex.foreach { case (ps, i) =>
+      val alpha = 50000L
+      val df = ps.zipWithIndex.map { case (p, id) =>
+        ("f", id.toLong, p) }.toDF("fam", "id", "p")
+      val got = Experiment.holmBonferroni(df, "fam", "id", "p", alpha)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("adj_ppm"), r.getAs[Boolean]("reject"))))
+        .toMap
+      val m = ps.length.toLong
+      var run = 0L
+      ps.zipWithIndex.sortBy { case (p, id) => (p, id.toLong) }
+        .zipWithIndex.foreach { case ((p, id), k0) =>
+          val k = k0 + 1L
+          run = math.min(1000000L, math.max(run, (m - k + 1) * p))
+          assert(got(id.toLong) == ((run, run <= alpha)),
+            s"case $i id=$id")
+        }
+    }
+  }
+
+  test("mannKendallTrend == brute-force pairs + the same float " +
+      "chain") {
+    samples(series, 8).zipWithIndex.foreach { case (vs, i) =>
+      val df = vs.zipWithIndex.map { case (v, t) =>
+        ("g", t.toLong, t.toLong, v) }.toDF("g", "t", "e", "v")
+      val r = Ops.mannKendallTrend(df, "g", "t", "e", "v")
+        .collect()(0)
+      val s = (for (a <- vs.indices; b <- vs.indices if a < b)
+        yield java.lang.Long.signum(vs(b) - vs(a)).toLong).sum
+      val n = vs.length.toLong
+      val tcorr = vs.groupBy(identity).values
+        .map(g => g.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val vn = n * (n - 1) * (2 * n + 5) - tcorr
+      assert(r.getAs[Long]("s") == s &&
+        r.getAs[Long]("var_num18") == vn, s"case $i")
+      if (vn <= 0) assert(r.isNullAt(4), s"case $i: want null z")
+      else if (s == 0) assert(r.getAs[Long]("z_milli") == 0L)
+      else {
+        val z = math.floor(((s - java.lang.Long.signum(s)) * 1000L)
+          .toDouble / math.sqrt(vn.toDouble / 18.0)).toLong
+        assert(r.getAs[Long]("z_milli") == z, s"case $i")
+      }
+    }
+  }
+
+  test("seasonalNaiveBacktest == the sequential lag walk") {
+    val gen = for {
+      n <- Gen.choose(2, 40); m <- Gen.choose(1, 5)
+      vs <- Gen.listOfN(n, Gen.choose(-40L, 40L))
+    } yield (vs, m)
+    samples(gen, 8).zipWithIndex.foreach { case ((vs, m), i) =>
+      val df = vs.zipWithIndex.map { case (v, t) =>
+        ("k", t.toLong, t.toLong, v) }.toDF("k", "t", "e", "v")
+      val rows = EvalMetrics.seasonalNaiveBacktest(df, "k", "t", "e",
+        "v", m).collect()
+      val ev = (m until vs.length).map { t =>
+        val em = math.abs(vs(t) - vs(t - m))
+        val e1 = math.abs(vs(t) - vs(t - 1))
+        val den = math.abs(vs(t)) + math.abs(vs(t - m))
+        (em, e1, if (den == 0) 0L else (2000000L * em) / den)
+      }
+      if (ev.isEmpty) assert(rows.isEmpty, s"case $i: want absent")
+      else {
+        val r = rows(0)
+        val ne = ev.length.toLong
+        assert(r.getAs[Long]("mae_micro") ==
+          (BigInt(1000000) * ev.map(_._1).sum / ne).toLong &&
+          r.getAs[Long]("smape_ppm") == ev.map(_._3).sum / ne,
+          s"case $i")
+        val se1 = ev.map(_._2).sum
+        if (se1 <= 0) assert(r.isNullAt(4))
+        else assert(BigInt(r.getAs[Long]("mase_ppm")) ==
+          BigInt(1000000) * ev.map(_._1).sum / se1, s"case $i")
+      }
+    }
+  }
+
+  test("changepointAmoc == the brute-force BigInt gain scan") {
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      vs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield vs
+    samples(gen, 8).zipWithIndex.foreach { case (vs, i) =>
+      val minSeg = 2
+      val df = vs.zipWithIndex.map { case (v, t) =>
+        ("k", t.toLong + 1L, t.toLong, v) }.toDF("k", "t", "e", "v")
+      val r = Drift.changepointAmoc(df, "k", "t", "e", "v", minSeg)
+        .collect()(0)
+      val n = vs.length
+      val s = vs.map(BigInt(_)).sum
+      val cands = (minSeg to n - minSeg).map { pos =>
+        val sl = vs.take(pos).map(BigInt(_)).sum
+        val num = BigInt(1000000) * (sl * sl * (n - pos) * n
+          + (s - sl) * (s - sl) * pos * n
+          - s * s * pos * (n - pos))
+        val den = BigInt(pos) * (n - pos) * n
+        (pos, num / den)
+      }
+      if (cands.isEmpty) assert(r.isNullAt(2), s"case $i: want null")
+      else {
+        val best = cands.maxBy { case (pos, g) => (g, -pos) }
+        assert(r.getAs[Long]("n_left") == best._1.toLong &&
+          BigInt(r.getAs[Long]("gain_micro")) == best._2,
+          s"case $i: got (${r.getAs[Long]("n_left")}, " +
+            s"${r.getAs[Long]("gain_micro")}), want $best")
+      }
+    }
+  }
+
+  test("markovRemovalEffect == the dense Scala value iteration") {
+    val gen = for {
+      nu <- Gen.choose(1, 12)
+      users <- Gen.listOfN(nu, for {
+        len <- Gen.choose(1, 6)
+        chans <- Gen.listOfN(len, Gen.oneOf("A", "B", "C"))
+        conv <- Gen.choose(0, len) // conversion inserted at position
+        hasConv <- Gen.oneOf(true, false)
+      } yield (chans, if (hasConv) Some(conv) else None))
+    } yield users
+    samples(gen, 8).zipWithIndex.foreach { case (users, i) =>
+      // build the event log: per user, channels at ts 0..len-1 with
+      // the conversion (if any) spliced in at its position
+      val evs = users.zipWithIndex.flatMap { case ((chans, conv), u) =>
+        val withConv = conv match {
+          case Some(p) => chans.take(p) ++ Seq("buy") ++ chans.drop(p)
+          case None => chans
+        }
+        withConv.zipWithIndex.map { case (c, t) =>
+          (u.toLong, c, t.toLong, (u * 100 + t).toLong) }
+      }
+      val got = graft.operators.Funnel.markovRemovalEffect(
+        evs.toDF("u", "et", "ts", "id"), "u", "et", "ts", "id", "buy")
+        .collect().map(r => r.getString(0) ->
+          ((r.getAs[Long]("p_full_ppm"),
+            if (r.isNullAt(3)) null else r.getAs[Long]("re_ppm"))))
+        .toMap
+      // reference: transitions from pre-first-conv touches
+      val trans = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      users.foreach { case (chans, conv) =>
+        val touches = conv match {
+          case Some(p) => chans.take(p)
+          case None => chans
+        }
+        val absorb = if (conv.isDefined) "__conv__" else "__null__"
+        if (touches.isEmpty) {
+          if (conv.isDefined)
+            trans(("__start__", "__conv__")) += 1L
+        } else {
+          trans(("__start__", touches.head)) += 1L
+          touches.sliding(2).foreach {
+            case Seq(a, b) => trans((a, b)) += 1L
+            case _ => ()
+          }
+          trans((touches.last, absorb)) += 1L
+        }
+      }
+      if (trans.nonEmpty) {
+        val chans = trans.keys.flatMap(k => Seq(k._1, k._2))
+          .filterNot(Set("__start__", "__conv__", "__null__"))
+          .toSet
+        def run(removed: String): Long = {
+          val t2 = trans.toSeq
+            .filter(_._1._1 != removed)
+            .map { case ((a, b), nn) =>
+              ((a, if (b == removed) "__null__" else b), nn) }
+            .groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+          val states = t2.keys.map(_._1).toSet
+          var v = states.map(_ -> 0L).toMap
+          for (_ <- 1 to 8) {
+            v = states.map { st =>
+              val outs = t2.filter(_._1._1 == st).toSeq
+              val num = outs.map { case ((_, d), nn) =>
+                nn * (d match {
+                  case "__conv__" => 1000000L
+                  case "__null__" => 0L
+                  case c => v.getOrElse(c, 0L)
+                }) }.sum
+              st -> num / outs.map(_._2).sum
+            }.toMap
+          }
+          v.getOrElse("__start__", 0L)
+        }
+        val pFull = run("__none__")
+        chans.foreach { c =>
+          val (gf, gre) = got(c)
+          assert(gf == pFull, s"case $i ch=$c p_full")
+          if (pFull <= 0) assert(gre == null, s"case $i ch=$c")
+          else assert(gre == math.max(0L,
+            1000000L - (1000000L * run(c)) / pFull),
+            s"case $i ch=$c re")
+        }
+      }
+    }
+  }
 }
