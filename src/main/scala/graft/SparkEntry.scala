@@ -5700,6 +5700,74 @@ object SparkEntry {
         .agg(sum(col("v")).as("hv"))
       Drift.changepointAmoc(hourly, "event_type", "h", "h", "hv",
         minSeg = 24)
+    }),
+
+    // WALD SPRT per event type on the high-value indicator (value >=
+    // 50) in arrival order -- H1: p = 0.52 vs H0: p = 0.48 at alpha
+    // 5% / beta 10%; the always-valid sequential decision next to
+    // the q265 fixed-horizon z.
+    "q342_sprt" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.sprtBinary(events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          when(col("value") >= 50, 1L).otherwise(0L).as("conv")),
+        "event_type", "ts", "event_id", "conv",
+        p0Milli = 480L, p1Milli = 520L,
+        alphaMilli = 50L, betaMilli = 100L)
+    }),
+
+    // COCHRAN-MANTEL-HAENSZEL inputs + MH pooled odds ratio per
+    // event type: the q334 strata over the binary high-value
+    // outcome, per-stratum micro terms, DECIMAL variance products.
+    "q343_cmh" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.mantelHaenszel(events(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(5L)).as("stratum"),
+          pmod(col("user_id"), lit(2L)).as("g"),
+          when(col("value") >= 50, 1L).otherwise(0L).as("conv")),
+        "event_type", "stratum", "g", "conv")
+    }),
+
+    // NELSON-AALEN CUMULATIVE HAZARD over the q282 subject
+    // derivation -- the additive hazard view of the same risk sets,
+    // per-time micro terms, one ascending window sum (no recursion,
+    // no maxTimes).
+    "q344_nelson_aalen" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val subj = events(s, dir).groupBy(col("user_id")).agg(
+        expr("(max(ts) - min(ts)) div 3600000000000L").as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ev"))
+        .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      Experiment.nelsonAalen(subj, "grp", "dur", "ev")
+    }),
+
+    // WORD ERROR RATE between consecutive documents' 10-token
+    // prefixes -- codegen'd Levenshtein over the per-pair ASCII
+    // vocabulary encoding (distance is bijection-invariant).
+    "q345_wer" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        expr(raw"""array_join(slice(split(text, '\\s+'), 1, 10),
+          ' ')""").as("txt"))
+      val pairs = d.select(col("doc_id").as("id"),
+          col("txt").as("hyp"))
+        .join(d.select((col("doc_id") - 1L).as("__id2"),
+          col("txt").as("ref")), col("id") === col("__id2"))
+        .select(col("id"), col("hyp"), col("ref"))
+      EvalMetrics.wordErrorRate(pairs, "id", "hyp", "ref")
+    }),
+
+    // ASSOCIATION RULES over (user, event type) baskets -- exact
+    // support/confidence/lift on the ppm lattice from one
+    // basket-keyed pair join; lift > 1e6 = co-occurrence above
+    // independence.
+    "q346_assoc" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.associationRules(events(s, dir)
+        .select(col("user_id"), col("event_type")),
+        "user_id", "event_type", minSupportPpm = 10000L)
     })
   )
 
@@ -14765,7 +14833,193 @@ object SparkEntry {
          |  CAST((1000000::HUGEINT * (b.s - b.sl)) // (b.n - b.pos)
          |    AS BIGINT) AS mean_right_micro
          |FROM sz LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
-         |  ON b.key = sz.key""".stripMargin
+         |  ON b.key = sz.key""".stripMargin,
+
+    // q342: SPRT -- the running llr walk with the same ln-ratio
+    // constants and per-row micro floor, first boundary crossing.
+    "q342_sprt" ->
+      raw"""WITH e AS (SELECT event_type AS exp, epoch_ns(ts) AS t,
+         |    event_id AS i,
+         |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |w AS (SELECT exp, t, i,
+         |    CAST(sum(c) OVER (PARTITION BY exp ORDER BY t, i
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+         |    CAST(count(*) OVER (PARTITION BY exp ORDER BY t, i
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+         |  FROM e),
+         |l AS (SELECT exp, t, i, s, n,
+         |    CAST(floor(1000000.0::DOUBLE
+         |      * ((CAST(s AS DOUBLE)
+         |          * ln(CAST(520 AS DOUBLE) / CAST(480 AS DOUBLE)))
+         |        + (CAST(n - s AS DOUBLE)
+         |          * ln(CAST(480 AS DOUBLE) / CAST(520 AS DOUBLE)))))
+         |      AS BIGINT) AS llr
+         |  FROM w),
+         |bnd AS (SELECT
+         |    CAST(floor(1000000.0::DOUBLE * ln(CAST(900 AS DOUBLE)
+         |      / CAST(50 AS DOUBLE))) AS BIGINT) AS up,
+         |    CAST(floor(1000000.0::DOUBLE * ln(CAST(100 AS DOUBLE)
+         |      / CAST(950 AS DOUBLE))) AS BIGINT) AS lo),
+         |sm AS (SELECT exp, max(n) AS n, max(s) AS s FROM l
+         |  GROUP BY 1),
+         |fin AS (SELECT l.exp, l.llr FROM l JOIN sm
+         |  ON sm.exp = l.exp AND sm.n = l.n),
+         |cr AS (SELECT l.exp, l.t, l.i, l.n, l.llr, bnd.up, bnd.lo,
+         |    row_number() OVER (PARTITION BY l.exp
+         |      ORDER BY l.t, l.i) AS rk
+         |  FROM l CROSS JOIN bnd
+         |  WHERE l.llr >= bnd.up OR l.llr <= bnd.lo),
+         |c1 AS (SELECT * FROM cr WHERE rk = 1)
+         |SELECT sm.exp, sm.n, sm.s, fin.llr AS llr_final_micro,
+         |  bnd.up AS upper_micro, bnd.lo AS lower_micro,
+         |  COALESCE(CASE WHEN c1.llr >= bnd.up THEN 'reject_h0'
+         |    ELSE 'accept_h0' END, 'continue') AS decision,
+         |  CAST(c1.t AS BIGINT) AS decision_ts,
+         |  CAST(c1.i AS BIGINT) AS decision_tie,
+         |  c1.n AS n_at_decision, c1.llr AS llr_at_decision
+         |FROM sm CROSS JOIN bnd
+         |JOIN fin ON fin.exp = sm.exp
+         |LEFT JOIN c1 ON c1.exp = sm.exp""".stripMargin,
+
+    // q343: CMH -- 2x2 cells per stratum, per-stratum micro terms
+    // (HUGEINT for the four-way variance product), one fold.
+    "q343_cmh" ->
+      raw"""WITH e AS (SELECT event_type AS exp,
+         |    CAST(user_id % 5 AS BIGINT) AS stratum,
+         |    CAST(user_id % 2 AS BIGINT) AS g,
+         |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |cl AS (SELECT exp, stratum,
+         |    CAST(sum(CASE WHEN g = 1 AND c = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN g = 1 AND c = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b,
+         |    CAST(sum(CASE WHEN g = 0 AND c = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c2,
+         |    CAST(sum(CASE WHEN g = 0 AND c = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d
+         |  FROM e GROUP BY 1, 2),
+         |t2 AS (SELECT exp, a, b, c2, d, a + b + c2 + d AS n,
+         |    (a + b + c2 + d >= 2) AS ok FROM cl),
+         |t3 AS (SELECT exp, n, ok,
+         |    CASE WHEN ok THEN (1000000 * a * d) // n END AS r,
+         |    CASE WHEN ok THEN (1000000 * b * c2) // n END AS s,
+         |    CASE WHEN ok THEN (1000000 * (a + b) * (a + c2)) // n
+         |      END AS ee,
+         |    CASE WHEN ok THEN CAST((1000000::HUGEINT * (a + b)
+         |        * (c2 + d) * (a + c2) * (b + d))
+         |      // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT)
+         |      END AS v,
+         |    a FROM t2)
+         |SELECT exp,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_strata,
+         |  CAST(sum(CASE WHEN ok THEN n ELSE 0 END) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_excluded_strata,
+         |  CAST(sum(CASE WHEN NOT ok THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_excluded_rows,
+         |  CAST(sum(CASE WHEN ok THEN a ELSE 0 END) AS BIGINT)
+         |    AS sum_a,
+         |  CAST(sum(CASE WHEN ok THEN ee ELSE 0 END) AS BIGINT)
+         |    AS e_micro,
+         |  CAST(sum(CASE WHEN ok THEN v ELSE 0 END) AS BIGINT)
+         |    AS v_micro,
+         |  CASE WHEN CAST(sum(CASE WHEN ok THEN s ELSE 0 END)
+         |      AS BIGINT) <= 0 THEN NULL
+         |    ELSE CAST((1000000::HUGEINT
+         |      * sum(CASE WHEN ok THEN r ELSE 0 END))
+         |      // sum(CASE WHEN ok THEN s ELSE 0 END)::HUGEINT
+         |      AS BIGINT) END AS or_mh_ppm
+         |FROM t3 GROUP BY exp""".stripMargin,
+
+    // q344: Nelson-Aalen -- the q282 subjects, reverse-cumulative
+    // risk sets, per-time micro terms, one ascending window sum.
+    "q344_nelson_aalen" ->
+      raw"""WITH subj AS (SELECT ((user_id % 2) + 2) % 2 AS grp,
+         |    (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+         |      // 3600000000000 AS t,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS e
+         |  FROM events GROUP BY user_id),
+         |bd AS (SELECT CAST(grp AS BIGINT) AS grp,
+         |    CAST(t AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(e) AS BIGINT) AS d
+         |  FROM subj GROUP BY 1, 2),
+         |rk AS (SELECT grp, t, d,
+         |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY t DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+         |  FROM bd),
+         |et AS (SELECT grp, t, n_risk, d,
+         |    (1000000 * d) // n_risk AS term
+         |  FROM rk WHERE d >= 1)
+         |SELECT grp, t, n_risk, d,
+         |  CAST(sum(term) OVER (PARTITION BY grp ORDER BY t
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS h_micro
+         |FROM et""".stripMargin,
+
+    // q345: WER -- the same tokenization, a per-pair ASCII vocab
+    // encoding (any bijection preserves edit distance), DuckDB's
+    // levenshtein on the single-byte encodings.
+    "q345_wer" ->
+      raw"""WITH d AS (SELECT doc_id,
+         |    array_to_string(string_split_regex(text, '\s+')[1:10],
+         |      ' ') AS txt
+         |  FROM documents),
+         |pr AS (SELECT a.doc_id AS id, a.txt AS hyp, b.txt AS ref
+         |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+         |tk AS (SELECT id,
+         |    list_filter(string_split_regex(trim(hyp), '\s+'),
+         |      x -> x <> '') AS h,
+         |    list_filter(string_split_regex(trim(ref), '\s+'),
+         |      x -> x <> '') AS r
+         |  FROM pr),
+         |vc AS (SELECT id, h, r,
+         |    list_sort(list_distinct(list_concat(h, r))) AS vocab
+         |  FROM tk),
+         |en AS (SELECT id, h, r,
+         |    COALESCE(array_to_string(list_transform(h,
+         |      x -> chr(list_position(vocab, x) + 32)), ''), '')
+         |      AS eh,
+         |    COALESCE(array_to_string(list_transform(r,
+         |      x -> chr(list_position(vocab, x) + 32)), ''), '')
+         |      AS er
+         |  FROM vc)
+         |SELECT id, CAST(len(h) AS BIGINT) AS n_hyp,
+         |  CAST(len(r) AS BIGINT) AS n_ref,
+         |  CAST(levenshtein(eh, er) AS BIGINT) AS dist,
+         |  CASE WHEN len(r) = 0 THEN NULL
+         |    ELSE CAST((1000000 * levenshtein(eh, er))
+         |      // len(r) AS BIGINT) END AS wer_ppm
+         |FROM en""".stripMargin,
+
+    // q346: association rules -- distinct membership, basket-keyed
+    // pairs, the three ppm divisions (lift on HUGEINT).
+    "q346_assoc" ->
+      raw"""WITH m AS (SELECT DISTINCT user_id AS bk,
+         |    event_type AS item FROM events),
+         |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nbk
+         |  FROM m),
+         |it AS (SELECT item, CAST(count(*) AS BIGINT) AS ni FROM m
+         |  GROUP BY 1),
+         |p AS (SELECT a.item AS antecedent, b.item AS consequent,
+         |    CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM m a JOIN m b ON a.bk = b.bk AND a.item <> b.item
+         |  GROUP BY 1, 2)
+         |SELECT p.antecedent, p.consequent, ia.ni AS n_a,
+         |  ib.ni AS n_b, p.n_ab,
+         |  CAST((1000000 * p.n_ab) // nb.nbk AS BIGINT)
+         |    AS support_ppm,
+         |  CAST((1000000 * p.n_ab) // ia.ni AS BIGINT)
+         |    AS confidence_ppm,
+         |  CAST((1000000::HUGEINT * p.n_ab * nb.nbk)
+         |    // (CAST(ia.ni AS HUGEINT) * ib.ni) AS BIGINT)
+         |    AS lift_ppm
+         |FROM p JOIN it ia ON ia.item = p.antecedent
+         |JOIN it ib ON ib.item = p.consequent
+         |CROSS JOIN nb
+         |WHERE (1000000 * p.n_ab) // nb.nbk >= 10000""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

@@ -994,4 +994,56 @@ object EvalMetrics {
             "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sem) " +
               "div __se1 AS BIGINT)")).as("mase_ppm"))
   }
+
+  /** Token-level word error rate per (hypothesis, reference) pair —
+    * the ASR/transcription metric [[emF1]]'s bag-of-tokens F1 cannot
+    * give (WER charges ORDER errors: a transposition is two edits to
+    * WER and invisible to F1): whitespace tokens, exact Levenshtein
+    * distance, `wer_ppm = (10⁶·dist) div n_ref` (null with n_ref = 0
+    * visible — against an empty reference the rate is unbounded).
+    *
+    * The distance runs CODEGEN'D: the pair's token vocabulary is
+    * mapped to single ASCII codepoints (any bijection preserves edit
+    * distance) and the built-in `levenshtein` does the DP — which is
+    * why the pair vocabulary is a LOUD ≤ 94 contract (the printable
+    * ASCII range; sentence/utterance pairs live well under it, and a
+    * document-sized WER wants a banded-DP operator, not a bigger
+    * alphabet). Null texts refuse; empty texts are legitimate (zero
+    * tokens). One row-local pass — no shuffle at all.
+    */
+  def wordErrorRate(pairs: DataFrame, idCol: String, hypCol: String,
+      refCol: String, maxVocab: Int = 94): DataFrame = {
+    require(maxVocab >= 1 && maxVocab <= 94,
+      s"maxVocab=$maxVocab out of [1, 94] (printable ASCII)")
+    def toks(c: String, what: String) = {
+      val t = coalesce(col(c).cast("string"),
+        raise_error(lit(s"wordErrorRate: null $what text — score " +
+          "or drop the row visibly upstream")).cast("string"))
+      filter(split(trim(t), "\\s+"), x => x =!= "")
+    }
+    pairs.select(col(idCol).as("id"),
+        toks(hypCol, "hypothesis").as("__h"),
+        toks(refCol, "reference").as("__r"))
+      .withColumn("__vocab",
+        array_sort(array_distinct(concat(col("__h"), col("__r")))))
+      .filter(when(size(col("__vocab")) > maxVocab,
+        raise_error(concat(lit("wordErrorRate: pair '"),
+          col("id").cast("string"), lit("' has "),
+          size(col("__vocab")).cast("string"),
+          lit(s" distinct tokens > maxVocab=$maxVocab — " +
+            "chunk to utterances upstream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("__eh", expr("concat_ws('', transform(__h, " +
+        "x -> chr(array_position(__vocab, x) + 32)))"))
+      .withColumn("__er", expr("concat_ws('', transform(__r, " +
+        "x -> chr(array_position(__vocab, x) + 32)))"))
+      .select(col("id"), size(col("__h")).cast("long").as("n_hyp"),
+        size(col("__r")).cast("long").as("n_ref"),
+        levenshtein(col("__eh"), col("__er")).cast("long")
+          .as("dist"),
+        when(size(col("__r")) === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * CAST(levenshtein(__eh, __er)" +
+            " AS BIGINT)) div CAST(size(__r) AS BIGINT)"))
+          .as("wer_ppm"))
+  }
 }

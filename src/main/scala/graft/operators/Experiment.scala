@@ -1092,4 +1092,231 @@ object Experiment {
             Window.currentRow))))
       .withColumn("reject", col("adj_ppm") <= alphaPpm)
   }
+
+  /** Wald's SPRT over a binary metric per experiment — the
+    * SEQUENTIAL decision [[abTest]] cannot give (a fixed-horizon z
+    * peeked at daily inflates α; the SPRT's boundaries are valid at
+    * EVERY look by construction, Wald 1945): in `(ts, tie)` arrival
+    * order the running log-likelihood ratio of H1: p = p1 against
+    * H0: p = p0,
+    *
+    *   llr_t = s_t·ln(p1/p0) + (n_t−s_t)·ln((1−p1)/(1−p0))
+    *
+    * floored ONCE per row to micro-nats in a fixed IEEE chain (the
+    * two ln constants are exact ratios of the milli parameters, so
+    * both engines compute bit-identical terms), against
+    * `upper = floor(10⁶·ln((1−β)/α))` and `lower =
+    * floor(10⁶·ln(β/(1−α)))`. The FIRST row crossing a boundary
+    * decides — `reject_h0` above (evidence for p1), `accept_h0`
+    * below — and the decision row (`decision_ts/tie/n/llr`) rides on
+    * the per-experiment summary with `continue` when no boundary was
+    * ever hit. Conversions must be 0/1 and positions `(ts, tie)`
+    * unique per experiment, refused loudly. One experiment-
+    * partitioned window (running sums) + one fold — no iteration,
+    * no driver logic.
+    */
+  def sprtBinary(df: DataFrame, expCol: String, tsCol: String,
+      tieCol: String, convCol: String, p0Milli: Long, p1Milli: Long,
+      alphaMilli: Long, betaMilli: Long): DataFrame = {
+    require(p0Milli >= 1 && p0Milli <= 999,
+      s"p0Milli=$p0Milli out of [1, 999]")
+    require(p1Milli >= 1 && p1Milli <= 999 && p1Milli != p0Milli,
+      s"p1Milli=$p1Milli must be in [1, 999] and differ from p0")
+    require(alphaMilli >= 1 && alphaMilli <= 499,
+      s"alphaMilli=$alphaMilli out of [1, 499]")
+    require(betaMilli >= 1 && betaMilli <= 499,
+      s"betaMilli=$betaMilli out of [1, 499]")
+    val l1 = math.log(p1Milli.toDouble / p0Milli.toDouble)
+    val l0 = math.log((1000L - p1Milli).toDouble
+      / (1000L - p0Milli).toDouble)
+    val upper = math.floor(1000000.0
+      * math.log((1000L - betaMilli).toDouble / alphaMilli.toDouble))
+      .toLong
+    val lower = math.floor(1000000.0
+      * math.log(betaMilli.toDouble / (1000L - alphaMilli).toDouble))
+      .toLong
+    val cv = coalesce(col(convCol).try_cast("long"),
+      raise_error(concat(lit("sprtBinary conversion '"),
+        coalesce(col(convCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(expCol).as("exp"),
+      col(tsCol).cast("long").as("__t"),
+      col(tieCol).cast("long").as("__e"),
+      when(cv.isin(0L, 1L), cv).otherwise(
+        raise_error(concat(lit("sprtBinary conversion "),
+          cv.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__c"))
+    val dupW = Window.partitionBy(col("exp"), col("__t"), col("__e"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("sprtBinary: duplicate position " +
+          "(ts, tie) in experiment '"),
+          coalesce(col("exp").cast("string"), lit("NULL")),
+          lit("' — the arrival order decides the stopping time; " +
+            "it must be total"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+    val w = Window.partitionBy(col("exp"))
+      .orderBy(col("__t"), col("__e"))
+    val walked = checked
+      .withColumn("__s", sum(col("__c")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__llr", floor(lit(1000000.0)
+        * (col("__s").cast("double") * lit(l1)
+          + (col("__n") - col("__s")).cast("double") * lit(l0)))
+        .cast("long"))
+    val summary = walked.groupBy(col("exp"))
+      .agg(max(col("__n")).as("n"), max(col("__s")).as("s"),
+        max(struct(col("__n"), col("__llr"))).as("__last"))
+      .select(col("exp"), col("n"), col("s"),
+        col("__last.__llr").as("llr_final_micro"))
+    val crossed = walked
+      .filter(col("__llr") >= upper || col("__llr") <= lower)
+      .groupBy(col("exp").as("__x"))
+      .agg(min(struct(col("__t"), col("__e"), col("__n"),
+        col("__llr"))).as("__first"))
+      .select(col("__x"),
+        col("__first.__t").as("decision_ts"),
+        col("__first.__e").as("decision_tie"),
+        col("__first.__n").as("n_at_decision"),
+        col("__first.__llr").as("llr_at_decision"),
+        when(col("__first.__llr") >= upper, lit("reject_h0"))
+          .otherwise(lit("accept_h0")).as("__d"))
+    summary.join(crossed, col("exp") <=> col("__x"), "left")
+      .select(col("exp"), col("n"), col("s"),
+        col("llr_final_micro"),
+        lit(upper).as("upper_micro"), lit(lower).as("lower_micro"),
+        coalesce(col("__d"), lit("continue")).as("decision"),
+        col("decision_ts"), col("decision_tie"),
+        col("n_at_decision"), col("llr_at_decision"))
+  }
+
+  /** Cochran–Mantel–Haenszel inputs + MH pooled odds ratio per
+    * experiment — the BINARY-outcome companion to [[stratifiedAte]]
+    * (stratify a conversion contrast by the confounder instead of a
+    * mean): per stratum the 2×2 cell counts (a = treated
+    * conversions, b/c/d the rest), and the exact-integer fold of
+    *
+    *   OR_MH = Σ(a·d/n) / Σ(b·c/n),   E = Σ((a+b)(a+c)/n),
+    *   V = Σ((a+b)(c+d)(a+c)(b+d) / (n²(n−1)))
+    *
+    * with each per-stratum fraction floored ONCE to micro (≤ 1
+    * micro per stratum, stated — the CMH χ² and its continuity
+    * correction are ONE float op each from `sum_a`, `e_micro`,
+    * `v_micro`, caller-side per the [[logRank]] convention; the V
+    * product is DECIMAL(38), int64 dies at n ≈ 10⁵ per stratum).
+    * Single-subject strata (n = 1) have no variance term — excluded
+    * VISIBLY (`n_excluded_strata`/`n_excluded_rows`), from every
+    * sum, so the inputs stay one consistent subset. `or_mh_ppm` is
+    * null when Σ(b·c/n) floors to zero (no discordant mass — the
+    * ratio is unbounded, not 10⁶). Groups and conversions must be
+    * 0/1, refused loudly. ONE (exp, stratum) map-side agg + one exp
+    * fold.
+    */
+  def mantelHaenszel(df: DataFrame, expCol: String, stratumCol: String,
+      groupCol: String, convCol: String): DataFrame = {
+    def flag(c: String, what: String) = {
+      val v = coalesce(col(c).try_cast("long"),
+        raise_error(concat(lit(s"mantelHaenszel: $what '"),
+          coalesce(col(c).cast("string"), lit("NULL")),
+          lit("' is null or not castable to long"))).cast("long"))
+      when(v.isin(0L, 1L), v).otherwise(
+        raise_error(concat(lit(s"mantelHaenszel: $what "),
+          v.cast("string"), lit(" outside {0,1}"))).cast("long"))
+    }
+    val cells = df.select(col(expCol).as("exp"),
+        col(stratumCol).as("stratum"), flag(groupCol, "group")
+          .as("__g"), flag(convCol, "conversion").as("__c"))
+      .groupBy(col("exp"), col("stratum"))
+      .agg(
+        sum(when(col("__g") === 1L && col("__c") === 1L, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("__g") === 1L && col("__c") === 0L, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("__g") === 0L && col("__c") === 1L, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("__g") === 0L && col("__c") === 0L, 1L)
+          .otherwise(0L)).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("__ok", col("n") >= 2)
+      .withColumn("__r", when(col("__ok"),
+        expr("(1000000L * a * d) div n")))
+      .withColumn("__s", when(col("__ok"),
+        expr("(1000000L * b * c) div n")))
+      .withColumn("__e", when(col("__ok"),
+        expr("(1000000L * (a + b) * (a + c)) div n")))
+      .withColumn("__v", when(col("__ok"), expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * (a + b) * (c + d)" +
+          " * (a + c) * (b + d))" +
+          " div (CAST(n AS DECIMAL(38,0)) * n * (n - 1))" +
+          " AS BIGINT)")))
+    cells.groupBy(col("exp"))
+      .agg(sum(when(col("__ok"), 1L).otherwise(0L)).as("n_strata"),
+        sum(when(col("__ok"), col("n")).otherwise(0L)).as("n"),
+        sum(when(!col("__ok"), 1L).otherwise(0L))
+          .as("n_excluded_strata"),
+        sum(when(!col("__ok"), col("n")).otherwise(0L))
+          .as("n_excluded_rows"),
+        sum(when(col("__ok"), col("a")).otherwise(0L)).as("sum_a"),
+        sum(when(col("__ok"), col("__e")).otherwise(0L))
+          .as("e_micro"),
+        sum(when(col("__ok"), col("__v")).otherwise(0L))
+          .as("v_micro"),
+        sum(when(col("__ok"), col("__r")).otherwise(0L)).as("__sr"),
+        sum(when(col("__ok"), col("__s")).otherwise(0L)).as("__ss"))
+      .select(col("exp"), col("n_strata"), col("n"),
+        col("n_excluded_strata"), col("n_excluded_rows"),
+        col("sum_a"), col("e_micro"), col("v_micro"),
+        when(col("__ss") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sr)" +
+              " div __ss AS BIGINT)")).as("or_mh_ppm"))
+  }
+
+  /** Nelson–Aalen cumulative hazard per group — the estimator
+    * [[survivalKm]]'s product form hides (KM gives S(t); the hazard
+    * INTEGRAL H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ is the additive view — its
+    * slope changes are where the risk regime moves, and −ln(KM)
+    * only approximates it): the same risk-set derivation as KM
+    * (reverse-cumulative window, event times only), each term
+    * `(10⁶·d) div n_risk` floored ONCE (≤ 1 micro per event time,
+    * stated), cumulated by ONE ascending window sum — no sequential
+    * recursion at all, so no maxTimes bound is needed. Same
+    * duration/event refusals as KM. Output: `grp, t, n_risk, d,
+    * h_micro`.
+    */
+  def nelsonAalen(df: DataFrame, groupCol: String, durCol: String,
+      eventCol: String): DataFrame = {
+    val dur = coalesce(col(durCol).try_cast("long"),
+      raise_error(concat(lit("nelsonAalen: duration '"),
+        coalesce(col(durCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long")))
+        .cast("long"))
+    val ev = coalesce(col(eventCol).try_cast("long"),
+      raise_error(concat(lit("nelsonAalen: event flag '"),
+        coalesce(col(eventCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(groupCol).as("grp"),
+        when(dur < 0, raise_error(concat(
+          lit("nelsonAalen: negative duration "), dur.cast("string")))
+          .cast("long")).otherwise(dur).as("t"),
+        when(ev.isin(0L, 1L), ev).otherwise(
+          raise_error(concat(lit("nelsonAalen: event flag "),
+            ev.cast("string"), lit(" outside {0,1}"))).cast("long"))
+          .as("e"))
+    val byDur = rows.groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("__c"), sum(col("e")).as("d"))
+    val risk = Window.partitionBy(col("grp")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Window.partitionBy(col("grp")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk", sum(col("__c")).over(risk))
+      .filter(col("d") >= 1)
+      .withColumn("__term", expr("(1000000L * d) div n_risk"))
+      .withColumn("h_micro", sum(col("__term")).over(cum))
+      .select(col("grp"), col("t"), col("n_risk"), col("d"),
+        col("h_micro"))
+  }
 }

@@ -1224,4 +1224,80 @@ object Ops {
           "div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
           .as("hhi_ppm"))
   }
+
+  /** Pairwise association rules over (basket, item) rows — support /
+    * confidence / lift for every ordered item pair (the market-
+    * basket readout: "users who touch A touch B, and not because
+    * both are everywhere"):
+    *
+    *   support_ppm    = (10⁶·n_ab) div N
+    *   confidence_ppm = (10⁶·n_ab) div n_a        (a → b)
+    *   lift_ppm       = (10⁶·n_ab·N) div (n_a·n_b)   [DECIMAL(38)]
+    *
+    * over DISTINCT basket membership (an item twice in one basket is
+    * one membership — rules are about co-presence, the convention
+    * stated). Pairs come from ONE basket-keyed self-join, so the
+    * per-basket item count is a LOUD ≤ maxItemsPerBasket contract
+    * (the fan-out is items² per basket); null items refuse. Rules
+    * below `minSupportPpm` are cut AFTER exact counting (the
+    * threshold prunes output, never the counts). lift > 10⁶ = the
+    * pair co-occurs above independence. Output: `antecedent,
+    * consequent, n_a, n_b, n_ab, support_ppm, confidence_ppm,
+    * lift_ppm`.
+    *
+    * Scale shape: distinct membership is one map-side agg; the pair
+    * join fans out ≤ items²/basket (bounded); everything after is a
+    * pair-keyed count against broadcast-sized item totals.
+    */
+  def associationRules(df: DataFrame, basketCol: String,
+      itemCol: String, minSupportPpm: Long,
+      maxItemsPerBasket: Int = 256): DataFrame = {
+    require(minSupportPpm >= 0 && minSupportPpm <= 1000000L,
+      s"minSupportPpm=$minSupportPpm out of [0, 1000000]")
+    require(maxItemsPerBasket >= 2 && maxItemsPerBasket <= 4096,
+      s"maxItemsPerBasket=$maxItemsPerBasket out of [2, 4096]")
+    val it = coalesce(col(itemCol).cast("string"),
+      raise_error(lit("associationRules: null item — a null is not " +
+        "an item; filter or impute visibly upstream")).cast("string"))
+    val memb = df.select(col(basketCol).as("bk"), it.as("item"))
+      .distinct()
+    val sized = memb
+      .withColumn("__bc", count(lit(1)).over(
+        Window.partitionBy(col("bk"))))
+      .filter(when(col("__bc") > maxItemsPerBasket,
+        raise_error(concat(lit("associationRules: basket '"),
+          coalesce(col("bk").cast("string"), lit("NULL")),
+          lit("' holds "), col("__bc").cast("string"),
+          lit(s" items > maxItemsPerBasket=$maxItemsPerBasket — " +
+            "items^2 pairs per basket; coarsen the item taxonomy " +
+            "upstream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__bc")
+    val nBaskets = memb.select(col("bk")).distinct()
+      .groupBy().agg(count(lit(1)).as("__nb"))
+    val itemTot = memb.groupBy(col("item"))
+      .agg(count(lit(1)).as("__ni"))
+    val b = sized.select(col("bk").as("__bk2"),
+      col("item").as("__item2"))
+    val pairCnt = sized.join(b, col("bk") <=> col("__bk2")
+        && col("item") =!= col("__item2"))
+      .groupBy(col("item").as("antecedent"),
+        col("__item2").as("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairCnt
+      .join(broadcast(itemTot.select(col("item").as("__ia"),
+        col("__ni").as("n_a"))), col("antecedent") === col("__ia"))
+      .join(broadcast(itemTot.select(col("item").as("__ib"),
+        col("__ni").as("n_b"))), col("consequent") === col("__ib"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("support_ppm",
+        expr("(1000000L * n_ab) div __nb"))
+      .filter(col("support_ppm") >= minSupportPpm)
+      .select(col("antecedent"), col("consequent"), col("n_a"),
+        col("n_b"), col("n_ab"), col("support_ppm"),
+        expr("(1000000L * n_ab) div n_a").as("confidence_ppm"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ab * __nb)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+          .as("lift_ppm"))
+  }
 }

@@ -577,4 +577,43 @@ class EvalMetricsSpec extends AnyFunSuite {
       EvalMetrics.seasonalNaiveBacktest(df, "k", "t", "e", "v", 0)
     }
   }
+
+  test("wordErrorRate: insertions 500000, transposition charges 2 " +
+      "edits where F1 sees none, empty sides, vocab refusal") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    def run(rows: Seq[(Long, String, String)]) =
+      EvalMetrics.wordErrorRate(rows.toDF("id", "h", "r"),
+        "id", "h", "r").collect()
+        .map(r => r.getAs[Long]("id") ->
+          ((r.getAs[Long]("n_hyp"), r.getAs[Long]("n_ref"),
+            r.getAs[Long]("dist"),
+            if (r.isNullAt(4)) null else r.getAs[Long]("wer_ppm"))))
+        .toMap
+    val got = run(Seq(
+      (1L, "the cat sat", "the cat sat on the mat"),
+      (2L, "b a", "a b"),
+      (3L, "same same", "same same"),
+      (4L, "", "x y"),
+      (5L, "x y", "")))
+    assert(got(1L) == ((3L, 6L, 3L, 500000L)), s"got ${got(1L)}")
+    assert(got(2L) == ((2L, 2L, 2L, 1000000L)),
+      "a transposition is two edits to WER, invisible to bag-F1")
+    assert(got(3L) == ((2L, 2L, 0L, 0L)))
+    assert(got(4L) == ((0L, 2L, 2L, 1000000L)))
+    assert(got(5L) == ((2L, 0L, 2L, null)),
+      "empty reference: unbounded rate, visible null")
+    val big = intercept[Exception] {
+      EvalMetrics.wordErrorRate(
+        Seq((1L, "a b", "c d")).toDF("id", "h", "r"),
+        "id", "h", "r", maxVocab = 3).collect()
+    }
+    assert(rc(big).getMessage.contains("maxVocab=3"))
+    val nul = intercept[Exception] {
+      EvalMetrics.wordErrorRate(
+        Seq((1L, Option.empty[String], "x")).toDF("id", "h", "r"),
+        "id", "h", "r").collect()
+    }
+    assert(rc(nul).getMessage.contains("null hypothesis"))
+  }
 }

@@ -592,4 +592,94 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(rootCause(bad).getMessage.contains("outside [0, 1000000]"))
   }
+
+  test("sprtBinary: ln4-lattice walk crosses the ln19 boundary at " +
+      "n=3 both ways; a cancelled walk continues; refusals") {
+    // p0=200, p1=800: l1 = ln4, l0 = -ln4; bounds = +/-floor(1e6*ln19)
+    def run(convs: Seq[Long]) = Experiment.sprtBinary(
+      convs.zipWithIndex.map { case (c, t) => ("e", t.toLong, t.toLong, c) }
+        .toDF("e", "t", "i", "c"), "e", "t", "i", "c",
+      200L, 800L, 50L, 50L).collect()(0)
+    val up = run(Seq(1L, 1L, 1L))
+    assert(up.getAs[Long]("upper_micro") == 2944438L &&
+      up.getAs[Long]("lower_micro") == -2944439L)
+    assert(up.getAs[String]("decision") == "reject_h0" &&
+      up.getAs[Long]("n_at_decision") == 3L &&
+      up.getAs[Long]("llr_at_decision") == 4158883L)
+    val dn = run(Seq(0L, 0L, 0L))
+    assert(dn.getAs[String]("decision") == "accept_h0" &&
+      dn.getAs[Long]("n_at_decision") == 3L &&
+      dn.getAs[Long]("llr_at_decision") == -4158884L,
+      s"got $dn")
+    val ct = run(Seq(1L, 0L))
+    assert(ct.getAs[String]("decision") == "continue" &&
+      ct.isNullAt(7) && ct.getAs[Long]("llr_final_micro") == 0L)
+    val bad = intercept[Exception] { run(Seq(2L)) }
+    assert(rootCause(bad).getMessage.contains("outside {0,1}"))
+    val dup = intercept[Exception] {
+      Experiment.sprtBinary(Seq(("e", 1L, 1L, 1L), ("e", 1L, 1L, 0L))
+        .toDF("e", "t", "i", "c"), "e", "t", "i", "c",
+        200L, 800L, 50L, 50L).collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate position"))
+    intercept[IllegalArgumentException] {
+      Experiment.sprtBinary(Seq(("e", 1L, 1L, 1L))
+        .toDF("e", "t", "i", "c"), "e", "t", "i", "c",
+        500L, 500L, 50L, 50L)
+    }
+  }
+
+  test("mantelHaenszel: two-stratum hand fixture (OR_MH 2428571), " +
+      "single-subject stratum excluded, degenerate OR null") {
+    def rows(st: Long, g: Long, c: Long, k: Int) =
+      Seq.fill(k)(("e", st, g, c))
+    val df = (rows(1L, 1L, 1L, 4) ++ rows(1L, 1L, 0L, 1)
+      ++ rows(1L, 0L, 1L, 2) ++ rows(1L, 0L, 0L, 3)
+      ++ rows(2L, 1L, 1L, 2) ++ rows(2L, 1L, 0L, 2)
+      ++ rows(2L, 0L, 1L, 2) ++ rows(2L, 0L, 0L, 2)
+      ++ rows(3L, 1L, 1L, 1)) // singleton stratum
+      .toDF("e", "s", "g", "c")
+    val r = Experiment.mantelHaenszel(df, "e", "s", "g", "c")
+      .collect()(0)
+    assert(r.getAs[Long]("n_strata") == 2L && r.getAs[Long]("n") == 18L)
+    assert(r.getAs[Long]("n_excluded_strata") == 1L &&
+      r.getAs[Long]("n_excluded_rows") == 1L)
+    assert(r.getAs[Long]("sum_a") == 6L &&
+      r.getAs[Long]("e_micro") == 5000000L &&
+      r.getAs[Long]("v_micro") == 666666L + 571428L)
+    // OR = 1e6*(1200000+500000) div (200000+500000) = 2428571
+    assert(r.getAs[Long]("or_mh_ppm") == 2428571L)
+    // all-concordant stratum: b*c = 0 -> null OR
+    val deg = (rows(1L, 1L, 1L, 2) ++ rows(1L, 0L, 0L, 2))
+      .toDF("e", "s", "g", "c")
+    assert(Experiment.mantelHaenszel(deg, "e", "s", "g", "c")
+      .collect()(0).isNullAt(8))
+    val bad = intercept[Exception] {
+      Experiment.mantelHaenszel(Seq(("e", 1L, 2L, 1L))
+        .toDF("e", "s", "g", "c"), "e", "s", "g", "c").collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside {0,1}"))
+  }
+
+  test("nelsonAalen: hand risk-set walk 200000/450000/950000; " +
+      "refusals match the KM contract") {
+    val df = Seq((1L, 1L), (2L, 1L), (2L, 0L), (4L, 1L), (5L, 0L))
+      .map { case (t, e) => ("g", t, e) }.toDF("g", "t", "e")
+    val got = Experiment.nelsonAalen(df, "g", "t", "e")
+      .orderBy("t").collect()
+      .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d"), r.getAs[Long]("h_micro")))
+    assert(got.toSeq == Seq((1L, 5L, 1L, 200000L),
+      (2L, 4L, 1L, 450000L), (4L, 2L, 1L, 950000L)), s"got ${got.toSeq}")
+    val neg = intercept[Exception] {
+      Experiment.nelsonAalen(Seq(("g", -1L, 1L)).toDF("g", "t", "e"),
+        "g", "t", "e").collect()
+    }
+    assert(rootCause(neg).getMessage.contains("negative duration"))
+    val bad = intercept[Exception] {
+      Experiment.nelsonAalen(Seq(("g", 1L, 2L)).toDF("g", "t", "e"),
+        "g", "t", "e").collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside {0,1}"))
+  }
 }

@@ -650,4 +650,36 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(rootCause(nul).getMessage.contains("null category"))
   }
+
+  test("associationRules: hand support/confidence/lift lattice, " +
+      "duplicate membership collapses, threshold cuts after exact " +
+      "counts, basket-size refusal") {
+    val df = Seq(("b1", "A"), ("b1", "A"), ("b1", "B"), ("b1", "C"),
+      ("b2", "A"), ("b2", "B"), ("b3", "A"), ("b4", "B"),
+      ("b4", "C")).toDF("bk", "it")
+    val got = Ops.associationRules(df, "bk", "it",
+      minSupportPpm = 300000L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("support_ppm"),
+          r.getAs[Long]("confidence_ppm"), r.getAs[Long]("lift_ppm"))))
+      .toMap
+    // N=4, n_A=3, n_B=3, n_C=2; AB=2, BC=2, AC=1 (cut at 300000)
+    assert(got(("A", "B")) == ((500000L, 666666L, 888888L)),
+      s"got $got")
+    assert(got(("B", "A")) == ((500000L, 666666L, 888888L)))
+    assert(got(("C", "B")) == ((500000L, 1000000L, 1333333L)))
+    assert(got(("B", "C")) == ((500000L, 666666L, 1333333L)))
+    assert(!got.contains(("A", "C")) && !got.contains(("C", "A")),
+      "support 250000 < 300000: cut after counting")
+    val big = intercept[Exception] {
+      Ops.associationRules(df, "bk", "it", 0L,
+        maxItemsPerBasket = 2).collect()
+    }
+    assert(rootCause(big).getMessage.contains("maxItemsPerBasket=2"))
+    val nul = intercept[Exception] {
+      Ops.associationRules(Seq(("b", Option.empty[String]))
+        .toDF("bk", "it"), "bk", "it", 0L).collect()
+    }
+    assert(rootCause(nul).getMessage.contains("null item"))
+  }
 }
