@@ -696,4 +696,170 @@ class NewOpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sprtBinary == the sequential llr walk with first crossing") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      cs <- Gen.listOfN(n, Gen.choose(0L, 1L))
+    } yield cs
+    samples(gen, 8).zipWithIndex.foreach { case (cs, i) =>
+      val (p0, p1, a, bt) = (300L, 700L, 50L, 100L)
+      val r = Experiment.sprtBinary(
+        cs.zipWithIndex.map { case (c, t) =>
+          ("e", t.toLong, t.toLong, c) }.toDF("e", "t", "i", "c"),
+        "e", "t", "i", "c", p0, p1, a, bt).collect()(0)
+      val l1 = math.log(p1.toDouble / p0.toDouble)
+      val l0 = math.log((1000 - p1).toDouble / (1000 - p0).toDouble)
+      val up = math.floor(1000000.0
+        * math.log((1000 - bt).toDouble / a.toDouble)).toLong
+      val lo = math.floor(1000000.0
+        * math.log(bt.toDouble / (1000 - a).toDouble)).toLong
+      var s = 0L; var cross: Option[(Int, Long)] = None
+      cs.zipWithIndex.foreach { case (c, t) =>
+        s += c
+        val llr = math.floor(1000000.0
+          * (s.toDouble * l1 + (t + 1 - s).toDouble * l0)).toLong
+        if (cross.isEmpty && (llr >= up || llr <= lo))
+          cross = Some((t + 1, llr))
+      }
+      cross match {
+        case None =>
+          assert(r.getAs[String]("decision") == "continue", s"case $i")
+        case Some((n1, llr)) =>
+          assert(r.getAs[Long]("n_at_decision") == n1.toLong &&
+            r.getAs[Long]("llr_at_decision") == llr &&
+            r.getAs[String]("decision") ==
+              (if (llr >= up) "reject_h0" else "accept_h0"),
+            s"case $i")
+      }
+    }
+  }
+
+  test("mantelHaenszel == the per-stratum BigInt term fold") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        st <- Gen.choose(0L, 3L); g <- Gen.choose(0L, 1L)
+        c <- Gen.choose(0L, 1L)
+      } yield (st, g, c))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val r = Experiment.mantelHaenszel(
+        rows.map { case (st, g, c) => ("e", st, g, c) }
+          .toDF("e", "s", "g", "c"), "e", "s", "g", "c").collect()(0)
+      val cells = rows.groupBy(_._1).values.map { rs =>
+        val a = rs.count(x => x._2 == 1 && x._3 == 1).toLong
+        val b = rs.count(x => x._2 == 1 && x._3 == 0).toLong
+        val c = rs.count(x => x._2 == 0 && x._3 == 1).toLong
+        val d = rs.count(x => x._2 == 0 && x._3 == 0).toLong
+        (a, b, c, d, a + b + c + d)
+      }.toSeq
+      val ok = cells.filter(_._5 >= 2)
+      def mic(num: BigInt, den: BigInt) = (BigInt(1000000) * num) / den
+      val sr = ok.map { case (a, _, _, d, n) => mic(a * d, n) }.sum
+      val ss = ok.map { case (_, b, c, _, n) => mic(b * c, n) }.sum
+      val ee = ok.map { case (a, b, c, _, n) =>
+        mic(BigInt(a + b) * (a + c), n) }.sum
+      val vv = ok.map { case (a, b, c, d, n) =>
+        (BigInt(1000000) * (a + b) * (c + d) * (a + c) * (b + d)) /
+          (BigInt(n) * n * (n - 1)) }.sum
+      assert(BigInt(r.getAs[Long]("e_micro")) == ee &&
+        BigInt(r.getAs[Long]("v_micro")) == vv, s"case $i")
+      if (ss <= 0) assert(r.isNullAt(8), s"case $i: want null OR")
+      else assert(BigInt(r.getAs[Long]("or_mh_ppm")) ==
+        (BigInt(1000000) * sr) / ss, s"case $i")
+    }
+  }
+
+  test("nelsonAalen == the sequential risk-set hazard sum") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        t <- Gen.choose(0L, 10L); e <- Gen.choose(0L, 1L)
+      } yield (t, e))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val got = Experiment.nelsonAalen(
+        rows.map { case (t, e) => ("g", t, e) }.toDF("g", "t", "e"),
+        "g", "t", "e").collect()
+        .map(r => r.getAs[Long]("t") -> r.getAs[Long]("h_micro"))
+        .toMap
+      var h = 0L
+      rows.map(_._1).distinct.sorted.foreach { t =>
+        val d = rows.count(x => x._1 == t && x._2 == 1).toLong
+        val nRisk = rows.count(_._1 >= t).toLong
+        if (d >= 1) {
+          h += (1000000L * d) / nRisk
+          assert(got(t) == h, s"case $i t=$t")
+        } else assert(!got.contains(t), s"case $i t=$t censor-only")
+      }
+    }
+  }
+
+  test("wordErrorRate == the classic two-row DP on raw tokens") {
+    val word = Gen.choose(1, 3)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+        .map(_.mkString))
+    val gen = for {
+      nh <- Gen.choose(0, 10); nr <- Gen.choose(0, 10)
+      h <- Gen.listOfN(nh, word); r <- Gen.listOfN(nr, word)
+    } yield (h, r)
+    samples(gen, 8).zipWithIndex.foreach { case ((h, r), i) =>
+      val row = EvalMetrics.wordErrorRate(
+        Seq((1L, h.mkString(" "), r.mkString(" ")))
+          .toDF("id", "h", "r"), "id", "h", "r").collect()(0)
+      // reference: textbook DP over the raw token sequences
+      var prev = (0 to r.length).toArray
+      h.indices.foreach { x =>
+        val cur = new Array[Int](r.length + 1)
+        cur(0) = x + 1
+        r.indices.foreach { y =>
+          cur(y + 1) = math.min(math.min(cur(y) + 1, prev(y + 1) + 1),
+            prev(y) + (if (h(x) == r(y)) 0 else 1))
+        }
+        prev = cur
+      }
+      val dist = prev(r.length).toLong
+      assert(row.getAs[Long]("dist") == dist, s"case $i")
+      if (r.isEmpty) assert(row.isNullAt(4))
+      else assert(row.getAs[Long]("wer_ppm") ==
+        (1000000L * dist) / r.length, s"case $i")
+    }
+  }
+
+  test("associationRules == the brute-force basket scan") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        bk <- Gen.choose(0L, 9L); it <- Gen.oneOf("A", "B", "C", "D")
+      } yield (bk, it))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val got = Ops.associationRules(rows.toDF("bk", "it"),
+        "bk", "it", minSupportPpm = 0L).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("n_ab"), r.getAs[Long]("support_ppm"),
+            r.getAs[Long]("confidence_ppm"),
+            r.getAs[Long]("lift_ppm")))).toMap
+      val m = rows.distinct
+      val baskets = m.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+        .toMap
+      val nb = baskets.size.toLong
+      val items = m.map(_._2).distinct
+      val want = for {
+        a <- items; b <- items if a != b
+        nab = baskets.values.count(s => s(a) && s(b)).toLong
+        if nab > 0
+      } yield (a, b) -> nab
+      assert(got.keySet == want.toMap.keySet, s"case $i")
+      want.foreach { case ((a, b), nab) =>
+        val na = baskets.values.count(_(a)).toLong
+        val bb = baskets.values.count(_(b)).toLong
+        assert(got((a, b)) == ((nab, 1000000L * nab / nb,
+          1000000L * nab / na,
+          (BigInt(1000000) * nab * nb / (BigInt(na) * bb)).toLong)),
+          s"case $i pair=($a,$b)")
+      }
+    }
+  }
 }
