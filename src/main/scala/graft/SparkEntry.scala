@@ -5768,6 +5768,68 @@ object SparkEntry {
       Ops.associationRules(events(s, dir)
         .select(col("user_id"), col("event_type")),
         "user_id", "event_type", minSupportPpm = 10000L)
+    }),
+
+    // PINBALL LOSS at q=0.9 of the seasonal-naive hourly forecast
+    // (the q340 feeder) -- under-prediction charged 9x harder; the
+    // quantile-forecast scorer next to MASE's median view.
+    "q347_pinball" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val hourly = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 3600000000000L)) div 3600000000000L")
+            .as("h"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(sum(col("v")).as("hv"))
+        .withColumn("f", expr(
+          "lag(hv, 24) OVER (PARTITION BY event_type ORDER BY h)"))
+        .filter(col("f").isNotNull)
+      EvalMetrics.pinballLossPpm(hourly, "event_type", "hv", "f",
+        qPpm = 900000L)
+    }),
+
+    // HOSMER-LEMESHOW RANK DECILES of the value-derived confidence
+    // against the event-id-parity label -- exact O and sum-conf E
+    // chi-square inputs per equal-count decile.
+    "q348_hl_deciles" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      EvalMetrics.hosmerLemeshowDeciles(events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          least(lit(1000000L), floor(col("value") * 10000)
+            .cast("long")).as("conf"),
+          pmod(col("event_id"), lit(2L)).as("lab")),
+        "event_type", "event_id", "conf", "lab")
+    }),
+
+    // NEWMAN MODULARITY of the clique-id partition over the q280
+    // clique+chain graph -- per-community exact e_in/deg_sum/m and
+    // the ppm contribution; the score that grades what labelProp
+    // finds.
+    "q349_modularity" -> ((s, dir) => {
+      import graft.operators.Graph
+      val labels = t(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("node"),
+          expr("c_custkey div 4").as("lab"))
+      Graph.modularityPpm(cliqueChainEdges(s, dir), "src", "dst",
+        labels, "node", "lab")
+    }),
+
+    // ISOTONIC (PAVA-minimax) FIT of the daily value sums per event
+    // type on the micro lattice -- the monotone pooling that makes a
+    // reliability diagram readable, applied to the q337 daily
+    // series.
+    "q350_isotonic" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 86400000000000L)) div 86400000000000L")
+            .as("d"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("v")).as("dv"))
+      EvalMetrics.isotonicFitMicro(daily, "event_type", "d", "d",
+        "dv")
     })
   )
 
@@ -15019,7 +15081,111 @@ object SparkEntry {
          |FROM p JOIN it ia ON ia.item = p.antecedent
          |JOIN it ib ON ib.item = p.consequent
          |CROSS JOIN nb
-         |WHERE (1000000 * p.n_ab) // nb.nbk >= 10000""".stripMargin
+         |WHERE (1000000 * p.n_ab) // nb.nbk >= 10000""".stripMargin,
+
+    // q347: pinball loss -- the lag-24 forecast, the asymmetric
+    // per-row charge, one integral division for the mean.
+    "q347_pinball" ->
+      raw"""WITH hr AS (SELECT event_type AS key,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 3600000000000
+         |      + 3600000000000) % 3600000000000)) // 3600000000000
+         |      AS h,
+         |    CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |hv AS (SELECT key, CAST(h AS BIGINT) AS h,
+         |    CAST(sum(v) AS BIGINT) AS hv
+         |  FROM hr GROUP BY 1, 2),
+         |lg AS (SELECT key, hv,
+         |    lag(hv, 24) OVER (PARTITION BY key ORDER BY h) AS f
+         |  FROM hv),
+         |ev AS (SELECT key,
+         |    CASE WHEN hv >= f THEN 900000 * (hv - f)
+         |      ELSE 100000 * (f - hv) END AS loss
+         |  FROM lg WHERE f IS NOT NULL)
+         |SELECT key, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(loss) AS BIGINT) AS sum_loss_ppm,
+         |  CAST(sum(CAST(loss AS HUGEINT))
+         |    // CAST(count(*) AS HUGEINT) AS BIGINT)
+         |    AS mean_loss_ppm
+         |FROM ev GROUP BY key""".stripMargin,
+
+    // q348: Hosmer-Lemeshow -- the rank window, integer decile
+    // bucketing, exact O and sum-conf E per bucket.
+    "q348_hl_deciles" ->
+      raw"""WITH e AS (SELECT event_type AS key, event_id AS tie,
+         |    least(1000000, CAST(floor(value * 10000) AS BIGINT))
+         |      AS conf,
+         |    CAST(event_id % 2 AS BIGINT) AS lab FROM events),
+         |rk AS (SELECT key, conf, lab,
+         |    CAST(row_number() OVER (PARTITION BY key
+         |      ORDER BY conf, tie) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS tot
+         |  FROM e)
+         |SELECT key, CAST(((r - 1) * 10) // tot AS BIGINT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(lab) AS BIGINT)
+         |    AS o,
+         |  CAST(sum(conf) AS BIGINT) AS e_ppm
+         |FROM rk GROUP BY 1, 2""".stripMargin,
+
+    // q349: modularity -- the shared clique+chain edge CTEs, the
+    // clique-id labels, per-community integers + HUGEINT ppm
+    // contribution.
+    "q349_modularity" ->
+      (raw"""WITH """ + cliqueChainSql + raw""",
+         |lab AS (SELECT c AS node, g AS l FROM c),
+         |j AS (SELECT la.l AS la, lb.l AS lb FROM e
+         |  JOIN lab la ON la.node = e.a
+         |  JOIN lab lb ON lb.node = e.b),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM j),
+         |ein AS (SELECT la AS community,
+         |    CAST(count(*) AS BIGINT) AS e_in
+         |  FROM j WHERE la = lb GROUP BY 1),
+         |ds AS (SELECT community,
+         |    CAST(count(*) AS BIGINT) AS deg_sum
+         |  FROM (SELECT la AS community FROM j
+         |    UNION ALL SELECT lb FROM j) GROUP BY 1)
+         |SELECT ds.community, ds.deg_sum,
+         |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in, mm.m,
+         |  CAST((1000000::HUGEINT
+         |    * (4::HUGEINT * mm.m * COALESCE(ein.e_in, 0)
+         |      - CAST(ds.deg_sum AS HUGEINT) * ds.deg_sum))
+         |    // (4::HUGEINT * mm.m * mm.m) AS BIGINT) AS contrib_ppm
+         |FROM ds LEFT JOIN ein ON ein.community = ds.community
+         |CROSS JOIN mm""").stripMargin,
+
+    // q350: isotonic minimax -- prefix sums, the (j,k) segment-mean
+    // lattice, min over k >= i then max over j <= i, replayed with
+    // the same integral truncations.
+    "q350_isotonic" ->
+      raw"""WITH dl AS (SELECT event_type AS grp,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 86400000000000
+         |      + 86400000000000) % 86400000000000))
+         |      // 86400000000000 AS d,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |dv2 AS (SELECT grp, CAST(d AS BIGINT) AS d,
+         |    CAST(sum(v) AS BIGINT) AS dv FROM dl GROUP BY 1, 2),
+         |p0 AS (SELECT grp AS key, d AS ts, d AS tie, dv AS v,
+         |    CAST(row_number() OVER (PARTITION BY grp ORDER BY d)
+         |      AS BIGINT) AS pos,
+         |    CAST(sum(dv) OVER (PARTITION BY grp ORDER BY d
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps
+         |  FROM dv2),
+         |jj AS (SELECT key, pos AS j, ps - v AS pjm1 FROM p0),
+         |kk AS (SELECT key, pos AS k, ps AS prek FROM p0),
+         |pjk AS (SELECT jj.key, jj.j, kk.k,
+         |    (1000000 * (kk.prek - jj.pjm1)) // (kk.k - jj.j + 1)
+         |      AS av
+         |  FROM jj JOIN kk ON kk.key = jj.key AND jj.j <= kk.k),
+         |inr AS (SELECT i.key, i.pos, pjk.j, min(pjk.av) AS mn
+         |  FROM p0 i JOIN pjk ON pjk.key = i.key
+         |    AND pjk.j <= i.pos AND pjk.k >= i.pos
+         |  GROUP BY 1, 2, 3),
+         |ft AS (SELECT key, pos, CAST(max(mn) AS BIGINT)
+         |    AS iso_micro
+         |  FROM inr GROUP BY 1, 2)
+         |SELECT p0.key, p0.ts, p0.tie, p0.v, ft.iso_micro
+         |FROM p0 JOIN ft ON ft.key = p0.key
+         |  AND ft.pos = p0.pos""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

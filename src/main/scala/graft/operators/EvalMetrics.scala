@@ -1046,4 +1046,169 @@ object EvalMetrics {
             " AS BIGINT)) div CAST(size(__r) AS BIGINT)"))
           .as("wer_ppm"))
   }
+
+  /** Pinball (quantile) loss per key — the scoring rule for a
+    * QUANTILE forecast ([[seasonalNaiveBacktest]] grades the median
+    * view; a capacity planner's P90 forecast is graded by pinball at
+    * q = 0.9, which penalizes under-prediction q/(1−q) times harder):
+    *
+    *   loss(a, f) = qPpm·(a−f)        if a ≥ f
+    *              = (10⁶−qPpm)·(f−a)  otherwise
+    *
+    * exact int64 per row in ppm·lattice units (loud past |a−f| ≈
+    * 9·10¹²), folded to `n, sum_loss_ppm, mean_loss_ppm` (ONE
+    * integral division). Nulls refuse loudly. One map-side-combined
+    * agg — nothing else moves.
+    */
+  def pinballLossPpm(df: DataFrame, keyCol: String, actualCol: String,
+      forecastCol: String, qPpm: Long): DataFrame = {
+    require(qPpm >= 1 && qPpm <= 999999L,
+      s"qPpm=$qPpm out of [1, 999999]")
+    def m(c: String, what: String) = coalesce(col(c).try_cast("long"),
+      raise_error(concat(lit(s"pinballLossPpm: $what '"),
+        coalesce(col(c).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    df.select(col(keyCol).as("key"), m(actualCol, "actual").as("__a"),
+        m(forecastCol, "forecast").as("__f"))
+      .withColumn("__loss",
+        when(col("__a") >= col("__f"),
+          lit(qPpm) * (col("__a") - col("__f")))
+          .otherwise(lit(1000000L - qPpm)
+            * (col("__f") - col("__a"))))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("__loss"))
+        .as("sum_loss_ppm"))
+      .withColumn("mean_loss_ppm", expr("sum_loss_ppm div n"))
+  }
+
+  /** Hosmer–Lemeshow calibration deciles per key — the RANK-bucketed
+    * companion to [[ece]]'s value-bucketed bins (equal-count deciles
+    * are the textbook HL grouping; value bins go empty exactly where
+    * the model is confident): rows ranked by `(conf_ppm, tie)`,
+    * decile `g = ((rank−1)·10) div n`, and per decile the EXACT
+    * integer χ² inputs — `n_g`, observed `o_g = Σ label`, expected
+    * `e_ppm = Σ conf_ppm` (expected conversions ×10⁶ — no floor
+    * anywhere; the χ² fold `Σ(o·10⁶−e)²/(e·(1−e/(n·10⁶)))` is float
+    * and stays caller-side per the [[graft.operators.Experiment
+    * .logRank]] convention). Labels 0/1 and conf in [0, 10⁶],
+    * refused loudly; duplicate `(conf, tie)` pairs refuse (the rank
+    * must be total or the decile boundary is arbitrary). One
+    * key-partitioned rank window + one (key, decile) fold.
+    */
+  def hosmerLemeshowDeciles(df: DataFrame, keyCol: String,
+      tieCol: String, confPpmCol: String,
+      labelCol: String): DataFrame = {
+    val cf = coalesce(col(confPpmCol).try_cast("long"),
+      raise_error(concat(lit("hosmerLemeshowDeciles: confidence '"),
+        coalesce(col(confPpmCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val lb = coalesce(col(labelCol).try_cast("long"),
+      raise_error(concat(lit("hosmerLemeshowDeciles: label '"),
+        coalesce(col(labelCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(keyCol).as("key"),
+      col(tieCol).cast("long").as("__e"),
+      when(cf >= 0 && cf <= 1000000L, cf).otherwise(
+        raise_error(concat(lit("hosmerLemeshowDeciles: confidence "),
+          cf.cast("string"), lit(" outside [0, 1000000] ppm")))
+          .cast("long")).as("__c"),
+      when(lb.isin(0L, 1L), lb).otherwise(
+        raise_error(concat(lit("hosmerLemeshowDeciles: label "),
+          lb.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__l"))
+    val dupW = Window.partitionBy(col("key"), col("__c"), col("__e"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("__c"), col("__e"))
+    rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("hosmerLemeshowDeciles: duplicate " +
+          "(confidence, tie) in key '"),
+          coalesce(col("key").cast("string"), lit("NULL")),
+          lit("' — the decile boundary needs a total order")))
+          .cast("boolean")).otherwise(lit(true)))
+      .drop("__dup")
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("key"))))
+      .withColumn("decile", expr("((__r - 1L) * 10L) div __n"))
+      .groupBy(col("key"), col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("o"),
+        sum(col("__c")).as("e_ppm"))
+  }
+
+  /** Isotonic (monotone non-decreasing) fit per key on the micro
+    * lattice — the calibration-CURVE completion of [[ece]]'s gap
+    * number (a reliability diagram is only readable once the
+    * empirical accuracies are pooled monotone; PAVA's minimax form
+    *
+    *   fit_i = max_{j≤i} min_{k≥i} mean(v[j..k])
+    *
+    * is order-free, so it distributes): segment means floored ONCE
+    * to micro per (j,k) (truncation toward zero on negatives,
+    * stated — so the fit is the exact minimax of the LATTICE means,
+    * within 1 micro of the real-valued PAVA fit), the min over ONE
+    * (key, i, j)-grouped fold, the max over a second. The (j, k, i)
+    * relation is n³/6-sized BY DEFINITION ⇒ a LOUD ≤ maxN contract
+    * (calibration diagrams live at tens of bins; a million-point
+    * isotonic fit is the sequential PAVA — a different operator).
+    * Duplicate positions refuse. Output: `key, ts, tie, v,
+    * iso_micro` — non-decreasing in `(ts, tie)` per key by
+    * construction.
+    */
+  def isotonicFitMicro(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, maxN: Int = 64): DataFrame = {
+    require(maxN >= 1 && maxN <= 512, s"maxN=$maxN out of [1, 512]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("isotonicFitMicro value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val dupW = Window.partitionBy(col("key"), col("ts"), col("tie"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("tie"))
+    val pre = df.select(col(keyCol).as("key"),
+        col(tsCol).cast("long").as("ts"),
+        col(tieCol).cast("long").as("tie"), v.as("v"))
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("isotonicFitMicro: duplicate " +
+          "position (ts, tie) in key '"),
+          coalesce(col("key").cast("string"), lit("NULL")),
+          lit("' — the fit order must be total"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+      .withColumn("__pos", row_number().over(w).cast("long"))
+      .withColumn("__pre", sum(col("v")).over(w))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("key"))))
+      .filter(when(col("__n") > maxN,
+        raise_error(concat(lit("isotonicFitMicro: key '"),
+          coalesce(col("key").cast("string"), lit("NULL")),
+          lit("' has "), col("__n").cast("string"),
+          lit(s" rows > maxN=$maxN — the minimax relation is " +
+            "n^3-sized; pre-bin upstream or use a sequential PAVA")))
+          .cast("boolean")).otherwise(lit(true)))
+      .localCheckpoint()
+    val a = pre.select(col("key").as("__k1"), col("__pos").as("__j"),
+      (col("__pre") - col("v")).as("__pjm1"))
+    val b = pre.select(col("key").as("__k2"), col("__pos").as("__k"),
+      col("__pre").as("__prek"))
+    val pairsJk = a.join(b, col("__k1") <=> col("__k2")
+        && col("__j") <= col("__k"))
+      .select(col("__k1").as("__kp"), col("__j"), col("__k"),
+        expr("(1000000L * (__prek - __pjm1)) div (__k - __j + 1L)")
+          .as("__avg"))
+    val inner = pre.select(col("key").as("__ki"),
+        col("__pos").as("__i"))
+      .join(pairsJk, col("__ki") <=> col("__kp")
+        && col("__j") <= col("__i") && col("__k") >= col("__i"))
+      .groupBy(col("__ki"), col("__i"), col("__j"))
+      .agg(min(col("__avg")).as("__mn"))
+    val fit = inner.groupBy(col("__ki"), col("__i"))
+      .agg(max(col("__mn")).as("iso_micro"))
+    pre.join(fit, col("key") <=> col("__ki")
+        && col("__pos") === col("__i"))
+      .select(col("key"), col("ts"), col("tie"), col("v"),
+        col("iso_micro"))
+  }
 }

@@ -629,4 +629,85 @@ object Graph {
     }
     settled
   }
+
+  /** Newman modularity of a node→community assignment per community
+    * — the score that grades what [[labelPropInt]] found (a
+    * partition is only "communities" if Q says the within-edge mass
+    * beats the degree-product expectation):
+    *
+    *   Q = Σ_c [ e_c/m − (deg_c / 2m)² ]
+    *     = Σ_c (4m·e_c − deg_c²) / (4m²)
+    *
+    * emitted per community as the EXACT integers `e_in` (edges with
+    * both ends in c), `deg_sum` (Σ degrees of c's nodes) and `m`
+    * riding along, plus `contrib_ppm = (10⁶·(4m·e_c − deg_c²)) div
+    * (4m²)` on DECIMAL(38) — one integral TRUNCATION toward zero per
+    * community (contributions can be negative; ≤ 1 ppm each,
+    * stated; Σ contrib_ppm ≈ 10⁶·Q, reconstruct exactly from the
+    * integers if the ppm tail matters). Edges are canonical
+    * undirected (self-loops dropped, duplicates collapsed — the
+    * [[triangleCounts]] convention); every node must carry EXACTLY
+    * one non-null label, refused loudly (an unlabeled node silently
+    * shrinks its community's degree mass). One label join + two
+    * community-keyed aggs.
+    */
+  def modularityPpm(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame = {
+    def ep(c: String) = coalesce(col(c).cast("long"),
+      raise_error(lit(s"modularityPpm: null $c endpoint"))
+        .cast("long"))
+    val und = edges
+      .select(least(ep(srcCol), ep(dstCol)).as("a"),
+        greatest(ep(srcCol), ep(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val lab = labels.select(
+      coalesce(col(nodeCol).cast("long"),
+        raise_error(lit("modularityPpm: null node in labels"))
+          .cast("long")).as("__node"),
+      coalesce(col(labelCol).cast("long"),
+        raise_error(lit("modularityPpm: null label — an unlabeled " +
+          "node silently shrinks its community's degree mass"))
+          .cast("long")).as("__lab"))
+    val labDup = lab.groupBy(col("__node"))
+      .agg(count(lit(1)).as("__c"), max(col("__lab")).as("__lab"))
+      .select(col("__node"), when(col("__c") > 1,
+        raise_error(concat(lit("modularityPpm: node "),
+          col("__node").cast("string"),
+          lit(" labeled more than once"))).cast("long"))
+        .otherwise(col("__lab")).as("__lab"))
+    val la = labDup.select(col("__node").as("a"),
+      col("__lab").as("__la"))
+    val lb = labDup.select(col("__node").as("b"),
+      col("__lab").as("__lb"))
+    val joined = und
+      .join(la, Seq("a"), "left").join(lb, Seq("b"), "left")
+      .select(
+        coalesce(col("__la"), raise_error(concat(
+          lit("modularityPpm: node "), col("a").cast("string"),
+          lit(" has no label"))).cast("long")).as("__la"),
+        coalesce(col("__lb"), raise_error(concat(
+          lit("modularityPpm: node "), col("b").cast("string"),
+          lit(" has no label"))).cast("long")).as("__lb"))
+      .localCheckpoint()
+    val m = joined.count()
+    val eIn = joined.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("community"))
+      .agg(count(lit(1)).as("e_in"))
+    val degSum = joined
+      .select(col("__la").as("community"))
+      .union(joined.select(col("__lb").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("deg_sum"))
+    degSum.join(eIn, Seq("community"), "left")
+      .select(col("community"), col("deg_sum"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        lit(m).as("m"))
+      .withColumn("contrib_ppm", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0))" +
+          " * (CAST(4 AS DECIMAL(38,0)) * m * e_in" +
+          " - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum))" +
+          " div (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)"))
+  }
 }

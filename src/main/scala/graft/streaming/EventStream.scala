@@ -852,4 +852,81 @@ object EventStream {
           out.iterator
         })
   }
+
+  final case class SprtPoint(exp: String, ts: Long, tie: Long,
+      conv: Long)
+  final case class SprtState(s: Long, n: Long, decided: Boolean,
+      lastTs: Long, lastTie: Long)
+  final case class SprtOut(exp: String, ts: Long, tie: Long, n: Long,
+      s: Long, llr_micro: Long, decision: String)
+
+  /** Stateful streaming SPRT — the true streaming form of
+    * [[graft.operators.Experiment.sprtBinary]] (sequential testing
+    * is BORN streaming: the decision is supposed to fire the moment
+    * the boundary is crossed, not at the next batch recompute): per
+    * experiment the state is the running (s, n), a decided flag and
+    * the (ts, tie) high-water mark — five fields, bounded regardless
+    * of stream length. The llr is RECOMPUTED from (s, n) each row in
+    * the same fixed IEEE chain as the batch operator (state never
+    * accumulates floats, so stream ≡ batch exactly), each emission
+    * carries the running llr and `continue` / `reject_h0` /
+    * `accept_h0`, and after a boundary fires the test is OVER —
+    * later rows are absorbed silently (Wald's contract: sampling
+    * stops at the decision), late rows share the
+    * [[cusumStream]] drop policy. Conversions outside {0,1} fail
+    * the job loudly.
+    */
+  def sprtStream(points: org.apache.spark.sql.Dataset[SprtPoint],
+      p0Milli: Long, p1Milli: Long, alphaMilli: Long,
+      betaMilli: Long): org.apache.spark.sql.Dataset[SprtOut] = {
+    require(p0Milli >= 1 && p0Milli <= 999,
+      s"p0Milli=$p0Milli out of [1, 999]")
+    require(p1Milli >= 1 && p1Milli <= 999 && p1Milli != p0Milli,
+      s"p1Milli=$p1Milli must be in [1, 999] and differ from p0")
+    require(alphaMilli >= 1 && alphaMilli <= 499,
+      s"alphaMilli=$alphaMilli out of [1, 499]")
+    require(betaMilli >= 1 && betaMilli <= 499,
+      s"betaMilli=$betaMilli out of [1, 499]")
+    val l1 = math.log(p1Milli.toDouble / p0Milli.toDouble)
+    val l0 = math.log((1000L - p1Milli).toDouble
+      / (1000L - p0Milli).toDouble)
+    val upper = math.floor(1000000.0
+      * math.log((1000L - betaMilli).toDouble / alphaMilli.toDouble))
+      .toLong
+    val lower = math.floor(1000000.0
+      * math.log(betaMilli.toDouble / (1000L - alphaMilli).toDouble))
+      .toLong
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    points.groupByKey(_.exp)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (exp: String, rows: Iterator[SprtPoint],
+            state: GroupState[SprtState]) => {
+          var st = state.getOption.getOrElse(
+            SprtState(0L, 0L, decided = false, Long.MinValue,
+              Long.MinValue))
+          val out = rows.toSeq.sortBy(p => (p.ts, p.tie)).flatMap { p =>
+            require(p.conv == 0L || p.conv == 1L,
+              s"sprtStream: conversion ${p.conv} outside {0,1}")
+            val late = p.ts < st.lastTs ||
+              (p.ts == st.lastTs && p.tie <= st.lastTie)
+            if (late || st.decided) None
+            else {
+              val s = st.s + p.conv
+              val n = st.n + 1L
+              val llr = math.floor(1000000.0
+                * (s.toDouble * l1 + (n - s).toDouble * l0)).toLong
+              val decision =
+                if (llr >= upper) "reject_h0"
+                else if (llr <= lower) "accept_h0"
+                else "continue"
+              st = SprtState(s, n, decision != "continue", p.ts, p.tie)
+              Some(SprtOut(exp, p.ts, p.tie, n, s, llr, decision))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

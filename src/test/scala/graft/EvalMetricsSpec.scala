@@ -616,4 +616,94 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
     assert(rc(nul).getMessage.contains("null hypothesis"))
   }
+
+  test("pinballLossPpm: q=0.9 charges under-prediction 9x harder; " +
+      "hand mean 1550000; refusals") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val df = Seq(("k", 10L, 7L), ("k", 5L, 9L)).toDF("k", "a", "f")
+    val r = EvalMetrics.pinballLossPpm(df, "k", "a", "f", 900000L)
+      .collect()(0)
+    // 900000*3 + 100000*4 = 3100000 -> mean 1550000
+    assert(r.getAs[Long]("n") == 2L &&
+      r.getAs[Long]("sum_loss_ppm") == 3100000L &&
+      r.getAs[Long]("mean_loss_ppm") == 1550000L)
+    // symmetry check at q=0.5: both rows cost 0.5*|e|
+    val s = EvalMetrics.pinballLossPpm(df, "k", "a", "f", 500000L)
+      .collect()(0)
+    assert(s.getAs[Long]("sum_loss_ppm") == 3500000L)
+    val nul = intercept[Exception] {
+      EvalMetrics.pinballLossPpm(Seq(("k", Option.empty[Long], 1L))
+        .toDF("k", "a", "f"), "k", "a", "f", 900000L).collect()
+    }
+    assert(rc(nul).getMessage.contains("actual"))
+    intercept[IllegalArgumentException] {
+      EvalMetrics.pinballLossPpm(df, "k", "a", "f", 1000000L)
+    }
+  }
+
+  test("hosmerLemeshowDeciles: 20-row rank deciles carry exact " +
+      "O and sum-conf E; three refusals") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val df = (1 to 20).map(i =>
+      ("k", i.toLong, 50000L * i, (i % 2).toLong))
+      .toDF("k", "tie", "conf", "lab")
+    val got = EvalMetrics.hosmerLemeshowDeciles(df, "k", "tie",
+      "conf", "lab").collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("o"),
+          r.getAs[Long]("e_ppm")))).toMap
+    assert(got.keySet == (0L to 9L).toSet)
+    (0 to 9).foreach { d =>
+      assert(got(d.toLong) == ((2L, 1L, 50000L * (4 * d + 3))),
+        s"decile $d: got ${got(d.toLong)}")
+    }
+    val big = intercept[Exception] {
+      EvalMetrics.hosmerLemeshowDeciles(
+        Seq(("k", 1L, 1000001L, 1L)).toDF("k", "tie", "conf", "lab"),
+        "k", "tie", "conf", "lab").collect()
+    }
+    assert(rc(big).getMessage.contains("outside [0, 1000000]"))
+    val bl = intercept[Exception] {
+      EvalMetrics.hosmerLemeshowDeciles(
+        Seq(("k", 1L, 5L, 2L)).toDF("k", "tie", "conf", "lab"),
+        "k", "tie", "conf", "lab").collect()
+    }
+    assert(rc(bl).getMessage.contains("outside {0,1}"))
+    val dup = intercept[Exception] {
+      EvalMetrics.hosmerLemeshowDeciles(
+        Seq(("k", 1L, 5L, 1L), ("k", 1L, 5L, 0L))
+          .toDF("k", "tie", "conf", "lab"),
+        "k", "tie", "conf", "lab").collect()
+    }
+    assert(rc(dup).getMessage.contains("duplicate"))
+  }
+
+  test("isotonicFitMicro: PAVA pools (3,1,2) flat and (1,3,2) into " +
+      "a step; output is monotone; refusals") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    def run(vs: Seq[Long]) = EvalMetrics.isotonicFitMicro(
+      vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+        .toDF("k", "t", "e", "v"), "k", "t", "e", "v")
+      .orderBy("ts").collect().map(_.getAs[Long]("iso_micro")).toSeq
+    assert(run(Seq(3L, 1L, 2L)) == Seq(2000000L, 2000000L, 2000000L))
+    assert(run(Seq(1L, 3L, 2L)) == Seq(1000000L, 2500000L, 2500000L))
+    val fit = run(Seq(5L, -2L, 9L, 0L, 7L))
+    assert(fit == fit.sorted, s"not monotone: $fit")
+    val dup = intercept[Exception] {
+      EvalMetrics.isotonicFitMicro(
+        Seq(("k", 1L, 1L, 1L), ("k", 1L, 1L, 2L))
+          .toDF("k", "t", "e", "v"), "k", "t", "e", "v").collect()
+    }
+    assert(rc(dup).getMessage.contains("duplicate position"))
+    val big = intercept[Exception] {
+      EvalMetrics.isotonicFitMicro(
+        (1 to 5).map(i => ("k", i.toLong, i.toLong, i.toLong))
+          .toDF("k", "t", "e", "v"), "k", "t", "e", "v", maxN = 4)
+        .collect()
+    }
+    assert(rc(big).getMessage.contains("maxN=4"))
+  }
 }

@@ -345,4 +345,32 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(rootCause(nul).getMessage.contains("null dst endpoint"))
   }
+
+  test("modularityPpm: two bridged triangles read 178571 each " +
+      "(Q = 0.357); unlabeled and double-labeled nodes refuse") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 2L), (5L, 2L), (6L, 2L)).toDF("node", "lab")
+    val got = graft.operators.Graph.modularityPpm(edges, "s", "d",
+      labels, "node", "lab").collect()
+      .map(r => r.getAs[Long]("community") ->
+        ((r.getAs[Long]("e_in"), r.getAs[Long]("deg_sum"),
+          r.getAs[Long]("m"), r.getAs[Long]("contrib_ppm")))).toMap
+    // per community: (1e6*(4*7*3 - 49)) div (4*49) = 178571
+    assert(got(1L) == ((3L, 7L, 7L, 178571L)), s"got $got")
+    assert(got(2L) == ((3L, 7L, 7L, 178571L)))
+    val miss = intercept[Exception] {
+      graft.operators.Graph.modularityPpm(edges, "s", "d",
+        labels.filter(col("node") =!= 6L), "node", "lab").collect()
+    }
+    assert(rootCause(miss).getMessage.contains("has no label"))
+    val dup = intercept[Exception] {
+      graft.operators.Graph.modularityPpm(edges, "s", "d",
+        labels.union(Seq((1L, 2L)).toDF("node", "lab")),
+        "node", "lab").collect()
+    }
+    assert(rootCause(dup).getMessage.contains("labeled more than once"))
+  }
 }

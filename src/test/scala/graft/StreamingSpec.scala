@@ -704,6 +704,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sprtStream: decision fires mid-stream, later and late rows " +
+      "absorbed, emissions equal the batch walk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{SprtOut, SprtPoint}
+    val input = MemoryStream[SprtPoint]
+    val q = EventStream.sprtStream(input.toDS(),
+        p0Milli = 200L, p1Milli = 800L,
+        alphaMilli = 50L, betaMilli = 50L)
+      .writeStream.format("memory").queryName("sprt_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(SprtPoint("e", 1L, 1L, 1L),
+        SprtPoint("e", 2L, 2L, 1L))
+      q.processAllAvailable()
+      input.addData(SprtPoint("e", 3L, 3L, 1L), // crosses ln19 here
+        SprtPoint("e", 4L, 4L, 1L),             // post-decision
+        SprtPoint("e", 1L, 9L, 0L))             // late: ts 1 < hwm 2
+      q.processAllAvailable()
+      val got = spark.table("sprt_out").as[SprtOut].collect()
+        .sortBy(_.ts)
+      assert(got.length == 3,
+        s"post-decision/late rows not absorbed: ${got.toSeq}")
+      assert(got.map(_.decision).toSeq ==
+        Seq("continue", "continue", "reject_h0"))
+      // parity with the batch operator's decision row
+      val batch = graft.operators.Experiment.sprtBinary(
+        Seq(("e", 1L, 1L, 1L), ("e", 2L, 2L, 1L), ("e", 3L, 3L, 1L),
+          ("e", 4L, 4L, 1L)).toDF("e", "t", "i", "c"),
+        "e", "t", "i", "c", 200L, 800L, 50L, 50L).collect()(0)
+      assert(batch.getAs[Long]("n_at_decision") == 3L &&
+        got(2).llr_micro == batch.getAs[Long]("llr_at_decision") &&
+        got(2).n == 3L, s"stream ${got(2)} vs batch $batch")
+    } finally q.stop()
+  }
+
   test("bucketHistogramStream: windowed bucket counts equal the batch " +
       "histogram; null buckets refuse") {
     import spark.implicits._
