@@ -862,4 +862,93 @@ class NewOpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("isotonicFitMicro == the brute-force minimax over lattice " +
+      "means") {
+    val gen = Gen.choose(1, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50L, 50L)))
+    samples(gen, 8).zipWithIndex.foreach { case (vs, i) =>
+      val got = EvalMetrics.isotonicFitMicro(
+        vs.zipWithIndex.map { case (v, t) =>
+          ("k", t.toLong, t.toLong, v) }.toDF("k", "t", "e", "v"),
+        "k", "t", "e", "v").orderBy("ts").collect()
+        .map(_.getAs[Long]("iso_micro")).toSeq
+      val n = vs.length
+      def avg(j: Int, k: Int): Long = {
+        val s = vs.slice(j, k + 1).sum
+        1000000L * s / (k - j + 1)  // Long / truncates like div
+      }
+      val want = (0 until n).map { i2 =>
+        (0 to i2).map(j => (i2 until n).map(k => avg(j, k)).min).max
+      }
+      assert(got == want, s"case $i: got $got want $want")
+      assert(got == got.sorted, s"case $i: not monotone")
+    }
+  }
+
+  test("hosmerLemeshowDeciles == the sequential rank-decile walk") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        c <- Gen.choose(0L, 1000000L); l <- Gen.choose(0L, 1L)
+      } yield (c, l))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val got = EvalMetrics.hosmerLemeshowDeciles(
+        rows.zipWithIndex.map { case ((c, l), t) =>
+          ("k", t.toLong, c, l) }.toDF("k", "tie", "conf", "lab"),
+        "k", "tie", "conf", "lab").collect()
+        .map(r => r.getAs[Long]("decile") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("o"),
+            r.getAs[Long]("e_ppm")))).toMap
+      val n = rows.length.toLong
+      val want = rows.zipWithIndex
+        .sortBy { case ((c, _), t) => (c, t.toLong) }.zipWithIndex
+        .groupBy { case (_, r0) => (r0.toLong * 10L) / n }
+        .map { case (d, g) =>
+          d -> ((g.size.toLong, g.map(_._1._1._2).sum,
+            g.map(_._1._1._1).sum)) }
+      assert(got == want, s"case $i")
+    }
+  }
+
+  test("modularityPpm == the brute-force per-community scan") {
+    val gen = for {
+      ne <- Gen.choose(1, 30)
+      es <- Gen.listOfN(ne, for {
+        a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L)
+      } yield (a, b))
+    } yield es
+    samples(gen, 8).zipWithIndex.foreach { case (es0, i) =>
+      val und = es0.map { case (a, b) =>
+        (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct
+      if (und.nonEmpty) {
+        val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+        val labels = nodes.map(nd => (nd, nd % 3))
+        val got = graft.operators.Graph.modularityPpm(
+          es0.toDF("s", "d"), "s", "d",
+          labels.toDF("node", "lab"), "node", "lab").collect()
+          .map(r => r.getAs[Long]("community") ->
+            ((r.getAs[Long]("e_in"), r.getAs[Long]("deg_sum"),
+              r.getAs[Long]("contrib_ppm")))).toMap
+        val lab = labels.toMap
+        val m = und.size.toLong
+        val comms = und.flatMap(e => Seq(lab(e._1), lab(e._2)))
+          .distinct
+        assert(got.keySet == comms.toSet, s"case $i")
+        comms.foreach { c =>
+          val ein = und.count(e =>
+            lab(e._1) == c && lab(e._2) == c).toLong
+          val ds = und.map(e => Seq(e._1, e._2).count(lab(_) == c))
+            .sum.toLong
+          val contrib = (BigInt(1000000)
+            * (BigInt(4) * m * ein - BigInt(ds) * ds)) /
+            (BigInt(4) * m * m)
+          assert(got(c) == ((ein, ds, contrib.toLong)),
+            s"case $i c=$c")
+        }
+      }
+    }
+  }
 }
