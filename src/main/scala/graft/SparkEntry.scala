@@ -5830,6 +5830,51 @@ object SparkEntry {
         .agg(sum(col("v")).as("dv"))
       EvalMetrics.isotonicFitMicro(daily, "event_type", "d", "d",
         "dv")
+    }),
+
+    // CUMULATIVE GAINS / LIFT TABLE of the value-derived score
+    // against the parity label -- the discrimination view next to
+    // q348's calibration; bucket-0 lift is the headline.
+    "q351_gains" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      EvalMetrics.gainsTable(events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 10000).cast("long").as("score"),
+          pmod(col("event_id"), lit(2L)).as("lab")),
+        "event_type", "event_id", "score", "lab", nBuckets = 10)
+    }),
+
+    // WEIGHTED LOWER MEDIAN of the centi-values per event type with
+    // event-id-residue weights -- integer cross-multiplied
+    // threshold, reduces to q332's median at w = 1.
+    "q352_weighted_median" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.weightedMedianPerGroup(events(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("v"),
+          (pmod(col("event_id"), lit(5L)) + 1L).as("w")),
+        "event_type", "v", "w")
+    }),
+
+    // HILL TAIL INDEX (k=20) of document lengths per language --
+    // per-term micro-nat log-ratios over the top-21 order
+    // statistics; the heavy-tail monitor for length distributions.
+    "q353_hill" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.hillTailIndex(t(s, dir, "documents"), "lang", "n_chars",
+        k = 20)
+    }),
+
+    // RFM SEGMENTATION per event type: per-user recency/frequency/
+    // monetary integers and quintile scores within the segment
+    // (rank windows never global -- the stated contract).
+    "q354_rfm" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.rfmSegments(events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "user_id", "ts", "v",
+        nowTs = 1706745600000000000L, buckets = 5)
     })
   )
 
@@ -15185,7 +15230,114 @@ object SparkEntry {
          |  FROM inr GROUP BY 1, 2)
          |SELECT p0.key, p0.ts, p0.tie, p0.v, ft.iso_micro
          |FROM p0 JOIN ft ON ft.key = p0.key
-         |  AND ft.pos = p0.pos""".stripMargin
+         |  AND ft.pos = p0.pos""".stripMargin,
+
+    // q351: gains table -- the desc rank window, integer bucketing,
+    // cumulative sums, capture/lift divisions (lift on HUGEINT).
+    "q351_gains" ->
+      raw"""WITH e AS (SELECT event_type AS key, event_id AS tie,
+         |    CAST(floor(value * 10000) AS BIGINT) AS s,
+         |    CAST(event_id % 2 AS BIGINT) AS l FROM events),
+         |rk AS (SELECT key, l,
+         |    CAST(row_number() OVER (PARTITION BY key
+         |      ORDER BY s DESC, tie) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS tot
+         |  FROM e),
+         |bk AS (SELECT key, ((r - 1) * 10) // tot AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(l) AS BIGINT) AS o,
+         |    CAST(max(tot) AS BIGINT) AS tot
+         |  FROM rk GROUP BY 1, 2),
+         |cm AS (SELECT key, bucket, n, o, tot,
+         |    CAST(sum(n) OVER (PARTITION BY key ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+         |    CAST(sum(o) OVER (PARTITION BY key ORDER BY bucket
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_o,
+         |    CAST(sum(o) OVER (PARTITION BY key) AS BIGINT) AS toto
+         |  FROM bk)
+         |SELECT key, CAST(bucket AS BIGINT) AS bucket, n, o,
+         |  cum_n, cum_o,
+         |  CASE WHEN toto <= 0 THEN NULL
+         |    ELSE CAST((1000000 * cum_o) // toto AS BIGINT)
+         |    END AS capture_ppm,
+         |  CASE WHEN toto <= 0 THEN NULL
+         |    ELSE CAST((1000000::HUGEINT * cum_o * tot)
+         |      // (CAST(toto AS HUGEINT) * cum_n) AS BIGINT)
+         |    END AS lift_ppm
+         |FROM cm""".stripMargin,
+
+    // q352: weighted median -- cumulative-weight window, integer
+    // cross-multiplied threshold, min passing value.
+    "q352_weighted_median" ->
+      raw"""WITH e AS (SELECT event_type AS grp,
+         |    CAST(floor(value * 100) AS BIGINT) AS v,
+         |    CAST(event_id % 5 + 1 AS BIGINT) AS w FROM events),
+         |c AS (SELECT grp, v, w,
+         |    CAST(sum(w) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+         |    CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS wt,
+         |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+         |  FROM e)
+         |SELECT grp, CAST(max(n) AS BIGINT) AS n,
+         |  CAST(max(wt) AS BIGINT) AS w_total,
+         |  CAST(min(v) AS BIGINT) AS wmedian
+         |FROM c WHERE cw * 2 >= wt GROUP BY grp""".stripMargin,
+
+    // q353: Hill -- desc rank, the k+1 threshold join, per-term
+    // micro-nat ln floors, one integral division by k.
+    "q353_hill" ->
+      raw"""WITH d AS (SELECT lang AS grp, CAST(n_chars AS BIGINT)
+         |    AS v FROM documents),
+         |rk AS (SELECT grp, v,
+         |    CAST(row_number() OVER (PARTITION BY grp
+         |      ORDER BY v DESC) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+         |  FROM d),
+         |th AS (SELECT grp, v AS x_k1 FROM rk WHERE r = 21),
+         |tm AS (SELECT rk.grp, th.x_k1,
+         |    CAST(floor(1000000.0::DOUBLE
+         |      * ln(CAST(rk.v AS DOUBLE) / CAST(th.x_k1 AS DOUBLE)))
+         |      AS BIGINT) AS term
+         |  FROM rk JOIN th ON th.grp = rk.grp WHERE rk.r <= 20),
+         |f AS (SELECT grp, CAST(max(x_k1) AS BIGINT) AS x_k1,
+         |    CAST(sum(term) // 20 AS BIGINT) AS hill_micro
+         |  FROM tm GROUP BY 1)
+         |SELECT s.grp, s.n, CAST(20 AS BIGINT) AS k, f.x_k1,
+         |  f.hill_micro
+         |FROM (SELECT grp, CAST(max(n) AS BIGINT) AS n FROM rk
+         |  GROUP BY 1) s
+         |LEFT JOIN f ON f.grp = s.grp""".stripMargin,
+
+    // q354: RFM -- per-user integer aggregates, three segment-
+    // partitioned rank windows with the user tie-break, quintile
+    // bucketing by integer division.
+    "q354_rfm" ->
+      raw"""WITH e AS (SELECT event_type AS seg, user_id AS u,
+         |    epoch_ns(ts) AS t,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |pu AS (SELECT seg, u,
+         |    1706745600000000000 - max(t) AS recency,
+         |    CAST(count(*) AS BIGINT) AS frequency,
+         |    CAST(sum(v) AS BIGINT) AS monetary
+         |  FROM e GROUP BY 1, 2),
+         |rk AS (SELECT seg, u, recency, frequency, monetary,
+         |    CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n,
+         |    CAST(row_number() OVER (PARTITION BY seg
+         |      ORDER BY recency DESC, u) AS BIGINT) AS rr,
+         |    CAST(row_number() OVER (PARTITION BY seg
+         |      ORDER BY frequency ASC, u) AS BIGINT) AS rf,
+         |    CAST(row_number() OVER (PARTITION BY seg
+         |      ORDER BY monetary ASC, u) AS BIGINT) AS rm
+         |  FROM pu)
+         |SELECT seg, u AS user, CAST(recency AS BIGINT) AS recency,
+         |  frequency, monetary,
+         |  CAST(((rr - 1) * 5) // n + 1 AS BIGINT) AS r_score,
+         |  CAST(((rf - 1) * 5) // n + 1 AS BIGINT) AS f_score,
+         |  CAST(((rm - 1) * 5) // n + 1 AS BIGINT) AS m_score,
+         |  CAST((((rr - 1) * 5) // n + 1) * 25
+         |    + (((rf - 1) * 5) // n + 1) * 5
+         |    + (((rm - 1) * 5) // n + 1) AS BIGINT) AS rfm
+         |FROM rk""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

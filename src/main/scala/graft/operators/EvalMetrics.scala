@@ -1211,4 +1211,79 @@ object EvalMetrics {
       .select(col("key"), col("ts"), col("tie"), col("v"),
         col("iso_micro"))
   }
+
+  /** Cumulative gains / lift table per key — the DISCRIMINATION view
+    * next to [[hosmerLemeshowDeciles]]' calibration and [[aucPpm]]'s
+    * single number ("if we act on the top 20% by score, what share
+    * of the positives do we capture, and how much better than
+    * random is that"): rows ranked by `(score DESC, tie)`, bucket
+    * `g = ((rank−1)·nBuckets) div n`, per bucket the exact integers
+    * and the cumulative
+    *
+    *   capture_ppm = (10⁶·cum_o) div tot_o
+    *   lift_ppm    = (10⁶·cum_o·n) div (tot_o·cum_n)   [DECIMAL(38)]
+    *
+    * (top bucket first — lift_ppm at bucket 0 is the headline;
+    * capture is null when the key has NO positives, visibly).
+    * Labels 0/1 refused loudly; duplicate `(score, tie)` refuses
+    * (the bucket boundary needs a total order). One key-partitioned
+    * rank window + one (key, bucket) fold + one key-ordered
+    * cumulative window over nBuckets rows.
+    */
+  def gainsTable(df: DataFrame, keyCol: String, tieCol: String,
+      scoreCol: String, labelCol: String,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000,
+      s"nBuckets=$nBuckets out of [2, 1000]")
+    val sc = coalesce(col(scoreCol).try_cast("long"),
+      raise_error(concat(lit("gainsTable score '"),
+        coalesce(col(scoreCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val lb = coalesce(col(labelCol).try_cast("long"),
+      raise_error(concat(lit("gainsTable label '"),
+        coalesce(col(labelCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(keyCol).as("key"),
+      col(tieCol).cast("long").as("__e"), sc.as("__s"),
+      when(lb.isin(0L, 1L), lb).otherwise(
+        raise_error(concat(lit("gainsTable label "),
+          lb.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__l"))
+    val dupW = Window.partitionBy(col("key"), col("__s"), col("__e"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("__s").desc, col("__e"))
+    val cum = Window.partitionBy(col("key")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("gainsTable: duplicate " +
+          "(score, tie) in key '"),
+          coalesce(col("key").cast("string"), lit("NULL")),
+          lit("' — the bucket boundary needs a total order")))
+          .cast("boolean")).otherwise(lit(true)))
+      .drop("__dup")
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("key"))))
+      .withColumn("bucket",
+        expr(s"((__r - 1L) * ${nBuckets}L) div __n"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__l")).as("o"),
+        max(col("__n")).as("__tot"))
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("cum_o", sum(col("o")).over(cum))
+      .withColumn("__totO", sum(col("o")).over(
+        Window.partitionBy(col("key"))))
+      .select(col("key"), col("bucket"), col("n"), col("o"),
+        col("cum_n"), col("cum_o"),
+        when(col("__totO") <= 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000L * cum_o) div __totO"))
+          .as("capture_ppm"),
+        when(col("__totO") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_o * __tot)" +
+              " div (CAST(__totO AS DECIMAL(38,0)) * cum_n)" +
+              " AS BIGINT)")).as("lift_ppm"))
+  }
 }

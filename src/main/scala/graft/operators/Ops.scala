@@ -1300,4 +1300,105 @@ object Ops {
           " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
           .as("lift_ppm"))
   }
+
+  /** Weighted LOWER median per group — [[madPerGroup]]'s location
+    * estimator when observations carry weights (a host that reports
+    * 10× as often should count 10×, not once): the smallest value
+    * whose cumulative weight in ascending value order reaches half
+    * the total, decided by integer cross-multiplication
+    * (`2·cw ≥ W` — no division), which REDUCES EXACTLY to the
+    * unweighted lower median at w ≡ 1. Weights must be POSITIVE
+    * integers, refused loudly (a zero weight is a dropped row —
+    * drop it visibly; a negative one has no order meaning). Equal
+    * values may split across the threshold in any order: the
+    * crossing row's VALUE is the same whichever of its ties crosses,
+    * so the output is deterministic without a tie column. Output:
+    * `grp, n, w_total, wmedian`.
+    *
+    * Scale shape: one group-partitioned cumulative-weight window +
+    * one fold — the madPerGroup shape with weights.
+    */
+  def weightedMedianPerGroup(df: DataFrame, groupCol: String,
+      valCol: String, weightCol: String): DataFrame = {
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("weightedMedianPerGroup value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val w0 = coalesce(col(weightCol).try_cast("long"),
+      raise_error(concat(lit("weightedMedianPerGroup weight '"),
+        coalesce(col(weightCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val w = when(w0 >= 1, w0).otherwise(
+      raise_error(concat(lit("weightedMedianPerGroup weight "),
+        w0.cast("string"),
+        lit(" is not positive — drop or reweight visibly upstream")))
+        .cast("long"))
+    val win = Window.partitionBy(col("grp")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(groupCol).as("grp"), v.as("__v"), w.as("__w"))
+      .withColumn("__cw", sum(col("__w")).over(win))
+      .withColumn("__wt", sum(col("__w")).over(
+        Window.partitionBy(col("grp"))))
+      .filter(col("__cw") * 2L >= col("__wt"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("__k"), min(col("__v")).as("wmedian"),
+        max(col("__wt")).as("w_total"))
+      .join(df.select(col(groupCol).as("__g2")).groupBy(col("__g2"))
+        .agg(count(lit(1)).as("n")), col("grp") <=> col("__g2"))
+      .select(col("grp"), col("n"), col("w_total"), col("wmedian"))
+  }
+
+  /** Hill tail-index estimator per group — the heavy-tail monitor a
+    * latency or document-length distribution calls for (a finite
+    * mean is a MODELING ASSUMPTION; Hill 1975 estimates the Pareto
+    * exponent that says whether it holds): over the top k+1 order
+    * statistics,
+    *
+    *   hill_micro = (Σ_{i=1..k} floor(10⁶·ln(x_(i)/x_(k+1)))) div k
+    *
+    * — per-term micro floor in one fixed IEEE chain (the entropy ln
+    * discipline; undercount ≤ 1 micro per term + 1 for the final
+    * division, stated), α̂ = 10⁶/hill_micro caller-side. Terms
+    * depend only on VALUES, so rank ties at the boundary cannot
+    * change the result (an equal x_(k)/x_(k+1) contributes 0 either
+    * way). Values must be ≥ 1 (ln of a non-positive value refuses
+    * loudly); groups with fewer than k+1 rows emit a visible null
+    * row. Output: `grp, n, k, x_k1, hill_micro`.
+    *
+    * Scale shape: one group-partitioned rank window + one fold over
+    * the k+1 head rows.
+    */
+  def hillTailIndex(df: DataFrame, groupCol: String, valCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 100000, s"k=$k out of [1, 100000]")
+    val v0 = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("hillTailIndex value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val v = when(v0 >= 1, v0).otherwise(
+      raise_error(concat(lit("hillTailIndex value "),
+        v0.cast("string"),
+        lit(" < 1 — the tail log-ratio needs positive values; " +
+          "shift or filter visibly upstream"))).cast("long"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("__v").desc)
+    val ranked = df.select(col(groupCol).as("grp"), v.as("__v"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("grp"))))
+    val thresh = ranked.filter(col("__r") === k + 1L)
+      .select(col("grp").as("__gt"), col("__v").as("x_k1"))
+    val folded = ranked.filter(col("__r") <= k)
+      .join(thresh, col("grp") <=> col("__gt"))
+      .withColumn("__term",
+        floor(lit(1000000.0) * log(col("__v").cast("double")
+          / col("x_k1").cast("double"))).cast("long"))
+      .groupBy(col("grp").as("__g3"), col("x_k1"))
+      .agg(sum(col("__term")).as("__sum"))
+      .select(col("__g3"), col("x_k1"),
+        expr(s"__sum div ${k}L").as("hill_micro"))
+    ranked.groupBy(col("grp")).agg(max(col("__n")).as("n"))
+      .join(folded, col("grp") <=> col("__g3"), "left")
+      .select(col("grp"), col("n"), lit(k.toLong).as("k"),
+        col("x_k1"), col("hill_micro"))
+  }
 }

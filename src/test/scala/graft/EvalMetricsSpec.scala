@@ -706,4 +706,39 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
     assert(rc(big).getMessage.contains("maxN=4"))
   }
+
+  test("gainsTable: hand-walked 5-bucket gains end at lift 1e6; " +
+      "no-positive key nulls; refusals") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val labels = Seq(1L, 1L, 1L, 1L, 0L, 0L, 0L, 1L, 0L, 0L)
+    val df = labels.zipWithIndex.map { case (l, i) =>
+      ("k", i.toLong, 10L - i, l) }  // score 10..1 descending
+      .toDF("k", "tie", "s", "l")
+    val got = EvalMetrics.gainsTable(df, "k", "tie", "s", "l",
+      nBuckets = 5).orderBy("bucket").collect()
+      .map(r => (r.getAs[Long]("cum_o"), r.getAs[Long]("cum_n"),
+        r.getAs[Long]("capture_ppm"), r.getAs[Long]("lift_ppm")))
+    assert(got.toSeq == Seq(
+      (2L, 2L, 400000L, 2000000L), (4L, 4L, 800000L, 2000000L),
+      (4L, 6L, 800000L, 1333333L), (5L, 8L, 1000000L, 1250000L),
+      (5L, 10L, 1000000L, 1000000L)), s"got ${got.toSeq}")
+    val none = EvalMetrics.gainsTable(
+      Seq(("z", 1L, 5L, 0L), ("z", 2L, 4L, 0L))
+        .toDF("k", "tie", "s", "l"), "k", "tie", "s", "l",
+      nBuckets = 2).collect()
+    assert(none.forall(r => r.isNullAt(6) && r.isNullAt(7)),
+      "no positives: capture/lift are undefined, visibly null")
+    val bad = intercept[Exception] {
+      EvalMetrics.gainsTable(Seq(("k", 1L, 5L, 2L))
+        .toDF("k", "tie", "s", "l"), "k", "tie", "s", "l").collect()
+    }
+    assert(rc(bad).getMessage.contains("outside {0,1}"))
+    val dup = intercept[Exception] {
+      EvalMetrics.gainsTable(
+        Seq(("k", 1L, 5L, 1L), ("k", 1L, 5L, 0L))
+          .toDF("k", "tie", "s", "l"), "k", "tie", "s", "l").collect()
+    }
+    assert(rc(dup).getMessage.contains("duplicate"))
+  }
 }

@@ -269,6 +269,40 @@ class FunnelSpec extends AnyFunSuite {
       s"got ${rootCause(res).getMessage}")
   }
 
+  test("rfmSegments: 4-user hand fixture with every rank pinned; " +
+      "future-event refusal; value refusal") {
+    val evs = Seq(
+      (1L, 90L, 10L), (1L, 95L, 20L),
+      (2L, 50L, 100L),
+      (3L, 99L, 1L),
+      (4L, 80L, 5L), (4L, 85L, 5L), (4L, 88L, 5L))
+      .map { case (u, t, v) => ("s", u, t, v) }
+      .toDF("seg", "u", "ts", "v")
+    val got = Funnel.rfmSegments(evs, "seg", "u", "ts", "v",
+      nowTs = 100L, buckets = 4).collect()
+      .map(r => r.getAs[Long]("user") ->
+        ((r.getAs[Long]("recency"), r.getAs[Long]("frequency"),
+          r.getAs[Long]("monetary"), r.getAs[Long]("r_score"),
+          r.getAs[Long]("f_score"), r.getAs[Long]("m_score"),
+          r.getAs[Long]("rfm")))).toMap
+    assert(got(1L) == ((5L, 2L, 30L, 3L, 3L, 3L, 63L)), s"got $got")
+    assert(got(2L) == ((50L, 1L, 100L, 1L, 1L, 4L, 24L)))
+    assert(got(3L) == ((1L, 1L, 1L, 4L, 2L, 1L, 73L)))
+    assert(got(4L) == ((12L, 3L, 15L, 2L, 4L, 2L, 50L)))
+    val fut = intercept[Exception] {
+      Funnel.rfmSegments(Seq(("s", 1L, 200L, 1L))
+        .toDF("seg", "u", "ts", "v"), "seg", "u", "ts", "v",
+        nowTs = 100L).collect()
+    }
+    assert(rootCause(fut).getMessage.contains("after nowTs"))
+    val nul = intercept[Exception] {
+      Funnel.rfmSegments(Seq(("s", 1L, 50L, Option.empty[Long]))
+        .toDF("seg", "u", "ts", "v"), "seg", "u", "ts", "v",
+        nowTs = 100L).collect()
+    }
+    assert(rootCause(nul).getMessage.contains("rfmSegments value"))
+  }
+
   private def rootCause(t: Throwable): Throwable =
     if (t.getCause == null) t else rootCause(t.getCause)
 }

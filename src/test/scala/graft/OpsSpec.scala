@@ -682,4 +682,45 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(rootCause(nul).getMessage.contains("null item"))
   }
+
+  test("weightedMedianPerGroup: reduces to the lower median at " +
+      "w=1, weight mass moves the answer, non-positive refusal") {
+    val unit = Seq(1L, 2L, 3L, 4L, 100L).map(("a", _, 1L))
+      .toDF("g", "v", "w")
+    val r = Ops.weightedMedianPerGroup(unit, "g", "v", "w")
+      .collect()(0)
+    assert(r.getAs[Long]("wmedian") == 3L &&
+      r.getAs[Long]("n") == 5L && r.getAs[Long]("w_total") == 5L)
+    val heavy = Seq(("b", 1L, 9L), ("b", 10L, 1L),
+      ("c", 1L, 1L), ("c", 10L, 9L)).toDF("g", "v", "w")
+    val got = Ops.weightedMedianPerGroup(heavy, "g", "v", "w")
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("wmedian"))
+      .toMap
+    assert(got == Map("b" -> 1L, "c" -> 10L), s"got $got")
+    val zero = intercept[Exception] {
+      Ops.weightedMedianPerGroup(Seq(("a", 1L, 0L)).toDF("g", "v", "w"),
+        "g", "v", "w").collect()
+    }
+    assert(rootCause(zero).getMessage.contains("not positive"))
+  }
+
+  test("hillTailIndex: dyadic tail reads exactly the ln-lattice " +
+      "mean 1386294; short group null; non-positive refusal") {
+    val df = (Seq(1000L, 500L, 250L, 125L, 100L, 90L).map(("a", _))
+      ++ Seq(5L, 4L, 3L).map(("b", _))).toDF("g", "v")
+    val got = Ops.hillTailIndex(df, "g", "v", k = 3).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    // terms ln8/ln4/ln2 over x_k1=125: (2079441+1386294+693147)/3
+    assert(a.getAs[Long]("x_k1") == 125L &&
+      a.getAs[Long]("hill_micro") == 1386294L, s"got $a")
+    val b = got("b")
+    assert(b.getAs[Long]("n") == 3L && b.isNullAt(3) && b.isNullAt(4),
+      "fewer than k+1 rows: visible null row")
+    val bad = intercept[Exception] {
+      Ops.hillTailIndex(Seq(("a", 0L)).toDF("g", "v"), "g", "v", 1)
+        .collect()
+    }
+    assert(rootCause(bad).getMessage.contains("< 1"))
+  }
 }
