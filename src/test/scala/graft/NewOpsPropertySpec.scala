@@ -951,4 +951,117 @@ class NewOpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("weightedMedianPerGroup == the sorted cumulative-weight walk") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        v <- Gen.choose(-20L, 20L); w <- Gen.choose(1L, 9L)
+      } yield (v, w))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val r = Ops.weightedMedianPerGroup(
+        rows.map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w"),
+        "g", "v", "w").collect()(0)
+      val wt = rows.map(_._2).sum
+      var cw = 0L
+      val want = rows.sortBy(_._1).find { case (_, w) =>
+        cw += w; 2 * cw >= wt }.get._1
+      assert(r.getAs[Long]("wmedian") == want &&
+        r.getAs[Long]("w_total") == wt, s"case $i")
+    }
+  }
+
+  test("hillTailIndex == the sorted log-ratio fold") {
+    val gen = for {
+      n <- Gen.choose(2, 40); k <- Gen.choose(1, 6)
+      vs <- Gen.listOfN(n, Gen.choose(1L, 5000L))
+    } yield (vs, k)
+    samples(gen, 8).zipWithIndex.foreach { case ((vs, k), i) =>
+      val r = Ops.hillTailIndex(vs.map(("g", _)).toDF("g", "v"),
+        "g", "v", k).collect()(0)
+      if (vs.length < k + 1) assert(r.isNullAt(4), s"case $i")
+      else {
+        val sorted = vs.sorted(Ordering[Long].reverse)
+        val xk1 = sorted(k)
+        val want = sorted.take(k).map(x =>
+          math.floor(1000000.0 * math.log(x.toDouble / xk1.toDouble))
+            .toLong).sum / k
+        assert(r.getAs[Long]("x_k1") == xk1 &&
+          r.getAs[Long]("hill_micro") == want, s"case $i")
+      }
+    }
+  }
+
+  test("gainsTable == the sequential rank-bucket cumulative walk") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0L, 100L); l <- Gen.choose(0L, 1L)
+      } yield (s, l))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val nb = 4
+      val got = EvalMetrics.gainsTable(
+        rows.zipWithIndex.map { case ((s, l), t) =>
+          ("k", t.toLong, s, l) }.toDF("k", "tie", "s", "l"),
+        "k", "tie", "s", "l", nBuckets = nb).collect()
+        .map(r => r.getAs[Long]("bucket") ->
+          ((r.getAs[Long]("cum_n"), r.getAs[Long]("cum_o"),
+            if (r.isNullAt(7)) null
+            else r.getAs[Long]("lift_ppm")))).toMap
+      val n = rows.length.toLong
+      val toto = rows.map(_._2).sum
+      val ranked = rows.zipWithIndex
+        .sortBy { case ((s, _), t) => (-s, t.toLong) }
+      val want = ranked.zipWithIndex
+        .groupBy { case (_, r0) => (r0.toLong * nb) / n }
+      var cn = 0L; var co = 0L
+      want.toSeq.sortBy(_._1).foreach { case (b, g) =>
+        cn += g.size; co += g.map(_._1._1._2).sum
+        val lift = if (toto <= 0) null
+          else (BigInt(1000000) * co * n / (BigInt(toto) * cn)).toLong
+        assert(got(b) == ((cn, co, lift)), s"case $i bucket $b")
+      }
+    }
+  }
+
+  test("rfmSegments == the brute-force per-segment rank walk") {
+    val gen = for {
+      ne <- Gen.choose(1, 50)
+      evs <- Gen.listOfN(ne, for {
+        u <- Gen.choose(0L, 9L); t <- Gen.choose(0L, 99L)
+        v <- Gen.choose(0L, 50L)
+      } yield (u, t, v))
+    } yield evs
+    samples(gen, 8).zipWithIndex.foreach { case (evs, i) =>
+      val b = 5
+      val got = graft.operators.Funnel.rfmSegments(
+        evs.map { case (u, t, v) => ("s", u, t, v) }
+          .toDF("seg", "u", "ts", "v"),
+        "seg", "u", "ts", "v", nowTs = 100L, buckets = b).collect()
+        .map(r => r.getAs[Long]("user") ->
+          ((r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+            r.getAs[Long]("m_score")))).toMap
+      val per = evs.groupBy(_._1).map { case (u, es) =>
+        (u, 100L - es.map(_._2).max, es.size.toLong,
+          es.map(_._3).sum) }.toSeq
+      val n = per.size.toLong
+      def scores(metric: ((Long, Long, Long, Long)) => Long,
+          desc: Boolean) = {
+        val sorted =
+          if (desc) per.sortBy(p => (-metric(p), p._1))
+          else per.sortBy(p => (metric(p), p._1))
+        sorted.zipWithIndex.map { case (p, r0) =>
+          p._1 -> ((r0.toLong * b) / n + 1) }.toMap
+      }
+      val rs = scores(_._2, desc = true)
+      val fs = scores(_._3, desc = false)
+      val ms = scores(_._4, desc = false)
+      per.foreach { p =>
+        assert(got(p._1) == ((rs(p._1), fs(p._1), ms(p._1))),
+          s"case $i user ${p._1}")
+      }
+    }
+  }
 }
