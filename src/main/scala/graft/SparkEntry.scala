@@ -5875,6 +5875,39 @@ object SparkEntry {
           floor(col("value") * 100).cast("long").as("v")),
         "event_type", "user_id", "ts", "v",
         nowTs = 1706745600000000000L, buckets = 5)
+    }),
+
+    // TIME-DECAY ATTRIBUTION (half-life 6 h) over the q325 touch
+    // derivation -- exact dyadic step weights (no exp() anywhere),
+    // per-user ppm normalization; the fourth of the standard four
+    // models.
+    "q355_time_decay" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.attributeTimeDecay(events(s, dir), "user_id",
+        "event_type", "ts", "event_id", "purchase",
+        halfLifeNs = 21600000000000L)
+    }),
+
+    // GROWTH ACCOUNTING by day: new/retained/resurrected/churned
+    // user decomposition with the quick ratio; churn lands in the
+    // period the loss shows up, the final day counts none.
+    "q356_growth" -> ((s, dir) => {
+      import graft.operators.Funnel
+      Funnel.growthAccounting(events(s, dir), "user_id", "ts",
+        periodNs = 86400000000000L)
+    }),
+
+    // QUADRATIC-WEIGHTED KAPPA between two user-residue raters per
+    // event type -- the ordinal agreement with (i-j)^2 penalties,
+    // one DECIMAL division.
+    "q357_weighted_kappa" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      EvalMetrics.weightedKappa(events(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(4L)).as("r1"),
+          pmod(col("user_id") + pmod(col("event_id"), lit(3L)),
+            lit(4L)).as("r2")),
+        "event_type", "r1", "r2", maxCat = 4)
     })
   )
 
@@ -15337,7 +15370,102 @@ object SparkEntry {
          |  CAST((((rr - 1) * 5) // n + 1) * 25
          |    + (((rf - 1) * 5) // n + 1) * 5
          |    + (((rm - 1) * 5) // n + 1) AS BIGINT) AS rfm
-         |FROM rk""".stripMargin
+         |FROM rk""".stripMargin,
+
+    // q355: time decay -- the q325 converter-touch derivation, the
+    // dyadic step weights via integer shifts, per-user HUGEINT
+    // normalization, one channel fold.
+    "q355_time_decay" ->
+      raw"""WITH r AS (SELECT user_id AS u, event_type AS et,
+         |    epoch_ns(ts) AS ts, event_id AS tie FROM events),
+         |cv AS (SELECT u, ts AS cts, tie AS ctie FROM (
+         |    SELECT u, ts, tie, row_number() OVER (PARTITION BY u
+         |      ORDER BY ts, tie) AS rn
+         |    FROM r WHERE et = 'purchase') WHERE rn = 1),
+         |tc AS (SELECT r.u, r.et AS channel,
+         |    (cv.cts - r.ts) // 21600000000000 AS e
+         |  FROM r JOIN cv ON cv.u = r.u
+         |    AND (r.ts < cv.cts OR (r.ts = cv.cts
+         |      AND r.tie < cv.ctie))
+         |  WHERE r.et <> 'purchase'),
+         |sc AS (SELECT u, channel,
+         |    e - min(e) OVER (PARTITION BY u) AS s
+         |  FROM tc),
+         |wt AS (SELECT u, channel,
+         |    CASE WHEN s >= 63 THEN 0
+         |      ELSE 1::BIGINT << CAST(62 - s AS INTEGER) END AS w
+         |  FROM sc),
+         |nm AS (SELECT u, channel, w,
+         |    sum(CAST(w AS HUGEINT)) OVER (PARTITION BY u) AS ws
+         |  FROM wt)
+         |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(sum(CAST((1000000::HUGEINT * w) // ws AS BIGINT))
+         |    AS BIGINT) AS credit_ppm
+         |FROM nm GROUP BY channel""".stripMargin,
+
+    // q356: growth accounting -- distinct daily presence, one
+    // lag/lead walk per user, churn shifted one period, full outer
+    // so a zero-active churn day survives.
+    "q356_growth" ->
+      raw"""WITH pr AS (SELECT DISTINCT user_id AS u,
+         |    epoch_ns(ts) // 86400000000000 AS p FROM events),
+         |mk AS (SELECT u, CAST(p AS BIGINT) AS p,
+         |    lag(p) OVER (PARTITION BY u ORDER BY p) AS prev,
+         |    lead(p) OVER (PARTITION BY u ORDER BY p) AS nxt
+         |  FROM pr),
+         |mx AS (SELECT CAST(max(p) AS BIGINT) AS maxp FROM mk),
+         |ac AS (SELECT p AS period,
+         |    CAST(count(*) AS BIGINT) AS n_active,
+         |    CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_new,
+         |    CAST(sum(CASE WHEN prev = p - 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_retained,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev < p - 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+         |  FROM mk GROUP BY 1),
+         |ch AS (SELECT p + 1 AS cp,
+         |    CAST(count(*) AS BIGINT) AS n_churned
+         |  FROM mk CROSS JOIN mx
+         |  WHERE (nxt IS NULL OR nxt <> p + 1) AND p < mx.maxp
+         |  GROUP BY 1)
+         |SELECT CAST(COALESCE(ac.period, ch.cp) AS BIGINT)
+         |    AS period,
+         |  COALESCE(ac.n_active, 0) AS n_active,
+         |  COALESCE(ac.n_new, 0) AS n_new,
+         |  COALESCE(ac.n_retained, 0) AS n_retained,
+         |  COALESCE(ac.n_resurrected, 0) AS n_resurrected,
+         |  COALESCE(ch.n_churned, 0) AS n_churned,
+         |  CASE WHEN COALESCE(ch.n_churned, 0) <= 0 THEN NULL
+         |    ELSE CAST((1000000 * (COALESCE(ac.n_new, 0)
+         |      + COALESCE(ac.n_resurrected, 0)))
+         |      // ch.n_churned AS BIGINT) END AS quick_ratio_ppm
+         |FROM ac FULL OUTER JOIN ch ON ch.cp = ac.period""".stripMargin,
+
+    // q357: weighted kappa -- (i,j) cells, marginal cross grid,
+    // one HUGEINT division.
+    "q357_weighted_kappa" ->
+      raw"""WITH e AS (SELECT event_type AS key,
+         |    CAST(user_id % 4 AS BIGINT) AS i,
+         |    CAST((user_id + event_id % 3) % 4 AS BIGINT) AS j
+         |  FROM events),
+         |cl AS (SELECT key, i, j, CAST(count(*) AS BIGINT) AS o
+         |  FROM e GROUP BY 1, 2, 3),
+         |nm AS (SELECT key, CAST(sum(o) AS BIGINT) AS n,
+         |    CAST(sum((i - j) * (i - j) * o) AS BIGINT) AS num
+         |  FROM cl GROUP BY 1),
+         |rt AS (SELECT key, i, CAST(sum(o) AS BIGINT) AS ri FROM cl
+         |  GROUP BY 1, 2),
+         |ct AS (SELECT key, j, CAST(sum(o) AS BIGINT) AS cj FROM cl
+         |  GROUP BY 1, 2),
+         |dn AS (SELECT rt.key,
+         |    sum((rt.i - ct.j) * (rt.i - ct.j)
+         |      * CAST(rt.ri AS HUGEINT) * ct.cj) AS den
+         |  FROM rt JOIN ct ON ct.key = rt.key GROUP BY 1)
+         |SELECT nm.key, nm.n, nm.num,
+         |  CASE WHEN dn.den <= 0 THEN NULL
+         |    ELSE CAST(1000000 - (1000000::HUGEINT * nm.n * nm.num)
+         |      // dn.den AS BIGINT) END AS kappa_w_ppm
+         |FROM nm JOIN dn ON dn.key = nm.key""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

@@ -1286,4 +1286,62 @@ object EvalMetrics {
               " div (CAST(__totO AS DECIMAL(38,0)) * cum_n)" +
               " AS BIGINT)")).as("lift_ppm"))
   }
+
+  /** Quadratic-weighted Cohen's kappa per key — the ORDINAL
+    * agreement [[cohensKappa]]'s unweighted form throws away (a
+    * 1-vs-2 disagreement on a 5-point rubric is NOT a 1-vs-5
+    * disagreement; quadratic weights (i−j)² are the standard
+    * penalty, Cohen 1968):
+    *
+    *   κ_w = 1 − (n · Σ(i−j)²·O_ij) / (Σ(i−j)²·r_i·c_j)
+    *
+    * — O the observed pair counts, r/c the marginal totals — as ONE
+    * integral division on DECIMAL(38) (`kappa_w_ppm = 10⁶ −
+    * (10⁶·n·num) div den`; num/den exact integers, so the only
+    * floor is the final ppm truncation). Ratings must be integers
+    * in [0, maxCat), refused loudly; null when the chance-expected
+    * weighted disagreement is zero (both raters constant — κ_w is
+    * undefined, not perfect). The category grid is maxCat²-bounded
+    * (≤ 64²). One (key, i, j) map-side agg + two marginal folds +
+    * one key-local grid join.
+    */
+  def weightedKappa(ratings: DataFrame, keyCol: String, r1Col: String,
+      r2Col: String, maxCat: Int = 16): DataFrame = {
+    require(maxCat >= 2 && maxCat <= 64,
+      s"maxCat=$maxCat out of [2, 64]")
+    def rt(c: String) = {
+      val v = coalesce(col(c).try_cast("long"),
+        raise_error(concat(lit(s"weightedKappa: rating $c '"),
+          coalesce(col(c).cast("string"), lit("NULL")),
+          lit("' is null or not castable to long"))).cast("long"))
+      when(v >= 0 && v < maxCat, v).otherwise(
+        raise_error(concat(lit(s"weightedKappa: rating $c "),
+          v.cast("string"), lit(s" outside [0, $maxCat)")))
+          .cast("long"))
+    }
+    val cells = ratings.select(col(keyCol).as("key"),
+        rt(r1Col).as("__i"), rt(r2Col).as("__j"))
+      .groupBy(col("key"), col("__i"), col("__j"))
+      .agg(count(lit(1)).as("__o"))
+    val num = cells.groupBy(col("key"))
+      .agg(count(lit(1)).as("__cells"), sum(col("__o")).as("n"),
+        sum((col("__i") - col("__j")) * (col("__i") - col("__j"))
+          * col("__o")).as("__num"))
+    val rTot = cells.groupBy(col("key").as("__kr"), col("__i"))
+      .agg(sum(col("__o")).as("__ri"))
+    val cTot = cells.groupBy(col("key").as("__kc"), col("__j"))
+      .agg(sum(col("__o")).as("__cj"))
+    val den = rTot.join(cTot, col("__kr") <=> col("__kc"))
+      .select(col("__kr"),
+        ((col("__i") - col("__j")) * (col("__i") - col("__j"))
+          .cast("decimal(38,0)") * col("__ri") * col("__cj"))
+          .as("__t"))
+      .groupBy(col("__kr")).agg(sum(col("__t")).as("__den"))
+    num.join(den, col("key") <=> col("__kr"))
+      .select(col("key"), col("n"), col("__num").as("num"),
+        when(col("__den") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "1000000L - CAST((CAST(1000000 AS DECIMAL(38,0)) * n" +
+              " * num) div __den AS BIGINT)")).as("kappa_w_ppm"))
+  }
 }

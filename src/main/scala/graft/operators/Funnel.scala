@@ -560,4 +560,121 @@ object Funnel {
           + col("f_score") * buckets.toLong + col("m_score"))
           .as("rfm"))
   }
+
+  /** Time-decay attribution — the fourth of the standard four
+    * models beside [[attributeLastTouch]], [[attributePositionBased]]
+    * and [[markovRemovalEffect]]: each pre-conversion touch carries
+    * weight 2^(−s) where `s = (convTs − touchTs) div halfLifeNs −
+    * per-user min` (EXACT dyadic decay — half-life steps on the
+    * integer lattice, no exp() anywhere; the floor means a touch
+    * keeps its full step-weight until the next half-life boundary,
+    * stated), normalized per user (`credit = (10⁶·w) div Σw` on
+    * DECIMAL(38), ≤ n micro floor loss per user), folded per
+    * channel. A touch ≥ 63 half-lives staler than the user's
+    * freshest touch gets weight 0 — past int64 resolution, VISIBLE
+    * in the doc rather than silently re-scaled. Same touch
+    * derivation, strict-lex ties and null-channel refusal as the
+    * position model. Output: `channel, n_touches, credit_ppm`.
+    *
+    * Scale shape: one conversion min-fold + one user equi join +
+    * one (user) agg + one channel agg — row-sized data crosses one
+    * shuffle once; no window at all (the decay needs no ordering,
+    * only the conversion timestamp).
+    */
+  def attributeTimeDecay(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String,
+      convType: String, halfLifeNs: Long): DataFrame = {
+    require(halfLifeNs >= 1, s"halfLifeNs=$halfLifeNs must be >= 1")
+    val chan = coalesce(col(typeCol).cast("string"),
+      raise_error(lit("attributeTimeDecay: null channel on a touch " +
+        "event — a null channel would silently absorb credit"))
+        .cast("string"))
+    val rows = events.select(col(userCol).as("user"),
+      col(typeCol).as("etype"), chan.as("channel"),
+      col(tsCol).cast("long").as("ts"),
+      col(tieCol).cast("long").as("tie"))
+    val convs = rows.filter(col("etype") === convType)
+      .groupBy(col("user").as("__u"))
+      .agg(min(struct(col("ts"), col("tie"))).as("__conv"))
+    val touches = rows.filter(col("etype") =!= convType)
+      .join(convs, col("user") === col("__u"))
+      .filter(struct(col("ts"), col("tie")) < col("__conv"))
+      .withColumn("__e",
+        expr("(__conv.ts - ts) div " + s"${halfLifeNs}L"))
+    val scaled = touches
+      .withColumn("__minE", min(col("__e")).over(
+        Window.partitionBy(col("user"))))
+      .withColumn("__s", col("__e") - col("__minE"))
+      .withColumn("__w", when(col("__s") >= 63L, lit(0L))
+        .otherwise(expr("shiftleft(1L, CAST(62 - __s AS INT))")))
+      .withColumn("__wsum", sum(col("__w").cast("decimal(38,0)"))
+        .over(Window.partitionBy(col("user"))))
+      .withColumn("__credit", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * __w) div __wsum " +
+          "AS BIGINT)"))
+    scaled.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("__credit")).as("credit_ppm"))
+  }
+
+  /** Growth accounting per period — the active-user decomposition a
+    * growth review runs on (Reforge's quick-ratio inputs): with
+    * presence = DISTINCT (user, period = ts div periodNs), each
+    * user-period is `new` (first period ever), `retained` (present
+    * the period before) or `resurrected` (a gap behind it); a user
+    * present in p but absent in p+1 is `churned`, COUNTED IN p+1
+    * (the period the loss shows up), and the final period counts no
+    * churn — the data can't see past its own edge (stated). All
+    * exact integers; `quick_ratio_ppm = (10⁶·(new+resurrected)) div
+    * churned` rides along (null when nothing churned — unbounded,
+    * not 10⁶). Output per period: `period, n_active, n_new,
+    * n_retained, n_resurrected, n_churned, quick_ratio_ppm`.
+    *
+    * Scale shape: one distinct-presence agg + ONE user-partitioned
+    * lag/lead window + one period fold; the global max period is a
+    * 1-row broadcast.
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+      tsCol: String, periodNs: Long): DataFrame = {
+    require(periodNs >= 1, s"periodNs=$periodNs must be >= 1")
+    val w = Window.partitionBy(col("user")).orderBy(col("p"))
+    val marked = events.select(col(userCol).as("user"),
+        expr(s"CAST(`$tsCol` AS BIGINT) div ${periodNs}L").as("p"))
+      .distinct()
+      .withColumn("__prev", lag(col("p"), 1).over(w))
+      .withColumn("__next", lead(col("p"), 1).over(w))
+    val maxP = marked.groupBy()
+      .agg(max(col("p")).as("__maxp"))
+    val status = marked
+      .withColumn("__st",
+        when(col("__prev").isNull, lit("new"))
+          .when(col("__prev") === col("p") - 1L, lit("retained"))
+          .otherwise(lit("resurrected")))
+    val active = status.groupBy(col("p").as("period"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("__st") === "new", 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("__st") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("__st") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val churn = marked.crossJoin(broadcast(maxP))
+      .filter((col("__next").isNull || col("__next") =!= col("p") + 1L)
+        && col("p") < col("__maxp"))
+      .groupBy((col("p") + 1L).as("__cp"))
+      .agg(count(lit(1)).as("n_churned"))
+    // FULL outer: a period can churn users while activating none —
+    // dropping it would hide exactly the cliff the table exists for
+    active.join(churn, col("period") <=> col("__cp"), "full_outer")
+      .select(coalesce(col("period"), col("__cp")).as("period"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio_ppm",
+        when(col("n_churned") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "(1000000L * (n_new + n_resurrected)) div n_churned")))
+  }
 }

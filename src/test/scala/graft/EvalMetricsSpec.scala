@@ -741,4 +741,27 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
     assert(rc(dup).getMessage.contains("duplicate"))
   }
+
+  test("weightedKappa: hand 3-category fixture reads 333334 (one " +
+      "ppm truncation); constant raters null; range refusal") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val df = (Seq.fill(2)((0L, 0L)) ++ Seq.fill(2)((1L, 1L))
+      ++ Seq.fill(2)((2L, 2L)) ++ Seq((0L, 2L), (2L, 0L)))
+      .map { case (a, b) => ("k", a, b) }.toDF("k", "r1", "r2")
+    val r = EvalMetrics.weightedKappa(df, "k", "r1", "r2",
+      maxCat = 3).collect()(0)
+    // num = 8, den = 96: kappa = 1e6 - (1e6*8*8) div 96 = 333334
+    assert(r.getAs[Long]("n") == 8L && r.getAs[Long]("num") == 8L &&
+      r.getAs[Long]("kappa_w_ppm") == 333334L, s"got $r")
+    val const = Seq(("k", 1L, 1L), ("k", 1L, 1L)).toDF("k", "r1", "r2")
+    assert(EvalMetrics.weightedKappa(const, "k", "r1", "r2")
+      .collect()(0).isNullAt(3),
+      "both raters constant: chance disagreement 0, undefined")
+    val bad = intercept[Exception] {
+      EvalMetrics.weightedKappa(Seq(("k", 3L, 1L)).toDF("k", "r1", "r2"),
+        "k", "r1", "r2", maxCat = 3).collect()
+    }
+    assert(rc(bad).getMessage.contains("outside [0, 3)"))
+  }
 }

@@ -303,6 +303,58 @@ class FunnelSpec extends AnyFunSuite {
     assert(rootCause(nul).getMessage.contains("rfmSegments value"))
   }
 
+  test("attributeTimeDecay: dyadic 4:1 split at one half-life step, " +
+      "63-step staleness zeroes out, per-user normalization") {
+    // u1: conv@100, A(d=10,e=0) B(d=50,e=2) hl=20 -> 4:1
+    // u2: single stale touch -> min-shift renormalizes to 1e6
+    // u3: D fresh, E 65 steps staler -> E gets exactly 0
+    val evs = Seq(
+      (1L, "A", 90L, 1L), (1L, "B", 50L, 2L), (1L, "buy", 100L, 3L),
+      (2L, "C", -900L, 4L), (2L, "buy", 100L, 5L),
+      (3L, "D", 99L, 6L), (3L, "E", -1200L, 7L),
+      (3L, "buy", 100L, 8L))
+      .toDF("u", "et", "ts", "id")
+    val got = Funnel.attributeTimeDecay(evs, "u", "et", "ts", "id",
+      "buy", halfLifeNs = 20L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("credit_ppm"))))
+      .toMap
+    assert(got("A") == ((1L, 800000L)), s"got $got")
+    assert(got("B") == ((1L, 200000L)))
+    assert(got("C") == ((1L, 1000000L)),
+      "a lone stale touch still gets full credit (min-shift)")
+    assert(got("D") == ((1L, 1000000L)) && got("E") == ((1L, 0L)),
+      ">= 63 half-lives staler than the freshest: zero, stated")
+    val nul = intercept[Exception] {
+      Funnel.attributeTimeDecay(
+        Seq((1L, Option.empty[String], 1L, 1L), (1L, Some("buy"), 2L, 2L))
+          .toDF("u", "et", "ts", "id"),
+        "u", "et", "ts", "id", "buy", 20L).collect()
+    }
+    assert(rootCause(nul).getMessage.contains("null channel"))
+  }
+
+  test("growthAccounting: new/retained/resurrected/churned hand " +
+      "walk; zero-active churn period survives; edge period " +
+      "counts no churn") {
+    val evs = Seq((1L, 5L), (1L, 15L), (1L, 35L),
+      (2L, 15L), (3L, 35L))
+      .toDF("u", "ts")
+    val got = Funnel.growthAccounting(evs, "u", "ts", periodNs = 10L)
+      .collect().map(r => r.getAs[Long]("period") ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+          r.getAs[Long]("n_churned"),
+          if (r.isNullAt(6)) null else r.getAs[Long]("quick_ratio_ppm"))))
+      .toMap
+    assert(got(0L) == ((1L, 1L, 0L, 0L, 0L, null)), s"got $got")
+    assert(got(1L) == ((2L, 1L, 1L, 0L, 0L, null)))
+    // p2: nobody active, u1+u2 both went missing -> the cliff row
+    assert(got(2L) == ((0L, 0L, 0L, 0L, 2L, 0L)))
+    // p3 = max period: u1 resurrects, u3 is new; churn unseeable
+    assert(got(3L) == ((2L, 1L, 0L, 1L, 0L, null)))
+  }
+
   private def rootCause(t: Throwable): Throwable =
     if (t.getCause == null) t else rootCause(t.getCause)
 }
