@@ -1064,4 +1064,112 @@ class NewOpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("attributeTimeDecay == the BigInt per-user shift walk") {
+    val gen = for {
+      nu <- Gen.choose(1, 10)
+      users <- Gen.listOfN(nu, for {
+        nt <- Gen.choose(0, 6)
+        touches <- Gen.listOfN(nt, for {
+          ch <- Gen.oneOf("A", "B", "C")
+          dt <- Gen.choose(1L, 3000L)
+        } yield (ch, dt))
+      } yield touches)
+    } yield users
+    samples(gen, 8).zipWithIndex.foreach { case (users, i) =>
+      val hl = 20L
+      val evs = users.zipWithIndex.flatMap { case (ts0, u) =>
+        (u.toLong, "buy", 10000L, (u * 100).toLong) +:
+          ts0.zipWithIndex.map { case ((ch, dt), j) =>
+            (u.toLong, ch, 10000L - dt, (u * 100 + j + 1).toLong) }
+      }
+      val got = graft.operators.Funnel.attributeTimeDecay(
+        evs.toDF("u", "et", "ts", "id"), "u", "et", "ts", "id",
+        "buy", hl).collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("credit_ppm"))
+        .toMap
+      val want = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      users.foreach { ts0 =>
+        if (ts0.nonEmpty) {
+          val es = ts0.map { case (ch, dt) => (ch, dt / hl) }
+          val minE = es.map(_._2).min
+          val ws = es.map { case (ch, e) =>
+            val s = e - minE
+            (ch, if (s >= 63) BigInt(0) else BigInt(1) << (62 - s.toInt))
+          }
+          val tot = ws.map(_._2).sum
+          ws.foreach { case (ch, w) =>
+            want(ch) += (BigInt(1000000) * w / tot).toLong }
+        }
+      }
+      assert(got == want.toMap, s"case $i: got $got want $want")
+    }
+  }
+
+  test("growthAccounting == the brute-force presence scan") {
+    val gen = for {
+      ne <- Gen.choose(1, 60)
+      evs <- Gen.listOfN(ne, for {
+        u <- Gen.choose(0L, 7L); t <- Gen.choose(0L, 99L)
+      } yield (u, t))
+    } yield evs
+    samples(gen, 8).zipWithIndex.foreach { case (evs, i) =>
+      val got = graft.operators.Funnel.growthAccounting(
+        evs.toDF("u", "ts"), "u", "ts", periodNs = 10L).collect()
+        .map(r => r.getAs[Long]("period") ->
+          ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+            r.getAs[Long]("n_retained"),
+            r.getAs[Long]("n_resurrected"),
+            r.getAs[Long]("n_churned")))).toMap
+      val pres = evs.map { case (u, t) => (u, t / 10L) }.distinct
+      val byU = pres.groupBy(_._1).view
+        .mapValues(_.map(_._2).sorted).toMap
+      val maxP = pres.map(_._2).max
+      val rows = scala.collection.mutable.Map[Long,
+        (Long, Long, Long, Long, Long)]()
+        .withDefaultValue((0L, 0L, 0L, 0L, 0L))
+      byU.values.foreach { ps =>
+        ps.zipWithIndex.foreach { case (p, ix) =>
+          val (a, nw, rt, rs, ch) = rows(p)
+          if (ix == 0) rows(p) = (a + 1, nw + 1, rt, rs, ch)
+          else if (ps(ix - 1) == p - 1)
+            rows(p) = (a + 1, nw, rt + 1, rs, ch)
+          else rows(p) = (a + 1, nw, rt, rs + 1, ch)
+          val churnsAt = if (ix == ps.length - 1) Some(p + 1)
+            else if (ps(ix + 1) != p + 1) Some(p + 1) else None
+          churnsAt.filter(_ <= maxP).foreach { cp =>
+            val (a2, n2, r2, s2, c2) = rows(cp)
+            rows(cp) = (a2, n2, r2, s2, c2 + 1)
+          }
+        }
+      }
+      assert(got == rows.toMap, s"case $i: got $got want $rows")
+    }
+  }
+
+  test("weightedKappa == the BigInt observed/expected fold") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 4L); b <- Gen.choose(0L, 4L)
+      } yield (a, b))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val r = EvalMetrics.weightedKappa(
+        rows.map { case (a, b) => ("k", a, b) }.toDF("k", "a", "b"),
+        "k", "a", "b", maxCat = 5).collect()(0)
+      val n = rows.length.toLong
+      val num = rows.map { case (a, b) => (a - b) * (a - b) }.sum
+      val den = (for {
+        (ri, rc) <- rows.groupBy(_._1).view.mapValues(_.size).toSeq
+        (cj, cc) <- rows.groupBy(_._2).view.mapValues(_.size).toSeq
+      } yield BigInt((ri - cj) * (ri - cj)) * rc * cc).sum
+      assert(r.getAs[Long]("num") == num, s"case $i")
+      if (den <= 0) assert(r.isNullAt(3), s"case $i")
+      else assert(BigInt(r.getAs[Long]("kappa_w_ppm")) ==
+        BigInt(1000000) - BigInt(1000000) * n * num / den,
+        s"case $i")
+    }
+  }
 }
