@@ -5908,6 +5908,46 @@ object SparkEntry {
           pmod(col("user_id") + pmod(col("event_id"), lit(3L)),
             lit(4L)).as("r2")),
         "event_type", "r1", "r2", maxCat = 4)
+    }),
+
+    // CRONBACH'S ALPHA over a synthetic complete design (user
+    // residues x event-id-residue items, cell scores = value sums
+    // mod 11) -- exact integer moments, one DECIMAL truncation; the
+    // complete-design refusal is the operator's own gate.
+    "q358_cronbach" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val cells = events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(2L)).as("key"),
+          pmod(col("user_id"), lit(100L)).as("resp"),
+          pmod(col("event_id"), lit(3L)).as("item"))
+        .agg(pmod(sum(floor(col("value") * 100).cast("long")),
+          lit(11L)).as("score"))
+      EvalMetrics.cronbachAlpha(cells, "key", "resp", "item",
+        "score")
+    }),
+
+    // MUTUAL INFORMATION between the two q357 rater columns per
+    // event type -- per-cell micro-nat terms (negative cells floor
+    // down, stated), the dependence the kappa quantifies as
+    // agreement.
+    "q359_mi" -> ((s, dir) => {
+      import graft.operators.Drift
+      Drift.mutualInformation(events(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(4L)).as("a"),
+          pmod(col("user_id") + pmod(col("event_id"), lit(3L)),
+            lit(4L)).as("b")),
+        "event_type", "a", "b")
+    }),
+
+    // NET PROMOTER SCORE per event type on the value-derived 0-10
+    // scale -- band counts and one truncation.
+    "q360_nps" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.npsPerGroup(events(s, dir)
+        .select(col("event_type"),
+          pmod(floor(col("value")).cast("long"), lit(11L)).as("sc")),
+        "event_type", "sc")
     })
   )
 
@@ -15465,7 +15505,92 @@ object SparkEntry {
          |  CASE WHEN dn.den <= 0 THEN NULL
          |    ELSE CAST(1000000 - (1000000::HUGEINT * nm.n * nm.num)
          |      // dn.den AS BIGINT) END AS kappa_w_ppm
-         |FROM nm JOIN dn ON dn.key = nm.key""".stripMargin
+         |FROM nm JOIN dn ON dn.key = nm.key""".stripMargin,
+
+    // q358: Cronbach's alpha -- the synthetic complete design, the
+    // item/total moment folds, one HUGEINT truncation.
+    "q358_cronbach" ->
+      raw"""WITH cell AS (SELECT ((user_id % 2) + 2) % 2 AS key,
+         |    ((user_id % 100) + 100) % 100 AS r,
+         |    ((event_id % 3) + 3) % 3 AS i,
+         |    CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |sc AS (SELECT key, r, i,
+         |    ((CAST(sum(v) AS BIGINT) % 11) + 11) % 11 AS s
+         |  FROM cell GROUP BY 1, 2, 3),
+         |ki AS (SELECT key, CAST(count(DISTINCT i) AS BIGINT) AS k
+         |  FROM sc GROUP BY 1),
+         |pr AS (SELECT key, r, CAST(sum(s) AS BIGINT) AS t
+         |  FROM sc GROUP BY 1, 2),
+         |rf AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(t AS HUGEINT) * t) AS st2,
+         |    CAST(sum(t) AS BIGINT) AS st
+         |  FROM pr GROUP BY 1),
+         |it1 AS (SELECT key, i, CAST(sum(s) AS BIGINT) AS si,
+         |    CAST(sum(s * s) AS BIGINT) AS qi
+         |  FROM sc GROUP BY 1, 2),
+         |it2 AS (SELECT key, sum(CAST(qi AS HUGEINT)) AS sq,
+         |    sum(CAST(si AS HUGEINT) * si) AS ss2
+         |  FROM it1 GROUP BY 1)
+         |SELECT CAST(rf.key AS BIGINT) AS key, rf.n, ki.k,
+         |  CASE WHEN ki.k < 2
+         |      OR (rf.n::HUGEINT * rf.st2
+         |        - rf.st::HUGEINT * rf.st) <= 0 THEN NULL
+         |    ELSE CAST((1000::HUGEINT * ki.k
+         |      * ((rf.n::HUGEINT * rf.st2 - rf.st::HUGEINT * rf.st)
+         |        - (rf.n::HUGEINT * it2.sq - it2.ss2)))
+         |      // ((ki.k - 1)
+         |        * (rf.n::HUGEINT * rf.st2
+         |          - rf.st::HUGEINT * rf.st)) AS BIGINT)
+         |    END AS alpha_milli
+         |FROM rf JOIN ki ON ki.key = rf.key
+         |JOIN it2 ON it2.key = rf.key""".stripMargin,
+
+    // q359: mutual information -- cells, marginals, the identical
+    // (1e6 * p) * ln(p/(pq)) per-cell chain, integer sum.
+    "q359_mi" ->
+      raw"""WITH e AS (SELECT event_type AS key,
+         |    CAST(user_id % 4 AS BIGINT) AS a,
+         |    CAST((user_id + event_id % 3) % 4 AS BIGINT) AS b
+         |  FROM events),
+         |cl AS (SELECT key, a, b, CAST(count(*) AS BIGINT) AS nab
+         |  FROM e GROUP BY 1, 2, 3),
+         |at AS (SELECT key, a, CAST(sum(nab) AS BIGINT) AS na
+         |  FROM cl GROUP BY 1, 2),
+         |bt AS (SELECT key, b, CAST(sum(nab) AS BIGINT) AS nb
+         |  FROM cl GROUP BY 1, 2),
+         |nt AS (SELECT key, CAST(sum(nab) AS BIGINT) AS n FROM cl
+         |  GROUP BY 1),
+         |tm AS (SELECT cl.key, nt.n,
+         |    CAST(floor((1000000.0::DOUBLE
+         |      * (CAST(cl.nab AS DOUBLE) / CAST(nt.n AS DOUBLE)))
+         |      * ln((CAST(cl.nab AS DOUBLE) * CAST(nt.n AS DOUBLE))
+         |        / (CAST(at.na AS DOUBLE)
+         |          * CAST(bt.nb AS DOUBLE)))) AS BIGINT) AS term
+         |  FROM cl JOIN at ON at.key = cl.key AND at.a = cl.a
+         |  JOIN bt ON bt.key = cl.key AND bt.b = cl.b
+         |  JOIN nt ON nt.key = cl.key)
+         |SELECT key, CAST(max(n) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(term) AS BIGINT) AS mi_micro
+         |FROM tm GROUP BY key""".stripMargin,
+
+    // q360: NPS -- band counts, one truncation toward zero.
+    "q360_nps" ->
+      raw"""WITH e AS (SELECT event_type AS grp,
+         |    ((CAST(floor(value) AS BIGINT) % 11) + 11) % 11 AS s
+         |  FROM events)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN s >= 9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS promoters,
+         |  CAST(sum(CASE WHEN s >= 7 AND s <= 8 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS passives,
+         |  CAST(sum(CASE WHEN s <= 6 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS detractors,
+         |  CAST((1000000 * (sum(CASE WHEN s >= 9 THEN 1 ELSE 0 END)
+         |    - sum(CASE WHEN s <= 6 THEN 1 ELSE 0 END)))
+         |    // count(*) AS BIGINT) AS nps_ppm
+         |FROM e GROUP BY grp""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

@@ -764,4 +764,56 @@ object Drift {
         col("split_tie"), col("gain_micro"), col("mean_left_micro"),
         col("mean_right_micro"))
   }
+
+  /** Mutual information between two categorical columns per key —
+    * the DEPENDENCE monitor beside [[chiSquareDrift]]'s test
+    * statistic (χ² says "are they independent", MI says "how many
+    * nats does knowing one buy about the other" — the
+    * feature-selection and leakage-audit number):
+    *
+    *   mi_micro = Σ_{ab} floor(10⁶·(n_ab/n)·ln(n_ab·n/(n_a·n_b)))
+    *
+    * per-cell term in ONE fixed IEEE op order (the
+    * [[categoryEntropy]] ln discipline); cell terms can be NEGATIVE
+    * (p_ab < p_a·p_b), so the floors can push the integer sum a few
+    * micro below the true MI ≥ 0 — at most one micro per OCCUPIED
+    * cell, stated, never hidden by clamping. Null categories refuse
+    * on both sides (the hhiPpm contract). One (key, a, b) map-side
+    * agg + two marginal folds + one cell join.
+    */
+  def mutualInformation(df: DataFrame, keyCol: String, aCol: String,
+      bCol: String): DataFrame = {
+    def cat(c: String) = coalesce(col(c).cast("string"),
+      raise_error(lit(s"mutualInformation: null $c — a null is not " +
+        "a category; filter or impute visibly upstream"))
+        .cast("string"))
+    val cells = df.select(col(keyCol).as("key"), cat(aCol).as("__a"),
+        cat(bCol).as("__b"))
+      .groupBy(col("key"), col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    val aTot = cells.groupBy(col("key").as("__ka"), col("__a"))
+      .agg(sum(col("__nab")).as("__na"))
+      .select(col("__ka"), col("__a").as("__a2"), col("__na"))
+    val bTot = cells.groupBy(col("key").as("__kb"), col("__b"))
+      .agg(sum(col("__nab")).as("__nb"))
+      .select(col("__kb"), col("__b").as("__b2"), col("__nb"))
+    val nTot = cells.groupBy(col("key").as("__kn"))
+      .agg(sum(col("__nab")).as("__n"))
+    cells
+      .join(aTot, col("key") <=> col("__ka")
+        && col("__a") <=> col("__a2"))
+      .join(bTot, col("key") <=> col("__kb")
+        && col("__b") <=> col("__b2"))
+      .join(nTot, col("key") <=> col("__kn"))
+      .withColumn("__term",
+        floor(lit(1000000.0)
+          * (col("__nab").cast("double") / col("__n").cast("double"))
+          * log((col("__nab").cast("double") * col("__n")
+              .cast("double"))
+            / (col("__na").cast("double") * col("__nb")
+              .cast("double")))).cast("long"))
+      .groupBy(col("key"))
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("__term")).as("mi_micro"))
+  }
 }

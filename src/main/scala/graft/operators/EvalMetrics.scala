@@ -1344,4 +1344,85 @@ object EvalMetrics {
             "1000000L - CAST((CAST(1000000 AS DECIMAL(38,0)) * n" +
               " * num) div __den AS BIGINT)")).as("kappa_w_ppm"))
   }
+
+  /** Cronbach's α per key — the internal-consistency check a
+    * multi-item rubric needs before anyone averages its items
+    * (Cronbach 1951: if the items don't co-vary, their mean is not
+    * a scale): with k items scored by n respondents,
+    *
+    *   α = k/(k−1) · (1 − ΣVᵢ / V_T)
+    *
+    * computed on EXACT integer moment sums — population variances
+    * share the n² denominator, so `α_milli = (1000·k·(D − N)) div
+    * ((k−1)·D)` with `N = Σᵢ(n·Qᵢ − Sᵢ²)`, `D = n·Q_T − S_T²` on
+    * DECIMAL(38) is ONE truncation (≤ 1 milli; α lives on [−∞, 1] so
+    * milli is the honest scale). The design must be COMPLETE and
+    * UNIQUE — every respondent scores every item exactly once,
+    * refused loudly (a silently missing cell deflates Vᵢ and
+    * inflates α, the exact failure the statistic guards against).
+    * Zero total variance (all respondents identical) ⇒ null. One
+    * (key, item) agg + one (key, respondent) agg + two folds.
+    */
+  def cronbachAlpha(df: DataFrame, keyCol: String, respCol: String,
+      itemCol: String, scoreCol: String): DataFrame = {
+    val sc = coalesce(col(scoreCol).try_cast("long"),
+      raise_error(concat(lit("cronbachAlpha: score '"),
+        coalesce(col(scoreCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(keyCol).as("key"),
+      coalesce(col(respCol).cast("string"),
+        raise_error(lit("cronbachAlpha: null respondent"))
+          .cast("string")).as("__r"),
+      coalesce(col(itemCol).cast("string"),
+        raise_error(lit("cronbachAlpha: null item")).cast("string"))
+        .as("__i"), sc.as("__v"))
+    val dupW = Window.partitionBy(col("key"), col("__r"), col("__i"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("cronbachAlpha: respondent '"),
+          col("__r"), lit("' scored item '"), col("__i"),
+          lit("' more than once"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+    val kItems = checked.groupBy(col("key").as("__kk"))
+      .agg(countDistinct(col("__i")).as("__k"))
+    val perResp = checked.groupBy(col("key"), col("__r"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__t"))
+    val respFold = perResp
+      .join(kItems, col("key") <=> col("__kk"))
+      .filter(when(col("__cnt") =!= col("__k"),
+        raise_error(concat(lit("cronbachAlpha: respondent '"),
+          col("__r"), lit("' scored "), col("__cnt").cast("string"),
+          lit(" of "), col("__k").cast("string"),
+          lit(" items — the design must be complete; impute or " +
+            "drop visibly upstream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .groupBy(col("key").as("__kt"))
+      .agg(count(lit(1)).as("n"), max(col("__k")).as("k"),
+        sum(col("__t").cast("decimal(38,0)") * col("__t"))
+          .as("__st2"),
+        sum(col("__t")).as("__st"),
+        sum(col("__cnt")).as("__rows"))
+    val itemFold = checked.groupBy(col("key"), col("__i"))
+      .agg(sum(col("__v")).as("__si"),
+        sum(col("__v").cast("decimal(38,0)") * col("__v"))
+          .as("__qi"))
+      .groupBy(col("key").as("__ki"))
+      .agg(sum(col("__qi")).as("__sq"),
+        sum(col("__si").cast("decimal(38,0)") * col("__si"))
+          .as("__ss2"))
+    respFold.join(itemFold, col("__kt") <=> col("__ki"))
+      .select(col("__kt").as("key"), col("n"), col("k"),
+        expr("CAST(n AS DECIMAL(38,0)) * __sq - __ss2").as("__nn"),
+        expr("CAST(n AS DECIMAL(38,0)) * __st2 " +
+          "- CAST(__st AS DECIMAL(38,0)) * __st").as("__dd"))
+      .select(col("key"), col("n"), col("k"),
+        when(col("k") < 2 || expr("__dd <= 0"),
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(1000 AS DECIMAL(38,0)) * k * (__dd - __nn))" +
+              " div ((k - 1) * __dd) AS BIGINT)"))
+          .as("alpha_milli"))
+  }
 }

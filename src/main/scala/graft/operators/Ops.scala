@@ -1401,4 +1401,34 @@ object Ops {
       .select(col("grp"), col("n"), lit(k.toLong).as("k"),
         col("x_k1"), col("hill_micro"))
   }
+
+  /** Net promoter score per group — the survey headline (Reichheld
+    * 2003): scores on the 0–10 scale, promoters ≥ 9, detractors ≤ 6,
+    * `nps_ppm = (10⁶·(promoters − detractors)) div n` ∈ [−10⁶, 10⁶]
+    * (ONE truncation toward zero, stated — NPS is usually quoted in
+    * whole points = centi-ppm, so the ppm lattice is already finer
+    * than anyone reads). Scores outside 0–10 refuse loudly (a
+    * 5-point survey remapped silently would shift every band).
+    * Output: `grp, n, promoters, passives, detractors, nps_ppm`.
+    * One map-side-combined agg — nothing else moves.
+    */
+  def npsPerGroup(df: DataFrame, groupCol: String,
+      scoreCol: String): DataFrame = {
+    val s0 = coalesce(col(scoreCol).try_cast("long"),
+      raise_error(concat(lit("npsPerGroup score '"),
+        coalesce(col(scoreCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val sc = when(s0 >= 0 && s0 <= 10, s0).otherwise(
+      raise_error(concat(lit("npsPerGroup score "),
+        s0.cast("string"), lit(" outside [0, 10]"))).cast("long"))
+    df.select(col(groupCol).as("grp"), sc.as("__s"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__s") >= 9, 1L).otherwise(0L)).as("promoters"),
+        sum(when(col("__s") >= 7 && col("__s") <= 8, 1L)
+          .otherwise(0L)).as("passives"),
+        sum(when(col("__s") <= 6, 1L).otherwise(0L)).as("detractors"))
+      .withColumn("nps_ppm",
+        expr("(1000000L * (promoters - detractors)) div n"))
+  }
 }

@@ -405,4 +405,27 @@ class DriftSpec extends AnyFunSuite {
     }
     assert(rootCause(nul).getMessage.contains("changepointAmoc value"))
   }
+
+  test("mutualInformation: independence reads 0, identity reads " +
+      "ln2 micro, a negative cell term floors down; null refusal") {
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .map { case (a, b) => ("k", a, b) }.toDF("k", "a", "b")
+    assert(Drift.mutualInformation(ind, "k", "a", "b").collect()(0)
+      .getAs[Long]("mi_micro") == 0L)
+    val dep = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .map { case (a, b) => ("k", a, b) }.toDF("k", "a", "b")
+    // 2 * floor(0.5e6 * ln 2) = 693146
+    assert(Drift.mutualInformation(dep, "k", "a", "b").collect()(0)
+      .getAs[Long]("mi_micro") == 693146L)
+    val mix = Seq(("x", "p"), ("x", "p"), ("x", "q"), ("y", "q"))
+      .map { case (a, b) => ("k", a, b) }.toDF("k", "a", "b")
+    // 143841 + floor(-101366.3) + 173286 = 215760
+    assert(Drift.mutualInformation(mix, "k", "a", "b").collect()(0)
+      .getAs[Long]("mi_micro") == 215760L)
+    val nul = intercept[Exception] {
+      Drift.mutualInformation(Seq(("k", Option.empty[String], "b"))
+        .toDF("k", "a", "b"), "k", "a", "b").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("null a"))
+  }
 }

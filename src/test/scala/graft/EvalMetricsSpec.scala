@@ -764,4 +764,46 @@ class EvalMetricsSpec extends AnyFunSuite {
     }
     assert(rc(bad).getMessage.contains("outside [0, 3)"))
   }
+
+  test("cronbachAlpha: hand 3-item/4-respondent fixture reads " +
+      "exactly 666 milli; incomplete and duplicate designs refuse; " +
+      "degenerate nulls") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val df = Seq(
+      ("A", "i1", 2L), ("A", "i2", 2L), ("A", "i3", 2L),
+      ("B", "i1", 4L), ("B", "i2", 4L), ("B", "i3", 4L),
+      ("C", "i1", 2L), ("C", "i2", 3L), ("C", "i3", 4L),
+      ("D", "i1", 4L), ("D", "i2", 3L), ("D", "i3", 2L))
+      .map { case (r, i, v) => ("k", r, i, v) }
+      .toDF("k", "r", "i", "v")
+    val a = EvalMetrics.cronbachAlpha(df, "k", "r", "i", "v")
+      .collect()(0)
+    // N = 16+8+16 = 40, D = 72: (1000*3*32) div (2*72) = 666
+    assert(a.getAs[Long]("n") == 4L && a.getAs[Long]("k") == 3L &&
+      a.getAs[Long]("alpha_milli") == 666L, s"got $a")
+    val inc = intercept[Exception] {
+      EvalMetrics.cronbachAlpha(df.filter(
+        !(col("r") === "D" && col("i") === "i3")),
+        "k", "r", "i", "v").collect()
+    }
+    assert(rc(inc).getMessage.contains("must be complete"))
+    val dup = intercept[Exception] {
+      EvalMetrics.cronbachAlpha(df.union(
+        Seq(("k", "A", "i1", 5L)).toDF("k", "r", "i", "v")),
+        "k", "r", "i", "v").collect()
+    }
+    assert(rc(dup).getMessage.contains("more than once"))
+    // all totals equal -> zero total variance -> null
+    val flat = Seq(("k", "A", "i1", 1L), ("k", "A", "i2", 2L),
+      ("k", "B", "i1", 2L), ("k", "B", "i2", 1L))
+      .toDF("k", "r", "i", "v")
+    assert(EvalMetrics.cronbachAlpha(flat, "k", "r", "i", "v")
+      .collect()(0).isNullAt(3))
+    // single item: k/(k-1) undefined -> null
+    val one = Seq(("k", "A", "i1", 1L), ("k", "B", "i1", 5L))
+      .toDF("k", "r", "i", "v")
+    assert(EvalMetrics.cronbachAlpha(one, "k", "r", "i", "v")
+      .collect()(0).isNullAt(3))
+  }
 }

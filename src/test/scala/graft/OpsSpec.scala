@@ -723,4 +723,25 @@ class OpsSpec extends AnyFunSuite {
     }
     assert(rootCause(bad).getMessage.contains("< 1"))
   }
+
+  test("npsPerGroup: band edges at 9 and 7, balanced survey reads " +
+      "0, all-detractor reads -1e6; out-of-scale refusal") {
+    val df = Seq(10L, 9L, 8L, 7L, 6L, 0L).map(("a", _))
+      .toDF("g", "s")
+    val a = Ops.npsPerGroup(df, "g", "s").collect()(0)
+    assert(a.getAs[Long]("promoters") == 2L &&
+      a.getAs[Long]("passives") == 2L &&
+      a.getAs[Long]("detractors") == 2L &&
+      a.getAs[Long]("nps_ppm") == 0L)
+    val got = Ops.npsPerGroup(
+      (Seq(10L, 10L, 6L).map(("b", _)) ++ Seq(0L, 0L).map(("c", _)))
+        .toDF("g", "s"), "g", "s").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("nps_ppm")).toMap
+    assert(got == Map("b" -> 333333L, "c" -> -1000000L), s"got $got")
+    val bad = intercept[Exception] {
+      Ops.npsPerGroup(Seq(("a", 11L)).toDF("g", "s"), "g", "s")
+        .collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside [0, 10]"))
+  }
 }
