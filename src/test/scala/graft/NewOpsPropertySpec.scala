@@ -1172,4 +1172,66 @@ class NewOpsPropertySpec extends AnyFunSuite {
         s"case $i")
     }
   }
+
+  test("cronbachAlpha == the BigInt moment fold on complete grids") {
+    val gen = for {
+      nr <- Gen.choose(2, 10); ni <- Gen.choose(2, 6)
+      vs <- Gen.listOfN(nr * ni, Gen.choose(0L, 9L))
+    } yield (nr, ni, vs)
+    samples(gen, 8).zipWithIndex.foreach { case ((nr, ni, vs), i) =>
+      val rows = for (r <- 0 until nr; it <- 0 until ni) yield
+        ("k", s"r$r", s"i$it", vs(r * ni + it))
+      val got = EvalMetrics.cronbachAlpha(rows.toDF("k", "r", "i", "v"),
+        "k", "r", "i", "v").collect()(0)
+      val ts = (0 until nr).map(r => vs.slice(r * ni, r * ni + ni).sum)
+      val d = BigInt(nr) * ts.map(t => BigInt(t) * t).sum -
+        BigInt(ts.sum) * ts.sum
+      val nNum = (0 until ni).map { it =>
+        val col0 = (0 until nr).map(r => vs(r * ni + it))
+        BigInt(nr) * col0.map(x => BigInt(x) * x).sum -
+          BigInt(col0.sum) * col0.sum }.sum
+      if (d <= 0) assert(got.isNullAt(3), s"case $i")
+      else assert(BigInt(got.getAs[Long]("alpha_milli")) ==
+        BigInt(1000) * ni * (d - nNum) / (BigInt(ni - 1) * d),
+        s"case $i")
+    }
+  }
+
+  test("mutualInformation == the per-cell float-term fold") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 3L); b <- Gen.choose(0L, 3L)
+      } yield (a, b))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val r = Drift.mutualInformation(
+        rows.map { case (a, b) => ("k", a, b) }.toDF("k", "a", "b"),
+        "k", "a", "b").collect()(0)
+      val n = rows.length.toDouble
+      val cells = rows.groupBy(identity).view.mapValues(_.size)
+      val na = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      val nb = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val want = cells.map { case ((a, b), nab) =>
+        math.floor((1000000.0 * (nab / n))
+          * math.log((nab * n) / (na(a).toDouble * nb(b).toDouble)))
+          .toLong }.sum
+      assert(r.getAs[Long]("mi_micro") == want, s"case $i")
+    }
+  }
+
+  test("npsPerGroup == the direct band count") {
+    val gen = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 10L)))
+    samples(gen, 8).zipWithIndex.foreach { case (vs, i) =>
+      val r = Ops.npsPerGroup(vs.map(("g", _)).toDF("g", "s"),
+        "g", "s").collect()(0)
+      val p = vs.count(_ >= 9).toLong
+      val d = vs.count(_ <= 6).toLong
+      assert(r.getAs[Long]("promoters") == p &&
+        r.getAs[Long]("detractors") == d &&
+        r.getAs[Long]("nps_ppm") == 1000000L * (p - d) / vs.length,
+        s"case $i")
+    }
+  }
 }
