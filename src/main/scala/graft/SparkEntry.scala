@@ -5948,6 +5948,32 @@ object SparkEntry {
         .select(col("event_type"),
           pmod(floor(col("value")).cast("long"), lit(11L)).as("sc")),
         "event_type", "sc")
+    }),
+
+    // GEHAN-BRESLOW WEIGHTED LOG-RANK over the q310 subjects -- the
+    // early-difference (novelty-effect) sensitive variant; weighted
+    // O and E are EXACT integers because the n_k weight cancels the
+    // risk-set denominator.
+    "q361_gehan" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val subj = events(s, dir).groupBy(col("user_id")).agg(
+        expr("(max(ts) - min(ts)) div 3600000000000L").as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ev"))
+        .withColumn("exp", pmod(expr("user_id div 2"), lit(3L)))
+        .withColumn("grp", pmod(col("user_id"), lit(2L)))
+      Experiment.gehanBreslow(subj, "exp", "grp", "dur", "ev")
+    }),
+
+    // CUMULATIVE LTV CURVE by daily acquisition cohort -- per-user
+    // centi-revenue against the ORIGINAL cohort size (quitters keep
+    // diluting); the revenue view of the q267 retention triangle.
+    "q362_ltv" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.cohortLtv(events(s, dir)
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "user_id", "ts", "v", periodNs = 86400000000000L)
     })
   )
 
@@ -15590,7 +15616,80 @@ object SparkEntry {
          |  CAST((1000000 * (sum(CASE WHEN s >= 9 THEN 1 ELSE 0 END)
          |    - sum(CASE WHEN s <= 6 THEN 1 ELSE 0 END)))
          |    // count(*) AS BIGINT) AS nps_ppm
-         |FROM e GROUP BY grp""".stripMargin
+         |FROM e GROUP BY grp""".stripMargin,
+
+    // q361: Gehan-Breslow -- the q310 subjects, exact weighted O/E
+    // (the weight cancels the denominator), per-time HUGEINT
+    // variance floors, the one float chi2 chain.
+    "q361_gehan" ->
+      raw"""WITH subj AS (SELECT
+         |    ((user_id % 2) + 2) % 2 AS g,
+         |    (((user_id // 2) % 3) + 3) % 3 AS exp,
+         |    (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+         |      // 3600000000000 AS t,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS e
+         |  FROM events GROUP BY user_id),
+         |bd AS (SELECT CAST(exp AS BIGINT) AS exp,
+         |    CAST(t AS BIGINT) AS t,
+         |    CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1,
+         |    CAST(sum(CASE WHEN g = 1 THEN e ELSE 0 END) AS BIGINT)
+         |      AS d1,
+         |    CAST(sum(e) AS BIGINT) AS d
+         |  FROM subj GROUP BY 1, 2),
+         |rk AS (SELECT exp, t, d1, d,
+         |    CAST(sum(c0) OVER (PARTITION BY exp ORDER BY t DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n0,
+         |    CAST(sum(c1) OVER (PARTITION BY exp ORDER BY t DESC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n1
+         |  FROM bd),
+         |tm AS (SELECT exp, n0 + n1 AS n, n0, n1, d, d1 FROM rk
+         |  WHERE d >= 1),
+         |f AS (SELECT exp, CAST(count(*) AS BIGINT)
+         |      AS n_event_times,
+         |    CAST(sum(CAST(n AS HUGEINT) * d1) AS BIGINT) AS o1w,
+         |    CAST(sum(CAST(d AS HUGEINT) * n1) AS BIGINT) AS e1w,
+         |    CAST(sum(CASE WHEN n <= 1 THEN 0::HUGEINT
+         |      ELSE (1000000::HUGEINT * d * n1 * n0 * (n - d))
+         |        // (n - 1) END) AS BIGINT) AS vw
+         |  FROM tm GROUP BY 1)
+         |SELECT exp, n_event_times, o1w, e1w, vw AS vw_micro,
+         |  CASE WHEN vw <= 0 THEN NULL
+         |    ELSE CAST(floor(CAST(o1w - e1w AS DOUBLE)
+         |      * CAST(o1w - e1w AS DOUBLE)
+         |      * 1000000000000.0::DOUBLE
+         |      / CAST(vw AS DOUBLE)) AS BIGINT) END AS chi2_micro
+         |FROM f""".stripMargin,
+
+    // q362: cohort LTV -- first-period cohorts, per-(cohort, age)
+    // integers, one cohort-partitioned cumulative window, one
+    // HUGEINT per-user division.
+    "q362_ltv" ->
+      raw"""WITH e AS (SELECT user_id AS u,
+         |    epoch_ns(ts) // 86400000000000 AS p,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |fp AS (SELECT u, CAST(min(p) AS BIGINT) AS cohort FROM e
+         |  GROUP BY 1),
+         |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+         |  FROM fp GROUP BY 1),
+         |ag AS (SELECT fp.cohort, e.p - fp.cohort AS age,
+         |    CAST(count(DISTINCT e.u) AS BIGINT) AS n_active,
+         |    CAST(sum(e.v) AS BIGINT) AS revenue
+         |  FROM e JOIN fp ON fp.u = e.u GROUP BY 1, 2),
+         |cm AS (SELECT cohort, CAST(age AS BIGINT) AS age, n_active,
+         |    revenue,
+         |    CAST(sum(revenue) OVER (PARTITION BY cohort
+         |      ORDER BY age ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS cum_revenue
+         |  FROM ag)
+         |SELECT cm.cohort, cm.age, sz.n_cohort, cm.n_active,
+         |  cm.revenue, cm.cum_revenue,
+         |  CAST((1000000::HUGEINT * cm.cum_revenue) // sz.n_cohort
+         |    AS BIGINT) AS ltv_micro
+         |FROM cm JOIN sz ON sz.cohort = cm.cohort""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

@@ -1319,4 +1319,123 @@ object Experiment {
       .select(col("grp"), col("t"), col("n_risk"), col("d"),
         col("h_micro"))
   }
+
+  /** Gehan–Breslow weighted log-rank per experiment — the
+    * EARLY-difference companion to [[logRank]]'s equal weighting
+    * (Breslow weights each event time by its risk-set size n_k, so
+    * a curve that separates early and re-converges — exactly the
+    * novelty-effect shape — still rejects; plain log-rank dilutes
+    * it across the tail): the weighted O and E terms are EXACT
+    * integers because the weight CANCELS the denominator —
+    * `o1w = Σ n_k·d1_k`, `e1w = Σ n_k·(d_k·n1_k/n_k) = Σ d_k·n1_k`
+    * — no division at all; the weighted variance floors ONCE per
+    * event time (`vw_micro = Σ (10⁶·d·n1·n0·(n−d)) div (n−1)` on
+    * DECIMAL(38)), and `chi2_micro` is ONE float chain
+    * `floor(diff·diff·10¹²/vw)` the oracle replays verbatim (null
+    * when vw = 0). Same derivation, refusals and risk-set windows
+    * as logRank. Output: `exp, n_event_times, o1w, e1w, vw_micro,
+    * chi2_micro`.
+    */
+  def gehanBreslow(df: DataFrame, expCol: String, groupCol: String,
+      durCol: String, eventCol: String): DataFrame = {
+    val g = when(col(groupCol).isin(0L, 1L), col(groupCol).cast("long"))
+      .otherwise(raise_error(concat(lit("gehanBreslow group '"),
+        coalesce(col(groupCol).cast("string"), lit("NULL")),
+        lit("' is not 0/1 — the two-sample test needs exactly two " +
+          "arms"))).cast("long"))
+    val dur = coalesce(col(durCol).try_cast("long"),
+      raise_error(concat(lit("gehanBreslow: duration '"),
+        coalesce(col(durCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val ev = coalesce(col(eventCol).try_cast("long"),
+      raise_error(concat(lit("gehanBreslow: event flag '"),
+        coalesce(col(eventCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(expCol).as("exp"), g.as("__g"),
+      when(dur < 0, raise_error(concat(
+        lit("gehanBreslow: negative duration "), dur.cast("string")))
+        .cast("long")).otherwise(dur).as("t"),
+      when(ev.isin(0L, 1L), ev).otherwise(
+        raise_error(concat(lit("gehanBreslow: event flag "),
+          ev.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__e"))
+    val byDur = rows.groupBy(col("exp"), col("t"))
+      .agg(sum(when(col("__g") === 0L, 1L).otherwise(0L)).as("__c0"),
+        sum(when(col("__g") === 1L, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g") === 1L, col("__e")).otherwise(0L))
+          .as("__d1"),
+        sum(col("__e")).as("__d"))
+    val risk = Window.partitionBy(col("exp")).orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val et = byDur
+      .withColumn("__n0", sum(col("__c0")).over(risk))
+      .withColumn("__n1", sum(col("__c1")).over(risk))
+      .withColumn("__n", col("__n0") + col("__n1"))
+      .filter(col("__d") >= 1)
+    val terms = et
+      .withColumn("__o1w",
+        (col("__n").cast("decimal(38,0)") * col("__d1")))
+      .withColumn("__e1w",
+        (col("__d").cast("decimal(38,0)") * col("__n1")))
+      .withColumn("__vw", when(col("__n") <= 1,
+        lit(0L).cast("decimal(38,0)")).otherwise(expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * __d * __n1 * __n0" +
+          " * (__n - __d)) div (__n - 1)")))
+    terms.groupBy(col("exp"))
+      .agg(count(lit(1)).as("n_event_times"),
+        sum(col("__o1w")).as("__so"), sum(col("__e1w")).as("__se"),
+        sum(col("__vw")).as("__sv"))
+      .select(col("exp"), col("n_event_times"),
+        expr("CAST(__so AS BIGINT)").as("o1w"),
+        expr("CAST(__se AS BIGINT)").as("e1w"),
+        expr("CAST(__sv AS BIGINT)").as("vw_micro"),
+        when(expr("__sv <= 0"), lit(null).cast("long"))
+          .otherwise(floor(
+            expr("CAST(__so - __se AS DOUBLE)")
+              * expr("CAST(__so - __se AS DOUBLE)")
+              * lit(1.0e12)
+              / expr("CAST(__sv AS DOUBLE)")).cast("long"))
+          .as("chi2_micro"))
+  }
+
+  /** Cumulative LTV curve per acquisition cohort — the revenue view
+    * of [[retentionCohorts]]' presence counts ("the March cohort
+    * has earned back X per user by age 3"): cohort = the user's
+    * FIRST period, age = period − cohort, per (cohort, age) the
+    * exact revenue and active-user integers, the running revenue by
+    * ONE cohort-partitioned window, and `ltv_micro = (10⁶·cum_rev)
+    * div n_cohort` (per-user, on the ORIGINAL cohort size — quitters
+    * keep diluting, which is the point). Ages with no activity have
+    * no row: the curve is read at present ages, the cumulative is
+    * correct at each (stated). Values long-castable non-null,
+    * refused loudly. One per-user min fold + one join + one
+    * (cohort, age) agg + one cohort window.
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+      valCol: String, periodNs: Long): DataFrame = {
+    require(periodNs >= 1, s"periodNs=$periodNs must be >= 1")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("cohortLtv value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = events.select(col(userCol).as("user"),
+      expr(s"CAST(`$tsCol` AS BIGINT) div ${periodNs}L").as("p"),
+      v.as("__v"))
+    val firstP = rows.groupBy(col("user").as("__u"))
+      .agg(min(col("p")).as("cohort"))
+    val sizes = firstP.groupBy(col("cohort").as("__c"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val cum = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows.join(firstP, col("user") === col("__u"))
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("age"))
+      .agg(countDistinct(col("user")).as("n_active"),
+        sum(col("__v")).as("revenue"))
+      .join(broadcast(sizes), col("cohort") === col("__c"))
+      .withColumn("cum_revenue", sum(col("revenue")).over(cum))
+      .select(col("cohort"), col("age"), col("n_cohort"),
+        col("n_active"), col("revenue"), col("cum_revenue"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_revenue)" +
+          " div n_cohort AS BIGINT)").as("ltv_micro"))
+  }
 }

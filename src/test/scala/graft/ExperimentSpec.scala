@@ -682,4 +682,46 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(rootCause(bad).getMessage.contains("outside {0,1}"))
   }
+
+  test("gehanBreslow: interleaved-arm hand walk (o 6, e 4, v 7e6, " +
+      "chi2 571428); weighted O/E are exact integers; refusal") {
+    val df = Seq(("e", 1L, 1L, 1L), ("e", 1L, 3L, 1L),
+      ("e", 0L, 2L, 1L), ("e", 0L, 4L, 1L))
+      .toDF("e", "g", "t", "ev")
+    val r = Experiment.gehanBreslow(df, "e", "g", "t", "ev")
+      .collect()(0)
+    assert(r.getAs[Long]("n_event_times") == 4L &&
+      r.getAs[Long]("o1w") == 6L && r.getAs[Long]("e1w") == 4L &&
+      r.getAs[Long]("vw_micro") == 7000000L, s"got $r")
+    // chi2 = floor(2*2*1e12 / 7e6) = 571428 micro
+    assert(r.getAs[Long]("chi2_micro") == 571428L)
+    val bad = intercept[Exception] {
+      Experiment.gehanBreslow(Seq(("e", 2L, 1L, 1L))
+        .toDF("e", "g", "t", "ev"), "e", "g", "t", "ev").collect()
+    }
+    assert(rootCause(bad).getMessage.contains("is not 0/1"))
+  }
+
+  test("cohortLtv: two cohorts, dilution by the ORIGINAL size, " +
+      "absent quiet ages; value refusal") {
+    val evs = Seq((1L, 5L, 10L), (1L, 15L, 20L), (1L, 35L, 30L),
+      (2L, 15L, 5L), (3L, 5L, 1L)).toDF("u", "ts", "v")
+    val got = Experiment.cohortLtv(evs, "u", "ts", "v",
+      periodNs = 10L).collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("age")) ->
+        ((r.getAs[Long]("n_cohort"), r.getAs[Long]("n_active"),
+          r.getAs[Long]("cum_revenue"), r.getAs[Long]("ltv_micro"))))
+      .toMap
+    assert(got((0L, 0L)) == ((2L, 2L, 11L, 5500000L)), s"got $got")
+    assert(got((0L, 1L)) == ((2L, 1L, 31L, 15500000L)))
+    assert(got((0L, 3L)) == ((2L, 1L, 61L, 30500000L)),
+      "cum at age 3 carries over the quiet age 2")
+    assert(got((1L, 0L)) == ((1L, 1L, 5L, 5000000L)))
+    assert(!got.contains((0L, 2L)), "quiet ages have no row")
+    val nul = intercept[Exception] {
+      Experiment.cohortLtv(Seq((1L, 5L, Option.empty[Long]))
+        .toDF("u", "ts", "v"), "u", "ts", "v", 10L).collect()
+    }
+    assert(rootCause(nul).getMessage.contains("cohortLtv value"))
+  }
 }
