@@ -1234,4 +1234,73 @@ class NewOpsPropertySpec extends AnyFunSuite {
         s"case $i")
     }
   }
+
+  test("gehanBreslow == the sequential weighted risk-set walk") {
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 1L); t <- Gen.choose(0L, 12L)
+        e <- Gen.choose(0L, 1L)
+      } yield (g, t, e))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val r = Experiment.gehanBreslow(
+        rows.map { case (g, t, e) => ("x", g, t, e) }
+          .toDF("x", "g", "t", "e"), "x", "g", "t", "e").collect()(0)
+      var o = BigInt(0); var ee = BigInt(0); var vv = BigInt(0)
+      rows.map(_._2).distinct.sorted.foreach { t =>
+        val atRisk = rows.filter(_._2 >= t)
+        val n1 = atRisk.count(_._1 == 1L).toLong
+        val n0 = atRisk.count(_._1 == 0L).toLong
+        val nn = n1 + n0
+        val d = rows.count(x => x._2 == t && x._3 == 1L).toLong
+        val d1 = rows.count(x =>
+          x._2 == t && x._3 == 1L && x._1 == 1L).toLong
+        if (d >= 1) {
+          o += BigInt(nn) * d1; ee += BigInt(d) * n1
+          if (nn > 1) vv += BigInt(1000000) * d * n1 * n0 *
+            (nn - d) / (nn - 1)
+        }
+      }
+      assert(BigInt(r.getAs[Long]("o1w")) == o &&
+        BigInt(r.getAs[Long]("e1w")) == ee &&
+        BigInt(r.getAs[Long]("vw_micro")) == vv, s"case $i")
+      if (vv <= 0) assert(r.isNullAt(5), s"case $i")
+      else {
+        val want = math.floor((o - ee).toDouble * (o - ee).toDouble
+          * 1.0e12 / vv.toDouble).toLong
+        assert(r.getAs[Long]("chi2_micro") == want, s"case $i")
+      }
+    }
+  }
+
+  test("cohortLtv == the brute-force cohort scan") {
+    val gen = for {
+      ne <- Gen.choose(1, 50)
+      evs <- Gen.listOfN(ne, for {
+        u <- Gen.choose(0L, 7L); t <- Gen.choose(0L, 99L)
+        v <- Gen.choose(0L, 30L)
+      } yield (u, t, v))
+    } yield evs
+    samples(gen, 8).zipWithIndex.foreach { case (evs, i) =>
+      val got = Experiment.cohortLtv(evs.toDF("u", "ts", "v"),
+        "u", "ts", "v", periodNs = 10L).collect()
+        .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("age")) ->
+          ((r.getAs[Long]("n_active"), r.getAs[Long]("cum_revenue"),
+            r.getAs[Long]("ltv_micro")))).toMap
+      val ps = evs.map { case (u, t, v) => (u, t / 10L, v) }
+      val coh = ps.groupBy(_._1).view.mapValues(_.map(_._2).min)
+        .toMap
+      val sz = coh.values.groupBy(identity).view.mapValues(_.size)
+        .toMap
+      val cells = ps.groupBy(p => (coh(p._1), p._2 - coh(p._1)))
+      val want = cells.keys.map { case (c, a) =>
+        val cum = cells.filter { case ((c2, a2), _) =>
+          c2 == c && a2 <= a }.values.flatten.map(_._3).sum
+        (c, a) -> ((cells((c, a)).map(_._1).distinct.size.toLong,
+          cum, 1000000L * cum / sz(c)))
+      }.toMap
+      assert(got == want, s"case $i")
+    }
+  }
 }
