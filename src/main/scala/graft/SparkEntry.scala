@@ -5974,6 +5974,19 @@ object SparkEntry {
         .select(col("user_id"), col("ts"),
           floor(col("value") * 100).cast("long").as("v")),
         "user_id", "ts", "v", periodNs = 86400000000000L)
+    }),
+
+    // KRUSKAL-WALLIS H across three user-residue arms per event
+    // type -- doubled pooled midranks, per-group micro terms, the
+    // exact tie correction; the k-arm companion between MWU and
+    // abTestK.
+    "q363_kruskal" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.kruskalWallis(events(s, dir)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(3L)).as("g"),
+          floor(col("value") * 100).cast("long").as("v")),
+        "event_type", "g", "v")
     })
   )
 
@@ -15689,7 +15702,50 @@ object SparkEntry {
          |  cm.revenue, cm.cum_revenue,
          |  CAST((1000000::HUGEINT * cm.cum_revenue) // sz.n_cohort
          |    AS BIGINT) AS ltv_micro
-         |FROM cm JOIN sz ON sz.cohort = cm.cohort""".stripMargin
+         |FROM cm JOIN sz ON sz.cohort = cm.cohort""".stripMargin,
+
+    // q363: Kruskal-Wallis -- doubled midranks over the pooled
+    // values, per-group HUGEINT terms, the exact tie correction.
+    "q363_kruskal" ->
+      raw"""WITH e AS (SELECT event_type AS exp,
+         |    CAST(user_id % 3 AS BIGINT) AS g,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |bv AS (SELECT exp, v, CAST(count(*) AS BIGINT) AS c
+         |  FROM e GROUP BY 1, 2),
+         |md AS (SELECT exp, v, c,
+         |    2 * CAST(COALESCE(sum(c) OVER (PARTITION BY exp
+         |      ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + c + 1 AS mid2
+         |  FROM bv),
+         |gv AS (SELECT exp, g, v, CAST(count(*) AS BIGINT) AS cg
+         |  FROM e GROUP BY 1, 2, 3),
+         |r2 AS (SELECT gv.exp, gv.g,
+         |    CAST(sum(gv.cg) AS BIGINT) AS ng,
+         |    CAST(sum(gv.cg * md.mid2) AS BIGINT) AS rr
+         |  FROM gv JOIN md ON md.exp = gv.exp AND md.v = gv.v
+         |  GROUP BY 1, 2),
+         |ti AS (SELECT exp, CAST(sum(c * c * c - c) AS BIGINT) AS tc,
+         |    CAST(sum(c) AS BIGINT) AS n FROM bv GROUP BY 1),
+         |tm AS (SELECT r2.exp, ti.n, ti.tc,
+         |    CAST((3000000::HUGEINT * rr * rr)
+         |      // (CAST(ng AS HUGEINT) * ti.n * (ti.n + 1))
+         |      AS BIGINT) AS term
+         |  FROM r2 JOIN ti ON ti.exp = r2.exp),
+         |f AS (SELECT exp, CAST(max(n) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS k_groups,
+         |    CAST(sum(term) AS BIGINT)
+         |      - 3 * (CAST(max(n) AS BIGINT) + 1) * 1000000
+         |      AS h_micro,
+         |    CAST(max(tc) AS BIGINT) AS tc
+         |  FROM tm GROUP BY 1)
+         |SELECT exp, n, k_groups, CAST(h_micro AS BIGINT) AS h_micro,
+         |  CASE WHEN n * n * n - n - tc <= 0 THEN NULL
+         |    ELSE CAST((h_micro::HUGEINT
+         |      * (CAST(n AS HUGEINT) * n * n - n))
+         |      // (CAST(n AS HUGEINT) * n * n - n - tc) AS BIGINT)
+         |    END AS h_corr_micro
+         |FROM f""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

@@ -1438,4 +1438,78 @@ object Experiment {
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_revenue)" +
           " div n_cohort AS BIGINT)").as("ltv_micro"))
   }
+
+  /** Kruskal–Wallis H per experiment — the k-arm nonparametric test
+    * between [[mannWhitneyU]]'s two arms and [[abTestK]]'s
+    * mean-based k arms (ordinal or heavy-tailed metrics under k
+    * variants): DOUBLED pooled midranks (`2·rank + ties − 1`, the
+    * shared MWU integer-tie trick) give exact int doubled rank sums
+    * R2_g, then
+    *
+    *   h_micro = Σ_g (10⁶·3·R2_g²) div (n_g·N·(N+1)) − 3·(N+1)·10⁶
+    *
+    * (one DECIMAL(38) floor per GROUP, ≤ 1 micro each, stated), and
+    * the tie-corrected `h_corr_micro = (h_micro·(N³−N)) div
+    * (N³−N−Σ(t³−t))` (null when every value ties — the statistic is
+    * undefined). At k = 2 this is the MWU's χ²₁ form — consistency
+    * spec-pinned. Values long-castable non-null, refused loudly.
+    * One experiment-partitioned value window (running counts) + two
+    * folds — the cliffsDelta scale shape at any k.
+    */
+  def kruskalWallis(df: DataFrame, expCol: String, groupCol: String,
+      valCol: String): DataFrame = {
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("kruskalWallis value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val g = coalesce(col(groupCol).cast("string"),
+      raise_error(lit("kruskalWallis: null group — a null is not " +
+        "an arm")).cast("string"))
+    val rows = df.select(col(expCol).as("exp"), g.as("__g"),
+      v.as("__v"))
+    val byVal = rows.groupBy(col("exp"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("exp")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val mid = byVal
+      .withColumn("__below", coalesce(sum(col("__c")).over(w),
+        lit(0L)))
+      .select(col("exp").as("__e2"), col("__v").as("__v2"),
+        (lit(2L) * col("__below") + col("__c") + 1L).as("__mid2"),
+        col("__c"))
+    val perGroupVal = rows.groupBy(col("exp"), col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__cg"))
+    val r2 = perGroupVal
+      .join(mid, col("exp") <=> col("__e2")
+        && col("__v") === col("__v2"))
+      .groupBy(col("exp"), col("__g"))
+      .agg(count(lit(1)).as("__nvals"),
+        sum(col("__cg")).as("__ng"),
+        sum(col("__cg") * col("__mid2")).as("__r2"))
+    val tie = byVal.groupBy(col("exp").as("__e3"))
+      .agg(sum(col("__c") * col("__c") * col("__c") - col("__c"))
+        .as("__tcorr"), sum(col("__c")).as("__n"))
+    r2.join(tie, col("exp") <=> col("__e3"))
+      // 12·R_g²/(n_g·N(N+1)) with R = R2/2 ⇒ 3·R2²/(n_g·N(N+1))
+      .withColumn("__term", expr(
+        "CAST((CAST(3000000 AS DECIMAL(38,0)) * __r2 * __r2)" +
+          " div (CAST(__ng AS DECIMAL(38,0)) * __n * (__n + 1))" +
+          " AS BIGINT)"))
+      .groupBy(col("exp"))
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("__term")).as("__sterm"),
+        max(col("__tcorr")).as("__tc"))
+      .select(col("exp"), col("n"), col("k_groups"),
+        (col("__sterm") - lit(3L) * (col("n") + 1L) * 1000000L)
+          .as("h_micro"),
+        col("__tc"))
+      .select(col("exp"), col("n"), col("k_groups"), col("h_micro"),
+        when(expr("n * n * n - n - __tc") <= 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(h_micro AS DECIMAL(38,0))" +
+              " * (CAST(n AS DECIMAL(38,0)) * n * n - n))" +
+              " div (CAST(n AS DECIMAL(38,0)) * n * n - n - __tc)" +
+              " AS BIGINT)")).as("h_corr_micro"))
+  }
 }

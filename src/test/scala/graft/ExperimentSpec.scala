@@ -724,4 +724,31 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(rootCause(nul).getMessage.contains("cohortLtv value"))
   }
+
+  test("kruskalWallis: textbook 3-arm 4571428 micro; k=2 tie case " +
+      "corrects to exactly 3.0; all-tied null; refusal") {
+    val df3 = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L),
+      ("c", 5L), ("c", 6L)).map { case (g, v) => ("e", g, v) }
+      .toDF("e", "g", "v")
+    val r = Experiment.kruskalWallis(df3, "e", "g", "v").collect()(0)
+    assert(r.getAs[Long]("n") == 6L &&
+      r.getAs[Long]("k_groups") == 3L &&
+      r.getAs[Long]("h_micro") == 4571428L &&
+      r.getAs[Long]("h_corr_micro") == 4571428L, s"got $r")
+    // (1,1) vs (2,2): uncorrected 2.4, tie-corrected exactly 3.0
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .map { case (g, v) => ("e", g, v) }.toDF("e", "g", "v")
+    val t = Experiment.kruskalWallis(tied, "e", "g", "v").collect()(0)
+    assert(t.getAs[Long]("h_micro") == 2400000L &&
+      t.getAs[Long]("h_corr_micro") == 3000000L, s"got $t")
+    val const = Seq(("e", "a", 5L), ("e", "b", 5L))
+      .toDF("e", "g", "v")
+    assert(Experiment.kruskalWallis(const, "e", "g", "v")
+      .collect()(0).isNullAt(4), "every value tied: undefined")
+    val nul = intercept[Exception] {
+      Experiment.kruskalWallis(Seq(("e", "a", Option.empty[Long]))
+        .toDF("e", "g", "v"), "e", "g", "v").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("kruskalWallis value"))
+  }
 }

@@ -1303,4 +1303,34 @@ class NewOpsPropertySpec extends AnyFunSuite {
       assert(got == want, s"case $i")
     }
   }
+
+  test("kruskalWallis == the BigInt midrank fold") {
+    val gen = for {
+      n <- Gen.choose(2, 50)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0L, 2L); v <- Gen.choose(0L, 12L)
+      } yield (g, v))
+    } yield rows
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val r = Experiment.kruskalWallis(
+        rows.map { case (g, v) => ("e", g, v) }.toDF("e", "g", "v"),
+        "e", "g", "v").collect()(0)
+      val n = rows.length.toLong
+      val sorted = rows.map(_._2).sorted
+      def mid2(v: Long) =
+        2L * sorted.count(_ < v) + sorted.count(_ == v) + 1L
+      val terms = rows.groupBy(_._1).values.map { grp =>
+        val r2 = grp.map(x => mid2(x._2)).sum
+        (BigInt(3000000) * r2 * r2) /
+          (BigInt(grp.size) * n * (n + 1)) }
+      val h = terms.sum - BigInt(3) * (n + 1) * 1000000
+      assert(BigInt(r.getAs[Long]("h_micro")) == h, s"case $i")
+      val tc = rows.groupBy(_._2).values
+        .map(g => { val c = g.size.toLong; c * c * c - c }).sum
+      val cden = n * n * n - n - tc
+      if (cden <= 0) assert(r.isNullAt(4), s"case $i")
+      else assert(BigInt(r.getAs[Long]("h_corr_micro")) ==
+        h * (BigInt(n) * n * n - n) / cden, s"case $i")
+    }
+  }
 }
