@@ -5987,6 +5987,21 @@ object SparkEntry {
           pmod(col("user_id"), lit(3L)).as("g"),
           floor(col("value") * 100).cast("long").as("v")),
         "event_type", "g", "v")
+    }),
+
+    // FRIEDMAN TEST over the q358 complete design (the same cells
+    // graded for consistency by alpha and for treatment effect
+    // here) -- within-block doubled midranks, per-treatment micro
+    // terms, the exact tie correction.
+    "q364_friedman" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val cells = events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(2L)).as("key"),
+          pmod(col("user_id"), lit(100L)).as("resp"),
+          pmod(col("event_id"), lit(3L)).as("item"))
+        .agg(pmod(sum(floor(col("value") * 100).cast("long")),
+          lit(11L)).as("score"))
+      Experiment.friedman(cells, "key", "resp", "item", "score")
     })
   )
 
@@ -15745,6 +15760,59 @@ object SparkEntry {
          |      * (CAST(n AS HUGEINT) * n * n - n))
          |      // (CAST(n AS HUGEINT) * n * n - n - tc) AS BIGINT)
          |    END AS h_corr_micro
+         |FROM f""".stripMargin,
+
+    // q364: Friedman -- the q358 cells, within-block midranks,
+    // per-treatment HUGEINT terms, the exact tie correction.
+    "q364_friedman" ->
+      raw"""WITH cell AS (SELECT ((user_id % 2) + 2) % 2 AS key,
+         |    ((user_id % 100) + 100) % 100 AS r,
+         |    ((event_id % 3) + 3) % 3 AS i,
+         |    CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |sc AS (SELECT key, r, i,
+         |    ((CAST(sum(v) AS BIGINT) % 11) + 11) % 11 AS s
+         |  FROM cell GROUP BY 1, 2, 3),
+         |bv AS (SELECT key, r, s, CAST(count(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1, 2, 3),
+         |md AS (SELECT key, r, s, c,
+         |    2 * CAST(COALESCE(sum(c) OVER (PARTITION BY key, r
+         |      ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + c + 1 AS mid2
+         |  FROM bv),
+         |r2 AS (SELECT sc.key, sc.i,
+         |    CAST(sum(md.mid2) AS BIGINT) AS rr,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM sc JOIN md ON md.key = sc.key AND md.r = sc.r
+         |    AND md.s = sc.s
+         |  GROUP BY 1, 2),
+         |ki AS (SELECT key, CAST(count(DISTINCT i) AS BIGINT) AS k
+         |  FROM sc GROUP BY 1),
+         |ti AS (SELECT key,
+         |    CAST(sum(c * c * c - c) AS BIGINT) AS tc
+         |  FROM bv GROUP BY 1),
+         |tm AS (SELECT r2.key, r2.nb, ki.k, ti.tc,
+         |    CAST((3000000::HUGEINT * rr * rr)
+         |      // (CAST(nb AS HUGEINT) * ki.k * (ki.k + 1))
+         |      AS BIGINT) AS term
+         |  FROM r2 JOIN ki ON ki.key = r2.key
+         |  JOIN ti ON ti.key = r2.key),
+         |f AS (SELECT key, CAST(max(nb) AS BIGINT) AS n_blocks,
+         |    CAST(max(k) AS BIGINT) AS k,
+         |    CAST(sum(term) AS BIGINT)
+         |      - 3 * CAST(max(nb) AS BIGINT)
+         |      * (CAST(max(k) AS BIGINT) + 1) * 1000000
+         |      AS chi2_micro,
+         |    CAST(max(tc) AS BIGINT) AS tc
+         |  FROM tm GROUP BY 1)
+         |SELECT CAST(key AS BIGINT) AS key, n_blocks, k,
+         |  CAST(chi2_micro AS BIGINT) AS chi2_micro,
+         |  CASE WHEN n_blocks * k * (k * k - 1) - tc <= 0 THEN NULL
+         |    ELSE CAST((chi2_micro::HUGEINT
+         |      * (CAST(n_blocks AS HUGEINT) * k * (k * k - 1)))
+         |      // (CAST(n_blocks AS HUGEINT) * k * (k * k - 1) - tc)
+         |      AS BIGINT) END AS chi2_corr_micro
          |FROM f""".stripMargin
   )
 

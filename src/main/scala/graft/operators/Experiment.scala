@@ -1512,4 +1512,104 @@ object Experiment {
               " div (CAST(n AS DECIMAL(38,0)) * n * n - n - __tc)" +
               " AS BIGINT)")).as("h_corr_micro"))
   }
+
+  /** Friedman test per key — the WITHIN-SUBJECTS companion to
+    * [[kruskalWallis]] (k treatments scored by the SAME n blocks —
+    * judges × prompts, models × benchmarks — where between-block
+    * level differences would drown a between-groups rank test):
+    * doubled midranks WITHIN each block (the shared integer-tie
+    * trick), exact int treatment rank sums R2_j,
+    *
+    *   chi2_micro = Σ_j (3·10⁶·R2_j²) div (n·k·(k+1)) − 3n(k+1)·10⁶
+    *
+    * (one DECIMAL floor per treatment, stated) with the exact tie
+    * correction `·(n·k·(k²−1)) div (n·k·(k²−1) − Σ_blocks Σ(t³−t))`
+    * (null when every block is internally constant). The design
+    * must be COMPLETE and UNIQUE — every block scores every
+    * treatment exactly once, refused loudly (the [[graft.operators
+    * .EvalMetrics.cronbachAlpha]] contract, same failure mode). One
+    * (key, block)-partitioned value window + two folds.
+    */
+  def friedman(df: DataFrame, keyCol: String, blockCol: String,
+      treatCol: String, valCol: String): DataFrame = {
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("friedman value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(keyCol).as("key"),
+      coalesce(col(blockCol).cast("string"),
+        raise_error(lit("friedman: null block")).cast("string"))
+        .as("__b"),
+      coalesce(col(treatCol).cast("string"),
+        raise_error(lit("friedman: null treatment")).cast("string"))
+        .as("__t"), v.as("__v"))
+    val dupW = Window.partitionBy(col("key"), col("__b"), col("__t"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("friedman: block '"), col("__b"),
+          lit("' scored treatment '"), col("__t"),
+          lit("' more than once"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+    val kTreat = checked.groupBy(col("key").as("__kk"))
+      .agg(countDistinct(col("__t")).as("__k"))
+    val complete = checked
+      .withColumn("__bc", count(lit(1)).over(
+        Window.partitionBy(col("key"), col("__b"))))
+      .join(kTreat, col("key") <=> col("__kk"))
+      .filter(when(col("__bc") =!= col("__k"),
+        raise_error(concat(lit("friedman: block '"), col("__b"),
+          lit("' scored "), col("__bc").cast("string"),
+          lit(" of "), col("__k").cast("string"),
+          lit(" treatments — the design must be complete; impute " +
+            "or drop visibly upstream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__bc").drop("__kk")
+    val byVal = complete.groupBy(col("key"), col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("key"), col("__b"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val mid = byVal
+      .withColumn("__below", coalesce(sum(col("__c")).over(w),
+        lit(0L)))
+      .select(col("key").as("__k2"), col("__b").as("__b2"),
+        col("__v").as("__v2"),
+        (lit(2L) * col("__below") + col("__c") + 1L).as("__mid2"))
+    val r2 = complete
+      .join(mid, col("key") <=> col("__k2")
+        && col("__b") === col("__b2") && col("__v") === col("__v2"))
+      .groupBy(col("key"), col("__t"))
+      .agg(sum(col("__mid2")).as("__r2"), count(lit(1)).as("__nb"))
+    val ties = byVal
+      .groupBy(col("key").as("__k3"))
+      .agg(sum(col("__c") * col("__c") * col("__c") - col("__c"))
+        .as("__tcorr"))
+    r2.join(kTreat, col("key") <=> col("__kk"))
+      .join(ties, col("key") <=> col("__k3"))
+      .withColumn("__term", expr(
+        "CAST((CAST(3000000 AS DECIMAL(38,0)) * __r2 * __r2)" +
+          " div (CAST(__nb AS DECIMAL(38,0)) * __k * (__k + 1))" +
+          " AS BIGINT)"))
+      .groupBy(col("key"))
+      .agg(max(col("__nb")).as("n_blocks"), max(col("__k")).as("k"),
+        sum(col("__term")).as("__sterm"),
+        max(col("__tcorr")).as("__tc"))
+      .select(col("key"), col("n_blocks"), col("k"),
+        (col("__sterm") - lit(3L) * col("n_blocks")
+          * (col("k") + 1L) * 1000000L).as("chi2_micro"),
+        col("__tc"))
+      .select(col("key"), col("n_blocks"), col("k"),
+        col("chi2_micro"),
+        when(expr("n_blocks * k * (k * k - 1) - __tc") <= 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(chi2_micro AS DECIMAL(38,0))" +
+              " * (CAST(n_blocks AS DECIMAL(38,0)) * k" +
+              " * (k * k - 1)))" +
+              " div (CAST(n_blocks AS DECIMAL(38,0)) * k" +
+              " * (k * k - 1) - __tc) AS BIGINT)"))
+          .as("chi2_corr_micro"))
+  }
 }

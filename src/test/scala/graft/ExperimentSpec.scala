@@ -751,4 +751,47 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(rootCause(nul).getMessage.contains("kruskalWallis value"))
   }
+
+  test("friedman: perfect agreement hits the n=3/k=3 maximum 6.0; " +
+      "within-block tie corrects exactly; incomplete/duplicate " +
+      "refusals; all-tied null") {
+    // 3 blocks all ranking t1 < t2 < t3
+    val df = (for (b <- 1 to 3; (t, v) <- Seq(("t1", 1L), ("t2", 5L),
+      ("t3", 9L))) yield ("k", s"b$b", t, v + b))
+      .toDF("k", "b", "t", "v")
+    val r = Experiment.friedman(df, "k", "b", "t", "v").collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 3L && r.getAs[Long]("k") == 3L)
+    assert(r.getAs[Long]("chi2_micro") == 6000000L &&
+      r.getAs[Long]("chi2_corr_micro") == 6000000L, s"got $r")
+    // one block ties two treatments: R2 = (3+2+2, 3+6+6, 6+4+4)
+    val tied = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 5L), ("b1", "t3", 9L),
+      ("b2", "t1", 2L), ("b2", "t2", 7L), ("b2", "t3", 4L),
+      ("b3", "t1", 3L), ("b3", "t2", 3L), ("b3", "t3", 8L))
+      .map { case (b, t, v) => ("k", b, t, v) }.toDF("k", "b", "t", "v")
+    val t2 = Experiment.friedman(tied, "k", "b", "t", "v").collect()(0)
+    // R2: t1 = 2+2+3 = 7, t2 = 4+6+3 = 13, t3 = 6+4+6 = 16
+    // terms: (3e6*49+3e6*169+3e6*256) div 36 each; tc = 6
+    val terms = Seq(49L, 169L, 256L).map(x => 3000000L * x / 36L).sum
+    val chi = terms - 3L * 3L * 4L * 1000000L
+    assert(t2.getAs[Long]("chi2_micro") == chi, s"got $t2 want $chi")
+    assert(t2.getAs[Long]("chi2_corr_micro") ==
+      chi * 72L / (72L - 6L), s"got $t2")
+    val inc = intercept[Exception] {
+      Experiment.friedman(tied.filter(
+        !(col("b") === "b3" && col("t") === "t3")),
+        "k", "b", "t", "v").collect()
+    }
+    assert(rootCause(inc).getMessage.contains("must be complete"))
+    val dup = intercept[Exception] {
+      Experiment.friedman(tied.union(Seq(("k", "b1", "t1", 2L))
+        .toDF("k", "b", "t", "v")), "k", "b", "t", "v").collect()
+    }
+    assert(rootCause(dup).getMessage.contains("more than once"))
+    val flat = Seq(("k", "b1", "t1", 5L), ("k", "b1", "t2", 5L),
+      ("k", "b2", "t1", 7L), ("k", "b2", "t2", 7L))
+      .toDF("k", "b", "t", "v")
+    assert(Experiment.friedman(flat, "k", "b", "t", "v")
+      .collect()(0).isNullAt(4), "internally constant blocks: null")
+  }
 }

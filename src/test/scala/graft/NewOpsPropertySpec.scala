@@ -1333,4 +1333,34 @@ class NewOpsPropertySpec extends AnyFunSuite {
         h * (BigInt(n) * n * n - n) / cden, s"case $i")
     }
   }
+
+  test("friedman == the per-block BigInt midrank fold") {
+    val gen = for {
+      nb <- Gen.choose(2, 8); k <- Gen.choose(2, 5)
+      vs <- Gen.listOfN(nb * k, Gen.choose(0L, 6L))
+    } yield (nb, k, vs)
+    samples(gen, 8).zipWithIndex.foreach { case ((nb, k, vs), i) =>
+      val rows = for (b <- 0 until nb; t <- 0 until k) yield
+        ("x", s"b$b", s"t$t", vs(b * k + t))
+      val r = Experiment.friedman(rows.toDF("x", "b", "t", "v"),
+        "x", "b", "t", "v").collect()(0)
+      def mid2(block: Seq[Long], v: Long) =
+        2L * block.count(_ < v) + block.count(_ == v) + 1L
+      val blocks = (0 until nb).map(b => vs.slice(b * k, b * k + k))
+      val r2s = (0 until k).map(t =>
+        blocks.map(bl => mid2(bl, bl(t))).sum)
+      val terms = r2s.map(rr => (BigInt(3000000) * rr * rr) /
+        (BigInt(nb) * k * (k + 1)))
+      val chi = terms.sum - BigInt(3) * nb * (k + 1) * 1000000
+      assert(BigInt(r.getAs[Long]("chi2_micro")) == chi, s"case $i")
+      val tc = blocks.flatMap(bl =>
+        bl.groupBy(identity).values.map(g =>
+          { val c = g.size.toLong; c * c * c - c })).sum
+      val den = nb.toLong * k * (k.toLong * k - 1) - tc
+      if (den <= 0) assert(r.isNullAt(4), s"case $i")
+      else assert(BigInt(r.getAs[Long]("chi2_corr_micro")) ==
+        chi * (BigInt(nb) * k * (k.toLong * k - 1)) / den,
+        s"case $i")
+    }
+  }
 }
