@@ -929,4 +929,49 @@ object EventStream {
           out.iterator
         })
   }
+
+  final case class GrowthPoint(user: Long, p: Long)
+  final case class GrowthState(lastP: Long, seen: Boolean)
+  final case class GrowthOut(user: Long, p: Long, status: String)
+
+  /** Stateful streaming growth transitions — the FORWARD half of
+    * [[graft.operators.Funnel.growthAccounting]] (new / retained /
+    * resurrected fire the moment a user shows up; `churned` is a
+    * RETROSPECTIVE judgment — a user churns by NOT appearing, which
+    * only the batch view or an event-time timeout can rule on, so
+    * the stream deliberately does not guess it — stated, not
+    * hidden): per user the state is the last period and a seen flag
+    * — two fields, bounded. Within a batch, periods are
+    * deduplicated and folded ascending; a period at or below the
+    * stored high-water mark is dropped (the [[cusumStream]]
+    * late-data rule), so stream ≡ batch statuses whenever periods
+    * arrive across batches in increasing order (spec-asserted
+    * parity against the batch operator's lag factoring).
+    */
+  def growthStream(points: org.apache.spark.sql.Dataset[GrowthPoint])
+      : org.apache.spark.sql.Dataset[GrowthOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    points.groupByKey(_.user)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[GrowthPoint],
+            state: GroupState[GrowthState]) => {
+          var st = state.getOption.getOrElse(
+            GrowthState(Long.MinValue, seen = false))
+          val out = rows.map(_.p).toSeq.distinct.sorted.flatMap { p =>
+            if (st.seen && p <= st.lastP) None
+            else {
+              val status =
+                if (!st.seen) "new"
+                else if (p == st.lastP + 1L) "retained"
+                else "resurrected"
+              st = GrowthState(p, seen = true)
+              Some(GrowthOut(user, p, status))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

@@ -740,6 +740,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("growthStream: per-user transitions across micro-batches " +
+      "equal the batch statuses; late and duplicate periods drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{GrowthOut, GrowthPoint}
+    val input = MemoryStream[GrowthPoint]
+    val q = EventStream.growthStream(input.toDS())
+      .writeStream.format("memory").queryName("growth_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(GrowthPoint(1L, 0L), GrowthPoint(1L, 1L),
+        GrowthPoint(2L, 1L))
+      q.processAllAvailable()
+      input.addData(GrowthPoint(1L, 3L),  // gap -> resurrected
+        GrowthPoint(1L, 1L),              // late: <= high water 1
+        GrowthPoint(2L, 2L), GrowthPoint(2L, 2L), // dup in batch
+        GrowthPoint(3L, 3L))
+      q.processAllAvailable()
+      val got = spark.table("growth_out").as[GrowthOut].collect()
+        .map(o => (o.user, o.p) -> o.status).toMap
+      assert(got == Map((1L, 0L) -> "new", (1L, 1L) -> "retained",
+        (2L, 1L) -> "new", (1L, 3L) -> "resurrected",
+        (2L, 2L) -> "retained", (3L, 3L) -> "new"), s"got $got")
+      // parity: the batch operator's per-period counts over the
+      // same in-order history
+      val batch = graft.operators.Funnel.growthAccounting(
+        Seq((1L, 0L), (1L, 1L), (2L, 1L), (1L, 3L), (2L, 2L),
+          (3L, 3L)).toDF("u", "ts"), "u", "ts", periodNs = 1L)
+        .collect().map(r => r.getAs[Long]("period") ->
+          ((r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+            r.getAs[Long]("n_resurrected")))).toMap
+      val stream = got.groupBy(_._1._2).map { case (p, g) =>
+        p -> ((g.values.count(_ == "new").toLong,
+          g.values.count(_ == "retained").toLong,
+          g.values.count(_ == "resurrected").toLong)) }
+      assert(stream == batch.view.filterKeys(stream.contains).toMap,
+        s"stream $stream vs batch $batch")
+    } finally q.stop()
+  }
+
   test("bucketHistogramStream: windowed bucket counts equal the batch " +
       "histogram; null buckets refuse") {
     import spark.implicits._
