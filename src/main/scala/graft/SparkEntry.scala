@@ -6002,6 +6002,24 @@ object SparkEntry {
         .agg(pmod(sum(floor(col("value") * 100).cast("long")),
           lit(11L)).as("score"))
       Experiment.friedman(cells, "key", "resp", "item", "score")
+    }),
+
+    // WILCOXON SIGNED-RANK on the q281 paired pre/post (view sum vs
+    // click sum per user) across three experiments -- the paired
+    // two-arm test closing the nonparametric family; zero
+    // differences dropped VISIBLY.
+    "q365_wilcoxon" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val perUser = events(s, dir).groupBy(col("user_id")).agg(
+        coalesce(sum(when(col("event_type") === "view",
+          floor(col("value") * 100).cast("long"))), lit(0L))
+          .as("pre"),
+        coalesce(sum(when(col("event_type") === "click",
+          floor(col("value") * 100).cast("long"))), lit(0L))
+          .as("post"))
+        .withColumn("exp", pmod(col("user_id"), lit(3L)))
+      Experiment.wilcoxonSignedRank(perUser, "exp", "user_id",
+        "pre", "post")
     })
   )
 
@@ -15813,7 +15831,63 @@ object SparkEntry {
          |      * (CAST(n_blocks AS HUGEINT) * k * (k * k - 1)))
          |      // (CAST(n_blocks AS HUGEINT) * k * (k * k - 1) - tc)
          |      AS BIGINT) END AS chi2_corr_micro
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    // q365: Wilcoxon signed-rank -- the q281 paired derivation,
+    // |d| midranks, exact integer W2+/var numerators, the one
+    // float chain.
+    "q365_wilcoxon" ->
+      raw"""WITH pu AS (SELECT user_id AS u,
+         |    ((user_id % 3) + 3) % 3 AS exp,
+         |    COALESCE(sum(CASE WHEN event_type = 'view'
+         |      THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+         |      AS pre,
+         |    COALESCE(sum(CASE WHEN event_type = 'click'
+         |      THEN CAST(floor(value * 100) AS BIGINT) END), 0)
+         |      AS post
+         |  FROM events GROUP BY 1, 2),
+         |dd AS (SELECT CAST(exp AS BIGINT) AS exp, post - pre AS d
+         |  FROM pu),
+         |ct AS (SELECT exp, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_zero
+         |  FROM dd GROUP BY 1),
+         |nz AS (SELECT exp, d, abs(d) AS a FROM dd WHERE d <> 0),
+         |ba AS (SELECT exp, a, CAST(count(*) AS BIGINT) AS c
+         |  FROM nz GROUP BY 1, 2),
+         |md AS (SELECT exp, a,
+         |    2 * CAST(COALESCE(sum(c) OVER (PARTITION BY exp
+         |      ORDER BY a
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + c + 1 AS mid2
+         |  FROM ba),
+         |fl AS (SELECT nz.exp, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN nz.d > 0 THEN md.mid2 ELSE 0 END)
+         |      AS BIGINT) AS w2_plus
+         |  FROM nz JOIN md ON md.exp = nz.exp AND md.a = nz.a
+         |  GROUP BY 1),
+         |ti AS (SELECT exp, CAST(sum(c * c * c - c) AS BIGINT)
+         |    AS tc
+         |  FROM ba GROUP BY 1)
+         |SELECT ct.exp, ct.n_pairs, ct.n_zero,
+         |  COALESCE(fl.n, 0) AS n,
+         |  COALESCE(fl.w2_plus, 0) AS w2_plus,
+         |  2 * COALESCE(fl.n, 0) * (COALESCE(fl.n, 0) + 1)
+         |    * (2 * COALESCE(fl.n, 0) + 1) - COALESCE(ti.tc, 0)
+         |    AS var_num48,
+         |  CASE WHEN 2 * COALESCE(fl.n, 0) * (COALESCE(fl.n, 0) + 1)
+         |      * (2 * COALESCE(fl.n, 0) + 1)
+         |      - COALESCE(ti.tc, 0) <= 0 THEN NULL
+         |    ELSE CAST(floor(CAST((COALESCE(fl.w2_plus, 0)
+         |      - (COALESCE(fl.n, 0) * (COALESCE(fl.n, 0) + 1)) // 2)
+         |      * 500 AS DOUBLE)
+         |      / sqrt(CAST(2 * COALESCE(fl.n, 0)
+         |        * (COALESCE(fl.n, 0) + 1)
+         |        * (2 * COALESCE(fl.n, 0) + 1)
+         |        - COALESCE(ti.tc, 0) AS DOUBLE) / 48.0::DOUBLE))
+         |      AS BIGINT) END AS z_milli
+         |FROM ct LEFT JOIN fl ON fl.exp = ct.exp
+         |LEFT JOIN ti ON ti.exp = ct.exp""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

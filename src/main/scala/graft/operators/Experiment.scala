@@ -1612,4 +1612,85 @@ object Experiment {
               " * (k * k - 1) - __tc) AS BIGINT)"))
           .as("chi2_corr_micro"))
   }
+
+  /** Wilcoxon signed-rank test per experiment — the PAIRED two-arm
+    * test closing the nonparametric family ([[mannWhitneyU]] for
+    * independent arms, [[kruskalWallis]] for k of them, [[friedman]]
+    * for k within subjects, this for TWO within subjects — each
+    * unit its own control): per pair `d = y − x`, zero differences
+    * dropped VISIBLY (`n_zero` rides along — they carry no sign
+    * information, and silently keeping them deflates the variance),
+    * DOUBLED midranks of |d| (the shared integer-tie trick), exact
+    * int `w2_plus = Σ mid2 over d > 0` and `diff2 = w2_plus −
+    * n(n+1)/2` (twice the centered W⁺), tie-corrected variance
+    * NUMERATOR exact in int64 (`var_num48 = 2n(n+1)(2n+1) −
+    * Σ(t³−t)` = 48·Var(W⁺)), and z in ONE fixed IEEE chain floored
+    * to milli: `z = diff2·500 / sqrt(var_num48/48)` (no continuity
+    * correction — stated; add ∓½ caller-side if wanted). No nonzero
+    * differences ⇒ null z. Duplicate pair ids refuse.
+    * Output: `exp, n_pairs, n_zero, n, w2_plus, var_num48,
+    * z_milli`. One experiment-partitioned |d| window + two folds.
+    */
+  def wilcoxonSignedRank(df: DataFrame, expCol: String, idCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    def m(c: String) = coalesce(col(c).try_cast("long"),
+      raise_error(concat(lit(s"wilcoxonSignedRank: $c value '"),
+        coalesce(col(c).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(expCol).as("exp"),
+      coalesce(col(idCol).cast("string"),
+        raise_error(lit("wilcoxonSignedRank: null pair id"))
+          .cast("string")).as("__i"),
+      (m(yCol) - m(xCol)).as("__d"))
+    val dupW = Window.partitionBy(col("exp"), col("__i"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("wilcoxonSignedRank: duplicate pair " +
+          "id '"), col("__i"), lit("' in experiment '"),
+          coalesce(col("exp").cast("string"), lit("NULL")),
+          lit("'"))).cast("boolean")).otherwise(lit(true)))
+      .drop("__dup")
+    val counts = checked.groupBy(col("exp").as("__kc"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") === 0L, 1L).otherwise(0L)).as("n_zero"))
+    val nz = checked.filter(col("__d") =!= 0L)
+      .withColumn("__a", abs(col("__d")))
+    val byAbs = nz.groupBy(col("exp"), col("__a"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("exp")).orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val mid = byAbs
+      .withColumn("__below", coalesce(sum(col("__c")).over(w),
+        lit(0L)))
+      .select(col("exp").as("__k2"), col("__a").as("__a2"),
+        (lit(2L) * col("__below") + col("__c") + 1L).as("__mid2"))
+    val fold = nz
+      .join(mid, col("exp") <=> col("__k2")
+        && col("__a") === col("__a2"))
+      .groupBy(col("exp").as("__kf"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__d") > 0L, col("__mid2")).otherwise(0L))
+          .as("w2_plus"))
+    val ties = byAbs.groupBy(col("exp").as("__kt"))
+      .agg(sum(col("__c") * col("__c") * col("__c") - col("__c"))
+        .as("__tcorr"))
+    counts
+      .join(fold, col("__kc") <=> col("__kf"), "left")
+      .join(ties, col("__kc") <=> col("__kt"), "left")
+      .select(col("__kc").as("exp"), col("n_pairs"), col("n_zero"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("w2_plus"), lit(0L)).as("w2_plus"),
+        (lit(2L) * coalesce(col("n"), lit(0L))
+          * (coalesce(col("n"), lit(0L)) + 1L)
+          * (lit(2L) * coalesce(col("n"), lit(0L)) + 1L)
+          - coalesce(col("__tcorr"), lit(0L))).as("var_num48"))
+      .withColumn("z_milli",
+        when(col("var_num48") <= 0, lit(null).cast("long"))
+          .otherwise(floor(
+            ((col("w2_plus") - expr("(n * (n + 1)) div 2")) * 500L)
+              .cast("double")
+            / sqrt(col("var_num48").cast("double") / lit(48.0)))
+            .cast("long")))
+  }
 }

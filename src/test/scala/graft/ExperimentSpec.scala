@@ -794,4 +794,36 @@ class ExperimentSpec extends AnyFunSuite {
     assert(Experiment.friedman(flat, "k", "b", "t", "v")
       .collect()(0).isNullAt(4), "internally constant blocks: null")
   }
+
+  test("wilcoxonSignedRank: textbook all-positive z 2022; tie+zero " +
+      "hand walk 1299 with the zero visible; all-zero null; " +
+      "duplicate refusal") {
+    def mk(ds: Seq[Long]) = ds.zipWithIndex.map { case (d, i) =>
+      ("e", i.toLong, 10L, 10L + d) }.toDF("e", "i", "x", "y")
+    // d = 1..5: W2+ = 30, diff2 = 15, var48 = 660
+    val up = Experiment.wilcoxonSignedRank(mk(Seq(1L, 2L, 3L, 4L, 5L)),
+      "e", "i", "x", "y").collect()(0)
+    assert(up.getAs[Long]("w2_plus") == 30L &&
+      up.getAs[Long]("var_num48") == 660L &&
+      up.getAs[Long]("z_milli") == 2022L, s"got $up")
+    // d = (0, 1, -1, 2, 2): n=4, W2+ = 3+14 = 17, diff2 = 7,
+    // tcorr = 12, var48 = 360-12 = 348, z = 3500/sqrt(7.25) -> 1299
+    val tied = Experiment.wilcoxonSignedRank(
+      mk(Seq(0L, 1L, -1L, 2L, 2L)), "e", "i", "x", "y").collect()(0)
+    assert(tied.getAs[Long]("n_zero") == 1L &&
+      tied.getAs[Long]("n") == 4L &&
+      tied.getAs[Long]("w2_plus") == 17L &&
+      tied.getAs[Long]("var_num48") == 348L &&
+      tied.getAs[Long]("z_milli") == 1299L, s"got $tied")
+    val zeros = Experiment.wilcoxonSignedRank(mk(Seq(0L, 0L)),
+      "e", "i", "x", "y").collect()(0)
+    assert(zeros.getAs[Long]("n_zero") == 2L && zeros.isNullAt(6),
+      "no nonzero differences: null z")
+    val dup = intercept[Exception] {
+      Experiment.wilcoxonSignedRank(
+        Seq(("e", 1L, 1L, 2L), ("e", 1L, 3L, 4L))
+          .toDF("e", "i", "x", "y"), "e", "i", "x", "y").collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate pair id"))
+  }
 }

@@ -1363,4 +1363,33 @@ class NewOpsPropertySpec extends AnyFunSuite {
         s"case $i")
     }
   }
+
+  test("wilcoxonSignedRank == the sequential signed midrank walk") {
+    val gen = Gen.choose(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-8L, 8L)))
+    samples(gen, 8).zipWithIndex.foreach { case (ds, i) =>
+      val r = Experiment.wilcoxonSignedRank(
+        ds.zipWithIndex.map { case (d, t) =>
+          ("e", t.toLong, 0L, d) }.toDF("e", "i", "x", "y"),
+        "e", "i", "x", "y").collect()(0)
+      val nz = ds.filter(_ != 0)
+      val n = nz.length.toLong
+      val abs0 = nz.map(math.abs)
+      def mid2(a: Long) =
+        2L * abs0.count(_ < a) + abs0.count(_ == a) + 1L
+      val w2 = nz.filter(_ > 0).map(d => mid2(math.abs(d))).sum
+      val tc = abs0.groupBy(identity).values
+        .map(g => { val c = g.size.toLong; c * c * c - c }).sum
+      val v48 = 2 * n * (n + 1) * (2 * n + 1) - tc
+      assert(r.getAs[Long]("n") == n &&
+        r.getAs[Long]("w2_plus") == w2 &&
+        r.getAs[Long]("var_num48") == v48, s"case $i")
+      if (v48 <= 0) assert(r.isNullAt(6), s"case $i")
+      else {
+        val want = math.floor(((w2 - n * (n + 1) / 2) * 500L)
+          .toDouble / math.sqrt(v48.toDouble / 48.0)).toLong
+        assert(r.getAs[Long]("z_milli") == want, s"case $i")
+      }
+    }
+  }
 }
