@@ -702,7 +702,11 @@ object Drift {
     * S²·n_L·n_R)) div (n_L·n_R·n)` — exact while 10⁶·S²·n² fits
     * DECIMAL(38), i.e. |S|·n ≲ 10¹⁶); the best split is the argmax
     * on that micro lattice with sub-micro ties broken to the
-    * EARLIEST position (deterministic, stated). Candidates keep ≥
+    * EARLIEST position (deterministic, stated). Duplicate `(ts,
+    * tie)` positions refuse (tied positions would make the prefix
+    * sums nondeterministic — the
+    * [[graft.operators.Ops.mannKendallTrend]] contract). Candidates
+    * keep ≥
     * `minSeg` rows on each side — a 1-row segment "explains" any
     * point, the AMOC overfit. Keys too short for any candidate emit
     * one row with null split columns (visible, not dropped). The
@@ -726,9 +730,11 @@ object Drift {
     val w = Window.partitionBy(col("key"))
       .orderBy(col("ts"), col("tie"))
     val kw = Window.partitionBy(col("key"))
-    val pre = df.select(col(keyCol).as("key"),
-        col(tsCol).cast("long").as("ts"),
-        col(tieCol).cast("long").as("tie"), v.as("__v"))
+    val pre = Ops.refuseDupPositions("changepointAmoc",
+        df.select(col(keyCol).as("key"),
+          col(tsCol).cast("long").as("ts"),
+          col(tieCol).cast("long").as("tie"), v.as("__v")),
+        "key", "ts", "tie")
       .withColumn("__pos", row_number().over(w).cast("long"))
       .withColumn("__sl", sum(col("__v")).over(w))
       .withColumn("__n", count(lit(1)).over(kw))

@@ -955,7 +955,10 @@ object EvalMetrics {
     * constant reference). mase_ppm < 10⁶ = the seasonal pattern is
     * real; ≥ 10⁶ = yesterday's value beats last season's. Keys with
     * no eval rows (n ≤ m) are absent — there is nothing to score.
-    * Values long-castable non-null, refused loudly; 2·10⁶·|e| is
+    * Values long-castable non-null, refused loudly; duplicate
+    * `(ts, tie)` positions refuse (tied positions would make both
+    * lags nondeterministic — the
+    * [[graft.operators.Ops.mannKendallTrend]] contract); 2·10⁶·|e| is
     * int64-loud past |e| ≈ 4.6·10¹². One key-partitioned window
     * (two lags) + one map-side-combined fold.
     */
@@ -970,8 +973,11 @@ object EvalMetrics {
           "would shift every lag"))).cast("long"))
     val w = Window.partitionBy(col("key"))
       .orderBy(col("ts"), col("tie"))
-    df.select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
-        col(tieCol).cast("long").as("tie"), v.as("__v"))
+    Ops.refuseDupPositions("seasonalNaiveBacktest",
+        df.select(col(keyCol).as("key"),
+          col(tsCol).cast("long").as("ts"),
+          col(tieCol).cast("long").as("tie"), v.as("__v")),
+        "key", "ts", "tie")
       .withColumn("__f", lag(col("__v"), m).over(w))
       .withColumn("__p", lag(col("__v"), 1).over(w))
       .filter(col("__f").isNotNull)

@@ -301,7 +301,7 @@ object Funnel {
       typeCol: String, channelCol: String, tsCol: String,
       tieCol: String, convType: String): DataFrame = {
     val rows = events.select(col(userCol).as("user"),
-      col(typeCol).as("etype"),
+      etypeFrom("attributePositionBased", col(typeCol)).as("etype"),
       col(channelCol).as("__rawchan"),
       col(tsCol).cast("long").as("ts"),
       col(tieCol).cast("long").as("tie"))
@@ -340,6 +340,19 @@ object Funnel {
         "touch event — a null channel would silently absorb credit"))
         .cast("string"))
 
+  /** Null event types refuse LOUDLY before the conversion/touch
+    * split: a null `etype` makes both `=== convType` and
+    * `=!= convType` evaluate to null, so the row would vanish from
+    * conversions AND touches alike — the exact silent-credit-loss
+    * the null-channel refusal exists to prevent, one filter earlier.
+    */
+  private def etypeFrom(op: String,
+      raw: org.apache.spark.sql.Column) =
+    coalesce(raw.cast("string"),
+      raise_error(lit(op + ": null event type — a null type row " +
+        "would silently vanish from both the conversion and touch " +
+        "sides; filter or impute visibly upstream")).cast("string"))
+
   /** First-order Markov removal-effect attribution (Anderl et al.
     * 2014) — the principled multi-touch model next to
     * [[attributePositionBased]]'s fixed heuristic: fit a first-order
@@ -368,7 +381,9 @@ object Funnel {
     * the per-round floors can dip a hair below) and `share_ppm`
     * normalized over positive REs (null when every RE is 0 or
     * P_full = 0). Null channels refuse; channels colliding with the
-    * three reserved state names refuse.
+    * three reserved state names OR the `__none__` baseline-scenario
+    * sentinel refuse (a `__none__` channel would merge with the
+    * baseline scenario and corrupt every channel's p_full).
     *
     * Scale shape: the row-sized work is ONE user-windowed pass to
     * transitions + one (src, dst) count — after that everything is
@@ -384,7 +399,12 @@ object Funnel {
     require(iters >= 1 && iters <= 32, s"iters=$iters out of [1, 32]")
     require(maxChannels >= 1 && maxChannels <= 256,
       s"maxChannels=$maxChannels out of [1, 256]")
-    val reserved = Seq("__start__", "__conv__", "__null__")
+    // "__none__" is the baseline-scenario sentinel (the scenarios
+    // grid below): a channel literally named "__none__" would merge
+    // with the baseline scenario — its removals applied to the
+    // baseline transition counts, its own p_removed lost to the
+    // scenario filter — so it refuses with the state names.
+    val reserved = Seq("__start__", "__conv__", "__null__", "__none__")
     val chanCol = {
       val c = coalesce(col("__rawchan").cast("string"),
         raise_error(lit("markovRemovalEffect: null channel on a " +
@@ -396,7 +416,8 @@ object Funnel {
           .cast("string")).otherwise(c)
     }
     val rows = events.select(col(userCol).as("user"),
-      col(typeCol).as("etype"), col(typeCol).as("__rawchan"),
+      etypeFrom("markovRemovalEffect", col(typeCol)).as("etype"),
+      col(typeCol).as("__rawchan"),
       col(tsCol).cast("long").as("ts"),
       col(tieCol).cast("long").as("tie"))
     val convs = rows.filter(col("etype") === convType)
@@ -590,7 +611,8 @@ object Funnel {
         "event — a null channel would silently absorb credit"))
         .cast("string"))
     val rows = events.select(col(userCol).as("user"),
-      col(typeCol).as("etype"), chan.as("channel"),
+      etypeFrom("attributeTimeDecay", col(typeCol)).as("etype"),
+      chan.as("channel"),
       col(tsCol).cast("long").as("ts"),
       col(tieCol).cast("long").as("tie"))
     val convs = rows.filter(col("etype") === convType)

@@ -939,7 +939,11 @@ object Ops {
     * Rows are ordered `(ts, tiebreak)` within the key; the lag is
     * POSITIONAL on that order (row t pairs with row t+k — gaps in ts
     * are the caller's contract, exactly [[graft.operators.Drift.cusum]]'s
-    * convention). The standard ACF estimator, cleared of fractions
+    * convention). Duplicate `(ts, tie)` positions refuse loudly —
+    * tied positions make the lag pairing nondeterministic (the
+    * [[mannKendallTrend]] contract; the check rides the SAME sorted
+    * window as an adjacent-row lag, no extra shuffle). The standard
+    * ACF estimator, cleared of fractions
     * by n² (x̄ = S/n):
     *
     *   num = Σ_{t≤n−k} (n·x_t − S)·(n·x_{t+k} − S)
@@ -956,6 +960,35 @@ object Ops {
     * running position and the k-step lead + one aggregation — a
     * single shuffle; no self-join, no global sort.
     */
+  /** Shared duplicate-`(ts, tie)` refusal for the order-sensitive
+    * operators ([[autocorr]], [[rollingMedian]],
+    * [[graft.operators.EvalMetrics.seasonalNaiveBacktest]],
+    * [[graft.operators.Drift.changepointAmoc]] — the
+    * [[mannKendallTrend]] contract): tied positions make a lag
+    * pairing / window buffer / prefix sum silently nondeterministic
+    * and can diverge between engines on inputs whose tie column is
+    * not unique. The check is an adjacent-row lag over the SAME
+    * `(key) ordered by (ts, tie)` window the caller sorts on anyway
+    * — Catalyst folds it into the caller's window sort, no extra
+    * shuffle (unlike a partition-by-all-three count window).
+    */
+  private[operators] def refuseDupPositions(op: String, df: DataFrame,
+      keyC: String, tsC: String, tieC: String): DataFrame = {
+    val w = Window.partitionBy(col(keyC))
+      .orderBy(col(tsC), col(tieC))
+    df.withColumn("__dupchk",
+        lag(struct(col(tsC), col(tieC)), 1).over(w)
+          === struct(col(tsC), col(tieC)))
+      .filter(when(col("__dupchk"),
+        raise_error(concat(
+          lit(op + ": duplicate position (ts, tie) in key '"),
+          coalesce(col(keyC).cast("string"), lit("NULL")),
+          lit("' — the (ts, tie) order is the contract; it must " +
+            "be total"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dupchk")
+  }
+
   def autocorr(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 65536, s"k=$k out of [1, 65536]")
@@ -966,9 +999,11 @@ object Ops {
           "would shift every lag pair"))).cast("long"))
     val w = Window.partitionBy(col("key"))
       .orderBy(col("__ts"), col("__tie"))
-    val rows = df.select(col(keyCol).as("key"),
-        col(tsCol).cast("long").as("__ts"),
-        col(tieCol).cast("long").as("__tie"), v.as("__v"))
+    val rows = refuseDupPositions("autocorr",
+        df.select(col(keyCol).as("key"),
+          col(tsCol).cast("long").as("__ts"),
+          col(tieCol).cast("long").as("__tie"), v.as("__v")),
+        "key", "__ts", "__tie")
       .withColumn("__lead", lead(col("__v"), k).over(w))
     rows.groupBy(col("key"))
       .agg(count(lit(1)).as("n"),
@@ -1014,7 +1049,10 @@ object Ops {
     * state is the w-element window buffer, so `w` is a LOUD ≤ 512
     * contract (a million-row rolling median wants a two-heap /
     * indexable-skiplist operator — different algorithm, not a
-    * bigger buffer). Values long-castable non-null, refused loudly.
+    * bigger buffer). Values long-castable non-null, refused loudly;
+    * duplicate `(ts, tie)` positions refuse (tied positions would
+    * make the window contents nondeterministic — the
+    * [[mannKendallTrend]] contract).
     */
   def rollingMedian(df: DataFrame, keyCol: String, tsCol: String,
       tieCol: String, valCol: String, w: Int): DataFrame = {
@@ -1026,8 +1064,11 @@ object Ops {
           "would shift every window"))).cast("long"))
     val win = Window.partitionBy(col("key"))
       .orderBy(col("ts"), col("tie")).rowsBetween(-(w - 1), 0)
-    df.select(col(keyCol).as("key"), col(tsCol).cast("long").as("ts"),
-        col(tieCol).cast("long").as("tie"), v.as("v"))
+    refuseDupPositions("rollingMedian",
+        df.select(col(keyCol).as("key"),
+          col(tsCol).cast("long").as("ts"),
+          col(tieCol).cast("long").as("tie"), v.as("v")),
+        "key", "ts", "tie")
       .withColumn("__buf", collect_list(col("v")).over(win))
       .filter(size(col("__buf")) === w)
       .withColumn("med",

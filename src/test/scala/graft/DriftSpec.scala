@@ -404,6 +404,12 @@ class DriftSpec extends AnyFunSuite {
         .toDF("k", "t", "e", "v"), "k", "t", "e", "v").collect()
     }
     assert(rootCause(nul).getMessage.contains("changepointAmoc value"))
+    val dup = intercept[Exception] {
+      Drift.changepointAmoc(Seq(("a", 1L, 0L, 5L), ("a", 1L, 0L, 6L))
+        .toDF("k", "t", "e", "v"), "k", "t", "e", "v").collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate position"),
+      s"got ${rootCause(dup).getMessage}")
   }
 
   test("mutualInformation: independence reads 0, identity reads " +

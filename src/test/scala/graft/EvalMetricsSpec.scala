@@ -576,6 +576,13 @@ class EvalMetricsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       EvalMetrics.seasonalNaiveBacktest(df, "k", "t", "e", "v", 0)
     }
+    val dup = intercept[Exception] {
+      EvalMetrics.seasonalNaiveBacktest(
+        Seq(("a", 1L, 0L, 5L), ("a", 1L, 0L, 6L))
+          .toDF("k", "t", "e", "v"), "k", "t", "e", "v", 1).collect()
+    }
+    assert(rc(dup).getMessage.contains("duplicate position"),
+      s"got ${rc(dup).getMessage}")
   }
 
   test("wordErrorRate: insertions 500000, transposition charges 2 " +

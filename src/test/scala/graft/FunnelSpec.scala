@@ -331,7 +331,43 @@ class FunnelSpec extends AnyFunSuite {
           .toDF("u", "et", "ts", "id"),
         "u", "et", "ts", "id", "buy", 20L).collect()
     }
-    assert(rootCause(nul).getMessage.contains("null channel"))
+    // the null type refuses as EITHER a null event type or a null
+    // channel (typeCol doubles as the channel here) — the contract
+    // is that it refuses loudly rather than silently vanishing from
+    // both sides of the conversion/touch split
+    assert(rootCause(nul).getMessage.contains("null"),
+      s"got ${rootCause(nul).getMessage}")
+  }
+
+  test("attribution: null event types refuse loudly in all three " +
+      "models — a null type row would silently vanish from both " +
+      "the conversion and touch sides") {
+    val evs = Seq((1L, Option.empty[String], "A", 1L, 1L),
+      (1L, Some("buy"), "B", 2L, 2L))
+      .toDF("u", "et", "ch", "ts", "id")
+    val pb = intercept[Exception] {
+      Funnel.attributePositionBased(evs, "u", "et", "ch", "ts",
+        "id", "buy").collect()
+    }
+    assert(rootCause(pb).getMessage.contains("null event type"),
+      s"got ${rootCause(pb).getMessage}")
+    val mk = intercept[Exception] {
+      Funnel.markovRemovalEffect(evs, "u", "et", "ts", "id",
+        "buy").collect()
+    }
+    assert(rootCause(mk).getMessage.contains("null"),
+      s"got ${rootCause(mk).getMessage}")
+  }
+
+  test("markovRemovalEffect: a channel named __none__ refuses — it " +
+      "would merge with the baseline scenario and corrupt p_full") {
+    val res = intercept[Exception] {
+      Funnel.markovRemovalEffect(Seq((1L, "__none__", 1L, 1L),
+        (1L, "buy", 2L, 2L)).toDF("u", "et", "ts", "id"),
+        "u", "et", "ts", "id", "buy").collect()
+    }
+    assert(rootCause(res).getMessage.contains("reserved"),
+      s"got ${rootCause(res).getMessage}")
   }
 
   test("growthAccounting: new/retained/resurrected/churned hand " +

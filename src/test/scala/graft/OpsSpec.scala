@@ -532,6 +532,13 @@ class OpsSpec extends AnyFunSuite {
     val short = Seq(("a", 0L, 1L), ("a", 1L, 2L)).toDF("g", "t", "v")
     assert(Ops.autocorr(short, "g", "t", "t", "v", 5).collect()(0)
       .isNullAt(3), "n <= k -> null")
+    val dup = intercept[Exception] {
+      Ops.autocorr(Seq(("a", 1L, 0L, 5L), ("a", 1L, 0L, 6L))
+        .toDF("g", "t", "tie", "v"), "g", "t", "tie", "v", 1)
+        .collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate position"),
+      s"got ${rootCause(dup).getMessage}")
   }
 
   test("rollingMedian: trailing lower medians, full windows only, " +
@@ -557,6 +564,13 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Ops.rollingMedian(df, "g", "t", "tie", "v", 1)
     }
+    val dup = intercept[Exception] {
+      Ops.rollingMedian(Seq(("a", 1L, 0L, 5L), ("a", 1L, 0L, 6L))
+        .toDF("g", "t", "tie", "v"), "g", "t", "tie", "v", 2)
+        .collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate position"),
+      s"got ${rootCause(dup).getMessage}")
   }
 
   test("madPerGroup: hand fixture (1,2,3,4,100) -> median 3 mad 1; " +
