@@ -6020,6 +6020,35 @@ object SparkEntry {
         .withColumn("exp", pmod(col("user_id"), lit(3L)))
       Experiment.wilcoxonSignedRank(perUser, "exp", "user_id",
         "pre", "post")
+    }),
+
+    // KENDALL TAU-B AT SCALE: the q323 fixture bit-for-bit, but via
+    // the distributed O(n log n) inversion count (two permutation
+    // row_numbers, a dense Bg^2 grid for cross-bucket pairs, local
+    // merge counts inside buckets) -- no pair join anywhere; the
+    // oracle is the same O(n^2) pair SQL, proving the factoring.
+    "q366_kendall_large" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.kendallTauLarge(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          expr("n_chars div 100").as("x"),
+          pmod(col("doc_id"), lit(50L)).as("y")),
+        "source", "doc_id", "x", "y")
+    }),
+
+    // MANN-KENDALL AT SCALE: the q337 daily series bit-for-bit via
+    // the same inversion-count engine (S = n0 - n2 - 2D with D the
+    // strict inversion count of value order against time order).
+    "q367_mann_kendall_large" -> ((s, dir) => {
+      import graft.operators.Ops
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 86400000000000L)) div 86400000000000L")
+            .as("d"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("v")).as("dv"))
+      Ops.mannKendallLarge(daily, "event_type", "d", "d", "dv")
     })
   )
 
@@ -15887,7 +15916,78 @@ object SparkEntry {
          |        - COALESCE(ti.tc, 0) AS DOUBLE) / 48.0::DOUBLE))
          |      AS BIGINT) END AS z_milli
          |FROM ct LEFT JOIN fl ON fl.exp = ct.exp
-         |LEFT JOIN ti ON ti.exp = ct.exp""".stripMargin
+         |LEFT JOIN ti ON ti.exp = ct.exp""".stripMargin,
+
+    // q366: the q323 oracle verbatim — the O(n^2) pair SQL is the
+    // definition the inversion-count factoring must reproduce.
+    "q366_kendall_large" ->
+      raw"""WITH r AS (SELECT source AS grp, doc_id AS i,
+         |    n_chars // 100 AS x, ((doc_id % 50) + 50) % 50 AS y
+         |  FROM documents),
+         |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+         |  FROM r GROUP BY grp),
+         |pr AS (SELECT a.grp,
+         |    CASE WHEN (b.x > a.x AND b.y > a.y)
+         |        OR (b.x < a.x AND b.y < a.y) THEN 1
+         |      WHEN (b.x > a.x AND b.y < a.y)
+         |        OR (b.x < a.x AND b.y > a.y) THEN -1
+         |      ELSE 0 END AS sgn,
+         |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+         |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+         |  FROM r a JOIN r b ON b.grp = a.grp AND a.i < b.i),
+         |f AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c,
+         |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d,
+         |    CAST(sum(tx) AS BIGINT) AS t1,
+         |    CAST(sum(ty) AS BIGINT) AS t2
+         |  FROM pr GROUP BY grp)
+         |SELECT sz.grp, sz.n,
+         |  CAST(COALESCE(f.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  CAST(COALESCE(f.c, 0) AS BIGINT) AS concordant,
+         |  CAST(COALESCE(f.d, 0) AS BIGINT) AS discordant,
+         |  CASE WHEN f.n_pairs IS NULL OR f.n_pairs - f.t1 <= 0
+         |      OR f.n_pairs - f.t2 <= 0 THEN NULL
+         |    ELSE CAST(floor(1000000.0 * CAST(f.c - f.d AS DOUBLE)
+         |      / sqrt(CAST((f.n_pairs - f.t1)
+         |        * (f.n_pairs - f.t2) AS DOUBLE)))
+         |      AS BIGINT) END AS tau_b_ppm
+         |FROM sz LEFT JOIN f ON f.grp = sz.grp""".stripMargin,
+
+    // q367: the q337 oracle verbatim — same pair-join definition the
+    // S = n0 - n2 - 2D inversion identity must reproduce.
+    "q367_mann_kendall_large" ->
+      raw"""WITH dl AS (SELECT event_type AS grp,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 86400000000000
+         |      + 86400000000000) % 86400000000000))
+         |      // 86400000000000 AS d,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |dv AS (SELECT grp, CAST(d AS BIGINT) AS d,
+         |    CAST(sum(v) AS BIGINT) AS dv FROM dl GROUP BY 1, 2),
+         |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM dv
+         |  GROUP BY 1),
+         |pr AS (SELECT a.grp, CAST(sum(CASE WHEN b.dv > a.dv THEN 1
+         |      WHEN b.dv < a.dv THEN -1 ELSE 0 END) AS BIGINT) AS s
+         |  FROM dv a JOIN dv b ON a.grp = b.grp AND a.d < b.d
+         |  GROUP BY 1),
+         |tc AS (SELECT grp,
+         |    CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tcorr
+         |  FROM (SELECT grp, dv, CAST(count(*) AS BIGINT) AS c
+         |    FROM dv GROUP BY 1, 2) GROUP BY 1),
+         |f AS (SELECT sz.grp, sz.n, COALESCE(pr.s, 0) AS s,
+         |    sz.n * (sz.n - 1) * (2 * sz.n + 5) - tc.tcorr
+         |      AS var_num18
+         |  FROM sz LEFT JOIN pr ON pr.grp = sz.grp
+         |  JOIN tc ON tc.grp = sz.grp)
+         |SELECT grp, n, s, var_num18,
+         |  CASE WHEN var_num18 <= 0 THEN NULL
+         |    WHEN s = 0 THEN 0
+         |    ELSE CAST(floor(CAST((s - CASE WHEN s > 0 THEN 1
+         |        ELSE -1 END) * 1000 AS DOUBLE)
+         |      / sqrt(CAST(var_num18 AS DOUBLE) / 18.0::DOUBLE))
+         |      AS BIGINT) END AS z_milli
+         |FROM f""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

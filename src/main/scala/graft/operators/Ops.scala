@@ -864,8 +864,8 @@ object Ops {
     * Scale shape: ONE self-join on the group key — O(n²) pairs BY
     * DEFINITION, so group size carries the [[theilSen]] loud
     * contract: > `maxN` rows refuses with the count. A million-row
-    * tau wants the O(n log n) inversion-count algorithm — a
-    * different operator, not a bigger join.
+    * tau wants the O(n log n) inversion-count algorithm —
+    * [[kendallTauLarge]], bit-equal on every input both accept.
     */
   def kendallTauB(df: DataFrame, groupCol: String, idCol: String,
       xCol: String, yCol: String, maxN: Int = 256): DataFrame = {
@@ -1162,8 +1162,9 @@ object Ops {
     *
     * exact from one group-keyed pair join (O(n²) BY DEFINITION ⇒ the
     * kendallTauB loud ≤ maxN contract — trend tests run on
-    * aggregated series, and the million-point form is an inversion
-    * count, a different operator), the tie-corrected variance
+    * aggregated series, and the million-point form is
+    * [[mannKendallLarge]]'s inversion count, bit-equal on every
+    * input both accept), the tie-corrected variance
     * NUMERATOR exact in int64 (`var_num18 = n(n−1)(2n+5) −
     * Σt(t−1)(2t+5)` = 18·Var(S); n ≤ 4096 keeps it ≤ ~1.4·10¹¹),
     * and the continuity-corrected z in ONE fixed IEEE chain floored
@@ -1219,6 +1220,317 @@ object Ops {
     sizes.join(sFold, col("grp") <=> col("__g3"), "left")
       .join(ties, col("grp") <=> col("__g4"))
       .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("var_num18", col("n") * (col("n") - 1L)
+        * (lit(2L) * col("n") + 5L) - col("__tcorr"))
+      .select(col("grp"), col("n"), col("s"), col("var_num18"),
+        when(col("var_num18") <= 0, lit(null).cast("long"))
+          .when(col("s") === 0, lit(0L))
+          .otherwise(floor(
+            ((col("s") - signum(col("s").cast("double")).cast("long"))
+              * 1000L).cast("double")
+            / sqrt(col("var_num18").cast("double") / lit(18.0)))
+            .cast("long"))
+          .as("z_milli"))
+  }
+
+  /** Strict-inversion merge count: pairs `i < j` with `qs(i) >
+    * qs(j)` (equal values NOT counted), bottom-up merge sort,
+    * O(m log m) time, two m-sized long arrays. The local kernel of
+    * [[kendallTauLarge]] / [[mannKendallLarge]]'s bucketed count —
+    * a Scala function over one collected bucket array (the minhash
+    * discipline: a nested Catalyst HOF here would pay O(m²)
+    * interpreted array copies).
+    */
+  private[graft] def mergeCountInversions(qs: Seq[Long]): Long = {
+    val a = qs.toArray
+    val m = a.length
+    if (m < 2) return 0L
+    val buf = new Array[Long](m)
+    var inv = 0L
+    var width = 1
+    while (width < m) {
+      var lo = 0
+      while (lo < m - width) {
+        val mid = lo + width
+        val hi = math.min(lo + 2 * width, m)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          // equal values take the LEFT element first, uncounted —
+          // strict inversions only
+          if (a(i) <= a(j)) { buf(k) = a(i); i += 1 }
+          else { buf(k) = a(j); j += 1; inv += (mid - i).toLong }
+          k += 1
+        }
+        while (i < mid) { buf(k) = a(i); i += 1; k += 1 }
+        while (j < hi) { buf(k) = a(j); j += 1; k += 1 }
+        System.arraycopy(buf, lo, a, lo, hi - lo)
+        lo += 2 * width
+      }
+      width *= 2
+    }
+    inv
+  }
+
+  /** Distributed strict-inversion count per group — the O(n log n)
+    * engine under [[kendallTauLarge]] and [[mannKendallLarge]].
+    * Input: one row per element with two PERMUTATION positions
+    * `__p`, `__q` (each a 1..n row_number within `grp` — the caller
+    * reduces its tie semantics to permutations BEFORE calling) and
+    * the group size `__n`. Output per group: `__d` = #{pairs with
+    * p_i < p_j and q_i > q_j}, exact int64 (n ≤ ~4.2·10⁹ keeps
+    * n(n−1)/2 in range; callers bound far lower).
+    *
+    * Shape (the inversion-count factoring of a merge sort):
+    * Bg = min(buckets, ⌊√n⌋) range-buckets on each of p and q
+    * (uniform — positions are permutations, so `((pos−1)·Bg) div n`
+    * is balanced by construction, no skew possible). Every pair
+    * falls in exactly one of:
+    *   A  — different p-bucket AND different q-bucket: counted from
+    *        the Bg×Bg GRID of cell counts alone (bucket order
+    *        implies strict position order); the dominance sum
+    *        Σ_{b<a, c'>c} cnt(b,c') comes from two prefix windows
+    *        over the DENSIFIED grid (Bg² ≤ n rows per group — the
+    *        densification is what keeps the windows aligned);
+    *   B1 — same p-bucket: local merge count over the collected
+    *        bucket (≤ max(n/Bg, √n) rows, one O(m log m) kernel);
+    *   B2 — same q-bucket, different p-bucket: local merge count
+    *        over the q-bucket sorted by (p-bucket, q) — pairs
+    *        sharing a p-bucket sort by q ascending and contribute
+    *        nothing, so only the strict cross-bucket inversions
+    *        survive (the same lemma that reduces ties away).
+    * Total work O(n log n + n): two permutation window sorts are
+    * the caller's; here two bucket aggregations + one dense-grid
+    * pass — row-sized data crosses each shuffle ONCE, no pair join
+    * anywhere.
+    */
+  private def inversionCountPerGroup(rows: DataFrame,
+      buckets: Int): DataFrame = {
+    val b = rows
+      .withColumn("__bg", least(lit(buckets.toLong),
+        greatest(lit(1L),
+          floor(sqrt(col("__n").cast("double"))).cast("long"))))
+      .withColumn("__pb", expr("((__p - 1L) * __bg) div __n"))
+      .withColumn("__qb", expr("((__q - 1L) * __bg) div __n"))
+    val cells = b.groupBy(col("grp"), col("__pb"), col("__qb"))
+      .agg(count(lit(1)).as("__cnt"))
+    val gsz = b.groupBy(col("grp").as("__g"))
+      .agg(max(col("__bg")).as("__bgm"))
+    val dense = gsz
+      .withColumn("__dpb", explode(expr("sequence(0L, __bgm - 1L)")))
+      .withColumn("__dqb", explode(expr("sequence(0L, __bgm - 1L)")))
+      .join(cells, col("__g") <=> col("grp")
+        && col("__dpb") === col("__pb")
+        && col("__dqb") === col("__qb"), "left")
+      .select(col("__g"), col("__dpb"), col("__dqb"),
+        coalesce(col("__cnt"), lit(0L)).as("__c0"))
+    val wCum = Window.partitionBy(col("__g"), col("__dqb"))
+      .orderBy(col("__dpb"))
+    val wTail = Window.partitionBy(col("__g"), col("__dpb"))
+      .orderBy(col("__dqb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grid = dense
+      .withColumn("__cumP", sum(col("__c0")).over(wCum))
+      .withColumn("__V",
+        coalesce(sum(col("__cumP")).over(wTail), lit(0L)))
+      .withColumn("__W",
+        coalesce(lag(col("__V"), 1).over(wCum), lit(0L)))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c0") * col("__W")).as("__da"))
+    val inv = udf { (qs: Seq[Long]) => mergeCountInversions(qs) }
+    val b1 = b.groupBy(col("grp").as("__g1"), col("__pb"))
+      .agg(inv(expr(
+        "transform(sort_array(collect_list(struct(__p, __q)))," +
+          " s -> s.__q)")).as("__i"))
+      .groupBy(col("__g1")).agg(sum(col("__i")).as("__db1"))
+    val b2 = b.groupBy(col("grp").as("__g2"), col("__qb"))
+      .agg(inv(expr(
+        "transform(sort_array(collect_list(struct(__pb, __q)))," +
+          " s -> s.__q)")).as("__i"))
+      .groupBy(col("__g2")).agg(sum(col("__i")).as("__db2"))
+    grid
+      .join(b1, col("__g") <=> col("__g1"))
+      .join(b2, col("__g") <=> col("__g2"))
+      .select(col("__g").as("grp"),
+        (col("__da") + col("__db1") + col("__db2")).as("__d"))
+  }
+
+  /** Kendall's tau-b per group at scale — [[kendallTauB]]'s exact
+    * semantics (same output schema, bit-identical values on every
+    * input both accept) WITHOUT the O(n²) pair join, via the
+    * inversion-count factoring (Knight 1966's O(n log n) algorithm,
+    * distributed):
+    *
+    * With p = row_number over (x, y, id) and q = row_number over
+    * (y, x, id), the discordant count is EXACTLY the strict
+    * inversion count between the two permutations — x-tied pairs
+    * sort by y on both sides and y-tied pairs by x, so no tied pair
+    * can invert (the tie classes need no special casing anywhere).
+    * Tie pair counts n1/n2/n3 come from plain value-count folds
+    * (Σ t(t−1)/2), and
+    *
+    *   C = n0 − n1 − n2 + n3 − D,   n0 = n(n−1)/2
+    *   tau_b_ppm = floor(10⁶·(C−D) / sqrt((n0−n1)·(n0−n2)))
+    *
+    * — identical to [[kendallTauB]]'s final IEEE chain, except the
+    * denominator product is DECIMAL(38) before its exactly-rounded
+    * cast to double (int64 overflows past n ≈ 55k; for inputs both
+    * operators accept the cast is exact, so the results are
+    * bit-equal). Pair counts C, D, n0 stay exact int64 to
+    * n ≈ 4.2·10⁹; `maxN` bounds far lower and refuses loudly.
+    *
+    * Scale shape: two permutation window sorts on the group key
+    * (one exchange, two sorts), two value-count folds, then
+    * [[inversionCountPerGroup]] — bucket aggregations + a Bg² ≤ n
+    * dense-grid pass, NO pair join, no collect beyond one
+    * max(n/buckets, √n)-sized bucket array per task. ~Linear at a
+    * million rows per group where [[kendallTauB]]'s join would be
+    * 5·10¹¹ pairs.
+    */
+  def kendallTauLarge(df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String, maxN: Long = 1L << 24,
+      buckets: Int = 1024): DataFrame = {
+    require(maxN >= 2 && maxN <= 2000000000L,
+      s"maxN=$maxN out of [2, 2e9]")
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets=$buckets out of [2, 65536]")
+    def m(c: String) = coalesce(col(c).try_cast("long"),
+      raise_error(concat(lit(s"kendallTauLarge: $c value '"),
+        coalesce(col(c).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(groupCol).as("grp"), m(idCol).as("__i"),
+      m(xCol).as("__x"), m(yCol).as("__y"))
+    val dupW = Window.partitionBy(col("grp"), col("__i"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("kendallTauLarge: duplicate id "),
+          col("__i").cast("string"), lit(" in group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' — pair identity must be unique"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+    val gw = Window.partitionBy(col("grp"))
+    val wp = gw.orderBy(col("__x"), col("__y"), col("__i"))
+    val wq = gw.orderBy(col("__y"), col("__x"), col("__i"))
+    val perm = checked
+      .withColumn("__n", count(lit(1)).over(gw))
+      .filter(when(col("__n") > maxN,
+        raise_error(concat(lit("kendallTauLarge: group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' has "), col("__n").cast("string"),
+          lit(s" rows > maxN=$maxN — raise maxN (exact to ~2e9) " +
+            "or aggregate upstream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("__p", row_number().over(wp).cast("long"))
+      .withColumn("__q", row_number().over(wq).cast("long"))
+    def tiePairs(cols2: Seq[String], out: String) =
+      perm.groupBy((col("grp").as("__gt") +: cols2.map(col)): _*)
+        .agg(count(lit(1)).as("__tc"))
+        .groupBy(col("__gt"))
+        .agg(sum(expr("(__tc * (__tc - 1L)) div 2L")).as(out))
+    val t1 = tiePairs(Seq("__x"), "__n1")
+    val t2 = tiePairs(Seq("__y"), "__n2")
+    val t3 = tiePairs(Seq("__x", "__y"), "__n3")
+    val d = inversionCountPerGroup(
+      perm.select(col("grp"), col("__p"), col("__q"), col("__n")),
+      buckets)
+    perm.groupBy(col("grp")).agg(max(col("__n")).as("n"))
+      .join(d.select(col("grp").as("__gd"), col("__d")),
+        col("grp") <=> col("__gd"), "left")
+      .join(t1, col("grp") <=> t1("__gt"), "left")
+      .join(t2, col("grp") <=> t2("__gt"), "left")
+      .join(t3, col("grp") <=> t3("__gt"), "left")
+      .withColumn("n_pairs", expr("(n * (n - 1L)) div 2L"))
+      .withColumn("discordant", coalesce(col("__d"), lit(0L)))
+      .withColumn("concordant", col("n_pairs") - col("__n1")
+        - col("__n2") + col("__n3") - col("discordant"))
+      .select(col("grp"), col("n"), col("n_pairs"),
+        col("concordant"), col("discordant"),
+        when(col("n") < 2
+            || col("n_pairs") - col("__n1") <= 0
+            || col("n_pairs") - col("__n2") <= 0,
+          lit(null).cast("long"))
+          .otherwise(floor(lit(1000000.0)
+            * (col("concordant") - col("discordant")).cast("double")
+            / sqrt(((col("n_pairs") - col("__n1"))
+              .cast("decimal(38,0)")
+              * (col("n_pairs") - col("__n2"))).cast("double")))
+            .cast("long"))
+          .as("tau_b_ppm"))
+  }
+
+  /** Mann–Kendall trend test per group at scale —
+    * [[mannKendallTrend]]'s exact semantics (same output schema,
+    * bit-identical values on every input both accept) WITHOUT the
+    * O(n²) pair join: with the `(ts, tie)` positions unique (the
+    * shared duplicate refusal), every pair is strictly time-ordered,
+    * so S = A − D with A + D = n0 − n2 (n2 = value-tied pairs) and
+    * D the strict inversion count of the value order against the
+    * time order:
+    *
+    *   S = n0 − n2 − 2·D
+    *
+    * D comes from [[inversionCountPerGroup]] on p = row_number over
+    * (ts, tie) and q = row_number over (v, ts, tie) (value ties
+    * ordered by time on BOTH sides — tied pairs cannot invert, the
+    * [[kendallTauLarge]] lemma). The tie-corrected variance
+    * numerator and the continuity-corrected z are the
+    * [[mannKendallTrend]] chain verbatim. `maxN` ≤ 1.6·10⁶ HARD —
+    * n(n−1)(2n+5) is int64-exact to exactly there (8.2·10¹⁸ at
+    * 1.6M); a longer series overflows the var_num18 OUTPUT COLUMN,
+    * not the algorithm, and wants an aggregated cadence upstream
+    * (daily sums, not raw events — the q337 shape).
+    *
+    * Scale shape: identical to [[kendallTauLarge]] minus one tie
+    * fold — two window sorts on one exchange, two folds, the
+    * bucketed inversion count. ~Linear at a million rows per group.
+    */
+  def mannKendallLarge(df: DataFrame, groupCol: String,
+      tsCol: String, tieCol: String, valCol: String,
+      maxN: Long = 1048576L, buckets: Int = 1024): DataFrame = {
+    require(maxN >= 2 && maxN <= 1600000L,
+      s"maxN=$maxN out of [2, 1.6e6] (var_num18 is int64-exact " +
+        "to n = 1.6e6)")
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets=$buckets out of [2, 65536]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("mannKendallLarge value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = refuseDupPositions("mannKendallLarge",
+      df.select(col(groupCol).as("grp"),
+        col(tsCol).cast("long").as("__t"),
+        col(tieCol).cast("long").as("__e"), v.as("__v")),
+      "grp", "__t", "__e")
+    val gw = Window.partitionBy(col("grp"))
+    val wp = gw.orderBy(col("__t"), col("__e"))
+    val wq = gw.orderBy(col("__v"), col("__t"), col("__e"))
+    val perm = rows
+      .withColumn("__n", count(lit(1)).over(gw))
+      .filter(when(col("__n") > maxN,
+        raise_error(concat(lit("mannKendallLarge: group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' has "), col("__n").cast("string"),
+          lit(s" rows > maxN=$maxN — aggregate the series to a " +
+            "coarser cadence upstream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("__p", row_number().over(wp).cast("long"))
+      .withColumn("__q", row_number().over(wq).cast("long"))
+    val ties = perm.groupBy(col("grp").as("__gt"), col("__v"))
+      .agg(count(lit(1)).as("__tc"))
+      .groupBy(col("__gt"))
+      .agg(sum(expr("(__tc * (__tc - 1L)) div 2L")).as("__n2"),
+        sum(col("__tc") * (col("__tc") - 1L)
+          * (lit(2L) * col("__tc") + 5L)).as("__tcorr"))
+    val d = inversionCountPerGroup(
+      perm.select(col("grp"), col("__p"), col("__q"), col("__n")),
+      buckets)
+    perm.groupBy(col("grp")).agg(max(col("__n")).as("n"))
+      .join(d.select(col("grp").as("__gd"), col("__d")),
+        col("grp") <=> col("__gd"), "left")
+      .join(ties, col("grp") <=> col("__gt"))
+      .withColumn("s", expr("(n * (n - 1L)) div 2L") - col("__n2")
+        - lit(2L) * coalesce(col("__d"), lit(0L)))
       .withColumn("var_num18", col("n") * (col("n") - 1L)
         * (lit(2L) * col("n") + 5L) - col("__tcorr"))
       .select(col("grp"), col("n"), col("s"), col("var_num18"),

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.operators.Ops
+
+/** Laws for the O(n log n) inversion-count correlation operators:
+  * [[Ops.kendallTauLarge]] and [[Ops.mannKendallLarge]] must be
+  * BIT-EQUAL to their O(n²) pair-join siblings ([[Ops.kendallTauB]],
+  * [[Ops.mannKendallTrend]]) on every input both accept — same
+  * schema, same values, same nulls — across tie-rich randomized
+  * fixtures and degenerate bucket counts (buckets=2 forces the grid
+  * + intra-bucket split onto nearly every pair; buckets=65536 makes
+  * Bg=⌊√n⌋ per group). A plain-Scala brute-force pair count checks
+  * both against the definition.
+  */
+class InversionCountSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rootCause(t: Throwable): Throwable =
+    if (t.getCause == null) t else rootCause(t.getCause)
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val p = org.scalacheck.Gen.Parameters.default.withSize(50)
+    (0 until n).flatMap(i => g.apply(p, org.scalacheck.rng.Seed(1800L + i)))
+  }
+
+  private def bruteInv(qs: Seq[Long]): Long =
+    (for (i <- qs.indices; j <- i + 1 until qs.length
+          if qs(i) > qs(j)) yield 1L).sum
+
+  test("mergeCountInversions == brute-force strict pair count, " +
+      "duplicates uncounted") {
+    val gen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-6L, 6L)))
+    samples(gen, 12).zipWithIndex.foreach { case (vs, i) =>
+      assert(Ops.mergeCountInversions(vs) == bruteInv(vs),
+        s"case $i: $vs")
+    }
+    assert(Ops.mergeCountInversions(Seq.empty) == 0L)
+    assert(Ops.mergeCountInversions(Seq(5L)) == 0L)
+    assert(Ops.mergeCountInversions(Seq(3L, 3L, 3L)) == 0L,
+      "equal values are not inversions")
+  }
+
+  // tie-rich fixtures: narrow value ranges so x-ties, y-ties and
+  // joint ties all occur; two groups plus a singleton and a pair
+  private val fixture: Gen[List[(String, Long, Long, Long)]] = for {
+    n1 <- Gen.choose(1, 45); n2 <- Gen.choose(1, 45)
+    xs1 <- Gen.listOfN(n1, Gen.choose(-4L, 4L))
+    ys1 <- Gen.listOfN(n1, Gen.choose(-4L, 4L))
+    xs2 <- Gen.listOfN(n2, Gen.choose(-30L, 30L))
+    ys2 <- Gen.listOfN(n2, Gen.choose(-30L, 30L))
+  } yield (xs1.zip(ys1).zipWithIndex.map { case ((x, y), i) =>
+      ("a", i.toLong, x, y) } ++
+    xs2.zip(ys2).zipWithIndex.map { case ((x, y), i) =>
+      ("b", i.toLong, x, y) } ++
+    List(("one", 0L, 7L, 7L), ("two", 0L, 1L, 2L), ("two", 1L, 2L, 1L)))
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+
+  test("kendallTauLarge == kendallTauB bit-for-bit on tie-rich " +
+      "fixtures, across degenerate and large bucket counts") {
+    samples(fixture, 6).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("g", "i", "x", "y")
+      val want = rowsOf(
+        Ops.kendallTauB(df, "g", "i", "x", "y", maxN = 4096))
+      for (b <- Seq(2, 3, 7, 65536)) {
+        val got = rowsOf(
+          Ops.kendallTauLarge(df, "g", "i", "x", "y", buckets = b))
+        assert(got == want, s"case $i buckets=$b:\n got $got\nwant $want")
+      }
+    }
+  }
+
+  test("kendallTauLarge == plain-Scala brute force (C, D, ties, tau)") {
+    samples(fixture, 4).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("g", "i", "x", "y")
+      val got = rowsOf(Ops.kendallTauLarge(df, "g", "i", "x", "y"))
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val xy = rs.map(r => (r._3, r._4))
+        val pairs = for (a <- xy.indices; b2 <- a + 1 until xy.length)
+          yield (xy(a), xy(b2))
+        val c = pairs.count { case ((x1, y1), (x2, y2)) =>
+          (x1 < x2 && y1 < y2) || (x1 > x2 && y1 > y2) }.toLong
+        val d = pairs.count { case ((x1, y1), (x2, y2)) =>
+          (x1 < x2 && y1 > y2) || (x1 > x2 && y1 < y2) }.toLong
+        val t1 = pairs.count { case ((x1, _), (x2, _)) => x1 == x2 }.toLong
+        val t2 = pairs.count { case ((_, y1), (_, y2)) => y1 == y2 }.toLong
+        val n0 = pairs.length.toLong
+        val tau = if (n0 - t1 <= 0 || n0 - t2 <= 0) null
+          else java.lang.Long.valueOf(math.floor(1000000.0 * (c - d) /
+            math.sqrt(((n0 - t1) * (n0 - t2)).toDouble)).toLong)
+        assert(got(g) == Seq(xy.length.toLong, n0, c, d, tau),
+          s"case $i group $g: got ${got(g)}")
+      }
+    }
+  }
+
+  test("mannKendallLarge == mannKendallTrend bit-for-bit on tie-rich " +
+      "series, across bucket counts") {
+    val gen = Gen.choose(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-5L, 5L)))
+    samples(gen, 6).zipWithIndex.foreach { case (vs, i) =>
+      val df = (vs.zipWithIndex.map { case (v, t) =>
+          ("s", t.toLong, 0L, v) } ++
+        List(("one", 0L, 0L, 3L), ("flat", 0L, 0L, 2L),
+          ("flat", 1L, 0L, 2L), ("flat", 2L, 0L, 2L)))
+        .toDF("g", "t", "e", "v")
+      val want = rowsOf(
+        Ops.mannKendallTrend(df, "g", "t", "e", "v", maxN = 4096))
+      for (b <- Seq(2, 5, 65536)) {
+        val got = rowsOf(
+          Ops.mannKendallLarge(df, "g", "t", "e", "v", buckets = b))
+        assert(got == want, s"case $i buckets=$b:\n got $got\nwant $want")
+      }
+    }
+  }
+
+  test("refusals: duplicate id, duplicate (ts,tie), maxN, null value") {
+    val dup = intercept[Exception] {
+      Ops.kendallTauLarge(Seq(("a", 1L, 1L, 1L), ("a", 1L, 2L, 2L))
+        .toDF("g", "i", "x", "y"), "g", "i", "x", "y").collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate id"))
+    val big = intercept[Exception] {
+      Ops.kendallTauLarge((1L to 10L).map(i => ("a", i, i, i))
+        .toDF("g", "i", "x", "y"), "g", "i", "x", "y", maxN = 8)
+        .collect()
+    }
+    assert(rootCause(big).getMessage.contains("maxN=8"))
+    val dpos = intercept[Exception] {
+      Ops.mannKendallLarge(Seq(("a", 1L, 0L, 5L), ("a", 1L, 0L, 6L))
+        .toDF("g", "t", "e", "v"), "g", "t", "e", "v").collect()
+    }
+    assert(rootCause(dpos).getMessage.contains("duplicate position"))
+    val nul = intercept[Exception] {
+      Ops.mannKendallLarge(Seq(("a", 1L, 0L, Option.empty[Long]))
+        .toDF("g", "t", "e", "v"), "g", "t", "e", "v").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("mannKendallLarge value"))
+    intercept[IllegalArgumentException] {
+      Ops.mannKendallLarge(Seq(("a", 1L, 0L, 1L))
+        .toDF("g", "t", "e", "v"), "g", "t", "e", "v",
+        maxN = 2000000L)
+    }
+  }
+}
