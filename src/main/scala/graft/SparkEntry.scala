@@ -6049,6 +6049,24 @@ object SparkEntry {
         .groupBy(col("event_type"), col("d"))
         .agg(sum(col("v")).as("dv"))
       Ops.mannKendallLarge(daily, "event_type", "d", "d", "dv")
+    }),
+
+    // K-ARM STRATIFIED LOG-RANK: the q310 subjects split into THREE
+    // arms and two strata -- stratum-local pooled risk-set walks,
+    // integer-exact micro E_g per arm summed across strata (the CMH
+    // discipline), per-arm (O-E)^2/E floors summed to the
+    // conservative k-1 df statistic.
+    "q368_logrank_k" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val subj = events(s, dir).groupBy(col("user_id")).agg(
+        expr("(max(ts) - min(ts)) div 3600000000000L").as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ev"))
+        .withColumn("exp", pmod(expr("user_id div 2"), lit(3L)))
+        .withColumn("grp",
+          concat(lit("arm"), pmod(col("user_id"), lit(3L))))
+        .withColumn("st", pmod(expr("user_id div 8"), lit(2L)))
+      Experiment.logRankK(subj, "exp", "st", "grp", "dur", "ev")
     })
   )
 
@@ -15987,7 +16005,67 @@ object SparkEntry {
          |        ELSE -1 END) * 1000 AS DOUBLE)
          |      / sqrt(CAST(var_num18 AS DOUBLE) / 18.0::DOUBLE))
          |      AS BIGINT) END AS z_milli
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    // q368: k-arm stratified log-rank — the q310 derivation with a
+    // (times × arms) densification per stratum, stratum-local risk
+    // windows, integer E terms, per-arm (O−E)²/E floors.
+    "q368_logrank_k" ->
+      raw"""WITH subj AS (SELECT
+         |    (((user_id // 2) % 3) + 3) % 3 AS exp,
+         |    'arm' || CAST(((user_id % 3) + 3) % 3 AS VARCHAR)
+         |      AS grp,
+         |    (((user_id // 8) % 2) + 2) % 2 AS st,
+         |    (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+         |      // 3600000000000 AS t,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS e
+         |  FROM events GROUP BY user_id),
+         |ct AS (SELECT exp, st, t, grp, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(e) AS BIGINT) AS d
+         |  FROM subj GROUP BY 1, 2, 3, 4),
+         |tm AS (SELECT DISTINCT exp, st, t FROM ct),
+         |ar AS (SELECT DISTINCT exp, st, grp FROM ct),
+         |gr AS (SELECT tm.exp, tm.st, tm.t, ar.grp,
+         |    COALESCE(ct.c, 0) AS c, COALESCE(ct.d, 0) AS d
+         |  FROM tm JOIN ar ON ar.exp = tm.exp AND ar.st = tm.st
+         |  LEFT JOIN ct ON ct.exp = tm.exp AND ct.st = tm.st
+         |    AND ct.t = tm.t AND ct.grp = ar.grp),
+         |rk AS (SELECT exp, st, t, grp, d,
+         |    CAST(sum(c) OVER (PARTITION BY exp, st, grp
+         |      ORDER BY t DESC) AS BIGINT) AS ng
+         |  FROM gr),
+         |et AS (SELECT exp, st, t, grp, ng,
+         |    CAST(sum(ng) OVER (PARTITION BY exp, st, t) AS BIGINT)
+         |      AS n,
+         |    CAST(sum(d) OVER (PARTITION BY exp, st, t) AS BIGINT)
+         |      AS dt
+         |  FROM rk),
+         |eg AS (SELECT exp, grp,
+         |    CAST(sum((1000000 * (dt * ng)) // n) AS BIGINT)
+         |      AS e_micro
+         |  FROM et WHERE dt >= 1 GROUP BY 1, 2),
+         |pa AS (SELECT exp, grp, CAST(count(*) AS BIGINT) AS n_subj,
+         |    CAST(sum(e) AS BIGINT) AS o
+         |  FROM subj GROUP BY 1, 2),
+         |pe AS (SELECT pa.exp, pa.grp, pa.n_subj, pa.o,
+         |    COALESCE(eg.e_micro, 0) AS e_micro
+         |  FROM pa LEFT JOIN eg ON eg.exp = pa.exp
+         |    AND eg.grp = pa.grp),
+         |fd AS (SELECT exp,
+         |    CAST(sum(CASE WHEN e_micro <= 0 THEN 0
+         |      ELSE CAST(floor(CAST(1000000 * o - e_micro AS DOUBLE)
+         |        * CAST(1000000 * o - e_micro AS DOUBLE)
+         |        / CAST(e_micro AS DOUBLE)) AS BIGINT) END)
+         |      AS BIGINT) AS chi,
+         |    CAST(sum(o) AS BIGINT) AS ot,
+         |    CAST(count(*) AS BIGINT) AS ka
+         |  FROM pe GROUP BY 1)
+         |SELECT pe.exp, pe.grp, pe.n_subj, pe.o, pe.e_micro,
+         |  CASE WHEN fd.ka <= 1 OR fd.ot = 0 THEN NULL
+         |    ELSE fd.chi END AS chi2_micro,
+         |  fd.ka - 1 AS df
+         |FROM pe JOIN fd ON fd.exp = pe.exp""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

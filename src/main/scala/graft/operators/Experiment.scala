@@ -765,6 +765,143 @@ object Experiment {
         col("chi2_micro"))
   }
 
+  /** k-ARM, STRATIFIED log-rank test per experiment — the two
+    * generalizations [[logRank]] refuses by contract (its 0/1 arm
+    * check), in one operator: arms are ARBITRARY non-null values
+    * (k of them), and the pooled risk-set walk runs WITHIN each
+    * (experiment, stratum) so a confounder distributed unevenly
+    * across arms (region, device class — the [[mantelHaenszel]]
+    * motivation) cannot masquerade as a survival difference; pass a
+    * constant stratum for the unstratified k-arm test. At each
+    * stratum-local pooled event time tₖ with n_gk at risk in arm g:
+    *
+    *   E_gk = (10⁶·dₖ·n_gk) div nₖ     — integer-exact micro, the
+    *                                      [[logRank]] lattice;
+    *   O_g  = Σ d_gk,  E_g = Σ_strata Σ_k E_gk   (O−E summed across
+    *          strata BEFORE the statistic — the CMH discipline)
+    *
+    * and the statistic is the standard conservative approximation
+    * (Peto & Peto 1972 §7; R survdiff's per-arm column):
+    *
+    *   chi2_micro = Σ_g floor((10⁶·O_g − E_g_micro)² / E_g_micro)
+    *
+    * on k−1 df — CONSERVATIVE because it omits the off-diagonal
+    * covariance (the exact quadratic form needs a (k−1)² matrix
+    * inverse — not an integer-lattice object; for k = 2 use
+    * [[logRank]]'s exact hypergeometric variance, which this
+    * operator's per-arm O and E match bit-for-bit). Arms with
+    * E_g = 0 contribute 0 (they were never at risk at an event
+    * time); chi2 is null when k = 1 (0 df) or no events anywhere.
+    * Output one row per (exp, grp): `n_subj, o, e_micro` with
+    * `chi2_micro, df` attached to every arm row (the [[logRank]]
+    * convention).
+    *
+    * Scale shape: one (exp, stratum, t, grp) aggregation; a
+    * (times × arms) DENSIFICATION per stratum (the risk window
+    * needs every arm evaluated at every pooled event time — fan-out
+    * ×k, k = arm count, loudly ≤ 64); one descending-time cumulative
+    * window per (exp, stratum, grp); one fold. Nothing subject-sized
+    * crosses the second shuffle. The [[logRank]] overflow bound
+    * applies per stratum.
+    */
+  def logRankK(df: DataFrame, expCol: String, stratumCol: String,
+      groupCol: String, durCol: String, eventCol: String,
+      maxArms: Int = 64): DataFrame = {
+    require(maxArms >= 2 && maxArms <= 1024,
+      s"maxArms=$maxArms out of [2, 1024]")
+    val g = coalesce(col(groupCol).cast("string"),
+      raise_error(lit("logRankK: null arm — a null is not an arm; " +
+        "filter or impute visibly upstream")).cast("string"))
+    val dur = coalesce(col(durCol).try_cast("long"),
+      raise_error(concat(lit("logRankK: duration '"),
+        coalesce(col(durCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val ev = coalesce(col(eventCol).try_cast("long"),
+      raise_error(concat(lit("logRankK: event flag '"),
+        coalesce(col(eventCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(expCol).as("exp"),
+      col(stratumCol).as("st"), g.as("grp"),
+      when(dur < 0, raise_error(concat(
+        lit("logRankK: negative duration "), dur.cast("string")))
+        .cast("long")).otherwise(dur).as("t"),
+      when(ev.isin(0L, 1L), ev).otherwise(
+        raise_error(concat(lit("logRankK: event flag "),
+          ev.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__e"))
+    val counts = rows.groupBy(col("exp"), col("st"), col("t"),
+        col("grp"))
+      .agg(count(lit(1)).as("__c"), sum(col("__e")).as("__d"))
+    // contract check forced through a FILTER, not a projected
+    // column — a projected-but-unused raise_error gets pruned
+    val armK = rows.groupBy(col("exp").as("__xa"))
+      .agg(countDistinct(col("grp")).as("__k"))
+      .filter(when(col("__k") > maxArms,
+        raise_error(concat(lit("logRankK: experiment '"),
+          coalesce(col("__xa").cast("string"), lit("NULL")),
+          lit("' has "), col("__k").cast("string"),
+          lit(s" arms > maxArms=$maxArms — the time grid densifies " +
+            "×k; coarsen the arm taxonomy upstream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col("__xa"))
+    val times = counts.select(col("exp").as("__xt"),
+      col("st").as("__st"), col("t").as("__t")).distinct()
+    val arms = counts.select(col("exp").as("__xg"),
+      col("st").as("__sg"), col("grp").as("__g")).distinct()
+    val grid = times.join(arms, col("__xt") <=> col("__xg")
+        && col("__st") <=> col("__sg"))
+      .select(col("__xt").as("exp"), col("__st").as("st"),
+        col("__t").as("t"), col("__g").as("grp"))
+      .join(counts.select(col("exp").as("__x2"), col("st").as("__s2"),
+          col("t").as("__t2"), col("grp").as("__g2"),
+          col("__c"), col("__d")),
+        col("exp") <=> col("__x2") && col("st") <=> col("__s2")
+          && col("t") === col("__t2") && col("grp") === col("__g2"),
+        "left")
+      .select(col("exp"), col("st"), col("t"), col("grp"),
+        coalesce(col("__c"), lit(0L)).as("__c"),
+        coalesce(col("__d"), lit(0L)).as("__d"))
+    val risk = Window.partitionBy(col("exp"), col("st"), col("grp"))
+      .orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atT = Window.partitionBy(col("exp"), col("st"), col("t"))
+    val et = grid
+      .withColumn("__ng", sum(col("__c")).over(risk))
+      .withColumn("__n", sum(col("__ng")).over(atT))
+      .withColumn("__dt", sum(col("__d")).over(atT))
+      .filter(col("__dt") >= 1)
+      .withColumn("__eg",
+        expr("(1000000L * (__dt * __ng)) div __n"))
+    val perArm = rows.groupBy(col("exp"), col("grp"))
+      .agg(count(lit(1)).as("n_subj"), sum(col("__e")).as("o"))
+      .join(et.groupBy(col("exp").as("__x3"), col("grp").as("__g3"))
+          .agg(sum(col("__eg")).as("e_micro")),
+        col("exp") <=> col("__x3") && col("grp") === col("__g3"),
+        "left")
+      .select(col("exp"), col("grp"), col("n_subj"), col("o"),
+        coalesce(col("e_micro"), lit(0L)).as("e_micro"))
+    // per-arm (O−E)²/E floored once per arm (≤ 1 micro each, stated),
+    // summed per experiment; arms never at risk at an event time
+    // (E = 0 ⇒ O = 0 under the logRank subject bound) contribute 0
+    val fold = perArm
+      .withColumn("__term", when(col("e_micro") <= 0, lit(0L))
+        .otherwise(floor(
+          (lit(1000000L) * col("o") - col("e_micro")).cast("double")
+            * (lit(1000000L) * col("o") - col("e_micro")).cast("double")
+            / col("e_micro").cast("double")).cast("long")))
+      .groupBy(col("exp").as("__x4"))
+      .agg(sum(col("__term")).as("__chi"), sum(col("o")).as("__ot"),
+        count(lit(1)).as("__ka"))
+    perArm.join(armK, col("exp") <=> col("__xa"))
+      .join(fold, col("exp") <=> col("__x4"))
+      .select(col("exp"), col("grp"), col("n_subj"), col("o"),
+        col("e_micro"),
+        when(col("__ka") <= 1 || col("__ot") === 0,
+          lit(null).cast("long")).otherwise(col("__chi"))
+          .as("chi2_micro"),
+        (col("__ka") - 1L).as("df"))
+  }
+
   private val LehmerM = 2147483647L // MINSTD modulus, 2^31 - 1
   private def lehmer(x: Column): Column =
     pmod(pmod(x, lit(LehmerM)) * lit(48271L), lit(LehmerM))

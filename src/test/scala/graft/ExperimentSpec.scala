@@ -826,4 +826,84 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(rootCause(dup).getMessage.contains("duplicate pair id"))
   }
+
+  test("logRankK: hand-walked 3-arm risk sets; two-arm O/E pins to " +
+      "logRank; stratification moves E; refusals") {
+    import org.apache.spark.sql.functions.lit
+    // arms A/B/C, constant stratum; pooled event times 1, 2, 3
+    //   t=1: nA=nB=nC=2 n=6 d=1 -> E_g = 333333 each
+    //   t=2: nA=1 nB=2 nC=2 n=5 d=1 -> 200000 / 400000 / 400000
+    //   t=3: nA=1 nB=1 nC=2 n=4 d=1 -> 250000 / 250000 / 500000
+    val subj = Seq(
+      ("e", "A", 1L, 1L), ("e", "A", 3L, 0L),
+      ("e", "B", 2L, 1L), ("e", "B", 3L, 1L),
+      ("e", "C", 3L, 0L), ("e", "C", 3L, 0L))
+      .toDF("exp", "g", "dur", "ev").withColumn("st", lit(0L))
+    val got = Experiment.logRankK(subj, "exp", "st", "g", "dur", "ev")
+      .collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5),
+        r.getLong(6)))).toMap
+    def term(o: Long, e: Long): Long =
+      math.floor((1000000L * o - e).toDouble
+        * (1000000L * o - e).toDouble / e.toDouble).toLong
+    val chi = term(1L, 783333L) + term(2L, 983333L) +
+      term(0L, 1233333L)
+    assert(got("A") == ((2L, 1L, 783333L, chi, 2L)), s"got $got")
+    assert(got("B") == ((2L, 2L, 983333L, chi, 2L)))
+    assert(got("C") == ((2L, 0L, 1233333L, chi, 2L)))
+    // two arms named 0/1: per-arm O and E match logRank bit-for-bit
+    val two = Seq(
+      ("e", 0L, 1L, 1L), ("e", 0L, 4L, 0L), ("e", 0L, 5L, 1L),
+      ("e", 1L, 2L, 1L), ("e", 1L, 3L, 1L), ("e", 1L, 5L, 0L))
+      .toDF("exp", "g", "dur", "ev")
+    val ref = Experiment.logRank(two, "exp", "g", "dur", "ev")
+      .collect().map(r => r.getLong(1).toString ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val kk = Experiment.logRankK(two.withColumn("st", lit(0L)),
+      "exp", "st", "g", "dur", "ev").collect()
+      .map(r => r.getString(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(kk("1")._1 == ref("1")._1 && kk("1")._2 == ref("1")._2 &&
+      kk("1")._3 == ref("1")._3,
+      s"arm-1 O/E must pin to logRank: $kk vs $ref")
+    assert(kk("0")._1 == ref("0")._1 && kk("0")._2 == ref("0")._2)
+    // stratification: stratum-local risk sets change E (the
+    // confounder can no longer masquerade as a survival difference)
+    val strat = Seq(
+      ("e", "s1", "A", 1L, 1L), ("e", "s1", "B", 2L, 1L),
+      ("e", "s2", "A", 10L, 1L), ("e", "s2", "B", 20L, 1L))
+      .toDF("exp", "st", "g", "dur", "ev")
+    val sGot = Experiment.logRankK(strat, "exp", "st", "g", "dur",
+      "ev").collect().map(r => r.getString(1) ->
+        ((r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    // s1: t=1 E_A=E_B=500000; t=2 E_B=1e6. s2 mirrors at 10/20.
+    assert(sGot("A") == ((2L, 1000000L, 1333333L)), s"got $sGot")
+    assert(sGot("B") == ((2L, 3000000L, 1333333L)))
+    val pooled = Experiment.logRankK(
+      strat.withColumn("st2", lit(0L)), "exp", "st2", "g", "dur",
+      "ev").collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(pooled("A") == 1333333L && pooled("B") == 2666666L,
+      s"pooled E must differ from stratified: $pooled")
+    // single-arm experiment: chi2 null, df 0
+    val one = Experiment.logRankK(
+      Seq(("f", 0L, "A", 1L, 1L)).toDF("exp", "st", "g", "dur", "ev"),
+      "exp", "st", "g", "dur", "ev").collect()(0)
+    assert(one.isNullAt(5) && one.getLong(6) == 0L)
+    val nul = intercept[Exception] {
+      Experiment.logRankK(
+        Seq(("e", 0L, Option.empty[String], 1L, 1L))
+          .toDF("exp", "st", "g", "dur", "ev"),
+        "exp", "st", "g", "dur", "ev").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("null arm"))
+    val many = intercept[Exception] {
+      Experiment.logRankK(
+        (1L to 70L).map(i => ("e", 0L, s"arm$i", i, 1L))
+          .toDF("exp", "st", "g", "dur", "ev"),
+        "exp", "st", "g", "dur", "ev", maxArms = 64).collect()
+    }
+    assert(rootCause(many).getMessage.contains("maxArms=64"))
+  }
 }
