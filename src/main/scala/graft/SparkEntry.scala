@@ -6067,6 +6067,20 @@ object SparkEntry {
           concat(lit("arm"), pmod(col("user_id"), lit(3L))))
         .withColumn("st", pmod(expr("user_id div 8"), lit(2L)))
       Experiment.logRankK(subj, "exp", "st", "grp", "dur", "ev")
+    }),
+
+    // ANYTIME-VALID E-PROCESS on the q342 conversion stream: the
+    // Krichevsky-Trofimov mixture factor per row (exact integer
+    // ratio from the pre-row counts), nano-nat floors summed as
+    // integers, Ville threshold ln(1/alpha) -- the monitor that
+    // needs no point alternative and never closes.
+    "q369_eprocess" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.eProcessBinary(events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          when(col("value") >= 50, 1L).otherwise(0L).as("conv")),
+        "event_type", "ts", "event_id", "conv",
+        p0Milli = 480L, alphaMilli = 50L)
     })
   )
 
@@ -16065,7 +16079,61 @@ object SparkEntry {
          |  CASE WHEN fd.ka <= 1 OR fd.ot = 0 THEN NULL
          |    ELSE fd.chi END AS chi2_micro,
          |  fd.ka - 1 AS df
-         |FROM pe JOIN fd ON fd.exp = pe.exp""".stripMargin
+         |FROM pe JOIN fd ON fd.exp = pe.exp""".stripMargin,
+
+    // q369: e-process — pre-row counts from exclusive-frame windows,
+    // one ln per row of the exact KT integer ratio, nano floors
+    // summed as integers, first threshold crossing decides.
+    "q369_eprocess" ->
+      raw"""WITH e AS (SELECT event_type AS exp, epoch_ns(ts) AS t,
+         |    event_id AS i,
+         |    CASE WHEN value >= 50 THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |w AS (SELECT exp, t, i, c,
+         |    CAST(COALESCE(sum(c) OVER (PARTITION BY exp
+         |      ORDER BY t, i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS sp,
+         |    CAST(COALESCE(count(*) OVER (PARTITION BY exp
+         |      ORDER BY t, i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS np
+         |  FROM e),
+         |tr AS (SELECT exp, t, i, c, sp, np,
+         |    CASE WHEN c = 1 THEN 1000 * (2 * sp + 1)
+         |      ELSE 1000 * (2 * (np - sp) + 1) END AS a,
+         |    CASE WHEN c = 1 THEN 2 * (np + 1) * 480
+         |      ELSE 2 * (np + 1) * 520 END AS b
+         |  FROM w),
+         |l AS (SELECT exp, t, i, np + 1 AS n, sp + c AS s,
+         |    CAST(sum(CAST(floor(1000000000.0::DOUBLE
+         |      * ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)))
+         |      AS BIGINT)) OVER (PARTITION BY exp ORDER BY t, i
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lnn
+         |  FROM tr),
+         |bnd AS (SELECT CAST(floor(1000000000.0::DOUBLE
+         |    * ln(CAST(1000 AS DOUBLE) / CAST(50 AS DOUBLE)))
+         |    AS BIGINT) AS th),
+         |sm AS (SELECT exp, CAST(max(n) AS BIGINT) AS n,
+         |    CAST(max(s) AS BIGINT) AS s FROM l GROUP BY 1),
+         |fin AS (SELECT l.exp, l.lnn FROM l JOIN sm
+         |  ON sm.exp = l.exp AND sm.n = l.n),
+         |cr AS (SELECT l.exp, l.t, l.i, l.n, l.lnn,
+         |    row_number() OVER (PARTITION BY l.exp
+         |      ORDER BY l.t, l.i) AS rk
+         |  FROM l CROSS JOIN bnd WHERE l.lnn >= bnd.th),
+         |c1 AS (SELECT * FROM cr WHERE rk = 1)
+         |SELECT sm.exp, sm.n, sm.s, fin.lnn AS e_final_nano,
+         |  bnd.th AS threshold_nano,
+         |  CASE WHEN c1.exp IS NULL THEN 'continue'
+         |    ELSE 'reject_h0' END AS decision,
+         |  CAST(c1.t AS BIGINT) AS decision_ts,
+         |  CAST(c1.i AS BIGINT) AS decision_tie,
+         |  CAST(c1.n AS BIGINT) AS n_at_decision,
+         |  c1.lnn AS e_at_decision
+         |FROM sm JOIN fin ON fin.exp = sm.exp
+         |CROSS JOIN bnd
+         |LEFT JOIN c1 ON c1.exp = sm.exp""".stripMargin
   )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over

@@ -1329,6 +1329,118 @@ object Experiment {
         col("n_at_decision"), col("llr_at_decision"))
   }
 
+  /** Anytime-valid e-process monitor over a binary metric per
+    * experiment — the mixture-SPRT companion to [[sprtBinary]] that
+    * needs NO point alternative (Wald's test asks "p0 or p1?"; a
+    * platform monitor usually can't name p1): the running e-process
+    *
+    *   E_t = Π_{i≤t} q(x_i | s_{i−1}, n_{i−1}) / p0(x_i)
+    *
+    * with q the Krichevsky–Trofimov predictive (s+½)/(n+1) — the
+    * Beta(½,½) mixture likelihood ratio evaluated one factor at a
+    * time, so EVERY factor is an exact integer ratio on the count
+    * lattice: for x=1 the factor is (1000·(2s+1)) / (2·(n+1)·p0m),
+    * for x=0 it is (1000·(2(n−s)+1)) / (2·(n+1)·(1000−p0m)), with
+    * (s, n) the counts BEFORE the row. E_t is a nonnegative
+    * supermartingale with E[E_t] = 1 under H0, so by Ville's
+    * inequality P(sup E_t ≥ 1/α) ≤ α — the threshold is valid at
+    * EVERY look and under ANY stopping rule (Ramdas et al. 2023,
+    * "Game-theoretic statistics"; the mSPRT of Johari et al. 2017
+    * is the same construction with a Gaussian mixture). In ln space:
+    * each factor contributes `floor(10⁹·ln(a/b))` NANO-nats (one ln
+    * of one exactly-represented integer ratio per row, the q339 ln
+    * discipline; the per-row floor biases the sum DOWN by < 1 nano
+    * each — conservative, it can only delay a rejection, stated),
+    * summed as INTEGERS in arrival order against
+    * `threshold_nano = floor(10⁹·ln(1000/alphaMilli))`. The FIRST
+    * row at or above the threshold decides `reject_h0`; an
+    * e-process never accepts H0 (evidence can only fail to
+    * accumulate) — the alternative decision is `continue`, and the
+    * test stays open forever by design. Conversions must be 0/1 and
+    * positions (ts, tie) unique per experiment, refused loudly (the
+    * [[sprtBinary]] contracts).
+    *
+    * Scale shape: ONE experiment-partitioned window (two exclusive
+    * running counts + one integer cumulative sum ride the same
+    * sort) + one fold — no iteration, no float state anywhere.
+    */
+  def eProcessBinary(df: DataFrame, expCol: String, tsCol: String,
+      tieCol: String, convCol: String, p0Milli: Long,
+      alphaMilli: Long): DataFrame = {
+    require(p0Milli >= 1 && p0Milli <= 999,
+      s"p0Milli=$p0Milli out of [1, 999]")
+    require(alphaMilli >= 1 && alphaMilli <= 499,
+      s"alphaMilli=$alphaMilli out of [1, 499]")
+    val threshold = math.floor(1.0e9
+      * math.log(1000.0 / alphaMilli.toDouble)).toLong
+    val cv = coalesce(col(convCol).try_cast("long"),
+      raise_error(concat(lit("eProcessBinary conversion '"),
+        coalesce(col(convCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(expCol).as("exp"),
+      col(tsCol).cast("long").as("__t"),
+      col(tieCol).cast("long").as("__e"),
+      when(cv.isin(0L, 1L), cv).otherwise(
+        raise_error(concat(lit("eProcessBinary conversion "),
+          cv.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__c"))
+    val dupW = Window.partitionBy(col("exp"), col("__t"), col("__e"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("eProcessBinary: duplicate position " +
+          "(ts, tie) in experiment '"),
+          coalesce(col("exp").cast("string"), lit("NULL")),
+          lit("' — the arrival order is the e-process; it must be " +
+            "total"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+    val w = Window.partitionBy(col("exp"))
+      .orderBy(col("__t"), col("__e"))
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val walked = checked
+      .withColumn("__sp", coalesce(sum(col("__c")).over(prev),
+        lit(0L)))
+      .withColumn("__np", count(lit(1)).over(prev))
+      .withColumn("__a", when(col("__c") === 1L,
+          lit(1000L) * (lit(2L) * col("__sp") + 1L))
+        .otherwise(lit(1000L)
+          * (lit(2L) * (col("__np") - col("__sp")) + 1L)))
+      .withColumn("__b", when(col("__c") === 1L,
+          lit(2L) * (col("__np") + 1L) * lit(p0Milli))
+        .otherwise(lit(2L) * (col("__np") + 1L)
+          * lit(1000L - p0Milli)))
+      .withColumn("__term", floor(lit(1.0e9)
+        * log(col("__a").cast("double") / col("__b").cast("double")))
+        .cast("long"))
+      .withColumn("__ln", sum(col("__term")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", col("__np") + 1L)
+      .withColumn("__s", col("__sp") + col("__c"))
+    val summary = walked.groupBy(col("exp"))
+      .agg(max(col("__n")).as("n"), max(col("__s")).as("s"),
+        max(struct(col("__n"), col("__ln"))).as("__last"))
+      .select(col("exp"), col("n"), col("s"),
+        col("__last.__ln").as("e_final_nano"))
+    val crossed = walked
+      .filter(col("__ln") >= threshold)
+      .groupBy(col("exp").as("__x"))
+      .agg(min(struct(col("__t"), col("__e"), col("__n"),
+        col("__ln"))).as("__first"))
+      .select(col("__x"),
+        col("__first.__t").as("decision_ts"),
+        col("__first.__e").as("decision_tie"),
+        col("__first.__n").as("n_at_decision"),
+        col("__first.__ln").as("e_at_decision"))
+    summary.join(crossed, col("exp") <=> col("__x"), "left")
+      .select(col("exp"), col("n"), col("s"),
+        col("e_final_nano"), lit(threshold).as("threshold_nano"),
+        when(col("decision_ts").isNull, lit("continue"))
+          .otherwise(lit("reject_h0")).as("decision"),
+        col("decision_ts"), col("decision_tie"),
+        col("n_at_decision"), col("e_at_decision"))
+  }
+
   /** Cochran–Mantel–Haenszel inputs + MH pooled odds ratio per
     * experiment — the BINARY-outcome companion to [[stratifiedAte]]
     * (stratify a conversion contrast by the confounder instead of a

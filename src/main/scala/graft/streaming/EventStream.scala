@@ -930,6 +930,75 @@ object EventStream {
         })
   }
 
+  final case class EProcState(s: Long, n: Long, lnNano: Long,
+      decided: Boolean, lastTs: Long, lastTie: Long)
+  final case class EProcOut(exp: String, ts: Long, tie: Long, n: Long,
+      s: Long, e_nano: Long, decision: String)
+
+  /** Stateful streaming e-process — the true streaming form of
+    * [[graft.operators.Experiment.eProcessBinary]] (an anytime-valid
+    * monitor is BORN streaming: Ville's inequality is exactly the
+    * license to look at every row): per experiment the state is the
+    * running (s, n), the INTEGER nano-nat ln sum, a decided flag and
+    * the (ts, tie) high-water mark — six fields, bounded. Each row's
+    * factor is recomputed from the integer (s, n) in the batch
+    * operator's exact chain (one ln of one integer ratio, floored to
+    * nano) and ADDED to the integer sum — the state never holds a
+    * float, so stream ≡ batch exactly on in-order arrivals. After
+    * the threshold fires the monitor is done — later rows are
+    * absorbed (the sampling-stops contract [[sprtStream]] shares);
+    * late rows follow the [[cusumStream]] drop policy. Conversions
+    * outside {0,1} fail the job loudly.
+    */
+  def eProcessStream(points: org.apache.spark.sql.Dataset[SprtPoint],
+      p0Milli: Long, alphaMilli: Long)
+      : org.apache.spark.sql.Dataset[EProcOut] = {
+    require(p0Milli >= 1 && p0Milli <= 999,
+      s"p0Milli=$p0Milli out of [1, 999]")
+    require(alphaMilli >= 1 && alphaMilli <= 499,
+      s"alphaMilli=$alphaMilli out of [1, 499]")
+    val threshold = math.floor(1.0e9
+      * math.log(1000.0 / alphaMilli.toDouble)).toLong
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    points.groupByKey(_.exp)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (exp: String, rows: Iterator[SprtPoint],
+            state: GroupState[EProcState]) => {
+          var st = state.getOption.getOrElse(
+            EProcState(0L, 0L, 0L, decided = false, Long.MinValue,
+              Long.MinValue))
+          val out = rows.toSeq.sortBy(p => (p.ts, p.tie)).flatMap { p =>
+            require(p.conv == 0L || p.conv == 1L,
+              s"eProcessStream: conversion ${p.conv} outside {0,1}")
+            val late = p.ts < st.lastTs ||
+              (p.ts == st.lastTs && p.tie <= st.lastTie)
+            if (late || st.decided) None
+            else {
+              val a = if (p.conv == 1L) 1000L * (2L * st.s + 1L)
+                else 1000L * (2L * (st.n - st.s) + 1L)
+              val b = if (p.conv == 1L) 2L * (st.n + 1L) * p0Milli
+                else 2L * (st.n + 1L) * (1000L - p0Milli)
+              // StrictMath.log: Catalyst's Log expression is
+              // fdlibm-strict — Math.log's intrinsic can differ in
+              // the last ulp, which would break stream ≡ batch
+              val term = math.floor(1.0e9
+                * StrictMath.log(a.toDouble / b.toDouble)).toLong
+              val ln = st.lnNano + term
+              val decision =
+                if (ln >= threshold) "reject_h0" else "continue"
+              st = EProcState(st.s + p.conv, st.n + 1L, ln,
+                decision != "continue", p.ts, p.tie)
+              Some(EProcOut(exp, p.ts, p.tie, st.n, st.s, ln,
+                decision))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   final case class GrowthPoint(user: Long, p: Long)
   final case class GrowthState(lastP: Long, seen: Boolean)
   final case class GrowthOut(user: Long, p: Long, status: String)

@@ -906,4 +906,63 @@ class ExperimentSpec extends AnyFunSuite {
     }
     assert(rootCause(many).getMessage.contains("maxArms=64"))
   }
+
+  test("eProcessBinary: KT factors replayed in plain scala, first " +
+      "crossing decides, no-alternative continue, refusals") {
+    // p0 = 0.2, alpha = 0.05: three straight conversions cross ln20
+    val df = Seq(("e", 1L, 1L, 1L), ("e", 2L, 2L, 1L),
+      ("e", 3L, 3L, 1L), ("e", 4L, 4L, 1L),
+      // experiment c: conversions at the null rate -> no crossing
+      ("c", 1L, 1L, 0L), ("c", 2L, 2L, 0L), ("c", 3L, 3L, 1L),
+      ("c", 4L, 4L, 0L), ("c", 5L, 5L, 0L))
+      .toDF("e", "t", "i", "c")
+    val got = Experiment.eProcessBinary(df, "e", "t", "i", "c",
+      p0Milli = 200L, alphaMilli = 50L).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // replay the documented chain sequentially (StrictMath.log ==
+    // Catalyst's Log)
+    def walk(cs: Seq[Long]): Seq[Long] = {
+      var s = 0L; var n = 0L
+      cs.map { c =>
+        val a = if (c == 1L) 1000L * (2L * s + 1L)
+          else 1000L * (2L * (n - s) + 1L)
+        val b = if (c == 1L) 2L * (n + 1L) * 200L
+          else 2L * (n + 1L) * 800L
+        s += c; n += 1L
+        math.floor(1.0e9 * StrictMath.log(a.toDouble / b.toDouble))
+          .toLong
+      }.scanLeft(0L)(_ + _).drop(1)
+    }
+    val threshold = math.floor(1.0e9 * math.log(20.0)).toLong
+    val eWalk = walk(Seq(1L, 1L, 1L, 1L))
+    val e = got("e")
+    assert(e.getAs[Long]("threshold_nano") == threshold)
+    assert(e.getAs[String]("decision") == "reject_h0")
+    assert(e.getAs[Long]("n_at_decision") ==
+      (eWalk.indexWhere(_ >= threshold) + 1L),
+      s"crossing row: ${eWalk.toList} vs $threshold")
+    assert(e.getAs[Long]("e_at_decision") ==
+      eWalk(eWalk.indexWhere(_ >= threshold)))
+    assert(e.getAs[Long]("e_final_nano") == eWalk.last)
+    val c = got("c")
+    assert(c.getAs[String]("decision") == "continue" &&
+      c.isNullAt(7) && c.getAs[Long]("e_final_nano") == walk(
+        Seq(0L, 0L, 1L, 0L, 0L)).last, s"got $c")
+    val dup = intercept[Exception] {
+      Experiment.eProcessBinary(
+        Seq(("e", 1L, 1L, 1L), ("e", 1L, 1L, 0L))
+          .toDF("e", "t", "i", "c"), "e", "t", "i", "c", 200L, 50L)
+        .collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate position"))
+    val bad = intercept[Exception] {
+      Experiment.eProcessBinary(Seq(("e", 1L, 1L, 2L))
+        .toDF("e", "t", "i", "c"), "e", "t", "i", "c", 200L, 50L)
+        .collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside {0,1}"))
+    intercept[IllegalArgumentException] {
+      Experiment.eProcessBinary(df, "e", "t", "i", "c", 0L, 50L)
+    }
+  }
 }

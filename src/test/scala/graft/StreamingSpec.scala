@@ -740,6 +740,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("eProcessStream: threshold fires mid-stream, later and late " +
+      "rows absorbed, integer nano state equals the batch walk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{EProcOut, SprtPoint}
+    val input = MemoryStream[SprtPoint]
+    // p0 = 0.2, alpha = 0.05 -> threshold ln20 = 2995732273 nano;
+    // three straight conversions cross it (cum ln terms
+    // ln2.5 + ln3.75 + ln(25/6) ~ 3.665 nats)
+    val q = EventStream.eProcessStream(input.toDS(),
+        p0Milli = 200L, alphaMilli = 50L)
+      .writeStream.format("memory").queryName("eproc_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(SprtPoint("e", 1L, 1L, 1L),
+        SprtPoint("e", 2L, 2L, 1L))
+      q.processAllAvailable()
+      input.addData(SprtPoint("e", 3L, 3L, 1L), // crosses ln20 here
+        SprtPoint("e", 4L, 4L, 1L),             // post-decision
+        SprtPoint("e", 1L, 9L, 0L))             // late: ts 1 < hwm 2
+      q.processAllAvailable()
+      val got = spark.table("eproc_out").as[EProcOut].collect()
+        .sortBy(_.ts)
+      assert(got.length == 3,
+        s"post-decision/late rows not absorbed: ${got.toSeq}")
+      assert(got.map(_.decision).toSeq ==
+        Seq("continue", "continue", "reject_h0"))
+      val batch = graft.operators.Experiment.eProcessBinary(
+        Seq(("e", 1L, 1L, 1L), ("e", 2L, 2L, 1L), ("e", 3L, 3L, 1L),
+          ("e", 4L, 4L, 1L)).toDF("e", "t", "i", "c"),
+        "e", "t", "i", "c", 200L, 50L).collect()(0)
+      assert(batch.getAs[Long]("n_at_decision") == 3L &&
+        got(2).e_nano == batch.getAs[Long]("e_at_decision") &&
+        got(2).n == 3L, s"stream ${got(2)} vs batch $batch")
+    } finally q.stop()
+  }
+
   test("growthStream: per-user transitions across micro-batches " +
       "equal the batch statuses; late and duplicate periods drop") {
     import spark.implicits._
