@@ -165,6 +165,23 @@ object Bench {
     * ≥ 2 passes and is usable as a regression signal by itself.
     * Prints one parse-tagged line: GRAFTBENCHCHILD:[{pass1},{pass2},…].
     */
+  /** Code-independent calibration probe, timed once at the head of
+    * every pass in every child (round-18 noise sentinel): a fixed
+    * synthetic aggregation whose cost depends ONLY on the box (no
+    * repo code, no parquet, no shuffle), so its per-pass readings are
+    * comparable across rounds forever. A contaminated window (the
+    * BENCH_r17 forensic) shows up as this probe running ≥ 2× its
+    * committed history — mechanically rejectable without a judge
+    * rerun. Emitted as the pseudo-query "__cal" inside each pass.
+    */
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // sum(id % p): ~1e14, int64-safe under ANSI (sum(id*id) is not)
+    spark.range(200000000L)
+      .selectExpr("sum(id % 1000003) as s", "count(1) as c").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   private def childMain(g: String, sfDir: String, runs: Int,
       budgetSec: Double): Unit = {
     val t0 = System.nanoTime()
@@ -178,7 +195,9 @@ object Bench {
     var go = true
     while (go && passes.size < runs) {
       val s = elapsed
-      passes += runQueries(spark, sfDir, groupQueries(g))
+      val cal = calibrate(spark)
+      passes += (("__cal" -> cal) +:
+        runQueries(spark, sfDir, groupQueries(g)))
       lastDur = elapsed - s
       // a further pass only if its projected cost fits the child budget
       if (elapsed + lastDur * 1.1 > budgetSec) go = false
@@ -301,7 +320,9 @@ object Bench {
       warm(spark, sfDir)
       Groups.foreach { g =>
         warmDir(sfDir).foreach(w => warmPass(spark, g, w))
-        byGroup(g) = Seq(runQueries(spark, sfDir, groupQueries(g)).toMap)
+        val cal = calibrate(spark)
+        byGroup(g) = Seq((("__cal" -> cal) +:
+          runQueries(spark, sfDir, groupQueries(g))).toMap)
       }
       spark.stop()
     }
@@ -311,6 +332,32 @@ object Bench {
     val runsByGroup: Seq[(String, Int)] =
       Groups.map(g => g -> byGroup.getOrElse(g, Seq.empty).size)
     val minRuns = runsByGroup.map(_._2).min
+
+    // ── round-18 noise sentinel ─────────────────────────────────────
+    // Per group: the timed-pass TOTALS (deciseconds), the per-pass
+    // "__cal" calibration probe (centiseconds; fixed synthetic agg —
+    // its history is code-independent), and the pass-total spread in
+    // per-mille of the min ((max−min)·1000/min; -1 below 2 passes).
+    // SCALE.md documents the rejection rule these fields feed.
+    val gShort = Map("shared92" -> "s", "ext" -> "e", "ext2" -> "x",
+      "lifecycle" -> "l")
+    def passTotals(g: String): Seq[Double] =
+      byGroup.getOrElse(g, Seq.empty)
+        .map(_.view.filterKeys(!_.startsWith("__")).values.sum)
+    def sentinelJson(f: String => String): String =
+      Groups.map(g => s""""${gShort(g)}":${f(g)}""")
+        .mkString("{", ",", "}")
+    val ptJson = sentinelJson(g => passTotals(g)
+      .map(v => math.round(v * 10)).mkString("[", ",", "]"))
+    val calJson = sentinelJson(g => byGroup.getOrElse(g, Seq.empty)
+      .flatMap(_.get("__cal")).map(v => math.round(v * 100))
+      .mkString("[", ",", "]"))
+    val sprJson = sentinelJson { g =>
+      val ts = passTotals(g)
+      if (ts.size < 2 || ts.min <= 0) "-1"
+      else math.round((ts.max - ts.min) * 1000.0 / ts.min).toString
+    }
+    val sentinel = s""""pt":$ptJson,"cal":$calJson,"spr":$sprJson"""
 
     // ordered name list (grouped, numeric) for stable output
     val orderedNames = Groups.flatMap(g => groupQueries(g).map(_._1))
@@ -353,7 +400,7 @@ object Bench {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(p,
         (s"""{"metric":"total","value":$total,"unit":"sec",""" +
-          s""""runs":$minRuns,"runs_by_group":$rbg,""" +
+          s""""runs":$minRuns,"runs_by_group":$rbg,$sentinel,""" +
           s""""stat":"median3_min2","forked":$forked,""" +
           s""""warm":${warmDir(sfDir).isDefined},""" +
           s""""groups":$groupJson,"medians":$medJson,""" +
@@ -389,7 +436,7 @@ object Bench {
         }
         s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
           s""""n":${med.size},"runs":$minRuns,"stat":"median3_min2",""" +
-          s""""forked":$forked,""" +
+          s""""forked":$forked,$sentinel,""" +
           s""""warm":${warmDir(sfDir).isDefined},"qunit":"cs",""" +
           s""""groups":$groupJson,"qids":"${ranges.mkString(",")}",""" +
           s""""qcs":${sorted.map(_._2).mkString("[", ",", "]")},""" +
@@ -400,15 +447,16 @@ object Bench {
           .mkString("{", ",", "}")
         s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
           s""""n":${med.size},"runs":$minRuns,"stat":"median3_min2",""" +
-          s""""forked":$forked,""" +
+          s""""forked":$forked,$sentinel,""" +
           s""""warm":${warmDir(sfDir).isDefined},"qunit":"cs",""" +
           s""""groups":$groupJson,"queries":$qs,"sf":"$sfDir"}"""
       }
     // never abort after the queries already ran: if the per-query blob
     // would overflow the driver's 2000-char tail capture, degrade to the
-    // groups-only line (full detail is in BENCH_LOCAL.json either way)
+    // groups-only line — the sentinel fields SURVIVE the degradation
+    // (they are what makes a squeezed record still interpretable)
     if (line.length < 1800) println(line)
     else println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${med.size},"runs":$minRuns,"forked":$forked,"groups":$groupJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${med.size},"runs":$minRuns,"forked":$forked,$sentinel,"groups":$groupJson,"sf":"$sfDir"}""")
   }
 }

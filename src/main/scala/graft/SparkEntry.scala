@@ -6081,6 +6081,66 @@ object SparkEntry {
           when(col("value") >= 50, 1L).otherwise(0L).as("conv")),
         "event_type", "ts", "event_id", "conv",
         p0Milli = 480L, alphaMilli = 50L)
+    }),
+
+    // ROLLING MEDIAN AT w=600 -- past rollingMedian's 512 buffer
+    // contract -- via the lattice-histogram factoring: deca-bucketed
+    // values (10-value lattice), one trailing-count window per
+    // lattice value, median = first value whose window count reaches
+    // 300; the oracle sorts each 600-row window outright.
+    "q370_rolling_median_large" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.rollingMedianLarge(events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          expr("CAST(floor(value) AS BIGINT) div 10").as("v")),
+        "event_type", "ts", "event_id", "v", w = 600)
+    }),
+
+    // SEQUENTIAL PAVA on the q350 series -- the O(n) pool-stack walk
+    // that must land bit-for-bit on the n^3 minimax oracle
+    // (truncation commutes with min/max, so the lattice fits agree
+    // exactly).
+    "q371_isotonic_large" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 86400000000000L)) div 86400000000000L")
+            .as("d"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("v")).as("dv"))
+      EvalMetrics.isotonicFitLarge(daily, "event_type", "d", "d",
+        "dv")
+    }),
+
+    // MASE of a deterministic shrink forecast (9/10 of the actual)
+    // against the weekly seasonal-naive scale over the q337 daily
+    // series -- one lag window + one fold, n_eval cancelling in the
+    // cross-multiplied division.
+    "q372_mase" -> ((s, dir) => {
+      import graft.operators.EvalMetrics
+      val daily = events(s, dir)
+        .select(col("event_type"),
+          expr("(ts - pmod(ts, 86400000000000L)) div 86400000000000L")
+            .as("d"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("v")).as("dv"))
+        .withColumn("f", expr("(dv * 9L) div 10L"))
+      EvalMetrics.maseForecast(daily, "event_type", "d", "d", "dv",
+        "f", m = 7)
+    }),
+
+    // THEIL-SEN AT SCALE: the q316 fixture bit-for-bit via 16-ary
+    // parametric search on the slope lattice -- each round one
+    // inversion count over (group, candidate) composite keys, no
+    // pair join anywhere; the oracle is the O(n^2) pair SQL.
+    "q373_theil_sen_large" -> ((s, dir) => {
+      import graft.operators.Ops
+      Ops.theilSenLarge(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          col("n_chars")),
+        "source", "doc_id", "n_chars")
     })
   )
 
@@ -16133,8 +16193,107 @@ object SparkEntry {
          |  c1.lnn AS e_at_decision
          |FROM sm JOIN fin ON fin.exp = sm.exp
          |CROSS JOIN bnd
-         |LEFT JOIN c1 ON c1.exp = sm.exp""".stripMargin
-  )
+         |LEFT JOIN c1 ON c1.exp = sm.exp""".stripMargin,
+
+    // q370: rolling median w=600 — the oracle is the DEFINITION
+    // (sort each full 600-row window, take element 300), which the
+    // lattice-histogram factoring must reproduce.
+    "q370_rolling_median_large" ->
+      raw"""WITH e AS (SELECT event_type AS key, epoch_ns(ts) AS ts,
+         |    event_id AS tie,
+         |    CAST(floor(value) AS BIGINT) // 10 AS v FROM events),
+         |w AS (SELECT key, ts, tie, v,
+         |    list(v) OVER (PARTITION BY key ORDER BY ts, tie
+         |      ROWS BETWEEN 599 PRECEDING AND CURRENT ROW) AS buf,
+         |    count(*) OVER (PARTITION BY key ORDER BY ts, tie
+         |      ROWS BETWEEN 599 PRECEDING AND CURRENT ROW) AS n
+         |  FROM e)
+         |SELECT key, CAST(ts AS BIGINT) AS ts,
+         |  CAST(tie AS BIGINT) AS tie, v,
+         |  CAST(list_extract(list_sort(buf), 300) AS BIGINT) AS med
+         |FROM w WHERE n = 600""".stripMargin,
+
+    // q371: sequential PAVA — gated against the SAME n^3 minimax
+    // oracle as q350 (the definition both factorings must meet).
+    "q371_isotonic_large" ->
+      raw"""WITH dl AS (SELECT event_type AS grp,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 86400000000000
+         |      + 86400000000000) % 86400000000000))
+         |      // 86400000000000 AS d,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |dv2 AS (SELECT grp, CAST(d AS BIGINT) AS d,
+         |    CAST(sum(v) AS BIGINT) AS dv FROM dl GROUP BY 1, 2),
+         |p0 AS (SELECT grp AS key, d AS ts, d AS tie, dv AS v,
+         |    CAST(row_number() OVER (PARTITION BY grp ORDER BY d)
+         |      AS BIGINT) AS pos,
+         |    CAST(sum(dv) OVER (PARTITION BY grp ORDER BY d
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps
+         |  FROM dv2),
+         |jj AS (SELECT key, pos AS j, ps - v AS pjm1 FROM p0),
+         |kk AS (SELECT key, pos AS k, ps AS prek FROM p0),
+         |pjk AS (SELECT jj.key, jj.j, kk.k,
+         |    (1000000 * (kk.prek - jj.pjm1)) // (kk.k - jj.j + 1)
+         |      AS av
+         |  FROM jj JOIN kk ON kk.key = jj.key AND jj.j <= kk.k),
+         |inr AS (SELECT i.key, i.pos, pjk.j, min(pjk.av) AS mn
+         |  FROM p0 i JOIN pjk ON pjk.key = i.key
+         |    AND pjk.j <= i.pos AND pjk.k >= i.pos
+         |  GROUP BY 1, 2, 3),
+         |ft AS (SELECT key, pos, CAST(max(mn) AS BIGINT)
+         |    AS iso_micro
+         |  FROM inr GROUP BY 1, 2)
+         |SELECT p0.key, p0.ts, p0.tie, p0.v, ft.iso_micro
+         |FROM p0 JOIN ft ON ft.key = p0.key
+         |  AND ft.pos = p0.pos""".stripMargin,
+
+    // q372: MASE of the shrink forecast vs weekly seasonal naive —
+    // one lag window + one HUGEINT cross-multiplied fold.
+    "q372_mase" ->
+      raw"""WITH dl AS (SELECT event_type AS key,
+         |    (epoch_ns(ts) - ((epoch_ns(ts) % 86400000000000
+         |      + 86400000000000) % 86400000000000))
+         |      // 86400000000000 AS d,
+         |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+         |dv2 AS (SELECT key, CAST(d AS BIGINT) AS d,
+         |    CAST(sum(v) AS BIGINT) AS dv FROM dl GROUP BY 1, 2),
+         |fc AS (SELECT key, d, dv, (dv * 9) // 10 AS f,
+         |    lag(dv, 7) OVER (PARTITION BY key ORDER BY d) AS nv
+         |  FROM dv2),
+         |ag AS (SELECT key, CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(sum(abs(dv - f)) AS BIGINT) AS ef,
+         |    CAST(sum(abs(dv - nv)) AS BIGINT) AS en
+         |  FROM fc WHERE nv IS NOT NULL GROUP BY 1)
+         |SELECT key, n_eval,
+         |  CAST((1000000::HUGEINT * ef) // n_eval AS BIGINT)
+         |    AS mae_f_micro,
+         |  CASE WHEN en <= 0 THEN NULL
+         |    ELSE CAST((1000000::HUGEINT * ef) // en AS BIGINT)
+         |    END AS mase_ppm
+         |FROM ag""".stripMargin,
+
+    // q373: Theil-Sen at scale — gated against the SAME O(n^2) pair
+    // SQL as q316 (one definition, two factorings).
+    "q373_theil_sen_large" ->
+      raw"""WITH r AS (SELECT source AS grp, doc_id AS x,
+         |    n_chars AS y FROM documents),
+         |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+         |  FROM r GROUP BY grp),
+         |pr AS (SELECT a.grp, a.x AS xi, b.x AS xj,
+         |    CAST((1000000 * (b.y - a.y)) // (b.x - a.x) AS BIGINT)
+         |      AS s
+         |  FROM r a JOIN r b ON b.grp = a.grp AND a.x < b.x),
+         |rk AS (SELECT grp, s,
+         |    row_number() OVER (PARTITION BY grp
+         |      ORDER BY s, xi, xj) AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS m
+         |  FROM pr),
+         |md AS (SELECT grp, CAST(max(m) AS BIGINT) AS n_pairs,
+         |    CAST(max(s) AS BIGINT) AS slope_ppm
+         |  FROM rk WHERE rn = (m + 1) // 2 GROUP BY grp)
+         |SELECT sz.grp, sz.n,
+         |  CAST(COALESCE(md.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |  md.slope_ppm
+         |FROM sz LEFT JOIN md ON md.grp = sz.grp""".stripMargin  )
 
   /** `iters` unrolled synchronous value-iteration CTE levels over
     * `st(removed, src, dst, n)` for the q336 oracle — v_i folds

@@ -1001,6 +1001,60 @@ object EvalMetrics {
               "div __se1 AS BIGINT)")).as("mase_ppm"))
   }
 
+  /** MASE of an EXTERNAL forecast column per series — the metric
+    * that completes the forecast-eval trio ([[seasonalNaiveBacktest]]
+    * scores the naive floor itself; this scores YOUR model against
+    * that floor, Hyndman & Koehler 2006): over the `(ts, tie)` order,
+    * rows past the first `m` are eval rows, and
+    *
+    *   mae_f_micro = (10⁶·Σ|y_t − f_t|) div n_eval
+    *   mase_ppm    = (10⁶·Σ|y_t − f_t|) div Σ|y_t − y_{t−m}|
+    *
+    * — the scale reference is the SEASONAL-NAIVE error over the SAME
+    * eval rows (n_eval cancels, one cross-multiplied integral
+    * division; the in-sample/out-sample split is the caller's
+    * windowing decision, the [[seasonalNaiveBacktest]] statement).
+    * mase_ppm < 10⁶ = the model beats last season's value; null when
+    * the naive reference never errs (a perfectly seasonal series —
+    * MASE is undefined, visibly). Keys with no eval rows are absent.
+    * Values AND forecasts long-castable non-null, refused loudly
+    * (a null forecast is a missing prediction — score it upstream
+    * or drop the row visibly); duplicate positions refuse. One
+    * key-partitioned window (one lag) + one map-side-combined fold.
+    */
+  def maseForecast(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, actualCol: String, forecastCol: String,
+      m: Int): DataFrame = {
+    require(m >= 1 && m <= 1000000, s"m=$m out of [1, 1000000]")
+    def lng(c: String, what: String) =
+      coalesce(col(c).try_cast("long"),
+        raise_error(concat(lit(s"maseForecast $what '"),
+          coalesce(col(c).cast("string"), lit("NULL")),
+          lit("' is null or not castable to long"))).cast("long"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts"), col("tie"))
+    Ops.refuseDupPositions("maseForecast",
+        df.select(col(keyCol).as("key"),
+          col(tsCol).cast("long").as("ts"),
+          col(tieCol).cast("long").as("tie"),
+          lng(actualCol, "actual").as("__y"),
+          lng(forecastCol, "forecast").as("__f")),
+        "key", "ts", "tie")
+      .withColumn("__nv", lag(col("__y"), m).over(w))
+      .filter(col("__nv").isNotNull)
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("__y") - col("__f"))).as("__ef"),
+        sum(abs(col("__y") - col("__nv"))).as("__en"))
+      .select(col("key"), col("n_eval"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * __ef) " +
+          "div n_eval AS BIGINT)").as("mae_f_micro"),
+        when(col("__en") <= 0, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * __ef) " +
+              "div __en AS BIGINT)")).as("mase_ppm"))
+  }
+
   /** Token-level word error rate per (hypothesis, reference) pair —
     * the ASR/transcription metric [[emF1]]'s bag-of-tokens F1 cannot
     * give (WER charges ORDER errors: a transposition is two edits to
@@ -1157,7 +1211,8 @@ object EvalMetrics {
     * (key, i, j)-grouped fold, the max over a second. The (j, k, i)
     * relation is n³/6-sized BY DEFINITION ⇒ a LOUD ≤ maxN contract
     * (calibration diagrams live at tens of bins; a million-point
-    * isotonic fit is the sequential PAVA — a different operator).
+    * isotonic fit is [[isotonicFitLarge]]'s sequential PAVA,
+    * bit-equal on every input both accept).
     * Duplicate positions refuse. Output: `key, ts, tie, v,
     * iso_micro` — non-decreasing in `(ts, tie)` per key by
     * construction.
@@ -1192,7 +1247,7 @@ object EvalMetrics {
           coalesce(col("key").cast("string"), lit("NULL")),
           lit("' has "), col("__n").cast("string"),
           lit(s" rows > maxN=$maxN — the minimax relation is " +
-            "n^3-sized; pre-bin upstream or use a sequential PAVA")))
+            "n^3-sized; pre-bin upstream or use isotonicFitLarge")))
           .cast("boolean")).otherwise(lit(true)))
       .localCheckpoint()
     val a = pre.select(col("key").as("__k1"), col("__pos").as("__j"),
@@ -1216,6 +1271,104 @@ object EvalMetrics {
         && col("__pos") === col("__i"))
       .select(col("key"), col("ts"), col("tie"), col("v"),
         col("iso_micro"))
+  }
+
+  /** Isotonic fit at LARGE key sizes — the sequential PAVA
+    * [[isotonicFitMicro]]'s n³ minimax contract points at, BIT-EQUAL
+    * to it on every input both accept: because truncation toward
+    * zero is monotone it commutes with min and max, so
+    * `trunc(10⁶·(max_j min_k mean))` — the real PAVA fit on the
+    * micro lattice — equals the micro operator's
+    * `max_j min_k trunc(10⁶·mean)` exactly. The pools come from the
+    * classic O(n) stack walk (Ayer et al. 1955): push each value as
+    * a pool, merge backward while the last pool's mean exceeds the
+    * new one's (exact BigInt cross-multiplication — no float, no
+    * overflow), emit each element's pool mean as
+    * `(10⁶·sum) div count` with BigInt truncation (== Spark `div`).
+    *
+    * Shape: ONE `flatMapGroups` per key over the sorted rows — the
+    * bounded-state kernel shape the streaming suites run on; a key's
+    * rows must fit one task, the loud ≤ `maxN` contract (default
+    * 2²⁰ — 16,000× the minimax bound; a calibration curve over a
+    * million raw scores fits). |v| > 10¹² refuses (10⁶·mean must
+    * stay in int64). The key column rides as its STRING form (the
+    * group encoder needs a concrete type — stated). Duplicate
+    * positions refuse, the [[isotonicFitMicro]] contract. Output:
+    * `key, ts, tie, v, iso_micro`.
+    */
+  def isotonicFitLarge(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String,
+      maxN: Int = 1 << 20): DataFrame = {
+    require(maxN >= 1 && maxN <= (1 << 24),
+      s"maxN=$maxN out of [1, 2^24]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("isotonicFitLarge value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pre = df.select(col(keyCol).cast("string").as("key"),
+      col(tsCol).cast("long").as("ts"),
+      col(tieCol).cast("long").as("tie"), v.as("v"))
+      .as[(String, Long, Long, Long)]
+    pre.groupByKey(_._1)
+      .flatMapGroups { (key: String,
+          it: Iterator[(String, Long, Long, Long)]) =>
+        val arr = it.toArray
+        if (arr.length > maxN)
+          throw new IllegalArgumentException(
+            s"isotonicFitLarge: key '$key' has ${arr.length} rows " +
+              s"> maxN=$maxN — one key must fit one task; shard " +
+              "or pre-bin upstream")
+        java.util.Arrays.sort(arr,
+          Ordering.by((r: (String, Long, Long, Long)) => (r._2, r._3)))
+        var i = 1
+        while (i < arr.length) {
+          if (arr(i)._2 == arr(i - 1)._2 && arr(i)._3 == arr(i - 1)._3)
+            throw new IllegalArgumentException(
+              s"isotonicFitLarge: duplicate position (ts, tie) in " +
+                s"key '$key' — the fit order must be total")
+          if (math.abs(arr(i)._4) > 1000000000000L)
+            throw new IllegalArgumentException(
+              s"isotonicFitLarge: |value| ${arr(i)._4} > 1e12 — " +
+                "10^6·mean must stay in int64; rescale upstream")
+          i += 1
+        }
+        if (arr.nonEmpty && math.abs(arr(0)._4) > 1000000000000L)
+          throw new IllegalArgumentException(
+            s"isotonicFitLarge: |value| ${arr(0)._4} > 1e12 — " +
+              "10^6·mean must stay in int64; rescale upstream")
+        // PAVA pool stack: sums exact in BigInt, counts in Long
+        val sums = new Array[BigInt](arr.length)
+        val cnts = new Array[Long](arr.length)
+        var top = -1
+        arr.foreach { r =>
+          top += 1; sums(top) = BigInt(r._4); cnts(top) = 1L
+          // merge while the previous pool's mean EXCEEDS this one's
+          // (strict: equal means stay separate — same fit either way)
+          while (top > 0 &&
+              sums(top - 1) * cnts(top) > sums(top) * cnts(top - 1)) {
+            sums(top - 1) += sums(top)
+            cnts(top - 1) += cnts(top)
+            top -= 1
+          }
+        }
+        // emit each element's pool mean, truncated toward zero
+        val out = new Array[(String, Long, Long, Long, Long)](arr.length)
+        var p = 0; var ix = 0
+        while (p <= top) {
+          val fit = (BigInt(1000000) * sums(p) / cnts(p)).toLong
+          var c = 0L
+          while (c < cnts(p)) {
+            val r = arr(ix)
+            out(ix) = (key, r._2, r._3, r._4, fit)
+            ix += 1; c += 1
+          }
+          p += 1
+        }
+        out.iterator
+      }
+      .toDF("key", "ts", "tie", "v", "iso_micro")
   }
 
   /** Cumulative gains / lift table per key — the DISCRIMINATION view

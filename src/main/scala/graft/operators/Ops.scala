@@ -721,8 +721,9 @@ object Ops {
     * O(n²) per group BY DEFINITION (the estimator is pairwise), so
     * group size is a LOUD contract: > `maxN` rows in any group
     * refuses with the count (sample or pre-aggregate upstream — a
-    * million-point Theil–Sen is a different algorithm, not a bigger
-    * join). The rank window partitions by group, never globally.
+    * million-point Theil–Sen is [[theilSenLarge]]'s parametric
+    * search, bit-equal on every input both accept). The rank window
+    * partitions by group, never globally.
     * Overflow ANSI-loud: 10⁶·|Δy| < 2⁶³ bounds |Δy| < 9.2·10¹².
     */
   def theilSen(df: DataFrame, groupCol: String, xCol: String,
@@ -740,8 +741,9 @@ object Ops {
         raise_error(concat(lit("theilSen: group '"),
           coalesce(col("grp").cast("string"), lit("NULL")),
           lit("' has "), col("n").cast("string"),
-          lit(s" rows > maxN=$maxN — O(n^2) pairs; sample or " +
-            "pre-aggregate upstream"))).cast("long"))
+          lit(s" rows > maxN=$maxN — O(n^2) pairs; use " +
+            "theilSenLarge or pre-aggregate upstream")))
+          .cast("long"))
         .otherwise(col("n")).as("n"))
     val a = rows.select(col("grp"), col("__x").as("__xi"),
       col("__y").as("__yi"))
@@ -892,8 +894,9 @@ object Ops {
         raise_error(concat(lit("kendallTauB: group '"),
           coalesce(col("grp").cast("string"), lit("NULL")),
           lit("' has "), col("n").cast("string"),
-          lit(s" rows > maxN=$maxN — O(n^2) pairs; sample or " +
-            "pre-aggregate upstream"))).cast("long"))
+          lit(s" rows > maxN=$maxN — O(n^2) pairs; use " +
+            "kendallTauLarge or pre-aggregate upstream")))
+          .cast("long"))
         .otherwise(col("n")).as("n"))
     val b = checked.select(col("grp").as("__g2"),
       col("__i").as("__j"), col("__x").as("__xj"),
@@ -1047,9 +1050,9 @@ object Ops {
     *
     * Scale shape: one key-partitioned window sort; per-position
     * state is the w-element window buffer, so `w` is a LOUD ≤ 512
-    * contract (a million-row rolling median wants a two-heap /
-    * indexable-skiplist operator — different algorithm, not a
-    * bigger buffer). Values long-castable non-null, refused loudly;
+    * contract (a million-row rolling median on a bounded value
+    * lattice is [[rollingMedianLarge]], bit-equal on every input
+    * both accept). Values long-castable non-null, refused loudly;
     * duplicate `(ts, tie)` positions refuse (tied positions would
     * make the window contents nondeterministic — the
     * [[mannKendallTrend]] contract).
@@ -1074,6 +1077,84 @@ object Ops {
       .withColumn("med",
         element_at(array_sort(col("__buf")), (w + 1) / 2))
       .drop("__buf")
+  }
+
+  /** Rolling LOWER median at LARGE window widths — the different
+    * algorithm [[rollingMedian]]'s ≤ 512 contract points at: on a
+    * BOUNDED value lattice the window median needs no window buffer
+    * at all, because the rank-r element is the smallest value whose
+    * cumulative window count reaches r — a HISTOGRAM question, not a
+    * sort. Each row fans out to its key's lattice values c ∈
+    * [min v, max v]; per (key, c) the trailing-w count
+    * F_c = #{window rows with v ≤ c} computed as CUM − LAG(CUM, w)
+    * over ONE unbounded cumulative sum — O(1) per row (a bounded
+    * sliding frame would NOT be: Spark's SlidingWindowFunctionFrame
+    * re-aggregates the whole frame per row, O(w) — measured, not
+    * guessed), and the median is min{c : F_c ≥ (w+1)/2} — present
+    * in the window by construction (F jumps only at present
+    * values). Same
+    * output schema and BIT-EQUAL to [[rollingMedian]] on every input
+    * both accept (full trailing windows only, lower median, the
+    * shared duplicate-(ts,tie) refusal).
+    *
+    * The trade, stated: cost is O(lattice) per row instead of O(w)
+    * — the per-KEY value range is the loud ≤ `maxLattice` contract
+    * (scores, buckets, quantized telemetry — the signals one rolls
+    * a 10⁴-row median over — live on small lattices; a continuous
+    * signal wants quantization upstream, visibly, not a silent one
+    * here). `w` is bounded only by int range; there is NO per-row
+    * state anywhere.
+    *
+    * Scale shape: one lattice explode (×L, bounded), one
+    * (key, c)-partitioned cumulative window, one (key, ts, tie)
+    * fold. Row-sized data crosses each shuffle once. Parallelism is
+    * keys×L; a SINGLE multi-million-row key additionally pays
+    * WindowExec's per-group disk spill past its in-memory buffer
+    * (measured: 1 key × 1M rows ≈ 39 s vs 10 keys × 1M rows ≈ 6 s
+    * at local[32] — shard hot keys upstream if one series truly has
+    * millions of points).
+    */
+  def rollingMedianLarge(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valCol: String, w: Int,
+      maxLattice: Int = 1024): DataFrame = {
+    require(w >= 2 && w <= 100000000,
+      s"w=$w out of [2, 1e8]")
+    require(maxLattice >= 2 && maxLattice <= 65536,
+      s"maxLattice=$maxLattice out of [2, 65536]")
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("rollingMedianLarge value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a skipped row " +
+          "would shift every window"))).cast("long"))
+    val kb = Window.partitionBy(col("key"))
+    val rows = refuseDupPositions("rollingMedianLarge",
+        df.select(col(keyCol).as("key"),
+          col(tsCol).cast("long").as("ts"),
+          col(tieCol).cast("long").as("tie"), v.as("v")),
+        "key", "ts", "tie")
+      .withColumn("__lo", min(col("v")).over(kb))
+      .withColumn("__hi", max(col("v")).over(kb))
+      .filter(when(col("__hi") - col("__lo") >= maxLattice.toLong,
+        raise_error(concat(lit("rollingMedianLarge: key '"),
+          coalesce(col("key").cast("string"), lit("NULL")),
+          lit("' spans "),
+          (col("__hi") - col("__lo") + 1L).cast("string"),
+          lit(s" lattice values > maxLattice=$maxLattice — " +
+            "quantize the signal upstream, visibly"))).cast("boolean"))
+        .otherwise(lit(true)))
+    val wspec = Window.partitionBy(col("key"), col("c"))
+      .orderBy(col("ts"), col("tie"))
+    val r = ((w + 1) / 2).toLong
+    rows.withColumn("c", explode(expr("sequence(__lo, __hi)")))
+      .withColumn("__rn", row_number().over(wspec))
+      .withColumn("__cum", sum(when(col("v") <= col("c"), 1L)
+        .otherwise(0L)).over(wspec))
+      .withColumn("__F", col("__cum")
+        - coalesce(lag(col("__cum"), w).over(wspec), lit(0L)))
+      .filter(col("__rn") >= w && col("__F") >= r)
+      .groupBy(col("key"), col("ts"), col("tie"))
+      .agg(max(col("v")).as("v"), min(col("c")).as("med"))
+      .select(col("key"), col("ts"), col("tie"), col("v"), col("med"))
   }
 
   /** Median absolute deviation per group — the robust scale
@@ -1200,8 +1281,9 @@ object Ops {
         raise_error(concat(lit("mannKendallTrend: group '"),
           coalesce(col("grp").cast("string"), lit("NULL")),
           lit("' has "), col("n").cast("string"),
-          lit(s" rows > maxN=$maxN — O(n^2) pairs; aggregate the " +
-            "series upstream"))).cast("long"))
+          lit(s" rows > maxN=$maxN — O(n^2) pairs; use " +
+            "mannKendallLarge or aggregate the series upstream")))
+          .cast("long"))
         .otherwise(col("n")).as("n"))
     val b = checked.select(col("grp").as("__g2"),
       col("__t").as("__t2"), col("__e").as("__e2"),
@@ -1457,6 +1539,217 @@ object Ops {
               * (col("n_pairs") - col("__n2"))).cast("double")))
             .cast("long"))
           .as("tau_b_ppm"))
+  }
+
+  /** Theil–Sen robust slope at scale — [[theilSen]]'s exact
+    * semantics (same output schema, bit-identical on every input
+    * both accept) WITHOUT materializing the O(n²) pairwise slopes:
+    * the k-th smallest integer slope is found by BINARY SEARCH on
+    * the ppm lattice, each step one distributed inversion count
+    * (Dillencourt, Mount & Netanyahu 1992's selection idea, on this
+    * engine's bucketed counter). For a candidate slope s the count
+    * of pairs at or below it reduces to an ORDER comparison: with
+    * z(t) = 10⁶·(y−minY) − t·(x−minX),
+    *
+    *   slope_ij ≤ s, s ≥ 0  ⟺  z_j(s+1) < z_i(s+1)   (strict)
+    *   slope_ij ≤ s, s < 0  ⟺  z_j(s)   ≤ z_i(s)     (ties count)
+    *
+    * (the two branches are the trunc-toward-zero lattice, proven in
+    * the spec against the brute-force pair count), so
+    * count_le(s) = strict inversions of the z-order against the
+    * x-order ([[inversionCountPerGroup]]; x-tied pairs excluded by
+    * the permutation lemma) plus, for s < 0, the z-tie pairs (one
+    * value-count fold, minus the constant (x, y)-duplicate pairs).
+    * The search runs PER GROUP with a driver-side bounds map
+    * (group-count-sized — a bounded driver action, the
+    * markovRemovalEffect discipline), and is 16-ARY, not binary:
+    * each round evaluates 15 evenly-spaced candidate slopes at once
+    * by fanning rows out under a composite (group, candidate) key —
+    * one engine pass answers 15 questions, so the round count is
+    * log₁₆(2·10⁶·spanY) ≈ 5–9 (each round is a full Spark job; the
+    * job count, not the row count, is the latency driver at bench
+    * scale). Hard-capped at 48 rounds; converged groups drop out.
+    *
+    * Overflow contract, loud: spanX·spanY ≤ 9.2·10¹² per group
+    * (z must stay in int64 at the extreme candidate slopes);
+    * rescale a wider domain upstream, visibly. `maxN` bounds rows
+    * per group (default 2²⁴ — the engine's exactness range).
+    *
+    * Scale shape: the per-round cost is [[kendallTauLarge]]'s (two
+    * permutation sorts + the bucketed count over UNFINISHED groups
+    * only) × ~40 rounds — minutes at a million rows per group,
+    * where the pair join would be 5·10¹¹ slopes. Rounds are pure
+    * recomputation from one checkpointed base — no lineage growth.
+    */
+  def theilSenLarge(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, maxN: Long = 1L << 24,
+      buckets: Int = 1024, fanout: Int = 15): DataFrame = {
+    require(maxN >= 2 && maxN <= 2000000000L,
+      s"maxN=$maxN out of [2, 2e9]")
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets=$buckets out of [2, 65536]")
+    // fanout trades rounds (log_{fanout+1}) for per-round memory
+    // (each round buffers rows x fanout through two window sorts)
+    require(fanout >= 1 && fanout <= 63,
+      s"fanout=$fanout out of [1, 63]")
+    def m(c: String) = coalesce(col(c).try_cast("long"),
+      raise_error(concat(lit(s"theilSenLarge: $c value '"),
+        coalesce(col(c).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — a dropped point " +
+          "would shift the pair median"))).cast("long"))
+    val gw = Window.partitionBy(col("grp"))
+    val base = df.select(col(groupCol).as("grp"), m(xCol).as("__x"),
+        m(yCol).as("__y"))
+      .withColumn("__id", row_number().over(
+        gw.orderBy(col("__x"), col("__y"))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(gw))
+      .withColumn("__minX", min(col("__x")).over(gw))
+      .withColumn("__minY", min(col("__y")).over(gw))
+      .withColumn("__spanX",
+        max(col("__x")).over(gw) - col("__minX"))
+      .withColumn("__spanY",
+        max(col("__y")).over(gw) - col("__minY"))
+      .filter(when(col("__n") > maxN,
+        raise_error(concat(lit("theilSenLarge: group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' has "), col("__n").cast("string"),
+          lit(s" rows > maxN=$maxN"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .filter(when(col("__spanX").cast("decimal(38,0)")
+            * col("__spanY") > lit(9200000000000L),
+        raise_error(concat(lit("theilSenLarge: group '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' has spanX*spanY > 9.2e12 — the candidate-slope " +
+            "order key would overflow int64; rescale upstream, " +
+            "visibly"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col("grp"), (col("__x") - col("__minX")).as("__x"),
+        (col("__y") - col("__minY")).as("__y"), col("__id"),
+        col("__n"), col("__spanY"))
+      .localCheckpoint()
+    // exact pair counts: total x-ordered pairs and (x, y)-dup pairs
+    val stats = {
+      val xt = base.groupBy(col("grp").as("__g"), col("__x"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__g"))
+        .agg(sum(expr("(__c * (__c - 1L)) div 2L")).as("__xt"))
+      val xyt = base.groupBy(col("grp").as("__g2"), col("__x"),
+          col("__y"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__g2"))
+        .agg(sum(expr("(__c * (__c - 1L)) div 2L")).as("__xyt"))
+      base.groupBy(col("grp"))
+        .agg(max(col("__n")).as("n"), max(col("__spanY")).as("__sy"))
+        .join(xt, col("grp") <=> col("__g"))
+        .join(xyt, col("grp") <=> col("__g2"))
+        .select(col("grp"), col("n"),
+          (expr("(n * (n - 1L)) div 2L") - col("__xt"))
+            .as("n_pairs"),
+          col("__xyt"), col("__sy"))
+        .collect()
+    }
+    // driver-side bounds: grp -> (lo, hi, k, xyTiePairs); the map is
+    // group-count-sized
+    final case class B(var lo: Long, var hi: Long, k: Long,
+      xyt: Long)
+    val bounds = scala.collection.mutable.LinkedHashMap(stats.map { r =>
+      val sy = r.getAs[Long]("__sy")
+      val np = r.getAs[Long]("n_pairs")
+      Option(r.get(0)) -> B(-1000000L * sy, 1000000L * sy,
+        (np + 1L) / 2L, r.getAs[Long]("__xyt"))
+    }.toSeq: _*)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // 15 evenly-spaced candidates strictly inside [lo, hi); when
+    // the interval is that small, enumerate it and finish in one
+    // round
+    def candidates(lo: Long, hi: Long): Seq[Long] =
+      if (hi - lo <= fanout.toLong) (lo until hi).toSeq
+      else (1 to fanout).map(i =>
+        lo + Math.floorDiv((hi - lo) * i, fanout + 1L)).distinct
+    var round = 0
+    while (bounds.values.exists(b => b.k >= 1 && b.lo < b.hi)
+        && round < 48) {
+      round += 1
+      val active = bounds.toSeq.collect {
+        case (g, b) if b.k >= 1 && b.lo < b.hi =>
+          candidates(b.lo, b.hi).map { mid =>
+            (g.map(_.toString).orNull, mid,
+              if (mid >= 0L) mid + 1L else mid,
+              if (mid >= 0L) 0L else 1L)
+          }
+      }.flatten
+      val act = broadcast(active
+        .toDF("__ag", "__mid", "__t", "__tie0"))
+      // keep the fanned-out rows NARROW — each composite partition
+      // is buffered whole by the window sorts, so every extra column
+      // multiplies the round's memory by the fan-out
+      val rows = base.join(act,
+          col("grp").cast("string") <=> col("__ag"))
+        .select(struct(col("__ag"), col("__mid")).as("__cg"),
+          col("__x"),
+          (lit(1000000L) * col("__y") - col("__t") * col("__x"))
+            .as("__z"),
+          col("__id"), col("__n"), col("__tie0"))
+      val cgw = Window.partitionBy(col("__cg"))
+      val perm = rows
+        .withColumn("__p", row_number().over(cgw.orderBy(col("__x"),
+          col("__z"), col("__id"))).cast("long"))
+        .withColumn("__q", row_number().over(cgw.orderBy(col("__z"),
+          col("__x"), col("__id"))).cast("long"))
+      val d = inversionCountPerGroup(
+        perm.select(col("__cg").as("grp"), col("__p"), col("__q"),
+          col("__n")), buckets)
+      // z-tie pairs (counted only for mid < 0, where <= is the rule)
+      val zt = rows.filter(col("__tie0") === 1L)
+        .groupBy(col("__cg").as("__gz"), col("__z"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__gz"))
+        .agg(sum(expr("(__c * (__c - 1L)) div 2L")).as("__zt"))
+      val counts = d
+        .join(zt, col("grp") <=> col("__gz"), "left")
+        .select(col("grp"),
+          (col("__d") + coalesce(col("__zt"), lit(0L))).as("__cnt"))
+        .collect()
+        .map { r =>
+          val cg = r.getStruct(0)
+          (Option(cg.getString(0)), cg.getLong(1)) ->
+            r.getAs[Long]("__cnt")
+        }.toMap
+      bounds.foreach { case (g, b) =>
+        if (b.k >= 1 && b.lo < b.hi) {
+          val key = g.map(_.toString)
+          val ms = candidates(b.lo, b.hi)
+          def cnt(mid: Long): Long =
+            counts.getOrElse((key, mid), 0L) -
+              (if (mid < 0L) b.xyt else 0L)
+          ms.find(cnt(_) >= b.k) match {
+            case Some(m) =>
+              b.hi = m
+              val below = ms.takeWhile(_ < m)
+              if (below.nonEmpty) b.lo = below.last + 1L
+            case None => b.lo = ms.last + 1L
+          }
+        }
+      }
+    }
+    require(!bounds.values.exists(b => b.k >= 1 && b.lo < b.hi),
+      "theilSenLarge: the 16-ary search did not converge in 48 " +
+        "rounds — impossible within the span contract; report " +
+        "this input")
+    val res = bounds.toSeq.map { case (g, b) =>
+      (g.map(_.toString).orNull,
+        if (b.k >= 1) Some(b.lo) else None)
+    }.toDF("__rg", "__slope")
+    stats.toSeq.map(r => (Option(r.get(0)).map(_.toString).orNull,
+        r.getAs[Long]("n"), r.getAs[Long]("n_pairs")))
+      .toDF("__sg", "n", "n_pairs")
+      .join(broadcast(res), col("__sg") <=> col("__rg"), "left")
+      .join(df.select(col(groupCol).as("grp")).distinct(),
+        col("__sg") <=> col("grp").cast("string"))
+      .select(col("grp"), col("n"), col("n_pairs"),
+        when(col("n_pairs") <= 0, lit(null).cast("long"))
+          .otherwise(col("__slope")).as("slope_ppm"))
   }
 
   /** Mann–Kendall trend test per group at scale —

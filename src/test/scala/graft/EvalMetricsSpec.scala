@@ -585,6 +585,94 @@ class EvalMetricsSpec extends AnyFunSuite {
       s"got ${rc(dup).getMessage}")
   }
 
+  test("maseForecast: hand-walked m=2 fixture (mae 1e6, mase " +
+      "250000); perfectly seasonal series null; short keys absent; " +
+      "null-forecast refusal") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val df = (Seq((10L, 9L), (20L, 19L), (14L, 13L), (26L, 25L),
+        (12L, 11L)).zipWithIndex
+        .map { case ((y, f), i) => ("a", i.toLong, 0L, y, f) }
+      ++ Seq(3L, 4L, 3L, 4L).zipWithIndex
+        .map { case (y, i) => ("b", i.toLong, 0L, y, y + 1L) }
+      ++ Seq(("c", 1L, 0L, 1L, 1L)))
+      .toDF("k", "t", "e", "y", "f")
+    val got = EvalMetrics.maseForecast(df, "k", "t", "e", "y", "f",
+      m = 2).collect().map(r => r.getString(0) -> r).toMap
+    // a: eval t=3,4,5 — ef = 1+1+1 = 3, en = 4+6+2 = 12
+    val a = got("a")
+    assert(a.getAs[Long]("n_eval") == 3L &&
+      a.getAs[Long]("mae_f_micro") == 1000000L &&
+      a.getAs[Long]("mase_ppm") == 250000L, s"got $a")
+    // b repeats with period 2 exactly: naive never errs -> null
+    assert(got("b").isNullAt(3),
+      "a perfectly seasonal reference has no MASE")
+    assert(!got.contains("c"), "n <= m: nothing to score")
+    val nul = intercept[Exception] {
+      EvalMetrics.maseForecast(
+        Seq(("a", 1L, 0L, 1L, Option.empty[Long]),
+          ("a", 2L, 0L, 2L, Some(1L)), ("a", 3L, 0L, 3L, Some(2L)))
+          .toDF("k", "t", "e", "y", "f"),
+        "k", "t", "e", "y", "f", 1).collect()
+    }
+    assert(rc(nul).getMessage.contains("maseForecast forecast"))
+    val dup = intercept[Exception] {
+      EvalMetrics.maseForecast(
+        Seq(("a", 1L, 0L, 1L, 1L), ("a", 1L, 0L, 2L, 2L))
+          .toDF("k", "t", "e", "y", "f"),
+        "k", "t", "e", "y", "f", 1).collect()
+    }
+    assert(rc(dup).getMessage.contains("duplicate position"))
+  }
+
+  test("isotonicFitLarge == isotonicFitMicro bit-for-bit on random " +
+      "fixtures incl. negatives; monotone output; refusals") {
+    def rc(t: Throwable): Throwable =
+      if (t.getCause == null) t else rc(t.getCause)
+    val rnd = new scala.util.Random(1804L)
+    (0 until 6).foreach { cse =>
+      val n1 = 1 + rnd.nextInt(40)
+      val rows = (0 until n1).map(i =>
+        ("a", i.toLong, 0L, (rnd.nextInt(21) - 10).toLong)) ++
+        (0 until 17).map(i =>
+          ("b", i.toLong, 0L, (rnd.nextInt(7) - 3).toLong))
+      val df = rows.toDF("k", "t", "e", "v")
+      val want = EvalMetrics.isotonicFitMicro(df, "k", "t", "e", "v",
+          maxN = 64).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4))
+        .toMap
+      val got = EvalMetrics.isotonicFitLarge(df, "k", "t", "e", "v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4))
+        .toMap
+      assert(got == want, s"case $cse:\n got $got\nwant $want")
+      // monotone non-decreasing per key in the (ts, tie) order
+      got.toSeq.groupBy(_._1._1).foreach { case (_, g) =>
+        val fits = g.sortBy(_._1._2).map(_._2)
+        assert(fits == fits.sorted)
+      }
+    }
+    val dup = intercept[Exception] {
+      EvalMetrics.isotonicFitLarge(
+        Seq(("a", 1L, 0L, 5L), ("a", 1L, 0L, 6L))
+          .toDF("k", "t", "e", "v"), "k", "t", "e", "v").collect()
+    }
+    assert(rc(dup).getMessage.contains("duplicate position"))
+    val big = intercept[Exception] {
+      EvalMetrics.isotonicFitLarge(
+        Seq(("a", 1L, 0L, 2000000000000L))
+          .toDF("k", "t", "e", "v"), "k", "t", "e", "v").collect()
+    }
+    assert(rc(big).getMessage.contains("1e12"))
+    val wide = intercept[Exception] {
+      EvalMetrics.isotonicFitLarge(
+        (0 until 5).map(i => ("a", i.toLong, 0L, 1L))
+          .toDF("k", "t", "e", "v"), "k", "t", "e", "v", maxN = 4)
+        .collect()
+    }
+    assert(rc(wide).getMessage.contains("maxN=4"))
+  }
+
   test("wordErrorRate: insertions 500000, transposition charges 2 " +
       "edits where F1 sees none, empty sides, vocab refusal") {
     def rc(t: Throwable): Throwable =

@@ -120,6 +120,41 @@ class InversionCountSpec extends AnyFunSuite {
     }
   }
 
+  test("theilSenLarge == theilSen bit-for-bit on tie-rich fixtures " +
+      "(verticals, negatives, duplicate points), across bucket " +
+      "counts") {
+    val gen = for {
+      n <- Gen.choose(1, 40)
+      xs <- Gen.listOfN(n, Gen.choose(-6L, 6L))
+      ys <- Gen.listOfN(n, Gen.choose(-9L, 9L))
+    } yield xs.zip(ys)
+    samples(gen, 3).zipWithIndex.foreach { case (pts, i) =>
+      val df = (pts.map { case (x, y) => ("a", x, y) } ++
+        List(("vert", 3L, 1L), ("vert", 3L, 5L), ("one", 0L, 0L),
+          ("neg", 0L, 10L), ("neg", 1L, 3L), ("neg", 2L, -4L)))
+        .toDF("g", "x", "y")
+      val want = rowsOf(Ops.theilSen(df, "g", "x", "y", maxN = 4096))
+      // a degenerate bucket count only on the first case — each
+      // binary-search round is a full Spark job, so the law stays
+      // strong but the suite stays fast
+      for (b <- if (i == 0) Seq(3, 65536) else Seq(7)) {
+        val got = rowsOf(Ops.theilSenLarge(df, "g", "x", "y",
+          buckets = b))
+        assert(got == want, s"case $i buckets=$b:\n got $got\nwant $want")
+      }
+    }
+  }
+
+  test("theilSenLarge: span contract refuses loudly") {
+    val wide = intercept[Exception] {
+      Ops.theilSenLarge(
+        Seq(("a", 0L, 0L), ("a", 4000000L, 4000000L))
+          .toDF("g", "x", "y"), "g", "x", "y").collect()
+    }
+    assert(rootCause(wide).getMessage.contains("9.2e12"),
+      s"got ${rootCause(wide).getMessage}")
+  }
+
   test("refusals: duplicate id, duplicate (ts,tie), maxN, null value") {
     val dup = intercept[Exception] {
       Ops.kendallTauLarge(Seq(("a", 1L, 1L, 1L), ("a", 1L, 2L, 2L))

@@ -573,6 +573,49 @@ class OpsSpec extends AnyFunSuite {
       s"got ${rootCause(dup).getMessage}")
   }
 
+  test("rollingMedianLarge == rollingMedian bit-for-bit on shared " +
+      "fixtures; w=600 equals the plain-Scala sliding median; " +
+      "lattice refusal") {
+    // deterministic tie-rich series on a 13-value lattice, two keys
+    val vals = (0 until 240).map(i =>
+      ((i * 37 + (i * i) % 11) % 13).toLong)
+    val df = (vals.zipWithIndex.map { case (v, i) =>
+        ("a", i.toLong, 0L, v) } ++
+      vals.take(50).zipWithIndex.map { case (v, i) =>
+        ("b", i.toLong, 0L, v + 100L) })
+      .toDF("g", "t", "tie", "v")
+    for (w <- Seq(2, 3, 7, 50)) {
+      val want = Ops.rollingMedian(df, "g", "t", "tie", "v", w)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      val got = Ops.rollingMedianLarge(df, "g", "t", "tie", "v", w)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(3), r.getLong(4)))).toMap
+      assert(got == want, s"w=$w")
+    }
+    // w = 600 — past rollingMedian's contract; plain-Scala reference
+    val big = (0 until 800).map(i =>
+      ("k", i.toLong, 0L, ((i * 53 + (i * i * i) % 17) % 9).toLong))
+    val gotBig = Ops.rollingMedianLarge(big.toDF("g", "t", "tie", "v"),
+        "g", "t", "tie", "v", 600).collect()
+      .map(r => r.getLong(1) -> r.getLong(4)).toMap
+    val vs = big.map(_._4)
+    (599 until 800).foreach { i =>
+      val sorted = vs.slice(i - 599, i + 1).sorted
+      assert(gotBig(i.toLong) == sorted((600 + 1) / 2 - 1),
+        s"t=$i")
+    }
+    assert(gotBig.size == 201)
+    val wide = intercept[Exception] {
+      Ops.rollingMedianLarge(
+        Seq(("a", 1L, 0L, 0L), ("a", 2L, 0L, 99999L))
+          .toDF("g", "t", "tie", "v"), "g", "t", "tie", "v", 2,
+        maxLattice = 1024).collect()
+    }
+    assert(rootCause(wide).getMessage.contains("maxLattice=1024"),
+      s"got ${rootCause(wide).getMessage}")
+  }
+
   test("madPerGroup: hand fixture (1,2,3,4,100) -> median 3 mad 1; " +
       "even n takes the lower median") {
     val df = Seq(1L, 2L, 3L, 4L, 100L).map(("a", _))
