@@ -6092,7 +6092,7 @@ object SparkEntry {
       import graft.operators.Ops
       Ops.rollingMedianLarge(events(s, dir)
         .select(col("event_type"), col("ts"), col("event_id"),
-          expr("CAST(floor(value) AS BIGINT) div 10").as("v")),
+          expr("CAST(floor(value) AS BIGINT) div 20").as("v")),
         "event_type", "ts", "event_id", "v", w = 600)
     }),
 
@@ -6140,7 +6140,21 @@ object SparkEntry {
       Ops.theilSenLarge(
         t(s, dir, "documents").select(col("source"), col("doc_id"),
           col("n_chars")),
-        "source", "doc_id", "n_chars")
+        "source", "doc_id", "n_chars", fanout = 63, buckets = 1)
+    }),
+
+    // JONCKHEERE-TERPSTRA ordered-alternative test: do per-user
+    // session spans INCREASE across the ordered user-residue arms --
+    // 2J and C exact integers off ONE inversion count (no pair
+    // join), Lehmann's tie-corrected variance in one fixed IEEE
+    // chain, continuity-corrected z to milli.
+    "q374_jonckheere" -> ((s, dir) => {
+      import graft.operators.Ops
+      val subj = events(s, dir).groupBy(col("user_id")).agg(
+        expr("(max(ts) - min(ts)) div 3600000000000L").as("dur"))
+        .withColumn("exp", pmod(expr("user_id div 2"), lit(3L)))
+        .withColumn("g", pmod(col("user_id"), lit(3L)))
+      Ops.jonckheereTerpstra(subj, "exp", "g", "dur")
     })
   )
 
@@ -16201,7 +16215,7 @@ object SparkEntry {
     "q370_rolling_median_large" ->
       raw"""WITH e AS (SELECT event_type AS key, epoch_ns(ts) AS ts,
          |    event_id AS tie,
-         |    CAST(floor(value) AS BIGINT) // 10 AS v FROM events),
+         |    CAST(floor(value) AS BIGINT) // 20 AS v FROM events),
          |w AS (SELECT key, ts, tie, v,
          |    list(v) OVER (PARTITION BY key ORDER BY ts, tie
          |      ROWS BETWEEN 599 PRECEDING AND CURRENT ROW) AS buf,
@@ -16293,7 +16307,62 @@ object SparkEntry {
          |SELECT sz.grp, sz.n,
          |  CAST(COALESCE(md.n_pairs, 0) AS BIGINT) AS n_pairs,
          |  md.slope_ppm
-         |FROM sz LEFT JOIN md ON md.grp = sz.grp""".stripMargin  )
+         |FROM sz LEFT JOIN md ON md.grp = sz.grp""".stripMargin,
+
+    // q374: Jonckheere-Terpstra — the O(n^2) pair definition of 2J,
+    // the fold-based tie-corrected variance in the engine's exact
+    // IEEE op order, continuity-corrected z.
+    "q374_jonckheere" ->
+      raw"""WITH subj AS (SELECT
+         |    (((user_id // 2) % 3) + 3) % 3 AS grp,
+         |    ((user_id % 3) + 3) % 3 AS g,
+         |    (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+         |      // 3600000000000 AS v
+         |  FROM events GROUP BY user_id),
+         |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+         |  FROM subj GROUP BY 1),
+         |pr AS (SELECT a.grp,
+         |    CAST(sum(CASE WHEN a.v < b.v THEN 2
+         |      WHEN a.v = b.v THEN 1 ELSE 0 END) AS BIGINT) AS jt2,
+         |    CAST(count(*) AS BIGINT) AS cc
+         |  FROM subj a JOIN subj b ON b.grp = a.grp AND a.g < b.g
+         |  GROUP BY 1),
+         |gf AS (SELECT grp,
+         |    CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS a2,
+         |    CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS a25,
+         |    CAST(sum(c * (c - 1) * (c - 2)) AS BIGINT) AS a3
+         |  FROM (SELECT grp, g, CAST(count(*) AS BIGINT) AS c
+         |    FROM subj GROUP BY 1, 2) GROUP BY 1),
+         |vf AS (SELECT grp,
+         |    CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS b2,
+         |    CAST(sum(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS b25,
+         |    CAST(sum(c * (c - 1) * (c - 2)) AS BIGINT) AS b3
+         |  FROM (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+         |    FROM subj GROUP BY 1, 2) GROUP BY 1),
+         |f AS (SELECT sz.grp, sz.n, sz.n_groups,
+         |    COALESCE(pr.jt2, 0) AS jt2, COALESCE(pr.cc, 0) AS cc,
+         |    COALESCE(pr.jt2, 0) - COALESCE(pr.cc, 0) AS num2,
+         |    CASE WHEN sz.n <= 2 THEN NULL ELSE
+         |      CAST(sz.n * (sz.n - 1) * (2 * sz.n + 5)
+         |        - gf.a25 - vf.b25 AS DOUBLE) / 72.0::DOUBLE
+         |      + CAST(gf.a3 AS DOUBLE) * CAST(vf.b3 AS DOUBLE)
+         |        / (36.0::DOUBLE * CAST(sz.n * (sz.n - 1)
+         |          * (sz.n - 2) AS DOUBLE))
+         |      + (2.0::DOUBLE * CAST(gf.a2 AS DOUBLE))
+         |        * (2.0::DOUBLE * CAST(vf.b2 AS DOUBLE))
+         |        / (8.0::DOUBLE * CAST(sz.n * (sz.n - 1) AS DOUBLE))
+         |      END AS var
+         |  FROM sz LEFT JOIN pr ON pr.grp = sz.grp
+         |  JOIN gf ON gf.grp = sz.grp JOIN vf ON vf.grp = sz.grp)
+         |SELECT grp, n, n_groups, jt2, cc AS e2,
+         |  CASE WHEN n <= 2 OR var IS NULL OR var <= 0.0 THEN NULL
+         |    WHEN num2 = 0 THEN 0
+         |    ELSE CAST(floor(CAST((num2 - CASE WHEN num2 > 0 THEN 1
+         |      ELSE -1 END) * 500 AS DOUBLE) / sqrt(var)) AS BIGINT)
+         |    END AS z_milli
+         |FROM f""".stripMargin  )
+
 
   /** `iters` unrolled synchronous value-iteration CTE levels over
     * `st(removed, src, dst, n)` for the q336 oracle — v_i folds

@@ -1387,12 +1387,15 @@ object Ops {
     */
   private def inversionCountPerGroup(rows: DataFrame,
       buckets: Int): DataFrame = {
+    // checkpoint ONCE: four consumers (cells, gsz, b1, b2) would
+    // otherwise each re-execute the caller's permutation sorts
     val b = rows
       .withColumn("__bg", least(lit(buckets.toLong),
         greatest(lit(1L),
           floor(sqrt(col("__n").cast("double"))).cast("long"))))
       .withColumn("__pb", expr("((__p - 1L) * __bg) div __n"))
       .withColumn("__qb", expr("((__q - 1L) * __bg) div __n"))
+      .localCheckpoint()
     val cells = b.groupBy(col("grp"), col("__pb"), col("__qb"))
       .agg(count(lit(1)).as("__cnt"))
     val gsz = b.groupBy(col("grp").as("__g"))
@@ -1505,6 +1508,7 @@ object Ops {
         .otherwise(lit(true)))
       .withColumn("__p", row_number().over(wp).cast("long"))
       .withColumn("__q", row_number().over(wq).cast("long"))
+      .localCheckpoint()
     def tiePairs(cols2: Seq[String], out: String) =
       perm.groupBy((col("grp").as("__gt") +: cols2.map(col)): _*)
         .agg(count(lit(1)).as("__tc"))
@@ -1586,8 +1590,10 @@ object Ops {
       buckets: Int = 1024, fanout: Int = 15): DataFrame = {
     require(maxN >= 2 && maxN <= 2000000000L,
       s"maxN=$maxN out of [2, 2e9]")
-    require(buckets >= 2 && buckets <= 65536,
-      s"buckets=$buckets out of [2, 65536]")
+    require(buckets >= 1 && buckets <= 65536,
+      s"buckets=$buckets out of [1, 65536] (1 = the local " +
+        "collected-array count per (group, candidate) — use when " +
+        "groups fit one task)")
     // fanout trades rounds (log_{fanout+1}) for per-round memory
     // (each round buffers rows x fanout through two window sorts)
     require(fanout >= 1 && fanout <= 63,
@@ -1684,6 +1690,8 @@ object Ops {
       // keep the fanned-out rows NARROW — each composite partition
       // is buffered whole by the window sorts, so every extra column
       // multiplies the round's memory by the fan-out
+      val beforeRdds = df.sparkSession.sparkContext
+        .getPersistentRDDs.keySet
       val rows = base.join(act,
           col("grp").cast("string") <=> col("__ag"))
         .select(struct(col("__ag"), col("__mid")).as("__cg"),
@@ -1691,31 +1699,86 @@ object Ops {
           (lit(1000000L) * col("__y") - col("__t") * col("__x"))
             .as("__z"),
           col("__id"), col("__n"), col("__tie0"))
-      val cgw = Window.partitionBy(col("__cg"))
-      val perm = rows
-        .withColumn("__p", row_number().over(cgw.orderBy(col("__x"),
-          col("__z"), col("__id"))).cast("long"))
-        .withColumn("__q", row_number().over(cgw.orderBy(col("__z"),
-          col("__x"), col("__id"))).cast("long"))
-      val d = inversionCountPerGroup(
-        perm.select(col("__cg").as("grp"), col("__p"), col("__q"),
-          col("__n")), buckets)
-      // z-tie pairs (counted only for mid < 0, where <= is the rule)
-      val zt = rows.filter(col("__tie0") === 1L)
-        .groupBy(col("__cg").as("__gz"), col("__z"))
-        .agg(count(lit(1)).as("__c"))
-        .groupBy(col("__gz"))
-        .agg(sum(expr("(__c * (__c - 1L)) div 2L")).as("__zt"))
-      val counts = d
-        .join(zt, col("grp") <=> col("__gz"), "left")
-        .select(col("grp"),
-          (col("__d") + coalesce(col("__zt"), lit(0L))).as("__cnt"))
-        .collect()
-        .map { r =>
-          val cg = r.getStruct(0)
-          (Option(cg.getString(0)), cg.getLong(1)) ->
-            r.getAs[Long]("__cnt")
-        }.toMap
+      val counts: Map[(Option[String], Long), Long] =
+        if (buckets == 1) {
+          // LOCAL path: one collected-array merge count per
+          // (group, candidate) — strict z-inversions over the
+          // (x, z, id) sort ARE the count (the permutation lemma on
+          // raw values: x-tied pairs sort by z and cannot invert,
+          // z-tied pairs are never strict), and the z-tie run
+          // lengths give the <=-rule correction in the same pass.
+          // 3 stages per round instead of ~15 — the right choice
+          // when a group fits one task; the bucketed engine path
+          // (buckets >= 2) is the scale path.
+          val dz = udf { (zs: Seq[Long]) =>
+            val d = mergeCountInversions(zs)
+            val sorted = zs.sorted
+            var zt = 0L; var i = 0
+            while (i < sorted.length) {
+              var j = i
+              while (j + 1 < sorted.length && sorted(j + 1) == sorted(i))
+                j += 1
+              val c = (j - i + 1).toLong
+              zt += c * (c - 1) / 2
+              i = j + 1
+            }
+            (d, zt)
+          }
+          rows.groupBy(col("__cg"), col("__tie0"))
+            .agg(dz(expr(
+              "transform(sort_array(collect_list(" +
+                "struct(__x, __z, __id))), s -> s.__z)")).as("__dz"))
+            .select(col("__cg"), col("__tie0"),
+              col("__dz._1").as("__d"), col("__dz._2").as("__zt"))
+            .collect()
+            .map { r =>
+              val cg = r.getStruct(0)
+              val cnt = r.getAs[Long]("__d") +
+                (if (r.getAs[Long]("__tie0") == 1L)
+                  r.getAs[Long]("__zt") else 0L)
+              (Option(cg.getString(0)), cg.getLong(1)) -> cnt
+            }.toMap
+        } else {
+          val cgw = Window.partitionBy(col("__cg"))
+          val perm = rows
+            .withColumn("__p", row_number().over(cgw.orderBy(
+              col("__x"), col("__z"), col("__id"))).cast("long"))
+            .withColumn("__q", row_number().over(cgw.orderBy(
+              col("__z"), col("__x"), col("__id"))).cast("long"))
+          val d = inversionCountPerGroup(
+            perm.select(col("__cg").as("grp"), col("__p"),
+              col("__q"), col("__n")), buckets)
+          // z-tie pairs: only mids < 0 need the <=-rule tie count —
+          // skipped when this round has none (the common case once
+          // the search narrows onto a positive slope)
+          val withTies = d.join(
+            if (active.exists(_._4 == 1L))
+              rows.filter(col("__tie0") === 1L)
+                .groupBy(col("__cg").as("__gz"), col("__z"))
+                .agg(count(lit(1)).as("__c"))
+                .groupBy(col("__gz"))
+                .agg(sum(expr("(__c * (__c - 1L)) div 2L"))
+                  .as("__zt"))
+            else rows.sparkSession.emptyDataFrame
+              .select(lit(null).cast(d.schema("grp").dataType)
+                .as("__gz"), lit(0L).as("__zt"))
+              .limit(0),
+            col("grp") <=> col("__gz"), "left")
+          withTies
+            .select(col("grp"),
+              (col("__d") + coalesce(col("__zt"), lit(0L)))
+                .as("__cnt"))
+            .collect()
+            .map { r =>
+              val cg = r.getStruct(0)
+              (Option(cg.getString(0)), cg.getLong(1)) ->
+                r.getAs[Long]("__cnt")
+            }.toMap
+        }
+      // free this round's checkpoint blocks (base's stay)
+      df.sparkSession.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !beforeRdds.contains(id) }
+        .values.foreach(_.unpersist(blocking = false))
       bounds.foreach { case (g, b) =>
         if (b.k >= 1 && b.lo < b.hi) {
           val key = g.map(_.toString)
@@ -1809,6 +1872,7 @@ object Ops {
         .otherwise(lit(true)))
       .withColumn("__p", row_number().over(wp).cast("long"))
       .withColumn("__q", row_number().over(wq).cast("long"))
+      .localCheckpoint()
     val ties = perm.groupBy(col("grp").as("__gt"), col("__v"))
       .agg(count(lit(1)).as("__tc"))
       .groupBy(col("__gt"))
@@ -1834,6 +1898,137 @@ object Ops {
               * 1000L).cast("double")
             / sqrt(col("var_num18").cast("double") / lit(18.0)))
             .cast("long"))
+          .as("z_milli"))
+  }
+
+  /** Jonckheere–Terpstra test for an ORDERED alternative per
+    * experiment (Jonckheere 1954 / Terpstra 1952) — the k-sample
+    * trend test [[graft.operators.Experiment.kruskalWallis]] cannot
+    * give (KW asks "do the k arms differ AT ALL"; JT asks "do the
+    * outcomes INCREASE with the ordered dose/tier/cohort" — strictly
+    * more power when the order is the hypothesis). With arms g on an
+    * ordered integer scale and J = Σ_{g_i<g_j} ([v_i<v_j] + ½[v_i=v_j]),
+    * everything reduces to exact pair counts the inversion engine
+    * already answers at n log n:
+    *
+    *   D  = #{g_i<g_j, v_i>v_j}      — ONE [[inversionCountPerGroup]]
+    *   C  = cross-arm pairs,  T = cross-arm value ties (two folds)
+    *   2J = 2(C − T − D) + T,   2E[J] = C
+    *
+    * so the doubled centered statistic num2 = 2J − C is an exact
+    * integer. The tie-corrected null variance (Lehmann 1975, eq.
+    * 6.23) is three exact-integer ratios combined in ONE fixed IEEE
+    * chain the oracle replays verbatim (the logRank vk discipline):
+    *
+    *   var = (n(n−1)(2n+5) − Σ_g .. − Σ_v ..)/72
+    *       + (Σ_g n_g(n_g−1)(n_g−2))(Σ_v t(t−1)(t−2))/(36 n(n−1)(n−2))
+    *       + (Σ_g n_g(n_g−1))(Σ_v t(t−1))/(8 n(n−1))
+    *
+    *   z_milli = floor((num2 ∓ 1) · 500 / sqrt(var))
+    *
+    * (continuity correction of ½ on the J lattice = 1 on the doubled
+    * one, the mannKendall convention; num2 = 0 ⇒ exactly 0; var ≤ 0
+    * — one arm, or every value tied — ⇒ null). Arms must cast to
+    * long (the ORDER is the hypothesis; refuse otherwise), values
+    * long-castable non-null. maxN ≤ 1.6·10⁶ keeps every integer
+    * term in int64 (the mannKendallLarge bound).
+    *
+    * Scale shape: two permutation window sorts + the bucketed
+    * inversion count + three value-count folds — no pair join;
+    * ~linear per experiment.
+    */
+  def jonckheereTerpstra(df: DataFrame, expCol: String,
+      groupCol: String, valCol: String, maxN: Long = 1048576L,
+      buckets: Int = 1024): DataFrame = {
+    require(maxN >= 2 && maxN <= 1600000L,
+      s"maxN=$maxN out of [2, 1.6e6]")
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets=$buckets out of [2, 65536]")
+    val g = coalesce(col(groupCol).try_cast("long"),
+      raise_error(concat(lit("jonckheereTerpstra: arm '"),
+        coalesce(col(groupCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — the arm ORDER is " +
+          "the hypothesis"))).cast("long"))
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("jonckheereTerpstra value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val gw = Window.partitionBy(col("grp"))
+    val rows = df.select(col(expCol).as("grp"), g.as("__g"),
+        v.as("__v"))
+      .withColumn("__n", count(lit(1)).over(gw))
+      .filter(when(col("__n") > maxN,
+        raise_error(concat(lit("jonckheereTerpstra: experiment '"),
+          coalesce(col("grp").cast("string"), lit("NULL")),
+          lit("' has "), col("__n").cast("string"),
+          lit(s" rows > maxN=$maxN"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn("__id", row_number().over(
+        gw.orderBy(col("__g"), col("__v"))).cast("long"))
+    val perm = rows
+      .withColumn("__p", row_number().over(gw.orderBy(col("__g"),
+        col("__v"), col("__id"))).cast("long"))
+      .withColumn("__q", row_number().over(gw.orderBy(col("__v"),
+        col("__g"), col("__id"))).cast("long"))
+    val d = inversionCountPerGroup(
+      perm.select(col("grp"), col("__p"), col("__q"), col("__n")),
+      buckets)
+    def fold3(cols2: Seq[String], pre: String) =
+      rows.groupBy((col("grp").as(pre + "g") +: cols2.map(col)): _*)
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(pre + "g"))
+        .agg(sum(expr("(__c * (__c - 1L)) div 2L")).as(pre + "2"),
+          sum(col("__c") * (col("__c") - 1L)
+            * (lit(2L) * col("__c") + 5L)).as(pre + "25"),
+          sum(col("__c") * (col("__c") - 1L)
+            * (col("__c") - 2L)).as(pre + "3"))
+    val gf = fold3(Seq("__g"), "__a")      // arm folds
+    val vf = fold3(Seq("__v"), "__b")      // value folds (pooled)
+    val gvf = rows.groupBy(col("grp").as("__cg"), col("__g"),
+        col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__cg"))
+      .agg(sum(expr("(__c * (__c - 1L)) div 2L")).as("__gv2"))
+    rows.groupBy(col("grp")).agg(max(col("__n")).as("n"),
+        countDistinct(col("__g")).as("n_groups"))
+      .join(d.select(col("grp").as("__gd"), col("__d")),
+        col("grp") <=> col("__gd"), "left")
+      .join(gf, col("grp") <=> col("__ag"))
+      .join(vf, col("grp") <=> col("__bg"))
+      .join(gvf, col("grp") <=> col("__cg"))
+      // C = cross-arm pairs; T = cross-arm value ties
+      .withColumn("__c0", expr("(n * (n - 1L)) div 2L"))
+      .withColumn("__cc", col("__c0") - col("__a2"))
+      .withColumn("__t", col("__b2") - col("__gv2"))
+      .withColumn("num2", lit(2L) * (col("__cc") - col("__t")
+        - coalesce(col("__d"), lit(0L))) + col("__t") - col("__cc"))
+      .withColumn("jt2", col("num2") + col("__cc"))
+      // fixed IEEE chain: t1 + t2 + t3, each term's ops in THIS
+      // order; guarded behind n >= 3 (ANSI throws on the n−2 zero
+      // divisor even for doubles — the If only evaluates its taken
+      // branch)
+      .withColumn("__var", when(col("n") <= 2,
+          lit(null).cast("double"))
+        .otherwise(
+          (col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L)
+            - col("__a25") - col("__b25")).cast("double") / lit(72.0)
+          + col("__a3").cast("double") * col("__b3").cast("double")
+            / (lit(36.0) * (col("n") * (col("n") - 1L)
+              * (col("n") - 2L)).cast("double"))
+          + (lit(2.0) * col("__a2").cast("double"))
+            * (lit(2.0) * col("__b2").cast("double"))
+            / (lit(8.0) * (col("n") * (col("n") - 1L))
+              .cast("double"))))
+      .select(col("grp"), col("n"), col("n_groups"), col("jt2"),
+        col("__cc").as("e2"),
+        when(col("n") <= 2 || col("__var").isNull
+            || col("__var") <= 0.0,
+          lit(null).cast("long"))
+          .when(col("num2") === 0, lit(0L))
+          .otherwise(floor(
+            ((col("num2") - signum(col("num2").cast("double"))
+              .cast("long")) * lit(500L)).cast("double")
+            / sqrt(col("__var"))).cast("long"))
           .as("z_milli"))
   }
 

@@ -137,7 +137,7 @@ class InversionCountSpec extends AnyFunSuite {
       // a degenerate bucket count only on the first case — each
       // binary-search round is a full Spark job, so the law stays
       // strong but the suite stays fast
-      for (b <- if (i == 0) Seq(3, 65536) else Seq(7)) {
+      for (b <- if (i == 0) Seq(1, 3, 65536) else Seq(1)) {
         val got = rowsOf(Ops.theilSenLarge(df, "g", "x", "y",
           buckets = b))
         assert(got == want, s"case $i buckets=$b:\n got $got\nwant $want")
@@ -153,6 +153,68 @@ class InversionCountSpec extends AnyFunSuite {
     }
     assert(rootCause(wide).getMessage.contains("9.2e12"),
       s"got ${rootCause(wide).getMessage}")
+  }
+
+  test("jonckheereTerpstra == plain-Scala brute force (2J, C, " +
+      "tie-corrected z) on tie-rich random fixtures") {
+    val gen = for {
+      n <- Gen.choose(3, 50)
+      gs <- Gen.listOfN(n, Gen.choose(0L, 3L))
+      vs <- Gen.listOfN(n, Gen.choose(-4L, 4L))
+    } yield gs.zip(vs)
+    samples(gen, 8).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.map { case (g, v) => ("e", g, v) }
+        .toDF("e", "g", "v")
+      val r = Ops.jonckheereTerpstra(df, "e", "g", "v").collect()(0)
+      val n = rows.length
+      val pairs = for (a <- rows.indices; b <- a + 1 until n
+        if rows(a)._1 != rows(b)._1) yield
+          if (rows(a)._1 < rows(b)._1) (rows(a)._2, rows(b)._2)
+          else (rows(b)._2, rows(a)._2)
+      val jt2 = pairs.map { case (lo, hi) =>
+        if (lo < hi) 2L else if (lo == hi) 1L else 0L }.sum
+      val cc = pairs.length.toLong
+      assert(r.getAs[Long]("jt2") == jt2 &&
+        r.getAs[Long]("e2") == cc, s"case $i: $r vs ($jt2, $cc)")
+      def f3(sizes: Seq[Long]) = (
+        sizes.map(c => c * (c - 1) / 2).sum,
+        sizes.map(c => c * (c - 1) * (2 * c + 5)).sum,
+        sizes.map(c => c * (c - 1) * (c - 2)).sum)
+      val (a2, a25, a3) = f3(rows.groupBy(_._1).values
+        .map(_.length.toLong).toSeq)
+      val (b2, b25, b3) = f3(rows.groupBy(_._2).values
+        .map(_.length.toLong).toSeq)
+      val nl = n.toLong
+      val varD = (nl * (nl - 1) * (2 * nl + 5) - a25 - b25).toDouble / 72.0 +
+        a3.toDouble * b3.toDouble /
+          (36.0 * (nl * (nl - 1) * (nl - 2)).toDouble) +
+        (2.0 * a2.toDouble) * (2.0 * b2.toDouble) /
+          (8.0 * (nl * (nl - 1)).toDouble)
+      val num2 = jt2 - cc
+      val wantZ: Option[Long] =
+        if (n <= 2 || varD <= 0.0) None
+        else if (num2 == 0L) Some(0L)
+        else Some(math.floor(
+          ((num2 - num2.signum) * 500L).toDouble / math.sqrt(varD))
+          .toLong)
+      val gotZ = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      assert(gotZ == wantZ, s"case $i: z $gotZ vs $wantZ (var $varD)")
+    }
+    // one-arm and all-tied degenerate: null z
+    val one = Ops.jonckheereTerpstra(
+      Seq(("e", 1L, 5L), ("e", 1L, 7L)).toDF("e", "g", "v"),
+      "e", "g", "v").collect()(0)
+    assert(one.isNullAt(5))
+    val tied = Ops.jonckheereTerpstra(
+      Seq(("e", 0L, 5L), ("e", 1L, 5L), ("e", 2L, 5L), ("e", 0L, 5L))
+        .toDF("e", "g", "v"), "e", "g", "v").collect()(0)
+    assert(tied.isNullAt(5), "every value tied: var 0, z null")
+    val nul = intercept[Exception] {
+      Ops.jonckheereTerpstra(
+        Seq(("e", Option.empty[Long], 1L)).toDF("e", "g", "v"),
+        "e", "g", "v").collect()
+    }
+    assert(rootCause(nul).getMessage.contains("arm"))
   }
 
   test("refusals: duplicate id, duplicate (ts,tie), maxN, null value") {
