@@ -970,10 +970,16 @@ object Ops {
     * [[mannKendallTrend]] contract): tied positions make a lag
     * pairing / window buffer / prefix sum silently nondeterministic
     * and can diverge between engines on inputs whose tie column is
-    * not unique. The check is an adjacent-row lag over the SAME
-    * `(key) ordered by (ts, tie)` window the caller sorts on anyway
-    * — Catalyst folds it into the caller's window sort, no extra
-    * shuffle (unlike a partition-by-all-three count window).
+    * not unique. The check is an adjacent-row lag over a
+    * `(key) ordered by (ts, tie)` window; when the caller's main
+    * window shares that exact spec ([[autocorr]], [[rollingMedian]],
+    * seasonalNaiveBacktest, changepointAmoc) Catalyst folds it into
+    * the caller's window sort — no extra shuffle (unlike a
+    * partition-by-all-three count window). [[rollingMedianLarge]]'s
+    * data-path windows partition by `(key, c)` and `(key)` with a
+    * different order, so THERE the check is its own key-partitioned
+    * exchange — accepted explicitly (one narrow 4-column pass; see
+    * its scale-shape note).
     */
   private[operators] def refuseDupPositions(op: String, df: DataFrame,
       keyC: String, tsC: String, tieC: String): DataFrame = {
@@ -1107,7 +1113,11 @@ object Ops {
     *
     * Scale shape: one lattice explode (×L, bounded), one
     * (key, c)-partitioned cumulative window, one (key, ts, tie)
-    * fold. Row-sized data crosses each shuffle once. Parallelism is
+    * fold — plus the shared duplicate-position check, which here
+    * does NOT fold into a data-path window (those partition by
+    * (key, c)) and is its own key-partitioned exchange over the
+    * narrow 4-column input, accepted. Row-sized data crosses each
+    * shuffle once. Parallelism is
     * keys×L; a SINGLE multi-million-row key additionally pays
     * WindowExec's per-group disk spill past its in-memory buffer
     * (measured: 1 key × 1M rows ≈ 39 s vs 10 keys × 1M rows ≈ 6 s
@@ -1578,6 +1588,21 @@ object Ops {
     * (z must stay in int64 at the extreme candidate slopes);
     * rescale a wider domain upstream, visibly. `maxN` bounds rows
     * per group (default 2²⁴ — the engine's exactness range).
+    * Candidate spacing runs in BigInt: the initial interval is
+    * ±10⁶·spanY wide, so `hi − lo` alone can wrap int64 inside the
+    * span contract (2·10⁶·9.2·10¹² ≈ 1.8·10¹⁹) — int64 spacing
+    * would hang on a wrapped NumericRange or silently converge on a
+    * garbage slope.
+    *
+    * Memory contract, loud: max observed n per group × `fanout` ≤
+    * `maxRoundRows` (default 2²³ ≈ 8.4M) — each search round fans
+    * every unfinished group's rows out ×fanout through two window
+    * sorts (buckets ≥ 2) or one collected array per candidate
+    * (buckets = 1), and the measured failure mode past the bound is
+    * an executor OOM, not a slow round (an 8 GiB default heap died
+    * at 10⁶ rows × fanout 15; 24 GiB or fanout 7 cleared it — the
+    * refusal message names both escapes). Refused BEFORE the first
+    * round, driver-side on the collected group stats.
     *
     * Scale shape: the per-round cost is [[kendallTauLarge]]'s (two
     * permutation sorts + the bucketed count over UNFINISHED groups
@@ -1587,9 +1612,12 @@ object Ops {
     */
   def theilSenLarge(df: DataFrame, groupCol: String, xCol: String,
       yCol: String, maxN: Long = 1L << 24,
-      buckets: Int = 1024, fanout: Int = 15): DataFrame = {
+      buckets: Int = 1024, fanout: Int = 15,
+      maxRoundRows: Long = 1L << 23): DataFrame = {
     require(maxN >= 2 && maxN <= 2000000000L,
       s"maxN=$maxN out of [2, 2e9]")
+    require(maxRoundRows >= 64 && maxRoundRows <= (1L << 34),
+      s"maxRoundRows=$maxRoundRows out of [64, 2^34]")
     require(buckets >= 1 && buckets <= 65536,
       s"buckets=$buckets out of [1, 65536] (1 = the local " +
         "collected-array count per (group, candidate) — use when " +
@@ -1629,7 +1657,14 @@ object Ops {
             "order key would overflow int64; rescale upstream, " +
             "visibly"))).cast("boolean"))
         .otherwise(lit(true)))
-      .select(col("grp"), (col("__x") - col("__minX")).as("__x"),
+      .select(col("grp"),
+        // the group's STRING form is computed HERE, in Spark — the
+        // driver map keys and every fan-out join use this one cast,
+        // never a JVM toString (whose rendering differs from
+        // Catalyst's for timestamps, arrays, structs — a mismatch
+        // would read every count as 0 and silently drop the group)
+        col("grp").cast("string").as("__gs"),
+        (col("__x") - col("__minX")).as("__x"),
         (col("__y") - col("__minY")).as("__y"), col("__id"),
         col("__n"), col("__spanY"))
       .localCheckpoint()
@@ -1645,14 +1680,32 @@ object Ops {
         .groupBy(col("__g2"))
         .agg(sum(expr("(__c * (__c - 1L)) div 2L")).as("__xyt"))
       base.groupBy(col("grp"))
-        .agg(max(col("__n")).as("n"), max(col("__spanY")).as("__sy"))
+        .agg(max(col("__n")).as("n"), max(col("__spanY")).as("__sy"),
+          max(col("__gs")).as("__gs"))
         .join(xt, col("grp") <=> col("__g"))
         .join(xyt, col("grp") <=> col("__g2"))
-        .select(col("grp"), col("n"),
+        .select(col("grp"), col("__gs"), col("n"),
           (expr("(n * (n - 1L)) div 2L") - col("__xt"))
             .as("n_pairs"),
           col("__xyt"), col("__sy"))
         .collect()
+    }
+    // loud memory contract BEFORE the first round: each round fans
+    // n × fanout rows per unfinished group through the search
+    stats.foreach { r =>
+      val n = r.getAs[Long]("n")
+      require(n * fanout <= maxRoundRows,
+        s"theilSenLarge: group '${r.getAs[String]("__gs")}' has " +
+          s"n=$n rows x fanout=$fanout = ${n * fanout} fanned rows " +
+          s"per search round > maxRoundRows=$maxRoundRows — each " +
+          "round buffers n x fanout rows through two window sorts " +
+          "(the measured failure at the 8 GiB default heap is an " +
+          "executor OOM at 1e6 rows x fanout 15). Reduce fanout " +
+          "(rounds grow only as log_{fanout+1}: fanout=7 halves " +
+          "the buffer for ~1.3x the rounds), or raise maxRoundRows " +
+          "to what the measured heap supports (24 GiB cleared " +
+          "1e6 x 15 — size spark.driver.memory / " +
+          "spark.executor.memory first)")
     }
     // driver-side bounds: grp -> (lo, hi, k, xyTiePairs); the map is
     // group-count-sized
@@ -1661,18 +1714,24 @@ object Ops {
     val bounds = scala.collection.mutable.LinkedHashMap(stats.map { r =>
       val sy = r.getAs[Long]("__sy")
       val np = r.getAs[Long]("n_pairs")
-      Option(r.get(0)) -> B(-1000000L * sy, 1000000L * sy,
-        (np + 1L) / 2L, r.getAs[Long]("__xyt"))
+      Option(r.getAs[String]("__gs")) -> B(-1000000L * sy,
+        1000000L * sy, (np + 1L) / 2L, r.getAs[Long]("__xyt"))
     }.toSeq: _*)
     val spark = df.sparkSession
     import spark.implicits._
     // 15 evenly-spaced candidates strictly inside [lo, hi); when
     // the interval is that small, enumerate it and finish in one
-    // round
-    def candidates(lo: Long, hi: Long): Seq[Long] =
-      if (hi - lo <= fanout.toLong) (lo until hi).toSeq
+    // round. Spacing in BigInt: hi − lo starts at 2·10⁶·spanY,
+    // which wraps int64 inside the span contract (spanY admits
+    // 9.2·10¹² when spanX = 1) — a wrapped difference would either
+    // hang on a ~10¹⁹-element enumeration branch or floorDiv to
+    // garbage candidates that read count 0 and converge wrong.
+    def candidates(lo: Long, hi: Long): Seq[Long] = {
+      val span = BigInt(hi) - BigInt(lo)
+      if (span <= fanout) (lo until hi).toSeq
       else (1 to fanout).map(i =>
-        lo + Math.floorDiv((hi - lo) * i, fanout + 1L)).distinct
+        (BigInt(lo) + span * i / (fanout + 1)).toLong).distinct
+    }
     var round = 0
     while (bounds.values.exists(b => b.k >= 1 && b.lo < b.hi)
         && round < 48) {
@@ -1680,7 +1739,7 @@ object Ops {
       val active = bounds.toSeq.collect {
         case (g, b) if b.k >= 1 && b.lo < b.hi =>
           candidates(b.lo, b.hi).map { mid =>
-            (g.map(_.toString).orNull, mid,
+            (g.orNull, mid,
               if (mid >= 0L) mid + 1L else mid,
               if (mid >= 0L) 0L else 1L)
           }
@@ -1692,8 +1751,7 @@ object Ops {
       // multiplies the round's memory by the fan-out
       val beforeRdds = df.sparkSession.sparkContext
         .getPersistentRDDs.keySet
-      val rows = base.join(act,
-          col("grp").cast("string") <=> col("__ag"))
+      val rows = base.join(act, col("__gs") <=> col("__ag"))
         .select(struct(col("__ag"), col("__mid")).as("__cg"),
           col("__x"),
           (lit(1000000L) * col("__y") - col("__t") * col("__x"))
@@ -1781,7 +1839,7 @@ object Ops {
         .values.foreach(_.unpersist(blocking = false))
       bounds.foreach { case (g, b) =>
         if (b.k >= 1 && b.lo < b.hi) {
-          val key = g.map(_.toString)
+          val key = g
           val ms = candidates(b.lo, b.hi)
           def cnt(mid: Long): Long =
             counts.getOrElse((key, mid), 0L) -
@@ -1801,10 +1859,9 @@ object Ops {
         "rounds — impossible within the span contract; report " +
         "this input")
     val res = bounds.toSeq.map { case (g, b) =>
-      (g.map(_.toString).orNull,
-        if (b.k >= 1) Some(b.lo) else None)
+      (g.orNull, if (b.k >= 1) Some(b.lo) else None)
     }.toDF("__rg", "__slope")
-    stats.toSeq.map(r => (Option(r.get(0)).map(_.toString).orNull,
+    stats.toSeq.map(r => (r.getAs[String]("__gs"),
         r.getAs[Long]("n"), r.getAs[Long]("n_pairs")))
       .toDF("__sg", "n", "n_pairs")
       .join(broadcast(res), col("__sg") <=> col("__rg"), "left")

@@ -155,6 +155,72 @@ class InversionCountSpec extends AnyFunSuite {
       s"got ${rootCause(wide).getMessage}")
   }
 
+  test("theilSenLarge: n x fanout memory contract refuses loudly at " +
+      "the documented 1e6 x 15 point (default maxRoundRows), and the " +
+      "boundary is exact under an explicit bound") {
+    // the documented OOM point: 2^20 rows x fanout 15 > 2^23 — must
+    // be a NAMED refusal before the first search round, not an
+    // executor OOM (spanY = 0 keeps the span contract trivially met
+    // and the would-be search cheap if the check ever regressed)
+    val big = spark.range(1L << 20)
+      .select(lit("g").as("g"), col("id").as("x"), lit(0L).as("y"))
+    val oom = intercept[Exception] {
+      Ops.theilSenLarge(big, "g", "x", "y").collect()
+    }
+    assert(rootCause(oom).getMessage.contains("maxRoundRows"),
+      s"got ${rootCause(oom).getMessage}")
+    assert(rootCause(oom).getMessage.contains("fanout"),
+      s"got ${rootCause(oom).getMessage}")
+    // exact boundary: n=100 x fanout=15 = 1500 passes at the bound,
+    // refuses one below it
+    val small = spark.range(100L)
+      .select(lit("g").as("g"), col("id").as("x"),
+        (col("id") * 2L).as("y"))
+    assert(Ops.theilSenLarge(small, "g", "x", "y",
+        maxRoundRows = 1500L).collect()
+      .head.getAs[Long]("slope_ppm") == 2000000L)
+    val edge = intercept[Exception] {
+      Ops.theilSenLarge(small, "g", "x", "y",
+        maxRoundRows = 1499L).collect()
+    }
+    assert(rootCause(edge).getMessage.contains("maxRoundRows=1499"),
+      s"got ${rootCause(edge).getMessage}")
+  }
+
+  test("theilSenLarge: non-string group keys whose JVM toString " +
+      "differs from Catalyst's cast (timestamp) still match — the " +
+      "group string is computed once, in Spark") {
+    val df = Seq(
+      ("2024-03-01 10:00:00", 0L, 0L), ("2024-03-01 10:00:00", 1L, 3L),
+      ("2024-03-01 10:00:00", 2L, 5L),
+      ("2024-07-09 23:59:59", 0L, 10L), ("2024-07-09 23:59:59", 1L, 7L))
+      .toDF("g0", "x", "y")
+      .select(col("g0").cast("timestamp").as("g"), col("x"), col("y"))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => String.valueOf(r.get(0)) -> r.toSeq.drop(1))
+        .toMap
+    val want = rows(Ops.theilSen(df, "g", "x", "y"))
+    val got = rows(Ops.theilSenLarge(df, "g", "x", "y"))
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.size == 2 && got.keySet.forall(_.contains("2024")),
+      s"timestamp groups dropped: $got")
+  }
+
+  test("theilSenLarge: candidate spacing survives interval widths " +
+      "past int64x15 (spanY=1e12, where (hi-lo)*i wrapped before " +
+      "the BigInt fix)") {
+    // spanX=1, spanY=1e12: span contract holds (1e12 < 9.2e12) but
+    // the initial interval is 2e18 wide — (hi-lo)*63 wraps int64, so
+    // long spacing either hangs or converges on garbage; BigInt
+    // spacing must land on the exact slope 1e12 (1e18 ppm)
+    val df = Seq(("w", 0L, 0L), ("w", 1L, 1000000000000L))
+      .toDF("g", "x", "y")
+    val r = Ops.theilSenLarge(df, "g", "x", "y", fanout = 63,
+      buckets = 1).collect().head
+    assert(r.getAs[Long]("slope_ppm") == 1000000000000000000L,
+      s"got ${r.getAs[Long]("slope_ppm")}")
+  }
+
   test("jonckheereTerpstra == plain-Scala brute force (2J, C, " +
       "tie-corrected z) on tie-rich random fixtures") {
     val gen = for {
