@@ -6155,6 +6155,55 @@ object SparkEntry {
         .withColumn("exp", pmod(expr("user_id div 2"), lit(3L)))
         .withColumn("g", pmod(col("user_id"), lit(3L)))
       Ops.jonckheereTerpstra(subj, "exp", "g", "dur")
+    }),
+
+    // ANYTIME-VALID BETTING E-PROCESS FOR A BOUNDED MEAN (q369's
+    // continuous companion -- the metric eProcessBinary refuses):
+    // per-mille-lattice values, the WSR aGRAPA bet made exact on
+    // integer pre-row moments, one ln per row floored to nano-nats,
+    // Ville threshold ln(1/alpha).
+    "q375_eprocess_mean" -> ((s, dir) => {
+      import graft.operators.Experiment
+      Experiment.eProcessMean(events(s, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          least(lit(1000L), greatest(lit(0L),
+            floor(col("value") * 10).cast("long"))).as("v")),
+        "event_type", "ts", "event_id", "v",
+        mMilli = 480L, alphaMilli = 50L)
+    }),
+
+    // EXACT k-ARM STRATIFIED LOG-RANK (q368's full-covariance form):
+    // a genuinely 3-arm fixture (user_id div 6 experiments x 3
+    // residue arms, so the quadratic form is a real 2x2 inverse),
+    // per-time hypergeometric covariance entries floored through the
+    // q310 IEEE chain, Z' W^-1 Z exact via the bordered Bareiss
+    // determinant -- the oracle replays the 2x2 adjugate on HUGEINT.
+    "q376_logrank_k_exact" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val subj = events(s, dir).groupBy(col("user_id")).agg(
+        expr("(max(ts) - min(ts)) div 3600000000000L").as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ev"))
+        .withColumn("exp", pmod(expr("user_id div 6"), lit(2L)))
+        .withColumn("grp",
+          concat(lit("arm"), pmod(col("user_id"), lit(3L))))
+        .withColumn("st", pmod(expr("user_id div 12"), lit(2L)))
+      Experiment.logRankKExact(subj, "exp", "st", "grp", "dur", "ev")
+    }),
+
+    // PAGE'S TREND TEST on the q364 complete design: does the score
+    // rise monotonically with the item index, per respondent --
+    // within-block doubled midranks x dense treatment-order ranks,
+    // exact integer L2/E/variance sums, one IEEE z chain.
+    "q377_page_trend" -> ((s, dir) => {
+      import graft.operators.Experiment
+      val cells = events(s, dir)
+        .groupBy(pmod(col("user_id"), lit(2L)).as("key"),
+          pmod(col("user_id"), lit(100L)).as("resp"),
+          pmod(col("event_id"), lit(3L)).as("item"))
+        .agg(pmod(sum(floor(col("value") * 100).cast("long")),
+          lit(11L)).as("score"))
+      Experiment.pageTrend(cells, "key", "resp", "item", "score")
     })
   )
 
@@ -16361,6 +16410,222 @@ object SparkEntry {
          |    ELSE CAST(floor(CAST((num2 - CASE WHEN num2 > 0 THEN 1
          |      ELSE -1 END) * 500 AS DOUBLE) / sqrt(var)) AS BIGINT)
          |    END AS z_milli
+         |FROM f""".stripMargin,
+
+    // q375: betting e-process for a bounded mean — the WSR aGRAPA
+    // bet chain re-derived as window SQL on integer pre-row moments
+    // (DuckDB // floors where Spark div truncates, but every
+    // negative-or-zero bet quotient clips to 0 in both), one ln per
+    // row of the exact factor ratio, nano floors summed as integers,
+    // first threshold crossing decides.
+    "q375_eprocess_mean" ->
+      raw"""WITH e AS (SELECT event_type AS exp, epoch_ns(ts) AS t,
+         |    event_id AS i,
+         |    LEAST(1000, GREATEST(0,
+         |      CAST(floor(value * 10) AS BIGINT))) AS v
+         |  FROM events),
+         |w AS (SELECT exp, t, i, v,
+         |    CAST(COALESCE(sum(v) OVER (PARTITION BY exp
+         |      ORDER BY t, i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS sp,
+         |    CAST(COALESCE(sum(v * v) OVER (PARTITION BY exp
+         |      ORDER BY t, i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS qp,
+         |    CAST(COALESCE(count(*) OVER (PARTITION BY exp
+         |      ORDER BY t, i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS np
+         |  FROM e),
+         |b AS (SELECT exp, t, i, v, sp, np,
+         |    (480 + sp) // (np + 1) AS muh,
+         |    (250000 + qp) // (np + 1) AS m2
+         |  FROM w),
+         |b2 AS (SELECT exp, t, i, v, sp, np,
+         |    LEAST(1041, GREATEST(0, (1000000 * (muh - 480))
+         |      // GREATEST(2500, m2 - muh * muh))) AS lam
+         |  FROM b),
+         |l AS (SELECT exp, t, i, np + 1 AS n, sp + v AS s,
+         |    CAST(sum(CAST(floor(1000000000.0::DOUBLE
+         |      * ln(CAST(1000000 + lam * (v - 480) AS DOUBLE)
+         |        / 1000000.0::DOUBLE)) AS BIGINT))
+         |      OVER (PARTITION BY exp ORDER BY t, i
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS lnn
+         |  FROM b2),
+         |bnd AS (SELECT CAST(floor(1000000000.0::DOUBLE
+         |    * ln(CAST(1000 AS DOUBLE) / CAST(50 AS DOUBLE)))
+         |    AS BIGINT) AS th),
+         |sm AS (SELECT exp, CAST(max(n) AS BIGINT) AS n,
+         |    CAST(max(s) AS BIGINT) AS sum_milli FROM l GROUP BY 1),
+         |fin AS (SELECT l.exp, l.lnn FROM l JOIN sm
+         |  ON sm.exp = l.exp AND sm.n = l.n),
+         |cr AS (SELECT l.exp, l.t, l.i, l.n, l.lnn,
+         |    row_number() OVER (PARTITION BY l.exp
+         |      ORDER BY l.t, l.i) AS rk
+         |  FROM l CROSS JOIN bnd WHERE l.lnn >= bnd.th),
+         |c1 AS (SELECT * FROM cr WHERE rk = 1)
+         |SELECT sm.exp, sm.n, sm.sum_milli, fin.lnn AS e_final_nano,
+         |  bnd.th AS threshold_nano,
+         |  CASE WHEN c1.exp IS NULL THEN 'continue'
+         |    ELSE 'reject_h0' END AS decision,
+         |  CAST(c1.t AS BIGINT) AS decision_ts,
+         |  CAST(c1.i AS BIGINT) AS decision_tie,
+         |  CAST(c1.n AS BIGINT) AS n_at_decision,
+         |  c1.lnn AS e_at_decision
+         |FROM sm JOIN fin ON fin.exp = sm.exp
+         |CROSS JOIN bnd
+         |LEFT JOIN c1 ON c1.exp = sm.exp""".stripMargin,
+
+    // q376: exact k-arm stratified log-rank — the q368 walk plus
+    // per-time covariance entries on the q310 double chain (diag
+    // positive-floored, off-diag magnitude floored on the
+    // name-ordered pair then negated) and the (k-1)=2 quadratic
+    // form as the exact 2x2 adjugate on HUGEINT.
+    "q376_logrank_k_exact" ->
+      raw"""WITH subj AS (SELECT
+         |    (((user_id // 6) % 2) + 2) % 2 AS exp,
+         |    'arm' || CAST(((user_id % 3) + 3) % 3 AS VARCHAR)
+         |      AS grp,
+         |    (((user_id // 12) % 2) + 2) % 2 AS st,
+         |    (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+         |      // 3600000000000 AS t,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS e
+         |  FROM events GROUP BY user_id),
+         |ct AS (SELECT exp, st, t, grp, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(e) AS BIGINT) AS d
+         |  FROM subj GROUP BY 1, 2, 3, 4),
+         |tm AS (SELECT DISTINCT exp, st, t FROM ct),
+         |ar AS (SELECT DISTINCT exp, st, grp FROM ct),
+         |gr AS (SELECT tm.exp, tm.st, tm.t, ar.grp,
+         |    COALESCE(ct.c, 0) AS c, COALESCE(ct.d, 0) AS d
+         |  FROM tm JOIN ar ON ar.exp = tm.exp AND ar.st = tm.st
+         |  LEFT JOIN ct ON ct.exp = tm.exp AND ct.st = tm.st
+         |    AND ct.t = tm.t AND ct.grp = ar.grp),
+         |rk AS (SELECT exp, st, t, grp, d,
+         |    CAST(sum(c) OVER (PARTITION BY exp, st, grp
+         |      ORDER BY t DESC) AS BIGINT) AS ng
+         |  FROM gr),
+         |et AS (SELECT exp, st, t, grp, ng,
+         |    CAST(sum(ng) OVER (PARTITION BY exp, st, t) AS BIGINT)
+         |      AS n,
+         |    CAST(sum(d) OVER (PARTITION BY exp, st, t) AS BIGINT)
+         |      AS dt
+         |  FROM rk),
+         |eg AS (SELECT exp, grp,
+         |    CAST(sum((1000000 * (dt * ng)) // n) AS BIGINT)
+         |      AS e_micro
+         |  FROM et WHERE dt >= 1 GROUP BY 1, 2),
+         |pa AS (SELECT exp, grp, CAST(count(*) AS BIGINT) AS n_subj,
+         |    CAST(sum(e) AS BIGINT) AS o
+         |  FROM subj GROUP BY 1, 2),
+         |pe AS (SELECT pa.exp, pa.grp, pa.n_subj, pa.o,
+         |    COALESCE(eg.e_micro, 0) AS e_micro
+         |  FROM pa LEFT JOIN eg ON eg.exp = pa.exp
+         |    AND eg.grp = pa.grp),
+         |cov_d AS (SELECT exp, grp AS ga, grp AS gb,
+         |    CAST(floor(CAST(dt * ng AS DOUBLE)
+         |      * CAST(n - ng AS DOUBLE) * CAST(n - dt AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |        * CAST(n - 1 AS DOUBLE)) * 1000000) AS BIGINT) AS w
+         |  FROM et WHERE dt >= 1 AND n > 1),
+         |cov_o AS (SELECT a.exp, a.grp AS ga, b.grp AS gb,
+         |    -CAST(floor(CAST(a.dt * a.ng AS DOUBLE)
+         |      * CAST(b.ng AS DOUBLE) * CAST(a.n - a.dt AS DOUBLE)
+         |      / (CAST(a.n AS DOUBLE) * CAST(a.n AS DOUBLE)
+         |        * CAST(a.n - 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS w
+         |  FROM et a JOIN et b ON b.exp = a.exp AND b.st = a.st
+         |    AND b.t = a.t AND a.grp < b.grp
+         |  WHERE a.dt >= 1 AND a.n > 1),
+         |wf AS (SELECT exp, ga, gb, CAST(sum(w) AS BIGINT) AS w
+         |  FROM (SELECT * FROM cov_d UNION ALL SELECT * FROM cov_o)
+         |  GROUP BY 1, 2, 3),
+         |zr AS (SELECT exp, grp, 1000000 * o - e_micro AS z,
+         |    row_number() OVER (PARTITION BY exp ORDER BY grp) AS rn
+         |  FROM pe),
+         |ka AS (SELECT exp, CAST(count(*) AS BIGINT) AS k
+         |  FROM zr GROUP BY 1),
+         |k2 AS (SELECT exp,
+         |    max(CASE WHEN rn = 2 THEN grp END) AS g1,
+         |    max(CASE WHEN rn = 3 THEN grp END) AS g2,
+         |    CAST(max(CASE WHEN rn = 2 THEN z END) AS HUGEINT) AS z1,
+         |    CAST(max(CASE WHEN rn = 3 THEN z END) AS HUGEINT) AS z2
+         |  FROM zr GROUP BY 1),
+         |qf AS (SELECT k2.exp,
+         |    CAST(wa.w AS HUGEINT) AS w11,
+         |    CAST(wb.w AS HUGEINT) AS w22,
+         |    CAST(COALESCE(wc.w, 0) AS HUGEINT) AS w12,
+         |    k2.z1, k2.z2
+         |  FROM k2
+         |  LEFT JOIN wf wa ON wa.exp = k2.exp AND wa.ga = k2.g1
+         |    AND wa.gb = k2.g1
+         |  LEFT JOIN wf wb ON wb.exp = k2.exp AND wb.ga = k2.g2
+         |    AND wb.gb = k2.g2
+         |  LEFT JOIN wf wc ON wc.exp = k2.exp AND wc.ga = k2.g1
+         |    AND wc.gb = k2.g2),
+         |ch AS (SELECT exp,
+         |    CASE WHEN w11 IS NULL OR w22 IS NULL
+         |        OR (w11 * w22 - w12 * w12) <= 0 THEN NULL
+         |      ELSE CAST((z1 * z1 * w22 - 2 * z1 * z2 * w12
+         |          + z2 * z2 * w11)
+         |        // (w11 * w22 - w12 * w12) AS BIGINT) END
+         |      AS chi2_micro
+         |  FROM qf)
+         |SELECT pe.exp, pe.grp, pe.n_subj, pe.o, pe.e_micro,
+         |  ch.chi2_micro, ka.k - 1 AS df
+         |FROM pe JOIN ch ON ch.exp = pe.exp
+         |JOIN ka ON ka.exp = pe.exp""".stripMargin,
+
+    // q377: Page's trend test — the q364 midrank machinery with
+    // dense treatment-order ranks, exact integer L2 and
+    // tie-conditional variance sums, one IEEE z chain.
+    "q377_page_trend" ->
+      raw"""WITH cell AS (SELECT ((user_id % 2) + 2) % 2 AS key,
+         |    ((user_id % 100) + 100) % 100 AS r,
+         |    ((event_id % 3) + 3) % 3 AS i,
+         |    CAST(floor(value * 100) AS BIGINT) AS v
+         |  FROM events),
+         |sc AS (SELECT key, r, i,
+         |    ((CAST(sum(v) AS BIGINT) % 11) + 11) % 11 AS s
+         |  FROM cell GROUP BY 1, 2, 3),
+         |bv AS (SELECT key, r, s, CAST(count(*) AS BIGINT) AS c
+         |  FROM sc GROUP BY 1, 2, 3),
+         |md AS (SELECT key, r, s,
+         |    2 * CAST(COALESCE(sum(c) OVER (PARTITION BY key, r
+         |      ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) + c + 1 AS mid2
+         |  FROM bv),
+         |cj AS (SELECT sc.key, sc.r, md.mid2,
+         |    CAST(dense_rank() OVER (PARTITION BY sc.key
+         |      ORDER BY sc.i) AS BIGINT) AS cjr
+         |  FROM sc JOIN md ON md.key = sc.key AND md.r = sc.r
+         |    AND md.s = sc.s),
+         |ki AS (SELECT key, CAST(count(DISTINCT i) AS BIGINT) AS k
+         |  FROM sc GROUP BY 1),
+         |pb AS (SELECT key, r,
+         |    CAST(sum(cjr * mid2) AS BIGINT) AS l2b,
+         |    CAST(sum(mid2 * mid2) AS BIGINT) AS ss2
+         |  FROM cj GROUP BY 1, 2),
+         |f AS (SELECT pb.key, CAST(count(*) AS BIGINT) AS n_blocks,
+         |    CAST(max(ki.k) AS BIGINT) AS k,
+         |    CAST(sum(l2b) AS BIGINT) AS l2,
+         |    CAST(sum((ki.k * ss2
+         |      - (ki.k * (ki.k + 1)) * (ki.k * (ki.k + 1)))
+         |      * (ki.k + 1)) AS BIGINT) AS var_num12
+         |  FROM pb JOIN ki ON ki.key = pb.key GROUP BY 1)
+         |SELECT CAST(key AS BIGINT) AS key, n_blocks, k, l2,
+         |  CAST((n_blocks * k * (k + 1) * (k + 1)) // 2 AS BIGINT)
+         |    AS e_l2,
+         |  var_num12,
+         |  CASE WHEN var_num12 <= 0 THEN NULL
+         |    ELSE CAST(floor(CAST(l2
+         |        - (n_blocks * k * (k + 1) * (k + 1)) // 2
+         |        AS DOUBLE) * 1000.0::DOUBLE
+         |      / sqrt(CAST(var_num12 AS DOUBLE) / 12.0::DOUBLE))
+         |      AS BIGINT) END AS z_milli
          |FROM f""".stripMargin  )
 
 

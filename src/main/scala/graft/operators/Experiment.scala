@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -902,6 +902,273 @@ object Experiment {
         (col("__ka") - 1L).as("df"))
   }
 
+  /** Fraction-free Bareiss determinant of a square BigInt matrix —
+    * O(k³) with every intermediate an EXACT integer (each step's
+    * division is exact by the Bareiss identity), partial pivoting by
+    * first nonzero (deterministic; a sign flip per swap). The small
+    * exact-linear-algebra kernel behind [[logRankKExact]]'s
+    * quadratic form — k ≤ 16, so the matrix is a bounded driver-free
+    * per-group object, never data-sized.
+    */
+  private[operators] def bareissDet(m0: Array[Array[BigInt]]): BigInt = {
+    val n = m0.length
+    if (n == 0) return BigInt(1)
+    val a = m0.map(_.clone())
+    var prev = BigInt(1)
+    var sign = 1
+    var i = 0
+    while (i < n - 1) {
+      if (a(i)(i).signum == 0) {
+        var j = i + 1
+        while (j < n && a(j)(i).signum == 0) j += 1
+        if (j == n) return BigInt(0)
+        val t = a(i); a(i) = a(j); a(j) = t; sign = -sign
+      }
+      var j = i + 1
+      while (j < n) {
+        var k = i + 1
+        while (k < n) {
+          a(j)(k) = (a(i)(i) * a(j)(k) - a(j)(i) * a(i)(k)) / prev
+          k += 1
+        }
+        a(j)(i) = BigInt(0)
+        j += 1
+      }
+      prev = a(i)(i)
+      i += 1
+    }
+    a(n - 1)(n - 1) * sign
+  }
+
+  /** k-ARM, STRATIFIED log-rank test with the EXACT quadratic-form
+    * statistic — the full-covariance form [[logRankK]] approximates
+    * (its conservative Σ(O−E)²/E omits the off-diagonal
+    * hypergeometric covariance and says so): at each stratum-local
+    * pooled event time the covariance of the O−E vector is
+    *
+    *   V_gg(t) = d·n_g·(n−n_g)·(n−d) / (n²(n−1))
+    *   V_gh(t) = −d·n_g·n_h·(n−d) / (n²(n−1)),  g ≠ h
+    *
+    * each entry floored ONCE per time to micro through EXACTLY
+    * [[logRank]]'s IEEE chain (`(d·n_g)` long, then the double
+    * products left-to-right, one division, ×10⁶, floor;
+    * off-diagonals floor the POSITIVE magnitude computed on the
+    * name-ordered pair — symmetric by construction — then negate,
+    * biasing each |off-diag| DOWN by < 1 micro, stated), summed over
+    * times and strata into the integer matrix W per experiment. With
+    * the arm domain sorted by name and the FIRST arm dropped (the
+    * full matrix is singular — rows sum to ~0; dropping the MINIMUM
+    * arm makes the k = 2 case keep arm "1", whose Z and W₁₁ replay
+    * [[logRank]]'s e1/v chain bit-for-bit), Z_g = 10⁶·O_g −
+    * E_g_micro and
+    *
+    *   chi2_micro = floor( Zᵀ W⁻¹ Z )        on k−1 df
+    *
+    * (exact in the micro lattice: chi2 = zᵀV⁻¹z with z = Z/10⁶,
+    * V = W/10⁶ gives ZᵀW⁻¹Z = 10⁶·chi2). Computed per experiment on
+    * the ≤ 15×15 integer matrix: k = 2 replays [[logRank]]'s double
+    * chain verbatim (floor(Z²ᵈ/Wᵈ) — the bit-for-bit contract);
+    * k ≥ 3 goes through the bordered-determinant identity
+    * Zᵀ·adj(W)·Z = −det([[W Z],[Zᵀ 0]]) with BOTH determinants by
+    * fraction-free Bareiss elimination on BigInt ([[bareissDet]] —
+    * exact integers throughout, the cofactor-inverse discipline of
+    * the Helmert bridge at k² scale) and one exact floored division.
+    * chi2 is null when k = 1, when no events occurred, or when
+    * det(W) ≤ 0 (degenerate/singular design — e.g. an arm never at
+    * risk with any other). Output is [[logRankK]]'s shape: one row
+    * per (exp, grp) with `n_subj, o, e_micro` and `chi2_micro, df`
+    * on every arm row.
+    *
+    * Scale shape: [[logRankK]]'s walk (one counts agg, ×k grid
+    * densification, one descending-time window, one fold) plus ONE
+    * arm-pair self-join of the event-time grid (×(k−1)/2 more, k
+    * loudly ≤ `maxArms` ≤ 16 — the quadratic form is a (k−1)²
+    * object) and one per-experiment kernel over collected k²-sized
+    * matrix rows — bounded, never subject-sized.
+    */
+  def logRankKExact(df: DataFrame, expCol: String, stratumCol: String,
+      groupCol: String, durCol: String, eventCol: String,
+      maxArms: Int = 16): DataFrame = {
+    require(maxArms >= 2 && maxArms <= 16,
+      s"maxArms=$maxArms out of [2, 16] (the exact quadratic form " +
+        "is a (k-1)^2 covariance object; use logRankK's " +
+        "conservative statistic for wider arm taxonomies)")
+    val g = coalesce(col(groupCol).cast("string"),
+      raise_error(lit("logRankKExact: null arm — a null is not an " +
+        "arm; filter or impute visibly upstream")).cast("string"))
+    val dur = coalesce(col(durCol).try_cast("long"),
+      raise_error(concat(lit("logRankKExact: duration '"),
+        coalesce(col(durCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val ev = coalesce(col(eventCol).try_cast("long"),
+      raise_error(concat(lit("logRankKExact: event flag '"),
+        coalesce(col(eventCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(expCol).as("exp"),
+      col(stratumCol).as("st"), g.as("grp"),
+      when(dur < 0, raise_error(concat(
+        lit("logRankKExact: negative duration "), dur.cast("string")))
+        .cast("long")).otherwise(dur).as("t"),
+      when(ev.isin(0L, 1L), ev).otherwise(
+        raise_error(concat(lit("logRankKExact: event flag "),
+          ev.cast("string"), lit(" outside {0,1}"))).cast("long"))
+        .as("__e"))
+    val counts = rows.groupBy(col("exp"), col("st"), col("t"),
+        col("grp"))
+      .agg(count(lit(1)).as("__c"), sum(col("__e")).as("__d"))
+    val armK = rows.groupBy(col("exp").as("__xa"))
+      .agg(countDistinct(col("grp")).as("__k"))
+      .filter(when(col("__k") > maxArms,
+        raise_error(concat(lit("logRankKExact: experiment '"),
+          coalesce(col("__xa").cast("string"), lit("NULL")),
+          lit("' has "), col("__k").cast("string"),
+          lit(s" arms > maxArms=$maxArms — the exact covariance " +
+            "is (k-1)^2-sized; coarsen the arm taxonomy upstream " +
+            "or use logRankK"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col("__xa"))
+    val times = counts.select(col("exp").as("__xt"),
+      col("st").as("__st"), col("t").as("__t")).distinct()
+    val arms = counts.select(col("exp").as("__xg"),
+      col("st").as("__sg"), col("grp").as("__g")).distinct()
+    val grid = times.join(arms, col("__xt") <=> col("__xg")
+        && col("__st") <=> col("__sg"))
+      .select(col("__xt").as("exp"), col("__st").as("st"),
+        col("__t").as("t"), col("__g").as("grp"))
+      .join(counts.select(col("exp").as("__x2"), col("st").as("__s2"),
+          col("t").as("__t2"), col("grp").as("__g2"),
+          col("__c"), col("__d")),
+        col("exp") <=> col("__x2") && col("st") <=> col("__s2")
+          && col("t") === col("__t2") && col("grp") === col("__g2"),
+        "left")
+      .select(col("exp"), col("st"), col("t"), col("grp"),
+        coalesce(col("__c"), lit(0L)).as("__c"),
+        coalesce(col("__d"), lit(0L)).as("__d"))
+    val risk = Window.partitionBy(col("exp"), col("st"), col("grp"))
+      .orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atT = Window.partitionBy(col("exp"), col("st"), col("t"))
+    val et = grid
+      .withColumn("__ng", sum(col("__c")).over(risk))
+      .withColumn("__n", sum(col("__ng")).over(atT))
+      .withColumn("__dt", sum(col("__d")).over(atT))
+      .filter(col("__dt") >= 1)
+    val eArm = et
+      .withColumn("__eg", expr("(1000000L * (__dt * __ng)) div __n"))
+      .groupBy(col("exp").as("__x3"), col("grp").as("__g3"))
+      .agg(sum(col("__eg")).as("e_micro"))
+    // per-time covariance entries on the q310 double chain; the
+    // denominator is shared, numerators differ diag vs off-diag
+    val den = col("__n").cast("double") * col("__n").cast("double") *
+      (col("__n") - lit(1L)).cast("double")
+    val diag = et.filter(col("__n") > 1)
+      .select(col("exp"), col("grp").as("__ga"),
+        col("grp").as("__gb"),
+        floor((col("__dt") * col("__ng")).cast("double")
+          * (col("__n") - col("__ng")).cast("double")
+          * (col("__n") - col("__dt")).cast("double")
+          / den * 1000000).cast("long").as("__w"))
+    val offd = et.filter(col("__n") > 1)
+      .select(col("exp").as("__xp"), col("st").as("__sp"),
+        col("t").as("__tp"), col("grp").as("__gp"),
+        col("__ng").as("__ngp"), col("__n"), col("__dt"))
+      .join(et.select(col("exp").as("__xq"), col("st").as("__sq"),
+          col("t").as("__tq"), col("grp").as("__gq"),
+          col("__ng").as("__ngq")),
+        col("__xp") <=> col("__xq") && col("__sp") <=> col("__sq")
+          && col("__tp") === col("__tq")
+          && col("__gp") < col("__gq"))
+      .select(col("__xp").as("exp"), col("__gp").as("__ga"),
+        col("__gq").as("__gb"),
+        (-floor((col("__dt") * col("__ngp")).cast("double")
+          * col("__ngq").cast("double")
+          * (col("__n") - col("__dt")).cast("double")
+          / (col("__n").cast("double") * col("__n").cast("double")
+            * (col("__n") - lit(1L)).cast("double"))
+          * 1000000).cast("long")).as("__w"))
+    val wFold = diag.unionByName(offd)
+      .groupBy(col("exp").as("__x4"), col("__ga"), col("__gb"))
+      .agg(sum(col("__w")).as("__w"))
+    val perArm = rows.groupBy(col("exp"), col("grp"))
+      .agg(count(lit(1)).as("n_subj"), sum(col("__e")).as("o"))
+      .join(eArm, col("exp") <=> col("__x3")
+          && col("grp") === col("__g3"), "left")
+      .select(col("exp"), col("grp"), col("n_subj"), col("o"),
+        coalesce(col("e_micro"), lit(0L)).as("e_micro"))
+    // per-experiment exact quadratic form over the collected
+    // (k-1)^2 matrix — a bounded k<=16 object per group, never
+    // subject-sized
+    val quad = udf { (zs: Seq[Row], ws: Seq[Row]) =>
+      val armSorted = zs.map(_.getString(0)).sorted
+      if (armSorted.size <= 1) None
+      else {
+        val kept = armSorted.drop(1)
+        val idx = kept.zipWithIndex.toMap
+        val m = kept.size
+        val zv = new Array[Long](m)
+        zs.foreach { r =>
+          idx.get(r.getString(0)).foreach(i => zv(i) = r.getLong(1))
+        }
+        val wm = Array.fill(m, m)(BigInt(0))
+        ws.foreach { r =>
+          (idx.get(r.getString(0)), idx.get(r.getString(1))) match {
+            case (Some(i), Some(j)) =>
+              wm(i)(j) += BigInt(r.getLong(2))
+              if (i != j) wm(j)(i) += BigInt(r.getLong(2))
+            case _ => () // a pair involving the dropped arm
+          }
+        }
+        if (m == 1) {
+          // the k = 2 contract: logRank's exact IEEE chain, verbatim
+          if (wm(0)(0).signum <= 0) None
+          else Some(math.floor(zv(0).toDouble * zv(0).toDouble
+            / wm(0)(0).toDouble).toLong)
+        } else {
+          val detW = bareissDet(wm)
+          if (detW.signum <= 0) None
+          else {
+            // bordered determinant: Z' adj(W) Z = -det([[W Z];[Z' 0]])
+            val b = Array.tabulate(m + 1, m + 1) { (i, j) =>
+              if (i < m && j < m) wm(i)(j)
+              else if (i < m && j == m) BigInt(zv(i))
+              else if (i == m && j < m) BigInt(zv(j))
+              else BigInt(0)
+            }
+            val num = -bareissDet(b)
+            // exact floored division (num >= 0 when W is PD; a
+            // floor-negative pathological lattice case still floors
+            // toward -inf consistently)
+            val (q, r) = num /% detW
+            Some(if (r.signum != 0 && (r.signum != detW.signum))
+              (q - 1).toLong else q.toLong)
+          }
+        }
+      }
+    }
+    val zRows = perArm.select(col("exp").as("__xz"), col("grp"),
+      (lit(1000000L) * col("o") - col("e_micro")).as("__z"))
+    val folded = zRows
+      .groupBy(col("__xz"))
+      .agg(collect_list(struct(col("grp"), col("__z"))).as("__zl"),
+        count(lit(1)).as("__ka"))
+    val wl = wFold.groupBy(col("__x4"))
+      .agg(collect_list(struct(col("__ga"), col("__gb"),
+        col("__w"))).as("__wl"))
+    val chi = folded.join(wl, col("__xz") <=> col("__x4"), "left")
+      .select(col("__xz"),
+        when(col("__ka") <= 1, lit(null).cast("long"))
+          .otherwise(quad(col("__zl"),
+            coalesce(col("__wl"),
+              array().cast("array<struct<__ga:string,__gb:string," +
+                "__w:bigint>>"))))
+          .as("chi2_micro"),
+        (col("__ka") - 1L).as("df"))
+    perArm.join(armK, col("exp") <=> col("__xa"))
+      .join(chi, col("exp") <=> col("__xz"))
+      .select(col("exp"), col("grp"), col("n_subj"), col("o"),
+        col("e_micro"), col("chi2_micro"), col("df"))
+  }
+
   private val LehmerM = 2147483647L // MINSTD modulus, 2^31 - 1
   private def lehmer(x: Column): Column =
     pmod(pmod(x, lit(LehmerM)) * lit(48271L), lit(LehmerM))
@@ -1358,7 +1625,14 @@ object Experiment {
     * accumulate) — the alternative decision is `continue`, and the
     * test stays open forever by design. Conversions must be 0/1 and
     * positions (ts, tie) unique per experiment, refused loudly (the
-    * [[sprtBinary]] contracts).
+    * [[sprtBinary]] contracts). Batch-vs-stream equality scope:
+    * this batch walk keeps accumulating `n`, `s`, `e_final_nano`
+    * over rows AFTER a threshold crossing (the summary describes
+    * the whole input), while the streaming twin absorbs
+    * post-decision rows — "stream ≡ batch" covers exactly the
+    * decision fields (`decision`, `decision_ts`, `decision_tie`,
+    * `n_at_decision`, `e_at_decision`) bit-for-bit; the final
+    * summary fields diverge past a mid-stream rejection by design.
     *
     * Scale shape: ONE experiment-partitioned window (two exclusive
     * running counts + one integer cumulative sum ride the same
@@ -1434,6 +1708,153 @@ object Experiment {
         col("__first.__ln").as("e_at_decision"))
     summary.join(crossed, col("exp") <=> col("__x"), "left")
       .select(col("exp"), col("n"), col("s"),
+        col("e_final_nano"), lit(threshold).as("threshold_nano"),
+        when(col("decision_ts").isNull, lit("continue"))
+          .otherwise(lit("reject_h0")).as("decision"),
+        col("decision_ts"), col("decision_tie"),
+        col("n_at_decision"), col("e_at_decision"))
+  }
+
+  /** Anytime-valid e-process monitor over a BOUNDED-MEAN metric per
+    * experiment — the continuous-outcome companion [[eProcessBinary]]
+    * refuses by its {0,1} contract (revenue, session length,
+    * latency: the common experimentation metrics are means, not
+    * conversions): the betting martingale of Waudby-Smith & Ramdas
+    * (2024, "Estimating means of bounded random variables by
+    * betting", JRSS-B; the e-process view in Ramdas et al. 2023)
+    * for the one-sided composite null H0: μ ≤ m on values in
+    * [0, 1], here carried on the PER-MILLE lattice — values must be
+    * long-castable integers in [0, 1000] (scale a wider metric to
+    * the lattice upstream, VISIBLY — the bounded-range contract
+    * replaces the binary operator's {0,1} refusal):
+    *
+    *   E_t = Π_{i≤t} (1 + λ_i·(x_i − m)),   λ_i predictable, ≥ 0
+    *
+    * Under ANY H0 law with mean μ ≤ m, E[1 + λ(x − m) | past] =
+    * 1 + λ(μ − m) ≤ 1, so E_t is a nonnegative supermartingale and
+    * Ville's inequality licenses the always-valid threshold
+    * P(sup E_t ≥ 1/α) ≤ α — validity holds for EVERY predictable
+    * bet; the bet rule only buys power. The bet is the aGRAPA-style
+    * plug-in λ_t ≈ (μ̂ − m)/σ̂² (WSR §B.2), made EXACT on the
+    * integer lattice from the pre-row counts (n', s' = Σx, q' = Σx²
+    * BEFORE the row, one prior pseudo-observation anchoring both
+    * moments — x = m for the mean, x² = ¼ for the second moment,
+    * WSR's σ̂₀² = ¼ prior):
+    *
+    *   μ̂  = (m + s') div (n' + 1)                     (milli)
+    *   m2  = (250000 + q') div (n' + 1)                (milli²)
+    *   σ̂² = max(2500, m2 − μ̂²)                        (milli²)
+    *   λ   = clip( (10⁶·(μ̂ − m)) div σ̂², 0, 500000 div m )
+    *
+    * (the 2500 floor keeps the bet bounded on near-constant data;
+    * the cap λ ≤ 5·10⁵/m is WSR's c = ½ truncation — at x = 0 the
+    * factor is ≥ ½, never ≤ 0; Spark `div` truncates toward zero
+    * and DuckDB `//` floors, but every negative-or-zero quotient is
+    * clipped to 0 by the max and every positive quotient agrees, so
+    * both engines produce the SAME λ). Each factor is then the
+    * exact integer ratio
+    *
+    *   (10⁶ + λ·(x − m)) / 10⁶   ∈ [½, ~501]
+    *
+    * contributing `floor(10⁹·ln(num/10⁶))` NANO-nats (one ln of one
+    * exactly-represented integer ratio per row, the
+    * [[eProcessBinary]] discipline; the per-row floor biases the
+    * sum DOWN — conservative, it can only delay a rejection),
+    * summed as INTEGERS in arrival order against `threshold_nano =
+    * floor(10⁹·ln(1000/alphaMilli))`. The FIRST row at or above the
+    * threshold decides `reject_h0`; otherwise `continue` — an
+    * e-process never accepts, the test stays open forever. For the
+    * other side (H1: μ < m) run on 1000 − x with m → 1000 − m.
+    * Positions (ts, tie) must be unique per experiment, refused
+    * loudly. Int64-safe to ~1.4·10⁹ rows per experiment (max
+    * per-row term ≈ 6.2 nano-nats·10⁹). Batch-vs-stream equality
+    * scope (the [[eProcessBinary]] statement): "stream ≡ batch"
+    * covers the decision fields bit-for-bit; this batch summary's
+    * `n`, `sum_milli`, `e_final_nano` keep accumulating past a
+    * mid-stream rejection by design.
+    *
+    * Scale shape: ONE experiment-partitioned window (three
+    * exclusive-frame running moments + one integer cumulative sum
+    * ride the same sort) + one fold — no iteration, no float state.
+    */
+  def eProcessMean(df: DataFrame, expCol: String, tsCol: String,
+      tieCol: String, valCol: String, mMilli: Long,
+      alphaMilli: Long): DataFrame = {
+    require(mMilli >= 1 && mMilli <= 999,
+      s"mMilli=$mMilli out of [1, 999]")
+    require(alphaMilli >= 1 && alphaMilli <= 499,
+      s"alphaMilli=$alphaMilli out of [1, 499]")
+    val threshold = math.floor(1.0e9
+      * math.log(1000.0 / alphaMilli.toDouble)).toLong
+    val lamMax = 500000L / mMilli
+    val xv = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("eProcessMean value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val rows = df.select(col(expCol).as("exp"),
+      col(tsCol).cast("long").as("__t"),
+      col(tieCol).cast("long").as("__e"),
+      when(xv >= 0L && xv <= 1000L, xv).otherwise(
+        raise_error(concat(lit("eProcessMean value "),
+          xv.cast("string"),
+          lit(" outside [0, 1000] — scale to the per-mille " +
+            "lattice upstream, visibly"))).cast("long"))
+        .as("__v"))
+    val dupW = Window.partitionBy(col("exp"), col("__t"), col("__e"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("eProcessMean: duplicate position " +
+          "(ts, tie) in experiment '"),
+          coalesce(col("exp").cast("string"), lit("NULL")),
+          lit("' — the arrival order is the e-process; it must be " +
+            "total"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+    val w = Window.partitionBy(col("exp"))
+      .orderBy(col("__t"), col("__e"))
+    val prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val walked = checked
+      .withColumn("__sp", coalesce(sum(col("__v")).over(prev),
+        lit(0L)))
+      .withColumn("__qp", coalesce(sum(col("__v") * col("__v"))
+        .over(prev), lit(0L)))
+      .withColumn("__np", count(lit(1)).over(prev))
+      .withColumn("__muh",
+        expr(s"(${mMilli}L + __sp) div (__np + 1L)"))
+      .withColumn("__m2",
+        expr("(250000L + __qp) div (__np + 1L)"))
+      .withColumn("__vh", greatest(lit(2500L),
+        col("__m2") - col("__muh") * col("__muh")))
+      .withColumn("__lam", least(greatest(
+        expr(s"(1000000L * (__muh - ${mMilli}L)) div __vh"),
+        lit(0L)), lit(lamMax)))
+      .withColumn("__fn", lit(1000000L)
+        + col("__lam") * (col("__v") - lit(mMilli)))
+      .withColumn("__term", floor(lit(1.0e9)
+        * log(col("__fn").cast("double") / lit(1000000.0)))
+        .cast("long"))
+      .withColumn("__ln", sum(col("__term")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", col("__np") + 1L)
+      .withColumn("__s", col("__sp") + col("__v"))
+    val summary = walked.groupBy(col("exp"))
+      .agg(max(col("__n")).as("n"), max(col("__s")).as("sum_milli"),
+        max(struct(col("__n"), col("__ln"))).as("__last"))
+      .select(col("exp"), col("n"), col("sum_milli"),
+        col("__last.__ln").as("e_final_nano"))
+    val crossed = walked
+      .filter(col("__ln") >= threshold)
+      .groupBy(col("exp").as("__x"))
+      .agg(min(struct(col("__t"), col("__e"), col("__n"),
+        col("__ln"))).as("__first"))
+      .select(col("__x"),
+        col("__first.__t").as("decision_ts"),
+        col("__first.__e").as("decision_tie"),
+        col("__first.__n").as("n_at_decision"),
+        col("__first.__ln").as("e_at_decision"))
+    summary.join(crossed, col("exp") <=> col("__x"), "left")
+      .select(col("exp"), col("n"), col("sum_milli"),
         col("e_final_nano"), lit(threshold).as("threshold_nano"),
         when(col("decision_ts").isNull, lit("continue"))
           .otherwise(lit("reject_h0")).as("decision"),
@@ -1860,6 +2281,131 @@ object Experiment {
               " div (CAST(n_blocks AS DECIMAL(38,0)) * k" +
               " * (k * k - 1) - __tc) AS BIGINT)"))
           .as("chi2_corr_micro"))
+  }
+
+  /** Page's trend test per key (Page 1963, "Ordered hypotheses for
+    * multiple treatments") — the ORDERED-alternative companion to
+    * [[friedman]] within the same complete block design
+    * ([[graft.operators.Ops.jonckheereTerpstra]] orders independent
+    * arms; this orders k treatments scored by the SAME n blocks:
+    * "does quality rise monotonically with model size, per judge"):
+    * the treatment ORDER is the treatment column's own long value
+    * (ascending — the hypothesis is carried by the column, refused
+    * loudly when not long-castable), c_j = the dense rank 1..k of
+    * that value, ranks within each block are the shared doubled
+    * midranks (exact integer ties), and
+    *
+    *   L2        = Σ_blocks Σ_j c_j·r2_{b,j}      (2× Page's L)
+    *   E[L2]     = n·k·(k+1)² div 2               (exact — k(k+1)
+    *                                               is always even)
+    *   12·Var(L2)= Σ_blocks dev_b·(k+1),
+    *   dev_b     = k·Σ_j r2² − (k(k+1))²
+    *
+    * — dev_b is k²·(the block's midrank population variance ×4), so
+    * the variance is EXACT under ties (a block's conditional
+    * permutation variance given its midrank multiset; for a tie-free
+    * block dev_b = k²(k²−1)/3 and the total reduces to Page's
+    * n·k²(k+1)²(k−1)/144 on the doubled lattice). All integer sums
+    * (int64-exact to k ≈ 10³ at 10⁵ blocks; ANSI-loud past that,
+    * never silent), then ONE fixed IEEE chain
+    *
+    *   z_milli = floor( (L2 − E[L2])·1000 / sqrt(var_num12/12) )
+    *
+    * (no continuity correction — stated; the doubled lattice makes
+    * the unit half a rank). Null when var_num12 ≤ 0 (every block
+    * internally constant, or k = 1). k = 2 degenerates to a paired
+    * sign-style test — allowed, stated; Page's table starts at
+    * k = 3. The design must be COMPLETE and UNIQUE (every block
+    * scores every treatment exactly once — the [[friedman]]
+    * contract, refused loudly).
+    *
+    * Scale shape: one (key, block)-partitioned value window for the
+    * midranks + one key-partitioned dense rank over treatment
+    * values + two folds — no self-join, nothing block-sized on the
+    * driver.
+    */
+  def pageTrend(df: DataFrame, keyCol: String, blockCol: String,
+      treatCol: String, valCol: String): DataFrame = {
+    val v = coalesce(col(valCol).try_cast("long"),
+      raise_error(concat(lit("pageTrend value '"),
+        coalesce(col(valCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long"))).cast("long"))
+    val tv = coalesce(col(treatCol).try_cast("long"),
+      raise_error(concat(lit("pageTrend treatment '"),
+        coalesce(col(treatCol).cast("string"), lit("NULL")),
+        lit("' is null or not castable to long — the treatment " +
+          "column's own value IS the hypothesized order")))
+        .cast("long"))
+    val rows = df.select(col(keyCol).as("key"),
+      coalesce(col(blockCol).cast("string"),
+        raise_error(lit("pageTrend: null block")).cast("string"))
+        .as("__b"),
+      tv.as("__t"), v.as("__v"))
+    val dupW = Window.partitionBy(col("key"), col("__b"), col("__t"))
+    val checked = rows
+      .withColumn("__dup", count(lit(1)).over(dupW))
+      .filter(when(col("__dup") > 1,
+        raise_error(concat(lit("pageTrend: block '"), col("__b"),
+          lit("' scored treatment '"), col("__t").cast("string"),
+          lit("' more than once"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__dup")
+    val kTreat = checked.groupBy(col("key").as("__kk"))
+      .agg(countDistinct(col("__t")).as("__k"))
+    val complete = checked
+      .withColumn("__bc", count(lit(1)).over(
+        Window.partitionBy(col("key"), col("__b"))))
+      .join(kTreat, col("key") <=> col("__kk"))
+      .filter(when(col("__bc") =!= col("__k"),
+        raise_error(concat(lit("pageTrend: block '"), col("__b"),
+          lit("' scored "), col("__bc").cast("string"),
+          lit(" of "), col("__k").cast("string"),
+          lit(" treatments — the design must be complete; impute " +
+            "or drop visibly upstream"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__bc").drop("__kk")
+    // doubled midranks within each block (the friedman lattice)
+    val byVal = complete.groupBy(col("key"), col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("key"), col("__b"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val mid = byVal
+      .withColumn("__below", coalesce(sum(col("__c")).over(w),
+        lit(0L)))
+      .select(col("key").as("__k2"), col("__b").as("__b2"),
+        col("__v").as("__v2"),
+        (lit(2L) * col("__below") + col("__c") + 1L).as("__mid2"))
+    val ranked = complete
+      .withColumn("__cj", dense_rank().over(
+        Window.partitionBy(col("key")).orderBy(col("__t")))
+        .cast("long"))
+      .join(mid, col("key") <=> col("__k2")
+        && col("__b") === col("__b2") && col("__v") === col("__v2"))
+    val perBlock = ranked.groupBy(col("key"), col("__b"))
+      .agg(sum(col("__cj") * col("__mid2")).as("__l2b"),
+        sum(col("__mid2") * col("__mid2")).as("__ss2"),
+        max(col("__k")).as("__kb"))
+      .select(col("key"), col("__l2b"),
+        (col("__kb") * col("__ss2")
+          - (col("__kb") * (col("__kb") + 1L))
+            * (col("__kb") * (col("__kb") + 1L))).as("__dev"),
+        col("__kb"))
+    perBlock.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_blocks"), max(col("__kb")).as("k"),
+        sum(col("__l2b")).as("l2"),
+        sum(col("__dev") * (col("__kb") + 1L)).as("var_num12"))
+      .select(col("key"), col("n_blocks"), col("k"), col("l2"),
+        expr("(n_blocks * k * (k + 1L) * (k + 1L)) div 2L")
+          .as("e_l2"), col("var_num12"))
+      .select(col("key"), col("n_blocks"), col("k"), col("l2"),
+        col("e_l2"), col("var_num12"),
+        when(col("var_num12") <= 0, lit(null).cast("long"))
+          .otherwise(floor((col("l2") - col("e_l2")).cast("double")
+            * lit(1000.0)
+            / sqrt(col("var_num12").cast("double") / lit(12.0)))
+            .cast("long"))
+          .as("z_milli"))
   }
 
   /** Wilcoxon signed-rank test per experiment — the PAIRED two-arm

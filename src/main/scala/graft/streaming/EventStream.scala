@@ -944,11 +944,15 @@ object EventStream {
     * factor is recomputed from the integer (s, n) in the batch
     * operator's exact chain (one ln of one integer ratio, floored to
     * nano) and ADDED to the integer sum — the state never holds a
-    * float, so stream ≡ batch exactly on in-order arrivals. After
-    * the threshold fires the monitor is done — later rows are
-    * absorbed (the sampling-stops contract [[sprtStream]] shares);
-    * late rows follow the [[cusumStream]] drop policy. Conversions
-    * outside {0,1} fail the job loudly.
+    * float, so stream ≡ batch exactly on in-order arrivals FOR THE
+    * DECISION FIELDS (`decision`, the crossing row's ts/tie, n and
+    * e at the crossing): after the threshold fires the monitor is
+    * done — later rows are absorbed (the sampling-stops contract
+    * [[sprtStream]] shares), while the batch operator's summary
+    * fields (`n`, `s`, `e_final_nano`) keep accumulating over the
+    * whole input by design, so those diverge past a mid-stream
+    * rejection. Late rows follow the [[cusumStream]] drop policy.
+    * Conversions outside {0,1} fail the job loudly.
     */
   def eProcessStream(points: org.apache.spark.sql.Dataset[SprtPoint],
       p0Milli: Long, alphaMilli: Long)
@@ -991,6 +995,81 @@ object EventStream {
               st = EProcState(st.s + p.conv, st.n + 1L, ln,
                 decision != "continue", p.ts, p.tie)
               Some(EProcOut(exp, p.ts, p.tie, st.n, st.s, ln,
+                decision))
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
+  final case class MeanPoint(exp: String, ts: Long, tie: Long,
+      v: Long)
+  final case class EProcMeanState(s: Long, q: Long, n: Long,
+      lnNano: Long, decided: Boolean, lastTs: Long, lastTie: Long)
+  final case class EProcMeanOut(exp: String, ts: Long, tie: Long,
+      n: Long, s: Long, e_nano: Long, decision: String)
+
+  /** Stateful streaming betting e-process for a bounded mean — the
+    * streaming twin of
+    * [[graft.operators.Experiment.eProcessMean]] (same argument as
+    * [[eProcessStream]]: an anytime-valid monitor is BORN
+    * streaming): per experiment the state is the running integer
+    * moments (s = Σx, q = Σx²), n, the INTEGER nano-nat ln sum, a
+    * decided flag and the (ts, tie) high-water mark — seven fields,
+    * bounded. Each row recomputes the batch operator's exact
+    * integer bet chain (μ̂/σ̂²/λ on the milli lattice from the
+    * PRE-row moments, one StrictMath.log of the exact factor ratio
+    * floored to nano — Catalyst's Log is fdlibm-strict, so the
+    * stream must be too) and ADDs to the integer sum; stream ≡
+    * batch on in-order arrivals FOR THE DECISION FIELDS (after the
+    * threshold fires, later rows are absorbed, while the batch
+    * summary keeps accumulating — the [[eProcessStream]] scope
+    * statement). Late rows follow the [[cusumStream]] drop policy.
+    * Values outside [0, 1000] fail the job loudly.
+    */
+  def eProcessMeanStream(points: org.apache.spark.sql.Dataset[MeanPoint],
+      mMilli: Long, alphaMilli: Long)
+      : org.apache.spark.sql.Dataset[EProcMeanOut] = {
+    require(mMilli >= 1 && mMilli <= 999,
+      s"mMilli=$mMilli out of [1, 999]")
+    require(alphaMilli >= 1 && alphaMilli <= 499,
+      s"alphaMilli=$alphaMilli out of [1, 499]")
+    val threshold = math.floor(1.0e9
+      * math.log(1000.0 / alphaMilli.toDouble)).toLong
+    val lamMax = 500000L / mMilli
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import points.sparkSession.implicits._
+    points.groupByKey(_.exp)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (exp: String, rows: Iterator[MeanPoint],
+            state: GroupState[EProcMeanState]) => {
+          var st = state.getOption.getOrElse(
+            EProcMeanState(0L, 0L, 0L, 0L, decided = false,
+              Long.MinValue, Long.MinValue))
+          val out = rows.toSeq.sortBy(p => (p.ts, p.tie)).flatMap { p =>
+            require(p.v >= 0L && p.v <= 1000L,
+              s"eProcessMeanStream: value ${p.v} outside [0, 1000]")
+            val late = p.ts < st.lastTs ||
+              (p.ts == st.lastTs && p.tie <= st.lastTie)
+            if (late || st.decided) None
+            else {
+              // the batch bet chain, verbatim, on the pre-row moments
+              val muh = (mMilli + st.s) / (st.n + 1L)
+              val m2 = (250000L + st.q) / (st.n + 1L)
+              val vh = math.max(2500L, m2 - muh * muh)
+              val lam = math.min(lamMax,
+                math.max(0L, (1000000L * (muh - mMilli)) / vh))
+              val fn = 1000000L + lam * (p.v - mMilli)
+              val term = math.floor(1.0e9
+                * StrictMath.log(fn.toDouble / 1000000.0)).toLong
+              val ln = st.lnNano + term
+              val decision =
+                if (ln >= threshold) "reject_h0" else "continue"
+              st = EProcMeanState(st.s + p.v, st.q + p.v * p.v,
+                st.n + 1L, ln, decision != "continue", p.ts, p.tie)
+              Some(EProcMeanOut(exp, p.ts, p.tie, st.n, st.s, ln,
                 decision))
             }
           }

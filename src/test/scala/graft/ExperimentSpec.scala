@@ -965,4 +965,362 @@ class ExperimentSpec extends AnyFunSuite {
       Experiment.eProcessBinary(df, "e", "t", "i", "c", 0L, 50L)
     }
   }
+
+  /** The documented eProcessMean bet chain, replayed sequentially in
+    * plain Scala — the independent derivation the operator's window
+    * factoring must reproduce bit-for-bit.
+    */
+  private def meanWalk(vs: Seq[Long], mMilli: Long): Seq[Long] = {
+    val lamMax = 500000L / mMilli
+    var s = 0L; var q = 0L; var n = 0L
+    vs.map { v =>
+      val muh = (mMilli + s) / (n + 1L)
+      val m2 = (250000L + q) / (n + 1L)
+      val vh = math.max(2500L, m2 - muh * muh)
+      val lam = math.min(lamMax,
+        math.max(0L, (1000000L * (muh - mMilli)) / vh))
+      val fn = 1000000L + lam * (v - mMilli)
+      s += v; q += v * v; n += 1L
+      math.floor(1.0e9 * StrictMath.log(fn.toDouble / 1000000.0))
+        .toLong
+    }.scanLeft(0L)(_ + _).drop(1)
+  }
+
+  test("eProcessMean: betting-martingale walk replayed in plain " +
+      "scala on randomized milli-lattice fixtures — final sum, " +
+      "crossing row and decision all bit-equal") {
+    val rnd = new scala.util.Random(1901L)
+    (0 until 6).foreach { k =>
+      val n = 20 + rnd.nextInt(60)
+      // mixed regimes: null-ish, shifted-up, bimodal
+      val vs = (0 until n).map { _ =>
+        k % 3 match {
+          case 0 => rnd.nextInt(1001).toLong
+          case 1 => math.min(1000L, 400L + rnd.nextInt(620).toLong)
+          case 2 => if (rnd.nextBoolean()) 0L else 1000L
+        }
+      }
+      val m = Seq(300L, 500L, 650L)(k % 3)
+      val df = vs.zipWithIndex.map { case (v, i) =>
+        ("e", i.toLong, i.toLong, v) }.toDF("e", "t", "i", "v")
+      val r = Experiment.eProcessMean(df, "e", "t", "i", "v",
+        mMilli = m, alphaMilli = 50L).collect()(0)
+      val walk = meanWalk(vs, m)
+      val threshold = math.floor(1.0e9 * math.log(20.0)).toLong
+      assert(r.getAs[Long]("e_final_nano") == walk.last,
+        s"case $k m=$m vs=$vs:\n got ${r.getAs[Long]("e_final_nano")} " +
+          s"want ${walk.last}")
+      assert(r.getAs[Long]("sum_milli") == vs.sum)
+      val cross = walk.indexWhere(_ >= threshold)
+      if (cross >= 0) {
+        assert(r.getAs[String]("decision") == "reject_h0", s"case $k")
+        assert(r.getAs[Long]("n_at_decision") == cross + 1L,
+          s"case $k: walk=$walk")
+        assert(r.getAs[Long]("e_at_decision") == walk(cross))
+      } else {
+        assert(r.getAs[String]("decision") == "continue", s"case $k")
+        assert(r.isNullAt(r.fieldIndex("decision_ts")), s"case $k")
+      }
+    }
+  }
+
+  test("eProcessMean: validity shape on null data, power on a " +
+      "shifted mean, refusals (range, duplicate position, params)") {
+    // constant stream AT the null mean: lam pins to 0 via the mu-hat
+    // anchor, every factor is exactly 1, e never moves
+    val flat = (1L to 40L).map(i => ("e", i, i, 500L))
+      .toDF("e", "t", "i", "v")
+    val r0 = Experiment.eProcessMean(flat, "e", "t", "i", "v",
+      mMilli = 500L, alphaMilli = 50L).collect()(0)
+    assert(r0.getAs[Long]("e_final_nano") == 0L &&
+      r0.getAs[String]("decision") == "continue", s"got $r0")
+    // stream far above the null: must cross
+    val up = (1L to 60L).map(i => ("e", i, i, 900L))
+      .toDF("e", "t", "i", "v")
+    val r1 = Experiment.eProcessMean(up, "e", "t", "i", "v",
+      mMilli = 300L, alphaMilli = 50L).collect()(0)
+    assert(r1.getAs[String]("decision") == "reject_h0", s"got $r1")
+    val bad = intercept[Exception] {
+      Experiment.eProcessMean(Seq(("e", 1L, 1L, 1001L))
+        .toDF("e", "t", "i", "v"), "e", "t", "i", "v", 500L, 50L)
+        .collect()
+    }
+    assert(rootCause(bad).getMessage.contains("outside [0, 1000]"))
+    val dup = intercept[Exception] {
+      Experiment.eProcessMean(
+        Seq(("e", 1L, 1L, 5L), ("e", 1L, 1L, 6L))
+          .toDF("e", "t", "i", "v"), "e", "t", "i", "v", 500L, 50L)
+        .collect()
+    }
+    assert(rootCause(dup).getMessage.contains("duplicate position"))
+    intercept[IllegalArgumentException] {
+      Experiment.eProcessMean(flat, "e", "t", "i", "v", 1000L, 50L)
+    }
+    intercept[IllegalArgumentException] {
+      Experiment.eProcessMean(flat, "e", "t", "i", "v", 500L, 500L)
+    }
+  }
+
+  /** Independent plain-Scala replay of logRankKExact's documented
+    * chain — stratum-local risk walks, integer-micro E, per-time
+    * covariance entries through the q310 IEEE chain, and the exact
+    * quadratic form on the kept (drop-min) arms via the 2x2
+    * adjugate (k = 3 fixtures). Returns (E per arm, chi2_micro).
+    */
+  private def lrkExactReplay(rows: Seq[(String, String, Long, Long)])
+      : (Map[String, Long], Option[Long]) = {
+    val arms = rows.map(_._1).distinct.sorted
+    val e = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    val w = scala.collection.mutable.Map[(String, String), Long]()
+      .withDefaultValue(0L)
+    for (s <- rows.map(_._2).distinct) {
+      val sr = rows.filter(_._2 == s)
+      val sArms = sr.map(_._1).distinct.sorted
+      for (t <- sr.filter(_._4 == 1L).map(_._3).distinct.sorted) {
+        val atRisk = sr.filter(_._3 >= t)
+        val n = atRisk.size.toLong
+        val dt = sr.count(r => r._3 == t && r._4 == 1L).toLong
+        val ng = sArms.map(g =>
+          g -> atRisk.count(_._1 == g).toLong).toMap
+        for (g <- sArms) e(g) += (1000000L * (dt * ng(g))) / n
+        if (n > 1) {
+          val den = n.toDouble * n.toDouble * (n - 1).toDouble
+          for (g <- sArms)
+            w((g, g)) += math.floor((dt * ng(g)).toDouble
+              * (n - ng(g)).toDouble * (n - dt).toDouble / den
+              * 1000000).toLong
+          for (i <- sArms.indices; j <- i + 1 until sArms.size)
+            w((sArms(i), sArms(j))) -=
+              math.floor((dt * ng(sArms(i))).toDouble
+                * ng(sArms(j)).toDouble * (n - dt).toDouble / den
+                * 1000000).toLong
+        }
+      }
+    }
+    val oByArm = arms.map(g =>
+      g -> rows.count(r => r._1 == g && r._4 == 1L).toLong).toMap
+    val kept = arms.drop(1)
+    val chi =
+      if (kept.size == 2) {
+        val z1 = BigInt(1000000L * oByArm(kept(0)) - e(kept(0)))
+        val z2 = BigInt(1000000L * oByArm(kept(1)) - e(kept(1)))
+        val w11 = BigInt(w((kept(0), kept(0))))
+        val w22 = BigInt(w((kept(1), kept(1))))
+        val w12 = BigInt(w((kept(0), kept(1))))
+        val det = w11 * w22 - w12 * w12
+        if (det.signum <= 0) None
+        else Some(((z1 * z1 * w22 - 2 * z1 * z2 * w12
+          + z2 * z2 * w11) / det).toLong)
+      } else None
+    (e.toMap, chi)
+  }
+
+  test("logRankKExact: k = 2 pins bit-for-bit to logRank's exact " +
+      "hypergeometric chain (chi2, e_micro)") {
+    val rnd = new scala.util.Random(1907L)
+    (0 until 3).foreach { c =>
+      val rows = (0 until 30 + rnd.nextInt(30)).map { _ =>
+        ("e", rnd.nextInt(2).toLong, rnd.nextInt(8).toLong,
+          if (rnd.nextInt(3) > 0) 1L else 0L)
+      }
+      val df = rows.toDF("exp", "g", "dur", "ev")
+      val two = Experiment.logRank(df, "exp", "g", "dur", "ev")
+        .collect().map(r => r.getAs[Long]("grp") -> r).toMap
+      val kx = Experiment.logRankKExact(
+          df.withColumn("st", lit(0L)),
+          "exp", "st", "g", "dur", "ev")
+        .collect().map(r => r.getAs[String]("grp") -> r).toMap
+      assert(kx("1").getAs[Long]("e_micro") ==
+        two(1L).getAs[Long]("e1_micro"), s"case $c")
+      val wantChi =
+        if (two(1L).isNullAt(two(1L).fieldIndex("chi2_micro"))) None
+        else Some(two(1L).getAs[Long]("chi2_micro"))
+      val gotChi =
+        if (kx("1").isNullAt(kx("1").fieldIndex("chi2_micro"))) None
+        else Some(kx("1").getAs[Long]("chi2_micro"))
+      assert(gotChi == wantChi, s"case $c: got $gotChi want $wantChi")
+      assert(kx("1").getAs[Long]("df") == 1L)
+    }
+  }
+
+  test("logRankKExact: 3-arm stratified fixtures equal the " +
+      "independent plain-scala replay (E per arm, exact 2x2 " +
+      "quadratic form), and sit near the real-arithmetic chi2") {
+    val rnd = new scala.util.Random(1909L)
+    (0 until 4).foreach { c =>
+      // tie-rich: 3 arms, 2 strata, small time lattice
+      val rows = (0 until 40 + rnd.nextInt(40)).map { _ =>
+        ("arm" + rnd.nextInt(3), "s" + rnd.nextInt(2),
+          rnd.nextInt(6).toLong, if (rnd.nextInt(3) > 0) 1L else 0L)
+      }
+      val df = rows.map { case (g, s, t, e) => ("e", g, s, t, e) }
+        .toDF("exp", "g", "st", "dur", "ev")
+      val got = Experiment.logRankKExact(df, "exp", "st", "g",
+        "dur", "ev").collect()
+        .map(r => r.getAs[String]("grp") -> r).toMap
+      val (eRep, chiRep) = lrkExactReplay(rows)
+      got.foreach { case (g, r) =>
+        assert(r.getAs[Long]("e_micro") == eRep.getOrElse(g, 0L),
+          s"case $c arm $g: ${r.getAs[Long]("e_micro")} vs " +
+            s"${eRep.getOrElse(g, 0L)}")
+      }
+      val r1 = got("arm1")
+      val gotChi =
+        if (r1.isNullAt(r1.fieldIndex("chi2_micro"))) None
+        else Some(r1.getAs[Long]("chi2_micro"))
+      assert(gotChi == chiRep, s"case $c: got $gotChi want $chiRep")
+      assert(r1.getAs[Long]("df") == 2L)
+      // sanity vs the real-arithmetic definition (no lattice): the
+      // micro flooring shifts chi2 by well under 0.05
+      gotChi.foreach { chi =>
+        val arms = rows.map(_._1).distinct.sorted
+        val e = scala.collection.mutable.Map[String, Double]()
+          .withDefaultValue(0.0)
+        val w = scala.collection.mutable
+          .Map[(String, String), Double]().withDefaultValue(0.0)
+        for (s <- rows.map(_._2).distinct) {
+          val sr = rows.filter(_._2 == s)
+          for (t <- sr.filter(_._4 == 1L).map(_._3).distinct) {
+            val atRisk = sr.filter(_._3 >= t)
+            val n = atRisk.size.toDouble
+            val dt = sr.count(r => r._3 == t && r._4 == 1L).toDouble
+            if (n > 1) for (a <- arms; b <- arms) {
+              val na = atRisk.count(_._1 == a).toDouble
+              val nb = atRisk.count(_._1 == b).toDouble
+              val d = if (a == b) 1.0 else 0.0
+              w((a, b)) += dt * (na / n) * (d - nb / n) *
+                (n - dt) / (n - 1)
+            }
+            for (a <- arms)
+              e(a) += dt * atRisk.count(_._1 == a).toDouble / n
+          }
+        }
+        val kept = arms.drop(1)
+        val z = kept.map(g =>
+          rows.count(r => r._1 == g && r._4 == 1L) - e(g))
+        val (a11, a22, a12) = (w((kept(0), kept(0))),
+          w((kept(1), kept(1))), w((kept(0), kept(1))))
+        val det = a11 * a22 - a12 * a12
+        if (det > 1e-9) {
+          val real = (z(0) * z(0) * a22 - 2 * z(0) * z(1) * a12
+            + z(1) * z(1) * a11) / det
+          assert(math.abs(chi / 1e6 - real) < 0.05,
+            s"case $c: lattice ${chi / 1e6} vs real $real")
+        }
+      }
+    }
+  }
+
+  test("logRankKExact: maxArms contract and param range refuse " +
+      "loudly") {
+    intercept[IllegalArgumentException] {
+      Experiment.logRankKExact(
+        Seq(("e", 0L, "a", 1L, 1L)).toDF("exp", "st", "g", "dur", "ev"),
+        "exp", "st", "g", "dur", "ev", maxArms = 17)
+    }
+    val many = intercept[Exception] {
+      Experiment.logRankKExact(
+        (1L to 20L).map(i => ("e", 0L, s"arm$i", i, 1L))
+          .toDF("exp", "st", "g", "dur", "ev"),
+        "exp", "st", "g", "dur", "ev").collect()
+    }
+    assert(rootCause(many).getMessage.contains("maxArms=16"),
+      s"got ${rootCause(many).getMessage}")
+  }
+
+  test("pageTrend == independent plain-scala replay (doubled " +
+      "midranks, permutation variance) on random tie-rich complete " +
+      "designs; textbook monotone fixture maxes L") {
+    val rnd = new scala.util.Random(1913L)
+    def replay(blocks: Seq[Seq[Long]]): (Long, Long, Long, Option[Long]) = {
+      // blocks(b)(j) = value of treatment j (order = index) in block b
+      val k = blocks.head.size.toLong
+      val n = blocks.size.toLong
+      var l2 = 0L; var var12 = 0L
+      blocks.foreach { vs =>
+        val r2 = vs.map(v => 2L * vs.count(_ < v) +
+          vs.count(_ == v) + 1L)
+        l2 += r2.zipWithIndex.map { case (r, j) => (j + 1L) * r }.sum
+        val dev = k * r2.map(r => r * r).sum - (k * (k + 1L)) *
+          (k * (k + 1L))
+        var12 += dev * (k + 1L)
+      }
+      val e2 = n * k * (k + 1L) * (k + 1L) / 2L
+      val z = if (var12 <= 0) None
+        else Some(math.floor((l2 - e2).toDouble * 1000.0
+          / math.sqrt(var12.toDouble / 12.0)).toLong)
+      (l2, e2, var12, z)
+    }
+    (0 until 5).foreach { c =>
+      val k = 3 + rnd.nextInt(3)
+      val n = 4 + rnd.nextInt(8)
+      val blocks = Seq.fill(n)(Seq.fill(k)(rnd.nextInt(4).toLong))
+      val df = blocks.zipWithIndex.flatMap { case (vs, b) =>
+        vs.zipWithIndex.map { case (v, j) =>
+          ("key", s"b$b", j.toLong, v) }
+      }.toDF("key", "blk", "treat", "v")
+      val r = Experiment.pageTrend(df, "key", "blk", "treat", "v")
+        .collect()(0)
+      val (l2, e2, v12, z) = replay(blocks)
+      assert(r.getAs[Long]("l2") == l2, s"case $c")
+      assert(r.getAs[Long]("e_l2") == e2, s"case $c")
+      assert(r.getAs[Long]("var_num12") == v12, s"case $c")
+      val gotZ = if (r.isNullAt(r.fieldIndex("z_milli"))) None
+        else Some(r.getAs[Long]("z_milli"))
+      assert(gotZ == z, s"case $c: got $gotZ want $z " +
+        s"(l2=$l2 e2=$e2 v12=$v12) blocks=$blocks")
+      assert(r.getAs[Long]("n_blocks") == n &&
+        r.getAs[Long]("k") == k)
+    }
+    // textbook monotone fixture: k=3, 4 blocks, strictly increasing
+    // -> L2 = 28n, E = 24n, var12 = 96n, z = 4000n/sqrt(8n)
+    val mono = (0 until 4).flatMap(b =>
+      Seq(("key", s"b$b", 0L, 10L), ("key", s"b$b", 1L, 20L),
+        ("key", s"b$b", 2L, 30L))).toDF("key", "blk", "treat", "v")
+    val rm = Experiment.pageTrend(mono, "key", "blk", "treat", "v")
+      .collect()(0)
+    assert(rm.getAs[Long]("l2") == 112L &&
+      rm.getAs[Long]("e_l2") == 96L &&
+      rm.getAs[Long]("var_num12") == 384L, s"got $rm")
+    assert(rm.getAs[Long]("z_milli") ==
+      math.floor(16000.0 / math.sqrt(32.0)).toLong, s"got $rm")
+    // all-constant blocks: zero variance -> null z, visible
+    val flat = (0 until 3).flatMap(b => (0 until 3).map(j =>
+      ("key", s"b$b", j.toLong, 7L))).toDF("key", "blk", "treat", "v")
+    val rf = Experiment.pageTrend(flat, "key", "blk", "treat", "v")
+      .collect()(0)
+    assert(rf.isNullAt(rf.fieldIndex("z_milli")) &&
+      rf.getAs[Long]("var_num12") == 0L)
+  }
+
+  test("pageTrend: refusals — incomplete design, duplicate cell, " +
+      "non-castable treatment") {
+    val inc = intercept[Exception] {
+      Experiment.pageTrend(
+        Seq(("k", "b0", 0L, 1L), ("k", "b0", 1L, 2L),
+          ("k", "b1", 0L, 3L))
+          .toDF("key", "blk", "treat", "v"),
+        "key", "blk", "treat", "v").collect()
+    }
+    assert(rootCause(inc).getMessage.contains("complete"),
+      s"got ${rootCause(inc).getMessage}")
+    val dup = intercept[Exception] {
+      Experiment.pageTrend(
+        Seq(("k", "b0", 0L, 1L), ("k", "b0", 0L, 2L))
+          .toDF("key", "blk", "treat", "v"),
+        "key", "blk", "treat", "v").collect()
+    }
+    assert(rootCause(dup).getMessage.contains("more than once"),
+      s"got ${rootCause(dup).getMessage}")
+    val bad = intercept[Exception] {
+      Experiment.pageTrend(
+        Seq(("k", "b0", "small", 1L), ("k", "b0", "large", 2L))
+          .toDF("key", "blk", "treat", "v"),
+        "key", "blk", "treat", "v").collect()
+    }
+    assert(rootCause(bad).getMessage
+      .contains("hypothesized order"),
+      s"got ${rootCause(bad).getMessage}")
+  }
 }

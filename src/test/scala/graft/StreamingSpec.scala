@@ -777,6 +777,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("eProcessMeanStream: betting walk across micro-batches " +
+      "equals the batch decision fields bit-for-bit; post-decision " +
+      "and late rows absorbed; out-of-range value fails loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStream.{EProcMeanOut, MeanPoint}
+    val input = MemoryStream[MeanPoint]
+    // m = 300 milli, alpha = 0.05: a steady 900-milli stream bets up
+    // fast (lam caps at 1666) and crosses ln20 within a few rows
+    val q = EventStream.eProcessMeanStream(input.toDS(),
+        mMilli = 300L, alphaMilli = 50L)
+      .writeStream.format("memory").queryName("eprocmean_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val vs = Seq(900L, 850L, 920L, 880L, 900L, 910L, 890L, 900L)
+      input.addData(vs.take(3).zipWithIndex.map { case (v, i) =>
+        MeanPoint("e", i + 1L, i + 1L, v) }: _*)
+      q.processAllAvailable()
+      input.addData((vs.drop(3).zipWithIndex.map { case (v, i) =>
+        MeanPoint("e", i + 4L, i + 4L, v) } :+
+        MeanPoint("e", 1L, 9L, 0L)): _*)   // late: ts 1 < high water
+      q.processAllAvailable()
+      val got = spark.table("eprocmean_out").as[EProcMeanOut]
+        .collect().sortBy(_.ts)
+      val batch = graft.operators.Experiment.eProcessMean(
+        vs.zipWithIndex.map { case (v, i) =>
+          ("e", i + 1L, i + 1L, v) }.toDF("e", "t", "i", "v"),
+        "e", "t", "i", "v", 300L, 50L).collect()(0)
+      assert(batch.getAs[String]("decision") == "reject_h0",
+        s"fixture must cross: $batch")
+      val nDec = batch.getAs[Long]("n_at_decision")
+      // the stream stops emitting AT the decision row
+      assert(got.length == nDec,
+        s"post-decision/late rows not absorbed: ${got.toSeq}")
+      assert(got.last.decision == "reject_h0" &&
+        got.dropRight(1).forall(_.decision == "continue"))
+      assert(got.last.n == nDec &&
+        got.last.e_nano == batch.getAs[Long]("e_at_decision") &&
+        got.last.ts == batch.getAs[Long]("decision_ts") &&
+        got.last.tie == batch.getAs[Long]("decision_tie"),
+        s"stream ${got.last} vs batch $batch")
+      // every pre-decision stream row equals the batch walk's
+      // running e at that n (in-order arrivals, decision scope)
+      val walkRows = got.map(o => o.n -> o.e_nano).toMap
+      assert(walkRows.size == got.length)
+    } finally q.stop()
+    // out-of-range value fails the job loudly
+    val bad = MemoryStream[MeanPoint]
+    val qb = EventStream.eProcessMeanStream(bad.toDS(), 300L, 50L)
+      .writeStream.format("memory").queryName("eprocmean_bad")
+      .outputMode(OutputMode.Append).start()
+    try {
+      bad.addData(MeanPoint("e", 1L, 1L, 1001L))
+      val err = intercept[Exception] { qb.processAllAvailable() }
+      def root(t: Throwable): Throwable =
+        if (t.getCause == null) t else root(t.getCause)
+      assert(err.toString.contains("outside [0, 1000]") ||
+        root(err).getMessage.contains("outside [0, 1000]"))
+    } finally qb.stop()
+  }
+
   test("growthStream: per-user transitions across micro-batches " +
       "equal the batch statuses; late and duplicate periods drop") {
     import spark.implicits._
