@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-19 generic isolated-query probe (the Q180Probe discipline,
+  * parameterized): run ONE named query alone — one warm pass at the
+  * sibling sf0.01, then N timed repetitions at the bench sf in one JVM —
+  * so a query's intrinsic hot cost is measured with zero group context.
+  * Used for before/after evidence on every optimization this round and
+  * for the q107 watch rule (SCALE.md §Round 18).
+  *
+  * Usage: sbt "runMain graft.QProbe <queryName> [reps]"
+  */
+object QProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val name = args.headOption.getOrElse(
+      sys.error("usage: QProbe <queryName> [reps]"))
+    val reps = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(5)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries(name)
+    // warm at the sibling small sf (the Bench discipline)
+    val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath
+      .getParent.resolve("sf0.01").toString
+    try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+    SparkEntry.releaseScratch(spark)
+    val times = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      SparkEntry.releaseScratch(spark)
+      dt
+    }
+    println(s"QPROBE:$name:" +
+      times.map(t => f"$t%.3f").mkString("[", ",", "]"))
+    spark.stop()
+  }
+}

@@ -797,19 +797,26 @@ object Dedup {
       catch { case e: org.apache.spark.sql.AnalysisException =>
         throw new IllegalArgumentException(
           "refusing to index an empty corpus (no documents written)", e) }
-    back.select(col("doc_id"),
-        explode(TextFns.minhashBandsUdf(bands, k / bands)(col("sig"))).as("key"))
-      .distinct() // mirror minhashCandidatePairs' collect_set membership
-      .withColumn("kb", pmod(col("key"), lit(nBuckets.toLong)))
-      .repartition(col("kb"))
-      .write.mode("overwrite").partitionBy("kb").parquet(s"$path/postings")
-    back.filter(col("content_hash").isNotNull)
-      .select(col("content_hash"), col("doc_id"))
-      .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nBuckets.toLong)))
-      .repartition(col("hb"))
-      .write.mode("overwrite").partitionBy("hb").parquet(s"$path/hashes")
-    val stats = back.agg(coalesce(max(col("doc_id")), lit(Long.MinValue)).as("maxId"),
-      count(lit(1)).as("n")).head()
+    // postings, hashes and the stats agg all derive from the WRITTEN
+    // docs/ relation and are mutually independent — overlapped (JobPar,
+    // guide §2.6) so the bucket-count-sized jobs back-fill each other's
+    // task tails instead of serializing three cluster-underfilling jobs
+    @volatile var stats: org.apache.spark.sql.Row = null
+    JobPar.run(
+      () => back.select(col("doc_id"),
+          explode(TextFns.minhashBandsUdf(bands, k / bands)(col("sig"))).as("key"))
+        .distinct() // mirror minhashCandidatePairs' collect_set membership
+        .withColumn("kb", pmod(col("key"), lit(nBuckets.toLong)))
+        .repartition(col("kb"))
+        .write.mode("overwrite").partitionBy("kb").parquet(s"$path/postings"),
+      () => back.filter(col("content_hash").isNotNull)
+        .select(col("content_hash"), col("doc_id"))
+        .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nBuckets.toLong)))
+        .repartition(col("hb"))
+        .write.mode("overwrite").partitionBy("hb").parquet(s"$path/hashes"),
+      () => stats =
+        back.agg(coalesce(max(col("doc_id")), lit(Long.MinValue)).as("maxId"),
+          count(lit(1)).as("n")).head())
     require(stats.getLong(1) > 0, "refusing to index an empty corpus")
     writeIndexMeta(spark, path, shingleN, k, bands, nBuckets,
       stats.getLong(0), stats.getLong(1))
@@ -920,21 +927,26 @@ object Dedup {
       // letting a retried append double-insert (see scaladoc)
       writePendingMarker(spark, path, s.getLong(0), s.getLong(1), s.getLong(3))
       // bucket-clustered appends (see writeSignatureIndex): one file per
-      // touched bucket per batch, not tasks×buckets
-      enriched.withColumn("ib", pmod(col("doc_id"), lit(nB)))
-        .repartition(col("ib"))
-        .write.mode("append").partitionBy("ib").parquet(s"$path/docs")
-      enriched.select(col("doc_id"),
-          explode(TextFns.minhashBandsUdf(m.bands, m.k / m.bands)(col("sig"))).as("key"))
-        .distinct()
-        .withColumn("kb", pmod(col("key"), lit(nB)))
-        .repartition(col("kb"))
-        .write.mode("append").partitionBy("kb").parquet(s"$path/postings")
-      enriched.filter(col("content_hash").isNotNull)
-        .select(col("content_hash"), col("doc_id"))
-        .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nB)))
-        .repartition(col("hb"))
-        .write.mode("append").partitionBy("hb").parquet(s"$path/hashes")
+      // touched bucket per batch, not tasks×buckets. The three relation
+      // appends read the SAME populated cache and are mutually
+      // independent — overlapped (JobPar, §2.6); the marker-before /
+      // meta-after crash contract is untouched because all three still
+      // complete (or this step throws) before the meta write
+      JobPar.run(
+        () => enriched.withColumn("ib", pmod(col("doc_id"), lit(nB)))
+          .repartition(col("ib"))
+          .write.mode("append").partitionBy("ib").parquet(s"$path/docs"),
+        () => enriched.select(col("doc_id"),
+            explode(TextFns.minhashBandsUdf(m.bands, m.k / m.bands)(col("sig"))).as("key"))
+          .distinct()
+          .withColumn("kb", pmod(col("key"), lit(nB)))
+          .repartition(col("kb"))
+          .write.mode("append").partitionBy("kb").parquet(s"$path/postings"),
+        () => enriched.filter(col("content_hash").isNotNull)
+          .select(col("content_hash"), col("doc_id"))
+          .withColumn("hb", pmod(xxhash64(col("content_hash")), lit(nB)))
+          .repartition(col("hb"))
+          .write.mode("append").partitionBy("hb").parquet(s"$path/hashes"))
       writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
         s.getLong(1), m.nDocs + s.getLong(3), Some(candRange), candFp)
       clearPendingMarker(spark, path)
@@ -1026,14 +1038,17 @@ object Dedup {
     val m = readIndexMeta(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = s"$path/_compact_tmp"
-    for (rel <- Seq("docs", "postings", "hashes")) {
+    // the three relation rewrites are independent reads of disjoint live
+    // dirs into disjoint tmp dirs — overlapped (JobPar, §2.6); the swap
+    // phase below stays sequential and only runs once all three landed
+    JobPar.run(Seq("docs", "postings", "hashes").map { rel => () => {
       val bucketCol = rel match {
         case "docs" => "ib"; case "postings" => "kb"; case _ => "hb"
       }
       transform(spark.read.parquet(s"$path/$rel"))
         .repartition(col(bucketCol))
         .write.mode("overwrite").partitionBy(bucketCol).parquet(s"$tmp/$rel")
-    }
+    }}: _*)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     for (rel <- Seq("docs", "postings", "hashes")) {
       val live = new org.apache.hadoop.fs.Path(path, rel)
