@@ -26,11 +26,37 @@ object QProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    // job/stage/shuffle counters: checkpoint-terminated iterative
+    // operators explain() as a bare RDD scan, so plan diffs can't show
+    // their per-iteration shape — these totals can (before/after
+    // evidence for OPTIMIZATION_r19.md)
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val shufRead = new java.util.concurrent.atomic.AtomicLong
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks.toLong)
+          shufRead.addAndGet(
+            s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+      })
     // warm at the sibling small sf (the Bench discipline)
     val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath
       .getParent.resolve("sf0.01").toString
     try { fn(spark, warmDir).count() } catch { case _: Throwable => }
     SparkEntry.releaseScratch(spark)
+    jobs.set(0); stages.set(0); tasks.set(0); shufRead.set(0); shufWrite.set(0)
     val times = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
@@ -39,7 +65,10 @@ object QProbe {
       dt
     }
     println(s"QPROBE:$name:" +
-      times.map(t => f"$t%.3f").mkString("[", ",", "]"))
+      times.map(t => f"$t%.3f").mkString("[", ",", "]") +
+      s":jobs=${jobs.get / reps},stages=${stages.get / reps}," +
+      s"tasks=${tasks.get / reps},shufR=${shufRead.get / reps}," +
+      s"shufW=${shufWrite.get / reps} (per rep, incl. cleanup)")
     spark.stop()
   }
 }

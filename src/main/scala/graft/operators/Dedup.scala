@@ -357,8 +357,15 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16, bands: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
+    // round-19: the exact-tier keep list is consumed by every later
+    // stage of this plan (candidates, verify, final anti-join) and
+    // Catalyst shares no work across those branches — localCheckpoint
+    // the ID-SIZED list so the content-hash aggregation runs once; the
+    // corpus text itself is never materialized (each consumer re-scans
+    // the source, the cheapest corpus-sized operation)
     val exact0 = exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
+      .localCheckpoint()
       .join(docs, Seq(idCol)) // exact-dup survivors with their text
     val cands = minhashCandidatePairs(exact0, idCol, textCol, shingleN, k, bands, maxBucket)
     val removed = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)
@@ -431,8 +438,15 @@ object Dedup {
   def dedupCorpusOph(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.6, shingleN: Int = 2, k: Int = 16,
       minMatch: Long = 4L, maxBucket: Int = 1000): DataFrame = {
+    // round-19: the exact-tier keep list is consumed by every later
+    // stage of this plan (candidates, verify, final anti-join) and
+    // Catalyst shares no work across those branches — localCheckpoint
+    // the ID-SIZED list so the content-hash aggregation runs once; the
+    // corpus text itself is never materialized (each consumer re-scans
+    // the source, the cheapest corpus-sized operation)
     val exact0 = exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
+      .localCheckpoint()
       .join(docs, Seq(idCol))
     val sigs = ophSignatures(exact0, idCol, textCol, shingleN, k)
     val cands = ophMatchPairs(sigs, minMatch, maxBucket)
@@ -515,9 +529,18 @@ object Dedup {
       useSimhashTier: Boolean = true,
       chainWitnesses: Boolean = false): DataFrame = {
     val ids = docs.select(col(idCol))
+    // Round-19 measured fix: the id-sized tier outcomes (keep1/rm2/rm3)
+    // are each consumed by SEVERAL branches of the final ledger union,
+    // and Catalyst shares no work across union branches beyond exchange
+    // reuse — without materialization the exact agg ran ~5× and the
+    // whole simhash/OPH machinery 2-3× inside ONE plan. localCheckpoint
+    // each tier's id relation so every detector runs exactly once; the
+    // checkpointed relations are id-sized (removal lists), never the
+    // corpus text, so the materialization is cheap at any scale.
     // tier 1: exact — survivors are the per-hash min ids (+ null-text
     // singletons, which `exact` passes through)
     val keep1 = exact(docs, idCol, textCol).select(col("keep_id").as(idCol))
+      .localCheckpoint()
     val surv1 = docs.join(keep1, Seq(idCol), "left_semi")
     // tier 2: simhash Hamming ball over tier-1 survivors, pairwise
     // removal (id1 < id2 by construction)
@@ -525,6 +548,7 @@ object Dedup {
       if (useSimhashTier)
         simhashNearDupPairs(surv1, idCol, textCol, maxHamming, maxBucket)
           .select(col("id2").as(idCol)).distinct()
+          .localCheckpoint()
       else surv1.select(col(idCol)).filter(lit(false))
     val surv2 = surv1.join(rm2, Seq(idCol), "left_anti")
     // tier 3: OPH candidates + exact Jaccard verify. Default input is
@@ -539,9 +563,10 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id2").as(idCol)).distinct()
     val rm3 =
-      if (chainWitnesses) // witnesses are not removable — survivors only
+      (if (chainWitnesses) // witnesses are not removable — survivors only
         rm3raw.join(surv2.select(col(idCol)), Seq(idCol), "left_semi")
       else rm3raw // already ⊆ surv2: no extra join in the default plan
+      ).localCheckpoint()
     val surv3 = surv2.select(col(idCol)).join(rm3, Seq(idCol), "left_anti")
     // ledger: every input doc attributed to exactly one outcome
     ids.join(keep1, Seq(idCol), "left_anti")
@@ -591,13 +616,19 @@ object Dedup {
       // per round — O(log diameter) rounds instead of O(diameter), the
       // shape that survives deep chains (and halves rounds on shallow
       // dedup graphs too)
+      // LAZY checkpoint + FULL convergence count (round-19, measured):
+      // the eager checkpoint plus a limit(1) count ran TWO jobs per
+      // round; a lazy checkpoint materializes inside the count job (a
+      // full count — partial actions must not truncate lineage around
+      // unmaterialized partitions), so each round is ONE job. Plan
+      // depth stays bounded exactly as before.
       val next = stepped.as("a")
         .join(stepped.select(col("id").as("__cid"), col("comp").as("__ccomp")),
           col("comp") === col("__cid"), "left")
         .select(col("id"), col("__old"),
           least(col("comp"), coalesce(col("__ccomp"), col("comp"))).as("comp"))
-        .localCheckpoint(true) // bounded plan depth across rounds
-      val changed = next.filter(col("comp") =!= col("__old")).limit(1).count()
+        .localCheckpoint(false) // materialized by the count below
+      val changed = next.filter(col("comp") =!= col("__old")).count()
       labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       it += 1
@@ -665,7 +696,10 @@ object Dedup {
     var it = 0
     var converged = false
     while (it < maxIters && !converged) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      // lazy checkpoint: the fingerprint agg is a full scan, so it
+      // materializes the round's edges AND folds them in one job
+      // (round-19 — the eager form paid a separate job per round)
+      edges = smallStar(largeStar(edges)).localCheckpoint(false)
       val fp2 = fingerprint(edges)
       converged = fp2 == fp
       fp = fp2
@@ -1329,8 +1363,15 @@ object Dedup {
   def dedupCorpusTransitive(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, k: Int = 16, bands: Int = 8,
       maxIters: Int = 12, deepGraph: Boolean = false): DataFrame = {
+    // round-19: the exact-tier keep list is consumed by every later
+    // stage of this plan (candidates, verify, final anti-join) and
+    // Catalyst shares no work across those branches — localCheckpoint
+    // the ID-SIZED list so the content-hash aggregation runs once; the
+    // corpus text itself is never materialized (each consumer re-scans
+    // the source, the cheapest corpus-sized operation)
     val exact0 = exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
+      .localCheckpoint()
       .join(docs, Seq(idCol))
     val cands = minhashCandidatePairs(exact0, idCol, textCol, shingleN, k, bands)
     val verified = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)
@@ -1361,8 +1402,15 @@ object Dedup {
       scoreCol: String, threshold: Double = 0.8, shingleN: Int = 3,
       k: Int = 16, bands: Int = 8, maxIters: Int = 12,
       deepGraph: Boolean = false): DataFrame = {
+    // round-19: the exact-tier keep list is consumed by every later
+    // stage of this plan (candidates, verify, final anti-join) and
+    // Catalyst shares no work across those branches — localCheckpoint
+    // the ID-SIZED list so the content-hash aggregation runs once; the
+    // corpus text itself is never materialized (each consumer re-scans
+    // the source, the cheapest corpus-sized operation)
     val exact0 = exact(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
+      .localCheckpoint()
       .join(docs, Seq(idCol))
     val cands = minhashCandidatePairs(exact0, idCol, textCol, shingleN, k, bands)
     val verified = jaccardOnPairs(cands, exact0, idCol, textCol, shingleN)

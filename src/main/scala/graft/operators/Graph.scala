@@ -84,35 +84,46 @@ object Graph {
     // materialized once: scanned every iteration
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint()
-    val edgeNodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-    val nodes = nodesOpt
-      .map { case (nd, nc) =>
-        edgeNodes.union(nd.select(col(nc).cast("long").as("node")))
-      }
-      .getOrElse(edgeNodes)
-      .distinct()
-      .localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-
     val baseInt = ((dampDen - dampNum) * scale) / dampDen
-    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    // ONE-PASS STATE BUILD + OUTDEG IN THE STATE RELATION (round-19
+    // optimization, measured): the old prologue ran THREE shuffling
+    // jobs — node-set distinct, outdeg groupBy, and (per iteration!) a
+    // ranks ⋈ outdeg join whose right side never changes. Tagging each
+    // endpoint occurrence with an is-src marker and aggregating once
+    // yields the node set AND its out-degree in a single exchange
+    // (sum of markers == the old count-per-src; a node never seen as
+    // src sums to 0, mapped to the old left join's null), and carrying
+    // outdeg through the rank updates drops the per-iteration shape to
+    // 1 join + 1 agg. Arithmetic is unchanged — the inner ranks⋈outdeg
+    // was exactly the outdeg-not-null filter.
+    val parts = e.select(col("src").as("node"), lit(1L).as("__o"))
+      .unionByName(e.select(col("dst").as("node"), lit(0L).as("__o")))
+    val withExtra = nodesOpt
+      .map { case (nd, nc) =>
+        parts.unionByName(
+          nd.select(col(nc).cast("long").as("node"), lit(0L).as("__o")))
+      }
+      .getOrElse(parts)
+    var state = withExtra.groupBy(col("node"))
+      .agg(sum(col("__o")).as("__oc"))
+      .select(col("node"), lit(scale).as("rank"),
+        when(col("__oc") > 0, col("__oc")).as("outdeg"))
+      .localCheckpoint()
     var it = 0
     while (it < iters) {
-      val perNode = ranks.join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), expr("rank div outdeg").as("c"))
+      val perNode = state.filter(col("outdeg").isNotNull)
+        .select(col("node").as("src"), expr("rank div outdeg").as("c"))
       val sums = e.join(perNode, Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("insum"))
-      ranks = nodes.join(sums, Seq("node"), "left")
+      state = state.join(sums, Seq("node"), "left")
         .select(col("node"),
           (lit(baseInt) +
             expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen"))
-            .as("rank"))
+            .as("rank"), col("outdeg"))
         .localCheckpoint()
       it += 1
     }
-    ranks
+    state.select(col("node"), col("rank"))
   }
 
   /** TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004) — the
@@ -139,35 +150,41 @@ object Graph {
 
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint()
-    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
-      .localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
-      .union(sd.select(col("node"))).distinct()
-      .join(sd.withColumn("__seed", lit(1L)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
-
     val baseInt = ((dampDen - dampNum) * scale) / dampDen
-    var ranks = nodes.select(col("node"),
-      (col("is_seed") * scale).as("rank"))
+    // one-pass state build + outdeg/is_seed in the state relation —
+    // same round-19 restructure as [[pageRankIntImpl]]: endpoint
+    // occurrences tagged (is-src, is-seed) and aggregated once replace
+    // the node-set distinct + seed left join + outdeg groupBy + a
+    // per-iteration ranks ⋈ outdeg join; max of the seed marker is the
+    // old dedup'd-seed membership, sum of the src marker the old
+    // count-per-src. Identical integer arithmetic.
+    val parts = e.select(col("src").as("node"), lit(1L).as("__o"),
+        lit(0L).as("__s"))
+      .unionByName(e.select(col("dst").as("node"), lit(0L).as("__o"),
+        lit(0L).as("__s")))
+      .unionByName(seeds.select(col(seedCol).cast("long").as("node"),
+        lit(0L).as("__o"), lit(1L).as("__s")))
+    var state = parts.groupBy(col("node"))
+      .agg(sum(col("__o")).as("__oc"), max(col("__s")).as("is_seed"))
+      .select(col("node"), col("is_seed"),
+        (col("is_seed") * scale).as("rank"),
+        when(col("__oc") > 0, col("__oc")).as("outdeg"))
+      .localCheckpoint()
     var it = 0
     while (it < iters) {
-      val perNode = ranks.join(outdeg, ranks("node") === outdeg("src"))
-        .select(col("src"), expr("rank div outdeg").as("c"))
+      val perNode = state.filter(col("outdeg").isNotNull)
+        .select(col("node").as("src"), expr("rank div outdeg").as("c"))
       val sums = e.join(perNode, Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("insum"))
-      ranks = nodes.join(sums, Seq("node"), "left")
-        .select(col("node"),
+      state = state.join(sums, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
           (col("is_seed") * baseInt +
             expr(s"($dampNum * coalesce(insum, 0L)) div $dampDen"))
-            .as("rank"))
+            .as("rank"), col("outdeg"))
         .localCheckpoint()
       it += 1
     }
-    ranks
+    state.select(col("node"), col("rank"))
   }
 
   /** Bipartite co-occurrence projection — the item-item / co-citation
@@ -232,27 +249,35 @@ object Graph {
     require(iters >= 1 && iters <= 4, s"iters $iters out of range 1..4")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
+    // nodes has exactly ONE consumer now (the final zero-fill below) —
+    // lazy, no checkpoint: materializing it eagerly would add a full
+    // shuffle job the single consumer pays anyway
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+    // SPARSE iteration state (round-19 optimization): the old loop
+    // zero-filled hubs/auths against the full node set after EVERY
+    // half-iteration — two nodes-sized left joins per iteration whose
+    // zeros contribute nothing to the next sum (x·0 terms and absent
+    // rows produce identical aggregates). Keep the relations sparse
+    // (absent ⇒ 0) through the loop and zero-fill ONCE at the end;
+    // integer sums are unchanged, and the per-round checkpoints
+    // materialize strictly smaller relations.
     var hubs = nodes.select(col("node"), lit(1L).as("hub"))
     var auths: DataFrame = null
     var it = 0
     while (it < iters) {
-      val aSums = e.join(hubs, e("src") === hubs("node"))
+      auths = e.join(hubs, e("src") === hubs("node"))
         .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("auth"))
-      auths = nodes.select(col("node")).join(aSums, Seq("node"), "left")
-        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"))
         .localCheckpoint()
-      val hSums = e.join(auths.withColumnRenamed("node", "__an"),
+      hubs = e.join(auths.withColumnRenamed("node", "__an"),
           e("dst") === col("__an"))
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
-      hubs = nodes.select(col("node")).join(hSums, Seq("node"), "left")
-        .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"))
         .localCheckpoint()
       it += 1
     }
-    hubs.join(auths, Seq("node")).select(col("node"), col("hub"),
-      col("auth"))
+    nodes.join(hubs, Seq("node"), "left").join(auths, Seq("node"), "left")
+      .select(col("node"), coalesce(col("hub"), lit(0L)).as("hub"),
+        coalesce(col("auth"), lit(0L)).as("auth"))
   }
 
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002's hard

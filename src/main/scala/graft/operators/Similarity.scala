@@ -1103,12 +1103,15 @@ object Similarity {
         clean.select(col(idCol), assign(col("__v")).as("ivf_list"),
           encode(col("__v")).as("pq_codes"))
       }
-    coded.repartition(col("ivf_list"))
-      .write.mode("append").partitionBy("ivf_list").parquet(s"$path/codes")
-    // drift telemetry: this batch's mean reconstruction error joins the
-    // sidecar history (last 64 appends) — see IvfPqIndexStats.driftRatio
-    val batchErr = meanQuantErr(clean, "__v", meta.centroids, meta.donors,
-      meta.m, meta.residual, meta.assignGroups)
+    // the codes append and the drift-telemetry agg are independent
+    // (both derive from `clean`, neither reads the other's output) —
+    // overlapped per guide §2.6 (JobPar; marker/meta contract unchanged)
+    var batchErr = 0.0
+    graft.operators.JobPar.run(
+      () => coded.repartition(col("ivf_list"))
+        .write.mode("append").partitionBy("ivf_list").parquet(s"$path/codes"),
+      () => batchErr = meanQuantErr(clean, "__v", meta.centroids,
+        meta.donors, meta.m, meta.residual, meta.assignGroups))
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
       s.getLong(1), meta.nVecs + s.getLong(3), meta.residual,
       meta.assignGroups, Some(range), Some(fp), baseErr = meta.baseErr,
@@ -1311,12 +1314,16 @@ object Similarity {
       maxListSize: Int = 10000): DataFrame = {
     val g = knnGraph(vecs, idCol, vecCol, k, nLists, nProbe, maxListSize)
     val lab = vecs.select(col(idCol), col(labelCol))
+    // e2 feeds both argmax cuts (positive and hard negative) — an
+    // edge-sized localCheckpoint runs the whole kNN candidate machinery
+    // once instead of once per cut (round-19, measured)
     val e2 = g
       .join(lab.select(col(idCol).as("id1"), col(labelCol).as("__l1")),
         Seq("id1"))
       .join(lab.select(col(idCol).as("id2"), col(labelCol).as("__l2")),
         Seq("id2"))
       .withColumn("__cr", round(col("cos"), 4))
+      .localCheckpoint()
     def best(f: Column, pid: String, pcos: String) =
       Ops.topKPerGroup(e2.filter(f), Seq("id1"),
         Seq(col("__cr").desc, col("id2").asc), 1)
@@ -1650,8 +1657,11 @@ object Similarity {
       maxListSize: Int = 10000): DataFrame = {
     require(valPermille >= 0 && valPermille <= 1000,
       s"valPermille $valPermille must be in [0, 1000]")
+    // labeled feeds BOTH the adoption agg and the final join — an
+    // id-sized localCheckpoint runs the kNN+CC labeling once (round-19;
+    // Catalyst shares nothing across the two consumers)
     val labeled = clusterEmbeddings(vecs, idCol, vecCol, k, minCos,
-      nLists, nProbe, maxListSize)
+      nLists, nProbe, maxListSize).localCheckpoint()
     val prior = priorLabels.select(col(idCol).cast("long").as(idCol),
       col("label").cast("long").as("__prior"))
     val adopted = labeled.join(prior, Seq(idCol), "left")
