@@ -447,8 +447,11 @@ object Graph {
     var it = 0
     var stable = false
     while (!stable && it < maxIters) {
+      // lazy checkpoint: the convergence count is a full scan, so it
+      // materializes the round's survivors and counts them in ONE job
+      // (round-19; the eager form paid a separate job per round)
       val next = degrees(surv).filter(col("deg") >= k)
-        .select(col("node")).localCheckpoint()
+        .select(col("node")).localCheckpoint(false)
       val nNext = next.count()
       stable = nNext == n
       surv = next
@@ -640,15 +643,24 @@ object Graph {
           .as("node"))
       .distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
+    // Round-19 loop shape: ONE job per hop instead of three. The new
+    // frontier is lazily checkpointed and materialized by a FULL count
+    // (a partial emptiness probe must not truncate lineage around
+    // unmaterialized partitions), which doubles as the loop condition;
+    // `settled` is a plain union of the checkpointed frontiers (≤
+    // maxHops RDD scans — no eager re-materialization of the growing
+    // set per hop).
     var frontier = settled
+    var frontierN = frontier.count()
     var h = 1
-    while (h <= maxHops && frontier.limit(1).count() > 0) {
+    while (h <= maxHops && frontierN > 0) {
       val next = e.join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(settled.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(h.toLong))
-        .localCheckpoint()
-      settled = settled.unionByName(next).localCheckpoint()
+        .localCheckpoint(false)
+      frontierN = next.count() // materializes the lazy checkpoint
+      settled = settled.unionByName(next)
       frontier = next
       h += 1
     }

@@ -201,6 +201,11 @@ object QualityModel {
       .join(contrib, Seq(idCol, "cls"), "left")
       .select(col(idCol), col("cls"),
         (col("__bias") + coalesce(col("__s"), lit(0L))).as("margin"))
+      // margins feeds the argmax AND the final join — a (docs × classes)-
+      // sized localCheckpoint runs the explode/weight-join subtree once
+      // instead of once per consumer (round-19; Catalyst shares no work
+      // across the two branches)
+      .localCheckpoint()
     val pred = margins.groupBy(col(idCol))
       .agg(min_by(col("cls"),
         struct((-col("margin")).as("nm"), col("cls"))).as("__pred"))
@@ -289,6 +294,11 @@ object QualityModel {
       .join(contrib, Seq(idCol, "cls"), "left")
       .select(col(idCol), col("cls"),
         (col("__bias") + coalesce(col("__s"), lit(0L))).as("margin"))
+      // margins feeds the argmax AND the final join — a (docs × classes)-
+      // sized localCheckpoint runs the explode/weight-join subtree once
+      // instead of once per consumer (round-19; Catalyst shares no work
+      // across the two branches)
+      .localCheckpoint()
     val pred = margins.groupBy(col(idCol))
       .agg(min_by(col("cls"),
         struct((-col("margin")).as("nm"), col("cls"))).as("__pred"))
