@@ -186,6 +186,16 @@ object Bench {
       budgetSec: Double): Unit = {
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    // round-20 noise hardening (additive; the JSON contract and the
+    // timing methodology are unchanged): a single pass is unreviewable
+    // when the box is contaminated — the round-19 driver record tripped
+    // the repo's own spr sentinel with 1-pass groups. Every child now
+    // runs at least SPARK_GRAFT_BENCH_MIN_RUNS passes (default 2, never
+    // more than `runs`) even when the first pass ate the budget share;
+    // the min-of-2 statistic already declared by "stat":"median3_min2"
+    // then filters one contaminated pass instead of shipping it.
+    val minRuns = math.min(runs, sys.env.get("SPARK_GRAFT_BENCH_MIN_RUNS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2))
     val spark = newSession()
     warm(spark, sfDir)
     warmDir(sfDir).foreach(w => warmPass(spark, g, w))
@@ -199,8 +209,10 @@ object Bench {
       passes += (("__cal" -> cal) +:
         runQueries(spark, sfDir, groupQueries(g)))
       lastDur = elapsed - s
-      // a further pass only if its projected cost fits the child budget
-      if (elapsed + lastDur * 1.1 > budgetSec) go = false
+      // a further pass only if its projected cost fits the child budget —
+      // unless the pass floor has not been met yet
+      if (passes.size >= minRuns && elapsed + lastDur * 1.1 > budgetSec)
+        go = false
     }
     val body = passes.map(_.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")).mkString("[", ",", "]")
@@ -269,15 +281,16 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
-  /** Rough wall-cost weights per group (from the round-15 records'
-    * group sums) — only used to SPLIT the budget across the four
-    * forked children; each child then fits as many passes as its
-    * share allows. Mis-weighting degrades pass counts, never
-    * correctness of the timings.
+  /** Rough wall-cost weights per group (re-fit round 20 to the round-19
+    * records' group sums — ext2 has grown to ~200 queries and dominates;
+    * the round-15 weights starved it to one pass) — only used to SPLIT
+    * the budget across the four forked children; each child then fits as
+    * many passes as its share allows. Mis-weighting degrades pass
+    * counts, never correctness of the timings.
     */
   private val GroupWeight: Map[String, Double] = Map(
-    "shared92" -> 0.16, "ext" -> 0.55, "ext2" -> 0.20,
-    "lifecycle" -> 0.09)
+    "shared92" -> 0.12, "ext" -> 0.30, "ext2" -> 0.50,
+    "lifecycle" -> 0.08)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

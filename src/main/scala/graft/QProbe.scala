@@ -25,7 +25,9 @@ object QProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = SparkEntry.queries(name)
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"QProbe: unknown query '$name' — valid names: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", ")))
     // job/stage/shuffle counters: checkpoint-terminated iterative
     // operators explain() as a bare RDD scan, so plan diffs can't show
     // their per-iteration shape — these totals can (before/after
@@ -54,7 +56,10 @@ object QProbe {
     // warm at the sibling small sf (the Bench discipline)
     val warmDir = java.nio.file.Paths.get(sfDir).toAbsolutePath
       .getParent.resolve("sf0.01").toString
-    try { fn(spark, warmDir).count() } catch { case _: Throwable => }
+    // NonFatal only: swallowing OutOfMemoryError/linkage errors here would
+    // leave a corrupted JVM silently skewing the timed reps below
+    try { fn(spark, warmDir).count() }
+    catch { case scala.util.control.NonFatal(_) => }
     SparkEntry.releaseScratch(spark)
     jobs.set(0); stages.set(0); tasks.set(0); shufRead.set(0); shufWrite.set(0)
     val times = (1 to reps).map { _ =>

@@ -117,6 +117,88 @@ object VecMath {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
   }
+
+  /** Squared L2 between a row vector (ArrayData) and a centroid, over the
+    * SHORTER length — mirrors the UDF-side `sqDistArr` exactly. Loud on
+    * null slots like [[cosine]].
+    */
+  private def sqDist(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      c: Array[Double]): Double = {
+    val n = math.min(v.numElements(), c.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"nearest_centroids: null array element at index $i — clean " +
+          "embeddings upstream")
+      val t = v.getDouble(i) - c(i)
+      s += t * t
+      i += 1
+    }
+    s
+  }
+
+  /** Id of the centroid nearest `v` by (squared L2, id) — the coarse
+    * quantizer argmin, bit-identical to the broadcast-UDF form it
+    * replaces (`Similarity.assignByIdUdf`): strict double comparison, ids
+    * break ties, order-independent over distinct ids. Long.MaxValue on an
+    * empty codebook (the UDF's fold identity).
+    */
+  def nearestCentroidId(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      ids: Array[Long], vecs: Array[Array[Double]]): Long = {
+    var best = Long.MaxValue
+    var bd = Double.PositiveInfinity
+    var ci = 0
+    while (ci < ids.length) {
+      val d = sqDist(v, vecs(ci))
+      if (d < bd || (d == bd && ids(ci) < best)) { bd = d; best = ids(ci) }
+      ci += 1
+    }
+    best
+  }
+
+  /** Ids of the `nProbe` centroids nearest `v`, ordered by (squared L2,
+    * id) ascending — the multi-probe selection, value-identical to the
+    * UDF form (`(dist, id)` tuples `.sorted.take(nProbe)`, whose default
+    * Double ordering is `java.lang.Double.compare`; this kernel uses the
+    * same total order). One pass, nProbe-sized insertion buffers, no
+    * tuple/Seq allocation.
+    */
+  def nearestCentroidIds(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      ids: Array[Long], vecs: Array[Array[Double]],
+      nProbe: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = ids.length
+    val k = math.min(nProbe, m)
+    val bd = new Array[Double](k)
+    val bi = new Array[Long](k)
+    var cnt = 0
+    var ci = 0
+    while (ci < m) {
+      val d = sqDist(v, vecs(ci))
+      val id = ids(ci)
+      def less(dj: Double, ij: Long): Boolean = {
+        val c = java.lang.Double.compare(d, dj)
+        c < 0 || (c == 0 && id < ij)
+      }
+      if (cnt < k) {
+        var p = cnt
+        while (p > 0 && less(bd(p - 1), bi(p - 1))) {
+          bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+        }
+        bd(p) = d; bi(p) = id
+        cnt += 1
+      } else if (k > 0 && less(bd(k - 1), bi(k - 1))) {
+        var p = k - 1
+        while (p > 0 && less(bd(p - 1), bi(p - 1))) {
+          bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1
+        }
+        bd(p) = d; bi(p) = id
+      }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (cnt == k) bi else java.util.Arrays.copyOf(bi, cnt))
+  }
 }
 
 /** Native cosine similarity over two array<double> columns — the hot
@@ -364,6 +446,65 @@ case class MinhashSigExpr(child: Expression, shingleN: Int, k: Int)
   override def prettyName: String = "minhash_sig"
 }
 
+/** Native coarse-quantizer ARGMIN over a literal codebook — one codegen'd
+  * static call per row (the UDF pair it replaces converted every vector
+  * to Seq[Double] and re-entered the interpreter per row; on a 100 TB ANN
+  * scan that conversion is the scan). The codebook (ids + vectors) is
+  * baked into the expression — centroid counts are nLists-bounded and
+  * tiny, the same data the UDF closed over via a broadcast.
+  */
+case class NearestCentroidIdExpr(child: Expression, ids: Array[Long],
+    vecs: Array[Array[Double]])
+  extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecMath.nearestCentroidId(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ids, vecs)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", ids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centroidVecs", vecs, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expr.VecMath.nearestCentroidId($c, $idsRef, $vecsRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroid_id"
+}
+
+/** Native multi-probe selection over a literal codebook — the `nProbe`
+  * nearest centroid ids by (squared L2, id); same kernel discipline as
+  * [[NearestCentroidIdExpr]] (the nProbe=1 head of this list IS that
+  * argmin, so probe and assignment stay bit-consistent by construction).
+  */
+case class NearestCentroidIdsExpr(child: Expression, ids: Array[Long],
+    vecs: Array[Array[Double]], nProbe: Int)
+  extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    VecMath.nearestCentroidIds(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ids,
+      vecs, nProbe)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", ids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centroidVecs", vecs, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.VecMath.nearestCentroidIds($c, $idsRef, $vecsRef, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "nearest_centroids"
+}
+
 /** Native codegen form of the 60-bit SimHash kernel. */
 case class SimhashExpr(child: Expression)
   extends UnaryExpression with Serializable {
@@ -528,6 +669,22 @@ object GraftExpressions {
     ColumnBridge.column(CosineSimExpr(
       Cast(ColumnBridge.expression(a), ArrayType(DoubleType)),
       Cast(ColumnBridge.expression(b), ArrayType(DoubleType))))
+
+  /** [[NearestCentroidIdExpr]] over an id-keyed codebook (the
+    * `Similarity` coarse-quantizer shape).
+    */
+  def nearestCentroidId(v: Column,
+      centroids: Array[(Long, Array[Double])]): Column =
+    ColumnBridge.column(NearestCentroidIdExpr(
+      Cast(ColumnBridge.expression(v), ArrayType(DoubleType)),
+      centroids.map(_._1), centroids.map(_._2)))
+
+  /** [[NearestCentroidIdsExpr]]: the `nProbe` nearest centroid ids. */
+  def nearestCentroidIds(v: Column, centroids: Array[(Long, Array[Double])],
+      nProbe: Int): Column =
+    ColumnBridge.column(NearestCentroidIdsExpr(
+      Cast(ColumnBridge.expression(v), ArrayType(DoubleType)),
+      centroids.map(_._1), centroids.map(_._2), nProbe))
 
   /** [[OphSigExpr]] over a non-null `array<string>` token column. */
   def ophSig(toks: Column, shingleN: Int, k: Int): Column =

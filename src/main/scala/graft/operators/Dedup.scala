@@ -1022,7 +1022,7 @@ object Dedup {
     */
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
-    rewriteSignatureIndex(spark, path, identity, removed = 0L)
+    rewriteSignatureIndex(spark, path, identity, removed = () => 0L)
 
   /** Remove documents from a signature index — the takedown/right-to-be-
     * forgotten maintenance pass. Same staged rewrite as
@@ -1046,19 +1046,26 @@ object Dedup {
     // indexed, and decrementing by request cardinality drifts nDocs
     // toward 0 while documents remain (round-5 finding). One left join
     // over docs/ yields present-count and total together; the same agg
-    // backs the refuse-to-empty guard.
-    val stats = spark.read.parquet(s"$path/docs")
-      .join(ids.withColumn("__drop", lit(1)), Seq("doc_id"), "left")
-      .agg(count(lit(1)).as("total"),
-        sum(coalesce(col("__drop"), lit(0))).as("present")).head()
-    val present = stats.getLong(1)
-    // refuse to empty the index outright — every later probe would fail
-    // on the schemaless relations; rebuild from a corpus instead
-    require(present < stats.getLong(0),
-      "removeFromSignatureIndex would remove every indexed document — " +
-        "delete the index and writeSignatureIndex a new corpus instead")
+    // backs the refuse-to-empty guard. Passed as a THUNK so the rewrite
+    // overlaps it with the three tmp rewrites (round-20, §2.6) — the
+    // refusal still fires before anything destructive, because the swap
+    // phase only starts once every overlapped job (this one included)
+    // has completed.
     rewriteSignatureIndex(spark, path,
-      rel => rel.join(ids, Seq("doc_id"), "left_anti"), removed = present)
+      rel => rel.join(ids, Seq("doc_id"), "left_anti"),
+      removed = () => {
+        val stats = spark.read.parquet(s"$path/docs")
+          .join(ids.withColumn("__drop", lit(1)), Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("total"),
+            sum(coalesce(col("__drop"), lit(0))).as("present")).head()
+        val present = stats.getLong(1)
+        // refuse to empty the index outright — every later probe would
+        // fail on the schemaless relations; rebuild from a corpus instead
+        require(present < stats.getLong(0),
+          "removeFromSignatureIndex would remove every indexed document — " +
+            "delete the index and writeSignatureIndex a new corpus instead")
+        present
+      })
   }
 
   /** Shared staged rewrite: all three relations pass through `transform`
@@ -1068,21 +1075,27 @@ object Dedup {
     * dir) and recoverable from `_compact_tmp` or by rebuild.
     */
   private def rewriteSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, transform: DataFrame => DataFrame, removed: Long): Unit = {
+      path: String, transform: DataFrame => DataFrame,
+      removed: () => Long): Unit = {
     val m = readIndexMeta(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = s"$path/_compact_tmp"
     // the three relation rewrites are independent reads of disjoint live
-    // dirs into disjoint tmp dirs — overlapped (JobPar, §2.6); the swap
-    // phase below stays sequential and only runs once all three landed
-    JobPar.run(Seq("docs", "postings", "hashes").map { rel => () => {
+    // dirs into disjoint tmp dirs, and the removed-count thunk only reads
+    // the live docs/ — all four overlapped (JobPar, §2.6); the swap phase
+    // below stays sequential and only runs once all four landed (a thunk
+    // refusal therefore still precedes anything destructive: tmp is
+    // written but the LIVE index is untouched, exactly the pre-first-swap
+    // crash state the scaladoc already documents as safe)
+    @volatile var nRemoved = 0L
+    JobPar.run((Seq("docs", "postings", "hashes").map { rel => () => {
       val bucketCol = rel match {
         case "docs" => "ib"; case "postings" => "kb"; case _ => "hb"
       }
       transform(spark.read.parquet(s"$path/$rel"))
         .repartition(col(bucketCol))
         .write.mode("overwrite").partitionBy(bucketCol).parquet(s"$tmp/$rel")
-    }}: _*)
+    }} :+ (() => { nRemoved = removed() })): _*)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     for (rel <- Seq("docs", "postings", "hashes")) {
       val live = new org.apache.hadoop.fs.Path(path, rel)
@@ -1093,7 +1106,7 @@ object Dedup {
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeIndexMeta(spark, path, m.shingleN, m.k, m.bands, m.nBuckets,
-      m.maxId, math.max(0L, m.nDocs - removed), m.last, m.lastFp)
+      m.maxId, math.max(0L, m.nDocs - nRemoved), m.last, m.lastFp)
   }
 
   private case class SigIndexMeta(shingleN: Int, k: Int, bands: Int,
@@ -1243,21 +1256,28 @@ object Dedup {
     val m = readIndexMeta(spark, indexPath)
     val nB = m.nBuckets.toLong
     val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
-    // one tokenizing pass over the batch; eagerly materialized because
-    // every following job re-probes it (the batch is the small side by
-    // contract — a daily ingest, not the corpus)
+    // one tokenizing pass over the batch, LAZILY checkpointed: the fused
+    // stats agg below is a full scan, so it materializes the blocks AND
+    // computes the id stats + touched hash buckets in ONE job (round-20 —
+    // the eager checkpoint + separate stats agg + separate hbList collect
+    // were three sequential driver barriers; the probe chain, not data,
+    // is the lifecycle queries' floor: 8c/32c ratio ≈ 1 in BENCH_r19_c8)
     val batch = incoming.select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("__text"),
         md5(norm).as("__h"),
         TextFns.minhashSig(m.shingleN, m.k)(
           TextFns.tokens(lower(col(textCol)))).as("__sig"),
         TextFns.wordShingles(col(textCol), m.shingleN).as("__sh"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // fused: id stats (monotone check) + the distinct hash buckets the
+    // batch touches (tier-1 partition pruning) off one full scan
+    val s = batch.agg(min(col("doc_id")).as("minNew"),
+      sum(when(col("doc_id").isNull, 1).otherwise(0)).as("nulls"),
+      count(lit(1)).as("n"), max(col("doc_id")).as("maxNew"),
+      expr("bit_xor(xxhash64(doc_id))").as("fp"),
+      collect_set(when(col("__h").isNotNull,
+        pmod(xxhash64(col("__h")), lit(nB)))).as("hbs")).head()
     if (checkIds) {
-      val s = batch.agg(min(col("doc_id")).as("minNew"),
-        sum(when(col("doc_id").isNull, 1).otherwise(0)).as("nulls"),
-        count(lit(1)).as("n"), max(col("doc_id")).as("maxNew"),
-        expr("bit_xor(xxhash64(doc_id))").as("fp")).head()
       if (s.getLong(2) > 0) {
         require(s.getLong(1) == 0L,
           s"dedupIncrementalIndexed requires numeric ids: ${s.getLong(1)} " +
@@ -1290,23 +1310,26 @@ object Dedup {
       .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
       .unionByName(batch.filter(col("__h").isNull).select(col("doc_id")))
-    val hbList = batch.filter(col("__h").isNotNull)
-      .select(pmod(xxhash64(col("__h")), lit(nB)).as("hb"))
-      .distinct().as[Long].collect()
+    // touched hash buckets came with the fused stats agg — no second job
+    val hbList: Seq[Long] = s.getSeq[Long](5)
     val exHashes = spark.read.parquet(s"$indexPath/hashes")
       .filter(col("hb").isin(hbList: _*))
       .select(col("content_hash").as("__h"))
+    // exactSurv and bandKeys checkpoint LAZILY: the kbList collect below
+    // is a full scan through both, so one job materializes the pair of
+    // them AND returns the touched posting buckets (round-20 — three
+    // sequential barriers fused into one)
     val exactSurv = batch
       .join(keepIds, Seq("doc_id"), "left_semi")
       .join(exHashes, Seq("__h"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // ---- tier 2: LSH candidates. Batch postings → pruned existing
     // postings with the same keys → combined bucket-size cap → pairs.
     val bandKeys = exactSurv.select(col("doc_id"),
         explode(TextFns.minhashBandsUdf(m.bands, m.k / m.bands)(col("__sig"))).as("key"))
       .distinct()
       .withColumn("kb", pmod(col("key"), lit(nB)))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val kbList = bandKeys.select(col("kb")).distinct().as[Long].collect()
     val exPost = spark.read.parquet(s"$indexPath/postings")
       .filter(col("kb").isin(kbList: _*))
@@ -1334,7 +1357,9 @@ object Dedup {
         col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
-    val pairs = exBatch.unionByName(bb).distinct().localCheckpoint(true)
+    // lazy: the ibList collect filters rows but scans every partition, so
+    // it materializes the pair relation in the same job (round-20)
+    val pairs = exBatch.unionByName(bb).distinct().localCheckpoint(false)
     // ---- tier 3: exact shingle Jaccard. Existing-side shingles come off
     // docs/ partitions holding candidate ids; batch-side from the batch.
     val ibList = pairs.filter(col("id1") <= m.maxId)

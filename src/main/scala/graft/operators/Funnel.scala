@@ -395,7 +395,17 @@ object Funnel {
     */
   def markovRemovalEffect(events: DataFrame, userCol: String,
       typeCol: String, tsCol: String, tieCol: String, convType: String,
-      iters: Int = 8, maxChannels: Int = 64): DataFrame = {
+      iters: Int = 8, maxChannels: Int = 64): DataFrame =
+    markovRemovalEffectImpl(events, userCol, typeCol, tsCol, tieCol,
+      convType, iters, maxChannels, driverIterGate = 64)
+
+  /** [[markovRemovalEffect]] with the driver-iteration gate exposed for
+    * the equivalence spec (driverIterGate = 0 forces the Spark loop).
+    */
+  private[graft] def markovRemovalEffectImpl(events: DataFrame,
+      userCol: String, typeCol: String, tsCol: String, tieCol: String,
+      convType: String, iters: Int, maxChannels: Int,
+      driverIterGate: Int): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters=$iters out of [1, 32]")
     require(maxChannels >= 1 && maxChannels <= 256,
       s"maxChannels=$maxChannels out of [1, 256]")
@@ -471,22 +481,65 @@ object Funnel {
       .groupBy(col("removed"), col("src"), col("dst"))
       .agg(sum(col("n")).as("n"))
       .localCheckpoint()
-    var vals = scenTrans.select(col("removed"), col("src").as("state"))
-      .distinct().withColumn("v", lit(0L)).localCheckpoint()
-    for (_ <- 1 to iters) {
-      val w = vals.select(col("removed").as("__r2"),
-        col("state").as("__st"), col("v").as("__w"))
-      vals = scenTrans
-        .join(w, col("removed") === col("__r2")
-          && col("dst") === col("__st"), "left")
-        .withColumn("__wj",
-          when(col("dst") === "__conv__", lit(1000000L))
-            .when(col("dst") === "__null__", lit(0L))
-            .otherwise(coalesce(col("__w"), lit(0L))))
-        .groupBy(col("removed"), col("src"))
-        .agg(expr("sum(n * __wj) div sum(n)").as("v"))
-        .select(col("removed"), col("src").as("state"), col("v"))
-        .localCheckpoint()
+    // Value iteration runs DRIVER-SIDE when the scenario grid is small
+    // (round-20, guide §1.2 — choose the algorithm before tuning the
+    // jobs): scenTrans is (channels+1)·(channels+2)²-bounded, so at the
+    // default maxChannels=64 it is ≤ ~283k tiny rows; the old loop paid
+    // `iters` sequential checkpoint jobs on a relation this size. One
+    // collect + a local loop with the SAME integer arithmetic
+    // (sum(n·w) over longs, integral div — floor on these non-negative
+    // operands either way) is bit-identical; above the gate the Spark
+    // loop below remains the scale path.
+    var vals: DataFrame = null
+    if (nChan <= driverIterGate) {
+      val spark = events.sparkSession
+      import spark.implicits._
+      val rows = scenTrans
+        .select(col("removed"), col("src"), col("dst"), col("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3)))
+      val grouped: Map[(String, String), Array[(String, Long)]] =
+        rows.groupBy(r => (r._1, r._2))
+          .view.mapValues(_.map(r => (r._3, r._4))).toMap
+      var v: Map[(String, String), Long] =
+        grouped.keysIterator.map(_ -> 0L).toMap
+      for (_ <- 1 to iters) {
+        v = grouped.map { case ((rm, src), outs) =>
+          var num = 0L
+          var den = 0L
+          outs.foreach { case (dst, n) =>
+            val wj =
+              if (dst == "__conv__") 1000000L
+              else if (dst == "__null__") 0L
+              else v.getOrElse((rm, dst), 0L)
+            // exact ops: overflow fails loudly like the ANSI sum it replaces
+            num = Math.addExact(num, Math.multiplyExact(n, wj))
+            den += n
+          }
+          (rm, src) -> (num / den)
+        }
+      }
+      vals = v.toSeq.map { case ((rm, st), vv) => (rm, st, vv) }
+        .toDF("removed", "state", "v")
+    } else {
+      vals = scenTrans.select(col("removed"), col("src").as("state"))
+        .distinct().withColumn("v", lit(0L)).localCheckpoint()
+      for (_ <- 1 to iters) {
+        val w = vals.select(col("removed").as("__r2"),
+          col("state").as("__st"), col("v").as("__w"))
+        vals = scenTrans
+          .join(w, col("removed") === col("__r2")
+            && col("dst") === col("__st"), "left")
+          .withColumn("__wj",
+            when(col("dst") === "__conv__", lit(1000000L))
+              .when(col("dst") === "__null__", lit(0L))
+              .otherwise(coalesce(col("__w"), lit(0L))))
+          .groupBy(col("removed"), col("src"))
+          .agg(expr("sum(n * __wj) div sum(n)").as("v"))
+          .select(col("removed"), col("src").as("state"), col("v"))
+          .localCheckpoint()
+      }
     }
     val pFull = vals
       .filter(col("removed") === "__none__"

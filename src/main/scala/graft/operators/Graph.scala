@@ -249,9 +249,13 @@ object Graph {
     require(iters >= 1 && iters <= 4, s"iters $iters out of range 1..4")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).distinct().localCheckpoint()
-    // nodes has exactly ONE consumer now (the final zero-fill below) —
-    // lazy, no checkpoint: materializing it eagerly would add a full
-    // shuffle job the single consumer pays anyway
+    // nodes has exactly ONE consumer (the final zero-fill below) — lazy,
+    // no checkpoint: materializing it eagerly would add a full shuffle
+    // job the single consumer pays anyway. (Round-20: the initial hub
+    // state now seeds from DISTINCT SRCS instead of from nodes — the
+    // first half-iteration joins on e.src, so dst-only nodes never
+    // matched anyway — which keeps this relation truly single-consumer
+    // and makes the seed shuffle strictly smaller.)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // SPARSE iteration state (round-19 optimization): the old loop
@@ -262,7 +266,8 @@ object Graph {
     // (absent ⇒ 0) through the loop and zero-fill ONCE at the end;
     // integer sums are unchanged, and the per-round checkpoints
     // materialize strictly smaller relations.
-    var hubs = nodes.select(col("node"), lit(1L).as("hub"))
+    var hubs = e.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1L).as("hub"))
     var auths: DataFrame = null
     var it = 0
     while (it < iters) {
@@ -318,10 +323,16 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("__m"))
         .select(col("node"), (-col("__m.nl")).as("label"))
-      // seeds stay pinned: a seed's row wins over any adopted label
+      // seeds stay pinned: a seed's row wins over any adopted label.
+      // LAZY checkpoint (round-20): each round's labels has exactly ONE
+      // consumer (the next round's vote join, or the caller), so the
+      // eager materialization job per round bought nothing — the lazy
+      // mark still truncates the Catalyst plan at every round and caches
+      // the node-sized relation when the final action computes it, but
+      // the whole iteration now runs as ONE job instead of iters+1.
       labels = sd.unionByName(
           adopted.join(sd.select(col("node")), Seq("node"), "left_anti"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       it += 1
     }
     labels

@@ -19,6 +19,14 @@ package graft.operators
   * before the commit step runs. Thread-local Spark properties (job
   * group/description) are inherited by the pool threads from the
   * caller, so UI labels and cancellation behave as before.
+  *
+  * On CALLER interrupt the outstanding futures are cancelled with
+  * interruption (`cancel(true)` + `shutdownNow`) and the pool is drained
+  * for a bounded grace period before the interrupt is re-asserted and
+  * rethrown — so an interrupt does not silently leave thunks running
+  * past the call either. A thunk that ignores thread interruption for
+  * longer than the grace period is abandoned (documented escape hatch:
+  * Spark actions respond to interrupts at their next job boundary).
   */
 private[graft] object JobPar {
   def run(thunks: (() => Unit)*): Unit = {
@@ -31,15 +39,26 @@ private[graft] object JobPar {
         })
       }
       var err: Throwable = null
+      var interrupted = false
       futs.foreach { f =>
-        try f.get()
+        if (interrupted) { f.cancel(true); () }
+        else try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
             if (err == null) err = e.getCause
           case e: InterruptedException =>
-            Thread.currentThread().interrupt()
+            interrupted = true
             if (err == null) err = e
+            f.cancel(true)
         }
+      }
+      if (interrupted) {
+        pool.shutdownNow()
+        // drain in-flight thunks (bounded): the interrupt flag is clear
+        // here (the catch above consumed it), so awaitTermination waits
+        try { pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS); () }
+        catch { case _: InterruptedException => () }
+        Thread.currentThread().interrupt()
       }
       if (err != null) throw err
     } finally pool.shutdown()

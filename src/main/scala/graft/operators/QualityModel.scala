@@ -201,18 +201,19 @@ object QualityModel {
       .join(contrib, Seq(idCol, "cls"), "left")
       .select(col(idCol), col("cls"),
         (col("__bias") + coalesce(col("__s"), lit(0L))).as("margin"))
-      // margins feeds the argmax AND the final join — a (docs × classes)-
-      // sized localCheckpoint runs the explode/weight-join subtree once
-      // instead of once per consumer (round-19; Catalyst shares no work
-      // across the two branches)
-      .localCheckpoint()
-    val pred = margins.groupBy(col(idCol))
-      .agg(min_by(col("cls"),
-        struct((-col("margin")).as("nm"), col("cls"))).as("__pred"))
-    margins.join(pred, Seq(idCol))
-      .select(col(idCol), col("cls"), col("margin"),
-        when(col("cls") === col("__pred"), lit(1L)).otherwise(lit(0L))
-          .as("is_pred"))
+    // argmax as ONE doc-keyed window over margins (round-20): the round-19
+    // groupBy+self-join made margins two-consumer, and neither duplicate
+    // execution (round-18) nor an eager checkpoint (round-19 — it
+    // SERIALIZED the two branches that used to overlap and cost q187/q191
+    // ~2×) beats a single pass. (row_number over (margin DESC, cls ASC))
+    // = 1 flags exactly the min_by(cls, struct(-margin, cls)) row —
+    // (id, cls) rows are unique by construction.
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("margin").desc, col("cls").asc)
+    margins
+      .withColumn("is_pred",
+        when(row_number().over(byDoc) === 1, lit(1L)).otherwise(lit(0L)))
+      .select(col(idCol), col("cls"), col("margin"), col("is_pred"))
   }
 
   /** Hashed character-n-gram feature buckets — the fastText SUBWORD
@@ -294,18 +295,14 @@ object QualityModel {
       .join(contrib, Seq(idCol, "cls"), "left")
       .select(col(idCol), col("cls"),
         (col("__bias") + coalesce(col("__s"), lit(0L))).as("margin"))
-      // margins feeds the argmax AND the final join — a (docs × classes)-
-      // sized localCheckpoint runs the explode/weight-join subtree once
-      // instead of once per consumer (round-19; Catalyst shares no work
-      // across the two branches)
-      .localCheckpoint()
-    val pred = margins.groupBy(col(idCol))
-      .agg(min_by(col("cls"),
-        struct((-col("margin")).as("nm"), col("cls"))).as("__pred"))
-    margins.join(pred, Seq(idCol))
-      .select(col(idCol), col("cls"), col("margin"),
-        when(col("cls") === col("__pred"), lit(1L)).otherwise(lit(0L))
-          .as("is_pred"))
+    // argmax as ONE doc-keyed window (see tokenMulticlassScore): single
+    // pass over the n-gram explode subtree, no checkpoint, no self-join
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("margin").desc, col("cls").asc)
+    margins
+      .withColumn("is_pred",
+        when(row_number().over(byDoc) === 1, lit(1L)).otherwise(lit(0L)))
+      .select(col(idCol), col("cls"), col("margin"), col("is_pred"))
   }
 
   /** Load a foreign-format HASHED multiclass weight file into a

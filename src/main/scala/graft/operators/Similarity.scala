@@ -457,23 +457,18 @@ object Similarity {
     * At billion-vector scale: nProbe/nLists of the corpus scanned, m
     * bytes per row held — the two savings multiply.
     */
-  /** Map-side argmin against ID-KEYED broadcast centroids (ties → smaller
-    * id) — the coarse quantizer shared by [[ivfPqTopK]] and
-    * [[writeIvfPqIndex]], one definition so build and one-shot agree
-    * bit-for-bit.
+  /** Map-side argmin against ID-KEYED centroids (ties → smaller id) — the
+    * coarse quantizer shared by [[ivfPqTopK]] and [[writeIvfPqIndex]], one
+    * definition so build and one-shot agree bit-for-bit. Round-20: a
+    * native codegen expression ([[graft.expr.NearestCentroidIdExpr]] —
+    * same strict-compare/tie arithmetic, order-independent over distinct
+    * ids) instead of an interpreted UDF that converted every vector to
+    * Seq[Double]; the nLists-bounded codebook rides in the expression, so
+    * the broadcast plumbing goes too.
     */
   private def assignByIdUdf(spark: org.apache.spark.sql.SparkSession,
-      centroids: Array[(Long, Array[Double])]) = {
-    val bc = spark.sparkContext.broadcast(centroids)
-    udf { (v: Seq[Double]) =>
-      var best = Long.MaxValue; var bd = Double.PositiveInfinity
-      bc.value.foreach { case (cid, cv) =>
-        val d = sqDistArr(v, cv)
-        if (d < bd || (d == bd && cid < best)) { bd = d; best = cid }
-      }
-      best
-    }
-  }
+      centroids: Array[(Long, Array[Double])]): Column => Column =
+    v => graft.expr.GraftExpressions.nearestCentroidId(v, centroids)
 
   /** TWO-LEVEL approximate coarse assignment for huge list counts (the
     * inverted-multi-index idea, Babenko & Lempitsky 2012, reduced to one
@@ -625,9 +620,9 @@ object Similarity {
           .select(col(idCol), col("__le._1").as("ivf_list"),
             col("__le._2").as("pq_codes"))
       } else {
-        val assign =
+        val assign: Column => Column =
           if (assignGroups > 0)
-            hierarchicalAssignUdf(spark, centroids, assignGroups)
+            hierarchicalAssignUdf(spark, centroids, assignGroups)(_)
           else assignByIdUdf(spark, centroids)
         val encode = pqEncodeUdf(spark, donors, m)
         clean.select(col(idCol).cast("long").as(idCol),
@@ -1095,9 +1090,9 @@ object Similarity {
           .select(col(idCol), col("__le._1").as("ivf_list"),
             col("__le._2").as("pq_codes"))
       } else {
-        val assign =
+        val assign: Column => Column =
           if (meta.assignGroups > 0)
-            hierarchicalAssignUdf(spark, meta.centroids, meta.assignGroups)
+            hierarchicalAssignUdf(spark, meta.centroids, meta.assignGroups)(_)
           else assignByIdUdf(spark, meta.centroids)
         val encode = pqEncodeUdf(spark, meta.donors, meta.m)
         clean.select(col(idCol), assign(col("__v")).as("ivf_list"),
@@ -1128,7 +1123,7 @@ object Similarity {
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
-    rewriteIvfPqIndex(spark, path, identity, removed = 0L)
+    rewriteIvfPqIndex(spark, path, identity, removed = () => 0L)
 
   /** Remove vectors from a persisted IVF-PQ index — takedown. Also
     * compacts (same staged rewrite). `nVecs` decrements by the ids
@@ -1148,22 +1143,28 @@ object Similarity {
     val live = spark.read.parquet(s"$path/codes")
     // the codes relation is exactly (id, pq_codes) partitioned by ivf_list
     val liveIdCol = live.columns.filterNot(Set("ivf_list", "pq_codes")).head
-    val stats = live
-      .join(ids.withColumn("__hit", lit(1)),
-        live(liveIdCol) === ids("__drop_id"), "left")
-      .agg(count(lit(1)).as("total"),
-        sum(coalesce(col("__hit"), lit(0))).as("present")).head()
-    val present = stats.getLong(1)
-    require(present < stats.getLong(0),
-      "removeFromIvfPqIndex would remove every indexed vector — delete " +
-        "the index and writeIvfPqIndex a new corpus instead")
+    // present-count agg rides as a THUNK so the rewrite overlaps it with
+    // the tmp rewrite (round-20, §2.6 — both only read the live codes);
+    // the refuse-to-empty check still precedes the destructive swap
     rewriteIvfPqIndex(spark, path,
       rel => rel.join(ids, rel(liveIdCol) === ids("__drop_id"), "left_anti"),
-      removed = present)
+      removed = () => {
+        val stats = live
+          .join(ids.withColumn("__hit", lit(1)),
+            live(liveIdCol) === ids("__drop_id"), "left")
+          .agg(count(lit(1)).as("total"),
+            sum(coalesce(col("__hit"), lit(0))).as("present")).head()
+        val present = stats.getLong(1)
+        require(present < stats.getLong(0),
+          "removeFromIvfPqIndex would remove every indexed vector — " +
+            "delete the index and writeIvfPqIndex a new corpus instead")
+        present
+      })
   }
 
   private def rewriteIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, transform: DataFrame => DataFrame, removed: Long): Unit = {
+      path: String, transform: DataFrame => DataFrame,
+      removed: () => Long): Unit = {
     val meta = readIvfPqMeta(spark, path)
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = s"$path/_compact_tmp"
@@ -1180,9 +1181,20 @@ object Similarity {
         s"$path: stale _codes_old present — a previous compact/remove " +
           "crashed mid-swap. Recover codes/ from it (or delete it if " +
           "codes/ is intact), then retry.")
-    transform(spark.read.parquet(s"$path/codes"))
-      .repartition(col("ivf_list"))
-      .write.mode("overwrite").partitionBy("ivf_list").parquet(s"$tmp/codes")
+    // tmp rewrite ∥ removed-count thunk (round-20, §2.6): independent
+    // reads of the live codes; a thunk refusal fires before the swap and
+    // deletes the now-worthless tmp, leaving the live index untouched
+    @volatile var nRemoved = 0L
+    try graft.operators.JobPar.run(
+      () => transform(spark.read.parquet(s"$path/codes"))
+        .repartition(col("ivf_list"))
+        .write.mode("overwrite").partitionBy("ivf_list")
+        .parquet(s"$tmp/codes"),
+      () => { nRemoved = removed() })
+    catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw e
+    }
     // stash-aside swap (same as TextIndex.rewriteIndex): live → stash,
     // tmp → live, stash deleted LAST, so a crash at any point leaves a
     // recoverable full copy — never a meta with no codes
@@ -1193,7 +1205,7 @@ object Similarity {
         s"copy from $path/_codes_old or the rewritten one from $tmp")
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     writeIvfPqMeta(spark, path, meta.m, meta.centroids, meta.donors,
-      meta.maxId, math.max(0L, meta.nVecs - removed), meta.residual,
+      meta.maxId, math.max(0L, meta.nVecs - nRemoved), meta.residual,
       meta.assignGroups, meta.last, meta.lastFp, baseErr = meta.baseErr,
       appendErrs = meta.appendErrs, perm = meta.perm, rot = meta.rot)
     fs.delete(stash, true)
@@ -1373,23 +1385,19 @@ object Similarity {
       sideCol: String, k: Int = 4, nLists: Int = 16, nProbe: Int = 4,
       maxListSize: Int = 10000): DataFrame = {
     require(k >= 1 && maxListSize >= 1)
-    val spark = vecs.sparkSession
     val clean = vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol),
         col(vecCol).cast("array<double>").as("__v"), col(sideCol).as("__s"))
     val centroids = pqDonors(clean, idCol, "__v", nLists)
-    val assign = assignByIdUdf(spark, centroids)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probeU = udf { (v: Seq[Double]) =>
-      bc.value.map { case (cid, cv) => (sqDistArr(v, cv), cid) }
-        .sorted.take(nProbe).map(_._2).toSeq
-    }
+    // native probe/assign kernels — see knnCandidateEdges (round-20)
     val a = clean.filter(col("__s") === 0)
       .select(col(idCol).as("id1"), col("__v").as("__v1"),
-        explode(probeU(col("__v"))).as("__lst"))
+        explode(graft.expr.GraftExpressions.nearestCentroidIds(
+          col("__v"), centroids, nProbe)).as("__lst"))
     val bAll = clean.filter(col("__s") === 1)
       .select(col(idCol).as("id2"), col("__v").as("__v2"),
-        assign(col("__v")).as("__lst"))
+        graft.expr.GraftExpressions.nearestCentroidId(col("__v"), centroids)
+          .as("__lst"))
     val idHash = pmod(pmod(col("id2"), lit(2147483648L)) * 2654435761L,
       lit(4294967296L))
     val b = Ops.topKPerGroup(bAll, Seq("__lst"),
@@ -1425,23 +1433,22 @@ object Similarity {
       vecCol: String, nLists: Int, nProbe: Int,
       maxListSize: Int): DataFrame = {
     require(maxListSize >= 1, s"maxListSize $maxListSize must be >= 1")
-    val spark = vecs.sparkSession
     val clean = vecs.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as(idCol),
         col(vecCol).cast("array<double>").as("__v"))
     val centroids = pqDonors(clean, idCol, "__v", nLists)
-    val assign = assignByIdUdf(spark, centroids)
-    val bc = spark.sparkContext.broadcast(centroids)
-    val probeU = udf { (v: Seq[Double]) =>
-      bc.value.map { case (cid, cv) => (sqDistArr(v, cv), cid) }
-        .sorted.take(nProbe).map(_._2).toSeq
-    }
+    // probe and assignment are ONE native codegen'd kernel each
+    // (round-20; guide §1.2 "per-task work" + VERDICT r19 item 5): the
+    // interpreted UDF pair re-entered the interpreter and converted the
+    // vector to Seq[Double] once per row per side
     val left = clean.select(col(idCol).as("id1"), col("__v").as("__v1"),
-      explode(probeU(col("__v"))).as("__lst"))
+      explode(graft.expr.GraftExpressions.nearestCentroidIds(
+        col("__v"), centroids, nProbe)).as("__lst"))
     // each candidate sits in exactly ONE list, so a (id1, id2) pair can
     // match at most once — no dedup needed after the join
     val assigned = clean.select(col(idCol).as("id2"), col("__v").as("__v2"),
-      assign(col("__v")).as("__lst"))
+      graft.expr.GraftExpressions.nearestCentroidId(col("__v"), centroids)
+        .as("__lst"))
     // hot-list cap: per-list top-maxListSize by the Knuth id-hash (see
     // scaladoc). The rank window partitions BY LIST and shuffles on the
     // same key the join needs — one extra in-partition sort, no extra

@@ -224,7 +224,7 @@ object TextIndex {
     * re-assert stats LAST.
     */
   def compact(spark: SparkSession, path: String): Unit =
-    rewriteIndex(spark, path, identity, removedDocs = 0L, removedDl = 0L)
+    rewriteIndex(spark, path, identity, removed = () => (0L, 0L))
 
   /** The maintenance verdict for a rolling text index — the same
     * "telemetry → one decision" shape as the IVF-PQ and signature
@@ -296,30 +296,46 @@ object TextIndex {
         dropIds.schema(idCol).dataType.simpleString)
     val ids = broadcast(
       dropIds.select(col(idCol).cast("long").as("doc_id")).distinct())
-    val present = spark.read.parquet(path)
-      .select(col("doc_id"), col("dl")).distinct()
-      .join(ids, Seq("doc_id"), "left_semi")
-      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
-    val (nRemoved, dlRemoved) = (present.getLong(0), present.getLong(1))
+    // the present-docs/dl agg rides as a THUNK so the rewrite overlaps it
+    // with the tmp rewrite (round-20, §2.6) — both read only the live
+    // index; the refuse-to-empty check still precedes the swap
     rewriteIndex(spark, path,
       rel => rel.join(ids, Seq("doc_id"), "left_anti"),
-      removedDocs = nRemoved, removedDl = dlRemoved)
+      removed = () => {
+        val present = spark.read.parquet(path)
+          .select(col("doc_id"), col("dl")).distinct()
+          .join(ids, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+        (present.getLong(0), present.getLong(1))
+      })
   }
 
   private def rewriteIndex(spark: SparkSession, path: String,
-      transform: DataFrame => DataFrame, removedDocs: Long,
-      removedDl: Long): Unit = {
+      transform: DataFrame => DataFrame,
+      removed: () => (Long, Long)): Unit = {
     val st = readStats(spark, path)
-    val n2 = st.n - removedDocs
-    require(n2 > 0,
-      "TextIndex.remove would remove every indexed document — delete the " +
-        "index and TextIndex.write a new corpus instead")
     val conf = spark.sparkContext.hadoopConfiguration
     val tmp = s"${path}_compact_tmp"
-    transform(spark.read.parquet(path))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    // tmp rewrite and the removed-stats thunk are independent reads of the
+    // LIVE index — overlapped (JobPar, §2.6); nothing destructive happens
+    // until both landed and the refusal below has passed (a refusal leaves
+    // the live index untouched and deletes the now-worthless tmp)
+    @volatile var removedDocs = 0L
+    @volatile var removedDl = 0L
+    JobPar.run(
+      () => transform(spark.read.parquet(path))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp),
+      () => { val r = removed(); removedDocs = r._1; removedDl = r._2 })
+    val n2 = st.n - removedDocs
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    if (!(n2 > 0)) {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      throw new IllegalArgumentException(
+        "requirement failed: TextIndex.remove would remove every indexed " +
+          "document — delete the index and TextIndex.write a new corpus " +
+          "instead")
+    }
     val live = new org.apache.hadoop.fs.Path(path)
     val stash = new org.apache.hadoop.fs.Path(s"${path}_old")
     // a surviving stash means a PRIOR rewrite crashed mid-swap — renaming

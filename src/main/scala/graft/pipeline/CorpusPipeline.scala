@@ -28,14 +28,25 @@ import graft.operators.{Curation, Dedup}
   * `quality`, `n_tokens`, `split`; stats is one (stage, rows_in,
   * rows_out) row per stage. Stage counts are ACTIONS — five small jobs,
   * intended for pipeline-scale runs, not per-query latency paths. Each
-  * stage boundary localCheckpoints its output before counting it, so
-  * every stage (dedup above all) executes exactly ONCE — the previous
-  * lazy pass-through re-ran the whole upstream chain per boundary,
-  * i.e. dedup 4× (measured, round 19). The checkpointed survivor set
-  * lives in executor storage for the life of the returned plan; at
-  * 100 TB that is the same materialization the old doc told callers to
-  * do themselves, now placed where the stats action already forces the
-  * pass.
+  * stage boundary MATERIALIZES its output before counting it, so every
+  * stage (dedup above all) executes exactly ONCE — the previous lazy
+  * pass-through re-ran the whole upstream chain per boundary, i.e.
+  * dedup 4× (measured, round 19).
+  *
+  * STORAGE / FAILURE-MODE CONTRACT (round 20; see SCALE.md): stage
+  * outputs persist at `DISK_ONLY` and each stage's blocks are RELEASED
+  * as soon as the next stage's count lands, so at most one corpus-sized
+  * stage (plus the final survivor set the caller consumes) is pinned at
+  * a time — the round-19 eager `localCheckpoint` kept up to 5 corpus
+  * copies (text column included) in non-replicated executor storage
+  * with no recompute path: one lost executor failed the query. persist
+  * keeps lineage, so an executor loss recomputes the lost blocks
+  * instead of failing. For pipeline-scale runs where even lineage
+  * recomputation is too expensive, set a RELIABLE checkpoint directory
+  * (`spark.sparkContext.setCheckpointDir(...)`) — stage boundaries then
+  * `checkpoint()` to fault-tolerant storage instead (the conf-gated
+  * escape hatch; costs one extra computation of each stage, the
+  * standard reliable-checkpoint trade).
   */
 object CorpusPipeline {
 
@@ -54,20 +65,29 @@ object CorpusPipeline {
     val stats = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val scored = docs.filter(col(textCol).isNotNull)
       .withColumn("quality", TextFns.qualityScore(col(textCol)))
-    // Each stage boundary MATERIALIZES its output (localCheckpoint,
-    // eager) and counts the checkpointed relation. Round-19 measured
-    // fix: the old count-only boundaries made every stage's count (and
-    // the final consumption of `curated`) RE-EXECUTE the whole upstream
-    // chain — dedup, by far the most expensive stage, ran once per
-    // remaining boundary (4× here). Checkpointing at the boundary runs
-    // each stage exactly once at any scale; the survivor set was
-    // exactly what the old doc told 100 TB callers to persist
-    // themselves, now done where the stats action already forces the
-    // pass. Results are unchanged (same rows, same stats).
+    // Each stage boundary MATERIALIZES its output and counts the
+    // materialized relation — round-19 measured fix: the old count-only
+    // boundaries made every stage's count (and the final consumption of
+    // `curated`) RE-EXECUTE the whole upstream chain — dedup, by far the
+    // most expensive stage, ran once per remaining boundary (4× here).
+    // Round-20 (scale contract, see scaladoc + SCALE.md): DISK_ONLY
+    // persist with previous-stage release instead of eager
+    // localCheckpoint — lineage-recoverable on executor loss, at most
+    // one corpus-sized stage pinned; a configured reliable checkpoint
+    // dir upgrades boundaries to fault-tolerant checkpoints. Results are
+    // unchanged (same rows, same stats).
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    var prevPinned: Option[DataFrame] = None
     var prev = scored.count()
     def staged(name: String, out: DataFrame): DataFrame = {
-      val mat = out.localCheckpoint()
+      val mat =
+        if (reliable) out.checkpoint()
+        else out.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val c = mat.count()
+      // the previous stage's blocks fed this stage's materialization and
+      // nothing downstream reads them again — release them now
+      prevPinned.foreach { p => p.unpersist(false); () }
+      prevPinned = if (reliable) None else Some(mat)
       stats += ((name, prev, c))
       prev = c
       mat
